@@ -1,0 +1,607 @@
+"""``FrameEngine`` — the puffy-table engine, Spark-native.
+
+Wraps an immutable :class:`pyspark.sql.DataFrame` plus explicit
+``index_cols`` metadata (Spark has no row index; the reference keeps index
+columns in a pandas MultiIndex, ``puffbird/frame.py:188-194``). All methods
+return **new** engines / DataFrames — the reference mutates ``self._table``
+in place (``frame.py:831-948``); immutability is the Spark-idiomatic
+replacement and keeps the same fluent chaining surface.
+
+Method parity map (reference ``puffbird/frame.py``):
+
+===================  =======================================================
+``__init__``         R1  construction/normalization     frame.py:147-213
+``to_long``          R2  recursive explode + join       frame.py:334-542
+``shared_axes``      R4  aligned explosion              frame.py:401-413
+``expand_col``       R5  concat of frame-cells          frame.py:627-698
+``__getitem__``      R6  projection                     frame.py:602-625
+``col_apply``        R7  scalar UDF on one column       frame.py:700-747
+``apply``            R8  row-wise multi-column UDF      frame.py:749-803
+``drop``             R9                                 frame.py:831-899
+``rename``           R10                                frame.py:901-948
+``to_puffy``         R11 group-nest aggregation         frame.py:950-1016
+``multid_pivot``     R12 pivot                          frame.py:1018-1075
+===================  =======================================================
+
+Known reference bugs intentionally *not* replicated (SURVEY §2.1):
+- ``frame.py:793`` ``self._substitue_col`` typo breaks ``apply(map_kws=…)``;
+  we implement the documented behavior.
+- ``frame.py:1244-1246`` unpacking crash when ``handle_column_types=False``;
+  we implement the documented no-op.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Mapping
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import explode as _explode
+from .dispatch import CallableContainer
+from .errors import PuffbirdSparkError
+from .naming import (
+    DEFAULT_INDEX_COL,
+    check_collisions,
+    check_reserved,
+    level_column,
+    sanitize_identifier,
+)
+
+_DEFAULT_KEY = "_default"  # per-column parameter-map default key (frame.py:1171-1186)
+
+
+def _per_col(arg: Any, cols: list[str], default: Any) -> dict[str, Any]:
+    """Normalize a per-column parameter map (R16, frame.py:1171-1186).
+
+    ``arg`` may be a scalar (applies to all), or a dict ``{col: value}`` with
+    optional ``"_default"``; unknown keys are rejected.
+    """
+    if arg is None:
+        return {c: default for c in cols}
+    if isinstance(arg, Mapping):
+        unknown = set(arg) - set(cols) - {_DEFAULT_KEY}
+        if unknown:
+            raise PuffbirdSparkError(
+                f"unknown columns in parameter mapping: {sorted(unknown)}"
+            )
+        d = arg.get(_DEFAULT_KEY, default)
+        return {c: arg.get(c, d) for c in cols}
+    return {c: arg for c in cols}
+
+
+class FrameEngine:
+    """Engine over a Spark DataFrame with declared key (index) columns."""
+
+    def __init__(
+        self,
+        table: DataFrame | "FrameEngine",
+        datacols: list[str] | None = None,
+        indexcols: list[str] | None = None,
+        handle_column_types: bool = True,
+        enforce_identifier_string: bool = False,
+        validate: bool = True,
+    ):
+        if isinstance(table, FrameEngine):
+            if indexcols is None:
+                indexcols = table.indexcols
+            table = table.table
+        if not isinstance(table, DataFrame):
+            raise PuffbirdSparkError(
+                f"table must be a pyspark DataFrame or FrameEngine, got {type(table)}"
+            )
+
+        # -- column-name normalization (R1; frame.py:1240-1325) -----------
+        if handle_column_types:
+            renames = {}
+            for c in table.columns:
+                new = sanitize_identifier(c) if enforce_identifier_string else str(c)
+                if new != c:
+                    renames[c] = new
+            if renames:
+                table = table.withColumnsRenamed(renames)
+            self._rename_map = renames
+        else:
+            self._rename_map = {}
+
+        cols = table.columns
+
+        # -- split data / index columns (frame.py:1207-1237) --------------
+        if indexcols is None and datacols is None:
+            indexcols = []
+            datacols = list(cols)
+        elif indexcols is None:
+            datacols = [str(c) for c in datacols]
+            indexcols = [c for c in cols if c not in set(datacols)]
+        elif datacols is None:
+            indexcols = [str(c) for c in indexcols]
+            datacols = [c for c in cols if c not in set(indexcols)]
+        else:
+            indexcols = [str(c) for c in indexcols]
+            datacols = [str(c) for c in datacols]
+
+        missing = (set(indexcols) | set(datacols)) - set(cols)
+        if missing:
+            raise PuffbirdSparkError(f"no such columns: {sorted(missing)}")
+
+        # -- surrogate key when the table has no index (SURVEY §7 risk 3):
+        # generated ONCE at ingest, never regenerated.
+        if not indexcols:
+            table = table.withColumn(
+                DEFAULT_INDEX_COL, F.monotonically_increasing_id()
+            )
+            indexcols = [DEFAULT_INDEX_COL]
+
+        check_reserved(datacols)
+        # Only nested datacols can generate level columns, so only they can
+        # collide with index-column names (the reference checks all datacols,
+        # frame.py:1347-1352, because pandas can't see types statically —
+        # here a primitive datacol provably never explodes, which keeps
+        # to_long output re-ingestable for to_puffy round-trips).
+        nested = [
+            c for c in datacols
+            if isinstance(table.schema[c].dataType,
+                          (T.ArrayType, T.MapType, T.StructType))
+        ]
+        check_collisions(nested, indexcols)
+
+        self._df = table
+        self._indexcols = list(indexcols)
+        self._datacols = list(datacols)
+
+        # -- key uniqueness (frame.py:204-207) as a Spark assertion job ---
+        if validate and indexcols != [DEFAULT_INDEX_COL]:
+            dupes = (
+                table.groupBy(*indexcols).count().filter(F.col("count") > 1).limit(1)
+            )
+            if dupes.count() > 0:
+                raise PuffbirdSparkError(
+                    "Each row for all index columns must be a unique set."
+                )
+
+    # ------------------------------------------------------------------ #
+    # properties
+    # ------------------------------------------------------------------ #
+
+    @property
+    def table(self) -> DataFrame:
+        return self._df
+
+    @property
+    def indexcols(self) -> list[str]:
+        return list(self._indexcols)
+
+    @property
+    def datacols(self) -> list[str]:
+        return list(self._datacols)
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return (f"FrameEngine(indexcols={self._indexcols}, "
+                f"datacols={self._datacols})")
+
+    def _replace(self, df: DataFrame, indexcols: list[str],
+                 datacols: list[str]) -> "FrameEngine":
+        eng = object.__new__(FrameEngine)
+        eng._df = df
+        eng._indexcols = list(indexcols)
+        eng._datacols = list(datacols)
+        eng._rename_map = dict(self._rename_map)
+        return eng
+
+    # ------------------------------------------------------------------ #
+    # R6 — projection
+    # ------------------------------------------------------------------ #
+
+    def __getitem__(self, cols):
+        """Select a subset of data columns → new engine (frame.py:602-625)."""
+        if isinstance(cols, str):
+            cols = [cols]
+        cols = list(cols)
+        missing = set(cols) - set(self._datacols)
+        if missing:
+            raise PuffbirdSparkError(f"not data columns: {sorted(missing)}")
+        df = self._df.select(*self._indexcols, *cols)
+        return self._replace(df, self._indexcols, cols)
+
+    # ------------------------------------------------------------------ #
+    # R2/R3/R4/R15/R17 — to_long
+    # ------------------------------------------------------------------ #
+
+    def to_long(
+        self,
+        *cols: str,
+        max_depth: int | Mapping[str, int] = _explode.DEFAULT_MAX_DEPTH,
+        dropna: bool = True,
+        cond: Callable[[T.DataType], bool] | Mapping | None = None,
+        expand_cols: list[str] | None = None,
+        **shared_axes: Mapping[str, int],
+    ) -> DataFrame:
+        """Explode data columns into a long (tidy) DataFrame.
+
+        Semantics follow reference ``to_long`` (frame.py:334-542): each data
+        column is exploded independently to its leaves, emitting
+        ``{col}_level{n}`` position/key columns, then the per-column long
+        frames are full-outer-joined on shared columns — a per-row cartesian
+        product unless ``shared_axes`` aligns depths across columns.
+
+        ``shared_axes``: keyword args ``name={'colA': depthA, 'colB': depthB}``
+        declare that depth ``depthX`` of each column is the same logical axis;
+        the level column takes the shared ``name`` and becomes a join key
+        (positional zip instead of cross product; frame.py:401-413).
+        """
+        datacols = list(cols) if cols else list(self._datacols)
+        missing = set(datacols) - set(self._datacols)
+        if missing:
+            raise PuffbirdSparkError(f"not data columns: {sorted(missing)}")
+        expand_cols = list(expand_cols or [])
+
+        axes_by_col = self._check_shared_axes(shared_axes, datacols)
+        depth_map = _per_col(max_depth, datacols, _explode.DEFAULT_MAX_DEPTH)
+        cond_map = _per_col(cond, datacols, _explode.default_stop)
+
+        frames: list[tuple[str, DataFrame, list[str]]] = []
+        for c in datacols:
+            if c in expand_cols:
+                frames.append(self._expand_frame(c, dropna))
+            else:
+                frame, levels = _explode.explode_column(
+                    self._df,
+                    self._indexcols,
+                    c,
+                    max_depth=depth_map[c],
+                    dropna=dropna,
+                    shared_axes=axes_by_col.get(c),
+                    stop=cond_map[c],
+                )
+                frames.append((c, frame, levels))
+        return _explode.assemble_long(frames, self._indexcols)
+
+    def _check_shared_axes(
+        self, shared_axes: Mapping[str, Mapping[str, int]], datacols: list[str]
+    ) -> dict[str, dict[int, str]]:
+        """Validate shared-axes kwargs (frame.py:1358-1384) and invert to
+        per-column ``{depth: axis_name}`` maps."""
+        axes_by_col: dict[str, dict[int, str]] = {}
+        for axis_name, mapping in shared_axes.items():
+            if not isinstance(mapping, Mapping) or len(mapping) < 2:
+                raise PuffbirdSparkError(
+                    f"shared axis {axis_name!r} must map >=2 data columns to depths"
+                )
+            for col, depth in mapping.items():
+                if col not in datacols:
+                    raise PuffbirdSparkError(
+                        f"shared axis {axis_name!r} references {col!r}, "
+                        f"which is not an exploded data column"
+                    )
+                if not isinstance(depth, int) or depth < 0:
+                    raise PuffbirdSparkError(
+                        f"shared axis depth must be a non-negative int, "
+                        f"got {depth!r} for {col!r}"
+                    )
+                by_depth = axes_by_col.setdefault(col, {})
+                if depth in by_depth:
+                    raise PuffbirdSparkError(
+                        f"column {col!r} declares two shared axes at depth {depth}"
+                    )
+                by_depth[depth] = axis_name
+        return axes_by_col
+
+    # ------------------------------------------------------------------ #
+    # R5 — expand_col
+    # ------------------------------------------------------------------ #
+
+    def _expand_frame(self, col: str, dropna: bool) -> tuple[str, DataFrame, list[str]]:
+        """``to_long(expand_cols=[col])`` inner path: inline the struct array
+        and prefix field names with ``{col}_`` (frame.py:489-503)."""
+        dtype = self._df.schema[col].dataType
+        struct = self._expandable_struct(col, dtype)
+        pos_col = level_column(col, 0)
+        gen = F.posexplode(F.col(col)) if dropna else F.posexplode_outer(F.col(col))
+        df = self._df.select(*self._indexcols, gen.alias(pos_col, col))
+        out_cols = [*self._indexcols, pos_col] + [
+            F.col(col).getField(f.name).alias(f"{col}_{f.name}")
+            for f in struct.fields
+        ]
+        return col, df.select(*out_cols), [pos_col]
+
+    def expand_col(self, col: str, dropna: bool = True) -> "FrameEngine":
+        """Vertically expand a column of frame-like cells (array<struct>).
+
+        Reference ``expand_col`` (frame.py:627-698) concatenates
+        DataFrame-cells, prefixing the outer key; colliding field names are
+        suffix-renamed ``{field}_{col}`` (tutorial cell 24 ``a`` → ``a_e``).
+        The element position becomes a new index column ``{col}_level0``.
+        """
+        dtype = self._df.schema[col].dataType
+        struct = self._expandable_struct(col, dtype)
+        pos_col = level_column(col, 0)
+        others = [c for c in self._df.columns if c != col]
+        gen = F.posexplode(F.col(col)) if dropna else F.posexplode_outer(F.col(col))
+        df = self._df.select(*others, gen.alias(pos_col, col))
+        existing = set(others) | {pos_col}
+        field_cols = []
+        new_datacols = [c for c in self._datacols if c != col]
+        for f in struct.fields:
+            name = f.name if f.name not in existing else f"{f.name}_{col}"
+            field_cols.append(F.col(col).getField(f.name).alias(name))
+            new_datacols.append(name)
+        df = df.select(*others, pos_col, *field_cols)
+        return self._replace(df, self._indexcols + [pos_col], new_datacols)
+
+    @staticmethod
+    def _expandable_struct(col: str, dtype: T.DataType) -> T.StructType:
+        if isinstance(dtype, T.ArrayType) and isinstance(dtype.elementType, T.StructType):
+            return dtype.elementType
+        if isinstance(dtype, T.StructType):
+            # a bare struct column expands as a single-row frame-cell
+            return dtype
+        raise PuffbirdSparkError(
+            f"expand_col requires array<struct> or struct cells; "
+            f"{col!r} is {dtype.simpleString()}"
+        )
+
+    # ------------------------------------------------------------------ #
+    # R7 — col_apply
+    # ------------------------------------------------------------------ #
+
+    def col_apply(
+        self,
+        func: Callable | Column,
+        col: str,
+        new_col_name: str | None = None,
+        return_type: T.DataType | str = "string",
+        assign_to_index: bool | None = None,
+        vectorized: bool = False,
+        **kwargs: Any,
+    ) -> "FrameEngine":
+        """Apply ``func`` to one column (frame.py:700-747).
+
+        ``func`` may be a pyspark ``Column`` expression (preferred — stays
+        JVM-side), a plain Python callable (wrapped in a UDF), or, with
+        ``vectorized=True``, a ``pandas.Series -> pandas.Series`` callable
+        (Arrow-batched pandas UDF — the fast Python path).
+        """
+        if col not in self._df.columns:
+            raise PuffbirdSparkError(f"no such column: {col!r}")
+        target = new_col_name or col
+        if isinstance(func, Column):
+            expr = func
+        elif vectorized:
+            expr = F.pandas_udf(lambda s: func(s, **kwargs), return_type)(F.col(col))
+        else:
+            expr = F.udf(lambda x: func(x, **kwargs), return_type)(F.col(col))
+        df = self._df.withColumn(target, expr)
+        return self._assign_output(df, target, assign_to_index, replaced=col)
+
+    # ------------------------------------------------------------------ #
+    # R8 — apply
+    # ------------------------------------------------------------------ #
+
+    def apply(
+        self,
+        func: Callable,
+        new_col_name: str | None = None,
+        *args: str,
+        return_type: T.DataType | str = "string",
+        assign_to_index: bool = False,
+        map_kws: Mapping[str, str] | None = None,
+        **kwargs: Any,
+    ) -> "FrameEngine":
+        """Row-wise multi-column UDF (frame.py:749-803).
+
+        Positional ``args`` and ``map_kws`` values name table columns whose
+        row values are passed to ``func``; extra ``kwargs`` pass through.
+        (The reference's ``map_kws`` path is broken by the ``_substitue_col``
+        typo at frame.py:793 — this implements the documented behavior.)
+        """
+        new_col_name = new_col_name or "apply_result"  # frame.py:787-788
+        map_kws = dict(map_kws or {})
+        cols = list(args) + list(map_kws.values())
+        missing = set(cols) - set(self._df.columns)
+        if missing:
+            raise PuffbirdSparkError(f"no such columns: {sorted(missing)}")
+        n_pos = len(args)
+        kw_names = list(map_kws.keys())
+
+        def _wrapped(*vals):
+            pos = vals[:n_pos]
+            kw = dict(zip(kw_names, vals[n_pos:]))
+            return func(*pos, **kw, **kwargs)
+
+        expr = F.udf(_wrapped, return_type)(*[F.col(c) for c in cols])
+        df = self._df.withColumn(new_col_name, expr)
+        return self._assign_output(df, new_col_name, assign_to_index)
+
+    def _assign_output(
+        self,
+        df: DataFrame,
+        target: str,
+        assign_to_index: bool | None,
+        replaced: str | None = None,
+    ) -> "FrameEngine":
+        """Place a computed column into data or index cols (frame.py:805-829)."""
+        indexcols = list(self._indexcols)
+        datacols = list(self._datacols)
+        if target in indexcols or target in datacols:
+            pass  # replaced in place
+        elif assign_to_index:
+            indexcols.append(target)
+        else:
+            datacols.append(target)
+        eng = self._replace(df, indexcols, datacols)
+        if assign_to_index and target not in self._indexcols:
+            # appending an index col must preserve key uniqueness
+            dupes = df.groupBy(*indexcols).count().filter(F.col("count") > 1).limit(1)
+            if dupes.count() > 0:
+                raise PuffbirdSparkError(
+                    "Each row for all index columns must be a unique set."
+                )
+        return eng
+
+    # ------------------------------------------------------------------ #
+    # R9/R10 — drop / rename
+    # ------------------------------------------------------------------ #
+
+    def drop(self, *cols: str, validate: bool = True) -> "FrameEngine":
+        """Drop data and/or index columns (frame.py:831-899). Dropping index
+        columns re-checks key uniqueness unless ``validate=False``."""
+        cols_set = set(cols)
+        missing = cols_set - set(self._df.columns)
+        if missing:
+            raise PuffbirdSparkError(f"no such columns: {sorted(missing)}")
+        indexcols = [c for c in self._indexcols if c not in cols_set]
+        datacols = [c for c in self._datacols if c not in cols_set]
+        if not indexcols:
+            raise PuffbirdSparkError("cannot drop all index columns")
+        df = self._df.drop(*cols)
+        dropped_index = len(indexcols) != len(self._indexcols)
+        eng = self._replace(df, indexcols, datacols)
+        if dropped_index and validate:
+            dupes = df.groupBy(*indexcols).count().filter(F.col("count") > 1).limit(1)
+            if dupes.count() > 0:
+                raise PuffbirdSparkError(
+                    "Each row for all index columns must be a unique set."
+                )
+        return eng
+
+    def rename(self, **mapping: str) -> "FrameEngine":
+        """Rename data/index columns (frame.py:901-948)."""
+        missing = set(mapping) - set(self._df.columns)
+        if missing:
+            raise PuffbirdSparkError(f"no such columns: {sorted(missing)}")
+        df = self._df.withColumnsRenamed(dict(mapping))
+        indexcols = [mapping.get(c, c) for c in self._indexcols]
+        datacols = [mapping.get(c, c) for c in self._datacols]
+        return self._replace(df, indexcols, datacols)
+
+    # ------------------------------------------------------------------ #
+    # R11 — to_puffy
+    # ------------------------------------------------------------------ #
+
+    def to_puffy(
+        self,
+        *indexcols: str,
+        aggfunc: Any = None,
+        dropna: bool = True,
+        keep_missing_idcs: bool = True,
+        sort_by: list[str] | None = None,
+    ) -> "FrameEngine":
+        """Inverse of ``to_long``: group by ``indexcols`` and nest every other
+        column into a list (frame.py:950-1016).
+
+        ``aggfunc`` may be: None (collect into list — the reference default,
+        frame.py:31), a string Spark agg name (``"sum"``/``"avg"``/...), a
+        callable ``Column -> Column``, a :class:`CallableContainer`, or a
+        per-column dict of any of these.
+
+        Because Spark rows are unordered, deterministic list order needs
+        ``sort_by`` (e.g. the level columns produced by ``to_long``): values
+        are collected as structs and sorted by those columns inside each
+        group. Without ``sort_by`` lists are sorted by value for determinism
+        (documented deviation: pandas preserves encounter order).
+        """
+        indexcols = [str(c) for c in indexcols]
+        if not indexcols:
+            raise PuffbirdSparkError("to_puffy requires at least one index column")
+        missing = set(indexcols) - set(self._df.columns)
+        if missing:
+            raise PuffbirdSparkError(f"no such columns: {sorted(missing)}")
+        sort_by = list(sort_by or [])
+        value_cols = [
+            c for c in self._df.columns
+            if c not in set(indexcols) and c not in set(sort_by)
+        ]
+        if not keep_missing_idcs:
+            # demoted index cols are dropped instead of aggregated
+            # (frame.py:991-994)
+            value_cols = [c for c in value_cols if c not in self._indexcols]
+        df = self._df
+        if dropna:
+            df = df.na.drop(subset=indexcols)
+
+        agg_map = _per_col(aggfunc, value_cols, None)
+        aggs = []
+        for c in value_cols:
+            fn = agg_map[c]
+            aggs.append(self._make_agg(c, fn, sort_by).alias(c))
+        out = df.groupBy(*indexcols).agg(*aggs)
+        return FrameEngine(out, indexcols=indexcols, validate=False)
+
+    @staticmethod
+    def _make_agg(col: str, fn: Any, sort_by: list[str]) -> Column:
+        if fn is None:
+            if sort_by:
+                # order-preserving nest: collect (sort_keys..., value) structs,
+                # sort within the group, project the value back out.
+                struct = F.struct(
+                    *[F.col(s).alias(f"__o{i}") for i, s in enumerate(sort_by)],
+                    F.col(col).alias("__v"),
+                )
+                return F.transform(
+                    F.array_sort(F.collect_list(struct)), lambda s: s["__v"]
+                )
+            return F.array_sort(F.collect_list(F.col(col)))
+        if isinstance(fn, str):
+            return getattr(F, fn)(F.col(col))
+        if isinstance(fn, CallableContainer):
+            return fn(F.col(col))
+        if callable(fn):
+            out = fn(F.col(col))
+            if not isinstance(out, Column):
+                raise PuffbirdSparkError(
+                    f"aggfunc for {col!r} must return a pyspark Column; "
+                    f"got {type(out)} (arbitrary Python aggregation callables "
+                    f"are the pandas path — use a pandas_udf GROUPED_AGG)"
+                )
+            return out
+        raise PuffbirdSparkError(f"invalid aggfunc for {col!r}: {fn!r}")
+
+    # ------------------------------------------------------------------ #
+    # R12 — multid_pivot
+    # ------------------------------------------------------------------ #
+
+    def multid_pivot(self, values: str | list[str], *dims: str) -> DataFrame:
+        """Mean-pivot over dimensions (frame.py:1018-1075).
+
+        Two dims → ``groupBy(d1).pivot(d2).avg(values)``; otherwise
+        ``groupBy(*dims).avg(values)`` (dense n-D tensor materialization is a
+        driver-side concern — see ``to_xarray``).
+        """
+        if isinstance(values, str):
+            values = [values]
+        if not dims:
+            raise PuffbirdSparkError("multid_pivot requires at least one dim")
+        missing = (set(values) | set(dims)) - set(self._df.columns)
+        if missing:
+            raise PuffbirdSparkError(f"no such columns: {sorted(missing)}")
+        if len(dims) == 2 and len(values) == 1:
+            return (
+                self._df.groupBy(dims[0])
+                .pivot(dims[1])
+                .agg(F.avg(values[0]))
+                .orderBy(dims[0])
+            )
+        aggs = [F.avg(v).alias(v) for v in values]
+        return self._df.groupBy(*dims).agg(*aggs).orderBy(*dims)
+
+    def to_xarray(self, values: str | list[str], *dims: str):
+        """Driver-side dense-tensor bridge for ``multid_pivot`` output
+        (reference returns xarray, frame.py:1070-1075). Guarded: requires
+        xarray and a small result."""
+        try:
+            import xarray as xr  # noqa: F401
+        except ImportError as e:  # pragma: no cover
+            raise PuffbirdSparkError(
+                "xarray is not installed; multid_pivot() returns the "
+                "aggregated DataFrame instead"
+            ) from e
+        if isinstance(values, str):
+            values = [values]
+        agg = self._df.groupBy(*dims).agg(*[F.avg(v).alias(v) for v in values])
+        pdf = agg.toPandas().set_index(list(dims))
+        ds = pdf.to_xarray()
+        if len(values) == 1:
+            return ds[values[0]]
+        return ds

@@ -1,0 +1,206 @@
+"""Schema-driven explosion planner: the Spark-native core of ``to_long``.
+
+The reference (``puffbird/frame.py:334-600``) discovers nesting *per cell at
+runtime* with a type-dispatch table (``frame.py:35-47``) and peels one level
+per ``_superstack_series`` call. Spark columns carry a static schema, so the
+whole explosion chain is *planned from the DataType* before execution and
+compiles to native Catalyst generators — no Python boundary at all:
+
+=====================  ==============================  =====================
+cell type (reference)  Spark column type               generator emitted
+=====================  ==============================  =====================
+list/tuple/ndarray/set ``ArrayType(T)``                ``posexplode(_outer)`` →
+                                                       position level column
+dict / pd.Series       ``MapType(K, V)``               ``explode(_outer)`` →
+                                                       key level column
+pd.DataFrame/recarray  ``StructType`` (in array)       field-name ``stack`` →
+                                                       name level column
+scalar                 primitive                       stop (no level column)
+=====================  ==============================  =====================
+
+Level columns are named ``{datacol}_level{n}`` (or a shared-axis name — see
+``shared_axes`` in :func:`explode_column`), matching reference
+``frame.py:1104-1110``. The stop condition of the reference
+(``utils.py:9-20``: stop when the series holds hashable scalars) becomes
+"stop when the type is primitive", and ``max_depth`` bounds the chain
+identically (``frame.py:511-521``).
+
+Everything here is pure plan construction: Catalyst sees only
+``posexplode_outer`` / ``explode_outer`` / ``stack`` and keeps the chain
+pipelined inside one whole-stage-codegen span (no shuffle is introduced by
+explosion itself).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .errors import PuffbirdSparkError
+from .naming import level_column
+
+#: default recursion bound, reference ``frame.py:341`` (max_depth=3)
+DEFAULT_MAX_DEPTH = 3
+
+StopCond = Callable[[T.DataType], bool]
+
+
+def default_stop(dtype: T.DataType) -> bool:
+    """True when a column of this type should not explode further.
+
+    Spark-static analogue of ``series_is_hashable`` (reference
+    ``utils.py:9-20``): primitives (and binary) are "hashable scalars".
+    """
+    return not isinstance(dtype, (T.ArrayType, T.MapType, T.StructType))
+
+
+def type_depth(dtype: T.DataType, _acc: int = 0) -> int:
+    """Nesting depth of a Spark type (number of explosion levels needed)."""
+    if isinstance(dtype, T.ArrayType):
+        return type_depth(dtype.elementType, _acc + 1)
+    if isinstance(dtype, T.MapType):
+        return type_depth(dtype.valueType, _acc + 1)
+    if isinstance(dtype, T.StructType):
+        inner = max((type_depth(f.dataType) for f in dtype.fields), default=0)
+        return _acc + 1 + inner
+    return _acc
+
+
+def _struct_common_type(struct: T.StructType) -> T.DataType:
+    """Common value type when stacking struct fields into rows.
+
+    Homogeneous fields keep their type; all-numeric promotes to double;
+    anything else canonicalizes to string (the reference, being pandas,
+    silently produced ``object`` columns here — a string column is the
+    schema-stable Spark equivalent).
+    """
+    dtypes = [f.dataType for f in struct.fields]
+    if not dtypes:
+        return T.NullType()
+    first = dtypes[0]
+    if all(dt == first for dt in dtypes):
+        return first
+    numeric = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+               T.FloatType, T.DoubleType, T.DecimalType)
+    if all(isinstance(dt, numeric) for dt in dtypes):
+        return T.DoubleType()
+    return T.StringType()
+
+
+def explode_column(
+    df: DataFrame,
+    key_cols: list[str],
+    datacol: str,
+    max_depth: int = DEFAULT_MAX_DEPTH,
+    dropna: bool = True,
+    shared_axes: dict[int, str] | None = None,
+    stop: StopCond = default_stop,
+) -> tuple[DataFrame, list[str]]:
+    """Explode one data column to long format.
+
+    Returns ``(long_df, level_cols)`` where ``long_df`` has columns
+    ``key_cols + level_cols + [datacol]`` and each level column records the
+    position (arrays), key (maps) or field name (structs) at that depth.
+
+    ``dropna=True`` mirrors reference semantics (``frame.py:505-506``,
+    ``frame.py:583``, ``frame.py:597``): null cells are dropped before
+    explosion and null leaves after — i.e. inner generators; ``dropna=False``
+    uses the ``_outer`` variants so rows with missing cells survive with NULL
+    level/value.
+    """
+    if datacol in key_cols:
+        raise PuffbirdSparkError(f"{datacol!r} is a key column, not a data column")
+    if datacol not in df.columns:
+        raise PuffbirdSparkError(f"no such column: {datacol!r}")
+
+    out = df.select(*key_cols, datacol)
+    levels: list[str] = []
+    depth = 0
+    while depth < max_depth:
+        dtype = out.schema[datacol].dataType
+        if stop(dtype):
+            break
+        lvl = level_column(datacol, depth, shared_axes)
+        if lvl in out.columns:
+            raise PuffbirdSparkError(
+                f"generated level column {lvl!r} collides with an existing column"
+            )
+        carried = [c for c in out.columns if c != datacol]
+        col = F.col(datacol)
+        if isinstance(dtype, T.ArrayType):
+            gen = F.posexplode(col) if dropna else F.posexplode_outer(col)
+            out = out.select(*carried, gen.alias(lvl, datacol))
+        elif isinstance(dtype, T.MapType):
+            gen = F.explode(col) if dropna else F.explode_outer(col)
+            out = out.select(*carried, gen.alias(lvl, datacol))
+        elif isinstance(dtype, T.StructType):
+            out = _stack_struct(out, carried, datacol, lvl, dtype)
+            if dropna:
+                out = out.filter(F.col(datacol).isNotNull())
+        else:  # pragma: no cover — stop() handles primitives
+            break
+        levels.append(lvl)
+        depth += 1
+    if dropna:
+        out = out.filter(F.col(datacol).isNotNull())
+    return out, levels
+
+
+def _stack_struct(
+    df: DataFrame,
+    carried: list[str],
+    datacol: str,
+    lvl: str,
+    struct: T.StructType,
+) -> DataFrame:
+    """Pivot struct fields into (field_name, value) rows with ``stack``.
+
+    This is the Spark analogue of the reference's one-iteration
+    ``DataFrame.stack(level=all)`` on frame-valued cells
+    (``frame.py:39-47``): the field name becomes the level column.
+    """
+    common = _struct_common_type(struct)
+    args: list[Column] = []
+    for f in struct.fields:
+        args.append(F.lit(f.name))
+        args.append(F.col(datacol).getField(f.name).cast(common))
+    gen = F.stack(F.lit(len(struct.fields)), *args).alias(lvl, datacol)
+    return df.select(*carried, gen)
+
+
+def assemble_long(
+    frames: list[tuple[str, DataFrame, list[str]]],
+    key_cols: list[str],
+) -> DataFrame:
+    """Fold per-column long frames with full-outer joins.
+
+    Each element is ``(datacol, long_frame, level_cols)``. Join keys are the
+    new frame's key + level columns that already exist on the accumulated
+    frame — the Spark rendering of the reference's
+    ``on = list(names & set(df.columns))`` (``frame.py:531``) where ``names``
+    are the index-level names of the per-column long series. Independent
+    explosions therefore combine as a per-row cartesian product (their level
+    columns are disjoint), while shared-axis level columns become join keys
+    → positional alignment. A value column colliding with an existing non-key
+    column gets the reference's ``_{datacol}`` suffix (``frame.py:533``).
+    """
+    out: DataFrame | None = None
+    for datacol, frame, levels in frames:
+        if out is None:
+            out = frame
+            continue
+        keyish = set(key_cols) | set(levels)
+        join_keys = [c for c in frame.columns if c in keyish and c in out.columns]
+        for c in [c for c in frame.columns
+                  if c not in join_keys and c in out.columns]:
+            frame = frame.withColumnRenamed(c, f"{c}_{datacol}")
+        if not join_keys:
+            out = out.crossJoin(frame)
+        else:
+            out = out.join(frame, on=join_keys, how="full")
+    if out is None:
+        raise PuffbirdSparkError("no data columns to explode")
+    return out

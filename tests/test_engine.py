@@ -1,0 +1,130 @@
+"""Engine construction, projection, apply/drop/rename (R1, R6-R10)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from puffbird_spark import CallableContainer, FrameEngine, PuffbirdSparkError
+
+
+@pytest.fixture(scope="module")
+def simple(spark):
+    return spark.createDataFrame(
+        [(0, "x", 1.0, [1, 2]), (1, "y", 2.0, [3])],
+        ["k", "s", "v", "xs"],
+    )
+
+
+def test_auto_surrogate_key(spark):
+    df = spark.createDataFrame([("a",), ("b",)], ["c"])
+    eng = FrameEngine(df)
+    assert eng.indexcols == ["index_level0"]
+    assert eng.datacols == ["c"]
+    assert eng.table.select("index_level0").distinct().count() == 2
+
+
+def test_explicit_indexcols(simple):
+    eng = FrameEngine(simple, indexcols=["k"])
+    assert eng.indexcols == ["k"]
+    assert eng.datacols == ["s", "v", "xs"]
+
+
+def test_datacols_infers_indexcols(simple):
+    eng = FrameEngine(simple, datacols=["xs"])
+    assert set(eng.indexcols) == {"k", "s", "v"}
+
+
+def test_duplicate_keys_rejected(spark):
+    df = spark.createDataFrame([(0, "a"), (0, "b")], ["k", "v"])
+    with pytest.raises(PuffbirdSparkError, match="unique"):
+        FrameEngine(df, indexcols=["k"])
+    FrameEngine(df, indexcols=["k"], validate=False)  # opt-out works
+
+
+def test_reserved_datacol_rejected(spark):
+    df = spark.createDataFrame([(0, 1)], ["k", "apply_result"])
+    with pytest.raises(PuffbirdSparkError, match="reserved"):
+        FrameEngine(df, indexcols=["k"])
+
+
+def test_index_datacol_name_collision_rejected(spark):
+    """Index col matching {datacol}_level{n} pattern is rejected
+    (reference DATACOL_REGEX, frame.py:33 / frame.py:1347-1352)."""
+    df = spark.createDataFrame([(0, [1])], ["a_level0", "a"])
+    with pytest.raises(PuffbirdSparkError, match="collides"):
+        FrameEngine(df, indexcols=["a_level0"])
+
+
+def test_projection(simple):
+    eng = FrameEngine(simple, indexcols=["k"])
+    sub = eng[["s", "v"]]
+    assert sub.datacols == ["s", "v"]
+    assert set(sub.table.columns) == {"k", "s", "v"}
+    with pytest.raises(PuffbirdSparkError):
+        eng[["k"]]  # index col is not a data column
+
+
+def test_col_apply_native_column(simple):
+    eng = FrameEngine(simple, indexcols=["k"])
+    out = eng.col_apply(F.col("v") * 10, "v", new_col_name="v10")
+    got = {r["v10"] for r in out.table.collect()}
+    assert got == {10.0, 20.0}
+    assert "v10" in out.datacols
+
+
+def test_col_apply_python_udf(simple):
+    eng = FrameEngine(simple, indexcols=["k"])
+    out = eng.col_apply(lambda x: x.upper(), "s", new_col_name="S",
+                        return_type="string")
+    assert {r["S"] for r in out.table.collect()} == {"X", "Y"}
+
+
+def test_apply_multi_column(simple):
+    eng = FrameEngine(simple, indexcols=["k"])
+    out = eng.apply(lambda s, v: f"{s}:{v}", "tag", "s", "v",
+                    return_type="string")
+    assert {r["tag"] for r in out.table.collect()} == {"x:1.0", "y:2.0"}
+    assert "tag" in out.datacols
+
+
+def test_apply_map_kws(simple):
+    """map_kws passes column values as keyword args — the documented
+    behavior the reference breaks (frame.py:793 typo)."""
+    eng = FrameEngine(simple, indexcols=["k"])
+    out = eng.apply(
+        lambda a, scale=1.0: a * scale, "scaled", "v",
+        return_type="double", map_kws={"scale": "v"},
+    )
+    assert {r["scaled"] for r in out.table.collect()} == {1.0, 4.0}
+
+
+def test_apply_default_name(simple):
+    eng = FrameEngine(simple, indexcols=["k"])
+    out = eng.apply(lambda v: v + 1, None, "v", return_type="double")
+    assert "apply_result" in out.table.columns  # frame.py:787-788
+
+
+def test_apply_assign_to_index_uniqueness(spark):
+    df = spark.createDataFrame([(0, "a"), (1, "a")], ["k", "g"])
+    eng = FrameEngine(df, indexcols=["k"])
+    out = eng.apply(lambda g: g, "g2", "g", return_type="string",
+                    assign_to_index=True)
+    assert "g2" in out.indexcols  # (k, g2) still unique
+
+
+def test_drop_and_rename(simple):
+    eng = FrameEngine(simple, indexcols=["k"])
+    out = eng.drop("xs")
+    assert "xs" not in out.table.columns
+    out2 = eng.rename(v="value")
+    assert "value" in out2.datacols and "v" not in out2.table.columns
+    with pytest.raises(PuffbirdSparkError):
+        eng.drop("k")  # cannot drop all index columns
+
+
+def test_callable_container_dispatch():
+    cc = CallableContainer(lambda x: "default")
+    cc.add(lambda x: "int", int)
+    cc.add(lambda x: "str", str)
+    assert cc(3) == "int"
+    assert cc("a") == "str"
+    assert cc(1.5) == "default"
