@@ -576,14 +576,20 @@ class FrameEngine:
         missing = (set(values) | set(dims)) - set(self._df.columns)
         if missing:
             raise PuffbirdSparkError(f"no such columns: {sorted(missing)}")
+        # mean as exact-sum / non-null-count: on decimal inputs this is
+        # deterministic across engines and aggregation orders, unlike a
+        # native double avg (see queries/base.py float policy)
+        def mean(v: str) -> Column:
+            return F.sum(F.col(v)).cast("double") / F.count(F.col(v))
+
         if len(dims) == 2 and len(values) == 1:
             return (
                 self._df.groupBy(dims[0])
                 .pivot(dims[1])
-                .agg(F.avg(values[0]))
+                .agg(mean(values[0]))
                 .orderBy(dims[0])
             )
-        aggs = [F.avg(v).alias(v) for v in values]
+        aggs = [mean(v).alias(v) for v in values]
         return self._df.groupBy(*dims).agg(*aggs).orderBy(*dims)
 
     def to_xarray(self, values: str | list[str], *dims: str):

@@ -1,0 +1,110 @@
+"""Text-analysis expressions for large-scale training-data pipelines:
+tokenization, token/char statistics, language-ID heuristic, quality scoring,
+document fingerprinting, shingling.
+
+All pure Column expressions (BASELINE.json north star: text analysis at
+100 TB) — they compile into whole-stage codegen; nothing here crosses into
+Python per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Small per-language stopword lists for the n-gram/stopword language
+#: heuristic. Order matters: ties resolve by this precedence.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "is", "in"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un"],
+    "es": ["el", "los", "las", "es", "un", "una", "y"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和"],
+}
+
+
+def tokens(text: str | Column, sep: str = " ") -> Column:
+    """Whitespace tokenization (single-separator split)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, sep)
+
+
+def token_count(toks: Column) -> Column:
+    return F.size(toks)
+
+
+def char_count_no_spaces(text: str | Column) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.length(F.replace(c, F.lit(" "), F.lit("")))
+
+
+def mean_token_length(toks: Column) -> Column:
+    """Exact integer arithmetic then one double division — deterministic."""
+    total = F.aggregate(toks, F.lit(0).cast("long"),
+                        lambda acc, x: acc + F.length(x))
+    return total.cast("double") / F.size(toks)
+
+
+def stopword_count(toks: Column, stopwords: list[str]) -> Column:
+    arr = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+
+def stopword_ratio(toks: Column, stopwords: list[str]) -> Column:
+    return stopword_count(toks, stopwords).cast("double") / F.size(toks)
+
+
+def lang_scores(toks: Column) -> dict[str, Column]:
+    """Per-language stopword hit counts."""
+    return {lang: stopword_count(toks, sw) for lang, sw in LANG_STOPWORDS.items()}
+
+
+def lang_id(toks: Column) -> Column:
+    """Argmax language by stopword hits; ties resolve by LANG_STOPWORDS
+    order (a fixed CASE precedence — reproducible in plain SQL)."""
+    scores = lang_scores(toks)
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lang in reversed(list(LANG_STOPWORDS)):
+        expr = F.when((best > 0) & (scores[lang] == best), lang).otherwise(expr)
+    return expr
+
+
+def quality_score(text: str | Column, toks: Column) -> Column:
+    """[0,1] heuristic quality: length band + token-length band + stopword
+    presence. Mirrors the usual pretraining-filter recipe (exact arithmetic;
+    thresholds are integers so results are engine-portable)."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_chars = F.length(c)
+    n_toks = F.size(toks)
+    mean_len = mean_token_length(toks)
+    sw = stopword_count(toks, LANG_STOPWORDS["en"])
+    return (
+        F.when((n_chars >= 100) & (n_chars <= 20000), F.lit(0.25)).otherwise(0.0)
+        + F.when((n_toks >= 20) & (n_toks <= 5000), F.lit(0.25)).otherwise(0.0)
+        + F.when((mean_len >= 2.0) & (mean_len <= 12.0), F.lit(0.25)).otherwise(0.0)
+        + F.when(sw > 0, F.lit(0.25)).otherwise(0.0)
+    )
+
+
+def fingerprint(text: str | Column) -> Column:
+    """Deterministic document fingerprint: md5 of the sorted distinct token
+    multiset — stable under token reordering (md5 exists on both Spark and
+    DuckDB, so this is oracle-checkable)."""
+    c = F.col(text) if isinstance(text, str) else text
+    canon = F.array_join(F.array_sort(F.array_distinct(F.split(c, " "))), " ")
+    return F.md5(canon.cast("binary"))
+
+
+def shingles(toks: Column, n: int = 3, sep: str = " ") -> Column:
+    """Distinct sorted word n-gram shingles (for MinHash / Jaccard dedup).
+    Documents shorter than ``n`` tokens yield an empty array."""
+    def gram(i: Column) -> Column:
+        return F.array_join(F.slice(toks, i + 1, n), sep)
+
+    return F.when(
+        F.size(toks) >= n,
+        F.array_sort(F.array_distinct(
+            F.transform(F.sequence(F.lit(0), F.size(toks) - n), gram)
+        )),
+    ).otherwise(F.array().cast("array<string>"))

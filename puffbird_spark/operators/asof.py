@@ -1,0 +1,98 @@
+"""As-of join (nearest right row with ``right_ts <= left_ts`` per key).
+
+The reference has no as-of join; this is EXT surface (SURVEY §2.2). Built as
+a composition of existing DataFrame ops — the classic union-and-carry-forward
+plan rather than a per-key nested loop:
+
+1. tag left rows 1 / right rows 0 and union them,
+2. one window sorted by ``(ts, tag, tiebreak)`` per key carries the most
+   recent right row forward (``last(..., ignorenulls=True)``),
+3. keep the left rows and unpack the carried right struct.
+
+Scale: exactly ONE shuffle (the window partition by key), no matter how many
+right rows match; skewed keys are split by AQE. This is the plan you want at
+100 TB — a range-join + rank would shuffle twice and blow up on wide
+windows. Right rows at the same timestamp resolve by ``tiebreak`` (largest
+wins), keeping results deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from ..errors import PuffbirdSparkError
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    tiebreak: str | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """Left as-of join: every left row, plus the columns of the latest right
+    row with ``right_ts <= left_ts`` (``<`` when ``strict``) and equal keys.
+
+    ``right``'s non-key columns (including ``right_ts``) are appended to the
+    left schema; unmatched left rows get NULLs (left-join semantics, matching
+    DuckDB ``ASOF LEFT JOIN``).
+    """
+    for k in on:
+        if k not in left.columns or k not in right.columns:
+            raise PuffbirdSparkError(f"as-of key {k!r} missing from a side")
+    overlap = (set(right.columns) - set(on)) & set(left.columns)
+    if overlap:
+        raise PuffbirdSparkError(
+            f"right columns {sorted(overlap)} collide with left; rename first"
+        )
+
+    rval_cols = [c for c in right.columns if c not in on]
+    rstruct = T.StructType([right.schema[c] for c in rval_cols])
+
+    lhs = left.select(
+        *on,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__tag"),
+        F.lit(None).cast("long").alias("__tb"),
+        F.struct(*[F.col(c) for c in left.columns if c not in on]).alias("__lrow"),
+        F.lit(None).cast(rstruct).alias("__rrow"),
+    )
+    tb = F.col(tiebreak).cast("long") if tiebreak else F.lit(0).cast("long")
+    rhs = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__tag"),
+        tb.alias("__tb"),
+        F.lit(None).cast(
+            T.StructType([left.schema[c] for c in left.columns if c not in on])
+        ).alias("__lrow"),
+        F.struct(*[F.col(c) for c in rval_cols]).alias("__rrow"),
+    )
+
+    # strict (<): left rows must sort BEFORE right rows at equal ts so the
+    # carried value excludes same-instant rights; inclusive (<=): after.
+    left_tag, right_tag = (0, 1) if strict else (1, 0)
+    union = lhs.withColumn("__tag", F.lit(left_tag)).unionByName(
+        rhs.withColumn("__tag", F.lit(right_tag))
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__ts", "__tag", "__tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        union.withColumn("__m", F.last("__rrow", ignorenulls=True).over(w))
+        .filter(F.col("__tag") == F.lit(left_tag))
+    )
+    out_cols = (
+        [F.col(k) for k in on]
+        + [F.col("__lrow").getField(c).alias(c)
+           for c in left.columns if c not in on]
+        + [F.col("__m").getField(c).alias(c) for c in rval_cols]
+    )
+    return matched.select(*out_cols)

@@ -1,0 +1,233 @@
+"""Deduplication operators for training-data pipelines (BASELINE.json north
+star): exact hash dedup, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design:
+- exact dedup = one hash-keyed groupBy (single shuffle on the digest, never
+  on the raw text — at 100 TB you shuffle 32-byte digests, not documents).
+- MinHash-LSH = shingle → signature (narrow, per-row), band → bucket join
+  (shuffle keyed on (band, hash) buckets, candidate pairs only) — never the
+  O(n²) cross join.
+- n-gram Jaccard here is the *verification* kernel applied to candidate
+  pairs (or, for oracle-checking at small SF, all pairs).
+
+Everything below is native Column expressions; the only hash primitive is
+``xxhash64`` (JVM, codegen) — no Python in the path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles, tokens
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Group rows by content digest; keep the smallest id as canonical.
+
+    Returns (keep_id, n_dups, digest). Deterministic: min() pins the
+    survivor (plain ``dropDuplicates`` keeps an arbitrary row).
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col).cast("binary")).alias("digest"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """The deduplicated table itself: survivors only, one shuffle."""
+    keep = exact_dedup_groups(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.4,
+    n: int = 3,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard similarity >= threshold.
+
+    O(n²) by construction — correctness kernel for small inputs and the
+    verifier stage after LSH candidate generation. For full-corpus scale use
+    :func:`minhash_candidate_pairs` to generate candidates first.
+    Output: (id_a, id_b, jaccard), id_a < id_b, jaccard rounded 6dp.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        shingles(tokens(text_col), n=n).alias("sh"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    jac = F.round(inter.cast("double") / union, 6)
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signature(
+    toks_or_shingles: Column, num_hashes: int = 32
+) -> Column:
+    """MinHash signature: for seed i, min over shingles of
+    ``xxhash64(shingle, i)``. Empty shingle sets get NULL signatures."""
+    return F.when(
+        F.size(toks_or_shingles) > 0,
+        F.array(*[
+            F.array_min(
+                F.transform(toks_or_shingles, lambda s: F.xxhash64(s, F.lit(i)))
+            )
+            for i in range(num_hashes)
+        ]),
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` rows of
+    ``num_hashes/bands``; docs sharing any band hash become candidates.
+
+    The only shuffle is the groupBy on (band, band_hash) — bucket sizes are
+    data-dependent but each bucket holds near-duplicates, so the output is
+    ~linear in the number of true duplicate clusters. Output:
+    (id_a, id_b, est_jaccard) where est_jaccard = matching signature
+    fraction.
+    """
+    rows_per_band = num_hashes // bands
+    # materialize shingles as a bound column BEFORE fanning out into
+    # num_hashes transforms: otherwise the whole shingle-construction
+    # expression is inlined (and recomputed) once per hash — measured 40x
+    # slower at sf0.1
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        shingles(tokens(text_col), n=n).alias("sh"),
+    )
+    sig = sh.select(
+        "id", minhash_signature(F.col("sh"), num_hashes).alias("sig")
+    ).filter(F.col("sig").isNotNull())
+
+    banded = sig.select(
+        "id", "sig",
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                        ",",
+                    )
+                )
+                for b in range(bands)
+            ])
+        ).alias("band", "band_hash"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        ).cast("double")
+        / F.lit(num_hashes)
+    )
+    return cand.select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
+
+
+def simhash(toks: Column, bits: int = 64) -> Column:
+    """SimHash: per-token xxhash64; each bit position votes +1/-1; the
+    fingerprint bit is the vote sign. Native bit arithmetic via HOFs."""
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bit_vote(j: int) -> Column:
+        # sum over tokens of (2*bit - 1)
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        weight = F.lit(-(2 ** 63) if j == 63 else 2 ** j).cast("long")
+        out = out + F.when(bit_vote(j) > 0, weight).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, bucketed by the four
+    16-bit quarters (pigeonhole: distance<=3 pairs share >=1 exact quarter)
+    so the join is keyed, not O(n²)."""
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        simhash(tokens(text_col)).alias("sh"),
+    )
+    quarters = sig.select(
+        "id", "sh",
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned("sh", 16 * q).bitwiseAND(F.lit(0xFFFF))
+                for q in range(4)
+            ])
+        ).alias("q", "qval"),
+    )
+    a, b = quarters.alias("a"), quarters.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.q") == F.col("b.q"))
+            & (F.col("a.qval") == F.col("b.qval"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    xor = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+    hamming = F.bit_count(xor)
+    return (
+        cand.select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

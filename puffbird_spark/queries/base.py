@@ -1,0 +1,59 @@
+"""Query registry shared by ``__spark_entry__`` and ``bench.py``.
+
+Every declared operator from SURVEY.md §2 registers here as a named query
+(a ``(spark, sf_dir) -> DataFrame`` callable) plus, when SQL-expressible, a
+DuckDB oracle string computing the identical result. Column names and value
+canonicalization are aligned on both sides (see the float policy below).
+
+Float policy (the reason the oracles hash-match):
+- All money-ish inputs in the testdata are exact 2-decimal doubles, so sums
+  are computed over ``DECIMAL(12,2)`` casts on BOTH engines — decimal
+  arithmetic is exact, giving bit-equal results regardless of aggregation
+  order (Spark partial aggs vs DuckDB single-threaded scan).
+- Averages are expressed as ``CAST(decimal_sum AS DOUBLE) / count`` — exact
+  division of identical doubles — never engine-native ``avg`` over doubles.
+- Genuinely approximate values (cosine similarity, log, sqrt) are rounded
+  identically on both sides before comparison/ranking.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a query; ``oracle=None`` declares a rows-only check (for
+    non-SQL-expressible ops: MinHash/SimHash/LSH, streaming semantics)."""
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    from ..sources import load_table
+
+    return load_table(spark, sf_dir, table)
+
+
+def dec(col: str | Column, precision: int = 12, scale: int = 2) -> Column:
+    """Exact-decimal view of a clean 2-dp double column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({precision},{scale})")
+
+
+def avg_exact(value: Column, count: Column | None = None) -> Column:
+    """Deterministic average: exact decimal sum cast to double, divided by
+    the count — identical bits on Spark and DuckDB."""
+    cnt = count if count is not None else F.count(F.lit(1))
+    return F.sum(value).cast("double") / cnt

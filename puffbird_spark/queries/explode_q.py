@@ -1,0 +1,128 @@
+"""Explode family, pivot/unpivot, and the FrameEngine flagship round-trip
+(SURVEY §2.1 R2/R11/R12 exercised on the relational testdata, §2.2 explode /
+pivot rows)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..engine import FrameEngine
+from .base import dec, load, query
+
+
+@query("explode_tokens", oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents WHERE lang = 'en')
+SELECT doc_id,
+       CAST(unnest(range(0, len(toks))) AS INT) AS pos,
+       unnest(toks) AS token
+FROM t
+""")
+def explode_tokens(spark, sf_dir):
+    """posexplode: tokenized documents to (doc, position, token) rows.
+    Generators pipeline inside whole-stage codegen — no shuffle."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    return docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token")
+    )
+
+
+@query("engine_to_long_roundtrip", oracle="""
+SELECT l_orderkey,
+  CAST(row_number() OVER (PARTITION BY l_orderkey
+                          ORDER BY l_linenumber, l_quantity) - 1
+       AS INT) AS l_quantity_level0,
+  l_quantity
+FROM lineitem
+""")
+def engine_to_long_roundtrip(spark, sf_dir):
+    """FLAGSHIP: the puffy-table engine on relational data. Nest lineitem
+    quantities per order (to_puffy, ordered by linenumber), then explode
+    back out (to_long) — positions must reproduce the linenumber order.
+    Exercises R1 construction, R11 order-preserving nest, R2/R3 explode."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    eng = FrameEngine(li, indexcols=["l_orderkey", "l_linenumber"], validate=False)
+    puffy = eng.to_puffy("l_orderkey", sort_by=["l_linenumber"])
+    return puffy.to_long("l_quantity")
+
+
+@query("pivot_returnflag", oracle="""
+SELECT l_linestatus,
+  CAST(SUM(CASE WHEN l_returnflag = 'A'
+       THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS "A",
+  CAST(SUM(CASE WHEN l_returnflag = 'N'
+       THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS "N",
+  CAST(SUM(CASE WHEN l_returnflag = 'R'
+       THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS "R"
+FROM lineitem GROUP BY l_linestatus
+""")
+def pivot_returnflag(spark, sf_dir):
+    """Pivot with explicit value list — skips Spark's extra distinct-values
+    job AND keeps the output schema static (what you want on a cluster)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum(dec("l_quantity")).cast("double"))
+    )
+
+
+@query("unpivot_part", oracle="""
+SELECT p_partkey, metric, val FROM (
+  SELECT p_partkey, CAST(p_size AS DOUBLE) AS p_size,
+         p_retailprice FROM part) t
+UNPIVOT (val FOR metric IN (p_size, p_retailprice))
+""")
+def unpivot_part(spark, sf_dir):
+    part = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        "p_retailprice",
+    )
+    return part.unpivot(
+        ["p_partkey"], ["p_size", "p_retailprice"], "metric", "val"
+    )
+
+
+@query("multid_pivot_acctbal", oracle="""
+SELECT n_name,
+  CAST(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE'
+       THEN CAST(c_acctbal AS DECIMAL(12,2)) END) AS DOUBLE)
+       / COUNT(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 END)
+    AS "AUTOMOBILE",
+  CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING'
+       THEN CAST(c_acctbal AS DECIMAL(12,2)) END) AS DOUBLE)
+       / COUNT(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 END)
+    AS "BUILDING",
+  CAST(SUM(CASE WHEN c_mktsegment = 'FURNITURE'
+       THEN CAST(c_acctbal AS DECIMAL(12,2)) END) AS DOUBLE)
+       / COUNT(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 END)
+    AS "FURNITURE",
+  CAST(SUM(CASE WHEN c_mktsegment = 'HOUSEHOLD'
+       THEN CAST(c_acctbal AS DECIMAL(12,2)) END) AS DOUBLE)
+       / COUNT(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 END)
+    AS "HOUSEHOLD",
+  CAST(SUM(CASE WHEN c_mktsegment = 'MACHINERY'
+       THEN CAST(c_acctbal AS DECIMAL(12,2)) END) AS DOUBLE)
+       / COUNT(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 END)
+    AS "MACHINERY"
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""")
+def multid_pivot_acctbal(spark, sf_dir):
+    """R12 multid_pivot on real data: mean acctbal by nation x segment.
+
+    The engine mean is exact-decimal-sum / count — bit-equal doubles on
+    both engines, so NO rounding is applied (rounding doubles is itself
+    engine-divergent: Spark rounds the shortest decimal repr, DuckDB the
+    binary value)."""
+    cust = load(spark, sf_dir, "customer")
+    nation = F.broadcast(load(spark, sf_dir, "nation"))
+    joined = cust.join(nation, cust.c_nationkey == nation.n_nationkey).select(
+        "n_name", "c_mktsegment", dec("c_acctbal").alias("bal")
+    )
+    eng = FrameEngine(joined, indexcols=[], validate=False)
+    return eng.multid_pivot("bal", "n_name", "c_mktsegment")

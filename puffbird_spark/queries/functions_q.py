@@ -1,0 +1,204 @@
+"""Scalar-function surface: string, date/time, math, conditional, array,
+map, JSON (SURVEY §2.2 scalar fns). Each query projects a battery of
+functions with results made engine-portable (see base.py float policy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .base import dec, load, query
+
+
+@query("fn_string", oracle="""
+SELECT p_partkey,
+  upper(p_name) AS up_name,
+  lower(p_brand) AS low_brand,
+  CAST(length(p_name) AS INT) AS name_len,
+  substr(p_type, 1, 4) AS type4,
+  regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+  concat(p_brand, '|', p_type) AS brand_type,
+  replace(p_name, ' ', '_') AS name_us,
+  string_split(p_name, ' ')[2] AS second_word,
+  (p_name LIKE '%red%') AS is_red,
+  ltrim(rtrim(concat('  ', p_name, ' '))) AS trimmed
+FROM part
+""")
+def fn_string(spark, sf_dir):
+    part = load(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("up_name"),
+        F.lower("p_brand").alias("low_brand"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.substring("p_type", 1, 4).alias("type4"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+        F.concat(F.col("p_brand"), F.lit("|"), F.col("p_type")).alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_us"),
+        F.split("p_name", " ").getItem(1).alias("second_word"),
+        F.col("p_name").like("%red%").alias("is_red"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit(" "))).alias("trimmed"),
+    )
+
+
+@query("fn_date", oracle="""
+SELECT o_orderkey,
+  CAST(date_part('year', o_orderdate) AS INT) AS yr,
+  CAST(date_part('month', o_orderdate) AS INT) AS mo,
+  CAST(date_part('quarter', o_orderdate) AS INT) AS qtr,
+  CAST(date_part('day', o_orderdate) AS INT) AS dom,
+  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+  date_trunc('month', o_orderdate) AS month_start,
+  CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INT)
+    AS days_since,
+  CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus2m,
+  strftime(o_orderdate, '%Y-%m-%d') AS iso_day
+FROM orders
+""")
+def fn_date(spark, sf_dir):
+    """Date/time battery. DoW conventions differ (Spark 1=Sunday, DuckDB
+    0=Sunday) — the oracle shifts by one."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.datediff(
+            F.col("o_orderdate"),
+            F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"),
+        ).alias("days_since"),
+        F.add_months(F.col("o_orderdate"), 2).alias("plus2m"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_day"),
+    )
+
+
+@query("fn_math", oracle="""
+SELECT l_orderkey, l_linenumber,
+  abs(l_quantity - 25.0) AS qty_dev,
+  CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_k_floor,
+  CAST(ceil(l_extendedprice / 1000.0) AS BIGINT) AS price_k_ceil,
+  CAST(round(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(l_discount AS DECIMAL(12,2)), 2) AS DOUBLE) AS disc_amt,
+  CAST(pow(2.0, l_linenumber) AS DOUBLE) AS pow2,
+  round(sqrt(l_quantity), 6) AS sqrt_qty,
+  round(ln(l_extendedprice), 6) AS ln_price,
+  CAST(sign(l_discount - 0.05) AS INT) AS disc_sign
+FROM lineitem
+""")
+def fn_math(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.abs(F.col("l_quantity") - 25.0).alias("qty_dev"),
+        F.floor(F.col("l_extendedprice") / 1000.0).alias("price_k_floor"),
+        F.ceil(F.col("l_extendedprice") / 1000.0).alias("price_k_ceil"),
+        F.round(dec("l_extendedprice") * dec("l_discount"), 2)
+        .cast("double").alias("disc_amt"),
+        F.pow(F.lit(2.0), F.col("l_linenumber")).alias("pow2"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("ln_price"),
+        F.signum(F.col("l_discount") - 0.05).cast("int").alias("disc_sign"),
+    )
+
+
+@query("fn_cond", oracle="""
+SELECT o_orderkey,
+  CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'finished'
+       ELSE 'partial' END AS status_label,
+  COALESCE(NULLIF(o_orderpriority, '4-NOT SPECIFIED'), 'UNSPECIFIED') AS prio,
+  GREATEST(o_totalprice, 150000.0) AS capped_hi,
+  LEAST(o_totalprice, 150000.0) AS capped_lo,
+  (o_totalprice BETWEEN 100000 AND 200000) AS mid_range,
+  (o_orderstatus IN ('O','P')) AS is_openish
+FROM orders
+""")
+def fn_cond(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "O", "open")
+        .when(F.col("o_orderstatus") == "F", "finished")
+        .otherwise("partial").alias("status_label"),
+        F.coalesce(
+            F.nullif(F.col("o_orderpriority"), F.lit("4-NOT SPECIFIED")),
+            F.lit("UNSPECIFIED"),
+        ).alias("prio"),
+        F.greatest(F.col("o_totalprice"), F.lit(150000.0)).alias("capped_hi"),
+        F.least(F.col("o_totalprice"), F.lit(150000.0)).alias("capped_lo"),
+        F.col("o_totalprice").between(100000, 200000).alias("mid_range"),
+        F.col("o_orderstatus").isin("O", "P").alias("is_openish"),
+    )
+
+
+@query("fn_array", oracle="""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+  CAST(len(toks) AS INT) AS n_tokens,
+  list_contains(toks, 'spark') AS has_spark,
+  CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+  array_to_string(list_sort(list_distinct(toks))[1:3], ',') AS first3,
+  CAST(length(replace(text, ' ', '')) AS BIGINT) AS total_chars,
+  array_to_string(list_transform(toks[1:2], x -> upper(x)), ' ') AS head_upper
+FROM t
+""")
+def fn_array(spark, sf_dir):
+    """Array/higher-order-function battery over tokenized text (size,
+    contains, distinct, sort, slice, transform, aggregate)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.array_join(F.slice(F.array_sort(F.array_distinct(toks)), 1, 3), ",")
+        .alias("first3"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).alias("total_chars"),
+        F.array_join(
+            F.transform(F.slice(toks, 1, 2), lambda x: F.upper(x)), " "
+        ).alias("head_upper"),
+    )
+
+
+@query("fn_map", oracle="""
+SELECT l_returnflag || '|' || l_linestatus AS grp,
+  CAST(map_extract(map {'A': 1, 'N': 2, 'R': 3}, l_returnflag)[1] AS INT)
+    AS flag_code
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""")
+def fn_map(spark, sf_dir):
+    """Map column ops: literal map lookup + keys canonicalization."""
+    li = load(spark, sf_dir, "lineitem")
+    m = F.create_map(
+        F.lit("A"), F.lit(1), F.lit("N"), F.lit(2), F.lit("R"), F.lit(3)
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select(
+            F.concat_ws("|", "l_returnflag", "l_linestatus").alias("grp"),
+            m.getItem(F.col("l_returnflag")).cast("int").alias("flag_code"),
+        )
+    )
+
+
+@query("fn_json", oracle="""
+SELECT event_id, event_type,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+  json_extract_string(props, '$.missing') AS missing_field
+FROM events
+""")
+def fn_json(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+        F.get_json_object("props", "$.missing").alias("missing_field"),
+    )

@@ -1,0 +1,175 @@
+"""LLM-data-pipeline queries over documents/embeddings (BASELINE.json north
+star): dedup family, similarity search, text analysis. Thin wrappers over
+``operators/`` and ``functions/`` — the real implementations live there."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import text as TXT
+from ..operators import dedup as DD
+from ..operators.similarity import cosine_topk, lsh_bucket_topk
+from .base import load, query
+
+
+@query("dedup_exact", oracle="""
+SELECT md5(text) AS digest, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+FROM documents GROUP BY md5(text)
+""")
+def dedup_exact(spark, sf_dir):
+    """Exact content dedup: hash-groupBy on the digest (shuffles 16-byte
+    digests, not documents)."""
+    docs = load(spark, sf_dir, "documents")
+    return DD.exact_dedup_groups(docs, "text", "doc_id").select(
+        "digest", "keep_id", "n_dups"
+    )
+
+
+@query("dedup_jaccard", oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id,
+        CASE WHEN len(toks) >= 3
+             THEN list_sort(list_distinct(
+                    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                     FOR i IN range(1, len(toks) - 1)]))
+             ELSE [] END AS sh
+      FROM t)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+    AS jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.4
+""")
+def dedup_jaccard(spark, sf_dir):
+    """Word-3-gram Jaccard near-dup pairs (threshold 0.4). All-pairs kernel
+    — exact and oracle-checked at sf0.01; the scale path is
+    dedup_minhash_lsh below."""
+    docs = load(spark, sf_dir, "documents")
+    return DD.jaccard_pairs(docs, "text", "doc_id", threshold=0.4, n=3)
+
+
+@query("dedup_minhash_lsh")  # rows-only: xxhash64 has no DuckDB twin
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH candidate pairs (32 hashes, 8 bands) — the linear-scale
+    fuzzy dedup. Verified in tests against dedup_jaccard's exact pairs."""
+    docs = load(spark, sf_dir, "documents")
+    return DD.minhash_candidate_pairs(
+        docs, "text", "doc_id", num_hashes=32, bands=8, n=3
+    ).filter(F.col("est_jaccard") >= 0.4)
+
+
+@query("dedup_simhash")  # rows-only: xxhash64 has no DuckDB twin
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs, Hamming <= 6, quarter-bucketed join."""
+    docs = load(spark, sf_dir, "documents")
+    return DD.simhash_pairs(docs, "text", "doc_id", max_hamming=6)
+
+
+@query("knn_cosine", oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < 10)
+SELECT q.vec_id AS query_id, e.vec_id AS cand_id,
+  round(list_dot_product(q.v, e.v)
+        / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))),
+        6) AS cosine
+FROM q JOIN e ON e.vec_id != q.vec_id
+QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY cosine DESC, e.vec_id) <= 5
+""")
+def knn_cosine(spark, sf_dir):
+    """Brute-force cosine top-5 for the first 10 vectors as queries."""
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 10), id_col="vec_id",
+        vec_col="embedding", k=5,
+    )
+
+
+@query("knn_lsh")  # rows-only: approximate by design (recall tested vs exact)
+def knn_lsh(spark, sf_dir):
+    """SRP-LSH bucketed ANN top-5 — the sub-linear scale path."""
+    emb = load(spark, sf_dir, "embeddings")
+    return lsh_bucket_topk(
+        emb, emb.filter(F.col("vec_id") < 10), dim=64, id_col="vec_id",
+        vec_col="embedding", k=5, planes=6,
+    )
+
+
+@query("text_stats", oracle="""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+  CAST(len(toks) AS INT) AS n_tokens,
+  CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars_nospace,
+  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks) AS mean_token_len,
+  CAST(len(list_filter(toks, x -> list_contains(
+       ['the','a','of','and','to','is','in'], x))) AS DOUBLE) / len(toks)
+    AS stopword_ratio
+FROM t
+""")
+def text_stats(spark, sf_dir):
+    """Token counting + quality metrics as pure Column expressions."""
+    docs = load(spark, sf_dir, "documents")
+    toks = TXT.tokens("text")
+    return docs.select(
+        "doc_id",
+        TXT.token_count(toks).alias("n_tokens"),
+        TXT.char_count_no_spaces("text").alias("n_chars_nospace"),
+        (TXT.char_count_no_spaces("text").cast("double")
+         / TXT.token_count(toks)).alias("mean_token_len"),
+        (TXT.stopword_count(toks, TXT.LANG_STOPWORDS["en"]).cast("double")
+         / TXT.token_count(toks)).alias("stopword_ratio"),
+    )
+
+
+@query("text_fingerprint", oracle="""
+SELECT doc_id,
+  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+    AS fingerprint
+FROM documents
+""")
+def text_fingerprint(spark, sf_dir):
+    """Order-insensitive document fingerprint (md5 over canonical token
+    set) — reorder-robust dedup key, oracle-checkable."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", TXT.fingerprint("text").alias("fingerprint"))
+
+
+@query("text_langid", oracle="""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id, lang,
+  len(list_filter(toks, x -> list_contains(['the','a','of','and','to','is','in'], x))) AS s_en,
+  len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ein','nicht'], x))) AS s_de,
+  len(list_filter(toks, x -> list_contains(['le','la','et','les','des','est','un'], x))) AS s_fr,
+  len(list_filter(toks, x -> list_contains(['el','los','las','es','un','una','y'], x))) AS s_es,
+  len(list_filter(toks, x -> list_contains(['的','是','了','在','我','有','和'], x))) AS s_zh
+FROM t)
+SELECT doc_id, lang AS labeled,
+  CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+       WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+       WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+       WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+       ELSE 'zh' END AS predicted
+FROM s
+""")
+def text_langid(spark, sf_dir):
+    """Stopword-profile language ID (ties resolve en>de>fr>es>zh)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = TXT.tokens("text")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled"),
+        TXT.lang_id(toks).alias("predicted"),
+    )
+
+
+@query("text_quality")  # rows-only: thresholds are ours, logic tested in unit tests
+def text_quality(spark, sf_dir):
+    """Composite quality score for pretraining filtering."""
+    docs = load(spark, sf_dir, "documents")
+    toks = TXT.tokens("text")
+    return docs.select(
+        "doc_id", TXT.quality_score("text", toks).alias("quality")
+    )

@@ -1,0 +1,405 @@
+"""Relational surface: scans, filters, joins, aggregation, set ops, sort.
+
+SURVEY §2.2 rows: projection/filter, equi/semi/anti/range/cross/as-of joins,
+groupBy aggregates, rollup/cube, collect_list, sort/limit, set operations,
+distinct/dedup. Each query is a thin declarative DataFrame plan — Catalyst
+handles pushdown, pruning, join strategy (broadcast hints added where the
+dimension side is provably small), and AQE handles skew at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.asof import asof_join
+from .base import avg_exact, dec, load, query
+
+# --------------------------------------------------------------------- #
+# TPC-H-style analytical queries
+# --------------------------------------------------------------------- #
+
+
+@query("q1_pricing_summary", oracle="""
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (1 - CAST(l_discount AS DECIMAL(12,2)))
+           * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan-filter-agg. Filter + column pruning reach the
+    parquet scan; partial aggregation is map-side (3x2 groups)."""
+    li = load(spark, sf_dir, "lineitem")
+    disc = F.lit(1).cast("decimal(12,2)") - dec("l_discount")
+    tax = F.lit(1).cast("decimal(12,2)") + dec("l_tax")
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * disc).cast("double").alias("sum_disc_price"),
+            F.sum(dec("l_extendedprice") * disc * tax).cast("double").alias("sum_charge"),
+            avg_exact(dec("l_quantity")).alias("avg_qty"),
+            n.alias("count_order"),
+        )
+    )
+
+
+@query("q3_shipping_priority", oracle="""
+SELECT o.o_orderkey, o.o_orderdate,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+           * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""")
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective dimension filter then fact join + top-k.
+    Revenue is exact decimal, so the LIMIT 10 frontier is deterministic."""
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    disc = F.lit(1).cast("decimal(12,2)") - dec("l_discount")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(dec("l_extendedprice") * disc).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query("q5_region_revenue", oracle="""
+SELECT n.n_name,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+           * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n.n_name
+""")
+def q5_region_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way star join. nation/region/supplier are
+    broadcast (dimension tables stay small at every SF — nation is 25 rows
+    at 100 TB too); only the fact-fact join shuffles."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    supp = F.broadcast(load(spark, sf_dir, "supplier"))
+    nation = F.broadcast(load(spark, sf_dir, "nation"))
+    region = F.broadcast(load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    disc = F.lit(1).cast("decimal(12,2)") - dec("l_discount")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(supp, (li.l_suppkey == supp.s_suppkey)
+              & (cust.c_nationkey == supp.s_nationkey))
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(dec("l_extendedprice") * disc).cast("double").alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------- #
+# join variants
+# --------------------------------------------------------------------- #
+
+
+@query("join_semi", oracle="""
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+""")
+def join_semi(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    big = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 48)
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@query("join_anti", oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
+""")
+def join_anti(spark, sf_dir):
+    """Customers with no orders before 1996 (time-restricted so the result
+    is non-empty at every SF)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@query("join_range", oracle="""
+SELECT e1.event_id AS click_id, e2.event_id AS purchase_id, e1.user_id
+FROM events e1
+JOIN events e2 ON e1.user_id = e2.user_id
+  AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+WHERE e1.event_type = 'click' AND e2.event_type = 'purchase'
+""")
+def join_range(spark, sf_dir):
+    """Theta/range join: purchases within 5 minutes after a click. The
+    equi-part (user_id) keys the shuffle; the range condition is a
+    post-join filter, so this stays a hash join, not a nested loop."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("cts")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("buyer_id"), F.col("ts").alias("pts"),
+    )
+    return (
+        clicks.join(
+            buys,
+            (clicks.user_id == buys.buyer_id)
+            & (buys.pts > clicks.cts)
+            & (buys.pts <= clicks.cts + F.expr("INTERVAL 5 MINUTES")),
+        )
+        .select("click_id", "purchase_id", "user_id")
+    )
+
+
+@query("join_cross", oracle="""
+SELECT r_name, event_type FROM region
+CROSS JOIN (SELECT DISTINCT event_type FROM events) e
+""")
+def join_cross(spark, sf_dir):
+    region = load(spark, sf_dir, "region").select("r_name")
+    etypes = load(spark, sf_dir, "events").select("event_type").distinct()
+    return region.crossJoin(etypes)
+
+
+@query("join_asof", oracle="""
+SELECT p.event_id, p.user_id, p.ts,
+       c.ts AS click_ts, c.event_id AS click_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+""")
+def join_asof(spark, sf_dir):
+    """As-of join: each purchase matched to the latest click at-or-before
+    it. Implemented union-style (no per-row Python): see operators/asof.py."""
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    return asof_join(
+        purchases, clicks, on=["user_id"], left_ts="ts", right_ts="click_ts",
+        tiebreak="click_id",
+    )
+
+
+# --------------------------------------------------------------------- #
+# aggregation
+# --------------------------------------------------------------------- #
+
+
+@query("agg_stats", oracle="""
+SELECT n.n_name, COUNT(*) AS n_customers,
+  COUNT(DISTINCT c.c_mktsegment) AS n_segments,
+  MIN(c.c_acctbal) AS min_bal, MAX(c.c_acctbal) AS max_bal,
+  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal,
+  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""")
+def agg_stats(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    nation = F.broadcast(load(spark, sf_dir, "nation"))
+    return (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.count_distinct("c_mktsegment").alias("n_segments"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+            F.sum(dec("c_acctbal")).cast("double").alias("sum_bal"),
+            avg_exact(dec("c_acctbal")).alias("avg_bal"),
+        )
+    )
+
+
+@query("agg_rollup", oracle="""
+SELECT l_returnflag, l_linestatus,
+  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+  CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  COUNT(*) AS n
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""")
+def agg_rollup(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_rf"),
+        F.grouping("l_linestatus").cast("int").alias("g_ls"),
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query("agg_cube", oracle="""
+SELECT o_orderstatus, o_orderpriority,
+  CAST(GROUPING(o_orderstatus) AS INT) AS g_st,
+  CAST(GROUPING(o_orderpriority) AS INT) AS g_pr,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price,
+  COUNT(*) AS n
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+""")
+def agg_cube(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_st"),
+        F.grouping("o_orderpriority").cast("int").alias("g_pr"),
+        F.sum(dec("o_totalprice", 14)).cast("double").alias("sum_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query("agg_collect", oracle="""
+SELECT l_orderkey,
+  array_to_string(list_transform(list(l_partkey ORDER BY l_partkey),
+                                 x -> CAST(x AS VARCHAR)), ',') AS partkeys
+FROM lineitem GROUP BY l_orderkey
+""")
+def agg_collect(spark, sf_dir):
+    """collect_list canonicalized: numeric sort then string join so the
+    nested value hashes identically on both engines (SURVEY §7 risk 4 —
+    Spark collect order is nondeterministic, so sort inside the group)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("l_partkey")),
+                        lambda x: x.cast("string")),
+            ",",
+        ).alias("partkeys")
+    )
+
+
+@query("agg_approx_distinct")  # rows-only: approximate by design
+def agg_approx_distinct(spark, sf_dir):
+    """approx_count_distinct + approx percentile — declared without an
+    oracle (tolerance semantics); exactness is covered by agg_stats."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# sort / limit / set ops / distinct
+# --------------------------------------------------------------------- #
+
+
+@query("sort_topk", oracle="""
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+""")
+def sort_topk(spark, sf_dir):
+    """Global top-k: Spark plans TakeOrderedAndProject — no full sort, no
+    single-node shuffle of the whole table."""
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query("set_union_all", oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+UNION ALL SELECT s_nationkey FROM supplier
+""")
+def set_union_all(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s)
+
+
+@query("set_intersect", oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT SELECT s_nationkey FROM supplier
+""")
+def set_intersect(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query("set_except", oracle="""
+SELECT o_orderkey AS orderkey FROM orders
+EXCEPT SELECT l_orderkey FROM lineitem
+""")
+def set_except(spark, sf_dir):
+    """EXCEPT (set semantics, = DataFrame.subtract): orders that have no
+    lineitems."""
+    o = load(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("orderkey"))
+    l = load(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("orderkey"))
+    return o.subtract(l)
+
+
+@query("distinct_segments", oracle="SELECT DISTINCT c_mktsegment FROM customer")
+def distinct_segments(spark, sf_dir):
+    return load(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+@query("dedup_first_per_key", oracle="""
+SELECT c_nationkey, c_mktsegment, c_custkey, c_name FROM customer
+QUALIFY row_number() OVER (PARTITION BY c_nationkey, c_mktsegment
+                           ORDER BY c_custkey) = 1
+""")
+def dedup_first_per_key(spark, sf_dir):
+    """Deterministic dropDuplicates: unlike ``dropDuplicates(subset)`` (which
+    keeps an arbitrary row), rank-and-filter pins WHICH row survives."""
+    cust = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey", "c_mktsegment").orderBy("c_custkey")
+    return (
+        cust.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("c_nationkey", "c_mktsegment", "c_custkey", "c_name")
+    )

@@ -1,0 +1,123 @@
+"""Time-window surface (SURVEY §2.2 streaming rows), run in batch mode so
+the DuckDB oracle can replay them. The same window expressions run unchanged
+over ``readStream`` — see ``puffbird_spark/streaming/`` and
+``tests/test_streaming.py`` for the incremental/watermark semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .base import dec, load, query
+
+
+@query("stream_tumbling", oracle="""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+""")
+def stream_tumbling(spark, sf_dir):
+    """Tumbling 1h window per event type — identical plan under
+    readStream + withWatermark."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "sum_value")
+    )
+
+
+@query("stream_sliding", oracle="""
+WITH g AS (
+  SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+           AS win_start,
+         value
+  FROM events)
+SELECT win_start, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM g GROUP BY 1
+""")
+def stream_sliding(spark, sf_dir):
+    """Sliding window (1h length, 30m slide): every event lands in exactly
+    two windows; the oracle replays that by unnesting the two grid starts."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "n", "sum_value")
+    )
+
+
+@query("stream_session", oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > INTERVAL '15 minutes'
+         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events),
+sessions AS (
+  SELECT user_id, ts,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS session_id
+  FROM flagged)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '15 minutes' AS session_end,
+       COUNT(*) AS n_events
+FROM sessions GROUP BY user_id, session_id
+""")
+def stream_session(spark, sf_dir):
+    """Session window (15m gap) per user. Spark's session_window end is
+    last-event + gap; the oracle replays gaps-and-islands."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query("stream_dedup_watermark", oracle="""
+SELECT user_id, event_type, MIN(event_id) AS first_event_id, MIN(ts) AS first_ts
+FROM events GROUP BY user_id, event_type
+""")
+def stream_dedup_watermark(spark, sf_dir):
+    """Batch replay of streaming dedup-by-key: first event per
+    (user, type). Under readStream this is dropDuplicatesWithinWatermark;
+    batch-deterministic form pins the survivor with min()."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("first_event_id"),
+        F.min("ts").alias("first_ts"),
+    )
+
+
+@query("stream_static_join", oracle="""
+SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.event_type = 'purchase'
+""")
+def stream_static_join(spark, sf_dir):
+    """Stream-static enrichment join shape (events stream x customer dim).
+    The dimension side is broadcast — in streaming this is exactly the
+    supported stream-static join pattern."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    cust = F.broadcast(load(spark, sf_dir, "customer"))
+    return ev.join(cust, ev.user_id == cust.c_custkey).select(
+        "event_id", "user_id", "c_name", "c_mktsegment"
+    )

@@ -1,0 +1,144 @@
+"""Window-function surface: ranking, analytic, frames, top-k per group.
+
+All orderings include a unique tie-break column so results are deterministic
+on both engines (SURVEY §2.2 window rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .base import dec, load, query
+
+
+@query("window_rank", oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) t
+WHERE rn <= 3
+""")
+def window_rank(spark, sf_dir):
+    """Top-3 orders per customer — the row_number<=k idiom (QUALIFY)."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query("window_rank_kinds", oracle="""
+SELECT o_custkey, o_orderkey,
+  CAST(rank()       OVER w AS BIGINT) AS rnk,
+  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+  CAST(ntile(4)     OVER w AS BIGINT) AS tile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderstatus, o_orderkey)
+""")
+def window_rank_kinds(spark, sf_dir):
+    """rank / dense_rank (real ties via o_orderstatus) + ntile."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderstatus", "o_orderkey")
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("tile"),
+    )
+
+
+@query("window_running", oracle="""
+SELECT o_custkey, o_orderkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
+       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       AS DOUBLE) AS running_spend
+FROM orders
+""")
+def window_running(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.sum(dec("o_totalprice", 14)).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@query("window_lag_lead", oracle="""
+SELECT o_custkey, o_orderkey,
+  lag(o_totalprice)  OVER w AS prev_price,
+  lead(o_totalprice) OVER w AS next_price,
+  first_value(o_totalprice) OVER w AS first_price,
+  last_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+""")
+def window_lag_lead(spark, sf_dir):
+    """lag/lead/first/last per customer ordered by the globally-unique
+    order key (unique ordering => engine-portable results)."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w_full).alias("last_price"),
+    )
+
+
+@query("window_moving_avg", oracle="""
+SELECT event_id, user_id,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE)
+    / COUNT(*) OVER w AS moving_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+""")
+def window_moving_avg(spark, sf_dir):
+    """Moving average over a rows frame; exact decimal sum / count instead
+    of engine-native avg (see base.py float policy)."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id",
+        (F.sum(dec("value")).over(w).cast("double")
+         / F.count(F.lit(1)).over(w)).alias("moving_avg"),
+    )
+
+
+@query("window_range_frame", oracle="""
+SELECT o_orderkey, o_custkey,
+  COUNT(*) OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                 RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW) AS n_90d
+FROM orders
+""")
+def window_range_frame(spark, sf_dir):
+    """RANGE frame: orders by the same customer in the trailing 90 days
+    (range frames need a numeric key — epoch seconds on both engines)."""
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp(F.col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-90 * 24 * 3600, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey", "o_custkey",
+        F.count(F.lit(1)).over(w).alias("n_90d"),
+    )

@@ -64,6 +64,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # --- scan efficiency ----------------------------------------------
+        # nanosecond parquet timestamps (events table) surface as long —
+        # sources.load_table converts them to timestamp_ntz at microsecond
+        # precision, matching DuckDB's ns->us truncation
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")

@@ -1,0 +1,79 @@
+"""Source readers: schema-aware parquet/CSV/JSON table loading.
+
+``load_table`` is the canonical entry — it hides physical quirks of the
+storage layer (currently: nanosecond parquet timestamps, which Spark cannot
+scan natively; they are read as long via ``nanosAsLong`` and truncated to
+microsecond ``timestamp_ntz``, exactly what DuckDB's reader does).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: tables whose parquet files carry TIMESTAMP(NANOS) columns
+_NANO_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
+
+
+def normalize_nano_ts(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Convert nanosecond-epoch long columns (from ``nanosAsLong`` parquet
+    reads) to microsecond ``timestamp_ntz`` — same truncation DuckDB's
+    native TIMESTAMP_NS->TIMESTAMP read performs."""
+    for c in cols:
+        if c in df.columns and isinstance(df.schema[c].dataType, T.LongType):
+            df = df.withColumn(
+                c,
+                F.expr(f"cast(timestamp_micros({c} div 1000) as timestamp_ntz)"),
+            )
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read a testdata table, normalizing physical-type quirks."""
+    nano_cols = _NANO_TS_COLS.get(table, [])
+    if nano_cols:
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass  # already set statically or unsupported: the read will tell
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    return normalize_nano_ts(df, nano_cols)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: T.StructType | str | None = None,
+    header: bool = True, **options,
+) -> DataFrame:
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: T.StructType | str | None = None,
+    **options,
+) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.json(path)
+
+
+def write_parquet(
+    df: DataFrame, path: str, partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Partitioned parquet sink — partition columns become directory keys
+    (enables static + dynamic partition pruning on re-read)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

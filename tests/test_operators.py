@@ -1,0 +1,155 @@
+"""Operator tests: as-of join, dedup family, similarity search, multimodal
+plumbing — semantics asserted against hand-computed or brute-force truth."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from puffbird_spark.operators.asof import asof_join
+from puffbird_spark.operators import dedup as DD
+from puffbird_spark.operators.multimodal import (
+    DECODED_SCHEMA, decode_features, with_media_meta,
+)
+from puffbird_spark.operators.similarity import cosine_topk, lsh_bucket_topk
+
+
+# ------------------------------------------------------------------ #
+# as-of join
+# ------------------------------------------------------------------ #
+
+def test_asof_join_basic(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "L10"), (1, 5, "L5"), (2, 7, "L7")], ["k", "lts", "lval"]
+    )
+    right = spark.createDataFrame(
+        [(1, 4, "R4"), (1, 9, "R9"), (1, 11, "R11"), (3, 1, "R1")],
+        ["k", "rts", "rval"],
+    )
+    out = asof_join(left, right, on=["k"], left_ts="lts", right_ts="rts")
+    got = {r["lval"]: (r["rts"], r["rval"]) for r in out.collect()}
+    assert got == {
+        "L10": (9, "R9"),   # latest <= 10
+        "L5": (4, "R4"),
+        "L7": (None, None),  # key 2 has no rights: left-join NULLs
+    }
+
+
+def test_asof_join_inclusive_and_strict(spark):
+    left = spark.createDataFrame([(1, 10, "L")], ["k", "lts", "lval"])
+    right = spark.createDataFrame([(1, 10, "Req")], ["k", "rts", "rval"])
+    inc = asof_join(left, right, on=["k"], left_ts="lts", right_ts="rts")
+    assert inc.collect()[0]["rval"] == "Req"  # <= matches same instant
+    strict = asof_join(left, right, on=["k"], left_ts="lts", right_ts="rts",
+                       strict=True)
+    assert strict.collect()[0]["rval"] is None  # < does not
+
+
+# ------------------------------------------------------------------ #
+# dedup family
+# ------------------------------------------------------------------ #
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
+        (2, "the quick brown fox jumps over the sleepy dog"),        # near dup
+        (3, "completely different words appear in this one here"),
+        (4, "another unrelated document with its own content text"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(dup_docs):
+    out = DD.exact_dedup(dup_docs, "text", "doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == [0, 2, 3, 4]
+    groups = DD.exact_dedup_groups(dup_docs, "text", "doc_id")
+    dup_group = [r for r in groups.collect() if r["n_dups"] == 2]
+    assert len(dup_group) == 1 and dup_group[0]["keep_id"] == 0
+
+
+def test_jaccard_pairs(dup_docs):
+    out = DD.jaccard_pairs(dup_docs, "text", "doc_id", threshold=0.4, n=3)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    assert got[(0, 1)] == 1.0          # exact dup
+    assert (0, 2) in got and 0.4 <= got[(0, 2)] < 1.0
+    assert all(a != 3 and b != 3 for a, b in got)  # unrelated doc stays out
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(dup_docs):
+    pairs = DD.minhash_candidate_pairs(
+        dup_docs, "text", "doc_id", num_hashes=32, bands=8, n=3
+    )
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs.collect()}
+    assert got.get((0, 1)) == 1.0
+    assert (0, 2) in got  # near dup shares at least one band
+
+
+def test_simhash_pairs(dup_docs):
+    out = DD.simhash_pairs(dup_docs, "text", "doc_id", max_hamming=10)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
+    assert got.get((0, 1)) == 0        # identical docs: identical simhash
+    assert (3, 4) not in got           # unrelated docs: far apart
+
+
+# ------------------------------------------------------------------ #
+# similarity search
+# ------------------------------------------------------------------ #
+
+def test_cosine_topk_exact(spark):
+    import math
+    vecs = {
+        0: [1.0, 0.0], 1: [0.9, 0.1], 2: [0.0, 1.0], 3: [-1.0, 0.0],
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in vecs.items()], ["vec_id", "embedding"]
+    )
+    out = cosine_topk(df, df.filter(F.col("vec_id") == 0), k=2)
+    rows = sorted(out.collect(), key=lambda r: -r["cosine"])
+    assert [r["cand_id"] for r in rows] == [1, 2]
+    expected = 0.9 / math.sqrt(0.9 ** 2 + 0.1 ** 2)
+    assert abs(rows[0]["cosine"] - round(expected, 6)) < 1e-9
+
+
+def test_lsh_recall_against_brute_force(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, q, k=5)
+    approx = lsh_bucket_topk(emb, q, dim=64, k=5, planes=4, probes=1)
+    e = {(r["query_id"], r["cand_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["cand_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.3  # 4 planes + Hamming-1 multiprobe
+    # every LSH hit must carry the same (rounded) cosine as brute force
+    exact_cos = {(r["query_id"], r["cand_id"]): r["cosine"]
+                 for r in exact.collect()}
+    for r in approx.collect():
+        key = (r["query_id"], r["cand_id"])
+        if key in exact_cos:
+            assert exact_cos[key] == r["cosine"]
+
+
+# ------------------------------------------------------------------ #
+# multimodal plumbing
+# ------------------------------------------------------------------ #
+
+def test_multimodal_decode_pipeline(spark):
+    rows = [("f1.bin", bytearray(b"hello world")),
+            ("f2.bin", bytearray(b"")),
+            ("f3.bin", bytearray(bytes(range(256))))]
+    df = spark.createDataFrame(rows, ["path", "content"])
+    tagged = with_media_meta(df, media_type="image", fmt="bin")
+    meta = {r["path"]: r["meta"] for r in tagged.collect()}
+    assert meta["f1.bin"]["size_bytes"] == 11
+    assert meta["f1.bin"]["media_type"] == "image"
+
+    out = decode_features(df, dim=8)
+    assert out.schema == DECODED_SCHEMA
+    got = {r["path"]: r for r in out.collect()}
+    assert got["f1.bin"]["size_bytes"] == 11
+    assert len(got["f1.bin"]["feature"]) == 8
+    assert got["f2.bin"]["feature"] == [0.0] * 8
+    assert abs(sum(got["f3.bin"]["feature"]) - 1.0) < 1e-3
+    # deterministic: same blob -> same digest/feature on re-run
+    again = {r["path"]: r for r in decode_features(df, dim=8).collect()}
+    assert again["f3.bin"]["digest"] == got["f3.bin"]["digest"]
+    assert again["f3.bin"]["feature"] == got["f3.bin"]["feature"]

@@ -1,0 +1,144 @@
+"""Structured Streaming semantics: the streaming ops must reproduce their
+batch twins when the stream is replayed to completion (batch-replay
+equivalence, SURVEY §5), plus watermark/late-data behavior."""
+
+import shutil
+import tempfile
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from puffbird_spark.sources import load_table, normalize_nano_ts
+from puffbird_spark.streaming import (
+    read_parquet_stream,
+    session_agg,
+    stream_static_join,
+    streaming_dedup,
+    tumbling_agg,
+    write_foreach_batch,
+)
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="pbs-stream-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _stage_events(sf_dir, tmpdir):
+    """Streaming file source needs a directory: stage the single parquet
+    file into one."""
+    d = f"{tmpdir}/events_in"
+    os.makedirs(d, exist_ok=True)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
+    return d
+
+
+def _run_to_completion(stream_df, tmpdir, output_mode="update"):
+    """Drain an availableNow stream through foreachBatch into a list."""
+    batches = []
+
+    def sink(df, epoch_id):
+        batches.append(df.collect())
+
+    q = write_foreach_batch(
+        stream_df, sink, checkpoint=f"{tmpdir}/ckpt", trigger_once=True,
+        output_mode=output_mode,
+    ).start()
+    q.awaitTermination(120)
+    return [r for b in batches for r in b]
+
+
+def test_tumbling_stream_equals_batch(spark, sf_dir, tmpdir):
+    batch = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = normalize_nano_ts(
+        read_parquet_stream(spark, _stage_events(sf_dir, tmpdir), raw.schema),
+        ["ts"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = _run_to_completion(
+        tumbling_agg(stream, ts_col="ts", window="1 hour",
+                     watermark="2 hours", keys=["event_type"]),
+        tmpdir,
+    )
+    got = {(r["win_start"], r["event_type"]): r["n"] for r in rows}
+    expected_df = (
+        batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+    expected = {(r["ws"], r["event_type"]): r["n"] for r in expected_df.collect()}
+    assert got == expected
+
+
+def test_session_stream_equals_batch(spark, sf_dir, tmpdir):
+    batch = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = normalize_nano_ts(
+        read_parquet_stream(spark, _stage_events(sf_dir, tmpdir), raw.schema),
+        ["ts"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = _run_to_completion(
+        session_agg(stream, ts_col="ts", gap="15 minutes",
+                    watermark="2 hours", keys=["user_id"]),
+        tmpdir,
+        output_mode="append",  # session windows do not support update mode
+    )
+    got = {(r["user_id"], r["w"]["start"]): r["n_events"] for r in rows}
+    expected_df = (
+        batch.groupBy("user_id", F.session_window("ts", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    expected_all = {(r["user_id"], r["w"]["start"]): (r["n_events"], r["w"]["end"])
+                    for r in expected_df.collect()}
+    # append mode only emits sessions closed before the final watermark
+    # (max event time - 2h); trailing sessions legitimately stay in state
+    from datetime import timedelta
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    horizon = max_ts - timedelta(hours=2)
+    expected = {k: n for k, (n, end) in expected_all.items() if end < horizon}
+    assert got == expected
+
+
+def test_streaming_dedup(spark, tmpdir):
+    src = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b")],
+        ["user_id", "event_type"],
+    ).withColumn("ts", F.current_timestamp())
+    src.write.parquet(f"{tmpdir}/in")
+    batch = spark.read.parquet(f"{tmpdir}/in")
+    stream = read_parquet_stream(spark, f"{tmpdir}/in", batch.schema)
+    rows = _run_to_completion(
+        streaming_dedup(stream, keys=["user_id", "event_type"],
+                        ts_col="ts", watermark="1 hour"),
+        tmpdir,
+    )
+    assert sorted((r["user_id"], r["event_type"]) for r in rows) == [
+        (1, "a"), (2, "b"),
+    ]
+
+
+def test_stream_static_join(spark, sf_dir, tmpdir):
+    events = load_table(spark, sf_dir, "events")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = normalize_nano_ts(
+        read_parquet_stream(spark, _stage_events(sf_dir, tmpdir), raw.schema),
+        ["ts"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    enriched = stream_static_join(
+        stream.filter(F.col("event_type") == "purchase"),
+        customer,
+        stream["user_id"] == customer["c_custkey"],
+    ).select("event_id", "c_name")
+    rows = _run_to_completion(enriched, tmpdir)
+    expected = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(customer, events["user_id"] == customer["c_custkey"])
+        .count()
+    )
+    assert len(rows) == expected
