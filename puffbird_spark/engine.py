@@ -216,6 +216,7 @@ class FrameEngine:
         dropna: bool = True,
         cond: Callable[[T.DataType], bool] | Mapping | None = None,
         expand_cols: list[str] | None = None,
+        variant_cols: list[str] | None = None,
         **shared_axes: Mapping[str, int],
     ) -> DataFrame:
         """Explode data columns into a long (tidy) DataFrame.
@@ -230,12 +231,23 @@ class FrameEngine:
         declare that depth ``depthX`` of each column is the same logical axis;
         the level column takes the shared ``name`` and becomes a join key
         (positional zip instead of cross product; frame.py:401-413).
+
+        ``variant_cols``: JSON-string columns with ragged / per-cell
+        heterogeneous nesting, exploded with per-row dynamic dispatch (see
+        ``variant.py`` — the Spark rendering of the reference's per-cell
+        type dispatch, frame.py:35-47).
         """
         datacols = list(cols) if cols else list(self._datacols)
         missing = set(datacols) - set(self._datacols)
         if missing:
             raise PuffbirdSparkError(f"not data columns: {sorted(missing)}")
         expand_cols = list(expand_cols or [])
+        variant_cols = list(variant_cols or [])
+        stray = set(variant_cols) - set(datacols)
+        if stray:
+            raise PuffbirdSparkError(
+                f"variant_cols not among the exploded data columns: {sorted(stray)}"
+            )
 
         axes_by_col = self._check_shared_axes(shared_axes, datacols)
         depth_map = _per_col(max_depth, datacols, _explode.DEFAULT_MAX_DEPTH)
@@ -245,6 +257,14 @@ class FrameEngine:
         for c in datacols:
             if c in expand_cols:
                 frames.append(self._expand_frame(c, dropna))
+            elif c in variant_cols:
+                from .variant import explode_variant
+
+                frame, levels = explode_variant(
+                    self._df, self._indexcols, c,
+                    max_depth=depth_map[c], dropna=dropna,
+                )
+                frames.append((c, frame, levels))
             else:
                 frame, levels = _explode.explode_column(
                     self._df,

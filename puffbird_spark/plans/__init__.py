@@ -1,0 +1,75 @@
+"""Plan-inspection helpers: assert the physical plan is the one you'd want
+at 100 TB (filters pushed to the scan, columns pruned, small sides
+broadcast, codegen engaged). Used by tests/test_plans.py and ad-hoc tuning.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """PushedFilters entries of every parquet scan in the plan."""
+    plan = formatted_plan(df)
+    return re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+
+
+def read_schemas(df: DataFrame) -> list[str]:
+    """ReadSchema of every scan — checks column pruning reached parquet."""
+    plan = formatted_plan(df)
+    return re.findall(r"ReadSchema: (\S+)", plan)
+
+
+def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
+    return any(fragment in f for f in pushed_filters(df))
+
+
+def scan_reads_only(df: DataFrame, table_marker: str, allowed: set[str]) -> bool:
+    """True if the scan whose ReadSchema mentions ``table_marker`` reads a
+    subset of ``allowed`` columns."""
+    for schema in read_schemas(df):
+        if table_marker in schema:
+            cols = set(re.findall(r"(\w+):", schema))
+            if not cols <= allowed:
+                return False
+    return True
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the static physical plan (AQE may
+    collapse some at runtime; this is the upper bound). Formatted mode
+    lists operators as ``(N) Exchange``."""
+    plan = formatted_plan(df)
+    return len(re.findall(r"\(\d+\) Exchange", plan))
+
+
+def count_broadcast_joins(df: DataFrame) -> int:
+    plan = formatted_plan(df)
+    return len(re.findall(r"\(\d+\) Broadcast(?:Hash|NestedLoop)Join", plan))
+
+
+def has_sort_merge_join(df: DataFrame) -> bool:
+    return "SortMergeJoin" in formatted_plan(df)
+
+
+def has_take_ordered(df: DataFrame) -> bool:
+    """True when a global ORDER BY+LIMIT planned as TakeOrderedAndProject
+    (top-k without a full sort) — what sort/limit should compile to."""
+    return "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    """Whole-stage-codegen span count via simple-mode stars ``*(N)``."""
+    simple = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "simple"
+    )
+    ids = re.findall(r"\*\((\d+)\)", simple)
+    return len(set(ids))

@@ -9,6 +9,7 @@ from . import (  # noqa: F401,E402
     llm_q,
     relational,
     streaming_q,
+    udf_q,
     windows_q,
 )
 

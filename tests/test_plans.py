@@ -1,0 +1,72 @@
+"""Plan-hygiene tests: the physical plans of headline queries must keep the
+properties that matter at 100 TB — pushdown, pruning, broadcast dims, top-k
+without global sort (SURVEY §4.2)."""
+
+import pytest
+
+from puffbird_spark import plans as P
+from puffbird_spark.queries import QUERIES
+
+
+@pytest.fixture(scope="module")
+def q(spark, sf_dir):
+    def run(name):
+        return QUERIES[name](spark, sf_dir)
+    return run
+
+
+def test_q1_filter_pushdown_and_pruning(q):
+    df = q("q1_pricing_summary")
+    assert P.has_pushed_filter(df, "LessThanOrEqual(l_shipdate")
+    # scan must not read join keys / unused columns
+    for schema in P.read_schemas(df):
+        assert "l_partkey" not in schema and "l_suppkey" not in schema
+
+
+def test_q3_selective_dimension_pushdown(q):
+    df = q("q3_shipping_priority")
+    assert P.has_pushed_filter(df, "EqualTo(c_mktsegment,BUILDING)")
+    # customer scan reads exactly the two needed columns
+    assert P.scan_reads_only(df, "c_custkey", {"c_custkey", "c_mktsegment"})
+
+
+def test_q5_broadcasts_dimensions(q):
+    df = q("q5_region_revenue")
+    assert P.count_broadcast_joins(df) >= 4  # supplier/nation/region + AQE picks
+
+
+def test_semi_join_pushes_probe_filter(q):
+    df = q("join_semi")
+    assert P.has_pushed_filter(df, "GreaterThanOrEqual(l_quantity,48.0)")
+    assert "LeftSemi" in P.formatted_plan(df)
+
+
+def test_topk_avoids_global_sort(q):
+    df = q("sort_topk")
+    assert P.has_take_ordered(df)
+
+
+def test_knn_broadcasts_query_side(q):
+    df = q("knn_cosine")
+    assert P.count_broadcast_joins(df) >= 1
+    assert P.has_pushed_filter(df, "LessThan(vec_id,10)")
+
+
+def test_explode_has_no_exchange(q):
+    """Generators pipeline inside the scan stage — explosion itself must
+    not shuffle."""
+    df = q("explode_tokens")
+    assert P.count_exchanges(df) == 0
+
+
+def test_window_single_exchange(q):
+    """One window over one partition key = exactly one shuffle."""
+    df = q("window_rank")
+    assert P.count_exchanges(df) == 1
+
+
+def test_asof_single_exchange(q):
+    """The union-based as-of join must cost exactly one shuffle (the window
+    partitionBy) — the reason it beats range-join+rank at scale."""
+    df = q("join_asof")
+    assert P.count_exchanges(df) == 1
