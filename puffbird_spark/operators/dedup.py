@@ -78,18 +78,50 @@ def jaccard_pairs(
     )
 
 
+def shingle_hashes(shingle_arr: Column) -> Column:
+    """Hash every shingle string ONCE (xxhash64) — materialize this as its
+    own column before deriving signatures, so the string hashing is not
+    re-inlined per permutation."""
+    return F.transform(shingle_arr, lambda s: F.xxhash64(s))
+
+
+
+
+#: Mersenne prime 2^31-1: permutation values < 2^31, products < 2^62 — no
+#: long overflow even under ANSI mode (Spark 4 default throws on overflow)
+_MERSENNE = (1 << 31) - 1
+
+
+def _perm_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE))
+        for _ in range(num_hashes)
+    ]
+
+
 def minhash_signature(
-    toks_or_shingles: Column, num_hashes: int = 32
+    hashes_or_shingles: Column, num_hashes: int = 32, pre_hashed: bool = False
 ) -> Column:
-    """MinHash signature: for seed i, min over shingles of
-    ``xxhash64(shingle, i)``. Empty shingle sets get NULL signatures."""
+    """MinHash signature via universal-hash permutations over per-shingle
+    hashes: one xxhash64 per shingle, then ``num_hashes`` cheap
+    ``(a*h + b) mod p`` permutations (p = 2^31-1). Empty shingle sets get
+    NULL signatures."""
+    src = hashes_or_shingles if pre_hashed else shingle_hashes(hashes_or_shingles)
+    params = _perm_params(num_hashes)
+    reduced = F.transform(src, lambda h: F.pmod(h, F.lit(_MERSENNE)))
     return F.when(
-        F.size(toks_or_shingles) > 0,
+        F.size(src) > 0,
         F.array(*[
             F.array_min(
-                F.transform(toks_or_shingles, lambda s: F.xxhash64(s, F.lit(i)))
+                F.transform(
+                    reduced,
+                    lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE)),
+                )
             )
-            for i in range(num_hashes)
+            for a, b in params
         ]),
     )
 
@@ -116,12 +148,18 @@ def minhash_candidate_pairs(
     # num_hashes transforms: otherwise the whole shingle-construction
     # expression is inlined (and recomputed) once per hash — measured 40x
     # slower at sf0.1
+    # three separate selects: shingles, then their hashes, then the
+    # signature — each stage's result is a bound column, so nothing
+    # expensive is re-inlined per permutation (measured: string shingles +
+    # one xxhash64 each beats hashing token slots directly)
     sh = df.select(
         F.col(id_col).alias("id"),
         shingles(tokens(text_col), n=n).alias("sh"),
     )
-    sig = sh.select(
-        "id", minhash_signature(F.col("sh"), num_hashes).alias("sig")
+    hashed = sh.select("id", shingle_hashes(F.col("sh")).alias("hs"))
+    sig = hashed.select(
+        "id",
+        minhash_signature(F.col("hs"), num_hashes, pre_hashed=True).alias("sig"),
     ).filter(F.col("sig").isNotNull())
 
     banded = sig.select(
@@ -141,20 +179,32 @@ def minhash_candidate_pairs(
             ])
         ).alias("band", "band_hash"),
     )
-    a, b = banded.alias("a"), banded.alias("b")
+    # pair WITHIN buckets instead of a banded self-join: one groupBy shuffle,
+    # no double computation of the shingle/signature pipeline, and the
+    # quadratic work is bounded per bucket (a bucket is a duplicate cluster)
+    buckets = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.array_sort(F.collect_list(F.struct("id", "sig"))).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda m, i: F.transform(
+                F.slice(F.col("ms"), i + 2,
+                        F.greatest(F.size(F.col("ms")) - i - 1, F.lit(0))),
+                lambda m2: F.struct(
+                    m["id"].alias("id_a"),
+                    m2["id"].alias("id_b"),
+                    m["sig"].alias("sig_a"),
+                    m2["sig"].alias("sig_b"),
+                ),
+            ),
+        )
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.sig_a", "p.sig_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     est = (
@@ -209,20 +259,29 @@ def simhash_pairs(
             ])
         ).alias("q", "qval"),
     )
-    a, b = quarters.alias("a"), quarters.alias("b")
+    buckets = (
+        quarters.groupBy("q", "qval")
+        .agg(F.array_sort(F.collect_list(F.struct("id", "sh"))).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda m, i: F.transform(
+                F.slice(F.col("ms"), i + 2,
+                        F.greatest(F.size(F.col("ms")) - i - 1, F.lit(0))),
+                lambda m2: F.struct(
+                    m["id"].alias("id_a"),
+                    m2["id"].alias("id_b"),
+                    m["sh"].alias("sh_a"),
+                    m2["sh"].alias("sh_b"),
+                ),
+            ),
+        )
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.q") == F.col("b.q"))
-            & (F.col("a.qval") == F.col("b.qval"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.sh_a", "p.sh_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     xor = F.col("sh_a").bitwiseXOR(F.col("sh_b"))

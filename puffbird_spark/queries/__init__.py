@@ -8,6 +8,7 @@ from . import (  # noqa: F401,E402
     functions_q,
     llm_q,
     relational,
+    sources_q,
     streaming_q,
     udf_q,
     windows_q,

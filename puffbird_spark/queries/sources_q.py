@@ -1,0 +1,135 @@
+"""Source/sink formats (SURVEY §2.2 scans/sinks rows) + remaining engine
+ops (R5 expand_col, R11 to_puffy) exercised in the correctness gate.
+
+Format queries materialize a table once to /tmp in the target format, read
+it back through the engine's source readers, and aggregate — the oracle
+computes the same aggregate from the original parquet, so any
+read/write/schema bug breaks the hash.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from ..engine import FrameEngine
+from ..sources import read_csv, read_json
+from .base import dec, load, query
+
+
+def _materialize(df, path: str, fmt: str, **options) -> str:
+    """Write once, reuse thereafter; a partial/corrupt directory (missing
+    _SUCCESS or no data files) is rewritten, not silently scanned as empty."""
+    def _complete() -> bool:
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            return False
+        return any(
+            f.startswith("part-") and not f.endswith(".crc")
+            for f in os.listdir(path)
+        )
+
+    if not _complete():
+        df.write.mode("overwrite").options(**options).format(fmt).save(path)
+    return path
+
+
+@query("scan_csv", oracle="""
+SELECT p_brand, COUNT(*) AS n,
+  CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+FROM part GROUP BY p_brand
+""")
+def scan_csv(spark, sf_dir):
+    """CSV sink + schema'd CSV scan round-trip: results must equal the
+    parquet original."""
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    path = _materialize(
+        load(spark, sf_dir, "part"), f"/tmp/pbs_fmt{tag}/part_csv", "csv",
+        header="true",
+    )
+    schema = ("p_partkey long, p_name string, p_brand string, p_type string, "
+              "p_size int, p_retailprice double")
+    df = read_csv(spark, path, schema=schema)
+    return df.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("p_retailprice")).cast("double").alias("sum_price"),
+    )
+
+
+@query("scan_json", oracle="""
+SELECT c_mktsegment, COUNT(*) AS n,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+FROM customer GROUP BY c_mktsegment
+""")
+def scan_json(spark, sf_dir):
+    """JSON-lines sink + schema'd JSON scan round-trip."""
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    path = _materialize(
+        load(spark, sf_dir, "customer"), f"/tmp/pbs_fmt{tag}/customer_json",
+        "json",
+    )
+    schema = ("c_custkey long, c_name string, c_nationkey int, "
+              "c_acctbal double, c_mktsegment string")
+    df = read_json(spark, path, schema=schema)
+    return df.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("c_acctbal")).cast("double").alias("sum_bal"),
+    )
+
+
+@query("engine_to_puffy", oracle="""
+SELECT l_orderkey,
+  array_to_string(list_transform(
+    list(l_quantity ORDER BY l_linenumber, l_quantity),
+    x -> CAST(x AS VARCHAR)), ',') AS qtys
+FROM lineitem GROUP BY l_orderkey
+""")
+def engine_to_puffy(spark, sf_dir):
+    """R11 to_puffy in the gate: nest quantities per order in linenumber
+    order, canonicalized to a string for cross-engine hashing."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    eng = FrameEngine(li, indexcols=["l_orderkey", "l_linenumber"], validate=False)
+    puffy = eng.to_puffy("l_orderkey", sort_by=["l_linenumber"])
+    return puffy.table.select(
+        "l_orderkey",
+        F.array_join(
+            F.transform(F.col("l_quantity"), lambda x: x.cast("string")), ","
+        ).alias("qtys"),
+    )
+
+
+@query("engine_expand_col", oracle="""
+SELECT l_orderkey,
+  CAST(row_number() OVER (PARTITION BY l_orderkey
+                          ORDER BY l_linenumber, l_quantity) - 1 AS INT)
+    AS items_level0,
+  l_linenumber, l_quantity
+FROM lineitem
+""")
+def engine_expand_col(spark, sf_dir):
+    """R5 expand_col in the gate: frame-valued cells (array<struct>)
+    vertically expanded with the element position as a new index column."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    nested = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(F.struct("l_linenumber", "l_quantity"))
+        ).alias("items")
+    )
+    eng = FrameEngine(nested, indexcols=["l_orderkey"], validate=False)
+    out = eng.expand_col("items")
+    return out.table.select(
+        "l_orderkey", "items_level0", "l_linenumber", "l_quantity"
+    )
+
+
+@query("sample_fraction")  # rows-only: sampling is statistical by design
+def sample_fraction(spark, sf_dir):
+    """Seeded Bernoulli sample — declared rows-only (row count is checked
+    to be plausible by the driver; exact rows are seed/partitioning
+    dependent)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")

@@ -76,12 +76,16 @@ def test_jaccard_pairs(dup_docs):
 
 
 def test_minhash_lsh_finds_exact_and_near_dups(dup_docs):
+    # r=1 banding (bands=num_hashes): candidate probability for a
+    # jaccard-0.4 pair is 1-(1-0.4)^32 ≈ 1, so the assertion is not
+    # seed-dependent; production configs trade recall for fewer candidates
     pairs = DD.minhash_candidate_pairs(
-        dup_docs, "text", "doc_id", num_hashes=32, bands=8, n=3
+        dup_docs, "text", "doc_id", num_hashes=32, bands=32, n=3
     )
     got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs.collect()}
     assert got.get((0, 1)) == 1.0
-    assert (0, 2) in got  # near dup shares at least one band
+    assert (0, 2) in got and 0.1 <= got[(0, 2)] <= 0.8
+    assert (3, 4) not in got  # unrelated docs share no shingle
 
 
 def test_simhash_pairs(dup_docs):
