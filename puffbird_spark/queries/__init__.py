@@ -9,6 +9,7 @@ from . import (  # noqa: F401,E402
     llm_q,
     relational,
     sources_q,
+    sql_q,
     streaming_q,
     udf_q,
     windows_q,

@@ -1,0 +1,120 @@
+"""SQL front-end + remaining relational features: GROUPING SETS, map
+functions over parsed JSON, embedding-cosine near-dup pairs.
+
+The SQL queries register the parquet tables as temp views and go through
+``spark.sql`` — same Catalyst plans as the DataFrame API, proving the
+engine's full SQL surface (SURVEY §2.2 "scans/sources" + SQL lifecycle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.vectors import as_double, cosine_rounded
+from .base import load, query
+
+
+def _view(spark, sf_dir, table):
+    name = f"pbs_{table}"
+    load(spark, sf_dir, table).createOrReplaceTempView(name)
+    return name
+
+
+@query("sql_tpch_q6", oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""")
+def sql_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 shape submitted as a SQL string — exercises the SQL parser
+    -> Catalyst -> same physical plan path."""
+    li = _view(spark, sf_dir, "lineitem")
+    return spark.sql(f"""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n
+        FROM {li}
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """)
+
+
+@query("sql_grouping_sets", oracle="""
+SELECT l_returnflag, l_linestatus,
+  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+  CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+  COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""")
+def sql_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (beyond rollup/cube): per-flag, per-status,
+    and grand total in one pass."""
+    li = _view(spark, sf_dir, "lineitem")
+    return spark.sql(f"""
+        SELECT l_returnflag, l_linestatus,
+          CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+          CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+          COUNT(*) AS n
+        FROM {li}
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
+
+
+@query("fn_map_json", oracle="""
+SELECT event_id,
+  array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+  CAST(len(json_keys(props)) AS INT) AS n_keys
+FROM events WHERE props IS NOT NULL
+""")
+def fn_map_json(spark, sf_dir):
+    """Map-typed column ops over real data: props parsed to
+    map<string,long>, then map_keys / element access / size."""
+    ev = load(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    m = F.from_json("props", "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_csv"),
+        m.getItem("k").alias("k_val"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )
+
+
+@query("dedup_embedding", oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+        6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+      6) >= 0.45
+""")
+def dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs. All-pairs exact kernel for
+    the oracle; the scale path buckets by SRP-LSH first
+    (operators/similarity.lsh_bucket_topk). Threshold 0.45: the synthetic
+    embeddings are near-orthogonal (max pairwise cosine ~0.51), so this
+    yields a small non-empty frontier."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cosine_rounded(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.45)
+    )
