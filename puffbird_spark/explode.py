@@ -171,6 +171,39 @@ def _stack_struct(
     return df.select(*carried, gen)
 
 
+def zip_explode(
+    df: DataFrame,
+    key_cols: list[str],
+    cols: list[str],
+    axis_name: str = "pos",
+    dropna: bool = True,
+) -> DataFrame:
+    """Fused shared-axis explosion for parallel arrays: ONE
+    ``posexplode(arrays_zip(...))`` instead of per-column explodes joined
+    back on the axis (SURVEY §4.2's fusion optimization, exposed as an
+    explicit operator for the common "these arrays are aligned" case).
+
+    Equivalent to ``to_long(*cols, axis={c: 0 for c in cols})`` when every
+    column is a same-length top-level array, but with zero joins and zero
+    shuffles — the plan is scan → generate, pipelined in one codegen stage.
+    Ragged lengths follow ``arrays_zip`` semantics (shorter arrays pad with
+    NULL), which matches the full-outer positional join of the reference.
+    """
+    for c in cols:
+        if not isinstance(df.schema[c].dataType, T.ArrayType):
+            raise PuffbirdSparkError(
+                f"zip_explode requires top-level array columns; {c!r} is "
+                f"{df.schema[c].dataType.simpleString()}"
+            )
+    zipped = F.arrays_zip(*[F.col(c) for c in cols])
+    gen = F.posexplode(zipped) if dropna else F.posexplode_outer(zipped)
+    out = df.select(*key_cols, gen.alias(axis_name, "__z"))
+    return out.select(
+        *key_cols, axis_name,
+        *[F.col("__z").getField(c).alias(c) for c in cols],
+    )
+
+
 def assemble_long(
     frames: list[tuple[str, DataFrame, list[str]]],
     key_cols: list[str],

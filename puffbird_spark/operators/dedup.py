@@ -133,6 +133,7 @@ def minhash_candidate_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     n: int = 3,
+    max_bucket_size: int = 10_000,
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` rows of
     ``num_hashes/bands``; docs sharing any band hash become candidates.
@@ -186,6 +187,12 @@ def minhash_candidate_pairs(
         banded.groupBy("band", "band_hash")
         .agg(F.array_sort(F.collect_list(F.struct("id", "sig"))).alias("ms"))
         .filter(F.size("ms") > 1)
+        # monster-bucket guard: a degenerate band hash (e.g. a boilerplate
+        # shingle set shared by millions of docs) would otherwise do
+        # quadratic work inside one task — at 100 TB that is the job-killer.
+        # Oversized buckets are dropped; their members are by definition
+        # massive duplicate clusters better handled by exact dedup first.
+        .filter(F.size("ms") <= max_bucket_size)
     )
     pair_structs = F.flatten(
         F.transform(

@@ -1,0 +1,87 @@
+"""Skew mitigation: salted aggregation and salted broadcast-join.
+
+AQE's skew-join splitting handles sort-merge joins automatically; these
+helpers cover the two cases AQE does not:
+
+- :func:`salted_agg` — a groupBy whose hot key overwhelms one reducer.
+  Two-phase: aggregate on (key, salt) first (spreads the hot key over
+  ``salt_buckets`` reducers, map-side partials still apply), then merge the
+  partials per key. Only ALGEBRAIC aggregates (sum/count/min/max) can be
+  merged this way — the helper takes (partial, merge) expression pairs.
+- :func:`replicated_join` — joining a skewed fact against a small-but-not-
+  tiny dimension: explode the dimension ``salt_buckets`` ways and salt the
+  fact side, turning one hot hash partition into ``salt_buckets`` even ones.
+
+Salting costs a second shuffle / replicated build side — use when a key
+histogram (``key_histogram``) shows real skew, not by default.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, salt_buckets: int, col_name: str = "__salt") -> DataFrame:
+    """Uniform random salt in [0, salt_buckets) — deterministic per row is
+    NOT required for aggregation correctness, only for replay; use
+    ``pmod(xxhash64(unique_col), n)`` when determinism matters."""
+    return df.withColumn(
+        col_name, (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+
+
+def key_histogram(df: DataFrame, keys: list[str], top: int = 20) -> DataFrame:
+    """Per-key row counts, heaviest first — the decision input for salting."""
+    return (
+        df.groupBy(*keys).count().orderBy(F.desc("count")).limit(top)
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    partials: dict[str, tuple[Callable[[], Column], Callable[[str], Column]]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation over salted keys.
+
+    ``partials`` maps output column name -> (partial_expr, merge_expr):
+    ``partial_expr()`` aggregates raw rows (phase 1, per (key, salt));
+    ``merge_expr(col)`` combines phase-1 partials (phase 2, per key).
+    Example::
+
+        salted_agg(df, ["k"], {
+            "n":     (lambda: F.count(F.lit(1)),    lambda c: F.sum(c)),
+            "total": (lambda: F.sum(F.col("v")),    lambda c: F.sum(c)),
+            "mx":    (lambda: F.max(F.col("v")),    lambda c: F.max(c)),
+        })
+    """
+    salted = with_salt(df, salt_buckets)
+    phase1 = salted.groupBy(*keys, "__salt").agg(
+        *[p().alias(name) for name, (p, _) in partials.items()]
+    )
+    return phase1.groupBy(*keys).agg(
+        *[m(name).alias(name) for name, (_, m) in partials.items()]
+    )
+
+
+def replicated_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: the dimension is replicated ``salt_buckets``
+    times (explode), the fact is salted, and the join key becomes
+    (keys..., salt) — each hot key now spreads over ``salt_buckets``
+    partitions. Dimension must tolerate replication (small side)."""
+    salted_fact = with_salt(fact, salt_buckets)
+    replicated = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    out = salted_fact.join(replicated, [*on, "__salt"], how)
+    return out.drop("__salt")

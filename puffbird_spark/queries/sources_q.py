@@ -126,6 +126,39 @@ def engine_expand_col(spark, sf_dir):
     )
 
 
+@query("engine_zip_explode", oracle="""
+SELECT l_orderkey,
+  CAST(row_number() OVER (PARTITION BY l_orderkey
+                          ORDER BY l_linenumber, l_quantity,
+                                   l_extendedprice) - 1 AS INT) AS pos,
+  l_quantity, l_extendedprice
+FROM lineitem
+""")
+def engine_zip_explode(spark, sf_dir):
+    """Fused shared-axis explosion (arrays_zip + one posexplode, no join):
+    nest two parallel arrays per order, zip-explode them back — positions
+    and pairs must reproduce the originals."""
+    from ..explode import zip_explode
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    nested = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(F.struct("l_linenumber", "l_quantity",
+                                    "l_extendedprice"))
+        ).alias("items")
+    ).select(
+        "l_orderkey",
+        F.transform("items", lambda s: s["l_quantity"]).alias("l_quantity"),
+        F.transform("items", lambda s: s["l_extendedprice"])
+        .alias("l_extendedprice"),
+    )
+    return zip_explode(
+        nested, ["l_orderkey"], ["l_quantity", "l_extendedprice"], "pos"
+    )
+
+
 @query("sample_fraction")  # rows-only: sampling is statistical by design
 def sample_fraction(spark, sf_dir):
     """Seeded Bernoulli sample — declared rows-only (row count is checked

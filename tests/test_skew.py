@@ -1,0 +1,94 @@
+"""Skew utilities: salted aggregation / replicated join must be exactly
+equivalent to their unsalted counterparts; partitioned writes must prune."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from puffbird_spark import plans as P
+from puffbird_spark.operators.skew import (
+    key_histogram,
+    replicated_join,
+    salted_agg,
+)
+from puffbird_spark.sources import write_parquet
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    """90% of rows share one hot key."""
+    hot = spark.range(0, 900).select(
+        F.lit("HOT").alias("k"), (F.col("id") % 7).cast("double").alias("v")
+    )
+    cold = spark.range(0, 100).select(
+        F.concat(F.lit("c"), (F.col("id") % 10).cast("string")).alias("k"),
+        F.col("id").cast("double").alias("v"),
+    )
+    return hot.unionByName(cold)
+
+
+def test_key_histogram_finds_hot_key(skewed):
+    top = key_histogram(skewed, ["k"], top=1).collect()
+    assert top[0]["k"] == "HOT" and top[0]["count"] == 900
+
+
+def test_salted_agg_equals_plain(skewed):
+    plain = {
+        (r["k"]): (r["n"], r["total"], r["mx"])
+        for r in skewed.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("total"),
+            F.max("v").alias("mx"),
+        ).collect()
+    }
+    salted = {
+        (r["k"]): (r["n"], r["total"], r["mx"])
+        for r in salted_agg(
+            skewed, ["k"],
+            {
+                "n": (lambda: F.count(F.lit(1)), lambda c: F.sum(c)),
+                "total": (lambda: F.sum(F.col("v")), lambda c: F.sum(c)),
+                "mx": (lambda: F.max(F.col("v")), lambda c: F.max(c)),
+            },
+            salt_buckets=8,
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_replicated_join_equals_plain(spark, skewed):
+    dim = spark.createDataFrame(
+        [("HOT", "hot-label")] + [(f"c{i}", f"label{i}") for i in range(10)],
+        ["k", "label"],
+    )
+    plain = sorted(
+        (r["k"], r["v"], r["label"])
+        for r in skewed.join(dim, "k").collect()
+    )
+    salted = sorted(
+        (r["k"], r["v"], r["label"])
+        for r in replicated_join(skewed, dim, ["k"], salt_buckets=4).collect()
+    )
+    assert salted == plain
+
+
+def test_partitioned_write_prunes(spark, sf_dir):
+    """partitionBy layout -> partition pruning on re-read: the filtered scan
+    must show PartitionFilters and read fewer rows without a data filter."""
+    d = tempfile.mkdtemp(prefix="pbs-part-")
+    try:
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+            "status", F.col("o_orderstatus")
+        )
+        write_parquet(orders, f"{d}/orders_by_status", partition_by=["status"])
+        back = spark.read.parquet(f"{d}/orders_by_status")
+        filtered = back.filter(F.col("status") == "O")
+        plan = P.formatted_plan(filtered)
+        assert "PartitionFilters" in plan and "status" in plan
+        n_all = back.count()
+        n_open = filtered.count()
+        assert 0 < n_open < n_all
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

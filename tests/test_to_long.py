@@ -208,3 +208,23 @@ def test_expand_col_collision_rename(spark):
     assert "e_level0" in eng.indexcols
     row = eng.table.collect()[0]
     assert row["a"] == "keep" and row["a_e"] == "x"
+
+
+def test_zip_explode_parallel_and_ragged(spark):
+    """Fused shared-axis explosion: aligned pairs; ragged arrays pad with
+    NULL (matching the full-outer positional join semantics)."""
+    from puffbird_spark.explode import zip_explode
+
+    df = spark.createDataFrame(
+        [(0, [1, 2, 3], ["a", "b"])],
+        T.StructType([
+            T.StructField("k", T.LongType()),
+            T.StructField("x", T.ArrayType(T.LongType())),
+            T.StructField("y", T.ArrayType(T.StringType())),
+        ]),
+    )
+    out = zip_explode(df, ["k"], ["x", "y"], "t")
+    got = {(r["t"], r["x"], r["y"]) for r in out.collect()}
+    assert got == {(0, 1, "a"), (1, 2, "b"), (2, 3, None)}
+    with pytest.raises(PuffbirdSparkError):
+        zip_explode(df.withColumn("s", F.lit("nope")), ["k"], ["x", "s"])

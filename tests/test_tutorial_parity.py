@@ -1,0 +1,135 @@
+"""Tutorial-parity: the reference's adversarial 7-column table behaviors
+(FIXTURES.md A2; tutorials/Create_Long_DataFrames.ipynb cells 4-33), on
+Spark-native nested types + JSON variants for the ragged columns."""
+
+import json
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from puffbird_spark import FrameEngine
+
+
+@pytest.fixture(scope="module")
+def adversarial(spark):
+    """A2-shaped table: a=string, b=2x3 tensors (one NULL cell),
+    d=ragged kx3 tensors (one NULL cell), e=array<struct> frame-cells
+    (one NULL), c=JSON variant with heterogeneous dict values."""
+    schema = T.StructType([
+        T.StructField("idx", T.LongType()),
+        T.StructField("a", T.StringType()),
+        T.StructField("b", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        T.StructField("d", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        T.StructField("e", T.ArrayType(T.StructType([
+            T.StructField("c1", T.LongType()),
+            T.StructField("c2", T.LongType()),
+        ]))),
+        T.StructField("c", T.StringType()),
+    ])
+    rows = [
+        (0, "aa", [[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]],
+         [[0.1, 0.2, 0.3]],
+         [Row(c1=1, c2=2), Row(c1=3, c2=4)],
+         json.dumps({"q": [1, 2], "w": 9})),
+        (1, "bb", None,                                  # NaN cell in b
+         [[1.1, 1.2, 1.3], [2.1, 2.2, 2.3]],
+         [Row(c1=5, c2=6)],
+         json.dumps("scalar")),
+        (2, "cc", [[7.0, 8.0, 9.0], [10.0, 11.0, 12.0]],
+         None,                                           # None cell in d
+         None,                                           # NaN cell in e
+         None),
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def test_default_explode_cartesian(adversarial):
+    """Tutorial cell 6: default to_long of independent columns = per-row
+    cartesian of their leaf counts (NULL cells survive via outer join)."""
+    eng = FrameEngine(adversarial, indexcols=["idx"])
+    out = eng.to_long("b", "e")
+    counts = {r["idx"]: r["n"] for r in
+              out.groupBy("idx").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # row0: b 6 leaves x e 4 stacked fields = 24; row1: b NULL -> e alone 2;
+    # row2: b 6 leaves, e NULL -> 6
+    assert counts == {0: 24, 1: 2, 2: 6}
+
+
+def test_single_column_explode_then_group(adversarial):
+    """Tutorial cells 9-11: explode one column, group on a level column."""
+    eng = FrameEngine(adversarial, indexcols=["idx"])
+    long = eng.to_long("b")
+    agg = (
+        long.groupBy("b_level1")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("b_level1")
+        .collect()
+    )
+    # two non-null b cells, each 2x3: 4 values per inner position
+    assert [(r["b_level1"], r["n"]) for r in agg] == [(0, 4), (1, 4), (2, 4)]
+
+
+def test_shared_axes_alignment(adversarial):
+    """Tutorial cell 13: aligned_axis={'b': 1, 'd': 1} — inner dimension is
+    one logical axis, so rows align positionally on it instead of crossing."""
+    eng = FrameEngine(adversarial, indexcols=["idx"])
+    cart = eng.to_long("b", "d")
+    aligned = eng.to_long("b", "d", aligned_axis={"b": 1, "d": 1})
+    assert "aligned_axis" in aligned.columns
+    # row0: cartesian 6x3=18 vs aligned 2x1x3=6
+    cart0 = cart.filter("idx = 0").count()
+    ali0 = aligned.filter("idx = 0").count()
+    assert cart0 == 18 and ali0 == 6
+    # aligned rows pair equal inner positions
+    bad = aligned.filter(
+        F.col("b_level1").isNotNull() & F.col("d_level1").isNotNull()
+        & (F.col("b_level1") != F.col("d_level1"))
+    ).count() if "b_level1" in aligned.columns else 0
+    assert bad == 0 or "b_level1" not in aligned.columns
+
+
+def test_null_cell_outer_survival(adversarial):
+    """Tutorial cells 14-16: a row whose cell is NULL in one column still
+    appears through the other columns."""
+    eng = FrameEngine(adversarial, indexcols=["idx"])
+    out = eng.to_long("a", "b")
+    row1 = [r for r in out.collect() if r["idx"] == 1]
+    assert len(row1) == 1
+    assert row1[0]["a"] == "bb" and row1[0]["b"] is None
+
+
+def test_frame_cells_one_iteration(adversarial):
+    """Tutorial cells 19-20: frame-valued cells (array<struct>) explode to
+    position + field-name levels in one logical step."""
+    eng = FrameEngine(adversarial, indexcols=["idx"])
+    out = eng.to_long("e")
+    assert out.columns == ["idx", "e_level0", "e_level1", "e"]
+    got = {(r["idx"], r["e_level0"], r["e_level1"], r["e"])
+           for r in out.collect()}
+    assert (0, 0, "c1", 1) in got and (0, 1, "c2", 4) in got
+    assert (1, 0, "c2", 6) in got
+
+
+def test_expand_cols_prefixed_fields(adversarial):
+    """Tutorial cells 21-24: expand_cols=['e'] inlines fields as e_<field>
+    columns instead of stacking them."""
+    eng = FrameEngine(adversarial, indexcols=["idx"])
+    out = eng.to_long("a", "e", expand_cols=["e"])
+    assert {"e_c1", "e_c2", "a"} <= set(out.columns)
+    row0 = [r for r in out.collect() if r["idx"] == 0]
+    assert len(row0) == 2  # 2 struct rows x 1 scalar a
+    assert {(r["e_c1"], r["e_c2"]) for r in row0} == {(1, 2), (3, 4)}
+
+
+def test_variant_and_native_combined(adversarial):
+    """Heterogeneous JSON column c combined with native nested b in one
+    to_long call (the ragged column story of SURVEY §7 risk 1)."""
+    eng = FrameEngine(adversarial, indexcols=["idx"])
+    out = eng.to_long("c", "b", variant_cols=["c"], max_depth={"c": 2, "b": 3})
+    r0 = [r for r in out.collect() if r["idx"] == 0]
+    # c: {"q":[1,2],"w":9} -> 3 leaves; b: 6 leaves -> 18 combined rows
+    assert len(r0) == 18
+    c_leaves = {(r["c_level0"], r["c_level1"], r["c"]) for r in r0}
+    assert ("q", "0", "1") in c_leaves and ("w", None, "9") in c_leaves

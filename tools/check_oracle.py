@@ -139,7 +139,8 @@ def main() -> int:
             print(f"{name}: FAIL  {' | '.join(problems)}")
             n_fail += 1
         else:
-            print(f"{name}: ok ({len(sdf)} rows, spark {spark_s:.1f}s)")
+            empty = "  [WARN: 0 rows — matching but testing nothing]" if len(sdf) == 0 else ""
+            print(f"{name}: ok ({len(sdf)} rows, spark {spark_s:.1f}s){empty}")
             n_pass += 1
 
     print(f"\n{n_pass} ok, {n_rowsonly} rows-only, {n_fail} fail "
