@@ -37,12 +37,16 @@ def window_rank(spark, sf_dir):
 SELECT o_custkey, o_orderkey,
   CAST(rank()       OVER w AS BIGINT) AS rnk,
   CAST(dense_rank() OVER w AS BIGINT) AS drnk,
-  CAST(ntile(4)     OVER w AS BIGINT) AS tile
+  CAST(ntile(4)     OVER w AS BIGINT) AS tile,
+  percent_rank()    OVER w AS prnk,
+  cume_dist()       OVER w AS cdist
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderstatus, o_orderkey)
 """)
 def window_rank_kinds(spark, sf_dir):
-    """rank / dense_rank (real ties via o_orderstatus) + ntile."""
+    """rank / dense_rank (real ties via o_orderstatus) + ntile +
+    percent_rank/cume_dist (small-integer rationals — identical doubles on
+    both engines)."""
     orders = load(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderstatus", "o_orderkey")
     return orders.select(
@@ -50,6 +54,8 @@ def window_rank_kinds(spark, sf_dir):
         F.rank().over(w).cast("long").alias("rnk"),
         F.dense_rank().over(w).cast("long").alias("drnk"),
         F.ntile(4).over(w).cast("long").alias("tile"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
     )
 
 

@@ -128,3 +128,45 @@ def test_callable_container_dispatch():
     assert cc(3) == "int"
     assert cc("a") == "str"
     assert cc(1.5) == "default"
+
+
+def test_enforce_identifier_string(spark):
+    """Identifier sanitation (R18, frame.py:1113-1168): illegal characters
+    are spelled out deterministically."""
+    df = spark.createDataFrame([(1, 2.0, 3.0)], ["k", "my-col", "pct %"])
+    eng = FrameEngine(df, indexcols=["k"], enforce_identifier_string=True)
+    assert set(eng.datacols) == {"my_MINUS_col", "pct__PERCENT_"}
+
+
+def test_union_by_name_missing_columns(spark):
+    """unionByName with allowMissingColumns — EXT set-op surface."""
+    a = spark.createDataFrame([(1, "x")], ["k", "only_a"])
+    b = spark.createDataFrame([(2, 9.0)], ["k", "only_b"])
+    out = a.unionByName(b, allowMissingColumns=True)
+    rows = {r["k"]: (r["only_a"], r["only_b"]) for r in out.collect()}
+    assert rows == {1: ("x", None), 2: (None, 9.0)}
+
+
+def test_python_udtf(spark):
+    """Python UDTF surface (SURVEY §2.2 UDF row): table function splitting
+    text into (word, length) rows, callable from SQL."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, n: int")
+    class SplitWords:
+        def eval(self, text: str):
+            for w in (text or "").split(" "):
+                yield w, len(w)
+
+    spark.udtf.register("pbs_split_words", SplitWords)
+    rows = spark.sql("SELECT * FROM pbs_split_words('a bb ccc')").collect()
+    assert [(r["word"], r["n"]) for r in rows] == [("a", 1), ("bb", 2), ("ccc", 3)]
+
+
+def test_schema_of_json(spark):
+    """schema_of_json (SURVEY §2.2 json row) — schema discovery for the
+    variant ingest path."""
+    s = spark.range(1).select(
+        F.schema_of_json(F.lit('{"k": 1, "xs": [1.5]}')).alias("s")
+    ).collect()[0]["s"]
+    assert "k" in s and "BIGINT" in s and "ARRAY" in s

@@ -157,3 +157,25 @@ def test_multimodal_decode_pipeline(spark):
     again = {r["path"]: r for r in decode_features(df, dim=8).collect()}
     assert again["f3.bin"]["digest"] == got["f3.bin"]["digest"]
     assert again["f3.bin"]["feature"] == got["f3.bin"]["feature"]
+
+
+def test_binary_file_source_end_to_end(spark, tmp_path_factory):
+    """read_binary_dir -> with_media_meta -> decode_features over real
+    files on disk (the actual multimodal ingest path)."""
+    import os
+    from puffbird_spark.operators.multimodal import read_binary_dir
+
+    d = tmp_path_factory.mktemp("blobs")
+    (d / "img1.bin").write_bytes(b"\x89PNGfakebytes" * 10)
+    (d / "img2.bin").write_bytes(bytes(range(128)))
+    (d / "skip.txt").write_text("not a blob")
+
+    df = read_binary_dir(spark, str(d), glob="*.bin")
+    assert df.count() == 2
+    assert {"path", "content", "length"} <= set(df.columns)
+    tagged = with_media_meta(df, media_type="image", fmt="bin")
+    feats = decode_features(tagged, dim=8)
+    got = {os.path.basename(r["path"]): r for r in feats.collect()}
+    assert set(got) == {"img1.bin", "img2.bin"}
+    assert got["img1.bin"]["size_bytes"] == 130
+    assert len(got["img2.bin"]["feature"]) == 8

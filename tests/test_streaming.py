@@ -142,3 +142,43 @@ def test_stream_static_join(spark, sf_dir, tmpdir):
         .count()
     )
     assert len(rows) == expected
+
+
+def test_stateful_running_count_across_batches(spark, sf_dir, tmpdir):
+    """applyInPandasWithState: keyed state must survive micro-batches —
+    two copies of the events file, one per trigger, so the final emission
+    per user equals 2x the single-file count."""
+    import shutil as _sh
+    from puffbird_spark.streaming.stateful import running_count
+
+    d = f"{tmpdir}/events_twice"
+    os.makedirs(d, exist_ok=True)
+    _sh.copy(f"{sf_dir}/events.parquet", f"{d}/a.parquet")
+    _sh.copy(f"{sf_dir}/events.parquet", f"{d}/b.parquet")
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = normalize_nano_ts(
+        read_parquet_stream(spark, d, raw.schema, max_files_per_trigger=1),
+        ["ts"],
+    )
+    batches = []
+
+    def sink(df, epoch_id):
+        batches.append((epoch_id, df.collect()))
+
+    q = write_foreach_batch(
+        running_count(stream, key="user_id"), sink,
+        checkpoint=f"{tmpdir}/ckpt-state", trigger_once=True,
+        output_mode="update",
+    ).start()
+    q.awaitTermination(180)
+
+    assert len(batches) >= 2  # one micro-batch per file
+    finals = {}
+    for _, rows in batches:
+        for r in rows:
+            finals[r["user_id"]] = r["total"]
+    single = {r["user_id"]: r["n"] for r in
+              spark.read.parquet(f"{sf_dir}/events.parquet")
+              .groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert finals == {u: 2 * n for u, n in single.items()}
