@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "pivot_returnflag",
     "stream_tumbling",
     "stream_session",
+    "hypertable_rollup",
     "dedup_exact",
     "dedup_minhash_lsh",
     "knn_cosine",

@@ -107,6 +107,33 @@ def stream_dedup_watermark(spark, sf_dir):
     )
 
 
+@query("hypertable_rollup", oracle="""
+SELECT 'hour' AS granularity, date_trunc('hour', ts) AS bucket_start,
+       event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'day', date_trunc('day', ts), event_type, COUNT(*),
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+FROM events GROUP BY 2, 3
+""")
+def hypertable_rollup_q(spark, sf_dir):
+    """Multi-granularity time rollup (hour + day) in ONE scan + ONE
+    shuffle (operators/rollup_time.py) — the continuous-aggregate pattern;
+    the oracle computes each granularity separately and unions."""
+    from ..operators.rollup_time import hypertable_rollup
+
+    ev = load(spark, sf_dir, "events")
+    return hypertable_rollup(
+        ev, "ts", ["event_type"],
+        aggs={
+            "n": F.count(F.lit(1)),
+            "sum_value": F.sum(dec("value")).cast("double"),
+        },
+        granularities=["hour", "day"],
+    )
+
+
 @query("stream_static_join", oracle="""
 SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
 FROM events e JOIN customer c ON e.user_id = c.c_custkey

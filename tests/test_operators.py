@@ -179,3 +179,52 @@ def test_binary_file_source_end_to_end(spark, tmp_path_factory):
     assert set(got) == {"img1.bin", "img2.bin"}
     assert got["img1.bin"]["size_bytes"] == 130
     assert len(got["img2.bin"]["feature"]) == 8
+
+
+def test_hypertable_rollup_single_pass(spark, sf_dir):
+    """Multi-granularity rollup: values equal per-granularity groupBys,
+    and the plan has exactly one shuffle for N granularities."""
+    from puffbird_spark import plans as P
+    from puffbird_spark.operators.rollup_time import hypertable_rollup
+    from puffbird_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = hypertable_rollup(
+        ev, "ts", ["event_type"],
+        aggs={"n": F.count(F.lit(1))},
+        granularities=["hour", "day"],
+    )
+    assert P.count_exchanges(out) == 1
+    got = {(r["granularity"], r["bucket_start"], r["event_type"]): r["n"]
+           for r in out.collect()}
+    for g in ("hour", "day"):
+        expected = {
+            (g, r["b"], r["event_type"]): r["n"]
+            for r in ev.groupBy(F.date_trunc(g, "ts").alias("b"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        subset = {k: v for k, v in got.items() if k[0] == g}
+        assert subset == expected
+
+
+def test_count_min_sketch(spark, sf_dir):
+    """Native CMS (operators/sketch.py): estimates never undercount and
+    overcount by at most ~eps*N (one-sided error)."""
+    from puffbird_spark.operators.sketch import cms_estimate, count_min_sketch
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_returnflag")
+    sketch = count_min_sketch(li, "l_returnflag", width=2048, depth=5)
+    est = {r["l_returnflag"]: r["estimate"] for r in
+           cms_estimate(sketch, li, "l_returnflag",
+                        width=2048, depth=5).collect()}
+    true_counts = {r["l_returnflag"]: r["n"] for r in
+                   li.groupBy("l_returnflag").agg(
+                       F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(true_counts.values())
+    for flag, n in true_counts.items():
+        assert n <= est[flag] <= n + 0.01 * total
+    # absent value estimates ~0 (collision mass only)
+    absent = spark.createDataFrame([("ZZZ",)], ["l_returnflag"])
+    ae = cms_estimate(sketch, absent, "l_returnflag",
+                      width=2048, depth=5).collect()[0]["estimate"]
+    assert ae <= 0.01 * total
