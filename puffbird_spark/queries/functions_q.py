@@ -202,3 +202,41 @@ def fn_json(spark, sf_dir):
         F.get_json_object("props", "$.k").cast("long").alias("k_value"),
         F.get_json_object("props", "$.missing").alias("missing_field"),
     )
+
+
+@query("fn_to_json", oracle="""
+SELECT event_id,
+  to_json(struct_pack(event_id := event_id, event_type := event_type))
+    AS packed
+FROM events
+""")
+def fn_to_json(spark, sf_dir):
+    """to_json round of struct packing (byte-identical serialization on
+    both engines for integer/string fields)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.to_json(F.struct("event_id", "event_type")).alias("packed"),
+    )
+
+
+@query("text_tokens_bpe", oracle="""
+WITH t AS (SELECT doc_id,
+             regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS toks
+           FROM documents)
+SELECT doc_id,
+  CAST(len(toks) AS INT) AS n_bpe_tokens,
+  array_to_string(toks[1:5], ' ') AS head5
+FROM t
+""")
+def text_tokens_bpe(spark, sf_dir):
+    """BPE-ish regex tokenization (letters / digits / single punctuation as
+    separate tokens) — the subword-style token counting of the north star,
+    next to whitespace counting in text_stats."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.array_join(F.slice(toks, 1, 5), " ").alias("head5"),
+    )

@@ -67,6 +67,24 @@ def read_json(
     return reader.json(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (+optionally sorted) managed table: joins and aggregations
+    keyed on ``bucket_cols`` between co-bucketed tables skip the shuffle
+    entirely — the physical layout IS the partitioning. This is the
+    pre-shuffle-once, join-many pattern for hot fact-fact joins at scale."""
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def write_parquet(
     df: DataFrame, path: str, partition_by: list[str] | None = None,
     mode: str = "overwrite",

@@ -92,3 +92,29 @@ def test_partitioned_write_prunes(spark, sf_dir):
         assert 0 < n_open < n_all
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_bucketed_join_skips_shuffle(spark, sf_dir):
+    """Co-bucketed tables join without an exchange (broadcast disabled to
+    force the comparison); results equal the plain join."""
+    from puffbird_spark.sources import write_bucketed
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        write_bucketed(orders, "b_orders", ["o_orderkey"], 8, ["o_orderkey"])
+        write_bucketed(li, "b_lineitem", ["l_orderkey"], 8, ["l_orderkey"])
+        bo, bl = spark.table("b_orders"), spark.table("b_lineitem")
+        j = bo.join(bl, bo.o_orderkey == bl.l_orderkey).groupBy(
+            "o_orderstatus").count()
+        plain = orders.join(li, orders.o_orderkey == li.l_orderkey).groupBy(
+            "o_orderstatus").count()
+        # plain plan shuffles both join inputs + the agg; bucketed only aggs
+        assert P.count_exchanges(j) < P.count_exchanges(plain)
+        assert sorted(map(tuple, j.collect())) == sorted(map(tuple, plain.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
