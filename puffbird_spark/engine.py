@@ -217,6 +217,7 @@ class FrameEngine:
         cond: Callable[[T.DataType], bool] | Mapping | None = None,
         expand_cols: list[str] | None = None,
         variant_cols: list[str] | None = None,
+        strategy: str = "auto",
         **shared_axes: Mapping[str, int],
     ) -> DataFrame:
         """Explode data columns into a long (tidy) DataFrame.
@@ -236,6 +237,12 @@ class FrameEngine:
         heterogeneous nesting, exploded with per-row dynamic dispatch (see
         ``variant.py`` — the Spark rendering of the reference's per-cell
         type dispatch, frame.py:35-47).
+
+        ``strategy``: ``"join"`` explodes each column separately and
+        full-outer-joins the long frames (always available); ``"fused"``
+        runs sequential generators in one frame — zero joins/shuffles,
+        same result — and is what ``"auto"`` picks when no shared axes,
+        expand or variant columns are requested with >= 2 columns.
         """
         datacols = list(cols) if cols else list(self._datacols)
         missing = set(datacols) - set(self._datacols)
@@ -252,6 +259,24 @@ class FrameEngine:
         axes_by_col = self._check_shared_axes(shared_axes, datacols)
         depth_map = _per_col(max_depth, datacols, _explode.DEFAULT_MAX_DEPTH)
         cond_map = _per_col(cond, datacols, _explode.default_stop)
+
+        if strategy not in ("auto", "join", "fused"):
+            raise PuffbirdSparkError(
+                f"strategy must be 'auto', 'join' or 'fused', got {strategy!r}"
+            )
+        fusable = not axes_by_col and not expand_cols and not variant_cols
+        if strategy == "fused" and not fusable:
+            raise PuffbirdSparkError(
+                "strategy='fused' does not support shared_axes / expand_cols "
+                "/ variant_cols — use 'join' (or 'auto')"
+            )
+        if strategy == "fused" or (
+            strategy == "auto" and fusable and len(datacols) >= 2
+        ):
+            return _explode.explode_fused(
+                self._df, self._indexcols, datacols,
+                depth_map=depth_map, dropna=dropna, stop_map=cond_map,
+            )
 
         frames: list[tuple[str, DataFrame, list[str]]] = []
         for c in datacols:

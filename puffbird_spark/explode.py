@@ -171,6 +171,103 @@ def _stack_struct(
     return df.select(*carried, gen)
 
 
+def _array_pairs_or_null(c: Column) -> Column:
+    """Array cell -> array<struct<p,v>> of (original position, value) with
+    null leaves removed, or NULL when nothing remains. Positions are
+    assigned BEFORE dropping nulls — matching pandas stack() and therefore
+    the join path (a null leaf at index 1 leaves survivors at 0 and 2)."""
+    pairs = F.filter(
+        F.transform(c, lambda x, i: F.struct(i.alias("p"), x.alias("v"))),
+        lambda s: s["v"].isNotNull(),
+    )
+    return F.when(F.size(pairs) > 0, pairs)
+
+
+def _map_or_null(c: Column) -> Column:
+    """Map cell with null values removed, NULL when nothing remains."""
+    filtered = F.map_filter(c, lambda k, v: v.isNotNull())
+    return F.when(F.size(F.map_keys(filtered)) > 0, filtered)
+
+
+def _struct_as_map(c: Column, struct: T.StructType) -> Column:
+    """Struct cell -> map(field_name -> value cast to the common type), so
+    the fused path can use explode_outer uniformly (the generator-safe
+    equivalent of the join path's stack())."""
+    common = _struct_common_type(struct)
+    pairs: list[Column] = []
+    for f in struct.fields:
+        pairs.append(F.lit(f.name))
+        pairs.append(c.getField(f.name).cast(common))
+    return F.when(c.isNotNull(), F.create_map(*pairs))
+
+
+def explode_fused(
+    df: DataFrame,
+    key_cols: list[str],
+    cols: list[str],
+    depth_map: dict[str, int],
+    dropna: bool,
+    stop_map: dict[str, StopCond],
+) -> DataFrame:
+    """Fused multi-column explosion: ONE frame, sequential outer
+    generators, NO joins (SURVEY §4.2 fusion; §7 risk 2).
+
+    Equivalent to the join-based assembly for independent (non-shared-axis)
+    columns: sequential generators produce exactly the per-index cartesian
+    product, cells that contribute nothing become a single all-NULL
+    combination member (see ``_cell_or_null``), and a final filter drops
+    index rows where EVERY exploded column contributed nothing — the rows
+    the outer join would never have created. Wall-cost: scan -> generate,
+    one codegen pipeline, zero shuffles.
+    """
+    out = df.select(*key_cols, *cols)
+    for c in cols:
+        depth = 0
+        while depth < depth_map[c]:
+            dtype = out.schema[c].dataType
+            if stop_map[c](dtype):
+                break
+            lvl = level_column(c, depth)
+            if lvl in out.columns:
+                raise PuffbirdSparkError(
+                    f"generated level column {lvl!r} collides with an existing column"
+                )
+            carried = [x for x in out.columns if x != c]
+            cell = F.col(c)
+            if isinstance(dtype, T.StructType):
+                cell = _struct_as_map(cell, dtype)
+                dtype = T.MapType(T.StringType(), _struct_common_type(dtype))
+            if isinstance(dtype, T.ArrayType):
+                if dropna:
+                    gen = F.explode_outer(_array_pairs_or_null(cell))
+                    out = out.select(*carried, gen.alias("__pv")).select(
+                        *carried,
+                        F.col("__pv").getField("p").alias(lvl),
+                        F.col("__pv").getField("v").alias(c),
+                    )
+                else:
+                    out = out.select(
+                        *carried, F.posexplode_outer(cell).alias(lvl, c)
+                    )
+            else:
+                if dropna:
+                    cell = _map_or_null(cell)
+                out = out.select(
+                    *carried, F.explode_outer(cell).alias(lvl, c)
+                )
+            depth += 1
+    if dropna and cols:
+        # a row survives iff ANY requested datacol contributed a value —
+        # including non-exploded primitives (the join path keeps an index
+        # row whenever at least one per-column frame has it)
+        contributed = [F.col(c).isNotNull() for c in cols]
+        pred = contributed[0]
+        for p in contributed[1:]:
+            pred = pred | p
+        out = out.filter(pred)
+    return out
+
+
 def zip_explode(
     df: DataFrame,
     key_cols: list[str],

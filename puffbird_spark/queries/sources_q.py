@@ -166,3 +166,37 @@ def sample_fraction(spark, sf_dir):
     dependent)."""
     li = load(spark, sf_dir, "lineitem")
     return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
+
+
+@query("engine_to_long_fused", oracle="""
+WITH ranked AS (
+  SELECT l_orderkey, l_quantity, l_extendedprice,
+    CAST(row_number() OVER (PARTITION BY l_orderkey
+         ORDER BY l_linenumber, l_quantity, l_extendedprice) - 1 AS INT) AS pos
+  FROM lineitem)
+SELECT q.l_orderkey,
+  q.pos AS l_quantity_level0, q.l_quantity,
+  p.pos AS l_extendedprice_level0, p.l_extendedprice
+FROM ranked q JOIN ranked p USING (l_orderkey)
+""")
+def engine_to_long_fused(spark, sf_dir):
+    """Multi-column to_long under the FUSED strategy (sequential
+    generators, zero joins): two nested columns explode to the per-order
+    cartesian product — the oracle replays it as a self-join of ranked
+    rows."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    nested = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(F.struct("l_linenumber", "l_quantity",
+                                    "l_extendedprice"))
+        ).alias("items")
+    ).select(
+        "l_orderkey",
+        F.transform("items", lambda s: s["l_quantity"]).alias("l_quantity"),
+        F.transform("items", lambda s: s["l_extendedprice"])
+        .alias("l_extendedprice"),
+    )
+    eng = FrameEngine(nested, indexcols=["l_orderkey"], validate=False)
+    return eng.to_long("l_quantity", "l_extendedprice", strategy="fused")
