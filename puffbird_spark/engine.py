@@ -264,19 +264,31 @@ class FrameEngine:
             raise PuffbirdSparkError(
                 f"strategy must be 'auto', 'join' or 'fused', got {strategy!r}"
             )
-        fusable = not axes_by_col and not expand_cols and not variant_cols
+        fusable = (
+            not expand_cols
+            and not variant_cols
+            and (not axes_by_col or _explode.fused_axes_supported(
+                self._df, datacols, axes_by_col, depth_map, cond_map))
+        )
         if strategy == "fused" and not fusable:
             raise PuffbirdSparkError(
-                "strategy='fused' does not support shared_axes / expand_cols "
-                "/ variant_cols — use 'join' (or 'auto')"
+                "strategy='fused' does not support expand_cols / variant_cols "
+                "/ non-array or unreachable shared-axis levels — use 'join' "
+                "(or 'auto')"
             )
         if strategy == "fused" or (
             strategy == "auto" and fusable and len(datacols) >= 2
         ):
-            return _explode.explode_fused(
-                self._df, self._indexcols, datacols,
-                depth_map=depth_map, dropna=dropna, stop_map=cond_map,
-            )
+            try:
+                return _explode.explode_fused(
+                    self._df, self._indexcols, datacols,
+                    depth_map=depth_map, dropna=dropna, stop_map=cond_map,
+                    axes_by_col=axes_by_col,
+                )
+            except _explode.FusionUnsupported:
+                if strategy == "fused":
+                    raise
+                # auto: fall back to the always-correct join assembly
 
         frames: list[tuple[str, DataFrame, list[str]]] = []
         for c in datacols:

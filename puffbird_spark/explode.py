@@ -201,6 +201,67 @@ def _struct_as_map(c: Column, struct: T.StructType) -> Column:
     return F.when(c.isNotNull(), F.create_map(*pairs))
 
 
+class FusionUnsupported(PuffbirdSparkError):
+    """Raised when the fused planner cannot express a request (map-typed
+    shared level, unreachable axis depth, interleaved axis deadlock) — the
+    engine falls back to the join strategy under ``strategy='auto'``."""
+
+
+def _advance_type(dtype: T.DataType) -> T.DataType:
+    if isinstance(dtype, T.ArrayType):
+        return dtype.elementType
+    if isinstance(dtype, T.MapType):
+        return dtype.valueType
+    if isinstance(dtype, T.StructType):
+        return _struct_common_type(dtype)
+    return dtype
+
+
+def fused_axes_supported(
+    df: DataFrame,
+    cols: list[str],
+    axes_by_col: dict[str, dict[int, str]],
+    depth_map: dict[str, int],
+    stop_map: dict[str, StopCond],
+) -> bool:
+    """The fused planner zips shared axes positionally. That equals the
+    join-based assembly EXACTLY iff every level above each zip is itself a
+    join key — then each member frame has at most one row per key and a
+    full-outer join on the key IS positional outer alignment. Statically:
+    all declared axes form ONE group over the SAME member columns, each
+    axis sits at one depth common to all members, the depths are the
+    contiguous prefix 0..K, and levels 0..K are arrays (zip is positional;
+    map-keyed shared levels need key-equality joins). Anything else — a
+    free level above a shared level, disjoint axis groups, per-member
+    depths — changes row multiplicities under ragged data and must use
+    the join path."""
+    member_set = frozenset(axes_by_col)
+    axis_depths: dict[str, set[int]] = {}
+    for c, m in axes_by_col.items():
+        for depth, axis in m.items():
+            axis_depths.setdefault(axis, set()).add(depth)
+    for axis, depths in axis_depths.items():
+        if len(depths) != 1:
+            return False  # per-member depths → inconsistent join keys
+        members = frozenset(
+            c for c, m in axes_by_col.items() if axis in m.values()
+        )
+        if members != member_set:
+            return False  # partial groups pad across foreign rows
+    top = len(axis_depths)
+    for c, m in axes_by_col.items():
+        if sorted(m) != list(range(top)):
+            return False  # free level above a shared level
+        dtype = df.schema[c].dataType
+        for depth in range(top):
+            if depth >= depth_map[c] or stop_map[c](dtype):
+                return False  # declared axis depth unreachable
+            if not isinstance(dtype, T.ArrayType):
+                return False
+            dtype = dtype.elementType
+    return True
+
+
 def explode_fused(
     df: DataFrame,
     key_cols: list[str],
@@ -208,54 +269,200 @@ def explode_fused(
     depth_map: dict[str, int],
     dropna: bool,
     stop_map: dict[str, StopCond],
+    axes_by_col: dict[str, dict[int, str]] | None = None,
 ) -> DataFrame:
     """Fused multi-column explosion: ONE frame, sequential outer
     generators, NO joins (SURVEY §4.2 fusion; §7 risk 2).
 
-    Equivalent to the join-based assembly for independent (non-shared-axis)
-    columns: sequential generators produce exactly the per-index cartesian
-    product, cells that contribute nothing become a single all-NULL
-    combination member (see ``_cell_or_null``), and a final filter drops
-    index rows where EVERY exploded column contributed nothing — the rows
-    the outer join would never have created. Wall-cost: scan -> generate,
-    one codegen pipeline, zero shuffles.
+    Equivalent to the join-based assembly: sequential generators produce
+    exactly the per-index cartesian product for independent columns, cells
+    that contribute nothing become a single all-NULL combination member,
+    and a final filter drops index rows where EVERY exploded column
+    contributed nothing — the rows the outer join would never have created.
+    Declared shared axes (``axes_by_col``: {col: {depth: axis_name}}) are
+    zipped positionally (``arrays_zip`` + one generator) once every member
+    column has exploded down to its declared depth — the positional
+    full-outer join of the reference, without the join. Wall-cost:
+    scan -> generate, one codegen pipeline, zero shuffles.
     """
+    axes_by_col = axes_by_col or {}
     out = df.select(*key_cols, *cols)
-    for c in cols:
-        depth = 0
-        while depth < depth_map[c]:
-            dtype = out.schema[c].dataType
-            if stop_map[c](dtype):
-                break
-            lvl = level_column(c, depth)
-            if lvl in out.columns:
-                raise PuffbirdSparkError(
-                    f"generated level column {lvl!r} collides with an existing column"
+    cur = {c: 0 for c in cols}
+
+    def active(c: str) -> bool:
+        if cur[c] >= depth_map[c]:
+            return False
+        return not stop_map[c](out.schema[c].dataType)
+
+    def new_level(c: str, depth: int) -> str:
+        lvl = level_column(c, depth, axes_by_col.get(c))
+        if lvl in out.columns:
+            raise PuffbirdSparkError(
+                f"generated level column {lvl!r} collides with an existing column"
+            )
+        return lvl
+
+    def explode_one(c: str) -> None:
+        nonlocal out
+        dtype = out.schema[c].dataType
+        lvl = new_level(c, cur[c])
+        carried = [x for x in out.columns if x != c]
+        cell = F.col(c)
+        if isinstance(dtype, T.StructType):
+            cell = _struct_as_map(cell, dtype)
+            dtype = T.MapType(T.StringType(), _struct_common_type(dtype))
+        if isinstance(dtype, T.ArrayType):
+            if dropna:
+                gen = F.explode_outer(_array_pairs_or_null(cell))
+                out = out.select(*carried, gen.alias("__pv")).select(
+                    *carried,
+                    F.col("__pv").getField("p").alias(lvl),
+                    F.col("__pv").getField("v").alias(c),
                 )
-            carried = [x for x in out.columns if x != c]
-            cell = F.col(c)
-            if isinstance(dtype, T.StructType):
-                cell = _struct_as_map(cell, dtype)
-                dtype = T.MapType(T.StringType(), _struct_common_type(dtype))
-            if isinstance(dtype, T.ArrayType):
-                if dropna:
-                    gen = F.explode_outer(_array_pairs_or_null(cell))
-                    out = out.select(*carried, gen.alias("__pv")).select(
-                        *carried,
-                        F.col("__pv").getField("p").alias(lvl),
-                        F.col("__pv").getField("v").alias(c),
-                    )
-                else:
-                    out = out.select(
-                        *carried, F.posexplode_outer(cell).alias(lvl, c)
-                    )
             else:
-                if dropna:
-                    cell = _map_or_null(cell)
-                out = out.select(
-                    *carried, F.explode_outer(cell).alias(lvl, c)
+                out = out.select(*carried, F.posexplode_outer(cell).alias(lvl, c))
+        else:
+            if dropna:
+                cell = _map_or_null(cell)
+            out = out.select(*carried, F.explode_outer(cell).alias(lvl, c))
+        cur[c] += 1
+
+    def zip_axis(members: list[str], axis: str) -> None:
+        """Positional zip of all members' current arrays: one generator
+        emits (axis_pos, member values) — the positional full-outer join
+        of the reference (frame.py:531) without the join.
+
+        ``dropna=True``: the join path's per-side inner generators mean a
+        position exists iff some member holds a value there; an all-empty
+        zip keeps one axis-NULL row ONLY at depth 0 (deeper, the position
+        itself would never have existed in any member frame).
+
+        ``dropna=False``: each member cell that is null-or-empty AND "real"
+        (an element that actually existed upstream, not padding this zip
+        chain introduced) adds one standalone axis-NULL row — the
+        ``posexplode_outer`` NULL row of that member's frame, which joins
+        nothing (NULL keys never match). Realness is threaded through
+        hidden ``__real_{c}`` columns between consecutive zips."""
+        nonlocal out
+        if axis in out.columns:
+            raise PuffbirdSparkError(
+                f"shared axis column {axis!r} collides with an existing column"
+            )
+        depth = cur[members[0]]
+        real_cols = {c: f"__real_{c}" for c in members}
+        drop = set(members) | set(real_cols.values())
+        carried = [x for x in out.columns if x not in drop]
+
+        if dropna:
+            zipped = F.arrays_zip(
+                *[F.coalesce(F.col(c), F.array()).alias(c) for c in members]
+            )
+            gen = F.posexplode_outer(zipped)
+            out = out.select(*carried, gen.alias(axis, "__z")).select(
+                *carried, axis,
+                *[F.col("__z").getField(c).alias(c) for c in members],
+            )
+            # a zip position survives iff ANY member holds a value there
+            # (each side's null leaves were dropped before the outer join)
+            pred = F.lit(False)
+            if depth == 0:
+                # all-empty cells at depth 0: keep one NULL row — other
+                # frames keep the index row alive through the outer join
+                pred = F.col(axis).isNull()
+            for c in members:
+                pred = pred | F.col(c).isNotNull()
+            out = out.filter(pred)
+        else:
+            real = {
+                c: (F.col(real_cols[c]) if real_cols[c] in out.columns
+                    else F.lit(True))
+                for c in members
+            }
+            lens = {
+                c: F.size(F.coalesce(F.col(c), F.array())) for c in members
+            }
+            elem = {
+                c: out.schema[c].dataType.elementType for c in members
+            }
+            entry_type = T.StructType(
+                [T.StructField("__ax", T.IntegerType())]
+                + [T.StructField(c, elem[c]) for c in members]
+                + [T.StructField(real_cols[c], T.BooleanType())
+                   for c in members]
+            )
+            zipped = F.arrays_zip(
+                *[F.coalesce(F.col(c), F.array()).alias(c) for c in members]
+            )
+            entries = F.transform(
+                zipped,
+                lambda s, i: F.struct(
+                    i.cast(T.IntegerType()).alias("__ax"),
+                    *[s.getField(c).alias(c) for c in members],
+                    *[(real[c] & (i < lens[c])).alias(real_cols[c])
+                      for c in members],
+                ),
+            )
+            for m in members:
+                null_entry = F.struct(
+                    F.lit(None).cast(T.IntegerType()).alias("__ax"),
+                    *[F.lit(None).cast(elem[c]).alias(c) for c in members],
+                    *[F.lit(c == m).alias(real_cols[c]) for c in members],
                 )
-            depth += 1
+                entries = F.concat(
+                    entries,
+                    F.when(real[m] & (lens[m] <= 0), F.array(null_entry))
+                    .otherwise(F.array().cast(T.ArrayType(entry_type))),
+                )
+            out = out.select(*carried, F.explode_outer(entries).alias("__e"))
+            out = out.select(
+                *carried,
+                F.col("__e").getField("__ax").alias(axis),
+                *[F.col("__e").getField(c).alias(c) for c in members],
+                *[F.col("__e").getField(real_cols[c]).alias(real_cols[c])
+                  for c in members],
+            )
+        for c in members:
+            cur[c] += 1
+
+    pending = {c for c in cols}
+    while True:
+        progressed = False
+        # 1. explode every column whose NEXT level is unshared
+        for c in list(pending):
+            while active(c) and cur[c] not in axes_by_col.get(c, {}):
+                explode_one(c)
+                progressed = True
+            if not active(c) and cur[c] not in axes_by_col.get(c, {}):
+                pending.discard(c)
+        # 2. fire every shared axis whose members have all arrived
+        waiting_axes: dict[str, list[str]] = {}
+        for c in pending:
+            axis = axes_by_col.get(c, {}).get(cur[c])
+            if axis is not None:
+                waiting_axes.setdefault(axis, []).append(c)
+        declared_members = {
+            axis: sorted(c for c, m in axes_by_col.items() if axis in m.values())
+            for axis in waiting_axes
+        }
+        for axis, waiting in waiting_axes.items():
+            if sorted(waiting) == declared_members[axis]:
+                zip_axis(declared_members[axis], axis)
+                progressed = True
+        if not pending:
+            break
+        if not progressed:
+            if waiting_axes:
+                raise FusionUnsupported(
+                    f"shared axes {sorted(waiting_axes)} cannot be scheduled "
+                    f"(interleaved declarations) — use strategy='join'"
+                )
+            break
+
+    leftover_real = [
+        x for c in axes_by_col for x in (f"__real_{c}",) if x in out.columns
+    ]
+    if leftover_real:
+        out = out.drop(*leftover_real)
     if dropna and cols:
         # a row survives iff ANY requested datacol contributed a value —
         # including non-exploded primitives (the join path keeps an index

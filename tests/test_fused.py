@@ -120,3 +120,147 @@ def test_doctest_golden_under_fused(spark):
     assert set(out.columns) == {
         "index_level0", "a_level0", "a", "b_level0", "b_level1", "b",
     }
+
+
+NESTED = T.StructType([
+    T.StructField("k", T.LongType()),
+    T.StructField("b", T.ArrayType(T.ArrayType(T.DoubleType()))),
+    T.StructField("d", T.ArrayType(T.ArrayType(T.DoubleType()))),
+])
+NESTED_ROWS = [
+    (0, [[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]], [[0.1, 0.2, 0.3]]),
+    (1, None, [[1.1, 1.2]]),                      # null cell
+    (2, [[7.0, None]], [[8.0, 9.0, 10.0]]),       # null leaf + ragged
+    (3, [[], [11.0]], [[12.0]]),                  # empty inner array
+    (4, [None, [13.0]], [[14.0], None]),          # null inner arrays
+    (5, [], []),                                  # both empty
+    (6, [[15.0]], None),                          # null cell other side
+]
+
+
+@pytest.mark.parametrize("dropna", [True, False])
+def test_fused_prefix_shared_axes_equals_join(spark, dropna):
+    """Contiguous shared axes (depths 0 and 1, both members) zip inside
+    the fused chain — identical to the join path's positional outer join,
+    including ragged lengths, null inner arrays, null leaves, null and
+    empty cells, in both dropna modes. Zero shuffles."""
+    df = spark.createDataFrame(NESTED_ROWS, NESTED)
+    eng = FrameEngine(df, indexcols=["k"])
+    kw = dict(t={"b": 0, "d": 0}, ax={"b": 1, "d": 1})
+    join = eng.to_long("b", "d", dropna=dropna, strategy="join", **kw)
+    fused = eng.to_long("b", "d", dropna=dropna, strategy="fused", **kw)
+    assert sorted(join.columns) == sorted(fused.columns)
+    assert _multiset(join) == _multiset(fused)
+    assert P.count_exchanges(fused) == 0
+
+
+@pytest.mark.parametrize("dropna", [True, False])
+def test_fused_shared_axis_with_free_sublevels(spark, dropna):
+    """One shared axis at depth 0, free (unshared) explosion below it, plus
+    an independent non-axis column — still join-equivalent and join-free."""
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("b", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        T.StructField("d", T.ArrayType(T.LongType())),
+        T.StructField("s", T.StringType()),
+    ])
+    rows = [
+        (0, [[1.0], [2.0, 3.0]], [7, 8, 9], "x"),
+        (1, [None, []], [10], None),
+        (2, None, None, "y"),
+        (3, [[None, 4.0]], [], "z"),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    eng = FrameEngine(df, indexcols=["k"])
+    kw = dict(ch={"b": 0, "d": 0})
+    join = eng.to_long("b", "d", "s", dropna=dropna, strategy="join", **kw)
+    fused = eng.to_long("b", "d", "s", dropna=dropna, strategy="fused", **kw)
+    assert sorted(join.columns) == sorted(fused.columns)
+    assert _multiset(join) == _multiset(fused)
+    assert P.count_exchanges(fused) == 0
+
+
+@pytest.mark.parametrize("dropna", [True, False])
+def test_fused_free_level_above_shared_falls_back(spark, dropna):
+    """A free level ABOVE the shared depth changes row multiplicities under
+    ragged data — auto must pick the join path; explicit fused refuses."""
+    df = spark.createDataFrame(NESTED_ROWS, NESTED)
+    eng = FrameEngine(df, indexcols=["k"])
+    kw = dict(ax={"b": 1, "d": 1})  # depth 0 left unshared
+    auto = eng.to_long("b", "d", dropna=dropna, **kw)
+    join = eng.to_long("b", "d", dropna=dropna, strategy="join", **kw)
+    assert _multiset(auto) == _multiset(join)
+    with pytest.raises(PuffbirdSparkError):
+        eng.to_long("b", "d", dropna=dropna, strategy="fused", **kw)
+
+
+def test_fused_randomized_prefix_axes(spark):
+    """Randomized differential: nested ragged/nullable arrays, shared at
+    depths 0+1, both dropna modes."""
+    rng = random.Random(11)
+
+    def inner():
+        if rng.random() < 0.15:
+            return None
+        return [rng.choice([None, round(rng.uniform(0, 9), 1)])
+                for _ in range(rng.randint(0, 3))]
+
+    def outer():
+        if rng.random() < 0.15:
+            return None
+        return [inner() for _ in range(rng.randint(0, 3))]
+
+    rows = [(k, outer(), outer()) for k in range(40)]
+    df = spark.createDataFrame(rows, NESTED)
+    eng = FrameEngine(df, indexcols=["k"])
+    kw = dict(t={"b": 0, "d": 0}, ax={"b": 1, "d": 1})
+    for dropna in (True, False):
+        join = eng.to_long("b", "d", dropna=dropna, strategy="join", **kw)
+        fused = eng.to_long("b", "d", dropna=dropna, strategy="fused", **kw)
+        assert _multiset(join) == _multiset(fused), f"dropna={dropna}"
+
+
+@pytest.mark.parametrize("dropna", [True, False])
+def test_fused_shared_axes_top_level(spark, dropna):
+    """Depth-0 shared axis (the zip_explode case) through to_long — null
+    and empty cells produce the join path's unmatched axis-NULL rows."""
+    df = spark.createDataFrame(
+        [
+            (0, [1, 2, 3], [10.0, 20.0, 30.0]),
+            (1, [4], [40.0, 50.0]),
+            (2, None, [60.0]),          # null cell
+            (3, [], [70.0]),            # empty cell
+            (4, None, None),            # both null
+            (5, [5, None], [80.0]),     # null leaf + ragged
+        ],
+        T.StructType([
+            T.StructField("k", T.LongType()),
+            T.StructField("p", T.ArrayType(T.LongType())),
+            T.StructField("q", T.ArrayType(T.DoubleType())),
+        ]),
+    )
+    eng = FrameEngine(df, indexcols=["k"])
+    kw = dict(t={"p": 0, "q": 0})
+    join = eng.to_long("p", "q", dropna=dropna, strategy="join", **kw)
+    fused = eng.to_long("p", "q", dropna=dropna, strategy="fused", **kw)
+    assert _multiset(join) == _multiset(fused)
+    assert P.count_exchanges(fused) == 0
+
+
+def test_fused_shared_axis_on_map_falls_back(spark):
+    """Map-typed shared level: fused is positional-only, so auto must fall
+    back to join and explicit fused must refuse."""
+    df = spark.createDataFrame(
+        [(0, {"a": 1}, {"a": 2.0})],
+        T.StructType([
+            T.StructField("k", T.LongType()),
+            T.StructField("m1", T.MapType(T.StringType(), T.LongType())),
+            T.StructField("m2", T.MapType(T.StringType(), T.DoubleType())),
+        ]),
+    )
+    eng = FrameEngine(df, indexcols=["k"])
+    out = eng.to_long("m1", "m2", ax={"m1": 0, "m2": 0})  # auto -> join
+    got = {(r["ax"], r["m1"], r["m2"]) for r in out.collect()}
+    assert got == {("a", 1, 2.0)}
+    with pytest.raises(PuffbirdSparkError):
+        eng.to_long("m1", "m2", strategy="fused", ax={"m1": 0, "m2": 0})
