@@ -126,6 +126,48 @@ def minhash_signature(
     )
 
 
+def lsh_banding_config(
+    threshold: float,
+    num_hashes: int = 32,
+    fp_weight: float = 0.5,
+) -> tuple[int, int]:
+    """Pick ``(bands, rows_per_band)`` for a target jaccard ``threshold``
+    from the banding S-curve ``P(candidate) = 1 - (1 - s^r)^b``.
+
+    Over every divisor split ``b*r = num_hashes``, minimize the weighted
+    sum of the false-positive area (integral of P below the threshold) and
+    the false-negative area (integral of 1-P above it) — the standard
+    datasketch-style auto-config, computed with a small midpoint quadrature
+    (no scipy dependency). ``fp_weight`` in (0,1) trades fewer spurious
+    candidate pairs (higher) against fewer missed near-duplicates (lower).
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0,1), got {threshold}")
+    if not 0.0 < fp_weight < 1.0:
+        raise ValueError(f"fp_weight must be in (0,1), got {fp_weight}")
+    steps = 200
+
+    def areas(b: int, r: int) -> float:
+        fp = fn = 0.0
+        for i in range(steps):
+            s = (i + 0.5) / steps
+            p = 1.0 - (1.0 - s ** r) ** b
+            if s < threshold:
+                fp += p / steps
+            else:
+                fn += (1.0 - p) / steps
+        return fp_weight * fp + (1.0 - fp_weight) * fn
+
+    best = None
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        err = areas(b, num_hashes // b)
+        if best is None or err < best[0]:
+            best = (err, b, num_hashes // b)
+    return best[1], best[2]
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     text_col: str,
@@ -134,6 +176,7 @@ def minhash_candidate_pairs(
     bands: int = 8,
     n: int = 3,
     max_bucket_size: int = 10_000,
+    threshold: float | None = None,
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` rows of
     ``num_hashes/bands``; docs sharing any band hash become candidates.
@@ -143,7 +186,13 @@ def minhash_candidate_pairs(
     ~linear in the number of true duplicate clusters. Output:
     (id_a, id_b, est_jaccard) where est_jaccard = matching signature
     fraction.
+
+    ``threshold``: target jaccard similarity — when given, ``bands`` is
+    ignored and derived via :func:`lsh_banding_config` so the banding
+    S-curve's steep section sits at the threshold.
     """
+    if threshold is not None:
+        bands, _ = lsh_banding_config(threshold, num_hashes)
     rows_per_band = num_hashes // bands
     # materialize shingles as a bound column BEFORE fanning out into
     # num_hashes transforms: otherwise the whole shingle-construction

@@ -114,6 +114,61 @@ def test_cosine_topk_exact(spark):
     assert abs(rows[0]["cosine"] - round(expected, 6)) < 1e-9
 
 
+def test_lsh_banding_config():
+    for t in (0.2, 0.5, 0.8):
+        b, r = DD.lsh_banding_config(t, num_hashes=32)
+        assert b * r == 32 and b >= 1 and r >= 1
+    # higher threshold → steeper curve further right → more rows per band
+    _, r_lo = DD.lsh_banding_config(0.2, num_hashes=128)
+    _, r_hi = DD.lsh_banding_config(0.9, num_hashes=128)
+    assert r_hi > r_lo
+    # the S-curve midpoint (1/b)^(1/r) should land near the threshold
+    b, r = DD.lsh_banding_config(0.5, num_hashes=128)
+    assert abs((1.0 / b) ** (1.0 / r) - 0.5) < 0.25
+    with pytest.raises(ValueError):
+        DD.lsh_banding_config(1.5)
+
+
+def test_minhash_threshold_matches_explicit_bands(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300)
+    b, _ = DD.lsh_banding_config(0.5, num_hashes=32)
+    via_threshold = DD.minhash_candidate_pairs(
+        docs, "text", "doc_id", num_hashes=32, threshold=0.5
+    )
+    explicit = DD.minhash_candidate_pairs(
+        docs, "text", "doc_id", num_hashes=32, bands=b
+    )
+    assert sorted(map(tuple, via_threshold.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )
+
+
+def test_lsh_directed_probes_recall(spark, sf_dir):
+    """Query-directed probing: 4 extra buckets should recover at least the
+    recall of the full Hamming-1 sweep's floor, and every hit must carry
+    the exact brute-force cosine."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, q, k=5)
+    e = {(r["query_id"], r["cand_id"]) for r in exact.collect()}
+
+    def recall(df):
+        a = {(r["query_id"], r["cand_id"]) for r in df.collect()}
+        return len(e & a) / len(e)
+
+    primary = recall(lsh_bucket_topk(emb, q, dim=64, k=5, planes=4, probes=0))
+    directed = recall(lsh_bucket_topk(
+        emb, q, dim=64, k=5, planes=4, directed_probes=4))
+    assert directed >= primary
+    assert directed >= 0.3
+    # directed with every 1+2-bit flip covers a superset of Hamming-1
+    all_flips = recall(lsh_bucket_topk(
+        emb, q, dim=64, k=5, planes=4, directed_probes=10))
+    hamming1 = recall(lsh_bucket_topk(
+        emb, q, dim=64, k=5, planes=4, probes=1))
+    assert all_flips >= hamming1
+
+
 def test_lsh_recall_against_brute_force(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 5)
