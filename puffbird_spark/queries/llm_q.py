@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as TXT
 from ..operators import dedup as DD
-from ..operators.similarity import cosine_topk, lsh_bucket_topk
+from ..operators.similarity import cosine_topk, ivf_topk, lsh_bucket_topk
 from .base import load, query
 
 
@@ -94,6 +94,16 @@ def knn_lsh(spark, sf_dir):
     return lsh_bucket_topk(
         emb, emb.filter(F.col("vec_id") < 10), dim=64, id_col="vec_id",
         vec_col="embedding", k=5, planes=6,
+    )
+
+
+@query("knn_ivf")  # rows-only: approximate by design (recall tested vs exact)
+def knn_ivf(spark, sf_dir):
+    """IVF-celled ANN top-5 — k-means quantizer, nprobe/n_centroids scan."""
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), dim=64, id_col="vec_id",
+        vec_col="embedding", k=5, n_centroids=16, nprobe=4, sample_size=1024,
     )
 
 

@@ -9,7 +9,9 @@ from puffbird_spark.operators import dedup as DD
 from puffbird_spark.operators.multimodal import (
     DECODED_SCHEMA, decode_features, with_media_meta,
 )
-from puffbird_spark.operators.similarity import cosine_topk, lsh_bucket_topk
+from puffbird_spark.operators.similarity import (
+    cosine_topk, ivf_topk, lsh_bucket_topk,
+)
 
 
 # ------------------------------------------------------------------ #
@@ -167,6 +169,40 @@ def test_lsh_directed_probes_recall(spark, sf_dir):
     hamming1 = recall(lsh_bucket_topk(
         emb, q, dim=64, k=5, planes=4, probes=1))
     assert all_flips >= hamming1
+
+
+def test_ivf_full_probe_is_exact(spark, sf_dir):
+    """nprobe == n_centroids scans every cell — must equal brute force
+    exactly (same rounded cosines, same tie-breaks)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, q, k=5)
+    full = ivf_topk(emb, q, dim=64, k=5, n_centroids=8, nprobe=8,
+                    sample_size=256)
+    assert sorted(map(tuple, exact.collect())) == sorted(
+        map(tuple, full.collect()))
+
+
+def test_ivf_partial_probe_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    e = {(r["query_id"], r["cand_id"])
+         for r in cosine_topk(emb, q, k=5).collect()}
+
+    def recall(nprobe):
+        got = ivf_topk(emb, q, dim=64, k=5, n_centroids=8, nprobe=nprobe,
+                       sample_size=256)
+        a = {(r["query_id"], r["cand_id"]) for r in got.collect()}
+        return len(e & a) / len(e)
+
+    r2, r8 = recall(2), recall(8)
+    assert 0.0 < r2 <= r8 == 1.0
+    # determinism: same seed, same result
+    one = ivf_topk(emb, q, dim=64, k=5, n_centroids=8, nprobe=2,
+                   sample_size=256)
+    two = ivf_topk(emb, q, dim=64, k=5, n_centroids=8, nprobe=2,
+                   sample_size=256)
+    assert sorted(map(tuple, one.collect())) == sorted(map(tuple, two.collect()))
 
 
 def test_lsh_recall_against_brute_force(spark, sf_dir):
