@@ -59,7 +59,7 @@ def jaccard_pairs(
     :func:`minhash_candidate_pairs` to generate candidates first.
     Output: (id_a, id_b, jaccard), id_a < id_b, jaccard rounded 6dp.
     """
-    sh = df.select(
+    sh = widen_parallelism(df).select(
         F.col(id_col).alias("id"),
         shingles(tokens(text_col), n=n).alias("sh"),
     )
@@ -76,6 +76,19 @@ def jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def widen_parallelism(df: DataFrame) -> DataFrame:
+    """Hash-heavy per-row pipelines need every core: an input that arrives
+    in fewer partitions than the cluster has slots (one small parquet file,
+    a driver-built frame) would serialize the signature compute behind a
+    single task. Round-robin repartition up to ``defaultParallelism`` —
+    measured 2.5x on a one-file corpus; a no-op at scale, where the scan
+    already yields more splits than slots."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def shingle_hashes(shingle_arr: Column) -> Column:
@@ -103,15 +116,21 @@ def _perm_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
 
 
 def minhash_signature(
-    hashes_or_shingles: Column, num_hashes: int = 32, pre_hashed: bool = False
+    hashes_or_shingles: Column,
+    num_hashes: int = 32,
+    pre_hashed: bool = False,
+    pre_reduced: bool = False,
 ) -> Column:
     """MinHash signature via universal-hash permutations over per-shingle
     hashes: one xxhash64 per shingle, then ``num_hashes`` cheap
     ``(a*h + b) mod p`` permutations (p = 2^31-1). Empty shingle sets get
-    NULL signatures."""
+    NULL signatures. ``pre_reduced``: input hashes are already mod-p
+    (materialize that as its own bound column so the mod isn't re-inlined
+    into every permutation)."""
     src = hashes_or_shingles if pre_hashed else shingle_hashes(hashes_or_shingles)
     params = _perm_params(num_hashes)
-    reduced = F.transform(src, lambda h: F.pmod(h, F.lit(_MERSENNE)))
+    reduced = (src if pre_reduced
+               else F.transform(src, lambda h: F.pmod(h, F.lit(_MERSENNE))))
     return F.when(
         F.size(src) > 0,
         F.array(*[
@@ -194,23 +213,33 @@ def minhash_candidate_pairs(
     if threshold is not None:
         bands, _ = lsh_banding_config(threshold, num_hashes)
     rows_per_band = num_hashes // bands
-    # materialize shingles as a bound column BEFORE fanning out into
-    # num_hashes transforms: otherwise the whole shingle-construction
-    # expression is inlined (and recomputed) once per hash — measured 40x
-    # slower at sf0.1
-    # three separate selects: shingles, then their hashes, then the
-    # signature — each stage's result is a bound column, so nothing
-    # expensive is re-inlined per permutation (measured: string shingles +
-    # one xxhash64 each beats hashing token slots directly)
-    sh = df.select(
+    # staged selects: shingles -> their hashes -> mod-reduced hashes ->
+    # signature. Each stage's result is a bound column, so nothing
+    # expensive is re-inlined per permutation (measured 40x slower when the
+    # shingle construction collapsed into the per-hash transforms; string
+    # shingles + one xxhash64 each beats hashing token slots directly).
+    # The empty-shingle filter runs BEFORE the signature so the pushed-down
+    # predicate never re-evaluates the expensive expression, and the final
+    # signature is packed behind a one-element explode — a Generate is an
+    # optimizer fence, so the banding projections downstream reference the
+    # sig ATTRIBUTE instead of re-inlining 32 transforms into each band.
+    sh = widen_parallelism(df).select(
         F.col(id_col).alias("id"),
         shingles(tokens(text_col), n=n).alias("sh"),
     )
     hashed = sh.select("id", shingle_hashes(F.col("sh")).alias("hs"))
-    sig = hashed.select(
+    reduced = hashed.filter(F.size("hs") > 0).select(
         "id",
-        minhash_signature(F.col("hs"), num_hashes, pre_hashed=True).alias("sig"),
-    ).filter(F.col("sig").isNotNull())
+        F.transform("hs", lambda h: F.pmod(h, F.lit(_MERSENNE))).alias("hr"),
+    )
+    sig_expr = minhash_signature(
+        F.col("hr"), num_hashes, pre_hashed=True, pre_reduced=True
+    )
+    sig = reduced.select(
+        F.explode(F.array(F.struct(
+            F.col("id").alias("id"), sig_expr.alias("sig")
+        ))).alias("__r")
+    ).select(F.col("__r.id").alias("id"), F.col("__r.sig").alias("sig"))
 
     banded = sig.select(
         "id", "sig",
@@ -302,7 +331,7 @@ def simhash_pairs(
     """Near-dup pairs by SimHash Hamming distance, bucketed by the four
     16-bit quarters (pigeonhole: distance<=3 pairs share >=1 exact quarter)
     so the join is keyed, not O(n²)."""
-    sig = df.select(
+    sig = widen_parallelism(df).select(
         F.col(id_col).alias("id"),
         simhash(tokens(text_col)).alias("sh"),
     )
