@@ -48,6 +48,31 @@ def engine_to_long_roundtrip(spark, sf_dir):
     return puffy.to_long("l_quantity")
 
 
+@query("engine_to_long_shared_axes", oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+axes AS (SELECT g, pos FROM (SELECT unnest(range(2)) AS g)
+         CROSS JOIN (SELECT unnest(range(4)) AS pos))
+SELECT e.vec_id,
+       CAST(axes.g AS INT) AS g, CAST(axes.pos AS INT) AS pos,
+       v[4 * g + pos + 1] AS a, v[8 + 4 * g + pos + 1] AS b
+FROM e CROSS JOIN axes
+""")
+def engine_to_long_shared_axes(spark, sf_dir):
+    """R4 shared axes through the FUSED chain: two array<array<double>>
+    columns aligned at both depths explode with in-chain positional zips
+    (zero joins, zero shuffles before the sink) — the reference's
+    positional full-outer merge (frame.py:531) without the merge."""
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    df = emb.select(
+        "vec_id",
+        F.array(F.slice(v, 1, 4), F.slice(v, 5, 4)).alias("a"),
+        F.array(F.slice(v, 9, 4), F.slice(v, 13, 4)).alias("b"),
+    )
+    eng = FrameEngine(df, indexcols=["vec_id"])
+    return eng.to_long("a", "b", g={"a": 0, "b": 0}, pos={"a": 1, "b": 1})
+
+
 @query("pivot_returnflag", oracle="""
 SELECT l_linestatus,
   CAST(SUM(CASE WHEN l_returnflag = 'A'
