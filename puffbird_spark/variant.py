@@ -58,11 +58,46 @@ def variant_entries(v: Column) -> Column:
     )
 
 
+def infer_variant_depth(df: DataFrame, col: str, sample: int = 1000) -> int:
+    """Planning-time utility: measure the maximum JSON nesting depth over
+    a bounded sample so variant explosions need no hand-picked
+    ``max_depth``. One small job (limit + collect of ONE string column) —
+    this sizes the PLAN (how many generator levels to emit), not the data
+    pass, so its cost is unchanged at 100 TB. Unparseable/scalar cells
+    count as depth 0; the result is floored at 1 so a plan always exists.
+    A sample can undercount a rare deeper row — such rows keep raw JSON
+    text at the cutoff leaf (documented explode_variant semantics), so
+    the result is still lossless."""
+    import json
+
+    rows = (
+        df.select(F.col(col).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .limit(sample)
+        .collect()
+    )
+
+    def depth(x) -> int:
+        if isinstance(x, dict):
+            return 1 + max((depth(v) for v in x.values()), default=0)
+        if isinstance(x, (list, tuple)):
+            return 1 + max((depth(v) for v in x), default=0)
+        return 0
+
+    best = 0
+    for r in rows:
+        try:
+            best = max(best, depth(json.loads(r["v"])))
+        except (ValueError, TypeError):
+            continue
+    return max(best, 1)
+
+
 def explode_variant(
     df: DataFrame,
     key_cols: list[str],
     col: str,
-    max_depth: int = 3,
+    max_depth: int | None = 3,
     dropna: bool = True,
 ) -> tuple[DataFrame, list[str]]:
     """Explode a JSON-variant string column to ``max_depth`` levels.
@@ -71,6 +106,8 @@ def explode_variant(
     value column holds decoded scalar text at the leaves (raw JSON where
     ``max_depth`` cut deeper nesting). Rows whose cell bottoms out early
     carry NULL in the remaining level columns (reference semantics).
+    ``max_depth=None`` infers the depth from a bounded sample
+    (:func:`infer_variant_depth`).
     """
     if col not in df.columns:
         raise PuffbirdSparkError(f"no such column: {col!r}")
@@ -83,6 +120,8 @@ def explode_variant(
             f"{dtype.simpleString()} — nested Spark types explode natively "
             f"via to_long without variant_cols"
         )
+    if max_depth is None:
+        max_depth = infer_variant_depth(df, col)
     out = df.select(*key_cols, col)
     if dropna:
         out = out.filter(

@@ -76,3 +76,50 @@ def test_variant_max_depth_truncates(spark):
     row = out.collect()[0]
     assert row["v_level0"] == "a" and row["v_level1"] == "b"
     assert json.loads(row["v"]) == {"c": {"d": 1}}  # remainder stays JSON
+
+
+def test_infer_variant_depth(spark):
+    from puffbird_spark.variant import infer_variant_depth
+
+    df = spark.createDataFrame(
+        [(0, json.dumps({"a": 1})),
+         (1, json.dumps({"a": {"b": [1, 2]}})),   # depth 3
+         (2, "not json"),
+         (3, None),
+         (4, json.dumps(7))],                     # scalar: depth 0
+        ["k", "v"],
+    )
+    assert infer_variant_depth(df, "v") == 3
+    # scalar/garbage-only column floors at 1
+    flat = spark.createDataFrame([(0, "5"), (1, "oops")], ["k", "v"])
+    assert infer_variant_depth(flat, "v") == 1
+
+
+def test_explode_variant_auto_depth_matches_explicit(spark):
+    df = spark.createDataFrame(
+        [(0, json.dumps({"a": {"b": 1, "c": [2, 3]}, "d": 4})),
+         (1, json.dumps([{"e": 5}]))],
+        ["k", "v"],
+    )
+    auto, auto_levels = explode_variant(df, ["k"], "v", max_depth=None)
+    explicit, levels = explode_variant(df, ["k"], "v", max_depth=3)
+    assert auto_levels == levels
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, explicit.collect()))
+
+
+def test_infer_variant_depth_on_events(spark, sf_dir):
+    """Real events.props JSON: inference is stable and explosion with the
+    inferred depth decodes every leaf (no raw-JSON remainders)."""
+    from pyspark.sql import functions as F
+
+    from puffbird_spark.sources import load_table
+    from puffbird_spark.variant import infer_variant_depth
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "props")
+    d = infer_variant_depth(ev, "props")
+    assert d >= 1
+    out, _ = explode_variant(ev, ["event_id"], "props", max_depth=d)
+    # no leaf should still look like an unexploded container
+    n_raw = out.filter(F.col("props").rlike(r"^[\[{]")).count()
+    assert n_raw == 0
