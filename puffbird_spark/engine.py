@@ -272,9 +272,10 @@ class FrameEngine:
         )
         if strategy == "fused" and not fusable:
             raise PuffbirdSparkError(
-                "strategy='fused' does not support expand_cols / variant_cols "
-                "/ non-array or unreachable shared-axis levels — use 'join' "
-                "(or 'auto')"
+                "strategy='fused' does not support expand_cols / variant_cols"
+                ", and shared axes only when they form one group (same "
+                "member columns, one depth per axis, contiguous array-typed "
+                "depths from 0) — use 'join' (or 'auto')"
             )
         if strategy == "fused" or (
             strategy == "auto" and fusable and len(datacols) >= 2
