@@ -35,6 +35,8 @@ from __future__ import annotations
 from collections.abc import Callable, Mapping
 from typing import Any
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -82,8 +84,17 @@ class FrameEngine:
         indexcols: list[str] | None = None,
         handle_column_types: bool = True,
         enforce_identifier_string: bool = False,
-        validate: bool = True,
+        validate: bool | str = "lazy",
     ):
+        """``validate`` controls the key-uniqueness assertion
+        (frame.py:204-207): ``"eager"`` (or ``True``) runs the check job at
+        construction — reference semantics, a full pass over the table;
+        ``"lazy"`` (default) defers it to the first key-dependent operation
+        (``to_long``, index-column mutation) and runs it at most once —
+        at 100 TB constructing an engine is then plan-only, no job;
+        ``False`` disables it (the scale path for keys already known
+        unique, e.g. ingest-generated surrogate ids).
+        """
         if isinstance(table, FrameEngine):
             if indexcols is None:
                 indexcols = table.indexcols
@@ -152,14 +163,37 @@ class FrameEngine:
         self._datacols = list(datacols)
 
         # -- key uniqueness (frame.py:204-207) as a Spark assertion job ---
-        if validate and indexcols != [DEFAULT_INDEX_COL]:
-            dupes = (
-                table.groupBy(*indexcols).count().filter(F.col("count") > 1).limit(1)
+        if validate not in (True, False, "eager", "lazy"):
+            raise PuffbirdSparkError(
+                f"validate must be 'eager'/'lazy'/True/False, got {validate!r}"
             )
-            if dupes.count() > 0:
-                raise PuffbirdSparkError(
-                    "Each row for all index columns must be a unique set."
-                )
+        if validate is False or indexcols == [DEFAULT_INDEX_COL]:
+            self._validated = True  # trusted / surrogate keys: nothing to check
+        elif validate in (True, "eager"):
+            self._validated = True
+            self._check_key_uniqueness(table, indexcols)
+        else:
+            self._validated = False  # checked at first key-dependent op
+
+    @staticmethod
+    def _check_key_uniqueness(df: DataFrame, keys: list[str]) -> None:
+        dupes = df.groupBy(*keys).count().filter(F.col("count") > 1).limit(1)
+        if dupes.count() > 0:
+            raise PuffbirdSparkError(
+                "Each row for all index columns must be a unique set."
+            )
+
+    def validate_keys(self) -> "FrameEngine":
+        """Run the deferred key-uniqueness assertion now (no-op if already
+        validated). Returns self for chaining."""
+        if not self._validated:
+            self._check_key_uniqueness(self._df, self._indexcols)
+            self._validated = True
+        return self
+
+    def _ensure_valid(self) -> None:
+        if not self._validated:
+            self.validate_keys()
 
     # ------------------------------------------------------------------ #
     # properties
@@ -188,6 +222,7 @@ class FrameEngine:
         eng._indexcols = list(indexcols)
         eng._datacols = list(datacols)
         eng._rename_map = dict(self._rename_map)
+        eng._validated = self._validated
         return eng
 
     # ------------------------------------------------------------------ #
@@ -218,6 +253,7 @@ class FrameEngine:
         expand_cols: list[str] | None = None,
         variant_cols: list[str] | None = None,
         strategy: str = "auto",
+        reindex: bool = False,
         **shared_axes: Mapping[str, int],
     ) -> DataFrame:
         """Explode data columns into a long (tidy) DataFrame.
@@ -243,11 +279,27 @@ class FrameEngine:
         runs sequential generators in one frame — zero joins/shuffles,
         same result — and is what ``"auto"`` picks when no shared axes,
         expand or variant columns are requested with >= 2 columns.
+
+        ``reindex`` (reference frame.py:536-542) re-sets the pandas row
+        index after assembly — meaningless without a row index; accepted
+        for drop-in compatibility and ignored with a warning.
         """
+        if reindex:
+            import warnings
+
+            warnings.warn(
+                "to_long(reindex=...) is a pandas-index concept; Spark "
+                "DataFrames have no row index — ignored (key and level "
+                "columns are ordinary columns in the result)",
+                stacklevel=2,
+            )
         datacols = list(cols) if cols else list(self._datacols)
         missing = set(datacols) - set(self._datacols)
         if missing:
             raise PuffbirdSparkError(f"not data columns: {sorted(missing)}")
+        # join-assembly correctness relies on key uniqueness; run the
+        # deferred check (at most once) before planning
+        self._ensure_valid()
         expand_cols = list(expand_cols or [])
         variant_cols = list(variant_cols or [])
         stray = set(variant_cols) - set(datacols)
@@ -491,11 +543,8 @@ class FrameEngine:
         eng = self._replace(df, indexcols, datacols)
         if assign_to_index and target not in self._indexcols:
             # appending an index col must preserve key uniqueness
-            dupes = df.groupBy(*indexcols).count().filter(F.col("count") > 1).limit(1)
-            if dupes.count() > 0:
-                raise PuffbirdSparkError(
-                    "Each row for all index columns must be a unique set."
-                )
+            self._check_key_uniqueness(df, indexcols)
+            eng._validated = True
         return eng
 
     # ------------------------------------------------------------------ #
@@ -517,11 +566,8 @@ class FrameEngine:
         dropped_index = len(indexcols) != len(self._indexcols)
         eng = self._replace(df, indexcols, datacols)
         if dropped_index and validate:
-            dupes = df.groupBy(*indexcols).count().filter(F.col("count") > 1).limit(1)
-            if dupes.count() > 0:
-                raise PuffbirdSparkError(
-                    "Each row for all index columns must be a unique set."
-                )
+            self._check_key_uniqueness(df, indexcols)
+            eng._validated = True
         return eng
 
     def rename(self, **mapping: str) -> "FrameEngine":
@@ -606,26 +652,60 @@ class FrameEngine:
         if isinstance(fn, CallableContainer):
             return fn(F.col(col))
         if callable(fn):
-            out = fn(F.col(col))
-            if not isinstance(out, Column):
-                raise PuffbirdSparkError(
-                    f"aggfunc for {col!r} must return a pyspark Column; "
-                    f"got {type(out)} (arbitrary Python aggregation callables "
-                    f"are the pandas path — use a pandas_udf GROUPED_AGG)"
-                )
-            return out
+            # Arbitrary Python aggregation callables (np.mean, builtins —
+            # the reference's aggfunc contract, frame.py:31) can't be probed
+            # with a Column (numpy operator overloads would "succeed" with a
+            # non-aggregating expression): route them straight to the Arrow
+            # GROUPED_AGG slow path. Only callables NOT from numpy/builtins
+            # are tried as Column -> Column expressions first.
+            mod = getattr(fn, "__module__", "") or ""
+            if not (mod.startswith("numpy") or mod == "builtins"):
+                out = fn(F.col(col))
+                if isinstance(out, Column):
+                    return out
+            return FrameEngine._grouped_agg_udf(fn)(F.col(col))
         raise PuffbirdSparkError(f"invalid aggfunc for {col!r}: {fn!r}")
+
+    @staticmethod
+    def _grouped_agg_udf(fn: Callable) -> Callable[[Column], Column]:
+        """Wrap an arbitrary ``values -> scalar`` Python callable (np.mean,
+        statistics.median, ...) as an Arrow-batched GROUPED_AGG pandas UDF —
+        the documented slow path for the reference's per-cell callable
+        contract (callables.py:45-52). Result type is double."""
+
+        def _agg(s: pd.Series) -> float:
+            return float(fn(s))
+
+        return F.pandas_udf(_agg, "double")
 
     # ------------------------------------------------------------------ #
     # R12 — multid_pivot
     # ------------------------------------------------------------------ #
 
-    def multid_pivot(self, values: str | list[str], *dims: str) -> DataFrame:
+    @staticmethod
+    def _exact_mean(v: str) -> Column:
+        """Mean as exact-sum / non-null-count: on decimal inputs this is
+        deterministic across engines and aggregation orders, unlike a
+        native double avg (see queries/base.py float policy). Shared by
+        ``multid_pivot`` and ``to_xarray`` so the two surfaces can never
+        disagree on the same request."""
+        return F.sum(F.col(v)).cast("double") / F.count(F.col(v))
+
+    def multid_pivot(
+        self,
+        values: str | list[str],
+        *dims: str,
+        pivot_values: list | None = None,
+    ) -> DataFrame:
         """Mean-pivot over dimensions (frame.py:1018-1075).
 
         Two dims → ``groupBy(d1).pivot(d2).avg(values)``; otherwise
         ``groupBy(*dims).avg(values)`` (dense n-D tensor materialization is a
         driver-side concern — see ``to_xarray``).
+
+        ``pivot_values``: explicit distinct values of the second dim. Without
+        it Spark runs an extra distinct job to discover them — fine at small
+        SF, a full pass at 100 TB; pass the known domain to skip it.
         """
         if isinstance(values, str):
             values = [values]
@@ -634,26 +714,31 @@ class FrameEngine:
         missing = (set(values) | set(dims)) - set(self._df.columns)
         if missing:
             raise PuffbirdSparkError(f"no such columns: {sorted(missing)}")
-        # mean as exact-sum / non-null-count: on decimal inputs this is
-        # deterministic across engines and aggregation orders, unlike a
-        # native double avg (see queries/base.py float policy)
-        def mean(v: str) -> Column:
-            return F.sum(F.col(v)).cast("double") / F.count(F.col(v))
+        mean = self._exact_mean
 
         if len(dims) == 2 and len(values) == 1:
-            return (
-                self._df.groupBy(dims[0])
-                .pivot(dims[1])
-                .agg(mean(values[0]))
-                .orderBy(dims[0])
-            )
+            grouped = self._df.groupBy(dims[0])
+            piv = (grouped.pivot(dims[1], pivot_values) if pivot_values
+                   else grouped.pivot(dims[1]))
+            return piv.agg(mean(values[0])).orderBy(dims[0])
         aggs = [mean(v).alias(v) for v in values]
         return self._df.groupBy(*dims).agg(*aggs).orderBy(*dims)
 
-    def to_xarray(self, values: str | list[str], *dims: str):
+    #: refuse to collect more than this many aggregated rows to the driver
+    #: without an explicit override
+    XARRAY_MAX_ROWS = 100_000
+
+    def to_xarray(self, values: str | list[str], *dims: str,
+                  allow_large: bool = False):
         """Driver-side dense-tensor bridge for ``multid_pivot`` output
-        (reference returns xarray, frame.py:1070-1075). Guarded: requires
-        xarray and a small result."""
+        (reference returns xarray, frame.py:1070-1075).
+
+        Guarded: requires xarray, and refuses to ``toPandas()`` an aggregate
+        larger than ``XARRAY_MAX_ROWS`` unless ``allow_large=True`` — the
+        dense tensor lives on the driver, so an unbounded collect is an OOM
+        footgun at scale. Uses the same exact-decimal mean as
+        ``multid_pivot`` (float-determinism policy).
+        """
         try:
             import xarray as xr  # noqa: F401
         except ImportError as e:  # pragma: no cover
@@ -663,7 +748,19 @@ class FrameEngine:
             ) from e
         if isinstance(values, str):
             values = [values]
-        agg = self._df.groupBy(*dims).agg(*[F.avg(v).alias(v) for v in values])
+        agg = self._df.groupBy(*dims).agg(
+            *[self._exact_mean(v).alias(v) for v in values]
+        )
+        if not allow_large:
+            # the count job runs on the aggregate (post-shuffle, one row per
+            # dim combination) — cheap relative to the collect it guards
+            n = agg.limit(self.XARRAY_MAX_ROWS + 1).count()
+            if n > self.XARRAY_MAX_ROWS:
+                raise PuffbirdSparkError(
+                    f"to_xarray would collect > {self.XARRAY_MAX_ROWS} "
+                    f"aggregated rows to the driver; pass allow_large=True "
+                    f"to override, or reduce the dims' cardinality"
+                )
         pdf = agg.toPandas().set_index(list(dims))
         ds = pdf.to_xarray()
         if len(values) == 1:

@@ -54,15 +54,33 @@ def asof_join(
     rval_cols = [c for c in right.columns if c not in on]
     rstruct = T.StructType([right.schema[c] for c in rval_cols])
 
+    # Tiebreak keeps its NATIVE type — a silent cast-to-long would turn a
+    # string id into NULL everywhere, degrading same-ts resolution to
+    # nondeterminism. Non-orderable types fail loudly instead.
+    if tiebreak is not None:
+        if tiebreak not in right.columns:
+            raise PuffbirdSparkError(f"tiebreak {tiebreak!r} not in right")
+        tb_type = right.schema[tiebreak].dataType
+        orderable = (T.NumericType, T.StringType, T.DateType,
+                     T.TimestampType, T.TimestampNTZType, T.BooleanType)
+        if not isinstance(tb_type, orderable):
+            raise PuffbirdSparkError(
+                f"tiebreak {tiebreak!r} has non-orderable type {tb_type}; "
+                "use a numeric/string/temporal column"
+            )
+        tb = F.col(tiebreak)
+    else:
+        tb_type = T.LongType()
+        tb = F.lit(0).cast("long")
+
     lhs = left.select(
         *on,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__tag"),
-        F.lit(None).cast("long").alias("__tb"),
+        F.lit(None).cast(tb_type).alias("__tb"),
         F.struct(*[F.col(c) for c in left.columns if c not in on]).alias("__lrow"),
         F.lit(None).cast(rstruct).alias("__rrow"),
     )
-    tb = F.col(tiebreak).cast("long") if tiebreak else F.lit(0).cast("long")
     rhs = right.select(
         *on,
         F.col(right_ts).alias("__ts"),

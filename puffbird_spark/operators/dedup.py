@@ -84,8 +84,21 @@ def widen_parallelism(df: DataFrame) -> DataFrame:
     a driver-built frame) would serialize the signature compute behind a
     single task. Round-robin repartition up to ``defaultParallelism`` —
     measured 2.5x on a one-file corpus; a no-op at scale, where the scan
-    already yields more splits than slots."""
+    already yields more splits than slots. File count via ``inputFiles()``
+    (metadata-only) rather than ``df.rdd`` — the RDD hop forces a
+    plan-to-RDD conversion on the driver per call."""
     target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files >= target:
+        # the scan already yields at least one split per slot (usually
+        # more: maxPartitionBytes splits large files further)
+        return df
+    # few/no input files: fall back to the actual partition count (a large
+    # file still splits by maxPartitionBytes) — the RDD hop runs only on
+    # this already-small path
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
@@ -332,20 +345,36 @@ def simhash(toks: Column, bits: int = 64) -> Column:
 def simhash_pairs(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, bucketed by the four
-    16-bit quarters (pigeonhole: distance<=3 pairs share >=1 exact quarter)
-    so the join is keyed, not O(n²)."""
+    """Near-dup pairs by SimHash Hamming distance.
+
+    The 64-bit fingerprint is split into ``max_hamming + 1`` segments
+    (pigeonhole: two signatures within the radius must agree exactly on at
+    least one segment), so candidate generation is a keyed groupBy on
+    ``(segment_index, segment_value)`` — never an O(n²) self-join. Segment
+    count is DERIVED from the requested radius; a fixed split would silently
+    miss pairs whose differing bits span every segment.
+    """
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    nseg = max_hamming + 1
+    base, rem = divmod(64, nseg)
+    widths = [base + (1 if i < rem else 0) for i in range(nseg)]
+    offsets = [sum(widths[:i]) for i in range(nseg)]
     sig = widen_parallelism(df).select(
         F.col(id_col).alias("id"),
         simhash(tokens(text_col)).alias("sh"),
     )
+
+    def seg(off: int, width: int) -> Column:
+        shifted = F.shiftrightunsigned("sh", off)
+        if width >= 64:
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << width) - 1))
+
     quarters = sig.select(
         "id", "sh",
         F.posexplode(
-            F.array(*[
-                F.shiftrightunsigned("sh", 16 * q).bitwiseAND(F.lit(0xFFFF))
-                for q in range(4)
-            ])
+            F.array(*[seg(o, w) for o, w in zip(offsets, widths)])
         ).alias("q", "qval"),
     )
     buckets = (

@@ -19,6 +19,8 @@ against brute force in tests.
 
 from __future__ import annotations
 
+import itertools
+
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -136,9 +138,9 @@ def lsh_bucket_topk(
 
     One equi-join on bucket id replaces the cross join — the 100 TB path.
     ``probes``: multi-probe radius in Hamming distance over the bucket code
-    (probes=1 also searches every bucket one bit-flip away, trading
-    (planes+1)x more query-side rows — cheap, queries are the small side —
-    for much better recall). ``directed_probes``: query-directed probing —
+    — probes=r also searches every bucket within r bit-flips, trading
+    sum(C(planes, 1..r))+1 times more query-side rows (cheap, queries are
+    the small broadcast side) for better recall. ``directed_probes``: query-directed probing —
     search the primary bucket plus exactly that many extra buckets, chosen
     by flipping the planes with the smallest |signed distance| (1- and
     2-bit flip sets ranked by summed margin). Equal recall to Hamming-1 at
@@ -164,8 +166,17 @@ def lsh_bucket_topk(
             )),
         )
     elif probes >= 1:
+        # All buckets within Hamming distance <= probes of the primary
+        # bucket: one XOR mask per plane subset of size 1..probes. The mask
+        # count is sum(C(planes, r)) — fine for small planes/probes; the
+        # explode multiplies only the (small, broadcast) query side.
+        masks = [
+            sum(1 << p for p in combo)
+            for r in range(1, min(probes, planes) + 1)
+            for combo in itertools.combinations(range(planes), r)
+        ]
         flips = [F.col("bucket")] + [
-            F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(planes)
+            F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks
         ]
         q = q.withColumn("bucket", F.explode(F.array(*flips)))
     q = q.drop("_dots")

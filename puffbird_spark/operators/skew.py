@@ -78,7 +78,16 @@ def replicated_join(
     """Skew-proof equi-join: the dimension is replicated ``salt_buckets``
     times (explode), the fact is salted, and the join key becomes
     (keys..., salt) — each hot key now spreads over ``salt_buckets``
-    partitions. Dimension must tolerate replication (small side)."""
+    partitions. Dimension must tolerate replication (small side).
+
+    Only ``inner`` and ``left`` are sound: under right/full outer joins an
+    unmatched dimension row would surface once per replica (each salted
+    copy fails the join independently), duplicating output rows."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"replicated_join supports how='inner'/'left' only, got {how!r}: "
+            "replicated unmatched dim rows would duplicate under outer joins"
+        )
     salted_fact = with_salt(fact, salt_buckets)
     replicated = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))

@@ -62,7 +62,8 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 @query("dedup_simhash")  # rows-only: xxhash64 has no DuckDB twin
 def dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs, Hamming <= 6, quarter-bucketed join."""
+    """SimHash near-dup pairs, Hamming <= 6; 7-segment pigeonhole buckets
+    (segments = max_hamming+1) guarantee every in-radius pair is generated."""
     docs = load(spark, sf_dir, "documents")
     return DD.simhash_pairs(docs, "text", "doc_id", max_hamming=6)
 

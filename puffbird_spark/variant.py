@@ -58,6 +58,23 @@ def variant_entries(v: Column) -> Column:
     )
 
 
+#: memoized depth-inference results keyed by (analyzed-plan semantic hash,
+#: column, sample size) — repeated ``to_long(variant_cols=...)`` calls over
+#: the same plan re-use the sampled depth instead of re-collecting
+_DEPTH_CACHE: dict[tuple, int] = {}
+
+
+def _plan_key(df: DataFrame, col: str, sample: int) -> tuple | None:
+    """Stable cache key for a DataFrame's analyzed plan; None when the
+    semantic hash is unavailable (Connect mode, API drift) — callers then
+    simply skip memoization."""
+    try:
+        h = df._jdf.queryExecution().analyzed().semanticHash()
+        return (h, col, sample)
+    except Exception:
+        return None
+
+
 def infer_variant_depth(df: DataFrame, col: str, sample: int = 1000) -> int:
     """Planning-time utility: measure the maximum JSON nesting depth over
     a bounded sample so variant explosions need no hand-picked
@@ -67,8 +84,13 @@ def infer_variant_depth(df: DataFrame, col: str, sample: int = 1000) -> int:
     count as depth 0; the result is floored at 1 so a plan always exists.
     A sample can undercount a rare deeper row — such rows keep raw JSON
     text at the cutoff leaf (documented explode_variant semantics), so
-    the result is still lossless."""
+    the result is still lossless. Memoized per (plan, col, sample): a
+    second call on the same plan issues no job."""
     import json
+
+    key = _plan_key(df, col, sample)
+    if key is not None and key in _DEPTH_CACHE:
+        return _DEPTH_CACHE[key]
 
     rows = (
         df.select(F.col(col).alias("v"))
@@ -90,7 +112,10 @@ def infer_variant_depth(df: DataFrame, col: str, sample: int = 1000) -> int:
             best = max(best, depth(json.loads(r["v"])))
         except (ValueError, TypeError):
             continue
-    return max(best, 1)
+    result = max(best, 1)
+    if key is not None:
+        _DEPTH_CACHE[key] = result
+    return result
 
 
 def explode_variant(

@@ -35,9 +35,36 @@ def test_datacols_infers_indexcols(simple):
 
 def test_duplicate_keys_rejected(spark):
     df = spark.createDataFrame([(0, "a"), (0, "b")], ["k", "v"])
+    # eager: reference semantics, the check job runs at construction
     with pytest.raises(PuffbirdSparkError, match="unique"):
-        FrameEngine(df, indexcols=["k"])
+        FrameEngine(df, indexcols=["k"], validate="eager")
+    with pytest.raises(PuffbirdSparkError, match="unique"):
+        FrameEngine(df, indexcols=["k"], validate=True)
     FrameEngine(df, indexcols=["k"], validate=False)  # opt-out works
+
+
+def test_lazy_validation_defers_to_first_use(spark):
+    df = spark.createDataFrame([(0, "a"), (0, "b")], ["k", "v"])
+    eng = FrameEngine(df, indexcols=["k"])  # default lazy: no job, no raise
+    with pytest.raises(PuffbirdSparkError, match="unique"):
+        eng.to_long("v")
+    with pytest.raises(PuffbirdSparkError, match="unique"):
+        FrameEngine(df, indexcols=["k"]).validate_keys()
+
+
+def test_lazy_validation_no_job_at_construction(spark):
+    """Default construction must be plan-only — no Spark job."""
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    before = tracker.getJobIdsForGroup(None) or []
+    df = spark.createDataFrame([(0, "a"), (1, "b")], ["k", "v"])
+    FrameEngine(df, indexcols=["k"])
+    after = tracker.getJobIdsForGroup(None) or []
+    assert len(after) == len(before), "lazy construction launched a job"
+    # and validation runs AT MOST once when requested
+    eng = FrameEngine(df, indexcols=["k"])
+    eng.validate_keys()
+    assert eng.validate_keys() is eng  # second call: cached no-op
 
 
 def test_reserved_datacol_rejected(spark):

@@ -96,3 +96,49 @@ def test_to_puffy_requires_index(spark):
     eng = FrameEngine(df, indexcols=["k"])
     with pytest.raises(PuffbirdSparkError):
         eng.to_puffy()
+
+
+# ------------------------------------------------------------------ #
+# round-2: to_xarray guard + float consistency, aggfunc slow path,
+# pivot_values passthrough
+# ------------------------------------------------------------------ #
+
+def test_to_xarray_guard_and_consistency(pivot_flat, monkeypatch):
+    xr = pytest.importorskip("xarray")  # noqa: F841
+    eng = FrameEngine(pivot_flat, indexcols=[], validate=False)
+    da = eng.to_xarray("D", "A", "B")
+    # same exact-mean expression as multid_pivot: identical values
+    piv = {r["A"]: (r["one"], r["three"], r["two"])
+           for r in eng.multid_pivot("D", "A", "B").collect()}
+    for a in ("bar", "foo"):
+        got = tuple(float(da.sel(A=a, B=b)) for b in ("one", "three", "two"))
+        assert got == piv[a]
+    # the guard: refuse driver-side collect above the row bound
+    monkeypatch.setattr(FrameEngine, "XARRAY_MAX_ROWS", 1)
+    from puffbird_spark import PuffbirdSparkError
+    with pytest.raises(PuffbirdSparkError, match="allow_large"):
+        eng.to_xarray("D", "A", "B")
+    assert eng.to_xarray("D", "A", "B", allow_large=True) is not None
+
+
+def test_to_puffy_arbitrary_python_aggfunc(spark):
+    """aggfunc=np.mean (reference's arbitrary-callable contract) runs via
+    the GROUPED_AGG pandas-UDF slow path instead of raising."""
+    import numpy as np
+
+    df = spark.createDataFrame(
+        [(0, 1.0), (0, 3.0), (1, 5.0)], ["k", "v"]
+    )
+    eng = FrameEngine(df, indexcols=["k", "v"], validate=False)
+    out = {r["k"]: r["v"]
+           for r in eng.to_puffy("k", aggfunc=np.mean).table.collect()}
+    assert out == {0: 2.0, 1: 5.0}
+
+
+def test_multid_pivot_pivot_values(pivot_flat):
+    eng = FrameEngine(pivot_flat, indexcols=[], validate=False)
+    out = eng.multid_pivot("D", "A", "B", pivot_values=["one", "two"])
+    got = {r["A"]: (r["one"], r["two"]) for r in out.collect()}
+    assert got["bar"] == (20.0, 60.0)
+    assert got["foo"] == (40.0, 40.0)
+    assert sorted(out.columns) == ["A", "one", "two"]

@@ -319,3 +319,79 @@ def test_count_min_sketch(spark, sf_dir):
     ae = cms_estimate(sketch, absent, "l_returnflag",
                       width=2048, depth=5).collect()[0]["estimate"]
     assert ae <= 0.01 * total
+
+
+# ------------------------------------------------------------------ #
+# round-2 defect fixes (ADVICE r1)
+# ------------------------------------------------------------------ #
+
+def test_simhash_radius_complete_vs_brute_force(spark, sf_dir):
+    """Segment count derives from max_hamming (pigeonhole): the bucketed
+    candidate pairs must contain EVERY pair within the radius. Brute-force
+    all signature pairs in Python and compare exactly."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    sigs = docs.select(
+        F.col("doc_id").alias("id"),
+        DD.simhash(DD.tokens("text")).alias("sh"),
+    ).collect()
+    by_id = {r["id"]: r["sh"] for r in sigs}
+    ids = sorted(by_id)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin((by_id[a] ^ by_id[b]) & ((1 << 64) - 1)).count("1")
+            if d <= 6:
+                want[(a, b)] = d
+    out = DD.simhash_pairs(docs, "text", "doc_id", max_hamming=6)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
+    got = {(min(a, b), max(a, b)): h for (a, b), h in got.items()}
+    assert got == want
+
+
+def test_simhash_max_hamming_validated(dup_docs):
+    with pytest.raises(ValueError, match="max_hamming"):
+        DD.simhash_pairs(dup_docs, "text", "doc_id", max_hamming=64)
+
+
+def test_lsh_full_radius_probe_equals_exact(spark, sf_dir):
+    """probes=planes sweeps every bucket (all masks up to Hamming 8 over an
+    8-bit code) — the candidate set is the whole corpus, so the result must
+    equal brute-force cosine_topk exactly. Fails if probes>1 silently
+    behaved like probes=1 (the r1 defect)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(120)
+    queries = emb.limit(8)
+    exact = cosine_topk(emb, queries, k=3)
+    full = lsh_bucket_topk(emb, queries, dim=64, k=3, planes=8, probes=8)
+    key = lambda df: sorted(
+        (r["query_id"], r["cand_id"], r["cosine"]) for r in df.collect()
+    )
+    assert key(full) == key(exact)
+
+
+def test_replicated_join_rejects_outer(spark):
+    from puffbird_spark.operators.skew import replicated_join
+
+    fact = spark.createDataFrame([(1, "a")], ["k", "v"])
+    dim = spark.createDataFrame([(1, "d")], ["k", "d"])
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="inner.*left"):
+            replicated_join(fact, dim, ["k"], salt_buckets=4, how=how)
+    assert replicated_join(fact, dim, ["k"], salt_buckets=4).count() == 1
+
+
+def test_asof_tiebreak_string_and_invalid(spark):
+    """Tiebreak keeps its native type: a string tiebreak resolves same-ts
+    rows deterministically (largest wins) instead of silently becoming
+    NULL; a non-orderable tiebreak raises."""
+    from puffbird_spark.errors import PuffbirdSparkError
+
+    left = spark.createDataFrame([(1, 10)], ["k", "ts"])
+    right = spark.createDataFrame(
+        [(1, 10, "a", 1.0), (1, 10, "b", 2.0)], ["k", "rts", "tag", "val"]
+    )
+    out = asof_join(left, right, ["k"], "ts", "rts", tiebreak="tag")
+    assert out.collect()[0]["val"] == 2.0  # 'b' > 'a': largest tiebreak wins
+
+    bad = right.withColumn("tag", F.array(F.lit(1)))
+    with pytest.raises(PuffbirdSparkError, match="non-orderable"):
+        asof_join(left, bad, ["k"], "ts", "rts", tiebreak="tag")

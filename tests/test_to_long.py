@@ -228,3 +228,16 @@ def test_zip_explode_parallel_and_ragged(spark):
     assert got == {(0, 1, "a"), (1, 2, "b"), (2, 3, None)}
     with pytest.raises(PuffbirdSparkError):
         zip_explode(df.withColumn("s", F.lit("nope")), ["k"], ["x", "s"])
+
+
+def test_reindex_kwarg_accepted_with_warning(spark):
+    """Reference to_long(reindex=...) (frame.py:536-542) is accepted for
+    drop-in compatibility and ignored with a warning."""
+    from puffbird_spark import FrameEngine
+
+    df = spark.createDataFrame([(0, [1, 2])], ["k", "xs"])
+    eng = FrameEngine(df, indexcols=["k"], validate=False)
+    with pytest.warns(UserWarning, match="reindex"):
+        out = eng.to_long("xs", reindex=True)
+    plain = eng.to_long("xs")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, plain.collect()))

@@ -123,3 +123,18 @@ def test_infer_variant_depth_on_events(spark, sf_dir):
     # no leaf should still look like an unexploded container
     n_raw = out.filter(F.col("props").rlike(r"^[\[{]")).count()
     assert n_raw == 0
+
+
+def test_infer_depth_memoized(spark, ragged):
+    """Second inference on the same plan must hit the cache (no job)."""
+    from puffbird_spark.variant import _DEPTH_CACHE, _plan_key, infer_variant_depth
+
+    _DEPTH_CACHE.clear()
+    d1 = infer_variant_depth(ragged, "c")
+    key = _plan_key(ragged, "c", 1000)
+    assert key is not None and _DEPTH_CACHE.get(key) == d1
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    assert infer_variant_depth(ragged, "c") == d1
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "memoized inference still launched a job"
