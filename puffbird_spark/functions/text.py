@@ -96,6 +96,22 @@ def fingerprint(text: str | Column) -> Column:
     return F.md5(canon.cast("binary"))
 
 
+def char_shingles(text: str | Column, n: int = 5) -> Column:
+    """Distinct sorted character n-gram shingles — language-agnostic dedup
+    signal (robust where whitespace tokenization is meaningless, e.g. CJK).
+    Texts shorter than ``n`` chars yield an empty array. Pure Column
+    expression: sequence + substr, stays in whole-stage codegen."""
+    c = F.col(text) if isinstance(text, str) else text
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(c) - n + 1),
+        lambda i: c.substr(i, F.lit(n)),
+    )
+    return F.when(
+        F.length(c) >= n,
+        F.array_sort(F.array_distinct(grams)),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def shingles(toks: Column, n: int = 3, sep: str = " ") -> Column:
     """Distinct sorted word n-gram shingles (for MinHash / Jaccard dedup).
     Documents shorter than ``n`` tokens yield an empty array."""

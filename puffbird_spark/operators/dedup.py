@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import shingles, tokens
+from ..functions.text import char_shingles, shingles, tokens
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -51,6 +51,7 @@ def jaccard_pairs(
     id_col: str,
     threshold: float = 0.4,
     n: int = 3,
+    kind: str = "word",
 ) -> DataFrame:
     """All-pairs n-gram Jaccard similarity >= threshold.
 
@@ -58,10 +59,20 @@ def jaccard_pairs(
     verifier stage after LSH candidate generation. For full-corpus scale use
     :func:`minhash_candidate_pairs` to generate candidates first.
     Output: (id_a, id_b, jaccard), id_a < id_b, jaccard rounded 6dp.
+
+    ``kind``: ``"word"`` (word n-grams over whitespace tokens) or
+    ``"char"`` (character n-grams — language-agnostic, the right signal
+    for unsegmented scripts).
     """
+    if kind == "word":
+        sh_expr = shingles(tokens(text_col), n=n)
+    elif kind == "char":
+        sh_expr = char_shingles(text_col, n=n)
+    else:
+        raise ValueError(f"kind must be 'word' or 'char', got {kind!r}")
     sh = widen_parallelism(df).select(
         F.col(id_col).alias("id"),
-        shingles(tokens(text_col), n=n).alias("sh"),
+        sh_expr.alias("sh"),
     )
     a, b = sh.alias("a"), sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
@@ -104,11 +115,28 @@ def widen_parallelism(df: DataFrame) -> DataFrame:
     return df
 
 
-def shingle_hashes(shingle_arr: Column) -> Column:
-    """Hash every shingle string ONCE (xxhash64) — materialize this as its
-    own column before deriving signatures, so the string hashing is not
-    re-inlined per permutation."""
-    return F.transform(shingle_arr, lambda s: F.xxhash64(s))
+def shingle_hashes(shingle_arr: Column, hasher: str = "xxhash64") -> Column:
+    """Hash every shingle string ONCE — materialize this as its own column
+    before deriving signatures, so the string hashing is not re-inlined per
+    permutation.
+
+    ``hasher``: ``"xxhash64"`` (JVM-native, the fast default) or ``"md5"``
+    (first 60 bits of the md5 hex digest as a positive long). md5 exists on
+    both Spark and DuckDB with identical output, so an md5-hashed MinHash
+    pipeline is oracle-checkable end-to-end; xxhash64 has no DuckDB twin.
+    """
+    if hasher == "xxhash64":
+        return F.transform(shingle_arr, lambda s: F.xxhash64(s))
+    if hasher == "md5":
+        # 15 hex chars = 60 bits: always positive, no long overflow; the
+        # DuckDB twin is ('0x' || substr(md5(s), 1, 15))::BIGINT
+        return F.transform(
+            shingle_arr,
+            lambda s: F.conv(
+                F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10
+            ).cast("long"),
+        )
+    raise ValueError(f"hasher must be 'xxhash64' or 'md5', got {hasher!r}")
 
 
 
@@ -213,6 +241,7 @@ def minhash_candidate_pairs(
     n: int = 3,
     max_bucket_size: int = 10_000,
     threshold: float | None = None,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` rows of
     ``num_hashes/bands``; docs sharing any band hash become candidates.
@@ -226,6 +255,11 @@ def minhash_candidate_pairs(
     ``threshold``: target jaccard similarity — when given, ``bands`` is
     ignored and derived via :func:`lsh_banding_config` so the banding
     S-curve's steep section sits at the threshold.
+
+    ``hasher``: shingle/band hash primitive — ``"xxhash64"`` (fast default)
+    or ``"md5"`` (engine-portable; every stage replays in plain SQL, so the
+    whole banding pipeline — not just the Jaccard kernel — hash-matches a
+    DuckDB oracle; see queries/llm_q.py::dedup_minhash_md5).
     """
     if threshold is not None:
         bands, _ = lsh_banding_config(threshold, num_hashes)
@@ -244,7 +278,7 @@ def minhash_candidate_pairs(
         F.col(id_col).alias("id"),
         shingles(tokens(text_col), n=n).alias("sh"),
     )
-    hashed = sh.select("id", shingle_hashes(F.col("sh")).alias("hs"))
+    hashed = sh.select("id", shingle_hashes(F.col("sh"), hasher).alias("hs"))
     reduced = hashed.filter(F.size("hs") > 0).select(
         "id",
         F.transform("hs", lambda h: F.pmod(h, F.lit(_MERSENNE))).alias("hr"),
@@ -258,21 +292,22 @@ def minhash_candidate_pairs(
         ))).alias("__r")
     ).select(F.col("__r.id").alias("id"), F.col("__r.sig").alias("sig"))
 
+    def band_hash(b: int) -> Column:
+        joined = F.array_join(
+            F.transform(
+                F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        )
+        if hasher == "md5":
+            return F.md5(joined.cast("binary"))
+        return F.xxhash64(joined).cast("string")
+
     banded = sig.select(
         "id", "sig",
         F.posexplode(
-            F.array(*[
-                F.xxhash64(
-                    F.array_join(
-                        F.transform(
-                            F.slice("sig", b * rows_per_band + 1, rows_per_band),
-                            lambda x: x.cast("string"),
-                        ),
-                        ",",
-                    )
-                )
-                for b in range(bands)
-            ])
+            F.array(*[band_hash(b) for b in range(bands)])
         ).alias("band", "band_hash"),
     )
     # pair WITHIN buckets instead of a banded self-join: one groupBy shuffle,

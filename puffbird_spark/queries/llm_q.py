@@ -60,6 +60,122 @@ def dedup_minhash_lsh(spark, sf_dir):
     ).filter(F.col("est_jaccard") >= 0.4)
 
 
+def _minhash_md5_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    """DuckDB twin of the FULL MinHash-LSH banding pipeline with the md5
+    hasher: shingle -> 60-bit md5 hash -> mod-p permutations (identical
+    (a, b) literals, seed 42) -> band md5 -> bucket pairs -> signature
+    match fraction. Every stage is plain SQL, so banding itself — not just
+    the Jaccard verification kernel — gets a hash-matched oracle row."""
+    from ..operators.dedup import _MERSENNE, _perm_params
+
+    rpb = num_hashes // bands
+    mins = ",\n          ".join(
+        f"list_min(list_transform(hr, r -> (r * {a} + {b}) % {_MERSENNE}))"
+        for a, b in _perm_params(num_hashes)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_sort(list_distinct(
+                     [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                      FOR i IN range(1, len(toks) - 1)]))
+              ELSE [] END AS sh
+       FROM t),
+hr AS (SELECT doc_id,
+         list_transform(sh, s ->
+           ('0x' || substr(md5(s), 1, 15))::BIGINT % {_MERSENNE}) AS hr
+       FROM sh WHERE len(sh) > 0),
+sig AS (SELECT doc_id,
+         [{mins}] AS sig
+        FROM hr),
+banded AS (
+  SELECT doc_id, sig, b.band,
+         md5(array_to_string(list_transform(
+             list_slice(sig, b.band * {rpb} + 1, b.band * {rpb} + {rpb}),
+             x -> CAST(x AS VARCHAR)), ',')) AS band_hash
+  FROM sig, (SELECT unnest(range(0, {bands})) AS band) b),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+         a.sig AS sig_a, c.sig AS sig_b
+  FROM banded a JOIN banded c
+    ON a.band = c.band AND a.band_hash = c.band_hash AND a.doc_id < c.doc_id)
+SELECT id_a, id_b,
+  round(CAST(len(list_filter(range(1, {num_hashes} + 1),
+                             i -> sig_a[i] = sig_b[i])) AS DOUBLE)
+        / {num_hashes}, 6) AS est_jaccard
+FROM pairs
+WHERE round(CAST(len(list_filter(range(1, {num_hashes} + 1),
+                                 i -> sig_a[i] = sig_b[i])) AS DOUBLE)
+            / {num_hashes}, 6) >= 0.4
+"""
+
+
+@query("dedup_minhash_md5", oracle=_minhash_md5_oracle())
+def dedup_minhash_md5(spark, sf_dir):
+    """MinHash-LSH with the engine-portable md5 hasher (16 hashes, 4
+    bands): the same banding plan as dedup_minhash_lsh but every hash
+    primitive has a DuckDB twin, so the whole pipeline hash-matches."""
+    docs = load(spark, sf_dir, "documents")
+    return DD.minhash_candidate_pairs(
+        docs, "text", "doc_id", num_hashes=16, bands=4, n=3, hasher="md5"
+    ).filter(F.col("est_jaccard") >= 0.4)
+
+
+@query("dedup_ngram_jaccard", oracle="""
+WITH s AS (SELECT doc_id,
+         CASE WHEN length(text) >= 5
+              THEN list_sort(list_distinct(
+                     [substr(text, i, 5) FOR i IN range(1, length(text) - 3)]))
+              ELSE [] END AS sh
+       FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+    AS jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.5
+""")
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Character-5-gram Jaccard near-dup pairs (threshold 0.5) —
+    language-agnostic dedup signal, robust where whitespace tokenization
+    is meaningless (CJK, code). Exact all-pairs kernel, oracle-checked."""
+    docs = load(spark, sf_dir, "documents")
+    return DD.jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.5, n=5, kind="char"
+    )
+
+
+@query("text_shingle_hash", oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id,
+        CASE WHEN len(toks) >= 3
+             THEN list_sort(list_distinct(
+                    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                     FOR i IN range(1, len(toks) - 1)]))
+             ELSE [] END AS sh
+      FROM t)
+SELECT doc_id, unnest(list_transform(sh, x -> md5(x))) AS shingle_md5
+FROM s
+""")
+def text_shingle_hash(spark, sf_dir):
+    """Exploded per-shingle md5 — the materialized signature input shared
+    by the dedup family, hash-matched shingle-by-shingle."""
+    from ..functions.text import shingles, tokens
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                shingles(tokens("text"), n=3),
+                lambda s: F.md5(s.cast("binary")),
+            )
+        ).alias("shingle_md5"),
+    )
+
+
 @query("dedup_simhash")  # rows-only: xxhash64 has no DuckDB twin
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs, Hamming <= 6; 7-segment pigeonhole buckets
@@ -105,6 +221,29 @@ def knn_ivf(spark, sf_dir):
     return ivf_topk(
         emb, emb.filter(F.col("vec_id") < 10), dim=64, id_col="vec_id",
         vec_col="embedding", k=5, n_centroids=16, nprobe=4, sample_size=1024,
+    )
+
+
+@query("knn_ivf_exact", oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < 10)
+SELECT q.vec_id AS query_id, e.vec_id AS cand_id,
+  round(list_dot_product(q.v, e.v)
+        / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))),
+        6) AS cosine
+FROM q JOIN e ON e.vec_id != q.vec_id
+QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY cosine DESC, e.vec_id) <= 5
+""")
+def knn_ivf_exact(spark, sf_dir):
+    """IVF with nprobe == n_centroids: every cell is probed, so the
+    quantizer/cell-assignment/probe machinery must reproduce brute-force
+    cosine EXACTLY — a hash-matched gate for the whole IVF path (the
+    approximate-recall variant knn_ivf stays rows-only by design)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), dim=64, id_col="vec_id",
+        vec_col="embedding", k=5, n_centroids=8, nprobe=8, sample_size=1024,
     )
 
 
@@ -176,9 +315,24 @@ def text_langid(spark, sf_dir):
     )
 
 
-@query("text_quality")  # rows-only: thresholds are ours, logic tested in unit tests
+@query("text_quality", oracle="""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id, length(text) AS nc, len(toks) AS nt,
+        CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks) AS ml,
+        len(list_filter(toks, x -> list_contains(
+            ['the','a','of','and','to','is','in'], x))) AS sw
+      FROM t)
+SELECT doc_id,
+  (CASE WHEN nc BETWEEN 100 AND 20000 THEN 0.25 ELSE 0.0 END
+ + CASE WHEN nt BETWEEN 20 AND 5000 THEN 0.25 ELSE 0.0 END
+ + CASE WHEN ml >= 2.0 AND ml <= 12.0 THEN 0.25 ELSE 0.0 END
+ + CASE WHEN sw > 0 THEN 0.25 ELSE 0.0 END) AS quality
+FROM s
+""")
 def text_quality(spark, sf_dir):
-    """Composite quality score for pretraining filtering."""
+    """Composite quality score for pretraining filtering. The score is
+    closed-form arithmetic over exact integer counts (mean token length is
+    the one exact-division double), so the DuckDB twin hash-matches."""
     docs = load(spark, sf_dir, "documents")
     toks = TXT.tokens("text")
     return docs.select(

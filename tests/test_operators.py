@@ -90,6 +90,44 @@ def test_minhash_lsh_finds_exact_and_near_dups(dup_docs):
     assert (3, 4) not in got  # unrelated docs share no shingle
 
 
+def test_minhash_md5_hasher_matches_xxhash_semantics(dup_docs):
+    """The md5 hasher changes the hash primitive, not the semantics:
+    exact dups still estimate 1.0, near dups land in (0,1), unrelated
+    docs never pair. Invalid hasher names fail loudly."""
+    pairs = DD.minhash_candidate_pairs(
+        dup_docs, "text", "doc_id", num_hashes=16, bands=16, n=3,
+        hasher="md5",
+    )
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs.collect()}
+    assert got.get((0, 1)) == 1.0
+    assert (0, 2) in got and 0.0 < got[(0, 2)] < 1.0
+    assert (3, 4) not in got
+    with pytest.raises(ValueError, match="hasher"):
+        DD.shingle_hashes(F.col("x"), hasher="sha9000")
+
+
+def test_char_jaccard_pairs(dup_docs):
+    """Char-5-gram kind: exact dup = 1.0; short-text edge yields empty
+    shingles (no crash, no pair)."""
+    out = DD.jaccard_pairs(dup_docs, "text", "doc_id", threshold=0.5,
+                           n=5, kind="char")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    assert got[(0, 1)] == 1.0
+    assert (0, 2) in got
+    with pytest.raises(ValueError, match="kind"):
+        DD.jaccard_pairs(dup_docs, "text", "doc_id", kind="byte")
+
+
+def test_char_shingles_short_text(spark):
+    from puffbird_spark.functions.text import char_shingles
+
+    df = spark.createDataFrame([("abc",), ("abcdef",)], ["t"])
+    got = {r["t"]: r["sh"] for r in
+           df.select("t", char_shingles("t", n=5).alias("sh")).collect()}
+    assert got["abc"] == []
+    assert got["abcdef"] == ["abcde", "bcdef"]
+
+
 def test_simhash_pairs(dup_docs):
     out = DD.simhash_pairs(dup_docs, "text", "doc_id", max_hamming=10)
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
