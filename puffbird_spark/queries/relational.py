@@ -403,3 +403,111 @@ def dedup_first_per_key(spark, sf_dir):
         .filter(F.col("__rn") == 1)
         .select("c_nationkey", "c_mktsegment", "c_custkey", "c_name")
     )
+
+
+# --------------------------------------------------------------------- #
+# round-2: grouping sets, right/full outer, salted skew aggregation
+# --------------------------------------------------------------------- #
+
+
+@query("agg_grouping_sets", oracle="""
+SELECT l_returnflag, l_linestatus,
+  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+  CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""")
+def agg_grouping_sets(spark, sf_dir):
+    """Native DataFrame GROUPING SETS (one shuffle with an Expand, NOT a
+    union of per-set aggregations — a union would scan the fact table once
+    per set)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag", "l_linestatus",
+    ).agg(
+        F.grouping("l_returnflag").cast("int").alias("g_rf"),
+        F.grouping("l_linestatus").cast("int").alias("g_ls"),
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query("join_right_full", oracle="""
+WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 900),
+oagg AS (SELECT o_custkey, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+         FROM orders WHERE o_custkey >= 100 GROUP BY o_custkey)
+SELECT 'right' AS join_kind, c.c_custkey AS custkey, c.c_name,
+       oagg.n_orders, oagg.sum_price,
+       (oagg.o_custkey IS NOT NULL) AS matched
+FROM oagg RIGHT JOIN c ON oagg.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'full', coalesce(c.c_custkey, oagg.o_custkey), c.c_name,
+       oagg.n_orders, oagg.sum_price,
+       (c.c_custkey IS NOT NULL AND oagg.o_custkey IS NOT NULL)
+FROM oagg FULL JOIN c ON oagg.o_custkey = c.c_custkey
+""")
+def join_right_full(spark, sf_dir):
+    """Right and full outer joins with BOTH sides carrying unmatched rows
+    (each side range-filtered differently), so every null-extension path
+    is exercised and hash-checked."""
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") <= 900
+    ).select("c_custkey", "c_name")
+    oagg = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") >= 100)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec("o_totalprice", 14)).cast("double").alias("sum_price"),
+        )
+    )
+    cond = oagg.o_custkey == cust.c_custkey
+    right = oagg.join(cust, cond, "right").select(
+        F.lit("right").alias("join_kind"),
+        F.col("c_custkey").alias("custkey"),
+        "c_name", "n_orders", "sum_price",
+        F.col("o_custkey").isNotNull().alias("matched"),
+    )
+    full = oagg.join(cust, cond, "full").select(
+        F.lit("full").alias("join_kind"),
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "c_name", "n_orders", "sum_price",
+        (F.col("c_custkey").isNotNull()
+         & F.col("o_custkey").isNotNull()).alias("matched"),
+    )
+    return right.unionAll(full)
+
+
+@query("agg_skew_salted", oracle="""
+SELECT l_returnflag, COUNT(*) AS n,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  MAX(l_extendedprice) AS max_price
+FROM lineitem GROUP BY l_returnflag
+""")
+def agg_skew_salted(spark, sf_dir):
+    """Two-phase salted aggregation over a genuinely skewed key (3 return
+    flags for the whole fact table — one reducer per flag without salting).
+    Result must EQUAL the plain groupBy: the oracle is the unsalted SQL,
+    so the partial/merge decomposition is hash-checked."""
+    from ..operators.skew import salted_agg
+
+    li = load(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li, ["l_returnflag"],
+        {
+            "n": (lambda: F.count(F.lit(1)), lambda c: F.sum(c)),
+            "sum_qty": (lambda: F.sum(dec("l_quantity")), lambda c: F.sum(c)),
+            "max_price": (lambda: F.max("l_extendedprice"), lambda c: F.max(c)),
+        },
+        salt_buckets=16,
+    )
+    return out.select(
+        "l_returnflag", "n",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        "max_price",
+    )

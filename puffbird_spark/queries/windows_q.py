@@ -148,3 +148,25 @@ def window_range_frame(spark, sf_dir):
         "o_orderkey", "o_custkey",
         F.count(F.lit(1)).over(w).alias("n_90d"),
     )
+
+
+@query("window_ntile_cume", oracle="""
+SELECT l_suppkey, l_orderkey, l_linenumber,
+  CAST(ntile(7) OVER w AS BIGINT) AS tile7,
+  nth_value(l_extendedprice, 2) OVER w AS second_price,
+  cume_dist() OVER w AS cdist
+FROM lineitem
+WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber)
+""")
+def window_ntile_cume(spark, sf_dir):
+    """ntile + nth_value + cume_dist per supplier over the fact table.
+    nth_value honors the default running frame on both engines (NULL until
+    the 2nd row enters); the ordering is unique so frames agree exactly."""
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy("l_orderkey", "l_linenumber")
+    return li.select(
+        "l_suppkey", "l_orderkey", "l_linenumber",
+        F.ntile(7).over(w).cast("long").alias("tile7"),
+        F.nth_value("l_extendedprice", 2).over(w).alias("second_price"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
