@@ -1,0 +1,93 @@
+"""Sessionization (gaps-and-islands) as a batch DataFrame operator.
+
+The streaming sibling is ``F.session_window`` / ``applyInPandasWithState``
+(puffbird_spark/streaming/); this operator assigns explicit per-key session
+ids in batch, which the window-function version can do in ONE shuffle:
+both window passes (the lag-gap flag and the running session counter) share
+the same ``partitionBy(keys)`` sort order, so Catalyst plans a single
+Exchange + Sort and evaluates both Window operators over it — no second
+shuffle at any scale.
+
+Session semantics match Spark's session_window: a session closes after
+``gap`` of inactivity; session_end = last event + gap. All time arithmetic
+is interval-based, so TIMESTAMP and TIMESTAMP_NTZ columns both work (NTZ
+cannot be cast to epoch numerics in Spark 4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    gap_seconds: int,
+    order_tiebreak: list[str] | None = None,
+    session_col: str = "session_seq",
+) -> DataFrame:
+    """Assign a per-key session sequence number (1-based, in time order).
+
+    ``order_tiebreak``: extra ordering columns making the per-key sort
+    unique (required for deterministic lag on equal timestamps — pass the
+    event's unique id).
+    """
+    order = [F.col(ts_col), *map(F.col, order_tiebreak or [])]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    prev_ts = F.lag(ts_col).over(w)
+    gap = F.expr(f"INTERVAL {int(gap_seconds)} SECOND")
+    new_session = (
+        prev_ts.isNull() | (F.col(ts_col) - prev_ts > gap)
+    ).cast("int")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(
+        session_col, F.sum(new_session).over(w_run).cast("long")
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    gap_seconds: int,
+    order_tiebreak: list[str] | None = None,
+    extra_aggs: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Per-session summary: start, end (last event + gap, matching
+    ``F.session_window``), event count, active duration (last - first,
+    whole seconds). One shuffle total (see module docstring), then a
+    partial-aggregating groupBy on (keys, session_seq) — at scale the
+    groupBy reuses the window's hash partitioning on ``keys``, so no
+    further exchange of the full table."""
+    sess = sessionize(df, ts_col, keys, gap_seconds, order_tiebreak)
+    aggs = [
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("__last_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+    ]
+    for name, expr in (extra_aggs or {}).items():
+        aggs.append(expr.alias(name))
+    extra_names = list((extra_aggs or {}).keys())
+    return (
+        sess.groupBy(*keys, "session_seq")
+        .agg(*aggs)
+        .select(
+            *keys, "session_seq", "session_start",
+            (F.col("__last_ts")
+             + F.expr(f"INTERVAL {int(gap_seconds)} SECOND"))
+            .alias("session_end"),
+            "n_events",
+            # elapsed whole seconds via epoch-microsecond difference —
+            # engine-portable (boundary-crossing date_diff semantics are
+            # not); NTZ needs the cast hop, exact under the UTC session tz
+            F.expr(
+                "(unix_micros(cast(__last_ts as timestamp))"
+                " - unix_micros(cast(session_start as timestamp)))"
+                " div 1000000"
+            ).cast("long").alias("duration_sec"),
+            *extra_names,
+        )
+    )

@@ -148,3 +148,74 @@ def stream_static_join(spark, sf_dir):
     return ev.join(cust, ev.user_id == cust.c_custkey).select(
         "event_id", "user_id", "c_name", "c_mktsegment"
     )
+
+
+@query("sessionize_events", oracle="""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+         OR ts - lag(ts) OVER w > INTERVAL '15 minutes' THEN 1 ELSE 0 END AS ns
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, ts, value,
+    CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS session_seq
+  FROM flagged)
+SELECT user_id, session_seq, MIN(ts) AS session_start,
+  MAX(ts) + INTERVAL '15 minutes' AS session_end,
+  COUNT(*) AS n_events,
+  CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS BIGINT)
+    AS duration_sec,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM sess GROUP BY user_id, session_seq
+""")
+def sessionize_events(spark, sf_dir):
+    """Explicit gaps-and-islands sessionization (operators/sessionize.py):
+    per-user session ids in ONE shuffle (both window passes share the
+    partitionBy sort). Unlike stream_session's session_window this exposes
+    the session id, so downstream joins/labels can reference it."""
+    from ..operators.sessionize import session_stats
+
+    ev = load(spark, sf_dir, "events")
+    return session_stats(
+        ev, "ts", ["user_id"], gap_seconds=900,
+        order_tiebreak=["event_id"],
+        extra_aggs={"sum_value": F.sum(dec("value")).cast("double")},
+    )
+
+
+@query("stream_late_data", oracle="""
+WITH m AS (SELECT max(ts) AS max_ts FROM events)
+SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start,
+  COUNT(*) AS n_total,
+  CAST(SUM(CASE WHEN ts < max_ts - INTERVAL '30 minutes'
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+  CAST(SUM(CASE WHEN ts >= max_ts - INTERVAL '30 minutes'
+                THEN CAST(value AS DECIMAL(12,2))
+                ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+    AS sum_value_ontime
+FROM events, m GROUP BY 1
+""")
+def stream_late_data(spark, sf_dir):
+    """Batch twin of watermark late-data handling: the final watermark is
+    max(event time) - 30min (a 1-row broadcast, no extra shuffle of the
+    fact side); per 10-minute window, count events the watermark would
+    have dropped and aggregate only the on-time ones — exactly what the
+    streaming job's state store retains."""
+    ev = load(spark, sf_dir, "events")
+    wm = ev.agg(F.max("ts").alias("max_ts"))
+    late = F.col("ts") < F.col("max_ts") - F.expr("INTERVAL 30 MINUTES")
+    zero = F.lit(0).cast("decimal(12,2)")
+    return (
+        ev.crossJoin(F.broadcast(wm))
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(late.cast("int")).cast("long").alias("n_late"),
+            F.sum(F.when(~late, dec("value")).otherwise(zero))
+            .cast("double").alias("sum_value_ontime"),
+        )
+        .select(F.col("w.start").alias("win_start"),
+                "n_total", "n_late", "sum_value_ontime")
+    )

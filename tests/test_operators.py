@@ -433,3 +433,48 @@ def test_asof_tiebreak_string_and_invalid(spark):
     bad = right.withColumn("tag", F.array(F.lit(1)))
     with pytest.raises(PuffbirdSparkError, match="non-orderable"):
         asof_join(left, bad, ["k"], "ts", "rts", tiebreak="tag")
+
+
+# ------------------------------------------------------------------ #
+# sessionization (gaps-and-islands)
+# ------------------------------------------------------------------ #
+
+def test_sessionize_gaps_and_islands(spark):
+    import datetime as dt
+
+    from puffbird_spark.operators.sessionize import session_stats, sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # user 1: two sessions (gap of 20 min between event 2 and 3)
+        (1, 1, t0),
+        (2, 1, t0 + dt.timedelta(minutes=5)),
+        (3, 1, t0 + dt.timedelta(minutes=25, seconds=1)),
+        # user 2: one session, same-ts tie resolved by event_id
+        (4, 2, t0),
+        (5, 2, t0),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
+    out = sessionize(df, "ts", ["user_id"], 900, ["event_id"])
+    got = {r["event_id"]: r["session_seq"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1, 5: 1}
+
+    stats = session_stats(df, "ts", ["user_id"], 900, ["event_id"])
+    by_key = {(r["user_id"], r["session_seq"]): r for r in stats.collect()}
+    s11 = by_key[(1, 1)]
+    assert s11["n_events"] == 2 and s11["duration_sec"] == 300
+    assert s11["session_end"] == t0 + dt.timedelta(minutes=20)
+    assert by_key[(1, 2)]["n_events"] == 1
+    assert by_key[(2, 1)]["n_events"] == 2
+
+
+def test_sessionize_single_shuffle_plan(spark, sf_dir):
+    """The one-shuffle claim: both window passes and the stats groupBy
+    share one Exchange on the session keys."""
+    from puffbird_spark.operators.sessionize import session_stats
+    from puffbird_spark.plans import count_exchanges
+    from puffbird_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    st = session_stats(ev, "ts", ["user_id"], 900, ["event_id"])
+    assert count_exchanges(st) == 1
