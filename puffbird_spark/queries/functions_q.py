@@ -240,3 +240,116 @@ def text_tokens_bpe(spark, sf_dir):
         F.size(toks).alias("n_bpe_tokens"),
         F.array_join(F.slice(toks, 1, 5), " ").alias("head5"),
     )
+
+
+@query("fn_struct", oracle="""
+SELECT c_custkey,
+  struct_pack(nation := c_nationkey, segment := c_mktsegment,
+              bal := c_acctbal) AS profile,
+  c_nationkey AS nation_again,
+  (c_acctbal > 0) AS positive_bal,
+  struct_pack(lo := least(c_nationkey, 12),
+              hi := greatest(c_nationkey, 12)) AS clamp
+FROM customer
+""")
+def fn_struct(spark, sf_dir):
+    """Struct battery: creation, field re-projection, nested construction
+    — the typed-record surface engines use for multimodal metadata."""
+    cust = load(spark, sf_dir, "customer")
+    profile = F.struct(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    return cust.select(
+        "c_custkey",
+        profile.alias("profile"),
+        profile.getField("nation").alias("nation_again"),
+        (F.col("c_acctbal") > 0).alias("positive_bal"),
+        F.struct(
+            F.least(F.col("c_nationkey"), F.lit(12)).alias("lo"),
+            F.greatest(F.col("c_nationkey"), F.lit(12)).alias("hi"),
+        ).alias("clamp"),
+    )
+
+
+@query("fn_url_mask", oracle="""
+WITH u AS (
+  SELECT doc_id,
+    'https://' || source || '.example.com/docs/' || doc_id
+      || '?lang=' || lang AS url,
+    'user' || doc_id || '@' || source || '.com says ' || substr(text, 1, 20)
+      AS msg
+  FROM documents)
+SELECT doc_id,
+  regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+  regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+  regexp_extract(url, '\\?(.*)$', 1) AS query,
+  regexp_replace(msg, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+',
+                 '<EMAIL>', 'g') AS msg_redacted,
+  regexp_replace(regexp_replace(regexp_replace(
+      msg, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+    AS msg_masked
+FROM u
+""")
+def fn_url_mask(spark, sf_dir):
+    """URL parsing (native parse_url) + PII masking (native mask +
+    regexp email redaction) — the privacy-filtering surface of a training
+    pipeline. URLs/emails are synthesized deterministically from columns;
+    the oracle replays parse_url with portable regexes."""
+    docs = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id"), F.lit("?lang="), F.col("lang"),
+    )
+    msg = F.concat(
+        F.lit("user"), F.col("doc_id"), F.lit("@"), F.col("source"),
+        F.lit(".com says "), F.substring("text", 1, 20),
+    )
+    u = docs.select("doc_id", url.alias("url"), msg.alias("msg"))
+    return u.select(
+        "doc_id",
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY")).alias("query"),
+        F.regexp_replace(
+            F.col("msg"), r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"
+        ).alias("msg_redacted"),
+        F.mask(F.col("msg")).alias("msg_masked"),
+    )
+
+
+@query("fn_array_hof", oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT vec_id,
+  round(list_aggregate(v, 'sum'), 6) AS v_sum,
+  CAST(len(list_filter(v, x -> x > 0)) AS INT) AS n_pos,
+  (len(list_filter(v, x -> x > 0.5)) > 0) AS has_big,
+  round(v[1] + v[len(v)], 6) AS ends_sum,
+  list_transform(list_slice(list_reverse_sort(v), 1, 3),
+                 x -> round(x, 6)) AS top3
+FROM e
+""")
+def fn_array_hof(spark, sf_dir):
+    """Higher-order array functions (transform/filter/exists/aggregate/
+    zip_with/sort/slice) — the JVM-side vector toolkit every embedding
+    kernel here builds on, hash-checked elementwise."""
+    from ..functions.vectors import as_double
+
+    emb = load(spark, sf_dir, "embeddings")
+    v = as_double("embedding")
+    return emb.select(
+        "vec_id",
+        F.round(
+            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("v_sum"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_pos"),
+        F.exists(v, lambda x: x > 0.5).alias("has_big"),
+        F.round(
+            F.zip_with(v, F.reverse(v), lambda x, y: x + y).getItem(0), 6
+        ).alias("ends_sum"),
+        F.transform(
+            F.slice(F.sort_array(v, asc=False), 1, 3),
+            lambda x: F.round(x, 6),
+        ).alias("top3"),
+    )
