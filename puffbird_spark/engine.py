@@ -728,24 +728,18 @@ class FrameEngine:
     #: without an explicit override
     XARRAY_MAX_ROWS = 100_000
 
-    def to_xarray(self, values: str | list[str], *dims: str,
-                  allow_large: bool = False):
-        """Driver-side dense-tensor bridge for ``multid_pivot`` output
-        (reference returns xarray, frame.py:1070-1075).
+    def to_xarray_frame(self, values: str | list[str], *dims: str,
+                        allow_large: bool = False) -> DataFrame:
+        """The distributed half of :meth:`to_xarray`: the exact-mean
+        aggregate plus the size guard, WITHOUT the driver-side collect.
+        Returned as a DataFrame so it can feed a sink (or the correctness
+        gate) directly; ``to_xarray`` collects it into a dense tensor.
 
-        Guarded: requires xarray, and refuses to ``toPandas()`` an aggregate
-        larger than ``XARRAY_MAX_ROWS`` unless ``allow_large=True`` — the
-        dense tensor lives on the driver, so an unbounded collect is an OOM
-        footgun at scale. Uses the same exact-decimal mean as
-        ``multid_pivot`` (float-determinism policy).
+        Refuses to certify an aggregate larger than ``XARRAY_MAX_ROWS``
+        unless ``allow_large=True`` — the dense tensor lives on the driver,
+        so an unbounded collect is an OOM footgun at scale. Uses the same
+        exact-decimal mean as ``multid_pivot`` (float-determinism policy).
         """
-        try:
-            import xarray as xr  # noqa: F401
-        except ImportError as e:  # pragma: no cover
-            raise PuffbirdSparkError(
-                "xarray is not installed; multid_pivot() returns the "
-                "aggregated DataFrame instead"
-            ) from e
         if isinstance(values, str):
             values = [values]
         agg = self._df.groupBy(*dims).agg(
@@ -761,6 +755,24 @@ class FrameEngine:
                     f"aggregated rows to the driver; pass allow_large=True "
                     f"to override, or reduce the dims' cardinality"
                 )
+        return agg
+
+    def to_xarray(self, values: str | list[str], *dims: str,
+                  allow_large: bool = False):
+        """Driver-side dense-tensor bridge for ``multid_pivot`` output
+        (reference returns xarray, frame.py:1070-1075). Guard + aggregate
+        live in :meth:`to_xarray_frame`; this adds only the collect and
+        the xarray conversion."""
+        try:
+            import xarray as xr  # noqa: F401
+        except ImportError as e:  # pragma: no cover
+            raise PuffbirdSparkError(
+                "xarray is not installed; to_xarray_frame() returns the "
+                "aggregated DataFrame instead"
+            ) from e
+        if isinstance(values, str):
+            values = [values]
+        agg = self.to_xarray_frame(values, *dims, allow_large=allow_large)
         pdf = agg.toPandas().set_index(list(dims))
         ds = pdf.to_xarray()
         if len(values) == 1:

@@ -200,3 +200,46 @@ def engine_to_long_fused(spark, sf_dir):
     )
     eng = FrameEngine(nested, indexcols=["l_orderkey"], validate=False)
     return eng.to_long("l_quantity", "l_extendedprice", strategy="fused")
+
+
+@query("multimodal_meta", oracle="""
+SELECT CAST(doc_id AS VARCHAR) AS path,
+  CAST(strlen(text) AS BIGINT) AS size_bytes,
+  md5(text) AS digest,
+  CAST(strlen(text) AS BIGINT) AS meta_size
+FROM documents
+""")
+def multimodal_meta(spark, sf_dir):
+    """Multimodal plumbing in the gate: an opaque binary column (utf-8
+    document bytes standing in for media blobs) flows through
+    with_media_meta and the Arrow-batched mapInPandas decode stage;
+    byte length and md5 digest are hash-checked against DuckDB (the
+    feature kernel itself is a deterministic stub, unit-tested)."""
+    from ..operators.multimodal import decode_features, with_media_meta
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("path"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    meta = with_media_meta(docs, media_type="text", fmt="utf8")
+    decoded = decode_features(meta)
+    sizes = meta.select("path", F.col("meta.size_bytes").alias("meta_size"))
+    return (
+        decoded.join(sizes, on="path")
+        .select("path", "size_bytes", "digest", "meta_size")
+    )
+
+
+@query("to_xarray_guarded", oracle="""
+SELECT c_nationkey, c_mktsegment,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(c_acctbal)
+    AS c_acctbal
+FROM customer GROUP BY c_nationkey, c_mktsegment
+""")
+def to_xarray_guarded(spark, sf_dir):
+    """The distributed half of the xarray bridge (exact-decimal mean over
+    the dim grid + the driver-OOM size guard — the guard's bounded count
+    RUNS in this gate); only the final collect/convert is driver-side."""
+    cust = load(spark, sf_dir, "customer")
+    eng = FrameEngine(cust, indexcols=["c_custkey"], validate=False)
+    return eng.to_xarray_frame("c_acctbal", "c_nationkey", "c_mktsegment")
