@@ -47,6 +47,10 @@ BENCH_QUERIES = [
     "knn_cosine",
     "text_stats",
     "fn_json",
+    # round-2 additions: scale-designed operators, one per new family
+    "sessionize_events",
+    "agg_grouping_sets",
+    "agg_skew_salted",
 ]
 
 
