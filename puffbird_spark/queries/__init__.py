@@ -39,6 +39,8 @@ _VERIFY_FIRST = [
     "fn_struct", "fn_url_mask", "join_right_full", "agg_skew_salted",
     "sessionize_events", "text_shingle_hash", "fn_array_hof",
     "stream_late_data", "multimodal_meta", "to_xarray_guarded",
+    "explode_inline_stack", "explode_inline", "set_union_by_name",
+    "mem_rows_table", "scan_parquet_partitioned", "udf_udtf",
 ]
 
 

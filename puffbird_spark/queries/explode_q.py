@@ -151,3 +151,53 @@ def multid_pivot_acctbal(spark, sf_dir):
     )
     eng = FrameEngine(joined, indexcols=[], validate=False)
     return eng.multid_pivot("bal", "n_name", "c_mktsegment")
+
+
+@query("explode_inline_stack", oracle="""
+WITH li AS (
+  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+  FROM lineitem WHERE l_orderkey <= 2000)
+SELECT l_orderkey, l_linenumber, 'qty' AS metric,
+       CAST(l_quantity AS DOUBLE) AS val
+FROM li
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM li
+""")
+def explode_inline_stack(spark, sf_dir):
+    """stack(): widen-to-rows without a shuffle (the generator sibling of
+    unpivot) — 2 metric rows per lineitem, pipelined in codegen."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") <= 2000
+    ).select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_quantity").cast("double").alias("q"),
+        F.col("l_extendedprice").alias("p"),
+    )
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.expr("stack(2, 'qty', q, 'price', p)").alias("metric", "val"),
+    )
+
+
+@query("explode_inline", oracle="""
+WITH n AS (
+  SELECT l_orderkey,
+         list(struct_pack(ln := l_linenumber, qty := l_quantity)
+              ORDER BY l_linenumber) AS items
+  FROM lineitem GROUP BY l_orderkey)
+SELECT l_orderkey, unnest(items, recursive := true)
+FROM n
+""")
+def explode_inline(spark, sf_dir):
+    """inline(): explode an array<struct> into columns directly — the
+    one-step form of expand_col's posexplode + star-expansion."""
+    li = load(spark, sf_dir, "lineitem")
+    nested = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(F.struct(
+                F.col("l_linenumber").alias("ln"),
+                F.col("l_quantity").alias("qty"),
+            ))
+        ).alias("items")
+    )
+    return nested.select("l_orderkey", F.inline("items"))

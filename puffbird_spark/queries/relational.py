@@ -511,3 +511,64 @@ def agg_skew_salted(spark, sf_dir):
         F.col("sum_qty").cast("double").alias("sum_qty"),
         "max_price",
     )
+
+
+@query("set_union_by_name", oracle="""
+SELECT c_custkey AS id, c_acctbal AS bal, 'cust' AS src FROM customer
+UNION ALL
+SELECT s_suppkey, s_acctbal, 'supp' FROM supplier
+UNION ALL
+SELECT p_partkey, NULL, 'part' FROM part
+""")
+def set_union_by_name(spark, sf_dir):
+    """unionByName: position-independent union (+ allowMissingColumns
+    null-filling) — schema drift across sources resolved by NAME, the
+    thing positional UNION silently gets wrong."""
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_acctbal").alias("bal"),
+        F.lit("cust").alias("src"),
+    )
+    # deliberately different column ORDER: unionByName must realign
+    supp = load(spark, sf_dir, "supplier").select(
+        F.lit("supp").alias("src"),
+        F.col("s_acctbal").alias("bal"),
+        F.col("s_suppkey").alias("id"),
+    )
+    # deliberately missing column: allowMissingColumns null-fills
+    part = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"),
+        F.lit("part").alias("src"),
+    )
+    return cust.unionByName(supp).unionByName(
+        part, allowMissingColumns=True
+    )
+
+
+@query("mem_rows_table", oracle="""
+WITH tiers(c_mktsegment, tier) AS (VALUES
+  ('AUTOMOBILE', 1), ('BUILDING', 2), ('FURNITURE', 3),
+  ('HOUSEHOLD', 4), ('MACHINERY', 5))
+SELECT t.tier, COUNT(*) AS n,
+  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+FROM customer c JOIN tiers t USING (c_mktsegment)
+GROUP BY t.tier
+""")
+def mem_rows_table(spark, sf_dir):
+    """In-memory rows -> table (createDataFrame) joined against a parquet
+    fact — the literal-dimension pattern (broadcast by Catalyst: the local
+    relation has known tiny stats)."""
+    tiers = spark.createDataFrame(
+        [("AUTOMOBILE", 1), ("BUILDING", 2), ("FURNITURE", 3),
+         ("HOUSEHOLD", 4), ("MACHINERY", 5)],
+        ["c_mktsegment", "tier"],
+    )
+    cust = load(spark, sf_dir, "customer")
+    return (
+        cust.join(F.broadcast(tiers), "c_mktsegment")
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("c_acctbal")).cast("double").alias("sum_bal"),
+        )
+    )

@@ -243,3 +243,27 @@ def to_xarray_guarded(spark, sf_dir):
     cust = load(spark, sf_dir, "customer")
     eng = FrameEngine(cust, indexcols=["c_custkey"], validate=False)
     return eng.to_xarray_frame("c_acctbal", "c_nationkey", "c_mktsegment")
+
+
+@query("scan_parquet_partitioned", oracle="""
+SELECT c_mktsegment, c_nationkey, COUNT(*) AS n,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+FROM customer GROUP BY c_mktsegment, c_nationkey
+""")
+def scan_parquet_partitioned(spark, sf_dir):
+    """Hive-partitioned parquet sink + scan round-trip: write customer
+    partitioned by segment, read it back, aggregate per (partition col,
+    data col) — any partition-encoding or pruning bug breaks the hash.
+    The filter-less read still exercises partition-column reconstruction
+    (segment comes from directory names, not file data)."""
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    path = f"/tmp/pbs_fmt{tag}/customer_part_parquet"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        load(spark, sf_dir, "customer").write.mode("overwrite").partitionBy(
+            "c_mktsegment"
+        ).parquet(path)
+    df = spark.read.parquet(path)
+    return df.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("c_acctbal")).cast("double").alias("sum_bal"),
+    )

@@ -99,3 +99,34 @@ def variant_props(spark, sf_dir):
     ev = load(spark, sf_dir, "events").select("event_id", "props")
     out, _ = explode_variant(ev, ["event_id"], "props", max_depth=1)
     return out
+
+
+@query("udf_udtf", oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents WHERE doc_id < 50)
+SELECT doc_id,
+  CAST(unnest(range(0, len(toks))) AS INT) AS pos,
+  unnest(toks) AS token,
+  CAST(unnest(list_transform(toks, x -> length(x))) AS INT) AS token_len
+FROM t
+""")
+def udf_udtf(spark, sf_dir):
+    """Python UDTF (table function) via LATERAL — the arbitrary-arity
+    row-generator escape hatch. Deliberately bounded input (50 docs): a
+    row-based Python UDTF is the SLOW path; the native twin is
+    explode_tokens. Gate-checked so the UDTF surface has oracle evidence."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string, token_len int")
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate((text or "").split(" ")):
+                yield i, w, len(w)
+
+    spark.udtf.register("pbs_split_words", SplitWords)
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    docs.createOrReplaceTempView("pbs_udtf_docs")
+    return spark.sql("""
+        SELECT d.doc_id, s.pos, s.token, s.token_len
+        FROM pbs_udtf_docs d, LATERAL pbs_split_words(d.text) s
+    """)
