@@ -41,6 +41,7 @@ _VERIFY_FIRST = [
     "stream_late_data", "multimodal_meta", "to_xarray_guarded",
     "explode_inline_stack", "explode_inline", "set_union_by_name",
     "mem_rows_table", "scan_parquet_partitioned", "udf_udtf",
+    "text_tfidf", "text_top_ngrams", "embedding_centroids",
 ]
 
 

@@ -338,3 +338,117 @@ def text_quality(spark, sf_dir):
     return docs.select(
         "doc_id", TXT.quality_score("text", toks).alias("quality")
     )
+
+
+@query("text_tfidf", oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+tf AS (SELECT doc_id, unnest(toks) AS token, len(toks) AS n_toks FROM t),
+cnt AS (SELECT doc_id, token, COUNT(*) AS c, MIN(n_toks) AS n_toks
+        FROM tf GROUP BY doc_id, token),
+df AS (SELECT token, COUNT(DISTINCT doc_id) AS dfreq FROM cnt GROUP BY token),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT cnt.doc_id, cnt.token,
+    round((CAST(cnt.c AS DOUBLE) / cnt.n_toks)
+          * ln(CAST(n.n_docs AS DOUBLE) / df.dfreq), 6) AS tfidf
+  FROM cnt JOIN df USING (token) CROSS JOIN n)
+SELECT doc_id, token, tfidf FROM scored
+QUALIFY row_number() OVER (PARTITION BY doc_id
+                           ORDER BY tfidf DESC, token) <= 3
+""")
+def text_tfidf(spark, sf_dir):
+    """Top-3 TF-IDF terms per document — the classic signal for corpus
+    keyword extraction. Scale shape: one shuffle for per-doc term counts,
+    one SMALL shuffle for document frequencies (vocabulary-sized), then
+    the tiny idf side broadcasts back onto the term counts. No all-pairs
+    anything; both sides of every join are keyed."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(TXT.tokens("text")).alias("token"),
+        TXT.token_count(TXT.tokens("text")).alias("n_toks"),
+    )
+    cnt = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("c"), F.min("n_toks").alias("n_toks")
+    )
+    dfreq = cnt.groupBy("token").agg(
+        F.count_distinct("doc_id").alias("dfreq")
+    )
+    n_docs = docs.count()
+    scored = cnt.join(F.broadcast(dfreq), "token").select(
+        "doc_id", "token",
+        F.round(
+            (F.col("c").cast("double") / F.col("n_toks"))
+            * F.log(F.lit(float(n_docs)) / F.col("dfreq")),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", "tfidf")
+    )
+
+
+@query("text_top_ngrams", oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id,
+        CASE WHEN len(toks) >= 3
+             THEN list_sort(list_distinct(
+                    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                     FOR i IN range(1, len(toks) - 1)]))
+             ELSE [] END AS sh
+      FROM t),
+e AS (SELECT doc_id, unnest(sh) AS ngram FROM s)
+SELECT ngram, COUNT(*) AS n_docs FROM e GROUP BY ngram
+ORDER BY n_docs DESC, ngram LIMIT 20
+""")
+def text_top_ngrams(spark, sf_dir):
+    """Corpus-wide top-20 trigrams by document frequency — boilerplate
+    detection (the shingle whose doc-frequency explodes is the banner
+    every page shares). One shuffle on the ngram key; top-k plans
+    TakeOrderedAndProject, never a global sort."""
+    from ..functions.text import shingles, tokens
+
+    docs = load(spark, sf_dir, "documents")
+    e = docs.select(
+        "doc_id", F.explode(shingles(tokens("text"), n=3)).alias("ngram")
+    )
+    return (
+        e.groupBy("ngram").agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("ngram"))
+        .limit(20)
+    )
+
+
+@query("embedding_centroids", oracle="""
+WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+x AS (SELECT label,
+        CAST(unnest(range(0, len(v))) AS INT) AS pos,
+        unnest(v) AS x
+      FROM e)
+SELECT label, pos,
+  CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS centroid
+FROM x GROUP BY label, pos
+""")
+def embedding_centroids(spark, sf_dir):
+    """Per-label embedding centroid, element-wise — the distributed
+    vector-aggregation shape (class prototypes, IVF retraining).
+    posexplode then ONE shuffle on (label, pos); means use fixed-scale
+    decimal sums so the result is independent of partitioning and
+    aggregation order (the float-determinism policy applied to
+    arbitrary-precision floats: snap to decimal(28,12) first — same
+    deterministic rounding on both engines)."""
+    from ..functions.vectors import as_double
+
+    emb = load(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "label", F.posexplode(as_double("embedding")).alias("pos", "x")
+    )
+    return x.groupBy("label", "pos").agg(
+        (F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+         / F.count(F.lit(1))).alias("centroid")
+    )
