@@ -42,6 +42,7 @@ _VERIFY_FIRST = [
     "explode_inline_stack", "explode_inline", "set_union_by_name",
     "mem_rows_table", "scan_parquet_partitioned", "udf_udtf",
     "text_tfidf", "text_top_ngrams", "embedding_centroids",
+    "stream_foreach_batch",
 ]
 
 

@@ -341,15 +341,15 @@ def text_quality(spark, sf_dir):
 
 
 @query("text_tfidf", oracle="""
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-tf AS (SELECT doc_id, unnest(toks) AS token, len(toks) AS n_toks FROM t),
-cnt AS (SELECT doc_id, token, COUNT(*) AS c, MIN(n_toks) AS n_toks
-        FROM tf GROUP BY doc_id, token),
-df AS (SELECT token, COUNT(DISTINCT doc_id) AS dfreq FROM cnt GROUP BY token),
+WITH tf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents),
+cnt AS (SELECT doc_id, token, COUNT(*) AS c FROM tf GROUP BY doc_id, token),
+df AS (SELECT token, COUNT(*) AS dfreq FROM cnt GROUP BY token),
 n AS (SELECT COUNT(*) AS n_docs FROM documents),
 scored AS (
   SELECT cnt.doc_id, cnt.token,
-    round((CAST(cnt.c AS DOUBLE) / cnt.n_toks)
+    round((CAST(cnt.c AS DOUBLE)
+           / SUM(cnt.c) OVER (PARTITION BY cnt.doc_id))
           * ln(CAST(n.n_docs AS DOUBLE) / df.dfreq), 6) AS tfidf
   FROM cnt JOIN df USING (token) CROSS JOIN n)
 SELECT doc_id, token, tfidf FROM scored
@@ -358,29 +358,25 @@ QUALIFY row_number() OVER (PARTITION BY doc_id
 """)
 def text_tfidf(spark, sf_dir):
     """Top-3 TF-IDF terms per document — the classic signal for corpus
-    keyword extraction. Scale shape: one shuffle for per-doc term counts,
-    one SMALL shuffle for document frequencies (vocabulary-sized), then
-    the tiny idf side broadcasts back onto the term counts. No all-pairs
-    anything; both sides of every join are keyed."""
+    keyword extraction. Scale shape: one shuffle for per-doc term counts;
+    per-doc token totals come from a window over those counts (no second
+    tokenization pass); document frequencies are a vocabulary-sized
+    shuffle whose result broadcasts back. No all-pairs anything."""
     from pyspark.sql.window import Window
 
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
-        "doc_id",
-        F.explode(TXT.tokens("text")).alias("token"),
-        TXT.token_count(TXT.tokens("text")).alias("n_toks"),
+        "doc_id", F.explode(TXT.tokens("text")).alias("token")
     )
-    cnt = toks.groupBy("doc_id", "token").agg(
-        F.count(F.lit(1)).alias("c"), F.min("n_toks").alias("n_toks")
-    )
-    dfreq = cnt.groupBy("token").agg(
-        F.count_distinct("doc_id").alias("dfreq")
-    )
+    cnt = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    # each (doc, token) row is unique, so doc-frequency is a plain count
+    dfreq = cnt.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
     n_docs = docs.count()
+    w_doc = Window.partitionBy("doc_id")
     scored = cnt.join(F.broadcast(dfreq), "token").select(
         "doc_id", "token",
         F.round(
-            (F.col("c").cast("double") / F.col("n_toks"))
+            (F.col("c").cast("double") / F.sum("c").over(w_doc))
             * F.log(F.lit(float(n_docs)) / F.col("dfreq")),
             6,
         ).alias("tfidf"),

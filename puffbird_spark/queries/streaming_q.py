@@ -219,3 +219,58 @@ def stream_late_data(spark, sf_dir):
         .select(F.col("w.start").alias("win_start"),
                 "n_total", "n_late", "sum_value_ontime")
     )
+
+
+@query("stream_foreach_batch", oracle="""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+""")
+def stream_foreach_batch(spark, sf_dir):
+    """TRUE streaming execution inside the gate (not a batch twin): the
+    events table replays through readStream → watermarked tumbling agg →
+    foreachBatch parquet sink (availableNow), and the SINK's contents are
+    what the oracle checks. One staged file = one micro-batch, so update
+    mode emits each window exactly once."""
+    import os
+    import shutil
+
+    from ..sources import normalize_nano_ts
+    from ..streaming import read_parquet_stream, tumbling_agg, write_foreach_batch
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    base = f"/tmp/pbs_stream{tag}"
+    out_dir = f"{base}/out"
+    if not os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        shutil.rmtree(base, ignore_errors=True)
+        in_dir = f"{base}/in"
+        os.makedirs(in_dir)
+        shutil.copy(f"{sf_dir}/events.parquet", f"{in_dir}/events.parquet")
+        raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        stream = normalize_nano_ts(
+            read_parquet_stream(spark, in_dir, raw_schema), ["ts"]
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        agg = tumbling_agg(
+            stream, ts_col="ts", window="1 hour", watermark="2 hours",
+            keys=["event_type"],
+            aggs=[
+                F.count(F.lit(1)).alias("n"),
+                F.sum(dec("value")).cast("double").alias("sum_value"),
+            ],
+        )
+
+        def sink(df, epoch_id):
+            df.write.mode("append").parquet(out_dir)
+
+        q = write_foreach_batch(
+            agg, sink, checkpoint=f"{base}/ckpt", trigger_once=True,
+        ).start()
+        q.awaitTermination(300)
+        # mark completion for idempotent re-runs (parquet append has its
+        # own _SUCCESS per write; one write here)
+    return (
+        spark.read.parquet(out_dir)
+        .withColumn("win_start", F.col("win_start").cast("timestamp_ntz"))
+        .select("win_start", "event_type", "n", "sum_value")
+    )

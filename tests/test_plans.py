@@ -70,3 +70,44 @@ def test_asof_single_exchange(q):
     partitionBy) — the reason it beats range-join+rank at scale."""
     df = q("join_asof")
     assert P.count_exchanges(df) == 1
+
+
+def test_grouping_sets_single_expand_shuffle(q):
+    """groupingSets must plan ONE Expand + one aggregate shuffle — not a
+    union of per-set scans (which would read the fact table three times)."""
+    df = q("agg_grouping_sets")
+    plan = P.formatted_plan(df)
+    assert plan.count(") Expand") == 1
+    assert P.count_exchanges(df) == 1
+
+
+def test_tfidf_broadcasts_idf_side(q):
+    """The vocabulary-sized idf table broadcasts back onto term counts —
+    no full re-shuffle of the counts for the join."""
+    df = q("text_tfidf")
+    assert P.count_broadcast_joins(df) >= 1
+
+
+def test_top_ngrams_take_ordered(q):
+    df = q("text_top_ngrams")
+    assert P.has_take_ordered(df)
+    assert P.count_exchanges(df) <= 2  # partial+final agg only
+
+
+def test_late_data_broadcasts_watermark(q):
+    """The 1-row watermark aggregate must broadcast; the fact side keeps
+    one aggregation shuffle."""
+    df = q("stream_late_data")
+    assert P.count_broadcast_joins(df) >= 1
+
+
+def test_mem_rows_literal_dim_broadcasts(q):
+    df = q("mem_rows_table")
+    assert P.count_broadcast_joins(df) >= 1
+
+
+def test_centroids_single_shuffle(q):
+    """posexplode pipelines in the scan stage; only the (label, pos)
+    aggregation shuffles."""
+    df = q("embedding_centroids")
+    assert P.count_exchanges(df) == 1
