@@ -4,6 +4,7 @@ the QUERIES/ORACLES registries consumed by ``__spark_entry__`` and
 
 from .base import ORACLES, QUERIES, load  # noqa: F401
 from . import (  # noqa: F401,E402
+    engine_q,
     explode_q,
     functions_q,
     llm_q,
@@ -42,7 +43,8 @@ _VERIFY_FIRST = [
     "explode_inline_stack", "explode_inline", "set_union_by_name",
     "mem_rows_table", "scan_parquet_partitioned", "udf_udtf",
     "text_tfidf", "text_top_ngrams", "embedding_centroids",
-    "stream_foreach_batch",
+    "stream_foreach_batch", "engine_col_apply", "engine_apply_rowwise",
+    "engine_project_ops", "engine_puffy_to_long_shortcut", "engine_sanitize",
 ]
 
 
