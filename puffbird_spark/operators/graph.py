@@ -1,0 +1,98 @@
+"""Connected components over candidate-pair edges — the cluster-resolution
+stage of a fuzzy-dedup pipeline (MinHash/SimHash pairs in, one canonical
+cluster id per document out).
+
+Algorithm: iterative min-label propagation. Every vertex starts labeled
+with itself; each round a vertex takes the minimum of its own label and its
+neighbors' labels; at fixpoint the label is the component's minimum vertex
+id. Rounds needed = graph diameter (duplicate clusters are near-cliques, so
+2-3 rounds in practice; ``max_iter`` bounds pathological chains).
+
+Scale design:
+- each round is ONE join (edges ⋈ labels, both keyed) + one groupBy min —
+  no all-pairs step, partitioning stable on the vertex key across rounds;
+- ``localCheckpoint`` after every round truncates the lineage — without it
+  the plan doubles per iteration and the job dies on planning time long
+  before data size matters;
+- convergence is detected with a count of changed labels (one cheap action
+  per round on the already-materialized checkpoint).
+
+(Doubling / star-contraction variants converge in O(log d) rounds; plain
+min-label is the right trade for near-clique dedup graphs.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve undirected edges into components.
+
+    Returns (vertex, component) where ``component`` is the minimum vertex
+    id reachable from ``vertex``. Only vertices that appear in an edge are
+    returned (isolated docs are their own cluster by definition — join
+    back with a coalesce if the full corpus mapping is needed).
+    """
+    edges = (
+        pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("s").alias("v"))
+        .distinct()
+        .withColumn("comp", F.col("v"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.d == labels.v)
+            .groupBy("s")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.v == neighbor_min.s, "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("v").alias("vertex"), F.col("comp").alias("component"))
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Candidate pairs → (doc_id, cluster_id, is_canonical): the keep/drop
+    decision of a fuzzy-dedup pipeline. ``cluster_id`` is the minimum
+    doc id in the component; that doc is the canonical survivor."""
+    comp = connected_components(pairs, id_a, id_b, max_iter)
+    return comp.select(
+        F.col("vertex").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("vertex") == F.col("component")).alias("is_canonical"),
+    )

@@ -43,7 +43,9 @@ _VERIFY_FIRST = [
     "explode_inline_stack", "explode_inline", "set_union_by_name",
     "mem_rows_table", "scan_parquet_partitioned", "udf_udtf",
     "text_tfidf", "text_top_ngrams", "embedding_centroids",
-    "stream_foreach_batch", "engine_col_apply", "engine_apply_rowwise",
+    "stream_foreach_batch", "dedup_clusters", "merge_upsert_customers",
+    "engine_col_apply",
+    "engine_apply_rowwise",
     "engine_project_ops", "engine_puffy_to_long_shortcut", "engine_sanitize",
 ]
 

@@ -448,3 +448,41 @@ def embedding_centroids(spark, sf_dir):
         (F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
          / F.count(F.lit(1))).alias("centroid")
     )
+
+
+@query("dedup_clusters", oracle="""
+WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id,
+        CASE WHEN len(toks) >= 3
+             THEN list_sort(list_distinct(
+                    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                     FOR i IN range(1, len(toks) - 1)]))
+             ELSE [] END AS sh
+      FROM t),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+            >= 0.4),
+edges AS (SELECT id_a AS s, id_b AS d FROM p
+          UNION SELECT id_b, id_a FROM p),
+reach AS (
+  SELECT DISTINCT s AS v, s AS r FROM edges
+  UNION
+  SELECT e.s AS v, reach.r FROM edges e JOIN reach ON e.d = reach.v)
+SELECT v AS doc_id, MIN(r) AS cluster_id,
+       (v = MIN(r)) AS is_canonical
+FROM reach GROUP BY v
+""")
+def dedup_clusters_q(spark, sf_dir):
+    """Cluster resolution: near-dup PAIRS (word-3-gram Jaccard >= 0.4)
+    become per-document cluster ids + a canonical-survivor flag via
+    iterative min-label connected components (operators/graph.py) — the
+    stage that turns any fuzzy-dedup candidate generator into actual
+    keep/drop decisions. The oracle recomputes components with a
+    recursive CTE."""
+    from ..operators.graph import dedup_clusters
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = DD.jaccard_pairs(docs, "text", "doc_id", threshold=0.4, n=3)
+    return dedup_clusters(pairs)

@@ -572,3 +572,47 @@ def mem_rows_table(spark, sf_dir):
             F.sum(dec("c_acctbal")).cast("double").alias("sum_bal"),
         )
     )
+
+
+@query("merge_upsert_customers", oracle="""
+WITH upd AS (
+  SELECT c_custkey,
+         CAST(c_acctbal AS DECIMAL(12,2)) + 100 AS new_bal,
+         (c_custkey % 10 = 3) AS is_del
+  FROM customer WHERE c_custkey % 3 = 0),
+ins AS (
+  SELECT 900000 + r AS c_custkey, CAST(0.5 * r AS DOUBLE) AS new_bal,
+         false AS is_del
+  FROM (SELECT unnest(range(1, 6)) AS r)),
+u AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+SELECT coalesce(c.c_custkey, u.c_custkey) AS c_custkey,
+       c.c_name,
+       coalesce(CAST(u.new_bal AS DOUBLE), c.c_acctbal) AS c_acctbal
+FROM customer c FULL JOIN u ON c.c_custkey = u.c_custkey
+WHERE NOT coalesce(u.is_del, false)
+""")
+def merge_upsert_customers(spark, sf_dir):
+    """MERGE INTO semantics as one full-outer join (operators/merge.py):
+    every third customer's balance is updated (+100), customers with
+    key % 10 = 3 among those are deleted, and five brand-new customers
+    are inserted (name NULL — schema-subset insert). The small CDC batch
+    broadcasts; the target is never shuffled."""
+    from ..operators.merge import merge_upsert
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    upd = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        (dec("c_acctbal") + 100).cast("double").alias("c_acctbal"),
+        (F.col("c_custkey") % 10 == 3).alias("is_del"),
+    )
+    ins = spark.range(1, 6).select(
+        (F.lit(900000) + F.col("id")).alias("c_custkey"),
+        (F.col("id") * 0.5).cast("double").alias("c_acctbal"),
+        F.lit(False).alias("is_del"),
+    )
+    updates = upd.unionByName(ins)
+    return merge_upsert(
+        cust, updates, keys=["c_custkey"], delete_col="is_del"
+    )

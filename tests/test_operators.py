@@ -478,3 +478,51 @@ def test_sessionize_single_shuffle_plan(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     st = session_stats(ev, "ts", ["user_id"], 900, ["event_id"])
     assert count_exchanges(st) == 1
+
+
+# ------------------------------------------------------------------ #
+# connected components / cluster resolution
+# ------------------------------------------------------------------ #
+
+def test_connected_components_shapes(spark):
+    """Chain (forces multiple propagation rounds), triangle, and a lone
+    pair resolve to min-id components."""
+    from puffbird_spark.operators.graph import connected_components, dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # chain 1-2-3-4
+         (10, 11), (11, 12), (10, 12),  # triangle
+         (20, 21)],                   # pair
+        ["id_a", "id_b"],
+    )
+    got = {r["vertex"]: r["component"]
+           for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    cl = dedup_clusters(pairs)
+    canon = {r["doc_id"] for r in cl.collect() if r["is_canonical"]}
+    assert canon == {1, 10, 20}
+
+
+def test_merge_upsert_semantics(spark):
+    from puffbird_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        ["k", "name", "val"],
+    )
+    updates = spark.createDataFrame(
+        [(2, 99.0, False),   # matched-update
+         (3, None, True),    # matched-delete
+         (4, 40.0, False)],  # insert (name absent -> NULL)
+        "k long, val double, is_del boolean",
+    )
+    out = {r["k"]: (r["name"], r["val"])
+           for r in merge_upsert(target, updates, ["k"],
+                                 delete_col="is_del").collect()}
+    assert out == {1: ("a", 10.0), 2: ("b", 99.0), 4: (None, 40.0)}
+
+    with pytest.raises(ValueError, match="widen"):
+        merge_upsert(target, updates.withColumnRenamed("val", "other"),
+                     ["k"], delete_col="is_del")
