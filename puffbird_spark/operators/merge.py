@@ -2,12 +2,23 @@
 operator: apply a batch of updates to a target by key — update matched
 rows, insert unmatched ones, optionally delete flagged ones.
 
-Scale design: ONE full-outer join on the merge keys is the whole
-operation. The updates side is usually a small CDC batch — broadcast it
-(``broadcast_updates=True``, default) and the target is never shuffled at
-all; with a big updates side both sides shuffle once on the key. Column
-reconciliation is per-column ``coalesce(update, target)``, so the plan
-stays pure projections over the join — no UDFs, no row comparisons.
+Scale design — two modes:
+
+- ``broadcast_updates=True`` (default, the CDC-batch case): Spark cannot
+  broadcast ANY side of a full-outer join (it falls back to a sort-merge
+  join that shuffles the whole target), so the merge decomposes into
+  broadcast-able passes: (1) target LEFT JOIN updates — a broadcast hash
+  join, zero target shuffle — handles matched-update and matched-delete;
+  (2) inserts are update keys absent from the target, found with a
+  broadcast LEFT SEMI against the target (small output) and a tiny
+  anti-join on the updates side. The target is scanned twice but
+  shuffled NEVER — at 100 TB two scans beat one full-table shuffle by a
+  wide margin.
+- ``broadcast_updates=False`` (updates comparable to the target): one
+  full-outer join; both sides shuffle once on the key.
+
+Column reconciliation is per-column ``coalesce(update, target)`` — pure
+projections, no UDFs.
 """
 
 from __future__ import annotations
@@ -26,11 +37,13 @@ def merge_upsert(
     """MERGE semantics: rows in ``updates`` override matching ``target``
     rows (matched-update), unmatched update rows are inserted, and — when
     ``delete_col`` names a boolean column on the updates side — matched
-    rows flagged true are dropped (matched-delete).
+    rows flagged true are dropped (matched-delete; deleting a nonexistent
+    row is a no-op).
 
     Update rows may carry a subset of the target's value columns; omitted
-    columns keep the target's value. Extra update-only columns are
-    rejected (they would silently widen the target schema).
+    columns keep the target's value (inserts get NULL there). Extra
+    update-only columns are rejected (they would silently widen the
+    target schema).
 
     Reconciliation is ``coalesce(update, target)`` per column, so a NULL
     in an update row means "keep the target's value" — to actually null a
@@ -57,24 +70,49 @@ def merge_upsert(
     for c in upd_value_cols:
         u = u.withColumnRenamed(c, "__u_" + c)
     u = u.select(*keys, *["__u_" + c for c in upd_value_cols], "__del")
-    if broadcast_updates:
-        u = F.broadcast(u)
 
-    joined = target.join(u, on=keys, how="full_outer")
-    merged_cols = []
+    def reconciled(cols_source: list[str]) -> list:
+        out = []
+        for c in cols_source:
+            if c in keys:
+                out.append(F.col(c))
+            elif c in upd_value_cols:
+                out.append(F.coalesce(F.col("__u_" + c), F.col(c)).alias(c))
+            else:
+                out.append(F.col(c))
+        return out
+
+    if not broadcast_updates:
+        joined = target.join(u, on=keys, how="full_outer")
+        return (
+            joined.filter(~F.coalesce(F.col("__del"), F.lit(False)))
+            .select(*reconciled(target.columns))
+        )
+
+    u_b = F.broadcast(u)
+    # pass 1 — matched-update / matched-delete: broadcast hash join,
+    # the target side is scanned in place, never shuffled
+    updated = (
+        target.join(u_b, on=keys, how="left")
+        .filter(~F.coalesce(F.col("__del"), F.lit(False)))
+        .select(*reconciled(target.columns))
+    )
+    # pass 2 — inserts: update keys absent from the target. The semi join
+    # broadcasts the updates onto a second target scan; its OUTPUT is at
+    # most |updates| rows, so the anti join below is tiny-vs-tiny.
+    matched_keys = target.join(
+        u_b.select(*keys), on=keys, how="left_semi"
+    ).select(*keys).distinct()
+    inserts_src = u.join(F.broadcast(matched_keys), on=keys, how="left_anti")
+    insert_cols = []
     for c in target.columns:
         if c in keys:
-            merged_cols.append(F.col(c))
+            insert_cols.append(F.col(c))
         elif c in upd_value_cols:
-            # matched-update / insert: update value wins when present
-            merged_cols.append(
-                F.coalesce(F.col("__u_" + c), F.col(c)).alias(c)
-            )
+            insert_cols.append(F.col("__u_" + c).alias(c))
         else:
-            merged_cols.append(F.col(c))
-    return (
-        joined
-        # matched-delete: drop rows whose update row is flagged
-        .filter(~F.coalesce(F.col("__del"), F.lit(False)))
-        .select(*merged_cols)
-    )
+            insert_cols.append(F.lit(None).cast(
+                target.schema[c].dataType
+            ).alias(c))
+    inserts = inserts_src.filter(~F.col("__del")).select(*insert_cols)
+    return updated.unionByName(inserts)

@@ -111,3 +111,12 @@ def test_centroids_single_shuffle(q):
     aggregation shuffles."""
     df = q("embedding_centroids")
     assert P.count_exchanges(df) == 1
+
+
+def test_merge_upsert_never_shuffles_target(q):
+    """Broadcast-mode MERGE: both passes are broadcast joins — zero
+    exchanges of the target anywhere in the plan (a full-outer join would
+    fall back to SortMergeJoin and shuffle the whole target)."""
+    df = q("merge_upsert_customers")
+    assert "SortMergeJoin" not in P.formatted_plan(df)
+    assert P.count_broadcast_joins(df) >= 3  # left, semi, anti
