@@ -211,6 +211,34 @@ class FrameEngine:
     def datacols(self) -> list[str]:
         return list(self._datacols)
 
+    @property
+    def cols(self) -> list[str]:
+        """Data + index columns (reference frame.py:244-249)."""
+        return list(self._datacols) + list(self._indexcols)
+
+    def _rename_view(self, current: list[str]) -> dict[str, str]:
+        """Original -> current-name mapping restricted to live columns
+        (reference frame.py:257-293): entries whose renamed value is no
+        longer a column, or whose original name is itself a column again,
+        fall out of the view."""
+        live = set(self.cols)
+        return {
+            orig: new for orig, new in self._rename_map.items()
+            if new in current and orig not in live
+        }
+
+    @property
+    def datacols_rename(self) -> dict[str, str]:
+        return self._rename_view(self._datacols)
+
+    @property
+    def indexcols_rename(self) -> dict[str, str]:
+        return self._rename_view(self._indexcols)
+
+    @property
+    def cols_rename(self) -> dict[str, str]:
+        return {**self.datacols_rename, **self.indexcols_rename}
+
     def __repr__(self) -> str:  # pragma: no cover
         return (f"FrameEngine(indexcols={self._indexcols}, "
                 f"datacols={self._datacols})")
@@ -578,7 +606,15 @@ class FrameEngine:
         df = self._df.withColumnsRenamed(dict(mapping))
         indexcols = [mapping.get(c, c) for c in self._indexcols]
         datacols = [mapping.get(c, c) for c in self._datacols]
-        return self._replace(df, indexcols, datacols)
+        eng = self._replace(df, indexcols, datacols)
+        # track original -> current for the *_rename views, composing with
+        # earlier renames (a->b then b->c records a->c)
+        renames = dict(self._rename_map)
+        inverse = {v: k for k, v in renames.items()}
+        for old, new in mapping.items():
+            renames[inverse.pop(old, old)] = new
+        eng._rename_map = renames
+        return eng
 
     # ------------------------------------------------------------------ #
     # R11 — to_puffy

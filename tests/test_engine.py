@@ -197,3 +197,21 @@ def test_schema_of_json(spark):
         F.schema_of_json(F.lit('{"k": 1, "xs": [1.5]}')).alias("s")
     ).collect()[0]["s"]
     assert "k" in s and "BIGINT" in s and "ARRAY" in s
+
+
+def test_cols_and_rename_views(spark):
+    """Reference parity: cols, datacols_rename/indexcols_rename/cols_rename
+    (frame.py:244-293) — rename views track original -> current names,
+    composing across chained renames."""
+    df = spark.createDataFrame([(0, 1.0, "x")], ["k", "v", "s"])
+    eng = FrameEngine(df, indexcols=["k"], validate=False)
+    assert eng.cols == ["v", "s", "k"]
+
+    r1 = eng.rename(v="value")
+    assert r1.datacols_rename == {"v": "value"}
+    assert r1.indexcols_rename == {}
+    r2 = r1.rename(value="val2", k="key")
+    assert r2.datacols_rename == {"v": "val2"}     # composed a->b->c
+    assert r2.indexcols_rename == {"k": "key"}
+    assert r2.cols_rename == {"v": "val2", "k": "key"}
+    assert r2.cols == ["val2", "s", "key"]
