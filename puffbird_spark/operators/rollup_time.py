@@ -59,3 +59,38 @@ def hypertable_rollup(
         exploded.groupBy("granularity", "bucket_start", *keys)
         .agg(*[expr.alias(name) for name, expr in aggs.items()])
     )
+
+
+def incremental_rollup(
+    existing: DataFrame,
+    delta: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    partials: dict[str, tuple],
+    granularities: list[str] = ("hour", "day"),
+) -> DataFrame:
+    """Continuous-aggregate refresh: fold a new batch of raw events into an
+    already-materialized rollup WITHOUT rescanning history.
+
+    ``partials`` maps output name -> (partial_expr, merge_expr) exactly as
+    :func:`puffbird_spark.operators.skew.salted_agg`: ``partial_expr()``
+    aggregates raw delta rows; ``merge_expr(col)`` combines a partial with
+    the existing rollup's stored value. Only ALGEBRAIC aggregates merge
+    this way (sum/count/min/max; avg = stored sum + count, derived at read
+    time).
+
+    Scale shape: the delta is rolled up in one scan + one shuffle
+    (:func:`hypertable_rollup`), then the union with the EXISTING rollup
+    shuffles rollup-sized data only — a 100 TB event history never moves;
+    each refresh costs O(delta) + O(touched rollup rows).
+    """
+    delta_rollup = hypertable_rollup(
+        delta, ts_col, keys,
+        {name: p() for name, (p, _) in partials.items()},
+        granularities,
+    )
+    return (
+        existing.unionByName(delta_rollup)
+        .groupBy("granularity", "bucket_start", *keys)
+        .agg(*[m(name).alias(name) for name, (_, m) in partials.items()])
+    )

@@ -274,3 +274,48 @@ def stream_foreach_batch(spark, sf_dir):
         .withColumn("win_start", F.col("win_start").cast("timestamp_ntz"))
         .select("win_start", "event_type", "n", "sum_value")
     )
+
+
+@query("rollup_incremental", oracle="""
+SELECT 'hour' AS granularity, date_trunc('hour', ts) AS bucket_start,
+       event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'day', date_trunc('day', ts), event_type, COUNT(*),
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+FROM events GROUP BY 2, 3
+""")
+def rollup_incremental(spark, sf_dir):
+    """Continuous-aggregate REFRESH: the events before Jan 16 are
+    materialized as a base rollup; the rest arrive as a delta batch and
+    merge in (operators/rollup_time.py::incremental_rollup) — history is
+    never rescanned. The oracle recomputes the rollup from scratch, so
+    the incremental merge must be indistinguishable from a full rebuild.
+    Decimal partial sums keep the merge exact; the double cast happens
+    once at the end."""
+    from ..operators.rollup_time import hypertable_rollup, incremental_rollup
+
+    ev = load(spark, sf_dir, "events")
+    cutoff = "2024-01-16"
+    old = ev.filter(F.col("ts") < F.lit(cutoff).cast("timestamp_ntz"))
+    new = ev.filter(F.col("ts") >= F.lit(cutoff).cast("timestamp_ntz"))
+    partials = {
+        "n": (lambda: F.count(F.lit(1)), lambda c: F.sum(c)),
+        "sum_value": (lambda: F.sum(dec("value")),
+                      lambda c: F.sum(c)),
+    }
+    base = hypertable_rollup(
+        old, "ts", ["event_type"],
+        {name: p() for name, (p, _) in partials.items()},
+        granularities=["hour", "day"],
+    )
+    merged = incremental_rollup(
+        base, new, "ts", ["event_type"], partials,
+        granularities=["hour", "day"],
+    )
+    return merged.select(
+        "granularity", "bucket_start", "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
