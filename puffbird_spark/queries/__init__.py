@@ -44,7 +44,7 @@ _VERIFY_FIRST = [
     "mem_rows_table", "scan_parquet_partitioned", "udf_udtf",
     "text_tfidf", "text_top_ngrams", "embedding_centroids",
     "stream_foreach_batch", "dedup_clusters", "merge_upsert_customers",
-    "rollup_incremental",
+    "rollup_incremental", "sort_zorder",
     "engine_col_apply",
     "engine_apply_rowwise",
     "engine_project_ops", "engine_puffy_to_long_shortcut", "engine_sanitize",

@@ -267,3 +267,40 @@ def scan_parquet_partitioned(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum(dec("c_acctbal")).cast("double").alias("sum_bal"),
     )
+
+
+def _zvalue_oracle(bits: int = 8) -> str:
+    """DuckDB twin of the unrolled Morton interleave (2 columns)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((a >> {i}) & 1) * {1 << (2 * i)}")
+        terms.append(f"((b >> {i}) & 1) * {1 << (2 * i + 1)}")
+    expr = "\n    + ".join(terms)
+    return f"""
+WITH t AS (SELECT l_orderkey, l_linenumber,
+             l_partkey % 256 AS a, l_suppkey % 256 AS b
+           FROM lineitem)
+SELECT l_orderkey, l_linenumber,
+  CAST({expr} AS BIGINT) AS z
+FROM t
+"""
+
+
+@query("sort_zorder", oracle=_zvalue_oracle())
+def sort_zorder(spark, sf_dir):
+    """Z-order (Morton) clustering key: the bit-interleave that makes a
+    range-partitioned write skippable on EVERY interleaved column
+    (operators/layout.py). The interleave itself is closed-form bit
+    arithmetic — hash-checked per row against the oracle's unrolled
+    twin."""
+    from ..operators.layout import z_value
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        (F.col("l_partkey") % 256).alias("a"),
+        (F.col("l_suppkey") % 256).alias("b"),
+    )
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        z_value(["a", "b"], bits=8).alias("z"),
+    )

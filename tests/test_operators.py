@@ -526,3 +526,29 @@ def test_merge_upsert_semantics(spark):
     with pytest.raises(ValueError, match="widen"):
         merge_upsert(target, updates.withColumnRenamed("val", "other"),
                      ["k"], delete_col="is_del")
+
+
+def test_z_value_matches_python_reference(spark):
+    from puffbird_spark.operators.layout import z_value, zorder_repartition
+
+    rows = [(0, 0), (1, 0), (0, 1), (255, 255), (170, 85), (3, 200)]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    got = {(r["a"], r["b"]): r["z"] for r in
+           df.select("a", "b", z_value(["a", "b"], bits=8).alias("z")).collect()}
+
+    def ref(a, b):
+        z = 0
+        for i in range(8):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == {(a, b): ref(a, b) for a, b in rows}
+    with pytest.raises(ValueError, match="at least 2"):
+        z_value(["a"])
+    with pytest.raises(ValueError, match="signed long"):
+        z_value(["a", "b"], bits=32)
+
+    # clustering: range partitioning on z keeps both columns local
+    out = zorder_repartition(df, ["a", "b"], bits=8, num_partitions=2)
+    assert sorted(map(tuple, out.collect())) == sorted(rows)
