@@ -33,18 +33,19 @@ _VERIFY_FIRST = [
     "variant_props",
     # SQL front-end + tail of round-1 registration order
     "sql_tpch_q6", "sql_grouping_sets", "fn_map_json", "dedup_embedding",
-    "sample_fraction", "engine_to_long_fused",
+    "engine_to_long_fused",
     # upgraded / new this round
     "text_quality", "dedup_minhash_md5", "dedup_ngram_jaccard",
     "knn_ivf_exact", "agg_grouping_sets", "window_ntile_cume",
     "fn_struct", "fn_url_mask", "join_right_full", "agg_skew_salted",
-    "sessionize_events", "text_shingle_hash", "fn_array_hof",
+    "sessionize_events", "fn_array_hof",
     "stream_late_data", "multimodal_meta", "to_xarray_guarded",
     "explode_inline_stack", "explode_inline", "set_union_by_name",
     "mem_rows_table", "scan_parquet_partitioned", "udf_udtf",
     "text_tfidf", "text_top_ngrams", "embedding_centroids",
     "stream_foreach_batch", "dedup_clusters", "merge_upsert_customers",
     "rollup_incremental", "sort_zorder",
+    "sample_fraction", "text_shingle_hash",
     "engine_col_apply",
     "engine_apply_rowwise",
     "engine_project_ops", "engine_puffy_to_long_shortcut", "engine_sanitize",
