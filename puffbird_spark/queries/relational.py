@@ -616,3 +616,25 @@ def merge_upsert_customers(spark, sf_dir):
     return merge_upsert(
         cust, updates, keys=["c_custkey"], delete_col="is_del"
     )
+
+
+@query("agg_percentiles_exact", oracle="""
+SELECT l_returnflag,
+  list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]),
+                 x -> round(x, 6)) AS quartiles,
+  round(median(l_extendedprice), 6) AS med
+FROM lineitem GROUP BY l_returnflag
+""")
+def agg_percentiles_exact(spark, sf_dir):
+    """EXACT percentiles (linear interpolation) + median — the precise
+    twin of agg_approx_distinct's tolerance-checked percentile_approx.
+    Both engines interpolate a + (b-a)*f; rounded 6dp to absorb the last
+    ulp of the interpolation product."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.transform(
+            F.percentile("l_extendedprice", F.lit([0.25, 0.5, 0.75])),
+            lambda x: F.round(x, 6),
+        ).alias("quartiles"),
+        F.round(F.median("l_extendedprice"), 6).alias("med"),
+    )
