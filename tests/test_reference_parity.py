@@ -207,3 +207,72 @@ def test_multid_pivot_mean(ref, spark):
     got = {(r["d1"], c): r[c]
            for r in out.collect() for c in ("p", "q") if r[c] is not None}
     assert got == exp
+
+
+def test_to_long_max_depth_stop(ref, spark):
+    """R15 stop-condition: max_depth=1 leaves the inner lists as raw
+    cells on both engines."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({"k": [1], "a": [[[1.0, 2.0], [3.0]]]}).set_index("k")
+    r = ref(pdf).to_long("a", max_depth=1).rename(
+        columns={"index_level0": "k"})
+    expected = sorted(
+        (int(row.k), int(row.a_level0), tuple(row.a))
+        for row in r.itertuples()
+    )
+    sdf = spark.createDataFrame([(1, [[1.0, 2.0], [3.0]])], ["k", "a"])
+    out = FrameEngine(sdf, indexcols=["k"]).to_long("a", max_depth=1)
+    got = sorted(
+        (r2["k"], r2["a_level0"], tuple(r2["a"])) for r2 in out.collect()
+    )
+    assert got == expected
+
+
+def test_expand_col_frame_cells(ref, spark):
+    """R5 expand_col on frame-valued cells: the reference expands pandas
+    DataFrame cells; here the equivalent cell encoding is array<struct>.
+    Level-column names differ (pandas default 'level_1' vs our
+    '{col}_level0'); values are compared positionally."""
+    import pandas as pd
+
+    cell1 = pd.DataFrame({"x": [1.0, 2.0], "y": [10.0, 20.0]})
+    cell2 = pd.DataFrame({"x": [3.0], "y": [30.0]})
+    pdf = pd.DataFrame({"k": [1, 2], "f": [cell1, cell2]}).set_index("k")
+    r = ref(pdf).expand_col("f").rename(columns={"index_level0": "k"})
+    expected = sorted(
+        (int(row.k), int(row.level_1), float(row.x), float(row.y))
+        for row in r.itertuples()
+    )
+    sdf = spark.createDataFrame(
+        [(1, [(1.0, 10.0), (2.0, 20.0)]), (2, [(3.0, 30.0)])],
+        "k long, f array<struct<x double, y double>>",
+    )
+    out = FrameEngine(sdf, indexcols=["k"]).expand_col("f")
+    got = sorted(
+        (r2["k"], r2["f_level0"], r2["x"], r2["y"])
+        for r2 in out.table.collect()
+    )
+    assert got == expected
+
+
+def test_col_apply_numpy_callable(ref, spark):
+    """R7 col_apply with an arbitrary numpy callable matches the
+    reference's Series.apply result (our slow-path UDF wrap)."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = pd.DataFrame({"k": [1, 2], "v": [4.0, 9.0]}).set_index("k")
+    r = ref(pdf).col_apply(np.sqrt, "v", new_col_name="r")
+    expected = sorted(
+        (int(k[0] if isinstance(k, tuple) else k),
+         float(row["v"]), float(row["r"]))
+        for k, row in r.table.iterrows()
+    )
+    sdf = spark.createDataFrame([(1, 4.0), (2, 9.0)], ["k", "v"])
+    eng = FrameEngine(sdf, indexcols=["k"], validate=False).col_apply(
+        lambda x: float(np.sqrt(x)), "v", new_col_name="r",
+        return_type="double",
+    )
+    got = sorted((r2["k"], r2["v"], r2["r"]) for r2 in eng.table.collect())
+    assert got == expected
