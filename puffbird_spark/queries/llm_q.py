@@ -60,12 +60,10 @@ def dedup_minhash_lsh(spark, sf_dir):
     ).filter(F.col("est_jaccard") >= 0.4)
 
 
-def _minhash_md5_oracle(num_hashes: int = 16, bands: int = 4) -> str:
-    """DuckDB twin of the FULL MinHash-LSH banding pipeline with the md5
-    hasher: shingle -> 60-bit md5 hash -> mod-p permutations (identical
-    (a, b) literals, seed 42) -> band md5 -> bucket pairs -> signature
-    match fraction. Every stage is plain SQL, so banding itself — not just
-    the Jaccard verification kernel — gets a hash-matched oracle row."""
+def _minhash_md5_ctes(num_hashes: int = 16, bands: int = 4) -> str:
+    """The CTE chain replaying the md5-hasher MinHash-LSH banding pipeline
+    in DuckDB SQL, ending in ``pairs`` (candidate pairs with signatures).
+    Shared by the banding oracle and the cluster-resolution oracle."""
     from ..operators.dedup import _MERSENNE, _perm_params
 
     rpb = num_hashes // bands
@@ -73,8 +71,7 @@ def _minhash_md5_oracle(num_hashes: int = 16, bands: int = 4) -> str:
         f"list_min(list_transform(hr, r -> (r * {a} + {b}) % {_MERSENNE}))"
         for a, b in _perm_params(num_hashes)
     )
-    return f"""
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    return f"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 sh AS (SELECT doc_id,
          CASE WHEN len(toks) >= 3
               THEN list_sort(list_distinct(
@@ -99,15 +96,22 @@ pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
          a.sig AS sig_a, c.sig AS sig_b
   FROM banded a JOIN banded c
-    ON a.band = c.band AND a.band_hash = c.band_hash AND a.doc_id < c.doc_id)
-SELECT id_a, id_b,
-  round(CAST(len(list_filter(range(1, {num_hashes} + 1),
-                             i -> sig_a[i] = sig_b[i])) AS DOUBLE)
-        / {num_hashes}, 6) AS est_jaccard
+    ON a.band = c.band AND a.band_hash = c.band_hash AND a.doc_id < c.doc_id)"""
+
+
+def _minhash_md5_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    """DuckDB twin of the FULL MinHash-LSH banding pipeline with the md5
+    hasher: shingle -> 60-bit md5 hash -> mod-p permutations (identical
+    (a, b) literals, seed 42) -> band md5 -> bucket pairs -> signature
+    match fraction. Every stage is plain SQL, so banding itself — not just
+    the Jaccard verification kernel — gets a hash-matched oracle row."""
+    est = (f"round(CAST(len(list_filter(range(1, {num_hashes} + 1), "
+           f"i -> sig_a[i] = sig_b[i])) AS DOUBLE) / {num_hashes}, 6)")
+    return f"""
+WITH {_minhash_md5_ctes(num_hashes, bands)}
+SELECT id_a, id_b, {est} AS est_jaccard
 FROM pairs
-WHERE round(CAST(len(list_filter(range(1, {num_hashes} + 1),
-                                 i -> sig_a[i] = sig_b[i])) AS DOUBLE)
-            / {num_hashes}, 6) >= 0.4
+WHERE {est} >= 0.4
 """
 
 
@@ -450,22 +454,16 @@ def embedding_centroids(spark, sf_dir):
     )
 
 
-@query("dedup_clusters", oracle="""
-WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-s AS (SELECT doc_id,
-        CASE WHEN len(toks) >= 3
-             THEN list_sort(list_distinct(
-                    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-                     FOR i IN range(1, len(toks) - 1)]))
-             ELSE [] END AS sh
-      FROM t),
-p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM s a JOIN s b ON a.doc_id < b.doc_id
-      WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
-            >= 0.4),
-edges AS (SELECT id_a AS s, id_b AS d FROM p
-          UNION SELECT id_b, id_a FROM p),
+def _dedup_clusters_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    """Recursive-CTE components over the md5-MinHash-LSH candidate pairs
+    — the full scale pipeline (banding -> filter -> clusters) in SQL."""
+    est = (f"round(CAST(len(list_filter(range(1, {num_hashes} + 1), "
+           f"i -> sig_a[i] = sig_b[i])) AS DOUBLE) / {num_hashes}, 6)")
+    return f"""
+WITH RECURSIVE {_minhash_md5_ctes(num_hashes, bands)},
+cand AS (SELECT id_a, id_b FROM pairs WHERE {est} >= 0.4),
+edges AS (SELECT id_a AS s, id_b AS d FROM cand
+          UNION SELECT id_b, id_a FROM cand),
 reach AS (
   SELECT DISTINCT s AS v, s AS r FROM edges
   UNION
@@ -473,16 +471,22 @@ reach AS (
 SELECT v AS doc_id, MIN(r) AS cluster_id,
        (v = MIN(r)) AS is_canonical
 FROM reach GROUP BY v
-""")
+"""
+
+
+@query("dedup_clusters", oracle=_dedup_clusters_oracle())
 def dedup_clusters_q(spark, sf_dir):
-    """Cluster resolution: near-dup PAIRS (word-3-gram Jaccard >= 0.4)
-    become per-document cluster ids + a canonical-survivor flag via
-    iterative min-label connected components (operators/graph.py) — the
-    stage that turns any fuzzy-dedup candidate generator into actual
-    keep/drop decisions. The oracle recomputes components with a
-    recursive CTE."""
+    """END-TO-END fuzzy dedup at the scale shape: md5-MinHash-LSH banding
+    generates candidate pairs (bucketed, never all-pairs), the estimated-
+    jaccard filter trims them, and iterative min-label connected
+    components (operators/graph.py) resolve per-document cluster ids +
+    the canonical-survivor flag — the actual keep/drop pipeline a 100 TB
+    corpus runs, hash-matched stage-for-stage against a recursive-CTE
+    oracle."""
     from ..operators.graph import dedup_clusters
 
     docs = load(spark, sf_dir, "documents")
-    pairs = DD.jaccard_pairs(docs, "text", "doc_id", threshold=0.4, n=3)
+    pairs = DD.minhash_candidate_pairs(
+        docs, "text", "doc_id", num_hashes=16, bands=4, n=3, hasher="md5"
+    ).filter(F.col("est_jaccard") >= 0.4)
     return dedup_clusters(pairs)
