@@ -45,7 +45,8 @@ _VERIFY_FIRST = [
     "text_tfidf", "text_top_ngrams", "embedding_centroids",
     "stream_foreach_batch", "dedup_clusters", "merge_upsert_customers",
     "rollup_incremental", "sort_zorder", "agg_percentiles_exact",
-    "sample_fraction", "text_shingle_hash",
+    "sample_fraction", "text_shingle_hash", "sample_stratified",
+    "engine_aggfunc_dispatch",
     "engine_col_apply",
     "engine_apply_rowwise",
     "engine_project_ops", "engine_puffy_to_long_shortcut", "engine_sanitize",

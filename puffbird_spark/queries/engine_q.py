@@ -118,3 +118,27 @@ def engine_sanitize(spark, sf_dir):
         enforce_identifier_string=True,
     )
     return eng.table
+
+
+@query("engine_aggfunc_dispatch", oracle="""
+SELECT l_orderkey,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS l_quantity
+FROM lineitem GROUP BY l_orderkey
+""")
+def engine_aggfunc_dispatch(spark, sf_dir):
+    """R14 CallableContainer through to_puffy's aggfunc seam: the
+    container's registered Column->Column callable is dispatched for the
+    aggregation (exact decimal sum, cast at the end)."""
+    from ..dispatch import CallableContainer
+    from pyspark.sql import Column
+
+    container = CallableContainer(
+        lambda c: F.sum(c.cast("decimal(12,2)")).cast("double")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    eng = FrameEngine(li, indexcols=["l_orderkey", "l_linenumber"],
+                      validate=False)
+    out = eng.to_puffy("l_orderkey", aggfunc=container)
+    return out.table.select("l_orderkey", "l_quantity")

@@ -304,3 +304,14 @@ def sort_zorder(spark, sf_dir):
         "l_orderkey", "l_linenumber",
         z_value(["a", "b"], bits=8).alias("z"),
     )
+
+
+@query("sample_stratified")  # rows-only: sampling is statistical by design
+def sample_stratified(spark, sf_dir):
+    """Per-stratum Bernoulli sampling (sampleBy): rare strata kept at a
+    higher rate — the class-rebalancing primitive of a training-data
+    pipeline. Seeded; declared rows-only like sample_fraction."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.sampleBy(
+        "l_returnflag", fractions={"A": 0.05, "N": 0.02, "R": 0.1}, seed=42
+    ).select("l_orderkey", "l_linenumber", "l_returnflag")
