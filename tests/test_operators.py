@@ -552,3 +552,33 @@ def test_z_value_matches_python_reference(spark):
     # clustering: range partitioning on z keeps both columns local
     out = zorder_repartition(df, ["a", "b"], bits=8, num_partitions=2)
     assert sorted(map(tuple, out.collect())) == sorted(rows)
+
+
+def test_merge_modes_agree_and_empty_updates(spark):
+    """Broadcast (two-pass) and full-outer merge modes must be
+    semantically identical; an empty update batch is the identity."""
+    from puffbird_spark.operators.merge import merge_upsert
+
+    t = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    u = spark.createDataFrame(
+        [(2, "z", False), (3, "n", False), (1, None, True)],
+        "k long, v string, is_del boolean",
+    )
+    fast = sorted(map(tuple, merge_upsert(t, u, ["k"],
+                                          delete_col="is_del").collect()))
+    slow = sorted(map(tuple, merge_upsert(
+        t, u, ["k"], delete_col="is_del", broadcast_updates=False
+    ).collect()))
+    assert fast == slow == [(2, "z"), (3, "n")]
+
+    empty = spark.createDataFrame([], "k long, v string, is_del boolean")
+    assert sorted(map(tuple, merge_upsert(
+        t, empty, ["k"], delete_col="is_del").collect())) == \
+        [(1, "a"), (2, "b")]
+
+
+def test_connected_components_empty_input(spark):
+    from puffbird_spark.operators.graph import connected_components
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty).count() == 0
