@@ -44,7 +44,8 @@ _VERIFY_FIRST = [
     "mem_rows_table", "scan_parquet_partitioned", "udf_udtf",
     "text_tfidf", "text_top_ngrams", "embedding_centroids",
     "stream_foreach_batch", "dedup_clusters", "merge_upsert_customers",
-    "rollup_incremental", "sort_zorder", "agg_percentiles_exact",
+    "rollup_incremental", "sort_zorder", "text_repetition",
+    "agg_percentiles_exact",
     "sample_fraction", "text_shingle_hash", "sample_stratified",
     "engine_aggfunc_dispatch",
     "engine_col_apply",

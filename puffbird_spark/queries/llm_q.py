@@ -490,3 +490,51 @@ def dedup_clusters_q(spark, sf_dir):
         docs, "text", "doc_id", num_hashes=16, bands=4, n=3, hasher="md5"
     ).filter(F.col("est_jaccard") >= 0.4)
     return dedup_clusters(pairs)
+
+
+@query("text_repetition", oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (SELECT doc_id,
+        [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         FOR i IN range(1, len(toks) - 1)] AS grams
+      FROM t WHERE len(toks) >= 3),
+e AS (SELECT doc_id, unnest(grams) AS gram, len(grams) AS n_grams FROM g),
+c AS (SELECT doc_id, gram, COUNT(*) AS cnt, MIN(n_grams) AS n_grams
+      FROM e GROUP BY doc_id, gram)
+SELECT doc_id,
+  CAST(MAX(cnt) AS BIGINT) AS top_gram_count,
+  CAST(MIN(n_grams) AS BIGINT) AS n_grams,
+  round(CAST(MAX(cnt) AS DOUBLE) / MIN(n_grams), 6) AS repetition_ratio
+FROM c GROUP BY doc_id
+""")
+def text_repetition(spark, sf_dir):
+    """Intra-document repetition (most-frequent-trigram share of all
+    trigram OCCURRENCES, duplicates counted) — the boilerplate/spam
+    signal of a pretraining quality filter. One keyed shuffle on
+    (doc, gram), then a per-doc max; no distinct pass."""
+    docs = load(spark, sf_dir, "documents")
+    toks = TXT.tokens("text")
+    # non-distinct trigram occurrences (shingles() dedups — here the
+    # duplicate count IS the signal)
+    grams = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.array_join(F.slice(toks, i + 1, 3), " "),
+        ),
+    )
+    e = docs.select("doc_id", F.col("text")).select(
+        "doc_id", grams.alias("grams")
+    ).filter(F.col("grams").isNotNull()).select(
+        "doc_id", F.explode("grams").alias("gram"), F.size("grams").alias("n_grams")
+    )
+    c = e.groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).alias("cnt"), F.min("n_grams").alias("n_grams")
+    )
+    return c.groupBy("doc_id").agg(
+        F.max("cnt").alias("top_gram_count"),
+        F.min("n_grams").alias("n_grams"),
+        F.round(
+            F.max("cnt").cast("double") / F.min("n_grams"), 6
+        ).alias("repetition_ratio"),
+    )
