@@ -1,3 +1,48 @@
 """Custom operators the DataFrame API lacks as single calls: as-of join,
-dedup family (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity
-search, multimodal column plumbing."""
+dedup family (exact / MinHash-LSH / SimHash / word+char n-gram Jaccard),
+similarity search (brute-force / SRP-LSH / IVF), cluster resolution
+(connected components), sessionization, MERGE upsert, incremental time
+rollups, skew tooling, z-order layout, Count-Min sketch, multimodal
+column plumbing."""
+
+from .asof import asof_join  # noqa: F401
+from .dedup import (  # noqa: F401
+    exact_dedup,
+    exact_dedup_groups,
+    jaccard_pairs,
+    lsh_banding_config,
+    minhash_candidate_pairs,
+    simhash_pairs,
+)
+from .graph import connected_components, dedup_clusters  # noqa: F401
+from .layout import z_value, zorder_repartition  # noqa: F401
+from .merge import merge_upsert  # noqa: F401
+from .rollup_time import hypertable_rollup, incremental_rollup  # noqa: F401
+from .sessionize import session_stats, sessionize  # noqa: F401
+from .similarity import cosine_topk, ivf_topk, lsh_bucket_topk  # noqa: F401
+from .skew import key_histogram, replicated_join, salted_agg  # noqa: F401
+
+__all__ = [
+    "asof_join",
+    "connected_components",
+    "cosine_topk",
+    "dedup_clusters",
+    "exact_dedup",
+    "exact_dedup_groups",
+    "hypertable_rollup",
+    "incremental_rollup",
+    "ivf_topk",
+    "jaccard_pairs",
+    "key_histogram",
+    "lsh_banding_config",
+    "lsh_bucket_topk",
+    "merge_upsert",
+    "minhash_candidate_pairs",
+    "replicated_join",
+    "salted_agg",
+    "session_stats",
+    "sessionize",
+    "simhash_pairs",
+    "z_value",
+    "zorder_repartition",
+]
