@@ -276,3 +276,30 @@ def test_col_apply_numpy_callable(ref, spark):
     )
     got = sorted((r2["k"], r2["v"], r2["r"]) for r2 in eng.table.collect())
     assert got == expected
+
+
+def test_to_long_expand_cols_mixed(ref, spark):
+    """to_long with expand_cols: a frame-valued column expands into
+    prefixed field columns (f_x) inside the cartesian with a plain
+    exploded column. Only the expansion level-column name differs
+    (reference pandas default 'level_1' vs our 'f_level0')."""
+    import pandas as pd
+
+    cell1 = pd.DataFrame({"x": [1.0, 2.0]})
+    cell2 = pd.DataFrame({"x": [3.0]})
+    pdf = pd.DataFrame(
+        {"k": [1, 2], "f": [cell1, cell2], "a": [[9.0], [8.0, 7.0]]}
+    ).set_index("k")
+    r = ref(pdf).to_long("a", "f", expand_cols=["f"]).rename(
+        columns={"index_level0": "k", "level_1": "f_level0"})
+    expected = _ref_rows(r, ["k", "a_level0", "a", "f_level0", "f_x"])
+    sdf = spark.createDataFrame(
+        [(1, [(1.0,), (2.0,)], [9.0]), (2, [(3.0,)], [8.0, 7.0])],
+        "k long, f array<struct<x double>>, a array<double>",
+    )
+    got = _spark_rows(
+        FrameEngine(sdf, indexcols=["k"]).to_long("a", "f",
+                                                  expand_cols=["f"]),
+        ["k", "a_level0", "a", "f_level0", "f_x"],
+    )
+    assert got == expected
