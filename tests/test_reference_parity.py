@@ -303,3 +303,32 @@ def test_to_long_expand_cols_mixed(ref, spark):
         ["k", "a_level0", "a", "f_level0", "f_x"],
     )
     assert got == expected
+
+
+def test_to_long_mixed_modes_adversarial(ref, spark):
+    """Capstone: nested list + keyed dict + scalar datacols through ONE
+    to_long (the tutorial's adversarial shape) — cartesian of the two
+    exploded columns, scalar passed through with no level column, on
+    both engines."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "k": [1, 2],
+        "nested": [[[1.0, 2.0]], [[3.0]]],
+        "d": [{"p": 10.0}, {"q": 20.0, "r": 30.0}],
+        "s": [100.0, 200.0],
+    }).set_index("k")
+    cols = ["k", "nested_level0", "nested_level1", "nested",
+            "d_level0", "d", "s"]
+    expected = _ref_rows(
+        ref(pdf).to_long().rename(columns={"index_level0": "k"}), cols
+    )
+    sdf = spark.createDataFrame(
+        [(1, [[1.0, 2.0]], {"p": 10.0}, 100.0),
+         (2, [[3.0]], {"q": 20.0, "r": 30.0}, 200.0)],
+        "k long, nested array<array<double>>, d map<string,double>, s double",
+    )
+    out = FrameEngine(sdf, indexcols=["k"]).to_long()
+    assert "s_level0" not in out.columns  # scalar: no level col, like ref
+    got = _spark_rows(out, cols)
+    assert got == expected
