@@ -243,33 +243,50 @@ def text_tokens_bpe(spark, sf_dir):
 
 
 @query("fn_struct", oracle="""
+WITH s AS (
+  SELECT c_custkey, c_acctbal,
+    struct_pack(nation := c_nationkey, segment := c_mktsegment,
+                bal := c_acctbal) AS profile,
+    struct_pack(lo := least(c_nationkey, 12),
+                hi := greatest(c_nationkey, 12)) AS clamp
+  FROM customer)
 SELECT c_custkey,
-  struct_pack(nation := c_nationkey, segment := c_mktsegment,
-              bal := c_acctbal) AS profile,
-  c_nationkey AS nation_again,
+  profile.nation AS profile_nation,
+  profile.segment AS profile_segment,
+  profile.bal AS profile_bal,
+  profile.nation AS nation_again,
   (c_acctbal > 0) AS positive_bal,
-  struct_pack(lo := least(c_nationkey, 12),
-              hi := greatest(c_nationkey, 12)) AS clamp
-FROM customer
+  clamp.lo AS clamp_lo,
+  clamp.hi AS clamp_hi
+FROM s
 """)
 def fn_struct(spark, sf_dir):
     """Struct battery: creation, field re-projection, nested construction
-    — the typed-record surface engines use for multimodal metadata."""
+    — the typed-record surface engines use for multimodal metadata.
+
+    Output columns are the struct's fields re-extracted as flat scalars:
+    the struct round-trip (construct → getField) is exercised on both
+    engines, while result cells stay hashable for the driver canonicalizer
+    (dict cells broke the r2 compare; VERDICT r2 item 1)."""
     cust = load(spark, sf_dir, "customer")
     profile = F.struct(
         F.col("c_nationkey").alias("nation"),
         F.col("c_mktsegment").alias("segment"),
         F.col("c_acctbal").alias("bal"),
     )
+    clamp = F.struct(
+        F.least(F.col("c_nationkey"), F.lit(12)).alias("lo"),
+        F.greatest(F.col("c_nationkey"), F.lit(12)).alias("hi"),
+    )
     return cust.select(
         "c_custkey",
-        profile.alias("profile"),
+        profile.getField("nation").alias("profile_nation"),
+        profile.getField("segment").alias("profile_segment"),
+        profile.getField("bal").alias("profile_bal"),
         profile.getField("nation").alias("nation_again"),
         (F.col("c_acctbal") > 0).alias("positive_bal"),
-        F.struct(
-            F.least(F.col("c_nationkey"), F.lit(12)).alias("lo"),
-            F.greatest(F.col("c_nationkey"), F.lit(12)).alias("hi"),
-        ).alias("clamp"),
+        clamp.getField("lo").alias("clamp_lo"),
+        clamp.getField("hi").alias("clamp_hi"),
     )
 
 
@@ -320,24 +337,35 @@ def fn_url_mask(spark, sf_dir):
 
 
 @query("fn_array_hof", oracle="""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+t AS (SELECT vec_id, v,
+        list_transform(list_slice(list_reverse_sort(v), 1, 3),
+                       x -> round(x, 6)) AS top3
+      FROM e)
 SELECT vec_id,
   round(list_aggregate(v, 'sum'), 6) AS v_sum,
   CAST(len(list_filter(v, x -> x > 0)) AS INT) AS n_pos,
   (len(list_filter(v, x -> x > 0.5)) > 0) AS has_big,
   round(v[1] + v[len(v)], 6) AS ends_sum,
-  list_transform(list_slice(list_reverse_sort(v), 1, 3),
-                 x -> round(x, 6)) AS top3
-FROM e
+  top3[1] AS top1, top3[2] AS top2, top3[3] AS top3
+FROM t
 """)
 def fn_array_hof(spark, sf_dir):
     """Higher-order array functions (transform/filter/exists/aggregate/
     zip_with/sort/slice) — the JVM-side vector toolkit every embedding
-    kernel here builds on, hash-checked elementwise."""
+    kernel here builds on, hash-checked elementwise.
+
+    The top-3 array is computed with transform+slice+sort_array and then
+    unpacked into scalar columns so every result cell is hashable by the
+    driver canonicalizer (list cells broke the r2 compare; VERDICT r2
+    item 1)."""
     from ..functions.vectors import as_double
 
     emb = load(spark, sf_dir, "embeddings")
     v = as_double("embedding")
+    top3 = F.transform(
+        F.slice(F.sort_array(v, asc=False), 1, 3), lambda x: F.round(x, 6)
+    )
     return emb.select(
         "vec_id",
         F.round(
@@ -348,8 +376,7 @@ def fn_array_hof(spark, sf_dir):
         F.round(
             F.zip_with(v, F.reverse(v), lambda x, y: x + y).getItem(0), 6
         ).alias("ends_sum"),
-        F.transform(
-            F.slice(F.sort_array(v, asc=False), 1, 3),
-            lambda x: F.round(x, 6),
-        ).alias("top3"),
+        top3.getItem(0).alias("top1"),
+        top3.getItem(1).alias("top2"),
+        top3.getItem(2).alias("top3"),
     )
