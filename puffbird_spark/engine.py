@@ -696,7 +696,14 @@ class FrameEngine:
             # are tried as Column -> Column expressions first.
             mod = getattr(fn, "__module__", "") or ""
             if not (mod.startswith("numpy") or mod == "builtins"):
-                out = fn(F.col(col))
+                # The probe must not propagate: callables that reject a
+                # Column (statistics.median iterates; a Series-style lambda
+                # calls .mean()) belong on the GROUPED_AGG slow path, not in
+                # the user's face as a TypeError.
+                try:
+                    out = fn(F.col(col))
+                except Exception:
+                    out = None
                 if isinstance(out, Column):
                     return out
             return FrameEngine._grouped_agg_udf(fn)(F.col(col))

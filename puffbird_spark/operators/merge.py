@@ -23,7 +23,7 @@ projections, no UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -33,6 +33,8 @@ def merge_upsert(
     keys: list[str],
     delete_col: str | None = None,
     broadcast_updates: bool = True,
+    on_duplicate: str = "error",
+    version_col: str | None = None,
 ) -> DataFrame:
     """MERGE semantics: rows in ``updates`` override matching ``target``
     rows (matched-update), unmatched update rows are inserted, and — when
@@ -50,7 +52,55 @@ def merge_upsert(
     field, route it through ``delete_col`` + re-insert (SQL MERGE's
     overwrite-with-NULL is not expressible without per-column presence
     flags, which would double the update schema).
+
+    Duplicate update keys (a CDC batch with several changes to one key)
+    would fan matched target rows out through the join — the classic
+    silent MERGE corruption. ``on_duplicate`` controls it (ADVICE r2):
+
+    - ``"error"`` (default): raise ``ValueError`` when any key appears
+      more than once in ``updates`` — SQL MERGE's "multiple source rows
+      matched" error. Costs one aggregate job over the (small) updates
+      side before planning the merge.
+    - ``"last_wins"``: deterministically reduce updates to one row per
+      key first: highest ``version_col`` wins (required), remaining value
+      columns as descending tie-breakers so equal versions still resolve
+      deterministically.
+    - ``"allow"``: skip the check (caller guarantees uniqueness; zero
+      extra work).
+
+    NULL update keys never equi-join to the target, so a null-key update
+    row is NOT MATCHED and inserts — the same outcome SQL MERGE gives a
+    null source key.
     """
+    if on_duplicate not in ("error", "last_wins", "allow"):
+        raise ValueError(f"on_duplicate: {on_duplicate!r} not in error/last_wins/allow")
+    if on_duplicate == "last_wins":
+        if version_col is None:
+            raise ValueError("on_duplicate='last_wins' requires version_col")
+        tiebreak = [F.col(c).desc_nulls_last() for c in updates.columns
+                    if c not in keys and c != version_col]
+        w = Window.partitionBy(*keys).orderBy(
+            F.col(version_col).desc_nulls_last(), *tiebreak
+        )
+        updates = (
+            updates.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn")
+        )
+        if version_col not in target.columns:
+            # CDC metadata column, not part of the merge payload
+            updates = updates.drop(version_col)
+    elif on_duplicate == "error":
+        dup = (
+            updates.groupBy(*keys).count()
+            .filter(F.col("count") > 1).limit(1).collect()
+        )
+        if dup:
+            key_repr = {k: dup[0][k] for k in keys}
+            raise ValueError(
+                f"updates contain duplicate key {key_repr} "
+                "(SQL MERGE: multiple source rows matched); pass "
+                "on_duplicate='last_wins' with version_col, or 'allow'"
+            )
     upd_value_cols = [c for c in updates.columns
                       if c not in keys and c != delete_col]
     stray = set(upd_value_cols) - set(target.columns)

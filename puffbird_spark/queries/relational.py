@@ -614,7 +614,8 @@ def merge_upsert_customers(spark, sf_dir):
     )
     updates = upd.unionByName(ins)
     return merge_upsert(
-        cust, updates, keys=["c_custkey"], delete_col="is_del"
+        cust, updates, keys=["c_custkey"], delete_col="is_del",
+        on_duplicate="allow",  # keys unique by construction; skip the check job
     )
 
 

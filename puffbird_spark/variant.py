@@ -59,18 +59,30 @@ def variant_entries(v: Column) -> Column:
 
 
 #: memoized depth-inference results keyed by (analyzed-plan semantic hash,
-#: column, sample size) — repeated ``to_long(variant_cols=...)`` calls over
-#: the same plan re-use the sampled depth instead of re-collecting
+#: input-file list hash, column, sample size) — repeated
+#: ``to_long(variant_cols=...)`` calls over the same plan re-use the
+#: sampled depth instead of re-collecting. Bounded: at
+#: ``_DEPTH_CACHE_MAX`` entries the cache is cleared (cap-and-clear — the
+#: workload is "same frame re-exploded", not a working set worth LRU).
 _DEPTH_CACHE: dict[tuple, int] = {}
+_DEPTH_CACHE_MAX = 256
 
 
 def _plan_key(df: DataFrame, col: str, sample: int) -> tuple | None:
     """Stable cache key for a DataFrame's analyzed plan; None when the
     semantic hash is unavailable (Connect mode, API drift) — callers then
-    simply skip memoization."""
+    simply skip memoization.
+
+    The key includes the resolved input-file list: appending new files
+    under the same path changes the key, so a re-read after ingest
+    re-samples instead of returning a stale (shallower) depth (ADVICE
+    r2). Caveat: an in-place rewrite of the SAME file names is not
+    detected — the stale depth is still lossless (deeper rows keep raw
+    JSON at the cutoff leaf), just shallower than requested."""
     try:
         h = df._jdf.queryExecution().analyzed().semanticHash()
-        return (h, col, sample)
+        files = df.inputFiles()
+        return (h, hash(tuple(sorted(files))), col, sample)
     except Exception:
         return None
 
@@ -114,6 +126,8 @@ def infer_variant_depth(df: DataFrame, col: str, sample: int = 1000) -> int:
             continue
     result = max(best, 1)
     if key is not None:
+        if len(_DEPTH_CACHE) >= _DEPTH_CACHE_MAX:
+            _DEPTH_CACHE.clear()
         _DEPTH_CACHE[key] = result
     return result
 

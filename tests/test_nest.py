@@ -135,6 +135,25 @@ def test_to_puffy_arbitrary_python_aggfunc(spark):
     assert out == {0: 2.0, 1: 5.0}
 
 
+def test_to_puffy_column_rejecting_callables(spark):
+    """Callables outside numpy/builtins that reject a Column (ADVICE r2:
+    statistics.median iterates its argument; a Series-style lambda calls
+    .mean()) must fall through to the GROUPED_AGG slow path instead of
+    leaking the probe's TypeError."""
+    import statistics
+
+    df = spark.createDataFrame(
+        [(0, 1.0), (0, 3.0), (0, 7.0), (1, 5.0)], ["k", "v"]
+    )
+    eng = FrameEngine(df, indexcols=["k", "v"], validate=False)
+    out = {r["k"]: r["v"]
+           for r in eng.to_puffy("k", aggfunc=statistics.median).table.collect()}
+    assert out == {0: 3.0, 1: 5.0}
+    out = {r["k"]: r["v"]
+           for r in eng.to_puffy("k", aggfunc=lambda s: s.mean()).table.collect()}
+    assert out == {0: 11.0 / 3.0, 1: 5.0}
+
+
 def test_multid_pivot_pivot_values(pivot_flat):
     eng = FrameEngine(pivot_flat, indexcols=[], validate=False)
     out = eng.multid_pivot("D", "A", "B", pivot_values=["one", "two"])

@@ -577,6 +577,68 @@ def test_merge_modes_agree_and_empty_updates(spark):
         [(1, "a"), (2, "b")]
 
 
+def test_connected_components_long_chain_converges(spark):
+    """ADVICE r2: a path graph much longer than max_iter must still
+    converge (path-halving makes rounds O(log diameter)), and a genuinely
+    exhausted budget must WARN instead of silently splitting the
+    component."""
+    import warnings as w
+
+    from puffbird_spark.operators.graph import connected_components
+
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"]
+    )
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        comp = {r["vertex"]: r["component"]
+                for r in connected_components(pairs, max_iter=10).collect()}
+    assert not [c for c in caught if "no fixpoint" in str(c.message)]
+    assert comp == {i: 0 for i in range(n)}
+
+    with pytest.warns(RuntimeWarning, match="no fixpoint"):
+        connected_components(pairs, max_iter=2).collect()
+
+
+def test_merge_duplicate_and_null_update_keys(spark):
+    """ADVICE r2: duplicate update keys must not silently fan out target
+    rows. Default mode raises (SQL MERGE's multiple-source-match error);
+    last_wins reduces deterministically by version; NULL source keys
+    never match and insert — in BOTH join modes."""
+    from puffbird_spark.operators.merge import merge_upsert
+
+    t = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    dup = spark.createDataFrame(
+        [(2, "first", 1), (2, "second", 2), (3, "n", 1)],
+        "k long, v string, ver long",
+    )
+    with pytest.raises(ValueError, match="duplicate key"):
+        merge_upsert(t, dup.drop("ver"), ["k"])
+    for bcast in (True, False):
+        got = sorted(map(tuple, merge_upsert(
+            t, dup, ["k"], broadcast_updates=bcast,
+            on_duplicate="last_wins", version_col="ver",
+        ).collect()))
+        assert got == [(1, "a"), (2, "second"), (3, "n")]
+    # equal versions: deterministic tie-break on remaining columns desc
+    tie = spark.createDataFrame(
+        [(2, "x", 1), (2, "y", 1)], "k long, v string, ver long")
+    got = sorted(map(tuple, merge_upsert(
+        t, tie, ["k"], on_duplicate="last_wins", version_col="ver",
+    ).collect()))
+    assert got == [(1, "a"), (2, "y")]
+    with pytest.raises(ValueError, match="version_col"):
+        merge_upsert(t, tie, ["k"], on_duplicate="last_wins")
+    # NULL update key: never matches, inserts (SQL MERGE NOT MATCHED)
+    nullkey = spark.createDataFrame([(None, "z")], "k long, v string")
+    for bcast in (True, False):
+        got = sorted(map(tuple, merge_upsert(
+            t, nullkey, ["k"], broadcast_updates=bcast,
+        ).collect()), key=str)
+        assert got == [(1, "a"), (2, "b"), (None, "z")]
+
+
 def test_connected_components_empty_input(spark):
     from puffbird_spark.operators.graph import connected_components
 
