@@ -29,8 +29,24 @@ def normalize_nano_ts(df: DataFrame, cols: list[str]) -> DataFrame:
     return df
 
 
+#: memoized table reads per (application, sf_dir, table): re-building a
+#: query must not re-run parquet footer/schema-inference jobs (a DataFrame
+#: is an immutable plan — reuse is free). Testdata tables are static for a
+#: session's lifetime; anything written-then-reread goes through
+#: ``spark.read`` directly, not here.
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
+_TABLE_CACHE_MAX = 64
+
+
 def load_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read a testdata table, normalizing physical-type quirks."""
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:
+        app = None  # Connect mode: no local context — skip memoization
+    key = (app, sf_dir, table)
+    if app is not None and key in _TABLE_CACHE:
+        return _TABLE_CACHE[key]
     nano_cols = _NANO_TS_COLS.get(table, [])
     if nano_cols:
         try:
@@ -38,7 +54,12 @@ def load_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         except Exception:
             pass  # already set statically or unsupported: the read will tell
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-    return normalize_nano_ts(df, nano_cols)
+    df = normalize_nano_ts(df, nano_cols)
+    if app is not None:
+        if len(_TABLE_CACHE) >= _TABLE_CACHE_MAX:
+            _TABLE_CACHE.clear()
+        _TABLE_CACHE[key] = df
+    return df
 
 
 def read_csv(
