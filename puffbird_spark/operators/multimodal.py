@@ -2,14 +2,19 @@
 columns plus a typed metadata struct (BASELINE.json north star).
 
 The Spark-side plumbing is real and tested — schema, binaryFile source,
-Arrow-batched decode pipeline via mapInPandas, partition sizing. The decode
-kernels themselves are deterministic STUBS (the image/audio libraries are
-not in this container); swap ``_decode_image_stub`` for a PIL/ffmpeg call
-and nothing else changes.
+Arrow-batched decode pipeline via mapInPandas, partition sizing. The image
+decode is REAL for container formats whose headers are self-describing:
+PNG / GIF / BMP / JPEG dimensions are parsed pure-Python from the blob
+bytes (no image library needed — see :func:`parse_image_header`). Pixel
+-level decode (which needs libpng/libjpeg) is represented by a
+deterministic byte-histogram featurizer; swap :func:`_byte_histogram` for
+a PIL/ffmpeg call and nothing else changes.
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -30,10 +35,95 @@ MEDIA_META = T.StructType([
 #: decoded-feature output schema of the decode stage
 DECODED_SCHEMA = T.StructType([
     T.StructField("path", T.StringType()),
+    T.StructField("format", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
     T.StructField("size_bytes", T.LongType()),
     T.StructField("digest", T.StringType()),
     T.StructField("feature", T.ArrayType(T.FloatType())),
 ])
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+# ------------------------------------------------------------------ #
+# real header decode (pure Python — container headers are self-describing)
+# ------------------------------------------------------------------ #
+
+def parse_image_header(blob: bytes | None) -> tuple[str | None, int | None, int | None]:
+    """``(format, width, height)`` parsed from the blob's container header.
+
+    Pure-Python decode of the four self-describing formats:
+
+    - PNG: 8-byte signature, then the IHDR chunk — width/height are
+      big-endian u32 at offsets 16/20 (PNG spec §11.2.2).
+    - GIF: ``GIF87a``/``GIF89a`` signature, logical-screen width/height
+      little-endian u16 at offsets 6/8.
+    - BMP: ``BM`` signature, BITMAPINFOHEADER width/height little-endian
+      i32 at offsets 18/22 (height may be negative = top-down).
+    - JPEG: marker walk to the first SOF frame header (C0-CF except
+      C4/C8/CC); height/width big-endian u16 at +5/+7 inside it.
+
+    Unknown/truncated blobs return ``(None, None, None)`` — never raises.
+    """
+    if not blob:
+        return None, None, None
+    b = bytes(blob)
+    try:
+        if b.startswith(_PNG_SIG) and len(b) >= 24 and b[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", b[16:24])
+            return "png", w, h
+        if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+            w, h = struct.unpack("<HH", b[6:10])
+            return "gif", w, h
+        if b[:2] == b"BM" and len(b) >= 26:
+            w, h = struct.unpack("<ii", b[18:26])
+            return "bmp", abs(w), abs(h)
+        if b[:2] == b"\xff\xd8":
+            i = 2
+            while i + 9 < len(b):
+                if b[i] != 0xFF:
+                    break
+                marker = b[i + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2
+                    continue
+                seg_len = struct.unpack(">H", b[i + 2:i + 4])[0]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h, w = struct.unpack(">HH", b[i + 5:i + 9])
+                    return "jpeg", w, h
+                i += 2 + seg_len
+            return "jpeg", None, None
+    except (struct.error, IndexError):
+        pass
+    return None, None, None
+
+
+def encode_png(width: int, height: int, seed: int = 0) -> bytes:
+    """A REAL minimal PNG (8-bit grayscale, zlib-compressed scanlines,
+    CRC-correct chunks) built with only stdlib ``zlib``/``struct``.
+    Deterministic pixel fill from ``seed`` — the fixture generator for
+    decode gates; any standards-compliant viewer opens the output."""
+    if width <= 0 or height <= 0:
+        raise ValueError("width/height must be positive")
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        crc = zlib.crc32(tag + payload) & 0xFFFFFFFF
+        return struct.pack(">I", len(payload)) + tag + payload + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)  # filter type None per scanline
+        for x in range(width):
+            raw.append((x * 31 + y * 17 + seed) % 256)
+    idat = zlib.compress(bytes(raw), 6)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
 
 
 def read_binary_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
@@ -65,10 +155,11 @@ def with_media_meta(
     )
 
 
-def _decode_image_stub(blob: bytes, dim: int = 8) -> list[float]:
-    """Deterministic fake 'decode+feature-extract': byte histogram folded
-    to ``dim`` buckets, normalized. Replace with a real decoder; the
-    Spark plumbing (Arrow batches, schema, partitioning) stays identical."""
+def _byte_histogram(blob: bytes, dim: int = 8) -> list[float]:
+    """Deterministic feature vector: byte histogram over the first 4 KiB
+    folded to ``dim`` buckets, normalized. A real (if crude) content
+    featurizer needing no decode libraries; swap for a pixel-space model
+    embedding when one is available — the Spark plumbing is unchanged."""
     if blob is None or len(blob) == 0:
         return [0.0] * dim
     buckets = [0] * dim
@@ -87,16 +178,22 @@ def decode_features(
 ) -> DataFrame:
     """mapInPandas decode stage: Arrow-batched, one Python worker per
     partition, bounded batch size so a partition of large blobs doesn't
-    blow worker memory. This is the real 100 TB shape: decode is
-    embarrassingly parallel and never shuffles."""
+    blow worker memory. Emits REAL header-decoded (format, width, height)
+    via :func:`parse_image_header` plus digest and a histogram feature.
+    This is the real 100 TB shape: decode is embarrassingly parallel and
+    never shuffles."""
     import hashlib
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for start in range(0, len(pdf), batch_size):
                 chunk = pdf.iloc[start:start + batch_size]
+                headers = chunk[content_col].map(parse_image_header)
                 yield pd.DataFrame({
                     "path": chunk[path_col].astype(str),
+                    "format": headers.map(lambda t: t[0]),
+                    "width": headers.map(lambda t: t[1]).astype("Int32"),
+                    "height": headers.map(lambda t: t[2]).astype("Int32"),
                     "size_bytes": chunk[content_col].map(
                         lambda b: len(b) if b is not None else 0
                     ),
@@ -104,7 +201,7 @@ def decode_features(
                         lambda b: hashlib.md5(b or b"").hexdigest()
                     ),
                     "feature": chunk[content_col].map(
-                        lambda b: _decode_image_stub(b, dim)
+                        lambda b: _byte_histogram(b, dim)
                     ),
                 })
 

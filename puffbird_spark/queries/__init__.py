@@ -22,35 +22,34 @@ from . import (  # noqa: F401,E402
 # operator accumulates oracle evidence; long-green round-1 queries fill the
 # remaining window and the tail.
 _VERIFY_FIRST = [
-    # window surface (no round-1 driver row)
-    "window_rank", "window_rank_kinds", "window_running",
-    "window_lag_lead", "window_moving_avg", "window_range_frame",
-    # streaming batch-twin surface
-    "stream_tumbling", "stream_sliding", "stream_session",
-    "stream_dedup_watermark", "hypertable_rollup", "stream_static_join",
-    # UDF + variant surface
-    "udf_pandas_scalar", "udf_grouped_agg", "udf_apply_in_pandas",
-    "variant_props",
-    # SQL front-end + tail of round-1 registration order
-    "sql_tpch_q6", "sql_grouping_sets", "fn_map_json", "dedup_embedding",
-    "engine_to_long_fused",
-    # upgraded / new this round
-    "text_quality", "dedup_minhash_md5", "dedup_ngram_jaccard",
-    "knn_ivf_exact", "agg_grouping_sets", "window_ntile_cume",
-    "fn_struct", "fn_url_mask", "join_right_full", "agg_skew_salted",
-    "sessionize_events", "fn_array_hof",
-    "stream_late_data", "multimodal_meta", "to_xarray_guarded",
-    "explode_inline_stack", "explode_inline", "set_union_by_name",
-    "mem_rows_table", "scan_parquet_partitioned", "udf_udtf",
-    "text_tfidf", "text_top_ngrams", "embedding_centroids",
-    "stream_foreach_batch", "dedup_clusters", "merge_upsert_customers",
-    "rollup_incremental", "sort_zorder", "text_repetition",
-    "agg_percentiles_exact",
-    "sample_fraction", "text_shingle_hash", "sample_stratified",
+    # never driver-checked (positions 50+ in rounds 1-2) — six are the
+    # REF-surface engine gates R6/R7/R8/R13/R14/R18 (VERDICT r2 #2)
+    "engine_col_apply", "engine_apply_rowwise", "engine_project_ops",
+    "engine_puffy_to_long_shortcut", "engine_sanitize",
     "engine_aggfunc_dispatch",
-    "engine_col_apply",
-    "engine_apply_rowwise",
-    "engine_project_ops", "engine_puffy_to_long_shortcut", "engine_sanitize",
+    "agg_percentiles_exact", "sample_fraction", "sample_stratified",
+    "text_repetition", "text_shingle_hash",
+    # round-2 canonicalizer errs, now flattened to hashable scalars
+    "fn_struct", "fn_array_hof",
+    # r1 `no_oracle` rows-only — re-presented so they register rows>0
+    # instead of stale errs (VERDICT r2 #3); each has a hash-matched
+    # exact twin already green (md5 banding, jaccard, ivf_exact, ...)
+    "dedup_minhash_lsh", "dedup_simhash", "knn_lsh", "knn_ivf",
+    "agg_approx_distinct",
+    # new gates this round
+    "engine_to_long_structs",   # R5-inside-R2 array<struct> flatten
+    "multimodal_decode",        # real PNG header decode, stub gone
+    # backfill: long-green queries last checked in round 1
+    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+    "engine_to_long_roundtrip", "engine_to_long_shared_axes",
+    "engine_to_puffy", "engine_expand_col", "engine_zip_explode",
+    "explode_tokens", "pivot_returnflag", "unpivot_part",
+    "multid_pivot_acctbal",
+    "fn_string", "fn_date", "fn_math", "fn_cond", "fn_array", "fn_map",
+    "fn_json", "fn_to_json",
+    "text_tokens_bpe", "dedup_exact", "dedup_jaccard", "knn_cosine",
+    "text_stats", "text_fingerprint", "text_langid",
+    "join_semi", "join_anti", "join_asof",
 ]
 
 

@@ -142,3 +142,35 @@ def engine_aggfunc_dispatch(spark, sf_dir):
                       validate=False)
     out = eng.to_puffy("l_orderkey", aggfunc=container)
     return out.table.select("l_orderkey", "l_quantity")
+
+
+@query("engine_to_long_structs", oracle="""
+SELECT l_orderkey, l_linenumber, CAST(lvl AS INT) AS charges_level0,
+  CASE lvl WHEN 0 THEN CAST(l_quantity AS DOUBLE)
+           ELSE CAST(l_quantity AS DOUBLE) * 2 END AS charges_q,
+  CASE lvl WHEN 0 THEN CAST(l_discount AS DOUBLE)
+           ELSE CAST(l_tax AS DOUBLE) END AS charges_d
+FROM lineitem CROSS JOIN (VALUES (0), (1)) t(lvl)
+""")
+def engine_to_long_structs(spark, sf_dir):
+    """R5-inside-R2: ``to_long`` over an array-of-struct datacol ends in
+    FLAT columns — posexplode inlines the array (level column) and field
+    projection flattens the struct to ``{col}_{field}`` scalars (reference
+    frame.py:489-503, tutorial cell 24). All-exact values (2-dp decimals
+    cast to double, *2) keep both engines bit-equal."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        F.array(
+            F.struct(
+                F.col("l_quantity").cast("double").alias("q"),
+                F.col("l_discount").cast("double").alias("d"),
+            ),
+            F.struct(
+                (F.col("l_quantity") * 2).cast("double").alias("q"),
+                F.col("l_tax").cast("double").alias("d"),
+            ),
+        ).alias("charges"),
+    )
+    eng = FrameEngine(li, indexcols=["l_orderkey", "l_linenumber"],
+                      validate=False)
+    return eng.to_long("charges", expand_cols=["charges"])

@@ -230,6 +230,43 @@ def multimodal_meta(spark, sf_dir):
     )
 
 
+@query("multimodal_decode", oracle="""
+SELECT CAST(doc_id AS VARCHAR) AS path, 'png' AS fmt,
+  CAST(1 + doc_id % 16 AS INT) AS width,
+  CAST(1 + doc_id % 12 AS INT) AS height
+FROM documents
+""")
+def multimodal_decode(spark, sf_dir):
+    """REAL image decode in the gate: every document gets a genuine PNG
+    blob (stdlib-zlib encoder, CRC-correct chunks) with dimensions derived
+    from doc_id; the mapInPandas decode stage parses the PNG IHDR header
+    back (pure Python, ``parse_image_header``) and the recovered
+    (format, width, height) hash-match the closed-form oracle. The former
+    decode stub is gone — this exercises the real 100 TB media path:
+    synth/ingest -> Arrow batches -> header decode, zero shuffles."""
+    import pandas as pd
+
+    from ..operators.multimodal import decode_features, encode_png
+
+    def _make(doc_id):
+        return doc_id.map(
+            lambda i: encode_png(1 + int(i) % 16, 1 + int(i) % 12,
+                                 seed=int(i) % 251)
+        )
+
+    # no annotations: postponed-annotations mode breaks signature inference
+    make_png = F.pandas_udf(_make, returnType="binary")
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("path"),
+        make_png(F.col("doc_id")).alias("content"),
+    )
+    decoded = decode_features(docs)
+    return decoded.select(
+        "path", F.col("format").alias("fmt"), "width", "height"
+    )
+
+
 @query("to_xarray_guarded", oracle="""
 SELECT c_nationkey, c_mktsegment,
   CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(c_acctbal)

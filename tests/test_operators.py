@@ -644,3 +644,77 @@ def test_connected_components_empty_input(spark):
 
     empty = spark.createDataFrame([], "id_a long, id_b long")
     assert connected_components(empty).count() == 0
+
+
+def test_parse_image_header_formats():
+    """Real pure-Python header decode across the four container formats."""
+    import struct
+    from puffbird_spark.operators.multimodal import (
+        encode_png, parse_image_header,
+    )
+
+    assert parse_image_header(encode_png(17, 9)) == ("png", 17, 9)
+    assert parse_image_header(encode_png(1, 1, seed=7)) == ("png", 1, 1)
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 8
+    assert parse_image_header(gif) == ("gif", 320, 200)
+
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 640, -480) + b"\x00" * 8
+    assert parse_image_header(bmp) == ("bmp", 640, 480)  # top-down abs()
+
+    # minimal JPEG: SOI, APP0 skip segment, SOF0 with height=240 width=360
+    jpeg = (b"\xff\xd8"
+            + b"\xff\xe0" + struct.pack(">H", 4) + b"\x00\x00"
+            + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", 240, 360) + b"\x03\x00\x00\x00")
+    assert parse_image_header(jpeg) == ("jpeg", 360, 240)
+
+    assert parse_image_header(None) == (None, None, None)
+    assert parse_image_header(b"") == (None, None, None)
+    assert parse_image_header(b"\x89PNG\r\n\x1a") == (None, None, None)
+    assert parse_image_header(b"garbage bytes here") == (None, None, None)
+
+
+def test_png_encode_is_standards_valid():
+    """The fixture PNG is a real PNG: signature, CRC-correct chunks, and
+    the IDAT inflates to exactly height*(1+width) filtered scanlines."""
+    import struct
+    import zlib
+    from puffbird_spark.operators.multimodal import encode_png
+
+    blob = encode_png(5, 3, seed=42)
+    assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+    pos, chunks = 8, []
+    while pos < len(blob):
+        (length,) = struct.unpack(">I", blob[pos:pos + 4])
+        tag = blob[pos + 4:pos + 8]
+        payload = blob[pos + 8:pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", blob[pos + 8 + length:pos + 12 + length])
+        assert crc == zlib.crc32(tag + payload) & 0xFFFFFFFF
+        chunks.append((tag, payload))
+        pos += 12 + length
+    assert [t for t, _ in chunks] == [b"IHDR", b"IDAT", b"IEND"]
+    raw = zlib.decompress(chunks[1][1])
+    assert len(raw) == 3 * (1 + 5)
+    # deterministic given (w, h, seed)
+    assert blob == encode_png(5, 3, seed=42)
+    assert blob != encode_png(5, 3, seed=43)
+
+
+def test_decode_features_real_headers(spark):
+    """The mapInPandas decode stage recovers true PNG dimensions."""
+    from puffbird_spark.operators.multimodal import (
+        decode_features, encode_png,
+    )
+
+    rows = [("a.png", bytearray(encode_png(12, 7))),
+            ("b.png", bytearray(encode_png(3, 30))),
+            ("c.bin", bytearray(b"not an image"))]
+    df = spark.createDataFrame(rows, ["path", "content"])
+    got = {r["path"]: r for r in decode_features(df).collect()}
+    assert (got["a.png"]["format"], got["a.png"]["width"],
+            got["a.png"]["height"]) == ("png", 12, 7)
+    assert (got["b.png"]["width"], got["b.png"]["height"]) == (3, 30)
+    assert got["c.bin"]["format"] is None
+    assert got["c.bin"]["width"] is None
