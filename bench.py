@@ -51,6 +51,13 @@ BENCH_QUERIES = [
     "sessionize_events",
     "agg_grouping_sets",
     "agg_skew_salted",
+    # round-3 additions (VERDICT r2 #7): the next scale ceilings —
+    # MERGE, cluster resolution, incremental refresh, z-order, TF-IDF
+    "merge_upsert_customers",
+    "dedup_clusters",
+    "rollup_incremental",
+    "sort_zorder",
+    "text_tfidf",
 ]
 
 

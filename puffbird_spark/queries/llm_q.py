@@ -521,17 +521,12 @@ def text_repetition(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     toks = TXT.tokens("text")
     # non-distinct trigram occurrences (shingles() dedups — here the
-    # duplicate count IS the signal)
-    grams = F.when(
-        F.size(toks) >= 3,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 3),
-            lambda i: F.array_join(F.slice(toks, i + 1, 3), " "),
-        ),
-    )
+    # duplicate count IS the signal); zip-shifted build, no O(tokens²)
+    # slice-per-position lambda (see functions/text.py::gram_occurrences)
+    grams = TXT.gram_occurrences(toks, n=3)
     e = docs.select("doc_id", F.col("text")).select(
         "doc_id", grams.alias("grams")
-    ).filter(F.col("grams").isNotNull()).select(
+    ).filter(F.size("grams") >= 1).select(
         "doc_id", F.explode("grams").alias("gram"), F.size("grams").alias("n_grams")
     )
     c = e.groupBy("doc_id", "gram").agg(
