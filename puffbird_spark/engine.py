@@ -32,7 +32,7 @@ Known reference bugs intentionally *not* replicated (SURVEY §2.1):
 
 from __future__ import annotations
 
-from collections.abc import Callable, Mapping
+from collections.abc import Callable, Mapping, Sequence
 from typing import Any
 
 import pandas as pd
@@ -279,6 +279,7 @@ class FrameEngine:
         dropna: bool = True,
         cond: Callable[[T.DataType], bool] | Mapping | None = None,
         expand_cols: list[str] | None = None,
+        expand_index_fields: Mapping[str, Sequence[str]] | None = None,
         variant_cols: list[str] | None = None,
         strategy: str = "auto",
         reindex: bool = False,
@@ -296,6 +297,12 @@ class FrameEngine:
         declare that depth ``depthX`` of each column is the same logical axis;
         the level column takes the shared ``name`` and becomes a join key
         (positional zip instead of cross product; frame.py:401-413).
+
+        ``expand_index_fields``: per expand column, the struct fields that
+        encode the frame-cell's *named inner index* — they surface bare
+        (reference merge suffixes ``_{datacol}`` on collision) and replace
+        the synthetic ``{col}_level0`` position column; all other fields
+        get the ``{col}_`` prefix (frame.py:489-533, tutorial cell 23).
 
         ``variant_cols``: JSON-string columns with ragged / per-cell
         heterogeneous nesting, exploded with per-row dynamic dispatch (see
@@ -329,6 +336,12 @@ class FrameEngine:
         # deferred check (at most once) before planning
         self._ensure_valid()
         expand_cols = list(expand_cols or [])
+        expand_index_fields = dict(expand_index_fields or {})
+        stray_idx = set(expand_index_fields) - set(expand_cols)
+        if stray_idx:
+            raise PuffbirdSparkError(
+                f"expand_index_fields keys not in expand_cols: {sorted(stray_idx)}"
+            )
         variant_cols = list(variant_cols or [])
         stray = set(variant_cols) - set(datacols)
         if stray:
@@ -374,7 +387,8 @@ class FrameEngine:
         frames: list[tuple[str, DataFrame, list[str]]] = []
         for c in datacols:
             if c in expand_cols:
-                frames.append(self._expand_frame(c, dropna))
+                frames.append(self._expand_frame(
+                    c, dropna, index_fields=expand_index_fields.get(c)))
             elif c in variant_cols:
                 from .variant import explode_variant
 
@@ -430,14 +444,47 @@ class FrameEngine:
     # R5 — expand_col
     # ------------------------------------------------------------------ #
 
-    def _expand_frame(self, col: str, dropna: bool) -> tuple[str, DataFrame, list[str]]:
+    def _expand_frame(
+        self, col: str, dropna: bool,
+        index_fields: Sequence[str] | None = None,
+    ) -> tuple[str, DataFrame, list[str]]:
         """``to_long(expand_cols=[col])`` inner path: inline the struct array
-        and prefix field names with ``{col}_`` (frame.py:489-503)."""
+        and prefix field names with ``{col}_`` (frame.py:489-503).
+
+        ``index_fields`` models the reference frame-cell's *named inner
+        index*: in pandas the inner index levels reach the merged long
+        frame under their bare names (the ``{datacol}_`` prefix rename at
+        frame.py:499-502 runs before ``reset_index``), and a bare name
+        colliding with an existing column picks up the merge's
+        ``_{datacol}`` suffix (frame.py:533; tutorial cell 23 ``a`` →
+        ``a_e``). Declared fields therefore stay unprefixed (collision
+        handling falls to ``assemble_long``), replace the synthetic
+        position column (the inner index IS the position), and the
+        remaining value fields keep the ``{col}_`` prefix."""
         dtype = self._df.schema[col].dataType
         struct = self._expandable_struct(col, dtype)
+        idx = list(index_fields or [])
+        known = {f.name for f in struct.fields}
+        missing = set(idx) - known
+        if missing:
+            raise PuffbirdSparkError(
+                f"expand_index_fields for {col!r} not in its struct: "
+                f"{sorted(missing)}"
+            )
         pos_col = level_column(col, 0)
         gen = F.posexplode(F.col(col)) if dropna else F.posexplode_outer(F.col(col))
         df = self._df.select(*self._indexcols, gen.alias(pos_col, col))
+        if idx:
+            out_cols = [*self._indexcols] + [
+                F.col(col).getField(f.name).alias(
+                    f.name if f.name in idx else f"{col}_{f.name}")
+                for f in struct.fields
+            ]
+            # levels=[] so bare inner-index names are NOT join keys: the
+            # reference computes merge keys from the OUTER index names only
+            # (frame.py:491 `names` precedes expand) — a collision suffixes
+            # instead of aligning.
+            return col, df.select(*out_cols), []
         out_cols = [*self._indexcols, pos_col] + [
             F.col(col).getField(f.name).alias(f"{col}_{f.name}")
             for f in struct.fields

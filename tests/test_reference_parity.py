@@ -21,15 +21,20 @@ from puffbird_spark import FrameEngine
 @pytest.fixture(scope="module")
 def ref():
     """Import the reference FrameEngine (xarray stubbed — not needed for
-    the compared paths)."""
-    sys.modules.setdefault("xarray", types.ModuleType("xarray"))
+    the compared paths). The stub is removed afterwards so tests that
+    probe for a REAL xarray (the to_xarray guard) are not fooled by it."""
+    stubbed = "xarray" not in sys.modules
+    if stubbed:
+        sys.modules["xarray"] = types.ModuleType("xarray")
     if "/root/reference" not in sys.path:
         sys.path.insert(0, "/root/reference")
     try:
         from puffbird import FrameEngine as RefEngine
     except Exception as e:  # pragma: no cover - environment-dependent
         pytest.skip(f"reference not importable: {e}")
-    return RefEngine
+    yield RefEngine
+    if stubbed:
+        sys.modules.pop("xarray", None)
 
 
 def _ref_rows(pdf, cols):
@@ -331,4 +336,81 @@ def test_to_long_mixed_modes_adversarial(ref, spark):
     out = FrameEngine(sdf, indexcols=["k"]).to_long()
     assert "s_level0" not in out.columns  # scalar: no level col, like ref
     got = _spark_rows(out, cols)
+    assert got == expected
+
+
+def test_to_long_expand_index_collision_rename(ref, spark):
+    """Tutorial cell 23 shape: expanded frame-cells with a NAMED inner
+    MultiIndex (levels 'a','b') alongside a plain datacol 'a'. Reference:
+    value columns prefixed (e_c1), inner index levels bare, and the level
+    colliding with datacol 'a' merge-suffixed to 'a_e' (frame.py:533).
+    Spark rendering: struct fields + expand_index_fields=['a','b']."""
+    import pandas as pd
+
+    e_cells = [
+        pd.DataFrame(
+            {"c1": [1, 2, 3], "c2": [4, 5, 6]},
+            index=pd.MultiIndex.from_arrays(
+                [["a", "b", "c"], ["x", "y", "z"]], names=["a", "b"]),
+        ),
+        pd.DataFrame(
+            {"c1": [7, 8], "c2": [9, 10]},
+            index=pd.MultiIndex.from_arrays(
+                [["a", "b"], ["x", "y"]], names=["a", "b"]),
+        ),
+    ]
+    pdf = pd.DataFrame(
+        {"k": [1, 2], "a": ["aa", "bb"], "e": e_cells}).set_index("k")
+    r = ref(pdf).to_long("a", "e", expand_cols=["e"]).rename(
+        columns={"index_level0": "k"})
+    assert list(r.columns) == ["k", "a", "a_e", "b", "e_c1", "e_c2"]
+    cols = ["k", "a", "a_e", "b", "e_c1", "e_c2"]
+    expected = _ref_rows(r, cols)
+
+    sdf = spark.createDataFrame(
+        [
+            (1, "aa", [("a", "x", 1, 4), ("b", "y", 2, 5), ("c", "z", 3, 6)]),
+            (2, "bb", [("a", "x", 7, 9), ("b", "y", 8, 10)]),
+        ],
+        "k long, a string, "
+        "e array<struct<a string, b string, c1 long, c2 long>>",
+    )
+    out = FrameEngine(sdf, indexcols=["k"]).to_long(
+        "a", "e", expand_cols=["e"], expand_index_fields={"e": ["a", "b"]})
+    assert sorted(out.columns) == sorted(cols)
+    got = _spark_rows(out, cols)
+    assert got == expected
+
+
+def test_to_puffy_aggfunc_series_lambda(ref, spark):
+    """to_puffy(aggfunc=<Series-style lambda>): the reference calls the
+    callable on the group's Python list (frame.py:1009-1013); our probe
+    must reject the Column call and fall through to the GROUPED_AGG
+    pandas-UDF path, producing the same scalar per group."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"k": [1, 1, 2, 2, 2], "row": [0, 1, 2, 3, 4],
+         "v": [1.0, 3.0, 2.0, 4.0, 9.0]}
+    ).set_index(["k", "row"])
+    fn = lambda vals: max(vals) - min(vals)  # noqa: E731
+    try:
+        r = ref(pdf).to_puffy("k", aggfunc=fn)
+        expected = {int(k): float(v) for k, v in r["v"].items()}
+    except TypeError:
+        # pandas >= 2 regression in the reference itself: groupby.aggregate
+        # now dispatches per-column Series into helper_func, whose
+        # `df.to_dict("list")` (frame.py:1006) then TypeErrors. Replay the
+        # reference's documented helper semantics (frame.py:1004-1013:
+        # group -> dict of python lists -> aggfunc per list) as the oracle.
+        grouped = pdf.reset_index("row").groupby("k").apply(
+            lambda g: pd.Series({c: fn(g[c].tolist()) for c in g.columns}))
+        expected = {int(k): float(v) for k, v in grouped["v"].items()}
+
+    sdf = spark.createDataFrame(
+        [(1, 0, 1.0), (1, 1, 3.0), (2, 2, 2.0), (2, 3, 4.0), (2, 4, 9.0)],
+        ["k", "row", "v"])
+    eng = FrameEngine(sdf, indexcols=["k", "row"]).to_puffy(
+        "k", aggfunc=lambda vals: max(vals) - min(vals))
+    got = {r2["k"]: float(r2["v"]) for r2 in eng.table.collect()}
     assert got == expected
