@@ -137,6 +137,26 @@ def gram_occurrences(toks: Column, n: int = 3, sep: str = " ") -> Column:
     return F.when(sz >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
+def chunk_windows(
+    toks: Column, width: int = 64, stride: int = 48, sep: str = " "
+) -> Column:
+    """Overlapping token windows (RAG / context chunking): slices of
+    ``width`` tokens every ``stride`` tokens, as an array of
+    ``struct<chunk_id, chunk, chunk_tokens>``. Pure generator expressions
+    — codegen, no UDF, no shuffle. Empty docs yield an empty array."""
+    sz = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(sz - 1, F.lit(0)), F.lit(stride))
+    win = F.filter(starts, lambda s: s < sz)
+    return F.transform(
+        win,
+        lambda s, i: F.struct(
+            i.alias("chunk_id"),
+            F.array_join(F.slice(toks, s + 1, width), sep).alias("chunk"),
+            F.least(sz - s, F.lit(width)).alias("chunk_tokens"),
+        ),
+    )
+
+
 def shingles(toks: Column, n: int = 3, sep: str = " ") -> Column:
     """Distinct sorted word n-gram shingles (for MinHash / Jaccard dedup).
     Documents shorter than ``n`` tokens yield an empty array."""

@@ -539,3 +539,140 @@ def text_repetition(spark, sf_dir):
             F.max("cnt").cast("double") / F.min("n_grams"), 6
         ).alias("repetition_ratio"),
     )
+
+
+@query("text_decontaminate", oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id,
+        CASE WHEN len(toks) >= 3
+             THEN list_sort(list_distinct(
+                    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                     FOR i IN range(1, len(toks) - 1)]))
+             ELSE [] END AS sh
+      FROM t),
+ev AS (SELECT DISTINCT unnest(sh) AS gram FROM s WHERE doc_id % 20 = 0),
+tr AS (SELECT doc_id, len(sh) AS n_grams, unnest(sh) AS gram
+       FROM s WHERE doc_id % 20 <> 0)
+SELECT tr.doc_id AS doc_id,
+       CAST(MAX(tr.n_grams) AS BIGINT) AS n_grams,
+       CAST(COUNT(*) AS BIGINT) AS n_contaminated,
+       round(CAST(COUNT(*) AS DOUBLE) / MAX(tr.n_grams), 6) AS contamination
+FROM tr JOIN ev USING (gram)
+GROUP BY tr.doc_id
+""")
+def text_decontaminate(spark, sf_dir):
+    """Train/eval decontamination: eval slice = every 20th doc; train docs
+    sharing any distinct trigram with it are flagged with their overlap
+    fraction. Eval gram set is broadcast — the train corpus is a map-side
+    semi-join + one groupBy(doc), never shuffled by gram."""
+    from ..operators.decontam import contamination
+
+    docs = load(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    tr = docs.filter(F.col("doc_id") % 20 != 0)
+    out = contamination(tr, ev, "text", "doc_id", n=3)
+    return out.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_contaminated").cast("long").alias("n_contaminated"),
+        "contamination",
+    )
+
+
+@query("pack_spanning", oracle="""
+WITH t AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+), s AS (
+  SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
+       PARTITION BY shard ORDER BY doc_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+    AS start_offset
+  FROM t WHERE n_tokens > 0
+)
+SELECT shard, doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, start_offset,
+  CAST(start_offset // 512 AS BIGINT) AS first_pack,
+  CAST((start_offset + n_tokens - 1) // 512 AS BIGINT) AS last_pack,
+  CAST((start_offset + n_tokens - 1) // 512
+       - start_offset // 512 + 1 AS BIGINT) AS n_packs_spanned
+FROM s
+""")
+def pack_spanning_q(spark, sf_dir):
+    """GPT-style concat-then-cut sequence packing (budget 512, 8 shards):
+    a prefix-sum window per shard — one Exchange, closed-form, no UDF.
+    Packs never cross shards, so 1000 executors pack independently."""
+    from ..operators.packing import pack_spanning
+
+    docs = load(spark, sf_dir, "documents")
+    return pack_spanning(
+        docs, TXT.tokens("text"), "doc_id", budget=512, shards=8
+    )
+
+
+@query("pack_greedy", oracle="""
+WITH RECURSIVE t AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         len(string_split(text, ' ')) AS n_tokens,
+         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+  FROM documents
+  WHERE len(string_split(text, ' ')) > 0
+), packed AS (
+  SELECT shard, rn, doc_id, n_tokens,
+         CAST(0 AS BIGINT) AS pack_id,
+         CAST(n_tokens AS BIGINT) AS pack_fill
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.shard, t.rn, t.doc_id, t.n_tokens,
+         CASE WHEN p.pack_fill + t.n_tokens > 512
+              THEN p.pack_id + 1 ELSE p.pack_id END,
+         CASE WHEN p.pack_fill + t.n_tokens > 512
+              THEN CAST(t.n_tokens AS BIGINT)
+              ELSE p.pack_fill + t.n_tokens END
+  FROM packed p JOIN t ON t.shard = p.shard AND t.rn = p.rn + 1
+)
+SELECT shard, doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+       pack_id, pack_fill
+FROM packed
+""")
+def pack_greedy_q(spark, sf_dir):
+    """No-split greedy packing (budget 512, 8 shards): per-shard
+    sequential fill via ONE applyInPandas scan; the DuckDB oracle replays
+    the recurrence as a recursive CTE — cross-engine proof of a
+    non-closed-form operator."""
+    from ..operators.packing import pack_greedy
+
+    docs = load(spark, sf_dir, "documents")
+    return pack_greedy(
+        docs, TXT.tokens("text"), "doc_id", budget=512, shards=8
+    )
+
+
+@query("text_chunk_windows", oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+w AS (SELECT doc_id, len(toks) AS sz,
+             unnest([s FOR s IN range(0, GREATEST(len(toks), 1), 48)])
+               AS start
+      FROM t)
+SELECT w.doc_id AS doc_id,
+       CAST(start // 48 AS INTEGER) AS chunk_id,
+       array_to_string(list_slice(t.toks, start + 1, start + 64), ' ')
+         AS chunk,
+       CAST(LEAST(sz - start, 64) AS INTEGER) AS chunk_tokens
+FROM w JOIN t USING (doc_id)
+WHERE start < sz
+""")
+def text_chunk_windows(spark, sf_dir):
+    """Overlapping token-window chunking (width 64, stride 48) — the
+    RAG / long-doc split stage. Generator expressions only: no UDF, no
+    shuffle; the explode inlines in codegen."""
+    docs = load(spark, sf_dir, "documents")
+    ch = TXT.chunk_windows(TXT.tokens("text"), width=64, stride=48)
+    return docs.select(
+        "doc_id", F.explode(ch).alias("c")
+    ).select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.chunk").alias("chunk"),
+        F.col("c.chunk_tokens").alias("chunk_tokens"),
+    )
