@@ -39,12 +39,18 @@ def contamination(
     docs with at least one shared gram (the clean corpus majority never
     leaves the map side).
     """
-    ev = (
-        eval_df.select(F.explode(shingles(tokens(text_col), n)).alias("gram"))
-        .distinct()
-    )
-    tr = train.select(
-        F.col(id_col), shingles(tokens(text_col), n).alias("sh")
+    from ..plans import fence
+
+    # shingle arrays staged behind a fence: InferFiltersFromGenerate would
+    # otherwise push a size()/isnotnull() predicate below the explode that
+    # re-inlines the whole shingle expression 2-3x per row — tripling the
+    # scan-stage CPU of the big side at scale (plan-asserted in tests).
+    ev = fence(
+        eval_df, [], sh=shingles(tokens(text_col), n)
+    ).select(F.explode("sh").alias("gram")).distinct()
+    tr = fence(
+        train.select(F.col(id_col), F.col(text_col)),
+        [id_col], sh=shingles(tokens(text_col), n),
     ).select(
         id_col, F.size("sh").alias("n_grams"), F.explode("sh").alias("gram")
     )

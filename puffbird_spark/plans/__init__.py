@@ -73,3 +73,29 @@ def codegen_stage_count(df: DataFrame) -> int:
     )
     ids = re.findall(r"\*\((\d+)\)", simple)
     return len(set(ids))
+
+
+def fence(df: DataFrame, keys: list[str], **exprs) -> DataFrame:
+    """Materialize expensive expressions as bound attributes behind a
+    one-element explode.
+
+    A Generate node is an optimizer fence: downstream predicates and
+    projections — including optimizer-inserted ones (CollapseProject,
+    InferFiltersFromGenerate) — then reference the generated ATTRIBUTE
+    instead of re-inlining the defining expression at every use site.
+    Costs one no-op generator per row (stays inside codegen, adds no rows,
+    no shuffle); saves N-1 evaluations of each staged expression when the
+    plan would otherwise duplicate it N times. Used by the MinHash
+    signature pipeline and the decontamination scan.
+    """
+    from pyspark.sql import functions as F
+
+    packed = F.explode(
+        F.array(
+            F.struct(
+                *[F.col(k) for k in keys],
+                *[e.alias(n) for n, e in exprs.items()],
+            )
+        )
+    ).alias("__fence")
+    return df.select(packed).select("__fence.*")

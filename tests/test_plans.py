@@ -136,3 +136,22 @@ def test_merge_upsert_never_shuffles_target(q):
     df = q("merge_upsert_customers")
     assert "SortMergeJoin" not in P.formatted_plan(df)
     assert P.count_broadcast_joins(df) >= 3  # left, semi, anti
+
+
+def test_decontaminate_fence_and_broadcast(q):
+    """The shingle expression must be evaluated once per scan side (the
+    fence defeats InferFiltersFromGenerate re-inlining — without it the
+    plan holds ~4 copies per side), and the eval gram set must broadcast
+    so the train corpus is never shuffled by gram."""
+    df = q("text_decontaminate")
+    plan = P.formatted_plan(df)
+    assert plan.count("arrays_zip") == 2  # one per side: train + eval
+    assert P.count_broadcast_joins(df) >= 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_spanning_single_exchange(q):
+    """Prefix-sum packing: exactly one Exchange (the shard hash) feeds the
+    window; no extra sort or shuffle."""
+    df = q("pack_spanning")
+    assert P.count_exchanges(df) == 1
