@@ -43,6 +43,7 @@ _VERIFY_FIRST = [
     "pack_spanning",            # concat-then-cut packing (prefix-sum)
     "pack_greedy",              # no-split greedy packing vs recursive CTE
     "text_chunk_windows",       # token-window chunking (RAG split)
+    "stream_stateful_count",    # applyInPandasWithState cross-batch state
     # backfill: long-green queries last checked in round 1
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
     "engine_to_long_roundtrip", "engine_to_long_shared_axes",
@@ -52,7 +53,7 @@ _VERIFY_FIRST = [
     "fn_string", "fn_date", "fn_math", "fn_cond", "fn_array", "fn_map",
     "fn_json", "fn_to_json",
     "text_tokens_bpe", "dedup_exact", "dedup_jaccard", "knn_cosine",
-    "text_stats", "text_fingerprint",
+    "text_stats",
     # (join_semi/join_anti/join_asof/text_langid rotated to the tail —
     # all r1-green — to keep the window at 50 with the new gates in)
 ]

@@ -319,3 +319,56 @@ def rollup_incremental(spark, sf_dir):
         F.col("n").cast("long").alias("n"),
         F.col("sum_value").cast("double").alias("sum_value"),
     )
+
+
+@query("stream_stateful_count", oracle="""
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS total
+FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+""")
+def stream_stateful_count(spark, sf_dir):
+    """TRUE streaming applyInPandasWithState (not a batch twin): events
+    replay in TWO micro-batches (two staged files, maxFilesPerTrigger=1),
+    the per-user running counter lives in keyed state ACROSS the batches,
+    and each batch's emissions land in a parquet sink. The oracle checks
+    the final (= max, counts only grow) emitted total per user against
+    the batch COUNT(*) — evidence the custom state machine both shuffles
+    to the key and survives micro-batch boundaries."""
+    import os
+    import shutil
+
+    from ..streaming import read_parquet_stream, write_foreach_batch
+    from ..streaming.stateful import running_count
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    base = f"/tmp/pbs_stateful{tag}"
+    out_dir = f"{base}/out"
+    if not os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        shutil.rmtree(base, ignore_errors=True)
+        in_dir = f"{base}/in"
+        os.makedirs(in_dir)
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+            F.col("user_id").isNotNull()
+        )
+        # two files -> two micro-batches; both halves hit most users so
+        # the counter genuinely accumulates across the boundary
+        ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+            f"{in_dir}/half0")
+        ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+            f"{in_dir}/half1")
+        schema = ev.schema
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1).parquet(f"{in_dir}/half*")
+        totals = running_count(stream.select("user_id"), key="user_id")
+
+        def sink(df, epoch_id):
+            df.write.mode("append").parquet(out_dir)
+
+        q = write_foreach_batch(
+            totals, sink, checkpoint=f"{base}/ckpt", trigger_once=True,
+        ).start()
+        q.awaitTermination(300)
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("user_id")
+        .agg(F.max("total").alias("total"))
+    )
