@@ -44,6 +44,7 @@ _VERIFY_FIRST = [
     "pack_greedy",              # no-split greedy packing vs recursive CTE
     "text_chunk_windows",       # token-window chunking (RAG split)
     "stream_stateful_count",    # applyInPandasWithState cross-batch state
+    "join_bucketed",            # co-located bucketed join, zero Exchange
     # backfill: long-green queries last checked in round 1
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
     "engine_to_long_roundtrip", "engine_to_long_shared_axes",
@@ -51,7 +52,7 @@ _VERIFY_FIRST = [
     "explode_tokens", "pivot_returnflag", "unpivot_part",
     "multid_pivot_acctbal",
     "fn_string", "fn_date", "fn_math", "fn_cond", "fn_array", "fn_map",
-    "fn_json", "fn_to_json",
+    "fn_json",
     "text_tokens_bpe", "dedup_exact", "dedup_jaccard", "knn_cosine",
     "text_stats",
     # (join_semi/join_anti/join_asof/text_langid rotated to the tail —

@@ -352,3 +352,42 @@ def sample_stratified(spark, sf_dir):
     return li.sampleBy(
         "l_returnflag", fractions={"A": 0.05, "N": 0.02, "R": 0.1}, seed=42
     ).select("l_orderkey", "l_linenumber", "l_returnflag")
+
+
+@query("join_bucketed", oracle="""
+SELECT o.o_custkey AS o_custkey, c.c_name AS c_name,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY o.o_custkey, c.c_name
+""")
+def join_bucketed(spark, sf_dir):
+    """Co-located fact-fact join via bucketing: both sides pre-bucketed
+    (16 buckets, sorted) on the join key, so the sort-merge join AND the
+    downstream per-customer aggregate run with ZERO Exchange — the write
+    pays the shuffle once, every later join on the key is shuffle-free.
+    Plan-asserted (no Exchange, SMJ engaged via merge hint so the result
+    exercises co-location rather than a small-side broadcast)."""
+    from ..operators.layout import bucketed_table
+
+    tag = sf_dir.rstrip("/").replace("/", "_").replace(".", "_")
+    ob = bucketed_table(
+        spark, load(spark, sf_dir, "orders"),
+        f"pbs_orders_bkt{tag}", "o_custkey", buckets=16,
+    )
+    cb = bucketed_table(
+        spark, load(spark, sf_dir, "customer"),
+        f"pbs_customer_bkt{tag}", "c_custkey", buckets=16,
+    )
+    o = spark.table(ob)
+    c = spark.table(cb).hint("merge")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("o_custkey", "c_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec).cast("double").alias("revenue"),
+        )
+    )

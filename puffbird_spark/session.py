@@ -71,6 +71,10 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # --- catalog: keep table data/metadata out of the repo cwd --------
+        # (in-memory catalog — no hive metastore, no derby files; bucketed
+        # saveAsTable data lands under the warehouse dir)
+        .config("spark.sql.warehouse.dir", "/tmp/pbs_warehouse")
         # --- quieter local runs -------------------------------------------
         .config("spark.ui.showConsoleProgress", "false")
     )

@@ -155,3 +155,15 @@ def test_pack_spanning_single_exchange(q):
     window; no extra sort or shuffle."""
     df = q("pack_spanning")
     assert P.count_exchanges(df) == 1
+
+
+def test_bucketed_join_zero_exchange(q):
+    """Co-located bucketed join: SMJ on bucket-aligned scans and the
+    downstream bucket-key aggregate run with ZERO Exchange anywhere in
+    the plan — the property that deletes the biggest shuffle of a
+    fact-fact join at scale."""
+    df = q("join_bucketed")
+    assert P.count_exchanges(df) == 0
+    assert P.has_sort_merge_join(df)
+    assert "SelectedBucketsCount" in P.formatted_plan(df) or \
+        "Bucketed: true" in P.formatted_plan(df)
