@@ -58,6 +58,9 @@ BENCH_QUERIES = [
     "rollup_incremental",
     "sort_zorder",
     "text_tfidf",
+    # round-3 training-pipeline ops
+    "text_decontaminate",
+    "pack_spanning",
 ]
 
 
