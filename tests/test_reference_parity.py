@@ -414,3 +414,44 @@ def test_to_puffy_aggfunc_series_lambda(ref, spark):
         "k", aggfunc=lambda vals: max(vals) - min(vals))
     got = {r2["k"]: float(r2["v"]) for r2 in eng.table.collect()}
     assert got == expected
+
+
+def test_variant_heterogeneous_frames(ref, spark):
+    """Tutorial column 'f': frame-cells with DIFFERENT structures per row.
+    The reference superstacks them into (row-index, column-key) level
+    columns with an object-typed value; the Spark rendering is the
+    variant path over a JSON encoding — same explosion shape, documented
+    deviation: level positions and leaf values surface as strings."""
+    import pandas as pd
+
+    f_cells = [
+        pd.DataFrame({"c1": [1, 2]}),
+        pd.DataFrame({"c2": [3.5], "c3": ["x"]}),
+    ]
+    pdf = pd.DataFrame({"k": [0, 1], "f": f_cells}).set_index("k")
+    r = ref(pdf).to_long("f").rename(columns={"index_level0": "k"})
+    assert list(r.columns) == ["k", "f_level0_0", "f_level0_1", "f"]
+
+    def canon(v):
+        try:
+            return float(v)
+        except (TypeError, ValueError):
+            return str(v)
+
+    expected = {
+        (int(row["k"]), int(row["f_level0_0"]), str(row["f_level0_1"]),
+         canon(row["f"]))
+        for _, row in r.iterrows()
+    }
+
+    sdf = spark.createDataFrame(
+        [(0, '[{"c1": 1}, {"c1": 2}]'),
+         (1, '[{"c2": 3.5, "c3": "x"}]')],
+        "k long, f string",
+    )
+    out = FrameEngine(sdf, indexcols=["k"]).to_long("f", variant_cols=["f"])
+    got = {
+        (r2["k"], int(r2["f_level0"]), str(r2["f_level1"]), canon(r2["f"]))
+        for r2 in out.collect()
+    }
+    assert got == expected
