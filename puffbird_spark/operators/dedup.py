@@ -443,7 +443,8 @@ def simhash(toks: Column, bits: int = 64) -> Column:
 
 
 def simhash_pairs(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3,
+    max_bucket_size: int = 4096,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance.
 
@@ -453,6 +454,13 @@ def simhash_pairs(
     ``(segment_index, segment_value)`` — never an O(n²) self-join. Segment
     count is DERIVED from the requested radius; a fixed split would silently
     miss pairs whose differing bits span every segment.
+
+    ``max_bucket_size``: buckets above this are dropped (same monster-bucket
+    guard as MinHash banding) — a bucket of m members materializes m²/2
+    pair structs in one array cell, so an ungated bucket of identical
+    fingerprints (templated/boilerplate corpora) is a straight OOM
+    (observed at 100k docs on a default heap). Run exact dedup first;
+    identical documents belong to it, not to the near-dup pass.
     """
     if not 0 <= max_hamming <= 63:
         raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
@@ -480,31 +488,36 @@ def simhash_pairs(
     buckets = (
         quarters.groupBy("q", "qval")
         .agg(F.array_sort(F.collect_list(F.struct("id", "sh"))).alias("ms"))
-        .filter(F.size("ms") > 1)
+        .filter((F.size("ms") > 1) & (F.size("ms") <= max_bucket_size))
     )
+    # hamming computed INSIDE the bucket and filtered before emission:
+    # dissimilar pairs that merely share one segment never materialize
+    # past the generator, and the surviving pair row is (id_a, id_b,
+    # hamming) — 20 bytes through the dedup shuffle instead of two
+    # fingerprints (same payload-shrink rationale as est_jaccard in
+    # minhash_candidate_pairs).
+    def ham(m, m2) -> Column:
+        return F.bit_count(m["sh"].bitwiseXOR(m2["sh"]))
+
     pair_structs = F.flatten(
         F.transform(
             F.col("ms"),
-            lambda m, i: F.transform(
-                F.slice(F.col("ms"), i + 2,
-                        F.greatest(F.size(F.col("ms")) - i - 1, F.lit(0))),
-                lambda m2: F.struct(
-                    m["id"].alias("id_a"),
-                    m2["id"].alias("id_b"),
-                    m["sh"].alias("sh_a"),
-                    m2["sh"].alias("sh_b"),
+            lambda m, i: F.filter(
+                F.transform(
+                    F.slice(F.col("ms"), i + 2,
+                            F.greatest(F.size(F.col("ms")) - i - 1, F.lit(0))),
+                    lambda m2: F.struct(
+                        m["id"].alias("id_a"),
+                        m2["id"].alias("id_b"),
+                        ham(m, m2).alias("hamming"),
+                    ),
                 ),
+                lambda p: p["hamming"] <= max_hamming,
             ),
         )
     )
-    cand = (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .select("p.id_a", "p.id_b", "p.sh_a", "p.sh_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    xor = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
-    hamming = F.bit_count(xor)
     return (
-        cand.select("id_a", "id_b", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vectors import as_double, cosine_rounded
+from ..functions.vectors import as_double, cosine_rounded_arrow  # noqa: F401
 
 
 def cosine_topk(
@@ -49,20 +49,7 @@ def cosine_topk(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qvec")
     )
     pairs = c.crossJoin(F.broadcast(q))
-    if exclude_self:
-        pairs = pairs.filter(F.col("cand_id") != F.col("query_id"))
-    scored = pairs.select(
-        "query_id", "cand_id",
-        cosine_rounded(F.col("qvec"), F.col("cvec")).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("cand_id")
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .drop("rn")
-    )
+    return _score_topk(pairs, k, exclude_self)
 
 
 def _hyperplanes(dim: int, planes: int, seed: int = 42) -> np.ndarray:
@@ -188,12 +175,14 @@ def lsh_bucket_topk(
 
 def _score_topk(pairs: DataFrame, k: int, exclude_self: bool) -> DataFrame:
     """Shared ANN tail: cosine-score candidate pairs, per-query top-k with
-    rounded-cosine + id tie-break (deterministic, engine-portable)."""
+    rounded-cosine + id tie-break (deterministic, engine-portable).
+    Scoring is the Arrow einsum kernel — the pair stream is the hot loop
+    of every ANN path (see ``cosine_rounded_arrow``)."""
     if exclude_self:
         pairs = pairs.filter(F.col("cand_id") != F.col("query_id"))
     scored = pairs.select(
         "query_id", "cand_id",
-        cosine_rounded(F.col("qvec"), F.col("cvec")).alias("cosine"),
+        cosine_rounded_arrow()(F.col("qvec"), F.col("cvec")).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (
@@ -244,7 +233,12 @@ def train_ivf_centroids(
 
 
 def _centroid_dots(vec_col, cents: np.ndarray):
-    """Array of <vec, centroid_j> dot products as one Column."""
+    """Array of <vec, centroid_j> dot products as one Column.
+
+    Kept as the no-Python reference formulation (and for tests); the hot
+    path uses :func:`_top_cells_udf` — n_centroids separate HOF
+    aggregates over (dim)-literal arrays are interpreted AND cost
+    seconds of analysis/codegen on a 64x64 expression tree."""
     dots = []
     for row in cents:
         cvec = F.array(*[F.lit(float(w)) for w in row])
@@ -254,6 +248,35 @@ def _centroid_dots(vec_col, cents: np.ndarray):
             lambda acc, x: acc + x,
         ))
     return F.array(*dots)
+
+
+def _top_cells_udf(cents: np.ndarray, n: int):
+    """Arrow-batched cell assignment: 1-based ids of the ``n`` nearest
+    centroids per vector, nearest first. One numpy matmul per batch
+    replaces ``n_centroids`` interpreted HOF aggregates (measured ~10x on
+    the assignment stage at 40k x 64 x 64). Ties broken by the lower cell
+    id (stable argsort), matching ``array_position(dots, array_max)``."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    C = np.ascontiguousarray(cents.T)
+
+    # nb: no type annotations — `from __future__ import annotations` turns
+    # them into strings that pandas_udf cannot resolve against module
+    # globals (pd is imported locally here); returnType carries the schema
+    def kernel(batch):
+        if not len(batch):
+            return pd.Series([], dtype=object)
+        X = np.array(batch.tolist(), dtype=np.float64)
+        S = X @ C
+        if n == 1:
+            top = np.argmax(S, axis=1)[:, None]
+        else:
+            # argsort of -S is stable -> lowest cell id wins ties
+            top = np.argsort(-S, axis=1, kind="stable")[:, :n]
+        return pd.Series([(row + 1).tolist() for row in top])
+
+    return F.pandas_udf(kernel, returnType=T.ArrayType(T.LongType()))
 
 
 def ivf_topk(
@@ -278,7 +301,9 @@ def ivf_topk(
     cells by nearest centroid; each query probes only its ``nprobe``
     closest cells, so the scanned fraction is ~nprobe/n_centroids. One
     equi-join on cell id replaces the cross join; the corpus-side
-    assignment is a pure column expression (JVM-side, no UDF).
+    assignment is an Arrow-batched numpy matmul (one pass, no shuffle —
+    see ``_top_cells_udf``; the pure-Column formulation is kept as
+    ``_centroid_dots`` for reference/tests).
     ``nprobe == n_centroids`` degenerates to an exact full scan —
     asserted in tests; recall at lower nprobe is data-dependent.
     """
@@ -289,23 +314,13 @@ def ivf_topk(
     )
     c = corpus.select(
         F.col(id_col).alias("cand_id"), as_double(vec_col).alias("cvec")
-    ).withColumn("_dots", _centroid_dots(F.col("cvec"), cents))
-    c = c.withColumn(
-        "cell", F.expr("array_position(_dots, array_max(_dots))")
-    ).drop("_dots")
+    ).withColumn(
+        "cell", _top_cells_udf(cents, 1)(F.col("cvec"))[0]
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qvec")
-    ).withColumn("_dots", _centroid_dots(F.col("qvec"), cents))
-    ranked = F.array_sort(F.array(*[
-        F.struct(
-            (-F.col("_dots")[j]).alias("s"),
-            F.lit(j + 1).cast("long").alias("cell"),
-        )
-        for j in range(len(cents))
-    ]))
-    probe_cells = F.slice(
-        F.transform(ranked, lambda x: x.getField("cell")), 1, nprobe
+    ).withColumn(
+        "cell", F.explode(_top_cells_udf(cents, nprobe)(F.col("qvec")))
     )
-    q = q.withColumn("cell", F.explode(probe_cells)).drop("_dots")
     pairs = c.join(F.broadcast(q), on="cell")
     return _score_topk(pairs, k, exclude_self)

@@ -372,17 +372,17 @@ def text_tfidf(spark, sf_dir):
     toks = docs.select(
         "doc_id", F.explode(TXT.tokens("text")).alias("token")
     )
-    # cnt feeds BOTH the scored join and the dfreq aggregate; without a
-    # persist each branch re-plans from the scan and the corpus is
-    # tokenized twice (exchange reuse does not fire — the branches'
-    # partial-aggregate stacking differs). The term-count table is
-    # vocabulary×docs-scale — orders smaller than the corpus — and any
-    # real pipeline materializes it; persist() is that materialization.
-    cnt = (
-        toks.groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .persist()
-    )
+    # cnt feeds BOTH the scored join and the dfreq aggregate; exchange
+    # reuse does not fire (the branches' partial-aggregate stacking
+    # differs), so the corpus is tokenized once per branch. Measured
+    # trade-off at sf0.1: persist()-ing cnt halves the CPU but costs more
+    # wall (cache build + columnar conversion > the cheap re-tokenize) and
+    # leaks cache across a long session; at 100 TB a pipeline would
+    # materialize the term-count table EXPLICITLY (write it out once, read
+    # twice) rather than rely on executor cache. The gated query keeps the
+    # stateless two-branch plan — both branches are map-parallel and
+    # nothing shuffles twice.
+    cnt = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
     # each (doc, token) row is unique, so doc-frequency is a plain count
     dfreq = cnt.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
     # corpus size as a 1-row broadcast aggregate folded into the same plan

@@ -53,6 +53,11 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # local[N] runs everything in the driver JVM; the 1g Spark default
+        # OOMs on wide collect_list buckets long before the host does.
+        # Only effective at JVM launch — a pre-existing session wins.
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # --- adaptive execution: the 100 TB story -------------------------
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
