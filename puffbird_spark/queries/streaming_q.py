@@ -372,3 +372,80 @@ def stream_stateful_count(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.max("total").alias("total"))
     )
+
+
+@query("stream_stream_join", oracle="""
+SELECT v.user_id AS user_id, v.event_id AS view_id,
+       p.event_id AS purchase_id,
+       v.ts AS view_ts, p.ts AS purchase_ts
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+""")
+def stream_stream_join(spark, sf_dir):
+    """TRUE stream-stream interval join (not a batch twin): views and
+    purchases replay as two separate file streams, both watermarked; the
+    inner join matches purchases to views of the same user within 30
+    minutes of EVENT time. The hard streaming primitive the stream-static
+    join can't express — both sides buffer in watermark-bounded state.
+    Oracle replays the interval self-join in batch."""
+    import os
+    import shutil
+
+    from ..sources import normalize_nano_ts
+    from ..streaming import write_foreach_batch
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    base = f"/tmp/pbs_ssjoin{tag}"
+    out_dir = f"{base}/out"
+    if not os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        shutil.rmtree(base, ignore_errors=True)
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ev = normalize_nano_ts(raw, ["ts"]).withColumn(
+            "ts", F.col("ts").cast("timestamp"))
+        for kind in ("view", "purchase"):
+            ev.filter(F.col("event_type") == kind).coalesce(1).write.parquet(
+                f"{base}/in_{kind}")
+        schema = ev.schema
+
+        def read(kind):
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{base}/in_{kind}")
+                .withWatermark("ts", "2 hours")
+            )
+
+        v = read("view").select(
+            F.col("user_id").alias("v_user"), F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"))
+        p = read("purchase").select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"))
+        joined = v.join(
+            p,
+            (F.col("v_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("view_ts"))
+            & (F.col("purchase_ts")
+               <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
+        ).select(
+            F.col("v_user").alias("user_id"),
+            "view_id", "purchase_id", "view_ts", "purchase_ts",
+        )
+
+        def sink(df, epoch_id):
+            df.write.mode("append").parquet(out_dir)
+
+        q = write_foreach_batch(
+            joined, sink, checkpoint=f"{base}/ckpt", trigger_once=True,
+            output_mode="append",
+        ).start()
+        q.awaitTermination(300)
+    return (
+        spark.read.parquet(out_dir)
+        .withColumn("view_ts", F.col("view_ts").cast("timestamp_ntz"))
+        .withColumn("purchase_ts", F.col("purchase_ts").cast("timestamp_ntz"))
+        .select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
+    )
