@@ -46,13 +46,14 @@ _VERIFY_FIRST = [
     "stream_stateful_count",    # applyInPandasWithState cross-batch state
     "join_bucketed",            # co-located bucketed join, zero Exchange
     "stream_stream_join",       # watermarked interval join, true 2-stream replay
+    "join_range_binned",        # pure range join as binned equi-join
     # backfill: long-green queries last checked in round 1
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
     "engine_to_long_roundtrip", "engine_to_long_shared_axes",
     "engine_to_puffy", "engine_expand_col", "engine_zip_explode",
     "explode_tokens", "pivot_returnflag",
     "multid_pivot_acctbal",
-    "fn_string", "fn_date", "fn_math", "fn_cond", "fn_array", "fn_map",
+    "fn_string", "fn_date", "fn_math", "fn_cond", "fn_array",
     "fn_json",
     "text_tokens_bpe", "dedup_exact", "dedup_jaccard", "knn_cosine",
     "text_stats",

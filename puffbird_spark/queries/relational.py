@@ -639,3 +639,31 @@ def agg_percentiles_exact(spark, sf_dir):
         ).alias("quartiles"),
         F.round(F.median("l_extendedprice"), 6).alias("med"),
     )
+
+
+@query("join_range_binned", oracle="""
+SELECT c.c_custkey AS c_custkey, s.s_suppkey AS s_suppkey,
+       CAST(c.c_acctbal AS DOUBLE) AS c_acctbal,
+       CAST(s.s_acctbal AS DOUBLE) AS s_acctbal
+FROM customer c JOIN supplier s
+  ON c.c_acctbal >= s.s_acctbal - 50 AND c.c_acctbal <= s.s_acctbal + 50
+""")
+def join_range_binned(spark, sf_dir):
+    """PURE range join (no equi key): customers within +-50 of a
+    supplier's balance. Naively a BroadcastNestedLoopJoin — O(n x m), the
+    scale-killer; binned_range_join turns it into one equi-join on bin
+    ids (width 100 = the interval width, so each interval spans <= 2
+    bins). Plan-asserted nested-loop-free."""
+    from ..operators.rangejoin import binned_range_join
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_acctbal").cast("double").alias("c_acctbal"))
+    supp = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.col("s_acctbal").cast("double").alias("s_acctbal"),
+        (F.col("s_acctbal") - 50).cast("double").alias("lo"),
+        (F.col("s_acctbal") + 50).cast("double").alias("hi"),
+    )
+    return binned_range_join(
+        cust, supp, "c_acctbal", "lo", "hi", bin_width=100.0
+    ).select("c_custkey", "s_suppkey", "c_acctbal", "s_acctbal")

@@ -718,3 +718,36 @@ def test_decode_features_real_headers(spark):
     assert (got["b.png"]["width"], got["b.png"]["height"]) == (3, 30)
     assert got["c.bin"]["format"] is None
     assert got["c.bin"]["width"] is None
+
+
+def test_binned_range_join_matches_naive(spark):
+    """Differential: binned result == naive theta-join result, across bin
+    widths (including widths much smaller/larger than the intervals) and
+    intervals that span many bins, touch bin edges, or are degenerate."""
+    from pyspark.sql import functions as F
+
+    from puffbird_spark.operators.rangejoin import binned_range_join
+
+    pts = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(
+            [-250, -100, -1, 0, 1, 49, 50, 99, 100, 101, 250, 999])],
+        ["pid", "v"],
+    )
+    iv = spark.createDataFrame(
+        [(0, -300.0, -200.0), (1, -50.0, 50.0), (2, 0.0, 0.0),
+         (3, 100.0, 100.0), (4, 90.0, 260.0), (5, 500.0, 400.0),
+         (6, None, 100.0)],
+        "iid long, lo double, hi double",
+    )
+    naive = {
+        (r["pid"], r["iid"])
+        for r in pts.crossJoin(iv)
+        .filter((F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi")))
+        .collect()
+    }
+    for w in (7.0, 50.0, 100.0, 1000.0):
+        got = {
+            (r["pid"], r["iid"])
+            for r in binned_range_join(pts, iv, "v", "lo", "hi", w).collect()
+        }
+        assert got == naive, f"bin_width={w}"

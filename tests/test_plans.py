@@ -167,3 +167,12 @@ def test_bucketed_join_zero_exchange(q):
     assert P.has_sort_merge_join(df)
     assert "SelectedBucketsCount" in P.formatted_plan(df) or \
         "Bucketed: true" in P.formatted_plan(df)
+
+
+def test_binned_range_join_no_nested_loop(q):
+    """The pure range join must plan as an equi-join on bin ids — no
+    BroadcastNestedLoopJoin / CartesianProduct anywhere."""
+    df = q("join_range_binned")
+    plan = P.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
