@@ -57,3 +57,36 @@ def avg_exact(value: Column, count: Column | None = None) -> Column:
     the count — identical bits on Spark and DuckDB."""
     cnt = count if count is not None else F.count(F.lit(1))
     return F.sum(value).cast("double") / cnt
+
+
+#: DuckDB type fragments that mark a column the driver canonicalizer cannot
+#: hash (pandas factorize dies on list/dict cells). This class of defect
+#: shipped twice (r2 ``fn_struct``, r3 ``agg_percentiles_exact``) — flatten
+#: complex outputs to scalar columns instead.
+_UNHASHABLE_TYPE_MARKS = ("STRUCT", "MAP(", "[]", "LIST", "UNION(")
+
+
+def lint_oracles(sf_dir: str = "/root/testdata/sf0.001") -> list[str]:
+    """Registry lint: every oracle-hashed query must produce only scalar
+    top-level columns. Returns ``["name.column: TYPE", ...]`` violations
+    (empty == clean). Checked via DuckDB ``DESCRIBE`` — schema only, no
+    execution — so the whole registry lints in seconds; the Spark side
+    must mirror the oracle schema to hash-match, so linting the oracle
+    covers both engines."""
+    import duckdb
+
+    con = duckdb.connect()
+    tables = ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    bad: list[str] = []
+    for name, sql in ORACLES.items():
+        for row in con.execute(f"DESCRIBE ({sql})").fetchall():
+            col, typ = row[0], row[1]
+            if any(m in typ.upper() for m in _UNHASHABLE_TYPE_MARKS):
+                bad.append(f"{name}.{col}: {typ}")
+    con.close()
+    return bad

@@ -621,8 +621,9 @@ def merge_upsert_customers(spark, sf_dir):
 
 @query("agg_percentiles_exact", oracle="""
 SELECT l_returnflag,
-  list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]),
-                 x -> round(x, 6)) AS quartiles,
+  round(quantile_cont(l_extendedprice, 0.25), 6) AS q25,
+  round(quantile_cont(l_extendedprice, 0.50), 6) AS q50,
+  round(quantile_cont(l_extendedprice, 0.75), 6) AS q75,
   round(median(l_extendedprice), 6) AS med
 FROM lineitem GROUP BY l_returnflag
 """)
@@ -630,13 +631,15 @@ def agg_percentiles_exact(spark, sf_dir):
     """EXACT percentiles (linear interpolation) + median — the precise
     twin of agg_approx_distinct's tolerance-checked percentile_approx.
     Both engines interpolate a + (b-a)*f; rounded 6dp to absorb the last
-    ulp of the interpolation product."""
+    ulp of the interpolation product. Output is FLAT scalar columns
+    (q25/q50/q75) — the driver canonicalizer cannot hash array cells
+    (r2 fn_struct, r3 quartiles regression; see lint in base.py)."""
     li = load(spark, sf_dir, "lineitem")
+    quart = F.percentile("l_extendedprice", F.lit([0.25, 0.5, 0.75]))
     return li.groupBy("l_returnflag").agg(
-        F.transform(
-            F.percentile("l_extendedprice", F.lit([0.25, 0.5, 0.75])),
-            lambda x: F.round(x, 6),
-        ).alias("quartiles"),
+        F.round(quart[0], 6).alias("q25"),
+        F.round(quart[1], 6).alias("q50"),
+        F.round(quart[2], 6).alias("q75"),
         F.round(F.median("l_extendedprice"), 6).alias("med"),
     )
 

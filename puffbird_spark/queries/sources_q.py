@@ -14,6 +14,7 @@ import os
 from pyspark.sql import functions as F
 
 from ..engine import FrameEngine
+from ..operators.splits import hash_hex_threshold
 from ..sources import read_csv, read_json
 from .base import dec, load, query
 
@@ -391,3 +392,122 @@ def join_bucketed(spark, sf_dir):
             F.sum(dec).cast("double").alias("revenue"),
         )
     )
+
+
+# --------------------------------------------------------------------- #
+# deterministic corpus splits (operators/splits.py) — the md5 draw is
+# bit-for-bit reproducible in DuckDB, so membership, quota mixtures and
+# the global shuffle rank are all hash-matched END TO END (the module's
+# round-3 "oracle-checkable" claim, now actually gated).
+# --------------------------------------------------------------------- #
+
+_SPLIT_T80 = hash_hex_threshold(0.8)
+_SPLIT_T90 = hash_hex_threshold(0.8 + 0.1)
+
+
+@query("split_hash_membership", oracle=f"""
+SELECT o_orderkey,
+  CASE
+    WHEN substr(md5('split:' || CAST(o_orderkey AS VARCHAR)), 1, 16)
+         < '{_SPLIT_T80}' THEN 'train'
+    WHEN substr(md5('split:' || CAST(o_orderkey AS VARCHAR)), 1, 16)
+         < '{_SPLIT_T90}' THEN 'val'
+    ELSE 'test'
+  END AS split
+FROM orders
+""")
+def split_hash_membership(spark, sf_dir):
+    """Content-deterministic train/val/test assignment (80/10/10) keyed on
+    o_orderkey: a pure scan-local projection, zero shuffles, append-stable.
+    The oracle replays the identical md5-prefix threshold cascade, so every
+    row's membership is hash-checked bit-for-bit."""
+    from ..operators.splits import hash_split
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey")
+    return hash_split(
+        orders, "o_orderkey",
+        weights={"train": 0.8, "val": 0.1, "test": 0.1}, seed="split",
+    )
+
+
+_QUOTA_FULL = hash_hex_threshold(1.0)
+_QUOTA_T30 = hash_hex_threshold(0.3)
+_QUOTA_T05 = hash_hex_threshold(0.05)
+_QUOTA_T0 = hash_hex_threshold(0.0)
+
+
+@query("split_quota_mixture", oracle=f"""
+SELECT doc_id, source
+FROM documents
+WHERE substr(md5('quota:' || CAST(doc_id AS VARCHAR)), 1, 16) <
+  CASE source
+    WHEN 'src0' THEN '{_QUOTA_FULL}'
+    WHEN 'src1' THEN '{_QUOTA_T30}'
+    WHEN 'src2' THEN '{_QUOTA_T05}'
+    ELSE '{_QUOTA_T0}'
+  END
+""")
+def split_quota_mixture(spark, sf_dir):
+    """Mixture-weight sampling ("keep 100% of src0, 30% of src1, 5% of
+    src2, drop the rest"): one deterministic filter, no shuffle. The
+    src0 rate of 1.0 gates the round-3 boundary bug (fraction=1.0 used
+    to keep ~1/16) — the oracle's CASE compares against the same 'g'
+    sentinel, so a regression breaks both the row count and the hash."""
+    from ..operators.splits import quota_sample
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return quota_sample(
+        docs, key="doc_id", domain="source",
+        rates={"src0": 1.0, "src1": 0.3, "src2": 0.05},
+        seed="quota", default_rate=0.0,
+    )
+
+
+_STRATA_T50 = hash_hex_threshold(0.5)
+
+
+@query("split_stratified", oracle=f"""
+SELECT c_custkey, c_mktsegment, c_nationkey
+FROM customer
+WHERE substr(md5(
+    'strata:'
+    || 'v' || CAST(length(c_mktsegment) AS VARCHAR) || ':' || c_mktsegment
+    || 'v' || CAST(length(CAST(c_nationkey AS VARCHAR)) AS VARCHAR) || ':'
+           || CAST(c_nationkey AS VARCHAR)
+    || ':' || CAST(c_custkey AS VARCHAR)), 1, 16) < '{_STRATA_T50}'
+""")
+def split_stratified(spark, sf_dir):
+    """Equal-rate deterministic sample within every (segment, nation)
+    stratum. The stratum salt is length-prefixed per component (round-3
+    ADVICE: raw '|' delimiters alias strata and NULLs vanish), and the
+    oracle rebuilds the exact same salt string — membership hash-checked
+    end to end."""
+    from ..operators.splits import stratified_quota
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    return stratified_quota(
+        cust, key="c_custkey", strata=["c_mktsegment", "c_nationkey"],
+        fraction=0.5, seed="strata",
+    )
+
+
+@query("split_shuffle_order", oracle="""
+SELECT o_orderkey,
+  CAST(row_number() OVER (
+    ORDER BY substr(md5('shuffle:' || CAST(o_orderkey AS VARCHAR)), 1, 16),
+             o_orderkey) AS BIGINT) AS shuffle_rank
+FROM orders
+""")
+def split_shuffle_order(spark, sf_dir):
+    """Global deterministic shuffle rank. Scale shape (round-3 ADVICE fix):
+    range-partition on the draw, per-partition row_number, broadcast
+    per-partition offsets — two balanced exchanges, NO unpartitioned
+    window over the data. The oracle computes the same total order with a
+    single-threaded row_number, proving the distributed two-phase rank is
+    bit-identical to the naive one."""
+    from ..operators.splits import shuffle_order
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey")
+    return shuffle_order(orders, key="o_orderkey", seed="shuffle")

@@ -215,3 +215,15 @@ def test_cols_and_rename_views(spark):
     assert r2.indexcols_rename == {"k": "key"}
     assert r2.cols_rename == {"v": "val2", "k": "key"}
     assert r2.cols == ["val2", "s", "key"]
+
+
+def test_oracle_registry_lint_no_complex_columns():
+    """Registry lint (round-3 VERDICT #1): no oracle-hashed query may emit
+    a top-level array/map/struct column — the driver canonicalizer cannot
+    hash list cells, a class that shipped twice (r2 fn_struct, r3
+    agg_percentiles_exact). DuckDB DESCRIBE over the oracle; the Spark
+    side must mirror the oracle schema to hash-match, so this covers both
+    engines without executing anything."""
+    from puffbird_spark.queries.base import lint_oracles
+
+    assert lint_oracles() == []
