@@ -1,17 +1,32 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
 sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+{"metric": ..., "value": total_cold_sec, "unit": "sec",
+ "queries": {name: cold_sec}, "queries_warm": {name: warm_sec},
+ "value_warm": total_warm_sec, "ratio_vs_prev": {name: cold/prev}, "sf": ...}
 
-Each query is executed twice: a warm-up pass at import (session + parquet
-footer caching) is NOT done — timings are cold-plan/warm-JVM, matching how
-the driver measures. Work is forced with a count() over the result (no
-driver-side collect of payload rows).
+Round-4 methodology (VERDICT r3 #3): every query runs TWICE in-session.
+- cold  = first run: includes plan analysis, codegen, Arrow worker
+  spin-up (~0.5 s/worker for the first Python stage of a session) — what
+  a one-shot job pays.
+- warm  = second run: steady-state throughput — what a long-lived
+  cluster pays per query. This is the number that adjudicates kernel
+  trade-offs (the r3 Arrow einsum cosine is 2-10x faster warm but slower
+  cold at local[32]).
+Round-over-round comparisons should use cold-vs-cold (``queries`` keeps
+its historical meaning) and warm-vs-warm (``queries_warm``); the
+``ratio_vs_prev`` field precomputes cold(this)/cold(prev round) from the
+newest BENCH_r*.json present.
+
+Work is forced with a count() over the result (no driver-side collect of
+payload rows).
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import sys
 import time
 
@@ -61,7 +76,52 @@ BENCH_QUERIES = [
     # round-3 training-pipeline ops
     "text_decontaminate",
     "pack_spanning",
+    # round-4 additions: deterministic splits (scan-local filter + the
+    # two-phase distributed shuffle rank)
+    "split_hash_membership",
+    "split_shuffle_order",
 ]
+
+
+def _minhash_lsh_raw(spark, sf_dir):
+    """Bench twin of the dedup_minhash_lsh GATE: the gate now emits a
+    self-checking assertion (runs the exact-Jaccard verifier over every
+    candidate), which is correctness machinery, not operator throughput.
+    The bench keeps timing the raw candidate-generation pipeline under
+    the same historical key so round-over-round stays comparable."""
+    from puffbird_spark.operators import dedup as DD
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return DD.minhash_candidate_pairs(
+        docs, "text", "doc_id", num_hashes=32, bands=8, n=3
+    ).filter(F.col("est_jaccard") >= 0.4)
+
+
+#: bench-local overrides: raw operator plans for gates that now emit
+#: assertion booleans instead of operator output.
+BENCH_OVERRIDES = {
+    "dedup_minhash_lsh": _minhash_lsh_raw,
+}
+
+
+def _prev_round_timings() -> dict[str, float]:
+    """Cold timings from the newest BENCH_r{N}.json in the repo root."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    best: tuple[int, dict[str, float]] | None = None
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+            q = data.get("queries") or {}
+        except Exception:
+            continue
+        rnd = int(m.group(1))
+        if best is None or rnd > best[0]:
+            best = (rnd, {k: float(v) for k, v in q.items()})
+    return best[1] if best else {}
 
 
 def main() -> None:
@@ -81,21 +141,38 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
     print(f"# warmup: {time.time() - t0:.3f}s", file=sys.stderr)
 
-    timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        fn = QUERIES[name]
+        fn = BENCH_OVERRIDES.get(name) or QUERIES[name]
         t0 = time.time()
         df = fn(spark, sf_dir)
         n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        cold[name] = round(time.time() - t0, 3)
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        warm[name] = round(time.time() - t0, 3)
+        print(
+            f"# {name}: cold {cold[name]:.3f}s / warm {warm[name]:.3f}s"
+            f" ({n} rows)",
+            file=sys.stderr,
+        )
 
-    total = round(sum(timings.values()), 3)
+    prev = _prev_round_timings()
+    ratio = {
+        name: round(cold[name] / prev[name], 3)
+        for name in cold
+        if name in prev and prev[name] > 0
+    }
+    total = round(sum(cold.values()), 3)
     print(json.dumps({
         "metric": "bench_total_runtime",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": cold,
+        "queries_warm": warm,
+        "value_warm": round(sum(warm.values()), 3),
+        "ratio_vs_prev": ratio,
         "sf": float(sf_label) if sf_label.replace(".", "").isdigit() else sf_label,
     }))
     spark.stop()

@@ -50,14 +50,54 @@ def dedup_jaccard(spark, sf_dir):
     return DD.jaccard_pairs(docs, "text", "doc_id", threshold=0.4, n=3)
 
 
-@query("dedup_minhash_lsh")  # rows-only: xxhash64 has no DuckDB twin
+@query("dedup_minhash_lsh", oracle="""
+SELECT TRUE AS found, TRUE AS est_calibrated, TRUE AS precision_ok
+""")
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH candidate pairs (32 hashes, 8 bands) — the linear-scale
-    fuzzy dedup. Verified in tests against dedup_jaccard's exact pairs."""
+    fuzzy dedup, SELF-CHECKING (round-3 VERDICT #5): xxhash64 has no
+    DuckDB twin, so instead of emitting the pairs we emit the *assertion*
+    over them, computed Spark-side against the exact Jaccard of each
+    candidate pair (verify-only-candidates — the scale-correct pattern;
+    never all-pairs):
+
+    - ``found``           — the LSH stage surfaced >= 1 candidate pair
+      (the sf0.01 corpus contains 25 planted near-dups);
+    - ``est_calibrated``  — every signature-estimated Jaccard is within
+      0.2 of the true shingle Jaccard (32 perms => sigma ~ 0.09; observed
+      max deviation 0.082);
+    - ``precision_ok``    — every candidate at est >= 0.4 has true
+      Jaccard >= 0.5 (observed min 0.90).
+
+    All inputs are seeded/deterministic, so the booleans are stable; any
+    regression in the banding/signature pipeline flips one and breaks the
+    hash against the oracle's literal TRUEs."""
+    from ..functions.text import shingles, tokens
+
     docs = load(spark, sf_dir, "documents")
-    return DD.minhash_candidate_pairs(
+    pairs = DD.minhash_candidate_pairs(
         docs, "text", "doc_id", num_hashes=32, bands=8, n=3
     ).filter(F.col("est_jaccard") >= 0.4)
+    sets = docs.select(
+        F.col("doc_id").alias("id"), shingles(tokens("text"), n=3).alias("sh")
+    )
+    a, b = sets.alias("a"), sets.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    verified = (
+        pairs.join(a, pairs["id_a"] == F.col("a.id"))
+        .join(b, pairs["id_b"] == F.col("b.id"))
+        .select(
+            "est_jaccard",
+            F.round(inter.cast("double") / union, 6).alias("true_jaccard"),
+        )
+    )
+    return verified.agg(
+        (F.count(F.lit(1)) >= 1).alias("found"),
+        (F.max(F.abs(F.col("est_jaccard") - F.col("true_jaccard"))) <= 0.2)
+        .alias("est_calibrated"),
+        (F.min("true_jaccard") >= 0.5).alias("precision_ok"),
+    )
 
 
 def _minhash_md5_ctes(num_hashes: int = 16, bands: int = 4) -> str:
@@ -180,12 +220,52 @@ def text_shingle_hash(spark, sf_dir):
     )
 
 
-@query("dedup_simhash")  # rows-only: xxhash64 has no DuckDB twin
+@query("dedup_simhash", oracle="""
+SELECT TRUE AS found, TRUE AS bucketed_equals_brute
+""")
 def dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs, Hamming <= 6; 7-segment pigeonhole buckets
-    (segments = max_hamming+1) guarantee every in-radius pair is generated."""
+    """SimHash near-dup pairs, Hamming <= 6, SELF-CHECKING (round-3
+    VERDICT #5): the 7-segment pigeonhole bucketing claims EXACTLY the
+    pair set a brute-force all-pairs Hamming scan would find — so the
+    gate runs both (brute force is fine at gate SF; it is the verifier,
+    the bucketed path is the product) and asserts set equality via two
+    anti-joins:
+
+    - ``found``                 — >= 1 pair within the radius exists;
+    - ``bucketed_equals_brute`` — no pair missed by the buckets
+      (pigeonhole completeness) and no pair emitted that brute force
+      rejects (hamming filter correctness).
+
+    A regression in segment derivation, bucket pairing, or the vote
+    vector flips a boolean and breaks the hash."""
+    from ..functions.text import tokens
+
     docs = load(spark, sf_dir, "documents")
-    return DD.simhash_pairs(docs, "text", "doc_id", max_hamming=6)
+    bucketed = DD.simhash_pairs(docs, "text", "doc_id", max_hamming=6).select(
+        "id_a", "id_b"
+    )
+    fp = docs.select(F.col("doc_id").alias("id"),
+                     DD.simhash(tokens("text")).alias("fp"))
+    a, b = fp.alias("a"), fp.alias("b")
+    brute = (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .filter(F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))) <= 6)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    n_pairs = bucketed.agg(F.count(F.lit(1)).alias("n_pairs"))
+    n_missed = brute.join(bucketed, ["id_a", "id_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_missed")
+    )
+    n_extra = bucketed.join(brute, ["id_a", "id_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_extra")
+    )
+    return (
+        n_pairs.crossJoin(n_missed).crossJoin(n_extra).select(
+            (F.col("n_pairs") >= 1).alias("found"),
+            ((F.col("n_missed") == 0) & (F.col("n_extra") == 0))
+            .alias("bucketed_equals_brute"),
+        )
+    )
 
 
 @query("knn_cosine", oracle="""
@@ -208,23 +288,70 @@ def knn_cosine(spark, sf_dir):
     )
 
 
-@query("knn_lsh")  # rows-only: approximate by design (recall tested vs exact)
-def knn_lsh(spark, sf_dir):
-    """SRP-LSH bucketed ANN top-5 — the sub-linear scale path."""
+def _ann_recall_gate(spark, sf_dir, ann_fn, min_avg_recall: float):
+    """Shared self-check for the ANN paths (round-3 VERDICT #5): run the
+    approximate index AND the exact brute-force twin over the same seeded
+    queries, join, and emit the assertion —
+
+    - ``n_queries``  — distinct queries the ANN path answered (must be all
+      10: every query found a non-empty bucket/cell);
+    - ``recall_ok``  — mean recall@5 vs exact >= ``min_avg_recall``.
+
+    Deterministic end to end (hyperplanes/centroids are seeded), so the
+    booleans are stable and a recall regression breaks the hash."""
     emb = load(spark, sf_dir, "embeddings")
-    return lsh_bucket_topk(
-        emb, emb.filter(F.col("vec_id") < 10), dim=64, id_col="vec_id",
-        vec_col="embedding", k=5, planes=6,
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(
+        emb, queries, id_col="vec_id", vec_col="embedding", k=5
+    ).select("query_id", "cand_id")
+    ann = ann_fn(emb, queries).select("query_id", "cand_id")
+    hits = exact.join(
+        ann.withColumn("hit", F.lit(1)), ["query_id", "cand_id"], "left"
+    )
+    per_q = hits.groupBy("query_id").agg(
+        (F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.lit(5.0)).alias("recall")
+    )
+    n_q = ann.agg(F.countDistinct("query_id").alias("n_queries"))
+    rec = per_q.agg(
+        (F.avg("recall") >= F.lit(min_avg_recall)).alias("recall_ok")
+    )
+    return n_q.crossJoin(rec).select(
+        F.col("n_queries").cast("long").alias("n_queries"), "recall_ok"
     )
 
 
-@query("knn_ivf")  # rows-only: approximate by design (recall tested vs exact)
+@query("knn_lsh", oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 10
+""")
+def knn_lsh(spark, sf_dir):
+    """SRP-LSH bucketed ANN top-5 — the sub-linear scale path, gated on
+    recall@5 vs the exact twin (observed 0.34 at sf0.01; floor 0.2)."""
+    return _ann_recall_gate(
+        spark, sf_dir,
+        lambda emb, q: lsh_bucket_topk(
+            emb, q, dim=64, id_col="vec_id", vec_col="embedding", k=5,
+            planes=6,
+        ),
+        min_avg_recall=0.2,
+    )
+
+
+@query("knn_ivf", oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 10
+""")
 def knn_ivf(spark, sf_dir):
-    """IVF-celled ANN top-5 — k-means quantizer, nprobe/n_centroids scan."""
-    emb = load(spark, sf_dir, "embeddings")
-    return ivf_topk(
-        emb, emb.filter(F.col("vec_id") < 10), dim=64, id_col="vec_id",
-        vec_col="embedding", k=5, n_centroids=16, nprobe=4, sample_size=1024,
+    """IVF-celled ANN top-5 — k-means quantizer, nprobe=4 of 16 cells,
+    gated on recall@5 vs the exact twin (observed 0.60 at sf0.01;
+    floor 0.4)."""
+    return _ann_recall_gate(
+        spark, sf_dir,
+        lambda emb, q: ivf_topk(
+            emb, q, dim=64, id_col="vec_id", vec_col="embedding", k=5,
+            n_centroids=16, nprobe=4, sample_size=1024,
+        ),
+        min_avg_recall=0.4,
     )
 
 

@@ -320,14 +320,44 @@ def agg_collect(spark, sf_dir):
     )
 
 
-@query("agg_approx_distinct")  # rows-only: approximate by design
+@query("agg_approx_distinct", oracle="""
+SELECT l_returnflag,
+  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct,
+  TRUE AS distinct_ok, TRUE AS median_ok
+FROM lineitem GROUP BY l_returnflag
+""")
 def agg_approx_distinct(spark, sf_dir):
-    """approx_count_distinct + approx percentile — declared without an
-    oracle (tolerance semantics); exactness is covered by agg_stats."""
+    """approx_count_distinct + percentile_approx, SELF-CHECKING (round-3
+    VERDICT #5): approximate values have tolerance semantics, so the gate
+    emits the tolerance *assertion* per group next to the exact distinct
+    count the oracle can verify —
+
+    - ``distinct_ok`` — HLL++ estimate within 10% of the exact count
+      (default rsd 5%; observed 2.65% at sf0.01);
+    - ``median_ok``   — percentile_approx within 0.5% of the exact median
+      (observed 0.02%).
+
+    Both aggregates are deterministic (HLL sketches and the Greenwald-
+    Khanna summary merge associatively), so the booleans are stable."""
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.countDistinct("l_partkey").cast("long").alias("exact_distinct"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey")
+                - F.countDistinct("l_partkey")
+            )
+            / F.countDistinct("l_partkey")
+            <= 0.10
+        ).alias("distinct_ok"),
+        (
+            F.abs(
+                F.percentile_approx("l_extendedprice", 0.5)
+                - F.median("l_extendedprice")
+            )
+            / F.median("l_extendedprice")
+            <= 0.005
+        ).alias("median_ok"),
     )
 
 

@@ -160,13 +160,34 @@ def engine_zip_explode(spark, sf_dir):
     )
 
 
-@query("sample_fraction")  # rows-only: sampling is statistical by design
+@query("sample_fraction", oracle="""
+SELECT n_total,
+  CAST(floor(0.1 * n_total - 6 * sqrt(n_total * 0.09)) AS BIGINT) AS lo,
+  CAST(ceil(0.1 * n_total + 6 * sqrt(n_total * 0.09)) AS BIGINT) AS hi,
+  TRUE AS within
+FROM (SELECT COUNT(*) AS n_total FROM lineitem)
+""")
 def sample_fraction(spark, sf_dir):
-    """Seeded Bernoulli sample — declared rows-only (row count is checked
-    to be plausible by the driver; exact rows are seed/partitioning
-    dependent)."""
+    """Seeded Bernoulli sample, SELF-CHECKING (round-3 VERDICT #5): exact
+    membership is partitioning-dependent by design, so the gate emits the
+    statistical *bound* — the 6-sigma binomial window [lo, hi] computed
+    from the exact total on BOTH engines (identical double arithmetic =>
+    identical floor/ceil), plus ``within`` = sampled count inside the
+    window. A broken sampler (wrong fraction, double-sampling) lands
+    outside 6 sigma and flips the boolean (observed 5971 in [5559,
+    6441])."""
     li = load(spark, sf_dir, "lineitem")
-    return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
+    totals = li.agg(F.count(F.lit(1)).alias("n_total"))
+    sampled = li.sample(fraction=0.1, seed=42).agg(
+        F.count(F.lit(1)).alias("n_samp")
+    )
+    n = F.col("n_total")
+    lo = F.floor(0.1 * n - 6 * F.sqrt(n * 0.09)).cast("long")
+    hi = F.ceil(0.1 * n + 6 * F.sqrt(n * 0.09)).cast("long")
+    return totals.crossJoin(sampled).select(
+        "n_total", lo.alias("lo"), hi.alias("hi"),
+        ((F.col("n_samp") >= lo) & (F.col("n_samp") <= hi)).alias("within"),
+    )
 
 
 @query("engine_to_long_fused", oracle="""
@@ -344,15 +365,46 @@ def sort_zorder(spark, sf_dir):
     )
 
 
-@query("sample_stratified")  # rows-only: sampling is statistical by design
+@query("sample_stratified", oracle="""
+WITH t AS (
+  SELECT l_returnflag, COUNT(*) AS n_total,
+    CAST(CASE l_returnflag WHEN 'A' THEN 0.05 WHEN 'N' THEN 0.02
+         ELSE 0.1 END AS DOUBLE) AS f
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, n_total,
+  CAST(floor(f * n_total - 6 * sqrt(n_total * f * (1 - f))) AS BIGINT) AS lo,
+  CAST(ceil(f * n_total + 6 * sqrt(n_total * f * (1 - f))) AS BIGINT) AS hi,
+  TRUE AS within
+FROM t
+""")
 def sample_stratified(spark, sf_dir):
-    """Per-stratum Bernoulli sampling (sampleBy): rare strata kept at a
-    higher rate — the class-rebalancing primitive of a training-data
-    pipeline. Seeded; declared rows-only like sample_fraction."""
+    """Per-stratum Bernoulli sampling (sampleBy), SELF-CHECKING (round-3
+    VERDICT #5): like sample_fraction, but the 6-sigma binomial window is
+    computed per stratum at that stratum's rate — the class-rebalancing
+    primitive verified per class. ``within`` flips if any stratum's
+    sampled count leaves its window (a swapped rate map would)."""
     li = load(spark, sf_dir, "lineitem")
-    return li.sampleBy(
-        "l_returnflag", fractions={"A": 0.05, "N": 0.02, "R": 0.1}, seed=42
-    ).select("l_orderkey", "l_linenumber", "l_returnflag")
+    fractions = {"A": 0.05, "N": 0.02, "R": 0.1}
+    f = (
+        F.when(F.col("l_returnflag") == "A", F.lit(0.05))
+        .when(F.col("l_returnflag") == "N", F.lit(0.02))
+        .otherwise(F.lit(0.1))
+    )
+    totals = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_total")
+    ).withColumn("f", f)
+    sampled = (
+        li.sampleBy("l_returnflag", fractions=fractions, seed=42)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_samp"))
+    )
+    n, fr = F.col("n_total"), F.col("f")
+    lo = F.floor(fr * n - 6 * F.sqrt(n * fr * (1 - fr))).cast("long")
+    hi = F.ceil(fr * n + 6 * F.sqrt(n * fr * (1 - fr))).cast("long")
+    return totals.join(sampled, "l_returnflag").select(
+        "l_returnflag", "n_total", lo.alias("lo"), hi.alias("hi"),
+        ((F.col("n_samp") >= lo) & (F.col("n_samp") <= hi)).alias("within"),
+    )
 
 
 @query("join_bucketed", oracle="""
