@@ -26,7 +26,39 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vectors import as_double, cosine_rounded_arrow  # noqa: F401
+from ..functions.vectors import (  # noqa: F401
+    as_double,
+    cosine_rounded,
+    cosine_rounded_arrow,
+)
+
+#: pair count above which the Arrow einsum scorer beats the JVM HOF fold.
+#: Below it, the ~0.5 s/worker Python-worker spin-up of the FIRST Arrow
+#: stage in a session (10-20 s total at local[32]) dwarfs the per-pair win
+#: (~0.1µs Arrow vs ~40µs interpreted) — the r3 bench regression
+#: (knn_cosine 3.3x cold). Above it the kernel pays for itself even cold,
+#: and on a long-lived 100 TB cluster the spin-up is already sunk.
+ARROW_MIN_PAIRS = 100_000
+
+
+def _est_rows(df: DataFrame, row_bytes: int) -> float:
+    """Plan-statistics row estimate: optimizer sizeInBytes / approximate
+    row width. Pure metadata (parquet footer sizes through the optimized
+    plan) — NO job runs. Good to an order of magnitude, which is all the
+    Arrow-vs-HOF threshold needs."""
+    try:
+        size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        return float(int(size)) / max(row_bytes, 1)
+    except Exception:
+        return float("inf")  # unknown => assume big => Arrow (the scale default)
+
+
+def _vec_row_bytes(dim: int) -> int:
+    # id (8B) + array<float> payload at its ON-DISK width: the stats come
+    # from parquet file sizes, and random floats are near-incompressible,
+    # so 4*dim tracks the scan estimate (measured ~322 B/row actual vs
+    # 264 predicted at dim=64).
+    return 8 + 4 * dim
 
 
 def cosine_topk(
@@ -36,20 +68,33 @@ def cosine_topk(
     vec_col: str = "embedding",
     k: int = 5,
     exclude_self: bool = True,
+    dim: int | None = None,
+    use_arrow: bool | None = None,
+    est_queries: int | None = None,
 ) -> DataFrame:
     """Exact brute-force cosine top-k: (query_id, cand_id, cosine).
 
     Ranking uses the ROUNDED cosine with id tie-break, so results are
-    deterministic and engine-portable.
-    """
+    deterministic and engine-portable. ``use_arrow=None`` auto-selects the
+    scoring kernel from plan-estimated pair count (corpus x queries):
+    small jobs take the JVM HOF fold (no Python worker spin-up), large
+    ones the Arrow einsum kernel (see ``ARROW_MIN_PAIRS``). The optimizer
+    does not discount ``sizeInBytes`` for filters, so when the caller
+    knows the (small, broadcast) query-side cardinality it should pass
+    ``est_queries`` — otherwise a `WHERE id < 10` query set is estimated
+    at full-table size and the gate leans Arrow."""
     c = corpus.select(
         F.col(id_col).alias("cand_id"), as_double(vec_col).alias("cvec")
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qvec")
     )
+    if use_arrow is None:
+        rb = _vec_row_bytes(dim or 64)
+        n_q = float(est_queries) if est_queries else _est_rows(q, rb)
+        use_arrow = _est_rows(c, rb) * n_q >= ARROW_MIN_PAIRS
     pairs = c.crossJoin(F.broadcast(q))
-    return _score_topk(pairs, k, exclude_self)
+    return _score_topk(pairs, k, exclude_self, use_arrow=use_arrow)
 
 
 def _hyperplanes(dim: int, planes: int, seed: int = 42) -> np.ndarray:
@@ -120,6 +165,8 @@ def lsh_bucket_topk(
     exclude_self: bool = True,
     probes: int = 1,
     directed_probes: int | None = None,
+    use_arrow: bool | None = None,
+    est_queries: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: join only within matching SRP buckets.
 
@@ -167,23 +214,40 @@ def lsh_bucket_topk(
         ]
         q = q.withColumn("bucket", F.explode(F.array(*flips)))
     q = q.drop("_dots")
+    if use_arrow is None:
+        # bucketing cuts the scanned fraction to ~n_probed/2^planes
+        n_probed = 1 + (
+            directed_probes if directed_probes else
+            sum(1 for r in range(1, min(probes, planes) + 1)
+                for _ in itertools.combinations(range(planes), r))
+        )
+        rb = _vec_row_bytes(dim)
+        n_q = float(est_queries) if est_queries else _est_rows(queries, rb)
+        est = _est_rows(corpus, rb) * n_q * n_probed / float(2 ** planes)
+        use_arrow = est >= ARROW_MIN_PAIRS
     pairs = c.join(F.broadcast(q), on="bucket").dropDuplicates(
         ["query_id", "cand_id"]
     )
-    return _score_topk(pairs, k, exclude_self)
+    return _score_topk(pairs, k, exclude_self, use_arrow=use_arrow)
 
 
-def _score_topk(pairs: DataFrame, k: int, exclude_self: bool) -> DataFrame:
+def _score_topk(
+    pairs: DataFrame, k: int, exclude_self: bool, use_arrow: bool = True
+) -> DataFrame:
     """Shared ANN tail: cosine-score candidate pairs, per-query top-k with
     rounded-cosine + id tie-break (deterministic, engine-portable).
-    Scoring is the Arrow einsum kernel — the pair stream is the hot loop
-    of every ANN path (see ``cosine_rounded_arrow``)."""
+    The pair stream is the hot loop of every ANN path; ``use_arrow``
+    selects the einsum kernel (big batches / warm clusters) or the JVM
+    HOF fold (small batches — skips the per-session Python worker
+    spin-up). Both produce identical rounded values (the Arrow kernel
+    replays Spark's HALF_UP), so the choice is invisible to oracles."""
     if exclude_self:
         pairs = pairs.filter(F.col("cand_id") != F.col("query_id"))
-    scored = pairs.select(
-        "query_id", "cand_id",
-        cosine_rounded_arrow()(F.col("qvec"), F.col("cvec")).alias("cosine"),
-    )
+    if use_arrow:
+        cos = cosine_rounded_arrow()(F.col("qvec"), F.col("cvec"))
+    else:
+        cos = cosine_rounded(F.col("qvec"), F.col("cvec"))
+    scored = pairs.select("query_id", "cand_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -323,4 +387,7 @@ def ivf_topk(
         "cell", F.explode(_top_cells_udf(cents, nprobe)(F.col("qvec")))
     )
     pairs = c.join(F.broadcast(q), on="cell")
-    return _score_topk(pairs, k, exclude_self)
+    # cell assignment above is already an Arrow stage, so the per-session
+    # worker spin-up is sunk — the einsum scorer is strictly better here;
+    # no batch-size gate needed (unlike cosine_topk/lsh_bucket_topk).
+    return _score_topk(pairs, k, exclude_self, use_arrow=True)

@@ -284,7 +284,7 @@ def knn_cosine(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     return cosine_topk(
         emb, emb.filter(F.col("vec_id") < 10), id_col="vec_id",
-        vec_col="embedding", k=5,
+        vec_col="embedding", k=5, est_queries=10,
     )
 
 
@@ -302,7 +302,8 @@ def _ann_recall_gate(spark, sf_dir, ann_fn, min_avg_recall: float):
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     exact = cosine_topk(
-        emb, queries, id_col="vec_id", vec_col="embedding", k=5
+        emb, queries, id_col="vec_id", vec_col="embedding", k=5,
+        est_queries=10,
     ).select("query_id", "cand_id")
     ann = ann_fn(emb, queries).select("query_id", "cand_id")
     hits = exact.join(
@@ -331,7 +332,7 @@ def knn_lsh(spark, sf_dir):
         spark, sf_dir,
         lambda emb, q: lsh_bucket_topk(
             emb, q, dim=64, id_col="vec_id", vec_col="embedding", k=5,
-            planes=6,
+            planes=6, est_queries=10,
         ),
         min_avg_recall=0.2,
     )
