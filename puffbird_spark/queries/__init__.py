@@ -17,48 +17,41 @@ from . import (  # noqa: F401,E402
 )
 
 # The driver's correctness gate consumes the first 50 registry entries in
-# order. Queries that have never received a driver correctness row (round-1
-# gate stopped at 50) plus queries new this round go FIRST so every declared
-# operator accumulates oracle evidence; long-green round-1 queries fill the
-# remaining window and the tail.
+# order. Round-4 rotation policy (VERDICT r3 #6): (a) queries NEW or
+# CHANGED this round go first — they need fresh evidence; (b) the rest of
+# the window backfills the queries longest without a driver row (all 22
+# last checked in round 1, then 15 of the round-2 set). The 33 round-2-
+# green queries that don't fit rotate to the FRONT of round 5's window so
+# the union of any two consecutive windows approaches full coverage.
 _VERIFY_FIRST = [
-    # never driver-checked (positions 50+ in rounds 1-2) — six are the
-    # REF-surface engine gates R6/R7/R8/R13/R14/R18 (VERDICT r2 #2)
-    "engine_col_apply", "engine_apply_rowwise", "engine_project_ops",
-    "engine_puffy_to_long_shortcut", "engine_sanitize",
-    "engine_aggfunc_dispatch",
-    "agg_percentiles_exact", "sample_fraction", "sample_stratified",
-    "text_repetition", "text_shingle_hash",
-    # round-2 canonicalizer errs, now flattened to hashable scalars
-    "fn_struct", "fn_array_hof",
-    # r1 `no_oracle` rows-only — re-presented so they register rows>0
-    # instead of stale errs (VERDICT r2 #3); each has a hash-matched
-    # exact twin already green (md5 banding, jaccard, ivf_exact, ...)
+    # -- new gates this round: deterministic corpus splits (md5 draw
+    #    replayed bit-for-bit in DuckDB; splits.py round-3 bugs fixed)
+    "split_hash_membership", "split_quota_mixture", "split_stratified",
+    "split_shuffle_order",
+    # -- changed this round: r3 err -> flattened scalar output
+    "agg_percentiles_exact",
+    # -- changed this round: rows-only -> self-checking assertion gates
+    #    (VERDICT r3 #5 — each emits its tolerance/recall/bound booleans
+    #    next to oracle-verifiable exact values)
+    "sample_fraction", "sample_stratified", "agg_approx_distinct",
     "dedup_minhash_lsh", "dedup_simhash", "knn_lsh", "knn_ivf",
-    "agg_approx_distinct",
-    # new gates this round
-    "engine_to_long_structs",   # R5-inside-R2 array<struct> flatten
-    "multimodal_decode",        # real PNG header decode, stub gone
-    "text_decontaminate",       # train/eval n-gram overlap (broadcast)
-    "pack_spanning",            # concat-then-cut packing (prefix-sum)
-    "pack_greedy",              # no-split greedy packing vs recursive CTE
-    "text_chunk_windows",       # token-window chunking (RAG split)
-    "stream_stateful_count",    # applyInPandasWithState cross-batch state
-    "join_bucketed",            # co-located bucketed join, zero Exchange
-    "stream_stream_join",       # watermarked interval join, true 2-stream replay
-    "join_range_binned",        # pure range join as binned equi-join
-    # backfill: long-green queries last checked in round 1
-    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
-    "engine_to_long_roundtrip", "engine_to_long_shared_axes",
-    "engine_to_puffy", "engine_expand_col", "engine_zip_explode",
-    "explode_tokens", "pivot_returnflag",
-    "multid_pivot_acctbal",
-    "fn_string", "fn_date", "fn_math", "fn_cond", "fn_array",
-    "fn_json",
-    "text_tokens_bpe", "dedup_exact", "dedup_jaccard", "knn_cosine",
-    "text_stats",
-    # (join_semi/join_anti/join_asof/text_langid rotated to the tail —
-    # all r1-green — to keep the window at 50 with the new gates in)
+    # -- changed this round: batch-size-gated scoring kernel (HOF path at
+    #    gate SF must stay hash-identical to the Arrow path)
+    "knn_cosine",
+    # -- longest unchecked: every query last driver-checked in ROUND 1
+    "unpivot_part", "fn_map", "fn_to_json", "text_fingerprint",
+    "text_langid", "join_semi", "join_anti", "join_range", "join_cross",
+    "join_asof", "agg_stats", "agg_rollup", "agg_cube", "agg_collect",
+    "sort_topk", "set_union_all", "set_intersect", "set_except",
+    "distinct_segments", "dedup_first_per_key", "scan_csv", "scan_json",
+    # -- round-2-checked backfill (15 of 48; the other 33 lead round 5)
+    "window_rank", "window_rank_kinds", "window_running",
+    "window_lag_lead", "window_moving_avg", "window_range_frame",
+    "window_ntile_cume",
+    "udf_pandas_scalar", "udf_grouped_agg", "udf_apply_in_pandas",
+    "udf_udtf",
+    "variant_props", "engine_to_long_fused", "multimodal_meta",
+    "dedup_minhash_md5",
 ]
 
 

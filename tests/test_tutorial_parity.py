@@ -133,3 +133,157 @@ def test_variant_and_native_combined(adversarial):
     assert len(r0) == 18
     c_leaves = {(r["c_level0"], r["c_level1"], r["c"]) for r in r0}
     assert ("q", "0", "1") in c_leaves and ("w", None, "9") in c_leaves
+
+
+# ------------------------------------------------------------------ #
+# DIFFERENTIAL cells (round-3 VERDICT #7): the remaining adversarial
+# tutorial columns run through the ACTUAL reference library as the
+# oracle (cells 32-33: heterogeneous dict column c with scalar-NULL
+# level positions; the mixed-scalar column g).
+# ------------------------------------------------------------------ #
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """Reference FrameEngine with xarray stubbed (same shim as
+    test_reference_parity)."""
+    import sys
+    import types
+
+    stubbed = "xarray" not in sys.modules
+    if stubbed:
+        sys.modules["xarray"] = types.ModuleType("xarray")
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    try:
+        from puffbird import FrameEngine as RefEngine
+    except Exception as e:  # pragma: no cover - environment-dependent
+        pytest.skip(f"reference not importable: {e}")
+    yield RefEngine
+    if stubbed:
+        sys.modules.pop("xarray", None)
+
+
+def _canon_level(v):
+    """Level canonicalization across engines: reference emits positions as
+    floats (0.0) and keys as strings; the variant path emits everything as
+    strings. NaN/None -> None, numeric -> str(int), else str."""
+    if v is None or v != v:
+        return None
+    try:
+        return str(int(float(v)))
+    except (TypeError, ValueError):
+        return str(v)
+
+
+def _canon_value(v):
+    if v is None or v != v:
+        return None
+    try:
+        return float(v)
+    except (TypeError, ValueError):
+        return str(v)
+
+
+#: tutorial cell-4 column 'c' rows 0-3 (tuple rendered as list — JSON has
+#: no tuple; the reference superstacks both by position identically)
+_C_CELLS = [
+    {"dicta": [1, 2, 3], "dictb": 3, "dictc": {"key1": 1, "key2": 2}},
+    {"dicta": [52, 3], "dictb": [3, 4], "dictc": {"key4": 1, "key2": 2}},
+    {"dicta": [12, 67], "dictb": [4, 5], "dictc": {"key3": 1, "key2": 77}},
+    {"dicta": 123, "dictb": "words", "dictc": {"key1": 4, "key2": 2}},
+]
+
+
+def test_tutorial_c_column_differential(ref, spark):
+    """Tutorial cell 32: to_long('c') over heterogeneous dict cells —
+    list values explode by position, nested dicts by key, scalars pass
+    through. Reference output (k, c_level0, c_level1, c) is the oracle,
+    value-for-value."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"k": range(len(_C_CELLS)), "c": _C_CELLS}).set_index("k")
+    r = ref(pdf).to_long("c").rename(columns={"index_level0": "k"})
+    assert list(r.columns) == ["k", "c_level0", "c_level1", "c"]
+    expected = {
+        (int(row["k"]), _canon_level(row["c_level0"]),
+         _canon_level(row["c_level1"]), _canon_value(row["c"]))
+        for _, row in r.iterrows()
+    }
+
+    sdf = spark.createDataFrame(
+        [(i, json.dumps(c)) for i, c in enumerate(_C_CELLS)],
+        "k long, c string",
+    )
+    out = FrameEngine(sdf, indexcols=["k"]).to_long(
+        "c", variant_cols=["c"], max_depth={"c": 2})
+    assert out.columns == ["k", "c_level0", "c_level1", "c"]
+    got = {
+        (r2["k"], _canon_level(r2["c_level0"]),
+         _canon_level(r2["c_level1"]), _canon_value(r2["c"]))
+        for r2 in out.collect()
+    }
+    assert got == expected
+
+
+def test_tutorial_scalar_null_level_positions(ref, spark):
+    """Tutorial cell 33 behavior: a SCALAR leaf inside an exploded cell
+    (row 3's dicta=123, dictb='words') keeps its key at level0 but leaves
+    level1 NULL — positions only exist where there was nesting. Checked
+    differentially on the exact rows, both engines."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"k": range(len(_C_CELLS)), "c": _C_CELLS}).set_index("k")
+    r = ref(pdf).to_long("c").rename(columns={"index_level0": "k"})
+    ref_scalar = {
+        (_canon_level(row["c_level0"]), _canon_value(row["c"]))
+        for _, row in r.iterrows()
+        if int(row["k"]) == 3 and row["c_level1"] != row["c_level1"]
+    }
+    assert ref_scalar == {("dicta", 123.0), ("dictb", "words")}
+
+    sdf = spark.createDataFrame(
+        [(i, json.dumps(c)) for i, c in enumerate(_C_CELLS)],
+        "k long, c string",
+    )
+    out = FrameEngine(sdf, indexcols=["k"]).to_long(
+        "c", variant_cols=["c"], max_depth={"c": 2})
+    got_scalar = {
+        (r2["c_level0"], _canon_value(r2["c"]))
+        for r2 in out.collect()
+        if r2["k"] == 3 and r2["c_level1"] is None
+    }
+    assert got_scalar == ref_scalar
+
+
+def test_tutorial_g_column_mixed_scalars_differential(ref, spark):
+    """Tutorial column 'g': mixed cell types in ONE column — plain
+    scalars (level NULL), a dict (key level), a 1-tuple (position level),
+    a Series (key level), an int. The set cell is excluded: Python set
+    iteration order is process-dependent, so its explosion order is not a
+    well-defined oracle. JSON renderings: tuple -> list, Series -> dict."""
+    import pandas as pd
+
+    g_cells = ["a", "b", {"ff": "gg"}, ("r",), pd.Series({"a": "b"}), 1]
+    pdf = pd.DataFrame({"k": range(len(g_cells)), "g": g_cells}).set_index("k")
+    r = ref(pdf).to_long("g").rename(columns={"index_level0": "k"})
+    assert list(r.columns) == ["k", "g_level0", "g"]
+    expected = {
+        (int(row["k"]), _canon_level(row["g_level0"]),
+         _canon_value(row["g"]))
+        for _, row in r.iterrows()
+    }
+
+    g_json = ['"a"', '"b"', '{"ff": "gg"}', '["r"]', '{"a": "b"}', "1"]
+    sdf = spark.createDataFrame(
+        [(i, g) for i, g in enumerate(g_json)], "k long, g string")
+    out = FrameEngine(sdf, indexcols=["k"]).to_long(
+        "g", variant_cols=["g"], max_depth={"g": 1})
+    assert out.columns == ["k", "g_level0", "g"]
+    got = {
+        (r2["k"], _canon_level(r2["g_level0"]), _canon_value(r2["g"]))
+        for r2 in out.collect()
+    }
+    assert got == expected
