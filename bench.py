@@ -115,7 +115,9 @@ def _prev_round_timings() -> dict[str, float]:
         try:
             with open(path) as fh:
                 data = json.load(fh)
-            q = data.get("queries") or {}
+            # driver snapshots wrap the bench line under "parsed"
+            q = (data.get("queries")
+                 or data.get("parsed", {}).get("queries") or {})
         except Exception:
             continue
         rnd = int(m.group(1))
