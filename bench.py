@@ -77,9 +77,10 @@ BENCH_QUERIES = [
     "text_decontaminate",
     "pack_spanning",
     # round-4 additions: deterministic splits (scan-local filter + the
-    # two-phase distributed shuffle rank)
+    # two-phase distributed shuffle rank + grouped-prefix-sum token budget)
     "split_hash_membership",
     "split_shuffle_order",
+    "split_token_budget",
 ]
 
 

@@ -28,6 +28,9 @@ _VERIFY_FIRST = [
     #    replayed bit-for-bit in DuckDB; splits.py round-3 bugs fixed)
     "split_hash_membership", "split_quota_mixture", "split_stratified",
     "split_shuffle_order",
+    # -- new gates: token-budget mixture + length-bucketed batching, both
+    #    on the two-exchange grouped prefix-sum (no single-task windows)
+    "split_token_budget", "split_length_batches",
     # -- changed this round: r3 err -> flattened scalar output
     "agg_percentiles_exact",
     # -- changed this round: rows-only -> self-checking assertion gates

@@ -563,3 +563,78 @@ def split_shuffle_order(spark, sf_dir):
 
     orders = load(spark, sf_dir, "orders").select("o_orderkey")
     return shuffle_order(orders, key="o_orderkey", seed="shuffle")
+
+
+@query("split_token_budget", oracle="""
+WITH d AS (
+  SELECT doc_id, source, n_chars,
+    substr(md5('budget:' || CAST(doc_id AS VARCHAR)), 1, 16) AS draw
+  FROM documents),
+c AS (
+  SELECT doc_id, source, n_chars,
+    CAST(SUM(n_chars) OVER (PARTITION BY source ORDER BY draw, doc_id)
+         AS BIGINT) AS cum_tokens
+  FROM d)
+SELECT doc_id, source, n_chars, cum_tokens
+FROM c
+WHERE cum_tokens <= CASE source WHEN 'src0' THEN 4000 WHEN 'src1' THEN 2500
+                    ELSE 1500 END
+""")
+def split_token_budget(spark, sf_dir):
+    """Per-domain TOKEN budget mixture ("4000 tokens of src0, 2500 of
+    src1, 1500 of everything else"): documents taken in deterministic
+    hash order until each domain's running token total reaches its
+    budget. The running sum is a grouped prefix-sum in the two-exchange
+    shape (range partition + local window + broadcast offsets) — a
+    dominant domain never becomes a single task, unlike
+    Window.partitionBy(domain). The oracle replays the identical order
+    and running sum single-threaded; membership AND the cumulative total
+    are hash-checked row by row."""
+    from ..operators.splits import token_budget_sample
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    out = token_budget_sample(
+        docs, key="doc_id", domain="source", tokens_col="n_chars",
+        budgets={"src0": 4000, "src1": 2500}, seed="budget",
+        default_budget=1500,
+    )
+    return out.select("doc_id", "source", "n_chars", "cum_tokens")
+
+
+@query("split_length_batches", oracle="""
+WITH d AS (
+  SELECT doc_id,
+    CASE WHEN n_chars <= 200 THEN 0 WHEN n_chars <= 350 THEN 1
+         WHEN n_chars <= 500 THEN 2 ELSE 3 END AS bucket,
+    substr(md5('batch:' || CAST(doc_id AS VARCHAR)), 1, 16) AS draw
+  FROM documents),
+r AS (
+  SELECT doc_id, bucket,
+    row_number() OVER (PARTITION BY bucket ORDER BY draw, doc_id) AS rk
+  FROM d)
+SELECT doc_id, CAST(bucket AS INT) AS bucket,
+  CAST(floor((rk - 1) / 8) AS BIGINT) AS batch_idx,
+  CAST((rk - 1) % 8 AS BIGINT) AS pos_in_batch
+FROM r
+""")
+def split_length_batches(spark, sf_dir):
+    """Length-bucketed batch assignment: sequences bucketed by length
+    (edges 200/350/500 chars) and dealt into batches of 8 in
+    deterministic hash order — the padding-minimizing batching step of a
+    training data loader. The per-bucket rank is a grouped prefix COUNT
+    (two balanced exchanges, no per-bucket single task); bucket, batch id
+    and position are all hash-checked against the single-threaded
+    row_number oracle."""
+    from ..operators.splits import length_bucket_batches
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = length_bucket_batches(
+        docs, key="doc_id", length_col="n_chars", batch_size=8,
+        bucket_edges=[200, 350, 500], seed="batch",
+    )
+    return out.select(
+        "doc_id", F.col("bucket").cast("int").alias("bucket"),
+        "batch_idx", "pos_in_batch",
+    )
