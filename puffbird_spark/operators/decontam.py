@@ -70,3 +70,97 @@ def contamination(
             ).alias("contamination"),
         )
     )
+
+
+# --------------------------------------------------------------------- #
+# Bloom-filter variant: the scale path when the eval gram set outgrows
+# what a broadcast hash join comfortably holds (a big reference corpus,
+# a multi-benchmark eval union). The filter is m bits regardless of gram
+# count; the train side becomes a SCAN-LOCAL membership test — no join
+# at all, not even map-side.
+# --------------------------------------------------------------------- #
+
+
+def bloom_filter_words(
+    grams: DataFrame,
+    gram_col: str = "gram",
+    m_bits: int = 1 << 17,
+    k: int = 5,
+) -> list[int]:
+    """Build an m-bit Bloom filter over a gram column as a list of
+    ``m_bits/64`` long words.
+
+    The k bit positions per gram are ``pmod(xxhash64(seed_s, gram), m)``
+    computed IN Spark (so the probe side — also Spark — uses the exact
+    same hash); only the DISTINCT SET POSITIONS come back to the driver,
+    bounded by ``min(k * n_grams, m_bits)`` — at the default 2^17 bits
+    that is at most 131k longs (~1 MB) no matter how many grams went in.
+    This is the deliberate trade: the collect is bounded by the filter
+    size, not the data."""
+    if m_bits % 64:
+        raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
+    pos_cols = [
+        F.pmod(F.xxhash64(F.lit(s), F.col(gram_col)), F.lit(m_bits))
+        for s in range(k)
+    ]
+    rows = (
+        grams.select(F.explode(F.array(*pos_cols)).alias("pos"))
+        .distinct()
+        .collect()
+    )
+    words = [0] * (m_bits // 64)
+    for r in rows:
+        p = int(r["pos"])
+        words[p >> 6] |= 1 << (p & 63)
+    # two's-complement: JVM longs are signed; bit 63 set => negative value
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_contaminated(
+    train: DataFrame,
+    words: list[int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 5,
+    flag_col: str = "bloom_hit",
+) -> DataFrame:
+    """Flag training docs where ANY distinct n-gram tests positive in the
+    Bloom filter. One scan-local projection over the corpus: the filter
+    words ship as a literal array (m/64 longs inside the plan), the k bit
+    tests are native Column bit arithmetic inside an ``exists`` HOF —
+    zero joins, zero shuffles, zero Python. Bloom guarantees NO false
+    negatives (every truly contaminated doc is flagged); false positives
+    are bounded by (1 - e^{-kn/m})^k and verified by the gate."""
+    from ..functions.text import shingles, tokens
+    from ..plans import fence
+
+    m_bits = len(words) * 64
+    lit_words = F.array(*[F.lit(w).cast("long") for w in words])
+    # shiftleft() takes only a literal shift amount, so the 64 possible
+    # single-bit masks ship as one literal array indexed by pos % 64
+    lit_masks = F.array(*[
+        F.lit((1 << j) - (1 << 64 if j == 63 else 0)).cast("long")
+        for j in range(64)
+    ])
+
+    def bit_set(pos):
+        word = F.element_at(lit_words, (pos / 64).cast("int") + 1)
+        mask = F.element_at(lit_masks, (pos % 64).cast("int") + 1)
+        return word.bitwiseAND(mask) != 0
+
+    def gram_hits(g):
+        hit = None
+        for s in range(k):
+            pos = F.pmod(F.xxhash64(F.lit(s), g), F.lit(m_bits))
+            b = bit_set(pos)
+            hit = b if hit is None else (hit & b)
+        return hit
+
+    staged = fence(
+        train.select(F.col(id_col), F.col(text_col)),
+        [id_col], sh=shingles(tokens(text_col), n),
+    )
+    return staged.select(
+        id_col, F.exists("sh", gram_hits).alias(flag_col)
+    )

@@ -31,6 +31,9 @@ _VERIFY_FIRST = [
     # -- new gates: token-budget mixture + length-bucketed batching, both
     #    on the two-exchange grouped prefix-sum (no single-task windows)
     "split_token_budget", "split_length_batches",
+    # -- new gate: Bloom-filter decontamination (scan-local probe, no
+    #    join; self-checking no-false-negative + fp-rate booleans)
+    "text_decontaminate_bloom",
     # -- changed this round: r3 err -> flattened scalar output
     "agg_percentiles_exact",
     # -- changed this round: rows-only -> self-checking assertion gates

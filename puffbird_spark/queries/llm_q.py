@@ -814,3 +814,74 @@ def text_chunk_windows(spark, sf_dir):
         F.col("c.chunk").alias("chunk"),
         F.col("c.chunk_tokens").alias("chunk_tokens"),
     )
+
+
+@query("text_decontaminate_bloom", oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id,
+        CASE WHEN len(toks) >= 3
+             THEN list_sort(list_distinct(
+                    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                     FOR i IN range(1, len(toks) - 1)]))
+             ELSE [] END AS sh
+      FROM t),
+ev AS (SELECT DISTINCT unnest(sh) AS gram FROM s WHERE doc_id % 20 = 0),
+tr AS (SELECT doc_id, unnest(sh) AS gram
+       FROM s WHERE doc_id % 20 <> 0)
+SELECT CAST(COUNT(DISTINCT tr.doc_id) AS BIGINT) AS n_exact,
+       TRUE AS no_false_negatives, TRUE AS fp_rate_ok
+FROM tr JOIN ev USING (gram)
+""")
+def text_decontaminate_bloom(spark, sf_dir):
+    """Bloom-filter decontamination — the scale path when the eval gram
+    set outgrows a broadcast join: the filter is m bits (2^17 here) no
+    matter how many grams went in, and the train side becomes a
+    SCAN-LOCAL membership test (literal word array + native bit
+    arithmetic in an exists HOF — no join, no shuffle, no Python).
+
+    xxhash64 has no DuckDB twin, so the gate is SELF-CHECKING (same
+    pattern as dedup_minhash_lsh): it runs the exact broadcast-join
+    operator alongside the Bloom probe and emits —
+
+    - ``n_exact``            — exact contaminated-doc count, replayed and
+      hash-verified by the DuckDB oracle;
+    - ``no_false_negatives`` — every exactly-contaminated doc is
+      Bloom-flagged (the Bloom guarantee; a hash-mismatch between build
+      and probe sides would break it);
+    - ``fp_rate_ok``         — false-positive rate over clean docs
+      <= 2%: (1-e^{-kn/m})^k ~ 0.4% at 5 hashes, ~42k grams, 2^17 bits.
+    """
+    from ..functions.text import shingles, tokens
+    from ..operators.decontam import (
+        bloom_contaminated,
+        bloom_filter_words,
+        contamination,
+    )
+    from ..plans import fence
+
+    docs = load(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    tr = docs.filter(F.col("doc_id") % 20 != 0)
+
+    ev_grams = fence(ev, [], sh=shingles(tokens("text"), 3)).select(
+        F.explode("sh").alias("gram")).distinct()
+    words = bloom_filter_words(ev_grams, "gram", m_bits=1 << 17, k=5)
+    bloom = bloom_contaminated(tr, words, "text", "doc_id", n=3, k=5)
+
+    exact = contamination(tr, ev, "text", "doc_id", n=3).select(
+        "doc_id", F.lit(True).alias("exact_hit"))
+    joined = bloom.join(exact, "doc_id", "left")
+    n_train = joined.agg(F.count(F.lit(1)).alias("n_train"))
+    stats = joined.agg(
+        F.sum(F.when(F.col("exact_hit"), 1).otherwise(0)).alias("n_exact"),
+        F.sum(F.when(F.col("exact_hit") & ~F.col("bloom_hit"), 1)
+              .otherwise(0)).alias("n_missed"),
+        F.sum(F.when(F.col("bloom_hit") & F.col("exact_hit").isNull(), 1)
+              .otherwise(0)).alias("n_fp"),
+    )
+    return stats.crossJoin(n_train).select(
+        F.col("n_exact").cast("long").alias("n_exact"),
+        (F.col("n_missed") == 0).alias("no_false_negatives"),
+        ((F.col("n_fp") / (F.col("n_train") - F.col("n_exact"))) <= 0.02)
+        .alias("fp_rate_ok"),
+    )

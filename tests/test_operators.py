@@ -751,3 +751,30 @@ def test_binned_range_join_matches_naive(spark):
             for r in binned_range_join(pts, iv, "v", "lo", "hi", w).collect()
         }
         assert got == naive, f"bin_width={w}"
+
+
+def test_bloom_decontamination_no_false_negatives(spark):
+    """Bloom guarantee: every doc sharing a gram with the eval set tests
+    positive; a disjoint doc tests negative at this filter size (fp rate
+    ~0 for a handful of grams in 2^10 bits)."""
+    from puffbird_spark.operators.decontam import (
+        bloom_contaminated, bloom_filter_words)
+
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string")
+    tr = spark.createDataFrame(
+        [(1, "alpha beta gamma epsilon"),      # shares 'alpha beta gamma'
+         (2, "zeta eta theta iota kappa"),     # disjoint
+         (3, "one two three four five six")],  # disjoint
+        "doc_id long, text string")
+    from pyspark.sql import functions as F2
+    from puffbird_spark.functions.text import shingles, tokens
+    grams = ev.select(
+        F2.explode(shingles(tokens("text"), 3)).alias("gram")).distinct()
+    words = bloom_filter_words(grams, "gram", m_bits=1024, k=5)
+    flags = {r["doc_id"]: r["bloom_hit"] for r in
+             bloom_contaminated(tr, words, n=3, k=5).collect()}
+    assert flags[1] is True
+    assert flags[2] is False and flags[3] is False
+    # the words really are signed JVM longs
+    assert all(-(2**63) <= w < 2**63 for w in words)
