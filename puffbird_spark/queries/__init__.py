@@ -34,6 +34,8 @@ _VERIFY_FIRST = [
     # -- new gate: Bloom-filter decontamination (scan-local probe, no
     #    join; self-checking no-false-negative + fp-rate booleans)
     "text_decontaminate_bloom",
+    # -- new gate: embedding near-dup pairs -> connected components
+    "dedup_embedding_clusters",
     # -- changed this round: r3 err -> flattened scalar output
     "agg_percentiles_exact",
     # -- changed this round: rows-only -> self-checking assertion gates

@@ -885,3 +885,39 @@ def text_decontaminate_bloom(spark, sf_dir):
         ((F.col("n_fp") / (F.col("n_train") - F.col("n_exact"))) <= 0.02)
         .alias("fp_rate_ok"),
     )
+
+
+@query("dedup_embedding_clusters", oracle="""
+WITH RECURSIVE
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v))
+           * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.45),
+edges AS (SELECT id_a AS s, id_b AS d FROM cand
+          UNION SELECT id_b, id_a FROM cand),
+reach AS (
+  SELECT DISTINCT s AS v, s AS r FROM edges
+  UNION
+  SELECT ed.s AS v, reach.r FROM edges ed JOIN reach ON ed.d = reach.v)
+SELECT v AS vec_id, MIN(r) AS cluster_id, (v = MIN(r)) AS is_canonical
+FROM reach GROUP BY v
+""")
+def dedup_embedding_clusters(spark, sf_dir):
+    """END-TO-END embedding near-dup resolution: exact cosine pairs at
+    threshold 0.45 (the verifier kernel — at 100 TB the SRP-LSH buckets
+    generate candidates first and the same exact-cosine filter verifies
+    them, feeding the identical cluster stage) resolved into per-vector
+    cluster ids + canonical-survivor flags by the iterative min-label
+    connected components of operators/graph.py. The embedding sibling of
+    dedup_clusters, hash-matched against a recursive-CTE oracle."""
+    from ..operators.graph import dedup_clusters
+    from .sql_q import dedup_embedding
+
+    pairs = dedup_embedding(spark, sf_dir).select("id_a", "id_b")
+    out = dedup_clusters(pairs)
+    return out.select(
+        F.col("doc_id").alias("vec_id"), "cluster_id", "is_canonical"
+    )
