@@ -81,6 +81,9 @@ BENCH_QUERIES = [
     "split_hash_membership",
     "split_shuffle_order",
     "split_token_budget",
+    # scan-local Bloom decontamination (probe side; build is one bounded
+    # collect)
+    "text_decontaminate_bloom",
 ]
 
 

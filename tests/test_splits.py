@@ -289,3 +289,19 @@ def test_length_bucket_batches_shape(spark, sf_dir):
         | ((F.col("bucket") == 3) & (F.col("n_chars") <= 500))
     )
     assert bad.count() == 0
+
+
+def test_scan_local_splits_zero_exchange(spark, sf_dir):
+    """The membership operators are pure scan-local projections/filters:
+    their physical plans must contain NO Exchange — the zero-shuffle
+    property is the whole 100 TB argument for hash-based splits."""
+    docs = load(spark, sf_dir, "documents")
+    plans = [
+        hash_sample(docs, "doc_id", 0.3),
+        hash_split(docs, "doc_id", weights={"a": 0.8, "b": 0.2}),
+        quota_sample(docs, "doc_id", "source", rates={"src0": 0.5}),
+        stratified_quota(docs, "doc_id", ["source"], 0.5),
+    ]
+    for df in plans:
+        phys = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in phys, phys
