@@ -101,10 +101,35 @@ def _minhash_lsh_raw(spark, sf_dir):
     ).filter(F.col("est_jaccard") >= 0.4)
 
 
+def _bloom_probe_raw(spark, sf_dir):
+    """Bench twin of the text_decontaminate_bloom GATE: the gate also runs
+    the exact broadcast-join operator to verify the Bloom guarantee; the
+    bench times the production path alone — filter build (one bounded
+    collect) + the scan-local probe."""
+    from pyspark.sql import functions as F2
+
+    from puffbird_spark.functions.text import shingles, tokens
+    from puffbird_spark.operators.decontam import (
+        bloom_contaminated,
+        bloom_filter_words,
+    )
+    from puffbird_spark.plans import fence
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.filter(F2.col("doc_id") % 20 == 0)
+    tr = docs.filter(F2.col("doc_id") % 20 != 0)
+    grams = fence(ev, [], sh=shingles(tokens("text"), 3)).select(
+        F2.explode("sh").alias("gram")).distinct()
+    words = bloom_filter_words(grams, "gram", m_bits=1 << 17, k=5)
+    return bloom_contaminated(tr, words, "text", "doc_id", n=3, k=5).filter(
+        F2.col("bloom_hit"))
+
+
 #: bench-local overrides: raw operator plans for gates that now emit
 #: assertion booleans instead of operator output.
 BENCH_OVERRIDES = {
     "dedup_minhash_lsh": _minhash_lsh_raw,
+    "text_decontaminate_bloom": _bloom_probe_raw,
 }
 
 
