@@ -36,6 +36,8 @@ _VERIFY_FIRST = [
     "text_decontaminate_bloom",
     # -- new gate: embedding near-dup pairs -> connected components
     "dedup_embedding_clusters",
+    # -- new gate: skew-proof replicated join == plain join bit-for-bit
+    "join_skew_replicated",
     # -- changed this round: r3 err -> flattened scalar output
     "agg_percentiles_exact",
     # -- changed this round: rows-only -> self-checking assertion gates

@@ -700,3 +700,31 @@ def join_range_binned(spark, sf_dir):
     return binned_range_join(
         cust, supp, "c_acctbal", "lo", "hi", bin_width=100.0
     ).select("c_custkey", "s_suppkey", "c_acctbal", "s_acctbal")
+
+
+@query("join_skew_replicated", oracle="""
+SELECT l.l_orderkey, l.l_linenumber, s.s_name,
+       CAST(l.l_quantity AS DOUBLE) AS qty
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+""")
+def join_skew_replicated(spark, sf_dir):
+    """Skew-proof equi-join (operators/skew.py replicated_join): the
+    dimension is exploded salt_buckets ways and the fact side salted, so
+    a hot join key spreads over salt_buckets partitions instead of
+    overwhelming one reducer — the manual fix for skew shapes AQE's
+    skew-join splitting doesn't cover (broadcast-ineligible mid-size
+    dims, deliberate pre-partitioning). The salt is internal routing
+    only: the result must equal the plain join bit-for-bit, which is
+    exactly what the oracle checks."""
+    from ..operators.skew import replicated_join
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey",
+        F.col("l_quantity").cast("double").alias("qty"),
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    return replicated_join(li, supp, ["l_suppkey"], salt_buckets=8).select(
+        "l_orderkey", "l_linenumber", "s_name", "qty"
+    )
