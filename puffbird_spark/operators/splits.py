@@ -293,7 +293,15 @@ def grouped_prefix_sum(
     d = df.withColumn(val, v).repartitionByRange(
         int(n_part), *[F.col(c) for c in [*group_cols, *order_cols]]
     )
-    d = d.withColumn(pid, F.spark_partition_id())
+    # The totals branch and the main branch BOTH consume this exchange,
+    # and Spark does not reliably reuse it (observed: two independent
+    # rangepartitioning Exchanges) — each branch would re-sample range
+    # bounds and re-stamp partition ids, so offsets from one layout could
+    # join against pids of another (the union-of-same-parent trap,
+    # NOTES r3). Stamping pid and checkpointing ONCE freezes the layout
+    # into the data: both branches read the same materialized partitions,
+    # and the double scan+exchange is eliminated as a bonus.
+    d = d.withColumn(pid, F.spark_partition_id()).localCheckpoint(eager=True)
     local_w = Window.partitionBy(pid, *group_cols).orderBy(*order_cols)
     d = d.withColumn(local, F.sum(val).over(local_w))
     totals = d.groupBy(pid, *group_cols).agg(F.sum(val).alias(tot))
