@@ -38,6 +38,8 @@ _VERIFY_FIRST = [
     "dedup_embedding_clusters",
     # -- new gate: skew-proof replicated join == plain join bit-for-bit
     "join_skew_replicated",
+    # -- new gates: ORC scan round-trip; scan-local text normalization
+    "scan_orc", "text_normalize",
     # -- changed this round: r3 err -> flattened scalar output
     "agg_percentiles_exact",
     # -- changed this round: rows-only -> self-checking assertion gates

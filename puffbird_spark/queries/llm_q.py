@@ -921,3 +921,29 @@ def dedup_embedding_clusters(spark, sf_dir):
     return out.select(
         F.col("doc_id").alias("vec_id"), "cluster_id", "is_canonical"
     )
+
+
+@query("text_normalize", oracle="""
+SELECT doc_id,
+  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+       ' +', ' ', 'g')) AS norm,
+  CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+       '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS norm_len
+FROM documents
+""")
+def text_normalize(spark, sf_dir):
+    """Canonical text normalization (the first stage of every dedup/
+    quality pipeline): lowercase, strip non-alphanumerics to spaces,
+    collapse whitespace runs, trim. Pure scan-local regexp Columns —
+    zero UDFs, zero shuffles — and byte-identical on both engines."""
+    docs = load(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +", " ",
+        )
+    )
+    return docs.select(
+        "doc_id", norm.alias("norm"),
+        F.length(norm).cast("long").alias("norm_len"),
+    )

@@ -638,3 +638,25 @@ def split_length_batches(spark, sf_dir):
         "doc_id", F.col("bucket").cast("int").alias("bucket"),
         "batch_idx", "pos_in_batch",
     )
+
+
+@query("scan_orc", oracle="""
+SELECT s_nationkey, COUNT(*) AS n,
+  CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+FROM supplier GROUP BY s_nationkey
+""")
+def scan_orc(spark, sf_dir):
+    """ORC sink + scan round-trip (columnar sibling of the parquet path;
+    Spark's ORC reader has the same pushdown/pruning surface). DuckDB
+    cannot read ORC, so the oracle aggregates the ORIGINAL parquet — any
+    write/read/schema bug on the ORC path breaks the hash."""
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    path = _materialize(
+        load(spark, sf_dir, "supplier"), f"/tmp/pbs_fmt{tag}/supplier_orc",
+        "orc",
+    )
+    df = spark.read.orc(path)
+    return df.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("s_acctbal")).cast("double").alias("sum_bal"),
+    )

@@ -778,3 +778,19 @@ def test_bloom_decontamination_no_false_negatives(spark):
     assert flags[2] is False and flags[3] is False
     # the words really are signed JVM longs
     assert all(-(2**63) <= w < 2**63 for w in words)
+
+
+def test_bloom_probe_zero_exchange(spark):
+    """The Bloom probe is scan-local: its physical plan must contain no
+    Exchange — the whole point of the filter path over the broadcast
+    join."""
+    from pyspark.sql import functions as F2
+
+    from puffbird_spark.operators.decontam import bloom_contaminated
+
+    tr = spark.createDataFrame(
+        [(1, "alpha beta gamma epsilon")], "doc_id long, text string")
+    words = [0] * 16  # 1024-bit empty filter: plan shape is what matters
+    plan = bloom_contaminated(tr, words, n=3, k=5)
+    phys = plan._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in phys, phys
