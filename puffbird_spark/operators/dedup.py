@@ -293,6 +293,7 @@ def minhash_candidate_pairs(
     max_bucket_size: int = 10_000,
     threshold: float | None = None,
     hasher: str = "xxhash64",
+    use_arrow: bool | None = None,
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` rows of
     ``num_hashes/bands``; docs sharing any band hash become candidates.
@@ -330,18 +331,36 @@ def minhash_candidate_pairs(
         shingles(tokens(text_col), n=n).alias("sh"),
     )
     hashed = sh.select("id", shingle_hashes(F.col("sh"), hasher).alias("hs"))
-    # signature: vectorized Arrow/numpy kernel (HOF expressions are
-    # interpreted, outside codegen — the numpy batch multiply-mod is ~10x
-    # on this stage). Element-for-element equal to minhash_signature
-    # (tested), so the md5 variant REMAINS oracle-checkable end-to-end:
-    # the DuckDB oracle replays the same permutation math in SQL — a
-    # different execution engine computing identical values is exactly the
-    # differential evidence the gate wants. The ArrowEvalPython node is
-    # its own optimizer fence: downstream band projections reference the
-    # sig attribute, nothing re-inlines.
-    sig = hashed.filter(F.size("hs") > 0).select(
-        "id", _signature_arrow_udf(num_hashes)(F.col("hs")).alias("sig")
-    )
+    # signature: batch-size-gated kernel (same trade as the cosine scorer,
+    # similarity.py). Big corpora take the vectorized Arrow/numpy kernel —
+    # HOF expressions are interpreted, outside codegen; the numpy batch
+    # multiply-mod is ~10x warm on this stage. Small corpora take the
+    # native Column formulation: it skips the ~0.5s/worker Python spin-up
+    # the first Arrow stage of a session pays (10-20s at local[32] —
+    # measured as the r2->r3 cold regression on this very pipeline). Both
+    # are element-for-element equal (tested), so the md5 variant REMAINS
+    # oracle-checkable end-to-end either way. Fencing: the ArrowEvalPython
+    # node is its own optimizer fence; the Column path needs plans.fence()
+    # or each of the `bands` band projections would re-inline the whole
+    # 32-permutation signature expression.
+    if use_arrow is None:
+        from .similarity import _est_rows
+
+        # ~320 B/doc on disk for the synthetic corpus; threshold ~20k docs
+        # is where interpreted signature work outgrows worker spin-up
+        use_arrow = _est_rows(df, 320) >= 20_000
+    filtered = hashed.filter(F.size("hs") > 0)
+    if use_arrow:
+        sig = filtered.select(
+            "id", _signature_arrow_udf(num_hashes)(F.col("hs")).alias("sig")
+        )
+    else:
+        from ..plans import fence
+
+        sig = fence(
+            filtered, ["id"],
+            sig=minhash_signature(F.col("hs"), num_hashes, pre_hashed=True),
+        ).select("id", "sig")
 
     def band_hash(b: int) -> Column:
         joined = F.array_join(

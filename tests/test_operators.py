@@ -794,3 +794,19 @@ def test_bloom_probe_zero_exchange(spark):
     plan = bloom_contaminated(tr, words, n=3, k=5)
     phys = plan._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in phys, phys
+
+
+def test_minhash_signature_kernel_gate_equality(spark, sf_dir):
+    """The batch-size-gated signature kernels (Arrow numpy vs native
+    Column formulation behind a fence) must produce identical candidate
+    pair sets — the gate decision may never change results."""
+    docs = load_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def pairs(use_arrow):
+        df = DD.minhash_candidate_pairs(
+            docs, "text", "doc_id", num_hashes=16, bands=4, n=3,
+            hasher="md5", use_arrow=use_arrow)
+        return {(r["id_a"], r["id_b"], r["est_jaccard"])
+                for r in df.collect()}
+
+    assert pairs(True) == pairs(False)
