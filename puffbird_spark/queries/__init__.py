@@ -20,9 +20,22 @@ from . import (  # noqa: F401,E402
 # order. Round-4 rotation policy (VERDICT r3 #6): (a) queries NEW or
 # CHANGED this round go first — they need fresh evidence; (b) the rest of
 # the window backfills the queries longest without a driver row (all 22
-# last checked in round 1, then 15 of the round-2 set). The 33 round-2-
-# green queries that don't fit rotate to the FRONT of round 5's window so
-# the union of any two consecutive windows approaches full coverage.
+# last checked in round 1, plus round-2 entries as slots allow).
+#
+# ROUND-5 TODO: lead the window with the 40 queries covered by neither
+# the r03 nor the r04 window (all r2-green, computed 2026-08-13):
+#   udf_grouped_agg udf_apply_in_pandas udf_udtf variant_props
+#   engine_to_long_fused multimodal_meta dedup_minhash_md5
+#   explode_inline_stack explode_inline fn_url_mask dedup_ngram_jaccard
+#   knn_ivf_exact text_quality text_tfidf text_top_ngrams
+#   embedding_centroids dedup_clusters agg_grouping_sets join_right_full
+#   agg_skew_salted set_union_by_name mem_rows_table
+#   merge_upsert_customers to_xarray_guarded scan_parquet_partitioned
+#   sort_zorder sql_tpch_q6 sql_grouping_sets fn_map_json dedup_embedding
+#   stream_tumbling stream_sliding stream_session stream_dedup_watermark
+#   hypertable_rollup stream_static_join sessionize_events
+#   stream_late_data stream_foreach_batch rollup_incremental
+# then any round-5 new/changed gates, then rotate the rest.
 _VERIFY_FIRST = [
     # -- new gates this round: deterministic corpus splits (md5 draw
     #    replayed bit-for-bit in DuckDB; splits.py round-3 bugs fixed)
