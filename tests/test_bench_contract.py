@@ -1,0 +1,70 @@
+"""Driver contract for bench.py stdout (VERDICT r4 #2).
+
+The round driver snapshots only the LAST 2000 characters of bench stdout
+(`tail` in BENCH_r*.json) and JSON-parses the final line. Round 4's line
+(cold dict + warm dict + ratio_vs_prev for 35 queries) overflowed that
+capture and the official record came back ``parsed: null``. These tests
+pin the stdout payload to a worst-case serialized size comfortably under
+the capture limit, for the CURRENT BENCH_QUERIES list — so adding bench
+queries without re-checking the budget fails CI, not the driver.
+"""
+
+import json
+
+import bench
+
+
+def _worst_case_line() -> str:
+    # 4-digit integer part + 2 dp is the worst realistic width for a
+    # per-query timing at any SF the driver runs (9999.99 s/query)
+    cold = {name: 9999.99 for name in bench.BENCH_QUERIES}
+    warm = {name: 9999.99 for name in bench.BENCH_QUERIES}
+    record = bench.build_stdout_record(cold, warm, "0.1")
+    return json.dumps(record, separators=(",", ":"))
+
+
+def test_stdout_line_fits_driver_capture():
+    line = _worst_case_line()
+    assert len(line) < 1800, (
+        f"bench stdout line would be {len(line)} chars; the driver tail "
+        "capture is 2000 — trim BENCH_QUERIES or the payload schema"
+    )
+
+
+def test_stdout_record_shape():
+    line = _worst_case_line()
+    record = json.loads(line)
+    assert set(record) == {
+        "metric", "value", "unit", "value_warm", "queries", "sf"}
+    assert record["unit"] == "sec"
+    assert record["sf"] == 0.1
+    for name, pair in record["queries"].items():
+        assert isinstance(pair, list) and len(pair) == 2, name
+        cold_s, warm_s = pair
+        assert isinstance(cold_s, (int, float))
+        assert isinstance(warm_s, (int, float))
+    # totals are sums of the per-query colds/warms (2 dp)
+    assert record["value"] == round(
+        sum(9999.99 for _ in bench.BENCH_QUERIES), 2)
+
+
+def test_prev_round_timings_handles_both_schemas(tmp_path, monkeypatch):
+    """_prev_round_timings must read r1-r4 {name: cold} snapshots AND the
+    r5+ {name: [cold, warm]} packing."""
+    old = {"n": 1, "parsed": {"queries": {"q1": 1.5}}}
+    new = {"n": 1, "parsed": {"queries": {"q1": [1.2, 0.7]}}}
+    (tmp_path / "BENCH_r03.json").write_text(json.dumps(old))
+    assert _timings_at(tmp_path, monkeypatch) == {"q1": 1.5}
+    (tmp_path / "BENCH_r05.json").write_text(json.dumps(new))
+    assert _timings_at(tmp_path, monkeypatch) == {"q1": 1.2}
+
+
+def _timings_at(tmp_path, monkeypatch):
+    import os
+
+    monkeypatch.setattr(
+        bench.os.path, "dirname", lambda p: str(tmp_path))
+    try:
+        return bench._prev_round_timings()
+    finally:
+        monkeypatch.undo()
