@@ -780,20 +780,67 @@ def test_bloom_decontamination_no_false_negatives(spark):
     assert all(-(2**63) <= w < 2**63 for w in words)
 
 
-def test_bloom_probe_zero_exchange(spark):
-    """The Bloom probe is scan-local: its physical plan must contain no
-    Exchange — the whole point of the filter path over the broadcast
-    join."""
-    from pyspark.sql import functions as F2
-
+def test_bloom_probe_plan_shapes(spark):
+    """Plan contracts per probe strategy: the ``hof`` twin is scan-local
+    (no Exchange at all); the default ``explode`` strategy pays exactly
+    one Exchange — the (id, bool) partial-aggregate fold — and keeps the
+    k hash+bit tests inside whole-stage codegen (the r4 HOF probe ran
+    them interpreted, VERDICT r4 #3)."""
     from puffbird_spark.operators.decontam import bloom_contaminated
 
     tr = spark.createDataFrame(
         [(1, "alpha beta gamma epsilon")], "doc_id long, text string")
     words = [0] * 16  # 1024-bit empty filter: plan shape is what matters
-    plan = bloom_contaminated(tr, words, n=3, k=5)
-    phys = plan._jdf.queryExecution().executedPlan().toString()
+
+    hof = bloom_contaminated(tr, words, n=3, k=5, strategy="hof")
+    phys = hof._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in phys, phys
+
+    ex = bloom_contaminated(tr, words, n=3, k=5, strategy="explode")
+    phys = ex._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("Exchange") == 1, phys
+    # the xxhash64 probe expressions must sit in a codegen'd projection,
+    # not inside an interpreted lambda: simple-mode explain marks codegen
+    # spans with *(N) and the hash shows up under a starred Project
+    simple = spark._jvm.PythonSQLUtils.explainString(
+        ex._jdf.queryExecution(), "simple")
+    assert "xxhash64" in simple
+    assert "ArrayExists" not in phys
+
+
+def test_bloom_probe_strategies_bit_equal(spark, sf_dir):
+    """The interpreted-HOF twin and the codegen explode path must agree
+    row-for-row — on the real documents table AND on the edge cases the
+    exists() semantics pin down (NULL text — tokens() maps it to an empty
+    token list, so both paths say false, not NULL — short text with an
+    empty shingle array, duplicated grams)."""
+    from puffbird_spark.functions.text import shingles, tokens
+    from puffbird_spark.operators.decontam import (
+        bloom_contaminated, bloom_filter_words)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    tr = docs.filter(F.col("doc_id") % 20 != 0)
+    grams = ev.select(
+        F.explode(shingles(tokens("text"), 3)).alias("gram")).distinct()
+    words = bloom_filter_words(grams, "gram", m_bits=1 << 14, k=5)
+
+    edge = spark.createDataFrame(
+        [(900001, None),                     # NULL text -> empty tokens
+         (900002, ""),                       # empty text
+         (900003, "two words"),              # < n tokens: empty shingles
+         (900004, "dup dup dup dup dup")],   # one distinct gram, repeated
+        "doc_id long, text string")
+    probe = tr.select("doc_id", "text").unionByName(edge)
+
+    def flags(strategy):
+        return {r["doc_id"]: r["bloom_hit"] for r in bloom_contaminated(
+            probe, words, n=3, k=5, strategy=strategy).collect()}
+
+    got_hof, got_ex = flags("hof"), flags("explode")
+    assert got_hof == got_ex
+    assert got_ex[900001] is False
+    assert got_ex[900003] is False
 
 
 def test_minhash_signature_kernel_gate_equality(spark, sf_dir):
