@@ -106,7 +106,9 @@ def _plane_dots(vec_col, dim: int, planes: int, seed: int):
     h = _hyperplanes(dim, planes, seed)
     dots = []
     for p in range(planes):
-        plane = F.array(*[F.lit(float(w)) for w in h[p]])
+        # one ndarray literal per plane, not dim F.lit py4j calls
+        # (same plan-construction tax as the r4 Bloom probe, decontam.py)
+        plane = F.lit(np.asarray(h[p], dtype=np.float64))
         dots.append(F.aggregate(
             F.zip_with(vec_col, plane, lambda x, y: x * y),
             F.lit(0.0),
@@ -305,7 +307,8 @@ def _centroid_dots(vec_col, cents: np.ndarray):
     seconds of analysis/codegen on a 64x64 expression tree."""
     dots = []
     for row in cents:
-        cvec = F.array(*[F.lit(float(w)) for w in row])
+        # one ndarray literal per centroid, not dim F.lit py4j calls
+        cvec = F.lit(np.asarray(row, dtype=np.float64))
         dots.append(F.aggregate(
             F.zip_with(vec_col, cvec, lambda x, y: x * y),
             F.lit(0.0),

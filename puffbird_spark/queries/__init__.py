@@ -48,6 +48,9 @@ _VERIFY_FIRST = [
     "split_shuffle_order", "split_token_budget", "split_length_batches",
     # -- CHANGED round 5: splits NULL-sentinel hardening — re-gate
     "split_hash_membership", "split_stratified",
+    # -- CHANGED round 5: SRP/IVF literal arrays now ship as single
+    #    ndarray literals (same values; construction-only) — re-gate
+    "knn_lsh", "knn_ivf",
     # -- NEW round 5 gates appended here as they land (keep window ≤50)
 ]
 
