@@ -46,8 +46,9 @@ _VERIFY_FIRST = [
     # -- CHANGED round 5: grouped_prefix_sum grew a checkpoint=False
     #    hash-bucket path (both paths bit-equal) — re-gate its consumers
     "split_shuffle_order", "split_token_budget", "split_length_batches",
-    # -- CHANGED round 5: splits NULL-sentinel hardening — re-gate
-    "split_hash_membership", "split_stratified",
+    # -- CHANGED round 5: every split draw now length-prefixes its key
+    #    salt (structural NULL token, round-4 ADVICE) — re-gate all six
+    "split_hash_membership", "split_stratified", "split_quota_mixture",
     # -- CHANGED round 5: SRP/IVF literal arrays now ship as single
     #    ndarray literals (same values; construction-only) — re-gate
     "knn_lsh", "knn_ivf",

@@ -162,8 +162,10 @@ def engine_zip_explode(spark, sf_dir):
 
 @query("sample_fraction", oracle="""
 SELECT n_total,
-  CAST(floor(0.1 * n_total - 6 * sqrt(n_total * 0.09)) AS BIGINT) AS lo,
-  CAST(ceil(0.1 * n_total + 6 * sqrt(n_total * 0.09)) AS BIGINT) AS hi,
+  CAST(floor(CAST(0.1 AS DOUBLE) * n_total
+             - 6 * sqrt(n_total * CAST(0.09 AS DOUBLE))) AS BIGINT) AS lo,
+  CAST(ceil(CAST(0.1 AS DOUBLE) * n_total
+            + 6 * sqrt(n_total * CAST(0.09 AS DOUBLE))) AS BIGINT) AS hi,
   TRUE AS within
 FROM (SELECT COUNT(*) AS n_total FROM lineitem)
 """)
@@ -457,12 +459,21 @@ _SPLIT_T80 = hash_hex_threshold(0.8)
 _SPLIT_T90 = hash_hex_threshold(0.8 + 0.1)
 
 
+def _enc_sql(expr: str) -> str:
+    """DuckDB replay of splits._len_prefixed: the length-prefixed salt
+    component ``v<len>:<value>`` (round-5: retired the NUL-byte NULL
+    sentinel). The gate keys are primary-key columns, never NULL, so the
+    SQL skips the ``n`` branch the Spark side would take for NULL."""
+    v = f"CAST({expr} AS VARCHAR)"
+    return f"'v' || CAST(length({v}) AS VARCHAR) || ':' || {v}"
+
+
 @query("split_hash_membership", oracle=f"""
 SELECT o_orderkey,
   CASE
-    WHEN substr(md5('split:' || CAST(o_orderkey AS VARCHAR)), 1, 16)
+    WHEN substr(md5('split:' || {_enc_sql('o_orderkey')}), 1, 16)
          < '{_SPLIT_T80}' THEN 'train'
-    WHEN substr(md5('split:' || CAST(o_orderkey AS VARCHAR)), 1, 16)
+    WHEN substr(md5('split:' || {_enc_sql('o_orderkey')}), 1, 16)
          < '{_SPLIT_T90}' THEN 'val'
     ELSE 'test'
   END AS split
@@ -491,7 +502,7 @@ _QUOTA_T0 = hash_hex_threshold(0.0)
 @query("split_quota_mixture", oracle=f"""
 SELECT doc_id, source
 FROM documents
-WHERE substr(md5('quota:' || CAST(doc_id AS VARCHAR)), 1, 16) <
+WHERE substr(md5('quota:' || {_enc_sql('doc_id')}), 1, 16) <
   CASE source
     WHEN 'src0' THEN '{_QUOTA_FULL}'
     WHEN 'src1' THEN '{_QUOTA_T30}'
@@ -523,10 +534,9 @@ SELECT c_custkey, c_mktsegment, c_nationkey
 FROM customer
 WHERE substr(md5(
     'strata:'
-    || 'v' || CAST(length(c_mktsegment) AS VARCHAR) || ':' || c_mktsegment
-    || 'v' || CAST(length(CAST(c_nationkey AS VARCHAR)) AS VARCHAR) || ':'
-           || CAST(c_nationkey AS VARCHAR)
-    || ':' || CAST(c_custkey AS VARCHAR)), 1, 16) < '{_STRATA_T50}'
+    || {_enc_sql('c_mktsegment')}
+    || {_enc_sql('c_nationkey')}
+    || ':' || {_enc_sql('c_custkey')}), 1, 16) < '{_STRATA_T50}'
 """)
 def split_stratified(spark, sf_dir):
     """Equal-rate deterministic sample within every (segment, nation)
@@ -545,10 +555,10 @@ def split_stratified(spark, sf_dir):
     )
 
 
-@query("split_shuffle_order", oracle="""
+@query("split_shuffle_order", oracle=f"""
 SELECT o_orderkey,
   CAST(row_number() OVER (
-    ORDER BY substr(md5('shuffle:' || CAST(o_orderkey AS VARCHAR)), 1, 16),
+    ORDER BY substr(md5('shuffle:' || {_enc_sql('o_orderkey')}), 1, 16),
              o_orderkey) AS BIGINT) AS shuffle_rank
 FROM orders
 """)
@@ -565,10 +575,10 @@ def split_shuffle_order(spark, sf_dir):
     return shuffle_order(orders, key="o_orderkey", seed="shuffle")
 
 
-@query("split_token_budget", oracle="""
+@query("split_token_budget", oracle=f"""
 WITH d AS (
   SELECT doc_id, source, n_chars,
-    substr(md5('budget:' || CAST(doc_id AS VARCHAR)), 1, 16) AS draw
+    substr(md5('budget:' || {_enc_sql('doc_id')}), 1, 16) AS draw
   FROM documents),
 c AS (
   SELECT doc_id, source, n_chars,
@@ -603,12 +613,12 @@ def split_token_budget(spark, sf_dir):
     return out.select("doc_id", "source", "n_chars", "cum_tokens")
 
 
-@query("split_length_batches", oracle="""
+@query("split_length_batches", oracle=f"""
 WITH d AS (
   SELECT doc_id,
     CASE WHEN n_chars <= 200 THEN 0 WHEN n_chars <= 350 THEN 1
          WHEN n_chars <= 500 THEN 2 ELSE 3 END AS bucket,
-    substr(md5('batch:' || CAST(doc_id AS VARCHAR)), 1, 16) AS draw
+    substr(md5('batch:' || {_enc_sql('doc_id')}), 1, 16) AS draw
   FROM documents),
 r AS (
   SELECT doc_id, bucket,

