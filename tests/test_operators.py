@@ -640,10 +640,52 @@ def test_merge_duplicate_and_null_update_keys(spark):
 
 
 def test_connected_components_empty_input(spark):
-    from puffbird_spark.operators.graph import connected_components
+    from puffbird_spark.operators.graph import (
+        connected_components, connected_components_star)
 
     empty = spark.createDataFrame([], "id_a long, id_b long")
     assert connected_components(empty).count() == 0
+    assert connected_components_star(empty).count() == 0
+
+
+def test_star_cc_matches_minlabel_on_shapes(spark):
+    """Large-star/small-star must label chain, triangle, lone pair, and a
+    chain longer than one alternation identically to min-label."""
+    from puffbird_spark.operators.graph import (
+        connected_components, connected_components_star)
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),
+         (10, 11), (11, 12), (10, 12),
+         (20, 21)] + [(100 + i, 101 + i) for i in range(32)],
+        ["id_a", "id_b"],
+    )
+    ml = {(r["vertex"], r["component"])
+          for r in connected_components(pairs).collect()}
+    st_ = {(r["vertex"], r["component"])
+           for r in connected_components_star(pairs).collect()}
+    assert st_ == ml
+
+
+def test_star_cc_matches_minlabel_random_graphs(spark):
+    """Differential: seeded random graphs (sparse, duplicate edges, both
+    orientations, self-loops) — the star alternation must produce the
+    exact (vertex, component) set of min-label."""
+    import random
+
+    from puffbird_spark.operators.graph import (
+        connected_components, connected_components_star)
+
+    for seed, n, m in [(7, 60, 45), (11, 80, 120), (13, 50, 200)]:
+        rng = random.Random(seed)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        pairs = spark.createDataFrame(edges, ["id_a", "id_b"]).filter(
+            F.col("id_a") != F.col("id_b"))
+        ml = {(r["vertex"], r["component"])
+              for r in connected_components(pairs).collect()}
+        st_ = {(r["vertex"], r["component"])
+               for r in connected_components_star(pairs).collect()}
+        assert st_ == ml, f"seed={seed}"
 
 
 def test_parse_image_header_formats():
