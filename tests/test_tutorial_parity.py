@@ -258,6 +258,122 @@ def test_tutorial_scalar_null_level_positions(ref, spark):
     assert got_scalar == ref_scalar
 
 
+def test_tutorial_cell24_collision_rename_differential(ref, spark):
+    """Tutorial cells 23-24: ``puffy_to_long(df, 'a', 'e',
+    expand_cols=['e'])`` where the frame-cells in ``e`` carry a named
+    MultiIndex ['a', 'b'] — inner index level 'a' collides with the
+    top-level column 'a' and must surface as ``a_e``; non-colliding 'b'
+    stays bare; value columns keep the ``e_`` prefix; a NaN frame-cell
+    survives as an all-NULL row. Reference output is the oracle."""
+    import numpy as np
+    import pandas as pd
+
+    def frame(vals, labels):
+        return pd.DataFrame(
+            {"c1": vals, "c2": vals},
+            index=pd.MultiIndex.from_arrays(
+                [labels, labels], names=["a", "b"]),
+        )
+
+    pdf = pd.DataFrame({
+        "a": ["aa", "bb", "cc"],
+        "e": [frame([1, 2, 3], ["a", "b", "c"]),
+              frame([1, 2, 3, 4], ["a", "b", "c", "d"]),
+              np.nan],
+    }, index=pd.RangeIndex(3, name="k"))
+    r = ref(pdf).to_long("a", "e", expand_cols=["e"]).rename(
+        columns={"index_level0": "k"})
+    assert list(r.columns) == ["k", "a", "a_e", "b", "e_c1", "e_c2"]
+    expected = {
+        (int(row["k"]), row["a"], _canon_level(row["a_e"]),
+         _canon_level(row["b"]), _canon_value(row["e_c1"]),
+         _canon_value(row["e_c2"]))
+        for _, row in r.iterrows()
+    }
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("a", T.StringType()),
+        T.StructField("e", T.ArrayType(T.StructType([
+            T.StructField("a", T.StringType()),
+            T.StructField("b", T.StringType()),
+            T.StructField("c1", T.LongType()),
+            T.StructField("c2", T.LongType()),
+        ]))),
+    ])
+    rows = [
+        (0, "aa", [Row(a=x, b=x, c1=v, c2=v)
+                   for v, x in enumerate("abc", start=1)]),
+        (1, "bb", [Row(a=x, b=x, c1=v, c2=v)
+                   for v, x in enumerate("abcd", start=1)]),
+        (2, "cc", None),
+    ]
+    sdf = spark.createDataFrame(rows, schema)
+    out = FrameEngine(sdf, indexcols=["k"]).to_long(
+        "a", "e", expand_cols=["e"], expand_index_fields={"e": ["a", "b"]})
+    assert out.columns == ["k", "a", "a_e", "b", "e_c1", "e_c2"]
+    got = {
+        (r2["k"], r2["a"], _canon_level(r2["a_e"]),
+         _canon_level(r2["b"]), _canon_value(r2["e_c1"]),
+         _canon_value(r2["e_c2"]))
+        for r2 in out.collect()
+    }
+    assert got == expected
+
+
+def test_tutorial_cell33_scalar_null_pos_multi_column_differential(
+        ref, spark):
+    """Tutorial cell 33 through a MULTI-column to_long: scalar leaves
+    inside the variant column keep a NULL level1 position, and those
+    NULL-pos rows must still cross with the other exploded column — and
+    with its all-NULL row when that cell is NaN — exactly as the
+    reference's outer merge does. (The single-column case is covered
+    above; the multi-column cross is what round-4 left open.)"""
+    import numpy as np
+    import pandas as pd
+
+    c_cells = [_C_CELLS[0], _C_CELLS[3]]  # row1 has both scalar leaves
+    b_cells = [np.array([[1.0, 2.0], [3.0, 4.0]]), np.nan]
+    pdf = pd.DataFrame(
+        {"b": b_cells, "c": c_cells}, index=pd.RangeIndex(2, name="k"))
+    r = ref(pdf).to_long("b", "c").rename(columns={"index_level0": "k"})
+    assert list(r.columns) == [
+        "k", "b_level0", "b_level1", "b", "c_level0", "c_level1", "c"]
+    expected = {
+        (int(row["k"]), _canon_level(row["b_level0"]),
+         _canon_level(row["b_level1"]), _canon_value(row["b"]),
+         _canon_level(row["c_level0"]), _canon_level(row["c_level1"]),
+         _canon_value(row["c"]))
+        for _, row in r.iterrows()
+    }
+    # the cell-33 shape really is present: scalar leaves with NULL pos
+    assert (1, None, None, None, "dicta", None, 123.0) in expected
+    assert (1, None, None, None, "dictb", None, "words") in expected
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("b", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        T.StructField("c", T.StringType()),
+    ])
+    rows = [
+        (0, [[1.0, 2.0], [3.0, 4.0]], json.dumps(c_cells[0])),
+        (1, None, json.dumps(c_cells[1])),
+    ]
+    sdf = spark.createDataFrame(rows, schema)
+    out = FrameEngine(sdf, indexcols=["k"]).to_long(
+        "b", "c", variant_cols=["c"], max_depth={"b": 2, "c": 2})
+    assert out.columns == [
+        "k", "b_level0", "b_level1", "b", "c_level0", "c_level1", "c"]
+    got = {
+        (r2["k"], _canon_level(r2["b_level0"]),
+         _canon_level(r2["b_level1"]), _canon_value(r2["b"]),
+         _canon_level(r2["c_level0"]), _canon_level(r2["c_level1"]),
+         _canon_value(r2["c"]))
+        for r2 in out.collect()
+    }
+    assert got == expected
+
+
 def test_tutorial_g_column_mixed_scalars_differential(ref, spark):
     """Tutorial column 'g': mixed cell types in ONE column — plain
     scalars (level NULL), a dict (key level), a 1-tuple (position level),
