@@ -84,6 +84,72 @@ def pack_spanning(
     )
 
 
+def pack_token_budget(
+    docs: DataFrame,
+    key: str,
+    domain: str,
+    tokens_col: str,
+    budgets,
+    seq_len: int = 2048,
+    seed: str = "budget",
+    default_budget: int = 0,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """FUSED mixture + packing: fill each domain's token budget in
+    deterministic hash order AND lay the selected documents into
+    fixed-``seq_len`` training contexts — one pass.
+
+    Run separately (``token_budget_sample`` then ``pack_spanning``) the
+    pipeline pays two prefix-sum structures and an extra shuffle onto the
+    shard key. But the budget filter is PREFIX-CLOSED in hash order:
+    every row ahead of a kept row is also kept, so the running token
+    total over all rows IS the running total over the kept stream —
+    the same ``grouped_prefix_sum`` output serves as both the budget
+    cutoff and the packing offset. Two balanced exchanges total,
+    skew-proof (a 90% domain never becomes one task), and packs never
+    cross domains (domain = shard).
+
+    Returns one row per KEPT document: ``key, domain, n_tokens,
+    cum_tokens`` (inclusive running total = budget check), ``start_offset``
+    (tokens before this doc in its domain's packed stream), ``first_pack /
+    last_pack / n_packs_spanned`` (spanning semantics of
+    :func:`pack_spanning`, pack identity = (domain, pack)).
+    """
+    from .splits import (
+        _n_buckets, draw_bucket, grouped_prefix_sum, hash_draw)
+
+    draw_name = "__pb_draw"
+    d = docs.select(
+        F.col(key), F.col(domain), F.col(tokens_col).alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0).withColumn(
+        draw_name, hash_draw(F.col(key), seed))
+    d = grouped_prefix_sum(
+        d, [domain], [draw_name, key], "n_tokens", "cum_tokens",
+        checkpoint=checkpoint,
+        bucket=None if checkpoint else draw_bucket(
+            F.col(draw_name), _n_buckets(docs, None)),
+    )
+    budget = None
+    for name, b in dict(budgets).items():
+        cond = F.col(domain) == F.lit(name)
+        budget = (F.when(cond, F.lit(int(b))) if budget is None
+                  else budget.when(cond, F.lit(int(b))))
+    budget = (F.lit(int(default_budget)) if budget is None
+              else budget.otherwise(F.lit(int(default_budget))))
+    kept = d.filter(F.col("cum_tokens") <= budget).drop(draw_name)
+    start = (F.col("cum_tokens") - F.col("n_tokens")).alias("start_offset")
+    first = F.floor(F.col("start_offset") / seq_len)
+    last = F.floor((F.col("cum_tokens") - 1) / seq_len)
+    return kept.select(
+        key, domain, "n_tokens", "cum_tokens", start
+    ).select(
+        key, domain, "n_tokens", "cum_tokens", "start_offset",
+        first.alias("first_pack"),
+        last.alias("last_pack"),
+        (last - first + 1).alias("n_packs_spanned"),
+    )
+
+
 def pack_greedy(
     docs: DataFrame,
     tokens_col,

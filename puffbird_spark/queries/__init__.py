@@ -49,10 +49,15 @@ _VERIFY_FIRST = [
     # -- CHANGED round 5: every split draw now length-prefixes its key
     #    salt (structural NULL token, round-4 ADVICE) — re-gate all six
     "split_hash_membership", "split_stratified", "split_quota_mixture",
-    # -- CHANGED round 5: SRP/IVF literal arrays now ship as single
-    #    ndarray literals (same values; construction-only) — re-gate
-    "knn_lsh", "knn_ivf",
-    # -- NEW round 5 gates appended here as they land (keep window ≤50)
+    # -- CHANGED round 5: SRP hyperplanes now ship as single ndarray
+    #    literals (same values; construction-only) — re-gate knn_lsh,
+    #    which exercises _plane_dots. (_centroid_dots also changed but
+    #    the knn_ivf gate path uses _top_cells_udf, not it — covered by
+    #    tests, no driver slot spent.)
+    "knn_lsh",
+    # -- NEW round 5: fused token-budget mixture + spanning packing on
+    #    one grouped prefix-sum
+    "pack_token_budget",
 ]
 
 

@@ -613,6 +613,57 @@ def split_token_budget(spark, sf_dir):
     return out.select("doc_id", "source", "n_chars", "cum_tokens")
 
 
+@query("pack_token_budget", oracle=f"""
+WITH d AS (
+  SELECT doc_id, source, n_chars,
+    substr(md5('pack:' || {_enc_sql('doc_id')}), 1, 16) AS draw
+  FROM documents WHERE n_chars > 0),
+c AS (
+  SELECT doc_id, source, n_chars,
+    CAST(SUM(n_chars) OVER (PARTITION BY source ORDER BY draw, doc_id)
+         AS BIGINT) AS cum_tokens
+  FROM d),
+k AS (
+  SELECT * FROM c
+  WHERE cum_tokens <= CASE source WHEN 'src0' THEN 4000 WHEN 'src1' THEN 2500
+                      ELSE 1500 END)
+SELECT doc_id, source, n_chars AS n_tokens, cum_tokens,
+  cum_tokens - n_chars AS start_offset,
+  CAST(floor((cum_tokens - n_chars) / 512.0) AS BIGINT) AS first_pack,
+  CAST(floor((cum_tokens - 1) / 512.0) AS BIGINT) AS last_pack,
+  CAST(floor((cum_tokens - 1) / 512.0)
+       - floor((cum_tokens - n_chars) / 512.0) + 1 AS BIGINT)
+    AS n_packs_spanned
+FROM k
+""")
+def pack_token_budget(spark, sf_dir):
+    """FUSED per-domain token-budget mixture + spanning sequence packing
+    (round-5 NOTES candidate): because the budget filter is prefix-closed
+    in hash order, ONE grouped prefix-sum (two balanced exchanges, no
+    per-domain task) yields both the budget cutoff and every selected
+    document's packing offset / seq_len-context span — where the unfused
+    pipeline (token_budget_sample then pack_spanning) pays a second
+    prefix-sum structure and a reshuffle. Membership, running totals, and
+    pack spans are all hash-checked against the single-threaded oracle."""
+    from ..operators.packing import pack_token_budget as ptb
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    out = ptb(
+        docs, key="doc_id", domain="source", tokens_col="n_chars",
+        budgets={"src0": 4000, "src1": 2500}, seq_len=512, seed="pack",
+        default_budget=1500,
+    )
+    return out.select(
+        "doc_id", "source", "n_tokens",
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        F.col("start_offset").cast("long").alias("start_offset"),
+        "first_pack", "last_pack",
+        F.col("n_packs_spanned").cast("long").alias("n_packs_spanned"),
+    )
+
+
 @query("split_length_batches", oracle=f"""
 WITH d AS (
   SELECT doc_id,

@@ -80,6 +80,46 @@ def test_pack_spanning_invariants(spark):
             offset += r["n_tokens"]
 
 
+def test_pack_token_budget_fused_invariants(spark, sf_dir):
+    """The fused mixture+packing pass must (a) equal token_budget_sample
+    on membership and running totals — the prefix-closure argument made
+    concrete — and (b) lay the kept stream out contiguously per domain
+    with exact spanning-pack arithmetic, in both checkpoint modes."""
+    from conftest import load
+    from puffbird_spark.operators.packing import pack_token_budget
+    from puffbird_spark.operators.splits import token_budget_sample
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars")
+    budgets = {"src0": 4000, "src1": 2500}
+    sample = token_budget_sample(
+        docs, "doc_id", "source", "n_chars", budgets, seed="pack",
+        default_budget=1500)
+    for cp in (True, False):
+        fused = pack_token_budget(
+            docs, "doc_id", "source", "n_chars", budgets, seq_len=512,
+            seed="pack", default_budget=1500, checkpoint=cp)
+        j = fused.select("doc_id", "cum_tokens").join(
+            sample.select("doc_id",
+                          F.col("cum_tokens").alias("c2")), "doc_id")
+        assert fused.count() == sample.count() == j.count()
+        assert j.filter(F.col("cum_tokens") != F.col("c2")).count() == 0
+        # contiguous layout per domain + exact span arithmetic
+        by_domain = {}
+        for r in fused.collect():
+            by_domain.setdefault(r["source"], []).append(r)
+        for src, rows in by_domain.items():
+            rows.sort(key=lambda r: r["cum_tokens"])
+            offset = 0
+            for r in rows:
+                assert r["start_offset"] == offset, (cp, src)
+                assert r["first_pack"] == offset // 512
+                assert r["last_pack"] == (offset + r["n_tokens"] - 1) // 512
+                assert r["n_packs_spanned"] == (
+                    r["last_pack"] - r["first_pack"] + 1)
+                offset += r["n_tokens"]
+
+
 def test_contamination_counts(spark):
     train = spark.createDataFrame(
         [(1, "a b c d e"), (2, "x y z w v"), (3, "a b c x q")],
