@@ -223,8 +223,13 @@ def shuffle_order(
 
 
 def _n_buckets(df: DataFrame, num_partitions: int | None) -> int:
-    return int(num_partitions or df.sparkSession.conf.get(
+    """Bucket count for the checkpoint-free path: shuffle-partition conf,
+    clamped to draw_bucket's 65536 ceiling (4 hex nibbles of draw) — a
+    cluster running >65k shuffle partitions still gets 65k uniform
+    buckets, each splittable by AQE, rather than a ValueError."""
+    n = int(num_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "200"))
+    return min(n, 65536)
 
 
 def stratum_salt(strata: Sequence[str]) -> Column:

@@ -120,6 +120,26 @@ def test_pack_token_budget_fused_invariants(spark, sf_dir):
                 offset += r["n_tokens"]
 
 
+def test_pack_token_budget_no_domain_funnel(spark, sf_dir):
+    """Plan contract for the fused packer: the data-bearing window is
+    partitioned by the slice id (never by domain alone — a dominant
+    domain must not become one task), in BOTH checkpoint modes."""
+    from conftest import load
+    from puffbird_spark.operators.packing import pack_token_budget
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars")
+    for cp in (True, False):
+        out = pack_token_budget(
+            docs, "doc_id", "source", "n_chars", {"src0": 4000},
+            seq_len=512, default_budget=1500, checkpoint=cp)
+        phys = out._jdf.queryExecution().executedPlan().toString()
+        data_windows = [ln for ln in phys.splitlines()
+                        if "Window" in ln and "__pb_local" in ln]
+        assert data_windows, phys
+        assert all("__pb_pid" in ln for ln in data_windows), phys
+
+
 def test_contamination_counts(spark):
     train = spark.createDataFrame(
         [(1, "a b c d e"), (2, "x y z w v"), (3, "a b c x q")],
