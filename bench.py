@@ -90,6 +90,9 @@ BENCH_QUERIES = [
     # scan-local Bloom decontamination (probe side; build is one bounded
     # collect)
     "text_decontaminate_bloom",
+    # round-5: fused token-budget mixture + spanning packing (one
+    # grouped prefix-sum for cutoff AND layout)
+    "pack_token_budget",
 ]
 
 
