@@ -667,6 +667,17 @@ def test_star_cc_matches_minlabel_on_shapes(spark):
     assert st_ == ml
 
 
+def test_star_cc_budget_exhaustion_warns(spark):
+    """Like min-label, an exhausted star budget must WARN, not silently
+    split components (a path graph needs >1 alternation)."""
+    from puffbird_spark.operators.graph import connected_components_star
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(16)], ["id_a", "id_b"])
+    with pytest.warns(RuntimeWarning, match="no fixpoint"):
+        connected_components_star(pairs, max_iter=1).collect()
+
+
 def test_star_cc_matches_minlabel_random_graphs(spark):
     """Differential: seeded random graphs (sparse, duplicate edges, both
     orientations, self-loops) — the star alternation must produce the
