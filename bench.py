@@ -158,6 +158,10 @@ def _prev_round_timings() -> dict[str, float]:
             q = data.get("queries") or parsed.get("queries") or {}
         except Exception:
             continue
+        if not q:
+            # parse-broken snapshot (BENCH_r04's parsed:null) — don't let
+            # it shadow an older round's valid timings
+            continue
         rnd = int(m.group(1))
         if best is None or rnd > best[0]:
             # r1-r3 snapshots store {name: cold}; r5+ store

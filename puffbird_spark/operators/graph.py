@@ -226,9 +226,16 @@ def connected_components_star(
             stacklevel=2,
         )
     # star forest: every edge is (component-min a, member b); vertices
-    # absent from the b side are component minima labeling themselves
-    member = edges.select(
-        F.col("b").alias("vertex"), F.col("a").alias("component"))
+    # absent from the b side are component minima labeling themselves.
+    # The groupBy-min keeps the output one-row-per-vertex even when the
+    # budget was exhausted mid-contraction (a non-fixpoint edge set can
+    # hold two (smaller, b) edges for one b — without the fold the
+    # vertex would surface twice with conflicting labels).
+    member = (
+        edges.select(F.col("b").alias("vertex"), F.col("a").alias("component"))
+        .groupBy("vertex")
+        .agg(F.min("component").alias("component"))
+    )
     roots = vertices.join(
         edges.select(F.col("b").alias("v")), "v", "left_anti"
     ).select(F.col("v").alias("vertex"), F.col("v").alias("component"))

@@ -115,9 +115,12 @@ def pack_token_budget(
     last_pack / n_packs_spanned`` (spanning semantics of
     :func:`pack_spanning`, pack identity = (domain, pack)).
     """
-    from .splits import (
-        _n_buckets, draw_bucket, grouped_prefix_sum, hash_draw)
+    from .splits import grouped_prefix_sum, hash_draw
 
+    # n_tokens > 0 matches pack_spanning's layout filter: zero-token
+    # docs occupy no context and are excluded here too, so the fused
+    # output differs from token_budget_sample (which keeps them — they
+    # consume no budget) exactly on empty documents.
     draw_name = "__pb_draw"
     d = docs.select(
         F.col(key), F.col(domain), F.col(tokens_col).alias("n_tokens")
@@ -126,8 +129,6 @@ def pack_token_budget(
     d = grouped_prefix_sum(
         d, [domain], [draw_name, key], "n_tokens", "cum_tokens",
         checkpoint=checkpoint,
-        bucket=None if checkpoint else draw_bucket(
-            F.col(draw_name), _n_buckets(docs, None)),
     )
     budget = None
     for name, b in dict(budgets).items():

@@ -216,20 +216,8 @@ def shuffle_order(
         d, [], [draw_name, key], F.lit(1), rank_col,
         num_partitions=num_partitions,
         checkpoint=checkpoint,
-        bucket=None if checkpoint else draw_bucket(
-            F.col(draw_name), _n_buckets(df, num_partitions)),
     )
     return d.withColumn(rank_col, F.col(rank_col).cast("long")).drop(draw_name)
-
-
-def _n_buckets(df: DataFrame, num_partitions: int | None) -> int:
-    """Bucket count for the checkpoint-free path: shuffle-partition conf,
-    clamped to draw_bucket's 65536 ceiling (4 hex nibbles of draw) — a
-    cluster running >65k shuffle partitions still gets 65k uniform
-    buckets, each splittable by AQE, rather than a ValueError."""
-    n = int(num_partitions or df.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions", "200"))
-    return min(n, 65536)
 
 
 def stratum_salt(strata: Sequence[str]) -> Column:
@@ -328,12 +316,14 @@ def grouped_prefix_sum(
       cluster an executor loss makes downstream stages unrecoverable
       (round-4 ADVICE) — acceptable for job-scoped batch stages, wrong
       for long-lived or preemptible clusters.
-    - ``checkpoint=False``: derive pid from ``bucket`` — a caller-
-      supplied Column that must be a monotone non-decreasing function of
-      the order key within every group (:func:`draw_bucket` over the
-      draw that leads ``order_cols`` is the canonical one). Nothing
-      materializes and an executor loss just recomputes lineage; costs
-      one extra scan of the input (the totals branch re-reads the
+    - ``checkpoint=False``: derive pid from ``bucket`` — a Column that
+      must be a monotone non-decreasing function of the order key within
+      every group. When ``bucket`` is omitted it defaults to
+      :func:`draw_bucket` over the FIRST of ``order_cols``, which must
+      then be a ``_PREFIX_LEN``-char lowercase-hex draw (true for every
+      consumer in this module — they all lead with ``hash_draw``).
+      Nothing materializes and an executor loss just recomputes lineage;
+      costs one extra scan of the input (the totals branch re-reads the
       source) and the slice balance rides on the bucket's uniformity
       rather than on sampled range bounds.
     """
@@ -356,10 +346,10 @@ def grouped_prefix_sum(
              .localCheckpoint(eager=True))
     else:
         if bucket is None:
-            raise ValueError(
-                "checkpoint=False needs an order-aligned bucket Column "
-                "(see draw_bucket)"
-            )
+            # clamp to draw_bucket's 4-nibble ceiling: >65k-partition
+            # clusters get 65k uniform buckets (AQE can split further)
+            bucket = draw_bucket(
+                F.col(order_cols[0]), min(int(n_part), 65536))
         d = df.withColumn(val, v).withColumn(pid, bucket.cast("long"))
     local_w = Window.partitionBy(pid, *group_cols).orderBy(*order_cols)
     d = d.withColumn(local, F.sum(val).over(local_w))
@@ -410,8 +400,6 @@ def token_budget_sample(
     d = grouped_prefix_sum(
         d, [domain], [draw_name, key], tokens_col, cum_col,
         checkpoint=checkpoint,
-        bucket=None if checkpoint else draw_bucket(
-            F.col(draw_name), _n_buckets(df, None)),
     )
     budget: Column | None = None
     for name, b in budgets.items():
@@ -460,8 +448,6 @@ def length_bucket_batches(
     d = grouped_prefix_sum(
         d, [bucket_col], [draw_name, key], F.lit(1), rank_name,
         checkpoint=checkpoint,
-        bucket=None if checkpoint else draw_bucket(
-            F.col(draw_name), _n_buckets(df, None)),
     )
     return (
         d.withColumn(

@@ -37,8 +37,9 @@ _VERIFY_FIRST = [
     "stream_dedup_watermark", "hypertable_rollup", "stream_static_join",
     "sessionize_events", "stream_late_data", "stream_foreach_batch",
     "rollup_incremental",
-    # -- CHANGED round 5: Bloom probe vectorized (staged gram-hash
-    #    positions; HOF/kernel paths bit-equal) — re-gate
+    # -- CHANGED round 5: Bloom filter words ship as ONE ndarray literal
+    #    (the r4 cost was per-element F.lit construction) + an explode
+    #    probe twin, bit-equal to the default hof path — re-gate
     "text_decontaminate_bloom",
     # -- CHANGED round 5: oracle fraction arithmetic cast to DOUBLE
     #    (ADVICE r4) — re-gate

@@ -84,17 +84,24 @@ def test_pack_token_budget_fused_invariants(spark, sf_dir):
     """The fused mixture+packing pass must (a) equal token_budget_sample
     on membership and running totals — the prefix-closure argument made
     concrete — and (b) lay the kept stream out contiguously per domain
-    with exact spanning-pack arithmetic, in both checkpoint modes."""
+    with exact spanning-pack arithmetic, in both checkpoint modes.
+
+    The comparison filters the sample to n_tokens > 0: the fused packer
+    excludes zero-token docs (they occupy no context — pack_spanning's
+    filter), while token_budget_sample keeps them (they consume no
+    budget); an injected empty doc pins that asymmetry."""
     from conftest import load
     from puffbird_spark.operators.packing import pack_token_budget
     from puffbird_spark.operators.splits import token_budget_sample
 
     docs = load(spark, sf_dir, "documents").select(
-        "doc_id", "source", "n_chars")
+        "doc_id", "source", "n_chars").unionByName(
+        spark.createDataFrame(
+            [(990001, "src0", 0)], "doc_id long, source string, n_chars int"))
     budgets = {"src0": 4000, "src1": 2500}
     sample = token_budget_sample(
         docs, "doc_id", "source", "n_chars", budgets, seed="pack",
-        default_budget=1500)
+        default_budget=1500).filter(F.col("n_chars") > 0)
     for cp in (True, False):
         fused = pack_token_budget(
             docs, "doc_id", "source", "n_chars", budgets, seq_len=512,

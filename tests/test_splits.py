@@ -304,25 +304,29 @@ def test_length_bucket_batches_shape(spark, sf_dir):
 # ------------------------------------------------------------------ #
 
 
-@settings(max_examples=200, deadline=None)
-@given(
-    key=st.integers(min_value=0, max_value=2**62),
-    n_buckets=st.integers(min_value=1, max_value=65536),
-)
-def test_draw_bucket_bounds_and_monotonicity(key, n_buckets):
-    """draw_bucket must land in [0, n_buckets) and be monotone in the
-    draw (order-alignment is what makes the checkpoint-free prefix sum
-    correct)."""
-    from puffbird_spark.operators.splits import draw_bucket  # noqa: F401
+def test_draw_bucket_bounds_and_monotonicity(spark):
+    """The REAL draw_bucket Column (Spark conv + double division + cast)
+    must land in [0, n_buckets) and be monotone non-decreasing in the
+    draw — order-alignment is what makes the checkpoint-free prefix sum
+    correct. Checked against a Python integer-arithmetic oracle over
+    every 4-nibble prefix boundary value plus edge draws, for bucket
+    counts spanning the full legal range."""
+    from puffbird_spark.operators.splits import draw_bucket
 
-    d = _py_draw("s", key)
-    prefix = int(d[:4], 16)
-    b = (prefix * n_buckets) // 65536
-    assert 0 <= b < n_buckets
-    # monotone: a draw with a strictly larger 4-nibble prefix can never
-    # land in a smaller bucket
-    b_next = ((prefix + 1) * n_buckets) // 65536 if prefix < 65535 else b
-    assert b_next >= b
+    prefixes = sorted({0, 1, 0xFFFF, 0x8000, 0x7FFF, 0x0100, 0xFF00}
+                      | {i * 257 % 65536 for i in range(64)})
+    draws = [format(p, "04x") + "0123456789ab" for p in prefixes]
+    df = spark.createDataFrame([(d,) for d in draws], "draw string")
+    for n in (1, 2, 3, 32, 200, 65535, 65536):
+        got = [r["b"] for r in df.select(
+            draw_bucket(F.col("draw"), n).alias("b")
+        ).collect()]
+        expected = [(p * n) // 65536 for p in prefixes]
+        assert got == expected, f"n_buckets={n}"
+        assert all(0 <= b < n for b in got)
+        assert got == sorted(got)  # draws are prefix-sorted => monotone
+    with pytest.raises(ValueError):
+        draw_bucket(F.col("draw"), 65537)
 
 
 def test_shuffle_order_checkpoint_free_bit_equal(spark, sf_dir):
