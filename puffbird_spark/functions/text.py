@@ -46,7 +46,11 @@ def mean_token_length(toks: Column) -> Column:
 
 
 def stopword_count(toks: Column, stopwords: list[str]) -> Column:
-    arr = F.array(*[F.lit(s) for s in stopwords])
+    import numpy as np
+
+    # one ndarray literal, not len(stopwords) F.lit py4j calls (the r5
+    # plan-construction lesson from the Bloom probe, NOTES round 5)
+    arr = F.lit(np.array(list(stopwords)))
     return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
 
 
