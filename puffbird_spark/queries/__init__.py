@@ -21,6 +21,21 @@ from . import (  # noqa: F401,E402
 # latest driver row is round 2 (covered by neither the r03 nor the r04
 # window) so r3∪r4∪r5 covers all 131 declared queries; then the gates NEW
 # or CHANGED this round.
+#
+# ROUND-6 TODO: after this round runs, the 41 queries with only round-3
+# evidence are (computed 2026-08-14 as registry − r4 window − r5 window);
+# lead the r6 window with them (plus any r6 new/changed gates):
+#   engine_col_apply engine_apply_rowwise engine_project_ops
+#   engine_puffy_to_long_shortcut engine_sanitize engine_aggfunc_dispatch
+#   engine_to_long_structs explode_tokens engine_to_long_roundtrip
+#   engine_to_long_shared_axes pivot_returnflag multid_pivot_acctbal
+#   fn_string fn_date fn_math fn_cond fn_array fn_json text_tokens_bpe
+#   fn_struct fn_array_hof dedup_exact dedup_jaccard text_shingle_hash
+#   text_stats text_repetition text_decontaminate pack_spanning
+#   pack_greedy text_chunk_windows q1_pricing_summary
+#   q3_shipping_priority q5_region_revenue join_range_binned
+#   engine_to_puffy engine_expand_col engine_zip_explode multimodal_decode
+#   join_bucketed stream_stateful_count stream_stream_join
 _VERIFY_FIRST = [
     # -- 40 queries last driver-checked in ROUND 2 (staleness backfill;
     #    all r2-green, all pass tools/check_oracle.py locally)
