@@ -1,68 +1,108 @@
-"""Native Count-Min Sketch as a DataFrame (SURVEY north star: sketches for
-100 TB cardinalities; Spark 4 removed the JVM stat.countMinSketch from the
-Python API, so this builds one declaratively).
+"""Bounded-memory heavy hitters: exact top-k frequent items at corpus
+scale without a full-cardinality shuffle.
 
-The sketch IS a small DataFrame — (row, bucket, cnt) with depth*width cells
-— produced by one explode + one aggregation over the data. Estimation joins
-query values against it with the same hash family; the classic CMS
-guarantee holds: estimates never undercount, and overcount by at most
-eps*N with probability 1-delta for width=ceil(e/eps), depth=ceil(ln(1/delta)).
+The reference engine has no sketch surface (frame.py is transform-only);
+this is EXT training-pipeline surface (SURVEY §2.2) — corpus-wide
+frequent tokens/n-grams drive boilerplate detection and stopword
+induction, where the naive ``groupBy(item).count()`` shuffles one row
+per DISTINCT item (billions of keys at 100 TB).
+
+Two-phase shape (the standard distributed Misra-Gries construction —
+public algorithm, Misra & Gries 1982; merge property per Agarwal et al.,
+"Mergeable Summaries", PODS'12):
+
+1. per-partition Misra-Gries summaries of ``capacity`` counters, built
+   in ONE ``mapInPandas`` pass over the scan (the batch iterator lets
+   one Python worker fold every Arrow batch of its partition into a
+   single dict — no shuffle, output ≤ capacity rows per partition).
+   Pigeonhole guarantee: any item with GLOBAL count > N/capacity
+   exceeds n_p/capacity in at least one partition, so the union of the
+   summaries contains every such item.
+2. exact recount of the bounded candidate set: semi-join the corpus
+   against the (≤ capacity × partitions, deduplicated) candidates —
+   only candidate rows enter the one keyed shuffle — then exact
+   groupBy counts, top-k by (count desc, item asc).
+
+The result is EXACT (counts and membership) whenever the k-th true
+frequency exceeds N/capacity; the operator emits that audit as a
+``guarantee_ok`` boolean computed from the exact counts themselves, so
+the caller (and the driver gate) can see when capacity was too small
+rather than silently trusting a sketch.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _bucket(col: Column, row: int, width: int, seed: int) -> Column:
-    return F.pmod(F.xxhash64(col, F.lit(seed + row)), F.lit(width))
+def _mg_summaries(capacity: int):
+    """mapInPandas kernel: fold all of a partition's batches into one
+    Misra-Gries dict of at most ``capacity`` counters."""
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in batches:
+            for item, cnt in pdf.groupby("item", sort=False).size().items():
+                if item in counters:
+                    counters[item] += int(cnt)
+                elif len(counters) < capacity:
+                    counters[item] = int(cnt)
+                else:
+                    # decrement-all by the smallest surviving weight:
+                    # batched form of MG's decrement step
+                    dec = min(int(cnt), min(counters.values()))
+                    counters = {i: c - dec for i, c in counters.items()
+                                if c > dec}
+                    rem = int(cnt) - dec
+                    if rem > 0 and len(counters) < capacity:
+                        counters[item] = rem
+        yield pd.DataFrame({"item": list(counters.keys())})
+
+    return fold
 
 
-def count_min_sketch(
+def top_k_frequent(
     df: DataFrame,
-    col: str,
-    width: int = 2048,
-    depth: int = 5,
-    seed: int = 42,
+    item: str | Column,
+    k: int = 20,
+    capacity: int = 4096,
 ) -> DataFrame:
-    """Build the sketch: one scan, one shuffle of depth*width counters."""
-    cells = F.array(*[
-        F.struct(
-            F.lit(i).alias("row"),
-            _bucket(F.col(col), i, width, seed).alias("bucket"),
-        )
-        for i in range(depth)
-    ])
-    return (
-        df.select(F.explode(cells).alias("c"))
-        .groupBy("c.row", "c.bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    """Exact top-k most frequent values of ``item`` via bounded-memory
+    candidate generation + exact recount.
 
+    Returns ``item, n_occurrences, guarantee_ok`` — the top ``k`` by
+    (count desc, item asc). ``guarantee_ok`` is true when the k-th
+    count strictly exceeds N/capacity, i.e. the pigeonhole bound
+    proves no non-candidate could have ranked; on false, raise
+    ``capacity`` (the answer may be missing true heavy hitters).
 
-def cms_estimate(
-    sketch: DataFrame,
-    queries: DataFrame,
-    col: str,
-    width: int = 2048,
-    depth: int = 5,
-    seed: int = 42,
-) -> DataFrame:
-    """Estimate the frequency of every value in ``queries[col]``:
-    min over rows of the matching bucket counter (0 if the bucket is
-    empty). The sketch side is broadcast — it is depth*width rows."""
-    probes = queries.select(col).distinct().select(
-        col,
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(i).alias("row"),
-                _bucket(F.col(col), i, width, seed).alias("bucket"),
-            )
-            for i in range(depth)
-        ])).alias("p"),
-    ).select(col, "p.row", "p.bucket")
-    joined = probes.join(F.broadcast(sketch), ["row", "bucket"], "left").select(
-        col, F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+    Scale shape: phase 1 is scan-local (zero shuffle, ≤ capacity rows
+    emitted per partition); phase 2 shuffles ONLY rows matching the
+    deduplicated candidate set (broadcast semi-join), never the full
+    distinct-item cardinality.
+    """
+    col = F.col(item) if isinstance(item, str) else item
+    items = df.select(col.cast("string").alias("item")).filter(
+        F.col("item").isNotNull())
+    summaries = items.mapInPandas(
+        _mg_summaries(capacity), "item string"
+    ).distinct()
+    exact = (
+        items.join(F.broadcast(summaries), "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("item").asc())
+        .limit(k)
     )
-    return joined.groupBy(col).agg(F.min("cnt").alias("estimate"))
+    total = items.agg(F.count(F.lit(1)).alias("__n"))
+    # the audit window runs over the ≤ k already-limited rows
+    kth = F.min("n_occurrences").over(Window.partitionBy())
+    return exact.crossJoin(F.broadcast(total)).select(
+        "item",
+        "n_occurrences",
+        (kth * F.lit(capacity) > F.col("__n")).alias("guarantee_ok"),
+    )

@@ -568,6 +568,30 @@ def text_top_ngrams(spark, sf_dir):
     )
 
 
+@query("text_heavy_hitters", oracle="""
+WITH t AS (SELECT unnest(string_split(text, ' ')) AS item FROM documents)
+SELECT item, CAST(COUNT(*) AS BIGINT) AS n_occurrences, TRUE AS guarantee_ok
+FROM t WHERE item IS NOT NULL
+GROUP BY item ORDER BY n_occurrences DESC, item ASC LIMIT 20
+""")
+def text_heavy_hitters(spark, sf_dir):
+    """Top-20 most frequent tokens via bounded-memory Misra-Gries
+    candidates + exact recount (`operators/sketch.py`): phase 1 is a
+    scan-local mapInPandas fold emitting <= capacity candidates per
+    partition (never a full-cardinality shuffle); phase 2 recounts ONLY
+    candidate-matching rows exactly. The output is exact whenever the
+    20th count exceeds N/capacity — emitted as the ``guarantee_ok``
+    audit boolean, which the oracle pins TRUE — so the whole answer
+    (membership, exact counts, deterministic tie-break, and the
+    pigeonhole audit) is hash-matched against DuckDB's exact GROUP BY."""
+    from ..functions.text import tokens
+    from ..operators.sketch import top_k_frequent
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("token"))
+    return top_k_frequent(toks, "token", k=20, capacity=4096)
+
+
 @query("embedding_centroids", oracle="""
 WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 x AS (SELECT label,

@@ -699,6 +699,65 @@ def test_star_cc_matches_minlabel_random_graphs(spark):
         assert st_ == ml, f"seed={seed}"
 
 
+def test_top_k_frequent_matches_exact(spark, sf_dir):
+    """Misra-Gries candidates + exact recount must equal the plain
+    exact groupBy top-k — at the default capacity AND at a small
+    capacity that still satisfies the pigeonhole guarantee on this
+    corpus — with guarantee_ok true."""
+    from puffbird_spark.functions.text import tokens
+    from puffbird_spark.operators.sketch import top_k_frequent
+
+    toks = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.explode(tokens("text")).alias("token"))
+    expected = [(r["token"], r["n"]) for r in
+                toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+                .orderBy(F.desc("n"), F.asc("token")).limit(10).collect()]
+    for cap in (4096, 256):
+        got = top_k_frequent(toks, "token", k=10, capacity=cap).collect()
+        assert [(r["item"], r["n_occurrences"]) for r in got] == expected
+        assert all(r["guarantee_ok"] for r in got), cap
+
+
+def test_top_k_frequent_guarantee_audit_flips(spark):
+    """When capacity is too small for the corpus (kth count <= N/cap),
+    the result must SAY so: guarantee_ok false, never a silently
+    wrong-but-confident answer."""
+    from puffbird_spark.operators.sketch import top_k_frequent
+
+    # 400 distinct singletons: kth count 1, N=400, capacity 16 -> 16 <= 400
+    df = spark.range(400).select(F.concat(F.lit("tok"), "id").alias("t"))
+    got = top_k_frequent(df, "t", k=5, capacity=16).collect()
+    assert got and not any(r["guarantee_ok"] for r in got)
+
+
+def test_mg_summary_superset_property():
+    """Pure-kernel check: every item with count > n/capacity survives the
+    per-partition fold regardless of arrival order (the pigeonhole basis
+    of the distributed guarantee)."""
+    import random
+
+    import pandas as pd
+
+    from puffbird_spark.operators.sketch import _mg_summaries
+
+    rng = random.Random(3)
+    heavy = ["h1"] * 300 + ["h2"] * 200
+    noise = [f"n{i}" for i in range(500)]
+    stream = heavy + noise
+    rng.shuffle(stream)
+    # feed in uneven batches, as mapInPandas would
+    batches, i = [], 0
+    while i < len(stream):
+        step = rng.randint(1, 97)
+        batches.append(pd.DataFrame({"item": stream[i:i + step]}))
+        i += step
+    out = list(_mg_summaries(capacity=8)(iter(batches)))[0]
+    kept = set(out["item"])
+    assert len(kept) <= 8
+    # n=1000, capacity 8 -> anything over 125 occurrences must survive
+    assert {"h1", "h2"} <= kept
+
+
 def test_parse_image_header_formats():
     """Real pure-Python header decode across the four container formats."""
     import struct
