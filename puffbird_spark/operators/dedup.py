@@ -47,6 +47,42 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.join(keep, on=id_col, how="left_semi")
 
 
+def incremental_dedup(
+    batch: DataFrame,
+    corpus_digests: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Dedup a NEW batch against an already-deduplicated corpus without
+    rescanning the corpus: the append-shard operation of a living
+    pretraining dataset (pairs with the rollup_incremental refresh
+    pattern — history is state, not input).
+
+    ``corpus_digests`` holds one ``digest_col`` (md5 of content) per
+    existing document — 16 bytes/doc, maintained incrementally by
+    unioning each accepted batch's digests. Survivors are batch rows
+    that are (a) first-per-digest WITHIN the batch (min ``id_col``
+    pins the survivor deterministically) and (b) absent from the
+    corpus digest set (left-anti on the digest).
+
+    Scale shape: the corpus never moves — only its digest column joins,
+    and only the batch (the small side, broadcast when it fits) shuffles.
+    Returns the surviving batch rows plus their ``digest_col`` so the
+    caller can append them to ``corpus_digests`` for the next batch.
+    """
+    digest = F.md5(F.col(text_col).cast("binary"))
+    b = batch.withColumn(digest_col, digest)
+    w_min = b.groupBy(digest_col).agg(F.min(id_col).alias("__keep"))
+    first = b.join(
+        w_min,
+        (b[digest_col] == w_min[digest_col]) & (b[id_col] == w_min["__keep"]),
+    ).select(b["*"])
+    return first.join(
+        corpus_digests.select(digest_col), digest_col, "left_anti"
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str,

@@ -568,6 +568,33 @@ def text_top_ngrams(spark, sf_dir):
     )
 
 
+@query("dedup_incremental", oracle="""
+WITH b AS (SELECT doc_id, md5(text) AS digest FROM documents
+           WHERE doc_id % 10 = 0),
+c AS (SELECT DISTINCT md5(text) AS digest FROM documents
+      WHERE doc_id % 10 <> 0),
+f AS (SELECT digest, MIN(doc_id) AS doc_id FROM b GROUP BY digest)
+SELECT f.doc_id, f.digest FROM f
+LEFT JOIN c ON f.digest = c.digest
+WHERE c.digest IS NULL
+""")
+def dedup_incremental(spark, sf_dir):
+    """Append-shard dedup: a NEW batch (doc_id % 10 = 0) deduplicated
+    against the existing corpus WITHOUT rescanning it — only the
+    corpus's 16-byte digest column participates (`incremental_dedup`,
+    operators/dedup.py). Survivors are first-per-digest within the
+    batch minus anything already in the corpus; both the intra-batch
+    min-id pin and the anti-join are hash-checked."""
+    from ..operators.dedup import incremental_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    corpus_digests = docs.filter(F.col("doc_id") % 10 != 0).select(
+        F.md5(F.col("text").cast("binary")).alias("digest")).distinct()
+    out = incremental_dedup(batch, corpus_digests, "text", "doc_id")
+    return out.select("doc_id", "digest")
+
+
 @query("text_heavy_hitters", oracle="""
 WITH t AS (SELECT unnest(string_split(text, ' ')) AS item FROM documents)
 SELECT item, CAST(COUNT(*) AS BIGINT) AS n_occurrences, TRUE AS guarantee_ok

@@ -699,6 +699,28 @@ def test_star_cc_matches_minlabel_random_graphs(spark):
         assert st_ == ml, f"seed={seed}"
 
 
+def test_incremental_dedup_replays_to_full_dedup(spark, sf_dir):
+    """Feeding id-ordered batches through incremental_dedup (appending
+    each accepted batch's digests to the state) must reproduce exactly
+    the survivor set of one-shot exact_dedup over the whole corpus."""
+    from puffbird_spark.operators.dedup import exact_dedup, incremental_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    full = {r["doc_id"] for r in
+            exact_dedup(docs, "text", "doc_id").select("doc_id").collect()}
+    edges = [0, 150, 300, 10**9]
+    state = spark.createDataFrame([], "digest string")
+    kept = set()
+    for lo, hi in zip(edges, edges[1:]):
+        batch = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        out = incremental_dedup(batch, state, "text", "doc_id")
+        kept |= {r["doc_id"] for r in out.select("doc_id").collect()}
+        state = state.unionByName(out.select("digest")).distinct()\
+            .localCheckpoint(eager=True)
+    assert kept == full
+
+
 def test_top_k_frequent_matches_exact(spark, sf_dir):
     """Misra-Gries candidates + exact recount must equal the plain
     exact groupBy top-k — at the default capacity AND at a small
