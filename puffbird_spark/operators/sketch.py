@@ -1,11 +1,19 @@
-"""Bounded-memory heavy hitters: exact top-k frequent items at corpus
-scale without a full-cardinality shuffle.
+"""Sketches for 100 TB cardinalities: Count-Min frequency estimation and
+bounded-memory exact heavy hitters.
 
 The reference engine has no sketch surface (frame.py is transform-only);
-this is EXT training-pipeline surface (SURVEY §2.2) — corpus-wide
-frequent tokens/n-grams drive boilerplate detection and stopword
-induction, where the naive ``groupBy(item).count()`` shuffles one row
-per DISTINCT item (billions of keys at 100 TB).
+this is EXT training-pipeline surface (SURVEY §2.2).
+
+Count-Min (round 2): Spark 4 removed the JVM ``stat.countMinSketch``
+from the Python API, so :func:`count_min_sketch` builds one
+declaratively — the sketch IS a small DataFrame of (row, bucket, cnt)
+cells, one explode + one aggregation over the data; estimates never
+undercount and overcount by at most eps*N.
+
+Heavy hitters (round 5): corpus-wide frequent tokens/n-grams drive
+boilerplate detection and stopword induction, where the naive
+``groupBy(item).count()`` shuffles one row per DISTINCT item (billions
+of keys at 100 TB).
 
 Two-phase shape (the standard distributed Misra-Gries construction —
 public algorithm, Misra & Gries 1982; merge property per Agarwal et al.,
@@ -37,6 +45,59 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _bucket(col: Column, row: int, width: int, seed: int) -> Column:
+    return F.pmod(F.xxhash64(col, F.lit(seed + row)), F.lit(width))
+
+
+def count_min_sketch(
+    df: DataFrame,
+    col: str,
+    width: int = 2048,
+    depth: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Build the sketch: one scan, one shuffle of depth*width counters."""
+    cells = F.array(*[
+        F.struct(
+            F.lit(i).alias("row"),
+            _bucket(F.col(col), i, width, seed).alias("bucket"),
+        )
+        for i in range(depth)
+    ])
+    return (
+        df.select(F.explode(cells).alias("c"))
+        .groupBy("c.row", "c.bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    queries: DataFrame,
+    col: str,
+    width: int = 2048,
+    depth: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Estimate the frequency of every value in ``queries[col]``:
+    min over rows of the matching bucket counter (0 if the bucket is
+    empty). The sketch side is broadcast — it is depth*width rows."""
+    probes = queries.select(col).distinct().select(
+        col,
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("row"),
+                _bucket(F.col(col), i, width, seed).alias("bucket"),
+            )
+            for i in range(depth)
+        ])).alias("p"),
+    ).select(col, "p.row", "p.bucket")
+    joined = probes.join(F.broadcast(sketch), ["row", "bucket"], "left").select(
+        col, F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+    )
+    return joined.groupBy(col).agg(F.min("cnt").alias("estimate"))
 
 
 def _mg_summaries(capacity: int):
