@@ -22,12 +22,13 @@ from . import (  # noqa: F401,E402
 # window) so r3∪r4∪r5 covers all 131 declared queries; then the gates NEW
 # or CHANGED this round.
 #
-# ROUND-6 TODO: lead the r6 window with (a) `text_heavy_hitters` and
-# `dedup_incremental` — the two r5 gates that landed after the 50-slot
-# window filled (both locally hash-green via tools/check_oracle.py,
-# each needs its first driver row) — then (b) the 41 queries whose only
-# evidence is round-3 (computed 2026-08-14 as registry − r4 window −
-# r5 window), plus any r6 new/changed gates:
+# ROUND-6 TODO: lead the r6 window with (a) `text_heavy_hitters`,
+# `dedup_incremental`, and `sketch_count_min` — the three r5 gates that
+# landed after the 50-slot window filled (all locally hash-green via
+# tools/check_oracle.py, each needs its first driver row) — then
+# (b) the 41 queries whose only evidence is round-3 (computed
+# 2026-08-14 as registry − r4 window − r5 window), plus any r6
+# new/changed gates:
 #   engine_col_apply engine_apply_rowwise engine_project_ops
 #   engine_puffy_to_long_shortcut engine_sanitize engine_aggfunc_dispatch
 #   engine_to_long_structs explode_tokens engine_to_long_roundtrip

@@ -595,6 +595,55 @@ def dedup_incremental(spark, sf_dir):
     return out.select("doc_id", "digest")
 
 
+@query("sketch_count_min", oracle="""
+WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n_exact FROM t
+      WHERE token IS NOT NULL GROUP BY token)
+SELECT token, n_exact, TRUE AS never_undercount, TRUE AS eps_bound_ok
+FROM c ORDER BY n_exact DESC, token ASC LIMIT 20
+""")
+def sketch_count_min(spark, sf_dir):
+    """Count-Min frequency sketch (`operators/sketch.py`): depth x width
+    counter cells built as ONE explode + ONE aggregation (the sketch IS
+    a tiny DataFrame — Spark 4 dropped stat.countMinSketch from the
+    Python API); estimation is a broadcast join of the probe hashes
+    against the cells. xxhash64 has no DuckDB twin, so the gate is
+    SELF-CHECKING: the top-20 tokens' EXACT counts are oracle-verified,
+    and the sketch's classic guarantees ship as deterministic booleans —
+    ``never_undercount`` (estimate >= exact for every probe) and
+    ``eps_bound_ok`` (estimate <= exact + (e/width)*N). Everything is
+    seeded, so the booleans are stable, not flaky."""
+    import math
+
+    from ..functions.text import tokens as toks_fn
+    from ..operators.sketch import cms_estimate, count_min_sketch
+
+    width, depth = 2048, 5
+    toks = load(spark, sf_dir, "documents").select(
+        F.explode(toks_fn("text")).alias("token")
+    ).filter(F.col("token").isNotNull())
+    exact = (
+        toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("token")).limit(20)
+    )
+    sketch = count_min_sketch(toks, "token", width=width, depth=depth)
+    est = cms_estimate(sketch, exact.select("token"), "token",
+                       width=width, depth=depth)
+    n_total = toks.agg(F.count(F.lit(1)).alias("__n"))
+    eps = math.e / width
+    return (
+        exact.join(est, "token")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "token",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            (F.col("estimate") >= F.col("n_exact")).alias("never_undercount"),
+            (F.col("estimate") <= F.col("n_exact")
+             + F.lit(eps) * F.col("__n")).alias("eps_bound_ok"),
+        )
+    )
+
+
 @query("text_heavy_hitters", oracle="""
 WITH t AS (SELECT unnest(string_split(text, ' ')) AS item FROM documents)
 SELECT item, CAST(COUNT(*) AS BIGINT) AS n_occurrences, TRUE AS guarantee_ok
