@@ -274,6 +274,43 @@ def draw_bucket(draw: Column, n_buckets: int) -> Column:
     return ((prefix * n_buckets) / F.lit(65536)).cast("long")
 
 
+def cap_per_group(
+    df: DataFrame,
+    key: str,
+    group_cols: Sequence[str],
+    k: int,
+    seed: str = "cap",
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Keep at most ``k`` rows per group, chosen by deterministic hash
+    order — the per-host / per-domain cap of a crawl pipeline ("at most
+    k pages per site"), append-stable like every draw here: a kept row
+    can only be displaced by a new row that hashes earlier, never
+    reordered by layout.
+
+    One keyed window (rank over the draw within each group). With many
+    groups the window distributes normally; a single group holding most
+    of the corpus funnels through one task — for that shape use
+    :func:`grouped_prefix_sum` on ``F.lit(1)`` (rank = prefix count,
+    two balanced exchanges) and filter ``<= k``. ``rank_col`` keeps the
+    1-based hash-order rank in the output when named.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    draw_name = "__pb_draw"
+    rk = rank_col or "__pb_rank"
+    w = Window.partitionBy(*group_cols).orderBy(draw_name, key)
+    out = (
+        df.withColumn(draw_name, hash_draw(F.col(key), seed))
+        .withColumn(rk, F.row_number().over(w))
+        .filter(F.col(rk) <= k)
+        .drop(draw_name)
+    )
+    return out if rank_col else out.drop(rk)
+
+
 def grouped_prefix_sum(
     df: DataFrame,
     group_cols: Sequence[str],

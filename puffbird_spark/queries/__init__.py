@@ -23,9 +23,10 @@ from . import (  # noqa: F401,E402
 # or CHANGED this round.
 #
 # ROUND-6 TODO: lead the r6 window with (a) `text_heavy_hitters`,
-# `dedup_incremental`, and `sketch_count_min` — the three r5 gates that
-# landed after the 50-slot window filled (all locally hash-green via
-# tools/check_oracle.py, each needs its first driver row) — then
+# `dedup_incremental`, `sketch_count_min`, and `split_cap_per_group` —
+# the four r5 gates that landed after the 50-slot window filled (all
+# locally hash-green via tools/check_oracle.py, each needs its first
+# driver row) — then
 # (b) the 41 queries whose only evidence is round-3 (computed
 # 2026-08-14 as registry − r4 window − r5 window), plus any r6
 # new/changed gates:

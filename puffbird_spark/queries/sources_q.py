@@ -613,6 +613,33 @@ def split_token_budget(spark, sf_dir):
     return out.select("doc_id", "source", "n_chars", "cum_tokens")
 
 
+@query("split_cap_per_group", oracle=f"""
+WITH d AS (
+  SELECT o_orderkey, o_custkey,
+    substr(md5('cap:' || {_enc_sql('o_orderkey')}), 1, 16) AS draw
+  FROM orders),
+r AS (
+  SELECT o_orderkey, o_custkey,
+    CAST(row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY draw, o_orderkey) AS BIGINT) AS rk
+  FROM d)
+SELECT o_orderkey, o_custkey, rk FROM r WHERE rk <= 3
+""")
+def split_cap_per_group(spark, sf_dir):
+    """Deterministic k-per-group cap ("at most 3 orders per customer" —
+    the per-host page cap of a crawl pipeline): rank over the seeded
+    hash draw within each group, keep rank <= k. Append-stable and
+    layout-independent; membership AND the hash-order rank are replayed
+    row by row by the oracle's row_number."""
+    from ..operators.splits import cap_per_group
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return cap_per_group(
+        orders, key="o_orderkey", group_cols=["o_custkey"], k=3,
+        seed="cap", rank_col="rk",
+    ).select("o_orderkey", "o_custkey", F.col("rk").cast("long").alias("rk"))
+
+
 @query("pack_token_budget", oracle=f"""
 WITH d AS (
   SELECT doc_id, source, n_chars,

@@ -379,6 +379,27 @@ def test_length_batches_checkpoint_free_bit_equal(spark, sf_dir):
                     | (F.col("pos_in_batch") != F.col("p2"))).count() == 0
 
 
+def test_cap_per_group_append_stability(spark, sf_dir):
+    """At most k per group; the kept set over a SUBSET of the data is a
+    superset-filtered version of the full run: a row kept on the full
+    corpus is kept on any subset containing it (displacement only ever
+    comes from earlier-hashing rows)."""
+    from puffbird_spark.operators.splits import cap_per_group
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    full = cap_per_group(orders, "o_orderkey", ["o_custkey"], k=3)
+    sizes = full.groupBy("o_custkey").count()
+    assert sizes.filter(F.col("count") > 3).count() == 0
+    subset = orders.filter(F.col("o_orderkey") % 2 == 0)
+    sub = cap_per_group(subset, "o_orderkey", ["o_custkey"], k=3)
+    kept_full_even = full.filter(F.col("o_orderkey") % 2 == 0)
+    # every even row kept on the full corpus is kept on the even subset
+    missing = kept_full_even.join(sub, "o_orderkey", "left_anti")
+    assert missing.count() == 0
+    with pytest.raises(ValueError):
+        cap_per_group(orders, "o_orderkey", ["o_custkey"], k=0)
+
+
 def test_scan_local_splits_zero_exchange(spark, sf_dir):
     """The membership operators are pure scan-local projections/filters:
     their physical plans must contain NO Exchange — the zero-shuffle
