@@ -70,16 +70,28 @@ def incremental_dedup(
     and only the batch (the small side, broadcast when it fits) shuffles.
     Returns the surviving batch rows plus their ``digest_col`` so the
     caller can append them to ``corpus_digests`` for the next batch.
+
+    NULL semantics: ``md5(NULL)`` is NULL, so NULL-text rows share the
+    NULL digest group. Both joins are null-safe (``eqNullSafe``): the
+    intra-batch pin keeps exactly one NULL-text survivor per batch, and
+    the corpus anti-join treats a NULL corpus digest as a match — so
+    replaying batches reproduces one-shot :func:`exact_dedup` (which
+    keeps ONE NULL-text survivor corpus-wide) bit-for-bit. A plain
+    equality anti-join would re-admit a NULL-text row every batch.
     """
     digest = F.md5(F.col(text_col).cast("binary"))
     b = batch.withColumn(digest_col, digest)
     w_min = b.groupBy(digest_col).agg(F.min(id_col).alias("__keep"))
     first = b.join(
         w_min,
-        (b[digest_col] == w_min[digest_col]) & (b[id_col] == w_min["__keep"]),
+        b[digest_col].eqNullSafe(w_min[digest_col])
+        & (b[id_col] == w_min["__keep"]),
     ).select(b["*"])
+    corpus = corpus_digests.select(F.col(digest_col).alias("__corpus_digest"))
     return first.join(
-        corpus_digests.select(digest_col), digest_col, "left_anti"
+        corpus,
+        first[digest_col].eqNullSafe(corpus["__corpus_digest"]),
+        "left_anti",
     )
 
 

@@ -575,8 +575,8 @@ c AS (SELECT DISTINCT md5(text) AS digest FROM documents
       WHERE doc_id % 10 <> 0),
 f AS (SELECT digest, MIN(doc_id) AS doc_id FROM b GROUP BY digest)
 SELECT f.doc_id, f.digest FROM f
-LEFT JOIN c ON f.digest = c.digest
-WHERE c.digest IS NULL
+WHERE NOT EXISTS (SELECT 1 FROM c
+                  WHERE c.digest IS NOT DISTINCT FROM f.digest)
 """)
 def dedup_incremental(spark, sf_dir):
     """Append-shard dedup: a NEW batch (doc_id % 10 = 0) deduplicated

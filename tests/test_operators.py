@@ -721,6 +721,29 @@ def test_incremental_dedup_replays_to_full_dedup(spark, sf_dir):
     assert kept == full
 
 
+def test_incremental_dedup_null_text(spark):
+    """NULL-text rows share the NULL digest group: exactly ONE survivor
+    corpus-wide under batch replay, matching one-shot exact_dedup
+    (ADVICE r5 medium — a plain-equality join dropped or re-admitted
+    NULL-text rows)."""
+    from puffbird_spark.operators.dedup import exact_dedup, incremental_dedup
+
+    rows = [(1, "a"), (2, None), (3, "a"), (4, None), (5, "b"), (6, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {r["doc_id"] for r in
+            exact_dedup(docs, "text", "doc_id").select("doc_id").collect()}
+    assert full == {1, 2, 5}
+    state = spark.createDataFrame([], "digest string")
+    kept = set()
+    for lo, hi in ((1, 4), (4, 7)):
+        batch = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        out = incremental_dedup(batch, state, "text", "doc_id")
+        kept |= {r["doc_id"] for r in out.select("doc_id").collect()}
+        state = state.unionByName(out.select("digest")).distinct() \
+            .localCheckpoint(eager=True)
+    assert kept == full
+
+
 def test_top_k_frequent_matches_exact(spark, sf_dir):
     """Misra-Gries candidates + exact recount must equal the plain
     exact groupBy top-k — at the default capacity AND at a small
