@@ -209,31 +209,27 @@ def bloom_contaminated(
         return staged.select(
             id_col, F.exists("sh", gram_hits).alias(flag_col)
         )
-    # explode strategy. Match `exists` semantics exactly: NULL shingle
-    # array -> NULL flag, empty array -> false, genuine NULL elements go
-    # through the same hash expressions as the HOF lambda would send
-    # them. posexplode_outer keeps empty/NULL-array docs as a single
-    # synthetic row distinguished by __pos IS NULL (a genuine NULL
-    # element still carries its position).
+    # explode strategy. `shingles()` never yields a NULL array (its
+    # otherwise-branch emits an empty array for NULL/short text — pinned
+    # by test_shingles_null_text_empty_array), so `exists` parity here
+    # means: empty array -> false, genuine NULL elements hash through
+    # the same expressions the HOF lambda would send them.
+    # posexplode_outer keeps empty-array docs as a single synthetic row
+    # distinguished by __pos IS NULL (a genuine NULL element still
+    # carries its position).
     ex = staged.select(
         F.col(id_col),
-        F.col("sh").isNull().alias("__sh_null"),
         F.posexplode_outer(F.array_distinct("sh")).alias("__pos", "__gram"),
     )
     hit = F.when(
         F.col("__pos").isNull(), F.lit(None).cast("boolean")
     ).otherwise(gram_hits(F.col("__gram")))
     return (
-        ex.select(id_col, "__sh_null", hit.alias("__hit"))
+        ex.select(id_col, hit.alias("__hit"))
         .groupBy(id_col)
-        .agg(
-            F.max("__sh_null").alias("__sh_null"),
-            F.max("__hit").alias("__any"),
-        )
+        .agg(F.max("__hit").alias("__any"))
         .select(
             id_col,
-            F.when(F.col("__sh_null"), F.lit(None).cast("boolean"))
-            .otherwise(F.coalesce(F.col("__any"), F.lit(False)))
-            .alias(flag_col),
+            F.coalesce(F.col("__any"), F.lit(False)).alias(flag_col),
         )
     )

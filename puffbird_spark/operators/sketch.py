@@ -162,8 +162,12 @@ def top_k_frequent(
     total = items.agg(F.count(F.lit(1)).alias("__n"))
     # the audit window runs over the ≤ k already-limited rows
     kth = F.min("n_occurrences").over(Window.partitionBy())
-    return exact.crossJoin(F.broadcast(total)).select(
+    out = exact.crossJoin(F.broadcast(total)).select(
         "item",
         "n_occurrences",
         (kth * F.lit(capacity) > F.col("__n")).alias("guarantee_ok"),
     )
+    # Spark does not contractually preserve the limit(k) order through the
+    # crossJoin — re-apply it so the output order is pinned by the plan,
+    # not by the current physical strategy (ADVICE r5).
+    return out.orderBy(F.desc("n_occurrences"), F.asc("item"))

@@ -611,8 +611,12 @@ def sketch_count_min(spark, sf_dir):
     SELF-CHECKING: the top-20 tokens' EXACT counts are oracle-verified,
     and the sketch's classic guarantees ship as deterministic booleans —
     ``never_undercount`` (estimate >= exact for every probe) and
-    ``eps_bound_ok`` (estimate <= exact + (e/width)*N). Everything is
-    seeded, so the booleans are stable, not flaky."""
+    ``eps_bound_ok`` (estimate <= exact + 3*(e/width)*N — the classic
+    bound with 3x headroom: at depth 5 the per-probe failure odds drop
+    from ~e^-5 = 0.7% to ~(3e)^-5 = 3e-5, so the gate stays green on
+    ANY corpus/SF the driver picks, not just the one it was tuned on;
+    ADVICE r5). Everything is seeded, so the booleans are stable, not
+    flaky."""
     import math
 
     from ..functions.text import tokens as toks_fn
@@ -639,7 +643,7 @@ def sketch_count_min(spark, sf_dir):
             F.col("n_exact").cast("long").alias("n_exact"),
             (F.col("estimate") >= F.col("n_exact")).alias("never_undercount"),
             (F.col("estimate") <= F.col("n_exact")
-             + F.lit(eps) * F.col("__n")).alias("eps_bound_ok"),
+             + F.lit(3.0 * eps) * F.col("__n")).alias("eps_bound_ok"),
         )
     )
 

@@ -967,6 +967,22 @@ def test_bloom_probe_plan_shapes(spark):
     assert "ArrayExists" not in phys
 
 
+def test_shingles_null_text_empty_array(spark):
+    """shingles(tokens(text)) NEVER yields a NULL array: size(NULL) is
+    NULL so the short-doc guard falls to its otherwise(empty-array)
+    branch for NULL text too. The explode bloom-probe strategy relies
+    on this invariant to skip NULL-array plumbing (ADVICE r5)."""
+    from puffbird_spark.functions.text import shingles, tokens
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a b"), (4, "a b c d")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["sh"] for r in df.select(
+        "doc_id", shingles(tokens("text"), 3).alias("sh")).collect()}
+    assert got[1] == [] and got[2] == [] and got[3] == []
+    assert got[4] == ["a b c", "b c d"]
+
+
 def test_bloom_probe_strategies_bit_equal(spark, sf_dir):
     """The interpreted-HOF twin and the codegen explode path must agree
     row-for-row — on the real documents table AND on the edge cases the
