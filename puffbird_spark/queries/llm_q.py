@@ -326,15 +326,19 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
 FROM embeddings WHERE vec_id < 10
 """)
 def knn_lsh(spark, sf_dir):
-    """SRP-LSH bucketed ANN top-5 — the sub-linear scale path, gated on
-    recall@5 vs the exact twin (observed 0.34 at sf0.01; floor 0.2)."""
+    """SRP-LSH bucketed ANN top-5 — the sub-linear scale path. Uses the
+    operator's query-directed multi-probe DEFAULT (3*planes = 18 extra
+    buckets, smallest-margin 1/2-bit flips first): recall@5 observed
+    0.62 at sf0.01 vs 0.34 for the old Hamming-1 sweep, scanning ~30%
+    of buckets at planes=6 (the fraction shrinks as planes grow at
+    scale). Floor raised 0.2 -> 0.5 (VERDICT r5 #3)."""
     return _ann_recall_gate(
         spark, sf_dir,
         lambda emb, q: lsh_bucket_topk(
             emb, q, dim=64, id_col="vec_id", vec_col="embedding", k=5,
             planes=6, est_queries=10,
         ),
-        min_avg_recall=0.2,
+        min_avg_recall=0.5,
     )
 
 

@@ -209,6 +209,19 @@ def test_lsh_directed_probes_recall(spark, sf_dir):
     assert all_flips >= hamming1
 
 
+def test_lsh_default_is_directed_multiprobe(spark, sf_dir):
+    """With neither probe knob set, the operator defaults to query-
+    directed multi-probe with 3*planes extra buckets — bit-equal to
+    passing directed_probes=3*planes explicitly (r6 default flip)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    default = lsh_bucket_topk(emb, q, dim=64, k=5, planes=4)
+    explicit = lsh_bucket_topk(
+        emb, q, dim=64, k=5, planes=4, directed_probes=12)
+    assert sorted(map(tuple, default.collect())) == sorted(
+        map(tuple, explicit.collect()))
+
+
 def test_ivf_full_probe_is_exact(spark, sf_dir):
     """nprobe == n_centroids scans every cell — must equal brute force
     exactly (same rounded cosines, same tie-breaks)."""
