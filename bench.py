@@ -4,14 +4,19 @@ sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
  "value_warm": total_warm_sec, "queries": {name: [cold_sec, warm_sec]},
  "sf": ...}
 
-Round-4 methodology (VERDICT r3 #3): every query runs TWICE in-session.
+Round-4 methodology (VERDICT r3 #3), tightened round 6 (VERDICT r5 #2):
+every query runs FOUR times in-session.
 - cold  = first run: includes plan analysis, codegen, Arrow worker
   spin-up (~0.5 s/worker for the first Python stage of a session) — what
   a one-shot job pays.
-- warm  = second run: steady-state throughput — what a long-lived
-  cluster pays per query. This is the number that adjudicates kernel
-  trade-offs (the r3 Arrow einsum cosine is 2-10x faster warm but slower
-  cold at local[32]).
+- warm  = MEDIAN of the next 3 runs: steady-state throughput — what a
+  long-lived cluster pays per query, robust to one noisy sample on a
+  loaded driver host (single warm samples produced two rounds of
+  unattributable 1.5-5x "regressions" that were ambient load). The
+  sorted samples print to stderr per query, as does a `# kernel` line
+  naming the Arrow-vs-Column/HOF choice each auto-gated operator made
+  (puffbird_spark/telemetry.py), so any residual outlier is
+  attributable to a kernel flip vs the host.
 
 Round-5 stdout contract (VERDICT r4 #2): the driver snapshots only the
 LAST 2000 chars of stdout (`tail` in BENCH_r*.json) — round 4's line
@@ -33,6 +38,7 @@ import glob
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -42,6 +48,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from puffbird_spark.queries import QUERIES  # noqa: E402
 from puffbird_spark.session import get_spark  # noqa: E402
+from puffbird_spark.telemetry import drain_kernels  # noqa: E402
 
 #: headline set: one per operator family, scale-relevant (the O(n^2)
 #: correctness kernels like dedup_jaccard are deliberately excluded —
@@ -93,6 +100,10 @@ BENCH_QUERIES = [
     # round-5: fused token-budget mixture + spanning packing (one
     # grouped prefix-sum for cutoff AND layout)
     "pack_token_budget",
+    # round-6: the sub-linear ANN path (now directed multi-probe by
+    # default) and the bounded-memory heavy-hitter sketch
+    "knn_lsh",
+    "text_heavy_hitters",
 ]
 
 
@@ -198,14 +209,26 @@ def main() -> None:
         df = fn(spark, sf_dir)
         n = df.count()
         cold[name] = round(time.time() - t0, 3)
-        t0 = time.time()
-        fn(spark, sf_dir).count()
-        warm[name] = round(time.time() - t0, 3)
+        kernels = drain_kernels()
+        # warm = MEDIAN of 3 runs (VERDICT r5 #2): a single warm sample on
+        # a loaded host produced two rounds of unattributable regressions;
+        # the median survives one noisy run per query.
+        samples = []
+        for _ in range(3):
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            samples.append(time.time() - t0)
+            drain_kernels()
+        warm[name] = round(statistics.median(samples), 3)
         print(
             f"# {name}: cold {cold[name]:.3f}s / warm {warm[name]:.3f}s"
+            f" med3 [{','.join(f'{s:.2f}' for s in sorted(samples))}]"
             f" ({n} rows)",
             file=sys.stderr,
         )
+        if kernels:
+            picks = ",".join(f"{op}={k}" for op, k in sorted(kernels.items()))
+            print(f"# kernel {name}: {picks}", file=sys.stderr)
 
     # vs-previous ratios: stderr only (VERDICT r4 #2 — derivable from the
     # prior round's snapshot; keeping them off stdout keeps the line small)

@@ -397,6 +397,9 @@ def minhash_candidate_pairs(
         # ~320 B/doc on disk for the synthetic corpus; threshold ~20k docs
         # is where interpreted signature work outgrows worker spin-up
         use_arrow = _est_rows(df, 320) >= 20_000
+    from ..telemetry import record_kernel
+
+    record_kernel("minhash_signature", "arrow" if use_arrow else "column")
     filtered = hashed.filter(F.size("hs") > 0)
     if use_arrow:
         sig = filtered.select(

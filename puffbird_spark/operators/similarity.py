@@ -31,6 +31,7 @@ from ..functions.vectors import (  # noqa: F401
     cosine_rounded,
     cosine_rounded_arrow,
 )
+from ..telemetry import record_kernel
 
 #: pair count above which the Arrow einsum scorer beats the JVM HOF fold.
 #: Below it, the ~0.5 s/worker Python-worker spin-up of the FIRST Arrow
@@ -93,6 +94,7 @@ def cosine_topk(
         rb = _vec_row_bytes(dim or 64)
         n_q = float(est_queries) if est_queries else _est_rows(q, rb)
         use_arrow = _est_rows(c, rb) * n_q >= ARROW_MIN_PAIRS
+    record_kernel("cosine_topk", "arrow" if use_arrow else "hof")
     pairs = c.crossJoin(F.broadcast(q))
     return _score_topk(pairs, k, exclude_self, use_arrow=use_arrow)
 
@@ -238,6 +240,7 @@ def lsh_bucket_topk(
         n_q = float(est_queries) if est_queries else _est_rows(queries, rb)
         est = _est_rows(corpus, rb) * n_q * n_probed / float(2 ** planes)
         use_arrow = est >= ARROW_MIN_PAIRS
+    record_kernel("lsh_bucket_topk", "arrow" if use_arrow else "hof")
     pairs = c.join(F.broadcast(q), on="bucket").dropDuplicates(
         ["query_id", "cand_id"]
     )
