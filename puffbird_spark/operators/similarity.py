@@ -408,3 +408,105 @@ def ivf_topk(
     # worker spin-up is sunk — the einsum scorer is strictly better here;
     # no batch-size gate needed (unlike cosine_topk/lsh_bucket_topk).
     return _score_topk(pairs, k, exclude_self, use_arrow=True)
+
+
+def sq_minmax(corpus: DataFrame, vec_col: str, dim: int) -> tuple:
+    """Per-dimension (min, max) of the corpus embeddings as two float64
+    ndarrays — ONE aggregation (partial/map-side combined, 2*dim doubles
+    shuffled total), one bounded driver collect of a single row."""
+    row = corpus.agg(
+        F.array(*[
+            F.min(as_double(vec_col)[i]) for i in range(dim)
+        ]).alias("lo"),
+        F.array(*[
+            F.max(as_double(vec_col)[i]) for i in range(dim)
+        ]).alias("hi"),
+    ).collect()[0]
+    return np.asarray(row["lo"], dtype=np.float64), np.asarray(
+        row["hi"], dtype=np.float64)
+
+
+def sq_quantize(vec, lo: np.ndarray, scale: np.ndarray):
+    """int8 scalar quantization of one embedding Column:
+    ``round((x - lo_d) / scale_d) - 128`` per dimension — 1 byte/dim
+    instead of 4, entirely JVM-side (the lo/scale tables ship as single
+    ndarray literals; r5 lesson: per-element F.lit costs ~2.5 ms each).
+    """
+    lo_lit, scale_lit = F.lit(lo), F.lit(scale)
+    return F.transform(
+        as_double(vec),
+        lambda x, i: (
+            F.round((x - F.element_at(lo_lit, i + 1))
+                    / F.element_at(scale_lit, i + 1))
+            .cast("int") - 128
+        ).cast("tinyint"),
+    )
+
+
+def sq_dequantize(qvec, lo: np.ndarray, scale: np.ndarray):
+    """Reconstruction: ``(q + 128) * scale_d + lo_d`` per dimension."""
+    lo_lit, scale_lit = F.lit(lo), F.lit(scale)
+    return F.transform(
+        qvec,
+        lambda q, i: (q.cast("double") + F.lit(128.0))
+        * F.element_at(scale_lit, i + 1) + F.element_at(lo_lit, i + 1),
+    )
+
+
+def sq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    overfetch: int = 4,
+    exclude_self: bool = True,
+    use_arrow: bool | None = None,
+    est_queries: int | None = None,
+) -> DataFrame:
+    """Approximate top-k over an int8 scalar-quantized corpus with exact
+    re-ranking — the memory/bandwidth arm of the ANN family (IVF-SQ's
+    "SQ" half): the corpus representation that gets scanned, cached, and
+    shuffled is 1 byte/dimension instead of 4 (a 100 TB float corpus
+    becomes ~25 TB), at the cost of a re-rank join over the surviving
+    candidates.
+
+    Stage 1 scores ``overfetch * k`` candidates per query against the
+    DEQUANTIZED int8 vectors (pure Column arithmetic, broadcast query
+    side, one corpus scan); stage 2 joins the winners back to the
+    full-precision vectors and re-ranks exactly, so the top-k ORDER and
+    COSINES are exact whenever the true top-k survive stage 1 (recall
+    asserted >= floor in the gate; quantization error at 255 levels is
+    ~0.4% of each dim's range, so overfetch=4 is generous).
+
+    Quantizer bounds come from :func:`sq_minmax` (one agg + one bounded
+    collect); constant dimensions get scale 1 so dequantization is exact.
+    """
+    lo, hi = sq_minmax(corpus, vec_col, dim)
+    scale = (hi - lo) / 255.0
+    scale[scale == 0.0] = 1.0
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        sq_quantize(vec_col, lo, scale).alias("q8"),
+    )
+    # stage 1: approximate scores on the compressed representation
+    cq = c.select("cand_id", sq_dequantize(F.col("q8"), lo, scale).alias("cvec"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qvec")
+    )
+    if use_arrow is None:
+        rb = _vec_row_bytes(dim)
+        n_q = float(est_queries) if est_queries else _est_rows(queries, rb)
+        use_arrow = _est_rows(corpus, rb) * n_q >= ARROW_MIN_PAIRS
+    record_kernel("sq_topk", "arrow" if use_arrow else "hof")
+    cand = _score_topk(
+        cq.crossJoin(F.broadcast(q)), overfetch * k, exclude_self,
+        use_arrow=use_arrow,
+    ).select("query_id", "cand_id")
+    # stage 2: exact re-rank of the bounded candidate set
+    full = corpus.select(
+        F.col(id_col).alias("cand_id"), as_double(vec_col).alias("cvec")
+    )
+    pairs = cand.join(full, "cand_id").join(F.broadcast(q), "query_id")
+    return _score_topk(pairs, k, exclude_self, use_arrow=use_arrow)

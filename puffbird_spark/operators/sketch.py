@@ -171,3 +171,52 @@ def top_k_frequent(
     # crossJoin — re-apply it so the output order is pinned by the plan,
     # not by the current physical strategy (ADVICE r5).
     return out.orderBy(F.desc("n_occurrences"), F.asc("item"))
+
+
+def hll_rollup(
+    df: DataFrame,
+    key: str,
+    fine_cols: list[str],
+    coarse_cols: list[str],
+    lg_config_k: int = 12,
+    est_col: str = "approx_distinct",
+) -> DataFrame:
+    """Hierarchical distinct-count rollup from MERGEABLE HyperLogLog
+    sketches (Datasketches HLL via Spark's ``hll_sketch_agg`` /
+    ``hll_union_agg``): one scan builds per-``fine_cols`` sketches; every
+    coarser level — ``coarse_cols`` groups and the grand total — derives
+    by UNIONING the fine sketches, never rescanning the data.
+
+    This is THE 100 TB distinct-count pattern: ``COUNT(DISTINCT key)``
+    at N rollup levels costs N shuffles of the raw keys (or one huge
+    expand), while sketches make every level after the first a reduction
+    over ``#fine-groups`` rows of ~2^lg_config_k bytes each. The same
+    property gives incremental refresh for free: store the fine
+    sketches, union in each new partition's sketch.
+
+    Returns one row per level (fine rows carry their group values,
+    coarse rows NULL out the dropped columns, the total row NULLs all —
+    the same NULL-marking shape as ROLLUP) with ``level`` ('fine',
+    'coarse', 'total') and the sketch estimate rounded to a BIGINT.
+    Standard error at lg_config_k=12 is ~1.6% (1.04/sqrt(2^12)).
+    """
+    fine = df.groupBy(*fine_cols).agg(
+        F.hll_sketch_agg(key, F.lit(lg_config_k)).alias("__sk"))
+    coarse = fine.groupBy(*coarse_cols).agg(
+        F.hll_union_agg("__sk").alias("__sk"))
+    total = coarse.agg(F.hll_union_agg("__sk").alias("__sk"))
+    est = F.hll_sketch_estimate("__sk").cast("long").alias(est_col)
+
+    def lvl(frame, name, cols):
+        sel = [
+            (F.col(c) if c in cols else F.lit(None)).cast("string").alias(c)
+            for c in fine_cols
+        ]
+        return frame.select(
+            F.lit(name).alias("level"), *sel, est)
+
+    return (
+        lvl(fine, "fine", fine_cols)
+        .unionByName(lvl(coarse, "coarse", coarse_cols))
+        .unionByName(lvl(total, "total", []))
+    )

@@ -311,6 +311,70 @@ def cap_per_group(
     return out if rank_col else out.drop(rk)
 
 
+def uniform_draw(key: Column, seed: str) -> Column:
+    """The :func:`hash_draw` 64-bit hex prefix as a uniform DOUBLE on
+    (0, 1): ``(int(hex) + 0.5) / 2^64``. The +0.5 keeps the draw strictly
+    positive (an all-zero prefix would otherwise put ``ln(u)`` at -inf)
+    and strictly below 1. String-to-double conversion rounds the exact
+    integer to the nearest double identically in every IEEE-754 engine,
+    so the value is oracle-reproducible bit-for-bit (DuckDB twin:
+    ``(('0x' || hx)::UBIGINT::DOUBLE + 0.5) / 18446744073709551616.0``).
+    """
+    hx = hash_draw(key, seed)
+    return (
+        (F.conv(hx, 16, 10).cast("double") + F.lit(0.5))
+        / F.lit(float(2 ** 64))
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    k: int,
+    group_cols: Sequence[str] = (),
+    seed: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted k-sample WITHOUT replacement per group —
+    Efraimidis-Spirakis exponential keys (Inf. Proc. Letters 97(5), 2006):
+    rank rows by ``u^(1/w)`` descending (computed as the monotone-
+    equivalent ``ln(u)/w`` — no pow, same order) where ``u`` is the
+    content-deterministic uniform draw of :func:`uniform_draw`; the top
+    ``k`` per group are EXACTLY a weighted sample without replacement.
+
+    This is the quality-weighted subsampling primitive of a training-data
+    pipeline ("keep 10k docs per source, preferring long/high-score
+    ones, reproducibly"): inclusion probability is proportional to
+    weight within each group, yet membership is still a pure function of
+    (key, weight) — append-stable, layout-independent, and re-run-stable
+    like every draw in this module. A new row displaces the current
+    sample only if its exponential key ranks higher; rows never migrate
+    on repartition.
+
+    Rows with NULL or non-positive weight are dropped (they have no
+    well-defined ES key; filter or clamp upstream to include them).
+    One keyed window ranks within each group — same distribution shape
+    as :func:`cap_per_group`; for a single dominant group use
+    :func:`grouped_prefix_sum` machinery instead.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    w = F.col(weight_col).cast("double")
+    es = F.log(uniform_draw(F.col(key), seed)) / w
+    rk = "__pb_es_rank"
+    win = Window.partitionBy(*group_cols).orderBy(
+        F.desc("__pb_es"), F.asc(key))
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("__pb_es", es)
+        .withColumn(rk, F.row_number().over(win))
+        .filter(F.col(rk) <= k)
+        .drop("__pb_es", rk)
+    )
+
+
 def grouped_prefix_sum(
     df: DataFrame,
     group_cols: Sequence[str],

@@ -728,3 +728,72 @@ def join_skew_replicated(spark, sf_dir):
     return replicated_join(li, supp, ["l_suppkey"], salt_buckets=8).select(
         "l_orderkey", "l_linenumber", "s_name", "qty"
     )
+
+
+@query("agg_hll_rollup", oracle="""
+WITH b AS (
+  SELECT CAST(n.n_regionkey AS VARCHAR) AS region,
+         CAST(n.n_name AS VARCHAR) AS nation, c.c_custkey
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey),
+e AS (
+  SELECT region, nation, COUNT(DISTINCT c_custkey) AS n_exact,
+         GROUPING(region, nation) AS gid
+  FROM b GROUP BY ROLLUP(region, nation))
+SELECT CASE gid WHEN 0 THEN 'fine' WHEN 1 THEN 'coarse' ELSE 'total' END
+         AS level,
+       region, nation, CAST(n_exact AS BIGINT) AS n_exact, TRUE AS hll_ok
+FROM e
+""")
+def agg_hll_rollup(spark, sf_dir):
+    """Mergeable HyperLogLog distinct-count rollup (`hll_rollup`,
+    operators/sketch.py): per-(region, nation) Datasketches HLL sketches
+    of the customer key are built in ONE scan; the region level and the
+    grand total derive by UNIONING those sketches — the data is never
+    rescanned, which is the 100 TB distinct-count pattern (exact
+    COUNT(DISTINCT) at every level costs one raw-key shuffle per level).
+
+    The sketch estimate has no DuckDB twin, so the gate is SELF-CHECKING
+    like sketch_count_min: every level's EXACT distinct count is
+    oracle-verified, and ``hll_ok`` asserts the sketch estimate is
+    within 5% of it (lgConfigK=12 -> ~1.6% standard error; 3 sigma).
+    Deterministic: the HLL sketch is content-hash-based, not sampled."""
+    from ..operators.sketch import hll_rollup
+
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load(spark, sf_dir, "nation")
+    base = cust.join(
+        F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"]
+    ).select(
+        F.col("n_regionkey").cast("string").alias("region"),
+        F.col("n_name").cast("string").alias("nation"),
+        "c_custkey",
+    )
+    est = hll_rollup(base, "c_custkey", ["region", "nation"], ["region"])
+    exact = (
+        base.rollup("region", "nation")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_exact"),
+            F.grouping_id().alias("gid"),
+        )
+        .select(
+            F.when(F.col("gid") == 0, "fine")
+            .when(F.col("gid") == 1, "coarse")
+            .otherwise("total")
+            .alias("level"),
+            "region", "nation", "n_exact",
+        )
+    )
+    rel_err = (
+        F.abs(F.col("approx_distinct") - F.col("n_exact"))
+        / F.col("n_exact")
+    )
+    return exact.alias("x").join(
+        est.alias("s"),
+        (F.col("x.level") == F.col("s.level"))
+        & F.col("x.region").eqNullSafe(F.col("s.region"))
+        & F.col("x.nation").eqNullSafe(F.col("s.nation")),
+    ).select(
+        "x.level", "x.region", "x.nation",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        (rel_err <= 0.05).alias("hll_ok"),
+    )

@@ -640,6 +640,73 @@ def split_cap_per_group(spark, sf_dir):
     ).select("o_orderkey", "o_custkey", F.col("rk").cast("long").alias("rk"))
 
 
+@query("scan_schema_evolution", oracle="""
+SELECT doc_id, n_chars, CAST(NULL AS VARCHAR) AS lang_up
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT doc_id, n_chars, upper(lang) AS lang_up
+FROM documents WHERE doc_id % 2 = 1
+""")
+def scan_schema_evolution(spark, sf_dir):
+    """Schema-evolution scan: two parquet shards written at different
+    pipeline generations — the second gained a ``lang_up`` column — read
+    back as ONE table with ``mergeSchema=true``; old-shard rows surface
+    NULL for the new column. This is the append-only reality of a
+    100 TB corpus (schemas grow; historical shards are never
+    rewritten): the reader must reconcile footers per file, not trust
+    the first one. Row content is hash-checked per shard half against
+    the originating table. mergeSchema costs a per-file footer read at
+    planning time, so production tables should pin the union schema in
+    the catalog — the gate exercises the reconciliation path itself."""
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    path = f"/tmp/pbs_fmt{tag}/documents_evolving_parquet"
+    if not os.path.exists(os.path.join(path, "gen2", "_SUCCESS")):
+        docs = load(spark, sf_dir, "documents")
+        docs.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id", "n_chars"
+        ).write.mode("overwrite").parquet(f"{path}/gen1")
+        docs.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "n_chars", F.upper("lang").alias("lang_up")
+        ).write.mode("overwrite").parquet(f"{path}/gen2")
+    return spark.read.option("mergeSchema", "true").parquet(
+        f"{path}/gen1", f"{path}/gen2"
+    ).select("doc_id", "n_chars", "lang_up")
+
+
+@query("split_weighted_sample", oracle=f"""
+WITH d AS (
+  SELECT doc_id, source, n_chars,
+    (('0x' || substr(md5('wsample:' || {_enc_sql('doc_id')}), 1, 16))
+       ::UBIGINT::DOUBLE + 0.5) / 18446744073709551616.0 AS u
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+r AS (
+  SELECT doc_id, source, n_chars,
+    CAST(row_number() OVER (PARTITION BY source
+                            ORDER BY ln(u) / n_chars DESC, doc_id)
+         AS BIGINT) AS rk
+  FROM d)
+SELECT doc_id, source, n_chars FROM r WHERE rk <= 25
+""")
+def split_weighted_sample(spark, sf_dir):
+    """Deterministic weighted 25-per-source sample WITHOUT replacement
+    (Efraimidis-Spirakis exponential keys, weight = n_chars): inclusion
+    odds proportional to document length within each source, yet
+    membership is a pure function of (doc_id, n_chars) — append-stable
+    and layout-independent like every split draw. The oracle replays the
+    identical uniform (md5-prefix -> double) and the ln(u)/w ranking, so
+    every selected row is hash-checked. The ES key itself is not emitted
+    (its last-ulp float digits are libm-specific; the ORDER it induces
+    is not)."""
+    from ..operators.splits import weighted_sample
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars")
+    return weighted_sample(
+        docs, key="doc_id", weight_col="n_chars", k=25,
+        group_cols=["source"], seed="wsample",
+    )
+
+
 @query("pack_token_budget", oracle=f"""
 WITH d AS (
   SELECT doc_id, source, n_chars,

@@ -1045,3 +1045,32 @@ def test_minhash_signature_kernel_gate_equality(spark, sf_dir):
                 for r in df.collect()}
 
     assert pairs(True) == pairs(False)
+
+
+def test_sq_topk_exact_after_rerank(spark, sf_dir):
+    """int8 scalar quantization + overfetch-4 re-rank reproduces
+    brute-force top-5 EXACTLY on the gate corpus (ids, order, cosines),
+    and the quantizer's reconstruction error is bounded by scale/2 per
+    dimension."""
+    import numpy as np
+
+    from puffbird_spark.operators.similarity import (
+        cosine_topk, sq_dequantize, sq_minmax, sq_quantize, sq_topk)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, q, k=5, est_queries=10)
+    approx = sq_topk(emb, q, dim=64, k=5, overfetch=4, est_queries=10)
+    assert sorted(map(tuple, exact.collect())) == sorted(
+        map(tuple, approx.collect()))
+
+    lo, hi = sq_minmax(emb, "embedding", 64)
+    scale = (hi - lo) / 255.0
+    scale[scale == 0.0] = 1.0
+    row = emb.select(
+        F.col("embedding").cast("array<double>").alias("orig"),
+        sq_dequantize(
+            sq_quantize("embedding", lo, scale), lo, scale).alias("rec"),
+    ).first()
+    err = np.abs(np.array(row["orig"]) - np.array(row["rec"]))
+    assert (err <= scale / 2 + 1e-9).all()

