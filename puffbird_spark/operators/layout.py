@@ -101,3 +101,55 @@ def bucketed_table(
         writer = writer.option("path", path)
     writer.saveAsTable(name)
     return name
+
+
+def compact_small_files(
+    spark,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> dict:
+    """Small-file compaction — the OPTIMIZE half of table maintenance: a
+    streaming/incremental sink accumulates thousands of tiny parquet
+    files (one per micro-batch/epoch), and every downstream scan then
+    pays a task + footer read per file. Rewrite the directory into
+    ~``target_file_bytes`` files.
+
+    File count derives from the TOTAL INPUT BYTES (driver-side listing
+    metadata, no data read), not a row count — so the decision costs
+    nothing at 100 TB. ``sort_cols`` additionally range-partitions and
+    sorts within files (restoring clustering that accumulation
+    destroyed; pair with :func:`z_value` for multi-column skipping).
+    Uses ``repartition(n)`` (round-robin) when unsorted — balanced
+    output files regardless of input skew.
+
+    Returns {"n_files_in", "n_files_out", "bytes_in"} (the write runs
+    eagerly). Row content is preserved exactly — gate-checked by hash.
+    """
+    import math
+
+    jvm = spark.sparkContext._jvm
+    hadoop_path = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hadoop_path.getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration())
+    files = [
+        (f.getPath().getName(), f.getLen())
+        for f in fs.listStatus(hadoop_path)
+        if f.getPath().getName().endswith(".parquet")
+    ]
+    bytes_in = sum(sz for _, sz in files)
+    n_out = max(1, math.ceil(bytes_in / float(target_file_bytes)))
+    df = spark.read.parquet(path)
+    if sort_cols:
+        out = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(
+            *sort_cols)
+    else:
+        out = df.repartition(n_out)
+    out.write.mode("overwrite").parquet(out_path)
+    out_hadoop = jvm.org.apache.hadoop.fs.Path(out_path)
+    n_files_out = sum(
+        1 for f in fs.listStatus(out_hadoop)
+        if f.getPath().getName().endswith(".parquet"))
+    return {"n_files_in": len(files), "n_files_out": n_files_out,
+            "bytes_in": bytes_in}

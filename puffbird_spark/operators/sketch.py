@@ -220,3 +220,44 @@ def hll_rollup(
         .unionByName(lvl(coarse, "coarse", coarse_cols))
         .unionByName(lvl(total, "total", []))
     )
+
+
+def hll_sketch_state(
+    df: DataFrame,
+    key: str,
+    group_cols: list[str],
+    lg_config_k: int = 12,
+    state_col: str = "hll_state",
+) -> DataFrame:
+    """Per-group HLL sketch STATE: one binary column of ~2^lg_config_k
+    bytes per group, writable to parquet like any other column. This is
+    the persisted half of incremental distinct counting — build it once
+    over history, then :func:`hll_merge_increment` each new batch in."""
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(key, F.lit(lg_config_k)).alias(state_col))
+
+
+def hll_merge_increment(
+    state: DataFrame,
+    batch: DataFrame,
+    key: str,
+    group_cols: list[str],
+    lg_config_k: int = 12,
+    state_col: str = "hll_state",
+) -> DataFrame:
+    """Refresh per-group distinct-count state with a new batch WITHOUT
+    rescanning history: sketch the batch, union-merge per group. The
+    merge is lossless (HLL union takes the per-register max), so the
+    refreshed state is IDENTICAL to sketching history+batch in one shot
+    — replay == rebuild, the same invariant as incremental_dedup and
+    incremental_rollup. History cost per refresh: |groups| rows of
+    2^lg_config_k bytes, not the raw data.
+
+    Estimate with ``F.hll_sketch_estimate(state_col)``.
+    """
+    delta = hll_sketch_state(batch, key, group_cols, lg_config_k, state_col)
+    return (
+        state.unionByName(delta)
+        .groupBy(*group_cols)
+        .agg(F.hll_union_agg(state_col).alias(state_col))
+    )

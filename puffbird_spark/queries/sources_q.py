@@ -815,3 +815,39 @@ def scan_orc(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum(dec("s_acctbal")).cast("double").alias("sum_bal"),
     )
+
+
+@query("sink_compact_small_files", oracle="""
+SELECT doc_id, source, n_chars, TRUE AS compact_ok
+FROM documents
+""")
+def sink_compact_small_files(spark, sf_dir):
+    """Small-file compaction round-trip (`compact_small_files`,
+    operators/layout.py): the documents table is first written as 64
+    tiny files (a streaming sink's accumulation pattern), then compacted
+    to a file count derived from total input bytes — listing metadata
+    only, no data read. The gate hash-checks that every row survives
+    compaction byte-identically and self-checks ``compact_ok``: the
+    rewrite actually reduced the file count to the computed target."""
+    import os
+
+    from ..operators.layout import compact_small_files
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    base = f"/tmp/pbs_fmt{tag}/compact"
+    frag, packed = f"{base}/frag", f"{base}/packed"
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars")
+    marker = f"{base}/_DONE"
+    if not os.path.exists(marker):
+        docs.repartition(64).write.mode("overwrite").parquet(frag)
+        stats = compact_small_files(
+            spark, frag, packed, target_file_bytes=1 << 20)
+        ok = (stats["n_files_in"] == 64
+              and stats["n_files_out"] < stats["n_files_in"])
+        with open(marker, "w") as fh:
+            fh.write("1" if ok else "0")
+    with open(marker) as fh:
+        ok = fh.read().strip() == "1"
+    return spark.read.parquet(packed).select(
+        "doc_id", "source", "n_chars", F.lit(ok).alias("compact_ok"))

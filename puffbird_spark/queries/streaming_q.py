@@ -449,3 +449,75 @@ def stream_stream_join(spark, sf_dir):
         .withColumn("purchase_ts", F.col("purchase_ts").cast("timestamp_ntz"))
         .select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
     )
+
+
+@query("stream_incremental_dedup", oracle="""
+WITH d AS (SELECT doc_id, md5(text) AS digest FROM documents),
+f AS (SELECT digest, MIN(doc_id) AS doc_id FROM d GROUP BY digest)
+SELECT doc_id, digest FROM f
+""")
+def stream_incremental_dedup(spark, sf_dir):
+    """TRUE streaming append-shard dedup: the documents table replays as
+    two micro-batches (two staged files, maxFilesPerTrigger=1) through
+    foreachBatch; each batch runs `incremental_dedup` against the digest
+    state accumulated from prior batches and appends its survivors +
+    digests. Because micro-batches arrive id-ordered and the operator's
+    replay==one-shot invariant holds (null-safe digest joins, unit- and
+    gate-tested batch-side), the sink must equal one-shot exact dedup of
+    the WHOLE corpus — which is exactly what the oracle computes. The
+    digest state is the only thing reread per batch: 16 bytes/doc, not
+    the corpus."""
+    import os
+    import shutil
+
+    from ..operators.dedup import incremental_dedup
+    from ..streaming import read_parquet_stream, write_foreach_batch
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    base = f"/tmp/pbs_stream{tag}/incr_dedup"
+    out_dir = f"{base}/out"
+    done = f"{base}/_DONE"
+    if not os.path.exists(done):
+        shutil.rmtree(base, ignore_errors=True)
+        in_dir, state_dir = f"{base}/in", f"{base}/state"
+        os.makedirs(in_dir)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text")
+        half = docs.agg((F.max("doc_id") / 2).cast("long")).collect()[0][0]
+        # two staged files == two ordered micro-batches (the file source
+        # picks oldest-modified first, so stage b0 before b1)
+        for i, part in enumerate((
+            docs.filter(F.col("doc_id") <= half),
+            docs.filter(F.col("doc_id") > half),
+        )):
+            tmp = f"{base}/stage{i}"
+            part.coalesce(1).write.parquet(tmp)
+            src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            shutil.copy(os.path.join(tmp, src), f"{in_dir}/b{i}.parquet")
+            shutil.rmtree(tmp)
+        schema = docs.schema
+
+        def sink(batch, epoch_id):
+            sess = batch.sparkSession
+            if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+                state = sess.read.parquet(state_dir)
+            else:
+                state = sess.createDataFrame([], "digest string")
+            out = incremental_dedup(batch, state, "text", "doc_id")
+            out.persist()
+            out.select("doc_id", "digest").write.mode("append").parquet(
+                out_dir)
+            state.unionByName(out.select("digest")).distinct().write.mode(
+                "overwrite").parquet(state_dir + "_next")
+            out.unpersist()
+            # atomic-enough swap for a single-writer availableNow replay
+            shutil.rmtree(state_dir, ignore_errors=True)
+            os.rename(state_dir + "_next", state_dir)
+
+        stream = read_parquet_stream(spark, in_dir, schema)
+        q = write_foreach_batch(
+            stream, sink, checkpoint=f"{base}/ckpt", trigger_once=True,
+        ).start()
+        q.awaitTermination(300)
+        open(done, "w").close()
+    return spark.read.parquet(out_dir).select("doc_id", "digest")

@@ -466,3 +466,33 @@ def test_hll_rollup_levels_and_accuracy(spark, sf_dir):
             (F.col("region") == r["region"]) & (F.col("nation") == r["nation"])
         ).select("c_custkey").distinct().count()
         assert abs(r["approx_distinct"] - exact) / exact <= 0.05, r
+
+
+def test_hll_incremental_replay_equals_rebuild(spark, sf_dir):
+    """Merging per-batch HLL sketches into state must give the SAME
+    estimates as sketching the full data in one shot (HLL union is
+    lossless), and land within 5% of exact."""
+    from puffbird_spark.operators.sketch import (
+        hll_merge_increment, hll_sketch_state)
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_custkey")
+    old = orders.filter(F.col("o_orderkey" if False else "o_custkey") % 3 != 0)
+    new = orders.subtract(old)
+    state = hll_sketch_state(old, "o_custkey", ["o_orderpriority"])
+    merged = hll_merge_increment(state, new, "o_custkey",
+                                 ["o_orderpriority"])
+    oneshot = hll_sketch_state(orders, "o_custkey", ["o_orderpriority"])
+
+    def est(df):
+        return {r["o_orderpriority"]: r["e"] for r in df.select(
+            "o_orderpriority",
+            F.hll_sketch_estimate("hll_state").alias("e")).collect()}
+
+    em, eo = est(merged), est(oneshot)
+    assert em == eo
+    exact = {r["o_orderpriority"]: r["n"] for r in orders.groupBy(
+        "o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n")).collect()}
+    for k, n in exact.items():
+        assert abs(em[k] - n) / n <= 0.05, (k, em[k], n)
