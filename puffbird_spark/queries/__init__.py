@@ -64,7 +64,7 @@ _VERIFY_FIRST = [
 # ROUND-7 TODO: three r6 gates landed after the 50-slot window filled
 # (all locally hash-green via tools/check_oracle.py; each needs its first
 # driver row — put them at the r7 window head): `agg_hll_incremental`,
-# `stream_incremental_dedup`, `sink_compact_small_files`. Then rotate the
+# `stream_incremental_dedup`, `sink_compact_small_files`, `knn_pq`. Then rotate the
 # r4-stale queries (compute as registry − r5 window − r6 window).
 
 
