@@ -199,9 +199,18 @@ def hll_rollup(
     the same NULL-marking shape as ROLLUP) with ``level`` ('fine',
     'coarse', 'total') and the sketch estimate rounded to a BIGINT.
     Standard error at lg_config_k=12 is ~1.6% (1.04/sqrt(2^12)).
+
+    The fine level is localCheckpoint-ed before the union: without it
+    each union branch replays the base scan (measured: THREE FileScans
+    in the physical plan — Spark did not reuse the common Exchange
+    across differently-aliased branches), which is exactly the rescan
+    this operator exists to avoid. The materialization is |fine groups|
+    rows of ~2^lg_config_k bytes — negligible at any scale; plan
+    pinned by test to at most one FileScan.
     """
     fine = df.groupBy(*fine_cols).agg(
         F.hll_sketch_agg(key, F.lit(lg_config_k)).alias("__sk"))
+    fine = fine.localCheckpoint(eager=True)
     coarse = fine.groupBy(*coarse_cols).agg(
         F.hll_union_agg("__sk").alias("__sk"))
     total = coarse.agg(F.hll_union_agg("__sk").alias("__sk"))

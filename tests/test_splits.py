@@ -496,3 +496,18 @@ def test_hll_incremental_replay_equals_rebuild(spark, sf_dir):
         F.countDistinct("o_custkey").alias("n")).collect()}
     for k, n in exact.items():
         assert abs(em[k] - n) / n <= 0.05, (k, em[k], n)
+
+
+def test_hll_rollup_single_scan(spark, sf_dir):
+    """The coarse/total levels must derive from the checkpointed fine
+    sketches, not replay the base scan per union branch — at most ONE
+    FileScan in the physical plan (pre-fix: three)."""
+    from puffbird_spark.operators.sketch import hll_rollup
+
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("string").alias("nation"),
+        (F.col("c_nationkey") % 5).cast("string").alias("region"),
+        "c_custkey")
+    out = hll_rollup(cust, "c_custkey", ["region", "nation"], ["region"])
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("FileScan") <= 1, phys
