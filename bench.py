@@ -101,9 +101,11 @@ BENCH_QUERIES = [
     # grouped prefix-sum for cutoff AND layout)
     "pack_token_budget",
     # round-6: the sub-linear ANN path (now directed multi-probe by
-    # default) and the bounded-memory heavy-hitter sketch
+    # default), the bounded-memory heavy-hitter sketch, and the
+    # compressed-corpus ANN representation
     "knn_lsh",
     "text_heavy_hitters",
+    "knn_sq_int8",
 ]
 
 
