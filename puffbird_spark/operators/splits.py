@@ -502,14 +502,81 @@ def token_budget_sample(
         d, [domain], [draw_name, key], tokens_col, cum_col,
         checkpoint=checkpoint,
     )
+    budget = _domain_budget(domain, budgets, default_budget)
+    return d.filter(F.col(cum_col) <= budget).drop(draw_name)
+
+
+def _domain_budget(
+    domain: str, budgets: Mapping[str, int], default_budget: int
+) -> Column:
+    """Per-domain budget as one CASE column (shared by the uniform and
+    weighted token-budget samplers)."""
     budget: Column | None = None
     for name, b in budgets.items():
         cond = F.col(domain) == F.lit(name)
         budget = (F.when(cond, F.lit(int(b))) if budget is None
                   else budget.when(cond, F.lit(int(b))))
-    budget = (F.lit(int(default_budget)) if budget is None
-              else budget.otherwise(F.lit(int(default_budget))))
-    return d.filter(F.col(cum_col) <= budget).drop(draw_name)
+    return (F.lit(int(default_budget)) if budget is None
+            else budget.otherwise(F.lit(int(default_budget))))
+
+
+def token_budget_weighted(
+    df: DataFrame,
+    key: str,
+    domain: str,
+    tokens_col: str,
+    weight_col: str,
+    budgets: Mapping[str, int],
+    seed: str = "wbudget",
+    default_budget: int = 0,
+    cum_col: str = "cum_tokens",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Per-domain token budgets filled in WEIGHTED preference order — the
+    fusion of :func:`token_budget_sample` (budgets in tokens, the unit a
+    pretraining mixture is specified in) with :func:`weighted_sample`'s
+    Efraimidis-Spirakis keys (inclusion odds proportional to a quality /
+    length / score column): each domain admits documents in descending
+    ``u^(1/w)`` order until the running token total reaches the budget.
+    "Fill 600B web tokens, preferring high-quality docs, reproducibly."
+
+    Properties inherited from both parents: membership is a pure function
+    of (key, weight) — append-stable in the weak sense (a new doc can only
+    displace docs whose ES key ranks lower), layout-independent, re-run
+    stable. Rows with NULL or non-positive weight are dropped (no
+    well-defined ES key — same contract as :func:`weighted_sample`).
+
+    Cost shape: ONE grouped prefix-sum over the ES order (two balanced
+    exchanges via :func:`grouped_prefix_sum`; a 90%-of-corpus domain never
+    funnels through one task) plus a scan-local CASE filter. Emits
+    ``cum_col`` so the selection is oracle-checkable row by row.
+
+    ``checkpoint=False`` is rejected here: the ES order key is an
+    unbounded double, not a hex draw, so :func:`grouped_prefix_sum`'s
+    default :func:`draw_bucket` derivation does not apply. Lineage-safe
+    variants need a caller-derived monotone bucket over the ES key
+    (open question; the checkpointed path is correct at any scale, with
+    the executor-loss caveat documented on :func:`grouped_prefix_sum`).
+    """
+    if not checkpoint:
+        raise ValueError(
+            "token_budget_weighted requires checkpoint=True (no monotone "
+            "default bucket exists for the ES order key)"
+        )
+    w = F.col(weight_col).cast("double")
+    neg = "__pb_es_neg"
+    d = (
+        df.filter(w.isNotNull() & (w > 0))
+        # ES key is ln(u)/w ranked DESCENDING; negate for the ascending
+        # prefix-sum order (u in (0,1) => ln(u) < 0 => -ln(u)/w > 0)
+        .withColumn(neg, -(F.log(uniform_draw(F.col(key), seed)) / w))
+    )
+    d = grouped_prefix_sum(
+        d, [domain], [neg, key], tokens_col, cum_col,
+        checkpoint=checkpoint,
+    )
+    budget = _domain_budget(domain, budgets, default_budget)
+    return d.filter(F.col(cum_col) <= budget).drop(neg)
 
 
 def length_bucket_batches(

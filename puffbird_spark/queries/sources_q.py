@@ -707,6 +707,53 @@ def split_weighted_sample(spark, sf_dir):
     )
 
 
+@query("split_token_budget_weighted", oracle=f"""
+WITH d AS (
+  SELECT doc_id, source, n_chars, (n_chars % 97) + 1 AS quality,
+    (('0x' || substr(md5('wbudget:' || {_enc_sql('doc_id')}), 1, 16))
+       ::UBIGINT::DOUBLE + 0.5) / 18446744073709551616.0 AS u
+  FROM documents),
+c AS (
+  SELECT doc_id, source, n_chars, quality,
+    CAST(SUM(n_chars) OVER (
+      PARTITION BY source
+      ORDER BY ln(u) / quality DESC, doc_id) AS BIGINT) AS cum_tokens
+  FROM d)
+SELECT doc_id, source, n_chars, CAST(quality AS BIGINT) AS quality,
+       cum_tokens
+FROM c
+WHERE cum_tokens <= CASE source WHEN 'src0' THEN 4000 WHEN 'src1' THEN 2500
+                    ELSE 1500 END
+""")
+def split_token_budget_weighted(spark, sf_dir):
+    """Quality-weighted per-domain token budget (the
+    token_budget x weighted_sample fusion, round-6 NOTES candidate):
+    each source's token budget fills in DESCENDING Efraimidis-Spirakis
+    key order over a synthetic quality score ((n_chars % 97) + 1 — any
+    positive column works), so high-quality documents are preferentially
+    retained while the budget is still never exceeded. One grouped
+    prefix-sum over the ES order (two balanced exchanges — a dominant
+    source never becomes one task) + a scan-local CASE filter. The
+    oracle replays the identical uniform draw, ES ordering, and running
+    total, hash-checking membership AND cumulative token counts row by
+    row."""
+    from ..operators.splits import token_budget_weighted
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    ).withColumn("quality", F.col("n_chars") % 97 + 1)
+    out = token_budget_weighted(
+        docs, key="doc_id", domain="source", tokens_col="n_chars",
+        weight_col="quality", budgets={"src0": 4000, "src1": 2500},
+        seed="wbudget", default_budget=1500,
+    )
+    return out.select(
+        "doc_id", "source", "n_chars",
+        F.col("quality").cast("long").alias("quality"),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+    )
+
+
 @query("pack_token_budget", oracle=f"""
 WITH d AS (
   SELECT doc_id, source, n_chars,

@@ -269,6 +269,54 @@ def test_token_budget_never_exceeded_and_prefix_closed(spark, sf_dir):
     assert dropped.filter(F.col("cum") <= budget_expr).count() == 0
 
 
+def test_token_budget_weighted_prefix_and_weights(spark, sf_dir):
+    """Weighted token budget: budget never exceeded; the kept set is a
+    prefix of the ES (weighted-preference) order — every dropped doc's
+    ES-order cumulative total exceeds the budget; NULL / non-positive
+    weights are dropped; checkpoint=False is rejected."""
+    import pytest
+
+    from puffbird_spark.operators.splits import (
+        token_budget_weighted, uniform_draw)
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    ).withColumn("quality", F.col("n_chars") % 97 + 1)
+    budgets = {"src0": 4000, "src1": 2500}
+    kept = token_budget_weighted(
+        docs, "doc_id", "source", "n_chars", "quality", budgets,
+        default_budget=1500)
+    totals = {r["source"]: r["tot"] for r in
+              kept.groupBy("source").agg(F.sum("n_chars").alias("tot"))
+              .collect()}
+    for src, tot in totals.items():
+        assert tot <= budgets.get(src, 1500), (src, tot)
+    # prefix-closed in ES order (naive single-window replay)
+    es = F.log(uniform_draw(F.col("doc_id"), "wbudget")) / F.col("quality")
+    w = Window.partitionBy("source").orderBy(F.desc("es"), "doc_id")
+    full = (docs.withColumn("es", es)
+            .withColumn("cum", F.sum("n_chars").over(w)))
+    dropped = full.join(kept.select("doc_id"), "doc_id", "left_anti")
+    budget_expr = (
+        F.when(F.col("source") == "src0", 4000)
+        .when(F.col("source") == "src1", 2500).otherwise(1500)
+    )
+    assert dropped.filter(F.col("cum") <= budget_expr).count() == 0
+    # NULL / non-positive weights never survive
+    bad = docs.withColumn(
+        "quality",
+        F.when(F.col("doc_id") % 3 == 0, F.lit(None).cast("double"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(-1.0)).otherwise(F.lit(2.0)))
+    out = token_budget_weighted(
+        bad, "doc_id", "source", "n_chars", "quality",
+        {"src0": 10**9}, default_budget=10**9)
+    assert out.filter(F.col("doc_id") % 3 != 2).count() == 0
+    with pytest.raises(ValueError, match="checkpoint"):
+        token_budget_weighted(
+            docs, "doc_id", "source", "n_chars", "quality", budgets,
+            checkpoint=False)
+
+
 def test_length_bucket_batches_shape(spark, sf_dir):
     """Batches are dense per bucket: positions 0..batch_size-1, every
     batch except possibly the last is full, and bucket assignment matches
