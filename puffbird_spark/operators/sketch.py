@@ -40,7 +40,7 @@ rather than silently trusting a sketch.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Iterator, Sequence
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -171,6 +171,122 @@ def top_k_frequent(
     # crossJoin — re-apply it so the output order is pinned by the plan,
     # not by the current physical strategy (ADVICE r5).
     return out.orderBy(F.desc("n_occurrences"), F.asc("item"))
+
+
+def _kmv_fold(k: int, group_cols: list[str]):
+    """mapInPandas kernel: fold all of a partition's batches into the
+    bottom-``k``-by-draw rows per group — the scan-local half of
+    :func:`kmv_sample` (≤ k rows per (partition, group) emitted, zero
+    shuffle, same shape as :func:`_mg_summaries`)."""
+    sort_cols = [*group_cols, "__draw", "__key"]
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: pd.DataFrame | None = None
+        for pdf in batches:
+            cur = pdf if acc is None else pd.concat(
+                [acc, pdf], ignore_index=True)
+            cur = cur.sort_values(sort_cols, kind="mergesort",
+                                  ignore_index=True)
+            acc = (cur.groupby(group_cols, sort=False).head(k)
+                   if group_cols else cur.head(k))
+        if acc is not None:
+            yield acc
+
+    return fold
+
+
+def kmv_sample(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    k: int = 256,
+    group_cols: Sequence[str] = (),
+    seed: str = "kmv",
+) -> DataFrame:
+    """KMV (bottom-k) sketch per group: the ``k`` rows whose
+    content-deterministic draw (``splits.hash_draw``) is smallest — an
+    exact uniform k-sample of each group that is
+
+    - **deterministic**: membership is a pure function of the key, so
+      the sketch is re-run-stable and oracle-checkable bit for bit
+      (unlike reservoir sampling, whose result depends on encounter
+      order);
+    - **mergeable**: bottom-k of a union == bottom-k of the two
+      bottom-k sketches (:func:`kmv_merge`), so shards/days/runs sketch
+      independently and combine losslessly — the same persistence story
+      as :func:`hll_sketch_state`, but for QUANTILES rather than
+      distinct counts;
+    - **bounded**: the scan-local fold emits ≤ k rows per (partition,
+      group); only ≤ k x partitions candidate rows enter the one keyed
+      shuffle, never the data (the full-sort ``percentile`` path
+      shuffles everything).
+
+    Returns ``group_cols + (__draw, __key, __val)`` — feed to
+    :func:`kmv_quantiles`. Rows with NULL ``value_col`` are excluded
+    (they have no place in a value distribution).
+
+    Public algorithm: Bar-Yossef et al., "Counting distinct elements in
+    a data stream" (RANDOM'02) introduced bottom-k hashing; using the
+    induced uniform sample for quantile estimation is the standard
+    sample-quantile bound (rank error O(sqrt(q(1-q)/k)) w.h.p.).
+    """
+    from .splits import hash_draw
+
+    proj = df.select(
+        *group_cols,
+        hash_draw(F.col(key), seed).alias("__draw"),
+        F.col(key).cast("string").alias("__key"),
+        F.col(value_col).alias("__val"),
+    ).filter(F.col("__val").isNotNull())
+    cand = proj.mapInPandas(_kmv_fold(k, list(group_cols)), proj.schema)
+    return _bottom_k(cand, k, group_cols)
+
+
+def _bottom_k(df: DataFrame, k: int, group_cols: Sequence[str]) -> DataFrame:
+    w = Window.partitionBy(*group_cols).orderBy("__draw", "__key")
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k).drop("__rk")
+    )
+
+
+def kmv_merge(
+    a: DataFrame, b: DataFrame, k: int, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Lossless sketch merge: union + re-bottom-k. Equal to sketching the
+    concatenated input in one shot (unit-tested bit-equal), because every
+    globally-bottom-k draw is necessarily bottom-k within its own shard."""
+    return _bottom_k(a.unionByName(b), k, group_cols)
+
+
+def kmv_quantiles(
+    sketch: DataFrame,
+    qs: Sequence[float],
+    group_cols: Sequence[str] = (),
+    est_col: str = "est",
+    n_col: str = "sample_n",
+) -> DataFrame:
+    """Deterministic sample quantiles from a :func:`kmv_sample` sketch:
+    for each q, the sample value at 1-based rank ``floor(q*(m-1)) + 1``
+    in (value, key) order — discrete "lower" quantiles, no
+    interpolation, so the estimate is an actual data value and the whole
+    computation is exact-arithmetic reproducible on any engine. The
+    ranking windows run over the ≤ k-row sketch, never the data."""
+    w_ord = Window.partitionBy(*group_cols).orderBy("__val", "__key")
+    w_all = Window.partitionBy(*group_cols)
+    qarr = F.array(*[F.lit(float(q)) for q in qs])
+    d = (
+        sketch.withColumn("__rn", F.row_number().over(w_ord))
+        .withColumn("__m", F.count(F.lit(1)).over(w_all))
+        .select(*group_cols, F.explode(qarr).alias("q"), "__rn", "__m",
+                "__val")
+    )
+    return d.filter(
+        F.col("__rn") == F.floor(F.col("q") * (F.col("__m") - 1)) + 1
+    ).select(
+        *group_cols, "q", F.col("__m").alias(n_col),
+        F.col("__val").alias(est_col),
+    )
 
 
 def hll_rollup(

@@ -707,6 +707,85 @@ def sketch_count_min(spark, sf_dir):
     )
 
 
+def _enc_doc_id() -> str:
+    """DuckDB replay of splits._len_prefixed for the never-NULL doc_id."""
+    v = "CAST(doc_id AS VARCHAR)"
+    return f"'v' || CAST(length({v}) AS VARCHAR) || ':' || {v}"
+
+
+@query("sketch_quantile_kmv", oracle=f"""
+WITH d AS (
+  SELECT source, n_chars AS val, CAST(doc_id AS VARCHAR) AS key,
+    substr(md5('kmv:' || {_enc_doc_id()}), 1, 16) AS draw
+  FROM documents WHERE n_chars IS NOT NULL),
+sk AS (
+  SELECT source, val, key FROM (
+    SELECT source, val, key,
+      row_number() OVER (PARTITION BY source ORDER BY draw, key) AS rk
+    FROM d) WHERE rk <= 64),
+sm AS (
+  SELECT source, val,
+    row_number() OVER (PARTITION BY source ORDER BY val, key) AS rn,
+    COUNT(*) OVER (PARTITION BY source) AS m
+  FROM sk),
+fx AS (
+  SELECT source, val,
+    row_number() OVER (PARTITION BY source ORDER BY val, key) AS rn,
+    COUNT(*) OVER (PARTITION BY source) AS n
+  FROM d),
+qs AS (SELECT * FROM (VALUES (0.1), (0.5), (0.9)) t(q)),
+est AS (
+  SELECT sm.source, qs.q, sm.m, sm.val AS est
+  FROM sm CROSS JOIN qs
+  WHERE sm.rn = CAST(floor(qs.q * (sm.m - 1)) AS BIGINT) + 1),
+ex AS (
+  SELECT fx.source, qs.q, fx.n, fx.val AS exact_q
+  FROM fx CROSS JOIN qs
+  WHERE fx.rn = CAST(floor(qs.q * (fx.n - 1)) AS BIGINT) + 1)
+SELECT est.source, est.q, CAST(est.m AS BIGINT) AS sample_n,
+  CAST(est.est AS BIGINT) AS est, CAST(ex.n AS BIGINT) AS n,
+  CAST(ex.exact_q AS BIGINT) AS exact_q
+FROM est JOIN ex ON est.source = ex.source AND est.q = ex.q
+""")
+def sketch_quantile_kmv(spark, sf_dir):
+    """Mergeable KMV (bottom-k) quantile sketch (`operators/sketch.py`):
+    per-source length quantiles (p10/p50/p90) estimated from the
+    deterministic bottom-64-by-md5 sample, next to the exact quantiles
+    of the full data as the accuracy twin. The sketch build is
+    scan-local (mapInPandas fold, ≤ k rows per partition-group; only
+    candidates shuffle) and the sketch persists/merges losslessly
+    across shards — the quantile analogue of the HLL state column.
+    Every estimate is an actual data value selected at a deterministic
+    rank, so estimate AND exact sides hash-match the single-threaded
+    oracle bit for bit; accuracy bounds are asserted by unit test (not
+    gate booleans — the sample-quantile bound is probabilistic; ADVICE
+    r5 precedent)."""
+    from ..operators.sketch import kmv_quantiles, kmv_sample
+
+    docs = load(spark, sf_dir, "documents")
+    qs = [0.1, 0.5, 0.9]
+    sketch = kmv_sample(docs, key="doc_id", value_col="n_chars", k=64,
+                        group_cols=["source"], seed="kmv")
+    est = kmv_quantiles(sketch, qs, group_cols=["source"])
+    exact_in = docs.select(
+        "source",
+        F.col("n_chars").alias("__val"),
+        F.col("doc_id").cast("string").alias("__key"),
+    ).filter(F.col("__val").isNotNull())
+    exact = kmv_quantiles(
+        exact_in, qs, group_cols=["source"], est_col="exact_q", n_col="n")
+    return (
+        est.join(exact, ["source", "q"])
+        .select(
+            "source", "q",
+            F.col("sample_n").cast("long").alias("sample_n"),
+            F.col("est").cast("long").alias("est"),
+            F.col("n").cast("long").alias("n"),
+            F.col("exact_q").cast("long").alias("exact_q"),
+        )
+    )
+
+
 @query("text_heavy_hitters", oracle="""
 WITH t AS (SELECT unnest(string_split(text, ' ')) AS item FROM documents)
 SELECT item, CAST(COUNT(*) AS BIGINT) AS n_occurrences, TRUE AS guarantee_ok

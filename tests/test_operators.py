@@ -1115,3 +1115,48 @@ def test_pq_topk_recall_and_compression(spark, sf_dir):
 
     with pytest.raises(ValueError, match="divisible"):
         train_pq_codebooks(emb, dim=64, m=7)
+
+
+def test_kmv_merge_equals_one_shot(spark, sf_dir):
+    """Bottom-k sketches merge losslessly: sketching two shards
+    independently and merging must be BIT-EQUAL to sketching the whole
+    corpus in one shot (the property that makes per-shard/per-day
+    sketch persistence valid)."""
+    from puffbird_spark.operators.sketch import kmv_merge, kmv_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    full = kmv_sample(docs, "doc_id", "n_chars", k=64,
+                      group_cols=["source"])
+    a = kmv_sample(docs.filter(F.col("doc_id") % 2 == 0), "doc_id",
+                   "n_chars", k=64, group_cols=["source"])
+    b = kmv_sample(docs.filter(F.col("doc_id") % 2 == 1), "doc_id",
+                   "n_chars", k=64, group_cols=["source"])
+    merged = kmv_merge(a, b, k=64, group_cols=["source"])
+    key = lambda r: (r["source"], r["__draw"], r["__key"])  # noqa: E731
+    assert sorted(map(key, merged.collect())) == \
+        sorted(map(key, full.collect()))
+
+
+def test_kmv_sketch_bounded_and_quantile_accuracy(spark, sf_dir):
+    """The sketch never exceeds k rows per group, and the sample
+    quantile's realized rank error is within the classic
+    4*sqrt(q(1-q)/k) bound (deterministic draw -> not flaky)."""
+    import math
+
+    from puffbird_spark.operators.sketch import kmv_quantiles, kmv_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    k = 256
+    sketch = kmv_sample(docs, "doc_id", "n_chars", k=k)
+    sizes = sketch.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
+    assert sizes <= k
+    qs = [0.1, 0.5, 0.9]
+    est = {r["q"]: r["est"] for r in
+           kmv_quantiles(sketch, qs).collect()}
+    n = docs.count()
+    for q in qs:
+        e = est[q]
+        below = docs.filter(F.col("n_chars") < e).count()
+        realized = below / n
+        assert abs(realized - q) <= 4 * math.sqrt(q * (1 - q) / k) + 2 / k, \
+            (q, realized)
