@@ -840,3 +840,35 @@ def agg_hll_incremental(spark, sf_dir):
         (F.abs(F.col("est") - F.col("n_exact")) / F.col("n_exact")
          <= 0.05).alias("hll_ok"),
     )
+
+
+@query("join_bloom_pruned", oracle="""
+SELECT l.l_orderkey, l.l_linenumber, p.p_brand,
+       CAST(l.l_quantity AS DOUBLE) AS qty
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_size = 1
+""")
+def join_bloom_pruned(spark, sf_dir):
+    """Bloom-pruned shuffle join (`operators/bloomjoin.py`): the classic
+    semi-join reduction — a Bloom filter over the selective dimension's
+    join keys (parts with p_size = 1) is probed scan-locally on the fact
+    side, so only probable matches ever reach the exchange; Bloom has no
+    false negatives, so the result is BIT-EQUAL to the plain join, which
+    is exactly what the oracle checks. Spark's runtime bloomFilter
+    rewrite (SPARK-32268) injects this shape only when cost estimates
+    cooperate; the explicit operator guarantees it, and the filter words
+    are reusable across every fact join of the same dimension. The
+    filter ships as ONE ndarray literal (2^17 bits = 2048 longs) — the
+    decontam lesson about py4j per-element literals applied."""
+    from ..operators.bloomjoin import bloom_pruned_join
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey",
+        F.col("l_quantity").cast("double").alias("qty"),
+    )
+    part = load(spark, sf_dir, "part").filter(F.col("p_size") == 1).select(
+        "p_partkey", "p_brand"
+    )
+    out = bloom_pruned_join(li, part, "l_partkey", "p_partkey",
+                            m_bits=1 << 17)
+    return out.select("l_orderkey", "l_linenumber", "p_brand", "qty")

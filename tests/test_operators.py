@@ -1160,3 +1160,35 @@ def test_kmv_sketch_bounded_and_quantile_accuracy(spark, sf_dir):
         realized = below / n
         assert abs(realized - q) <= 4 * math.sqrt(q * (1 - q) / k) + 2 / k, \
             (q, realized)
+
+
+def test_bloom_pruned_join_bit_equal_and_prunes(spark, sf_dir):
+    """Bloom-pruned join == plain join bit for bit; the scan-local probe
+    really shrinks the fact side (>= true matches, < full fact), and
+    fact-preserving join types are rejected."""
+    import pytest
+
+    from puffbird_spark.operators.bloomjoin import (
+        _SAFE_JOIN_TYPES, bloom_join_filter, bloom_pruned_join)
+    from puffbird_spark.operators.decontam import _bloom_bit_exprs
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_partkey")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        F.col("p_size") == 1).select("p_partkey", "p_brand")
+    got = bloom_pruned_join(li, part, "l_partkey", "p_partkey",
+                            m_bits=1 << 17)
+    plain = li.join(part, li["l_partkey"] == part["p_partkey"])
+    key = lambda r: (r["l_orderkey"], r["l_linenumber"],  # noqa: E731
+                     r["p_brand"])
+    assert sorted(map(key, got.collect())) == \
+        sorted(map(key, plain.collect()))
+    # the probe predicate alone keeps all matches but far from all rows
+    words = bloom_join_filter(part, "p_partkey", m_bits=1 << 17)
+    hits = _bloom_bit_exprs(words, 5)
+    n_pruned = li.filter(hits(F.col("l_partkey").cast("long"))).count()
+    assert plain.count() <= n_pruned < li.count()
+    for bad in ("left", "full", "right", "left_anti"):
+        assert bad not in _SAFE_JOIN_TYPES
+        with pytest.raises(ValueError, match="match-only"):
+            bloom_pruned_join(li, part, "l_partkey", "p_partkey", how=bad)
