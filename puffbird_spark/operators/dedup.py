@@ -591,3 +591,88 @@ def simhash_pairs(
         .select("p.id_a", "p.id_b", "p.hamming")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 20,
+) -> DataFrame:
+    """Exact substring duplication at token-window granularity: every
+    duplicated substring of >= ``n`` tokens shared across documents
+    contains at least one duplicated ``n``-token window, so flagging
+    positions whose window occurs in >= 2 distinct documents finds ALL
+    such spans (the distributed stand-in for the suffix-array pass of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", ACL 2022 — a suffix array does not distribute; a
+    window-digest inverted index does).
+
+    Per input document (with at least one full window) returns::
+
+        id_col, n_windows, n_dup_windows, max_dup_span_tokens
+
+    where ``n_dup_windows`` counts positions whose window text occurs in
+    another document and ``max_dup_span_tokens`` is the longest
+    CONSECUTIVE duplicated stretch, converted back to tokens
+    (``run_length + n - 1``; 0 when the document shares no window).
+    Consecutive flagged positions are folded with the gaps-and-islands
+    trick (pos - row_number), the same shape as sessionize.
+
+    Scale: one shuffle keyed on the 16-byte window digest (one row per
+    token position — the cost of building an inverted index, the honest
+    lower bound for EXACT substring dedup); the per-document island fold
+    partitions by doc id over only the FLAGGED positions. Grouping is by
+    md5 digest, not the window text, so the wide window strings never
+    shuffle; an md5 collision between distinct windows is the only
+    approximation (~2^-64 per pair).
+    """
+    toks = tokens(text_col)
+    nw = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    wins = F.transform(
+        F.sequence(F.lit(1), nw),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    base = df.select(
+        F.col(id_col), nw.alias("n_windows"), wins.alias("__wins")
+    ).filter(F.col("n_windows") >= 1)
+    pos_w = base.select(
+        id_col, "n_windows",
+        F.posexplode("__wins").alias("__p0", "__win"),
+    ).select(
+        id_col, "n_windows",
+        (F.col("__p0") + 1).alias("pos"),
+        F.md5(F.col("__win").cast("binary")).alias("__wh"),
+    )
+    dup = (
+        pos_w.groupBy("__wh")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("__wh")
+    )
+    flagged = pos_w.join(dup, "__wh", "left_semi")
+    from pyspark.sql import Window
+
+    isl = flagged.withColumn(
+        "__g",
+        F.col("pos")
+        - F.row_number().over(
+            Window.partitionBy(id_col).orderBy("pos")),
+    )
+    runs = isl.groupBy(id_col, "__g").agg(F.count(F.lit(1)).alias("__rl"))
+    per = runs.groupBy(id_col).agg(
+        F.sum("__rl").alias("n_dup_windows"),
+        (F.max("__rl") + F.lit(n - 1)).alias("max_dup_span_tokens"),
+    )
+    return (
+        base.select(id_col, "n_windows")
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_windows").cast("long").alias("n_windows"),
+            F.coalesce(F.col("n_dup_windows"), F.lit(0))
+            .cast("long").alias("n_dup_windows"),
+            F.coalesce(F.col("max_dup_span_tokens"), F.lit(0))
+            .cast("long").alias("max_dup_span_tokens"),
+        )
+    )

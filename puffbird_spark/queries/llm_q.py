@@ -1189,3 +1189,46 @@ def text_normalize(spark, sf_dir):
         "doc_id", norm.alias("norm"),
         F.length(norm).cast("long").alias("norm_len"),
     )
+
+
+@query("dedup_substring_spans", oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+           WHERE text IS NOT NULL),
+w0 AS (SELECT doc_id, greatest(len(toks) - 19, 0) AS nw,
+         CASE WHEN len(toks) >= 20
+              THEN [array_to_string(toks[i:i+19], ' ')
+                    FOR i IN range(1, len(toks) - 18)]
+              ELSE [] END AS wins
+       FROM t),
+w AS (SELECT doc_id, unnest(wins) AS win,
+             generate_subscripts(wins, 1) AS pos
+      FROM w0 WHERE nw >= 1),
+dup AS (SELECT win FROM w GROUP BY win HAVING COUNT(DISTINCT doc_id) >= 2),
+f AS (SELECT w.doc_id, w.pos FROM w JOIN dup USING (win)),
+isl AS (SELECT doc_id, pos,
+          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        FROM f),
+runs AS (SELECT doc_id, g, COUNT(*) AS rl FROM isl GROUP BY doc_id, g),
+per AS (SELECT doc_id, SUM(rl) AS ndw, MAX(rl) + 19 AS span
+        FROM runs GROUP BY doc_id)
+SELECT d.doc_id, CAST(d.nw AS BIGINT) AS n_windows,
+  CAST(COALESCE(p.ndw, 0) AS BIGINT) AS n_dup_windows,
+  CAST(COALESCE(p.span, 0) AS BIGINT) AS max_dup_span_tokens
+FROM w0 d LEFT JOIN per p USING (doc_id) WHERE d.nw >= 1
+""")
+def dedup_substring_spans(spark, sf_dir):
+    """Exact substring duplication at 20-token-window granularity
+    (`duplicate_spans`, operators/dedup.py — the distributed stand-in
+    for Lee et al. 2022's suffix-array pass): every cross-document
+    duplicated substring of >= 20 tokens contains a duplicated window,
+    so per-doc duplicated-window counts and the longest consecutive
+    duplicated stretch (gaps-and-islands fold) find all such spans. One
+    shuffle keyed on the 16-byte window digest — window TEXT never
+    shuffles; the oracle groups by the window text itself, so a digest
+    collision would break the hash (none expected at 2^-64/pair). All
+    three per-doc statistics are hash-checked for every document."""
+    from ..operators.dedup import duplicate_spans
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull())
+    return duplicate_spans(docs, "text", "doc_id", n=20)

@@ -1192,3 +1192,30 @@ def test_bloom_pruned_join_bit_equal_and_prunes(spark, sf_dir):
         assert bad not in _SAFE_JOIN_TYPES
         with pytest.raises(ValueError, match="match-only"):
             bloom_pruned_join(li, part, "l_partkey", "p_partkey", how=bad)
+
+
+def test_duplicate_spans_constructed(spark):
+    """Two docs sharing an exact 25-token span (plus unique prefixes)
+    must both report a 25-token max dup span; a fully unique doc
+    reports zero; a doc shorter than one window is excluded."""
+    from puffbird_spark.operators.dedup import duplicate_spans
+
+    shared = " ".join(f"s{i}" for i in range(25))
+    rows = [
+        (1, "a1 a2 a3 a4 a5 " + shared),
+        (2, "b1 b2 b3 b4 b5 b6 " + shared),
+        (3, " ".join(f"u{i}" for i in range(40))),
+        (4, "tiny doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           duplicate_spans(df, "text", "doc_id", n=20).collect()}
+    assert set(got) == {1, 2, 3}  # doc 4 has no full window
+    # shared span of 25 tokens -> 25 - 20 + 1 = 6 consecutive dup
+    # windows -> max span 6 + 19 = 25 tokens
+    for d in (1, 2):
+        assert got[d]["n_dup_windows"] == 6, got[d]
+        assert got[d]["max_dup_span_tokens"] == 25, got[d]
+    assert got[3]["n_dup_windows"] == 0
+    assert got[3]["max_dup_span_tokens"] == 0
+    assert got[3]["n_windows"] == 21
