@@ -153,3 +153,122 @@ def compact_small_files(
         if f.getPath().getName().endswith(".parquet"))
     return {"n_files_in": len(files), "n_files_out": n_files_out,
             "bytes_in": bytes_in}
+
+
+# --------------------------------------------------------------------- #
+# Manifest-based snapshots: O(1) time travel for an append-mostly table
+# (the core mechanism of Iceberg/Delta, reduced to its essentials: an
+# immutable shard directory per write + a JSON manifest per version
+# listing exactly which shards belong to that version).
+# --------------------------------------------------------------------- #
+
+
+def _hadoop_fs(spark, path: str):
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()), jvm
+
+
+def snapshot_versions(spark, table_path: str) -> list[int]:
+    """All committed versions of a snapshot table, ascending (empty if the
+    table does not exist yet). Metadata-only: one directory listing."""
+    fs, jvm = _hadoop_fs(spark, table_path)
+    man_dir = jvm.org.apache.hadoop.fs.Path(f"{table_path}/manifests")
+    if not fs.exists(man_dir):
+        return []
+    out = []
+    for f in fs.listStatus(man_dir):
+        name = f.getPath().getName()
+        if name.startswith("v") and name.endswith(".json"):
+            out.append(int(name[1:-5]))
+    return sorted(out)
+
+
+def _read_manifest(spark, table_path: str, version: int) -> dict:
+    import json
+
+    fs, jvm = _hadoop_fs(spark, table_path)
+    p = jvm.org.apache.hadoop.fs.Path(
+        f"{table_path}/manifests/v{version:05d}.json")
+    stream = fs.open(p)
+    try:
+        # commons-io ships on every Spark classpath; py4j byte[] buffers
+        # are pass-by-value, so a read(buf) loop would see no data
+        text = jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8")
+    finally:
+        stream.close()
+    return json.loads(text)
+
+
+def write_snapshot(
+    spark, df: DataFrame, table_path: str, mode: str = "append"
+) -> int:
+    """Commit ``df`` as the next version of a snapshot table and return
+    the new version number.
+
+    Mechanics: the rows land in a fresh immutable shard directory
+    (``shards/shard-vNNNNN``, written with mode=error so a shard is
+    never silently overwritten); the commit is ONE manifest JSON listing
+    the version's full shard set — the parent's shards plus the new one
+    for ``mode="append"``, just the new one for ``mode="overwrite"``.
+    The manifest is written to a temp name and renamed, so readers never
+    observe a half-written commit (rename is atomic on HDFS and
+    local FS; single-writer assumed — this is a batch-pipeline
+    versioning primitive, not a transaction log with conflict
+    detection).
+
+    Why it matters at 100 TB: time travel and reproducibility become
+    METADATA operations. "Train run X used corpus snapshot v12" pins an
+    immutable shard list forever; appending a day's crawl is one shard
+    write + one manifest, never a table rewrite; rolling back is
+    reading an older manifest. Old shards are garbage-collectable by
+    subtracting live manifests' shard sets from the directory listing.
+    """
+    import json
+
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    fs, jvm = _hadoop_fs(spark, table_path)
+    versions = snapshot_versions(spark, table_path)
+    cur = versions[-1] if versions else 0
+    new_v = cur + 1
+    shard = f"shards/shard-v{new_v:05d}"
+    df.write.mode("error").parquet(f"{table_path}/{shard}")
+    parent_shards = (
+        _read_manifest(spark, table_path, cur)["shards"]
+        if (mode == "append" and cur) else []
+    )
+    manifest = {"version": new_v, "mode": mode,
+                "shards": [*parent_shards, shard]}
+    man_dir = f"{table_path}/manifests"
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(man_dir))
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        f"{man_dir}/.v{new_v:05d}.json.tmp")
+    final = jvm.org.apache.hadoop.fs.Path(f"{man_dir}/v{new_v:05d}.json")
+    stream = fs.create(tmp, True)
+    try:
+        stream.write(bytearray(json.dumps(manifest).encode("utf-8")))
+    finally:
+        stream.close()
+    if not fs.rename(tmp, final):
+        raise IOError(f"manifest commit failed for version {new_v}")
+    return new_v
+
+
+def read_snapshot(
+    spark, table_path: str, version: int | None = None
+) -> DataFrame:
+    """Read a snapshot table AS OF ``version`` (default: latest). The
+    version's manifest pins the exact shard list, so the same version
+    returns the same rows forever, regardless of later appends,
+    overwrites, or compactions that created new shards."""
+    versions = snapshot_versions(spark, table_path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot manifests at {table_path}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not in {versions}")
+    man = _read_manifest(spark, table_path, v)
+    return spark.read.parquet(
+        *[f"{table_path}/{s}" for s in man["shards"]])

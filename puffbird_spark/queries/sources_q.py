@@ -898,3 +898,30 @@ def sink_compact_small_files(spark, sf_dir):
         ok = fh.read().strip() == "1"
     return spark.read.parquet(packed).select(
         "doc_id", "source", "n_chars", F.lit(ok).alias("compact_ok"))
+
+
+@query("scan_time_travel", oracle="""
+SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 3 = 0
+""")
+def scan_time_travel(spark, sf_dir):
+    """Manifest-based snapshot time travel (`operators/layout.py`):
+    version 1 of the table holds one third of the documents; version 2
+    APPENDS another third (one new shard + one manifest JSON — no data
+    rewrite, the Iceberg/Delta mechanism reduced to its essentials).
+    The gate reads AS OF version 1 *after* version 2 was committed and
+    hash-checks it against the original v1 row set — proving the pinned
+    manifest isolates the snapshot from later appends. At 100 TB this
+    is what makes "train run X used corpus snapshot v12" a metadata
+    statement instead of a table copy."""
+    from ..operators.layout import (
+        read_snapshot, snapshot_versions, write_snapshot)
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    path = f"/tmp/pbs_fmt{tag}/documents_snapshots"
+    if len(snapshot_versions(spark, path)) < 2:
+        docs = load(spark, sf_dir, "documents").select(
+            "doc_id", "source", "n_chars")
+        write_snapshot(spark, docs.filter(F.col("doc_id") % 3 == 0), path)
+        write_snapshot(spark, docs.filter(F.col("doc_id") % 3 == 1), path)
+    return read_snapshot(spark, path, version=1).select(
+        "doc_id", "source", "n_chars")

@@ -1219,3 +1219,34 @@ def test_duplicate_spans_constructed(spark):
     assert got[3]["n_dup_windows"] == 0
     assert got[3]["max_dup_span_tokens"] == 0
     assert got[3]["n_windows"] == 21
+
+
+def test_snapshot_time_travel_semantics(spark, tmp_path_factory):
+    """Snapshot table: append builds on the parent's shard set,
+    overwrite starts fresh, old versions stay bit-stable after later
+    commits, and bad reads raise."""
+    import pytest
+
+    from puffbird_spark.operators.layout import (
+        read_snapshot, snapshot_versions, write_snapshot)
+
+    path = str(tmp_path_factory.mktemp("snap") / "tbl")
+    a = spark.range(0, 10).withColumn("tag", F.lit("a"))
+    b = spark.range(10, 15).withColumn("tag", F.lit("b"))
+    c = spark.range(100, 103).withColumn("tag", F.lit("c"))
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, path)
+    assert write_snapshot(spark, a, path) == 1
+    assert write_snapshot(spark, b, path) == 2          # append
+    assert write_snapshot(spark, c, path, mode="overwrite") == 3
+    assert snapshot_versions(spark, path) == [1, 2, 3]
+    ids = lambda v: sorted(  # noqa: E731
+        r["id"] for r in read_snapshot(spark, path, v).collect())
+    assert ids(1) == list(range(10))
+    assert ids(2) == list(range(15))                    # v1 + appended b
+    assert ids(3) == [100, 101, 102]                    # overwrite reset
+    assert ids(None) == [100, 101, 102]                 # latest
+    with pytest.raises(ValueError, match="version 9"):
+        read_snapshot(spark, path, 9)
+    with pytest.raises(ValueError, match="mode"):
+        write_snapshot(spark, a, path, mode="merge")
