@@ -1,0 +1,104 @@
+"""Deterministic distributed k-means over embedding columns — corpus
+clustering for data curation (domain discovery, diversity-balanced
+sampling, cluster-then-filter pipelines a la SemDeDup).
+
+Shape is classic distributed Lloyd (the same loop as Spark MLlib's
+KMeans, reduced to DataFrame ops): centroids live on the driver
+(bounded: k x dim doubles), each iteration is
+
+1. **assignment** — scan-local: the centroids ship into the plan as k
+   ndarray literals and every vector picks its nearest by squared L2,
+   computed as ``dot(v,v) - 2*dot(v,c) + dot(c,c)`` with the same
+   left-fold ``dot`` the cosine operators use (cross-engine stable to
+   the 6-dp rounding; ties break on the lower cluster id). Zero
+   shuffle, zero Python.
+2. **update** — one (cluster, pos) keyed aggregation of the exploded
+   vectors; means are decimal(28,12)-snapped (partitioning- and
+   order-independent — the ``embedding_centroids`` policy) and the
+   k x dim result rows collect back to the driver.
+
+Everything is content-deterministic: initial centroids are the k
+vectors with the smallest ``md5(seed || key)`` draw (a seeded uniform
+pick that any engine can replay — not kmeans++, whose sequential
+D²-sampling is RNG-bound), so the whole trajectory — assignments,
+means, final clusters — is bit-reproducible and oracle-checkable.
+
+An empty cluster keeps its previous centroid (deterministic; rare with
+hash-seeded init on non-degenerate data — the gate corpus produces
+none, which the unit test pins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.vectors import as_double, dot
+
+
+def _assign(e: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """Nearest-centroid assignment with centroids as plan literals:
+    adds ``__cid`` and 6-dp-rounded ``__d2`` to (__id, __v) rows."""
+    import numpy as np
+
+    vv = dot(F.col("__v"), F.col("__v"))
+    opts = []
+    for cid, c in enumerate(cents):
+        lit = F.lit(np.asarray(c, dtype=np.float64))
+        d2 = F.round(
+            vv - 2 * dot(F.col("__v"), lit) + dot(lit, lit), 6)
+        opts.append(F.struct(d2.alias("d"), F.lit(cid).alias("c")))
+    best = F.array_min(F.array(*opts))
+    return e.select(
+        "__id", "__v",
+        best["c"].alias("__cid"), best["d"].alias("__d2"),
+    )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 1,
+    seed: str = "kmeans",
+) -> DataFrame:
+    """Run ``iters`` Lloyd refinements from the deterministic seed
+    centroids and return the final assignment:
+    ``(id_col, cluster, d2)`` with ``d2`` the 6-dp squared L2 distance
+    to the final centroid. Driver traffic per iteration is exactly
+    k x dim mean cells — independent of corpus size."""
+    from .splits import hash_draw
+
+    e = df.select(
+        F.col(id_col).alias("__id"), as_double(vec_col).alias("__v")
+    ).filter(F.col("__v").isNotNull())
+    init_rows = (
+        e.withColumn("__d", hash_draw(F.col("__id"), seed))
+        .orderBy("__d", "__id").limit(k).collect()
+    )
+    if len(init_rows) < k:
+        raise ValueError(f"k={k} exceeds the {len(init_rows)} input rows")
+    cents = [list(r["__v"]) for r in init_rows]
+    for _ in range(iters):
+        assigned = _assign(e, cents)
+        cells = (
+            assigned.select(
+                "__cid", F.posexplode("__v").alias("pos", "x"))
+            .groupBy("__cid", "pos")
+            .agg((F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+                  / F.count(F.lit(1))).alias("m"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in cells:
+            by_cid.setdefault(r["__cid"], {})[r["pos"]] = r["m"]
+        cents = [
+            [by_cid[cid][p] for p in sorted(by_cid[cid])]
+            if cid in by_cid else cents[cid]  # empty: keep previous
+            for cid in range(k)
+        ]
+    return _assign(e, cents).select(
+        F.col("__id").alias(id_col),
+        F.col("__cid").alias("cluster"),
+        F.col("__d2").alias("d2"),
+    )

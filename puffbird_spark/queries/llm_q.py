@@ -1232,3 +1232,59 @@ def dedup_substring_spans(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull())
     return duplicate_spans(docs, "text", "doc_id", n=20)
+
+
+def _kmeans_oracle(k: int = 8) -> str:
+    enc = ("'v' || CAST(length(CAST(vec_id AS VARCHAR)) AS VARCHAR) "
+           "|| ':' || CAST(vec_id AS VARCHAR)")
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ini AS (
+  SELECT vec_id, v,
+    CAST(row_number() OVER (
+      ORDER BY substr(md5('kmeans:' || {enc}), 1, 16), vec_id) AS INT) - 1
+      AS cid
+  FROM e
+  QUALIFY row_number() OVER (
+      ORDER BY substr(md5('kmeans:' || {enc}), 1, 16), vec_id) <= {k}),
+c0 AS (SELECT cid, v AS c FROM ini),
+a1 AS (
+  SELECT e.vec_id, e.v, c0.cid,
+    round(list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c0.c)
+          + list_dot_product(c0.c, c0.c), 6) AS d2
+  FROM e CROSS JOIN c0
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY d2, cid) = 1),
+m1 AS (SELECT cid, CAST(unnest(range(0, len(v))) AS INT) AS pos,
+              unnest(v) AS x
+       FROM a1),
+c1e AS (SELECT cid, pos,
+          CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+        FROM m1 GROUP BY cid, pos),
+c1 AS (SELECT cid, list(m ORDER BY pos) AS c FROM c1e GROUP BY cid),
+a2 AS (
+  SELECT e.vec_id, c1.cid,
+    round(list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c1.c)
+          + list_dot_product(c1.c, c1.c), 6) AS d2
+  FROM e CROSS JOIN c1
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY d2, cid) = 1)
+SELECT vec_id, cluster, d2
+FROM (SELECT vec_id, cid AS cluster, d2 FROM a2)
+"""
+
+
+@query("embedding_kmeans", oracle=_kmeans_oracle())
+def embedding_kmeans(spark, sf_dir):
+    """Deterministic distributed k-means (`operators/clustering.py`,
+    k=8, one Lloyd refinement from hash-seeded centroids) — corpus
+    clustering for curation (domain discovery, SemDeDup-style
+    cluster-then-dedup). Assignment is scan-local (centroids ship as k
+    ndarray literals; squared L2 via the same left-fold dot the cosine
+    family uses, 6-dp rounded, cid tiebreak); the update is ONE
+    (cluster, pos) keyed aggregation with decimal-snapped means, so the
+    whole trajectory is partitioning-independent. The oracle replays
+    seed selection, both assignment passes, and the mean update in SQL
+    — every vector's final cluster AND distance hash-checked."""
+    from ..operators.clustering import kmeans_assign
+
+    emb = load(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, "vec_id", "embedding", k=8, iters=1)

@@ -1250,3 +1250,54 @@ def test_snapshot_time_travel_semantics(spark, tmp_path_factory):
         read_snapshot(spark, path, 9)
     with pytest.raises(ValueError, match="mode"):
         write_snapshot(spark, a, path, mode="merge")
+
+
+def test_kmeans_numpy_replay_and_invariants(spark, sf_dir):
+    """The final assignment must match an independent numpy replay of
+    the full trajectory (seed pick -> assign -> decimal-snapped means ->
+    assign), every cluster must be non-empty on the gate corpus, and
+    k > n raises."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    import pytest
+
+    from puffbird_spark.operators.clustering import kmeans_assign
+    from puffbird_spark.operators.splits import hash_draw
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = {r["vec_id"]: (r["cluster"], r["d2"]) for r in
+           kmeans_assign(emb, "vec_id", "embedding", k=8, iters=1)
+           .collect()}
+    # numpy replay
+    rows = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"),
+        hash_draw(F.col("vec_id"), "kmeans").alias("d")).collect()
+    rows_np = {r["vec_id"]: np.array(r["v"]) for r in rows}
+    seeds = sorted(rows, key=lambda r: (r["d"], r["vec_id"]))[:8]
+    cents = np.stack([rows_np[r["vec_id"]] for r in seeds])
+
+    def assign(c):
+        out = {}
+        for vid, v in rows_np.items():
+            d2 = np.round((v * v).sum() - 2 * (c * v).sum(axis=1)
+                          + (c * c).sum(axis=1), 6)
+            cid = int(np.lexsort((np.arange(len(c)), d2))[0])
+            out[vid] = (cid, float(d2[cid]))
+        return out
+
+    a1 = assign(cents)
+    new = np.zeros_like(cents)
+    for cid in range(8):
+        members = [rows_np[v] for v, (c, _) in a1.items() if c == cid]
+        assert members, f"cluster {cid} empty"
+        for p in range(cents.shape[1]):
+            s = sum(Decimal(repr(m[p])).quantize(
+                Decimal("1e-12"), rounding=ROUND_HALF_UP)
+                for m in members)
+            new[cid, p] = float(s) / len(members)
+    a2 = assign(new)
+    mismatches = [v for v in got if got[v][0] != a2[v][0]]
+    assert not mismatches, mismatches[:5]
+    with pytest.raises(ValueError, match="exceeds"):
+        kmeans_assign(emb.limit(3), "vec_id", "embedding", k=8)
