@@ -61,11 +61,14 @@ _VERIFY_FIRST = [
     "knn_sq_int8",
     "scan_schema_evolution",
 ]
-# ROUND-7 TODO: three r6 gates landed after the 50-slot window filled
+# ROUND-7 TODO: ten r6 gates landed after the 50-slot window filled
 # (all locally hash-green via tools/check_oracle.py; each needs its first
 # driver row — put them at the r7 window head): `agg_hll_incremental`,
-# `stream_incremental_dedup`, `sink_compact_small_files`, `knn_pq`. Then rotate the
-# r4-stale queries (compute as registry − r5 window − r6 window).
+# `stream_incremental_dedup`, `sink_compact_small_files`, `knn_pq`,
+# `split_token_budget_weighted`, `sketch_quantile_kmv`,
+# `join_bloom_pruned`, `dedup_substring_spans`, `scan_time_travel`,
+# `embedding_kmeans`. Then rotate the r4-stale queries (compute as
+# registry − r5 window − r6 window).
 
 
 def _reorder() -> None:
