@@ -61,6 +61,7 @@ def kmeans_assign(
     k: int = 8,
     iters: int = 1,
     seed: str = "kmeans",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Run ``iters`` Lloyd refinements from the deterministic seed
     centroids and return the final assignment:
@@ -97,8 +98,64 @@ def kmeans_assign(
             if cid in by_cid else cents[cid]  # empty: keep previous
             for cid in range(k)
         ]
-    return _assign(e, cents).select(
+    cols = [
         F.col("__id").alias(id_col),
         F.col("__cid").alias("cluster"),
         F.col("__d2").alias("d2"),
+    ]
+    if keep_vec:
+        cols.append(F.col("__v").alias(vec_col))
+    return _assign(e, cents).select(*cols)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 1,
+    threshold: float = 0.45,
+    seed: str = "kmeans",
+) -> DataFrame:
+    """SemDeDup-shaped semantic dedup (Abbas et al., arXiv:2303.09540):
+    cluster the embeddings with :func:`kmeans_assign`, search for
+    near-duplicate pairs (6-dp rounded cosine >= ``threshold``) ONLY
+    WITHIN each cluster, and resolve the pair graph into cluster ids +
+    canonical-survivor flags with the shared min-label connected
+    components.
+
+    The within-cluster restriction is the entire point at scale: the
+    pair search is quadratic only in the cluster size, not the corpus —
+    n²/k expected comparisons, driven lower by raising ``k`` with the
+    corpus (SemDeDup runs k in the tens of thousands at billion-doc
+    scale). The cost is the documented approximation: a near-dup pair
+    split across two centroids is not examined (mitigate with larger
+    ``iters``/``k`` or an epsilon-ball multi-assignment; the exact
+    all-pairs twin is ``dedup_embedding_clusters``).
+
+    Returns ``(id_col, cluster_id, is_canonical)`` for every vector that
+    participates in at least one near-dup pair — drop
+    ``is_canonical = false`` rows to dedup the corpus.
+    """
+    from ..functions.vectors import cosine_rounded
+    from .graph import dedup_clusters
+
+    a = kmeans_assign(
+        df, id_col, vec_col, k=k, iters=iters, seed=seed, keep_vec=True
+    ).select(id_col, "cluster", vec_col)
+    left = a.select(
+        F.col(id_col).alias("id_a"), F.col("cluster").alias("__c"),
+        F.col(vec_col).alias("__va"))
+    right = a.select(
+        F.col(id_col).alias("id_b"), F.col("cluster").alias("__c"),
+        F.col(vec_col).alias("__vb"))
+    pairs = (
+        left.join(right, "__c")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine_rounded(F.col("__va"), F.col("__vb"))
+                >= F.lit(threshold))
+        .select("id_a", "id_b")
     )
+    out = dedup_clusters(pairs)
+    return out.select(
+        F.col("doc_id").alias(id_col), "cluster_id", "is_canonical")

@@ -1234,11 +1234,13 @@ def dedup_substring_spans(spark, sf_dir):
     return duplicate_spans(docs, "text", "doc_id", n=20)
 
 
-def _kmeans_oracle(k: int = 8) -> str:
+def _kmeans_ctes(k: int = 8) -> str:
+    """CTE chain replaying one hash-seeded Lloyd refinement, ending in
+    ``a2`` (vec_id, v, cid, d2 — the final assignment). Shared by the
+    k-means oracle and the semantic-dedup oracle."""
     enc = ("'v' || CAST(length(CAST(vec_id AS VARCHAR)) AS VARCHAR) "
            "|| ':' || CAST(vec_id AS VARCHAR)")
-    return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    return f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 ini AS (
   SELECT vec_id, v,
     CAST(row_number() OVER (
@@ -1262,11 +1264,16 @@ c1e AS (SELECT cid, pos,
         FROM m1 GROUP BY cid, pos),
 c1 AS (SELECT cid, list(m ORDER BY pos) AS c FROM c1e GROUP BY cid),
 a2 AS (
-  SELECT e.vec_id, c1.cid,
+  SELECT e.vec_id, e.v, c1.cid,
     round(list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c1.c)
           + list_dot_product(c1.c, c1.c), 6) AS d2
   FROM e CROSS JOIN c1
-  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY d2, cid) = 1)
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY d2, cid) = 1)"""
+
+
+def _kmeans_oracle(k: int = 8) -> str:
+    return f"""
+WITH {_kmeans_ctes(k)}
 SELECT vec_id, cluster, d2
 FROM (SELECT vec_id, cid AS cluster, d2 FROM a2)
 """
@@ -1288,3 +1295,39 @@ def embedding_kmeans(spark, sf_dir):
 
     emb = load(spark, sf_dir, "embeddings")
     return kmeans_assign(emb, "vec_id", "embedding", k=8, iters=1)
+
+
+@query("dedup_semantic", oracle=f"""
+WITH RECURSIVE {_kmeans_ctes(8)},
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM a2 a JOIN a2 b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v))
+           * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.45),
+edges AS (SELECT id_a AS s, id_b AS d FROM cand
+          UNION SELECT id_b, id_a FROM cand),
+reach AS (
+  SELECT DISTINCT s AS v, s AS r FROM edges
+  UNION
+  SELECT ed.s AS v, reach.r FROM edges ed JOIN reach ON ed.d = reach.v)
+SELECT v AS vec_id, MIN(r) AS cluster_id, (v = MIN(r)) AS is_canonical
+FROM reach GROUP BY v
+""")
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup-shaped semantic dedup (`semantic_dedup`,
+    operators/clustering.py; Abbas et al. 2023): k-means-cluster the
+    embeddings, search cosine >= 0.45 pairs ONLY WITHIN each cluster
+    (pair cost n²/k, not n² — the reason billion-doc semantic dedup is
+    feasible; raise k with the corpus), resolve with the shared
+    min-label connected components. The within-cluster restriction is
+    the documented approximation vs the exact all-pairs twin
+    `dedup_embedding_clusters`; the oracle replays the SAME clustering
+    + restriction, so every surviving pair, cluster id, and canonical
+    flag is hash-checked end to end."""
+    from ..operators.clustering import semantic_dedup
+
+    emb = load(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, "vec_id", "embedding", k=8, iters=1, threshold=0.45)

@@ -1301,3 +1301,31 @@ def test_kmeans_numpy_replay_and_invariants(spark, sf_dir):
     assert not mismatches, mismatches[:5]
     with pytest.raises(ValueError, match="exceeds"):
         kmeans_assign(emb.limit(3), "vec_id", "embedding", k=8)
+
+
+def test_semantic_dedup_subset_of_exact(spark, sf_dir):
+    """SemDeDup members must be a SUBSET of the exact all-pairs
+    near-dup membership (the within-cluster restriction can only lose
+    pairs, never invent them), and on the gate corpus it recovers most
+    of them."""
+    from puffbird_spark.functions.vectors import as_double, cosine_rounded
+    from puffbird_spark.operators.clustering import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # k=4 on the small test corpus: recall of the cluster restriction
+    # tracks cluster size (n/k), so fewer/larger clusters recover more
+    # of the exact pair set (the gate runs k=8 at the driver's sf0.01)
+    sem = {r["vec_id"] for r in
+           semantic_dedup(emb, "vec_id", "embedding", k=4,
+                          threshold=0.45).collect()}
+    e = emb.select("vec_id", as_double("embedding").alias("v"))
+    a, b = e.alias("a"), e.alias("b")
+    exact_pairs = (
+        a.crossJoin(b)
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(cosine_rounded(F.col("a.v"), F.col("b.v")) >= 0.45)
+        .select(F.col("a.vec_id").alias("x"), F.col("b.vec_id").alias("y"))
+        .collect())
+    exact = {r["x"] for r in exact_pairs} | {r["y"] for r in exact_pairs}
+    assert sem <= exact
+    assert exact and len(sem) / len(exact) >= 0.7, (len(sem), len(exact))
