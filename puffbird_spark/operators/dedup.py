@@ -676,3 +676,59 @@ def duplicate_spans(
             .cast("long").alias("max_dup_span_tokens"),
         )
     )
+
+
+def strip_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 5,
+    sep: str = "\n",
+) -> DataFrame:
+    """Line-level boilerplate removal (the RefinedWeb/CCNet line-dedup
+    stage): a line occurring verbatim in >= ``min_docs`` DISTINCT
+    documents is boilerplate (cookie banners, nav menus, license
+    headers) and is stripped; each document's surviving lines are
+    reassembled in original order.
+
+    Returns ``(id_col, n_lines, n_boiler_lines, clean_text)`` — an
+    all-boilerplate document comes back as the empty string, preserving
+    the row so downstream length filters make the drop decision.
+
+    Scale shape: one shuffle keyed on the 16-byte line digest to find
+    boilerplate (line text never shuffles for the count), one left join
+    marking flagged lines (the boilerplate side is typically tiny and
+    broadcasts; at worst it is keyed on the same digest), and one
+    per-document regroup whose order is pinned by ``array_sort`` over
+    (pos, ...) structs — collect_list order is plan-dependent, the sort
+    makes the reassembly deterministic.
+    """
+    import re
+
+    pat = re.escape(sep)
+    ln = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), pat)).alias("pos", "line"),
+    ).withColumn("__lh", F.md5(F.col("line").cast("binary")))
+    boiler = (
+        ln.groupBy("__lh")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__lh", F.lit(True).alias("__is_b"))
+    )
+    marked = ln.join(boiler, "__lh", "left").withColumn(
+        "__b", F.coalesce(F.col("__is_b"), F.lit(False)))
+    kept_lines = F.transform(
+        F.filter(
+            F.array_sort(F.collect_list(
+                F.struct("pos", "line", F.col("__b").alias("b")))),
+            lambda s: ~s["b"],
+        ),
+        lambda s: s["line"],
+    )
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("__b"), 1).otherwise(0))
+        .cast("long").alias("n_boiler_lines"),
+        F.array_join(kept_lines, sep).alias("clean_text"),
+    )

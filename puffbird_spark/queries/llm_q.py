@@ -1331,3 +1331,52 @@ def dedup_semantic(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     return semantic_dedup(
         emb, "vec_id", "embedding", k=8, iters=1, threshold=0.45)
+
+
+@query("dedup_lines", oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+           WHERE text IS NOT NULL),
+l AS (SELECT doc_id,
+        [array_to_string(toks[(i-1)*8+1:(i-1)*8+8], ' ')
+         FOR i IN range(1, CAST(ceil(len(toks) / 8.0) AS INT) + 1)]
+          AS lines
+      FROM t),
+x AS (SELECT doc_id, unnest(lines) AS line,
+             generate_subscripts(lines, 1) AS pos
+      FROM l),
+bo AS (SELECT line FROM x GROUP BY line
+       HAVING COUNT(DISTINCT doc_id) >= 3),
+m AS (SELECT x.doc_id, x.pos, x.line, (bo.line IS NOT NULL) AS b
+      FROM x LEFT JOIN bo USING (line))
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+  CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler_lines,
+  COALESCE(array_to_string(list(line ORDER BY pos) FILTER (WHERE NOT b),
+           chr(10)), '') AS clean_text
+FROM m GROUP BY doc_id
+""")
+def dedup_lines(spark, sf_dir):
+    """Line-level boilerplate removal (`strip_boilerplate_lines`,
+    operators/dedup.py — the RefinedWeb/CCNet line-dedup stage): lines
+    occurring verbatim in >= 3 distinct documents are stripped and each
+    document's surviving lines reassemble in original order. The
+    synthetic corpus has no newlines, so the gate line-ifies each text
+    into 8-token chunks first (the operator is separator-generic; the
+    chunking is replayed identically in the oracle). Counting shuffles
+    16-byte line digests, never line text; reassembly order is pinned
+    by array_sort over (pos, ...) structs. Per-doc line counts,
+    boilerplate counts AND the full cleaned text are hash-checked."""
+    from ..operators.dedup import strip_boilerplate_lines
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull())
+    toks = F.split(F.col("text"), " ")
+    nl = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(1), nl),
+        lambda i: F.array_join(
+            F.slice(toks, (i - 1) * 8 + 1, 8), " "),
+    )
+    lined = docs.select(
+        "doc_id", F.array_join(lines, "\n").alias("text"))
+    return strip_boilerplate_lines(
+        lined, "text", "doc_id", min_docs=3, sep="\n")

@@ -1329,3 +1329,27 @@ def test_semantic_dedup_subset_of_exact(spark, sf_dir):
     exact = {r["x"] for r in exact_pairs} | {r["y"] for r in exact_pairs}
     assert sem <= exact
     assert exact and len(sem) / len(exact) >= 0.7, (len(sem), len(exact))
+
+
+def test_strip_boilerplate_lines_constructed(spark):
+    """A banner shared by 3 docs is stripped (min_docs=3), a line
+    shared by only 2 docs survives, order is preserved, and an
+    all-boilerplate doc returns the empty string."""
+    from puffbird_spark.operators.dedup import strip_boilerplate_lines
+
+    banner = "COOKIE BANNER ACCEPT ALL"
+    rows = [
+        (1, f"{banner}\nunique one\nshared pair"),
+        (2, f"{banner}\nshared pair\nunique two"),
+        (3, f"unique three\n{banner}"),
+        (4, banner),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           strip_boilerplate_lines(df, min_docs=3).collect()}
+    assert got[1]["clean_text"] == "unique one\nshared pair"
+    assert got[2]["clean_text"] == "shared pair\nunique two"
+    assert got[3]["clean_text"] == "unique three"
+    assert got[4]["clean_text"] == ""          # row preserved, emptied
+    assert [got[i]["n_boiler_lines"] for i in (1, 2, 3, 4)] == [1, 1, 1, 1]
+    assert got[1]["n_lines"] == 3
