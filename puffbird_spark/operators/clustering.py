@@ -137,23 +137,32 @@ def semantic_dedup(
     participates in at least one near-dup pair — drop
     ``is_canonical = false`` rows to dedup the corpus.
     """
-    from ..functions.vectors import cosine_rounded
+    from ..functions.vectors import dot, norm
     from .graph import dedup_clusters
 
+    # Hoist the norm out of the quadratic stage: computed once per ROW
+    # here, the pair filter costs one dot-fold instead of three.
+    # Bit-identical to cosine_rounded(va, vb) — norm(v) is the same
+    # float either side of the join, and the rounding happens after the
+    # same division.
     a = kmeans_assign(
         df, id_col, vec_col, k=k, iters=iters, seed=seed, keep_vec=True
-    ).select(id_col, "cluster", vec_col)
+    ).select(
+        id_col, "cluster", vec_col, norm(F.col(vec_col)).alias("__n"))
     left = a.select(
         F.col(id_col).alias("id_a"), F.col("cluster").alias("__c"),
-        F.col(vec_col).alias("__va"))
+        F.col(vec_col).alias("__va"), F.col("__n").alias("__na"))
     right = a.select(
         F.col(id_col).alias("id_b"), F.col("cluster").alias("__c"),
-        F.col(vec_col).alias("__vb"))
+        F.col(vec_col).alias("__vb"), F.col("__n").alias("__nb"))
     pairs = (
         left.join(right, "__c")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine_rounded(F.col("__va"), F.col("__vb"))
-                >= F.lit(threshold))
+        .filter(
+            F.round(
+                dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb")), 6)
+            >= F.lit(threshold))
         .select("id_a", "id_b")
     )
     out = dedup_clusters(pairs)

@@ -1,0 +1,117 @@
+"""N-gram language-model perplexity scoring — the CCNet-style quality
+filter (Wenzek et al., LREC 2020: train a LM on a trusted corpus, score
+candidate documents, drop the high-perplexity tail). The reference has no
+LM surface; this is EXT north-star coverage for training-data curation.
+
+Shape, Spark-first:
+
+1. **train** — token-bigram counts over the trusted corpus: one explode
+   of consecutive-pair structs + a ``(prev, w)``-keyed aggregation
+   (map-side partial combine; shuffles counts, never text). Context
+   totals are a second, strictly smaller agg over the bigram table, and
+   the vocabulary size is a one-row scalar that broadcasts.
+2. **score** — each candidate document's bigrams LEFT-join the count
+   tables on their natural keys (``(prev, w)`` then ``prev``) and fold
+   into an add-alpha log-probability:
+
+       p(w | prev) = (c(prev, w) + a) / (c(prev) + a * V)
+
+   Unseen bigrams and unseen contexts degrade gracefully to the
+   smoothing floor (that is the point of alpha). The per-document score
+   is the average negative log-probability — monotone with perplexity
+   (ppl = exp(score)) without exposing a cross-engine ``exp``.
+
+Determinism: each bigram's log-prob is rounded to 9 dp and snapped to
+``decimal(20,9)`` before the per-document sum, so the aggregate is exact
+and partitioning/order independent (the ``embedding_centroids`` policy);
+the final average is rounded to 6 dp.
+
+At 100 TB: the bigram table is vocabulary-bounded, not corpus-bounded —
+for real text it plateaus around |V|·k rows and can be broadcast when it
+fits (pass ``broadcast_counts=True``); otherwise the scoring joins are
+plain co-keyed shuffle joins that AQE handles. No collect anywhere; the
+vocabulary scalar rides a broadcast cross-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _bigrams(df: DataFrame, text_col: str, extra: list[str]) -> DataFrame:
+    """Explode whitespace-token consecutive pairs: one struct<p,w> row
+    per bigram, scan-local (no shuffle)."""
+    toks = F.split(F.col(text_col), " ")
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(*extra, toks.alias("__toks"))
+        .filter(F.size("__toks") >= 2)
+        .select(
+            *extra,
+            F.explode(
+                F.expr(
+                    "transform(slice(__toks, 1, size(__toks) - 1),"
+                    " (p, i) -> struct(p, element_at(__toks, i + 2) AS w))"
+                )
+            ).alias("__bg"),
+        )
+        .select(*extra, F.col("__bg.p").alias("p"), F.col("__bg.w").alias("w"))
+    )
+
+
+def bigram_counts(
+    train: DataFrame, text_col: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train the LM: returns ``(bi, ctx, voc)`` — bigram counts keyed on
+    ``(p, w)``, context totals keyed on ``p``, and a one-row vocabulary
+    size. Two keyed aggs + one global count; text never shuffles."""
+    bg = _bigrams(train, text_col, [])
+    bi = bg.groupBy("p", "w").agg(F.count(F.lit(1)).alias("c"))
+    ctx = bi.groupBy("p").agg(F.sum("c").alias("cc"))
+    voc = (
+        train.filter(F.col(text_col).isNotNull())
+        .select(F.explode(F.split(F.col(text_col), " ")).alias("t"))
+        .agg(F.countDistinct("t").alias("v"))
+    )
+    return bi, ctx, voc
+
+
+def perplexity_score(
+    docs: DataFrame,
+    train: DataFrame,
+    text_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    broadcast_counts: bool = False,
+) -> DataFrame:
+    """Score every document of ``docs`` (with >= 2 tokens) under the
+    bigram LM trained on ``train``: returns
+    ``(id_col, n_bigrams, avg_neg_logp)`` where ``avg_neg_logp`` is the
+    6-dp average negative natural-log probability (perplexity =
+    ``exp(avg_neg_logp)`` — monotone, so filters threshold this score
+    directly)."""
+    bi, ctx, voc = bigram_counts(train, text_col)
+    if broadcast_counts:
+        bi, ctx = F.broadcast(bi), F.broadcast(ctx)
+    bg = _bigrams(docs, text_col, [F.col(id_col)])
+    lp = F.round(
+        F.log(
+            (F.coalesce(F.col("c"), F.lit(0)) + F.lit(alpha))
+            / (F.coalesce(F.col("cc"), F.lit(0))
+               + F.lit(alpha) * F.col("v"))
+        ),
+        9,
+    ).cast("decimal(20,9)")
+    return (
+        bg.join(bi, ["p", "w"], "left")
+        .join(ctx, ["p"], "left")
+        .crossJoin(F.broadcast(voc))
+        .select(id_col, lp.alias("__lp"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum("__lp").cast("double") / (-F.count(F.lit(1))), 6
+            ).alias("avg_neg_logp"),
+        )
+    )

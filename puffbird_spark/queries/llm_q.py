@@ -1380,3 +1380,51 @@ def dedup_lines(spark, sf_dir):
         "doc_id", F.array_join(lines, "\n").alias("text"))
     return strip_boilerplate_lines(
         lined, "text", "doc_id", min_docs=3, sep="\n")
+
+
+@query("text_perplexity_bigram", oracle="""
+WITH tr AS (SELECT string_split(text, ' ') AS toks FROM documents
+            WHERE doc_id % 2 = 0 AND text IS NOT NULL
+              AND len(string_split(text, ' ')) >= 2),
+trb AS (SELECT unnest([{'p': toks[i], 'w': toks[i+1]}
+                       FOR i IN range(1, len(toks))]) AS bg
+        FROM tr),
+bi AS (SELECT bg.p AS p, bg.w AS w, COUNT(*) AS c FROM trb GROUP BY 1, 2),
+ctx AS (SELECT p, SUM(c) AS cc FROM bi GROUP BY 1),
+voc AS (SELECT COUNT(DISTINCT t) AS v
+        FROM (SELECT unnest(toks) AS t FROM tr)),
+d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2),
+db AS (SELECT doc_id, unnest([{'p': toks[i], 'w': toks[i+1]}
+                              FOR i IN range(1, len(toks))]) AS bg
+       FROM d),
+sc AS (SELECT doc_id,
+         CAST(round(ln((COALESCE(bi.c, 0) + 0.5)
+                       / (COALESCE(ctx.cc, 0) + 0.5 * voc.v)), 9)
+              AS DECIMAL(20,9)) AS lp
+       FROM db
+       LEFT JOIN bi ON db.bg.p = bi.p AND db.bg.w = bi.w
+       LEFT JOIN ctx ON db.bg.p = ctx.p
+       CROSS JOIN voc)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       round(CAST(SUM(lp) AS DOUBLE) / -COUNT(*), 6) AS avg_neg_logp
+FROM sc GROUP BY doc_id
+""")
+def text_perplexity_bigram(spark, sf_dir):
+    """CCNet-style LM perplexity scoring (`perplexity_score`,
+    operators/lm.py; Wenzek et al. 2020): train add-0.5-smoothed
+    token-bigram counts on the even-doc_id half of the corpus (the
+    "trusted" LM corpus), score EVERY document's average negative
+    log-probability under it — the quality filter drops the
+    high-perplexity tail. Odd documents exercise the unseen-bigram /
+    unseen-context smoothing floor for real. Counts are (p,w)-keyed
+    aggs (shuffles counts, never text); scoring is two co-keyed LEFT
+    joins + a vocabulary-scalar broadcast; per-bigram log-probs are
+    9-dp decimal-snapped so the per-doc sum is exact and
+    order-independent. Every doc's bigram count AND 6-dp score is
+    hash-checked."""
+    from ..operators.lm import perplexity_score
+
+    docs = load(spark, sf_dir, "documents")
+    return perplexity_score(
+        docs, docs.filter(F.col("doc_id") % 2 == 0), "text", "doc_id")

@@ -1353,3 +1353,48 @@ def test_strip_boilerplate_lines_constructed(spark):
     assert got[4]["clean_text"] == ""          # row preserved, emptied
     assert [got[i]["n_boiler_lines"] for i in (1, 2, 3, 4)] == [1, 1, 1, 1]
     assert got[1]["n_lines"] == 3
+
+
+# ------------------------------------------------------------------ #
+# bigram LM perplexity (operators/lm.py)
+# ------------------------------------------------------------------ #
+
+def test_perplexity_score_matches_python_replay(spark):
+    import math
+
+    train_rows = [(0, "a b a c"), (2, "a b b")]
+    all_rows = train_rows + [(1, "a b z"), (3, "q"), (4, None)]
+    docs = spark.createDataFrame(all_rows, ["doc_id", "text"])
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+
+    from puffbird_spark.operators.lm import perplexity_score
+
+    out = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_neg_logp"])
+        for r in perplexity_score(docs, train, "text", "doc_id").collect()
+    }
+
+    # python replay: counts over train, add-0.5 smoothing, 9dp snap
+    bi, ctx, voc = {}, {}, set()
+    for _, t in train_rows:
+        toks = t.split(" ")
+        voc.update(toks)
+        for p, w in zip(toks, toks[1:]):
+            bi[(p, w)] = bi.get((p, w), 0) + 1
+            ctx[p] = ctx.get(p, 0) + 1
+    v = len(voc)
+
+    def score(text):
+        toks = text.split(" ")
+        lps = [
+            round(math.log(
+                (bi.get((p, w), 0) + 0.5) / (ctx.get(p, 0) + 0.5 * v)), 9)
+            for p, w in zip(toks, toks[1:])
+        ]
+        return len(lps), round(-sum(lps) / len(lps), 6)
+
+    expect = {i: score(t) for i, t in all_rows[:3]}
+    # doc 3 (one token) and doc 4 (NULL) produce no bigrams -> absent
+    assert out == expect
+    # doc 1's "b z" bigram is unseen -> exercises the smoothing floor
+    assert ("b", "z") not in bi
