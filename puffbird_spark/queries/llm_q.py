@@ -1428,3 +1428,41 @@ def text_perplexity_bigram(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     return perplexity_score(
         docs, docs.filter(F.col("doc_id") % 2 == 0), "text", "doc_id")
+
+
+@query("text_quality_classifier", oracle="""
+WITH w AS (SELECT i AS bucket,
+         CAST(round(CAST(CAST('0x' || substr(md5('qwv:' || CAST(i AS VARCHAR)), 1, 8)
+                         AS BIGINT) AS DOUBLE) / 4294967296 - 0.5, 9)
+              AS DECIMAL(20,9)) AS weight
+       FROM range(0, 256) t(i)),
+t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE text IS NOT NULL),
+b AS (SELECT doc_id,
+        CAST('0x' || substr(md5('qw:' || tok), 1, 8) AS BIGINT) % 256
+          AS bucket
+      FROM t),
+s AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        round(CAST(SUM(weight) AS DOUBLE) / COUNT(*), 6) AS score
+      FROM b JOIN w USING (bucket) GROUP BY doc_id)
+SELECT doc_id, n_tokens, score,
+       round(1 / (1 + exp(-score)), 6) AS p_keep
+FROM s
+""")
+def text_quality_classifier(spark, sf_dir):
+    """fastText-shaped hashed linear quality scoring
+    (`linear_quality_score`, operators/classifier.py; Joulin et al.
+    2016) — the model-based quality filter next to LM perplexity: each
+    token hashes to one of 256 buckets (md5 hashing trick, scan-local
+    codegen), bucket weights broadcast-join the exploded tokens (a
+    weight vector is model-sized — always broadcastable; zero shuffle),
+    and the per-doc mean rides one id-keyed agg with 9-dp
+    decimal-snapped sums. The gate's weights are the deterministic
+    `hashed_weights` stand-in so the ENTIRE pipeline — hashing, join,
+    exact mean, sigmoid — is replayed in SQL and every doc's token
+    count, 6-dp score, and keep-probability hash-checked; production
+    passes trained coefficients as the same (bucket, weight) table."""
+    from ..operators.classifier import linear_quality_score
+
+    docs = load(spark, sf_dir, "documents")
+    return linear_quality_score(docs, "text", "doc_id", dim=256)

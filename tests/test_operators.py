@@ -1398,3 +1398,45 @@ def test_perplexity_score_matches_python_replay(spark):
     assert out == expect
     # doc 1's "b z" bigram is unseen -> exercises the smoothing floor
     assert ("b", "z") not in bi
+
+
+# ------------------------------------------------------------------ #
+# hashed linear quality classifier (operators/classifier.py)
+# ------------------------------------------------------------------ #
+
+def test_linear_quality_score_with_trained_weights(spark):
+    """The production path: caller-supplied (bucket, weight) table."""
+    import hashlib
+    import math
+    from decimal import Decimal
+
+    from puffbird_spark.operators.classifier import linear_quality_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "c"), (3, None)], ["doc_id", "text"])
+    dim = 4
+    w = {b: Decimal(b) / 10 - Decimal("0.15") for b in range(dim)}
+    weights = spark.createDataFrame(
+        [(b, w[b]) for b in range(dim)], "bucket long, weight decimal(20,9)")
+
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["score"], r["p_keep"])
+        for r in linear_quality_score(
+            docs, "text", "doc_id", dim=dim, weights=weights).collect()
+    }
+
+    def bucket(tok):
+        return int(hashlib.md5(f"qw:{tok}".encode()).hexdigest()[:8], 16) % dim
+
+    for doc_id, text in [(1, "a b a"), (2, "c")]:
+        toks = text.split(" ")
+        score = round(float(sum(w[bucket(t)] for t in toks)) / len(toks), 6)
+        p = round(1 / (1 + math.exp(-score)), 6)
+        assert out[doc_id] == (len(toks), score, p)
+    assert 3 not in out  # NULL text drops
+
+    # weight join must be broadcast: no exchange on the weights side
+    plan = linear_quality_score(
+        docs, "text", "doc_id", dim=dim, weights=weights
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
