@@ -155,6 +155,58 @@ def compact_small_files(
             "bytes_in": bytes_in}
 
 
+def file_stats(spark, path: str, cols: list[str]) -> DataFrame:
+    """Per-file min/max statistics for ``cols`` — the data-skipping index
+    every lakehouse keeps next to its manifest (Delta's stats JSON,
+    Iceberg's manifest metrics), computed as ONE scan grouped by
+    ``input_file_name()``. The result is file-count-sized (metadata
+    scale, not data scale); persist it next to the table and refresh
+    per-append — new shards only."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(*aggs)
+    )
+
+
+def pruned_read(
+    spark,
+    path: str,
+    col: str,
+    lo,
+    hi,
+    stats: DataFrame | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Read ``path`` for the predicate ``col BETWEEN lo AND hi`` touching
+    only the files whose [min, max] interval overlaps — file-level data
+    skipping ABOVE parquet's row-group stats (planner-level pruning:
+    skipped files never even get a task; on a clustered layout — see
+    :func:`zorder_repartition` — that is most of them).
+
+    Returns ``(df, n_files_read, n_files_total)``; ``df`` already has
+    the exact predicate applied, so the result equals a full-scan
+    filter regardless of pruning quality. The file-list collect is
+    bounded by the FILE count (manifest scale), never by rows.
+    """
+    if stats is None:
+        stats = file_stats(spark, path, [col])
+    rows = stats.select("file", f"min_{col}", f"max_{col}").collect()
+    keep = [
+        r["file"] for r in rows
+        if r[f"min_{col}"] is not None
+        and not (r[f"max_{col}"] < lo or r[f"min_{col}"] > hi)
+    ]
+    total = len(rows)
+    if not keep:  # degenerate: nothing overlaps — empty frame, 0 files
+        df = spark.read.parquet(path).filter(F.lit(False))
+        return df, 0, total
+    df = spark.read.parquet(*keep).filter(F.col(col).between(lo, hi))
+    return df, len(keep), total
+
+
 # --------------------------------------------------------------------- #
 # Manifest-based snapshots: O(1) time travel for an append-mostly table
 # (the core mechanism of Iceberg/Delta, reduced to its essentials: an
@@ -254,6 +306,60 @@ def write_snapshot(
     if not fs.rename(tmp, final):
         raise IOError(f"manifest commit failed for version {new_v}")
     return new_v
+
+
+def snapshot_diff(
+    spark,
+    table_path: str,
+    v_from: int,
+    v_to: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """Change-data feed between two committed snapshot versions: one row
+    per changed key with ``change`` in ``insert | delete | update``
+    (keys whose non-key payload is identical in both versions are
+    absent). This is what downstream incremental consumers (index
+    refresh, dedup-state maintenance, rollup deltas) read instead of
+    re-scanning the table.
+
+    Two physical paths, picked from the MANIFESTS (metadata, no data
+    read):
+
+    - **append fast path** — when ``v_from``'s shard set is a subset of
+      ``v_to``'s (the normal append-only history), the diff is exactly
+      the rows of the new shards: read ONLY those, emit ``insert``, no
+      join at all. Diff cost scales with the delta, never the table.
+    - **general path** — otherwise (overwrite/compaction rewrote
+      shards), a key-keyed full-outer join of the two snapshots with a
+      null-safe payload-struct compare. One co-keyed shuffle; AQE
+      handles skew.
+    """
+    man_from = _read_manifest(spark, table_path, v_from)["shards"]
+    man_to = _read_manifest(spark, table_path, v_to)["shards"]
+    if set(man_from) <= set(man_to):
+        new_shards = [s for s in man_to if s not in set(man_from)]
+        base = read_snapshot(spark, table_path, v_from)
+        if not new_shards:
+            return base.select(*key_cols).filter(F.lit(False)).withColumn(
+                "change", F.lit("insert"))
+        return spark.read.parquet(
+            *[f"{table_path}/{s}" for s in new_shards]
+        ).select(*key_cols).withColumn("change", F.lit("insert"))
+    a = read_snapshot(spark, table_path, v_from)
+    b = read_snapshot(spark, table_path, v_to)
+    val_cols = [c for c in a.columns if c not in key_cols]
+    av = a.select(*key_cols, F.struct(*val_cols).alias("__va"))
+    bv = b.select(*key_cols, F.struct(*val_cols).alias("__vb"))
+    change = (
+        F.when(F.col("__va").isNull(), "insert")
+        .when(F.col("__vb").isNull(), "delete")
+        .when(~F.col("__va").eqNullSafe(F.col("__vb")), "update")
+    )
+    return (
+        av.join(bv, key_cols, "full_outer")
+        .select(*key_cols, change.alias("change"))
+        .filter(F.col("change").isNotNull())
+    )
 
 
 def read_snapshot(

@@ -925,3 +925,86 @@ def scan_time_travel(spark, sf_dir):
         write_snapshot(spark, docs.filter(F.col("doc_id") % 3 == 1), path)
     return read_snapshot(spark, path, version=1).select(
         "doc_id", "source", "n_chars")
+
+
+@query("scan_data_skipping", oracle="""
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+       TRUE AS files_pruned_ok
+FROM lineitem
+WHERE l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1996-02-28'
+GROUP BY l_returnflag
+""")
+def scan_data_skipping(spark, sf_dir):
+    """File-level min/max data skipping (`file_stats`/`pruned_read`,
+    operators/layout.py — the Delta/Iceberg stats-manifest mechanism):
+    lineitem is written range-partitioned + sorted on l_shipdate (8
+    files with tight date ranges), a file-count-sized stats table is
+    built in ONE grouped scan, and a two-month predicate reads ONLY the
+    overlapping files — skipped files never get a task, pruning above
+    parquet's row-group stats. The pruned read's aggregate must equal
+    the full-table filter (the oracle), and `files_pruned_ok` pins that
+    the scan really touched fewer files than the table has. At 100 TB
+    the stats table lives next to the manifest and turns a full-corpus
+    scan into a handful of file reads."""
+    from ..operators.layout import file_stats, pruned_read
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    path = f"/tmp/pbs_fmt{tag}/lineitem_shipdate_ranged"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (load(spark, sf_dir, "lineitem")
+         .select("l_shipdate", "l_returnflag", "l_quantity")
+         .repartitionByRange(8, "l_shipdate")
+         .sortWithinPartitions("l_shipdate")
+         .write.mode("overwrite").parquet(path))
+    import datetime
+
+    # the testdata stores l_shipdate as a timestamp; midnight bounds
+    # coerce identically to the oracle's DATE literals
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1996, 2, 28)
+    stats = file_stats(spark, path, ["l_shipdate"])
+    df, n_read, n_total = pruned_read(spark, path, "l_shipdate", lo, hi,
+                                      stats=stats)
+    return (
+        df.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.sum("l_quantity").cast("double").alias("sum_qty"))
+        .withColumn("files_pruned_ok", F.lit(n_read < n_total))
+    )
+
+
+@query("snapshot_diff_cdc", oracle="""
+SELECT doc_id,
+  CASE WHEN doc_id % 4 = 0 THEN 'delete'
+       WHEN doc_id % 4 = 3 THEN 'insert'
+       ELSE 'update' END AS change
+FROM documents WHERE doc_id % 4 IN (0, 2, 3)
+""")
+def snapshot_diff_cdc(spark, sf_dir):
+    """Change-data feed between snapshot versions (`snapshot_diff`,
+    operators/layout.py): v1 holds doc_id % 4 in {0,1,2}; v2 OVERWRITES
+    with % 4 in {1,2,3} and bumps n_chars for the % 4 == 2 rows. The
+    diff must classify % 4 == 0 as delete, == 3 as insert, == 2 as
+    update, and keep the untouched == 1 rows OUT of the feed — the
+    general path's full-outer join + null-safe payload compare, all
+    replayed from the raw table in SQL. (The manifest-level append fast
+    path — new shards only, no join — is plan-asserted in unit tests.)
+    Incremental consumers read this feed instead of rescanning the
+    table; at 100 TB the normal append diff never touches old data."""
+    from ..operators.layout import (
+        snapshot_diff, snapshot_versions, write_snapshot)
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    path = f"/tmp/pbs_fmt{tag}/documents_cdc_snapshots"
+    if len(snapshot_versions(spark, path)) < 2:
+        docs = load(spark, sf_dir, "documents").select(
+            "doc_id", "source", "n_chars")
+        write_snapshot(
+            spark, docs.filter(F.col("doc_id") % 4 < 3), path)
+        v2 = docs.filter(F.col("doc_id") % 4 > 0).withColumn(
+            "n_chars",
+            F.when(F.col("doc_id") % 4 == 2, F.col("n_chars") + 1)
+            .otherwise(F.col("n_chars")))
+        write_snapshot(spark, v2, path, mode="overwrite")
+    return snapshot_diff(spark, path, 1, 2, ["doc_id"])

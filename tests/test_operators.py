@@ -1440,3 +1440,78 @@ def test_linear_quality_score_with_trained_weights(spark):
         docs, "text", "doc_id", dim=dim, weights=weights
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+# ------------------------------------------------------------------ #
+# file-level data skipping (operators/layout.py)
+# ------------------------------------------------------------------ #
+
+def test_pruned_read_equals_full_filter(spark, tmp_path_factory):
+    from puffbird_spark.operators.layout import file_stats, pruned_read
+
+    path = str(tmp_path_factory.mktemp("skip") / "t")
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    (df.repartitionByRange(5, "k").sortWithinPartitions("k")
+       .write.parquet(path))
+
+    stats = file_stats(spark, path, ["k"])
+    srows = stats.collect()
+    assert len(srows) == 5
+    # ranged+sorted write => disjoint per-file [min,max] intervals
+    spans = sorted((r["min_k"], r["max_k"]) for r in srows)
+    assert all(a[1] < b[0] for a, b in zip(spans, spans[1:]))
+
+    out, n_read, n_total = pruned_read(spark, path, "k", 100, 150,
+                                       stats=stats)
+    expect = df.filter(F.col("k").between(100, 150))
+    assert sorted(r["k"] for r in out.collect()) == sorted(
+        r["k"] for r in expect.collect())
+    assert n_total == 5 and 1 <= n_read < n_total
+
+    # no file overlaps -> zero files read, empty result, schema intact
+    empty, n_read0, _ = pruned_read(spark, path, "k", 5000, 6000,
+                                    stats=stats)
+    assert n_read0 == 0 and empty.count() == 0
+    assert empty.columns == ["k", "v"]
+
+
+def test_snapshot_diff_append_fast_path(spark, tmp_path_factory):
+    """Append-only diff must read ONLY the new shards (no join, no old
+    data) and classify everything as insert."""
+    from puffbird_spark.operators.layout import (
+        snapshot_diff, write_snapshot)
+
+    path = str(tmp_path_factory.mktemp("cdc") / "t")
+    d1 = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    d2 = spark.createDataFrame([(3, "c")], ["k", "v"])
+    assert write_snapshot(spark, d1, path) == 1
+    assert write_snapshot(spark, d2, path) == 2
+
+    diff = snapshot_diff(spark, path, 1, 2, ["k"])
+    assert sorted((r["k"], r["change"]) for r in diff.collect()) == [
+        (3, "insert")]
+    # fast path: the plan scans only the v2 shard — no join operator
+    plan = diff._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "shard-v00002" in plan and "shard-v00001" not in plan
+
+    # identical versions diff to an empty feed
+    assert snapshot_diff(spark, path, 2, 2, ["k"]).count() == 0
+
+
+def test_snapshot_diff_general_path(spark, tmp_path_factory):
+    from puffbird_spark.operators.layout import (
+        snapshot_diff, write_snapshot)
+
+    path = str(tmp_path_factory.mktemp("cdc2") / "t")
+    v1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"])
+    v2 = spark.createDataFrame(
+        [(2, "B"), (3, "c"), (4, "d")], ["k", "v"])
+    write_snapshot(spark, v1, path)
+    write_snapshot(spark, v2, path, mode="overwrite")
+    got = sorted(
+        (r["k"], r["change"])
+        for r in snapshot_diff(spark, path, 1, 2, ["k"]).collect())
+    assert got == [(1, "delete"), (2, "update"), (4, "insert")]
