@@ -1,0 +1,95 @@
+"""Time-series regularization: per-key resampling onto a fixed grid with
+forward fill (last observation carried forward) — the hypertable
+``time_bucket_gapfill + locf`` surface, composed from native DataFrame
+ops.
+
+Why a dedicated operator: windowed aggregations (``stream_tumbling``,
+``hypertable_rollup``) only emit buckets that HAVE data; ML feature
+pipelines and monitoring joins need a dense, regular grid where silent
+periods carry the last known value. The shape:
+
+1. **bucket** — ``date_trunc(step, ts)``, scan-local; the deterministic
+   per-bucket observation is the LAST event by ``(ts, tiebreak...)``
+   via a lexicographic struct-max (one keyed aggregation — no window,
+   no sort of raw events).
+2. **grid** — per-key ``sequence(min_bucket, max_bucket, step)`` from a
+   second tiny keyed agg, exploded. Grid size is (span / step) per key
+   — metadata-scale relative to the raw events it regularizes.
+3. **fill** — one ``last(value, ignorenulls=True)`` running window per
+   key over the grid. The only shuffles are keyed on the entity key;
+   at 100 TB each key's grid is small (span/step rows) so the window
+   never sees a single-task global sort — skew equals key skew, which
+   AQE splits.
+
+The first grid bucket always contains that key's first event, so
+forward fill is total (no leading NULLs) when ``value_col`` is
+non-NULL on events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_STEP_INTERVAL = {
+    "minute": "interval 1 minute",
+    "hour": "interval 1 hour",
+    "day": "interval 1 day",
+}
+
+
+def gap_fill(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    step: str = "hour",
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Resample ``df`` onto a dense per-key ``step`` grid spanning each
+    key's [first, last] bucket: returns
+    ``(*key_cols, bucket_ts, filled_value, is_observed)`` where
+    ``filled_value`` is the last-in-bucket observation carried forward
+    and ``is_observed`` marks buckets that had at least one event.
+
+    ``tiebreak_cols`` pins which event is "last" inside a bucket when
+    timestamps collide (lexicographic after ``ts_col``) — pass a unique
+    id for full determinism.
+    """
+    if step not in _STEP_INTERVAL:
+        raise ValueError(f"step must be one of {sorted(_STEP_INTERVAL)}")
+    tb = tiebreak_cols or []
+    bucket = F.date_trunc(step, F.col(ts_col))
+    pick = F.max(
+        F.struct(F.col(ts_col), *[F.col(c) for c in tb],
+                 F.col(value_col).alias("__v"))
+    )
+    obs = (
+        df.groupBy(*key_cols, bucket.alias("bucket_ts"))
+        .agg(pick.getField("__v").alias("__obs_v"))
+        .withColumn("__obs", F.lit(True))
+    )
+    bounds = df.groupBy(*key_cols).agg(
+        F.date_trunc(step, F.min(ts_col)).alias("__b0"),
+        F.date_trunc(step, F.max(ts_col)).alias("__b1"),
+    )
+    grid = bounds.select(
+        *key_cols,
+        F.explode(
+            F.expr(f"sequence(__b0, __b1, {_STEP_INTERVAL[step]})")
+        ).alias("bucket_ts"),
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, [*key_cols, "bucket_ts"], "left")
+        .select(
+            *key_cols,
+            "bucket_ts",
+            F.last("__obs_v", ignorenulls=True).over(w)
+            .alias("filled_value"),
+            F.coalesce(F.col("__obs"), F.lit(False)).alias("is_observed"),
+        )
+    )

@@ -521,3 +521,47 @@ def stream_incremental_dedup(spark, sf_dir):
         q.awaitTermination(300)
         open(done, "w").close()
     return spark.read.parquet(out_dir).select("doc_id", "digest")
+
+
+@query("timeseries_gap_fill", oracle="""
+WITH e AS (SELECT user_id, ts, event_id, value FROM events
+           WHERE user_id < 50),
+bounds AS (SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+                  date_trunc('hour', max(ts)) AS h1
+           FROM e GROUP BY user_id),
+grid AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+           AS bucket_ts
+         FROM bounds),
+obs AS (SELECT user_id, date_trunc('hour', ts) AS bucket_ts, value,
+          row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                             ORDER BY ts DESC, event_id DESC) AS rn
+        FROM e),
+o1 AS (SELECT user_id, bucket_ts, value, TRUE AS obs
+       FROM obs WHERE rn = 1),
+j AS (SELECT g.user_id, g.bucket_ts, o1.value,
+             COALESCE(o1.obs, FALSE) AS is_observed
+      FROM grid g LEFT JOIN o1 USING (user_id, bucket_ts))
+SELECT user_id, bucket_ts,
+  last_value(value IGNORE NULLS) OVER (
+    PARTITION BY user_id ORDER BY bucket_ts
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+  is_observed
+FROM j
+""")
+def timeseries_gap_fill(spark, sf_dir):
+    """Dense-grid resampling with forward fill (`gap_fill`,
+    operators/timeseries.py — the hypertable time_bucket_gapfill+locf
+    surface): every user gets one row per HOUR spanning their
+    [first, last] event, silent hours carry the last observed value
+    forward, `is_observed` distinguishes real from filled buckets. The
+    per-bucket observation is the deterministic LAST event by
+    (ts, event_id) via struct-max — one keyed agg, never a raw-event
+    sort. Only user-keyed shuffles; grid size is span/step per key, so
+    no single-task window at scale. Every grid row's filled value AND
+    observation flag hash-checked against the SQL replay."""
+    from ..operators.timeseries import gap_fill
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    return gap_fill(
+        ev, ["user_id"], "ts", "value", step="hour",
+        tiebreak_cols=["event_id"])

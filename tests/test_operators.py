@@ -1515,3 +1515,48 @@ def test_snapshot_diff_general_path(spark, tmp_path_factory):
         (r["k"], r["change"])
         for r in snapshot_diff(spark, path, 1, 2, ["k"]).collect())
     assert got == [(1, "delete"), (2, "update"), (4, "insert")]
+
+
+# ------------------------------------------------------------------ #
+# time-series gap fill (operators/timeseries.py)
+# ------------------------------------------------------------------ #
+
+def test_gap_fill_locf_constructed(spark):
+    import datetime as dt
+
+    from puffbird_spark.operators.timeseries import gap_fill
+
+    T = dt.datetime
+    rows = [
+        # key "a": events in hours 10 and 13 -> 11,12 filled from 10
+        (1, "a", T(2024, 1, 1, 10, 5), 1.0),
+        (2, "a", T(2024, 1, 1, 10, 40), 2.0),   # last in bucket wins
+        (3, "a", T(2024, 1, 1, 13, 0), 9.0),
+        # key "b": single event -> single-bucket grid
+        (4, "b", T(2024, 1, 1, 0, 59), 7.0),
+        # tie on ts within a bucket -> higher event_id wins
+        (5, "c", T(2024, 1, 1, 5, 30), 3.0),
+        (6, "c", T(2024, 1, 1, 5, 30), 4.0),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "k", "ts", "value"])
+    out = {
+        (r["k"], r["bucket_ts"].hour): (r["filled_value"], r["is_observed"])
+        for r in gap_fill(df, ["k"], "ts", "value", step="hour",
+                          tiebreak_cols=["event_id"]).collect()
+    }
+    assert out == {
+        ("a", 10): (2.0, True),
+        ("a", 11): (2.0, False),
+        ("a", 12): (2.0, False),
+        ("a", 13): (9.0, True),
+        ("b", 0): (7.0, True),
+        ("c", 5): (4.0, True),
+    }
+
+
+def test_gap_fill_rejects_unknown_step(spark):
+    from puffbird_spark.operators.timeseries import gap_fill
+
+    df = spark.createDataFrame([(1, 1.0)], ["k", "value"])
+    with pytest.raises(ValueError, match="step"):
+        gap_fill(df, ["k"], "k", "value", step="fortnight")
