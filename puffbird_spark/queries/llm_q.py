@@ -1466,3 +1466,69 @@ def text_quality_classifier(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     return linear_quality_score(docs, "text", "doc_id", dim=256)
+
+
+@query("filter_pipeline_audit", oracle="""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+           FROM documents),
+c AS (SELECT doc_id,
+        CASE
+          WHEN NOT COALESCE(len(toks) >= 20, FALSE) THEN 'min_words'
+          WHEN NOT COALESCE(len(toks) <= 90, FALSE) THEN 'max_words'
+          WHEN NOT COALESCE(len(list_filter(toks, x -> x IN ('the','a')))
+                    * 1.0 / len(toks) <= 0.10, FALSE) THEN 'stopword_ratio'
+          WHEN NOT COALESCE(list_sum(list_transform(toks, x -> len(x)))
+                    * 1.0 / len(toks) BETWEEN 4.3 AND 4.7, FALSE)
+            THEN 'mean_word_len'
+          ELSE '__kept' END AS ff,
+        NOT COALESCE(len(toks) >= 20, FALSE) AS f1,
+        NOT COALESCE(len(toks) <= 90, FALSE) AS f2,
+        NOT COALESCE(len(list_filter(toks, x -> x IN ('the','a')))
+             * 1.0 / len(toks) <= 0.10, FALSE) AS f3,
+        NOT COALESCE(list_sum(list_transform(toks, x -> len(x)))
+             * 1.0 / len(toks) BETWEEN 4.3 AND 4.7, FALSE) AS f4
+      FROM t),
+a AS (SELECT
+        SUM(CASE WHEN ff = 'min_words' THEN 1 ELSE 0 END) AS ff1,
+        SUM(CASE WHEN ff = 'max_words' THEN 1 ELSE 0 END) AS ff2,
+        SUM(CASE WHEN ff = 'stopword_ratio' THEN 1 ELSE 0 END) AS ff3,
+        SUM(CASE WHEN ff = 'mean_word_len' THEN 1 ELSE 0 END) AS ff4,
+        SUM(CASE WHEN ff = '__kept' THEN 1 ELSE 0 END) AS kept,
+        SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS a1,
+        SUM(CASE WHEN f2 THEN 1 ELSE 0 END) AS a2,
+        SUM(CASE WHEN f3 THEN 1 ELSE 0 END) AS a3,
+        SUM(CASE WHEN f4 THEN 1 ELSE 0 END) AS a4
+      FROM c)
+SELECT 'min_words' AS rule, CAST(ff1 AS BIGINT) AS n_first_fail,
+       CAST(a1 AS BIGINT) AS n_fail_any FROM a
+UNION ALL SELECT 'max_words', CAST(ff2 AS BIGINT), CAST(a2 AS BIGINT) FROM a
+UNION ALL SELECT 'stopword_ratio', CAST(ff3 AS BIGINT), CAST(a3 AS BIGINT) FROM a
+UNION ALL SELECT 'mean_word_len', CAST(ff4 AS BIGINT), CAST(a4 AS BIGINT) FROM a
+UNION ALL SELECT '__kept', CAST(kept AS BIGINT), CAST(0 AS BIGINT) FROM a
+""")
+def filter_pipeline_audit(spark, sf_dir):
+    """Quality-filter chain with drop accounting (`filter_audit`,
+    operators/filters.py — the per-rule removal rates every published
+    curation pipeline reports): four rules (word-count floor/ceiling,
+    stopword ratio, mean word length) classify each doc to the FIRST
+    rule it fails plus an order-independent fails-at-all count per
+    rule. The whole audit is one scan-local CASE chain + ONE global
+    aggregation — documents never shuffle; the audit is a partition of
+    the corpus (sum of n_first_fail == corpus size, unit-pinned).
+    NULL/unevaluable predicates count as failures. Both counters per
+    rule hash-checked."""
+    from ..operators.filters import filter_audit
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    sw = F.size(F.filter(toks, lambda x: x.isin("the", "a")))
+    mwl = (F.aggregate(toks, F.lit(0),
+                       lambda acc, x: acc + F.length(x))
+           * 1.0 / F.size(toks))
+    rules = [
+        ("min_words", F.size(toks) >= 20),
+        ("max_words", F.size(toks) <= 90),
+        ("stopword_ratio", sw * 1.0 / F.size(toks) <= 0.10),
+        ("mean_word_len", (mwl >= 4.3) & (mwl <= 4.7)),
+    ]
+    return filter_audit(docs, rules)

@@ -1560,3 +1560,42 @@ def test_gap_fill_rejects_unknown_step(spark):
     df = spark.createDataFrame([(1, 1.0)], ["k", "value"])
     with pytest.raises(ValueError, match="step"):
         gap_fill(df, ["k"], "k", "value", step="fortnight")
+
+
+# ------------------------------------------------------------------ #
+# filter pipeline audit (operators/filters.py)
+# ------------------------------------------------------------------ #
+
+def test_filter_audit_partitions_the_corpus(spark):
+    from puffbird_spark.operators.filters import (
+        KEPT, apply_filters, filter_audit)
+
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 50), (3, 500), (4, 60), (5, None)],
+        ["doc_id", "n"])
+    rules = [
+        ("too_small", F.col("n") >= 10),     # fails 1 and NULL-5
+        ("too_big", F.col("n") <= 100),      # fails 3
+        ("not_60", F.col("n") != 60),        # fails 4 (and 60-ish)
+    ]
+    audit = {r["rule"]: (r["n_first_fail"], r["n_fail_any"])
+             for r in filter_audit(docs, rules).collect()}
+    assert audit == {
+        # NULL doc 5 is unevaluable -> fails EVERY rule's n_fail_any,
+        # but is first-fail-attributed only to the first rule
+        "too_small": (2, 2),
+        "too_big": (1, 2),
+        "not_60": (1, 2),
+        KEPT: (1, 0),
+    }
+    # the audit partitions the corpus
+    assert sum(v[0] for v in audit.values()) == docs.count()
+    assert [r["doc_id"] for r in apply_filters(docs, rules).collect()] == [2]
+
+
+def test_filter_audit_rejects_duplicate_names(spark):
+    from puffbird_spark.operators.filters import filter_audit
+
+    docs = spark.createDataFrame([(1,)], ["n"])
+    with pytest.raises(ValueError, match="duplicate"):
+        filter_audit(docs, [("r", F.col("n") > 0), ("r", F.col("n") < 9)])
