@@ -165,3 +165,51 @@ def shingles(toks: Column, n: int = 3, sep: str = " ") -> Column:
     """Distinct sorted word n-gram shingles (for MinHash / Jaccard dedup).
     Documents shorter than ``n`` tokens yield an empty array."""
     return F.array_sort(F.array_distinct(gram_occurrences(toks, n, sep)))
+
+
+def winnow_gram_hashes(text: str | Column, k: int = 5) -> Column:
+    """Rolling char-k-gram hashes for winnowing: position i (1-based)
+    hashes ``substr(text, i, k)`` to a 32-bit int via the md5 prefix
+    (cross-engine replayable, unlike xxhash). Empty for text shorter
+    than ``k``. Pure codegen expression — no UDF, no shuffle."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.when(
+        F.length(c) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.length(c) - (k - 1)),
+            lambda i: F.conv(
+                F.substring(F.md5(c.substr(i, F.lit(k))), 1, 8), 16, 10
+            ).cast("bigint"),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def winnow_positions(grams: Column, w: int = 4) -> Column:
+    """Winnowing fingerprint selection (Schleimer et al., SIGMOD'03):
+    slide a window of ``w`` gram hashes; in each window select the
+    RIGHTMOST position achieving the minimum hash, then de-duplicate.
+    Guarantee: any two documents sharing a substring of length
+    ``>= w + k - 1`` chars share at least one selected fingerprint —
+    the density/guarantee trade-off that makes full-text near-match
+    detection storable (O(n/w) fingerprints per doc, not O(n)).
+
+    Returns the distinct selected 1-based positions into ``grams``."""
+    sel = F.transform(
+        F.sequence(F.lit(1), F.size(grams) - (w - 1)),
+        lambda j: F.array_max(
+            F.filter(
+                F.transform(
+                    F.sequence(j, j + (w - 1)),
+                    lambda p: F.when(
+                        F.element_at(grams, p)
+                        == F.array_min(F.slice(grams, j, w)),
+                        p,
+                    ).otherwise(F.lit(-1)),
+                ),
+                lambda x: x >= 0,
+            )
+        ),
+    )
+    return F.when(F.size(grams) >= w, F.array_distinct(sel)).otherwise(
+        F.array().cast("array<int>")
+    )

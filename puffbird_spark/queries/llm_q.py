@@ -1532,3 +1532,51 @@ def filter_pipeline_audit(spark, sf_dir):
         ("mean_word_len", (mwl >= 4.3) & (mwl <= 4.7)),
     ]
     return filter_audit(docs, rules)
+
+
+@query("text_winnowing", oracle="""
+WITH t AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+g AS (SELECT doc_id,
+        [CAST('0x' || substr(md5(substr(text, i, 5)), 1, 8) AS BIGINT)
+         FOR i IN range(1, greatest(len(text) - 4, 0) + 1)] AS gr
+      FROM t),
+s AS (SELECT doc_id, gr,
+        list_distinct([
+          list_max([p FOR p IN range(j, j + 4)
+                    IF gr[p] = list_min(gr[j:j+3])])
+          FOR j IN range(1, greatest(len(gr) - 3, 0) + 1)]) AS pos
+      FROM g)
+SELECT doc_id, CAST(len(gr) AS BIGINT) AS n_grams,
+       CAST(len(pos) AS BIGINT) AS n_fingerprints,
+       CAST(len(list_distinct([gr[p] FOR p IN pos])) AS BIGINT)
+         AS n_fp_hashes
+FROM s
+""")
+def text_winnowing(spark, sf_dir):
+    """Winnowing document fingerprints (`winnow_gram_hashes` /
+    `winnow_positions`, functions/text.py; Schleimer et al. SIGMOD'03 —
+    the MOSS algorithm): rolling char-5-gram md5 hashes, a 4-hash
+    sliding window selecting the RIGHTMOST minimum per window, distinct
+    selected positions = the fingerprint set. Guarantees any shared
+    substring >= w+k-1 chars shares a fingerprint while storing O(n/w)
+    hashes per doc — the storable middle ground between exact substring
+    dedup (`dedup_substring_spans`) and whole-doc MinHash. Entirely
+    scan-local codegen HOFs — zero UDF, zero shuffle; per-doc gram,
+    fingerprint, and distinct-hash counts all hash-checked against the
+    SQL replay."""
+    from ..functions import text as TXT
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull())
+    out = docs.select(
+        "doc_id", TXT.winnow_gram_hashes("text", k=5).alias("gr"))
+    out = out.withColumn("pos", TXT.winnow_positions(F.col("gr"), w=4))
+    return out.select(
+        "doc_id",
+        F.size("gr").cast("long").alias("n_grams"),
+        F.size("pos").cast("long").alias("n_fingerprints"),
+        F.size(F.array_distinct(
+            F.transform(F.col("pos"),
+                        lambda p: F.element_at(F.col("gr"), p))
+        )).cast("long").alias("n_fp_hashes"),
+    )

