@@ -70,8 +70,9 @@ _VERIFY_FIRST = [
 # `embedding_kmeans`, `dedup_semantic`, `dedup_lines`,
 # `text_perplexity_bigram`, `text_quality_classifier`,
 # `scan_data_skipping`, `snapshot_diff_cdc`, `timeseries_gap_fill`,
-# `filter_pipeline_audit`, `text_winnowing`. Then rotate the r4-stale
-# queries (compute as registry − r5 window − r6 window).
+# `filter_pipeline_audit`, `text_winnowing`,
+# `stream_stream_outer_join`. Then rotate the r4-stale queries (compute
+# as registry − r5 window − r6 window).
 
 
 def _reorder() -> None:

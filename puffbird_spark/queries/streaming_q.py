@@ -565,3 +565,96 @@ def timeseries_gap_fill(spark, sf_dir):
     return gap_fill(
         ev, ["user_id"], "ts", "value", step="hour",
         tiebreak_cols=["event_id"])
+
+
+@query("stream_stream_outer_join", oracle="""
+WITH e AS (SELECT event_id, ts, user_id, event_type FROM events),
+v AS (SELECT user_id, event_id AS view_id, ts AS view_ts FROM e
+      WHERE event_type = 'view'),
+p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts FROM e
+      WHERE event_type = 'purchase'),
+wm AS (SELECT least((SELECT max(view_ts) FROM v),
+                    (SELECT max(purchase_ts) FROM p))
+              - INTERVAL 2 HOUR AS w),
+j AS (SELECT v.user_id, v.view_id, v.view_ts,
+             p.purchase_id, p.purchase_ts
+      FROM v LEFT JOIN p
+        ON v.user_id = p.user_id
+       AND p.purchase_ts >= v.view_ts
+       AND p.purchase_ts <= v.view_ts + INTERVAL 30 MINUTE)
+SELECT user_id, view_id, purchase_id FROM j WHERE purchase_id IS NOT NULL
+UNION ALL
+SELECT user_id, view_id, NULL FROM j, wm
+WHERE purchase_id IS NULL AND view_ts + INTERVAL 30 MINUTE < wm.w
+""")
+def stream_stream_outer_join(spark, sf_dir):
+    """TRUE stream-stream LEFT OUTER interval join: views missing a
+    purchase within 30 event-time minutes must STILL emit — but only
+    once the watermark proves no match can arrive. Both sides replay as
+    watermarked file streams (2 files each, maxFilesPerTrigger=1, so
+    the watermark genuinely advances across micro-batches and the
+    closing no-data batch evicts+emits the unmatched tail). The oracle
+    is the batch LEFT join with the STREAMING visibility rule applied:
+    matches always emit; null-matches emit iff view_ts + 30min is
+    below the final watermark (min of both sides' max ts − 2h) —
+    exactly the state-eviction boundary a real cluster would hold.
+    Unflushable trailing state is the documented cost of outer joins
+    on unbounded streams, not an artifact of the replay."""
+    import os
+    import shutil
+
+    from ..sources import normalize_nano_ts
+    from ..streaming import write_foreach_batch
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    base = f"/tmp/pbs_ssouter{tag}"
+    out_dir = f"{base}/out"
+    if not os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        shutil.rmtree(base, ignore_errors=True)
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ev = normalize_nano_ts(raw, ["ts"]).withColumn(
+            "ts", F.col("ts").cast("timestamp"))
+        for kind in ("view", "purchase"):
+            # two files per side -> multiple micro-batches -> the
+            # watermark moves and the final no-data batch flushes state
+            ev.filter(F.col("event_type") == kind).repartitionByRange(
+                2, "ts").write.parquet(f"{base}/in_{kind}")
+        schema = ev.schema
+
+        def read(kind):
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{base}/in_{kind}")
+                .withWatermark("ts", "2 hours")
+            )
+
+        v = read("view").select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"))
+        p = read("purchase").select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"))
+        joined = v.join(
+            p,
+            (F.col("v_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("view_ts"))
+            & (F.col("purchase_ts")
+               <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
+            "left_outer",
+        ).select(
+            F.col("v_user").alias("user_id"), "view_id", "purchase_id",
+        )
+
+        def sink(df, epoch_id):
+            df.write.mode("append").parquet(out_dir)
+
+        q = write_foreach_batch(
+            joined, sink, checkpoint=f"{base}/ckpt", trigger_once=True,
+            output_mode="append",
+        ).start()
+        q.awaitTermination(300)
+    return spark.read.parquet(out_dir).select(
+        "user_id", "view_id", "purchase_id")

@@ -182,3 +182,60 @@ def test_stateful_running_count_across_batches(spark, sf_dir, tmpdir):
               spark.read.parquet(f"{sf_dir}/events.parquet")
               .groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert finals == {u: 2 * n for u, n in single.items()}
+
+
+def test_stream_stream_outer_join_evicts_and_withholds(spark, tmpdir):
+    """Left-outer interval join: unmatched left rows emit ONCE the
+    watermark proves no match can come; trailing rows stay in state."""
+    import datetime as dt
+
+    T = dt.datetime
+    base = T(2024, 1, 1, 0, 0)
+
+    def ts(minutes):
+        return base + dt.timedelta(minutes=minutes)
+
+    # left stream: L1 matches, L2 unmatched-old (evicts), L3
+    # unmatched-recent (held in state: within watermark horizon)
+    left_rows = [(1, 10, ts(0)), (1, 11, ts(5)), (2, 12, ts(500))]
+    right_rows = [(1, 20, ts(3)), (9, 21, ts(520))]
+    for name, rows in [("l", left_rows), ("r", right_rows)]:
+        spark.createDataFrame(rows, ["k", "id", "ts"]).coalesce(1) \
+            .write.parquet(f"{tmpdir}/{name}_in")
+
+    def read(name):
+        return (
+            spark.readStream
+            .schema("k long, id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmpdir}/{name}_in")
+            .withWatermark("ts", "10 minutes")
+        )
+
+    lf = read("l").select(F.col("k").alias("lk"), F.col("id").alias("lid"),
+                          F.col("ts").alias("lts"))
+    rf = read("r").select(F.col("k").alias("rk"), F.col("id").alias("rid"),
+                          F.col("ts").alias("rts"))
+    joined = lf.join(
+        rf,
+        (F.col("lk") == F.col("rk"))
+        & (F.col("rts") >= F.col("lts"))
+        & (F.col("rts") <= F.col("lts") + F.expr("INTERVAL 4 MINUTES")),
+        "left_outer",
+    ).select("lid", "rid")
+
+    out = f"{tmpdir}/out"
+
+    def sink(df, epoch_id):
+        df.write.mode("append").parquet(out)
+
+    q = write_foreach_batch(
+        joined, sink, checkpoint=f"{tmpdir}/ckpt", trigger_once=True,
+        output_mode="append").start()
+    q.awaitTermination(120)
+
+    got = {(r["lid"], r["rid"]) for r in spark.read.parquet(out).collect()}
+    # watermark = min(500, 520) - 10 = 490min. L1 (t=0) matched; L2
+    # (t=5, horizon 9 < 490) evicts unmatched; L3 (t=500, horizon
+    # 504 >= 490) is withheld in state.
+    assert got == {(10, 20), (11, None)}
