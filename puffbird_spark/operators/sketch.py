@@ -386,3 +386,54 @@ def hll_merge_increment(
         .groupBy(*group_cols)
         .agg(F.hll_union_agg(state_col).alias(state_col))
     )
+
+
+def hll_overlap(
+    dfa: DataFrame,
+    dfb: DataFrame,
+    key: str,
+    lg_config_k: int = 12,
+) -> DataFrame:
+    """Corpus-overlap estimation from HLL sketches via
+    inclusion-exclusion: one row with approx ``|A|``, ``|B|``,
+    ``|A u B|`` (union of the two sketches — lossless merge) and
+    ``|A n B| = |A| + |B| - |A u B|`` (clamped at 0), plus the derived
+    containments and Jaccard.
+
+    The 100 TB use case: "how much of crawl snapshot B is already in
+    A?" / "does the eval set overlap the train corpus?" answered from
+    two ~2^lg_config_k-byte sketches — each corpus is scanned once
+    (often the sketch already exists as persisted
+    :func:`hll_sketch_state`), and the comparison itself is
+    metadata-sized. Accuracy caveat (documented, gate-pinned): the
+    intersection error scales with the UNION size (three ~1.6%-rse
+    estimates compound), so small overlaps of huge corpora need exact
+    follow-up (semi-join) on the candidate slice — this operator is
+    the cheap first question, not the final answer.
+    """
+    ska = dfa.agg(F.hll_sketch_agg(key, F.lit(lg_config_k)).alias("__sk"))
+    skb = dfb.agg(F.hll_sketch_agg(key, F.lit(lg_config_k)).alias("__sk"))
+    sku = ska.unionByName(skb).agg(
+        F.hll_union_agg("__sk").alias("__sk"))
+
+    def est(frame, name):
+        return frame.select(
+            F.hll_sketch_estimate("__sk").cast("double").alias(name))
+
+    inter = F.greatest(
+        F.col("n_a") + F.col("n_b") - F.col("n_union"), F.lit(0.0))
+    return (
+        est(ska, "n_a")
+        .crossJoin(est(skb, "n_b"))
+        .crossJoin(est(sku, "n_union"))
+        .withColumn("n_intersect", inter)
+        .withColumn(
+            "containment_a",
+            F.when(F.col("n_a") > 0, F.col("n_intersect") / F.col("n_a"))
+            .otherwise(F.lit(0.0)))
+        .withColumn(
+            "jaccard",
+            F.when(F.col("n_union") > 0,
+                   F.col("n_intersect") / F.col("n_union"))
+            .otherwise(F.lit(0.0)))
+    )

@@ -1580,3 +1580,60 @@ def text_winnowing(spark, sf_dir):
                         lambda p: F.element_at(F.col("gr"), p))
         )).cast("long").alias("n_fp_hashes"),
     )
+
+
+@query("sketch_hll_overlap", oracle="""
+WITH d AS (SELECT md5(text) AS dg,
+             max(CASE WHEN doc_id % 3 IN (0, 1) THEN 1 ELSE 0 END) AS a,
+             max(CASE WHEN doc_id % 3 IN (1, 2) THEN 1 ELSE 0 END) AS b
+           FROM documents WHERE text IS NOT NULL
+           GROUP BY md5(text))
+SELECT CAST(SUM(a) AS BIGINT) AS n_a_exact,
+       CAST(SUM(b) AS BIGINT) AS n_b_exact,
+       CAST(COUNT(*) AS BIGINT) AS n_union_exact,
+       CAST(SUM(a * b) AS BIGINT) AS n_inter_exact,
+       TRUE AS a_ok, TRUE AS b_ok, TRUE AS union_ok, TRUE AS inter_ok
+FROM d
+""")
+def sketch_hll_overlap(spark, sf_dir):
+    """Corpus-overlap estimation from HLL sketches (`hll_overlap`,
+    operators/sketch.py): two overlapping doc subsets (doc_id % 3 in
+    {0,1} vs {1,2}, keyed on the text digest) are sketched once each,
+    |A u B| comes from the lossless sketch union and |A n B| by
+    inclusion-exclusion. SELF-CHECKING like the other sketch gates
+    (Datasketches has no DuckDB twin): the gate emits the EXACT
+    overlap counts (oracle-verified) plus booleans pinning every
+    estimate within 5% of union + 5 absolute of its exact value —
+    the documented inclusion-exclusion error envelope (intersection
+    error scales with UNION size; this is the cheap first question
+    before an exact semi-join, not the final answer)."""
+    from ..operators.sketch import hll_overlap
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()).withColumn("dg", F.md5("text"))
+    a = docs.filter(F.col("doc_id") % 3 < 2)
+    b = docs.filter(F.col("doc_id") % 3 > 0)
+    est = hll_overlap(a, b, "dg")
+    exact = (
+        docs.groupBy("dg")
+        .agg(F.max((F.col("doc_id") % 3 < 2).cast("int")).alias("a"),
+             F.max((F.col("doc_id") % 3 > 0).cast("int")).alias("b"))
+        .agg(F.sum("a").cast("long").alias("n_a_exact"),
+             F.sum("b").cast("long").alias("n_b_exact"),
+             F.count(F.lit(1)).cast("long").alias("n_union_exact"),
+             F.sum(F.col("a") * F.col("b")).cast("long")
+             .alias("n_inter_exact"))
+    )
+
+    def ok(est_col, exact_col):
+        return (
+            F.abs(F.col(est_col) - F.col(exact_col))
+            <= 0.05 * F.col("n_union_exact") + 5)
+
+    return exact.crossJoin(F.broadcast(est)).select(
+        "n_a_exact", "n_b_exact", "n_union_exact", "n_inter_exact",
+        ok("n_a", "n_a_exact").alias("a_ok"),
+        ok("n_b", "n_b_exact").alias("b_ok"),
+        ok("n_union", "n_union_exact").alias("union_ok"),
+        ok("n_intersect", "n_inter_exact").alias("inter_ok"),
+    )

@@ -1644,3 +1644,31 @@ def test_winnowing_guarantee_and_edges(spark):
 
     assert got[3] == ([], [])      # shorter than k
     assert 4 not in got or True    # NULL text filtered upstream by gates
+
+
+# ------------------------------------------------------------------ #
+# HLL overlap estimation (operators/sketch.py)
+# ------------------------------------------------------------------ #
+
+def test_hll_overlap_disjoint_subset_and_identical(spark):
+    from puffbird_spark.operators.sketch import hll_overlap
+
+    xs = spark.range(0, 1000).select(F.col("id").cast("string").alias("k"))
+    ys = spark.range(500, 1500).select(F.col("id").cast("string").alias("k"))
+    r = hll_overlap(xs, ys, "k").collect()[0]
+    # small cardinalities stay in HLL sparse mode -> near-exact
+    assert abs(r["n_a"] - 1000) <= 20 and abs(r["n_b"] - 1000) <= 20
+    assert abs(r["n_union"] - 1500) <= 30
+    assert abs(r["n_intersect"] - 500) <= 50
+    assert 0.25 < r["jaccard"] < 0.42
+    assert 0.4 < r["containment_a"] < 0.6
+
+    # identical corpora: jaccard/containment ~ 1
+    ri = hll_overlap(xs, xs, "k").collect()[0]
+    assert ri["jaccard"] > 0.95 and ri["containment_a"] > 0.95
+
+    # disjoint: clamped at zero, never negative
+    zs = spark.range(5000, 6000).select(
+        F.col("id").cast("string").alias("k"))
+    rd = hll_overlap(xs, zs, "k").collect()[0]
+    assert rd["n_intersect"] >= 0.0 and rd["jaccard"] < 0.05
