@@ -106,6 +106,13 @@ BENCH_QUERIES = [
     "knn_lsh",
     "text_heavy_hitters",
     "knn_sq_int8",
+    # round-6 second batch: the two model-based quality filters (LM
+    # perplexity + hashed linear classifier), the one-pass filter audit,
+    # and the dense-grid resampler
+    "text_perplexity_bigram",
+    "text_quality_classifier",
+    "filter_pipeline_audit",
+    "timeseries_gap_fill",
 ]
 
 
