@@ -732,3 +732,76 @@ def strip_boilerplate_lines(
         .cast("long").alias("n_boiler_lines"),
         F.array_join(kept_lines, sep).alias("clean_text"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.6,
+    n: int = 3,
+    kind: str = "word",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup detection by n-gram CONTAINMENT
+    ``C(A,B) = |sh(A) n sh(B)| / |sh(A)|`` — the signal Jaccard misses:
+    a short document quoted inside a long one has C(short->long) ~ 1
+    while Jaccard stays near |short|/|long|. This is how partial-copy /
+    quotation / version relationships surface in a corpus (Broder's
+    original resemblance-vs-containment distinction, 1997).
+
+    Unlike :func:`jaccard_pairs` this is NOT an all-pairs kernel: the
+    plan is an inverted-index self-join — explode each doc's distinct
+    shingles, md5 them (16-byte digests shuffle, never shingle text),
+    equi-join on the digest, and count shared shingles per pair in one
+    keyed aggregation. Only pairs sharing at least one shingle are ever
+    materialized; cost is sum over shingles of df(s)^2, which is the
+    real candidate mass, not n^2.
+
+    The scale knob is ``max_df``: shingles occurring in more than
+    ``max_df`` documents are dropped from the INDEX (one tiny df-count
+    agg) — ubiquitous boilerplate shingles are what make df(s)^2
+    explode, and dropping them turns the intersection into a documented
+    lower bound (counts lose only stop-shingle overlap). ``None`` keeps
+    the operator exact.
+
+    Output: ``(id_a, id_b, containment_a, containment_b)`` with
+    ``id_a < id_b``, both directions 6-dp rounded, rows where either
+    direction ``>= threshold``.
+    """
+    if kind == "word":
+        sh_expr = shingles(tokens(text_col), n=n)
+    elif kind == "char":
+        sh_expr = char_shingles(text_col, n=n)
+    else:
+        raise ValueError(f"kind must be 'word' or 'char', got {kind!r}")
+    sh = widen_parallelism(df).select(
+        F.col(id_col).alias("id"), sh_expr.alias("sh")
+    ).filter(F.size("sh") > 0)
+    sizes = sh.select("id", F.size("sh").alias("n_sh"))
+    inv = sh.select(
+        "id", F.explode("sh").alias("__g")
+    ).withColumn("__g", F.md5("__g")).drop("sh")
+    if max_df is not None:
+        hot = inv.groupBy("__g").agg(
+            F.count(F.lit(1)).alias("__df")
+        ).filter(F.col("__df") > max_df).select("__g")
+        inv = inv.join(F.broadcast(hot), "__g", "left_anti")
+    x, y = inv.alias("x"), inv.alias("y")
+    shared = (
+        x.join(y, (F.col("x.__g") == F.col("y.__g"))
+               & (F.col("x.id") < F.col("y.id")))
+        .groupBy(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("__na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("__nb"))
+    ca = F.round(F.col("__inter").cast("double") / F.col("__na"), 6)
+    cb = F.round(F.col("__inter").cast("double") / F.col("__nb"), 6)
+    return (
+        shared.join(sa, "id_a").join(sb, "id_b")
+        .select("id_a", "id_b",
+                ca.alias("containment_a"), cb.alias("containment_b"))
+        .filter((F.col("containment_a") >= threshold)
+                | (F.col("containment_b") >= threshold))
+    )

@@ -1637,3 +1637,42 @@ def sketch_hll_overlap(spark, sf_dir):
         ok("n_union", "n_union_exact").alias("union_ok"),
         ok("n_intersect", "n_inter_exact").alias("inter_ok"),
     )
+
+
+@query("dedup_containment", oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id,
+        CASE WHEN len(toks) >= 3
+             THEN list_sort(list_distinct(
+                    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                     FOR i IN range(1, len(toks) - 1)]))
+             ELSE [] END AS sh
+      FROM t),
+f AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 6)
+    AS containment_a,
+  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(b.sh), 6)
+    AS containment_b
+FROM f a JOIN f b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh)) > 0
+  AND (round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(a.sh), 6) >= 0.6
+    OR round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(b.sh), 6) >= 0.6)
+""")
+def dedup_containment(spark, sf_dir):
+    """Asymmetric containment near-dup pairs (`containment_pairs`,
+    operators/dedup.py; Broder's resemblance-vs-containment, 1997):
+    C(A,B) = |sh(A) n sh(B)| / |sh(A)| catches a short doc quoted
+    inside a long one where Jaccard stays low. NOT all-pairs: an
+    inverted-index self-join on 16-byte shingle digests materializes
+    only pairs actually sharing a shingle (cost = candidate mass
+    sum df(s)^2, pruned by the max_df knob at scale); shared counts
+    ride one keyed agg. Both directions of every surviving pair
+    hash-checked against the exact list_intersect replay."""
+    from ..operators.dedup import containment_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return containment_pairs(
+        docs, "text", "doc_id", threshold=0.6, n=3)

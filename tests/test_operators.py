@@ -1672,3 +1672,43 @@ def test_hll_overlap_disjoint_subset_and_identical(spark):
         F.col("id").cast("string").alias("k"))
     rd = hll_overlap(xs, zs, "k").collect()[0]
     assert rd["n_intersect"] >= 0.0 and rd["jaccard"] < 0.05
+
+
+def test_containment_pairs_asymmetric_quote(spark):
+    """A short doc quoted inside a long one: high containment one way,
+    low Jaccard — the case jaccard_pairs misses."""
+    short = "alpha beta gamma delta epsilon"
+    long_ = ("zero one two three four five six seven eight nine "
+             + short + " ten eleven twelve thirteen fourteen fifteen")
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_), (3, "unrelated words entirely here")],
+        ["doc_id", "text"])
+
+    out = {(r["id_a"], r["id_b"]): (r["containment_a"],
+                                    r["containment_b"])
+           for r in DD.containment_pairs(
+               docs, "text", "doc_id", threshold=0.9).collect()}
+    assert set(out) == {(1, 2)}
+    ca, cb = out[(1, 2)]
+    assert ca == 1.0          # every shingle of the short doc is in long
+    assert cb < 0.2           # but the long doc is mostly its own
+    # jaccard on the same pair is low: containment was required
+    jac = {(r["id_a"], r["id_b"]) for r in DD.jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.4).collect()}
+    assert (1, 2) not in jac
+
+
+def test_containment_pairs_max_df_prunes_hot_shingles(spark):
+    """Shingles above the df cap leave the index: ubiquitous boilerplate
+    no longer creates candidate pairs."""
+    boiler = "all rights reserved legal notice"
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} content {boiler}") for i in range(6)],
+        ["doc_id", "text"])
+    # every pair shares the boilerplate shingles -> exact mode pairs up
+    exact = DD.containment_pairs(docs, "text", "doc_id", threshold=0.3)
+    assert exact.count() > 0
+    # with the cap, the shared shingles (df=6 > 2) vanish from the index
+    pruned = DD.containment_pairs(
+        docs, "text", "doc_id", threshold=0.3, max_df=2)
+    assert pruned.count() == 0
