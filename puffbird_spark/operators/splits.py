@@ -626,3 +626,26 @@ def length_bucket_batches(
         )
         .drop(draw_name, rank_name)
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    text_col: str,
+    weights: Mapping[str, float],
+    seed: str = "lsplit",
+    split_col: str = "split",
+) -> DataFrame:
+    """Train/val/test split keyed on the CONTENT DIGEST instead of the
+    row id: exact duplicates hash to the same draw, so a document and
+    its copies can never straddle splits — the eval-leakage failure
+    mode id-keyed splits have on an imperfectly-deduped corpus (dedup
+    the splits' *contents*, not just their ids). Same append-stable,
+    zero-shuffle md5-threshold cascade as :func:`hash_split`; NULL text
+    gets one deterministic draw of its own (all NULL-text rows land in
+    the same split rather than scattering).
+
+    For fuzzy-duplicate safety compose upstream: replace the digest
+    with a near-dup cluster id (``dedup_clusters``) and split on that.
+    """
+    d = df.withColumn("__dg", F.md5(F.col(text_col)))
+    return hash_split(d, "__dg", weights, seed, split_col).drop("__dg")

@@ -1008,3 +1008,50 @@ def snapshot_diff_cdc(spark, sf_dir):
             .otherwise(F.col("n_chars")))
         write_snapshot(spark, v2, path, mode="overwrite")
     return snapshot_diff(spark, path, 1, 2, ["doc_id"])
+
+
+@query("split_leakage_safe", oracle=f"""
+WITH d AS (SELECT doc_id, md5(text) AS dg FROM documents
+           WHERE text IS NOT NULL),
+s AS (SELECT doc_id, dg,
+        CASE
+          WHEN substr(md5('lsplit:' || {_enc_sql('dg')}), 1, 16)
+               < '{hash_hex_threshold(0.8)}' THEN 'train'
+          WHEN substr(md5('lsplit:' || {_enc_sql('dg')}), 1, 16)
+               < '{hash_hex_threshold(0.9)}' THEN 'val'
+          ELSE 'test' END AS split
+      FROM d)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT dg) AS BIGINT) AS n_digests,
+       TRUE AS groups_intact
+FROM s GROUP BY split
+""")
+def split_leakage_safe(spark, sf_dir):
+    """Content-keyed leakage-safe split (`leakage_safe_split`,
+    operators/splits.py): the 80/10/10 draw keys on md5(text), not the
+    row id, so exact duplicates can NEVER straddle train/val/test — the
+    eval-contamination failure id-keyed splits have on imperfectly
+    deduped corpora. Same zero-shuffle md5-threshold cascade as
+    `split_hash_membership`. The gate emits per-split doc and digest
+    counts plus `groups_intact`, computed Spark-side as "every digest
+    maps to exactly one split" and pinned TRUE by the oracle — a split
+    that scattered a duplicate group flips the boolean and breaks the
+    hash."""
+    from ..operators.splits import leakage_safe_split
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull())
+    s = leakage_safe_split(
+        docs, "text", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).withColumn("dg", F.md5("text"))
+    intact = (
+        s.groupBy("dg").agg(F.countDistinct("split").alias("k"))
+        .agg((F.max("k") == 1).alias("groups_intact"))
+    )
+    return (
+        s.groupBy("split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.countDistinct("dg").cast("long").alias("n_digests"))
+        .crossJoin(F.broadcast(intact))
+        .select("split", "n_docs", "n_digests", "groups_intact")
+    )

@@ -559,3 +559,26 @@ def test_hll_rollup_single_scan(spark, sf_dir):
     out = hll_rollup(cust, "c_custkey", ["region", "nation"], ["region"])
     phys = out._jdf.queryExecution().executedPlan().toString()
     assert phys.count("FileScan") <= 1, phys
+
+
+def test_leakage_safe_split_keeps_duplicates_together(spark):
+    from puffbird_spark.operators.splits import leakage_safe_split
+
+    # 40 distinct texts, each duplicated under three different ids
+    rows = [(i * 3 + j, f"text number {i}") for i in range(40)
+            for j in range(3)] + [(900, None), (901, None)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = leakage_safe_split(
+        docs, "text", {"train": 0.5, "val": 0.25, "test": 0.25})
+    got = out.collect()
+    assert len(got) == len(rows) and "__dg" not in out.columns
+
+    by_text = {}
+    for r in got:
+        by_text.setdefault(r["text"], set()).add(r["split"])
+    # every duplicate group (incl. the NULL-text group) is in ONE split
+    assert all(len(s) == 1 for s in by_text.values())
+    # and the split is genuinely partitioned (weights roughly hold)
+    from collections import Counter
+    c = Counter(r["split"] for r in got)
+    assert set(c) <= {"train", "val", "test"} and c["train"] > c["val"]
