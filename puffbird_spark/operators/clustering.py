@@ -168,3 +168,60 @@ def semantic_dedup(
     out = dedup_clusters(pairs)
     return out.select(
         F.col("doc_id").alias(id_col), "cluster_id", "is_canonical")
+
+
+def standardize_embeddings(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dp: int = 6,
+) -> DataFrame:
+    """Per-dimension z-score standardization of an embedding column —
+    the preprocessing step before distance-based curation (k-means,
+    cosine ANN, SemDeDup) when dimensions have wildly different scales:
+    ``z[i] = (x[i] - mean[i]) / std[i]``, rounded to ``dp``.
+
+    Two-phase, like the centroid operators: ONE (pos)-keyed aggregation
+    computes per-dimension mean and E[x^2] with decimal-snapped sums
+    (exact, partitioning-independent), the dim-sized stats collect to
+    the driver (bounded by dimensionality, never corpus size) and ship
+    back as TWO ndarray literals, and the transform itself is
+    scan-local — zero shuffle on the data path, zero Python.
+
+    Zero-variance dimensions standardize to 0.0 (guarded against the
+    tiny negative variance float arithmetic can produce).
+    """
+    import numpy as np
+
+    from ..functions.vectors import as_double
+
+    e = df.select(
+        F.col(id_col).alias("__id"), as_double(vec_col).alias("__v")
+    ).filter(F.col("__v").isNotNull())
+    stats = (
+        e.select(F.posexplode("__v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            (F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+             / F.count(F.lit(1))).alias("m"),
+            (F.sum((F.col("x") * F.col("x")).cast("decimal(28,12)"))
+             .cast("double") / F.count(F.lit(1))).alias("m2"),
+        )
+        .orderBy("pos")
+        .collect()
+    )
+    means = np.asarray([r["m"] for r in stats], dtype=np.float64)
+    stds = np.sqrt(np.maximum(
+        np.asarray([r["m2"] for r in stats], dtype=np.float64)
+        - means * means, 0.0))
+    m_lit, s_lit = F.lit(means), F.lit(stds)
+    z = F.transform(
+        F.col("__v"),
+        lambda x, i: F.when(
+            F.element_at(s_lit, i + 1) > 0,
+            F.round(
+                (x - F.element_at(m_lit, i + 1))
+                / F.element_at(s_lit, i + 1), dp),
+        ).otherwise(F.lit(0.0)),
+    )
+    return e.select(F.col("__id").alias(id_col), z.alias("zvec"))

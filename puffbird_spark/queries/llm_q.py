@@ -1676,3 +1676,39 @@ def dedup_containment(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     return containment_pairs(
         docs, "text", "doc_id", threshold=0.6, n=3)
+
+
+@query("embedding_standardize", oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+x AS (SELECT vec_id, CAST(generate_subscripts(v, 1) AS INT) AS pos,
+             unnest(v) AS val
+      FROM e),
+st AS (SELECT pos,
+         CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+           AS m,
+         CAST(SUM(CAST(val * val AS DECIMAL(28,12))) AS DOUBLE)
+           / COUNT(*) AS m2
+       FROM x GROUP BY pos),
+s2 AS (SELECT pos, m, sqrt(greatest(m2 - m * m, 0)) AS s FROM st),
+z AS (SELECT x.vec_id, x.pos,
+        CASE WHEN s2.s > 0 THEN round((x.val - s2.m) / s2.s, 6)
+             ELSE 0.0 END AS zv
+      FROM x JOIN s2 USING (pos))
+SELECT vec_id, list(zv ORDER BY pos) AS zvec FROM z GROUP BY vec_id
+""")
+def embedding_standardize(spark, sf_dir):
+    """Per-dimension z-score standardization
+    (`standardize_embeddings`, operators/clustering.py) — the
+    preprocessing pass before distance-based curation when dims have
+    different scales. One (pos)-keyed agg computes decimal-snapped
+    per-dim mean and E[x^2]; the dim-sized stats (bounded by
+    DIMENSIONALITY, never corpus size) ship back as two ndarray
+    literals so the transform is scan-local — zero shuffle on the data
+    path. Zero-variance dims standardize to 0 (guarded vs negative
+    float variance). Every vector's full standardized array
+    hash-checked at 6 dp against the SQL replay."""
+    from ..operators.clustering import standardize_embeddings
+
+    emb = load(spark, sf_dir, "embeddings")
+    return standardize_embeddings(emb, "vec_id", "embedding")

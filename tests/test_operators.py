@@ -1712,3 +1712,33 @@ def test_containment_pairs_max_df_prunes_hot_shingles(spark):
     pruned = DD.containment_pairs(
         docs, "text", "doc_id", threshold=0.3, max_df=2)
     assert pruned.count() == 0
+
+
+def test_standardize_embeddings_numpy_replay(spark):
+    import numpy as np
+
+    from puffbird_spark.operators.clustering import standardize_embeddings
+
+    vecs = [
+        (1, [1.0, 10.0, 5.0]),
+        (2, [3.0, 30.0, 5.0]),   # dim 2 is constant -> z = 0
+        (3, [5.0, 20.0, 5.0]),
+        (4, None),               # NULL vector drops
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, v array<double>")
+    out = {r["vec_id"]: r["zvec"]
+           for r in standardize_embeddings(df, "vec_id", "v").collect()}
+
+    arr = np.array([v for _, v in vecs[:3]])
+    m, s = arr.mean(axis=0), arr.std(axis=0)
+    for vid, v in vecs[:3]:
+        for j in range(3):
+            if s[j] == 0:
+                assert out[vid][j] == 0.0
+            else:
+                assert abs(out[vid][j] - (v[j] - m[j]) / s[j]) < 1e-6
+    assert 4 not in out
+    # standardized columns have mean ~0, std ~1
+    z = np.array([out[i] for i in (1, 2, 3)])
+    assert np.allclose(z.mean(axis=0), 0, atol=1e-5)
+    assert np.allclose(z.std(axis=0)[:2], 1, atol=1e-5)
