@@ -213,3 +213,43 @@ def winnow_positions(grams: Column, w: int = 4) -> Column:
     return F.when(F.size(grams) >= w, F.array_distinct(sel)).otherwise(
         F.array().cast("array<int>")
     )
+
+
+def luhn_valid(s: str | Column) -> Column:
+    """Luhn checksum validity (ISO/IEC 7812) of an all-digit string, as
+    a pure codegen expression: from the RIGHTMOST digit, double every
+    second digit (subtracting 9 when it exceeds 9) and require the sum
+    to be divisible by 10. The validation step that separates a credit
+    card number from 16 random digits — regex alone cannot tell them
+    apart, so a PII masker without it both over- and under-redacts."""
+    c = F.col(s) if isinstance(s, str) else s
+    rev = F.reverse(c)
+    digit = lambda i: F.ascii(rev.substr(i, F.lit(1))) - 48  # noqa: E731
+    term = lambda i: F.when(  # noqa: E731
+        i % 2 == 0,
+        F.when(digit(i) * 2 > 9, digit(i) * 2 - 9)
+        .otherwise(digit(i) * 2),
+    ).otherwise(digit(i))
+    total = F.aggregate(
+        F.sequence(F.lit(1), F.length(c)),
+        F.lit(0),
+        lambda acc, i: acc + term(i),
+    )
+    return c.rlike("^[0-9]+$") & (total % 10 == 0)
+
+
+def mask_valid_cards(
+    text: str | Column, pattern: str = r"\d{16}", token: str = "<CARD>"
+) -> Column:
+    """Replace every Luhn-VALID candidate digit run with ``token``,
+    leaving checksum-failing runs untouched (they are order ids /
+    timestamps, not cards — masking them destroys data for no privacy
+    gain). Candidates come from one ``regexp_extract_all``; the
+    replacement is a fold over the (per-row, tiny) valid set. All
+    scan-local codegen."""
+    c = F.col(text) if isinstance(text, str) else text
+    cands = F.array_distinct(F.regexp_extract_all(c, F.lit(pattern), 0))
+    valid = F.filter(cands, luhn_valid)
+    return F.aggregate(
+        valid, c, lambda acc, card: F.replace(acc, card, F.lit(token))
+    )

@@ -72,9 +72,9 @@ _VERIFY_FIRST = [
 # `scan_data_skipping`, `snapshot_diff_cdc`, `timeseries_gap_fill`,
 # `filter_pipeline_audit`, `text_winnowing`,
 # `stream_stream_outer_join`, `sketch_hll_overlap`,
-# `dedup_containment`, `split_leakage_safe`, `embedding_standardize`.
-# Then rotate the r4-stale queries (compute as registry − r5 window −
-# r6 window).
+# `dedup_containment`, `split_leakage_safe`, `embedding_standardize`,
+# `fn_luhn_mask`. Then rotate the r4-stale queries (compute as registry
+# − r5 window − r6 window).
 
 
 def _reorder() -> None:

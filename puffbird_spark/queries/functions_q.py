@@ -380,3 +380,70 @@ def fn_array_hof(spark, sf_dir):
         top3.getItem(1).alias("top2"),
         top3.getItem(2).alias("top3"),
     )
+
+
+@query("fn_luhn_mask", oracle="""
+WITH p AS (SELECT doc_id,
+             lpad(CAST(400000000000000 + (doc_id * 7919) % 100000000
+                       AS VARCHAR), 15, '0') AS pay
+           FROM documents),
+c AS (SELECT doc_id, pay,
+        list_sum([CASE WHEN i % 2 = 1
+            THEN CASE WHEN (ascii(reverse(pay)[i]) - 48) * 2 > 9
+                      THEN (ascii(reverse(pay)[i]) - 48) * 2 - 9
+                      ELSE (ascii(reverse(pay)[i]) - 48) * 2 END
+            ELSE ascii(reverse(pay)[i]) - 48 END
+          FOR i IN range(1, 16)]) AS s15
+      FROM p),
+m AS (SELECT doc_id,
+        pay || CAST((10 - s15 % 10) % 10 AS VARCHAR) AS vc,
+        pay || CAST(((10 - s15 % 10) % 10 + 5) % 10 AS VARCHAR) AS ic
+      FROM c),
+msgs AS (SELECT doc_id, vc,
+           'pay ' || vc || ' ref ' || ic || ' end' AS msg
+         FROM m)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(msg, '[0-9]{16}')) AS INT)
+         AS n_candidates,
+       CAST(1 AS INT) AS n_valid,
+       replace(msg, vc, '<CARD>') AS msg_masked
+FROM msgs
+""")
+def fn_luhn_mask(spark, sf_dir):
+    """Checksum-validated PII masking (`luhn_valid`/`mask_valid_cards`,
+    functions/text.py): each doc gets a synthetic message holding TWO
+    16-digit runs — one with a correct Luhn check digit, one with it
+    shifted by 5 — and the masker must redact ONLY the valid one.
+    Regex alone cannot make that distinction (it would mask order ids
+    and timestamps too); the Luhn fold is a pure codegen expression,
+    so validation costs nothing at scale. The oracle replays the
+    check-digit construction AND the selective replacement; candidate
+    count, valid count, and the masked message all hash-checked."""
+    from ..functions.text import luhn_valid, mask_valid_cards
+
+    docs = load(spark, sf_dir, "documents")
+    pay = F.lpad(
+        (F.lit(400000000000000) + (F.col("doc_id") * 7919) % 100000000)
+        .cast("string"), 15, "0")
+    rev = F.reverse(pay)
+    digit = lambda i: F.ascii(rev.substr(i, F.lit(1))) - 48  # noqa: E731
+    term = lambda i: F.when(  # noqa: E731
+        i % 2 == 1,
+        F.when(digit(i) * 2 > 9, digit(i) * 2 - 9)
+        .otherwise(digit(i) * 2),
+    ).otherwise(digit(i))
+    s15 = F.aggregate(
+        F.sequence(F.lit(1), F.lit(15)), F.lit(0),
+        lambda acc, i: acc + term(i))
+    check = (10 - s15 % 10) % 10
+    vc = F.concat(pay, check.cast("string"))
+    ic = F.concat(pay, ((check + 5) % 10).cast("string"))
+    msg = F.concat(F.lit("pay "), vc, F.lit(" ref "), ic, F.lit(" end"))
+    d = docs.select("doc_id", msg.alias("msg"))
+    cands = F.regexp_extract_all(F.col("msg"), F.lit(r"[0-9]{16}"), 0)
+    return d.select(
+        "doc_id",
+        F.size(cands).alias("n_candidates"),
+        F.size(F.filter(cands, luhn_valid)).alias("n_valid"),
+        mask_valid_cards("msg").alias("msg_masked"),
+    )

@@ -1742,3 +1742,40 @@ def test_standardize_embeddings_numpy_replay(spark):
     z = np.array([out[i] for i in (1, 2, 3)])
     assert np.allclose(z.mean(axis=0), 0, atol=1e-5)
     assert np.allclose(z.std(axis=0)[:2], 1, atol=1e-5)
+
+
+# ------------------------------------------------------------------ #
+# Luhn PII masking (functions/text.py)
+# ------------------------------------------------------------------ #
+
+def test_luhn_valid_known_numbers(spark):
+    from puffbird_spark.functions.text import luhn_valid, mask_valid_cards
+
+    # python reference implementation
+    def luhn(s):
+        total = 0
+        for i, ch in enumerate(reversed(s)):
+            d = int(ch)
+            if i % 2 == 1:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return total % 10 == 0
+
+    cases = ["4532015112830366", "79927398713", "79927398710",
+             "0000000000000000", "1234567812345678", "4111111111111111"]
+    df = spark.createDataFrame([(c,) for c in cases], ["s"])
+    got = {r["s"]: r["v"] for r in df.select(
+        "s", luhn_valid("s").alias("v")).collect()}
+    assert got == {c: luhn(c) for c in cases}
+    # non-digit strings are invalid, not errors
+    bad = spark.createDataFrame([("45x2",), ("",)], ["s"])
+    assert [r["v"] for r in bad.select(
+        luhn_valid("s").alias("v")).collect()] == [False, False]
+
+    # selective masking: valid card redacted, invalid run left alone
+    msg = "pay 4111111111111111 ref 1234567812345678 ok"
+    out = spark.createDataFrame([(msg,)], ["t"]).select(
+        mask_valid_cards("t").alias("m")).collect()[0]["m"]
+    assert out == "pay <CARD> ref 1234567812345678 ok"
