@@ -1712,3 +1712,61 @@ def embedding_standardize(spark, sf_dir):
 
     emb = load(spark, sf_dir, "embeddings")
     return standardize_embeddings(emb, "vec_id", "embedding")
+
+
+@query("split_curriculum_phases", oracle="""
+WITH tr AS (SELECT string_split(text, ' ') AS toks FROM documents
+            WHERE doc_id % 2 = 0 AND text IS NOT NULL
+              AND len(string_split(text, ' ')) >= 2),
+trb AS (SELECT unnest([{'p': toks[i], 'w': toks[i+1]}
+                       FOR i IN range(1, len(toks))]) AS bg
+        FROM tr),
+bi AS (SELECT bg.p AS p, bg.w AS w, COUNT(*) AS c FROM trb GROUP BY 1, 2),
+ctx AS (SELECT p, SUM(c) AS cc FROM bi GROUP BY 1),
+voc AS (SELECT COUNT(DISTINCT t) AS v
+        FROM (SELECT unnest(toks) AS t FROM tr)),
+d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2),
+db AS (SELECT doc_id, unnest([{'p': toks[i], 'w': toks[i+1]}
+                              FOR i IN range(1, len(toks))]) AS bg
+       FROM d),
+sc AS (SELECT doc_id,
+         CAST(round(ln((COALESCE(bi.c, 0) + 0.5)
+                       / (COALESCE(ctx.cc, 0) + 0.5 * voc.v)), 9)
+              AS DECIMAL(20,9)) AS lp
+       FROM db
+       LEFT JOIN bi ON db.bg.p = bi.p AND db.bg.w = bi.w
+       LEFT JOIN ctx ON db.bg.p = ctx.p
+       CROSS JOIN voc),
+scores AS (SELECT doc_id,
+             round(CAST(SUM(lp) AS DOUBLE) / -COUNT(*), 6) AS score
+           FROM sc GROUP BY doc_id),
+b AS (SELECT round(quantile_cont(score, 0.25), 6) AS b0,
+             round(quantile_cont(score, 0.5), 6) AS b1,
+             round(quantile_cont(score, 0.75), 6) AS b2
+      FROM scores)
+SELECT s.doc_id, s.score,
+  CAST(1 + CASE WHEN s.score > b.b0 THEN 1 ELSE 0 END
+         + CASE WHEN s.score > b.b1 THEN 1 ELSE 0 END
+         + CASE WHEN s.score > b.b2 THEN 1 ELSE 0 END AS INT) AS phase
+FROM scores s CROSS JOIN b
+""")
+def split_curriculum_phases(spark, sf_dir):
+    """Perplexity-quartile curriculum phases (`quantile_buckets`,
+    operators/splits.py — the CCNet head/middle/tail mechanism,
+    quartile flavor): every doc's bigram-LM score (the
+    `text_perplexity_bigram` pipeline) buckets into 4 global quantile
+    phases WITHOUT a global sort — boundaries come from ONE exact
+    percentile agg, broadcast back, assignment is scan-local. The
+    naive ntile()-over-everything funnels 100 TB through one task;
+    this never sorts the data (swap in kmv_quantiles for the
+    boundary source at extreme scale). Per-doc score AND phase
+    hash-checked against the quantile_cont replay."""
+    from ..operators.lm import perplexity_score
+    from ..operators.splits import quantile_buckets
+
+    docs = load(spark, sf_dir, "documents")
+    scores = perplexity_score(
+        docs, docs.filter(F.col("doc_id") % 2 == 0), "text", "doc_id"
+    ).select("doc_id", F.col("avg_neg_logp").alias("score"))
+    return quantile_buckets(scores, "score", bucket_col="phase")

@@ -582,3 +582,20 @@ def test_leakage_safe_split_keeps_duplicates_together(spark):
     from collections import Counter
     c = Counter(r["split"] for r in got)
     assert set(c) <= {"train", "val", "test"} and c["train"] > c["val"]
+
+
+def test_quantile_buckets_no_global_sort(spark):
+    from puffbird_spark.operators.splits import quantile_buckets
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 101)], ["id", "v"])
+    out = quantile_buckets(df, "v", bucket_col="phase")
+    got = {r["id"]: r["phase"] for r in out.collect()}
+    # boundaries at 25.75/50.5/75.25 (interpolated) -> clean quarters
+    assert {i for i, p in got.items() if p == 1} == set(range(1, 26))
+    assert {i for i, p in got.items() if p == 2} == set(range(26, 51))
+    assert {i for i, p in got.items() if p == 3} == set(range(51, 76))
+    assert {i for i, p in got.items() if p == 4} == set(range(76, 101))
+    # the plan must not globally sort the data
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Sort " not in plan and "rangepartitioning" not in plan.lower()
