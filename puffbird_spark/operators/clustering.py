@@ -225,3 +225,33 @@ def standardize_embeddings(
         ).otherwise(F.lit(0.0)),
     )
     return e.select(F.col("__id").alias(id_col), z.alias("zvec"))
+
+
+def embedding_outliers(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 1,
+    prob: float = 0.9,
+    seed: str = "kmeans",
+) -> DataFrame:
+    """Distance-based outlier flagging for corpus curation (the
+    DataComp/noise-pruning move: embeddings far from EVERY cluster are
+    junk — mislabeled scrapes, encoding garbage, off-domain strays):
+    cluster with :func:`kmeans_assign`, then flag vectors whose squared
+    distance to their nearest centroid exceeds the global ``prob``
+    quantile.
+
+    Pure composition of two scale-audited operators: the Lloyd loop
+    (driver traffic = k x dim per iteration) and
+    :func:`~.splits.quantile_buckets` (one boundary agg broadcast back,
+    scan-local comparison — no global sort). Returns
+    ``(id_col, cluster, d2, is_outlier)``.
+    """
+    from .splits import quantile_buckets
+
+    a = kmeans_assign(df, id_col, vec_col, k=k, iters=iters, seed=seed)
+    b = quantile_buckets(a, "d2", probs=(prob,), bucket_col="__b")
+    return b.select(
+        id_col, "cluster", "d2", (F.col("__b") == 2).alias("is_outlier"))

@@ -1770,3 +1770,25 @@ def split_curriculum_phases(spark, sf_dir):
         docs, docs.filter(F.col("doc_id") % 2 == 0), "text", "doc_id"
     ).select("doc_id", F.col("avg_neg_logp").alias("score"))
     return quantile_buckets(scores, "score", bucket_col="phase")
+
+
+@query("embedding_outliers", oracle=f"""
+WITH RECURSIVE {_kmeans_ctes(8)},
+b AS (SELECT round(quantile_cont(d2, 0.9), 6) AS b0 FROM a2)
+SELECT a2.vec_id, a2.cid AS cluster, a2.d2,
+       (a2.d2 > b.b0) AS is_outlier
+FROM a2 CROSS JOIN b
+""")
+def embedding_outliers(spark, sf_dir):
+    """Distance-quantile outlier flagging (`embedding_outliers`,
+    operators/clustering.py — the DataComp-style noise prune): vectors
+    whose squared distance to their nearest k-means centroid exceeds
+    the global 90th percentile are flagged junk. Pure composition of
+    two scale-audited operators — the deterministic Lloyd loop and the
+    sort-free quantile bucketing — so the whole pipeline (seed pick,
+    assignment, mean update, boundary, flag) replays in SQL and every
+    vector's cluster, distance AND outlier flag hash-match."""
+    from ..operators.clustering import embedding_outliers
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_outliers(emb, "vec_id", "embedding", k=8, iters=1)

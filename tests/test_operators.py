@@ -1779,3 +1779,20 @@ def test_luhn_valid_known_numbers(spark):
     out = spark.createDataFrame([(msg,)], ["t"]).select(
         mask_valid_cards("t").alias("m")).collect()[0]["m"]
     assert out == "pay <CARD> ref 1234567812345678 ok"
+
+
+def test_embedding_outliers_flags_far_points(spark):
+    from puffbird_spark.operators.clustering import embedding_outliers
+
+    # two tight clusters + one far stray
+    rows = ([(i, [0.0 + i * 0.01, 0.0]) for i in range(10)]
+            + [(100 + i, [10.0 + i * 0.01, 10.0]) for i in range(10)]
+            + [(999, [100.0, -100.0])])
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    out = {r["vec_id"]: r for r in embedding_outliers(
+        df, "vec_id", "v", k=2, iters=2, prob=0.9).collect()}
+    assert len(out) == 21
+    assert out[999]["is_outlier"] is True
+    # the tight-cluster members overwhelmingly pass
+    inliers = [r for vid, r in out.items() if vid != 999]
+    assert sum(1 for r in inliers if not r["is_outlier"]) >= 18
