@@ -1792,3 +1792,38 @@ def embedding_outliers(spark, sf_dir):
 
     emb = load(spark, sf_dir, "embeddings")
     return embedding_outliers(emb, "vec_id", "embedding", k=8, iters=1)
+
+
+@query("text_bpe_pairs", oracle="""
+WITH t AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents
+           WHERE text IS NOT NULL),
+w AS (SELECT word, COUNT(*) AS wc FROM t WHERE len(word) > 0
+      GROUP BY word),
+p AS (SELECT unnest([{'a': word[i:i], 'b': word[i+1:i+1]}
+                     FOR i IN range(1, len(word))]) AS pr, wc
+      FROM w)
+SELECT pr.a AS a, pr.b AS b, CAST(SUM(wc) AS BIGINT) AS n
+FROM p GROUP BY pr.a, pr.b
+ORDER BY n DESC, a, b LIMIT 20
+""")
+def text_bpe_pairs(spark, sf_dir):
+    """BPE tokenizer training, round-1 merge candidates (`word_counts`/
+    `pair_counts`, operators/bpe.py; Sennrich et al. ACL'16): weighted
+    adjacent-char pair counts over the vocabulary — the statistic every
+    BPE merge round argmaxes. The working set is VOCAB-sized (one
+    corpus agg up front), so training cost is independent of corpus
+    size after the first pass; the full iterative trainer (`bpe_train`,
+    driver traffic = one row per round, scan-local literal-pair
+    re-encode, localCheckpoint per round) is pinned against a
+    from-scratch reference implementation in unit tests. Top-20 pairs
+    with deterministic (count desc, pair asc) order hash-checked."""
+    from ..operators.bpe import pair_counts, word_counts
+
+    docs = load(spark, sf_dir, "documents")
+    enc = word_counts(docs, "text").select(
+        "word", "wc", F.split(F.col("word"), "").alias("s"))
+    return (
+        pair_counts(enc)
+        .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+        .limit(20)
+    )

@@ -1796,3 +1796,67 @@ def test_embedding_outliers_flags_far_points(spark):
     # the tight-cluster members overwhelmingly pass
     inliers = [r for vid, r in out.items() if vid != 999]
     assert sum(1 for r in inliers if not r["is_outlier"]) >= 18
+
+
+# ------------------------------------------------------------------ #
+# BPE tokenizer training (operators/bpe.py)
+# ------------------------------------------------------------------ #
+
+def _ref_bpe(word_freq, rounds):
+    """From-scratch reference BPE (Sennrich et al. 2016 algorithm):
+    greedy leftmost merges, ties broken (count desc, pair asc)."""
+    enc = {w: list(w) for w in word_freq}
+    merges = []
+    for _ in range(rounds):
+        counts = {}
+        for w, syms in enc.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + word_freq[w]
+        if not counts:
+            break
+        pair = min(counts, key=lambda p: (-counts[p], p))
+        merges.append(pair)
+        a, b = pair
+        for w, syms in enc.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            enc[w] = out
+    return merges, enc
+
+
+def test_bpe_train_matches_reference(spark):
+    from puffbird_spark.operators.bpe import bpe_segment, bpe_train
+
+    corpus = ["low low low lower lowest", "new newer newest low",
+              "wide wider widest new new"]
+    df = spark.createDataFrame([(t,) for t in corpus], ["text"])
+
+    freq = {}
+    for t in corpus:
+        for w in t.split():
+            freq[w] = freq.get(w, 0) + 1
+    ref_merges, ref_enc = _ref_bpe(freq, rounds=6)
+
+    merges = bpe_train(df, "text", rounds=6)
+    assert merges == ref_merges
+
+    # applying the learned table segments like the reference encoding
+    seg = spark.createDataFrame([("lowest newer",)], ["t"]).select(
+        bpe_segment(F.col("t"), merges).alias("s")).collect()[0]["s"]
+    assert seg == ref_enc["lowest"] + ref_enc["newer"]
+
+
+def test_bpe_merge_fold_nonoverlapping(spark):
+    from puffbird_spark.operators.bpe import _merge_fold
+
+    df = spark.createDataFrame([("aaa",), ("aabaa",)], ["w"])
+    out = [r["m"] for r in df.select(
+        _merge_fold(F.split(F.col("w"), ""), "a", "a").alias("m")
+    ).collect()]
+    assert out == [["aa", "a"], ["aa", "b", "aa"]]
