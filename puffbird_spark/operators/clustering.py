@@ -255,3 +255,57 @@ def embedding_outliers(
     b = quantile_buckets(a, "d2", probs=(prob,), bucket_col="__b")
     return b.select(
         id_col, "cluster", "d2", (F.col("__b") == 2).alias("is_outlier"))
+
+
+def random_projection(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    in_dim: int,
+    out_dim: int = 16,
+    seed: str = "rp",
+    dp: int = 6,
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction by a random SIGN
+    projection (Achlioptas, 2001: +-1 entries preserve pairwise
+    distances as well as Gaussian ones): ``z[j] = sum_i v[i] *
+    s[i][j] / sqrt(out_dim)`` (the scaling that makes
+    ``E||z||^2 = ||v||^2``), signs drawn from ``md5(seed:i,j)`` — a
+    matrix ANY engine can re-derive, which makes the whole projection
+    oracle-checkable (and re-trainable nowhere: there is nothing to
+    train).
+
+    Why it's here: 100 TB of 1024-dim float embeddings is 4 TB per
+    dimension-hundred; projecting to 64 dims before ANN/clustering cuts
+    every downstream shuffle and distance kernel ~16x while keeping
+    neighborhoods (the JL guarantee). The projection itself is
+    scan-local — out_dim decimal-snapped folds per row, signs ride the
+    plan as literals, zero shuffle, zero Python.
+    """
+    import hashlib
+
+    import numpy as np
+
+    from ..functions.vectors import as_double
+
+    signs = np.empty((out_dim, in_dim), dtype=np.float64)
+    for j in range(out_dim):
+        for i in range(in_dim):
+            h = hashlib.md5(f"{seed}:{i},{j}".encode()).hexdigest()[:8]
+            signs[j, i] = 1.0 if int(h, 16) % 2 == 0 else -1.0
+    root = float(np.sqrt(out_dim))
+    v = as_double(vec_col)
+    comps = []
+    for j in range(out_dim):
+        row = F.lit(signs[j])
+        acc = F.aggregate(
+            F.zip_with(v, row, lambda x, s: (x * s).cast("decimal(28,12)")),
+            F.lit(0).cast("decimal(38,12)"),
+            # Spark widens (38,12)+(28,12) to (38,11); snap the scale
+            # back so the fold type stays fixed (values are <= ~dim, so
+            # precision is never at risk)
+            lambda a, x: (a + x).cast("decimal(38,12)"),
+        )
+        comps.append(F.round(acc.cast("double") / root, dp))
+    return df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), F.array(*comps).alias("zvec"))

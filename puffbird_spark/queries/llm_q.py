@@ -1827,3 +1827,38 @@ def text_bpe_pairs(spark, sf_dir):
         .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
         .limit(20)
     )
+
+
+@query("embedding_random_projection", oracle="""
+WITH s AS (SELECT i, j,
+             CASE WHEN CAST('0x' || substr(md5('rp:' || CAST(i AS VARCHAR)
+                        || ',' || CAST(j AS VARCHAR)), 1, 8) AS BIGINT)
+                       % 2 = 0
+                  THEN 1.0 ELSE -1.0 END AS sg
+           FROM range(0, 64) a(i), range(0, 16) b(j)),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+x AS (SELECT vec_id, CAST(generate_subscripts(v, 1) AS INT) - 1 AS i,
+             unnest(v) AS val
+      FROM e),
+z AS (SELECT x.vec_id, s.j,
+        round(CAST(SUM(CAST(x.val * s.sg AS DECIMAL(28,12))) AS DOUBLE)
+              / sqrt(16), 6) AS zv
+      FROM x JOIN s USING (i) GROUP BY x.vec_id, s.j)
+SELECT vec_id, list(zv ORDER BY j) AS zvec FROM z GROUP BY vec_id
+""")
+def embedding_random_projection(spark, sf_dir):
+    """JL random sign projection 64 -> 16 dims (`random_projection`,
+    operators/clustering.py; Achlioptas 2001): the projection matrix
+    derives from md5(seed:i,j), so BOTH engines re-create it exactly
+    and every projected vector hash-matches — nothing to train,
+    nothing to ship. Spark side is scan-local (16 decimal-snapped
+    folds per row, signs as plan literals, zero shuffle); at 100 TB
+    this is the pre-ANN shrink that cuts every downstream distance
+    kernel and shuffle by the dimension ratio while preserving
+    neighborhoods (JL guarantee; distance-preservation pinned in unit
+    tests)."""
+    from ..operators.clustering import random_projection
+
+    emb = load(spark, sf_dir, "embeddings")
+    return random_projection(
+        emb, "vec_id", "embedding", in_dim=64, out_dim=16)

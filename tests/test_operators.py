@@ -1860,3 +1860,36 @@ def test_bpe_merge_fold_nonoverlapping(spark):
         _merge_fold(F.split(F.col("w"), ""), "a", "a").alias("m")
     ).collect()]
     assert out == [["aa", "a"], ["aa", "b", "aa"]]
+
+
+def test_random_projection_preserves_distances(spark):
+    """JL property: pairwise distances in the projected space track the
+    originals within loose multiplicative bounds; projection is
+    deterministic across runs."""
+    import numpy as np
+
+    from puffbird_spark.operators.clustering import random_projection
+
+    rng = np.random.RandomState(7)
+    vecs = rng.normal(size=(30, 64))
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, v array<double>")
+    out = {r["vec_id"]: np.array(r["zvec"]) for r in random_projection(
+        df, "vec_id", "v", in_dim=64, out_dim=16).collect()}
+    assert all(len(z) == 16 for z in out.values())
+
+    ratios = []
+    for i in range(0, 30, 3):
+        for j in range(i + 1, 30, 7):
+            d0 = np.linalg.norm(vecs[i] - vecs[j])
+            d1 = np.linalg.norm(out[i] - out[j])
+            ratios.append(d1 / d0)
+    # distances concentrate around 1 (JL with 16 dims: loose bounds)
+    assert 0.8 < np.median(ratios) < 1.2
+    assert min(ratios) > 0.4 and max(ratios) < 1.8
+
+    # deterministic: same seed -> identical output
+    again = {r["vec_id"]: np.array(r["zvec"]) for r in random_projection(
+        df, "vec_id", "v", in_dim=64, out_dim=16).collect()}
+    assert all(np.array_equal(out[i], again[i]) for i in out)
