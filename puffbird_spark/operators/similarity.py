@@ -651,3 +651,59 @@ def pq_topk(
     )
     pairs = cand.join(full, "cand_id").join(F.broadcast(q), "query_id")
     return _score_topk(pairs, k, exclude_self, use_arrow=True)
+
+
+def rp_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    in_dim: int,
+    rp_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    overfetch: int = 4,
+    exclude_self: bool = True,
+    seed: str = "rp",
+    use_arrow: bool | None = None,
+    est_queries: int | None = None,
+) -> DataFrame:
+    """Approximate top-k via random-projection prefilter + exact re-rank
+    — the dimensionality arm of the ANN family (next to SQ's precision
+    arm and IVF/LSH's candidate-count arms): stage 1 scores
+    ``overfetch * k`` candidates per query in the JL-projected
+    ``rp_dim`` space (distance kernels and any cached/shuffled
+    representation shrink by ``in_dim / rp_dim``), stage 2 re-ranks the
+    survivors on the full-precision vectors, so the output order and
+    cosines are exact whenever the true top-k survive the prefilter
+    (JL distance preservation makes that the overwhelming case;
+    recall-floor asserted in the gate).
+
+    The projection is the deterministic md5-seeded sign matrix of
+    :func:`~.clustering.random_projection` — no training, and both
+    sides project with the SAME literals, scan-local. Composes with
+    the IVF/LSH bucketing upstream for sub-linear candidate generation
+    on top of the cheaper representation.
+    """
+    from .clustering import random_projection
+
+    cp = random_projection(
+        corpus, id_col, vec_col, in_dim, rp_dim, seed
+    ).select(F.col(id_col).alias("cand_id"), F.col("zvec").alias("cvec"))
+    qp = random_projection(
+        queries, id_col, vec_col, in_dim, rp_dim, seed
+    ).select(F.col(id_col).alias("query_id"), F.col("zvec").alias("qvec"))
+    if use_arrow is None:
+        rb = _vec_row_bytes(in_dim)
+        n_q = float(est_queries) if est_queries else _est_rows(queries, rb)
+        use_arrow = _est_rows(corpus, rb) * n_q >= ARROW_MIN_PAIRS
+    record_kernel("rp_topk", "arrow" if use_arrow else "hof")
+    cand = _score_topk(
+        cp.crossJoin(F.broadcast(qp)), overfetch * k, exclude_self,
+        use_arrow=use_arrow,
+    ).select("query_id", "cand_id")
+    full = corpus.select(
+        F.col(id_col).alias("cand_id"), as_double(vec_col).alias("cvec"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qvec"))
+    pairs = cand.join(full, "cand_id").join(F.broadcast(q), "query_id")
+    return _score_topk(pairs, k, exclude_self, use_arrow=use_arrow)

@@ -1893,3 +1893,25 @@ def test_random_projection_preserves_distances(spark):
     again = {r["vec_id"]: np.array(r["zvec"]) for r in random_projection(
         df, "vec_id", "v", in_dim=64, out_dim=16).collect()}
     assert all(np.array_equal(out[i], again[i]) for i in out)
+
+
+def test_rp_topk_exact_on_separated_data(spark):
+    """On data with real margins (clustered), the RP prefilter keeps the
+    true top-k and re-rank restores exact cosines."""
+    import numpy as np
+
+    from puffbird_spark.operators.similarity import cosine_topk, rp_topk
+
+    rng = np.random.RandomState(3)
+    centers = rng.normal(size=(4, 64)) * 5
+    vecs = [(i, (centers[i % 4] + rng.normal(scale=0.1, size=64)).tolist())
+            for i in range(80)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id") < 4)
+
+    exact = cosine_topk(df, queries, k=5, est_queries=4)
+    approx = rp_topk(df, queries, in_dim=64, rp_dim=16, k=5,
+                     est_queries=4)
+    e = sorted(map(tuple, exact.collect()))
+    a = sorted(map(tuple, approx.collect()))
+    assert e == a  # ids, order, AND rounded cosines identical
