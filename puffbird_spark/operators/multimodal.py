@@ -206,3 +206,72 @@ def decode_features(
                 })
 
     return df.select(path_col, content_col).mapInPandas(decode, DECODED_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "path string, frame_idx int, offset bigint, frame_bytes int, "
+    "digest string"
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    content_col: str = "content",
+    path_col: str = "path",
+    frame_bytes: int = 64,
+    stride: int = 2,
+    max_frames: int = 4,
+    batch_size: int = 64,
+) -> DataFrame:
+    """Frame sampling over video-standing binary columns — the
+    training-pipeline step that turns one huge blob into a bounded set
+    of per-frame rows (every video pipeline samples; nobody trains on
+    every frame). Emits one row per sampled frame:
+    ``(path, frame_idx, offset, frame_bytes, digest)``.
+
+    The CODEC IS A STUB (this container ships no ffmpeg): a "frame" is
+    the fixed-size byte block at ``offset = frame_idx * frame_bytes``,
+    sampled every ``stride`` frames up to ``max_frames`` — a
+    deterministic fake that any engine can replay, which is what makes
+    the gate hash-checkable. Everything AROUND the stub is the real
+    100 TB shape and is what this operator actually tests: Arrow-batched
+    ``mapInPandas`` with bounded batches (one oversized blob cannot blow
+    worker memory), a fan-out schema (rows out > rows in — the frame
+    table), no shuffle anywhere, and per-frame digests ready for the
+    exact-dedup operator downstream. Swapping the block slicer for a
+    real keyframe extractor changes ONLY the inner function.
+    """
+    import hashlib
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start:start + batch_size]
+                out: dict[str, list] = {
+                    "path": [], "frame_idx": [], "offset": [],
+                    "frame_bytes": [], "digest": [],
+                }
+                for path, blob in zip(
+                    chunk[path_col].astype(str), chunk[content_col]
+                ):
+                    if blob is None:
+                        continue
+                    for n in range(max_frames):
+                        idx = n * stride
+                        off = idx * frame_bytes
+                        if off >= len(blob):
+                            break
+                        frame = bytes(blob[off:off + frame_bytes])
+                        out["path"].append(path)
+                        out["frame_idx"].append(idx)
+                        out["offset"].append(off)
+                        out["frame_bytes"].append(len(frame))
+                        out["digest"].append(
+                            hashlib.md5(frame).hexdigest())
+                yield pd.DataFrame(out).astype({
+                    "frame_idx": "int32", "offset": "int64",
+                    "frame_bytes": "int32",
+                })
+
+    return df.select(path_col, content_col).mapInPandas(
+        frames, FRAME_SCHEMA)

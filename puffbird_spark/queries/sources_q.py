@@ -1055,3 +1055,36 @@ def split_leakage_safe(spark, sf_dir):
         .crossJoin(F.broadcast(intact))
         .select("split", "n_docs", "n_digests", "groups_intact")
     )
+
+
+@query("multimodal_framesample", oracle="""
+WITH f AS (SELECT CAST(doc_id AS VARCHAR) AS path, text,
+             unnest([0, 2, 4, 6]) AS frame_idx
+           FROM documents WHERE text IS NOT NULL)
+SELECT path, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(frame_idx * 64 AS BIGINT) AS "offset",
+       CAST(len(substr(text, frame_idx * 64 + 1, 64)) AS INT)
+         AS frame_bytes,
+       md5(substr(text, frame_idx * 64 + 1, 64)) AS digest
+FROM f WHERE frame_idx * 64 < len(text)
+""")
+def multimodal_framesample(spark, sf_dir):
+    """Frame sampling over video-standing blobs (`sample_frames`,
+    operators/multimodal.py): every document's bytes play a video;
+    64-byte "frames" sampled at stride 2 up to 4 frames fan out to one
+    row each with offset + digest. The codec is an explicitly-marked
+    deterministic stub (no ffmpeg in this container) — the REAL part
+    under test is the 100 TB plumbing: Arrow-batched mapInPandas with
+    bounded batches, a rows-out > rows-in frame schema, zero shuffle,
+    digests ready for downstream exact dedup. The corpus is ASCII, so
+    the oracle replays the byte slicing with string substr + md5 and
+    every frame row hash-matches."""
+    from ..operators.multimodal import sample_frames
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()).select(
+        F.col("doc_id").cast("string").alias("path"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    return sample_frames(
+        docs, frame_bytes=64, stride=2, max_frames=4)

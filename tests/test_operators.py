@@ -1915,3 +1915,28 @@ def test_rp_topk_exact_on_separated_data(spark):
     e = sorted(map(tuple, exact.collect()))
     a = sorted(map(tuple, approx.collect()))
     assert e == a  # ids, order, AND rounded cosines identical
+
+
+def test_sample_frames_stride_bounds_and_nulls(spark):
+    import hashlib
+
+    from puffbird_spark.operators.multimodal import sample_frames
+
+    blob = bytes(range(256)) * 2   # 512 bytes -> frames at 0,2,4,6
+    short = b"tiny"                # one short frame at idx 0
+    df = spark.createDataFrame(
+        [("a", blob), ("b", short), ("c", None)],
+        "path string, content binary")
+    out = sample_frames(df, frame_bytes=100, stride=2, max_frames=4)
+    rows = {(r["path"], r["frame_idx"]): r for r in out.collect()}
+
+    # blob of 512 bytes, 100-byte frames: offsets 0,200,400 exist; 600 not
+    assert {k for k in rows if k[0] == "a"} == {("a", 0), ("a", 2), ("a", 4)}
+    assert rows[("a", 2)]["offset"] == 200
+    assert rows[("a", 4)]["frame_bytes"] == 100
+    assert rows[("a", 0)]["digest"] == hashlib.md5(blob[:100]).hexdigest()
+    # short blob: single truncated frame
+    assert rows[("b", 0)]["frame_bytes"] == 4
+    assert rows[("b", 0)]["digest"] == hashlib.md5(short).hexdigest()
+    # NULL blob contributes nothing
+    assert not any(k[0] == "c" for k in rows)
