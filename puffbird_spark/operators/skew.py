@@ -94,3 +94,47 @@ def replicated_join(
     )
     out = salted_fact.join(replicated, [*on, "__salt"], how)
     return out.drop("__salt")
+
+
+def key_skew_stats(df: DataFrame, key: str) -> DataFrame:
+    """Shuffle-key skew diagnostics — the measurement that should
+    precede every salting/replication decision (`salted_agg` /
+    `replicated_join` fix skew; this tells you whether you HAVE it and
+    how bad): one row with
+
+    - ``n_rows`` / ``n_keys`` — totals;
+    - ``max_key_rows`` and ``top_key`` — the heaviest key (ties break
+      on the smallest key string, deterministic);
+    - ``p50_key_rows`` / ``p99_key_rows`` — the per-key count
+      distribution (exact interpolated percentiles);
+    - ``heavy_ratio`` — max over mean: ~1 means uniform, >> 1 means
+      the biggest reducer partition is that many times the average —
+      the number that predicts a straggler task at 100 TB.
+
+    Cost: ONE keyed count (the same shuffle the diagnosed operation
+    would pay) + key-count-sized aggregates. No sort, no collect.
+    """
+    counts = df.groupBy(F.col(key).cast("string").alias("__k")).agg(
+        F.count(F.lit(1)).alias("__n"))
+    stats = counts.agg(
+        F.sum("__n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("__n").cast("long").alias("max_key_rows"),
+        F.round(F.percentile(F.col("__n"), F.lit(0.5)), 6)
+        .alias("p50_key_rows"),
+        F.round(F.percentile(F.col("__n"), F.lit(0.99)), 6)
+        .alias("p99_key_rows"),
+    )
+    top = (
+        counts.join(
+            F.broadcast(stats.select("max_key_rows")),
+            counts["__n"] == F.col("max_key_rows"))
+        .agg(F.min("__k").alias("top_key"))
+    )
+    return stats.crossJoin(F.broadcast(top)).select(
+        "n_rows", "n_keys", "max_key_rows", "top_key",
+        "p50_key_rows", "p99_key_rows",
+        F.round(
+            F.col("max_key_rows")
+            / (F.col("n_rows") / F.col("n_keys")), 6).alias("heavy_ratio"),
+    )

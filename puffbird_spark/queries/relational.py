@@ -872,3 +872,33 @@ def join_bloom_pruned(spark, sf_dir):
     out = bloom_pruned_join(li, part, "l_partkey", "p_partkey",
                             m_bits=1 << 17)
     return out.select("l_orderkey", "l_linenumber", "p_brand", "qty")
+
+
+@query("diag_key_skew", oracle="""
+WITH c AS (SELECT CAST(o_custkey AS VARCHAR) AS k, COUNT(*) AS n
+           FROM orders GROUP BY 1),
+s AS (SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(n) AS BIGINT) AS max_key_rows,
+             round(quantile_cont(n, 0.5), 6) AS p50_key_rows,
+             round(quantile_cont(n, 0.99), 6) AS p99_key_rows
+      FROM c),
+t AS (SELECT MIN(c.k) AS top_key FROM c, s WHERE c.n = s.max_key_rows)
+SELECT s.n_rows, s.n_keys, s.max_key_rows, t.top_key,
+       s.p50_key_rows, s.p99_key_rows,
+       round(s.max_key_rows / (CAST(s.n_rows AS DOUBLE) / s.n_keys), 6)
+         AS heavy_ratio
+FROM s CROSS JOIN t
+""")
+def diag_key_skew(spark, sf_dir):
+    """Shuffle-key skew diagnostics (`key_skew_stats`,
+    operators/skew.py) — the measurement that precedes every
+    salting/replication decision: per-key count distribution
+    (max/p50/p99), the deterministic heaviest key, and `heavy_ratio`
+    (max over mean — the straggler-task predictor at 100 TB), all from
+    ONE keyed count plus key-count-sized aggregates; no sort, no
+    collect. Run on orders.o_custkey; every stat hash-checked."""
+    from ..operators.skew import key_skew_stats
+
+    orders = load(spark, sf_dir, "orders")
+    return key_skew_stats(orders, "o_custkey")

@@ -118,3 +118,22 @@ def test_bucketed_join_skips_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_key_skew_stats_constructed(spark):
+    from pyspark.sql import functions as F
+
+    from puffbird_spark.operators.skew import key_skew_stats
+
+    # key "hot" has 6 rows; "a"/"b"/"z" have 2 each -> 12 rows, 4 keys
+    rows = [("hot",)] * 6 + [("a",)] * 2 + [("b",)] * 2 + [("z",)] * 2
+    df = spark.createDataFrame(rows, ["k"])
+    r = key_skew_stats(df, "k").collect()[0]
+    assert (r["n_rows"], r["n_keys"], r["max_key_rows"]) == (12, 4, 6)
+    assert r["top_key"] == "hot"
+    assert r["p50_key_rows"] == 2.0
+    assert r["heavy_ratio"] == 2.0  # 6 / (12/4)
+
+    # tie on the max -> smallest key string wins deterministically
+    tied = spark.createDataFrame([("x",)] * 3 + [("m",)] * 3, ["k"])
+    assert key_skew_stats(tied, "k").collect()[0]["top_key"] == "m"
