@@ -1893,3 +1893,71 @@ def knn_rp_rerank(spark, sf_dir):
             est_queries=10),
         min_avg_recall=0.5,
     )
+
+
+@query("eval_ir_metrics", oracle="""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < 10),
+r AS (SELECT q.vec_id AS query_id, e.vec_id AS cand_id,
+        row_number() OVER (PARTITION BY q.vec_id ORDER BY
+          round(list_dot_product(q.v, e.v)
+                / (sqrt(list_dot_product(q.v, q.v))
+                   * sqrt(list_dot_product(e.v, e.v))), 6) DESC,
+          e.vec_id) AS rank
+      FROM q JOIN e ON e.vec_id != q.vec_id
+      QUALIFY rank <= 5),
+t AS (SELECT q.vec_id AS query_id, e.vec_id AS cand_id
+      FROM q JOIN e ON e.vec_id != q.vec_id AND e.label = q.label),
+rel AS (SELECT query_id, COUNT(*) AS rel FROM t GROUP BY 1),
+h AS (SELECT r.query_id, COUNT(*) AS hits, MIN(r.rank) AS first,
+             SUM(1.0 / log2(r.rank + 1)) AS dcg
+      FROM r JOIN t USING (query_id, cand_id) GROUP BY 1),
+pq AS (SELECT rel.query_id,
+         CAST(round(COALESCE(h.hits, 0) * 1.0 / rel.rel, 9)
+              AS DECIMAL(20,9)) AS recall,
+         CAST(round(COALESCE(1.0 / h.first, 0.0), 9)
+              AS DECIMAL(20,9)) AS mrr,
+         CAST(round(COALESCE(h.dcg, 0.0)
+              / list_sum([1.0 / log2(i + 1)
+                          FOR i IN range(1, least(rel.rel, 5) + 1)]), 9)
+              AS DECIMAL(20,9)) AS ndcg
+       FROM rel LEFT JOIN h USING (query_id))
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       round(CAST(SUM(recall) AS DOUBLE) / COUNT(*), 6) AS recall_at_k,
+       round(CAST(SUM(mrr) AS DOUBLE) / COUNT(*), 6) AS mrr_at_k,
+       round(CAST(SUM(ndcg) AS DOUBLE) / COUNT(*), 6) AS ndcg_at_k
+FROM pq
+""")
+def eval_ir_metrics(spark, sf_dir):
+    """Distributed retrieval scorecard (`ir_metrics`,
+    operators/evaluation.py): exact cosine top-5 plays the retrieval
+    system, same-label vectors play the relevance truth, and the
+    operator computes macro recall@5 / MRR@5 / nDCG@5 with two keyed
+    joins + two keyed aggs — the eval itself distributes, no
+    driver-side scoring. Per-query metrics are 9-dp decimal-snapped so
+    macro sums are exact; unanswered queries score zero rather than
+    vanishing. Every macro value hash-checked against the full SQL
+    replay (ranking included)."""
+    from pyspark.sql import Window
+
+    from ..operators.evaluation import ir_metrics
+    from ..operators.similarity import cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("cand_id"))
+    results = cosine_topk(
+        emb, queries, k=5, est_queries=10
+    ).withColumn("rank", F.row_number().over(w))
+    lbl = emb.select("vec_id", "label")
+    truth = (
+        queries.select(F.col("vec_id").alias("query_id"), "label")
+        .join(lbl.select(F.col("vec_id").alias("cand_id"),
+                         F.col("label").alias("__l")),
+              F.col("label") == F.col("__l"))
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id")
+    )
+    return ir_metrics(results, truth, k=5)

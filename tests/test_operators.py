@@ -1940,3 +1940,39 @@ def test_sample_frames_stride_bounds_and_nulls(spark):
     assert rows[("b", 0)]["digest"] == hashlib.md5(short).hexdigest()
     # NULL blob contributes nothing
     assert not any(k[0] == "c" for k in rows)
+
+
+# ------------------------------------------------------------------ #
+# IR metrics (operators/evaluation.py)
+# ------------------------------------------------------------------ #
+
+def test_ir_metrics_hand_computed(spark):
+    import math
+
+    from puffbird_spark.operators.evaluation import ir_metrics
+
+    # q1: relevant {a,b,c}; retrieved ranks: a@1, x@2, b@3 -> hits 2/3
+    # q2: relevant {z}; retrieved z@2 -> recall 1, mrr 0.5
+    # q3: relevant {m}; NOT in results at all -> all zeros
+    results = spark.createDataFrame(
+        [("q1", "a", 1), ("q1", "x", 2), ("q1", "b", 3),
+         ("q2", "y", 1), ("q2", "z", 2)],
+        ["query_id", "cand_id", "rank"])
+    truth = spark.createDataFrame(
+        [("q1", "a"), ("q1", "b"), ("q1", "c"), ("q2", "z"), ("q3", "m")],
+        ["query_id", "cand_id"])
+    r = ir_metrics(results, truth, k=5).collect()[0]
+    assert r["n_queries"] == 3
+
+    def dcg(ranks):
+        return sum(1 / math.log2(rk + 1) for rk in ranks)
+
+    q1_ndcg = round(dcg([1, 3]) / dcg([1, 2, 3]), 9)
+    q2_ndcg = round(dcg([2]) / dcg([1]), 9)
+    assert r["recall_at_k"] == round((round(2 / 3, 9) + 1 + 0) / 3, 6)
+    assert r["mrr_at_k"] == round((1 + 0.5 + 0) / 3, 6)
+    assert r["ndcg_at_k"] == round((q1_ndcg + q2_ndcg + 0) / 3, 6)
+
+    # ranks beyond k are ignored
+    r2 = ir_metrics(results, truth, k=2).collect()[0]
+    assert r2["recall_at_k"] == round((round(1 / 3, 9) + 1 + 0) / 3, 6)
