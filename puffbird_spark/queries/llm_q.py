@@ -1695,7 +1695,10 @@ z AS (SELECT x.vec_id, x.pos,
         CASE WHEN s2.s > 0 THEN round((x.val - s2.m) / s2.s, 6)
              ELSE 0.0 END AS zv
       FROM x JOIN s2 USING (pos))
-SELECT vec_id, list(zv ORDER BY pos) AS zvec FROM z GROUP BY vec_id
+SELECT vec_id,
+       array_to_string(list(CAST(CAST(round(zv * 1000000, 0) AS BIGINT)
+                                 AS VARCHAR) ORDER BY pos), ',') AS zvec
+FROM z GROUP BY vec_id
 """)
 def embedding_standardize(spark, sf_dir):
     """Per-dimension z-score standardization
@@ -1711,7 +1714,16 @@ def embedding_standardize(spark, sf_dir):
     from ..operators.clustering import standardize_embeddings
 
     emb = load(spark, sf_dir, "embeddings")
-    return standardize_embeddings(emb, "vec_id", "embedding")
+    out = standardize_embeddings(emb, "vec_id", "embedding")
+    # driver canonicalizer contract: no top-level array columns — ship
+    # the vector as a comma-joined micro-unit (1e-6) integer string
+    return out.select(
+        "vec_id",
+        F.array_join(
+            F.transform(
+                F.col("zvec"),
+                lambda x: F.round(x * 1000000, 0).cast("bigint")
+                .cast("string")), ",").alias("zvec"))
 
 
 @query("split_curriculum_phases", oracle="""
@@ -1844,7 +1856,10 @@ z AS (SELECT x.vec_id, s.j,
         round(CAST(SUM(CAST(x.val * s.sg AS DECIMAL(28,12))) AS DOUBLE)
               / sqrt(16), 6) AS zv
       FROM x JOIN s USING (i) GROUP BY x.vec_id, s.j)
-SELECT vec_id, list(zv ORDER BY j) AS zvec FROM z GROUP BY vec_id
+SELECT vec_id,
+       array_to_string(list(CAST(CAST(round(zv * 1000000, 0) AS BIGINT)
+                                 AS VARCHAR) ORDER BY j), ',') AS zvec
+FROM z GROUP BY vec_id
 """)
 def embedding_random_projection(spark, sf_dir):
     """JL random sign projection 64 -> 16 dims (`random_projection`,
@@ -1860,8 +1875,16 @@ def embedding_random_projection(spark, sf_dir):
     from ..operators.clustering import random_projection
 
     emb = load(spark, sf_dir, "embeddings")
-    return random_projection(
+    out = random_projection(
         emb, "vec_id", "embedding", in_dim=64, out_dim=16)
+    # driver canonicalizer contract: no top-level array columns
+    return out.select(
+        "vec_id",
+        F.array_join(
+            F.transform(
+                F.col("zvec"),
+                lambda x: F.round(x * 1000000, 0).cast("bigint")
+                .cast("string")), ",").alias("zvec"))
 
 
 @query("knn_rp_rerank", oracle="""
