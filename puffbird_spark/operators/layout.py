@@ -378,3 +378,40 @@ def read_snapshot(
     man = _read_manifest(spark, table_path, v)
     return spark.read.parquet(
         *[f"{table_path}/{s}" for s in man["shards"]])
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    key: str,
+    n_shards: int = 8,
+    seed: str = "shard",
+    rank_col: str = "shuffle_rank",
+) -> None:
+    """The writer at the END of the curation pipeline: materialize the
+    corpus as ``n_shards`` deterministic, interleaved, internally-ordered
+    shards — what a multi-host data loader actually consumes (each host
+    reads its shard directory; global shuffle quality comes from the
+    rank, reproducibility from everything being content-keyed).
+
+    Mechanics: the two-exchange :func:`~.splits.shuffle_order` global
+    rank (content-keyed md5 draw — re-running on the same corpus
+    reproduces the same order bit-for-bit), round-robin shard
+    assignment ``(rank-1) % n_shards`` (balanced to +-1 row by
+    construction, no total-count pass), then ONE hash exchange on the
+    shard id with an in-partition sort so every shard directory's rows
+    come out rank-ascending. The rank column is written with the data —
+    downstream loaders can verify or resume from it.
+    """
+    from .splits import shuffle_order
+
+    ranked = shuffle_order(df, key=key, seed=seed, rank_col=rank_col)
+    sharded = ranked.withColumn(
+        "shard", ((F.col(rank_col) - 1) % n_shards).cast("int"))
+    (
+        sharded.repartition(n_shards, "shard")
+        .sortWithinPartitions(rank_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -1088,3 +1088,51 @@ def multimodal_framesample(spark, sf_dir):
     )
     return sample_frames(
         docs, frame_bytes=64, stride=2, max_frames=4)
+
+
+@query("sink_training_shards", oracle=f"""
+WITH r AS (SELECT doc_id,
+             row_number() OVER (
+               ORDER BY substr(md5('shard:' || {_enc_sql('doc_id')}), 1, 16),
+                        doc_id) AS rk
+           FROM documents)
+SELECT CAST((rk - 1) % 8 AS INT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(rk) AS BIGINT) AS min_rank,
+       CAST(MAX(rk) AS BIGINT) AS max_rank,
+       TRUE AS round_robin_ok
+FROM r GROUP BY 1
+""")
+def sink_training_shards(spark, sf_dir):
+    """Deterministic interleaved corpus sink (`write_training_shards`,
+    operators/layout.py): the end-of-pipeline writer — content-keyed
+    global shuffle rank (two balanced exchanges, no single-task
+    window), round-robin shard assignment balanced to +-1 with NO
+    total-count pass, one hash exchange + in-partition sort so every
+    shard directory reads back rank-ascending. The gate reads the
+    WRITTEN FILES back (sink round-trip, not the in-memory frame) and
+    emits per-shard counts + rank spans + `round_robin_ok` (every rank
+    congruent to its shard id mod 8, computed from the files); the
+    oracle replays the whole order in SQL."""
+    from ..operators.layout import write_training_shards
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    path = f"/tmp/pbs_fmt{tag}/documents_training_shards"
+    if not os.path.exists(path) or not os.listdir(path):
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+        write_training_shards(docs, path, key="doc_id", n_shards=8,
+                              seed="shard")
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("shuffle_rank").cast("long").alias("min_rank"),
+            F.max("shuffle_rank").cast("long").alias("max_rank"),
+            F.min(
+                ((F.col("shuffle_rank") - 1) % 8) == F.col("shard")
+            ).alias("round_robin_ok"),
+        )
+        .select("shard", "n_docs", "min_rank", "max_rank",
+                "round_robin_ok")
+    )

@@ -1976,3 +1976,34 @@ def test_ir_metrics_hand_computed(spark):
     # ranks beyond k are ignored
     r2 = ir_metrics(results, truth, k=2).collect()[0]
     assert r2["recall_at_k"] == round((round(1 / 3, 9) + 1 + 0) / 3, 6)
+
+
+def test_write_training_shards_roundtrip(spark, tmp_path_factory):
+    from puffbird_spark.operators.layout import write_training_shards
+
+    path = str(tmp_path_factory.mktemp("shards") / "out")
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(101)], ["doc_id", "text"])
+    write_training_shards(df, path, key="doc_id", n_shards=4)
+
+    back = spark.read.parquet(path)
+    assert back.count() == 101
+    rows = back.collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["shuffle_rank"])
+    # round-robin: every rank congruent to shard id; balanced +-1
+    assert set(by_shard) == {0, 1, 2, 3}
+    for s, ranks in by_shard.items():
+        assert all((rk - 1) % 4 == s for rk in ranks)
+    sizes = sorted(len(v) for v in by_shard.values())
+    assert sizes[-1] - sizes[0] <= 1
+    # ranks 1..101 all present exactly once
+    assert sorted(rk for v in by_shard.values() for rk in v) == list(
+        range(1, 102))
+    # deterministic: rewriting reproduces identical assignment
+    path2 = str(tmp_path_factory.mktemp("shards") / "out2")
+    write_training_shards(df, path2, key="doc_id", n_shards=4)
+    a = sorted(map(tuple, spark.read.parquet(path).collect()))
+    b = sorted(map(tuple, spark.read.parquet(path2).collect()))
+    assert a == b
