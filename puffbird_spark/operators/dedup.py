@@ -805,3 +805,134 @@ def containment_pairs(
         .filter((F.col("containment_a") >= threshold)
                 | (F.col("containment_b") >= threshold))
     )
+
+
+def minhash_banded(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    hasher: str = "md5",
+    use_arrow: bool | None = None,
+) -> DataFrame:
+    """The reusable first half of the LSH pipeline: per-doc MinHash
+    signature exploded into ``bands`` rows of
+    ``(id, sig, band, band_hash)`` — the exact representation the
+    banding bucket join keys on, and the STATE an incremental fuzzy
+    dedup persists between batches. Same staged plan as
+    :func:`minhash_candidate_pairs` (bound columns per stage, Generate
+    fence before banding, size-gated signature kernel); docs with no
+    shingles (< n tokens) produce no rows."""
+    rows_per_band = num_hashes // bands
+    sh = widen_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        shingles(tokens(text_col), n=n).alias("sh"),
+    )
+    hashed = sh.select("id", shingle_hashes(F.col("sh"), hasher).alias("hs"))
+    if use_arrow is None:
+        from .similarity import _est_rows
+
+        use_arrow = _est_rows(df, 320) >= 20_000
+    from ..telemetry import record_kernel
+
+    record_kernel("minhash_signature", "arrow" if use_arrow else "column")
+    filtered = hashed.filter(F.size("hs") > 0)
+    if use_arrow:
+        sig = filtered.select(
+            "id", _signature_arrow_udf(num_hashes)(F.col("hs")).alias("sig")
+        )
+    else:
+        from ..plans import fence
+
+        sig = fence(
+            filtered, ["id"],
+            sig=minhash_signature(F.col("hs"), num_hashes, pre_hashed=True),
+        ).select("id", "sig")
+
+    def band_hash(b: int) -> Column:
+        joined = F.array_join(
+            F.transform(
+                F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        )
+        if hasher == "md5":
+            return F.md5(joined.cast("binary"))
+        return F.xxhash64(joined).cast("string")
+
+    return sig.select(
+        "id", "sig",
+        F.posexplode(
+            F.array(*[band_hash(b) for b in range(bands)])
+        ).alias("band", "band_hash"),
+    )
+
+
+def incremental_minhash_dedup(
+    batch: DataFrame,
+    band_state: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.4,
+    hasher: str = "md5",
+    use_arrow: bool | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Fuzzy (MinHash-LSH) dedup of a NEW batch against a living corpus
+    without rescanning it — the near-dup twin of
+    :func:`incremental_dedup`: the corpus exists only as its persisted
+    banded-signature state (``bands`` rows x (sig + 16-byte hash) per
+    doc; text never moves again).
+
+    Policy (documented, deterministic): a batch doc is REJECTED iff it
+    bucket-collides with ANY smaller-id doc — already-seen or in this
+    batch — at estimated Jaccard >= ``threshold``. The state keeps
+    every SEEN doc's bands (accepted and rejected alike — a rejected
+    near-dup still disqualifies later copies). Batches must arrive in
+    ASCENDING-ID order — the natural append-shard case, where new docs
+    get new, larger ids; then batch-by-batch replay reproduces the
+    one-shot "no est >= t pair with a smaller id" rule bit-for-bit
+    (unit-pinned). An out-of-order batch holding a SMALLER id than an
+    already-accepted doc cannot retroactively reject it — that is the
+    inherent asymmetry of any incremental dedup, not a defect of this
+    one.
+
+    Scale shape: the batch's bands equi-join the state on
+    ``(band, band_hash)`` — only genuinely colliding rows ever pair,
+    the corpus never rescans, and the per-batch cost is the batch's
+    signature pipeline plus a keyed join against a state table that
+    grows 16 bytes x bands per doc.
+
+    Returns ``(survivors, new_state)``: surviving batch rows, and the
+    state to persist for the next batch.
+    """
+    bb = minhash_banded(
+        batch, text_col, id_col, num_hashes, bands, n, hasher, use_arrow)
+    all_b = band_state.unionByName(bb)
+    b, o = bb.alias("b"), all_b.alias("o")
+    matches = F.size(F.filter(
+        F.zip_with(
+            F.col("b.sig"), F.col("o.sig"),
+            lambda x, y: (x == y).cast("int")),
+        lambda v: v == 1,
+    ))
+    est = F.round(matches.cast("double") / F.lit(num_hashes), 6)
+    rejected = (
+        b.join(
+            o,
+            (F.col("b.band") == F.col("o.band"))
+            & (F.col("b.band_hash") == F.col("o.band_hash"))
+            & (F.col("o.id") < F.col("b.id")),
+        )
+        .filter(est >= F.lit(threshold))
+        .select(F.col("b.id").alias("__rej"))
+        .distinct()
+    )
+    survivors = batch.join(
+        rejected, batch[id_col] == rejected["__rej"], "left_anti")
+    return survivors, all_b

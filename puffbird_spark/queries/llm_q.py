@@ -1984,3 +1984,35 @@ def eval_ir_metrics(spark, sf_dir):
         .select("query_id", "cand_id")
     )
     return ir_metrics(results, truth, k=5)
+
+
+@query("dedup_incremental_minhash", oracle=f"""
+WITH {_minhash_md5_ctes(16, 4)},
+rej AS (SELECT DISTINCT id_b FROM pairs
+        WHERE round(CAST(len(list_filter(range(1, 17),
+                i -> sig_a[i] = sig_b[i])) AS DOUBLE) / 16, 6) >= 0.4)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT id_b FROM rej)
+""")
+def dedup_incremental_minhash(spark, sf_dir):
+    """Incremental FUZZY dedup (`incremental_minhash_dedup`,
+    operators/dedup.py) — the near-dup twin of the exact append-shard
+    dedup: the corpus persists only as banded MinHash state (text never
+    rescans); each batch's bands equi-join the state so only genuine
+    bucket collisions pair. The gate replays the corpus as TWO
+    ascending-id batches (doc_id < 250, then the rest — the natural
+    append order; an out-of-order batch cannot retroactively reject an
+    already-accepted doc, as the operator documents) and the union of
+    survivors must equal the one-shot rule — no est >= 0.4 pair with
+    any smaller id — which the oracle computes from the full
+    md5-banding pipeline in SQL."""
+    from ..operators.dedup import incremental_minhash_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    state = spark.createDataFrame(
+        [], "id long, sig array<bigint>, band int, band_hash string")
+    s1, state = incremental_minhash_dedup(
+        docs.filter(F.col("doc_id") < 250), state, hasher="md5")
+    s2, _ = incremental_minhash_dedup(
+        docs.filter(F.col("doc_id") >= 250), state, hasher="md5")
+    return s1.select("doc_id").unionByName(s2.select("doc_id"))

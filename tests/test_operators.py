@@ -2007,3 +2007,39 @@ def test_write_training_shards_roundtrip(spark, tmp_path_factory):
     a = sorted(map(tuple, spark.read.parquet(path).collect()))
     b = sorted(map(tuple, spark.read.parquet(path2).collect()))
     assert a == b
+
+
+def test_incremental_minhash_replay_equals_one_shot(spark):
+    """Three id-ordered batches through the stateful fuzzy dedup must
+    reproduce the one-shot smaller-id rejection rule exactly."""
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    rows = []
+    for i in range(30):
+        if i % 5 == 4:
+            rows.append((i, base + f" tail{i}"))   # near-dup of base
+        elif i % 5 == 3:
+            rows.append((i, base))                  # exact dup
+        else:
+            rows.append((i, f"unique doc {i} " + " ".join(
+                f"w{i}_{j}" for j in range(20))))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    pairs = DD.minhash_candidate_pairs(
+        docs, "text", "doc_id", num_hashes=16, bands=4, n=3, hasher="md5"
+    ).filter(F.col("est_jaccard") >= 0.4)
+    one_shot_rejected = {r["id_b"] for r in pairs.collect()}
+    expect = {i for i, _ in rows} - one_shot_rejected
+
+    state = spark.createDataFrame(
+        [], "id long, sig array<bigint>, band int, band_hash string")
+    got = set()
+    for lo, hi in [(0, 10), (10, 20), (20, 30)]:
+        batch = docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        surv, state = DD.incremental_minhash_dedup(
+            batch, state, hasher="md5")
+        got |= {r["doc_id"] for r in surv.collect()}
+    assert got == expect
+    # the near-dup family collapsed to its smallest id
+    assert 3 in got and {8, 9, 13, 14, 18, 19, 23, 24, 28, 29} & got == set()
