@@ -100,3 +100,81 @@ def test_pack_greedy_invariants(spark, toks, budget):
             for m in members:
                 assert m["doc_id"] > prev_max_doc
             prev_max_doc = max(m["doc_id"] for m in members)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=st.lists(
+    st.one_of(st.none(), st.integers(min_value=0, max_value=200)),
+    min_size=1, max_size=25))
+def test_filter_audit_partitions_any_corpus(spark, vals):
+    """Invariants: first-fail counts always partition the corpus;
+    survivors == rows passing every rule; n_fail_any >= n_first_fail."""
+    from pyspark.sql import functions as F
+
+    from puffbird_spark.operators.filters import (
+        KEPT, apply_filters, filter_audit)
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    rules = [
+        ("low", F.col("v") >= 20),
+        ("high", F.col("v") <= 150),
+        ("odd", F.col("v") % 2 == 1),
+    ]
+    audit = {r["rule"]: (r["n_first_fail"], r["n_fail_any"])
+             for r in filter_audit(df, rules).collect()}
+    assert sum(v[0] for v in audit.values()) == len(rows)
+    assert all(v[1] >= v[0] for k, v in audit.items() if k != KEPT)
+    expect_kept = [
+        i for i, v in rows
+        if v is not None and 20 <= v <= 150 and v % 2 == 1]
+    assert audit[KEPT][0] == len(expect_kept)
+    got = sorted(r["id"] for r in apply_filters(df, rules).collect())
+    assert got == expect_kept
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(digits=st.lists(
+    st.text(alphabet="0123456789", min_size=1, max_size=20),
+    min_size=1, max_size=15))
+def test_luhn_matches_reference_on_any_digits(spark, digits):
+    from puffbird_spark.functions.text import luhn_valid
+
+    def ref(s):
+        total = 0
+        for i, ch in enumerate(reversed(s)):
+            d = int(ch)
+            if i % 2 == 1:
+                d = d * 2 - 9 if d * 2 > 9 else d * 2
+            total += d
+        return total % 10 == 0
+
+    df = spark.createDataFrame([(s,) for s in digits], ["s"])
+    got = {r["s"]: r["v"] for r in df.select(
+        "s", luhn_valid("s").alias("v")).collect()}
+    for s in digits:
+        assert got[s] == ref(s), s
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=st.lists(
+    st.floats(min_value=-1000, max_value=1000,
+              allow_nan=False, allow_infinity=False),
+    min_size=4, max_size=40, unique=True))
+def test_quantile_buckets_monotone_and_total(spark, vals):
+    """Every row gets exactly one bucket; buckets are monotone in the
+    value; all four buckets are within one of n/4 in size."""
+    from puffbird_spark.operators.splits import quantile_buckets
+
+    rows = [(i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    got = {r["id"]: r["phase"]
+           for r in quantile_buckets(df, "v", bucket_col="phase").collect()}
+    assert len(got) == len(rows)
+    ordered = sorted(rows, key=lambda t: t[1])
+    phases = [got[i] for i, _ in ordered]
+    assert phases == sorted(phases)          # monotone in value
+    assert set(phases) <= {1, 2, 3, 4}
