@@ -76,7 +76,8 @@ _VERIFY_FIRST = [
 # `fn_luhn_mask`, `split_curriculum_phases`, `embedding_outliers`,
 # `text_bpe_pairs`, `embedding_random_projection`, `knn_rp_rerank`,
 # `multimodal_framesample`, `diag_key_skew`, `eval_ir_metrics`,
-# `sink_training_shards`, `dedup_incremental_minhash`. Then rotate the
+# `sink_training_shards`, `dedup_incremental_minhash`,
+# `sql_exists_subquery`, `sql_scalar_subquery`. Then rotate the
 # r4-stale queries (compute as registry − r5 window − r6 window).
 
 

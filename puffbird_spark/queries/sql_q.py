@@ -118,3 +118,57 @@ def dedup_embedding(spark, sf_dir):
         )
         .filter(F.col("cosine") >= 0.45)
     )
+
+
+@query("sql_exists_subquery", oracle="""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+GROUP BY o_orderpriority
+""")
+def sql_exists_subquery(spark, sf_dir):
+    """Correlated EXISTS subquery (the TPC-H Q4 shape on this schema):
+    orders having at least one high-quantity lineitem, counted per
+    priority. Catalyst decorrelates the EXISTS into a left-semi join —
+    the scale-correct plan (one keyed semi-join, no per-row subquery
+    execution); the gate proves the full parse -> decorrelate ->
+    semi-join path against DuckDB's own decorrelation."""
+    o = _view(spark, sf_dir, "orders")
+    li = _view(spark, sf_dir, "lineitem")
+    return spark.sql(f"""
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM {o} o
+        WHERE EXISTS (SELECT 1 FROM {li} l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_quantity > 45)
+        GROUP BY o_orderpriority
+    """)
+
+
+@query("sql_scalar_subquery", oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+       round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             / 7.0, 6) AS avg_yearly
+FROM lineitem l1
+WHERE l1.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                       FROM lineitem l2
+                       WHERE l2.l_partkey = l1.l_partkey)
+""")
+def sql_scalar_subquery(spark, sf_dir):
+    """Correlated SCALAR subquery (the TPC-H Q17 shape): lineitems
+    below 20% of their part's average quantity. Catalyst rewrites the
+    per-row subquery into one per-part aggregate + an equi-join — at
+    100 TB the difference between a keyed agg+join and quadratic
+    re-execution. Quantities are integral so the correlated average is
+    exact cross-engine; the revenue sum is decimal-snapped."""
+    li = _view(spark, sf_dir, "lineitem")
+    return spark.sql(f"""
+        SELECT COUNT(*) AS n_small,
+               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+                          AS DOUBLE) / 7.0, 6) AS avg_yearly
+        FROM {li} l1
+        WHERE l1.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                               FROM {li} l2
+                               WHERE l2.l_partkey = l1.l_partkey)
+    """)

@@ -176,3 +176,19 @@ def test_binned_range_join_no_nested_loop(q):
     plan = P.formatted_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_subquery_gates_decorrelate(spark, sf_dir):
+    """EXISTS must become a semi-join; the correlated scalar subquery
+    must become one aggregate + join — never per-row re-execution."""
+    from puffbird_spark.queries import QUERIES
+
+    ex = QUERIES["sql_exists_subquery"](spark, sf_dir)
+    plan = ex._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+
+    sc = QUERIES["sql_scalar_subquery"](spark, sf_dir)
+    plan2 = sc._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in plan2 and "HashAggregate" in plan2
+    # the subquery is gone from the physical plan (no per-row execution)
+    assert "Subquery" not in plan2 or "SubqueryBroadcast" in plan2
