@@ -1136,3 +1136,48 @@ def sink_training_shards(spark, sf_dir):
         .select("shard", "n_docs", "min_rank", "max_rank",
                 "round_robin_ok")
     )
+
+
+@query("multimodal_resize", oracle="""
+WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS path,
+             1 + doc_id % 16 AS w, 1 + doc_id % 12 AS h,
+             doc_id % 251 AS seed
+           FROM documents),
+px AS (SELECT path, w, h,
+         flatten([[CAST((CAST(floor(x * w / 4.0) AS INT) * 31
+                         + CAST(floor(y * h / 3.0) AS INT) * 17
+                         + seed) % 256 AS VARCHAR)
+                   FOR x IN range(0, 4)]
+                  FOR y IN range(0, 3)]) AS vals
+       FROM d)
+SELECT path, CAST(w AS INT) AS src_w, CAST(h AS INT) AS src_h,
+       CAST(4 AS INT) AS out_w, CAST(3 AS INT) AS out_h,
+       md5(array_to_string(vals, ',')) AS pix_csv_digest
+FROM px
+""")
+def multimodal_resize(spark, sf_dir):
+    """REAL image decode + resize (`decode_png_gray`/`resize_images`,
+    operators/multimodal.py): every document becomes a genuine PNG
+    (stdlib encoder, dims from doc_id), the pipeline zlib-inflates it,
+    strips scanline filters, and nearest-neighbor-resamples to 4x3 —
+    all pure stdlib, no image libraries, in the standard media-stage
+    shape (Arrow mapInPandas, bounded batches, zero shuffle). The
+    oracle recomputes every resized pixel CLOSED-FORM from the
+    generator formula, so the digest only matches if decode AND
+    resampling are both exactly right. This completes the north-star
+    media quartet: metadata, header decode, frame sampling, resize."""
+    import pandas as pd
+
+    from ..operators.multimodal import encode_png, resize_images
+
+    def _make(doc_id):
+        return doc_id.map(
+            lambda i: encode_png(1 + int(i) % 16, 1 + int(i) % 12,
+                                 seed=int(i) % 251))
+
+    make_png = F.pandas_udf(_make, returnType="binary")
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("path"),
+        make_png(F.col("doc_id")).alias("content"),
+    )
+    return resize_images(docs, out_w=4, out_h=3)

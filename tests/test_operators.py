@@ -2043,3 +2043,35 @@ def test_incremental_minhash_replay_equals_one_shot(spark):
     assert got == expect
     # the near-dup family collapsed to its smallest id
     assert 3 in got and {8, 9, 13, 14, 18, 19, 23, 24, 28, 29} & got == set()
+
+
+def test_png_decode_and_resize(spark):
+    import hashlib
+
+    from puffbird_spark.operators.multimodal import (
+        decode_png_gray, encode_png, resize_images)
+
+    # decode inverts encode exactly
+    w, h, px = decode_png_gray(encode_png(6, 3, seed=11))
+    assert (w, h) == (6, 3)
+    assert list(px) == [(x * 31 + y * 17 + 11) % 256
+                        for y in range(3) for x in range(6)]
+
+    # unsupported inputs fail loudly, not wrongly
+    with pytest.raises(NotImplementedError):
+        decode_png_gray(b"GIF89a\x00\x00")
+
+    # identity resize reproduces the source raster digest
+    df = spark.createDataFrame(
+        [("p", encode_png(4, 3, seed=5))], "path string, content binary")
+    r = resize_images(df, out_w=4, out_h=3).collect()[0]
+    src = [(x * 31 + y * 17 + 5) % 256 for y in range(3) for x in range(4)]
+    expect = hashlib.md5(",".join(map(str, src)).encode()).hexdigest()
+    assert (r["src_w"], r["src_h"]) == (4, 3)
+    assert r["pix_csv_digest"] == expect
+
+    # downsample picks nearest-neighbor sources
+    r2 = resize_images(df, out_w=2, out_h=1).collect()[0]
+    sub = [src[0 * 4 + 0], src[0 * 4 + 2]]   # y->0, x->{0,2}
+    expect2 = hashlib.md5(",".join(map(str, sub)).encode()).hexdigest()
+    assert r2["pix_csv_digest"] == expect2
