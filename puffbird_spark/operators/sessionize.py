@@ -91,3 +91,73 @@ def session_stats(
             *extra_names,
         )
     )
+
+
+def funnel_depths(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Ordered funnel analysis: per key, how deep into the
+    ``steps`` sequence did the events get, respecting EVENT-TIME order
+    (step k+1 must occur strictly after the first completion of step
+    k)? Returns ``(key, depth)`` with depth in [0, len(steps)].
+
+    Shape: ONE keyed aggregation collects each key's (ts, type) events
+    into a sorted array, then a scan-local fold walks it with the step
+    list as a plan literal — no self-join per step (the naive funnel is
+    k progressive joins = k shuffles; this is one), no Python.
+    Per-key event arrays are session-sized; a pathological key is the
+    same skew any per-key analysis faces (diagnose with
+    `key_skew_stats`).
+    """
+    tb = tiebreak_col or ts_col
+    ev = F.array_sort(
+        F.collect_list(
+            F.struct(F.col(ts_col).alias("t"), F.col(tb).alias("tb"),
+                     F.col(type_col).alias("ty"))))
+    steps_lit = F.array(*[F.lit(s) for s in steps])
+    init = F.struct(
+        F.lit(0).alias("d"),
+        F.lit(None).cast("timestamp").alias("t"))
+    fold = F.aggregate(
+        ev,
+        init,
+        lambda acc, e: F.when(
+            (acc["d"] < F.lit(len(steps)))
+            & (e["ty"] == F.element_at(steps_lit, acc["d"] + 1))
+            & ((acc["d"] == 0) | (e["t"] > acc["t"])),
+            F.struct(
+                (acc["d"] + 1).alias("d"), e["t"].cast("timestamp").alias("t")),
+        ).otherwise(acc),
+    )
+    return df.groupBy(F.col(key).alias(key)).agg(
+        fold["d"].alias("depth"))
+
+
+def funnel_conversion(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Aggregate funnel report: one row per step with how many keys
+    reached at least that depth (step 0 = all keys with any event)."""
+    depths = funnel_depths(df, key, ts_col, type_col, steps, tiebreak_col)
+    rows = F.array(*[
+        F.struct(
+            F.lit(i).alias("step"),
+            F.sum((F.col("depth") >= i).cast("long")).alias("n_reached"),
+        )
+        for i in range(len(steps) + 1)
+    ])
+    return (
+        depths.agg(rows.alias("__r"))
+        .select(F.explode("__r").alias("r"))
+        .select("r.step", "r.n_reached")
+    )

@@ -658,3 +658,43 @@ def stream_stream_outer_join(spark, sf_dir):
         q.awaitTermination(300)
     return spark.read.parquet(out_dir).select(
         "user_id", "view_id", "purchase_id")
+
+
+@query("funnel_conversion", oracle="""
+WITH e AS (SELECT user_id, ts, event_type FROM events),
+u AS (SELECT DISTINCT user_id FROM e),
+t1 AS (SELECT user_id, MIN(ts) AS t FROM e
+       WHERE event_type = 'view' GROUP BY 1),
+t2 AS (SELECT e.user_id, MIN(e.ts) AS t
+       FROM e JOIN t1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > t1.t GROUP BY 1),
+t3 AS (SELECT e.user_id, MIN(e.ts) AS t
+       FROM e JOIN t2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > t2.t GROUP BY 1)
+SELECT 0 AS step, CAST((SELECT COUNT(*) FROM u) AS BIGINT) AS n_reached
+UNION ALL
+SELECT 1, CAST((SELECT COUNT(*) FROM t1) AS BIGINT)
+UNION ALL
+SELECT 2, CAST((SELECT COUNT(*) FROM t2) AS BIGINT)
+UNION ALL
+SELECT 3, CAST((SELECT COUNT(*) FROM t3) AS BIGINT)
+""")
+def funnel_conversion(spark, sf_dir):
+    """Ordered funnel analysis (`funnel_conversion`,
+    operators/sessionize.py): per user, how deep does
+    view -> click -> purchase get in EVENT-TIME order (each step
+    strictly after the first completion of the previous)? Spark walks
+    each user's sorted events with ONE keyed agg + a scan-local fold
+    (the naive funnel is k progressive self-joins = k shuffles); the
+    oracle IS the naive progressive-min formulation — two genuinely
+    different algorithms that must agree, per step, on exact user
+    counts."""
+    from ..operators.sessionize import funnel_conversion
+    from ..sources import normalize_nano_ts
+
+    ev = normalize_nano_ts(
+        load(spark, sf_dir, "events"), ["ts"]).withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    return funnel_conversion(
+        ev, "user_id", "ts", "event_type",
+        ["view", "click", "purchase"], tiebreak_col="event_id")

@@ -2113,3 +2113,41 @@ def test_group_ols_matches_numpy(spark):
     assert abs(out["a"][0] - m) < 1e-6 and abs(out["a"][1] - b) < 1e-6
     assert out["b"] == (None, None)          # degenerate guard
     assert out["c"] == (2.0, -1.0)           # exact line
+
+
+def test_funnel_depths_event_time_order(spark):
+    import datetime as dt
+
+    from puffbird_spark.operators.sessionize import (
+        funnel_conversion, funnel_depths)
+
+    T = dt.datetime
+    t0 = T(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    rows = [
+        # u1: full funnel in order
+        (1, 1, ts(0), "view"), (2, 1, ts(5), "click"),
+        (3, 1, ts(9), "purchase"),
+        # u2: click BEFORE view -> depth stops at 1 (view only)
+        (4, 2, ts(0), "click"), (5, 2, ts(5), "view"),
+        # u3: purchase before click -> depth 2 (view, click)
+        (6, 3, ts(0), "view"), (7, 3, ts(1), "purchase"),
+        (8, 3, ts(2), "click"),
+        # u4: unrelated events only -> depth 0
+        (9, 4, ts(0), "error"), (10, 4, ts(1), "signup"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type"])
+    steps = ["view", "click", "purchase"]
+    depths = {r["user_id"]: r["depth"] for r in funnel_depths(
+        df, "user_id", "ts", "event_type", steps,
+        tiebreak_col="event_id").collect()}
+    assert depths == {1: 3, 2: 1, 3: 2, 4: 0}
+
+    conv = {r["step"]: r["n_reached"] for r in funnel_conversion(
+        df, "user_id", "ts", "event_type", steps,
+        tiebreak_col="event_id").collect()}
+    assert conv == {0: 4, 1: 3, 2: 2, 3: 1}
