@@ -2016,3 +2016,59 @@ def dedup_incremental_minhash(spark, sf_dir):
     s2, _ = incremental_minhash_dedup(
         docs.filter(F.col("doc_id") >= 250), state, hasher="md5")
     return s1.select("doc_id").unionByName(s2.select("doc_id"))
+
+
+@query("pipeline_end_to_end", oracle="""
+WITH t AS (SELECT doc_id, text, len(string_split(text, ' ')) AS ntok,
+             md5(text) AS dg
+           FROM documents WHERE text IS NOT NULL),
+f AS (SELECT * FROM t WHERE ntok BETWEEN 20 AND 90),
+d AS (SELECT * FROM f
+      QUALIFY row_number() OVER (PARTITION BY dg ORDER BY doc_id) = 1),
+s AS (SELECT *,
+        CASE WHEN substr(md5('pipe:' || {enc}), 1, 16)
+                  < 'e666666666666800'
+             THEN 'train' ELSE 'val' END AS split
+      FROM d)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+       CAST(ceil(SUM(ntok) / 2048.0) AS BIGINT) AS n_packs
+FROM s GROUP BY split
+""".replace("{enc}", "'v' || CAST(length(dg) AS VARCHAR) || ':' || dg"))
+def pipeline_end_to_end(spark, sf_dir):
+    """The composition gate: a four-stage curation pipeline built
+    ENTIRELY from this engine's operators chained as DataFrames —
+    quality filter (`apply_filters`: 20-90 tokens) -> exact dedup
+    survivors (`exact_dedup`) -> content-keyed 90/10 split
+    (`hash_split` on the digest, leakage-safe) -> per-split token
+    totals + closed-form spanning-pack counts (budget 2048). One lazy
+    plan end to end: Catalyst fuses the filter into the scan, the
+    dedup is the only doc-keyed shuffle, the split is scan-local, the
+    report is one agg. The oracle replays all four stages in a single
+    SQL chain — operators that each verify alone must ALSO verify
+    composed, which is what a user actually runs."""
+    from ..operators.dedup import exact_dedup
+    from ..operators.filters import apply_filters
+    from ..operators.splits import hash_split
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull())
+    toks = F.split(F.col("text"), " ")
+    filtered = apply_filters(docs, [
+        ("min_words", F.size(toks) >= 20),
+        ("max_words", F.size(toks) <= 90),
+    ])
+    deduped = exact_dedup(filtered, "text", "doc_id").withColumn(
+        "__dg", F.md5("text"))
+    split = hash_split(
+        deduped, "__dg", {"train": 0.9, "val": 0.1}, seed="pipe")
+    ntok = F.size(F.split(F.col("text"), " "))
+    return (
+        split.groupBy("split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.sum(ntok).cast("long").alias("n_tokens"))
+        .withColumn(
+            "n_packs",
+            F.ceil(F.col("n_tokens") / F.lit(2048.0)).cast("long"))
+        .select("split", "n_docs", "n_tokens", "n_packs")
+    )
