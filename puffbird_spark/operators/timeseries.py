@@ -93,3 +93,71 @@ def gap_fill(
             F.coalesce(F.col("__obs"), F.lit(False)).alias("is_observed"),
         )
     )
+
+
+def cusum_alarms(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    target: float,
+    slack: float = 0.0,
+    threshold: float = 20.0,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """One-sided CUSUM drift detection per key — the standard
+    data-quality monitor for a metric stream (did this source's quality
+    score / length / error rate shift upward?): the classic recursion
+    ``s_i = max(0, s_{i-1} + (x_i - target - slack))`` with an alarm
+    whenever ``s_i > threshold``.
+
+    The recursion LOOKS sequential, but equals
+    ``s_i = c_i - min(c_1..c_i)`` where ``c`` is the running sum of
+    deviations — so the whole operator is two per-key WINDOW functions
+    (running sum, running min) over decimal-snapped deviations: exact,
+    order-pinned by ``(ts, tiebreak...)``, engine-replayable, and never
+    sequential on the driver. Returns per key:
+    ``(key..., n_alarms, max_s, first_alarm_ts)`` (NULLs when no
+    alarm).
+
+    ``target``/``slack`` are the monitored baseline — literals here;
+    production derives them from a trailing window or a reference
+    period and passes them in.
+    """
+    from pyspark.sql import Window
+
+    tb = tiebreak_cols or []
+    dev = (F.col(value_col).cast("decimal(28,12)")
+           - F.lit(target).cast("decimal(28,12)")
+           - F.lit(slack).cast("decimal(28,12)"))
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(ts_col), *[F.col(c) for c in tb])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # two stages: a window over a window must be materialized between
+    # (Spark rejects nested window expressions in one projection); both
+    # windows share the same partitioning, so this is ONE exchange
+    staged = df.select(
+        *key_cols, F.col(ts_col).alias("__ts"),
+        *[F.col(c_) for c_ in tb],
+        F.sum(dev).over(w).alias("__c"))
+    w2 = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col("__ts"), *[F.col(c_) for c_ in tb])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = (F.col("__c") - F.least(
+        F.min("__c").over(w2), F.lit(0).cast("decimal(28,12)")))
+    alarmed = staged.select(
+        *key_cols, "__ts", s.cast("double").alias("__s"))
+    return (
+        alarmed.groupBy(*key_cols)
+        .agg(
+            F.sum((F.col("__s") > threshold).cast("long"))
+            .alias("n_alarms"),
+            F.round(F.max("__s"), 6).alias("max_s"),
+            F.min(F.when(F.col("__s") > threshold, F.col("__ts")))
+            .alias("first_alarm_ts"),
+        )
+    )

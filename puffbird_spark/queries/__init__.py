@@ -78,9 +78,9 @@ _VERIFY_FIRST = [
 # `multimodal_framesample`, `diag_key_skew`, `eval_ir_metrics`,
 # `sink_training_shards`, `dedup_incremental_minhash`,
 # `sql_exists_subquery`, `sql_scalar_subquery`, `multimodal_resize`,
-# `agg_group_ols`, `funnel_conversion`, `pipeline_end_to_end`. Then
-# rotate the r4-stale queries (compute as registry − r5 window − r6
-# window).
+# `agg_group_ols`, `funnel_conversion`, `pipeline_end_to_end`,
+# `timeseries_cusum`. Then rotate the r4-stale queries (compute as
+# registry − r5 window − r6 window).
 
 
 def _reorder() -> None:

@@ -698,3 +698,45 @@ def funnel_conversion(spark, sf_dir):
     return funnel_conversion(
         ev, "user_id", "ts", "event_type",
         ["view", "click", "purchase"], tiebreak_col="event_id")
+
+
+@query("timeseries_cusum", oracle="""
+WITH e AS (SELECT user_id, ts, event_id,
+             CAST(value AS DECIMAL(28,12)) - 55 AS d
+           FROM events WHERE value IS NOT NULL),
+c AS (SELECT user_id, ts, event_id,
+        SUM(d) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM e),
+s AS (SELECT user_id, ts,
+        CAST(c - least(MIN(c) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+             AS DOUBLE) AS s
+      FROM c)
+SELECT user_id, CAST(SUM(CASE WHEN s > 400 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_alarms,
+       round(MAX(s), 6) AS max_s,
+       MIN(CASE WHEN s > 400 THEN ts END) AS first_alarm_ts
+FROM s GROUP BY user_id
+""")
+def timeseries_cusum(spark, sf_dir):
+    """CUSUM drift detection per user (`cusum_alarms`,
+    operators/timeseries.py) — the data-quality monitor for a metric
+    stream: the classic clamp-at-zero recursion looks sequential but
+    equals running-sum minus running-min of decimal-snapped deviations,
+    so the whole detector is two per-key windows sharing ONE exchange —
+    exact, order-pinned, never driver-sequential. Target 55 / alarm
+    threshold 400 split the synthetic users ~43/150 alarmed; per-user
+    alarm counts, 6-dp max excursion AND first-alarm timestamp all
+    hash-checked against the window replay."""
+    from ..operators.timeseries import cusum_alarms
+    from ..sources import normalize_nano_ts
+
+    ev = normalize_nano_ts(
+        load(spark, sf_dir, "events"), ["ts"]).withColumn(
+        "ts", F.col("ts").cast("timestamp")).filter(
+        F.col("value").isNotNull())
+    return cusum_alarms(
+        ev, ["user_id"], "ts", "value", target=55.0, threshold=400.0,
+        tiebreak_cols=["event_id"])

@@ -2151,3 +2151,38 @@ def test_funnel_depths_event_time_order(spark):
         df, "user_id", "ts", "event_type", steps,
         tiebreak_col="event_id").collect()}
     assert conv == {0: 4, 1: 3, 2: 2, 3: 1}
+
+
+def test_cusum_matches_sequential_recursion(spark):
+    """The window formulation must equal the textbook clamp-at-zero
+    recursion exactly, including alarm timing."""
+    import datetime as dt
+
+    from puffbird_spark.operators.timeseries import cusum_alarms
+
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [3.0, 9.0, 1.0, 8.0, 8.0, 0.5, 9.5, 9.0]
+    rows = [(1, i, t0 + dt.timedelta(minutes=i), v)
+            for i, v in enumerate(vals)]
+    rows += [(2, 100, t0, 1.0), (2, 101, t0 + dt.timedelta(minutes=1), 2.0)]
+    df = spark.createDataFrame(rows, ["k", "event_id", "ts", "value"])
+
+    target, thr = 5.0, 6.0
+    out = {r["k"]: r for r in cusum_alarms(
+        df, ["k"], "ts", "value", target=target, threshold=thr,
+        tiebreak_cols=["event_id"]).collect()}
+
+    # sequential reference
+    s, n_alarms, max_s, first = 0.0, 0, 0.0, None
+    for i, v in enumerate(vals):
+        s = max(0.0, s + (v - target))
+        max_s = max(max_s, s)
+        if s > thr:
+            n_alarms += 1
+            if first is None:
+                first = t0 + dt.timedelta(minutes=i)
+    r1 = out[1]
+    assert (r1["n_alarms"], r1["max_s"]) == (n_alarms, round(max_s, 6))
+    assert r1["first_alarm_ts"] == first
+    # key 2 never alarms: zero count, NULL first-alarm
+    assert out[2]["n_alarms"] == 0 and out[2]["first_alarm_ts"] is None
