@@ -113,6 +113,10 @@ BENCH_QUERIES = [
     "text_quality_classifier",
     "filter_pipeline_audit",
     "timeseries_gap_fill",
+    # round-6 third batch: the single-shuffle funnel fold and the
+    # composed four-operator pipeline
+    "funnel_conversion",
+    "pipeline_end_to_end",
 ]
 
 

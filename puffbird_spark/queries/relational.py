@@ -954,3 +954,51 @@ def agg_group_ols(spark, sf_dir):
         F.round(slope, 6).alias("slope"),
         F.round((sy - slope * sx) / n, 6).alias("intercept"),
     )
+
+
+@query("agg_group_corr", oracle="""
+WITH s AS (SELECT user_id, COUNT(*) AS n,
+         SUM(CAST(event_id AS DECIMAL(28,12))) AS sx,
+         SUM(CAST(value AS DECIMAL(28,12))) AS sy,
+         SUM(CAST(event_id * event_id AS DECIMAL(28,12))) AS sxx,
+         SUM(CAST(value * value AS DECIMAL(28,12))) AS syy,
+         SUM(CAST(event_id * value AS DECIMAL(28,12))) AS sxy
+       FROM events WHERE value IS NOT NULL GROUP BY user_id)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / NULLIF(sqrt(n * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * sqrt(n * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0), 6)
+    AS pearson_r
+FROM s
+""")
+def agg_group_corr(spark, sf_dir):
+    """Per-group Pearson correlation (value vs event_id per user) from
+    the same sufficient-statistic shape as `agg_group_ols`: one keyed
+    agg with decimal-snapped sums (map-side partials), correlation
+    derived arithmetically — no per-group pass, no collect;
+    zero-variance groups guard to NULL. 6-dp r hash-checked per
+    user."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    dec = "decimal(28,12)"
+    s = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("event_id").cast(dec)).alias("sx"),
+        F.sum(F.col("value").cast(dec)).alias("sy"),
+        F.sum((F.col("event_id") * F.col("event_id")).cast(dec))
+        .alias("sxx"),
+        F.sum((F.col("value") * F.col("value")).cast(dec)).alias("syy"),
+        F.sum((F.col("event_id") * F.col("value")).cast(dec))
+        .alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    den = (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+    r = (n * sxy - sx * sy) / F.when(den != 0, den)
+    return s.select(
+        "user_id", n.cast("long").alias("n"),
+        F.round(r, 6).alias("pearson_r"))

@@ -2186,3 +2186,37 @@ def test_cusum_matches_sequential_recursion(spark):
     assert r1["first_alarm_ts"] == first
     # key 2 never alarms: zero count, NULL first-alarm
     assert out[2]["n_alarms"] == 0 and out[2]["first_alarm_ts"] is None
+
+
+def test_group_corr_matches_numpy(spark):
+    import numpy as np
+
+    from puffbird_spark.queries.base import QUERIES  # noqa: F401
+
+    # replicate the gate arithmetic on constructed data
+    from pyspark.sql import functions as F
+    rows = ([("a", x, 3.0 * x + 1.0) for x in range(8)]       # r = 1
+            + [("b", x, float(-x)) for x in range(6)]          # r = -1
+            + [("c", x, 4.2) for x in range(5)]                # var 0 -> NULL
+            + [("d", x, [2.0, 5.0, 3.0, 9.0, 1.0][x]) for x in range(5)])
+    df = spark.createDataFrame(rows, ["k", "x", "y"])
+    dec = "decimal(28,12)"
+    s = df.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"))
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    den = (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+    r = (n * sxy - sx * sy) / F.when(den != 0, den)
+    out = {row["k"]: row["r"] for row in s.select(
+        "k", F.round(r, 6).alias("r")).collect()}
+    assert out["a"] == 1.0 and out["b"] == -1.0 and out["c"] is None
+    d_y = [2.0, 5.0, 3.0, 9.0, 1.0]
+    expect = float(np.corrcoef(range(5), d_y)[0, 1])
+    assert abs(out["d"] - expect) < 1e-6
