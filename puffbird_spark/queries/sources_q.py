@@ -1181,3 +1181,36 @@ def multimodal_resize(spark, sf_dir):
         make_png(F.col("doc_id")).alias("content"),
     )
     return resize_images(docs, out_w=4, out_h=3)
+
+
+@query("scan_xml", oracle="""
+SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+""")
+def scan_xml(spark, sf_dir):
+    """XML sink + schema'd XML scan round-trip (Spark 4's built-in XML
+    source — new surface this engine exposes alongside
+    CSV/JSON/ORC/parquet): supplier materializes as row-tagged XML,
+    reads back through an explicit schema, joins nation, aggregates —
+    the oracle computes the same aggregate from the parquet original,
+    so any XML write/read/schema bug breaks the hash."""
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    path = f"/tmp/pbs_fmt{tag}/supplier_xml"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (load(spark, sf_dir, "supplier")
+         .write.mode("overwrite")
+         .option("rootTag", "suppliers").option("rowTag", "supplier")
+         .format("xml").save(path))
+    schema = ("s_suppkey long, s_name string, s_nationkey int, "
+              "s_acctbal double")
+    df = (spark.read.option("rowTag", "supplier")
+          .schema(schema).format("xml").load(path))
+    nation = load(spark, sf_dir, "nation")
+    return (
+        df.join(nation, df["s_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(dec("s_acctbal")).cast("double").alias("sum_bal"))
+    )
