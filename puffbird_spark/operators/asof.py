@@ -114,3 +114,42 @@ def asof_join(
         + [F.col("__m").getField(c).alias(c) for c in rval_cols]
     )
     return matched.select(*out_cols)
+
+
+def scd2_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    fact_ts: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "left",
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) temporal join: each fact row
+    picks the dimension VERSION whose validity interval
+    ``[valid_from, valid_to)`` contains the fact's event time — how a
+    warehouse enriches events with the attributes as they were THEN,
+    not as they are now (the as-of join's explicit-interval sibling:
+    as-of carries the latest-before version forward; SCD2 dimensions
+    publish closed intervals and admit gaps).
+
+    Scale shape: ONE equi-join on the dimension key with the interval
+    predicate as a join-time filter — version count per key is
+    dimension-history-sized (a few rows), so the join fans out by that
+    small factor before filtering and never becomes a range/theta join.
+    With half-open intervals and no overlaps (the SCD2 contract —
+    violations surface as duplicated facts, which the gate's row count
+    catches), each fact matches at most one version.
+    """
+    d = dim.select(
+        F.col(key).alias("__k"),
+        F.col(valid_from).alias("__vf"),
+        F.col(valid_to).alias("__vt"),
+        *[c for c in dim.columns if c not in (key, valid_from, valid_to)],
+    )
+    cond = (
+        (fact[key] == d["__k"])
+        & (fact[fact_ts] >= d["__vf"])
+        & (fact[fact_ts] < d["__vt"])
+    )
+    return fact.join(d, cond, how).drop("__k", "__vf", "__vt")

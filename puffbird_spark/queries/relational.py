@@ -1002,3 +1002,56 @@ def agg_group_corr(spark, sf_dir):
     return s.select(
         "user_id", n.cast("long").alias("n"),
         F.round(r, 6).alias("pearson_r"))
+
+
+@query("join_scd2", oracle="""
+WITH v AS (
+  SELECT c_custkey, c_mktsegment || '#v1' AS segment_v,
+         TIMESTAMP '1990-01-01 00:00:00' AS vf,
+         TIMESTAMP '1996-01-01 00:00:00'
+           + INTERVAL (c_custkey % 730) DAY AS vt
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, c_mktsegment || '#v2',
+         TIMESTAMP '1996-01-01 00:00:00'
+           + INTERVAL (c_custkey % 730) DAY,
+         TIMESTAMP '9999-01-01 00:00:00'
+  FROM customer)
+SELECT o.o_orderkey, v.segment_v
+FROM orders o JOIN v
+  ON o.o_custkey = v.c_custkey
+ AND o.o_orderdate >= v.vf AND o.o_orderdate < v.vt
+""")
+def join_scd2(spark, sf_dir):
+    """SCD type-2 temporal dimension join (`scd2_join`,
+    operators/asof.py): every customer gets two synthesized dimension
+    versions split at a per-key cutoff date; each order must enrich
+    with the version valid AT ITS ORDER DATE. One equi-join on the key
+    with the half-open interval as a join-time filter — the
+    history-sized fan-out never becomes a theta join, and an
+    overlap/gap bug in the dimension shows up as a duplicated or
+    dropped order (row count is part of the hash). Every order's
+    picked version hash-checked."""
+    from ..operators.asof import scd2_join
+
+    cust = load(spark, sf_dir, "customer")
+    cutoff = F.expr(
+        "TIMESTAMP '1996-01-01 00:00:00'"
+        " + make_interval(0, 0, 0, c_custkey % 730, 0, 0, 0)")
+    v1 = cust.select(
+        "c_custkey",
+        F.concat(F.col("c_mktsegment"), F.lit("#v1")).alias("segment_v"),
+        F.lit("1990-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        cutoff.alias("valid_to"))
+    v2 = cust.select(
+        "c_custkey",
+        F.concat(F.col("c_mktsegment"), F.lit("#v2")).alias("segment_v"),
+        cutoff.alias("valid_from"),
+        F.lit("9999-01-01 00:00:00").cast("timestamp").alias("valid_to"))
+    dim = v1.unionByName(v2)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("c_custkey"),
+        "o_orderdate")
+    return scd2_join(
+        orders, dim, "c_custkey", "o_orderdate", how="inner"
+    ).select("o_orderkey", "segment_v")

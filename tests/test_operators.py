@@ -2220,3 +2220,29 @@ def test_group_corr_matches_numpy(spark):
     d_y = [2.0, 5.0, 3.0, 9.0, 1.0]
     expect = float(np.corrcoef(range(5), d_y)[0, 1])
     assert abs(out["d"] - expect) < 1e-6
+
+
+def test_scd2_join_picks_version_at_event_time(spark):
+    import datetime as dt
+
+    from puffbird_spark.operators.asof import scd2_join
+
+    T = dt.datetime
+    dim = spark.createDataFrame([
+        (1, "old", T(2000, 1, 1), T(2001, 1, 1)),
+        (1, "new", T(2001, 1, 1), T(9999, 1, 1)),
+        (2, "only", T(2000, 6, 1), T(2000, 7, 1)),   # gap after
+    ], ["k", "attr", "valid_from", "valid_to"])
+    fact = spark.createDataFrame([
+        (10, 1, T(2000, 5, 5)),    # -> old
+        (11, 1, T(2001, 1, 1)),    # boundary: half-open -> new
+        (12, 2, T(2000, 6, 15)),   # -> only
+        (13, 2, T(2000, 8, 1)),    # in the gap -> NULL (left join)
+        (14, 3, T(2000, 1, 1)),    # unknown key -> NULL
+    ], ["fid", "k", "ts"])
+    out = {r["fid"]: r["attr"] for r in scd2_join(
+        fact, dim, "k", "ts").collect()}
+    assert out == {10: "old", 11: "new", 12: "only", 13: None, 14: None}
+    # inner join drops the unmatched facts instead
+    inner = scd2_join(fact, dim, "k", "ts", how="inner")
+    assert sorted(r["fid"] for r in inner.collect()) == [10, 11, 12]
