@@ -765,6 +765,15 @@ def containment_pairs(
     lower bound (counts lose only stop-shingle overlap). ``None`` keeps
     the operator exact.
 
+    Order of operations at scale (measured, sf1 NOTES): run EXACT
+    dedup first. Large exact-duplicate clusters make every one of
+    their shingles high-df, so the candidate mass AND the true pair
+    output are quadratic in cluster size — on a 10x-replicated corpus
+    this operator honestly materializes the quarter-million true pairs
+    (27s) and ``max_df`` cannot help, because there the duplicates ARE
+    the boilerplate. After exact dedup, containment sees only the
+    asymmetric-quote structure it exists to find.
+
     Output: ``(id_a, id_b, containment_a, containment_b)`` with
     ``id_a < id_b``, both directions 6-dp rounded, rows where either
     direction ``>= threshold``.
