@@ -945,3 +945,34 @@ def incremental_minhash_dedup(
     survivors = batch.join(
         rejected, batch[id_col] == rejected["__rej"], "left_anti")
     return survivors, all_b
+
+
+def dedup_weights(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    weight_col: str = "weight",
+    dp: int = 6,
+) -> DataFrame:
+    """Soft dedup: KEEP every document but weight it ``1 / n`` where
+    ``n`` is its exact-duplicate cluster size — so each distinct
+    content contributes total mass 1 to the training mixture. The
+    alternative to hard dropping when duplicates carry signal (a doc
+    repeated across many sources IS more canonical; hard dedup throws
+    that away, upweighting nothing — soft dedup preserves the corpus
+    marginal while removing the repetition bias).
+
+    One digest-keyed count + one digest-keyed join back — 16-byte
+    digests shuffle, text never does. NULL-text rows form one cluster
+    (they share the NULL digest) via a null-safe join. Weights are
+    ``dp``-rounded for engine portability.
+    """
+    d = df.withColumn("__dg", F.md5(F.col(text_col)))
+    sizes = d.groupBy("__dg").agg(F.count(F.lit(1)).alias("__n"))
+    s2 = sizes.select(
+        F.col("__dg").alias("__dg2"), F.col("__n"))
+    return (
+        d.join(s2, d["__dg"].eqNullSafe(s2["__dg2"]))
+        .withColumn(weight_col, F.round(1.0 / F.col("__n"), dp))
+        .drop("__dg", "__dg2", "__n")
+    )

@@ -79,9 +79,9 @@ _VERIFY_FIRST = [
 # `sink_training_shards`, `dedup_incremental_minhash`,
 # `sql_exists_subquery`, `sql_scalar_subquery`, `multimodal_resize`,
 # `agg_group_ols`, `funnel_conversion`, `pipeline_end_to_end`,
-# `timeseries_cusum`, `agg_group_corr`, `scan_xml`, `join_scd2`. Then
-# rotate the r4-stale queries (compute as registry − r5 window − r6
-# window).
+# `timeseries_cusum`, `agg_group_corr`, `scan_xml`, `join_scd2`,
+# `dedup_soft_weights`. Then rotate the r4-stale queries (compute as
+# registry − r5 window − r6 window).
 
 
 def _reorder() -> None:

@@ -2072,3 +2072,23 @@ def pipeline_end_to_end(spark, sf_dir):
             F.ceil(F.col("n_tokens") / F.lit(2048.0)).cast("long"))
         .select("split", "n_docs", "n_tokens", "n_packs")
     )
+
+
+@query("dedup_soft_weights", oracle="""
+WITH s AS (SELECT md5(text) AS dg, COUNT(*) AS n
+           FROM documents GROUP BY md5(text))
+SELECT d.doc_id, round(1.0 / s.n, 6) AS weight
+FROM documents d JOIN s ON md5(d.text) = s.dg
+""")
+def dedup_soft_weights(spark, sf_dir):
+    """Soft dedup (`dedup_weights`, operators/dedup.py): every doc
+    kept, weighted 1/cluster-size so each distinct content contributes
+    total mass 1 — the repetition-bias fix that preserves signal hard
+    dedup throws away. One digest-keyed count + join back (16-byte
+    digests shuffle, never text). Per-doc weights hash-checked; the
+    invariant sum(weight) == n_distinct_contents is unit-pinned."""
+    from ..operators.dedup import dedup_weights
+
+    docs = load(spark, sf_dir, "documents")
+    return dedup_weights(docs, "text", "doc_id").select(
+        "doc_id", "weight")

@@ -2246,3 +2246,19 @@ def test_scd2_join_picks_version_at_event_time(spark):
     # inner join drops the unmatched facts instead
     inner = scd2_join(fact, dim, "k", "ts", how="inner")
     assert sorted(r["fid"] for r in inner.collect()) == [10, 11, 12]
+
+
+def test_dedup_weights_mass_invariant(spark):
+    from puffbird_spark.operators.dedup import dedup_weights
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, None), (6, None)],
+        ["doc_id", "text"])
+    out = dedup_weights(docs, "text", "doc_id")
+    got = {r["doc_id"]: r["weight"] for r in out.collect()}
+    assert got == {1: round(1/3, 6), 2: round(1/3, 6), 3: round(1/3, 6),
+                   4: 1.0, 5: 0.5, 6: 0.5}
+    # every row kept; total mass == number of distinct contents
+    assert out.count() == 6
+    total = sum(got.values())
+    assert abs(total - 3.0) < 1e-5  # "a", "b", NULL
