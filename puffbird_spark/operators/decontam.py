@@ -233,3 +233,55 @@ def bloom_contaminated(
             F.coalesce(F.col("__any"), F.lit(False)).alias(flag_col),
         )
     )
+
+
+def contamination_report(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per EVAL item contamination attribution — the reverse direction
+    of :func:`contamination`: instead of "which train docs must go",
+    this answers the eval owner's question — "which of MY items are
+    compromised, by how many train docs, how heavily?" Returns one row
+    per contaminated eval doc:
+    ``(eval_id, n_grams, n_train_docs, n_shared_grams,
+    worst_overlap)`` where ``worst_overlap`` is the largest count of
+    this item's grams found in any single train doc.
+
+    Scale shape: the eval gram->item map broadcasts (eval sets are
+    small by definition); the train side stays a scan that map-side
+    semi-filters against it — ONLY contaminated (train, gram) rows
+    enter the shuffle, which is bounded by the contamination volume,
+    never the corpus. One (eval, train) keyed agg then one eval-keyed
+    agg.
+    """
+    from ..plans import fence
+
+    ev = fence(
+        eval_df.select(F.col(id_col), F.col(text_col)),
+        [id_col], sh=shingles(tokens(text_col), n),
+    ).select(
+        F.col(id_col).alias("eval_id"),
+        F.size("sh").alias("n_grams"),
+        F.explode("sh").alias("gram"),
+    )
+    tr = fence(
+        train.select(F.col(id_col), F.col(text_col)),
+        [id_col], sh=shingles(tokens(text_col), n),
+    ).select(F.col(id_col).alias("train_id"), F.explode("sh").alias("gram"))
+    hits = tr.join(F.broadcast(ev), "gram")
+    summary = hits.groupBy("eval_id").agg(
+        F.max("n_grams").alias("n_grams"),
+        F.countDistinct("train_id").cast("long").alias("n_train_docs"),
+        F.countDistinct("gram").cast("long").alias("n_shared_grams"),
+    )
+    worst = (
+        hits.groupBy("eval_id", "train_id")
+        .agg(F.count(F.lit(1)).alias("__o"))
+        .groupBy("eval_id")
+        .agg(F.max("__o").cast("long").alias("worst_overlap"))
+    )
+    return summary.join(worst, "eval_id")

@@ -2092,3 +2092,51 @@ def dedup_soft_weights(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     return dedup_weights(docs, "text", "doc_id").select(
         "doc_id", "weight")
+
+
+@query("text_decontaminate_report", oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents),
+sh AS (SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_sort(list_distinct(
+                     [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                      FOR i IN range(1, len(toks) - 1)]))
+              ELSE [] END AS sh
+       FROM t),
+ev AS (SELECT doc_id AS eval_id, len(sh) AS n_grams, unnest(sh) AS gram
+       FROM sh WHERE doc_id % 10 = 0),
+tr AS (SELECT doc_id AS train_id, unnest(sh) AS gram
+       FROM sh WHERE doc_id % 10 != 0),
+h AS (SELECT ev.eval_id, ev.n_grams, ev.gram, tr.train_id
+      FROM tr JOIN ev USING (gram)),
+summary AS (SELECT eval_id, MAX(n_grams) AS n_grams,
+              CAST(COUNT(DISTINCT train_id) AS BIGINT) AS n_train_docs,
+              CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_shared_grams
+            FROM h GROUP BY eval_id),
+worst AS (SELECT eval_id, CAST(MAX(o) AS BIGINT) AS worst_overlap
+          FROM (SELECT eval_id, train_id, COUNT(*) AS o
+                FROM h GROUP BY eval_id, train_id)
+          GROUP BY eval_id)
+SELECT s.eval_id, CAST(s.n_grams AS INT) AS n_grams, s.n_train_docs,
+       s.n_shared_grams, w.worst_overlap
+FROM summary s JOIN worst w USING (eval_id)
+""")
+def text_decontaminate_report(spark, sf_dir):
+    """Per-EVAL-ITEM contamination attribution (`contamination_report`,
+    operators/decontam.py) — the eval owner's view: which of my items
+    are compromised, by how many train docs, how heavily (worst
+    single-doc overlap)? Every 10th document plays the eval set; the
+    eval gram map broadcasts and the train corpus map-side
+    semi-filters against it, so only contaminated (train, gram) rows
+    ever shuffle — bounded by contamination volume, never corpus size.
+    All four per-item stats hash-checked."""
+    from ..operators.decontam import contamination_report
+
+    docs = load(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    tr = docs.filter(F.col("doc_id") % 10 != 0)
+    out = contamination_report(tr, ev, "text", "doc_id")
+    return out.select(
+        "eval_id", F.col("n_grams").cast("int").alias("n_grams"),
+        "n_train_docs", "n_shared_grams", "worst_overlap")

@@ -2262,3 +2262,25 @@ def test_dedup_weights_mass_invariant(spark):
     assert out.count() == 6
     total = sum(got.values())
     assert abs(total - 3.0) < 1e-5  # "a", "b", NULL
+
+
+def test_contamination_report_attribution(spark):
+    from puffbird_spark.operators.decontam import contamination_report
+
+    ev = spark.createDataFrame(
+        [(100, "a b c d e"),          # grams: abc bcd cde
+         (101, "x y z w")],           # grams: xyz yzw — untouched
+        ["doc_id", "text"])
+    tr = spark.createDataFrame(
+        [(1, "a b c d q"),            # shares abc bcd  (overlap 2)
+         (2, "p q a b c"),            # shares abc      (overlap 1)
+         (3, "totally different words here")],
+        ["doc_id", "text"])
+    out = {r["eval_id"]: r for r in contamination_report(
+        tr, ev, "text", "doc_id").collect()}
+    assert set(out) == {100}          # clean eval item absent
+    r = out[100]
+    assert r["n_grams"] == 3
+    assert r["n_train_docs"] == 2
+    assert r["n_shared_grams"] == 2   # abc, bcd (cde nowhere)
+    assert r["worst_overlap"] == 2    # train doc 1
