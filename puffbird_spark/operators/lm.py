@@ -64,13 +64,24 @@ def bigram_counts(
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Train the LM: returns ``(bi, ctx, voc)`` — bigram counts keyed on
     ``(p, w)``, context totals keyed on ``p``, and a one-row vocabulary
-    size. Two keyed aggs + one global count; text never shuffles."""
+    size.
+
+    The corpus is scanned ONCE: the bigram table is vocabulary-bounded,
+    so it localCheckpoints (the ``hll_rollup`` policy — without it every
+    derived branch replays the full corpus scan+agg: measured 4
+    FileScans in the end-to-end plan, 2 after). Both derivations then
+    read the materialized table: context totals are a sum over it, and
+    the vocabulary is the distinct tokens over its (p, w) union —
+    EXACTLY the training vocabulary, because every token of a
+    >= 2-token document appears in at least one bigram as prev or
+    next (and single-token docs are excluded from training by
+    definition)."""
     bg = _bigrams(train, text_col, [])
     bi = bg.groupBy("p", "w").agg(F.count(F.lit(1)).alias("c"))
+    bi = bi.localCheckpoint(eager=True)
     ctx = bi.groupBy("p").agg(F.sum("c").alias("cc"))
     voc = (
-        train.filter(F.col(text_col).isNotNull())
-        .select(F.explode(F.split(F.col(text_col), " ")).alias("t"))
+        bi.select(F.explode(F.array("p", "w")).alias("t"))
         .agg(F.countDistinct("t").alias("v"))
     )
     return bi, ctx, voc

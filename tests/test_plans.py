@@ -192,3 +192,16 @@ def test_subquery_gates_decorrelate(spark, sf_dir):
     assert "Join" in plan2 and "HashAggregate" in plan2
     # the subquery is gone from the physical plan (no per-row execution)
     assert "Subquery" not in plan2 or "SubqueryBroadcast" in plan2
+
+
+def test_perplexity_trains_in_one_corpus_scan(spark, sf_dir):
+    """The LM's three derived tables (bigram counts, context totals,
+    vocabulary) must all come from ONE materialized bigram table —
+    without the checkpoint each branch replays the corpus scan+agg
+    (measured 4 FileScans; the contract is <= 2: score side + at most
+    one train derivation)."""
+    from puffbird_spark.queries import QUERIES
+
+    df = QUERIES["text_perplexity_bigram"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") <= 2, plan.count("FileScan")
