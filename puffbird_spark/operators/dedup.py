@@ -787,10 +787,14 @@ def containment_pairs(
     sh = widen_parallelism(df).select(
         F.col(id_col).alias("id"), sh_expr.alias("sh")
     ).filter(F.size("sh") > 0)
-    sizes = sh.select("id", F.size("sh").alias("n_sh"))
     inv = sh.select(
         "id", F.explode("sh").alias("__g")
     ).withColumn("__g", F.md5("__g")).drop("sh")
+    # per-doc shingle counts derive from the exploded index (shingles
+    # are distinct per doc, so the count IS the set size) — computing
+    # them from `sh` would be a second corpus scan + second shingle
+    # pipeline; this is one keyed agg over data already produced
+    sizes = inv.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_df is not None:
         hot = inv.groupBy("__g").agg(
             F.count(F.lit(1)).alias("__df")

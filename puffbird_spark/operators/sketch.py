@@ -411,8 +411,15 @@ def hll_overlap(
     follow-up (semi-join) on the candidate slice — this operator is
     the cheap first question, not the final answer.
     """
-    ska = dfa.agg(F.hll_sketch_agg(key, F.lit(lg_config_k)).alias("__sk"))
-    skb = dfb.agg(F.hll_sketch_agg(key, F.lit(lg_config_k)).alias("__sk"))
+    # each side's sketch is consumed twice (own estimate + the union);
+    # without materialization both branches replay the corpus scan+agg
+    # — the perplexity/hll_rollup lesson. A sketch is ONE row.
+    ska = dfa.agg(
+        F.hll_sketch_agg(key, F.lit(lg_config_k)).alias("__sk")
+    ).localCheckpoint(eager=True)
+    skb = dfb.agg(
+        F.hll_sketch_agg(key, F.lit(lg_config_k)).alias("__sk")
+    ).localCheckpoint(eager=True)
     sku = ska.unionByName(skb).agg(
         F.hll_union_agg("__sk").alias("__sk"))
 
