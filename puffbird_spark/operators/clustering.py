@@ -149,6 +149,10 @@ def semantic_dedup(
         df, id_col, vec_col, k=k, iters=iters, seed=seed, keep_vec=True
     ).select(
         id_col, "cluster", vec_col, norm(F.col(vec_col)).alias("__n"))
+    # both sides of the self-join consume `a`; without materialization
+    # the whole assignment pipeline (scan + k centroid folds + norm)
+    # runs twice (the perplexity/hll lesson)
+    a = a.localCheckpoint(eager=True)
     left = a.select(
         F.col(id_col).alias("id_a"), F.col("cluster").alias("__c"),
         F.col(vec_col).alias("__va"), F.col("__n").alias("__na"))

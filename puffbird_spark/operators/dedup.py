@@ -926,6 +926,10 @@ def incremental_minhash_dedup(
     """
     bb = minhash_banded(
         batch, text_col, id_col, num_hashes, bands, n, hasher, use_arrow)
+    # bb is consumed twice (probe side + appended into the state union);
+    # materialize so the signature pipeline runs once per batch — the
+    # caller persists this state anyway
+    bb = bb.localCheckpoint(eager=True)
     all_b = band_state.unionByName(bb)
     b, o = bb.alias("b"), all_b.alias("o")
     matches = F.size(F.filter(

@@ -68,9 +68,13 @@ def gap_fill(
         .agg(pick.getField("__v").alias("__obs_v"))
         .withColumn("__obs", F.lit(True))
     )
-    bounds = df.groupBy(*key_cols).agg(
-        F.date_trunc(step, F.min(ts_col)).alias("__b0"),
-        F.date_trunc(step, F.max(ts_col)).alias("__b1"),
+    # bounds derive from the (already aggregated, much smaller) bucket
+    # table, not a second raw-event scan: date_trunc is monotone, so
+    # min/max commute with it and the extremes of the observed buckets
+    # ARE the truncated extremes of the raw timestamps
+    bounds = obs.groupBy(*key_cols).agg(
+        F.min("bucket_ts").alias("__b0"),
+        F.max("bucket_ts").alias("__b1"),
     )
     grid = bounds.select(
         *key_cols,
