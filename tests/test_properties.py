@@ -178,3 +178,84 @@ def test_quantile_buckets_monotone_and_total(spark, vals):
     phases = [got[i] for i, _ in ordered]
     assert phases == sorted(phases)          # monotone in value
     assert set(phases) <= {1, 2, 3, 4}
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(events=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=2),      # key
+              st.integers(min_value=0, max_value=5000),   # minute offset
+              st.floats(min_value=-10, max_value=10,
+                        allow_nan=False)),
+    min_size=1, max_size=30))
+def test_gap_fill_grid_contiguous_and_total(spark, events):
+    """For any event set: each key's hourly grid is contiguous from its
+    first to last bucket, every bucket has a filled value, and observed
+    bucket count equals the key's distinct event hours."""
+    import datetime as dt
+
+    from puffbird_spark.operators.timeseries import gap_fill
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, k, t0 + dt.timedelta(minutes=m), v)
+            for i, (k, m, v) in enumerate(events)]
+    df = spark.createDataFrame(rows, ["event_id", "k", "ts", "v"])
+    out = gap_fill(df, ["k"], "ts", "v", step="hour",
+                   tiebreak_cols=["event_id"]).collect()
+    per_key = {}
+    for r in out:
+        per_key.setdefault(r["k"], []).append(r)
+    for k, rs in per_key.items():
+        hours = sorted(r["bucket_ts"] for r in rs)
+        spans = [(b - a) for a, b in zip(hours, hours[1:])]
+        assert all(s == dt.timedelta(hours=1) for s in spans), k
+        assert all(r["filled_value"] is not None for r in rs)
+        expect_obs = {
+            (m // 60) for kk, m, _ in events if kk == k}
+        assert sum(1 for r in rs if r["is_observed"]) == len(expect_obs)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(
+    st.one_of(st.none(),
+              st.text(alphabet="ab ", min_size=0, max_size=12)),
+    min_size=1, max_size=15))
+def test_dedup_weights_mass_equals_distinct_contents(spark, texts):
+    from puffbird_spark.operators.dedup import dedup_weights
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup_weights(df, "text", "doc_id").collect()
+    assert len(out) == len(rows)                       # nothing dropped
+    total = sum(r["weight"] for r in out)
+    n_distinct = len({t for t in texts})               # None is one bucket
+    assert abs(total - n_distinct) < 1e-4 * max(1, len(rows))
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(perm_seed=st.integers(min_value=0, max_value=1000))
+def test_funnel_depth_invariant_to_row_order(spark, perm_seed):
+    """Funnel depth is a function of (ts, tiebreak)-ordered events —
+    shuffling input row order must not change it."""
+    import datetime as dt
+    import random
+
+    from puffbird_spark.operators.sessionize import funnel_depths
+
+    t0 = dt.datetime(2024, 1, 1)
+    base = [(i, 1, t0 + dt.timedelta(minutes=m), ty) for i, (m, ty) in
+            enumerate([(0, "view"), (2, "click"), (1, "view"),
+                       (3, "error"), (4, "purchase"), (5, "click")])]
+    rng = random.Random(perm_seed)
+    shuffled = base[:]
+    rng.shuffle(shuffled)
+    steps = ["view", "click", "purchase"]
+    d1 = funnel_depths(
+        spark.createDataFrame(base, ["event_id", "k", "ts", "ty"]),
+        "k", "ts", "ty", steps, tiebreak_col="event_id").collect()
+    d2 = funnel_depths(
+        spark.createDataFrame(shuffled, ["event_id", "k", "ts", "ty"]),
+        "k", "ts", "ty", steps, tiebreak_col="event_id").collect()
+    assert d1[0]["depth"] == d2[0]["depth"] == 3
