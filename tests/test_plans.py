@@ -205,3 +205,29 @@ def test_perplexity_trains_in_one_corpus_scan(spark, sf_dir):
     df = QUERIES["text_perplexity_bigram"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan") <= 2, plan.count("FileScan")
+
+
+def test_round6_operators_scale_plan_shapes(spark, sf_dir):
+    """100 TB shape pins for the round-6 operators: no cartesian or
+    nested-loop join in containment (inverted index only), no global
+    sort in gap_fill (keyed windows only), and the funnel fold runs on
+    ONE data exchange (the naive funnel pays one per step)."""
+    from puffbird_spark.queries import QUERIES
+
+    cont = QUERIES["dedup_containment"](spark, sf_dir)
+    p1 = cont._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p1
+    assert "BroadcastNestedLoopJoin" not in p1
+
+    gf = QUERIES["timeseries_gap_fill"](spark, sf_dir)
+    p2 = gf._jdf.queryExecution().executedPlan().toString()
+    # every exchange is hash-partitioned on keys; none are single-
+    # partition or range (a global sort would show rangepartitioning)
+    assert "rangepartitioning" not in p2.lower()
+    assert "SinglePartition" not in p2
+
+    fu = QUERIES["funnel_conversion"](spark, sf_dir)
+    p3 = fu._jdf.queryExecution().executedPlan().toString()
+    # one hashpartitioning exchange for the per-key fold; the final
+    # 4-row report may add single-partition shuffles over agg output
+    assert p3.lower().count("hashpartitioning") <= 2
