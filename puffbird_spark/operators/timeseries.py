@@ -165,3 +165,66 @@ def cusum_alarms(
             .alias("first_alarm_ts"),
         )
     )
+
+
+def interval_coverage(
+    df: DataFrame,
+    key_cols: list[str],
+    start_col: str,
+    end_col: str,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Union-of-intervals coverage per key — "how much wall-clock was
+    this user/host/source actually active", with overlapping intervals
+    counted ONCE (naive sum(end-start) double-counts; this is the
+    classic sweep-line, reduced to keyed windows):
+
+    1. order intervals by (start, end, tiebreak);
+    2. an interval starts a NEW ISLAND iff its start exceeds the
+       running max end of everything before it (one lagged prefix-max
+       window);
+    3. island id = running count of island-starts; each island's
+       coverage is ``max(end) - min(start)`` (its intervals overlap or
+       touch by construction).
+
+    Two keyed windows sharing one exchange + two keyed aggs — never a
+    driver-side sweep. Inputs are NUMERIC (pass epoch micros for
+    timestamps: ``F.unix_micros`` — exact integers on both engines,
+    unlike second-truncation). Returns
+    ``(key..., n_intervals, n_islands, total_coverage)``.
+    """
+    from pyspark.sql import Window
+
+    tb = tiebreak_cols or []
+    order = [F.col(start_col), F.col(end_col)] + [F.col(c) for c in tb]
+    w_prev = (
+        Window.partitionBy(*key_cols).orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = df.select(
+        *key_cols, F.col(start_col).alias("__s"),
+        F.col(end_col).alias("__e"), *[F.col(c) for c in tb],
+        F.max(end_col).over(w_prev).alias("__prev_max"),
+    )
+    new_island = (
+        F.col("__prev_max").isNull()
+        | (F.col("__s") > F.col("__prev_max"))
+    ).cast("long")
+    w_run = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col("__s"), F.col("__e"), *[F.col(c) for c in tb])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = staged.select(
+        *key_cols, "__s", "__e",
+        F.sum(new_island).over(w_run).alias("__island"),
+    )
+    per_island = islands.groupBy(*key_cols, "__island").agg(
+        F.count(F.lit(1)).alias("__n"),
+        (F.max("__e") - F.min("__s")).alias("__len"),
+    )
+    return per_island.groupBy(*key_cols).agg(
+        F.sum("__n").cast("long").alias("n_intervals"),
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum("__len").cast("long").alias("total_coverage"),
+    )

@@ -80,8 +80,9 @@ _VERIFY_FIRST = [
 # `sql_exists_subquery`, `sql_scalar_subquery`, `multimodal_resize`,
 # `agg_group_ols`, `funnel_conversion`, `pipeline_end_to_end`,
 # `timeseries_cusum`, `agg_group_corr`, `scan_xml`, `join_scd2`,
-# `dedup_soft_weights`, `text_decontaminate_report`. Then rotate the
-# r4-stale queries (compute as registry − r5 window − r6 window).
+# `dedup_soft_weights`, `text_decontaminate_report`,
+# `interval_coverage`. Then rotate the r4-stale queries (compute as
+# registry − r5 window − r6 window).
 
 
 def _reorder() -> None:

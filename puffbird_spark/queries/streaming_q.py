@@ -740,3 +740,48 @@ def timeseries_cusum(spark, sf_dir):
     return cusum_alarms(
         ev, ["user_id"], "ts", "value", target=55.0, threshold=400.0,
         tiebreak_cols=["event_id"])
+
+
+@query("interval_coverage", oracle="""
+WITH e AS (SELECT user_id, epoch_us(ts) AS s,
+             epoch_us(ts) + 300000000 AS e, event_id
+           FROM events),
+p AS (SELECT user_id, s, e, event_id,
+        MAX(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      FROM e),
+i AS (SELECT user_id, s, e,
+        SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+          OVER (PARTITION BY user_id ORDER BY s, e, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM p),
+isl AS (SELECT user_id, island, COUNT(*) AS n, MAX(e) - MIN(s) AS len
+        FROM i GROUP BY user_id, island)
+SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_intervals,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(len) AS BIGINT) AS total_coverage
+FROM isl GROUP BY user_id
+""")
+def interval_coverage(spark, sf_dir):
+    """Union-of-intervals activity coverage (`interval_coverage`,
+    operators/timeseries.py): each event opens a 5-minute activity
+    interval; per user the operator reports how much wall-clock was
+    covered counting overlaps ONCE — the sweep-line reduced to two
+    keyed windows sharing one exchange (never a driver-side sweep).
+    Epoch MICROSECONDS keep the arithmetic exact on both engines
+    (second-truncation diverges on micro-stamped data). Interval,
+    island, and coverage totals all hash-checked per user."""
+    from pyspark.sql import functions as FF
+
+    from ..operators.timeseries import interval_coverage
+    from ..sources import normalize_nano_ts
+
+    ev = normalize_nano_ts(
+        load(spark, sf_dir, "events"), ["ts"]).withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    iv = ev.select(
+        "user_id", "event_id",
+        FF.unix_micros("ts").alias("s"),
+        (FF.unix_micros("ts") + 300_000_000).alias("e"))
+    return interval_coverage(
+        iv, ["user_id"], "s", "e", tiebreak_cols=["event_id"])

@@ -2284,3 +2284,44 @@ def test_contamination_report_attribution(spark):
     assert r["n_train_docs"] == 2
     assert r["n_shared_grams"] == 2   # abc, bcd (cde nowhere)
     assert r["worst_overlap"] == 2    # train doc 1
+
+
+def test_interval_coverage_sweep_reference(spark):
+    """Window formulation equals a sequential sweep on overlapping,
+    touching, nested, and disjoint intervals."""
+    import random
+
+    from puffbird_spark.operators.timeseries import interval_coverage
+
+    cases = [
+        # (key, intervals)
+        (1, [(0, 10), (5, 20), (20, 30), (40, 50)]),   # overlap+touch+gap
+        (2, [(0, 100), (10, 20), (30, 40)]),           # nested
+        (3, [(0, 5)]),                                 # single
+        (4, [(0, 5), (5, 10), (10, 15)]),              # chain of touches
+    ]
+    rows = [(k, i, s, e) for k, ivs in cases
+            for i, (s, e) in enumerate(ivs)]
+    rng = random.Random(9)
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, ["k", "iid", "s", "e"])
+    out = {r["k"]: r for r in interval_coverage(
+        df, ["k"], "s", "e", tiebreak_cols=["iid"]).collect()}
+
+    def sweep(ivs):
+        ivs = sorted(ivs)
+        islands, cur_s, cur_e = [], None, None
+        for s, e in ivs:
+            if cur_e is None or s > cur_e:
+                if cur_e is not None:
+                    islands.append(cur_e - cur_s)
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        islands.append(cur_e - cur_s)
+        return len(ivs), len(islands), sum(islands)
+
+    for k, ivs in cases:
+        r = out[k]
+        assert (r["n_intervals"], r["n_islands"],
+                r["total_coverage"]) == sweep(ivs), k
