@@ -1055,3 +1055,54 @@ def join_scd2(spark, sf_dir):
     return scd2_join(
         orders, dim, "c_custkey", "o_orderdate", how="inner"
     ).select("o_orderkey", "segment_v")
+
+
+@query("agg_distribution_stats", oracle="""
+WITH c AS (SELECT user_id, event_type, COUNT(*) AS cnt
+           FROM events GROUP BY user_id, event_type),
+m AS (SELECT user_id, MAX(cnt) AS mx FROM c GROUP BY user_id),
+md AS (SELECT c.user_id, MIN(c.event_type) AS mode_type
+       FROM c JOIN m ON c.user_id = m.user_id AND c.cnt = m.mx
+       GROUP BY c.user_id),
+s AS (SELECT user_id, SUM(cnt) AS n, COUNT(*) AS n_types,
+        SUM(CAST(round(cnt * log2(cnt), 9) AS DECIMAL(20,9))) AS t
+      FROM c GROUP BY user_id)
+SELECT s.user_id, CAST(s.n AS BIGINT) AS n,
+       CAST(s.n_types AS BIGINT) AS n_types, md.mode_type,
+       round(log2(s.n) - CAST(s.t AS DOUBLE) / s.n, 6) AS entropy
+FROM s JOIN md ON s.user_id = md.user_id
+""")
+def agg_distribution_stats(spark, sf_dir):
+    """Per-group categorical distribution diagnostics — the corpus
+    composition report (how diverse is each user's/source's event mix):
+    count, distinct categories, deterministic MODE (max count, ties to
+    the smallest category — Spark's own mode() is tie-nondeterministic,
+    so this pins it via a max+min two-phase like `diag_key_skew`), and
+    Shannon entropy via log2(n) − Σ c·log2(c)/n with 9-dp
+    decimal-snapped terms so the sum is order-independent. Two keyed
+    aggs + one category-count-sized join; no sort, no collect. All
+    four stats hash-checked per user."""
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    c = c.localCheckpoint(eager=True)  # consumed by three branches
+    m = c.groupBy("user_id").agg(F.max("cnt").alias("mx"))
+    md = (
+        c.join(m, ["user_id"])
+        .filter(F.col("cnt") == F.col("mx"))
+        .groupBy("user_id")
+        .agg(F.min("event_type").alias("mode_type"))
+    )
+    term = F.round(
+        F.col("cnt") * F.log2(F.col("cnt")), 9).cast("decimal(20,9)")
+    s = c.groupBy("user_id").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(term).alias("t"),
+    )
+    return s.join(md, ["user_id"]).select(
+        "user_id", "n", "n_types", "mode_type",
+        F.round(
+            F.log2(F.col("n")) - F.col("t").cast("double") / F.col("n"), 6
+        ).alias("entropy"),
+    )

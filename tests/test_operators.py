@@ -2325,3 +2325,27 @@ def test_interval_coverage_sweep_reference(spark):
         r = out[k]
         assert (r["n_intervals"], r["n_islands"],
                 r["total_coverage"]) == sweep(ivs), k
+
+
+def test_distribution_stats_entropy_and_mode(spark):
+    import math
+
+    from puffbird_spark.queries import QUERIES  # registry import side
+    from pyspark.sql import functions as F
+
+    # replicate the gate arithmetic on constructed data
+    rows = ([("a", "x")] * 4 + [("a", "y")] * 4 + [("a", "z")] * 8
+            + [("b", "only")] * 3)
+    df = spark.createDataFrame(rows, ["k", "t"])
+    c = df.groupBy("k", "t").agg(F.count(F.lit(1)).alias("cnt"))
+    term = F.round(F.col("cnt") * F.log2(F.col("cnt")), 9).cast(
+        "decimal(20,9)")
+    s = c.groupBy("k").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(term).alias("t"))
+    out = {r["k"]: round(
+        math.log2(r["n"]) - float(r["t"]) / r["n"], 6)
+        for r in s.collect()}
+    # a: p = (.25, .25, .5) -> H = 1.5 bits; b: single type -> 0
+    assert abs(out["a"] - 1.5) < 1e-6
+    assert out["b"] == 0.0
