@@ -117,6 +117,10 @@ BENCH_QUERIES = [
     # composed four-operator pipeline
     "funnel_conversion",
     "pipeline_end_to_end",
+    # round-6 window craft: CUSUM as running-sum-minus-running-min
+    # (interval_coverage would also belong here, but the 47th entry
+    # overflows the driver's stdout-capture budget — contract-tested)
+    "timeseries_cusum",
 ]
 
 

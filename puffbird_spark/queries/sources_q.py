@@ -1214,3 +1214,45 @@ def scan_xml(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"),
              F.sum(dec("s_acctbal")).cast("double").alias("sum_bal"))
     )
+
+
+@query("scan_json_corrupt", oracle="""
+SELECT CAST(COUNT(*) FILTER (c_custkey % 10 != 0) AS BIGINT) AS n_valid,
+       CAST(COUNT(*) FILTER (c_custkey % 10 = 0) AS BIGINT) AS n_corrupt,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2)))
+            FILTER (c_custkey % 10 != 0) AS DOUBLE) AS sum_bal
+FROM customer
+""")
+def scan_json_corrupt(spark, sf_dir):
+    """Malformed-record ingest handling — the data-quality reality of
+    100 TB crawl ingestion (some fraction of every JSONL feed is
+    truncated/garbled): every 10th customer row is written DELIBERATELY
+    truncated mid-record; the PERMISSIVE read must route exactly those
+    rows to `_corrupt_record` (no exception, no silent drop, no
+    misparse) while the valid rows aggregate exactly. A reader that
+    crashes (FAILFAST-style), drops corrupt rows silently, or
+    half-parses them breaks the count or the hash."""
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    path = f"/tmp/pbs_fmt{tag}/customer_corrupt_jsonl"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        cust = load(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal")
+        line = F.to_json(F.struct("c_custkey", "c_acctbal"))
+        corrupted = F.when(
+            F.col("c_custkey") % 10 == 0,
+            F.substring(line, 1, 12),   # truncated mid-record
+        ).otherwise(line)
+        cust.select(corrupted.alias("value")).write.mode(
+            "overwrite").text(path)
+    df = spark.read.schema(
+        "c_custkey long, c_acctbal double, _corrupt_record string"
+    ).json(path)
+    df = df.cache()  # SPARK-21610: corrupt-column queries need the raw rows
+    return df.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1))
+        .cast("long").alias("n_valid"),
+        F.count(F.when(F.col("_corrupt_record").isNotNull(), 1))
+        .cast("long").alias("n_corrupt"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(),
+                     dec("c_acctbal"))).cast("double").alias("sum_bal"),
+    )

@@ -2349,3 +2349,20 @@ def test_distribution_stats_entropy_and_mode(spark):
     # a: p = (.25, .25, .5) -> H = 1.5 bits; b: single type -> 0
     assert abs(out["a"] - 1.5) < 1e-6
     assert out["b"] == 0.0
+
+
+def test_scan_json_corrupt_routing(spark, tmp_path_factory):
+    """PERMISSIVE corrupt-record routing: truncated lines land in
+    _corrupt_record with NULL fields; valid lines parse exactly."""
+    path = str(tmp_path_factory.mktemp("cj") / "in")
+    lines = ['{"a": 1, "b": 2.5}', '{"a": 2, "b"', '{"a": 3, "b": 4.0}']
+    spark.createDataFrame([(l,) for l in lines], ["value"]) \
+        .coalesce(1).write.text(path)
+    df = spark.read.schema(
+        "a long, b double, _corrupt_record string").json(path).cache()
+    rows = df.collect()
+    good = {r["a"]: r["b"] for r in rows if r["_corrupt_record"] is None}
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert good == {1: 2.5, 3: 4.0}
+    assert len(bad) == 1 and bad[0]["a"] is None
+    assert bad[0]["_corrupt_record"] == '{"a": 2, "b"'
