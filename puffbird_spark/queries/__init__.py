@@ -81,9 +81,9 @@ _VERIFY_FIRST = [
 # `agg_group_ols`, `funnel_conversion`, `pipeline_end_to_end`,
 # `timeseries_cusum`, `agg_group_corr`, `scan_xml`, `join_scd2`,
 # `dedup_soft_weights`, `text_decontaminate_report`,
-# `interval_coverage`, `agg_distribution_stats`, `scan_json_corrupt`.
-# Then rotate the r4-stale queries (compute as registry − r5 window −
-# r6 window).
+# `interval_coverage`, `agg_distribution_stats`, `scan_json_corrupt`,
+# `stream_sessionize`. Then rotate the r4-stale queries (compute as
+# registry − r5 window − r6 window).
 
 
 def _reorder() -> None:

@@ -785,3 +785,84 @@ def interval_coverage(spark, sf_dir):
         (FF.unix_micros("ts") + 300_000_000).alias("e"))
     return interval_coverage(
         iv, ["user_id"], "s", "e", tiebreak_cols=["event_id"])
+
+
+@query("stream_sessionize", oracle="""
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+flagged AS (
+  SELECT user_id, event_id, us,
+    CASE WHEN lag(us) OVER w IS NULL
+         OR us - lag(us) OVER w > 900000000 THEN 1 ELSE 0 END AS ns
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+sess AS (
+  SELECT user_id, us,
+    SUM(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+  FROM flagged),
+s AS (SELECT user_id, seq, MIN(us) AS start_us, MAX(us) AS end_us,
+        COUNT(*) AS n
+      FROM sess GROUP BY user_id, seq),
+last AS (SELECT user_id, MAX(seq) AS mx FROM s GROUP BY user_id)
+SELECT s.user_id, s.start_us AS session_start_us,
+       s.end_us AS session_end_us, CAST(s.n AS BIGINT) AS n_events
+FROM s JOIN last USING (user_id) WHERE s.seq < last.mx
+""")
+def stream_sessionize(spark, sf_dir):
+    """TRUE streaming sessionization (`session_tracker`,
+    streaming/stateful.py): a custom applyInPandasWithState state
+    machine holds each user's OPEN session as three longs, emits a
+    session only when the 15-minute event-time gap closes it. Events
+    replay as two time-ranged files (per-key batch monotonicity — the
+    documented contract); the oracle is the BATCH gaps-and-islands
+    sessionizer MINUS each user's final session, which is still open
+    in state at stream end — the same visibility rule the outer
+    stream-stream join pins. Every closed session's start, end, and
+    event count hash-checked."""
+    import os
+    import shutil
+
+    from ..sources import normalize_nano_ts
+    from ..streaming import write_foreach_batch
+    from ..streaming.stateful import session_tracker
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    base = f"/tmp/pbs_strsess{tag}"
+    out_dir = f"{base}/out"
+    if not os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        shutil.rmtree(base, ignore_errors=True)
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ev = normalize_nano_ts(raw, ["ts"]).select(
+            "user_id", "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"))
+        (ev.repartitionByRange(2, "ts_us")
+         .write.parquet(f"{base}/stage"))
+        # per-key batch monotonicity needs DETERMINISTIC batch order:
+        # the file source orders by modification time, and both range
+        # parts share one write job's mtime — re-stage them as
+        # individually named files copied in ascending-range order so
+        # name AND mtime order agree (the unit test's recipe)
+        parts = sorted(
+            f for f in os.listdir(f"{base}/stage")
+            if f.endswith(".parquet"))
+        os.makedirs(f"{base}/in", exist_ok=True)
+        import time as _time
+
+        for i, p in enumerate(parts):
+            shutil.copy(f"{base}/stage/{p}", f"{base}/in/b{i}.parquet")
+            _time.sleep(1.1)  # distinct whole-second mtimes
+        src = (
+            spark.readStream.schema("user_id long, event_id long, ts_us long")
+            .option("maxFilesPerTrigger", 1).parquet(f"{base}/in"))
+        sessions = session_tracker(
+            src, key="user_id", ts_us_col="ts_us",
+            tiebreak_col="event_id", gap_sec=900)
+
+        def sink(df, epoch_id):
+            df.write.mode("append").parquet(out_dir)
+
+        q = write_foreach_batch(
+            sessions, sink, checkpoint=f"{base}/ckpt", trigger_once=True,
+            output_mode="append").start()
+        q.awaitTermination(300)
+    return spark.read.parquet(out_dir).select(
+        "user_id", "session_start_us", "session_end_us", "n_events")

@@ -48,3 +48,72 @@ def running_count(
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+def session_tracker(
+    stream: DataFrame,
+    key: str = "user_id",
+    ts_us_col: str = "ts_us",
+    tiebreak_col: str = "event_id",
+    gap_sec: int = 900,
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """TRUE streaming sessionization: per-key state holds the OPEN
+    session (start, last-event, count as three longs — fixed width);
+    each micro-batch's events extend it or, when the event-time gap
+    exceeds ``gap_sec``, CLOSE it — closed sessions are what the
+    operator emits. The still-open session stays in state (flushed by
+    the processing-time timeout in production; at stream end it is the
+    documented unemitted tail — the same visibility rule as the outer
+    stream-stream join).
+
+    Event-time correctness requires per-key batch monotonicity (events
+    for a key must not arrive in an earlier batch than earlier events
+    — file-stream replays stage time-ranged files; Kafka gives it per
+    partition). Within a batch, order is restored by sorting on
+    ``(ts, tiebreak)`` — batches are allowed to be internally
+    unordered. Timestamps are epoch MICROSECOND longs (exact; no
+    pandas datetime-unit ambiguity).
+    """
+    out_schema = (
+        f"{key} long, session_start_us long, session_end_us long, "
+        "n_events long")
+    state_schema = "start_us long, last_us long, n long"
+    gap_us = gap_sec * 1_000_000
+
+    def update(key_tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        start, last, n = state.get if state.exists else (None, None, 0)
+        closed: list[tuple[int, int, int]] = []
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values([ts_us_col, tiebreak_col])
+        for ts in rows[ts_us_col].astype("int64"):
+            ts = int(ts)
+            if start is None:
+                start, last, n = ts, ts, 1
+            elif ts - last > gap_us:
+                closed.append((start, last, n))
+                start, last, n = ts, ts, 1
+            else:
+                last, n = ts, n + 1
+        state.update((start, last, n))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        if closed:
+            yield pd.DataFrame({
+                key: [key_tuple[0]] * len(closed),
+                "session_start_us": [c[0] for c in closed],
+                "session_end_us": [c[1] for c in closed],
+                "n_events": [c[2] for c in closed],
+            })
+
+    return stream.groupBy(key).applyInPandasWithState(
+        update,
+        outputStructType=StructType.fromDDL(out_schema),
+        stateStructType=StructType.fromDDL(state_schema),
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

@@ -239,3 +239,49 @@ def test_stream_stream_outer_join_evicts_and_withholds(spark, tmpdir):
     # (t=5, horizon 9 < 490) evicts unmatched; L3 (t=500, horizon
     # 504 >= 490) is withheld in state.
     assert got == {(10, 20), (11, None)}
+
+
+def test_session_tracker_spans_batch_boundary(spark, tmpdir):
+    """A session split across two micro-batches must NOT close at the
+    boundary — state carries it; only true gaps close sessions, and
+    the final open session stays unemitted."""
+    from puffbird_spark.streaming.stateful import session_tracker
+
+    M = 60 * 1_000_000  # one minute in micros
+    b1 = [(1, 10, 0 * M), (1, 11, 5 * M),            # session A starts
+          (2, 20, 0 * M)]                            # u2 session starts
+    b2 = [(1, 12, 7 * M),                            # continues A
+          (1, 13, 60 * M),                           # gap>15m: closes A
+          (2, 21, 90 * M)]                           # gap: closes u2's
+    os.makedirs(f"{tmpdir}/in", exist_ok=True)
+    for i, rows in enumerate([b1, b2]):
+        tmp = f"{tmpdir}/stage{i}"
+        spark.createDataFrame(
+            rows, "user_id long, event_id long, ts_us long"
+        ).coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        # flat, lexicographically ordered file names pin batch order
+        shutil.copy(f"{tmp}/{part}", f"{tmpdir}/in/b{i}.parquet")
+
+    src = (spark.readStream
+           .schema("user_id long, event_id long, ts_us long")
+           .option("maxFilesPerTrigger", 1).parquet(f"{tmpdir}/in"))
+    out = session_tracker(src, gap_sec=900)
+
+    from puffbird_spark.streaming import write_foreach_batch
+
+    def sink(df, epoch_id):
+        df.write.mode("append").parquet(f"{tmpdir}/out")
+
+    q = write_foreach_batch(
+        out, sink, checkpoint=f"{tmpdir}/ckpt", trigger_once=True,
+        output_mode="append").start()
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, spark.read.parquet(f"{tmpdir}/out")
+                     .select("user_id", "session_start_us",
+                             "session_end_us", "n_events").collect()))
+    # u1: session A = events at 0,5,7 min (3 events, SPANS the batch
+    # boundary); u2: single-event session at 0. The two sessions opened
+    # by the last events (60m, 90m) stay in state, unemitted.
+    assert got == [(1, 0, 7 * M, 3), (2, 0, 0, 1)]
