@@ -616,9 +616,25 @@ def stream_stream_outer_join(spark, sf_dir):
             "ts", F.col("ts").cast("timestamp"))
         for kind in ("view", "purchase"):
             # two files per side -> multiple micro-batches -> the
-            # watermark moves and the final no-data batch flushes state
+            # watermark moves and the final no-data batch flushes state.
+            # Batch ORDER must be deterministic (the file source sorts
+            # by mtime, which two parts of one write job share): stage
+            # ascending-range files with distinct names AND mtimes, the
+            # stream_sessionize recipe — an inverted order would make
+            # the early half arrive behind the watermark and be dropped
+            # as late data
+            stage = f"{base}/stage_{kind}"
             ev.filter(F.col("event_type") == kind).repartitionByRange(
-                2, "ts").write.parquet(f"{base}/in_{kind}")
+                2, "ts").write.parquet(stage)
+            parts = sorted(
+                f for f in os.listdir(stage) if f.endswith(".parquet"))
+            os.makedirs(f"{base}/in_{kind}", exist_ok=True)
+            import time as _time
+
+            for i, p in enumerate(parts):
+                shutil.copy(f"{stage}/{p}",
+                            f"{base}/in_{kind}/b{i}.parquet")
+                _time.sleep(1.1)
         schema = ev.schema
 
         def read(kind):
