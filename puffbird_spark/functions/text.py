@@ -245,11 +245,21 @@ def mask_valid_cards(
     leaving checksum-failing runs untouched (they are order ids /
     timestamps, not cards — masking them destroys data for no privacy
     gain). Candidates come from one ``regexp_extract_all``; the
-    replacement is a fold over the (per-row, tiny) valid set. All
-    scan-local codegen."""
+    replacement is a fold over the (per-row, tiny) valid set, anchored
+    with digit-boundary lookarounds so a valid card number EMBEDDED in
+    a longer digit run (e.g. a 20-digit order id sharing a 16-digit
+    prefix) is never mangled mid-run — only standalone occurrences are
+    masked. Luhn validation guarantees candidates are digit-only, so
+    they embed into the anchor regex without escaping. All scan-local
+    codegen."""
     c = F.col(text) if isinstance(text, str) else text
     cands = F.array_distinct(F.regexp_extract_all(c, F.lit(pattern), 0))
     valid = F.filter(cands, luhn_valid)
     return F.aggregate(
-        valid, c, lambda acc, card: F.replace(acc, card, F.lit(token))
+        valid, c,
+        lambda acc, card: F.regexp_replace(
+            acc,
+            F.concat(F.lit(r"(?<!\d)"), card, F.lit(r"(?!\d)")),
+            F.lit(token),
+        ),
     )

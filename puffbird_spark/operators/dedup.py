@@ -363,6 +363,9 @@ def minhash_candidate_pairs(
     """
     if threshold is not None:
         bands, _ = lsh_banding_config(threshold, num_hashes)
+    if bands <= 0 or num_hashes % bands:
+        raise ValueError(
+            f"bands ({bands}) must evenly divide num_hashes ({num_hashes})")
     rows_per_band = num_hashes // bands
     # staged selects: shingles -> their hashes -> mod-reduced hashes ->
     # signature. Each stage's result is a bound column, so nothing
@@ -838,6 +841,11 @@ def minhash_banded(
     :func:`minhash_candidate_pairs` (bound columns per stage, Generate
     fence before banding, size-gated signature kernel); docs with no
     shingles (< n tokens) produce no rows."""
+    if bands <= 0 or num_hashes % bands:
+        # silently dropping the trailing num_hashes % bands signature
+        # entries would weaken candidate recall with no warning
+        raise ValueError(
+            f"bands ({bands}) must evenly divide num_hashes ({num_hashes})")
     rows_per_band = num_hashes // bands
     sh = widen_parallelism(df).select(
         F.col(id_col).alias("id"),

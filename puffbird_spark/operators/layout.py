@@ -314,6 +314,7 @@ def snapshot_diff(
     v_from: int,
     v_to: int,
     key_cols: list[str],
+    check_existing_keys: bool = False,
 ) -> DataFrame:
     """Change-data feed between two committed snapshot versions: one row
     per changed key with ``change`` in ``insert | delete | update``
@@ -329,6 +330,15 @@ def snapshot_diff(
       ``v_to``'s (the normal append-only history), the diff is exactly
       the rows of the new shards: read ONLY those, emit ``insert``, no
       join at all. Diff cost scales with the delta, never the table.
+      This ASSUMES appended keys are new (the append-only contract —
+      an append never re-adds an existing key; re-adding one creates a
+      duplicate-key row, not an update, in this shard format). If the
+      writer can violate that, pass ``check_existing_keys=True``: new-
+      shard keys are then left-joined against the base snapshot's key
+      columns (column-pruned scan — keys only, never payloads) and
+      re-added keys are reported as ``update``, matching the general
+      path's classification. One keyed shuffle, but the probe side is
+      still only the delta.
     - **general path** — otherwise (overwrite/compaction rewrote
       shards), a key-keyed full-outer join of the two snapshots with a
       null-safe payload-struct compare. One co-keyed shuffle; AQE
@@ -342,9 +352,20 @@ def snapshot_diff(
         if not new_shards:
             return base.select(*key_cols).filter(F.lit(False)).withColumn(
                 "change", F.lit("insert"))
-        return spark.read.parquet(
+        new_rows = spark.read.parquet(
             *[f"{table_path}/{s}" for s in new_shards]
-        ).select(*key_cols).withColumn("change", F.lit("insert"))
+        ).select(*key_cols)
+        if not check_existing_keys:
+            return new_rows.withColumn("change", F.lit("insert"))
+        base_keys = (
+            base.select(*key_cols).dropDuplicates(key_cols)
+            .withColumn("__in_base", F.lit(True))
+        )
+        return new_rows.join(base_keys, key_cols, "left").select(
+            *key_cols,
+            F.when(F.col("__in_base").isNotNull(), F.lit("update"))
+            .otherwise(F.lit("insert")).alias("change"),
+        )
     a = read_snapshot(spark, table_path, v_from)
     b = read_snapshot(spark, table_path, v_to)
     val_cols = [c for c in a.columns if c not in key_cols]

@@ -439,6 +439,10 @@ def hll_overlap(
             F.when(F.col("n_a") > 0, F.col("n_intersect") / F.col("n_a"))
             .otherwise(F.lit(0.0)))
         .withColumn(
+            "containment_b",
+            F.when(F.col("n_b") > 0, F.col("n_intersect") / F.col("n_b"))
+            .otherwise(F.lit(0.0)))
+        .withColumn(
             "jaccard",
             F.when(F.col("n_union") > 0,
                    F.col("n_intersect") / F.col("n_union"))

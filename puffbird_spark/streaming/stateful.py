@@ -28,6 +28,14 @@ def running_count(
     state_schema = "total long"
 
     def update(key_tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            # Eviction callback: the batch iterator is EMPTY. The running
+            # total was already emitted on every batch that touched this
+            # key (update mode), so eviction just drops the state — no
+            # final row, no touching the iterator.
+            if state.exists:
+                state.remove()
+            return
         total = state.get[0] if state.exists else 0
         for pdf in pdfs:
             total += len(pdf)
@@ -82,9 +90,34 @@ def session_tracker(
     gap_us = gap_sec * 1_000_000
 
     def update(key_tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            # Processing-time eviction: Spark hands an EMPTY batch
+            # iterator (pd.concat would raise), so flush the open
+            # session as closed and drop the state — this is the
+            # "flushed by the processing-time timeout" path of the
+            # docstring.
+            if state.exists:
+                start, last, n = state.get
+                state.remove()
+                if start is not None:
+                    yield pd.DataFrame({
+                        key: [key_tuple[0]],
+                        "session_start_us": [start],
+                        "session_end_us": [last],
+                        "n_events": [n],
+                    })
+            return
         start, last, n = state.get if state.exists else (None, None, 0)
         closed: list[tuple[int, int, int]] = []
-        rows = pd.concat(list(pdfs), ignore_index=True)
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
+            # Defensive: an empty non-timeout invocation just re-arms.
+            if state.exists:
+                state.update((start, last, n))
+                if timeout_ms is not None:
+                    state.setTimeoutDuration(timeout_ms)
+            return
+        rows = pd.concat(frames, ignore_index=True)
         rows = rows.sort_values([ts_us_col, tiebreak_col])
         for ts in rows[ts_us_col].astype("int64"):
             ts = int(ts)

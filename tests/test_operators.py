@@ -2366,3 +2366,99 @@ def test_scan_json_corrupt_routing(spark, tmp_path_factory):
     assert good == {1: 2.5, 3: 4.0}
     assert len(bad) == 1 and bad[0]["a"] is None
     assert bad[0]["_corrupt_record"] == '{"a": 2, "b"'
+
+
+def test_mask_valid_cards_embedded_run_untouched(spark):
+    """ADVICE r6: a Luhn-valid 16-digit sequence EMBEDDED in a longer
+    digit run (order id) must not be mangled mid-run; the same digits
+    standalone elsewhere must still be masked."""
+    from puffbird_spark.functions.text import mask_valid_cards
+
+    card = "4111111111111111"
+    msg = f"order {card}0042 card {card} end"
+    out = spark.createDataFrame([(msg,)], ["t"]).select(
+        mask_valid_cards("t").alias("m")).collect()[0]["m"]
+    assert out == f"order {card}0042 card <CARD> end"
+
+
+def test_minhash_bands_must_divide(spark):
+    """ADVICE r6: bands not dividing num_hashes would silently drop
+    trailing signature entries — reject loudly instead."""
+    import pytest as _pytest
+
+    from puffbird_spark.operators.dedup import (
+        minhash_banded, minhash_candidate_pairs)
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="evenly divide"):
+        minhash_banded(docs, "text", "doc_id", num_hashes=16, bands=5)
+    with _pytest.raises(ValueError, match="evenly divide"):
+        minhash_candidate_pairs(
+            docs, "text", "doc_id", num_hashes=16, bands=7).collect()
+    # the valid parameterization still works
+    assert minhash_banded(
+        docs, "text", "doc_id", num_hashes=16, bands=4).count() == 8
+
+
+def test_hll_overlap_emits_both_containments(spark):
+    """ADVICE r6: containment_b (|A n B| / |B|) answers 'how much of B
+    is already in A' when B is the small side."""
+    from puffbird_spark.operators.sketch import hll_overlap
+
+    big = spark.range(0, 2000).select(F.col("id").cast("string").alias("k"))
+    small = spark.range(0, 200).select(F.col("id").cast("string").alias("k"))
+    r = hll_overlap(big, small, "k").collect()[0]
+    # B is a subset of A: containment_b ~ 1, containment_a ~ 0.1
+    assert r["containment_b"] > 0.9
+    assert r["containment_a"] < 0.2
+
+
+def test_snapshot_diff_append_check_existing_keys(spark, tmp_path_factory):
+    """ADVICE r6: an append that re-adds an existing key is 'insert' on
+    the default fast path (documented append-only assumption) but
+    'update' with check_existing_keys=True, matching the general
+    path's classification."""
+    from puffbird_spark.operators.layout import snapshot_diff, write_snapshot
+
+    path = str(tmp_path_factory.mktemp("cdc3") / "t")
+    write_snapshot(
+        spark, spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]), path)
+    write_snapshot(
+        spark, spark.createDataFrame([(2, "B"), (3, "c")], ["k", "v"]), path)
+
+    fast = sorted((r["k"], r["change"]) for r in snapshot_diff(
+        spark, path, 1, 2, ["k"]).collect())
+    assert fast == [(2, "insert"), (3, "insert")]
+
+    checked = sorted((r["k"], r["change"]) for r in snapshot_diff(
+        spark, path, 1, 2, ["k"], check_existing_keys=True).collect())
+    assert checked == [(2, "update"), (3, "insert")]
+
+
+def test_sq_minmax_wide_dim_no_plan_blowup(spark):
+    """VERDICT r6 #4: the quantizer bounds must not generate 2*dim agg
+    expressions — at production embedding widths (1024+) that blows
+    codegen limits. The posexplode shape keeps plan size constant in
+    dim; this runs (not just plans) at dim=1024 and checks the bounds
+    against numpy."""
+    import time as _time
+
+    import numpy as np
+
+    from puffbird_spark.operators.similarity import sq_minmax
+
+    rng = np.random.RandomState(7)
+    vecs = rng.uniform(-3, 3, size=(5, 1024))
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    t0 = _time.time()
+    lo, hi = sq_minmax(df, "embedding", 1024)
+    elapsed = _time.time() - t0
+    assert lo.shape == (1024,) and hi.shape == (1024,)
+    np.testing.assert_allclose(lo, vecs.min(axis=0), rtol=1e-9)
+    np.testing.assert_allclose(hi, vecs.max(axis=0), rtol=1e-9)
+    # generous wall bound: the old 2*dim-expression agg took minutes to
+    # plan at this width; the posexplode shape is a tiny constant plan
+    assert elapsed < 60

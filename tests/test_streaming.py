@@ -285,3 +285,63 @@ def test_session_tracker_spans_batch_boundary(spark, tmpdir):
     # boundary); u2: single-event session at 0. The two sessions opened
     # by the last events (60m, 90m) stay in state, unemitted.
     assert got == [(1, 0, 7 * M, 3), (2, 0, 0, 1)]
+
+
+def test_session_tracker_processing_time_timeout(spark, tmpdir):
+    """ADVICE r6 (medium): with ``timeout_ms`` set, an idle key's open
+    session must be FLUSHED by the processing-time timeout (empty batch
+    iterator + hasTimedOut), not crash pd.concat or stay stuck in state.
+
+    NOTE: no ``processAllAvailable`` here — with ProcessingTimeTimeout
+    the engine keeps scheduling (empty) batches so timeouts can fire,
+    and processAllAvailable never returns in that mode; the test polls
+    the sink with a deadline instead."""
+    import time
+
+    from puffbird_spark.streaming.stateful import session_tracker
+
+    M = 60 * 1_000_000
+    in_dir = f"{tmpdir}/in"
+    os.makedirs(in_dir, exist_ok=True)
+    tmp = f"{tmpdir}/stage_b0"
+    spark.createDataFrame(
+        [(1, 10, 0 * M), (1, 11, 5 * M)],       # key 1 opens a session
+        "user_id long, event_id long, ts_us long"
+    ).coalesce(1).write.parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    shutil.copy(f"{tmp}/{part}", f"{in_dir}/b0.parquet")
+
+    src = (spark.readStream
+           .schema("user_id long, event_id long, ts_us long")
+           .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    out = session_tracker(src, gap_sec=900, timeout_ms=1000)
+
+    from puffbird_spark.streaming import write_foreach_batch
+
+    def sink(df, epoch_id):
+        df.write.mode("append").parquet(f"{tmpdir}/out")
+
+    q = (write_foreach_batch(
+            out, sink, checkpoint=f"{tmpdir}/ckpt", trigger_once=False,
+            output_mode="append")
+         .trigger(processingTime="1 second").start())
+    got = []
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline and not got:
+            if q.exception() is not None:
+                raise q.exception()
+            if os.path.isdir(f"{tmpdir}/out"):
+                try:
+                    got = sorted(map(tuple, spark.read.parquet(
+                        f"{tmpdir}/out")
+                        .select("user_id", "session_start_us",
+                                "session_end_us", "n_events").collect()))
+                except Exception:
+                    got = []
+            time.sleep(1)
+    finally:
+        q.stop()
+    # key 1's open session (0..5min, 2 events) was flushed by the
+    # processing-time timeout, in an engine-scheduled EMPTY batch.
+    assert got == [(1, 0 * M, 5 * M, 2)]
