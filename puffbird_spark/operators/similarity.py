@@ -133,24 +133,35 @@ def srp_bucket(vec_col, dim: int, planes: int = 8, seed: int = 42):
     return _dots_to_bucket(_plane_dots(vec_col, dim, planes, seed), planes)
 
 
+def directed_mask_budget(planes: int, max_flip: int = 3) -> int:
+    """How many distinct query-directed probe masks exist at flip sizes
+    1..``max_flip`` — the cap on ``directed_probes``."""
+    import math
+
+    return sum(math.comb(planes, r) for r in range(1, min(max_flip, planes) + 1))
+
+
 def _directed_probe_masks(dots, planes: int, n_probes: int):
     """Query-directed probe sequence: XOR masks of the ``n_probes`` flip
-    sets (size 1 or 2) with the smallest summed |signed distance| — the
+    sets (sizes 1-3) with the smallest summed |signed distance| — the
     planes the query sits closest to are the likeliest to be on the wrong
     side of for a true neighbor, so flip those first. Returns an array
-    column of bucket XOR masks ordered best-first."""
-    flips = [
-        F.struct(
-            F.abs(dots[p]).alias("s"), F.lit(1 << p).cast("long").alias("m")
-        )
-        for p in range(planes)
-    ] + [
-        F.struct(
-            (F.abs(dots[p]) + F.abs(dots[q])).alias("s"),
-            F.lit((1 << p) | (1 << q)).cast("long").alias("m"),
-        )
-        for p in range(planes) for q in range(p + 1, planes)
-    ]
+    column of bucket XOR masks ordered best-first. Flip sets are capped
+    at size 3 (sum C(planes,1..3) masks): deeper flips have vanishing
+    marginal recall per probe — past that budget, use a Hamming sweep
+    (``probes=r``) instead."""
+    flips = []
+    for r in (1, 2, 3):
+        if r > planes:
+            break
+        for combo in itertools.combinations(range(planes), r):
+            score = F.abs(dots[combo[0]])
+            mask = 1 << combo[0]
+            for p in combo[1:]:
+                score = score + F.abs(dots[p])
+                mask |= 1 << p
+            flips.append(F.struct(
+                score.alias("s"), F.lit(mask).cast("long").alias("m")))
     ranked = F.array_sort(F.array(*flips))  # lexicographic: score first
     return F.slice(
         F.transform(ranked, lambda x: x.getField("m")), 1, n_probes
@@ -169,6 +180,7 @@ def lsh_bucket_topk(
     exclude_self: bool = True,
     probes: int | None = None,
     directed_probes: int | None = None,
+    target_scan_fraction: float = 0.5,
     use_arrow: bool | None = None,
     est_queries: int | None = None,
 ) -> DataFrame:
@@ -187,15 +199,33 @@ def lsh_bucket_topk(
     set. Recall < 1 by design; tests assert recall against
     :func:`cosine_topk`.
 
-    DEFAULT (both probe knobs None): query-directed multi-probe with
-    ``3 * planes`` extra buckets — measured at sf0.01/planes=6: recall@5
-    0.62 vs 0.34 for the old Hamming-1 sweep, scanning ~(1+3p)/2^p of the
-    corpus and equal-or-faster wall-clock (the probe explode multiplies
-    only the broadcast query side). Pass ``probes=r`` explicitly for a
-    Hamming sweep instead.
+    DEFAULT (both probe knobs None): query-directed multi-probe sized
+    from ``target_scan_fraction`` — the expected fraction of the corpus
+    scanned per query, ``(1 + directed_probes) / 2**planes``. A FIXED
+    probe count (the r6 ``3 * planes`` default) gave recall that sank
+    with corpus size (0.62 at sf0.01 -> 0.48 at sf0.1 on the synthetic
+    random corpus, VERDICT r6 #6) because the scanned fraction, not the
+    probe count, is what recall tracks; the fraction knob holds across
+    corpus sizes (measured 0.82/0.64 at sf0.01/sf0.1 with the 0.5
+    default; NOTES round 7). The probe count is capped by the 1-3 bit
+    flip-mask budget (``directed_mask_budget``) — planes >= ~10 can't
+    reach high fractions by directed probing (nor should they: at
+    production planes counts the whole POINT is a tiny fraction; raise
+    the fraction only on small/random corpora). Pass ``probes=r``
+    explicitly for a Hamming sweep, or ``directed_probes=n`` for a
+    fixed count.
     """
     if directed_probes is None and probes is None:
-        directed_probes = 3 * planes  # directed multi-probe default
+        if not 0.0 < target_scan_fraction <= 1.0:
+            raise ValueError(
+                f"target_scan_fraction must be in (0, 1], got "
+                f"{target_scan_fraction}")
+        import math
+
+        directed_probes = min(
+            max(1, math.ceil(target_scan_fraction * (2 ** planes)) - 1),
+            directed_mask_budget(planes),
+        )
     elif probes is None:
         probes = 0
     c = corpus.select(

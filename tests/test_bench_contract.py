@@ -38,25 +38,26 @@ def test_stdout_record_shape():
         "metric", "value", "unit", "value_warm", "queries", "sf"}
     assert record["unit"] == "sec"
     assert record["sf"] == 0.1
-    for name, pair in record["queries"].items():
-        assert isinstance(pair, list) and len(pair) == 2, name
-        cold_s, warm_s = pair
-        assert isinstance(cold_s, (int, float))
-        assert isinstance(warm_s, (int, float))
+    # r7+ packing: per-query stdout is the OFFICIAL warm med3 scalar —
+    # the driver's spec'd {"queries": {name: sec}} shape
+    for name, warm_s in record["queries"].items():
+        assert isinstance(warm_s, (int, float)), name
+    assert set(record["queries"]) == set(bench.BENCH_QUERIES)
     # totals are sums of the per-query colds/warms (2 dp)
     assert record["value"] == round(
         sum(9999.99 for _ in bench.BENCH_QUERIES), 2)
 
 
 def test_prev_round_timings_handles_both_schemas(tmp_path, monkeypatch):
-    """_prev_round_timings must read r1-r4 {name: cold} snapshots AND the
-    r5+ {name: [cold, warm]} packing."""
+    """_prev_round_timings must read scalar snapshots (r1-r4 cold, r7+
+    warm) AND the r5-r6 {name: [cold, warm]} packing — taking the
+    official number (warm) from the pair."""
     old = {"n": 1, "parsed": {"queries": {"q1": 1.5}}}
     new = {"n": 1, "parsed": {"queries": {"q1": [1.2, 0.7]}}}
     (tmp_path / "BENCH_r03.json").write_text(json.dumps(old))
     assert _timings_at(tmp_path, monkeypatch) == {"q1": 1.5}
     (tmp_path / "BENCH_r05.json").write_text(json.dumps(new))
-    assert _timings_at(tmp_path, monkeypatch) == {"q1": 1.2}
+    assert _timings_at(tmp_path, monkeypatch) == {"q1": 0.7}
 
 
 def _timings_at(tmp_path, monkeypatch):

@@ -210,16 +210,40 @@ def test_lsh_directed_probes_recall(spark, sf_dir):
 
 
 def test_lsh_default_is_directed_multiprobe(spark, sf_dir):
-    """With neither probe knob set, the operator defaults to query-
-    directed multi-probe with 3*planes extra buckets — bit-equal to
-    passing directed_probes=3*planes explicitly (r6 default flip)."""
+    """With neither probe knob set, the operator sizes directed probing
+    from target_scan_fraction (default 0.5 — r7 flip, VERDICT r6 #6):
+    ceil(0.5 * 2^planes) - 1 probes, capped by the 1-3 bit flip-mask
+    budget — bit-equal to passing that count explicitly."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 5)
+    # planes=4: ceil(0.5*16)-1 = 7 probes, under the budget (14)
     default = lsh_bucket_topk(emb, q, dim=64, k=5, planes=4)
     explicit = lsh_bucket_topk(
-        emb, q, dim=64, k=5, planes=4, directed_probes=12)
+        emb, q, dim=64, k=5, planes=4, directed_probes=7)
     assert sorted(map(tuple, default.collect())) == sorted(
         map(tuple, explicit.collect()))
+
+
+def test_lsh_scan_fraction_capped_by_mask_budget(spark, sf_dir):
+    """A fraction deeper than the 1-3 bit flip budget clamps to the
+    budget instead of fabricating masks; bad fractions are rejected."""
+    from puffbird_spark.operators.similarity import directed_mask_budget
+
+    assert directed_mask_budget(4) == 4 + 6 + 4
+    assert directed_mask_budget(6) == 6 + 15 + 20
+    assert directed_mask_budget(2) == 2 + 1  # no 3-subsets of 2 planes
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3)
+    clamped = lsh_bucket_topk(
+        emb, q, dim=64, k=5, planes=4, target_scan_fraction=1.0)
+    explicit = lsh_bucket_topk(
+        emb, q, dim=64, k=5, planes=4, directed_probes=14)
+    assert sorted(map(tuple, clamped.collect())) == sorted(
+        map(tuple, explicit.collect()))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="target_scan_fraction"):
+        lsh_bucket_topk(emb, q, dim=64, k=5, planes=4,
+                        target_scan_fraction=0.0)
 
 
 def test_ivf_full_probe_is_exact(spark, sf_dir):
