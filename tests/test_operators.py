@@ -2486,3 +2486,41 @@ def test_sq_minmax_wide_dim_no_plan_blowup(spark):
     # generous wall bound: the old 2*dim-expression agg took minutes to
     # plan at this width; the posexplode shape is a tiny constant plan
     assert elapsed < 60
+
+
+def test_gif_codec_roundtrip_and_external_fixture():
+    """VERDICT r6 #7: the GIF LZW codec must round-trip the closed-form
+    fill at sizes crossing the 9->10->11->12 bit widths and the 4096
+    table reset, and decode a REAL encoder's output (the canonical 1x1
+    GIF), not just its own."""
+    import base64
+    import random
+
+    from puffbird_spark.operators.multimodal import (
+        _lzw_decode, _lzw_encode, decode_gif_gray, decode_image_gray,
+        encode_gif, encode_png)
+
+    rnd = random.Random(42)
+    for data in (b"", b"\x00", b"abcabcabcabc" * 50,
+                 bytes(rnd.randrange(256) for _ in range(20000)),
+                 bytes((i * 31) % 256 for i in range(5000))):
+        assert _lzw_decode(_lzw_encode(data, 8), 8) == data
+
+    for w, h, seed in ((1, 1, 0), (16, 12, 7), (80, 60, 3), (5, 9, 250)):
+        wd, hd, px = decode_gif_gray(encode_gif(w, h, seed))
+        expect = bytes((x * 31 + y * 17 + seed) % 256
+                       for y in range(h) for x in range(w))
+        assert (wd, hd, px) == (w, h, expect)
+
+    # a real-world encoder's 1x1 black GIF (with graphic-control
+    # extension block the parser must skip)
+    tiny = base64.b64decode(
+        "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7")
+    assert decode_gif_gray(tiny) == (1, 1, b"\x00")
+
+    # magic-byte dispatch covers both real pixel decoders
+    for enc in (encode_png, encode_gif):
+        assert decode_image_gray(enc(7, 5, seed=9))[:2] == (7, 5)
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError, match="no pixel decoder"):
+        decode_image_gray(b"\xff\xd8\xff\xe0 not decodable")
