@@ -2524,3 +2524,48 @@ def test_gif_codec_roundtrip_and_external_fixture():
     import pytest as _pytest
     with _pytest.raises(NotImplementedError, match="no pixel decoder"):
         decode_image_gray(b"\xff\xd8\xff\xe0 not decodable")
+
+
+def test_incremental_minhash_out_of_order_divergence(spark):
+    """VERDICT r6 #8: pin the DOCUMENTED ascending-id requirement with a
+    failing-shape replay, not prose. An out-of-order batch carrying a
+    SMALLER id than an already-accepted near-dup diverges from one-shot:
+    the big id was accepted before its smaller twin was seen and cannot
+    be retroactively rejected, and the late smaller id survives too
+    (nothing smaller is in state) — BOTH survive, where one-shot keeps
+    only the smaller."""
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    docs = spark.createDataFrame(
+        [(1, base), (5, base + " tail"), (7, "totally unrelated words "
+          + " ".join(f"q{j}" for j in range(20)))],
+        ["doc_id", "text"])
+
+    # one-shot: 5 is rejected against smaller near-dup 1
+    pairs = DD.minhash_candidate_pairs(
+        docs, "text", "doc_id", num_hashes=16, bands=4, n=3, hasher="md5"
+    ).filter(F.col("est_jaccard") >= 0.4)
+    assert {r["id_b"] for r in pairs.collect()} == {5}
+
+    empty = spark.createDataFrame(
+        [], "id long, sig array<bigint>, band int, band_hash string")
+
+    # in-order replay [1,7] then [5]: matches one-shot
+    got = set()
+    state = empty
+    for ids in ([1, 7], [5]):
+        batch = docs.filter(F.col("doc_id").isin(ids))
+        surv, state = DD.incremental_minhash_dedup(batch, state, hasher="md5")
+        got |= {r["doc_id"] for r in surv.collect()}
+    assert got == {1, 7}
+
+    # OUT-OF-ORDER replay [5,7] then [1]: the documented divergence —
+    # both 5 and 1 survive (one-shot would keep only 1)
+    got = set()
+    state = empty
+    for ids in ([5, 7], [1]):
+        batch = docs.filter(F.col("doc_id").isin(ids))
+        surv, state = DD.incremental_minhash_dedup(batch, state, hasher="md5")
+        got |= {r["doc_id"] for r in surv.collect()}
+    assert got == {1, 5, 7}
+    assert 5 in got  # the divergence this limitation documents
