@@ -228,6 +228,7 @@ def sample_frames(
     stride: int = 2,
     max_frames: int = 4,
     batch_size: int = 64,
+    codec: str = "auto",
 ) -> DataFrame:
     """Frame sampling over video-standing binary columns — the
     training-pipeline step that turns one huge blob into a bounded set
@@ -235,22 +236,33 @@ def sample_frames(
     every frame). Emits one row per sampled frame:
     ``(path, frame_idx, offset, frame_bytes, digest)``.
 
-    The CODEC IS A STUB (this container ships no ffmpeg): a "frame" is
-    the fixed-size byte block at ``offset = frame_idx * frame_bytes``,
-    sampled every ``stride`` frames up to ``max_frames`` — a
-    deterministic fake that any engine can replay, which is what makes
-    the gate hash-checkable. Everything AROUND the stub is the real
-    100 TB shape and is what this operator actually tests: Arrow-batched
-    ``mapInPandas`` with bounded batches (one oversized blob cannot blow
-    worker memory), a fan-out schema (rows out > rows in — the frame
-    table), no shuffle anywhere, and per-frame digests ready for the
-    exact-dedup operator downstream. Swapping the block slicer for a
-    real keyframe extractor changes ONLY the inner function — see
-    :func:`decode_image_gray` for the per-format codec interface the
-    IMAGE stages already implement for real (PNG + GIF pixel decode);
-    a video codec would slot into this operator the same way.
+    ``codec="auto"`` (default) dispatches on magic bytes:
+
+    - **GIF: a REAL codec.** Animated GIFs are genuinely decoded —
+      every sampled frame's index stream is LZW-decompressed and
+      color-table-mapped (:func:`decode_gif_frames`); ``offset`` is
+      the frame's image-block byte offset, ``frame_bytes`` its decoded
+      raster size, ``digest`` the md5 of the comma-joined gray pixel
+      values (closed-form replayable — the gate's oracle recomputes
+      it).
+    - **Anything else: the documented byte-block stub** (this
+      container ships no ffmpeg): a "frame" is the fixed-size byte
+      block at ``offset = frame_idx * frame_bytes``. ``codec="bytes"``
+      forces this path.
+
+    Sampling is every ``stride``-th frame up to ``max_frames`` on both
+    paths. Everything around the codec is the real 100 TB shape: Arrow-
+    batched ``mapInPandas`` with bounded batches (one oversized blob
+    cannot blow worker memory), a fan-out schema (rows out > rows in —
+    the frame table), no shuffle anywhere, and per-frame digests ready
+    for the exact-dedup operator downstream. A further real codec
+    (e.g. MJPEG) slots into the same dispatch, exactly like
+    :func:`decode_image_gray` on the image side.
     """
     import hashlib
+
+    if codec not in ("auto", "bytes"):
+        raise ValueError(f"codec must be auto|bytes, got {codec!r}")
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -260,23 +272,39 @@ def sample_frames(
                     "path": [], "frame_idx": [], "offset": [],
                     "frame_bytes": [], "digest": [],
                 }
+
+                def emit(path, idx, off, size, digest):
+                    out["path"].append(path)
+                    out["frame_idx"].append(idx)
+                    out["offset"].append(off)
+                    out["frame_bytes"].append(size)
+                    out["digest"].append(digest)
+
                 for path, blob in zip(
                     chunk[path_col].astype(str), chunk[content_col]
                 ):
                     if blob is None:
+                        continue
+                    blob = bytes(blob)
+                    if codec == "auto" and blob[:6] in (b"GIF87a", b"GIF89a"):
+                        decoded = decode_gif_frames(blob)
+                        for n in range(max_frames):
+                            idx = n * stride
+                            if idx >= len(decoded):
+                                break
+                            off, w, h, px = decoded[idx]
+                            csv = ",".join(str(v) for v in px)
+                            emit(path, idx, off, len(px),
+                                 hashlib.md5(csv.encode()).hexdigest())
                         continue
                     for n in range(max_frames):
                         idx = n * stride
                         off = idx * frame_bytes
                         if off >= len(blob):
                             break
-                        frame = bytes(blob[off:off + frame_bytes])
-                        out["path"].append(path)
-                        out["frame_idx"].append(idx)
-                        out["offset"].append(off)
-                        out["frame_bytes"].append(len(frame))
-                        out["digest"].append(
-                            hashlib.md5(frame).hexdigest())
+                        frame = blob[off:off + frame_bytes]
+                        emit(path, idx, off, len(frame),
+                             hashlib.md5(frame).hexdigest())
                 yield pd.DataFrame(out).astype({
                     "frame_idx": "int32", "offset": "int64",
                     "frame_bytes": "int32",
@@ -521,15 +549,15 @@ def encode_gif(width: int, height: int, seed: int = 0) -> bytes:
     return bytes(out)
 
 
-def decode_gif_gray(blob: bytes) -> tuple[int, int, bytes]:
-    """REAL decode of a single-image, non-interlaced GIF: parse the
-    logical screen descriptor and color tables, skip extensions, LZW-
-    decompress the index stream, and map indices through the active
-    color table taking the red channel as the gray value (exact for
-    grayscale tables — the class :func:`encode_gif` produces; real
-    color GIFs come back as their R channel, documented). Interlaced
-    images raise ``NotImplementedError`` — honest partial coverage,
-    like :func:`decode_png_gray`."""
+def _gif_image_blocks(blob: bytes):
+    """Walk a GIF's block stream, yielding
+    ``(byte_offset, width, height, gray_pixels)`` for every image block
+    — the shared core of :func:`decode_gif_gray` (first frame) and
+    :func:`decode_gif_frames` (all frames of an animated GIF). Each
+    frame's raster decodes independently (no inter-frame compositing:
+    left/top offsets and disposal methods are ignored — documented
+    scope; the fixture encoder emits full-canvas frames). Gray value =
+    the color table's red channel (exact for grayscale tables)."""
     if blob[:6] not in (b"GIF87a", b"GIF89a"):
         raise NotImplementedError("not a GIF")
     sw, sh, packed, _bg, _aspect = struct.unpack("<HHBBB", blob[6:13])
@@ -547,6 +575,7 @@ def decode_gif_gray(blob: bytes) -> tuple[int, int, bytes]:
                 pos += 1 + blob[pos]
             pos += 1
         elif b0 == 0x2C:  # image descriptor
+            block_off = pos
             _l, _t, w, h, ipacked = struct.unpack("<HHHHB", blob[pos + 1:pos + 10])
             pos += 10
             if ipacked & 0x40:
@@ -565,15 +594,75 @@ def decode_gif_gray(blob: bytes) -> tuple[int, int, bytes]:
                 ln = blob[pos]
                 stream += blob[pos + 1:pos + 1 + ln]
                 pos += 1 + ln
+            pos += 1  # sub-block terminator
             indices = _lzw_decode(bytes(stream), min_code)[: w * h]
             if len(indices) < w * h:
                 raise ValueError("GIF pixel data truncated")
-            return w, h, bytes(table[3 * i] for i in indices)
-        elif b0 == 0x3B:  # trailer before any image
-            break
+            yield block_off, w, h, bytes(table[3 * i] for i in indices)
+        elif b0 == 0x3B:  # trailer
+            return
         else:
             raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+
+
+def encode_gif_animated(
+    width: int, height: int, n_frames: int, seed: int = 0,
+    delay_cs: int = 10,
+) -> bytes:
+    """A REAL animated GIF89a: one grayscale global color table, then
+    ``n_frames`` full-canvas image blocks, each preceded by a graphic
+    control extension carrying ``delay_cs`` (centiseconds) and each
+    LZW-compressed independently. Frame ``f``'s deterministic fill is
+    ``(x*31 + y*17 + seed + 13*f) % 256`` — the closed form the frame-
+    sampling gate's oracle replays. Any standards-compliant viewer
+    plays the output."""
+    if width <= 0 or height <= 0 or n_frames <= 0:
+        raise ValueError("width/height/n_frames must be positive")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    for i in range(256):
+        out += bytes((i, i, i))
+    for f in range(n_frames):
+        # graphic control extension: no disposal, no transparency
+        out += b"\x21\xF9\x04" + struct.pack("<BHB", 0, delay_cs, 0) + b"\x00"
+        out += b"\x2C" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        pixels = bytes(
+            (x * 31 + y * 17 + seed + 13 * f) % 256
+            for y in range(height) for x in range(width)
+        )
+        out.append(8)
+        compressed = _lzw_encode(pixels, 8)
+        for off in range(0, len(compressed), 255):
+            block = compressed[off:off + 255]
+            out.append(len(block))
+            out += block
+        out += b"\x00"
+    out += b"\x3B"
+    return bytes(out)
+
+
+def decode_gif_gray(blob: bytes) -> tuple[int, int, bytes]:
+    """REAL decode of the FIRST image of a non-interlaced GIF: parse the
+    logical screen descriptor and color tables, skip extensions, LZW-
+    decompress the index stream, and map indices through the active
+    color table taking the red channel as the gray value (exact for
+    grayscale tables — the class :func:`encode_gif` produces; real
+    color GIFs come back as their R channel, documented). Interlaced
+    images raise ``NotImplementedError`` — honest partial coverage,
+    like :func:`decode_png_gray`."""
+    for _off, w, h, px in _gif_image_blocks(blob):
+        return w, h, px
     raise ValueError("GIF contains no image data")
+
+
+def decode_gif_frames(blob: bytes) -> list[tuple[int, int, int, bytes]]:
+    """REAL frame extraction from an ANIMATED GIF: every image block's
+    ``(byte_offset, width, height, gray_pixels)``, each LZW-decoded
+    independently (no compositing — documented in
+    :func:`_gif_image_blocks`). This is the real codec behind
+    :func:`sample_frames`' GIF path — frame sampling over a container
+    whose frames we genuinely decode, not byte-slice."""
+    return list(_gif_image_blocks(blob))
 
 
 def decode_image_gray(blob: bytes) -> tuple[int, int, bytes]:

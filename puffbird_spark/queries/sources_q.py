@@ -1087,7 +1087,59 @@ def multimodal_framesample(spark, sf_dir):
         F.col("text").cast("binary").alias("content"),
     )
     return sample_frames(
-        docs, frame_bytes=64, stride=2, max_frames=4)
+        docs, frame_bytes=64, stride=2, max_frames=4, codec="bytes")
+
+
+@query("multimodal_framesample_gif", oracle="""
+WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS path,
+             1 + doc_id % 7 AS w, 1 + doc_id % 5 AS h,
+             2 + doc_id % 5 AS n_frames, doc_id % 97 AS seed
+           FROM documents),
+f AS (SELECT d.*, CAST(t.range * 2 AS INT) AS frame_idx
+      FROM d, range(0, 3) t
+      WHERE t.range * 2 < d.n_frames),
+px AS (SELECT path, frame_idx, w, h,
+         flatten([[CAST((x * 31 + y * 17 + seed + 13 * frame_idx) % 256
+                        AS VARCHAR)
+                   FOR x IN range(0, CAST(w AS BIGINT))]
+                  FOR y IN range(0, CAST(h AS BIGINT))]) AS vals
+       FROM f)
+SELECT path, frame_idx, CAST(w * h AS INT) AS frame_bytes,
+       md5(array_to_string(vals, ',')) AS digest
+FROM px
+""")
+def multimodal_framesample_gif(spark, sf_dir):
+    """REAL frame sampling — the codec is no longer a stub for this
+    container format: every document becomes a genuine ANIMATED GIF
+    (2-6 full-canvas frames, real LZW streams), and `sample_frames`
+    (codec='auto') LZW-DECODES every sampled frame's raster
+    (`decode_gif_frames`, operators/multimodal.py) — stride 2, up to 3
+    frames — emitting the decoded pixel digest per frame. The oracle
+    replays every frame's pixels CLOSED-FORM from the generator
+    formula ((x*31 + y*17 + seed + 13*frame) % 256), so the hash only
+    matches if the per-frame LZW decode, frame walk, and sampling are
+    all exactly right. Byte offsets are compression-dependent and
+    excluded from the gate projection (asserted in unit tests
+    instead). Completes the media quartet 4/4 real for GIF:
+    metadata, header decode, full-image decode+resize, frame
+    sampling."""
+    import pandas as pd
+
+    from ..operators.multimodal import encode_gif_animated, sample_frames
+
+    def _make(doc_id):
+        return doc_id.map(
+            lambda i: encode_gif_animated(
+                1 + int(i) % 7, 1 + int(i) % 5, 2 + int(i) % 5,
+                seed=int(i) % 97))
+
+    make_gif = F.pandas_udf(_make, returnType="binary")
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("path"),
+        make_gif(F.col("doc_id")).alias("content"),
+    )
+    return sample_frames(docs, stride=2, max_frames=3).select(
+        "path", "frame_idx", "frame_bytes", "digest")
 
 
 @query("sink_training_shards", oracle=f"""

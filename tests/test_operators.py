@@ -2569,3 +2569,40 @@ def test_incremental_minhash_out_of_order_divergence(spark):
         got |= {r["doc_id"] for r in surv.collect()}
     assert got == {1, 5, 7}
     assert 5 in got  # the divergence this limitation documents
+
+
+def test_animated_gif_frame_sampling_real_codec(spark):
+    """The frame sampler's GIF path must LZW-decode every sampled frame
+    (not byte-slice), report true byte offsets into the container, and
+    leave non-GIF blobs on the documented byte-block path."""
+    import hashlib
+
+    from puffbird_spark.operators.multimodal import (
+        decode_gif_frames, encode_gif_animated, sample_frames)
+
+    blob = encode_gif_animated(6, 4, 7, seed=3)
+    frames = decode_gif_frames(blob)
+    assert len(frames) == 7
+    for f, (off, w, h, px) in enumerate(frames):
+        assert (w, h) == (6, 4)
+        assert px == bytes((x * 31 + y * 17 + 3 + 13 * f) % 256
+                           for y in range(4) for x in range(6))
+        assert blob[off] == 0x2C  # offset points at the image descriptor
+
+    df = spark.createDataFrame(
+        [("v", blob), ("t", b"plain bytes " * 20)],
+        "path string, content binary")
+    got = {(r["path"], r["frame_idx"]): r
+           for r in sample_frames(df, stride=2, max_frames=3).collect()}
+    # GIF: frames 0,2,4 decoded for real
+    for idx in (0, 2, 4):
+        r = got[("v", idx)]
+        _off, w, h, px = frames[idx]
+        csv = ",".join(str(v) for v in px)
+        assert r["frame_bytes"] == 24
+        assert r["offset"] == frames[idx][0]
+        assert r["digest"] == hashlib.md5(csv.encode()).hexdigest()
+    # non-GIF: byte-block stub semantics preserved
+    r = got[("t", 0)]
+    assert r["offset"] == 0 and r["frame_bytes"] == 64
+    assert r["digest"] == hashlib.md5((b"plain bytes " * 20)[:64]).hexdigest()
