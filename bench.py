@@ -138,6 +138,10 @@ BENCH_QUERIES = [
     "embedding_kmeans",
     "text_bpe_pairs",
     "sink_training_shards",
+    # round-7 TPC-H suite extension: the pure-pushdown scan and the
+    # heaviest of the new queries (double-agg + semi-join + top-k)
+    "q6_forecast_revenue",
+    "q18_large_volume_customers",
 ]
 
 

@@ -132,6 +132,263 @@ def q5_region_revenue(spark, sf_dir):
     )
 
 
+@query("q6_forecast_revenue", oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND CAST(l_discount AS DECIMAL(12,2)) BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""")
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: the pure scan query — every predicate pushes to
+    the parquet scan, two columns read, one global aggregate with map-
+    side partials. At 100 TB this is the query where pushdown IS the
+    plan: no shuffle beyond the single-row partial merge."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & dec("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * dec("l_discount"))
+            .cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query("q10_returned_items", oracle="""
+SELECT c.c_custkey, c.c_name,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+           * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+  CAST(c.c_acctbal AS DOUBLE) AS c_acctbal, n.n_name
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+""")
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape (returned-item reporting; reduced schema drops
+    the address/phone/comment projections): selective fact predicates,
+    a broadcast nation join, exact-decimal revenue so the top-20
+    frontier is deterministic."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = F.broadcast(load(spark, sf_dir, "nation"))
+    disc = F.lit(1).cast("decimal(12,2)") - dec("l_discount")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(dec("l_extendedprice") * disc).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue",
+                F.col("c_acctbal").cast("double").alias("c_acctbal"), "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query("q13_customer_distribution", oracle="""
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey)
+GROUP BY c_count
+""")
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape (customer order-count distribution; the reduced
+    schema has no o_comment, so the NOT LIKE filter is dropped): LEFT
+    join preserving order-less customers (COUNT of a NULL key is 0),
+    then a second, tiny aggregation over the per-customer counts —
+    the double-agg plan where the first groupBy carries all the data
+    and the second is metadata-sized."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist"))
+
+
+@query("q14_promo_revenue", oracle="""
+SELECT
+  CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+       THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+            * (1 - CAST(l.l_discount AS DECIMAL(12,2)))
+       ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS promo_revenue,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+           * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+    AS total_revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1996-06-01 00:00:00'
+""")
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape (promotion effect; the reduced p_type is a single
+    word, so equality replaces LIKE 'PROMO%'): month-sliced fact scan,
+    broadcast part join, conditional aggregation. Both sums are exact
+    decimal; the driver hashes them as doubles."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-06-01 00:00:00").cast("timestamp_ntz"))
+    )
+    part = F.broadcast(load(spark, sf_dir, "part"))
+    disc_price = dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(12,2)") - dec("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(
+        F.lit(0).cast("decimal(12,2)"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(promo).cast("double").alias("promo_revenue"),
+            F.sum(disc_price).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@query("q15_top_supplier", oracle="""
+WITH rev AS (
+  SELECT l_suppkey,
+    SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name,
+       CAST(r.total_revenue AS DOUBLE) AS total_revenue
+FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+""")
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier by quarterly revenue): the revenue
+    CTE aggregates once, its scalar max broadcasts back as the filter
+    (no re-aggregation, no window over the whole table), and the
+    equality is on EXACT decimals so ties reproduce identically."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    disc = F.lit(1).cast("decimal(12,2)") - dec("l_discount")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(dec("l_extendedprice") * disc).alias("total_revenue"))
+    top = rev.agg(F.max("total_revenue").alias("__max"))
+    supp = F.broadcast(load(spark, sf_dir, "supplier"))
+    return (
+        rev.join(F.broadcast(top), rev.total_revenue == top.__max)
+        .join(supp, rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name",
+                F.col("total_revenue").cast("double").alias("total_revenue"))
+    )
+
+
+@query("q17_small_quantity_revenue", oracle="""
+WITH t AS (SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+           FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+           WHERE p.p_brand = 'Brand#13'),
+a AS (SELECT l_partkey,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+          / COUNT(*) AS avg_qty
+      FROM t GROUP BY l_partkey)
+SELECT CAST(SUM(CAST(t.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+         / 7.0 AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM t JOIN a ON t.l_partkey = a.l_partkey
+WHERE t.l_quantity < 0.2 * a.avg_qty
+""")
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity-order revenue; the reduced
+    schema has no p_container, so brand alone selects the part
+    slice): the correlated scalar subquery (per-part average quantity)
+    decorrelates into one aggregate + a self-join on partkey — the
+    plan Catalyst produces for the subquery form and the one any
+    engine should run at scale. The average is exact-sum/count so the
+    0.2x threshold compares identically everywhere."""
+    part = F.broadcast(load(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#13"))
+    li = load(spark, sf_dir, "lineitem")
+    t = li.join(part, li.l_partkey == part.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice")
+    a = t.groupBy("l_partkey").agg(
+        avg_exact(dec("l_quantity")).alias("avg_qty"))
+    return (
+        t.join(a.withColumnRenamed("l_partkey", "__pk"),
+               t.l_partkey == F.col("__pk"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0))
+            .alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query("q18_large_volume_customers", oracle="""
+WITH big AS (SELECT l_orderkey FROM lineitem
+             GROUP BY l_orderkey
+             HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 200)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""")
+def q18_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers, threshold 200 for the
+    reduced row counts): the HAVING subquery becomes an aggregate +
+    LEFT SEMI join on orderkey — the fact table is filtered to the big
+    orders BEFORE the customer join, so the expensive join only sees
+    the qualifying slice. Top-100 frontier ordered by exact decimal
+    total price with orderkey tie-break."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("__sq"))
+        .filter(F.col("__sq") > 200)
+        .select(F.col("l_orderkey").alias("__big_ok"))
+    )
+    orders = load(spark, sf_dir, "orders").join(
+        big, F.col("o_orderkey") == F.col("__big_ok"), "left_semi")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                 "o_totalprice")
+        .agg(F.sum(dec("l_quantity")).cast("double").alias("sum_qty"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                F.col("o_totalprice").cast("double").alias("o_totalprice"),
+                "sum_qty")
+        .orderBy(F.desc(dec("o_totalprice", 12, 2)), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
 # --------------------------------------------------------------------- #
 # join variants
 # --------------------------------------------------------------------- #
