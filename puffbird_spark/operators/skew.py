@@ -138,3 +138,56 @@ def key_skew_stats(df: DataFrame, key: str) -> DataFrame:
             F.col("max_key_rows")
             / (F.col("n_rows") / F.col("n_keys")), 6).alias("heavy_ratio"),
     )
+
+
+def join_cardinality(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+) -> DataFrame:
+    """Predict an equi-join's output size WITHOUT running the join — the
+    pre-flight check before committing a 100 TB shuffle: for key k with
+    ``a_k`` left rows and ``b_k`` right rows, the join emits exactly
+    ``sum(a_k * b_k)`` rows, computable from the two per-key COUNT
+    histograms (each keyed-count shuffles only (key, count) pairs —
+    orders of magnitude smaller than the join's row movement).
+
+    One row out:
+
+    - ``n_pairs_predicted`` — exact output rows of the inner join;
+    - ``n_keys_joint`` — keys present on both sides;
+    - ``max_key_pairs`` + ``top_key`` — the heaviest key's contribution
+      (ties break to the smallest key string): the number that says
+      "salt this key" (`replicated_join`) before the join straggles;
+    - ``blowup_ratio`` — predicted pairs over the larger input: > 1
+      means the join AMPLIFIES data (many-to-many) and downstream
+      operators see more rows than were scanned.
+
+    The companion of :func:`key_skew_stats` (is one table skewed?) —
+    this one prices the JOIN of two.
+    """
+    lc = left.groupBy(F.col(left_key).cast("string").alias("__k")).agg(
+        F.count(F.lit(1)).alias("__a"))
+    rc = right.groupBy(F.col(right_key).cast("string").alias("__k")).agg(
+        F.count(F.lit(1)).alias("__b"))
+    joint = lc.join(rc, "__k").select(
+        "__k", (F.col("__a") * F.col("__b")).alias("__pairs"))
+    totals = joint.agg(
+        F.sum("__pairs").cast("long").alias("n_pairs_predicted"),
+        F.count(F.lit(1)).cast("long").alias("n_keys_joint"),
+        F.max("__pairs").cast("long").alias("max_key_pairs"),
+    )
+    top = joint.join(
+        F.broadcast(totals.select("max_key_pairs")),
+        joint["__pairs"] == F.col("max_key_pairs"),
+    ).agg(F.min("__k").alias("top_key"))
+    n_left = left.count()
+    n_right = right.count()
+    return totals.crossJoin(F.broadcast(top)).select(
+        "n_pairs_predicted", "n_keys_joint", "max_key_pairs", "top_key",
+        F.round(
+            F.col("n_pairs_predicted") / F.lit(float(max(n_left, n_right, 1))),
+            6,
+        ).alias("blowup_ratio"),
+    )

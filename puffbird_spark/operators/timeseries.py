@@ -228,3 +228,54 @@ def interval_coverage(
         F.count(F.lit(1)).cast("long").alias("n_islands"),
         F.sum("__len").cast("long").alias("total_coverage"),
     )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_cents: Column | str,
+    window: int = 16,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-key exponential smoothing with EXACT arithmetic — the
+    truncated EWMA filter: over the trailing ``window`` samples,
+    ``y_t = sum_k c_k * x_{t-k}`` with dyadic weights ``c_k = 2^-(k+1)``
+    (newest gets 1/2) and the OLDEST in-frame sample absorbing the tail
+    (``c_{m-1} = 2^-(m-1)``, so weights always sum to 1) — the
+    ``adjust=False`` recursion cut at ``window`` taps.
+
+    Why this shape: the textbook infinite recursion is sequential per
+    key and its floating-point result depends on history length; the
+    truncated filter is ONE ordered window per key (collect_list over a
+    bounded ROWS frame + a scan-local fold — no driver loop, no UDF),
+    and with INTEGER inputs and power-of-two weights every term and
+    every partial sum is exactly representable, so the result is
+    bit-identical on any engine, any partitioning (the dedup-science
+    float policy applied to smoothing). ``value_cents`` must be an
+    integer-valued column (snap currency to cents first).
+    """
+    from pyspark.sql import Window
+
+    tb = tiebreak_cols or []
+    x = F.col(value_cents) if isinstance(value_cents, str) else value_cents
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(ts_col), *[F.col(c) for c in tb])
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    arr = F.collect_list(x.cast("double")).over(w)
+    n = F.size("__arr")
+    # fold with explicit 1-based positions: i=1 is the OLDEST in frame
+    weighted = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0.0),
+        lambda acc, i: acc + F.element_at(F.col("__arr"), i) * F.when(
+            i == 1, F.pow(F.lit(0.5), (n - 1).cast("double"))
+        ).otherwise(F.pow(F.lit(0.5), (n - i + 1).cast("double"))),
+    )
+    return (
+        df.withColumn("__arr", arr)
+        .withColumn("ewma_cents", weighted)
+        .drop("__arr")
+    )

@@ -1161,6 +1161,47 @@ def diag_key_skew(spark, sf_dir):
     return key_skew_stats(orders, "o_custkey")
 
 
+@query("diag_join_cardinality", oracle="""
+WITH lc AS (SELECT CAST(o_orderkey AS VARCHAR) AS k, COUNT(*) AS a
+            FROM orders GROUP BY 1),
+rc AS (SELECT CAST(l_orderkey AS VARCHAR) AS k, COUNT(*) AS b
+       FROM lineitem GROUP BY 1),
+j AS (SELECT lc.k, lc.a * rc.b AS pairs FROM lc JOIN rc ON lc.k = rc.k),
+t AS (SELECT CAST(SUM(pairs) AS BIGINT) AS n_pairs_predicted,
+             CAST(COUNT(*) AS BIGINT) AS n_keys_joint,
+             CAST(MAX(pairs) AS BIGINT) AS max_key_pairs
+      FROM j),
+tk AS (SELECT MIN(j.k) AS top_key FROM j, t WHERE j.pairs = t.max_key_pairs),
+act AS (SELECT COUNT(*) AS n_actual
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+SELECT t.n_pairs_predicted, t.n_keys_joint, t.max_key_pairs, tk.top_key,
+       round(t.n_pairs_predicted
+             / CAST((SELECT COUNT(*) FROM lineitem) AS DOUBLE), 6)
+         AS blowup_ratio,
+       t.n_pairs_predicted = act.n_actual AS predicted_matches_actual
+FROM t, tk, act
+""")
+def diag_join_cardinality(spark, sf_dir):
+    """Join pre-flight sizing (`join_cardinality`, operators/skew.py):
+    the exact output row count of orders ⋈ lineitem predicted from the
+    two per-key COUNT HISTOGRAMS — never running the join. At 100 TB
+    this is the check that catches a many-to-many blowup or one hot
+    key (`max_key_pairs` says "salt me") for the cost of two keyed
+    counts whose shuffle is (key, count) pairs, not data. The gate
+    ALSO runs the real join and emits `predicted_matches_actual` — the
+    predictor's exactness is part of the hash."""
+    from ..operators.skew import join_cardinality
+
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    pred = join_cardinality(orders, li, "o_orderkey", "l_orderkey")
+    actual = orders.join(
+        li, orders.o_orderkey == li.l_orderkey).count()
+    return pred.withColumn(
+        "predicted_matches_actual",
+        F.col("n_pairs_predicted") == F.lit(actual))
+
+
 @query("agg_group_ols", oracle="""
 WITH s AS (SELECT user_id, COUNT(*) AS n,
          SUM(CAST(event_id AS DECIMAL(28,12))) AS sx,

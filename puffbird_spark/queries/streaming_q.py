@@ -758,6 +758,47 @@ def timeseries_cusum(spark, sf_dir):
         tiebreak_cols=["event_id"])
 
 
+@query("timeseries_ewma", oracle="""
+WITH e AS (SELECT user_id, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS c
+           FROM events WHERE value IS NOT NULL),
+w AS (SELECT user_id, event_id,
+        list(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS vals
+      FROM e)
+SELECT user_id, event_id,
+  list_sum([vals[i] * CASE WHEN i = 1 THEN pow(0.5, len(vals) - 1)
+            ELSE pow(0.5, len(vals) - i + 1) END
+            FOR i IN range(1, len(vals) + 1)]) AS ewma_cents
+FROM w
+""")
+def timeseries_ewma(spark, sf_dir):
+    """Truncated-EWMA smoothing per user (`ewma_smooth`,
+    operators/timeseries.py): 16-tap exponential filter with dyadic
+    weights (newest 1/2, halving back, oldest in-frame absorbs the
+    tail so weights sum to 1) over cents-snapped integer values —
+    every term and partial sum exactly representable, so the smoothed
+    series is BIT-IDENTICAL on any engine and any partitioning, with
+    no sequential recursion anywhere: one ordered bounded-ROWS window
+    (collect_list) + a scan-local fold. The infinite ewm recursion
+    would be driver-sequential or float-path-dependent; the truncated
+    filter is the Spark-shaped equivalent (tail weight < 2^-15 of the
+    signal). Full 15k-row smoothed output hash-checked against the
+    window replay."""
+    from ..operators.timeseries import ewma_smooth
+    from ..sources import normalize_nano_ts
+
+    ev = normalize_nano_ts(
+        load(spark, sf_dir, "events"), ["ts"]).withColumn(
+        "ts", F.col("ts").cast("timestamp")).filter(
+        F.col("value").isNotNull())
+    cents = F.round(F.col("value") * 100).cast("long")
+    return ewma_smooth(
+        ev.withColumn("__cents", cents), ["user_id"], "ts", "__cents",
+        window=16, tiebreak_cols=["event_id"],
+    ).select("user_id", "event_id", "ewma_cents")
+
+
 @query("interval_coverage", oracle="""
 WITH e AS (SELECT user_id, epoch_us(ts) AS s,
              epoch_us(ts) + 300000000 AS e, event_id

@@ -2606,3 +2606,41 @@ def test_animated_gif_frame_sampling_real_codec(spark):
     r = got[("t", 0)]
     assert r["offset"] == 0 and r["frame_bytes"] == 64
     assert r["digest"] == hashlib.md5((b"plain bytes " * 20)[:64]).hexdigest()
+
+
+def test_ewma_smooth_matches_recursion_and_partitioning(spark):
+    """The truncated dyadic EWMA must equal the direct weighted sum,
+    be exact (bit-identical under repartitioning), and weights must
+    sum to 1 at every prefix length."""
+    import datetime as dt
+
+    from puffbird_spark.operators.timeseries import ewma_smooth
+
+    base = dt.datetime(2024, 1, 1)
+    vals = [100, 250, 50, 775, 300, 1, 999, 42, 10000, 7] * 3
+    rows = [(1, base + dt.timedelta(minutes=i), i, v)
+            for i, v in enumerate(vals)]
+    rows += [(2, base, 0, 500)]  # single-sample key: ewma == value
+    df = spark.createDataFrame(rows, ["k", "ts", "eid", "c"])
+
+    def expected(seq, t, window=16):
+        lo = max(0, t - window + 1)
+        frame = seq[lo:t + 1]
+        m = len(frame)
+        total = 0.0
+        for i, v in enumerate(frame, start=1):  # i=1 oldest
+            w = 0.5 ** (m - 1) if i == 1 else 0.5 ** (m - i + 1)
+            total += v * w
+        return total
+
+    out = ewma_smooth(df, ["k"], "ts", "c", tiebreak_cols=["eid"])
+    got = {(r["k"], r["eid"]): r["ewma_cents"] for r in out.collect()}
+    for t in range(len(vals)):
+        assert got[(1, t)] == expected(vals, t), t
+    assert got[(2, 0)] == 500.0
+
+    # exactness: identical bits after a different partitioning
+    got2 = {(r["k"], r["eid"]): r["ewma_cents"]
+            for r in ewma_smooth(df.repartition(7), ["k"], "ts", "c",
+                                 tiebreak_cols=["eid"]).collect()}
+    assert got == got2

@@ -137,3 +137,23 @@ def test_key_skew_stats_constructed(spark):
     # tie on the max -> smallest key string wins deterministically
     tied = spark.createDataFrame([("x",)] * 3 + [("m",)] * 3, ["k"])
     assert key_skew_stats(tied, "k").collect()[0]["top_key"] == "m"
+
+
+def test_join_cardinality_predicts_exactly(spark):
+    from puffbird_spark.operators.skew import join_cardinality
+
+    left = spark.createDataFrame(
+        [(k, i) for k, n in [("a", 3), ("b", 1), ("c", 2)]
+         for i in range(n)] + [("only_left", 0)], ["k", "i"])
+    right = spark.createDataFrame(
+        [(k, i) for k, n in [("a", 4), ("c", 5), ("z", 9)]
+         for i in range(n)], ["k", "j"])
+    r = join_cardinality(left, right, "k", "k").collect()[0]
+    # a: 3*4=12, c: 2*5=10 -> 22 pairs over 2 joint keys, max a=12
+    assert r["n_pairs_predicted"] == 22
+    assert r["n_keys_joint"] == 2
+    assert r["max_key_pairs"] == 12 and r["top_key"] == "a"
+    # blowup over the larger side (right: 18 rows)
+    assert abs(r["blowup_ratio"] - 22 / 18) < 1e-6
+    # the prediction is exact, not an estimate
+    assert left.join(right, "k").count() == 22
