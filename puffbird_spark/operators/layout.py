@@ -436,3 +436,59 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def vacuum_snapshots(
+    spark,
+    table_path: str,
+    keep_last: int = 1,
+) -> dict:
+    """Snapshot retention — the VACUUM half of table maintenance
+    (:func:`compact_small_files` is the OPTIMIZE half): delete every
+    manifest older than the newest ``keep_last`` versions, then delete
+    every shard directory referenced ONLY by the deleted manifests.
+    Kept versions keep time-traveling exactly as before; the reclaimed
+    space is the whole point — an append-mostly table's dead overwritten
+    shards otherwise accumulate forever.
+
+    Metadata-only decision path (the 100 TB shape): manifests are read
+    (bytes each), the live-shard set is a union over kept manifests,
+    and deletion is one recursive remove per dead shard dir — no data
+    is ever read. Crash-safe ordering: manifests delete FIRST, so a
+    failure mid-vacuum leaves orphan shard dirs (harmless, retried by
+    the next vacuum) rather than manifests pointing at deleted data.
+
+    Returns ``{"kept_versions", "deleted_manifests", "deleted_shards",
+    "live_shards"}``.
+    """
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    versions = snapshot_versions(spark, table_path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot manifests at {table_path}")
+    kept = versions[-keep_last:]
+    dead = [v for v in versions if v not in kept]
+    live_shards: set[str] = set()
+    for v in kept:
+        live_shards.update(_read_manifest(spark, table_path, v)["shards"])
+    fs, jvm = _hadoop_fs(spark, table_path)
+
+    def _p(rel: str):
+        return jvm.org.apache.hadoop.fs.Path(f"{table_path}/{rel}")
+
+    for v in dead:  # manifests first: crash leaves orphans, never danglers
+        fs.delete(_p(f"manifests/v{v:05d}.json"), False)
+    deleted_shards = 0
+    shards_dir = _p("shards")
+    if fs.exists(shards_dir):
+        for st in fs.listStatus(shards_dir):
+            rel = f"shards/{st.getPath().getName()}"
+            if rel not in live_shards:
+                fs.delete(st.getPath(), True)
+                deleted_shards += 1
+    return {
+        "kept_versions": kept,
+        "deleted_manifests": len(dead),
+        "deleted_shards": deleted_shards,
+        "live_shards": len(live_shards),
+    }

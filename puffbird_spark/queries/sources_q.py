@@ -927,6 +927,57 @@ def scan_time_travel(spark, sf_dir):
         "doc_id", "source", "n_chars")
 
 
+@query("table_vacuum", oracle="""
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       TRUE AS retention_ok
+FROM documents WHERE doc_id % 3 IN (1, 2)
+GROUP BY source
+""")
+def table_vacuum(spark, sf_dir):
+    """Snapshot retention (`vacuum_snapshots`, operators/layout.py —
+    the VACUUM half of table maintenance, compaction being OPTIMIZE):
+    the fixture commits v1 (doc_id%3==0), v2 append (%3==1), v3
+    OVERWRITE (%3==2), v4 append (%3==1); vacuum with keep_last=2
+    deletes the v1/v2 manifests and the shards only they referenced —
+    a metadata decision plus per-dead-shard recursive deletes, no data
+    read, manifests deleted first so a crash strands orphans rather
+    than dangling manifests. The gate then aggregates the LATEST
+    version read back from the vacuumed table (%3 in {1,2} — the
+    overwrite semantics must survive retention) and pins
+    `retention_ok`: exactly the last two versions remain and the
+    vacuumed v1 is unreadable. Stateless booleans, so replays (bench
+    warm runs) see the already-vacuumed table and still hash-match."""
+    from ..operators.layout import (
+        read_snapshot, snapshot_versions, vacuum_snapshots, write_snapshot)
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    path = f"/tmp/pbs_fmt{tag}/documents_vacuum_snapshots"
+    if not snapshot_versions(spark, path):
+        docs = load(spark, sf_dir, "documents").select(
+            "doc_id", "source", "n_chars")
+        write_snapshot(spark, docs.filter(F.col("doc_id") % 3 == 0), path)
+        write_snapshot(spark, docs.filter(F.col("doc_id") % 3 == 1), path)
+        write_snapshot(spark, docs.filter(F.col("doc_id") % 3 == 2), path,
+                       mode="overwrite")
+        write_snapshot(spark, docs.filter(F.col("doc_id") % 3 == 1), path)
+    vacuum_snapshots(spark, path, keep_last=2)
+    versions = snapshot_versions(spark, path)
+    v1_unreadable = False
+    try:
+        read_snapshot(spark, path, version=1)
+    except ValueError:
+        v1_unreadable = True
+    ok = versions == [3, 4] and v1_unreadable
+    return (
+        read_snapshot(spark, path)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.sum("n_chars").cast("long").alias("sum_chars"))
+        .withColumn("retention_ok", F.lit(ok))
+    )
+
+
 @query("scan_data_skipping", oracle="""
 SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,

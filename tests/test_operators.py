@@ -2644,3 +2644,42 @@ def test_ewma_smooth_matches_recursion_and_partitioning(spark):
             for r in ewma_smooth(df.repartition(7), ["k"], "ts", "c",
                                  tiebreak_cols=["eid"]).collect()}
     assert got == got2
+
+
+def test_vacuum_snapshots_retention(spark, tmp_path_factory):
+    """VACUUM must drop old manifests + their exclusive shards, keep the
+    retained versions byte-identical, and be idempotent."""
+    import pytest as _pytest
+
+    from puffbird_spark.operators.layout import (
+        read_snapshot, snapshot_versions, vacuum_snapshots, write_snapshot)
+
+    path = str(tmp_path_factory.mktemp("vac") / "t")
+    write_snapshot(spark, spark.createDataFrame(
+        [(1, "a"), (2, "b")], ["k", "v"]), path)                  # v1
+    write_snapshot(spark, spark.createDataFrame(
+        [(3, "c")], ["k", "v"]), path)                            # v2 append
+    write_snapshot(spark, spark.createDataFrame(
+        [(9, "z")], ["k", "v"]), path, mode="overwrite")          # v3
+    write_snapshot(spark, spark.createDataFrame(
+        [(10, "y")], ["k", "v"]), path)                           # v4 append
+
+    before = sorted(map(tuple, read_snapshot(spark, path, 4).collect()))
+    stats = vacuum_snapshots(spark, path, keep_last=2)
+    # v1/v2 gone; the v1+v2 shards were referenced only by them
+    assert stats["kept_versions"] == [3, 4]
+    assert stats["deleted_manifests"] == 2
+    assert stats["deleted_shards"] == 2      # shard-v1, shard-v2
+    assert stats["live_shards"] == 2         # shard-v3 (shared) + shard-v4
+    assert snapshot_versions(spark, path) == [3, 4]
+    # kept versions read identically; vacuumed ones are gone
+    assert sorted(map(tuple, read_snapshot(spark, path, 4).collect())) == before
+    assert sorted(map(tuple, read_snapshot(spark, path, 3).collect())) == [
+        (9, "z")]
+    with _pytest.raises(ValueError):
+        read_snapshot(spark, path, 1)
+    # idempotent
+    again = vacuum_snapshots(spark, path, keep_last=2)
+    assert again["deleted_manifests"] == 0 and again["deleted_shards"] == 0
+    with _pytest.raises(ValueError):
+        vacuum_snapshots(spark, path, keep_last=0)
