@@ -231,3 +231,50 @@ def test_round6_operators_scale_plan_shapes(spark, sf_dir):
     # one hashpartitioning exchange for the per-key fold; the final
     # 4-row report may add single-partition shuffles over agg output
     assert p3.lower().count("hashpartitioning") <= 2
+
+
+def test_q6_full_pushdown_two_column_scan(q):
+    """Q6 is the pure-pushdown query: every predicate reaches the scan,
+    and the lineitem read touches only the columns the query needs."""
+    df = q("q6_forecast_revenue")
+    assert P.has_pushed_filter(df, "GreaterThanOrEqual(l_shipdate")
+    assert P.has_pushed_filter(df, "LessThan(l_quantity")
+    for schema in P.read_schemas(df):
+        for unused in ("l_partkey", "l_suppkey", "l_tax", "l_returnflag"):
+            assert unused not in schema
+
+
+def test_q18_semi_join_before_customer_join(q):
+    """The HAVING subquery must plan as a semi join (orders filtered to
+    big orderkeys before the expensive customer join), not a distinct
+    plus inner join."""
+    df = q("q18_large_volume_customers")
+    plan = P.formatted_plan(df)
+    assert "LeftSemi" in plan
+    assert P.has_take_ordered(df)
+
+
+def test_q14_broadcasts_part(q):
+    df = q("q14_promo_revenue")
+    assert "BroadcastHashJoin" in P.formatted_plan(df)
+
+
+def test_join_cardinality_shuffles_counts_not_rows(q):
+    """The sizing diagnostic must aggregate each side BEFORE its join:
+    the only join input is (key, count) pairs, and the fact columns are
+    pruned from both scans."""
+    df = q("diag_join_cardinality")
+    plan = P.formatted_plan(df)
+    # both sides aggregate below the join: partial counts appear
+    assert plan.count("HashAggregate") >= 4  # partial+final per side
+    for schema in P.read_schemas(df):
+        for wide in ("l_extendedprice", "o_totalprice", "l_quantity"):
+            assert wide not in schema
+
+
+def test_ewma_single_exchange_no_python(q):
+    """One per-key window, no Python workers anywhere: the fold over the
+    bounded frame is pure Column codegen."""
+    df = q("timeseries_ewma")
+    assert P.count_exchanges(df) == 1
+    assert "Python" not in P.formatted_plan(df)
