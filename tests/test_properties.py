@@ -259,3 +259,56 @@ def test_funnel_depth_invariant_to_row_order(spark, perm_seed):
         spark.createDataFrame(shuffled, ["event_id", "k", "ts", "ty"]),
         "k", "ts", "ty", steps, tiebreak_col="event_id").collect()
     assert d1[0]["depth"] == d2[0]["depth"] == 3
+
+
+@settings(max_examples=30, deadline=None)
+@given(data=st.binary(min_size=0, max_size=3000),
+       min_code=st.integers(min_value=2, max_value=8))
+def test_lzw_roundtrip_any_bytes(data, min_code):
+    """GIF LZW must round-trip ANY byte stream whose symbols fit the
+    code size — not just the deterministic fixture fills."""
+    from puffbird_spark.operators.multimodal import _lzw_decode, _lzw_encode
+
+    alphabet = 1 << min_code
+    clipped = bytes(b % alphabet for b in data)
+    assert _lzw_decode(_lzw_encode(clipped, min_code), min_code) == clipped
+
+
+@settings(max_examples=15, deadline=None)
+@given(w=st.integers(min_value=1, max_value=40),
+       h=st.integers(min_value=1, max_value=30),
+       seed=st.integers(min_value=0, max_value=255))
+def test_gif_roundtrip_any_dims(w, h, seed):
+    from puffbird_spark.operators.multimodal import decode_gif_gray, encode_gif
+
+    wd, hd, px = decode_gif_gray(encode_gif(w, h, seed))
+    assert (wd, hd) == (w, h)
+    assert px == bytes((x * 31 + y * 17 + seed) % 256
+                       for y in range(h) for x in range(w))
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=st.lists(st.integers(min_value=0, max_value=10**6),
+                     min_size=1, max_size=60))
+def test_ewma_exact_on_any_int_series(spark, vals):
+    """Dyadic-weight EWMA over ints must equal the direct Python weighted
+    sum EXACTLY (no float tolerance) for arbitrary series."""
+    import datetime as dt
+
+    from puffbird_spark.operators.timeseries import ewma_smooth
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, base + dt.timedelta(seconds=i), i, v)
+         for i, v in enumerate(vals)], ["k", "ts", "eid", "c"])
+    got = {r["eid"]: r["ewma_cents"]
+           for r in ewma_smooth(df, ["k"], "ts", "c",
+                                tiebreak_cols=["eid"]).collect()}
+    for t in range(len(vals)):
+        frame = vals[max(0, t - 15):t + 1]
+        m = len(frame)
+        expect = sum(
+            v * (0.5 ** (m - 1) if i == 1 else 0.5 ** (m - i + 1))
+            for i, v in enumerate(frame, start=1))
+        assert got[t] == expect, t
