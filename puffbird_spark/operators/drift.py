@@ -1,0 +1,106 @@
+"""Distribution-drift monitoring between corpus snapshots.
+
+The training-data question CUSUM (per-key time series) doesn't answer:
+"did THIS WEEK'S crawl shift against the reference corpus?" — asked per
+source/domain over a metric column (doc length, quality score,
+perplexity). The standard industry answer is the Population Stability
+Index over quantile buckets: ``PSI = sum_b (p_cur - p_ref) *
+ln(p_cur / p_ref)``, with PSI < 0.1 read as stable, 0.1-0.25 as
+moderate shift, > 0.25 as action-needed.
+
+Scale shape: the ONLY data-sized work is two scans (one per snapshot)
+each ending in a keyed bucket count; bucket edges are per-key exact
+percentiles of the reference (a key-count-sized frame, broadcast back),
+and the PSI arithmetic runs on the (key x bucket) count table —
+metadata-sized. No sampling, no driver loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def distribution_psi(
+    reference: DataFrame,
+    current: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    n_buckets: int = 10,
+    drift_threshold: float = 0.25,
+    dp: int = 6,
+) -> DataFrame:
+    """Per-key PSI of ``current`` against ``reference`` over quantile
+    buckets of the REFERENCE distribution (so "no change" always reads
+    ~uniform-vs-uniform regardless of the metric's shape).
+
+    - Bucket edges: the reference's exact interpolated percentiles per
+      key (``F.percentile`` — matches DuckDB ``quantile_cont``,
+      conventions pinned by the `agg_percentiles_exact` gate), one
+      key-count-sized aggregate broadcast back to both scans.
+    - Bucket assignment is a scan-local fold over the edge array
+      (count of edges strictly below the value) — no UDF, no shuffle
+      beyond the keyed count each snapshot already pays.
+    - Empty-bucket guard: additive smoothing ``p = (n + 0.5) /
+      (N + 0.5 * n_buckets)`` on BOTH sides — PSI stays finite and the
+      formula is engine-replayable (no epsilon clamps).
+
+    Returns one row per key present in the reference:
+    ``(key..., n_ref, n_cur, psi, drifted)``. Keys with NO current
+    rows are flagged ``drifted`` outright: their all-smoothed current
+    distribution is exactly uniform, which makes the raw PSI read
+    deceptively stable — but a vanished source IS drift (caught by the
+    gate fixture's first draft, where a parity split had zero key
+    overlap and every PSI read ~0.03).
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    ps = [i / n_buckets for i in range(1, n_buckets)]
+    edges = reference.groupBy(*key_cols).agg(
+        F.percentile(F.col(value_col).cast("double"), F.lit(ps))
+        .alias("__edges"))
+
+    def bucket_counts(df: DataFrame, out: str) -> DataFrame:
+        j = df.join(F.broadcast(edges), key_cols)
+        b = F.aggregate(
+            F.col("__edges"),
+            F.lit(0),
+            lambda acc, e: acc + F.when(
+                F.col(value_col).cast("double") > e, 1).otherwise(0),
+        )
+        return j.groupBy(*key_cols, b.alias("__b")).agg(
+            F.count(F.lit(1)).alias(out))
+
+    ref_c = bucket_counts(reference, "__na")
+    cur_c = bucket_counts(current, "__nb")
+    # dense (key x bucket) grid so empty buckets smooth instead of vanish
+    grid = edges.select(
+        *key_cols,
+        F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1))).alias("__b"))
+    cells = (
+        grid.join(ref_c, [*key_cols, "__b"], "left")
+        .join(cur_c, [*key_cols, "__b"], "left")
+        .select(
+            *key_cols, "__b",
+            F.coalesce("__na", F.lit(0)).alias("__na"),
+            F.coalesce("__nb", F.lit(0)).alias("__nb"),
+        )
+    )
+    tot = cells.groupBy(*key_cols).agg(
+        F.sum("__na").alias("__ta"), F.sum("__nb").alias("__tb"))
+    pa = (F.col("__na") + 0.5) / (F.col("__ta") + 0.5 * n_buckets)
+    pb = (F.col("__nb") + 0.5) / (F.col("__tb") + 0.5 * n_buckets)
+    term = (pb - pa) * F.log(pb / pa)
+    return (
+        cells.join(tot, key_cols)
+        .groupBy(*key_cols)
+        .agg(
+            F.max("__ta").cast("long").alias("n_ref"),
+            F.max("__tb").cast("long").alias("n_cur"),
+            F.round(F.sum(term), dp).alias("psi"),
+        )
+        .withColumn(
+            "drifted",
+            (F.col("psi") > F.lit(drift_threshold))
+            | (F.col("n_cur") == 0),
+        )
+    )

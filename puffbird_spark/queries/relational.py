@@ -1202,6 +1202,74 @@ def diag_join_cardinality(spark, sf_dir):
         F.col("n_pairs_predicted") == F.lit(actual))
 
 
+
+
+@query("diag_distribution_psi", oracle="""
+WITH ref AS (SELECT event_type, CAST(value AS DOUBLE) AS v
+             FROM events
+             WHERE value IS NOT NULL AND (event_id // 16) % 2 = 0),
+cur AS (SELECT event_type,
+          CAST(CASE WHEN event_type = 'error' THEN value * 3
+               ELSE value END AS DOUBLE) AS v
+        FROM events
+        WHERE value IS NOT NULL AND (event_id // 16) % 2 = 1),
+e AS (SELECT event_type, quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS edges
+      FROM ref GROUP BY event_type),
+ra AS (SELECT r.event_type, len(list_filter(e.edges, x -> r.v > x)) AS b,
+              COUNT(*) AS na
+       FROM ref r JOIN e ON r.event_type = e.event_type GROUP BY 1, 2),
+rb AS (SELECT c.event_type, len(list_filter(e.edges, x -> c.v > x)) AS b,
+              COUNT(*) AS nb
+       FROM cur c JOIN e ON c.event_type = e.event_type GROUP BY 1, 2),
+grid AS (SELECT e.event_type, t.range AS b FROM e, range(0, 10) t),
+cells AS (SELECT g.event_type, g.b,
+            COALESCE(ra.na, 0) AS na, COALESCE(rb.nb, 0) AS nb
+          FROM grid g
+          LEFT JOIN ra ON g.event_type = ra.event_type AND g.b = ra.b
+          LEFT JOIN rb ON g.event_type = rb.event_type AND g.b = rb.b),
+tot AS (SELECT event_type, SUM(na) AS ta, SUM(nb) AS tb
+        FROM cells GROUP BY event_type)
+SELECT c.event_type, CAST(MAX(t.ta) AS BIGINT) AS n_ref,
+       CAST(MAX(t.tb) AS BIGINT) AS n_cur,
+       round(SUM(((c.nb + 0.5) / (t.tb + 5.0) - (c.na + 0.5) / (t.ta + 5.0))
+                 * ln(((c.nb + 0.5) / (t.tb + 5.0))
+                      / ((c.na + 0.5) / (t.ta + 5.0)))), 6) AS psi,
+       round(SUM(((c.nb + 0.5) / (t.tb + 5.0) - (c.na + 0.5) / (t.ta + 5.0))
+                 * ln(((c.nb + 0.5) / (t.tb + 5.0))
+                      / ((c.na + 0.5) / (t.ta + 5.0)))), 6) > 0.25
+         AS drifted
+FROM cells c JOIN tot t ON c.event_type = t.event_type
+GROUP BY c.event_type
+""")
+def diag_distribution_psi(spark, sf_dir):
+    """Corpus-drift monitoring (`distribution_psi`, operators/drift.py):
+    Population Stability Index of the odd-block event snapshot against
+    the even-block reference, per event_type, over value deciles of
+    the REFERENCE — with an injected 3x shift for the 'error' type
+    that must read drifted (PSI >> 0.25) while every untouched type
+    reads stable at the driver SF (error 0.85 vs <=0.03 noise at
+    sf0.01). Keyed on event_type (~1000 rows per side per key at
+    sf0.01) because PSI's noise floor is ~(B-1)/n — the first draft
+    keyed on 25-doc sources and EVERYTHING read drifted, pure sampling
+    noise; even at sf0.001's 60-row slices two untouched types brush
+    the 0.25 line (NOTES r7 — sizing the key granularity to the noise
+    floor is part of using PSI, so the docstring says so). Blocks of 16 decorrelate the split from any
+    small-modulus column pattern. Additive 0.5-smoothing keeps empty
+    buckets finite and engine-replayable; the only data-sized work is
+    one keyed bucket count per snapshot. Per-type PSI AND the drift
+    verdicts are all in the hash."""
+    from ..operators.drift import distribution_psi
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    block = (F.col("event_id") / 16).cast("long") % 2
+    ref = ev.filter(block == 0).select("event_type", "value")
+    cur = ev.filter(block == 1).select(
+        "event_type",
+        F.when(F.col("event_type") == "error", F.col("value") * 3)
+        .otherwise(F.col("value")).alias("value"))
+    return distribution_psi(ref, cur, ["event_type"], "value")
+
+
 @query("agg_group_ols", oracle="""
 WITH s AS (SELECT user_id, COUNT(*) AS n,
          SUM(CAST(event_id AS DECIMAL(28,12))) AS sx,

@@ -2683,3 +2683,27 @@ def test_vacuum_snapshots_retention(spark, tmp_path_factory):
     assert again["deleted_manifests"] == 0 and again["deleted_shards"] == 0
     with _pytest.raises(ValueError):
         vacuum_snapshots(spark, path, keep_last=0)
+
+
+def test_distribution_psi_stable_shifted_vanished(spark):
+    """PSI must read ~0 for an identical distribution, large for a
+    shifted one, and flag a vanished key outright (its all-smoothed
+    PSI deceptively reads uniform)."""
+    from puffbird_spark.operators.drift import distribution_psi
+
+    ref_rows = [("a", float(v)) for v in range(1000)] \
+        + [("b", float(v)) for v in range(1000)] \
+        + [("gone", float(v)) for v in range(50)]
+    cur_rows = [("a", float(v)) for v in range(1000)] \
+        + [("b", float(v) + 500.0) for v in range(1000)]
+    ref = spark.createDataFrame(ref_rows, ["k", "v"])
+    cur = spark.createDataFrame(cur_rows, ["k", "v"])
+    got = {r["k"]: r for r in distribution_psi(
+        ref, cur, ["k"], "v").collect()}
+    assert set(got) == {"a", "b", "gone"}
+    assert got["a"]["psi"] < 0.05 and not got["a"]["drifted"]
+    assert got["b"]["psi"] > 0.5 and got["b"]["drifted"]
+    assert got["gone"]["n_cur"] == 0 and got["gone"]["drifted"]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="n_buckets"):
+        distribution_psi(ref, cur, ["k"], "v", n_buckets=1)
