@@ -492,3 +492,38 @@ def vacuum_snapshots(
         "deleted_shards": deleted_shards,
         "live_shards": len(live_shards),
     }
+
+
+def snapshot_schema_diff(
+    spark, table_path: str, v_from: int, v_to: int
+) -> DataFrame:
+    """Schema drift between two snapshot versions — the migration
+    audit run before pointing consumers at a new corpus version: one
+    row per changed column, ``change`` in ``added | removed |
+    type_changed`` with both type strings. Unchanged columns are
+    absent; identical versions diff to zero rows.
+
+    Metadata-only: each version's schema comes from its shards' parquet
+    FOOTERS (``mergeSchema`` reconciliation — the same mechanism the
+    `scan_schema_evolution` gate proves), and the comparison itself is
+    a driver-side walk over two column lists, returned as a
+    column-count-sized DataFrame. No data is read at any size.
+    """
+    def schema_of(version: int) -> dict[str, str]:
+        man = _read_manifest(spark, table_path, version)
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *[f"{table_path}/{s}" for s in man["shards"]])
+        return {f.name: f.dataType.simpleString() for f in df.schema.fields}
+
+    a, b = schema_of(v_from), schema_of(v_to)
+    rows = []
+    for name in sorted(set(a) | set(b)):
+        ta, tb = a.get(name), b.get(name)
+        if ta is None:
+            rows.append((name, "added", None, tb))
+        elif tb is None:
+            rows.append((name, "removed", ta, None))
+        elif ta != tb:
+            rows.append((name, "type_changed", ta, tb))
+    return spark.createDataFrame(
+        rows, "column string, change string, type_from string, type_to string")

@@ -1270,6 +1270,61 @@ def diag_distribution_psi(spark, sf_dir):
     return distribution_psi(ref, cur, ["event_type"], "value")
 
 
+@query("diag_profile_columns", oracle="""
+SELECT 'doc_id' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+  round(CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*), 6) AS null_frac,
+  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+  CAST(MIN(doc_id) AS VARCHAR) AS min_str, CAST(MAX(doc_id) AS VARCHAR) AS max_str,
+  COUNT(DISTINCT doc_id) <= 1 AS is_constant FROM documents
+UNION ALL
+SELECT 'text' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+  round(CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*), 6) AS null_frac,
+  CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct,
+  CAST(MIN(text) AS VARCHAR) AS min_str, CAST(MAX(text) AS VARCHAR) AS max_str,
+  COUNT(DISTINCT text) <= 1 AS is_constant FROM documents
+UNION ALL
+SELECT 'lang' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+  round(CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*), 6) AS null_frac,
+  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_distinct,
+  CAST(MIN(lang) AS VARCHAR) AS min_str, CAST(MAX(lang) AS VARCHAR) AS max_str,
+  COUNT(DISTINCT lang) <= 1 AS is_constant FROM documents
+UNION ALL
+SELECT 'source' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+  round(CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*), 6) AS null_frac,
+  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_distinct,
+  CAST(MIN(source) AS VARCHAR) AS min_str, CAST(MAX(source) AS VARCHAR) AS max_str,
+  COUNT(DISTINCT source) <= 1 AS is_constant FROM documents
+UNION ALL
+SELECT 'n_chars' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+  round(CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*), 6) AS null_frac,
+  CAST(COUNT(DISTINCT n_chars) AS BIGINT) AS n_distinct,
+  CAST(MIN(n_chars) AS VARCHAR) AS min_str, CAST(MAX(n_chars) AS VARCHAR) AS max_str,
+  COUNT(DISTINCT n_chars) <= 1 AS is_constant FROM documents
+""")
+def diag_profile_columns(spark, sf_dir):
+    """One-pass table profiling (`profile_columns`, operators/profile.py):
+    null rates, EXACT cardinalities, value ranges, and dead-column
+    flags for every documents column in a single aggregation (the
+    multi-column exact distincts share one Expand shuffle — Spark's
+    standard strategy; no per-column scans, no driver loops), pivoted
+    to long format with stack over the 1-row aggregate. The ingest
+    census run before trusting a new data drop. Oracle replays each
+    column's stats as a UNION ALL; every cell hash-checked."""
+    from ..operators.profile import profile_columns
+
+    return profile_columns(load(spark, sf_dir, "documents"))
+
+
 @query("agg_group_ols", oracle="""
 WITH s AS (SELECT user_id, COUNT(*) AS n,
          SUM(CAST(event_id AS DECIMAL(28,12))) AS sx,

@@ -978,6 +978,39 @@ def table_vacuum(spark, sf_dir):
     )
 
 
+@query("scan_schema_diff", oracle="""
+SELECT * FROM (VALUES
+  ('lang', 'added', CAST(NULL AS VARCHAR), 'string'),
+  ('n_chars', 'type_changed', 'bigint', 'int'),
+  ('source', 'removed', 'string', CAST(NULL AS VARCHAR)))
+  AS t("column", change, type_from, type_to)
+""")
+def scan_schema_diff(spark, sf_dir):
+    """Schema drift between snapshot versions (`snapshot_schema_diff`,
+    operators/layout.py): v1 carries (doc_id, source, n_chars bigint),
+    v2 OVERWRITES with (doc_id, lang, n_chars int) — the diff must
+    report lang added, source removed, n_chars type-changed, and stay
+    silent on the unchanged doc_id. Metadata-only both ways: schemas
+    come from parquet footers via mergeSchema reconciliation and the
+    comparison is column-count-sized — the migration audit run before
+    pointing consumers at a new corpus version, at any table size."""
+    from ..operators.layout import (
+        snapshot_schema_diff, snapshot_versions, write_snapshot)
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    path = f"/tmp/pbs_fmt{tag}/documents_schema_diff_snapshots"
+    if len(snapshot_versions(spark, path)) < 2:
+        docs = load(spark, sf_dir, "documents")
+        write_snapshot(
+            spark, docs.select("doc_id", "source", "n_chars"), path)
+        write_snapshot(
+            spark,
+            docs.select("doc_id", "lang",
+                        F.col("n_chars").cast("int").alias("n_chars")),
+            path, mode="overwrite")
+    return snapshot_schema_diff(spark, path, 1, 2)
+
+
 @query("scan_data_skipping", oracle="""
 SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,

@@ -2707,3 +2707,46 @@ def test_distribution_psi_stable_shifted_vanished(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="n_buckets"):
         distribution_psi(ref, cur, ["k"], "v", n_buckets=1)
+
+
+def test_profile_columns_nulls_constants_exact(spark):
+    from puffbird_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a", 7, None), (2, "b", 7, None), (3, None, 7, None),
+         (4, "b", 7, None)],
+        "id long, s string, const int, allnull string")
+    got = {r["column"]: r for r in profile_columns(df).collect()}
+    assert got["id"]["n_rows"] == 4 and got["id"]["n_distinct"] == 4
+    assert got["id"]["min_str"] == "1" and got["id"]["max_str"] == "4"
+    assert not got["id"]["is_constant"]
+    assert got["s"]["n_null"] == 1 and got["s"]["null_frac"] == 0.25
+    assert got["s"]["n_distinct"] == 2
+    assert got["const"]["is_constant"]
+    assert got["allnull"]["n_distinct"] == 0 and got["allnull"]["is_constant"]
+    assert got["allnull"]["min_str"] is None
+    # single job shape: exactly one action over one agg — subset works too
+    sub = profile_columns(df, ["id"]).collect()
+    assert len(sub) == 1 and sub[0]["column"] == "id"
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        profile_columns(df, [])
+
+
+def test_snapshot_schema_diff(spark, tmp_path_factory):
+    from puffbird_spark.operators.layout import (
+        snapshot_schema_diff, write_snapshot)
+
+    path = str(tmp_path_factory.mktemp("sdiff") / "t")
+    write_snapshot(spark, spark.createDataFrame(
+        [(1, "x", 10)], "k long, s string, n long"), path)
+    write_snapshot(spark, spark.createDataFrame(
+        [(2, "en", 5)], "k long, lang string, n int"), path,
+        mode="overwrite")
+    got = sorted(map(tuple, snapshot_schema_diff(spark, path, 1, 2).collect()))
+    assert got == [
+        ("lang", "added", None, "string"),
+        ("n", "type_changed", "bigint", "int"),
+        ("s", "removed", "string", None),
+    ]
+    assert snapshot_schema_diff(spark, path, 2, 2).count() == 0
