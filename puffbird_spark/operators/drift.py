@@ -52,26 +52,60 @@ def distribution_psi(
     gate fixture's first draft, where a parity split had zero key
     overlap and every PSI read ~0.03).
     """
+    state = psi_reference_state(reference, key_cols, value_col, n_buckets)
+    return psi_against_reference(
+        state, current, key_cols, value_col,
+        drift_threshold=drift_threshold, dp=dp)
+
+
+def _bucket_counts(
+    df: DataFrame, edges: DataFrame, key_cols: list[str], value_col: str,
+    out: str,
+) -> DataFrame:
+    j = df.join(F.broadcast(edges), key_cols)
+    b = F.aggregate(
+        F.col("__edges"),
+        F.lit(0),
+        lambda acc, e: acc + F.when(
+            F.col(value_col).cast("double") > e, 1).otherwise(0),
+    )
+    return j.groupBy(*key_cols, b.alias("__b")).agg(
+        F.count(F.lit(1)).alias(out))
+
+
+def psi_reference_state(
+    reference: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    n_buckets: int = 10,
+) -> tuple[DataFrame, DataFrame, int]:
+    """Precompute the reference side of the PSI — ``(edges,
+    ref_bucket_counts, n_buckets)``, both frames key-count-sized. This
+    is the STATE a streaming monitor persists: the reference corpus is
+    scanned ONCE, then every micro-batch pays only its own bucket
+    count (see the `stream_psi_monitor` gate)."""
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
     ps = [i / n_buckets for i in range(1, n_buckets)]
     edges = reference.groupBy(*key_cols).agg(
         F.percentile(F.col(value_col).cast("double"), F.lit(ps))
         .alias("__edges"))
+    ref_c = _bucket_counts(reference, edges, key_cols, value_col, "__na")
+    return edges, ref_c, n_buckets
 
-    def bucket_counts(df: DataFrame, out: str) -> DataFrame:
-        j = df.join(F.broadcast(edges), key_cols)
-        b = F.aggregate(
-            F.col("__edges"),
-            F.lit(0),
-            lambda acc, e: acc + F.when(
-                F.col(value_col).cast("double") > e, 1).otherwise(0),
-        )
-        return j.groupBy(*key_cols, b.alias("__b")).agg(
-            F.count(F.lit(1)).alias(out))
 
-    ref_c = bucket_counts(reference, "__na")
-    cur_c = bucket_counts(current, "__nb")
+def psi_against_reference(
+    state: tuple[DataFrame, DataFrame, int],
+    current: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    drift_threshold: float = 0.25,
+    dp: int = 6,
+) -> DataFrame:
+    """PSI of ``current`` against a precomputed
+    :func:`psi_reference_state` — the per-batch half of the monitor."""
+    edges, ref_c, n_buckets = state
+    cur_c = _bucket_counts(current, edges, key_cols, value_col, "__nb")
     # dense (key x bucket) grid so empty buckets smooth instead of vanish
     grid = edges.select(
         *key_cols,

@@ -758,6 +758,138 @@ def timeseries_cusum(spark, sf_dir):
         tiebreak_cols=["event_id"])
 
 
+@query("stream_psi_monitor", oracle="""
+WITH ref AS (SELECT event_type, CAST(value AS DOUBLE) AS v
+           FROM events
+           WHERE value IS NOT NULL AND (event_id // 16) % 2 = 0),
+odd AS (SELECT event_type, event_id, value FROM events
+        WHERE value IS NOT NULL AND (event_id // 16) % 2 = 1),
+half AS (SELECT CAST(FLOOR(MAX(event_id) / 2.0) AS BIGINT) AS h FROM events),
+e AS (SELECT event_type, quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS edges
+      FROM ref GROUP BY event_type),
+psi0 AS (
+  WITH cur AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM odd WHERE event_id <= (SELECT h FROM half)),
+  ra2 AS (SELECT r.event_type, len(list_filter(e.edges, x -> r.v > x)) AS b,
+                 COUNT(*) AS na
+          FROM ref r JOIN e ON r.event_type = e.event_type GROUP BY 1, 2),
+  rb2 AS (SELECT c.event_type, len(list_filter(e.edges, x -> c.v > x)) AS b,
+                 COUNT(*) AS nb
+          FROM cur c JOIN e ON c.event_type = e.event_type GROUP BY 1, 2),
+  grid AS (SELECT e.event_type, t.range AS b FROM e, range(0, 10) t),
+  cells AS (SELECT g.event_type, g.b,
+              COALESCE(ra2.na, 0) AS na, COALESCE(rb2.nb, 0) AS nb
+            FROM grid g
+            LEFT JOIN ra2 ON g.event_type = ra2.event_type AND g.b = ra2.b
+            LEFT JOIN rb2 ON g.event_type = rb2.event_type AND g.b = rb2.b),
+  tot AS (SELECT event_type, SUM(na) AS ta, SUM(nb) AS tb
+          FROM cells GROUP BY event_type)
+  SELECT c.event_type, CAST(0 AS INT) AS batch,
+         round(SUM(((c.nb + 0.5) / (t.tb + 5.0) - (c.na + 0.5) / (t.ta + 5.0))
+                   * ln(((c.nb + 0.5) / (t.tb + 5.0))
+                        / ((c.na + 0.5) / (t.ta + 5.0)))), 6) AS psi,
+         (round(SUM(((c.nb + 0.5) / (t.tb + 5.0) - (c.na + 0.5) / (t.ta + 5.0))
+                   * ln(((c.nb + 0.5) / (t.tb + 5.0))
+                        / ((c.na + 0.5) / (t.ta + 5.0)))), 6) > 0.25)
+           OR MAX(t.tb) = 0 AS drifted
+  FROM cells c JOIN tot t ON c.event_type = t.event_type
+  GROUP BY c.event_type),
+psi1 AS (
+  WITH cur AS (SELECT event_type, CAST(CASE WHEN event_type = 'error' THEN value * 3 ELSE value END AS DOUBLE) AS v FROM odd WHERE event_id > (SELECT h FROM half)),
+  ra2 AS (SELECT r.event_type, len(list_filter(e.edges, x -> r.v > x)) AS b,
+                 COUNT(*) AS na
+          FROM ref r JOIN e ON r.event_type = e.event_type GROUP BY 1, 2),
+  rb2 AS (SELECT c.event_type, len(list_filter(e.edges, x -> c.v > x)) AS b,
+                 COUNT(*) AS nb
+          FROM cur c JOIN e ON c.event_type = e.event_type GROUP BY 1, 2),
+  grid AS (SELECT e.event_type, t.range AS b FROM e, range(0, 10) t),
+  cells AS (SELECT g.event_type, g.b,
+              COALESCE(ra2.na, 0) AS na, COALESCE(rb2.nb, 0) AS nb
+            FROM grid g
+            LEFT JOIN ra2 ON g.event_type = ra2.event_type AND g.b = ra2.b
+            LEFT JOIN rb2 ON g.event_type = rb2.event_type AND g.b = rb2.b),
+  tot AS (SELECT event_type, SUM(na) AS ta, SUM(nb) AS tb
+          FROM cells GROUP BY event_type)
+  SELECT c.event_type, CAST(1 AS INT) AS batch,
+         round(SUM(((c.nb + 0.5) / (t.tb + 5.0) - (c.na + 0.5) / (t.ta + 5.0))
+                   * ln(((c.nb + 0.5) / (t.tb + 5.0))
+                        / ((c.na + 0.5) / (t.ta + 5.0)))), 6) AS psi,
+         (round(SUM(((c.nb + 0.5) / (t.tb + 5.0) - (c.na + 0.5) / (t.ta + 5.0))
+                   * ln(((c.nb + 0.5) / (t.tb + 5.0))
+                        / ((c.na + 0.5) / (t.ta + 5.0)))), 6) > 0.25)
+           OR MAX(t.tb) = 0 AS drifted
+  FROM cells c JOIN tot t ON c.event_type = t.event_type
+  GROUP BY c.event_type)
+SELECT * FROM psi0 UNION ALL SELECT * FROM psi1
+""")
+def stream_psi_monitor(spark, sf_dir):
+    """TRUE streaming drift monitoring (`psi_reference_state` /
+    `psi_against_reference`, operators/drift.py): the odd-block half of
+    events replays as two micro-batches (clean first half; second half
+    with the error-type values 3x'd); the REFERENCE state — decile
+    edges + reference bucket counts, both key-count-sized — is computed
+    ONCE before the stream starts and every batch pays only its own
+    keyed bucket count, which is exactly what a production monitor
+    persists between batches. The sink appends per-(type, batch) PSI;
+    batch 1's 'error' row must read drifted, everything else stable at
+    the driver SF. Oracle replays BOTH batches' PSI closed-form; the
+    full monitor table is in the hash."""
+    import os
+    import shutil
+
+    from ..operators.drift import psi_against_reference, psi_reference_state
+    from ..streaming import read_parquet_stream, write_foreach_batch
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    base = f"/tmp/pbs_stream{tag}/psi_monitor"
+    out_dir = f"{base}/out"
+    done = f"{base}/_DONE"
+    if not os.path.exists(done):
+        shutil.rmtree(base, ignore_errors=True)
+        in_dir = f"{base}/in"
+        os.makedirs(in_dir)
+        ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+        block = (F.col("event_id") / 16).cast("long") % 2
+        odd = ev.filter(block == 1)
+        half = ev.agg(
+            F.floor(F.max("event_id") / 2).cast("long")).collect()[0][0]
+        b0 = odd.filter(F.col("event_id") <= half).select(
+            "event_type", "value")
+        b1 = odd.filter(F.col("event_id") > half).select(
+            "event_type",
+            F.when(F.col("event_type") == "error", F.col("value") * 3)
+            .otherwise(F.col("value")).alias("value"))
+        for i, part in enumerate((b0, b1)):
+            tmp = f"{base}/stage{i}"
+            part.withColumn("batch", F.lit(i)).coalesce(1).write.parquet(tmp)
+            src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            shutil.copy(os.path.join(tmp, src), f"{in_dir}/b{i}.parquet")
+            shutil.rmtree(tmp)
+
+        ref = ev.filter(block == 0).select("event_type", "value")
+        edges, ref_c, nb = psi_reference_state(
+            ref, ["event_type"], "value")
+        # the monitor state: computed once, reused every batch
+        state = (edges.localCheckpoint(eager=True),
+                 ref_c.localCheckpoint(eager=True), nb)
+
+        def sink(batch, epoch_id):
+            bid = batch.agg(F.max("batch")).collect()[0][0]
+            out = psi_against_reference(
+                state, batch, ["event_type"], "value")
+            out.withColumn("batch", F.lit(int(bid)).cast("int")).select(
+                "event_type", "batch", "psi", "drifted"
+            ).write.mode("append").parquet(out_dir)
+
+        schema = "event_type string, value double, batch int"
+        stream = read_parquet_stream(spark, in_dir, schema)
+        q = write_foreach_batch(
+            stream, sink, checkpoint=f"{base}/ckpt", trigger_once=True,
+            output_mode="append").start()
+        q.awaitTermination(180)
+        open(done, "w").close()
+    return spark.read.parquet(out_dir)
+
+
 @query("timeseries_ewma", oracle="""
 WITH e AS (SELECT user_id, ts, event_id,
              CAST(round(value * 100) AS BIGINT) AS c
