@@ -687,3 +687,83 @@ def quantile_buckets(
         .withColumn(bucket_col, bucket)
         .drop(*[f"__b{i}" for i in range(len(probs))])
     )
+
+
+def negative_samples(
+    anchors: DataFrame,
+    pool: DataFrame,
+    anchor_id: str,
+    cand_id: str,
+    k: int = 4,
+    bucket_hex: int = 1,
+    exclusions: DataFrame | None = None,
+    seed: str = "neg",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    every anchor, ``k`` pseudo-random negatives from the candidate
+    pool — WITHOUT the anchors x pool cross join.
+
+    The trick is hash bucketing: candidates land in ``16^bucket_hex``
+    buckets by a seeded md5 prefix of their id; each anchor emits ``k``
+    PROBE rows whose bucket comes from md5(anchor, draw); probes join
+    candidates on the bucket (each probe sees ~n/B candidates — size B
+    so that's thousands, not the corpus) and the winner per (anchor,
+    draw) is the candidate with the smallest md5(anchor, draw, cand) —
+    a content-deterministic "random" pick, append-stable like every
+    sampler in this module, exactly replayable in any engine with md5.
+
+    ``exclusions``: optional two-column (anchor, cand) DataFrame of
+    pairs never to sample (known positives / same-document family) —
+    taken POSITIONALLY (anchor first), since anchor and candidate id
+    columns often share a name. Self-pairs are always excluded. Contracts (documented, deterministic): two draws
+    of one anchor CAN pick the same candidate (collapse downstream if
+    unwanted); a probe landing in an empty or fully-excluded bucket
+    yields no row for that draw — at sane B (n/B >> k) this is rare
+    and visible (fewer than k rows for that anchor).
+
+    Cost: anchors x k probe rows join a bucketed pool — ~anchors *
+    k * n/B candidate pairs, ONE keyed shuffle; nothing quadratic.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if bucket_hex < 1 or bucket_hex > 8:
+        raise ValueError(f"bucket_hex must be in 1..8, got {bucket_hex}")
+    a_str = F.col("anchor_id").cast("string")
+    c_str = F.col("cand_id").cast("string")
+    i_str = F.col("draw").cast("string")
+    cands = pool.select(F.col(cand_id).alias("cand_id")).withColumn(
+        "__b",
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:c:"), c_str)), 1, bucket_hex),
+    )
+    probes = (
+        anchors.select(F.col(anchor_id).alias("anchor_id"))
+        .withColumn("draw", F.explode(F.sequence(F.lit(1), F.lit(k))))
+        .withColumn(
+            "__b",
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}:p:"), a_str, F.lit(":"),
+                               i_str)),
+                1, bucket_hex),
+        )
+    )
+    pairs = probes.join(cands, "__b").filter(
+        F.col("cand_id") != F.col("anchor_id"))
+    if exclusions is not None:
+        if len(exclusions.columns) != 2:
+            raise ValueError(
+                "exclusions must have exactly two columns (anchor, cand), "
+                f"got {exclusions.columns}")
+        excl = exclusions.toDF("anchor_id", "cand_id")
+        pairs = pairs.join(excl, ["anchor_id", "cand_id"], "left_anti")
+    from pyspark.sql import Window
+
+    rank = F.md5(F.concat(
+        F.lit(f"{seed}:r:"), a_str, F.lit(":"), i_str, F.lit(":"), c_str))
+    w = Window.partitionBy("anchor_id", "draw").orderBy(
+        rank.asc(), F.col("cand_id").asc())
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("anchor_id", "draw", F.col("cand_id").alias("neg_id"))
+    )

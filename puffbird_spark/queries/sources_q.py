@@ -1174,6 +1174,50 @@ def multimodal_framesample(spark, sf_dir):
         docs, frame_bytes=64, stride=2, max_frames=4, codec="bytes")
 
 
+@query("split_negative_samples", oracle="""
+WITH a AS (SELECT doc_id AS anchor_id, source FROM documents
+           WHERE doc_id % 10 = 0),
+c AS (SELECT doc_id AS cand_id, source,
+        substr(md5('neg:c:' || CAST(doc_id AS VARCHAR)), 1, 1) AS b
+      FROM documents),
+p AS (SELECT a.anchor_id, a.source, CAST(t.range + 1 AS INT) AS draw,
+        substr(md5('neg:p:' || CAST(a.anchor_id AS VARCHAR) || ':' ||
+                   CAST(t.range + 1 AS VARCHAR)), 1, 1) AS b
+      FROM a, range(0, 4) t),
+pair AS (SELECT p.anchor_id, p.draw, c.cand_id
+         FROM p JOIN c ON p.b = c.b
+         WHERE c.cand_id != p.anchor_id AND c.source != p.source)
+SELECT anchor_id, draw, cand_id AS neg_id
+FROM pair
+QUALIFY row_number() OVER (PARTITION BY anchor_id, draw
+  ORDER BY md5('neg:r:' || CAST(anchor_id AS VARCHAR) || ':' ||
+               CAST(draw AS VARCHAR) || ':' || CAST(cand_id AS VARCHAR)),
+           cand_id) = 1
+""")
+def split_negative_samples(spark, sf_dir):
+    """Deterministic contrastive negative sampling (`negative_samples`,
+    operators/splits.py): every 10th doc is an anchor drawing 4
+    negatives from the whole corpus, EXCLUDING same-source candidates
+    (the stand-in for known positives) — via hash bucketing, never an
+    anchors x pool cross join: candidates bucket by a seeded md5
+    prefix, each anchor's draws probe md5-chosen buckets, and the
+    winner per draw is the min-md5 candidate — content-deterministic,
+    append-stable, and exactly replayed by the oracle (bucket, probe,
+    exclusion filter, QUALIFY argmin). Every sampled pair is in the
+    hash."""
+    from ..operators.splits import negative_samples
+
+    docs = load(spark, sf_dir, "documents")
+    anchors = docs.filter(F.col("doc_id") % 10 == 0)
+    same_source = anchors.select(
+        F.col("doc_id").alias("__a"), "source").join(
+        docs.select(F.col("doc_id").alias("__c"), "source"), "source"
+    ).select("__a", "__c")
+    return negative_samples(
+        anchors, docs, "doc_id", "doc_id", k=4, bucket_hex=1,
+        exclusions=same_source, seed="neg")
+
+
 @query("multimodal_framesample_gif", oracle="""
 WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS path,
              1 + doc_id % 7 AS w, 1 + doc_id % 5 AS h,

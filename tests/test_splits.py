@@ -599,3 +599,40 @@ def test_quantile_buckets_no_global_sort(spark):
     # the plan must not globally sort the data
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Sort " not in plan and "rangepartitioning" not in plan.lower()
+
+
+def test_negative_samples_contracts(spark):
+    """Exclusions honored, self-pairs never sampled, deterministic,
+    and k draws per anchor when buckets have candidates."""
+    from pyspark.sql import functions as F
+
+    from puffbird_spark.operators.splits import negative_samples
+
+    docs = spark.range(0, 300).select(F.col("id").alias("doc_id"))
+    anchors = docs.filter(F.col("doc_id") < 3)
+    # exclude every even candidate for anchor 0
+    excl = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.lit(0).cast("long").alias("a"), F.col("doc_id").alias("c"))
+    out = negative_samples(
+        anchors, docs, "doc_id", "doc_id", k=5, exclusions=excl).collect()
+    rows = sorted((r["anchor_id"], r["draw"], r["neg_id"]) for r in out)
+    by_anchor = {}
+    for a, d, n in rows:
+        by_anchor.setdefault(a, []).append(n)
+        assert n != a                       # self never sampled
+        if a == 0:
+            assert n % 2 == 1, (a, d, n)    # exclusions honored
+    assert set(by_anchor) == {0, 1, 2}
+    assert all(len(v) == 5 for v in by_anchor.values())
+    # deterministic replay
+    again = sorted((r["anchor_id"], r["draw"], r["neg_id"])
+                   for r in negative_samples(
+                       anchors, docs, "doc_id", "doc_id", k=5,
+                       exclusions=excl).collect())
+    assert rows == again
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="two columns"):
+        negative_samples(anchors, docs, "doc_id", "doc_id",
+                         exclusions=docs)
+    with _pytest.raises(ValueError, match="k must"):
+        negative_samples(anchors, docs, "doc_id", "doc_id", k=0)
