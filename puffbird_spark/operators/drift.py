@@ -138,3 +138,56 @@ def psi_against_reference(
             | (F.col("n_cur") == 0),
         )
     )
+
+
+def categorical_psi(
+    reference: DataFrame,
+    current: DataFrame,
+    key_cols: list[str],
+    cat_col: str,
+    drift_threshold: float = 0.25,
+    dp: int = 6,
+) -> DataFrame:
+    """PSI for a CATEGORICAL column — the share-shift monitor ("did the
+    language / license / domain mix change?"): categories are the
+    buckets, so there are no edges to estimate; the category universe
+    is the union seen in either snapshot (a category appearing or
+    vanishing contributes like any other shift, smoothed finite).
+    Same additive smoothing, same (B-1)/n noise-floor caveat — B is now
+    the observed category count per key. Cost: one keyed count per
+    snapshot, PSI arithmetic on the (key x category) table."""
+    ref_c = reference.groupBy(
+        *key_cols, F.col(cat_col).cast("string").alias("__cat")).agg(
+        F.count(F.lit(1)).alias("__na"))
+    cur_c = current.groupBy(
+        *key_cols, F.col(cat_col).cast("string").alias("__cat")).agg(
+        F.count(F.lit(1)).alias("__nb"))
+    cells = (
+        ref_c.join(cur_c, [*key_cols, "__cat"], "full_outer")
+        .select(
+            *key_cols, "__cat",
+            F.coalesce("__na", F.lit(0)).alias("__na"),
+            F.coalesce("__nb", F.lit(0)).alias("__nb"),
+        )
+    )
+    tot = cells.groupBy(*key_cols).agg(
+        F.sum("__na").alias("__ta"), F.sum("__nb").alias("__tb"),
+        F.count(F.lit(1)).alias("__ncat"))
+    joined = cells.join(tot, key_cols)
+    pa = (F.col("__na") + 0.5) / (F.col("__ta") + 0.5 * F.col("__ncat"))
+    pb = (F.col("__nb") + 0.5) / (F.col("__tb") + 0.5 * F.col("__ncat"))
+    term = (pb - pa) * F.log(pb / pa)
+    return (
+        joined.groupBy(*key_cols)
+        .agg(
+            F.max("__ta").cast("long").alias("n_ref"),
+            F.max("__tb").cast("long").alias("n_cur"),
+            F.max("__ncat").cast("long").alias("n_categories"),
+            F.round(F.sum(term), dp).alias("psi"),
+        )
+        .withColumn(
+            "drifted",
+            (F.col("psi") > F.lit(drift_threshold))
+            | (F.col("n_cur") == 0),
+        )
+    )

@@ -1325,6 +1325,68 @@ def diag_profile_columns(spark, sf_dir):
     return profile_columns(load(spark, sf_dir, "documents"))
 
 
+@query("diag_categorical_psi", oracle="""
+WITH ref AS (SELECT lang, event_cat FROM (
+    SELECT d.lang, CASE WHEN d.doc_id % 3 = 0 THEN 'code'
+                        WHEN d.doc_id % 3 = 1 THEN 'web' ELSE 'book' END
+             AS event_cat, d.doc_id
+    FROM documents d) WHERE (doc_id // 16) % 2 = 0),
+cur AS (SELECT lang, CASE WHEN lang = 'en' AND event_cat = 'book'
+                          THEN 'web' ELSE event_cat END AS event_cat
+        FROM (SELECT d.lang, CASE WHEN d.doc_id % 3 = 0 THEN 'code'
+                                  WHEN d.doc_id % 3 = 1 THEN 'web'
+                                  ELSE 'book' END AS event_cat, d.doc_id
+              FROM documents d) WHERE (doc_id // 16) % 2 = 1),
+ra AS (SELECT lang, event_cat, COUNT(*) AS na FROM ref GROUP BY 1, 2),
+rb AS (SELECT lang, event_cat, COUNT(*) AS nb FROM cur GROUP BY 1, 2),
+cells AS (SELECT COALESCE(ra.lang, rb.lang) AS lang,
+            COALESCE(ra.event_cat, rb.event_cat) AS event_cat,
+            COALESCE(ra.na, 0) AS na, COALESCE(rb.nb, 0) AS nb
+          FROM ra FULL OUTER JOIN rb
+            ON ra.lang = rb.lang AND ra.event_cat = rb.event_cat),
+tot AS (SELECT lang, SUM(na) AS ta, SUM(nb) AS tb, COUNT(*) AS nc
+        FROM cells GROUP BY lang)
+SELECT c.lang, CAST(MAX(t.ta) AS BIGINT) AS n_ref,
+       CAST(MAX(t.tb) AS BIGINT) AS n_cur,
+       CAST(MAX(t.nc) AS BIGINT) AS n_categories,
+       round(SUM(((c.nb + 0.5) / (t.tb + 0.5 * t.nc)
+                  - (c.na + 0.5) / (t.ta + 0.5 * t.nc))
+                 * ln(((c.nb + 0.5) / (t.tb + 0.5 * t.nc))
+                      / ((c.na + 0.5) / (t.ta + 0.5 * t.nc)))), 6) AS psi,
+       (round(SUM(((c.nb + 0.5) / (t.tb + 0.5 * t.nc)
+                  - (c.na + 0.5) / (t.ta + 0.5 * t.nc))
+                 * ln(((c.nb + 0.5) / (t.tb + 0.5 * t.nc))
+                      / ((c.na + 0.5) / (t.ta + 0.5 * t.nc)))), 6) > 0.25)
+         OR MAX(t.tb) = 0 AS drifted
+FROM cells c JOIN tot t ON c.lang = t.lang
+GROUP BY c.lang
+""")
+def diag_categorical_psi(spark, sf_dir):
+    """Categorical-mix drift (`categorical_psi`, operators/drift.py):
+    per language, the synthetic category mix (code/web/book from
+    doc_id) compared across the two id blocks, with an injected
+    book->web relabeling for 'en' that must read drifted while other
+    languages stay stable. Categories ARE the buckets (universe =
+    union of both snapshots, full-outer join), so appearing/vanishing
+    categories contribute like any shift; same smoothing and noise-
+    floor caveats as the numeric PSI. Per-language PSI, category
+    counts, and verdicts all hash-checked."""
+    from ..operators.drift import categorical_psi
+
+    docs = load(spark, sf_dir, "documents")
+    cat = (
+        F.when(F.col("doc_id") % 3 == 0, "code")
+        .when(F.col("doc_id") % 3 == 1, "web").otherwise("book"))
+    block = (F.col("doc_id") / 16).cast("long") % 2
+    base = docs.select("doc_id", "lang", cat.alias("event_cat"))
+    ref = base.filter(block == 0).select("lang", "event_cat")
+    cur = base.filter(block == 1).select(
+        "lang",
+        F.when((F.col("lang") == "en") & (F.col("event_cat") == "book"),
+               "web").otherwise(F.col("event_cat")).alias("event_cat"))
+    return categorical_psi(ref, cur, ["lang"], "event_cat")
+
+
 @query("agg_group_ols", oracle="""
 WITH s AS (SELECT user_id, COUNT(*) AS n,
          SUM(CAST(event_id AS DECIMAL(28,12))) AS sx,

@@ -2750,3 +2750,19 @@ def test_snapshot_schema_diff(spark, tmp_path_factory):
         ("s", "removed", "string", None),
     ]
     assert snapshot_schema_diff(spark, path, 2, 2).count() == 0
+
+
+def test_categorical_psi_mix_shift_and_new_category(spark):
+    from puffbird_spark.operators.drift import categorical_psi
+
+    ref = spark.createDataFrame(
+        [("k1", c) for c in ["a"] * 500 + ["b"] * 500]
+        + [("k2", c) for c in ["a"] * 500 + ["b"] * 500], ["k", "cat"])
+    cur = spark.createDataFrame(
+        [("k1", c) for c in ["a"] * 500 + ["b"] * 500]          # unchanged
+        + [("k2", c) for c in ["a"] * 100 + ["c"] * 900], ["k", "cat"])
+    got = {r["k"]: r for r in categorical_psi(
+        ref, cur, ["k"], "cat").collect()}
+    assert not got["k1"]["drifted"] and got["k1"]["psi"] < 0.01
+    assert got["k2"]["drifted"] and got["k2"]["psi"] > 1.0
+    assert got["k2"]["n_categories"] == 3   # union universe includes 'c'
