@@ -992,3 +992,103 @@ def dedup_weights(
         .withColumn(weight_col, F.round(1.0 / F.col("__n"), dp))
         .drop("__dg", "__dg2", "__n")
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 8,
+    base: int = 131,
+    mod: int = 1_000_003,
+    divisor: int = 64,
+) -> DataFrame:
+    """Content-defined chunking (the FastCDC/rsync family): split each
+    document at positions where a rolling polynomial hash of the last
+    ``window`` characters satisfies ``h % divisor == 0`` — so chunk
+    BOUNDARIES move with the content, not the offsets. Insert a
+    sentence at the front of a document and a fixed-window chunker
+    re-digests everything; a CDC chunker re-synchronizes after one
+    chunk and every later chunk digest still matches (unit-pinned) —
+    which is what makes chunk-level dedup robust to edits.
+
+    Pure Column arithmetic, scan-local, zero shuffle: per-char codes
+    via one transform, the rolling hash as an unrolled ``window``-term
+    polynomial mod a prime (exact BIGINT — engine-replayable, no
+    floating point), boundaries by filter, chunks by a cuts-array walk.
+    Documents shorter than ``window`` emit one whole-text chunk. Pure
+    CDC: no min/max chunk clamps (documented; production chunkers add
+    them — they'd be two more filter terms). Average chunk length on
+    non-repetitive text is ~``divisor`` chars.
+
+    Emits ``(id, chunk_idx, start, length, digest)`` with 1-based
+    ``start`` and md5 chunk digests — the join key for exact chunk
+    dedup across the corpus. Char access is ``substr(t, i, 1)`` (an
+    O(i) UTF-8 seek — fine at document lengths; a binary-decoded code
+    array is the drop-in for book-sized blobs).
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    inner = " + ".join(
+        f"CAST(element_at(__codes, i - {j}) AS BIGINT) "
+        f"* CAST({pow(base, j, mod)} AS BIGINT)"
+        for j in range(window)
+    )
+    from ..plans import fence
+
+    d = (
+        df.filter(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
+        .select(
+            F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+        .withColumn("__n", F.length("__t"))
+    )
+    # Every level of this pipeline is consumed MULTIPLE times by the
+    # next (codes by all `window` hash terms, hashes by every boundary
+    # candidate, cuts by three fields per chunk) — each stage goes
+    # behind a Generate fence so CollapseProject cannot re-inline the
+    # defining transform per use site (the decontamination/minhash
+    # staging lesson; unfenced this was O(n^2) re-evaluation per doc).
+    d = fence(
+        d, ["id", "__t", "__n"],
+        __codes=F.expr(
+            "transform(sequence(1, length(__t)), i -> ascii(substr(__t, i, 1)))"),
+    )
+    d = fence(
+        d, ["id", "__t", "__n"],
+        __hs=F.when(
+            F.col("__n") >= window,
+            F.expr(
+                f"transform(sequence({window}, __n), i -> pmod({inner}, {mod}))"),
+        ).otherwise(F.expr("CAST(array() AS array<bigint>)")),
+    )
+    # boundary at i when the window hash divides; the final position is
+    # excluded so the closing cut (appended below) is never duplicated
+    d = fence(
+        d, ["id", "__t", "__n"],
+        __b=F.when(
+            F.col("__n") >= window,
+            F.expr(
+                f"filter(sequence({window}, __n - 1), "
+                f"i -> pmod(element_at(__hs, i - {window} + 1), {divisor}) = 0)"),
+        ).otherwise(F.expr("CAST(array() AS array<int>)")),
+    )
+    d = fence(
+        d, ["id", "__t", "__n"],
+        __cuts=F.concat(
+            F.expr("array(0)"), F.col("__b"), F.expr("array(__n)")),
+    )
+    chunks = F.expr(
+        "transform(sequence(1, size(__cuts) - 1), k -> struct("
+        "k AS chunk_idx, element_at(__cuts, k) + 1 AS start, "
+        "element_at(__cuts, k + 1) - element_at(__cuts, k) AS length))")
+    return (
+        d.select("id", "__t", F.explode(chunks).alias("__c"))
+        .select(
+            F.col("id").alias(id_col),
+            F.col("__c.chunk_idx").alias("chunk_idx"),
+            F.col("__c.start").alias("start"),
+            F.col("__c.length").alias("length"),
+            F.md5(F.expr("substr(__t, __c.start, __c.length)"))
+            .alias("digest"),
+        )
+    )

@@ -1641,6 +1641,45 @@ def sketch_hll_overlap(spark, sf_dir):
     )
 
 
+@query("dedup_cdc_chunks", oracle="""
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+           WHERE text IS NOT NULL AND length(text) > 0),
+w AS (SELECT doc_id, text, n,
+        CASE WHEN n >= 8 THEN
+          [i FOR i IN range(8, CAST(n AS BIGINT))
+           IF ((ascii(text[i - 0]) * 1 + ascii(text[i - 1]) * 131 + ascii(text[i - 2]) * 17161 + ascii(text[i - 3]) * 248085 + ascii(text[i - 4]) * 499039 + ascii(text[i - 5]) * 373914 + ascii(text[i - 6]) * 982590 + ascii(text[i - 7]) * 718906) % 1000003) % 64 = 0]
+        ELSE [] END AS b
+      FROM d),
+c AS (SELECT doc_id, text, ([0] || b || [n]) AS cuts FROM w),
+u AS (SELECT doc_id, text, cuts, t.range AS k
+      FROM c, range(1, 100) t WHERE t.range < len(cuts))
+SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+       CAST(cuts[CAST(k AS INT)] + 1 AS INT) AS start,
+       CAST(cuts[CAST(k AS INT) + 1] - cuts[CAST(k AS INT)] AS INT)
+         AS length,
+       md5(substr(text, CAST(cuts[CAST(k AS INT)] + 1 AS INT),
+                  CAST(cuts[CAST(k AS INT) + 1] - cuts[CAST(k AS INT)]
+                       AS INT))) AS digest
+FROM u
+""")
+def dedup_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (`cdc_chunks`, operators/dedup.py — the
+    FastCDC/rsync family): every document splits where a rolling
+    8-char polynomial hash (base 131 mod the prime 1000003) divides
+    64, so chunk boundaries move WITH the content — an edit
+    re-synchronizes after one chunk and every later chunk digest still
+    matches (the property fixed windows lack; unit-pinned with a
+    prepend test). Pure exact BIGINT Column arithmetic, scan-local,
+    zero shuffle; the md5 chunk digests are the join key for exact
+    chunk-level dedup. The oracle replays the full rolling hash,
+    boundary filter, and cuts walk per document; every chunk row —
+    index, offsets, digest — is in the hash."""
+    from ..operators.dedup import cdc_chunks
+
+    docs = load(spark, sf_dir, "documents")
+    return cdc_chunks(docs, "text", "doc_id")
+
+
 @query("dedup_containment", oracle="""
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 s AS (SELECT doc_id,

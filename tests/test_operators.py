@@ -2766,3 +2766,40 @@ def test_categorical_psi_mix_shift_and_new_category(spark):
     assert not got["k1"]["drifted"] and got["k1"]["psi"] < 0.01
     assert got["k2"]["drifted"] and got["k2"]["psi"] > 1.0
     assert got["k2"]["n_categories"] == 3   # union universe includes 'c'
+
+
+def test_cdc_chunks_resync_after_insertion(spark):
+    """The CDC property: prepending text must leave most chunk digests
+    intact (boundaries re-synchronize), where fixed windows would share
+    none; short docs emit one whole-text chunk; chunks tile the doc."""
+    import hashlib
+
+    from puffbird_spark.operators.dedup import cdc_chunks
+
+    body = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away to the hills where nobody follows " * 6)
+    docs = spark.createDataFrame(
+        [(1, body), (2, "EDIT INSERTED AT FRONT. " + body), (3, "tiny")],
+        ["doc_id", "text"])
+    out = cdc_chunks(docs, "text", "doc_id").collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # tiling: chunks cover each doc exactly, in order
+    for did, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_idx"])
+        text = {1: body, 2: "EDIT INSERTED AT FRONT. " + body,
+                3: "tiny"}[did]
+        pos = 1
+        for r in rows:
+            assert r["start"] == pos
+            piece = text[r["start"] - 1:r["start"] - 1 + r["length"]]
+            assert r["digest"] == hashlib.md5(piece.encode()).hexdigest()
+            pos += r["length"]
+        assert pos - 1 == len(text)
+    assert len(by_doc[3]) == 1                      # short doc: one chunk
+    d1 = {r["digest"] for r in by_doc[1]}
+    d2 = {r["digest"] for r in by_doc[2]}
+    assert len(by_doc[1]) >= 4                      # actually chunked
+    overlap = len(d1 & d2) / len(d1)
+    assert overlap >= 0.5, overlap                  # re-synchronized
