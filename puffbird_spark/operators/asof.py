@@ -34,14 +34,35 @@ def asof_join(
     right_ts: str,
     tiebreak: str | None = None,
     strict: bool = False,
+    direction: str = "backward",
+    tolerance: float | int | None = None,
 ) -> DataFrame:
-    """Left as-of join: every left row, plus the columns of the latest right
-    row with ``right_ts <= left_ts`` (``<`` when ``strict``) and equal keys.
+    """Left as-of join: every left row, plus the columns of the matched
+    right row per ``direction`` (pandas ``merge_asof`` parity):
+
+    - ``"backward"`` (default): latest right with ``right_ts <= left_ts``
+      (``<`` when ``strict``) — DuckDB ``ASOF LEFT JOIN`` semantics;
+    - ``"forward"``: earliest right with ``right_ts >= left_ts``
+      (``>`` when ``strict``) — the same union-and-carry plan over the
+      REVERSED in-partition order, still one shuffle;
+    - ``"nearest"``: whichever of the two is closer in time, ties to the
+      backward match (pandas' rule). Two window passes share ONE
+      exchange (same partition keys; the second direction adds an
+      in-partition sort, not a shuffle).
+
+    ``tolerance``: maximum allowed |left_ts - right_ts| — in SECONDS for
+    timestamp columns, in the column's own units for numerics; a match
+    farther than that nulls out (pandas parity). Same-timestamp ties
+    resolve by ``tiebreak`` (largest wins, every direction —
+    deterministic).
 
     ``right``'s non-key columns (including ``right_ts``) are appended to the
     left schema; unmatched left rows get NULLs (left-join semantics, matching
     DuckDB ``ASOF LEFT JOIN``).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise PuffbirdSparkError(
+            f"direction must be backward|forward|nearest, got {direction!r}")
     for k in on:
         if k not in left.columns or k not in right.columns:
             raise PuffbirdSparkError(f"as-of key {k!r} missing from a side")
@@ -98,15 +119,66 @@ def asof_join(
     union = lhs.withColumn("__tag", F.lit(left_tag)).unionByName(
         rhs.withColumn("__tag", F.lit(right_tag))
     )
-    w = (
-        Window.partitionBy(*on)
-        .orderBy("__ts", "__tag", "__tb")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = (
-        union.withColumn("__m", F.last("__rrow", ignorenulls=True).over(w))
-        .filter(F.col("__tag") == F.lit(left_tag))
-    )
+
+    def carry(ascending: bool):
+        # ascending=True: carry the latest right_ts <= left_ts (backward).
+        # ascending=False: reversed stream — rights with larger ts come
+        # first, so last-nonnull at a left row is the SMALLEST right_ts
+        # >= left_ts (forward); tb stays ASC so at equal ts the largest
+        # tiebreak is nearest to the left row in stream order and wins,
+        # same rule as backward.
+        # __tag stays ASC in both streams: with inclusive tags
+        # (left=1, right=0) rights at equal ts precede the left row in
+        # either direction's stream (visible); with strict tags
+        # (left=0, right=1) the left row precedes them (hidden).
+        order = (
+            [F.col("__ts").asc(), F.col("__tag").asc(), F.col("__tb").asc()]
+            if ascending else
+            [F.col("__ts").desc(), F.col("__tag").asc(), F.col("__tb").asc()]
+        )
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return F.last("__rrow", ignorenulls=True).over(w)
+
+    is_ts = isinstance(
+        left.schema[left_ts].dataType,
+        (T.TimestampType, T.TimestampNTZType, T.DateType))
+
+    def gap(match_col):
+        rts = match_col.getField(right_ts)
+        if is_ts:
+            return F.abs(
+                F.unix_micros(F.col("__ts").cast("timestamp"))
+                - F.unix_micros(rts.cast("timestamp"))) / 1_000_000.0
+        return F.abs(F.col("__ts") - rts)
+
+    def tol_filter(match_col):
+        if tolerance is None:
+            return match_col
+        return F.when(gap(match_col) <= F.lit(tolerance), match_col)
+
+    if direction == "backward":
+        matched = union.withColumn("__m", carry(True))
+    elif direction == "forward":
+        matched = union.withColumn("__m", carry(False))
+    else:  # nearest: both passes share the partition exchange
+        matched = (
+            union.withColumn("__mb", carry(True))
+            .withColumn("__mf", carry(False))
+            .withColumn(
+                "__m",
+                F.when(F.col("__mb").isNull(), F.col("__mf"))
+                .when(F.col("__mf").isNull(), F.col("__mb"))
+                # ties go backward (pandas' nearest rule)
+                .when(gap(F.col("__mf")) < gap(F.col("__mb")), F.col("__mf"))
+                .otherwise(F.col("__mb")),
+            )
+        )
+    matched = matched.withColumn("__m", tol_filter(F.col("__m"))).filter(
+        F.col("__tag") == F.lit(left_tag))
     out_cols = (
         [F.col(k) for k in on]
         + [F.col("__lrow").getField(c).alias(c)

@@ -1387,6 +1387,75 @@ def diag_categorical_psi(spark, sf_dir):
     return categorical_psi(ref, cur, ["lang"], "event_cat")
 
 
+@query("join_asof_directions", oracle="""
+WITH f AS (
+  SELECT l.o_orderkey AS lk, r.o_orderkey AS rk
+  FROM orders l LEFT JOIN orders r
+    ON l.o_custkey = r.o_custkey AND r.o_orderdate > l.o_orderdate
+  QUALIFY row_number() OVER (PARTITION BY l.o_orderkey
+    ORDER BY r.o_orderdate ASC NULLS LAST, r.o_orderkey DESC) = 1),
+b AS (
+  SELECT l.o_orderkey AS lk, r.o_orderkey AS rk
+  FROM orders l LEFT JOIN orders r
+    ON l.o_custkey = r.o_custkey AND r.o_orderdate < l.o_orderdate
+  QUALIFY row_number() OVER (PARTITION BY l.o_orderkey
+    ORDER BY r.o_orderdate DESC NULLS LAST, r.o_orderkey DESC) = 1),
+g AS (
+  SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+    f.rk AS fwd, b.rk AS back,
+    abs(epoch_us(o.o_orderdate)
+        - epoch_us((SELECT o2.o_orderdate FROM orders o2
+                    WHERE o2.o_orderkey = f.rk))) / 1000000.0 AS gf,
+    abs(epoch_us(o.o_orderdate)
+        - epoch_us((SELECT o2.o_orderdate FROM orders o2
+                    WHERE o2.o_orderkey = b.rk))) / 1000000.0 AS gb
+  FROM orders o JOIN f ON o.o_orderkey = f.lk JOIN b ON o.o_orderkey = b.lk),
+n AS (
+  SELECT o_orderkey, fwd, back,
+    CASE WHEN back IS NULL THEN fwd WHEN fwd IS NULL THEN back
+         WHEN gf < gb THEN fwd ELSE back END AS near,
+    CASE WHEN back IS NULL THEN gf WHEN fwd IS NULL THEN gb
+         WHEN gf < gb THEN gf ELSE gb END AS ng
+  FROM g)
+SELECT o_orderkey, fwd AS next_orderkey, near AS nearest_orderkey,
+  CASE WHEN ng <= 2592000.0 THEN near END AS nearest_orderkey_30d
+FROM n
+""")
+def join_asof_directions(spark, sf_dir):
+    """Directional as-of joins (`asof_join(direction=...)`,
+    operators/asof.py — pandas merge_asof parity): each order matched
+    to the same customer's NEXT order (forward, strict), its NEAREST
+    other order (ties to backward, pandas' rule), and the nearest
+    within a 30-day tolerance. Forward is the union-and-carry plan
+    over the REVERSED in-partition order — still exactly one shuffle;
+    nearest's two passes share the exchange. The oracle replays each
+    direction as a QUALIFY argmin/argmax with the same
+    largest-tiebreak tie rule; all three match columns are in the
+    hash."""
+    from ..operators.asof import asof_join
+
+    orders = load(spark, sf_dir, "orders")
+    left = orders.select("o_orderkey", "o_custkey", "o_orderdate")
+    right = orders.select(
+        F.col("o_custkey").alias("r_custkey"),
+        F.col("o_orderdate").alias("r_date"),
+        F.col("o_orderkey").alias("r_orderkey"),
+    ).withColumnRenamed("r_custkey", "o_custkey")
+
+    def run(direction, tolerance=None):
+        out = asof_join(
+            left, right, ["o_custkey"], "o_orderdate", "r_date",
+            tiebreak="r_orderkey", strict=True, direction=direction,
+            tolerance=tolerance)
+        return out.select("o_orderkey", "r_orderkey")
+
+    fwd = run("forward").withColumnRenamed("r_orderkey", "next_orderkey")
+    near = run("nearest").withColumnRenamed("r_orderkey", "nearest_orderkey")
+    near_tol = run("nearest", tolerance=30 * 24 * 3600).withColumnRenamed(
+        "r_orderkey", "nearest_orderkey_30d")
+    return fwd.join(near, "o_orderkey").join(near_tol, "o_orderkey")
+
+
 @query("agg_group_ols", oracle="""
 WITH s AS (SELECT user_id, COUNT(*) AS n,
          SUM(CAST(event_id AS DECIMAL(28,12))) AS sx,

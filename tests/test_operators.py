@@ -2803,3 +2803,41 @@ def test_cdc_chunks_resync_after_insertion(spark):
     assert len(by_doc[1]) >= 4                      # actually chunked
     overlap = len(d1 & d2) / len(d1)
     assert overlap >= 0.5, overlap                  # re-synchronized
+
+
+def test_asof_directions_and_tolerance(spark):
+    """merge_asof parity: backward/forward/nearest with strictness and
+    tolerance; same-ts ties resolve largest-tiebreak in EVERY
+    direction; nearest ties go backward (pandas' rule)."""
+    from puffbird_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "L10"), (1, 20, "L20"), (1, 35, "L35"), (2, 5, "Lx")],
+        ["k", "t", "lv"])
+    right = spark.createDataFrame(
+        [(1, 8, 1, "R8"), (1, 20, 2, "R20a"), (1, 20, 3, "R20b"),
+         (1, 30, 4, "R30"), (9, 1, 5, "R?")],
+        ["k", "rt", "rid", "rv"])
+
+    def run(**kw):
+        out = asof_join(left, right, ["k"], "t", "rt", tiebreak="rid", **kw)
+        return {(r["k"], r["t"]): r["rv"] for r in out.collect()}
+
+    assert run() == {
+        (1, 10): "R8", (1, 20): "R20b", (1, 35): "R30", (2, 5): None}
+    assert run(strict=True) == {
+        (1, 10): "R8", (1, 20): "R8", (1, 35): "R30", (2, 5): None}
+    assert run(direction="forward") == {
+        (1, 10): "R20b", (1, 20): "R20b", (1, 35): None, (2, 5): None}
+    assert run(direction="forward", strict=True) == {
+        (1, 10): "R20b", (1, 20): "R30", (1, 35): None, (2, 5): None}
+    # t=10: back gap 2 vs fwd gap 10 -> backward
+    assert run(direction="nearest") == {
+        (1, 10): "R8", (1, 20): "R20b", (1, 35): "R30", (2, 5): None}
+    assert run(direction="nearest", tolerance=3) == {
+        (1, 10): "R8", (1, 20): "R20b", (1, 35): None, (2, 5): None}
+    import pytest as _pytest
+
+    from puffbird_spark.errors import PuffbirdSparkError
+    with _pytest.raises(PuffbirdSparkError, match="direction"):
+        run(direction="sideways")
