@@ -1,0 +1,61 @@
+"""Robust per-group statistics: median, MAD, and MAD-scaled outlier
+rates — the diagnostics that survive the heavy tails mean/stddev drown
+in (one 10^6-token document moves a mean; it barely moves a median).
+
+Exact by construction: both medians are exact interpolated percentiles
+(``F.percentile`` — the convention DuckDB's ``quantile_cont`` shares,
+pinned by the `agg_percentiles_exact` gate), so results are identical
+across engines and partitionings. Exact MAD needs a second,
+median-DEPENDENT pass — that is inherent (no single-pass exact
+algorithm exists); the sketch twin for one-pass approximation is the
+KMV quantile sketch (`operators/sketch.py`). Cost: three keyed
+aggregates over the data, each shuffling only (key, stat) pairs, with
+the tiny per-key stats broadcast back between passes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: scale factor making MAD a consistent sigma estimator under normality
+MAD_SIGMA = 1.4826
+
+
+def robust_stats(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    z: float = 3.0,
+    dp: int = 6,
+) -> DataFrame:
+    """Per-key ``(n, median, mad, n_outliers, frac_outliers)`` where an
+    outlier is ``|x - median| > z * 1.4826 * mad`` (the robust z-score
+    rule). Zero-MAD groups (over half the values identical) report
+    outliers against the degenerate band — any value off the median is
+    an outlier, which is the honest reading of such a group. NULL
+    values are ignored throughout."""
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull()).select(
+        *key_cols, v.alias("__v"))
+    med = base.groupBy(*key_cols).agg(
+        F.percentile("__v", F.lit(0.5)).alias("__med"))
+    with_med = base.join(F.broadcast(med), key_cols)
+    mad = with_med.groupBy(*key_cols).agg(
+        F.percentile(F.abs(F.col("__v") - F.col("__med")), F.lit(0.5))
+        .alias("__mad"))
+    band = F.lit(z) * F.lit(MAD_SIGMA) * F.col("__mad")
+    out = (
+        with_med.join(F.broadcast(mad), key_cols)
+        .groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.max("__med"), dp).alias("median"),
+            F.round(F.max("__mad"), dp).alias("mad"),
+            F.sum(
+                (F.abs(F.col("__v") - F.col("__med")) > band).cast("long")
+            ).cast("long").alias("n_outliers"),
+        )
+    )
+    return out.withColumn(
+        "frac_outliers",
+        F.round(F.col("n_outliers") / F.col("n"), dp))

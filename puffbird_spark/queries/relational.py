@@ -1456,6 +1456,40 @@ def join_asof_directions(spark, sf_dir):
     return fwd.join(near, "o_orderkey").join(near_tol, "o_orderkey")
 
 
+@query("agg_robust_stats", oracle="""
+WITH e AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
+           WHERE value IS NOT NULL),
+m AS (SELECT event_type, quantile_cont(v, 0.5) AS med
+      FROM e GROUP BY event_type),
+d AS (SELECT e.event_type, e.v, m.med
+      FROM e JOIN m ON e.event_type = m.event_type),
+a AS (SELECT event_type, quantile_cont(abs(v - med), 0.5) AS mad
+      FROM d GROUP BY event_type)
+SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       round(MAX(d.med), 6) AS median, round(MAX(a.mad), 6) AS mad,
+       CAST(SUM(CASE WHEN abs(d.v - d.med) > 3.0 * 1.4826 * a.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(SUM(CASE WHEN abs(d.v - d.med) > 3.0 * 1.4826 * a.mad
+                      THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS frac_outliers
+FROM d JOIN a ON d.event_type = a.event_type
+GROUP BY d.event_type
+""")
+def agg_robust_stats(spark, sf_dir):
+    """Robust per-group statistics (`robust_stats`, operators/robust.py):
+    median, MAD, and the MAD-scaled (|x - med| > 3 * 1.4826 * mad)
+    outlier rate per event type — the diagnostics heavy tails can't
+    drown, exact via interpolated percentiles (the quantile_cont
+    convention the percentile gates pin). Exact MAD inherently needs a
+    second median-dependent pass; three keyed aggregates total, per-key
+    stats broadcast back between passes (the KMV sketch is the one-pass
+    approximate twin). Every stat and count hash-checked."""
+    from ..operators.robust import robust_stats
+
+    ev = load(spark, sf_dir, "events")
+    return robust_stats(ev, ["event_type"], "value")
+
+
 @query("agg_group_ols", oracle="""
 WITH s AS (SELECT user_id, COUNT(*) AS n,
          SUM(CAST(event_id AS DECIMAL(28,12))) AS sx,

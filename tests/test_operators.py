@@ -2841,3 +2841,20 @@ def test_asof_directions_and_tolerance(spark):
     from puffbird_spark.errors import PuffbirdSparkError
     with _pytest.raises(PuffbirdSparkError, match="direction"):
         run(direction="sideways")
+
+
+def test_robust_stats_outliers_and_degenerate_mad(spark):
+    from puffbird_spark.operators.robust import robust_stats
+
+    rows = ([("a", float(v)) for v in range(1, 101)]   # uniform 1..100
+            + [("a", 10000.0)]                          # one gross outlier
+            + [("b", 5.0)] * 10 + [("b", 50.0)]         # zero-MAD group
+            + [("c", None)])                            # all-null ignored
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = {r["k"]: r for r in robust_stats(df, ["k"], "v").collect()}
+    a = got["a"]
+    assert a["n"] == 101 and abs(a["median"] - 51.0) < 1e-6
+    assert a["n_outliers"] == 1          # only the gross value
+    b = got["b"]
+    assert b["mad"] == 0.0 and b["n_outliers"] == 1   # off-median value
+    assert "c" not in got                # null-only group vanishes
