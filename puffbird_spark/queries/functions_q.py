@@ -105,6 +105,36 @@ def fn_math(spark, sf_dir):
     )
 
 
+@query("fn_bitwise", oracle="""
+SELECT o_orderkey,
+  CAST(o_orderkey & 255 AS BIGINT) AS lo_byte,
+  CAST(o_orderkey | 4096 AS BIGINT) AS with_flag,
+  CAST(xor(o_orderkey, o_custkey) AS BIGINT) AS key_xor,
+  CAST(o_orderkey << 3 AS BIGINT) AS shl3,
+  CAST(o_orderkey >> 2 AS BIGINT) AS shr2,
+  CAST(bit_count(o_orderkey) AS INT) AS popcount,
+  CAST(~o_orderkey AS BIGINT) AS inverted
+FROM orders
+""")
+def fn_bitwise(spark, sf_dir):
+    """Bitwise surface battery: AND/OR/XOR, shifts, popcount, NOT —
+    the primitives under bucket masks, bloom probes, and bit-packed
+    flags, all JVM codegen. DuckDB twins exactly (two's-complement
+    semantics on BIGINT both sides)."""
+    o = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("lo_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.col("o_custkey")).alias("key_xor"),
+        F.shiftleft(k, 3).alias("shl3"),
+        F.shiftright(k, 2).alias("shr2"),
+        F.bit_count(k).alias("popcount"),
+        F.bitwise_not(k).alias("inverted"),
+    )
+
+
 @query("fn_cond", oracle="""
 SELECT o_orderkey,
   CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'finished'
