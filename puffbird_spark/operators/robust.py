@@ -59,3 +59,57 @@ def robust_stats(
     return out.withColumn(
         "frac_outliers",
         F.round(F.col("n_outliers") / F.col("n"), dp))
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    grid_points: int = 21,
+    dp: int = 6,
+) -> DataFrame:
+    """Map each group's value distribution onto the GLOBAL one — the
+    cross-domain score alignment step before any global threshold: a
+    quality score of 0.7 from a lenient scorer and 0.4 from a harsh one
+    should gate the same fraction of their domains, so each value is
+    replaced by the global value at its WITHIN-GROUP percentile.
+
+    Mechanics (all exact and engine-replayable):
+
+    - within-group percentile ``p = (rank - 1) / (n - 1)`` using
+      ``rank()`` (ties share a rank — deterministic; single-row groups
+      map to p = 0);
+    - the global distribution is summarized by an exact interpolated
+      percentile GRID of ``grid_points`` values (one aggregate, bounded
+      collect, ships back as ONE array literal);
+    - the normalized value linearly interpolates the grid at ``p``.
+
+    Cost: one per-group window (single exchange) + one global
+    percentile aggregate; the grid is the only driver traffic. Adds
+    ``pct_in_group`` and ``value_normalized`` to the input columns.
+    """
+    if grid_points < 2:
+        raise ValueError(f"grid_points must be >= 2, got {grid_points}")
+    from pyspark.sql import Window
+
+    ps = [i / (grid_points - 1) for i in range(grid_points)]
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull())
+    grid_row = base.agg(
+        F.percentile(v, F.lit(ps)).alias("g")).collect()[0]["g"]
+    grid = F.lit([float(x) for x in grid_row])  # exact doubles, bit-replayable
+    w = Window.partitionBy(*group_cols).orderBy(v)
+    n = F.count(F.lit(1)).over(Window.partitionBy(*group_cols))
+    p = F.when(n > 1, (F.rank().over(w) - 1) / (n - 1)).otherwise(F.lit(0.0))
+    # linear interpolation on the grid: cell = floor(p * (G-1))
+    cell = F.least(
+        F.floor(p * (grid_points - 1)).cast("int"),
+        F.lit(grid_points - 2))
+    frac = p * (grid_points - 1) - cell
+    lo = F.element_at(grid, cell + 1)
+    hi = F.element_at(grid, cell + 2)
+    return (
+        base.withColumn("pct_in_group", F.round(p, dp))
+        .withColumn(
+            "value_normalized", F.round(lo + (hi - lo) * frac, dp))
+    )

@@ -1953,7 +1953,7 @@ def knn_rp_rerank(spark, sf_dir):
     return _ann_recall_gate(
         spark, sf_dir,
         lambda emb, queries: rp_topk(
-            emb, queries, in_dim=64, rp_dim=32, k=5, overfetch=8,
+            emb, queries, in_dim=64, rp_dim=32, k=5, overfetch=16,
             est_queries=10),
         min_avg_recall=0.5,
     )

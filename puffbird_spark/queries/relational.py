@@ -1490,6 +1490,45 @@ def agg_robust_stats(spark, sf_dir):
     return robust_stats(ev, ["event_type"], "value")
 
 
+@query("agg_quantile_normalize", oracle="""
+WITH e AS (SELECT event_type, event_id, CAST(value AS DOUBLE) AS v
+           FROM events WHERE value IS NOT NULL),
+g AS (SELECT quantile_cont(v, [0.0, 0.05, 0.1, 0.15, 0.2, 0.25, 0.3, 0.35, 0.4, 0.45, 0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95, 1.0]) AS grid FROM e),
+r AS (SELECT event_type, event_id, v,
+        rank() OVER (PARTITION BY event_type ORDER BY v) AS rk,
+        COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM e),
+p AS (SELECT event_type, event_id,
+        CASE WHEN n > 1 THEN (rk - 1) / CAST(n - 1 AS DOUBLE)
+             ELSE 0.0 END AS p
+      FROM r),
+sel AS (SELECT event_type, event_id, p,
+          LEAST(CAST(floor(p * 20) AS INT), 19) AS cell
+        FROM p)
+SELECT s.event_type, s.event_id, round(s.p, 6) AS pct_in_group,
+  round(g.grid[s.cell + 1]
+        + (g.grid[s.cell + 2] - g.grid[s.cell + 1])
+          * (s.p * 20 - s.cell), 6) AS value_normalized
+FROM sel s, g
+""")
+def agg_quantile_normalize(spark, sf_dir):
+    """Cross-group quantile normalization (`quantile_normalize`,
+    operators/robust.py): every event value maps to the GLOBAL value
+    at its within-type percentile — the score-alignment step before a
+    global quality threshold, so a lenient scorer's 0.7 and a harsh
+    one's 0.4 gate the same fraction of their domains. Within-group
+    rank percentiles (ties share rank — deterministic), a 21-point
+    exact global percentile grid (one aggregate, one bounded collect,
+    ships as ONE array literal), scan-local linear interpolation. The
+    oracle replays rank, grid, cell, and interpolation; the full
+    normalized series is in the hash."""
+    from ..operators.robust import quantile_normalize
+
+    ev = load(spark, sf_dir, "events")
+    return quantile_normalize(ev, ["event_type"], "value").select(
+        "event_type", "event_id", "pct_in_group", "value_normalized")
+
+
 @query("agg_group_ols", oracle="""
 WITH s AS (SELECT user_id, COUNT(*) AS n,
          SUM(CAST(event_id AS DECIMAL(28,12))) AS sx,
