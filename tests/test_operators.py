@@ -2858,3 +2858,34 @@ def test_robust_stats_outliers_and_degenerate_mad(spark):
     b = got["b"]
     assert b["mad"] == 0.0 and b["n_outliers"] == 1   # off-median value
     assert "c" not in got                # null-only group vanishes
+
+
+def test_quantile_normalize_aligns_groups(spark):
+    """Two groups with shifted scales must land on the SAME global
+    distribution after normalization; percentiles are rank-based with
+    deterministic ties; single-row groups map to p=0."""
+    import statistics
+
+    from puffbird_spark.operators.robust import quantile_normalize
+
+    rows = ([("harsh", v / 100.0) for v in range(0, 50)]
+            + [("lenient", 0.5 + v / 100.0) for v in range(0, 50)]
+            + [("solo", 0.9)])
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = quantile_normalize(df, ["k"], "v").collect()
+    by_k = {}
+    for r in out:
+        by_k.setdefault(r["k"], []).append(r)
+    med_h = statistics.median(
+        [r["value_normalized"] for r in by_k["harsh"]])
+    med_l = statistics.median(
+        [r["value_normalized"] for r in by_k["lenient"]])
+    assert abs(med_h - med_l) < 1e-9          # aligned on the global dist
+    assert by_k["solo"][0]["pct_in_group"] == 0.0
+    # percentile ranks span [0, 1] within each multi-row group
+    for k in ("harsh", "lenient"):
+        ps = sorted(r["pct_in_group"] for r in by_k[k])
+        assert ps[0] == 0.0 and ps[-1] == 1.0
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="grid_points"):
+        quantile_normalize(df, ["k"], "v", grid_points=1)
