@@ -142,6 +142,10 @@ BENCH_QUERIES = [
     # heaviest of the new queries (double-agg + semi-join + top-k)
     "q6_forecast_revenue",
     "q18_large_volume_customers",
+    # round-7 new families: the per-level-fenced rolling-hash chunker
+    # and the two-snapshot drift monitor
+    "dedup_cdc_chunks",
+    "diag_distribution_psi",
 ]
 
 
