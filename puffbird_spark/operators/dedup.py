@@ -1092,3 +1092,47 @@ def cdc_chunks(
             .alias("digest"),
         )
     )
+
+
+def cdc_shared_chunks(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_shared: int = 1,
+    max_df: int = 8,
+    window: int = 8,
+    base: int = 131,
+    mod: int = 1_000_003,
+    divisor: int = 64,
+) -> DataFrame:
+    """Cross-document near-dup pairs from shared CDC chunks — what the
+    chunk digests are FOR: two documents sharing ``min_shared``+
+    content-defined chunks contain literally identical runs even when
+    offsets differ (the edit-robustness :func:`cdc_chunks` pins).
+
+    Scale shape is the containment-pairs pattern: an inverted index on
+    the chunk digest, with digests appearing in more than ``max_df``
+    documents dropped FIRST (boilerplate headers/footers would
+    otherwise quadratically explode the hottest buckets — same guard,
+    same reason), then a digest-keyed self-join — candidate pairs
+    only, never all-pairs; the join ships 32-byte digests, never text.
+
+    Output: ``(id_a, id_b, n_shared)`` with ``id_a < id_b``, counting
+    DISTINCT shared digests.
+    """
+    chunks = cdc_chunks(
+        df, text_col, id_col, window=window, base=base, mod=mod,
+        divisor=divisor,
+    ).select(F.col(id_col).alias("id"), "digest").distinct()
+    rare = chunks.groupBy("digest").agg(
+        F.count(F.lit(1)).alias("__df")).filter(F.col("__df") <= max_df)
+    pruned = chunks.join(rare.select("digest"), "digest")
+    a = pruned.select(F.col("id").alias("id_a"), "digest")
+    b = pruned.select(F.col("id").alias("id_b"), "digest")
+    return (
+        a.join(b, "digest")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

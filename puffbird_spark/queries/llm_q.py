@@ -1680,6 +1680,48 @@ def dedup_cdc_chunks(spark, sf_dir):
     return cdc_chunks(docs, "text", "doc_id")
 
 
+@query("dedup_cdc_shared", oracle="""
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+           WHERE text IS NOT NULL AND length(text) > 0),
+w AS (SELECT doc_id, text, n,
+        CASE WHEN n >= 8 THEN
+          [i FOR i IN range(8, CAST(n AS BIGINT))
+           IF ((ascii(text[i - 0]) * 1 + ascii(text[i - 1]) * 131 + ascii(text[i - 2]) * 17161 + ascii(text[i - 3]) * 248085 + ascii(text[i - 4]) * 499039 + ascii(text[i - 5]) * 373914 + ascii(text[i - 6]) * 982590 + ascii(text[i - 7]) * 718906) % 1000003) % 64 = 0]
+        ELSE [] END AS b
+      FROM d),
+c AS (SELECT doc_id, text, ([0] || b || [n]) AS cuts FROM w),
+u AS (SELECT doc_id, text, cuts, t.range AS k
+      FROM c, range(1, 100) t WHERE t.range < len(cuts)),
+ch AS (SELECT DISTINCT doc_id,
+         md5(substr(text, CAST(cuts[CAST(k AS INT)] + 1 AS INT),
+                    CAST(cuts[CAST(k AS INT) + 1] - cuts[CAST(k AS INT)]
+                         AS INT))) AS digest
+       FROM u),
+rare AS (SELECT digest FROM ch GROUP BY digest HAVING COUNT(*) <= 8)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM ch a JOIN rare r ON a.digest = r.digest
+JOIN ch b ON a.digest = b.digest AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+""")
+def dedup_cdc_shared(spark, sf_dir):
+    """Cross-document near-dup pairs from shared CDC chunks
+    (`cdc_shared_chunks`, operators/dedup.py) — what the chunk digests
+    are FOR: documents sharing content-defined chunks contain
+    literally identical runs even at different offsets. The scale
+    shape is the containment-pairs pattern: inverted index on the
+    chunk digest with document-frequency pruning (df <= 8) BEFORE the
+    digest-keyed self-join — candidate pairs only, 32-byte digests on
+    the wire, never text, never all-pairs. The synthetic word-soup
+    corpus yields ~340 genuine shared-chunk pairs at sf0.01; every
+    (pair, count) row is in the hash against the full SQL replay of
+    chunking + index + join."""
+    from ..operators.dedup import cdc_shared_chunks
+
+    docs = load(spark, sf_dir, "documents")
+    return cdc_shared_chunks(docs, "text", "doc_id")
+
+
 @query("dedup_containment", oracle="""
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 s AS (SELECT doc_id,

@@ -2889,3 +2889,34 @@ def test_quantile_normalize_aligns_groups(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="grid_points"):
         quantile_normalize(df, ["k"], "v", grid_points=1)
+
+
+def test_cdc_shared_chunks_edit_robust_and_df_pruned(spark):
+    """Two docs sharing a long run at DIFFERENT offsets must pair via
+    shared chunk digests; boilerplate present in every doc must be
+    pruned by the document-frequency guard, not explode the join."""
+    from puffbird_spark.operators.dedup import cdc_shared_chunks
+
+    # seeded diverse words: repetitive phrases can be hash-unlucky and
+    # yield ZERO boundaries (whole doc = one chunk); this fixture has
+    # ~14 boundaries in the shared run and 3 in the boilerplate
+    import random
+
+    rnd = random.Random(11)
+    words = ["".join(rnd.choice("abcdefghijklmnopqrstuvwxyz")
+                     for _ in range(rnd.randrange(3, 9)))
+             for _ in range(60)]
+    shared = " ".join(rnd.choice(words) for _ in range(120))
+    boiler = " " + " ".join(rnd.choice(words) for _ in range(40))
+    docs = spark.createDataFrame(
+        [(1, shared + boiler),
+         (2, "PREFIX SHIFTING THE OFFSETS. " + shared + boiler),
+         (3, "completely unrelated content " * 12 + boiler),
+         (4, "fourth doc own words entirely " * 12 + boiler)],
+        ["doc_id", "text"])
+    pairs = {(r["id_a"], r["id_b"]): r["n_shared"]
+             for r in cdc_shared_chunks(
+                 docs, "text", "doc_id", max_df=3).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2   # offset-shifted match
+    # boilerplate (df=4 > max_df=3) must NOT pair docs 3/4
+    assert (3, 4) not in pairs
