@@ -527,3 +527,95 @@ def snapshot_schema_diff(
             rows.append((name, "type_changed", ta, tb))
     return spark.createDataFrame(
         rows, "column string, change string, type_from string, type_to string")
+
+
+def file_bloom_index(
+    spark,
+    path: str,
+    col: str,
+    m_bits: int = 1 << 14,
+    k: int = 5,
+    seed: str = "fbloom",
+) -> DataFrame:
+    """Per-file Bloom index over a HIGH-CARDINALITY column — the
+    skipping mechanism for the case min/max statistics can't help:
+    point lookups of a key that is hash-scattered across files (every
+    file spans the full value range, so :func:`pruned_read` keeps
+    everything; a Bloom filter per file prunes to ~the one file that
+    holds the key, plus false positives). This is Parquet's column
+    bloom filter / the Delta bloom index, built as table-side metadata.
+
+    One scan grouped by ``input_file_name()``: the k bit positions per
+    value are ``pmod(xxhash64(seed_i, col), m)`` (computed IN Spark, so
+    probes use the identical hash), distinct positions collect per
+    file, and the packed ``m/64`` long words build as one Column fold.
+    Output is file-count-sized: ``(file, words array<long>)`` — persist
+    it next to the table, refresh per-append for new files only."""
+    if m_bits % 64:
+        raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
+    pos_cols = F.array(*[
+        F.pmod(F.xxhash64(F.lit(f"{seed}:{i}"), F.col(col)), F.lit(m_bits))
+        for i in range(k)
+    ])
+    n_words = m_bits // 64
+    positions = (
+        spark.read.parquet(path)
+        .select(F.input_file_name().alias("file"),
+                F.explode(pos_cols).alias("p"))
+        .groupBy("file")
+        .agg(F.collect_set("p").alias("ps"))
+    )
+    words = F.expr(
+        f"transform(sequence(0, {n_words - 1}), w -> "
+        "aggregate(filter(ps, p -> CAST(p / 64 AS INT) = w), "
+        "CAST(0 AS BIGINT), (acc, p) -> acc | shiftleft(CAST(1 AS BIGINT), "
+        "CAST(p % 64 AS INT))))")
+    return positions.select("file", words.alias("words"))
+
+
+def bloom_pruned_lookup(
+    spark,
+    path: str,
+    col: str,
+    value,
+    index: DataFrame | None = None,
+    m_bits: int = 1 << 14,
+    k: int = 5,
+    seed: str = "fbloom",
+) -> tuple[DataFrame, int, int]:
+    """Point lookup ``col == value`` reading ONLY the files whose Bloom
+    words contain all k probe bits (no false negatives — every file
+    that holds the value is read, so the result EQUALS the full-scan
+    filter; false positives only cost extra reads). Returns
+    ``(df, n_files_read, n_files_total)``.
+
+    The probe positions compute through the same in-Spark xxhash64 as
+    the index build (one literal-row job, with the probe literal CAST
+    to the column's exact type — xxhash64 is type-dependent, and an
+    int-vs-bigint probe is a silent false NEGATIVE, caught by the
+    first smoke test); the membership test walks the collected index —
+    bounded by FILE count, manifest scale."""
+    if index is None:
+        index = file_bloom_index(spark, path, col, m_bits, k, seed)
+    col_type = spark.read.parquet(path).schema[col].dataType
+    probe_df = spark.range(1).select(*[
+        F.pmod(F.xxhash64(F.lit(f"{seed}:{i}"),
+                          F.lit(value).cast(col_type)),
+               F.lit(m_bits)).alias(f"p{i}")
+        for i in range(k)
+    ])
+    probe = probe_df.collect()[0]
+    positions = [probe[f"p{i}"] for i in range(k)]
+    rows = index.collect()
+    total = len(rows)
+    keep = []
+    for r in rows:
+        w = r["words"]
+        if all(w[p // 64] & (1 << (p % 64)) for p in positions):
+            keep.append(r["file"])
+    if not keep:
+        return spark.read.parquet(path).filter(F.lit(False)), 0, total
+    return (
+        spark.read.parquet(*keep).filter(F.col(col) == F.lit(value)),
+        len(keep), total,
+    )

@@ -978,6 +978,68 @@ def table_vacuum(spark, sf_dir):
     )
 
 
+@query("scan_bloom_skipping", oracle="""
+SELECT CAST(1 AS BIGINT) AS probe_id,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS sum_chars,
+  TRUE AS files_pruned_ok
+FROM documents WHERE doc_id = 1
+UNION ALL
+SELECT CAST(100 AS BIGINT) AS probe_id,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS sum_chars,
+  TRUE AS files_pruned_ok
+FROM documents WHERE doc_id = 100
+UNION ALL
+SELECT CAST(400 AS BIGINT) AS probe_id,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS sum_chars,
+  TRUE AS files_pruned_ok
+FROM documents WHERE doc_id = 400
+UNION ALL
+SELECT CAST(999999999 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), TRUE
+""")
+def scan_bloom_skipping(spark, sf_dir):
+    """Per-file Bloom-index skipping (`file_bloom_index` /
+    `bloom_pruned_lookup`, operators/layout.py): documents written
+    hash-scattered by doc_id across 8 files — the layout where min/max
+    skipping keeps EVERYTHING (every file spans the full id range) —
+    then point lookups read only the files whose Bloom words contain
+    all k probe bits. No false negatives (results equal the full-scan
+    filter — the row contents are in the hash), false positives only
+    cost reads; `files_pruned_ok` pins that present keys read FEWER
+    than all files and the absent key reads NONE. Probe literals cast
+    to the column type before hashing (xxhash64 is type-dependent —
+    an int-vs-bigint probe is a silent false negative, caught during
+    development). The index is file-count-sized metadata, refreshed
+    per-append for new files only."""
+    import os
+
+    from ..operators.layout import bloom_pruned_lookup, file_bloom_index
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    path = f"/tmp/pbs_fmt{tag}/documents_bloom_scatter"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        load(spark, sf_dir, "documents").repartition(
+            8, "doc_id").write.mode("overwrite").parquet(path)
+    index = file_bloom_index(spark, path, "doc_id").localCheckpoint(
+        eager=True)
+    out = []
+    for probe in (1, 100, 400, 999999999):
+        df, n_read, n_total = bloom_pruned_lookup(
+            spark, path, "doc_id", probe, index=index)
+        row = df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.coalesce(F.sum("n_chars"), F.lit(0)).cast("long")
+            .alias("sum_chars"),
+        ).collect()[0]
+        pruned_ok = (n_read < n_total) if row["n_rows"] > 0 else (n_read == 0)
+        out.append((probe, row["n_rows"], row["sum_chars"], bool(pruned_ok)))
+    return spark.createDataFrame(
+        out, "probe_id long, n_rows long, sum_chars long, "
+             "files_pruned_ok boolean")
+
+
 @query("scan_schema_diff", oracle="""
 SELECT * FROM (VALUES
   ('lang', 'added', CAST(NULL AS VARCHAR), 'string'),

@@ -2920,3 +2920,28 @@ def test_cdc_shared_chunks_edit_robust_and_df_pruned(spark):
     assert (1, 2) in pairs and pairs[(1, 2)] >= 2   # offset-shifted match
     # boilerplate (df=4 > max_df=3) must NOT pair docs 3/4
     assert (3, 4) not in pairs
+
+
+def test_file_bloom_index_pruning_and_no_false_negatives(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from puffbird_spark.operators.layout import (
+        bloom_pruned_lookup, file_bloom_index)
+
+    path = str(tmp_path_factory.mktemp("fbloom") / "t")
+    spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    ).repartition(6, "k").write.parquet(path)
+    idx = file_bloom_index(spark, path, "k").localCheckpoint(eager=True)
+    assert idx.count() == 6
+    for probe in (0, 777, 1999):
+        df, n_read, n_total = bloom_pruned_lookup(
+            spark, path, "k", probe, index=idx)
+        rows = df.collect()
+        assert [(r["k"], r["v"]) for r in rows] == [(probe, probe * 3)]
+        assert 1 <= n_read < n_total        # pruned, never missed
+    df, n_read, _ = bloom_pruned_lookup(spark, path, "k", -5, index=idx)
+    assert n_read == 0 and df.count() == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="m_bits"):
+        file_bloom_index(spark, path, "k", m_bits=100)
