@@ -278,3 +278,28 @@ def test_ewma_single_exchange_no_python(q):
     df = q("timeseries_ewma")
     assert P.count_exchanges(df) == 1
     assert "Python" not in P.formatted_plan(df)
+
+
+def test_cdc_chunks_zero_shuffle(q):
+    """Content-defined chunking is scan-local: no Exchange anywhere in
+    the chunk table's plan, and no Python workers."""
+    df = q("dedup_cdc_chunks")
+    plan = P.formatted_plan(df)
+    assert P.count_exchanges(df) == 0
+    assert "Python" not in plan
+
+
+def test_quantile_normalize_single_exchange(q):
+    """One per-group window (rank + count share the partition) after
+    the grid ships as a literal: exactly one shuffle."""
+    df = q("agg_quantile_normalize")
+    assert P.count_exchanges(df) == 1
+    assert "Python" not in P.formatted_plan(df)
+
+
+def test_psi_broadcasts_edges(q):
+    """Both snapshots' bucket counts join the decile edges via
+    broadcast — the key-count-sized reference never shuffles the
+    data side."""
+    df = q("diag_distribution_psi")
+    assert "BroadcastHashJoin" in P.formatted_plan(df)
