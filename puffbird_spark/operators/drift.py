@@ -62,7 +62,13 @@ def _bucket_counts(
     df: DataFrame, edges: DataFrame, key_cols: list[str], value_col: str,
     out: str,
 ) -> DataFrame:
-    j = df.join(F.broadcast(edges), key_cols)
+    # NULL metric rows must not count: F.percentile skips NULLs when
+    # computing the edges, and an unfiltered NULL here would fold into
+    # bucket 0 (NULL > e is NULL -> otherwise(0)), so a null-rate
+    # difference between snapshots would masquerade as distribution
+    # drift. n_ref/n_cur therefore count NON-NULL rows only.
+    j = df.filter(F.col(value_col).cast("double").isNotNull()).join(
+        F.broadcast(edges), key_cols)
     b = F.aggregate(
         F.col("__edges"),
         F.lit(0),
@@ -155,12 +161,19 @@ def categorical_psi(
     vanishing contributes like any other shift, smoothed finite).
     Same additive smoothing, same (B-1)/n noise-floor caveat — B is now
     the observed category count per key. Cost: one keyed count per
-    snapshot, PSI arithmetic on the (key x category) table."""
+    snapshot, PSI arithmetic on the (key x category) table.
+
+    NULL categories are a real category: they're folded to the
+    ``'<null>'`` sentinel before the snapshot join (NULL keys never
+    equal themselves in a join, so without the fold an unchanged NULL
+    share would read as two one-sided cells and inflate both psi and
+    n_categories)."""
+    cat = F.coalesce(F.col(cat_col).cast("string"), F.lit("<null>"))
     ref_c = reference.groupBy(
-        *key_cols, F.col(cat_col).cast("string").alias("__cat")).agg(
+        *key_cols, cat.alias("__cat")).agg(
         F.count(F.lit(1)).alias("__na"))
     cur_c = current.groupBy(
-        *key_cols, F.col(cat_col).cast("string").alias("__cat")).agg(
+        *key_cols, cat.alias("__cat")).agg(
         F.count(F.lit(1)).alias("__nb"))
     cells = (
         ref_c.join(cur_c, [*key_cols, "__cat"], "full_outer")

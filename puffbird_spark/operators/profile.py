@@ -35,14 +35,17 @@ def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     names = cols if cols is not None else df.columns
     if not names:
         raise ValueError("no columns to profile")
+    # generated identifiers are positional (__null_0, ...) so column
+    # names with spaces/dots/quotes can't break the stack() SQL below;
+    # the name itself only ever appears as an escaped string literal
     aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in names:
-        col = F.col(c)
+    for i, c in enumerate(names):
+        col = F.col(f"`{c}`")
         aggs += [
-            F.sum(col.isNull().cast("long")).alias(f"__null_{c}"),
-            F.count_distinct(col).alias(f"__nd_{c}"),
-            F.min(col).cast("string").alias(f"__min_{c}"),
-            F.max(col).cast("string").alias(f"__max_{c}"),
+            F.sum(col.isNull().cast("long")).alias(f"__null_{i}"),
+            F.count_distinct(col).alias(f"__nd_{i}"),
+            F.min(col).cast("string").alias(f"__min_{i}"),
+            F.max(col).cast("string").alias(f"__max_{i}"),
         ]
     one = df.agg(*aggs)
     # pivot the single aggregate row to long format: stack is a plain
@@ -53,8 +56,10 @@ def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
             "stack({n}, {args}) as (column, n_null, n_distinct, min_str, max_str)".format(
                 n=len(names),
                 args=", ".join(
-                    f"'{c}', __null_{c}, __nd_{c}, __min_{c}, __max_{c}"
-                    for c in names
+                    "'{name}', __null_{i}, __nd_{i}, __min_{i}, __max_{i}".format(
+                        name=c.replace("\\", "\\\\").replace("'", "\\'"), i=i
+                    )
+                    for i, c in enumerate(names)
                 ),
             )
         ),

@@ -87,6 +87,10 @@ def quantile_normalize(
     Cost: one per-group window (single exchange) + one global
     percentile aggregate; the grid is the only driver traffic. Adds
     ``pct_in_group`` and ``value_normalized`` to the input columns.
+    Rows whose ``value_col`` is NULL (or non-castable to double) are
+    EXCLUDED from the output — a NULL has no within-group percentile.
+    Raises ``ValueError`` when no non-null values exist (there is no
+    global distribution to map onto).
     """
     if grid_points < 2:
         raise ValueError(f"grid_points must be >= 2, got {grid_points}")
@@ -97,6 +101,9 @@ def quantile_normalize(
     base = df.filter(v.isNotNull())
     grid_row = base.agg(
         F.percentile(v, F.lit(ps)).alias("g")).collect()[0]["g"]
+    if grid_row is None:
+        raise ValueError(
+            f"quantile_normalize: no non-null values in {value_col!r}")
     grid = F.lit([float(x) for x in grid_row])  # exact doubles, bit-replayable
     w = Window.partitionBy(*group_cols).orderBy(v)
     n = F.count(F.lit(1)).over(Window.partitionBy(*group_cols))

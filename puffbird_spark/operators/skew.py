@@ -173,10 +173,15 @@ def join_cardinality(
         F.count(F.lit(1)).alias("__b"))
     joint = lc.join(rc, "__k").select(
         "__k", (F.col("__a") * F.col("__b")).alias("__pairs"))
+    # disjoint key sets leave the joint frame empty: SUM/MAX would read
+    # NULL, which is falsy-ambiguous for a pre-flight consumed
+    # programmatically — coalesce so the prediction reads an honest 0
     totals = joint.agg(
-        F.sum("__pairs").cast("long").alias("n_pairs_predicted"),
+        F.coalesce(F.sum("__pairs"), F.lit(0))
+        .cast("long").alias("n_pairs_predicted"),
         F.count(F.lit(1)).cast("long").alias("n_keys_joint"),
-        F.max("__pairs").cast("long").alias("max_key_pairs"),
+        F.coalesce(F.max("__pairs"), F.lit(0))
+        .cast("long").alias("max_key_pairs"),
     )
     top = joint.join(
         F.broadcast(totals.select("max_key_pairs")),

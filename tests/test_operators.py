@@ -2945,3 +2945,69 @@ def test_file_bloom_index_pruning_and_no_false_negatives(spark, tmp_path_factory
     import pytest as _pytest
     with _pytest.raises(ValueError, match="m_bits"):
         file_bloom_index(spark, path, "k", m_bits=100)
+
+
+def test_distribution_psi_null_rate_invariant(spark):
+    """ADVICE r7: NULL metric rows must not count into bucket 0 — an
+    identical non-null distribution plus extra NULLs on the current
+    side must read stable, and n_ref/n_cur count non-null rows only."""
+    from puffbird_spark.operators.drift import distribution_psi
+
+    vals = [("a", float(v)) for v in range(1000)]
+    ref = spark.createDataFrame(vals, ["k", "v"])
+    cur = spark.createDataFrame(
+        vals + [("a", None)] * 800, "k string, v double")
+    r = distribution_psi(ref, cur, ["k"], "v").collect()[0]
+    assert r["psi"] < 0.01 and not r["drifted"]
+    assert r["n_ref"] == 1000 and r["n_cur"] == 1000  # nulls excluded
+
+
+def test_categorical_psi_null_category_matches_itself(spark):
+    """ADVICE r7: a NULL category present in both snapshots is ONE
+    category (folded to '<null>'), not two one-sided cells."""
+    from puffbird_spark.operators.drift import categorical_psi
+
+    rows = [("k", c) for c in ["a"] * 500 + ["b"] * 300] \
+        + [("k", None)] * 200
+    ref = spark.createDataFrame(rows, "k string, cat string")
+    cur = spark.createDataFrame(rows, "k string, cat string")
+    r = categorical_psi(ref, cur, ["k"], "cat").collect()[0]
+    assert r["psi"] < 0.01 and not r["drifted"]
+    assert r["n_categories"] == 3          # a, b, <null> — not 4
+    assert r["n_ref"] == 1000 and r["n_cur"] == 1000
+
+
+def test_profile_columns_hostile_names(spark):
+    """ADVICE r7: names with spaces/dots/quotes must profile (positional
+    generated identifiers + escaped string literals)."""
+    from pyspark.sql import functions as F
+
+    from puffbird_spark.operators.profile import profile_columns
+
+    df = spark.range(3).select(
+        F.col("id").alias("a b"),
+        (F.col("id") * 2).alias("c.d"),
+        F.lit("x").alias("e'f"),
+        F.lit(7).alias("g-h"),
+    )
+    got = {r["column"]: r for r in profile_columns(df).collect()}
+    assert set(got) == {"a b", "c.d", "e'f", "g-h"}
+    assert got["a b"]["n_distinct"] == 3
+    assert got["c.d"]["max_str"] == "4"
+    assert got["e'f"]["is_constant"] and got["g-h"]["is_constant"]
+
+
+def test_quantile_normalize_all_null_raises(spark):
+    """ADVICE r7: no non-null values → a clear ValueError, not a
+    TypeError from iterating None; NULL rows are excluded otherwise."""
+    import pytest as _pytest
+
+    from puffbird_spark.operators.robust import quantile_normalize
+
+    empty = spark.createDataFrame([("g", None)], "g string, v double")
+    with _pytest.raises(ValueError, match="non-null"):
+        quantile_normalize(empty, ["g"], "v")
+    mixed = spark.createDataFrame(
+        [("g", 1.0), ("g", 2.0), ("g", None)], "g string, v double")
+    out = quantile_normalize(mixed, ["g"], "v")
+    assert out.count() == 2                # the NULL row is excluded

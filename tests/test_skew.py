@@ -157,3 +157,16 @@ def test_join_cardinality_predicts_exactly(spark):
     assert abs(r["blowup_ratio"] - 22 / 18) < 1e-6
     # the prediction is exact, not an estimate
     assert left.join(right, "k").count() == 22
+
+
+def test_join_cardinality_disjoint_keys_reads_zero(spark):
+    """ADVICE r7: disjoint key sets must predict an honest 0, not NULL."""
+    from puffbird_spark.operators.skew import join_cardinality
+
+    left = spark.createDataFrame([("a", 1), ("b", 2)], ["k", "i"])
+    right = spark.createDataFrame([("x", 1), ("y", 2)], ["k", "j"])
+    r = join_cardinality(left, right, "k", "k").collect()[0]
+    assert r["n_pairs_predicted"] == 0
+    assert r["n_keys_joint"] == 0
+    assert r["max_key_pairs"] == 0
+    assert r["blowup_ratio"] == 0.0
