@@ -34,12 +34,88 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..functions.vectors import as_double, dot
 
+#: k * dim above which assignment switches from plan-literal HOF folds to
+#: the Arrow kernel. The literal path builds k struct expressions PER ROW,
+#: so codegen size and per-row cost grow linearly in k — fine at the gate's
+#: k=8, a codegen/expression-tree blowup at SemDeDup-scale k (thousands).
+#: The Arrow kernel is one (n x k) batched matmul-shaped loop per batch,
+#: bit-equal to the literal path (strict left-to-right folds, same
+#: HALF_UP rounding) — differential-tested in tests/test_operators.py.
+ARROW_ASSIGN_KDIM = 2048
 
-def _assign(e: DataFrame, cents: list[list[float]]) -> DataFrame:
-    """Nearest-centroid assignment with centroids as plan literals:
-    adds ``__cid`` and 6-dp-rounded ``__d2`` to (__id, __v) rows."""
+
+def _assign_arrow(
+    e: DataFrame, cents: list[list[float]], dp: int = 6,
+) -> DataFrame:
+    """Arrow twin of the literal assignment (the PQ-einsum pattern,
+    `similarity.py` ``_pq_encode_udf``): centroids ride the UDF closure,
+    each batch computes all k distances at once. Bit-equality with the
+    HOF path is engineered, not hoped for: every accumulation replays
+    the fold's left-to-right order over dimensions (one IEEE add/mul
+    per step — numpy's pairwise-sum ``einsum`` would differ in the last
+    ulp), the combining expression replays ``(vv - 2*dot) + cc``, and
+    rounding replays Spark's HALF_UP (`vectors.cosine_rounded_arrow`
+    convention). Ties break to the lower cluster id via ``argmin``."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(cents, dtype=np.float64)          # (k, dim)
+    k, dim = C.shape
+    cc = np.zeros(k)
+    for i in range(dim):
+        cc += C[:, i] * C[:, i]
+    scale = float(10 ** dp)
+
+    def kernel(vs):
+        if not len(vs):
+            return pd.DataFrame({
+                "c": pd.Series([], dtype="int32"),
+                "d": pd.Series([], dtype="float64")})
+        X = np.array(vs.tolist(), dtype=np.float64)  # (n, dim)
+        n = len(X)
+        vv = np.zeros(n)
+        acc = np.zeros((n, k))
+        for i in range(dim):
+            xi = X[:, i]
+            vv += xi * xi
+            acc += xi[:, None] * C[None, :, i]
+        d2 = (vv[:, None] - 2.0 * acc) + cc[None, :]
+        r = np.where(
+            d2 >= 0,
+            np.floor(d2 * scale + 0.5) / scale,
+            np.ceil(d2 * scale - 0.5) / scale,
+        )
+        best = r.argmin(axis=1)
+        return pd.DataFrame({
+            "c": best.astype("int32"),
+            "d": r[np.arange(n), best]})
+
+    udf = F.pandas_udf(kernel, returnType="struct<c:int,d:double>")
+    # materialize the struct once, then project — two field references
+    # on a repeated udf("__v") call could evaluate the kernel twice
+    return e.select("__id", "__v", udf("__v").alias("__a")).select(
+        "__id", "__v",
+        F.col("__a.c").alias("__cid"), F.col("__a.d").alias("__d2"),
+    )
+
+
+def _assign(
+    e: DataFrame, cents: list[list[float]], kernel: str = "auto",
+) -> DataFrame:
+    """Nearest-centroid assignment: adds ``__cid`` and 6-dp-rounded
+    ``__d2`` to (__id, __v) rows. ``kernel='auto'`` picks plan-literal
+    HOF folds for small k*dim and the Arrow kernel above
+    ``ARROW_ASSIGN_KDIM`` (the `cosine_topk` batch-size-gating
+    pattern); 'literal'/'arrow' force a path."""
     import numpy as np
 
+    if kernel not in ("auto", "literal", "arrow"):
+        raise ValueError(f"unknown assignment kernel {kernel!r}")
+    if kernel == "auto":
+        kdim = len(cents) * (len(cents[0]) if cents else 0)
+        kernel = "arrow" if kdim > ARROW_ASSIGN_KDIM else "literal"
+    if kernel == "arrow":
+        return _assign_arrow(e, cents)
     vv = dot(F.col("__v"), F.col("__v"))
     opts = []
     for cid, c in enumerate(cents):
@@ -62,12 +138,15 @@ def kmeans_assign(
     iters: int = 1,
     seed: str = "kmeans",
     keep_vec: bool = False,
+    kernel: str = "auto",
 ) -> DataFrame:
     """Run ``iters`` Lloyd refinements from the deterministic seed
     centroids and return the final assignment:
     ``(id_col, cluster, d2)`` with ``d2`` the 6-dp squared L2 distance
     to the final centroid. Driver traffic per iteration is exactly
-    k x dim mean cells — independent of corpus size."""
+    k x dim mean cells — independent of corpus size. ``kernel``
+    selects the assignment path (see :func:`_assign`); results are
+    identical either way."""
     from .splits import hash_draw
 
     e = df.select(
@@ -81,7 +160,7 @@ def kmeans_assign(
         raise ValueError(f"k={k} exceeds the {len(init_rows)} input rows")
     cents = [list(r["__v"]) for r in init_rows]
     for _ in range(iters):
-        assigned = _assign(e, cents)
+        assigned = _assign(e, cents, kernel=kernel)
         cells = (
             assigned.select(
                 "__cid", F.posexplode("__v").alias("pos", "x"))
@@ -105,7 +184,7 @@ def kmeans_assign(
     ]
     if keep_vec:
         cols.append(F.col("__v").alias(vec_col))
-    return _assign(e, cents).select(*cols)
+    return _assign(e, cents, kernel=kernel).select(*cols)
 
 
 def semantic_dedup(
@@ -116,6 +195,7 @@ def semantic_dedup(
     iters: int = 1,
     threshold: float = 0.45,
     seed: str = "kmeans",
+    kernel: str = "auto",
 ) -> DataFrame:
     """SemDeDup-shaped semantic dedup (Abbas et al., arXiv:2303.09540):
     cluster the embeddings with :func:`kmeans_assign`, search for
@@ -146,7 +226,8 @@ def semantic_dedup(
     # float either side of the join, and the rounding happens after the
     # same division.
     a = kmeans_assign(
-        df, id_col, vec_col, k=k, iters=iters, seed=seed, keep_vec=True
+        df, id_col, vec_col, k=k, iters=iters, seed=seed, keep_vec=True,
+        kernel=kernel,
     ).select(
         id_col, "cluster", vec_col, norm(F.col(vec_col)).alias("__n"))
     # both sides of the self-join consume `a`; without materialization
@@ -239,6 +320,7 @@ def embedding_outliers(
     iters: int = 1,
     prob: float = 0.9,
     seed: str = "kmeans",
+    kernel: str = "auto",
 ) -> DataFrame:
     """Distance-based outlier flagging for corpus curation (the
     DataComp/noise-pruning move: embeddings far from EVERY cluster are
@@ -255,7 +337,8 @@ def embedding_outliers(
     """
     from .splits import quantile_buckets
 
-    a = kmeans_assign(df, id_col, vec_col, k=k, iters=iters, seed=seed)
+    a = kmeans_assign(
+        df, id_col, vec_col, k=k, iters=iters, seed=seed, kernel=kernel)
     b = quantile_buckets(a, "d2", probs=(prob,), bucket_col="__b")
     return b.select(
         id_col, "cluster", "d2", (F.col("__b") == 2).alias("is_outlier"))

@@ -3011,3 +3011,39 @@ def test_quantile_normalize_all_null_raises(spark):
         [("g", 1.0), ("g", 2.0), ("g", None)], "g string, v double")
     out = quantile_normalize(mixed, ["g"], "v")
     assert out.count() == 2                # the NULL row is excluded
+
+
+def test_kmeans_arrow_kernel_bit_equal_at_large_k(spark):
+    """VERDICT r7 #2: the Arrow assignment kernel must be BIT-equal to
+    the plan-literal path (left-to-right folds + HALF_UP replay), and
+    'auto' must pick it above ARROW_ASSIGN_KDIM."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from puffbird_spark.operators.clustering import (
+        ARROW_ASSIGN_KDIM, kmeans_assign)
+
+    k, dim, n = 64, 33, 220
+    assert k * dim > ARROW_ASSIGN_KDIM        # 'auto' routes to arrow
+
+    def vec(i):
+        # deterministic, engine-free pseudorandom doubles in [-1, 1)
+        out = []
+        for j in range(dim):
+            h = hashlib.md5(f"kmv:{i}:{j}".encode()).hexdigest()[:12]
+            out.append(int(h, 16) / float(16 ** 12) * 2.0 - 1.0)
+        return out
+
+    df = spark.createDataFrame(
+        [(i, vec(i)) for i in range(n)], ["vid", "emb"])
+    lit = sorted(map(tuple, kmeans_assign(
+        df, "vid", "emb", k=k, iters=2, kernel="literal").collect()))
+    arr = sorted(map(tuple, kmeans_assign(
+        df, "vid", "emb", k=k, iters=2, kernel="arrow").collect()))
+    auto = sorted(map(tuple, kmeans_assign(
+        df, "vid", "emb", k=k, iters=2).collect()))
+    assert lit == arr           # cluster AND d2, exact doubles
+    assert auto == arr
+    with _pytest.raises(ValueError, match="kernel"):
+        kmeans_assign(df, "vid", "emb", k=4, kernel="simd")
