@@ -146,6 +146,9 @@ BENCH_QUERIES = [
     # and the two-snapshot drift monitor
     "dedup_cdc_chunks",
     "diag_distribution_psi",
+    # round-8: the third real media codec (RIFF walk + PCM decode +
+    # windowed stats, the audio-curation scan shape)
+    "multimodal_audio_decode",
 ]
 
 

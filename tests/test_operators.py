@@ -3047,3 +3047,105 @@ def test_kmeans_arrow_kernel_bit_equal_at_large_k(spark):
     assert auto == arr
     with _pytest.raises(ValueError, match="kernel"):
         kmeans_assign(df, "vid", "emb", k=4, kernel="simd")
+
+
+def test_wav_codec_roundtrip_and_stdlib_cross_check():
+    """The WAV decoder must invert the fixture encoder bit-exactly, read
+    stdlib `wave` output (a real-world encoder), skip unknown chunks
+    with odd-size padding, and be honest about unsupported formats."""
+    import io
+    import struct
+    import wave
+
+    import pytest as _pytest
+
+    from puffbird_spark.operators.multimodal import (
+        _mono_fold, decode_wav_pcm, encode_wav)
+
+    # 16-bit mono roundtrip against the closed form
+    blob = encode_wav(10, 8000, seed=3)
+    rate, n_ch, bits, frames = decode_wav_pcm(blob)
+    exp = [((i * 2657 + 3 * 7919) % 4001) - 2000 for i in range(10)]
+    assert (rate, n_ch, bits) == (8000, 1, 16)
+    assert [f[0] for f in frames] == exp
+
+    # stdlib wave reads our encoder; our decoder reads stdlib output
+    w = wave.open(io.BytesIO(blob), "rb")
+    assert (w.getframerate(), w.getnframes(), w.getsampwidth()) == (8000, 10, 2)
+    buf = io.BytesIO()
+    ww = wave.open(buf, "wb")
+    ww.setnchannels(1); ww.setsampwidth(2); ww.setframerate(8000)
+    ww.writeframes(b"".join(struct.pack("<h", v) for v in exp))
+    ww.close()
+    _, _, _, fr2 = decode_wav_pcm(buf.getvalue())
+    assert [f[0] for f in fr2] == exp
+
+    # stereo 8-bit: recentered to signed, floored-mean mono fold
+    blob2 = encode_wav(5, 16000, seed=1, n_channels=2, bits=8)
+    rate2, n_ch2, bits2, fr = decode_wav_pcm(blob2)
+    assert (rate2, n_ch2, bits2) == (16000, 2, 8)
+    exp2 = [[(i * 2657 + c * 101 + 1 * 7919) % 251 - 128 for c in (0, 1)]
+            for i in range(5)]
+    assert fr == exp2
+    assert _mono_fold(fr) == [sum(f) // 2 for f in fr]
+
+    # an odd-length LIST chunk between fmt and data must be skipped
+    # with its pad byte (RIFF word alignment)
+    head, data_part = blob.split(b"data", 1)
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    spliced = head + extra + b"data" + data_part
+    spliced = b"RIFF" + struct.pack(
+        "<I", len(spliced) - 8) + spliced[8:]
+    _, _, _, fr3 = decode_wav_pcm(spliced)
+    assert [f[0] for f in fr3] == exp
+
+    # float PCM (format 3) -> NotImplementedError; damage -> ValueError
+    fmt_f = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 16)
+    float_blob = (b"RIFF" + struct.pack("<I", 4 + 24 + 8) + b"WAVE"
+                  + b"fmt " + struct.pack("<I", 16) + fmt_f
+                  + b"data" + struct.pack("<I", 0))
+    with _pytest.raises(NotImplementedError, match="PCM"):
+        decode_wav_pcm(float_blob)
+    with _pytest.raises(ValueError):
+        decode_wav_pcm(b"RIFX1234WAVE")
+    with _pytest.raises(ValueError):
+        decode_wav_pcm(blob[:11])
+
+
+def test_audio_stats_and_resample_closed_form(spark):
+    """Window stats and 2x upsampling against hand-computed values."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from puffbird_spark.operators.multimodal import (
+        audio_stats, encode_wav, resample_audio)
+
+    df = spark.createDataFrame(
+        [("a", encode_wav(7, 8000, seed=5))], ["path", "content"])
+    got = {r["window_idx"]: r for r in audio_stats(
+        df, window=4).collect()}
+    s = [((i * 2657 + 5 * 7919) % 4001) - 2000 for i in range(7)]
+    assert got[0]["n_in_window"] == 4 and got[1]["n_in_window"] == 3
+    assert got[0]["peak"] == max(abs(v) for v in s[:4])
+    assert got[1]["rms"] == round(
+        math.sqrt(sum(v * v for v in s[4:]) / 3), 6)
+    assert got[0]["duration_ms"] == 0 and got[0]["n_frames"] == 7
+
+    out = resample_audio(df, dst_rate=16000).collect()[0]
+    assert out["n_out"] == 14
+    vals = out["samples"]
+    for j in range(14):
+        idx = j // 2
+        if j % 2 == 0:
+            assert vals[j] == float(s[idx])
+        elif idx + 1 < 7:
+            assert vals[j] == s[idx] + (s[idx + 1] - s[idx]) * 0.5
+        else:
+            assert vals[j] == float(s[6])
+    # downsample path: 8000 -> 6000, n_out = 7*6000//8000 = 5
+    down = resample_audio(df, dst_rate=6000).collect()[0]
+    assert down["n_out"] == 5
+    assert down["samples"][0] == float(s[0])
+    # j=3 -> num=24000, idx=4, rem=0 -> exactly s[4]
+    assert down["samples"][3] == float(s[4])
