@@ -340,8 +340,89 @@ def test_session_tracker_processing_time_timeout(spark, tmpdir):
                 except Exception:
                     got = []
             time.sleep(1)
+        # VERDICT r7 #6: the flush must happen exactly ONCE — state was
+        # removed on eviction, so further engine-scheduled empty batches
+        # must not re-emit the session. Poll a few more trigger cycles
+        # and assert the sink still holds the single row.
+        if got:
+            settle = time.time() + 5
+            while time.time() < settle:
+                if q.exception() is not None:
+                    raise q.exception()
+                time.sleep(1)
+            got = sorted(map(tuple, spark.read.parquet(f"{tmpdir}/out")
+                             .select("user_id", "session_start_us",
+                                     "session_end_us", "n_events")
+                             .collect()))
     finally:
         q.stop()
     # key 1's open session (0..5min, 2 events) was flushed by the
-    # processing-time timeout, in an engine-scheduled EMPTY batch.
+    # processing-time timeout, in an engine-scheduled EMPTY batch —
+    # and only once.
     assert got == [(1, 0 * M, 5 * M, 2)]
+
+
+def test_running_count_timeout_evicts_state(spark, tmpdir):
+    """VERDICT r7 #6 (replay case): a running_count key that times out
+    must have its state DROPPED silently (empty iterator, no emission,
+    no crash) — proven by a later event for the same key restarting the
+    count at 1 instead of continuing at 3."""
+    import time
+
+    from puffbird_spark.streaming import write_foreach_batch
+    from puffbird_spark.streaming.stateful import running_count
+
+    in_dir = f"{tmpdir}/in"
+    os.makedirs(in_dir, exist_ok=True)
+
+    def stage(name, rows):
+        tmp = f"{tmpdir}/stage_{name}"
+        spark.createDataFrame(rows, "user_id long").coalesce(1) \
+            .write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        shutil.copy(f"{tmp}/{part}", f"{in_dir}/{name}.parquet")
+
+    stage("b0", [(1,), (1,)])
+    src = (spark.readStream.schema("user_id long")
+           .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    out = running_count(src, key="user_id", timeout_ms=1000)
+
+    def sink(df, epoch_id):
+        df.write.mode("append").parquet(f"{tmpdir}/out")
+
+    q = (write_foreach_batch(
+            out, sink, checkpoint=f"{tmpdir}/ckpt", trigger_once=False,
+            output_mode="update")
+         .trigger(processingTime="1 second").start())
+
+    def read_totals():
+        if not os.path.isdir(f"{tmpdir}/out"):
+            return []
+        try:
+            return sorted(map(tuple, spark.read.parquet(f"{tmpdir}/out")
+                              .select("user_id", "total").collect()))
+        except Exception:
+            return []
+
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline and (1, 2) not in read_totals():
+            if q.exception() is not None:
+                raise q.exception()
+            time.sleep(1)
+        assert (1, 2) in read_totals()
+        # let the 1s timeout fire in the empty trigger cycles, then
+        # send one more event for the same key
+        time.sleep(4)
+        stage("b1", [(1,)])
+        deadline = time.time() + 120
+        while time.time() < deadline and (1, 1) not in read_totals():
+            if q.exception() is not None:
+                raise q.exception()
+            time.sleep(1)
+    finally:
+        q.stop()
+    totals = read_totals()
+    # count restarted at 1 after eviction — state was truly dropped;
+    # a surviving state would have produced (1, 3)
+    assert (1, 1) in totals and (1, 3) not in totals
