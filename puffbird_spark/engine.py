@@ -368,7 +368,8 @@ class FrameEngine:
                 "strategy='fused' does not support expand_cols / variant_cols"
                 ", and shared axes only when they form one group (same "
                 "member columns, one depth per axis, contiguous array-typed "
-                "depths from 0) — use 'join' (or 'auto')"
+                "depths from 0, members leading the requested column order) "
+                "— use 'join' (or 'auto')"
             )
         if strategy == "fused" or (
             strategy == "auto" and fusable and len(datacols) >= 2

@@ -226,16 +226,32 @@ def fused_axes_supported(
 ) -> bool:
     """The fused planner zips shared axes positionally. That equals the
     join-based assembly EXACTLY iff every level above each zip is itself a
-    join key — then each member frame has at most one row per key and a
-    full-outer join on the key IS positional outer alignment. Statically:
-    all declared axes form ONE group over the SAME member columns, each
-    axis sits at one depth common to all members, the depths are the
-    contiguous prefix 0..K, and levels 0..K are arrays (zip is positional;
-    map-keyed shared levels need key-equality joins). Anything else — a
-    free level above a shared level, disjoint axis groups, per-member
-    depths — changes row multiplicities under ragged data and must use
-    the join path."""
+    join key AND the zip multiplies a frame whose per-key multiplicity is
+    exactly the first member's frame. Statically: all declared axes form
+    ONE group over the SAME member columns, each axis sits at one depth
+    common to all members, the depths are the contiguous prefix 0..K,
+    levels 0..K are arrays (zip is positional; map-keyed shared levels
+    need key-equality joins), and — the round-8 tightening — the members
+    occupy the LEADING positions of the requested column order, so the
+    group folds BEFORE anything else expands.
+
+    The prefix condition is load-bearing, not cosmetic: the join
+    assembly folds frames in column order, and a non-first member joins
+    on (key, axes) against the ACCUMULATED frame. If another column has
+    already expanded (``to_long('b', 's', 'd', ax={'b':0,'d':0})`` — a
+    plain column BETWEEN the members), a position only the later member
+    holds joins nothing and lands as ONE standalone row per key, while a
+    positional zip would replicate it across the earlier expansion —
+    different multiplicities (caught by differential test
+    ``test_fused_interleaved_plain_column_falls_back``). The same
+    argument rules out a second disjoint group under this machinery:
+    its members fold after the first group expanded, so its
+    member-only positions collapse to once-per-key standalone rows the
+    zip cannot express."""
     member_set = frozenset(axes_by_col)
+    # members must lead the fold order: the group zips against nothing
+    if frozenset(cols[:len(member_set)]) != member_set:
+        return False
     axis_depths: dict[str, set[int]] = {}
     for c, m in axes_by_col.items():
         for depth, axis in m.items():

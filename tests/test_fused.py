@@ -264,3 +264,71 @@ def test_fused_shared_axis_on_map_falls_back(spark):
     assert got == {("a", 1, 2.0)}
     with pytest.raises(PuffbirdSparkError):
         eng.to_long("m1", "m2", strategy="fused", ax={"m1": 0, "m2": 0})
+
+
+@pytest.mark.parametrize("dropna", [True, False])
+def test_fused_interleaved_plain_column_falls_back(spark, dropna):
+    """Round-8 regression: a plain column BETWEEN axis members changes
+    the fold — a position only the later member holds lands as ONE
+    standalone row per key in the join assembly, but a positional zip
+    would replicate it across the plain column's expansion. auto must
+    use join; explicit fused must refuse; member-prefix order fuses."""
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("b", T.ArrayType(T.LongType())),
+        T.StructField("s", T.ArrayType(T.StringType())),
+        T.StructField("d", T.ArrayType(T.LongType())),
+    ])
+    rows = [
+        (1, [10], ["x", "y"], [20, 21]),       # d-only position 1
+        (2, None, ["z"], [30]),                # null first member
+        (3, [40, 41], [], [50]),               # b-only position 1
+    ]
+    df = spark.createDataFrame(rows, schema)
+    eng = FrameEngine(df, indexcols=["k"])
+    kw = dict(ax={"b": 0, "d": 0})
+    join = eng.to_long("b", "s", "d", dropna=dropna, strategy="join", **kw)
+    auto = eng.to_long("b", "s", "d", dropna=dropna, **kw)
+    assert _multiset(auto) == _multiset(join)
+    with pytest.raises(PuffbirdSparkError):
+        eng.to_long("b", "s", "d", dropna=dropna, strategy="fused", **kw)
+    # members leading the order: the proven prefix fusion still applies
+    fused = eng.to_long("b", "d", "s", dropna=dropna,
+                        strategy="fused", **kw)
+    join2 = eng.to_long("b", "d", "s", dropna=dropna,
+                        strategy="join", **kw)
+    assert _multiset(fused) == _multiset(join2)
+    assert P.count_exchanges(fused) == 0
+
+
+@pytest.mark.parametrize("dropna", [True, False])
+def test_disjoint_axis_groups_match_join_under_auto(spark, dropna):
+    """TWO disjoint shared-axis groups: the fold aligns the second
+    group via accumulated axis values (once-per-key standalone rows for
+    member-only positions), which the current zip machinery cannot
+    express — auto must fall back to join and match it."""
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("p", T.ArrayType(T.LongType())),
+        T.StructField("q", T.ArrayType(T.DoubleType())),
+        T.StructField("r", T.ArrayType(T.LongType())),
+        T.StructField("s", T.ArrayType(T.DoubleType())),
+    ])
+    rows = [
+        (0, [1, 2], [1.0], [7], [9.5, 8.5]),
+        (1, None, [2.0, 3.0], [], [0.5]),
+        (2, [], [], [8, 9], None),
+        (3, [3, None], [4.0], None, None),
+        (4, None, None, None, None),
+        (5, [5], None, [10, None], [1.5]),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    eng = FrameEngine(df, indexcols=["k"])
+    kw = dict(ax1={"p": 0, "q": 0}, ax2={"r": 0, "s": 0})
+    join = eng.to_long("p", "q", "r", "s", dropna=dropna,
+                       strategy="join", **kw)
+    auto = eng.to_long("p", "q", "r", "s", dropna=dropna, **kw)
+    assert _multiset(auto) == _multiset(join)
+    with pytest.raises(PuffbirdSparkError):
+        eng.to_long("p", "q", "r", "s", dropna=dropna,
+                    strategy="fused", **kw)
