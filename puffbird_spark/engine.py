@@ -357,24 +357,36 @@ class FrameEngine:
             raise PuffbirdSparkError(
                 f"strategy must be 'auto', 'join' or 'fused', got {strategy!r}"
             )
+        zip_fusable = not axes_by_col or _explode.fused_axes_supported(
+            self._df, datacols, axes_by_col, depth_map, cond_map)
+        fold_fusable = bool(axes_by_col) and not zip_fusable and (
+            _explode.fold_exact_supported(
+                self._df, datacols, axes_by_col, depth_map, cond_map))
         fusable = (
             not expand_cols
             and not variant_cols
-            and (not axes_by_col or _explode.fused_axes_supported(
-                self._df, datacols, axes_by_col, depth_map, cond_map))
+            and (zip_fusable or fold_fusable)
         )
         if strategy == "fused" and not fusable:
             raise PuffbirdSparkError(
                 "strategy='fused' does not support expand_cols / variant_cols"
-                ", and shared axes only when they form one group (same "
-                "member columns, one depth per axis, contiguous array-typed "
-                "depths from 0, members leading the requested column order) "
-                "— use 'join' (or 'auto')"
+                ", and shared axes only as identical-chain groups (same "
+                "member columns per axis chain, one depth per axis, "
+                "contiguous array-typed depths from 0) — use 'join' (or "
+                "'auto')"
             )
         if strategy == "fused" or (
             strategy == "auto" and fusable and len(datacols) >= 2
         ):
             try:
+                if fold_fusable:
+                    # order-sensitive fold semantics compiled to
+                    # generators (disjoint groups / interleaved members)
+                    return _explode.explode_fold_exact(
+                        self._df, self._indexcols, datacols,
+                        depth_map=depth_map, dropna=dropna,
+                        stop_map=cond_map, axes_by_col=axes_by_col,
+                    )
                 return _explode.explode_fused(
                     self._df, self._indexcols, datacols,
                     depth_map=depth_map, dropna=dropna, stop_map=cond_map,

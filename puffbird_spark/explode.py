@@ -370,6 +370,9 @@ def explode_fused(
         carried = [x for x in out.columns if x not in drop]
 
         if dropna:
+            elem_t = {
+                c: out.schema[c].dataType.elementType for c in members
+            }
             zipped = F.arrays_zip(
                 *[F.coalesce(F.col(c), F.array()).alias(c) for c in members]
             )
@@ -378,15 +381,21 @@ def explode_fused(
                 *carried, axis,
                 *[F.col("__z").getField(c).alias(c) for c in members],
             )
-            # a zip position survives iff ANY member holds a value there
-            # (each side's null leaves were dropped before the outer join)
+            # a zip position survives iff ANY member's frame has a row
+            # there — i.e. some member's sub-tree reaches a non-null
+            # leaf within its depth/stop budget. A bare isNotNull is
+            # NOT enough (round-8 fix): an `[]` or all-null-leaf
+            # sub-cell is non-null here but produces zero frame rows
+            # downstream, so the join has no row at this position.
             pred = F.lit(False)
             if depth == 0:
                 # all-empty cells at depth 0: keep one NULL row — other
                 # frames keep the index row alive through the outer join
                 pred = F.col(axis).isNull()
             for c in members:
-                pred = pred | F.col(c).isNotNull()
+                pred = pred | _leaf_survives(
+                    F.col(c), elem_t[c], depth + 1, depth_map[c],
+                    stop_map[c])
             out = out.filter(pred)
         else:
             real = {
@@ -557,3 +566,466 @@ def assemble_long(
     if out is None:
         raise PuffbirdSparkError("no data columns to explode")
     return out
+
+
+# ------------------------------------------------------------------ #
+# Fold-exact fusion (round 8, VERDICT r7 #7 + the interleave parity
+# bug): zero-shuffle to_long for ANY shared-axis declaration — multiple
+# disjoint groups, plain columns interleaved between members, free
+# sublevels below the chains — reproducing the join assembly's
+# ORDER-DEPENDENT fold semantics exactly.
+#
+# Why the per-depth zip machinery above can't do this: the join path
+# folds per-column frames in the requested column order, and a
+# non-first member joins on (key, chain axes) against the ACCUMULATED
+# frame. A chain tuple only a later member holds therefore lands as ONE
+# standalone row per key, multiplied only by frames folded AFTER that
+# member — an order-sensitive multiplicity a positional zip (which
+# multiplies by everything) cannot express.
+#
+# The fold IS row-local (every join includes the unique key columns),
+# so it can be compiled to generators:
+#
+# 1. per group, enumerate each member's would-be frame rows over the
+#    chain depths as a row-local tuple array (outer/inner explosion
+#    semantics, NULL-extended tuples for dropna=False);
+# 2. split into LED entries (the first member's tuples, later members
+#    attached via bounds-checked get-chains — at most one row per
+#    NULL-free tuple, and NULL tuples never match, exactly like the
+#    join) and STANDALONE entries (later members' tuples matched by no
+#    earlier member, tagged with the creating member's column
+#    position);
+# 3. ONE splitter generator emits the main row plus each standalone
+#    entry once; on a standalone row, columns folding BEFORE the
+#    creator are NULL-masked (their outer generators then emit single
+#    all-NULL rows — the join's unmatched-side NULLs) while columns
+#    folding AFTER expand normally (the join multiplies them in);
+# 4. each group then contributes ONE generator (led entries on main
+#    rows / the payload on its own standalone rows / empty therefore
+#    one all-NULL row on earlier-created standalone rows), and free
+#    sublevels + plain columns explode as usual.
+#
+# Differential-tested against the join path on adversarial and
+# randomized ragged fixtures in tests/test_fused.py.
+# ------------------------------------------------------------------ #
+
+
+def _ax(d: int) -> str:
+    return f"__ax{d}"
+
+
+def _chain_of(m: dict[int, str]) -> tuple[str, ...]:
+    return tuple(m[d] for d in sorted(m))
+
+
+def _sub_dtype(dtype: T.DataType, levels: int) -> T.DataType:
+    for _ in range(levels):
+        dtype = dtype.elementType
+    return dtype
+
+
+def fold_exact_supported(
+    df: DataFrame,
+    cols: list[str],
+    axes_by_col: dict[str, dict[int, str]],
+    depth_map: dict[str, int],
+    stop_map: dict[str, StopCond],
+) -> bool:
+    """Static support check for the fold-exact path: the declared axes
+    must partition the axis columns into groups whose members share an
+    IDENTICAL contiguous 0..K array-typed chain (positional alignment;
+    map-keyed shared levels still need the join), with no axis name
+    bridging two chains (a partial overlap is not a group). Unlike
+    :func:`fused_axes_supported` there is NO ordering restriction —
+    order sensitivity is compiled in, not avoided."""
+    chains: dict[tuple[str, ...], list[str]] = {}
+    for c, m in axes_by_col.items():
+        if sorted(m) != list(range(len(m))):
+            return False  # free level above/between shared levels
+        chains.setdefault(_chain_of(m), []).append(c)
+    seen: dict[str, tuple[tuple[str, ...], int]] = {}
+    for chain in chains:
+        for depth, axis in enumerate(chain):
+            if axis in seen and seen[axis] != (chain, depth):
+                return False  # axis bridges two groups
+            seen[axis] = (chain, depth)
+    for chain, members in chains.items():
+        for c in members:
+            dtype = df.schema[c].dataType
+            for depth in range(len(chain)):
+                if depth >= depth_map[c] or stop_map[c](dtype):
+                    return False  # declared axis depth unreachable
+                if not isinstance(dtype, T.ArrayType):
+                    return False
+                dtype = dtype.elementType
+    return True
+
+
+def _leaf_survives(
+    expr: Column, dtype: T.DataType, depth: int, max_depth: int,
+    stop: StopCond,
+) -> Column:
+    """Would ``explode_column(dropna=True)`` keep at least one row from
+    this sub-cell? (Inner generators drop null/empty containers; the
+    final filter drops null leaves — so survival = some path to a
+    non-null leaf within the depth/stop budget.)"""
+    if depth >= max_depth or stop(dtype):
+        return expr.isNotNull()
+    if isinstance(dtype, T.ArrayType):
+        return expr.isNotNull() & F.exists(
+            expr,
+            lambda x: _leaf_survives(
+                x, dtype.elementType, depth + 1, max_depth, stop))
+    if isinstance(dtype, T.MapType):
+        return expr.isNotNull() & F.exists(
+            F.map_values(expr),
+            lambda x: _leaf_survives(
+                x, dtype.valueType, depth + 1, max_depth, stop))
+    if isinstance(dtype, T.StructType):
+        common = _struct_common_type(dtype)
+        pred = F.lit(False)
+        for f in dtype.fields:
+            pred = pred | _leaf_survives(
+                expr.getField(f.name).cast(common), common, depth + 1,
+                max_depth, stop)
+        return expr.isNotNull() & pred
+    return expr.isNotNull()
+
+
+def _member_tuples(
+    cell: Column, dtype: T.DataType, K: int, dropna: bool,
+    leaf_pred,
+) -> Column:
+    """``array<struct<__ax0..__axK int, __v sub>>`` — the rows
+    ``explode_column`` would emit for this member at chain depths 0..K,
+    in frame-row form: dropna=True enumerates index paths through
+    non-null arrays whose sub-cell survives the leaf filter; dropna=False
+    follows ``posexplode_outer`` semantics (null/empty container at
+    depth d -> ONE tuple with indices NULL from d on)."""
+
+    def tail_type(d: int) -> T.StructType:
+        return T.StructType(
+            [T.StructField(_ax(dd), T.IntegerType())
+             for dd in range(d, K + 1)]
+            + [T.StructField("__v", _sub_dtype(dtype, K + 1))])
+
+    def null_tail(d: int) -> Column:
+        return F.array(F.struct(
+            *[F.lit(None).cast("int").alias(_ax(dd))
+              for dd in range(d, K + 1)],
+            F.lit(None).cast(_sub_dtype(dtype, K + 1)).alias("__v")))
+
+    def prefix(i: Column, t: Column, d: int) -> Column:
+        return F.struct(
+            i.cast("int").alias(_ax(d)),
+            *[t.getField(_ax(dd)).alias(_ax(dd))
+              for dd in range(d + 1, K + 1)],
+            t.getField("__v").alias("__v"))
+
+    def rec(e: Column, dt: T.DataType, d: int) -> Column:
+        if d == K:
+            ent = F.transform(e, lambda x, i: F.struct(
+                i.cast("int").alias(_ax(d)), x.alias("__v")))
+            if dropna:
+                kept = F.filter(ent, lambda s: leaf_pred(s.getField("__v")))
+                return F.coalesce(
+                    kept, F.array().cast(T.ArrayType(tail_type(d))))
+            return F.when(
+                e.isNotNull() & (F.size(e) > 0), ent
+            ).otherwise(null_tail(d))
+        body = F.flatten(F.transform(
+            e,
+            lambda x, i: F.transform(
+                rec(x, dt.elementType, d + 1),
+                lambda t: prefix(i, t, d)),
+        ))
+        if dropna:
+            return F.coalesce(
+                body, F.array().cast(T.ArrayType(tail_type(d))))
+        return F.when(
+            e.isNotNull() & (F.size(e) > 0), body
+        ).otherwise(null_tail(d))
+
+    return rec(cell, dtype, 0)
+
+
+def _pos_exists(
+    col_expr: Column, t: Column, K: int, dropna: bool, leaf_pred,
+) -> Column:
+    """Does this member's frame contain a row at the NULL-free chain
+    tuple ``t``? Bounds-checked walk; dropna=True additionally requires
+    the sub-cell to survive the leaf filter."""
+    pred = F.lit(True)
+    cur = col_expr
+    for d in range(K + 1):
+        idx = t.getField(_ax(d))
+        pred = pred & cur.isNotNull() & (idx < F.size(cur))
+        cur = F.get(cur, idx)
+    if dropna:
+        pred = pred & leaf_pred(cur)
+    return F.coalesce(pred, F.lit(False))
+
+
+def _lookup(
+    col_expr: Column, t: Column, K: int, dropna: bool, leaf_pred,
+) -> Column:
+    """The member's sub-cell at chain tuple ``t`` — NULL when absent
+    (out of bounds, NULL index, or — dropna=True — a sub-tree the leaf
+    filter would erase, so its free levels must read NULL like the
+    join's unmatched side)."""
+    cur = col_expr
+    for d in range(K + 1):
+        cur = F.get(cur, t.getField(_ax(d)))
+    if dropna:
+        cur = F.when(leaf_pred(cur), cur)
+    return cur
+
+
+def explode_fold_exact(
+    df: DataFrame,
+    key_cols: list[str],
+    cols: list[str],
+    depth_map: dict[str, int],
+    dropna: bool,
+    stop_map: dict[str, StopCond],
+    axes_by_col: dict[str, dict[int, str]],
+) -> DataFrame:
+    """Generator-compiled join fold (see the section comment above):
+    exact ``strategy='join'`` semantics for any supported shared-axis
+    declaration, zero joins, zero shuffles."""
+    pos = {c: i for i, c in enumerate(cols)}
+    chains: dict[tuple[str, ...], list[str]] = {}
+    for c in sorted(axes_by_col, key=pos.get):
+        chains.setdefault(_chain_of(axes_by_col[c]), []).append(c)
+    plain = [c for c in cols if c not in axes_by_col]
+
+    groups = []
+    for gi, (chain, members) in enumerate(chains.items()):
+        K = len(chain) - 1
+        leaf_preds = {}
+        sub_types = {}
+        for c in members:
+            sub = _sub_dtype(df.schema[c].dataType, K + 1)
+            sub_types[c] = sub
+
+            def mk(sub=sub, c=c):
+                return lambda e: _leaf_survives(
+                    e, sub, K + 1, depth_map[c], stop_map[c])
+
+            leaf_preds[c] = mk()
+        entry_type = T.StructType(
+            [T.StructField(_ax(d), T.IntegerType()) for d in range(K + 1)]
+            + [T.StructField(c, sub_types[c]) for c in members]
+            + [T.StructField("__src", T.IntegerType())])
+        groups.append({
+            "gi": gi, "chain": chain, "members": members, "K": K,
+            "entry_type": entry_type, "leaf_preds": leaf_preds,
+            "leader_pos": pos[members[0]],
+        })
+
+    # --- per-group led/stand arrays, computed on the original row ---
+    proj = [F.col(c) for c in (*key_cols, *plain)]
+    for g in groups:
+        K, members, leaf_preds = g["K"], g["members"], g["leaf_preds"]
+        tuples = {
+            c: _member_tuples(
+                F.col(c), df.schema[c].dataType, K, dropna, leaf_preds[c])
+            for c in members
+        }
+
+        def entry(t, src, members=members, K=K, leaf_preds=leaf_preds):
+            return F.struct(
+                *[t.getField(_ax(d)).alias(_ax(d)) for d in range(K + 1)],
+                *[_lookup(F.col(c), t, K, dropna, leaf_preds[c]).alias(c)
+                  for c in members],
+                F.lit(src).cast("int").alias("__src"))
+
+        def nullfree(t, K=K):
+            p = F.lit(True)
+            for d in range(K + 1):
+                p = p & t.getField(_ax(d)).isNotNull()
+            return p
+
+        led = F.transform(tuples[members[0]], lambda t: entry(t, -1))
+        stand_parts = []
+        for j, c in enumerate(members[1:], start=1):
+            earlier = members[:j]
+
+            def mk_unmatched(earlier=earlier, K=K, leaf_preds=leaf_preds):
+                def unmatched(t):
+                    m = F.lit(False)
+                    for ec in earlier:
+                        m = m | _pos_exists(
+                            F.col(ec), t, K, dropna, leaf_preds[ec])
+                    return ~(nullfree(t) & m)
+                return unmatched
+
+            def mk_entry(src=pos[c]):
+                return lambda t: entry(t, src)
+
+            stand_parts.append(F.transform(
+                F.filter(tuples[c], mk_unmatched()), mk_entry()))
+        stand = stand_parts[0] if stand_parts else F.array().cast(
+            T.ArrayType(g["entry_type"]))
+        for part in stand_parts[1:]:
+            stand = F.concat(stand, part)
+        proj.append(led.alias(f"__led_{g['gi']}"))
+        proj.append(stand.alias(f"__stand_{g['gi']}"))
+
+    # The main row stands for the fold's accumulated lineage. dropna=True
+    # frames can be EMPTY, and when every frame before a group's
+    # non-leader member is empty, the fold's accumulator is empty at
+    # that member's join — its rows enter BARE (they are exactly the
+    # standalone entries) and no NULL-extended lineage ever exists. So
+    # the main row is emitted only if the FIRST contributing column
+    # (first frame with >=1 row, checkable row-locally via
+    # _leaf_survives on the original cells) is a plain column or a
+    # group leader; those enter bare *through* the main lineage.
+    # dropna=False frames always hold >=1 row, so the lineage always
+    # exists.
+    if dropna:
+        leaders = {g["members"][0] for g in groups}
+        main_ok: Column = F.lit(True)
+        for c in reversed(cols):
+            ok = (c not in axes_by_col) or (c in leaders)
+            main_ok = F.when(
+                _leaf_survives(
+                    F.col(c), df.schema[c].dataType, 0, depth_map[c],
+                    stop_map[c]),
+                F.lit(ok),
+            ).otherwise(main_ok)
+    else:
+        main_ok = F.lit(True)
+    proj.append(main_ok.alias("__main_ok"))
+    base = df.select(*proj)
+
+    # --- splitter: one main row + each standalone entry once ---
+    def null_entries(except_gi=None, payload=None):
+        out = []
+        for g in groups:
+            if g["gi"] == except_gi:
+                out.append(payload.alias(f"__e_{g['gi']}"))
+            else:
+                out.append(F.lit(None).cast(
+                    g["entry_type"]).alias(f"__e_{g['gi']}"))
+        return out
+
+    split_type = T.StructType(
+        [T.StructField("__creator", T.IntegerType())]
+        + [T.StructField(f"__e_{g['gi']}", g["entry_type"])
+           for g in groups])
+    split_parts = [F.when(F.col("__main_ok"), F.array(F.struct(
+        F.lit(-1).cast("int").alias("__creator"), *null_entries())))
+        .otherwise(F.array().cast(T.ArrayType(split_type)))]
+    for g in groups:
+        def mk_split(gi=g["gi"]):
+            return lambda e: F.struct(
+                e.getField("__src").alias("__creator"),
+                *null_entries(except_gi=gi, payload=e))
+
+        split_parts.append(F.transform(
+            F.col(f"__stand_{g['gi']}"), mk_split()))
+    split_col = split_parts[0]
+    for part in split_parts[1:]:
+        split_col = F.concat(split_col, part)
+    led_cols = [f"__led_{g['gi']}" for g in groups]
+    work = base.select(
+        *key_cols, *plain, *led_cols, F.explode(split_col).alias("__sp"))
+    creator = F.col("__sp").getField("__creator")
+    is_main = creator == -1
+    work = work.select(
+        *key_cols,
+        # a standalone row is multiplied only by frames folded AFTER its
+        # creating member: earlier plain columns read NULL (their outer
+        # generators then emit single all-NULL rows, the join's
+        # unmatched-side NULLs)
+        *[F.when(is_main | (F.lit(pos[c]) > creator), F.col(c)).alias(c)
+          for c in plain],
+        *led_cols,
+        creator.alias("__creator"),
+        *[F.col("__sp").getField(f"__e_{g['gi']}").alias(f"__e_{g['gi']}")
+          for g in groups],
+    )
+
+    # --- one generator per group ---
+    for g in groups:
+        gi, chain, members, K = g["gi"], g["chain"], g["members"], g["K"]
+        for axis in chain:
+            if axis in work.columns:
+                raise PuffbirdSparkError(
+                    f"shared axis column {axis!r} collides with an "
+                    "existing column")
+        inp = (
+            F.when(F.col("__creator") == -1, F.col(f"__led_{gi}"))
+            .when(F.col(f"__e_{gi}").isNotNull(),
+                  F.array(F.col(f"__e_{gi}")))
+            # a group whose leader folds after the creating member
+            # expands fully on the standalone row (the join joins it in
+            # on the bare key); an earlier group contributes one
+            # all-NULL row (its axes can never match a NULL)
+            .when(F.lit(g["leader_pos"]) > F.col("__creator"),
+                  F.col(f"__led_{gi}"))
+            .otherwise(F.array().cast(T.ArrayType(g["entry_type"])))
+        )
+        carried = [x for x in work.columns
+                   if x not in (f"__led_{gi}", f"__e_{gi}")]
+        work = work.select(*carried, F.explode_outer(inp).alias("__ge"))
+        carried2 = [x for x in work.columns if x != "__ge"]
+        work = work.select(
+            *carried2,
+            *[F.col("__ge").getField(_ax(d)).alias(chain[d])
+              for d in range(K + 1)],
+            *[F.col("__ge").getField(c).alias(c) for c in members],
+        )
+    work = work.drop("__creator")
+
+    # --- free sublevels + plain columns, then the survival filter ---
+    cur = {c: 0 for c in plain}
+    for g in groups:
+        for c in g["members"]:
+            cur[c] = g["K"] + 1
+
+    def active(c: str) -> bool:
+        if cur[c] >= depth_map[c]:
+            return False
+        return not stop_map[c](work.schema[c].dataType)
+
+    for c in cols:
+        while active(c):
+            dtype = work.schema[c].dataType
+            lvl = level_column(c, cur[c], axes_by_col.get(c))
+            if lvl in work.columns:
+                raise PuffbirdSparkError(
+                    f"generated level column {lvl!r} collides with an "
+                    "existing column")
+            carried = [x for x in work.columns if x != c]
+            cell = F.col(c)
+            if isinstance(dtype, T.StructType):
+                cell = _struct_as_map(cell, dtype)
+                dtype = T.MapType(
+                    T.StringType(), _struct_common_type(dtype))
+            if isinstance(dtype, T.ArrayType):
+                if dropna:
+                    gen = F.explode_outer(_array_pairs_or_null(cell))
+                    work = work.select(
+                        *carried, gen.alias("__pv")).select(
+                        *carried,
+                        F.col("__pv").getField("p").alias(lvl),
+                        F.col("__pv").getField("v").alias(c),
+                    )
+                else:
+                    work = work.select(
+                        *carried, F.posexplode_outer(cell).alias(lvl, c))
+            else:
+                if dropna:
+                    cell = _map_or_null(cell)
+                work = work.select(
+                    *carried, F.explode_outer(cell).alias(lvl, c))
+            cur[c] += 1
+
+    if dropna and cols:
+        pred = F.col(cols[0]).isNotNull()
+        for c in cols[1:]:
+            pred = pred | F.col(c).isNotNull()
+        work = work.filter(pred)
+    return work

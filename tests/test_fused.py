@@ -267,12 +267,12 @@ def test_fused_shared_axis_on_map_falls_back(spark):
 
 
 @pytest.mark.parametrize("dropna", [True, False])
-def test_fused_interleaved_plain_column_falls_back(spark, dropna):
-    """Round-8 regression: a plain column BETWEEN axis members changes
-    the fold — a position only the later member holds lands as ONE
-    standalone row per key in the join assembly, but a positional zip
-    would replicate it across the plain column's expansion. auto must
-    use join; explicit fused must refuse; member-prefix order fuses."""
+def test_fold_exact_interleaved_plain_column(spark, dropna):
+    """Round-8: a plain column BETWEEN axis members changes the fold —
+    a position only the later member holds lands as ONE standalone row
+    per key (not replicated across the plain column's expansion). The
+    fold-exact path compiles this order sensitivity into generators:
+    join-equivalent, zero shuffles, in both column orders."""
     schema = T.StructType([
         T.StructField("k", T.LongType()),
         T.StructField("b", T.ArrayType(T.LongType())),
@@ -283,30 +283,26 @@ def test_fused_interleaved_plain_column_falls_back(spark, dropna):
         (1, [10], ["x", "y"], [20, 21]),       # d-only position 1
         (2, None, ["z"], [30]),                # null first member
         (3, [40, 41], [], [50]),               # b-only position 1
+        (4, [60, None], ["w"], [70, 71, 72]),  # null leaf in leader
     ]
     df = spark.createDataFrame(rows, schema)
     eng = FrameEngine(df, indexcols=["k"])
     kw = dict(ax={"b": 0, "d": 0})
-    join = eng.to_long("b", "s", "d", dropna=dropna, strategy="join", **kw)
-    auto = eng.to_long("b", "s", "d", dropna=dropna, **kw)
-    assert _multiset(auto) == _multiset(join)
-    with pytest.raises(PuffbirdSparkError):
-        eng.to_long("b", "s", "d", dropna=dropna, strategy="fused", **kw)
-    # members leading the order: the proven prefix fusion still applies
-    fused = eng.to_long("b", "d", "s", dropna=dropna,
-                        strategy="fused", **kw)
-    join2 = eng.to_long("b", "d", "s", dropna=dropna,
-                        strategy="join", **kw)
-    assert _multiset(fused) == _multiset(join2)
-    assert P.count_exchanges(fused) == 0
+    for order in (("b", "s", "d"), ("s", "b", "d"), ("b", "d", "s")):
+        join = eng.to_long(*order, dropna=dropna, strategy="join", **kw)
+        fused = eng.to_long(*order, dropna=dropna, strategy="fused", **kw)
+        assert sorted(join.columns) == sorted(fused.columns), order
+        assert _multiset(join) == _multiset(fused), (order, dropna)
+        assert P.count_exchanges(fused) == 0, order
+        auto = eng.to_long(*order, dropna=dropna, **kw)
+        assert P.count_exchanges(auto) == 0, order
 
 
 @pytest.mark.parametrize("dropna", [True, False])
-def test_disjoint_axis_groups_match_join_under_auto(spark, dropna):
-    """TWO disjoint shared-axis groups: the fold aligns the second
-    group via accumulated axis values (once-per-key standalone rows for
-    member-only positions), which the current zip machinery cannot
-    express — auto must fall back to join and match it."""
+def test_fold_exact_disjoint_axis_groups(spark, dropna):
+    """VERDICT r7 #7: TWO disjoint shared-axis groups fuse exactly —
+    the second group's member-only positions land once per key
+    (standalone rows), everything else composes multiplicatively."""
     schema = T.StructType([
         T.StructField("k", T.LongType()),
         T.StructField("p", T.ArrayType(T.LongType())),
@@ -324,11 +320,168 @@ def test_disjoint_axis_groups_match_join_under_auto(spark, dropna):
     ]
     df = spark.createDataFrame(rows, schema)
     eng = FrameEngine(df, indexcols=["k"])
-    kw = dict(ax1={"p": 0, "q": 0}, ax2={"r": 0, "s": 0})
-    join = eng.to_long("p", "q", "r", "s", dropna=dropna,
-                       strategy="join", **kw)
-    auto = eng.to_long("p", "q", "r", "s", dropna=dropna, **kw)
-    assert _multiset(auto) == _multiset(join)
+    for order in (("p", "q", "r", "s"), ("p", "r", "q", "s"),
+                  ("r", "s", "p", "q")):
+        kw = dict(ax1={"p": 0, "q": 0}, ax2={"r": 0, "s": 0})
+        join = eng.to_long(*order, dropna=dropna, strategy="join", **kw)
+        fused = eng.to_long(*order, dropna=dropna, strategy="fused", **kw)
+        assert sorted(join.columns) == sorted(fused.columns), order
+        assert _multiset(join) == _multiset(fused), (order, dropna)
+        assert P.count_exchanges(fused) == 0, order
+
+
+@pytest.mark.parametrize("dropna", [True, False])
+def test_fold_exact_deep_group_with_free_sublevels(spark, dropna):
+    """A depth-0+1 chain group with free sublevels below, a shallow
+    second group, and a plain column — non-prefix order, fused."""
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("b", T.ArrayType(
+            T.ArrayType(T.ArrayType(T.DoubleType())))),
+        T.StructField("d", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        T.StructField("p", T.ArrayType(T.LongType())),
+        T.StructField("q", T.ArrayType(T.LongType())),
+        T.StructField("s", T.StringType()),
+    ])
+    rows = [
+        (0, [[[1.0], [2.0, 3.0]]], [[0.1]], [1, 2], [3], "x"),
+        (1, None, [[1.1, 1.2]], None, [4], None),
+        (2, [[[7.0, None]], []], [[8.0], [9.0]], [5], [], "y"),
+        (3, [[], [[11.0]]], [[12.0]], [], None, "z"),
+        (4, [[None]], [[13.0], None], [6, 7], [8, 9], None),
+        (5, None, None, None, None, None),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    eng = FrameEngine(df, indexcols=["k"])
+    kw = dict(t={"b": 0, "d": 0}, ax={"b": 1, "d": 1},
+              u={"p": 0, "q": 0})
+    order = ("p", "b", "s", "d", "q")
+    join = eng.to_long(*order, dropna=dropna, strategy="join", **kw)
+    fused = eng.to_long(*order, dropna=dropna, strategy="fused", **kw)
+    assert sorted(join.columns) == sorted(fused.columns)
+    assert _multiset(join) == _multiset(fused)
+    assert P.count_exchanges(fused) == 0
+
+
+def test_fold_exact_randomized(spark):
+    """Randomized differential: two groups (one deep with free
+    sublevels), a plain nested column, several column orders, both
+    dropna modes — ragged, null cells, null inner arrays, null leaves."""
+    rng = random.Random(29)
+
+    def arr(depth):
+        if rng.random() < 0.18:
+            return None
+        n = rng.randint(0, 3)
+        if depth <= 1:
+            return [rng.choice([None, rng.randint(0, 9)])
+                    for _ in range(n)]
+        return [arr(depth - 1) for _ in range(n)]
+
+    rows = [(k, arr(2), arr(2), arr(1), arr(1), arr(1))
+            for k in range(25)]
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("b", T.ArrayType(T.ArrayType(T.LongType()))),
+        T.StructField("d", T.ArrayType(T.ArrayType(T.LongType()))),
+        T.StructField("p", T.ArrayType(T.LongType())),
+        T.StructField("q", T.ArrayType(T.LongType())),
+        T.StructField("z", T.ArrayType(T.LongType())),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    eng = FrameEngine(df, indexcols=["k"])
+    kw = dict(ax={"b": 0, "d": 0}, u={"p": 0, "q": 0})
+    for order in (("b", "d", "p", "q", "z"), ("b", "p", "d", "q", "z"),
+                  ("z", "p", "b", "q", "d")):
+        for dropna in (True, False):
+            join = eng.to_long(*order, dropna=dropna,
+                               strategy="join", **kw)
+            fused = eng.to_long(*order, dropna=dropna,
+                                strategy="fused", **kw)
+            assert _multiset(join) == _multiset(fused), (order, dropna)
+
+
+def test_fused_partial_axis_overlap_still_falls_back(spark):
+    """An axis bridging two chains (q carries ax1 AND ax2, p only ax1)
+    is a partial overlap — multiplicities change under ragged data, so
+    auto must use join and explicit fused must refuse."""
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("p", T.ArrayType(T.LongType())),
+        T.StructField("q", T.ArrayType(T.ArrayType(T.LongType()))),
+        T.StructField("r", T.ArrayType(T.ArrayType(T.LongType()))),
+    ])
+    df = spark.createDataFrame(
+        [(0, [1, 2], [[3], [4, 5]], [[6]])], schema)
+    eng = FrameEngine(df, indexcols=["k"])
+    # ax1 on {p@0, q@0}; ax2 on {q@1, r@1} — q bridges, r's depth-0 free
+    kw = dict(ax1={"p": 0, "q": 0}, ax2={"q": 1, "r": 1})
     with pytest.raises(PuffbirdSparkError):
-        eng.to_long("p", "q", "r", "s", dropna=dropna,
-                    strategy="fused", **kw)
+        eng.to_long("p", "q", "r", strategy="fused", **kw)
+    auto = eng.to_long("p", "q", "r", **kw)
+    join = eng.to_long("p", "q", "r", strategy="join", **kw)
+    assert _multiset(auto) == _multiset(join)
+
+
+@pytest.mark.parametrize("dropna", [True, False])
+def test_fused_zip_leaf_dead_subcells(spark, dropna):
+    """Round-8 regression (zip path): a zip position whose sub-cell is
+    non-null but produces ZERO frame rows downstream (`[]`, `[None]`)
+    must be dropped unless another member's sub-tree survives — a bare
+    isNotNull pred kept phantom positions the join never had."""
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("b", T.ArrayType(T.ArrayType(T.LongType()))),
+        T.StructField("d", T.ArrayType(T.ArrayType(T.LongType()))),
+        T.StructField("p", T.ArrayType(T.LongType())),
+    ])
+    rows = [
+        (4, [[None]], [[0, 6, None], []], [6, 0, None]),
+        (5, [[], [None, None]], [[1]], [2]),
+        (6, [[7]], [[], [None]], None),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    eng = FrameEngine(df, indexcols=["k"])
+    kw = dict(ax={"b": 0, "d": 0})
+    join = eng.to_long("b", "d", "p", dropna=dropna, strategy="join", **kw)
+    fused = eng.to_long("b", "d", "p", dropna=dropna,
+                        strategy="fused", **kw)
+    assert _multiset(join) == _multiset(fused)
+    assert P.count_exchanges(fused) == 0
+
+
+def test_fold_exact_randomized_more_seeds(spark):
+    """Additional randomized sweeps — the seed-29 sweep caught both the
+    empty-leader main-lineage case and the zip leaf-survival bug, so
+    buy more dice rolls."""
+    for seed in (101, 202):
+        rng = random.Random(seed)
+
+        def arr(depth):
+            if rng.random() < 0.25:
+                return None
+            n = rng.randint(0, 3)
+            if depth <= 1:
+                return [rng.choice([None, rng.randint(0, 9)])
+                        for _ in range(n)]
+            return [arr(depth - 1) for _ in range(n)]
+
+        rows = [(k, arr(2), arr(2), arr(1), arr(1)) for k in range(20)]
+        schema = T.StructType([
+            T.StructField("k", T.LongType()),
+            T.StructField("b", T.ArrayType(T.ArrayType(T.LongType()))),
+            T.StructField("d", T.ArrayType(T.ArrayType(T.LongType()))),
+            T.StructField("p", T.ArrayType(T.LongType())),
+            T.StructField("q", T.ArrayType(T.LongType())),
+        ])
+        df = spark.createDataFrame(rows, schema)
+        eng = FrameEngine(df, indexcols=["k"])
+        kw = dict(ax={"b": 0, "d": 0}, u={"p": 0, "q": 0})
+        for order in (("b", "d", "p", "q"), ("p", "b", "q", "d")):
+            for dropna in (True, False):
+                join = eng.to_long(*order, dropna=dropna,
+                                   strategy="join", **kw)
+                fused = eng.to_long(*order, dropna=dropna,
+                                    strategy="fused", **kw)
+                assert _multiset(join) == _multiset(fused), (
+                    seed, order, dropna)
