@@ -201,3 +201,55 @@ def explode_inline(spark, sf_dir):
         ).alias("items")
     )
     return nested.select("l_orderkey", F.inline("items"))
+
+
+@query("engine_to_long_fold_exact", oracle="""
+WITH f1 AS (SELECT doc_id, CAST(unnest(range(0, doc_id % 4)) AS INT) AS ax1
+            FROM documents),
+fa AS (SELECT doc_id, ax1, CAST(doc_id * 7 + ax1 AS BIGINT) AS a FROM f1),
+f2 AS (SELECT doc_id, CAST(unnest(range(0, doc_id % 3)) AS INT) AS ax2
+       FROM documents),
+fc AS (SELECT doc_id, ax2, CAST(doc_id * 13 + ax2 AS BIGINT) AS c FROM f2),
+f3 AS (SELECT doc_id, CAST(unnest(range(0, doc_id % 5)) AS INT) AS ax1
+       FROM documents),
+fb AS (SELECT doc_id, ax1, CAST(doc_id * 11 + ax1 AS BIGINT) AS b FROM f3),
+f4 AS (SELECT doc_id, CAST(unnest(range(0, (doc_id + 1) % 4)) AS INT) AS ax2
+       FROM documents),
+fd AS (SELECT doc_id, ax2, CAST(doc_id * 17 + ax2 AS BIGINT) AS d FROM f4),
+j1 AS (SELECT * FROM fa FULL JOIN fc USING (doc_id)),
+j2 AS (SELECT * FROM j1 FULL JOIN fb USING (doc_id, ax1)),
+j3 AS (SELECT * FROM j2 FULL JOIN fd USING (doc_id, ax2))
+SELECT doc_id, ax1, ax2, a, b, c, d FROM j3
+""")
+def engine_to_long_fold_exact(spark, sf_dir):
+    """R2/R4 fold-exact fusion (round 8, explode.py
+    ``explode_fold_exact``): TWO disjoint shared-axis groups ({a,b} on
+    ax1, {c,d} on ax2) INTERLEAVED in the column order (a, c, b, d) —
+    the configuration whose order-dependent fold semantics (standalone
+    once-per-key rows for member-only positions, multiplied only by
+    later-folding frames) the round-8 machinery compiles to generators
+    with zero joins/shuffles. The oracle replicates the fold literally:
+    per-column frames full-outer-joined in column order on
+    (key [, axis]) — any multiplicity error in the led/standalone
+    split, the creator masking, or the main-lineage suppression breaks
+    the hash. Ragged lengths incl. empty frames (doc_id multiples of
+    12 empty BOTH leaders) exercise every branch."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def arr(mult: int, modulus: int, shift: int = 0):
+        n = (F.col("doc_id") + shift) % modulus
+        seq = F.transform(
+            F.sequence(F.lit(0), (n - 1).cast("int")),
+            lambda i: F.col("doc_id") * mult + i.cast("bigint"))
+        return F.when(n > 0, seq).otherwise(
+            F.array().cast("array<bigint>"))
+
+    df = docs.select(
+        "doc_id",
+        arr(7, 4).alias("a"), arr(11, 5).alias("b"),
+        arr(13, 3).alias("c"), arr(17, 4, shift=1).alias("d"),
+    )
+    eng = FrameEngine(df, indexcols=["doc_id"], validate=False)
+    return eng.to_long(
+        "a", "c", "b", "d",
+        ax1={"a": 0, "b": 0}, ax2={"c": 0, "d": 0})
