@@ -69,3 +69,20 @@ def _timings_at(tmp_path, monkeypatch):
         return bench._prev_round_timings()
     finally:
         monkeypatch.undo()
+
+
+def test_stdout_budget_valve_drops_smallest_warm():
+    """VERDICT r7 #8: an oversized query set must shed its smallest-warm
+    entries from the official line (totals unchanged, heavies kept)
+    instead of overflowing the driver capture."""
+    names = [f"a_very_long_query_name_number_{i:04d}" for i in range(80)]
+    cold = {n: 9999.99 for n in names}
+    warm = {n: float(i) for i, n in enumerate(names)}
+    record = bench.build_stdout_record(cold, warm, "0.1")
+    line = json.dumps(record, separators=(",", ":"))
+    assert len(line) < bench.STDOUT_LINE_BUDGET
+    # totals still cover every query
+    assert record["value"] == round(sum(cold.values()), 2)
+    # the survivors are the LARGEST warm timings
+    kept = set(record["queries"])
+    assert names[-1] in kept and names[0] not in kept
