@@ -254,7 +254,8 @@ def _read_manifest(spark, table_path: str, version: int) -> dict:
 
 
 def write_snapshot(
-    spark, df: DataFrame, table_path: str, mode: str = "append"
+    spark, df: DataFrame, table_path: str, mode: str = "append",
+    extra: dict | None = None,
 ) -> int:
     """Commit ``df`` as the next version of a snapshot table and return
     the new version number.
@@ -281,18 +282,28 @@ def write_snapshot(
 
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    if extra and not set(extra).isdisjoint({"version", "mode", "shards"}):
+        raise ValueError("extra metadata must not shadow manifest fields")
     fs, jvm = _hadoop_fs(spark, table_path)
     versions = snapshot_versions(spark, table_path)
     cur = versions[-1] if versions else 0
     new_v = cur + 1
     shard = f"shards/shard-v{new_v:05d}"
+    shard_path = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{shard}")
+    # crash recovery: a shard directory for the NEXT version with no
+    # manifest referencing it is an orphan of a write that died between
+    # shard write and manifest rename — delete it so the retry (e.g. a
+    # replayed streaming epoch) can commit instead of tripping the
+    # mode=error guard
+    if fs.exists(shard_path):
+        fs.delete(shard_path, True)
     df.write.mode("error").parquet(f"{table_path}/{shard}")
     parent_shards = (
         _read_manifest(spark, table_path, cur)["shards"]
         if (mode == "append" and cur) else []
     )
     manifest = {"version": new_v, "mode": mode,
-                "shards": [*parent_shards, shard]}
+                "shards": [*parent_shards, shard], **(extra or {})}
     man_dir = f"{table_path}/manifests"
     fs.mkdirs(jvm.org.apache.hadoop.fs.Path(man_dir))
     tmp = jvm.org.apache.hadoop.fs.Path(
@@ -619,3 +630,17 @@ def bloom_pruned_lookup(
         spark.read.parquet(*keep).filter(F.col(col) == F.lit(value)),
         len(keep), total,
     )
+
+
+def committed_epochs(spark, table_path: str) -> set[int]:
+    """The set of streaming epoch ids already committed to a snapshot
+    table (manifests carrying an ``epoch`` field — see
+    ``streaming.snapshot_epoch_sink``). Metadata-only: one directory
+    listing plus one small JSON read per version; at 100 TB this is the
+    exactly-once ledger, never a data scan."""
+    out: set[int] = set()
+    for v in snapshot_versions(spark, table_path):
+        man = _read_manifest(spark, table_path, v)
+        if "epoch" in man:
+            out.add(int(man["epoch"]))
+    return out

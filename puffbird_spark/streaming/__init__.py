@@ -8,6 +8,7 @@ stream-static joins, and foreachBatch sinks.
 
 from .ops import (
     read_parquet_stream,
+    snapshot_epoch_sink,
     session_agg,
     sliding_agg,
     stream_static_join,
@@ -23,5 +24,6 @@ __all__ = [
     "session_agg",
     "streaming_dedup",
     "stream_static_join",
+    "snapshot_epoch_sink",
     "write_foreach_batch",
 ]

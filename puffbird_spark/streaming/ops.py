@@ -138,3 +138,37 @@ def write_foreach_batch(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer
+
+
+def snapshot_epoch_sink(table_path: str):
+    """EXACTLY-ONCE streaming sink on the snapshot-manifest table
+    (round 8): a ``foreachBatch`` function committing each micro-batch
+    as one snapshot version whose manifest records the epoch id.
+
+    Structured Streaming's recovery contract is at-least-once delivery
+    to foreachBatch — after a crash the LAST epoch replays with the
+    same ``epoch_id``. Idempotence comes from the manifest ledger:
+
+    - a replayed epoch already in :func:`~..operators.layout
+      .committed_epochs` is SKIPPED (its rows are already in the
+      table, atomically, because the manifest rename is the commit
+      point);
+    - an epoch that died between shard write and manifest rename left
+      an orphan shard that ``write_snapshot`` deletes and rewrites on
+      the retry.
+
+    Together: every micro-batch lands in the table exactly once, and
+    readers only ever see manifest-committed data. The ledger check is
+    metadata-only (one JSON per version), so sink overhead is
+    independent of data size. Single-writer per table, like every
+    snapshot primitive here."""
+    from ..operators.layout import committed_epochs, write_snapshot
+
+    def sink(df, epoch_id: int) -> None:
+        spark = df.sparkSession
+        if int(epoch_id) in committed_epochs(spark, table_path):
+            return  # duplicate delivery after recovery — already durable
+        write_snapshot(spark, df, table_path, mode="append",
+                       extra={"epoch": int(epoch_id)})
+
+    return sink

@@ -3149,3 +3149,45 @@ def test_audio_stats_and_resample_closed_form(spark):
     assert down["samples"][0] == float(s[0])
     # j=3 -> num=24000, idx=4, rem=0 -> exactly s[4]
     assert down["samples"][3] == float(s[4])
+
+
+def test_snapshot_epoch_sink_idempotent_and_orphan_recovery(
+        spark, tmp_path_factory):
+    """Round-8 exactly-once sink: duplicate epoch delivery must not
+    re-commit; an orphan shard from a crash between shard write and
+    manifest rename must be cleaned and retried; extra metadata must
+    not shadow manifest fields."""
+    import os
+
+    import pytest as _pytest
+
+    from puffbird_spark.operators.layout import (
+        committed_epochs, read_snapshot, snapshot_versions, write_snapshot)
+    from puffbird_spark.streaming import snapshot_epoch_sink
+
+    table = str(tmp_path_factory.mktemp("e1sink") / "t")
+    sink = snapshot_epoch_sink(table)
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    b1 = spark.createDataFrame([(3, "c")], "id long, s string")
+    sink(b0, 0)
+    sink(b1, 1)
+    assert committed_epochs(spark, table) == {0, 1}
+    n_v = len(snapshot_versions(spark, table))
+    # at-least-once redelivery: both epochs replay, nothing commits
+    sink(b0, 0)
+    sink(b1, 1)
+    assert len(snapshot_versions(spark, table)) == n_v
+    got = sorted(map(tuple, read_snapshot(spark, table).collect()))
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+    # crash simulation: shard for the NEXT version exists, no manifest
+    orphan = f"{table}/shards/shard-v{n_v + 1:05d}"
+    spark.createDataFrame([(99, "zz")], "id long, s string") \
+        .write.parquet(orphan)
+    assert os.path.isdir(orphan)
+    sink(spark.createDataFrame([(4, "d")], "id long, s string"), 2)
+    got = sorted(map(tuple, read_snapshot(spark, table).collect()))
+    assert got == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]  # no 99
+
+    with _pytest.raises(ValueError, match="shadow"):
+        write_snapshot(spark, b0, table, extra={"version": 7})
