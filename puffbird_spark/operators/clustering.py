@@ -396,3 +396,127 @@ def random_projection(
         comps.append(F.round(acc.cast("double") / root, dp))
     return df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col), F.array(*comps).alias("zvec"))
+
+
+def _signed_plane_dots(vec, in_dim: int, planes: int, seed_str: str):
+    """Decimal-snapped dot products against md5-derived +-1 sign planes
+    (the `random_projection` convention — Achlioptas sign projections
+    any engine can re-derive, so SRP buckets are oracle-replayable,
+    unlike RNG hyperplanes). Exact by construction: products round to
+    decimal(28,12) and accumulate in decimal(38,12), so the SIGN of the
+    dot is identical on every engine and partitioning."""
+    import hashlib
+
+    import numpy as np
+
+    dots = []
+    for j in range(planes):
+        signs = np.empty(in_dim, dtype=np.float64)
+        for i in range(in_dim):
+            h = hashlib.md5(
+                f"{seed_str}:{i},{j}".encode()).hexdigest()[:8]
+            signs[i] = 1.0 if int(h, 16) % 2 == 0 else -1.0
+        row = F.lit(signs)
+        acc = F.aggregate(
+            F.zip_with(vec, row,
+                       lambda x, s: (x * s).cast("decimal(28,12)")),
+            F.lit(0).cast("decimal(38,12)"),
+            lambda a, x: (a + x).cast("decimal(38,12)"),
+        )
+        dots.append(acc)
+    return dots
+
+
+def srp_signed_banded(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    in_dim: int,
+    bands: int = 2,
+    planes: int = 4,
+    seed: str = "srp",
+) -> DataFrame:
+    """The embedding twin of ``dedup.minhash_banded``: per vector,
+    ``bands`` independent SRP bucket codes — ``(id, v, band, bucket)``
+    rows, the STATE an incremental semantic dedup persists between
+    batches. Each band hashes the vector with its own ``planes``
+    md5-seeded sign planes; two vectors collide in a band iff they
+    agree on every plane's side. Scan-local Column arithmetic, zero
+    shuffle, zero Python."""
+    from ..functions.vectors import as_double
+
+    e = df.select(
+        F.col(id_col).alias("id"), as_double(vec_col).alias("v")
+    ).filter(F.col("v").isNotNull())
+    buckets = []
+    for b in range(bands):
+        dots = _signed_plane_dots(F.col("v"), in_dim, planes,
+                                  f"{seed}:{b}")
+        code = F.lit(0)
+        for j, d in enumerate(dots):
+            code = code + F.when(d >= 0, F.lit(1 << j)).otherwise(0)
+        buckets.append(code.cast("int"))
+    return e.select(
+        "id", "v",
+        F.posexplode(F.array(*buckets)).alias("band", "bucket"))
+
+
+def incremental_embedding_dedup(
+    batch: DataFrame,
+    state: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    in_dim: int = 64,
+    bands: int = 2,
+    planes: int = 4,
+    threshold: float = 0.45,
+    seed: str = "srp",
+) -> tuple[DataFrame, DataFrame]:
+    """SEMANTIC near-dup dedup of a NEW batch against a living corpus
+    without rescanning it — the embedding twin of
+    ``dedup.incremental_minhash_dedup``: the corpus exists only as its
+    persisted SRP band state (:func:`srp_signed_banded`).
+
+    Policy (deterministic, oracle-replayable): a batch vector is
+    REJECTED iff it bucket-collides in ANY band with a smaller-id
+    vector — already-seen or in this batch — whose exact cosine
+    (6-dp rounded) is >= ``threshold``. The state keeps every SEEN
+    vector's bands (accepted and rejected alike). Batches must arrive
+    in ascending-id order (the append-shard case); replay then equals
+    the one-shot "no qualifying smaller-id band-mate" rule
+    bit-for-bit (unit-pinned). Pairs in no common band are NOT
+    examined — that is LSH's documented recall trade, priced by the
+    band/plane configuration, not a defect.
+
+    Scale shape: the batch's bands equi-join the state on
+    ``(band, bucket)`` — only genuine collisions pair, the corpus
+    never rescans, per-batch cost = the batch's plane arithmetic plus
+    a keyed join against a state that grows bands rows per vector.
+    The state stores the raw vector for the exact verification join;
+    at extreme scale swap in the SQ-int8 representation
+    (`similarity.sq_quantize`) and a re-rank — the band machinery is
+    unchanged."""
+    from ..functions.vectors import cosine_rounded
+
+    bb = srp_signed_banded(
+        batch, id_col, vec_col, in_dim, bands, planes, seed)
+    # consumed twice (probe + state union): run the plane pipeline once
+    bb = bb.localCheckpoint(eager=True)
+    all_b = state.unionByName(bb)
+    b, o = bb.alias("b"), all_b.alias("o")
+    rejected = (
+        b.join(
+            o,
+            (F.col("b.band") == F.col("o.band"))
+            & (F.col("b.bucket") == F.col("o.bucket"))
+            & (F.col("o.id") < F.col("b.id")),
+        )
+        .filter(
+            cosine_rounded(F.col("b.v"), F.col("o.v"))
+            >= F.lit(threshold))
+        .select(F.col("b.id").alias("__rej"))
+        .distinct()
+    )
+    survivors = batch.join(
+        rejected, batch[id_col] == rejected["__rej"], "left_anti")
+    return survivors, all_b

@@ -2223,3 +2223,76 @@ def text_decontaminate_report(spark, sf_dir):
     return out.select(
         "eval_id", F.col("n_grams").cast("int").alias("n_grams"),
         "n_train_docs", "n_shared_grams", "worst_overlap")
+
+
+@query("dedup_incremental_embedding", oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+x AS (SELECT vec_id, CAST(generate_subscripts(v, 1) AS INT) - 1 AS i,
+        unnest(v) AS xv
+      FROM e),
+s AS (SELECT band, j, i,
+        CASE WHEN CAST('0x' || substr(md5('srp:' || CAST(band AS VARCHAR)
+                  || ':' || CAST(i AS VARCHAR) || ','
+                  || CAST(j AS VARCHAR)), 1, 8) AS BIGINT) % 2 = 0
+             THEN 1.0 ELSE -1.0 END AS sg
+      FROM range(0, 2) b(band), range(0, 4) pj(j), range(0, 64) ii(i)),
+d AS (SELECT vec_id, band, j,
+        SUM(CAST(xv * sg AS DECIMAL(28,12))) AS dt
+      FROM x JOIN s USING (i) GROUP BY 1, 2, 3),
+bkt AS (SELECT vec_id, band,
+          CAST(SUM(CASE WHEN dt >= 0 THEN 1 << j ELSE 0 END) AS INT)
+            AS bucket
+        FROM d GROUP BY 1, 2),
+cand AS (SELECT DISTINCT b.vec_id AS bid, o.vec_id AS oid
+         FROM bkt b JOIN bkt o
+           ON b.band = o.band AND b.bucket = o.bucket
+          AND o.vec_id < b.vec_id),
+rej AS (SELECT DISTINCT c.bid
+        FROM cand c JOIN e eb ON eb.vec_id = c.bid
+                    JOIN e eo ON eo.vec_id = c.oid
+        WHERE round(list_dot_product(eb.v, eo.v)
+              / (sqrt(list_dot_product(eb.v, eb.v))
+                 * sqrt(list_dot_product(eo.v, eo.v))), 6) >= 0.45)
+SELECT vec_id FROM e WHERE vec_id NOT IN (SELECT bid FROM rej)
+""")
+def dedup_incremental_embedding(spark, sf_dir):
+    """INCREMENTAL semantic dedup (`incremental_embedding_dedup`,
+    operators/clustering.py, round 8 — the embedding twin of
+    `dedup_incremental_minhash`): the embeddings replay as THREE
+    ascending-id batches against a living SRP band state (2 bands x 4
+    md5-seeded sign planes, decimal-snapped dots so bucket codes are
+    bit-identical on every engine); a vector is rejected iff it
+    band-collides with a smaller-id vector at exact cosine >= 0.45.
+    The corpus is never rescanned — each batch equi-joins the persisted
+    state on (band, bucket). The oracle replays the ENTIRE pipeline
+    one-shot (sign planes from the same md5 stream, decimal dot signs,
+    bucket codes, collision pairs, exact cosine) — batch replay must
+    equal the one-shot smaller-id rule bit-for-bit, and any drift in
+    plane derivation, bucketing, or the state union breaks the hash."""
+    from pyspark.sql import types as T
+
+    from ..operators.clustering import incremental_embedding_dedup
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    hi = emb.agg(F.max("vec_id")).collect()[0][0]
+    m = (int(hi) + 3) // 3
+    state = spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.ArrayType(T.DoubleType())),
+            T.StructField("band", T.IntegerType()),
+            T.StructField("bucket", T.IntegerType()),
+        ]))
+    out = []
+    for lo in (0, m, 2 * m):
+        batch = emb.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < lo + m)
+            if lo < 2 * m else (F.col("vec_id") >= lo))
+        survivors, state = incremental_embedding_dedup(
+            batch, state, id_col="vec_id", vec_col="embedding",
+            in_dim=64, bands=2, planes=4, threshold=0.45)
+        out.append(survivors.select("vec_id"))
+    res = out[0]
+    for s in out[1:]:
+        res = res.unionByName(s)
+    return res

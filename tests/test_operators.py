@@ -3191,3 +3191,60 @@ def test_snapshot_epoch_sink_idempotent_and_orphan_recovery(
 
     with _pytest.raises(ValueError, match="shadow"):
         write_snapshot(spark, b0, table, extra={"version": 7})
+
+
+def test_incremental_embedding_dedup_replay_equals_one_shot(spark):
+    """Round-8 semantic incremental dedup: ascending-id batch replay
+    must equal the one-shot smaller-id rule; a REJECTED vector still
+    disqualifies later near-copies; disjoint-bucket pairs are never
+    examined (the LSH contract)."""
+    from pyspark.sql import types as T
+
+    from puffbird_spark.operators.clustering import (
+        incremental_embedding_dedup, srp_signed_banded)
+
+    dim = 8
+    base = [1.0, 0.5, -0.25, 0.75, -0.5, 0.25, 1.0, -0.75]
+    near = [v + (0.001 if i == 0 else 0.0) for i, v in enumerate(base)]
+    near2 = [v + (0.002 if i == 1 else 0.0) for i, v in enumerate(base)]
+    far = [-v for v in base]            # cosine -1: never a dup
+    other = [0.9, -0.4, 0.3, -0.2, 0.8, -0.6, 0.1, 0.7]
+    rows = [(0, base), (1, near), (2, near2), (3, far), (4, other)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def empty_state():
+        return spark.createDataFrame([], T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.ArrayType(T.DoubleType())),
+            T.StructField("band", T.IntegerType()),
+            T.StructField("bucket", T.IntegerType()),
+        ]))
+
+    kw = dict(id_col="vec_id", vec_col="embedding", in_dim=dim,
+              bands=2, planes=3, threshold=0.9)
+    # one-shot: everything in a single batch
+    s1, _ = incremental_embedding_dedup(df, empty_state(), **kw)
+    one_shot = sorted(r["vec_id"] for r in s1.collect())
+    # replay: {0,1} then {2,3} then {4}
+    state = empty_state()
+    got = []
+    for pred in (F.col("vec_id") < 2,
+                 (F.col("vec_id") >= 2) & (F.col("vec_id") < 4),
+                 F.col("vec_id") >= 4):
+        surv, state = incremental_embedding_dedup(
+            df.filter(pred), state, **kw)
+        got += [r["vec_id"] for r in surv.collect()]
+    assert sorted(got) == one_shot
+    # 1 is a near-copy of 0 -> rejected; 2 is a near-copy of BOTH ->
+    # rejected even though its closest smaller id (1) was itself
+    # rejected (rejected docs stay in the state)
+    assert 0 in one_shot and 1 not in one_shot and 2 not in one_shot
+    assert 3 in one_shot                 # opposite direction, cosine -1
+    # state holds bands for every seen vector, accepted or not
+    assert state.select("id").distinct().count() == 5
+    # bucket codes are deterministic ints in [0, 2^planes)
+    bk = srp_signed_banded(df, "vec_id", "embedding", dim,
+                           bands=2, planes=3)
+    vals = [r["bucket"] for r in bk.collect()]
+    assert all(0 <= v < 8 for v in vals)
+    assert bk.count() == 10              # 5 vectors x 2 bands
