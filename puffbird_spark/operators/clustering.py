@@ -113,7 +113,21 @@ def _assign(
         raise ValueError(f"unknown assignment kernel {kernel!r}")
     if kernel == "auto":
         kdim = len(cents) * (len(cents[0]) if cents else 0)
-        kernel = "arrow" if kdim > ARROW_ASSIGN_KDIM else "literal"
+        if kdim > ARROW_ASSIGN_KDIM:
+            kernel = "arrow"
+        elif kdim >= ARROW_ASSIGN_KDIM // 4:
+            # mid-size k*dim: the Arrow batch amortizes over row count
+            # (sf1 rehearsal r8: k=64/dim=64 Arrow beat k=8 literal at
+            # 20k vectors) but loses to codegen on tiny corpora that
+            # pay the Python worker spin-up
+            from .similarity import _est_rows, _vec_row_bytes
+
+            dim = len(cents[0]) if cents else 64
+            kernel = ("arrow"
+                      if _est_rows(e, _vec_row_bytes(dim)) >= 20_000
+                      else "literal")
+        else:
+            kernel = "literal"
     if kernel == "arrow":
         return _assign_arrow(e, cents)
     vv = dot(F.col("__v"), F.col("__v"))
@@ -196,6 +210,7 @@ def semantic_dedup(
     threshold: float = 0.45,
     seed: str = "kmeans",
     kernel: str = "auto",
+    use_arrow: bool | None = None,
 ) -> DataFrame:
     """SemDeDup-shaped semantic dedup (Abbas et al., arXiv:2303.09540):
     cluster the embeddings with :func:`kmeans_assign`, search for
@@ -216,9 +231,24 @@ def semantic_dedup(
     Returns ``(id_col, cluster_id, is_canonical)`` for every vector that
     participates in at least one near-dup pair — drop
     ``is_canonical = false`` rows to dedup the corpus.
+
+    The quadratic pair filter is the wall-clock at scale (n²/k cosine
+    evaluations): ``use_arrow=None`` auto-selects the kernel from the
+    estimated pair count — the interpreted HOF fold for small jobs (no
+    Python worker spin-up), or a per-cluster ``applyInPandas`` matrix
+    kernel above ``similarity.ARROW_MIN_PAIRS``: each cluster ships its
+    vectors ONCE and computes the whole cosine matrix with one matmul,
+    so Arrow traffic is linear in n (a per-PAIR Arrow UDF still moved
+    both vectors per pair — 160s -> 83s -> 13s at 20k vectors / k=8 in
+    the r8 sf1 rehearsal, and the matrix kernel composes with raising
+    ``k`` as SemDeDup prescribes, which bounds the per-cluster matrix).
+    Results agree at the 6-dp rounding (the `cosine_topk` precedent;
+    differential unit test).
     """
     from ..functions.vectors import dot, norm
+    from ..telemetry import record_kernel
     from .graph import dedup_clusters
+    from .similarity import ARROW_MIN_PAIRS, _est_rows, _vec_row_bytes
 
     # Hoist the norm out of the quadratic stage: computed once per ROW
     # here, the pair filter costs one dot-fold instead of three.
@@ -234,22 +264,57 @@ def semantic_dedup(
     # the whole assignment pipeline (scan + k centroid folds + norm)
     # runs twice (the perplexity/hll lesson)
     a = a.localCheckpoint(eager=True)
-    left = a.select(
-        F.col(id_col).alias("id_a"), F.col("cluster").alias("__c"),
-        F.col(vec_col).alias("__va"), F.col("__n").alias("__na"))
-    right = a.select(
-        F.col(id_col).alias("id_b"), F.col("cluster").alias("__c"),
-        F.col(vec_col).alias("__vb"), F.col("__n").alias("__nb"))
-    pairs = (
-        left.join(right, "__c")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            F.round(
-                dot(F.col("__va"), F.col("__vb"))
-                / (F.col("__na") * F.col("__nb")), 6)
-            >= F.lit(threshold))
-        .select("id_a", "id_b")
-    )
+    if use_arrow is None:
+        n_est = _est_rows(a, _vec_row_bytes(64))
+        use_arrow = (n_est * n_est) / max(k, 1) >= ARROW_MIN_PAIRS
+    record_kernel("semantic_pairs", "arrow" if use_arrow else "hof")
+    if use_arrow:
+        import numpy as np
+        import pandas as pd
+
+        id_t = a.schema[id_col].dataType.simpleString()
+        thr = float(threshold)
+
+        def cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+            ids = pdf["__id"].to_numpy()
+            X = np.array(pdf["__v"].tolist(), dtype=np.float64)
+            if len(X) < 2:
+                return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0]})
+            nrm = np.sqrt(np.einsum("ij,ij->i", X, X))
+            S = (X @ X.T) / np.outer(nrm, nrm)
+            scale = 1e6  # HALF_UP replay, the cosine_rounded_arrow rule
+            S = np.where(S >= 0, np.floor(S * scale + 0.5) / scale,
+                         np.ceil(S * scale - 0.5) / scale)
+            iu, ju = np.where(S >= thr)
+            keep = iu < ju
+            ia, jb = ids[iu[keep]], ids[ju[keep]]
+            return pd.DataFrame({
+                "id_a": np.minimum(ia, jb), "id_b": np.maximum(ia, jb)})
+
+        pairs = (
+            a.select(
+                F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
+                "cluster")
+            .groupBy("cluster")
+            .applyInPandas(cluster_pairs, f"id_a {id_t}, id_b {id_t}")
+        )
+    else:
+        left = a.select(
+            F.col(id_col).alias("id_a"), F.col("cluster").alias("__c"),
+            F.col(vec_col).alias("__va"), F.col("__n").alias("__na"))
+        right = a.select(
+            F.col(id_col).alias("id_b"), F.col("cluster").alias("__c"),
+            F.col(vec_col).alias("__vb"), F.col("__n").alias("__nb"))
+        pairs = (
+            left.join(right, "__c")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(
+                F.round(
+                    dot(F.col("__va"), F.col("__vb"))
+                    / (F.col("__na") * F.col("__nb")), 6)
+                >= F.lit(threshold))
+            .select("id_a", "id_b")
+        )
     out = dedup_clusters(pairs)
     return out.select(
         F.col("doc_id").alias(id_col), "cluster_id", "is_canonical")

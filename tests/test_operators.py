@@ -3248,3 +3248,30 @@ def test_incremental_embedding_dedup_replay_equals_one_shot(spark):
     vals = [r["bucket"] for r in bk.collect()]
     assert all(0 <= v < 8 for v in vals)
     assert bk.count() == 10              # 5 vectors x 2 bands
+
+
+def test_semantic_dedup_arrow_pair_kernel_equal(spark):
+    """Round-8: the Arrow pair kernel must produce the same near-dup
+    graph as the HOF fold at the 6-dp rounding (the cosine_topk
+    precedent), and auto must pick HOF for tiny inputs."""
+    import hashlib
+
+    from puffbird_spark.operators.clustering import semantic_dedup
+
+    def vec(i):
+        out = []
+        for j in range(16):
+            h = hashlib.md5(f"sd:{i}:{j}".encode()).hexdigest()[:12]
+            out.append(int(h, 16) / float(16 ** 12) * 2.0 - 1.0)
+        return out
+
+    rows = [(i, vec(i)) for i in range(60)]
+    # inject true near-dups across and within clusters
+    rows += [(100 + i, [v + 0.001 * i for v in vec(i)]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(k=4, iters=1, threshold=0.9)
+    hof = sorted(map(tuple, semantic_dedup(
+        df, "vec_id", "embedding", use_arrow=False, **kw).collect()))
+    arr = sorted(map(tuple, semantic_dedup(
+        df, "vec_id", "embedding", use_arrow=True, **kw).collect()))
+    assert hof == arr and len(hof) > 0
