@@ -303,3 +303,29 @@ def test_psi_broadcasts_edges(q):
     data side."""
     df = q("diag_distribution_psi")
     assert "BroadcastHashJoin" in P.formatted_plan(df)
+
+
+def test_incremental_embedding_probe_is_equi_join(q):
+    """The batch-vs-state probe must be a keyed equi-join on
+    (band, bucket) — never a nested-loop/cartesian — so per-batch cost
+    scales with genuine collisions, not corpus size."""
+    df = q("dedup_incremental_embedding")
+    plan = P.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fold_exact_gate_zero_shuffle(q):
+    """Fold-exact fusion compiles the join fold to generators: zero
+    Exchange, zero Python workers."""
+    df = q("engine_to_long_fold_exact")
+    plan = P.formatted_plan(df)
+    assert P.count_exchanges(df) == 0
+    assert "Python" not in plan
+
+
+def test_exactly_once_sink_result_is_pruned_scan(q):
+    """Reading the committed snapshot back is a plain parquet scan of
+    the manifest's shard list — no joins, no shuffles."""
+    df = q("stream_exactly_once_sink")
+    assert P.count_exchanges(df) == 0
