@@ -275,3 +275,79 @@ def dedup_clusters(
         F.col("component").alias("cluster_id"),
         (F.col("vertex") == F.col("component")).alias("is_canonical"),
     )
+
+
+def incremental_components(
+    new_pairs: DataFrame,
+    state: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """INCREMENTAL connected components — fold a batch of new edges into
+    an existing ``(vertex, component)`` mapping WITHOUT re-running CC
+    over history (round 8; the cluster-resolution twin of the
+    incremental dedup family): at 100 TB the dedup pair graph grows by
+    append batches, and re-resolving the full graph per batch is the
+    cost this operator deletes.
+
+    Mechanics (all keyed joins, batch-sized except the final label
+    update):
+
+    1. relabel the batch's endpoints through the state (unknown
+       vertices keep their own id) — two equi-joins on the BATCH;
+    2. drop self-loops; the surviving CONTRACTED edges connect
+       component representatives and brand-new vertices only — a graph
+       bounded by the batch size, not the corpus;
+    3. run the proven min-label CC on that contracted graph;
+    4. one join relabels the state through the new roots (components
+       are min-vertex labels, so the contracted minimum IS the global
+       minimum), and the batch's unseen vertices append with their
+       resolved roots.
+
+    Replaying batches in any order equals one-shot CC over the union of
+    all edges (unit-pinned; label = min vertex id of the component
+    either way). Returns the NEW state — same schema, ready for the
+    next batch."""
+    sa = state.select(
+        F.col("vertex").alias("__va"), F.col("component").alias("__ca"))
+    sb = state.select(
+        F.col("vertex").alias("__vb"), F.col("component").alias("__cb"))
+    e = (
+        new_pairs.select(F.col(id_a).alias("__a"), F.col(id_b).alias("__b"))
+        .join(sa, F.col("__a") == F.col("__va"), "left")
+        .join(sb, F.col("__b") == F.col("__vb"), "left")
+        .select(
+            F.coalesce("__ca", "__a").alias("__ra"),
+            F.coalesce("__cb", "__b").alias("__rb"))
+    )
+    contracted = (
+        e.filter(F.col("__ra") != F.col("__rb"))
+        .select(
+            F.least("__ra", "__rb").alias("id_a"),
+            F.greatest("__ra", "__rb").alias("id_b"))
+        .distinct()
+    )
+    roots = connected_components(
+        contracted, "id_a", "id_b", max_iter, assume_distinct=True
+    ).select(F.col("vertex").alias("__l"), F.col("component").alias("__r"))
+    # the roots table is label-count-sized (only components being merged
+    # this batch); both relabel joins consume it — materialize once
+    roots = roots.localCheckpoint(eager=True)
+    updated = (
+        state.join(roots, state["component"] == F.col("__l"), "left")
+        .select(
+            "vertex", F.coalesce("__r", "component").alias("component"))
+    )
+    batch_vertices = (
+        new_pairs.select(F.col(id_a).alias("vertex"))
+        .unionByName(new_pairs.select(F.col(id_b).alias("vertex")))
+        .distinct()
+    )
+    added = (
+        batch_vertices.join(
+            state.select("vertex"), "vertex", "left_anti")
+        .join(roots, F.col("vertex") == F.col("__l"), "left")
+        .select("vertex", F.coalesce("__r", "vertex").alias("component"))
+    )
+    return updated.unionByName(added)

@@ -2296,3 +2296,64 @@ def dedup_incremental_embedding(spark, sf_dir):
     for s in out[1:]:
         res = res.unionByName(s)
     return res
+
+
+@query("dedup_clusters_incremental", oracle="""
+WITH RECURSIVE mx AS (SELECT MAX(doc_id) AS m FROM documents),
+e0 AS (SELECT doc_id AS a, doc_id - (doc_id % 10) AS b
+       FROM documents WHERE doc_id % 10 != 0
+       UNION ALL
+       SELECT doc_id, doc_id + 10 FROM documents, mx
+       WHERE doc_id % 50 = 0 AND doc_id + 10 <= mx.m),
+ed AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+verts AS (SELECT DISTINCT a AS v FROM ed),
+reach(v, r) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT ed.a, reach.r FROM ed JOIN reach ON ed.b = reach.v
+)
+SELECT v AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id,
+       (v = MIN(r)) AS is_canonical
+FROM reach GROUP BY v
+""")
+def dedup_clusters_incremental(spark, sf_dir):
+    """INCREMENTAL connected components (`incremental_components`,
+    operators/graph.py, round 8): the dedup pair graph grows by append
+    batches, and the cluster state folds each batch in WITHOUT
+    re-running CC over history — batch endpoints relabel through the
+    state (two batch-sized equi-joins), only the CONTRACTED
+    representative graph runs CC, and one keyed join relabels the
+    state. The edge set here is a deterministic hub graph (each doc to
+    its tens-hub, plus hub-to-hub bridges every 50) replayed as THREE
+    interleaved batches, so later batches genuinely MERGE components
+    resolved earlier. The oracle computes one-shot components over the
+    full edge set with a recursive transitive closure — any divergence
+    between incremental replay and one-shot resolution (a stale label,
+    a missed merge, a lost vertex) breaks the hash."""
+    from pyspark.sql import types as T
+
+    from ..operators.graph import incremental_components
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    hi = docs.agg(F.max("doc_id")).collect()[0][0]
+    star = docs.filter(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") - F.col("doc_id") % 10).alias("id_b"))
+    bridge = docs.filter(
+        (F.col("doc_id") % 50 == 0) & (F.col("doc_id") + 10 <= hi)
+    ).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 10).alias("id_b"))
+    edges = star.unionByName(bridge)
+    state = spark.createDataFrame([], T.StructType([
+        T.StructField("vertex", T.LongType()),
+        T.StructField("component", T.LongType()),
+    ]))
+    for b in range(3):
+        batch = edges.filter(F.col("id_a") % 3 == b)
+        state = incremental_components(batch, state)
+        state = state.localCheckpoint(eager=True)
+    return state.select(
+        F.col("vertex").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("vertex") == F.col("component")).alias("is_canonical"))

@@ -3275,3 +3275,51 @@ def test_semantic_dedup_arrow_pair_kernel_equal(spark):
     arr = sorted(map(tuple, semantic_dedup(
         df, "vec_id", "embedding", use_arrow=True, **kw).collect()))
     assert hof == arr and len(hof) > 0
+
+
+def test_incremental_components_replay_equals_one_shot(spark):
+    """Round-8 incremental CC: folding edge batches into the state must
+    equal one-shot CC over the union — including cross-batch merges of
+    previously separate components and batches touching unseen
+    vertices."""
+    import random
+
+    from pyspark.sql import types as T
+
+    from puffbird_spark.operators.graph import (
+        connected_components, incremental_components)
+
+    rng = random.Random(17)
+    edges = set()
+    while len(edges) < 120:
+        a, b = rng.randrange(0, 80), rng.randrange(0, 80)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    edges = sorted(edges)
+    schema = "id_a long, id_b long"
+    full = spark.createDataFrame(edges, schema)
+    one_shot = sorted(map(tuple, connected_components(full).collect()))
+
+    batches = [edges[i::3] for i in range(3)]     # interleaved batches
+    state = spark.createDataFrame([], T.StructType([
+        T.StructField("vertex", T.LongType()),
+        T.StructField("component", T.LongType()),
+    ]))
+    for b in batches:
+        state = incremental_components(
+            spark.createDataFrame(b, schema), state)
+        state = state.localCheckpoint(eager=True)
+    got = sorted(map(tuple, state.collect()))
+    assert got == one_shot
+
+    # explicit merge case: two separate components, then a bridging edge
+    s = spark.createDataFrame([], T.StructType([
+        T.StructField("vertex", T.LongType()),
+        T.StructField("component", T.LongType()),
+    ]))
+    s = incremental_components(
+        spark.createDataFrame([(1, 2), (10, 11)], schema), s)
+    s = incremental_components(
+        spark.createDataFrame([(2, 10)], schema), s)
+    got = dict(map(tuple, s.collect()))
+    assert got == {1: 1, 2: 1, 10: 1, 11: 1}
