@@ -767,3 +767,55 @@ def negative_samples(
         .filter(F.col("__rn") == 1)
         .select("anchor_id", "draw", F.col("cand_id").alias("neg_id"))
     )
+
+
+def mixture_temperature_weights(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    alpha: float = 0.3,
+    token_col: str | None = None,
+    dp: int = 6,
+) -> DataFrame:
+    """Temperature-scaled training-mixture weights (the multilingual /
+    multi-domain sampling rule of the big LLM corpora — mBERT/XLM-R's
+    exponentiated sampling, alpha typically 0.2-0.7): group ``g`` with
+    mass ``n_g`` (row count, or summed ``token_col``) gets
+
+        ``w_g = n_g^alpha / sum_h n_h^alpha``
+
+    — alpha=1 reproduces proportional sampling, alpha=0 uniform across
+    groups; in between, low-resource groups are upsampled smoothly.
+
+    Emits one row per group: ``(group..., n, weight,
+    oversample_factor)`` where ``oversample_factor = w_g / (n_g / N)``
+    is the rate to feed a sampler (>1 = upsample): multiply by any
+    target token budget and hand to ``token_budget_weighted`` /
+    ``weighted_sample``.
+
+    Cost: ONE keyed aggregation (group-count-sized result), a 1-row
+    total broadcast back — the arithmetic never touches data again.
+    All values 6-dp rounded, engine-replayable (pow/round on doubles).
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    mass = (
+        F.sum(F.col(token_col).cast("double")) if token_col
+        else F.count(F.lit(1)).cast("double"))
+    per = df.groupBy(*group_cols).agg(mass.alias("__n"))
+    tot = per.agg(
+        F.sum(F.pow(F.col("__n"), F.lit(alpha))).alias("__ta"),
+        F.sum("__n").alias("__tn"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            *group_cols,
+            F.col("__n").cast("long").alias("n"),
+            F.round(
+                F.pow(F.col("__n"), F.lit(alpha)) / F.col("__ta"), dp
+            ).alias("weight"),
+            F.round(
+                (F.pow(F.col("__n"), F.lit(alpha)) / F.col("__ta"))
+                / (F.col("__n") / F.col("__tn")), dp
+            ).alias("oversample_factor"),
+        )
+    )

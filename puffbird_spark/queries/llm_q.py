@@ -2357,3 +2357,28 @@ def dedup_clusters_incremental(spark, sf_dir):
         F.col("vertex").alias("doc_id"),
         F.col("component").alias("cluster_id"),
         (F.col("vertex") == F.col("component")).alias("is_canonical"))
+
+
+@query("split_mixture_temperature", oracle="""
+WITH g AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(length(text)) AS toks
+           FROM documents GROUP BY lang),
+t AS (SELECT SUM(pow(n, 0.5)) AS ta, SUM(n) AS tn FROM g)
+SELECT lang, CAST(n AS BIGINT) AS n,
+  ROUND(pow(n, 0.5) / ta, 6) AS weight,
+  ROUND((pow(n, 0.5) / ta) / (n / tn), 6) AS oversample_factor
+FROM g, t
+""")
+def split_mixture_temperature(spark, sf_dir):
+    """Temperature-scaled mixture weights
+    (`mixture_temperature_weights`, operators/splits.py — the
+    exponentiated sampling rule of the multilingual LLM corpora,
+    alpha=0.5 here): per-language w = n^alpha / sum(n^alpha), plus the
+    oversample factor a sampler multiplies against a token budget.
+    One keyed agg + a 1-row broadcast; the oracle replays the exact
+    pow/round arithmetic — low-resource languages must read factor > 1,
+    high-resource < 1, and the weights sum to 1."""
+    from ..operators.splits import mixture_temperature_weights
+
+    docs = load(spark, sf_dir, "documents")
+    return mixture_temperature_weights(docs, ["lang"], alpha=0.5)

@@ -636,3 +636,32 @@ def test_negative_samples_contracts(spark):
                          exclusions=docs)
     with _pytest.raises(ValueError, match="k must"):
         negative_samples(anchors, docs, "doc_id", "doc_id", k=0)
+
+
+def test_mixture_temperature_weights_properties(spark):
+    """alpha=1 -> proportional (factor 1); alpha=0 -> uniform across
+    groups; weights always sum to 1; token-mass variant honors the
+    token column; negative alpha refused."""
+    import pytest as _pytest
+
+    from puffbird_spark.operators.splits import mixture_temperature_weights
+
+    df = spark.createDataFrame(
+        [("a", 10)] * 8 + [("b", 10)] * 2, ["g", "tok"])
+    prop = {r["g"]: r for r in mixture_temperature_weights(
+        df, ["g"], alpha=1.0).collect()}
+    assert prop["a"]["oversample_factor"] == 1.0
+    assert prop["b"]["oversample_factor"] == 1.0
+    assert abs(prop["a"]["weight"] - 0.8) < 1e-9
+    uni = {r["g"]: r for r in mixture_temperature_weights(
+        df, ["g"], alpha=0.0).collect()}
+    assert uni["a"]["weight"] == uni["b"]["weight"] == 0.5
+    assert uni["b"]["oversample_factor"] == 2.5   # 0.5 / 0.2
+    mid = mixture_temperature_weights(df, ["g"], alpha=0.5).collect()
+    assert abs(sum(r["weight"] for r in mid) - 1.0) < 1e-5
+    tok = {r["g"]: r for r in mixture_temperature_weights(
+        df.withColumn("tok", F.when(F.col("g") == "a", 40).otherwise(10)),
+        ["g"], alpha=1.0, token_col="tok").collect()}
+    assert tok["a"]["n"] == 320 and tok["b"]["n"] == 20
+    with _pytest.raises(ValueError, match="alpha"):
+        mixture_temperature_weights(df, ["g"], alpha=-0.1)
