@@ -351,3 +351,41 @@ def incremental_components(
         .select("vertex", F.coalesce("__r", "vertex").alias("component"))
     )
     return updated.unionByName(added)
+
+
+def canonical_by_priority(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    priority_col: str = "priority",
+    dp: int = 6,
+) -> DataFrame:
+    """Re-elect each dedup cluster's canonical survivor by QUALITY
+    instead of min-id (round 8): production dedup keeps the BEST
+    duplicate (highest quality score, longest text, preferred source),
+    not the lowest id — min-id is only the deterministic default of the
+    resolution step. Joins the cluster mapping to a per-doc priority
+    and flags, per cluster, the row with the highest 6-dp-rounded
+    priority (ties break to the smallest id, keeping determinism).
+
+    Cost: one keyed join (id) + one cluster-keyed argmax — both shuffle
+    id/score pairs only. Returns ``(id_col, cluster_col, priority_col,
+    is_canonical)``."""
+    p = F.round(F.col(priority_col).cast("double"), dp)
+    j = clusters.select(id_col, cluster_col).join(
+        scores.select(id_col, p.alias("__p")), id_col)
+    best = j.groupBy(cluster_col).agg(
+        F.max(F.struct(
+            F.col("__p").alias("p"),
+            (-F.col(id_col)).alias("negid"))).alias("__b"))
+    return (
+        j.join(best, cluster_col)
+        .select(
+            id_col, cluster_col,
+            F.col("__p").alias(priority_col),
+            ((F.col("__p") == F.col("__b.p"))
+             & (-F.col(id_col) == F.col("__b.negid"))
+             ).alias("is_canonical"),
+        )
+    )

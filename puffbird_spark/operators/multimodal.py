@@ -10,7 +10,10 @@ zlib scanlines — :func:`decode_png_gray`) and GIF (complete LZW
 decompressor with color-table mapping — :func:`decode_gif_gray`),
 dispatched by magic bytes in :func:`decode_image_gray`; both have
 matching stdlib encoders so gates verify pixels against a closed-form
-oracle. JPEG entropy decode (which genuinely needs libjpeg) remains
+oracle. Audio decodes REALLY too (:func:`decode_wav_pcm` — RIFF walk +
+8/16-bit PCM), as does raw video (:func:`decode_y4m_frames` —
+YUV4MPEG2 stream parse, mono/4:2:0 luma). JPEG entropy decode and
+inter-frame video codecs (which genuinely need libjpeg/ffmpeg) remain
 header-only; the generic featurizer for undecodable formats is the
 deterministic byte histogram. Swapping in PIL/ffmpeg touches only
 :func:`decode_image_gray`/:func:`_byte_histogram` — the Spark plumbing
@@ -238,15 +241,19 @@ def sample_frames(
 
     ``codec="auto"`` (default) dispatches on magic bytes:
 
-    - **GIF: a REAL codec.** Animated GIFs are genuinely decoded —
+    - **GIF and Y4M: REAL codecs.** Animated GIFs are genuinely decoded —
       every sampled frame's index stream is LZW-decompressed and
       color-table-mapped (:func:`decode_gif_frames`); ``offset`` is
       the frame's image-block byte offset, ``frame_bytes`` its decoded
       raster size, ``digest`` the md5 of the comma-joined gray pixel
       values (closed-form replayable — the gate's oracle recomputes
       it).
+    - **YUV4MPEG2 streams** decode the same way
+      (:func:`decode_y4m_frames`: stream-header parse + raw luma
+      planes — the actual raw-video container ffmpeg pipes).
     - **Anything else: the documented byte-block stub** (this
-      container ships no ffmpeg): a "frame" is the fixed-size byte
+      container ships no ffmpeg for inter-frame codecs): a "frame" is
+      the fixed-size byte
       block at ``offset = frame_idx * frame_bytes``. ``codec="bytes"``
       forces this path.
 
@@ -286,8 +293,14 @@ def sample_frames(
                     if blob is None:
                         continue
                     blob = bytes(blob)
-                    if codec == "auto" and blob[:6] in (b"GIF87a", b"GIF89a"):
-                        decoded = decode_gif_frames(blob)
+                    if codec == "auto" and (
+                        blob[:6] in (b"GIF87a", b"GIF89a")
+                        or blob[:9] == b"YUV4MPEG2"
+                    ):
+                        decoded = (
+                            decode_gif_frames(blob)
+                            if blob[:1] == b"G"
+                            else decode_y4m_frames(blob))
                         for n in range(max_frames):
                             idx = n * stride
                             if idx >= len(decoded):
@@ -944,3 +957,90 @@ def resample_audio(
 
     return df.select(path_col, content_col).mapInPandas(
         kernel, RESAMPLED_AUDIO_SCHEMA)
+
+
+# ------------------------------------------------------------------ #
+# REAL video container: Y4M / YUV4MPEG2 (round 8) — the plain-header,
+# raw-frame video format every ffmpeg ships (`ffmpeg -f yuv4mpegpipe`).
+# Pure stdlib both directions: encode_y4m is the fixture generator
+# (standards-compliant, any player opens it), decode_y4m_frames the
+# production decoder behind sample_frames' video path — which makes
+# frame sampling REAL for a genuine video container, not a byte-block
+# stub. Same honesty contract as the other codecs: mono and 4:2:0
+# colourspaces decode (gray = the luma plane); anything else raises.
+# ------------------------------------------------------------------ #
+
+def encode_y4m(
+    width: int, height: int, n_frames: int = 1, seed: int = 0,
+    fps: str = "25:1",
+) -> bytes:
+    """A REAL YUV4MPEG2 stream, mono colourspace: the stream header,
+    then ``FRAME`` sections of raw ``width*height`` luma bytes.
+    Deterministic pixels extend the image generator formula with a
+    frame term: ``px[f, y, x] = (x*31 + y*17 + f*29 + seed) % 256`` —
+    the closed form the frame-sampling gate's oracle replays."""
+    if width <= 0 or height <= 0 or n_frames <= 0:
+        raise ValueError("width/height/n_frames must be positive")
+    out = bytearray(
+        f"YUV4MPEG2 W{width} H{height} F{fps} Ip A1:1 Cmono\n".encode())
+    for f in range(n_frames):
+        out += b"FRAME\n"
+        for y in range(height):
+            for x in range(width):
+                out.append((x * 31 + y * 17 + f * 29 + seed) % 256)
+    return bytes(out)
+
+
+def decode_y4m_frames(blob: bytes) -> list[tuple[int, int, int, bytes]]:
+    """REAL frame extraction from a YUV4MPEG2 stream: parse the
+    parameter header (W/H/C tokens), then every FRAME section's raw
+    planes. Returns ``(byte_offset, width, height, gray_pixels)`` per
+    frame — gray is the luma plane (exact for ``Cmono``; for 4:2:0
+    colourspaces the Y plane is the first ``w*h`` bytes of the frame,
+    decoded REALLY, with the chroma planes skipped). Other
+    colourspaces raise ``NotImplementedError``; structural damage
+    raises ``ValueError``."""
+    b = bytes(blob)
+    if not b.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = b.find(b"\n")
+    if nl < 0:
+        raise ValueError("missing stream-header newline")
+    w = h = None
+    cspace = "420jpeg"  # the spec default when C is absent
+    for tok in b[9:nl].split(b" "):
+        if not tok:
+            continue
+        key, val = tok[:1], tok[1:]
+        if key == b"W":
+            w = int(val)
+        elif key == b"H":
+            h = int(val)
+        elif key == b"C":
+            cspace = val.decode()
+    if not w or not h:
+        raise ValueError("stream header lacks W/H")
+    if cspace == "mono":
+        frame_len = w * h
+    elif cspace.startswith("420"):
+        if w % 2 or h % 2:
+            raise ValueError(f"4:2:0 needs even dims, got {w}x{h}")
+        frame_len = w * h + 2 * ((w // 2) * (h // 2))
+    else:
+        raise NotImplementedError(
+            f"colourspace C{cspace} unsupported (mono/420* decoded)")
+    frames = []
+    pos = nl + 1
+    while pos < len(b):
+        if b[pos:pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at offset {pos}")
+        fnl = b.find(b"\n", pos)
+        if fnl < 0:
+            raise ValueError("missing FRAME-header newline")
+        data_off = fnl + 1
+        if data_off + frame_len > len(b):
+            raise ValueError("truncated frame payload")
+        frames.append(
+            (data_off, w, h, b[data_off:data_off + w * h]))
+        pos = data_off + frame_len
+    return frames

@@ -2382,3 +2382,38 @@ def split_mixture_temperature(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     return mixture_temperature_weights(docs, ["lang"], alpha=0.5)
+
+
+@query("dedup_canonical_quality", oracle="""
+WITH c AS (SELECT doc_id, doc_id - (doc_id % 7) AS cluster_id,
+             ROUND(CAST(length(text) AS DOUBLE), 6) AS p
+           FROM documents),
+b AS (SELECT cluster_id, MAX(p) AS bp FROM c GROUP BY cluster_id),
+m AS (SELECT c.cluster_id, MIN(c.doc_id) AS bid
+      FROM c JOIN b ON c.cluster_id = b.cluster_id AND c.p = b.bp
+      GROUP BY c.cluster_id)
+SELECT c.doc_id, CAST(c.cluster_id AS BIGINT) AS cluster_id,
+  c.p AS priority, (c.doc_id = m.bid) AS is_canonical
+FROM c JOIN m ON c.cluster_id = m.cluster_id
+""")
+def dedup_canonical_quality(spark, sf_dir):
+    """Quality-based canonical election (`canonical_by_priority`,
+    operators/graph.py, round 8): production dedup keeps the BEST
+    duplicate (highest quality score), not the min-id default of the
+    resolution step. Deterministic septet clusters over documents
+    (cluster = doc_id - doc_id % 7, so every cluster has real
+    contenders) elect their survivor by document length standing in
+    for a quality score, ties to the smallest id. One keyed join + one
+    cluster-keyed argmax, id/score pairs only. The oracle replays the
+    per-cluster max and the tie-break — exactly one canonical per
+    cluster or the hash breaks."""
+    from ..operators.graph import canonical_by_priority
+
+    docs = load(spark, sf_dir, "documents")
+    clusters = docs.select(
+        "doc_id",
+        (F.col("doc_id") - F.col("doc_id") % 7).alias("cluster_id"))
+    scores = docs.select(
+        "doc_id", F.length("text").alias("priority"))
+    return canonical_by_priority(clusters, scores,
+                                 priority_col="priority")

@@ -1653,3 +1653,53 @@ def multimodal_audio_resample(spark, sf_dir):
             lambda a, x: a + ((x * 2) * (x * 2)).cast("long"),
         ).alias("sum_sq_x4"),
     )
+
+
+@query("multimodal_framesample_y4m", oracle="""
+WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS path,
+             1 + doc_id % 9 AS w, 1 + doc_id % 7 AS h,
+             2 + doc_id % 5 AS n_frames, doc_id % 199 AS seed
+           FROM documents),
+f AS (SELECT d.*, CAST(t.range * 2 AS INT) AS frame_idx
+      FROM d, range(0, 3) t
+      WHERE t.range * 2 < d.n_frames),
+px AS (SELECT path, frame_idx, w, h,
+         flatten([[CAST((x * 31 + y * 17 + frame_idx * 29 + seed) % 256
+                        AS VARCHAR)
+                   FOR x IN range(0, CAST(w AS BIGINT))]
+                  FOR y IN range(0, CAST(h AS BIGINT))]) AS vals
+       FROM f)
+SELECT path, frame_idx, CAST(w * h AS INT) AS frame_bytes,
+       md5(array_to_string(vals, ',')) AS digest
+FROM px
+""")
+def multimodal_framesample_y4m(spark, sf_dir):
+    """REAL VIDEO frame sampling (round 8): every document becomes a
+    genuine YUV4MPEG2 stream (`encode_y4m` — the raw-frame video
+    container ffmpeg pipes; mono colourspace, 2-6 frames), and
+    `sample_frames` (codec='auto') parses the stream header and
+    extracts every sampled frame's raster
+    (`decode_y4m_frames`, operators/multimodal.py) — stride 2, up to 3
+    frames — emitting decoded pixel digests. This retires the
+    byte-block stub for an actual video container: the video row of
+    the media matrix now has a real codec alongside GIF animation
+    (compressed) and Y4M (raw) — only inter-frame-compressed codecs
+    (H.26x; genuinely needs ffmpeg) remain header-stubbed. The oracle
+    replays every frame's pixels CLOSED-FORM from the generator
+    formula ((x*31 + y*17 + 29*frame + seed) % 256); byte offsets are
+    header-length-dependent and asserted in unit tests instead."""
+    from ..operators.multimodal import encode_y4m, sample_frames
+
+    def _make(doc_id):
+        return doc_id.map(
+            lambda i: encode_y4m(
+                1 + int(i) % 9, 1 + int(i) % 7,
+                n_frames=2 + int(i) % 5, seed=int(i) % 199))
+
+    make_y4m = F.pandas_udf(_make, returnType="binary")
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("path"),
+        make_y4m(F.col("doc_id")).alias("content"),
+    )
+    return sample_frames(docs, stride=2, max_frames=3).select(
+        "path", "frame_idx", "frame_bytes", "digest")

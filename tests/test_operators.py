@@ -3323,3 +3323,77 @@ def test_incremental_components_replay_equals_one_shot(spark):
         spark.createDataFrame([(2, 10)], schema), s)
     got = dict(map(tuple, s.collect()))
     assert got == {1: 1, 2: 1, 10: 1, 11: 1}
+
+
+def test_canonical_by_priority_argmax_and_ties(spark):
+    """Highest priority wins; ties break to the smallest id; exactly
+    one canonical per cluster."""
+    from puffbird_spark.operators.graph import canonical_by_priority
+
+    clusters = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (7, 20), (8, 20)],
+        ["doc_id", "cluster_id"])
+    scores = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (7, 0.1), (8, 0.1)],
+        ["doc_id", "priority"])
+    got = {r["doc_id"]: r for r in canonical_by_priority(
+        clusters, scores).collect()}
+    assert not got[1]["is_canonical"]
+    assert got[2]["is_canonical"] and not got[3]["is_canonical"]  # tie->min id
+    assert got[7]["is_canonical"] and not got[8]["is_canonical"]
+    per_cluster = {}
+    for r in got.values():
+        per_cluster[r["cluster_id"]] = per_cluster.get(
+            r["cluster_id"], 0) + int(r["is_canonical"])
+    assert all(v == 1 for v in per_cluster.values())
+
+
+def test_y4m_codec_roundtrip_offsets_and_guards(spark):
+    """Y4M codec: roundtrip against the closed form, true byte offsets,
+    420 luma extraction, unsupported colourspace and damage guards, and
+    the sample_frames dispatch."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from puffbird_spark.operators.multimodal import (
+        decode_y4m_frames, encode_y4m, sample_frames)
+
+    blob = encode_y4m(4, 3, n_frames=3, seed=5)
+    frames = decode_y4m_frames(blob)
+    assert len(frames) == 3
+    header_len = blob.find(b"\n") + 1
+    for f, (off, w, h, px) in enumerate(frames):
+        assert (w, h) == (4, 3)
+        exp = bytes((x * 31 + y * 17 + f * 29 + 5) % 256
+                    for y in range(3) for x in range(4))
+        assert px == exp
+        # offset: header + f full sections + this FRAME\n marker
+        assert off == header_len + f * (6 + 12) + 6
+        assert blob[off:off + 12] == px
+
+    # 4:2:0: luma plane extracted, chroma skipped
+    hdr = b"YUV4MPEG2 W2 H2 F25:1 Ip A1:1 C420jpeg\n"
+    y = bytes([1, 2, 3, 4])
+    blob420 = hdr + b"FRAME\n" + y + b"\x09\x09" + b"FRAME\n" + y + b"\x09\x09"
+    fr = decode_y4m_frames(blob420)
+    assert len(fr) == 2 and fr[0][3] == y and fr[1][3] == y
+
+    with _pytest.raises(NotImplementedError, match="C444"):
+        decode_y4m_frames(b"YUV4MPEG2 W2 H2 C444\nFRAME\nxxxx")
+    with _pytest.raises(ValueError):
+        decode_y4m_frames(b"YUV4MPEG2 W2 H2 Cmono\nFRAME\nxx")  # truncated
+    with _pytest.raises(ValueError):
+        decode_y4m_frames(b"RIFFxxxx")
+
+    # dispatch: sample_frames picks the real codec on magic bytes
+    df = spark.createDataFrame([("v", blob)], "path string, content binary")
+    rows = {r["frame_idx"]: r for r in sample_frames(
+        df, stride=2, max_frames=3).collect()}
+    assert set(rows) == {0, 2}
+    for idx in (0, 2):
+        exp = bytes((x * 31 + y * 17 + idx * 29 + 5) % 256
+                    for y in range(3) for x in range(4))
+        csv = ",".join(str(v) for v in exp)
+        assert rows[idx]["digest"] == hashlib.md5(csv.encode()).hexdigest()
+        assert rows[idx]["frame_bytes"] == 12
