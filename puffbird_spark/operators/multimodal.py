@@ -5,16 +5,17 @@ The Spark-side plumbing is real and tested — schema, binaryFile source,
 Arrow-batched decode pipeline via mapInPandas, partition sizing. Header
 decode (format, width, height) is REAL for all four self-describing
 containers — PNG / GIF / BMP / JPEG (:func:`parse_image_header`). FULL
-pixel decode is real, pure stdlib, for TWO formats: PNG (8-bit gray,
+pixel decode is real for THREE formats: PNG (8-bit gray,
 zlib scanlines — :func:`decode_png_gray`) and GIF (complete LZW
 decompressor with color-table mapping — :func:`decode_gif_gray`),
-dispatched by magic bytes in :func:`decode_image_gray`; both have
-matching stdlib encoders so gates verify pixels against a closed-form
-oracle. Audio decodes REALLY too (:func:`decode_wav_pcm` — RIFF walk +
+and baseline JPEG (full huffman entropy decode + dequant + IDCT —
+`operators/jpeg.py`), dispatched by magic bytes in
+:func:`decode_image_gray`; all have matching encoders so gates verify
+pixels against a closed-form oracle. Audio decodes REALLY too (:func:`decode_wav_pcm` — RIFF walk +
 8/16-bit PCM), as does raw video (:func:`decode_y4m_frames` —
-YUV4MPEG2 stream parse, mono/4:2:0 luma). JPEG entropy decode and
-inter-frame video codecs (which genuinely need libjpeg/ffmpeg) remain
-header-only; the generic featurizer for undecodable formats is the
+YUV4MPEG2 stream parse, mono/4:2:0 luma). Only progressive JPEG,
+chroma-subsampled color, and inter-frame video codecs remain
+unimplemented (raising, not guessing); the generic featurizer for undecodable formats is the
 deterministic byte histogram. Swapping in PIL/ffmpeg touches only
 :func:`decode_image_gray`/:func:`_byte_histogram` — the Spark plumbing
 never changes.
@@ -688,8 +689,12 @@ def decode_image_gray(blob: bytes) -> tuple[int, int, bytes]:
         return decode_png_gray(blob)
     if blob[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif_gray(blob)
+    if blob[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg_gray
+
+        return decode_jpeg_gray(blob)
     raise NotImplementedError(
-        f"no pixel decoder for magic {blob[:6]!r} (png/gif supported)")
+        f"no pixel decoder for magic {blob[:6]!r} (png/gif/jpeg supported)")
 
 
 # ------------------------------------------------------------------ #

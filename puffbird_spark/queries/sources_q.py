@@ -1703,3 +1703,51 @@ def multimodal_framesample_y4m(spark, sf_dir):
     )
     return sample_frames(docs, stride=2, max_frames=3).select(
         "path", "frame_idx", "frame_bytes", "digest")
+
+
+@query("multimodal_resize_jpeg", oracle="""
+WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS path,
+             9 + doc_id % 16 AS w, 9 + doc_id % 12 AS h,
+             doc_id % 211 AS seed
+           FROM documents),
+px AS (SELECT path, w, h,
+         flatten([[CAST((((CAST(floor(x * w / 4.0) AS INT) // 8) * 31
+                         + (CAST(floor(y * h / 3.0) AS INT) // 8) * 17
+                         + seed) % 256) AS VARCHAR)
+                   FOR x IN range(0, 4)]
+                  FOR y IN range(0, 3)]) AS vals
+       FROM d)
+SELECT path, CAST(w AS INT) AS src_w, CAST(h AS INT) AS src_h,
+       CAST(4 AS INT) AS out_w, CAST(3 AS INT) AS out_h,
+       md5(array_to_string(vals, ',')) AS pix_csv_digest
+FROM px
+""")
+def multimodal_resize_jpeg(spark, sf_dir):
+    """REAL JPEG decode + resize (`decode_jpeg_gray`,
+    operators/jpeg.py — round 8, the THIRD real image codec): every
+    document becomes a genuine baseline grayscale JPEG (standard
+    huffman tables, real DCT + quantization + entropy coding), and the
+    pipeline performs the FULL decode — marker walk, DHT/DQT parse,
+    huffman entropy decode with byte unstuffing, DC prediction,
+    dezigzag, dequant, float IDCT — then nearest-neighbor-resamples to
+    4x3. Fixtures are block-constant (all AC exactly zero, DC exactly
+    representable), so the decode is bit-exact and the oracle
+    recomputes every resized pixel CLOSED-FORM from the per-block
+    generator formula — while the decoder itself handles arbitrary
+    baseline grayscale JPEGs (lossily, like every JPEG decoder; the
+    random-pixel roundtrip is unit-bounded). Retires the 'JPEG is
+    header-only' partial."""
+    from ..operators.jpeg import encode_jpeg_gray
+    from ..operators.multimodal import resize_images
+
+    def _make(doc_id):
+        return doc_id.map(
+            lambda i: encode_jpeg_gray(9 + int(i) % 16, 9 + int(i) % 12,
+                                       seed=int(i) % 211))
+
+    make_jpeg = F.pandas_udf(_make, returnType="binary")
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("path"),
+        make_jpeg(F.col("doc_id")).alias("content"),
+    )
+    return resize_images(docs, out_w=4, out_h=3)

@@ -2522,8 +2522,12 @@ def test_gif_codec_roundtrip_and_external_fixture():
     for enc in (encode_png, encode_gif):
         assert decode_image_gray(enc(7, 5, seed=9))[:2] == (7, 5)
     import pytest as _pytest
-    with _pytest.raises(NotImplementedError, match="no pixel decoder"):
+    # JPEG magic now reaches the REAL decoder (r8) — a truncated blob
+    # is structural damage, not a missing decoder
+    with _pytest.raises(ValueError, match="SOF"):
         decode_image_gray(b"\xff\xd8\xff\xe0 not decodable")
+    with _pytest.raises(NotImplementedError, match="no pixel decoder"):
+        decode_image_gray(b"RIFF not an image")
 
 
 def test_incremental_minhash_out_of_order_divergence(spark):
@@ -3397,3 +3401,53 @@ def test_y4m_codec_roundtrip_offsets_and_guards(spark):
         csv = ",".join(str(v) for v in exp)
         assert rows[idx]["digest"] == hashlib.md5(csv.encode()).hexdigest()
         assert rows[idx]["frame_bytes"] == 12
+
+
+def test_jpeg_codec_exact_blocks_lossy_bounds_and_guards(spark):
+    """Baseline JPEG codec: block-constant fixtures decode bit-exactly;
+    arbitrary pixels roundtrip within the quantization bound with the
+    AC/ZRL entropy paths exercised; unsupported features raise."""
+    import random
+    import struct
+
+    import pytest as _pytest
+
+    from puffbird_spark.operators.jpeg import (
+        decode_jpeg_gray, encode_jpeg_gray)
+    from puffbird_spark.operators.multimodal import (
+        decode_image_gray, parse_image_header)
+
+    for w, h, seed in [(8, 8, 0), (20, 13, 42), (1, 1, 7), (9, 17, 99)]:
+        blob = encode_jpeg_gray(w, h, seed=seed)
+        W, H, px = decode_jpeg_gray(blob)
+        exp = bytes(((x // 8) * 31 + (y // 8) * 17 + seed) % 256
+                    for y in range(h) for x in range(w))
+        assert (W, H, px) == (w, h, exp)
+        assert decode_image_gray(blob) == (w, h, exp)  # magic dispatch
+        assert parse_image_header(blob) == ("jpeg", w, h)
+
+    rnd = random.Random(3)
+    w, h = 24, 16
+    pix = bytes(rnd.randrange(256) for _ in range(w * h))
+    blob = encode_jpeg_gray(w, h, pixels=pix, q_dc=1, q_ac=1)
+    _, _, out = decode_jpeg_gray(blob)
+    assert max(abs(a - b) for a, b in zip(pix, out)) <= 2
+    # sparse high-frequency content forces ZRL (16+ zero runs)
+    sparse = bytearray([128] * 64)
+    sparse[63] = 255
+    blob2 = encode_jpeg_gray(8, 8, pixels=bytes(sparse), q_dc=1, q_ac=1)
+    _, _, out2 = decode_jpeg_gray(blob2)
+    assert max(abs(a - b) for a, b in zip(sparse, out2)) <= 2
+
+    with _pytest.raises(ValueError):
+        decode_jpeg_gray(b"\x89PNG")
+    # progressive (SOF2) and restart intervals must refuse
+    base = encode_jpeg_gray(8, 8, seed=1)
+    prog = base.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with _pytest.raises(NotImplementedError, match="SOF2"):
+        decode_jpeg_gray(prog)
+    sof_at = base.find(b"\xff\xc0")
+    dri = base[:sof_at] + b"\xff\xdd" + struct.pack(">HH", 4, 8) \
+        + base[sof_at:]
+    with _pytest.raises(NotImplementedError, match="DRI"):
+        decode_jpeg_gray(dri)
