@@ -149,6 +149,11 @@ BENCH_QUERIES = [
     # round-8: the third real media codec (RIFF walk + PCM decode +
     # windowed stats, the audio-curation scan shape)
     "multimodal_audio_decode",
+    # round-8 second batch: the SRP band-state probe (incremental
+    # semantic dedup against a living corpus) and the full-JPEG decode
+    # throughput (huffman entropy + IDCT per blob)
+    "dedup_incremental_embedding",
+    "multimodal_resize_jpeg",
 ]
 
 
