@@ -106,6 +106,14 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # 1-padding per spec
         return bytes(self.out)
 
+    def restart(self, n: int) -> None:
+        """Byte-align with 1-padding and emit the RSTn marker
+        (written raw — markers are never byte-stuffed)."""
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + (n % 8)])
+
 
 class _BitReader:
     def __init__(self, data: bytes):
@@ -138,6 +146,19 @@ class _BitReader:
         for _ in range(length):
             v = (v << 1) | self.read_bit()
         return v
+
+    def expect_restart(self, n: int) -> None:
+        """Discard padding bits to the byte boundary and consume the
+        expected RSTn marker."""
+        self.n = 0
+        if self.pos + 2 > len(self.data):
+            raise ValueError("truncated restart marker")
+        if self.data[self.pos] != 0xFF or \
+                self.data[self.pos + 1] != 0xD0 + (n % 8):
+            raise ValueError(
+                f"expected RST{n % 8} at offset {self.pos}, got "
+                f"{self.data[self.pos:self.pos + 2]!r}")
+        self.pos += 2
 
 
 def _category(v: int) -> tuple[int, int]:
@@ -246,14 +267,18 @@ def encode_jpeg_gray(
 
 
 def decode_jpeg_gray(blob: bytes) -> tuple[int, int, bytes]:
-    """REAL decode of a baseline sequential GRAYSCALE JPEG: marker
+    """REAL decode of a baseline sequential JPEG to GRAYSCALE: marker
     walk, DQT/DHT parsing (any tables the file declares, not just the
     standard ones), full huffman entropy decode with byte unstuffing,
-    DC prediction, AC run-length/EOB/ZRL, dezigzag, dequantization,
-    and the float IDCT with clamping. Returns ``(width, height,
-    pixels)`` row-major. Progressive scans, multi-component (color)
-    images, and restart intervals raise ``NotImplementedError``;
-    structural damage raises ``ValueError``."""
+    per-component DC prediction, AC run-length/EOB/ZRL, dezigzag,
+    dequantization, the float IDCT with clamping, and restart-interval
+    (DRI/RSTn) handling. Single-component images decode directly;
+    3-component YCbCr images with 4:2:0/4:2:2/4:4:4 luma sampling and
+    unsubsampled chroma decode their LUMA plane (gray = Y — the chroma
+    blocks are entropy-decoded and discarded, exactly what a gray
+    pipeline wants from a color photo). Returns ``(width, height,
+    pixels)`` row-major. Progressive scans and other exotics raise
+    ``NotImplementedError``; structural damage raises ``ValueError``."""
     import numpy as np
 
     b = bytes(blob)
@@ -264,7 +289,8 @@ def decode_jpeg_gray(blob: bytes) -> tuple[int, int, bytes]:
     dc_tables: dict[int, dict] = {}
     ac_tables: dict[int, dict] = {}
     width = height = None
-    comp_q = comp_dc = comp_ac = 0
+    components: list[dict] = []       # SOF order: id, h, v, tq
+    restart_interval = 0
     scan_start = None
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
@@ -287,12 +313,26 @@ def decode_jpeg_gray(blob: bytes) -> tuple[int, int, bytes]:
                 ">BHHB", payload[:6])
             if precision != 8:
                 raise NotImplementedError(f"{precision}-bit precision")
-            if ncomp != 1:
-                raise NotImplementedError(
-                    f"{ncomp}-component JPEG (grayscale only)")
-            if payload[7] != 0x11:
+            if ncomp not in (1, 3):
+                raise NotImplementedError(f"{ncomp}-component JPEG")
+            for ci in range(ncomp):
+                cid = payload[6 + 3 * ci]
+                hv = payload[7 + 3 * ci]
+                components.append({
+                    "id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                    "tq": payload[8 + 3 * ci]})
+            if ncomp == 3:
+                for c in components[1:]:
+                    if (c["h"], c["v"]) != (1, 1):
+                        raise NotImplementedError(
+                            "subsampled chroma components")
+                if not (1 <= components[0]["h"] <= 2
+                        and 1 <= components[0]["v"] <= 2):
+                    raise NotImplementedError(
+                        f"luma sampling {components[0]['h']}x"
+                        f"{components[0]['v']}")
+            elif components[0]["h"] != 1 or components[0]["v"] != 1:
                 raise NotImplementedError("subsampled single component")
-            comp_q = payload[8]
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -307,31 +347,39 @@ def decode_jpeg_gray(blob: bytes) -> tuple[int, int, bytes]:
                 table = _decode_table(bits, vals)
                 (dc_tables if tc == 0 else ac_tables)[th] = table
                 p += 17 + n
-        elif marker == 0xDD:
-            raise NotImplementedError("restart intervals (DRI)")
+        elif marker == 0xDD:                  # DRI
+            (restart_interval,) = struct.unpack(">H", payload[:2])
         elif marker == 0xDA:                  # SOS
-            if payload[0] != 1:
-                raise NotImplementedError("multi-component scan")
-            comp_dc = payload[2] >> 4
-            comp_ac = payload[2] & 0x0F
+            ns = payload[0]
+            if ns != len(components):
+                raise NotImplementedError("partial-component scan")
+            by_id = {c["id"]: c for c in components}
+            for ci in range(ns):
+                cid = payload[1 + 2 * ci]
+                if cid not in by_id:
+                    raise ValueError(f"SOS references unknown id {cid}")
+                by_id[cid]["td"] = payload[2 + 2 * ci] >> 4
+                by_id[cid]["ta"] = payload[2 + 2 * ci] & 0x0F
             scan_start = pos + 2 + length
             break
         pos += 2 + length
     if width is None or scan_start is None:
         raise ValueError("missing SOF/SOS")
-    if comp_q not in quants:
-        raise ValueError("missing quant table")
-    # entropy data runs to the EOI marker
     end = b.rfind(b"\xff\xd9")
     if end < 0:
         raise ValueError("missing EOI")
     r = _BitReader(b[scan_start:end])
-    dc_t = dc_tables[comp_dc]
-    ac_t = ac_tables[comp_ac]
-    qraster = np.empty((8, 8))
-    for i in range(64):
-        qraster.flat[ZIGZAG[i]] = quants[comp_q][i]
     m = _dct_matrix()
+    for c in components:
+        if c["tq"] not in quants:
+            raise ValueError("missing quant table")
+        q = np.empty((8, 8))
+        for i in range(64):
+            q.flat[ZIGZAG[i]] = quants[c["tq"]][i]
+        c["q"] = q
+        c["dc_t"] = dc_tables[c["td"]]
+        c["ac_t"] = ac_tables[c["ta"]]
+        c["pred"] = 0
 
     def read_symbol(table) -> int:
         code = 0
@@ -341,34 +389,158 @@ def decode_jpeg_gray(blob: bytes) -> tuple[int, int, bytes]:
                 return table[(ln, code)]
         raise ValueError("invalid huffman code")
 
-    bw = (width + 7) // 8 * 8
-    bh = (height + 7) // 8 * 8
-    out = np.empty((bh, bw), dtype=np.uint8)
-    prev_dc = 0
-    for by in range(0, bh, 8):
-        for bx in range(0, bw, 8):
-            zz = [0] * 64
-            cat = read_symbol(dc_t)
-            prev_dc += _extend(r.read(cat), cat)
-            zz[0] = prev_dc
-            i = 1
-            while i < 64:
-                rs = read_symbol(ac_t)
-                run, cat = rs >> 4, rs & 0x0F
-                if rs == 0x00:                # EOB
-                    break
-                if rs == 0xF0:                # ZRL
-                    i += 16
-                    continue
-                i += run
-                if i > 63:
-                    raise ValueError("AC run overflows block")
-                zz[i] = _extend(r.read(cat), cat)
-                i += 1
-            coef = np.empty((8, 8))
-            for k in range(64):
-                coef.flat[ZIGZAG[k]] = zz[k]
-            block = m.T @ (coef * qraster) @ m + 128.0
-            out[by:by + 8, bx:bx + 8] = np.clip(
-                np.floor(block + 0.5), 0, 255).astype(np.uint8)
+    def decode_block(c) -> "np.ndarray":
+        zz = [0] * 64
+        cat = read_symbol(c["dc_t"])
+        c["pred"] += _extend(r.read(cat), cat)
+        zz[0] = c["pred"]
+        i = 1
+        while i < 64:
+            rs = read_symbol(c["ac_t"])
+            run, cat = rs >> 4, rs & 0x0F
+            if rs == 0x00:                    # EOB
+                break
+            if rs == 0xF0:                    # ZRL
+                i += 16
+                continue
+            i += run
+            if i > 63:
+                raise ValueError("AC run overflows block")
+            zz[i] = _extend(r.read(cat), cat)
+            i += 1
+        coef = np.empty((8, 8))
+        for k in range(64):
+            coef.flat[ZIGZAG[k]] = zz[k]
+        block = m.T @ (coef * c["q"]) @ m + 128.0
+        return np.clip(np.floor(block + 0.5), 0, 255).astype(np.uint8)
+
+    luma = components[0]
+    h1, v1 = luma["h"], luma["v"]
+    mcus_x = (width + 8 * h1 - 1) // (8 * h1)
+    mcus_y = (height + 8 * v1 - 1) // (8 * v1)
+    out = np.empty((mcus_y * 8 * v1, mcus_x * 8 * h1), dtype=np.uint8)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                n = (mcu_count // restart_interval - 1) % 8
+                r.expect_restart(n)
+                for c in components:
+                    c["pred"] = 0
+            for c in components:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        block = decode_block(c)
+                        if c is luma:
+                            y0 = (my * v1 + by) * 8
+                            x0 = (mx * h1 + bx) * 8
+                            out[y0:y0 + 8, x0:x0 + 8] = block
+            mcu_count += 1
     return width, height, bytes(out[:height, :width].tobytes())
+
+
+def encode_jpeg_color420(
+    width: int, height: int, seed: int = 0, q: int = 8,
+    restart_interval: int = 0,
+) -> bytes:
+    """A REAL baseline COLOR JPEG (3-component YCbCr, 4:2:0 luma
+    sampling, interleaved MCUs, optional restart intervals): the
+    fixture generator for the color-decode gate. Luma is
+    BLOCK-CONSTANT (``((x//8)*31 + (y//8)*17 + seed) % 256`` — exact
+    decode, see module docstring), chroma is the constant 128 (zero
+    after level shift, so the color planes entropy-code to pure
+    EOB blocks). Any standards-compliant viewer opens the output as a
+    grayscale-looking color image."""
+    import numpy as np
+
+    if width <= 0 or height <= 0:
+        raise ValueError("width/height must be positive")
+    m = _dct_matrix()
+    quant = np.full((8, 8), float(q))
+    dc_enc = _canonical_codes(DC_BITS, DC_VALS)
+    ac_enc = _canonical_codes(AC_BITS, AC_VALS)
+
+    # padded luma: multiples of 16 via edge replication (stays
+    # block-constant: the replication source shares the edge block)
+    bw = (width + 15) // 16 * 16
+    bh = (height + 15) // 16 * 16
+    luma = np.empty((bh, bw), dtype=np.float64)
+    for y in range(bh):
+        sy = min(y, height - 1)
+        for x in range(bw):
+            sx = min(x, width - 1)
+            luma[y, x] = ((sx // 8) * 31 + (sy // 8) * 17 + seed) % 256
+
+    w = _BitWriter()
+    preds = {"y": 0, "cb": 0, "cr": 0}
+
+    def put_block(block: "np.ndarray", key: str) -> None:
+        coef = m @ (block - 128.0) @ m.T
+        qz = coef / quant
+        qi = np.where(qz >= 0, np.floor(qz + 0.5),
+                      np.ceil(qz - 0.5)).astype(np.int64)
+        zz = [int(qi.flat[ZIGZAG[i]]) for i in range(64)]
+        diff = zz[0] - preds[key]
+        preds[key] = zz[0]
+        cat, bits = _category(diff)
+        code, ln = dc_enc[cat]
+        w.write(code, ln)
+        if cat:
+            w.write(bits, cat)
+        run = 0
+        last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+        for i in range(1, last_nz + 1):
+            if zz[i] == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_enc[0xF0]
+                w.write(code, ln)
+                run -= 16
+            cat, bits = _category(zz[i])
+            code, ln = ac_enc[(run << 4) | cat]
+            w.write(code, ln)
+            w.write(bits, cat)
+            run = 0
+        if last_nz < 63:
+            code, ln = ac_enc[0x00]
+            w.write(code, ln)
+
+    flat_chroma = np.full((8, 8), 128.0)
+    mcus_x, mcus_y = bw // 16, bh // 16
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                n = (mcu_count // restart_interval - 1) % 8
+                w.restart(n)
+                preds.update({"y": 0, "cb": 0, "cr": 0})
+            for by in range(2):
+                for bx in range(2):
+                    y0, x0 = (my * 2 + by) * 8, (mx * 2 + bx) * 8
+                    put_block(luma[y0:y0 + 8, x0:x0 + 8], "y")
+            put_block(flat_chroma, "cb")
+            put_block(flat_chroma, "cr")
+            mcu_count += 1
+    scan = w.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    zz_q = bytes(int(quant.flat[ZIGZAG[i]]) for i in range(64))
+    dqt = bytes([0x00]) + zz_q + bytes([0x01]) + zz_q
+    sof = (struct.pack(">BHHB", 8, height, width, 3)
+           + bytes([1, 0x22, 0]) + bytes([2, 0x11, 1])
+           + bytes([3, 0x11, 1]))
+    dht = (bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
+           + bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS)
+           + bytes([0x01]) + bytes(DC_BITS) + bytes(DC_VALS)
+           + bytes([0x11]) + bytes(AC_BITS) + bytes(AC_VALS))
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    head = b"\xff\xd8" + seg(0xFFDB, dqt) + seg(0xFFC0, sof)
+    if restart_interval:
+        head += seg(0xFFDD, struct.pack(">H", restart_interval))
+    return (head + seg(0xFFC4, dht) + seg(0xFFDA, sos)
+            + scan + b"\xff\xd9")

@@ -1751,3 +1751,50 @@ def multimodal_resize_jpeg(spark, sf_dir):
         make_jpeg(F.col("doc_id")).alias("content"),
     )
     return resize_images(docs, out_w=4, out_h=3)
+
+
+@query("multimodal_resize_jpeg_color", oracle="""
+WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS path,
+             17 + doc_id % 16 AS w, 17 + doc_id % 12 AS h,
+             doc_id % 223 AS seed
+           FROM documents),
+px AS (SELECT path, w, h,
+         flatten([[CAST((((CAST(floor(x * w / 4.0) AS INT) // 8) * 31
+                         + (CAST(floor(y * h / 3.0) AS INT) // 8) * 17
+                         + seed) % 256) AS VARCHAR)
+                   FOR x IN range(0, 4)]
+                  FOR y IN range(0, 3)]) AS vals
+       FROM d)
+SELECT path, CAST(w AS INT) AS src_w, CAST(h AS INT) AS src_h,
+       CAST(4 AS INT) AS out_w, CAST(3 AS INT) AS out_h,
+       md5(array_to_string(vals, ',')) AS pix_csv_digest
+FROM px
+""")
+def multimodal_resize_jpeg_color(spark, sf_dir):
+    """REAL COLOR JPEG decode (round 8, `decode_jpeg_gray` on
+    3-component input): every document becomes a genuine baseline
+    YCbCr JPEG with 4:2:0 luma sampling, interleaved MCUs, and a
+    restart interval (`encode_jpeg_color420`, DRI=2) — the shape of a
+    real camera/web JPEG — and the pipeline performs the full
+    interleaved scan decode (per-component huffman tables and DC
+    predictors, RSTn re-sync with predictor reset, chroma blocks
+    entropy-decoded and discarded) to extract the LUMA plane, then
+    resizes. Block-constant luma + constant chroma keep the decode
+    bit-exact, so the oracle recomputes every resized pixel
+    closed-form. With this, only progressive JPEG remains
+    unimplemented on the image side."""
+    from ..operators.jpeg import encode_jpeg_color420
+    from ..operators.multimodal import resize_images
+
+    def _make(doc_id):
+        return doc_id.map(
+            lambda i: encode_jpeg_color420(
+                17 + int(i) % 16, 17 + int(i) % 12,
+                seed=int(i) % 223, restart_interval=2))
+
+    make_jpeg = F.pandas_udf(_make, returnType="binary")
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("path"),
+        make_jpeg(F.col("doc_id")).alias("content"),
+    )
+    return resize_images(docs, out_w=4, out_h=3)

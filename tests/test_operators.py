@@ -3446,8 +3446,36 @@ def test_jpeg_codec_exact_blocks_lossy_bounds_and_guards(spark):
     prog = base.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with _pytest.raises(NotImplementedError, match="SOF2"):
         decode_jpeg_gray(prog)
+    # DRI is SUPPORTED since the color/restart extension: a declared
+    # interval larger than the MCU count simply never restarts
     sof_at = base.find(b"\xff\xc0")
     dri = base[:sof_at] + b"\xff\xdd" + struct.pack(">HH", 4, 8) \
         + base[sof_at:]
-    with _pytest.raises(NotImplementedError, match="DRI"):
-        decode_jpeg_gray(dri)
+    assert decode_jpeg_gray(dri) == decode_jpeg_gray(base)
+
+
+def test_jpeg_color420_and_restart_decode(spark):
+    """Color 4:2:0 JPEG with restart intervals: the interleaved scan
+    (4 luma + 2 chroma blocks per MCU, per-component predictors, RSTn
+    re-sync) must extract the luma plane bit-exactly on block-constant
+    fixtures; damaged restart markers must raise."""
+    import pytest as _pytest
+
+    from puffbird_spark.operators.jpeg import (
+        decode_jpeg_gray, encode_jpeg_color420)
+
+    for w, h, seed, ri in [(16, 16, 3, 0), (20, 13, 42, 0),
+                           (33, 18, 9, 2), (48, 32, 7, 1)]:
+        blob = encode_jpeg_color420(w, h, seed=seed, restart_interval=ri)
+        W, H, px = decode_jpeg_gray(blob)
+        exp = bytes(((x // 8) * 31 + (y // 8) * 17 + seed) % 256
+                    for y in range(h) for x in range(w))
+        assert (W, H, px) == (w, h, exp), (w, h, ri)
+
+    # corrupting a restart marker must be caught, not mis-decoded
+    blob = encode_jpeg_color420(48, 32, seed=7, restart_interval=1)
+    rst = blob.find(b"\xff\xd0")
+    assert rst > 0
+    broken = blob[:rst + 1] + b"\xd5" + blob[rst + 2:]
+    with _pytest.raises(ValueError, match="RST"):
+        decode_jpeg_gray(broken)
