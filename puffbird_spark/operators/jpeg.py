@@ -49,6 +49,19 @@ AC_VALS = [
 ]
 
 
+#: progressive-scan AC table: every EOBn (n=0..14), ZRL, and
+#: (run 0-15, cat 1-10) symbol as a flat 8-bit canonical code — 176
+#: codes, all-ones unused. Sequential Annex K tables lack EOBn.
+AC_PROG_VALS = []
+for _r in range(16):
+    for _c in range(11):
+        if _c == 0:
+            AC_PROG_VALS.append(0xF0 if _r == 15 else _r << 4)
+        else:
+            AC_PROG_VALS.append((_r << 4) | _c)
+AC_PROG_BITS = [0] * 7 + [len(AC_PROG_VALS)] + [0] * 8
+
+
 def _canonical_codes(bits, vals):
     """(symbol -> (code, length)) per the canonical JPEG algorithm."""
     out = {}
@@ -266,18 +279,36 @@ def encode_jpeg_gray(
             + scan + b"\xff\xd9")             # EOI
 
 
+def _scan_entropy_end(b: bytes, start: int) -> int:
+    """End of an entropy-coded segment: the next marker that is neither
+    a stuffed 0x00 nor a restart (RST0-7)."""
+    p = start
+    while p + 1 < len(b):
+        if b[p] == 0xFF and b[p + 1] != 0x00 and not (
+                0xD0 <= b[p + 1] <= 0xD7):
+            return p
+        p += 1 if b[p] != 0xFF else 2
+    raise ValueError("unterminated entropy segment")
+
+
 def decode_jpeg_gray(blob: bytes) -> tuple[int, int, bytes]:
-    """REAL decode of a baseline sequential JPEG to GRAYSCALE: marker
-    walk, DQT/DHT parsing (any tables the file declares, not just the
-    standard ones), full huffman entropy decode with byte unstuffing,
-    per-component DC prediction, AC run-length/EOB/ZRL, dezigzag,
-    dequantization, the float IDCT with clamping, and restart-interval
-    (DRI/RSTn) handling. Single-component images decode directly;
-    3-component YCbCr images with 4:2:0/4:2:2/4:4:4 luma sampling and
-    unsubsampled chroma decode their LUMA plane (gray = Y — the chroma
-    blocks are entropy-decoded and discarded, exactly what a gray
-    pipeline wants from a color photo). Returns ``(width, height,
-    pixels)`` row-major. Progressive scans and other exotics raise
+    """REAL decode of a baseline OR progressive JPEG to GRAYSCALE:
+    marker walk, DQT/DHT parsing (any tables the file declares), full
+    huffman entropy decode with byte unstuffing, per-component DC
+    prediction, AC run-length/EOB/ZRL, restart intervals (DRI/RSTn),
+    dezigzag, dequantization, and the float IDCT with clamping.
+
+    - Single-component images decode directly; 3-component YCbCr with
+      4:2:0/4:2:2/4:4:4 luma sampling and unsubsampled chroma decode
+      their LUMA plane (gray = Y; chroma blocks are entropy-decoded
+      and discarded).
+    - PROGRESSIVE (SOF2) images decode fully: multi-scan spectral
+      selection, DC and AC successive approximation (first scans +
+      refinement scans with EOB-run semantics), with coefficients
+      accumulated across scans and one final IDCT.
+
+    Returns ``(width, height, pixels)`` row-major. Remaining exotics
+    (arithmetic coding, hierarchical, 12-bit) raise
     ``NotImplementedError``; structural damage raises ``ValueError``."""
     import numpy as np
 
@@ -289,10 +320,11 @@ def decode_jpeg_gray(blob: bytes) -> tuple[int, int, bytes]:
     dc_tables: dict[int, dict] = {}
     ac_tables: dict[int, dict] = {}
     width = height = None
+    progressive = False
     components: list[dict] = []       # SOF order: id, h, v, tq
     restart_interval = 0
-    scan_start = None
-    while pos + 4 <= len(b):
+    scans: list[dict] = []
+    while pos + 2 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError(f"expected marker at offset {pos}")
         marker = b[pos + 1]
@@ -308,7 +340,8 @@ def decode_jpeg_gray(blob: bytes) -> tuple[int, int, bytes]:
                     raise NotImplementedError("16-bit quant tables")
                 quants[tq] = list(payload[p + 1:p + 65])
                 p += 65
-        elif marker == 0xC0:                  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):          # SOF0 / SOF2
+            progressive = marker == 0xC2
             precision, height, width, ncomp = struct.unpack(
                 ">BHHB", payload[:6])
             if precision != 8:
@@ -333,10 +366,10 @@ def decode_jpeg_gray(blob: bytes) -> tuple[int, int, bytes]:
                         f"{components[0]['v']}")
             elif components[0]["h"] != 1 or components[0]["v"] != 1:
                 raise NotImplementedError("subsampled single component")
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"SOF{marker - 0xC0} (baseline sequential only)")
+                f"SOF{marker - 0xC0} (baseline/progressive only)")
         elif marker == 0xC4:                  # DHT
             p = 0
             while p < len(payload):
@@ -345,99 +378,232 @@ def decode_jpeg_gray(blob: bytes) -> tuple[int, int, bytes]:
                 n = sum(bits)
                 vals = list(payload[p + 17:p + 17 + n])
                 table = _decode_table(bits, vals)
-                (dc_tables if tc == 0 else ac_tables)[th] = table
+                (dc_tables if tc == 0 else ac_tables)[th] = dict(table)
                 p += 17 + n
         elif marker == 0xDD:                  # DRI
             (restart_interval,) = struct.unpack(">H", payload[:2])
         elif marker == 0xDA:                  # SOS
+            if not components:
+                raise ValueError("SOS before SOF")
             ns = payload[0]
-            if ns != len(components):
-                raise NotImplementedError("partial-component scan")
             by_id = {c["id"]: c for c in components}
+            scan_comps = []
             for ci in range(ns):
                 cid = payload[1 + 2 * ci]
                 if cid not in by_id:
                     raise ValueError(f"SOS references unknown id {cid}")
-                by_id[cid]["td"] = payload[2 + 2 * ci] >> 4
-                by_id[cid]["ta"] = payload[2 + 2 * ci] & 0x0F
-            scan_start = pos + 2 + length
-            break
+                scan_comps.append({
+                    "comp": by_id[cid],
+                    "dc_t": dict(dc_tables.get(
+                        payload[2 + 2 * ci] >> 4, {})),
+                    "ac_t": dict(ac_tables.get(
+                        payload[2 + 2 * ci] & 0x0F, {})),
+                })
+            ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
+            ahal = payload[3 + 2 * ns]
+            data_start = pos + 2 + length
+            data_end = _scan_entropy_end(b, data_start)
+            scans.append({
+                "comps": scan_comps, "ss": ss, "se": se,
+                "ah": ahal >> 4, "al": ahal & 0x0F,
+                "data": b[data_start:data_end],
+                "ri": restart_interval,
+            })
+            pos = data_end
+            continue
         pos += 2 + length
-    if width is None or scan_start is None:
+    if width is None or not scans:
         raise ValueError("missing SOF/SOS")
-    end = b.rfind(b"\xff\xd9")
-    if end < 0:
-        raise ValueError("missing EOI")
-    r = _BitReader(b[scan_start:end])
-    m = _dct_matrix()
-    for c in components:
-        if c["tq"] not in quants:
-            raise ValueError("missing quant table")
-        q = np.empty((8, 8))
-        for i in range(64):
-            q.flat[ZIGZAG[i]] = quants[c["tq"]][i]
-        c["q"] = q
-        c["dc_t"] = dc_tables[c["td"]]
-        c["ac_t"] = ac_tables[c["ta"]]
-        c["pred"] = 0
-
-    def read_symbol(table) -> int:
-        code = 0
-        for ln in range(1, 17):
-            code = (code << 1) | r.read_bit()
-            if (ln, code) in table:
-                return table[(ln, code)]
-        raise ValueError("invalid huffman code")
-
-    def decode_block(c) -> "np.ndarray":
-        zz = [0] * 64
-        cat = read_symbol(c["dc_t"])
-        c["pred"] += _extend(r.read(cat), cat)
-        zz[0] = c["pred"]
-        i = 1
-        while i < 64:
-            rs = read_symbol(c["ac_t"])
-            run, cat = rs >> 4, rs & 0x0F
-            if rs == 0x00:                    # EOB
-                break
-            if rs == 0xF0:                    # ZRL
-                i += 16
-                continue
-            i += run
-            if i > 63:
-                raise ValueError("AC run overflows block")
-            zz[i] = _extend(r.read(cat), cat)
-            i += 1
-        coef = np.empty((8, 8))
-        for k in range(64):
-            coef.flat[ZIGZAG[k]] = zz[k]
-        block = m.T @ (coef * c["q"]) @ m + 128.0
-        return np.clip(np.floor(block + 0.5), 0, 255).astype(np.uint8)
+    if not progressive and len(scans) != 1:
+        raise NotImplementedError("multi-scan sequential JPEG")
+    if not progressive:
+        sc = scans[0]
+        if sc["ss"] != 0 or sc["se"] != 63 or sc["ah"] or sc["al"]:
+            raise ValueError("sequential scan must cover band 0-63")
 
     luma = components[0]
     h1, v1 = luma["h"], luma["v"]
-    mcus_x = (width + 8 * h1 - 1) // (8 * h1)
-    mcus_y = (height + 8 * v1 - 1) // (8 * v1)
-    out = np.empty((mcus_y * 8 * v1, mcus_x * 8 * h1), dtype=np.uint8)
-    mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and \
-                    mcu_count % restart_interval == 0:
-                n = (mcu_count // restart_interval - 1) % 8
-                r.expect_restart(n)
-                for c in components:
-                    c["pred"] = 0
-            for c in components:
+    hmax = max(c["h"] for c in components)
+    vmax = max(c["v"] for c in components)
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+    # per-component coefficient planes (zigzag order), MCU-padded
+    for c in components:
+        c["bw"] = mcus_x * c["h"]
+        c["bh"] = mcus_y * c["v"]
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
+        c["pred"] = 0
+        # non-interleaved block grid (spec A.2.2): the component's own
+        # spatial extent, not the MCU-padded one
+        cw = (width * c["h"] + hmax - 1) // hmax
+        ch = (height * c["v"] + vmax - 1) // vmax
+        c["nbx"] = (cw + 7) // 8
+        c["nby"] = (ch + 7) // 8
+
+    for sc in scans:
+        _decode_scan(sc, components, mcus_x, mcus_y, progressive)
+
+    # dequant + IDCT for the luma plane only
+    m = _dct_matrix()
+    qraster = np.empty((8, 8))
+    if luma["tq"] not in quants:
+        raise ValueError("missing quant table")
+    for i in range(64):
+        qraster.flat[ZIGZAG[i]] = quants[luma["tq"]][i]
+    out = np.empty((luma["bh"] * 8, luma["bw"] * 8), dtype=np.uint8)
+    for byi in range(luma["bh"]):
+        for bxi in range(luma["bw"]):
+            zz = luma["coef"][byi * luma["bw"] + bxi]
+            coef = np.empty((8, 8))
+            for k in range(64):
+                coef.flat[ZIGZAG[k]] = zz[k]
+            block = m.T @ (coef * qraster) @ m + 128.0
+            out[byi * 8:byi * 8 + 8, bxi * 8:bxi * 8 + 8] = np.clip(
+                np.floor(block + 0.5), 0, 255).astype(np.uint8)
+    return width, height, bytes(out[:height, :width].tobytes())
+
+
+def _read_symbol(r: _BitReader, table: dict) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | r.read_bit()
+        if (ln, code) in table:
+            return table[(ln, code)]
+    raise ValueError("invalid huffman code")
+
+
+def _decode_scan(sc, components, mcus_x, mcus_y, progressive) -> None:
+    """Entropy-decode one scan into the components' coefficient
+    planes. Handles interleaved DC/full scans, non-interleaved band
+    scans, restart intervals, and (progressive) EOB runs + successive
+    approximation refinement."""
+    r = _BitReader(sc["data"])
+    ss, se, ah, al = sc["ss"], sc["se"], sc["ah"], sc["al"]
+    ri = sc["ri"]
+    state = {"eobrun": 0}
+    for entry in sc["comps"]:
+        entry["comp"]["pred"] = 0
+
+    if progressive and ss == 0 and se != 0:
+        raise ValueError("progressive DC scan must have Se=0")
+    if progressive and ss > 0 and len(sc["comps"]) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+
+    def decode_block_band(entry, idx) -> None:
+        c = entry["comp"]
+        zz = c["coef"][idx]
+        if ss == 0 and ah == 0:
+            cat = _read_symbol(r, entry["dc_t"])
+            c["pred"] += _extend(r.read(cat), cat)
+            zz[0] = c["pred"] << al
+            if not progressive or se == 63:
+                k = 1
+                while k <= se:
+                    rs = _read_symbol(r, entry["ac_t"])
+                    run, cat = rs >> 4, rs & 0x0F
+                    if rs == 0x00:
+                        break
+                    if rs == 0xF0:
+                        k += 16
+                        continue
+                    k += run
+                    if k > se:
+                        raise ValueError("AC run overflows band")
+                    zz[k] = _extend(r.read(cat), cat)
+                    k += 1
+        elif ss == 0:                         # DC refinement
+            if r.read_bit():
+                zz[0] |= 1 << al
+        elif ah == 0:                         # AC first scan
+            if state["eobrun"] > 0:
+                state["eobrun"] -= 1
+                return
+            k = ss
+            while k <= se:
+                rs = _read_symbol(r, entry["ac_t"])
+                run, cat = rs >> 4, rs & 0x0F
+                if cat == 0:
+                    if run < 15:
+                        state["eobrun"] = (1 << run) - 1
+                        if run:
+                            state["eobrun"] += r.read(run)
+                        break
+                    k += 16                    # ZRL
+                    continue
+                k += run
+                if k > se:
+                    raise ValueError("AC run overflows band")
+                zz[k] = _extend(r.read(cat), cat) << al
+                k += 1
+        else:                                 # AC refinement (G.1.2.3)
+            p1, m1 = 1 << al, -1 << al
+            k = ss
+            if state["eobrun"] == 0:
+                while k <= se:
+                    rs = _read_symbol(r, entry["ac_t"])
+                    run, cat = rs >> 4, rs & 0x0F
+                    newval = 0
+                    if cat == 0:
+                        if run < 15:
+                            state["eobrun"] = (1 << run)
+                            if run:
+                                state["eobrun"] += r.read(run)
+                            break
+                        # ZRL: advance over 16 zero-history coefs
+                    elif cat == 1:
+                        newval = p1 if r.read_bit() else m1
+                    else:
+                        raise ValueError(
+                            "refinement magnitude must be 1")
+                    while k <= se:
+                        if zz[k] != 0:
+                            if r.read_bit() and (zz[k] & p1) == 0:
+                                zz[k] += p1 if zz[k] > 0 else m1
+                        else:
+                            if run == 0:
+                                if newval:
+                                    zz[k] = newval
+                                k += 1
+                                break
+                            run -= 1
+                        k += 1
+            if state["eobrun"] > 0:
+                while k <= se:
+                    if zz[k] != 0:
+                        if r.read_bit() and (zz[k] & p1) == 0:
+                            zz[k] += p1 if zz[k] > 0 else m1
+                    k += 1
+                state["eobrun"] -= 1
+
+    interleaved = len(sc["comps"]) > 1
+    if interleaved:
+        n_units = mcus_x * mcus_y
+    else:
+        c = sc["comps"][0]["comp"]
+        n_units = c["nbx"] * c["nby"]
+    unit = 0
+    rst_n = 0
+    while unit < n_units:
+        if ri and unit and unit % ri == 0:
+            r.expect_restart(rst_n % 8)
+            rst_n += 1
+            state["eobrun"] = 0
+            for entry in sc["comps"]:
+                entry["comp"]["pred"] = 0
+        if interleaved:
+            my, mx = divmod(unit, mcus_x)
+            for entry in sc["comps"]:
+                c = entry["comp"]
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
-                        block = decode_block(c)
-                        if c is luma:
-                            y0 = (my * v1 + by) * 8
-                            x0 = (mx * h1 + bx) * 8
-                            out[y0:y0 + 8, x0:x0 + 8] = block
-            mcu_count += 1
-    return width, height, bytes(out[:height, :width].tobytes())
+                        idx = ((my * c["v"] + by) * c["bw"]
+                               + mx * c["h"] + bx)
+                        decode_block_band(entry, idx)
+        else:
+            c = sc["comps"][0]["comp"]
+            byi, bxi = divmod(unit, c["nbx"])
+            decode_block_band(sc["comps"][0], byi * c["bw"] + bxi)
+        unit += 1
 
 
 def encode_jpeg_color420(
@@ -544,3 +710,133 @@ def encode_jpeg_color420(
         head += seg(0xFFDD, struct.pack(">H", restart_interval))
     return (head + seg(0xFFC4, dht) + seg(0xFFDA, sos)
             + scan + b"\xff\xd9")
+
+
+def encode_jpeg_progressive(
+    width: int, height: int, pixels: bytes | None = None, seed: int = 0,
+    q_dc: int = 8, q_ac: int = 8,
+) -> bytes:
+    """A REAL progressive (SOF2) grayscale JPEG: four scans — DC first
+    scan at Al=1, DC refinement (raw bits), then two spectral-selection
+    AC bands (1-5, 6-63) with genuine EOB-RUN accumulation across
+    blocks. ``pixels=None`` fills the block-constant fixture content
+    (bit-exact decode; all-zero AC bands exercise the decoder's EOBRUN
+    path with maximal runs). Arbitrary pixels transmit the same
+    quantized coefficients as :func:`encode_jpeg_gray`, so progressive
+    and sequential decodes of the same image are bit-identical."""
+    import numpy as np
+
+    if width <= 0 or height <= 0:
+        raise ValueError("width/height must be positive")
+    if pixels is None:
+        pixels = bytes(
+            ((x // 8) * 31 + (y // 8) * 17 + seed) % 256
+            for y in range(height) for x in range(width))
+    if len(pixels) != width * height:
+        raise ValueError("pixels length != width*height")
+    img = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(
+        height, width).astype(np.float64)
+    bw = (width + 7) // 8 * 8
+    bh = (height + 7) // 8 * 8
+    padded = np.empty((bh, bw))
+    padded[:height, :width] = img
+    padded[:height, width:] = img[:, -1:]
+    padded[height:, :] = padded[height - 1:height, :]
+    quant = np.full((8, 8), float(q_ac))
+    quant[0, 0] = float(q_dc)
+    m = _dct_matrix()
+    blocks = []
+    for by in range(0, bh, 8):
+        for bx in range(0, bw, 8):
+            coef = m @ (padded[by:by + 8, bx:bx + 8] - 128.0) @ m.T
+            qz = coef / quant
+            qi = np.where(qz >= 0, np.floor(qz + 0.5),
+                          np.ceil(qz - 0.5)).astype(np.int64)
+            blocks.append([int(qi.flat[ZIGZAG[i]]) for i in range(64)])
+
+    dc_enc = _canonical_codes(DC_BITS, DC_VALS)
+    # the Annex K sequential AC table has no EOBn symbols (only EOB0 and
+    # ZRL) — progressive band scans need them, so declare a custom flat
+    # canonical table carrying every EOBn/ZRL/(run,cat) symbol at 8 bits
+    # (176 codes; the all-ones code stays unused per the spec rule)
+    ac_enc = _canonical_codes(AC_PROG_BITS, AC_PROG_VALS)
+
+    def dc_first_scan(al: int) -> bytes:
+        w = _BitWriter()
+        pred = 0
+        for zz in blocks:
+            v = zz[0] >> al                   # arithmetic point transform
+            cat, bits = _category(v - pred)
+            pred = v
+            code, ln = dc_enc[cat]
+            w.write(code, ln)
+            if cat:
+                w.write(bits, cat)
+        return w.flush()
+
+    def dc_refine_scan(al: int) -> bytes:
+        w = _BitWriter()
+        for zz in blocks:
+            w.write((zz[0] >> al) & 1, 1)
+        return w.flush()
+
+    def ac_first_scan(ss: int, se: int) -> bytes:
+        w = _BitWriter()
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            while eobrun > 0:
+                rbits = min(eobrun.bit_length() - 1, 14)
+                code, ln = ac_enc[rbits << 4]
+                w.write(code, ln)
+                if rbits:
+                    w.write(eobrun - (1 << rbits), rbits)
+                eobrun = 0
+
+        for zz in blocks:
+            last_nz = max(
+                (i for i in range(ss, se + 1) if zz[i]), default=0)
+            if last_nz < ss:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            run = 0
+            for i in range(ss, last_nz + 1):
+                if zz[i] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_enc[0xF0]
+                    w.write(code, ln)
+                    run -= 16
+                cat, bits = _category(zz[i])
+                code, ln = ac_enc[(run << 4) | cat]
+                w.write(code, ln)
+                w.write(bits, cat)
+                run = 0
+            if last_nz < se:
+                eobrun += 1
+        flush_eob()
+        return w.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def sos(ss: int, se: int, ah: int, al: int) -> bytes:
+        return seg(0xFFDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+
+    dqt = bytes([0x00]) + bytes(
+        int(quant.flat[ZIGZAG[i]]) for i in range(64))
+    sof = struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
+    dht = (bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
+           + bytes([0x10]) + bytes(AC_PROG_BITS) + bytes(AC_PROG_VALS))
+    return (b"\xff\xd8" + seg(0xFFDB, dqt) + seg(0xFFC2, sof)
+            + seg(0xFFC4, dht)
+            + sos(0, 0, 0, 1) + dc_first_scan(1)
+            + sos(0, 0, 1, 0) + dc_refine_scan(0)
+            + sos(1, 5, 0, 0) + ac_first_scan(1, 5)
+            + sos(6, 63, 0, 0) + ac_first_scan(6, 63)
+            + b"\xff\xd9")

@@ -1798,3 +1798,50 @@ def multimodal_resize_jpeg_color(spark, sf_dir):
         make_jpeg(F.col("doc_id")).alias("content"),
     )
     return resize_images(docs, out_w=4, out_h=3)
+
+
+@query("multimodal_resize_jpeg_progressive", oracle="""
+WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS path,
+             11 + doc_id % 14 AS w, 11 + doc_id % 10 AS h,
+             doc_id % 227 AS seed
+           FROM documents),
+px AS (SELECT path, w, h,
+         flatten([[CAST((((CAST(floor(x * w / 4.0) AS INT) // 8) * 31
+                         + (CAST(floor(y * h / 3.0) AS INT) // 8) * 17
+                         + seed) % 256) AS VARCHAR)
+                   FOR x IN range(0, 4)]
+                  FOR y IN range(0, 3)]) AS vals
+       FROM d)
+SELECT path, CAST(w AS INT) AS src_w, CAST(h AS INT) AS src_h,
+       CAST(4 AS INT) AS out_w, CAST(3 AS INT) AS out_h,
+       md5(array_to_string(vals, ',')) AS pix_csv_digest
+FROM px
+""")
+def multimodal_resize_jpeg_progressive(spark, sf_dir):
+    """PROGRESSIVE JPEG decode (round 8, `decode_jpeg_gray` on SOF2
+    input): every document becomes a genuine 4-scan progressive JPEG
+    (`encode_jpeg_progressive`: DC first scan at Al=1, DC refinement,
+    two spectral-selection AC bands with real EOB-run accumulation and
+    a declared custom progressive AC huffman table), and the pipeline
+    accumulates coefficients across all four scans before one IDCT —
+    the multi-scan machinery real progressive photos use. Fixtures are
+    block-constant so the decode is bit-exact and the oracle
+    recomputes every resized pixel closed-form (the all-zero AC bands
+    make the EOB-run path carry maximal runs); random-pixel
+    progressive-equals-sequential parity and a handcrafted AC
+    successive-approximation refinement stream are unit-pinned. With
+    this, the image codec family has no header-only formats left."""
+    from ..operators.jpeg import encode_jpeg_progressive
+    from ..operators.multimodal import resize_images
+
+    def _make(doc_id):
+        return doc_id.map(
+            lambda i: encode_jpeg_progressive(
+                11 + int(i) % 14, 11 + int(i) % 10, seed=int(i) % 227))
+
+    make_jpeg = F.pandas_udf(_make, returnType="binary")
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("path"),
+        make_jpeg(F.col("doc_id")).alias("content"),
+    )
+    return resize_images(docs, out_w=4, out_h=3)

@@ -3441,10 +3441,13 @@ def test_jpeg_codec_exact_blocks_lossy_bounds_and_guards(spark):
 
     with _pytest.raises(ValueError):
         decode_jpeg_gray(b"\x89PNG")
-    # progressive (SOF2) and restart intervals must refuse
+    # a sequential full-band scan relabeled SOF2 violates the
+    # progressive scan rules (Ss=0 requires Se=0) — caught, not
+    # mis-decoded (real progressive files decode; see
+    # test_jpeg_progressive_decode)
     base = encode_jpeg_gray(8, 8, seed=1)
     prog = base.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with _pytest.raises(NotImplementedError, match="SOF2"):
+    with _pytest.raises(ValueError, match="Se=0"):
         decode_jpeg_gray(prog)
     # DRI is SUPPORTED since the color/restart extension: a declared
     # interval larger than the MCU count simply never restarts
@@ -3479,3 +3482,93 @@ def test_jpeg_color420_and_restart_decode(spark):
     broken = blob[:rst + 1] + b"\xd5" + blob[rst + 2:]
     with _pytest.raises(ValueError, match="RST"):
         decode_jpeg_gray(broken)
+
+
+def test_jpeg_progressive_decode(spark):
+    """Progressive (SOF2) decode: block-constant fixtures decode
+    bit-exactly through 4 scans with genuine EOB runs; random pixels
+    decode IDENTICAL to the sequential encoding (same coefficients);
+    a handcrafted AC successive-approximation refinement scan refines
+    coefficients exactly per spec G.1.2.3."""
+    import random
+    import struct
+
+    import numpy as np
+
+    from puffbird_spark.operators.jpeg import (
+        AC_PROG_BITS, AC_PROG_VALS, DC_BITS, DC_VALS, ZIGZAG,
+        _BitWriter, _canonical_codes, _dct_matrix, decode_jpeg_gray,
+        encode_jpeg_gray, encode_jpeg_progressive)
+
+    for w, h, seed in [(8, 8, 0), (20, 13, 42), (33, 18, 9)]:
+        blob = encode_jpeg_progressive(w, h, seed=seed)
+        W, H, px = decode_jpeg_gray(blob)
+        exp = bytes(((x // 8) * 31 + (y // 8) * 17 + seed) % 256
+                    for y in range(h) for x in range(w))
+        assert (W, H, px) == (w, h, exp), (w, h)
+
+    rnd = random.Random(11)
+    w, h = 40, 24
+    pix = bytes(rnd.randrange(256) for _ in range(w * h))
+    seq = decode_jpeg_gray(
+        encode_jpeg_gray(w, h, pixels=pix, q_dc=3, q_ac=5))
+    pro = decode_jpeg_gray(
+        encode_jpeg_progressive(w, h, pixels=pix, q_dc=3, q_ac=5))
+    assert seq == pro
+
+    # --- handcrafted AC refinement (Ah=1): coefs go [0,2,0,...] ->
+    # [0,3,-1,0,...] via one correction bit + one newly-significant ---
+    dc_enc = _canonical_codes(DC_BITS, DC_VALS)
+    ac_enc = _canonical_codes(AC_PROG_BITS, AC_PROG_VALS)
+
+    def seg(marker, payload):
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def scan(ss, se, ah, al, fill):
+        w_ = _BitWriter()
+        fill(w_)
+        return seg(0xFFDA, bytes([1, 1, 0x00, ss, se,
+                                  (ah << 4) | al])) + w_.flush()
+
+    def s1(w_):                      # DC first: dc = 0
+        c, ln = dc_enc[0]
+        w_.write(c, ln)
+
+    def s2(w_):                      # AC first at Al=1: zz[1] = 1 (->2)
+        c, ln = ac_enc[0x01]
+        w_.write(c, ln)
+        w_.write(1, 1)
+        c, ln = ac_enc[0x00]
+        w_.write(c, ln)
+
+    def s3(w_):                      # AC refine: +1 on zz[1], new -1 at 2
+        c, ln = ac_enc[0x01]
+        w_.write(c, ln)
+        w_.write(0, 1)               # sign: negative
+        w_.write(1, 1)               # correction bit for zz[1]
+        c, ln = ac_enc[0x00]
+        w_.write(c, ln)
+
+    dqt = bytes([0x00]) + bytes([1] * 64)
+    sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    dht = (bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
+           + bytes([0x10]) + bytes(AC_PROG_BITS) + bytes(AC_PROG_VALS))
+    blob = (b"\xff\xd8" + seg(0xFFDB, dqt) + seg(0xFFC2, sof)
+            + seg(0xFFC4, dht)
+            + scan(0, 0, 0, 0, s1)
+            + scan(1, 63, 0, 1, s2)
+            + scan(1, 63, 1, 0, s3)
+            + b"\xff\xd9")
+    W, H, px = decode_jpeg_gray(blob)
+    # expected: IDCT of dezigzagged [0, 3, -1, 0, ...] computed with
+    # independent numpy math
+    zz = [0] * 64
+    zz[1], zz[2] = 3, -1
+    coef = np.zeros((8, 8))
+    for k in range(64):
+        coef.flat[ZIGZAG[k]] = zz[k]
+    m = _dct_matrix()
+    block = m.T @ coef @ m + 128.0
+    exp = np.clip(np.floor(block + 0.5), 0, 255).astype(np.uint8)
+    assert (W, H) == (8, 8)
+    assert px == bytes(exp.tobytes())
