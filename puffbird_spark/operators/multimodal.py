@@ -1049,3 +1049,69 @@ def decode_y4m_frames(blob: bytes) -> list[tuple[int, int, int, bytes]]:
             (data_off, w, h, b[data_off:data_off + w * h]))
         pos = data_off + frame_len
     return frames
+
+
+IMAGE_STATS_SCHEMA = (
+    "path string, format string, width int, height int, n_pixels int, "
+    "min_gray int, max_gray int, mean_gray double"
+)
+
+
+def image_pixel_stats(
+    df: DataFrame,
+    content_col: str = "content",
+    path_col: str = "path",
+    dp: int = 6,
+    batch_size: int = 64,
+) -> DataFrame:
+    """PIXEL-LEVEL feature extraction over image blobs: full decode via
+    :func:`decode_image_gray` (PNG / GIF / JPEG incl. color and
+    progressive), then exact min/max/mean gray — the real content
+    statistics a media-curation filter gates on (black-frame and
+    overexposure detection, brightness balance), where
+    :func:`decode_features`'s byte histogram is the decode-free
+    approximation. Integer pixel sums make the mean engine-replayable
+    (HALF_UP rounded at ``dp``). Same Arrow mapInPandas shape as every
+    media stage; undecodable blobs are skipped (emit no row), zero
+    shuffle."""
+    import math as _math
+
+    scale = float(10 ** dp)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start:start + batch_size]
+                out: dict[str, list] = {k: [] for k in (
+                    "path", "format", "width", "height", "n_pixels",
+                    "min_gray", "max_gray", "mean_gray")}
+                for path, blob in zip(
+                    chunk[path_col].astype(str), chunk[content_col]
+                ):
+                    if blob is None:
+                        continue
+                    blob = bytes(blob)
+                    fmt, _, _ = parse_image_header(blob)
+                    try:
+                        w, h, px = decode_image_gray(blob)
+                    except (NotImplementedError, ValueError):
+                        continue
+                    total = sum(px)
+                    mean = total / len(px)
+                    out["path"].append(path)
+                    out["format"].append(fmt)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["n_pixels"].append(len(px))
+                    out["min_gray"].append(min(px))
+                    out["max_gray"].append(max(px))
+                    out["mean_gray"].append(
+                        _math.floor(mean * scale + 0.5) / scale)
+                yield pd.DataFrame(out).astype({
+                    "width": "int32", "height": "int32",
+                    "n_pixels": "int32", "min_gray": "int32",
+                    "max_gray": "int32",
+                })
+
+    return df.select(path_col, content_col).mapInPandas(
+        kernel, IMAGE_STATS_SCHEMA)

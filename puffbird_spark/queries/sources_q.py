@@ -1845,3 +1845,60 @@ def multimodal_resize_jpeg_progressive(spark, sf_dir):
         make_jpeg(F.col("doc_id")).alias("content"),
     )
     return resize_images(docs, out_w=4, out_h=3)
+
+
+@query("multimodal_image_stats", oracle="""
+WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS path,
+             doc_id % 3 AS fmt,
+             9 + doc_id % 11 AS w, 9 + doc_id % 9 AS h,
+             doc_id % 193 AS seed
+           FROM documents),
+px AS (SELECT path, fmt, w, h,
+         unnest(range(0, CAST(w * h AS BIGINT))) AS i, seed
+       FROM d),
+v AS (SELECT path, fmt, w, h,
+        CASE WHEN fmt = 2
+             THEN (((i % w) // 8) * 31 + ((i // w) // 8) * 17 + seed) % 256
+             ELSE ((i % w) * 31 + (i // w) * 17 + seed) % 256
+        END AS g
+      FROM px)
+SELECT path,
+  CASE fmt WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END AS format,
+  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+  CAST(w * h AS INT) AS n_pixels,
+  CAST(MIN(g) AS INT) AS min_gray, CAST(MAX(g) AS INT) AS max_gray,
+  ROUND(SUM(g) / (w * h), 6) AS mean_gray
+FROM v GROUP BY path, fmt, w, h
+""")
+def multimodal_image_stats(spark, sf_dir):
+    """Cross-codec pixel statistics (`image_pixel_stats`,
+    operators/multimodal.py, round 8): each document becomes a PNG, an
+    animated-free GIF, or a baseline JPEG by doc_id % 3 — three
+    DIFFERENT real decoders (zlib scanlines, LZW, huffman+IDCT) feed
+    one stage that computes exact min/max/mean gray. The oracle
+    recomputes every pixel closed-form per format (per-pixel generator
+    for PNG/GIF, block-constant for JPEG), so the hash only matches if
+    ALL THREE codecs decode exactly and the stats arithmetic is
+    replayed bit-for-bit. The curation story: brightness/black-frame
+    filters need decoded pixels, not byte histograms."""
+    from ..operators.jpeg import encode_jpeg_gray
+    from ..operators.multimodal import (
+        encode_gif, encode_png, image_pixel_stats)
+
+    def _make(doc_id):
+        def one(i):
+            i = int(i)
+            w, h, seed = 9 + i % 11, 9 + i % 9, i % 193
+            if i % 3 == 0:
+                return encode_png(w, h, seed=seed)
+            if i % 3 == 1:
+                return encode_gif(w, h, seed=seed)
+            return encode_jpeg_gray(w, h, seed=seed)
+        return doc_id.map(one)
+
+    make = F.pandas_udf(_make, returnType="binary")
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("path"),
+        make(F.col("doc_id")).alias("content"),
+    )
+    return image_pixel_stats(docs)
