@@ -1,10 +1,17 @@
-"""REAL baseline JPEG codec (round 8) — pure Python + numpy, both
-directions, no libjpeg: marker parse, DQT/DHT table handling, huffman
-entropy coding with byte stuffing, DC prediction, AC run-length/EOB/ZRL,
-zigzag, quantization, and the 2-D DCT/IDCT. Grayscale (1-component)
-baseline sequential only — progressive scans, chroma subsampling, and
-restart intervals raise ``NotImplementedError`` (the honest-partial
-convention of the PNG/GIF/WAV/Y4M codecs in `multimodal.py`).
+"""REAL JPEG codec (round 8) — pure Python + numpy, both directions,
+no libjpeg: marker parse, DQT/DHT table handling, huffman entropy
+coding with byte stuffing (decode via a cached 16-bit-peek LUT — one
+lookup per symbol), DC prediction, AC run-length/EOB/ZRL, zigzag,
+quantization, and the 2-D DCT/IDCT.
+
+Decode coverage: baseline sequential grayscale; 3-component YCbCr with
+4:2:0/4:2:2/4:4:4 luma sampling and unsubsampled chroma (luma-plane
+extraction); restart intervals (DRI/RSTn); and PROGRESSIVE (SOF2) —
+multi-scan spectral selection with DC and AC successive approximation
+and EOB-run semantics. Remaining exotics (arithmetic coding, 12-bit,
+hierarchical, subsampled-chroma reconstruction beyond the luma plane)
+raise ``NotImplementedError`` — the honest-partial convention of the
+PNG/GIF/WAV/Y4M codecs in `multimodal.py`.
 
 Exactness note for the gates: a block-CONSTANT 8x8 region has all AC
 coefficients exactly 0 and an exactly-representable DC, so with the
@@ -102,16 +109,18 @@ class _BitWriter:
         self.n = 0
 
     def write(self, value: int, length: int) -> None:
-        for i in range(length - 1, -1, -1):
-            self.acc = (self.acc << 1) | ((value >> i) & 1)
-            self.n += 1
-            if self.n == 8:
-                b = self.acc
-                self.out.append(b)
-                if b == 0xFF:
-                    self.out.append(0x00)  # byte stuffing
-                self.acc = 0
-                self.n = 0
+        # value-at-a-time (not bit-at-a-time): shift the whole code into
+        # the accumulator and drain full bytes with stuffing
+        acc = (self.acc << length) | (value & ((1 << length) - 1))
+        n = self.n + length
+        while n >= 8:
+            n -= 8
+            b = (acc >> n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+        self.acc = acc & ((1 << n) - 1)
+        self.n = n
 
     def flush(self) -> bytes:
         if self.n:
@@ -128,42 +137,96 @@ class _BitWriter:
         self.out += bytes([0xFF, 0xD0 + (n % 8)])
 
 
+#: (sorted table content) -> 65536-entry LUT mapping a 16-bit peek to
+#: (symbol, code_length). Huffman codes are <= 16 bits, so one table
+#: lookup replaces the bit-by-bit walk — the decode hot path. Cached
+#: module-wide: real corpora reuse the same few tables across blobs.
+_LUT_CACHE: dict[tuple, list] = {}
+
+
+def _huff_lut(table: dict) -> list:
+    key = tuple(sorted(
+        (ln, code, sym) for (ln, code), sym in table.items()))
+    lut = _LUT_CACHE.get(key)
+    if lut is None:
+        lut = [None] * 65536
+        for (ln, code), sym in table.items():
+            base = code << (16 - ln)
+            entry = (sym, ln)
+            for k in range(1 << (16 - ln)):
+                lut[base + k] = entry
+        _LUT_CACHE[key] = lut
+    return lut
+
+
 class _BitReader:
+    """MSB-first bit reader over entropy-coded data with byte
+    unstuffing. Bits buffer in an int accumulator refilled bytewise;
+    huffman symbols decode with ONE 16-bit-peek LUT lookup instead of
+    per-bit tree walking. A non-RST marker mid-stream stops the refill
+    (the scan slice genuinely ends there), and running dry raises."""
+
     def __init__(self, data: bytes):
         self.data = data
         self.pos = 0
         self.acc = 0
         self.n = 0
 
-    def read_bit(self) -> int:
-        if self.n == 0:
-            if self.pos >= len(self.data):
-                raise ValueError("entropy data exhausted")
-            b = self.data[self.pos]
-            self.pos += 1
+    def _fill(self) -> None:
+        data, pos, n = self.data, self.pos, self.n
+        acc = self.acc & ((1 << n) - 1)   # drop consumed high bits
+        while n <= 24 and pos < len(data):
+            b = data[pos]
             if b == 0xFF:
-                if self.pos >= len(self.data):
-                    raise ValueError("truncated stuffing")
-                marker = self.data[self.pos]
-                self.pos += 1
-                if marker != 0x00:
-                    raise ValueError(
-                        f"unexpected marker 0xFF{marker:02X} mid-scan")
-            self.acc = b
-            self.n = 8
-        self.n -= 1
-        return (self.acc >> self.n) & 1
+                if pos + 1 >= len(data) or data[pos + 1] != 0x00:
+                    break                      # marker: stop refilling
+                pos += 2
+            else:
+                pos += 1
+            acc = (acc << 8) | b
+            n += 8
+        self.acc, self.pos, self.n = acc, pos, n
+
+    def read_bit(self) -> int:
+        return self.read(1)
 
     def read(self, length: int) -> int:
-        v = 0
-        for _ in range(length):
-            v = (v << 1) | self.read_bit()
+        if length == 0:
+            return 0
+        if self.n < length:
+            self._fill()
+            if self.n < length:
+                raise ValueError("entropy data exhausted")
+        self.n -= length
+        v = (self.acc >> self.n) & ((1 << length) - 1)
         return v
+
+    def read_code(self, lut: list) -> int:
+        """Decode one huffman symbol via the 16-bit peek LUT."""
+        if self.n < 16:
+            self._fill()
+        if self.n >= 16:
+            peek = (self.acc >> (self.n - 16)) & 0xFFFF
+        else:
+            if self.n == 0:
+                raise ValueError("entropy data exhausted")
+            # tail: pad with 1s (the spec's padding bits)
+            pad = 16 - self.n
+            peek = ((self.acc << pad) | ((1 << pad) - 1)) & 0xFFFF
+        entry = lut[peek]
+        if entry is None:
+            raise ValueError("invalid huffman code")
+        sym, ln = entry
+        if ln > self.n:
+            raise ValueError("entropy data exhausted")
+        self.n -= ln
+        return sym
 
     def expect_restart(self, n: int) -> None:
         """Discard padding bits to the byte boundary and consume the
         expected RSTn marker."""
         self.n = 0
+        self.acc = 0
         if self.pos + 2 > len(self.data):
             raise ValueError("truncated restart marker")
         if self.data[self.pos] != 0xFF or \
@@ -464,12 +527,7 @@ def decode_jpeg_gray(blob: bytes) -> tuple[int, int, bytes]:
 
 
 def _read_symbol(r: _BitReader, table: dict) -> int:
-    code = 0
-    for ln in range(1, 17):
-        code = (code << 1) | r.read_bit()
-        if (ln, code) in table:
-            return table[(ln, code)]
-    raise ValueError("invalid huffman code")
+    return r.read_code(_huff_lut(table))
 
 
 def _decode_scan(sc, components, mcus_x, mcus_y, progressive) -> None:
@@ -483,6 +541,8 @@ def _decode_scan(sc, components, mcus_x, mcus_y, progressive) -> None:
     state = {"eobrun": 0}
     for entry in sc["comps"]:
         entry["comp"]["pred"] = 0
+        entry["dc_lut"] = _huff_lut(entry["dc_t"])
+        entry["ac_lut"] = _huff_lut(entry["ac_t"])
 
     if progressive and ss == 0 and se != 0:
         raise ValueError("progressive DC scan must have Se=0")
@@ -493,13 +553,13 @@ def _decode_scan(sc, components, mcus_x, mcus_y, progressive) -> None:
         c = entry["comp"]
         zz = c["coef"][idx]
         if ss == 0 and ah == 0:
-            cat = _read_symbol(r, entry["dc_t"])
+            cat = r.read_code(entry["dc_lut"])
             c["pred"] += _extend(r.read(cat), cat)
             zz[0] = c["pred"] << al
             if not progressive or se == 63:
                 k = 1
                 while k <= se:
-                    rs = _read_symbol(r, entry["ac_t"])
+                    rs = r.read_code(entry["ac_lut"])
                     run, cat = rs >> 4, rs & 0x0F
                     if rs == 0x00:
                         break
@@ -520,7 +580,7 @@ def _decode_scan(sc, components, mcus_x, mcus_y, progressive) -> None:
                 return
             k = ss
             while k <= se:
-                rs = _read_symbol(r, entry["ac_t"])
+                rs = r.read_code(entry["ac_lut"])
                 run, cat = rs >> 4, rs & 0x0F
                 if cat == 0:
                     if run < 15:
@@ -540,7 +600,7 @@ def _decode_scan(sc, components, mcus_x, mcus_y, progressive) -> None:
             k = ss
             if state["eobrun"] == 0:
                 while k <= se:
-                    rs = _read_symbol(r, entry["ac_t"])
+                    rs = r.read_code(entry["ac_lut"])
                     run, cat = rs >> 4, rs & 0x0F
                     newval = 0
                     if cat == 0:

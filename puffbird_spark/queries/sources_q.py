@@ -241,7 +241,9 @@ def multimodal_meta(spark, sf_dir):
     feature kernel itself is a deterministic stub, unit-tested)."""
     from ..operators.multimodal import decode_features, with_media_meta
 
-    docs = load(spark, sf_dir, "documents").select(
+    from ..operators.dedup import widen_parallelism
+
+    docs = widen_parallelism(load(spark, sf_dir, "documents")).select(
         F.col("doc_id").cast("string").alias("path"),
         F.col("text").cast("binary").alias("content"),
     )
@@ -281,7 +283,9 @@ def multimodal_decode(spark, sf_dir):
     # no annotations: postponed-annotations mode breaks signature inference
     make_png = F.pandas_udf(_make, returnType="binary")
 
-    docs = load(spark, sf_dir, "documents").select(
+    from ..operators.dedup import widen_parallelism
+
+    docs = widen_parallelism(load(spark, sf_dir, "documents")).select(
         F.col("doc_id").cast("string").alias("path"),
         make_png(F.col("doc_id")).alias("content"),
     )
@@ -1324,7 +1328,9 @@ def multimodal_framesample_gif(spark, sf_dir):
                 seed=int(i) % 97))
 
     make_gif = F.pandas_udf(_make, returnType="binary")
-    docs = load(spark, sf_dir, "documents").select(
+    from ..operators.dedup import widen_parallelism
+
+    docs = widen_parallelism(load(spark, sf_dir, "documents")).select(
         F.col("doc_id").cast("string").alias("path"),
         make_gif(F.col("doc_id")).alias("content"),
     )
@@ -1418,7 +1424,9 @@ def multimodal_resize(spark, sf_dir):
                                  seed=int(i) % 251))
 
     make_png = F.pandas_udf(_make, returnType="binary")
-    docs = load(spark, sf_dir, "documents").select(
+    from ..operators.dedup import widen_parallelism
+
+    docs = widen_parallelism(load(spark, sf_dir, "documents")).select(
         F.col("doc_id").cast("string").alias("path"),
         make_png(F.col("doc_id")).alias("content"),
     )
@@ -1466,7 +1474,9 @@ def multimodal_resize_gif(spark, sf_dir):
                                  seed=int(i) % 241))
 
     make_gif = F.pandas_udf(_make, returnType="binary")
-    docs = load(spark, sf_dir, "documents").select(
+    from ..operators.dedup import widen_parallelism
+
+    docs = widen_parallelism(load(spark, sf_dir, "documents")).select(
         F.col("doc_id").cast("string").alias("path"),
         make_gif(F.col("doc_id")).alias("content"),
     )
@@ -1590,7 +1600,9 @@ def multimodal_audio_decode(spark, sf_dir):
                                  seed=int(i) % 997))
 
     make_wav = F.pandas_udf(_make, returnType="binary")
-    docs = load(spark, sf_dir, "documents").select(
+    from ..operators.dedup import widen_parallelism
+
+    docs = widen_parallelism(load(spark, sf_dir, "documents")).select(
         F.col("doc_id").cast("string").alias("path"),
         make_wav(F.col("doc_id")).alias("content"),
     )
@@ -1638,7 +1650,9 @@ def multimodal_audio_resample(spark, sf_dir):
                                  seed=int(i) % 811))
 
     make_wav = F.pandas_udf(_make, returnType="binary")
-    docs = load(spark, sf_dir, "documents").select(
+    from ..operators.dedup import widen_parallelism
+
+    docs = widen_parallelism(load(spark, sf_dir, "documents")).select(
         F.col("doc_id").cast("string").alias("path"),
         make_wav(F.col("doc_id")).alias("content"),
     )
@@ -1697,7 +1711,9 @@ def multimodal_framesample_y4m(spark, sf_dir):
                 n_frames=2 + int(i) % 5, seed=int(i) % 199))
 
     make_y4m = F.pandas_udf(_make, returnType="binary")
-    docs = load(spark, sf_dir, "documents").select(
+    from ..operators.dedup import widen_parallelism
+
+    docs = widen_parallelism(load(spark, sf_dir, "documents")).select(
         F.col("doc_id").cast("string").alias("path"),
         make_y4m(F.col("doc_id")).alias("content"),
     )
@@ -1746,7 +1762,9 @@ def multimodal_resize_jpeg(spark, sf_dir):
                                        seed=int(i) % 211))
 
     make_jpeg = F.pandas_udf(_make, returnType="binary")
-    docs = load(spark, sf_dir, "documents").select(
+    from ..operators.dedup import widen_parallelism
+
+    docs = widen_parallelism(load(spark, sf_dir, "documents")).select(
         F.col("doc_id").cast("string").alias("path"),
         make_jpeg(F.col("doc_id")).alias("content"),
     )
@@ -1793,7 +1811,9 @@ def multimodal_resize_jpeg_color(spark, sf_dir):
                 seed=int(i) % 223, restart_interval=2))
 
     make_jpeg = F.pandas_udf(_make, returnType="binary")
-    docs = load(spark, sf_dir, "documents").select(
+    from ..operators.dedup import widen_parallelism
+
+    docs = widen_parallelism(load(spark, sf_dir, "documents")).select(
         F.col("doc_id").cast("string").alias("path"),
         make_jpeg(F.col("doc_id")).alias("content"),
     )
@@ -1840,7 +1860,9 @@ def multimodal_resize_jpeg_progressive(spark, sf_dir):
                 11 + int(i) % 14, 11 + int(i) % 10, seed=int(i) % 227))
 
     make_jpeg = F.pandas_udf(_make, returnType="binary")
-    docs = load(spark, sf_dir, "documents").select(
+    from ..operators.dedup import widen_parallelism
+
+    docs = widen_parallelism(load(spark, sf_dir, "documents")).select(
         F.col("doc_id").cast("string").alias("path"),
         make_jpeg(F.col("doc_id")).alias("content"),
     )
@@ -1897,7 +1919,9 @@ def multimodal_image_stats(spark, sf_dir):
         return doc_id.map(one)
 
     make = F.pandas_udf(_make, returnType="binary")
-    docs = load(spark, sf_dir, "documents").select(
+    from ..operators.dedup import widen_parallelism
+
+    docs = widen_parallelism(load(spark, sf_dir, "documents")).select(
         F.col("doc_id").cast("string").alias("path"),
         make(F.col("doc_id")).alias("content"),
     )
