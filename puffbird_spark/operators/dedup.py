@@ -127,7 +127,11 @@ def jaccard_pairs(
     a, b = sh.alias("a"), sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
-    jac = F.round(inter.cast("double") / union, 6)
+    # two EMPTY gram sets (blank/short docs) make union 0 — Jaccard is
+    # undefined there and ANSI division would error; such pairs are not
+    # near-dups, so they read NULL and the threshold filter drops them
+    # (round-8 fix, found by the prefix-join differential fixture)
+    jac = F.when(union > 0, F.round(inter.cast("double") / union, 6))
     return (
         a.join(b, F.col("a.id") < F.col("b.id"))
         .select(
@@ -1137,4 +1141,91 @@ def cdc_shared_chunks(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    n: int = 5,
+    kind: str = "char",
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity join via PREFIX FILTERING
+    (Chaudhuri et al. ICDE'06 / the PPJoin family) — the scale path
+    that returns the SAME pairs as the all-pairs kernel
+    :func:`jaccard_pairs` without the O(n²) self-join, and without the
+    probabilistic miss of MinHash banding:
+
+    - each document's distinct gram digests sort by (global document
+      frequency asc, digest) — rarest first;
+    - only the first ``|x| - ceil(t*|x|) + 1`` grams (the PREFIX) go
+      into the candidate join: any pair with J >= t must share at
+      least ``ceil(t*|x|)`` grams, and two sets sharing that much
+      cannot have disjoint prefixes under a common total order — so
+      recall is exactly 1, a theorem rather than a tuning knob;
+    - candidates verify with two keyed joins counting shared digests
+      (|x∩y|), then the exact Jaccard filter.
+
+    Cost shape: one gram-df count, one per-doc sort (doc-sized
+    arrays), a candidate join driven by RARE grams only (the frequency
+    ordering is what keeps bucket sizes small), and verification
+    bounded by the candidate count. 16-byte digests shuffle, text
+    never does. Output (id_a, id_b, jaccard), 6-dp, identical to
+    :func:`jaccard_pairs` (differential-tested; same oracle)."""
+    if kind == "word":
+        sh_expr = shingles(tokens(text_col), n=n)
+    elif kind == "char":
+        sh_expr = char_shingles(text_col, n=n)
+    else:
+        raise ValueError(f"kind must be 'word' or 'char', got {kind!r}")
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    grams = (
+        widen_parallelism(df)
+        .select(F.col(id_col).alias("id"), F.explode(sh_expr).alias("g"))
+        .select("id", F.md5("g").alias("dg"))
+        .distinct()
+    )
+    # both the df-count and the per-doc sort consume `grams`, and the
+    # verification joins consume it twice more — materialize once
+    grams = grams.localCheckpoint(eager=True)
+    gdf = grams.groupBy("dg").agg(F.count(F.lit(1)).alias("__df"))
+    ordered = (
+        grams.join(gdf, "dg")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(
+            F.struct(F.col("__df"), F.col("dg")))).alias("__o"))
+    )
+    sz = F.size("__o")
+    lp = sz - F.ceil(F.lit(threshold) * sz).cast("int") + 1
+    prefix = ordered.select(
+        "id", sz.alias("__sz"),
+        F.explode(F.slice("__o", 1, lp)).alias("__p"),
+    ).select("id", "__sz", F.col("__p.dg").alias("dg"))
+    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    cands = (
+        pa.join(pb, (F.col("pa.dg") == F.col("pb.dg"))
+                & (F.col("pa.id") < F.col("pb.id")))
+        .select(
+            F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b"),
+            F.col("pa.__sz").alias("__sa"), F.col("pb.__sz").alias("__sb"))
+        .distinct()
+    )
+    ga = grams.select(F.col("id").alias("__ia"), F.col("dg").alias("__da"))
+    gb = grams.select(F.col("id").alias("__ib"), F.col("dg").alias("__db"))
+    inter = (
+        cands.join(ga, cands["id_a"] == ga["__ia"])
+        .join(gb, (F.col("id_b") == F.col("__ib"))
+              & (F.col("__da") == F.col("__db")))
+        .groupBy("id_a", "id_b", "__sa", "__sb")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    jac = F.round(
+        F.col("__c").cast("double")
+        / (F.col("__sa") + F.col("__sb") - F.col("__c")), 6)
+    return (
+        inter.select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
     )

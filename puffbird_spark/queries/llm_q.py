@@ -2417,3 +2417,36 @@ def dedup_canonical_quality(spark, sf_dir):
         "doc_id", F.length("text").alias("priority"))
     return canonical_by_priority(clusters, scores,
                                  priority_col="priority")
+
+
+@query("dedup_jaccard_prefix_join", oracle="""
+WITH s AS (SELECT doc_id,
+         CASE WHEN length(text) >= 5
+              THEN list_sort(list_distinct(
+                     [substr(text, i, 5) FOR i IN range(1, length(text) - 3)]))
+              ELSE [] END AS sh
+       FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+    AS jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.5
+""")
+def dedup_jaccard_prefix_join(spark, sf_dir):
+    """EXACT similarity join at scale (`prefix_filter_jaccard_pairs`,
+    operators/dedup.py — the PPJoin/prefix-filtering family): the SAME
+    char-5-gram Jaccard >= 0.5 pairs as `dedup_ngram_jaccard`, computed
+    by a completely different algorithm — per-doc gram prefixes in
+    rarest-first global-df order drive the candidate join (recall
+    exactly 1 by the prefix theorem, no all-pairs step, no MinHash
+    miss), then digest-count verification. The oracle is the all-pairs
+    formulation, so the hash only matches if the prefix length
+    arithmetic, frequency ordering, candidate join, and verification
+    agree with brute force pair-for-pair and value-for-value."""
+    from ..operators.dedup import prefix_filter_jaccard_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.5, n=5, kind="char")

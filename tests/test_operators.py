@@ -3572,3 +3572,35 @@ def test_jpeg_progressive_decode(spark):
     exp = np.clip(np.floor(block + 0.5), 0, 255).astype(np.uint8)
     assert (W, H) == (8, 8)
     assert px == bytes(exp.tobytes())
+
+
+def test_prefix_filter_jaccard_equals_all_pairs(spark):
+    """The prefix-filter join must return EXACTLY the all-pairs kernel's
+    result (recall 1 is a theorem, not a knob) — including near-threshold
+    pairs, duplicate docs, short docs below the gram width, and empty
+    text; and the threshold domain is validated."""
+    import random
+
+    import pytest as _pytest
+
+    from puffbird_spark.operators.dedup import (
+        jaccard_pairs, prefix_filter_jaccard_pairs)
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(40):
+        k = rng.randint(0, 12)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(k))))
+    rows += [(100, rows[3][1]), (101, rows[3][1] + " extra tail words"),
+             (102, ""), (103, "ab")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t, n, kind in [(0.5, 5, "char"), (0.3, 2, "word"), (0.9, 3, "char")]:
+        ap = sorted(map(tuple, jaccard_pairs(
+            df, "text", "doc_id", threshold=t, n=n, kind=kind).collect()))
+        pf = sorted(map(tuple, prefix_filter_jaccard_pairs(
+            df, "text", "doc_id", threshold=t, n=n, kind=kind).collect()))
+        assert ap == pf, (t, n, kind)
+        assert len(ap) > 0 or t == 0.9
+    with _pytest.raises(ValueError, match="threshold"):
+        prefix_filter_jaccard_pairs(df, "text", "doc_id", threshold=0.0)
