@@ -12,11 +12,14 @@ and baseline JPEG (full huffman entropy decode + dequant + IDCT —
 `operators/jpeg.py`), dispatched by magic bytes in
 :func:`decode_image_gray`; all have matching encoders so gates verify
 pixels against a closed-form oracle. Audio decodes REALLY too (:func:`decode_wav_pcm` — RIFF walk +
-8/16-bit PCM), as does raw video (:func:`decode_y4m_frames` —
-YUV4MPEG2 stream parse, mono/4:2:0 luma). Only progressive JPEG,
-chroma-subsampled color, and inter-frame video codecs remain
-unimplemented (raising, not guessing); the generic featurizer for undecodable formats is the
-deterministic byte histogram. Swapping in PIL/ffmpeg touches only
+8/16-bit PCM plus G.711 μ-law/A-law expansion, tables matching
+``audioop`` byte-for-byte), as does video: raw YUV4MPEG2
+(:func:`decode_y4m_frames` — mono/4:2:0 luma) and COMPRESSED
+AVI/Motion-JPEG (:func:`decode_avi_frames` — RIFF tree walk + full
+per-frame JPEG entropy decode). Only inter-frame video codecs
+(H.26x) and non-G.711 compressed audio remain unimplemented
+(raising, not guessing); the generic featurizer for undecodable
+formats is the deterministic byte histogram. Swapping in PIL/ffmpeg touches only
 :func:`decode_image_gray`/:func:`_byte_histogram` — the Spark plumbing
 never changes.
 """
@@ -252,6 +255,11 @@ def sample_frames(
     - **YUV4MPEG2 streams** decode the same way
       (:func:`decode_y4m_frames`: stream-header parse + raw luma
       planes — the actual raw-video container ffmpeg pipes).
+    - **AVI/Motion-JPEG is REAL too** (:func:`decode_avi_frames`):
+      the RIFF chunk tree is walked to LIST('movi') and every '00dc'
+      frame runs the full baseline-JPEG entropy decode
+      (`operators/jpeg.py`) — a genuine per-frame compressed-video
+      path, not raw planes.
     - **Anything else: the documented byte-block stub** (this
       container ships no ffmpeg for inter-frame codecs): a "frame" is
       the fixed-size byte
@@ -297,11 +305,14 @@ def sample_frames(
                     if codec == "auto" and (
                         blob[:6] in (b"GIF87a", b"GIF89a")
                         or blob[:9] == b"YUV4MPEG2"
+                        or (blob[:4] == b"RIFF" and blob[8:12] == b"AVI ")
                     ):
-                        decoded = (
-                            decode_gif_frames(blob)
-                            if blob[:1] == b"G"
-                            else decode_y4m_frames(blob))
+                        if blob[:1] == b"G":
+                            decoded = decode_gif_frames(blob)
+                        elif blob[:1] == b"Y":
+                            decoded = decode_y4m_frames(blob)
+                        else:
+                            decoded = decode_avi_frames(blob)
                         for n in range(max_frames):
                             idx = n * stride
                             if idx >= len(decoded):
@@ -714,30 +725,43 @@ def encode_wav(
     seed: int = 0,
     n_channels: int = 1,
     bits: int = 16,
+    fmt_tag: int = 1,
 ) -> bytes:
-    """A REAL minimal RIFF/WAVE file (integer PCM, correct chunk sizes)
-    built with only ``struct``. Deterministic waveform from ``seed`` —
-    the closed-form the audio gates' oracles replay:
+    """A REAL minimal RIFF/WAVE file (correct chunk sizes) built with
+    only ``struct``. Deterministic waveform from ``seed`` — the
+    closed-form the audio gates' oracles replay:
 
-    - 16-bit: ``s[i,c] = ((i*2657 + c*101 + seed*7919) % 4001) - 2000``
-    - 8-bit (unsigned storage): same formula scaled into 0..255 as
+    - 16-bit PCM: ``s[i,c] = ((i*2657 + c*101 + seed*7919) % 4001) - 2000``
+    - 8-bit PCM (unsigned storage): same formula scaled into 0..255 as
       ``((i*2657 + c*101 + seed*7919) % 251)``.
+    - G.711 (``fmt_tag=7`` μ-law / ``fmt_tag=6`` A-law, 8-bit storage):
+      the STORED companded byte is the formula directly —
+      ``b[i,c] = (i*2657 + c*101 + seed*7919) % 256`` — so decode is
+      the pure G.711 expansion of a closed-form byte (no lossy
+      compand round-trip in the oracle's way).
     """
     if n_samples <= 0 or n_channels <= 0:
         raise ValueError("n_samples/n_channels must be positive")
-    if bits not in (8, 16):
+    if fmt_tag not in (1, 6, 7):
+        raise ValueError(f"fmt_tag must be 1 (PCM), 6 (A-law) or 7 "
+                         f"(mu-law), got {fmt_tag}")
+    if fmt_tag != 1:
+        bits = 8  # G.711 storage is always one companded byte
+    elif bits not in (8, 16):
         raise ValueError(f"bits must be 8 or 16, got {bits}")
     frames = bytearray()
     for i in range(n_samples):
         for c in range(n_channels):
             x = i * 2657 + c * 101 + seed * 7919
-            if bits == 16:
+            if fmt_tag != 1:
+                frames += struct.pack("<B", x % 256)
+            elif bits == 16:
                 frames += struct.pack("<h", (x % 4001) - 2000)
             else:
                 frames += struct.pack("<B", x % 251)
     block_align = n_channels * bits // 8
     fmt = struct.pack(
-        "<HHIIHH", 1, n_channels, sample_rate,
+        "<HHIIHH", fmt_tag, n_channels, sample_rate,
         sample_rate * block_align, block_align, bits)
     data = bytes(frames)
     body = (
@@ -748,14 +772,41 @@ def encode_wav(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def _ulaw_expand(b: int) -> int:
+    """G.711 μ-law byte → 16-bit linear (the classic Sun/CCITT
+    expansion — bit-complement, then ``((m<<3)+0x84)<<e`` re-biased;
+    range ±32124, matching every public ``ulaw2lin`` table)."""
+    u = ~b & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+
+def _alaw_expand(b: int) -> int:
+    """G.711 A-law byte → 16-bit linear (Sun/CCITT: XOR 0x55, segment
+    expansion; range ±32256). A-law's sign convention is inverted vs
+    μ-law: the 0x80 bit SET means positive."""
+    u = b ^ 0x55
+    m = u & 0x0F
+    seg = (u & 0x70) >> 4
+    if seg == 0:
+        t = (m << 4) + 8
+    else:
+        t = ((m << 4) + 0x108) << (seg - 1)
+    return t if (u & 0x80) else -t
+
+
 def decode_wav_pcm(blob: bytes) -> tuple[int, int, int, list[list[int]]]:
-    """REAL decode of an integer-PCM RIFF/WAVE blob: walk the chunk
-    list (skipping LIST/fact/unknown chunks, honoring the odd-size pad
-    byte), parse ``fmt ``, and unpack the ``data`` payload. Returns
-    ``(sample_rate, n_channels, bits, frames)`` where ``frames[i]`` is
-    the per-channel sample list for frame ``i`` — 16-bit as signed LE,
-    8-bit re-centered to signed (``stored - 128``), per the WAV spec.
-    Non-PCM format tags and other bit depths raise
+    """REAL decode of an integer-PCM or G.711 RIFF/WAVE blob: walk the
+    chunk list (skipping LIST/fact/unknown chunks, honoring the
+    odd-size pad byte), parse ``fmt ``, and unpack the ``data``
+    payload. Returns ``(sample_rate, n_channels, bits, frames)`` where
+    ``frames[i]`` is the per-channel sample list for frame ``i`` —
+    16-bit as signed LE, 8-bit PCM re-centered to signed
+    (``stored - 128``), per the WAV spec. G.711 companded formats
+    (``fmt_tag`` 7 μ-law / 6 A-law, 8-bit storage) expand to 16-bit
+    linear via the public Sun/CCITT formulas (:func:`_ulaw_expand` /
+    :func:`_alaw_expand`); ``bits`` still reports the STORED width
+    (8). Other format tags and bit depths raise
     ``NotImplementedError`` (honest partial decoder, the
     :func:`decode_png_gray` convention); structural damage raises
     ``ValueError``."""
@@ -779,10 +830,14 @@ def decode_wav_pcm(blob: bytes) -> tuple[int, int, int, list[list[int]]]:
     if fmt_parsed is None or data is None:
         raise ValueError("missing fmt/data chunk")
     audio_format, n_channels, sample_rate, _br, _ba, bits = fmt_parsed
-    if audio_format != 1:
+    if audio_format not in (1, 6, 7):
         raise NotImplementedError(
-            f"only integer PCM (format 1) supported, got {audio_format}")
-    if bits not in (8, 16):
+            f"only integer PCM (1) and G.711 (6/7) supported, "
+            f"got format {audio_format}")
+    if audio_format != 1:
+        if bits != 8:
+            raise ValueError(f"G.711 storage must be 8-bit, got {bits}")
+    elif bits not in (8, 16):
         raise NotImplementedError(f"only 8/16-bit PCM, got {bits}-bit")
     if n_channels <= 0:
         raise ValueError("n_channels must be positive")
@@ -793,7 +848,11 @@ def decode_wav_pcm(blob: bytes) -> tuple[int, int, int, list[list[int]]]:
     for _ in range(n_frames):
         row = []
         for _c in range(n_channels):
-            if bits == 16:
+            if audio_format == 7:
+                v = _ulaw_expand(data[off])
+            elif audio_format == 6:
+                v = _alaw_expand(data[off])
+            elif bits == 16:
                 (v,) = struct.unpack_from("<h", data, off)
             else:
                 v = data[off] - 128
@@ -1115,3 +1174,112 @@ def image_pixel_stats(
 
     return df.select(path_col, content_col).mapInPandas(
         kernel, IMAGE_STATS_SCHEMA)
+
+
+# ------------------------------------------------------------------ #
+# REAL video container #2: AVI / Motion-JPEG (round 8). The classic
+# RIFF-based video file (same chunk grammar as WAV — 'RIFF' size
+# 'AVI ' with LIST sub-trees), carrying one full baseline JPEG per
+# frame in '00dc' chunks — the format every USB camera and capture
+# card still emits. Pure Python both directions: encode_avi_mjpeg is
+# the fixture generator (standards-shaped hdrl/strl headers, real
+# JPEG frames from operators/jpeg.py), decode_avi_frames the
+# production decoder behind sample_frames' video dispatch. Unlike Y4M
+# (raw planes) this exercises a REAL per-frame entropy decode: every
+# sampled frame runs the full huffman+dequant+IDCT pipeline.
+# Honesty contract unchanged: inter-frame codecs (H.26x) still raise.
+# ------------------------------------------------------------------ #
+
+def encode_avi_mjpeg(
+    width: int, height: int, n_frames: int, seed: int = 0,
+    fps: int = 25,
+) -> bytes:
+    """A REAL minimal AVI/MJPEG file: RIFF('AVI ') containing a
+    LIST('hdrl') with the main header ('avih') and one video stream
+    declaration (LIST('strl') → 'strh' fcc 'vids'/'MJPG' + 'strf'
+    BITMAPINFOHEADER), then LIST('movi') with one '00dc' chunk per
+    frame holding a genuine baseline JPEG
+    (:func:`puffbird_spark.operators.jpeg.encode_jpeg_gray`).
+    Frame ``f`` uses the block-constant fixture content with seed
+    ``seed + 13*f`` — ``px[y][x] = ((x//8)*31 + (y//8)*17 + seed +
+    13*f) % 256`` — whose JPEG decode is bit-exact (all AC
+    coefficients are exactly zero), so gate oracles replay every
+    sampled pixel closed-form."""
+    from .jpeg import encode_jpeg_gray
+
+    if n_frames <= 0:
+        raise ValueError("n_frames must be positive")
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) & 1 else b""
+        return tag + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(kind: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", kind + payload)
+
+    frames = [
+        encode_jpeg_gray(width, height, seed=seed + 13 * f)
+        for f in range(n_frames)
+    ]
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps,          # micro-seconds per frame
+        0, 0, 0x10,                # max bytes/s, padding, AVIF_HASINDEX off
+        n_frames, 0, 1,            # total frames, initial, streams
+        max(len(f) for f in frames),
+        width, height, 0, 0, 0, 0)
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0,
+                      n_frames, max(len(f) for f in frames),
+                      0xFFFFFFFF, 0)
+        + struct.pack("<hhhh", 0, 0, width, height))
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def decode_avi_frames(blob: bytes) -> list[tuple[int, int, int, bytes]]:
+    """REAL frame extraction from an AVI/MJPEG file: walk the RIFF
+    chunk tree (word-aligned, the WAV grammar), find the LIST('movi')
+    payload, and FULLY DECODE every compressed video chunk ('00dc' /
+    '00db', any stream number) through the baseline/progressive JPEG
+    decoder. Returns ``(byte_offset, width, height, gray_pixels)`` per
+    frame, offset = the JPEG payload's position in the blob. Non-JPEG
+    frame payloads raise ``NotImplementedError`` (inter-frame codecs
+    need ffmpeg-class decoders); structural damage raises
+    ``ValueError``."""
+    from .jpeg import decode_jpeg_gray
+
+    b = bytes(blob)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI blob")
+    frames: list[tuple[int, int, int, bytes]] = []
+    riff_end = min(8 + struct.unpack("<I", b[4:8])[0], len(b))
+    spans = [(12, riff_end, False)]
+    while spans:
+        pos, end, movi = spans.pop()
+        while pos + 8 <= end:
+            tag = b[pos:pos + 4]
+            (length,) = struct.unpack("<I", b[pos + 4:pos + 8])
+            payload_start = pos + 8
+            payload_end = min(payload_start + length, end)
+            if tag == b"LIST" and length >= 4:
+                kind = b[payload_start:payload_start + 4]
+                spans.append((payload_start + 4, payload_end,
+                              movi or kind == b"movi"))
+            elif movi and len(tag) == 4 and tag[2:4] in (b"dc", b"db"):
+                payload = b[payload_start:payload_end]
+                if payload[:2] != b"\xff\xd8":
+                    raise NotImplementedError(
+                        "non-JPEG video chunk (inter-frame codecs "
+                        "need external decoders)")
+                w, h, px = decode_jpeg_gray(payload)
+                frames.append((payload_start, w, h, px))
+            pos = payload_start + length + (length & 1)
+    frames.sort(key=lambda t: t[0])
+    return frames

@@ -1926,3 +1926,125 @@ def multimodal_image_stats(spark, sf_dir):
         make(F.col("doc_id")).alias("content"),
     )
     return image_pixel_stats(docs)
+
+
+@query("multimodal_audio_g711", oracle="""
+WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS path,
+             60 + doc_id % 50 AS n, doc_id % 739 AS seed,
+             doc_id % 2 = 0 AS is_u
+           FROM documents),
+s AS (SELECT path, n, is_u, seed,
+        unnest(range(0, CAST(n AS BIGINT))) AS i
+      FROM d),
+b AS (SELECT path, n, is_u, i,
+        CASE WHEN is_u THEN xor((i * 2657 + seed * 7919) % 256, 255)
+             ELSE xor((i * 2657 + seed * 7919) % 256, 85) END AS u
+      FROM s),
+v AS (SELECT path, n, is_u, i,
+        CASE WHEN is_u THEN
+          CASE WHEN u >= 128
+               THEN 132 - (((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)))
+               ELSE (((u % 16) * 8 + 132) * (1 << ((u // 16) % 8))) - 132
+          END
+        ELSE
+          (CASE WHEN u >= 128 THEN 1 ELSE -1 END) *
+          (CASE WHEN (u // 16) % 8 = 0 THEN (u % 16) * 16 + 8
+                ELSE ((u % 16) * 16 + 264) * (1 << (((u // 16) % 8) - 1))
+           END)
+        END AS samp
+      FROM b)
+SELECT path,
+  CASE WHEN is_u THEN 'ulaw' ELSE 'alaw' END AS codec,
+  CAST(8000 AS INT) AS sample_rate,
+  CAST(1 AS INT) AS n_channels,
+  CAST(n AS BIGINT) AS n_frames,
+  CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+  CAST(i // 40 AS INT) AS window_idx,
+  CAST(COUNT(*) AS INT) AS n_in_window,
+  CAST(MAX(ABS(samp)) AS INT) AS peak,
+  ROUND(SQRT(SUM(samp * samp) / COUNT(*)), 6) AS rms
+FROM v GROUP BY path, is_u, n, i // 40
+""")
+def multimodal_audio_g711(spark, sf_dir):
+    """REAL G.711 companded-audio decode (`decode_wav_pcm` format tags
+    7/6, operators/multimodal.py) — telephony μ-law and A-law, the two
+    8-bit companding codecs every VoIP/callcenter corpus arrives in.
+    Even docs become μ-law WAVs, odd docs A-law; the stored companded
+    byte stream is the closed-form generator formula, the pipeline
+    expands each byte to 16-bit linear via the public Sun/CCITT
+    segment formulas (cross-checked byte-for-byte against the stdlib
+    `audioop` tables in unit tests) and computes per-40-frame
+    peak/RMS windows. The oracle replays the EXPANSION ITSELF in SQL
+    (XOR, segment shift, bias — pure integer ops), so the hash only
+    matches if both companding laws decode exactly. Same Arrow
+    mapInPandas shape as every media stage; zero shuffle."""
+    from ..operators.dedup import widen_parallelism
+    from ..operators.multimodal import audio_stats, encode_wav
+
+    def _make(doc_id):
+        return doc_id.map(
+            lambda i: encode_wav(
+                60 + int(i) % 50, 8000, seed=int(i) % 739,
+                fmt_tag=7 if int(i) % 2 == 0 else 6))
+
+    make_wav = F.pandas_udf(_make, returnType="binary")
+    docs = widen_parallelism(load(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("string").alias("path"),
+        make_wav(F.col("doc_id")).alias("content"),
+    )
+    return audio_stats(docs, window=40).select(
+        "path",
+        F.when(F.col("path").cast("long") % 2 == 0, F.lit("ulaw"))
+        .otherwise(F.lit("alaw")).alias("codec"),
+        "sample_rate", "n_channels", "n_frames", "duration_ms",
+        "window_idx", "n_in_window", "peak", "rms")
+
+
+@query("multimodal_framesample_mjpeg", oracle="""
+WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS path,
+             8 * (1 + doc_id % 3) AS w, 8 * (1 + doc_id % 2) AS h,
+             2 + doc_id % 5 AS n_frames, doc_id % 97 AS seed
+           FROM documents),
+f AS (SELECT d.*, CAST(t.range * 2 AS INT) AS frame_idx
+      FROM d, range(0, 3) t
+      WHERE t.range * 2 < d.n_frames),
+px AS (SELECT path, frame_idx, w, h,
+         flatten([[CAST(((x // 8) * 31 + (y // 8) * 17 + seed
+                         + 13 * frame_idx) % 256 AS VARCHAR)
+                   FOR x IN range(0, CAST(w AS BIGINT))]
+                  FOR y IN range(0, CAST(h AS BIGINT))]) AS vals
+       FROM f)
+SELECT path, frame_idx, CAST(w * h AS INT) AS frame_bytes,
+       md5(array_to_string(vals, ',')) AS digest
+FROM px
+""")
+def multimodal_framesample_mjpeg(spark, sf_dir):
+    """REAL compressed-video frame sampling — AVI/Motion-JPEG
+    (`decode_avi_frames`, operators/multimodal.py): every document
+    becomes a genuine AVI file (RIFF hdrl/strl/movi tree, 2-6 real
+    baseline JPEGs in '00dc' chunks), and `sample_frames`
+    (codec='auto') walks the RIFF tree and runs the FULL JPEG entropy
+    decode (huffman + dequant + IDCT, operators/jpeg.py) on every
+    sampled frame — stride 2, up to 3 frames — emitting the decoded
+    pixel digest. Block-constant frame content (seed advanced 13 per
+    frame) makes the JPEG decode bit-exact, so the oracle replays
+    every pixel CLOSED-FORM; the hash only matches if the container
+    walk, per-frame entropy decode, and sampling are all exactly
+    right. Third real video container after animated GIF and Y4M —
+    and the first COMPRESSED one."""
+    from ..operators.dedup import widen_parallelism
+    from ..operators.multimodal import encode_avi_mjpeg, sample_frames
+
+    def _make(doc_id):
+        return doc_id.map(
+            lambda i: encode_avi_mjpeg(
+                8 * (1 + int(i) % 3), 8 * (1 + int(i) % 2),
+                2 + int(i) % 5, seed=int(i) % 97))
+
+    make_avi = F.pandas_udf(_make, returnType="binary")
+    docs = widen_parallelism(load(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("string").alias("path"),
+        make_avi(F.col("doc_id")).alias("content"),
+    )
+    return sample_frames(docs, stride=2, max_frames=3).select(
+        "path", "frame_idx", "frame_bytes", "digest")

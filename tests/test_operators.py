@@ -3604,3 +3604,88 @@ def test_prefix_filter_jaccard_equals_all_pairs(spark):
         assert len(ap) > 0 or t == 0.9
     with _pytest.raises(ValueError, match="threshold"):
         prefix_filter_jaccard_pairs(df, "text", "doc_id", threshold=0.0)
+
+
+def test_g711_expansion_tables_and_wav_decode():
+    """The μ-law/A-law expansion formulas must match the canonical
+    public tables (stdlib audioop, while it exists) for ALL 256 bytes,
+    and G.711-tagged WAVs must decode through the normal chunk walk."""
+    from puffbird_spark.operators.multimodal import (
+        _alaw_expand, _ulaw_expand, decode_wav_pcm, encode_wav)
+
+    # canonical anchor points from the G.711 spec
+    assert _ulaw_expand(0x00) == -32124
+    assert _ulaw_expand(0xFF) == 0 and _ulaw_expand(0x7F) == 0
+    assert _alaw_expand(0x55) == -8 and _alaw_expand(0xD5) == 8
+    try:
+        import struct as _s
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            import audioop
+        for b in range(256):
+            (v,) = _s.unpack("<h", audioop.ulaw2lin(bytes([b]), 2))
+            assert v == _ulaw_expand(b), ("ulaw", b)
+            (v,) = _s.unpack("<h", audioop.alaw2lin(bytes([b]), 2))
+            assert v == _alaw_expand(b), ("alaw", b)
+    except ImportError:
+        pass  # Python >= 3.13 dropped audioop; anchors above still pin
+
+    for tag, expand in ((7, _ulaw_expand), (6, _alaw_expand)):
+        blob = encode_wav(12, 8000, seed=5, fmt_tag=tag)
+        rate, n_ch, bits, frames = decode_wav_pcm(blob)
+        assert (rate, n_ch, bits) == (8000, 1, 8)
+        for i, row in enumerate(frames):
+            assert row[0] == expand((i * 2657 + 5 * 7919) % 256)
+
+    import pytest as _pt
+    with _pt.raises(NotImplementedError):
+        # an unknown companded format still raises honestly
+        bad = bytearray(encode_wav(4, 8000, fmt_tag=7))
+        bad[20] = 2  # fmt tag -> MS ADPCM
+        decode_wav_pcm(bytes(bad))
+
+
+def test_avi_mjpeg_codec_roundtrip_and_dispatch(spark):
+    """AVI/MJPEG: the RIFF tree walk + full per-frame JPEG decode must
+    reproduce the block-constant fixture closed-form, offsets must
+    point at the JPEG payloads, sample_frames must auto-dispatch, and
+    non-JPEG video chunks must raise honestly."""
+    import hashlib
+    import struct as _s
+
+    import pytest as _pt
+
+    from puffbird_spark.operators.multimodal import (
+        decode_avi_frames, encode_avi_mjpeg, sample_frames)
+
+    blob = encode_avi_mjpeg(16, 8, 5, seed=4)
+    frames = decode_avi_frames(blob)
+    assert len(frames) == 5
+    for fi, (off, w, h, px) in enumerate(frames):
+        assert (w, h) == (16, 8)
+        assert blob[off:off + 2] == b"\xff\xd8"  # offset hits the JPEG
+        for y in range(h):
+            for x in range(w):
+                assert px[y * w + x] == (
+                    (x // 8) * 31 + (y // 8) * 17 + 4 + 13 * fi) % 256
+
+    df = spark.createDataFrame([("v0", bytearray(blob))],
+                               "path string, content binary")
+    rows = {r.frame_idx: r for r in
+            sample_frames(df, stride=2, max_frames=3).collect()}
+    assert sorted(rows) == [0, 2, 4]
+    px0 = frames[0][3]
+    want = hashlib.md5(
+        ",".join(str(v) for v in px0).encode()).hexdigest()
+    assert rows[0].digest == want
+    assert rows[0].frame_bytes == 16 * 8
+
+    # structural damage raises ValueError; non-JPEG payload raises NIE
+    with _pt.raises(ValueError):
+        decode_avi_frames(b"RIFF" + _s.pack("<I", 4) + b"WAVE")
+    corrupt = bytearray(blob)
+    # blank the first frame's SOI marker
+    corrupt[frames[0][0]:frames[0][0] + 2] = b"\x00\x00"
+    with _pt.raises(NotImplementedError):
+        decode_avi_frames(bytes(corrupt))
