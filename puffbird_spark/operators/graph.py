@@ -389,3 +389,92 @@ def canonical_by_priority(
              ).alias("is_canonical"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 8,
+    damping: float = 0.85,
+    dp: int = 9,
+) -> DataFrame:
+    """PageRank (Brin & Page) over a directed edge list — the classic
+    link-quality prior a web-scale curation pipeline feeds into
+    document quality scores (domain/page authority as a filter or
+    mixture feature).
+
+    Power iteration, ``n_iter`` fixed rounds:
+    ``r'(v) = (1-d)/N + d·(Σ_{u→v} r(u)/outdeg(u) + dangling/N)``
+    where ``dangling`` is the total rank parked on vertices without
+    out-edges (redistributed uniformly, the standard correction).
+    Vertices are everything appearing as source OR target.
+
+    Engine-portable float policy: each iteration's rank rounds at
+    ``dp`` (HALF_UP via ``F.round``) so the per-vertex incoming sum —
+    whose addition order no engine guarantees — always lands far from
+    a rounding boundary; an oracle unrolling the same ``n_iter``
+    rounds in SQL replays bit-for-bit.
+
+    Scale shape: per round ONE join (contributions = ranks ⋈ edges on
+    the source key) + one groupBy sum on the target key — partitioning
+    alternates between the two vertex keys, nothing is ever all-pairs;
+    the dangling total and N ride one-row broadcast cross joins;
+    ``localCheckpoint`` per round truncates the lineage (the
+    connected-components lesson — planning time, not data, kills
+    un-checkpointed iteration). Returns ``(vertex, rank)``.
+    """
+    if n_iter <= 0:
+        raise ValueError("n_iter must be positive")
+    if not (0.0 < damping < 1.0):
+        raise ValueError("damping must be in (0, 1)")
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = e.localCheckpoint(eager=True)
+    verts = (
+        e.select(F.col("src").alias("vertex"))
+        .union(e.select(F.col("dst").alias("vertex")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # vertex table carries outdeg once (0 = dangling); checkpointed, reused
+    base = (
+        verts.join(outdeg, verts.vertex == outdeg.src, "left")
+        .select("vertex", F.coalesce("outdeg", F.lit(0)).alias("outdeg"))
+        .localCheckpoint(eager=True)
+    )
+    n = base.agg(F.count(F.lit(1)).alias("n"))
+    ranks = (
+        base.crossJoin(F.broadcast(n))
+        .select("vertex", "outdeg",
+                F.round(F.lit(1.0) / F.col("n"), dp).alias("rank"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(n_iter):
+        dangling = (
+            ranks.filter(F.col("outdeg") == 0)
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling"))
+        )
+        contrib = (
+            ranks.filter(F.col("outdeg") > 0)
+            .join(e, ranks.vertex == e.src)
+            .select(F.col("dst").alias("vertex"),
+                    (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("vertex")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            base.join(contrib, "vertex", "left")
+            .crossJoin(F.broadcast(n))
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "vertex", "outdeg",
+                F.round(
+                    (1.0 - damping) / F.col("n")
+                    + damping * (F.coalesce("inflow", F.lit(0.0))
+                                 + F.col("dangling") / F.col("n")),
+                    dp).alias("rank"))
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("vertex", "rank")

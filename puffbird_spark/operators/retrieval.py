@@ -1,0 +1,99 @@
+"""BM25 ranked retrieval — the classic probabilistic scoring function
+(Robertson & Walker, Okapi BM25; the Lucene-default variant with the
+always-positive IDF) as a distributed inverted-index probe.
+
+Reference parity: the reference engine (neuralsignal/puffbird) ships no
+retrieval surface; this is north-star LLM-pipeline scope (hard-negative
+mining, dedup triage, and eval-set retrieval all start from a BM25 pass
+over the corpus).
+
+Scale shape (the 100 TB story): the corpus is NEVER crossed with the
+query set. Postings shuffle once (doc-term counts); document length
+comes from a window over that same shuffle (no second tokenize);
+document frequencies reduce to a vocabulary-sized table that is
+FILTERED TO THE QUERY TERMS before broadcasting, so the per-doc work
+after the probe is |query vocabulary| joins against broadcast maps —
+exactly the inverted-index access path, with only hit docs surviving
+into scoring. Corpus-level scalars (N, total length) ride a one-row
+broadcast cross join, the repo-wide convention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import text as TXT
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    qid_col: str = "query_id",
+    qtext_col: str = "query_text",
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    dp: int = 6,
+) -> DataFrame:
+    """Top-``k`` documents per query under Okapi BM25.
+
+    ``score(q, D) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·|D|/avgdl))``
+    with the Lucene always-positive ``idf(t) = ln(1 + (N-df+0.5)/(df+0.5))``.
+
+    Per-term contributions round at ``dp`` BEFORE the per-document sum
+    and the sum rounds again — the engine-portable float policy
+    (queries/base.py): rounded inputs keep the final sum far from
+    half-ulp boundaries, so the score replays bit-for-bit across
+    engines regardless of addition order. Ties break on ascending doc
+    id. Returns ``(query_id, rank, doc_id, score)``.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    toks = docs.select(
+        F.col(id_col), F.explode(TXT.tokens(text_col)).alias("term"))
+    cnt = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # per-doc length from a window over the counts — no second pass
+    cnt = cnt.withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy(id_col)))
+    qterms = queries.select(
+        F.col(qid_col), F.explode(TXT.tokens(qtext_col)).alias("term")
+    ).distinct()
+    qvocab = qterms.select("term").distinct()
+    # document frequency, reduced then PRUNED to query terms pre-broadcast
+    dfreq = (
+        cnt.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        .join(F.broadcast(qvocab), "term")
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(TXT.tokens(text_col))).alias("total_dl"))
+    hits = (
+        cnt.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5)))
+    tf = F.col("tf").cast("double")
+    contrib = F.round(
+        idf * tf * (1.0 + k1)
+        / (tf + k1 * (1.0 - b + b * F.col("dl") / avgdl)), dp)
+    scored = (
+        hits.select(qid_col, id_col, contrib.alias("contrib"))
+        .groupBy(qid_col, id_col)
+        .agg(F.round(F.sum("contrib"), dp).alias("score"))
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, "rank", id_col, "score")
+    )

@@ -2450,3 +2450,120 @@ def dedup_jaccard_prefix_join(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     return prefix_filter_jaccard_pairs(
         docs, "text", "doc_id", threshold=0.5, n=5, kind="char")
+
+
+@query("text_bm25_topk", oracle="""
+WITH q(query_id, query_text) AS (VALUES
+  (1, 'spark join fast'), (2, 'hash merge table'), (3, 'stream window'),
+  (4, 'scan filter slow'), (5, 'vector group batch')),
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+cnt AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, term, tf,
+         SUM(tf) OVER (PARTITION BY doc_id) AS dl
+       FROM cnt),
+qt AS (SELECT DISTINCT query_id,
+         unnest(string_split(query_text, ' ')) AS term
+       FROM q),
+dfq AS (SELECT term, COUNT(*) AS df FROM cnt
+        WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY term),
+st AS (SELECT COUNT(*) AS n_docs,
+         SUM(len(string_split(text, ' '))) AS total_dl
+       FROM documents),
+hit AS (SELECT qt.query_id, d.doc_id,
+         round(ln(1 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+               * CAST(d.tf AS DOUBLE) * 2.2
+               / (d.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl
+                    / (CAST(st.total_dl AS DOUBLE) / st.n_docs))),
+               6) AS contrib
+        FROM dl d JOIN qt ON d.term = qt.term
+        JOIN dfq ON d.term = dfq.term CROSS JOIN st),
+sc AS (SELECT query_id, doc_id, round(SUM(contrib), 6) AS score
+       FROM hit GROUP BY query_id, doc_id)
+SELECT CAST(query_id AS INT) AS query_id, CAST(rn AS INT) AS rank,
+       doc_id, score
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY score DESC, doc_id) AS rn FROM sc)
+WHERE rn <= 5
+""")
+def text_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-5 retrieval (`bm25_topk`,
+    operators/retrieval.py): five fixed keyword queries probe the
+    corpus through the inverted-index access path — postings shuffle
+    once, document length rides a window over the same shuffle,
+    document frequencies prune to the query vocabulary BEFORE
+    broadcasting, and only hit documents reach scoring (never a
+    corpus x queries cross join). Per-term contributions and the
+    per-doc sum both round at 6 dp (the engine-portable float
+    policy), so the oracle's full SQL replay — IDF, length
+    normalization, tie-break — must agree value-for-value."""
+    from ..operators.retrieval import bm25_topk
+
+    docs = load(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(
+        [(1, "spark join fast"), (2, "hash merge table"),
+         (3, "stream window"), (4, "scan filter slow"),
+         (5, "vector group batch")],
+        "query_id int, query_text string")
+    return bm25_topk(docs, qdf, k=5)
+
+
+def _pagerank_oracle(n_iter: int = 8) -> str:
+    """Unrolled power-iteration replay: one CTE per round, each
+    mirroring the engine exactly — (1.0-0.85)/n written as the same
+    float expression (0.15 is NOT the double 1.0-0.85), per-round
+    HALF-away rounding at 9 dp, LEFT JOIN + coalesce for sink
+    vertices."""
+    parts = ["""
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+e AS (SELECT DISTINCT doc_id AS src,
+        (doc_id * (3 + t.range) + 17 * t.range + 1) % nn.n AS dst
+      FROM documents CROSS JOIN range(0, 3) t CROSS JOIN nn),
+base AS (SELECT v.vertex, coalesce(o.outdeg, 0) AS outdeg
+         FROM (SELECT src AS vertex FROM e
+               UNION SELECT dst FROM e) v
+         LEFT JOIN (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src) o
+           ON v.vertex = o.src),
+r0 AS (SELECT vertex, outdeg, round(1.0 / nn.n, 9) AS rank
+       FROM base CROSS JOIN nn)"""]
+    for k in range(1, n_iter + 1):
+        parts.append(f""",
+r{k} AS (SELECT b.vertex, b.outdeg,
+    round((1.0 - 0.85) / nn.n + 0.85 * coalesce(i.inflow, 0.0), 9) AS rank
+  FROM base b CROSS JOIN nn
+  LEFT JOIN (SELECT e.dst AS vertex, SUM(r.rank / r.outdeg) AS inflow
+             FROM r{k - 1} r JOIN e ON r.vertex = e.src
+             WHERE r.outdeg > 0
+             GROUP BY e.dst) i ON b.vertex = i.vertex)""")
+    parts.append(f"""
+SELECT vertex, rank FROM r{n_iter}""")
+    return "".join(parts)
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark, sf_dir):
+    """PageRank over a deterministic synthetic link graph (`pagerank`,
+    operators/graph.py — 8 power-iteration rounds, damping 0.85,
+    dangling-mass redistribution): every document links to three
+    formula-derived targets, so the oracle can REBUILD THE GRAPH and
+    unroll all eight rounds in SQL. Per-round 9-dp rounding is the
+    engine-portable float policy — the per-vertex inflow sum has no
+    guaranteed addition order in either engine, and rounding each
+    round keeps every value far from a rounding boundary, so the
+    final ranks hash-match value-for-value. The iterative twin of
+    `dedup_clusters`' connected components: one join + one groupBy
+    per round, lineage truncated by localCheckpoint every iteration
+    (the planning-time lesson), nothing all-pairs."""
+    from ..operators.graph import pagerank
+
+    docs = load(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    edges = (
+        docs.crossJoin(F.broadcast(n))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.array(*[
+                (F.col("doc_id") * (3 + t) + 17 * t + 1) % F.col("n")
+                for t in range(3)])).alias("dst"))
+    )
+    return pagerank(edges, n_iter=8)

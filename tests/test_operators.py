@@ -3689,3 +3689,92 @@ def test_avi_mjpeg_codec_roundtrip_and_dispatch(spark):
     corrupt[frames[0][0]:frames[0][0] + 2] = b"\x00\x00"
     with _pt.raises(NotImplementedError):
         decode_avi_frames(bytes(corrupt))
+
+
+def test_bm25_topk_matches_hand_computation(spark):
+    """BM25 scores on a 4-doc corpus must equal the textbook formula
+    computed by hand (same 6-dp two-stage rounding), k must cap
+    results, and ties must break on ascending doc id."""
+    import math
+
+    from puffbird_spark.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(0, "apple banana apple"), (1, "apple cherry"),
+         (2, "banana banana banana"), (3, "durian durian")],
+        "doc_id long, text string")
+    qdf = spark.createDataFrame(
+        [(1, "apple"), (2, "banana durian")],
+        "query_id int, query_text string")
+    out = {(r.query_id, r.doc_id): (r.rank, r.score)
+           for r in bm25_topk(docs, qdf, k=5).collect()}
+
+    texts = {0: "apple banana apple", 1: "apple cherry",
+             2: "banana banana banana", 3: "durian durian"}
+    n, total = 4, sum(len(t.split()) for t in texts.values())
+    avgdl = total / n
+    dfreq = {"apple": 2, "banana": 2, "durian": 1, "cherry": 1}
+
+    def contrib(term, doc):
+        tf = texts[doc].split().count(term)
+        if tf == 0:
+            return None
+        dl = len(texts[doc].split())
+        idf = math.log(1 + (n - dfreq[term] + 0.5) / (dfreq[term] + 0.5))
+        raw = idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+        return math.floor(raw * 1e6 + 0.5) / 1e6
+
+    for (qid, terms) in ((1, ["apple"]), (2, ["banana", "durian"])):
+        per_doc = {}
+        for d in texts:
+            cs = [contrib(t, d) for t in terms if contrib(t, d) is not None]
+            if cs:
+                per_doc[d] = math.floor(sum(cs) * 1e6 + 0.5) / 1e6
+        order = sorted(per_doc, key=lambda d: (-per_doc[d], d))
+        for rank, d in enumerate(order, 1):
+            assert out[(qid, d)] == (rank, per_doc[d]), (qid, d)
+    assert all(r <= 5 for r, _ in out.values())
+    # k caps: ask for 1 and only the best doc per query survives
+    top1 = bm25_topk(docs, qdf, k=1).collect()
+    assert len(top1) == 2 and all(r.rank == 1 for r in top1)
+
+
+def test_pagerank_structure_and_mass(spark):
+    """PageRank invariants: a directed cycle is exactly uniform, a
+    star concentrates rank in the center, dangling mass is
+    redistributed so total rank stays ~1, and results replay a
+    driver-side power iteration with the same per-round rounding."""
+    from puffbird_spark.operators.graph import pagerank
+
+    # 5-cycle: uniform stationary distribution, every round exact
+    cyc = spark.createDataFrame(
+        [(i, (i + 1) % 5) for i in range(5)], "src long, dst long")
+    ranks = {r.vertex: r.rank for r in pagerank(cyc, n_iter=6).collect()}
+    assert all(abs(v - 0.2) < 1e-9 for v in ranks.values()), ranks
+
+    # star 1..4 -> 0, vertex 0 dangling: center outranks leaves; mass ~1
+    star = spark.createDataFrame(
+        [(i, 0) for i in range(1, 5)], "src long, dst long")
+    sr = {r.vertex: r.rank for r in pagerank(star, n_iter=8).collect()}
+    assert sr[0] > max(sr[i] for i in range(1, 5))
+    assert abs(sum(sr.values()) - 1.0) < 1e-6, sum(sr.values())
+
+    # driver-side replay on an irregular graph
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (3, 1)]
+    g = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.vertex: r.rank for r in pagerank(g, n_iter=5).collect()}
+
+    import math
+    verts = sorted({v for e in edges for v in e})
+    outdeg = {v: sum(1 for s, _ in edges if s == v) for v in verts}
+    n = len(verts)
+    rnd = lambda x: math.floor(x * 1e9 + 0.5) / 1e9
+    r = {v: rnd(1.0 / n) for v in verts}
+    for _ in range(5):
+        dang = sum(r[v] for v in verts if outdeg[v] == 0)
+        new = {}
+        for v in verts:
+            inflow = sum(r[s] / outdeg[s] for s, d in edges if d == v)
+            new[v] = rnd((1.0 - 0.85) / n + 0.85 * (inflow + dang / n))
+        r = new
+    assert got == r, (got, r)
