@@ -154,6 +154,12 @@ BENCH_QUERIES = [
     # throughput (huffman entropy + IDCT per blob)
     "dedup_incremental_embedding",
     "multimodal_resize_jpeg",
+    # round-8 third batch: compressed-video frame sampling (RIFF walk +
+    # per-frame JPEG entropy decode), the inverted-index BM25 probe,
+    # and the checkpointed power-iteration wall-time
+    "multimodal_framesample_mjpeg",
+    "text_bm25_topk",
+    "graph_pagerank",
 ]
 
 

@@ -126,3 +126,75 @@ def perplexity_score(
             ).alias("avg_neg_logp"),
         )
     )
+
+
+def kneser_ney_score(
+    docs: DataFrame,
+    train: DataFrame,
+    text_col: str,
+    id_col: str,
+    discount: float = 0.75,
+    alpha: float = 0.5,
+    broadcast_counts: bool = False,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; the
+    Chen & Goodman 1999 interpolated form every KenLM-style toolkit
+    ships) — the standard upgrade over add-alpha for curation-grade
+    perplexity filters, because it models how many CONTEXTS a word
+    completes rather than how often it occurs:
+
+        P(w|p) = max(c(p,w) - D, 0)/c(p) + D·N1+(p,·)/c(p) · Pcont(w)
+        Pcont(w) = (N1+(·,w) + a) / (N1+(·,·) + a·V)
+
+    with fixed discount ``D``; a document bigram whose context ``p``
+    was never seen in training backs off to ``Pcont`` alone, and the
+    add-``a`` floor on the continuation distribution keeps unseen
+    words scoreable (the deterministic practical fix for strict KN's
+    zero). Returns ``(id_col, n_bigrams, avg_neg_logp)`` like
+    :func:`perplexity_score` — same 9-dp log snap to decimal before
+    the order-independent sum, 6-dp average.
+
+    Scale shape identical to the add-alpha path plus two more
+    vocabulary-bounded tables (per-context distinct-continuation
+    counts, per-word distinct-context counts) — all derive from the
+    ONE materialized bigram table, all broadcastable via
+    ``broadcast_counts``; scalars ride one-row broadcast cross joins.
+    """
+    if not (0.0 < discount < 1.0):
+        raise ValueError("discount must be in (0, 1)")
+    bi, ctx, voc = bigram_counts(train, text_col)
+    # distinct continuations per context and distinct contexts per word
+    # — both over the already-materialized vocabulary-bounded bi table
+    t1p = bi.groupBy("p").agg(F.count(F.lit(1)).alias("t1p"))
+    cw = bi.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    tot = bi.agg(F.count(F.lit(1)).alias("n1p"))
+    if broadcast_counts:
+        bi, ctx, t1p, cw = (F.broadcast(x) for x in (bi, ctx, t1p, cw))
+    bg = _bigrams(docs, text_col, [F.col(id_col)])
+    pcont = (
+        (F.coalesce(F.col("cw"), F.lit(0)) + F.lit(alpha))
+        / (F.col("n1p") + F.lit(alpha) * F.col("v")))
+    seen = (
+        F.greatest(
+            F.coalesce(F.col("c"), F.lit(0)) - F.lit(discount), F.lit(0.0)
+        ) / F.col("cc")
+        + F.lit(discount) * F.col("t1p") / F.col("cc") * pcont)
+    lp = F.round(
+        F.log(F.when(F.col("cc").isNotNull(), seen).otherwise(pcont)), 9
+    ).cast("decimal(20,9)")
+    return (
+        bg.join(bi, ["p", "w"], "left")
+        .join(ctx, ["p"], "left")
+        .join(t1p, ["p"], "left")
+        .join(cw, ["w"], "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(voc))
+        .select(id_col, lp.alias("__lp"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum("__lp").cast("double") / (-F.count(F.lit(1))), 6
+            ).alias("avg_neg_logp"),
+        )
+    )

@@ -819,3 +819,92 @@ def mixture_temperature_weights(
             ).alias("oversample_factor"),
         )
     )
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    alpha: float = 0.5,
+    seed: str = "dsir",
+    dp: int = 6,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., NeurIPS 2023: Data
+    Selection for Language Models via Importance Resampling) — score
+    every raw document by how target-domain-like its hashed n-gram
+    profile is, the published recipe for selecting pretraining data
+    that matches a trusted domain:
+
+        log w(x) = Σ_f  c_f(x) · ( ln p_target(f) − ln p_raw(f) )
+
+    over hashed word-bigram features (md5-prefix bucketing into
+    ``n_buckets``, the repo's engine-portable hashing-trick
+    convention), with add-``alpha`` smoothed per-bucket unigram
+    feature models. Selection is then a threshold/top-m filter on
+    ``log_weight`` (resampling's deterministic twin). Returns
+    ``(id_col, n_feats, log_weight)`` for every document with ≥ 1
+    bigram feature.
+
+    Scale shape: both feature models are ``n_buckets``-row aggregates
+    (vocabulary-bounded by construction — the hash range), so the
+    per-bucket log-ratio table ALWAYS broadcasts no matter the corpus
+    size; scoring is one explode + one broadcast join + one
+    doc-keyed sum of 9-dp decimal-snapped terms (order-independent).
+    Text never shuffles — only (bucket, count) pairs."""
+    if n_buckets <= 0 or n_buckets > 65536:
+        raise ValueError("n_buckets must be in 1..65536")
+    hex_chars = 4 if n_buckets > 256 else 2
+    toks = F.split(F.col(text_col), " ")
+
+    def feats(df: DataFrame, extra: list) -> DataFrame:
+        grams = F.expr(
+            f"transform(sequence(1, size(__toks) - 1), "
+            f"i -> concat(element_at(__toks, i), ' ', "
+            f"element_at(__toks, i + 1)))")
+        return (
+            df.filter(F.col(text_col).isNotNull())
+            .select(*extra, toks.alias("__toks"))
+            .filter(F.size("__toks") >= 2)
+            .select(*extra, F.explode(grams).alias("__g"))
+            .select(*extra, F.substring(
+                F.md5(F.concat(F.lit(seed + ":"), F.col("__g"))),
+                1, hex_chars).alias("bucket"))
+        )
+
+    def model(df: DataFrame) -> DataFrame:
+        return df.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+
+    t_counts = model(feats(target, []))
+    r_counts = model(feats(docs, []))
+    t_tot = t_counts.agg(F.sum("n").alias("tn"))
+    r_tot = r_counts.agg(F.sum("n").alias("rn"))
+    # the bucket-keyed log-ratio table: n_buckets rows, always broadcast
+    ratio = (
+        r_counts.withColumnRenamed("n", "rc")
+        .join(t_counts.withColumnRenamed("n", "tc"), "bucket", "full")
+        .crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(r_tot))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    (F.coalesce("tc", F.lit(0)) + F.lit(alpha))
+                    / (F.col("tn") + F.lit(alpha) * F.lit(n_buckets)))
+                - F.log(
+                    (F.coalesce("rc", F.lit(0)) + F.lit(alpha))
+                    / (F.col("rn") + F.lit(alpha) * F.lit(n_buckets))),
+                9,
+            ).cast("decimal(20,9)").alias("__lr"),
+        )
+    )
+    return (
+        feats(docs, [F.col(id_col)])
+        .join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(F.sum("__lr").cast("double"), dp).alias("log_weight"),
+        )
+    )

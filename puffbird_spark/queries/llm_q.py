@@ -2567,3 +2567,99 @@ def graph_pagerank(spark, sf_dir):
                 for t in range(3)])).alias("dst"))
     )
     return pagerank(edges, n_iter=8)
+
+
+@query("text_perplexity_kn", oracle="""
+WITH tr AS (SELECT string_split(text, ' ') AS toks FROM documents
+            WHERE doc_id % 2 = 0 AND text IS NOT NULL
+              AND len(string_split(text, ' ')) >= 2),
+trb AS (SELECT unnest([{'p': toks[i], 'w': toks[i+1]}
+                       FOR i IN range(1, len(toks))]) AS bg
+        FROM tr),
+bi AS (SELECT bg.p AS p, bg.w AS w, COUNT(*) AS c FROM trb GROUP BY 1, 2),
+ctx AS (SELECT p, SUM(c) AS cc FROM bi GROUP BY 1),
+t1p AS (SELECT p, COUNT(*) AS t1p FROM bi GROUP BY 1),
+cw AS (SELECT w, COUNT(*) AS cw FROM bi GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n1p FROM bi),
+voc AS (SELECT COUNT(DISTINCT t) AS v
+        FROM (SELECT unnest(toks) AS t FROM tr)),
+d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2),
+db AS (SELECT doc_id, unnest([{'p': toks[i], 'w': toks[i+1]}
+                              FOR i IN range(1, len(toks))]) AS bg
+       FROM d),
+sc AS (SELECT doc_id,
+         CAST(round(ln(CASE WHEN ctx.cc IS NOT NULL THEN
+             greatest(COALESCE(bi.c, 0) - 0.75, 0.0) / ctx.cc
+             + 0.75 * t1p.t1p / ctx.cc
+               * ((COALESCE(cw.cw, 0) + 0.5) / (tot.n1p + 0.5 * voc.v))
+           ELSE (COALESCE(cw.cw, 0) + 0.5) / (tot.n1p + 0.5 * voc.v)
+           END), 9) AS DECIMAL(20,9)) AS lp
+       FROM db
+       LEFT JOIN bi ON db.bg.p = bi.p AND db.bg.w = bi.w
+       LEFT JOIN ctx ON db.bg.p = ctx.p
+       LEFT JOIN t1p ON db.bg.p = t1p.p
+       LEFT JOIN cw ON db.bg.w = cw.w
+       CROSS JOIN tot CROSS JOIN voc)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       round(CAST(SUM(lp) AS DOUBLE) / -COUNT(*), 6) AS avg_neg_logp
+FROM sc GROUP BY doc_id
+""")
+def text_perplexity_kn(spark, sf_dir):
+    """Interpolated Kneser-Ney perplexity scoring (`kneser_ney_score`,
+    operators/lm.py; Kneser & Ney 1995, Chen & Goodman 1999) — the
+    KenLM-grade upgrade over `text_perplexity_bigram`'s add-alpha:
+    absolute discounting (D=0.75) on seen bigrams, interpolated with a
+    CONTINUATION distribution (how many contexts each word completes,
+    not how often it occurs), with an add-0.5 floor keeping unseen
+    words scoreable. Same train/score split (even docs train, all
+    score), same 9-dp decimal log snap so the per-doc sum is
+    order-independent. The oracle replays discount, backoff weight,
+    and continuation distribution exactly — five LEFT joins against
+    count tables all derived from one materialized bigram table."""
+    from ..operators.lm import kneser_ney_score
+
+    docs = load(spark, sf_dir, "documents")
+    return kneser_ney_score(
+        docs, docs.filter(F.col("doc_id") % 2 == 0), "text", "doc_id")
+
+
+@query("split_dsir_weights", oracle="""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+           WHERE text IS NOT NULL
+             AND len(string_split(text, ' ')) >= 2),
+f AS (SELECT doc_id,
+        unnest([substr(md5('dsir:' || tk[i] || ' ' || tk[i+1]), 1, 2)
+                FOR i IN range(1, len(tk))]) AS bucket
+      FROM d),
+tc AS (SELECT bucket, COUNT(*) AS tc FROM f
+       WHERE doc_id % 5 = 0 GROUP BY 1),
+rc AS (SELECT bucket, COUNT(*) AS rc FROM f GROUP BY 1),
+tt AS (SELECT SUM(tc) AS tn FROM tc),
+rt AS (SELECT SUM(rc) AS rn FROM rc),
+ratio AS (SELECT rc.bucket,
+    CAST(round(ln((COALESCE(tc.tc, 0) + 0.5) / (tt.tn + 0.5 * 256))
+               - ln((rc.rc + 0.5) / (rt.rn + 0.5 * 256)), 9)
+         AS DECIMAL(20,9)) AS lr
+  FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN tt CROSS JOIN rt)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+       round(CAST(SUM(lr) AS DOUBLE), 6) AS log_weight
+FROM f JOIN ratio USING (bucket) GROUP BY doc_id
+""")
+def split_dsir_weights(spark, sf_dir):
+    """DSIR importance weighting (`dsir_log_weights`,
+    operators/splits.py; Xie et al. 2023): every-5th documents stand
+    in as the trusted target domain, and EVERY document scores
+    log p_target − log p_raw summed over its hashed word-bigram
+    features (md5-prefix bucketing into 256 buckets — the
+    engine-portable hashing trick) — the published recipe for
+    selecting domain-matched pretraining data. Both feature models
+    are 256-row aggregates, so the log-ratio table broadcasts at ANY
+    corpus size; per-feature terms snap to 9-dp decimal so the
+    per-doc sum is order-independent. The oracle replays hashing,
+    both smoothed models, and the ratio exactly."""
+    from ..operators.splits import dsir_log_weights
+
+    docs = load(spark, sf_dir, "documents")
+    return dsir_log_weights(
+        docs, docs.filter(F.col("doc_id") % 5 == 0), "text", "doc_id")

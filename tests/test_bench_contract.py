@@ -39,13 +39,28 @@ def test_stdout_record_shape():
     assert record["unit"] == "sec"
     assert record["sf"] == 0.1
     # r7+ packing: per-query stdout is the OFFICIAL warm med3 scalar —
-    # the driver's spec'd {"queries": {name: sec}} shape
+    # the driver's spec'd {"queries": {name: sec}} shape; under the
+    # absurd 9999.99s-per-query width the budget valve may shed entries,
+    # so the stdout dict is a SUBSET while totals cover everything
     for name, warm_s in record["queries"].items():
         assert isinstance(warm_s, (int, float)), name
-    assert set(record["queries"]) == set(bench.BENCH_QUERIES)
+    assert set(record["queries"]) <= set(bench.BENCH_QUERIES)
     # totals are sums of the per-query colds/warms (2 dp)
     assert record["value"] == round(
         sum(9999.99 for _ in bench.BENCH_QUERIES), 2)
+
+
+def test_stdout_no_drops_at_realistic_widths():
+    """At realistic per-query widths (<= 999.99 s) the FULL query set
+    must fit the driver capture without the valve engaging — if this
+    fails, the bench list has truly outgrown the line and needs a
+    deliberate rotation, not silent shedding."""
+    cold = {name: 999.99 for name in bench.BENCH_QUERIES}
+    warm = {name: 999.99 for name in bench.BENCH_QUERIES}
+    record = bench.build_stdout_record(cold, warm, "0.1")
+    assert set(record["queries"]) == set(bench.BENCH_QUERIES)
+    line = json.dumps(record, separators=(",", ":"))
+    assert len(line) <= bench.STDOUT_LINE_BUDGET
 
 
 def test_prev_round_timings_handles_both_schemas(tmp_path, monkeypatch):

@@ -3778,3 +3778,62 @@ def test_pagerank_structure_and_mass(spark):
             new[v] = rnd((1.0 - 0.85) / n + 0.85 * (inflow + dang / n))
         r = new
     assert got == r, (got, r)
+
+
+def test_kneser_ney_matches_hand_formula(spark):
+    """Interpolated KN on a 2-doc training corpus must equal the
+    textbook formula computed by hand for seen, discounted-unseen, and
+    unseen-context bigrams (same 9-dp snap + 6-dp average)."""
+    import math
+
+    from puffbird_spark.operators.lm import kneser_ney_score
+
+    train = spark.createDataFrame(
+        [(0, "a b a b c"), (2, "b c")], "doc_id long, text string")
+    score = spark.createDataFrame(
+        [(1, "a b"), (3, "z a"), (5, "b z")], "doc_id long, text string")
+    out = {r.doc_id: (r.n_bigrams, r.avg_neg_logp)
+           for r in kneser_ney_score(score, train, "text", "doc_id")
+           .collect()}
+
+    # training bigrams: (a,b)x2 (b,a) (b,c)x2  -> contexts a:2 b:3
+    # distinct continuations: a->{b}=1, b->{a,c}=2
+    # contexts-per-word: b:{a}=1, a:{b}=1, c:{b}=1 ; N1+(..)=3 ; V=3
+    def pcont(cw):
+        return (cw + 0.5) / (3 + 0.5 * 3)
+
+    def seen(c, cc, t1p, cw):
+        return max(c - 0.75, 0) / cc + 0.75 * t1p / cc * pcont(cw)
+
+    rnd9 = lambda x: math.floor(x * 1e9 + 0.5) / 1e9
+    rnd6 = lambda x: math.floor(abs(x) * 1e6 + 0.5) / 1e6 * (1 if x >= 0 else -1)
+
+    # doc 1: (a,b) seen
+    lp = rnd9(math.log(seen(2, 2, 1, 1)))
+    assert out[1] == (1, rnd6(-lp))
+    # doc 3: (z,a) unseen context z -> pure continuation
+    lp = rnd9(math.log(pcont(1)))
+    assert out[3] == (1, rnd6(-lp))
+    # doc 5: (b,z) seen context, unseen word (cw=0): discounted-0 head
+    lp = rnd9(math.log(seen(0, 3, 2, 0)))
+    assert out[5] == (1, rnd6(-lp))
+
+
+def test_dsir_weights_null_when_target_is_corpus(spark):
+    """DSIR sanity: when the target IS the raw corpus, every log-ratio
+    term is exactly 0, so every document scores 0.0; a target-matching
+    doc must outrank a non-matching one against a skewed target."""
+    from puffbird_spark.operators.splits import dsir_log_weights
+
+    docs = spark.createDataFrame(
+        [(0, "x y x y"), (1, "p q p q"), (2, "x y p q")],
+        "doc_id long, text string")
+    same = dsir_log_weights(docs, docs, "text", "doc_id").collect()
+    assert {r.log_weight for r in same} == {0.0}
+    assert {r.doc_id: r.n_feats for r in same} == {0: 3, 1: 3, 2: 3}
+
+    target = docs.filter(F.col("doc_id") == 0)  # pure x/y domain
+    w = {r.doc_id: r.log_weight
+         for r in dsir_log_weights(docs, target, "text", "doc_id")
+         .collect()}
+    assert w[0] > w[2] > w[1], w
