@@ -2663,3 +2663,25 @@ def split_dsir_weights(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     return dsir_log_weights(
         docs, docs.filter(F.col("doc_id") % 5 == 0), "text", "doc_id")
+
+
+@query("join_fuzzy_del1", oracle="""
+SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+       CAST(levenshtein(a.s_name, b.s_name) AS INT) AS dist
+FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 1
+""")
+def join_fuzzy_del1(spark, sf_dir):
+    """Edit-distance-1 fuzzy self-join (`fuzzy_pairs_del1`,
+    operators/fuzzy.py — the SymSpell/FastSS deletion-neighborhood
+    rule): supplier names pair whenever one character edit separates
+    them, found by digest-bucketed deletion variants + exact
+    Levenshtein verification — never an all-pairs scan. The oracle IS
+    the all-pairs formulation, so the hash only matches if the
+    neighborhood generation, bucket pairing, dedup, and verify
+    reproduce brute force pair-for-pair (recall exactly 1, the
+    prefix-join discipline)."""
+    from ..operators.fuzzy import fuzzy_pairs_del1
+
+    sup = load(spark, sf_dir, "supplier")
+    return fuzzy_pairs_del1(sup, "s_name", "s_suppkey")

@@ -3837,3 +3837,49 @@ def test_dsir_weights_null_when_target_is_corpus(spark):
          for r in dsir_log_weights(docs, target, "text", "doc_id")
          .collect()}
     assert w[0] > w[2] > w[1], w
+
+
+def test_fuzzy_del1_matches_brute_force_all_edit_kinds(spark):
+    """Deletion-neighborhood join must equal brute-force Levenshtein<=1
+    over substitutions, insertions, deletions, duplicates, and
+    repeated-char strings; include_exact and max_bucket must behave."""
+    import itertools
+
+    import pytest as _pt
+
+    from puffbird_spark.operators.fuzzy import fuzzy_pairs_del1
+
+    keys = ["cat", "bat", "cats", "ca", "dog", "dogg", "aaa", "aab",
+            "cat", "xyz"]
+    rows = [(i, k) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(rows, "id long, k string")
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {(i, j, lev(a, b))
+            for (i, a), (j, b) in itertools.combinations(rows, 2)
+            if lev(a, b) <= 1}
+    got = {(r.id_a, r.id_b, r.dist)
+           for r in fuzzy_pairs_del1(df, "k", "id").collect()}
+    assert got == want
+    no_exact = {(r.id_a, r.id_b)
+                for r in fuzzy_pairs_del1(
+                    df, "k", "id", include_exact=False).collect()}
+    assert (0, 8) not in no_exact and all(
+        lev(keys[i], keys[j]) == 1 for i, j in no_exact)
+
+    with _pt.warns(UserWarning):
+        capped = fuzzy_pairs_del1(df, "k", "id", max_bucket=2).collect()
+    assert {(r.id_a, r.id_b, r.dist) for r in capped} <= want
+    with _pt.raises(ValueError):
+        fuzzy_pairs_del1(df, "k", "id", max_bucket=1)
