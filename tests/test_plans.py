@@ -329,3 +329,30 @@ def test_exactly_once_sink_result_is_pruned_scan(q):
     the manifest's shard list — no joins, no shuffles."""
     df = q("stream_exactly_once_sink")
     assert P.count_exchanges(df) == 0
+
+
+def test_bm25_broadcasts_query_side_no_cartesian(q):
+    """BM25's probe must be broadcast joins against the query-term and
+    document-frequency maps plus one-row scalar cross joins — never a
+    corpus x queries nested-loop over data-sized inputs."""
+    df = q("text_bm25_topk")
+    plan = P.formatted_plan(df)
+    # query terms, pruned dfreq, and the two scalars all broadcast
+    assert P.count_broadcast_joins(df) >= 3
+    # the only nested-loop joins are the one-row scalar cross joins
+    import re as _re
+
+    nested = plan.count("BroadcastNestedLoopJoin")
+    assert nested <= 2, plan  # stats scalar + nothing data-sized
+    assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_del1_pairs_inside_buckets_only(q):
+    """The deletion-neighborhood join must pair within digest buckets
+    (equi-join on the digest) — no cartesian/nested-loop candidate
+    generation, and the final Levenshtein verify runs post-join."""
+    df = q("join_fuzzy_del1")
+    plan = P.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan.lower()
