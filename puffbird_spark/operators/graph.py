@@ -398,6 +398,7 @@ def pagerank(
     n_iter: int = 8,
     damping: float = 0.85,
     dp: int = 9,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank (Brin & Page) over a directed edge list — the classic
     link-quality prior a web-scale curation pipeline feeds into
@@ -405,9 +406,14 @@ def pagerank(
     mixture feature).
 
     Power iteration, ``n_iter`` fixed rounds:
-    ``r'(v) = (1-d)/N + d·(Σ_{u→v} r(u)/outdeg(u) + dangling/N)``
+    ``r'(v) = (1-d)·t(v) + d·(Σ_{u→v} r(u)/outdeg(u) + dangling·t(v))``
     where ``dangling`` is the total rank parked on vertices without
-    out-edges (redistributed uniformly, the standard correction).
+    out-edges and ``t`` is the teleport distribution — uniform ``1/N``
+    by default, or PERSONALIZED (Haveliwala 2002) when ``seeds`` is
+    given: a one-column DataFrame of seed vertex ids, teleporting
+    uniformly over the seeds only, so rank measures proximity to the
+    trusted seed set (the standard seed-expansion selector for
+    harvesting domain-relevant documents from a link graph).
     Vertices are everything appearing as source OR target.
 
     Engine-portable float policy: each iteration's rank rounds at
@@ -444,13 +450,31 @@ def pagerank(
         .select("vertex", F.coalesce("outdeg", F.lit(0)).alias("outdeg"))
         .localCheckpoint(eager=True)
     )
-    n = base.agg(F.count(F.lit(1)).alias("n"))
-    ranks = (
-        base.crossJoin(F.broadcast(n))
-        .select("vertex", "outdeg",
-                F.round(F.lit(1.0) / F.col("n"), dp).alias("rank"))
-        .localCheckpoint(eager=True)
-    )
+    if seeds is None:
+        n = base.agg(F.count(F.lit(1)).alias("n"))
+        base = (
+            base.crossJoin(F.broadcast(n))
+            .select("vertex", "outdeg",
+                    (F.lit(1.0) / F.col("n")).alias("tel"))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        seed_col = seeds.columns[0]
+        s = seeds.select(
+            F.col(seed_col).alias("vertex")).distinct()
+        ns = s.agg(F.count(F.lit(1)).alias("ns"))
+        base = (
+            base.join(s.withColumn("__seed", F.lit(1)), "vertex", "left")
+            .crossJoin(F.broadcast(ns))
+            .select(
+                "vertex", "outdeg",
+                (F.coalesce("__seed", F.lit(0)).cast("double")
+                 / F.col("ns")).alias("tel"))
+            .localCheckpoint(eager=True)
+        )
+    ranks = base.select(
+        "vertex", "outdeg", "tel", F.round("tel", dp).alias("rank")
+    ).localCheckpoint(eager=True)
     for _ in range(n_iter):
         dangling = (
             ranks.filter(F.col("outdeg") == 0)
@@ -466,14 +490,13 @@ def pagerank(
         )
         ranks = (
             base.join(contrib, "vertex", "left")
-            .crossJoin(F.broadcast(n))
             .crossJoin(F.broadcast(dangling))
             .select(
-                "vertex", "outdeg",
+                "vertex", "outdeg", "tel",
                 F.round(
-                    (1.0 - damping) / F.col("n")
+                    (1.0 - damping) * F.col("tel")
                     + damping * (F.coalesce("inflow", F.lit(0.0))
-                                 + F.col("dangling") / F.col("n")),
+                                 + F.col("dangling") * F.col("tel")),
                     dp).alias("rank"))
             .localCheckpoint(eager=True)
         )

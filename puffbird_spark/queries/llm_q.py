@@ -2529,7 +2529,8 @@ r0 AS (SELECT vertex, outdeg, round(1.0 / nn.n, 9) AS rank
     for k in range(1, n_iter + 1):
         parts.append(f""",
 r{k} AS (SELECT b.vertex, b.outdeg,
-    round((1.0 - 0.85) / nn.n + 0.85 * coalesce(i.inflow, 0.0), 9) AS rank
+    round((1.0 - 0.85) * (1.0 / nn.n)
+          + 0.85 * coalesce(i.inflow, 0.0), 9) AS rank
   FROM base b CROSS JOIN nn
   LEFT JOIN (SELECT e.dst AS vertex, SUM(r.rank / r.outdeg) AS inflow
              FROM r{k - 1} r JOIN e ON r.vertex = e.src
@@ -2685,3 +2686,65 @@ def join_fuzzy_del1(spark, sf_dir):
 
     sup = load(spark, sf_dir, "supplier")
     return fuzzy_pairs_del1(sup, "s_name", "s_suppkey")
+
+
+def _ppr_oracle(n_iter: int = 8) -> str:
+    """Personalized-teleport twin of `_pagerank_oracle`: the teleport
+    column is 1/|seeds| on every 50th vertex, 0 elsewhere, replayed
+    per round (dangling mass is zero on this fixture — every vertex
+    has out-edges — so the dangling·t term vanishes exactly)."""
+    parts = ["""
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+e AS (SELECT DISTINCT doc_id AS src,
+        (doc_id * (3 + t.range) + 17 * t.range + 1) % nn.n AS dst
+      FROM documents CROSS JOIN range(0, 3) t CROSS JOIN nn),
+ns AS (SELECT COUNT(*) AS ns FROM (SELECT DISTINCT src AS vertex FROM e
+        UNION SELECT dst FROM e) WHERE vertex % 50 = 0),
+base AS (SELECT v.vertex, coalesce(o.outdeg, 0) AS outdeg,
+           CASE WHEN v.vertex % 50 = 0 THEN 1.0 / ns.ns ELSE 0.0 END AS tel
+         FROM (SELECT src AS vertex FROM e
+               UNION SELECT dst FROM e) v
+         CROSS JOIN ns
+         LEFT JOIN (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src) o
+           ON v.vertex = o.src),
+r0 AS (SELECT vertex, outdeg, tel, round(tel, 9) AS rank FROM base)"""]
+    for k in range(1, n_iter + 1):
+        parts.append(f""",
+r{k} AS (SELECT b.vertex, b.outdeg, b.tel,
+    round((1.0 - 0.85) * b.tel
+          + 0.85 * coalesce(i.inflow, 0.0), 9) AS rank
+  FROM base b
+  LEFT JOIN (SELECT e.dst AS vertex, SUM(r.rank / r.outdeg) AS inflow
+             FROM r{k - 1} r JOIN e ON r.vertex = e.src
+             WHERE r.outdeg > 0
+             GROUP BY e.dst) i ON b.vertex = i.vertex)""")
+    parts.append(f"""
+SELECT vertex, rank FROM r{n_iter}""")
+    return "".join(parts)
+
+
+@query("graph_pagerank_personalized", oracle=_ppr_oracle())
+def graph_pagerank_personalized(spark, sf_dir):
+    """Personalized PageRank (Haveliwala 2002) on the same synthetic
+    link graph as `graph_pagerank`, teleporting only to every 50th
+    document — the seed-expansion selector that harvests
+    domain-relevant pages by link proximity to a trusted set. Same
+    checkpointed power iteration and per-round 9-dp rounding; the
+    oracle unrolls all eight rounds with the personalized teleport
+    column, so seed indicator, 1/|seeds| normalization, and the decay
+    structure must replay value-for-value."""
+    from ..operators.graph import pagerank
+
+    docs = load(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    edges = (
+        docs.crossJoin(F.broadcast(n))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.array(*[
+                (F.col("doc_id") * (3 + t) + 17 * t + 1) % F.col("n")
+                for t in range(3)])).alias("dst"))
+    )
+    seeds = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("vertex"))
+    return pagerank(edges, n_iter=8, seeds=seeds)

@@ -3769,15 +3769,41 @@ def test_pagerank_structure_and_mass(spark):
     outdeg = {v: sum(1 for s, _ in edges if s == v) for v in verts}
     n = len(verts)
     rnd = lambda x: math.floor(x * 1e9 + 0.5) / 1e9
-    r = {v: rnd(1.0 / n) for v in verts}
+    tel = 1.0 / n
+    r = {v: rnd(tel) for v in verts}
     for _ in range(5):
         dang = sum(r[v] for v in verts if outdeg[v] == 0)
         new = {}
         for v in verts:
             inflow = sum(r[s] / outdeg[s] for s, d in edges if d == v)
-            new[v] = rnd((1.0 - 0.85) / n + 0.85 * (inflow + dang / n))
+            new[v] = rnd((1.0 - 0.85) * tel + 0.85 * (inflow + dang * tel))
         r = new
     assert got == r, (got, r)
+
+
+def test_personalized_pagerank_concentrates_on_seeds(spark):
+    """PPR with a seed set must (a) reduce to global PageRank when the
+    seeds are ALL vertices, (b) rank the seed and its out-neighborhood
+    above far vertices on a chain, and (c) keep total mass ~1."""
+    from puffbird_spark.operators.graph import pagerank
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)] + [(6, 0)], "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "vertex long")
+    # 40 rounds: the seed pulse circulating the 7-cycle has decayed to
+    # 0.85^40 ~ 0.0015, far under the stationary decay gaps
+    ppr = {r.vertex: r.rank
+           for r in pagerank(chain, n_iter=40, seeds=seeds).collect()}
+    assert abs(sum(ppr.values()) - 1.0) < 1e-6
+    # rank decays with distance from the seed along the chain
+    assert ppr[0] > ppr[1] > ppr[3] > ppr[5], ppr
+
+    allv = spark.createDataFrame([(i,) for i in range(7)], "vertex long")
+    full = {r.vertex: r.rank
+            for r in pagerank(chain, n_iter=4, seeds=allv).collect()}
+    plain = {r.vertex: r.rank
+             for r in pagerank(chain, n_iter=4).collect()}
+    assert full == plain
 
 
 def test_kneser_ney_matches_hand_formula(spark):
