@@ -536,6 +536,7 @@ def incremental_embedding_dedup(
     planes: int = 4,
     threshold: float = 0.45,
     seed: str = "srp",
+    use_arrow: bool | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """SEMANTIC near-dup dedup of a NEW batch against a living corpus
     without rescanning it — the embedding twin of
@@ -560,28 +561,92 @@ def incremental_embedding_dedup(
     The state stores the raw vector for the exact verification join;
     at extreme scale swap in the SQ-int8 representation
     (`similarity.sq_quantize`) and a re-rank — the band machinery is
-    unchanged."""
+    unchanged.
+
+    The verification stage is quadratic PER BUCKET, so it auto-gates
+    its kernel exactly like :func:`semantic_dedup_pairs`
+    (``use_arrow=None``): the interpreted per-pair HOF fold for small
+    jobs, or — above ``similarity.ARROW_MIN_PAIRS`` estimated
+    collisions — a per-``(band, bucket)`` ``applyInPandas`` MATRIX
+    kernel that ships each bucket's vectors ONCE and computes the
+    whole cosine matrix with one matmul (the r8 sf1 rehearsal caught
+    the per-pair path at 126 s for 20k vectors under planes=4 — 25 M
+    collision pairs each paying an interpreted 64-dim fold; the
+    matrix kernel is the ship-rows-not-pairs fix, and production
+    plane counts shrink the buckets themselves). HALF_UP replay keeps
+    the 6-dp decision identical on both kernels (differential
+    unit-pinned)."""
     from ..functions.vectors import cosine_rounded
+    from ..telemetry import record_kernel
+    from .similarity import ARROW_MIN_PAIRS, _est_rows, _vec_row_bytes
 
     bb = srp_signed_banded(
         batch, id_col, vec_col, in_dim, bands, planes, seed)
     # consumed twice (probe + state union): run the plane pipeline once
     bb = bb.localCheckpoint(eager=True)
     all_b = state.unionByName(bb)
-    b, o = bb.alias("b"), all_b.alias("o")
-    rejected = (
-        b.join(
-            o,
-            (F.col("b.band") == F.col("o.band"))
-            & (F.col("b.bucket") == F.col("o.bucket"))
-            & (F.col("o.id") < F.col("b.id")),
+    if use_arrow is None:
+        nb = _est_rows(bb, _vec_row_bytes(in_dim))
+        na = nb + _est_rows(state, _vec_row_bytes(in_dim))
+        # expected collisions under uniform buckets: per band, a batch
+        # row meets n_all / 2^planes bucket-mates
+        use_arrow = (
+            bands * nb * (na / float(2 ** planes)) >= ARROW_MIN_PAIRS)
+    record_kernel(
+        "incremental_embedding_pairs", "arrow" if use_arrow else "hof")
+    if use_arrow:
+        import numpy as np
+        import pandas as pd
+
+        thr = float(threshold)
+        id_t = bb.schema["id"].dataType.simpleString()
+
+        def bucket_reject(pdf: pd.DataFrame) -> pd.DataFrame:
+            ids = pdf["id"].to_numpy()
+            isb = pdf["is_b"].to_numpy(dtype=bool)
+            if len(ids) < 2 or not isb.any():
+                return pd.DataFrame({"__rej": ids[:0]})
+            X = np.array(pdf["v"].tolist(), dtype=np.float64)
+            nrm = np.sqrt(np.einsum("ij,ij->i", X, X))
+            S = (X @ X.T) / np.outer(nrm, nrm)
+            scale = 1e6  # HALF_UP replay, the cosine_rounded_arrow rule
+            S = np.where(S >= 0, np.floor(S * scale + 0.5) / scale,
+                         np.ceil(S * scale - 0.5) / scale)
+            hit = (S >= thr) & (ids[None, :] < ids[:, None])
+            return pd.DataFrame({"__rej": ids[isb & hit.any(axis=1)]})
+
+        # only buckets a batch member touches can reject; the semi-join
+        # prunes pure-state buckets before any vector ships
+        touched = bb.select("band", "bucket").distinct()
+        members = (
+            all_b.join(touched, ["band", "bucket"], "left_semi")
+            .join(
+                bb.select(F.col("id").alias("__bid")).distinct(),
+                F.col("id") == F.col("__bid"), "left")
+            .select(
+                "band", "bucket", "id", "v",
+                F.col("__bid").isNotNull().alias("is_b"))
         )
-        .filter(
-            cosine_rounded(F.col("b.v"), F.col("o.v"))
-            >= F.lit(threshold))
-        .select(F.col("b.id").alias("__rej"))
-        .distinct()
-    )
+        rejected = (
+            members.groupBy("band", "bucket")
+            .applyInPandas(bucket_reject, f"__rej {id_t}")
+            .distinct()
+        )
+    else:
+        b, o = bb.alias("b"), all_b.alias("o")
+        rejected = (
+            b.join(
+                o,
+                (F.col("b.band") == F.col("o.band"))
+                & (F.col("b.bucket") == F.col("o.bucket"))
+                & (F.col("o.id") < F.col("b.id")),
+            )
+            .filter(
+                cosine_rounded(F.col("b.v"), F.col("o.v"))
+                >= F.lit(threshold))
+            .select(F.col("b.id").alias("__rej"))
+            .distinct()
+        )
     survivors = batch.join(
         rejected, batch[id_col] == rejected["__rej"], "left_anti")
     return survivors, all_b

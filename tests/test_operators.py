@@ -3909,3 +3909,49 @@ def test_fuzzy_del1_matches_brute_force_all_edit_kinds(spark):
     assert {(r.id_a, r.id_b, r.dist) for r in capped} <= want
     with _pt.raises(ValueError):
         fuzzy_pairs_del1(df, "k", "id", max_bucket=1)
+
+
+def test_incremental_embedding_arrow_kernel_equals_hof(spark):
+    """The per-bucket matrix verification kernel (the sf1-rehearsal
+    fix: ship rows, not pairs) must reject EXACTLY the vectors the
+    interpreted per-pair fold rejects — one-shot and replayed."""
+    from pyspark.sql import types as T
+
+    from puffbird_spark.operators.clustering import (
+        incremental_embedding_dedup)
+
+    dim = 8
+    rows = []
+    for i in range(40):
+        base = [((i % 7) * 13 + j * 29 + 5) % 17 - 8.0 for j in range(dim)]
+        # clusters of 7 near-copies with tiny per-member drift
+        rows.append((i, [v + (i // 7) * 0.0005 for v in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def empty_state():
+        return spark.createDataFrame([], T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.ArrayType(T.DoubleType())),
+            T.StructField("band", T.IntegerType()),
+            T.StructField("bucket", T.IntegerType()),
+        ]))
+
+    kw = dict(id_col="vec_id", vec_col="embedding", in_dim=dim,
+              bands=2, planes=3, threshold=0.8)
+    s_hof, st_hof = incremental_embedding_dedup(
+        df, empty_state(), use_arrow=False, **kw)
+    s_arw, st_arw = incremental_embedding_dedup(
+        df, empty_state(), use_arrow=True, **kw)
+    hof = sorted(r["vec_id"] for r in s_hof.collect())
+    arw = sorted(r["vec_id"] for r in s_arw.collect())
+    assert hof == arw and 0 < len(hof) < 40
+    assert st_hof.count() == st_arw.count() == 80
+
+    # replayed batches with the arrow kernel still equal the one-shot
+    state, got = empty_state(), []
+    for lo, hi in ((0, 15), (15, 30), (30, 40)):
+        surv, state = incremental_embedding_dedup(
+            df.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)),
+            state, use_arrow=True, **kw)
+        got += [r["vec_id"] for r in surv.collect()]
+    assert sorted(got) == hof
