@@ -5,11 +5,12 @@ The Spark-side plumbing is real and tested — schema, binaryFile source,
 Arrow-batched decode pipeline via mapInPandas, partition sizing. Header
 decode (format, width, height) is REAL for all four self-describing
 containers — PNG / GIF / BMP / JPEG (:func:`parse_image_header`). FULL
-pixel decode is real for THREE formats: PNG (8-bit gray,
-zlib scanlines — :func:`decode_png_gray`) and GIF (complete LZW
-decompressor with color-table mapping — :func:`decode_gif_gray`),
-and baseline JPEG (full huffman entropy decode + dequant + IDCT —
-`operators/jpeg.py`), dispatched by magic bytes in
+pixel decode is real for ALL FOUR: PNG (8-bit gray, zlib scanlines —
+:func:`decode_png_gray`), GIF (complete LZW decompressor with
+color-table mapping — :func:`decode_gif_gray`), baseline/progressive
+JPEG (full huffman entropy decode + dequant + IDCT —
+`operators/jpeg.py`), and palettized BMP (:func:`decode_bmp_gray` —
+padded rows, both row orders), dispatched by magic bytes in
 :func:`decode_image_gray`; all have matching encoders so gates verify
 pixels against a closed-form oracle. Audio decodes REALLY too (:func:`decode_wav_pcm` — RIFF walk +
 8/16-bit PCM plus G.711 μ-law/A-law expansion, tables matching
@@ -704,8 +705,11 @@ def decode_image_gray(blob: bytes) -> tuple[int, int, bytes]:
         from .jpeg import decode_jpeg_gray
 
         return decode_jpeg_gray(blob)
+    if blob[:2] == b"BM":
+        return decode_bmp_gray(blob)
     raise NotImplementedError(
-        f"no pixel decoder for magic {blob[:6]!r} (png/gif/jpeg supported)")
+        f"no pixel decoder for magic {blob[:6]!r} "
+        "(png/gif/jpeg/bmp supported)")
 
 
 # ------------------------------------------------------------------ #
@@ -1283,3 +1287,90 @@ def decode_avi_frames(blob: bytes) -> list[tuple[int, int, int, bytes]]:
             pos = payload_start + length + (length & 1)
     frames.sort(key=lambda t: t[0])
     return frames
+
+
+# ------------------------------------------------------------------ #
+# REAL image codec #4: BMP (round 8 cont.) — the uncompressed
+# palettized bitmap every Windows toolchain emits. Completes pixel
+# decode for ALL FOUR self-describing headers parse_image_header
+# reads (PNG/GIF/JPEG/BMP). Pure struct both directions: 8-bit
+# palettized, 4-byte-aligned rows, bottom-up or top-down.
+# ------------------------------------------------------------------ #
+
+def encode_bmp_gray(width: int, height: int, seed: int = 0) -> bytes:
+    """A REAL minimal BMP (BITMAPINFOHEADER, 8-bit palettized with a
+    256-entry grayscale identity palette, bottom-up rows padded to 4
+    bytes). Deterministic pixels from ``seed`` — the SAME generator
+    formula as :func:`encode_png` (``(x*31 + y*17 + seed) % 256``), so
+    gates reuse the closed-form oracle across codecs."""
+    if width <= 0 or height <= 0:
+        raise ValueError("width/height must be positive")
+    row_size = (width + 3) // 4 * 4
+    palette = b"".join(
+        struct.pack("<BBBB", i, i, i, 0) for i in range(256))
+    px = bytearray()
+    for y in range(height - 1, -1, -1):      # bottom-up storage
+        for x in range(width):
+            px.append((x * 31 + y * 17 + seed) % 256)
+        px += b"\x00" * (row_size - width)
+    offset = 14 + 40 + len(palette)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 8, 0,
+        row_size * height, 2835, 2835, 256, 0)
+    head = b"BM" + struct.pack(
+        "<IHHI", offset + len(px), 0, 0, offset)
+    return head + info + palette + bytes(px)
+
+
+def decode_bmp_gray(blob: bytes) -> tuple[int, int, bytes]:
+    """REAL decode of an 8-bit palettized BMP: parse the file +
+    BITMAPINFOHEADER headers, read the palette, and map every index
+    through it — honoring 4-byte row padding and both row orders
+    (positive height = bottom-up, negative = top-down). Only
+    gray palettes (r == g == b per entry) decode — a color palette
+    would need a luma policy this engine refuses to guess — and only
+    uncompressed 8-bit data; anything else raises
+    ``NotImplementedError``. Structural damage raises ``ValueError``."""
+    b = bytes(blob)
+    if len(b) < 54 or b[:2] != b"BM":
+        raise ValueError("not a BMP blob")
+    (offset,) = struct.unpack_from("<I", b, 10)
+    (hdr_size,) = struct.unpack_from("<I", b, 14)
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER unsupported")
+    width, height = struct.unpack_from("<ii", b, 18)
+    planes, bits = struct.unpack_from("<HH", b, 26)
+    (compression,) = struct.unpack_from("<I", b, 30)
+    (colors_used,) = struct.unpack_from("<I", b, 46)
+    if width <= 0 or height == 0:
+        raise ValueError("bad BMP dimensions")
+    if bits != 8 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 8-bit BMP, got {bits}-bit "
+            f"compression={compression}")
+    n_colors = colors_used or 256
+    pal_off = 14 + hdr_size
+    palette = []
+    for i in range(n_colors):
+        if pal_off + 4 * i + 3 > len(b):
+            raise ValueError("truncated palette")
+        pb, pg, pr, _ = struct.unpack_from("<BBBB", b, pal_off + 4 * i)
+        if not (pb == pg == pr):
+            raise NotImplementedError(
+                "color palette (needs a luma policy; gray-only decoder)")
+        palette.append(pr)
+    top_down = height < 0
+    h = abs(height)
+    row_size = (width + 3) // 4 * 4
+    if offset + row_size * h > len(b):
+        raise ValueError("truncated pixel data")
+    out = bytearray(width * h)
+    for row in range(h):
+        src_row = row if top_down else h - 1 - row
+        base = offset + src_row * row_size
+        for x in range(width):
+            idx = b[base + x]
+            if idx >= n_colors:
+                raise ValueError("palette index out of range")
+            out[row * width + x] = palette[idx]
+    return width, h, bytes(out)

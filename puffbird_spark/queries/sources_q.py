@@ -2048,3 +2048,47 @@ def multimodal_framesample_mjpeg(spark, sf_dir):
     )
     return sample_frames(docs, stride=2, max_frames=3).select(
         "path", "frame_idx", "frame_bytes", "digest")
+
+
+@query("multimodal_resize_bmp", oracle="""
+WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS path,
+             1 + doc_id % 16 AS w, 1 + doc_id % 12 AS h,
+             doc_id % 251 AS seed
+           FROM documents),
+px AS (SELECT path, w, h,
+         flatten([[CAST((CAST(floor(x * w / 4.0) AS INT) * 31
+                         + CAST(floor(y * h / 3.0) AS INT) * 17
+                         + seed) % 256 AS VARCHAR)
+                   FOR x IN range(0, 4)]
+                  FOR y IN range(0, 3)]) AS vals
+       FROM d)
+SELECT path, CAST(w AS INT) AS src_w, CAST(h AS INT) AS src_h,
+       CAST(4 AS INT) AS out_w, CAST(3 AS INT) AS out_h,
+       md5(array_to_string(vals, ',')) AS pix_csv_digest
+FROM px
+""")
+def multimodal_resize_bmp(spark, sf_dir):
+    """REAL BMP decode + resize (`decode_bmp_gray`/`resize_images`,
+    operators/multimodal.py — round-8 cont.): every document becomes a
+    genuine 8-bit palettized BMP (identity gray palette, 4-byte-padded
+    BOTTOM-UP rows — the padding and row-flip are exactly what a naive
+    decoder gets wrong), decoded through the palette and
+    nearest-neighbor-resampled to 4x3. Completes FULL pixel decode for
+    all four self-describing image headers (PNG/GIF/JPEG/BMP). Same
+    closed-form generator oracle as `multimodal_resize` — the digest
+    only matches if padding, row order, palette mapping, and
+    resampling are all exactly right."""
+    from ..operators.dedup import widen_parallelism
+    from ..operators.multimodal import encode_bmp_gray, resize_images
+
+    def _make(doc_id):
+        return doc_id.map(
+            lambda i: encode_bmp_gray(
+                1 + int(i) % 16, 1 + int(i) % 12, seed=int(i) % 251))
+
+    make_bmp = F.pandas_udf(_make, returnType="binary")
+    docs = widen_parallelism(load(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("string").alias("path"),
+        make_bmp(F.col("doc_id")).alias("content"),
+    )
+    return resize_images(docs, out_w=4, out_h=3)

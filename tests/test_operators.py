@@ -3983,3 +3983,44 @@ def test_label_propagation_communities_and_ties(spark):
     one = {r.vertex: r.label
            for r in label_propagation(star, n_iter=1).collect()}
     assert one == {1: 7, 3: 7, 7: 1}
+
+
+def test_bmp_codec_roundtrip_padding_roworder_and_guards(spark):
+    """BMP: bottom-up padded rows must decode closed-form, top-down
+    (negative height) must too, the magic-byte dispatch must route, and
+    color palettes / compressed data must raise honestly."""
+    import struct as _s
+
+    import pytest as _pt
+
+    from puffbird_spark.operators.multimodal import (
+        decode_bmp_gray, decode_image_gray, encode_bmp_gray)
+
+    blob = encode_bmp_gray(7, 5, seed=9)     # width 7 -> 1-byte row pad
+    w, h, px = decode_bmp_gray(blob)
+    assert (w, h) == (7, 5)
+    for y in range(5):
+        for x in range(7):
+            assert px[y * 7 + x] == (x * 31 + y * 17 + 9) % 256
+    assert decode_image_gray(blob) == (7, 5, px)   # dispatch routes
+
+    # top-down variant: flip the stored rows and negate the height
+    td = bytearray(blob)
+    _s.pack_into("<i", td, 22, -5)
+    (off,) = _s.unpack_from("<I", td, 10)
+    row = (7 + 3) // 4 * 4
+    rows = [bytes(blob[off + r * row:off + (r + 1) * row])
+            for r in range(5)]
+    td[off:off + 5 * row] = b"".join(reversed(rows))
+    assert decode_bmp_gray(bytes(td)) == (7, 5, px)
+
+    color = bytearray(blob)
+    color[14 + 40 + 4 * 3] = 255             # palette entry 3: blue!=r
+    with _pt.raises(NotImplementedError):
+        decode_bmp_gray(bytes(color))
+    rle = bytearray(blob)
+    _s.pack_into("<I", rle, 30, 1)           # BI_RLE8
+    with _pt.raises(NotImplementedError):
+        decode_bmp_gray(bytes(rle))
+    with _pt.raises(ValueError):
+        decode_bmp_gray(blob[:40])
