@@ -566,3 +566,89 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 4,
+    dp: int = 9,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over a directed edge
+    list — the complement to :func:`pagerank` when the question is
+    "what CURATES well" (hubs: pages whose outlinks concentrate on
+    good content — link-list/index pages a crawl seeds from) vs "what
+    IS good" (authorities).
+
+    Classic mutual recursion, ``n_iter`` fixed rounds with L1
+    normalization (sum-to-one — no cross-engine ``sqrt`` chains):
+
+        a(v) ← Σ_{u→v} h(u), then a ← a / Σa
+        h(u) ← Σ_{u→v} a(v), then h ← h / Σh
+
+    Each normalized score rounds at ``dp`` (the engine-portable float
+    policy — inflow addition order is unguaranteed everywhere, the
+    :func:`pagerank` rule), so a SQL oracle unrolling the same rounds
+    replays value-for-value. Returns ``(vertex, hub, authority)``.
+
+    Scale shape: two keyed join+sum passes per round (alternating
+    partitioning between the two vertex keys), the two normalizers
+    ride one-row broadcast cross joins, ``localCheckpoint`` per round
+    truncates lineage. Nothing all-pairs, nothing collected."""
+    if n_iter <= 0:
+        raise ValueError("n_iter must be positive")
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = e.localCheckpoint(eager=True)
+    verts = (
+        e.select(F.col("src").alias("vertex"))
+        .union(e.select(F.col("dst").alias("vertex")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = verts.agg(F.count(F.lit(1)).alias("n"))
+    scores = (
+        verts.crossJoin(F.broadcast(n))
+        .select("vertex",
+                F.round(F.lit(1.0) / F.col("n"), dp).alias("hub"),
+                F.round(F.lit(1.0) / F.col("n"), dp).alias("auth"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(n_iter):
+        a_raw = (
+            scores.join(e, scores.vertex == e.src)
+            .groupBy("dst").agg(F.sum("hub").alias("ar"))
+            .select(F.col("dst").alias("vertex"), "ar")
+        )
+        a_tot = a_raw.agg(F.sum("ar").alias("at"))
+        auth = (
+            scores.select("vertex", "hub")
+            .join(a_raw, "vertex", "left")
+            .crossJoin(F.broadcast(a_tot))
+            .select(
+                "vertex", "hub",
+                F.round(
+                    F.coalesce("ar", F.lit(0.0)) / F.col("at"), dp
+                ).alias("auth"))
+            .localCheckpoint(eager=True)
+        )
+        h_raw = (
+            auth.join(e, auth.vertex == e.dst)
+            .groupBy("src").agg(F.sum("auth").alias("hr"))
+            .select(F.col("src").alias("vertex"), "hr")
+        )
+        h_tot = h_raw.agg(F.sum("hr").alias("ht"))
+        scores = (
+            auth.select("vertex", "auth")
+            .join(h_raw, "vertex", "left")
+            .crossJoin(F.broadcast(h_tot))
+            .select(
+                "vertex",
+                F.round(
+                    F.coalesce("hr", F.lit(0.0)) / F.col("ht"), dp
+                ).alias("hub"),
+                "auth")
+            .localCheckpoint(eager=True)
+        )
+    return scores.select("vertex", "hub", F.col("auth").alias("authority"))

@@ -2759,14 +2759,14 @@ WITH nn AS (SELECT COUNT(*) AS n FROM documents),
 e0 AS (SELECT DISTINCT doc_id AS src,
         (doc_id * (3 + t.range) + 17 * t.range + 1) % nn.n AS dst
       FROM documents CROSS JOIN range(0, 3) t CROSS JOIN nn),
-und AS (SELECT DISTINCT a, b FROM (
+und AS MATERIALIZED (SELECT DISTINCT a, b FROM (
           SELECT src AS a, dst AS b FROM e0
           UNION ALL SELECT dst, src FROM e0)
         WHERE a != b),
-l0 AS (SELECT DISTINCT a AS vertex, a AS label FROM und)"""]
+l0 AS MATERIALIZED (SELECT DISTINCT a AS vertex, a AS label FROM und)"""]
     for k in range(1, n_iter + 1):
         parts.append(f""",
-l{k} AS (SELECT l.vertex, coalesce(nb.lab, l.label) AS label
+l{k} AS MATERIALIZED (SELECT l.vertex, coalesce(nb.lab, l.label) AS label
   FROM l{k - 1} l LEFT JOIN (
     SELECT vertex, lab FROM (
       SELECT u.a AS vertex, p.label AS lab, COUNT(*) AS n,
@@ -2804,3 +2804,62 @@ def graph_label_propagation(spark, sf_dir):
                 for t in range(3)])).alias("dst"))
     )
     return label_propagation(edges, n_iter=4)
+
+
+def _hits_oracle(n_iter: int = 4) -> str:
+    """Unrolled HITS: per round one authority pass (inflow of hub
+    scores, L1-normalized, 9-dp rounded) then one hub pass — six CTEs
+    a round, mirroring the engine's expressions exactly."""
+    parts = ["""
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+e AS MATERIALIZED (SELECT DISTINCT doc_id AS src,
+        (doc_id * (3 + t.range) + 17 * t.range + 1) % nn.n AS dst
+      FROM documents CROSS JOIN range(0, 3) t CROSS JOIN nn),
+v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),
+s0 AS MATERIALIZED (SELECT vertex, round(1.0 / nn.n, 9) AS hub,
+         round(1.0 / nn.n, 9) AS auth
+       FROM v CROSS JOIN nn)"""]
+    for k in range(1, n_iter + 1):
+        parts.append(f""",
+a{k}r AS (SELECT e.dst AS vertex, SUM(s.hub) AS ar
+  FROM s{k - 1} s JOIN e ON s.vertex = e.src GROUP BY e.dst),
+a{k}t AS (SELECT SUM(ar) AS at FROM a{k}r),
+a{k} AS MATERIALIZED (SELECT b.vertex, b.hub,
+    round(coalesce(r.ar, 0.0) / t.at, 9) AS auth
+  FROM s{k - 1} b LEFT JOIN a{k}r r ON b.vertex = r.vertex
+  CROSS JOIN a{k}t t),
+h{k}r AS (SELECT e.src AS vertex, SUM(a.auth) AS hr
+  FROM a{k} a JOIN e ON a.vertex = e.dst GROUP BY e.src),
+h{k}t AS (SELECT SUM(hr) AS ht FROM h{k}r),
+s{k} AS MATERIALIZED (SELECT a.vertex,
+    round(coalesce(r.hr, 0.0) / t.ht, 9) AS hub, a.auth
+  FROM a{k} a LEFT JOIN h{k}r r ON a.vertex = r.vertex
+  CROSS JOIN h{k}t t)""")
+    parts.append(f"""
+SELECT vertex, hub, auth AS authority FROM s{n_iter}""")
+    return "".join(parts)
+
+
+@query("graph_hits", oracle=_hits_oracle())
+def graph_hits(spark, sf_dir):
+    """HITS hubs-and-authorities (`hits`, operators/graph.py;
+    Kleinberg 1999) on the synthetic link graph — the curation
+    complement to PageRank: hubs find the index pages whose outlinks
+    concentrate on good content, authorities the content itself. Four
+    mutual-recursion rounds, L1 normalization (no cross-engine sqrt),
+    every normalized score 9-dp rounded; the oracle unrolls all four
+    rounds (six CTEs each), so inflow sums, normalizers, and sink/
+    source handling must replay value-for-value."""
+    from ..operators.graph import hits
+
+    docs = load(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    edges = (
+        docs.crossJoin(F.broadcast(n))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.array(*[
+                (F.col("doc_id") * (3 + t) + 17 * t + 1) % F.col("n")
+                for t in range(3)])).alias("dst"))
+    )
+    return hits(edges, n_iter=4)

@@ -4024,3 +4024,36 @@ def test_bmp_codec_roundtrip_padding_roworder_and_guards(spark):
         decode_bmp_gray(bytes(rle))
     with _pt.raises(ValueError):
         decode_bmp_gray(blob[:40])
+
+
+def test_hits_hub_authority_separation_and_replay(spark):
+    """HITS: on a bipartite hub->authority graph the pure hubs must get
+    hub mass and zero authority (and vice versa); scores must equal a
+    driver-side replay of the same L1-normalized rounds."""
+    from puffbird_spark.operators.graph import hits
+
+    # 1,2 are hubs pointing at 10,11,12; 10-12 are pure authorities
+    edges = [(1, 10), (1, 11), (2, 11), (2, 12)]
+    g = spark.createDataFrame(edges, "src long, dst long")
+    out = {r.vertex: (r.hub, r.authority)
+           for r in hits(g, n_iter=4).collect()}
+    assert out[1][1] == 0.0 and out[2][1] == 0.0   # hubs: no inlinks
+    assert out[10][0] == 0.0 and out[12][0] == 0.0  # authorities: no out
+    assert out[11][1] > out[10][1]                  # 11 has two inlinks
+    assert abs(sum(h for h, _ in out.values()) - 1.0) < 1e-6
+    assert abs(sum(a for _, a in out.values()) - 1.0) < 1e-6
+
+    import math
+    rnd = lambda x: math.floor(x * 1e9 + 0.5) / 1e9
+    verts = sorted({v for e in edges for v in e})
+    n = len(verts)
+    hub = {v: rnd(1.0 / n) for v in verts}
+    auth = {v: rnd(1.0 / n) for v in verts}
+    for _ in range(4):
+        ar = {v: sum(hub[s] for s, d in edges if d == v) for v in verts}
+        at = sum(ar[v] for v in verts)
+        auth = {v: rnd(ar[v] / at) for v in verts}
+        hr = {v: sum(auth[d] for s, d in edges if s == v) for v in verts}
+        ht = sum(hr[v] for v in verts)
+        hub = {v: rnd(hr[v] / ht) for v in verts}
+    assert out == {v: (hub[v], auth[v]) for v in verts}
