@@ -2863,3 +2863,28 @@ def graph_hits(spark, sf_dir):
                 for t in range(3)])).alias("dst"))
     )
     return hits(edges, n_iter=4)
+
+
+@query("knn_ivf_pq", oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 10
+""")
+def knn_ivf_pq(spark, sf_dir):
+    """IVF+PQ composed ANN (`ivf_pq_topk`, operators/similarity.py;
+    Jegou et al. 2011 — the FAISS IVFPQ architecture): coarse cells
+    bound the scan (nprobe=6 of 16, ~0.38 fraction — the documented
+    small/random-corpus regime, same as knn_lsh; clustered production
+    corpora probe far less), 8-byte PQ codes score the survivors, an
+    exact re-rank finishes. Recall@5 vs brute force: observed 0.80 at
+    sf0.001 / 0.76 at sf0.01; floor 0.7 — held at BOTH driven SFs per
+    the r7 ANN rule."""
+    from ..operators.similarity import ivf_pq_topk
+
+    return _ann_recall_gate(
+        spark, sf_dir,
+        lambda emb, q: ivf_pq_topk(
+            emb, q, dim=64, id_col="vec_id", vec_col="embedding", k=5,
+            n_centroids=16, nprobe=6, m=8, overfetch=8,
+        ),
+        min_avg_recall=0.7,
+    )

@@ -4057,3 +4057,23 @@ def test_hits_hub_authority_separation_and_replay(spark):
         ht = sum(hr[v] for v in verts)
         hub = {v: rnd(hr[v] / ht) for v in verts}
     assert out == {v: (hub[v], auth[v]) for v in verts}
+
+
+def test_ivf_pq_full_probe_high_overfetch_is_near_exact(spark):
+    """IVF+PQ sanity: probing ALL cells with a large overfetch must
+    recover (nearly) the exact top-k — cells stop filtering and the
+    re-rank is exact, so only PQ candidate truncation can bite; with
+    overfetch covering the corpus it cannot."""
+    from puffbird_spark.operators.similarity import (
+        cosine_topk, ivf_pq_topk)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.cand_id) for r in cosine_topk(
+        emb, q, id_col="vec_id", vec_col="embedding", k=3, est_queries=5
+    ).select("query_id", "cand_id").collect()}
+    ann = {(r.query_id, r.cand_id) for r in ivf_pq_topk(
+        emb, q, dim=64, id_col="vec_id", vec_col="embedding", k=3,
+        n_centroids=8, nprobe=8, m=8, overfetch=200,
+    ).select("query_id", "cand_id").collect()}
+    assert ann == exact
