@@ -2092,3 +2092,77 @@ def multimodal_resize_bmp(spark, sf_dir):
         make_bmp(F.col("doc_id")).alias("content"),
     )
     return resize_images(docs, out_w=4, out_h=3)
+
+
+@query("multimodal_audio_adpcm", oracle="""
+WITH RECURSIVE
+steps(si, sv) AS (SELECT range, [7,8,9,10,11,12,13,14,16,17,19,21,23,25,
+ 28,31,34,37,41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,
+ 209,230,253,279,307,337,371,408,449,494,544,598,658,724,796,876,963,
+ 1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,
+ 4026,4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,11487,12635,
+ 13899,15289,16818,18500,20350,22385,24623,27086,29794,32767][range + 1]
+ FROM range(0, 89)),
+d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS path,
+        40 + doc_id % 30 AS n, doc_id % 601 AS seed
+      FROM documents),
+r AS (
+  SELECT doc_id, path, n, seed, 0 AS j,
+         ((seed * 4001 + 123) % 4001) - 2000 AS pred,
+         seed % 89 AS idx
+  FROM d
+  UNION ALL
+  SELECT r.doc_id, r.path, r.n, r.seed, r.j + 1,
+    greatest(-32768, least(32767,
+      CASE WHEN nv >= 8 THEN r.pred - diff ELSE r.pred + diff END)),
+    greatest(0, least(88, r.idx +
+      [-1,-1,-1,-1,2,4,6,8][(nv % 8) + 1]))
+  FROM (SELECT r.*, (r.j * 2657 + r.seed * 7919) % 16 AS nv
+        FROM r) r
+  JOIN steps ON steps.si = r.idx
+  CROSS JOIN LATERAL (SELECT (sv // 8)
+      + CASE WHEN nv % 8 >= 4 THEN sv ELSE 0 END
+      + CASE WHEN nv % 4 >= 2 THEN sv // 2 ELSE 0 END
+      + CASE WHEN nv % 2 = 1 THEN sv // 4 ELSE 0 END AS diff) t
+  WHERE r.j < r.n - 1
+)
+SELECT path,
+  CAST(8000 AS INT) AS sample_rate,
+  CAST(1 AS INT) AS n_channels,
+  CAST(n AS BIGINT) AS n_frames,
+  CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+  CAST(0 AS INT) AS window_idx,
+  CAST(COUNT(*) AS INT) AS n_in_window,
+  CAST(MAX(ABS(pred)) AS INT) AS peak,
+  ROUND(SQRT(SUM(pred * pred) / COUNT(*)), 6) AS rms
+FROM r GROUP BY path, n
+""")
+def multimodal_audio_adpcm(spark, sf_dir):
+    """REAL IMA ADPCM decode (`decode_ima_adpcm`/`decode_wav_pcm` fmt
+    0x11, operators/multimodal.py) — the 4-bit adaptive-differential
+    codec telephony and game audio shipped for decades, and the first
+    STATEFUL audio decode in the suite: every nibble advances a
+    (predictor, step-index) machine through the spec's 89-entry step
+    table with shift-add reconstruction and clamping. The oracle
+    replays the ENTIRE state machine as a recursive CTE over the
+    closed-form nibble stream — step table as an array literal, the
+    same clamps, the same index walk — so per-doc peak and RMS only
+    hash-match if every one of the ~27k state transitions agrees
+    sample-for-sample. Same Arrow mapInPandas stage as every audio
+    path; blocks decode independently, so a sharded corpus
+    parallelizes per block at scale."""
+    from ..operators.dedup import widen_parallelism
+    from ..operators.multimodal import audio_stats, encode_wav
+
+    def _make(doc_id):
+        return doc_id.map(
+            lambda i: encode_wav(
+                40 + int(i) % 30, 8000, seed=int(i) % 601,
+                fmt_tag=0x11))
+
+    make_wav = F.pandas_udf(_make, returnType="binary")
+    docs = widen_parallelism(load(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("string").alias("path"),
+        make_wav(F.col("doc_id")).alias("content"),
+    )
+    return audio_stats(docs, window=100)

@@ -4077,3 +4077,46 @@ def test_ivf_pq_full_probe_high_overfetch_is_near_exact(spark):
         n_centroids=8, nprobe=8, m=8, overfetch=200,
     ).select("query_id", "cand_id").collect()}
     assert ann == exact
+
+
+def test_ima_adpcm_state_machine_and_blocks():
+    """ADPCM: spec anchor transitions, clamping at both rails, the
+    multi-block walk (each block resets state from its header), and
+    honest raises for stereo."""
+    import struct as _s
+
+    import pytest as _pt
+
+    from puffbird_spark.operators.multimodal import (
+        _ima_step, decode_ima_adpcm, decode_wav_pcm, encode_wav)
+
+    # magnitude bits add step>>3 + selected shifts; sign bit subtracts
+    assert _ima_step(0, 0, 0) == (0, 0)       # step 7: 7>>3 = 0
+    # step=7: diff = (7>>3) + 7 + (7>>1) + (7>>2) = 11, index 0 -> 8
+    p, i = _ima_step(0, 0, 7)
+    assert (p, i) == (0 + (7 >> 3) + 7 + (7 >> 1) + (7 >> 2), 8)
+    # clamp at the positive rail: huge step, repeated adds
+    p, i = 32000, 88
+    for _ in range(4):
+        p, i = _ima_step(p, i, 7)
+    assert p == 32767 and i == 88
+    # clamp at the negative rail
+    p, i = -32000, 88
+    for _ in range(4):
+        p, i = _ima_step(p, i, 15)
+    assert p == -32768
+
+    # two blocks: the second block's header resets predictor/index
+    blk1 = _s.pack("<hBB", 100, 10, 0) + bytes([3 | (12 << 4)])
+    blk2 = _s.pack("<hBB", -500, 40, 0) + bytes([9 | (1 << 4)])
+    out = decode_ima_adpcm(blk1 + blk2, 5, 3)
+    assert out[0] == 100 and out[3] == -500 and len(out) == 6
+    p1, i1 = _ima_step(-500, 40, 9)
+    assert out[4] == p1
+
+    # container path: odd sample count pads the nibble byte with 0
+    blob = encode_wav(8, 8000, seed=77, fmt_tag=0x11)
+    rate, ch, bits, frames = decode_wav_pcm(blob)
+    assert (rate, ch, bits, len(frames)) == (8000, 1, 4, 8)
+    with _pt.raises(ValueError):
+        encode_wav(4, 8000, n_channels=2, fmt_tag=0x11)
