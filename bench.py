@@ -160,6 +160,8 @@ BENCH_QUERIES = [
     "multimodal_framesample_mjpeg",
     "text_bm25_topk",
     "graph_pagerank",
+    # round-8 fourth batch: the composed billion-vector ANN layout
+    "knn_ivf_pq",
 ]
 
 

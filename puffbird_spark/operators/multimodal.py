@@ -17,10 +17,13 @@ pixels against a closed-form oracle. Audio decodes REALLY too (:func:`decode_wav
 ``audioop`` byte-for-byte), as does video: raw YUV4MPEG2
 (:func:`decode_y4m_frames` — mono/4:2:0 luma) and COMPRESSED
 AVI/Motion-JPEG (:func:`decode_avi_frames` — RIFF tree walk + full
-per-frame JPEG entropy decode). Only inter-frame video codecs
-(H.26x) and non-G.711 compressed audio remain unimplemented
-(raising, not guessing); the generic featurizer for undecodable
-formats is the deterministic byte histogram. Swapping in PIL/ffmpeg touches only
+per-frame JPEG entropy decode). Compressed audio decodes two ways:
+G.711 companding and stateful IMA ADPCM (:func:`decode_ima_adpcm` —
+the spec's step-table machine, oracle-replayed as a recursive CTE).
+Only inter-frame video codecs (H.26x) and transform audio codecs
+(mp3/AAC) remain unimplemented (raising, not guessing); the generic
+featurizer for undecodable formats is the deterministic byte
+histogram. Swapping in PIL/ffmpeg touches only
 :func:`decode_image_gray`/:func:`_byte_histogram` — the Spark plumbing
 never changes.
 """
