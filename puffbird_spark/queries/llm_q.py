@@ -2888,3 +2888,53 @@ def knn_ivf_pq(spark, sf_dir):
         ),
         min_avg_recall=0.7,
     )
+
+
+@query("text_char_entropy", oracle="""
+WITH c AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+           FROM documents WHERE text IS NOT NULL AND text != ''),
+cnt AS (SELECT doc_id, ch, COUNT(*) AS k FROM c GROUP BY 1, 2),
+tot AS (SELECT doc_id, ch, k, SUM(k) OVER (PARTITION BY doc_id) AS n
+        FROM cnt),
+term AS (SELECT doc_id, n,
+           CAST(round(-(CAST(k AS DOUBLE) / n)
+                      * log2(CAST(k AS DOUBLE) / n), 9)
+                AS DECIMAL(20,9)) AS t
+         FROM tot)
+SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_chars,
+       CAST(COUNT(*) AS INT) AS n_distinct,
+       round(CAST(SUM(t) AS DOUBLE), 6) AS entropy_bits
+FROM term GROUP BY doc_id
+""")
+def text_char_entropy(spark, sf_dir):
+    """Per-document Shannon character entropy (bits/char) — the
+    classic garbage detector in web-scale curation (Rae et al. 2021
+    use it among the Gopher filters): binary blobs and
+    base64/hex-encoded junk sit far above natural text's ~4.2 bits,
+    degenerate repetition far below. One explode + one (doc, char)
+    count (alphabet-bounded per doc) + a per-doc window total;
+    per-char terms snap to 9-dp decimal so the entropy sum is exact
+    and order-independent, final round at 6 dp. The oracle replays
+    split, counts, and the -p*log2(p) fold exactly."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.col("text") != ""))
+    cnt = (
+        docs.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    n = F.sum("k").over(Window.partitionBy("doc_id"))
+    p = F.col("k").cast("double") / F.col("n")
+    term = (
+        cnt.withColumn("n", n)
+        .select(
+            "doc_id", "n",
+            F.round(-p * F.log2(p), 9).cast("decimal(20,9)").alias("t"))
+    )
+    return term.groupBy("doc_id").agg(
+        F.max("n").cast("long").alias("n_chars"),
+        F.count(F.lit(1)).cast("int").alias("n_distinct"),
+        F.round(F.sum("t").cast("double"), 6).alias("entropy_bits"),
+    )
