@@ -4120,3 +4120,43 @@ def test_ima_adpcm_state_machine_and_blocks():
     assert (rate, ch, bits, len(frames)) == (8000, 1, 4, 8)
     with _pt.raises(ValueError):
         encode_wav(4, 8000, n_channels=2, fmt_tag=0x11)
+
+
+def test_fuzzy_pairs_dist2_matches_brute_force(spark):
+    """max_dist=2: the depth-2 deletion neighborhoods must recover
+    EXACTLY the Levenshtein<=2 pairs (two substitutions, double
+    inserts, mixed edits), with deeper-shared-variant false positives
+    killed by the verify step."""
+    import itertools
+
+    import pytest as _pt
+
+    from puffbird_spark.operators.fuzzy import fuzzy_pairs
+
+    keys = ["abcd", "azcd", "azce", "abcdxy", "ab", "ba", "wxab",
+            "abyz", "qqqq"]
+    rows = [(i, k) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(rows, "id long, k string")
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {(i, j, lev(a, b))
+            for (i, a), (j, b) in itertools.combinations(rows, 2)
+            if lev(a, b) <= 2}
+    got = {(r.id_a, r.id_b, r.dist)
+           for r in fuzzy_pairs(df, "k", "id", max_dist=2).collect()}
+    assert got == want
+    # the lev-4 deep-shared-variant pair ("wxab","abyz") must be absent
+    assert (6, 7) not in {(a, b) for a, b, _ in got}
+    with _pt.raises(ValueError):
+        fuzzy_pairs(df, "k", "id", max_dist=3)
