@@ -852,7 +852,11 @@ def dsir_log_weights(
     per-bucket log-ratio table ALWAYS broadcasts no matter the corpus
     size; scoring is one explode + one broadcast join + one
     doc-keyed sum of 9-dp decimal-snapped terms (order-independent).
-    Text never shuffles — only (bucket, count) pairs."""
+    Text never shuffles — only (bucket, count) pairs. The raw corpus
+    tokenizes twice (model pass + scoring pass) — the stateless
+    two-branch plan, the `text_tfidf` trade-off: at 100 TB a pipeline
+    materializes the per-doc feature table explicitly (write once,
+    read twice) rather than caching data-sized state in executors."""
     if n_buckets <= 0 or n_buckets > 65536:
         raise ValueError("n_buckets must be in 1..65536")
     hex_chars = 4 if n_buckets > 256 else 2
