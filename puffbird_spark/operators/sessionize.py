@@ -161,3 +161,62 @@ def funnel_conversion(
         .select(F.explode("__r").alias("r"))
         .select("r.step", "r.n_reached")
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    anchor_date: str = "2024-01-01",
+    bucket_days: int = 7,
+    dp: int = 6,
+) -> DataFrame:
+    """Cohort retention matrix — the classic product-analytics
+    complement to :func:`funnel_conversion`: users cohort by their
+    FIRST-activity bucket, and each ``(cohort, age)`` cell counts how
+    many of them were active ``age`` buckets later. Buckets are
+    ``floor(days_since_anchor / bucket_days)`` — pure integer
+    arithmetic from a fixed anchor, deliberately NOT ``date_trunc``
+    ('week' start conventions differ across engines; an anchored day
+    count replays everywhere).
+
+    Scale shape: one (user, bucket) distinct (the activity table, the
+    only data-sized shuffle), one per-user min for the cohort
+    assignment, one user-keyed join (co-keyed with the distinct —
+    AQE-friendly), then a cohort-keyed count. No self-join over
+    events, nothing quadratic in users. Returns
+    ``(cohort_bucket, age_buckets, n_cohort, n_active, retention_rate)``
+    with the rate an exact-integer division rounded at ``dp``."""
+    if bucket_days <= 0:
+        raise ValueError("bucket_days must be positive")
+    bucket = (
+        F.datediff(F.to_date(ts_col), F.to_date(F.lit(anchor_date)))
+        / bucket_days
+    ).cast("int")
+    activity = (
+        events.select(
+            F.col(user_col).alias("__u"), bucket.alias("__b"))
+        .filter(F.col("__b").isNotNull())
+        .distinct()
+    )
+    first = activity.groupBy("__u").agg(F.min("__b").alias("__cohort"))
+    sizes = first.groupBy("__cohort").agg(
+        F.count(F.lit(1)).alias("n_cohort"))
+    cells = (
+        activity.join(first, "__u")
+        .groupBy("__cohort", (F.col("__b") - F.col("__cohort"))
+                 .alias("age_buckets"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return (
+        cells.join(sizes, "__cohort")
+        .select(
+            F.col("__cohort").alias("cohort_bucket"),
+            "age_buckets",
+            F.col("n_cohort").cast("long").alias("n_cohort"),
+            F.col("n_active").cast("long").alias("n_active"),
+            F.round(
+                F.col("n_active").cast("double") / F.col("n_cohort"), dp
+            ).alias("retention_rate"),
+        )
+    )

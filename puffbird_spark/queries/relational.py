@@ -1731,3 +1731,33 @@ def agg_distribution_stats(spark, sf_dir):
             F.log2(F.col("n")) - F.col("t").cast("double") / F.col("n"), 6
         ).alias("entropy"),
     )
+
+
+@query("cohort_retention", oracle="""
+WITH a AS (SELECT DISTINCT user_id AS u,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  // 7 AS INT) AS b
+           FROM events WHERE ts IS NOT NULL),
+f AS (SELECT u, MIN(b) AS cohort FROM a GROUP BY u),
+s AS (SELECT cohort, COUNT(*) AS n_cohort FROM f GROUP BY cohort),
+c AS (SELECT f.cohort, a.b - f.cohort AS age_buckets,
+        COUNT(*) AS n_active
+      FROM a JOIN f USING (u) GROUP BY 1, 2)
+SELECT c.cohort AS cohort_bucket, CAST(c.age_buckets AS INT) AS age_buckets,
+       CAST(s.n_cohort AS BIGINT) AS n_cohort,
+       CAST(c.n_active AS BIGINT) AS n_active,
+       round(CAST(c.n_active AS DOUBLE) / s.n_cohort, 6) AS retention_rate
+FROM c JOIN s USING (cohort)
+""")
+def cohort_retention_q(spark, sf_dir):
+    """Weekly cohort retention over the events stream
+    (`cohort_retention`, operators/sessionize.py): users cohort by
+    first-activity week (anchored integer day-counts, not
+    date_trunc — week-start conventions differ across engines), each
+    (cohort, age) cell counts retained users, rate = exact integer
+    division at 6 dp. One distinct + one min + one co-keyed join +
+    one count — no event self-join, nothing quadratic. The oracle
+    replays bucketing, cohort assignment, and every cell."""
+    from ..operators.sessionize import cohort_retention
+
+    return cohort_retention(load(spark, sf_dir, "events"))

@@ -4160,3 +4160,29 @@ def test_fuzzy_pairs_dist2_matches_brute_force(spark):
     assert (6, 7) not in {(a, b) for a, b, _ in got}
     with _pt.raises(ValueError):
         fuzzy_pairs(df, "k", "id", max_dist=3)
+
+
+def test_cohort_retention_hand_matrix(spark):
+    """Cohort retention on a hand-built event log: cohort sizes, cell
+    counts, and rates must match the hand matrix; a user active twice
+    in one bucket counts once; bucket boundaries are anchored days."""
+    rows = [
+        # u1: first bucket 0, returns bucket 1 and 2
+        (1, "2024-01-01"), (1, "2024-01-02"), (1, "2024-01-08"),
+        (1, "2024-01-15"),
+        # u2: first bucket 0, never returns
+        (2, "2024-01-03"),
+        # u3: first bucket 1, returns bucket 2
+        (3, "2024-01-09"), (3, "2024-01-16"),
+    ]
+    from puffbird_spark.operators.sessionize import cohort_retention
+
+    ev = spark.createDataFrame(rows, "user_id long, ts string").select(
+        "user_id", F.to_timestamp("ts").alias("ts"))
+    got = {(r.cohort_bucket, r.age_buckets):
+           (r.n_cohort, r.n_active, r.retention_rate)
+           for r in cohort_retention(ev).collect()}
+    assert got == {
+        (0, 0): (2, 2, 1.0), (0, 1): (2, 1, 0.5), (0, 2): (2, 1, 0.5),
+        (1, 0): (1, 1, 1.0), (1, 1): (1, 1, 1.0),
+    }, got
