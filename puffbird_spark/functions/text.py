@@ -263,3 +263,31 @@ def mask_valid_cards(
             F.lit(token),
         ),
     )
+
+
+#: scheme://[userinfo@]HOST[:port]... — host capture shared with the
+#: DuckDB oracles verbatim (RE2- and Java-regex-compatible syntax only)
+URL_HOST_PATTERN = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^@/?#]*@)?([^:/?#]+)"
+
+#: last two dot-labels of a host — the registered-domain approximation
+#: (a public-suffix list would refine multi-label TLDs; documented)
+REGISTERED_DOMAIN_PATTERN = r"([^.]+\.[^.]+)$"
+
+
+def url_host(url: str | Column) -> Column:
+    """Hostname from a URL: scheme authority with userinfo and port
+    stripped (``https://user@d7.example.com:8080/x`` →
+    ``d7.example.com``). Pure regexp — identical pattern replays in
+    the SQL oracles; no engine ``parse_url`` (semantics differ)."""
+    c = F.col(url) if isinstance(url, str) else url
+    return F.regexp_extract(c, URL_HOST_PATTERN, 1)
+
+
+def registered_domain(host: str | Column) -> Column:
+    """Last-two-label registered domain (``d7.example.com`` →
+    ``example.com``) — the per-domain cap/blocklist key web curation
+    joins on (C4/RefinedWeb-style). Multi-label public suffixes
+    (``.co.uk``) need a suffix list; this is the deterministic
+    approximation every engine can replay."""
+    c = F.col(host) if isinstance(host, str) else host
+    return F.regexp_extract(c, REGISTERED_DOMAIN_PATTERN, 1)

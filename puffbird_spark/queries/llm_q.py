@@ -2938,3 +2938,73 @@ def text_char_entropy(spark, sf_dir):
         F.count(F.lit(1)).cast("int").alias("n_distinct"),
         F.round(F.sum("t").cast("double"), 6).alias("entropy_bits"),
     )
+
+
+@query("web_domain_stats", oracle="""
+WITH d AS (SELECT doc_id, text,
+        'https://' ||
+        CASE WHEN doc_id % 5 = 0 THEN 'user' ||
+             CAST(doc_id % 7 AS VARCHAR) || '@' ELSE '' END ||
+        CASE doc_id % 4 WHEN 0 THEN 'www.' WHEN 1 THEN 'cdn.'
+                        WHEN 2 THEN '' ELSE 'a.b.' END ||
+        'site' || CAST(doc_id % 20 AS VARCHAR) ||
+        '.example' || CAST(doc_id % 3 AS VARCHAR) || '.com' ||
+        CASE WHEN doc_id % 6 = 0 THEN ':8443' ELSE '' END ||
+        '/p/' || CAST(doc_id AS VARCHAR) AS url
+      FROM documents),
+h AS (SELECT doc_id, text,
+        regexp_extract(url,
+          '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^@/?#]*@)?([^:/?#]+)', 1)
+          AS host
+      FROM d),
+r AS (SELECT doc_id, text, host,
+        regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain
+      FROM h)
+SELECT domain,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+  CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+  round(CAST(SUM(length(text)) AS DOUBLE) / COUNT(*), 6) AS mean_chars
+FROM r GROUP BY domain
+""")
+def web_domain_stats(spark, sf_dir):
+    """Per-domain corpus statistics (`url_host`/`registered_domain`,
+    functions/text.py) — the aggregation web curation caps and
+    blocklists key on (C4/RefinedWeb-style per-domain quotas feed
+    `split_cap_per_group` directly): every document gets a synthetic
+    but adversarial URL (userinfo@, ports, 0-2 subdomain labels — the
+    parts naive parsers break on), host and registered domain extract
+    via the SAME regex pattern the oracle runs verbatim (no engine
+    parse_url — semantics differ), then one domain-keyed agg of doc
+    counts, distinct hosts, and text mass. Scan-local parsing, one
+    shuffle."""
+    from ..functions.text import registered_domain, url_host
+
+    docs = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit("user"),
+                        (F.col("doc_id") % 7).cast("string"),
+                        F.lit("@"))).otherwise(F.lit("")),
+        F.element_at(
+            F.array(F.lit("www."), F.lit("cdn."), F.lit(""),
+                    F.lit("a.b.")),
+            (F.col("doc_id") % 4 + 1).cast("int")),
+        F.lit("site"), (F.col("doc_id") % 20).cast("string"),
+        F.lit(".example"), (F.col("doc_id") % 3).cast("string"),
+        F.lit(".com"),
+        F.when(F.col("doc_id") % 6 == 0, F.lit(":8443"))
+        .otherwise(F.lit("")),
+        F.lit("/p/"), F.col("doc_id").cast("string"))
+    parsed = docs.select(
+        "text", url_host(url).alias("host")
+    ).select("text", "host", registered_domain("host").alias("domain"))
+    return parsed.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("host").cast("long").alias("n_hosts"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        F.round(
+            F.sum(F.length("text")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_chars"),
+    )

@@ -4186,3 +4186,25 @@ def test_cohort_retention_hand_matrix(spark):
         (0, 0): (2, 2, 1.0), (0, 1): (2, 1, 0.5), (0, 2): (2, 1, 0.5),
         (1, 0): (1, 1, 1.0), (1, 1): (1, 1, 1.0),
     }, got
+
+
+def test_url_host_and_registered_domain(spark):
+    """URL parsing: userinfo and ports strip, subdomain depth folds to
+    the last two labels, non-URLs extract empty."""
+    from puffbird_spark.functions.text import registered_domain, url_host
+
+    cases = [
+        ("https://user@d7.example1.com:8080/x?q=1", "d7.example1.com",
+         "example1.com"),
+        ("http://www.site.org/", "www.site.org", "site.org"),
+        ("ftp://a.b.c.d.net", "a.b.c.d.net", "d.net"),
+        ("https://example.com", "example.com", "example.com"),
+        ("not a url", "", ""),
+    ]
+    df = spark.createDataFrame([(u,) for u, _, _ in cases], "u string")
+    got = df.select(
+        "u", url_host("u").alias("h")
+    ).select("u", "h", registered_domain("h").alias("d")).collect()
+    want = {u: (h, d) for u, h, d in cases}
+    for r in got:
+        assert (r.h, r.d) == want[r.u], r
