@@ -44,6 +44,8 @@ from ..functions.vectors import as_double, dot
 ARROW_ASSIGN_KDIM = 2048
 
 
+
+
 def _assign_arrow(
     e: DataFrame, cents: list[list[float]], dp: int = 6,
 ) -> DataFrame:
@@ -578,7 +580,7 @@ def incremental_embedding_dedup(
     unit-pinned)."""
     from ..functions.vectors import cosine_rounded
     from ..telemetry import record_kernel
-    from .similarity import ARROW_MIN_PAIRS, _est_rows, _vec_row_bytes
+    from .similarity import ARROW_MIN_PAIRS
 
     bb = srp_signed_banded(
         batch, id_col, vec_col, in_dim, bands, planes, seed)
@@ -586,12 +588,26 @@ def incremental_embedding_dedup(
     bb = bb.localCheckpoint(eager=True)
     all_b = state.unionByName(bb)
     if use_arrow is None:
-        nb = _est_rows(bb, _vec_row_bytes(in_dim))
-        na = nb + _est_rows(state, _vec_row_bytes(in_dim))
+        # REAL counts, not plan statistics: a checkpointed frame (and an
+        # empty caller-built state) reports a defaultSizeInBytes-class
+        # sizeInBytes, which read as "huge" and pinned the kernel to
+        # Arrow at every scale. bb is eagerly materialized and the state
+        # is checkpointed between batches, so both counts are cheap
+        # metadata-speed jobs.
+        nb_rows = bb.count()
+        na_rows = nb_rows + state.count()
         # expected collisions under uniform buckets: per band, a batch
-        # row meets n_all / 2^planes bucket-mates
+        # vector meets n_all / 2^planes bucket-mates (row counts carry a
+        # bands factor each, hence the single bands divisor). The
+        # measured crossover (forced-path med3): sf0.1's 3-batch
+        # replay reads 6.5s all-HOF vs 4.6s all-Arrow — the FIRST
+        # batch's ~60k estimate already belongs on the Arrow side —
+        # and sf1 reads 126s vs 8.3s; HOF only wins on genuinely tiny
+        # inputs (unit-test scale) where worker spin-up dominates, so
+        # the switch sits at half the generic ARROW_MIN_PAIRS.
         use_arrow = (
-            bands * nb * (na / float(2 ** planes)) >= ARROW_MIN_PAIRS)
+            (nb_rows * na_rows) / float(bands * 2 ** planes)
+            >= ARROW_MIN_PAIRS // 2)
     record_kernel(
         "incremental_embedding_pairs", "arrow" if use_arrow else "hof")
     if use_arrow:
