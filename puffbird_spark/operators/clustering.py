@@ -267,7 +267,11 @@ def semantic_dedup(
     # runs twice (the perplexity/hll lesson)
     a = a.localCheckpoint(eager=True)
     if use_arrow is None:
-        n_est = _est_rows(a, _vec_row_bytes(64))
+        # real count, not plan statistics — a checkpointed frame's
+        # sizeInBytes reads as defaultSizeInBytes-huge (the
+        # incremental_embedding_dedup lesson); the count is a
+        # metadata-speed job on the just-materialized checkpoint
+        n_est = a.count()
         use_arrow = (n_est * n_est) / max(k, 1) >= ARROW_MIN_PAIRS
     record_kernel("semantic_pairs", "arrow" if use_arrow else "hof")
     if use_arrow:

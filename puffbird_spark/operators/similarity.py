@@ -46,7 +46,12 @@ def _est_rows(df: DataFrame, row_bytes: int) -> float:
     """Plan-statistics row estimate: optimizer sizeInBytes / approximate
     row width. Pure metadata (parquet footer sizes through the optimized
     plan) — NO job runs. Good to an order of magnitude, which is all the
-    Arrow-vs-HOF threshold needs."""
+    Arrow-vs-HOF threshold needs. CAVEAT: only meaningful for frames
+    whose lineage reaches a file scan — a localCheckpoint'd frame (or
+    an empty LocalRelation) reports a defaultSizeInBytes-class value
+    that reads as "huge"; call ``.count()`` on those instead (cheap on
+    a materialized checkpoint — the incremental_embedding_dedup
+    lesson)."""
     try:
         size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         return float(int(size)) / max(row_bytes, 1)
