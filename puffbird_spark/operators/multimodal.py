@@ -1491,3 +1491,56 @@ def decode_ima_adpcm(
                 out.append(pred)
                 remaining -= 1
     return out
+
+
+IMAGE_DIGEST_SCHEMA = (
+    "path string, format string, width int, height int, pix_digest string"
+)
+
+
+def image_content_digest(
+    df: DataFrame,
+    content_col: str = "content",
+    path_col: str = "path",
+    batch_size: int = 64,
+) -> DataFrame:
+    """CONTENT-keyed image identity: full pixel decode via
+    :func:`decode_image_gray` (all four codecs), then the md5 of the
+    comma-joined gray values — the digest that makes image dedup a
+    statement about PICTURES, not bytes: the same pixels encoded as
+    PNG, GIF, or BMP digest identically, so byte-level exact dedup
+    (which sees three different blobs) composes into true
+    cross-format duplicate resolution downstream (`dedup.exact_dedup`
+    on ``pix_digest``). Same Arrow mapInPandas shape as every media
+    stage; undecodable blobs emit no row; zero shuffle."""
+    import hashlib
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start:start + batch_size]
+                out: dict[str, list] = {k: [] for k in (
+                    "path", "format", "width", "height", "pix_digest")}
+                for path, blob in zip(
+                    chunk[path_col].astype(str), chunk[content_col]
+                ):
+                    if blob is None:
+                        continue
+                    blob = bytes(blob)
+                    fmt, _, _ = parse_image_header(blob)
+                    try:
+                        w, h, px = decode_image_gray(blob)
+                    except (NotImplementedError, ValueError):
+                        continue
+                    csv = ",".join(str(v) for v in px)
+                    out["path"].append(path)
+                    out["format"].append(fmt)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["pix_digest"].append(
+                        hashlib.md5(csv.encode()).hexdigest())
+                yield pd.DataFrame(out).astype({
+                    "width": "int32", "height": "int32"})
+
+    return df.select(path_col, content_col).mapInPandas(
+        kernel, IMAGE_DIGEST_SCHEMA)

@@ -3008,3 +3008,54 @@ def web_domain_stats(spark, sf_dir):
             F.sum(F.length("text")).cast("double") / F.count(F.lit(1)), 6
         ).alias("mean_chars"),
     )
+
+
+@query("knn_cosine_filtered", oracle="""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < 10)
+SELECT q.vec_id AS query_id, e.vec_id AS cand_id, e.label,
+  round(list_dot_product(q.v, e.v)
+        / (sqrt(list_dot_product(q.v, q.v))
+           * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine
+FROM q JOIN e ON e.vec_id != q.vec_id AND e.label = q.label
+QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY cosine DESC, e.vec_id) <= 5
+""")
+def knn_cosine_filtered(spark, sf_dir):
+    """FILTERED vector search — exact cosine top-5 restricted to
+    candidates sharing the query's label (the attribute-constrained
+    retrieval every production vector store exposes: 'nearest within
+    this tenant/language/domain'). Pre-filtering, the
+    correctness-first strategy: the predicate lands BEFORE scoring,
+    so top-k is exact over the filtered set (post-filtering an
+    unfiltered top-k silently under-returns — the classic filtered-ANN
+    bug this gate's oracle would catch). Per-label corpora score
+    label-co-partitioned; the broadcast query side carries its label
+    into the join condition, nothing is ever corpus x queries. FULL
+    output hash-matched (ids, labels, order, 6-dp cosines) — an exact
+    gate, not a recall floor."""
+    from ..functions.vectors import as_double, cosine_rounded
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("label"),
+        as_double("embedding").alias("__cv"))
+    qs = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("label"),
+        as_double("embedding").alias("__qv"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("cand_id"))
+    return (
+        c.join(F.broadcast(qs), "label")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id", "cand_id", "label",
+            cosine_rounded(F.col("__qv"), F.col("__cv")).alias("cosine"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 5)
+        .select("query_id", "cand_id", "label", "cosine")
+    )

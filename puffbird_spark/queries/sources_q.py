@@ -2166,3 +2166,66 @@ def multimodal_audio_adpcm(spark, sf_dir):
         make_wav(F.col("doc_id")).alias("content"),
     )
     return audio_stats(docs, window=100)
+
+
+@query("dedup_images_crossformat", oracle="""
+WITH d AS (SELECT doc_id, doc_id % 50 AS s,
+             CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                             ELSE 'bmp' END AS fmt
+           FROM documents),
+g AS (SELECT s, 6 + s % 5 AS w, 5 + s % 4 AS h
+      FROM (SELECT DISTINCT s FROM d)),
+px AS (SELECT s, w, h,
+         md5(array_to_string(
+           flatten([[CAST((x * 31 + y * 17 + s) % 256 AS VARCHAR)
+                     FOR x IN range(0, CAST(w AS BIGINT))]
+                    FOR y IN range(0, CAST(h AS BIGINT))]), ','))
+           AS pix_digest
+       FROM g)
+SELECT px.pix_digest,
+  CAST(COUNT(*) AS BIGINT) AS n_copies,
+  CAST(COUNT(DISTINCT d.fmt) AS BIGINT) AS n_formats,
+  CAST(MIN(d.doc_id) AS BIGINT) AS canonical_id
+FROM d JOIN px ON d.s = px.s
+GROUP BY px.pix_digest
+""")
+def dedup_images_crossformat(spark, sf_dir):
+    """Cross-format IMAGE dedup (`image_content_digest`,
+    operators/multimodal.py → exact dedup on the decoded-pixel
+    digest): every 50th-seed picture appears ~10 times, encoded
+    round-robin as PNG, GIF, and BMP — three byte-distinct blobs that
+    no byte-level dedup would relate. The pipeline FULLY DECODES each
+    blob through its codec and groups on the pixel digest, so
+    duplicates resolve by CONTENT: each group reports copy count,
+    distinct formats (3 — proof the codecs agree pixel-for-pixel),
+    and the min-id canonical. The oracle rebuilds every digest
+    closed-form from the generator formula; any codec disagreement on
+    any pixel splits a group and breaks the hash."""
+    from ..operators.dedup import widen_parallelism
+    from ..operators.multimodal import (
+        encode_bmp_gray, encode_gif, encode_png, image_content_digest)
+
+    def _make(doc_id):
+        def one(i):
+            i = int(i)
+            s = i % 50
+            w, h = 6 + s % 5, 5 + s % 4
+            enc = (encode_png, encode_gif, encode_bmp_gray)[i % 3]
+            return enc(w, h, seed=s)
+        return doc_id.map(one)
+
+    make = F.pandas_udf(_make, returnType="binary")
+    docs = widen_parallelism(load(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("string").alias("path"),
+        make(F.col("doc_id")).alias("content"),
+    )
+    return (
+        image_content_digest(docs)
+        .groupBy("pix_digest")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.countDistinct("format").cast("long").alias("n_formats"),
+            F.min(F.col("path").cast("long")).cast("long")
+            .alias("canonical_id"),
+        )
+    )

@@ -4208,3 +4208,26 @@ def test_url_host_and_registered_domain(spark):
     want = {u: (h, d) for u, h, d in cases}
     for r in got:
         assert (r.h, r.d) == want[r.u], r
+
+
+def test_image_content_digest_cross_format_identity(spark):
+    """The same pixels encoded as PNG, GIF, and BMP must produce ONE
+    pixel digest (three byte-distinct blobs, one picture); different
+    content must split; undecodable blobs drop."""
+    from puffbird_spark.operators.multimodal import (
+        encode_bmp_gray, encode_gif, encode_png, image_content_digest)
+
+    rows = [
+        ("p", bytearray(encode_png(6, 4, seed=3))),
+        ("g", bytearray(encode_gif(6, 4, seed=3))),
+        ("b", bytearray(encode_bmp_gray(6, 4, seed=3))),
+        ("other", bytearray(encode_png(6, 4, seed=4))),
+        ("junk", bytearray(b"not an image")),
+    ]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    out = {r.path: (r.format, r.pix_digest)
+           for r in image_content_digest(df).collect()}
+    assert "junk" not in out and len(out) == 4
+    assert out["p"][1] == out["g"][1] == out["b"][1]
+    assert out["other"][1] != out["p"][1]
+    assert {out["p"][0], out["g"][0], out["b"][0]} == {"png", "gif", "bmp"}
