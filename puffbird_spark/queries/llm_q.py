@@ -3059,3 +3059,59 @@ def knn_cosine_filtered(spark, sf_dir):
         .filter(F.col("__rn") <= 5)
         .select("query_id", "cand_id", "label", "cosine")
     )
+
+
+@query("pipeline_domain_cap", oracle="""
+WITH d AS (SELECT doc_id, text,
+        'https://' ||
+        CASE doc_id % 4 WHEN 0 THEN 'www.' WHEN 1 THEN 'cdn.'
+                        WHEN 2 THEN '' ELSE 'a.b.' END ||
+        'site' || CAST(doc_id % 20 AS VARCHAR) ||
+        '.example' || CAST(doc_id % 3 AS VARCHAR) || '.com/p/' ||
+        CAST(doc_id AS VARCHAR) AS url
+      FROM documents),
+r AS (SELECT doc_id, text,
+        regexp_extract(
+          regexp_extract(url,
+            '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^@/?#]*@)?([^:/?#]+)', 1),
+          '([^.]+\\.[^.]+)$', 1) AS domain
+      FROM d),
+k AS (SELECT doc_id, domain,
+        row_number() OVER (PARTITION BY domain
+          ORDER BY substr(md5('domcap:' || 'v'
+            || CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR) || ':'
+            || CAST(doc_id AS VARCHAR)), 1, 16), doc_id) AS rk
+      FROM r)
+SELECT domain, doc_id, CAST(rk AS INT) AS cap_rank
+FROM k WHERE rk <= 100
+""")
+def pipeline_domain_cap(spark, sf_dir):
+    """The C4/RefinedWeb per-domain cap as a COMPOSED pipeline of this
+    round's pieces: URL parse (`url_host`/`registered_domain`) feeds
+    the deterministic per-group cap (`cap_per_group`,
+    operators/splits.py) — at most 100 documents per registered
+    domain, chosen by content-keyed hash order (append-stable: a kept
+    doc is only ever displaced by one that hashes earlier). Scan-local
+    parsing, ONE keyed window — the whole cap is a single shuffle.
+    The oracle replays regex, draw, and rank row-for-row."""
+    from ..functions.text import registered_domain, url_host
+    from ..operators.splits import cap_per_group
+
+    docs = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.element_at(
+            F.array(F.lit("www."), F.lit("cdn."), F.lit(""),
+                    F.lit("a.b.")),
+            (F.col("doc_id") % 4 + 1).cast("int")),
+        F.lit("site"), (F.col("doc_id") % 20).cast("string"),
+        F.lit(".example"), (F.col("doc_id") % 3).cast("string"),
+        F.lit(".com/p/"), F.col("doc_id").cast("string"))
+    parsed = docs.select(
+        "doc_id",
+        registered_domain(url_host(url)).alias("domain"))
+    return cap_per_group(
+        parsed, key="doc_id", group_cols=["domain"], k=100,
+        seed="domcap", rank_col="cap_rank",
+    ).select("domain", "doc_id", F.col("cap_rank").cast("int")
+             .alias("cap_rank"))
