@@ -3115,3 +3115,53 @@ def pipeline_domain_cap(spark, sf_dir):
         seed="domcap", rank_col="cap_rank",
     ).select("domain", "doc_id", F.col("cap_rank").cast("int")
              .alias("cap_rank"))
+
+
+@query("text_bpe_segment", oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+           WHERE text IS NOT NULL),
+w AS (SELECT doc_id, unnest(ws) AS word,
+        generate_subscripts(ws, 1) AS pos
+      FROM t),
+e0 AS (SELECT doc_id, pos,
+        '(' || array_to_string(string_split(word, ''), ')(') || ')' AS x
+       FROM w),
+e1 AS (SELECT doc_id, pos, replace(x, '(t)(h)', '(th)') AS x FROM e0),
+e2 AS (SELECT doc_id, pos, replace(x, '(th)(e)', '(the)') AS x FROM e1),
+e3 AS (SELECT doc_id, pos, replace(x, '(a)(t)', '(at)') AS x FROM e2),
+e4 AS (SELECT doc_id, pos, replace(x, '(e)(r)', '(er)') AS x FROM e3),
+e5 AS (SELECT doc_id, pos, replace(x, '(s)(c)', '(sc)') AS x FROM e4),
+s AS (SELECT doc_id, pos,
+        string_split(substr(x, 2, length(x) - 2), ')(') AS subs
+      FROM e5),
+f AS (SELECT doc_id, flatten(list(subs ORDER BY pos)) AS allsubs
+      FROM s GROUP BY doc_id)
+SELECT doc_id, CAST(len(allsubs) AS INT) AS n_subwords,
+       array_to_string(allsubs[1:8], ' ') AS head8
+FROM f
+""")
+def text_bpe_segment(spark, sf_dir):
+    """BPE APPLICATION (`bpe_segment`, operators/bpe.py) — the encode
+    half the trainer gate (`text_bpe_pairs`) leaves unexercised: a
+    fixed 5-merge table (incl. the chained th->the merge, so merge
+    ORDER is load-bearing) segments every document scan-locally —
+    |merges| greedy-leftmost folds per word, zero shuffle, zero
+    Python. The oracle replays application through an independent
+    mechanism: each word's symbols wrap as '(s)(t)...' and every
+    merge is ONE string replace — left-to-right non-overlapping
+    replacement IS greedy-leftmost BPE (no shared characters between
+    adjacent wrapped matches, verified on chained and overlapping
+    runs in unit tests) — so fold semantics, merge order, and
+    per-word independence all hash-check."""
+    from ..operators.bpe import bpe_segment
+
+    merges = [("t", "h"), ("th", "e"), ("a", "t"), ("e", "r"),
+              ("s", "c")]
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull())
+    subs = bpe_segment(F.col("text"), merges)
+    return docs.select(
+        "doc_id",
+        F.size(subs).cast("int").alias("n_subwords"),
+        F.array_join(F.slice(subs, 1, 8), " ").alias("head8"),
+    )

@@ -4231,3 +4231,26 @@ def test_image_content_digest_cross_format_identity(spark):
     assert out["p"][1] == out["g"][1] == out["b"][1]
     assert out["other"][1] != out["p"][1]
     assert {out["p"][0], out["g"][0], out["b"][0]} == {"png", "gif", "bmp"}
+
+
+def test_bpe_segment_order_chains_and_overlaps(spark):
+    """bpe_segment: merge ORDER matters (th then th+e chains to 'the'),
+    overlapping same-symbol runs merge greedy-leftmost, merged output
+    does not re-merge within one pass, words segment independently."""
+    from puffbird_spark.operators.bpe import bpe_segment
+
+    df = spark.createDataFrame(
+        [(1, "the there aaa thth at"),], "id long, text string")
+    merges = [("t", "h"), ("th", "e"), ("a", "a"), ("a", "t")]
+    out = df.select(bpe_segment(F.col("text"), merges).alias("s")) \
+        .collect()[0].s
+    # the -> [the]; there -> [the,r,e]; aaa -> [aa,a] (greedy leftmost,
+    # no re-merge of 'aa'+'a'); thth -> [th,th]; at -> [at]
+    assert out == ["the", "the", "r", "e", "aa", "a", "th", "th",
+                   "at"], out
+
+    # reversed order: th+e merge never fires without th first
+    merges_rev = [("th", "e"), ("t", "h")]
+    out2 = df.select(
+        bpe_segment(F.lit("the"), merges_rev).alias("s")).collect()[0].s
+    assert out2 == ["th", "e"], out2
