@@ -3165,3 +3165,58 @@ def text_bpe_segment(spark, sf_dir):
         F.size(subs).cast("int").alias("n_subwords"),
         F.array_join(F.slice(subs, 1, 8), " ").alias("head8"),
     )
+
+
+@query("text_novelty", oracle="""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+           WHERE text IS NOT NULL
+             AND len(string_split(text, ' ')) >= 3),
+g AS (SELECT doc_id,
+        unnest([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                FOR i IN range(1, len(tk) - 1)]) AS gram
+      FROM d),
+ref AS (SELECT DISTINCT gram FROM g WHERE doc_id % 2 = 0),
+j AS (SELECT g.doc_id, g.gram,
+        CASE WHEN ref.gram IS NULL THEN 1 ELSE 0 END AS novel
+      FROM g LEFT JOIN ref ON g.gram = ref.gram)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_grams,
+  CAST(SUM(novel) AS BIGINT) AS n_novel,
+  round(CAST(SUM(novel) AS DOUBLE) / COUNT(*), 6) AS novelty
+FROM j GROUP BY doc_id
+""")
+def text_novelty(spark, sf_dir):
+    """N-gram novelty scoring — the memorization/duplication signal
+    dual to decontamination: each document's word-3-gram MULTISET is
+    scored by the fraction absent from a reference corpus (the
+    even-doc half here; in production, the already-accepted corpus) —
+    low novelty flags near-copies and boilerplate, the
+    Lee-et-al-style dedup triage signal at document granularity.
+    Scale shape: grams shuffle as 16-byte digests via the standard
+    gram machinery's keys... here the join keys the gram STRING
+    (bounded 3-gram width) against the distinct reference set — one
+    distinct + one left join + one doc-keyed agg, nothing quadratic;
+    exact integer counts, one 6-dp division."""
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull())
+    tk = F.split("text", " ")
+    grams = F.expr(
+        "transform(sequence(1, size(__tk) - 2), i -> concat("
+        "element_at(__tk, i), ' ', element_at(__tk, i + 1), ' ', "
+        "element_at(__tk, i + 2)))")
+    g = (
+        docs.select("doc_id", tk.alias("__tk"))
+        .filter(F.size("__tk") >= 3)
+        .select("doc_id", F.explode(grams).alias("gram"))
+    )
+    ref = g.filter(F.col("doc_id") % 2 == 0).select("gram").distinct()
+    j = g.join(
+        ref.withColumn("__seen", F.lit(1)), "gram", "left")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum(F.when(F.col("__seen").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_novel"),
+        F.round(
+            F.sum(F.when(F.col("__seen").isNull(), 1).otherwise(0))
+            .cast("double") / F.count(F.lit(1)), 6).alias("novelty"),
+    )
