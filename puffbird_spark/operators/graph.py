@@ -652,3 +652,78 @@ def hits(
             .localCheckpoint(eager=True)
         )
     return scores.select("vertex", "hub", F.col("auth").alias("authority"))
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-vertex triangle counts over an undirected edge list — the
+    classic distributed-graph benchmark and a real curation signal
+    (triangle density separates organic link neighborhoods from link
+    farms; clustering coefficient = triangles / wedges).
+
+    The DEGREE-ORIENTATION algorithm (Chiba-Nishizeki / the standard
+    MapReduce formulation): orient every edge from the lower-ranked
+    endpoint to the higher, ranking vertices by ``(degree, id)`` —
+    every triangle then has exactly ONE wedge whose center precedes
+    both ends, so the wedge self-join's fan-out is bounded by the
+    ORIENTED out-degree (<= O(sqrt(|E|)) on any graph — the reason
+    this survives power-law hubs: a celebrity vertex of degree 10^6
+    contributes wedges only toward its few higher-ranked peers, not
+    10^12 pairs). One wedge join + one edge-existence semi-join +
+    one explode-and-count; everything equi-keyed, nothing cartesian.
+    Returns ``(vertex, n_triangles)`` for every vertex incident to at
+    least one edge (0 rows included via the vertex table)."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.explode(F.array("a", "b")).alias("v"))
+        .groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient each edge toward the (degree, id)-higher endpoint
+    ranked = (
+        und.join(deg.select(F.col("v").alias("a"),
+                            F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"),
+                         F.col("d").alias("db")), "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db"))
+                   & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("lo"), F.col("b").alias("hi")))
+            .otherwise(
+                F.struct(F.col("b").alias("lo"), F.col("a").alias("hi")))
+            .alias("e"))
+        .select("e.lo", "e.hi")
+        .localCheckpoint(eager=True)
+    )
+    w1 = ranked.select(F.col("lo").alias("c"), F.col("hi").alias("x"))
+    w2 = ranked.select(F.col("lo").alias("c"), F.col("hi").alias("y"))
+    wedges = (
+        w1.join(w2, "c")
+        .filter(F.col("x") < F.col("y"))
+    )
+    closing = und.select(
+        F.col("a").alias("x"), F.col("b").alias("y"))
+    tris = wedges.join(closing, ["x", "y"], "left_semi")
+    per_vertex = (
+        tris.select(F.explode(F.array("c", "x", "y")).alias("vertex"))
+        .groupBy("vertex").agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    verts = deg.select(F.col("v").alias("vertex"))
+    return (
+        verts.join(per_vertex, "vertex", "left")
+        .select(
+            "vertex",
+            F.coalesce("n_triangles", F.lit(0)).cast("long")
+            .alias("n_triangles"))
+    )

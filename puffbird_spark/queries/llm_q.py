@@ -3220,3 +3220,46 @@ def text_novelty(spark, sf_dir):
             F.sum(F.when(F.col("__seen").isNull(), 1).otherwise(0))
             .cast("double") / F.count(F.lit(1)), 6).alias("novelty"),
     )
+
+
+@query("graph_triangles", oracle="""
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+e0 AS (SELECT DISTINCT doc_id AS s,
+        (doc_id * (3 + t.range) + 17 * t.range + 1) % nn.n AS d
+      FROM documents CROSS JOIN range(0, 3) t CROSS JOIN nn),
+e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+      FROM e0 WHERE s != d),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1 JOIN e e2 ON e1.b = e2.a
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+pv AS (SELECT unnest([x, y, z]) AS vertex FROM tri),
+v AS (SELECT a AS vertex FROM e UNION SELECT b FROM e)
+SELECT v.vertex,
+  CAST(COALESCE(c.n, 0) AS BIGINT) AS n_triangles
+FROM v LEFT JOIN (SELECT vertex, COUNT(*) AS n FROM pv GROUP BY 1) c
+  ON v.vertex = c.vertex
+""")
+def graph_triangles(spark, sf_dir):
+    """Per-vertex triangle counting (`triangle_count`,
+    operators/graph.py — degree orientation, the Chiba-Nishizeki /
+    MapReduce-standard algorithm): every edge orients toward its
+    (degree, id)-higher endpoint, so each triangle has exactly one
+    all-preceding wedge center and the wedge join's fan-out is
+    bounded by oriented out-degree (the power-law-hub survival
+    property). The oracle counts triangles by a COMPLETELY DIFFERENT
+    formulation — brute-force id-ordered 3-edge enumeration — so
+    orientation, wedge join, closure semi-join, and the 3-way credit
+    explode must agree vertex-for-vertex."""
+    from ..operators.graph import triangle_count
+
+    docs = load(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    edges = (
+        docs.crossJoin(F.broadcast(n))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.array(*[
+                (F.col("doc_id") * (3 + t) + 17 * t + 1) % F.col("n")
+                for t in range(3)])).alias("dst"))
+    )
+    return triangle_count(edges)

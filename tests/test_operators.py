@@ -4254,3 +4254,30 @@ def test_bpe_segment_order_chains_and_overlaps(spark):
     out2 = df.select(
         bpe_segment(F.lit("the"), merges_rev).alias("s")).collect()[0].s
     assert out2 == ["th", "e"], out2
+
+
+def test_triangle_count_matches_brute_force(spark):
+    """Degree-oriented triangle counting must equal brute-force
+    enumeration on a graph with a hub, overlapping triangles, an
+    isolated edge, and duplicate/reversed input edges."""
+    import itertools
+
+    from puffbird_spark.operators.graph import triangle_count
+
+    edges = [(0, 1), (1, 2), (2, 0),          # triangle
+             (2, 3), (3, 0),                  # second triangle sharing 0-2
+             (4, 0), (4, 1),                  # triangle 0-1-4
+             (5, 6),                          # isolated edge
+             (1, 0), (0, 2)]                  # duplicates/reversed
+    g = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.vertex: r.n_triangles
+           for r in triangle_count(g).collect()}
+
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    verts = sorted({v for e in und for v in e})
+    want = {v: 0 for v in verts}
+    for a, b, c in itertools.combinations(verts, 3):
+        if {(a, b), (a, c), (b, c)} <= und:
+            want[a] += 1; want[b] += 1; want[c] += 1
+    assert got == want, (got, want)
+    assert got[5] == 0 and got[6] == 0
