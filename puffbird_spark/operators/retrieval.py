@@ -97,3 +97,58 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select(qid_col, "rank", id_col, "score")
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    qid_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    top: int = 5,
+    dp: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR
+    2009) — the standard hybrid-retrieval combiner: given several
+    per-query rankings (BM25, vector search, a recency prior, ...),
+    score every candidate by
+
+        RRF(d) = Σ_r 1 / (k + rank_r(d))
+
+    over the rankings that returned it, and keep the ``top`` fused
+    results. RRF needs no score calibration across systems — ranks
+    only — which is why it is the default fusion everywhere.
+
+    Engine-portable float policy: each reciprocal rounds at ``dp``
+    and the sum rounds again (the BM25 two-stage convention), so SQL
+    oracles replay the fusion regardless of addition order. Ties
+    break on ascending id. Scale shape: one union of rank tables
+    (tiny — top-k per query per system) + one (query, doc) sum + one
+    per-query top window; the heavy retrieval happened upstream."""
+    from pyspark.sql.window import Window
+
+    if not rankings:
+        raise ValueError("need at least one ranking")
+    if k <= 0 or top <= 0:
+        raise ValueError("k and top must be positive")
+    parts = [
+        r.select(
+            F.col(qid_col), F.col(id_col),
+            F.round(1.0 / (F.lit(k) + F.col(rank_col)), dp).alias("__c"))
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = (
+        u.groupBy(qid_col, id_col)
+        .agg(F.round(F.sum("__c"), dp).alias("rrf_score"),
+             F.count(F.lit(1)).cast("int").alias("n_systems"))
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.desc("rrf_score"), F.asc(id_col))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= top)
+        .select(qid_col, "fused_rank", id_col, "rrf_score", "n_systems")
+    )

@@ -3263,3 +3263,94 @@ def graph_triangles(spark, sf_dir):
                 for t in range(3)])).alias("dst"))
     )
     return triangle_count(edges)
+
+
+@query("retrieval_rrf_hybrid", oracle="""
+WITH q(query_id, query_text) AS (VALUES
+  (1, 'spark join fast'), (2, 'hash merge table'), (3, 'stream window'),
+  (4, 'scan filter slow'), (5, 'vector group batch')),
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+cnt AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, term, tf,
+         SUM(tf) OVER (PARTITION BY doc_id) AS dl
+       FROM cnt),
+qt AS (SELECT DISTINCT query_id,
+         unnest(string_split(query_text, ' ')) AS term
+       FROM q),
+dfq AS (SELECT term, COUNT(*) AS df FROM cnt
+        WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY term),
+st AS (SELECT COUNT(*) AS n_docs,
+         SUM(len(string_split(text, ' '))) AS total_dl
+       FROM documents),
+hit AS (SELECT qt.query_id, d.doc_id,
+         round(ln(1 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+               * CAST(d.tf AS DOUBLE) * 2.2
+               / (d.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl
+                    / (CAST(st.total_dl AS DOUBLE) / st.n_docs))),
+               6) AS contrib
+        FROM dl d JOIN qt ON d.term = qt.term
+        JOIN dfq ON d.term = dfq.term CROSS JOIN st),
+sc AS (SELECT query_id, doc_id, round(SUM(contrib), 6) AS score
+       FROM hit GROUP BY query_id, doc_id),
+bm AS (SELECT query_id, doc_id, rn FROM (
+         SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY score DESC, doc_id) AS rn FROM sc)
+       WHERE rn <= 10),
+rec AS (SELECT query_id, doc_id, rn FROM (
+          SELECT query_id, doc_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY doc_id DESC) AS rn
+          FROM (SELECT DISTINCT query_id, doc_id FROM hit))
+        WHERE rn <= 10),
+u AS (SELECT query_id, doc_id, round(1.0 / (60 + rn), 6) AS c FROM bm
+      UNION ALL
+      SELECT query_id, doc_id, round(1.0 / (60 + rn), 6) AS c FROM rec),
+f AS (SELECT query_id, doc_id, round(SUM(c), 6) AS rrf_score,
+        CAST(COUNT(*) AS INT) AS n_systems
+      FROM u GROUP BY query_id, doc_id)
+SELECT CAST(query_id AS INT) AS query_id, CAST(rn AS INT) AS fused_rank,
+       doc_id, rrf_score, n_systems
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY rrf_score DESC, doc_id) AS rn FROM f)
+WHERE rn <= 5
+""")
+def retrieval_rrf_hybrid(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion (`rrf_fuse`,
+    operators/retrieval.py; Cormack et al. 2009): the BM25 top-10 for
+    each of the five standing queries fuses with a per-query RECENCY
+    ranking (hit documents by descending id — the freshness prior
+    every news/docs search blends in), no score calibration, ranks
+    only. Two-stage 6-dp rounding makes the fusion sum
+    order-independent; the oracle replays BOTH rankings and the
+    fusion — BM25 arithmetic, recency window, reciprocal sum,
+    tie-break — value-for-value."""
+    from pyspark.sql.window import Window
+
+    from ..operators.retrieval import bm25_topk, rrf_fuse
+
+    docs = load(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(
+        [(1, "spark join fast"), (2, "hash merge table"),
+         (3, "stream window"), (4, "scan filter slow"),
+         (5, "vector group batch")],
+        "query_id int, query_text string")
+    bm = bm25_topk(docs, qdf, k=10)
+    # recency ranking over the SAME hit set: docs sharing >= 1 term
+    from ..functions import text as TXT
+
+    toks = docs.select(
+        "doc_id", F.explode(TXT.tokens("text")).alias("term"))
+    qterms = qdf.select(
+        "query_id", F.explode(TXT.tokens("query_text")).alias("term")
+    ).distinct()
+    hits = (
+        toks.join(F.broadcast(qterms), "term")
+        .select("query_id", "doc_id").distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("doc_id"))
+    rec = (
+        hits.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )
+    return rrf_fuse([bm, rec], k=60, top=5)

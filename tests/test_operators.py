@@ -4281,3 +4281,28 @@ def test_triangle_count_matches_brute_force(spark):
             want[a] += 1; want[b] += 1; want[c] += 1
     assert got == want, (got, want)
     assert got[5] == 0 and got[6] == 0
+
+
+def test_rrf_fusion_hand_computation(spark):
+    """RRF: a doc ranked by both systems must outscore single-system
+    docs at similar ranks; scores equal the hand formula with the
+    two-stage rounding; ties break on ascending id."""
+    import math
+
+    from puffbird_spark.operators.retrieval import rrf_fuse
+
+    r1 = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2), (1, 30, 3)],
+        "query_id int, doc_id long, rank int")
+    r2 = spark.createDataFrame(
+        [(1, 20, 1), (1, 40, 2)],
+        "query_id int, doc_id long, rank int")
+    out = {r.doc_id: (r.fused_rank, r.rrf_score, r.n_systems)
+           for r in rrf_fuse([r1, r2], k=60, top=4).collect()}
+
+    rnd = lambda x: math.floor(x * 1e6 + 0.5) / 1e6
+    s20 = rnd(rnd(1 / 62) + rnd(1 / 61))
+    assert out[20] == (1, s20, 2)          # both systems -> wins
+    assert out[10] == (2, rnd(1 / 61), 1)
+    assert out[40] == (3, rnd(1 / 62), 1)
+    assert out[30] == (4, rnd(1 / 63), 1)
