@@ -727,3 +727,91 @@ def triangle_count(
             F.coalesce("n_triangles", F.lit(0)).cast("long")
             .alias("n_triangles"))
     )
+
+
+def clustering_coefficient(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    dp: int = 6,
+) -> DataFrame:
+    """Local clustering coefficient — ``2·T(v) / (d(v)·(d(v)−1))``,
+    the fraction of a vertex's neighbor pairs that are themselves
+    connected (Watts-Strogatz): the per-vertex ratio form of
+    :func:`triangle_count`, and the standard link-farm/organic-
+    neighborhood discriminator (farms interlink densely; organic
+    hubs do not). Vertices with degree < 2 read 0 (no wedge to
+    close). Exact integer counts, one ``dp``-rounded division.
+    Returns ``(vertex, degree, n_triangles, coefficient)``."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.explode(F.array("a", "b")).alias("vertex"))
+        .groupBy("vertex").agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangle_count(edges)
+    return (
+        deg.join(tri, "vertex")
+        .select(
+            "vertex", "degree", "n_triangles",
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    2.0 * F.col("n_triangles")
+                    / (F.col("degree") * (F.col("degree") - 1)), dp))
+            .otherwise(F.lit(0.0)).alias("coefficient"))
+    )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = 4,
+) -> DataFrame:
+    """Multi-source BFS over an undirected edge list: exact hop
+    distance from the nearest seed, up to ``max_depth`` — the
+    DISCRETE twin of personalized PageRank for seed-expansion
+    selection ("everything within k links of the trusted set"), and
+    the crawl-frontier primitive. Returns ``(vertex, dist)`` for
+    every vertex reached within the budget (seeds at 0); unreached
+    vertices are absent — the caller's filter IS the selection.
+
+    Scale shape: classic frontier expansion — per round ONE join
+    (frontier ⋈ edges) + one distinct + one anti-join against the
+    settled set (only NEWLY reached vertices survive, so frontiers
+    shrink as the ball saturates); ``localCheckpoint`` per round
+    (the iterative rule). Rounds = ``max_depth``, not diameter —
+    the budget is the caller's radius, never a convergence hope."""
+    if max_depth < 0:
+        raise ValueError("max_depth must be >= 0")
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seed_col = seeds.columns[0]
+    dist = seeds.select(
+        F.col(seed_col).alias("vertex"), F.lit(0).alias("dist")
+    ).distinct().localCheckpoint(eager=True)
+    frontier = dist
+    for k in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(und, frontier.vertex == und.a)
+            .select(F.col("b").alias("vertex"),
+                    F.lit(k).alias("dist"))
+            .distinct()
+            .join(dist.select("vertex"), "vertex", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return dist

@@ -3354,3 +3354,93 @@ def retrieval_rrf_hybrid(spark, sf_dir):
         .filter(F.col("rank") <= 10)
     )
     return rrf_fuse([bm, rec], k=60, top=5)
+
+
+@query("graph_clustering_coeff", oracle="""
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+e0 AS (SELECT DISTINCT doc_id AS s,
+        (doc_id * (3 + t.range) + 17 * t.range + 1) % nn.n AS d
+      FROM documents CROSS JOIN range(0, 3) t CROSS JOIN nn),
+e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+      FROM e0 WHERE s != d),
+deg AS (SELECT vertex, COUNT(*) AS degree FROM (
+          SELECT a AS vertex FROM e UNION ALL SELECT b FROM e)
+        GROUP BY vertex),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1 JOIN e e2 ON e1.b = e2.a
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+pv AS (SELECT vertex, COUNT(*) AS t FROM (
+         SELECT unnest([x, y, z]) AS vertex FROM tri) GROUP BY vertex)
+SELECT deg.vertex, CAST(deg.degree AS BIGINT) AS degree,
+  CAST(COALESCE(pv.t, 0) AS BIGINT) AS n_triangles,
+  CASE WHEN deg.degree >= 2
+       THEN round(2.0 * COALESCE(pv.t, 0)
+                  / (deg.degree * (deg.degree - 1)), 6)
+       ELSE 0.0 END AS coefficient
+FROM deg LEFT JOIN pv ON deg.vertex = pv.vertex
+""")
+def graph_clustering_coeff(spark, sf_dir):
+    """Local clustering coefficient (`clustering_coefficient`,
+    operators/graph.py; Watts-Strogatz) over the synthetic link graph
+    — degree, triangle count, and the closed-wedge ratio per vertex,
+    the link-farm discriminator. Composes the degree-oriented
+    triangle counter with one degree join; the oracle recomputes
+    everything from brute-force enumeration."""
+    from ..operators.graph import clustering_coefficient
+
+    docs = load(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    edges = (
+        docs.crossJoin(F.broadcast(n))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.array(*[
+                (F.col("doc_id") * (3 + t) + 17 * t + 1) % F.col("n")
+                for t in range(3)])).alias("dst"))
+    )
+    return clustering_coefficient(edges)
+
+
+@query("graph_bfs_distances", oracle="""
+WITH RECURSIVE nn AS (SELECT COUNT(*) AS n FROM documents),
+e0 AS (SELECT DISTINCT doc_id AS s,
+        (doc_id * (3 + t.range) + 17 * t.range + 1) % nn.n AS d
+      FROM documents CROSS JOIN range(0, 3) t CROSS JOIN nn),
+und AS (SELECT DISTINCT a, b FROM (
+          SELECT s AS a, d AS b FROM e0
+          UNION ALL SELECT d, s FROM e0)
+        WHERE a != b),
+r AS (
+  SELECT doc_id AS vertex, 0 AS dist FROM documents
+  WHERE doc_id % 100 = 0
+  UNION ALL
+  SELECT u.b, r.dist + 1
+  FROM r JOIN und u ON u.a = r.vertex
+  WHERE r.dist < 4
+)
+SELECT vertex, CAST(MIN(dist) AS INT) AS dist
+FROM r GROUP BY vertex
+""")
+def graph_bfs_distances(spark, sf_dir):
+    """Multi-source BFS (`bfs_distances`, operators/graph.py): hop
+    distance from the nearest every-100th-doc seed, radius 4 — the
+    discrete seed-expansion selector next to personalized PageRank
+    (select everything within k links of the trusted set). Frontier
+    expansion with per-round anti-join settlement; the oracle is a
+    recursive CTE whose path explosion MIN-collapses to the same
+    distances — two different mechanisms, one truth."""
+    from ..operators.graph import bfs_distances
+
+    docs = load(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    edges = (
+        docs.crossJoin(F.broadcast(n))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.array(*[
+                (F.col("doc_id") * (3 + t) + 17 * t + 1) % F.col("n")
+                for t in range(3)])).alias("dst"))
+    )
+    seeds = docs.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("vertex"))
+    return bfs_distances(edges, seeds, max_depth=4)

@@ -4306,3 +4306,21 @@ def test_rrf_fusion_hand_computation(spark):
     assert out[10] == (2, rnd(1 / 61), 1)
     assert out[40] == (3, rnd(1 / 62), 1)
     assert out[30] == (4, rnd(1 / 63), 1)
+
+
+def test_bfs_distances_chain_ball_and_budget(spark):
+    """BFS: exact hop distances on a chain, nearest-seed wins with two
+    seeds, the radius budget truncates, unreached vertices are absent,
+    and depth 0 returns only the seeds."""
+    from puffbird_spark.operators.graph import bfs_distances
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "src long, dst long")
+    seeds = spark.createDataFrame([(0,), (8,)], "vertex long")
+    got = {r.vertex: r.dist
+           for r in bfs_distances(chain, seeds, max_depth=3).collect()}
+    want = {0: 0, 8: 0, 1: 1, 7: 1, 2: 2, 6: 2, 3: 3, 5: 3}
+    assert got == want, got                # vertex 4 is outside radius 3
+    only_seeds = {r.vertex: r.dist for r in
+                  bfs_distances(chain, seeds, max_depth=0).collect()}
+    assert only_seeds == {0: 0, 8: 0}
