@@ -2229,3 +2229,55 @@ def dedup_images_crossformat(spark, sf_dir):
             .alias("canonical_id"),
         )
     )
+
+
+@query("sink_expectations", oracle="""
+WITH e AS (SELECT o_orderkey,
+        o_totalprice > 1000 AS ok_price,
+        o_orderpriority IS NOT NULL
+          AND o_orderpriority != '' AS ok_priority,
+        o_orderdate < DATE '1998-08-01' AS ok_date
+      FROM orders),
+s AS (SELECT COUNT(*) AS n,
+        SUM(CASE WHEN NOT ok_price THEN 1 ELSE 0 END) AS v_price,
+        SUM(CASE WHEN NOT ok_priority THEN 1 ELSE 0 END) AS v_priority,
+        SUM(CASE WHEN NOT ok_date THEN 1 ELSE 0 END) AS v_date,
+        SUM(CASE WHEN NOT (ok_price AND ok_priority AND ok_date)
+                 THEN 1 ELSE 0 END) AS v_total
+      FROM e)
+SELECT rule, CAST(n AS BIGINT) AS n_rows,
+       CAST(v AS BIGINT) AS n_violations,
+       round(CAST(v AS DOUBLE) / n, 6) AS violation_rate
+FROM (
+  SELECT 'min_price' AS rule, n, v_price AS v FROM s
+  UNION ALL SELECT 'nonempty_priority', n, v_priority FROM s
+  UNION ALL SELECT 'order_date_bound', n, v_date FROM s
+  UNION ALL SELECT '__total', n, v_total FROM s)
+""")
+def sink_expectations(spark, sf_dir):
+    """Sink-side data-quality expectations (`apply_expectations`,
+    operators/expectations.py — the Delta-Live-Tables pattern): three
+    named predicate rules over orders evaluate in ONE scan-local
+    pass, rows split into passed / quarantined (the dead-letter side
+    carries the failed-rule names), and the gate emits the per-rule
+    scorecard the pipeline would alert on — counts, violations, 6-dp
+    rates, plus the all-rules __total row. Counts, never rows, reach
+    the driver; the oracle replays every predicate and rate. The
+    split itself is pinned in unit tests (passed + quarantined
+    partition the input; violation arrays name exactly the failed
+    rules)."""
+    from ..operators.expectations import apply_expectations
+
+    orders = load(spark, sf_dir, "orders")
+    passed, quarantined, scorecard = apply_expectations(
+        orders,
+        {
+            "min_price": F.col("o_totalprice") > 1000,
+            "nonempty_priority":
+                F.col("o_orderpriority").isNotNull()
+                & (F.col("o_orderpriority") != ""),
+            "order_date_bound":
+                F.col("o_orderdate") < F.lit("1998-08-01").cast("date"),
+        },
+    )
+    return scorecard

@@ -4324,3 +4324,31 @@ def test_bfs_distances_chain_ball_and_budget(spark):
     only_seeds = {r.vertex: r.dist for r in
                   bfs_distances(chain, seeds, max_depth=0).collect()}
     assert only_seeds == {0: 0, 8: 0}
+
+
+def test_expectations_split_and_violation_names(spark):
+    """apply_expectations: passed+quarantined partition the input, the
+    dead-letter rows name exactly their failed rules (sorted), NULL
+    counts as a violation, and the scorecard adds up."""
+    import pytest as _pt
+
+    from puffbird_spark.operators.expectations import apply_expectations
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, -5.0, "b"), (3, 7.0, None),
+         (4, -1.0, None)],
+        "id long, v double, s string")
+    rules = {"pos_v": F.col("v") > 0, "has_s": F.col("s").isNotNull()}
+    passed, quar, score = apply_expectations(df, rules)
+    p = {r.id for r in passed.collect()}
+    qrows = {r.id: sorted(r["__violations"]) for r in quar.collect()}
+    assert p == {1} and set(qrows) == {2, 3, 4}
+    assert qrows[2] == ["pos_v"]
+    assert qrows[3] == ["has_s"]
+    assert qrows[4] == ["has_s", "pos_v"]
+    sc = {r.rule: (r.n_rows, r.n_violations, r.violation_rate)
+          for r in score.collect()}
+    assert sc == {"pos_v": (4, 2, 0.5), "has_s": (4, 2, 0.5),
+                  "__total": (4, 3, 0.75)}
+    with _pt.raises(ValueError):
+        apply_expectations(df, {})
