@@ -220,3 +220,100 @@ def cohort_retention(
             ).alias("retention_rate"),
         )
     )
+
+
+def attribution_credit(
+    events: DataFrame,
+    conversion_type: str,
+    touch_types: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    model: str = "linear",
+    dp: int = 6,
+) -> DataFrame:
+    """Multi-touch attribution — split each conversion's credit over
+    the touchpoints that preceded it (since the user's previous
+    conversion): the marketing-analytics standard next to
+    :func:`funnel_conversion`. Models:
+
+    - ``first_touch`` / ``last_touch`` — all credit to the earliest /
+      latest preceding touch;
+    - ``linear`` — 1/n to each of the n preceding touches;
+    - ``position`` — 40% first, 40% last, the middle 20% split evenly
+      (the U-shaped industry default; a single touch takes 100%, two
+      touches split 50/50).
+
+    A conversion with NO preceding touch contributes no credit rows
+    (unattributable — callers count them via the conversion total).
+    Returns per ``(channel := touch event_type)``:
+    ``(channel, n_conversions_touched, credit)`` with credit the
+    ``dp``-rounded sum of per-touch shares (each share rounds at
+    ``dp`` first — order-independent sums, the float policy).
+
+    Scale shape: ONE window over (user, ts) assigns each touch to the
+    NEXT conversion (running conversion counter walked backwards), a
+    per-conversion count/rank window sizes the shares, one channel
+    agg finishes. No self-joins over events, nothing quadratic."""
+    from pyspark.sql.window import Window
+
+    if model not in ("first_touch", "last_touch", "linear", "position"):
+        raise ValueError(f"unknown attribution model {model!r}")
+    ev = events.select(
+        F.col(user_col).alias("__u"), F.col(ts_col).alias("__ts"),
+        F.col(type_col).alias("__t"),
+    ).filter(
+        F.col("__t").isin([conversion_type] + list(touch_types)))
+    w_fwd = Window.partitionBy("__u").orderBy("__ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    # conversion id: number of conversions seen so far INCLUDING this
+    # row — touches before conversion k (and after k-1) share id k+1
+    # with that conversion when counted from the row AFTER them...
+    # simpler and exact: count conversions at-or-before each row; a
+    # touch with count c attributes to conversion c+1; a conversion
+    # row with count c IS conversion c.
+    conv_cnt = F.sum(
+        F.when(F.col("__t") == conversion_type, 1).otherwise(0)
+    ).over(w_fwd)
+    tagged = ev.select(
+        "__u", "__ts", "__t",
+        F.when(F.col("__t") == conversion_type, conv_cnt)
+        .otherwise(conv_cnt + 1).alias("__conv"))
+    w_conv = Window.partitionBy("__u", "__conv")
+    w_rank = Window.partitionBy("__u", "__conv").orderBy("__ts")
+    # only touch groups that actually END in a conversion get credit
+    has_conv = F.max(
+        F.when(F.col("__t") == conversion_type, 1).otherwise(0)
+    ).over(w_conv)
+    touches = (
+        tagged.withColumn("__has", has_conv)
+        .filter((F.col("__t") != conversion_type) & (F.col("__has") == 1))
+        .withColumn("__n", F.count(F.lit(1)).over(w_conv))
+        .withColumn("__r", F.row_number().over(w_rank))
+    )
+    if model == "first_touch":
+        share = F.when(F.col("__r") == 1, F.lit(1.0)).otherwise(F.lit(0.0))
+    elif model == "last_touch":
+        share = F.when(F.col("__r") == F.col("__n"), F.lit(1.0)) \
+            .otherwise(F.lit(0.0))
+    elif model == "linear":
+        share = F.lit(1.0) / F.col("__n")
+    else:  # position (U-shaped)
+        share = (
+            F.when(F.col("__n") == 1, F.lit(1.0))
+            .when(F.col("__n") == 2, F.lit(0.5))
+            .when(F.col("__r") == 1, F.lit(0.4))
+            .when(F.col("__r") == F.col("__n"), F.lit(0.4))
+            .otherwise(F.lit(0.2) / (F.col("__n") - 2)))
+    return (
+        touches.select(
+            F.col("__t").alias("channel"),
+            F.struct("__u", "__conv").alias("__cid"),
+            F.round(share, dp).alias("__s"))
+        .groupBy("channel")
+        .agg(
+            F.countDistinct("__cid").cast("long")
+            .alias("n_conversions_touched"),
+            F.round(F.sum("__s"), dp).alias("credit"),
+        )
+    )

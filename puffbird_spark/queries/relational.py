@@ -1761,3 +1761,44 @@ def cohort_retention_q(spark, sf_dir):
     from ..operators.sessionize import cohort_retention
 
     return cohort_retention(load(spark, sf_dir, "events"))
+
+
+@query("attribution_linear", oracle="""
+WITH ev AS (SELECT user_id AS u, ts, event_type AS t FROM events
+            WHERE event_type IN ('purchase', 'click', 'view')),
+c AS (SELECT u, ts, t,
+        SUM(CASE WHEN t = 'purchase' THEN 1 ELSE 0 END)
+          OVER (PARTITION BY u ORDER BY ts
+                ROWS UNBOUNDED PRECEDING) AS cc
+      FROM ev),
+tagged AS (SELECT u, ts, t,
+        CASE WHEN t = 'purchase' THEN cc ELSE cc + 1 END AS conv
+      FROM c),
+grp AS (SELECT *, MAX(CASE WHEN t = 'purchase' THEN 1 ELSE 0 END)
+          OVER (PARTITION BY u, conv) AS has
+        FROM tagged),
+touch AS (SELECT u, conv, t,
+        COUNT(*) OVER (PARTITION BY u, conv) AS n
+      FROM grp WHERE t != 'purchase' AND has = 1)
+SELECT t AS channel,
+  CAST(COUNT(DISTINCT (u, conv)) AS BIGINT) AS n_conversions_touched,
+  round(SUM(round(1.0 / n, 6)), 6) AS credit
+FROM touch GROUP BY t
+""")
+def attribution_linear(spark, sf_dir):
+    """Linear multi-touch attribution (`attribution_credit`,
+    operators/sessionize.py): purchases are conversions, clicks and
+    views the touchpoints — each conversion's credit splits 1/n over
+    the touches since the user's previous conversion, summed per
+    channel. ONE running-conversion-counter window assigns touches to
+    their next conversion (no event self-join), a per-conversion
+    count sizes shares, shares round before the channel sum (the
+    order-independence policy). The oracle replays counter, grouping,
+    trailing-touch exclusion, and every share."""
+    from ..operators.sessionize import attribution_credit
+
+    return attribution_credit(
+        load(spark, sf_dir, "events"),
+        conversion_type="purchase",
+        touch_types=["click", "view"],
+        model="linear")

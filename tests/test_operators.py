@@ -4352,3 +4352,55 @@ def test_expectations_split_and_violation_names(spark):
                   "__total": (4, 3, 0.75)}
     with _pt.raises(ValueError):
         apply_expectations(df, {})
+
+
+def test_attribution_models_hand_journeys(spark):
+    """Attribution on hand-built journeys: linear splits 1/n,
+    first/last-touch concentrate, position is U-shaped, touches after
+    the final conversion earn nothing, and an untouched conversion
+    contributes no rows."""
+    from puffbird_spark.operators.sessionize import attribution_credit
+
+    rows = [
+        # u1: view, click, view -> purchase ; then a trailing click
+        (1, "2024-01-01 10:00:00", "view"),
+        (1, "2024-01-01 10:01:00", "click"),
+        (1, "2024-01-01 10:02:00", "view"),
+        (1, "2024-01-01 10:03:00", "purchase"),
+        (1, "2024-01-01 10:04:00", "click"),
+        # u2: purchase with no touches
+        (2, "2024-01-01 11:00:00", "purchase"),
+        # u3: click -> purchase, then view -> purchase (two journeys)
+        (3, "2024-01-01 12:00:00", "click"),
+        (3, "2024-01-01 12:01:00", "purchase"),
+        (3, "2024-01-01 12:02:00", "view"),
+        (3, "2024-01-01 12:03:00", "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string").select(
+        "user_id", F.to_timestamp("ts").alias("ts"), "event_type")
+
+    def run(model):
+        return {r.channel: (r.n_conversions_touched, r.credit)
+                for r in attribution_credit(
+                    ev, "purchase", ["click", "view"], model=model)
+                .collect()}
+
+    lin = run("linear")
+    # u1: view 2/3, click 1/3 ; u3: click 1, view 1
+    assert lin["view"][0] == 2 and lin["click"][0] == 2
+    assert abs(lin["view"][1] - (2 / 3 + 1)) < 1e-5
+    assert abs(lin["click"][1] - (1 / 3 + 1)) < 1e-5
+
+    first = run("first_touch")
+    # u1 first touch = view; u3 journeys: click, view
+    assert abs(first["view"][1] - 2.0) < 1e-9
+    assert abs(first["click"][1] - 1.0) < 1e-9
+    last = run("last_touch")
+    assert abs(last["view"][1] - 2.0) < 1e-9   # u1 last=view, u3b view
+    assert abs(last["click"][1] - 1.0) < 1e-9
+    pos = run("position")
+    # u1 (3 touches): view .4 + .2, click .4? order: view,click,view ->
+    # first view .4, middle click .2, last view .4 ; u3 singles: 1.0
+    assert abs(pos["view"][1] - (0.8 + 1.0)) < 1e-6
+    assert abs(pos["click"][1] - (0.2 + 1.0)) < 1e-6
