@@ -279,3 +279,57 @@ def ewma_smooth(
         .withColumn("ewma_cents", weighted)
         .drop("__arr")
     )
+
+
+def rolling_zscore_anomalies(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_n: int = 20,
+    z_thresh: float = 3.0,
+    dp: int = 6,
+) -> DataFrame:
+    """Trailing-window z-score anomaly detection — the monitoring
+    staple next to CUSUM (:func:`cusum_alarms` finds sustained level
+    shifts; this flags POINT outliers): each observation scores
+    against the mean and sample standard deviation of its
+    ``window_n`` PRECEDING observations (the current row excluded —
+    an outlier must not dilute its own baseline), and
+    ``|z| >= z_thresh`` flags. Rows without a full trailing window
+    are unscored (no cold-start false alarms); zero-variance windows
+    never flag (no division blow-up).
+
+    Engine-portable numerics: the trailing sum and sum-of-squares
+    accumulate as exact decimals (partitioning/order independent),
+    the variance/sqrt/ratio then computes in doubles identically
+    everywhere, and z rounds at ``dp``. ONE window per key — single
+    exchange, the timeseries-family shape. Returns flagged rows:
+    ``(key, ts, value, mean, std, zscore)``."""
+    from pyspark.sql.window import Window
+
+    if window_n < 2:
+        raise ValueError("window_n must be >= 2")
+    w = Window.partitionBy(key_col).orderBy(ts_col).rowsBetween(
+        -window_n, -1)
+    v_dec = F.col(value_col).cast("decimal(28,8)")
+    n = F.count(v_dec).over(w)
+    s = F.sum(v_dec).over(w).cast("double")
+    ss = F.sum(v_dec * v_dec).over(w).cast("double")
+    mean = s / n
+    var = (ss - s * s / n) / (n - 1)
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    z = F.round((F.col(value_col) - mean) / std, dp)
+    scored = df.select(
+        F.col(key_col).alias("key"), F.col(ts_col).alias("ts"),
+        F.col(value_col).alias("value"),
+        n.alias("__n"), F.round(mean, dp).alias("mean"),
+        F.round(std, dp).alias("std"), z.alias("zscore"),
+    )
+    return (
+        scored.filter(
+            (F.col("__n") == window_n)
+            & (F.col("std") > 0)
+            & (F.abs(F.col("zscore")) >= z_thresh))
+        .drop("__n")
+    )

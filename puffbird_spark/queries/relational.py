@@ -1802,3 +1802,39 @@ def attribution_linear(spark, sf_dir):
         conversion_type="purchase",
         touch_types=["click", "view"],
         model="linear")
+
+
+@query("timeseries_zscore_anomalies", oracle="""
+WITH w AS (SELECT event_type AS key, ts, value,
+        COUNT(CAST(value AS DECIMAL(28,8))) OVER tw AS n,
+        CAST(SUM(CAST(value AS DECIMAL(28,8))) OVER tw AS DOUBLE) AS s,
+        CAST(SUM(CAST(value AS DECIMAL(28,8))
+                 * CAST(value AS DECIMAL(28,8))) OVER tw AS DOUBLE) AS ss
+      FROM events
+      WINDOW tw AS (PARTITION BY event_type ORDER BY ts
+                    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+sc AS (SELECT key, ts, value, n,
+        round(s / n, 6) AS mean,
+        round(sqrt(greatest((ss - s * s / n) / (n - 1), 0.0)), 6) AS std,
+        round((value - s / n)
+              / sqrt(greatest((ss - s * s / n) / (n - 1), 0.0)), 6)
+          AS zscore
+      FROM w)
+SELECT key, ts, value, mean, std, zscore
+FROM sc WHERE n = 20 AND std > 0 AND ABS(zscore) >= 2.5
+""")
+def timeseries_zscore_anomalies(spark, sf_dir):
+    """Trailing-window z-score anomalies (`rolling_zscore_anomalies`,
+    operators/timeseries.py): each event's value scores against the
+    mean/std of its 20 PRECEDING same-type observations (current row
+    excluded so outliers don't dilute their own baseline), |z| >= 2.5
+    flags. Decimal-exact trailing sums make the window
+    order-independent; one window per key, single exchange. The
+    oracle replays frame, exclusion, sample variance, and rounding —
+    every flagged row hash-checked."""
+    from ..operators.timeseries import rolling_zscore_anomalies
+
+    return rolling_zscore_anomalies(
+        load(spark, sf_dir, "events"),
+        key_col="event_type", ts_col="ts", value_col="value",
+        window_n=20, z_thresh=2.5)

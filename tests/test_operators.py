@@ -4404,3 +4404,29 @@ def test_attribution_models_hand_journeys(spark):
     # first view .4, middle click .2, last view .4 ; u3 singles: 1.0
     assert abs(pos["view"][1] - (0.8 + 1.0)) < 1e-6
     assert abs(pos["click"][1] - (0.2 + 1.0)) < 1e-6
+
+
+def test_rolling_zscore_flags_point_outlier_only(spark):
+    """z-score anomalies: a spike after a stable baseline flags, the
+    baseline itself does not, rows without a full trailing window are
+    unscored, and a zero-variance window never divides by zero."""
+    import datetime as dt
+
+    from puffbird_spark.operators.timeseries import (
+        rolling_zscore_anomalies)
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # stable-ish baseline: alternating 10/12, then a 100 spike at i=10
+    for i in range(12):
+        v = 100.0 if i == 10 else (10.0 if i % 2 == 0 else 12.0)
+        rows.append(("a", base + dt.timedelta(minutes=i), v))
+    # constant series: zero variance, never flags even with a jump
+    for i in range(8):
+        rows.append(("b", base + dt.timedelta(minutes=i), 5.0))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = rolling_zscore_anomalies(
+        df, "k", "ts", "v", window_n=5, z_thresh=3.0).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.key == "a" and r.value == 100.0 and abs(r.zscore) >= 3
