@@ -333,3 +333,89 @@ def rolling_zscore_anomalies(
             & (F.abs(F.col("zscore")) >= z_thresh))
         .drop("__n")
     )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """OHLC (open-high-low-close) bars per key and time bucket — the
+    candlestick rollup every market/metrics pipeline ships. Open and
+    close are the true FIRST/LAST observations by timestamp, taken
+    with the struct-max trick (:func:`gap_fill`'s last-in-bucket
+    convention — max/min over ``struct(ts, value)`` orders on ts
+    first, so no per-bucket sort and no window): ONE keyed
+    aggregation, single exchange. Returns
+    ``(key, bucket_start, open, high, low, close, n_obs)``."""
+    b = F.window(F.col(ts_col), bucket).getField("start")
+    first_s = F.min(F.struct(F.col(ts_col), F.col(value_col)))
+    last_s = F.max(F.struct(F.col(ts_col), F.col(value_col)))
+    return (
+        df.groupBy(
+            F.col(key_col).alias("key"), b.alias("bucket_start"))
+        .agg(
+            first_s.getField(value_col).alias("open"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            last_s.getField(value_col).alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+        )
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket: str = "1 hour",
+    dp: int = 6,
+) -> DataFrame:
+    """Time-weighted average per key and bucket (the TimescaleDB
+    ``time_weight('LOCF')`` semantics): each observation's value
+    holds until the NEXT observation of the same key, and the
+    average weights each value by its holding time CLIPPED to the
+    bucket — so irregular sampling cannot bias the mean toward
+    burst periods (the failure mode of the plain AVG). The last
+    observation of a key extends to the bucket end.
+
+    Exact arithmetic: weights are epoch-microsecond integer
+    differences, the weighted sum accumulates value x micros as
+    decimal, and ONE division rounds at ``dp``. One lead window +
+    one keyed agg — two exchanges total. Returns
+    ``(key, bucket_start, twa, n_obs)``."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    nxt = F.lead(ts_col).over(w)
+    win = F.window(F.col(ts_col), bucket)
+    b_start, b_end = win.getField("start"), win.getField("end")
+    hold_end = F.least(F.coalesce(nxt, b_end), b_end)
+    # NTZ columns refuse unix_micros directly (Spark 4); the pinned-UTC
+    # session makes the cast an identity on the wall-clock value
+    micros = (
+        F.unix_micros(hold_end.cast("timestamp"))
+        - F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ).cast("long")
+    # widths chosen so the product stays under BOTH engines' 38-digit
+    # decimal cap: value(18,6) x within-bucket micros(12,0) -> (30,6)
+    contrib = (
+        F.col(value_col).cast("decimal(18,6)")
+        * micros.cast("decimal(12,0)")
+    )
+    return (
+        df.select(
+            F.col(key_col).alias("key"), b_start.alias("bucket_start"),
+            micros.alias("__w"), contrib.alias("__c"))
+        .filter(F.col("__w") > 0)
+        .groupBy("key", "bucket_start")
+        .agg(
+            F.round(
+                F.sum("__c").cast("double")
+                / F.sum("__w").cast("double"), dp).alias("twa"),
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+        )
+    )

@@ -1838,3 +1838,61 @@ def timeseries_zscore_anomalies(spark, sf_dir):
         load(spark, sf_dir, "events"),
         key_col="event_type", ts_col="ts", value_col="value",
         window_n=20, z_thresh=2.5)
+
+
+@query("timeseries_ohlc", oracle="""
+SELECT event_type AS key, date_trunc('hour', ts) AS bucket_start,
+  arg_min(value, ts) AS open,
+  MAX(value) AS high, MIN(value) AS low,
+  arg_max(value, ts) AS close,
+  CAST(COUNT(*) AS BIGINT) AS n_obs
+FROM events GROUP BY 1, 2
+""")
+def timeseries_ohlc(spark, sf_dir):
+    """OHLC candlestick bars (`ohlc_bars`, operators/timeseries.py):
+    per event-type hourly open/high/low/close where open and close
+    are the TRUE first/last observations by timestamp via the
+    struct-extremum trick — one keyed aggregation, no per-bucket
+    sort, no window, single exchange. The oracle uses
+    arg_min/arg_max; both only agree if the bucketing and the
+    ts-ordering semantics match exactly."""
+    from ..operators.timeseries import ohlc_bars
+
+    return ohlc_bars(
+        load(spark, sf_dir, "events"),
+        key_col="event_type", ts_col="ts", value_col="value",
+        bucket="1 hour")
+
+
+@query("timeseries_twa", oracle="""
+WITH l AS (SELECT event_type AS key, ts, value,
+        lead(ts) OVER (PARTITION BY event_type ORDER BY ts) AS nxt,
+        date_trunc('hour', ts) AS b0,
+        date_trunc('hour', ts) + INTERVAL 1 HOUR AS b1
+      FROM events),
+c AS (SELECT key, b0 AS bucket_start,
+        epoch_us(least(coalesce(nxt, b1), b1)) - epoch_us(ts) AS w,
+        CAST(value AS DECIMAL(18,6)) * CAST(
+          epoch_us(least(coalesce(nxt, b1), b1)) - epoch_us(ts)
+          AS DECIMAL(12,0)) AS contrib
+      FROM l)
+SELECT key, bucket_start,
+  round(CAST(SUM(contrib) AS DOUBLE) / CAST(SUM(w) AS DOUBLE), 6) AS twa,
+  CAST(COUNT(*) AS BIGINT) AS n_obs
+FROM c WHERE w > 0 GROUP BY key, bucket_start
+""")
+def timeseries_twa(spark, sf_dir):
+    """Time-weighted average (`time_weighted_avg`,
+    operators/timeseries.py — the TimescaleDB time_weight LOCF
+    semantics): each value holds until the key's next observation,
+    clipped to its hourly bucket, so irregular sampling cannot bias
+    the mean toward burst periods. Integer-microsecond weights and a
+    decimal-exact weighted sum make the only float op one final
+    division; one lead window + one keyed agg. The oracle replays
+    holding intervals, clipping, and the exact accumulation."""
+    from ..operators.timeseries import time_weighted_avg
+
+    return time_weighted_avg(
+        load(spark, sf_dir, "events"),
+        key_col="event_type", ts_col="ts", value_col="value",
+        bucket="1 hour")

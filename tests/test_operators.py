@@ -4430,3 +4430,27 @@ def test_rolling_zscore_flags_point_outlier_only(spark):
     assert len(out) == 1
     r = out[0]
     assert r.key == "a" and r.value == 100.0 and abs(r.zscore) >= 3
+
+
+def test_ohlc_and_twa_hand_series(spark):
+    """OHLC picks true first/last by ts; TWA weights each value by its
+    holding time clipped to the bucket (last value extends to bucket
+    end) — pinned on a hand series with irregular spacing."""
+    import datetime as dt
+
+    from puffbird_spark.operators.timeseries import (
+        ohlc_bars, time_weighted_avg)
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        ("k", t0, 10.0),                                # held 30 min
+        ("k", t0 + dt.timedelta(minutes=30), 20.0),     # held 15 min
+        ("k", t0 + dt.timedelta(minutes=45), 40.0),     # held to end
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    o = ohlc_bars(df, "k", "ts", "v", "1 hour").collect()[0]
+    assert (o.open, o.high, o.low, o.close, o.n_obs) == \
+        (10.0, 40.0, 10.0, 40.0, 3)
+    t = time_weighted_avg(df, "k", "ts", "v", "1 hour").collect()[0]
+    # 10*30 + 20*15 + 40*15 over 60 minutes = 1200/60 = 20
+    assert t.twa == 20.0 and t.n_obs == 3
