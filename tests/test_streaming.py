@@ -426,3 +426,43 @@ def test_running_count_timeout_evicts_state(spark, tmpdir):
     # count restarted at 1 after eviction — state was truly dropped;
     # a surviving state would have produced (1, 3)
     assert (1, 1) in totals and (1, 3) not in totals
+
+
+def test_ohlc_stream_equals_batch(spark, sf_dir, tmpdir):
+    """OHLC candlesticks stream: the struct-extremum open/close trick
+    is a plain min/max aggregate, so the SAME expressions run under a
+    watermarked streaming groupBy(window) — replayed to completion
+    they must equal the batch `ohlc_bars` bar-for-bar (including the
+    order-sensitive open/close, the part a naive first()/last() gets
+    nondeterministically wrong in either engine)."""
+    from puffbird_spark.operators.timeseries import ohlc_bars
+
+    batch = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = normalize_nano_ts(
+        read_parquet_stream(spark, _stage_events(sf_dir, tmpdir), raw.schema),
+        ["ts"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    s_agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.min(F.struct("ts", "value")).getField("value").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.struct("ts", "value")).getField("value").alias("close"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+        .select(F.col("w.start").alias("bucket_start"), "event_type",
+                "open", "high", "low", "close", "n_obs")
+    )
+    rows = _run_to_completion(s_agg, tmpdir)
+    got = {(r["bucket_start"], r["event_type"]):
+           (r["open"], r["high"], r["low"], r["close"], r["n_obs"])
+           for r in rows}
+    expected = {(r["bucket_start"], r["key"]):
+                (r["open"], r["high"], r["low"], r["close"], r["n_obs"])
+                for r in ohlc_bars(
+                    batch, "event_type", "ts", "value", "1 hour").collect()}
+    assert got == expected
