@@ -815,3 +815,53 @@ def bfs_distances(
         dist = dist.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return dist
+
+
+def k_core_peel(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 6,
+) -> DataFrame:
+    """Vertices surviving ``rounds`` peels of the ``k``-core
+    reduction: repeatedly delete vertices whose degree (within the
+    surviving subgraph) is below ``k`` — the density filter web
+    curation uses to separate tightly-linked cores from tendrils and
+    spam chains (Seidman 1983). Fixed rounds, the :func:`label_propagation`
+    truncation convention: the result is "after N peels", exactly
+    replayable by an unrolled oracle — on most graphs the peel
+    reaches fixpoint far earlier and further rounds are no-ops.
+
+    Per round: one degree aggregation over the surviving edge set +
+    one semi-join filter — everything keyed, lineage checkpointed.
+    Returns ``(vertex, degree)`` of the surviving subgraph."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = und
+    for _ in range(rounds):
+        deg = (
+            e.select(F.explode(F.array("a", "b")).alias("v"))
+            .groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("v")
+        e = (
+            e.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        e.select(F.explode(F.array("a", "b")).alias("vertex"))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )

@@ -3444,3 +3444,54 @@ def graph_bfs_distances(spark, sf_dir):
     seeds = docs.filter(F.col("doc_id") % 100 == 0).select(
         F.col("doc_id").alias("vertex"))
     return bfs_distances(edges, seeds, max_depth=4)
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 6) -> str:
+    """Unrolled peel: per round, degrees over the surviving edge set
+    filter both endpoints — MATERIALIZED, the iterative-oracle rule."""
+    parts = ["""
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+e00 AS (SELECT DISTINCT doc_id AS s,
+        (doc_id * (3 + t.range) + 17 * t.range + 1) % nn.n AS d
+      FROM documents CROSS JOIN range(0, 3) t CROSS JOIN nn),
+e0 AS MATERIALIZED (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+      FROM e00 WHERE s != d)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+k{r} AS MATERIALIZED (SELECT v FROM (
+    SELECT vertex AS v, COUNT(*) AS dg FROM (
+      SELECT a AS vertex FROM e{r - 1}
+      UNION ALL SELECT b FROM e{r - 1}) GROUP BY vertex)
+  WHERE dg >= {k}),
+e{r} AS MATERIALIZED (SELECT e.a, e.b FROM e{r - 1} e
+  JOIN k{r} ka ON e.a = ka.v JOIN k{r} kb ON e.b = kb.v)""")
+    parts.append(f"""
+SELECT vertex, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+  SELECT a AS vertex FROM e{rounds} UNION ALL SELECT b FROM e{rounds})
+GROUP BY vertex""")
+    return "".join(parts)
+
+
+@query("graph_kcore", oracle=_kcore_oracle())
+def graph_kcore(spark, sf_dir):
+    """3-core peeling (`k_core_peel`, operators/graph.py; Seidman
+    1983) over the synthetic link graph — six rounds of
+    delete-degree-below-3, the density filter that separates
+    tightly-linked cores from tendrils (and link spam chains from
+    organic neighborhoods). Per round one degree agg + two semi-join
+    filters, checkpointed; fixed-round truncation semantics (the LPA
+    convention) so the oracle unrolls every peel with MATERIALIZED
+    CTEs and the surviving subgraph's degrees hash-match."""
+    from ..operators.graph import k_core_peel
+
+    docs = load(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    edges = (
+        docs.crossJoin(F.broadcast(n))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.array(*[
+                (F.col("doc_id") * (3 + t) + 17 * t + 1) % F.col("n")
+                for t in range(3)])).alias("dst"))
+    )
+    return k_core_peel(edges, k=3, rounds=6)

@@ -4454,3 +4454,22 @@ def test_ohlc_and_twa_hand_series(spark):
     t = time_weighted_avg(df, "k", "ts", "v", "1 hour").collect()[0]
     # 10*30 + 20*15 + 40*15 over 60 minutes = 1200/60 = 20
     assert t.twa == 20.0 and t.n_obs == 3
+
+
+def test_kcore_peel_cascading_and_fixpoint(spark):
+    """k-core: peeling a pendant chain off a triangle cascades (each
+    round exposes the next low-degree vertex), the triangle survives
+    as the 2-core, and nothing survives a k above the max core."""
+    from puffbird_spark.operators.graph import k_core_peel
+
+    # triangle 0-1-2 with a chain 2-3-4-5 hanging off
+    g = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5)],
+        "src long, dst long")
+    core2 = {r.vertex: r.degree
+             for r in k_core_peel(g, k=2, rounds=6).collect()}
+    assert core2 == {0: 2, 1: 2, 2: 2}   # chain peeled over 3 rounds
+    assert k_core_peel(g, k=3, rounds=6).count() == 0
+    # one round only: just the leaf (5) and its edge go
+    one = {r.vertex for r in k_core_peel(g, k=2, rounds=1).collect()}
+    assert one == {0, 1, 2, 3, 4}
