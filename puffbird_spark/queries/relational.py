@@ -1896,3 +1896,52 @@ def timeseries_twa(spark, sf_dir):
         load(spark, sf_dir, "events"),
         key_col="event_type", ts_col="ts", value_col="value",
         bucket="1 hour")
+
+
+@query("funnel_latency", oracle="""
+WITH s AS (SELECT user_id, MIN(ts) AS t0 FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+p AS (SELECT e.user_id,
+        MIN(epoch_us(e.ts) - epoch_us(s.t0)) AS lat_us
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s.t0
+      GROUP BY e.user_id)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+  CAST(quantile_disc(lat_us, 0.5) AS BIGINT) AS p50_us,
+  CAST(quantile_disc(lat_us, 0.9) AS BIGINT) AS p90_us,
+  CAST(MIN(lat_us) AS BIGINT) AS min_us,
+  CAST(MAX(lat_us) AS BIGINT) AS max_us
+FROM p
+""")
+def funnel_latency(spark, sf_dir):
+    """Funnel time-to-convert percentiles — the latency half of
+    `funnel_conversion`: per user, the gap from FIRST signup to the
+    FIRST subsequent purchase, summarized as exact discrete
+    percentiles (integer microseconds end to end, so the quantiles
+    are exact order statistics — no interpolation to disagree on).
+    Two keyed aggs + one user-keyed join; the global summary is one
+    final single-row agg."""
+    ev = load(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id").agg(F.min("ts").alias("t0"))
+    )
+    lat = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("t0").cast("timestamp"))
+        ).alias("lat_us"))
+    )
+    return lat.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.percentile_approx("lat_us", 0.5, 2147483647).cast("long")
+        .alias("p50_us"),
+        F.percentile_approx("lat_us", 0.9, 2147483647).cast("long")
+        .alias("p90_us"),
+        F.min("lat_us").cast("long").alias("min_us"),
+        F.max("lat_us").cast("long").alias("max_us"),
+    )
