@@ -1945,3 +1945,67 @@ def funnel_latency(spark, sf_dir):
         F.min("lat_us").cast("long").alias("min_us"),
         F.max("lat_us").cast("long").alias("max_us"),
     )
+
+
+@query("diag_benford", oracle="""
+WITH v AS (SELECT value FROM events
+           WHERE value IS NOT NULL AND ABS(value) >= 1e-12),
+d AS (SELECT CAST(substr(CAST(ABS(value) AS VARCHAR), 1, 1) AS INT)
+        AS digit
+      FROM v
+      WHERE substr(CAST(ABS(value) AS VARCHAR), 1, 1)
+            BETWEEN '1' AND '9'),
+cnt AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+tot AS (SELECT SUM(n) AS t FROM cnt),
+g AS (SELECT gd.digit, COALESCE(cnt.n, 0) AS n, tot.t,
+        round(ln(1.0 + 1.0 / gd.digit) / ln(10.0), 9) AS expected_p
+      FROM (SELECT range + 1 AS digit FROM range(0, 9)) gd
+      LEFT JOIN cnt ON gd.digit = cnt.digit CROSS JOIN tot)
+SELECT digit, CAST(n AS BIGINT) AS n,
+  round(CAST(n AS DOUBLE) / t, 6) AS observed_p,
+  round(expected_p, 6) AS expected_p,
+  round(POWER(n - t * expected_p, 2) / (t * expected_p), 6)
+    AS chi2_term
+FROM g
+""")
+def diag_benford(spark, sf_dir):
+    """Benford's-law first-digit audit — the classic fabricated-data
+    detector (accounting forensics; data-quality teams run it on
+    metric columns): the leading significant digit of every event
+    value against the log10(1 + 1/d) expectation, with per-digit
+    chi-square terms (sum them and compare to the chi2(8) critical
+    value downstream). Digit extraction is string-based on the
+    absolute value — IDENTICAL in both engines by construction (no
+    log/floor edge cases at powers of ten); expected probabilities
+    round at 9 dp before the chi-square arithmetic so every term
+    replays. One scan + one 9-row aggregate."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.abs("value") >= 1e-12))
+    digit = F.substring(
+        F.abs(F.col("value")).cast("string"), 1, 1).cast("int")
+    cnt = (
+        ev.select(digit.alias("digit"))
+        .filter(F.col("digit").between(1, 9))
+        .groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cnt.agg(F.sum("n").alias("t"))
+    grid = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    exp_p = F.round(
+        F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0)), 9)
+    return (
+        grid.join(cnt, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            F.col("t"), exp_p.alias("__e"))
+        .select(
+            "digit", "n",
+            F.round(F.col("n").cast("double") / F.col("t"), 6)
+            .alias("observed_p"),
+            F.round(F.col("__e"), 6).alias("expected_p"),
+            F.round(
+                F.pow(F.col("n") - F.col("t") * F.col("__e"), 2)
+                / (F.col("t") * F.col("__e")), 6).alias("chi2_term"),
+        )
+    )
