@@ -204,3 +204,62 @@ def categorical_psi(
             | (F.col("n_cur") == 0),
         )
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    group_col,
+    value_col: str,
+    key_cols: list[str] | None = None,
+    dp: int = 6,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic per key — the
+    distribution-free drift test next to PSI (:func:`distribution_psi`
+    needs a bucket grid; KS compares the full ECDFs):
+
+        KS = sup_v | F_a(v) − F_b(v) |
+
+    computed with INTEGER arithmetic only: at every observation the
+    RANGE-frame cumulative counts (ties included on both sides —
+    the part a ROWS frame silently gets wrong) give
+    ``|cum_a·n_b − cum_b·n_a|``, whose maximum divides ONCE by
+    ``n_a·n_b`` at ``dp`` — no float accumulates anywhere, so the
+    statistic replays exactly on any engine. ``group_col`` is a
+    boolean Column (True = sample a). One value-ordered window + one
+    per-key totals window + one keyed agg. Returns
+    ``(*key_cols, n_a, n_b, ks_stat)``; keys where either sample is
+    empty are omitted (no distribution to compare)."""
+    from pyspark.sql.window import Window
+
+    keys = list(key_cols or [])
+    g = group_col if not isinstance(group_col, str) else F.col(group_col)
+    base = df.select(
+        *keys, F.col(value_col).alias("__v"),
+        g.cast("boolean").alias("__a"),
+    ).filter(F.col("__v").isNotNull() & F.col("__a").isNotNull())
+    w_cum = (
+        Window.partitionBy(*keys).orderBy("__v")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy(*keys)
+    ia = F.when(F.col("__a"), 1).otherwise(0)
+    scored = base.select(
+        *keys,
+        F.sum(ia).over(w_cum).alias("__ca"),
+        F.sum(1 - ia).over(w_cum).alias("__cb"),
+        F.sum(ia).over(w_tot).alias("__na"),
+        F.sum(1 - ia).over(w_tot).alias("__nb"),
+    )
+    return (
+        scored.filter((F.col("__na") > 0) & (F.col("__nb") > 0))
+        .groupBy(*keys)
+        .agg(
+            F.max("__na").cast("long").alias("n_a"),
+            F.max("__nb").cast("long").alias("n_b"),
+            F.round(
+                F.max(F.abs(
+                    F.col("__ca") * F.col("__nb")
+                    - F.col("__cb") * F.col("__na"))).cast("double")
+                / (F.max("__na") * F.max("__nb")), dp).alias("ks_stat"),
+        )
+    )

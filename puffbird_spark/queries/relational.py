@@ -2009,3 +2009,39 @@ def diag_benford(spark, sf_dir):
                 / (F.col("t") * F.col("__e")), 6).alias("chi2_term"),
         )
     )
+
+
+@query("diag_ks_test", oracle="""
+WITH b AS (SELECT event_type, value,
+        CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS ia
+      FROM events WHERE value IS NOT NULL),
+c AS (SELECT event_type, value, ia,
+        SUM(ia) OVER (PARTITION BY event_type ORDER BY value
+          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+        SUM(1 - ia) OVER (PARTITION BY event_type ORDER BY value
+          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+        SUM(ia) OVER (PARTITION BY event_type) AS na,
+        SUM(1 - ia) OVER (PARTITION BY event_type) AS nb
+      FROM b)
+SELECT event_type,
+  CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+  round(CAST(MAX(ABS(ca * nb - cb * na)) AS DOUBLE)
+        / (MAX(na) * MAX(nb)), 6) AS ks_stat
+FROM c WHERE na > 0 AND nb > 0
+GROUP BY event_type
+""")
+def diag_ks_test(spark, sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov drift test (`ks_two_sample`,
+    operators/drift.py) — per event type, even-user values vs
+    odd-user values: the distribution-free complement to PSI (no
+    bucket grid to choose). Pure integer ECDF arithmetic with
+    RANGE-frame tie handling; one division at the end, so the
+    statistic replays exactly. Five rows out, every one
+    hash-checked against the windowed SQL replay."""
+    from ..operators.drift import ks_two_sample
+
+    return ks_two_sample(
+        load(spark, sf_dir, "events"),
+        group_col=(F.col("user_id") % 2 == 0),
+        value_col="value",
+        key_cols=["event_type"])

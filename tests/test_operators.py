@@ -4473,3 +4473,26 @@ def test_kcore_peel_cascading_and_fixpoint(spark):
     # one round only: just the leaf (5) and its edge go
     one = {r.vertex for r in k_core_peel(g, k=2, rounds=1).collect()}
     assert one == {0, 1, 2, 3, 4}
+
+
+def test_ks_two_sample_known_distributions(spark):
+    """KS: identical samples read 0, disjoint supports read 1, a
+    half-shifted sample reads the hand-computed supremum, and ties
+    across groups count on both ECDFs (RANGE-frame semantics)."""
+    from puffbird_spark.operators.drift import ks_two_sample
+
+    def run(pairs):
+        df = spark.createDataFrame(pairs, "v double, a boolean")
+        return ks_two_sample(df, "a", "v").collect()[0]
+
+    same = run([(float(v), g) for v in range(10) for g in (True, False)])
+    assert same.ks_stat == 0.0 and same.n_a == same.n_b == 10
+
+    disjoint = run([(float(v), True) for v in range(5)]
+                   + [(float(v + 100), False) for v in range(5)])
+    assert disjoint.ks_stat == 1.0
+
+    # a: {1,2,3,4}, b: {3,4,5,6} -> sup at v=2: |2/4 - 0/4| = 0.5
+    shift = run([(1.0, True), (2.0, True), (3.0, True), (4.0, True),
+                 (3.0, False), (4.0, False), (5.0, False), (6.0, False)])
+    assert shift.ks_stat == 0.5
