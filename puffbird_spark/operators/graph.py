@@ -865,3 +865,66 @@ def k_core_peel(
         .groupBy("vertex")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
     )
+
+
+def adamic_adar_links(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    top: int = 20,
+    max_center_degree: int | None = None,
+    dp: int = 6,
+) -> DataFrame:
+    """Adamic-Adar link prediction (Adamic & Adar 2003) — score every
+    NON-adjacent pair by its common neighbors, each weighted by how
+    exclusive it is::
+
+        AA(x, y) = Σ_{z ∈ N(x) ∩ N(y)}  1 / ln(deg(z))
+
+    the related-items / who-to-follow primitive (rare shared
+    neighbors say more than celebrity hubs — that is the 1/ln).
+    Returns the global ``top`` pairs: ``(id_a, id_b, score)``.
+
+    Per-neighbor weights snap to 9-dp decimal before the per-pair sum
+    (order-independent, the float policy); a wedge center always has
+    degree >= 2, so ln never hits zero. Scale shape: one wedge
+    self-join keyed on the center + one anti-join against the edge
+    set — hub centers are the quadratic term, and
+    ``max_center_degree`` drops them loudly (the documented recall
+    trade every production common-neighbor job makes; celebrity hubs
+    contribute ~0 weight anyway)."""
+    import warnings as _w
+
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    # degree-1 centers have a single neighbor — no wedge to form, and
+    # their 1/ln(1) would divide by zero under ANSI; drop them early
+    centers = und.join(deg, "a").filter(F.col("d") >= 2).select(
+        F.col("a").alias("z"), F.col("b").alias("n"), "d")
+    if max_center_degree is not None:
+        _w.warn(
+            f"adamic_adar_links: centers over degree {max_center_degree} "
+            "are dropped — scores on pairs only connected through "
+            "super-hubs are lost (each contributes < "
+            f"{1.0 / __import__('math').log(max_center_degree):.3f})")
+        centers = centers.filter(F.col("d") <= max_center_degree)
+    weight = F.round(1.0 / F.log(F.col("d")), 9).cast("decimal(20,9)")
+    w1 = centers.select("z", F.col("n").alias("x"), weight.alias("__w"))
+    w2 = centers.select("z", F.col("n").alias("y"))
+    pairs = (
+        w1.join(w2, "z")
+        .filter(F.col("x") < F.col("y"))
+        .join(
+            und.select(F.col("a").alias("x"), F.col("b").alias("y")),
+            ["x", "y"], "left_anti")
+        .groupBy(F.col("x").alias("id_a"), F.col("y").alias("id_b"))
+        .agg(F.round(F.sum("__w").cast("double"), dp).alias("score"))
+    )
+    return pairs.orderBy(
+        F.desc("score"), F.asc("id_a"), F.asc("id_b")).limit(top)

@@ -3495,3 +3495,51 @@ def graph_kcore(spark, sf_dir):
                 for t in range(3)])).alias("dst"))
     )
     return k_core_peel(edges, k=3, rounds=6)
+
+
+@query("graph_link_prediction", oracle="""
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+e0 AS (SELECT DISTINCT doc_id AS s,
+        (doc_id * (3 + t.range) + 17 * t.range + 1) % nn.n AS d
+      FROM documents CROSS JOIN range(0, 3) t CROSS JOIN nn),
+und AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+          SELECT s AS a, d AS b FROM e0
+          UNION ALL SELECT d, s FROM e0)
+        WHERE a != b),
+deg AS (SELECT a AS z, COUNT(*) AS d FROM und GROUP BY a),
+c AS (SELECT u.a AS z, u.b AS n,
+        CAST(round(1.0 / ln(deg.d), 9) AS DECIMAL(20,9)) AS w
+      FROM und u JOIN deg ON u.a = deg.z),
+p AS (SELECT c1.n AS x, c2.n AS y, c1.w
+      FROM c c1 JOIN c c2 ON c1.z = c2.z
+      WHERE c1.n < c2.n),
+np AS (SELECT p.x, p.y, p.w FROM p
+       ANTI JOIN und ON und.a = p.x AND und.b = p.y),
+sc AS (SELECT x AS id_a, y AS id_b,
+         round(CAST(SUM(w) AS DOUBLE), 6) AS score
+       FROM np GROUP BY x, y)
+SELECT id_a, id_b, score FROM sc
+ORDER BY score DESC, id_a, id_b LIMIT 20
+""")
+def graph_link_prediction(spark, sf_dir):
+    """Adamic-Adar link prediction (`adamic_adar_links`,
+    operators/graph.py; Adamic & Adar 2003) — the top-20 missing
+    links of the synthetic graph, each non-adjacent pair scored by
+    its common neighbors weighted 1/ln(degree) (rare shared
+    neighbors beat celebrity hubs). Wedge self-join on the center +
+    anti-join against the edge set, weights decimal-snapped before
+    the pair sum; the oracle replays degrees, weights, pairing,
+    exclusion, and the ordered top-20."""
+    from ..operators.graph import adamic_adar_links
+
+    docs = load(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    edges = (
+        docs.crossJoin(F.broadcast(n))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.array(*[
+                (F.col("doc_id") * (3 + t) + 17 * t + 1) % F.col("n")
+                for t in range(3)])).alias("dst"))
+    )
+    return adamic_adar_links(edges, top=20)

@@ -4496,3 +4496,36 @@ def test_ks_two_sample_known_distributions(spark):
     shift = run([(1.0, True), (2.0, True), (3.0, True), (4.0, True),
                  (3.0, False), (4.0, False), (5.0, False), (6.0, False)])
     assert shift.ks_stat == 0.5
+
+
+def test_adamic_adar_hand_graph_and_hub_guard(spark):
+    """Adamic-Adar: shared rare neighbors outscore shared hubs,
+    adjacent pairs are excluded, and the hub guard drops super-hub
+    contributions loudly."""
+    import math
+
+    import pytest as _pt
+
+    from puffbird_spark.operators.graph import adamic_adar_links
+
+    # z1 (deg 2) connects x,y ; hub h (deg 4) connects x,y,u,w
+    edges = [(1, 100), (2, 100),            # z=100 rare, deg 2
+             (1, 200), (2, 200), (3, 200), (4, 200)]  # h=200, deg 4
+    g = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r.id_a, r.id_b): r.score
+           for r in adamic_adar_links(g, top=10).collect()}
+    rnd9 = lambda x: math.floor(x * 1e9 + 0.5) / 1e9
+    # pair (1,2): both neighbors shared -> 1/ln2 + 1/ln4
+    assert abs(got[(1, 2)] - round(rnd9(1 / math.log(2))
+                                   + rnd9(1 / math.log(4)), 6)) < 1e-9
+    # pair (3,4): only the hub shared
+    assert abs(got[(3, 4)] - round(rnd9(1 / math.log(4)), 6)) < 1e-9
+    assert got[(1, 2)] > got[(3, 4)]
+    assert (1, 100) not in got             # adjacent pairs excluded
+
+    with _pt.warns(UserWarning):
+        capped = {(r.id_a, r.id_b): r.score for r in adamic_adar_links(
+            g, top=10, max_center_degree=3).collect()}
+    # hub dropped: (3,4) disappears, (1,2) keeps only the rare neighbor
+    assert (3, 4) not in capped
+    assert abs(capped[(1, 2)] - round(rnd9(1 / math.log(2)), 6)) < 1e-9
