@@ -928,3 +928,81 @@ def adamic_adar_links(
     )
     return pairs.orderBy(
         F.desc("score"), F.asc("id_a"), F.asc("id_b")).limit(top)
+
+
+def jaccard_links(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    top: int = 20,
+    max_center_degree: int | None = None,
+    dp: int = 6,
+) -> DataFrame:
+    """Jaccard-coefficient link prediction — score every NON-adjacent
+    pair by neighborhood overlap::
+
+        J(x, y) = |N(x) ∩ N(y)| / |N(x) ∪ N(y)|
+
+    the size-normalized twin of :func:`adamic_adar_links` (Liben-Nowell
+    & Kleinberg 2003 benchmark both): Adamic-Adar rewards *rare* shared
+    neighbors, Jaccard penalizes unbalanced degrees — a pair sharing 3
+    of 4 neighbors outranks a pair sharing 3 of 400. Returns the global
+    ``top`` pairs as ``(id_a, id_b, common_neighbors, score)``.
+
+    Everything is integer arithmetic until one final division
+    (intersection via the wedge self-join, union via
+    ``deg(x) + deg(y) - inter``), so the score is bit-identical across
+    engines before the 6-dp round. Scale shape is the Adamic-Adar one:
+    wedge self-join keyed on the center + anti-join against the edge
+    set; ``max_center_degree`` drops super-hub centers loudly (the
+    standard common-neighbor recall trade — a celebrity hub inflates
+    the candidate set quadratically while its Jaccard contribution is
+    diluted by the union term anyway)."""
+    import warnings as _w
+
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    centers = und.select(F.col("a").alias("z"), F.col("b").alias("n"))
+    if max_center_degree is not None:
+        _w.warn(
+            f"jaccard_links: centers over degree {max_center_degree} are "
+            "dropped — pairs only connected through super-hubs lose those "
+            "intersection contributions")
+        centers = centers.join(
+            deg.filter(F.col("d") <= max_center_degree)
+            .select(F.col("a").alias("z")),
+            "z", "left_semi")
+    w1 = centers.select("z", F.col("n").alias("x"))
+    w2 = centers.select("z", F.col("n").alias("y"))
+    inter = (
+        w1.join(w2, "z")
+        .filter(F.col("x") < F.col("y"))
+        .join(
+            und.select(F.col("a").alias("x"), F.col("b").alias("y")),
+            ["x", "y"], "left_anti")
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("common_neighbors"))
+    )
+    dx = deg.select(F.col("a").alias("x"), F.col("d").alias("__dx"))
+    dy = deg.select(F.col("a").alias("y"), F.col("d").alias("__dy"))
+    scored = (
+        inter.join(dx, "x").join(dy, "y")
+        .select(
+            F.col("x").alias("id_a"),
+            F.col("y").alias("id_b"),
+            "common_neighbors",
+            F.round(
+                F.col("common_neighbors").cast("double")
+                / (F.col("__dx") + F.col("__dy")
+                   - F.col("common_neighbors")),
+                dp).alias("score"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("score"), F.asc("id_a"), F.asc("id_b")).limit(top)

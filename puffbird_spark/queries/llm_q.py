@@ -3543,3 +3543,48 @@ def graph_link_prediction(spark, sf_dir):
                 for t in range(3)])).alias("dst"))
     )
     return adamic_adar_links(edges, top=20)
+
+
+@query("graph_jaccard_links", oracle="""
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+e0 AS (SELECT DISTINCT doc_id AS s,
+        (doc_id * (3 + t.range) + 17 * t.range + 1) % nn.n AS d
+      FROM documents CROSS JOIN range(0, 3) t CROSS JOIN nn),
+und AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+          SELECT s AS a, d AS b FROM e0
+          UNION ALL SELECT d, s FROM e0)
+        WHERE a != b),
+deg AS (SELECT a AS z, COUNT(*) AS d FROM und GROUP BY a),
+p AS (SELECT c1.b AS x, c2.b AS y
+      FROM und c1 JOIN und c2 ON c1.a = c2.a
+      WHERE c1.b < c2.b),
+np AS (SELECT p.x, p.y FROM p
+       ANTI JOIN und ON und.a = p.x AND und.b = p.y),
+inter AS (SELECT x, y, COUNT(*) AS c FROM np GROUP BY x, y),
+sc AS (SELECT i.x AS id_a, i.y AS id_b, i.c AS common_neighbors,
+         round(CAST(i.c AS DOUBLE) / (dx.d + dy.d - i.c), 6) AS score
+       FROM inter i
+       JOIN deg dx ON dx.z = i.x
+       JOIN deg dy ON dy.z = i.y)
+SELECT id_a, id_b, common_neighbors, score FROM sc
+ORDER BY score DESC, id_a, id_b LIMIT 20
+""")
+def graph_jaccard_links(spark, sf_dir):
+    """Jaccard link prediction (`jaccard_links`, operators/graph.py) —
+    the size-normalized twin of `graph_link_prediction`: top-20
+    non-adjacent pairs by |N∩N| / |N∪N|. Integer wedge counts and
+    degrees until one final division, so the oracle replays the whole
+    ranking bit-for-bit."""
+    from ..operators.graph import jaccard_links
+
+    docs = load(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    edges = (
+        docs.crossJoin(F.broadcast(n))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.array(*[
+                (F.col("doc_id") * (3 + t) + 17 * t + 1) % F.col("n")
+                for t in range(3)])).alias("dst"))
+    )
+    return jaccard_links(edges, top=20)

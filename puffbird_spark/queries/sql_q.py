@@ -172,3 +172,73 @@ def sql_scalar_subquery(spark, sf_dir):
                                FROM {li} l2
                                WHERE l2.l_partkey = l1.l_partkey)
     """)
+
+
+@query("sql_recursive_cte", oracle="""
+WITH RECURSIVE nn AS (SELECT COUNT(*) AS n FROM documents),
+e0 AS (SELECT DISTINCT doc_id AS s,
+        (doc_id * (3 + t.range) + 17 * t.range + 1) % nn.n AS d
+      FROM documents CROSS JOIN range(0, 3) t CROSS JOIN nn),
+und AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+          SELECT s AS a, d AS b FROM e0
+          UNION ALL SELECT d, s FROM e0)
+        WHERE a != b),
+seed AS (SELECT MIN(a) AS v FROM und),
+reach(node, dist) AS (
+    SELECT v, 0 FROM seed
+    UNION ALL
+    SELECT e.b, r.dist + 1
+    FROM reach r JOIN und e ON e.a = r.node
+    WHERE r.dist < 4
+)
+SELECT node, CAST(MIN(dist) AS INT) AS hops,
+       CAST(COUNT(*) AS BIGINT) AS n_walks
+FROM reach GROUP BY node ORDER BY node
+""")
+def sql_recursive_cte(spark, sf_dir):
+    """Recursive CTE (``WITH RECURSIVE``, new in Spark 4) — BFS over
+    the synthetic doc graph from the smallest vertex: every walk of
+    length <= 4 is enumerated by the recursion, then one aggregate
+    folds walks into shortest-hop distance plus the exact walk count
+    per reached node. The walk count is the strong check: it is only
+    right if the recursion produced the exact multiset of walks on
+    both engines. The iteration depth is bounded by the ``dist < 4``
+    predicate (Spark additionally guards with
+    ``spark.sql.cteRecursionLevelLimit``); each round is one
+    broadcast-able join against the edge set — the same per-round
+    shape as the iterative operators in ``operators/graph.py``, but
+    planned entirely by Catalyst from declarative SQL."""
+    docs = load(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    und = (
+        docs.crossJoin(F.broadcast(n))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.array(*[
+                (F.col("doc_id") * (3 + t) + 17 * t + 1) % F.col("n")
+                for t in range(3)])).alias("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .union(
+            docs.crossJoin(F.broadcast(n))
+            .select(
+                F.col("doc_id").alias("src"),
+                F.explode(F.array(*[
+                    (F.col("doc_id") * (3 + t) + 17 * t + 1) % F.col("n")
+                    for t in range(3)])).alias("dst"))
+            .select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und.createOrReplaceTempView("pbs_rec_edges")
+    return spark.sql("""
+        WITH RECURSIVE reach(node, dist) AS (
+            SELECT MIN(a), 0 FROM pbs_rec_edges
+            UNION ALL
+            SELECT e.b, r.dist + 1
+            FROM reach r JOIN pbs_rec_edges e ON e.a = r.node
+            WHERE r.dist < 4
+        )
+        SELECT node, CAST(MIN(dist) AS INT) AS hops,
+               CAST(COUNT(*) AS BIGINT) AS n_walks
+        FROM reach GROUP BY node ORDER BY node
+    """)

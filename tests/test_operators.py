@@ -4529,3 +4529,67 @@ def test_adamic_adar_hand_graph_and_hub_guard(spark):
     # hub dropped: (3,4) disappears, (1,2) keeps only the rare neighbor
     assert (3, 4) not in capped
     assert abs(capped[(1, 2)] - round(rnd9(1 / math.log(2)), 6)) < 1e-9
+
+
+def test_jaccard_links_hand_graph_and_hub_guard(spark):
+    """Jaccard link prediction: exact |N∩N| / |N∪N| on a hand graph,
+    adjacency exclusion, and the hub guard."""
+    import pytest as _pt
+
+    from puffbird_spark.operators.graph import jaccard_links
+
+    # z=100 connects 1,2 ; hub 200 connects 1,2,3,4
+    edges = [(1, 100), (2, 100),
+             (1, 200), (2, 200), (3, 200), (4, 200)]
+    g = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r.id_a, r.id_b): (r.common_neighbors, r.score)
+           for r in jaccard_links(g, top=10).collect()}
+    # N(1) = {100,200}, N(2) = {100,200}: inter 2, union 2 -> 1.0
+    assert got[(1, 2)] == (2, 1.0)
+    # N(3) = {200}, N(4) = {200}: inter 1, union 1 -> 1.0
+    assert got[(3, 4)] == (1, 1.0)
+    # N(1) = {100,200}, N(3) = {200}: inter 1, union 2 -> 0.5
+    assert got[(1, 3)] == (1, 0.5)
+    assert (1, 100) not in got             # adjacent pairs excluded
+    # (100, 200) share neighbors 1 and 2; deg 2 and 4 -> 2/(2+4-2)
+    assert got[(100, 200)] == (2, 0.5)
+
+    with _pt.warns(UserWarning):
+        capped = {(r.id_a, r.id_b): (r.common_neighbors, r.score)
+                  for r in jaccard_links(
+                      g, top=10, max_center_degree=3).collect()}
+    # hub centers dropped: (3,4) loses its only wedge; (1,2) keeps
+    # the rare neighbor but degrees still count the hub edges
+    assert (3, 4) not in capped
+    assert capped[(1, 2)] == (1, round(1 / 3, 6))
+
+
+def test_recursive_cte_hand_graph(spark):
+    """WITH RECURSIVE (Spark 4): walk enumeration + shortest-hop fold
+    on a hand path graph, pinned against the closed form."""
+    edges = [(a, b) for a, b in zip(range(5), range(1, 6))]
+    und = [(a, b) for a, b in edges] + [(b, a) for a, b in edges]
+    spark.createDataFrame(und, "a long, b long") \
+        .createOrReplaceTempView("pbs_rec_test_edges")
+    rows = spark.sql("""
+        WITH RECURSIVE reach(node, dist) AS (
+            SELECT MIN(a), 0 FROM pbs_rec_test_edges
+            UNION ALL
+            SELECT e.b, r.dist + 1
+            FROM reach r JOIN pbs_rec_test_edges e ON e.a = r.node
+            WHERE r.dist < 4
+        )
+        SELECT node, CAST(MIN(dist) AS INT) AS hops,
+               CAST(COUNT(*) AS BIGINT) AS n_walks
+        FROM reach GROUP BY node ORDER BY node
+    """).collect()
+    got = {r.node: (r.hops, r.n_walks) for r in rows}
+    # path 0-1-2-3-4-5 from node 0: hops = index; walks of length <= 4
+    # ending at each node (backtracking allowed): computed by hand
+    assert {n: h for n, (h, _) in got.items()} == {
+        0: 0, 1: 1, 2: 2, 3: 3, 4: 4}
+    assert 5 not in got                     # 5 hops away, over the cap
+    # walk counts: w(0)=1+1+2 (len 0,2,4), w(1)=1+2 (len 1,3),
+    # w(2)=1+3 (len 2,4), w(3)=1 (len 3), w(4)=1 (len 4)
+    assert got[0][1] == 4 and got[1][1] == 3 and got[2][1] == 4
+    assert got[3][1] == 1 and got[4][1] == 1
