@@ -2045,3 +2045,158 @@ def diag_ks_test(spark, sf_dir):
         group_col=(F.col("user_id") % 2 == 0),
         value_col="value",
         key_cols=["event_type"])
+
+
+@query("basket_association_rules", oracle="""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM items),
+cnt AS (SELECT l_partkey, COUNT(*) AS c FROM items GROUP BY l_partkey),
+pairs AS (SELECT i1.l_partkey AS part_a, i2.l_partkey AS part_b,
+         COUNT(*) AS c_ab
+       FROM items i1 JOIN items i2 ON i1.l_orderkey = i2.l_orderkey
+       WHERE i1.l_partkey < i2.l_partkey
+       GROUP BY i1.l_partkey, i2.l_partkey
+       HAVING COUNT(*) >= 2),
+sc AS (SELECT p.part_a, p.part_b, p.c_ab AS pair_orders,
+         round(CAST(p.c_ab AS DOUBLE) / nb.n, 6) AS support,
+         round(CAST(p.c_ab AS DOUBLE) / ca.c, 6) AS conf_a_to_b,
+         round(CAST(p.c_ab AS DOUBLE) / cb.c, 6) AS conf_b_to_a,
+         round(CAST(p.c_ab * nb.n AS DOUBLE) / (ca.c * cb.c), 6) AS lift
+       FROM pairs p
+       JOIN cnt ca ON ca.l_partkey = p.part_a
+       JOIN cnt cb ON cb.l_partkey = p.part_b
+       CROSS JOIN nb)
+SELECT part_a, part_b, pair_orders, support,
+       conf_a_to_b, conf_b_to_a, lift
+FROM sc ORDER BY lift DESC, part_a, part_b LIMIT 20
+""")
+def basket_association_rules(spark, sf_dir):
+    """Market-basket association rules (Agrawal & Srikant 1994 support/
+    confidence/lift, pair level) over co-ordered parts: the
+    recommendation / bundling primitive. The pair self-join is keyed on
+    the basket id, so it shuffles once on `l_orderkey` and the quadratic
+    term is bounded by lines-per-order (TPC-H <= 7; any real basket is
+    similarly bounded) — never corpus-quadratic. Counts stay integers
+    until the three final divisions (support / confidence both ways /
+    lift), each bit-identical across engines before the 6-dp round;
+    top-20 by lift with full tie-break ordering."""
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_baskets = items.agg(
+        F.count_distinct("l_orderkey").alias("n"))
+    cnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    i2 = items.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        items.withColumnRenamed("l_partkey", "part_a")
+        .join(i2, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 2)
+    )
+    ca = cnt.select(F.col("l_partkey").alias("part_a"),
+                    F.col("c").alias("__ca"))
+    cb = cnt.select(F.col("l_partkey").alias("part_b"),
+                    F.col("c").alias("__cb"))
+    scored = (
+        pairs.join(ca, "part_a").join(cb, "part_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "part_a", "part_b",
+            F.col("c_ab").alias("pair_orders"),
+            F.round(F.col("c_ab").cast("double") / F.col("n"), 6)
+            .alias("support"),
+            F.round(F.col("c_ab").cast("double") / F.col("__ca"), 6)
+            .alias("conf_a_to_b"),
+            F.round(F.col("c_ab").cast("double") / F.col("__cb"), 6)
+            .alias("conf_b_to_a"),
+            F.round((F.col("c_ab") * F.col("n")).cast("double")
+                    / (F.col("__ca") * F.col("__cb")), 6).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("lift"), F.asc("part_a"), F.asc("part_b")).limit(20)
+
+
+@query("customer_rfm", oracle="""
+WITH cust AS (SELECT o_custkey,
+    MAX(CAST(o_orderdate AS DATE)) AS last_d,
+    COUNT(*) AS n_orders,
+    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS monetary_dec,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey),
+ref AS (SELECT MAX(last_d) AS ref_d FROM cust),
+feat AS (SELECT c.*, date_diff('day', c.last_d, ref.ref_d) AS rec
+  FROM cust c CROSS JOIN ref),
+q AS (SELECT
+    quantile_cont(rec, 0.2) AS r20, quantile_cont(rec, 0.4) AS r40,
+    quantile_cont(rec, 0.6) AS r60, quantile_cont(rec, 0.8) AS r80,
+    quantile_cont(n_orders, 0.2) AS f20, quantile_cont(n_orders, 0.4) AS f40,
+    quantile_cont(n_orders, 0.6) AS f60, quantile_cont(n_orders, 0.8) AS f80,
+    quantile_cont(monetary, 0.2) AS m20, quantile_cont(monetary, 0.4) AS m40,
+    quantile_cont(monetary, 0.6) AS m60, quantile_cont(monetary, 0.8) AS m80
+  FROM feat),
+scored AS (SELECT
+    6 - (1 + CAST(rec > r20 AS INT) + CAST(rec > r40 AS INT)
+           + CAST(rec > r60 AS INT) + CAST(rec > r80 AS INT)) AS r_score,
+    1 + CAST(n_orders > f20 AS INT) + CAST(n_orders > f40 AS INT)
+      + CAST(n_orders > f60 AS INT) + CAST(n_orders > f80 AS INT) AS f_score,
+    1 + CAST(monetary > m20 AS INT) + CAST(monetary > m40 AS INT)
+      + CAST(monetary > m60 AS INT) + CAST(monetary > m80 AS INT) AS m_score,
+    monetary_dec
+  FROM feat CROSS JOIN q)
+SELECT r_score, f_score, m_score,
+  CAST(COUNT(*) AS BIGINT) AS n_customers,
+  round(CAST(SUM(monetary_dec) AS DOUBLE) / COUNT(*), 6) AS avg_monetary
+FROM scored GROUP BY r_score, f_score, m_score
+ORDER BY r_score, f_score, m_score
+""")
+def customer_rfm(spark, sf_dir):
+    """RFM segmentation (Hughes 1994) over purchasers: recency /
+    frequency / monetary quintile scores assigned from EXACT
+    interpolated quintile cutpoints — NOT a global `ntile` window, which
+    would funnel every customer through one task; the cutpoints are one
+    bounded aggregate broadcast back, so scoring stays embarrassingly
+    parallel at any scale. Score 5 = best (most recent, most frequent,
+    highest spend). Output is the segment-level rollup: customer count
+    and exact-decimal average spend per (r, f, m) cell. Cutpoint
+    comparisons are double-exact on both engines (`F.percentile` ==
+    `quantile_cont`, the proven pair from `agg_percentiles_exact`)."""
+    orders = load(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(dec("o_totalprice")).alias("monetary_dec"),
+        F.sum(dec("o_totalprice")).cast("double").alias("monetary"),
+    )
+    ref = cust.agg(F.max("last_d").alias("ref_d"))
+    feat = cust.crossJoin(F.broadcast(ref)).withColumn(
+        "rec", F.datediff(F.col("ref_d"), F.col("last_d")))
+    qs = F.lit([0.2, 0.4, 0.6, 0.8])
+    quints = feat.agg(
+        F.percentile(F.col("rec").cast("double"), qs).alias("__qr"),
+        F.percentile(F.col("n_orders").cast("double"), qs).alias("__qf"),
+        F.percentile(F.col("monetary"), qs).alias("__qm"),
+    )
+
+    def _quint(metric, grid):
+        s = F.lit(1)
+        for i in range(1, 5):
+            s = s + (metric > F.element_at(F.col(grid), i)).cast("int")
+        return s
+
+    scored = feat.crossJoin(F.broadcast(quints)).select(
+        (F.lit(6) - _quint(F.col("rec"), "__qr")).alias("r_score"),
+        _quint(F.col("n_orders"), "__qf").alias("f_score"),
+        _quint(F.col("monetary"), "__qm").alias("m_score"),
+        "monetary_dec",
+    )
+    n = F.count(F.lit(1))
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(n.cast("long").alias("n_customers"),
+             F.round(F.sum("monetary_dec").cast("double") / n, 6)
+             .alias("avg_monetary"))
+        .orderBy("r_score", "f_score", "m_score")
+    )

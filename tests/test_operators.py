@@ -4593,3 +4593,40 @@ def test_recursive_cte_hand_graph(spark):
     # w(2)=1+3 (len 2,4), w(3)=1 (len 3), w(4)=1 (len 4)
     assert got[0][1] == 4 and got[1][1] == 3 and got[2][1] == 4
     assert got[3][1] == 1 and got[4][1] == 1
+
+
+def test_basket_rules_and_rfm_invariants(spark):
+    """Hand-checkable invariants of the two retail-analytics gates at
+    sf0.001 (exact values are oracle-hash-checked by the driver)."""
+    from puffbird_spark.queries.relational import (
+        basket_association_rules, customer_rfm)
+
+    sf = "/root/testdata/sf0.001"
+    rules = basket_association_rules(spark, sf).collect()
+    assert 0 < len(rules) <= 20
+    for r in rules:
+        assert r.part_a < r.part_b and r.pair_orders >= 2
+        assert 0 < r.support <= 1
+        assert 0 < r.conf_a_to_b <= 1 and 0 < r.conf_b_to_a <= 1
+        # lift = conf_a_to_b / P(B) >= conf since counts >= pair count
+        assert r.lift >= r.support
+    lifts = [r.lift for r in rules]
+    assert lifts == sorted(lifts, reverse=True)
+
+    seg = customer_rfm(spark, sf).collect()
+    assert all(1 <= s.r_score <= 5 and 1 <= s.f_score <= 5
+               and 1 <= s.m_score <= 5 for s in seg)
+    # every purchaser lands in exactly one segment
+    import duckdb
+    n_cust = duckdb.sql(
+        f"SELECT COUNT(DISTINCT o_custkey) FROM '{sf}/orders.parquet'"
+    ).fetchone()[0]
+    assert sum(s.n_customers for s in seg) == n_cust
+    # quintile scoring is balanced on each axis: no score holds more
+    # than ~an interpolation-boundary excess over 20% per axis
+    for axis in ("r_score", "f_score", "m_score"):
+        per = {}
+        for s in seg:
+            per[s[axis]] = per.get(s[axis], 0) + s.n_customers
+        assert set(per) == {1, 2, 3, 4, 5}
+        assert max(per.values()) <= 0.30 * n_cust
