@@ -263,3 +263,144 @@ def ks_two_sample(
                 / (F.max("__na") * F.max("__nb")), dp).alias("ks_stat"),
         )
     )
+
+
+def chi_square_independence(
+    df: DataFrame,
+    row_col,
+    col_col,
+    dp: int = 6,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categoricals
+    — the drift/association test for label-vs-segment style questions
+    (Pearson 1900)::
+
+        χ² = Σ_cells (observed − expected)² / expected,
+        expected = row_total · col_total / n
+
+    plus Cramér's V ``sqrt(χ² / (n · (min(R,C) − 1)))`` so the effect
+    size is comparable across tables. Observed / row / column totals
+    are exact integers; each cell term is snapped to 9-dp decimal
+    before the order-independent exact sum (the float policy), so the
+    statistic replays bit-for-bit on any engine. Cells are one
+    ``groupBy`` over the raw rows; totals re-aggregate the cell frame
+    (categories², not data-sized) and broadcast back — nothing beyond
+    the first aggregation touches full-size data. NULL categories are
+    excluded (a NULL is a missing label, not a level). Returns ONE row:
+    ``(n, n_row_levels, n_col_levels, dof, chi2, cramers_v)``."""
+    r = (row_col if not isinstance(row_col, str)
+         else F.col(row_col)).alias("__r")
+    c = (col_col if not isinstance(col_col, str)
+         else F.col(col_col)).alias("__c")
+    cells = (
+        df.select(r, c)
+        .filter(F.col("__r").isNotNull() & F.col("__c").isNotNull())
+        .groupBy("__r", "__c")
+        .agg(F.count(F.lit(1)).alias("__o"))
+    )
+    rt = cells.groupBy("__r").agg(F.sum("__o").alias("__rt"))
+    ct = cells.groupBy("__c").agg(F.sum("__o").alias("__ct"))
+    tot = cells.agg(
+        F.sum("__o").alias("__n"),
+        F.count_distinct("__r").alias("__nr"),
+        F.count_distinct("__c").alias("__nc"))
+    e = F.col("__rt") * F.col("__ct") / F.col("__n")
+    term = F.round(
+        (F.col("__o") - e) * (F.col("__o") - e) / e, 9
+    ).cast("decimal(28,9)")
+    joined = (
+        cells.join(F.broadcast(rt), "__r")
+        .join(F.broadcast(ct), "__c")
+        .crossJoin(F.broadcast(tot))
+    )
+    chi2 = F.sum(term).cast("double")
+    dof = (F.max("__nr") - 1) * (F.max("__nc") - 1)
+    return joined.agg(
+        F.max("__n").cast("long").alias("n"),
+        F.max("__nr").cast("int").alias("n_row_levels"),
+        F.max("__nc").cast("int").alias("n_col_levels"),
+        dof.cast("int").alias("dof"),
+        F.round(chi2, dp).alias("chi2"),
+        # a 1-level axis has dof 0 and no effect size — NULL, not a
+        # divide-by-zero under ANSI
+        F.when(
+            F.least(F.max("__nr"), F.max("__nc")) > 1,
+            F.round(F.sqrt(
+                F.round(chi2, dp)
+                / (F.max("__n")
+                   * (F.least(F.max("__nr"), F.max("__nc")) - 1))), dp))
+        .alias("cramers_v"),
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col,
+    value_col: str,
+    key_cols: list[str] | None = None,
+    dp: int = 6,
+) -> DataFrame:
+    """Exact Mann-Whitney U rank-sum test per key (Mann & Whitney
+    1947) — the nonparametric mean-shift complement to
+    :func:`ks_two_sample` (KS feels any ECDF gap; U targets
+    stochastic dominance). INTEGER arithmetic throughout:
+
+    - tied ranks: with ``rank()`` = r and tie count t, the midrank is
+      ``r + (t−1)/2``, so ``2·R_a = Σ_a (2r + t − 1)`` stays integral;
+    - ``U_a = R_a − n_a(n_a+1)/2`` (exact, half-integer at worst);
+    - the normal approximation uses the tie-corrected variance
+      ``σ² = (n_a·n_b/12)·((n+1) − Σ(t³−t)/(n(n−1)))`` with the tie
+      sum an exact integer over per-value counts;
+
+    only the final ``z = (U_a − n_a·n_b/2)/σ`` divides/roots floats,
+    rounded at ``dp`` — the whole test replays exactly. One
+    value-ordered window + one per-(key,value) tie window + one keyed
+    agg (same shuffle shape as KS). Returns
+    ``(*key_cols, n_a, n_b, u_stat, z)``; keys with an empty side or
+    zero variance (all values tied) are omitted."""
+    from pyspark.sql.window import Window
+
+    keys = list(key_cols or [])
+    g = group_col if not isinstance(group_col, str) else F.col(group_col)
+    base = df.select(
+        *keys, F.col(value_col).alias("__v"),
+        g.cast("boolean").alias("__a"),
+    ).filter(F.col("__v").isNotNull() & F.col("__a").isNotNull())
+    w_rank = Window.partitionBy(*keys).orderBy("__v")
+    w_tie = Window.partitionBy(*keys, "__v")
+    ranked = base.select(
+        *keys, "__v", "__a",
+        F.rank().over(w_rank).alias("__r"),
+        F.count(F.lit(1)).over(w_tie).alias("__t"),
+    )
+    ia = F.when(F.col("__a"), 1).otherwise(0)
+    per_key = ranked.groupBy(*keys).agg(
+        F.sum(ia).cast("long").alias("n_a"),
+        F.sum(1 - ia).cast("long").alias("n_b"),
+        F.sum(ia * (2 * F.col("__r") + F.col("__t") - 1))
+        .cast("long").alias("__2ra"),
+        # Σ(t³−t) counts each distinct value once: divide the per-row
+        # contribution (every row of a tie group carries t³−t) by t —
+        # i.e. sum (t³−t)/t = t²−1 per ROW, exactly integral
+        F.sum(F.col("__t") * F.col("__t") - 1).cast("long").alias("__ties"),
+    )
+    n = F.col("n_a") + F.col("n_b")
+    u = F.col("__2ra") / 2.0 - (F.col("n_a") * (F.col("n_a") + 1)) / 2.0
+    var = (
+        (F.col("n_a") * F.col("n_b")).cast("double") / 12.0
+        * ((n + 1).cast("double")
+           - F.col("__ties").cast("double") / (n * (n - 1)))
+    )
+    return (
+        per_key.filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .select(
+            *keys, "n_a", "n_b",
+            u.alias("u_stat"),
+            # all-tied keys have zero variance: NULL z (filtered below),
+            # not an ANSI divide-by-zero
+            F.when(var > 0, F.round(
+                (u - (F.col("n_a") * F.col("n_b")).cast("double") / 2.0)
+                / F.sqrt(var), dp)).alias("z"),
+        )
+        .filter(F.col("z").isNotNull())
+    )

@@ -2200,3 +2200,77 @@ def customer_rfm(spark, sf_dir):
              .alias("avg_monetary"))
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+@query("diag_chi_square", oracle="""
+WITH base AS (SELECT event_type AS r, user_id % 4 AS c FROM events
+              WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+cells AS (SELECT r, c, COUNT(*) AS o FROM base GROUP BY r, c),
+rt AS (SELECT r, SUM(o) AS rt FROM cells GROUP BY r),
+ct AS (SELECT c, SUM(o) AS ct FROM cells GROUP BY c),
+tot AS (SELECT SUM(o) AS n, COUNT(DISTINCT r) AS nr,
+               COUNT(DISTINCT c) AS nc FROM cells),
+j AS (SELECT cells.o, rt.rt, ct.ct, tot.n, tot.nr, tot.nc,
+        CAST(round((cells.o - rt.rt * ct.ct / tot.n)
+                   * (cells.o - rt.rt * ct.ct / tot.n)
+                   / (rt.rt * ct.ct / tot.n), 9) AS DECIMAL(28,9)) AS term
+      FROM cells JOIN rt USING (r) JOIN ct USING (c) CROSS JOIN tot)
+SELECT CAST(MAX(n) AS BIGINT) AS n,
+  CAST(MAX(nr) AS INT) AS n_row_levels,
+  CAST(MAX(nc) AS INT) AS n_col_levels,
+  CAST((MAX(nr) - 1) * (MAX(nc) - 1) AS INT) AS dof,
+  round(CAST(SUM(term) AS DOUBLE), 6) AS chi2,
+  round(sqrt(round(CAST(SUM(term) AS DOUBLE), 6)
+             / (MAX(n) * (least(MAX(nr), MAX(nc)) - 1))), 6) AS cramers_v
+FROM j
+""")
+def diag_chi_square(spark, sf_dir):
+    """Chi-square independence test (`chi_square_independence`,
+    operators/drift.py) — is event type independent of the user
+    cohort (user_id mod 4)? Observed counts and totals are integers;
+    each cell term snaps to 9-dp decimal before the exact sum, so χ²
+    and Cramér's V replay bit-for-bit."""
+    from ..operators.drift import chi_square_independence
+
+    return chi_square_independence(
+        load(spark, sf_dir, "events"),
+        row_col="event_type",
+        col_col=F.col("user_id") % 4)
+
+
+@query("diag_mann_whitney", oracle="""
+WITH base AS (SELECT event_type, value AS v,
+        CAST(user_id % 2 = 0 AS INT) AS ia
+      FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+rk AS (SELECT event_type, v, ia,
+        RANK() OVER (PARTITION BY event_type ORDER BY v) AS r,
+        COUNT(*) OVER (PARTITION BY event_type, v) AS t
+      FROM base),
+agg AS (SELECT event_type,
+        SUM(ia) AS na, SUM(1 - ia) AS nb,
+        SUM(ia * (2 * r + t - 1)) AS r2a,
+        SUM(t * t - 1) AS ties
+      FROM rk GROUP BY event_type)
+SELECT event_type, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+  r2a / 2.0 - (na * (na + 1)) / 2.0 AS u_stat,
+  round((r2a / 2.0 - (na * (na + 1)) / 2.0
+         - CAST(na * nb AS DOUBLE) / 2.0)
+        / sqrt(CAST(na * nb AS DOUBLE) / 12.0
+               * (CAST(na + nb + 1 AS DOUBLE)
+                  - CAST(ties AS DOUBLE)
+                    / ((na + nb) * (na + nb - 1)))), 6) AS z
+FROM agg WHERE na > 0 AND nb > 0
+""")
+def diag_mann_whitney(spark, sf_dir):
+    """Mann-Whitney U rank-sum test (`mann_whitney_u`,
+    operators/drift.py) — per event type, even-user values vs
+    odd-user values, the stochastic-dominance complement to
+    `diag_ks_test` on the same split. Midranks, U, and the tie
+    correction are integer-exact; only the final z divides floats."""
+    from ..operators.drift import mann_whitney_u
+
+    return mann_whitney_u(
+        load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull()),
+        group_col=(F.col("user_id") % 2 == 0),
+        value_col="value",
+        key_cols=["event_type"])

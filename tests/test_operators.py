@@ -4630,3 +4630,60 @@ def test_basket_rules_and_rfm_invariants(spark):
             per[s[axis]] = per.get(s[axis], 0) + s.n_customers
         assert set(per) == {1, 2, 3, 4, 5}
         assert max(per.values()) <= 0.30 * n_cust
+
+
+def test_chi_square_hand_table(spark):
+    """Chi-square independence on the hand 2x2 table [[10,20],[30,40]]
+    — closed-form expected counts and statistic."""
+    import math
+
+    from puffbird_spark.operators.drift import chi_square_independence
+
+    rows = ([("a", "x")] * 10 + [("a", "y")] * 20
+            + [("b", "x")] * 30 + [("b", "y")] * 40)
+    df = spark.createDataFrame(rows, "r string, c string")
+    got = chi_square_independence(df, "r", "c").collect()[0]
+    assert (got.n, got.n_row_levels, got.n_col_levels, got.dof) == (
+        100, 2, 2, 1)
+    # e = [[12,18],[28,42]]; terms rounded to 9dp then exactly summed
+    terms = [round((10 - 12) ** 2 / 12, 9), round((20 - 18) ** 2 / 18, 9),
+             round((30 - 28) ** 2 / 28, 9), round((40 - 42) ** 2 / 42, 9)]
+    chi2 = round(sum(terms), 6)
+    assert got.chi2 == chi2
+    assert abs(got.cramers_v - round(math.sqrt(chi2 / 100), 6)) < 1e-9
+
+    # single-level column: dof 0, NULL effect size, no ANSI crash
+    one = spark.createDataFrame([("a", "x"), ("a", "y")], "r string, c string")
+    g1 = chi_square_independence(one, "r", "c").collect()[0]
+    assert g1.dof == 0 and g1.cramers_v is None
+
+
+def test_mann_whitney_hand_samples(spark):
+    """Mann-Whitney U: disjoint samples and the tie-corrected case,
+    both pinned to hand-computed U and z."""
+    import math
+
+    from puffbird_spark.operators.drift import mann_whitney_u
+
+    def run(pairs):
+        df = spark.createDataFrame(
+            [(float(v), a) for v, a in pairs], "v double, a boolean")
+        return mann_whitney_u(df, "a", "v").collect()[0]
+
+    # A = {1,2,3} < B = {4,5,6}: U = 0, z = -4.5/sqrt(5.25)
+    lo = run([(1, True), (2, True), (3, True),
+              (4, False), (5, False), (6, False)])
+    assert lo.u_stat == 0.0
+    assert abs(lo.z - round(-4.5 / math.sqrt(5.25), 6)) < 1e-9
+
+    # A = {1,2,2}, B = {2,3,3}: midranks give R_a = 7, U = 1;
+    # ties Σ(t³−t) = 30 -> σ² = 4.5
+    tied = run([(1, True), (2, True), (2, True),
+                (2, False), (3, False), (3, False)])
+    assert tied.u_stat == 1.0
+    assert abs(tied.z - round(-3.5 / math.sqrt(4.5), 6)) < 1e-9
+
+    # all values identical: zero variance -> key omitted
+    flat = spark.createDataFrame(
+        [(1.0, True), (1.0, False)], "v double, a boolean")
+    assert mann_whitney_u(flat, "a", "v").count() == 0
