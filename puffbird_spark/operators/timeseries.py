@@ -419,3 +419,70 @@ def time_weighted_avg(
             F.count(F.lit(1)).cast("long").alias("n_obs"),
         )
     )
+
+
+def theil_sen(
+    df: DataFrame,
+    key_cols: list[str],
+    x_col: str,
+    y_col: str,
+    dp: int = 6,
+) -> DataFrame:
+    """Theil-Sen robust trend estimator per key (Theil 1950, Sen 1968):
+    the slope is the MEDIAN of all pairwise slopes
+
+        m = median{ (y_j − y_i) / (x_j − x_i) : x_i < x_j }
+
+    and the intercept is ``median(y − m·x)`` — up to ~29% of the points
+    can be arbitrary outliers before the estimate moves, which is the
+    reason it replaces OLS (`agg_group_ols`) on dirty telemetry.
+
+    Intended for per-key series that are already rolled up to a bounded
+    grain (daily/hourly buckets — the `ohlc_bars`/`time_weighted_avg`
+    output shape): the pair join is keyed on ``key_cols`` so each key's
+    O(d²) slope set stays inside one shuffle partition group, and d is
+    the number of BUCKETS (365 days → 66k pairs), never raw-event
+    cardinality. Duplicate x within a key contributes no pair (slope
+    undefined). Slopes are identical doubles on any engine (one
+    subtraction, one division); the median is the exact interpolated
+    percentile (`F.percentile` == ``quantile_cont``), and the intercept
+    reuses the dp-rounded slope so both stages replay exactly. Returns
+    ``(*key_cols, n_points, n_pairs, slope, intercept)``; keys with
+    fewer than two distinct x values are omitted."""
+    keys = list(key_cols)
+    pts = df.select(
+        *keys,
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    a = pts.select(*keys, F.col("__x").alias("__x1"),
+                   F.col("__y").alias("__y1"))
+    b = pts.select(*keys, F.col("__x").alias("__x2"),
+                   F.col("__y").alias("__y2"))
+    slopes = (
+        a.join(b, keys)
+        .filter(F.col("__x1") < F.col("__x2"))
+        .select(*keys, ((F.col("__y2") - F.col("__y1"))
+                        / (F.col("__x2") - F.col("__x1"))).alias("__m"))
+    )
+    est = slopes.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.percentile("__m", F.lit(0.5)), dp).alias("slope"),
+    )
+    n_pts = pts.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"))
+    resid = (
+        pts.join(est, keys)
+        .select(*keys, "n_pairs", "slope",
+                (F.col("__y") - F.col("slope") * F.col("__x"))
+                .alias("__b"))
+        .groupBy(*keys)
+        .agg(F.max("n_pairs").alias("n_pairs"),
+             F.max("slope").alias("slope"),
+             F.round(F.percentile("__b", F.lit(0.5)), dp)
+             .alias("intercept"))
+    )
+    return (
+        n_pts.join(resid, keys)
+        .select(*keys, "n_points", "n_pairs", "slope", "intercept")
+    )

@@ -2274,3 +2274,63 @@ def diag_mann_whitney(spark, sf_dir):
         group_col=(F.col("user_id") % 2 == 0),
         value_col="value",
         key_cols=["event_type"])
+
+
+@query("agg_gini", oracle="""
+WITH cust AS (SELECT c.c_mktsegment, o.o_custkey,
+        CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) * 100
+             AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment, o.o_custkey),
+rk AS (SELECT c_mktsegment, cents,
+        ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                           ORDER BY cents, o_custkey) AS i
+      FROM cust),
+agg AS (SELECT c_mktsegment,
+        CAST(COUNT(*) AS BIGINT) AS n_customers,
+        SUM(cents) AS sc, SUM(i * cents) AS sic
+      FROM rk GROUP BY c_mktsegment)
+SELECT c_mktsegment, n_customers,
+  round(CAST(sc AS DOUBLE) / 100, 2) AS total_spend,
+  round(CAST(2 * sic - (n_customers + 1) * sc AS DOUBLE)
+        / CAST(n_customers * sc AS DOUBLE), 6) AS gini
+FROM agg ORDER BY c_mktsegment
+""")
+def agg_gini(spark, sf_dir):
+    """Gini coefficient of customer spend per market segment — the
+    inequality / concentration audit (how top-heavy is each segment's
+    revenue?). Spend converts to integer CENTS up front, so the sorted
+    index-weighted sums stay exact integers and the closed form
+    ``G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx)`` divides exactly once.
+    The rank window is per-segment (one exchange); ties order by
+    customer key, fully deterministic."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    spend = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg((F.sum(dec("o_totalprice")) * 100).cast("long")
+             .alias("cents"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("cents", "o_custkey")
+    rk = spend.select("c_mktsegment", "cents",
+                      F.row_number().over(w).alias("i"))
+    n = F.count(F.lit(1)).cast("long")
+    return (
+        rk.groupBy("c_mktsegment")
+        .agg(n.alias("n_customers"),
+             F.sum("cents").alias("__sc"),
+             F.sum(F.col("i") * F.col("cents")).alias("__sic"))
+        .select(
+            "c_mktsegment", "n_customers",
+            F.round(F.col("__sc").cast("double") / 100, 2)
+            .alias("total_spend"),
+            F.round(
+                (2 * F.col("__sic")
+                 - (F.col("n_customers") + 1) * F.col("__sc"))
+                .cast("double")
+                / (F.col("n_customers") * F.col("__sc")).cast("double"),
+                6).alias("gini"),
+        )
+        .orderBy("c_mktsegment")
+    )

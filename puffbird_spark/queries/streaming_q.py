@@ -1120,3 +1120,52 @@ def stream_exactly_once_sink(spark, sf_dir):
         open(done, "w").write("ok")
     return read_snapshot(spark, table).select(
         "event_id", "event_type", "value")
+
+
+@query("timeseries_theil_sen", oracle="""
+WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+             AS DOUBLE) AS x,
+        CAST(SUM(CAST(value AS DECIMAL(28,12))) AS DOUBLE)
+          / COUNT(*) AS y
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, CAST(ts AS DATE)),
+sl AS (SELECT a.event_type, (b.y - a.y) / (b.x - a.x) AS m
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.x < b.x),
+est AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        round(quantile_cont(m, 0.5), 6) AS slope
+      FROM sl GROUP BY event_type),
+np AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_points
+      FROM daily GROUP BY event_type),
+res AS (SELECT d.event_type, MAX(e.n_pairs) AS n_pairs,
+        MAX(e.slope) AS slope,
+        round(quantile_cont(d.y - e.slope * d.x, 0.5), 6) AS intercept
+      FROM daily d JOIN est e ON d.event_type = e.event_type
+      GROUP BY d.event_type)
+SELECT np.event_type, np.n_points, res.n_pairs, res.slope, res.intercept
+FROM np JOIN res ON np.event_type = res.event_type
+""")
+def timeseries_theil_sen(spark, sf_dir):
+    """Theil-Sen robust trend (`theil_sen`, operators/timeseries.py)
+    — per event type, the median pairwise slope of the DAILY mean
+    value series (the outlier-immune replacement for the OLS trend in
+    `agg_group_ols`). Daily means are decimal-exact; slopes are
+    identical doubles; the median is the proven
+    `F.percentile`/`quantile_cont` pair, and the intercept reuses the
+    rounded slope — the whole estimate replays exactly."""
+    from ..operators.timeseries import theil_sen
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = (
+        ev.withColumn("__d", F.col("ts").cast("date"))
+        .groupBy("event_type", "__d")
+        .agg((F.sum(F.col("value").cast("decimal(28,12)")).cast("double")
+              / F.count(F.lit(1))).alias("y"))
+        .select(
+            "event_type",
+            F.datediff(F.col("__d"), F.lit("1970-01-01").cast("date"))
+            .cast("double").alias("x"),
+            "y")
+    )
+    return theil_sen(daily, ["event_type"], "x", "y")

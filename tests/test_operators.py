@@ -4687,3 +4687,34 @@ def test_mann_whitney_hand_samples(spark):
     flat = spark.createDataFrame(
         [(1.0, True), (1.0, False)], "v double, a boolean")
     assert mann_whitney_u(flat, "a", "v").count() == 0
+
+
+def test_theil_sen_line_outlier_and_gini_bounds(spark):
+    """Theil-Sen recovers an exact line and shrugs off an outlier OLS
+    would chase; the Gini gate stays inside [0, 1)."""
+    from puffbird_spark.operators.timeseries import theil_sen
+    from puffbird_spark.queries.relational import agg_gini
+
+    line = [("k", float(x), 2.0 * x + 1.0) for x in range(10)]
+    df = spark.createDataFrame(line, "k string, x double, y double")
+    got = theil_sen(df, ["k"], "x", "y").collect()[0]
+    assert (got.n_points, got.n_pairs) == (10, 45)
+    assert got.slope == 2.0 and got.intercept == 1.0
+
+    # corrupt one point hard: the median slope holds at 2 exactly
+    # (of 45 pair slopes only the 9 touching the outlier move)
+    dirty = line[:5] + [("k", 5.0, 500.0)] + line[6:]
+    d2 = theil_sen(
+        spark.createDataFrame(dirty, "k string, x double, y double"),
+        ["k"], "x", "y").collect()[0]
+    assert d2.slope == 2.0
+
+    # a single point (no pair) is omitted
+    one = spark.createDataFrame([("k", 1.0, 1.0)],
+                                "k string, x double, y double")
+    assert theil_sen(one, ["k"], "x", "y").count() == 0
+
+    seg = agg_gini(spark, "/root/testdata/sf0.001").collect()
+    assert len(seg) == 5
+    for s in seg:
+        assert 0.0 <= s.gini < 1.0 and s.n_customers > 0
