@@ -486,3 +486,79 @@ def theil_sen(
         n_pts.join(resid, keys)
         .select(*keys, "n_points", "n_pairs", "slope", "intercept")
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    key_cols: list[str],
+    x_col: str,
+    y_col: str,
+    period: int = 7,
+    trend_window: int = 7,
+    dp: int = 6,
+) -> DataFrame:
+    """Classical additive seasonal decomposition per key
+    (trend + seasonal + residual — the moving-average method of
+    Macaulay 1931, the `statsmodels seasonal_decompose` default):
+
+    - **trend**: centered moving average over ``trend_window`` periods
+      (emitted only where the window is FULL — edges have no honest
+      trend);
+    - **seasonal**: the per-phase (``x mod period``) mean of the
+      detrended series, one index per phase — not centered, so the
+      phase means absorb any constant offset (documented deviation:
+      centering would add nothing to drift/anomaly use and one more
+      float fold);
+    - **residual**: ``y − trend − seasonal`` from the ROUNDED
+      components, so every emitted number is reproducible bit-for-bit.
+
+    Exactness: ``y`` snaps to 9-dp decimal on entry, the trend window
+    SUMS decimals (associative — frame order cannot matter) and divides
+    once; detrended values snap to 9-dp decimal before the phase-mean
+    sum. Expects ONE row per (key, x) at a bucketed grain with dense
+    integer ``x_col`` (run `gap_fill` first if the series has holes —
+    a ROWS frame on a gapped series is not calendar-centered).
+    Shuffles once per key for the window, once for the phase means
+    (phase frame is keys × period, broadcast back). Returns
+    ``(*key_cols, x, phase, y, trend, seasonal, residual)`` rows where
+    the trend window is full."""
+    if trend_window % 2 == 0 or trend_window < 3:
+        raise ValueError(
+            f"trend_window must be odd and >= 3, got {trend_window}")
+    from pyspark.sql.window import Window
+
+    keys = list(key_cols)
+    half = trend_window // 2
+    ydec = F.round(F.col(y_col).cast("double"), 9).cast("decimal(28,9)")
+    base = df.select(
+        *keys, F.col(x_col).cast("long").alias("x"), ydec.alias("__yd"),
+    ).filter(F.col("x").isNotNull() & F.col("__yd").isNotNull())
+    w = Window.partitionBy(*keys).orderBy("x").rowsBetween(-half, half)
+    trended = base.select(
+        *keys, "x", "__yd",
+        (F.col("x") % period).cast("int").alias("phase"),
+        F.when(
+            F.count(F.lit(1)).over(w) == trend_window,
+            F.sum("__yd").over(w).cast("double") / trend_window,
+        ).alias("__trend"),
+    ).filter(F.col("__trend").isNotNull())
+    det = trended.withColumn(
+        "__det",
+        F.round(F.col("__yd").cast("double") - F.col("__trend"), 9)
+        .cast("decimal(28,9)"))
+    seas = det.groupBy(*keys, "phase").agg(
+        (F.sum("__det").cast("double") / F.count(F.lit(1)))
+        .alias("__seas"))
+    return (
+        det.join(F.broadcast(seas), keys + ["phase"])
+        .select(
+            *keys, "x", "phase",
+            F.round(F.col("__yd").cast("double"), dp).alias("y"),
+            F.round("__trend", dp).alias("trend"),
+            F.round("__seas", dp).alias("seasonal"),
+            F.round(
+                F.round(F.col("__yd").cast("double"), dp)
+                - F.round("__trend", dp) - F.round("__seas", dp),
+                dp).alias("residual"),
+        )
+    )

@@ -1169,3 +1169,100 @@ def timeseries_theil_sen(spark, sf_dir):
             "y")
     )
     return theil_sen(daily, ["event_type"], "x", "y")
+
+
+@query("timeseries_seasonal_decompose", oracle="""
+WITH daily AS (SELECT event_type,
+    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+    CAST(round(CAST(SUM(CAST(value AS DECIMAL(28,12))) AS DOUBLE)
+               / COUNT(*), 9) AS DECIMAL(28,9)) AS yd
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type, date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))),
+tr AS (SELECT event_type, x, yd, CAST(x % 7 AS INT) AS phase,
+    CASE WHEN COUNT(*) OVER w = 7
+         THEN CAST(SUM(yd) OVER w AS DOUBLE) / 7 END AS trend
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY x
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+det AS (SELECT event_type, x, phase, yd, trend,
+    CAST(round(CAST(yd AS DOUBLE) - trend, 9) AS DECIMAL(28,9)) AS dd
+  FROM tr WHERE trend IS NOT NULL),
+seas AS (SELECT event_type, phase,
+    CAST(SUM(dd) AS DOUBLE) / COUNT(*) AS s
+  FROM det GROUP BY event_type, phase)
+SELECT d.event_type, d.x, d.phase,
+  round(CAST(d.yd AS DOUBLE), 6) AS y,
+  round(d.trend, 6) AS trend,
+  round(seas.s, 6) AS seasonal,
+  round(round(CAST(d.yd AS DOUBLE), 6) - round(d.trend, 6)
+        - round(seas.s, 6), 6) AS residual
+FROM det d JOIN seas ON d.event_type = seas.event_type
+                    AND d.phase = seas.phase
+""")
+def timeseries_seasonal_decompose(spark, sf_dir):
+    """Classical additive decomposition (`seasonal_decompose`,
+    operators/timeseries.py) of the per-type daily mean series:
+    7-day centered moving-average trend, day-of-week seasonal
+    indices from the detrended means, residual from the rounded
+    components. Decimal snaps before every order-sensitive sum, so
+    trend/seasonal/residual replay bit-for-bit in SQL."""
+    from ..operators.timeseries import seasonal_decompose
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = (
+        ev.withColumn("__d", F.col("ts").cast("date"))
+        .groupBy("event_type", "__d")
+        .agg((F.sum(F.col("value").cast("decimal(28,12)")).cast("double")
+              / F.count(F.lit(1))).alias("y"))
+        .select(
+            "event_type",
+            F.datediff(F.col("__d"), F.lit("1970-01-01").cast("date"))
+            .cast("long").alias("x"),
+            "y")
+    )
+    return seasonal_decompose(daily, ["event_type"], "x", "y",
+                              period=7, trend_window=7)
+
+
+@query("events_transition_matrix", oracle="""
+WITH seq AS (SELECT user_id, event_type,
+    LEAD(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS next_type
+  FROM events WHERE user_id IS NOT NULL),
+c AS (SELECT event_type AS from_type, next_type AS to_type,
+        COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type),
+t AS (SELECT from_type, SUM(n) AS tot FROM c GROUP BY from_type)
+SELECT c.from_type, c.to_type,
+  CAST(c.n AS BIGINT) AS n_transitions,
+  round(CAST(c.n AS DOUBLE) / t.tot, 6) AS probability
+FROM c JOIN t ON c.from_type = t.from_type
+ORDER BY c.from_type, c.to_type
+""")
+def events_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences — P(next event type | current), the behavioral-model /
+    next-action primitive behind `funnel_conversion` and
+    `sessionize_events`. One per-user ordered window (ties broken by
+    event_id — fully deterministic), one count agg, one row-total
+    join; counts are integers with a single final division."""
+    from pyspark.sql.window import Window as W
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"))
+    c = (seq.filter(F.col("to_type").isNotNull())
+         .groupBy("from_type", "to_type")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_transitions")))
+    tot = c.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("__tot"))
+    return (
+        c.join(F.broadcast(tot), "from_type")
+        .select("from_type", "to_type", "n_transitions",
+                F.round(F.col("n_transitions").cast("double")
+                        / F.col("__tot"), 6).alias("probability"))
+        .orderBy("from_type", "to_type")
+    )

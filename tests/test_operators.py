@@ -4718,3 +4718,26 @@ def test_theil_sen_line_outlier_and_gini_bounds(spark):
     assert len(seg) == 5
     for s in seg:
         assert 0.0 <= s.gini < 1.0 and s.n_customers > 0
+
+
+def test_seasonal_decompose_recovers_components(spark):
+    """Additive decomposition on line + zero-sum weekly pattern:
+    trend is the exact line, seasonal the exact pattern, residual 0."""
+    import pytest as _pt
+
+    from puffbird_spark.operators.timeseries import seasonal_decompose
+
+    s = [3.0, -1.0, 2.0, -4.0, 1.0, 0.5, -1.5]  # sums to 0
+    rows = [("k", x, 10.0 + x + s[x % 7]) for x in range(21)]
+    df = spark.createDataFrame(rows, "k string, x long, y double")
+    out = seasonal_decompose(df, ["k"], "x", "y").collect()
+    # full 7-window exists for x in 3..17
+    assert sorted(r.x for r in out) == list(range(3, 18))
+    for r in out:
+        assert r.trend == round(10.0 + r.x, 6)
+        assert r.seasonal == round(s[r.phase], 6)
+        assert r.residual == 0.0
+        assert r.y == round(10.0 + r.x + s[r.phase], 6)
+
+    with _pt.raises(ValueError):
+        seasonal_decompose(df, ["k"], "x", "y", trend_window=4)
