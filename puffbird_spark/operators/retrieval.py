@@ -152,3 +152,84 @@ def rrf_fuse(
         .filter(F.col("fused_rank") <= top)
         .select(qid_col, "fused_rank", id_col, "rrf_score", "n_systems")
     )
+
+
+def rake_keywords(
+    df: DataFrame,
+    text_col: str,
+    stopwords: list[str],
+    top: int = 20,
+    min_occurrences: int = 1,
+    dp: int = 6,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose, Engel, Cramer & Cowley 2010) —
+    corpus-level: candidate phrases are maximal runs of non-stopword
+    tokens; each word scores ``deg(w) / freq(w)`` where ``freq`` counts
+    the word's occurrences across all candidate phrases and ``deg``
+    sums the lengths of the phrases it appears in (words living in
+    long multi-word phrases outrank isolated frequent words); a
+    phrase scores the sum of its word scores. Returns the global
+    ``top`` phrases as ``(phrase, n_words, n_occurrences, score)``.
+
+    Determinism: phrase segmentation is a per-document cumulative
+    stopword count (one doc-keyed window); ``deg``/``freq`` are exact
+    integers; each word score snaps to 9-dp decimal before the
+    order-independent phrase sum; ties order by phrase text. Scale
+    shape: tokens shuffle once on the word key for scores and once on
+    the phrase key for the ranking — no joins wider than
+    words-per-phrase, nothing quadratic."""
+    from pyspark.sql.window import Window
+
+    # the doc id must bind BEFORE the explode — computed alongside
+    # posexplode it would mint one id per TOKEN and dissolve every
+    # phrase into singletons
+    toks = (
+        df.select(F.monotonically_increasing_id().alias("__doc"),
+                  F.split(F.col(text_col), " ").alias("__tk"))
+        .select("__doc",
+                F.posexplode(F.col("__tk")).alias("__i", "__w"))
+    )
+    stop = F.lit(list(stopwords))
+    flagged = toks.withColumn(
+        "__s",
+        (F.array_contains(stop, F.col("__w"))
+         | (F.col("__w") == "")).cast("int"))
+    w = Window.partitionBy("__doc").orderBy("__i")
+    grouped = (
+        flagged.withColumn("__g", F.sum("__s").over(w))
+        .filter(F.col("__s") == 0)
+    )
+    phrases = (
+        grouped.groupBy("__doc", "__g")
+        .agg(
+            F.expr("array_join(transform(array_sort("
+                   "collect_list(struct(__i, __w))), s -> s.__w), ' ')")
+            .alias("phrase"),
+            F.count(F.lit(1)).cast("int").alias("n_words"))
+    )
+    words = phrases.select(
+        "n_words", F.explode(F.split(F.col("phrase"), " ")).alias("__w"))
+    scores = words.groupBy("__w").agg(
+        (F.round(
+            F.sum("n_words").cast("double") / F.count(F.lit(1)), 9)
+         .cast("decimal(28,9)")).alias("__ws"))
+    # score each DISTINCT phrase text once (duplicate instances share
+    # the word multiset): exact decimal sum, no division anywhere
+    ph_scores = (
+        phrases.select("phrase", "n_words").distinct()
+        .select("phrase", "n_words",
+                F.explode(F.split(F.col("phrase"), " ")).alias("__w"))
+        .join(scores, "__w")
+        .groupBy("phrase")
+        .agg(F.max("n_words").alias("n_words"),
+             F.round(F.sum("__ws").cast("double"), dp).alias("score"))
+    )
+    occ = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+    ranked = (
+        ph_scores.join(occ, "phrase")
+        .filter(F.col("n_occurrences") >= min_occurrences)
+        .select("phrase", "n_words", "n_occurrences", "score")
+    )
+    return ranked.orderBy(
+        F.desc("score"), F.asc("phrase")).limit(top)

@@ -3588,3 +3588,124 @@ def graph_jaccard_links(spark, sf_dir):
                 for t in range(3)])).alias("dst"))
     )
     return jaccard_links(edges, top=20)
+
+
+@query("text_pmi_collocations", oracle="""
+WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+bi AS (SELECT unnest([toks[i] || ' ' || toks[i+1]
+                      FOR i IN range(1, len(toks))]) AS bg
+       FROM t WHERE len(toks) >= 2),
+uni AS (SELECT unnest(toks) AS w FROM t),
+cb AS (SELECT bg, COUNT(*) AS c FROM bi GROUP BY bg),
+cu AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+nb AS (SELECT COUNT(*) AS n FROM bi),
+nu AS (SELECT COUNT(*) AS n FROM uni),
+sc AS (SELECT cb.bg AS bigram, cb.c AS n_pair,
+         cx.c AS n_left, cy.c AS n_right,
+         round(ln(CAST(cb.c * nu.n * nu.n AS DOUBLE)
+                  / CAST(nb.n * cx.c * cy.c AS DOUBLE)), 6) AS pmi
+       FROM cb
+       JOIN cu cx ON cx.w = string_split(cb.bg, ' ')[1]
+       JOIN cu cy ON cy.w = string_split(cb.bg, ' ')[2]
+       CROSS JOIN nb CROSS JOIN nu
+       WHERE cb.c >= 5)
+SELECT bigram, n_pair, n_left, n_right, pmi FROM sc
+ORDER BY pmi DESC, bigram LIMIT 20
+""")
+def text_pmi_collocations(spark, sf_dir):
+    """Pointwise-mutual-information collocations (Church & Hanks 1990)
+    — the top-20 adjacent-token bigrams whose joint frequency most
+    exceeds chance:
+
+        PMI = ln( P(xy) / (P(x)·P(y)) )
+            = ln( c_xy · N_uni² / (N_bi · c_x · c_y) )
+
+    the phrase-mining / tokenizer-merge-candidate primitive (BPE's
+    `text_bpe_pairs` ranks by raw count; PMI normalizes away
+    stopword gravity). All counts are integers; the single ln of an
+    exact integer ratio is bit-identical across engines. Count
+    floor c_xy >= 5 (PMI is noise below it — Church & Hanks'
+    own cutoff). One shuffle per count; the unigram side joins
+    twice on the split halves."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    bi = (
+        docs.select(toks.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(F.explode(F.expr(
+            "transform(sequence(0, size(t) - 2),"
+            " i -> concat(element_at(t, i + 1), ' ',"
+            " element_at(t, i + 2)))")).alias("bg"))
+    )
+    uni = docs.select(F.explode(toks).alias("w"))
+    cb = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("n_pair"))
+    cu = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    nb = bi.agg(F.count(F.lit(1)).alias("__nb"))
+    nu = uni.agg(F.count(F.lit(1)).alias("__nu"))
+    cx = cu.select(F.col("w").alias("__wx"), F.col("c").alias("n_left"))
+    cy = cu.select(F.col("w").alias("__wy"), F.col("c").alias("n_right"))
+    halves = F.split(F.col("bg"), " ")
+    sc = (
+        cb.filter(F.col("n_pair") >= 5)
+        .withColumn("__wx", F.element_at(halves, 1))
+        .withColumn("__wy", F.element_at(halves, 2))
+        .join(cx, "__wx").join(cy, "__wy")
+        .crossJoin(F.broadcast(nb)).crossJoin(F.broadcast(nu))
+        .select(
+            F.col("bg").alias("bigram"), "n_pair", "n_left", "n_right",
+            F.round(F.log(
+                (F.col("n_pair") * F.col("__nu") * F.col("__nu"))
+                .cast("double")
+                / (F.col("__nb") * F.col("n_left") * F.col("n_right"))
+                .cast("double")), 6).alias("pmi"),
+        )
+    )
+    return sc.orderBy(F.desc("pmi"), F.asc("bigram")).limit(20)
+
+
+@query("text_rake_keywords", oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+toks AS (SELECT doc_id, generate_subscripts(tk, 1) AS i,
+                unnest(tk) AS w FROM t),
+fl AS (SELECT doc_id, i, w,
+        CASE WHEN w IN ('the','a','of','and','to','is','in')
+               OR w = '' THEN 1 ELSE 0 END AS s
+      FROM toks),
+gr AS (SELECT doc_id, i, w,
+        SUM(s) OVER (PARTITION BY doc_id ORDER BY i) AS g
+      FROM fl WHERE TRUE QUALIFY s = 0),
+ph AS (SELECT doc_id, g,
+        string_agg(w, ' ' ORDER BY i) AS phrase,
+        CAST(COUNT(*) AS INT) AS n_words
+      FROM gr GROUP BY doc_id, g),
+ws AS (SELECT w,
+        CAST(round(CAST(SUM(n_words) AS DOUBLE) / COUNT(*), 9)
+             AS DECIMAL(28,9)) AS wsc
+      FROM (SELECT n_words, unnest(string_split(phrase, ' ')) AS w
+            FROM ph) GROUP BY w),
+dph AS (SELECT DISTINCT phrase, n_words FROM ph),
+psc AS (SELECT d.phrase, MAX(d.n_words) AS n_words,
+         round(CAST(SUM(ws.wsc) AS DOUBLE), 6) AS score
+       FROM (SELECT phrase, n_words,
+               unnest(string_split(phrase, ' ')) AS w FROM dph) d
+       JOIN ws ON ws.w = d.w
+       GROUP BY d.phrase),
+occ AS (SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+       FROM ph GROUP BY phrase)
+SELECT p.phrase, p.n_words, occ.n_occurrences, p.score
+FROM psc p JOIN occ ON occ.phrase = p.phrase
+ORDER BY p.score DESC, p.phrase LIMIT 20
+""")
+def text_rake_keywords(spark, sf_dir):
+    """RAKE keyword extraction (`rake_keywords`,
+    operators/retrieval.py; Rose et al. 2010) — top-20 candidate
+    phrases (maximal non-stopword runs, the 'en' stopword list of
+    `text_langid`) scored by summed word degree/frequency ratios.
+    Segmentation is a per-doc cumulative stopword count; deg and
+    freq are integers; word scores snap to 9-dp decimal before the
+    order-free phrase sum — the whole ranking replays in SQL."""
+    from ..functions.text import LANG_STOPWORDS
+    from ..operators.retrieval import rake_keywords
+
+    docs = load(spark, sf_dir, "documents")
+    return rake_keywords(docs, "text", LANG_STOPWORDS["en"], top=20)

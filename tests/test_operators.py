@@ -4741,3 +4741,26 @@ def test_seasonal_decompose_recovers_components(spark):
 
     with _pt.raises(ValueError):
         seasonal_decompose(df, ["k"], "x", "y", trend_window=4)
+
+
+def test_rake_keywords_hand_doc(spark):
+    """RAKE on the hand corpus: deg/freq word scores and phrase sums
+    computed on paper."""
+    from puffbird_spark.operators.retrieval import rake_keywords
+
+    docs = spark.createDataFrame(
+        [("a red apple and the green apple",),
+         ("fresh red apple of the day",)], "text string")
+    got = {r.phrase: (r.n_words, r.n_occurrences, r.score)
+           for r in rake_keywords(
+               docs, "text", ["a", "and", "the", "of"], top=10).collect()}
+    # phrases: "red apple" x1, "green apple" x1, "fresh red apple" x1,
+    # "day" x1. freq: red 2, apple 3, green 1, fresh 1, day 1.
+    # deg: red 2+3=5, apple 2+2+3=7, green 2, fresh 3, day 1.
+    red, apple, green, fresh, day = 5 / 2, 7 / 3, 2 / 1, 3 / 1, 1 / 1
+    r9 = lambda x: round(x, 9)
+    assert got["fresh red apple"] == (
+        3, 1, round(r9(fresh) + r9(red) + r9(apple), 6))
+    assert got["red apple"] == (2, 1, round(r9(red) + r9(apple), 6))
+    assert got["green apple"] == (2, 1, round(r9(green) + r9(apple), 6))
+    assert got["day"] == (1, 1, 1.0)
