@@ -670,3 +670,95 @@ def incremental_embedding_dedup(
     survivors = batch.join(
         rejected, batch[id_col] == rejected["__rej"], "left_anti")
     return survivors, all_b
+
+
+def pca_fit_project(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    dp: int = 6,
+):
+    """PCA fit + projection over an embedding column (Pearson 1901 /
+    Hotelling 1933) — the dimensionality-reduction step before
+    visualization, whitening, or cheap pre-filtering (the random
+    projection in `embedding_random_projection` is the data-blind
+    cousin; PCA spends one extra pass to align with the data's actual
+    variance).
+
+    Scale shape (the covariance trap done right): per-Arrow-batch
+    MOMENT kernel via ``mapInPandas`` — each batch ships ONE
+    ``(count, Σx, XᵀX)`` partial of size d²+d+1, never rows, so the
+    driver collect is bounded by partition count × d², independent of
+    corpus size. The driver does the d×d ``eigh`` (d is embedding
+    width, trivially small), fixes each component's sign so its
+    largest-|entry| is positive (eigenvector sign is otherwise
+    arbitrary), and broadcasts the d×k loading matrix back as one
+    literal for a scan-local Arrow projection — zero shuffle on the
+    data path. Float partials sum in partition order, so scores carry
+    last-ulp partitioning noise — this operator is for geometry, not
+    exact replay (the exact-decimal twin for auditing is the
+    `embedding_covariance` gate).
+
+    Returns ``(scores_df, eigenvalues)``: the DataFrame has ``id_col``
+    and ``pc_1..pc_k`` scalar columns (rounded to ``dp``);
+    ``eigenvalues`` is the length-k list of explained variances
+    (descending)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.vectors import as_double
+
+    e = df.select(
+        F.col(id_col).alias("__id"), as_double(vec_col).alias("__v")
+    ).filter(F.col("__v").isNotNull())
+
+    def _moments(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame({
+                "n": [x.shape[0]],
+                "s": [x.sum(axis=0).tolist()],
+                "xx": [(x.T @ x).ravel().tolist()],
+            })
+
+    parts = e.select("__v").mapInPandas(
+        _moments, "n long, s array<double>, xx array<double>").collect()
+    if not parts:
+        raise ValueError("pca_fit_project: no non-null vectors")
+    n = sum(p["n"] for p in parts)
+    d = len(parts[0]["s"])
+    if k > d:
+        raise ValueError(f"k={k} exceeds embedding width {d}")
+    if n < 2:
+        raise ValueError("pca_fit_project: need at least 2 vectors")
+    s = np.sum([p["s"] for p in parts], axis=0)
+    xx = np.sum([np.asarray(p["xx"]).reshape(d, d) for p in parts], axis=0)
+    mean = s / n
+    cov = (xx - np.outer(s, s) / n) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)           # ascending
+    order = np.argsort(evals)[::-1][:k]
+    w = evecs[:, order]
+    for j in range(w.shape[1]):                  # sign convention
+        if w[np.argmax(np.abs(w[:, j])), j] < 0:
+            w[:, j] = -w[:, j]
+    eigenvalues = [float(v) for v in evals[order]]
+
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    # no type hints: `from __future__ import annotations` would leave
+    # them as unresolvable strings for the pandas_udf inspector
+    def _project_fn(vs):
+        x = np.stack(vs.to_numpy()).astype(np.float64)
+        sc = (x - mean[None, :]) @ w
+        return pd.Series(list(np.round(sc, dp)))
+
+    _project = pandas_udf(_project_fn, "array<double>")
+
+    out = e.select("__id", _project("__v").alias("__sc"))
+    cols = [F.col("__id").alias(id_col)] + [
+        F.element_at("__sc", j + 1).alias(f"pc_{j + 1}")
+        for j in range(k)]
+    return out.select(*cols), eigenvalues

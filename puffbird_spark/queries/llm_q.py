@@ -3709,3 +3709,88 @@ def text_rake_keywords(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     return rake_keywords(docs, "text", LANG_STOPWORDS["en"], top=20)
+
+
+def _cov_block_oracle(block: int = 8) -> str:
+    pair_rows = ", ".join(
+        f"({i}, {j})" for i in range(block) for j in range(block) if i <= j)
+    return f"""
+WITH pr(i, j) AS (VALUES {pair_rows}),
+prod AS (SELECT pr.i, pr.j,
+    CAST(round(CAST(e.embedding[pr.i + 1] AS DOUBLE), 12)
+         AS DECIMAL(38,12)) AS xi,
+    CAST(round(CAST(e.embedding[pr.j + 1] AS DOUBLE), 12)
+         AS DECIMAL(38,12)) AS xj,
+    CAST(round(CAST(e.embedding[pr.i + 1] AS DOUBLE)
+               * CAST(e.embedding[pr.j + 1] AS DOUBLE), 12)
+         AS DECIMAL(38,12)) AS xij
+  FROM embeddings e CROSS JOIN pr),
+agg AS (SELECT i, j, COUNT(*) AS n,
+    SUM(xi) AS sx, SUM(xj) AS sy, SUM(xij) AS sxy
+  FROM prod GROUP BY i, j)
+SELECT CAST(i AS INT) AS dim_i, CAST(j AS INT) AS dim_j,
+  round((CAST(sxy AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+        / (n - 1), 6) AS cov
+FROM agg ORDER BY dim_i, dim_j
+"""
+
+
+@query("embedding_covariance", oracle=_cov_block_oracle())
+def embedding_covariance(spark, sf_dir):
+    """Exact sample covariance of the leading 8×8 embedding block —
+    the decimal-audited counterpart of the float moment kernel inside
+    `pca_fit_project` (operators/clustering.py): per-pair products
+    snap to 12-dp decimal before the order-free sums, so all 36 upper-
+    triangle covariances replay bit-for-bit. ONE wide aggregation pass
+    (45 decimal sums), no explode, no shuffle beyond the final 1-row
+    agg — the fixed-block shape costs O(block²) state per task and
+    nothing per row at 100 TB."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    block = 8
+
+    def x(i):
+        return F.element_at(e, i + 1).cast("double")
+
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(block):
+        aggs.append(
+            F.sum(F.round(x(i), 12).cast("decimal(38,12)"))
+            .alias(f"s{i}"))
+    for i in range(block):
+        for j in range(i, block):
+            aggs.append(
+                F.sum(F.round(x(i) * x(j), 12).cast("decimal(38,12)"))
+                .alias(f"p{i}_{j}"))
+    wide = emb.agg(*aggs)
+    cells = F.array(*[
+        F.struct(
+            F.lit(i).cast("int").alias("dim_i"),
+            F.lit(j).cast("int").alias("dim_j"),
+            F.round(
+                (F.col(f"p{i}_{j}").cast("double")
+                 - F.col(f"s{i}").cast("double")
+                   * F.col(f"s{j}").cast("double") / F.col("n"))
+                / (F.col("n") - 1), 6).alias("cov"))
+        for i in range(block) for j in range(i, block)])
+    return (
+        wide.select(F.explode(cells).alias("c"))
+        .select("c.dim_i", "c.dim_j", "c.cov")
+        .orderBy("dim_i", "dim_j")
+    )
+
+
+@query("embedding_pca")
+def embedding_pca(spark, sf_dir):
+    """PCA projection (`pca_fit_project`, operators/clustering.py):
+    every vector reduced to its top-4 principal scores. Rows-only
+    driver check (eigendecomposition is not SQL-expressible); the
+    geometry invariants — orthonormal loadings, descending explained
+    variance, exact recovery of a planted low-rank basis — are pinned
+    in tests/test_operators.py."""
+    from ..operators.clustering import pca_fit_project
+
+    emb = load(spark, sf_dir, "embeddings")
+    scores, _ = pca_fit_project(emb, "vec_id", "embedding", k=4)
+    return scores.orderBy("vec_id")

@@ -4764,3 +4764,39 @@ def test_rake_keywords_hand_doc(spark):
     assert got["red apple"] == (2, 1, round(r9(red) + r9(apple), 6))
     assert got["green apple"] == (2, 1, round(r9(green) + r9(apple), 6))
     assert got["day"] == (1, 1, 1.0)
+
+
+def test_pca_planted_rank2(spark):
+    """PCA on planted rank-2 data: two positive eigenvalues matching
+    the component score variances, the rest ~0, and errors on bad k."""
+    import numpy as np
+    import pytest as _pt
+
+    from puffbird_spark.operators.clustering import pca_fit_project
+
+    rng = np.random.RandomState(7)
+    u = np.array([1.0, 0, 0, 1.0, 0, 0]) / np.sqrt(2)
+    v = np.array([0, 1.0, 0, 0, -1.0, 0]) / np.sqrt(2)
+    a = rng.normal(0, 5.0, 40)
+    b = rng.normal(0, 1.0, 40)
+    x = np.outer(a, u) + np.outer(b, v) + 3.0
+    rows = [(int(i), [float(t) for t in x[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    scores, evals = pca_fit_project(df, "vec_id", "embedding", k=3)
+    pdf = scores.toPandas().sort_values("vec_id")
+    assert list(pdf.columns) == ["vec_id", "pc_1", "pc_2", "pc_3"]
+    assert evals[0] > evals[1] > evals[2] >= -1e-9
+    assert abs(evals[2]) < 1e-9                      # planted rank 2
+    # component score variance == explained variance
+    for j, ev in enumerate(evals[:2], start=1):
+        assert abs(pdf[f"pc_{j}"].var(ddof=1) - ev) < 1e-4
+    # pc_1 recovers the high-variance direction up to sign
+    corr = np.corrcoef(pdf["pc_1"].to_numpy(), a)[0, 1]
+    assert abs(abs(corr) - 1.0) < 1e-6
+
+    with _pt.raises(ValueError):
+        pca_fit_project(df, "vec_id", "embedding", k=7)
+    one = spark.createDataFrame(rows[:1],
+                                "vec_id long, embedding array<double>")
+    with _pt.raises(ValueError):
+        pca_fit_project(one, "vec_id", "embedding", k=2)
