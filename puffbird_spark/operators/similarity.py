@@ -823,3 +823,84 @@ def ivf_pq_topk(
             F.col(id_col).alias("query_id"),
             as_double(vec_col).alias("qvec"))), "query_id")
     return _score_topk(pairs, k, exclude_self, use_arrow=True)
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    dp: int = 6,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) — the retrieval-diversification step after any ANN stage:
+    from each query's exact top-``pool`` cosine candidates, greedily
+    select ``k`` by
+
+        MMR(d) = λ·sim(q, d) − (1−λ)·max_{s ∈ S} sim(d, s)
+
+    so near-duplicates of an already-selected result are penalized
+    out (λ=1 is plain top-k; λ→0 maximizes spread). Returns
+    ``(query_id, rank, cand_id, mmr_score)``.
+
+    Determinism: relevance and candidate-candidate similarities both
+    snap to ``dp`` before the greedy loop, the step score is the one
+    fixed expression ``λ·rel − (1−λ)·ms`` on those snapped doubles,
+    and ties break on ascending candidate id — so the whole greedy
+    trajectory replays exactly (the oracle unrolls it step by step in
+    SQL). Scale shape: the quadratic part is pool², computed inside
+    one `applyInPandas` group per query — each query's pool ships
+    ONCE (pool × dim floats); nothing corpus-quadratic anywhere."""
+    import pandas as pd
+
+    rel = cosine_topk(
+        corpus, queries, id_col=id_col, vec_col=vec_col, k=pool,
+        est_queries=None,
+    ).select("query_id", "cand_id", F.col("cosine").alias("__rel"))
+    cvecs = corpus.select(
+        F.col(id_col).alias("cand_id"), as_double(vec_col).alias("__cv"))
+    grp = rel.join(cvecs, "cand_id")
+    one_minus = 1.0 - lam
+
+    scale = float(10 ** dp)
+
+    def _hu(x):
+        # HALF_UP replay of SQL round() — numpy/python round is
+        # half-even (the cosine_rounded_arrow rule)
+        return np.where(
+            np.asarray(x) >= 0,
+            np.floor(np.asarray(x) * scale + 0.5) / scale,
+            np.ceil(np.asarray(x) * scale - 0.5) / scale)
+
+    def _greedy(pdf):
+        pdf = pdf.sort_values("cand_id").reset_index(drop=True)
+        x = np.stack(pdf["__cv"].to_numpy()).astype(np.float64)
+        norms = np.sqrt(np.einsum("ij,ij->i", x, x))
+        sims = _hu((x @ x.T) / np.outer(norms, norms))
+        relv = pdf["__rel"].to_numpy(dtype=np.float64)
+        ids = pdf["cand_id"].to_numpy()
+        n = len(ids)
+        chosen: list[int] = []
+        out = []
+        for rank in range(1, min(k, n) + 1):
+            best = None
+            for i in range(n):
+                if i in chosen:
+                    continue
+                ms = max((sims[i, j] for j in chosen), default=0.0)
+                score = lam * relv[i] - one_minus * ms
+                cand = (score, -int(ids[i]), i)
+                if best is None or cand > best:
+                    best = cand
+            score, _, i = best
+            chosen.append(i)
+            out.append((int(pdf["query_id"].iloc[0]), rank,
+                        int(ids[i]), float(_hu(score))))
+        return pd.DataFrame(
+            out, columns=["query_id", "rank", "cand_id", "mmr_score"])
+
+    return grp.groupBy("query_id").applyInPandas(
+        _greedy, "query_id long, rank int, cand_id long, mmr_score double")

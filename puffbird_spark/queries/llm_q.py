@@ -3794,3 +3794,78 @@ def embedding_pca(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     scores, _ = pca_fit_project(emb, "vec_id", "embedding", k=4)
     return scores.orderBy("vec_id")
+
+
+def _mmr_oracle(k: int = 5, pool: int = 20) -> str:
+    """Unrolled greedy MMR replay: one MATERIALIZED CTE per selection
+    step (the HITS/k-core unroll pattern — DuckDB inlines plain CTEs
+    exponentially)."""
+    lam = "CAST(0.7 AS DOUBLE)"
+    om = f"(CAST(1 AS DOUBLE) - {lam})"
+    parts = [f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id % 100 = 0),
+pool AS MATERIALIZED (
+  SELECT qid, cid, cv, rel FROM (
+    SELECT q.vec_id AS qid, e.vec_id AS cid, e.v AS cv,
+      round(list_dot_product(q.v, e.v)
+            / (sqrt(list_dot_product(q.v, q.v))
+               * sqrt(list_dot_product(e.v, e.v))), 6) AS rel
+    FROM q JOIN e ON e.vec_id != q.vec_id)
+  QUALIFY row_number() OVER (PARTITION BY qid
+                             ORDER BY rel DESC, cid) <= {pool}),
+pw AS MATERIALIZED (
+  SELECT a.qid, a.cid AS ca, b.cid AS cb,
+    round(list_dot_product(a.cv, b.cv)
+          / (sqrt(list_dot_product(a.cv, a.cv))
+             * sqrt(list_dot_product(b.cv, b.cv))), 6) AS s
+  FROM pool a JOIN pool b ON a.qid = b.qid AND a.cid != b.cid),
+s1 AS MATERIALIZED (
+  SELECT qid, cid, {lam} * rel AS score FROM pool
+  QUALIFY row_number() OVER (PARTITION BY qid
+                             ORDER BY {lam} * rel DESC, cid) = 1),
+sel1 AS (SELECT qid, cid FROM s1)"""]
+    for n in range(2, k + 1):
+        parts.append(f""",
+s{n} AS MATERIALIZED (
+  SELECT qid, cid, score FROM (
+    SELECT p.qid, p.cid,
+      {lam} * p.rel - {om}
+        * (SELECT MAX(pw.s) FROM pw
+           WHERE pw.qid = p.qid AND pw.ca = p.cid
+             AND pw.cb IN (SELECT cid FROM sel{n - 1}
+                           WHERE sel{n - 1}.qid = p.qid)) AS score
+    FROM pool p
+    WHERE NOT EXISTS (SELECT 1 FROM sel{n - 1}
+                      WHERE sel{n - 1}.qid = p.qid
+                        AND sel{n - 1}.cid = p.cid))
+  QUALIFY row_number() OVER (PARTITION BY qid
+                             ORDER BY score DESC, cid) = 1),
+sel{n} AS (SELECT qid, cid FROM sel{n - 1}
+           UNION ALL SELECT qid, cid FROM s{n})""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT qid, {n} AS rk, cid, score FROM s{n}"
+        for n in range(1, k + 1))
+    parts.append(f"""
+SELECT qid AS query_id, CAST(rk AS INT) AS rank, cid AS cand_id,
+       round(score, 6) AS mmr_score
+FROM ({sel}) ORDER BY query_id, rank""")
+    return "".join(parts)
+
+
+@query("knn_mmr", oracle=_mmr_oracle())
+def knn_mmr(spark, sf_dir):
+    """MMR diversified retrieval (`mmr_rerank`,
+    operators/similarity.py; Carbonell & Goldstein 1998) — top-5
+    diverse picks from each query's exact top-20 cosine pool at
+    λ=0.7. Relevance and pool-pairwise similarities snap to 6 dp
+    before the greedy loop and ties break on candidate id, so the
+    oracle replays every selection step exactly (one MATERIALIZED
+    CTE per step)."""
+    from ..operators.similarity import mmr_rerank
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = mmr_rerank(
+        emb, emb.filter(F.col("vec_id") % 100 == 0),
+        id_col="vec_id", vec_col="embedding", k=5, pool=20, lam=0.7)
+    return out.orderBy("query_id", "rank")

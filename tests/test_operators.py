@@ -4800,3 +4800,25 @@ def test_pca_planted_rank2(spark):
                                 "vec_id long, embedding array<double>")
     with _pt.raises(ValueError):
         pca_fit_project(one, "vec_id", "embedding", k=2)
+
+
+def test_mmr_rerank_diversifies(spark):
+    """MMR: a near-duplicate of the first pick is deferred behind a
+    diverse candidate at lambda=0.5, and lambda=1.0 degenerates to
+    pure relevance order."""
+    from puffbird_spark.operators.similarity import mmr_rerank
+
+    rows = [(0, [1.0, 0.0, 0.0]),     # query
+            (1, [1.0, 0.1, 0.0]),     # top relevance
+            (2, [1.0, 0.12, 0.0]),    # near-dup of 1
+            (3, [1.0, 0.0, 1.0])]     # diverse
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id = 0")
+
+    order = [r.cand_id for r in mmr_rerank(
+        df, q, k=3, pool=3, lam=0.5).orderBy("rank").collect()]
+    assert order == [1, 3, 2]          # dup penalized behind diverse
+
+    pure = [r.cand_id for r in mmr_rerank(
+        df, q, k=3, pool=3, lam=1.0).orderBy("rank").collect()]
+    assert pure == [1, 2, 3]           # relevance order
