@@ -3869,3 +3869,65 @@ def knn_mmr(spark, sf_dir):
         emb, emb.filter(F.col("vec_id") % 100 == 0),
         id_col="vec_id", vec_col="embedding", k=5, pool=20, lam=0.7)
     return out.orderBy("query_id", "rank")
+
+
+@query("text_gopher_rules", oracle="""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+           FROM documents),
+m AS (SELECT doc_id, text, toks,
+    len(toks) AS n_words,
+    length(replace(text, ' ', '')) AS chars,
+    round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+          / len(toks), 6) AS mean_word_len,
+    round(CAST(len(list_filter(toks,
+            x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+          / len(toks), 6) AS alpha_word_frac,
+    round(CAST((length(text) - length(replace(text, '#', '')))
+               + (length(text) - length(replace(text, '...', ''))) / 3
+          AS DOUBLE) / len(toks), 6) AS symbol_ratio,
+    len(list_filter(list_distinct(toks), x -> list_contains(
+        ['the','a','of','and','to','is','in'], x))) AS n_stopwords
+  FROM t),
+bi AS (SELECT doc_id, chars, bg, COUNT(*) AS c FROM (
+    SELECT m.doc_id, m.chars,
+      unnest([toks[i] || ' ' || toks[i+1]
+              FOR i IN range(1, len(toks))]) AS bg
+    FROM m WHERE len(toks) >= 2)
+  GROUP BY doc_id, chars, bg),
+tb AS (SELECT doc_id,
+    round(CAST(c * (length(bg) - 1) AS DOUBLE) / chars, 6) AS tbf
+  FROM bi
+  QUALIFY row_number() OVER (PARTITION BY doc_id
+                             ORDER BY c DESC, bg) = 1)
+SELECT m.doc_id, m.n_words, m.mean_word_len, m.alpha_word_frac,
+  m.symbol_ratio, m.n_stopwords,
+  COALESCE(tb.tbf, 0.0) AS top_bigram_char_frac,
+  (m.n_words BETWEEN 50 AND 100000) AS ok_word_count,
+  (m.mean_word_len >= 3.0 AND m.mean_word_len <= 10.0)
+    AS ok_mean_word_len,
+  (m.alpha_word_frac >= 0.8) AS ok_alpha_words,
+  (m.symbol_ratio <= 0.1) AS ok_symbol_ratio,
+  (m.n_stopwords >= 2) AS ok_stopwords,
+  (COALESCE(tb.tbf, 0.0) <= 0.2) AS ok_repetition,
+  ((m.n_words BETWEEN 50 AND 100000)
+   AND (m.mean_word_len >= 3.0 AND m.mean_word_len <= 10.0)
+   AND (m.alpha_word_frac >= 0.8)
+   AND (m.symbol_ratio <= 0.1)
+   AND (m.n_stopwords >= 2)
+   AND (COALESCE(tb.tbf, 0.0) <= 0.2)) AS passes_gopher
+FROM m LEFT JOIN tb ON tb.doc_id = m.doc_id
+""")
+def text_gopher_rules(spark, sf_dir):
+    """Gopher quality-rule battery (`gopher_rules`,
+    operators/filters.py; Rae et al. 2021) — the named pretraining
+    filter set: word count, mean word length, alphabetic-word
+    fraction, symbol ratio, distinct-stopword floor, and the
+    top-bigram repetition cap, each as an exact metric plus verdict
+    bit, with the AND fold in `passes_gopher`. Every metric is
+    integer counting with one division, so all 13 columns replay in
+    SQL."""
+    from ..functions.text import LANG_STOPWORDS
+    from ..operators.filters import gopher_rules
+
+    docs = load(spark, sf_dir, "documents")
+    return gopher_rules(docs, "doc_id", "text", LANG_STOPWORDS["en"])

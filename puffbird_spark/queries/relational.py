@@ -2334,3 +2334,63 @@ def agg_gini(spark, sf_dir):
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query("agg_winsorize", oracle="""
+WITH base AS (SELECT c_mktsegment, CAST(c_acctbal AS DOUBLE) AS x
+              FROM customer),
+q AS (SELECT c_mktsegment,
+        quantile_cont(x, 0.05) AS lo, quantile_cont(x, 0.95) AS hi
+      FROM base GROUP BY c_mktsegment),
+cl AS (SELECT b.c_mktsegment,
+        CAST(round(CASE WHEN b.x < q.lo THEN q.lo
+                        WHEN b.x > q.hi THEN q.hi
+                        ELSE b.x END, 9) AS DECIMAL(28,9)) AS w,
+        CAST(b.x < q.lo AS INT) AS is_lo,
+        CAST(b.x > q.hi AS INT) AS is_hi
+      FROM base b JOIN q ON b.c_mktsegment = q.c_mktsegment)
+SELECT cl.c_mktsegment,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  round(MAX(q.lo), 6) AS p05, round(MAX(q.hi), 6) AS p95,
+  CAST(SUM(is_lo) AS BIGINT) AS n_clamped_low,
+  CAST(SUM(is_hi) AS BIGINT) AS n_clamped_high,
+  round(CAST(SUM(w) AS DOUBLE) / COUNT(*), 6) AS winsor_mean
+FROM cl JOIN q ON cl.c_mktsegment = q.c_mktsegment
+GROUP BY cl.c_mktsegment ORDER BY cl.c_mktsegment
+""")
+def agg_winsorize(spark, sf_dir):
+    """Winsorized mean of account balance per market segment — the
+    outlier-robust mean (Winsor via Tukey 1962): values clamp to the
+    exact [p05, p95] interpolated percentiles before averaging, so a
+    single corrupt balance cannot drag the segment mean. Clamped
+    values snap to 9-dp decimal before the order-free sum; the
+    percentile pair is the proven `F.percentile`/`quantile_cont`
+    match. Two passes by construction (the clamp needs the
+    percentiles); the percentile frame is segments × 2 doubles,
+    broadcast back."""
+    cust = load(spark, sf_dir, "customer")
+    base = cust.select(
+        "c_mktsegment", F.col("c_acctbal").cast("double").alias("x"))
+    q = base.groupBy("c_mktsegment").agg(
+        F.percentile("x", F.lit(0.05)).alias("lo"),
+        F.percentile("x", F.lit(0.95)).alias("hi"))
+    w = F.round(
+        F.when(F.col("x") < F.col("lo"), F.col("lo"))
+        .when(F.col("x") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("x")), 9).cast("decimal(28,9)")
+    cl = base.join(F.broadcast(q), "c_mktsegment").select(
+        "c_mktsegment", "lo", "hi", w.alias("w"),
+        (F.col("x") < F.col("lo")).cast("int").alias("is_lo"),
+        (F.col("x") > F.col("hi")).cast("int").alias("is_hi"))
+    n = F.count(F.lit(1))
+    return (
+        cl.groupBy("c_mktsegment")
+        .agg(n.cast("long").alias("n"),
+             F.round(F.max("lo"), 6).alias("p05"),
+             F.round(F.max("hi"), 6).alias("p95"),
+             F.sum("is_lo").cast("long").alias("n_clamped_low"),
+             F.sum("is_hi").cast("long").alias("n_clamped_high"),
+             F.round(F.sum("w").cast("double") / n, 6)
+             .alias("winsor_mean"))
+        .orderBy("c_mktsegment")
+    )

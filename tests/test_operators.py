@@ -4822,3 +4822,31 @@ def test_mmr_rerank_diversifies(spark):
     pure = [r.cand_id for r in mmr_rerank(
         df, q, k=3, pool=3, lam=1.0).orderBy("rank").collect()]
     assert pure == [1, 2, 3]           # relevance order
+
+
+def test_gopher_rules_hand_docs(spark):
+    """Gopher battery: a clean doc passes, each planted defect trips
+    exactly its own rule."""
+    from puffbird_spark.operators.filters import gopher_rules
+
+    clean = " ".join(
+        ["the quick brown fox jumps over the lazy dog and runs home"]
+        * 5)                                   # 55 words, stopwords, varied
+    short = "the quick fox"                    # word count
+    symbols = " ".join(["###"] * 60)           # symbol ratio + alpha + stop
+    repeat = " ".join(["alpha beta"] * 30) + " the of end"  # top bigram
+    df = spark.createDataFrame(
+        [(1, clean), (2, short), (3, symbols), (4, repeat)],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_rules(
+        df, "doc_id", "text", ["the", "a", "of", "and", "to", "is", "in"]
+    ).collect()}
+    assert got[1].passes_gopher
+    assert not got[2].ok_word_count and not got[2].passes_gopher
+    assert not got[3].ok_symbol_ratio and not got[3].ok_alpha_words
+    assert not got[3].ok_stopwords
+    assert not got[4].ok_repetition and got[4].ok_word_count
+    # exact metric spot-checks on the short doc
+    assert got[2].n_words == 3
+    assert got[2].mean_word_len == round(11 / 3, 6)
+    assert got[2].n_stopwords == 1
