@@ -1006,3 +1006,80 @@ def jaccard_links(
     )
     return scored.orderBy(
         F.desc("score"), F.asc("id_a"), F.asc("id_b")).limit(top)
+
+
+def modularity_communities(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    vertex_col: str = "vertex",
+    label_col: str = "label",
+    dp: int = 6,
+) -> DataFrame:
+    """Newman-Girvan modularity per community (Newman & Girvan 2004)
+    — the quality score OF a partition (from
+    :func:`label_propagation`, :func:`connected_components`, or any
+    labeling)::
+
+        Q = Σ_c [ m_c/m − (d_c / 2m)² ]
+
+    emitted as one row per community with its additive contribution
+    ``(2m_c·2m − d_c²) / (2m)²`` — INTEGER numerator and denominator
+    (2m = directed edge-row count, 2m_c = within-community rows,
+    d_c = community degree sum), one division at the end, so the
+    score replays exactly; Q itself is the plain sum of the rounded
+    contributions. Edges symmetrize/dedup like every operator in this
+    module; vertices missing from ``labels`` keep their own id as a
+    singleton label (the LPA initial state). Two keyed joins + two
+    grouped counts — nothing all-pairs. Returns
+    ``(community, n_vertices, internal_edges, degree_sum,
+    contribution)`` ordered by community."""
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    lab = labels.select(
+        F.col(vertex_col).alias("v"), F.col(label_col).alias("lbl"))
+    verts = und.select(F.col("a").alias("v")).distinct()
+    lab_full = (
+        verts.join(lab, "v", "left")
+        .select("v", F.coalesce("lbl", F.col("v")).alias("lbl"))
+    )
+    twom = und.agg(F.count(F.lit(1)).alias("__t"))
+    degs = und.groupBy(F.col("a").alias("v")).agg(
+        F.count(F.lit(1)).alias("__d"))
+    la = lab_full.select(F.col("v").alias("a"), F.col("lbl").alias("__la"))
+    lb = lab_full.select(F.col("v").alias("b"), F.col("lbl").alias("__lb"))
+    within = (
+        und.join(la, "a").join(lb, "b")
+        .filter(F.col("__la") == F.col("__lb"))
+        .groupBy(F.col("__la").alias("lbl"))
+        .agg(F.count(F.lit(1)).alias("__mc2"))
+    )
+    comm = (
+        lab_full.join(degs, "v")
+        .groupBy("lbl")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vertices"),
+             F.sum("__d").alias("__dc"))
+    )
+    return (
+        comm.join(within, "lbl", "left")
+        .withColumn("__mc2", F.coalesce("__mc2", F.lit(0)))
+        .crossJoin(F.broadcast(twom))
+        .select(
+            F.col("lbl").alias("community"),
+            "n_vertices",
+            (F.col("__mc2") / 2).cast("long").alias("internal_edges"),
+            F.col("__dc").cast("long").alias("degree_sum"),
+            F.round(
+                (F.col("__mc2") * F.col("__t")
+                 - F.col("__dc") * F.col("__dc")).cast("double")
+                / (F.col("__t") * F.col("__t")), dp)
+            .alias("contribution"),
+        )
+        .orderBy("community")
+    )

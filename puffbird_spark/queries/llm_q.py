@@ -3931,3 +3931,58 @@ def text_gopher_rules(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     return gopher_rules(docs, "doc_id", "text", LANG_STOPWORDS["en"])
+
+
+def _modularity_oracle(n_iter: int = 4) -> str:
+    """LPA labels (the `_lpa_oracle` unroll) + the integer-exact
+    per-community modularity contribution."""
+    lpa = _lpa_oracle(n_iter)
+    head = lpa.rsplit("\nSELECT vertex, label FROM", 1)[0]
+    return head + f""",
+lab AS MATERIALIZED (SELECT vertex, label FROM l{n_iter}),
+twom AS (SELECT COUNT(*) AS t FROM und),
+degs AS (SELECT a AS vertex, COUNT(*) AS d FROM und GROUP BY a),
+within AS (SELECT la.label AS lbl, COUNT(*) AS mc2
+    FROM und u
+    JOIN lab la ON u.a = la.vertex
+    JOIN lab lb ON u.b = lb.vertex AND la.label = lb.label
+    GROUP BY la.label),
+comm AS (SELECT lab.label AS lbl,
+        CAST(COUNT(*) AS BIGINT) AS n_vertices, SUM(degs.d) AS dc
+    FROM lab JOIN degs ON degs.vertex = lab.vertex
+    GROUP BY lab.label)
+SELECT comm.lbl AS community, comm.n_vertices,
+  CAST(COALESCE(within.mc2, 0) / 2 AS BIGINT) AS internal_edges,
+  CAST(comm.dc AS BIGINT) AS degree_sum,
+  round(CAST(COALESCE(within.mc2, 0) * twom.t
+             - comm.dc * comm.dc AS DOUBLE)
+        / (twom.t * twom.t), 6) AS contribution
+FROM comm LEFT JOIN within ON within.lbl = comm.lbl
+CROSS JOIN twom
+ORDER BY community"""
+
+
+@query("graph_modularity", oracle=_modularity_oracle())
+def graph_modularity(spark, sf_dir):
+    """Modularity scoring (`modularity_communities`,
+    operators/graph.py; Newman & Girvan 2004) of the 4-round
+    label-propagation partition of the synthetic link graph — the
+    partition-quality audit that tells you whether
+    `graph_label_propagation`'s communities beat random wiring.
+    Integer numerators (edge rows, within-rows, degree sums) with
+    one division per community; the oracle replays LPA and the
+    contribution arithmetic end to end."""
+    from ..operators.graph import label_propagation, modularity_communities
+
+    docs = load(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    edges = (
+        docs.crossJoin(F.broadcast(n))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.array(*[
+                (F.col("doc_id") * (3 + t) + 17 * t + 1) % F.col("n")
+                for t in range(3)])).alias("dst"))
+    )
+    labels = label_propagation(edges, n_iter=4)
+    return modularity_communities(edges, labels)

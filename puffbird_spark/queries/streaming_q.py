@@ -1266,3 +1266,107 @@ def events_transition_matrix(spark, sf_dir):
                         / F.col("__tot"), 6).alias("probability"))
         .orderBy("from_type", "to_type")
     )
+
+
+@query("timeseries_acf", oracle="""
+WITH daily AS (SELECT event_type,
+    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+    CAST(SUM(CAST(value AS DECIMAL(28,12))) AS DOUBLE)
+      / COUNT(*) AS y
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type, date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))),
+st AS (SELECT event_type,
+    CAST(SUM(CAST(round(y, 12) AS DECIMAL(28,12))) AS DOUBLE)
+      / COUNT(*) AS m
+  FROM daily GROUP BY event_type),
+dv AS (SELECT d.event_type, d.x, d.y - st.m AS dev
+  FROM daily d JOIN st ON d.event_type = st.event_type),
+ld AS (SELECT event_type, x, dev,
+    LEAD(dev, 1) OVER w AS d1, LEAD(dev, 2) OVER w AS d2,
+    LEAD(dev, 3) OVER w AS d3, LEAD(dev, 4) OVER w AS d4,
+    LEAD(dev, 5) OVER w AS d5, LEAD(dev, 6) OVER w AS d6,
+    LEAD(dev, 7) OVER w AS d7
+  FROM dv WINDOW w AS (PARTITION BY event_type ORDER BY x)),
+agg AS (SELECT event_type,
+    SUM(CAST(round(dev * dev, 12) AS DECIMAL(28,12))) AS den,
+    SUM(CAST(round(dev * d1, 12) AS DECIMAL(28,12))) AS n1,
+    COUNT(d1) AS c1,
+    SUM(CAST(round(dev * d2, 12) AS DECIMAL(28,12))) AS n2,
+    COUNT(d2) AS c2,
+    SUM(CAST(round(dev * d3, 12) AS DECIMAL(28,12))) AS n3,
+    COUNT(d3) AS c3,
+    SUM(CAST(round(dev * d4, 12) AS DECIMAL(28,12))) AS n4,
+    COUNT(d4) AS c4,
+    SUM(CAST(round(dev * d5, 12) AS DECIMAL(28,12))) AS n5,
+    COUNT(d5) AS c5,
+    SUM(CAST(round(dev * d6, 12) AS DECIMAL(28,12))) AS n6,
+    COUNT(d6) AS c6,
+    SUM(CAST(round(dev * d7, 12) AS DECIMAL(28,12))) AS n7,
+    COUNT(d7) AS c7
+  FROM ld GROUP BY event_type),
+un AS (
+  SELECT event_type, 1 AS lag, c1 AS n_terms, n1 AS num, den FROM agg
+  UNION ALL SELECT event_type, 2, c2, n2, den FROM agg
+  UNION ALL SELECT event_type, 3, c3, n3, den FROM agg
+  UNION ALL SELECT event_type, 4, c4, n4, den FROM agg
+  UNION ALL SELECT event_type, 5, c5, n5, den FROM agg
+  UNION ALL SELECT event_type, 6, c6, n6, den FROM agg
+  UNION ALL SELECT event_type, 7, c7, n7, den FROM agg)
+SELECT event_type, CAST(lag AS INT) AS lag,
+  CAST(n_terms AS BIGINT) AS n_terms,
+  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf
+FROM un ORDER BY event_type, lag
+""")
+def timeseries_acf(spark, sf_dir):
+    """Exact sample autocorrelation (Box & Jenkins 1970) of the daily
+    mean value series per event type, lags 1..7 — the seasonality /
+    drift-memory diagnostic feeding `timeseries_seasonal_decompose`
+    (a spike at lag 7 is the weekly cycle). Deviations are doubles
+    from the exact decimal mean; every product snaps to 12-dp decimal
+    before the order-free sums; one division per lag. One window pass
+    computes all seven lead columns; the per-key aggregate fans out to
+    rows."""
+    from pyspark.sql.window import Window as W
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = (
+        ev.withColumn("__d", F.col("ts").cast("date"))
+        .groupBy("event_type", "__d")
+        .agg((F.sum(F.col("value").cast("decimal(28,12)")).cast("double")
+              / F.count(F.lit(1))).alias("y"))
+        .select("event_type",
+                F.datediff(F.col("__d"), F.lit("1970-01-01").cast("date"))
+                .cast("long").alias("x"), "y")
+    )
+    st = daily.groupBy("event_type").agg(
+        (F.sum(F.round(F.col("y"), 12).cast("decimal(28,12)"))
+         .cast("double") / F.count(F.lit(1))).alias("m"))
+    dv = daily.join(F.broadcast(st), "event_type").select(
+        "event_type", "x", (F.col("y") - F.col("m")).alias("dev"))
+    w = W.partitionBy("event_type").orderBy("x")
+    cols = {"dev": F.col("dev")}
+    for k in range(1, 8):
+        cols[f"d{k}"] = F.lead("dev", k).over(w)
+    ld = dv.select("event_type", *[v.alias(n) for n, v in cols.items()])
+
+    def snap(c):
+        return F.round(c, 12).cast("decimal(28,12)")
+
+    aggs = [F.sum(snap(F.col("dev") * F.col("dev"))).alias("den")]
+    for k in range(1, 8):
+        aggs.append(F.sum(snap(F.col("dev") * F.col(f"d{k}")))
+                    .alias(f"n{k}"))
+        aggs.append(F.count(F.col(f"d{k}")).alias(f"c{k}"))
+    agg = ld.groupBy("event_type").agg(*aggs)
+    rows = F.array(*[
+        F.struct(
+            F.lit(k).cast("int").alias("lag"),
+            F.col(f"c{k}").cast("long").alias("n_terms"),
+            F.round(F.col(f"n{k}").cast("double")
+                    / F.col("den").cast("double"), 6).alias("acf"))
+        for k in range(1, 8)])
+    return (
+        agg.select("event_type", F.explode(rows).alias("r"))
+        .select("event_type", "r.lag", "r.n_terms", "r.acf")
+        .orderBy("event_type", "lag")
+    )

@@ -4850,3 +4850,31 @@ def test_gopher_rules_hand_docs(spark):
     assert got[2].n_words == 3
     assert got[2].mean_word_len == round(11 / 3, 6)
     assert got[2].n_stopwords == 1
+
+
+def test_modularity_hand_graph(spark):
+    """Modularity on two triangles joined by one bridge edge, with the
+    natural 2-community labeling: Q computed on paper."""
+    from puffbird_spark.operators.graph import modularity_communities
+
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(4, 5), (5, 6), (4, 6)]
+    edges = spark.createDataFrame(
+        tri1 + tri2 + [(3, 4)], "src long, dst long")
+    labels = spark.createDataFrame(
+        [(v, 1 if v <= 3 else 2) for v in range(1, 7)],
+        "vertex long, label long")
+    got = {r.community: r for r in
+           modularity_communities(edges, labels).collect()}
+    # 2m = 14 directed rows; each community: 3 internal edges,
+    # degree sum 7 -> contribution (6*14 - 49)/196 = 35/196
+    for c in (1, 2):
+        assert got[c].n_vertices == 3
+        assert got[c].internal_edges == 3
+        assert got[c].degree_sum == 7
+        assert got[c].contribution == round(35 / 196, 6)
+    # everything in ONE community: Q = (14*14 - 196)/196 = 0
+    one = spark.createDataFrame(
+        [(v, 9) for v in range(1, 7)], "vertex long, label long")
+    g1 = modularity_communities(edges, one).collect()
+    assert len(g1) == 1 and g1[0].contribution == 0.0
