@@ -2394,3 +2394,41 @@ def agg_winsorize(spark, sf_dir):
              .alias("winsor_mean"))
         .orderBy("c_mktsegment")
     )
+
+
+@query("join_interval_overlap", oracle="""
+WITH l AS (SELECT c_custkey, c_custkey * 10 AS lo,
+        c_custkey * 10 + c_nationkey * 5 AS hi FROM customer),
+r AS (SELECT s_suppkey, s_suppkey * 40 AS lo,
+        s_suppkey * 40 + 100 AS hi FROM supplier)
+SELECT l.c_custkey, r.s_suppkey,
+  CAST(greatest(l.lo, r.lo) AS BIGINT) AS overlap_start,
+  CAST(least(l.hi, r.hi) AS BIGINT) AS overlap_end
+FROM l JOIN r ON l.lo <= r.hi AND r.lo <= l.hi
+ORDER BY c_custkey, s_suppkey
+""")
+def join_interval_overlap(spark, sf_dir):
+    """Interval-overlap join (`binned_interval_join`,
+    operators/rangejoin.py) — synthetic customer vs supplier integer
+    windows, NO equality key: both sides bin (width 64), each
+    overlapping pair meets in exactly the overlap-start bin, one
+    shuffle on the bin id instead of a BroadcastNestedLoopJoin
+    (plan-pinned in tests/test_plans.py). The oracle is the naive
+    inequality join — small enough for DuckDB, fatal at scale."""
+    from ..operators.rangejoin import binned_interval_join
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_custkey") * 10).alias("l_lo"),
+        (F.col("c_custkey") * 10 + F.col("c_nationkey") * 5).alias("l_hi"))
+    supp = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (F.col("s_suppkey") * 40).alias("r_lo"),
+        (F.col("s_suppkey") * 40 + 100).alias("r_hi"))
+    out = binned_interval_join(
+        cust, supp, "l_lo", "l_hi", "r_lo", "r_hi", bin_width=64)
+    return out.select(
+        "c_custkey", "s_suppkey",
+        F.greatest("l_lo", "r_lo").cast("long").alias("overlap_start"),
+        F.least("l_hi", "r_hi").cast("long").alias("overlap_end"),
+    ).orderBy("c_custkey", "s_suppkey")

@@ -242,3 +242,32 @@ def sql_recursive_cte(spark, sf_dir):
                CAST(COUNT(*) AS BIGINT) AS n_walks
         FROM reach GROUP BY node ORDER BY node
     """)
+
+
+@query("sql_pivot", oracle="""
+SELECT l_returnflag AS rf,
+  CAST(SUM(CASE WHEN l_linestatus = 'O'
+        THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS o_sq,
+  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)
+       AS BIGINT) AS o_n,
+  CAST(SUM(CASE WHEN l_linestatus = 'F'
+        THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS f_sq,
+  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+       AS BIGINT) AS f_n
+FROM lineitem GROUP BY l_returnflag ORDER BY rf
+""")
+def sql_pivot(spark, sf_dir):
+    """SQL `PIVOT` syntax (the parser surface on top of the
+    DataFrame pivot in `pivot_returnflag`): two aggregates fanned
+    across two pinned status columns — Catalyst rewrites it to the
+    same single-pass conditional aggregation the oracle spells out."""
+    li = _view(spark, sf_dir, "lineitem")
+    return spark.sql(f"""
+        SELECT rf, o_sq, o_n, f_sq, f_n FROM (
+          SELECT l_returnflag AS rf, l_linestatus AS ls,
+                 CAST(l_quantity AS DECIMAL(12,2)) AS q
+          FROM {li})
+        PIVOT (CAST(SUM(q) AS DOUBLE) AS sq, COUNT(*) AS n
+               FOR ls IN ('O' AS o, 'F' AS f))
+        ORDER BY rf
+    """)

@@ -1370,3 +1370,37 @@ def timeseries_acf(spark, sf_dir):
         .select("event_type", "r.lag", "r.n_terms", "r.acf")
         .orderBy("event_type", "lag")
     )
+
+
+@query("events_top_paths", oracle="""
+WITH seq AS (SELECT user_id, event_type,
+    LEAD(event_type, 1) OVER w AS e2,
+    LEAD(event_type, 2) OVER w AS e3
+  FROM events WHERE user_id IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT event_type || '>' || e2 || '>' || e3 AS path,
+  CAST(COUNT(*) AS BIGINT) AS n_paths
+FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+GROUP BY path ORDER BY n_paths DESC, path LIMIT 10
+""")
+def events_top_paths(spark, sf_dir):
+    """Top-10 three-step behavioral paths (the Sankey / journey-mining
+    primitive behind `events_transition_matrix`'s first-order view):
+    per-user ordered lead×2 window (event_id tie-break), one count —
+    integer-exact, fully deterministic."""
+    from pyspark.sql.window import Window as W
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"))
+    return (
+        seq.filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .select(F.concat_ws(">", "event_type", "e2", "e3").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
+        .orderBy(F.desc("n_paths"), F.asc("path"))
+        .limit(10)
+    )

@@ -4878,3 +4878,31 @@ def test_modularity_hand_graph(spark):
         [(v, 9) for v in range(1, 7)], "vertex long, label long")
     g1 = modularity_communities(edges, one).collect()
     assert len(g1) == 1 and g1[0].contribution == 0.0
+
+
+def test_interval_join_exactly_once_and_edges(spark):
+    """binned_interval_join: pairs spanning MANY shared bins emit
+    exactly once; touching endpoints match; inverted/NULL bounds
+    match nothing."""
+    import pytest as _pt
+
+    from puffbird_spark.operators.rangejoin import binned_interval_join
+
+    left = spark.createDataFrame(
+        [(1, 0.0, 1000.0),      # spans ~16 bins at width 64
+         (2, 500.0, 510.0),
+         (3, 2000.0, 1000.0),   # inverted -> no match
+         (4, None, 100.0)],     # NULL -> no match
+        "lid long, l_lo double, l_hi double")
+    right = spark.createDataFrame(
+        [(10, 100.0, 900.0),    # overlaps 1 across many bins, and 2
+         (11, 1000.0, 1100.0),  # touches 1 at the endpoint
+         (12, 5000.0, 6000.0)], # disjoint
+        "rid long, r_lo double, r_hi double")
+    got = sorted((r.lid, r.rid) for r in binned_interval_join(
+        left, right, "l_lo", "l_hi", "r_lo", "r_hi", 64.0).collect())
+    assert got == [(1, 10), (1, 11), (2, 10)]
+
+    with _pt.raises(ValueError):
+        binned_interval_join(left, right,
+                             "l_lo", "l_hi", "r_lo", "r_hi", 0)

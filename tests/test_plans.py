@@ -356,3 +356,12 @@ def test_fuzzy_del1_pairs_inside_buckets_only(q):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "levenshtein" in plan.lower()
+
+
+def test_interval_overlap_join_no_nested_loop(q):
+    """The interval-OVERLAP join must plan as an equi-join on the bin
+    id — no BroadcastNestedLoopJoin / CartesianProduct anywhere."""
+    df = q("join_interval_overlap")
+    plan = P.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
