@@ -525,6 +525,8 @@ def seasonal_decompose(
     if trend_window % 2 == 0 or trend_window < 3:
         raise ValueError(
             f"trend_window must be odd and >= 3, got {trend_window}")
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
     from pyspark.sql.window import Window
 
     keys = list(key_cols)

@@ -1404,3 +1404,93 @@ def events_top_paths(spark, sf_dir):
         .orderBy(F.desc("n_paths"), F.asc("path"))
         .limit(10)
     )
+
+
+@query("stream_heavy_hitters", oracle="""
+WITH types AS (SELECT DISTINCT event_type FROM events
+               WHERE user_id IS NOT NULL)
+SELECT event_type, item, TRUE AS in_sketch,
+       TRUE AS ok_upper, TRUE AS ok_lower
+FROM types CROSS JOIN (VALUES ('heavy_0'), ('heavy_1')) AS h(item)
+ORDER BY event_type, item
+""")
+def stream_heavy_hitters(spark, sf_dir):
+    """TRUE-streaming Misra-Gries heavy hitters
+    (`heavy_hitters_tracker`, streaming/stateful.py): a planted-skew
+    item stream (two ~25% heavy accounts over a 997-way tail) replays
+    in three ordered micro-batches; the capacity-8 keyed summary must
+    still contain both heavy items per event type with estimates
+    inside the MG envelope ``true − N/9 <= est <= true`` — checked as
+    integer booleans against exact batch counts, so a broken merge
+    rule, lost state, or batch-order regression flips a bit and the
+    hash. SELF-CHECKING (the sketch itself is order-dependent by
+    design; the guarantee is not)."""
+    import os
+    import shutil
+    import time as _time
+
+    from ..streaming import write_foreach_batch
+    from ..streaming.stateful import heavy_hitters_tracker
+
+    item = F.when(
+        F.col("user_id") % 10 < 5,
+        F.concat(F.lit("heavy_"), (F.col("user_id") % 2).cast("string")),
+    ).otherwise(
+        F.concat(F.lit("tail_"), (F.col("user_id") % 997).cast("string")))
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    base = f"/tmp/pbs_strhh{tag}"
+    out_dir = f"{base}/out"
+    if not os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        shutil.rmtree(base, ignore_errors=True)
+        ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+              .filter(F.col("user_id").isNotNull())
+              .select("event_type", "event_id", item.alias("item")))
+        ev.repartitionByRange(3, "event_id").write.parquet(f"{base}/stage")
+        parts = sorted(f for f in os.listdir(f"{base}/stage")
+                       if f.endswith(".parquet"))
+        os.makedirs(f"{base}/in", exist_ok=True)
+        for i, p in enumerate(parts):
+            shutil.copy(f"{base}/stage/{p}", f"{base}/in/b{i}.parquet")
+            _time.sleep(1.1)       # distinct mtimes = deterministic order
+        src = (spark.readStream
+               .schema("event_type string, event_id long, item string")
+               .option("maxFilesPerTrigger", 1).parquet(f"{base}/in"))
+        sketch = heavy_hitters_tracker(
+            src.select("event_type", "item"),
+            key="event_type", item_col="item", capacity=8)
+
+        def sink(df, epoch_id):
+            df.write.mode("append").parquet(out_dir)
+
+        q = write_foreach_batch(
+            sketch, sink, checkpoint=f"{base}/ckpt", trigger_once=True,
+        ).start()
+        q.awaitTermination(300)
+    emitted = spark.read.parquet(out_dir)
+    from pyspark.sql.window import Window as W
+    last = (emitted.withColumn(
+        "__mx", F.max("seq").over(W.partitionBy("event_type")))
+        .filter(F.col("seq") == F.col("__mx")))
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .filter(F.col("user_id").isNotNull())
+          .select("event_type", item.alias("item")))
+    true = ev.groupBy("event_type", "item").agg(
+        F.count(F.lit(1)).alias("__true"))
+    n = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("__n"))
+    expect = (ev.select("event_type").distinct()
+              .crossJoin(spark.createDataFrame(
+                  [("heavy_0",), ("heavy_1",)], "item string")))
+    return (
+        expect.join(last.select("event_type", "item", "est"),
+                    ["event_type", "item"], "left")
+        .join(true, ["event_type", "item"])
+        .join(F.broadcast(n), "event_type")
+        .select(
+            "event_type", "item",
+            F.col("est").isNotNull().alias("in_sketch"),
+            (F.col("est") <= F.col("__true")).alias("ok_upper"),
+            (F.col("est") * 9 >= F.col("__true") * 9 - F.col("__n"))
+            .alias("ok_lower"),
+        )
+        .orderBy("event_type", "item")
+    )

@@ -150,3 +150,79 @@ def session_tracker(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def heavy_hitters_tracker(
+    stream: DataFrame,
+    key: str = "event_type",
+    item_col: str = "item",
+    capacity: int = 8,
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """TRUE-streaming Misra-Gries heavy hitters per key (the streaming
+    twin of the batch `text_heavy_hitters` sketch): keyed state holds a
+    bounded summary of at most ``capacity`` (item, count) pairs; each
+    micro-batch's counts merge in with the summary-merge rule (Agarwal
+    et al. 2013 — subtract the (capacity+1)-th largest count, drop the
+    non-positive), so state stays O(capacity) per key FOREVER while
+    guaranteeing
+
+        true_count − N/(capacity+1)  <=  est  <=  true_count
+
+    and that any item with true frequency above N/(capacity+1) is
+    still in the summary. Ties in the merge order break on
+    (count desc, item asc), so the whole trajectory is deterministic
+    given the micro-batch order (stage replay files with distinct
+    mtimes — the batch-order lesson). Each batch emits the key's full
+    summary stamped with a state-owned batch sequence number; readers
+    take the max-seq rows per key."""
+    out_schema = (f"{key} string, seq long, item string, "
+                  "est long, n_total long")
+    state_schema = "items array<string>, counts array<long>, n long, seq long"
+
+    def update(key_tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            if state.exists:
+                state.remove()
+            return
+        if state.exists:
+            items, counts, n, seq = state.get
+            summary = dict(zip(items, counts))
+        else:
+            summary, n, seq = {}, 0, 0
+        batch_n = 0
+        for pdf in pdfs:
+            vc = pdf[item_col].value_counts()
+            batch_n += int(vc.sum())
+            for item, c in vc.items():
+                summary[str(item)] = summary.get(str(item), 0) + int(c)
+        n += batch_n
+        if len(summary) > capacity:
+            ranked = sorted(summary.items(), key=lambda kv: (-kv[1], kv[0]))
+            t = ranked[capacity][1]
+            summary = {i: c - t for i, c in ranked[:capacity] if c - t > 0}
+        seq += 1
+        items = sorted(summary)
+        state.update((items, [summary[i] for i in items], n, seq))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame({
+            key: [key_tuple[0]] * len(items),
+            "seq": [seq] * len(items),
+            "item": items,
+            "est": [summary[i] for i in items],
+            "n_total": [n] * len(items),
+        })
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return stream.groupBy(key).applyInPandasWithState(
+        update,
+        outputStructType=StructType.fromDDL(out_schema),
+        stateStructType=StructType.fromDDL(state_schema),
+        outputMode="update",
+        timeoutConf=timeout,
+    )

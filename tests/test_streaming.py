@@ -466,3 +466,40 @@ def test_ohlc_stream_equals_batch(spark, sf_dir, tmpdir):
                 for r in ohlc_bars(
                     batch, "event_type", "ts", "value", "1 hour").collect()}
     assert got == expected
+
+
+def test_heavy_hitters_tracker_merge_rule(spark, tmpdir):
+    """Misra-Gries streaming summary: hand-replayed two-batch merge at
+    capacity 2 — eviction subtracts the (cap+1)-th count, state
+    carries across the boundary, and estimates stay in the envelope."""
+    from puffbird_spark.streaming import write_foreach_batch
+    from puffbird_spark.streaming.stateful import heavy_hitters_tracker
+
+    b1 = [("k", x) for x in
+          ["a", "a", "a", "b", "b", "c"]]          # -> {a:2, b:1} after t=1
+    b2 = [("k", "c")] * 4                          # -> {c:3, a:1} after t=1
+    os.makedirs(f"{tmpdir}/in", exist_ok=True)
+    for i, rows in enumerate([b1, b2]):
+        tmp = f"{tmpdir}/stage{i}"
+        spark.createDataFrame(rows, "g string, item string") \
+            .coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        shutil.copy(f"{tmp}/{part}", f"{tmpdir}/in/b{i}.parquet")
+
+    src = (spark.readStream.schema("g string, item string")
+           .option("maxFilesPerTrigger", 1).parquet(f"{tmpdir}/in"))
+    out = heavy_hitters_tracker(src, key="g", item_col="item", capacity=2)
+
+    def sink(df, epoch_id):
+        df.write.mode("append").parquet(f"{tmpdir}/out")
+
+    q = write_foreach_batch(
+        out, sink, checkpoint=f"{tmpdir}/ckpt", trigger_once=True).start()
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(f"{tmpdir}/out").collect()
+    by_seq = {}
+    for r in got:
+        by_seq.setdefault(r.seq, {})[r.item] = (r.est, r.n_total)
+    assert by_seq[1] == {"a": (2, 6), "b": (1, 6)}
+    assert by_seq[2] == {"c": (3, 10), "a": (1, 10)}
