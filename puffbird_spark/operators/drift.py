@@ -404,3 +404,69 @@ def mann_whitney_u(
         )
         .filter(F.col("z").isNotNull())
     )
+
+
+def runs_test(
+    df: DataFrame,
+    value_col: str,
+    order_col,
+    key_cols: list[str] | None = None,
+    dp: int = 6,
+) -> DataFrame:
+    """Wald-Wolfowitz runs test per key (Wald & Wolfowitz 1940) — is a
+    sequence random, or does it trend/oscillate? Each observation
+    becomes above(+)/below(−) its key's EXACT median (values equal to
+    the median are dropped, the standard treatment), runs are maximal
+    same-sign stretches counted with one lag window over
+    ``order_col``, and the z-score compares the observed run count to
+    the randomness expectation::
+
+        μ = 2·n₊·n₋/n + 1,
+        σ² = 2·n₊·n₋·(2·n₊·n₋ − n) / (n²·(n−1))
+
+    Sign counts and the run count are exact integers; μ and σ use one
+    fixed double expression each, so z replays exactly. Too few runs →
+    trending/clustered (z « 0); too many → oscillating (z » 0). One
+    median aggregate + one ordered lag window + one keyed agg.
+    Returns ``(*key_cols, n_above, n_below, n_runs, z)``; keys with an
+    empty side are omitted (no randomness question to ask)."""
+    from pyspark.sql.window import Window
+
+    keys = list(key_cols or [])
+    o = order_col if not isinstance(order_col, str) else F.col(order_col)
+    v = F.col(value_col).cast("double")
+    base = df.select(*keys, v.alias("__v"), o.alias("__o")) \
+        .filter(F.col("__v").isNotNull())
+    med = base.groupBy(*keys).agg(
+        F.percentile("__v", F.lit(0.5)).alias("__med"))
+    signed = (
+        base.join(F.broadcast(med), keys) if keys
+        else base.crossJoin(F.broadcast(med))
+    ).filter(F.col("__v") != F.col("__med")).select(
+        *keys, "__o", (F.col("__v") > F.col("__med")).alias("__up"))
+    w = Window.partitionBy(*keys).orderBy("__o")
+    runs = signed.select(
+        *keys, "__up",
+        F.when(
+            F.lag("__up").over(w).isNull()
+            | (F.lag("__up").over(w) != F.col("__up")), 1)
+        .otherwise(0).alias("__new_run"))
+    per_key = runs.groupBy(*keys).agg(
+        F.sum(F.col("__up").cast("int")).cast("long").alias("n_above"),
+        F.sum((~F.col("__up")).cast("int")).cast("long").alias("n_below"),
+        F.sum("__new_run").cast("long").alias("n_runs"))
+    na, nb = F.col("n_above"), F.col("n_below")
+    n = na + nb
+    two = (2 * na * nb).cast("double")
+    mu = two / n + 1
+    var = (two * (two - n.cast("double"))
+           / (n * n * (n - 1)).cast("double"))
+    return (
+        per_key.filter((na > 0) & (nb > 0) & (n > 1))
+        .select(
+            *keys, "n_above", "n_below", "n_runs",
+            F.when(var > 0, F.round(
+                (F.col("n_runs").cast("double") - mu) / F.sqrt(var),
+                dp)).alias("z"))
+        .filter(F.col("z").isNotNull())
+    )

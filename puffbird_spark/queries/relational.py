@@ -2432,3 +2432,125 @@ def join_interval_overlap(spark, sf_dir):
         F.greatest("l_lo", "r_lo").cast("long").alias("overlap_start"),
         F.least("l_hi", "r_hi").cast("long").alias("overlap_end"),
     ).orderBy("c_custkey", "s_suppkey")
+
+
+@query("diag_runs_test", oracle="""
+WITH base AS (SELECT event_type, value AS v, ts, event_id FROM events
+              WHERE value IS NOT NULL),
+med AS (SELECT event_type, quantile_cont(v, 0.5) AS m
+        FROM base GROUP BY event_type),
+s AS (SELECT b.event_type, b.ts, b.event_id, b.v > med.m AS up
+      FROM base b JOIN med ON b.event_type = med.event_type
+      WHERE b.v != med.m),
+r AS (SELECT event_type, up,
+        CASE WHEN LAG(up) OVER w IS NULL OR LAG(up) OVER w != up
+             THEN 1 ELSE 0 END AS nr
+      FROM s WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+a AS (SELECT event_type, SUM(CAST(up AS INT)) AS na,
+        SUM(CAST(NOT up AS INT)) AS nb, SUM(nr) AS runs
+      FROM r GROUP BY event_type)
+SELECT event_type, CAST(na AS BIGINT) AS n_above,
+  CAST(nb AS BIGINT) AS n_below, CAST(runs AS BIGINT) AS n_runs,
+  round((CAST(runs AS DOUBLE)
+         - (CAST(2 * na * nb AS DOUBLE) / (na + nb) + 1))
+        / sqrt(CAST(2 * na * nb AS DOUBLE)
+               * (CAST(2 * na * nb AS DOUBLE)
+                  - CAST(na + nb AS DOUBLE))
+               / CAST((na + nb) * (na + nb) * (na + nb - 1)
+                      AS DOUBLE)), 6) AS z
+FROM a WHERE na > 0 AND nb > 0
+""")
+def diag_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test (`runs_test`, operators/drift.py) —
+    per event type, is the time-ordered value sequence random around
+    its median, or trending/oscillating? The sequence-memory
+    complement to `timeseries_acf` with a yes/no z-score. Integer run
+    and sign counts, exact median, one fixed double expression for
+    μ/σ — replays exactly."""
+    from ..operators.drift import runs_test
+
+    return runs_test(
+        load(spark, sf_dir, "events"),
+        value_col="value",
+        order_col=F.struct("ts", "event_id"),
+        key_cols=["event_type"])
+
+
+@query("diag_mutual_information", oracle="""
+WITH base AS (SELECT event_type AS r, user_id % 4 AS c FROM events
+              WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+cells AS (SELECT r, c, COUNT(*) AS o FROM base GROUP BY r, c),
+rt AS (SELECT r, SUM(o) AS rt FROM cells GROUP BY r),
+ct AS (SELECT c, SUM(o) AS ct FROM cells GROUP BY c),
+tot AS (SELECT SUM(o) AS n FROM cells),
+mi_t AS (SELECT SUM(CAST(round(
+          cells.o * ln(CAST(cells.o * tot.n AS DOUBLE)
+                       / CAST(rt.rt * ct.ct AS DOUBLE)), 9)
+        AS DECIMAL(28,9))) AS s
+      FROM cells JOIN rt USING (r) JOIN ct USING (c) CROSS JOIN tot),
+hr_t AS (SELECT SUM(CAST(round(rt * ln(CAST(rt AS DOUBLE)), 9)
+           AS DECIMAL(28,9))) AS s FROM rt),
+hc_t AS (SELECT SUM(CAST(round(ct * ln(CAST(ct AS DOUBLE)), 9)
+           AS DECIMAL(28,9))) AS s FROM ct)
+SELECT CAST(tot.n AS BIGINT) AS n,
+  round(CAST(mi_t.s AS DOUBLE) / tot.n, 6) AS mi,
+  round(ln(CAST(tot.n AS DOUBLE))
+        - CAST(hr_t.s AS DOUBLE) / tot.n, 6) AS h_row,
+  round(ln(CAST(tot.n AS DOUBLE))
+        - CAST(hc_t.s AS DOUBLE) / tot.n, 6) AS h_col,
+  round(round(CAST(mi_t.s AS DOUBLE) / tot.n, 6)
+        / sqrt(round(ln(CAST(tot.n AS DOUBLE))
+                     - CAST(hr_t.s AS DOUBLE) / tot.n, 6)
+               * round(ln(CAST(tot.n AS DOUBLE))
+                       - CAST(hc_t.s AS DOUBLE) / tot.n, 6)), 6) AS nmi
+FROM tot CROSS JOIN mi_t CROSS JOIN hr_t CROSS JOIN hc_t
+""")
+def diag_mutual_information(spark, sf_dir):
+    """Mutual information + marginal entropies between event type and
+    user cohort (Shannon 1948; the nonlinear-dependence counterpart
+    of `diag_chi_square` on the same contingency table) — MI in nats
+    from integer cell counts with 9-dp decimal term snaps, entropies
+    via ``ln n − (Σ c·ln c)/n``, NMI from the rounded components.
+    Cell terms are one ln of an exact integer ratio each, so the
+    whole statistic replays."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull())
+    cells = ev.groupBy(
+        F.col("event_type").alias("r"),
+        (F.col("user_id") % 4).alias("c")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rt = cells.groupBy("r").agg(F.sum("o").alias("rt"))
+    ct = cells.groupBy("c").agg(F.sum("o").alias("ct"))
+    tot = cells.agg(F.sum("o").alias("n"))
+
+    def snap(c):
+        return F.round(c, 9).cast("decimal(28,9)")
+
+    mi_t = (
+        cells.join(F.broadcast(rt), "r").join(F.broadcast(ct), "c")
+        .crossJoin(F.broadcast(tot))
+        .agg(F.sum(snap(
+            F.col("o") * F.log(
+                (F.col("o") * F.col("n")).cast("double")
+                / (F.col("rt") * F.col("ct")).cast("double"))))
+            .alias("s")))
+    hr_t = rt.agg(F.sum(snap(
+        F.col("rt") * F.log(F.col("rt").cast("double")))).alias("s"))
+    hc_t = ct.agg(F.sum(snap(
+        F.col("ct") * F.log(F.col("ct").cast("double")))).alias("s"))
+    ln_n = F.log(F.col("n").cast("double"))
+    mi = F.round(F.col("__mi").cast("double") / F.col("n"), 6)
+    h_row = F.round(ln_n - F.col("__hr").cast("double") / F.col("n"), 6)
+    h_col = F.round(ln_n - F.col("__hc").cast("double") / F.col("n"), 6)
+    return (
+        tot.crossJoin(F.broadcast(mi_t.select(F.col("s").alias("__mi"))))
+        .crossJoin(F.broadcast(hr_t.select(F.col("s").alias("__hr"))))
+        .crossJoin(F.broadcast(hc_t.select(F.col("s").alias("__hc"))))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            mi.alias("mi"),
+            h_row.alias("h_row"),
+            h_col.alias("h_col"),
+            F.round(mi / F.sqrt(h_row * h_col), 6).alias("nmi"),
+        )
+    )

@@ -4906,3 +4906,31 @@ def test_interval_join_exactly_once_and_edges(spark):
     with _pt.raises(ValueError):
         binned_interval_join(left, right,
                              "l_lo", "l_hi", "r_lo", "r_hi", 0)
+
+
+def test_runs_test_hand_sequences(spark):
+    """Runs test: perfectly alternating vs perfectly blocked sequences
+    around the median, run counts and z-signs pinned by hand."""
+    from puffbird_spark.operators.drift import runs_test
+
+    def run(vals):
+        df = spark.createDataFrame(
+            [(i, float(v)) for i, v in enumerate(vals)],
+            "i long, v double")
+        rows = runs_test(df, "v", "i").collect()
+        return rows[0] if rows else None
+
+    # alternating low/high x5: 10 runs of length 1 -> z > 0
+    alt = run([1, 9, 1, 9, 1, 9, 1, 9, 1, 9])
+    assert (alt.n_above, alt.n_below, alt.n_runs) == (5, 5, 10)
+    # mu = 6, var = 20/9; z = 4/sqrt(20/9)
+    import math
+    assert alt.z == round(4 / math.sqrt(20 / 9), 6)
+
+    # fully blocked: 2 runs -> z < 0, symmetric magnitude
+    blk = run([1, 1, 1, 1, 1, 9, 9, 9, 9, 9])
+    assert (blk.n_above, blk.n_below, blk.n_runs) == (5, 5, 2)
+    assert blk.z == round(-4 / math.sqrt(20 / 9), 6)
+
+    # all values equal the median -> everything dropped, no row
+    assert run([5, 5, 5, 5]) is None
