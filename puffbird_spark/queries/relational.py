@@ -2554,3 +2554,66 @@ def diag_mutual_information(spark, sf_dir):
             F.round(mi / F.sqrt(h_row * h_col), 6).alias("nmi"),
         )
     )
+
+
+@query("cohort_ltv", oracle="""
+WITH first AS (SELECT o_custkey,
+        MIN(date_trunc('month', CAST(o_orderdate AS DATE))) AS cm
+      FROM orders GROUP BY o_custkey),
+sz AS (SELECT cm, COUNT(*) AS cohort_size FROM first GROUP BY cm),
+rev AS (SELECT f.cm,
+        (year(CAST(o.o_orderdate AS DATE)) * 12
+         + month(CAST(o.o_orderdate AS DATE)))
+        - (year(f.cm) * 12 + month(f.cm)) AS off,
+        COUNT(*) AS n_orders,
+        SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS r
+      FROM orders o JOIN first f ON o.o_custkey = f.o_custkey
+      GROUP BY f.cm, off),
+cum AS (SELECT cm, off, n_orders,
+        SUM(r) OVER (PARTITION BY cm ORDER BY off) AS cr
+      FROM rev)
+SELECT cum.cm AS cohort_month, CAST(cum.off AS INT) AS month_offset,
+  CAST(cum.n_orders AS BIGINT) AS n_orders,
+  CAST(sz.cohort_size AS BIGINT) AS cohort_size,
+  CAST(cum.cr AS DOUBLE) AS cum_revenue,
+  round(CAST(cum.cr AS DOUBLE) / sz.cohort_size, 6) AS ltv_per_customer
+FROM cum JOIN sz ON sz.cm = cum.cm
+ORDER BY cohort_month, month_offset
+""")
+def cohort_ltv(spark, sf_dir):
+    """Cohort lifetime-value curves — the revenue twin of
+    `cohort_retention`: customers cohort by first-order month, revenue
+    accumulates per month offset (integer year*12+month arithmetic, no
+    engine month-diff quirks), and LTV divides the exact-decimal
+    cumulative by cohort size once per cell. The cumulative window
+    runs over the (cohort x offset) aggregate — months, not orders —
+    so the window state is calendar-sized at any data scale."""
+    orders = load(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("date")
+    first = orders.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", od).cast("date")).alias("cm"))
+    sz = first.groupBy("cm").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size"))
+    off = ((F.year(od) * 12 + F.month(od))
+           - (F.year("cm") * 12 + F.month("cm")))
+    rev = (
+        orders.join(first, "o_custkey")
+        .groupBy("cm", off.alias("off"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+             F.sum(dec("o_totalprice")).alias("r"))
+    )
+    from pyspark.sql.window import Window as W
+    cum = rev.withColumn(
+        "cr", F.sum("r").over(W.partitionBy("cm").orderBy("off")))
+    return (
+        cum.join(sz, "cm")
+        .select(
+            F.col("cm").alias("cohort_month"),
+            F.col("off").cast("int").alias("month_offset"),
+            "n_orders", "cohort_size",
+            F.col("cr").cast("double").alias("cum_revenue"),
+            F.round(F.col("cr").cast("double") / F.col("cohort_size"), 6)
+            .alias("ltv_per_customer"),
+        )
+        .orderBy("cohort_month", "month_offset")
+    )

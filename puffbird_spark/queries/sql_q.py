@@ -271,3 +271,34 @@ def sql_pivot(spark, sf_dir):
                FOR ls IN ('O' AS o, 'F' AS f))
         ORDER BY rf
     """)
+
+
+@query("sql_lateral_topn", oracle="""
+SELECT c.c_custkey, o.o_orderkey,
+       CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+FROM customer c CROSS JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY CAST(o_totalprice AS DECIMAL(12,2)) DESC, o_orderkey
+  LIMIT 2) o
+ORDER BY c.c_custkey, price DESC, o.o_orderkey
+""")
+def sql_lateral_topn(spark, sf_dir):
+    """LATERAL correlated subquery (new SQL surface in Spark 4) — each
+    customer's top-2 orders by price via a per-row dependent subquery;
+    Catalyst decorrelates it to a ranked window join rather than
+    re-executing per row. Ties pinned by order key; decimal-exact
+    price ordering."""
+    c = _view(spark, sf_dir, "customer")
+    o = _view(spark, sf_dir, "orders")
+    return spark.sql(f"""
+        SELECT c.c_custkey, o.o_orderkey,
+               CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE)
+                 AS price
+        FROM {c} c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM {o}
+          WHERE o_custkey = c.c_custkey
+          ORDER BY CAST(o_totalprice AS DECIMAL(12,2)) DESC, o_orderkey
+          LIMIT 2) o
+        ORDER BY c.c_custkey, price DESC, o.o_orderkey
+    """)
