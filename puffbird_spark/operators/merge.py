@@ -166,3 +166,61 @@ def merge_upsert(
             ).alias(c))
     inserts = inserts_src.filter(~F.col("__del")).select(*insert_cols)
     return updated.unionByName(inserts)
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    attr_cols: list[str],
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    eff_col: str = "effective_ts",
+) -> DataFrame:
+    """Apply a change batch to a Type-2 slowly-changing dimension
+    (Kimball SCD2 — the maintenance twin of the read-side
+    :func:`~puffbird_spark.operators.asof.scd2_join`): for each key in
+    ``updates`` whose attributes DIFFER from its current row, the
+    current row closes (``valid_to = effective_ts``) and a new current
+    row opens at ``effective_ts``; no-op updates (identical attributes,
+    null-safe compare) leave the dimension untouched; updates for
+    unknown keys insert a fresh current row. History rows
+    (``valid_to IS NOT NULL``) pass through untouched by construction.
+
+    One update per key per batch (enforced — raise on duplicates:
+    applying two changes to one key in one batch has no well-defined
+    order). Plan shape: the dimension's CURRENT slice left-joins the
+    (broadcast-able) update batch on the key — history never joins
+    anything; at 100 TB partition the dimension table by ``to_col IS
+    NULL`` (the snapshot/manifest layout of `operators/layout.py`)
+    so maintenance scans only the current slice."""
+    keys = list(key_cols)
+    attrs = list(attr_cols)
+    dup = (updates.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+           .filter(F.col("n") > 1).limit(1).collect())
+    if dup:
+        raise ValueError(
+            f"scd2_apply: multiple updates for key {dup[0][:len(keys)]} "
+            "in one batch — apply batches per effective time instead")
+    hist = dim.filter(F.col(to_col).isNotNull())
+    cur = dim.filter(F.col(to_col).isNull())
+    u = updates.select(
+        *keys,
+        *[F.col(a).alias(f"__u_{a}") for a in attrs],
+        F.col(eff_col).alias("__eff"))
+    j = cur.join(F.broadcast(u), keys, "full_outer")
+    changed = F.col("__eff").isNotNull() & F.col(from_col).isNotNull() & (
+        ~F.struct(*[F.col(a) for a in attrs]).eqNullSafe(
+            F.struct(*[F.col(f"__u_{a}").alias(a) for a in attrs])))
+    inserted = F.col("__eff").isNotNull() & F.col(from_col).isNull()
+    untouched = j.filter(~changed & ~inserted & F.col(from_col).isNotNull()) \
+        .select(*keys, *attrs, from_col, to_col)
+    closed = j.filter(changed).select(
+        *keys, *attrs, from_col, F.col("__eff").alias(to_col))
+    opened = j.filter(changed | inserted).select(
+        *keys,
+        *[F.col(f"__u_{a}").alias(a) for a in attrs],
+        F.col("__eff").alias(from_col),
+        F.lit(None).cast(dim.schema[to_col].dataType).alias(to_col))
+    return hist.select(*keys, *attrs, from_col, to_col) \
+        .unionByName(untouched).unionByName(closed).unionByName(opened)

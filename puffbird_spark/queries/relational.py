@@ -2617,3 +2617,75 @@ def cohort_ltv(spark, sf_dir):
         )
         .orderBy("cohort_month", "month_offset")
     )
+
+
+@query("merge_scd2_apply", oracle="""
+WITH cur AS (SELECT c_custkey, c_mktsegment AS segment,
+        DATE '2020-01-01' AS valid_from,
+        CAST(NULL AS DATE) AS valid_to FROM customer),
+hist AS (SELECT c_custkey, 'OLD' AS segment,
+        DATE '2018-01-01' AS valid_from,
+        DATE '2020-01-01' AS valid_to
+      FROM customer WHERE c_custkey % 20 = 0),
+changed AS (SELECT c_custkey FROM customer WHERE c_custkey % 10 = 0),
+expected AS (
+  SELECT * FROM hist
+  UNION ALL
+  SELECT * FROM cur WHERE c_custkey NOT IN (SELECT * FROM changed)
+  UNION ALL
+  SELECT c.c_custkey, c.c_mktsegment, DATE '2020-01-01',
+         DATE '2024-06-01'
+  FROM customer c JOIN changed ON changed.c_custkey = c.c_custkey
+  UNION ALL
+  SELECT c_custkey, 'PROMO', DATE '2024-06-01', CAST(NULL AS DATE)
+  FROM changed
+  UNION ALL
+  SELECT c_custkey + 1000000, 'NEW', DATE '2024-06-01',
+         CAST(NULL AS DATE)
+  FROM customer WHERE c_custkey % 10 = 3)
+SELECT c_custkey, segment, valid_from,
+  COALESCE(valid_to, DATE '9999-12-31') AS valid_to
+FROM expected
+ORDER BY c_custkey, valid_from
+""")
+def merge_scd2_apply(spark, sf_dir):
+    """SCD2 change application (`scd2_apply`, operators/merge.py;
+    Kimball Type-2) — one batch against a customer dimension with
+    planted history rows: changed keys close at the effective date
+    and reopen with the new segment, null-safe-identical updates
+    no-op, unknown keys insert fresh current rows, history passes
+    through untouched. The oracle constructs the exact expected
+    dimension; every row, boundary date, and NULL `valid_to`
+    hash-checked."""
+    from ..operators.merge import scd2_apply
+
+    cust = load(spark, sf_dir, "customer")
+    d = lambda s: F.lit(s).cast("date")
+    cur = cust.select(
+        "c_custkey", F.col("c_mktsegment").alias("segment"),
+        d("2020-01-01").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"))
+    hist = cust.filter(F.col("c_custkey") % 20 == 0).select(
+        "c_custkey", F.lit("OLD").alias("segment"),
+        d("2018-01-01").alias("valid_from"),
+        d("2020-01-01").alias("valid_to"))
+    dim = hist.unionByName(cur)
+    updates = (
+        cust.filter(F.col("c_custkey") % 10 == 0).select(
+            "c_custkey", F.lit("PROMO").alias("segment"))
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 10 == 5).select(
+                "c_custkey", F.col("c_mktsegment").alias("segment")))
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 10 == 3).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.lit("NEW").alias("segment")))
+        .withColumn("effective_ts", d("2024-06-01"))
+    )
+    out = scd2_apply(dim, updates, ["c_custkey"], ["segment"])
+    # NULL dates canonicalize differently across engines (NaT vs '');
+    # the gate pins the open-row marker to the conventional 9999-12-31
+    return out.withColumn(
+        "valid_to",
+        F.coalesce("valid_to", F.lit("9999-12-31").cast("date"))
+    ).orderBy("c_custkey", "valid_from")

@@ -4934,3 +4934,43 @@ def test_runs_test_hand_sequences(spark):
 
     # all values equal the median -> everything dropped, no row
     assert run([5, 5, 5, 5]) is None
+
+
+def test_scd2_apply_hand_dim(spark):
+    """scd2_apply: change closes+reopens, no-op leaves untouched,
+    unknown key inserts, history passes through, duplicate-key batch
+    raises."""
+    import datetime
+
+    import pytest as _pt
+
+    from puffbird_spark.operators.merge import scd2_apply
+
+    D = datetime.date
+    dim = spark.createDataFrame(
+        [(1, "A", D(2018, 1, 1), D(2020, 1, 1)),   # history
+         (1, "B", D(2020, 1, 1), None),            # current, will change
+         (2, "C", D(2020, 1, 1), None),            # current, no-op
+         (3, "D", D(2020, 1, 1), None)],           # current, untouched
+        "k long, seg string, valid_from date, valid_to date")
+    upd = spark.createDataFrame(
+        [(1, "B2", D(2024, 6, 1)),
+         (2, "C", D(2024, 6, 1)),                  # identical -> no-op
+         (9, "NEW", D(2024, 6, 1))],               # unknown key
+        "k long, seg string, effective_ts date")
+    got = sorted(
+        ((r.k, r.seg, str(r.valid_from), str(r.valid_to)) for r in
+         scd2_apply(dim, upd, ["k"], ["seg"]).collect()))
+    assert got == sorted([
+        (1, "A", "2018-01-01", "2020-01-01"),
+        (1, "B", "2020-01-01", "2024-06-01"),
+        (1, "B2", "2024-06-01", "None"),
+        (2, "C", "2020-01-01", "None"),
+        (3, "D", "2020-01-01", "None"),
+        (9, "NEW", "2024-06-01", "None")])
+
+    dup = spark.createDataFrame(
+        [(1, "X", D(2024, 1, 1)), (1, "Y", D(2024, 1, 1))],
+        "k long, seg string, effective_ts date")
+    with _pt.raises(ValueError):
+        scd2_apply(dim, dup, ["k"], ["seg"])
