@@ -2689,3 +2689,70 @@ def merge_scd2_apply(spark, sf_dir):
         "valid_to",
         F.coalesce("valid_to", F.lit("9999-12-31").cast("date"))
     ).orderBy("c_custkey", "valid_from")
+
+
+@query("set_ops_all_bag", oracle="""
+WITH a AS (SELECT l_suppkey AS k FROM lineitem WHERE l_linenumber <= 2),
+b AS (SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R')
+SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM (
+  SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+GROUP BY k
+UNION ALL
+SELECT -1 AS k, CAST(COUNT(*) AS BIGINT) AS n FROM (
+  SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+ORDER BY k
+""")
+def set_ops_all_bag(spark, sf_dir):
+    """BAG-semantics set operations (`intersectAll` / `exceptAll` —
+    the multiplicity-preserving twins of the r4 `set_intersect` /
+    `set_except` gates): per-key multiplicities of the intersection
+    bag, plus the total surviving multiplicity of the difference bag.
+    Catalyst plans both as a single aggregate + generate replication,
+    never a join explosion."""
+    li = load(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_linenumber") <= 2).select(
+        F.col("l_suppkey").alias("k"))
+    b = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_suppkey").alias("k"))
+    inter = (a.intersectAll(b).groupBy("k")
+             .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    diff = a.exceptAll(b).agg(
+        F.lit(-1).cast("long").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("n"))
+    return inter.unionByName(diff).orderBy("k")
+
+
+@query("agg_filter_clause", oracle="""
+SELECT l_returnflag,
+  CAST(COUNT(*) AS BIGINT) AS n_all,
+  CAST(COUNT(*) FILTER (WHERE l_quantity >= 25) AS BIGINT) AS n_big,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+       FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS rev_discounted,
+  CAST(COUNT(DISTINCT l_suppkey) FILTER (WHERE l_linestatus = 'O')
+       AS BIGINT) AS n_open_suppliers
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+def agg_filter_clause(spark, sf_dir):
+    """SQL aggregate FILTER clause (conditional aggregation surface —
+    the standard form of the CASE-WHEN-inside-SUM idiom): mixed
+    filtered COUNT / decimal SUM / DISTINCT in one grouped pass, both
+    engines planning a single aggregate."""
+    li = _tbl(spark, sf_dir)
+    return spark.sql(f"""
+        SELECT l_returnflag,
+          CAST(COUNT(*) AS BIGINT) AS n_all,
+          CAST(COUNT(*) FILTER (WHERE l_quantity >= 25) AS BIGINT)
+            AS n_big,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+               FILTER (WHERE l_discount > 0.05) AS DOUBLE)
+            AS rev_discounted,
+          CAST(COUNT(DISTINCT l_suppkey) FILTER (WHERE l_linestatus = 'O')
+               AS BIGINT) AS n_open_suppliers
+        FROM {li} GROUP BY l_returnflag ORDER BY l_returnflag
+    """)
+
+
+def _tbl(spark, sf_dir):
+    name = "pbs_rel_lineitem"
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView(name)
+    return name
