@@ -912,3 +912,27 @@ def dsir_log_weights(
             F.round(F.sum("__lr").cast("double"), dp).alias("log_weight"),
         )
     )
+
+
+def group_kfold(
+    df: DataFrame,
+    group_col: str,
+    k: int = 5,
+    seed: str = "kfold",
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Group-aware k-fold assignment (the GroupKFold of model
+    evaluation): the fold id is a pure hash function of the GROUP key
+    — ``draw_bucket(hash_draw(group), k)`` — so every row of a group
+    lands in the same fold and cross-fold group leakage is impossible
+    BY CONSTRUCTION, not by audit (the same guarantee
+    :func:`leakage_safe_split` gives the train/test cut, extended to
+    k folds). Scan-local projection: zero shuffles, append-stable,
+    layout-independent, and any engine that replays the md5 draw
+    reproduces the folds bit-for-bit. Fold sizes are uniform in
+    GROUPS (±hash noise); heavily skewed group sizes skew row counts
+    — by design (splitting a group would leak)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    return df.withColumn(
+        fold_col, draw_bucket(hash_draw(F.col(group_col), seed), k))

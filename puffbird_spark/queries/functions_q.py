@@ -477,3 +477,38 @@ def fn_luhn_mask(spark, sf_dir):
         F.size(F.filter(cands, luhn_valid)).alias("n_valid"),
         mask_valid_cards("msg").alias("msg_masked"),
     )
+
+
+@query("fn_edit_distance", oracle="""
+WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_partkey <= 50)
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist,
+  round(1.0 - CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE)
+        / greatest(length(a.p_name), length(b.p_name)), 6) AS similarity
+FROM p a JOIN p b ON a.p_partkey < b.p_partkey
+ORDER BY dist, id_a, id_b LIMIT 25
+""")
+def fn_edit_distance(spark, sf_dir):
+    """Levenshtein battery: pairwise edit distance + normalized
+    similarity over the first 50 part names (both engines implement
+    the identical Wagner-Fischer integer DP), top-25 closest pairs —
+    the builtin-distance surface under the `join_fuzzy_del1`
+    deletion-neighborhood join."""
+    p = load(spark, sf_dir, "part").filter(
+        F.col("p_partkey") <= 50).select("p_partkey", "p_name")
+    a = p.select(F.col("p_partkey").alias("id_a"),
+                 F.col("p_name").alias("na"))
+    b = p.select(F.col("p_partkey").alias("id_b"),
+                 F.col("p_name").alias("nb"))
+    d = F.levenshtein("na", "nb")
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", d.cast("int").alias("dist"),
+            F.round(
+                1.0 - d.cast("double")
+                / F.greatest(F.length("na"), F.length("nb")), 6)
+            .alias("similarity"))
+        .orderBy("dist", "id_a", "id_b")
+        .limit(25)
+    )

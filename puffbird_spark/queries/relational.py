@@ -2756,3 +2756,68 @@ def _tbl(spark, sf_dir):
     name = "pbs_rel_lineitem"
     load(spark, sf_dir, "lineitem").createOrReplaceTempView(name)
     return name
+
+
+@query("agg_moments", oracle="""
+WITH base AS (SELECT event_type, value AS x FROM events
+              WHERE value IS NOT NULL),
+st AS (SELECT event_type,
+    CAST(SUM(CAST(round(x, 12) AS DECIMAL(28,12))) AS DOUBLE)
+      / COUNT(*) AS m, COUNT(*) AS n
+  FROM base GROUP BY event_type),
+dv AS (SELECT b.event_type, st.n, b.x - st.m AS d
+  FROM base b JOIN st ON b.event_type = st.event_type),
+mom AS (SELECT event_type, MAX(n) AS n,
+    CAST(SUM(CAST(round(d * d, 9) AS DECIMAL(28,9))) AS DOUBLE)
+      / MAX(n) AS m2,
+    CAST(SUM(CAST(round(d * d * d, 9) AS DECIMAL(28,9))) AS DOUBLE)
+      / MAX(n) AS m3,
+    CAST(SUM(CAST(round(d * d * d * d, 9) AS DECIMAL(28,9))) AS DOUBLE)
+      / MAX(n) AS m4
+  FROM dv GROUP BY event_type)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+  round(m2, 6) AS variance_pop,
+  round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+  round(m4 / (m2 * m2) - 3, 6) AS kurtosis_excess
+FROM mom WHERE m2 > 0 ORDER BY event_type
+""")
+def agg_moments(spark, sf_dir):
+    """Exact higher moments per event type — population variance,
+    skewness ``m₃/m₂^1.5``, and excess kurtosis ``m₄/m₂²−3``
+    (Pearson moment coefficients; the shape complement to
+    `agg_distribution_stats`): deviations from the exact decimal
+    mean, every power snapped to 9-dp decimal before the order-free
+    sums, three final divisions. The same two-pass shape Spark's own
+    `skewness`/`kurtosis` one-pass aggregates approximate — those are
+    float-fold order-dependent, these replay bit-for-bit."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    st = ev.groupBy("event_type").agg(
+        (F.sum(F.round(F.col("value"), 12).cast("decimal(28,12)"))
+         .cast("double") / F.count(F.lit(1))).alias("m"),
+        F.count(F.lit(1)).alias("n"))
+    dv = ev.join(F.broadcast(st), "event_type").select(
+        "event_type", "n", (F.col("value") - F.col("m")).alias("d"))
+
+    def snap(c):
+        return F.round(c, 9).cast("decimal(28,9)")
+
+    d = F.col("d")
+    mom = dv.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        (F.sum(snap(d * d)).cast("double") / F.max("n")).alias("m2"),
+        (F.sum(snap(d * d * d)).cast("double") / F.max("n")).alias("m3"),
+        (F.sum(snap(d * d * d * d)).cast("double") / F.max("n"))
+        .alias("m4"))
+    return (
+        mom.filter(F.col("m2") > 0)
+        .select(
+            "event_type", F.col("n").cast("long").alias("n"),
+            F.round("m2", 6).alias("variance_pop"),
+            F.round(F.col("m3")
+                    / (F.col("m2") * F.sqrt(F.col("m2"))), 6)
+            .alias("skewness"),
+            F.round(F.col("m4") / (F.col("m2") * F.col("m2")) - 3, 6)
+            .alias("kurtosis_excess"),
+        )
+        .orderBy("event_type")
+    )

@@ -2281,3 +2281,32 @@ def sink_expectations(spark, sf_dir):
         },
     )
     return scorecard
+
+
+@query("split_group_kfold", oracle=f"""
+WITH f AS (SELECT user_id,
+    CAST(floor(CAST(('0x' || substr(
+          md5('kfold:' || {_enc_sql('user_id')}), 1, 4))::UBIGINT
+        AS BIGINT) * 5 / 65536) AS BIGINT) AS fold
+  FROM events WHERE user_id IS NOT NULL)
+SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_groups
+FROM f GROUP BY fold ORDER BY fold
+""")
+def split_group_kfold(spark, sf_dir):
+    """Group-aware 5-fold assignment (`group_kfold`,
+    operators/splits.py) keyed on user_id: per-fold row and group
+    counts. All of a user's events share a fold by construction —
+    the oracle replays the md5 bucket arithmetic (explicit floor:
+    Spark's long cast truncates, DuckDB's rounds), so fold membership
+    is pinned bit-for-bit."""
+    from ..operators.splits import group_kfold
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    folds = group_kfold(ev, "user_id", k=5, seed="kfold")
+    return (
+        folds.groupBy("fold")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+             F.count_distinct("user_id").cast("long").alias("n_groups"))
+        .orderBy("fold")
+    )
