@@ -1171,7 +1171,7 @@ def timeseries_theil_sen(spark, sf_dir):
     return theil_sen(daily, ["event_type"], "x", "y")
 
 
-@query("timeseries_seasonal_decompose", oracle="""
+_DECOMP_CTES = """
 WITH daily AS (SELECT event_type,
     date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
     CAST(round(CAST(SUM(CAST(value AS DECIMAL(28,12))) AS DOUBLE)
@@ -1190,6 +1190,9 @@ det AS (SELECT event_type, x, phase, yd, trend,
 seas AS (SELECT event_type, phase,
     CAST(SUM(dd) AS DOUBLE) / COUNT(*) AS s
   FROM det GROUP BY event_type, phase)
+"""
+
+_DECOMP_SELECT = """
 SELECT d.event_type, d.x, d.phase,
   round(CAST(d.yd AS DOUBLE), 6) AS y,
   round(d.trend, 6) AS trend,
@@ -1198,7 +1201,10 @@ SELECT d.event_type, d.x, d.phase,
         - round(seas.s, 6), 6) AS residual
 FROM det d JOIN seas ON d.event_type = seas.event_type
                     AND d.phase = seas.phase
-""")
+"""
+
+
+@query("timeseries_seasonal_decompose", oracle=_DECOMP_CTES + _DECOMP_SELECT)
 def timeseries_seasonal_decompose(spark, sf_dir):
     """Classical additive decomposition (`seasonal_decompose`,
     operators/timeseries.py) of the per-type daily mean series:
@@ -1493,4 +1499,72 @@ def stream_heavy_hitters(spark, sf_dir):
             .alias("ok_lower"),
         )
         .orderBy("event_type", "item")
+    )
+
+
+@query("timeseries_residual_anomalies",
+       oracle=_DECOMP_CTES + """,
+res AS (SELECT d.event_type,
+    round(round(CAST(d.yd AS DOUBLE), 6) - round(d.trend, 6)
+          - round(seas.s, 6), 6) AS r
+  FROM det d JOIN seas ON d.event_type = seas.event_type
+                      AND d.phase = seas.phase),
+med AS (SELECT event_type, round(quantile_cont(r, 0.5), 6) AS m
+  FROM res GROUP BY event_type),
+mad AS (SELECT res.event_type,
+    round(quantile_cont(abs(res.r - med.m), 0.5), 6) AS mad
+  FROM res JOIN med ON res.event_type = med.event_type
+  GROUP BY res.event_type, med.m),
+fl AS (SELECT res.event_type, med.m, mad.mad,
+    CAST(abs(res.r - med.m) > 3 * 1.4826 * mad.mad AS INT) AS a
+  FROM res
+  JOIN med ON res.event_type = med.event_type
+  JOIN mad ON res.event_type = mad.event_type)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_points,
+  MAX(m) AS med_resid, MAX(mad) AS mad_resid,
+  CAST(SUM(a) AS BIGINT) AS n_anomalies
+FROM fl GROUP BY event_type ORDER BY event_type
+""")
+def timeseries_residual_anomalies(spark, sf_dir):
+    """Composition: `seasonal_decompose` residuals -> exact
+    median/MAD -> 3σ-equivalent anomaly flags (the robust-statistics
+    anomaly recipe: flag where |r − med| > 3·1.4826·MAD, the normal-
+    consistency constant of `agg_robust_stats`). Detrending and
+    deseasonalizing FIRST is what separates 'Friday spike' from
+    'real incident'. Every stage is the already-proven exact
+    machinery, so the composition replays end to end."""
+    from ..operators.timeseries import seasonal_decompose
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = (
+        ev.withColumn("__d", F.col("ts").cast("date"))
+        .groupBy("event_type", "__d")
+        .agg((F.sum(F.col("value").cast("decimal(28,12)")).cast("double")
+              / F.count(F.lit(1))).alias("y"))
+        .select("event_type",
+                F.datediff(F.col("__d"), F.lit("1970-01-01").cast("date"))
+                .cast("long").alias("x"), "y")
+    )
+    dec_ = seasonal_decompose(daily, ["event_type"], "x", "y",
+                              period=7, trend_window=7)
+    res = dec_.select("event_type", F.col("residual").alias("r"))
+    med = res.groupBy("event_type").agg(
+        F.round(F.percentile("r", F.lit(0.5)), 6).alias("m"))
+    mad = (res.join(F.broadcast(med), "event_type")
+           .groupBy("event_type")
+           .agg(F.round(F.percentile(
+               F.abs(F.col("r") - F.col("m")), F.lit(0.5)), 6)
+               .alias("mad")))
+    fl = (res.join(F.broadcast(med), "event_type")
+          .join(F.broadcast(mad), "event_type")
+          .select("event_type", "m", "mad",
+                  (F.abs(F.col("r") - F.col("m"))
+                   > 3 * 1.4826 * F.col("mad")).cast("int").alias("a")))
+    return (
+        fl.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_points"),
+             F.max("m").alias("med_resid"),
+             F.max("mad").alias("mad_resid"),
+             F.sum("a").cast("long").alias("n_anomalies"))
+        .orderBy("event_type")
     )

@@ -170,3 +170,43 @@ def window_ntile_cume(spark, sf_dir):
         F.nth_value("l_extendedprice", 2).over(w).alias("second_price"),
         F.cume_dist().over(w).alias("cdist"),
     )
+
+
+@query("window_interval_range", oracle="""
+SELECT event_id, event_type, ts,
+  CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+  CAST(SUM(CAST(value AS DECIMAL(28,12))) OVER w AS DOUBLE)
+    AS sum_last_hour
+FROM events
+WHERE user_id IS NOT NULL AND user_id % 50 = 0
+WINDOW w AS (PARTITION BY event_type ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY event_type, ts, event_id
+""")
+def window_interval_range(spark, sf_dir):
+    """Time-interval RANGE frame — the rolling-hour window every
+    telemetry rollup needs (`window_range_frame` is its numeric
+    twin): per type, events and exact-decimal value sum over the
+    trailing hour BY EVENT TIME, ties sharing a timestamp all see the
+    same frame (the RANGE-vs-ROWS distinction that matters). Pure
+    SQL on both engines; the decimal sum makes the frame fold
+    order-free."""
+    ev = _view(spark, sf_dir)
+    return spark.sql(f"""
+        SELECT event_id, event_type, ts,
+          CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+          CAST(SUM(CAST(value AS DECIMAL(28,12))) OVER w AS DOUBLE)
+            AS sum_last_hour
+        FROM {ev}
+        WHERE user_id IS NOT NULL AND user_id % 50 = 0
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                           AND CURRENT ROW)
+        ORDER BY event_type, ts, event_id
+    """)
+
+
+def _view(spark, sf_dir):
+    name = "pbs_win_events"
+    load(spark, sf_dir, "events").createOrReplaceTempView(name)
+    return name
