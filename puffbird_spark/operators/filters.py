@@ -151,12 +151,17 @@ def gopher_rules(
     )
     bi = (
         base.filter(F.col("n_words") >= 2)   # sequence(0, -1) descends!
+        # bind the token array ONCE — a split() inside the transform
+        # lambda re-tokenizes per element (measured 5.0 -> 1.5s at
+        # sf0.1; the CDC fence lesson, expression edition)
+        .select("__id", "__chars",
+                F.split(F.col("__t"), " ").alias("__tk"))
         .select(
             "__id", "__chars",
             F.explode(F.expr(
-                "transform(sequence(0, size(split(__t, ' ')) - 2),"
-                " i -> concat(element_at(split(__t, ' '), i + 1), ' ',"
-                " element_at(split(__t, ' '), i + 2)))")).alias("bg"))
+                "transform(sequence(0, size(__tk) - 2),"
+                " i -> concat(element_at(__tk, i + 1), ' ',"
+                " element_at(__tk, i + 2)))")).alias("bg"))
         .groupBy("__id", "__chars", "bg")
         .agg(F.count(F.lit(1)).alias("c"))
     )
