@@ -644,3 +644,105 @@ def committed_epochs(spark, table_path: str) -> set[int]:
         if "epoch" in man:
             out.add(int(man["epoch"]))
     return out
+
+
+def hilbert_value(xcol, ycol, bits: int = 8) -> Column:
+    """Hilbert-curve index of two non-negative integer columns (Hilbert
+    1891; the xy→d walk of Warren's Hacker's Delight formulation) — the
+    locality-clustering key that beats :func:`z_value` when range scans
+    matter: consecutive Hilbert cells are always GRID-ADJACENT (unit
+    Manhattan step, pinned in tests), while Morton order takes long
+    diagonal jumps at power-of-two boundaries, so a range of Hilbert
+    values covers a tighter spatial blob and parquet min/max skipping
+    prunes more files for 2-D range predicates.
+
+    Closed-form integer arithmetic per bit level (quadrant code +
+    conditional reflect/swap rotation). The rotation REASSIGNS x and y,
+    so the single-Column unroll re-embeds prior levels ~7× per level —
+    exponential expression growth (8 levels OOMed the planner). This
+    Column form is therefore capped at 5 levels for literal inline use;
+    :func:`with_hilbert` is the production path — one Generate fence
+    per level keeps the plan LINEAR in ``bits``. Inputs must fit
+    ``bits`` bits (clip/normalize first, as with ``z_value``)."""
+    if bits < 1 or bits > 5:
+        raise ValueError(
+            f"bits must be in [1, 5] for the Column form (expression "
+            f"size grows ~7^bits), got {bits}; use with_hilbert")
+    x = (xcol if not isinstance(xcol, str) else F.col(xcol)).cast("long")
+    y = (ycol if not isinstance(ycol, str) else F.col(ycol)).cast("long")
+    d = F.lit(0).cast("long")
+    for level in range(bits - 1, -1, -1):
+        s = 1 << level
+        rx = F.when(x.bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
+        ry = F.when(y.bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
+        d = d + F.lit(s).cast("long") * F.lit(s) * (
+            (3 * rx).bitwiseXOR(ry))
+        # rotate the frame: reflect when rx=1∧ry=0, then swap when ry=0
+        xr = F.when((ry == 0) & (rx == 1), F.lit(s - 1) - x).otherwise(x)
+        yr = F.when((ry == 0) & (rx == 1), F.lit(s - 1) - y).otherwise(y)
+        x, y = (
+            F.when(ry == 0, yr).otherwise(xr),
+            F.when(ry == 0, xr).otherwise(yr),
+        )
+    return d
+
+
+def hilbert_repartition(
+    df: DataFrame,
+    xcol: str,
+    ycol: str,
+    bits: int = 8,
+    num_partitions: int | None = None,
+    h_col: str = "__h",
+) -> DataFrame:
+    """Cluster ``df`` along the Hilbert curve of two columns — the
+    drop-in locality upgrade to :func:`zorder_repartition` for 2-D
+    range workloads; same write-once/skip-forever economics."""
+    with_h = with_hilbert(df, xcol, ycol, bits, h_col)
+    if num_partitions:
+        parted = with_h.repartitionByRange(num_partitions, F.col(h_col))
+    else:
+        parted = with_h.repartitionByRange(F.col(h_col))
+    return parted.sortWithinPartitions(h_col).drop(h_col)
+
+
+def with_hilbert(
+    df: DataFrame,
+    xcol: str,
+    ycol: str,
+    bits: int = 8,
+    h_col: str = "__h",
+) -> DataFrame:
+    """Production Hilbert index: same walk as :func:`hilbert_value`, but
+    each bit level materializes (x, y, d) as BOUND ATTRIBUTES behind a
+    `plans.fence` Generate — downstream levels reference attributes
+    instead of re-inlining the defining expressions, so plan size is
+    LINEAR in ``bits`` (the single-Column unroll grows ~7^bits and
+    OOMs the planner at 8). All passthrough columns survive; adds
+    ``h_col``. Scan-local, zero shuffle, stays in codegen."""
+    if bits < 1 or 2 * bits > 62:
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
+    from ..plans import fence
+
+    keys = list(df.columns)
+    cur = df.select(
+        *keys,
+        F.col(xcol).cast("long").alias("__hx"),
+        F.col(ycol).cast("long").alias("__hy"),
+        F.lit(0).cast("long").alias(h_col))
+    for level in range(bits - 1, -1, -1):
+        s = 1 << level
+        x, y, d = F.col("__hx"), F.col("__hy"), F.col(h_col)
+        rx = F.when(x.bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
+        ry = F.when(y.bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
+        xr = F.when((ry == 0) & (rx == 1), F.lit(s - 1) - x).otherwise(x)
+        yr = F.when((ry == 0) & (rx == 1), F.lit(s - 1) - y).otherwise(y)
+        cur = fence(
+            cur, keys,
+            **{
+                "__hx": F.when(ry == 0, yr).otherwise(xr),
+                "__hy": F.when(ry == 0, xr).otherwise(yr),
+                h_col: d + F.lit(s).cast("long") * F.lit(s)
+                * (3 * rx).bitwiseXOR(ry),
+            })
+    return cur.drop("__hx", "__hy")

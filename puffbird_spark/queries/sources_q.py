@@ -2310,3 +2310,50 @@ def split_group_kfold(spark, sf_dir):
              F.count_distinct("user_id").cast("long").alias("n_groups"))
         .orderBy("fold")
     )
+
+
+def _hilbert_oracle(bits: int = 8) -> str:
+    """Level-chained CTE replay of the Hilbert xy→d walk (one CTE per
+    bit level — reassignment needs nesting, not one expression)."""
+    parts = ["""
+WITH l0 AS (SELECT l_orderkey, l_linenumber,
+    l_partkey % 256 AS x, l_suppkey % 256 AS y,
+    CAST(0 AS BIGINT) AS d
+  FROM lineitem)"""]
+    for i, level in enumerate(range(bits - 1, -1, -1)):
+        s = 1 << level
+        parts.append(f""",
+l{i + 1} AS (SELECT l_orderkey, l_linenumber,
+    CASE WHEN ry = 0 THEN yr ELSE xr END AS x,
+    CASE WHEN ry = 0 THEN xr ELSE yr END AS y,
+    d + CAST({s * s} AS BIGINT) * xor(3 * rx, ry) AS d
+  FROM (SELECT *,
+      CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END AS rx,
+      CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END AS ry,
+      CASE WHEN (y & {s}) = 0 AND (x & {s}) > 0
+           THEN {s - 1} - x ELSE x END AS xr,
+      CASE WHEN (y & {s}) = 0 AND (x & {s}) > 0
+           THEN {s - 1} - y ELSE y END AS yr
+    FROM l{i}))""")
+    parts.append(f"""
+SELECT l_orderkey, l_linenumber, d AS h FROM l{bits}""")
+    return "".join(parts)
+
+
+@query("sort_hilbert", oracle=_hilbert_oracle())
+def sort_hilbert(spark, sf_dir):
+    """Hilbert-curve clustering key (`with_hilbert`,
+    operators/layout.py) — the locality upgrade to `sort_zorder`:
+    consecutive cells are always grid-adjacent (bijection + unit-step
+    property pinned on a full 16×16 grid in tests), so 2-D range
+    predicates prune tighter file sets after a
+    `hilbert_repartition` write. Pure unrolled integer bit
+    arithmetic; the oracle replays every reflect/swap level."""
+    from ..operators.layout import with_hilbert
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        (F.col("l_partkey") % 256).alias("x"),
+        (F.col("l_suppkey") % 256).alias("y"))
+    return with_hilbert(li, "x", "y", bits=8, h_col="h").select(
+        "l_orderkey", "l_linenumber", "h")

@@ -4974,3 +4974,33 @@ def test_scd2_apply_hand_dim(spark):
         "k long, seg string, effective_ts date")
     with _pt.raises(ValueError):
         scd2_apply(dim, dup, ["k"], ["seg"])
+
+
+def test_hilbert_bijection_and_locality(spark):
+    """Hilbert index: bijection on the full 16x16 grid, consecutive
+    cells always one Manhattan step apart (the property Morton order
+    lacks), fenced builder == Column form, and the Column-form
+    expression-blowup cap raises."""
+    import pytest as _pt
+
+    from puffbird_spark.operators.layout import hilbert_value, with_hilbert
+
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "x long, y long")
+    rows = with_hilbert(grid, "x", "y", bits=4, h_col="d").collect()
+    ds = sorted(r.d for r in rows)
+    assert ds == list(range(256))
+    pos = {r.d: (r.x, r.y) for r in rows}
+    assert all(
+        abs(pos[i][0] - pos[i + 1][0]) + abs(pos[i][1] - pos[i + 1][1]) == 1
+        for i in range(255))
+
+    col_rows = grid.select(
+        "x", "y", hilbert_value("x", "y", 4).alias("d")).collect()
+    assert {(r.x, r.y): r.d for r in col_rows} == {
+        (r.x, r.y): r.d for r in rows}
+
+    with _pt.raises(ValueError):
+        hilbert_value("x", "y", 8)       # the planner-OOM cap
+    with _pt.raises(ValueError):
+        with_hilbert(grid, "x", "y", bits=32)
