@@ -302,3 +302,98 @@ def sql_lateral_topn(spark, sf_dir):
           LIMIT 2) o
         ORDER BY c.c_custkey, price DESC, o.o_orderkey
     """)
+
+
+@query("sql_unpivot", oracle="""
+SELECT l_orderkey, l_linenumber, metric, val FROM (
+  SELECT l_orderkey, l_linenumber, 'qty' AS metric,
+    CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE) AS val
+  FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'price',
+    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE)
+  FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'disc',
+    CAST(CAST(l_discount AS DECIMAL(12,2)) AS DOUBLE)
+  FROM lineitem)
+ORDER BY l_orderkey, l_linenumber, metric
+""")
+def sql_unpivot(spark, sf_dir):
+    """SQL `UNPIVOT` syntax (the parser twin of the DataFrame melt in
+    `unpivot_part`): three measure columns fold to (metric, val) rows
+    — Catalyst expands it to the same Expand node, which the oracle
+    spells as a UNION ALL."""
+    li = _view(spark, sf_dir, "lineitem")
+    return spark.sql(f"""
+        SELECT l_orderkey, l_linenumber, metric, val FROM (
+          SELECT l_orderkey, l_linenumber,
+            CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE) AS qty,
+            CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE)
+              AS price,
+            CAST(CAST(l_discount AS DECIMAL(12,2)) AS DOUBLE) AS disc
+          FROM {li})
+        UNPIVOT (val FOR metric IN (qty, price, disc))
+        ORDER BY l_orderkey, l_linenumber, metric
+    """)
+
+
+@query("fn_try_arithmetic", oracle="""
+SELECT l_orderkey, l_linenumber,
+  CASE WHEN l_tax = 0 THEN NULL
+       ELSE round(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE)
+                  / CAST(l_tax AS DOUBLE), 6) END AS price_per_tax,
+  TRY_CAST(l_returnflag AS BIGINT) AS flag_as_int,
+  TRY_CAST(CAST(l_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+  CASE WHEN l_quantity > 0
+       THEN CAST(l_quantity AS BIGINT) ELSE NULL END AS qty_int
+FROM lineitem ORDER BY l_orderkey, l_linenumber
+""")
+def fn_try_arithmetic(spark, sf_dir):
+    """Error-safe arithmetic surface under ANSI mode: `try_divide`
+    NULLs the divide-by-zero rows instead of failing the job,
+    `try_cast` NULLs unparseable strings — the per-row escape hatch
+    this engine's ANSI-on sessions rely on (every raw-feed pipeline
+    needs it). The oracle spells the identical NULL semantics with
+    guards."""
+    li = _view(spark, sf_dir, "lineitem")
+    return spark.sql(f"""
+        SELECT l_orderkey, l_linenumber,
+          round(try_divide(
+            CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE),
+            CAST(nullif(l_tax, 0) AS DOUBLE)), 6) AS price_per_tax,
+          try_cast(l_returnflag AS BIGINT) AS flag_as_int,
+          try_cast(CAST(l_orderkey AS STRING) AS BIGINT)
+            AS key_roundtrip,
+          CASE WHEN l_quantity > 0
+               THEN try_cast(l_quantity AS BIGINT) ELSE NULL END
+            AS qty_int
+        FROM {li} ORDER BY l_orderkey, l_linenumber
+    """)
+
+
+@query("scan_variant_type", oracle="""
+SELECT event_id,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+  CAST(len(json_keys(props)) AS INT) AS n_keys,
+  json_extract_string(props, '$.tag') AS tag
+FROM events WHERE props IS NOT NULL
+ORDER BY event_id
+""")
+def scan_variant_type(spark, sf_dir):
+    """Native VARIANT semi-structured type (new in Spark 4 — the
+    binary-encoded open-schema path this engine's own `variant.py`
+    JSON encoding predates): `parse_json` → `variant_get` typed
+    extraction + field-path access. The oracle reads the same JSON
+    with DuckDB's json functions; typed values and key counts
+    hash-match."""
+    ev = _view(spark, sf_dir, "events")
+    return spark.sql(f"""
+        SELECT event_id,
+          variant_get(parse_json(props), '$.k', 'bigint') AS k_val,
+          CAST(size(map_keys(from_json(props, 'map<string,string>')))
+               AS INT) AS n_keys,
+          variant_get(parse_json(props), '$.tag', 'string') AS tag
+        FROM {ev} WHERE props IS NOT NULL
+        ORDER BY event_id
+    """)
