@@ -564,3 +564,69 @@ def seasonal_decompose(
                 dp).alias("residual"),
         )
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    observed_col: str,
+    dp: int = 6,
+) -> DataFrame:
+    """Kaplan-Meier survival estimator (Kaplan & Meier 1958) — the
+    right-censoring-aware answer to "how long until churn/failure?"
+    (a naive mean of durations is biased by every subject still alive
+    at the horizon)::
+
+        S(t) = Π_{tᵢ <= t} (1 − dᵢ / nᵢ)
+
+    with dᵢ the observed events at time tᵢ and nᵢ the at-risk count
+    (everyone with duration >= tᵢ — censored subjects leave the risk
+    set but contribute no factor). All counts are integers (one
+    grouped count + two RANGE-frame windows over the time-keyed
+    table, which is distinct-durations-sized, not subjects-sized);
+    the product replays order-free as ``exp(Σ ln(1 − dᵢ/nᵢ))`` with
+    9-dp decimal term snaps. Returns one row per distinct EVENT time:
+    ``(t, n_at_risk, n_events, n_censored, survival)``; a time where
+    every at-risk subject dies yields survival 0 exactly (ln guard)."""
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(duration_col).cast("long").alias("__t"),
+        F.col(observed_col).cast("boolean").alias("__obs"),
+    ).filter(F.col("__t").isNotNull() & F.col("__obs").isNotNull())
+    per_t = base.groupBy("__t").agg(
+        F.sum(F.col("__obs").cast("int")).alias("__d"),
+        F.sum((~F.col("__obs")).cast("int")).alias("__c"),
+        F.count(F.lit(1)).alias("__n"))
+    w_ge = (Window.orderBy("__t")
+            .rangeBetween(Window.currentRow, Window.unboundedFollowing))
+    w_cum = (Window.orderBy("__t")
+             .rangeBetween(Window.unboundedPreceding, Window.currentRow))
+    risk = per_t.withColumn("__risk", F.sum("__n").over(w_ge))
+    # dead-certain guard: 1 - d/n == 0 -> survival is exactly 0 from
+    # here on; NULL ln term would poison the cumulative sum instead
+    term = F.when(
+        F.col("__d") < F.col("__risk"),
+        F.round(F.log(
+            1.0 - F.col("__d").cast("double") / F.col("__risk")), 9)
+        .cast("decimal(28,9)"),
+    ).otherwise(F.lit(None).cast("decimal(28,9)"))
+    curve = (
+        risk.withColumn("__term", term)
+        .withColumn("__dead", F.max(
+            (F.col("__d") >= F.col("__risk")).cast("int")).over(w_cum))
+        .withColumn("__lnsum", F.sum("__term").over(w_cum))
+    )
+    return (
+        curve.filter(F.col("__d") > 0)
+        .select(
+            F.col("__t").alias("t"),
+            F.col("__risk").cast("long").alias("n_at_risk"),
+            F.col("__d").cast("long").alias("n_events"),
+            F.col("__c").cast("long").alias("n_censored"),
+            F.when(F.col("__dead") == 1, F.lit(0.0)).otherwise(
+                F.round(F.exp(F.col("__lnsum").cast("double")), dp))
+            .alias("survival"),
+        )
+        .orderBy("t")
+    )

@@ -2821,3 +2821,53 @@ def agg_moments(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query("diag_ab_proportions", oracle="""
+WITH base AS (SELECT user_id % 2 = 0 AS grp,
+        CAST(event_type = 'purchase' AS INT) AS conv
+      FROM events WHERE user_id IS NOT NULL),
+a AS (SELECT SUM(CASE WHEN grp THEN 1 ELSE 0 END) AS n1,
+        SUM(CASE WHEN grp THEN conv ELSE 0 END) AS x1,
+        SUM(CASE WHEN NOT grp THEN 1 ELSE 0 END) AS n2,
+        SUM(CASE WHEN NOT grp THEN conv ELSE 0 END) AS x2
+      FROM base)
+SELECT CAST(n1 AS BIGINT) AS n_a, CAST(x1 AS BIGINT) AS conv_a,
+  CAST(n2 AS BIGINT) AS n_b, CAST(x2 AS BIGINT) AS conv_b,
+  round(CAST(x1 AS DOUBLE) / n1, 6) AS rate_a,
+  round(CAST(x2 AS DOUBLE) / n2, 6) AS rate_b,
+  round((CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
+        / sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+               * (1.0 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+               * (1.0 / n1 + 1.0 / n2)), 6) AS z
+FROM a
+""")
+def diag_ab_proportions(spark, sf_dir):
+    """Two-proportion z-test (the A/B conversion read-out; pooled
+    variance per the standard large-sample test): purchase rate of
+    even-user vs odd-user cohorts. Integer counts, fixed double
+    expression, one row out — the experimentation primitive next to
+    `diag_mann_whitney`'s continuous twin."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    grp = (F.col("user_id") % 2 == 0)
+    conv = (F.col("event_type") == "purchase").cast("int")
+    a = ev.agg(
+        F.sum(F.when(grp, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(grp, conv).otherwise(0)).alias("x1"),
+        F.sum(F.when(~grp, 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(~grp, conv).otherwise(0)).alias("x2"))
+    p1 = F.col("x1").cast("double") / F.col("n1")
+    p2 = F.col("x2").cast("double") / F.col("n2")
+    pp = (F.col("x1") + F.col("x2")).cast("double") \
+        / (F.col("n1") + F.col("n2"))
+    return a.select(
+        F.col("n1").cast("long").alias("n_a"),
+        F.col("x1").cast("long").alias("conv_a"),
+        F.col("n2").cast("long").alias("n_b"),
+        F.col("x2").cast("long").alias("conv_b"),
+        F.round(p1, 6).alias("rate_a"),
+        F.round(p2, 6).alias("rate_b"),
+        F.round((p1 - p2) / F.sqrt(
+            pp * (1.0 - pp) * (1.0 / F.col("n1") + 1.0 / F.col("n2"))),
+            6).alias("z"),
+    )

@@ -1568,3 +1568,50 @@ def timeseries_residual_anomalies(spark, sf_dir):
              F.sum("a").cast("long").alias("n_anomalies"))
         .orderBy("event_type")
     )
+
+
+@query("timeseries_kaplan_meier", oracle="""
+WITH u AS (SELECT user_id,
+    date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE))) AS t,
+    MAX(CAST(ts AS DATE)) AS last_d
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+mx AS (SELECT MAX(last_d) AS m FROM u),
+s AS (SELECT u.t, (u.last_d <= mx.m - 7) AS obs FROM u CROSS JOIN mx),
+per_t AS (SELECT t, SUM(CAST(obs AS INT)) AS d,
+    SUM(CAST(NOT obs AS INT)) AS c, COUNT(*) AS n
+  FROM s GROUP BY t),
+risk AS (SELECT *, SUM(n) OVER (ORDER BY t RANGE BETWEEN CURRENT ROW
+    AND UNBOUNDED FOLLOWING) AS r FROM per_t),
+curve AS (SELECT *,
+    SUM(CASE WHEN d < r THEN CAST(round(
+          ln(1.0 - CAST(d AS DOUBLE) / r), 9) AS DECIMAL(28,9)) END)
+      OVER w AS lnsum,
+    MAX(CASE WHEN d >= r THEN 1 ELSE 0 END) OVER w AS dead
+  FROM risk
+  WINDOW w AS (ORDER BY t RANGE BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW))
+SELECT t, CAST(r AS BIGINT) AS n_at_risk, CAST(d AS BIGINT) AS n_events,
+  CAST(c AS BIGINT) AS n_censored,
+  CASE WHEN dead = 1 THEN 0.0
+       ELSE round(exp(CAST(lnsum AS DOUBLE)), 6) END AS survival
+FROM curve WHERE d > 0 ORDER BY t
+""")
+def timeseries_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier survival curve (`kaplan_meier`,
+    operators/timeseries.py; 1958) over user activity lifespans:
+    duration = first-to-last event days, censored when the user was
+    still active within a week of the corpus horizon. Integer risk
+    sets via RANGE frames; the product replays as exp of a
+    decimal-snapped ln sum; an all-deaths time pins survival to
+    exactly 0. The estimator a naive churn mean gets wrong."""
+    from ..operators.timeseries import kaplan_meier
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    u = ev.groupBy("user_id").agg(
+        F.datediff(F.max(F.col("ts").cast("date")),
+                   F.min(F.col("ts").cast("date"))).alias("t"),
+        F.max(F.col("ts").cast("date")).alias("last_d"))
+    mx = u.agg(F.max("last_d").alias("m"))
+    s = u.crossJoin(F.broadcast(mx)).select(
+        "t", (F.col("last_d") <= F.date_sub(F.col("m"), 7)).alias("obs"))
+    return kaplan_meier(s, "t", "obs")

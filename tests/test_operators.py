@@ -5004,3 +5004,29 @@ def test_hilbert_bijection_and_locality(spark):
         hilbert_value("x", "y", 8)       # the planner-OOM cap
     with _pt.raises(ValueError):
         with_hilbert(grid, "x", "y", bits=32)
+
+
+def test_kaplan_meier_textbook_curve(spark):
+    """Kaplan-Meier on the classic hand example: deaths at t=1 (2 of
+    10), t=3 (1 of 7, after a censor), censor between, death-of-all
+    pins survival to exactly 0."""
+    from puffbird_spark.operators.timeseries import kaplan_meier
+
+    rows = ([(1, True)] * 2            # 2 deaths at t=1 (n=10)
+            + [(2, False)]             # 1 censored at t=2
+            + [(3, True)]              # 1 death at t=3 (risk=7)
+            + [(4, False)] * 5         # censored tail
+            + [(9, True)])             # last subject dies: risk=1
+    df = spark.createDataFrame(rows, "dur long, obs boolean")
+    got = {r.t: r for r in kaplan_meier(df, "dur", "obs").collect()}
+    assert set(got) == {1, 3, 9}
+    assert (got[1].n_at_risk, got[1].n_events) == (10, 2)
+    assert got[1].survival == round(
+        __import__("math").exp(round(__import__("math").log(0.8), 9)), 6)
+    assert (got[3].n_at_risk, got[3].n_events) == (7, 1)
+    # S(3) = 0.8 * (1 - 1/7)
+    import math
+    expect3 = round(math.exp(round(math.log(1 - 2 / 10), 9)
+                             + round(math.log(1 - 1 / 7), 9)), 6)
+    assert got[3].survival == expect3
+    assert got[9].n_at_risk == 1 and got[9].survival == 0.0
