@@ -365,3 +365,26 @@ def test_interval_overlap_join_no_nested_loop(q):
     plan = P.formatted_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rfm_has_no_global_window(q):
+    """customer_rfm's scale claim: quintiles come from broadcast
+    cutpoints, NEVER a global ntile window (single-task funnel)."""
+    plan = P.formatted_plan(q("customer_rfm"))
+    assert "Window" not in plan
+
+
+def test_graph_wedge_gates_no_cartesian(q):
+    """The wedge self-joins (Jaccard/modularity) and the basket pair
+    join must stay keyed equi-joins — no cartesian anywhere."""
+    for name in ("graph_jaccard_links", "basket_association_rules"):
+        plan = P.formatted_plan(q(name))
+        assert "CartesianProduct" not in plan, name
+
+
+def test_moments_broadcasts_stats(q):
+    """agg_moments joins the per-key mean back via broadcast — the
+    deviations pass must not shuffle the fact side for a 5-row stats
+    frame."""
+    df = q("agg_moments")
+    assert P.count_broadcast_joins(df) >= 1
