@@ -102,3 +102,44 @@ def linear_quality_score(
             "p_keep", F.round(1.0 / (1.0 + F.exp(-F.col("score"))), 6)
         )
     )
+
+
+def target_encode_loo(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    smoothing: float = 10.0,
+    dp: int = 6,
+) -> DataFrame:
+    """Leave-one-out target encoding with additive smoothing (the
+    Micci-Barreca 2001 categorical encoder every gradient-boosting
+    pipeline uses) — replace a high-cardinality category with the
+    smoothed mean of the target over the category's OTHER rows::
+
+        enc_i = (S_c − y_i + m·prior) / (n_c − 1 + m)
+
+    Leaving the own row out is the leakage defense (a category of one
+    would otherwise encode its own label verbatim); ``m`` shrinks rare
+    categories toward the global prior. For a 0/1 target everything is
+    integer until the final division (prior is one fixed double
+    expression), so encodings replay exactly. One keyed aggregate
+    broadcast back — the fact table never shuffles. Adds
+    ``target_enc`` to the input columns; NULL targets are excluded
+    (no label to encode)."""
+    y = F.col(target_col).cast("long")
+    base = df.filter(y.isNotNull())
+    stats = base.groupBy(cat_col).agg(
+        F.sum(y).alias("__s"), F.count(F.lit(1)).alias("__n"))
+    glob = base.agg(F.sum(y).alias("__gs"),
+                    F.count(F.lit(1)).alias("__gn"))
+    prior = F.col("__gs").cast("double") / F.col("__gn")
+    enc = F.round(
+        ((F.col("__s") - y).cast("double")
+         + F.lit(smoothing) * prior)
+        / ((F.col("__n") - 1).cast("double") + F.lit(smoothing)), dp)
+    return (
+        base.join(F.broadcast(stats), cat_col)
+        .crossJoin(F.broadcast(glob))
+        .withColumn("target_enc", enc)
+        .drop("__s", "__n", "__gs", "__gn")
+    )

@@ -3986,3 +3986,65 @@ def graph_modularity(spark, sf_dir):
     )
     labels = label_propagation(edges, n_iter=4)
     return modularity_communities(edges, labels)
+
+
+@query("eval_calibration_bins", oracle="""
+WITH w AS (SELECT i AS bucket,
+         CAST(round(CAST(CAST('0x' || substr(md5('qwv:' || CAST(i AS VARCHAR)), 1, 8)
+                         AS BIGINT) AS DOUBLE) / 4294967296 - 0.5, 9)
+              AS DECIMAL(20,9)) AS weight
+       FROM range(0, 256) t(i)),
+t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE text IS NOT NULL),
+b AS (SELECT doc_id,
+        CAST('0x' || substr(md5('qw:' || tok), 1, 8) AS BIGINT) % 256
+          AS bucket
+      FROM t),
+s AS (SELECT doc_id,
+        round(1 / (1 + exp(-round(CAST(SUM(weight) AS DOUBLE)
+                                  / COUNT(*), 6))), 6) AS p
+      FROM b JOIN w USING (bucket) GROUP BY doc_id),
+lab AS (SELECT s.doc_id, s.p,
+        CAST(d.n_chars >= 500 AS INT) AS y
+      FROM s JOIN documents d ON d.doc_id = s.doc_id),
+binned AS (SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin,
+        CAST(round(p, 9) AS DECIMAL(20,9)) AS pd, y
+      FROM lab)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+  round(CAST(SUM(pd) AS DOUBLE) / COUNT(*), 6) AS mean_pred,
+  round(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS frac_pos,
+  round(abs(round(CAST(SUM(pd) AS DOUBLE) / COUNT(*), 6)
+            - round(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6)), 6) AS gap
+FROM binned GROUP BY bin ORDER BY bin
+""")
+def eval_calibration_bins(spark, sf_dir):
+    """Calibration audit of the quality classifier (reliability
+    diagram bins — the standard check before trusting `p_keep` as a
+    probability; Σ n·gap/N is the ECE): `linear_quality_score`'s
+    keep-probabilities against the deterministic long-doc label, ten
+    equal-width bins, exact decimal mean prediction vs observed
+    positive rate per bin. The oracle replays the ENTIRE classifier
+    (hashing trick, weight join, sigmoid) plus the binning."""
+    from ..operators.classifier import linear_quality_score
+
+    docs = load(spark, sf_dir, "documents")
+    scored = linear_quality_score(docs, "text", "doc_id", dim=256)
+    lab = scored.join(docs.select("doc_id", "n_chars"), "doc_id").select(
+        F.col("p_keep").alias("p"),
+        (F.col("n_chars") >= 500).cast("int").alias("y"))
+    binned = lab.select(
+        F.least(F.floor(F.col("p") * 10).cast("int"), F.lit(9))
+        .alias("bin"),
+        F.round(F.col("p"), 9).cast("decimal(20,9)").alias("pd"),
+        "y")
+    n = F.count(F.lit(1))
+    mean_pred = F.round(F.sum("pd").cast("double") / n, 6)
+    frac_pos = F.round(F.sum("y").cast("double") / n, 6)
+    return (
+        binned.groupBy("bin")
+        .agg(n.cast("long").alias("n"),
+             mean_pred.alias("mean_pred"),
+             frac_pos.alias("frac_pos"),
+             F.round(F.abs(mean_pred - frac_pos), 6).alias("gap"))
+        .orderBy("bin")
+    )

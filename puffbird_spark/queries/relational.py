@@ -2871,3 +2871,36 @@ def diag_ab_proportions(spark, sf_dir):
             pp * (1.0 - pp) * (1.0 / F.col("n1") + 1.0 / F.col("n2"))),
             6).alias("z"),
     )
+
+
+@query("feature_target_encoding", oracle="""
+WITH base AS (SELECT o_orderkey, o_orderpriority,
+        CAST(o_orderstatus = 'F' AS BIGINT) AS y
+      FROM orders),
+st AS (SELECT o_orderpriority, SUM(y) AS s, COUNT(*) AS n
+      FROM base GROUP BY o_orderpriority),
+g AS (SELECT SUM(y) AS gs, COUNT(*) AS gn FROM base)
+SELECT b.o_orderkey, b.o_orderpriority, b.y,
+  round((CAST(st.s - b.y AS DOUBLE)
+         + 10.0 * (CAST(g.gs AS DOUBLE) / g.gn))
+        / (CAST(st.n - 1 AS DOUBLE) + 10.0), 6) AS target_enc
+FROM base b JOIN st ON b.o_orderpriority = st.o_orderpriority
+CROSS JOIN g
+ORDER BY b.o_orderkey
+""")
+def feature_target_encoding(spark, sf_dir):
+    """Leave-one-out target encoding (`target_encode_loo`,
+    operators/classifier.py; Micci-Barreca 2001) of order priority
+    against the order-final label: the high-cardinality categorical
+    encoder with the own-row leakage defense and smoothing toward the
+    global prior. Integer sums until one division per row; every
+    encoding replays."""
+    from ..operators.classifier import target_encode_loo
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        (F.col("o_orderstatus") == "F").cast("long").alias("y"))
+    out = target_encode_loo(orders, "o_orderpriority", "y", smoothing=10.0)
+    return out.select(
+        "o_orderkey", "o_orderpriority", "y", "target_enc"
+    ).orderBy("o_orderkey")

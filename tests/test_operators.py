@@ -5030,3 +5030,27 @@ def test_kaplan_meier_textbook_curve(spark):
                              + round(math.log(1 - 1 / 7), 9)), 6)
     assert got[3].survival == expect3
     assert got[9].n_at_risk == 1 and got[9].survival == 0.0
+
+
+def test_target_encode_loo_hand(spark):
+    """LOO target encoding: own label excluded, smoothing pulls a
+    singleton category to (almost) the prior."""
+    from puffbird_spark.operators.classifier import target_encode_loo
+
+    rows = [("a", 1), ("a", 1), ("a", 0), ("b", 0), ("b", 0), ("c", 1)]
+    df = spark.createDataFrame(rows, "cat string, y long")
+    got = target_encode_loo(df, "cat", "y", smoothing=2.0).collect()
+    prior = 3 / 6
+    by = {}
+    for r in got:
+        by.setdefault((r.cat, r.y), []).append(r.target_enc)
+    # cat a, y=1 row: (2-1 + 2*0.5)/(3-1+2) = 0.5
+    assert by[("a", 1)] == [0.5, 0.5]
+    # cat a, y=0 row: (2-0 + 1)/(4) = 0.75
+    assert by[("a", 0)] == [0.75]
+    # singleton c, y=1: (1-1 + 1)/(0+2) = 0.5 == prior exactly here
+    assert by[("c", 1)] == [round((0 + 2 * prior) / 2, 6)]
+    # own-row exclusion: a perfect-leak encoder would give y back;
+    # no encoding equals its own label
+    assert all(enc not in (0.0, 1.0)
+               for encs in by.values() for enc in encs)
