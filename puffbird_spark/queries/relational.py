@@ -2904,3 +2904,28 @@ def feature_target_encoding(spark, sf_dir):
     return out.select(
         "o_orderkey", "o_orderpriority", "y", "target_enc"
     ).orderBy("o_orderkey")
+
+
+@query("agg_listagg", oracle="""
+SELECT l_returnflag, l_linestatus,
+  string_agg(DISTINCT CAST(l_suppkey % 10 AS VARCHAR), ','
+             ORDER BY CAST(l_suppkey % 10 AS VARCHAR)) AS supp_digits,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""")
+def agg_listagg(spark, sf_dir):
+    """`listagg ... WITHIN GROUP (ORDER BY ...)` (new SQL-standard
+    surface in Spark 4; = string_agg): ordered DISTINCT concatenation
+    — the deterministic ordered twin of `agg_collect`'s set
+    semantics."""
+    li = _tbl(spark, sf_dir)
+    return spark.sql(f"""
+        SELECT l_returnflag, l_linestatus,
+          listagg(DISTINCT CAST(l_suppkey % 10 AS STRING), ',')
+            WITHIN GROUP (ORDER BY CAST(l_suppkey % 10 AS STRING))
+            AS supp_digits,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM {li} GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """)

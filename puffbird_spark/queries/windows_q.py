@@ -210,3 +210,41 @@ def _view(spark, sf_dir):
     name = "pbs_win_events"
     load(spark, sf_dir, "events").createOrReplaceTempView(name)
     return name
+
+
+@query("window_running_distinct", oracle="""
+WITH s AS (SELECT user_id, ts, event_id, event_type,
+    CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id) = 1
+         THEN 1 ELSE 0 END AS first_seen
+  FROM events WHERE user_id IS NOT NULL AND user_id % 50 = 0)
+SELECT user_id, event_id,
+  CAST(SUM(first_seen) OVER (PARTITION BY user_id
+       ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+       AND CURRENT ROW) AS BIGINT) AS n_distinct_types
+FROM s ORDER BY user_id, event_id
+""")
+def window_running_distinct(spark, sf_dir):
+    """Running DISTINCT count per user — the window surface SQL
+    engines refuse directly (COUNT(DISTINCT) OVER is unsupported on
+    both): rewritten as the cumulative sum of first-occurrence
+    markers, two stacked windows sharing one exchange. The
+    'how many distinct actions had this user taken by each event'
+    engagement primitive."""
+    from pyspark.sql.window import Window as W
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & (F.col("user_id") % 50 == 0))
+    w1 = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w2 = (W.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    s = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(F.row_number().over(w1) == 1, 1).otherwise(0)
+        .alias("first_seen"))
+    return (
+        s.select("user_id", "event_id",
+                 F.sum("first_seen").over(w2).cast("long")
+                 .alias("n_distinct_types"))
+        .orderBy("user_id", "event_id")
+    )
