@@ -125,7 +125,13 @@ def target_encode_loo(
     expression), so encodings replay exactly. One keyed aggregate
     broadcast back — the fact table never shuffles. Adds
     ``target_enc`` to the input columns; NULL targets are excluded
-    (no label to encode)."""
+    (no label to encode). ``smoothing`` must be positive: at m=0 a
+    singleton category's denominator is 0 (and LOO there is genuinely
+    undefined — there are no other rows to encode from)."""
+    if smoothing <= 0:
+        raise ValueError(
+            f"smoothing must be > 0 (singleton categories divide by "
+            f"zero at m=0), got {smoothing}")
     y = F.col(target_col).cast("long")
     base = df.filter(y.isNotNull())
     stats = base.groupBy(cat_col).agg(

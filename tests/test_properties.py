@@ -312,3 +312,82 @@ def test_ewma_exact_on_any_int_series(spark, vals):
             v * (0.5 ** (m - 1) if i == 1 else 0.5 ** (m - i + 1))
             for i, v in enumerate(frame, start=1))
         assert got[t] == expect, t
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=st.lists(
+    st.tuples(st.floats(min_value=-100, max_value=100,
+                        allow_nan=False, width=32),
+              st.booleans()),
+    min_size=4, max_size=30))
+def test_mann_whitney_group_flip_identity(spark, vals):
+    """U_a + U_b = n_a * n_b on ANY sample (the rank-sum identity),
+    and z flips sign exactly under a group swap."""
+    from puffbird_spark.operators.drift import mann_whitney_u
+
+    if not (any(a for _, a in vals) and any(not a for _, a in vals)):
+        return
+    df = spark.createDataFrame(
+        [(float(v), a) for v, a in vals], "v double, a boolean")
+    fwd = mann_whitney_u(df, "a", "v").collect()
+    rev = mann_whitney_u(df.withColumn("a", ~df.a), "a", "v").collect()
+    if not fwd:           # zero variance (all tied) — both sides omit
+        assert not rev
+        return
+    f, r = fwd[0], rev[0]
+    assert (f.n_a, f.n_b) == (r.n_b, r.n_a)
+    assert f.u_stat + r.u_stat == f.n_a * f.n_b
+    assert abs(f.z + r.z) < 2e-6
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c", "d"]),
+              st.integers(min_value=0, max_value=1)),
+    min_size=3, max_size=40),
+    m=st.floats(min_value=0.5, max_value=20, allow_nan=False))
+def test_target_encoding_bounded_and_leak_free(spark, rows, m):
+    """LOO encodings of a 0/1 target stay inside [0, 1] and match the
+    closed form computed in plain Python for every row."""
+    from puffbird_spark.operators.classifier import target_encode_loo
+
+    df = spark.createDataFrame(rows, "cat string, y long")
+    got = target_encode_loo(df, "cat", "y", smoothing=m).collect()
+    n = len(rows)
+    prior = sum(y for _, y in rows) / n
+    import collections
+    s = collections.Counter()
+    c = collections.Counter()
+    for cat, y in rows:
+        s[cat] += y
+        c[cat] += 1
+    assert len(got) == n
+    for r in got:
+        expect = round((s[r.cat] - r.y + m * prior) / (c[r.cat] - 1 + m), 6)
+        assert abs(r.target_enc - expect) < 1e-9
+        assert 0.0 <= r.target_enc <= 1.0
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(bits=st.integers(min_value=1, max_value=4))
+def test_hilbert_bijection_any_width(spark, bits):
+    """with_hilbert is a bijection onto [0, 4^bits) with unit Manhattan
+    steps at EVERY grid width, and equals the Column form."""
+    from puffbird_spark.operators.layout import hilbert_value, with_hilbert
+
+    n = 1 << bits
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], "x long, y long")
+    rows = with_hilbert(grid, "x", "y", bits=bits, h_col="d").collect()
+    ds = sorted(r.d for r in rows)
+    assert ds == list(range(n * n))
+    pos = {r.d: (r.x, r.y) for r in rows}
+    assert all(
+        abs(pos[i][0] - pos[i + 1][0]) + abs(pos[i][1] - pos[i + 1][1]) == 1
+        for i in range(n * n - 1))
+    col = grid.select("x", "y",
+                      hilbert_value("x", "y", bits).alias("d")).collect()
+    assert {(r.x, r.y): r.d for r in col} == {(r.x, r.y): r.d for r in rows}
