@@ -2081,7 +2081,11 @@ def basket_association_rules(spark, sf_dir):
     lift), each bit-identical across engines before the 6-dp round;
     top-20 by lift with full tie-break ordering."""
     li = load(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    # the distinct item set feeds FOUR consumers (pair self-join twice,
+    # item counts, basket count) — materialize it once or every branch
+    # pays the scan+distinct shuffle again (sf1 rehearsal: 21.5 -> 10.2s)
+    items = (li.select("l_orderkey", "l_partkey").distinct()
+             .localCheckpoint(eager=True))
     n_baskets = items.agg(
         F.count_distinct("l_orderkey").alias("n"))
     cnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
