@@ -512,3 +512,39 @@ def fn_edit_distance(spark, sf_dir):
         .orderBy("dist", "id_a", "id_b")
         .limit(25)
     )
+
+
+@query("fn_encryption_roundtrip", oracle="""
+SELECT c_custkey,
+  TRUE AS ecb_roundtrip_ok,
+  TRUE AS cbc_roundtrip_ok,
+  TRUE AS ecb_deterministic,
+  CAST(length(c_name) AS INT) AS plain_len
+FROM customer ORDER BY c_custkey
+""")
+def fn_encryption_roundtrip(spark, sf_dir):
+    """Column-level encryption surface (`aes_encrypt`/`aes_decrypt` —
+    the at-rest PII protection sibling of the masking gates): per
+    customer name, ECB and CBC(fixed-IV) roundtrips must recover the
+    plaintext and ECB must be deterministic (same input, same
+    ciphertext — the property that keeps encrypted columns joinable,
+    and the leak that bans ECB for anything else). AES itself is not
+    SQL-replayable, so the gate emits the CHECK BITS; a broken
+    key-path, padding, or IV regression flips them against the
+    oracle's expected-true rows."""
+    cust = load(spark, sf_dir, "customer")
+    key = "0123456789abcdef"
+    return cust.selectExpr(
+        "c_custkey",
+        f"aes_decrypt(aes_encrypt(c_name, '{key}', 'ECB'),"
+        f" '{key}', 'ECB') = CAST(c_name AS BINARY)"
+        " AS ecb_roundtrip_ok",
+        f"aes_decrypt(aes_encrypt(c_name, '{key}', 'CBC', 'DEFAULT',"
+        f" CAST('0000000000000000' AS BINARY)),"
+        f" '{key}', 'CBC') = CAST(c_name AS BINARY)"
+        " AS cbc_roundtrip_ok",
+        f"base64(aes_encrypt(c_name, '{key}', 'ECB'))"
+        f" = base64(aes_encrypt(c_name, '{key}', 'ECB'))"
+        " AS ecb_deterministic",
+        "CAST(length(c_name) AS INT) AS plain_len",
+    ).orderBy("c_custkey")

@@ -248,3 +248,61 @@ def window_running_distinct(spark, sf_dir):
                  .alias("n_distinct_types"))
         .orderBy("user_id", "event_id")
     )
+
+
+@query("feature_trailing_windows", oracle="""
+WITH base AS (SELECT user_id, event_id, ts,
+        CAST(round(CAST(value AS DOUBLE), 9) AS DECIMAL(28,9)) AS v
+      FROM events
+      WHERE user_id IS NOT NULL AND user_id % 50 = 0
+        AND value IS NOT NULL)
+SELECT user_id, event_id,
+  CAST(COUNT(*) OVER w1 AS BIGINT) AS n_1d,
+  CAST(COUNT(*) OVER w7 AS BIGINT) AS n_7d,
+  CAST(COUNT(*) OVER w30 AS BIGINT) AS n_30d,
+  CAST(SUM(v) OVER w7 AS DOUBLE) AS sum_7d,
+  round(CAST(SUM(v) OVER w30 AS DOUBLE) / COUNT(*) OVER w30, 6)
+    AS mean_30d
+FROM base
+WINDOW
+  w1 AS (PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 1 DAY PRECEDING AND CURRENT ROW),
+  w7 AS (PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW),
+  w30 AS (PARTITION BY user_id ORDER BY ts
+          RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+""")
+def feature_trailing_windows(spark, sf_dir):
+    """Point-in-time feature computation (the feature-store backfill
+    primitive): trailing 1/7/30-day activity counts and decimal-exact
+    value aggregates AT EVERY EVENT, three event-time RANGE frames
+    sharing ONE exchange (same partitioning + ordering — Catalyst
+    plans one Window operator stack, no re-shuffle per horizon). The
+    as-of discipline that prevents training-serving skew: each row
+    sees only its own past."""
+    ev = _view(spark, sf_dir)
+    return spark.sql(f"""
+        WITH base AS (SELECT user_id, event_id, ts,
+            CAST(round(CAST(value AS DOUBLE), 9) AS DECIMAL(28,9)) AS v
+          FROM {ev}
+          WHERE user_id IS NOT NULL AND user_id % 50 = 0
+            AND value IS NOT NULL)
+        SELECT user_id, event_id,
+          CAST(COUNT(*) OVER w1 AS BIGINT) AS n_1d,
+          CAST(COUNT(*) OVER w7 AS BIGINT) AS n_7d,
+          CAST(COUNT(*) OVER w30 AS BIGINT) AS n_30d,
+          CAST(SUM(v) OVER w7 AS DOUBLE) AS sum_7d,
+          round(CAST(SUM(v) OVER w30 AS DOUBLE) / COUNT(*) OVER w30, 6)
+            AS mean_30d
+        FROM base
+        WINDOW
+          w1 AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 DAY PRECEDING AND CURRENT ROW),
+          w7 AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW),
+          w30 AS (PARTITION BY user_id ORDER BY ts
+                  RANGE BETWEEN INTERVAL 30 DAY PRECEDING
+                  AND CURRENT ROW)
+        ORDER BY user_id, event_id
+    """)
