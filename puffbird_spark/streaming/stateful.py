@@ -226,3 +226,63 @@ def heavy_hitters_tracker(
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+def running_count_tws(
+    stream: DataFrame,
+    key: str = "user_id",
+) -> DataFrame:
+    """Per-key cumulative counter on the NEW Spark 4 arbitrary-state
+    API (``transformWithStateInPandas`` — typed state variables +
+    timers + TTL, the successor to ``applyInPandasWithState``'s single
+    state tuple): semantically identical to :func:`running_count`, so
+    the two APIs can be differential-tested against each other (the
+    `stream_stateful_tws` gate reuses the batch COUNT(*) oracle).
+    State is one ValueState long per key — same O(1)-per-key
+    discipline as every operator in this module.
+
+    ENVIRONMENT GATE: the new API's driver worker imports
+    ``google.protobuf``; call :func:`tws_available` first — in a
+    container without protobuf the query crashes at init (this is a
+    runtime dependency of Spark's transform_with_state_driver_worker,
+    not of this module). The `applyInPandasWithState` twin
+    (:func:`running_count`) has no such dependency and is the gated,
+    driver-checked path."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.types import LongType, StructField
+    import pandas as pd
+
+    out_schema = StructType.fromDDL(f"{key} long, total long")
+
+    class Counter(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._count = handle.getValueState(
+                "count", StructType([StructField("n", LongType())]))
+
+        def handleInputRows(self, k, rows, timerValues):
+            total = self._count.get()[0] if self._count.exists() else 0
+            for pdf in rows:
+                total += len(pdf)
+            self._count.update((total,))
+            yield pd.DataFrame({key: [k[0]], "total": [total]})
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy(key).transformWithStateInPandas(
+        statefulProcessor=Counter(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def tws_available() -> bool:
+    """True when the ``transformWithStateInPandas`` runtime dependency
+    (google.protobuf) is importable — the new-API operators crash at
+    driver-worker init without it."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False

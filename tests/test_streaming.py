@@ -503,3 +503,37 @@ def test_heavy_hitters_tracker_merge_rule(spark, tmpdir):
         by_seq.setdefault(r.seq, {})[r.item] = (r.est, r.n_total)
     assert by_seq[1] == {"a": (2, 6), "b": (1, 6)}
     assert by_seq[2] == {"c": (3, 10), "a": (1, 10)}
+
+
+def test_tws_counter_matches_classic_api(spark, tmpdir):
+    """The Spark-4 transformWithStateInPandas counter must agree with
+    the applyInPandasWithState twin — SKIPPED where the new API's
+    protobuf runtime dependency is absent (this container)."""
+    import pytest
+
+    from puffbird_spark.streaming.stateful import (
+        running_count_tws, tws_available)
+
+    if not tws_available():
+        pytest.skip("transformWithStateInPandas needs google.protobuf")
+    from puffbird_spark.streaming import write_foreach_batch
+
+    os.makedirs(f"{tmpdir}/in", exist_ok=True)
+    spark.createDataFrame([(1,), (1,), (2,)], "user_id long") \
+        .coalesce(1).write.parquet(f"{tmpdir}/stage")
+    part = next(f for f in os.listdir(f"{tmpdir}/stage")
+                if f.endswith(".parquet"))
+    shutil.copy(f"{tmpdir}/stage/{part}", f"{tmpdir}/in/b0.parquet")
+    src = (spark.readStream.schema("user_id long")
+           .option("maxFilesPerTrigger", 1).parquet(f"{tmpdir}/in"))
+    tot = running_count_tws(src, key="user_id")
+
+    def sink(df, epoch_id):
+        df.write.mode("append").parquet(f"{tmpdir}/out")
+
+    q = write_foreach_batch(
+        tot, sink, checkpoint=f"{tmpdir}/ckpt", trigger_once=True).start()
+    q.awaitTermination(120)
+    got = {r.user_id: r.total
+           for r in spark.read.parquet(f"{tmpdir}/out").collect()}
+    assert got == {1: 2, 2: 1}
