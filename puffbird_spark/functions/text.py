@@ -291,3 +291,35 @@ def registered_domain(host: str | Column) -> Column:
     approximation every engine can replay."""
     c = F.col(host) if isinstance(host, str) else host
     return F.regexp_extract(c, REGISTERED_DOMAIN_PATTERN, 1)
+
+
+def strip_html(html: str | Column) -> Column:
+    """Plain text from HTML markup — the first stage of every web-crawl
+    curation pipeline (WET extraction, C4/CCNet boilerplate removal).
+    Four regexp passes, all whole-stage codegen and replayable verbatim
+    in a SQL oracle (patterns stick to the RE2 <-> Java common subset:
+    ``(?s)``, non-greedy ``.*?``, character classes):
+
+    1. drop ``<script>``/``<style>`` ELEMENTS wholesale (their text
+       content is code, not prose);
+    2. strip every remaining tag ``<...>``;
+    3. decode the five XML entities + ``&nbsp;`` (the deterministic
+       core; full entity tables are locale data, not engine logic);
+    4. collapse whitespace runs to single spaces and trim.
+    """
+    c = F.col(html) if isinstance(html, str) else html
+    no_blocks = c
+    for el in ("script", "style"):
+        # two passes, not one alternation with a backreference: the
+        # oracle replays in RE2, which has no backreferences
+        no_blocks = F.regexp_replace(
+            no_blocks, rf"(?is)<{el}\b[^>]*>.*?</{el}\s*>", " "
+        )
+    no_tags = F.regexp_replace(no_blocks, r"(?s)<[^>]*>", " ")
+    ent = no_tags
+    for pat, rep in (
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&"),
+    ):
+        ent = F.regexp_replace(ent, pat, rep)
+    return F.trim(F.regexp_replace(ent, r"\s+", " "))

@@ -1,0 +1,62 @@
+"""Privacy re-identification audits: k-anonymity and l-diversity.
+
+EXT training-pipeline coverage (the reference ships none): before a
+table with quasi-identifiers leaves a curation pipeline, the release
+gate is Sweeney's k-anonymity — every quasi-identifier combination must
+be shared by >= k rows — and Machanavajjhala's l-diversity — each such
+equivalence class must carry >= l distinct values of the sensitive
+attribute (a k-anonymous class with ONE sensitive value still leaks it).
+
+Scale design: one groupBy over the quasi-identifier tuple computing
+class size and exact distinct sensitive count — a single shuffle on the
+QI key, partial-aggregated map-side; no window, no self-join. The audit
+output is class-grain (bounded by QI cardinality, far smaller than the
+input), so the suppression decision joins back broadcast-style.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["k_anonymity_audit", "suppress_small_classes"]
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    k: int = 5,
+    ell: int = 2,
+) -> DataFrame:
+    """One row per equivalence class (distinct quasi-identifier tuple):
+    ``class_size``, ``l_distinct`` (exact distinct sensitive values),
+    and the two violation flags. A released table satisfies
+    (k, l)-anonymity iff no row has either flag set."""
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    agg = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("class_size"),
+        F.countDistinct(sensitive_col).cast("long").alias("l_distinct"),
+    )
+    return agg.withColumn(
+        "k_violation", F.col("class_size") < F.lit(int(k))
+    ).withColumn("l_violation", F.col("l_distinct") < F.lit(int(ell)))
+
+
+def suppress_small_classes(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    k: int = 5,
+    ell: int = 2,
+) -> DataFrame:
+    """The enforcement sibling: drop every row belonging to a violating
+    class. The class audit is tiny (QI-cardinality rows) so the
+    anti-join broadcasts."""
+    bad = (
+        k_anonymity_audit(df, quasi_cols, sensitive_col, k=k, ell=ell)
+        .filter(F.col("k_violation") | F.col("l_violation"))
+        .select(*quasi_cols)
+    )
+    return df.join(F.broadcast(bad), on=quasi_cols, how="left_anti")

@@ -73,3 +73,70 @@ def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         "min_str", "max_str",
         (F.col("n_distinct") <= 1).alias("is_constant"),
     )
+
+
+def equi_width_histogram(
+    df: DataFrame, col: str, n_buckets: int = 16
+) -> DataFrame:
+    """Optimizer-grade equi-WIDTH histogram of a numeric column (the
+    ``ANALYZE TABLE ... FOR COLUMNS`` shape): global [min, max] split
+    into ``n_buckets`` equal spans, top edge inclusive in the last
+    bucket. Two jobs: a 1-row min/max agg (broadcast as a literal-free
+    cross join — Spark turns the 1-row side into a BroadcastNestedLoop
+    that is effectively a map-side constant), then one groupBy on the
+    bucket id. NULLs are excluded (they are a separate profile stat,
+    not a distribution point)."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    vals = df.select(F.col(col).cast("double").alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
+    rng = vals.agg(
+        F.min("__v").alias("__lo"), F.max("__v").alias("__hi")
+    )
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_buckets))
+    b = F.least(
+        F.floor((F.col("__v") - F.col("__lo")) / width).cast("int"),
+        F.lit(n_buckets - 1),
+    )
+    return (
+        vals.crossJoin(F.broadcast(rng))
+        .withColumn("bucket", b)
+        .groupBy("bucket")
+        .agg(
+            F.round(F.min(F.col("__lo") + F.col("bucket") * width), 6)
+            .alias("lo_edge"),
+            F.round(F.min(F.col("__lo") + (F.col("bucket") + 1) * width), 6)
+            .alias("hi_edge"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+
+
+def equi_depth_histogram(
+    df: DataFrame, col: str, tiebreak: str, n_buckets: int = 8
+) -> DataFrame:
+    """Equi-DEPTH histogram (equal row counts per bucket — the
+    skew-robust twin the optimizer actually prefers): ``ntile`` over a
+    DETERMINISTIC total order (value, then ``tiebreak``, which must be
+    unique) so bucket membership is reproducible across engines and
+    runs. One global sort (a single range-partitioned shuffle — for a
+    production table this is the same cost class as any total-order
+    stat); emits per-bucket min/max/count."""
+    from pyspark.sql.window import Window
+
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    vals = df.select(
+        F.col(col).cast("double").alias("__v"), F.col(tiebreak).alias("__t")
+    ).filter(F.col("__v").isNotNull())
+    w = Window.orderBy("__v", "__t")
+    return (
+        vals.withColumn("bucket", F.ntile(n_buckets).over(w) - 1)
+        .groupBy("bucket")
+        .agg(
+            F.round(F.min("__v"), 6).alias("lo_val"),
+            F.round(F.max("__v"), 6).alias("hi_val"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )

@@ -548,3 +548,76 @@ def fn_encryption_roundtrip(spark, sf_dir):
         " AS ecb_deterministic",
         "CAST(length(c_name) AS INT) AS plain_len",
     ).orderBy("c_custkey")
+
+
+#: LPM gate fixture: a mix of prefix lengths, the four /2 blocks cover
+#: the whole address space so every synthesized IP matches something and
+#: the narrower blocks must WIN via longest-prefix, not mere membership.
+CIDR_BLOCKS = [
+    "0.0.0.0/2", "64.0.0.0/2", "128.0.0.0/2", "192.0.0.0/2",
+    "200.0.0.0/6", "10.0.0.0/8", "100.64.0.0/10", "172.16.0.0/12",
+    "192.168.0.0/16", "8.8.8.0/24",
+]
+
+
+def _cidr_oracle() -> str:
+    def net_sh(cidr: str) -> tuple[int, int]:
+        net_txt, plen = cidr.split("/")
+        a, b, c, d = (int(x) for x in net_txt.split("."))
+        net = (a << 24) | (b << 16) | (c << 8) | d
+        return net >> (32 - int(plen)), int(plen)
+
+    vals = ", ".join(
+        f"('{c}', {net_sh(c)[0]}, {net_sh(c)[1]})" for c in CIDR_BLOCKS
+    )
+    return f"""
+WITH ev AS (SELECT event_id, user_id,
+                   (event_id * 2654435761) % 4294967296 AS ip
+            FROM events),
+b(cidr, net_sh, plen) AS (VALUES {vals}),
+m AS (SELECT e.event_id, e.user_id, e.ip, b.cidr, b.plen
+      FROM ev e JOIN b ON (e.ip >> (32 - b.plen)) = b.net_sh
+      QUALIFY row_number()
+        OVER (PARTITION BY e.event_id ORDER BY b.plen DESC, b.cidr) = 1)
+SELECT cidr, CAST(plen AS INT) AS prefix_len,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(MIN(ip) >> 24 AS VARCHAR) || '.' ||
+       CAST((MIN(ip) >> 16) & 255 AS VARCHAR) || '.' ||
+       CAST((MIN(ip) >> 8) & 255 AS VARCHAR) || '.' ||
+       CAST(MIN(ip) & 255 AS VARCHAR) AS min_ip
+FROM m GROUP BY 1, 2
+"""
+
+
+@query("fn_ip_cidr", oracle=_cidr_oracle())
+def fn_ip_cidr(spark, sf_dir):
+    """IPv4 parse/format + CIDR longest-prefix-match join
+    (`operators/net.py` — the origin-network bucketing of a crawl
+    pipeline: blocklist joins, private/CGNAT filtering, per-block rate
+    stats). IPs are synthesized from event_id (Knuth multiplicative
+    hash mod 2^32), FORMATTED to dotted-quad text, then the operator
+    parses them back and LPM-matches against a mixed-length block
+    table: one broadcast equi-join per distinct prefix length plus one
+    coalesce — no nested loop, no shuffle, no window. The oracle
+    replays hash, shift-probe, and QUALIFY-row_number LPM in SQL; the
+    /2 fallbacks guarantee full coverage so narrower blocks must win
+    by LENGTH, which is exactly what a between-join bug would break."""
+    from ..operators.net import cidr_lpm_match, long_to_ipv4
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        long_to_ipv4(
+            (F.col("event_id") * F.lit(2654435761)) % F.lit(4294967296)
+        ).alias("ip_text"),
+    )
+    blocks = spark.createDataFrame(
+        [(c,) for c in CIDR_BLOCKS], ["cidr"]
+    )
+    matched = cidr_lpm_match(ev, "ip_text", blocks)
+    return matched.groupBy("cidr", "prefix_len").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        long_to_ipv4(F.min("ip_long")).alias("min_ip"),
+    )

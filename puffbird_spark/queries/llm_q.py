@@ -4048,3 +4048,77 @@ def eval_calibration_bins(spark, sf_dir):
              F.round(F.abs(mean_pred - frac_pos), 6).alias("gap"))
         .orderBy("bin")
     )
+
+
+@query("text_html_extract", oracle="""
+WITH h AS (SELECT doc_id,
+  '<html><head><title>' || coalesce(source, '') ||
+  '</title><style type="text/css">body{margin:0}</style></head>' ||
+  '<body><nav><a href="/">Home</a> <a href="/about">About</a></nav>' ||
+  '<h1>Doc ' || doc_id || '</h1><p>' || text ||
+  '</p><script>var x=1;</script>' ||
+  '<footer>&copy; 2026 &amp; &lt;Example&gt;</footer></body></html>'
+    AS html
+  FROM documents WHERE text IS NOT NULL),
+s1 AS (SELECT doc_id, html,
+  regexp_replace(html, '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g')
+    AS t FROM h),
+s2 AS (SELECT doc_id, html,
+  regexp_replace(t, '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g')
+    AS t FROM s1),
+s3 AS (SELECT doc_id, html,
+  regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM s2),
+s4 AS (SELECT doc_id, html,
+  replace(replace(replace(replace(replace(replace(t,
+    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+    '&#39;', ''''), '&amp;', '&') AS t FROM s3),
+s5 AS (SELECT doc_id, html,
+  trim(regexp_replace(t, '\\s+', ' ', 'g')) AS t FROM s4)
+SELECT doc_id,
+       CAST(length(html) AS BIGINT) AS html_len,
+       CAST(length(t) AS BIGINT) AS text_len,
+       round(1.0 - CAST(length(t) AS DOUBLE) / length(html), 6)
+         AS markup_ratio,
+       substr(t, 1, 60) AS head_text
+FROM s5
+""")
+def text_html_extract(spark, sf_dir):
+    """HTML -> plain-text extraction (`strip_html`, functions/text.py —
+    the WET-extraction / boilerplate-removal front door of a crawl
+    curation pipeline). The gate WRAPS each document in a deterministic
+    page skeleton (title, style element, nav links, script element,
+    entity-laden footer), then the operator must drop script/style
+    elements wholesale, strip tags, decode core entities, and collapse
+    whitespace; `markup_ratio` is the boilerplate-share feature quality
+    filters cut on. Four regexp passes in the RE2<->Java common subset,
+    replayed verbatim by the oracle; undecoded entities (``&copy;``)
+    stay literal on BOTH engines, which the value hash checks."""
+    from ..functions.text import strip_html
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull())
+    html = F.concat(
+        F.lit("<html><head><title>"),
+        F.coalesce(F.col("source"), F.lit("")),
+        F.lit('</title><style type="text/css">body{margin:0}</style>'
+              "</head><body>"
+              '<nav><a href="/">Home</a> <a href="/about">About</a></nav>'
+              "<h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><script>var x=1;</script>"
+              "<footer>&copy; 2026 &amp; &lt;Example&gt;</footer>"
+              "</body></html>"),
+    )
+    out = docs.select("doc_id", html.alias("html"))
+    out = out.withColumn("t", strip_html("html"))
+    return out.select(
+        "doc_id",
+        F.length("html").cast("long").alias("html_len"),
+        F.length("t").cast("long").alias("text_len"),
+        F.round(
+            F.lit(1.0) - F.length("t").cast("double") / F.length("html"), 6
+        ).alias("markup_ratio"),
+        F.substring("t", 1, 60).alias("head_text"),
+    )

@@ -2933,3 +2933,94 @@ def agg_listagg(spark, sf_dir):
         FROM {li} GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
     """)
+
+
+@query("privacy_k_anonymity", oracle="""
+WITH g AS (SELECT c_nationkey, c_mktsegment,
+                  CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
+                  c_custkey % 5 AS sens
+           FROM customer),
+cls AS (SELECT c_nationkey, c_mktsegment, bal_band,
+               CAST(COUNT(*) AS BIGINT) AS class_size,
+               CAST(COUNT(DISTINCT sens) AS BIGINT) AS l_distinct
+        FROM g GROUP BY 1, 2, 3)
+SELECT c_nationkey, c_mktsegment, bal_band, class_size, l_distinct,
+       class_size < 5 AS k_violation,
+       l_distinct < 2 AS l_violation
+FROM cls
+""")
+def privacy_k_anonymity(spark, sf_dir):
+    """(k,l)-anonymity release audit (`k_anonymity_audit`,
+    operators/privacy.py — Sweeney 2002 / Machanavajjhala 2007): per
+    quasi-identifier class (nation, market segment, account-balance
+    band) the class size and exact distinct sensitive-value count,
+    with the k<5 and l<2 violation flags a release gate would block
+    on. One shuffle on the QI tuple, map-side partial aggs, class-
+    grain output; the suppression sibling anti-joins the (tiny,
+    broadcast) violating-class list. The oracle replays banding,
+    class stats, and both flags."""
+    from ..operators.privacy import k_anonymity_audit
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("bal_band"),
+        (F.col("c_custkey") % 5).alias("sens"),
+    )
+    return k_anonymity_audit(
+        cust, ["c_nationkey", "c_mktsegment", "bal_band"], "sens",
+        k=5, ell=2,
+    )
+
+
+@query("diag_histogram", oracle="""
+WITH v AS (SELECT CAST(o_totalprice AS DOUBLE) AS v, o_orderkey AS t
+           FROM orders WHERE o_totalprice IS NOT NULL),
+r AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM v),
+ew AS (SELECT 'width' AS kind,
+              CAST(least(CAST(floor((v.v - r.lo) / ((r.hi - r.lo) / 16))
+                              AS INT), 15) AS INT) AS bucket,
+              v.v FROM v CROSS JOIN r),
+ewa AS (SELECT kind, bucket,
+               round(MIN(r.lo + bucket * ((r.hi - r.lo) / 16)), 6) AS lo_edge,
+               round(MIN(r.lo + (bucket + 1) * ((r.hi - r.lo) / 16)), 6)
+                 AS hi_edge,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM ew CROSS JOIN r GROUP BY 1, 2),
+ed AS (SELECT 'depth' AS kind,
+              ntile(8) OVER (ORDER BY v, t) - 1 AS bucket, v FROM v),
+eda AS (SELECT kind, CAST(bucket AS INT) AS bucket,
+               round(MIN(v), 6) AS lo_edge, round(MAX(v), 6) AS hi_edge,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM ed GROUP BY 1, 2)
+SELECT * FROM ewa UNION ALL SELECT * FROM eda
+""")
+def diag_histogram(spark, sf_dir):
+    """Optimizer-style column histograms (`equi_width_histogram` /
+    `equi_depth_histogram`, operators/profile.py — the ANALYZE
+    statistics that drive join reordering and skew detection at scale):
+    o_totalprice in 16 equal-width spans (1-row min/max agg broadcast
+    into the bucketing scan + one groupBy) and 8 equal-depth ntile
+    buckets over the DETERMINISTIC (value, orderkey) order — the
+    unique tie-break is what makes equi-depth reproducible across
+    engines, partitionings, and runs. Width buckets expose the value
+    skew the depth buckets absorb; both replayed exactly by the
+    oracle, edges rounded at 6 dp."""
+    from ..operators.profile import (
+        equi_depth_histogram,
+        equi_width_histogram,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    ew = equi_width_histogram(orders, "o_totalprice", 16).select(
+        F.lit("width").alias("kind"), "bucket",
+        "lo_edge", "hi_edge", "n_rows",
+    )
+    ed = equi_depth_histogram(
+        orders, "o_totalprice", "o_orderkey", 8
+    ).select(
+        F.lit("depth").alias("kind"), "bucket",
+        F.col("lo_val").alias("lo_edge"), F.col("hi_val").alias("hi_edge"),
+        "n_rows",
+    )
+    return ew.unionAll(ed)

@@ -5054,3 +5054,107 @@ def test_target_encode_loo_hand(spark):
     # no encoding equals its own label
     assert all(enc not in (0.0, 1.0)
                for encs in by.values() for enc in encs)
+
+
+def test_cidr_lpm_longest_wins_and_left(spark):
+    """LPM: a narrower block beats the /2 fallback; unmatched rows drop
+    under inner, survive as NULL under left; duplicate networks at one
+    length raise."""
+    import pytest
+
+    from puffbird_spark.operators.net import cidr_lpm_match
+
+    blocks = spark.createDataFrame(
+        [("0.0.0.0/1",), ("10.0.0.0/8",), ("10.1.0.0/16",)], ["cidr"]
+    )
+    ips = spark.createDataFrame(
+        [(1, "10.1.2.3"), (2, "10.9.9.9"), (3, "5.0.0.1"),
+         (4, "200.1.1.1")],
+        ["id", "ip"],
+    )
+    got = {r.id: r.cidr for r in cidr_lpm_match(ips, "ip", blocks).collect()}
+    assert got == {1: "10.1.0.0/16", 2: "10.0.0.0/8", 3: "0.0.0.0/1"}
+    left = {
+        r.id: r.cidr
+        for r in cidr_lpm_match(ips, "ip", blocks, how="left").collect()
+    }
+    assert left[4] is None and len(left) == 4
+    dup = spark.createDataFrame(
+        [("10.0.0.0/8",), ("10.255.0.0/8",)], ["cidr"]
+    )
+    with pytest.raises(ValueError, match="duplicate networks"):
+        cidr_lpm_match(ips, "ip", dup)
+
+
+def test_ipv4_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from puffbird_spark.operators.net import ipv4_to_long, long_to_ipv4
+
+    df = spark.createDataFrame(
+        [("0.0.0.0",), ("255.255.255.255",), ("192.168.1.7",)], ["ip"]
+    )
+    got = df.select(
+        "ip", long_to_ipv4(ipv4_to_long("ip")).alias("rt"),
+        ipv4_to_long(F.lit("1.0.0.0")).alias("v"),
+    ).collect()
+    assert all(r.ip == r.rt for r in got)
+    assert got[0].v == 16777216
+
+
+def test_strip_html_edges(spark):
+    """Script/style content dropped wholesale, entities decoded once,
+    whitespace collapsed; '&copy;' stays literal."""
+    from puffbird_spark.functions.text import strip_html
+
+    df = spark.createDataFrame(
+        [("<p>a  b</p><script>var \"x\"=1;</script>"
+          "<style>p{color:red}</style>&amp;lt; &copy; <b>c</b>",)],
+        ["h"],
+    )
+    [r] = df.select(strip_html("h").alias("t")).collect()
+    # &amp;lt; decodes the &amp; first -> '&lt;' literal? No: passes run
+    # in fixed order (&lt; before &amp;), so '&amp;lt;' -> '&lt;' text.
+    assert r.t == "a b &lt; &copy; c"
+
+
+def test_k_anonymity_suppression(spark):
+    from puffbird_spark.operators.privacy import (
+        k_anonymity_audit,
+        suppress_small_classes,
+    )
+
+    rows = [("x", 1, 0), ("x", 1, 1), ("x", 1, 0), ("y", 2, 5),
+            ("z", 3, 1), ("z", 3, 1), ("z", 3, 1)]
+    df = spark.createDataFrame(rows, "qa string, qb long, s long")
+    audit = {
+        (r.qa, r.qb): (r.class_size, r.l_distinct, r.k_violation,
+                       r.l_violation)
+        for r in k_anonymity_audit(df, ["qa", "qb"], "s", k=3,
+                                   ell=2).collect()
+    }
+    assert audit[("x", 1)] == (3, 2, False, False)
+    assert audit[("y", 2)] == (1, 1, True, True)
+    # k ok but l fails: all sensitive values identical
+    assert audit[("z", 3)] == (3, 1, False, True)
+    kept = suppress_small_classes(df, ["qa", "qb"], "s", k=3, ell=2)
+    assert sorted({r.qa for r in kept.collect()}) == ["x"]
+
+
+def test_histograms_hand(spark):
+    from puffbird_spark.operators.profile import (
+        equi_depth_histogram,
+        equi_width_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(float(i), i) for i in range(10)] + [(None, 99)],
+        "v double, k long",
+    )
+    ew = {r.bucket: r.n_rows
+          for r in equi_width_histogram(df, "v", 3).collect()}
+    # [0,3) [3,6) [6,9]: max lands in the LAST bucket (inclusive top)
+    assert ew == {0: 3, 1: 3, 2: 4}
+    ed = {r.bucket: (r.lo_val, r.hi_val, r.n_rows)
+          for r in equi_depth_histogram(df, "v", "k", 2).collect()}
+    assert ed == {0: (0.0, 4.0, 5), 1: (5.0, 9.0, 5)}
