@@ -1083,3 +1083,70 @@ def modularity_communities(
         )
         .orderBy("community")
     )
+
+
+def shortest_paths_weighted(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Multi-source WEIGHTED shortest paths (Bellman-Ford, ``max_hops``
+    relaxation rounds) over an undirected edge list with non-negative
+    integer weights — the cost-aware sibling of :func:`bfs_distances`
+    (crawl-cost budgets, weighted seed expansion). Returns
+    ``(vertex, dist)`` = the minimum total weight over paths of at most
+    ``max_hops`` edges from the nearest seed; unreached vertices are
+    absent.
+
+    Scale shape: per round ONE join from the IMPROVED frontier into the
+    edge list, then a keyed min-merge with the settled table — the
+    delta-relaxation cut keeps round cost proportional to the changing
+    set, and is EXACT for the <=k-edge metric (any <=k-edge shortest
+    path has a strictly-improving prefix chain, so every link is
+    relaxed from a frontier member the round after its prefix settles).
+    ``localCheckpoint`` per round (the iterative-plan rule); integer
+    weights keep the min-merge engine-exact.
+    """
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    und = (
+        edges.select(
+            F.col(src).alias("a"), F.col(dst).alias("b"),
+            F.col(weight).cast("long").alias("w"))
+        .union(edges.select(
+            F.col(dst).alias("a"), F.col(src).alias("b"),
+            F.col(weight).cast("long").alias("w")))
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b").agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    seed_col = seeds.columns[0]
+    dist = seeds.select(
+        F.col(seed_col).alias("vertex"), F.lit(0).cast("long").alias("dist")
+    ).distinct().localCheckpoint(eager=True)
+    frontier = dist
+    for _ in range(max_hops):
+        cand = (
+            frontier.join(und, frontier.vertex == und.a)
+            .select(F.col("b").alias("vertex"),
+                    (F.col("dist") + F.col("w")).alias("dist"))
+            .groupBy("vertex").agg(F.min("dist").alias("dist"))
+        )
+        merged = (
+            dist.unionByName(cand)
+            .groupBy("vertex").agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = (
+            merged.join(
+                dist.withColumnRenamed("dist", "__old"), "vertex", "left")
+            .filter(F.col("__old").isNull()
+                    | (F.col("dist") < F.col("__old")))
+            .select("vertex", "dist")
+            .localCheckpoint(eager=True)
+        )
+        dist = merged
+    return dist

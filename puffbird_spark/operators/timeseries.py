@@ -630,3 +630,71 @@ def kaplan_meier(
         )
         .orderBy("t")
     )
+
+
+def holt_linear(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing per key, with
+    the ENGINE-PORTABLE float policy: smoothing constants are the
+    dyadic pair alpha=1/2, beta=1/4, and the recursion
+
+        l_t = 0.5*x_t + 0.5*(l_{t-1} + b_{t-1})
+        b_t = 0.25*(l_t - l_{t-1}) + 0.75*b_{t-1}
+
+    is evaluated with EXACTLY this expression shape (init l_1 = x_1,
+    b_1 = 0), so an oracle spelling the same operations — e.g. a
+    recursive SQL CTE — reproduces every intermediate bit-for-bit
+    (halving and quartering are exact; the remaining ops are the same
+    IEEE sequence on any engine). Inputs should be exact-decimal
+    doubles (snap money to 2 dp first).
+
+    Shape: the recursion is inherently sequential PER KEY, so it runs
+    as one ``applyInPandas`` over key groups — each series ships once,
+    the state walk is a tight Python loop over the sorted group, and
+    cross-key parallelism is Spark's. Emits level, trend, and the
+    one-step-ahead forecast (level + trend) per observation.
+    """
+    import pandas as pd
+
+    out_schema = ", ".join(
+        [f"`{c}` string" for c in key_cols]
+        + [f"`{order_col}` long", "x double", "level double",
+           "trend double", "forecast_next double"]
+    )
+
+    def _walk(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        xs = pdf[value_col].to_numpy(dtype="float64")
+        levels = []
+        trends = []
+        l_prev = 0.0
+        b_prev = 0.0
+        for i, x in enumerate(xs):
+            if i == 0:
+                l_cur, b_cur = float(x), 0.0
+            else:
+                l_cur = 0.5 * float(x) + 0.5 * (l_prev + b_prev)
+                b_cur = 0.25 * (l_cur - l_prev) + 0.75 * b_prev
+            levels.append(l_cur)
+            trends.append(b_cur)
+            l_prev, b_prev = l_cur, b_cur
+        res = pd.DataFrame({
+            **{c: pdf[c].astype(str) for c in key_cols},
+            order_col: pdf[order_col].astype("int64"),
+            "x": xs,
+            "level": levels,
+            "trend": trends,
+            "forecast_next": [lv + tr for lv, tr in zip(levels, trends)],
+        })
+        return res
+
+    src = df.select(
+        *[F.col(c).cast("string").alias(c) for c in key_cols],
+        F.col(order_col).cast("long").alias(order_col),
+        F.col(value_col).cast("double").alias(value_col),
+    )
+    return src.groupBy(*key_cols).applyInPandas(_walk, out_schema)

@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 from ..functions import text as TXT
 from ..operators import dedup as DD
 from ..operators.similarity import cosine_topk, ivf_topk, lsh_bucket_topk
-from .base import load, query
+from .base import dec, load, query
 
 
 @query("dedup_exact", oracle="""
@@ -4121,4 +4121,211 @@ def text_html_extract(spark, sf_dir):
             F.lit(1.0) - F.length("t").cast("double") / F.length("html"), 6
         ).alias("markup_ratio"),
         F.substring("t", 1, 60).alias("head_text"),
+    )
+
+
+@query("timeseries_holt_winters", oracle="""
+WITH RECURSIVE
+d AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS x
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2),
+s AS (SELECT event_type, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS t
+      FROM d),
+rec AS (
+  SELECT event_type, t, x, x AS l, CAST(0 AS DOUBLE) AS b
+  FROM s WHERE t = 1
+  UNION ALL
+  SELECT s.event_type, s.t, s.x,
+         0.5*s.x + 0.5*(r.l + r.b) AS l,
+         0.25*((0.5*s.x + 0.5*(r.l + r.b)) - r.l) + 0.75*r.b AS b
+  FROM rec r JOIN s ON s.event_type = r.event_type AND s.t = r.t + 1)
+SELECT event_type, CAST(t AS INT) AS t, round(x, 6) AS x,
+       round(l, 6) AS level, round(b, 6) AS trend,
+       round(l + b, 6) AS forecast_next
+FROM rec
+""")
+def timeseries_holt_winters(spark, sf_dir):
+    """Holt's linear-trend double exponential smoothing
+    (`holt_linear`, operators/timeseries.py) over per-type daily
+    revenue series — the trend-aware forecaster a monitoring plane
+    runs beside EWMA. The recursion is sequential per key, so the
+    engine ships each series ONCE through `applyInPandas` (state walk
+    in a tight loop, cross-key parallelism Spark's); the float policy
+    makes it oracle-replayable: dyadic constants (alpha=1/2, beta=1/4),
+    exact 2-dp inputs, and the recursive CTE spelling the IDENTICAL
+    IEEE expression sequence — every level/trend bit-for-bit across a
+    Python loop and a SQL recursion."""
+    from ..operators.timeseries import holt_linear
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull())
+    d = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(F.sum(dec("value")).cast("double").alias("x"))
+    s = d.withColumn(
+        "t",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("day")),
+    ).select("event_type", "t", "x")
+    out = holt_linear(s, ["event_type"], "t", "x")
+    return out.select(
+        "event_type",
+        F.col("t").cast("int").alias("t"),
+        F.round("x", 6).alias("x"),
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round("forecast_next", 6).alias("forecast_next"),
+    )
+
+
+@query("graph_shortest_path_weighted", oracle="""
+WITH RECURSIVE nn AS (SELECT COUNT(*) AS n FROM documents),
+e0 AS (SELECT DISTINCT doc_id AS s,
+        (doc_id * (3 + t.range) + 17 * t.range + 1) % nn.n AS d
+      FROM documents CROSS JOIN range(0, 3) t CROSS JOIN nn),
+und AS (SELECT a, b, MIN(w) AS w FROM (
+          SELECT s AS a, d AS b, 1 + (s + d) % 7 AS w FROM e0
+          UNION ALL SELECT d, s, 1 + (s + d) % 7 FROM e0)
+        WHERE a != b GROUP BY a, b),
+r AS (
+  SELECT doc_id AS vertex, CAST(0 AS BIGINT) AS dist, 0 AS hops
+  FROM documents WHERE doc_id % 100 = 0
+  UNION ALL
+  SELECT u.b, r.dist + u.w, r.hops + 1
+  FROM r JOIN und u ON u.a = r.vertex
+  WHERE r.hops < 4
+)
+SELECT vertex, CAST(MIN(dist) AS BIGINT) AS dist
+FROM r GROUP BY vertex
+""")
+def graph_shortest_path_weighted(spark, sf_dir):
+    """Multi-source WEIGHTED shortest paths
+    (`shortest_paths_weighted`, operators/graph.py — Bellman-Ford
+    with the delta-relaxation cut, 4 rounds): minimum total edge
+    weight over <=4-hop paths from the every-100th-doc seed set, on
+    the BFS gate's synthetic graph with weight 1+(src+dst)%7 — so
+    the cheapest route is often NOT the fewest-hop route, which is
+    exactly what separates this from `graph_bfs_distances`. Integer
+    weights keep every min-merge engine-exact; the oracle is the
+    path-exploding recursive CTE MIN-collapsed to the same metric —
+    frontier relaxation vs path enumeration, one truth."""
+    from ..operators.graph import shortest_paths_weighted
+
+    docs = load(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    edges = (
+        docs.crossJoin(F.broadcast(n))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.array(*[
+                (F.col("doc_id") * (3 + t) + 17 * t + 1) % F.col("n")
+                for t in range(3)])).alias("dst"))
+        .withColumn(
+            "weight", 1 + (F.col("src") + F.col("dst")) % 7)
+    )
+    seeds = docs.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("vertex"))
+    return shortest_paths_weighted(edges, seeds, max_hops=4)
+
+
+@query("eval_auc_roc", oracle="""
+WITH w AS (SELECT i AS bucket,
+         CAST(round(CAST(CAST('0x' || substr(md5('qwv:' || CAST(i AS VARCHAR)), 1, 8)
+                         AS BIGINT) AS DOUBLE) / 4294967296 - 0.5, 9)
+              AS DECIMAL(20,9)) AS weight
+       FROM range(0, 256) t(i)),
+t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE text IS NOT NULL),
+bk AS (SELECT doc_id,
+        CAST('0x' || substr(md5('qw:' || tok), 1, 8) AS BIGINT) % 256
+          AS bucket
+      FROM t),
+s AS (SELECT doc_id,
+        round(1 / (1 + exp(-round(CAST(SUM(weight) AS DOUBLE)
+                                  / COUNT(*), 6))), 6) AS p
+      FROM bk JOIN w USING (bucket) GROUP BY doc_id),
+lab AS (SELECT s.p, CAST(d.n_chars >= 500 AS INT) AS y
+        FROM s JOIN documents d ON d.doc_id = s.doc_id),
+g AS (SELECT p, COUNT(*) AS cnt, SUM(y) AS npos,
+             CAST(round(-ln(p), 9) AS DECIMAL(20,9)) AS l1,
+             CAST(round(-ln(1 - p), 9) AS DECIMAL(20,9)) AS l0,
+             CAST(round((p - 1) * (p - 1), 9) AS DECIMAL(20,9)) AS b1,
+             CAST(round(p * p, 9) AS DECIMAL(20,9)) AS b0
+      FROM lab GROUP BY p),
+r AS (SELECT *, SUM(cnt) OVER (ORDER BY p) - cnt AS below FROM g),
+a AS (SELECT SUM(cnt) AS n, SUM(npos) AS np,
+             SUM(npos * (2 * below + cnt + 1)) AS s2,
+             SUM(npos * l1 + (cnt - npos) * l0) AS ll,
+             SUM(npos * b1 + (cnt - npos) * b0) AS br
+      FROM r)
+SELECT CAST(n AS BIGINT) AS n, CAST(np AS BIGINT) AS n_pos,
+       round(CAST(s2 - np * (np + 1) AS DOUBLE)
+             / (2.0 * np * (n - np)), 6) AS auc,
+       round(CAST(ll AS DOUBLE) / n, 6) AS log_loss,
+       round(CAST(br AS DOUBLE) / n, 6) AS brier
+FROM a
+""")
+def eval_auc_roc(spark, sf_dir):
+    """Classifier scorecard: ROC-AUC + log-loss + Brier for the
+    hashed linear quality classifier against the deterministic
+    long-doc label — the threshold-free companions of
+    `eval_calibration_bins`. AUC uses the EXACT midrank/Mann-Whitney
+    identity kept integral to the last step: group by distinct score,
+    one tiny window over score groups for the cumulative count, then
+    AUC = (2*sum_pos_midranks - npos(npos+1)) / (2*npos*nneg) — no
+    per-row global sort, no float ranks. Log-loss and Brier terms
+    snap to 9-dp decimals per DISTINCT score (exact, order-free
+    sums). The oracle replays the entire classifier plus the rank
+    algebra; a single swapped comparison or a leaked tie would move
+    the hash."""
+    from pyspark.sql.window import Window
+
+    from ..operators.classifier import linear_quality_score
+
+    docs = load(spark, sf_dir, "documents")
+    scored = linear_quality_score(docs, "text", "doc_id", dim=256)
+    lab = scored.join(docs.select("doc_id", "n_chars"), "doc_id").select(
+        F.col("p_keep").alias("p"),
+        (F.col("n_chars") >= 500).cast("int").alias("y"))
+    g = lab.groupBy("p").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("y").alias("npos"),
+        F.round(-F.log(F.col("p")), 9).cast("decimal(20,9)").alias("l1"),
+        F.round(-F.log(F.lit(1) - F.col("p")), 9)
+        .cast("decimal(20,9)").alias("l0"),
+        F.round((F.col("p") - 1) * (F.col("p") - 1), 9)
+        .cast("decimal(20,9)").alias("b1"),
+        F.round(F.col("p") * F.col("p"), 9)
+        .cast("decimal(20,9)").alias("b0"),
+    )
+    r = g.withColumn(
+        "below",
+        F.sum("cnt").over(
+            Window.orderBy("p").rowsBetween(Window.unboundedPreceding, 0))
+        - F.col("cnt"),
+    )
+    a = r.agg(
+        F.sum("cnt").alias("n"),
+        F.sum("npos").alias("np"),
+        F.sum(F.col("npos") * (2 * F.col("below") + F.col("cnt") + 1))
+        .alias("s2"),
+        F.sum(F.col("npos") * F.col("l1")
+              + (F.col("cnt") - F.col("npos")) * F.col("l0")).alias("ll"),
+        F.sum(F.col("npos") * F.col("b1")
+              + (F.col("cnt") - F.col("npos")) * F.col("b0")).alias("br"),
+    )
+    return a.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("np").cast("long").alias("n_pos"),
+        F.round(
+            (F.col("s2") - F.col("np") * (F.col("np") + 1)).cast("double")
+            / (2.0 * F.col("np") * (F.col("n") - F.col("np"))), 6
+        ).alias("auc"),
+        F.round(F.col("ll").cast("double") / F.col("n"), 6)
+        .alias("log_loss"),
+        F.round(F.col("br").cast("double") / F.col("n"), 6).alias("brier"),
     )

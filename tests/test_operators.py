@@ -5158,3 +5158,76 @@ def test_histograms_hand(spark):
     ed = {r.bucket: (r.lo_val, r.hi_val, r.n_rows)
           for r in equi_depth_histogram(df, "v", "k", 2).collect()}
     assert ed == {0: (0.0, 4.0, 5), 1: (5.0, 9.0, 5)}
+
+
+def test_holt_linear_hand(spark):
+    """Recursion replay: alpha=1/2, beta=1/4, l1=x1, b1=0 — exact
+    dyadic arithmetic checked against a hand walk."""
+    from puffbird_spark.operators.timeseries import holt_linear
+
+    df = spark.createDataFrame(
+        [("a", 1, 4.0), ("a", 2, 8.0), ("a", 3, 8.0), ("b", 1, 2.0)],
+        "k string, t long, x double",
+    )
+    got = {(r.k, r.t): (r.level, r.trend, r.forecast_next)
+           for r in holt_linear(df, ["k"], "t", "x").collect()}
+    # a: l1=4,b1=0; l2=.5*8+.5*4=6, b2=.25*2+0=.5;
+    #    l3=.5*8+.5*6.5=7.25, b3=.25*1.25+.75*.5=0.6875
+    assert got[("a", 1)] == (4.0, 0.0, 4.0)
+    assert got[("a", 2)] == (6.0, 0.5, 6.5)
+    assert got[("a", 3)] == (7.25, 0.6875, 7.9375)
+    assert got[("b", 1)] == (2.0, 0.0, 2.0)
+
+
+def test_shortest_paths_weighted_cheap_beats_short(spark):
+    """The 2-hop cheap route (1+1=2) must beat the 1-hop expensive
+    edge (5); vertices beyond the hop budget are absent."""
+    from puffbird_spark.operators.graph import shortest_paths_weighted
+
+    edges = spark.createDataFrame(
+        [(0, 1, 5), (0, 2, 1), (2, 1, 1), (1, 3, 1), (3, 4, 1),
+         (4, 5, 1)],
+        "src long, dst long, weight long",
+    )
+    seeds = spark.createDataFrame([(0,)], ["v"])
+    got = {r.vertex: r.dist
+           for r in shortest_paths_weighted(edges, seeds,
+                                            max_hops=3).collect()}
+    # within 3 hops vertex 4 only has the expensive route 0-1-3-4 (7);
+    # the cheap chain 0-2-1-3-4 needs a 4th hop
+    assert got == {0: 0, 2: 1, 1: 2, 3: 3, 4: 7}
+    got5 = {r.vertex: r.dist
+            for r in shortest_paths_weighted(edges, seeds,
+                                             max_hops=5).collect()}
+    assert got5[4] == 4 and got5[5] == 5
+
+
+def test_auc_midrank_identity(spark):
+    """AUC from the grouped midrank algebra equals the probability a
+    positive outranks a negative (ties count half), checked by brute
+    force on a small fixture with ties."""
+    from itertools import product
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    rows = [(0.9, 1), (0.8, 1), (0.8, 0), (0.5, 0), (0.5, 1),
+            (0.3, 0), (0.1, 0)]
+    df = spark.createDataFrame(rows, "p double, y int")
+    g = df.groupBy("p").agg(F.count(F.lit(1)).alias("cnt"),
+                            F.sum("y").alias("npos"))
+    r = g.withColumn(
+        "below",
+        F.sum("cnt").over(
+            Window.orderBy("p").rowsBetween(Window.unboundedPreceding, 0))
+        - F.col("cnt"))
+    [a] = r.agg(
+        F.sum("cnt").alias("n"), F.sum("npos").alias("np"),
+        F.sum(F.col("npos") * (2 * F.col("below") + F.col("cnt") + 1))
+        .alias("s2")).collect()
+    auc = (a.s2 - a.np * (a.np + 1)) / (2.0 * a.np * (a.n - a.np))
+    pos = [p for p, y in rows if y == 1]
+    neg = [p for p, y in rows if y == 0]
+    brute = sum(1.0 if pp > pn else 0.5 if pp == pn else 0.0
+                for pp, pn in product(pos, neg)) / (len(pos) * len(neg))
+    assert abs(auc - brute) < 1e-12
