@@ -1,0 +1,154 @@
+"""Geospatial primitives: geohash cells, haversine distance, kNN join.
+
+EXT training-pipeline coverage (the reference ships no geo surface):
+location-tagged corpora (POI text, imagery metadata, check-in events)
+need spatial bucketing for dedup/sharding and nearest-site joins for
+enrichment. Built Spark-first:
+
+- **geohash** is pure integer/Column arithmetic (bit interleaving of
+  quantized lat/lon), fully inside whole-stage codegen — the cell id is
+  the shuffle/partition key that makes spatial joins equi-joins.
+- **haversine** is the textbook great-circle formula on built-in trig
+  Columns (JVM-side, no UDF).
+- **kNN join** here is the broadcast small-site-table shape (sites:
+  thousands; points: billions): the site table collapses to ONE row
+  holding an array of site structs, broadcast to every task; each
+  point scores the array with `transform`, sorts, and slices its
+  top-k — the big side never shuffles AT ALL (a windowed
+  `row_number` over the crossed pairs would shuffle |points|x|sites|
+  rows; this plan shuffles zero). When BOTH sides are large, bucket
+  each by geohash prefix and equi-join on the cell (+neighbor cells)
+  instead — the geohash operator above is that path's key generator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+GEOHASH_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+__all__ = ["geohash_encode", "haversine_km", "geo_knn_join",
+           "GEOHASH_BASE32"]
+
+
+def geohash_encode(
+    lat: Column | str, lon: Column | str, precision: int = 6
+) -> Column:
+    """Standard geohash (Niemeyer) of ``precision`` base32 chars, as a
+    single Column expression: quantize lon/lat to their bit budgets
+    (lon takes the extra bit at odd totals — bit 0 is a longitude
+    bit), interleave with shift/mask arithmetic, emit base32 chars.
+    ``5*precision`` bit terms, all codegen; no UDF, no loop at run
+    time. Top-edge inputs (lat=90, lon=180) clamp into the last cell.
+    """
+    if not 1 <= precision <= 12:
+        raise ValueError(f"precision must be in [1, 12], got {precision}")
+    la = F.col(lat) if isinstance(lat, str) else lat
+    lo = F.col(lon) if isinstance(lon, str) else lon
+    total = 5 * precision
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+    lon_idx = F.least(
+        F.floor((lo + F.lit(180.0)) / F.lit(360.0)
+                * F.lit(float(1 << lon_bits))).cast("long"),
+        F.lit((1 << lon_bits) - 1),
+    )
+    lat_idx = F.least(
+        F.floor((la + F.lit(90.0)) / F.lit(180.0)
+                * F.lit(float(1 << lat_bits))).cast("long"),
+        F.lit((1 << lat_bits) - 1),
+    )
+    g = F.lit(0).cast("long")
+    for i in range(lon_bits):
+        # lon bit i (MSB-first) lands at interleaved position 2i
+        g = g + F.shiftleft(
+            F.shiftright(lon_idx, lon_bits - 1 - i) % 2,
+            total - 1 - 2 * i,
+        )
+    for i in range(lat_bits):
+        # lat bit i lands at interleaved position 2i + 1
+        g = g + F.shiftleft(
+            F.shiftright(lat_idx, lat_bits - 1 - i) % 2,
+            total - 2 - 2 * i,
+        )
+    chars = F.array(*[F.lit(ch) for ch in GEOHASH_BASE32])
+    out = [
+        F.element_at(chars, (F.shiftright(g, total - 5 * (k + 1)) % 32
+                             + 1).cast("int"))
+        for k in range(precision)
+    ]
+    return F.concat(*out)
+
+
+def haversine_km(
+    lat1: Column, lon1: Column, lat2: Column, lon2: Column,
+    radius_km: float = 6371.0,
+) -> Column:
+    """Great-circle distance in km — built-in trig Columns only. The
+    expression is spelled once and reused verbatim in SQL oracles;
+    callers that RANK on it should round first (cross-engine libm can
+    differ in the last ulp)."""
+    rl1, rl2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2 - lat1) / 2
+    dlon = F.radians(lon2 - lon1) / 2
+    a = (
+        F.sin(dlat) * F.sin(dlat)
+        + F.cos(rl1) * F.cos(rl2) * F.sin(dlon) * F.sin(dlon)
+    )
+    return F.lit(2.0 * radius_km) * F.asin(F.sqrt(a))
+
+
+def geo_knn_join(
+    points: DataFrame,
+    sites: DataFrame,
+    k: int = 1,
+    point_key: str = "point_id",
+    site_key: str = "site_id",
+    dp: int = 6,
+) -> DataFrame:
+    """k nearest ``sites`` for every point, with ZERO shuffle of the
+    point side: the site table aggregates into a single row carrying
+    an ``array<struct<lat,lon,site>>``, which broadcasts to every
+    task; each point scores the whole array with ``transform`` (the
+    haversine stays a JVM Column inside the lambda), ``array_sort``
+    orders by (rounded distance, site key) — struct comparison is
+    field-order lexicographic, so the tie-break is built into the
+    element layout — and ``slice`` keeps k. Distances round to ``dp``
+    decimals BEFORE ranking so the selection is deterministic across
+    engines and partitionings. Expects both frames to carry ``lat``/
+    ``lon``; returns point columns + ``rank``, ``site_id``,
+    ``dist_km``. Contract: sites is the SMALL side (it is collected
+    into one array row); for large-x-large, bucket by geohash cell
+    and equi-join instead."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    sites_arr = sites.agg(
+        F.collect_list(
+            F.struct(
+                F.col("lat").alias("lat"), F.col("lon").alias("lon"),
+                F.col(site_key).alias("site"),
+            )
+        ).alias("__sites")
+    )
+    scored = F.transform(
+        F.col("__sites"),
+        lambda s: F.struct(
+            F.round(
+                haversine_km(F.col("lat"), F.col("lon"),
+                             s["lat"], s["lon"]), dp
+            ).alias("dist_km"),
+            s["site"].alias("site"),
+        ),
+    )
+    topk = F.slice(F.array_sort(scored), 1, k)
+    return (
+        points.crossJoin(F.broadcast(sites_arr))
+        .select("*", F.posexplode(topk).alias("__pos", "__hit"))
+        .select(
+            *points.columns,
+            (F.col("__pos") + 1).alias("rank"),
+            F.col("__hit.site").alias(site_key),
+            F.col("__hit.dist_km").alias("dist_km"),
+        )
+    )

@@ -7,6 +7,7 @@ from . import (  # noqa: F401,E402
     engine_q,
     explode_q,
     functions_q,
+    geo_q,
     llm_q,
     relational,
     sources_q,

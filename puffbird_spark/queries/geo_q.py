@@ -1,0 +1,137 @@
+"""Geospatial gates: geohash cell encoding and the broadcast kNN join.
+
+The reference ships no geo surface; these are EXT training-pipeline rows
+(location-tagged corpora need spatial bucketing for dedup/sharding and
+nearest-site joins for enrichment). Coordinates are FORMULA-DERIVED from
+integer keys — `(key*a % m)/100.0 - offset` — so both engines build the
+identical doubles and the oracles can rebuild the inputs exactly.
+
+Float policy: the geohash is pure integer bit arithmetic after one
+identical float quantization — bit-exact across engines. Haversine uses
+trig (genuinely approximate; libm vs java.lang.Math can differ in the
+last ulp), so distances are rounded to 4 dp BEFORE ranking and hashing,
+per the base.py approximate-value policy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .base import load, query
+
+# The synthetic coordinate formulas, spelled ONCE and reused verbatim in
+# the SQL oracles (same ops -> same doubles on both engines).
+_PT_LAT = "(c_custkey * 37 % 17999) / 100.0 - 90.0"
+_PT_LON = "(c_custkey * 73 % 35999) / 100.0 - 180.0"
+_SITE_LAT = "(n_nationkey * 700 % 17999) / 100.0 - 90.0"
+_SITE_LON = "(n_nationkey * 1300 % 35999) / 100.0 - 180.0"
+
+
+def _geohash_oracle(precision: int = 6) -> str:
+    """Replay of ``geohash_encode`` (operators/geo.py) in DuckDB SQL,
+    generated term-by-term so the bit layout matches the Column builder
+    exactly: quantize with the same float expression, interleave with
+    shift/mask sums, index the base32 alphabet per 5-bit group."""
+    total = 5 * precision
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+    g_terms = []
+    for i in range(lon_bits):
+        g_terms.append(
+            f"(((lon_idx >> {lon_bits - 1 - i}) % 2) << {total - 1 - 2 * i})"
+        )
+    for i in range(lat_bits):
+        g_terms.append(
+            f"(((lat_idx >> {lat_bits - 1 - i}) % 2) << {total - 2 - 2 * i})"
+        )
+    chars = " || ".join(
+        "substr('0123456789bcdefghjkmnpqrstuvwxyz', "
+        f"CAST((g >> {total - 5 * (k + 1)}) % 32 AS INT) + 1, 1)"
+        for k in range(precision)
+    )
+    return f"""
+WITH p AS (SELECT c_custkey,
+        {_PT_LAT} AS lat, {_PT_LON} AS lon FROM customer),
+q AS (SELECT c_custkey, lat, lon,
+        least(CAST(floor((lon + 180.0) / 360.0 * {float(1 << lon_bits)})
+                   AS BIGINT), {(1 << lon_bits) - 1}) AS lon_idx,
+        least(CAST(floor((lat + 90.0) / 180.0 * {float(1 << lat_bits)})
+                   AS BIGINT), {(1 << lat_bits) - 1}) AS lat_idx
+      FROM p),
+i AS (SELECT c_custkey, lat, lon,
+        {" + ".join(g_terms)} AS g FROM q)
+SELECT c_custkey, lat, lon, {chars} AS cell FROM i
+"""
+
+
+@query("geo_geohash", oracle=_geohash_oracle())
+def geo_geohash(spark, sf_dir):
+    """Geohash cell id per customer at precision 6 (~1.2 km cells) —
+    `geohash_encode` (operators/geo.py): one Column expression of pure
+    shift/mask arithmetic, fully inside whole-stage codegen, no UDF.
+    The cell id is the partition key that turns spatial joins into
+    equi-joins at 100 TB. Coordinates are formula-derived from
+    c_custkey so the oracle rebuilds them bit-exactly; the oracle
+    replays the same quantization + interleave term-by-term."""
+    from ..operators.geo import geohash_encode
+
+    cust = load(spark, sf_dir, "customer")
+    pts = cust.select(
+        "c_custkey",
+        F.expr(_PT_LAT).alias("lat"),
+        F.expr(_PT_LON).alias("lon"),
+    )
+    return pts.select(
+        "c_custkey", "lat", "lon",
+        geohash_encode("lat", "lon", precision=6).alias("cell"),
+    )
+
+
+_HAV = (
+    "round(12742.0 * asin(sqrt("
+    " sin(radians(s.lat - p.lat) / 2) * sin(radians(s.lat - p.lat) / 2)"
+    " + cos(radians(p.lat)) * cos(radians(s.lat))"
+    " * sin(radians(s.lon - p.lon) / 2) * sin(radians(s.lon - p.lon) / 2)"
+    ")), 4)"
+)
+
+
+@query("geo_knn_join", oracle=f"""
+WITH p AS (SELECT c_custkey, {_PT_LAT} AS lat, {_PT_LON} AS lon
+           FROM customer),
+s AS (SELECT n_nationkey, {_SITE_LAT} AS lat, {_SITE_LON} AS lon
+      FROM nation),
+d AS (SELECT p.c_custkey, p.lat, p.lon, s.n_nationkey,
+        {_HAV} AS dist_km
+      FROM p CROSS JOIN s),
+r AS (SELECT *, row_number() OVER (PARTITION BY c_custkey
+                                   ORDER BY dist_km, n_nationkey) AS rank
+      FROM d)
+SELECT c_custkey, lat, lon, rank, n_nationkey, dist_km
+FROM r WHERE rank <= 2
+""")
+def geo_knn_join(spark, sf_dir):
+    """2 nearest nation sites per customer — `geo_knn_join`
+    (operators/geo.py): the 25-site table collapses to ONE broadcast
+    array row; every point scores it with `transform` + `array_sort`
+    + `slice`, so the point side shuffles ZERO rows (a windowed
+    row_number over the crossed pairs would shuffle |points|x|sites|).
+    Distances round to 4 dp before ranking (struct sort order =
+    (dist, site key), the deterministic tie-break); the oracle ranks
+    the crossed pairs with the same rounded expression."""
+    from ..operators.geo import geo_knn_join as knn
+
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    pts = cust.select(
+        "c_custkey",
+        F.expr(_PT_LAT).alias("lat"),
+        F.expr(_PT_LON).alias("lon"),
+    )
+    sites = nation.select(
+        "n_nationkey",
+        F.expr(_SITE_LAT).alias("lat"),
+        F.expr(_SITE_LON).alias("lon"),
+    )
+    return knn(pts, sites, k=2, point_key="c_custkey",
+               site_key="n_nationkey", dp=4)

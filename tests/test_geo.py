@@ -1,0 +1,141 @@
+"""Geo operators: geohash bit layout vs published test vectors, haversine
+vs known city distances, the zero-shuffle kNN join, and its plan pin."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from puffbird_spark import plans as P
+from puffbird_spark.operators.geo import (
+    geo_knn_join,
+    geohash_encode,
+    haversine_km,
+)
+from puffbird_spark.queries import QUERIES
+
+
+def _encode(spark, lat, lon, precision):
+    row = (
+        spark.range(1)
+        .select(
+            geohash_encode(
+                F.lit(float(lat)), F.lit(float(lon)), precision
+            ).alias("g")
+        )
+        .first()
+    )
+    return row["g"]
+
+
+def test_geohash_known_vectors(spark):
+    # Published examples (Niemeyer geohash; wikipedia + geohash.org).
+    assert _encode(spark, 57.64911, 10.40744, 11) == "u4pruydqqvj"
+    assert _encode(spark, 42.6, -5.6, 5) == "ezs42"
+    assert _encode(spark, 0.0, 0.0, 1) == "s"
+    assert _encode(spark, 48.8566, 2.3522, 6) == "u09tvw"
+
+
+def test_geohash_edges_clamp_into_last_cell(spark):
+    # Top-edge inputs must clamp, not overflow the bit budget.
+    assert _encode(spark, 90.0, 180.0, 1) == "z"
+    assert _encode(spark, -90.0, -180.0, 1) == "0"
+
+
+def test_geohash_precision_validation(spark):
+    with pytest.raises(ValueError):
+        geohash_encode(F.lit(0.0), F.lit(0.0), precision=0)
+    with pytest.raises(ValueError):
+        geohash_encode(F.lit(0.0), F.lit(0.0), precision=13)
+
+
+def test_geohash_prefix_property(spark):
+    # A geohash at precision p is a prefix of the same point at p+1.
+    g6 = _encode(spark, 57.64911, 10.40744, 6)
+    g7 = _encode(spark, 57.64911, 10.40744, 7)
+    assert g7.startswith(g6)
+
+
+def test_haversine_known_distance(spark):
+    # Paris (48.8566, 2.3522) -> London (51.5074, -0.1278): ~343.5 km.
+    d = (
+        spark.range(1)
+        .select(
+            haversine_km(
+                F.lit(48.8566), F.lit(2.3522),
+                F.lit(51.5074), F.lit(-0.1278),
+            ).alias("d")
+        )
+        .first()["d"]
+    )
+    assert math.isclose(d, 343.5, abs_tol=1.0)
+    # Zero distance to self.
+    z = (
+        spark.range(1)
+        .select(
+            haversine_km(
+                F.lit(48.8566), F.lit(2.3522),
+                F.lit(48.8566), F.lit(2.3522),
+            ).alias("d")
+        )
+        .first()["d"]
+    )
+    assert z == 0.0
+
+
+def test_knn_join_hand_case(spark):
+    pts = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 10.0, 10.0)], "point_id int, lat double, lon double"
+    )
+    sites = spark.createDataFrame(
+        [(100, 0.0, 1.0), (200, 0.0, 2.0), (300, 50.0, 50.0)],
+        "site_id int, lat double, lon double",
+    )
+    out = geo_knn_join(pts, sites, k=2).orderBy("point_id", "rank").collect()
+    assert [(r["point_id"], r["rank"], r["site_id"]) for r in out] == [
+        (1, 1, 100), (1, 2, 200), (2, 1, 200), (2, 2, 100),
+    ]
+    # 1 degree of longitude at the equator ~111.2 km.
+    assert math.isclose(out[0]["dist_km"], 111.19, abs_tol=0.1)
+
+
+def test_knn_join_tie_breaks_on_site_key(spark):
+    pts = spark.createDataFrame([(1, 0.0, 0.0)], "point_id int, lat double, lon double")
+    sites = spark.createDataFrame(
+        [(200, 0.0, 1.0), (100, 0.0, -1.0)],  # equidistant
+        "site_id int, lat double, lon double",
+    )
+    out = geo_knn_join(pts, sites, k=2).orderBy("rank").collect()
+    assert [r["site_id"] for r in out] == [100, 200]
+
+
+def test_knn_join_k_exceeding_sites_and_validation(spark):
+    pts = spark.createDataFrame([(1, 0.0, 0.0)], "point_id int, lat double, lon double")
+    sites = spark.createDataFrame(
+        [(100, 1.0, 1.0)], "site_id int, lat double, lon double"
+    )
+    assert geo_knn_join(pts, sites, k=5).count() == 1
+    with pytest.raises(ValueError):
+        geo_knn_join(pts, sites, k=0)
+
+
+def test_knn_join_point_side_never_shuffles(spark, sf_dir):
+    """Plan pin: the only Exchange is the site table's single-partition
+    collect_list — the point side crosses a broadcast 1-row array and
+    sorts per-row. No SortMergeJoin, no window shuffle, no Python."""
+    df = QUERIES["geo_knn_join"](spark, sf_dir)
+    plan = P.formatted_plan(df)
+    assert P.count_exchanges(df) == 1
+    assert "SinglePartition" in plan
+    assert not P.has_sort_merge_join(df)
+    assert "Window" not in plan
+    assert "Python" not in plan
+    assert P.count_broadcast_joins(df) == 1
+
+
+def test_geohash_gate_is_pure_codegen(spark, sf_dir):
+    """Plan pin: geohash encoding is projection-only — zero Exchange,
+    zero Python workers."""
+    df = QUERIES["geo_geohash"](spark, sf_dir)
+    assert P.count_exchanges(df) == 0
+    assert "Python" not in P.formatted_plan(df)
