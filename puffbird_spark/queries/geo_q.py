@@ -135,3 +135,47 @@ def geo_knn_join(spark, sf_dir):
     )
     return knn(pts, sites, k=2, point_key="c_custkey",
                site_key="n_nationkey", dp=4)
+
+
+# Radius-join coordinates keep |lat| <= 80 (the operator's fixed-lon-grid
+# domain contract): same formula family, tighter lat range.
+_RPT_LAT = "(c_custkey * 37 % 15999) / 100.0 - 80.0"
+_RPT_LON = "(c_custkey * 73 % 35999) / 100.0 - 180.0"
+
+_HAV_AB = (
+    "round(12742.0 * asin(sqrt("
+    " sin(radians(b.lat - a.lat) / 2) * sin(radians(b.lat - a.lat) / 2)"
+    " + cos(radians(a.lat)) * cos(radians(b.lat))"
+    " * sin(radians(b.lon - a.lon) / 2) * sin(radians(b.lon - a.lon) / 2)"
+    ")), 4)"
+)
+
+
+@query("geo_radius_join", oracle=f"""
+WITH p AS (SELECT c_custkey, {_RPT_LAT} AS lat, {_RPT_LON} AS lon
+           FROM customer),
+d AS (SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+        {_HAV_AB} AS dist_km
+      FROM p a JOIN p b ON a.c_custkey < b.c_custkey)
+SELECT key_a, key_b, dist_km FROM d WHERE dist_km <= 200.0
+""")
+def geo_radius_join(spark, sf_dir):
+    """All customer pairs within 200 km — `geo_radius_join`
+    (operators/geo.py): grid-cell blocking (one side explodes to its
+    3x3 neighbor cells, equi-join on the cell struct) turns the
+    all-pairs predicate into a plain hash join whose shuffle key is
+    the spatial cell — no cross product, no nested loop, ~9x
+    amplification of one side only. Longitude cells form a ring, so
+    antimeridian pairs are found (unit-pinned). The oracle is the
+    brute-force quadratic truth (fine at oracle SF; the ENGINE plan
+    is the one that must scale), with the identical 4-dp-rounded
+    haversine predicate."""
+    from ..operators.geo import geo_radius_join as radius
+
+    cust = load(spark, sf_dir, "customer")
+    pts = cust.select(
+        "c_custkey",
+        F.expr(_RPT_LAT).alias("lat"),
+        F.expr(_RPT_LON).alias("lon"),
+    )
+    return radius(pts, radius_km=200.0, key="c_custkey")

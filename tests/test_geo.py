@@ -139,3 +139,61 @@ def test_geohash_gate_is_pure_codegen(spark, sf_dir):
     df = QUERIES["geo_geohash"](spark, sf_dir)
     assert P.count_exchanges(df) == 0
     assert "Python" not in P.formatted_plan(df)
+
+
+def _pts(spark, rows):
+    return spark.createDataFrame(rows, "point_id int, lat double, lon double")
+
+
+def test_radius_join_hand_case(spark):
+    from puffbird_spark.operators.geo import geo_radius_join
+
+    pts = _pts(spark, [
+        (1, 0.0, 0.0), (2, 0.5, 0.5),      # ~78.6 km apart -> pair
+        (3, 40.0, 40.0),                    # isolated
+        (4, 0.0, 1.5),                      # ~166.8 km from 1 -> pair; ~124 from 2
+    ])
+    out = geo_radius_join(pts, radius_km=200.0).orderBy("key_a", "key_b")
+    got = [(r["key_a"], r["key_b"]) for r in out.collect()]
+    assert got == [(1, 2), (1, 4), (2, 4)]
+
+
+def test_radius_join_finds_antimeridian_pair(spark):
+    from puffbird_spark.operators.geo import geo_radius_join
+
+    # 179.9E and 179.9W at the equator are ~22.2 km apart across the seam.
+    pts = _pts(spark, [(1, 0.0, 179.9), (2, 0.0, -179.9)])
+    out = geo_radius_join(pts, radius_km=50.0).collect()
+    assert [(r["key_a"], r["key_b"]) for r in out] == [(1, 2)]
+    assert abs(out[0]["dist_km"] - 22.24) < 0.1
+
+
+def test_radius_join_emits_each_pair_once_on_cell_boundary(spark):
+    from puffbird_spark.operators.geo import geo_radius_join
+
+    # Points in adjacent cells (and same cell) must appear exactly once.
+    pts = _pts(spark, [(i, 0.0, i * 0.9) for i in range(1, 5)])
+    out = geo_radius_join(pts, radius_km=110.0)
+    pairs = [(r["key_a"], r["key_b"]) for r in out.collect()]
+    assert len(pairs) == len(set(pairs))
+    assert set(pairs) == {(1, 2), (2, 3), (3, 4)}
+
+
+def test_radius_join_validation(spark):
+    from puffbird_spark.operators.geo import geo_radius_join
+
+    pts = _pts(spark, [(1, 0.0, 0.0)])
+    with pytest.raises(ValueError):
+        geo_radius_join(pts, radius_km=0.0)
+    with pytest.raises(ValueError):
+        geo_radius_join(pts, radius_km=10.0, lat_max=90.0)
+
+
+def test_radius_join_plan_is_hash_join(spark, sf_dir):
+    """Plan pin: the blocked self-join is a shuffle HASH join on the
+    cell struct — no cross/nested-loop anywhere, no Python."""
+    df = QUERIES["geo_radius_join"](spark, sf_dir)
+    plan = P.formatted_plan(df)
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
