@@ -323,3 +323,115 @@ def strip_html(html: str | Column) -> Column:
     ):
         ent = F.regexp_replace(ent, pat, rep)
     return F.trim(F.regexp_replace(ent, r"\s+", " "))
+
+
+#: Flesch reading-ease coefficients (Flesch 1948) — the standard
+#: readability screen a curation pipeline bands documents by.
+_FLESCH_BASE, _FLESCH_WPS, _FLESCH_SPW = 206.835, 1.015, 84.6
+
+#: patterns shared verbatim with the SQL oracles (RE2/Java common
+#: subset — no lookarounds, no backreferences)
+SENTENCE_PATTERN = r"[.!?]+"
+WORD_PATTERN = r"[A-Za-z]+"
+SYLLABLE_PATTERN = r"[aeiouy]+"
+
+
+def readability_counts(text: str | Column) -> tuple[Column, Column, Column]:
+    """(sentences, words, syllables) for a Flesch-style readability
+    score, each floored at 1 so the ratios never divide by zero.
+    Syllables use the deterministic vowel-group approximation (runs of
+    ``[aeiouy]`` in the lowercased text) — counted over the WHOLE text
+    in one ``regexp_count``, no per-word explode: vowel groups never
+    span word boundaries, so the per-word sum equals the global count."""
+    c = F.col(text) if isinstance(text, str) else text
+    one = F.lit(1).cast("long")
+    sentences = F.greatest(F.regexp_count(c, F.lit(SENTENCE_PATTERN)), one)
+    words = F.greatest(F.regexp_count(c, F.lit(WORD_PATTERN)), one)
+    syllables = F.greatest(
+        F.regexp_count(F.lower(c), F.lit(SYLLABLE_PATTERN)), one
+    )
+    return sentences, words, syllables
+
+
+def flesch_reading_ease(text: str | Column, round_dp: int = 6) -> Column:
+    """Flesch reading ease: ``206.835 - 1.015*(words/sentences) -
+    84.6*(syllables/words)`` — exact integer counts, one double
+    expression, rounded at the comparison precision."""
+    sentences, words, syllables = readability_counts(text)
+    return F.round(
+        F.lit(_FLESCH_BASE)
+        - F.lit(_FLESCH_WPS) * (words.cast("double") / sentences)
+        - F.lit(_FLESCH_SPW) * (syllables.cast("double") / words),
+        round_dp,
+    )
+
+
+#: code-likeness signal patterns (RE2/Java common subset). Keyword list
+#: is cross-language on purpose: the screen flags code-LIKE text for a
+#: downstream router, it does not identify the language.
+CODE_SYMBOL_PATTERN = r"[{}();=<>\[\]]"
+CODE_INDENT_PATTERN = r"(^|\n)(  |\t)"
+CODE_KEYWORD_PATTERN = (
+    r"\b(def|return|import|function|class|if|else|for|while|var|const"
+    r"|int|void|public|self)\b"
+)
+CODE_CAMEL_PATTERN = r"[a-z][A-Z]"
+
+
+def code_likeness(text: str | Column, round_dp: int = 6) -> dict[str, Column]:
+    """Code-detection features for a text/code router (StarCoder/The-
+    Stack-style corpus splitting): per-char density of code symbols,
+    indented-line starts, reserved-word hits, and camelCase humps —
+    plus the blended ``code_score`` (symbol density dominates; the
+    other signals disambiguate math-heavy prose). All exact counts
+    over one codegen scan; weights are fixed so the score replays."""
+    c = F.col(text) if isinstance(text, str) else text
+    n = F.greatest(F.length(c), F.lit(1)).cast("double")
+    sym = F.regexp_count(c, F.lit(CODE_SYMBOL_PATTERN)).cast("double")
+    ind = F.regexp_count(c, F.lit(CODE_INDENT_PATTERN)).cast("double")
+    kw = F.regexp_count(c, F.lit(CODE_KEYWORD_PATTERN)).cast("double")
+    camel = F.regexp_count(c, F.lit(CODE_CAMEL_PATTERN)).cast("double")
+    score = F.round(
+        F.lit(10.0) * sym / n
+        + F.lit(40.0) * ind / n
+        + F.lit(20.0) * kw / n
+        + F.lit(5.0) * camel / n,
+        round_dp,
+    )
+    return {
+        "symbol_count": sym.cast("long"),
+        "indent_count": ind.cast("long"),
+        "keyword_count": kw.cast("long"),
+        "camel_count": camel.cast("long"),
+        "code_score": score,
+    }
+
+
+#: PII patterns (RE2/Java common subset — deliberately lookaround-free,
+#: unlike the Luhn masker above which needs Java-only digit anchors and
+#: therefore validates checksums first)
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_PATTERN = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_PATTERN = r"\+\d{1,3}[ -]\d{2,4}[ -]\d{3,4}[ -]\d{3,4}\b"
+
+#: replacement tokens, keyed in masking-precedence order: phones before
+#: IPs is irrelevant (disjoint), but emails must go FIRST — an email's
+#: domain can contain an IP-shaped dotted quad
+PII_MASKS: list[tuple[str, str]] = [
+    (EMAIL_PATTERN, "<EMAIL>"),
+    (IPV4_PATTERN, "<IP>"),
+    (PHONE_PATTERN, "<PHONE>"),
+]
+
+
+def mask_pii(text: str | Column) -> Column:
+    """Mask emails, IPv4 literals, and international-format phone
+    numbers with typed tokens — the redaction pass run before any
+    web-crawl text ships to training. Three sequential
+    ``regexp_replace`` scans (order: see PII_MASKS); patterns replay
+    verbatim in RE2 SQL oracles. Card numbers are handled separately
+    by ``mask_valid_cards`` (checksum-gated)."""
+    c = F.col(text) if isinstance(text, str) else text
+    for pat, token in PII_MASKS:
+        c = F.regexp_replace(c, pat, token)
+    return c

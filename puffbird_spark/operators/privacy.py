@@ -19,7 +19,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["k_anonymity_audit", "suppress_small_classes"]
+__all__ = [
+    "k_anonymity_audit",
+    "suppress_small_classes",
+    "dp_noisy_counts",
+]
 
 
 def k_anonymity_audit(
@@ -60,3 +64,50 @@ def suppress_small_classes(
         .select(*quasi_cols)
     )
     return df.join(F.broadcast(bad), on=quasi_cols, how="left_anti")
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    epsilon: float = 1.0,
+    salt: str = "dp",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Differentially-private group counts (Dwork 2006): exact count per
+    group plus Laplace(1/epsilon) noise — sensitivity 1 for a count —
+    released as ``noisy_count`` (floored at 0).
+
+    The noise is NOT drawn from RNG state: a retried Spark task would
+    redraw and double-release. It is a pure function of the group key —
+    ``laplace_noise(salt || key)`` inverts the Laplace CDF over an
+    md5-derived uniform (functions/hashing.py) — so the release is
+    reproducible across retries, partitionings, and engines. One
+    caveat, documented for auditors: determinism means re-releasing the
+    SAME table redraws nothing (no privacy budget burn-down across
+    re-runs); vary ``salt`` per release epoch to redraw.
+
+    Scale: one shuffle (the groupBy, map-side partial), noise computed
+    group-grain (output-sized, not input-sized)."""
+    from ..functions.hashing import laplace_noise
+
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be > 0, got {epsilon}")
+    key = F.concat_ws(
+        "|", F.lit(salt), *[F.col(c).cast("string") for c in group_cols]
+    )
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
+    )
+    noise = laplace_noise(key, scale=1.0 / float(epsilon), round_dp=round_dp)
+    return agg.select(
+        *group_cols,
+        "exact_count",
+        F.round(
+            F.greatest(
+                F.col("exact_count").cast("double") + noise, F.lit(0.0)
+            ),
+            round_dp,
+        ).alias("noisy_count"),
+    )

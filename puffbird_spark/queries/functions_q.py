@@ -621,3 +621,57 @@ def fn_ip_cidr(spark, sf_dir):
         F.countDistinct("user_id").cast("long").alias("n_users"),
         long_to_ipv4(F.min("ip_long")).alias("min_ip"),
     )
+
+
+@query("fn_pii_mask", oracle="""
+WITH m AS (SELECT doc_id,
+    'contact user' || doc_id || '@' || source || '.org or 10.'
+      || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+      || ' tel +49 30 ' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+      || '-' || CAST(100 + doc_id % 900 AS VARCHAR)
+      || ' ref ' || substr(text, 1, 24) AS msg
+  FROM documents)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(msg,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+      '\\+\\d{1,3}[ -]\\d{2,4}[ -]\\d{3,4}[ -]\\d{3,4}\\b', '<PHONE>', 'g')
+    AS redacted,
+  CAST(len(regexp_extract_all(msg,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+    AS n_emails,
+  CAST(len(regexp_extract_all(msg,
+      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ips
+FROM m
+""")
+def fn_pii_mask(spark, sf_dir):
+    """Typed PII redaction (`mask_pii`, functions/text.py): emails,
+    IPv4 literals, and international phone numbers replaced by typed
+    tokens in precedence order (emails first — their domains can
+    embed dotted quads), plus per-doc hit counts for a redaction
+    audit. PII is synthesized deterministically from columns; the
+    patterns are the RE2/Java common subset (lookaround-free — the
+    checksum-gated card masker is the separate `fn_luhn_mask`).
+    Zero shuffles, pure codegen scans."""
+    docs = load(spark, sf_dir, "documents")
+    msg = F.concat(
+        F.lit("contact user"), F.col("doc_id"), F.lit("@"),
+        F.col("source"), F.lit(".org or 10."),
+        (F.col("doc_id") % 256).cast("string"), F.lit(".0."),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit(" tel +49 30 "),
+        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        F.lit("-"), (F.lit(100) + F.col("doc_id") % 900).cast("string"),
+        F.lit(" ref "), F.substring("text", 1, 24),
+    )
+    m = docs.select("doc_id", msg.alias("msg"))
+    from ..functions.text import EMAIL_PATTERN, IPV4_PATTERN, mask_pii
+
+    return m.select(
+        "doc_id",
+        mask_pii("msg").alias("redacted"),
+        F.regexp_count("msg", F.lit(EMAIL_PATTERN)).cast("long")
+        .alias("n_emails"),
+        F.regexp_count("msg", F.lit(IPV4_PATTERN)).cast("long")
+        .alias("n_ips"),
+    )

@@ -4329,3 +4329,164 @@ def eval_auc_roc(spark, sf_dir):
         .alias("log_loss"),
         F.round(F.col("br").cast("double") / F.col("n"), 6).alias("brier"),
     )
+
+
+@query("text_readability", oracle="""
+WITH s AS (SELECT doc_id, lang,
+             substr(text, 1, 80) || '. ' || substr(text, 81, 60)
+               || '! Is it ' || lang || '?' AS body
+           FROM documents),
+c AS (SELECT doc_id, lang,
+        greatest(len(regexp_extract_all(body, '[.!?]+')), 1) AS sentences,
+        greatest(len(regexp_extract_all(body, '[A-Za-z]+')), 1) AS words,
+        greatest(len(regexp_extract_all(lower(body), '[aeiouy]+')), 1)
+          AS syllables
+      FROM s),
+f AS (SELECT doc_id, lang,
+        CAST(sentences AS BIGINT) AS sentences,
+        CAST(words AS BIGINT) AS words,
+        CAST(syllables AS BIGINT) AS syllables,
+        round(206.835
+              - 1.015 * (CAST(words AS DOUBLE) / sentences)
+              - 84.6 * (CAST(syllables AS DOUBLE) / words), 6) AS flesch
+      FROM c)
+SELECT doc_id, lang, sentences, words, syllables, flesch,
+       CASE WHEN flesch >= 60 THEN 'easy'
+            WHEN flesch >= 30 THEN 'medium' ELSE 'hard' END AS band
+FROM f
+""")
+def text_readability(spark, sf_dir):
+    """Flesch reading-ease scoring (`flesch_reading_ease`,
+    functions/text.py — Flesch 1948, the readability screen used to
+    band curation corpora by audience level). Sentence/word/syllable
+    counts are exact single-scan `regexp_count`s (vowel-group syllable
+    approximation; no per-word explode — groups never span words), the
+    score one double expression, the band a CASE over the ROUNDED
+    score so both engines band identically. Punctuated text is
+    synthesized deterministically from columns (the corpus ships
+    unpunctuated). Zero shuffles — pure codegen scan."""
+    docs = load(spark, sf_dir, "documents")
+    body = F.concat(
+        F.substring("text", 1, 80), F.lit(". "),
+        F.substring("text", 81, 60), F.lit("! Is it "),
+        F.col("lang"), F.lit("?"),
+    )
+    s = docs.select("doc_id", "lang", body.alias("body"))
+    sent, words, syl = TXT.readability_counts("body")
+    f = s.select(
+        "doc_id", "lang",
+        sent.cast("long").alias("sentences"),
+        words.cast("long").alias("words"),
+        syl.cast("long").alias("syllables"),
+        TXT.flesch_reading_ease("body").alias("flesch"),
+    )
+    return f.select(
+        "*",
+        F.when(F.col("flesch") >= 60, F.lit("easy"))
+        .when(F.col("flesch") >= 30, F.lit("medium"))
+        .otherwise(F.lit("hard")).alias("band"),
+    )
+
+
+@query("text_code_detect", oracle="""
+WITH s AS (SELECT doc_id,
+             substr(text, 1, 150) ||
+             CASE WHEN doc_id % 4 = 0
+                  THEN chr(10) || '  if (x) { return fooBar(i); }'
+                       || chr(10) || '  def f(self): import os'
+                  ELSE '' END AS body
+           FROM documents),
+c AS (SELECT doc_id, body,
+        greatest(length(body), 1) AS n,
+        len(regexp_extract_all(body, '[{}();=<>\\[\\]]')) AS sym,
+        len(regexp_extract_all(body, '(^|\\n)(  |\\t)')) AS ind,
+        len(regexp_extract_all(body,
+          '\\b(def|return|import|function|class|if|else|for|while|var'
+          || '|const|int|void|public|self)\\b')) AS kw,
+        len(regexp_extract_all(body, '[a-z][A-Z]')) AS camel
+      FROM s),
+f AS (SELECT doc_id,
+        CAST(sym AS BIGINT) AS symbol_count,
+        CAST(ind AS BIGINT) AS indent_count,
+        CAST(kw AS BIGINT) AS keyword_count,
+        CAST(camel AS BIGINT) AS camel_count,
+        round(10.0 * CAST(sym AS DOUBLE) / n
+              + 40.0 * CAST(ind AS DOUBLE) / n
+              + 20.0 * CAST(kw AS DOUBLE) / n
+              + 5.0 * CAST(camel AS DOUBLE) / n, 6) AS code_score
+      FROM c)
+SELECT *, code_score >= 0.5 AS is_code FROM f
+""")
+def text_code_detect(spark, sf_dir):
+    """Code-likeness routing features (`code_likeness`,
+    functions/text.py — the text/code corpus splitter in Stack-style
+    pipelines): exact per-doc counts of code symbols, indented-line
+    starts, cross-language reserved words, and camelCase humps, blended
+    into a fixed-weight per-char score with an `is_code` flag on the
+    ROUNDED score. Code-shaped suffixes are synthesized onto every
+    4th document so both classes appear at every SF. Zero shuffles —
+    one codegen scan; patterns are RE2/Java-portable (no
+    lookarounds)."""
+    docs = load(spark, sf_dir, "documents")
+    body = F.concat(
+        F.substring("text", 1, 150),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.lit("\n  if (x) { return fooBar(i); }"
+                  "\n  def f(self): import os"),
+        ).otherwise(F.lit("")),
+    )
+    s = docs.select("doc_id", body.alias("body"))
+    feats = TXT.code_likeness("body")
+    f = s.select(
+        "doc_id",
+        feats["symbol_count"].alias("symbol_count"),
+        feats["indent_count"].alias("indent_count"),
+        feats["keyword_count"].alias("keyword_count"),
+        feats["camel_count"].alias("camel_count"),
+        feats["code_score"].alias("code_score"),
+    )
+    return f.select("*", (F.col("code_score") >= 0.5).alias("is_code"))
+
+
+def _feature_hashing_oracle() -> str:
+    from ..functions.hashing import oracle_hex_int
+
+    bucket = f"({oracle_hex_int('__tok', 1, 8)} % 64)"
+    sign = f"(CASE WHEN {oracle_hex_int('__tok', 9, 1)} < 8 THEN 1 ELSE -1 END)"
+    return f"""
+WITH t AS (SELECT doc_id, unnest(regexp_extract_all(
+             lower(substr(text, 1, 120)), '[a-z]+')) AS __tok
+           FROM documents WHERE doc_id < 100),
+h AS (SELECT doc_id,
+        CAST({bucket} AS BIGINT) AS bucket,
+        {sign} AS __sign
+      FROM t)
+SELECT doc_id, bucket,
+       CAST(SUM(__sign) AS BIGINT) AS weight,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM h GROUP BY doc_id, bucket
+"""
+
+
+@query("feature_hashing", oracle=_feature_hashing_oracle())
+def feature_hashing(spark, sf_dir):
+    """Hashing-trick featurizer (`hashed_features`,
+    operators/features.py — Weinberger 2009 / Vowpal Wabbit): tokens
+    map straight to ``md5 % 64`` buckets with a +/-1 sign from a
+    disjoint digest span — NO vocabulary build, no fit pass, no driver
+    dictionary, which is what makes the encoder coordination-free at
+    100 TB. Sparse output rows (doc, bucket, signed weight, count);
+    one explode + one groupBy shuffling only digests. The oracle
+    rebuilds the md5 integer as a strpos polynomial (DuckDB has no
+    base-16 conv)."""
+    from ..operators.features import hashed_features
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = F.regexp_extract_all(
+        F.lower(F.substring("text", 1, 120)), F.lit("[a-z]+"), 0
+    )
+    return hashed_features(
+        docs.select("doc_id", toks.alias("toks")),
+        "doc_id", "toks", n_buckets=64,
+    )

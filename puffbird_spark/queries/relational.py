@@ -3024,3 +3024,74 @@ def diag_histogram(spark, sf_dir):
         "n_rows",
     )
     return ew.unionAll(ed)
+
+
+def _dp_counts_oracle() -> str:
+    from ..functions.hashing import oracle_laplace
+
+    noise = oracle_laplace(
+        "'dp' || '|' || CAST(c_mktsegment AS VARCHAR)"
+        " || '|' || CAST(c_nationkey AS VARCHAR)",
+        scale=1.0,
+    )
+    return f"""
+WITH g AS (SELECT c_mktsegment, c_nationkey,
+                  CAST(COUNT(*) AS BIGINT) AS exact_count
+           FROM customer GROUP BY 1, 2)
+SELECT c_mktsegment, c_nationkey, exact_count,
+       round(greatest(CAST(exact_count AS DOUBLE) + {noise}, 0.0), 6)
+         AS noisy_count
+FROM g
+"""
+
+
+@query("privacy_dp_counts", oracle=_dp_counts_oracle())
+def privacy_dp_counts(spark, sf_dir):
+    """Differentially-private release counts (`dp_noisy_counts`,
+    operators/privacy.py — Dwork 2006, Laplace mechanism at
+    sensitivity 1): per (segment, nation) cell the exact count plus
+    Laplace(1/eps) noise floored at zero. The noise is a PURE FUNCTION
+    of the group key (inverse Laplace CDF over an md5-derived uniform,
+    functions/hashing.py) — no RNG state, so a retried task, a
+    different partitioning, and the SQL oracle all release identical
+    values; the epsilon=1 salt is the release-epoch knob. One shuffle
+    (map-side partial counts), noise computed at output grain. The
+    audit view keeps exact_count beside noisy_count; a real release
+    drops it."""
+    from ..operators.privacy import dp_noisy_counts
+
+    cust = load(spark, sf_dir, "customer")
+    return dp_noisy_counts(
+        cust, ["c_mktsegment", "c_nationkey"], epsilon=1.0, salt="dp"
+    )
+
+
+@query("feature_woe_encoding", oracle="""
+WITH lab AS (SELECT c_mktsegment, CAST(c_acctbal > 4500 AS INT) AS y
+             FROM customer),
+per AS (SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS n_pos
+        FROM lab GROUP BY 1),
+tot AS (SELECT SUM(n) AS n_all, SUM(n_pos) AS p_all FROM per)
+SELECT c_mktsegment, n, n_pos,
+       round(ln(((n_pos + 0.5) / (p_all + 1.0))
+                / ((n - n_pos + 0.5) / (n_all - p_all + 1.0))), 6) AS woe
+FROM per CROSS JOIN tot
+""")
+def feature_woe_encoding(spark, sf_dir):
+    """Weight-of-evidence category encoding (`woe_encoding`,
+    operators/features.py — the scorecard-modeling standard; Siddiqi
+    2006): per market segment the smoothed log-odds ratio vs the
+    global class balance, alpha=0.5 additive smoothing keeping
+    single-class categories finite. Category-grain output joins back
+    broadcast-style; one shuffle + a 1-row totals broadcast. The label
+    is a deterministic balance threshold so both engines derive it
+    identically."""
+    from ..operators.features import woe_encoding
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        (F.col("c_acctbal") > 4500).cast("int").alias("y"),
+    )
+    return woe_encoding(cust, "c_mktsegment", "y", alpha=0.5)

@@ -1,0 +1,167 @@
+"""Unit tests for the md5-derived deterministic-randomness stack:
+functions/hashing.py, operators/privacy.dp_noisy_counts,
+operators/features.{hashed_features,woe_encoding}, and the new
+text screens (readability, code-likeness, PII masking)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from puffbird_spark.functions.hashing import (
+    laplace_noise,
+    md5_bucket,
+    md5_sign,
+    md5_uniform,
+)
+from puffbird_spark.functions.text import (
+    code_likeness,
+    flesch_reading_ease,
+    mask_pii,
+)
+from puffbird_spark.operators.features import hashed_features, woe_encoding
+from puffbird_spark.operators.privacy import dp_noisy_counts
+
+
+def _keys(spark, n=200):
+    return spark.range(n).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key")
+    )
+
+
+def test_md5_uniform_open_interval_and_spread(spark):
+    rows = _keys(spark).select(md5_uniform("key").alias("u")).collect()
+    us = [r.u for r in rows]
+    assert all(0.0 < u < 1.0 for u in us)
+    # 200 md5 uniforms: mean within 6 sigma of 0.5 (sigma = 1/sqrt(12n))
+    mean = sum(us) / len(us)
+    assert abs(mean - 0.5) < 6 * (1 / math.sqrt(12 * len(us)))
+
+
+def test_md5_uniform_matches_python_md5(spark):
+    import hashlib
+
+    row = (
+        spark.range(1)
+        .select(md5_uniform(F.lit("k42")).alias("u"))
+        .collect()[0]
+    )
+    expected = (int(hashlib.md5(b"k42").hexdigest()[:8], 16) + 0.5) / 16**8
+    assert row.u == pytest.approx(expected, abs=0)
+
+
+def test_md5_bucket_and_sign_ranges(spark):
+    rows = (
+        _keys(spark)
+        .select(
+            md5_bucket("key", 16).alias("b"), md5_sign("key").alias("s")
+        )
+        .collect()
+    )
+    assert {r.b for r in rows} <= set(range(16))
+    assert {r.s for r in rows} <= {-1, 1}
+    assert len({r.b for r in rows}) > 8  # spread, not constant
+
+
+def test_laplace_noise_centered_and_scaled(spark):
+    rows = (
+        _keys(spark, 400)
+        .select(laplace_noise("key", scale=2.0).alias("z"))
+        .collect()
+    )
+    zs = [r.z for r in rows]
+    n = len(zs)
+    mean = sum(zs) / n
+    # Laplace(0, 2): sd = 2*sqrt(2); mean of 400 draws within 6 sigma
+    assert abs(mean) < 6 * 2 * math.sqrt(2) / math.sqrt(n)
+    assert any(z < 0 for z in zs) and any(z > 0 for z in zs)
+
+
+def test_dp_noisy_counts_deterministic_and_floored(spark):
+    df = spark.range(100).select(
+        (F.col("id") % 3).alias("g"), F.col("id").alias("v")
+    )
+    a = dp_noisy_counts(df, ["g"], epsilon=1.0).collect()
+    b = dp_noisy_counts(
+        df.repartition(7), ["g"], epsilon=1.0
+    ).collect()
+    assert sorted((r.g, r.noisy_count) for r in a) == sorted(
+        (r.g, r.noisy_count) for r in b
+    )
+    assert all(r.noisy_count >= 0.0 for r in a)
+    # different salt -> a different release draw
+    c = dp_noisy_counts(df, ["g"], epsilon=1.0, salt="epoch2").collect()
+    assert sorted(r.noisy_count for r in a) != sorted(
+        r.noisy_count for r in c
+    )
+
+
+def test_dp_noisy_counts_validates_args(spark):
+    df = spark.range(3).select(F.col("id").alias("g"))
+    with pytest.raises(ValueError):
+        dp_noisy_counts(df, [], epsilon=1.0)
+    with pytest.raises(ValueError):
+        dp_noisy_counts(df, ["g"], epsilon=0.0)
+
+
+def test_hashed_features_no_vocabulary_determinism(spark):
+    df = spark.createDataFrame(
+        [(1, ["alpha", "beta", "alpha"]), (2, ["beta", "gamma"])],
+        ["doc_id", "toks"],
+    )
+    out = hashed_features(df, "doc_id", "toks", n_buckets=8)
+    rows = {(r.doc_id, r.bucket): (r.weight, r.n_tokens) for r in out.collect()}
+    # same token -> same bucket in both docs; doc 1's 'alpha' count is 2
+    assert sum(n for (_, n) in rows.values()) == 5
+    assert all(0 <= b < 8 for (_, b) in rows)
+    # signed weights never exceed the token count
+    assert all(abs(w) <= n for (w, n) in rows.values())
+
+
+def test_woe_encoding_single_class_finite(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("b", 0), ("b", 1)], ["cat", "y"]
+    )
+    rows = {r.cat: r.woe for r in woe_encoding(df, "cat", "y").collect()}
+    assert all(math.isfinite(v) for v in rows.values())
+    assert rows["a"] > rows["b"]  # all-positive category scores higher
+
+
+def test_flesch_orders_simple_before_dense(spark):
+    df = spark.createDataFrame(
+        [("simple", "The cat sat. The dog ran. It was fun."),
+         ("dense", "Incomprehensibility characterizes bureaucratic "
+                   "organizational internationalization phenomena.")],
+        ["k", "t"],
+    )
+    rows = {
+        r.k: r.f
+        for r in df.select("k", flesch_reading_ease("t").alias("f")).collect()
+    }
+    assert rows["simple"] > rows["dense"]
+
+
+def test_code_likeness_flags_code_not_prose(spark):
+    df = spark.createDataFrame(
+        [("code", "def f(x):\n  return x; { } (y) = [z];\n  if x { }"),
+         ("prose", "the quick brown fox jumps over a lazy dog near town")],
+        ["k", "t"],
+    )
+    feats = code_likeness("t")
+    rows = {
+        r.k: r.s
+        for r in df.select("k", feats["code_score"].alias("s")).collect()
+    }
+    assert rows["code"] > 0.5 > rows["prose"]
+
+
+def test_mask_pii_types_and_order(spark):
+    txt = "mail bob@x10.0.0.1.example.org or 10.0.0.1 tel +1 212 555-0100 ok"
+    row = (
+        spark.createDataFrame([(txt,)], ["t"])
+        .select(mask_pii("t").alias("m"))
+        .collect()[0]
+    )
+    # the email (whose domain embeds a dotted quad) masked as ONE email,
+    # the standalone IP as an IP, the phone as a phone
+    assert row.m == "mail <EMAIL> or <IP> tel <PHONE> ok"
