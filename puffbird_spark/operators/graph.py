@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import warnings
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -1150,3 +1150,54 @@ def shortest_paths_weighted(
         )
         dist = merged
     return dist
+
+
+def bipartite_projection(
+    edges: DataFrame,
+    left_col: str,
+    right_col: str,
+    weight_col: str | None = None,
+    cap_per_left: int = 8,
+    min_support: int = 2,
+) -> DataFrame:
+    """Weighted one-mode projection of a bipartite graph (Newman 2001,
+    co-occurrence networks): right-nodes become vertices, connected
+    when they share a left-node, edge weight = number of shared
+    left-nodes. The co-purchase / co-citation / co-occurrence builder
+    behind item-item recommenders and related-entity graphs.
+
+    Scale design — the naive projection explodes: a left-node with f
+    neighbors emits C(f, 2) pairs, and real degree distributions are
+    heavy-tailed (one customer with 10^4 items emits 5*10^7 pairs).
+    The cap is therefore load-bearing, not cosmetic: each left-node
+    keeps only its top-``cap_per_left`` right-neighbors (highest
+    ``weight_col`` sum, id tie-break — deterministic), bounding
+    per-left fan-out at C(cap, 2). Stages: one groupBy (left, right),
+    one window top-k on the left key, one self-join on the left key
+    (both sides identically partitioned — AQE plans a single
+    exchange), one pair-grain count. ``min_support`` prunes the long
+    noise tail at output grain."""
+    w = (
+        F.sum(F.col(weight_col)).alias("__w")
+        if weight_col
+        else F.count(F.lit(1)).cast("long").alias("__w")
+    )
+    lr = edges.groupBy(left_col, right_col).agg(w)
+    win = Window.partitionBy(left_col).orderBy(
+        F.desc("__w"), F.asc(right_col)
+    )
+    top = (
+        lr.withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") <= int(cap_per_left))
+        .select(left_col, right_col)
+    )
+    a = top.withColumnRenamed(right_col, "item_a")
+    b = top.withColumnRenamed(right_col, "item_b")
+    pairs = a.join(b, on=left_col).filter(
+        F.col("item_a") < F.col("item_b")
+    )
+    return (
+        pairs.groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= int(min_support))
+    )

@@ -307,6 +307,53 @@ def _score_topk(
     )
 
 
+def cosine_radius(
+    corpus: DataFrame,
+    queries: DataFrame,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+    dim: int | None = None,
+    use_arrow: bool | None = None,
+    est_queries: int | None = None,
+) -> DataFrame:
+    """Range search: every (query, candidate) pair with ROUNDED cosine
+    >= ``tau`` — the radius twin of :func:`cosine_topk` (FAISS
+    range_search / pgvector ``<=>`` - threshold queries). Thresholding
+    on the rounded score keeps the result set engine-portable: a pair
+    sitting exactly on ``tau`` is in or out identically everywhere.
+
+    Kernel selection mirrors ``cosine_topk`` (JVM HOF fold for small
+    pair counts, Arrow einsum for large). This exact path scans
+    corpus x queries; at corpus scale callers block candidates first
+    with the SRP buckets (``srp_bucket``) or IVF cells and verify with
+    the same rounded-cosine filter — radius search composes with every
+    blocking scheme in this module because the verify step is a plain
+    filter, not a per-query top-k window."""
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"), as_double(vec_col).alias("cvec")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qvec")
+    )
+    if use_arrow is None:
+        rb = _vec_row_bytes(dim or 64)
+        n_q = float(est_queries) if est_queries else _est_rows(q, rb)
+        use_arrow = _est_rows(c, rb) * n_q >= ARROW_MIN_PAIRS
+    record_kernel("cosine_radius", "arrow" if use_arrow else "hof")
+    pairs = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        pairs = pairs.filter(F.col("cand_id") != F.col("query_id"))
+    if use_arrow:
+        cos = cosine_rounded_arrow()(F.col("qvec"), F.col("cvec"))
+    else:
+        cos = cosine_rounded(F.col("qvec"), F.col("cvec"))
+    return pairs.select(
+        "query_id", "cand_id", cos.alias("cosine")
+    ).filter(F.col("cosine") >= F.lit(float(tau)))
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     dim: int,

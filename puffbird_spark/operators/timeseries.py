@@ -698,3 +698,94 @@ def holt_linear(
         F.col(value_col).cast("double").alias(value_col),
     )
     return src.groupBy(*key_cols).applyInPandas(_walk, out_schema)
+
+
+#: SAX breakpoints for alphabet size 4 — the N(0,1) quartiles
+#: (Lin/Keogh 2003, Table 3). Fixed literals so every engine compares
+#: z-scores against bit-identical constants.
+SAX_BREAKPOINTS_4 = (-0.6745, 0.0, 0.6745)
+SAX_ALPHABET = "abcd"
+
+
+def sax_symbolize(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    n_segments: int = 4,
+    round_dp: int = 6,
+) -> DataFrame:
+    """SAX symbolization (Lin & Keogh 2003): per key, the ordered value
+    series is z-normalized, piecewise-aggregate-approximated into
+    ``n_segments`` means, and each mean quantized to one of 4 symbols
+    at the standard-normal quartile breakpoints — the string that makes
+    motif mining, similarity grouping, and anomaly lookup over raw
+    series a plain string groupBy.
+
+    Determinism contract (the reason this hash-matches a SQL oracle):
+    every floating sum is ORDER-FREE — values pass through a
+    ``decimal(18,6)`` cast, so n/sum/sum-of-squares are exact decimals
+    whatever the partial-agg order; mean/var derive from those in one
+    double expression; z-scores and PAA means round at ``round_dp``
+    before the breakpoint compares, so boundary values quantize
+    identically on every engine. Segment membership is ``floor(rank *
+    n_segments / n)`` over the ``order_cols`` rank — ragged series get
+    near-equal segments, no padding. Zero-variance keys read std=1
+    (all symbols mid-band) rather than dividing by zero.
+
+    Scale: one shuffle — the window and both groupBys key on
+    ``key_cols``, so AQE reuses the exchange; per-key state is window
+    aggregates, never a collected list."""
+    wo = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    wk = Window.partitionBy(*key_cols)
+    vdec = F.col(value_col).cast("decimal(18,6)")
+    ranked = df.select(
+        *key_cols,
+        vdec.alias("__vd"),
+        (F.row_number().over(wo) - 1).alias("__rk"),
+    ).select(
+        *key_cols, "__vd", "__rk",
+        F.count(F.lit(1)).over(wk).cast("long").alias("n_points"),
+        F.sum("__vd").over(wk).alias("__sumv"),
+        F.sum(F.col("__vd") * F.col("__vd")).over(wk).alias("__sumsq"),
+    )
+    mean = F.col("__sumv").cast("double") / F.col("n_points")
+    var = F.greatest(
+        F.col("__sumsq").cast("double") / F.col("n_points") - mean * mean,
+        F.lit(0.0),
+    )
+    std_raw = F.sqrt(var)
+    std = F.when(std_raw > 0, std_raw).otherwise(F.lit(1.0))
+    segd = ranked.select(
+        *key_cols, "n_points",
+        F.floor(
+            F.col("__rk") * F.lit(int(n_segments)) / F.col("n_points")
+        ).cast("int").alias("segment"),
+        F.round(
+            (F.col("__vd").cast("double") - mean) / std, round_dp
+        ).alias("__z"),
+    )
+    # z is already rounded at round_dp, so this decimal cast is exact
+    # and the segment sum stays order-free
+    paa = segd.groupBy(*key_cols, "n_points", "segment").agg(
+        F.round(
+            F.sum(F.col("__z").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)),
+            round_dp,
+        ).alias("paa_mean")
+    )
+    b1, b2, b3 = SAX_BREAKPOINTS_4
+    sym = (
+        F.when(F.col("paa_mean") < b1, F.lit(SAX_ALPHABET[0]))
+        .when(F.col("paa_mean") < b2, F.lit(SAX_ALPHABET[1]))
+        .when(F.col("paa_mean") < b3, F.lit(SAX_ALPHABET[2]))
+        .otherwise(F.lit(SAX_ALPHABET[3]))
+    )
+    with_sym = paa.select(*key_cols, "n_points", "segment", sym.alias("__c"))
+    return with_sym.groupBy(*key_cols, "n_points").agg(
+        F.concat_ws(
+            "", F.array_sort(
+                F.collect_list(F.struct("segment", "__c"))
+            ).getField("__c")
+        ).alias("sax")
+    )

@@ -4490,3 +4490,33 @@ def feature_hashing(spark, sf_dir):
         docs.select("doc_id", toks.alias("toks")),
         "doc_id", "toks", n_buckets=64,
     )
+
+
+@query("knn_radius", oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < 10)
+SELECT q.vec_id AS query_id, e.vec_id AS cand_id,
+  round(list_dot_product(q.v, e.v)
+        / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))),
+        6) AS cosine
+FROM q JOIN e ON e.vec_id != q.vec_id
+WHERE round(list_dot_product(q.v, e.v)
+        / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))),
+        6) >= 0.2
+""")
+def knn_radius(spark, sf_dir):
+    """Cosine range search (`cosine_radius`, operators/similarity.py —
+    FAISS range_search): every candidate within cosine >= 0.2 of the
+    first 10 query vectors, thresholded on the ROUNDED score so the
+    boundary set is engine-identical. The exact twin of the top-k
+    API — at corpus scale the same rounded-cosine verify composes
+    with SRP-bucket or IVF-cell blocking (a filter, unlike top-k,
+    needs no per-query window). Kernel auto-gates HOF vs Arrow like
+    cosine_topk."""
+    from ..operators.similarity import cosine_radius
+
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_radius(
+        emb, emb.filter(F.col("vec_id") < 10), tau=0.2,
+        id_col="vec_id", vec_col="embedding", est_queries=10,
+    )

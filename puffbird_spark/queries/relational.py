@@ -3095,3 +3095,104 @@ def feature_woe_encoding(spark, sf_dir):
         (F.col("c_acctbal") > 4500).cast("int").alias("y"),
     )
     return woe_encoding(cust, "c_mktsegment", "y", alpha=0.5)
+
+
+@query("graph_copurchase", oracle="""
+WITH e AS (SELECT o_custkey AS cust, l_partkey AS part,
+                  CAST(l_extendedprice AS DECIMAL(12,2)) AS w
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+lr AS (SELECT cust, part, SUM(w) AS ww FROM e GROUP BY 1, 2),
+top AS (SELECT cust, part FROM lr
+        QUALIFY row_number() OVER (PARTITION BY cust
+                                   ORDER BY ww DESC, part) <= 8)
+SELECT a.part AS item_a, b.part AS item_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM top a JOIN top b ON a.cust = b.cust AND a.part < b.part
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
+""")
+def graph_copurchase(spark, sf_dir):
+    """Capped bipartite projection (`bipartite_projection`,
+    operators/graph.py — Newman 2001): the customer-part purchase
+    graph projected to an item-item co-purchase network (edge weight =
+    customers sharing both parts, support >= 2). The per-customer
+    top-8 cap (by exact-decimal spend, part tie-break) is the scale
+    contract: heavy-tailed degree means an uncapped projection emits
+    C(fanout, 2) pairs per hub customer — the cap bounds that at
+    C(8,2)=28 regardless of corpus size. One groupBy, one window
+    top-k, one self-join on the customer key (co-partitioned), one
+    pair-grain count."""
+    from ..operators.graph import bipartite_projection
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", dec("l_extendedprice").alias("w")
+    )
+    edges = orders.join(
+        li, orders.o_orderkey == li.l_orderkey
+    ).select(
+        F.col("o_custkey").alias("cust"),
+        F.col("l_partkey").alias("part"),
+        "w",
+    )
+    out = bipartite_projection(
+        edges, "cust", "part", weight_col="w",
+        cap_per_left=8, min_support=2,
+    )
+    return out.select(
+        F.col("item_a"), F.col("item_b"), F.col("n_shared")
+    )
+
+
+@query("timeseries_sax", oracle="""
+WITH e AS (SELECT user_id, ts, event_id,
+                  CAST(value AS DECIMAL(18,6)) AS vd
+           FROM events),
+r AS (SELECT user_id, vd,
+        row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) - 1 AS rk,
+        COUNT(*) OVER (PARTITION BY user_id) AS n,
+        SUM(vd) OVER (PARTITION BY user_id) AS sumv,
+        SUM(vd * vd) OVER (PARTITION BY user_id) AS sumsq
+      FROM e),
+z AS (SELECT user_id, CAST(n AS BIGINT) AS n_points,
+        CAST(floor(rk * 4 / n) AS INT) AS segment,
+        round((CAST(vd AS DOUBLE) - CAST(sumv AS DOUBLE) / n)
+          / (CASE WHEN sqrt(greatest(CAST(sumsq AS DOUBLE) / n
+                     - (CAST(sumv AS DOUBLE) / n) * (CAST(sumv AS DOUBLE) / n),
+                     0.0)) > 0
+                  THEN sqrt(greatest(CAST(sumsq AS DOUBLE) / n
+                     - (CAST(sumv AS DOUBLE) / n) * (CAST(sumv AS DOUBLE) / n),
+                     0.0))
+                  ELSE 1.0 END), 6) AS zz
+      FROM r),
+p AS (SELECT user_id, n_points, segment,
+        round(CAST(SUM(CAST(zz AS DECIMAL(28,6))) AS DOUBLE)
+              / COUNT(*), 6) AS paa
+      FROM z GROUP BY 1, 2, 3),
+s AS (SELECT user_id, n_points, segment,
+        CASE WHEN paa < -0.6745 THEN 'a'
+             WHEN paa < 0.0 THEN 'b'
+             WHEN paa < 0.6745 THEN 'c'
+             ELSE 'd' END AS c
+      FROM p)
+SELECT user_id, n_points,
+       string_agg(c, '' ORDER BY segment) AS sax
+FROM s GROUP BY 1, 2
+""")
+def timeseries_sax(spark, sf_dir):
+    """SAX symbolization (`sax_symbolize`, operators/timeseries.py —
+    Lin & Keogh 2003): each user's event-value series z-normalized,
+    PAA-compressed to 4 segment means, and quantized to 'abcd' at the
+    N(0,1) quartile breakpoints — raw series become groupable strings
+    for motif mining and anomaly lookup. Every floating sum is
+    order-free (decimal(18,6) casts), z and PAA means round before
+    breakpoint compares, segments are floor(rank*4/n) over the
+    (ts, event_id) order — the oracle replays all of it with window
+    functions. One exchange: window and groupBys share the user key."""
+    from ..operators.timeseries import sax_symbolize
+
+    events = load(spark, sf_dir, "events")
+    return sax_symbolize(
+        events, ["user_id"], ["ts", "event_id"], "value",
+        n_segments=4,
+    )

@@ -2357,3 +2357,51 @@ def sort_hilbert(spark, sf_dir):
         (F.col("l_suppkey") % 256).alias("y"))
     return with_hilbert(li, "x", "y", bits=8, h_col="h").select(
         "l_orderkey", "l_linenumber", "h")
+
+
+@query("scan_binary_files", oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS digest,
+       substr(text, 1, 12) AS head
+FROM documents WHERE doc_id < 40
+""")
+def scan_binary_files(spark, sf_dir):
+    """Whole-file binary ingest via Spark's `binaryFile` source — the
+    entry point of every multimodal pipeline (images/audio arrive as
+    FILES; the engine's decode operators take over from the `content`
+    column this source produces). The fixture materializes 40 docs as
+    one .bin file each (utf-8 of `text`, plus a .tmp decoy the
+    pathGlobFilter must skip); the gate reads them back whole-file,
+    parses the id out of the path, and emits byte length, md5 digest,
+    and a decoded head — all recomputed by the oracle from the
+    original table, so a truncated read, glob leak, or encoding bug
+    breaks the hash. Scale: binaryFile splits per FILE (never inside
+    one), so partition parallelism = file count; the decode stages
+    downstream are Arrow-batched mapInPandas."""
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    root = f"/tmp/pbs_bin{tag}"
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    if not (
+        os.path.isdir(root)
+        and sum(f.endswith(".bin") for f in os.listdir(root)) == 40
+    ):
+        os.makedirs(root, exist_ok=True)
+        for r in docs.select("doc_id", "text").collect():
+            with open(f"{root}/doc_{r.doc_id:05d}.bin", "wb") as fh:
+                fh.write(r.text.encode("utf-8"))
+        with open(f"{root}/decoy.tmp", "wb") as fh:
+            fh.write(b"not a doc")
+    bin_df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(root)
+    )
+    return bin_df.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+        .cast("long").alias("doc_id"),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.md5(F.col("content")).alias("digest"),
+        F.substring(F.decode(F.col("content"), "utf-8"), 1, 12)
+        .alias("head"),
+    )

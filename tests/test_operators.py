@@ -5231,3 +5231,89 @@ def test_auc_midrank_identity(spark):
     brute = sum(1.0 if pp > pn else 0.5 if pp == pn else 0.0
                 for pp, pn in product(pos, neg)) / (len(pos) * len(neg))
     assert abs(auc - brute) < 1e-12
+
+
+# --- round-8 batch B: bipartite projection / radius search / SAX ---
+
+def test_bipartite_projection_cap_and_support(spark):
+    from puffbird_spark.operators.graph import bipartite_projection
+
+    edges = spark.createDataFrame(
+        # hub customer 1 buys items 1..4 (weights pick top-2: items 3,4);
+        # customers 2 and 3 both buy {3,4}; customer 4 buys {5,6} once
+        [(1, 1, 1.0), (1, 2, 2.0), (1, 3, 9.0), (1, 4, 8.0),
+         (2, 3, 1.0), (2, 4, 1.0), (3, 3, 1.0), (3, 4, 1.0),
+         (4, 5, 1.0), (4, 6, 1.0)],
+        ["cust", "item", "w"],
+    )
+    out = bipartite_projection(
+        edges, "cust", "item", weight_col="w",
+        cap_per_left=2, min_support=2,
+    ).collect()
+    pairs = {(r.item_a, r.item_b): r.n_shared for r in out}
+    # (3,4) shared by customers 1,2,3 — hub capped to top-2 still keeps it
+    assert pairs == {(3, 4): 3}
+
+
+def test_bipartite_projection_uncapped_pairs(spark):
+    from puffbird_spark.operators.graph import bipartite_projection
+
+    edges = spark.createDataFrame(
+        [(1, i, 1.0) for i in range(1, 5)], ["cust", "item", "w"]
+    )
+    out = bipartite_projection(
+        edges, "cust", "item", weight_col="w",
+        cap_per_left=10, min_support=1,
+    )
+    assert out.count() == 6  # C(4,2)
+
+
+def test_cosine_radius_matches_brute_filter(spark):
+    from puffbird_spark.operators.similarity import (
+        cosine_radius, cosine_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3)
+    radius = cosine_radius(
+        emb, q, tau=0.2, est_queries=3, use_arrow=False
+    )
+    # top-k with huge k = the full scored pair set; filter >= tau
+    full = cosine_topk(
+        emb, q, k=10**6, est_queries=3, use_arrow=False
+    ).filter(F.col("cosine") >= 0.2)
+    a = {(r.query_id, r.cand_id, r.cosine) for r in radius.collect()}
+    b = {(r.query_id, r.cand_id, r.cosine) for r in full.collect()}
+    assert a == b and len(a) > 0
+    assert all(c >= 0.2 for (_, _, c) in a)
+    assert all(qi != ci for (qi, ci, _) in a)
+
+
+def test_sax_symbolize_known_series(spark):
+    from puffbird_spark.operators.timeseries import sax_symbolize
+
+    rows = (
+        # step series: z = [-1,-1,1,1] -> 'aadd'
+        [("step", i, [0.0, 0.0, 10.0, 10.0][i]) for i in range(4)]
+        # constant series: std=0 -> z=0 -> all 'c'
+        + [("flat", i, 7.0) for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, ["k", "t", "v"])
+    out = {
+        r.k: (r.n_points, r.sax)
+        for r in sax_symbolize(df, ["k"], ["t"], "v").collect()
+    }
+    assert out["step"] == (4, "aadd")
+    assert out["flat"] == (4, "cccc")
+
+
+def test_sax_symbolize_ragged_segments(spark):
+    from puffbird_spark.operators.timeseries import sax_symbolize
+
+    df = spark.createDataFrame(
+        [("k", i, float(i)) for i in range(5)], ["k", "t", "v"]
+    )
+    out = sax_symbolize(df, ["k"], ["t"], "v").collect()[0]
+    assert out.n_points == 5 and len(out.sax) == 4
+    # monotone ramp -> non-decreasing symbols
+    assert list(out.sax) == sorted(out.sax)
