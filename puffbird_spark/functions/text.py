@@ -435,3 +435,38 @@ def mask_pii(text: str | Column) -> Column:
     for pat, token in PII_MASKS:
         c = F.regexp_replace(c, pat, token)
     return c
+
+
+#: URL part patterns shared verbatim with SQL oracles (RE2/Java common
+#: subset, capture-group rebuild — never backreference REPLACEMENT,
+#: whose syntax differs between engines: $1 vs \\1)
+URL_SCHEME_PATTERN = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+URL_HOSTPORT_PATTERN = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
+URL_PATH_PATTERN = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)"
+URL_QUERY_PATTERN = r"\?([^#]*)"
+TRACKING_PARAM_PATTERN = r"(^|&)(utm_[A-Za-z]+|fbclid|gclid|ref_src)=[^&]*"
+
+
+def canonical_url(url: str | Column) -> Column:
+    """Canonical URL for dedup/blocklist keying (the curation-pipeline
+    normalizer behind URL-level dedup a la C4/CCNet): lowercase scheme
+    and host, strip default ports (:80/:443), strip ``www.``, strip
+    the fragment, drop tracking parameters (utm_*/fbclid/gclid/
+    ref_src), drop an emptied query, trim trailing path slashes. Path
+    CASE is preserved (paths are case-sensitive per RFC 3986). Built
+    by part extraction + rebuild — no backreference replacements, so
+    the identical patterns replay in RE2 SQL oracles. Pure codegen."""
+    c = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.regexp_extract(c, URL_SCHEME_PATTERN, 1))
+    hostport = F.lower(F.regexp_extract(c, URL_HOSTPORT_PATTERN, 1))
+    host = F.regexp_replace(hostport, r":(80|443)$", "")
+    host = F.regexp_replace(host, r"^www\.", "")
+    path = F.regexp_extract(c, URL_PATH_PATTERN, 1)
+    path = F.regexp_replace(path, r"/+$", "")
+    q = F.regexp_extract(c, URL_QUERY_PATTERN, 1)
+    q = F.regexp_replace(q, TRACKING_PARAM_PATTERN, "")
+    q = F.regexp_replace(q, r"^&+", "")
+    return F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+    )

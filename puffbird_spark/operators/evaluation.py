@@ -91,3 +91,58 @@ def ir_metrics(
         F.round(F.sum("__ndcg").cast("double") / F.count(F.lit(1)), 6)
         .alias("ndcg_at_k"),
     )
+
+
+def pr_curve(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    thresholds: list[float] | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Precision/recall/F1 at a fixed threshold grid — the operating-
+    point companion of the threshold-free AUC scorecard: one row per
+    threshold with exact integer TP/FP/FN and the derived ratios.
+
+    Shape: ONE aggregation pass over the scored frame computing every
+    threshold's counts as conditional sums (no per-threshold scan, no
+    sort — an exact-sorted PR curve needs a global rank; a fixed grid
+    is what monitoring dashboards pin anyway), then a tiny literal
+    threshold table cross-joined against the 1-row totals. All counts
+    integral, ratios exact divisions rounded at ``round_dp``;
+    zero-denominator cells read NULL (no predictions / no positives is
+    "undefined", not 0)."""
+    ts = thresholds or [round(0.1 * i, 1) for i in range(1, 10)]
+    s = F.col(score_col)
+    y = F.col(label_col).cast("long")
+    aggs = [F.sum(y).alias("__pos"), F.count(F.lit(1)).alias("__n")]
+    for i, t in enumerate(ts):
+        pred = (s >= F.lit(float(t))).cast("long")
+        aggs.append(F.sum(pred * y).alias(f"__tp{i}"))
+        aggs.append(F.sum(pred).alias(f"__pp{i}"))
+    tot = scored.agg(*aggs)
+    structs = []
+    for i, t in enumerate(ts):
+        tp = F.col(f"__tp{i}")
+        pp = F.col(f"__pp{i}")
+        pos = F.col("__pos")
+        prec = F.when(pp > 0, F.round(tp.cast("double") / pp, round_dp))
+        rec = F.when(pos > 0, F.round(tp.cast("double") / pos, round_dp))
+        f1 = F.when(
+            (pp + pos) > 0,
+            F.round(2.0 * tp.cast("double") / (pp + pos), round_dp),
+        )
+        structs.append(F.struct(
+            F.lit(float(t)).alias("threshold"),
+            tp.cast("long").alias("tp"),
+            (pp - tp).cast("long").alias("fp"),
+            (pos - tp).cast("long").alias("fn"),
+            prec.alias("precision"),
+            rec.alias("recall"),
+            f1.alias("f1"),
+        ))
+    # one explode over the single aggregated row — NOT a per-threshold
+    # union, which would rescan the input once per grid point
+    return tot.select(
+        F.explode(F.array(*structs)).alias("__r")
+    ).select("__r.*")

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 GEOHASH_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
 
 __all__ = ["geohash_encode", "haversine_km", "geo_knn_join",
-           "geo_radius_join", "GEOHASH_BASE32"]
+           "geo_radius_join", "point_in_polygon", "GEOHASH_BASE32"]
 
 
 def geohash_encode(
@@ -243,3 +243,48 @@ def geo_radius_join(
         .filter(F.col("dist_km") <= radius_km)
         .select("key_a", "key_b", "dist_km")
     )
+
+
+def point_in_polygon(
+    lon: Column | str,
+    lat: Column | str,
+    vertices: list[tuple[float, float]],
+) -> Column:
+    """Point-in-polygon test (ray casting / even-odd rule, Shimrat
+    1962): cast a ray from the point toward +x and count edge
+    crossings — odd means inside. ``vertices`` is the simple polygon
+    as (lon, lat) pairs, closed implicitly (last connects to first).
+
+    Built as one sum of per-edge crossing predicates — pure codegen,
+    no UDF, broadcast-free (the polygon is a plan literal; geofencing
+    against a FEW regions composes with `geohash_encode` cell
+    pre-filters; thousands of polygons want an R-tree join, which is a
+    different operator). Each edge term replays verbatim in SQL:
+    ``((y1 > y) != (y2 > y)) AND (x < (x2-x1)*(y-y1)/(y2-y1) + x1)``
+    — the half-open vertex rule every even-odd implementation uses, so
+    a ray through a vertex counts once. Boundary-exact points follow
+    raw double compares: callers wanting epsilon semantics snap
+    coordinates first (the gates use off-grid vertices so no input
+    lies on an edge)."""
+    if len(vertices) < 3:
+        raise ValueError("polygon needs >= 3 vertices")
+    x = F.col(lon) if isinstance(lon, str) else lon
+    y = F.col(lat) if isinstance(lat, str) else lat
+    crossings = F.lit(0)
+    n = len(vertices)
+    for i in range(n):
+        x1, y1 = (float(v) for v in vertices[i])
+        x2, y2 = (float(v) for v in vertices[(i + 1) % n])
+        if y1 == y2:
+            # a horizontal edge never straddles the ray — dropping it at
+            # PLAN time (vertices are literals) also keeps the slope
+            # division from ever seeing a zero denominator under ANSI
+            continue
+        straddles = (F.lit(y1) > y) != (F.lit(y2) > y)
+        xint = (
+            F.lit(x2 - x1) * (y - F.lit(y1)) / F.lit(y2 - y1) + F.lit(x1)
+        )
+        crossings = crossings + F.when(
+            straddles & (x < xint), F.lit(1)
+        ).otherwise(F.lit(0))
+    return crossings % 2 == 1

@@ -1544,3 +1544,82 @@ def image_content_digest(
 
     return df.select(path_col, content_col).mapInPandas(
         kernel, IMAGE_DIGEST_SCHEMA)
+
+
+#: the 8 sequency probes of the audio WHT fingerprint: DC, the 5 dyadic
+#: scales, the fastest sequency, and an intermediate — fixed so gate,
+#: oracle, and downstream index agree on the coefficient layout
+WHT_BINS = (0, 1, 2, 4, 8, 16, 32, 63)
+
+AUDIO_WHT_SCHEMA = (
+    "path string, n_frames bigint, window_idx int, n_in_window int, "
+    + ", ".join(f"c{i} bigint" for i in range(len(WHT_BINS)))
+    + ", energy bigint"
+)
+
+
+def audio_wht(
+    df: DataFrame,
+    content_col: str = "content",
+    path_col: str = "path",
+    window: int = 64,
+    batch_size: int = 64,
+) -> DataFrame:
+    """Walsh-Hadamard sequency fingerprint per audio window — the
+    EXACT-arithmetic spectral feature (audio hashing / perceptual
+    fingerprinting use WHT precisely because its +-1 basis needs no
+    trig): for each ``window``-frame window (zero-padded tail) and each
+    probe ``k`` in ``WHT_BINS``, ``c_k = sum_n s[n] * (-1)^popcount(n
+    & k)`` — pure integer sums, bit-identical on every engine (a
+    float DFT's libm cos differs in the last ulp across engines; the
+    WHT has no such seam), plus the exact sequency energy
+    ``sum(c_k^2)``.
+
+    Same 100 TB shape as every media stage: Arrow ``mapInPandas``,
+    bounded batches, fan-out rows per window, zero shuffle."""
+    import numpy as np
+
+    if window & (window - 1):
+        raise ValueError(f"window must be a power of 2, got {window}")
+    signs = np.empty((len(WHT_BINS), window), dtype=np.int64)
+    for r, k in enumerate(WHT_BINS):
+        for n in range(window):
+            signs[r, n] = -1 if bin(n & k).count("1") % 2 else 1
+
+    cols = ["path", "n_frames", "window_idx", "n_in_window"] + [
+        f"c{i}" for i in range(len(WHT_BINS))
+    ] + ["energy"]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start:start + batch_size]
+                out: dict[str, list] = {k: [] for k in cols}
+                for path, blob in zip(
+                    chunk[path_col].astype(str), chunk[content_col]
+                ):
+                    if blob is None:
+                        continue
+                    _rate, _n_ch, _bits, frames = decode_wav_pcm(bytes(blob))
+                    mono = _mono_fold(frames)
+                    n = len(mono)
+                    for w_idx in range((n + window - 1) // window):
+                        seg = mono[w_idx * window:(w_idx + 1) * window]
+                        n_in = len(seg)
+                        x = np.zeros(window, dtype=np.int64)
+                        x[:n_in] = seg
+                        coeffs = signs @ x
+                        out["path"].append(path)
+                        out["n_frames"].append(n)
+                        out["window_idx"].append(w_idx)
+                        out["n_in_window"].append(n_in)
+                        for i, c in enumerate(coeffs):
+                            out[f"c{i}"].append(int(c))
+                        out["energy"].append(int((coeffs * coeffs).sum()))
+                yield pd.DataFrame(out).astype({
+                    "n_frames": "int64", "window_idx": "int32",
+                    "n_in_window": "int32",
+                })
+
+    return df.select(path_col, content_col).mapInPandas(
+        kernel, AUDIO_WHT_SCHEMA)

@@ -179,3 +179,59 @@ def geo_radius_join(spark, sf_dir):
         F.expr(_RPT_LON).alias("lon"),
     )
     return radius(pts, radius_km=200.0, key="c_custkey")
+
+
+#: geofence polygon for the point-in-polygon gate: a concave L-shape in
+#: (lon, lat), vertices at 3-dp off-grid offsets so no 2-dp formula
+#: point ever lies exactly on an edge (raw double compares stay safe)
+_FENCE = [
+    (-150.003, -70.007), (150.007, -70.003), (150.003, 0.005),
+    (0.009, 0.001), (0.001, 70.007), (-150.009, 70.003),
+]
+
+
+def _pip_oracle() -> str:
+    terms = []
+    n = len(_FENCE)
+    for i in range(n):
+        x1, y1 = _FENCE[i]
+        x2, y2 = _FENCE[(i + 1) % n]
+        if y1 == y2:
+            continue
+        terms.append(
+            f"(CASE WHEN (({y1!r} > lat) != ({y2!r} > lat))"
+            f" AND lon < ({x2 - x1!r}) * (lat - {y1!r}) / ({y2 - y1!r})"
+            f" + {x1!r} THEN 1 ELSE 0 END)"
+        )
+    return f"""
+WITH p AS (SELECT c_custkey,
+        {_PT_LAT} AS lat, {_PT_LON} AS lon FROM customer)
+SELECT c_custkey, lat, lon,
+       ({" + ".join(terms)}) % 2 = 1 AS inside
+FROM p
+"""
+
+
+@query("geo_point_in_polygon", oracle=_pip_oracle())
+def geo_point_in_polygon(spark, sf_dir):
+    """Geofence membership (`point_in_polygon`, operators/geo.py —
+    Shimrat 1962 ray casting, even-odd rule): each formula-derived
+    customer point tested against a concave L-shaped fence. The
+    polygon compiles to one sum of per-edge crossing predicates —
+    plan literals, pure codegen, zero shuffle, composable with a
+    geohash-cell pre-filter at scale; horizontal edges drop at plan
+    time (they cannot straddle the ray, and skipping them keeps the
+    slope division ANSI-safe). The oracle replays every edge term
+    verbatim."""
+    from ..operators.geo import point_in_polygon
+
+    cust = load(spark, sf_dir, "customer")
+    pts = cust.select(
+        "c_custkey",
+        F.expr(_PT_LAT).alias("lat"),
+        F.expr(_PT_LON).alias("lon"),
+    )
+    return pts.select(
+        "c_custkey", "lat", "lon",
+        point_in_polygon("lon", "lat", _FENCE).alias("inside"),
+    )

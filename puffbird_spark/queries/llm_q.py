@@ -4520,3 +4520,154 @@ def knn_radius(spark, sf_dir):
         emb, emb.filter(F.col("vec_id") < 10), tau=0.2,
         id_col="vec_id", vec_col="embedding", est_queries=10,
     )
+
+
+@query("dedup_url_canonical", oracle="""
+WITH u AS (SELECT doc_id,
+    's' || CAST((doc_id // 4) % 10 AS VARCHAR) AS grp,
+    CASE doc_id % 4
+      WHEN 0 THEN 'HTTPS://WWW.' || grp || '.Example.COM:443/Docs/'
+                  || CAST(doc_id // 4 AS VARCHAR)
+                  || '/?utm_source=x&utm_campaign=y'
+      WHEN 1 THEN 'https://www.' || grp || '.example.com/Docs/'
+                  || CAST(doc_id // 4 AS VARCHAR) || '?fbclid=c'
+                  || CAST(doc_id AS VARCHAR)
+      WHEN 2 THEN 'https://www.' || grp || '.example.com/Docs/'
+                  || CAST(doc_id // 4 AS VARCHAR) || '/#frag'
+      ELSE 'http://www.' || grp || '.example.com:80/Docs/'
+           || CAST(doc_id // 4 AS VARCHAR) || '?a=1&utm_medium=z&b=2'
+    END AS url
+  FROM documents),
+q0 AS (SELECT doc_id, url,
+         regexp_replace(regexp_replace(
+           regexp_extract(url, '\\?([^#]*)', 1),
+           '(^|&)(utm_[A-Za-z]+|fbclid|gclid|ref_src)=[^&]*', '', 'g'),
+           '^&+', '') AS qc
+       FROM u),
+c AS (SELECT doc_id,
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        || '://'
+        || regexp_replace(regexp_replace(
+             lower(regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+             ':(80|443)$', ''), '^www\\.', '')
+        || regexp_replace(
+             regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+             '/+$', '')
+        || (CASE WHEN qc <> '' THEN '?' || qc ELSE '' END) AS canon
+      FROM q0)
+SELECT canon AS canonical_url,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_variants
+FROM c GROUP BY canon
+""")
+def dedup_url_canonical(spark, sf_dir):
+    """URL-level dedup on the canonical form (`canonical_url`,
+    functions/text.py — the C4/CCNet URL normalizer): scheme/host
+    lowercased, default ports and www. and fragments stripped,
+    tracking params dropped, emptied queries removed, trailing path
+    slashes trimmed — then one hash-groupBy on the canonical string
+    (16-byte-digest-class shuffle, the exact-dedup shape). Four messy
+    variants are synthesized per URL id; three canonicalize together
+    (the http:80 variant keeps its real params and stays distinct —
+    the negative case). Oracle replays every regexp verbatim."""
+    from ..functions.text import canonical_url
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "grp",
+        F.concat(F.lit("s"),
+                 ((F.col("doc_id") / 4).cast("long") % 10).cast("string")),
+    )
+    url = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("HTTPS://WWW."), F.col("grp"),
+                     F.lit(".Example.COM:443/Docs/"),
+                     (F.col("doc_id") / 4).cast("long").cast("string"),
+                     F.lit("/?utm_source=x&utm_campaign=y")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("https://www."), F.col("grp"),
+                     F.lit(".example.com/Docs/"),
+                     (F.col("doc_id") / 4).cast("long").cast("string"),
+                     F.lit("?fbclid=c"), F.col("doc_id").cast("string")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("https://www."), F.col("grp"),
+                     F.lit(".example.com/Docs/"),
+                     (F.col("doc_id") / 4).cast("long").cast("string"),
+                     F.lit("/#frag")),
+        )
+        .otherwise(
+            F.concat(F.lit("http://www."), F.col("grp"),
+                     F.lit(".example.com:80/Docs/"),
+                     (F.col("doc_id") / 4).cast("long").cast("string"),
+                     F.lit("?a=1&utm_medium=z&b=2")),
+        )
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    return (
+        u.select("doc_id", canonical_url("url").alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").cast("long").alias("keep_id"),
+            F.count(F.lit(1)).cast("long").alias("n_variants"),
+        )
+    )
+
+
+@query("eval_pr_curve", oracle="""
+WITH w AS (SELECT i AS bucket,
+         CAST(round(CAST(CAST('0x' || substr(md5('qwv:' || CAST(i AS VARCHAR)), 1, 8)
+                         AS BIGINT) AS DOUBLE) / 4294967296 - 0.5, 9)
+              AS DECIMAL(20,9)) AS weight
+       FROM range(0, 256) t(i)),
+t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE text IS NOT NULL),
+bk AS (SELECT doc_id,
+        CAST('0x' || substr(md5('qw:' || tok), 1, 8) AS BIGINT) % 256
+          AS bucket
+      FROM t),
+s AS (SELECT doc_id,
+        round(1 / (1 + exp(-round(CAST(SUM(weight) AS DOUBLE)
+                                  / COUNT(*), 6))), 6) AS p
+      FROM bk JOIN w USING (bucket) GROUP BY doc_id),
+lab AS (SELECT s.p, CAST(d.n_chars >= 500 AS INT) AS y
+        FROM s JOIN documents d ON d.doc_id = s.doc_id),
+g AS (SELECT CAST(i AS DOUBLE) / 10 AS threshold FROM range(1, 10) t(i)),
+c AS (SELECT g.threshold,
+        CAST(SUM(CASE WHEN p >= g.threshold THEN y ELSE 0 END) AS BIGINT)
+          AS tp,
+        CAST(SUM(CASE WHEN p >= g.threshold THEN 1 ELSE 0 END) AS BIGINT)
+          AS pp,
+        CAST(SUM(y) AS BIGINT) AS pos
+      FROM lab CROSS JOIN g GROUP BY g.threshold)
+SELECT threshold, tp, pp - tp AS fp, pos - tp AS fn,
+  CASE WHEN pp > 0 THEN round(CAST(tp AS DOUBLE) / pp, 6) END AS precision,
+  CASE WHEN pos > 0 THEN round(CAST(tp AS DOUBLE) / pos, 6) END AS recall,
+  CASE WHEN pp + pos > 0
+       THEN round(2.0 * CAST(tp AS DOUBLE) / (pp + pos), 6) END AS f1
+FROM c
+""")
+def eval_pr_curve(spark, sf_dir):
+    """Operating-point scorecard (`pr_curve`, operators/evaluation.py):
+    precision/recall/F1 of the hashed linear quality classifier against
+    the long-doc label at the 0.1..0.9 threshold grid — the
+    threshold-PICKING companion of `eval_auc_roc`'s threshold-free
+    metrics. ONE aggregation pass computes all nine grid points as
+    conditional sums (no per-threshold rescan — plan-pinned in
+    tests/test_plans.py), counts stay integral, ratios round at 6 dp,
+    undefined cells stay NULL. Oracle replays classifier + grid."""
+    from ..operators.classifier import linear_quality_score
+    from ..operators.evaluation import pr_curve
+
+    docs = load(spark, sf_dir, "documents")
+    scored = linear_quality_score(docs, "text", "doc_id", dim=256)
+    lab = scored.join(docs.select("doc_id", "n_chars"), "doc_id").select(
+        F.col("p_keep").alias("p"),
+        (F.col("n_chars") >= 500).cast("int").alias("y"),
+    )
+    return pr_curve(lab, "p", "y")

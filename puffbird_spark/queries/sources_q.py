@@ -2405,3 +2405,62 @@ def scan_binary_files(spark, sf_dir):
         F.substring(F.decode(F.col("content"), "utf-8"), 1, 12)
         .alias("head"),
     )
+
+
+def _audio_wht_oracle() -> str:
+    from ..operators.multimodal import WHT_BINS
+
+    coeff_cols = ", ".join(
+        f"CAST(SUM(samp * (CASE WHEN bit_count(CAST(i % 64 AS BIGINT)"
+        f" & {k}) % 2 = 0 THEN 1 ELSE -1 END)) AS BIGINT) AS c{r}"
+        for r, k in enumerate(WHT_BINS)
+    )
+    energy = " + ".join(f"c{r} * c{r}" for r in range(len(WHT_BINS)))
+    return f"""
+WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS path,
+             120 + doc_id % 80 AS n, doc_id % 997 AS seed
+           FROM documents),
+s AS (SELECT path, n, seed,
+        unnest(range(0, ((CAST(n AS BIGINT) + 63) // 64) * 64)) AS i
+      FROM d),
+v AS (SELECT path, n, i,
+        CASE WHEN i < n
+             THEN ((i * 2657 + seed * 7919) % 4001) - 2000
+             ELSE 0 END AS samp
+      FROM s),
+c AS (SELECT path, CAST(n AS BIGINT) AS n_frames,
+        CAST(i // 64 AS INT) AS window_idx,
+        CAST(SUM(CASE WHEN i < n THEN 1 ELSE 0 END) AS INT) AS n_in_window,
+        {coeff_cols}
+      FROM v GROUP BY path, n, i // 64)
+SELECT *, CAST({energy} AS BIGINT) AS energy FROM c
+"""
+
+
+@query("multimodal_audio_wht", oracle=_audio_wht_oracle())
+def multimodal_audio_wht(spark, sf_dir):
+    """Walsh-Hadamard audio fingerprint (`audio_wht`,
+    operators/multimodal.py): per 64-frame window of each decoded WAV,
+    the 8 sequency-probe coefficients and exact energy — the
+    +-1-basis spectral feature audio hashing uses because it is pure
+    INTEGER arithmetic (a float DFT could never hash-match across
+    libm implementations). WAV fixtures are the `encode_wav`
+    generator-formula files of `multimodal_audio_decode`; the oracle
+    rebuilds every sample closed-form, applies the same popcount sign
+    rule with `bit_count`, and sums — so the RIFF walk, sign decode,
+    zero-pad, AND the transform must all be exactly right. Standard
+    media shape: Arrow mapInPandas, bounded batches, zero shuffle."""
+    from ..operators.dedup import widen_parallelism
+    from ..operators.multimodal import audio_wht, encode_wav
+
+    def _make(doc_id):
+        return doc_id.map(
+            lambda i: encode_wav(120 + int(i) % 80, 8000,
+                                 seed=int(i) % 997))
+
+    make_wav = F.pandas_udf(_make, returnType="binary")
+    docs = widen_parallelism(load(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("string").alias("path"),
+        make_wav(F.col("doc_id")).alias("content"),
+    )
+    return audio_wht(docs, window=64)

@@ -5317,3 +5317,121 @@ def test_sax_symbolize_ragged_segments(spark):
     assert out.n_points == 5 and len(out.sax) == 4
     # monotone ramp -> non-decreasing symbols
     assert list(out.sax) == sorted(out.sax)
+
+
+# --- round-8 batch C: URL canon / PIP / PR curve / WHT ---
+
+def test_canonical_url_rules(spark):
+    from puffbird_spark.functions.text import canonical_url
+
+    cases = [
+        ("HTTPS://WWW.Ex.COM:443/A/?utm_source=x", "https://ex.com/A"),
+        ("http://ex.com:80/a?fbclid=1&keep=2#f", "http://ex.com/a?keep=2"),
+        ("https://ex.com/a/b///", "https://ex.com/a/b"),
+        ("https://ex.com/?utm_a=1&utm_b=2", "https://ex.com"),
+        ("https://ex.com:8080/x", "https://ex.com:8080/x"),  # real port kept
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["u"])
+    got = [r.c for r in df.select(canonical_url("u").alias("c")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_point_in_polygon_square_and_concave(spark):
+    from puffbird_spark.operators.geo import point_in_polygon
+
+    square = [(0.0, 0.001), (10.0, 0.002), (10.0, 10.001), (0.0, 10.002)]
+    pts = [(1, 5.0, 5.0, True), (2, 15.0, 5.0, False),
+           (3, -1.0, 5.0, False), (4, 5.0, 11.0, False)]
+    df = spark.createDataFrame(pts, ["id", "x", "y", "want"])
+    rows = df.select(
+        "id", "want", point_in_polygon("x", "y", square).alias("got")
+    ).collect()
+    assert all(r.got == r.want for r in rows)
+    # concave L: the notch point is OUTSIDE
+    ell = [(0.0, 0.001), (10.0, 0.002), (10.0, 4.001),
+           (4.0, 4.002), (4.0, 10.001), (0.0, 10.002)]
+    df2 = spark.createDataFrame(
+        [(1, 7.0, 7.0, False), (2, 2.0, 7.0, True), (3, 7.0, 2.0, True)],
+        ["id", "x", "y", "want"],
+    )
+    rows2 = df2.select(
+        "id", "want", point_in_polygon("x", "y", ell).alias("got")
+    ).collect()
+    assert all(r.got == r.want for r in rows2)
+
+
+def test_point_in_polygon_validates(spark):
+    import pytest as _pytest
+
+    from puffbird_spark.operators.geo import point_in_polygon
+
+    with _pytest.raises(ValueError):
+        point_in_polygon(F.lit(0.0), F.lit(0.0), [(0, 0), (1, 1)])
+
+
+def test_pr_curve_hand_counts(spark):
+    from puffbird_spark.operators.evaluation import pr_curve
+
+    df = spark.createDataFrame(
+        [(0.9, 1), (0.8, 0), (0.6, 1), (0.2, 1), (0.1, 0)], ["p", "y"]
+    )
+    rows = {r.threshold: r for r in pr_curve(df, "p", "y").collect()}
+    r5 = rows[0.5]
+    assert (r5.tp, r5.fp, r5.fn) == (2, 1, 1)
+    assert r5.precision == round(2 / 3, 6)
+    assert r5.recall == round(2 / 3, 6)
+    # above every score: no predictions -> precision NULL, recall 0
+    hi = rows[0.9]  # 0.9 >= 0.9 still predicts the top row
+    assert hi.tp == 1 and hi.fp == 0
+    df0 = spark.createDataFrame([(0.05, 1)], ["p", "y"])
+    r = {x.threshold: x for x in pr_curve(df0, "p", "y").collect()}[0.5]
+    assert r.precision is None and r.recall == 0.0
+
+
+def test_pr_curve_single_scan_plan(spark):
+    from puffbird_spark.operators.evaluation import pr_curve
+
+    df = spark.range(100).select(
+        (F.col("id") / 100).alias("p"), (F.col("id") % 2).alias("y")
+    )
+    plan = pr_curve(df, "p", "y")._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Range (0, 100") == 1  # one scan, not one per threshold
+
+
+def test_audio_wht_parity_with_numpy(spark):
+    import numpy as np
+
+    from puffbird_spark.operators.multimodal import (
+        WHT_BINS, audio_wht, decode_wav_pcm, encode_wav,
+    )
+
+    blob = encode_wav(100, 8000, seed=5)
+    df = spark.createDataFrame([("a", bytearray(blob))], ["path", "content"])
+    rows = sorted(
+        audio_wht(df, window=64).collect(), key=lambda r: r.window_idx
+    )
+    _, _, _, frames = decode_wav_pcm(blob)
+    mono = [f[0] for f in frames]
+    assert [r.n_in_window for r in rows] == [64, 36]
+    for r in rows:
+        seg = np.zeros(64, dtype=np.int64)
+        vals = mono[r.window_idx * 64:(r.window_idx + 1) * 64]
+        seg[:len(vals)] = vals
+        for i, k in enumerate(WHT_BINS):
+            signs = np.array(
+                [-1 if bin(n & k).count("1") % 2 else 1 for n in range(64)],
+                dtype=np.int64,
+            )
+            assert getattr(r, f"c{i}") == int((signs * seg).sum())
+    # DC coefficient is the plain window sum
+    assert rows[0].c0 == sum(mono[:64])
+
+
+def test_audio_wht_rejects_bad_window(spark):
+    import pytest as _pytest
+
+    from puffbird_spark.operators.multimodal import audio_wht
+
+    df = spark.createDataFrame([("a", bytearray(b"x"))], ["path", "content"])
+    with _pytest.raises(ValueError):
+        audio_wht(df, window=48)
