@@ -1623,3 +1623,109 @@ def audio_wht(
 
     return df.select(path_col, content_col).mapInPandas(
         kernel, AUDIO_WHT_SCHEMA)
+
+
+IMAGE_PHASH_SCHEMA = (
+    "path string, format string, width int, height int, phash bigint"
+)
+
+
+def _wht2d_signs(grid: int):
+    """(grid^2, grid^2) +-1 matrix: sign[u*g+v, x*g+y] =
+    (-1)^(popcount(u&x)+popcount(v&y))."""
+    import numpy as np
+
+    par = np.array(
+        [[bin(a & b).count("1") % 2 for b in range(grid)]
+         for a in range(grid)], dtype=np.int64)
+    n2 = grid * grid
+    signs = np.empty((n2, n2), dtype=np.int64)
+    for u in range(grid):
+        for v in range(grid):
+            for x in range(grid):
+                for y in range(grid):
+                    signs[u * grid + v, x * grid + y] = (
+                        -1 if (par[u, x] + par[v, y]) % 2 else 1)
+    return signs
+
+
+def phash_pixels(w: int, h: int, pix: bytes, grid: int = 8) -> int:
+    """The per-image kernel of :func:`image_phash`, exposed for tests
+    and driver-side spot checks: block-mean downsample, 2-D WHT,
+    median-thresholded bit assembly. Deterministic integer arithmetic
+    throughout."""
+    import numpy as np
+
+    signs = _wht2d_signs(grid)
+    n2 = grid * grid
+    img = np.frombuffer(pix, dtype=np.uint8).astype(np.int64).reshape(h, w)
+    xs = [x * w // grid for x in range(grid + 1)]
+    ys = [y * h // grid for y in range(grid + 1)]
+    small = np.empty(n2, dtype=np.int64)
+    for x in range(grid):
+        for y in range(grid):
+            block = img[ys[y]:ys[y + 1], xs[x]:xs[x + 1]]
+            small[x * grid + y] = block.sum() // block.size
+    coeffs = signs @ small
+    rest = np.sort(coeffs[1:])
+    med = int(rest[(n2 - 2) // 2])  # 32nd-smallest of 63 at grid 8
+    bits = 0
+    for idx in range(1, n2):
+        if int(coeffs[idx]) > med:
+            bits |= 1 << (idx - 1)
+    return bits
+
+
+def image_phash(
+    df: DataFrame,
+    content_col: str = "content",
+    path_col: str = "path",
+    grid: int = 8,
+    batch_size: int = 64,
+) -> DataFrame:
+    """Perceptual image hash — the NEAR-dup companion of
+    :func:`image_content_digest` (which keys exact pixels): decode to
+    grayscale, block-mean downsample to ``grid``x``grid`` (floored
+    integer means over ``floor(u*w/grid)`` ranges — exact for any
+    source size), 2-D Walsh-Hadamard transform (+-1 basis, exact
+    integer coefficients — the same no-libm-seam property as
+    :func:`audio_wht`), then one bit per non-DC coefficient: 1 iff it
+    exceeds the median (the 32nd-smallest of the 63, fixed index — no
+    float percentile). Byte-level recompressions, format changes, and
+    pixel tweaks that wash out in a block mean all map to the SAME
+    63-bit integer; Hamming-near hashes band-join exactly like SimHash
+    (operators/dedup.py). Standard media shape: Arrow mapInPandas,
+    bounded batches, zero shuffle; undecodable blobs emit no row."""
+    if grid & (grid - 1) or grid < 2:
+        raise ValueError(f"grid must be a power of 2 >= 2, got {grid}")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start:start + batch_size]
+                out: dict[str, list] = {k: [] for k in (
+                    "path", "format", "width", "height", "phash")}
+                for path, blob in zip(
+                    chunk[path_col].astype(str), chunk[content_col]
+                ):
+                    if blob is None:
+                        continue
+                    blob = bytes(blob)
+                    fmt, _, _ = parse_image_header(blob)
+                    try:
+                        w, h, pix = decode_image_gray(blob)
+                    except NotImplementedError:
+                        continue
+                    if w < grid or h < grid:
+                        continue
+                    out["path"].append(path)
+                    out["format"].append(fmt)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["phash"].append(phash_pixels(w, h, pix, grid))
+                yield pd.DataFrame(out).astype({
+                    "width": "int32", "height": "int32", "phash": "int64",
+                })
+
+    return df.select(path_col, content_col).mapInPandas(
+        kernel, IMAGE_PHASH_SCHEMA)

@@ -2464,3 +2464,96 @@ def multimodal_audio_wht(spark, sf_dir):
         make_wav(F.col("doc_id")).alias("content"),
     )
     return audio_wht(docs, window=64)
+
+
+@query("dedup_image_phash", oracle="""
+WITH d AS (SELECT doc_id, doc_id % 40 AS s,
+             CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                             ELSE 'bmp' END AS fmt
+           FROM documents),
+g AS (SELECT s, 13 + s % 7 AS w, 9 + s % 5 AS h
+      FROM (SELECT DISTINCT s FROM d)),
+px AS (SELECT s, w, h, x.x AS px, y.y AS py,
+         (x.x * 31 + y.y * 17 + s) % 256 AS gray
+       FROM g, LATERAL (SELECT unnest(range(0, CAST(w AS BIGINT))) AS x) x,
+              LATERAL (SELECT unnest(range(0, CAST(h AS BIGINT))) AS y) y),
+bl AS (SELECT px.s, px.gray, u.u, v.v
+       FROM px
+       JOIN range(0, 8) u(u)
+         ON px.px >= u.u * px.w // 8 AND px.px < (u.u + 1) * px.w // 8
+       JOIN range(0, 8) v(v)
+         ON px.py >= v.v * px.h // 8 AND px.py < (v.v + 1) * px.h // 8),
+sm AS (SELECT s, u, v, SUM(gray) // COUNT(*) AS small
+       FROM bl GROUP BY s, u, v),
+co AS (SELECT sm.s, f.u2, f.v2,
+         SUM(sm.small * (CASE WHEN (bit_count(CAST(f.u2 & sm.u AS BIGINT))
+                                    + bit_count(CAST(f.v2 & sm.v AS BIGINT)))
+                                   % 2 = 0
+                              THEN 1 ELSE -1 END)) AS c
+       FROM sm, LATERAL (SELECT a.a AS u2, b.b AS v2
+                         FROM range(0, 8) a(a), range(0, 8) b(b)) f
+       GROUP BY sm.s, f.u2, f.v2),
+idxd AS (SELECT s, u2 * 8 + v2 AS idx, c FROM co),
+med AS (SELECT s, c AS m
+        FROM (SELECT s, c, row_number() OVER (PARTITION BY s
+                                              ORDER BY c, idx) AS rn
+              FROM idxd WHERE idx > 0)
+        WHERE rn = 32),
+ph AS (SELECT idxd.s,
+         CAST(SUM(CASE WHEN idxd.idx > 0 AND idxd.c > med.m
+                       THEN 1::BIGINT << (idxd.idx - 1) ELSE 0 END)
+              AS BIGINT) AS phash
+       FROM idxd JOIN med ON idxd.s = med.s GROUP BY idxd.s)
+SELECT ph.phash,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       CAST(COUNT(DISTINCT d.fmt) AS BIGINT) AS n_formats,
+       CAST(MIN(d.doc_id) AS BIGINT) AS canonical_id
+FROM d JOIN ph ON d.s = ph.s
+GROUP BY ph.phash
+""")
+def dedup_image_phash(spark, sf_dir):
+    """Perceptual-hash image dedup (`image_phash`,
+    operators/multimodal.py): every blob decodes through its real
+    codec (PNG/GIF/BMP round-robin, RAGGED sizes 13-19 x 9-13 so the
+    floor-range block resize is exercised off the easy multiples),
+    downsamples to 8x8 integer block means, 2-D Walsh-Hadamard
+    transforms, and hashes one bit per non-DC coefficient against the
+    fixed-index median — then groups by the 63-bit hash. Cross-format
+    copies collapse by PERCEPTION (the near-dup robustness to in-block
+    pixel tweaks is unit-pinned — an oracle can only replay what is
+    deterministic end-to-end). The oracle rebuilds the entire pipeline
+    closed-form in SQL: formula pixels -> block partition join ->
+    popcount-sign transform -> windowed median -> bit assembly; one
+    wrong pixel, block boundary, sign, or tie-break anywhere breaks
+    the hash."""
+    from ..operators.dedup import widen_parallelism
+    from ..operators.multimodal import (
+        encode_bmp_gray, encode_gif, encode_png, image_phash)
+
+    def _make(doc_id):
+        def one(i):
+            i = int(i)
+            s = i % 40
+            w, h = 13 + s % 7, 9 + s % 5
+            if i % 3 == 0:
+                return encode_png(w, h, seed=s)
+            if i % 3 == 1:
+                return encode_gif(w, h, seed=s)
+            return encode_bmp_gray(w, h, seed=s)
+
+        return doc_id.map(one)
+
+    make_img = F.pandas_udf(_make, returnType="binary")
+    docs = widen_parallelism(load(spark, sf_dir, "documents")).select(
+        F.col("doc_id").alias("doc_id"),
+        F.col("doc_id").cast("string").alias("path"),
+        make_img(F.col("doc_id")).alias("content"),
+    )
+    hashed = image_phash(docs, grid=8).select(
+        F.col("path").cast("long").alias("doc_id"), "format", "phash"
+    )
+    return hashed.groupBy("phash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+        F.countDistinct("format").cast("long").alias("n_formats"),
+        F.min("doc_id").cast("long").alias("canonical_id"),
+    )

@@ -5435,3 +5435,50 @@ def test_audio_wht_rejects_bad_window(spark):
     df = spark.createDataFrame([("a", bytearray(b"x"))], ["path", "content"])
     with _pytest.raises(ValueError):
         audio_wht(df, window=48)
+
+
+def test_phash_pixels_near_dup_robust_and_sensitive():
+    from puffbird_spark.operators.multimodal import phash_pixels
+
+    w, h = 16, 8
+    base = bytearray((x * 31 + y * 17 + 3) % 256
+                     for y in range(h) for x in range(w))
+    # in-block wash: +1/-1 inside the same 2x1 block -> identical hash
+    tweaked = bytearray(base)
+    tweaked[0] = (tweaked[0] + 1) % 256
+    tweaked[1] = (tweaked[1] - 1) % 256
+    assert phash_pixels(w, h, bytes(base)) == phash_pixels(
+        w, h, bytes(tweaked))
+    # a genuinely different picture -> different hash
+    other = bytearray((x * 7 + y * 53 + 90) % 256
+                      for y in range(h) for x in range(w))
+    assert phash_pixels(w, h, bytes(base)) != phash_pixels(
+        w, h, bytes(other))
+    # jpeg-ish noise: +-1 on every pixel flips few of the 63 bits
+    noisy = bytearray((v + (1 if i % 2 else -1)) % 256
+                      for i, v in enumerate(base))
+    a, b = phash_pixels(w, h, bytes(base)), phash_pixels(w, h, bytes(noisy))
+    assert bin(a ^ b).count("1") <= 8
+
+
+def test_phash_cross_codec_identical():
+    from puffbird_spark.operators.multimodal import (
+        decode_image_gray, encode_bmp_gray, encode_gif, encode_png,
+        phash_pixels,
+    )
+
+    hashes = set()
+    for enc in (encode_png, encode_gif, encode_bmp_gray):
+        w, h, pix = decode_image_gray(enc(15, 11, seed=9))
+        hashes.add(phash_pixels(w, h, pix))
+    assert len(hashes) == 1
+
+
+def test_image_phash_rejects_bad_grid(spark):
+    import pytest as _pytest
+
+    from puffbird_spark.operators.multimodal import image_phash
+
+    df = spark.createDataFrame([("a", bytearray(b"x"))], ["path", "content"])
+    with _pytest.raises(ValueError):
+        image_phash(df, grid=6)
