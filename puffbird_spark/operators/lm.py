@@ -35,7 +35,7 @@ vocabulary scalar rides a broadcast cross-join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def _bigrams(df: DataFrame, text_col: str, extra: list[str]) -> DataFrame:
@@ -197,4 +197,65 @@ def kneser_ney_score(
                 F.sum("__lp").cast("double") / (-F.count(F.lit(1))), 6
             ).alias("avg_neg_logp"),
         )
+    )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 200,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus token distribution (Zipf 1949):
+    OLS of ``ln(count)`` on ``ln(rank)`` over the exact top-``top_n``
+    tokens — the corpus-health check every curation pipeline runs (a
+    natural corpus fits slope ~ -1; template/boilerplate floods
+    flatten the head, dedup failures steepen it). Returns ONE row:
+    ``(n_ranks, slope, intercept, r2)``.
+
+    Shape: one token count (explode + groupBy on the token — digests
+    of the shuffle class every text op here uses), one TakeOrdered for
+    the top-N (count desc, token tie-break — deterministic), then the
+    OLS sums over 9-dp-snapped logs as exact decimals (order-free) and
+    a one-row closed form. ``top_n`` bounds the regression frame, not
+    the count — the heavy stage stays the single groupBy."""
+    toks = df.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("__tok")
+    ).filter(F.col("__tok") != "")
+    counts = toks.groupBy("__tok").agg(
+        F.count(F.lit(1)).cast("long").alias("__cnt"))
+    top = counts.orderBy(
+        F.desc("__cnt"), F.asc("__tok")).limit(int(top_n))
+    ranked = top.select(
+        "__cnt",
+        F.row_number().over(
+            Window.orderBy(F.desc("__cnt"), F.asc("__tok"))
+        ).alias("__rank"),
+    )
+    x = F.round(F.log(F.col("__rank").cast("double")), 9).cast(
+        "decimal(20,9)")
+    y = F.round(F.log(F.col("__cnt").cast("double")), 9).cast(
+        "decimal(20,9)")
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"), F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    r2 = (
+        (n * sxy - sx * sy) * (n * sxy - sx * sy)
+        / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    )
+    return s.select(
+        F.col("n").alias("n_ranks"),
+        F.round(slope, round_dp).alias("slope"),
+        F.round((sy - slope * sx) / n, round_dp).alias("intercept"),
+        F.round(r2, round_dp).alias("r2"),
     )

@@ -120,3 +120,69 @@ def quantile_normalize(
         .withColumn(
             "value_normalized", F.round(lo + (hi - lo) * frac, dp))
     )
+
+
+def weighted_percentiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    ps: list[float] | None = None,
+) -> DataFrame:
+    """Exact weighted percentiles (type-1 / lower-step inverse CDF):
+    for each ``p``, the smallest value whose cumulative weight reaches
+    ``p * W``. The estimator every billing/duration analysis needs
+    when rows carry multiplicities (a weighted median over (value,
+    count) pairs, never a row-expanded unweighted one).
+
+    Determinism contract: weights cast to DECIMAL(28,6) (exact sums,
+    any partial-agg order); the crossing compare casts both sides to
+    double and tests ``cumw >= W * p`` — the identical expression on
+    every engine, so a value sitting exactly on a cut lands on the
+    same side everywhere; values aggregate to value grain FIRST — the
+    window then runs over DISTINCT values (bounded for real measures:
+    prices, durations, counts), not rows. Returns one row per p:
+    ``(p, value)``.
+
+    Scale note: the cumulative window is a single global ordering over
+    the distinct-value frame. When value cardinality is data-sized, a
+    two-pass range-partitioned refinement replaces this; at the
+    distinct-value grain this shape is exact and cheap."""
+    ps = ps or [0.25, 0.5, 0.75, 0.9]
+    w = F.col(weight_col).cast("decimal(28,6)")
+    per_val = df.groupBy(F.col(value_col).alias("__v")).agg(
+        F.sum(w).alias("__w"))
+    from pyspark.sql import Window
+
+    # total weight as an unpartitioned window over the same (value-
+    # grain) frame as the cumsum — one pass, and no self-join (a
+    # crossJoin against per_val.agg() trips Spark 4's duplicate-
+    # lineage attribute resolution)
+    cum = per_val.select(
+        "__v", "__w",
+        F.sum("__w").over(
+            Window.orderBy("__v").rowsBetween(
+                Window.unboundedPreceding, 0)
+        ).alias("__cumw"),
+        F.sum("__w").over(
+            Window.partitionBy()
+        ).alias("__wtot"),
+    )
+    structs = [
+        F.min(
+            F.when(
+                F.col("__cumw").cast("double")
+                >= F.col("__wtot").cast("double") * F.lit(float(p)),
+                F.col("__v"),
+            )
+        ).alias(f"__p{i}")
+        for i, p in enumerate(ps)
+    ]
+    agg = cum.agg(*structs)
+    out = agg.select(F.explode(F.array(*[
+        F.struct(
+            F.lit(round(float(p), 6)).alias("p"),
+            F.col(f"__p{i}").alias("value"),
+        )
+        for i, p in enumerate(ps)
+    ])).alias("__r")).select("__r.*")
+    return out

@@ -354,6 +354,116 @@ def cosine_radius(
     ).filter(F.col("cosine") >= F.lit(float(tau)))
 
 
+def bq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    planes: int = 32,
+    prefilter: int = 8,
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Binary-quantization kNN — the modern vector-DB fast path
+    (pgvector/Qdrant BQ): every vector compresses to ``planes`` SRP
+    sign bits packed in ONE BIGINT; candidate generation is a full
+    scan of 8-byte codes ranked by Hamming distance (``bit_count`` of
+    the XOR — pure codegen, 32-64x less data than the float scan and
+    no trig/float seam), keeping ``k * prefilter`` per query; the
+    exact rounded-cosine rerank then restores float precision on that
+    tiny survivor set.
+
+    Unlike :func:`lsh_bucket_topk` (bucket equality — sub-linear but
+    recall depends on probing), the BQ scan reads every CODE, so
+    recall is bounded only by the signature's resolution: more planes
+    = finer Hamming metric. Deterministic end to end (seeded planes,
+    Hamming + id tie-break, rounded-cosine + id rerank)."""
+    def _dots_array(vec):
+        """All ``planes`` signed distances as ONE array column: the dot
+        products fold at RUNTIME over a 2-D plane literal, so the
+        expression tree stays O(1) in planes (the Hilbert-unroll
+        lesson) — BQ wants 100+ planes where the per-plane Column
+        unroll of the probe paths (8-16 planes) would explode."""
+        h = _hyperplanes(dim, planes, seed)
+        planes_lit = F.array(*[
+            F.lit(np.asarray(row, dtype=np.float64)) for row in h])
+        return F.transform(
+            planes_lit,
+            lambda p: F.aggregate(
+                F.zip_with(vec, p, lambda x, y: x * y),
+                F.lit(0.0), lambda a, x: a + x))
+
+    def _pack_words(dots_col):
+        """planes sign bits packed 32 per BIGINT word (the standard BQ
+        code layout) from a BOUND dots attribute — packing from the
+        defining expression would re-inline the planes x dim fold at
+        every bit access (measured: 29s vs 0.5s on 500 rows).
+        High-to-low fold (acc*2 + bit) because Spark's lambda surface
+        has no variable-shift primitive; the factory closure keeps the
+        lambda binary (a default arg reads as a third lambda var)."""
+        def _word(base, width):
+            return F.aggregate(
+                F.sequence(F.lit(width - 1), F.lit(0), F.lit(-1)),
+                F.lit(0).cast("long"),
+                lambda acc, j: acc * 2 + F.when(
+                    F.element_at(dots_col, F.lit(base + 1) + j) > 0,
+                    F.lit(1).cast("long"),
+                ).otherwise(F.lit(0).cast("long")),
+            )
+
+        return [
+            _word(w0, min(32, planes - w0))
+            for w0 in range(0, planes, 32)
+        ]
+
+    from ..plans import fence
+
+    n_words = (planes + 31) // 32
+
+    def _signed(df, id_name, vec_name, prefix):
+        # two fences: materialize the dots array ONCE per row, pack the
+        # words from the bound attribute, then fence the words so the
+        # downstream window never re-inlines either stage (the
+        # CollapseProject trap, twice over)
+        with_dots = fence(
+            df, [id_name, vec_name], __dots=_dots_array(F.col(vec_name)))
+        packed = fence(
+            with_dots, [id_name, vec_name, "__dots"],
+            **{f"{prefix}{i}": w
+               for i, w in enumerate(_pack_words(F.col("__dots")))})
+        return packed.drop("__dots")
+
+    c = _signed(
+        corpus.select(
+            F.col(id_col).alias("cand_id"),
+            as_double(vec_col).alias("cvec")),
+        "cand_id", "cvec", "__cs")
+    q = _signed(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double(vec_col).alias("qvec")),
+        "query_id", "qvec", "__qs")
+    pairs = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        pairs = pairs.filter(F.col("cand_id") != F.col("query_id"))
+    ham_expr = F.lit(0)
+    for i in range(n_words):
+        ham_expr = ham_expr + F.bit_count(
+            F.col(f"__cs{i}").bitwiseXOR(F.col(f"__qs{i}")))
+    ham = ham_expr.alias("__ham")
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("__ham"), F.asc("cand_id"))
+    survivors = (
+        pairs.select("query_id", "cand_id", "qvec", "cvec", ham)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(k) * int(prefilter))
+        .drop("__rn", "__ham")
+    )
+    return _score_topk(survivors, k, exclude_self=False, use_arrow=False)
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     dim: int,

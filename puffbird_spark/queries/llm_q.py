@@ -4671,3 +4671,80 @@ def eval_pr_curve(spark, sf_dir):
         (F.col("n_chars") >= 500).cast("int").alias("y"),
     )
     return pr_curve(lab, "p", "y")
+
+
+@query("knn_binary_quantized", oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 10
+""")
+def knn_binary_quantized(spark, sf_dir):
+    """Binary-quantization ANN top-5 (`bq_topk`,
+    operators/similarity.py — the pgvector/Qdrant BQ fast path): every
+    vector compresses to 256 SRP sign bits packed 32-per-BIGINT;
+    candidate generation is a full scan of the 32-byte CODES ranked by
+    Hamming distance (bit_count of XORs — pure codegen, 16x less data
+    than the float scan), then an exact rounded-cosine re-rank of the
+    k*8 survivors. Same self-check as the other ANN gates: all 10
+    seeded queries answered, mean recall@5 vs brute force >= 0.5
+    (observed 0.92 at sf0.001, 0.68 at sf0.1 — deterministic, seeded
+    planes). Plan note: the signature pipeline is double-fenced (dots
+    array, then packed words) — unfenced, the per-pair window
+    re-inlines the planes x dim fold (measured 29s vs 0.5s on 500
+    rows)."""
+    from ..operators.similarity import bq_topk
+
+    return _ann_recall_gate(
+        spark, sf_dir,
+        lambda emb, q: bq_topk(
+            emb, q, dim=64, id_col="vec_id", vec_col="embedding",
+            k=5, planes=256, prefilter=8,
+        ),
+        min_avg_recall=0.5,
+    )
+
+
+@query("text_zipf_fit", oracle="""
+WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM t WHERE tok <> '' GROUP BY tok),
+top AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rank
+        FROM c ORDER BY cnt DESC, tok LIMIT 200),
+l AS (SELECT CAST(round(ln(CAST(rank AS DOUBLE)), 9) AS DECIMAL(20,9)) AS x,
+             CAST(round(ln(CAST(cnt AS DOUBLE)), 9) AS DECIMAL(20,9)) AS y
+      FROM top),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM l)
+SELECT n AS n_ranks,
+  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+  round((CAST(sy AS DOUBLE)
+         - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+           * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept,
+  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+FROM s
+""")
+def text_zipf_fit(spark, sf_dir):
+    """Corpus Zipf-law fit (`zipf_fit`, operators/lm.py — Zipf 1949):
+    OLS of ln(count) on ln(rank) over the exact top-200 tokens, the
+    distribution-health check that flags boilerplate floods (flat
+    head) and failed dedup (steep head). Logs snap to 9-dp decimals so
+    the OLS sums are exact and order-free; slope/intercept/r2 are one
+    closed-form double expression spelled identically in the oracle.
+    One token-count shuffle + one TakeOrdered(200)."""
+    from ..operators.lm import zipf_fit
+
+    return zipf_fit(load(spark, sf_dir, "documents"), "text", top_n=200)

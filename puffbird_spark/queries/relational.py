@@ -3196,3 +3196,37 @@ def timeseries_sax(spark, sf_dir):
         events, ["user_id"], ["ts", "event_id"], "value",
         n_segments=4,
     )
+
+
+@query("agg_weighted_percentile", oracle="""
+WITH v AS (SELECT CAST(l_extendedprice AS DECIMAL(12,2)) AS val,
+                  CAST(l_quantity AS DECIMAL(28,6)) AS w
+           FROM lineitem),
+pv AS (SELECT val AS v, SUM(w) AS w FROM v GROUP BY val),
+c AS (SELECT v, w, SUM(w) OVER (ORDER BY v
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+        (SELECT SUM(w) FROM pv) AS tw
+      FROM pv),
+g AS (SELECT unnest([0.25, 0.5, 0.75, 0.9]) AS p)
+SELECT g.p,
+  CAST(MIN(CASE WHEN CAST(c.cumw AS DOUBLE)
+                     >= CAST(c.tw AS DOUBLE) * g.p
+                THEN c.v END) AS DOUBLE) AS value
+FROM c CROSS JOIN g GROUP BY g.p
+""")
+def agg_weighted_percentile(spark, sf_dir):
+    """Exact weighted percentiles (`weighted_percentiles`,
+    operators/robust.py — type-1 inverse CDF): quantity-weighted price
+    quartiles + p90 over lineitem. Weights sum as exact decimals at
+    VALUE grain (the window runs over distinct prices, not rows); the
+    crossing compare is the shared double expression so cut-boundary
+    values land identically on both engines. One groupBy + one
+    ordered window over the value-grain frame + a 1-row total
+    broadcast."""
+    from ..operators.robust import weighted_percentiles
+
+    li = load(spark, sf_dir, "lineitem").select(
+        dec("l_extendedprice").alias("val"), F.col("l_quantity").alias("w")
+    )
+    out = weighted_percentiles(li, "val", "w", ps=[0.25, 0.5, 0.75, 0.9])
+    return out.select("p", F.col("value").cast("double").alias("value"))

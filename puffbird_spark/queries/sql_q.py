@@ -397,3 +397,68 @@ def scan_variant_type(spark, sf_dir):
         FROM {ev} WHERE props IS NOT NULL
         ORDER BY event_id
     """)
+
+
+@query("sql_named_window", oracle="""
+SELECT o_custkey, o_orderkey,
+  CAST(row_number() OVER w AS BIGINT) AS rn,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE)
+    AS running_spend,
+  round(CAST(o_totalprice AS DOUBLE)
+        - avg(CAST(o_totalprice AS DOUBLE)) OVER k, 6) AS delta_vs_cust
+FROM orders
+WHERE o_custkey < 50
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       k AS (PARTITION BY o_custkey)
+""")
+def sql_named_window(spark, sf_dir):
+    """Named WINDOW clause (the SQL:2003 surface that deduplicates
+    window specs): two named windows — an ordered running frame and an
+    unordered partition frame — each referenced by multiple
+    expressions. Parser -> Catalyst resolves them to the same
+    WindowExec as inline specs (one exchange per partitioning); the
+    oracle runs the identical text. delta_vs_cust is avg-based and
+    therefore rounded; the running spend stays exact decimal."""
+    o = _view(spark, sf_dir, "orders")
+    return spark.sql(f"""
+        SELECT o_custkey, o_orderkey,
+          CAST(row_number() OVER w AS BIGINT) AS rn,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE)
+            AS running_spend,
+          round(CAST(o_totalprice AS DOUBLE)
+                - avg(CAST(o_totalprice AS DOUBLE)) OVER k, 6)
+            AS delta_vs_cust
+        FROM {o}
+        WHERE o_custkey < 50
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               k AS (PARTITION BY o_custkey)
+    """)
+
+
+@query("sql_group_by_all", oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ALL
+ORDER BY ALL
+""")
+def sql_group_by_all(spark, sf_dir):
+    """GROUP BY ALL / ORDER BY ALL (the DuckDB-pioneered shorthand
+    Spark 4 adopted): every non-aggregate select item becomes a
+    grouping key, then a total order over all columns. Same plan as
+    the explicit column list — the gate proves the resolver binds the
+    same keys on both engines."""
+    li = _view(spark, sf_dir, "lineitem")
+    return spark.sql(f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                 AS sum_qty
+        FROM {li}
+        GROUP BY ALL
+        ORDER BY ALL
+    """)

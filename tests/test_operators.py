@@ -5482,3 +5482,64 @@ def test_image_phash_rejects_bad_grid(spark):
     df = spark.createDataFrame([("a", bytearray(b"x"))], ["path", "content"])
     with _pytest.raises(ValueError):
         image_phash(df, grid=6)
+
+
+# --- round-8 batch E: zipf / weighted percentiles / BQ kNN ---
+
+def test_zipf_fit_perfect_powerlaw(spark):
+    import math
+
+    from puffbird_spark.operators.lm import zipf_fit
+
+    # corpus where token t_r appears round(1000 / r) times: slope ~ -1
+    words = []
+    for r in range(1, 21):
+        words += [f"tok{r:02d}"] * round(1000 / r)
+    df = spark.createDataFrame([(" ".join(words),)], ["text"])
+    row = zipf_fit(df, "text", top_n=20).collect()[0]
+    assert row.n_ranks == 20
+    assert abs(row.slope - (-1.0)) < 0.05
+    assert row.r2 > 0.999
+    assert abs(row.intercept - math.log(1000)) < 0.05
+
+
+def test_weighted_percentiles_hand_case(spark):
+    from puffbird_spark.operators.robust import weighted_percentiles
+
+    # values 1..4 with weights 1,1,6,2 (W=10): cum = 1,2,8,10
+    df = spark.createDataFrame(
+        [(1.0, 1), (2.0, 1), (3.0, 6), (4.0, 2)], ["v", "w"]
+    )
+    out = {r.p: r.value for r in weighted_percentiles(
+        df, "v", "w", ps=[0.1, 0.2, 0.5, 0.8, 1.0]).collect()}
+    assert out[0.1] == 1.0      # cumw 1 >= 1
+    assert out[0.2] == 2.0      # cumw 2 >= 2
+    assert out[0.5] == 3.0
+    assert out[0.8] == 3.0      # cumw 8 >= 8
+    assert out[1.0] == 4.0
+
+
+def test_weighted_percentiles_row_multiplicity_equivalence(spark):
+    from puffbird_spark.operators.robust import weighted_percentiles
+
+    # weighted result == unweighted over the row-expanded frame
+    pairs = [(10.0, 3), (20.0, 1), (30.0, 2)]
+    wdf = spark.createDataFrame(pairs, ["v", "w"])
+    edf = spark.createDataFrame(
+        [(v, 1) for v, w in pairs for _ in range(w)], ["v", "w"]
+    )
+    a = {r.p: r.value for r in weighted_percentiles(wdf, "v", "w").collect()}
+    b = {r.p: r.value for r in weighted_percentiles(edf, "v", "w").collect()}
+    assert a == b
+
+
+def test_bq_topk_exact_at_full_prefilter(spark):
+    from puffbird_spark.operators.similarity import bq_topk, cosine_topk
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").limit(60)
+    q = emb.filter(F.col("vec_id") < 3)
+    # prefilter wide enough to keep every candidate -> exact equality
+    bq = bq_topk(emb, q, dim=64, k=5, planes=32, prefilter=1000)
+    ex = cosine_topk(emb, q, k=5, est_queries=3, use_arrow=False)
+    assert sorted(map(tuple, bq.collect())) == sorted(map(tuple, ex.collect()))
