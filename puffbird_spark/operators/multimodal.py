@@ -1087,21 +1087,28 @@ def resample_audio(
 def encode_y4m(
     width: int, height: int, n_frames: int = 1, seed: int = 0,
     fps: str = "25:1",
+    scene_seeds: list[int] | None = None,
 ) -> bytes:
     """A REAL YUV4MPEG2 stream, mono colourspace: the stream header,
     then ``FRAME`` sections of raw ``width*height`` luma bytes.
     Deterministic pixels extend the image generator formula with a
     frame term: ``px[f, y, x] = (x*31 + y*17 + f*29 + seed) % 256`` —
-    the closed form the frame-sampling gate's oracle replays."""
+    the closed form the frame-sampling gate's oracle replays.
+    ``scene_seeds`` (one per frame) adds a per-frame offset to that
+    formula — the scene-cut fixtures jump it mid-stream so consecutive
+    frames change abruptly at a known frame index."""
     if width <= 0 or height <= 0 or n_frames <= 0:
         raise ValueError("width/height/n_frames must be positive")
+    if scene_seeds is not None and len(scene_seeds) != n_frames:
+        raise ValueError("scene_seeds must have one entry per frame")
     out = bytearray(
         f"YUV4MPEG2 W{width} H{height} F{fps} Ip A1:1 Cmono\n".encode())
     for f in range(n_frames):
+        extra = scene_seeds[f] if scene_seeds is not None else 0
         out += b"FRAME\n"
         for y in range(height):
             for x in range(width):
-                out.append((x * 31 + y * 17 + f * 29 + seed) % 256)
+                out.append((x * 31 + y * 17 + f * 29 + seed + extra) % 256)
     return bytes(out)
 
 
@@ -1729,3 +1736,95 @@ def image_phash(
 
     return df.select(path_col, content_col).mapInPandas(
         kernel, IMAGE_PHASH_SCHEMA)
+
+
+SCENE_CUTS_SCHEMA = (
+    "path string, frame_idx int, n_pixels int, sad bigint, "
+    "mad double, is_cut boolean, scene_id int"
+)
+
+
+def video_scene_cuts(
+    df: DataFrame,
+    threshold: float = 40.0,
+    content_col: str = "content",
+    path_col: str = "path",
+    batch_size: int = 64,
+    dp: int = 6,
+) -> DataFrame:
+    """Scene-change detection over video blobs — the segmentation step
+    video curation runs before frame sampling (sample per SCENE, not
+    per fixed stride, or a 10-minute static shot floods the batch):
+    per consecutive frame pair, the exact integer sum of absolute luma
+    differences (SAD), its per-pixel mean (MAD, exact int division
+    rounded at ``dp``), a cut flag at ``MAD >= threshold``, and the
+    running ``scene_id`` (cut count so far — frame 0 opens scene 0).
+
+    Decodes through the REAL codecs (Y4M / animated GIF / AVI-MJPEG,
+    dispatched on magic bytes like :func:`sample_frames`); everything
+    downstream of decode is integer arithmetic, so a SQL oracle
+    replays it closed-form. Standard media shape: Arrow mapInPandas,
+    bounded batches, zero shuffle (scene ids are per-file running
+    counts computed inside the kernel — no window)."""
+    import numpy as np
+
+    def _frames(blob: bytes):
+        if blob.startswith(b"YUV4MPEG2"):
+            return decode_y4m_frames(blob)
+        if blob[:6] in (b"GIF87a", b"GIF89a"):
+            return decode_gif_frames(blob)
+        if blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
+            return decode_avi_frames(blob)
+        raise NotImplementedError(
+            f"no frame decoder for magic {blob[:9]!r}")
+
+    scale = float(10 ** dp)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start:start + batch_size]
+                out: dict[str, list] = {k: [] for k in (
+                    "path", "frame_idx", "n_pixels", "sad", "mad",
+                    "is_cut", "scene_id")}
+                for path, blob in zip(
+                    chunk[path_col].astype(str), chunk[content_col]
+                ):
+                    if blob is None:
+                        continue
+                    try:
+                        frames = _frames(bytes(blob))
+                    except NotImplementedError:
+                        continue
+                    prev = None
+                    scene = 0
+                    for f_idx, (_, w, h, pix) in enumerate(frames):
+                        cur = np.frombuffer(pix, dtype=np.uint8).astype(
+                            np.int64)
+                        if prev is not None:
+                            sad = int(np.abs(cur - prev).sum())
+                            n_px = int(cur.size)
+                            # the audio_stats HALF_UP convention: round
+                            # the double quotient, matching SQL round()
+                            import math as _math
+
+                            mad = _math.floor(
+                                (sad / n_px) * scale + 0.5) / scale
+                            cut = mad >= threshold
+                            if cut:
+                                scene += 1
+                            out["path"].append(path)
+                            out["frame_idx"].append(f_idx)
+                            out["n_pixels"].append(n_px)
+                            out["sad"].append(sad)
+                            out["mad"].append(mad)
+                            out["is_cut"].append(cut)
+                            out["scene_id"].append(scene)
+                        prev = cur
+                yield pd.DataFrame(out).astype({
+                    "frame_idx": "int32", "n_pixels": "int32",
+                    "sad": "int64", "scene_id": "int32",
+                })
+
+    return df.select(path_col, content_col).mapInPandas(
+        kernel, SCENE_CUTS_SCHEMA)

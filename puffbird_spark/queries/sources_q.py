@@ -2557,3 +2557,64 @@ def dedup_image_phash(spark, sf_dir):
         F.countDistinct("format").cast("long").alias("n_formats"),
         F.min("doc_id").cast("long").alias("canonical_id"),
     )
+
+
+@query("multimodal_scene_cuts", oracle="""
+WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS path,
+             10 + doc_id % 5 AS w, 8 + doc_id % 3 AS h,
+             doc_id % 97 AS seed
+           FROM documents),
+px AS (SELECT d.path, d.w, d.h, f.f, x.x, y.y,
+         (x.x * 31 + y.y * 17 + f.f * 2 + d.seed
+          + CASE WHEN f.f >= 3 THEN 128 ELSE 0 END) % 256 AS cur,
+         (x.x * 31 + y.y * 17 + (f.f - 1) * 2 + d.seed
+          + CASE WHEN f.f - 1 >= 3 THEN 128 ELSE 0 END) % 256 AS prv
+       FROM d
+       JOIN range(1, 6) f(f) ON TRUE
+       JOIN LATERAL (SELECT unnest(range(0, CAST(d.w AS BIGINT))) AS x) x
+         ON TRUE
+       JOIN LATERAL (SELECT unnest(range(0, CAST(d.h AS BIGINT))) AS y) y
+         ON TRUE),
+sad AS (SELECT path, CAST(f AS INT) AS frame_idx,
+          CAST(w * h AS INT) AS n_pixels,
+          CAST(SUM(abs(cur - prv)) AS BIGINT) AS sad
+        FROM px GROUP BY path, f, w, h),
+m AS (SELECT *, round(CAST(sad AS DOUBLE) / n_pixels, 6) AS mad FROM sad),
+c AS (SELECT *, mad >= 64.0 AS is_cut FROM m)
+SELECT path, frame_idx, n_pixels, sad, mad, is_cut,
+  CAST(SUM(CASE WHEN is_cut THEN 1 ELSE 0 END)
+       OVER (PARTITION BY path ORDER BY frame_idx) AS INT) AS scene_id
+FROM c
+""")
+def multimodal_scene_cuts(spark, sf_dir):
+    """Scene-change detection (`video_scene_cuts`,
+    operators/multimodal.py): every document becomes a real 6-frame
+    YUV4MPEG2 stream whose scene schedule drifts +2/frame with a +128
+    luma jump at frame 3; the pipeline decodes the stream, computes
+    the exact per-pair sum of absolute differences, flags cuts at
+    per-pixel MAD >= 64, and numbers scenes with a running cut count —
+    the segmentation that makes frame sampling per-SCENE instead of
+    per-stride. The oracle rebuilds both frames of every pair
+    closed-form and replays SAD, the rounded MAD, the flag, and the
+    scene numbering; a one-pixel decode error or an off-by-one in the
+    pair indexing breaks the hash. Arrow mapInPandas, zero shuffle
+    (scene ids are per-file running counts inside the kernel)."""
+    from ..operators.dedup import widen_parallelism
+    from ..operators.multimodal import encode_y4m, video_scene_cuts
+
+    def _make(doc_id):
+        def one(i):
+            i = int(i)
+            seeds = [-27 * f + (128 if f >= 3 else 0) for f in range(6)]
+            return encode_y4m(
+                10 + i % 5, 8 + i % 3, n_frames=6, seed=i % 97,
+                scene_seeds=seeds)
+
+        return doc_id.map(one)
+
+    make_v = F.pandas_udf(_make, returnType="binary")
+    docs = widen_parallelism(load(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("string").alias("path"),
+        make_v(F.col("doc_id")).alias("content"),
+    )
+    return video_scene_cuts(docs, threshold=64.0)

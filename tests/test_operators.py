@@ -5543,3 +5543,34 @@ def test_bq_topk_exact_at_full_prefilter(spark):
     bq = bq_topk(emb, q, dim=64, k=5, planes=32, prefilter=1000)
     ex = cosine_topk(emb, q, k=5, est_queries=3, use_arrow=False)
     assert sorted(map(tuple, bq.collect())) == sorted(map(tuple, ex.collect()))
+
+
+def test_video_scene_cuts_crisp_schedule(spark):
+    from puffbird_spark.operators.multimodal import (
+        encode_y4m, video_scene_cuts,
+    )
+
+    # cancel the +29/frame drift entirely: static scenes, one jump
+    seeds = [-29 * f + (128 if f >= 2 else 0) for f in range(4)]
+    blob = encode_y4m(8, 8, n_frames=4, seed=7, scene_seeds=seeds)
+    df = spark.createDataFrame([("v", bytearray(blob))], ["path", "content"])
+    rows = sorted(
+        video_scene_cuts(df, threshold=64.0).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [r.frame_idx for r in rows] == [1, 2, 3]
+    assert [r.mad for r in rows] == [0.0, 128.0, 0.0]
+    assert [r.is_cut for r in rows] == [False, True, False]
+    assert [r.scene_id for r in rows] == [0, 1, 1]
+
+
+def test_video_scene_cuts_gif_dispatch(spark):
+    from puffbird_spark.operators.multimodal import (
+        encode_gif_animated, video_scene_cuts,
+    )
+
+    blob = encode_gif_animated(8, 6, n_frames=3, seed=3)
+    df = spark.createDataFrame([("g", bytearray(blob))], ["path", "content"])
+    rows = video_scene_cuts(df, threshold=300.0).collect()
+    assert len(rows) == 2  # 3 frames -> 2 pairs, none above threshold
+    assert all(not r.is_cut and r.scene_id == 0 for r in rows)
