@@ -1201,3 +1201,73 @@ def bipartite_projection(
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= int(min_support))
     )
+
+
+def random_walks(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    starts: DataFrame,
+    start_col: str,
+    n_steps: int = 3,
+    salt: str = "walk",
+) -> DataFrame:
+    """Deterministic random walks (DeepWalk/node2vec corpus generation,
+    Perozzi 2014) — the sequence generator that turns a graph into
+    skip-gram training text. Each walk's step-i neighbor choice is
+    ``md5(salt|walk|i|node) % out_degree`` (functions/hashing.py): a
+    pure function of the walk state, so retried tasks, different
+    partitionings, and the SQL oracle all draw the SAME walks — the
+    exactly-once property RNG walks cannot give.
+
+    Shape: out-edges ranked once per source (one window keyed on the
+    source), then per step TWO keyed joins (state -> degree, then
+    (node, pick) -> ranked edge) — both sides keyed on the current
+    node, no fan-out join (never join-all-neighbors-then-filter).
+    Dead ends propagate NULL hops (left joins). Returns one row per
+    walk: ``(walk_id, hop1..hopN)``. Unrolled plan: n_steps is a
+    small constant (walk length, not data size)."""
+    from ..functions.hashing import md5_hex_int
+
+    ranked = edges.select(
+        F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
+    ).distinct()
+    w = Window.partitionBy("__s").orderBy("__d")
+    ranked = ranked.select(
+        "__s", "__d", (F.row_number().over(w) - 1).alias("__rnk"))
+    deg = ranked.groupBy("__s").agg(
+        F.count(F.lit(1)).cast("long").alias("__deg"))
+
+    state = starts.select(
+        F.col(start_col).alias("walk_id"),
+        F.col(start_col).alias("__cur"),
+    )
+    out_cols = []
+    for step in range(1, n_steps + 1):
+        key = F.concat_ws(
+            "|", F.lit(salt), F.col("walk_id").cast("string"),
+            F.lit(str(step)), F.col("__cur").cast("string"))
+        with_deg = state.join(
+            deg, state["__cur"] == deg["__s"], "left"
+        ).drop("__s")
+        picked = with_deg.select(
+            "walk_id", *out_cols,
+            F.col("__cur").alias("__prev"),
+            F.when(
+                F.col("__deg").isNotNull(),
+                md5_hex_int(key, 1, 8) % F.col("__deg"),
+            ).alias("__pick"),
+        )
+        nxt = picked.join(
+            ranked,
+            (picked["__prev"] == ranked["__s"])
+            & (picked["__pick"] == ranked["__rnk"]),
+            "left",
+        ).select(
+            "walk_id", *out_cols,
+            F.col("__d").alias(f"hop{step}"),
+            F.col("__d").alias("__cur"),
+        )
+        out_cols.append(f"hop{step}")
+        state = nxt
+    return state.select("walk_id", *out_cols)

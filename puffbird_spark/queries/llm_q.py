@@ -4748,3 +4748,144 @@ def text_zipf_fit(spark, sf_dir):
     from ..operators.lm import zipf_fit
 
     return zipf_fit(load(spark, sf_dir, "documents"), "text", top_n=200)
+
+
+@query("pipeline_pretrain_filter", oracle="""
+WITH u AS (SELECT doc_id, text,
+    's' || CAST((doc_id // 4) % 10 AS VARCHAR) AS grp,
+    CASE doc_id % 4
+      WHEN 0 THEN 'HTTPS://WWW.' || 's' || CAST((doc_id // 4) % 10 AS VARCHAR)
+                  || '.Example.COM:443/Docs/' || CAST(doc_id // 4 AS VARCHAR)
+                  || '/?utm_source=x'
+      WHEN 1 THEN 'https://www.' || 's' || CAST((doc_id // 4) % 10 AS VARCHAR)
+                  || '.example.com/Docs/' || CAST(doc_id // 4 AS VARCHAR)
+                  || '?fbclid=c' || CAST(doc_id AS VARCHAR)
+      WHEN 2 THEN 'https://www.' || 's' || CAST((doc_id // 4) % 10 AS VARCHAR)
+                  || '.example.com/Docs/' || CAST(doc_id // 4 AS VARCHAR)
+                  || '/#frag'
+      ELSE 'http://www.' || 's' || CAST((doc_id // 4) % 10 AS VARCHAR)
+           || '.example.com:80/Docs/' || CAST(doc_id // 4 AS VARCHAR)
+           || '?a=1'
+    END AS url
+  FROM documents),
+c AS (SELECT doc_id, text,
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        || '://'
+        || regexp_replace(regexp_replace(
+             lower(regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+             ':(80|443)$', ''), '^www\\.', '')
+        || regexp_replace(
+             regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+             '/+$', '')
+        || (CASE WHEN regexp_replace(regexp_replace(
+               regexp_extract(url, '\\?([^#]*)', 1),
+               '(^|&)(utm_[A-Za-z]+|fbclid|gclid|ref_src)=[^&]*', '', 'g'),
+               '^&+', '') <> ''
+             THEN '?' || regexp_replace(regexp_replace(
+               regexp_extract(url, '\\?([^#]*)', 1),
+               '(^|&)(utm_[A-Za-z]+|fbclid|gclid|ref_src)=[^&]*', '', 'g'),
+               '^&+', '')
+             ELSE '' END) AS canon
+      FROM u),
+keep AS (SELECT MIN(doc_id) AS doc_id FROM c GROUP BY canon),
+f AS (SELECT k.doc_id, d.text FROM keep k JOIN documents d USING (doc_id)),
+sc AS (SELECT doc_id,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS sents,
+         greatest(len(regexp_extract_all(text, '[A-Za-z]+')), 1) AS words,
+         greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+           AS sylls,
+         len(regexp_extract_all(text, '[{}();=<>\\[\\]]')) AS sym,
+         greatest(length(text), 1) AS n
+       FROM f),
+g AS (SELECT doc_id,
+        round(206.835 - 1.015 * (CAST(words AS DOUBLE) / sents)
+              - 84.6 * (CAST(sylls AS DOUBLE) / words), 6) AS flesch,
+        round(10.0 * CAST(sym AS DOUBLE) / n, 6) AS sym_density,
+        CAST(words AS BIGINT) AS words
+      FROM sc),
+b AS (SELECT CASE WHEN flesch >= 60 THEN 'easy'
+                  WHEN flesch >= 30 THEN 'medium' ELSE 'hard' END AS band,
+             sym_density >= 0.5 AS code_like, words
+      FROM g)
+SELECT band, code_like,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(words) AS BIGINT) AS total_words
+FROM b GROUP BY band, code_like
+""")
+def pipeline_pretrain_filter(spark, sf_dir):
+    """End-to-end pretraining curation composition over THIS session's
+    operators: canonical-URL dedup (`canonical_url`) keeps one doc per
+    canonical page, survivors route through the Flesch readability
+    band and the code-symbol-density screen, and the report aggregates
+    per (band, code_like) doc and word totals — the shape of a real
+    corpus-intake dashboard. One canonical groupBy + one broadcast-
+    size keep-join + one scan of the survivors + one tiny aggregate;
+    the oracle replays every stage SQL-for-regexp."""
+    from ..functions.text import canonical_url, readability_counts
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "grp",
+        F.concat(F.lit("s"),
+                 ((F.col("doc_id") / 4).cast("long") % 10).cast("string")),
+    )
+    url = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("HTTPS://WWW."), F.col("grp"),
+                     F.lit(".Example.COM:443/Docs/"),
+                     (F.col("doc_id") / 4).cast("long").cast("string"),
+                     F.lit("/?utm_source=x")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("https://www."), F.col("grp"),
+                     F.lit(".example.com/Docs/"),
+                     (F.col("doc_id") / 4).cast("long").cast("string"),
+                     F.lit("?fbclid=c"), F.col("doc_id").cast("string")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("https://www."), F.col("grp"),
+                     F.lit(".example.com/Docs/"),
+                     (F.col("doc_id") / 4).cast("long").cast("string"),
+                     F.lit("/#frag")),
+        )
+        .otherwise(
+            F.concat(F.lit("http://www."), F.col("grp"),
+                     F.lit(".example.com:80/Docs/"),
+                     (F.col("doc_id") / 4).cast("long").cast("string"),
+                     F.lit("?a=1")),
+        )
+    )
+    keep = (
+        docs.select("doc_id", canonical_url(url).alias("canon"))
+        .groupBy("canon").agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    f = keep.join(docs.select("doc_id", "text"), "doc_id")
+    sents, words, sylls = readability_counts("text")
+    flesch = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sents)
+        - F.lit(84.6) * (sylls.cast("double") / words),
+        6,
+    )
+    sym_density = F.round(
+        F.lit(10.0)
+        * F.regexp_count("text", F.lit(r"[{}();=<>\[\]]")).cast("double")
+        / F.greatest(F.length("text"), F.lit(1)),
+        6,
+    )
+    g = f.select(
+        F.when(flesch >= 60, F.lit("easy"))
+        .when(flesch >= 30, F.lit("medium"))
+        .otherwise(F.lit("hard")).alias("band"),
+        (sym_density >= 0.5).alias("code_like"),
+        words.cast("long").alias("words"),
+    )
+    return g.groupBy("band", "code_like").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("words").cast("long").alias("total_words"),
+    )

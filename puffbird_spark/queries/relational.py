@@ -3230,3 +3230,75 @@ def agg_weighted_percentile(spark, sf_dir):
     )
     out = weighted_percentiles(li, "val", "w", ps=[0.25, 0.5, 0.75, 0.9])
     return out.select("p", F.col("value").cast("double").alias("value"))
+
+
+def _random_walks_oracle() -> str:
+    from ..functions.hashing import oracle_hex_int
+
+    def pick(step):
+        key = (f"'walk|' || CAST(walk_id AS VARCHAR) || '|{step}|'"
+               f" || CAST(cur AS VARCHAR)")
+        return oracle_hex_int(key, 1, 8)
+
+    return f"""
+WITH e AS (
+  SELECT DISTINCT l_partkey AS s, 1000000 + l_suppkey AS d FROM lineitem
+  UNION
+  SELECT DISTINCT 1000000 + l_suppkey AS s, l_partkey AS d FROM lineitem),
+r AS (SELECT s, d, row_number() OVER (PARTITION BY s ORDER BY d) - 1 AS rnk
+      FROM e),
+dg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS deg FROM r GROUP BY s),
+w0 AS (SELECT p_partkey AS walk_id, p_partkey AS cur
+       FROM part WHERE p_partkey < 50),
+p1 AS (SELECT w0.walk_id, w0.cur,
+         CASE WHEN dg.deg IS NOT NULL
+              THEN {pick(1)} % dg.deg END AS pick
+       FROM w0 LEFT JOIN dg ON dg.s = w0.cur),
+s1 AS (SELECT p1.walk_id, r.d AS hop1, r.d AS cur
+       FROM p1 LEFT JOIN r ON r.s = p1.cur AND r.rnk = p1.pick),
+p2 AS (SELECT s1.walk_id, s1.hop1, s1.cur,
+         CASE WHEN dg.deg IS NOT NULL
+              THEN {pick(2)} % dg.deg END AS pick
+       FROM s1 LEFT JOIN dg ON dg.s = s1.cur),
+s2 AS (SELECT p2.walk_id, p2.hop1, r.d AS hop2, r.d AS cur
+       FROM p2 LEFT JOIN r ON r.s = p2.cur AND r.rnk = p2.pick),
+p3 AS (SELECT s2.walk_id, s2.hop1, s2.hop2, s2.cur,
+         CASE WHEN dg.deg IS NOT NULL
+              THEN {pick(3)} % dg.deg END AS pick
+       FROM s2 LEFT JOIN dg ON dg.s = s2.cur),
+s3 AS (SELECT p3.walk_id, p3.hop1, p3.hop2, r.d AS hop3
+       FROM p3 LEFT JOIN r ON r.s = p3.cur AND r.rnk = p3.pick)
+SELECT walk_id, hop1, hop2, hop3 FROM s3
+"""
+
+
+@query("graph_random_walks", oracle=_random_walks_oracle())
+def graph_random_walks(spark, sf_dir):
+    """Deterministic random-walk corpus generation (`random_walks`,
+    operators/graph.py — DeepWalk, Perozzi 2014): 3-step walks from
+    the first 50 parts over the part<->supplier bipartite graph, each
+    step's neighbor chosen by ``md5(salt|walk|step|node) %
+    out_degree`` — a pure function of the walk state, so retries,
+    repartitions, and the SQL oracle draw IDENTICAL walks (the
+    exactly-once property RNG walks cannot give). Per step: two keyed
+    joins (degree lookup, then (node, pick) -> ranked edge) — never
+    join-all-neighbors-then-filter. The oracle unrolls all three
+    steps as CTEs with the strpos-polynomial md5 integer."""
+    from ..operators.graph import random_walks
+
+    li = load(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.col("l_partkey").alias("s"),
+        (F.lit(1000000) + F.col("l_suppkey")).alias("d"),
+    )
+    rev = li.select(
+        (F.lit(1000000) + F.col("l_suppkey")).alias("s"),
+        F.col("l_partkey").alias("d"),
+    )
+    edges = fwd.unionAll(rev)
+    starts = load(spark, sf_dir, "part").filter(
+        F.col("p_partkey") < 50
+    ).select("p_partkey")
+    return random_walks(
+        edges, "s", "d", starts, "p_partkey", n_steps=3, salt="walk"
+    )

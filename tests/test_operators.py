@@ -5574,3 +5574,38 @@ def test_video_scene_cuts_gif_dispatch(spark):
     rows = video_scene_cuts(df, threshold=300.0).collect()
     assert len(rows) == 2  # 3 frames -> 2 pairs, none above threshold
     assert all(not r.is_cut and r.scene_id == 0 for r in rows)
+
+
+def test_random_walks_deterministic_and_valid_edges(spark):
+    from puffbird_spark.operators.graph import random_walks
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 1), (3, 2), (4, 1)], ["s", "d"]
+    )
+    starts = spark.createDataFrame([(1,), (4,), (9,)], ["n"])
+    a = random_walks(edges, "s", "d", starts, "n", n_steps=3).collect()
+    b = random_walks(
+        edges.repartition(5), "s", "d", starts, "n", n_steps=3
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    rows = {r.walk_id: r for r in a}
+    eset = {(1, 2), (1, 3), (2, 3), (3, 1), (3, 2), (4, 1)}
+    for wid in (1, 4):
+        r = rows[wid]
+        path = [wid, r.hop1, r.hop2, r.hop3]
+        for u, v in zip(path, path[1:]):
+            assert (u, v) in eset  # every hop follows a real edge
+    # isolated start: all hops NULL (dead end at step 1)
+    assert rows[9].hop1 is None and rows[9].hop3 is None
+
+
+def test_random_walks_salt_changes_draws(spark):
+    from puffbird_spark.operators.graph import random_walks
+
+    edges = spark.createDataFrame(
+        [(i, j) for i in range(6) for j in range(6) if i != j], ["s", "d"]
+    )
+    starts = spark.createDataFrame([(i,) for i in range(6)], ["n"])
+    a = random_walks(edges, "s", "d", starts, "n", n_steps=3, salt="a")
+    b = random_walks(edges, "s", "d", starts, "n", n_steps=3, salt="b")
+    assert sorted(map(tuple, a.collect())) != sorted(map(tuple, b.collect()))
