@@ -422,7 +422,52 @@ def bq_topk(
 
     n_words = (planes + 31) // 32
 
+    def _arrow_words():
+        """Arrow signature kernel: one numpy pass per batch. Bit-
+        identical to the HOF path by construction — the dot products
+        replay the fold's LEFT-TO-RIGHT summation with a cumsum over
+        the dim axis (a matmul's pairwise reduction could flip the
+        sign of a dot sitting within an ulp of zero, and the sign IS
+        the signature)."""
+        import pandas as pd
+
+        h = _hyperplanes(dim, planes, seed)
+
+        def _words(vecs):
+            out = []
+            for v in vecs:
+                x = np.asarray(v, dtype=np.float64)
+                prods = x[None, :] * h  # (planes, dim)
+                dots = np.cumsum(prods, axis=1)[:, -1]
+                bits = dots > 0
+                ws = []
+                for w0 in range(0, planes, 32):
+                    word = 0
+                    for j in range(min(32, planes - w0) - 1, -1, -1):
+                        word = word * 2 + int(bits[w0 + j])
+                    ws.append(word)
+                out.append(ws)
+            return pd.Series(out)
+
+        return F.pandas_udf(_words, returnType="array<long>")
+
+    rb = _vec_row_bytes(dim)
+    use_arrow_sig = (
+        _est_rows(corpus, rb) * planes >= ARROW_MIN_PAIRS * 20
+    )
+    record_kernel("bq_signature", "arrow" if use_arrow_sig else "hof")
+
     def _signed(df, id_name, vec_name, prefix):
+        if use_arrow_sig:
+            udf = _arrow_words()
+            with_words = fence(
+                df, [id_name, vec_name],
+                __words=udf(F.col(vec_name)))
+            packed = with_words.select(
+                id_name, vec_name,
+                *[F.element_at("__words", i + 1).alias(f"{prefix}{i}")
+                  for i in range(n_words)])
+            return packed
         # two fences: materialize the dots array ONCE per row, pack the
         # words from the bound attribute, then fence the words so the
         # downstream window never re-inlines either stage (the

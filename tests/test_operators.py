@@ -5609,3 +5609,24 @@ def test_random_walks_salt_changes_draws(spark):
     a = random_walks(edges, "s", "d", starts, "n", n_steps=3, salt="a")
     b = random_walks(edges, "s", "d", starts, "n", n_steps=3, salt="b")
     assert sorted(map(tuple, a.collect())) != sorted(map(tuple, b.collect()))
+
+
+def test_bq_signature_kernels_bit_identical(spark):
+    import puffbird_spark.operators.similarity as S
+    from puffbird_spark.operators.similarity import bq_topk
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").limit(200)
+    q = emb.filter(F.col("vec_id") < 3)
+    hof = sorted(map(tuple, bq_topk(
+        emb, q, dim=64, k=5, planes=96, prefilter=4).collect()))
+    orig = S._est_rows
+    S._est_rows = lambda df, rb: 1e9  # force the Arrow signature kernel
+    try:
+        arrow = sorted(map(tuple, bq_topk(
+            emb, q, dim=64, k=5, planes=96, prefilter=4).collect()))
+    finally:
+        S._est_rows = orig
+    # the cumsum sign replay makes the kernels bit-identical — the
+    # kernel choice must be invisible to results
+    assert hof == arrow and len(hof) == 15
