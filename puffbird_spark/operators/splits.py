@@ -936,3 +936,31 @@ def group_kfold(
         raise ValueError(f"k must be >= 2, got {k}")
     return df.withColumn(
         fold_col, draw_bucket(hash_draw(F.col(group_col), seed), k))
+
+
+def stratified_kfold(
+    df: DataFrame,
+    class_col: str,
+    id_col: str,
+    k: int = 5,
+    seed: str = "skfold",
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Stratified k-fold assignment (sklearn's StratifiedKFold,
+    deterministic edition): within each class, rows rank by their md5
+    draw (id tie-break) and ``fold = rank % k`` — per-class fold
+    sizes differ by AT MOST ONE, the stratification guarantee
+    :func:`group_kfold`'s pure-hash fold cannot give (hash folds are
+    only uniform in expectation). One shuffle (the class window);
+    the draw is the shared :func:`hash_draw`, so any engine replays
+    membership bit-for-bit. Use :func:`group_kfold` when leakage
+    GROUPS matter more than class balance; this when class balance
+    matters and rows are independent."""
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    w = Window.partitionBy(class_col).orderBy(
+        hash_draw(F.col(id_col), seed), F.col(id_col))
+    return df.withColumn(
+        fold_col, ((F.row_number().over(w) - 1) % F.lit(int(k))).cast("int"))

@@ -4889,3 +4889,79 @@ def pipeline_pretrain_filter(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("words").cast("long").alias("total_words"),
     )
+
+
+@query("text_entity_extract", oracle="""
+WITH m AS (SELECT doc_id,
+    substr(text, 1, 30) || ' invoice on 20' || lpad(CAST(10 + doc_id % 30
+      AS VARCHAR), 2, '0') || '-' || lpad(CAST(1 + doc_id % 12 AS VARCHAR),
+      2, '0') || '-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+    || ' pay $' || CAST(100 + doc_id % 900 AS VARCHAR) || '.'
+    || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+    || ' to Acme Corp and Blue River Labs via user'
+    || CAST(doc_id AS VARCHAR) || '@' || source || '.org' AS body
+  FROM documents),
+e AS (
+  SELECT doc_id, 'date' AS entity_type,
+         unnest(regexp_extract_all(body,
+           '\\d{4}-\\d{2}-\\d{2}')) AS entity FROM m
+  UNION ALL
+  SELECT doc_id, 'money',
+         unnest(regexp_extract_all(body, '\\$\\d+\\.\\d{2}')) FROM m
+  UNION ALL
+  SELECT doc_id, 'email',
+         unnest(regexp_extract_all(body,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) FROM m
+  UNION ALL
+  SELECT doc_id, 'org',
+         unnest(regexp_extract_all(body,
+           '[A-Z][a-z]+( [A-Z][a-z]+)+')) FROM m)
+SELECT doc_id, entity_type, entity, CAST(COUNT(*) AS BIGINT) AS n
+FROM e GROUP BY 1, 2, 3
+""")
+def text_entity_extract(spark, sf_dir):
+    """Rule-based typed entity extraction (`regexp_extract_all` +
+    explode — the extraction twin of the `fn_pii_mask` redaction):
+    dates, money amounts, emails, and capitalized multi-word spans
+    pulled from deterministic synthesized bodies into typed
+    (doc, type, entity, count) rows — the entity-statistics pass a
+    curation pipeline runs to profile a crawl. Four scan-local
+    extractions unioned; only matched spans shuffle to the count.
+    Patterns are the RE2/Java common subset; the oracle replays each
+    one verbatim."""
+    docs = load(spark, sf_dir, "documents")
+    body = F.concat(
+        F.substring("text", 1, 30), F.lit(" invoice on 20"),
+        F.lpad((F.lit(10) + F.col("doc_id") % 30).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad((F.lit(1) + F.col("doc_id") % 12).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad((F.lit(1) + F.col("doc_id") % 28).cast("string"), 2, "0"),
+        F.lit(" pay $"),
+        (F.lit(100) + F.col("doc_id") % 900).cast("string"), F.lit("."),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit(" to Acme Corp and Blue River Labs via user"),
+        F.col("doc_id").cast("string"), F.lit("@"), F.col("source"),
+        F.lit(".org"),
+    )
+    m = docs.select("doc_id", body.alias("body"))
+    kinds = [
+        ("date", r"\d{4}-\d{2}-\d{2}"),
+        ("money", r"\$\d+\.\d{2}"),
+        ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+        ("org", r"[A-Z][a-z]+( [A-Z][a-z]+)+"),
+    ]
+    parts = [
+        m.select(
+            "doc_id", F.lit(kind).alias("entity_type"),
+            F.explode(
+                F.regexp_extract_all(F.col("body"), F.lit(pat), 0)
+            ).alias("entity"),
+        )
+        for kind, pat in kinds
+    ]
+    e = parts[0]
+    for p in parts[1:]:
+        e = e.unionAll(p)
+    return e.groupBy("doc_id", "entity_type", "entity").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))

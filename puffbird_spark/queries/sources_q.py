@@ -2618,3 +2618,30 @@ def multimodal_scene_cuts(spark, sf_dir):
         make_v(F.col("doc_id")).alias("content"),
     )
     return video_scene_cuts(docs, threshold=64.0)
+
+
+@query("split_stratified_kfold", oracle=f"""
+WITH d AS (SELECT event_type, event_id,
+    substr(md5('skfold:' || {_enc_sql('event_id')}), 1, 16) AS draw
+  FROM events),
+f AS (SELECT event_type,
+        CAST((row_number() OVER (PARTITION BY event_type
+                                 ORDER BY draw, event_id) - 1) % 5 AS INT)
+          AS fold
+      FROM d)
+SELECT event_type, fold, CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM f GROUP BY 1, 2
+""")
+def split_stratified_kfold(spark, sf_dir):
+    """Stratified 5-fold assignment (`stratified_kfold`,
+    operators/splits.py): within each event_type class, rows rank by
+    their md5 draw and fold = rank % 5, so per-class fold sizes
+    differ by at most one — the class-balance guarantee hash folds
+    only give in expectation. The oracle replays draw, rank, and
+    modulo; per-(class, fold) counts pin the balance exactly."""
+    from ..operators.splits import stratified_kfold
+
+    ev = load(spark, sf_dir, "events")
+    folds = stratified_kfold(ev, "event_type", "event_id", k=5)
+    return folds.groupBy("event_type", "fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"))

@@ -1615,3 +1615,96 @@ def timeseries_kaplan_meier(spark, sf_dir):
     s = u.crossJoin(F.broadcast(mx)).select(
         "t", (F.col("last_d") <= F.date_sub(F.col("m"), 7)).alias("obs"))
     return kaplan_meier(s, "t", "obs")
+
+
+def _markov_stationary_oracle(iters: int = 6) -> str:
+    head = """
+WITH seq AS (SELECT user_id, event_type,
+    LEAD(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS next_type
+  FROM events WHERE user_id IS NOT NULL),
+c AS (SELECT event_type AS f, next_type AS t, COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT f, SUM(n) AS tn FROM c GROUP BY f),
+p AS MATERIALIZED (SELECT c.f, c.t,
+       CAST(round(CAST(c.n AS DOUBLE) / tot.tn, 9) AS DECIMAL(20,9)) AS pr
+     FROM c JOIN tot ON c.f = tot.f),
+states AS MATERIALIZED (SELECT DISTINCT f AS s FROM p),
+ns AS (SELECT COUNT(*) AS n FROM states),
+v0 AS MATERIALIZED (SELECT s,
+       CAST(round(1.0 / (SELECT n FROM ns), 9) AS DECIMAL(20,9)) AS v
+     FROM states)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f"""
+v{i} AS MATERIALIZED (
+  SELECT p.t AS s,
+    CAST(round(CAST(SUM(CAST(round(CAST(v{i-1}.v AS DOUBLE)
+          * CAST(p.pr AS DOUBLE), 12) AS DECIMAL(28,12))) AS DOUBLE), 9)
+      AS DECIMAL(20,9)) AS v
+  FROM v{i-1} JOIN p ON p.f = v{i-1}.s
+  JOIN states st ON st.s = p.t
+  GROUP BY p.t)""")
+    return (head + "," + ",".join(steps) + f"""
+SELECT s AS state, round(CAST(v AS DOUBLE), 6) AS pi
+FROM v{iters}
+""")
+
+
+@query("events_markov_stationary", oracle=_markov_stationary_oracle())
+def events_markov_stationary(spark, sf_dir):
+    """Stationary distribution of the event-type Markov chain (power
+    iteration, 6 rounds — the chain-level summary on top of
+    `events_transition_matrix`: where does user behavior SETTLE):
+    transition probabilities snap to 9-dp decimals, each iteration's
+    mass products snap to 12-dp decimals before the order-free sum
+    (the PageRank float policy; oracle = unrolled MATERIALIZED CTEs,
+    the HITS exponential-inlining lesson). Transitions into states
+    with no outgoing row drop (absorbing boundary of the recurrent
+    approximation). Every per-iteration frame is STATE-grain —
+    bounded by the event-type vocabulary, not the event count."""
+    from pyspark.sql.window import Window as W
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("f"),
+        F.lead("event_type").over(w).alias("t"))
+    c = (seq.filter(F.col("t").isNotNull())
+         .groupBy("f", "t").agg(F.count(F.lit(1)).alias("n")))
+    tot = c.groupBy("f").agg(F.sum("n").alias("tn"))
+    p = c.join(F.broadcast(tot), "f").select(
+        "f", "t",
+        F.round(F.col("n").cast("double") / F.col("tn"), 9)
+        .cast("decimal(20,9)").alias("pr"),
+    ).localCheckpoint()
+    states = p.select(F.col("f").alias("s")).distinct().localCheckpoint()
+    n_states = states.count()
+    v = states.select(
+        "s",
+        F.round(F.lit(1.0) / F.lit(float(n_states)), 9)
+        .cast("decimal(20,9)").alias("v"),
+    )
+    for _ in range(6):
+        v = (
+            v.join(p, v["s"] == p["f"])
+            .join(F.broadcast(states.select(F.col("s").alias("__t"))),
+                  F.col("t") == F.col("__t"))
+            .groupBy(F.col("t").alias("s2"))
+            .agg(
+                F.round(
+                    F.sum(
+                        F.round(
+                            F.col("v").cast("double")
+                            * F.col("pr").cast("double"), 12
+                        ).cast("decimal(28,12)")
+                    ).cast("double"), 9
+                ).cast("decimal(20,9)").alias("v")
+            )
+            .select(F.col("s2").alias("s"), "v")
+            .localCheckpoint()
+        )
+    return v.select(
+        F.col("s").alias("state"),
+        F.round(F.col("v").cast("double"), 6).alias("pi"),
+    )

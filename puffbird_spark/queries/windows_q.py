@@ -306,3 +306,48 @@ def feature_trailing_windows(spark, sf_dir):
                   AND CURRENT ROW)
         ORDER BY user_id, event_id
     """)
+
+
+@query("window_rolling_median", oracle="""
+WITH b AS (SELECT user_id, event_id, ts,
+             CAST(value AS DECIMAL(18,2)) AS v
+           FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+m AS (SELECT user_id, event_id,
+        quantile_disc(v, 0.5) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med,
+        CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS INT) AS n_in_frame
+      FROM b)
+SELECT user_id, event_id, n_in_frame, CAST(med AS DOUBLE) AS rolling_median
+FROM m
+""")
+def window_rolling_median(spark, sf_dir):
+    """Exact rolling median over a 7-row trailing frame — the robust
+    smoother dashboards use where a rolling MEAN chases spikes. Spark
+    has no windowed median, so the frame materializes as a sorted
+    array and the median is its middle element (lower median at even
+    counts — exactly DuckDB's windowed ``quantile_disc(0.5)``, which
+    the oracle uses directly): ``sort_array(collect_list(v) OVER
+    frame)[(n+1)/2]``. Values snap to DECIMAL(18,2) so the sort and
+    pick are exact; ONE keyed window, frame arrays bounded at 7
+    elements — never a per-key collect."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        "user_id", "event_id", "ts",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    frame = F.sort_array(F.collect_list("v").over(w))
+    n = F.size(frame)
+    med = F.element_at(frame, ((n + 1) / 2).cast("int"))
+    return ev.select(
+        "user_id", "event_id",
+        n.cast("int").alias("n_in_frame"),
+        med.cast("double").alias("rolling_median"),
+    )

@@ -665,3 +665,35 @@ def test_mixture_temperature_weights_properties(spark):
     assert tok["a"]["n"] == 320 and tok["b"]["n"] == 20
     with _pytest.raises(ValueError, match="alpha"):
         mixture_temperature_weights(df, ["g"], alpha=-0.1)
+
+
+def test_stratified_kfold_balance_within_one(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from puffbird_spark.operators.splits import stratified_kfold
+
+    rows = [("a", i) for i in range(23)] + [("b", 100 + i) for i in range(7)]
+    df = spark.createDataFrame(rows, ["cls", "id"])
+    out = stratified_kfold(df, "cls", "id", k=5)
+    sizes = {
+        (r.cls, r.fold): r.n
+        for r in out.groupBy("cls", "fold").agg(
+            F.count(F.lit(1)).alias("n")).collect()
+    }
+    for cls, total in (("a", 23), ("b", 7)):
+        per = [sizes.get((cls, f), 0) for f in range(5)]
+        assert sum(per) == total
+        assert max(per) - min(per) <= 1  # the stratification guarantee
+    with _pytest.raises(ValueError):
+        stratified_kfold(df, "cls", "id", k=1)
+
+
+def test_stratified_kfold_partition_invariant(spark):
+    from puffbird_spark.operators.splits import stratified_kfold
+
+    df = spark.range(200).selectExpr("id % 3 AS cls", "id")
+    a = sorted(map(tuple, stratified_kfold(df, "cls", "id").collect()))
+    b = sorted(map(tuple, stratified_kfold(
+        df.repartition(13), "cls", "id").collect()))
+    assert a == b
