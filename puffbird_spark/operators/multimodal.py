@@ -1350,21 +1350,31 @@ def decode_avi_frames(blob: bytes) -> list[tuple[int, int, int, bytes]]:
 # palettized, 4-byte-aligned rows, bottom-up or top-down.
 # ------------------------------------------------------------------ #
 
-def encode_bmp_gray(width: int, height: int, seed: int = 0) -> bytes:
+def encode_bmp_gray(
+    width: int, height: int, seed: int = 0,
+    pixels: bytes | None = None,
+) -> bytes:
     """A REAL minimal BMP (BITMAPINFOHEADER, 8-bit palettized with a
     256-entry grayscale identity palette, bottom-up rows padded to 4
     bytes). Deterministic pixels from ``seed`` — the SAME generator
     formula as :func:`encode_png` (``(x*31 + y*17 + seed) % 256``), so
-    gates reuse the closed-form oracle across codecs."""
+    gates reuse the closed-form oracle across codecs. ``pixels``
+    (row-major top-down, width*height bytes) overrides the formula —
+    the near-dup fixtures encode explicit perturbed rasters."""
     if width <= 0 or height <= 0:
         raise ValueError("width/height must be positive")
+    if pixels is not None and len(pixels) != width * height:
+        raise ValueError("pixels must be width*height bytes")
     row_size = (width + 3) // 4 * 4
     palette = b"".join(
         struct.pack("<BBBB", i, i, i, 0) for i in range(256))
     px = bytearray()
     for y in range(height - 1, -1, -1):      # bottom-up storage
         for x in range(width):
-            px.append((x * 31 + y * 17 + seed) % 256)
+            if pixels is not None:
+                px.append(pixels[y * width + x])
+            else:
+                px.append((x * 31 + y * 17 + seed) % 256)
         px += b"\x00" * (row_size - width)
     offset = 14 + 40 + len(palette)
     info = struct.pack(
@@ -1828,3 +1838,54 @@ def video_scene_cuts(
 
     return df.select(path_col, content_col).mapInPandas(
         kernel, SCENE_CUTS_SCHEMA)
+
+
+def phash_hamming_pairs(
+    hashed: DataFrame,
+    id_col: str = "path",
+    hash_col: str = "phash",
+    max_distance: int = 10,
+    band_bits: int = 16,
+    hash_bits: int = 63,
+) -> DataFrame:
+    """Near-dup image pairs from perceptual hashes — the SimHash
+    banding scheme applied to :func:`image_phash` output: the hash
+    splits into ``hash_bits / band_bits`` contiguous bands; candidate
+    pairs share at least one EXACT band (an equi-join on (band_idx,
+    band_value) — never an all-pairs scan); the verify step is one
+    ``bit_count(xor)`` filter at ``max_distance``. Pigeonhole
+    guarantee: any pair within ``bands - 1`` bit flips shares a band;
+    beyond that recall decays — raise the band count (smaller
+    ``band_bits``) to trade candidates for recall, exactly like
+    MinHash banding. Shuffles only (band, 8-byte value) keys."""
+    n_bands = (hash_bits + band_bits - 1) // band_bits
+    mask = (1 << band_bits) - 1
+    h = hashed.select(
+        F.col(id_col).alias("__id"), F.col(hash_col).alias("__h"))
+    bands = h.select(
+        "__id", "__h",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.shiftright(F.col("__h"), i * band_bits)
+                .bitwiseAND(F.lit(mask)).alias("band_val"),
+            )
+            for i in range(n_bands)
+        ])).alias("__b"),
+    ).select("__id", "__h", "__b.band_idx", "__b.band_val")
+    a = bands.select(
+        F.col("__id").alias("id_a"), F.col("__h").alias("__ha"),
+        "band_idx", "band_val")
+    b = bands.select(
+        F.col("__id").alias("id_b"), F.col("__h").alias("__hb"),
+        "band_idx", "band_val")
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__ha", "__hb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+    return cand.select(
+        "id_a", "id_b", ham.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= int(max_distance))

@@ -140,3 +140,57 @@ def equi_depth_histogram(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
         )
     )
+
+
+def correlation_matrix(
+    df: DataFrame,
+    cols: list[str],
+    scale: int = 2,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Pairwise Pearson correlations over ``cols`` in ONE aggregation
+    pass — the profiling matrix that feeds feature selection and
+    redundancy pruning (C(k,2) correlations without C(k,2) scans):
+    every sum/sum-of-squares/cross-product accumulates as an exact
+    decimal of the inputs' ``scale`` (order-free), the correlation is
+    one closed-form double expression per pair, rounded at
+    ``round_dp``. Rows with a NULL in ANY of ``cols`` are excluded
+    (complete-case, the convention dropna-matrix profilers use) so
+    every pair shares one n. Returns (col_a, col_b, n, corr)."""
+    if len(cols) < 2:
+        raise ValueError("need at least two columns")
+    t = f"decimal(18,{scale})"
+    complete = df
+    for c in cols:
+        complete = complete.filter(F.col(c).isNotNull())
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for i, c in enumerate(cols):
+        x = F.col(c).cast(t)
+        aggs.append(F.sum(x).alias(f"__s{i}"))
+        aggs.append(F.sum(x * x).alias(f"__q{i}"))
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            aggs.append(
+                F.sum(F.col(cols[i]).cast(t) * F.col(cols[j]).cast(t))
+                .alias(f"__x{i}_{j}"))
+    tot = complete.agg(*aggs)
+    n = F.col("__n").cast("double")
+    structs = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            sx = F.col(f"__s{i}").cast("double")
+            sy = F.col(f"__s{j}").cast("double")
+            sxx = F.col(f"__q{i}").cast("double")
+            syy = F.col(f"__q{j}").cast("double")
+            sxy = F.col(f"__x{i}_{j}").cast("double")
+            num = n * sxy - sx * sy
+            den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+            structs.append(F.struct(
+                F.lit(cols[i]).alias("col_a"),
+                F.lit(cols[j]).alias("col_b"),
+                F.col("__n").alias("n"),
+                F.when(den > 0, F.round(num / den, round_dp))
+                .alias("corr"),
+            ))
+    return tot.select(
+        F.explode(F.array(*structs)).alias("__r")).select("__r.*")

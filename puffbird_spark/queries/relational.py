@@ -3302,3 +3302,58 @@ def graph_random_walks(spark, sf_dir):
     return random_walks(
         edges, "s", "d", starts, "p_partkey", n_steps=3, salt="walk"
     )
+
+
+@query("diag_corr_matrix", oracle="""
+WITH v AS (SELECT CAST(l_quantity AS DECIMAL(18,2)) AS a,
+                  CAST(l_extendedprice AS DECIMAL(18,2)) AS b,
+                  CAST(l_discount AS DECIMAL(18,2)) AS c,
+                  CAST(l_tax AS DECIMAL(18,2)) AS d
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+             AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        SUM(a) AS sa, SUM(b) AS sb, SUM(c) AS sc, SUM(d) AS sd,
+        SUM(a*a) AS qa, SUM(b*b) AS qb, SUM(c*c) AS qc, SUM(d*d) AS qd,
+        SUM(a*b) AS xab, SUM(a*c) AS xac, SUM(a*d) AS xad,
+        SUM(b*c) AS xbc, SUM(b*d) AS xbd, SUM(c*d) AS xcd
+      FROM v),
+p AS (
+  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n,
+    CAST(xab AS DOUBLE) AS sxy, CAST(sa AS DOUBLE) AS sx,
+    CAST(sb AS DOUBLE) AS sy, CAST(qa AS DOUBLE) AS sxx,
+    CAST(qb AS DOUBLE) AS syy FROM s
+  UNION ALL SELECT 'l_quantity', 'l_discount', n,
+    CAST(xac AS DOUBLE), CAST(sa AS DOUBLE), CAST(sc AS DOUBLE),
+    CAST(qa AS DOUBLE), CAST(qc AS DOUBLE) FROM s
+  UNION ALL SELECT 'l_quantity', 'l_tax', n,
+    CAST(xad AS DOUBLE), CAST(sa AS DOUBLE), CAST(sd AS DOUBLE),
+    CAST(qa AS DOUBLE), CAST(qd AS DOUBLE) FROM s
+  UNION ALL SELECT 'l_extendedprice', 'l_discount', n,
+    CAST(xbc AS DOUBLE), CAST(sb AS DOUBLE), CAST(sc AS DOUBLE),
+    CAST(qb AS DOUBLE), CAST(qc AS DOUBLE) FROM s
+  UNION ALL SELECT 'l_extendedprice', 'l_tax', n,
+    CAST(xbd AS DOUBLE), CAST(sb AS DOUBLE), CAST(sd AS DOUBLE),
+    CAST(qb AS DOUBLE), CAST(qd AS DOUBLE) FROM s
+  UNION ALL SELECT 'l_discount', 'l_tax', n,
+    CAST(xcd AS DOUBLE), CAST(sc AS DOUBLE), CAST(sd AS DOUBLE),
+    CAST(qc AS DOUBLE), CAST(qd AS DOUBLE) FROM s)
+SELECT col_a, col_b, n,
+  CASE WHEN sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) > 0
+       THEN round((n * sxy - sx * sy)
+                  / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+  END AS corr
+FROM p
+""")
+def diag_corr_matrix(spark, sf_dir):
+    """One-pass pairwise Pearson matrix (`correlation_matrix`,
+    operators/profile.py): all six correlations among four lineitem
+    measures from a SINGLE aggregation — exact decimal sums/squares/
+    cross-products (order-free), one closed-form double per pair,
+    complete-case filtering so every pair shares one n. C(k,2)
+    correlations, one scan."""
+    from ..operators.profile import correlation_matrix
+
+    li = load(spark, sf_dir, "lineitem")
+    return correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])

@@ -2645,3 +2645,144 @@ def split_stratified_kfold(spark, sf_dir):
     folds = stratified_kfold(ev, "event_type", "event_id", k=5)
     return folds.groupBy("event_type", "fold").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"))
+
+
+@query("scan_csv_quoted", oracle="""
+WITH m AS (SELECT doc_id,
+    substr(text, 1, 10) || ',"x' || chr(10) || 'y",' || lang AS tricky
+  FROM documents)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       md5(string_agg(tricky, '|' ORDER BY doc_id)) AS content_digest,
+       CAST(SUM(length(tricky)) AS BIGINT) AS total_chars
+FROM m
+""")
+def scan_csv_quoted(spark, sf_dir):
+    """CSV quoting robustness: a column whose every value embeds the
+    delimiter, double quotes, AND a raw newline round-trips through a
+    CSV sink and a multiLine schema'd scan. The digest orders by id
+    and hashes the reassembled values — one swallowed quote, one
+    split record, or one mangled embedded newline changes it. (The
+    naive single-line CSV reader CANNOT parse this file; multiLine
+    scanning trades input split parallelism for correctness — at
+    scale, prefer escaping newlines at WRITE time, which restores
+    per-line splits.) The oracle recomputes from the origin table."""
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    docs = load(spark, sf_dir, "documents")
+    tricky = F.concat(
+        F.substring("text", 1, 10), F.lit(',"x\ny",'), F.col("lang"))
+    src = docs.select("doc_id", tricky.alias("tricky"))
+    path = f"/tmp/pbs_fmt{tag}/docs_quoted_csv"
+    # escape must be the quote char on BOTH sides: the writer then
+    # doubles embedded quotes (RFC 4180) instead of backslash-escaping,
+    # which the multiLine reader would mis-split on
+    _materialize(src, path, "csv", header="true", quoteAll="true",
+                 escape='"')
+    back = (
+        spark.read.schema("doc_id long, tricky string")
+        .options(header="true", multiLine="true", quote='"', escape='"')
+        .csv(path)
+    )
+    # id-sorted struct collect: collect_list order under partial aggs
+    # is NOT the input order — sort after collecting
+    vals = F.array_sort(
+        F.collect_list(F.struct("doc_id", "tricky"))
+    ).getField("tricky")
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.md5(F.concat_ws("|", vals)).alias("content_digest"),
+        F.sum(F.length("tricky")).cast("long").alias("total_chars"),
+    )
+
+
+@query("dedup_phash_near", oracle="""
+WITH d AS (SELECT doc_id, doc_id // 2 AS s, doc_id % 2 AS v
+           FROM documents WHERE doc_id < 60),
+px AS (SELECT d.doc_id, x.x AS px, y.y AS py,
+         (x.x * 31 + y.y * 17 + d.s
+          + CASE WHEN d.v = 1
+                 THEN CASE WHEN (x.x + y.y) % 2 = 0 THEN 1 ELSE 255 END
+                 ELSE 0 END) % 256 AS gray
+       FROM d
+       JOIN range(0, 16) x(x) ON TRUE
+       JOIN range(0, 8) y(y) ON TRUE),
+sm AS (SELECT doc_id, px // 2 AS u, py AS vb,
+         SUM(gray) // COUNT(*) AS small
+       FROM px GROUP BY doc_id, px // 2, py),
+co AS (SELECT sm.doc_id, f.u2, f.v2,
+         SUM(sm.small * (CASE WHEN (bit_count(CAST(f.u2 & sm.u AS BIGINT))
+                                    + bit_count(CAST(f.v2 & sm.vb AS BIGINT)))
+                                   % 2 = 0
+                              THEN 1 ELSE -1 END)) AS c
+       FROM sm, LATERAL (SELECT a.a AS u2, b.b AS v2
+                         FROM range(0, 8) a(a), range(0, 8) b(b)) f
+       GROUP BY sm.doc_id, f.u2, f.v2),
+idxd AS (SELECT doc_id, u2 * 8 + v2 AS idx, c FROM co),
+med AS (SELECT doc_id, c AS m
+        FROM (SELECT doc_id, c, row_number() OVER (PARTITION BY doc_id
+                                                   ORDER BY c, idx) AS rn
+              FROM idxd WHERE idx > 0)
+        WHERE rn = 32),
+ph AS (SELECT idxd.doc_id,
+         CAST(SUM(CASE WHEN idxd.idx > 0 AND idxd.c > med.m
+                       THEN 1::BIGINT << (idxd.idx - 1) ELSE 0 END)
+              AS BIGINT) AS phash
+       FROM idxd JOIN med ON idxd.doc_id = med.doc_id
+       GROUP BY idxd.doc_id),
+bands AS (SELECT doc_id, phash, i.i AS band_idx,
+            (phash >> (16 * CAST(i.i AS INT))) & 65535 AS band_val
+          FROM ph JOIN range(0, 4) i(i) ON TRUE),
+cand AS (SELECT DISTINCT CAST(a.doc_id AS VARCHAR) AS id_a,
+                CAST(b.doc_id AS VARCHAR) AS id_b,
+                a.phash AS ha, b.phash AS hb
+         FROM bands a JOIN bands b
+           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+          AND CAST(a.doc_id AS VARCHAR) < CAST(b.doc_id AS VARCHAR))
+SELECT id_a, id_b,
+       CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 16
+""")
+def dedup_phash_near(spark, sf_dir):
+    """Near-dup image pairing on perceptual hashes
+    (`phash_hamming_pairs`, operators/multimodal.py — SimHash banding
+    applied to `image_phash`): 30 base pictures each appear clean AND
+    with alternating +-1 pixel noise (a recompression stand-in,
+    encoded through the real BMP codec via its explicit-raster
+    fixture path); hashes band into 4x16 bits, candidates share an
+    exact band (equi-join, never all-pairs), verification is one
+    bit_count(xor) <= 16 filter. The oracle replays the ENTIRE
+    pipeline — noisy pixels, block means, WHT, median bits, banding,
+    Hamming — in SQL. 22 of the 30 noisy variants pair with their
+    clean twin by PERCEPTION while every byte-level digest differs;
+    the rest sit beyond the radius because the +-1 noise cancels
+    inside most 2x1 blocks but WRAPS (0 -> 255) spike the remainder —
+    all deterministic, all replayed."""
+    from ..operators.dedup import widen_parallelism
+    from ..operators.multimodal import (
+        encode_bmp_gray, image_phash, phash_hamming_pairs)
+
+    def _make(doc_id):
+        def one(i):
+            i = int(i)
+            s, v = i // 2, i % 2
+            if v == 0:
+                return encode_bmp_gray(16, 8, seed=s)
+            pix = bytes(
+                (x * 31 + y * 17 + s
+                 + (1 if (x + y) % 2 == 0 else 255)) % 256
+                for y in range(8) for x in range(16))
+            return encode_bmp_gray(16, 8, pixels=pix)
+
+        return doc_id.map(one)
+
+    make_img = F.pandas_udf(_make, returnType="binary")
+    docs = widen_parallelism(
+        load(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    ).select(
+        F.col("doc_id").cast("string").alias("path"),
+        make_img(F.col("doc_id")).alias("content"),
+    )
+    hashed = image_phash(docs, grid=8)
+    return phash_hamming_pairs(
+        hashed, id_col="path", hash_col="phash",
+        max_distance=16, band_bits=16,
+    )

@@ -5630,3 +5630,32 @@ def test_bq_signature_kernels_bit_identical(spark):
     # the cumsum sign replay makes the kernels bit-identical — the
     # kernel choice must be invisible to results
     assert hof == arrow and len(hof) == 15
+
+
+def test_phash_hamming_pairs_banding(spark):
+    from puffbird_spark.operators.multimodal import phash_hamming_pairs
+
+    rows = [
+        ("a", 0b1111),            # near b (distance 1)
+        ("b", 0b0111),
+        ("c", (1 << 50) | 0b0111),  # shares bands 0..2 with b, d=1+... 
+        ("d", 0x7FFFFFFFFFFFFFF),   # far from everything
+    ]
+    df = spark.createDataFrame(rows, ["path", "phash"])
+    out = {(r.id_a, r.id_b): r.hamming for r in phash_hamming_pairs(
+        df, max_distance=3, band_bits=16).collect()}
+    assert out[("a", "b")] == 1
+    assert out[("b", "c")] == 1
+    assert out[("a", "c")] == 2
+    assert not any("d" in p for p in out)
+
+
+def test_phash_hamming_pairs_requires_shared_band(spark):
+    from puffbird_spark.operators.multimodal import phash_hamming_pairs
+
+    # distance 4 spread across all 4 bands: no shared band -> unseen
+    # even though max_distance would admit it (the recall contract)
+    a = 0
+    b = (1 << 0) | (1 << 16) | (1 << 32) | (1 << 48)
+    df = spark.createDataFrame([("a", a), ("b", b)], ["path", "phash"])
+    assert phash_hamming_pairs(df, max_distance=10).count() == 0
