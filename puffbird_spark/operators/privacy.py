@@ -23,6 +23,7 @@ __all__ = [
     "k_anonymity_audit",
     "suppress_small_classes",
     "dp_noisy_counts",
+    "dp_noisy_mean",
 ]
 
 
@@ -110,4 +111,64 @@ def dp_noisy_counts(
             ),
             round_dp,
         ).alias("noisy_count"),
+    )
+
+
+def dp_noisy_mean(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    clamp: float,
+    epsilon: float = 1.0,
+    salt: str = "dpm",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Differentially-private group means via the clamp-and-noise
+    recipe: values clamp to ``[0, clamp]`` (bounding the sensitivity
+    — an unbounded value makes DP impossible), the clamped sum gets
+    Laplace(clamp/eps_half) noise and the count Laplace(1/eps_half)
+    noise with the budget split evenly, and the released mean is
+    their ratio (clamped back into ``[0, clamp]``). Same retry-safe
+    determinism as :func:`dp_noisy_counts` — both draws are pure
+    functions of the group key on disjoint salts. Exact decimal sums
+    under the clamp keep the pre-noise value engine-identical. One
+    shuffle; noise at output grain."""
+    from ..functions.hashing import laplace_noise
+
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    if epsilon <= 0 or clamp <= 0:
+        raise ValueError("epsilon and clamp must be > 0")
+    eps_half = float(epsilon) / 2.0
+    v = F.least(
+        F.greatest(F.col(value_col).cast("double"), F.lit(0.0)),
+        F.lit(float(clamp)),
+    )
+    agg = df.groupBy(*group_cols).agg(
+        F.sum(F.round(v, 6).cast("decimal(28,6)")).alias("__sum"),
+        F.count(F.lit(1)).cast("long").alias("__n"),
+    )
+    key_sum = F.concat_ws(
+        "|", F.lit(salt + "s"),
+        *[F.col(c).cast("string") for c in group_cols])
+    key_cnt = F.concat_ws(
+        "|", F.lit(salt + "c"),
+        *[F.col(c).cast("string") for c in group_cols])
+    noisy_sum = (
+        F.col("__sum").cast("double")
+        + laplace_noise(key_sum, scale=float(clamp) / eps_half,
+                        round_dp=round_dp)
+    )
+    noisy_n = F.greatest(
+        F.col("__n").cast("double")
+        + laplace_noise(key_cnt, scale=1.0 / eps_half,
+                        round_dp=round_dp),
+        F.lit(1.0),
+    )
+    mean = F.least(
+        F.greatest(noisy_sum / noisy_n, F.lit(0.0)), F.lit(float(clamp)))
+    return agg.select(
+        *group_cols,
+        F.col("__n").alias("exact_n"),
+        F.round(mean, round_dp).alias("noisy_mean"),
     )

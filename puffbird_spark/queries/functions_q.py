@@ -675,3 +675,36 @@ def fn_pii_mask(spark, sf_dir):
         F.regexp_count("msg", F.lit(IPV4_PATTERN)).cast("long")
         .alias("n_ips"),
     )
+
+
+@query("fn_arg_extremes", oracle="""
+WITH k AS (SELECT c_mktsegment, c_name, c_custkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) * 10000000
+               + c_custkey AS ord
+           FROM customer)
+SELECT c_mktsegment,
+  arg_min(c_name, ord) AS poorest,
+  arg_max(c_name, ord) AS richest,
+  CAST(arg_max(c_custkey, ord) AS BIGINT) AS richest_key,
+  min(c_name) AS first_name
+FROM k GROUP BY c_mktsegment
+""")
+def fn_arg_extremes(spark, sf_dir):
+    """Argument-extremum aggregates (max_by/min_by <-> DuckDB
+    arg_max/arg_min): per segment the names at the balance extremes.
+    Bare max_by over a non-unique ordering key is NONDETERMINISTIC on
+    both engines — the deterministic idiom packs (balance, tie-break
+    key) into ONE exact integer ordering key (cents * 1e7 + custkey;
+    DuckDB 1.0's arg_min rejects struct keys, so a scalar composite
+    is also the portable spelling). One shuffle, partial-aggregated."""
+    cust = load(spark, sf_dir, "customer")
+    key = (
+        F.round(F.col("c_acctbal") * 100).cast("long") * 10000000
+        + F.col("c_custkey")
+    )
+    return cust.groupBy("c_mktsegment").agg(
+        F.min_by("c_name", key).alias("poorest"),
+        F.max_by("c_name", key).alias("richest"),
+        F.max_by("c_custkey", key).cast("long").alias("richest_key"),
+        F.min("c_name").alias("first_name"),
+    )

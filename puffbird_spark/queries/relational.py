@@ -3357,3 +3357,46 @@ def diag_corr_matrix(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     return correlation_matrix(
         li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+
+
+def _dp_mean_oracle() -> str:
+    from ..functions.hashing import oracle_laplace
+
+    key = lambda sfx: (  # noqa: E731
+        f"'dpm{sfx}' || '|' || CAST(c_mktsegment AS VARCHAR)")
+    n_sum = oracle_laplace(key("s"), scale=5000.0 / 0.5)
+    n_cnt = oracle_laplace(key("c"), scale=1.0 / 0.5)
+    return f"""
+WITH g AS (SELECT c_mktsegment,
+             SUM(CAST(round(least(greatest(
+                   CAST(c_acctbal AS DOUBLE), 0.0), 5000.0), 6)
+                 AS DECIMAL(28,6))) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM customer GROUP BY 1)
+SELECT c_mktsegment, n AS exact_n,
+  round(least(greatest(
+    (CAST(s AS DOUBLE) + {n_sum})
+      / greatest(CAST(n AS DOUBLE) + {n_cnt}, 1.0), 0.0), 5000.0), 6)
+    AS noisy_mean
+FROM g
+"""
+
+
+@query("privacy_dp_mean", oracle=_dp_mean_oracle())
+def privacy_dp_mean(spark, sf_dir):
+    """Differentially-private clamped means (`dp_noisy_mean`,
+    operators/privacy.py): per-segment account-balance means released
+    under the clamp-and-noise recipe — values clamped to [0, 5000]
+    (sensitivity bound), the budget split between Laplace noise on
+    the clamped sum (scale clamp/(eps/2)) and on the count (scale
+    2/eps), ratio re-clamped. Both draws are pure functions of the
+    group key on disjoint salts (retry-safe, engine-replayable). The
+    oracle replays clamp, exact decimal sum, both Laplace inversions,
+    and the guarded ratio."""
+    from ..operators.privacy import dp_noisy_mean
+
+    cust = load(spark, sf_dir, "customer")
+    return dp_noisy_mean(
+        cust, ["c_mktsegment"], "c_acctbal",
+        clamp=5000.0, epsilon=1.0, salt="dpm",
+    )

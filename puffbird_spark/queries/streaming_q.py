@@ -1708,3 +1708,54 @@ def events_markov_stationary(spark, sf_dir):
         F.col("s").alias("state"),
         F.round(F.col("v").cast("double"), 6).alias("pi"),
     )
+
+
+@query("events_collapse_adjacent", oracle="""
+WITH s AS (SELECT user_id, ts, event_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+           FROM events WHERE user_id IS NOT NULL),
+m AS (SELECT user_id, ts, event_id, event_type,
+        CASE WHEN prev_type IS NULL OR prev_type <> event_type
+             THEN 1 ELSE 0 END AS is_start
+      FROM s),
+r AS (SELECT user_id, event_type, ts, event_id,
+        SUM(is_start) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS run_id
+      FROM m)
+SELECT user_id, CAST(run_id AS BIGINT) AS run_id, event_type,
+       CAST(COUNT(*) AS BIGINT) AS run_length,
+       MIN(ts) AS run_start,
+       CAST(MIN(event_id) AS BIGINT) AS first_event_id
+FROM r GROUP BY user_id, run_id, event_type
+""")
+def events_collapse_adjacent(spark, sf_dir):
+    """Run-length collapse of consecutive duplicate events — the
+    gaps-and-islands idiom that turns a chatty sensor/click stream
+    into distinct state VISITS (the prep step before funnel/session
+    mining double-counts a button mash): one lag compare marks run
+    starts, a running sum numbers runs, one keyed agg collapses each
+    run to (type, length, start, first id). Two windows + one agg,
+    all sharing the user-key exchange."""
+    from pyspark.sql.window import Window as W
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("is_start"),
+    )
+    runs = marked.withColumn(
+        "run_id", F.sum("is_start").over(
+            W.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(W.unboundedPreceding, 0)))
+    return runs.groupBy("user_id", "run_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("run_length"),
+        F.min("ts").alias("run_start"),
+        F.min("event_id").cast("long").alias("first_event_id"),
+    ).select("user_id", F.col("run_id").cast("long").alias("run_id"),
+             "event_type", "run_length", "run_start", "first_event_id")

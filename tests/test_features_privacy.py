@@ -165,3 +165,32 @@ def test_mask_pii_types_and_order(spark):
     # the email (whose domain embeds a dotted quad) masked as ONE email,
     # the standalone IP as an IP, the phone as a phone
     assert row.m == "mail <EMAIL> or <IP> tel <PHONE> ok"
+
+
+def test_dp_noisy_mean_clamped_and_deterministic(spark):
+    from puffbird_spark.operators.privacy import dp_noisy_mean
+
+    df = spark.range(300).select(
+        (F.col("id") % 3).alias("g"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+    a = dp_noisy_mean(df, ["g"], "v", clamp=50.0, epsilon=1.0).collect()
+    b = dp_noisy_mean(
+        df.repartition(7), ["g"], "v", clamp=50.0, epsilon=1.0).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert all(0.0 <= r.noisy_mean <= 50.0 for r in a)
+    # tighter budget -> different (noisier) release
+    c = dp_noisy_mean(df, ["g"], "v", clamp=50.0, epsilon=0.1).collect()
+    assert sorted(r.noisy_mean for r in a) != sorted(
+        r.noisy_mean for r in c)
+
+
+def test_dp_noisy_mean_validates(spark):
+    from puffbird_spark.operators.privacy import dp_noisy_mean
+
+    df = spark.range(3).select(F.col("id").alias("g"),
+                               F.col("id").cast("double").alias("v"))
+    with pytest.raises(ValueError):
+        dp_noisy_mean(df, ["g"], "v", clamp=0.0)
+    with pytest.raises(ValueError):
+        dp_noisy_mean(df, [], "v", clamp=1.0)
