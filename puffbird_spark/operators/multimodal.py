@@ -1889,3 +1889,151 @@ def phash_hamming_pairs(
     return cand.select(
         "id_a", "id_b", ham.cast("int").alias("hamming")
     ).filter(F.col("hamming") <= int(max_distance))
+
+
+AUDIO_SEGMENTS_SCHEMA = (
+    "path string, segment_id int, n_windows int, start_frame bigint, "
+    "end_frame bigint, peak int"
+)
+
+
+def audio_activity_segments(
+    df: DataFrame,
+    rms_threshold: float,
+    window: int = 50,
+    content_col: str = "content",
+    path_col: str = "path",
+    batch_size: int = 64,
+) -> DataFrame:
+    """Activity segmentation (the VAD-shaped silence trimmer audio
+    curation runs before transcription/training): windows whose RMS
+    clears ``rms_threshold`` are active; consecutive active windows
+    merge into segments (run-length, computed in-kernel per file —
+    zero shuffle). Emits one row per segment: window count, frame
+    span, and the segment's peak amplitude. RMS uses the exact
+    integer sum-of-squares with the audio_stats HALF_UP rounding, so
+    the active/silent decision replays in SQL."""
+    import math as _math
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start:start + batch_size]
+                out: dict[str, list] = {k: [] for k in (
+                    "path", "segment_id", "n_windows", "start_frame",
+                    "end_frame", "peak")}
+                for path, blob in zip(
+                    chunk[path_col].astype(str), chunk[content_col]
+                ):
+                    if blob is None:
+                        continue
+                    _r, _nc, _b, frames = decode_wav_pcm(bytes(blob))
+                    mono = _mono_fold(frames)
+                    n = len(mono)
+                    seg = None  # (first_w, last_w, peak)
+                    seg_id = 0
+                    for w_idx in range((n + window - 1) // window):
+                        s = mono[w_idx * window:(w_idx + 1) * window]
+                        rms = _math.floor(
+                            _math.sqrt(sum(v * v for v in s) / len(s))
+                            * 1e6 + 0.5) / 1e6
+                        if rms >= rms_threshold:
+                            pk = max(abs(v) for v in s)
+                            if seg is None:
+                                seg = [w_idx, w_idx, pk]
+                            else:
+                                seg[1] = w_idx
+                                seg[2] = max(seg[2], pk)
+                        elif seg is not None:
+                            out["path"].append(path)
+                            out["segment_id"].append(seg_id)
+                            out["n_windows"].append(seg[1] - seg[0] + 1)
+                            out["start_frame"].append(seg[0] * window)
+                            out["end_frame"].append(
+                                min((seg[1] + 1) * window, n))
+                            out["peak"].append(seg[2])
+                            seg_id += 1
+                            seg = None
+                    if seg is not None:
+                        out["path"].append(path)
+                        out["segment_id"].append(seg_id)
+                        out["n_windows"].append(seg[1] - seg[0] + 1)
+                        out["start_frame"].append(seg[0] * window)
+                        out["end_frame"].append(min((seg[1] + 1) * window, n))
+                        out["peak"].append(seg[2])
+                yield pd.DataFrame(out).astype({
+                    "segment_id": "int32", "n_windows": "int32",
+                    "start_frame": "int64", "end_frame": "int64",
+                    "peak": "int32",
+                })
+
+    return df.select(path_col, content_col).mapInPandas(
+        kernel, AUDIO_SEGMENTS_SCHEMA)
+
+
+IMAGE_PATCHES_SCHEMA = (
+    "path string, patch_row int, patch_col int, width int, height int, "
+    "patch_digest string, patch_mean double"
+)
+
+
+def image_patches(
+    df: DataFrame,
+    patch: int = 4,
+    content_col: str = "content",
+    path_col: str = "path",
+    batch_size: int = 64,
+) -> DataFrame:
+    """ViT-style patch extraction: decode to grayscale and emit one row
+    per non-overlapping ``patch x patch`` tile (ragged right/bottom
+    edges DROP, the ViT convention — resize first if every pixel must
+    survive) with the tile's md5 pixel digest and exact HALF_UP mean.
+    The patch grid is what patch-token models train on; the digest
+    column makes tile-level dedup (sprite/logo detection) a plain
+    groupBy downstream. Arrow mapInPandas, zero shuffle."""
+    import hashlib
+    import math as _math
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start:start + batch_size]
+                out: dict[str, list] = {k: [] for k in (
+                    "path", "patch_row", "patch_col", "width", "height",
+                    "patch_digest", "patch_mean")}
+                for path, blob in zip(
+                    chunk[path_col].astype(str), chunk[content_col]
+                ):
+                    if blob is None:
+                        continue
+                    try:
+                        w, h, pix = decode_image_gray(bytes(blob))
+                    except NotImplementedError:
+                        continue
+                    for pr in range(h // patch):
+                        for pc in range(w // patch):
+                            vals = [
+                                pix[(pr * patch + dy) * w
+                                    + pc * patch + dx]
+                                for dy in range(patch)
+                                for dx in range(patch)
+                            ]
+                            digest = hashlib.md5(
+                                ",".join(map(str, vals)).encode()
+                            ).hexdigest()
+                            mean = _math.floor(
+                                sum(vals) / len(vals) * 1e6 + 0.5) / 1e6
+                            out["path"].append(path)
+                            out["patch_row"].append(pr)
+                            out["patch_col"].append(pc)
+                            out["width"].append(w)
+                            out["height"].append(h)
+                            out["patch_digest"].append(digest)
+                            out["patch_mean"].append(mean)
+                yield pd.DataFrame(out).astype({
+                    "patch_row": "int32", "patch_col": "int32",
+                    "width": "int32", "height": "int32",
+                })
+
+    return df.select(path_col, content_col).mapInPandas(
+        kernel, IMAGE_PATCHES_SCHEMA)

@@ -2786,3 +2786,118 @@ def dedup_phash_near(spark, sf_dir):
         hashed, id_col="path", hash_col="phash",
         max_distance=16, band_bits=16,
     )
+
+
+@query("multimodal_audio_segments", oracle="""
+WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS path,
+             120 + doc_id % 80 AS n, doc_id % 997 AS seed
+           FROM documents),
+s AS (SELECT path, n, seed, unnest(range(0, CAST(n AS BIGINT))) AS i
+      FROM d),
+v AS (SELECT path, n, i, CAST(i // 50 AS INT) AS w,
+        ((i * 2657 + seed * 7919) % 4001) - 2000 AS samp
+      FROM s),
+wn AS (SELECT path, n, w,
+         round(sqrt(SUM(samp * samp) / COUNT(*)), 6) AS rms,
+         MAX(ABS(samp)) AS pk,
+         MIN(i) AS w_lo, MAX(i) AS w_hi
+       FROM v GROUP BY path, n, w),
+act AS (SELECT path, n, w, pk, w_lo, w_hi,
+          rms >= 1150.0 AS active,
+          LAG(rms >= 1150.0) OVER (PARTITION BY path ORDER BY w) AS prev_a
+        FROM wn),
+isl AS (SELECT path, n, w, pk, w_lo, w_hi,
+          SUM(CASE WHEN active AND (prev_a IS NULL OR NOT prev_a)
+                   THEN 1 ELSE 0 END)
+            OVER (PARTITION BY path ORDER BY w) - 1 AS seg
+        FROM act WHERE TRUE QUALIFY active),
+segs AS (SELECT path, CAST(seg AS INT) AS segment_id,
+           CAST(COUNT(*) AS INT) AS n_windows,
+           CAST(MIN(w) * 50 AS BIGINT) AS start_frame,
+           CAST(least((MAX(w) + 1) * 50, MIN(n)) AS BIGINT) AS end_frame,
+           CAST(MAX(pk) AS INT) AS peak
+         FROM isl GROUP BY path, seg)
+SELECT * FROM segs
+""")
+def multimodal_audio_segments(spark, sf_dir):
+    """Activity segmentation (`audio_activity_segments`,
+    operators/multimodal.py — the VAD-shaped silence trimmer): decoded
+    WAV windows whose exact-integer RMS clears 1150 merge into runs,
+    one row per segment with window count, frame span, and peak. The
+    threshold sits inside the generator waveform's natural RMS band,
+    so windows straddle it and segment boundaries exercise the run
+    logic; the oracle rebuilds every sample, every RMS, and the
+    island numbering closed-form. In-kernel run-length — zero
+    shuffle."""
+    from ..operators.dedup import widen_parallelism
+    from ..operators.multimodal import (
+        audio_activity_segments, encode_wav)
+
+    def _make(doc_id):
+        return doc_id.map(
+            lambda i: encode_wav(120 + int(i) % 80, 8000,
+                                 seed=int(i) % 997))
+
+    make_wav = F.pandas_udf(_make, returnType="binary")
+    docs = widen_parallelism(load(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("string").alias("path"),
+        make_wav(F.col("doc_id")).alias("content"),
+    )
+    return audio_activity_segments(docs, rms_threshold=1150.0, window=50)
+
+
+@query("multimodal_image_patches", oracle="""
+WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS path,
+             doc_id % 40 AS s,
+             CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                             ELSE 'bmp' END AS fmt
+           FROM documents WHERE doc_id < 120),
+g AS (SELECT path, s, 9 + s % 6 AS w, 8 + s % 5 AS h FROM d),
+t AS (SELECT path, s, w, h, pr.pr, pc.pc
+      FROM g
+      JOIN LATERAL (SELECT unnest(range(0, CAST(h // 4 AS BIGINT))) AS pr) pr
+        ON TRUE
+      JOIN LATERAL (SELECT unnest(range(0, CAST(w // 4 AS BIGINT))) AS pc) pc
+        ON TRUE),
+vals AS (SELECT path, w, h, pr, pc,
+    flatten([[ (CAST(pc * 4 + dx AS BIGINT) * 31
+                + CAST(pr * 4 + dy AS BIGINT) * 17 + s) % 256
+               FOR dx IN range(0, 4)] FOR dy IN range(0, 4)]) AS vv
+  FROM t)
+SELECT path, CAST(pr AS INT) AS patch_row, CAST(pc AS INT) AS patch_col,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       md5(array_to_string(vv, ',')) AS patch_digest,
+       round(CAST(list_sum(vv) AS DOUBLE) / 16, 6) AS patch_mean
+FROM vals
+""")
+def multimodal_image_patches(spark, sf_dir):
+    """ViT-style patch extraction (`image_patches`,
+    operators/multimodal.py): 120 images (PNG/GIF/BMP round-robin,
+    ragged sizes) decode and emit one row per non-overlapping 4x4
+    tile — digest + exact mean — the patch-token grid vision models
+    train on, with the digest making tile-level dedup a plain groupBy.
+    Ragged edges drop (the ViT convention). The oracle rebuilds every
+    tile's pixels closed-form; a decoder or tiling off-by-one breaks
+    the hash."""
+    from ..operators.dedup import widen_parallelism
+    from ..operators.multimodal import (
+        encode_bmp_gray, encode_gif, encode_png, image_patches)
+
+    def _make(doc_id):
+        def one(i):
+            i = int(i)
+            s = i % 40
+            w, h = 9 + s % 6, 8 + s % 5
+            enc = (encode_png, encode_gif, encode_bmp_gray)[i % 3]
+            return enc(w, h, seed=s)
+
+        return doc_id.map(one)
+
+    make_img = F.pandas_udf(_make, returnType="binary")
+    docs = widen_parallelism(
+        load(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    ).select(
+        F.col("doc_id").cast("string").alias("path"),
+        make_img(F.col("doc_id")).alias("content"),
+    )
+    return image_patches(docs, patch=4)

@@ -5659,3 +5659,42 @@ def test_phash_hamming_pairs_requires_shared_band(spark):
     b = (1 << 0) | (1 << 16) | (1 << 32) | (1 << 48)
     df = spark.createDataFrame([("a", a), ("b", b)], ["path", "phash"])
     assert phash_hamming_pairs(df, max_distance=10).count() == 0
+
+
+def test_audio_activity_segments_runs(spark):
+    from puffbird_spark.operators.multimodal import (
+        audio_activity_segments, encode_wav,
+    )
+
+    blob = encode_wav(200, 8000, seed=11)
+    df = spark.createDataFrame([("a", bytearray(blob))], ["path", "content"])
+    # threshold 0: every window active -> exactly one segment
+    one = audio_activity_segments(df, rms_threshold=0.0, window=50).collect()
+    assert len(one) == 1
+    r = one[0]
+    assert (r.segment_id, r.n_windows, r.start_frame, r.end_frame) == (
+        0, 4, 0, 200)
+    # impossible threshold: no segments
+    none = audio_activity_segments(
+        df, rms_threshold=1e9, window=50).collect()
+    assert none == []
+
+
+def test_image_patches_tiling(spark):
+    import hashlib
+
+    from puffbird_spark.operators.multimodal import (
+        encode_bmp_gray, image_patches,
+    )
+
+    # 9x8 image, patch 4: 2x2 grid, right column (x=8) drops
+    blob = encode_bmp_gray(9, 8, seed=5)
+    df = spark.createDataFrame([("i", bytearray(blob))], ["path", "content"])
+    rows = {(r.patch_row, r.patch_col): r
+            for r in image_patches(df, patch=4).collect()}
+    assert set(rows) == {(0, 0), (0, 1), (1, 0), (1, 1)}
+    vals = [(x * 31 + y * 17 + 5) % 256
+            for y in range(4) for x in range(4)]
+    want = hashlib.md5(",".join(map(str, vals)).encode()).hexdigest()
+    assert rows[(0, 0)].patch_digest == want
+    assert rows[(0, 0)].width == 9 and rows[(0, 0)].height == 8
