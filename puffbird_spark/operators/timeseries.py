@@ -789,3 +789,57 @@ def sax_symbolize(
             ).getField("__c")
         ).alias("sax")
     )
+
+
+def ewma_time_decay(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    halflife_s: float,
+    tiebreak_cols: list[str] | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Irregular-interval exponential smoothing — the time-decay EWMA
+    (pandas ``ewm(times=...)``): each observation's weight decays by
+    wall-clock age, ``s(t_i) = sum_{j<=i} v_j 2^{-(t_i-t_j)/h}``,
+    normalized by the same-decayed weight sum. The fixed-step
+    :func:`ewma_smooth` breaks on irregular events; this is what a
+    sensor/metrics stream needs.
+
+    The recursion is sequential — the SCALE trick is the log-space
+    rebase: ``s(t_i) = 2^{-(t_i-t0)/h} * prefix_sum(v_j *
+    2^{(t_j-t0)/h})`` with ``t0`` = the key's first timestamp, so the
+    whole operator is TWO per-key running sums (one weighted, one of
+    weights) — O(n), one exchange, no recursion, no UDF. Each
+    power-of-two term snaps to a 12-dp decimal before the window sum
+    (window partial sums are NOT guaranteed sequential — DuckDB
+    segment-trees them — so only exact addition is portable).
+    Numerics: the rebased exponent grows with the key's time SPAN —
+    at span/halflife beyond ~1000 doublings the term overflows; shard
+    long histories by calendar window first (documented contract)."""
+    from pyspark.sql import Window
+
+    tb = tiebreak_cols or []
+    wk = Window.partitionBy(*key_cols)
+    wo = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(ts_col), *[F.col(c) for c in tb])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t = F.unix_micros(F.col(ts_col).cast("timestamp")).cast("double")
+    t0 = F.min(t).over(wk)
+    dt_h = (t - t0) / F.lit(float(halflife_s) * 1e6)
+    growth = F.pow(F.lit(2.0), dt_h)
+    v = F.col(value_col).cast("double")
+    num_term = F.round(v * growth, 12).cast("decimal(38,12)")
+    den_term = F.round(growth, 12).cast("decimal(38,12)")
+    num = F.sum(num_term).over(wo).cast("double")
+    den = F.sum(den_term).over(wo).cast("double")
+    return df.select(
+        *key_cols,
+        F.col(ts_col),
+        *[F.col(c) for c in tb],
+        v.alias("value"),
+        F.round(num / den, round_dp).alias("ewma"),
+    )

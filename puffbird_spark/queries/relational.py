@@ -3400,3 +3400,83 @@ def privacy_dp_mean(spark, sf_dir):
         cust, ["c_mktsegment"], "c_acctbal",
         clamp=5000.0, epsilon=1.0, salt="dpm",
     )
+
+
+@query("timeseries_ewma_timedecay", oracle="""
+WITH b AS (SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS v,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE) AS tt
+           FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+m AS (SELECT *, MIN(tt) OVER (PARTITION BY user_id) AS t0 FROM b),
+g AS (SELECT user_id, ts, event_id, v,
+        pow(2.0, (tt - t0) / (604800.0 * 1000000.0)) AS gr FROM m),
+c AS (SELECT user_id, ts, event_id, v,
+        SUM(CAST(round(v * gr, 12) AS DECIMAL(38,12))) OVER w AS num,
+        SUM(CAST(round(gr, 12) AS DECIMAL(38,12))) OVER w AS den
+      FROM g WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT user_id, ts, event_id, v AS value,
+       round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS ewma
+FROM c
+""")
+def timeseries_ewma_timedecay(spark, sf_dir):
+    """Irregular-interval time-decay EWMA (`ewma_time_decay`,
+    operators/timeseries.py — pandas ewm(times=...)): per-user event
+    smoothing where weight decays by wall-clock age (halflife 7
+    days), computed WITHOUT the sequential recursion via the
+    log-space rebase — two per-key running sums of 12-dp
+    decimal-snapped power-of-two growth terms (window partial sums
+    are not sequential on every engine; only exact addition is
+    portable). O(n), one exchange. The oracle replays the rebase,
+    both prefix sums, and the normalized ratio."""
+    from ..operators.timeseries import ewma_time_decay
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull())
+    return ewma_time_decay(
+        ev, ["user_id"], "ts", "value",
+        halflife_s=604800.0, tiebreak_cols=["event_id"],
+    )
+
+
+@query("agg_hhi", oracle="""
+WITH s AS (SELECT n_nationkey AS nation, c_mktsegment AS seg,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM customer JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY 1, 2),
+t AS (SELECT nation, SUM(n) AS tot FROM s GROUP BY nation)
+SELECT s.nation, CAST(t.tot AS BIGINT) AS n_customers,
+  round(SUM(CAST(round(
+      (CAST(s.n AS DOUBLE) / t.tot) * (CAST(s.n AS DOUBLE) / t.tot), 12)
+    AS DECIMAL(28,12))) * 10000, 6) AS hhi
+FROM s JOIN t ON s.nation = t.nation
+GROUP BY s.nation, t.tot
+""")
+def agg_hhi(spark, sf_dir):
+    """Herfindahl-Hirschman concentration index per nation over
+    market-segment shares (the antitrust/market-structure metric,
+    scaled to the conventional 0-10000 points): integer cell counts,
+    per-cell squared shares snapped to 12-dp decimals before the
+    order-free sum. Two keyed aggs + one broadcast-size join."""
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    s = cust.join(
+        F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey")
+    ).groupBy(
+        F.col("n_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("seg"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    t = s.groupBy("nation").agg(F.sum("n").alias("tot"))
+    share = F.col("n").cast("double") / F.col("tot")
+    return (
+        s.join(F.broadcast(t), "nation")
+        .groupBy("nation", "tot")
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(share * share, 12).cast("decimal(28,12)")
+                ) * 10000, 6
+            ).alias("hhi"))
+        .select(
+            "nation", F.col("tot").cast("long").alias("n_customers"),
+            "hhi")
+    )

@@ -5698,3 +5698,27 @@ def test_image_patches_tiling(spark):
     want = hashlib.md5(",".join(map(str, vals)).encode()).hexdigest()
     assert rows[(0, 0)].patch_digest == want
     assert rows[(0, 0)].width == 9 and rows[(0, 0)].height == 8
+
+
+def test_ewma_time_decay_limits(spark):
+    import datetime
+
+    from puffbird_spark.operators.timeseries import ewma_time_decay
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        # huge halflife -> plain running mean; tiny -> last value
+        ("k", base, 1, 10.0),
+        ("k", base + datetime.timedelta(hours=1), 2, 20.0),
+        ("k", base + datetime.timedelta(hours=2), 3, 60.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "i", "v"])
+    flat = {r.i: r.ewma for r in ewma_time_decay(
+        df, ["k"], "ts", "v", halflife_s=1e12,
+        tiebreak_cols=["i"]).collect()}
+    assert flat[3] == 30.0  # running mean of 10,20,60
+    sharp = {r.i: r.ewma for r in ewma_time_decay(
+        df, ["k"], "ts", "v", halflife_s=1.0,
+        tiebreak_cols=["i"]).collect()}
+    assert sharp[3] == 60.0  # one-second halflife: only the last counts
+    assert flat[1] == sharp[1] == 10.0
