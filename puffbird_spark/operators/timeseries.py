@@ -808,16 +808,19 @@ def ewma_time_decay(
     sensor/metrics stream needs.
 
     The recursion is sequential — the SCALE trick is the log-space
-    rebase: ``s(t_i) = 2^{-(t_i-t0)/h} * prefix_sum(v_j *
-    2^{(t_j-t0)/h})`` with ``t0`` = the key's first timestamp, so the
-    whole operator is TWO per-key running sums (one weighted, one of
-    weights) — O(n), one exchange, no recursion, no UDF. Each
-    power-of-two term snaps to a 12-dp decimal before the window sum
-    (window partial sums are NOT guaranteed sequential — DuckDB
-    segment-trees them — so only exact addition is portable).
-    Numerics: the rebased exponent grows with the key's time SPAN —
-    at span/halflife beyond ~1000 doublings the term overflows; shard
-    long histories by calendar window first (documented contract)."""
+    rebase: weight terms as ``g_j = 2^{(t_j - tmax)/h}`` (``tmax`` =
+    the KEY's last timestamp, so ``g <= 1`` and nothing can overflow,
+    unlike a first-timestamp rebase whose exponent grows with the
+    span), then ``ewma_i = prefix_sum(v_j g_j) / prefix_sum(g_j)`` —
+    the common rebase factor cancels in the ratio. TWO per-key
+    running sums — O(n), one exchange, no recursion, no UDF. Each
+    term snaps to a 12-dp decimal before the window sum (window
+    partial sums are NOT guaranteed sequential — DuckDB segment-trees
+    them — so only exact addition is portable); terms older than ~40
+    halflives relative to ``tmax`` snap to zero, which IS their decay
+    weight at this precision, and a row whose OWN weight snaps to
+    zero reads NULL (beyond the decay horizon — an explicit non-answer,
+    never a silently wrong one)."""
     from pyspark.sql import Window
 
     tb = tiebreak_cols or []
@@ -828,12 +831,12 @@ def ewma_time_decay(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     t = F.unix_micros(F.col(ts_col).cast("timestamp")).cast("double")
-    t0 = F.min(t).over(wk)
-    dt_h = (t - t0) / F.lit(float(halflife_s) * 1e6)
-    growth = F.pow(F.lit(2.0), dt_h)
+    tmax = F.max(t).over(wk)
+    dt_h = (t - tmax) / F.lit(float(halflife_s) * 1e6)
+    growth = F.round(F.pow(F.lit(2.0), dt_h), 12)
     v = F.col(value_col).cast("double")
     num_term = F.round(v * growth, 12).cast("decimal(38,12)")
-    den_term = F.round(growth, 12).cast("decimal(38,12)")
+    den_term = growth.cast("decimal(38,12)")
     num = F.sum(num_term).over(wo).cast("double")
     den = F.sum(den_term).over(wo).cast("double")
     return df.select(
@@ -841,5 +844,5 @@ def ewma_time_decay(
         F.col(ts_col),
         *[F.col(c) for c in tb],
         v.alias("value"),
-        F.round(num / den, round_dp).alias("ewma"),
+        F.when(growth > 0, F.round(num / den, round_dp)).alias("ewma"),
     )

@@ -3406,16 +3406,19 @@ def privacy_dp_mean(spark, sf_dir):
 WITH b AS (SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS v,
              CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE) AS tt
            FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
-m AS (SELECT *, MIN(tt) OVER (PARTITION BY user_id) AS t0 FROM b),
+m AS (SELECT *, MAX(tt) OVER (PARTITION BY user_id) AS tmax FROM b),
 g AS (SELECT user_id, ts, event_id, v,
-        pow(2.0, (tt - t0) / (604800.0 * 1000000.0)) AS gr FROM m),
-c AS (SELECT user_id, ts, event_id, v,
+        round(pow(2.0, (tt - tmax) / (604800.0 * 1000000.0)), 12) AS gr
+      FROM m),
+c AS (SELECT user_id, ts, event_id, v, gr,
         SUM(CAST(round(v * gr, 12) AS DECIMAL(38,12))) OVER w AS num,
-        SUM(CAST(round(gr, 12) AS DECIMAL(38,12))) OVER w AS den
+        SUM(CAST(gr AS DECIMAL(38,12))) OVER w AS den
       FROM g WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
 SELECT user_id, ts, event_id, v AS value,
-       round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS ewma
+       CASE WHEN gr > 0
+            THEN round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+       END AS ewma
 FROM c
 """)
 def timeseries_ewma_timedecay(spark, sf_dir):

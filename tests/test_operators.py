@@ -5721,4 +5721,7 @@ def test_ewma_time_decay_limits(spark):
         df, ["k"], "ts", "v", halflife_s=1.0,
         tiebreak_cols=["i"]).collect()}
     assert sharp[3] == 60.0  # one-second halflife: only the last counts
-    assert flat[1] == sharp[1] == 10.0
+    # rows beyond the decay horizon (>40 halflives before the key's
+    # last event) read an explicit NULL, never a silently wrong value
+    assert sharp[1] is None and sharp[2] is None
+    assert flat[1] == 10.0
