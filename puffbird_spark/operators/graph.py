@@ -1271,3 +1271,60 @@ def random_walks(
         out_cols.append(f"hop{step}")
         state = nxt
     return state.select("walk_id", *out_cols)
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of endpoint degrees across UNDIRECTED edges — positive
+    means hubs link hubs (social nets), negative means hubs link leaves
+    (the internet). The one-number mixing summary a graph-health check
+    reports beside modularity and clustering coefficient.
+
+    Shape: symmetrize + distinct, one degree aggregation, two
+    broadcast-size degree joins onto the edge list, then ONE exact-sum
+    aggregation (degrees are integers, so every moment is an exact
+    decimal — the correlation-matrix float policy) with the Pearson
+    closed form over the directed-both-ways edge multiset (each
+    undirected edge contributes both orientations — the standard
+    symmetric estimator)."""
+    e = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    sym = e.unionAll(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).filter(F.col("a") != F.col("b")).distinct()
+    deg = sym.groupBy("a").agg(
+        F.count(F.lit(1)).cast("long").alias("deg"))
+    j = (
+        sym.join(deg.withColumnRenamed("a", "__x")
+                 .withColumnRenamed("deg", "dx"),
+                 F.col("a") == F.col("__x"))
+        .join(deg.withColumnRenamed("a", "__y")
+              .withColumnRenamed("deg", "dy"),
+              F.col("b") == F.col("__y"))
+    )
+    dx = F.col("dx").cast("decimal(18,0)")
+    dy = F.col("dy").cast("decimal(18,0)")
+    s = j.agg(
+        F.count(F.lit(1)).cast("long").alias("m2"),
+        F.sum(dx).alias("sx"), F.sum(dy).alias("sy"),
+        F.sum(dx * dy).alias("sxy"),
+        F.sum(dx * dx).alias("sxx"), F.sum(dy * dy).alias("syy"),
+    )
+    n = F.col("m2").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    num = n * sxy - sx * sy
+    den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return s.select(
+        (F.col("m2") / 2).cast("long").alias("n_edges"),
+        F.when(den > 0, F.round(num / den, round_dp))
+        .alias("assortativity"),
+    )

@@ -4965,3 +4965,65 @@ def text_entity_extract(spark, sf_dir):
         e = e.unionAll(p)
     return e.groupBy("doc_id", "entity_type", "entity").agg(
         F.count(F.lit(1)).cast("long").alias("n"))
+
+
+@query("text_boilerplate_strip", oracle="""
+WITH d AS (SELECT doc_id,
+    'COOKIE NOTICE accept all' || chr(10)
+      || substr(text, 1, 60) || chr(10)
+      || 'unique ' || CAST(doc_id AS VARCHAR) || ' '
+      || substr(text, 61, 40) || chr(10)
+      || 'copyright footer ' || source AS body
+  FROM documents),
+l AS (SELECT doc_id, line, ln
+      FROM (SELECT doc_id,
+              unnest(string_split(body, chr(10))) AS line,
+              generate_subscripts(string_split(body, chr(10)), 1) AS ln
+            FROM d)),
+freq AS (SELECT line, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+         FROM l GROUP BY line),
+k AS (SELECT l.doc_id, l.line, l.ln, freq.df
+      FROM l JOIN freq ON l.line = freq.line),
+kept AS (SELECT doc_id, line, ln FROM k WHERE df < 50)
+SELECT doc_id,
+  CAST(4 AS BIGINT) AS n_lines,
+  CAST(4 - COUNT(*) AS BIGINT) AS n_removed,
+  md5(string_agg(line, chr(10) ORDER BY ln)) AS kept_digest
+FROM kept GROUP BY doc_id
+""")
+def text_boilerplate_strip(spark, sf_dir):
+    """Corpus-frequency boilerplate removal (the CCNet/C4 line-level
+    dedup pass: drop lines whose DOCUMENT frequency says template,
+    keep lines that say content): synthesized 4-line docs share a
+    cookie banner globally and a footer per source; lines explode
+    with their position, one line-grain count computes document
+    frequency (only md5-class line keys shuffle), lines at df >= 50
+    drop, and each doc reassembles IN ORIGINAL ORDER (position-sorted
+    string_agg — reassembly order is the correctness trap). Emits
+    per-doc removed counts and the digest of the rebuilt text."""
+    docs = load(spark, sf_dir, "documents")
+    body = F.concat(
+        F.lit("COOKIE NOTICE accept all\n"),
+        F.substring("text", 1, 60), F.lit("\n"),
+        F.lit("unique "), F.col("doc_id").cast("string"), F.lit(" "),
+        F.substring("text", 61, 40), F.lit("\n"),
+        F.lit("copyright footer "), F.col("source"),
+    )
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(body, "\n")).alias("ln0", "line"),
+    ).select("doc_id", (F.col("ln0") + 1).alias("ln"), "line")
+    freq = lines.groupBy("line").agg(
+        F.countDistinct("doc_id").alias("df"))
+    kept = lines.join(freq, "line").filter(F.col("df") < 50)
+    rebuilt = F.concat_ws(
+        "\n",
+        F.array_sort(
+            F.collect_list(F.struct("ln", "line"))
+        ).getField("line"),
+    )
+    return kept.groupBy("doc_id").agg(
+        F.lit(4).cast("long").alias("n_lines"),
+        (F.lit(4) - F.count(F.lit(1))).cast("long").alias("n_removed"),
+        F.md5(rebuilt).alias("kept_digest"),
+    )

@@ -3483,3 +3483,49 @@ def agg_hhi(spark, sf_dir):
             "nation", F.col("tot").cast("long").alias("n_customers"),
             "hhi")
     )
+
+
+@query("graph_assortativity", oracle="""
+WITH e0 AS (SELECT DISTINCT l_partkey AS a, 1000000 + l_suppkey AS b
+            FROM lineitem),
+sym AS (SELECT DISTINCT a, b FROM (
+          SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0)
+        WHERE a != b),
+deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY a),
+j AS (SELECT CAST(dx.d AS DECIMAL(18,0)) AS dx,
+             CAST(dy.d AS DECIMAL(18,0)) AS dy
+      FROM sym JOIN deg dx ON sym.a = dx.a
+               JOIN deg dy ON sym.b = dy.a),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+        SUM(dx) AS sx, SUM(dy) AS sy, SUM(dx * dy) AS sxy,
+        SUM(dx * dx) AS sxx, SUM(dy * dy) AS syy
+      FROM j)
+SELECT CAST(m2 // 2 AS BIGINT) AS n_edges,
+  CASE WHEN sqrt((CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * (CAST(m2 AS DOUBLE) * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) > 0
+       THEN round((CAST(m2 AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / sqrt((CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (CAST(m2 AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+  END AS assortativity
+FROM s
+""")
+def graph_assortativity(spark, sf_dir):
+    """Degree assortativity (`degree_assortativity`,
+    operators/graph.py — Newman 2002): the endpoint-degree Pearson
+    over the symmetrized part-supplier graph. Bipartite graphs mix
+    disassortatively by construction — the gate value is strongly
+    negative, a structural fact the oracle replays through the exact
+    integer-degree moment sums."""
+    from ..operators.graph import degree_assortativity
+
+    li = load(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_partkey").alias("s"),
+        (F.lit(1000000) + F.col("l_suppkey")).alias("d"),
+    )
+    return degree_assortativity(edges, "s", "d")
