@@ -2037,3 +2037,77 @@ def image_patches(
 
     return df.select(path_col, content_col).mapInPandas(
         kernel, IMAGE_PATCHES_SCHEMA)
+
+
+IMAGE_AUGMENT_SCHEMA = (
+    "path string, aug string, width int, height int, aug_digest string"
+)
+
+
+def augment_images(
+    df: DataFrame,
+    augs: tuple[str, ...] = ("flip_h", "rot90", "center_crop"),
+    content_col: str = "content",
+    path_col: str = "path",
+    batch_size: int = 64,
+) -> DataFrame:
+    """Deterministic train-time augmentation as a Spark stage: decode
+    to grayscale and emit one row per (image, augmentation) with the
+    transformed raster's dimensions and pixel digest. The three
+    standard EXACT transforms — horizontal flip, 90-degree clockwise
+    rotation, center crop to the middle half — are pure pixel
+    permutations/selections (no interpolation), so a SQL oracle
+    replays them as index remaps of the generator formula; the same
+    property makes augmented-set dedup exact (digest groupBy).
+    Stochastic augs (random crop/jitter) belong on the training
+    loader; the CORPUS-side augs a pipeline materializes are exactly
+    these deterministic ones. Arrow mapInPandas, zero shuffle."""
+    import hashlib
+
+    import numpy as np
+
+    known = {"flip_h", "rot90", "center_crop"}
+    bad = set(augs) - known
+    if bad:
+        raise ValueError(f"unknown augs: {sorted(bad)}")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start:start + batch_size]
+                out: dict[str, list] = {k: [] for k in (
+                    "path", "aug", "width", "height", "aug_digest")}
+                for path, blob in zip(
+                    chunk[path_col].astype(str), chunk[content_col]
+                ):
+                    if blob is None:
+                        continue
+                    try:
+                        w, h, pix = decode_image_gray(bytes(blob))
+                    except NotImplementedError:
+                        continue
+                    img = np.frombuffer(pix, dtype=np.uint8).reshape(h, w)
+                    for aug in augs:
+                        if aug == "flip_h":
+                            t = img[:, ::-1]
+                        elif aug == "rot90":
+                            t = np.rot90(img, k=-1)  # clockwise
+                        else:  # center_crop to the middle half
+                            if w < 4 or h < 4:
+                                continue
+                            y0, x0 = h // 4, w // 4
+                            t = img[y0:y0 + h // 2, x0:x0 + w // 2]
+                        th, tw = t.shape
+                        digest = hashlib.md5(
+                            ",".join(map(str, t.flatten().tolist()))
+                            .encode()).hexdigest()
+                        out["path"].append(path)
+                        out["aug"].append(aug)
+                        out["width"].append(tw)
+                        out["height"].append(th)
+                        out["aug_digest"].append(digest)
+                yield pd.DataFrame(out).astype({
+                    "width": "int32", "height": "int32"})
+
+    return df.select(path_col, content_col).mapInPandas(
+        kernel, IMAGE_AUGMENT_SCHEMA)

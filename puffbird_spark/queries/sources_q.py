@@ -2901,3 +2901,68 @@ def multimodal_image_patches(spark, sf_dir):
         make_img(F.col("doc_id")).alias("content"),
     )
     return image_patches(docs, patch=4)
+
+
+@query("multimodal_image_augment", oracle="""
+WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS path,
+             doc_id % 40 AS s,
+             9 + (doc_id % 40) % 6 AS w, 8 + (doc_id % 40) % 5 AS h
+           FROM documents WHERE doc_id < 120),
+f AS (SELECT path, 'flip_h' AS aug, CAST(w AS INT) AS width,
+        CAST(h AS INT) AS height,
+        md5(array_to_string(flatten(
+          [[ (CAST(w - 1 - x AS BIGINT) * 31 + CAST(y AS BIGINT) * 17 + s)
+             % 256
+             FOR x IN range(0, CAST(w AS BIGINT))]
+            FOR y IN range(0, CAST(h AS BIGINT))]), ',')) AS aug_digest
+      FROM d),
+r AS (SELECT path, 'rot90' AS aug, CAST(h AS INT) AS width,
+        CAST(w AS INT) AS height,
+        md5(array_to_string(flatten(
+          [[ (CAST(i AS BIGINT) * 31 + CAST(h - 1 - j AS BIGINT) * 17 + s)
+             % 256
+             FOR j IN range(0, CAST(h AS BIGINT))]
+            FOR i IN range(0, CAST(w AS BIGINT))]), ',')) AS aug_digest
+      FROM d),
+c AS (SELECT path, 'center_crop' AS aug, CAST(w // 2 AS INT) AS width,
+        CAST(h // 2 AS INT) AS height,
+        md5(array_to_string(flatten(
+          [[ (CAST(w // 4 + x AS BIGINT) * 31
+              + CAST(h // 4 + y AS BIGINT) * 17 + s) % 256
+             FOR x IN range(0, CAST(w // 2 AS BIGINT))]
+            FOR y IN range(0, CAST(h // 2 AS BIGINT))]), ',')) AS aug_digest
+      FROM d)
+SELECT * FROM f UNION ALL SELECT * FROM r UNION ALL SELECT * FROM c
+""")
+def multimodal_image_augment(spark, sf_dir):
+    """Deterministic augmentation stage (`augment_images`,
+    operators/multimodal.py): 120 ragged-size images (PNG/GIF/BMP
+    round-robin) each emit horizontal-flip, clockwise-rotate-90, and
+    center-crop variants with transformed dims + pixel digest — the
+    corpus-side exact augs a pipeline materializes (stochastic jitter
+    belongs on the training loader). All three are pure index
+    remaps, so the oracle rebuilds every variant closed-form from the
+    generator formula; a transposed axis or off-by-one crop origin
+    breaks the hash."""
+    from ..operators.dedup import widen_parallelism
+    from ..operators.multimodal import (
+        augment_images, encode_bmp_gray, encode_gif, encode_png)
+
+    def _make(doc_id):
+        def one(i):
+            i = int(i)
+            s = i % 40
+            w, h = 9 + s % 6, 8 + s % 5
+            enc = (encode_png, encode_gif, encode_bmp_gray)[i % 3]
+            return enc(w, h, seed=s)
+
+        return doc_id.map(one)
+
+    make_img = F.pandas_udf(_make, returnType="binary")
+    docs = widen_parallelism(
+        load(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    ).select(
+        F.col("doc_id").cast("string").alias("path"),
+        make_img(F.col("doc_id")).alias("content"),
+    )
+    return augment_images(docs)
