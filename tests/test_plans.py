@@ -388,3 +388,61 @@ def test_moments_broadcasts_stats(q):
     frame."""
     df = q("agg_moments")
     assert P.count_broadcast_joins(df) >= 1
+
+
+def test_copurchase_projection_no_cartesian(q):
+    """The bipartite projection's pair stage must stay an equi-join on
+    the customer key — a cartesian here is the hub-explosion failure
+    the top-N cap exists to prevent."""
+    plan = P.formatted_plan(q("graph_copurchase"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_feature_hashing_single_aggregate_exchange(q):
+    """The hashing-trick featurizer is explode + ONE keyed groupBy: no
+    join, no window — vocabulary-free means coordination-free."""
+    plan = P.formatted_plan(q("feature_hashing"))
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_dp_counts_no_extra_exchange(q):
+    """DP noisy counts = one aggregation; the noise is a scan-local
+    expression over the group key, never a second shuffle or join."""
+    plan = P.formatted_plan(q("privacy_dp_counts"))
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # partial/final agg pair
+
+
+def test_random_walks_no_fanout_join(q):
+    """Every walk step joins state->degree and (node, pick)->edge as
+    plain equi-joins — never join-all-neighbors-then-filter (no
+    cartesian, no nested loop)."""
+    plan = P.formatted_plan(q("graph_random_walks"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bq_topk_signature_fenced(q):
+    """The BQ signature pipeline must keep its Generate fences: the
+    per-pair window references bound word attributes, not re-inlined
+    planes x dim folds (measured 29s vs 0.5s on 500 rows unfenced)."""
+    df = q("knn_binary_quantized")
+    plan = P.formatted_plan(df)
+    assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_phash_pairs_band_equijoin(q):
+    """pHash near-dup candidates come from a (band, value) equi-join —
+    the all-pairs Hamming scan is exactly what banding avoids."""
+    plan = P.formatted_plan(q("dedup_phash_near"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sax_single_exchange(q):
+    """SAX's window and both groupBys share the user key: one real
+    exchange (plus AQE reads), never a per-stage reshuffle."""
+    plan = P.formatted_plan(q("timeseries_sax"))
+    assert plan.count("Exchange hashpartitioning") <= 3
