@@ -3529,3 +3529,115 @@ def graph_assortativity(spark, sf_dir):
         (F.lit(1000000) + F.col("l_suppkey")).alias("d"),
     )
     return degree_assortativity(edges, "s", "d")
+
+
+@query("events_longest_streak", oracle="""
+WITH d AS (SELECT DISTINCT user_id,
+             CAST(CAST(ts AS DATE) AS DATE) AS day
+           FROM events WHERE user_id IS NOT NULL),
+r AS (SELECT user_id, day,
+        date_diff('day', DATE '1970-01-01', day)
+          - row_number() OVER (PARTITION BY user_id ORDER BY day)
+          AS grp
+      FROM d),
+s AS (SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len,
+        MIN(day) AS streak_start
+      FROM r GROUP BY user_id, grp)
+SELECT user_id,
+  MAX(len) AS longest_streak,
+  CAST(COUNT(*) AS BIGINT) AS n_streaks,
+  MIN(streak_start) AS first_active_day
+FROM s GROUP BY user_id
+""")
+def events_longest_streak(spark, sf_dir):
+    """Longest consecutive-day activity streak per user — the
+    date-minus-row-number gaps-and-islands idiom (a calendar twin of
+    `events_collapse_adjacent`'s value runs): distinct active days,
+    one window rank, day-number minus rank is constant within a
+    consecutive run, two keyed aggs. Engagement analytics' most
+    -asked question, all on one user-key exchange."""
+    from pyspark.sql.window import Window as W
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    r = days.select(
+        "user_id", "day",
+        (F.datediff(F.col("day"), F.lit("1970-01-01"))
+         - F.row_number().over(w)).alias("grp"),
+    )
+    s = r.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("len"),
+        F.min("day").alias("streak_start"),
+    )
+    return s.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.min("streak_start").alias("first_active_day"),
+    )
+
+
+@query("events_user_similarity", oracle="""
+WITH c AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+           FROM events WHERE user_id IS NOT NULL
+           GROUP BY user_id, event_type),
+p AS (SELECT a.user_id AS user_a, b.user_id AS user_b,
+        SUM(a.n * b.n) AS dot
+      FROM c a JOIN c b ON a.event_type = b.event_type
+       AND a.user_id < b.user_id
+      GROUP BY a.user_id, b.user_id),
+nrm AS (SELECT user_id, sqrt(CAST(SUM(n * n) AS DOUBLE)) AS nn
+        FROM c GROUP BY user_id),
+sc AS (SELECT p.user_a, p.user_b,
+         round(CAST(p.dot AS DOUBLE) / (na.nn * nb.nn), 6) AS cosine
+       FROM p JOIN nrm na ON p.user_a = na.user_id
+              JOIN nrm nb ON p.user_b = nb.user_id)
+SELECT user_a, user_b, cosine
+FROM sc
+QUALIFY row_number() OVER (PARTITION BY user_a
+                           ORDER BY cosine DESC, user_b) <= 3
+""")
+def events_user_similarity(spark, sf_dir):
+    """Behavioral user similarity — cosine over event-type count
+    profiles, top-3 per user: the audience-lookalike primitive built
+    from BEHAVIOR (the derived-feature sibling of the embedding kNN
+    family; profiles here are sparse count vectors, so the pair dot
+    products come from an equi-join on the event type — an inverted
+    index, never a dense cross join; type cardinality bounds the
+    fan-out). Integer dot products, one rounded division, window
+    top-3 with id tie-break."""
+    from pyspark.sql.window import Window as W
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    a = c.select(F.col("user_id").alias("user_a"), "event_type",
+                 F.col("n").alias("na"))
+    b = c.select(F.col("user_id").alias("user_b"), "event_type",
+                 F.col("n").alias("nb"))
+    p = (
+        a.join(b, "event_type")
+        .filter(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("dot"))
+    )
+    nrm = c.groupBy("user_id").agg(
+        F.sqrt(F.sum(F.col("n") * F.col("n")).cast("double")).alias("nn"))
+    sc = (
+        p.join(F.broadcast(nrm.withColumnRenamed("user_id", "user_a")
+                           .withColumnRenamed("nn", "nna")), "user_a")
+        .join(F.broadcast(nrm.withColumnRenamed("user_id", "user_b")
+                          .withColumnRenamed("nn", "nnb")), "user_b")
+        .select(
+            "user_a", "user_b",
+            F.round(
+                F.col("dot").cast("double")
+                / (F.col("nna") * F.col("nnb")), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("user_a").orderBy(F.desc("cosine"), F.asc("user_b"))
+    return (
+        sc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3).drop("rn")
+    )
