@@ -2111,3 +2111,80 @@ def augment_images(
 
     return df.select(path_col, content_col).mapInPandas(
         kernel, IMAGE_AUGMENT_SCHEMA)
+
+
+VIDEO_THUMBNAIL_SCHEMA = (
+    "path string, n_frames int, chosen_idx int, variance_x16 bigint, "
+    "thumb_digest string"
+)
+
+
+def video_thumbnail(
+    df: DataFrame,
+    content_col: str = "content",
+    path_col: str = "path",
+    batch_size: int = 64,
+) -> DataFrame:
+    """Thumbnail selection — the highest-variance frame (flat/black
+    frames score 0; the busiest frame is the conventional poster
+    pick): per video, decode all frames, score each with the EXACT
+    integer ``n^2 * var = n * sum(x^2) - sum(x)^2``-like quantity
+    (here ``n*sumsq - sum^2``, constant n per video, so the argmax is
+    var's argmax with no division), choose the max with lowest-index
+    tie-break, emit its md5 pixel digest. Exact integers end to end —
+    the oracle replays score, argmax, and digest closed-form. Arrow
+    mapInPandas, zero shuffle."""
+    import hashlib
+
+    import numpy as np
+
+    def _frames(blob: bytes):
+        if blob.startswith(b"YUV4MPEG2"):
+            return decode_y4m_frames(blob)
+        if blob[:6] in (b"GIF87a", b"GIF89a"):
+            return decode_gif_frames(blob)
+        if blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
+            return decode_avi_frames(blob)
+        raise NotImplementedError(
+            f"no frame decoder for magic {blob[:9]!r}")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start:start + batch_size]
+                out: dict[str, list] = {k: [] for k in (
+                    "path", "n_frames", "chosen_idx", "variance_x16",
+                    "thumb_digest")}
+                for path, blob in zip(
+                    chunk[path_col].astype(str), chunk[content_col]
+                ):
+                    if blob is None:
+                        continue
+                    try:
+                        frames = _frames(bytes(blob))
+                    except NotImplementedError:
+                        continue
+                    if not frames:
+                        continue
+                    best = None
+                    for idx, (_, w, h, pix) in enumerate(frames):
+                        x = np.frombuffer(pix, dtype=np.uint8).astype(
+                            np.int64)
+                        score = int(x.size * (x * x).sum()
+                                    - int(x.sum()) ** 2)
+                        if best is None or score > best[0]:
+                            best = (score, idx, pix)
+                    score, idx, pix = best
+                    out["path"].append(path)
+                    out["n_frames"].append(len(frames))
+                    out["chosen_idx"].append(idx)
+                    out["variance_x16"].append(score)
+                    out["thumb_digest"].append(
+                        hashlib.md5(",".join(
+                            str(v) for v in pix).encode()).hexdigest())
+                yield pd.DataFrame(out).astype({
+                    "n_frames": "int32", "chosen_idx": "int32",
+                    "variance_x16": "int64"})
+
+    return df.select(path_col, content_col).mapInPandas(
+        kernel, VIDEO_THUMBNAIL_SCHEMA)

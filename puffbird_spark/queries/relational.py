@@ -3641,3 +3641,79 @@ def events_user_similarity(spark, sf_dir):
         sc.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3).drop("rn")
     )
+
+
+@query("agg_bitmap_distinct", oracle="""
+WITH b AS (SELECT c_mktsegment,
+             c_custkey // 63 AS bucket,
+             bit_or(1::BIGINT << CAST(c_custkey % 63 AS INT)) AS bits
+           FROM customer GROUP BY c_mktsegment, c_custkey // 63)
+SELECT c_mktsegment,
+  CAST(SUM(bit_count(bits)) AS BIGINT) AS n_distinct,
+  CAST(COUNT(*) AS BIGINT) AS n_buckets
+FROM b GROUP BY c_mktsegment
+""")
+def agg_bitmap_distinct(spark, sf_dir):
+    """EXACT distinct counting via bitmap aggregation (the bitmap-index
+    technique warehouses use when keys are bounded integers): each key
+    sets bit ``id % 64`` of bucket ``id // 64``, buckets OR together
+    map-side (bit_or is associative-commutative — partials combine
+    like any sum), popcounts sum to the exact distinct count. Versus
+    count_distinct's shuffle of every key, this shuffles ONE 8-byte
+    word per 64-key bucket — the ~63x wire compression is the point at
+    scale. Two keyed aggs, both partial-aggregated."""
+    cust = load(spark, sf_dir, "customer")
+    b = cust.groupBy(
+        "c_mktsegment",
+        # 63 keys per bucket, not 64: bit 63 of a SIGNED BIGINT is the
+        # sign bit and DuckDB raises on 1 << 63
+        (F.col("c_custkey") / 63).cast("long").alias("bucket"),
+    ).agg(
+        # SQL shiftleft takes a column shift count; only the Python
+        # wrapper insists on a literal
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), "
+                   "CAST(c_custkey % 63 AS INT))")
+        ).alias("bits")
+    )
+    return b.groupBy("c_mktsegment").agg(
+        F.sum(F.bit_count("bits")).cast("long").alias("n_distinct"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+    )
+
+
+@query("diag_missingness", oracle="""
+WITH d AS (SELECT
+    CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS bal,
+    CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_mktsegment END AS seg,
+    CASE WHEN c_custkey % 13 = 0 THEN NULL ELSE c_nationkey END AS nat
+  FROM customer)
+SELECT bal IS NULL AS bal_missing,
+       seg IS NULL AS seg_missing,
+       nat IS NULL AS nat_missing,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM d GROUP BY 1, 2, 3
+""")
+def diag_missingness(spark, sf_dir):
+    """Missingness-pattern profile (the md.pattern / missingno matrix):
+    one row per NULL-indicator combination with its count — the
+    diagnostic that distinguishes random missingness from structural
+    (co-missing columns = an upstream join, not noise). NULLs are
+    synthesized deterministically on three customer columns; the
+    profile is ONE groupBy over the indicator tuple (2^k patterns max,
+    output-grain). The complete-case row count is the corr-matrix
+    denominator upstream of `diag_corr_matrix`."""
+    cust = load(spark, sf_dir, "customer")
+    d = cust.select(
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("c_acctbal")).alias("bal"),
+        F.when(F.col("c_custkey") % 11 == 0, F.lit(None))
+        .otherwise(F.col("c_mktsegment")).alias("seg"),
+        F.when(F.col("c_custkey") % 13 == 0, F.lit(None))
+        .otherwise(F.col("c_nationkey")).alias("nat"),
+    )
+    return d.groupBy(
+        F.col("bal").isNull().alias("bal_missing"),
+        F.col("seg").isNull().alias("seg_missing"),
+        F.col("nat").isNull().alias("nat_missing"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_rows"))

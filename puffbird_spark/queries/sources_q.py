@@ -2966,3 +2966,62 @@ def multimodal_image_augment(spark, sf_dir):
         make_img(F.col("doc_id")).alias("content"),
     )
     return augment_images(docs)
+
+
+@query("multimodal_video_thumbnail", oracle="""
+WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS path,
+             10 + doc_id % 5 AS w, 8 + doc_id % 3 AS h,
+             doc_id % 97 AS seed
+           FROM documents),
+px AS (SELECT d.path, d.w, d.h, f.f, x.x, y.y,
+         (x.x * 31 + y.y * 17 + f.f * 29 + d.seed) % 256 AS p
+       FROM d
+       JOIN range(0, 5) f(f) ON TRUE
+       JOIN LATERAL (SELECT unnest(range(0, CAST(d.w AS BIGINT))) AS x) x
+         ON TRUE
+       JOIN LATERAL (SELECT unnest(range(0, CAST(d.h AS BIGINT))) AS y) y
+         ON TRUE),
+sc AS (SELECT path, f, w, h,
+         COUNT(*) * SUM(p * p) - SUM(p) * SUM(p) AS score
+       FROM px GROUP BY path, f, w, h),
+pick AS (SELECT path, f, w, h, score
+         FROM sc
+         QUALIFY row_number() OVER (PARTITION BY path
+                                    ORDER BY score DESC, f) = 1),
+dig AS (SELECT pick.path, pick.f, pick.score,
+          md5(array_to_string(flatten(
+            [[ (CAST(x AS BIGINT) * 31 + CAST(y AS BIGINT) * 17
+                + pick.f * 29
+                + (CAST(pick.path AS BIGINT) % 97)) % 256
+               FOR x IN range(0, CAST(pick.w AS BIGINT))]
+              FOR y IN range(0, CAST(pick.h AS BIGINT))]), ','))
+            AS thumb_digest
+        FROM pick)
+SELECT path, CAST(5 AS INT) AS n_frames, CAST(f AS INT) AS chosen_idx,
+       CAST(score AS BIGINT) AS variance_x16, thumb_digest
+FROM dig
+""")
+def multimodal_video_thumbnail(spark, sf_dir):
+    """Poster-frame selection (`video_thumbnail`,
+    operators/multimodal.py): every document becomes a 5-frame Y4M
+    stream; each frame scores the EXACT integer n*sumsq - sum^2
+    (variance times n^2 — no division, so the argmax is exact), the
+    busiest frame wins with lowest-index tie-break, and its pixel
+    digest ships as the thumbnail identity. Oracle replays per-frame
+    scores, the windowed argmax, and the chosen frame's digest
+    closed-form. Zero shuffle — per-file selection inside the
+    kernel."""
+    from ..operators.dedup import widen_parallelism
+    from ..operators.multimodal import encode_y4m, video_thumbnail
+
+    def _make(doc_id):
+        return doc_id.map(
+            lambda i: encode_y4m(10 + int(i) % 5, 8 + int(i) % 3,
+                                 n_frames=5, seed=int(i) % 97))
+
+    make_v = F.pandas_udf(_make, returnType="binary")
+    docs = widen_parallelism(load(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("string").alias("path"),
+        make_v(F.col("doc_id")).alias("content"),
+    )
+    return video_thumbnail(docs)
