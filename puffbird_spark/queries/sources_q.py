@@ -3025,3 +3025,124 @@ def multimodal_video_thumbnail(spark, sf_dir):
         make_v(F.col("doc_id")).alias("content"),
     )
     return video_thumbnail(docs)
+
+
+@query("scan_text_lines", oracle="""
+WITH m AS (SELECT doc_id,
+             CAST(doc_id AS VARCHAR) || '|' || substr(text, 1, 40) AS line
+           FROM documents)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       md5(string_agg(line, chr(10) ORDER BY line)) AS digest,
+       CAST(SUM(length(line)) AS BIGINT) AS total_chars
+FROM m
+""")
+def scan_text_lines(spark, sf_dir):
+    """Line-oriented text source round-trip (`spark.read.text` — the
+    rawest ingest format; WET dumps and log files arrive this way):
+    one line per doc (id-prefixed so lines are unique) written via the
+    text sink and read back line-per-row; the digest aggregates the
+    LINE-SORTED content (text files carry no row order across
+    part-files — sorting by content is the only portable identity).
+    The oracle recomputes from the origin table."""
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    docs = load(spark, sf_dir, "documents")
+    src = docs.select(
+        F.concat(F.col("doc_id").cast("string"), F.lit("|"),
+                 F.substring("text", 1, 40)).alias("value"))
+    path = f"/tmp/pbs_fmt{tag}/docs_text_lines"
+    _materialize(src, path, "text")
+    back = spark.read.text(path)
+    vals = F.array_sort(F.collect_list("value"))
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.md5(F.concat_ws("\n", vals)).alias("digest"),
+        F.sum(F.length("value")).cast("long").alias("total_chars"),
+    )
+
+
+@query("pipeline_multimodal_intake", oracle="""
+WITH d AS (SELECT doc_id, doc_id % 30 AS s,
+             CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                             ELSE 'bmp' END AS fmt
+           FROM documents WHERE doc_id < 90),
+g AS (SELECT DISTINCT s, 13 + s % 7 AS w, 9 + s % 5 AS h FROM d),
+px AS (SELECT s, w, h, x.x AS px, y.y AS py,
+         (x.x * 31 + y.y * 17 + s) % 256 AS gray
+       FROM g, LATERAL (SELECT unnest(range(0, CAST(w AS BIGINT))) AS x) x,
+              LATERAL (SELECT unnest(range(0, CAST(h AS BIGINT))) AS y) y),
+bl AS (SELECT px.s, px.gray, u.u, v.v
+       FROM px
+       JOIN range(0, 8) u(u)
+         ON px.px >= u.u * px.w // 8 AND px.px < (u.u + 1) * px.w // 8
+       JOIN range(0, 8) v(v)
+         ON px.py >= v.v * px.h // 8 AND px.py < (v.v + 1) * px.h // 8),
+sm AS (SELECT s, u, v, SUM(gray) // COUNT(*) AS small
+       FROM bl GROUP BY s, u, v),
+co AS (SELECT sm.s, f.u2, f.v2,
+         SUM(sm.small * (CASE WHEN (bit_count(CAST(f.u2 & sm.u AS BIGINT))
+                                    + bit_count(CAST(f.v2 & sm.v AS BIGINT)))
+                                   % 2 = 0
+                              THEN 1 ELSE -1 END)) AS c
+       FROM sm, LATERAL (SELECT a.a AS u2, b.b AS v2
+                         FROM range(0, 8) a(a), range(0, 8) b(b)) f
+       GROUP BY sm.s, f.u2, f.v2),
+idxd AS (SELECT s, u2 * 8 + v2 AS idx, c FROM co),
+med AS (SELECT s, c AS m
+        FROM (SELECT s, c, row_number() OVER (PARTITION BY s
+                                              ORDER BY c, idx) AS rn
+              FROM idxd WHERE idx > 0)
+        WHERE rn = 32),
+ph AS (SELECT idxd.s,
+         CAST(SUM(CASE WHEN idxd.idx > 0 AND idxd.c > med.m
+                       THEN 1::BIGINT << (idxd.idx - 1) ELSE 0 END)
+              AS BIGINT) AS phash
+       FROM idxd JOIN med ON idxd.s = med.s GROUP BY idxd.s)
+SELECT d.fmt,
+  CAST(COUNT(*) AS BIGINT) AS n_images,
+  CAST(COUNT(DISTINCT ph.phash) AS BIGINT) AS n_perceptual,
+  CAST(COUNT(DISTINCT d.s) AS BIGINT) AS n_exact,
+  CAST(SUM(13 + d.s % 7) AS BIGINT) AS total_width
+FROM d JOIN ph ON ph.s = d.s
+GROUP BY d.fmt
+""")
+def pipeline_multimodal_intake(spark, sf_dir):
+    """Multimodal intake report — the composition over this round's
+    image stack: 90 blobs (PNG/GIF/BMP round-robin over 30 base
+    pictures) decode through `image_phash`, and the per-FORMAT report
+    counts images, distinct perceptual identities, distinct exact
+    pictures, and total decoded width — the dashboard a curation run
+    publishes before images enter training. Every number derives from
+    the real codec path; the oracle replays the full WHT-hash pipeline
+    plus the report rollup."""
+    from ..operators.dedup import widen_parallelism
+    from ..operators.multimodal import (
+        encode_bmp_gray, encode_gif, encode_png, image_phash)
+
+    def _make(doc_id):
+        def one(i):
+            i = int(i)
+            s = i % 30
+            w, h = 13 + s % 7, 9 + s % 5
+            enc = (encode_png, encode_gif, encode_bmp_gray)[i % 3]
+            return enc(w, h, seed=s)
+
+        return doc_id.map(one)
+
+    make_img = F.pandas_udf(_make, returnType="binary")
+    docs = widen_parallelism(
+        load(spark, sf_dir, "documents").filter(F.col("doc_id") < 90)
+    ).select(
+        F.col("doc_id").cast("string").alias("path"),
+        (F.col("doc_id") % 30).alias("s"),
+        make_img(F.col("doc_id")).alias("content"),
+    )
+    hashed = image_phash(docs, grid=8).select(
+        F.col("path").cast("long").alias("doc_id"), "format",
+        "width", "phash",
+    ).withColumn("s", F.col("doc_id") % 30)
+    return hashed.groupBy(F.col("format").alias("fmt")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_images"),
+        F.countDistinct("phash").cast("long").alias("n_perceptual"),
+        F.countDistinct("s").cast("long").alias("n_exact"),
+        F.sum("width").cast("long").alias("total_width"),
+    )
