@@ -3717,3 +3717,137 @@ def diag_missingness(spark, sf_dir):
         F.col("seg").isNull().alias("seg_missing"),
         F.col("nat").isNull().alias("nat_missing"),
     ).agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+
+
+@query("agg_ols_two_features", oracle="""
+WITH v AS (SELECT CAST(l_quantity AS DECIMAL(18,2)) AS x1,
+                  CAST(l_discount AS DECIMAL(18,2)) AS x2,
+                  CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+           FROM lineitem),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        SUM(x1) AS s1, SUM(x2) AS s2, SUM(y) AS sy,
+        SUM(x1*x1) AS s11, SUM(x2*x2) AS s22, SUM(x1*x2) AS s12,
+        SUM(x1*y) AS s1y, SUM(x2*y) AS s2y
+      FROM v),
+c AS (SELECT n,
+        CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/n AS a11,
+        CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE)*CAST(s2 AS DOUBLE)/n AS a22,
+        CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s2 AS DOUBLE)/n AS a12,
+        CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(sy AS DOUBLE)/n AS b1,
+        CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE)*CAST(sy AS DOUBLE)/n AS b2,
+        CAST(s1 AS DOUBLE)/n AS m1, CAST(s2 AS DOUBLE)/n AS m2,
+        CAST(sy AS DOUBLE)/n AS my
+      FROM s)
+SELECT n,
+  round((b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12), 6) AS beta1,
+  round((b2 * a11 - b1 * a12) / (a11 * a22 - a12 * a12), 6) AS beta2,
+  round(my - ((b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12)) * m1
+           - ((b2 * a11 - b1 * a12) / (a11 * a22 - a12 * a12)) * m2, 6)
+    AS intercept
+FROM c
+""")
+def agg_ols_two_features(spark, sf_dir):
+    """Two-regressor OLS via normal equations (price on quantity and
+    discount) — the multiple-regression extension of `agg_group_ols`:
+    every moment is an exact decimal from ONE aggregation pass, the
+    2x2 system solves in closed form (Cramer's rule on the centered
+    moments), coefficients round at 6 dp. The shape that scales:
+    k-feature OLS is one pass of k(k+3)/2 exact sums + a driver-free
+    closed-form solve — no iterative optimizer, no collect."""
+    li = load(spark, sf_dir, "lineitem")
+    x1 = dec("l_quantity", 18, 2)
+    x2 = dec("l_discount", 18, 2)
+    y = dec("l_extendedprice", 18, 2)
+    s = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x1).alias("s1"), F.sum(x2).alias("s2"),
+        F.sum(y).alias("sy"),
+        F.sum(x1 * x1).alias("s11"), F.sum(x2 * x2).alias("s22"),
+        F.sum(x1 * x2).alias("s12"),
+        F.sum(x1 * y).alias("s1y"), F.sum(x2 * y).alias("s2y"),
+    )
+    n = F.col("n").cast("double")
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    a11 = d("s11") - d("s1") * d("s1") / n
+    a22 = d("s22") - d("s2") * d("s2") / n
+    a12 = d("s12") - d("s1") * d("s2") / n
+    b1 = d("s1y") - d("s1") * d("sy") / n
+    b2 = d("s2y") - d("s2") * d("sy") / n
+    det = a11 * a22 - a12 * a12
+    beta1 = (b1 * a22 - b2 * a12) / det
+    beta2 = (b2 * a11 - b1 * a12) / det
+    m1, m2, my = d("s1") / n, d("s2") / n, d("sy") / n
+    return s.select(
+        "n",
+        F.round(beta1, 6).alias("beta1"),
+        F.round(beta2, 6).alias("beta2"),
+        F.round(my - beta1 * m1 - beta2 * m2, 6).alias("intercept"),
+    )
+
+
+@query("diag_anova", oracle="""
+WITH v AS (SELECT c_mktsegment AS g,
+                  CAST(c_acctbal AS DECIMAL(18,2)) AS y
+           FROM customer WHERE c_acctbal IS NOT NULL),
+per AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(y) AS s, SUM(y*y) AS q
+        FROM v GROUP BY g),
+tot AS (SELECT SUM(n) AS nn, SUM(s) AS ss, SUM(q) AS qq,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM per),
+parts AS (SELECT tot.nn, tot.k,
+    CAST(tot.qq AS DOUBLE)
+      - CAST(tot.ss AS DOUBLE) * CAST(tot.ss AS DOUBLE) / tot.nn AS sst,
+    SUM(CAST(per.s AS DOUBLE) * CAST(per.s AS DOUBLE) / per.n)
+      - CAST(tot.ss AS DOUBLE) * CAST(tot.ss AS DOUBLE) / tot.nn AS ssb
+  FROM per CROSS JOIN tot
+  GROUP BY tot.nn, tot.k, tot.qq, tot.ss)
+SELECT CAST(nn AS BIGINT) AS n, CAST(k AS INT) AS k,
+  round(ssb, 6) AS ss_between,
+  round(sst - ssb, 6) AS ss_within,
+  round((ssb / (k - 1)) / ((sst - ssb) / (nn - k)), 6) AS f_stat
+FROM parts
+""")
+def diag_anova(spark, sf_dir):
+    """One-way ANOVA (Fisher): does mean account balance differ across
+    market segments — the k-group generalization beside the two-sample
+    tests (`diag_mann_whitney`, `diag_ks_test`, `diag_ab_proportions`).
+    Between/within sums of squares from exact per-group decimal
+    moments (one groupBy + one k-row rollup), the F statistic one
+    closed-form double expression rounded at 6 dp."""
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal").isNotNull())
+    y = dec("c_acctbal", 18, 2)
+    per = cust.groupBy(F.col("c_mktsegment").alias("g")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(y).alias("s"), F.sum(y * y).alias("q"),
+    )
+    tot = per.agg(
+        F.sum("n").alias("nn"), F.sum("s").alias("ss"),
+        F.sum("q").alias("qq"), F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    nn = F.col("nn").cast("double")
+    sst = F.max(F.col("qq").cast("double")
+                - F.col("ss").cast("double") * F.col("ss").cast("double")
+                / nn)
+    ssb = (
+        F.sum(F.col("s").cast("double") * F.col("s").cast("double")
+              / F.col("n"))
+        - F.max(F.col("ss").cast("double") * F.col("ss").cast("double")
+                / nn)
+    )
+    agg = j.groupBy("nn", "k").agg(
+        F.round(ssb, 6).alias("ss_between"),
+        F.round(sst - ssb, 6).alias("ss_within"),
+        F.round(
+            (ssb / (F.col("k") - 1))
+            / ((sst - ssb) / (F.first("nn").cast("double") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+    )
+    return agg.select(
+        F.col("nn").cast("long").alias("n"),
+        F.col("k").cast("int").alias("k"),
+        "ss_between", "ss_within", "f_stat",
+    )
