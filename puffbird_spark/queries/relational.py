@@ -3798,7 +3798,9 @@ tot AS (SELECT SUM(n) AS nn, SUM(s) AS ss, SUM(q) AS qq,
 parts AS (SELECT tot.nn, tot.k,
     CAST(tot.qq AS DOUBLE)
       - CAST(tot.ss AS DOUBLE) * CAST(tot.ss AS DOUBLE) / tot.nn AS sst,
-    SUM(CAST(per.s AS DOUBLE) * CAST(per.s AS DOUBLE) / per.n)
+    CAST(SUM(CAST(round(
+        CAST(per.s AS DOUBLE) * CAST(per.s AS DOUBLE) / per.n, 6)
+      AS DECIMAL(28,6))) AS DOUBLE)
       - CAST(tot.ss AS DOUBLE) * CAST(tot.ss AS DOUBLE) / tot.nn AS ssb
   FROM per CROSS JOIN tot
   GROUP BY tot.nn, tot.k, tot.qq, tot.ss)
@@ -3831,9 +3833,16 @@ def diag_anova(spark, sf_dir):
     sst = F.max(F.col("qq").cast("double")
                 - F.col("ss").cast("double") * F.col("ss").cast("double")
                 / nn)
+    # per-group terms snap to 6-dp decimals before the CROSS-GROUP sum:
+    # a plain double sum is partial-agg-order-dependent and moved the
+    # last decimal at sf0.01 (magnitudes ~1e10 swamp 6-dp rounding)
     ssb = (
-        F.sum(F.col("s").cast("double") * F.col("s").cast("double")
-              / F.col("n"))
+        F.sum(
+            F.round(
+                F.col("s").cast("double") * F.col("s").cast("double")
+                / F.col("n"), 6
+            ).cast("decimal(28,6)")
+        ).cast("double")
         - F.max(F.col("ss").cast("double") * F.col("ss").cast("double")
                 / nn)
     )
