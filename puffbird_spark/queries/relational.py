@@ -3799,15 +3799,16 @@ parts AS (SELECT tot.nn, tot.k,
     CAST(tot.qq AS DOUBLE)
       - CAST(tot.ss AS DOUBLE) * CAST(tot.ss AS DOUBLE) / tot.nn AS sst,
     CAST(SUM(CAST(round(
-        CAST(per.s AS DOUBLE) * CAST(per.s AS DOUBLE) / per.n, 6)
-      AS DECIMAL(28,6))) AS DOUBLE)
-      - CAST(tot.ss AS DOUBLE) * CAST(tot.ss AS DOUBLE) / tot.nn AS ssb
+        CAST(per.s AS DOUBLE) * CAST(per.s AS DOUBLE) / per.n, 2)
+      AS DECIMAL(28,2))) AS DOUBLE)
+      - round(CAST(tot.ss AS DOUBLE) * CAST(tot.ss AS DOUBLE) / tot.nn, 2)
+      AS ssb
   FROM per CROSS JOIN tot
   GROUP BY tot.nn, tot.k, tot.qq, tot.ss)
 SELECT CAST(nn AS BIGINT) AS n, CAST(k AS INT) AS k,
-  round(ssb, 6) AS ss_between,
-  round(sst - ssb, 6) AS ss_within,
-  round((ssb / (k - 1)) / ((sst - ssb) / (nn - k)), 6) AS f_stat
+  round(ssb, 2) AS ss_between,
+  round(round(sst, 2) - ssb, 2) AS ss_within,
+  round((ssb / (k - 1)) / ((round(sst, 2) - ssb) / (nn - k)), 6) AS f_stat
 FROM parts
 """)
 def diag_anova(spark, sf_dir):
@@ -3833,25 +3834,30 @@ def diag_anova(spark, sf_dir):
     sst = F.max(F.col("qq").cast("double")
                 - F.col("ss").cast("double") * F.col("ss").cast("double")
                 / nn)
-    # per-group terms snap to 6-dp decimals before the CROSS-GROUP sum:
-    # a plain double sum is partial-agg-order-dependent and moved the
-    # last decimal at sf0.01 (magnitudes ~1e10 swamp 6-dp rounding)
+    # per-group terms snap to 2-dp decimals before the CROSS-GROUP sum
+    # (a plain double sum is partial-agg-order-dependent), and 2 dp —
+    # not 6 — because the snap is only engine-portable while
+    # term * 10^dp stays inside the double exact-integer range: these
+    # terms reach ~1e12 at sf1, so 6 dp overflowed it at sf0.1 and the
+    # two engines' round() diverged near boundaries
     ssb = (
         F.sum(
             F.round(
                 F.col("s").cast("double") * F.col("s").cast("double")
-                / F.col("n"), 6
-            ).cast("decimal(28,6)")
+                / F.col("n"), 2
+            ).cast("decimal(28,2)")
         ).cast("double")
-        - F.max(F.col("ss").cast("double") * F.col("ss").cast("double")
-                / nn)
+        - F.round(
+            F.max(F.col("ss").cast("double") * F.col("ss").cast("double"))
+            / nn, 2)
     )
+    sst2 = F.round(sst, 2)
     agg = j.groupBy("nn", "k").agg(
-        F.round(ssb, 6).alias("ss_between"),
-        F.round(sst - ssb, 6).alias("ss_within"),
+        F.round(ssb, 2).alias("ss_between"),
+        F.round(sst2 - ssb, 2).alias("ss_within"),
         F.round(
             (ssb / (F.col("k") - 1))
-            / ((sst - ssb) / (F.first("nn").cast("double") - F.col("k"))),
+            / ((sst2 - ssb) / (F.first("nn").cast("double") - F.col("k"))),
             6,
         ).alias("f_stat"),
     )
