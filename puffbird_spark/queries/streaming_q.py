@@ -1759,3 +1759,92 @@ def events_collapse_adjacent(spark, sf_dir):
         F.min("event_id").cast("long").alias("first_event_id"),
     ).select("user_id", F.col("run_id").cast("long").alias("run_id"),
              "event_type", "run_length", "run_start", "first_event_id")
+
+
+@query("events_session_overlap_users", oracle="""
+WITH s AS (SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                    - LAG(epoch_us(CAST(ts AS TIMESTAMP)))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    > 1800000000
+                   OR LAG(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+           FROM events WHERE user_id IS NOT NULL),
+num AS (SELECT user_id, ts,
+          SUM(is_start) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS sess
+        FROM s),
+spans AS (SELECT user_id, sess,
+            epoch_us(CAST(MIN(ts) AS TIMESTAMP)) AS t0,
+            epoch_us(CAST(MAX(ts) AS TIMESTAMP)) AS t1
+          FROM num GROUP BY user_id, sess),
+binned AS (SELECT DISTINCT user_id, sess, t0, t1,
+             unnest(range(t0 // 3600000000, t1 // 3600000000 + 1)) AS b
+           FROM spans),
+pairs AS (SELECT DISTINCT a.user_id AS user_a, b.user_id AS user_b,
+                 a.sess AS sess_a, b.sess AS sess_b
+          FROM binned a JOIN binned b
+            ON a.b = b.b AND a.user_id < b.user_id
+           AND a.t0 <= b.t1 AND b.t0 <= a.t1)
+SELECT user_a, user_b, CAST(COUNT(*) AS BIGINT) AS n_overlaps
+FROM pairs GROUP BY user_a, user_b
+""")
+def events_session_overlap_users(spark, sf_dir):
+    """Concurrent-session detection — which user pairs were active AT
+    THE SAME TIME (the co-presence primitive behind fraud rings,
+    shared-account detection, and collaboration graphs): 30-minute-gap
+    sessionization, then the overlap join runs through HOUR-BUCKET
+    blocking (each session lands in every hour it spans; pairs must
+    share a bucket AND truly overlap; DISTINCT collapses multi-bucket
+    double-counts) — never an all-pairs interval comparison. Counts
+    overlapping session pairs per user pair. Integer microsecond
+    arithmetic end to end."""
+    from pyspark.sql.window import Window as W
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    s = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | ((t - F.unix_micros(F.lag("ts").over(w).cast("timestamp")))
+               > 1800 * 1000000),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("is_start"),
+    )
+    num = s.withColumn(
+        "sess", F.sum("is_start").over(
+            W.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(W.unboundedPreceding, 0)))
+    spans = num.groupBy("user_id", "sess").agg(
+        F.unix_micros(F.min("ts").cast("timestamp")).alias("t0"),
+        F.unix_micros(F.max("ts").cast("timestamp")).alias("t1"),
+    )
+    hour = 3600 * 1000000
+    binned = spans.select(
+        "user_id", "sess", "t0", "t1",
+        F.explode(
+            F.sequence(
+                (F.col("t0") / hour).cast("long"),
+                (F.col("t1") / hour).cast("long") + 1 - 1,
+            )
+        ).alias("b"),
+    ).distinct()
+    a = binned.select(
+        F.col("user_id").alias("user_a"), F.col("sess").alias("sess_a"),
+        F.col("t0").alias("a0"), F.col("t1").alias("a1"), "b")
+    bb = binned.select(
+        F.col("user_id").alias("user_b"), F.col("sess").alias("sess_b"),
+        F.col("t0").alias("b0"), F.col("t1").alias("b1"), "b")
+    pairs = (
+        a.join(bb, "b")
+        .filter(
+            (F.col("user_a") < F.col("user_b"))
+            & (F.col("a0") <= F.col("b1")) & (F.col("b0") <= F.col("a1")))
+        .select("user_a", "user_b", "sess_a", "sess_b")
+        .distinct()
+    )
+    return pairs.groupBy("user_a", "user_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlaps"))
