@@ -678,6 +678,7 @@ def pca_fit_project(
     vec_col: str,
     k: int = 4,
     dp: int = 6,
+    return_loadings: bool = False,
 ):
     """PCA fit + projection over an embedding column (Pearson 1901 /
     Hotelling 1933) — the dimensionality-reduction step before
@@ -703,7 +704,9 @@ def pca_fit_project(
     Returns ``(scores_df, eigenvalues)``: the DataFrame has ``id_col``
     and ``pc_1..pc_k`` scalar columns (rounded to ``dp``);
     ``eigenvalues`` is the length-k list of explained variances
-    (descending)."""
+    (descending). With ``return_loadings=True`` a third element — the
+    d×k numpy loading matrix — is appended so callers can assert the
+    orthonormality invariant (the `embedding_pca` gate's self-check)."""
     import numpy as np
     import pandas as pd
 
@@ -761,4 +764,6 @@ def pca_fit_project(
     cols = [F.col("__id").alias(id_col)] + [
         F.element_at("__sc", j + 1).alias(f"pc_{j + 1}")
         for j in range(k)]
+    if return_loadings:
+        return out.select(*cols), eigenvalues, w
     return out.select(*cols), eigenvalues

@@ -516,10 +516,10 @@ s AS (SELECT doc_id, length(text) AS nc, len(toks) AS nt,
             ['the','a','of','and','to','is','in'], x))) AS sw
       FROM t)
 SELECT doc_id,
-  (CASE WHEN nc BETWEEN 100 AND 20000 THEN 0.25 ELSE 0.0 END
+  CAST(CASE WHEN nc BETWEEN 100 AND 20000 THEN 0.25 ELSE 0.0 END
  + CASE WHEN nt BETWEEN 20 AND 5000 THEN 0.25 ELSE 0.0 END
  + CASE WHEN ml >= 2.0 AND ml <= 12.0 THEN 0.25 ELSE 0.0 END
- + CASE WHEN sw > 0 THEN 0.25 ELSE 0.0 END) AS quality
+ + CASE WHEN sw > 0 THEN 0.25 ELSE 0.0 END AS DOUBLE) AS quality
 FROM s
 """)
 def text_quality(spark, sf_dir):
@@ -735,7 +735,8 @@ fx AS (
     row_number() OVER (PARTITION BY source ORDER BY val, key) AS rn,
     COUNT(*) OVER (PARTITION BY source) AS n
   FROM d),
-qs AS (SELECT * FROM (VALUES (0.1), (0.5), (0.9)) t(q)),
+qs AS (SELECT CAST(q AS DOUBLE) AS q
+       FROM (VALUES (0.1), (0.5), (0.9)) t(q)),
 est AS (
   SELECT sm.source, qs.q, sm.m, sm.val AS est
   FROM sm CROSS JOIN qs
@@ -3781,19 +3782,70 @@ def embedding_covariance(spark, sf_dir):
     )
 
 
-@query("embedding_pca")
+@query("embedding_pca", oracle="""
+SELECT CAST((SELECT COUNT(*) FROM embeddings
+             WHERE embedding IS NOT NULL) AS BIGINT) AS n_rows,
+       TRUE AS orthonormal_loadings, TRUE AS descending_variance,
+       TRUE AS scores_centered, TRUE AS variance_matches
+""")
 def embedding_pca(spark, sf_dir):
     """PCA projection (`pca_fit_project`, operators/clustering.py):
-    every vector reduced to its top-4 principal scores. Rows-only
-    driver check (eigendecomposition is not SQL-expressible); the
-    geometry invariants — orthonormal loadings, descending explained
-    variance, exact recovery of a planted low-rank basis — are pinned
-    in tests/test_operators.py."""
+    every vector reduced to its top-4 principal scores. The
+    eigendecomposition is not SQL-expressible, so — per the registry's
+    self-checking ANN-gate convention (VERDICT r8 next-round #4) — the
+    gate releases Spark-COMPUTED invariant booleans that the trivial
+    oracle pins TRUE plus a cross-engine row count:
+
+    - ``orthonormal_loadings``: max|WᵀW − I| < 1e-9 over the d×k
+      loading matrix the distributed moment pass produced;
+    - ``descending_variance``: eigenvalues non-negative and sorted
+      descending;
+    - ``scores_centered``: every projected component's mean is 0 within
+      1e-6 (centered projection);
+    - ``variance_matches``: every component's sample variance equals
+      its eigenvalue within 1e-4 relative — ties the DISTRIBUTED score
+      column back to the fit, so a broken projection kernel (wrong
+      mean, wrong matmul, stale broadcast) flips the bit.
+
+    The per-row score geometry (planted low-rank basis recovery) stays
+    pinned in tests/test_operators.py."""
     from ..operators.clustering import pca_fit_project
 
     emb = load(spark, sf_dir, "embeddings")
-    scores, _ = pca_fit_project(emb, "vec_id", "embedding", k=4)
-    return scores.orderBy("vec_id")
+    scores, evals, w = pca_fit_project(
+        emb, "vec_id", "embedding", k=4, return_loadings=True)
+
+    import numpy as np
+
+    gram = w.T @ w
+    orthonormal = bool(
+        np.max(np.abs(gram - np.eye(gram.shape[0]))) < 1e-9)
+    descending = bool(
+        all(a >= b for a, b in zip(evals, evals[1:]))
+        and all(v >= -1e-12 for v in evals))
+
+    k = len(evals)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for j in range(1, k + 1):
+        aggs.append(F.avg(f"pc_{j}").alias(f"m{j}"))
+        aggs.append(F.var_samp(f"pc_{j}").alias(f"v{j}"))
+    one = scores.agg(*aggs)
+    centered = None
+    var_ok = None
+    for j in range(1, k + 1):
+        c = F.abs(F.col(f"m{j}")) < F.lit(1e-6)
+        ev = float(evals[j - 1])
+        v = (F.abs(F.col(f"v{j}") - F.lit(ev))
+             <= F.lit(1e-4) * F.greatest(F.lit(abs(ev)), F.lit(1e-12)))
+        centered = c if centered is None else (centered & c)
+        var_ok = v if var_ok is None else (var_ok & v)
+    return one.select(
+        "n_rows",
+        F.lit(orthonormal).alias("orthonormal_loadings"),
+        F.lit(descending).alias("descending_variance"),
+        centered.alias("scores_centered"),
+        var_ok.alias("variance_matches"),
+    )
 
 
 def _mmr_oracle(k: int = 5, pool: int = 20) -> str:

@@ -3207,7 +3207,7 @@ c AS (SELECT v, w, SUM(w) OVER (ORDER BY v
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
         (SELECT SUM(w) FROM pv) AS tw
       FROM pv),
-g AS (SELECT unnest([0.25, 0.5, 0.75, 0.9]) AS p)
+g AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9]) AS DOUBLE) AS p)
 SELECT g.p,
   CAST(MIN(CASE WHEN CAST(c.cumw AS DOUBLE)
                      >= CAST(c.tw AS DOUBLE) * g.p
@@ -3448,9 +3448,9 @@ WITH s AS (SELECT n_nationkey AS nation, c_mktsegment AS seg,
            GROUP BY 1, 2),
 t AS (SELECT nation, SUM(n) AS tot FROM s GROUP BY nation)
 SELECT s.nation, CAST(t.tot AS BIGINT) AS n_customers,
-  round(SUM(CAST(round(
+  round(CAST(SUM(CAST(round(
       (CAST(s.n AS DOUBLE) / t.tot) * (CAST(s.n AS DOUBLE) / t.tot), 12)
-    AS DECIMAL(28,12))) * 10000, 6) AS hhi
+    AS DECIMAL(28,12))) AS DOUBLE) * 10000, 6) AS hhi
 FROM s JOIN t ON s.nation = t.nation
 GROUP BY s.nation, t.tot
 """)
@@ -3459,7 +3459,11 @@ def agg_hhi(spark, sf_dir):
     market-segment shares (the antitrust/market-structure metric,
     scaled to the conventional 0-10000 points): integer cell counts,
     per-cell squared shares snapped to 12-dp decimals before the
-    order-free sum. Two keyed aggs + one broadcast-size join."""
+    order-free sum; the exact decimal sum is cast to DOUBLE before
+    scaling so the released column follows the registry's double
+    output convention (VERDICT r8: a DECIMAL final hash-mismatches
+    the driver even when values agree). Two keyed aggs + one
+    broadcast-size join."""
     cust = load(spark, sf_dir, "customer")
     nat = load(spark, sf_dir, "nation")
     s = cust.join(
@@ -3477,7 +3481,7 @@ def agg_hhi(spark, sf_dir):
             F.round(
                 F.sum(
                     F.round(share * share, 12).cast("decimal(28,12)")
-                ) * 10000, 6
+                ).cast("double") * 10000, 6
             ).alias("hhi"))
         .select(
             "nation", F.col("tot").cast("long").alias("n_customers"),

@@ -72,26 +72,122 @@ def canonical_rows(pdf: pd.DataFrame) -> list[tuple[str, ...]]:
     )
 
 
+def _col_kind(series: pd.Series) -> str:
+    """Coarse value-kind of a pandas column, as the DRIVER would see it.
+
+    ``_cell`` silently coerces ``Decimal`` -> float, which made this tool
+    blind to the exact seam that shipped red in r8 (``agg_hhi``: Spark
+    delivered ``Decimal`` objects, DuckDB float64, values equal at 6 dp —
+    driver hash_match=false). Kinds are compared per column BEFORE value
+    canonicalization so a Decimal-vs-float pairing fails here the way it
+    fails there (VERDICT r8 "What's wrong" #2)."""
+    dt = series.dtype
+    if pd.api.types.is_bool_dtype(dt):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dt):
+        return "int"
+    if pd.api.types.is_float_dtype(dt):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(dt):
+        return "datetime"
+    # object column: classify by the first non-null value
+    for v in series:
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            continue
+        if isinstance(v, decimal.Decimal):
+            return "decimal"
+        if isinstance(v, bool):
+            return "bool"
+        if isinstance(v, int):
+            return "int"
+        if isinstance(v, float):
+            return "float"
+        if isinstance(v, (datetime.datetime, datetime.date, pd.Timestamp)):
+            return "datetime"
+        if isinstance(v, (list, tuple, np.ndarray)):
+            return "list"
+        if isinstance(v, dict):
+            return "map"
+        return "str"
+    return "empty"
+
+
+def dtype_problems(
+    sdf: pd.DataFrame, odf: pd.DataFrame
+) -> tuple[list[str], list[str]]:
+    """Return (hard failures, warnings). A ``decimal`` kind on either side
+    that the other side doesn't mirror is the proven-red driver seam ->
+    hard FAIL. Every other kind mismatch is a WARN: existing driver-GREEN
+    gates pair int64 vs float64 (DuckDB HUGEINT sums come back float), so
+    the driver's canonicalization demonstrably tolerates those."""
+    fails, warns = [], []
+    for col in sorted(set(sdf.columns) & set(odf.columns)):
+        sk, ok = _col_kind(sdf[col]), _col_kind(odf[col])
+        if sk == ok or "empty" in (sk, ok):
+            continue
+        msg = f"dtype seam on '{col}': spark={sk} duckdb={ok}"
+        if "decimal" in (sk, ok):
+            fails.append(msg)
+        else:
+            warns.append(msg)
+    return fails, warns
+
+
+def lint_oracle_types(con, oracles: dict[str, str]) -> list[str]:
+    """Registry-wide output-type lint (VERDICT r8 next-round #2): probe each
+    oracle's column types via DuckDB (LIMIT 0 — no data scanned) and flag
+    any DECIMAL value column. The registry convention is DOUBLE finals;
+    a DECIMAL final ships a red driver hash even when values agree."""
+    bad = []
+    for name, sql in sorted(oracles.items()):
+        try:
+            rel = con.sql(f"SELECT * FROM ({sql}) q LIMIT 0")
+            decimals = [
+                f"{c}:{t}" for c, t in zip(rel.columns, rel.types)
+                if "DECIMAL" in str(t).upper()
+            ]
+        except Exception as e:  # noqa: BLE001 — report, don't mask
+            bad.append(f"{name}: probe error {type(e).__name__}: {e}")
+            continue
+        if decimals:
+            bad.append(f"{name}: DECIMAL output column(s) {decimals}")
+    return bad
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*", help="subset of query names to check")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--lint-types", action="store_true",
+        help="registry-wide oracle output-type lint (no Spark, no data "
+             "scan): fail on any DECIMAL oracle output column")
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
-    from puffbird_spark.session import get_spark
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     names = args.names or list(queries)
 
-    spark = get_spark(app_name="check-oracle", master="local[8]",
-                      shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
         path = f"{args.sf_dir}/{t}.parquet"
         if os.path.exists(path):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+
+    if args.lint_types:
+        subset = {n: oracles[n] for n in names if n in oracles}
+        bad = lint_oracle_types(con, subset)
+        for line in bad:
+            print(f"LINT {line}")
+        print(f"\nlint: {len(bad)} offender(s) of {len(subset)} oracles")
+        return 1 if bad else 0
+
+    from puffbird_spark.session import get_spark
+
+    spark = get_spark(app_name="check-oracle", master="local[8]",
+                      shuffle_partitions=8)
 
     n_pass = n_fail = n_rowsonly = 0
     for name in names:
@@ -124,6 +220,11 @@ def main() -> int:
         s_cols, o_cols = sorted(sdf.columns), sorted(odf.columns)
         if s_cols != o_cols:
             problems.append(f"columns spark={s_cols} duckdb={o_cols}")
+        if not problems:
+            dt_fails, dt_warns = dtype_problems(sdf, odf)
+            problems.extend(dt_fails)
+            for w in dt_warns:
+                print(f"{name}: WARN {w}")
         if not problems:
             srows, orows = canonical_rows(sdf), canonical_rows(odf)
             if srows != orows:
