@@ -417,10 +417,14 @@ def pagerank(
     Vertices are everything appearing as source OR target.
 
     Engine-portable float policy: each iteration's rank rounds at
-    ``dp`` (HALF_UP via ``F.round``) so the per-vertex incoming sum —
-    whose addition order no engine guarantees — always lands far from
-    a rounding boundary; an oracle unrolling the same ``n_iter``
-    rounds in SQL replays bit-for-bit.
+    ``dp`` (HALF_UP via ``F.round``), and every ORDER-FREE SUM — the
+    per-vertex inflow and the dangling total — adds 12-dp
+    decimal-snapped terms, not raw doubles (ADVICE r8 #4: a raw
+    double sum is partial-aggregation-order dependent, the same
+    hazard the ewma/anova gates fixed; exact decimal addition is the
+    portability rule of NOTES.md). An oracle unrolling the same
+    ``n_iter`` rounds in SQL replays value-for-value at any
+    parallelism.
 
     Scale shape: per round ONE join (contributions = ranks ⋈ edges on
     the source key) + one groupBy sum on the target key — partitioning
@@ -475,18 +479,26 @@ def pagerank(
     ranks = base.select(
         "vertex", "outdeg", "tel", F.round("tel", dp).alias("rank")
     ).localCheckpoint(eager=True)
+    dec0 = F.lit(0).cast("decimal(38,12)")
     for _ in range(n_iter):
         dangling = (
             ranks.filter(F.col("outdeg") == 0)
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling"))
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("rank").cast("decimal(38,12)")), dec0
+                ).cast("double").alias("dangling"))
         )
         contrib = (
             ranks.filter(F.col("outdeg") > 0)
             .join(e, ranks.vertex == e.src)
-            .select(F.col("dst").alias("vertex"),
-                    (F.col("rank") / F.col("outdeg")).alias("c"))
+            .select(
+                F.col("dst").alias("vertex"),
+                # 12-dp decimal snap BEFORE the keyed sum: addition
+                # becomes exact, hence partial-agg-order free
+                F.round(F.col("rank") / F.col("outdeg"), 12)
+                .cast("decimal(38,12)").alias("c"))
             .groupBy("vertex")
-            .agg(F.sum("c").alias("inflow"))
+            .agg(F.sum("c").cast("double").alias("inflow"))
         )
         ranks = (
             base.join(contrib, "vertex", "left")
@@ -616,12 +628,17 @@ def hits(
         .localCheckpoint(eager=True)
     )
     for _ in range(n_iter):
+        # 12-dp decimal snap before every order-free sum (the pagerank
+        # portability rule, ADVICE r8 #4): the summed scores are 9-dp
+        # rounded doubles, so the snap is exact and the sums engine-free
         a_raw = (
             scores.join(e, scores.vertex == e.src)
-            .groupBy("dst").agg(F.sum("hub").alias("ar"))
+            .groupBy("dst").agg(
+                F.sum(F.col("hub").cast("decimal(38,12)")).alias("ar"))
             .select(F.col("dst").alias("vertex"), "ar")
         )
         a_tot = a_raw.agg(F.sum("ar").alias("at"))
+        dec0 = F.lit(0).cast("decimal(38,12)")
         auth = (
             scores.select("vertex", "hub")
             .join(a_raw, "vertex", "left")
@@ -629,13 +646,15 @@ def hits(
             .select(
                 "vertex", "hub",
                 F.round(
-                    F.coalesce("ar", F.lit(0.0)) / F.col("at"), dp
+                    F.coalesce(F.col("ar"), dec0).cast("double")
+                    / F.col("at").cast("double"), dp
                 ).alias("auth"))
             .localCheckpoint(eager=True)
         )
         h_raw = (
             auth.join(e, auth.vertex == e.dst)
-            .groupBy("src").agg(F.sum("auth").alias("hr"))
+            .groupBy("src").agg(
+                F.sum(F.col("auth").cast("decimal(38,12)")).alias("hr"))
             .select(F.col("src").alias("vertex"), "hr")
         )
         h_tot = h_raw.agg(F.sum("hr").alias("ht"))
@@ -646,7 +665,8 @@ def hits(
             .select(
                 "vertex",
                 F.round(
-                    F.coalesce("hr", F.lit(0.0)) / F.col("ht"), dp
+                    F.coalesce(F.col("hr"), dec0).cast("double")
+                    / F.col("ht").cast("double"), dp
                 ).alias("hub"),
                 "auth")
             .localCheckpoint(eager=True)

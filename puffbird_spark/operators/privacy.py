@@ -67,14 +67,37 @@ def suppress_small_classes(
     return df.join(F.broadcast(bad), on=quasi_cols, how="left_anti")
 
 
+_MIN_SALT_LEN = 16
+
+
+def _require_secret_salt(salt: str) -> None:
+    """The Laplace draw is a PRF of ``salt || group key``. Anyone who
+    knows the salt can recompute the draw and subtract it, recovering
+    the exact value — so the DP guarantee holds ONLY while the salt is
+    a secret, high-entropy key (treat it exactly like an HMAC key; a
+    public or guessable salt voids the guarantee entirely). There is
+    deliberately no default, and a short salt is rejected outright
+    (ADVICE r8 #2)."""
+    if not isinstance(salt, str) or len(salt) < _MIN_SALT_LEN:
+        raise ValueError(
+            "salt must be a caller-supplied secret of at least "
+            f"{_MIN_SALT_LEN} characters (a PRF key — the DP guarantee "
+            "fails if it is public, guessable, or reused across "
+            "releases); got "
+            + (f"{len(salt)} chars" if isinstance(salt, str) else
+               type(salt).__name__)
+        )
+
+
 def dp_noisy_counts(
     df: DataFrame,
     group_cols: list[str],
+    salt: str,
     epsilon: float = 1.0,
-    salt: str = "dp",
     round_dp: int = 6,
+    include_exact: bool = False,
 ) -> DataFrame:
-    """Differentially-private group counts (Dwork 2006): exact count per
+    """Differentially-private group counts (Dwork 2006): count per
     group plus Laplace(1/epsilon) noise — sensitivity 1 for a count —
     released as ``noisy_count`` (floored at 0).
 
@@ -82,10 +105,18 @@ def dp_noisy_counts(
     redraw and double-release. It is a pure function of the group key —
     ``laplace_noise(salt || key)`` inverts the Laplace CDF over an
     md5-derived uniform (functions/hashing.py) — so the release is
-    reproducible across retries, partitionings, and engines. One
-    caveat, documented for auditors: determinism means re-releasing the
-    SAME table redraws nothing (no privacy budget burn-down across
-    re-runs); vary ``salt`` per release epoch to redraw.
+    reproducible across retries, partitionings, and engines. The flip
+    side (ADVICE r8 #2): ``salt`` is the entire secret. It must be a
+    caller-supplied high-entropy key, kept as secret as the raw data;
+    with a known salt anyone recomputes the draw and recovers the exact
+    count. Determinism also means re-releasing the SAME table redraws
+    nothing (no budget burn-down across re-runs); use a fresh secret
+    salt per release epoch, and account epsilon per DISTINCT salt.
+
+    ``exact_count`` is withheld unless ``include_exact=True`` — that
+    flag is for in-house accuracy audits only, never for a frame that
+    leaves the pipeline (releasing it alongside the noisy value defeats
+    the mechanism trivially).
 
     Scale: one shuffle (the groupBy, map-side partial), noise computed
     group-grain (output-sized, not input-sized)."""
@@ -95,6 +126,7 @@ def dp_noisy_counts(
         raise ValueError("group_cols must be non-empty")
     if epsilon <= 0:
         raise ValueError(f"epsilon must be > 0, got {epsilon}")
+    _require_secret_salt(salt)
     key = F.concat_ws(
         "|", F.lit(salt), *[F.col(c).cast("string") for c in group_cols]
     )
@@ -102,7 +134,7 @@ def dp_noisy_counts(
         F.count(F.lit(1)).cast("long").alias("exact_count")
     )
     noise = laplace_noise(key, scale=1.0 / float(epsilon), round_dp=round_dp)
-    return agg.select(
+    released = agg.select(
         *group_cols,
         "exact_count",
         F.round(
@@ -112,6 +144,9 @@ def dp_noisy_counts(
             round_dp,
         ).alias("noisy_count"),
     )
+    if include_exact:
+        return released
+    return released.drop("exact_count")
 
 
 def dp_noisy_mean(
@@ -119,9 +154,10 @@ def dp_noisy_mean(
     group_cols: list[str],
     value_col: str,
     clamp: float,
+    salt: str,
     epsilon: float = 1.0,
-    salt: str = "dpm",
     round_dp: int = 6,
+    include_exact: bool = False,
 ) -> DataFrame:
     """Differentially-private group means via the clamp-and-noise
     recipe: values clamp to ``[0, clamp]`` (bounding the sensitivity
@@ -129,16 +165,20 @@ def dp_noisy_mean(
     Laplace(clamp/eps_half) noise and the count Laplace(1/eps_half)
     noise with the budget split evenly, and the released mean is
     their ratio (clamped back into ``[0, clamp]``). Same retry-safe
-    determinism as :func:`dp_noisy_counts` — both draws are pure
-    functions of the group key on disjoint salts. Exact decimal sums
-    under the clamp keep the pre-noise value engine-identical. One
-    shuffle; noise at output grain."""
+    determinism — and the same secret-salt contract — as
+    :func:`dp_noisy_counts`: both draws are pure functions of the
+    group key on disjoint suffixes of the caller's secret salt, so a
+    public salt voids the guarantee (ADVICE r8 #2). ``exact_n`` is
+    withheld unless ``include_exact=True`` (in-house audits only).
+    Exact decimal sums under the clamp keep the pre-noise value
+    engine-identical. One shuffle; noise at output grain."""
     from ..functions.hashing import laplace_noise
 
     if not group_cols:
         raise ValueError("group_cols must be non-empty")
     if epsilon <= 0 or clamp <= 0:
         raise ValueError("epsilon and clamp must be > 0")
+    _require_secret_salt(salt)
     eps_half = float(epsilon) / 2.0
     v = F.least(
         F.greatest(F.col(value_col).cast("double"), F.lit(0.0)),
@@ -167,8 +207,11 @@ def dp_noisy_mean(
     )
     mean = F.least(
         F.greatest(noisy_sum / noisy_n, F.lit(0.0)), F.lit(float(clamp)))
-    return agg.select(
+    released = agg.select(
         *group_cols,
         F.col("__n").alias("exact_n"),
         F.round(mean, round_dp).alias("noisy_mean"),
     )
+    if include_exact:
+        return released
+    return released.drop("exact_n")

@@ -2531,9 +2531,11 @@ r0 AS (SELECT vertex, outdeg, round(1.0 / nn.n, 9) AS rank
         parts.append(f""",
 r{k} AS (SELECT b.vertex, b.outdeg,
     round((1.0 - 0.85) * (1.0 / nn.n)
-          + 0.85 * coalesce(i.inflow, 0.0), 9) AS rank
+          + 0.85 * coalesce(CAST(i.inflow AS DOUBLE), 0.0), 9) AS rank
   FROM base b CROSS JOIN nn
-  LEFT JOIN (SELECT e.dst AS vertex, SUM(r.rank / r.outdeg) AS inflow
+  LEFT JOIN (SELECT e.dst AS vertex,
+               SUM(CAST(round(r.rank / r.outdeg, 12)
+                   AS DECIMAL(38,12))) AS inflow
              FROM r{k - 1} r JOIN e ON r.vertex = e.src
              WHERE r.outdeg > 0
              GROUP BY e.dst) i ON b.vertex = i.vertex)""")
@@ -2713,9 +2715,11 @@ r0 AS (SELECT vertex, outdeg, tel, round(tel, 9) AS rank FROM base)"""]
         parts.append(f""",
 r{k} AS (SELECT b.vertex, b.outdeg, b.tel,
     round((1.0 - 0.85) * b.tel
-          + 0.85 * coalesce(i.inflow, 0.0), 9) AS rank
+          + 0.85 * coalesce(CAST(i.inflow AS DOUBLE), 0.0), 9) AS rank
   FROM base b
-  LEFT JOIN (SELECT e.dst AS vertex, SUM(r.rank / r.outdeg) AS inflow
+  LEFT JOIN (SELECT e.dst AS vertex,
+               SUM(CAST(round(r.rank / r.outdeg, 12)
+                   AS DECIMAL(38,12))) AS inflow
              FROM r{k - 1} r JOIN e ON r.vertex = e.src
              WHERE r.outdeg > 0
              GROUP BY e.dst) i ON b.vertex = i.vertex)""")
@@ -2822,18 +2826,22 @@ s0 AS MATERIALIZED (SELECT vertex, round(1.0 / nn.n, 9) AS hub,
        FROM v CROSS JOIN nn)"""]
     for k in range(1, n_iter + 1):
         parts.append(f""",
-a{k}r AS (SELECT e.dst AS vertex, SUM(s.hub) AS ar
+a{k}r AS (SELECT e.dst AS vertex,
+    SUM(CAST(s.hub AS DECIMAL(38,12))) AS ar
   FROM s{k - 1} s JOIN e ON s.vertex = e.src GROUP BY e.dst),
 a{k}t AS (SELECT SUM(ar) AS at FROM a{k}r),
 a{k} AS MATERIALIZED (SELECT b.vertex, b.hub,
-    round(coalesce(r.ar, 0.0) / t.at, 9) AS auth
+    round(CAST(coalesce(r.ar, 0) AS DOUBLE)
+          / CAST(t.at AS DOUBLE), 9) AS auth
   FROM s{k - 1} b LEFT JOIN a{k}r r ON b.vertex = r.vertex
   CROSS JOIN a{k}t t),
-h{k}r AS (SELECT e.src AS vertex, SUM(a.auth) AS hr
+h{k}r AS (SELECT e.src AS vertex,
+    SUM(CAST(a.auth AS DECIMAL(38,12))) AS hr
   FROM a{k} a JOIN e ON a.vertex = e.dst GROUP BY e.src),
 h{k}t AS (SELECT SUM(hr) AS ht FROM h{k}r),
 s{k} AS MATERIALIZED (SELECT a.vertex,
-    round(coalesce(r.hr, 0.0) / t.ht, 9) AS hub, a.auth
+    round(CAST(coalesce(r.hr, 0) AS DOUBLE)
+          / CAST(t.ht AS DOUBLE), 9) AS hub, a.auth
   FROM a{k} a LEFT JOIN h{k}r r ON a.vertex = r.vertex
   CROSS JOIN h{k}t t)""")
     parts.append(f"""

@@ -3030,7 +3030,7 @@ def _dp_counts_oracle() -> str:
     from ..functions.hashing import oracle_laplace
 
     noise = oracle_laplace(
-        "'dp' || '|' || CAST(c_mktsegment AS VARCHAR)"
+        "'gate-audit-prf-key-counts' || '|' || CAST(c_mktsegment AS VARCHAR)"
         " || '|' || CAST(c_nationkey AS VARCHAR)",
         scale=1.0,
     )
@@ -3054,15 +3054,20 @@ def privacy_dp_counts(spark, sf_dir):
     of the group key (inverse Laplace CDF over an md5-derived uniform,
     functions/hashing.py) — no RNG state, so a retried task, a
     different partitioning, and the SQL oracle all release identical
-    values; the epsilon=1 salt is the release-epoch knob. One shuffle
-    (map-side partial counts), noise computed at output grain. The
-    audit view keeps exact_count beside noisy_count; a real release
-    drops it."""
+    values. The salt is a caller-supplied SECRET PRF key in production
+    (public salt = recomputable noise = no DP; ADVICE r8 #2) — the
+    gate necessarily uses a known test key because the oracle must
+    replay the draw. One shuffle (map-side partial counts), noise
+    computed at output grain. ``include_exact=True`` is the in-house
+    AUDIT view (cross-engine evidence for the pre-noise count); the
+    default release withholds exact_count."""
     from ..operators.privacy import dp_noisy_counts
 
     cust = load(spark, sf_dir, "customer")
     return dp_noisy_counts(
-        cust, ["c_mktsegment", "c_nationkey"], epsilon=1.0, salt="dp"
+        cust, ["c_mktsegment", "c_nationkey"],
+        salt="gate-audit-prf-key-counts", epsilon=1.0,
+        include_exact=True,
     )
 
 
@@ -3363,7 +3368,8 @@ def _dp_mean_oracle() -> str:
     from ..functions.hashing import oracle_laplace
 
     key = lambda sfx: (  # noqa: E731
-        f"'dpm{sfx}' || '|' || CAST(c_mktsegment AS VARCHAR)")
+        f"'gate-audit-prf-key-mean{sfx}' || '|' "
+        "|| CAST(c_mktsegment AS VARCHAR)")
     n_sum = oracle_laplace(key("s"), scale=5000.0 / 0.5)
     n_cnt = oracle_laplace(key("c"), scale=1.0 / 0.5)
     return f"""
@@ -3390,15 +3396,19 @@ def privacy_dp_mean(spark, sf_dir):
     (sensitivity bound), the budget split between Laplace noise on
     the clamped sum (scale clamp/(eps/2)) and on the count (scale
     2/eps), ratio re-clamped. Both draws are pure functions of the
-    group key on disjoint salts (retry-safe, engine-replayable). The
-    oracle replays clamp, exact decimal sum, both Laplace inversions,
-    and the guarded ratio."""
+    group key on disjoint suffixes of the salt (retry-safe,
+    engine-replayable); in production the salt is a SECRET PRF key —
+    the gate uses a known test key so the oracle can replay the draw
+    (ADVICE r8 #2). ``include_exact=True`` is the audit view; a real
+    release withholds exact_n. The oracle replays clamp, exact decimal
+    sum, both Laplace inversions, and the guarded ratio."""
     from ..operators.privacy import dp_noisy_mean
 
     cust = load(spark, sf_dir, "customer")
     return dp_noisy_mean(
         cust, ["c_mktsegment"], "c_acctbal",
-        clamp=5000.0, epsilon=1.0, salt="dpm",
+        clamp=5000.0, salt="gate-audit-prf-key-mean", epsilon=1.0,
+        include_exact=True,
     )
 
 

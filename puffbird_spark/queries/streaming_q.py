@@ -1822,13 +1822,16 @@ def events_session_overlap_users(spark, sf_dir):
         F.unix_micros(F.min("ts").cast("timestamp")).alias("t0"),
         F.unix_micros(F.max("ts").cast("timestamp")).alias("t1"),
     )
+    # integer `div`, not `/`: the double quotient of a ~1e15-µs epoch can
+    # round across an integer boundary just below an hour edge, dropping a
+    # bucket the DuckDB oracle's `//` keeps (ADVICE r8 #3)
     hour = 3600 * 1000000
     binned = spans.select(
         "user_id", "sess", "t0", "t1",
         F.explode(
             F.sequence(
-                (F.col("t0") / hour).cast("long"),
-                (F.col("t1") / hour).cast("long") + 1 - 1,
+                F.expr(f"t0 div {hour}L"),
+                F.expr(f"t1 div {hour}L"),
             )
         ).alias("b"),
     ).distinct()

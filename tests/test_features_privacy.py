@@ -77,20 +77,29 @@ def test_laplace_noise_centered_and_scaled(spark):
     assert any(z < 0 for z in zs) and any(z > 0 for z in zs)
 
 
+SALT_A = "test-secret-prf-key-epoch1"
+SALT_B = "test-secret-prf-key-epoch2"
+
+
 def test_dp_noisy_counts_deterministic_and_floored(spark):
     df = spark.range(100).select(
         (F.col("id") % 3).alias("g"), F.col("id").alias("v")
     )
-    a = dp_noisy_counts(df, ["g"], epsilon=1.0).collect()
+    a = dp_noisy_counts(df, ["g"], salt=SALT_A, epsilon=1.0).collect()
     b = dp_noisy_counts(
-        df.repartition(7), ["g"], epsilon=1.0
+        df.repartition(7), ["g"], salt=SALT_A, epsilon=1.0
     ).collect()
     assert sorted((r.g, r.noisy_count) for r in a) == sorted(
         (r.g, r.noisy_count) for r in b
     )
     assert all(r.noisy_count >= 0.0 for r in a)
-    # different salt -> a different release draw
-    c = dp_noisy_counts(df, ["g"], epsilon=1.0, salt="epoch2").collect()
+    # the release withholds the exact count unless the audit flag is set
+    assert "exact_count" not in a[0].asDict()
+    audit = dp_noisy_counts(
+        df, ["g"], salt=SALT_A, epsilon=1.0, include_exact=True).collect()
+    assert "exact_count" in audit[0].asDict()
+    # different secret salt -> a different release draw
+    c = dp_noisy_counts(df, ["g"], salt=SALT_B, epsilon=1.0).collect()
     assert sorted(r.noisy_count for r in a) != sorted(
         r.noisy_count for r in c
     )
@@ -99,9 +108,12 @@ def test_dp_noisy_counts_deterministic_and_floored(spark):
 def test_dp_noisy_counts_validates_args(spark):
     df = spark.range(3).select(F.col("id").alias("g"))
     with pytest.raises(ValueError):
-        dp_noisy_counts(df, [], epsilon=1.0)
+        dp_noisy_counts(df, [], salt=SALT_A, epsilon=1.0)
     with pytest.raises(ValueError):
-        dp_noisy_counts(df, ["g"], epsilon=0.0)
+        dp_noisy_counts(df, ["g"], salt=SALT_A, epsilon=0.0)
+    # a short/public-looking salt is rejected: the PRF key IS the privacy
+    with pytest.raises(ValueError):
+        dp_noisy_counts(df, ["g"], salt="dp", epsilon=1.0)
 
 
 def test_hashed_features_no_vocabulary_determinism(spark):
@@ -174,13 +186,22 @@ def test_dp_noisy_mean_clamped_and_deterministic(spark):
         (F.col("id") % 3).alias("g"),
         (F.col("id") % 97).cast("double").alias("v"),
     )
-    a = dp_noisy_mean(df, ["g"], "v", clamp=50.0, epsilon=1.0).collect()
+    a = dp_noisy_mean(
+        df, ["g"], "v", clamp=50.0, salt=SALT_A, epsilon=1.0).collect()
     b = dp_noisy_mean(
-        df.repartition(7), ["g"], "v", clamp=50.0, epsilon=1.0).collect()
+        df.repartition(7), ["g"], "v",
+        clamp=50.0, salt=SALT_A, epsilon=1.0).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert all(0.0 <= r.noisy_mean <= 50.0 for r in a)
+    # the release withholds exact_n unless the audit flag is set
+    assert "exact_n" not in a[0].asDict()
+    audit = dp_noisy_mean(
+        df, ["g"], "v", clamp=50.0, salt=SALT_A, epsilon=1.0,
+        include_exact=True).collect()
+    assert "exact_n" in audit[0].asDict()
     # tighter budget -> different (noisier) release
-    c = dp_noisy_mean(df, ["g"], "v", clamp=50.0, epsilon=0.1).collect()
+    c = dp_noisy_mean(
+        df, ["g"], "v", clamp=50.0, salt=SALT_A, epsilon=0.1).collect()
     assert sorted(r.noisy_mean for r in a) != sorted(
         r.noisy_mean for r in c)
 
@@ -191,6 +212,8 @@ def test_dp_noisy_mean_validates(spark):
     df = spark.range(3).select(F.col("id").alias("g"),
                                F.col("id").cast("double").alias("v"))
     with pytest.raises(ValueError):
-        dp_noisy_mean(df, ["g"], "v", clamp=0.0)
+        dp_noisy_mean(df, ["g"], "v", clamp=0.0, salt=SALT_A)
     with pytest.raises(ValueError):
-        dp_noisy_mean(df, [], "v", clamp=1.0)
+        dp_noisy_mean(df, [], "v", clamp=1.0, salt=SALT_A)
+    with pytest.raises(ValueError):
+        dp_noisy_mean(df, ["g"], "v", clamp=1.0, salt="dpm")
