@@ -318,6 +318,7 @@ def main() -> None:
                 f"# ratio_vs_prev {name}: {warm[name] / prev[name]:.3f}",
                 file=sys.stderr,
             )
+    write_full_sidecar(cold, warm, sf_label)
     print(json.dumps(build_stdout_record(cold, warm, sf_label),
                      separators=(",", ":")))
     spark.stop()
@@ -327,19 +328,28 @@ def main() -> None:
 #: stay under this with margin (the r4 overflow came back `parsed: null`)
 STDOUT_LINE_BUDGET = 1800
 
+#: Round-9 rotation decision (VERDICT r7 #8, r8 #5): the stdout line
+#: additionally reserves ~20 future entries' worth of characters, so the
+#: official line provably cannot creep into the capture limit as bench
+#: queries are added. The stdout dict therefore carries the LARGEST-warm
+#: queries that fit (the ones regression analysis can actually use —
+#: sub-second entries are host jitter at sf0.1) and the COMPLETE
+#: per-query record goes to the ``bench_full.json`` sidecar every run.
+#: Nothing is silently capped: totals cover every query, the off-stdout
+#: names are announced on stderr, and the sidecar holds cold+warm at
+#: 3 dp for all of them.
+STDOUT_HEADROOM = 600
+
+FULL_SIDECAR = "bench_full.json"
+
 
 def build_stdout_record(cold: dict[str, float], warm: dict[str, float],
                         sf_label: str) -> dict:
     """The one-line stdout payload. Kept as a pure function so
     tests/test_bench_contract.py can assert the serialized size against
     the driver's 2000-char stdout tail capture (BENCH_r04 lesson).
-
-    Round-8 headroom valve (VERDICT r7 #8): if the serialized line would
-    exceed the budget, the smallest-warm entries (sub-jitter timings no
-    ratio analysis can use anyway) are dropped from the stdout dict until
-    it fits — totals still cover EVERY query, the dropped names are
-    announced on stderr (no silent caps), and their full timings remain
-    in the per-query stderr log."""
+    Trims smallest-warm entries until the line fits
+    ``STDOUT_LINE_BUDGET - STDOUT_HEADROOM`` (see rotation note above)."""
     record = {
         "metric": "bench_total_runtime",
         "value": round(sum(cold.values()), 2),
@@ -347,19 +357,43 @@ def build_stdout_record(cold: dict[str, float], warm: dict[str, float],
         "value_warm": round(sum(warm.values()), 2),
         # per-query stdout is the OFFICIAL number only (warm med3, the
         # driver's spec'd {name: sec} shape); per-query cold is on stderr
+        # and the full set in the bench_full.json sidecar
         "queries": {name: round(warm.get(name, 0.0), 2) for name in cold},
         "sf": float(sf_label) if sf_label.replace(".", "").isdigit() else sf_label,
     }
+    limit = STDOUT_LINE_BUDGET - STDOUT_HEADROOM
     dropped = []
     while (len(json.dumps(record, separators=(",", ":")))
-           > STDOUT_LINE_BUDGET and record["queries"]):
+           > limit and record["queries"]):
         name = min(record["queries"], key=lambda n: (record["queries"][n], n))
         dropped.append(name)
         del record["queries"][name]
     if dropped:
-        print(f"# stdout budget: dropped {len(dropped)} smallest-warm "
-              f"entries from the official line: {dropped}", file=sys.stderr)
+        print(f"# stdout budget: {len(dropped)} smallest-warm entries are "
+              f"sidecar/stderr-only this run: {dropped}", file=sys.stderr)
     return record
+
+
+def write_full_sidecar(cold: dict[str, float], warm: dict[str, float],
+                       sf_label: str, path: str | None = None) -> str:
+    """The complete per-query record — every bench query's ``[cold,
+    warm]`` at 3 dp plus totals — written beside the repo root each run,
+    so the trimmed stdout line never loses information."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    path = path or os.path.join(here, FULL_SIDECAR)
+    payload = {
+        "sf": sf_label,
+        "total_cold": round(sum(cold.values()), 3),
+        "total_warm": round(sum(warm.values()), 3),
+        "queries": {
+            name: [round(cold[name], 3), round(warm.get(name, 0.0), 3)]
+            for name in cold
+        },
+    }
+    with open(path, "w") as fh:
+        json.dump(payload, fh, indent=1, sort_keys=True)
+    print(f"# full per-query record: {path}", file=sys.stderr)
+    return path
 
 
 if __name__ == "__main__":

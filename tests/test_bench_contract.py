@@ -23,11 +23,15 @@ def _worst_case_line() -> str:
     return json.dumps(record, separators=(",", ":"))
 
 
-def test_stdout_line_fits_driver_capture():
+def test_stdout_line_fits_driver_capture_with_headroom():
+    """Round-9 rotation decision (VERDICT r8 #5): the line must stay
+    under the driver's capture with >= STDOUT_HEADROOM chars (~20 future
+    entries) to spare, even at absurd per-query widths."""
     line = _worst_case_line()
-    assert len(line) < 1800, (
-        f"bench stdout line would be {len(line)} chars; the driver tail "
-        "capture is 2000 — trim BENCH_QUERIES or the payload schema"
+    limit = bench.STDOUT_LINE_BUDGET - bench.STDOUT_HEADROOM
+    assert len(line) <= limit, (
+        f"bench stdout line would be {len(line)} chars; budget is "
+        f"{bench.STDOUT_LINE_BUDGET} minus {bench.STDOUT_HEADROOM} headroom"
     )
 
 
@@ -50,17 +54,18 @@ def test_stdout_record_shape():
         sum(9999.99 for _ in bench.BENCH_QUERIES), 2)
 
 
-def test_stdout_no_drops_at_realistic_widths():
-    """At realistic per-query widths (<= 999.99 s) the FULL query set
-    must fit the driver capture without the valve engaging — if this
-    fails, the bench list has truly outgrown the line and needs a
-    deliberate rotation, not silent shedding."""
-    cold = {name: 999.99 for name in bench.BENCH_QUERIES}
-    warm = {name: 999.99 for name in bench.BENCH_QUERIES}
-    record = bench.build_stdout_record(cold, warm, "0.1")
-    assert set(record["queries"]) == set(bench.BENCH_QUERIES)
-    line = json.dumps(record, separators=(",", ":"))
-    assert len(line) <= bench.STDOUT_LINE_BUDGET
+def test_sidecar_holds_complete_record(tmp_path):
+    """The bench_full.json sidecar must carry EVERY query's [cold, warm]
+    — the stdout trim loses no information (no silent caps)."""
+    cold = {name: 1.234 for name in bench.BENCH_QUERIES}
+    warm = {name: 0.567 for name in bench.BENCH_QUERIES}
+    path = bench.write_full_sidecar(
+        cold, warm, "0.1", path=str(tmp_path / "bench_full.json"))
+    with open(path) as fh:
+        payload = json.load(fh)
+    assert set(payload["queries"]) == set(bench.BENCH_QUERIES)
+    assert all(v == [1.234, 0.567] for v in payload["queries"].values())
+    assert payload["total_cold"] == round(sum(cold.values()), 3)
 
 
 def test_prev_round_timings_handles_both_schemas(tmp_path, monkeypatch):
