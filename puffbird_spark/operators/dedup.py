@@ -1144,6 +1144,141 @@ def cdc_shared_chunks(
     )
 
 
+#: dense-regime knobs for :func:`prefix_filter_jaccard_pairs` — see the
+#: round-9 sf1 rehearsal note in NOTES.md: prefix filtering collapses
+#: when the distinct-gram space is tiny relative to the corpus (the sf1
+#: synthetic corpus has 2,821 distinct char-5-grams over 50k docs; ~97%
+#: of ALL pairs share a prefix gram, so the candidate join emitted
+#: 17.6e9 rows for a 250k-pair answer and OOM'd the 32-thread JVM).
+DENSE_GRAM_LIMIT = 8192
+DENSE_MIN_AVG_DF = 64.0
+DENSE_BLOCK_DOCS = 4096
+
+
+def _dense_jaccard_pairs(
+    grams: DataFrame,
+    threshold: float,
+    n_grams_distinct: int,
+    block_docs: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard join for the DENSE regime — tiny distinct-gram
+    space, huge per-gram document frequency — where prefix filtering
+    provably prunes nothing (when avg df is in the thousands, almost
+    every pair shares a prefix gram, so the candidate join materializes
+    Σ bucket² rows: 70,000× the sf1 answer).
+
+    Strategy: each document becomes a G-bit set-membership vector over
+    a dense gram index (G bounded by ``DENSE_GRAM_LIMIT``, so the index
+    is codebook-sized metadata); documents split into ``ceil(N/B)``
+    blocks and every block PAIR is one ``applyInPandas`` task computing
+    the full intersection matrix with one float32 matmul (0/1 entries,
+    G < 2^24 ⇒ every partial sum is an exact integer — order-free).
+    Jaccard rounds with the HALF_UP replay (the cosine_rounded_arrow
+    rule) so results are value-identical to the sparse path's
+    ``F.round``. Work is Θ(N²·G) bit-ops at SIMD speed — honest
+    quadratic, which is also the OUTPUT's complexity class here (dense
+    low-diversity corpora have quadratically many qualifying pairs);
+    for corpora too big for that, use MinHash banding instead
+    (:func:`minhash_candidate_pairs`), trading exactness for scale."""
+    import math
+
+    if block_docs is None:
+        block_docs = DENSE_BLOCK_DOCS  # module attr, patchable in tests
+    spark = grams.sparkSession
+    from pyspark.sql.window import Window as W
+
+    # dense gram index: G rows — bounded metadata, single-partition sort
+    # is the codebook convention (never data-sized)
+    gid = (
+        grams.select("dg").distinct()
+        .withColumn("gi", F.row_number().over(W.orderBy("dg")) - 1)
+    )
+    docvecs = (
+        grams.join(F.broadcast(gid), "dg")
+        .groupBy("id")
+        .agg(F.collect_list("gi").alias("gis"),
+             F.count(F.lit(1)).cast("long").alias("sz"))
+    ).localCheckpoint(eager=True)
+    n_docs = docvecs.count()
+    nb = max(1, math.ceil(n_docs / block_docs))
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(nb) for j in range(i, nb)],
+        "bi int, bj int")
+    blk = F.pmod(F.hash("id"), F.lit(nb))
+    d = docvecs.withColumn("blk", blk)
+    a_side = d.join(F.broadcast(pairs), F.col("blk") == F.col("bi")) \
+        .withColumn("role", F.lit(0))
+    b_side = d.join(F.broadcast(pairs), F.col("blk") == F.col("bj")) \
+        .withColumn("role", F.lit(1))
+    both = a_side.unionByName(b_side).select(
+        "bi", "bj", "role", "id", "gis", "sz")
+
+    id_type = dict(docvecs.dtypes)["id"]
+    g_total = int(n_grams_distinct)
+    thr = float(threshold)
+
+    def _block_kernel(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        bi, bj = int(key[0]), int(key[1])
+        a = pdf[pdf["role"] == 0]
+        b = a if bi == bj else pdf[pdf["role"] == 1]
+        empty = pd.DataFrame({
+            "id_a": pd.Series([], dtype=pdf["id"].dtype),
+            "id_b": pd.Series([], dtype=pdf["id"].dtype),
+            "jaccard": pd.Series([], dtype="float64")})
+        if a.empty or b.empty:
+            return empty
+
+        def mat(part):
+            m = np.zeros((len(part), g_total), dtype=np.float32)
+            for r, gis in enumerate(part["gis"].to_numpy()):
+                m[r, np.asarray(gis, dtype=np.int64)] = 1.0
+            return m
+        A = mat(a)
+        B = A if bi == bj else mat(b)
+        inter = A @ B.T  # 0/1 entries, G < 2^24: every cell an exact int
+        sa32 = a["sz"].to_numpy().astype(np.float32)
+        sb32 = sa32 if bi == bj else b["sz"].to_numpy().astype(np.float32)
+        ia_all = a["id"].to_numpy()
+        ib_all = ia_all if bi == bj else b["id"].to_numpy()
+        # coarse candidate mask IN f32 on the full matrix (the full-f64
+        # jaccard on B² cells was 7× the matmul cost): J >= t  ⟺
+        # inter·(1+t) >= t·(sa+sb); +8 absolute slack over-covers both
+        # f32 rounding (< 4 at 2^25 magnitudes) and the 6-dp HALF_UP
+        # boundary, so the mask is a strict superset — exactness comes
+        # from the f64 re-check on the (output-sized) survivor list
+        mask = (inter * np.float32(1.0 + thr) + np.float32(8.0)
+                >= (sa32[:, None] + sb32[None, :]) * np.float32(thr))
+        if bi == bj:
+            # upper triangle by id: each unordered pair once
+            mask &= ia_all[:, None] < ib_all[None, :]
+        ii, jj = np.nonzero(mask)
+        if not len(ii):
+            return empty
+        iv = inter[ii, jj].astype(np.float64)
+        union = (sa32[ii].astype(np.float64)
+                 + sb32[jj].astype(np.float64) - iv)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            jac = np.where(union > 0, iv / union, 0.0)
+        jac = np.floor(jac * 1e6 + 0.5) / 1e6  # HALF_UP replay
+        keep = jac >= thr
+        ii, jj, jac = ii[keep], jj[keep], jac[keep]
+        ia, ib = ia_all[ii], ib_all[jj]
+        if bi == bj:
+            return pd.DataFrame({"id_a": ia, "id_b": ib, "jaccard": jac})
+        # orient cross-block pairs smaller id first
+        swap = ~(ia < ib)
+        ia2 = np.where(swap, ib, ia)
+        ib2 = np.where(swap, ia, ib)
+        return pd.DataFrame({"id_a": ia2, "id_b": ib2, "jaccard": jac})
+
+    return both.groupBy("bi", "bj").applyInPandas(
+        _block_kernel,
+        f"id_a {id_type}, id_b {id_type}, jaccard double")
+
+
 def prefix_filter_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -1151,12 +1286,15 @@ def prefix_filter_jaccard_pairs(
     threshold: float = 0.5,
     n: int = 5,
     kind: str = "char",
+    strategy: str = "auto",
 ) -> DataFrame:
-    """EXACT n-gram Jaccard similarity join via PREFIX FILTERING
-    (Chaudhuri et al. ICDE'06 / the PPJoin family) — the scale path
-    that returns the SAME pairs as the all-pairs kernel
-    :func:`jaccard_pairs` without the O(n²) self-join, and without the
-    probabilistic miss of MinHash banding:
+    """EXACT n-gram Jaccard similarity join. Two physical strategies,
+    both returning the SAME pairs as the all-pairs kernel
+    :func:`jaccard_pairs` (differential-tested; same oracle):
+
+    **sparse** — PREFIX FILTERING (Chaudhuri et al. ICDE'06 / the
+    PPJoin family), the scale path for real text, where the distinct
+    gram space is huge and per-gram document frequencies are small:
 
     - each document's distinct gram digests sort by (global document
       frequency asc, digest) — rarest first;
@@ -1165,15 +1303,26 @@ def prefix_filter_jaccard_pairs(
       least ``ceil(t*|x|)`` grams, and two sets sharing that much
       cannot have disjoint prefixes under a common total order — so
       recall is exactly 1, a theorem rather than a tuning knob;
+    - a length filter (``min ≥ t·max``, guard-banded so 6-dp rounding
+      at the boundary can never be pruned) drops size-incompatible
+      candidates inside the join;
     - candidates verify with two keyed joins counting shared digests
       (|x∩y|), then the exact Jaccard filter.
+      16-byte digests shuffle, text never does.
 
-    Cost shape: one gram-df count, one per-doc sort (doc-sized
-    arrays), a candidate join driven by RARE grams only (the frequency
-    ordering is what keeps bucket sizes small), and verification
-    bounded by the candidate count. 16-byte digests shuffle, text
-    never does. Output (id_a, id_b, jaccard), 6-dp, identical to
-    :func:`jaccard_pairs` (differential-tested; same oracle)."""
+    **dense** — blocked bitset matmul (:func:`_dense_jaccard_pairs`),
+    for degenerate corpora whose distinct-gram space is tiny (≤
+    ``DENSE_GRAM_LIMIT``) while per-gram document frequency is huge
+    (avg df ≥ ``DENSE_MIN_AVG_DF``). There prefix filtering prunes
+    ~nothing — the round-9 sf1 rehearsal measured a 17.6e9-row
+    candidate join (70,000× the 250k-pair answer) that OOM'd the JVM —
+    and the throughput-optimal exact plan is block-pair matrix
+    intersection counts over the (codebook-sized) dense gram index.
+
+    ``strategy='auto'`` (default) picks per-corpus from two bounded
+    aggregates (distinct-gram count and average document frequency);
+    ``'sparse'``/``'dense'`` force a path (the differential tests run
+    both on the same corpus)."""
     if kind == "word":
         sh_expr = shingles(tokens(text_col), n=n)
     elif kind == "char":
@@ -1182,6 +1331,9 @@ def prefix_filter_jaccard_pairs(
         raise ValueError(f"kind must be 'word' or 'char', got {kind!r}")
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if strategy not in ("auto", "sparse", "dense"):
+        raise ValueError(
+            f"strategy must be auto|sparse|dense, got {strategy!r}")
     grams = (
         widen_parallelism(df)
         .select(F.col(id_col).alias("id"), F.explode(sh_expr).alias("g"))
@@ -1192,6 +1344,23 @@ def prefix_filter_jaccard_pairs(
     # verification joins consume it twice more — materialize once
     grams = grams.localCheckpoint(eager=True)
     gdf = grams.groupBy("dg").agg(F.count(F.lit(1)).alias("__df"))
+
+    if strategy != "sparse":
+        # regime stats: two bounded scalars off the checkpointed frame
+        stats = gdf.agg(
+            F.count(F.lit(1)).alias("g"),
+            F.sum("__df").alias("rows")).collect()[0]
+        n_distinct = int(stats["g"] or 0)
+        avg_df = (float(stats["rows"]) / n_distinct) if n_distinct else 0.0
+        dense_ok = (0 < n_distinct <= DENSE_GRAM_LIMIT
+                    and avg_df >= DENSE_MIN_AVG_DF)
+        if strategy == "dense" and n_distinct > DENSE_GRAM_LIMIT:
+            raise ValueError(
+                f"dense strategy needs distinct grams <= {DENSE_GRAM_LIMIT}"
+                f", corpus has {n_distinct}")
+        if strategy == "dense" or dense_ok:
+            return _dense_jaccard_pairs(grams, threshold, n_distinct)
+
     ordered = (
         grams.join(gdf, "dg")
         .groupBy("id")
@@ -1205,9 +1374,14 @@ def prefix_filter_jaccard_pairs(
         F.explode(F.slice("__o", 1, lp)).alias("__p"),
     ).select("id", "__sz", F.col("__p.dg").alias("dg"))
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    # length filter: J >= t forces min(|x|,|y|) >= t*max(|x|,|y|); the
+    # 1e-9 guard band keeps the 6-dp-rounded boundary un-prunable
+    sa, sb = F.col("pa.__sz"), F.col("pb.__sz")
+    len_ok = F.least(sa, sb).cast("double") \
+        >= (F.lit(float(threshold) - 1e-9) * F.greatest(sa, sb))
     cands = (
         pa.join(pb, (F.col("pa.dg") == F.col("pb.dg"))
-                & (F.col("pa.id") < F.col("pb.id")))
+                & (F.col("pa.id") < F.col("pb.id")) & len_ok)
         .select(
             F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b"),
             F.col("pa.__sz").alias("__sa"), F.col("pb.__sz").alias("__sb"))

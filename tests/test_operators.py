@@ -3602,8 +3602,24 @@ def test_prefix_filter_jaccard_equals_all_pairs(spark):
             df, "text", "doc_id", threshold=t, n=n, kind=kind).collect()))
         assert ap == pf, (t, n, kind)
         assert len(ap) > 0 or t == 0.9
+        # the dense blocked-matmul strategy (round-9 sf1 OOM fix) must
+        # return the identical pair set — force it past the auto gate,
+        # with a tiny block size so multi-block pairing is exercised
+        from puffbird_spark.operators import dedup as _dd
+
+        orig_block = _dd.DENSE_BLOCK_DOCS
+        _dd.DENSE_BLOCK_DOCS = 16
+        try:
+            dn = sorted(map(tuple, prefix_filter_jaccard_pairs(
+                df, "text", "doc_id", threshold=t, n=n, kind=kind,
+                strategy="dense").collect()))
+        finally:
+            _dd.DENSE_BLOCK_DOCS = orig_block
+        assert ap == dn, (t, n, kind, "dense")
     with _pytest.raises(ValueError, match="threshold"):
         prefix_filter_jaccard_pairs(df, "text", "doc_id", threshold=0.0)
+    with _pytest.raises(ValueError, match="strategy"):
+        prefix_filter_jaccard_pairs(df, "text", "doc_id", strategy="fast")
 
 
 def test_g711_expansion_tables_and_wav_decode():
