@@ -20,11 +20,16 @@ from pyspark.sql import functions as F
 from .base import load, query
 
 # The synthetic coordinate formulas, spelled ONCE and reused verbatim in
-# the SQL oracles (same ops -> same doubles on both engines).
-_PT_LAT = "(c_custkey * 37 % 17999) / 100.0 - 90.0"
-_PT_LON = "(c_custkey * 73 % 35999) / 100.0 - 180.0"
-_SITE_LAT = "(n_nationkey * 700 % 17999) / 100.0 - 90.0"
-_SITE_LON = "(n_nationkey * 1300 % 35999) / 100.0 - 180.0"
+# the SQL oracles (same ops -> same doubles on both engines). The CAST
+# AS DOUBLE before the division is load-bearing: a bare `x / 100.0` in
+# Spark SQL is DECIMAL division (the 100.0 literal parses as
+# DECIMAL(4,1)), which ships Decimal objects through toPandas() — the
+# agg_hhi driver-hash seam (round-9; caught by check_oracle's kind
+# check before the driver saw it).
+_PT_LAT = "CAST(c_custkey * 37 % 17999 AS DOUBLE) / 100.0 - 90.0"
+_PT_LON = "CAST(c_custkey * 73 % 35999 AS DOUBLE) / 100.0 - 180.0"
+_SITE_LAT = "CAST(n_nationkey * 700 % 17999 AS DOUBLE) / 100.0 - 90.0"
+_SITE_LON = "CAST(n_nationkey * 1300 % 35999 AS DOUBLE) / 100.0 - 180.0"
 
 
 def _geohash_oracle(precision: int = 6) -> str:
@@ -139,8 +144,8 @@ def geo_knn_join(spark, sf_dir):
 
 # Radius-join coordinates keep |lat| <= 80 (the operator's fixed-lon-grid
 # domain contract): same formula family, tighter lat range.
-_RPT_LAT = "(c_custkey * 37 % 15999) / 100.0 - 80.0"
-_RPT_LON = "(c_custkey * 73 % 35999) / 100.0 - 180.0"
+_RPT_LAT = "CAST(c_custkey * 37 % 15999 AS DOUBLE) / 100.0 - 80.0"
+_RPT_LON = "CAST(c_custkey * 73 % 35999 AS DOUBLE) / 100.0 - 180.0"
 
 _HAV_AB = (
     "round(12742.0 * asin(sqrt("
