@@ -1799,7 +1799,15 @@ def events_session_overlap_users(spark, sf_dir):
     share a bucket AND truly overlap; DISTINCT collapses multi-bucket
     double-counts) — never an all-pairs interval comparison. Counts
     overlapping session pairs per user pair. Integer microsecond
-    arithmetic end to end."""
+    arithmetic end to end (integer `div` for the bucket bounds — double
+    division can round a ~1e15-µs quotient across an hour edge).
+
+    Scale pre-flight (VERDICT r8 watch item): hour buckets concentrate
+    in PEAK hours on real traffic — a bucket with b concurrent sessions
+    contributes b² join rows. Fine at TPC-H-ish skew; on diurnal
+    production traffic run `key_skew_stats` (operators/skew.py) on the
+    bucket column first, and shrink the bucket width (hour → 5 min) or
+    salt the peak buckets if the top bucket dominates."""
     from pyspark.sql.window import Window as W
 
     ev = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())

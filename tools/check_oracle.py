@@ -162,13 +162,25 @@ def main() -> int:
         "--lint-types", action="store_true",
         help="registry-wide oracle output-type lint (no Spark, no data "
              "scan): fail on any DECIMAL oracle output column")
+    ap.add_argument(
+        "--window", action="store_true",
+        help="check exactly the committed verify_window.txt names (what "
+             "the driver will drive next round)")
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    names = args.names or list(queries)
+    if args.window:
+        window_path = os.path.join(
+            REPO, "puffbird_spark", "queries", "verify_window.txt")
+        with open(window_path) as fh:
+            names = [ln.strip() for ln in fh
+                     if ln.strip() and not ln.startswith("#")]
+        names += args.names
+    else:
+        names = args.names or list(queries)
 
     con = duckdb.connect()
     for t in TABLES:
