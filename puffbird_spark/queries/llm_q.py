@@ -2531,11 +2531,11 @@ r0 AS (SELECT vertex, outdeg, round(1.0 / nn.n, 9) AS rank
         parts.append(f""",
 r{k} AS (SELECT b.vertex, b.outdeg,
     round((1.0 - 0.85) * (1.0 / nn.n)
-          + 0.85 * coalesce(CAST(i.inflow AS DOUBLE), 0.0), 9) AS rank
+          + 0.85 * coalesce(i.inflow, 0.0), 9) AS rank
   FROM base b CROSS JOIN nn
   LEFT JOIN (SELECT e.dst AS vertex,
-               SUM(CAST(round(r.rank / r.outdeg, 12)
-                   AS DECIMAL(38,12))) AS inflow
+               SUM(CAST(round(r.rank / r.outdeg * 1000000000000.0, 0)
+                   AS BIGINT)) / 1000000000000.0 AS inflow
              FROM r{k - 1} r JOIN e ON r.vertex = e.src
              WHERE r.outdeg > 0
              GROUP BY e.dst) i ON b.vertex = i.vertex)""")
@@ -2715,11 +2715,11 @@ r0 AS (SELECT vertex, outdeg, tel, round(tel, 9) AS rank FROM base)"""]
         parts.append(f""",
 r{k} AS (SELECT b.vertex, b.outdeg, b.tel,
     round((1.0 - 0.85) * b.tel
-          + 0.85 * coalesce(CAST(i.inflow AS DOUBLE), 0.0), 9) AS rank
+          + 0.85 * coalesce(i.inflow, 0.0), 9) AS rank
   FROM base b
   LEFT JOIN (SELECT e.dst AS vertex,
-               SUM(CAST(round(r.rank / r.outdeg, 12)
-                   AS DECIMAL(38,12))) AS inflow
+               SUM(CAST(round(r.rank / r.outdeg * 1000000000000.0, 0)
+                   AS BIGINT)) / 1000000000000.0 AS inflow
              FROM r{k - 1} r JOIN e ON r.vertex = e.src
              WHERE r.outdeg > 0
              GROUP BY e.dst) i ON b.vertex = i.vertex)""")
