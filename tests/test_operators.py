@@ -5767,3 +5767,38 @@ def test_augment_images_involution_and_dims(spark):
 
     with _pytest.raises(ValueError):
         augment_images(df, augs=("flip_h", "mixup"))
+
+
+def test_prefix_filter_auto_picks_dense_on_low_diversity(spark):
+    """strategy='auto' must route a low-diversity corpus (tiny distinct
+    gram space, huge per-gram df — the regime where the candidate join
+    degenerates, round-9 sf1 OOM) to the dense blocked kernel, and the
+    result must still equal the all-pairs kernel."""
+    import random
+
+    from puffbird_spark.operators import dedup as DD
+
+    rng = random.Random(11)
+    # 3-char alphabet => tiny char-2-gram space; 150 docs of 30 chars
+    # => avg df far above DENSE_MIN_AVG_DF
+    rows = [(i, "".join(rng.choice("abc") for _ in range(30)))
+            for i in range(150)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    calls = []
+    orig = DD._dense_jaccard_pairs
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    DD._dense_jaccard_pairs = spy
+    try:
+        auto = sorted(map(tuple, DD.prefix_filter_jaccard_pairs(
+            df, "text", "doc_id", threshold=0.5, n=2, kind="char").collect()))
+    finally:
+        DD._dense_jaccard_pairs = orig
+    assert calls, "auto did not select the dense path on a dense corpus"
+    ap = sorted(map(tuple, DD.jaccard_pairs(
+        df, "text", "doc_id", threshold=0.5, n=2, kind="char").collect()))
+    assert auto == ap

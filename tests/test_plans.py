@@ -446,3 +446,31 @@ def test_sax_single_exchange(q):
     exchange (plus AQE reads), never a per-stage reshuffle."""
     plan = P.formatted_plan(q("timeseries_sax"))
     assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_jaccard_prefix_sparse_candidates_equijoin(q):
+    """The sparse (PPJoin) path's candidate stage is a digest equi-join
+    with the length filter applied INSIDE the join — never a cartesian
+    or nested-loop pairing."""
+    plan = P.formatted_plan(q("dedup_jaccard_prefix_join"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_jaccard_dense_path_blocked_kernel(spark, sf_dir):
+    """The dense-regime path (round-9 sf1 OOM fix) must be the blocked
+    applyInPandas matmul: block-pair frames broadcast, one
+    FlatMapGroupsInPandas kernel, and no cartesian anywhere — the whole
+    point is replacing the degenerate candidate join."""
+    from puffbird_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = prefix_filter_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.5, n=5, kind="char",
+        strategy="dense")
+    plan = P.formatted_plan(df)
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the dense gram index and the block-pair frame both broadcast
+    assert P.count_broadcast_joins(df) >= 2
