@@ -5802,3 +5802,40 @@ def test_prefix_filter_auto_picks_dense_on_low_diversity(spark):
     ap = sorted(map(tuple, DD.jaccard_pairs(
         df, "text", "doc_id", threshold=0.5, n=2, kind="char").collect()))
     assert auto == ap
+
+
+def test_jaccard_strategies_randomized_differential(spark):
+    """Randomized sweep across the regime boundary (round-9 dense path):
+    corpora with alphabet sizes from tiny (dense regime) to wide
+    (sparse regime), each checked three ways — all-pairs kernel vs the
+    forced sparse path vs the forced dense path — so a boundary bug in
+    the prefix length filter, the f32 candidate slack, or the block
+    pairing shows as a set difference, not a flake."""
+    import random
+
+    from puffbird_spark.operators import dedup as DD
+
+    for seed, alpha, n_docs, doc_len, t in [
+        (21, "ab", 60, 24, 0.5),        # ultra-dense: 4 distinct 2-grams
+        (22, "abcdef", 80, 30, 0.4),    # dense-ish
+        (23, "abcdefghijklmnop", 70, 40, 0.35),  # boundary
+    ]:
+        rng = random.Random(seed)
+        rows = [(i, "".join(rng.choice(alpha) for _ in range(doc_len)))
+                for i in range(n_docs)]
+        # planted near-duplicates so every regime has above-threshold
+        # pairs (wide alphabets rarely produce them at random)
+        rows += [(1000 + i, rows[i][1] + rng.choice(alpha) * 3)
+                 for i in range(5)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        ap = sorted(map(tuple, DD.jaccard_pairs(
+            df, "text", "doc_id", threshold=t, n=2, kind="char").collect()))
+        sp = sorted(map(tuple, DD.prefix_filter_jaccard_pairs(
+            df, "text", "doc_id", threshold=t, n=2, kind="char",
+            strategy="sparse").collect()))
+        dn = sorted(map(tuple, DD.prefix_filter_jaccard_pairs(
+            df, "text", "doc_id", threshold=t, n=2, kind="char",
+            strategy="dense").collect()))
+        assert ap == sp, (seed, "sparse")
+        assert ap == dn, (seed, "dense")
+        assert len(ap) > 0, seed  # the sweep must be testing something
