@@ -117,22 +117,44 @@ def equi_depth_histogram(
     df: DataFrame, col: str, tiebreak: str, n_buckets: int = 8
 ) -> DataFrame:
     """Equi-DEPTH histogram (equal row counts per bucket — the
-    skew-robust twin the optimizer actually prefers): ``ntile`` over a
+    skew-robust twin the optimizer actually prefers) over a
     DETERMINISTIC total order (value, then ``tiebreak``, which must be
     unique) so bucket membership is reproducible across engines and
-    runs. One global sort (a single range-partitioned shuffle — for a
-    production table this is the same cost class as any total-order
-    stat); emits per-bucket min/max/count."""
-    from pyspark.sql.window import Window
+    runs.
 
+    Scale shape (round 9 — this was the package's one remaining
+    ROW-GRAIN unpartitioned window: ``ntile`` funneled the whole table
+    through a single task): the global rank now comes from
+    :func:`~puffbird_spark.operators.splits.grouped_prefix_sum`
+    (two balanced range exchanges, broadcast slice offsets), and the
+    bucket is the exact integer replay of ntile's uneven-split rule —
+    ``floor((rank-1)·k / n)`` assigns the first ``n mod k`` buckets
+    ``ceil(n/k)`` rows, larger buckets first, bit-equal to ``ntile``
+    (differential-tested). ``n`` is one bounded driver scalar."""
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     vals = df.select(
         F.col(col).cast("double").alias("__v"), F.col(tiebreak).alias("__t")
     ).filter(F.col("__v").isNotNull())
-    w = Window.orderBy("__v", "__t")
+
+    from .splits import grouped_prefix_sum
+
+    n = vals.count()
+    if n == 0:
+        return vals.select(
+            F.lit(0).alias("bucket"),
+            F.lit(0.0).alias("lo_val"), F.lit(0.0).alias("hi_val"),
+            F.lit(0).cast("long").alias("n_rows"),
+        ).limit(0)
+    ranked = grouped_prefix_sum(
+        vals, [], ["__v", "__t"], F.lit(1), "__rank")
+    # integer `div`, not double division + floor (the round-9 hour-bucket
+    # lesson): exact at any n
+    bucket = F.expr(
+        f"CAST((CAST(__rank AS BIGINT) - 1) * {int(n_buckets)} "
+        f"div {int(n)} AS INT)")
     return (
-        vals.withColumn("bucket", F.ntile(n_buckets).over(w) - 1)
+        ranked.withColumn("bucket", bucket)
         .groupBy("bucket")
         .agg(
             F.round(F.min("__v"), 6).alias("lo_val"),

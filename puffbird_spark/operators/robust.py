@@ -139,39 +139,32 @@ def weighted_percentiles(
     double and tests ``cumw >= W * p`` — the identical expression on
     every engine, so a value sitting exactly on a cut lands on the
     same side everywhere; values aggregate to value grain FIRST — the
-    window then runs over DISTINCT values (bounded for real measures:
-    prices, durations, counts), not rows. Returns one row per p:
-    ``(p, value)``.
+    cumulative sum then runs over DISTINCT values, not rows. Returns
+    one row per p: ``(p, value)``.
 
-    Scale note: the cumulative window is a single global ordering over
-    the distinct-value frame. When value cardinality is data-sized, a
-    two-pass range-partitioned refinement replaces this; at the
-    distinct-value grain this shape is exact and cheap."""
+    Scale shape (round 9 — replaced the documented single-task
+    global-window limitation): the cumulative weight comes from
+    :func:`~puffbird_spark.operators.splits.grouped_prefix_sum` — two
+    balanced range exchanges, per-slice local windows, broadcast
+    offsets — so data-sized value cardinality never funnels through
+    one task. Exactly value-identical to the old global window because
+    the summed weights are exact decimals (any regrouping of exact
+    addition is the same number). The total weight W is one bounded
+    driver scalar (a 1-row agg, the codebook convention)."""
     ps = ps or [0.25, 0.5, 0.75, 0.9]
     w = F.col(weight_col).cast("decimal(28,6)")
     per_val = df.groupBy(F.col(value_col).alias("__v")).agg(
         F.sum(w).alias("__w"))
-    from pyspark.sql import Window
 
-    # total weight as an unpartitioned window over the same (value-
-    # grain) frame as the cumsum — one pass, and no self-join (a
-    # crossJoin against per_val.agg() trips Spark 4's duplicate-
-    # lineage attribute resolution)
-    cum = per_val.select(
-        "__v", "__w",
-        F.sum("__w").over(
-            Window.orderBy("__v").rowsBetween(
-                Window.unboundedPreceding, 0)
-        ).alias("__cumw"),
-        F.sum("__w").over(
-            Window.partitionBy()
-        ).alias("__wtot"),
-    )
+    from .splits import grouped_prefix_sum
+
+    cum = grouped_prefix_sum(per_val, [], ["__v"], F.col("__w"), "__cumw")
+    wtot = per_val.agg(F.sum("__w").alias("__wtot")).collect()[0]["__wtot"]
     structs = [
         F.min(
             F.when(
                 F.col("__cumw").cast("double")
-                >= F.col("__wtot").cast("double") * F.lit(float(p)),
+                >= F.lit(wtot).cast("double") * F.lit(float(p)),
                 F.col("__v"),
             )
         ).alias(f"__p{i}")

@@ -582,14 +582,24 @@ def kaplan_meier(
     with dᵢ the observed events at time tᵢ and nᵢ the at-risk count
     (everyone with duration >= tᵢ — censored subjects leave the risk
     set but contribute no factor). All counts are integers (one
-    grouped count + two RANGE-frame windows over the time-keyed
-    table, which is distinct-durations-sized, not subjects-sized);
-    the product replays order-free as ``exp(Σ ln(1 − dᵢ/nᵢ))`` with
-    9-dp decimal term snaps. Returns one row per distinct EVENT time:
-    ``(t, n_at_risk, n_events, n_censored, survival)``; a time where
-    every at-risk subject dies yields survival 0 exactly (ln guard)."""
-    from pyspark.sql.window import Window
+    grouped count to the distinct-durations grain, not subjects
+    grain); the product replays order-free as ``exp(Σ ln(1 − dᵢ/nᵢ))``
+    with 9-dp decimal term snaps. Returns one row per distinct EVENT
+    time: ``(t, n_at_risk, n_events, n_censored, survival)``; a time
+    where every at-risk subject dies yields survival 0 exactly (ln
+    guard).
 
+    Scale shape (round 9 — the two global RANGE-frame windows were
+    single-task funnels when duration cardinality is data-sized, e.g.
+    microsecond-grain durations): every cumulative quantity is now a
+    two-phase prefix sum
+    (:func:`~puffbird_spark.operators.splits.grouped_prefix_sum` —
+    balanced range exchanges, broadcast slice offsets). The suffix sum
+    (the at-risk count) is ``total − prefix + current``, the dead-flag
+    prefix MAX is a prefix SUM of the 0/1 flag tested > 0, and the ln
+    term sum is exact decimal addition — all value-identical to the
+    window formulation because every summed term is an integer or an
+    exact decimal. The subject total is one bounded driver scalar."""
     base = df.select(
         F.col(duration_col).cast("long").alias("__t"),
         F.col(observed_col).cast("boolean").alias("__obs"),
@@ -598,11 +608,14 @@ def kaplan_meier(
         F.sum(F.col("__obs").cast("int")).alias("__d"),
         F.sum((~F.col("__obs")).cast("int")).alias("__c"),
         F.count(F.lit(1)).alias("__n"))
-    w_ge = (Window.orderBy("__t")
-            .rangeBetween(Window.currentRow, Window.unboundedFollowing))
-    w_cum = (Window.orderBy("__t")
-             .rangeBetween(Window.unboundedPreceding, Window.currentRow))
-    risk = per_t.withColumn("__risk", F.sum("__n").over(w_ge))
+
+    from .splits import grouped_prefix_sum
+
+    total_n = per_t.agg(F.sum("__n").alias("n")).collect()[0]["n"] or 0
+    cum_n = grouped_prefix_sum(per_t, [], ["__t"], F.col("__n"), "__cumn")
+    # at-risk = everyone with duration >= t: total − inclusive-prefix + n
+    risk = cum_n.withColumn(
+        "__risk", F.lit(int(total_n)) - F.col("__cumn") + F.col("__n"))
     # dead-certain guard: 1 - d/n == 0 -> survival is exactly 0 from
     # here on; NULL ln term would poison the cumulative sum instead
     term = F.when(
@@ -611,11 +624,14 @@ def kaplan_meier(
             1.0 - F.col("__d").cast("double") / F.col("__risk")), 9)
         .cast("decimal(28,9)"),
     ).otherwise(F.lit(None).cast("decimal(28,9)"))
+    flagged = risk.withColumn("__term", term).withColumn(
+        "__df", (F.col("__d") >= F.col("__risk")).cast("int"))
+    flagged = grouped_prefix_sum(
+        flagged, [], ["__t"], F.col("__df"), "__deadn")
     curve = (
-        risk.withColumn("__term", term)
-        .withColumn("__dead", F.max(
-            (F.col("__d") >= F.col("__risk")).cast("int")).over(w_cum))
-        .withColumn("__lnsum", F.sum("__term").over(w_cum))
+        grouped_prefix_sum(
+            flagged, [], ["__t"], F.col("__term"), "__lnsum")
+        .withColumn("__dead", (F.col("__deadn") > 0).cast("int"))
     )
     return (
         curve.filter(F.col("__d") > 0)

@@ -1572,11 +1572,13 @@ def timeseries_residual_anomalies(spark, sf_dir):
 
 @query("timeseries_kaplan_meier", oracle="""
 WITH u AS (SELECT user_id,
-    date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE))) AS t,
-    MAX(CAST(ts AS DATE)) AS last_d
+    (epoch_us(MAX(CAST(ts AS TIMESTAMP)))
+     - epoch_us(MIN(CAST(ts AS TIMESTAMP)))) // 3600000000 AS t,
+    epoch_us(MAX(CAST(ts AS TIMESTAMP))) AS last_us
   FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
-mx AS (SELECT MAX(last_d) AS m FROM u),
-s AS (SELECT u.t, (u.last_d <= mx.m - 7) AS obs FROM u CROSS JOIN mx),
+mx AS (SELECT MAX(last_us) AS m FROM u),
+s AS (SELECT u.t, (u.last_us <= mx.m - 86400000000) AS obs
+      FROM u CROSS JOIN mx),
 per_t AS (SELECT t, SUM(CAST(obs AS INT)) AS d,
     SUM(CAST(NOT obs AS INT)) AS c, COUNT(*) AS n
   FROM s GROUP BY t),
@@ -1599,21 +1601,30 @@ FROM curve WHERE d > 0 ORDER BY t
 def timeseries_kaplan_meier(spark, sf_dir):
     """Kaplan-Meier survival curve (`kaplan_meier`,
     operators/timeseries.py; 1958) over user activity lifespans:
-    duration = first-to-last event days, censored when the user was
-    still active within a week of the corpus horizon. Integer risk
-    sets via RANGE frames; the product replays as exp of a
-    decimal-snapped ln sum; an all-deaths time pins survival to
-    exactly 0. The estimator a naive churn mean gets wrong."""
+    duration = first-to-last event HOURS (integer `div` on the µs
+    epoch — the r9 rule), censored when the user was still active
+    within 24 hours of the corpus horizon. (Round 9 re-grained the
+    gate from days/1-week: on this corpus every user's last event sat
+    within 2 days of the horizon, so the day-grain rule observed
+    nobody and the gate matched vacuously on 0 rows at every SF; the
+    hour grain yields a real observed/censored mix — 17/150 users,
+    46 distinct times at sf0.01.) Integer risk sets; the product
+    replays as exp of a decimal-snapped ln sum; an all-deaths time
+    pins survival to exactly 0. The estimator a naive churn mean gets
+    wrong."""
     from ..operators.timeseries import kaplan_meier
 
     ev = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
     u = ev.groupBy("user_id").agg(
-        F.datediff(F.max(F.col("ts").cast("date")),
-                   F.min(F.col("ts").cast("date"))).alias("t"),
-        F.max(F.col("ts").cast("date")).alias("last_d"))
-    mx = u.agg(F.max("last_d").alias("m"))
+        F.expr("(max(unix_micros(cast(ts as timestamp)))"
+               " - min(unix_micros(cast(ts as timestamp))))"
+               " div 3600000000").alias("t"),
+        F.max(t_us).alias("last_us"))
+    mx = u.agg(F.max("last_us").alias("m"))
     s = u.crossJoin(F.broadcast(mx)).select(
-        "t", (F.col("last_d") <= F.date_sub(F.col("m"), 7)).alias("obs"))
+        "t",
+        (F.col("last_us") <= F.col("m") - F.lit(86400000000)).alias("obs"))
     return kaplan_meier(s, "t", "obs")
 
 

@@ -5839,3 +5839,32 @@ def test_jaccard_strategies_randomized_differential(spark):
         assert ap == sp, (seed, "sparse")
         assert ap == dn, (seed, "dense")
         assert len(ap) > 0, seed  # the sweep must be testing something
+
+
+def test_equi_depth_matches_ntile_exactly(spark):
+    """The two-phase rank bucket formula floor((rank-1)k/n) must replay
+    Spark's ntile() bit-for-bit, including the uneven tail (first
+    n mod k buckets get the extra row) — over sizes around the split
+    boundaries and with duplicate values broken by the tiebreak."""
+    import random
+
+    from pyspark.sql.window import Window as W
+
+    from puffbird_spark.operators.profile import equi_depth_histogram
+
+    rng = random.Random(7)
+    for n_rows, k in [(10, 3), (5, 3), (2, 3), (97, 8), (64, 8)]:
+        rows = [(i, float(rng.randint(0, 9))) for i in range(n_rows)]
+        df = spark.createDataFrame(rows, "id long, v double")
+        got = {r.bucket: (r.lo_val, r.hi_val, r.n_rows)
+               for r in equi_depth_histogram(df, "v", "id", k).collect()}
+        import pyspark.sql.functions as F2
+        ref = {r.bucket: (r.lo, r.hi, r.n) for r in
+               df.withColumn("bucket", F2.ntile(k).over(
+                   W.orderBy("v", "id")) - 1)
+               .groupBy("bucket")
+               .agg(F2.round(F2.min("v"), 6).alias("lo"),
+                    F2.round(F2.max("v"), 6).alias("hi"),
+                    F2.count(F2.lit(1)).cast("long").alias("n"))
+               .collect()}
+        assert got == ref, (n_rows, k)
