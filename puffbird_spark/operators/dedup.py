@@ -1153,6 +1153,11 @@ def cdc_shared_chunks(
 DENSE_GRAM_LIMIT = 8192
 DENSE_MIN_AVG_DF = 64.0
 DENSE_BLOCK_DOCS = 4096
+#: hard ceiling on block count: beyond it the block-pair fan-out
+#: (nb²/2 tasks, each doc shipped nb times) and the Θ(N²·G) compute are
+#: past the dense path's honest envelope — raise with guidance instead
+#: of grinding into an OOM. 1024 blocks × 4096 docs ≈ 4M docs.
+DENSE_MAX_BLOCKS = 1024
 
 
 def _dense_jaccard_pairs(
@@ -1201,6 +1206,13 @@ def _dense_jaccard_pairs(
     ).localCheckpoint(eager=True)
     n_docs = docvecs.count()
     nb = max(1, math.ceil(n_docs / block_docs))
+    if nb > DENSE_MAX_BLOCKS:
+        raise ValueError(
+            f"dense exact-Jaccard path: {n_docs} docs need {nb} blocks "
+            f"(> DENSE_MAX_BLOCKS={DENSE_MAX_BLOCKS}); the Θ(N²·G) "
+            "exact join is past its honest envelope at this corpus size "
+            "— use minhash_candidate_pairs (approximate, sub-quadratic) "
+            "or raise the block size knowing the cost")
     pairs = spark.createDataFrame(
         [(i, j) for i in range(nb) for j in range(i, nb)],
         "bi int, bj int")

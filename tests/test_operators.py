@@ -5868,3 +5868,23 @@ def test_equi_depth_matches_ntile_exactly(spark):
                     F2.count(F2.lit(1)).cast("long").alias("n"))
                .collect()}
         assert got == ref, (n_rows, k)
+
+
+def test_dense_jaccard_block_ceiling_raises(spark):
+    """Past DENSE_MAX_BLOCKS the dense path must refuse with guidance
+    (MinHash) instead of grinding into the quadratic fan-out."""
+    import pytest as _pytest
+
+    from puffbird_spark.operators import dedup as DD
+
+    rows = [(i, "abab" * 4) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    orig_block, orig_max = DD.DENSE_BLOCK_DOCS, DD.DENSE_MAX_BLOCKS
+    DD.DENSE_BLOCK_DOCS, DD.DENSE_MAX_BLOCKS = 4, 5
+    try:
+        with _pytest.raises(ValueError, match="minhash"):
+            DD.prefix_filter_jaccard_pairs(
+                df, "text", "doc_id", threshold=0.5, n=2, kind="char",
+                strategy="dense").collect()
+    finally:
+        DD.DENSE_BLOCK_DOCS, DD.DENSE_MAX_BLOCKS = orig_block, orig_max
