@@ -43,3 +43,18 @@ def test_no_decimal_oracle_output_columns():
         "DECIMAL output column(s) or unplannable oracle(s) — cast the "
         f"final to DOUBLE on BOTH engines: {bad}"
     )
+
+
+def test_lint_flags_decimal_output():
+    """The lint must actually catch the class it exists for: a DECIMAL
+    output column (the pre-fix agg_hhi shape) and an unplannable oracle
+    both produce findings."""
+    con = duckdb.connect()
+    bad = lint_oracle_types(con, {
+        "decimal_case": "SELECT CAST(1.5 AS DECIMAL(38,6)) AS v",
+        "broken_case": "SELECT FROM nowhere x !!",
+        "good_case": "SELECT CAST(1.5 AS DOUBLE) AS v, 1 AS n",
+    })
+    assert any("decimal_case" in b and "DECIMAL" in b for b in bad)
+    assert any("broken_case" in b for b in bad)
+    assert not any("good_case" in b for b in bad)
