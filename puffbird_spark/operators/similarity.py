@@ -1106,3 +1106,166 @@ def mmr_rerank(
 
     return grp.groupBy("query_id").applyInPandas(
         _greedy, "query_id long, rank int, cand_id long, mmr_score double")
+
+
+def count_profile_topk_pairs(
+    df: DataFrame,
+    id_col: str,
+    type_col: str,
+    k: int = 3,
+    block_rows: int = 4096,
+    dp: int = 6,
+    max_types: int = 4096,
+) -> DataFrame:
+    """Top-k most-similar HIGHER-ID partners per entity by cosine over
+    categorical COUNT PROFILES (the behavioral audience-lookalike
+    primitive): each entity's vector is its per-``type_col`` event
+    counts, ``cosine(a,b) = Σ nₐnᵦ / (‖a‖‖b‖)``, and each ``id_a``
+    keeps its ``k`` best ``id_b > id_a`` (cosine desc, id asc
+    tie-break).
+
+    Scale lesson (round-9 sf1 rehearsal — the same degenerate regime
+    as the dense Jaccard path): the textbook "inverted index on the
+    type key" pair join is an ALL-PAIRS join whenever the type
+    vocabulary is tiny — with 5 event types every entity pair shares
+    every type, so the join materialized N²/2 wide rows through a
+    shuffle (881 s at 15k users for a 45k-row answer). Here the
+    vocabulary is BOUNDED BY DEFINITION (it is a categorical column),
+    so the right physical plan is dense: pivot counts to a
+    |types|-wide vector (one shuffle to entity grain), then blocked
+    all-pairs matmul — one ``applyInPandas`` task per block pair, and
+    each task emits only its LOCAL top-k per ``id_a`` (top-k under a
+    total order is distributive, so a global top-k over ``k·nb``
+    partials per entity is exact). Nothing N²-sized is ever
+    materialized; compute is N²·|types| multiply-adds at SIMD speed.
+
+    NULL types follow SQL equi-join semantics: they contribute to the
+    NORM (they are real events in the profile) but never to a dot
+    product (NULL joins nothing) — kept as a separate norm-only
+    component so an SQL oracle replays exactly. Integer dots are exact
+    in float64; rounding replays Spark's HALF_UP at ``dp``.
+
+    Returns ``(id_a, id_b, cosine)``, the exact result of the join
+    formulation (differential-tested against it)."""
+    import math
+
+    spark = df.sparkSession
+    c = df.groupBy(
+        F.col(id_col).alias("__id"), F.col(type_col).alias("__ty")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    types = sorted(
+        r["__ty"] for r in
+        c.select("__ty").distinct().collect() if r["__ty"] is not None)
+    if len(types) > max_types:
+        raise ValueError(
+            f"count_profile_topk_pairs: {len(types)} distinct types "
+            f"exceed max_types={max_types}; a vocabulary this wide is "
+            "the SPARSE regime — use the inverted-index pair join")
+    vec = F.array(*[
+        F.coalesce(
+            F.sum(F.when(F.col("__ty") == F.lit(t), F.col("__n"))),
+            F.lit(0)).cast("double")
+        for t in types])
+    nullcnt = F.coalesce(
+        F.sum(F.when(F.col("__ty").isNull(), F.col("__n"))),
+        F.lit(0)).cast("double")
+    prof = c.groupBy("__id").agg(
+        vec.alias("__v"), nullcnt.alias("__nulln"))
+    prof = prof.localCheckpoint(eager=True)
+    n_ids = prof.count()
+    nb = max(1, math.ceil(n_ids / block_rows))
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(nb) for j in range(i, nb)],
+        "bi int, bj int")
+    d = prof.withColumn("__blk", F.pmod(F.hash("__id"), F.lit(nb)))
+    a_side = d.join(F.broadcast(pairs), F.col("__blk") == F.col("bi")) \
+        .withColumn("__role", F.lit(0))
+    b_side = d.join(F.broadcast(pairs), F.col("__blk") == F.col("bj")) \
+        .withColumn("__role", F.lit(1))
+    both = a_side.unionByName(b_side).select(
+        "bi", "bj", "__role", "__id", "__v", "__nulln")
+    id_type = dict(prof.dtypes)["__id"]
+    kk = int(k)
+    scale = float(10 ** dp)
+
+    def _block_kernel(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        bi, bj = int(key[0]), int(key[1])
+        a = pdf[pdf["__role"] == 0]
+        b = a if bi == bj else pdf[pdf["__role"] == 1]
+        empty = pd.DataFrame({
+            "id_a": pd.Series([], dtype=pdf["__id"].dtype),
+            "id_b": pd.Series([], dtype=pdf["__id"].dtype),
+            "cosine": pd.Series([], dtype="float64")})
+        if a.empty or b.empty:
+            return empty
+
+        def mats(part):
+            m = np.array(part["__v"].tolist(), dtype=np.float64)
+            nulln = part["__nulln"].to_numpy().astype(np.float64)
+            nrm = np.sqrt(
+                np.einsum("ij,ij->i", m, m) + nulln * nulln)
+            return m, nrm
+        A, na = mats(a)
+        B, nb_ = (A, na) if bi == bj else mats(b)
+        dots = A @ B.T
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(
+                (na[:, None] > 0) & (nb_[None, :] > 0),
+                dots / (na[:, None] * nb_[None, :]), 0.0)
+        cos = np.where(cos >= 0, np.floor(cos * scale + 0.5) / scale,
+                       np.ceil(cos * scale - 0.5) / scale)
+        ia = a["__id"].to_numpy()
+        ib = ia if bi == bj else b["__id"].to_numpy()
+        lt = ia[:, None] < ib[None, :]
+        out_a, out_b, out_c = [], [], []
+
+        def local_topk(rows, cols, mat, mask):
+            # vectorized k-th-largest threshold per row, then the exact
+            # (-cos, id) tie-break only over the tiny >=threshold set —
+            # ties at the boundary (common after 6-dp rounding) stay
+            # id-deterministic without a full per-row Python sort
+            masked = np.where(mask, mat, -np.inf)
+            width = masked.shape[1]
+            if width == 0:
+                return
+            if width > kk:
+                kth = np.partition(masked, width - kk, axis=1)[:, width - kk]
+            else:
+                kth = np.full(masked.shape[0], -np.inf)
+            for r in range(len(rows)):
+                # isfinite guard: with kth == -inf (short rows) the
+                # masked-out -inf cells would satisfy >= kth
+                sel = np.nonzero(
+                    (masked[r] >= kth[r]) & np.isfinite(masked[r]))[0]
+                if not len(sel):
+                    continue
+                cand = sorted(
+                    ((mat[r, j], cols[j]) for j in sel),
+                    key=lambda t: (-t[0], t[1]))[:kk]
+                for cval, cid in cand:
+                    out_a.append(rows[r])
+                    out_b.append(cid)
+                    out_c.append(cval)
+
+        # candidates must have the LARGER id; in a cross block either
+        # side can be the smaller, so run both orientations
+        local_topk(ia, ib, cos, lt)
+        if bi != bj:
+            local_topk(ib, ia, cos.T, ~lt.T)
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {"id_a": out_a, "id_b": out_b, "cosine": out_c})
+
+    partials = both.groupBy("bi", "bj").applyInPandas(
+        _block_kernel, f"id_a {id_type}, id_b {id_type}, cosine double")
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
+    return (
+        partials.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= kk).drop("__rn")
+    )

@@ -3614,47 +3614,27 @@ QUALIFY row_number() OVER (PARTITION BY user_a
 """)
 def events_user_similarity(spark, sf_dir):
     """Behavioral user similarity — cosine over event-type count
-    profiles, top-3 per user: the audience-lookalike primitive built
-    from BEHAVIOR (the derived-feature sibling of the embedding kNN
-    family; profiles here are sparse count vectors, so the pair dot
-    products come from an equi-join on the event type — an inverted
-    index, never a dense cross join; type cardinality bounds the
-    fan-out). Integer dot products, one rounded division, window
-    top-3 with id tie-break."""
-    from pyspark.sql.window import Window as W
+    profiles, top-3 higher-id partners per user: the audience-
+    lookalike primitive built from BEHAVIOR
+    (`count_profile_topk_pairs`, operators/similarity.py). Round 9
+    replaced the inverted-index pair join: a categorical vocabulary is
+    tiny BY DEFINITION, so "join on the type key" is an all-pairs join
+    in disguise — the sf1 rehearsal measured 881 s (N²/2 wide rows
+    through a shuffle) for a 45k-row answer. The dense shape — pivot
+    to |types|-wide count vectors, blocked matmul, per-block local
+    top-3 then an exact global top-3 over the k·nb partials — computes
+    the identical result (integer dots exact in f64, HALF_UP 6-dp
+    round, id tie-break; NULL types norm-only per SQL equi-join
+    semantics) in seconds. The oracle stays the join formulation, so
+    the hash gate proves the equivalence."""
+    from ..operators.similarity import count_profile_topk_pairs
 
     ev = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    c = ev.groupBy("user_id", "event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n"))
-    a = c.select(F.col("user_id").alias("user_a"), "event_type",
-                 F.col("n").alias("na"))
-    b = c.select(F.col("user_id").alias("user_b"), "event_type",
-                 F.col("n").alias("nb"))
-    p = (
-        a.join(b, "event_type")
-        .filter(F.col("user_a") < F.col("user_b"))
-        .groupBy("user_a", "user_b")
-        .agg(F.sum(F.col("na") * F.col("nb")).alias("dot"))
-    )
-    nrm = c.groupBy("user_id").agg(
-        F.sqrt(F.sum(F.col("n") * F.col("n")).cast("double")).alias("nn"))
-    sc = (
-        p.join(F.broadcast(nrm.withColumnRenamed("user_id", "user_a")
-                           .withColumnRenamed("nn", "nna")), "user_a")
-        .join(F.broadcast(nrm.withColumnRenamed("user_id", "user_b")
-                          .withColumnRenamed("nn", "nnb")), "user_b")
-        .select(
-            "user_a", "user_b",
-            F.round(
-                F.col("dot").cast("double")
-                / (F.col("nna") * F.col("nnb")), 6).alias("cosine"),
-        )
-    )
-    w = W.partitionBy("user_a").orderBy(F.desc("cosine"), F.asc("user_b"))
-    return (
-        sc.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3).drop("rn")
-    )
+    return count_profile_topk_pairs(
+        ev, "user_id", "event_type", k=3
+    ).select(
+        F.col("id_a").alias("user_a"), F.col("id_b").alias("user_b"),
+        "cosine")
 
 
 @query("agg_bitmap_distinct", oracle="""

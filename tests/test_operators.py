@@ -5888,3 +5888,58 @@ def test_dense_jaccard_block_ceiling_raises(spark):
                 strategy="dense").collect()
     finally:
         DD.DENSE_BLOCK_DOCS, DD.DENSE_MAX_BLOCKS = orig_block, orig_max
+
+
+def test_count_profile_topk_matches_join_formulation(spark):
+    """The blocked-matmul profile similarity (round-9 881s->28s sf1 fix)
+    must equal the inverted-index join formulation exactly — including
+    NULL-type norm-only semantics, 6-dp tie-breaks, and multi-block
+    pairing (tiny block size forces it)."""
+    import random
+
+    import pyspark.sql.functions as F2
+    from pyspark.sql.window import Window as W
+
+    from puffbird_spark.operators.similarity import count_profile_topk_pairs
+
+    rng = random.Random(13)
+    rows = []
+    for uid in range(40):
+        for _ in range(rng.randint(1, 20)):
+            ty = rng.choice(["a", "b", "c", "d", None])
+            rows.append((uid, ty))
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+
+    # reference: the join formulation (the gate's old plan)
+    c = df.groupBy("user_id", "event_type").agg(
+        F2.count(F2.lit(1)).cast("long").alias("n"))
+    a = c.select(F2.col("user_id").alias("ua"), "event_type",
+                 F2.col("n").alias("na"))
+    b = c.select(F2.col("user_id").alias("ub"), "event_type",
+                 F2.col("n").alias("nb"))
+    p = (a.join(b, "event_type")
+         .filter(F2.col("ua") < F2.col("ub"))
+         .groupBy("ua", "ub")
+         .agg(F2.sum(F2.col("na") * F2.col("nb")).alias("dot")))
+    nrm = c.groupBy("user_id").agg(
+        F2.sqrt(F2.sum(F2.col("n") * F2.col("n")).cast("double"))
+        .alias("nn"))
+    sc = (p.join(nrm.withColumnRenamed("user_id", "ua")
+                 .withColumnRenamed("nn", "nna"), "ua")
+          .join(nrm.withColumnRenamed("user_id", "ub")
+                .withColumnRenamed("nn", "nnb"), "ub")
+          .select("ua", "ub", F2.round(
+              F2.col("dot").cast("double")
+              / (F2.col("nna") * F2.col("nnb")), 6).alias("cos")))
+    w = W.partitionBy("ua").orderBy(F2.desc("cos"), F2.asc("ub"))
+    ref = sorted(map(tuple, sc.withColumn("rn", F2.row_number().over(w))
+                     .filter(F2.col("rn") <= 3).drop("rn").collect()))
+
+    got = sorted(map(tuple, count_profile_topk_pairs(
+        df, "user_id", "event_type", k=3, block_rows=8).collect()))
+    assert got == ref
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="max_types"):
+        count_profile_topk_pairs(
+            df, "user_id", "event_type", k=3, max_types=2)
