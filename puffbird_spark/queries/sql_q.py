@@ -10,7 +10,6 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..functions.vectors import as_double, cosine_rounded
 from .base import load, query
 
 
@@ -100,24 +99,21 @@ WHERE round(list_dot_product(a.v, b.v)
       6) >= 0.45
 """)
 def dedup_embedding(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs. All-pairs exact kernel for
-    the oracle; the scale path buckets by SRP-LSH first
-    (operators/similarity.lsh_bucket_topk). Threshold 0.45: the synthetic
-    embeddings are near-orthogonal (max pairwise cosine ~0.51), so this
-    yields a small non-empty frontier."""
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double("embedding").alias("v")
-    )
-    a, b = emb.alias("a"), emb.alias("b")
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            cosine_rounded(F.col("a.v"), F.col("b.v")).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= 0.45)
-    )
+    """Embedding-cosine near-duplicate pairs (`cosine_pairs_exact`,
+    operators/similarity.py). All-pairs exact kernel for the oracle;
+    the scale path buckets by SRP-LSH first
+    (operators/similarity.lsh_bucket_topk). The kernel auto-gates per
+    the package convention — JVM HOF fold below ARROW_MIN_PAIRS, the
+    blocked matrix kernel above it (the round-9 sf1 rehearsal caught
+    the HOF fold grinding 2×10⁸ pairs at ~40µs each; both kernels
+    replay HALF_UP 6-dp, differential-pinned). Threshold 0.45: the
+    synthetic embeddings are near-orthogonal (max pairwise cosine
+    ~0.51), so this yields a small non-empty frontier."""
+    from ..operators.similarity import cosine_pairs_exact
+
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_pairs_exact(
+        emb, "vec_id", "embedding", threshold=0.45, dim=64)
 
 
 @query("sql_exists_subquery", oracle="""

@@ -5943,3 +5943,26 @@ def test_count_profile_topk_matches_join_formulation(spark):
     with _pytest.raises(ValueError, match="max_types"):
         count_profile_topk_pairs(
             df, "user_id", "event_type", k=3, max_types=2)
+
+
+def test_cosine_pairs_exact_hof_equals_arrow(spark):
+    """The blocked matrix kernel of cosine_pairs_exact must equal the
+    JVM HOF theta-join path pair-for-pair at 6 dp — forced both ways,
+    with a tiny block size so multi-block pairing is exercised."""
+    import random
+
+    from puffbird_spark.operators.similarity import cosine_pairs_exact
+
+    rng = random.Random(17)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    # a few near-duplicates so the frontier is non-trivial
+    rows += [(100 + i, [v * 1.01 for v in rows[i][1]]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    hof = sorted(map(tuple, cosine_pairs_exact(
+        df, "vec_id", "embedding", threshold=0.2, dim=8,
+        use_arrow=False).collect()))
+    arrow = sorted(map(tuple, cosine_pairs_exact(
+        df, "vec_id", "embedding", threshold=0.2, dim=8,
+        use_arrow=True, block_rows=16).collect()))
+    assert hof == arrow
+    assert len(hof) >= 5  # the planted near-dups must appear
