@@ -1387,10 +1387,14 @@ def prefix_filter_jaccard_pairs(
     ).select("id", "__sz", F.col("__p.dg").alias("dg"))
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
     # length filter: J >= t forces min(|x|,|y|) >= t*max(|x|,|y|); the
-    # 1e-9 guard band keeps the 6-dp-rounded boundary un-prunable
+    # release filter admits pairs whose EXACT jaccard is as low as
+    # t - 5e-7 (6-dp HALF_UP rounding), and jaccard <= min/max, so the
+    # guard band must cover that rounding slack plus float fuzz or a
+    # boundary pair gets wrongly pruned (possible once documents reach
+    # ~1e6 distinct grams, where jaccard resolution crosses 5e-7)
     sa, sb = F.col("pa.__sz"), F.col("pb.__sz")
     len_ok = F.least(sa, sb).cast("double") \
-        >= (F.lit(float(threshold) - 1e-9) * F.greatest(sa, sb))
+        >= (F.lit(float(threshold) - 5e-7 - 1e-9) * F.greatest(sa, sb))
     cands = (
         pa.join(pb, (F.col("pa.dg") == F.col("pb.dg"))
                 & (F.col("pa.id") < F.col("pb.id")) & len_ok)

@@ -139,6 +139,11 @@ def equi_depth_histogram(
 
     from .splits import grouped_prefix_sum
 
+    # pin the lineage before counting: grouped_prefix_sum re-reads
+    # `vals`, and a non-deterministic source could make the recomputed
+    # ranks inconsistent with this n (the bucket rule divides by it) —
+    # same convention as _dense_jaccard_pairs / cosine_pairs_exact
+    vals = vals.localCheckpoint(eager=True)
     n = vals.count()
     if n == 0:
         return vals.select(

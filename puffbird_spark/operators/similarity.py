@@ -1153,14 +1153,18 @@ def count_profile_topk_pairs(
     c = df.groupBy(
         F.col(id_col).alias("__id"), F.col(type_col).alias("__ty")
     ).agg(F.count(F.lit(1)).cast("long").alias("__n"))
-    types = sorted(
-        r["__ty"] for r in
-        c.select("__ty").distinct().collect() if r["__ty"] is not None)
-    if len(types) > max_types:
+    # bounded probe BEFORE the full collect: a mistakenly data-sized
+    # type_col must raise here, not OOM the driver materializing every
+    # distinct value first
+    probe = (
+        c.select("__ty").filter(F.col("__ty").isNotNull())
+        .distinct().limit(max_types + 1).collect())
+    if len(probe) > max_types:
         raise ValueError(
-            f"count_profile_topk_pairs: {len(types)} distinct types "
-            f"exceed max_types={max_types}; a vocabulary this wide is "
+            f"count_profile_topk_pairs: more than max_types="
+            f"{max_types} distinct types; a vocabulary this wide is "
             "the SPARSE regime — use the inverted-index pair join")
+    types = sorted(r["__ty"] for r in probe)
     vec = F.array(*[
         F.coalesce(
             F.sum(F.when(F.col("__ty") == F.lit(t), F.col("__n"))),
@@ -1251,10 +1255,15 @@ def count_profile_topk_pairs(
                     out_c.append(cval)
 
         # candidates must have the LARGER id; in a cross block either
-        # side can be the smaller, so run both orientations
-        local_topk(ia, ib, cos, lt)
+        # side can be the smaller, so run both orientations. dots == 0
+        # pairs (no shared non-null type) never become candidates: the
+        # inverted-index join this kernel equals emits NO row for them,
+        # so a zero-cosine row here would be a phantom partner for
+        # entities with < k positive-cosine neighbours
+        pos = dots > 0
+        local_topk(ia, ib, cos, lt & pos)
         if bi != bj:
-            local_topk(ib, ia, cos.T, ~lt.T)
+            local_topk(ib, ia, cos.T, (~lt.T) & pos.T)
         if not out_a:
             return empty
         return pd.DataFrame(

@@ -5908,6 +5908,14 @@ def test_count_profile_topk_matches_join_formulation(spark):
         for _ in range(rng.randint(1, 20)):
             ty = rng.choice(["a", "b", "c", "d", None])
             rows.append((uid, ty))
+    # adversarial profiles for the zero-cosine seam: the join
+    # formulation emits NO row for pairs sharing no non-null type, so
+    # an all-NULL profile (positive norm, joins nothing) and a
+    # unique-type profile (only it has "z") must appear in ZERO pairs
+    # — a kernel that lets dots==0 pairs into top-k fabricates
+    # cosine=0.0 partners for them
+    rows += [(100, None)] * 5
+    rows += [(101, "z")] * 3
     df = spark.createDataFrame(rows, "user_id long, event_type string")
 
     # reference: the join formulation (the gate's old plan)
