@@ -56,6 +56,23 @@ def count_broadcast_joins(df: DataFrame) -> int:
     return len(re.findall(r"\(\d+\) Broadcast(?:Hash|NestedLoop)Join", plan))
 
 
+def unpartitioned_window_orders(df: DataFrame) -> list[str]:
+    """First ordering column of every UNPARTITIONED window spec in the
+    plan (a spec whose pre-frame args are all sort specs — partition
+    columns print bare, sort columns carry ASC/DESC). The single-task
+    funnel check: a data-sized frame under one of these is the shape
+    the two-phase `grouped_prefix_sum` rewrites exist to prevent."""
+    plan = formatted_plan(df)
+    out = []
+    for m in re.finditer(
+            r"windowspecdefinition\((.*?)specifiedwindowframe", plan):
+        args = [a.strip() for a in m.group(1).rstrip(", ").split(",")
+                if a.strip()]
+        if args and all((" ASC" in a) or (" DESC" in a) for a in args):
+            out.append(args[0].split("#")[0].strip())
+    return out
+
+
 def has_sort_merge_join(df: DataFrame) -> bool:
     return "SortMergeJoin" in formatted_plan(df)
 

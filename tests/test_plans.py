@@ -474,3 +474,22 @@ def test_jaccard_dense_path_blocked_kernel(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     # the dense gram index and the block-pair frame both broadcast
     assert P.count_broadcast_joins(df) >= 2
+
+
+def test_two_phase_prefix_sum_windows_bounded(q):
+    """Pin the round-9 two-phase rewrites (weighted percentiles,
+    equi-depth histogram, Kaplan-Meier): the ONLY unpartitioned window
+    in each plan is the per-slice offsets pass ordering by __pb_pid —
+    a frame bounded by partition COUNT, not data. A data-sized
+    single-task window regressing in would surface here as an
+    unpartitioned spec ordered by a data column (or as ntile)."""
+    import re as _re
+
+    for name in ("agg_weighted_percentile", "diag_histogram",
+                 "timeseries_kaplan_meier"):
+        df = q(name)
+        plan = P.formatted_plan(df)
+        assert not _re.search(r"\bntile\(", plan), name
+        orders = P.unpartitioned_window_orders(df)
+        assert orders, name  # the offsets pass must exist
+        assert set(orders) == {"__pb_pid"}, (name, orders)
