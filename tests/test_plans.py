@@ -493,3 +493,29 @@ def test_two_phase_prefix_sum_windows_bounded(q):
         orders = P.unpartitioned_window_orders(df)
         assert orders, name  # the offsets pass must exist
         assert set(orders) == {"__pb_pid"}, (name, orders)
+
+
+def test_kernel_auto_gate_tracks_pair_estimate(spark, sf_dir):
+    """Pin the Arrow-vs-JVM auto-gate SELECTION, not just both kernels'
+    equality (the differential tests force each path explicitly): small
+    plan-estimated pair counts must stay JVM-side (no Python worker
+    spin-up), large ones must take the Arrow kernel. A broken size
+    estimate silently pins every call to one kernel — the r8
+    sizeInBytes-on-checkpoint bug class — and shows up only as
+    unattributable bench drift."""
+    from puffbird_spark.operators.similarity import (
+        cosine_pairs_exact, cosine_topk)
+    from puffbird_spark.telemetry import drain_kernels
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    drain_kernels()
+    cosine_topk(emb, emb.limit(5), k=3, est_queries=5)  # ~3k pairs
+    assert drain_kernels()["cosine_topk"] == "hof"
+    cosine_topk(emb, emb, k=3)  # ~500^2 pairs >= ARROW_MIN_PAIRS
+    assert drain_kernels()["cosine_topk"] == "arrow"
+
+    cosine_pairs_exact(emb.limit(50))
+    assert drain_kernels()["cosine_pairs_exact"] == "hof"
+    cosine_pairs_exact(emb)
+    assert drain_kernels()["cosine_pairs_exact"] == "arrow"
