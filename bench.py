@@ -390,6 +390,15 @@ def write_full_sidecar(cold: dict[str, float], warm: dict[str, float],
             for name in cold
         },
     }
+    # host-load context: totals on this box swing ~1.7x with concurrent
+    # load (the r9 dedup_semantic 2.68x "regression" was exactly this);
+    # recording 1/5/15-min loadavg at write time makes "host noise"
+    # attributable from the record instead of requiring an isolated
+    # re-measure a round later
+    try:
+        payload["loadavg"] = [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # pragma: no cover — platform without getloadavg
+        pass
     with open(path, "w") as fh:
         json.dump(payload, fh, indent=1, sort_keys=True)
     print(f"# full per-query record: {path}", file=sys.stderr)
