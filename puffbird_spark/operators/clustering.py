@@ -628,12 +628,19 @@ def incremental_embedding_dedup(
                 return pd.DataFrame({"__rej": ids[:0]})
             X = np.array(pdf["v"].tolist(), dtype=np.float64)
             nrm = np.sqrt(np.einsum("ij,ij->i", X, X))
-            S = (X @ X.T) / np.outer(nrm, nrm)
+            # only batch rows can be rejected, so the matmul is B x N,
+            # not N x N: with a mature corpus state and a small new
+            # shard (the production shape) the full matrix is
+            # corpus-quadratic per bucket while this stays
+            # batch-proportional — identical decisions, strictly fewer
+            # FLOPs (state-vs-state cosines decide nothing)
+            Xb = X[isb]
+            S = (Xb @ X.T) / np.outer(nrm[isb], nrm)
             scale = 1e6  # HALF_UP replay, the cosine_rounded_arrow rule
             S = np.where(S >= 0, np.floor(S * scale + 0.5) / scale,
                          np.ceil(S * scale - 0.5) / scale)
-            hit = (S >= thr) & (ids[None, :] < ids[:, None])
-            return pd.DataFrame({"__rej": ids[isb & hit.any(axis=1)]})
+            hit = (S >= thr) & (ids[None, :] < ids[isb][:, None])
+            return pd.DataFrame({"__rej": ids[isb][hit.any(axis=1)]})
 
         # only buckets a batch member touches can reject; the semi-join
         # prunes pure-state buckets before any vector ships
