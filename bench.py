@@ -279,6 +279,11 @@ def main() -> None:
     spark.range(1000).groupBy(F.col("id") % 7).count().count()
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
     print(f"# warmup: {time.time() - t0:.3f}s", file=sys.stderr)
+    try:
+        la = ", ".join(f"{x:.2f}" for x in os.getloadavg())
+        print(f"# host loadavg at start: {la}", file=sys.stderr)
+    except OSError:  # pragma: no cover
+        pass
 
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
@@ -318,6 +323,11 @@ def main() -> None:
                 f"# ratio_vs_prev {name}: {warm[name] / prev[name]:.3f}",
                 file=sys.stderr,
             )
+    try:
+        la = ", ".join(f"{x:.2f}" for x in os.getloadavg())
+        print(f"# host loadavg at end: {la}", file=sys.stderr)
+    except OSError:  # pragma: no cover
+        pass
     write_full_sidecar(cold, warm, sf_label)
     print(json.dumps(build_stdout_record(cold, warm, sf_label),
                      separators=(",", ":")))
