@@ -1163,7 +1163,9 @@ def count_profile_topk_pairs(
         raise ValueError(
             f"count_profile_topk_pairs: more than max_types="
             f"{max_types} distinct types; a vocabulary this wide is "
-            "the SPARSE regime — use the inverted-index pair join")
+            "the SPARSE regime — call profile_topk_pairs_sparse (the "
+            "inverted-index twin; same contract). If the column is "
+            "genuinely categorical, raise max_types instead.")
     types = sorted(r["__ty"] for r in probe)
     vec = F.array(*[
         F.coalesce(
@@ -1277,6 +1279,87 @@ def count_profile_topk_pairs(
     return (
         partials.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= kk).drop("__rn")
+    )
+
+
+def profile_topk_pairs_sparse(
+    df: DataFrame,
+    id_col: str,
+    type_col: str,
+    k: int = 3,
+    dp: int = 6,
+    max_df: int | None = None,
+) -> DataFrame:
+    """The WIDE-VOCABULARY twin of :func:`count_profile_topk_pairs` —
+    identical contract (``(id_a, id_b, cosine)``; each ``id_a`` keeps
+    its ``k`` best ``id_b > id_a`` by 6-dp cosine desc, id asc
+    tie-break; NULL types contribute to the norm but join nothing;
+    no-shared-type pairs emit NO row), different physical plan: the
+    inverted-index pair join, which is the RIGHT shape when the type
+    vocabulary is large (URLs, SKUs, tokens as types) because each
+    posting list is short and only genuinely co-occurring pairs ever
+    materialize.
+
+    Regime guidance (the round-9 sf1 lesson, inverted): with a TINY
+    vocabulary every posting list is corpus-sized and this join is
+    all-pairs in disguise — that regime belongs to
+    :func:`count_profile_topk_pairs`'s blocked matmul. The two are
+    differential-pinned equal on corpora where both run. Hot-type skew
+    is the inherited caveat of any inverted index — and with
+    zipf-popular types (URLs, SKUs: the NORM, not the edge case) one
+    corpus-frequency type makes the pair join all-pairs-sized,
+    measured immediately on the first synthetic zipf rehearsal. So the
+    df-cap is built in: with ``max_df`` set, types whose posting list
+    (distinct entities carrying the type) exceeds it are excluded from
+    DOT PRODUCTS but keep their norm mass — exactly the NULL-type
+    convention, because a type shared by "everyone" carries ~zero
+    cosine signal while its events are still real profile mass.
+    ``max_df=None`` (default) is the exact join; production corpora
+    with zipf types should set it.
+
+    Exactness: dots are sums of long products (order-free exact
+    integer arithmetic), the cosine divides once in float64 and rounds
+    HALF_UP at ``dp`` — bit-identical to the dense kernel's replay."""
+    c = df.groupBy(
+        F.col(id_col).alias("__id"), F.col(type_col).alias("__ty")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    # norms over ALL profile rows — NULL-type events are real mass
+    nrm = c.groupBy("__id").agg(
+        F.sqrt(F.sum(F.col("__n") * F.col("__n")).cast("double"))
+        .alias("__nrm"))
+    cc = c.filter(F.col("__ty").isNotNull())
+    if max_df is not None:
+        # posting-list cap: hot types leave the join side only — norms
+        # above were already taken over the FULL profile, so capped
+        # types stay norm-only (the NULL-type convention)
+        hot = (
+            cc.groupBy("__ty").agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > int(max_df)).select("__ty"))
+        cc = cc.join(F.broadcast(hot), "__ty", "left_anti")
+    a = cc.select(
+        "__ty", F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
+    b = cc.select(
+        "__ty", F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
+    dots = (
+        a.join(b, "__ty")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("__na") * F.col("__nb")).alias("__dot"))
+    )
+    na = nrm.select(F.col("__id").alias("id_a"), F.col("__nrm").alias("__ra"))
+    nb = nrm.select(F.col("__id").alias("id_b"), F.col("__nrm").alias("__rb"))
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
+    return (
+        dots.join(na, "id_a").join(nb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(
+                F.col("__dot").cast("double")
+                / (F.col("__ra") * F.col("__rb")), dp).alias("cosine"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(k)).drop("__rn")
     )
 
 

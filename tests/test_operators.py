@@ -5953,6 +5953,72 @@ def test_count_profile_topk_matches_join_formulation(spark):
             df, "user_id", "event_type", k=3, max_types=2)
 
 
+def test_profile_topk_sparse_equals_dense(spark):
+    """The inverted-index (wide-vocabulary) twin must equal the blocked
+    matmul pair-for-pair on a corpus where both regimes run — including
+    NULL-type norm-only mass, all-NULL profiles, unique-type profiles,
+    and the (-cos, id) tie-break at 6 dp."""
+    import random
+
+    from puffbird_spark.operators.similarity import (
+        count_profile_topk_pairs, profile_topk_pairs_sparse)
+
+    rng = random.Random(29)
+    types = [f"t{i:02d}" for i in range(30)] + [None]
+    rows = []
+    for uid in range(60):
+        for _ in range(rng.randint(1, 25)):
+            rows.append((uid, rng.choice(types)))
+    rows += [(200, None)] * 4          # all-NULL profile: zero pairs
+    rows += [(201, "only_mine")] * 3   # unique type: zero pairs
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+
+    dense = sorted(map(tuple, count_profile_topk_pairs(
+        df, "user_id", "event_type", k=4, block_rows=16).collect()))
+    sparse = sorted(map(tuple, profile_topk_pairs_sparse(
+        df, "user_id", "event_type", k=4).collect()))
+    assert sparse == dense
+    assert not any(r[0] in (200, 201) or r[1] in (200, 201) for r in sparse)
+
+
+def test_profile_topk_sparse_max_df_is_norm_only(spark):
+    """With ``max_df`` set, a hot type must leave dot products but KEEP
+    its norm mass (the NULL-type convention) — equivalent to remapping
+    the hot type to a per-user unique sentinel and running the exact
+    op, which is the semantics a stopword-type deserves."""
+    import random
+
+    import pyspark.sql.functions as F2
+
+    from puffbird_spark.operators.similarity import (
+        profile_topk_pairs_sparse)
+
+    rng = random.Random(31)
+    rows = []
+    for uid in range(25):
+        rows.append((uid, "everyone_has_this"))  # df=25, capped at 10
+        for _ in range(rng.randint(1, 6)):
+            rows.append((uid, rng.choice([f"t{i}" for i in range(12)])))
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+
+    got = sorted(map(tuple, profile_topk_pairs_sparse(
+        df, "user_id", "event_type", k=3, max_df=10).collect()))
+    # reference: hot type remapped per-user unique => joins nothing,
+    # still counts in the norm
+    remapped = df.withColumn(
+        "event_type",
+        F2.when(F2.col("event_type") == "everyone_has_this",
+                F2.concat(F2.lit("__u"), F2.col("user_id")))
+        .otherwise(F2.col("event_type")))
+    ref = sorted(map(tuple, profile_topk_pairs_sparse(
+        remapped, "user_id", "event_type", k=3).collect()))
+    assert got == ref
+    # and the cap genuinely changes the answer vs the uncapped exact op
+    exact = sorted(map(tuple, profile_topk_pairs_sparse(
+        df, "user_id", "event_type", k=3).collect()))
+    assert got != exact
+
+
 def test_cosine_pairs_exact_hof_equals_arrow(spark):
     """The blocked matrix kernel of cosine_pairs_exact must equal the
     JVM HOF theta-join path pair-for-pair at 6 dp — forced both ways,
