@@ -31,7 +31,14 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Zero-norm inputs (empty docs, padding embeddings) release 0.0 —
+    "no similarity" — NEVER NaN: Spark orders NaN ABOVE every number
+    (non-IEEE), so an unguarded 0/0 makes a zero vector pass
+    ``cosine >= t`` filters and WIN every desc-ranked top-k, silently
+    diverging from an IEEE oracle. Same convention as the blocked
+    profile kernel (operators/similarity.py)."""
+    den = norm(a) * norm(b)
+    return F.when(den > F.lit(0.0), dot(a, b) / den).otherwise(F.lit(0.0))
 
 
 def cosine_rounded(a: Column, b: Column, dp: int = 6) -> Column:
@@ -63,7 +70,9 @@ def cosine_rounded_arrow(dp: int = 6):
         num = np.einsum("ij,ij->i", A, B)
         den = np.sqrt(np.einsum("ij,ij->i", A, A)) * np.sqrt(
             np.einsum("ij,ij->i", B, B))
-        x = num / den
+        # zero-norm guard — the HOF twin's 0.0 convention (see cosine())
+        with np.errstate(divide="ignore", invalid="ignore"):
+            x = np.where(den > 0, num / den, 0.0)
         rounded = np.where(
             x >= 0,
             np.floor(x * scale + 0.5) / scale,

@@ -287,7 +287,14 @@ def semantic_dedup(
             if len(X) < 2:
                 return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0]})
             nrm = np.sqrt(np.einsum("ij,ij->i", X, X))
-            S = (X @ X.T) / np.outer(nrm, nrm)
+            den = np.outer(nrm, nrm)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                # zero-norm => 0.0, matching the HOF twin's guarded
+                # cosine() — an unguarded NaN diverges between numpy
+                # (IEEE: NaN >= thr is False) and Spark SQL (NaN sorts
+                # and compares GREATEST), so the two kernels would
+                # disagree on zero vectors
+                S = np.where(den > 0, (X @ X.T) / den, 0.0)
             scale = 1e6  # HALF_UP replay, the cosine_rounded_arrow rule
             S = np.where(S >= 0, np.floor(S * scale + 0.5) / scale,
                          np.ceil(S * scale - 0.5) / scale)
@@ -635,7 +642,11 @@ def incremental_embedding_dedup(
             # batch-proportional — identical decisions, strictly fewer
             # FLOPs (state-vs-state cosines decide nothing)
             Xb = X[isb]
-            S = (Xb @ X.T) / np.outer(nrm[isb], nrm)
+            den = np.outer(nrm[isb], nrm)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                # zero-norm => 0.0 (the package convention; see
+                # semantic_dedup_pairs above)
+                S = np.where(den > 0, (Xb @ X.T) / den, 0.0)
             scale = 1e6  # HALF_UP replay, the cosine_rounded_arrow rule
             S = np.where(S >= 0, np.floor(S * scale + 0.5) / scale,
                          np.ceil(S * scale - 0.5) / scale)

@@ -1081,7 +1081,11 @@ def mmr_rerank(
         pdf = pdf.sort_values("cand_id").reset_index(drop=True)
         x = np.stack(pdf["__cv"].to_numpy()).astype(np.float64)
         norms = np.sqrt(np.einsum("ij,ij->i", x, x))
-        sims = _hu((x @ x.T) / np.outer(norms, norms))
+        den = np.outer(norms, norms)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            # zero-norm => similarity 0.0 (the package convention) — a
+            # NaN here would poison every MMR score it touches
+            sims = _hu(np.where(den > 0, (x @ x.T) / den, 0.0))
         relv = pdf["__rel"].to_numpy(dtype=np.float64)
         ids = pdf["cand_id"].to_numpy()
         n = len(ids)

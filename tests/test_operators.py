@@ -6019,6 +6019,47 @@ def test_profile_topk_sparse_max_df_is_norm_only(spark):
     assert got != exact
 
 
+def test_zero_vector_cosine_is_zero_not_nan(spark):
+    """Zero-norm embeddings (empty docs, padding) release cosine 0.0 on
+    EVERY kernel — never NaN: Spark orders and compares NaN as GREATEST
+    (non-IEEE), so an unguarded 0/0 makes a zero vector pass
+    ``cosine >= t`` filters and win every desc top-k, while the numpy
+    kernels' IEEE NaN does the opposite — the two kernels of one
+    operator would disagree. Pin the 0.0 convention and HOF==Arrow
+    equality on a corpus containing zero vectors."""
+    import math
+    import random
+
+    import pyspark.sql.functions as F2
+
+    from puffbird_spark.functions.vectors import cosine_rounded
+    from puffbird_spark.operators.similarity import (
+        cosine_pairs_exact, cosine_topk)
+
+    rng = random.Random(41)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(20)]
+    rows += [(100, [0.0] * 8), (101, [0.0] * 8)]  # zero vectors
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    r = df.select(cosine_rounded(
+        F2.col("embedding"), F2.array(*[F2.lit(0.0)] * 8)).alias("c")
+    ).collect()
+    assert all(x["c"] == 0.0 for x in r)
+
+    for fn, kw in ((cosine_topk, {"k": 3}),
+                   (cosine_pairs_exact, {"threshold": 0.3})):
+        if fn is cosine_topk:
+            hof = fn(df, df, use_arrow=False, **kw).collect()
+            arw = fn(df, df, use_arrow=True, **kw).collect()
+        else:
+            hof = fn(df, use_arrow=False, **kw).collect()
+            arw = fn(df, use_arrow=True, **kw).collect()
+        assert sorted(map(tuple, hof)) == sorted(map(tuple, arw)), fn
+        assert not any(
+            v is None or (isinstance(v, float) and math.isnan(v))
+            for row in hof for v in row), fn
+
+
 def test_cosine_pairs_exact_hof_equals_arrow(spark):
     """The blocked matrix kernel of cosine_pairs_exact must equal the
     JVM HOF theta-join path pair-for-pair at 6 dp — forced both ways,
