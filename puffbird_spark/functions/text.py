@@ -24,7 +24,18 @@ LANG_STOPWORDS: dict[str, list[str]] = {
 
 
 def tokens(text: str | Column, sep: str = " ") -> Column:
-    """Whitespace tokenization (single-separator split)."""
+    """Whitespace tokenization (single-separator split).
+
+    CONVENTION (mirrored by every DuckDB oracle via ``string_split``,
+    which behaves identically): empty segments are KEPT — ``""`` and
+    ``"a  b"`` tokenize to ``[""]`` and ``["a", "", "b"]``, so
+    ``token_count("") == 1`` and an empty-string term can match
+    between empty documents (e.g. in BM25). This is deliberate: the
+    cross-engine differential contract pins the exact split semantics
+    at 65+ oracle sites. Corpora with empty/whitespace-only documents
+    should be cleaned upstream (`filters`/pipeline ops); an opt-in
+    ``drop_empty`` variant (with ``list_filter`` mirrored oracles) is
+    queued for the post-freeze round — see NOTES."""
     c = F.col(text) if isinstance(text, str) else text
     return F.split(c, sep)
 
