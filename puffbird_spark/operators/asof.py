@@ -72,6 +72,21 @@ def asof_join(
             f"right columns {sorted(overlap)} collide with left; rename first"
         )
 
+    # SQL equi-join key semantics (the DuckDB ``ASOF LEFT JOIN ON l.k =
+    # r.k`` this operator's oracles declare): a NULL key matches
+    # NOTHING. The union+window plan would otherwise group NULL keys
+    # together and match them (window partitioning treats NULL as a
+    # value), silently diverging from the join formulation on NULL-keyed
+    # rows — so NULL-keyed right rows leave the carry stream (they can
+    # be nobody's match) and NULL-keyed left rows emit unmatched, the
+    # left-join convention.
+    if on:
+        null_key = None
+        for k in on:
+            c = F.col(k).isNull()
+            null_key = c if null_key is None else (null_key | c)
+        right = right.filter(~null_key)
+
     rval_cols = [c for c in right.columns if c not in on]
     rstruct = T.StructType([right.schema[c] for c in rval_cols])
 

@@ -35,6 +35,27 @@ def test_asof_join_basic(spark):
     }
 
 
+def test_asof_join_null_keys_never_match(spark):
+    """SQL equi-join key semantics, the convention the DuckDB ``ASOF
+    LEFT JOIN ON l.k = r.k`` oracle declares: a NULL key matches
+    NOTHING. The union+window plan would otherwise group NULL keys into
+    one partition and match them (window partitioning treats NULL as a
+    value) — a silent divergence from the join formulation on data the
+    gates never produce."""
+    left = spark.createDataFrame(
+        [(None, 15, "Lnull"), ("k", 10, "L10")],
+        "k string, lts long, lval string")
+    right = spark.createDataFrame(
+        [(None, 12, "Rnull"), ("k", 9, "R9")],
+        "k string, rts long, rval string")
+    out = asof_join(left, right, on=["k"], left_ts="lts", right_ts="rts")
+    got = {r["lval"]: (r["rts"], r["rval"]) for r in out.collect()}
+    assert got == {
+        "Lnull": (None, None),  # NULL key: unmatched, NOT paired w/ Rnull
+        "L10": (9, "R9"),
+    }
+
+
 def test_asof_join_inclusive_and_strict(spark):
     left = spark.createDataFrame([(1, 10, "L")], ["k", "lts", "lval"])
     right = spark.createDataFrame([(1, 10, "Req")], ["k", "rts", "rval"])
