@@ -36,9 +36,19 @@ def cosine(a: Column, b: Column) -> Column:
     (non-IEEE), so an unguarded 0/0 makes a zero vector pass
     ``cosine >= t`` filters and WIN every desc-ranked top-k, silently
     diverging from an IEEE oracle. Same convention as the blocked
-    profile kernel (operators/similarity.py)."""
+    profile kernel (operators/similarity.py).
+
+    NULL inputs stay NULL (SQL semantics): a NULL embedding — or a
+    zip_with length-mismatch producing a NULL fold — must NOT collapse
+    to 0.0, which would silently rank NULL-embedding rows above
+    negative cosines in desc top-k and diverge from the DuckDB oracle's
+    NULL-in/NULL-out arithmetic."""
     den = norm(a) * norm(b)
-    return F.when(den > F.lit(0.0), dot(a, b) / den).otherwise(F.lit(0.0))
+    return (
+        F.when(den.isNull(), F.lit(None).cast("double"))
+        .when(den > F.lit(0.0), dot(a, b) / den)
+        .otherwise(F.lit(0.0))
+    )
 
 
 def cosine_rounded(a: Column, b: Column, dp: int = 6) -> Column:

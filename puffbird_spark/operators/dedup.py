@@ -1373,6 +1373,17 @@ def prefix_filter_jaccard_pairs(
         if strategy == "dense" or dense_ok:
             return _dense_jaccard_pairs(grams, threshold, n_distinct)
 
+    return _sparse_jaccard_pairs(grams, gdf, threshold)
+
+
+def _sparse_jaccard_pairs(
+    grams: DataFrame, gdf: DataFrame, threshold: float
+) -> DataFrame:
+    """The PPJoin-style prefix-filter path over a distinct
+    ``(id, dg)`` digest frame plus its per-digest document-frequency
+    frame ``gdf`` (``dg``, ``__df``). Split out so the boundary-pair
+    regression test can drive it with synthetic digests at the ~1e6-gram
+    scale where the 6-dp release slack matters."""
     ordered = (
         grams.join(gdf, "dg")
         .groupBy("id")
@@ -1380,7 +1391,15 @@ def prefix_filter_jaccard_pairs(
             F.struct(F.col("__df"), F.col("dg")))).alias("__o"))
     )
     sz = F.size("__o")
-    lp = sz - F.ceil(F.lit(threshold) * sz).cast("int") + 1
+    # prefix length must use the SAME slacked threshold as len_ok below:
+    # the release filter (round(j,6) >= t) admits pairs whose exact
+    # jaccard is as low as t - 5e-7, and for those the lossless-prefix
+    # guarantee only holds at the slacked threshold — with the unslacked
+    # t, ceil((t-5e-7)*sz) can be one less than ceil(t*sz) (reachable at
+    # ~1e6-gram documents), leaving the prefix one gram too short and
+    # silently pruning a boundary pair before len_ok ever sees it
+    t_eff = float(threshold) - 5e-7 - 1e-9
+    lp = sz - F.ceil(F.lit(t_eff) * sz).cast("int") + 1
     prefix = ordered.select(
         "id", sz.alias("__sz"),
         F.explode(F.slice("__o", 1, lp)).alias("__p"),
@@ -1394,7 +1413,7 @@ def prefix_filter_jaccard_pairs(
     # ~1e6 distinct grams, where jaccard resolution crosses 5e-7)
     sa, sb = F.col("pa.__sz"), F.col("pb.__sz")
     len_ok = F.least(sa, sb).cast("double") \
-        >= (F.lit(float(threshold) - 5e-7 - 1e-9) * F.greatest(sa, sb))
+        >= (F.lit(t_eff) * F.greatest(sa, sb))
     cands = (
         pa.join(pb, (F.col("pa.dg") == F.col("pb.dg"))
                 & (F.col("pa.id") < F.col("pb.id")) & len_ok)

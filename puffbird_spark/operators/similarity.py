@@ -1355,13 +1355,18 @@ def profile_topk_pairs_sparse(
     from pyspark.sql.window import Window as W
 
     w = W.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
+    # rounding replays the dense kernel's floor(x*scale+0.5)/scale
+    # (cosines here are nonnegative: counts are nonnegative longs), NOT
+    # F.round — Spark's round is BigDecimal HALF_UP over the double's
+    # exact binary expansion, which on rare values disagrees with the
+    # float-multiply replay at the .5 boundary and would flip a 6-dp
+    # tie-break between the twins; bit-identical twins is the contract
+    scale = float(10 ** dp)
+    cos_raw = F.col("__dot").cast("double") / (F.col("__ra") * F.col("__rb"))
+    cos_rep = F.floor(cos_raw * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
     return (
         dots.join(na, "id_a").join(nb, "id_b")
-        .select(
-            "id_a", "id_b",
-            F.round(
-                F.col("__dot").cast("double")
-                / (F.col("__ra") * F.col("__rb")), dp).alias("cosine"))
+        .select("id_a", "id_b", cos_rep.alias("cosine"))
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= int(k)).drop("__rn")
     )

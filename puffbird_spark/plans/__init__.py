@@ -56,19 +56,47 @@ def count_broadcast_joins(df: DataFrame) -> int:
     return len(re.findall(r"\(\d+\) Broadcast(?:Hash|NestedLoop)Join", plan))
 
 
+def _split_depth0(s: str) -> list[str]:
+    """Split on commas at paren-depth 0 only — windowspecdefinition args
+    can themselves contain commas (``coalesce(a, b)``, CASE WHEN, struct
+    fields), and a bare ``split(",")`` would shear those into fragments,
+    misclassifying the spec (a partition expr containing ' ASC' text, or
+    any comma-bearing expr) and making the plan pin vacuous or falsely
+    red."""
+    parts, depth, buf = [], 0, []
+    for ch in s:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    return [p.strip() for p in parts if p.strip()]
+
+
 def unpartitioned_window_orders(df: DataFrame) -> list[str]:
     """First ordering column of every UNPARTITIONED window spec in the
     plan (a spec whose pre-frame args are all sort specs — partition
-    columns print bare, sort columns carry ASC/DESC). The single-task
-    funnel check: a data-sized frame under one of these is the shape
-    the two-phase `grouped_prefix_sum` rewrites exist to prevent."""
+    columns print bare, sort columns carry a trailing ASC/DESC
+    direction). The single-task funnel check: a data-sized frame under
+    one of these is the shape the two-phase `grouped_prefix_sum`
+    rewrites exist to prevent. Args are split depth-aware so
+    comma-bearing expressions (coalesce, CASE WHEN) can't shear."""
     plan = formatted_plan(df)
     out = []
     for m in re.finditer(
             r"windowspecdefinition\((.*?)specifiedwindowframe", plan):
-        args = [a.strip() for a in m.group(1).rstrip(", ").split(",")
-                if a.strip()]
-        if args and all((" ASC" in a) or (" DESC" in a) for a in args):
+        args = _split_depth0(m.group(1).rstrip().rstrip(","))
+        # a sort spec ENDS with its direction token (possibly followed
+        # by NULLS FIRST/LAST) — substring ' ASC' inside a nested expr
+        # must not count
+        sort_re = re.compile(
+            r"\s(ASC|DESC)(\s+NULLS\s+(FIRST|LAST))?$", re.IGNORECASE)
+        if args and all(sort_re.search(a) for a in args):
             out.append(args[0].split("#")[0].strip())
     return out
 

@@ -6102,3 +6102,67 @@ def test_cosine_pairs_exact_hof_equals_arrow(spark):
         use_arrow=True, block_rows=16).collect()))
     assert hof == arrow
     assert len(hof) >= 5  # the planted near-dups must appear
+
+
+def test_prefix_filter_boundary_pair_survives_release_slack(spark):
+    """ADVICE r10 (medium): the 6-dp release filter admits pairs whose
+    EXACT jaccard is as low as t - 5e-7, but the prefix length still
+    used the UNSLACKED threshold — at ~1e6-gram documents
+    ceil((t-5e-7)*sz) can be one less than ceil(t*sz), leaving the
+    prefix one gram too short and silently pruning the boundary pair
+    before the length filter ever sees it.
+
+    Constructed instance (verified arithmetically): t=0.85,
+    |A|=2,000,000, B⊂A with |B|=1,699,999 → exact J = 0.8499995,
+    which 6-dp HALF_UP rounds to 0.850000 >= t (released). Shared
+    grams have df=2 so the (df, dg) ordering sorts ALL 300,001
+    A-unique grams first; the unslacked prefix is exactly 300,001
+    grams — all unique — and the pair vanishes. The slacked prefix
+    (300,002) reaches the first shared gram."""
+    import pyspark.sql.functions as F2
+
+    from puffbird_spark.operators.dedup import _sparse_jaccard_pairs
+
+    shared = spark.range(1_699_999).select(
+        F2.format_string("s%09d", F2.col("id")).alias("dg"))
+    uniq = spark.range(300_001).select(
+        F2.format_string("x%09d", F2.col("id")).alias("dg"))
+    a = shared.unionByName(uniq).select(F2.lit(0).alias("id"), "dg")
+    b = shared.select(F2.lit(1).alias("id"), "dg")
+    grams = a.unionByName(b).localCheckpoint(eager=True)
+    gdf = grams.groupBy("dg").agg(F2.count(F2.lit(1)).alias("__df"))
+
+    got = _sparse_jaccard_pairs(grams, gdf, 0.85).collect()
+    assert len(got) == 1
+    row = got[0]
+    assert (row["id_a"], row["id_b"]) == (0, 1)
+    assert row["jaccard"] == 0.85
+
+
+def test_cosine_null_embedding_stays_null(spark):
+    """ADVICE r10: the zero-norm guard's otherwise(0.0) swallowed NULL —
+    a NULL embedding (or a zip_with length-mismatch NULL fold) made the
+    when-predicate NULL and released 0.0, silently ranking
+    NULL-embedding rows above negative cosines in desc top-k and
+    diverging from the oracle's NULL-in/NULL-out arithmetic. NULL must
+    stay NULL; zero-norm (non-NULL) still releases 0.0."""
+    import pyspark.sql.functions as F2
+
+    from puffbird_spark.functions.vectors import cosine, cosine_rounded
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, None), (2, [0.0, 0.0])],
+        "id int, e array<double>")
+    ref = F2.array(F2.lit(1.0), F2.lit(0.0))
+    got = {r["id"]: (r["c"], r["cr"]) for r in df.select(
+        "id",
+        cosine(F2.col("e"), ref).alias("c"),
+        cosine_rounded(F2.col("e"), ref).alias("cr")).collect()}
+    assert got[1] == (None, None)          # NULL in -> NULL out
+    assert got[2] == (0.0, 0.0)            # zero-norm convention holds
+    assert got[0][0] is not None and abs(got[0][0] - 1 / 5 ** 0.5) < 1e-12
+    # length-mismatch zip_with fold (NULL elementwise product) also NULL
+    mism = spark.createDataFrame([(0, [1.0, 2.0, 3.0])],
+                                 "id int, e array<double>")
+    out = mism.select(cosine(F2.col("e"), ref).alias("c")).collect()
+    assert out[0]["c"] is None

@@ -519,3 +519,37 @@ def test_kernel_auto_gate_tracks_pair_estimate(spark, sf_dir):
     assert drain_kernels()["cosine_pairs_exact"] == "hof"
     cosine_pairs_exact(emb)
     assert drain_kernels()["cosine_pairs_exact"] == "arrow"
+
+
+def test_windowspec_splitter_handles_comma_bearing_exprs(spark):
+    """ADVICE r10: the windowspecdefinition arg splitter sheared on bare
+    commas, so a partition/sort expression that itself contains commas
+    (coalesce(a, b), CASE WHEN) mis-split into fragments — a PARTITIONED
+    spec could classify as unpartitioned (falsely red pin) or the pin
+    could go vacuous. Split at paren-depth 0 only, and anchor the sort
+    classification on a TRAILING ASC/DESC token."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window as W
+
+    import puffbird_spark.plans as P
+
+    assert P._split_depth0("coalesce(a#1, b#2), c#3 ASC NULLS FIRST") == [
+        "coalesce(a#1, b#2)", "c#3 ASC NULLS FIRST"]
+    assert P._split_depth0(
+        "CASE WHEN (a#1 > 0) THEN x#2 ELSE y#3 END, ts#4 DESC NULLS LAST"
+    ) == ["CASE WHEN (a#1 > 0) THEN x#2 ELSE y#3 END",
+          "ts#4 DESC NULLS LAST"]
+
+    df = spark.createDataFrame(
+        [("x", None, 1, 1.0), (None, "y", 2, 2.0)],
+        "a string, b string, ts int, v double")
+    # PARTITIONED by a comma-bearing expr: must NOT classify as
+    # unpartitioned (the old splitter saw fragments of coalesce(a, b)
+    # and could match ' ASC' text inside later fragments)
+    part = df.withColumn("s", F.sum("v").over(
+        W.partitionBy(F.coalesce("a", "b")).orderBy("ts")))
+    assert P.unpartitioned_window_orders(part) == []
+    # UNPARTITIONED ordered by a comma-bearing expr: still detected
+    unpart = df.withColumn("s", F.sum("v").over(
+        W.orderBy(F.coalesce("a", "b"), "ts")))
+    assert len(P.unpartitioned_window_orders(unpart)) == 1
