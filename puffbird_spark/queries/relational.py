@@ -3637,6 +3637,89 @@ def events_user_similarity(spark, sf_dir):
         "cosine")
 
 
+@query("profile_topk_sparse", oracle="""
+WITH c AS (SELECT l_suppkey AS s, l_partkey AS p,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM lineitem GROUP BY 1, 2),
+nrm AS (SELECT s, sqrt(CAST(SUM(n * n) AS DOUBLE)) AS nn
+        FROM c GROUP BY s),
+d AS (SELECT a.s AS supp_a, b.s AS supp_b, SUM(a.n * b.n) AS dot
+      FROM c a JOIN c b ON a.p = b.p AND a.s < b.s
+      GROUP BY 1, 2),
+sc AS (SELECT d.supp_a, d.supp_b,
+         floor(CAST(d.dot AS DOUBLE) / (na.nn * nb.nn) * 1000000 + 0.5)
+           / 1000000 AS cosine
+       FROM d JOIN nrm na ON d.supp_a = na.s
+              JOIN nrm nb ON d.supp_b = nb.s)
+SELECT supp_a, supp_b, cosine
+FROM sc
+QUALIFY row_number() OVER (PARTITION BY supp_a
+                           ORDER BY cosine DESC, supp_b) <= 3
+""")
+def profile_topk_sparse(spark, sf_dir):
+    """Supplier similarity over the PARTS they ship — the
+    WIDE-VOCABULARY twin of `events_user_similarity`: here the "type"
+    space is item-sized (2,000 parts at sf0.01, part-catalog-sized in
+    production), so the inverted-index pair join
+    (`profile_topk_pairs_sparse`, operators/similarity.py) is the
+    right physical shape — each part's posting list is short (~30
+    suppliers), only genuinely co-occurring supplier pairs ever
+    materialize, and candidate mass is Σ df² over parts rather than
+    N². Cosine rounds via the floor(x*1e6+0.5) replay shared
+    bit-identical with the dense kernel (the oracle mirrors the exact
+    expression, not SQL round)."""
+    from ..operators.similarity import profile_topk_pairs_sparse
+
+    li = load(spark, sf_dir, "lineitem")
+    return profile_topk_pairs_sparse(
+        li, "l_suppkey", "l_partkey", k=3
+    ).select(
+        F.col("id_a").alias("supp_a"), F.col("id_b").alias("supp_b"),
+        "cosine")
+
+
+@query("profile_topk_sparse_capped", oracle="""
+WITH c AS (SELECT l_suppkey AS s, l_partkey AS p,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM lineitem GROUP BY 1, 2),
+nrm AS (SELECT s, sqrt(CAST(SUM(n * n) AS DOUBLE)) AS nn
+        FROM c GROUP BY s),
+hot AS (SELECT p FROM c GROUP BY p HAVING COUNT(*) > 20),
+cc AS (SELECT c.* FROM c ANTI JOIN hot ON c.p = hot.p),
+d AS (SELECT a.s AS supp_a, b.s AS supp_b, SUM(a.n * b.n) AS dot
+      FROM cc a JOIN cc b ON a.p = b.p AND a.s < b.s
+      GROUP BY 1, 2),
+sc AS (SELECT d.supp_a, d.supp_b,
+         floor(CAST(d.dot AS DOUBLE) / (na.nn * nb.nn) * 1000000 + 0.5)
+           / 1000000 AS cosine
+       FROM d JOIN nrm na ON d.supp_a = na.s
+              JOIN nrm nb ON d.supp_b = nb.s)
+SELECT supp_a, supp_b, cosine
+FROM sc
+QUALIFY row_number() OVER (PARTITION BY supp_a
+                           ORDER BY cosine DESC, supp_b) <= 3
+""")
+def profile_topk_sparse_capped(spark, sf_dir):
+    """`profile_topk_sparse` with the production posting-list valve:
+    parts carried by more than ``max_df=20`` suppliers leave DOT
+    PRODUCTS but keep their norm mass (the NULL-type convention) —
+    with zipf-popular types (URLs, SKUs, stopword tokens: the norm at
+    100 TB, not the edge case) one corpus-frequency type makes the
+    uncapped pair join all-pairs-sized (measured on the r10 synthetic
+    zipf rehearsal: an uncapped inverted index on zipf types is
+    all-pairs in disguise). The oracle replays the cap exactly: hot
+    types anti-joined out of the pair join only, norms over the FULL
+    profile."""
+    from ..operators.similarity import profile_topk_pairs_sparse
+
+    li = load(spark, sf_dir, "lineitem")
+    return profile_topk_pairs_sparse(
+        li, "l_suppkey", "l_partkey", k=3, max_df=20
+    ).select(
+        F.col("id_a").alias("supp_a"), F.col("id_b").alias("supp_b"),
+        "cosine")
+
+
 @query("agg_bitmap_distinct", oracle="""
 WITH b AS (SELECT c_mktsegment,
              c_custkey // 63 AS bucket,
