@@ -23,21 +23,31 @@ LANG_STOPWORDS: dict[str, list[str]] = {
 }
 
 
-def tokens(text: str | Column, sep: str = " ") -> Column:
+def tokens(
+    text: str | Column, sep: str = " ", drop_empty: bool = False
+) -> Column:
     """Whitespace tokenization (single-separator split).
 
-    CONVENTION (mirrored by every DuckDB oracle via ``string_split``,
-    which behaves identically): empty segments are KEPT — ``""`` and
-    ``"a  b"`` tokenize to ``[""]`` and ``["a", "", "b"]``, so
-    ``token_count("") == 1`` and an empty-string term can match
-    between empty documents (e.g. in BM25). This is deliberate: the
-    cross-engine differential contract pins the exact split semantics
-    at 65+ oracle sites. Corpora with empty/whitespace-only documents
-    should be cleaned upstream (`filters`/pipeline ops); an opt-in
-    ``drop_empty`` variant (with ``list_filter`` mirrored oracles) is
-    queued for the post-freeze round — see NOTES."""
+    DEFAULT CONVENTION (mirrored by every DuckDB oracle via
+    ``string_split``, which behaves identically): empty segments are
+    KEPT — ``""`` and ``"a  b"`` tokenize to ``[""]`` and
+    ``["a", "", "b"]``, so ``token_count("") == 1`` and an
+    empty-string term can match between empty documents (e.g. in
+    BM25). This is deliberate: the cross-engine differential contract
+    pins the exact split semantics at 65+ oracle sites — do not change
+    the default.
+
+    ``drop_empty=True`` is the opt-in cleaner variant for retrieval /
+    LM scoring (the r10 adversarial probe showed the keep-empties
+    convention lets an empty-string query BM25-match empty documents):
+    empty segments are filtered out, so ``""`` and ``"   "`` tokenize
+    to ``[]``. Oracles mirror it EXACTLY via
+    ``list_filter(string_split(.., ' '), x -> x <> '')``."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.split(c, sep)
+    toks = F.split(c, sep)
+    if drop_empty:
+        return F.filter(toks, lambda x: x != F.lit(""))
+    return toks
 
 
 def token_count(toks: Column) -> Column:

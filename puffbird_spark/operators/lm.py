@@ -38,10 +38,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
-def _bigrams(df: DataFrame, text_col: str, extra: list[str]) -> DataFrame:
+def _bigrams(
+    df: DataFrame, text_col: str, extra: list[str],
+    drop_empty: bool = False,
+) -> DataFrame:
     """Explode whitespace-token consecutive pairs: one struct<p,w> row
-    per bigram, scan-local (no shuffle)."""
+    per bigram, scan-local (no shuffle). ``drop_empty`` filters empty
+    split segments first (mirrored in oracles via ``list_filter``);
+    the >= 2-token eligibility check then applies to the FILTERED
+    token list."""
     toks = F.split(F.col(text_col), " ")
+    if drop_empty:
+        toks = F.filter(toks, lambda x: x != F.lit(""))
     return (
         df.filter(F.col(text_col).isNotNull())
         .select(*extra, toks.alias("__toks"))
@@ -60,7 +68,7 @@ def _bigrams(df: DataFrame, text_col: str, extra: list[str]) -> DataFrame:
 
 
 def bigram_counts(
-    train: DataFrame, text_col: str
+    train: DataFrame, text_col: str, drop_empty: bool = False
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Train the LM: returns ``(bi, ctx, voc)`` — bigram counts keyed on
     ``(p, w)``, context totals keyed on ``p``, and a one-row vocabulary
@@ -76,7 +84,7 @@ def bigram_counts(
     >= 2-token document appears in at least one bigram as prev or
     next (and single-token docs are excluded from training by
     definition)."""
-    bg = _bigrams(train, text_col, [])
+    bg = _bigrams(train, text_col, [], drop_empty=drop_empty)
     bi = bg.groupBy("p", "w").agg(F.count(F.lit(1)).alias("c"))
     bi = bi.localCheckpoint(eager=True)
     ctx = bi.groupBy("p").agg(F.sum("c").alias("cc"))
@@ -94,6 +102,7 @@ def perplexity_score(
     id_col: str,
     alpha: float = 0.5,
     broadcast_counts: bool = False,
+    drop_empty: bool = False,
 ) -> DataFrame:
     """Score every document of ``docs`` (with >= 2 tokens) under the
     bigram LM trained on ``train``: returns
@@ -101,10 +110,10 @@ def perplexity_score(
     6-dp average negative natural-log probability (perplexity =
     ``exp(avg_neg_logp)`` — monotone, so filters threshold this score
     directly)."""
-    bi, ctx, voc = bigram_counts(train, text_col)
+    bi, ctx, voc = bigram_counts(train, text_col, drop_empty=drop_empty)
     if broadcast_counts:
         bi, ctx = F.broadcast(bi), F.broadcast(ctx)
-    bg = _bigrams(docs, text_col, [F.col(id_col)])
+    bg = _bigrams(docs, text_col, [F.col(id_col)], drop_empty=drop_empty)
     lp = F.round(
         F.log(
             (F.coalesce(F.col("c"), F.lit(0)) + F.lit(alpha))
@@ -136,6 +145,7 @@ def kneser_ney_score(
     discount: float = 0.75,
     alpha: float = 0.5,
     broadcast_counts: bool = False,
+    drop_empty: bool = False,
 ) -> DataFrame:
     """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; the
     Chen & Goodman 1999 interpolated form every KenLM-style toolkit
@@ -162,7 +172,7 @@ def kneser_ney_score(
     """
     if not (0.0 < discount < 1.0):
         raise ValueError("discount must be in (0, 1)")
-    bi, ctx, voc = bigram_counts(train, text_col)
+    bi, ctx, voc = bigram_counts(train, text_col, drop_empty=drop_empty)
     # distinct continuations per context and distinct contexts per word
     # — both over the already-materialized vocabulary-bounded bi table
     t1p = bi.groupBy("p").agg(F.count(F.lit(1)).alias("t1p"))
@@ -170,7 +180,7 @@ def kneser_ney_score(
     tot = bi.agg(F.count(F.lit(1)).alias("n1p"))
     if broadcast_counts:
         bi, ctx, t1p, cw = (F.broadcast(x) for x in (bi, ctx, t1p, cw))
-    bg = _bigrams(docs, text_col, [F.col(id_col)])
+    bg = _bigrams(docs, text_col, [F.col(id_col)], drop_empty=drop_empty)
     pcont = (
         (F.coalesce(F.col("cw"), F.lit(0)) + F.lit(alpha))
         / (F.col("n1p") + F.lit(alpha) * F.col("v")))

@@ -38,6 +38,7 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     dp: int = 6,
+    drop_empty: bool = False,
 ) -> DataFrame:
     """Top-``k`` documents per query under Okapi BM25.
 
@@ -50,17 +51,27 @@ def bm25_topk(
     half-ulp boundaries, so the score replays bit-for-bit across
     engines regardless of addition order. Ties break on ascending doc
     id. Returns ``(query_id, rank, doc_id, score)``.
+
+    ``drop_empty=True`` tokenizes with empty segments filtered out (the
+    clean-retrieval convention — an empty-string query must match
+    nothing, not every empty document); the default keeps the legacy
+    ``string_split`` convention. Document length and avgdl follow the
+    same tokenization.
     """
     if k <= 0:
         raise ValueError("k must be positive")
+
+    def _tok(col):
+        return TXT.tokens(col, drop_empty=drop_empty)
+
     toks = docs.select(
-        F.col(id_col), F.explode(TXT.tokens(text_col)).alias("term"))
+        F.col(id_col), F.explode(_tok(text_col)).alias("term"))
     cnt = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     # per-doc length from a window over the counts — no second pass
     cnt = cnt.withColumn(
         "dl", F.sum("tf").over(Window.partitionBy(id_col)))
     qterms = queries.select(
-        F.col(qid_col), F.explode(TXT.tokens(qtext_col)).alias("term")
+        F.col(qid_col), F.explode(_tok(qtext_col)).alias("term")
     ).distinct()
     qvocab = qterms.select("term").distinct()
     # document frequency, reduced then PRUNED to query terms pre-broadcast
@@ -70,7 +81,7 @@ def bm25_topk(
     )
     stats = docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(TXT.tokens(text_col))).alias("total_dl"))
+        F.sum(F.size(_tok(text_col))).alias("total_dl"))
     hits = (
         cnt.join(F.broadcast(qterms), "term")
         .join(F.broadcast(dfreq), "term")

@@ -1386,9 +1386,9 @@ def dedup_lines(spark, sf_dir):
 
 
 @query("text_perplexity_bigram", oracle="""
-WITH tr AS (SELECT string_split(text, ' ') AS toks FROM documents
+WITH tr AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents
             WHERE doc_id % 2 = 0 AND text IS NOT NULL
-              AND len(string_split(text, ' ')) >= 2),
+              AND len(list_filter(string_split(text, ' '), x -> x <> '')) >= 2),
 trb AS (SELECT unnest([{'p': toks[i], 'w': toks[i+1]}
                        FOR i IN range(1, len(toks))]) AS bg
         FROM tr),
@@ -1396,8 +1396,8 @@ bi AS (SELECT bg.p AS p, bg.w AS w, COUNT(*) AS c FROM trb GROUP BY 1, 2),
 ctx AS (SELECT p, SUM(c) AS cc FROM bi GROUP BY 1),
 voc AS (SELECT COUNT(DISTINCT t) AS v
         FROM (SELECT unnest(toks) AS t FROM tr)),
-d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-      WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2),
+d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents
+      WHERE text IS NOT NULL AND len(list_filter(string_split(text, ' '), x -> x <> '')) >= 2),
 db AS (SELECT doc_id, unnest([{'p': toks[i], 'w': toks[i+1]}
                               FOR i IN range(1, len(toks))]) AS bg
        FROM d),
@@ -1811,9 +1811,9 @@ def embedding_standardize(spark, sf_dir):
 
 
 @query("split_curriculum_phases", oracle="""
-WITH tr AS (SELECT string_split(text, ' ') AS toks FROM documents
+WITH tr AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents
             WHERE doc_id % 2 = 0 AND text IS NOT NULL
-              AND len(string_split(text, ' ')) >= 2),
+              AND len(list_filter(string_split(text, ' '), x -> x <> '')) >= 2),
 trb AS (SELECT unnest([{'p': toks[i], 'w': toks[i+1]}
                        FOR i IN range(1, len(toks))]) AS bg
         FROM tr),
@@ -1821,8 +1821,8 @@ bi AS (SELECT bg.p AS p, bg.w AS w, COUNT(*) AS c FROM trb GROUP BY 1, 2),
 ctx AS (SELECT p, SUM(c) AS cc FROM bi GROUP BY 1),
 voc AS (SELECT COUNT(DISTINCT t) AS v
         FROM (SELECT unnest(toks) AS t FROM tr)),
-d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-      WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2),
+d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents
+      WHERE text IS NOT NULL AND len(list_filter(string_split(text, ' '), x -> x <> '')) >= 2),
 db AS (SELECT doc_id, unnest([{'p': toks[i], 'w': toks[i+1]}
                               FOR i IN range(1, len(toks))]) AS bg
        FROM d),
@@ -2457,19 +2457,19 @@ def dedup_jaccard_prefix_join(spark, sf_dir):
 WITH q(query_id, query_text) AS (VALUES
   (1, 'spark join fast'), (2, 'hash merge table'), (3, 'stream window'),
   (4, 'scan filter slow'), (5, 'vector group batch')),
-tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
         FROM documents),
 cnt AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
 dl AS (SELECT doc_id, term, tf,
          SUM(tf) OVER (PARTITION BY doc_id) AS dl
        FROM cnt),
 qt AS (SELECT DISTINCT query_id,
-         unnest(string_split(query_text, ' ')) AS term
+         unnest(list_filter(string_split(query_text, ' '), x -> x <> '')) AS term
        FROM q),
 dfq AS (SELECT term, COUNT(*) AS df FROM cnt
         WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY term),
 st AS (SELECT COUNT(*) AS n_docs,
-         SUM(len(string_split(text, ' '))) AS total_dl
+         SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS total_dl
        FROM documents),
 hit AS (SELECT qt.query_id, d.doc_id,
          round(ln(1 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
@@ -2497,7 +2497,10 @@ def text_bm25_topk(spark, sf_dir):
     corpus x queries cross join). Per-term contributions and the
     per-doc sum both round at 6 dp (the engine-portable float
     policy), so the oracle's full SQL replay — IDF, length
-    normalization, tie-break — must agree value-for-value."""
+    normalization, tie-break — must agree value-for-value. Tokenizes
+    with ``drop_empty=True`` (the clean-retrieval convention, r11) —
+    an empty-string query matches NOTHING instead of term-matching
+    empty documents; the oracle mirrors via ``list_filter``."""
     from ..operators.retrieval import bm25_topk
 
     docs = load(spark, sf_dir, "documents")
@@ -2506,7 +2509,7 @@ def text_bm25_topk(spark, sf_dir):
          (3, "stream window"), (4, "scan filter slow"),
          (5, "vector group batch")],
         "query_id int, query_text string")
-    return bm25_topk(docs, qdf, k=5)
+    return bm25_topk(docs, qdf, k=5, drop_empty=True)
 
 
 def _pagerank_oracle(n_iter: int = 8) -> str:
@@ -2574,9 +2577,9 @@ def graph_pagerank(spark, sf_dir):
 
 
 @query("text_perplexity_kn", oracle="""
-WITH tr AS (SELECT string_split(text, ' ') AS toks FROM documents
+WITH tr AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents
             WHERE doc_id % 2 = 0 AND text IS NOT NULL
-              AND len(string_split(text, ' ')) >= 2),
+              AND len(list_filter(string_split(text, ' '), x -> x <> '')) >= 2),
 trb AS (SELECT unnest([{'p': toks[i], 'w': toks[i+1]}
                        FOR i IN range(1, len(toks))]) AS bg
         FROM tr),
@@ -2587,8 +2590,8 @@ cw AS (SELECT w, COUNT(*) AS cw FROM bi GROUP BY 1),
 tot AS (SELECT COUNT(*) AS n1p FROM bi),
 voc AS (SELECT COUNT(DISTINCT t) AS v
         FROM (SELECT unnest(toks) AS t FROM tr)),
-d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-      WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2),
+d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents
+      WHERE text IS NOT NULL AND len(list_filter(string_split(text, ' '), x -> x <> '')) >= 2),
 db AS (SELECT doc_id, unnest([{'p': toks[i], 'w': toks[i+1]}
                               FOR i IN range(1, len(toks))]) AS bg
        FROM d),
@@ -2620,12 +2623,16 @@ def text_perplexity_kn(spark, sf_dir):
     score), same 9-dp decimal log snap so the per-doc sum is
     order-independent. The oracle replays discount, backoff weight,
     and continuation distribution exactly — five LEFT joins against
-    count tables all derived from one materialized bigram table."""
+    count tables all derived from one materialized bigram table.
+    Tokenizes with ``drop_empty=True`` (r11): the >= 2-token
+    eligibility and every count apply to the FILTERED token list,
+    mirrored in the oracle via ``list_filter``."""
     from ..operators.lm import kneser_ney_score
 
     docs = load(spark, sf_dir, "documents")
     return kneser_ney_score(
-        docs, docs.filter(F.col("doc_id") % 2 == 0), "text", "doc_id")
+        docs, docs.filter(F.col("doc_id") % 2 == 0), "text", "doc_id",
+        drop_empty=True)
 
 
 @query("split_dsir_weights", oracle="""
@@ -3278,19 +3285,19 @@ def graph_triangles(spark, sf_dir):
 WITH q(query_id, query_text) AS (VALUES
   (1, 'spark join fast'), (2, 'hash merge table'), (3, 'stream window'),
   (4, 'scan filter slow'), (5, 'vector group batch')),
-tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
         FROM documents),
 cnt AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
 dl AS (SELECT doc_id, term, tf,
          SUM(tf) OVER (PARTITION BY doc_id) AS dl
        FROM cnt),
 qt AS (SELECT DISTINCT query_id,
-         unnest(string_split(query_text, ' ')) AS term
+         unnest(list_filter(string_split(query_text, ' '), x -> x <> '')) AS term
        FROM q),
 dfq AS (SELECT term, COUNT(*) AS df FROM cnt
         WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY term),
 st AS (SELECT COUNT(*) AS n_docs,
-         SUM(len(string_split(text, ' '))) AS total_dl
+         SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS total_dl
        FROM documents),
 hit AS (SELECT qt.query_id, d.doc_id,
          round(ln(1 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))

@@ -6166,3 +6166,47 @@ def test_cosine_null_embedding_stays_null(spark):
                                  "id int, e array<double>")
     out = mism.select(cosine(F2.col("e"), ref).alias("c")).collect()
     assert out[0]["c"] is None
+
+
+def test_drop_empty_tokenization_variant(spark):
+    """The opt-in drop_empty tokenization (r10 probe find): under the
+    legacy keep-empties convention an empty-string query BM25-matches
+    empty documents (both tokenize to [""], a real shared term). With
+    drop_empty=True empty/whitespace-only strings tokenize to [] — the
+    empty query matches NOTHING, multi-space runs collapse, and the
+    perplexity >= 2-token eligibility applies to the FILTERED list.
+    The default stays keep-empties (65+ oracle sites pin it)."""
+    import pyspark.sql.functions as F2
+
+    from puffbird_spark.functions.text import tokens
+    from puffbird_spark.operators.lm import kneser_ney_score
+    from puffbird_spark.operators.retrieval import bm25_topk
+
+    t = spark.createDataFrame(
+        [("",), ("   ",), ("a  b",), ("a b",)], "s string")
+    got = [r["t"] for r in t.select(
+        tokens("s", drop_empty=True).alias("t")).collect()]
+    assert got == [[], [], ["a", "b"], ["a", "b"]]
+    legacy = [r["t"] for r in t.select(tokens("s").alias("t")).collect()]
+    assert legacy == [[""], ["", "", "", ""], ["a", "", "b"], ["a", "b"]]
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "spark joins data"), (2, "  ")],
+        "doc_id long, text string")
+    qdf = spark.createDataFrame(
+        [(1, ""), (2, "spark")], "query_id int, query_text string")
+    # legacy: empty query matches the empty docs via the "" term
+    leg = bm25_topk(docs, qdf, k=5).collect()
+    assert any(r["query_id"] == 1 for r in leg)
+    # drop_empty: empty query matches nothing; real query still works
+    de = bm25_topk(docs, qdf, k=5, drop_empty=True).collect()
+    assert not any(r["query_id"] == 1 for r in de)
+    assert any(r["query_id"] == 2 and r["doc_id"] == 1 for r in de)
+
+    # perplexity eligibility: "a  b" has 3 legacy tokens (2 bigrams) but
+    # 2 filtered tokens (1 bigram); "  " (3 empty tokens) drops entirely
+    pd_docs = spark.createDataFrame(
+        [(0, "a  b"), (1, "  "), (2, "a b a")], "doc_id long, text string")
+    out = {r["doc_id"]: r["n_bigrams"] for r in kneser_ney_score(
+        pd_docs, pd_docs, "text", "doc_id", drop_empty=True).collect()}
+    assert out == {0: 1, 2: 2}
