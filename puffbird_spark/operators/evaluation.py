@@ -146,3 +146,183 @@ def pr_curve(
     return tot.select(
         F.explode(F.array(*structs)).alias("__r")
     ).select("__r.*")
+
+
+#: Poisson(1) CDF thresholds for the deterministic PRF bootstrap weight
+#: (inverse-CDF over a uniform draw; P(X > 8) ~ 1.1e-6 caps at 9).
+#: Literals are full-precision reprs so the DuckDB oracle parses the
+#: bit-identical doubles.
+POISSON1_CDF: tuple[float, ...] = (
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712, 0.9999897508033253, 0.999998874797402,
+)
+
+
+def graded_ndcg(
+    results: DataFrame,
+    truth: DataFrame,
+    k: int = 5,
+    query_col: str = "query_id",
+    doc_col: str = "cand_id",
+    rank_col: str = "rank",
+    grade_col: str = "grade",
+) -> DataFrame:
+    """Per-query nDCG@k with GRADED relevance (Järvelin & Kekäläinen,
+    TOIS 2002; the exponential-gain form every IR shared task uses):
+
+        DCG@k  = Σ_{i<=k} (2^grade_i - 1) / log2(i + 1)
+        IDCG@k = the same sum over the query's own grades sorted
+                 descending (top min(k, n_graded))
+        nDCG@k = DCG / IDCG   (0 when IDCG is 0 — all-zero grades)
+
+    ``truth`` carries ``(query, doc, grade)`` with small integer grades
+    (0 = irrelevant; ungraded retrieved docs gain 0). ``truth`` defines
+    the query universe: queries it grades that ``results`` never
+    answers score 0 (a system must not be graded only on what it
+    answered). Determinism: each position's gain term rounds to 9 dp
+    and snaps to decimal BEFORE the per-query sum (order-independent),
+    released values round to 6 dp — the house float policy.
+
+    Scale shape: one equi-join results×truth on (query, doc), one
+    per-query window over ``truth`` for the ideal ranking (partitioned
+    by query — never a global sort), two keyed aggregations. Nothing
+    driver-side; query count is unbounded.
+
+    Returns ``(query_col, dcg_at_k, idcg_at_k, ndcg_at_k)``, all
+    metric columns DOUBLE."""
+    from pyspark.sql.window import Window
+
+    dec = "decimal(20,9)"
+    gain = lambda g: F.pow(F.lit(2.0), g.cast("double")) - F.lit(1.0)  # noqa: E731
+    r = results.select(
+        F.col(query_col).alias("__q"), F.col(doc_col).alias("__d"),
+        F.col(rank_col).alias("__rank"),
+    ).filter(F.col("__rank") <= k)
+    t = truth.select(
+        F.col(query_col).alias("__q"), F.col(doc_col).alias("__d"),
+        F.col(grade_col).alias("__g"))
+    dcg = (
+        r.join(t, ["__q", "__d"])
+        .select(
+            "__q",
+            F.round(
+                gain(F.col("__g")) / F.log2(F.col("__rank") + F.lit(1.0)),
+                9).cast(dec).alias("__term"))
+        .groupBy("__q").agg(F.sum("__term").alias("__dcg"))
+    )
+    iw = Window.partitionBy("__q").orderBy(F.desc("__g"), F.asc("__d"))
+    idcg = (
+        t.withColumn("__pos", F.row_number().over(iw))
+        .filter(F.col("__pos") <= k)
+        .select(
+            "__q",
+            F.round(
+                gain(F.col("__g")) / F.log2(F.col("__pos") + F.lit(1.0)),
+                9).cast(dec).alias("__term"))
+        .groupBy("__q").agg(F.sum("__term").alias("__idcg"))
+    )
+    out_dcg = F.coalesce(F.col("__dcg"), F.lit(0)).cast("double")
+    out_idcg = F.col("__idcg").cast("double")
+    ndcg = F.when(
+        F.col("__idcg") > 0, out_dcg / out_idcg).otherwise(F.lit(0.0))
+    return (
+        idcg.join(dcg, "__q", "left")
+        .select(
+            F.col("__q").alias(query_col),
+            F.round(out_dcg, 6).alias("dcg_at_k"),
+            F.round(out_idcg, 6).alias("idcg_at_k"),
+            F.round(ndcg, 6).alias("ndcg_at_k"),
+        )
+    )
+
+
+def bootstrap_ci(
+    per_query: DataFrame,
+    value_col: str,
+    query_col: str = "query_id",
+    n_boot: int = 200,
+    seed: str = "boot",
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Percentile bootstrap confidence interval for a macro-averaged
+    per-query metric — DETERMINISTIC and exactly oracle-replayable via
+    the POISSON bootstrap (Chamandy et al., Google 2012: per-replicate
+    multinomial resampling needs a global index and a draws table; at
+    a million queries that index is a single-task window. Poisson(1)
+    weights decouple the draws — each (query, replicate) weight is an
+    independent PRF draw, scan-local, no global state — and converge
+    to the classical bootstrap as n grows).
+
+    Weight for (query q, replicate b) = Poisson(1) inverse-CDF over
+    the uniform ``(int(md5(seed:q:b)[:15], 16) + 0.5) / 2^60`` — the
+    house PRF. Replicate mean = Σ w·x / Σ w over 9-dp decimal-snapped
+    values (exact integer×decimal arithmetic, order-free); an all-zero
+    replicate (probability ~e^{-n}) is excluded. The CI is the
+    percentile method over replicate means: positions
+    ``ceil(alpha/2·B')`` and ``ceil((1-alpha/2)·B')`` of the ascending
+    order statistics over the B' surviving replicates.
+
+    Returns ONE row ``(n_queries, n_boot, mean, ci_lo, ci_hi)`` — the
+    point estimate is the plain macro mean; all metric columns DOUBLE
+    at 6 dp."""
+    from pyspark.sql.window import Window
+
+    if n_boot <= 0:
+        raise ValueError("n_boot must be positive")
+    dec = "decimal(20,9)"
+    base = per_query.select(
+        F.col(query_col).alias("__q"),
+        F.round(F.col(value_col).cast("double"), 9).cast(dec).alias("__x"))
+    drawn = base.select(
+        "__q", "__x",
+        F.explode(F.sequence(F.lit(1), F.lit(int(n_boot)))).alias("__b"))
+    u = (
+        (F.conv(
+            F.substring(
+                F.md5(F.concat_ws(
+                    ":", F.lit(seed), F.col("__q").cast("string"),
+                    F.col("__b").cast("string"))), 1, 15),
+            16, 10).cast("double") + F.lit(0.5))
+        / F.lit(float(2 ** 60)))
+    w = F.lit(9)
+    for i in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(POISSON1_CDF[i]), F.lit(i)).otherwise(w)
+    reps = (
+        drawn.select("__b", "__x", w.alias("__w"))
+        .groupBy("__b")
+        .agg(
+            # decimal(20,9) × INT stays exact at scale 9 on both
+            # engines (a decimal×decimal product would hit Spark's
+            # 38-precision clamp and could round differently)
+            F.sum(F.col("__x") * F.col("__w")).alias("__num"),
+            F.sum("__w").alias("__den"))
+        .filter(F.col("__den") > 0)
+        .select(
+            "__b",
+            F.round(
+                F.col("__num").cast("double") / F.col("__den"), 9
+            ).alias("__m"))
+    )
+    ow = Window.orderBy(F.asc("__m"), F.asc("__b"))
+    ranked = reps.select(
+        "__m", F.row_number().over(ow).alias("__r"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(F.lit(1))).alias("__bn"))
+    lo_pos = F.ceil(F.lit(alpha / 2.0) * F.col("__bn")).cast("int")
+    hi_pos = F.ceil(F.lit(1.0 - alpha / 2.0) * F.col("__bn")).cast("int")
+    picks = ranked.select(
+        F.when(F.col("__r") == lo_pos, F.col("__m")).alias("__lo"),
+        F.when(F.col("__r") == hi_pos, F.col("__m")).alias("__hi"),
+        "__bn")
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.round(
+            F.sum("__x").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean"))
+    ci = picks.agg(
+        F.max("__bn").cast("long").alias("n_boot"),
+        F.round(F.max("__lo"), 6).alias("ci_lo"),
+        F.round(F.max("__hi"), 6).alias("ci_hi"))
+    return stats.crossJoin(F.broadcast(ci)).select(
+        "n_queries", "n_boot", "mean", "ci_lo", "ci_hi")

@@ -5094,3 +5094,144 @@ def text_boilerplate_strip(spark, sf_dir):
         (F.lit(4) - F.count(F.lit(1))).cast("long").alias("n_removed"),
         F.md5(rebuilt).alias("kept_digest"),
     )
+
+
+_NDCG_FIXTURE_SQL = """
+e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < 25),
+r AS (SELECT q.vec_id AS query_id, e.vec_id AS cand_id,
+        row_number() OVER (PARTITION BY q.vec_id ORDER BY
+          round(list_dot_product(q.v, e.v)
+                / (sqrt(list_dot_product(q.v, q.v))
+                   * sqrt(list_dot_product(e.v, e.v))), 6) DESC,
+          e.vec_id) AS rank
+      FROM q JOIN e ON e.vec_id != q.vec_id
+      QUALIFY rank <= 5),
+t AS (SELECT q.vec_id AS query_id, e.vec_id AS cand_id,
+        1 + (q.vec_id + e.vec_id) % 3 AS grade
+      FROM q JOIN e ON e.vec_id != q.vec_id AND e.label = q.label),
+dcg AS (SELECT r.query_id,
+          SUM(CAST(round((pow(2, t.grade) - 1) / log2(r.rank + 1.0), 9)
+                   AS DECIMAL(20,9))) AS dcg
+        FROM r JOIN t USING (query_id, cand_id) GROUP BY 1),
+ideal AS (SELECT query_id,
+            SUM(CAST(round((pow(2, grade) - 1) / log2(pos + 1.0), 9)
+                     AS DECIMAL(20,9))) AS idcg
+          FROM (SELECT query_id, grade,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY grade DESC, cand_id) AS pos
+                FROM t)
+          WHERE pos <= 5 GROUP BY 1),
+pq AS (SELECT ideal.query_id,
+         round(CAST(COALESCE(dcg.dcg, 0) AS DOUBLE), 6) AS dcg_at_k,
+         round(CAST(ideal.idcg AS DOUBLE), 6) AS idcg_at_k,
+         round(CASE WHEN ideal.idcg > 0 THEN
+                 CAST(COALESCE(dcg.dcg, 0) AS DOUBLE)
+                 / CAST(ideal.idcg AS DOUBLE)
+               ELSE 0.0 END, 6) AS ndcg_at_k
+       FROM ideal LEFT JOIN dcg USING (query_id))
+"""
+
+
+def _ndcg_fixture(spark, sf_dir):
+    """Shared fixture for the graded-nDCG gates: exact cosine top-5
+    plays the retrieval system (25 query vectors), same-label vectors
+    play graded truth with deterministic grades 1..3."""
+    from pyspark.sql import Window
+
+    from ..operators.evaluation import graded_ndcg
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 25)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("cand_id"))
+    results = cosine_topk(
+        emb, queries, k=5, est_queries=25
+    ).withColumn("rank", F.row_number().over(w))
+    lbl = emb.select(F.col("vec_id").alias("cand_id"),
+                     F.col("label").alias("__l"))
+    truth = (
+        queries.select(F.col("vec_id").alias("query_id"), "label")
+        .join(lbl, F.col("label") == F.col("__l"))
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id", "cand_id",
+            (F.lit(1) + (F.col("query_id") + F.col("cand_id")) % 3)
+            .alias("grade"))
+    )
+    return graded_ndcg(results, truth, k=5)
+
+
+@query("eval_ndcg_graded", oracle=f"""
+WITH {_NDCG_FIXTURE_SQL}
+SELECT query_id, dcg_at_k, idcg_at_k, ndcg_at_k FROM pq
+""")
+def eval_ndcg_graded(spark, sf_dir):
+    """Graded-relevance nDCG@5 (`graded_ndcg`,
+    operators/evaluation.py; Järvelin & Kekäläinen TOIS 2002
+    exponential gain): exact cosine top-5 retrieval scored against
+    same-label truth with deterministic grades 1..3 — DCG joins
+    results to truth on (query, doc), the IDEAL ranking is a per-query
+    window over truth (never a global sort), per-position gain terms
+    snap to 9-dp decimal so both sums are order-free. Per-query rows
+    released so the hash pins DCG, IDCG, and the ratio
+    independently."""
+    return _ndcg_fixture(spark, sf_dir)
+
+
+@query("eval_ndcg_bootstrap", oracle=f"""
+WITH {_NDCG_FIXTURE_SQL},
+x AS (SELECT query_id,
+        CAST(round(ndcg_at_k, 9) AS DECIMAL(20,9)) AS x FROM pq),
+drawn AS (SELECT x.query_id, x.x, t.range AS b,
+    (('0x' || substr(md5('ndcgboot:' || CAST(x.query_id AS VARCHAR)
+                         || ':' || CAST(t.range AS VARCHAR)), 1, 15))
+     ::BIGINT + 0.5) / 1152921504606846976.0 AS u
+  FROM x CROSS JOIN range(1, 201) t),
+wt AS (SELECT query_id, x, b,
+    CASE WHEN u < 0.36787944117144233 THEN 0
+         WHEN u < 0.7357588823428847 THEN 1
+         WHEN u < 0.9196986029286058 THEN 2
+         WHEN u < 0.9810118431238463 THEN 3
+         WHEN u < 0.9963401531726563 THEN 4
+         WHEN u < 0.9994058151824183 THEN 5
+         WHEN u < 0.999916758850712 THEN 6
+         WHEN u < 0.9999897508033253 THEN 7
+         WHEN u < 0.999998874797402 THEN 8
+         ELSE 9 END AS w
+  FROM drawn),
+reps AS (SELECT b, round(CAST(SUM(x * w) AS DOUBLE) / SUM(w), 9) AS m
+         FROM wt GROUP BY b HAVING SUM(w) > 0),
+ranked AS (SELECT m, row_number() OVER (ORDER BY m, b) AS r,
+                  COUNT(*) OVER () AS bn
+           FROM reps),
+ci AS (SELECT CAST(MAX(bn) AS BIGINT) AS n_boot,
+         round(MAX(CASE WHEN r = CAST(ceil(0.025 * bn) AS INT)
+                        THEN m END), 6) AS ci_lo,
+         round(MAX(CASE WHEN r = CAST(ceil(0.975 * bn) AS INT)
+                        THEN m END), 6) AS ci_hi
+       FROM ranked),
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+         round(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) AS mean
+       FROM x)
+SELECT st.n_queries, ci.n_boot, st.mean, ci.ci_lo, ci.ci_hi
+FROM st CROSS JOIN ci
+""")
+def eval_ndcg_bootstrap(spark, sf_dir):
+    """Percentile-bootstrap 95% CI on macro nDCG@5 (`bootstrap_ci`,
+    operators/evaluation.py) — the deterministic POISSON bootstrap
+    (Chamandy et al. 2012): each (query, replicate) weight is an
+    independent Poisson(1) PRF draw (md5 inverse-CDF), so resampling
+    is scan-local with no global index — the shape that survives a
+    million queries, where per-replicate multinomial draws would need
+    a single-task row_number. 200 replicates; replicate means are
+    exact decimal×int sums; the CI is order statistics over the
+    (bounded, replicate-count-sized) ranked means. The oracle replays
+    draw, weight CASE, replicate means, and both percentile positions
+    exactly."""
+    from ..operators.evaluation import bootstrap_ci
+
+    pq = _ndcg_fixture(spark, sf_dir)
+    return bootstrap_ci(
+        pq, "ndcg_at_k", n_boot=200, seed="ndcgboot")

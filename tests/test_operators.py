@@ -6210,3 +6210,62 @@ def test_drop_empty_tokenization_variant(spark):
     out = {r["doc_id"]: r["n_bigrams"] for r in kneser_ney_score(
         pd_docs, pd_docs, "text", "doc_id", drop_empty=True).collect()}
     assert out == {0: 1, 2: 2}
+
+
+def test_graded_ndcg_hand_case(spark):
+    """Hand-computed graded nDCG@3 (Järvelin & Kekäläinen exponential
+    gain): query 1 retrieves grades (3, 0, 1) at ranks 1..3 from a
+    truth set graded {3, 2, 1, 0}; query 2 answers nothing; query 3's
+    grades are all zero (IDCG 0 -> ndcg 0 by convention)."""
+    from puffbird_spark.operators.evaluation import graded_ndcg
+
+    results = spark.createDataFrame(
+        [(1, "a", 1), (1, "x", 2), (1, "c", 3),
+         (3, "p", 1)],
+        "query_id int, cand_id string, rank int")
+    truth = spark.createDataFrame(
+        [(1, "a", 3), (1, "b", 2), (1, "c", 1), (1, "d", 0),
+         (2, "a", 2), (2, "b", 1),
+         (3, "p", 0), (3, "q", 0)],
+        "query_id int, cand_id string, grade int")
+    got = {r["query_id"]: r for r in
+           graded_ndcg(results, truth, k=3).collect()}
+    import math
+    dcg1 = round(7 / math.log2(2), 9) + round(0.0, 9) \
+        + round(1 / math.log2(4), 9)
+    idcg1 = round(7 / math.log2(2), 9) + round(3 / math.log2(3), 9) \
+        + round(1 / math.log2(4), 9)
+    assert got[1]["dcg_at_k"] == round(dcg1, 6)
+    assert got[1]["idcg_at_k"] == round(idcg1, 6)
+    assert got[1]["ndcg_at_k"] == round(dcg1 / idcg1, 6)
+    # unanswered query: dcg 0, ndcg 0, idcg still its ideal
+    assert got[2]["dcg_at_k"] == 0.0 and got[2]["ndcg_at_k"] == 0.0
+    assert got[2]["idcg_at_k"] > 0
+    # all-zero grades: idcg 0 -> ndcg 0, not NaN/NULL
+    assert got[3] ["idcg_at_k"] == 0.0 and got[3]["ndcg_at_k"] == 0.0
+    # ungraded retrieved doc ("x") contributed nothing
+    assert set(got) == {1, 2, 3}
+
+
+def test_bootstrap_ci_deterministic_and_sane(spark):
+    """The Poisson-PRF bootstrap is pure-function deterministic (same
+    seed -> identical CI twice; different seed -> different CI), the
+    CI brackets the mean, and a zero-variance metric collapses the CI
+    to the point estimate."""
+    from puffbird_spark.operators.evaluation import bootstrap_ci
+
+    vals = [(i, 0.1 + 0.8 * ((i * 37) % 100) / 100.0) for i in range(80)]
+    df = spark.createDataFrame(vals, "query_id int, m double")
+    a = bootstrap_ci(df, "m", n_boot=100, seed="s1").collect()[0]
+    b = bootstrap_ci(df, "m", n_boot=100, seed="s1").collect()[0]
+    c = bootstrap_ci(df, "m", n_boot=100, seed="s2").collect()[0]
+    assert a == b
+    assert (a["ci_lo"], a["ci_hi"]) != (c["ci_lo"], c["ci_hi"])
+    assert a["n_queries"] == 80 and a["n_boot"] == 100
+    assert a["ci_lo"] <= a["mean"] <= a["ci_hi"]
+    assert a["ci_lo"] < a["ci_hi"]
+
+    const = spark.createDataFrame(
+        [(i, 0.25) for i in range(50)], "query_id int, m double")
+    z = bootstrap_ci(const, "m", n_boot=50).collect()[0]
+    assert z["ci_lo"] == z["ci_hi"] == z["mean"] == 0.25
