@@ -106,3 +106,19 @@ def oracle_laplace(key_sql: str, scale: float, round_dp: int = 6) -> str:
         f"round(-({float(scale)!r}) * sign({u} - 0.5)"
         f" * ln(1 - 2 * abs({u} - 0.5)), {round_dp})"
     )
+
+
+def gumbel_noise(key: str | Column, round_dp: int = 9) -> Column:
+    """Standard Gumbel(0, 1) noise via the inverse CDF of the md5
+    uniform: ``-ln(-ln(u))`` — the Gumbel-max trick makes
+    ``argmax(score + gumbel)`` an EXACT sample from the exponential
+    mechanism's softmax over scores, without ever materializing the
+    normalizing constant. Rounded (9 dp default) so the libm ``ln``
+    agrees across engines at the comparison precision."""
+    u = md5_uniform(key)
+    return F.round(-F.log(-F.log(u)), round_dp)
+
+
+def oracle_gumbel(key_sql: str, round_dp: int = 9) -> str:
+    u = oracle_uniform(key_sql)
+    return f"round(-ln(-ln({u})), {round_dp})"

@@ -24,6 +24,7 @@ __all__ = [
     "suppress_small_classes",
     "dp_noisy_counts",
     "dp_noisy_mean",
+    "dp_quantiles",
 ]
 
 
@@ -215,3 +216,111 @@ def dp_noisy_mean(
     if include_exact:
         return released
     return released.drop("exact_n")
+
+
+def dp_quantiles(
+    df: DataFrame,
+    value_col: str,
+    quantiles: list[float],
+    salt: str,
+    epsilon: float = 1.0,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    n_bins: int = 256,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Differentially-private quantiles via the EXPONENTIAL MECHANISM
+    over a fixed candidate grid (McSherry & Talwar 2007; Smith 2011
+    for the quantile utility): candidate grid lines
+    ``c_j = lo + j·(hi-lo)/n_bins`` (j = 0..n_bins) score
+
+        u_j = -| rank(c_j) - q·n |,   rank(c_j) = #{v : bin(v) < j}
+
+    (sensitivity 1 under add/remove-one), and the released quantile is
+    sampled with probability ∝ exp(ε'·u/2) where ``ε' = ε/len(quantiles)``
+    (sequential composition across the requested quantiles).
+
+    Sampling is the GUMBEL-MAX trick, deterministic: argmax of
+    ``ε'·u_j/2 + Gumbel(md5(salt|qi|j))`` is an exact softmax sample,
+    is a pure function of (salt, quantile index, candidate index) — a
+    retried task redraws NOTHING — and replays exactly in a SQL
+    oracle. As with `dp_noisy_counts`, the salt IS the secret: with a
+    known salt the draw is recomputable and the guarantee void; use a
+    fresh high-entropy secret per release epoch.
+
+    ``lo``/``hi`` MUST be caller-supplied domain bounds (data-derived
+    bounds would leak); values outside clamp into the edge bins. The
+    selection key rounds at 9 dp before the argmax (cross-engine libm
+    policy), ties break on the smaller candidate index.
+
+    Scale shape: ONE input-sized aggregation (the bin histogram —
+    map-side combined, ≤ ``n_bins`` rows out); everything after is
+    candidate-grain: the rank join is n_bins² ≤ ~10⁷ tiny rows, the
+    argmax a window over n_bins·Q rows. ``n_bins`` caps at 4096.
+
+    Returns one row per requested quantile:
+    ``(quantile DOUBLE, value DOUBLE)``."""
+    if not quantiles:
+        raise ValueError("quantiles must be non-empty")
+    if any(not (0.0 <= q <= 1.0) for q in quantiles):
+        raise ValueError(f"quantiles must lie in [0, 1], got {quantiles}")
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be > 0, got {epsilon}")
+    if not (hi > lo):
+        raise ValueError(f"need hi > lo, got lo={lo} hi={hi}")
+    if not (1 <= n_bins <= 4096):
+        raise ValueError(f"n_bins must be in [1, 4096], got {n_bins}")
+    _require_secret_salt(salt)
+    from ..functions.hashing import gumbel_noise
+
+    spark = df.sparkSession
+    nb = int(n_bins)
+    lo_f, hi_f = float(lo), float(hi)
+    v = F.col(value_col).cast("double")
+    bin_ = F.least(
+        F.greatest(
+            F.floor((v - F.lit(lo_f)) / (F.lit(hi_f) - F.lit(lo_f))
+                    * F.lit(float(nb))).cast("long"),
+            F.lit(0)),
+        F.lit(nb - 1))
+    cnt = (
+        df.filter(v.isNotNull()).select(bin_.alias("__bin"))
+        .groupBy("__bin").agg(F.count(F.lit(1)).alias("__c"))
+    )
+    total = cnt.agg(F.coalesce(F.sum("__c"), F.lit(0)).alias("__n"))
+    cand = spark.range(0, nb + 1).select(F.col("id").alias("__j"))
+    ranks = (
+        cand.join(cnt, cnt["__bin"] < cand["__j"], "left")
+        .groupBy("__j")
+        .agg(F.coalesce(F.sum("__c"), F.lit(0)).alias("__rank"))
+    )
+    eps_q = float(epsilon) / len(quantiles)
+    scored = (
+        ranks.crossJoin(F.broadcast(total))
+        .select(
+            "__j", "__rank", "__n",
+            F.posexplode(F.array(*[
+                F.lit(float(q)) for q in quantiles])).alias("__qi", "__q"))
+    )
+    prf = F.concat_ws(
+        "|", F.lit(salt), F.col("__qi").cast("string"),
+        F.col("__j").cast("string"))
+    key = F.round(
+        F.lit(-eps_q / 2.0)
+        * F.abs(F.col("__rank").cast("double")
+                - F.col("__q") * F.col("__n").cast("double"))
+        + gumbel_noise(prf), 9)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("__qi").orderBy(F.desc("__key"), F.asc("__j"))
+    return (
+        scored.select("__qi", "__q", "__j", key.alias("__key"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("__q").alias("quantile"),
+            F.round(
+                F.lit(lo_f) + F.col("__j").cast("double")
+                * (F.lit(hi_f) - F.lit(lo_f)) / F.lit(float(nb)),
+                round_dp).alias("value"))
+    )

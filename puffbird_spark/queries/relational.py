@@ -3045,6 +3045,68 @@ FROM g
 """
 
 
+def _dp_quantiles_oracle() -> str:
+    """Exponential-mechanism quantile replay: bin histogram, candidate
+    ranks, per-(quantile, candidate) scores + Gumbel PRF draws, argmax
+    with the 9-dp key round and smaller-j tie-break — every expression
+    mirrored literal-for-literal from `dp_quantiles`."""
+    from ..functions.hashing import oracle_gumbel
+
+    lo, hi, nb = 0.0, 51.0, 102
+    qs = [0.25, 0.5, 0.75, 0.95]
+    eps_q = 1.0 / len(qs)
+    key_sql = ("'puffbird-gate-dp-quantile-salt|' || CAST(qi AS VARCHAR)"
+               " || '|' || CAST(j AS VARCHAR)")
+    g = oracle_gumbel(key_sql)
+    vals = ", ".join(f"({i}, {q!r})" for i, q in enumerate(qs))
+    return f"""
+WITH cnt AS (SELECT least(greatest(CAST(floor(
+          (CAST(l_quantity AS DOUBLE) - {lo!r}) / ({hi!r} - {lo!r})
+          * {float(nb)!r}) AS BIGINT), 0), {nb - 1}) AS bin,
+        COUNT(*) AS c
+      FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1),
+tot AS (SELECT COALESCE(SUM(c), 0) AS n FROM cnt),
+cand AS (SELECT t.range AS j FROM range(0, {nb + 1}) t),
+ranks AS (SELECT cand.j, COALESCE(SUM(cnt.c), 0) AS rk
+          FROM cand LEFT JOIN cnt ON cnt.bin < cand.j GROUP BY 1),
+qs(qi, q) AS (VALUES {vals}),
+scored AS (SELECT qs.qi, qs.q, r.j,
+    round({-eps_q / 2.0!r} * abs(CAST(r.rk AS DOUBLE)
+            - qs.q * CAST(tot.n AS DOUBLE)) + {g}, 9) AS key
+  FROM ranks r CROSS JOIN qs CROSS JOIN tot)
+SELECT q AS quantile,
+       round({lo!r} + CAST(j AS DOUBLE) * ({hi!r} - {lo!r})
+             / {float(nb)!r}, 6) AS value
+FROM (SELECT *, row_number() OVER (PARTITION BY qi
+        ORDER BY key DESC, j) AS rn FROM scored)
+WHERE rn = 1
+"""
+
+
+@query("privacy_dp_quantiles", oracle=_dp_quantiles_oracle())
+def privacy_dp_quantiles(spark, sf_dir):
+    """Differentially-private quantiles of order quantity
+    (`dp_quantiles`, operators/privacy.py — McSherry & Talwar 2007
+    exponential mechanism, Smith 2011 rank utility): candidates are a
+    fixed 102-line grid over the CALLER-supplied domain [0, 51]
+    (data-derived bounds would leak), utility is -|rank - q*n| at
+    sensitivity 1, selection is the deterministic Gumbel-max PRF —
+    an exact softmax sample that a retried task can never redraw, and
+    that the oracle replays literal-for-literal (draw, 9-dp key
+    round, smaller-candidate tie-break). Epsilon 1.0 splits evenly
+    over the four quantiles (sequential composition). ONE input-sized
+    aggregation (the bin histogram); everything downstream is
+    candidate-grain. The gate salt is public because the oracle must
+    replay it; production salts are secrets."""
+    from ..operators.privacy import dp_quantiles
+
+    li = load(spark, sf_dir, "lineitem")
+    return dp_quantiles(
+        li, "l_quantity", [0.25, 0.5, 0.75, 0.95],
+        salt="puffbird-gate-dp-quantile-salt", epsilon=1.0,
+        lo=0.0, hi=51.0, n_bins=102)
+
+
 @query("privacy_dp_counts", oracle=_dp_counts_oracle())
 def privacy_dp_counts(spark, sf_dir):
     """Differentially-private release counts (`dp_noisy_counts`,

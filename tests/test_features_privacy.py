@@ -217,3 +217,52 @@ def test_dp_noisy_mean_validates(spark):
         dp_noisy_mean(df, [], "v", clamp=1.0, salt=SALT_A)
     with pytest.raises(ValueError):
         dp_noisy_mean(df, ["g"], "v", clamp=1.0, salt="dpm")
+
+
+def test_dp_quantiles_accuracy_determinism_and_guards(spark):
+    """Exponential-mechanism quantiles: with a large epsilon the
+    mechanism concentrates on the true grid quantile (Gumbel noise is
+    O(1), score steps are O(eps*bin_count)); same salt replays
+    identically; out-of-domain values clamp into edge bins; parameter
+    guards reject bad domains and non-secret salts."""
+    import pytest as _pt
+
+    from puffbird_spark.operators.privacy import dp_quantiles
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1000)], "v double")
+    got = {r["quantile"]: r["value"] for r in dp_quantiles(
+        df, "v", [0.25, 0.5, 0.9], salt="unit-test-secret-salt",
+        epsilon=400.0, lo=0.0, hi=1000.0, n_bins=100).collect()}
+    # rank(c_j) = 10*j exactly; argmax at the true quantile line
+    assert got == {0.25: 250.0, 0.5: 500.0, 0.9: 900.0}
+
+    a = sorted(map(tuple, dp_quantiles(
+        df, "v", [0.5], salt="unit-test-secret-salt", epsilon=0.05,
+        lo=0.0, hi=1000.0, n_bins=100).collect()))
+    b = sorted(map(tuple, dp_quantiles(
+        df, "v", [0.5], salt="unit-test-secret-salt", epsilon=0.05,
+        lo=0.0, hi=1000.0, n_bins=100).collect()))
+    assert a == b  # pure function of (salt, qi, j)
+
+    # clamping: values far outside [lo, hi] land in edge bins, ranks
+    # stay well-defined (no NULL bins, no lost rows)
+    wild = spark.createDataFrame(
+        [(-1e9,), (1e9,), (5.0,)], "v double")
+    out = dp_quantiles(
+        wild, "v", [0.5], salt="unit-test-secret-salt",
+        epsilon=100.0, lo=0.0, hi=10.0, n_bins=10).collect()
+    assert len(out) == 1 and 0.0 <= out[0]["value"] <= 10.0
+
+    with _pt.raises(ValueError):
+        dp_quantiles(df, "v", [0.5], salt="short", epsilon=1.0,
+                     lo=0.0, hi=1.0)
+    with _pt.raises(ValueError):
+        dp_quantiles(df, "v", [1.5], salt="unit-test-secret-salt",
+                     lo=0.0, hi=1.0)
+    with _pt.raises(ValueError):
+        dp_quantiles(df, "v", [0.5], salt="unit-test-secret-salt",
+                     lo=1.0, hi=1.0)
+    with _pt.raises(ValueError):
+        dp_quantiles(df, "v", [0.5], salt="unit-test-secret-salt",
+                     lo=0.0, hi=1.0, n_bins=10000)
