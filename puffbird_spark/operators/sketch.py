@@ -448,3 +448,215 @@ def hll_overlap(
                    F.col("n_intersect") / F.col("n_union"))
             .otherwise(F.lit(0.0)))
     )
+
+
+# --------------------------------------------------------------------- #
+# Theta sketches: mergeable distinct-count SET ALGEBRA
+# --------------------------------------------------------------------- #
+
+def _theta_fold(k: int, group_cols: list[str]):
+    """mapInPandas kernel: per partition, dedup keys and keep the
+    bottom-``k`` draws per group — the scan-local half of
+    :func:`theta_sketch` (same shape as :func:`_kmv_fold`, plus the
+    dedup: duplicate keys carry identical draws and must count once)."""
+    dedup_cols = [*group_cols, "__key"]
+    sort_cols = [*group_cols, "__u", "__key"]
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: pd.DataFrame | None = None
+        for pdf in batches:
+            cur = pdf if acc is None else pd.concat(
+                [acc, pdf], ignore_index=True)
+            cur = cur.drop_duplicates(dedup_cols).sort_values(
+                sort_cols, kind="mergesort", ignore_index=True)
+            acc = (cur.groupby(group_cols, sort=False).head(k)
+                   if group_cols else cur.head(k))
+        if acc is not None:
+            yield acc
+
+    return fold
+
+
+def _attach(rows: DataFrame, per_group: DataFrame,
+            group_cols: Sequence[str]) -> DataFrame:
+    """Join a per-group scalar frame onto rows — broadcast cross join
+    when there are no group columns (the one-row global case)."""
+    if group_cols:
+        return rows.join(per_group, list(group_cols), "left")
+    return rows.crossJoin(F.broadcast(per_group))
+
+
+def theta_sketch(
+    df: DataFrame,
+    key: str,
+    k: int = 256,
+    group_cols: Sequence[str] = (),
+    seed: str = "theta",
+) -> DataFrame:
+    """Theta sketch per group (Dasgupta, Lang, Rhodes & Thaler — the
+    DataSketches KMV/theta formulation): retain the distinct keys whose
+    content-deterministic uniform draw falls below θ, where θ is the
+    ``k``-th smallest draw (1.0 while fewer than ``k`` distinct keys —
+    the EXACT regime). Distinct estimate = ``|retained| / θ``:
+    ``(k-1)/u_(k)`` saturated — the classic unbiased KMV estimator with
+    relative error ~ ``1/sqrt(k-2)`` — and exact below saturation.
+
+    Why theta and not plain HLL: retained entries are REAL key samples,
+    so sketches support SET ALGEBRA — :func:`theta_union`,
+    :func:`theta_intersect_estimate`, :func:`theta_difference_estimate`
+    — with one θ governing every estimate. HLL unions but never
+    intersects (inclusion-exclusion error explodes); a theta
+    intersection's error stays ~ union/√k-scaled.
+
+    Deterministic: draws are `splits.uniform_draw` (md5 PRF of the
+    length-prefixed key) — no RNG state, re-run-stable, SQL-oracle
+    replayable. Sketches that will be combined MUST share ``seed`` and
+    key encoding. NULL keys are excluded (COUNT DISTINCT semantics).
+
+    Scale shape: one scan-local fold (dedup + bottom-k per partition,
+    ≤ k rows out per partition-group, the `_mg_summaries` pattern);
+    only candidates enter the one keyed shuffle. Returns rows
+    ``group_cols + (__u, __key, __theta)`` — the retained entries with
+    the group's θ attached."""
+    from .splits import uniform_draw
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    gcols = list(group_cols)
+    proj = df.select(
+        *gcols,
+        uniform_draw(F.col(key), seed).alias("__u"),
+        F.col(key).cast("string").alias("__key"),
+    ).filter(F.col("__key").isNotNull())
+    cand = proj.mapInPandas(_theta_fold(k, gcols), proj.schema)
+    cand = cand.dropDuplicates([*gcols, "__key"])
+    w = Window.partitionBy(*gcols).orderBy("__u", "__key")
+    ranked = cand.withColumn("__rn", F.row_number().over(w))
+    # aggregate (not filter) so every group — and the global no-group
+    # case — always yields a θ row (NULL below saturation -> 1.0)
+    th = ranked.groupBy(*gcols).agg(
+        F.max(F.when(F.col("__rn") == k, F.col("__u")))
+        .alias("__theta"))
+    out = _attach(ranked.drop("__rn"), th, gcols)
+    return (
+        out.withColumn("__theta", F.coalesce("__theta", F.lit(1.0)))
+        .filter(F.col("__u") < F.col("__theta"))
+    )
+
+
+def _group_thetas(a: DataFrame, b: DataFrame,
+                  gcols: list[str]) -> DataFrame:
+    """Per-group ``__tmin = min(θ_a, θ_b)`` over the union of groups
+    (a side missing a group contributes θ = 1.0)."""
+    ta = a.groupBy(*gcols).agg(F.min("__theta").alias("__ta"))
+    tb = b.groupBy(*gcols).agg(F.min("__theta").alias("__tb"))
+    if gcols:
+        both = ta.join(tb, gcols, "full_outer")
+    else:
+        both = ta.crossJoin(F.broadcast(tb))
+    return both.select(
+        *gcols,
+        F.least(
+            F.coalesce("__ta", F.lit(1.0)),
+            F.coalesce("__tb", F.lit(1.0))).alias("__tmin"))
+
+
+def theta_union(
+    a: DataFrame, b: DataFrame, k: int,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Union of two theta sketches — a THETA SKETCH again (closed
+    algebra; unit-pinned bit-equal to sketching the concatenated input
+    directly): combine retained entries below ``min(θ_a, θ_b)``, dedup
+    keys, and re-saturate at ``k`` if more than ``k`` survive. Every
+    window here runs over ≤ 2k rows per group."""
+    gcols = list(group_cols)
+    tmin = _group_thetas(a, b, gcols)
+    cols = [*gcols, "__u", "__key"]
+    rows = (
+        a.select(*cols).unionByName(b.select(*cols))
+        .dropDuplicates([*gcols, "__key"]))
+    rows = _attach(rows, tmin, gcols).filter(F.col("__u") < F.col("__tmin"))
+    w = Window.partitionBy(*gcols).orderBy("__u", "__key")
+    ranked = rows.withColumn("__rn", F.row_number().over(w))
+    th_new = ranked.groupBy(*gcols).agg(
+        F.max(F.when(F.col("__rn") == k, F.col("__u")))
+        .alias("__tnew"))
+    out = _attach(ranked.drop("__rn"), th_new, gcols)
+    return (
+        out.withColumn(
+            "__theta", F.coalesce("__tnew", F.col("__tmin")))
+        .filter(F.col("__u") < F.col("__theta"))
+        .select(*gcols, "__u", "__key", "__theta")
+    )
+
+
+def theta_estimate(
+    sketch: DataFrame,
+    group_cols: Sequence[str] = (),
+    est_col: str = "distinct_est",
+    round_dp: int = 6,
+) -> DataFrame:
+    """``|retained| / θ`` per group, 6-dp DOUBLE."""
+    gcols = list(group_cols)
+    return sketch.groupBy(*gcols).agg(
+        F.round(
+            F.count(F.lit(1)).cast("double") / F.min("__theta"), round_dp
+        ).alias(est_col))
+
+
+def theta_intersect_estimate(
+    a: DataFrame, b: DataFrame,
+    group_cols: Sequence[str] = (),
+    est_col: str = "intersect_est",
+    round_dp: int = 6,
+) -> DataFrame:
+    """``|A ∩ B|`` estimate: keys retained on BOTH sides below
+    ``θ = min(θ_a, θ_b)``, divided by θ. The error is governed by the
+    UNION's scale (~ |A ∪ B| / √k absolute), the documented theta
+    property — tiny intersections of huge sets come back noisy; grow
+    ``k`` accordingly. Sketches must share seed and key encoding."""
+    gcols = list(group_cols)
+    tmin = _group_thetas(a, b, gcols)
+    ak = a.select(*gcols, "__u", "__key")
+    bk = b.select(*gcols, "__key")
+    inter = ak.join(bk, [*gcols, "__key"])
+    inter = _attach(inter, tmin, gcols).filter(
+        F.col("__u") < F.col("__tmin"))
+    cnt = inter.groupBy(*gcols).agg(F.count(F.lit(1)).alias("__c"))
+    if gcols:
+        out = tmin.join(cnt, gcols, "left")
+    else:
+        out = tmin.crossJoin(F.broadcast(cnt))
+    return out.select(
+        *gcols,
+        F.round(
+            F.coalesce(F.col("__c"), F.lit(0)).cast("double")
+            / F.col("__tmin"), round_dp).alias(est_col))
+
+
+def theta_difference_estimate(
+    a: DataFrame, b: DataFrame,
+    group_cols: Sequence[str] = (),
+    est_col: str = "difference_est",
+    round_dp: int = 6,
+) -> DataFrame:
+    """``|A \\ B|`` estimate: A's retained keys below
+    ``θ = min(θ_a, θ_b)`` that B's retained set does NOT contain,
+    divided by θ (same union-scale error as the intersection)."""
+    gcols = list(group_cols)
+    tmin = _group_thetas(a, b, gcols)
+    ak = a.select(*gcols, "__u", "__key")
+    ak = _attach(ak, tmin, gcols).filter(F.col("__u") < F.col("__tmin"))
+    only = ak.join(
+        b.select(*gcols, "__key"), [*gcols, "__key"], "left_anti")
+    cnt = only.groupBy(*gcols).agg(F.count(F.lit(1)).alias("__c"))
+    if gcols:
+        out = tmin.join(cnt, gcols, "left")
+    else:
+        out = tmin.crossJoin(F.broadcast(cnt))
+    return out.select(
+        *gcols,
+        F.round(
+            F.coalesce(F.col("__c"), F.lit(0)).cast("double")
+            / F.col("__tmin"), round_dp).alias(est_col))

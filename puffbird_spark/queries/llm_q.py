@@ -5235,3 +5235,87 @@ def eval_ndcg_bootstrap(spark, sf_dir):
     pq = _ndcg_fixture(spark, sf_dir)
     return bootstrap_ci(
         pq, "ndcg_at_k", n_boot=200, seed="ndcgboot")
+
+
+def _theta_setops_oracle() -> str:
+    """Full replay of the theta-sketch pipeline: PRF draws over
+    distinct custkeys, rank-k theta per side, retained sets, and the
+    four set-algebra estimates — every θ, filter, and division
+    mirrored from operators/sketch.py."""
+    enc = ("'v' || CAST(length(CAST(o_custkey AS VARCHAR)) AS VARCHAR)"
+           " || ':' || CAST(o_custkey AS VARCHAR)")
+    u = (f"((('0x' || substr(md5('theta:' || {enc}), 1, 16))::UBIGINT"
+         f")::DOUBLE + 0.5) / 18446744073709551616.0")
+    k = 128
+    return f"""
+WITH da AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS key, {u} AS u
+            FROM orders WHERE o_orderkey % 3 != 0
+              AND o_custkey IS NOT NULL),
+db AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS key, {u} AS u
+       FROM orders WHERE o_orderkey % 2 = 0 AND o_custkey IS NOT NULL),
+ra AS (SELECT key, u, row_number() OVER (ORDER BY u, key) AS rn FROM da),
+rb AS (SELECT key, u, row_number() OVER (ORDER BY u, key) AS rn FROM db),
+tha AS (SELECT COALESCE(MAX(CASE WHEN rn = {k} THEN u END), 1.0) AS th
+        FROM ra),
+thb AS (SELECT COALESCE(MAX(CASE WHEN rn = {k} THEN u END), 1.0) AS th
+        FROM rb),
+ka AS (SELECT key, u FROM ra CROSS JOIN tha WHERE u < tha.th),
+kb AS (SELECT key, u FROM rb CROSS JOIN thb WHERE u < thb.th),
+tm AS (SELECT least(tha.th, thb.th) AS t FROM tha CROSS JOIN thb),
+ae AS (SELECT round(COUNT(*)::DOUBLE / MAX(tha.th), 6) AS a_est
+       FROM ka CROSS JOIN tha),
+be AS (SELECT round(COUNT(*)::DOUBLE / MAX(thb.th), 6) AS b_est
+       FROM kb CROSS JOIN thb),
+uu AS (SELECT key, u FROM (SELECT key, u FROM ka UNION
+                           SELECT key, u FROM kb) CROSS JOIN tm
+       WHERE u < tm.t),
+uf AS (SELECT key, u, row_number() OVER (ORDER BY u, key) AS rn FROM uu),
+thu AS (SELECT COALESCE(MAX(CASE WHEN rn = {k} THEN u END),
+                        MAX(tm.t)) AS th
+        FROM uf CROSS JOIN tm),
+ue AS (SELECT round(COUNT(*)::DOUBLE / MAX(thu.th), 6) AS union_est
+       FROM uf CROSS JOIN thu WHERE uf.u < thu.th),
+ie AS (SELECT round(COUNT(*)::DOUBLE / MAX(tm.t), 6) AS intersect_est
+       FROM ka JOIN kb USING (key) CROSS JOIN tm WHERE ka.u < tm.t),
+de AS (SELECT round(COUNT(*)::DOUBLE / MAX(tm.t), 6) AS difference_est
+       FROM ka CROSS JOIN tm
+       WHERE ka.u < tm.t AND ka.key NOT IN (SELECT key FROM kb))
+SELECT ae.a_est, be.b_est, ue.union_est, ie.intersect_est,
+       de.difference_est
+FROM ae CROSS JOIN be CROSS JOIN ue CROSS JOIN ie CROSS JOIN de
+"""
+
+
+@query("sketch_theta_setops", oracle=_theta_setops_oracle())
+def sketch_theta_setops(spark, sf_dir):
+    """Theta-sketch SET ALGEBRA (`theta_sketch`/`theta_union`/
+    `theta_intersect_estimate`/`theta_difference_estimate`,
+    operators/sketch.py — the DataSketches KMV/theta formulation):
+    customer sets of two overlapping order segments sketched at k=128,
+    then |A|, |B|, |A∪B|, |A∩B|, |A\\B| all estimated from the
+    sketches alone — the audience-overlap primitive HLL cannot answer
+    (HLL unions but never intersects). Draws are md5 PRFs of the
+    length-prefixed key, so the sketch is deterministic,
+    re-run-stable, and the oracle replays draws, rank-k thetas,
+    retained sets, and every division exactly. Build is scan-local
+    (dedup + bottom-k fold per partition, ≤ k rows out); every
+    estimate is a window/join over ≤ 2k-row frames."""
+    from ..operators.sketch import (
+        theta_difference_estimate, theta_estimate,
+        theta_intersect_estimate, theta_sketch, theta_union)
+
+    orders = load(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderkey") % 3 != 0)
+    b = orders.filter(F.col("o_orderkey") % 2 == 0)
+    sa = theta_sketch(a, "o_custkey", k=128).localCheckpoint(eager=True)
+    sb = theta_sketch(b, "o_custkey", k=128).localCheckpoint(eager=True)
+    ae = theta_estimate(sa, est_col="a_est")
+    be = theta_estimate(sb, est_col="b_est")
+    ue = theta_estimate(
+        theta_union(sa, sb, k=128), est_col="union_est")
+    ie = theta_intersect_estimate(sa, sb)
+    de = theta_difference_estimate(sa, sb)
+    return (
+        ae.crossJoin(F.broadcast(be)).crossJoin(F.broadcast(ue))
+        .crossJoin(F.broadcast(ie)).crossJoin(F.broadcast(de))
+    )

@@ -6269,3 +6269,58 @@ def test_bootstrap_ci_deterministic_and_sane(spark):
         [(i, 0.25) for i in range(50)], "query_id int, m double")
     z = bootstrap_ci(const, "m", n_boot=50).collect()[0]
     assert z["ci_lo"] == z["ci_hi"] == z["mean"] == 0.25
+
+
+def test_theta_sketch_exact_saturated_and_set_algebra(spark):
+    """Theta sketch (KMV/DataSketches formulation): exact below
+    saturation, ~1/sqrt(k) relative error saturated (deterministic PRF
+    draws -> the measured error is FIXED, not flaky), union of
+    sketches bit-equal to the sketch of the union, and intersection /
+    difference estimates exact in the exact regime."""
+    from puffbird_spark.operators.sketch import (
+        theta_difference_estimate, theta_estimate,
+        theta_intersect_estimate, theta_sketch, theta_union)
+
+    # exact regime: 100 distinct < k
+    small = spark.createDataFrame(
+        [(i % 100,) for i in range(1000)], "k long")
+    sk = theta_sketch(small, "k", k=256)
+    est = theta_estimate(sk).collect()[0]["distinct_est"]
+    assert est == 100.0
+
+    # saturated: 20000 distinct, k=256 -> within 15% (fixed PRF)
+    big = spark.range(20000).select(F.col("id").alias("k"))
+    bsk = theta_sketch(big, "k", k=256)
+    best = theta_estimate(bsk).collect()[0]["distinct_est"]
+    assert abs(best - 20000) / 20000 < 0.15, best
+
+    # union of sketches == sketch of the union, row for row
+    a = spark.range(0, 12000).select(F.col("id").alias("k"))
+    b = spark.range(8000, 21000).select(F.col("id").alias("k"))
+    u1 = sorted(map(tuple, theta_union(
+        theta_sketch(a, "k", k=128), theta_sketch(b, "k", k=128),
+        k=128).collect()))
+    u2 = sorted(map(tuple, theta_sketch(
+        a.unionByName(b), "k", k=128).collect()))
+    assert u1 == u2
+
+    # exact-regime set algebra: |A|=60, |B|=50, |A∩B|=30
+    ea = spark.createDataFrame([(i,) for i in range(60)], "k long")
+    eb = spark.createDataFrame([(i,) for i in range(30, 80)], "k long")
+    ska, skb = theta_sketch(ea, "k", k=256), theta_sketch(eb, "k", k=256)
+    assert theta_intersect_estimate(ska, skb).collect()[0][
+        "intersect_est"] == 30.0
+    assert theta_difference_estimate(ska, skb).collect()[0][
+        "difference_est"] == 30.0
+    assert theta_estimate(theta_union(ska, skb, k=256)).collect()[0][
+        "distinct_est"] == 80.0
+
+    # grouped sketches keep group keys separate
+    g = spark.createDataFrame(
+        [("x", i) for i in range(40)] + [("y", i) for i in range(25)],
+        "grp string, k long")
+    gs = theta_estimate(
+        theta_sketch(g, "k", k=64, group_cols=["grp"]),
+        group_cols=["grp"])
+    assert {r["grp"]: r["distinct_est"] for r in gs.collect()} == {
+        "x": 40.0, "y": 25.0}
