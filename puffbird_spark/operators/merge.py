@@ -189,11 +189,21 @@ def scd2_apply(
 
     One update per key per batch (enforced — raise on duplicates:
     applying two changes to one key in one batch has no well-defined
-    order). Plan shape: the dimension's CURRENT slice left-joins the
+    order). Batches must also arrive in EFFECTIVE-TIME ORDER per key
+    (enforced — raise): a change whose ``effective_ts`` is at or before
+    the current row's ``valid_from`` would close that row with an
+    inverted/zero-length interval AND open an overlapping current row —
+    silent dimension corruption that the read-side ``scd2_join`` then
+    resolves to the WRONG attribute for every timestamp in the overlap
+    (found by the r11 adversarial CDC probe). A NULL ``effective_ts``
+    likewise raises instead of silently dropping the change. Plan
+    shape: the dimension's CURRENT slice left-joins the
     (broadcast-able) update batch on the key — history never joins
     anything; at 100 TB partition the dimension table by ``to_col IS
     NULL`` (the snapshot/manifest layout of `operators/layout.py`)
-    so maintenance scans only the current slice."""
+    so maintenance scans only the current slice. Both enforcement
+    probes are ``limit(1)`` early-exit jobs (one over the small batch,
+    one over the current-slice broadcast join)."""
     keys = list(key_cols)
     attrs = list(attr_cols)
     dup = (updates.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
@@ -202,6 +212,12 @@ def scd2_apply(
         raise ValueError(
             f"scd2_apply: multiple updates for key {dup[0][:len(keys)]} "
             "in one batch — apply batches per effective time instead")
+    null_eff = updates.filter(F.col(eff_col).isNull()).limit(1).collect()
+    if null_eff:
+        raise ValueError(
+            "scd2_apply: update with NULL effective_ts for key "
+            f"{[null_eff[0][k] for k in keys]} — a change without an "
+            "effective time cannot open or close a validity interval")
     hist = dim.filter(F.col(to_col).isNotNull())
     cur = dim.filter(F.col(to_col).isNull())
     u = updates.select(
@@ -213,6 +229,16 @@ def scd2_apply(
         ~F.struct(*[F.col(a) for a in attrs]).eqNullSafe(
             F.struct(*[F.col(f"__u_{a}").alias(a) for a in attrs])))
     inserted = F.col("__eff").isNotNull() & F.col(from_col).isNull()
+    late = j.filter(changed & (F.col("__eff") <= F.col(from_col))) \
+        .limit(1).collect()
+    if late:
+        raise ValueError(
+            "scd2_apply: out-of-order change for key "
+            f"{[late[0][k] for k in keys]} — effective_ts "
+            f"{late[0]['__eff']!r} is at or before the current row's "
+            f"{from_col} {late[0][from_col]!r}; closing it would write "
+            "an inverted/zero-length interval overlapping the new "
+            "current row. Apply CDC batches in effective-time order")
     untouched = j.filter(~changed & ~inserted & F.col(from_col).isNotNull()) \
         .select(*keys, *attrs, from_col, to_col)
     closed = j.filter(changed).select(

@@ -6324,3 +6324,51 @@ def test_theta_sketch_exact_saturated_and_set_algebra(spark):
         group_cols=["grp"])
     assert {r["grp"]: r["distinct_est"] for r in gs.collect()} == {
         "x": 40.0, "y": 25.0}
+
+
+def test_scd2_apply_rejects_out_of_order_and_null_effective(spark):
+    """r11 adversarial CDC probe: an update whose effective_ts is at or
+    before the current row's valid_from previously closed that row
+    with an INVERTED interval (valid_from=10, valid_to=4) while opening
+    an overlapping current row — scd2_join then answered the wrong
+    attribute for every ts in the overlap. A NULL effective_ts
+    previously vanished silently. Both now raise; a no-op (identical
+    attrs) late update stays harmless."""
+    import pytest as _pt
+
+    from puffbird_spark.operators.merge import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, "a", 10, None), (2, "b", 5, 8), (2, "c", 8, None)],
+        "k int, attr string, valid_from int, valid_to int")
+
+    late = spark.createDataFrame(
+        [(1, "z", 4)], "k int, attr string, effective_ts int")
+    with _pt.raises(ValueError, match="out-of-order"):
+        scd2_apply(dim, late, ["k"], ["attr"])
+    equal = spark.createDataFrame(
+        [(1, "z", 10)], "k int, attr string, effective_ts int")
+    with _pt.raises(ValueError, match="out-of-order"):
+        scd2_apply(dim, equal, ["k"], ["attr"])
+    nul = spark.createDataFrame(
+        [(9, "q", None)], "k int, attr string, effective_ts int")
+    with _pt.raises(ValueError, match="NULL effective_ts"):
+        scd2_apply(dim, nul, ["k"], ["attr"])
+
+    # a LATE NO-OP (identical attrs) is harmless and must not raise
+    noop = spark.createDataFrame(
+        [(1, "a", 4)], "k int, attr string, effective_ts int")
+    out = scd2_apply(dim, noop, ["k"], ["attr"]) \
+        .orderBy("k", "valid_from").collect()
+    assert [tuple(r) for r in out] == [
+        (1, "a", 10, None), (2, "b", 5, 8), (2, "c", 8, None)]
+
+    # the ordinary path still works end to end
+    ok = spark.createDataFrame(
+        [(1, "z", 15), (9, "q", 3)],
+        "k int, attr string, effective_ts int")
+    got = sorted(tuple(r) for r in
+                 scd2_apply(dim, ok, ["k"], ["attr"]).collect())
+    assert got == sorted([
+        (1, "a", 10, 15), (1, "z", 15, None),
+        (2, "b", 5, 8), (2, "c", 8, None), (9, "q", 3, None)])
