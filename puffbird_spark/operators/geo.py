@@ -265,7 +265,15 @@ def point_in_polygon(
     a ray through a vertex counts once. Boundary-exact points follow
     raw double compares: callers wanting epsilon semantics snap
     coordinates first (the gates use off-grid vertices so no input
-    lies on an edge)."""
+    lies on an edge).
+
+    NULL coordinates return NULL (SQL semantics, r11 probe): each
+    edge's ``F.when`` otherwise-0 used to swallow the NULL predicate
+    and classify a NULL-lat/lon point as "outside" — membership of an
+    unknown location is unknown, not false. Degenerate polygons are
+    well-defined by the even-odd rule itself: zero-area (collinear)
+    polygons contain nothing, self-intersecting ones alternate, and
+    duplicate/horizontal edges drop at plan time."""
     if len(vertices) < 3:
         raise ValueError("polygon needs >= 3 vertices")
     x = F.col(lon) if isinstance(lon, str) else lon
@@ -287,4 +295,6 @@ def point_in_polygon(
         crossings = crossings + F.when(
             straddles & (x < xint), F.lit(1)
         ).otherwise(F.lit(0))
-    return crossings % 2 == 1
+    return F.when(
+        x.isNull() | y.isNull(), F.lit(None).cast("boolean")
+    ).otherwise(crossings % 2 == 1)

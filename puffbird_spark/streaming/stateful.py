@@ -127,7 +127,14 @@ def session_tracker(
                 closed.append((start, last, n))
                 start, last, n = ts, ts, 1
             else:
-                last, n = ts, n + 1
+                # min/max clamps (r11 out-of-order probe): a LATE event
+                # from a contract-violating earlier-time batch folds
+                # into the open session but can never regress its end —
+                # an unclamped `last = ts` made the NEXT on-time event's
+                # gap measure against the regressed end and split
+                # phantom sessions. In-order input hits ts >= last and
+                # the clamps are identities.
+                start, last, n = min(start, ts), max(last, ts), n + 1
         state.update((start, last, n))
         if timeout_ms is not None:
             state.setTimeoutDuration(timeout_ms)

@@ -197,3 +197,51 @@ def test_radius_join_plan_is_hash_join(spark, sf_dir):
     assert "NestedLoop" not in plan
     assert "CartesianProduct" not in plan
     assert "Python" not in plan
+
+
+def test_point_in_polygon_degenerate_and_null_probes(spark):
+    """r11 adversarial geo probe: NULL coordinates must return NULL
+    (the F.when otherwise-0 previously classified unknown locations as
+    "outside"); zero-area collinear polygons contain nothing (points
+    ON the line included, under the strict x < xint rule);
+    self-intersecting bowties follow the even-odd rule; duplicate
+    consecutive vertices are harmless (zero-length edges drop)."""
+    from pyspark.sql import functions as F
+
+    from puffbird_spark.operators.geo import point_in_polygon
+
+    pts = spark.createDataFrame(
+        [(0, 0.5, 0.5), (1, None, 0.5), (2, 0.5, None),
+         (3, -1.0, 0.5), (4, 0.0, 0.5)],
+        "id int, lon double, lat double")
+
+    sq = [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)]
+    got = {r["id"]: r["r"] for r in pts.select(
+        "id", point_in_polygon("lon", "lat", sq).alias("r")).collect()}
+    assert got[0] is True
+    assert got[1] is None and got[2] is None  # NULL in -> NULL out
+    assert got[3] is False
+
+    # zero-area vertical sliver: nothing inside, on-line point outside
+    line = [(0.0, 0.0), (0.0, 1.0), (0.0, 2.0)]
+    lg = {r["id"]: r["r"] for r in pts.select(
+        "id", point_in_polygon("lon", "lat", line).alias("r")).collect()}
+    assert lg[0] is False and lg[3] is False and lg[4] is False
+    assert lg[1] is None
+
+    # bowtie (self-intersecting): even-odd keeps both lobes, excludes
+    # the pinch point's vertical through-line by parity
+    bow = [(0.0, 0.0), (2.0, 2.0), (2.0, 0.0), (0.0, 2.0)]
+    bpts = spark.createDataFrame(
+        [(0, 0.5, 1.0), (1, 1.5, 1.0), (2, 1.0, 0.25), (3, 1.0, 1.75)],
+        "id int, lon double, lat double")
+    bg = {r["id"]: r["r"] for r in bpts.select(
+        "id", point_in_polygon("lon", "lat", bow).alias("r")).collect()}
+    assert bg[0] is True and bg[1] is True     # left/right lobes
+    assert bg[2] is False and bg[3] is False   # above/below the pinch
+
+    # duplicate consecutive vertices: same answers as the clean square
+    dup = [(0.0, 0.0), (1.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)]
+    dg = {r["id"]: r["r"] for r in pts.select(
+        "id", point_in_polygon("lon", "lat", dup).alias("r")).collect()}
+    assert dg == got

@@ -537,3 +537,50 @@ def test_tws_counter_matches_classic_api(spark, tmpdir):
     got = {r.user_id: r.total
            for r in spark.read.parquet(f"{tmpdir}/out").collect()}
     assert got == {1: 2, 2: 1}
+
+
+def test_session_tracker_late_event_cannot_regress_session_end(spark, tmpdir):
+    """r11 out-of-order probe: a late event arriving in a LATER batch
+    (violating the documented per-key batch monotonicity) used to set
+    ``last = ts`` backwards, so the next on-time event measured its gap
+    against the regressed end and split a phantom session. The min/max
+    clamps fold the late event in without moving the session end back;
+    in-order input is untouched (clamps are identities there)."""
+    from puffbird_spark.streaming.stateful import session_tracker
+
+    M = 60 * 1_000_000
+    b1 = [(1, 10, 0 * M), (1, 11, 10 * M)]           # open [0, 10m]
+    b2 = [(1, 12, 2 * M),                            # LATE (before 10m)
+          (1, 13, 20 * M),                           # 10m gap: folds in
+          (1, 14, 40 * M)]                           # 20m gap: closes
+    os.makedirs(f"{tmpdir}/in", exist_ok=True)
+    for i, rows in enumerate([b1, b2]):
+        tmp = f"{tmpdir}/stage{i}"
+        spark.createDataFrame(
+            rows, "user_id long, event_id long, ts_us long"
+        ).coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        shutil.copy(f"{tmp}/{part}", f"{tmpdir}/in/b{i}.parquet")
+
+    src = (spark.readStream
+           .schema("user_id long, event_id long, ts_us long")
+           .option("maxFilesPerTrigger", 1).parquet(f"{tmpdir}/in"))
+    out = session_tracker(src, gap_sec=900)
+
+    from puffbird_spark.streaming import write_foreach_batch
+
+    def sink(df, epoch_id):
+        df.write.mode("append").parquet(f"{tmpdir}/out")
+
+    q = write_foreach_batch(
+        out, sink, checkpoint=f"{tmpdir}/ckpt", trigger_once=True,
+        output_mode="append").start()
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, spark.read.parquet(f"{tmpdir}/out")
+                     .select("user_id", "session_start_us",
+                             "session_end_us", "n_events").collect()))
+    # one session [0, 20m] of 4 events (0, 10m, the late 2m, 20m); the
+    # unclamped code emitted a phantom (0, 2m, 3) instead. The 40m
+    # opener stays in state, unemitted.
+    assert got == [(1, 0, 20 * M, 4)]
