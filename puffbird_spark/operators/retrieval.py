@@ -244,3 +244,165 @@ def rake_keywords(
     )
     return ranked.orderBy(
         F.desc("score"), F.asc("phrase")).limit(top)
+
+
+def bm25f_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    fields: list[tuple[str, float, float]],
+    id_col: str = "doc_id",
+    qid_col: str = "query_id",
+    qtext_col: str = "query_text",
+    k: int = 5,
+    k1: float = 1.2,
+    dp: int = 6,
+    drop_empty: bool = True,
+) -> DataFrame:
+    """Top-``k`` documents per query under BM25F (Zaragoza, Craswell,
+    Taylor, Saria & Robertson, CIKM 2004) — the multi-FIELD BM25 every
+    search engine runs when documents have structure (title/body,
+    source/text): per-field term frequencies are length-normalized and
+    weight-combined into one pseudo-frequency BEFORE saturation,
+
+        tf~(t,d) = Σ_f  w_f · tf_f(t,d) / (1 - b_f + b_f·len_f/avglen_f)
+        score(q,d) = Σ_t  idf(t) · tf~ / (k1 + tf~)
+
+    which is provably better than fusing per-field BM25 scores (the
+    CIKM'04 result: saturation must happen once, after field
+    combination). ``fields`` is ``[(column, weight, b), ...]``;
+    ``idf`` is the Lucene always-positive form over DOCUMENT-level
+    frequency (a term occurs in a document if it occurs in any field).
+
+    Determinism: ``tf~`` rounds to 9-dp decimal before per-(doc, term)
+    summation across fields, per-term contributions round at ``dp``
+    before the per-doc sum, the sum rounds again — the engine-portable
+    float policy. Ties break on ascending doc id.
+
+    Scale shape = `bm25_topk` with one extra bounded union: per-field
+    postings shuffle once each, field lengths ride windows over those
+    same shuffles, document frequencies prune to the query vocabulary
+    before broadcasting, and only hit documents reach scoring.
+    Returns ``(query_id, rank, doc_id, score)``."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if not fields:
+        raise ValueError("fields must be non-empty")
+    for _, w, b in fields:
+        if w <= 0 or not (0.0 <= b <= 1.0):
+            raise ValueError(
+                f"field weight must be > 0 and b in [0, 1], got {fields}")
+    dec = "decimal(20,9)"
+
+    def _tok(col):
+        return TXT.tokens(col, drop_empty=drop_empty)
+
+    qterms = queries.select(
+        F.col(qid_col), F.explode(_tok(qtext_col)).alias("term")
+    ).distinct()
+    qvocab = qterms.select("term").distinct()
+
+    weighted = None
+    for fi, (col, w, b) in enumerate(fields):
+        toks = docs.select(
+            F.col(id_col), F.explode(_tok(col)).alias("term"))
+        cnt = toks.groupBy(id_col, "term").agg(
+            F.count(F.lit(1)).alias("tf"))
+        cnt = cnt.withColumn(
+            "dl", F.sum("tf").over(Window.partitionBy(id_col)))
+        flen = docs.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(_tok(col))).alias("total_dl"))
+        avgdl = F.col("total_dl").cast("double") / F.col("n_docs")
+        wtf = F.round(
+            F.lit(float(w)) * F.col("tf").cast("double")
+            / (F.lit(1.0 - b) + F.lit(float(b)) * F.col("dl") / avgdl),
+            9).cast(dec)
+        part = (
+            cnt.crossJoin(F.broadcast(flen))
+            .select(id_col, "term", wtf.alias("__wtf"))
+        )
+        weighted = part if weighted is None else weighted.unionByName(part)
+    combined = weighted.groupBy(id_col, "term").agg(
+        F.sum("__wtf").alias("__tf"))
+    # document-level df over the query vocabulary only, pre-broadcast
+    dfreq = (
+        combined.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        .join(F.broadcast(qvocab), "term")
+    )
+    ndocs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    hits = (
+        combined.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(ndocs))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5)))
+    tff = F.col("__tf").cast("double")
+    contrib = F.round(idf * tff / (F.lit(float(k1)) + tff), dp)
+    scored = (
+        hits.select(qid_col, id_col, contrib.alias("contrib"))
+        .groupBy(qid_col, id_col)
+        .agg(F.round(F.sum("contrib"), dp).alias("score"))
+    )
+    w_rank = Window.partitionBy(qid_col).orderBy(
+        F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, "rank", id_col, "score")
+    )
+
+
+def fused_topk(
+    dense: DataFrame,
+    sparse: DataFrame,
+    alpha: float = 0.5,
+    qid_col: str = "query_id",
+    id_col: str = "doc_id",
+    dense_score: str = "cosine",
+    sparse_score: str = "score",
+    top: int = 5,
+    dp: int = 6,
+) -> DataFrame:
+    """Convex score fusion of a dense (vector) and a sparse (BM25)
+    candidate list — the normalized-score hybrid that outranks RRF when
+    score magnitudes carry signal (Bruch, Gai & Ingber, TOIS 2023):
+    each system's scores min-max normalize PER QUERY over its own
+    candidates (scale-free; a degenerate constant list normalizes to
+    0), then
+
+        fused(d) = alpha·dense_norm(d) + (1-alpha)·sparse_norm(d)
+
+    over the UNION of candidates (missing from one system = 0 on that
+    side). Per-query min/max ride windows over the bounded candidate
+    lists — nothing corpus-sized. Normalized parts round at ``dp``
+    before combining (engine-portable), ties break on ascending doc
+    id. Returns ``(query_id, rank, doc_id, fused_score)``."""
+    if not (0.0 <= alpha <= 1.0):
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+
+    def norm(df_, score_col, out):
+        w = Window.partitionBy(qid_col)
+        s = F.col(score_col).cast("double")
+        mn, mx = F.min(s).over(w), F.max(s).over(w)
+        nrm = F.when(
+            mx > mn, (s - mn) / (mx - mn)).otherwise(F.lit(0.0))
+        return df_.select(
+            qid_col, id_col, F.round(nrm, dp).alias(out))
+    d = norm(dense, dense_score, "__dn")
+    s = norm(sparse, sparse_score, "__sn")
+    both = d.join(s, [qid_col, id_col], "full_outer")
+    fused = F.round(
+        F.lit(float(alpha)) * F.coalesce("__dn", F.lit(0.0))
+        + F.lit(1.0 - float(alpha)) * F.coalesce("__sn", F.lit(0.0)),
+        dp)
+    w_rank = Window.partitionBy(qid_col).orderBy(
+        F.desc("fused_score"), F.asc(id_col))
+    return (
+        both.select(qid_col, id_col, fused.alias("fused_score"))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= top)
+        .select(qid_col, "rank", id_col, "fused_score")
+    )

@@ -5319,3 +5319,185 @@ def sketch_theta_setops(spark, sf_dir):
         ae.crossJoin(F.broadcast(be)).crossJoin(F.broadcast(ue))
         .crossJoin(F.broadcast(ie)).crossJoin(F.broadcast(de))
     )
+
+
+_BM25F_QUERIES = [
+    (1, "src3 spark join"), (2, "src7 hash table"),
+    (3, "stream window src11"), (4, "scan filter src0"),
+    (5, "vector group src15")]
+
+
+def _bm25f_oracle() -> str:
+    """Field-for-field replay of bm25f_topk: per-field length-normalized
+    weighted tf (9-dp decimal), decimal sum across fields, single
+    saturation, Lucene idf over document-level df, two-stage 6-dp
+    contribution/score rounding, id tie-break."""
+    filt = "list_filter(string_split({col}, ' '), x -> x <> '')"
+
+    def field(tag, col, w, b):
+        tf = filt.format(col=col)
+        return f"""
+tok{tag} AS (SELECT doc_id, unnest({tf}) AS term FROM documents),
+c{tag} AS (SELECT doc_id, term, COUNT(*) AS tf
+           FROM tok{tag} GROUP BY 1, 2),
+d{tag} AS (SELECT doc_id, term, tf,
+             SUM(tf) OVER (PARTITION BY doc_id) AS dl FROM c{tag}),
+s{tag} AS (SELECT COUNT(*) AS n_docs, SUM(len({tf})) AS total_dl
+           FROM documents),
+w{tag} AS (SELECT doc_id, term,
+    CAST(round({w!r} * tf / (1 - {b!r} + {b!r} * dl
+          / (CAST(s{tag}.total_dl AS DOUBLE) / s{tag}.n_docs)), 9)
+         AS DECIMAL(20,9)) AS wtf
+  FROM d{tag} CROSS JOIN s{tag})"""
+
+    vals = ", ".join(f"({i}, '{t}')" for i, t in _BM25F_QUERIES)
+    qfilt = filt.format(col="query_text")
+    return f"""
+WITH q(query_id, query_text) AS (VALUES {vals}),{field(1, "text", 1.0, 0.75)},{field(2, "source", 3.0, 0.0)},
+comb AS (SELECT doc_id, term, SUM(wtf) AS tff
+         FROM (SELECT * FROM w1 UNION ALL SELECT * FROM w2)
+         GROUP BY 1, 2),
+qt AS (SELECT DISTINCT query_id, unnest({qfilt}) AS term FROM q),
+dfq AS (SELECT term, COUNT(*) AS df FROM comb
+        WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+hit AS (SELECT qt.query_id, comb.doc_id,
+         round(ln(1 + (nd.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+               * CAST(comb.tff AS DOUBLE)
+               / (1.2 + CAST(comb.tff AS DOUBLE)), 6) AS contrib
+        FROM comb JOIN qt USING (term) JOIN dfq USING (term)
+        CROSS JOIN nd),
+sc AS (SELECT query_id, doc_id, round(SUM(contrib), 6) AS score
+       FROM hit GROUP BY 1, 2)
+SELECT CAST(query_id AS INT) AS query_id, CAST(rn AS INT) AS rank,
+       doc_id, score
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY score DESC, doc_id) AS rn FROM sc)
+WHERE rn <= 5
+"""
+
+
+@query("retrieval_bm25f", oracle=_bm25f_oracle())
+def retrieval_bm25f(spark, sf_dir):
+    """BM25F multi-field retrieval (`bm25f_topk`,
+    operators/retrieval.py; Zaragoza et al. CIKM 2004): body text at
+    weight 1 with standard length normalization plus the short
+    `source` field at weight 3 with b=0 (title-like: no length
+    penalty) — per-field weighted tfs combine BEFORE the single
+    saturation, the provably-right order. Queries mix body keywords
+    with source tokens so both fields decide rankings. Postings
+    shuffle once per field, dfs prune to the query vocabulary before
+    broadcasting, only hit documents reach scoring; the oracle replays
+    every field, rounding stage, and tie-break."""
+    from ..operators.retrieval import bm25f_topk
+
+    docs = load(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(
+        _BM25F_QUERIES, "query_id int, query_text string")
+    return bm25f_topk(
+        docs, qdf, [("text", 1.0, 0.75), ("source", 3.0, 0.0)], k=5)
+
+
+def _fused_oracle() -> str:
+    """Replay of cosine top-10 + BM25 top-10 + convex min-max fusion."""
+    alpha = 0.6
+    filt = "list_filter(string_split({col}, ' '), x -> x <> '')"
+    tf = filt.format(col="text")
+    qfilt = filt.format(col="query_text")
+    vals = ", ".join(f"({i}, '{t}')" for i, t in _BM25F_QUERIES)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+qv AS (SELECT * FROM e WHERE vec_id < 5),
+dn AS (SELECT qv.vec_id AS query_id, e.vec_id AS doc_id,
+         round(list_dot_product(qv.v, e.v)
+               / (sqrt(list_dot_product(qv.v, qv.v))
+                  * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine,
+         row_number() OVER (PARTITION BY qv.vec_id ORDER BY
+           round(list_dot_product(qv.v, e.v)
+                 / (sqrt(list_dot_product(qv.v, qv.v))
+                    * sqrt(list_dot_product(e.v, e.v))), 6) DESC,
+           e.vec_id) AS rk
+       FROM qv JOIN e ON e.vec_id != qv.vec_id
+       QUALIFY rk <= 10),
+q(query_id, query_text) AS (VALUES {vals}),
+tok AS (SELECT doc_id, unnest({tf}) AS term FROM documents),
+cnt AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, term, tf,
+         SUM(tf) OVER (PARTITION BY doc_id) AS dl FROM cnt),
+qt AS (SELECT DISTINCT query_id, unnest({qfilt}) AS term FROM q),
+dfq AS (SELECT term, COUNT(*) AS df FROM cnt
+        WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1),
+st AS (SELECT COUNT(*) AS n_docs, SUM(len({tf})) AS total_dl
+       FROM documents),
+hit AS (SELECT qt.query_id, d.doc_id,
+         round(ln(1 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+               * CAST(d.tf AS DOUBLE) * 2.2
+               / (d.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl
+                    / (CAST(st.total_dl AS DOUBLE) / st.n_docs))),
+               6) AS contrib
+        FROM dl d JOIN qt ON d.term = qt.term
+        JOIN dfq ON d.term = dfq.term CROSS JOIN st),
+sp AS (SELECT query_id, doc_id, round(SUM(contrib), 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY round(SUM(contrib), 6) DESC, doc_id) AS rk
+       FROM hit GROUP BY 1, 2 QUALIFY rk <= 10),
+-- query id alignment: BM25 queries 1..5 pair with vectors 0..4
+dnorm AS (SELECT query_id + 1 AS query_id, doc_id,
+    round(CASE WHEN MAX(cosine) OVER (PARTITION BY query_id)
+               > MIN(cosine) OVER (PARTITION BY query_id)
+          THEN (cosine - MIN(cosine) OVER (PARTITION BY query_id))
+               / (MAX(cosine) OVER (PARTITION BY query_id)
+                  - MIN(cosine) OVER (PARTITION BY query_id))
+          ELSE 0.0 END, 6) AS dnv
+  FROM dn),
+snorm AS (SELECT query_id, doc_id,
+    round(CASE WHEN MAX(score) OVER (PARTITION BY query_id)
+               > MIN(score) OVER (PARTITION BY query_id)
+          THEN (score - MIN(score) OVER (PARTITION BY query_id))
+               / (MAX(score) OVER (PARTITION BY query_id)
+                  - MIN(score) OVER (PARTITION BY query_id))
+          ELSE 0.0 END, 6) AS snv
+  FROM sp),
+fused AS (SELECT COALESCE(dnorm.query_id, snorm.query_id) AS query_id,
+            COALESCE(dnorm.doc_id, snorm.doc_id) AS doc_id,
+            round({alpha!r} * COALESCE(dnv, 0.0)
+                  + {1.0 - alpha!r} * COALESCE(snv, 0.0), 6)
+              AS fused_score
+          FROM dnorm FULL OUTER JOIN snorm
+            USING (query_id, doc_id))
+SELECT CAST(query_id AS INT) AS query_id, CAST(rn AS INT) AS rank,
+       CAST(doc_id AS BIGINT) AS doc_id, fused_score
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY fused_score DESC, doc_id) AS rn FROM fused)
+WHERE rn <= 5
+"""
+
+
+@query("retrieval_fused_hybrid", oracle=_fused_oracle())
+def retrieval_fused_hybrid(spark, sf_dir):
+    """Convex dense+sparse hybrid retrieval (`fused_topk`,
+    operators/retrieval.py; the normalized-score fusion of Bruch et
+    al., TOIS 2023 — the calibrated upgrade over `retrieval_rrf_hybrid`
+    when score magnitudes carry signal): exact cosine top-10 per query
+    vector and BM25 top-10 per keyword query min-max normalize PER
+    QUERY over their own candidate lists, then combine at alpha=0.6
+    over the candidate union (absent side scores 0). All windows ride
+    the bounded top-10 lists; the heavy retrieval is the upstream
+    inverted-index / kernel work. The oracle replays both retrievals,
+    both normalizations, the id alignment and the fusion exactly."""
+    from ..operators.retrieval import bm25_topk, fused_topk
+    from ..operators.similarity import cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    docs = load(spark, sf_dir, "documents")
+    dense = cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, est_queries=5
+    ).select(
+        (F.col("query_id") + 1).alias("query_id"),
+        F.col("cand_id").alias("doc_id"), "cosine")
+    qdf = spark.createDataFrame(
+        _BM25F_QUERIES, "query_id int, query_text string")
+    sparse = bm25_topk(docs, qdf, k=10, drop_empty=True) \
+        .select("query_id", "doc_id", "score")
+    return fused_topk(dense, sparse, alpha=0.6, top=5)

@@ -6372,3 +6372,74 @@ def test_scd2_apply_rejects_out_of_order_and_null_effective(spark):
     assert got == sorted([
         (1, "a", 10, 15), (1, "z", 15, None),
         (2, "b", 5, 8), (2, "c", 8, None), (9, "q", 3, None)])
+
+
+def test_bm25f_field_weights_and_saturation(spark):
+    """BM25F (CIKM'04): a query term in the HIGH-weight field must
+    outrank the same term in the low-weight field at equal tf; the
+    pseudo-frequency saturates ONCE after field combination (a doc
+    with the term in both fields beats either single-field doc but by
+    less than the sum); empty query under drop_empty matches nothing;
+    exact replay against a pure-Python computation of the formula."""
+    import math
+
+    from puffbird_spark.operators.retrieval import bm25f_topk
+
+    docs = spark.createDataFrame(
+        [(1, "apple", "pear plum"),
+         (2, "pear", "apple plum"),
+         (3, "apple", "apple plum"),
+         (4, "kiwi", "pear plum")],
+        "doc_id long, title string, body string")
+    qdf = spark.createDataFrame(
+        [(1, "apple"), (2, "")], "query_id int, query_text string")
+    fields = [("title", 3.0, 0.0), ("body", 1.0, 0.0)]
+    out = bm25f_topk(docs, qdf, fields, k=4).collect()
+    assert not any(r["query_id"] == 2 for r in out)  # empty query
+    ranks = {r["doc_id"]: (r["rank"], r["score"])
+             for r in out if r["query_id"] == 1}
+    assert set(ranks) == {1, 2, 3}
+    # both fields (doc 3) > title-only (doc 1) > body-only (doc 2)
+    assert ranks[3][0] == 1 and ranks[1][0] == 2 and ranks[2][0] == 3
+
+    # exact replay: with b=0 the pseudo-frequency is w*tf exactly
+    n, k1 = 4, 1.2
+    df_apple = 3
+    idf = math.log(1 + (n - df_apple + 0.5) / (df_apple + 0.5))
+
+    def score(tff):
+        return round(round(idf * tff / (k1 + tff), 6), 6)
+    assert ranks[1][1] == score(3.0)
+    assert ranks[2][1] == score(1.0)
+    assert ranks[3][1] == score(4.0)
+    # single saturation: combined < sum of singles
+    assert ranks[3][1] < ranks[1][1] + ranks[2][1]
+
+
+def test_fused_topk_hand_case(spark):
+    """Convex min-max fusion: hand-computed normalization over each
+    system's own candidates, zero for candidates missing from a
+    system, constant lists normalize to 0, ties break on doc id."""
+    from puffbird_spark.operators.retrieval import fused_topk
+
+    dense = spark.createDataFrame(
+        [(1, 10, 0.9), (1, 11, 0.5), (1, 12, 0.1),
+         (2, 20, 0.7), (2, 21, 0.7)],          # constant list -> 0
+        "query_id int, doc_id int, cosine double")
+    sparse = spark.createDataFrame(
+        [(1, 11, 8.0), (1, 13, 2.0), (1, 14, 0.0),
+         (2, 20, 5.0), (2, 22, 1.0)],
+        "query_id int, doc_id int, score double")
+    got = {(r["query_id"], r["doc_id"]): (r["rank"], r["fused_score"])
+           for r in fused_topk(dense, sparse, alpha=0.6, top=5).collect()}
+    # q1: dense norms 10->1, 11->0.5, 12->0; sparse norms 11->1,
+    # 13->0.25, 14->0
+    assert got[(1, 10)] == (2, 0.6)
+    assert got[(1, 11)] == (1, round(0.6 * 0.5 + 0.4 * 1.0, 6))
+    assert got[(1, 13)] == (3, round(0.4 * 0.25, 6))
+    assert got[(1, 12)][1] == 0.0 and got[(1, 14)][1] == 0.0
+    assert got[(1, 12)][0] == 4  # tie at 0.0: doc id ascending
+    assert got[(1, 14)][0] == 5
+    # q2: dense constant -> both 0; sparse 20->1, 22->0
+    assert got[(2, 20)] == (1, 0.4)
+    assert got[(2, 21)][1] == 0.0 and got[(2, 22)][1] == 0.0
