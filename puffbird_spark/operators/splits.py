@@ -964,3 +964,115 @@ def stratified_kfold(
         hash_draw(F.col(id_col), seed), F.col(id_col))
     return df.withColumn(
         fold_col, ((F.row_number().over(w) - 1) % F.lit(int(k))).cast("int"))
+
+
+def neyman_sample(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    key: str,
+    total_n: int,
+    seed: str = "neyman",
+    value_scale: int = 100,
+) -> DataFrame:
+    """Stratified sampling under OPTIMAL (Neyman 1934) allocation: a
+    total budget of ``total_n`` rows splits across strata proportional
+    to ``N_h · σ_h`` — high-variance strata get proportionally more
+    sample than proportional allocation would give, which minimizes
+    the variance of the stratified mean estimator at fixed budget (the
+    textbook result; the survey-sampling twin of importance sampling).
+
+    Deterministic end to end, the house discipline:
+
+    - σ_h is the POPULATION std over values quantized at
+      ``1/value_scale`` (exact long/decimal sums — order-free on any
+      partitioning; the variance identity then evaluates in IEEE
+      doubles, identical on every engine);
+    - integer allocations are floor-of-share + LARGEST-REMAINDER for
+      the leftovers (ties on stratum value ascending), clamped at the
+      stratum population (no redistribution: a stratum smaller than
+      its allocation contributes everything and the total undershoots
+      — documented, replayable);
+    - zero total weight (every stratum constant) falls back to
+      PROPORTIONAL allocation ``total_n · N_h / N``;
+    - membership per stratum is bottom-``n_h`` by the md5 PRF draw of
+      ``key`` — re-run-stable, append-stable within a stratum's
+      existing rows, SQL-replayable.
+
+    Scale shape: one input aggregation (stratum moments, map-side
+    combined), allocation arithmetic over the strata-bounded frame,
+    then ONE per-stratum rank window for membership. Returns the
+    sampled rows as ``(stratum_col, key, value_col, n_target)``."""
+    from pyspark.sql.window import Window
+
+    if total_n <= 0:
+        raise ValueError("total_n must be positive")
+    if value_scale <= 0:
+        raise ValueError("value_scale must be positive")
+    sc = F.col(stratum_col)
+    xq = F.round(
+        F.col(value_col).cast("double") * F.lit(float(value_scale)), 0
+    ).cast("long")
+    rows = df.filter(
+        F.col(value_col).isNotNull() & sc.isNotNull()
+    ).select(
+        sc.alias("__st"), F.col(key).alias("__key"),
+        F.col(value_col).alias("__val"), xq.alias("__xq"))
+    st = rows.groupBy("__st").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__xq").alias("__s1"),
+        F.sum((F.col("__xq") * F.col("__xq")).cast("decimal(30,0)"))
+        .alias("__s2"))
+    nd = F.col("__n").cast("double")
+    var = (
+        F.col("__s2").cast("double")
+        - F.col("__s1").cast("double") * F.col("__s1").cast("double") / nd
+    ) / nd
+    sigma = F.sqrt(F.greatest(var, F.lit(0.0))) / F.lit(float(value_scale))
+    st = st.select("__st", "__n", (nd * sigma).alias("__w"))
+    tot = st.agg(
+        F.sum("__w").alias("__tw"),
+        F.sum("__n").alias("__tn"))
+    share = F.when(
+        F.col("__tw") > 0,
+        F.lit(float(total_n)) * F.col("__w") / F.col("__tw")
+    ).otherwise(
+        F.lit(float(total_n)) * F.col("__n").cast("double")
+        / F.col("__tn").cast("double"))
+    alloc = (
+        st.crossJoin(F.broadcast(tot))
+        .select(
+            "__st", "__n", share.alias("__share"))
+        .select(
+            "__st", "__n", "__share",
+            F.floor("__share").cast("long").alias("__base"),
+            (F.col("__share") - F.floor("__share")).alias("__rem"))
+    )
+    wl = Window.orderBy(F.desc("__rem"), F.asc("__st"))
+    wall = Window.partitionBy(F.lit(1))
+    alloc = (
+        alloc.withColumn("__leftover",
+                         F.lit(int(total_n)) - F.sum("__base").over(wall))
+        .withColumn("__pos", F.row_number().over(wl))
+        .select(
+            "__st", "__n",
+            F.least(
+                F.col("__n"),
+                F.col("__base")
+                + F.when(F.col("__pos") <= F.col("__leftover"), F.lit(1))
+                .otherwise(F.lit(0))).alias("n_target"))
+    )
+    ranked = rows.withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy("__st")
+            .orderBy(hash_draw(F.col("__key"), seed), F.col("__key"))))
+    return (
+        ranked.join(F.broadcast(alloc), "__st")
+        .filter(F.col("__rn") <= F.col("n_target"))
+        .select(
+            F.col("__st").alias(stratum_col),
+            F.col("__key").alias(key),
+            F.col("__val").alias(value_col),
+            "n_target")
+    )

@@ -3146,3 +3146,76 @@ def pipeline_multimodal_intake(spark, sf_dir):
         F.countDistinct("s").cast("long").alias("n_exact"),
         F.sum("width").cast("long").alias("total_width"),
     )
+
+
+def _neyman_oracle() -> str:
+    """Full replay of neyman_sample: quantized exact moments, the IEEE
+    variance identity, floor + largest-remainder allocation with the
+    population clamp, and bottom-n_h PRF membership per stratum."""
+    enc = ("'v' || CAST(length(CAST(o_orderkey AS VARCHAR)) AS VARCHAR)"
+           " || ':' || CAST(o_orderkey AS VARCHAR)")
+    return f"""
+WITH r AS (SELECT o_orderstatus AS st, o_orderkey AS k,
+             o_totalprice AS v,
+             CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS xq,
+             substr(md5('neyman:' || {enc}), 1, 16) AS draw
+           FROM orders
+           WHERE o_totalprice IS NOT NULL
+             AND o_orderstatus IS NOT NULL),
+st AS (SELECT st, COUNT(*) AS n, SUM(xq) AS s1,
+         SUM(CAST(xq * xq AS DECIMAL(30,0))) AS s2
+       FROM r GROUP BY 1),
+w AS (SELECT st, n,
+        CAST(n AS DOUBLE)
+        * (sqrt(greatest(
+            (CAST(s2 AS DOUBLE)
+             - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+               / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE), 0.0))
+           / 100.0) AS w
+      FROM st),
+tot AS (SELECT SUM(w) AS tw, SUM(n) AS tn FROM w),
+sh AS (SELECT w.st, w.n,
+         CASE WHEN tot.tw > 0 THEN 300.0 * w.w / tot.tw
+              ELSE 300.0 * CAST(w.n AS DOUBLE) / CAST(tot.tn AS DOUBLE)
+         END AS share
+       FROM w CROSS JOIN tot),
+al AS (SELECT st, n, CAST(floor(share) AS BIGINT) AS base,
+         share - floor(share) AS rem
+       FROM sh),
+al2 AS (SELECT st, n, base,
+          300 - SUM(base) OVER () AS leftover,
+          row_number() OVER (ORDER BY rem DESC, st) AS pos
+        FROM al),
+alloc AS (SELECT st,
+            least(n, base + CASE WHEN pos <= leftover THEN 1 ELSE 0 END)
+              AS n_target
+          FROM al2),
+ranked AS (SELECT st, k, v,
+             row_number() OVER (PARTITION BY st ORDER BY draw, k) AS rn
+           FROM r)
+SELECT ranked.st AS o_orderstatus, ranked.k AS o_orderkey,
+       ranked.v AS o_totalprice, alloc.n_target
+FROM ranked JOIN alloc USING (st)
+WHERE ranked.rn <= alloc.n_target
+"""
+
+
+@query("sample_neyman", oracle=_neyman_oracle())
+def sample_neyman(spark, sf_dir):
+    """Stratified sampling under Neyman 1934 OPTIMAL allocation
+    (`neyman_sample`, operators/splits.py): a 300-row budget splits
+    across order-status strata proportional to N_h·sigma_h of the
+    order value — the allocation that minimizes the stratified-mean
+    variance at fixed budget. Deterministic end to end: exact
+    quantized moments (order-free long/decimal sums), IEEE variance
+    identity, floor + largest-remainder integer allocation clamped at
+    the stratum population, bottom-n_h md5-PRF membership. One input
+    aggregation + one per-stratum rank window; allocation arithmetic
+    is strata-bounded. The oracle replays moments, shares, remainders
+    and membership exactly."""
+    from ..operators.splits import neyman_sample
+
+    orders = load(spark, sf_dir, "orders")
+    return neyman_sample(
+        orders, "o_orderstatus", "o_totalprice", "o_orderkey",
+        total_n=300)

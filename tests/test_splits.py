@@ -697,3 +697,49 @@ def test_stratified_kfold_partition_invariant(spark):
     b = sorted(map(tuple, stratified_kfold(
         df.repartition(13), "cls", "id").collect()))
     assert a == b
+
+
+def test_neyman_sample_allocation_and_determinism(spark):
+    """Neyman allocation: budget flows to high-variance strata (a
+    zero-variance stratum gets nothing when another has spread);
+    all-constant strata fall back to proportional; a stratum smaller
+    than its allocation contributes everything (clamp, no
+    redistribution); same seed -> identical sample."""
+    from puffbird_spark.operators.splits import neyman_sample
+
+    rows = [("A", i, 5.0) for i in range(20)]
+    rows += [("B", 100 + i, float(10 * (i % 2))) for i in range(20)]
+    df = spark.createDataFrame(rows, "st string, k long, v double")
+    out = neyman_sample(df, "st", "v", "k", total_n=8).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["st"], []).append(r["k"])
+    assert "A" not in per          # sigma_A = 0 -> zero allocation
+    assert len(per["B"]) == 8
+
+    # proportional fallback when every stratum is constant
+    cst = spark.createDataFrame(
+        [("A", i, 1.0) for i in range(10)]
+        + [("B", 100 + i, 2.0) for i in range(30)],
+        "st string, k long, v double")
+    got = {r["st"]: r["n_target"] for r in
+           neyman_sample(cst, "st", "v", "k", total_n=4).collect()}
+    assert got == {"A": 1, "B": 3}
+
+    # clamp: tiny high-variance stratum contributes all its rows
+    tiny = spark.createDataFrame(
+        [("T", 1, 0.0), ("T", 2, 100.0)]
+        + [("C", 10 + i, 5.0) for i in range(50)],
+        "st string, k long, v double")
+    tg = {}
+    for r in neyman_sample(tiny, "st", "v", "k", total_n=10).collect():
+        tg.setdefault(r["st"], 0)
+        tg[r["st"]] += 1
+    assert tg["T"] == 2            # wanted 10, has 2 -> clamp
+    assert "C" not in tg           # sigma_C = 0
+
+    a = sorted(map(tuple, neyman_sample(
+        df, "st", "v", "k", total_n=8, seed="s").collect()))
+    b = sorted(map(tuple, neyman_sample(
+        df, "st", "v", "k", total_n=8, seed="s").collect()))
+    assert a == b
