@@ -162,6 +162,11 @@ BENCH_QUERIES = [
     "graph_pagerank",
     # round-8 fourth batch: the composed billion-vector ANN layout
     "knn_ivf_pq",
+    # round-11: the freeze-lift inverted-index profile twin, the
+    # theta-sketch set-algebra pipeline, and the multi-field BM25F probe
+    "profile_topk_sparse",
+    "sketch_theta_setops",
+    "retrieval_bm25f",
 ]
 
 
