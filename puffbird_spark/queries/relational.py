@@ -4005,3 +4005,131 @@ def diag_anova(spark, sf_dir):
         F.col("k").cast("int").alias("k"),
         "ss_between", "ss_within", "f_stat",
     )
+
+
+@query("q4_order_priority", oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+""")
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape (order priority checking), adapted to the
+    trimmed schema (no commit/receipt dates: "late" = a line shipped
+    more than 30 days after the order date): quarter's orders with AT
+    LEAST ONE late line, counted per priority. The EXISTS compiles to
+    a LEFT SEMI join — orders pass the date filter at the SCAN
+    (pushdown), the semi join deduplicates multi-line matches without
+    materializing them, and the count is a tiny keyed agg. At 100 TB
+    the semi join is the shape that never fans out."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate")
+         >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate")
+           < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz")))
+    li = load(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate")
+           > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")),
+        "left_semi")
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count"))
+
+
+@query("q19_discounted_revenue", oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+""")
+def q19_discounted_revenue(spark, sf_dir):
+    """TPC-H Q19 shape (discounted revenue): a DISJUNCTION of
+    conjunctive brand/size/quantity predicates across the join — the
+    optimizer-stress query. Catalyst must (a) push the
+    common-denominator parts of the OR to both scans (quantity range
+    union to lineitem, size/brand union to part) and (b) keep the
+    small part side broadcast so the disjunction evaluates join-local.
+    Exact decimal money arithmetic (the q1/q6 policy) keeps the sum
+    order-free."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#12")
+         & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23")
+           & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34")
+           & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30)))
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            F.sum(dec("l_extendedprice")
+                  * (F.lit(1) - dec("l_discount")))
+            .cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+@query("q22_dormant_customers", oracle="""
+WITH cc AS (SELECT c_custkey, c_acctbal, c_nationkey % 7 AS code
+            FROM customer),
+avgb AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+           / COUNT(*) AS a
+         FROM cc WHERE c_acctbal > 0.0 AND code IN (1, 3, 5)),
+sel AS (SELECT cc.code, cc.c_custkey, cc.c_acctbal
+        FROM cc CROSS JOIN avgb
+        WHERE cc.code IN (1, 3, 5) AND cc.c_acctbal > avgb.a
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = cc.c_custkey
+                            AND o.o_orderdate
+                                >= TIMESTAMP '2000-01-01 00:00:00'))
+SELECT code, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+         AS totacctbal
+FROM sel GROUP BY code
+""")
+def q22_dormant_customers(spark, sf_dir):
+    """TPC-H Q22 shape (global sales opportunity), adapted to the
+    trimmed schema (no phone: country code = nationkey mod 7;
+    "no orders" would be empty on this corpus, so dormancy = NO ORDER
+    since 2000): above-average-balance customers in selected codes
+    with no recent orders, counted and totaled per code. The classic
+    three-part plan: a one-row scalar subquery (broadcast), an
+    ANTI join against the recent-order keys (never a fan-out), exact
+    decimal balance sums."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal",
+        (F.col("c_nationkey") % 7).alias("code"))
+    c = c.filter(F.col("code").isin(1, 3, 5))
+    avgb = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg((F.sum(dec("c_acctbal")).cast("double")
+              / F.count(F.lit(1))).alias("__a")))
+    recent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate")
+        >= F.lit("2000-01-01 00:00:00").cast("timestamp_ntz")
+    ).select(F.col("o_custkey").alias("c_custkey")).distinct()
+    sel = (
+        c.crossJoin(F.broadcast(avgb))
+        .filter(F.col("c_acctbal") > F.col("__a"))
+        .join(recent, "c_custkey", "left_anti"))
+    return sel.groupBy("code").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum(dec("c_acctbal")).cast("double").alias("totacctbal"))

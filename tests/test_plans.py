@@ -553,3 +553,35 @@ def test_windowspec_splitter_handles_comma_bearing_exprs(spark):
     unpart = df.withColumn("s", F.sum("v").over(
         W.orderBy(F.coalesce("a", "b"), "ts")))
     assert len(P.unpartitioned_window_orders(unpart)) == 1
+
+
+def test_q4_semi_join_and_date_pushdown(q):
+    """The EXISTS must compile to a LEFT SEMI (orders never fan out per
+    matching line) with the quarter filter pushed to the orders scan."""
+    df = q("q4_order_priority")
+    plan = P.formatted_plan(df)
+    assert "LeftSemi" in plan
+    assert P.has_pushed_filter(df, "GreaterThanOrEqual(o_orderdate")
+
+
+def test_q19_broadcast_and_disjunction_pushdown(q):
+    """The part side must broadcast and the OR-of-conjunctions must
+    leave a pushable residue on BOTH scans (brand/size union on part,
+    quantity-range union on lineitem) — the optimizer-stress property
+    Q19 exists to test."""
+    df = q("q19_discounted_revenue")
+    assert P.count_broadcast_joins(df) >= 1
+    pushed = " ".join(P.pushed_filters(df))
+    assert "p_brand" in pushed or "p_size" in pushed
+    assert "l_quantity" in pushed
+
+
+def test_q22_anti_join_and_broadcast_scalar(q):
+    """The dormancy check must be a LEFT ANTI against the (distinct,
+    bounded) recent-order keys, and the average-balance scalar must
+    ride a broadcast, never a shuffle."""
+    df = q("q22_dormant_customers")
+    plan = P.formatted_plan(df)
+    assert "LeftAnti" in plan
+    assert P.count_broadcast_joins(df) >= 1
+    assert P.has_pushed_filter(df, "GreaterThanOrEqual(o_orderdate")
