@@ -660,3 +660,195 @@ def theta_difference_estimate(
         F.round(
             F.coalesce(F.col("__c"), F.lit(0)).cast("double")
             / F.col("__tmin"), round_dp).alias(est_col))
+
+
+# --------------------------------------------------------------------- #
+# KLL quantile sketch
+# --------------------------------------------------------------------- #
+
+class _KLL:
+    """Plain-Python KLL quantile sketch (Karnin, Lang & Liberty, FOCS
+    2016) — the worker-side kernel behind :func:`kll_sketch`. Level h
+    holds items of weight 2^h; a full level sorts and promotes every
+    other item (the compaction coin is an md5 PRF of (seed, level,
+    compaction-count) — no RNG state, so a retried task rebuilds the
+    identical sketch). An odd leftover stays at its level, so TOTAL
+    WEIGHT == items seen exactly (unit-pinned invariant). Capacities
+    shrink geometrically below the top level (c = 2/3, floor 2)."""
+
+    C = 2.0 / 3.0
+
+    def __init__(self, k: int, seed: str):
+        self.k = int(k)
+        self.seed = seed
+        self.levels: list[list[float]] = [[]]
+        self.ncompact: list[int] = [0]
+        self.n = 0
+
+    def _cap(self, h: int) -> int:
+        depth = len(self.levels) - 1 - h
+        return max(int(self.k * (self.C ** depth)), 2)
+
+    def _coin(self, h: int) -> int:
+        import hashlib
+
+        key = f"{self.seed}:{h}:{self.ncompact[h]}".encode()
+        return hashlib.md5(key).digest()[0] & 1
+
+    def _total_cap(self) -> int:
+        return sum(self._cap(h) for h in range(len(self.levels)))
+
+    def _size(self) -> int:
+        return sum(len(b) for b in self.levels)
+
+    def _compact(self) -> None:
+        while self._size() > self._total_cap():
+            for h in range(len(self.levels)):
+                if len(self.levels[h]) > self._cap(h):
+                    buf = sorted(self.levels[h])
+                    off = self._coin(h)
+                    self.ncompact[h] += 1
+                    if len(buf) % 2 == 1:
+                        # odd leftover keeps its level: weight exact
+                        keep, buf = [buf[-1]], buf[:-1]
+                    else:
+                        keep = []
+                    promoted = buf[off::2]
+                    self.levels[h] = keep
+                    if h + 1 == len(self.levels):
+                        self.levels.append([])
+                        self.ncompact.append(0)
+                    self.levels[h + 1].extend(promoted)
+                    break
+            else:
+                return
+
+    def update_many(self, values) -> None:
+        self.levels[0].extend(float(v) for v in values)
+        self.n += len(values)
+        self._compact()
+
+    def merge_rows(self, levels, values, counts) -> None:
+        """Fold another sketch's (level, value) rows in, levelwise."""
+        for lv, v, c in zip(levels, values, counts):
+            lv = int(lv)
+            while lv >= len(self.levels):
+                self.levels.append([])
+                self.ncompact.append(0)
+            self.levels[lv].extend([float(v)] * int(c))
+            self.n += (1 << lv) * int(c)
+        self._compact()
+
+    def rows(self):
+        for h, buf in enumerate(self.levels):
+            for v in buf:
+                yield h, v
+
+    def total_weight(self) -> int:
+        return sum((1 << h) * len(b) for h, b in enumerate(self.levels))
+
+    def quantiles(self, qs):
+        pairs = sorted(
+            (v, 1 << h) for h, b in enumerate(self.levels) for v in b)
+        w = self.total_weight()
+        out = []
+        for q in qs:
+            target = q * w
+            cum = 0.0
+            est = pairs[-1][0] if pairs else float("nan")
+            for v, wt in pairs:
+                cum += wt
+                if cum >= target:
+                    est = v
+                    break
+            out.append(est)
+        return out
+
+
+def kll_sketch(
+    df: DataFrame,
+    value_col: str,
+    k: int = 200,
+    seed: str = "kll",
+) -> DataFrame:
+    """Distributed KLL quantile sketch build: one scan-local
+    ``mapInPandas`` fold per partition (the `_mg_summaries` /
+    `_kmv_fold` shape — ≤ O(k·log n) rows out per partition, zero
+    data shuffle), then ONE bounded merge task over the partial
+    sketches' rows. Returns the merged sketch as
+    ``(level INT, value DOUBLE, cnt BIGINT)`` rows — total weight
+    ``Σ 2^level · cnt`` equals the (non-NULL) input count EXACTLY
+    (the odd-leftover rule; unit-pinned), and rank error is
+    O(1/k) w.h.p. (KLL beats the bottom-k sample's O(1/sqrt(k)) at
+    equal space — the reason it exists next to `kmv_sample`).
+
+    Determinism: compaction coins are md5 PRFs, so the sketch is a
+    pure function of (input multiset, PARTITIONING) — re-run-stable on
+    a fixed layout, error-bounded on any. Gates therefore pin the
+    exact-rank ERROR BOUND (self-checking booleans, the
+    `sketch_count_min` precedent) rather than sketch bytes."""
+    from pyspark.sql import types as T
+
+    if k < 8:
+        raise ValueError("k must be >= 8")
+    vals = df.select(
+        F.col(value_col).cast("double").alias("__v")
+    ).filter(F.col("__v").isNotNull())
+    part_schema = T.StructType([
+        T.StructField("level", T.IntegerType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("cnt", T.LongType()),
+    ])
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sk = _KLL(k, seed)
+        for pdf in batches:
+            if len(pdf):
+                sk.update_many(pdf["__v"].to_numpy())
+        rows = list(sk.rows())
+        if rows:
+            out = pd.DataFrame(rows, columns=["level", "value"])
+            out = out.groupby(["level", "value"], as_index=False).size()
+            out.columns = ["level", "value", "cnt"]
+            yield out
+
+    partials = vals.mapInPandas(fold, part_schema)
+
+    def merge(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sk = _KLL(k, seed + ":merge")
+        for pdf in pdfs:
+            if len(pdf):
+                sk.merge_rows(pdf["level"], pdf["value"], pdf["cnt"])
+        rows = list(sk.rows())
+        if rows:
+            out = pd.DataFrame(rows, columns=["level", "value"])
+            out = out.groupby(["level", "value"], as_index=False).size()
+            out.columns = ["level", "value", "cnt"]
+            yield out
+
+    return partials.coalesce(1).mapInPandas(merge, part_schema)
+
+
+def kll_quantiles(
+    sketch_rows: list,
+    qs: Sequence[float],
+) -> list[float]:
+    """Driver-side quantile read-out of a collected `kll_sketch` result
+    (the sketch is O(k·log n) rows — collecting IT is the point; the
+    data was never collected)."""
+    pairs = sorted(
+        (r["value"], (1 << int(r["level"])) * int(r["cnt"]))
+        for r in sketch_rows)
+    w = sum(p[1] for p in pairs)
+    out = []
+    for q in qs:
+        target = q * w
+        cum = 0.0
+        est = pairs[-1][0] if pairs else float("nan")
+        for v, wt in pairs:
+            cum += wt
+            if cum >= target:
+                est = v
+                break
+        out.append(est)
+    return out

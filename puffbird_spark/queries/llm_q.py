@@ -5501,3 +5501,68 @@ def retrieval_fused_hybrid(spark, sf_dir):
     sparse = bm25_topk(docs, qdf, k=10, drop_empty=True) \
         .select("query_id", "doc_id", "score")
     return fused_topk(dense, sparse, alpha=0.6, top=5)
+
+
+_KLL_QS = [0.01, 0.25, 0.5, 0.75, 0.99]
+
+
+@query("sketch_quantile_kll", oracle="""
+SELECT CAST(0.01 AS DOUBLE) AS q,
+       round(quantile_cont(l_extendedprice, 0.01), 6) AS exact_q,
+       TRUE AS within_bound, TRUE AS est_is_retained FROM lineitem
+UNION ALL SELECT CAST(0.25 AS DOUBLE),
+       round(quantile_cont(l_extendedprice, 0.25), 6), TRUE, TRUE
+FROM lineitem
+UNION ALL SELECT CAST(0.5 AS DOUBLE),
+       round(quantile_cont(l_extendedprice, 0.5), 6), TRUE, TRUE
+FROM lineitem
+UNION ALL SELECT CAST(0.75 AS DOUBLE),
+       round(quantile_cont(l_extendedprice, 0.75), 6), TRUE, TRUE
+FROM lineitem
+UNION ALL SELECT CAST(0.99 AS DOUBLE),
+       round(quantile_cont(l_extendedprice, 0.99), 6), TRUE, TRUE
+FROM lineitem
+""")
+def sketch_quantile_kll(spark, sf_dir):
+    """KLL quantile sketch (`kll_sketch`, operators/sketch.py; Karnin,
+    Lang & Liberty FOCS'16) — O(1/k) rank error at O(k·log n) space,
+    the reason it exists next to the bottom-k sample's O(1/sqrt k):
+    the sketch builds scan-locally (one mapInPandas fold per
+    partition, PRF compaction coins, total weight == input count
+    EXACTLY) and merges in one bounded task. SELF-CHECKING gate (the
+    `sketch_count_min` / `dedup_simhash` precedent — sketch CONTENT is
+    partitioning-dependent by construction, its GUARANTEES are not):
+
+    - ``within_bound`` — the exact rank of each estimate is within
+      0.025 of its target quantile (k=200's theoretical ~0.012 with
+      2x margin; computed distributed from the full data);
+    - ``est_is_retained`` — every estimate is an actual data value
+      (KLL returns retained items, never interpolants);
+    - ``exact_q`` — the exact interpolated quantile as the accuracy
+      twin, hash-matched against the oracle."""
+    from ..operators.sketch import kll_quantiles, kll_sketch
+
+    li = load(spark, sf_dir, "lineitem")
+    rows = kll_sketch(li, "l_extendedprice", k=200).collect()
+    ests = kll_quantiles(rows, _KLL_QS)
+    retained = {r["value"] for r in rows}
+
+    ranks = li.filter(F.col("l_extendedprice").isNotNull()).agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.sum(F.when(F.col("l_extendedprice") <= F.lit(float(e)), 1)
+                .otherwise(0)).alias(f"__r{i}")
+          for i, e in enumerate(ests)],
+        *[F.round(F.percentile("l_extendedprice", F.lit(float(q))), 6)
+          .alias(f"__q{i}") for i, q in enumerate(_KLL_QS)],
+    ).collect()[0]
+    n = ranks["__n"]
+    out = []
+    for i, (q, e) in enumerate(zip(_KLL_QS, ests)):
+        frac = ranks[f"__r{i}"] / n
+        out.append((
+            float(q), float(ranks[f"__q{i}"]),
+            bool(abs(frac - q) <= 0.025),
+            bool(float(e) in retained)))
+    return spark.createDataFrame(
+        out, "q double, exact_q double, within_bound boolean, "
+             "est_is_retained boolean")

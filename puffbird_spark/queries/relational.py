@@ -3074,7 +3074,7 @@ scored AS (SELECT qs.qi, qs.q, r.j,
     round({-eps_q / 2.0!r} * abs(CAST(r.rk AS DOUBLE)
             - qs.q * CAST(tot.n AS DOUBLE)) + {g}, 9) AS key
   FROM ranks r CROSS JOIN qs CROSS JOIN tot)
-SELECT q AS quantile,
+SELECT CAST(q AS DOUBLE) AS quantile,
        round({lo!r} + CAST(j AS DOUBLE) * ({hi!r} - {lo!r})
              / {float(nb)!r}, 6) AS value
 FROM (SELECT *, row_number() OVER (PARTITION BY qi

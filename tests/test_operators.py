@@ -6443,3 +6443,44 @@ def test_fused_topk_hand_case(spark):
     # q2: dense constant -> both 0; sparse 20->1, 22->0
     assert got[(2, 20)] == (1, 0.4)
     assert got[(2, 21)][1] == 0.0 and got[(2, 22)][1] == 0.0
+
+
+def test_kll_sketch_weight_invariant_error_bound_and_determinism(spark):
+    """KLL: total weight == non-NULL input count EXACTLY (the
+    odd-leftover compaction rule), rank error of every quantile
+    estimate within the k=200 bound on a shuffled stream, exact
+    answers below saturation, and re-run determinism on a fixed
+    layout (PRF coins, no RNG)."""
+    import pyspark.sql.functions as F2
+
+    from puffbird_spark.operators.sketch import kll_quantiles, kll_sketch
+
+    n = 40000
+    df = spark.range(n).select(
+        ((F.col("id") * 48271) % n).cast("double").alias("v"))
+    rows = kll_sketch(df, "v", k=200).collect()
+    w = sum((1 << r["level"]) * r["cnt"] for r in rows)
+    assert w == n
+    assert len(rows) < 3000  # sketch is O(k log n), not data-sized
+
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    ests = kll_quantiles(rows, qs)
+    for q, est in zip(qs, ests):
+        exact_rank = (est + 1) / n  # v values are 0..n-1 uniform
+        assert abs(exact_rank - q) < 0.03, (q, est)
+
+    again = kll_sketch(df, "v", k=200).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    # below saturation: every value retained at level 0, quantiles exact
+    small = spark.createDataFrame(
+        [(float(i),) for i in range(50)], "v double")
+    srows = kll_sketch(small, "v", k=200).collect()
+    assert all(r["level"] == 0 for r in srows)
+    assert kll_quantiles(srows, [0.5]) == [24.0]
+
+    # NULLs excluded from the weight
+    withnull = small.unionByName(
+        spark.createDataFrame([(None,)], "v double"))
+    nrows = kll_sketch(withnull, "v", k=200).collect()
+    assert sum((1 << r["level"]) * r["cnt"] for r in nrows) == 50
