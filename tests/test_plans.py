@@ -585,3 +585,43 @@ def test_q22_anti_join_and_broadcast_scalar(q):
     assert "LeftAnti" in plan
     assert P.count_broadcast_joins(df) >= 1
     assert P.has_pushed_filter(df, "GreaterThanOrEqual(o_orderdate")
+
+
+def test_profile_sparse_inverted_index_equijoin(q):
+    """The wide-vocabulary profile twin pairs entities through the
+    type-key equi-join (inverted index) — never a cartesian/nested
+    loop; the capped variant's hot-type exclusion is a broadcast
+    anti-join, not a shuffle."""
+    for name in ("profile_topk_sparse", "profile_topk_sparse_capped"):
+        plan = P.formatted_plan(q(name))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_bm25f_broadcast_probe_no_cartesian(q):
+    """BM25F keeps the bm25 access-path discipline per field: query
+    terms and pruned dfs broadcast onto the postings; the only
+    nested-loop joins are the one-row corpus-stat cross joins."""
+    df = q("retrieval_bm25f")
+    plan = P.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert P.count_broadcast_joins(df) >= 3
+
+
+def test_theta_setops_bounded_windows(q):
+    """Theta set algebra never windows over data: every rank window
+    rides the <= 2k-row sketch frames, and the scan-local fold means
+    no unpartitioned data-sized sort reaches the plan."""
+    df = q("sketch_theta_setops")
+    plan = P.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_neyman_single_input_aggregation(q):
+    """Neyman sampling scans the input for moments ONCE (map-side
+    combined) and once for membership ranks — allocation arithmetic is
+    strata-bounded, the alloc join is broadcast."""
+    df = q("sample_neyman")
+    assert P.count_broadcast_joins(df) >= 1
+    plan = P.formatted_plan(df)
+    assert "CartesianProduct" not in plan
