@@ -270,6 +270,8 @@ def bootstrap_ci(
 
     if n_boot <= 0:
         raise ValueError("n_boot must be positive")
+    if not (0.0 < alpha < 1.0):
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
     dec = "decimal(20,9)"
     base = per_query.select(
         F.col(query_col).alias("__q"),

@@ -6484,3 +6484,16 @@ def test_kll_sketch_weight_invariant_error_bound_and_determinism(spark):
         spark.createDataFrame([(None,)], "v double"))
     nrows = kll_sketch(withnull, "v", k=200).collect()
     assert sum((1 << r["level"]) * r["cnt"] for r in nrows) == 50
+
+
+def test_bootstrap_ci_rejects_degenerate_alpha(spark):
+    """alpha 0 or 1 would make a percentile position 0 (no such order
+    statistic -> silent NULL CI) — reject at the boundary."""
+    import pytest as _pt
+
+    from puffbird_spark.operators.evaluation import bootstrap_ci
+
+    df = spark.createDataFrame([(0, 0.5)], "query_id int, m double")
+    for bad in (0.0, 1.0, -0.1, 1.5):
+        with _pt.raises(ValueError):
+            bootstrap_ci(df, "m", alpha=bad)
