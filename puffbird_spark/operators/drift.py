@@ -58,6 +58,19 @@ def distribution_psi(
         drift_threshold=drift_threshold, dp=dp)
 
 
+def _keyed_join(left: DataFrame, right: DataFrame, keys: list,
+                broadcast_right: bool = False) -> DataFrame:
+    """Inner join on ``keys`` that also supports the GLOBAL (no-key)
+    monitor: with ``keys=[]`` the right side is a one-row aggregate and
+    the join is a broadcast cross join — pyspark's ``join(on=[])``
+    raises an opaque IndexError otherwise (r11 probe: the most natural
+    call, corpus-wide drift with no key columns, crashed)."""
+    r = F.broadcast(right) if broadcast_right else right
+    if keys:
+        return left.join(r, keys)
+    return left.crossJoin(F.broadcast(right))
+
+
 def _bucket_counts(
     df: DataFrame, edges: DataFrame, key_cols: list[str], value_col: str,
     out: str,
@@ -67,8 +80,9 @@ def _bucket_counts(
     # bucket 0 (NULL > e is NULL -> otherwise(0)), so a null-rate
     # difference between snapshots would masquerade as distribution
     # drift. n_ref/n_cur therefore count NON-NULL rows only.
-    j = df.filter(F.col(value_col).cast("double").isNotNull()).join(
-        F.broadcast(edges), key_cols)
+    j = _keyed_join(
+        df.filter(F.col(value_col).cast("double").isNotNull()),
+        edges, key_cols, broadcast_right=True)
     b = F.aggregate(
         F.col("__edges"),
         F.lit(0),
@@ -131,7 +145,7 @@ def psi_against_reference(
     pb = (F.col("__nb") + 0.5) / (F.col("__tb") + 0.5 * n_buckets)
     term = (pb - pa) * F.log(pb / pa)
     return (
-        cells.join(tot, key_cols)
+        _keyed_join(cells, tot, key_cols)
         .groupBy(*key_cols)
         .agg(
             F.max("__ta").cast("long").alias("n_ref"),
@@ -186,7 +200,7 @@ def categorical_psi(
     tot = cells.groupBy(*key_cols).agg(
         F.sum("__na").alias("__ta"), F.sum("__nb").alias("__tb"),
         F.count(F.lit(1)).alias("__ncat"))
-    joined = cells.join(tot, key_cols)
+    joined = _keyed_join(cells, tot, key_cols)
     pa = (F.col("__na") + 0.5) / (F.col("__ta") + 0.5 * F.col("__ncat"))
     pb = (F.col("__nb") + 0.5) / (F.col("__tb") + 0.5 * F.col("__ncat"))
     term = (pb - pa) * F.log(pb / pa)
@@ -233,6 +247,18 @@ def ks_two_sample(
 
     keys = list(key_cols or [])
     g = group_col if not isinstance(group_col, str) else F.col(group_col)
+    from pyspark.sql import types as T
+
+    gtype = df.select(g.alias("__a")).schema[0].dataType
+    if not isinstance(gtype, (T.BooleanType, T.NumericType)):
+        # an ANSI string->boolean cast raises an opaque
+        # CAST_INVALID_INPUT at run time (r11 probe) — name the
+        # contract at plan time instead
+        raise TypeError(
+            "ks_two_sample: group_col must be a boolean (or 0/1 "
+            f"numeric) sample-a indicator, got {gtype.simpleString()}; "
+            "for a two-valued label column pass e.g. "
+            "F.col('g') == 'a'")
     base = df.select(
         *keys, F.col(value_col).alias("__v"),
         g.cast("boolean").alias("__a"),
@@ -362,6 +388,18 @@ def mann_whitney_u(
 
     keys = list(key_cols or [])
     g = group_col if not isinstance(group_col, str) else F.col(group_col)
+    from pyspark.sql import types as T
+
+    gtype = df.select(g.alias("__a")).schema[0].dataType
+    if not isinstance(gtype, (T.BooleanType, T.NumericType)):
+        # an ANSI string->boolean cast raises an opaque
+        # CAST_INVALID_INPUT at run time (r11 probe) — name the
+        # contract at plan time instead
+        raise TypeError(
+            "ks_two_sample: group_col must be a boolean (or 0/1 "
+            f"numeric) sample-a indicator, got {gtype.simpleString()}; "
+            "for a two-valued label column pass e.g. "
+            "F.col('g') == 'a'")
     base = df.select(
         *keys, F.col(value_col).alias("__v"),
         g.cast("boolean").alias("__a"),

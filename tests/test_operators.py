@@ -6497,3 +6497,43 @@ def test_bootstrap_ci_rejects_degenerate_alpha(spark):
     for bad in (0.0, 1.0, -0.1, 1.5):
         with _pt.raises(ValueError):
             bootstrap_ci(df, "m", alpha=bad)
+
+
+def test_drift_monitors_support_keyless_global_calls(spark):
+    """r11 probe: the most natural drift call — corpus-wide, no key
+    columns — crashed with pyspark's opaque join(on=[]) IndexError in
+    every PSI path. Keyless now cross-joins the one-row totals;
+    disjoint categories stay finite under the additive smoothing; an
+    empty current side flags drifted outright; and ks_two_sample names
+    its boolean-indicator contract at plan time instead of an ANSI
+    cast error at run time."""
+    import pyspark.sql.functions as F2
+    import pytest as _pt
+
+    from puffbird_spark.operators.drift import (
+        categorical_psi, distribution_psi, ks_two_sample)
+
+    a = spark.createDataFrame([("x",)] * 10 + [("y",)] * 10, "c string")
+    b = spark.createDataFrame([("x",)] * 10 + [("z",)] * 10, "c string")
+    row = categorical_psi(a, b, [], "c").collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r["n_ref"] == 20 and r["n_cur"] == 20 and r["n_categories"] == 3
+    assert r["psi"] is not None and r["psi"] > 0  # finite, no ln(0)
+
+    ref = spark.createDataFrame(
+        [(float(i),) for i in range(100)], "v double")
+    cur = spark.createDataFrame([], "v double")
+    out = distribution_psi(ref, cur, [], "v").collect()
+    assert len(out) == 1 and out[0]["n_cur"] == 0 and out[0]["drifted"]
+
+    same = distribution_psi(ref, ref, [], "v").collect()[0]
+    assert same["psi"] is not None and abs(same["psi"]) < 0.01
+    assert not same["drifted"]
+
+    ks_in = spark.createDataFrame(
+        [("a", 1.0)] * 5 + [("b", 2.0)] * 5, "g string, v double")
+    with _pt.raises(TypeError, match="boolean"):
+        ks_two_sample(ks_in, "g", "v")
+    ok = ks_two_sample(ks_in, F2.col("g") == "a", "v").collect()[0]
+    assert ok["ks_stat"] == 1.0  # fully separated samples
