@@ -450,6 +450,14 @@ def theil_sen(
     ``(*key_cols, n_points, n_pairs, slope, intercept)``; keys with
     fewer than two distinct x values are omitted."""
     keys = list(key_cols)
+
+    def kjoin(left, right):
+        # keys=[] is the GLOBAL single-series call (r11 probe):
+        # pyspark's join(on=[]) raises an opaque IndexError; the pair
+        # set is the same bounded d² either way, so cross-join
+        # explicitly (est/resid right sides are key-count-sized)
+        return left.join(right, keys) if keys else left.crossJoin(right)
+
     pts = df.select(
         *keys,
         F.col(x_col).cast("double").alias("__x"),
@@ -460,7 +468,7 @@ def theil_sen(
     b = pts.select(*keys, F.col("__x").alias("__x2"),
                    F.col("__y").alias("__y2"))
     slopes = (
-        a.join(b, keys)
+        kjoin(a, b)
         .filter(F.col("__x1") < F.col("__x2"))
         .select(*keys, ((F.col("__y2") - F.col("__y1"))
                         / (F.col("__x2") - F.col("__x1"))).alias("__m"))
@@ -472,7 +480,7 @@ def theil_sen(
     n_pts = pts.groupBy(*keys).agg(
         F.count(F.lit(1)).cast("long").alias("n_points"))
     resid = (
-        pts.join(est, keys)
+        kjoin(pts, est)
         .select(*keys, "n_pairs", "slope",
                 (F.col("__y") - F.col("slope") * F.col("__x"))
                 .alias("__b"))
@@ -483,7 +491,7 @@ def theil_sen(
              .alias("intercept"))
     )
     return (
-        n_pts.join(resid, keys)
+        kjoin(n_pts, resid)
         .select(*keys, "n_points", "n_pairs", "slope", "intercept")
     )
 

@@ -6537,3 +6537,18 @@ def test_drift_monitors_support_keyless_global_calls(spark):
         ks_two_sample(ks_in, "g", "v")
     ok = ks_two_sample(ks_in, F2.col("g") == "a", "v").collect()[0]
     assert ok["ks_stat"] == 1.0  # fully separated samples
+
+
+def test_theil_sen_global_keyless_series(spark):
+    """r11 probe follow-up: a single global series (key_cols=[]) hit
+    pyspark's join(on=[]) IndexError. Keyless now cross-joins (same
+    bounded d² pair set) — exact slope/intercept on a clean line."""
+    from puffbird_spark.operators.timeseries import theil_sen
+
+    df = spark.createDataFrame(
+        [(float(x), 2.0 * x + 3.0) for x in range(12)],
+        "x double, y double")
+    r = theil_sen(df, [], "x", "y").collect()
+    assert len(r) == 1
+    assert r[0]["slope"] == 2.0 and r[0]["intercept"] == 3.0
+    assert r[0]["n_points"] == 12 and r[0]["n_pairs"] == 66
