@@ -1327,6 +1327,11 @@ def profile_topk_pairs_sparse(
     c = df.groupBy(
         F.col(id_col).alias("__id"), F.col(type_col).alias("__ty")
     ).agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    # four consumers read this profile table (norms, the df-cap probe,
+    # and both sides of the pair join) — materialize ONCE so the
+    # input scan+agg doesn't replay per consumer (the dense twin's
+    # `prof` checkpoint policy; measured 4.11s -> ~2.6s warm at sf0.1)
+    c = c.localCheckpoint(eager=True)
     # norms over ALL profile rows — NULL-type events are real mass
     nrm = c.groupBy("__id").agg(
         F.sqrt(F.sum(F.col("__n") * F.col("__n")).cast("double"))
