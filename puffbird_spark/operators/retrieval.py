@@ -324,6 +324,12 @@ def bm25f_topk(
         weighted = part if weighted is None else weighted.unionByName(part)
     combined = weighted.groupBy(id_col, "term").agg(
         F.sum("__wtf").alias("__tf"))
+    # two consumers (df counting and scoring) would each replay every
+    # field's tokenize+agg+union — materialize the combined postings
+    # once (the bigram_counts/hll_rollup branch-replay policy; measured
+    # cost-neutral at bench SF where the corpus scan is cheap, but at
+    # scale the saved work is two full per-field tokenize passes)
+    combined = combined.localCheckpoint(eager=True)
     # document-level df over the query vocabulary only, pre-broadcast
     dfreq = (
         combined.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
