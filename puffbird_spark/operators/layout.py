@@ -242,6 +242,14 @@ def _read_manifest(spark, table_path: str, version: int) -> dict:
     fs, jvm = _hadoop_fs(spark, table_path)
     p = jvm.org.apache.hadoop.fs.Path(
         f"{table_path}/manifests/v{version:05d}.json")
+    if not fs.exists(p):
+        # a vacuumed or never-written version must read as the same
+        # clean error everywhere (r11 probe: snapshot_diff against a
+        # vacuumed base surfaced a raw Java FileNotFoundException
+        # while read_snapshot raised the ValueError below)
+        raise ValueError(
+            f"version {version} not in "
+            f"{snapshot_versions(spark, table_path)}")
     stream = fs.open(p)
     try:
         # commons-io ships on every Spark classpath; py4j byte[] buffers

@@ -6552,3 +6552,29 @@ def test_theil_sen_global_keyless_series(spark):
     assert len(r) == 1
     assert r[0]["slope"] == 2.0 and r[0]["intercept"] == 3.0
     assert r[0]["n_points"] == 12 and r[0]["n_pairs"] == 66
+
+
+def test_snapshot_diff_vacuumed_version_raises_cleanly(spark, tmp_path):
+    """r11 probe: snapshot_diff against a vacuumed-away base surfaced a
+    raw Java FileNotFoundException where read_snapshot raised the clean
+    ValueError — the manifest reader now raises the same error for any
+    missing version, everywhere."""
+    import pytest as _pt
+
+    from puffbird_spark.operators.layout import (
+        read_snapshot, snapshot_diff, vacuum_snapshots, write_snapshot)
+
+    tp = str(tmp_path / "snap")
+    d1 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    d2 = spark.createDataFrame([(3, "c")], "k int, v string")
+    write_snapshot(spark, d1, tp, mode="overwrite")
+    write_snapshot(spark, d2, tp, mode="append")
+    write_snapshot(spark, d1, tp, mode="overwrite")
+    vacuum_snapshots(spark, tp, keep_last=1)
+
+    with _pt.raises(ValueError, match="version 1 not in"):
+        snapshot_diff(spark, tp, 1, 3, ["k"])
+    with _pt.raises(ValueError, match="version 1 not in"):
+        read_snapshot(spark, tp, 1)
+    assert sorted(map(tuple, read_snapshot(spark, tp, 3).collect())) == [
+        (1, "a"), (2, "b")]
