@@ -4133,3 +4133,47 @@ def q22_dormant_customers(spark, sf_dir):
     return sel.groupBy("code").agg(
         F.count(F.lit(1)).alias("numcust"),
         F.sum(dec("c_acctbal")).cast("double").alias("totacctbal"))
+
+
+@query("diag_psi_global", oracle="""
+WITH ref AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+             WHERE value IS NOT NULL AND (event_id // 16) % 2 = 0),
+cur AS (SELECT CAST(value * 1.5 AS DOUBLE) AS v FROM events
+        WHERE value IS NOT NULL AND (event_id // 16) % 2 = 1),
+e AS (SELECT quantile_cont(v,
+        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS edges
+      FROM ref),
+ra AS (SELECT len(list_filter(e.edges, x -> r.v > x)) AS b, COUNT(*) AS na
+       FROM ref r CROSS JOIN e GROUP BY 1),
+rb AS (SELECT len(list_filter(e.edges, x -> c.v > x)) AS b, COUNT(*) AS nb
+       FROM cur c CROSS JOIN e GROUP BY 1),
+grid AS (SELECT t.range AS b FROM range(0, 10) t),
+cells AS (SELECT g.b, COALESCE(ra.na, 0) AS na, COALESCE(rb.nb, 0) AS nb
+          FROM grid g LEFT JOIN ra ON g.b = ra.b
+          LEFT JOIN rb ON g.b = rb.b),
+tot AS (SELECT SUM(na) AS ta, SUM(nb) AS tb FROM cells)
+SELECT CAST(MAX(t.ta) AS BIGINT) AS n_ref,
+       CAST(MAX(t.tb) AS BIGINT) AS n_cur,
+       round(SUM(((c.nb + 0.5) / (t.tb + 5.0) - (c.na + 0.5) / (t.ta + 5.0))
+                 * ln(((c.nb + 0.5) / (t.tb + 5.0))
+                      / ((c.na + 0.5) / (t.ta + 5.0)))), 6) AS psi,
+       round(SUM(((c.nb + 0.5) / (t.tb + 5.0) - (c.na + 0.5) / (t.ta + 5.0))
+                 * ln(((c.nb + 0.5) / (t.tb + 5.0))
+                      / ((c.na + 0.5) / (t.ta + 5.0)))), 6) > 0.25
+         AS drifted
+FROM cells c CROSS JOIN tot t
+""")
+def diag_psi_global(spark, sf_dir):
+    """GLOBAL (keyless) corpus drift — the r11 probe fix under driver
+    verification: `distribution_psi` with ``key_cols=[]`` (previously
+    an opaque pyspark ``join(on=[])`` IndexError), whole-corpus value
+    deciles, one row out. The current snapshot carries an injected
+    1.5x scale shift so the global monitor must read drifted; every
+    keyless join rides a broadcast one-row total."""
+    from ..operators.drift import distribution_psi
+
+    ev = load(spark, sf_dir, "events")
+    ref = ev.filter((F.col("event_id") / 16).cast("long") % 2 == 0)
+    cur = ev.filter((F.col("event_id") / 16).cast("long") % 2 == 1) \
+        .withColumn("value", F.col("value") * 1.5)
+    return distribution_psi(ref, cur, [], "value")
