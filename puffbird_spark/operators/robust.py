@@ -35,17 +35,26 @@ def robust_stats(
     an outlier, which is the honest reading of such a group. NULL
     values are ignored throughout."""
     v = F.col(value_col).cast("double")
+
+    def kjoin(left, right):
+        # key_cols=[] is the GLOBAL call — pyspark's join(on=[])
+        # raises an opaque IndexError (the r11 probe class); the
+        # right sides here are key-count-sized aggregates
+        if key_cols:
+            return left.join(F.broadcast(right), list(key_cols))
+        return left.crossJoin(F.broadcast(right))
+
     base = df.filter(v.isNotNull()).select(
         *key_cols, v.alias("__v"))
     med = base.groupBy(*key_cols).agg(
         F.percentile("__v", F.lit(0.5)).alias("__med"))
-    with_med = base.join(F.broadcast(med), key_cols)
+    with_med = kjoin(base, med)
     mad = with_med.groupBy(*key_cols).agg(
         F.percentile(F.abs(F.col("__v") - F.col("__med")), F.lit(0.5))
         .alias("__mad"))
     band = F.lit(z) * F.lit(MAD_SIGMA) * F.col("__mad")
     out = (
-        with_med.join(F.broadcast(mad), key_cols)
+        kjoin(with_med, mad)
         .groupBy(*key_cols)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),

@@ -6578,3 +6578,16 @@ def test_snapshot_diff_vacuumed_version_raises_cleanly(spark, tmp_path):
         read_snapshot(spark, tp, 1)
     assert sorted(map(tuple, read_snapshot(spark, tp, 3).collect())) == [
         (1, "a"), (2, "b")]
+
+
+def test_robust_stats_keyless_global_and_zero_mad(spark):
+    """r11 join(on=[]) class, third instance: global robust_stats
+    crashed keyless. Also pins the documented zero-MAD reading — any
+    value off the median of a degenerate group is an outlier."""
+    from puffbird_spark.operators.robust import robust_stats
+
+    df = spark.createDataFrame([(5.0,)] * 20 + [(9.0,)], "v double")
+    r = robust_stats(df, [], "v").collect()
+    assert len(r) == 1
+    assert r[0]["median"] == 5.0 and r[0]["mad"] == 0.0
+    assert r[0]["n_outliers"] == 1 and r[0]["n"] == 21
