@@ -363,6 +363,9 @@ def snapshot_diff(
       null-safe payload-struct compare. One co-keyed shuffle; AQE
       handles skew.
     """
+    if not key_cols:
+        raise ValueError("snapshot_diff: key_cols must be non-empty — "
+                         "a keyless table diff has no row identity")
     man_from = _read_manifest(spark, table_path, v_from)["shards"]
     man_to = _read_manifest(spark, table_path, v_to)["shards"]
     if set(man_from) <= set(man_to):

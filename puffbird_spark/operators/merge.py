@@ -72,6 +72,9 @@ def merge_upsert(
     row is NOT MATCHED and inserts — the same outcome SQL MERGE gives a
     null source key.
     """
+    if not keys:
+        raise ValueError("merge_upsert: keys must be non-empty — a "
+                         "keyless MERGE has no match semantics")
     if on_duplicate not in ("error", "last_wins", "allow"):
         raise ValueError(f"on_duplicate: {on_duplicate!r} not in error/last_wins/allow")
     if on_duplicate == "last_wins":
@@ -206,6 +209,9 @@ def scd2_apply(
     one over the current-slice broadcast join)."""
     keys = list(key_cols)
     attrs = list(attr_cols)
+    if not keys:
+        raise ValueError("scd2_apply: key_cols must be non-empty — a "
+                         "keyless dimension has no identity to track")
     dup = (updates.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
            .filter(F.col("n") > 1).limit(1).collect())
     if dup:

@@ -6591,3 +6591,29 @@ def test_robust_stats_keyless_global_and_zero_mad(spark):
     assert len(r) == 1
     assert r[0]["median"] == 5.0 and r[0]["mad"] == 0.0
     assert r[0]["n_outliers"] == 1 and r[0]["n"] == 21
+
+
+def test_keyless_merge_and_diff_raise_clear_errors(spark, tmp_path):
+    """Keyless MERGE/SCD2/snapshot-diff are semantically meaningless
+    (no row identity) — they now name that instead of pyspark's
+    join(on=[]) IndexError or a confusing duplicate-key message."""
+    import pytest as _pt
+
+    from puffbird_spark.operators.layout import (
+        snapshot_diff, write_snapshot)
+    from puffbird_spark.operators.merge import merge_upsert, scd2_apply
+
+    t = spark.createDataFrame([(1, "x")], "k int, v string")
+    with _pt.raises(ValueError, match="keys must be non-empty"):
+        merge_upsert(t, t, [])
+    dim = spark.createDataFrame(
+        [(1, "a", 1, None)], "k int, attr string, valid_from int, valid_to int")
+    upd = spark.createDataFrame(
+        [(1, "b", 5)], "k int, attr string, effective_ts int")
+    with _pt.raises(ValueError, match="key_cols must be non-empty"):
+        scd2_apply(dim, upd, [], ["attr"])
+    tp = str(tmp_path / "snap")
+    write_snapshot(spark, t, tp, mode="overwrite")
+    write_snapshot(spark, t, tp, mode="append")
+    with _pt.raises(ValueError, match="key_cols must be non-empty"):
+        snapshot_diff(spark, tp, 1, 2, [])
