@@ -6617,3 +6617,40 @@ def test_keyless_merge_and_diff_raise_clear_errors(spark, tmp_path):
     write_snapshot(spark, t, tp, mode="append")
     with _pt.raises(ValueError, match="key_cols must be non-empty"):
         snapshot_diff(spark, tp, 1, 2, [])
+
+
+def test_kll_weight_invariant_under_any_partitioning(spark):
+    """KLL's exact-weight invariant must hold on EVERY layout (sketch
+    CONTENT is partitioning-dependent, its guarantees are not): total
+    weight == input count for 1, 3, and 17 partitions of the same
+    data, and quantile estimates stay within the gate bound on each."""
+    from puffbird_spark.operators.sketch import kll_quantiles, kll_sketch
+
+    n = 10000
+    base = spark.range(n).select(
+        ((F.col("id") * 7919) % n).cast("double").alias("v"))
+    for parts in (1, 3, 17):
+        rows = kll_sketch(base.repartition(parts), "v", k=128).collect()
+        w = sum((1 << r["level"]) * r["cnt"] for r in rows)
+        assert w == n, parts
+        (est,) = kll_quantiles(rows, [0.5])
+        assert abs((est + 1) / n - 0.5) < 0.05, (parts, est)
+
+
+def test_theta_union_associative(spark):
+    """(A ∪ B) ∪ C == sketch(A ∪ B ∪ C) row for row — the merge
+    identity applied twice, so sharded sketching composes in any
+    tree order."""
+    from puffbird_spark.operators.sketch import theta_sketch, theta_union
+
+    a = spark.range(0, 6000).select(F.col("id").alias("k"))
+    b = spark.range(4000, 11000).select(F.col("id").alias("k"))
+    c = spark.range(9000, 15000).select(F.col("id").alias("k"))
+    k = 96
+    u_tree = theta_union(
+        theta_union(theta_sketch(a, "k", k=k),
+                    theta_sketch(b, "k", k=k), k=k),
+        theta_sketch(c, "k", k=k), k=k)
+    u_flat = theta_sketch(a.unionByName(b).unionByName(c), "k", k=k)
+    assert sorted(map(tuple, u_tree.collect())) == \
+        sorted(map(tuple, u_flat.collect()))
