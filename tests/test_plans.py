@@ -625,3 +625,37 @@ def test_neyman_single_input_aggregation(q):
     assert P.count_broadcast_joins(df) >= 1
     plan = P.formatted_plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_split_depth0_property_random_nesting():
+    """Property pin for the window-spec arg splitter: for random
+    comma-joined fragments with balanced nested parens/brackets, the
+    depth-0 split must recover exactly the fragments — never shearing
+    inside a nested group (pure function, no Spark session needed)."""
+    import random
+
+    import puffbird_spark.plans as P
+
+    rng = random.Random(17)
+
+    def fragment(depth=0):
+        parts = []
+        for _ in range(rng.randint(1, 3)):
+            r = rng.random()
+            if r < 0.3 and depth < 3:
+                op, cl = rng.choice([("(", ")"), ("[", "]")])
+                inner = ", ".join(
+                    fragment(depth + 1)
+                    for _ in range(rng.randint(1, 3)))
+                parts.append(f"f{op}{inner}{cl}")
+            else:
+                parts.append(rng.choice(
+                    ["a#1", "b#2 ASC NULLS FIRST", "x DESC", "42",
+                     "CASE WHEN y THEN 1 ELSE 2 END"]))
+        return " ".join(parts)
+
+    for _ in range(200):
+        frags = [fragment() for _ in range(rng.randint(1, 6))]
+        joined = ", ".join(frags)
+        got = P._split_depth0(joined)
+        assert got == [f.strip() for f in frags if f.strip()], joined
