@@ -6654,3 +6654,37 @@ def test_theta_union_associative(spark):
     u_flat = theta_sketch(a.unionByName(b).unionByName(c), "k", k=k)
     assert sorted(map(tuple, u_tree.collect())) == \
         sorted(map(tuple, u_flat.collect()))
+
+
+def test_merge_upsert_modes_randomized_differential(spark):
+    """The broadcast two-pass plan and the full-outer plan are two
+    PHYSICAL strategies for one logical MERGE — randomized CDC batches
+    (updates, partial-column updates, deletes, inserts, delete-of-
+    missing, NULL values) must produce bit-identical results from
+    both, across seeds."""
+    import random
+
+    from puffbird_spark.operators.merge import merge_upsert
+
+    for seed in (3, 11, 23):
+        rng = random.Random(seed)
+        target = [(k, rng.choice(["a", "b", "c", None]),
+                   float(rng.randint(0, 9))) for k in range(40)]
+        updates = []
+        for k in rng.sample(range(60), 25):  # keys 40+ are inserts
+            updates.append((
+                k,
+                rng.choice(["x", "y", None]),        # NULL = keep
+                rng.choice([float(rng.randint(10, 19)), None]),
+                rng.random() < 0.2,                   # delete flag
+            ))
+        t = spark.createDataFrame(target, "k int, s string, v double")
+        u = spark.createDataFrame(
+            updates, "k int, s string, v double, is_del boolean")
+        a = sorted(map(tuple, merge_upsert(
+            t, u, ["k"], delete_col="is_del",
+            broadcast_updates=True).collect()))
+        b = sorted(map(tuple, merge_upsert(
+            t, u, ["k"], delete_col="is_del",
+            broadcast_updates=False).collect()))
+        assert a == b, seed
