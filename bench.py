@@ -167,6 +167,11 @@ BENCH_QUERIES = [
     "profile_topk_sparse",
     "sketch_theta_setops",
     "retrieval_bm25f",
+    # round-11 second batch: the generation-eval metric pair (clipped
+    # n-gram matching over tokens and characters — the per-sample eval
+    # a pipeline runs over every model output)
+    "eval_bleu",
+    "eval_chrf",
 ]
 
 

@@ -328,3 +328,226 @@ def bootstrap_ci(
         F.round(F.max("__hi"), 6).alias("ci_hi"))
     return stats.crossJoin(F.broadcast(ci)).select(
         "n_queries", "n_boot", "mean", "ci_lo", "ci_hi")
+
+
+def _col(c) -> "F.Column":
+    return F.col(c) if isinstance(c, str) else c
+
+
+def _clipped_gram_match(base: DataFrame, cand_grams, ref_grams) -> DataFrame:
+    """Clipped n-gram occurrence matches per (``__id``, order): for each
+    order n, Σ_gram min(count_candidate, count_reference) — the BLEU /
+    chrF matching kernel. ``cand_grams`` / ``ref_grams`` are aligned
+    lists of gram-OCCURRENCE array expressions over ``base`` (order
+    n = list position + 1).
+
+    Scale shape: the 2N gram arrays evaluate exactly once inside ONE
+    generate (posexplode of their array — no per-branch re-evaluation),
+    then one (id, order, gram) count aggregation and one (id, order)
+    fold: two keyed shuffles on id-prefixed keys, map-side combinable,
+    nothing row-quadratic and nothing driver-side. (id, order) pairs
+    with no grams on either side emit no row — callers rebuild the
+    order spine analytically from string/token lengths."""
+    n_orders = len(cand_grams)
+    occ = base.select(
+        "__id",
+        F.posexplode(F.array(*cand_grams, *ref_grams)).alias(
+            "__slot", "__gs"),
+    ).select(
+        "__id",
+        (F.col("__slot") % n_orders + 1).alias("__n"),
+        (F.col("__slot") < n_orders).alias("__is_c"),
+        F.explode("__gs").alias("__g"),
+    )
+    cnt = occ.groupBy("__id", "__n", "__g").agg(
+        F.sum(F.when(F.col("__is_c"), 1).otherwise(0)).alias("__cc"),
+        F.sum(F.when(F.col("__is_c"), 0).otherwise(1)).alias("__rc"))
+    return cnt.groupBy("__id", "__n").agg(
+        F.sum(F.least("__cc", "__rc")).alias("__match"))
+
+
+def sentence_bleu(
+    df: DataFrame,
+    cand_tokens,
+    ref_tokens,
+    id_col: str = "doc_id",
+    max_n: int = 4,
+) -> DataFrame:
+    """Per-row sentence BLEU with add-one smoothing for orders >= 2
+    (BLEU+1, Lin & Och COLING 2004 — the standard sentence-level form;
+    corpus BLEU is Papineni et al. ACL 2002). Inputs are TOKEN ARRAY
+    columns (callers own tokenization — pair with
+    ``tokens(drop_empty=True)`` so an empty string is an empty
+    candidate, not a one-empty-token one).
+
+    Per row, for each order n = 1..max_n:
+
+        total_n = max(|cand| - n + 1, 0)     (candidate occurrences)
+        match_n = Σ_gram min(count_cand, count_ref)   (clipped)
+        p_n     = (match_n + s_n) / (total_n + s_n),  s_1=0, s_n=1
+
+    BLEU = BP · exp(Σ_n ln p_n / max_n) with brevity penalty
+    BP = 1 if |cand| >= |ref| else exp(1 - |ref|/|cand|). Documented
+    edge semantics (all deterministic, oracle-mirrored): an empty
+    candidate scores 0 with BP 0; p_1 = 0 (no unigram overlap or empty
+    reference) scores 0; an order with total_n = 0 and n >= 2 is
+    vacuous (smoothed p_n = 1, log-term 0).
+
+    Determinism: p_n is an exact int-ratio double (bit-equal on both
+    engines); ln snaps to 9-dp decimal before the order sum (the house
+    policy for transcendentals); released metrics round to 6 dp.
+
+    Scale shape: one generate + two keyed aggregations from the match
+    kernel, one broadcast-free left join back to the (row × order)
+    spine, one per-row fold. Linear in corpus token count.
+
+    Returns ``(id_col, cand_len, ref_len, p1..p{max_n}, bp, bleu)``
+    with every metric column DOUBLE."""
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        _col(cand_tokens).alias("__ct"),
+        _col(ref_tokens).alias("__rt"))
+    from ..functions.text import gram_occurrences
+
+    match = _clipped_gram_match(
+        base,
+        [gram_occurrences(F.col("__ct"), n) for n in range(1, max_n + 1)],
+        [gram_occurrences(F.col("__rt"), n) for n in range(1, max_n + 1)])
+    spine = base.select(
+        "__id", F.size("__ct").alias("__clen"),
+        F.size("__rt").alias("__rlen"),
+        F.explode(F.sequence(F.lit(1), F.lit(int(max_n)))).alias("__n"))
+    pern = (
+        spine.join(match, ["__id", "__n"], "left")
+        .na.fill({"__match": 0}))
+    total = F.greatest(F.col("__clen") - F.col("__n") + 1, F.lit(0))
+    smooth = F.when(F.col("__n") == 1, F.lit(0)).otherwise(F.lit(1))
+    p = F.when(
+        (total + smooth) > 0,
+        (F.col("__match") + smooth).cast("double") / (total + smooth),
+    ).otherwise(F.lit(0.0))
+    logterm = F.when(p > 0, F.round(F.log(p), 9).cast("decimal(20,9)"))
+    perdoc = (
+        pern.select(
+            "__id", "__clen", "__rlen", "__n",
+            p.alias("__p"), logterm.alias("__lt"))
+        .groupBy("__id")
+        .agg(
+            F.max("__clen").alias("__clen"),
+            F.max("__rlen").alias("__rlen"),
+            F.min("__p").alias("__pmin"),
+            F.sum("__lt").alias("__slog"),
+            *[F.max(F.when(F.col("__n") == n, F.round(F.col("__p"), 6)))
+              .alias(f"p{n}") for n in range(1, max_n + 1)]))
+    bp = (
+        F.when(F.col("__clen") == 0, F.lit(0.0))
+        .when(F.col("__clen") >= F.col("__rlen"), F.lit(1.0))
+        .otherwise(F.round(F.exp(
+            F.lit(1.0)
+            - F.col("__rlen").cast("double") / F.col("__clen")), 9)))
+    bleu = F.when(
+        (F.col("__pmin") > 0) & (F.col("__clen") > 0),
+        F.round(
+            bp * F.exp(F.col("__slog").cast("double") / F.lit(float(max_n))),
+            6),
+    ).otherwise(F.lit(0.0))
+    return perdoc.select(
+        F.col("__id").alias(id_col),
+        F.col("__clen").cast("long").alias("cand_len"),
+        F.col("__rlen").cast("long").alias("ref_len"),
+        *[f"p{n}" for n in range(1, max_n + 1)],
+        F.round(bp, 6).alias("bp"),
+        bleu.alias("bleu"))
+
+
+def chrf(
+    df: DataFrame,
+    cand_col,
+    ref_col,
+    id_col: str = "doc_id",
+    max_n: int = 6,
+    beta: float = 2.0,
+) -> DataFrame:
+    """Per-row chrF (Popović WMT 2015) — character-n-gram F-score, the
+    tokenization-free MT/generation metric (beta=2 is sacreBLEU's
+    chrF2 default). Inputs are TEXT columns; spaces are stripped
+    before gram extraction (the paper's convention).
+
+    For each order n = 1..max_n over the space-stripped strings:
+
+        P_n = match_n / total_cand_n   (0 when the candidate has no
+        R_n = match_n / total_ref_n     n-grams; ditto reference)
+
+    with clipped occurrence matches as in BLEU. Orders where BOTH
+    sides are gramless are vacuous and excluded; chrP / chrR are the
+    means over the included orders (9-dp decimal-snapped terms, exact
+    sum), and
+
+        chrF = (1 + beta²) · chrP · chrR / (beta² · chrP + chrR)
+
+    (0 when the denominator is 0, including both-empty rows).
+
+    Scale shape: identical to ``sentence_bleu`` — one generate, two
+    keyed aggregations, a spine join, a per-row fold; linear in corpus
+    character count. Returns ``(id_col, chrp, chrr, chrf)``, DOUBLE at
+    6 dp."""
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.regexp_replace(_col(cand_col), " ", "").alias("__cs"),
+        F.regexp_replace(_col(ref_col), " ", "").alias("__rs"))
+
+    def grams(name: str, n: int):
+        c = F.col(name)
+        return F.when(
+            F.length(c) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.length(c) - (n - 1)),
+                lambda i: c.substr(i, F.lit(n))),
+        ).otherwise(F.array().cast("array<string>"))
+
+    match = _clipped_gram_match(
+        base,
+        [grams("__cs", n) for n in range(1, max_n + 1)],
+        [grams("__rs", n) for n in range(1, max_n + 1)])
+    spine = base.select(
+        "__id", F.length("__cs").alias("__cn"),
+        F.length("__rs").alias("__rn"),
+        F.explode(F.sequence(F.lit(1), F.lit(int(max_n)))).alias("__n"))
+    pern = (
+        spine.join(match, ["__id", "__n"], "left")
+        .na.fill({"__match": 0}))
+    tc = F.greatest(F.col("__cn") - F.col("__n") + 1, F.lit(0))
+    tr = F.greatest(F.col("__rn") - F.col("__n") + 1, F.lit(0))
+    prec = F.when(
+        tc > 0, F.col("__match").cast("double") / tc).otherwise(F.lit(0.0))
+    rec = F.when(
+        tr > 0, F.col("__match").cast("double") / tr).otherwise(F.lit(0.0))
+    included = (tc > 0) | (tr > 0)
+    dec = "decimal(20,9)"
+    perdoc = (
+        pern.select(
+            "__id",
+            F.when(included, F.round(prec, 9).cast(dec)).alias("__pt"),
+            F.when(included, F.round(rec, 9).cast(dec)).alias("__rt"),
+            F.when(included, F.lit(1)).alias("__inc"))
+        .groupBy("__id")
+        .agg(
+            F.sum("__pt").alias("__sp"), F.sum("__rt").alias("__sr"),
+            F.coalesce(F.sum("__inc"), F.lit(0)).alias("__k")))
+    chrp = F.when(
+        F.col("__k") > 0,
+        F.round(F.col("__sp").cast("double") / F.col("__k"), 9),
+    ).otherwise(F.lit(0.0))
+    chrr = F.when(
+        F.col("__k") > 0,
+        F.round(F.col("__sr").cast("double") / F.col("__k"), 9),
+    ).otherwise(F.lit(0.0))
+    b2 = float(beta) * float(beta)
+    den = F.lit(b2) * chrp + chrr
+    f = F.when(
+        den > 0, F.lit(1.0 + b2) * chrp * chrr / den).otherwise(F.lit(0.0))
+    return perdoc.select(
+        F.col("__id").alias(id_col),
+        F.round(chrp, 6).alias("chrp"),
+        F.round(chrr, 6).alias("chrr"),
+        F.round(f, 6).alias("chrf"))

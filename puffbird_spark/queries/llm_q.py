@@ -5566,3 +5566,186 @@ def sketch_quantile_kll(spark, sf_dir):
     return spark.createDataFrame(
         out, "q double, exact_q double, within_bound boolean, "
              "est_is_retained boolean")
+
+_EVAL_PAIR_SQL = """
+d AS (SELECT doc_id,
+        list_filter(string_split(text, ' '), x -> x <> '') AS rt
+      FROM documents),
+b AS (SELECT doc_id,
+        [rt[i] FOR i IN range(1, len(rt) + 1) IF i % 5 != 0] AS ct, rt
+      FROM d)"""
+
+
+def _clip_match_sql(src: str, cand: str, ref: str, n: int,
+                    gram: str) -> str:
+    """Per-order clipped-match CTEs: candidate/reference gram counts
+    and SUM(min) per doc — the oracle twin of _clipped_gram_match."""
+
+    def grams(col):
+        g = gram.format(col=col, n=n)
+        return (f"CASE WHEN len({col}) >= {n} THEN {g} "
+                f"ELSE [] END")
+
+    return f"""
+c{n} AS (SELECT doc_id, g, COUNT(*) AS cc FROM
+   (SELECT doc_id, unnest({grams(cand)}) AS g FROM {src}) GROUP BY 1, 2),
+r{n} AS (SELECT doc_id, g, COUNT(*) AS rc FROM
+   (SELECT doc_id, unnest({grams(ref)}) AS g FROM {src}) GROUP BY 1, 2),
+m{n} AS (SELECT c{n}.doc_id, SUM(LEAST(cc, COALESCE(rc, 0))) AS mt
+         FROM c{n} LEFT JOIN r{n}
+           ON r{n}.doc_id = c{n}.doc_id AND r{n}.g = c{n}.g
+         GROUP BY 1)"""
+
+
+def _bleu_oracle(max_n: int = 4) -> str:
+    """Full replay of sentence_bleu over the dropped-token fixture:
+    clipped matches per order, BLEU+1 smoothing, 9-dp decimal log
+    terms, brevity penalty, 6-dp release."""
+    tok_gram = ("[array_to_string({col}[i:i+{n}-1], ' ') "
+                "FOR i IN range(1, len({col}) - {n} + 2)]")
+    orders = ",".join(
+        _clip_match_sql("b", "ct", "rt", n, tok_gram)
+        for n in range(1, max_n + 1))
+    munion = " UNION ALL ".join(
+        f"SELECT {n} AS n, doc_id, mt FROM m{n}"
+        for n in range(1, max_n + 1))
+    ncols = ",".join(str(n) for n in range(1, max_n + 1))
+    pcols = ",\n    ".join(
+        f"MAX(CASE WHEN n = {n} THEN round(p, 6) END) AS p{n}"
+        for n in range(1, max_n + 1))
+    psel = ", ".join(f"p{n}" for n in range(1, max_n + 1))
+    return f"""
+WITH {_EVAL_PAIR_SQL},{orders},
+pern AS (
+  SELECT b.doc_id, n.n, len(b.ct) AS clen, len(b.rt) AS rlen,
+    GREATEST(len(b.ct) - n.n + 1, 0) AS total, COALESCE(m.mt, 0) AS mt
+  FROM b
+  CROSS JOIN (SELECT unnest([{ncols}]) AS n) n
+  LEFT JOIN ({munion}) m ON m.doc_id = b.doc_id AND m.n = n.n),
+p AS (SELECT doc_id, n, clen, rlen,
+    CASE WHEN (total + s) > 0
+         THEN CAST(mt + s AS DOUBLE) / (total + s) ELSE 0.0 END AS p
+  FROM (SELECT *, CASE WHEN n = 1 THEN 0 ELSE 1 END AS s FROM pern)),
+agg AS (SELECT doc_id, MAX(clen) AS clen, MAX(rlen) AS rlen,
+    MIN(p) AS pmin,
+    SUM(CASE WHEN p > 0
+             THEN CAST(round(ln(p), 9) AS DECIMAL(20,9)) END) AS slog,
+    {pcols}
+  FROM p GROUP BY 1),
+fin AS (SELECT doc_id, clen, rlen, {psel}, pmin, slog,
+    CASE WHEN clen = 0 THEN 0.0
+         WHEN clen >= rlen THEN 1.0
+         ELSE round(exp(1.0 - CAST(rlen AS DOUBLE) / clen), 9) END AS bp
+  FROM agg)
+SELECT doc_id, CAST(clen AS BIGINT) AS cand_len,
+  CAST(rlen AS BIGINT) AS ref_len, {psel}, round(bp, 6) AS bp,
+  CASE WHEN pmin > 0 AND clen > 0
+       THEN round(bp * exp(CAST(slog AS DOUBLE) / {max_n}.0), 6)
+       ELSE 0.0 END AS bleu
+FROM fin
+"""
+
+
+def _chrf_oracle(max_n: int = 6, beta: float = 2.0) -> str:
+    """Full replay of chrf over the same fixture: char-gram clipped
+    matches per order, vacuous-order exclusion, 9-dp decimal P/R
+    terms, F-beta, 6-dp release."""
+    chr_gram = ("[substr({col}, i, {n}) "
+                "FOR i IN range(1, len({col}) - {n} + 2)]")
+    orders = ",".join(
+        _clip_match_sql("s", "cs", "rs", n, chr_gram)
+        for n in range(1, max_n + 1))
+    munion = " UNION ALL ".join(
+        f"SELECT {n} AS n, doc_id, mt FROM m{n}"
+        for n in range(1, max_n + 1))
+    ncols = ",".join(str(n) for n in range(1, max_n + 1))
+    b2 = beta * beta
+    return f"""
+WITH {_EVAL_PAIR_SQL},
+s AS (SELECT doc_id, array_to_string(ct, '') AS cs,
+        replace(array_to_string(rt, ' '), ' ', '') AS rs
+      FROM b),{orders},
+pern AS (
+  SELECT s.doc_id, n.n,
+    GREATEST(len(s.cs) - n.n + 1, 0) AS tc,
+    GREATEST(len(s.rs) - n.n + 1, 0) AS tr, COALESCE(m.mt, 0) AS mt
+  FROM s
+  CROSS JOIN (SELECT unnest([{ncols}]) AS n) n
+  LEFT JOIN ({munion}) m ON m.doc_id = s.doc_id AND m.n = n.n),
+pr AS (SELECT doc_id,
+    CASE WHEN tc > 0 OR tr > 0 THEN CAST(round(
+      CASE WHEN tc > 0 THEN CAST(mt AS DOUBLE) / tc ELSE 0.0 END, 9)
+      AS DECIMAL(20,9)) END AS pt,
+    CASE WHEN tc > 0 OR tr > 0 THEN CAST(round(
+      CASE WHEN tr > 0 THEN CAST(mt AS DOUBLE) / tr ELSE 0.0 END, 9)
+      AS DECIMAL(20,9)) END AS rt,
+    CASE WHEN tc > 0 OR tr > 0 THEN 1 END AS inc
+  FROM pern),
+agg AS (SELECT doc_id, SUM(pt) AS sp, SUM(rt) AS sr,
+    COALESCE(SUM(inc), 0) AS k
+  FROM pr GROUP BY 1),
+f AS (SELECT doc_id,
+    CASE WHEN k > 0
+         THEN round(CAST(sp AS DOUBLE) / k, 9) ELSE 0.0 END AS chrp,
+    CASE WHEN k > 0
+         THEN round(CAST(sr AS DOUBLE) / k, 9) ELSE 0.0 END AS chrr
+  FROM agg)
+SELECT doc_id, round(chrp, 6) AS chrp, round(chrr, 6) AS chrr,
+  round(CASE WHEN {b2!r} * chrp + chrr > 0
+             THEN {1.0 + b2!r} * chrp * chrr
+                  / ({b2!r} * chrp + chrr)
+             ELSE 0.0 END, 6) AS chrf
+FROM f
+"""
+
+
+def _eval_pair_fixture(spark, sf_dir):
+    """Candidate/reference pairs for the generation-eval gates: the
+    reference is each document's drop_empty token stream; the
+    candidate drops every 5th token (1-based) — a deterministic
+    'lossy decode' whose unigrams stay clipped-perfect (p1 = 1) while
+    higher orders break at every deletion and the brevity penalty
+    bites (|cand| < |ref|)."""
+    toks = TXT.tokens("text", drop_empty=True)
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.filter(toks, lambda x, i: (i + 1) % 5 != 0).alias("__cand"),
+        toks.alias("__ref"))
+
+
+@query("eval_bleu", oracle=_bleu_oracle())
+def eval_bleu(spark, sf_dir):
+    """Per-document sentence BLEU with BLEU+1 smoothing
+    (`sentence_bleu`, operators/evaluation.py; Papineni et al. ACL
+    2002, Lin & Och COLING 2004) — the generation-eval metric a
+    training pipeline runs over millions of (model output, reference)
+    pairs: clipped n-gram precision per order 1..4, smoothed geometric
+    mean, brevity penalty. Entirely JVM-side (one generate + two keyed
+    aggregations + a spine join); per-doc rows release every order's
+    precision so the hash pins clipping, smoothing, BP, and the final
+    score independently."""
+    from ..operators.evaluation import sentence_bleu
+
+    return sentence_bleu(
+        _eval_pair_fixture(spark, sf_dir), "__cand", "__ref",
+        id_col="doc_id", max_n=4)
+
+
+@query("eval_chrf", oracle=_chrf_oracle())
+def eval_chrf(spark, sf_dir):
+    """Per-document chrF2 (`chrf`, operators/evaluation.py; Popović
+    WMT 2015) — the tokenization-free character-n-gram F-score
+    (sacreBLEU's chrF2 defaults: orders 1..6, beta=2, spaces
+    stripped): clipped char-gram matches give per-order precision AND
+    recall, vacuous orders are excluded, chrP/chrR average over
+    included orders, F-beta combines. Same linear one-generate shape
+    as eval_bleu, over characters instead of tokens."""
+    from ..operators.evaluation import chrf
+
+    pairs = _eval_pair_fixture(spark, sf_dir)
+    return chrf(
+        pairs.select(
+            "doc_id", F.array_join("__cand", " ").alias("__ct"),
+            F.array_join("__ref", " ").alias("__rt")),
+        "__ct", "__rt", id_col="doc_id", max_n=6, beta=2.0)

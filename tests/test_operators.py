@@ -6688,3 +6688,69 @@ def test_merge_upsert_modes_randomized_differential(spark):
             t, u, ["k"], delete_col="is_del",
             broadcast_updates=False).collect()))
         assert a == b, seed
+
+
+def test_sentence_bleu_hand_cases(spark):
+    """Hand-computed sentence BLEU+1 (Lin & Och 2004): clipping caps a
+    degenerate all-'the' candidate at the reference's count; a perfect
+    prefix candidate scores exactly its brevity penalty; identical
+    strings score 1; empty candidate and zero-unigram-overlap both
+    score 0 (not NaN)."""
+    from pyspark.sql import functions as F
+
+    from puffbird_spark.operators.evaluation import sentence_bleu
+
+    rows = [
+        (1, "the the the the", "the cat sat on the mat"),
+        (2, "the cat sat", "the cat sat on the mat"),
+        (3, "a b c d e", "a b c d e"),
+        (4, "", "a b"),
+        (5, "x y", "a b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, c string, r string")
+    toks = lambda col: F.filter(  # noqa: E731
+        F.split(F.col(col), " "), lambda x: x != F.lit(""))
+    out = {r["doc_id"]: r for r in sentence_bleu(
+        df.select("doc_id", toks("c").alias("ct"), toks("r").alias("rt")),
+        "ct", "rt", id_col="doc_id").collect()}
+    # clipping: unigram match = min(4 cand 'the', 2 ref 'the') = 2
+    r1 = out[1]
+    assert (r1["p1"], r1["p2"], r1["p3"], r1["p4"]) == (
+        0.5, 0.25, 0.333333, 0.5)
+    assert r1["bp"] == 0.606531 and r1["bleu"] == 0.230432
+    # perfect sub-sequence: every p_n = 1, BLEU = BP = exp(1 - 6/3)
+    r2 = out[2]
+    assert (r2["p1"], r2["p2"], r2["p3"], r2["p4"]) == (1.0, 1.0, 1.0, 1.0)
+    assert r2["bp"] == 0.367879 and r2["bleu"] == 0.367879
+    assert out[3]["bleu"] == 1.0 and out[3]["bp"] == 1.0
+    # empty candidate: p1 = 0, bp = 0, bleu = 0 (vacuous higher orders
+    # smooth to 1 but cannot rescue)
+    r4 = out[4]
+    assert r4["cand_len"] == 0 and r4["p1"] == 0.0
+    assert r4["bp"] == 0.0 and r4["bleu"] == 0.0
+    # no unigram overlap: p1 = 0 -> bleu 0 even with bp = 1
+    assert out[5]["bleu"] == 0.0 and out[5]["bp"] == 1.0
+
+
+def test_chrf_hand_cases(spark):
+    """Hand-computed chrF2 (Popović 2015): a prefix candidate has
+    perfect precision and partial recall; identical strings score 1;
+    empty candidate scores 0; both-empty is 0 (all orders vacuous),
+    never NULL/NaN."""
+    from puffbird_spark.operators.evaluation import chrf
+
+    rows = [(1, "the cat", "the cat sat"), (2, "abc", "abc"),
+            (3, "", "ab"), (4, "", "")]
+    df = spark.createDataFrame(rows, "doc_id int, c string, r string")
+    out = {r["doc_id"]: r for r in
+           chrf(df, "c", "r", id_col="doc_id").collect()}
+    # 'thecat' (6 chars) vs 'thecatsat' (9): precision 1 at every
+    # order, recall averages 0.502183 over orders 1..6
+    assert out[1]["chrp"] == 1.0
+    assert out[1]["chrr"] == 0.502183
+    assert out[1]["chrf"] == 0.55771
+    assert out[2]["chrp"] == out[2]["chrr"] == out[2]["chrf"] == 1.0
+    assert out[3]["chrp"] == 0.0 and out[3]["chrf"] == 0.0
+    # reference-only grams make orders non-vacuous: recall 0, F 0
+    assert out[3]["chrr"] == 0.0
+    assert out[4]["chrf"] == 0.0 and out[4]["chrp"] == 0.0
