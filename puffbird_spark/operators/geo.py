@@ -51,15 +51,27 @@ def geohash_encode(
     total = 5 * precision
     lon_bits = (total + 1) // 2
     lat_bits = total // 2
-    lon_idx = F.least(
-        F.floor((lo + F.lit(180.0)) / F.lit(360.0)
-                * F.lit(float(1 << lon_bits))).cast("long"),
-        F.lit((1 << lon_bits) - 1),
+    # clamp BOTH edges: top-edge inputs (lat=90, lon=180) land in the
+    # last cell; below-range garbage (lat < -90, lon < -180) lands in
+    # the first instead of producing a NEGATIVE index, whose
+    # sign-preserving % 2 bits drove element_at to index 0 — an ANSI
+    # runtime error that would kill a whole job on one bad row
+    # (probe batch 5)
+    lon_idx = F.greatest(
+        F.least(
+            F.floor((lo + F.lit(180.0)) / F.lit(360.0)
+                    * F.lit(float(1 << lon_bits))).cast("long"),
+            F.lit((1 << lon_bits) - 1),
+        ),
+        F.lit(0),
     )
-    lat_idx = F.least(
-        F.floor((la + F.lit(90.0)) / F.lit(180.0)
-                * F.lit(float(1 << lat_bits))).cast("long"),
-        F.lit((1 << lat_bits) - 1),
+    lat_idx = F.greatest(
+        F.least(
+            F.floor((la + F.lit(90.0)) / F.lit(180.0)
+                    * F.lit(float(1 << lat_bits))).cast("long"),
+            F.lit((1 << lat_bits) - 1),
+        ),
+        F.lit(0),
     )
     g = F.lit(0).cast("long")
     for i in range(lon_bits):
@@ -80,7 +92,12 @@ def geohash_encode(
                              + 1).cast("int"))
         for k in range(precision)
     ]
-    return F.concat(*out)
+    # least/greatest SKIP nulls, so without this guard a NULL
+    # coordinate would silently encode as the top cell — a fabricated
+    # location (probe batch 5, the point_in_polygon NULL class).
+    # NULL in -> NULL out.
+    return F.when(
+        la.isNotNull() & lo.isNotNull(), F.concat(*out))
 
 
 def haversine_km(

@@ -251,6 +251,7 @@ def zipf_fit(
         F.sum(x).alias("sx"), F.sum(y).alias("sy"),
         F.sum(x * y).alias("sxy"), F.sum(x * x).alias("sxx"),
         F.sum(y * y).alias("syy"),
+        F.min(y).alias("ymin"), F.max(y).alias("ymax"),
     )
     n = F.col("n").cast("double")
     sx = F.col("sx").cast("double")
@@ -263,9 +264,21 @@ def zipf_fit(
         (n * sxy - sx * sy) * (n * sxy - sx * sy)
         / ((n * sxx - sx * sx) * (n * syy - sy * sy))
     )
+    # Degeneracy guards (probe batch 5: ANSI division-by-zero) are
+    # STRUCTURAL, not float-zero tests — ranks are distinct so the x
+    # variance is 0 iff n == 1, and the y variance is 0 iff every
+    # count in the head ties (min == max on the exact decimal logs, a
+    # real shape: a uniform or fully-deduplicated sample). Slope and
+    # intercept need x variance; r2 additionally needs y variance.
+    # Degenerate fits read NULL, never a crash or an Inf/NaN.
+    fit_ok = F.col("n") > 1
+    yvar_ok = F.col("ymin") != F.col("ymax")
     return s.select(
         F.col("n").alias("n_ranks"),
-        F.round(slope, round_dp).alias("slope"),
-        F.round((sy - slope * sx) / n, round_dp).alias("intercept"),
-        F.round(r2, round_dp).alias("r2"),
+        F.when(fit_ok, F.round(slope, round_dp)).alias("slope"),
+        F.when(
+            fit_ok, F.round((sy - slope * sx) / n, round_dp)
+        ).alias("intercept"),
+        F.when(
+            fit_ok & yvar_ok, F.round(r2, round_dp)).alias("r2"),
     )

@@ -4781,19 +4781,23 @@ l AS (SELECT CAST(round(ln(CAST(rank AS DOUBLE)), 9) AS DECIMAL(20,9)) AS x,
       FROM top),
 s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
              SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
-             SUM(x * x) AS sxx, SUM(y * y) AS syy
+             SUM(x * x) AS sxx, SUM(y * y) AS syy,
+             MIN(y) AS ymin, MAX(y) AS ymax
       FROM l)
 SELECT n AS n_ranks,
+  CASE WHEN n > 1 THEN
   round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) END AS slope,
+  CASE WHEN n > 1 THEN
   round((CAST(sy AS DOUBLE)
          - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
-           * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept,
+           * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) END AS intercept,
+  CASE WHEN n > 1 AND ymin <> ymax THEN
   round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
         * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
@@ -4801,7 +4805,7 @@ SELECT n AS n_ranks,
         / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) END AS r2
 FROM s
 """)
 def text_zipf_fit(spark, sf_dir):

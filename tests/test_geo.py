@@ -245,3 +245,27 @@ def test_point_in_polygon_degenerate_and_null_probes(spark):
     dg = {r["id"]: r["r"] for r in pts.select(
         "id", point_in_polygon("lon", "lat", dup).alias("r")).collect()}
     assert dg == got
+
+
+def test_geohash_domain_edges_and_null(spark):
+    """Probe batch 5: geohash must clamp BOTH domain edges (below-range
+    garbage previously produced a negative quantized index whose
+    sign-preserving %2 bits drove element_at to index 0 — an ANSI
+    runtime error killing the whole job on one bad row) and must
+    propagate NULL coordinates (least/greatest skip NULLs, so a NULL
+    lat silently encoded as a fabricated top-cell location)."""
+    from puffbird_spark.operators.geo import geohash_encode
+
+    pts = spark.createDataFrame(
+        [(90.0, 180.0), (-90.0, -180.0), (0.0, 0.0),
+         (91.0, 181.0), (-91.0, -181.0),
+         (None, 10.0), (10.0, None)],
+        "lat double, lon double")
+    got = [r["gh"] for r in pts.select(
+        geohash_encode("lat", "lon", 6).alias("gh")).collect()]
+    assert got[0] == "zzzzzz" and got[1] == "000000"
+    assert got[2] == "s00000"
+    # out-of-range clamps into the corner cells, never an error
+    assert got[3] == "zzzzzz" and got[4] == "000000"
+    # NULL in -> NULL out, never a fabricated location
+    assert got[5] is None and got[6] is None

@@ -6754,3 +6754,33 @@ def test_chrf_hand_cases(spark):
     # reference-only grams make orders non-vacuous: recall 0, F 0
     assert out[3]["chrr"] == 0.0
     assert out[4]["chrf"] == 0.0 and out[4]["chrp"] == 0.0
+
+
+def test_zipf_fit_degenerate_heads(spark):
+    """Probe batch 5: a uniform-count head (every token equally
+    frequent — a small or fully-deduplicated sample) previously hit an
+    ANSI division-by-zero in the r2 ratio; a single-distinct-token
+    corpus zeroed the slope denominator. Degenerate fits now read NULL
+    under structural guards (n > 1 for the fit, distinct min/max log
+    counts for r2), never a crash."""
+    from puffbird_spark.operators.lm import zipf_fit
+
+    uni = spark.createDataFrame(
+        [(i, f"tok{i}") for i in range(10)], "id int, text string")
+    r = zipf_fit(uni, "text").collect()[0]
+    assert r["n_ranks"] == 10
+    assert r["slope"] == 0.0 and r["intercept"] == 0.0
+    assert r["r2"] is None
+
+    one = spark.createDataFrame([(0, "aaa aaa aaa")], "id int, text string")
+    r1 = zipf_fit(one, "text").collect()[0]
+    assert r1["n_ranks"] == 1
+    assert r1["slope"] is None and r1["intercept"] is None
+    assert r1["r2"] is None
+
+    # a non-degenerate corpus still fits: slope < 0, r2 in (0, 1]
+    zipfy = spark.createDataFrame(
+        [(0, " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"]))],
+        "id int, text string")
+    rz = zipf_fit(zipfy, "text").collect()[0]
+    assert rz["slope"] < 0 and 0 < rz["r2"] <= 1
