@@ -235,6 +235,85 @@ def heavy_hitters_tracker(
     )
 
 
+def ttl_inactivity_tracker(
+    stream: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    ttl_sec: int = 1800,
+    delay: str = "0 seconds",
+) -> DataFrame:
+    """Keyed state with an EVENT-TIME TTL: per-key activity state
+    (first seen, last seen, event count) that EXPIRES when the stream's
+    watermark passes ``last activity + ttl_sec``; each expiry emits ONE
+    final row — the inactive-entity emission (abandoned cart, dormant
+    device, closed account session). Active keys emit nothing: the
+    operator's output IS the expirations (append mode).
+
+    Unlike the PROCESSING-time timeouts on :func:`running_count` /
+    :func:`session_tracker` (wall-clock, nondeterministic under
+    replay — unit-poll-only evidence), this TTL is EVENT-time: the
+    watermark is a function of the data and the batch boundaries, so a
+    staged file replay produces the exact same expiry rows every run
+    and a test can assert them row-for-row. Same per-key batch
+    monotonicity contract as ``session_tracker``; ``ts_col`` must be a
+    TIMESTAMP (the watermark needs one — applied here with ``delay``).
+
+    State is three longs per key — fixed width, O(1) per key, the
+    module discipline. The timeout registration clamps to
+    ``watermark + 1 ms`` when a fully-late batch would otherwise
+    register a timeout the engine rejects (timeouts may not precede
+    the current watermark). Emits ``(key, first_seen_us,
+    last_seen_us, n_events, expired_at_wm_ms)`` — exact integer
+    micros/millis, no timestamp-unit ambiguity."""
+    out_schema = (
+        f"{key} long, first_seen_us long, last_seen_us long, "
+        "n_events long, expired_at_wm_ms long")
+    state_schema = "first_us long, last_us long, n long"
+    ttl_ms = int(ttl_sec) * 1000
+
+    def update(key_tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            # Event-time eviction: the batch iterator is empty; the
+            # state's final aggregate is the emission.
+            first, last, n = state.get
+            state.remove()
+            yield pd.DataFrame({
+                key: [key_tuple[0]],
+                "first_seen_us": [first],
+                "last_seen_us": [last],
+                "n_events": [n],
+                "expired_at_wm_ms": [state.getCurrentWatermarkMs()],
+            })
+            return
+        first, last, n = state.get if state.exists else (None, None, 0)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            # robust across pandas datetime units (ns or us)
+            us = pdf[ts_col].astype("datetime64[us]").astype("int64")
+            mn, mx = int(us.min()), int(us.max())
+            first = mn if first is None else min(first, mn)
+            last = mx if last is None else max(last, mx)
+            n += len(pdf)
+        if last is None:
+            return
+        state.update((first, last, n))
+        state.setTimeoutTimestamp(
+            max(last // 1000 + ttl_ms, state.getCurrentWatermarkMs() + 1))
+
+    return (
+        stream.withWatermark(ts_col, delay)
+        .groupBy(key)
+        .applyInPandasWithState(
+            update,
+            outputStructType=StructType.fromDDL(out_schema),
+            stateStructType=StructType.fromDDL(state_schema),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def running_count_tws(
     stream: DataFrame,
     key: str = "user_id",

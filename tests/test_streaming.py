@@ -584,3 +584,72 @@ def test_session_tracker_late_event_cannot_regress_session_end(spark, tmpdir):
     # unclamped code emitted a phantom (0, 2m, 3) instead. The 40m
     # opener stays in state, unemitted.
     assert got == [(1, 0, 20 * M, 4)]
+
+
+def test_ttl_inactivity_tracker_event_time_eviction(spark, tmpdir):
+    """Event-time TTL eviction is DETERMINISTIC under replay: a key
+    silent past the TTL (by watermark, not wall clock) emits exactly
+    one expiry row with its final state; still-active keys and keys
+    whose TTL the watermark has not yet passed emit nothing."""
+    import datetime
+
+    from puffbird_spark.streaming.stateful import ttl_inactivity_tracker
+
+    def ts(minutes):
+        return datetime.datetime(2024, 1, 1) + datetime.timedelta(
+            minutes=minutes)
+
+    M = 60 * 1_000_000  # one minute in micros
+    # TTL 30 min, watermark delay 0:
+    #  b0: u1 @ 0,5m; u2 @ 0m          -> wm after b0 = 5m
+    #  b1: u2 @ 60m                    -> wm after b1 = 60m
+    #  b2: u3 @ 70m                    -> b2 SEES wm 60m > u1's
+    #      last(5m)+TTL(30m) = 35m     -> u1 expires in b2
+    # u2's timeout (60m+30m) and u3's (70m+30m) stay ahead of the
+    # final watermark, so neither expires.
+    b0 = [(1, ts(0)), (1, ts(5)), (2, ts(0))]
+    b1 = [(2, ts(60))]
+    b2 = [(3, ts(70))]
+    os.makedirs(f"{tmpdir}/in", exist_ok=True)
+    for i, rows in enumerate([b0, b1, b2]):
+        tmp = f"{tmpdir}/stage{i}"
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp"
+        ).coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        shutil.copy(f"{tmp}/{part}", f"{tmpdir}/in/b{i}.parquet")
+
+    src = (spark.readStream
+           .schema("user_id long, ts timestamp")
+           .option("maxFilesPerTrigger", 1).parquet(f"{tmpdir}/in"))
+    out = ttl_inactivity_tracker(src, ttl_sec=30 * 60)
+
+    from puffbird_spark.streaming import write_foreach_batch
+
+    def sink(df, epoch_id):
+        df.write.mode("append").parquet(f"{tmpdir}/out")
+
+    q = write_foreach_batch(
+        out, sink, checkpoint=f"{tmpdir}/ckpt", trigger_once=True,
+        output_mode="append").start()
+    q.awaitTermination(120)
+
+    got = [tuple(r) for r in spark.read.parquet(f"{tmpdir}/out")
+           .select("user_id", "first_seen_us", "last_seen_us",
+                   "n_events").collect()]
+    # exactly one expiry: u1, final state (first @0, last @5m, 2 events)
+    base = int(ts(0).replace(
+        tzinfo=datetime.timezone.utc).timestamp()) * 1_000_000
+    assert got == [(1, base, base + 5 * M, 2)]
+    # replay determinism: a second identical run emits the same row
+    import shutil as _sh
+    _sh.rmtree(f"{tmpdir}/ckpt"); _sh.rmtree(f"{tmpdir}/out")
+    q2 = write_foreach_batch(
+        ttl_inactivity_tracker(src, ttl_sec=30 * 60), sink,
+        checkpoint=f"{tmpdir}/ckpt", trigger_once=True,
+        output_mode="append").start()
+    q2.awaitTermination(120)
+    got2 = [tuple(r) for r in spark.read.parquet(f"{tmpdir}/out")
+            .select("user_id", "first_seen_us", "last_seen_us",
+                    "n_events").collect()]
+    assert got2 == got
