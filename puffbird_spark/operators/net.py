@@ -32,26 +32,43 @@ __all__ = [
 
 def ipv4_to_long(col: Column | str) -> Column:
     """Dotted-quad text -> uint32 as BIGINT (pure Column arithmetic:
-    one split + four casts, whole-stage codegen)."""
+    one rlike + one split + four casts, whole-stage codegen).
+
+    Malformed text (non-numeric octets, wrong arity, whitespace) and
+    out-of-range octets (> 255) read NULL — real web logs carry them,
+    and the unguarded octet cast was an ANSI CAST_INVALID_INPUT that
+    killed the whole job on one bad row (probe batch 5). The casts sit
+    INSIDE the regexp guard, so ANSI never sees a non-digit octet."""
     c = F.col(col) if isinstance(col, str) else col
     parts = F.split(c, r"\.")
-    return (
-        parts.getItem(0).cast("long") * F.lit(16777216)
-        + parts.getItem(1).cast("long") * F.lit(65536)
-        + parts.getItem(2).cast("long") * F.lit(256)
-        + parts.getItem(3).cast("long")
+    octs = [parts.getItem(i).cast("long") for i in range(4)]
+    in_range = (
+        (octs[0] <= 255) & (octs[1] <= 255)
+        & (octs[2] <= 255) & (octs[3] <= 255))
+    return F.when(
+        c.rlike(r"^\d{1,3}(\.\d{1,3}){3}$"),
+        F.when(
+            in_range,
+            octs[0] * F.lit(16777216) + octs[1] * F.lit(65536)
+            + octs[2] * F.lit(256) + octs[3]),
     )
 
 
 def long_to_ipv4(col: Column | str) -> Column:
-    """uint32 BIGINT -> dotted-quad text."""
+    """uint32 BIGINT -> dotted-quad text. Values outside [0, 2^32-1]
+    and NULL read NULL (probe batch 5: concat_ws SKIPS null args, so a
+    NULL input previously rendered as '' and a negative produced
+    '0.0.0.-1')."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.concat_ws(
-        ".",
-        (c / F.lit(16777216)).cast("long") % 256,
-        (c / F.lit(65536)).cast("long") % 256,
-        (c / F.lit(256)).cast("long") % 256,
-        c % 256,
+    return F.when(
+        c.between(0, 4294967295),
+        F.concat_ws(
+            ".",
+            (c / F.lit(16777216)).cast("long") % 256,
+            (c / F.lit(65536)).cast("long") % 256,
+            (c / F.lit(256)).cast("long") % 256,
+            c % 256,
+        ),
     )
 
 
@@ -61,9 +78,20 @@ def parse_cidr_blocks(blocks: DataFrame, cidr_col: str = "cidr") -> DataFrame:
     is the equi-join key for that prefix length. Pure Column ops; the
     per-row shift amount uses the SQL ``shiftright`` form (the Python
     wrapper only takes literal shift counts)."""
-    halves = F.split(F.col(cidr_col), "/")
-    out = blocks.withColumn("prefix_len", halves.getItem(1).cast("int"))
-    out = out.withColumn("net", ipv4_to_long(halves.getItem(0)))
+    c = F.col(cidr_col)
+    # the whole-string guard keeps getItem/cast from ever touching a
+    # slash-less or non-numeric block — under ANSI those were
+    # INVALID_ARRAY_INDEX / CAST errors killing the job on one bad row
+    # (probe batch 5); the <=32 guard keeps /33+ from a sign-masked
+    # negative shift. Malformed blocks parse to NULL fields and then
+    # match nothing (NULL never equi-joins) — garbage text, NULL out.
+    valid = c.rlike(r"^\d{1,3}(\.\d{1,3}){3}/\d{1,2}$")
+    halves = F.split(c, "/")
+    plen_raw = F.when(valid, halves.getItem(1).cast("int"))
+    out = blocks.withColumn(
+        "prefix_len", F.when(plen_raw <= 32, plen_raw))
+    out = out.withColumn(
+        "net", F.when(valid, ipv4_to_long(halves.getItem(0))))
     return out.withColumn(
         "net_sh", F.expr("shiftright(net, 32 - prefix_len)")
     )

@@ -6784,3 +6784,40 @@ def test_zipf_fit_degenerate_heads(spark):
         "id int, text string")
     rz = zipf_fit(zipfy, "text").collect()[0]
     assert rz["slope"] < 0 and 0 < rz["r2"] <= 1
+
+
+def test_ipv4_cidr_malformed_inputs_null_not_crash(spark):
+    """Probe batch 5: malformed IPs / CIDR blocks must parse to NULL,
+    never throw — the unguarded octet cast (CAST_INVALID_INPUT) and
+    the slash-split getItem (INVALID_ARRAY_INDEX) each killed the
+    whole job on one bad log row under ANSI; /33 sign-masked into a
+    negative shift; long_to_ipv4 rendered NULL as '' (concat_ws skips
+    nulls) and -1 as '0.0.0.-1'."""
+    from puffbird_spark.operators.net import (
+        ipv4_to_long, long_to_ipv4, parse_cidr_blocks)
+
+    ips = spark.createDataFrame(
+        [("1.2.3.4",), ("not an ip",), ("1.2.3",), ("1.2.3.4.5",),
+         ("300.1.1.1",), (" 1.2.3.4",), (None,), ("1.2.3.x",)],
+        "ip string")
+    got = [r["v"] for r in
+           ips.select(ipv4_to_long("ip").alias("v")).collect()]
+    assert got == [16909060, None, None, None, None, None, None, None]
+
+    back = spark.createDataFrame(
+        [(16909060,), (-1,), (2 ** 40,), (None,), (0,), (4294967295,)],
+        "v long")
+    ipt = [r["ip"] for r in
+           back.select(long_to_ipv4("v").alias("ip")).collect()]
+    assert ipt == ["1.2.3.4", None, None, None,
+                   "0.0.0.0", "255.255.255.255"]
+
+    cid = spark.createDataFrame(
+        [("10.0.0.0/8",), ("10.0.0.0/33",), ("10.0.0.0",),
+         ("garbage/8",)], "cidr string")
+    rows = {r["cidr"]: r for r in parse_cidr_blocks(cid).collect()}
+    assert rows["10.0.0.0/8"]["net_sh"] == 10
+    # malformed blocks parse to NULL join keys -> match nothing
+    assert rows["10.0.0.0/33"]["net_sh"] is None
+    assert rows["10.0.0.0"]["net"] is None
+    assert rows["garbage/8"]["net"] is None
