@@ -391,3 +391,79 @@ def test_hilbert_bijection_any_width(spark, bits):
     col = grid.select("x", "y",
                       hilbert_value("x", "y", bits).alias("d")).collect()
     assert {(r.x, r.y): r.d for r in col} == {(r.x, r.y): r.d for r in rows}
+
+
+TEXTS = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=24),
+    min_size=1, max_size=8)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=TEXTS)
+def test_chrf_swap_symmetry_and_identity(spark, texts):
+    """chrF invariants on random texts: swapping candidate and
+    reference swaps precision and recall EXACTLY (clipped matches are
+    symmetric; totals trade places); identical pairs score exactly 1
+    unless both sides are empty (all orders vacuous -> 0); every
+    metric stays in [0, 1]."""
+    from pyspark.sql import functions as F
+
+    from puffbird_spark.operators.evaluation import chrf
+
+    rows = [(i, t, texts[(i + 1) % len(texts)])
+            for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id int, c string, r string")
+    fwd = {r["doc_id"]: r for r in
+           chrf(df, "c", "r", id_col="doc_id").collect()}
+    rev = {r["doc_id"]: r for r in
+           chrf(df, "r", "c", id_col="doc_id").collect()}
+    for i in fwd:
+        assert fwd[i]["chrp"] == rev[i]["chrr"], (i, texts)
+        assert fwd[i]["chrr"] == rev[i]["chrp"], (i, texts)
+        for m in ("chrp", "chrr", "chrf"):
+            assert 0.0 <= fwd[i][m] <= 1.0
+
+    ident = {r["doc_id"]: r for r in chrf(
+        df.select("doc_id", "c", F.col("c").alias("r2")),
+        "c", "r2", id_col="doc_id").collect()}
+    for i, t in enumerate(texts):
+        expect = 0.0 if t.replace(" ", "") == "" else 1.0
+        assert ident[i]["chrf"] == expect, (t,)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=TEXTS)
+def test_sentence_bleu_bounds_and_identity(spark, texts):
+    """BLEU invariants on random token streams: identical pairs score
+    exactly 1 (empty pairs 0); every p_n, bp, and bleu stays in
+    [0, 1]; bleu is 0 whenever p1 is 0 and never exceeds bp."""
+    from pyspark.sql import functions as F
+
+    from puffbird_spark.operators.evaluation import sentence_bleu
+
+    rows = [(i, t, texts[(i + 1) % len(texts)])
+            for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id int, c string, r string")
+    tok = lambda col: F.filter(  # noqa: E731
+        F.split(F.col(col), " "), lambda x: x != F.lit(""))
+    out = {r["doc_id"]: r for r in sentence_bleu(
+        df.select("doc_id", tok("c").alias("ct"), tok("r").alias("rt")),
+        "ct", "rt", id_col="doc_id").collect()}
+    for i in out:
+        r = out[i]
+        for m in ("p1", "p2", "p3", "p4", "bp", "bleu"):
+            assert 0.0 <= r[m] <= 1.0, (m, r, texts)
+        if r["p1"] == 0.0:
+            assert r["bleu"] == 0.0
+        assert r["bleu"] <= r["bp"] + 1e-9
+
+    ident = {r["doc_id"]: r for r in sentence_bleu(
+        df.select("doc_id", tok("c").alias("ct"),
+                  tok("c").alias("rt2")),
+        "ct", "rt2", id_col="doc_id").collect()}
+    for i, t in enumerate(texts):
+        expect = 0.0 if t.split() == [] or t.replace(" ", "") == "" else 1.0
+        got = ident[i]["bleu"]
+        assert got == expect, (t, got)
