@@ -551,3 +551,78 @@ def chrf(
         F.round(chrp, 6).alias("chrp"),
         F.round(chrr, 6).alias("chrr"),
         F.round(f, 6).alias("chrf"))
+
+
+def corpus_bleu(
+    df: DataFrame,
+    cand_tokens,
+    ref_tokens,
+    id_col: str = "doc_id",
+    max_n: int = 4,
+) -> DataFrame:
+    """Corpus-level BLEU (Papineni et al. ACL 2002 — the exact
+    micro-averaged form, no smoothing): clipped matches and candidate
+    totals pool over ALL pairs before the per-order ratio, and the
+    brevity penalty compares TOTAL candidate length to total reference
+    length — so one short sentence cannot zero the score the way it
+    does per-sentence (the reason corpus BLEU is the reported number
+    and :func:`sentence_bleu` is the per-sample diagnostic).
+
+        p_n  = Σ_pairs match_n / Σ_pairs total_n      (0 if no grams)
+        BP   = 1 if ΣC >= ΣR else exp(1 - ΣR/ΣC)
+        BLEU = BP · exp(Σ_n ln p_n / max_n)           (0 if any p_n=0)
+
+    Same kernel and determinism policy as ``sentence_bleu`` (exact
+    long pools, 9-dp decimal log snap, 6-dp release); the pooling adds
+    one tiny (max_n-row) aggregate on top. Returns ONE row:
+    ``(n_pairs, cand_tokens, ref_tokens, p1..p{max_n}, bp, bleu)``."""
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        _col(cand_tokens).alias("__ct"),
+        _col(ref_tokens).alias("__rt"))
+    from ..functions.text import gram_occurrences
+
+    match = _clipped_gram_match(
+        base,
+        [gram_occurrences(F.col("__ct"), n) for n in range(1, max_n + 1)],
+        [gram_occurrences(F.col("__rt"), n) for n in range(1, max_n + 1)])
+    pooled_m = match.groupBy("__n").agg(
+        F.sum("__match").cast("long").alias("__m"))
+    lens = base.select(
+        F.size("__ct").alias("__cl"), F.size("__rt").alias("__rl"),
+        F.explode(F.sequence(F.lit(1), F.lit(int(max_n)))).alias("__n"))
+    pooled_t = lens.groupBy("__n").agg(
+        F.sum(F.greatest(F.col("__cl") - F.col("__n") + 1, F.lit(0)))
+        .cast("long").alias("__t"),
+        F.count(F.lit(1)).cast("long").alias("__pairs"),
+        F.sum("__cl").cast("long").alias("__sc"),
+        F.sum("__rl").cast("long").alias("__sr"))
+    pern = pooled_t.join(pooled_m, "__n", "left").na.fill({"__m": 0})
+    p = F.when(
+        F.col("__t") > 0,
+        F.col("__m").cast("double") / F.col("__t")).otherwise(F.lit(0.0))
+    logterm = F.when(p > 0, F.round(F.log(p), 9).cast("decimal(20,9)"))
+    one = pern.agg(
+        F.max("__pairs").alias("n_pairs"),
+        F.max("__sc").alias("cand_tokens"),
+        F.max("__sr").alias("ref_tokens"),
+        F.min(p).alias("__pmin"),
+        F.sum(logterm).alias("__slog"),
+        *[F.max(F.when(F.col("__n") == n, F.round(p, 6)))
+          .alias(f"p{n}") for n in range(1, max_n + 1)])
+    bp = (
+        F.when(F.col("cand_tokens") == 0, F.lit(0.0))
+        .when(F.col("cand_tokens") >= F.col("ref_tokens"), F.lit(1.0))
+        .otherwise(F.round(F.exp(
+            F.lit(1.0) - F.col("ref_tokens").cast("double")
+            / F.col("cand_tokens")), 9)))
+    bleu = F.when(
+        (F.col("__pmin") > 0) & (F.col("cand_tokens") > 0),
+        F.round(
+            bp * F.exp(F.col("__slog").cast("double") / F.lit(float(max_n))),
+            6),
+    ).otherwise(F.lit(0.0))
+    return one.select(
+        "n_pairs", "cand_tokens", "ref_tokens",
+        *[f"p{n}" for n in range(1, max_n + 1)],
+        F.round(bp, 6).alias("bp"), bleu.alias("bleu"))

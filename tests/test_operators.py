@@ -6821,3 +6821,44 @@ def test_ipv4_cidr_malformed_inputs_null_not_crash(spark):
     assert rows["10.0.0.0/33"]["net_sh"] is None
     assert rows["10.0.0.0"]["net"] is None
     assert rows["garbage/8"]["net"] is None
+
+
+def test_corpus_bleu_pools_before_ratio(spark):
+    """Corpus BLEU (exact Papineni micro-average): matches and totals
+    pool over all pairs BEFORE the per-order ratio, and the brevity
+    penalty compares TOTAL lengths — a perfect-prefix pair plus an
+    identical pair read p_n = 1 at every order with BP = exp(1-11/8);
+    a zero-overlap pair added to the pool dilutes p1 instead of
+    zeroing its own row (the sentence/corpus distinction)."""
+    from pyspark.sql import functions as F
+
+    from puffbird_spark.operators.evaluation import corpus_bleu
+
+    tok = lambda col: F.filter(  # noqa: E731
+        F.split(F.col(col), " "), lambda x: x != F.lit(""))
+
+    def run(rows):
+        df = spark.createDataFrame(rows, "doc_id int, c string, r string")
+        return corpus_bleu(
+            df.select("doc_id", tok("c").alias("ct"),
+                      tok("r").alias("rt")),
+            "ct", "rt", id_col="doc_id").collect()[0]
+
+    r = run([(1, "the cat sat", "the cat sat on the mat"),
+             (2, "a b c d e", "a b c d e")])
+    assert r["n_pairs"] == 2
+    assert (r["cand_tokens"], r["ref_tokens"]) == (8, 11)
+    assert (r["p1"], r["p2"], r["p3"], r["p4"]) == (1.0, 1.0, 1.0, 1.0)
+    assert r["bp"] == 0.687289 and r["bleu"] == 0.687289
+
+    # pooled dilution: the zero-overlap pair lowers p1 to 8/10, it
+    # does not zero the corpus (sentence BLEU of that pair alone is 0)
+    d = run([(1, "the cat sat", "the cat sat on the mat"),
+             (2, "a b c d e", "a b c d e"),
+             (3, "zz qq", "xx yy")])
+    assert d["p1"] == 0.8 and d["bleu"] > 0.0
+
+    # a corpus with no 4-grams at all reads 0 (documented: an order
+    # with zero pooled candidate occurrences zeroes the product)
+    s = run([(1, "a b", "a b")])
+    assert s["p4"] == 0.0 and s["bleu"] == 0.0
