@@ -62,6 +62,22 @@ DECODED_SCHEMA = T.StructType([
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+#: everything a TRUNCATED or GARBAGE blob can raise anywhere inside the
+#: pure-Python decoders (probe batch 6 census on cut/corrupted fixtures:
+#: zlib.error from a cut IDAT inflate, struct.error from a short header
+#: unpack, IndexError from a cut AVI chunk walk, KeyError from a
+#: poisoned LZW/huffman table, plus the deliberate NotImplementedError /
+#: ValueError contract raises). Corpus-facing kernels catch this tuple
+#: per blob and SKIP the row — a curation pass over scraped bytes must
+#: not die on one bad file (the narrow (NotImplementedError, ValueError)
+#: nets let zlib/struct/Index errors kill the whole job). The decoder
+#: FUNCTIONS themselves still raise — callers that want loud failure
+#: (unit tests, single-file tools) keep it.
+DECODE_ERRORS = (
+    NotImplementedError, ValueError, struct.error, zlib.error,
+    IndexError, KeyError, EOFError, OverflowError, ZeroDivisionError,
+)
+
 
 # ------------------------------------------------------------------ #
 # real header decode (pure Python — container headers are self-describing)
@@ -311,12 +327,15 @@ def sample_frames(
                         or blob[:9] == b"YUV4MPEG2"
                         or (blob[:4] == b"RIFF" and blob[8:12] == b"AVI ")
                     ):
-                        if blob[:1] == b"G":
-                            decoded = decode_gif_frames(blob)
-                        elif blob[:1] == b"Y":
-                            decoded = decode_y4m_frames(blob)
-                        else:
-                            decoded = decode_avi_frames(blob)
+                        try:
+                            if blob[:1] == b"G":
+                                decoded = decode_gif_frames(blob)
+                            elif blob[:1] == b"Y":
+                                decoded = decode_y4m_frames(blob)
+                            else:
+                                decoded = decode_avi_frames(blob)
+                        except DECODE_ERRORS:
+                            continue
                         for n in range(max_frames):
                             idx = n * stride
                             if idx >= len(decoded):
@@ -418,11 +437,14 @@ def resize_images(
                 ):
                     if blob is None:
                         continue
-                    w, h, px = decode_image_gray(bytes(blob))
-                    vals = [
-                        px[(y * h // out_h) * w + (x * w // out_w)]
-                        for y in range(out_h) for x in range(out_w)
-                    ]
+                    try:
+                        w, h, px = decode_image_gray(bytes(blob))
+                        vals = [
+                            px[(y * h // out_h) * w + (x * w // out_w)]
+                            for y in range(out_h) for x in range(out_w)
+                        ]
+                    except DECODE_ERRORS:
+                        continue
                     csv = ",".join(str(v) for v in vals)
                     out["path"].append(path)
                     out["src_w"].append(w)
@@ -891,6 +913,11 @@ def decode_wav_pcm(blob: bytes) -> tuple[int, int, int, list[list[int]]]:
         raise NotImplementedError(f"only 8/16-bit PCM, got {bits}-bit")
     if n_channels <= 0:
         raise ValueError("n_channels must be positive")
+    if sample_rate <= 0:
+        # a structurally-valid header can still declare rate 0, which
+        # divided-by-zero in every duration computation downstream
+        # (probe batch 6)
+        raise ValueError("sample_rate must be positive")
     width = bits // 8
     n_frames = len(data) // (width * n_channels)
     frames: list[list[int]] = []
@@ -969,7 +996,10 @@ def audio_stats(
                 ):
                     if blob is None:
                         continue
-                    rate, n_ch, _bits, frames = decode_wav_pcm(bytes(blob))
+                    try:
+                        rate, n_ch, _bits, frames = decode_wav_pcm(bytes(blob))
+                    except DECODE_ERRORS:
+                        continue
                     mono = _mono_fold(frames)
                     n = len(mono)
                     dur = n * 1000 // rate
@@ -1042,7 +1072,10 @@ def resample_audio(
                 ):
                     if blob is None:
                         continue
-                    src, _n_ch, _bits, frames = decode_wav_pcm(bytes(blob))
+                    try:
+                        src, _n_ch, _bits, frames = decode_wav_pcm(bytes(blob))
+                    except DECODE_ERRORS:
+                        continue
                     mono = _mono_fold(frames)
                     n = len(mono)
                     n_out = n * dst_rate // src
@@ -1064,10 +1097,15 @@ def resample_audio(
                     out["n_frames"].append(n)
                     out["n_out"].append(n_out)
                     out["samples"].append(vals)
-                yield pd.DataFrame(out).astype({
+                frame = pd.DataFrame(out).astype({
                     "src_rate": "int32", "dst_rate": "int32",
                     "n_frames": "int64", "n_out": "int64",
                 })
+                # an all-skipped batch leaves the list column as an
+                # empty float64 Series, which Arrow cannot convert to
+                # list<double> (probe batch 6) — pin object dtype
+                frame["samples"] = frame["samples"].astype("object")
+                yield frame
 
     return df.select(path_col, content_col).mapInPandas(
         kernel, RESAMPLED_AUDIO_SCHEMA)
@@ -1210,7 +1248,7 @@ def image_pixel_stats(
                     fmt, _, _ = parse_image_header(blob)
                     try:
                         w, h, px = decode_image_gray(blob)
-                    except (NotImplementedError, ValueError):
+                    except DECODE_ERRORS:
                         continue
                     total = sum(px)
                     mean = total / len(px)
@@ -1547,7 +1585,7 @@ def image_content_digest(
                     fmt, _, _ = parse_image_header(blob)
                     try:
                         w, h, px = decode_image_gray(blob)
-                    except (NotImplementedError, ValueError):
+                    except DECODE_ERRORS:
                         continue
                     csv = ",".join(str(v) for v in px)
                     out["path"].append(path)
@@ -1617,7 +1655,10 @@ def audio_wht(
                 ):
                     if blob is None:
                         continue
-                    _rate, _n_ch, _bits, frames = decode_wav_pcm(bytes(blob))
+                    try:
+                        _rate, _n_ch, _bits, frames = decode_wav_pcm(bytes(blob))
+                    except DECODE_ERRORS:
+                        continue
                     mono = _mono_fold(frames)
                     n = len(mono)
                     for w_idx in range((n + window - 1) // window):
@@ -1731,7 +1772,7 @@ def image_phash(
                     fmt, _, _ = parse_image_header(blob)
                     try:
                         w, h, pix = decode_image_gray(blob)
-                    except NotImplementedError:
+                    except DECODE_ERRORS:
                         continue
                     if w < grid or h < grid:
                         continue
@@ -1804,7 +1845,7 @@ def video_scene_cuts(
                         continue
                     try:
                         frames = _frames(bytes(blob))
-                    except NotImplementedError:
+                    except DECODE_ERRORS:
                         continue
                     prev = None
                     scene = 0
@@ -1927,7 +1968,10 @@ def audio_activity_segments(
                 ):
                     if blob is None:
                         continue
-                    _r, _nc, _b, frames = decode_wav_pcm(bytes(blob))
+                    try:
+                        _r, _nc, _b, frames = decode_wav_pcm(bytes(blob))
+                    except DECODE_ERRORS:
+                        continue
                     mono = _mono_fold(frames)
                     n = len(mono)
                     seg = None  # (first_w, last_w, peak)
@@ -2008,7 +2052,7 @@ def image_patches(
                         continue
                     try:
                         w, h, pix = decode_image_gray(bytes(blob))
-                    except NotImplementedError:
+                    except DECODE_ERRORS:
                         continue
                     for pr in range(h // patch):
                         for pc in range(w // patch):
@@ -2084,7 +2128,7 @@ def augment_images(
                         continue
                     try:
                         w, h, pix = decode_image_gray(bytes(blob))
-                    except NotImplementedError:
+                    except DECODE_ERRORS:
                         continue
                     img = np.frombuffer(pix, dtype=np.uint8).reshape(h, w)
                     for aug in augs:
@@ -2162,7 +2206,7 @@ def video_thumbnail(
                         continue
                     try:
                         frames = _frames(bytes(blob))
-                    except NotImplementedError:
+                    except DECODE_ERRORS:
                         continue
                     if not frames:
                         continue

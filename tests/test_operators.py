@@ -6862,3 +6862,73 @@ def test_corpus_bleu_pools_before_ratio(spark):
     # with zero pooled candidate occurrences zeroes the product)
     s = run([(1, "a b", "a b")])
     assert s["p4"] == 0.0 and s["bleu"] == 0.0
+
+
+def test_multimodal_kernels_skip_corrupt_blobs(spark):
+    """Probe batch 6: a scraped-media corpus carries truncated and
+    garbage blobs, and every corpus-facing kernel must SKIP them, not
+    die — cut PNG IDAT streams raise zlib.error, short headers raise
+    struct.error, cut AVI chunk walks raise IndexError, all previously
+    outside the (NotImplementedError, ValueError) nets and each fatal
+    to the whole job. Also pinned: the all-skipped batch with a
+    list-typed output column (Arrow rejected the empty float64 Series
+    as list<double>) and the zero-sample-rate WAV header (downstream
+    division by zero)."""
+    import struct as _struct
+
+    from puffbird_spark.operators.multimodal import (
+        audio_stats, decode_wav_pcm, encode_avi_mjpeg, encode_gif,
+        encode_png, encode_wav, encode_y4m, image_pixel_stats,
+        resample_audio, resize_images, sample_frames)
+
+    png, gif = encode_png(8, 8, seed=1), encode_gif(8, 8, seed=2)
+    wav = encode_wav(200, seed=1)
+    y4m, avi = encode_y4m(8, 8, 3), encode_avi_mjpeg(8, 8, 3)
+
+    img = spark.createDataFrame(
+        [("good.png", bytearray(png)),
+         ("half.png", bytearray(png[: len(png) // 2])),
+         ("sig.png", bytearray(png[:8])),
+         ("garbage.png", bytearray(b"\x89PNG\r\n\x1a\n" + b"\xff" * 40)),
+         ("half.gif", bytearray(gif[: len(gif) // 2])),
+         ("empty", bytearray(b"")),
+         ("good.gif", bytearray(gif))],
+        "path string, content binary")
+    assert sorted(r["path"] for r in image_pixel_stats(img).collect()) \
+        == ["good.gif", "good.png"]
+    assert sorted(r["path"] for r in
+                  resize_images(img, out_w=4, out_h=4).collect()) \
+        == ["good.gif", "good.png"]
+
+    aud = spark.createDataFrame(
+        [("good.wav", bytearray(wav)), ("t12.wav", bytearray(wav[:12])),
+         ("rand.wav", bytearray(bytes(range(250))))],
+        "path string, content binary")
+    assert sorted(set(r["path"] for r in audio_stats(aud).collect())) \
+        == ["good.wav"]
+    # all-corrupt micro-batch: list-typed output column must still
+    # Arrow-convert (the empty-Series dtype pin)
+    bad = aud.filter("path != 'good.wav'")
+    assert resample_audio(bad, dst_rate=4000).collect() == []
+    assert sorted(set(
+        r["path"] for r in
+        resample_audio(aud, dst_rate=4000).collect())) == ["good.wav"]
+
+    vid = spark.createDataFrame(
+        [("good.y4m", bytearray(y4m)),
+         ("half.y4m", bytearray(y4m[: len(y4m) // 2])),
+         ("half.avi", bytearray(avi[: len(avi) // 2])),
+         ("half.gif", bytearray(gif[: len(gif) // 2]))],
+        "path string, content binary")
+    assert sorted(set(r["path"] for r in
+                      sample_frames(vid, max_frames=2).collect())) \
+        == ["good.y4m"]
+
+    # zero-declared-sample-rate WAV: a clean contract raise, caught by
+    # the kernels, never a downstream division by zero
+    w = bytearray(wav)
+    i = w.find(b"fmt ")
+    w[i + 12:i + 16] = _struct.pack("<I", 0)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="sample_rate"):
+        decode_wav_pcm(bytes(w))
