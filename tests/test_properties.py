@@ -467,3 +467,92 @@ def test_sentence_bleu_bounds_and_identity(spark, texts):
         expect = 0.0 if t.split() == [] or t.replace(" ", "") == "" else 1.0
         got = ident[i]["bleu"]
         assert got == expect, (t, got)
+
+
+def _ref_bleu(c_toks, r_toks, max_n=4):
+    """Independent pure-Python BLEU+1 reference (mirrors the documented
+    semantics, not the Spark code) for the differential pin."""
+    import math
+    from collections import Counter
+
+    def ngrams(toks, n):
+        return [tuple(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+
+    clen, rlen = len(c_toks), len(r_toks)
+    ps, logs, pmin = [], [], 1.0
+    for n in range(1, max_n + 1):
+        cc, rc = Counter(ngrams(c_toks, n)), Counter(ngrams(r_toks, n))
+        m = sum(min(v, rc[g]) for g, v in cc.items())
+        t, s = max(clen - n + 1, 0), (0 if n == 1 else 1)
+        p = ((m + s) / (t + s)) if (t + s) > 0 else 0.0
+        ps.append(round(p, 6))
+        pmin = min(pmin, p)
+        if p > 0:
+            logs.append(round(math.log(p), 9))
+    bp = (0.0 if clen == 0
+          else (1.0 if clen >= rlen
+                else round(math.exp(1 - rlen / clen), 9)))
+    bleu = (round(bp * math.exp(sum(logs) / max_n), 6)
+            if (pmin > 0 and clen > 0) else 0.0)
+    return ps, round(bp, 6), bleu
+
+
+def _ref_chrf(cs, rs, max_n=6, beta=2.0):
+    """Independent pure-Python chrF reference for the differential."""
+    from collections import Counter
+
+    cs, rs = cs.replace(" ", ""), rs.replace(" ", "")
+    sp = sr = k = 0
+    for n in range(1, max_n + 1):
+        cg = Counter(cs[i:i + n] for i in range(len(cs) - n + 1))
+        rg = Counter(rs[i:i + n] for i in range(len(rs) - n + 1))
+        m = sum(min(v, rg[g]) for g, v in cg.items())
+        tc, tr = max(len(cs) - n + 1, 0), max(len(rs) - n + 1, 0)
+        if tc > 0 or tr > 0:
+            k += 1
+            sp += round(m / tc if tc > 0 else 0.0, 9)
+            sr += round(m / tr if tr > 0 else 0.0, 9)
+    chrp = round(sp / k, 9) if k else 0.0
+    chrr = round(sr / k, 9) if k else 0.0
+    b2 = beta * beta
+    den = b2 * chrp + chrr
+    f = (1 + b2) * chrp * chrr / den if den > 0 else 0.0
+    return round(chrp, 6), round(chrr, 6), round(f, 6)
+
+
+PAIR_TEXTS = st.lists(
+    st.tuples(st.text(alphabet="abc d", min_size=0, max_size=30),
+              st.text(alphabet="abc d", min_size=0, max_size=30)),
+    min_size=1, max_size=6)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(pairs=PAIR_TEXTS)
+def test_bleu_chrf_match_pure_python_reference(spark, pairs):
+    """Full randomized differential: the distributed BLEU/chrF kernels
+    must agree value-for-value (6 dp, same rounding ladder) with
+    independent single-process Python references on arbitrary
+    candidate/reference pairs — clipping, smoothing, vacuous orders,
+    emptiness, and the brevity penalty all exercised by the fuzzer."""
+    from pyspark.sql import functions as F
+
+    from puffbird_spark.operators.evaluation import chrf, sentence_bleu
+
+    rows = [(i, c, r) for i, (c, r) in enumerate(pairs)]
+    df = spark.createDataFrame(rows, "doc_id int, c string, r string")
+    tok = lambda col: F.filter(  # noqa: E731
+        F.split(F.col(col), " "), lambda x: x != F.lit(""))
+    got_b = {r["doc_id"]: r for r in sentence_bleu(
+        df.select("doc_id", tok("c").alias("ct"), tok("r").alias("rt")),
+        "ct", "rt", id_col="doc_id").collect()}
+    got_c = {r["doc_id"]: r for r in
+             chrf(df, "c", "r", id_col="doc_id").collect()}
+    for i, (c, r) in enumerate(pairs):
+        ps, bp, bleu = _ref_bleu(c.split(), r.split())
+        g = got_b[i]
+        assert [g["p1"], g["p2"], g["p3"], g["p4"]] == ps, (c, r)
+        assert (g["bp"], g["bleu"]) == (bp, bleu), (c, r)
+        chrp, chrr, f = _ref_chrf(c, r)
+        assert (got_c[i]["chrp"], got_c[i]["chrr"],
+                got_c[i]["chrf"]) == (chrp, chrr, f), (c, r)
