@@ -476,7 +476,16 @@ def canonical_url(url: str | Column) -> Column:
     ref_src), drop an emptied query, trim trailing path slashes. Path
     CASE is preserved (paths are case-sensitive per RFC 3986). Built
     by part extraction + rebuild — no backreference replacements, so
-    the identical patterns replay in RE2 SQL oracles. Pure codegen."""
+    the identical patterns replay in RE2 SQL oracles. Pure codegen.
+
+    NON-canonicalizable text — relative URLs, bare hosts with no
+    scheme, arbitrary garbage — reads NULL (probe batch 7: the
+    unguarded rebuild collapsed ALL such rows onto the one shared
+    key '://', so a URL-dedup keep-one policy silently dropped every
+    junk-URL document but one). Dedup callers must treat a NULL
+    canonical as "keep as-is": filter NULLs before the groupBy —
+    groupBy puts all NULLs in one group, which would recreate the
+    same false cluster."""
     c = F.col(url) if isinstance(url, str) else url
     scheme = F.lower(F.regexp_extract(c, URL_SCHEME_PATTERN, 1))
     hostport = F.lower(F.regexp_extract(c, URL_HOSTPORT_PATTERN, 1))
@@ -487,7 +496,10 @@ def canonical_url(url: str | Column) -> Column:
     q = F.regexp_extract(c, URL_QUERY_PATTERN, 1)
     q = F.regexp_replace(q, TRACKING_PARAM_PATTERN, "")
     q = F.regexp_replace(q, r"^&+", "")
-    return F.concat(
-        scheme, F.lit("://"), host, path,
-        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+    return F.when(
+        (scheme != "") & (host != ""),
+        F.concat(
+            scheme, F.lit("://"), host, path,
+            F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+        ),
     )

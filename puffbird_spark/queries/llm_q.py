@@ -4612,6 +4612,11 @@ q0 AS (SELECT doc_id, url,
            '^&+', '') AS qc
        FROM u),
 c AS (SELECT doc_id,
+        CASE WHEN regexp_extract(url,
+               '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) <> ''
+          AND regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1) <> ''
+        THEN
         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
         || '://'
         || regexp_replace(regexp_replace(
@@ -4622,7 +4627,8 @@ c AS (SELECT doc_id,
              regexp_extract(url,
                '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
              '/+$', '')
-        || (CASE WHEN qc <> '' THEN '?' || qc ELSE '' END) AS canon
+        || (CASE WHEN qc <> '' THEN '?' || qc ELSE '' END)
+        END AS canon
       FROM q0)
 SELECT canon AS canonical_url,
        CAST(MIN(doc_id) AS BIGINT) AS keep_id,

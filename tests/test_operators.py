@@ -6932,3 +6932,22 @@ def test_multimodal_kernels_skip_corrupt_blobs(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="sample_rate"):
         decode_wav_pcm(bytes(w))
+
+
+def test_canonical_url_noncanonicalizable_reads_null(spark):
+    """Probe batch 7: relative URLs, bare hosts, and garbage must
+    canonicalize to NULL — the unguarded rebuild collapsed them all
+    onto the one shared key '://', so URL-dedup's keep-one policy
+    silently dropped every junk-URL document but one. Well-formed
+    URLs keep the full normalization ladder."""
+    from puffbird_spark.functions.text import canonical_url
+
+    urls = ["https://www.Ex.COM:443/p/?utm_source=1&q=2",
+            "example.com/a", "/relative/path", "garbage", "", None,
+            "ht tp://broken url", "ftp://Host/Dir/"]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r["c"] for r in
+           df.select(canonical_url("url").alias("c")).collect()]
+    assert got[0] == "https://ex.com/p?q=2"
+    assert got[1:7] == [None] * 6
+    assert got[7] == "ftp://host/Dir"
