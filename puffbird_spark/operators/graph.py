@@ -1140,6 +1140,18 @@ def shortest_paths_weighted(
     """
     if max_hops < 0:
         raise ValueError("max_hops must be >= 0")
+    # the delta-relaxation cut below is only exact for NON-NEGATIVE
+    # weights (with a negative edge a <=k-edge shortest path need not
+    # have a strictly-improving prefix chain, so the improved-frontier
+    # pruning silently misses relaxations) — enforce the documented
+    # contract with a limit-1 probe instead of computing garbage
+    # (probe batch 7; the scd2_apply early-exit precedent)
+    bad = edges.filter(F.col(weight) < 0).limit(1).collect()
+    if bad:
+        raise ValueError(
+            "shortest_paths_weighted requires non-negative weights "
+            f"(found {bad[0][weight]!r}) — Bellman-Ford's "
+            "delta-relaxation pruning is wrong under negative edges")
     und = (
         edges.select(
             F.col(src).alias("a"), F.col(dst).alias("b"),

@@ -6951,3 +6951,23 @@ def test_canonical_url_noncanonicalizable_reads_null(spark):
     assert got[0] == "https://ex.com/p?q=2"
     assert got[1:7] == [None] * 6
     assert got[7] == "ftp://host/Dir"
+
+
+def test_shortest_paths_weighted_rejects_negative_weights(spark):
+    """Probe batch 7: the Bellman-Ford delta-relaxation cut is only
+    exact for non-negative weights — a negative edge must raise the
+    contract error, not silently miscompute the <=k-edge metric."""
+    import pytest as _pytest
+
+    from puffbird_spark.operators.graph import shortest_paths_weighted
+
+    edges = spark.createDataFrame(
+        [(1, 2, 3), (2, 3, -1)], "src int, dst int, weight int")
+    seeds = spark.createDataFrame([(1,)], "v int")
+    with _pytest.raises(ValueError, match="non-negative"):
+        shortest_paths_weighted(edges, seeds)
+    ok = spark.createDataFrame(
+        [(1, 2, 3), (2, 3, 1)], "src int, dst int, weight int")
+    got = {r["vertex"]: r["dist"] for r in
+           shortest_paths_weighted(ok, seeds).collect()}
+    assert got == {1: 0, 2: 3, 3: 4}
