@@ -105,6 +105,10 @@ def hash_sample(
 
     A pure filter — no shuffle, no sampling pass; survives re-runs and
     repartitioning unchanged (unlike ``DataFrame.sample``)."""
+    if fraction > 1.0:
+        # symmetric with the negative check inside hash_hex_threshold —
+        # 1.5 was silently keep-everything while -0.1 raised (probe 8)
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
     if fraction >= 1.0:
         return df  # no-op filter: keep everything, skip the md5 entirely
     return df.filter(
@@ -805,18 +809,25 @@ def mixture_temperature_weights(
     tot = per.agg(
         F.sum(F.pow(F.col("__n"), F.lit(alpha))).alias("__ta"),
         F.sum("__n").alias("__tn"))
+    # a zero-mass group (a domain whose token_col sums to 0 after
+    # upstream filtering) is real input: its weight is a plain 0 but
+    # its oversample FACTOR is undefined (w / (0/N) divided by zero
+    # under ANSI and killed the job — probe batch 8) → NULL. An
+    # all-zero corpus (__ta = 0) makes every weight undefined → NULL.
+    ta_ok = F.col("__ta") > 0
+    n_ok = F.col("__n") > 0
     return (
         per.crossJoin(F.broadcast(tot))
         .select(
             *group_cols,
             F.col("__n").cast("long").alias("n"),
-            F.round(
+            F.when(ta_ok, F.round(
                 F.pow(F.col("__n"), F.lit(alpha)) / F.col("__ta"), dp
-            ).alias("weight"),
-            F.round(
+            )).alias("weight"),
+            F.when(ta_ok & n_ok, F.round(
                 (F.pow(F.col("__n"), F.lit(alpha)) / F.col("__ta"))
                 / (F.col("__n") / F.col("__tn")), dp
-            ).alias("oversample_factor"),
+            )).alias("oversample_factor"),
         )
     )
 

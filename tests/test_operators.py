@@ -6971,3 +6971,27 @@ def test_shortest_paths_weighted_rejects_negative_weights(spark):
     got = {r["vertex"]: r["dist"] for r in
            shortest_paths_weighted(ok, seeds).collect()}
     assert got == {1: 0, 2: 3, 3: 4}
+
+
+def test_mixture_weights_zero_mass_group_and_fraction_range(spark):
+    """Probe batch 8: a zero-token group's oversample factor divided
+    by zero under ANSI and killed the job — it now reads NULL with a
+    plain 0 weight; hash_sample's fraction contract is symmetric
+    (both -0.1 AND 1.5 raise; 1.0 is the documented keep-all no-op)."""
+    import pytest as _pytest
+
+    from puffbird_spark.operators.splits import (
+        hash_sample, mixture_temperature_weights)
+
+    cnt = spark.createDataFrame([("a", 10), ("b", 0)], "g string, n long")
+    got = {r["g"]: r for r in mixture_temperature_weights(
+        cnt, ["g"], alpha=0.3, token_col="n").collect()}
+    assert got["a"]["weight"] == 1.0 and got["a"]["oversample_factor"] == 1.0
+    assert got["b"]["weight"] == 0.0
+    assert got["b"]["oversample_factor"] is None
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    assert hash_sample(df, "id", 1.0).count() == 10
+    for bad in (-0.1, 1.5):
+        with _pytest.raises(ValueError, match="fraction"):
+            hash_sample(df, "id", bad)
