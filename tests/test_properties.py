@@ -556,3 +556,57 @@ def test_bleu_chrf_match_pure_python_reference(spark, pairs):
         chrp, chrr, f = _ref_chrf(c, r)
         assert (got_c[i]["chrp"], got_c[i]["chrr"],
                 got_c[i]["chrf"]) == (chrp, chrr, f), (c, r)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(pairs=PAIR_TEXTS)
+def test_corpus_bleu_matches_pure_python_reference(spark, pairs):
+    """Randomized differential for the pooled (corpus) BLEU: exact
+    agreement with an independent single-process micro-average
+    reference, including the no-grams-at-order-n and empty-corpus
+    edges the fuzzer reaches."""
+    import math
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from puffbird_spark.operators.evaluation import corpus_bleu
+
+    def ref(prs, max_n=4):
+        def ngrams(toks, n):
+            return [tuple(toks[i:i + n])
+                    for i in range(len(toks) - n + 1)]
+
+        sc = sum(len(c.split()) for c, _ in prs)
+        sr = sum(len(r.split()) for _, r in prs)
+        ps, logs, pmin = [], [], 1.0
+        for n in range(1, max_n + 1):
+            m = t = 0
+            for c, r in prs:
+                cc = Counter(ngrams(c.split(), n))
+                rc = Counter(ngrams(r.split(), n))
+                m += sum(min(v, rc[g]) for g, v in cc.items())
+                t += max(len(c.split()) - n + 1, 0)
+            p = m / t if t > 0 else 0.0
+            ps.append(round(p, 6))
+            pmin = min(pmin, p)
+            if p > 0:
+                logs.append(round(math.log(p), 9))
+        bp = (0.0 if sc == 0
+              else (1.0 if sc >= sr else round(math.exp(1 - sr / sc), 9)))
+        bleu = (round(bp * math.exp(sum(logs) / max_n), 6)
+                if (pmin > 0 and sc > 0) else 0.0)
+        return sc, sr, ps, round(bp, 6), bleu
+
+    rows = [(i, c, r) for i, (c, r) in enumerate(pairs)]
+    df = spark.createDataFrame(rows, "doc_id int, c string, r string")
+    tok = lambda col: F.filter(  # noqa: E731
+        F.split(F.col(col), " "), lambda x: x != F.lit(""))
+    g = corpus_bleu(
+        df.select("doc_id", tok("c").alias("ct"), tok("r").alias("rt")),
+        "ct", "rt", id_col="doc_id").collect()[0]
+    sc, sr, ps, bp, bleu = ref(pairs)
+    assert (g["cand_tokens"], g["ref_tokens"]) == (sc, sr), pairs
+    assert [g["p1"], g["p2"], g["p3"], g["p4"]] == ps, pairs
+    assert (g["bp"], g["bleu"]) == (bp, bleu), pairs
