@@ -63,6 +63,12 @@ def asof_join(
     if direction not in ("backward", "forward", "nearest"):
         raise PuffbirdSparkError(
             f"direction must be backward|forward|nearest, got {direction!r}")
+    if tolerance is not None and tolerance < 0:
+        # deterministic but vacuous — |gap| <= negative matches nothing;
+        # name the contract instead of silently returning all-unmatched
+        # (probe batch 9)
+        raise PuffbirdSparkError(
+            f"tolerance must be >= 0, got {tolerance!r}")
     for k in on:
         if k not in left.columns or k not in right.columns:
             raise PuffbirdSparkError(f"as-of key {k!r} missing from a side")

@@ -97,8 +97,14 @@ def bloom_filter_words(
     that is at most 131k longs (~1 MB) no matter how many grams went in.
     This is the deliberate trade: the collect is bounded by the filter
     size, not the data."""
-    if m_bits % 64:
-        raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
+    if m_bits <= 0 or m_bits % 64:
+        # m_bits=0 passed the old multiple-of-64 check and then died at
+        # run time in pmod's REMAINDER_BY_ZERO (probe batch 9) — config
+        # errors belong at plan time with the contract named
+        raise ValueError(
+            f"m_bits must be a positive multiple of 64, got {m_bits}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     pos_cols = [
         F.pmod(F.xxhash64(F.lit(s), F.col(gram_col)), F.lit(m_bits))
         for s in range(k)

@@ -6995,3 +6995,31 @@ def test_mixture_weights_zero_mass_group_and_fraction_range(spark):
     for bad in (-0.1, 1.5):
         with _pytest.raises(ValueError, match="fraction"):
             hash_sample(df, "id", bad)
+
+
+def test_bloom_and_asof_config_contracts(spark):
+    """Probe batch 9: config errors surface at plan time with the
+    contract named — m_bits=0 passed the multiple-of-64 check and died
+    at run time in pmod's REMAINDER_BY_ZERO; k=0 built a filter that
+    could never probe; a negative as-of tolerance vacuously matched
+    nothing."""
+    import pytest as _pytest
+
+    from puffbird_spark.errors import PuffbirdSparkError
+    from puffbird_spark.operators.asof import asof_join
+    from puffbird_spark.operators.decontam import bloom_filter_words
+
+    dim = spark.createDataFrame([(10,), (30,)], "v long")
+    for m, k in [(0, 5), (-64, 5), (100, 5), (1024, 0)]:
+        with _pytest.raises(ValueError):
+            bloom_filter_words(dim, "v", m_bits=m, k=k)
+
+    l = spark.createDataFrame([(1, 100)], "k long, lts long")
+    r = spark.createDataFrame([(1, 90, 5.0)], "k long, rts long, x double")
+    with _pytest.raises(PuffbirdSparkError, match="tolerance"):
+        asof_join(l, r, on=["k"], left_ts="lts", right_ts="rts",
+                  tolerance=-10)
+    # tolerance=0 stays legal: exact-time matches only
+    got = asof_join(l, r, on=["k"], left_ts="lts", right_ts="rts",
+                    tolerance=0).collect()
+    assert [row["x"] for row in got] == [None]
