@@ -68,20 +68,29 @@ def apply_expectations(
         F.count(F.lit(1)).alias("__n"),
         F.sum(F.when(~all_ok, 1).otherwise(0)).alias("__vt"),
         *agg_cols)
+    # empty input (a realistic empty delta): sums over zero rows are
+    # NULL, but "zero rows had zero violations" — coalesce the counts
+    # and leave the RATE NULL (0/0 is undefined, not 0%) (probe b10)
+    def _vcount(c):
+        return F.coalesce(c, F.lit(0)).cast("long")
+
+    def _vrate(c):
+        return F.when(
+            F.col("__n") > 0, F.round(c / F.col("__n"), 6))
+
     rows = [
         F.struct(
             F.lit(n).alias("rule"),
             F.col("__n").cast("long").alias("n_rows"),
-            F.col(f"__v_{i}").cast("long").alias("n_violations"),
-            F.round(F.col(f"__v_{i}") / F.col("__n"), 6)
-            .alias("violation_rate"))
+            _vcount(F.col(f"__v_{i}")).alias("n_violations"),
+            _vrate(F.col(f"__v_{i}")).alias("violation_rate"))
         for i, n in enumerate(names)
     ]
     rows.append(F.struct(
         F.lit("__total").alias("rule"),
         F.col("__n").cast("long").alias("n_rows"),
-        F.col("__vt").cast("long").alias("n_violations"),
-        F.round(F.col("__vt") / F.col("__n"), 6).alias("violation_rate")))
+        _vcount(F.col("__vt")).alias("n_violations"),
+        _vrate(F.col("__vt")).alias("violation_rate")))
     scorecard = scorecard_wide.select(
         F.explode(F.array(*rows)).alias("r")).select("r.*")
     return passed, quarantined, scorecard

@@ -83,6 +83,13 @@ def incremental_rollup(
     (:func:`hypertable_rollup`), then the union with the EXISTING rollup
     shuffles rollup-sized data only — a 100 TB event history never moves;
     each refresh costs O(delta) + O(touched rollup rows).
+
+    Caller contract (probe batch 10): folding is NOT idempotent — the
+    same delta folded twice double-counts every algebraic partial.
+    At-least-once upstreams must dedup deltas by epoch before folding
+    (the ``snapshot_epoch_sink`` manifest ledger is the shipped way).
+    Out-of-order deltas are fine: buckets merge by key regardless of
+    arrival order.
     """
     delta_rollup = hypertable_rollup(
         delta, ts_col, keys,

@@ -7023,3 +7023,25 @@ def test_bloom_and_asof_config_contracts(spark):
     got = asof_join(l, r, on=["k"], left_ts="lts", right_ts="rts",
                     tolerance=0).collect()
     assert [row["x"] for row in got] == [None]
+
+
+def test_expectations_empty_input_scorecard(spark):
+    """Probe batch 10: an empty delta is realistic input — the
+    scorecard's violation counts must read 0 (not the NULL a sum over
+    zero rows produces) and the rate must read NULL (0/0 is undefined,
+    not 0%); passed/quarantined are both empty with intact schemas."""
+    from pyspark.sql import functions as F
+
+    from puffbird_spark.operators.expectations import apply_expectations
+
+    df = spark.createDataFrame(
+        [(1, 5.0)], "id long, v double").filter("id < 0")
+    p, q, s = apply_expectations(
+        df, {"v_nonneg": F.col("v") >= 0})
+    assert p.count() == 0 and q.count() == 0
+    rows = {r["rule"]: r for r in s.collect()}
+    assert set(rows) == {"v_nonneg", "__total"}
+    for r in rows.values():
+        assert r["n_rows"] == 0 and r["n_violations"] == 0
+        assert r["violation_rate"] is None
+    assert "__violations" in q.columns
