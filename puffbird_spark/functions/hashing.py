@@ -59,7 +59,12 @@ def md5_uniform(key: str | Column) -> Column:
 
 def md5_bucket(key: str | Column, n_buckets: int, start: int = 9) -> Column:
     """Deterministic bucket in [0, n_buckets): hex span ``start..start+7``
-    (disjoint from the uniform's span by default)."""
+    (disjoint from the uniform's span by default). ``n_buckets`` is
+    validated here so every caller (hashed features, negative
+    sampling, DSIR, ...) surfaces a config error at plan time instead
+    of an ANSI REMAINDER_BY_ZERO at run time (probe batch 10)."""
+    if int(n_buckets) < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     return md5_hex_int(key, start, 8) % F.lit(int(n_buckets))
 
 

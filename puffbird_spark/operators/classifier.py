@@ -74,6 +74,9 @@ def linear_quality_score(
     trained coefficients in production; the :func:`hashed_weights`
     stand-in (same ``dim``/``seed``) when omitted.
     """
+    if dim < 1:
+        # dim=0 silently scored nothing (probe b10)
+        raise ValueError(f"dim must be >= 1, got {dim}")
     if weights is None:
         weights = hashed_weights(docs.sparkSession, dim, seed)
     toks = (

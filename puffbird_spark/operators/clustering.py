@@ -447,6 +447,10 @@ def random_projection(
     scan-local — out_dim decimal-snapped folds per row, signs ride the
     plan as literals, zero shuffle, zero Python.
     """
+    if in_dim < 1 or out_dim < 1:
+        # dim=0 silently emitted empty/NULL projections (probe b10)
+        raise ValueError(
+            f"in_dim/out_dim must be >= 1, got {in_dim}/{out_dim}")
     import hashlib
 
     import numpy as np
@@ -521,6 +525,12 @@ def srp_signed_banded(
     md5-seeded sign planes; two vectors collide in a band iff they
     agree on every plane's side. Scan-local Column arithmetic, zero
     shuffle, zero Python."""
+    if in_dim < 1 or bands < 1 or planes < 1:
+        # planes=0 hashed every vector to bucket 0 — a vacuous LSH
+        # where everything collides (probe b10)
+        raise ValueError(
+            f"in_dim/bands/planes must be >= 1, got "
+            f"{in_dim}/{bands}/{planes}")
     from ..functions.vectors import as_double
 
     e = df.select(

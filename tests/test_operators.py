@@ -7045,3 +7045,34 @@ def test_expectations_empty_input_scorecard(spark):
         assert r["n_rows"] == 0 and r["n_violations"] == 0
         assert r["violation_rate"] is None
     assert "__violations" in q.columns
+
+
+def test_config_floors_raise_plan_time(spark):
+    """Probe batch 10 config sweep: degenerate dimensional config must
+    raise at plan time with the contract named — n_buckets=0 was an
+    ANSI REMAINDER_BY_ZERO at run time (validated once in md5_bucket,
+    covering every bucketing caller); dim=0 classifiers silently
+    scored nothing; out_dim=0 projections emitted empty vectors;
+    planes=0 LSH hashed everything to one bucket."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from puffbird_spark.functions.hashing import md5_bucket
+    from puffbird_spark.operators.classifier import linear_quality_score
+    from puffbird_spark.operators.clustering import (
+        random_projection, srp_signed_banded)
+    from puffbird_spark.operators.features import hashed_features
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    emb = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="n_buckets"):
+        md5_bucket(F.lit("x"), 0)
+    with _pytest.raises(ValueError, match="n_buckets"):
+        hashed_features(df, "doc_id", F.split("text", " "), n_buckets=0)
+    with _pytest.raises(ValueError, match="dim"):
+        linear_quality_score(df, "text", "doc_id", dim=0)
+    with _pytest.raises(ValueError, match="out_dim"):
+        random_projection(emb, "vec_id", "embedding", in_dim=2, out_dim=0)
+    with _pytest.raises(ValueError, match="planes"):
+        srp_signed_banded(emb, "vec_id", "embedding", in_dim=2, planes=0)
