@@ -610,3 +610,65 @@ def test_corpus_bleu_matches_pure_python_reference(spark, pairs):
     assert (g["cand_tokens"], g["ref_tokens"]) == (sc, sr), pairs
     assert [g["p1"], g["p2"], g["p3"], g["p4"]] == ps, pairs
     assert (g["bp"], g["bleu"]) == (bp, bleu), pairs
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=st.lists(
+    st.one_of(st.none(), st.floats(min_value=-5, max_value=5,
+                                   allow_nan=False)),
+    min_size=1, max_size=20))
+def test_expectations_three_way_partition(spark, vals):
+    """apply_expectations invariants on random (NULL-bearing) inputs:
+    passed + quarantined is EXACTLY the input (no row lost or
+    duplicated), every quarantined row names at least one failed rule
+    in sorted order, NULL evaluates as a violation (the SQL-constraint
+    convention), and the scorecard's __total equals the quarantine
+    count."""
+    from pyspark.sql import functions as F
+
+    from puffbird_spark.operators.expectations import apply_expectations
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    rules = {"nonneg": F.col("v") >= 0, "small": F.col("v") < 3}
+    p, q, s = apply_expectations(df, rules)
+    got_p = {r["id"] for r in p.collect()}
+    got_q = {r["id"]: list(r["__violations"]) for r in q.collect()}
+    assert got_p | set(got_q) == set(range(len(vals)))
+    assert got_p & set(got_q) == set()
+    for i, v in enumerate(vals):
+        expect = sorted(
+            n for n, ok in (("nonneg", v is not None and v >= 0),
+                            ("small", v is not None and v < 3))
+            if not ok)
+        if expect:
+            assert got_q[i] == expect, (i, v)
+        else:
+            assert i in got_p
+    total = {r["rule"]: r for r in s.collect()}["__total"]
+    assert total["n_violations"] == len(got_q)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(keys=st.lists(st.integers(min_value=0, max_value=10 ** 9),
+                     min_size=1, max_size=30, unique=True))
+def test_hash_split_total_and_repartition_stable(spark, keys):
+    """hash_split invariants on random key sets: every row lands in
+    exactly one named split, assignment is a pure function of the key
+    (identical after an adversarial repartition), and weights
+    normalize (a 2:1:1 spec behaves like 0.5/0.25/0.25)."""
+    from puffbird_spark.operators.splits import hash_split
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    w = {"train": 2.0, "val": 1.0, "test": 1.0}
+    a = {r["k"]: r["split"] for r in hash_split(df, "k", w).collect()}
+    assert set(a) == set(keys)
+    assert set(a.values()) <= {"train", "val", "test"}
+    b = {r["k"]: r["split"] for r in
+         hash_split(df.repartition(7), "k", w).collect()}
+    assert a == b
+    c = {r["k"]: r["split"] for r in hash_split(
+        df, "k", {"train": 0.5, "val": 0.25, "test": 0.25}).collect()}
+    assert a == c
