@@ -154,10 +154,26 @@ def equi_depth_histogram(
     ranked = grouped_prefix_sum(
         vals, [], ["__v", "__t"], F.lit(1), "__rank")
     # integer `div`, not double division + floor (the round-9 hour-bucket
-    # lesson): exact at any n
-    bucket = F.expr(
-        f"CAST((CAST(__rank AS BIGINT) - 1) * {int(n_buckets)} "
-        f"div {int(n)} AS INT)")
+    # lesson): exact at any n. The rule is ntile's EXACT front-loaded
+    # uneven split — the first n mod k buckets take the extra row — NOT
+    # floor((rank-1)k/n), which spreads the extras evenly (Bresenham)
+    # and silently diverges from ntile whenever n mod k >= 2 (caught by
+    # the r11 full sf0.001 sweep at n=1500, k=8: 188/187 alternating vs
+    # ntile's 188x4 then 187x4; the old differential test only sampled
+    # n mod k <= 1, where the two rules coincide).
+    q, rem = divmod(int(n), int(n_buckets))
+    if q == 0:
+        # fewer rows than buckets: one row per leading bucket
+        bucket = (F.col("__rank") - 1).cast("int")
+    else:
+        cut = rem * (q + 1)
+        bucket = F.when(
+            F.col("__rank") <= cut,
+            F.expr(
+                f"CAST((CAST(__rank AS BIGINT) - 1) div {q + 1} AS INT)"),
+        ).otherwise(F.expr(
+            f"CAST({rem} + (CAST(__rank AS BIGINT) - 1 - {cut}) "
+            f"div {q} AS INT)"))
     return (
         ranked.withColumn("bucket", bucket)
         .groupBy("bucket")

@@ -5874,7 +5874,12 @@ def test_equi_depth_matches_ntile_exactly(spark):
     from puffbird_spark.operators.profile import equi_depth_histogram
 
     rng = random.Random(7)
-    for n_rows, k in [(10, 3), (5, 3), (2, 3), (97, 8), (64, 8)]:
+    # (6, 4), (11, 4), (1500, 8): n mod k >= 2 — the regime where the
+    # old floor((rank-1)k/n) rule silently diverged from ntile (it
+    # spreads the extra rows evenly; ntile front-loads them), caught by
+    # the r11 full sf0.001 sweep
+    for n_rows, k in [(10, 3), (5, 3), (2, 3), (97, 8), (64, 8),
+                      (6, 4), (11, 4), (1500, 8)]:
         rows = [(i, float(rng.randint(0, 9))) for i in range(n_rows)]
         df = spark.createDataFrame(rows, "id long, v double")
         got = {r.bucket: (r.lo_val, r.hi_val, r.n_rows)
