@@ -12,6 +12,7 @@ from . import (  # noqa: F401,E402
     relational,
     sources_q,
     sql_q,
+    staged_r12,
     streaming_q,
     udf_q,
     windows_q,
