@@ -470,10 +470,12 @@ def chrf(
 ) -> DataFrame:
     """Per-row chrF (Popović WMT 2015) — character-n-gram F-score, the
     tokenization-free MT/generation metric (beta=2 is sacreBLEU's
-    chrF2 default). Inputs are TEXT columns; spaces are stripped
-    before gram extraction (the paper's convention).
+    chrF2 default). Inputs are TEXT columns; ALL whitespace (spaces,
+    tabs, newlines — ``\\s``) is stripped before gram extraction,
+    matching sacreBLEU's ``whitespace=False`` default (ADVICE r11:
+    the first cut stripped only ASCII spaces).
 
-    For each order n = 1..max_n over the space-stripped strings:
+    For each order n = 1..max_n over the whitespace-stripped strings:
 
         P_n = match_n / total_cand_n   (0 when the candidate has no
         R_n = match_n / total_ref_n     n-grams; ditto reference)
@@ -493,8 +495,8 @@ def chrf(
     6 dp."""
     base = df.select(
         F.col(id_col).alias("__id"),
-        F.regexp_replace(_col(cand_col), " ", "").alias("__cs"),
-        F.regexp_replace(_col(ref_col), " ", "").alias("__rs"))
+        F.regexp_replace(_col(cand_col), r"\s", "").alias("__cs"),
+        F.regexp_replace(_col(ref_col), r"\s", "").alias("__rs"))
 
     def grams(name: str, n: int):
         c = F.col(name)

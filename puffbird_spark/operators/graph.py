@@ -1120,6 +1120,7 @@ def shortest_paths_weighted(
     dst: str = "dst",
     weight: str = "weight",
     max_hops: int = 4,
+    validate_weights: bool = True,
 ) -> DataFrame:
     """Multi-source WEIGHTED shortest paths (Bellman-Ford, ``max_hops``
     relaxation rounds) over an undirected edge list with non-negative
@@ -1137,6 +1138,11 @@ def shortest_paths_weighted(
     relaxed from a frontier member the round after its prefix settles).
     ``localCheckpoint`` per round (the iterative-plan rule); integer
     weights keep the min-merge engine-exact.
+
+    ``validate_weights=False`` skips the eager non-negativity probe
+    (one early-exit cluster round-trip per call) for hot paths whose
+    edges are pre-validated — the contract still holds, it just isn't
+    re-checked (ADVICE r11).
     """
     if max_hops < 0:
         raise ValueError("max_hops must be >= 0")
@@ -1146,12 +1152,13 @@ def shortest_paths_weighted(
     # pruning silently misses relaxations) — enforce the documented
     # contract with a limit-1 probe instead of computing garbage
     # (probe batch 7; the scd2_apply early-exit precedent)
-    bad = edges.filter(F.col(weight) < 0).limit(1).collect()
-    if bad:
-        raise ValueError(
-            "shortest_paths_weighted requires non-negative weights "
-            f"(found {bad[0][weight]!r}) — Bellman-Ford's "
-            "delta-relaxation pruning is wrong under negative edges")
+    if validate_weights:
+        bad = edges.filter(F.col(weight) < 0).limit(1).collect()
+        if bad:
+            raise ValueError(
+                "shortest_paths_weighted requires non-negative weights "
+                f"(found {bad[0][weight]!r}) — Bellman-Ford's "
+                "delta-relaxation pruning is wrong under negative edges")
     und = (
         edges.select(
             F.col(src).alias("a"), F.col(dst).alias("b"),

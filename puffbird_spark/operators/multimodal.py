@@ -1250,6 +1250,12 @@ def image_pixel_stats(
                         w, h, px = decode_image_gray(blob)
                     except DECODE_ERRORS:
                         continue
+                    # a structurally-valid blob can still declare 0x0
+                    # dimensions (empty zlib IDAT decodes fine) — no
+                    # pixels means no stats row, same skip contract as
+                    # an undecodable blob (ADVICE r11)
+                    if not px:
+                        continue
                     total = sum(px)
                     mean = total / len(px)
                     out["path"].append(path)

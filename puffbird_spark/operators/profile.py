@@ -127,10 +127,13 @@ def equi_depth_histogram(
     through a single task): the global rank now comes from
     :func:`~puffbird_spark.operators.splits.grouped_prefix_sum`
     (two balanced range exchanges, broadcast slice offsets), and the
-    bucket is the exact integer replay of ntile's uneven-split rule —
-    ``floor((rank-1)·k / n)`` assigns the first ``n mod k`` buckets
-    ``ceil(n/k)`` rows, larger buckets first, bit-equal to ``ntile``
-    (differential-tested). ``n`` is one bounded driver scalar."""
+    bucket is the exact integer replay of ntile's FRONT-LOADED
+    uneven-split rule: with ``q, rem = divmod(n, k)``, the first
+    ``rem`` buckets take ``q + 1`` rows and the rest ``q`` (``n < k``
+    degenerates to one row in each of the first ``n`` buckets) —
+    bit-equal to ``ntile`` (differential-tested, including the
+    ``n mod k >= 2`` regime where the Bresenham spread diverges).
+    ``n`` is one bounded driver scalar."""
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     vals = df.select(

@@ -5672,8 +5672,9 @@ def _chrf_oracle(max_n: int = 6, beta: float = 2.0) -> str:
     b2 = beta * beta
     return f"""
 WITH {_EVAL_PAIR_SQL},
-s AS (SELECT doc_id, array_to_string(ct, '') AS cs,
-        replace(array_to_string(rt, ' '), ' ', '') AS rs
+s AS (SELECT doc_id,
+        regexp_replace(array_to_string(ct, ''), '\\s', '', 'g') AS cs,
+        regexp_replace(array_to_string(rt, ''), '\\s', '', 'g') AS rs
       FROM b),{orders},
 pern AS (
   SELECT s.doc_id, n.n,

@@ -264,9 +264,12 @@ def ttl_inactivity_tracker(
     register a timeout the engine rejects (timeouts may not precede
     the current watermark). Emits ``(key, first_seen_us,
     last_seen_us, n_events, expired_at_wm_ms)`` — exact integer
-    micros/millis, no timestamp-unit ambiguity."""
+    micros/millis, no timestamp-unit ambiguity. The key column keeps
+    its INPUT type in the output (string device ids work as well as
+    long user ids — ADVICE r11 flagged the hardcoded ``long``)."""
+    key_ddl = stream.schema[key].dataType.simpleString()
     out_schema = (
-        f"{key} long, first_seen_us long, last_seen_us long, "
+        f"{key} {key_ddl}, first_seen_us long, last_seen_us long, "
         "n_events long, expired_at_wm_ms long")
     state_schema = "first_us long, last_us long, n long"
     ttl_ms = int(ttl_sec) * 1000

@@ -6745,7 +6745,8 @@ def test_chrf_hand_cases(spark):
     from puffbird_spark.operators.evaluation import chrf
 
     rows = [(1, "the cat", "the cat sat"), (2, "abc", "abc"),
-            (3, "", "ab"), (4, "", "")]
+            (3, "", "ab"), (4, "", ""),
+            (5, "the\tcat\n", "the cat"), (6, " \t\n", "")]
     df = spark.createDataFrame(rows, "doc_id int, c string, r string")
     out = {r["doc_id"]: r for r in
            chrf(df, "c", "r", id_col="doc_id").collect()}
@@ -6758,6 +6759,12 @@ def test_chrf_hand_cases(spark):
     assert out[3]["chrp"] == 0.0 and out[3]["chrf"] == 0.0
     # reference-only grams make orders non-vacuous: recall 0, F 0
     assert out[3]["chrr"] == 0.0
+    # ALL whitespace strips (sacreBLEU whitespace=False, ADVICE r11):
+    # tabs/newlines vanish exactly like spaces, so a tab-separated
+    # candidate of the same letters is a perfect match ...
+    assert out[5]["chrp"] == out[5]["chrr"] == out[5]["chrf"] == 1.0
+    # ... and a whitespace-only candidate is empty, not a gram source
+    assert out[6]["chrf"] == 0.0
     assert out[4]["chrf"] == 0.0 and out[4]["chrp"] == 0.0
 
 
@@ -6890,6 +6897,22 @@ def test_multimodal_kernels_skip_corrupt_blobs(spark):
     wav = encode_wav(200, seed=1)
     y4m, avi = encode_y4m(8, 8, 3), encode_avi_mjpeg(8, 8, 3)
 
+    # structurally VALID PNG declaring 0x0 dimensions with an empty
+    # (but well-formed) zlib IDAT: decodes cleanly to zero pixels, so
+    # the stats kernel must skip it rather than divide by len(px)==0
+    # (ADVICE r11 — the stats math ran outside the DECODE_ERRORS net)
+    import zlib as _zlib
+
+    def _chunk(tag, payload):
+        crc = _zlib.crc32(tag + payload) & 0xFFFFFFFF
+        return (_struct.pack(">I", len(payload)) + tag + payload
+                + _struct.pack(">I", crc))
+
+    zero_png = (b"\x89PNG\r\n\x1a\n"
+                + _chunk(b"IHDR", _struct.pack(">IIBBBBB", 0, 0, 8, 0, 0, 0, 0))
+                + _chunk(b"IDAT", _zlib.compress(b""))
+                + _chunk(b"IEND", b""))
+
     img = spark.createDataFrame(
         [("good.png", bytearray(png)),
          ("half.png", bytearray(png[: len(png) // 2])),
@@ -6897,6 +6920,7 @@ def test_multimodal_kernels_skip_corrupt_blobs(spark):
          ("garbage.png", bytearray(b"\x89PNG\r\n\x1a\n" + b"\xff" * 40)),
          ("half.gif", bytearray(gif[: len(gif) // 2])),
          ("empty", bytearray(b"")),
+         ("zero.png", bytearray(zero_png)),
          ("good.gif", bytearray(gif))],
         "path string, content binary")
     assert sorted(r["path"] for r in image_pixel_stats(img).collect()) \
@@ -6976,6 +7000,11 @@ def test_shortest_paths_weighted_rejects_negative_weights(spark):
     got = {r["vertex"]: r["dist"] for r in
            shortest_paths_weighted(ok, seeds).collect()}
     assert got == {1: 0, 2: 3, 3: 4}
+    # validate_weights=False is the pre-validated hot-path escape
+    # hatch (ADVICE r11): the eager probe is skipped, results match
+    got2 = {r["vertex"]: r["dist"] for r in shortest_paths_weighted(
+        ok, seeds, validate_weights=False).collect()}
+    assert got2 == got
 
 
 def test_mixture_weights_zero_mass_group_and_fraction_range(spark):

@@ -499,9 +499,10 @@ def _ref_bleu(c_toks, r_toks, max_n=4):
 
 def _ref_chrf(cs, rs, max_n=6, beta=2.0):
     """Independent pure-Python chrF reference for the differential."""
+    import re
     from collections import Counter
 
-    cs, rs = cs.replace(" ", ""), rs.replace(" ", "")
+    cs, rs = re.sub(r"\s", "", cs), re.sub(r"\s", "", rs)
     sp = sr = k = 0
     for n in range(1, max_n + 1):
         cg = Counter(cs[i:i + n] for i in range(len(cs) - n + 1))

@@ -653,3 +653,46 @@ def test_ttl_inactivity_tracker_event_time_eviction(spark, tmpdir):
             .select("user_id", "first_seen_us", "last_seen_us",
                     "n_events").collect()]
     assert got2 == got
+
+
+def test_ttl_inactivity_tracker_string_key(spark, tmpdir):
+    """The output key column derives its type from the INPUT schema
+    (ADVICE r11: it was hardcoded `long`): a string device id streams
+    through the same eviction path with no Arrow schema mismatch."""
+    import datetime
+
+    from puffbird_spark.streaming import write_foreach_batch
+    from puffbird_spark.streaming.stateful import ttl_inactivity_tracker
+
+    def ts(minutes):
+        return datetime.datetime(2024, 1, 1) + datetime.timedelta(
+            minutes=minutes)
+
+    batches = [[("dev-a", ts(0)), ("dev-b", ts(0))],
+               [("dev-b", ts(60))],
+               [("dev-c", ts(70))]]
+    os.makedirs(f"{tmpdir}/in", exist_ok=True)
+    for i, rows in enumerate(batches):
+        tmp = f"{tmpdir}/stage{i}"
+        spark.createDataFrame(
+            rows, "device string, ts timestamp"
+        ).coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        shutil.copy(f"{tmp}/{part}", f"{tmpdir}/in/b{i}.parquet")
+
+    src = (spark.readStream
+           .schema("device string, ts timestamp")
+           .option("maxFilesPerTrigger", 1).parquet(f"{tmpdir}/in"))
+    out = ttl_inactivity_tracker(src, key="device", ttl_sec=30 * 60)
+    assert out.schema["device"].dataType.simpleString() == "string"
+
+    def sink(df, epoch_id):
+        df.write.mode("append").parquet(f"{tmpdir}/out")
+
+    q = write_foreach_batch(
+        out, sink, checkpoint=f"{tmpdir}/ckpt", trigger_once=True,
+        output_mode="append").start()
+    q.awaitTermination(120)
+    got = [(r["device"], r["n_events"]) for r in
+           spark.read.parquet(f"{tmpdir}/out").collect()]
+    assert got == [("dev-a", 1)]
