@@ -628,3 +628,241 @@ def corpus_bleu(
         "n_pairs", "cand_tokens", "ref_tokens",
         *[f"p{n}" for n in range(1, max_n + 1)],
         F.round(bp, 6).alias("bp"), bleu.alias("bleu"))
+
+
+def rouge_n(
+    df: DataFrame,
+    cand_tokens,
+    ref_tokens,
+    id_col: str = "doc_id",
+    max_n: int = 2,
+) -> DataFrame:
+    """Per-row ROUGE-N (Lin, ACL 2004 Workshop) — the RECALL-oriented
+    n-gram overlap that summarization and data-distillation evals
+    report next to BLEU's precision: for each order n = 1..max_n over
+    TOKEN ARRAY columns,
+
+        recall_n    = match_n / total_ref_n    (0 when the reference
+        precision_n = match_n / total_cand_n    has no n-grams; ditto
+                                                candidate)
+        f1_n        = 2·P·R / (P + R)          (0 when P + R = 0)
+
+    with the same clipped-occurrence ``match_n`` as BLEU (ROUGE's
+    multiset intersection). No smoothing and no cross-order pooling —
+    each order is a standalone metric (the reported ROUGE-1/ROUGE-2),
+    so an order where both sides are gramless simply scores 0.
+
+    Determinism: P/R are exact int-ratio doubles snapped at 9 dp
+    (decimal) before the F1 fold; released metrics round to 6 dp —
+    the ``sentence_bleu`` / ``chrf`` house ladder.
+
+    Scale shape: identical to ``sentence_bleu`` — ONE generate over
+    the 2·max_n gram arrays, two keyed map-side-combinable
+    aggregations, a spine join, a per-row fold; linear in corpus
+    token count, nothing driver-side.
+
+    Returns ``(id_col, rouge1_p, rouge1_r, rouge1_f, ...,
+    rouge{max_n}_p/_r/_f)``, every metric DOUBLE."""
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        _col(cand_tokens).alias("__ct"),
+        _col(ref_tokens).alias("__rt"))
+    from ..functions.text import gram_occurrences
+
+    match = _clipped_gram_match(
+        base,
+        [gram_occurrences(F.col("__ct"), n) for n in range(1, max_n + 1)],
+        [gram_occurrences(F.col("__rt"), n) for n in range(1, max_n + 1)])
+    spine = base.select(
+        "__id", F.size("__ct").alias("__clen"),
+        F.size("__rt").alias("__rlen"),
+        F.explode(F.sequence(F.lit(1), F.lit(int(max_n)))).alias("__n"))
+    pern = (
+        spine.join(match, ["__id", "__n"], "left")
+        .na.fill({"__match": 0}))
+    tc = F.greatest(F.col("__clen") - F.col("__n") + 1, F.lit(0))
+    tr = F.greatest(F.col("__rlen") - F.col("__n") + 1, F.lit(0))
+    dec = "decimal(20,9)"
+    p = F.when(
+        tc > 0, F.round(F.col("__match").cast("double") / tc, 9)
+    ).otherwise(F.lit(0.0)).cast(dec)
+    r = F.when(
+        tr > 0, F.round(F.col("__match").cast("double") / tr, 9)
+    ).otherwise(F.lit(0.0)).cast(dec)
+    pd_, rd = p.cast("double"), r.cast("double")
+    f1 = F.when(
+        pd_ + rd > 0, F.lit(2.0) * pd_ * rd / (pd_ + rd)
+    ).otherwise(F.lit(0.0))
+    per_order = pern.select(
+        "__id", "__n", p.alias("__p"), r.alias("__r"), f1.alias("__f"))
+    return per_order.groupBy("__id").agg(
+        *[agg for n in range(1, max_n + 1) for agg in (
+            F.max(F.when(F.col("__n") == n,
+                         F.round(F.col("__p").cast("double"), 6)))
+            .alias(f"rouge{n}_p"),
+            F.max(F.when(F.col("__n") == n,
+                         F.round(F.col("__r").cast("double"), 6)))
+            .alias(f"rouge{n}_r"),
+            F.max(F.when(F.col("__n") == n, F.round(F.col("__f"), 6)))
+            .alias(f"rouge{n}_f"),
+        )]
+    ).withColumnRenamed("__id", id_col)
+
+
+def edit_distance_metrics(
+    df: DataFrame,
+    cand_col,
+    ref_col,
+    id_col: str = "doc_id",
+    dp: int = 6,
+) -> DataFrame:
+    """Per-row Levenshtein edit distance and its normalized forms —
+    the ASR / OCR / transcription scorecard:
+
+    - ``dist``  — character-level Levenshtein (insert/delete/substitute,
+      unit costs) via the JVM built-in;
+    - ``cer``   — character error rate ``dist / ref_chars`` (NULL when
+      the reference is empty: 0/0 is undefined, and a nonzero distance
+      against an empty reference has no standard CER reading);
+    - ``sim``   — normalized similarity ``1 - dist / max(chars)``
+      (1.0 when BOTH sides are empty — identical strings).
+
+    Either side NULL emits NULL metrics (the built-in's semantics —
+    a missing transcript is not an empty one).
+
+    Scale shape: row-local, zero shuffle, whole-stage codegen — but
+    per-row cost is O(|cand|·|ref|) (the classic DP), so this is for
+    SHORT fields (utterance transcripts, OCR lines, titles); cap or
+    chunk long documents upstream.
+
+    Returns ``(id_col, cand_chars, ref_chars, dist, cer, sim)``."""
+    c, r = _col(cand_col), _col(ref_col)
+    cl, rl = F.length(c), F.length(r)
+    dist = F.levenshtein(c, r)
+    cer = F.when(rl > 0, F.round(dist.cast("double") / rl, dp))
+    mx = F.greatest(cl, rl)
+    sim = F.when(mx > 0, F.round(
+        F.lit(1.0) - dist.cast("double") / mx, dp)
+    ).otherwise(F.when(cl.isNotNull() & rl.isNotNull(), F.lit(1.0)))
+    return df.select(
+        F.col(id_col),
+        cl.cast("long").alias("cand_chars"),
+        rl.cast("long").alias("ref_chars"),
+        dist.cast("long").alias("dist"),
+        cer.alias("cer"),
+        sim.alias("sim"))
+
+
+def pass_at_k(
+    df: DataFrame,
+    problem_col: str,
+    correct_col,
+    ks: tuple[int, ...] = (1, 5, 10),
+) -> DataFrame:
+    """Unbiased pass@k (Chen et al. 2021, the HumanEval estimator) per
+    problem: with ``n`` generated samples of which ``c`` pass,
+
+        pass@k = 1 - C(n-c, k) / C(n, k)
+               = 1 - Π_{i=0..k-1} (n-c-i) / (n-i)
+
+    — the probability that at least one of k samples drawn WITHOUT
+    replacement from the n passes. The product form never touches a
+    factorial (no overflow at any n) and evaluates as an ORDERED
+    left-to-right fold of exact int-ratio doubles, so both engines
+    produce identical bits. ``n - c < k`` short-circuits to 1.0 (some
+    draw must include a passing sample); ``n < k`` is NULL (the
+    estimator is undefined — fewer samples than draws).
+
+    Scale shape: ONE keyed count aggregation (map-side combinable)
+    plus a per-group arithmetic fold over ``k`` terms; linear in
+    sample count, nothing driver-side.
+
+    Returns ``(problem_col, n_samples, n_correct, pass_at_{k}...)``,
+    estimates DOUBLE at 6 dp."""
+    for k in ks:
+        if int(k) < 1:
+            raise ValueError(f"every k must be >= 1, got {k}")
+    c = _col(correct_col)
+    per = df.groupBy(problem_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_samples"),
+        F.sum(F.when(c, 1).otherwise(0)).cast("long").alias("n_correct"))
+    n, cc = F.col("n_samples"), F.col("n_correct")
+
+    def est(k: int):
+        prod = F.aggregate(
+            F.sequence(F.lit(0), F.lit(int(k) - 1)),
+            F.lit(1.0),
+            lambda acc, i: acc * ((n - cc - i).cast("double") / (n - i)))
+        return (
+            F.when(n < k, F.lit(None).cast("double"))
+            .when(n - cc < k, F.lit(1.0))
+            .otherwise(F.round(F.lit(1.0) - prod, 6))
+            .alias(f"pass_at_{k}"))
+
+    return per.select(problem_col, "n_samples", "n_correct",
+                      *[est(k) for k in ks])
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a: str,
+    rater_b: str,
+    dp: int = 6,
+) -> DataFrame:
+    """Cohen's kappa (Cohen 1960) — inter-annotator agreement beyond
+    chance over two categorical label columns, the label-quality gate
+    a supervised training pipeline runs before trusting an annotation
+    batch:
+
+        p_o   = Σ agree / N               (observed agreement)
+        p_e   = Σ_cat (nA_cat · nB_cat) / N²   (chance agreement from
+                                                the raters' marginals)
+        kappa = (p_o - p_e) / (1 - p_e)   (NULL when p_e = 1: both
+                                           raters constant — chance-
+                                           corrected agreement is
+                                           undefined, not 0)
+
+    Rows where either label is NULL are excluded (an unlabeled item
+    has no agreement reading). All three released values are exact
+    int-ratio doubles rounded at ``dp``.
+
+    Scale shape: one row-local agree flag + global count, two tiny
+    per-category marginal aggregations joined on category (outer —
+    a category one rater never uses still contributes 0), one
+    broadcast-sized fold. Linear, map-side combinable, nothing
+    driver-side.
+
+    Returns ONE row: ``(n_items, po, pe, kappa)``."""
+    a, b = F.col(rater_a), F.col(rater_b)
+    base = df.filter(a.isNotNull() & b.isNotNull()).select(
+        a.cast("string").alias("__a"), b.cast("string").alias("__b"))
+    tot = base.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(F.when(F.col("__a") == F.col("__b"), 1).otherwise(0))
+        .cast("long").alias("__agree"))
+    ma = base.groupBy(F.col("__a").alias("__cat")).agg(
+        F.count(F.lit(1)).cast("long").alias("__na"))
+    mb = base.groupBy(F.col("__b").alias("__cat")).agg(
+        F.count(F.lit(1)).cast("long").alias("__nb"))
+    # exact decimal marginal products: na*nb and n^2 overflow LONG once
+    # n passes ~3e9 rows — decimal(38,0) sums stay exact (and order-
+    # independent, unlike a double sum) at any realistic corpus size
+    cross = (
+        ma.join(mb, "__cat", "full_outer")
+        .na.fill({"__na": 0, "__nb": 0})
+        .agg(F.sum(F.col("__na").cast("decimal(19,0)")
+                   * F.col("__nb").cast("decimal(19,0)"))
+             .cast("decimal(38,0)").alias("__pesum")))
+    n = F.col("__n")
+    po = F.col("__agree").cast("double") / n
+    pe = (F.col("__pesum").cast("double")
+          / (n.cast("double") * n.cast("double")))
+    return (
+        tot.crossJoin(cross)
+        .filter(n > 0)
+        .select(
+            n.alias("n_items"),
+            F.round(po, dp).alias("po"),
+            F.round(pe, dp).alias("pe"),
+            F.when(pe < 1.0, F.round((po - pe) / (F.lit(1.0) - pe), dp))
+            .alias("kappa")))

@@ -5760,3 +5760,196 @@ def eval_chrf(spark, sf_dir):
             "doc_id", F.array_join("__cand", " ").alias("__ct"),
             F.array_join("__ref", " ").alias("__rt")),
         "__ct", "__rt", id_col="doc_id", max_n=6, beta=2.0)
+
+
+def _rouge_oracle(max_n: int = 2) -> str:
+    """Full replay of rouge_n over the eval-pair fixture: clipped
+    token-gram matches per order, per-order P/R as 9-dp-snapped exact
+    ratios, F1 from the snapped doubles, 6-dp release."""
+    tok_gram = ("[array_to_string({col}[i:i+{n}-1], ' ') "
+                "FOR i IN range(1, len({col}) - {n} + 2)]")
+    orders = ",".join(
+        _clip_match_sql("b", "ct", "rt", n, tok_gram)
+        for n in range(1, max_n + 1))
+    munion = " UNION ALL ".join(
+        f"SELECT {n} AS n, doc_id, mt FROM m{n}"
+        for n in range(1, max_n + 1))
+    ncols = ",".join(str(n) for n in range(1, max_n + 1))
+    pivots = ",\n  ".join(
+        f"round(MAX(CASE WHEN n = {n} THEN {m} END), 6) AS rouge{n}_{s}"
+        for n in range(1, max_n + 1)
+        for s, m in (("p", "CAST(pt AS DOUBLE)"),
+                     ("r", "CAST(rt2 AS DOUBLE)"),
+                     ("f", "f1")))
+    return f"""
+WITH {_EVAL_PAIR_SQL},{orders},
+mall AS (SELECT n, doc_id, mt FROM ({munion})),
+spine AS (SELECT b.doc_id, n.n, len(b.ct) AS clen, len(b.rt) AS rlen
+  FROM b CROSS JOIN (SELECT unnest([{ncols}]) AS n) n),
+pern AS (SELECT spine.doc_id, spine.n,
+    GREATEST(clen - spine.n + 1, 0) AS tc,
+    GREATEST(rlen - spine.n + 1, 0) AS tr,
+    COALESCE(mall.mt, 0) AS m
+  FROM spine LEFT JOIN mall
+    ON mall.doc_id = spine.doc_id AND mall.n = spine.n),
+pr AS (SELECT doc_id, n,
+    CASE WHEN tc > 0 THEN CAST(round(CAST(m AS DOUBLE) / tc, 9)
+         AS DECIMAL(20,9)) ELSE CAST(0.0 AS DECIMAL(20,9)) END AS pt,
+    CASE WHEN tr > 0 THEN CAST(round(CAST(m AS DOUBLE) / tr, 9)
+         AS DECIMAL(20,9)) ELSE CAST(0.0 AS DECIMAL(20,9)) END AS rt2
+  FROM pern),
+f AS (SELECT doc_id, n, pt, rt2,
+    CASE WHEN CAST(pt AS DOUBLE) + CAST(rt2 AS DOUBLE) > 0
+         THEN 2.0 * CAST(pt AS DOUBLE) * CAST(rt2 AS DOUBLE)
+              / (CAST(pt AS DOUBLE) + CAST(rt2 AS DOUBLE))
+         ELSE 0.0 END AS f1
+  FROM pr)
+SELECT doc_id,
+  {pivots}
+FROM f GROUP BY doc_id
+"""
+
+
+@query("eval_rouge", oracle=_rouge_oracle())
+def eval_rouge(spark, sf_dir):
+    """Per-document ROUGE-1/ROUGE-2 (`rouge_n`,
+    operators/evaluation.py; Lin ACL-W 2004) — the RECALL-oriented
+    n-gram overlap summarization evals report next to BLEU: clipped
+    multiset gram matches give per-order precision AND recall, F1
+    combines per order (no smoothing, no cross-order pooling). Same
+    one-generate + two-keyed-aggregation shape as eval_bleu; the
+    dropped-token fixture makes recall land around 0.8 (every 5th
+    token missing) while precision stays 1 at order 1."""
+    from ..operators.evaluation import rouge_n
+
+    return rouge_n(
+        _eval_pair_fixture(spark, sf_dir), "__cand", "__ref",
+        id_col="doc_id", max_n=2)
+
+
+_EDIT_ORACLE = f"""
+WITH {_EVAL_PAIR_SQL},
+s AS (SELECT doc_id, array_to_string(ct, ' ') AS cs,
+        array_to_string(rt, ' ') AS rs
+      FROM b)
+SELECT doc_id,
+  CAST(length(cs) AS BIGINT) AS cand_chars,
+  CAST(length(rs) AS BIGINT) AS ref_chars,
+  CAST(levenshtein(cs, rs) AS BIGINT) AS dist,
+  CASE WHEN length(rs) > 0
+       THEN round(CAST(levenshtein(cs, rs) AS DOUBLE) / length(rs), 6)
+  END AS cer,
+  CASE WHEN GREATEST(length(cs), length(rs)) > 0
+       THEN round(1 - CAST(levenshtein(cs, rs) AS DOUBLE)
+                  / GREATEST(length(cs), length(rs)), 6)
+       ELSE 1.0 END AS sim
+FROM s
+"""
+
+
+@query("eval_edit_distance", oracle=_EDIT_ORACLE)
+def eval_edit_distance(spark, sf_dir):
+    """Per-document Levenshtein distance, character error rate, and
+    normalized similarity (`edit_distance_metrics`,
+    operators/evaluation.py) — the ASR/OCR transcription scorecard,
+    here over the dropped-token fixture's candidate/reference strings
+    (the deletions surface as real edit runs). Row-local JVM DP, zero
+    shuffle; the O(|c|·|r|) per-row cost is the documented short-field
+    contract (these are ~300-char documents)."""
+    from ..operators.evaluation import edit_distance_metrics
+
+    pairs = _eval_pair_fixture(spark, sf_dir)
+    return edit_distance_metrics(
+        pairs.select(
+            "doc_id", F.array_join("__cand", " ").alias("__c"),
+            F.array_join("__ref", " ").alias("__r")),
+        "__c", "__r", id_col="doc_id")
+
+
+def _pass_at_k_oracle(ks=(1, 5, 10)) -> str:
+    cases = ",\n  ".join(
+        f"""CASE WHEN n < {k} THEN NULL
+       WHEN n - c < {k} THEN 1.0
+       ELSE round(1 - list_reduce(
+         [CAST(n - c - i AS DOUBLE) / (n - i) FOR i IN range(0, {k})],
+         (a, b) -> a * b), 6) END AS pass_at_{k}"""
+        for k in ks)
+    return f"""
+WITH per AS (SELECT user_id AS problem_id, COUNT(*) AS n,
+    SUM(CASE WHEN event_type = 'purchase' AND value > 15
+        THEN 1 ELSE 0 END) AS c
+  FROM events GROUP BY 1)
+SELECT problem_id, CAST(n AS BIGINT) AS n_samples,
+  CAST(c AS BIGINT) AS n_correct,
+  {cases}
+FROM per
+"""
+
+
+@query("eval_pass_at_k", oracle=_pass_at_k_oracle())
+def eval_pass_at_k(spark, sf_dir):
+    """Unbiased pass@{{1,5,10}} per problem (`pass_at_k`,
+    operators/evaluation.py; Chen et al. 2021's HumanEval estimator):
+    1 - C(n-c,k)/C(n,k) evaluated as an ordered exact-ratio product —
+    no factorials, bit-equal across engines. Fixture: each events
+    user is a 'problem', its events the generated samples, a
+    high-value purchase the passing one; n varies per problem so the
+    n<k NULL and n-c<k short-circuit branches are both exercised.
+    One keyed count aggregation + a k-term per-group fold."""
+    from ..operators.evaluation import pass_at_k
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("problem_id"),
+        ((F.col("event_type") == "purchase")
+         & (F.col("value") > 15)).alias("__ok"))
+    return pass_at_k(ev, "problem_id", F.col("__ok"), ks=(1, 5, 10))
+
+
+_KAPPA_ORACLE = """
+WITH l AS (SELECT
+    CAST(length(text) % 5 AS VARCHAR) AS ra,
+    CAST(CASE WHEN doc_id % 10 < 7 THEN length(text) % 5
+         ELSE (length(text) % 5 + 1) % 5 END AS VARCHAR) AS rb
+  FROM documents),
+tot AS (SELECT COUNT(*) AS n,
+    SUM(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS agree FROM l),
+ma AS (SELECT ra AS cat, COUNT(*) AS na FROM l GROUP BY 1),
+mb AS (SELECT rb AS cat, COUNT(*) AS nb FROM l GROUP BY 1),
+pes AS (SELECT SUM(CAST(COALESCE(na, 0) AS HUGEINT)
+                   * CAST(COALESCE(nb, 0) AS HUGEINT)) AS pesum
+  FROM ma FULL OUTER JOIN mb USING (cat))
+SELECT CAST(n AS BIGINT) AS n_items,
+  round(CAST(agree AS DOUBLE) / n, 6) AS po,
+  round(CAST(pesum AS DOUBLE)
+        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe,
+  CASE WHEN CAST(pesum AS DOUBLE)
+            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) < 1
+       THEN round((CAST(agree AS DOUBLE) / n
+                   - CAST(pesum AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                  / (1 - CAST(pesum AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
+  END AS kappa
+FROM tot, pes WHERE n > 0
+"""
+
+
+@query("eval_cohens_kappa", oracle=_KAPPA_ORACLE)
+def eval_cohens_kappa(spark, sf_dir):
+    """Cohen's kappa over two deterministic pseudo-raters
+    (`cohens_kappa`, operators/evaluation.py; Cohen 1960) — the
+    inter-annotator agreement gate a labeling pipeline runs before
+    trusting a batch: observed agreement vs the marginal-product
+    chance rate. Rater A buckets documents by text length mod 5;
+    rater B agrees on ~70% of doc_ids and shifts one bucket on the
+    rest — a known-kappa fixture with every category populated. Two
+    tiny marginal aggregations + one outer join on category."""
+    from ..operators.evaluation import cohens_kappa
+
+    docs = load(spark, sf_dir, "documents")
+    a = F.length("text") % 5
+    lab = docs.select(
+        a.alias("ra"),
+        F.when((F.col("doc_id") % 10) < 7, a)
+        .otherwise((a + 1) % 5).alias("rb"))
+    return cohens_kappa(lab, "ra", "rb")

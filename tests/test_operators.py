@@ -7110,3 +7110,128 @@ def test_config_floors_raise_plan_time(spark):
         random_projection(emb, "vec_id", "embedding", in_dim=2, out_dim=0)
     with _pytest.raises(ValueError, match="planes"):
         srp_signed_banded(emb, "vec_id", "embedding", in_dim=2, planes=0)
+
+
+def test_rouge_n_hand_cases(spark):
+    """Hand-computed ROUGE-1/2 (Lin 2004): a candidate that is a
+    prefix of the reference has perfect precision and partial recall;
+    identity scores 1; empty candidate scores 0; both-empty scores 0
+    (gramless orders are 0, never NULL)."""
+    from puffbird_spark.operators.evaluation import rouge_n
+
+    rows = [(1, ["the", "cat", "sat"],
+             ["the", "cat", "sat", "on", "the", "mat"]),
+            (2, ["a", "b"], ["a", "b"]),
+            (3, [], ["a", "b"]),
+            (4, [], [])]
+    df = spark.createDataFrame(
+        rows, "doc_id int, c array<string>, r array<string>")
+    out = {r["doc_id"]: r for r in
+           rouge_n(df, "c", "r", id_col="doc_id", max_n=2).collect()}
+    # unigrams: 3 clipped matches / tc 3 / tr 6; bigrams: 2 / 2 / 5
+    assert out[1]["rouge1_p"] == 1.0 and out[1]["rouge1_r"] == 0.5
+    assert out[1]["rouge1_f"] == 0.666667
+    assert out[1]["rouge2_p"] == 1.0 and out[1]["rouge2_r"] == 0.4
+    assert out[1]["rouge2_f"] == 0.571429
+    for m in ("rouge1_p", "rouge1_r", "rouge1_f",
+              "rouge2_p", "rouge2_r", "rouge2_f"):
+        assert out[2][m] == 1.0
+        assert out[3][m] == 0.0
+        assert out[4][m] == 0.0
+
+
+def test_rouge_n_clipping(spark):
+    """ROUGE matches are CLIPPED multiset intersections: a candidate
+    repeating one reference token cannot inflate recall past that
+    token's reference count."""
+    from puffbird_spark.operators.evaluation import rouge_n
+
+    df = spark.createDataFrame(
+        [(1, ["the"] * 5, ["the", "cat"])],
+        "doc_id int, c array<string>, r array<string>")
+    row = rouge_n(df, "c", "r", id_col="doc_id", max_n=1).collect()[0]
+    # m = min(5, 1) = 1; p = 1/5, r = 1/2
+    assert row["rouge1_p"] == 0.2
+    assert row["rouge1_r"] == 0.5
+
+
+def test_edit_distance_metrics_hand_cases(spark):
+    """Levenshtein scorecard: the classic kitten->sitting distance 3;
+    empty reference reads NULL CER (0/0 undefined); both-empty is a
+    perfect match (sim 1.0); a NULL side yields NULL metrics, not a
+    fabricated comparison against ''."""
+    from puffbird_spark.operators.evaluation import edit_distance_metrics
+
+    rows = [(1, "kitten", "sitting"), (2, "abc", "abc"),
+            (3, "abc", ""), (4, "", ""), (5, None, "abc")]
+    df = spark.createDataFrame(rows, "doc_id int, c string, r string")
+    out = {r["doc_id"]: r for r in
+           edit_distance_metrics(df, "c", "r", id_col="doc_id").collect()}
+    assert out[1]["dist"] == 3
+    assert out[1]["cer"] == 0.428571       # 3/7
+    assert out[1]["sim"] == 0.571429       # 1 - 3/7
+    assert out[2]["dist"] == 0 and out[2]["cer"] == 0.0
+    assert out[2]["sim"] == 1.0
+    assert out[3]["dist"] == 3 and out[3]["cer"] is None
+    assert out[3]["sim"] == 0.0
+    assert out[4]["dist"] == 0 and out[4]["cer"] is None
+    assert out[4]["sim"] == 1.0
+    assert out[5]["dist"] is None and out[5]["cer"] is None
+    assert out[5]["sim"] is None
+
+
+def test_pass_at_k_hand_cases(spark):
+    """Chen et al. 2021 estimator: n=10, c=2, k=5 gives
+    1 - C(8,5)/C(10,5) = 1 - 56/252; c=0 gives exactly 0; n-c < k
+    short-circuits to 1.0; n < k is NULL (undefined, not 0)."""
+    from pyspark.sql import functions as F
+
+    from puffbird_spark.operators.evaluation import pass_at_k
+
+    rows = ([("p1", i < 2) for i in range(10)]      # n=10, c=2
+            + [("p2", False) for _ in range(10)]    # n=10, c=0
+            + [("p3", True) for _ in range(8)]      # n=8, c=8 -> 1.0
+            + [("p4", False) for _ in range(3)])    # n=3 < k=5 -> NULL
+    df = spark.createDataFrame(rows, "problem string, ok boolean")
+    out = {r["problem"]: r for r in
+           pass_at_k(df, "problem", F.col("ok"), ks=(1, 5)).collect()}
+    assert out["p1"]["pass_at_1"] == 0.2
+    assert out["p1"]["pass_at_5"] == round(1 - 56 / 252, 6)
+    assert out["p2"]["pass_at_5"] == 0.0
+    assert out["p3"]["pass_at_5"] == 1.0
+    assert out["p4"]["pass_at_1"] == 0.0
+    assert out["p4"]["pass_at_5"] is None
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="k must be"):
+        pass_at_k(df, "problem", F.col("ok"), ks=(0,))
+
+
+def test_cohens_kappa_hand_cases(spark):
+    """Cohen 1960 textbook grid: 20/5/10/15 yes-no counts give
+    po=0.7, pe=0.5, kappa=0.4; constant raters (pe=1) read NULL
+    kappa; NULL-labeled rows are excluded from every count."""
+    from puffbird_spark.operators.evaluation import cohens_kappa
+
+    rows = ([("y", "y")] * 20 + [("y", "n")] * 5
+            + [("n", "y")] * 10 + [("n", "n")] * 15
+            + [(None, "y"), ("y", None)])
+    df = spark.createDataFrame(rows, "a string, b string")
+    row = cohens_kappa(df, "a", "b").collect()[0]
+    assert row["n_items"] == 50
+    assert row["po"] == 0.7 and row["pe"] == 0.5
+    assert row["kappa"] == 0.4
+
+    const = spark.createDataFrame(
+        [("x", "x")] * 4, "a string, b string")
+    crow = cohens_kappa(const, "a", "b").collect()[0]
+    assert crow["po"] == 1.0 and crow["pe"] == 1.0
+    assert crow["kappa"] is None
+
+    # a category only ONE rater uses still enters the chance marginals
+    # through the outer join (contributing 0 product), never drops rows
+    skew = spark.createDataFrame(
+        [("x", "x"), ("x", "z")], "a string, b string")
+    srow = cohens_kappa(skew, "a", "b").collect()[0]
+    assert srow["n_items"] == 2 and srow["po"] == 0.5
+    assert srow["pe"] == 0.5   # (n_x_a * n_x_b + 0 + 0) / 4 = 2/4
+    assert srow["kappa"] == 0.0

@@ -673,3 +673,83 @@ def test_hash_split_total_and_repartition_stable(spark, keys):
     c = {r["k"]: r["split"] for r in hash_split(
         df, "k", {"train": 0.5, "val": 0.25, "test": 0.25}).collect()}
     assert a == c
+
+
+def _ref_rouge(ct, rt, max_n=2):
+    """Independent pure-Python ROUGE-N reference for the differential."""
+    from collections import Counter
+
+    out = []
+    for n in range(1, max_n + 1):
+        cg = Counter(tuple(ct[i:i + n]) for i in range(len(ct) - n + 1))
+        rg = Counter(tuple(rt[i:i + n]) for i in range(len(rt) - n + 1))
+        m = sum(min(v, rg[g]) for g, v in cg.items())
+        tc, tr = max(len(ct) - n + 1, 0), max(len(rt) - n + 1, 0)
+        p = round(m / tc, 9) if tc > 0 else 0.0
+        r = round(m / tr, 9) if tr > 0 else 0.0
+        f = 2 * p * r / (p + r) if p + r > 0 else 0.0
+        out.append((round(p, 6), round(r, 6), round(f, 6)))
+    return out
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(pairs=PAIR_TEXTS)
+def test_rouge_matches_pure_python_reference(spark, pairs):
+    """Randomized differential: the distributed ROUGE-N kernel agrees
+    value-for-value (6 dp, same rounding ladder) with an independent
+    single-process reference — clipping, gramless sides, and the F1
+    zero-denominator branch all fuzzer-exercised."""
+    from pyspark.sql import functions as F
+
+    from puffbird_spark.operators.evaluation import rouge_n
+
+    rows = [(i, c, r) for i, (c, r) in enumerate(pairs)]
+    df = spark.createDataFrame(rows, "doc_id int, c string, r string")
+    tok = lambda col: F.filter(  # noqa: E731
+        F.split(F.col(col), " "), lambda x: x != F.lit(""))
+    got = {r["doc_id"]: r for r in rouge_n(
+        df.select("doc_id", tok("c").alias("ct"), tok("r").alias("rt")),
+        "ct", "rt", id_col="doc_id", max_n=2).collect()}
+    for i, (c, r) in enumerate(pairs):
+        ref = _ref_rouge(c.split(), r.split())
+        g = got[i]
+        for n, (p, rr, f) in enumerate(ref, start=1):
+            assert (g[f"rouge{n}_p"], g[f"rouge{n}_r"],
+                    g[f"rouge{n}_f"]) == (p, rr, f), (c, r, n)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(groups=st.lists(
+    st.tuples(st.integers(min_value=1, max_value=40),
+              st.integers(min_value=0, max_value=40)),
+    min_size=1, max_size=8))
+def test_pass_at_k_matches_comb_formula(spark, groups):
+    """Randomized differential: the ordered-product estimator equals
+    the exact binomial-coefficient formula 1 - C(n-c,k)/C(n,k) at the
+    release precision for every (n, c) the fuzzer draws."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from puffbird_spark.operators.evaluation import pass_at_k
+
+    rows = []
+    for pid, (n, c_raw) in enumerate(groups):
+        c = min(c_raw, n)
+        rows += [(str(pid), i < c) for i in range(n)]
+    df = spark.createDataFrame(rows, "problem string, ok boolean")
+    ks = (1, 3, 7)
+    got = {r["problem"]: r for r in
+           pass_at_k(df, "problem", F.col("ok"), ks=ks).collect()}
+    for pid, (n, c_raw) in enumerate(groups):
+        c = min(c_raw, n)
+        for k in ks:
+            if n < k:
+                expect = None
+            elif n - c < k:
+                expect = 1.0
+            else:
+                expect = round(1 - math.comb(n - c, k) / math.comb(n, k), 6)
+            assert got[str(pid)][f"pass_at_{k}"] == expect, (n, c, k)
