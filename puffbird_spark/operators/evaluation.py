@@ -771,7 +771,10 @@ def pass_at_k(
     left-to-right fold of exact int-ratio doubles, so both engines
     produce identical bits. ``n - c < k`` short-circuits to 1.0 (some
     draw must include a passing sample); ``n < k`` is NULL (the
-    estimator is undefined — fewer samples than draws).
+    estimator is undefined — fewer samples than draws). A NULL
+    correctness flag counts as a FAILURE (the sample ran and did not
+    pass verification) — pre-filter if unverified samples should not
+    count toward ``n`` at all.
 
     Scale shape: ONE keyed count aggregation (map-side combinable)
     plus a per-group arithmetic fold over ``k`` terms; linear in

@@ -7235,3 +7235,79 @@ def test_cohens_kappa_hand_cases(spark):
     assert srow["n_items"] == 2 and srow["po"] == 0.5
     assert srow["pe"] == 0.5   # (n_x_a * n_x_b + 0 + 0) / 4 = 2/4
     assert srow["kappa"] == 0.0
+
+
+def test_scan_corner_probes_graceful(spark, tmp_path_factory):
+    """Probe batch 11 (scan-format corners): the sources surface is
+    Spark-native and each corner resolves GRACEFULLY — pinned here so
+    a helper change or Spark upgrade that regresses any of them
+    surfaces. Findings worth knowing, not fixing: a UTF-8 BOM never
+    reaches column names; duplicate CSV headers auto-dedup (id0/id1);
+    a JSON double overflow parses as +inf (NOT NULL — filter
+    non-finite upstream of aggregates); an over-int64 JSON integer
+    infers DECIMAL but silently NULLs under an explicit long schema
+    (PERMISSIVE); partition values with '/', ' ', ':', '=' and NULL
+    round-trip a partitioned parquet sink exactly."""
+    import math
+
+    from puffbird_spark.sources import (
+        read_csv, read_json, write_parquet)
+
+    tmp = str(tmp_path_factory.mktemp("probe11"))
+
+    with open(f"{tmp}/bom.csv", "wb") as fh:
+        fh.write(b"\xef\xbb\xbfid,val\n1,a\n")
+    assert read_csv(spark, f"{tmp}/bom.csv").columns == ["id", "val"]
+
+    with open(f"{tmp}/dup.csv", "w") as fh:
+        fh.write("id,id,val\n1,2,a\n")
+    assert read_csv(spark, f"{tmp}/dup.csv").columns == ["id0", "id1", "val"]
+
+    with open(f"{tmp}/nums.json", "w") as fh:
+        fh.write('{"a": 1e400, "b": 99999999999999999999999}\n')
+    inferred = read_json(spark, f"{tmp}/nums.json")
+    assert dict(inferred.dtypes)["b"].startswith("decimal")
+    row = inferred.collect()[0]
+    assert math.isinf(row["a"])            # inf, not NULL — document!
+    typed = read_json(spark, f"{tmp}/nums.json",
+                      schema="a double, b long").collect()[0]
+    assert math.isinf(typed["a"]) and typed["b"] is None
+
+    src = spark.createDataFrame(
+        [(1, "a/b"), (2, None), (3, "x y:z"), (4, "=..")],
+        "id int, part string")
+    write_parquet(src, f"{tmp}/parts", partition_by=["part"])
+    back = sorted((r["id"], r["part"]) for r in
+                  spark.read.parquet(f"{tmp}/parts").collect())
+    assert back == [(1, "a/b"), (2, None), (3, "x y:z"), (4, "=..")]
+
+
+def test_new_eval_ops_degenerate_inputs(spark):
+    """Probe pins for the r12 eval operators on degenerate input:
+    NULL token arrays score 0 on every ROUGE metric (size(NULL) is
+    NULL, greatest() resolves the totals to 0 — no ANSI kill, no
+    phantom grams); a NULL pass@k correctness flag counts as a
+    failure (documented contract); cohens_kappa on an empty frame
+    returns NO row (never a 0/0 row)."""
+    from pyspark.sql import functions as F
+
+    from puffbird_spark.operators.evaluation import (
+        cohens_kappa, pass_at_k, rouge_n)
+
+    df = spark.createDataFrame(
+        [(1, None, ["a", "b"]), (2, ["a"], None), (3, None, None)],
+        "doc_id int, c array<string>, r array<string>")
+    for row in rouge_n(df, "c", "r", id_col="doc_id", max_n=2).collect():
+        for m in ("rouge1_p", "rouge1_r", "rouge1_f",
+                  "rouge2_p", "rouge2_r", "rouge2_f"):
+            assert row[m] == 0.0, (row["doc_id"], m)
+
+    d2 = spark.createDataFrame(
+        [("p", True), ("p", None), ("p", False)],
+        "problem string, ok boolean")
+    row = pass_at_k(d2, "problem", F.col("ok"), ks=(1,)).collect()[0]
+    assert (row["n_samples"], row["n_correct"]) == (3, 1)
+    assert row["pass_at_1"] == 0.333333
+
+    empty = spark.createDataFrame([], "a string, b string")
+    assert cohens_kappa(empty, "a", "b").collect() == []
