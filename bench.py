@@ -172,6 +172,11 @@ BENCH_QUERIES = [
     # a pipeline runs over every model output)
     "eval_bleu",
     "eval_chrf",
+    # round-12: the heaviest TPC-H completion query (EXISTS/NOT-EXISTS
+    # double correlation as semi+anti over a checkpointed late set) and
+    # the recall-oriented generation-eval metric
+    "q21_waiting_suppliers",
+    "eval_rouge",
 ]
 
 

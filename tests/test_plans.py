@@ -659,3 +659,63 @@ def test_split_depth0_property_random_nesting():
         joined = ", ".join(frags)
         got = P._split_depth0(joined)
         assert got == [f.strip() for f in frags if f.strip()], joined
+
+
+def test_q7_dual_nation_broadcast_and_date_pushdown(q):
+    """Both nation roles and the supplier dimension must broadcast
+    (nation is 25 rows at any SF) and the ship-date window must reach
+    the lineitem scan — only the fact-fact joins may shuffle."""
+    df = q("q7_volume_shipping")
+    assert P.count_broadcast_joins(df) >= 3
+    assert P.has_pushed_filter(df, "GreaterThanOrEqual(l_shipdate")
+
+
+def test_q8_all_dimensions_broadcast(q):
+    """The 8-way market-share join must broadcast every dimension
+    (part/supplier/nation x2/region) and push the order-date window
+    and part-type gate to the scans."""
+    df = q("q8_market_share")
+    assert P.count_broadcast_joins(df) >= 4
+    pushed = " ".join(P.pushed_filters(df))
+    assert "p_type" in pushed
+    assert "o_orderdate" in pushed
+
+
+def test_q12_inequality_stays_join_local(q):
+    """The lateness predicate compares columns across the two join
+    sides, so it CANNOT push to either scan — but the mode gate and
+    ship-date window must; the join itself stays a single keyed
+    shuffle (no nested loop)."""
+    df = q("q12_shipmode_priority")
+    plan = P.formatted_plan(df)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert P.has_pushed_filter(df, "GreaterThanOrEqual(l_shipdate")
+
+
+def test_q21_semi_and_anti_correlations(q):
+    """Q21's EXISTS / NOT-EXISTS pair must compile to one LEFT SEMI
+    (some other supplier in the order) and one LEFT ANTI (no other
+    LATE supplier) — never a per-row subquery or fan-out join."""
+    df = q("q21_waiting_suppliers")
+    plan = P.formatted_plan(df)
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_q2_aggregate_rejoin_not_subquery(q):
+    """The correlated MIN compiles to a per-part aggregate joined back
+    on (part, cost); the region gate broadcasts; no nested loop."""
+    df = q("q2_min_cost_supplier")
+    plan = P.formatted_plan(df)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert P.count_broadcast_joins(df) >= 2
+
+
+def test_q16_not_in_is_broadcast_anti(q):
+    """The supplier exclusion must be a broadcast ANTI join (the list
+    is supplier-sized) with the part gates pushed to the part scan."""
+    df = q("q16_supplier_part_counts")
+    plan = P.formatted_plan(df)
+    assert "LeftAnti" in plan
+    pushed = " ".join(P.pushed_filters(df))
+    assert "p_size" in pushed or "p_brand" in pushed
