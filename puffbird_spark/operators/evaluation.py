@@ -730,6 +730,12 @@ def edit_distance_metrics(
     Either side NULL emits NULL metrics (the built-in's semantics —
     a missing transcript is not an empty one).
 
+    Unicode: Spark's built-in counts CODE POINTS (levenshtein('café',
+    'cafe') = 1) — the correct CER unit. DuckDB's counts BYTES (same
+    pair = 2), so the oracle gate's parity claim holds for
+    ASCII-range fixtures only; this kernel's semantics are the
+    authoritative ones on non-ASCII text (probe-verified r12).
+
     Scale shape: row-local, zero shuffle, whole-stage codegen — but
     per-row cost is O(|cand|·|ref|) (the classic DP), so this is for
     SHORT fields (utterance transcripts, OCR lines, titles); cap or
