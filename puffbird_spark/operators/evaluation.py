@@ -875,3 +875,76 @@ def cohens_kappa(
             F.round(pe, dp).alias("pe"),
             F.when(pe < 1.0, F.round((po - pe) / (F.lit(1.0) - pe), dp))
             .alias("kappa")))
+
+
+def krippendorff_alpha(
+    df: DataFrame,
+    unit_col: str,
+    value_col: str,
+    dp: int = 6,
+) -> DataFrame:
+    """Krippendorff's alpha (nominal metric; Krippendorff 2004) — the
+    multi-rater agreement coefficient that, unlike Cohen's kappa,
+    handles ANY number of raters and MISSING ratings: input is one row
+    per (unit, rating value), rater identity irrelevant under the
+    nominal metric. Units with fewer than 2 ratings are unpairable and
+    drop (the standard treatment).
+
+        D_o = Σ_u Σ_c n_uc·(n_u - n_uc)/(n_u - 1) / n    (observed)
+        D_e = (n² - Σ_c n_c²) / (n·(n-1))                (expected)
+        α   = 1 - D_o / D_e       (NULL when D_e = 0: every pairable
+                                   rating is the same single value —
+                                   agreement-beyond-chance undefined)
+
+    where n_uc counts value c in unit u, n_u the unit's ratings, n_c
+    the value's total over pairable units, n the grand total.
+    Numerators/denominators are exact integer sums (decimal(38,6) for
+    the per-unit rational terms — each n_uc·(n_u - n_uc)/(n_u - 1)
+    snaps to 6-dp decimal so the cross-partition sum is exact and
+    order-independent); released values round at ``dp``.
+
+    Scale shape: one (unit, value) count aggregation, one per-unit
+    rollup, one per-value rollup, three broadcast-sized folds —
+    linear, map-side combinable, nothing driver-side.
+
+    Returns ONE row: ``(n_units, n_ratings, d_obs, d_exp, alpha)``."""
+    base = df.filter(
+        F.col(unit_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(unit_col).alias("__u"),
+        F.col(value_col).cast("string").alias("__c"))
+    uc = base.groupBy("__u", "__c").agg(
+        F.count(F.lit(1)).cast("long").alias("__nuc"))
+    per_u = uc.groupBy("__u").agg(
+        F.sum("__nuc").cast("long").alias("__nu"))
+    pairable = uc.join(per_u, "__u").filter(F.col("__nu") >= 2)
+    # per-(unit, value) disagreement term, 6-dp decimal-snapped so the
+    # global sum is exact and partitioning-independent
+    term = (
+        (F.col("__nuc") * (F.col("__nu") - F.col("__nuc")))
+        .cast("double") / (F.col("__nu") - 1))
+    obs = pairable.agg(
+        F.sum(F.round(term, 6).cast("decimal(38,6)")).alias("__dosum"),
+        F.sum("__nuc").cast("long").alias("__n"),
+        F.count_distinct("__u").cast("long").alias("__n_units"))
+    val = pairable.groupBy("__c").agg(
+        F.sum("__nuc").cast("long").alias("__nc"))
+    sq = val.agg(
+        F.sum(F.col("__nc").cast("decimal(19,0)")
+              * F.col("__nc").cast("decimal(19,0)"))
+        .cast("decimal(38,0)").alias("__sumsq"))
+    n = F.col("__n")
+    do = F.col("__dosum").cast("double") / n
+    de = ((n.cast("double") * n.cast("double")
+           - F.col("__sumsq").cast("double"))
+          / (n.cast("double") * (n - 1).cast("double")))
+    return (
+        obs.crossJoin(sq)
+        .filter(n >= 2)
+        .select(
+            F.col("__n_units").alias("n_units"),
+            n.alias("n_ratings"),
+            F.round(do, dp).alias("d_obs"),
+            F.round(de, dp).alias("d_exp"),
+            F.when(de > 0, F.round(F.lit(1.0) - do / de, dp))
+            .alias("alpha")))

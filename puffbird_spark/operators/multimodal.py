@@ -2238,3 +2238,98 @@ def video_thumbnail(
 
     return df.select(path_col, content_col).mapInPandas(
         kernel, VIDEO_THUMBNAIL_SCHEMA)
+
+
+AUDIO_SPECTRAL_SCHEMA = (
+    "path string, window_idx int, n_in_window int, dc bigint, "
+    "energy bigint, m_fs4_sq bigint, m_fs2_sq bigint, hf_ratio double"
+)
+
+
+def audio_spectral_probe(
+    df: DataFrame,
+    content_col: str = "content",
+    path_col: str = "path",
+    window: int = 64,
+    dp: int = 6,
+    batch_size: int = 64,
+) -> DataFrame:
+    """Per-window EXACT-ARITHMETIC spectral probes over WAV-standing
+    blobs — the frequency-domain companion of :func:`audio_stats`'s
+    time-domain peak/RMS: the DFT evaluated at the three bins whose
+    twiddle factors are exactly representable integers, which is
+    precisely the set a cross-engine oracle can replay bit-for-bit
+    (arbitrary-bin DFT needs float trig; the house float policy keeps
+    transcendentals out of released integers):
+
+    - ``dc``       — the k=0 bin: plain sample sum (DC-offset /
+      microphone-bias detector);
+    - ``m_fs4_sq`` — |X[N/4]|²: cos cycles 1,0,-1,0 and sin cycles
+      0,1,0,-1, so Re = s0-s2+s4-..., Im = -(s1-s3+s5-...) — exact
+      integer squared magnitude at a quarter of the sample rate;
+    - ``m_fs2_sq`` — |X[N/2]|²: the alternating-sign sum squared —
+      the Nyquist-bin hiss/alias detector;
+    - ``energy``   — Σ s² (Parseval's time-domain side);
+    - ``hf_ratio`` — m_fs2_sq / (N·energy), the released high-frequency
+      fraction (NULL on an all-zero window: 0/0), 6-dp.
+
+    ``window`` must be a multiple of 4 (the bin-index arithmetic).
+    Same 100 TB shape as every media stage: Arrow ``mapInPandas``,
+    bounded batches, zero shuffle; undecodable blobs skip."""
+    if window < 4 or window % 4:
+        raise ValueError(f"window must be a positive multiple of 4, "
+                         f"got {window}")
+    import math as _math
+
+    scale = float(10 ** dp)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start:start + batch_size]
+                out: dict[str, list] = {k: [] for k in (
+                    "path", "window_idx", "n_in_window", "dc",
+                    "energy", "m_fs4_sq", "m_fs2_sq", "hf_ratio")}
+                for path, blob in zip(
+                    chunk[path_col].astype(str), chunk[content_col]
+                ):
+                    if blob is None:
+                        continue
+                    try:
+                        _rate, _n_ch, _bits, frames = decode_wav_pcm(
+                            bytes(blob))
+                    except DECODE_ERRORS:
+                        continue
+                    mono = _mono_fold(frames)
+                    n = len(mono)
+                    for w_idx in range(0, (n + window - 1) // window):
+                        seg = mono[w_idx * window:(w_idx + 1) * window]
+                        m = len(seg)
+                        dc = sum(seg)
+                        energy = sum(v * v for v in seg)
+                        re4 = sum(seg[i] for i in range(0, m, 4)) \
+                            - sum(seg[i] for i in range(2, m, 4))
+                        im4 = -(sum(seg[i] for i in range(1, m, 4))
+                                - sum(seg[i] for i in range(3, m, 4)))
+                        m4 = re4 * re4 + im4 * im4
+                        alt = sum(v if i % 2 == 0 else -v
+                                  for i, v in enumerate(seg))
+                        m2 = alt * alt
+                        hf = (None if energy == 0 else _math.floor(
+                            m2 / (m * energy) * scale + 0.5) / scale)
+                        out["path"].append(path)
+                        out["window_idx"].append(w_idx)
+                        out["n_in_window"].append(m)
+                        out["dc"].append(dc)
+                        out["energy"].append(energy)
+                        out["m_fs4_sq"].append(m4)
+                        out["m_fs2_sq"].append(m2)
+                        out["hf_ratio"].append(hf)
+                yield pd.DataFrame(out).astype({
+                    "window_idx": "int32", "n_in_window": "int32",
+                    "dc": "int64", "energy": "int64",
+                    "m_fs4_sq": "int64", "m_fs2_sq": "int64",
+                }).astype({"hf_ratio": "float64"})
+
+    return df.select(path_col, content_col).mapInPandas(
+        kernel, AUDIO_SPECTRAL_SCHEMA)

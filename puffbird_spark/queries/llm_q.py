@@ -5953,3 +5953,48 @@ def eval_cohens_kappa(spark, sf_dir):
         F.when((F.col("doc_id") % 10) < 7, a)
         .otherwise((a + 1) % 5).alias("rb"))
     return cohens_kappa(lab, "ra", "rb")
+
+
+_KRIPPENDORFF_ORACLE = """
+WITH base AS (SELECT event_id % 700 AS u, event_type AS c FROM events),
+uc AS (SELECT u, c, COUNT(*) AS nuc FROM base GROUP BY 1, 2),
+pu AS (SELECT u, SUM(nuc) AS nu FROM uc GROUP BY 1),
+p AS (SELECT uc.u, uc.c, uc.nuc, pu.nu
+      FROM uc JOIN pu ON uc.u = pu.u WHERE pu.nu >= 2),
+obs AS (SELECT
+    SUM(CAST(round(CAST(nuc * (nu - nuc) AS DOUBLE) / (nu - 1), 6)
+        AS DECIMAL(38,6))) AS dosum,
+    SUM(nuc) AS n, COUNT(DISTINCT u) AS n_units
+  FROM p),
+vc AS (SELECT c, SUM(nuc) AS nc FROM p GROUP BY 1),
+sq AS (SELECT SUM(CAST(nc AS HUGEINT) * CAST(nc AS HUGEINT)) AS sumsq
+       FROM vc),
+f AS (SELECT n_units, n,
+    CAST(dosum AS DOUBLE) / n AS d_o,
+    (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(sumsq AS DOUBLE))
+      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS d_e
+  FROM obs, sq WHERE n >= 2)
+SELECT CAST(n_units AS BIGINT) AS n_units, CAST(n AS BIGINT) AS n_ratings,
+  round(d_o, 6) AS d_obs, round(d_e, 6) AS d_exp,
+  CASE WHEN d_e > 0 THEN round(1 - d_o / d_e, 6) END AS alpha
+FROM f
+"""
+
+
+@query("eval_krippendorff_alpha", oracle=_KRIPPENDORFF_ORACLE)
+def eval_krippendorff_alpha(spark, sf_dir):
+    """Krippendorff's alpha, nominal metric (`krippendorff_alpha`,
+    operators/evaluation.py; Krippendorff 2004) — the multi-rater
+    agreement coefficient with MISSING-DATA support that generalizes
+    eval_cohens_kappa past two fixed raters: observed vs expected
+    disagreement over pairable units. Fixture: events grouped into
+    pseudo-units (event_id mod 700) rated with their event_type —
+    unit sizes vary and, at the small SF, single-rating units
+    exercise the unpairable-drop path. Three keyed aggregations +
+    broadcast folds, all exact integer/decimal arithmetic."""
+    from ..operators.evaluation import krippendorff_alpha
+
+    ev = load(spark, sf_dir, "events").select(
+        (F.col("event_id") % 700).alias("unit"),
+        F.col("event_type").alias("value"))
+    return krippendorff_alpha(ev, "unit", "value")

@@ -3219,3 +3219,56 @@ def sample_neyman(spark, sf_dir):
     return neyman_sample(
         orders, "o_orderstatus", "o_totalprice", "o_orderkey",
         total_n=300)
+
+
+@query("multimodal_audio_spectral", oracle="""
+WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS path,
+             120 + doc_id % 80 AS n, doc_id % 997 AS seed
+           FROM documents),
+s AS (SELECT path, n, seed, unnest(range(0, CAST(n AS BIGINT))) AS i
+      FROM d),
+v AS (SELECT path, i,
+        ((i * 2657 + seed * 7919) % 4001) - 2000 AS samp
+      FROM s),
+w AS (SELECT path, CAST(i // 64 AS INT) AS window_idx,
+        CAST(COUNT(*) AS INT) AS n_in_window,
+        CAST(SUM(samp) AS BIGINT) AS dc,
+        CAST(SUM(samp * samp) AS BIGINT) AS energy,
+        SUM(CASE i % 4 WHEN 0 THEN samp WHEN 2 THEN -samp
+            ELSE 0 END) AS re4,
+        -SUM(CASE i % 4 WHEN 1 THEN samp WHEN 3 THEN -samp
+             ELSE 0 END) AS im4,
+        SUM(CASE WHEN i % 2 = 0 THEN samp ELSE -samp END) AS alt
+      FROM v GROUP BY 1, 2)
+SELECT path, window_idx, n_in_window, dc, energy,
+  CAST(re4 * re4 + im4 * im4 AS BIGINT) AS m_fs4_sq,
+  CAST(alt * alt AS BIGINT) AS m_fs2_sq,
+  CASE WHEN energy > 0 THEN round(
+    CAST(alt * alt AS DOUBLE) / (n_in_window * energy), 6)
+  END AS hf_ratio
+FROM w
+""")
+def multimodal_audio_spectral(spark, sf_dir):
+    """Per-window exact-arithmetic spectral probes
+    (`audio_spectral_probe`, operators/multimodal.py): the DFT at the
+    three integer-twiddle bins — DC sum, |X[N/4]|^2, the Nyquist
+    alternating-sign |X[N/2]|^2 — plus Parseval-side energy and the
+    released high-frequency ratio, over REAL RIFF/WAVE decodes of the
+    closed-form fixture waveform (the multimodal_audio_decode
+    fixture). The oracle recomputes every sample and every strided
+    sign-sum closed-form, so the chunk walk, PCM sign decode,
+    windowing, AND the bin arithmetic must all be exactly right.
+    Same Arrow mapInPandas media shape, zero shuffle."""
+    from ..operators.dedup import widen_parallelism
+    from ..operators.multimodal import audio_spectral_probe, encode_wav
+
+    def _make(doc_id):
+        return doc_id.map(
+            lambda i: encode_wav(120 + int(i) % 80, 8000,
+                                 seed=int(i) % 997))
+
+    make_wav = F.pandas_udf(_make, returnType="binary")
+    docs = widen_parallelism(load(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("string").alias("path"),
+        make_wav(F.col("doc_id")).alias("content"))
+    return audio_spectral_probe(docs, window=64)

@@ -7311,3 +7311,81 @@ def test_new_eval_ops_degenerate_inputs(spark):
 
     empty = spark.createDataFrame([], "a string, b string")
     assert cohens_kappa(empty, "a", "b").collect() == []
+
+
+def test_krippendorff_alpha_hand_cases(spark):
+    """Hand-computed nominal alpha: units {aa, ab, bbb} plus an
+    unpairable single-rating unit give Do=2/7, De=4/7, alpha=0.5;
+    perfect agreement reads 1; a single-value corpus has De=0 and
+    NULL alpha (undefined, not 0); NULL units/values are excluded."""
+    from puffbird_spark.operators.evaluation import krippendorff_alpha
+
+    rows = ([("u1", "a"), ("u1", "a"), ("u2", "a"), ("u2", "b"),
+             ("u3", "b"), ("u3", "b"), ("u3", "b"), ("u4", "c"),
+             (None, "a"), ("u1", None)])
+    df = spark.createDataFrame(rows, "unit string, value string")
+    row = krippendorff_alpha(df, "unit", "value").collect()[0]
+    assert (row["n_units"], row["n_ratings"]) == (3, 7)
+    assert row["d_obs"] == 0.285714 and row["d_exp"] == 0.571429
+    assert row["alpha"] == 0.5
+
+    perfect = spark.createDataFrame(
+        [("u1", "a"), ("u1", "a"), ("u2", "b"), ("u2", "b")],
+        "unit string, value string")
+    prow = krippendorff_alpha(perfect, "unit", "value").collect()[0]
+    assert prow["alpha"] == 1.0
+
+    const = spark.createDataFrame(
+        [("u1", "x"), ("u1", "x"), ("u2", "x"), ("u2", "x")],
+        "unit string, value string")
+    crow = krippendorff_alpha(const, "unit", "value").collect()[0]
+    assert crow["d_exp"] == 0.0 and crow["alpha"] is None
+
+
+def test_audio_spectral_probe_matches_reference(spark):
+    """The exact-bin spectral probe agrees value-for-value with an
+    independent pure-Python recompute over the closed-form fixture
+    waveform (decode, windowing, strided sign-sums, ratio rounding
+    all checked); the window floor raises at plan time."""
+    import math
+
+    import pytest as _pytest
+
+    from puffbird_spark.operators.multimodal import (
+        audio_spectral_probe, encode_wav)
+
+    specs = [(0, 130), (1, 97), (2, 64)]
+    df = spark.createDataFrame(
+        [(str(s), bytearray(encode_wav(n, 8000, seed=s)))
+         for s, n in specs],
+        "path string, content binary")
+    got = {(r["path"], r["window_idx"]): r
+           for r in audio_spectral_probe(df, window=64).collect()}
+
+    count = 0
+    for seed, n in specs:
+        samples = [((i * 2657 + seed * 7919) % 4001) - 2000
+                   for i in range(n)]
+        for w in range(0, (n + 63) // 64):
+            seg = samples[w * 64:(w + 1) * 64]
+            m = len(seg)
+            dc = sum(seg)
+            energy = sum(v * v for v in seg)
+            re4 = sum(seg[i] for i in range(0, m, 4)) \
+                - sum(seg[i] for i in range(2, m, 4))
+            im4 = -(sum(seg[i] for i in range(1, m, 4))
+                    - sum(seg[i] for i in range(3, m, 4)))
+            alt = sum(v if i % 2 == 0 else -v for i, v in enumerate(seg))
+            hf = (None if energy == 0 else
+                  math.floor(alt * alt / (m * energy) * 1e6 + 0.5) / 1e6)
+            r = got[(str(seed), w)]
+            assert (r["n_in_window"], r["dc"], r["energy"]) \
+                == (m, dc, energy), (seed, w)
+            assert r["m_fs4_sq"] == re4 * re4 + im4 * im4
+            assert r["m_fs2_sq"] == alt * alt
+            assert r["hf_ratio"] == hf
+            count += 1
+    assert count == len(got)
+
+    with _pytest.raises(ValueError, match="multiple of 4"):
+        audio_spectral_probe(df, window=6)
