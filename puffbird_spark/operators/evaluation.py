@@ -948,3 +948,124 @@ def krippendorff_alpha(
             F.round(de, dp).alias("d_exp"),
             F.when(de > 0, F.round(F.lit(1.0) - do / de, dp))
             .alias("alpha")))
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    unit_col: str,
+    value_col: str,
+    dp: int = 6,
+) -> DataFrame:
+    """Fleiss' kappa (Fleiss 1971) — agreement among a FIXED-SIZE
+    panel of raters per item: every unit must carry the same number of
+    ratings n (validated at run time with a plan-time-cheap aggregate
+    probe; unequal panels want :func:`krippendorff_alpha` instead).
+
+        P_u    = (Σ_c n_uc² - n) / (n·(n-1))    per-unit agreement
+        P̄      = mean_u P_u                      (observed)
+        P̄_e    = Σ_c p_c²,  p_c = Σ_u n_uc / (N·n)   (expected)
+        kappa  = (P̄ - P̄_e) / (1 - P̄_e)   (NULL when P̄_e = 1)
+
+    Determinism: per-unit P_u is an exact int ratio snapped to 9-dp
+    decimal before the mean (order-independent); p_c² sums over exact
+    HUGEINT-class category totals; release rounds at ``dp``.
+
+    Scale shape: one (unit, value) count aggregation, one per-unit
+    fold, one per-category fold — linear, map-side combinable.
+
+    Returns ONE row: ``(n_units, n_raters, p_bar, p_e, kappa)``."""
+    base = df.filter(
+        F.col(unit_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(unit_col).alias("__u"),
+        F.col(value_col).cast("string").alias("__c"))
+    uc = base.groupBy("__u", "__c").agg(
+        F.count(F.lit(1)).cast("long").alias("__nuc"))
+    per_u = uc.groupBy("__u").agg(
+        F.sum("__nuc").cast("long").alias("__n"),
+        F.sum(F.col("__nuc").cast("decimal(19,0)")
+              * F.col("__nuc").cast("decimal(19,0)"))
+        .cast("decimal(38,0)").alias("__sq"))
+    panel = per_u.agg(
+        F.min("__n").alias("__lo"), F.max("__n").alias("__hi")
+    ).collect()
+    if not panel or panel[0]["__lo"] is None:
+        return per_u.sparkSession.createDataFrame(
+            [], "n_units long, n_raters long, p_bar double, "
+                "p_e double, kappa double")
+    lo, hi = panel[0]["__lo"], panel[0]["__hi"]
+    if lo != hi:
+        raise ValueError(
+            f"fleiss_kappa requires a fixed panel size; units carry "
+            f"{lo}..{hi} ratings — use krippendorff_alpha for "
+            f"variable panels")
+    n = int(lo)
+    if n < 2:
+        raise ValueError("panel size must be >= 2 to measure agreement")
+    pu = F.round(
+        (F.col("__sq").cast("double") - n) / (n * (n - 1)), 9
+    ).cast("decimal(20,9)")
+    obs = per_u.agg(
+        F.count(F.lit(1)).cast("long").alias("__nu"),
+        F.sum(pu).alias("__pusum"))
+    cat = uc.groupBy("__c").agg(
+        F.sum("__nuc").cast("long").alias("__nc"))
+    esq = cat.agg(
+        F.sum(F.col("__nc").cast("decimal(19,0)")
+              * F.col("__nc").cast("decimal(19,0)"))
+        .cast("decimal(38,0)").alias("__esq"))
+    nu = F.col("__nu")
+    pbar = F.col("__pusum").cast("double") / nu
+    tot = nu.cast("double") * F.lit(float(n))
+    pe = F.col("__esq").cast("double") / (tot * tot)
+    return (
+        obs.crossJoin(esq)
+        .select(
+            nu.alias("n_units"),
+            F.lit(n).cast("long").alias("n_raters"),
+            F.round(pbar, dp).alias("p_bar"),
+            F.round(pe, dp).alias("p_e"),
+            F.when(pe < 1.0,
+                   F.round((pbar - pe) / (F.lit(1.0) - pe), dp))
+            .alias("kappa")))
+
+
+def mcc_binary(
+    df: DataFrame,
+    label_col,
+    pred_col,
+    dp: int = 6,
+) -> DataFrame:
+    """Matthews correlation coefficient for binary classification
+    (Matthews 1975) — the single-number confusion-matrix summary that,
+    unlike accuracy or F1, stays honest under class imbalance:
+
+        MCC = (TP·TN - FP·FN)
+              / sqrt((TP+FP)(TP+FN)(TN+FP)(TN+FN))
+
+    NULL when any marginal is 0 (a degenerate predictor or a
+    single-class corpus — the coefficient is undefined, not 0). Rows
+    with a NULL label or prediction are excluded. The four cells are
+    exact longs from ONE aggregation pass; the product goes through
+    double sqrt (IEEE-exact for identical inputs on both engines);
+    release rounds at ``dp``.
+
+    Returns ONE row: ``(tp, fp, tn, fn, mcc)``."""
+    y = _col(label_col).cast("boolean")
+    p = _col(pred_col).cast("boolean")
+    base = df.filter(y.isNotNull() & p.isNotNull())
+    cell = lambda a, b: F.sum(  # noqa: E731
+        F.when(a & b, 1).otherwise(0)).cast("long")
+    tot = base.agg(
+        cell(y, p).alias("tp"),
+        cell(~y, p).alias("fp"),
+        cell(~y, ~p).alias("tn"),
+        cell(y, ~p).alias("fn"))
+    tp, fp, tn, fn = (F.col(c) for c in ("tp", "fp", "tn", "fn"))
+    num = (tp * tn - fp * fn).cast("double")
+    den = F.sqrt(
+        (tp + fp).cast("double") * (tp + fn).cast("double")
+        * (tn + fp).cast("double") * (tn + fn).cast("double"))
+    return tot.select(
+        "tp", "fp", "tn", "fn",
+        F.when(den > 0, F.round(num / den, dp)).alias("mcc"))

@@ -7389,3 +7389,53 @@ def test_audio_spectral_probe_matches_reference(spark):
 
     with _pytest.raises(ValueError, match="multiple of 4"):
         audio_spectral_probe(df, window=6)
+
+
+def test_fleiss_kappa_hand_cases(spark):
+    """Hand-computed Fleiss: four 2-rater units {aa, ab, bb, aa} give
+    P_bar=0.75, P_e=34/64, kappa=0.466667; unequal panel sizes raise
+    the fixed-panel contract error; a panel of 1 cannot measure
+    agreement; empty input returns no row."""
+    import pytest as _pytest
+
+    from puffbird_spark.operators.evaluation import fleiss_kappa
+
+    rows = [("u1", "a"), ("u1", "a"), ("u2", "a"), ("u2", "b"),
+            ("u3", "b"), ("u3", "b"), ("u4", "a"), ("u4", "a")]
+    df = spark.createDataFrame(rows, "unit string, value string")
+    row = fleiss_kappa(df, "unit", "value").collect()[0]
+    assert (row["n_units"], row["n_raters"]) == (4, 2)
+    assert row["p_bar"] == 0.75 and row["p_e"] == 0.53125
+    assert row["kappa"] == 0.466667
+
+    uneq = spark.createDataFrame(
+        rows + [("u5", "a")], "unit string, value string")
+    with _pytest.raises(ValueError, match="fixed panel"):
+        fleiss_kappa(uneq, "unit", "value")
+    single = spark.createDataFrame(
+        [("u1", "a"), ("u2", "b")], "unit string, value string")
+    with _pytest.raises(ValueError, match=">= 2"):
+        fleiss_kappa(single, "unit", "value")
+    empty = spark.createDataFrame([], "unit string, value string")
+    assert fleiss_kappa(empty, "unit", "value").collect() == []
+
+
+def test_mcc_binary_hand_cases(spark):
+    """Hand-computed MCC: cells (4,1,3,2) give 10/sqrt(600) =
+    0.408248; a degenerate predictor (every row positive) zeroes a
+    marginal and reads NULL, not 0; NULL labels/preds are excluded."""
+    from pyspark.sql import functions as F
+
+    from puffbird_spark.operators.evaluation import mcc_binary
+
+    rows = ([(True, True)] * 4 + [(False, True)] * 1
+            + [(False, False)] * 3 + [(True, False)] * 2
+            + [(None, True), (True, None)])
+    df = spark.createDataFrame(rows, "y boolean, p boolean")
+    row = mcc_binary(df, "y", "p").collect()[0]
+    assert (row["tp"], row["fp"], row["tn"], row["fn"]) == (4, 1, 3, 2)
+    assert row["mcc"] == 0.408248
+
+    allpos = df.select("y", F.lit(True).alias("p2"))
+    drow = mcc_binary(allpos, "y", "p2").collect()[0]
+    assert drow["mcc"] is None
