@@ -472,8 +472,12 @@ def chrf(
     tokenization-free MT/generation metric (beta=2 is sacreBLEU's
     chrF2 default). Inputs are TEXT columns; ALL whitespace (spaces,
     tabs, newlines — ``\\s``) is stripped before gram extraction,
-    matching sacreBLEU's ``whitespace=False`` default (ADVICE r11:
-    the first cut stripped only ASCII spaces).
+    matching sacreBLEU's ``whitespace=False`` default over ASCII text
+    (ADVICE r11: the first cut stripped only spaces). Scope note:
+    Java/RE2 ``\\s`` is ASCII-only while sacreBLEU's Python ``\\s``
+    is Unicode-aware, so non-ASCII whitespace (NBSP U+00A0, thin
+    space...) still forms grams here — the equivalence claim is
+    ASCII-scoped, like the levenshtein note in PARITY.md.
 
     For each order n = 1..max_n over the whitespace-stripped strings:
 
@@ -958,7 +962,8 @@ def fleiss_kappa(
 ) -> DataFrame:
     """Fleiss' kappa (Fleiss 1971) — agreement among a FIXED-SIZE
     panel of raters per item: every unit must carry the same number of
-    ratings n (validated at run time with a plan-time-cheap aggregate
+    ratings n (validated at call time with ONE eager aggregate probe
+    over the pinned per-unit counts — a full pass, not a limit-1
     probe; unequal panels want :func:`krippendorff_alpha` instead).
 
         P_u    = (Σ_c n_uc² - n) / (n·(n-1))    per-unit agreement
@@ -981,6 +986,11 @@ def fleiss_kappa(
         F.col(value_col).cast("string").alias("__c"))
     uc = base.groupBy("__u", "__c").agg(
         F.count(F.lit(1)).cast("long").alias("__nuc"))
+    # pin the lineage before the probe: obs and cat re-read uc, and a
+    # non-deterministic source could make the recomputed counts
+    # inconsistent with the probe-validated panel size n (the
+    # equi_depth_histogram convention); also saves two recomputes
+    uc = uc.localCheckpoint(eager=True)
     per_u = uc.groupBy("__u").agg(
         F.sum("__nuc").cast("long").alias("__n"),
         F.sum(F.col("__nuc").cast("decimal(19,0)")
@@ -1062,7 +1072,12 @@ def mcc_binary(
         cell(~y, ~p).alias("tn"),
         cell(y, ~p).alias("fn"))
     tp, fp, tn, fn = (F.col(c) for c in ("tp", "fp", "tn", "fn"))
-    num = (tp * tn - fp * fn).cast("double")
+    # decimal products: tp*tn overflows LONG once both cells pass
+    # ~3e9 (the cohens_kappa lesson) — decimal(38,0) stays exact at
+    # any realistic corpus size, then one cast to double
+    d19 = "decimal(19,0)"
+    num = (tp.cast(d19) * tn.cast(d19) - fp.cast(d19) * fn.cast(d19)) \
+        .cast("decimal(38,0)").cast("double")
     den = F.sqrt(
         (tp + fp).cast("double") * (tp + fn).cast("double")
         * (tn + fp).cast("double") * (tn + fn).cast("double"))

@@ -4544,15 +4544,17 @@ def q2_min_cost_supplier(spark, sf_dir):
 @query("q11_important_stock", oracle="""
 WITH v AS (
   SELECT l_partkey,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                  * (1 - CAST(l_discount AS DECIMAL(12,2))))
-              AS DOUBLE) AS part_value
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS pvd
   FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation ON s_nationkey = n_nationkey
   WHERE n_name = 'NATION_15'
   GROUP BY 1)
-SELECT l_partkey AS partkey, round(part_value, 2) AS part_value
-FROM v WHERE part_value > (SELECT SUM(part_value) * 0.001 FROM v)
+SELECT l_partkey AS partkey,
+       round(CAST(pvd AS DOUBLE), 2) AS part_value
+FROM v
+WHERE CAST(pvd AS DOUBLE)
+      > (SELECT CAST(SUM(pvd) AS DOUBLE) * 0.001 FROM v)
 """)
 def q11_important_stock(spark, sf_dir):
     """TPC-H Q11 shape (important stock identification): per-part
@@ -4572,15 +4574,20 @@ def q11_important_stock(spark, sf_dir):
         li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("l_partkey").alias("partkey"))
-        .agg(F.sum(dec("l_extendedprice") * disc).cast("double")
-             .alias("part_value"))
+        .agg(F.sum(dec("l_extendedprice") * disc).alias("__pvd"))
         .localCheckpoint(eager=True))
-    total = v.agg((F.sum("part_value") * 0.001).alias("__thr"))
+    # the threshold derives from the EXACT decimal total (a double sum
+    # would be partition-order-dependent, so the strict > comparison
+    # could flip on boundary parts between engines/runs); the decimal
+    # per-part value compares against it as the identical double cast
+    total = v.agg(
+        (F.sum("__pvd").cast("double") * 0.001).alias("__thr"))
     return (
         v.crossJoin(F.broadcast(total))
-        .filter(F.col("part_value") > F.col("__thr"))
+        .filter(F.col("__pvd").cast("double") > F.col("__thr"))
         .select("partkey",
-                F.round("part_value", 2).alias("part_value")))
+                F.round(F.col("__pvd").cast("double"), 2)
+                .alias("part_value")))
 
 
 @query("q16_supplier_part_counts", oracle="""

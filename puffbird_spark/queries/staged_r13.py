@@ -46,8 +46,11 @@ def eval_fleiss_kappa(spark, sf_dir):
     their event_type. One count aggregation + two tiny folds."""
     from ..operators.evaluation import fleiss_kappa
 
+    # integer `div`, never double division (the round-9 hour-bucket
+    # lesson): exact at any id magnitude; event_id is non-negative in
+    # every driver table, where `div` and the oracle's `//` coincide
     ev = load(spark, sf_dir, "events").select(
-        (F.col("event_id") / 4).cast("long").alias("unit"),
+        F.expr("event_id div 4").alias("unit"),
         F.col("event_type").alias("value"))
     return fleiss_kappa(ev, "unit", "value")
 
@@ -63,8 +66,10 @@ t AS (SELECT
   FROM b)
 SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
   CAST(tn AS BIGINT) AS tn, CAST(fn AS BIGINT) AS fn,
-  CASE WHEN (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn) > 0
-       THEN round(CAST(tp * tn - fp * fn AS DOUBLE)
+  CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tn + fp > 0
+        AND tn + fn > 0
+       THEN round(CAST(CAST(tp AS HUGEINT) * tn
+                       - CAST(fp AS HUGEINT) * fn AS DOUBLE)
                   / sqrt(CAST(tp + fp AS DOUBLE)
                          * CAST(tp + fn AS DOUBLE)
                          * CAST(tn + fp AS DOUBLE)
