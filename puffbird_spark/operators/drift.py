@@ -412,22 +412,36 @@ def mann_whitney_u(
         F.count(F.lit(1)).over(w_tie).alias("__t"),
     )
     ia = F.when(F.col("__a"), 1).otherwise(0)
+    # decimal(38,0) rank/tie sums: Σ 2r over a key reaches ~n² (the
+    # per-row term carries a GLOBAL-per-key rank), which overflows
+    # LONG once a key passes ~3e9 rows — exactly the documented 100 TB
+    # shape (one key = one domain). The r12 mcc/kappa lesson applied
+    # tree-wide; DuckDB's SUM(BIGINT) already went HUGEINT, so this
+    # was a latent Spark-only divergence at scale.
+    d38 = "decimal(38,0)"
     per_key = ranked.groupBy(*keys).agg(
         F.sum(ia).cast("long").alias("n_a"),
         F.sum(1 - ia).cast("long").alias("n_b"),
-        F.sum(ia * (2 * F.col("__r") + F.col("__t") - 1))
-        .cast("long").alias("__2ra"),
+        F.sum((ia * (2 * F.col("__r") + F.col("__t") - 1)).cast(d38))
+        .cast(d38).alias("__2ra"),
         # Σ(t³−t) counts each distinct value once: divide the per-row
         # contribution (every row of a tie group carries t³−t) by t —
         # i.e. sum (t³−t)/t = t²−1 per ROW, exactly integral
-        F.sum(F.col("__t") * F.col("__t") - 1).cast("long").alias("__ties"),
+        F.sum((F.col("__t").cast(d38) * F.col("__t") - 1))
+        .cast(d38).alias("__ties"),
     )
     n = F.col("n_a") + F.col("n_b")
-    u = F.col("__2ra") / 2.0 - (F.col("n_a") * (F.col("n_a") + 1)) / 2.0
+    u = (F.col("__2ra").cast("double") / 2.0
+         - (F.col("n_a").cast("double") * (F.col("n_a") + 1)
+            .cast("double")) / 2.0)
+    # every long×long product casts its FACTORS to double first (the
+    # product itself would overflow LONG at n > ~3e9 rows per key)
+    nanb = F.col("n_a").cast("double") * F.col("n_b").cast("double")
     var = (
-        (F.col("n_a") * F.col("n_b")).cast("double") / 12.0
+        nanb / 12.0
         * ((n + 1).cast("double")
-           - F.col("__ties").cast("double") / (n * (n - 1)))
+           - F.col("__ties").cast("double")
+           / (n.cast("double") * (n - 1).cast("double")))
     )
     return (
         per_key.filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
@@ -437,7 +451,7 @@ def mann_whitney_u(
             # all-tied keys have zero variance: NULL z (filtered below),
             # not an ANSI divide-by-zero
             F.when(var > 0, F.round(
-                (u - (F.col("n_a") * F.col("n_b")).cast("double") / 2.0)
+                (u - nanb / 2.0)
                 / F.sqrt(var), dp)).alias("z"),
         )
         .filter(F.col("z").isNotNull())

@@ -1323,7 +1323,13 @@ def profile_topk_pairs_sparse(
 
     Exactness: dots are sums of long products (order-free exact
     integer arithmetic), the cosine divides once in float64 and rounds
-    HALF_UP at ``dp`` — bit-identical to the dense kernel's replay."""
+    HALF_UP at ``dp`` — bit-identical to the dense kernel's replay.
+    Scale bound (r12 overflow audit): a single long product caps at
+    ~3e9 events for ONE (entity, type) cell — beyond that the pair
+    join needs a decimal variant (deliberately not paid here: decimal
+    math in the hot join would tax every realistic corpus for a
+    pathological one; DuckDB's SUM auto-promotes to HUGEINT, so the
+    oracle side is already safe)."""
     c = df.groupBy(
         F.col(id_col).alias("__id"), F.col(type_col).alias("__ty")
     ).agg(F.count(F.lit(1)).cast("long").alias("__n"))
