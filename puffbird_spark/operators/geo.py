@@ -315,3 +315,70 @@ def point_in_polygon(
     return F.when(
         x.isNull() | y.isNull(), F.lit(None).cast("boolean")
     ).otherwise(crossings % 2 == 1)
+
+
+def trajectory_stats(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    lat_col: str,
+    lon_col: str,
+    order_tiebreak: str | None = None,
+    dp: int = 4,
+) -> DataFrame:
+    """Per-entity trajectory rollup over timestamped GPS points — the
+    telemetry-curation primitive (drive logs, fleet traces, mobility
+    corpora): order each entity's points by time, measure consecutive
+    great-circle legs, and aggregate
+
+    ``(entity, n_points, total_km, max_leg_km, duration_s,
+    lat_min/lat_max/lon_min/lon_max)``
+
+    — total path length, the longest single hop (the GPS-glitch /
+    teleport detector a cleaning pass thresholds on), elapsed seconds,
+    and the bounding box.
+
+    Float policy (the geo_q convention): haversine is trig, so every
+    LEG snaps to 4-dp decimal (0.1 m — the module's documented
+    trig-rounding grain; finer grains hit cross-engine libm-ulp
+    rounding boundaries measurably often) before the per-entity sum
+    (exact, order-independent); released kilometers round at ``dp``.
+    ``order_tiebreak`` (default: the entity's own point column order
+    is undefined on ties — pass a unique column) joins ``ts_col`` in
+    the window order so the leg sequence is a total order.
+
+    Scale shape: ONE keyed window (partitioned by entity — per-entity
+    point counts are bounded, no global funnel) + one keyed
+    aggregation, both map-side combinable after the shuffle; nothing
+    driver-side. Single-point entities emit zero legs (total 0.0,
+    NULL max leg)."""
+    from pyspark.sql.window import Window
+
+    order = [F.col(ts_col)]
+    if order_tiebreak is not None:
+        order.append(F.col(order_tiebreak))
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    leg = haversine_km(
+        F.lag(lat).over(w), F.lag(lon).over(w), lat, lon)
+    legd = F.round(leg, 4).cast("decimal(20,4)")
+    pts = df.select(
+        F.col(entity_col).alias("__e"), F.col(ts_col).alias("__ts"),
+        lat.alias("__lat"), lon.alias("__lon"),
+        legd.alias("__leg"))
+    return (
+        pts.groupBy(F.col("__e").alias(entity_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.round(F.coalesce(
+                F.sum("__leg").cast("double"), F.lit(0.0)), dp)
+            .alias("total_km"),
+            F.round(F.max("__leg").cast("double"), dp)
+            .alias("max_leg_km"),
+            (F.unix_timestamp(F.max("__ts"))
+             - F.unix_timestamp(F.min("__ts"))).cast("long")
+            .alias("duration_s"),
+            F.min("__lat").alias("lat_min"),
+            F.max("__lat").alias("lat_max"),
+            F.min("__lon").alias("lon_min"),
+            F.max("__lon").alias("lon_max")))

@@ -240,3 +240,59 @@ def geo_point_in_polygon(spark, sf_dir):
         "c_custkey", "lat", "lon",
         point_in_polygon("lon", "lat", _FENCE).alias("inside"),
     )
+
+
+# trajectory fixture: event coordinates formula-derived from event_id
+# (the _PT_* convention), entity = user_id, time order = (ts, event_id)
+_TRAJ_LAT = "CAST(event_id * 41 % 17999 AS DOUBLE) / 100.0 - 90.0"
+_TRAJ_LON = "CAST(event_id * 97 % 35999 AS DOUBLE) / 100.0 - 180.0"
+
+_TRAJ_LEG = (
+    "round(12742.0 * asin(sqrt("
+    " sin(radians(lat - plat) / 2) * sin(radians(lat - plat) / 2)"
+    " + cos(radians(plat)) * cos(radians(lat))"
+    " * sin(radians(lon - plon) / 2) * sin(radians(lon - plon) / 2)"
+    ")), 4)"
+)
+
+
+@query("geo_trajectory_stats", oracle=f"""
+WITH p AS (SELECT user_id, ts, event_id,
+        {_TRAJ_LAT} AS lat, {_TRAJ_LON} AS lon
+      FROM events),
+l AS (SELECT user_id, ts, lat, lon,
+        lag(lat) OVER w AS plat, lag(lon) OVER w AS plon
+      FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+g AS (SELECT user_id, ts, lat, lon,
+        CASE WHEN plat IS NULL THEN NULL
+             ELSE CAST({_TRAJ_LEG} AS DECIMAL(20,4)) END AS leg
+      FROM l)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_points,
+  round(COALESCE(CAST(SUM(leg) AS DOUBLE), 0.0), 4) AS total_km,
+  round(CAST(MAX(leg) AS DOUBLE), 4) AS max_leg_km,
+  CAST(floor(epoch(MAX(ts))) - floor(epoch(MIN(ts))) AS BIGINT)
+    AS duration_s,
+  MIN(lat) AS lat_min, MAX(lat) AS lat_max,
+  MIN(lon) AS lon_min, MAX(lon) AS lon_max
+FROM g GROUP BY user_id
+""")
+def geo_trajectory_stats(spark, sf_dir):
+    """Per-entity trajectory rollup (`trajectory_stats`,
+    operators/geo.py): each events user becomes a GPS track
+    (formula-derived coordinates, time-ordered with the event_id
+    tiebreak) rolled into path length, longest single hop (the
+    GPS-glitch detector), elapsed seconds, and the bounding box.
+    Legs snap to 4-dp decimal before the per-entity sum (trig is
+    approximate; the sum must not be order-dependent), released km
+    round at 4 dp — the module's haversine policy. One keyed window
+    + one keyed aggregation."""
+    from ..operators.geo import trajectory_stats
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        (F.col("event_id") * 41 % 17999).cast("double")
+        .__truediv__(100.0).__sub__(90.0).alias("lat"),
+        (F.col("event_id") * 97 % 35999).cast("double")
+        .__truediv__(100.0).__sub__(180.0).alias("lon"))
+    return trajectory_stats(
+        ev, "user_id", "ts", "lat", "lon", order_tiebreak="event_id")

@@ -269,3 +269,43 @@ def test_geohash_domain_edges_and_null(spark):
     assert got[3] == "zzzzzz" and got[4] == "000000"
     # NULL in -> NULL out, never a fabricated location
     assert got[5] is None and got[6] is None
+
+
+def test_trajectory_stats_hand_case(spark):
+    """Two equator hops with known haversine legs roll up to the
+    right totals, the longest hop lands in max_leg_km (the
+    GPS-glitch detector), and a single-point entity reads 0 total /
+    NULL max leg / 0 duration."""
+    import datetime
+    import math
+
+    from puffbird_spark.operators.geo import trajectory_stats
+
+    def ts(minutes):
+        return datetime.datetime(2024, 1, 1) + datetime.timedelta(
+            minutes=minutes)
+
+    rows = [("a", ts(0), 1, 0.0, 0.0), ("a", ts(10), 2, 0.0, 1.0),
+            ("a", ts(25), 3, 0.0, 3.0),       # 2-degree glitch hop
+            ("b", ts(5), 4, 10.0, 20.0)]
+    df = spark.createDataFrame(
+        rows, "e string, ts timestamp, k int, lat double, lon double")
+    out = {r["e"]: r for r in trajectory_stats(
+        df, "e", "ts", "lat", "lon", order_tiebreak="k").collect()}
+
+    def hav(lon_deg):
+        return 12742.0 * math.asin(
+            abs(math.sin(math.radians(lon_deg) / 2)))
+
+    leg1 = math.floor(hav(1.0) * 1e4 + 0.5) / 1e4
+    leg2 = math.floor(hav(2.0) * 1e4 + 0.5) / 1e4
+    a = out["a"]
+    assert a["n_points"] == 3
+    assert a["total_km"] == round(leg1 + leg2, 4)
+    assert a["max_leg_km"] == leg2
+    assert a["duration_s"] == 25 * 60
+    assert (a["lat_min"], a["lat_max"]) == (0.0, 0.0)
+    assert (a["lon_min"], a["lon_max"]) == (0.0, 3.0)
+    b = out["b"]
+    assert b["n_points"] == 1 and b["total_km"] == 0.0
+    assert b["max_leg_km"] is None and b["duration_s"] == 0
