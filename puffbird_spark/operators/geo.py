@@ -382,3 +382,66 @@ def trajectory_stats(
             F.max("__lat").alias("lat_max"),
             F.min("__lon").alias("lon_min"),
             F.max("__lon").alias("lon_max")))
+
+
+def polygon_area_centroid(
+    df: DataFrame,
+    xs_col: str,
+    ys_col: str,
+    dp: int = 6,
+) -> DataFrame:
+    """Planar polygon area and centroid via the shoelace formula
+    (Gauss) over parallel vertex-coordinate ARRAY columns — the
+    geometry rollup for geofence catalogs (area-weighted dedup, tiny-
+    or degenerate-fence audits) beside :func:`point_in_polygon`'s
+    membership test:
+
+        2A  = Σ_i (x_i·y_{i+1} - x_{i+1}·y_i)      (signed, wrapped)
+        C_x = Σ_i (x_i + x_{i+1})·cross_i / (6A)    (ditto C_y)
+
+    Vertices are an OPEN ring (no repeated last point) in either
+    winding; ``area`` releases unsigned, ``winding`` +1/-1 exposes
+    orientation (counter-clockwise positive). Fewer than 3 vertices
+    or zero signed area (degenerate/self-cancelling ring) emit NULL
+    area/centroid rather than a divide-by-zero.
+
+    Determinism: for INTEGER-valued coordinates every term is exact
+    long arithmetic (bound: |coord| < ~1e6 keeps n·c² under LONG —
+    document larger domains); for float coordinates the fold is
+    ORDER-FIXED (one pass over the vertex sequence), so both engines
+    produce identical bits from identical arrays. Row-local, zero
+    shuffle, whole-stage codegen.
+
+    Returns input columns plus ``(n_vertices, area, winding,
+    centroid_x, centroid_y)``, rounded at ``dp``."""
+    xs, ys = F.col(xs_col), F.col(ys_col)
+    n = F.size(xs)
+    idx = F.sequence(F.lit(0), n - 1)
+
+    def at(arr, i):
+        return F.element_at(arr, i + 1)
+
+    def nxt(arr, i):
+        return F.element_at(arr, (i + 1) % n + 1)
+
+    cross = lambda i: (at(xs, i) * nxt(ys, i)      # noqa: E731
+                       - nxt(xs, i) * at(ys, i))
+    a2 = F.aggregate(
+        idx, F.lit(0).cast("double"),
+        lambda acc, i: acc + cross(i).cast("double"))
+    sx = F.aggregate(
+        idx, F.lit(0).cast("double"),
+        lambda acc, i: acc + ((at(xs, i) + nxt(xs, i))
+                              * cross(i)).cast("double"))
+    sy = F.aggregate(
+        idx, F.lit(0).cast("double"),
+        lambda acc, i: acc + ((at(ys, i) + nxt(ys, i))
+                              * cross(i)).cast("double"))
+    ok = (n >= 3) & (a2 != 0)
+    return df.select(
+        "*",
+        n.cast("int").alias("n_vertices"),
+        F.when(n >= 3, F.round(F.abs(a2) / 2.0, dp)).alias("area"),
+        F.when(ok, F.signum(a2).cast("int")).alias("winding"),
+        F.when(ok, F.round(sx / (3.0 * a2), dp)).alias("centroid_x"),
+        F.when(ok, F.round(sy / (3.0 * a2), dp)).alias("centroid_y"))

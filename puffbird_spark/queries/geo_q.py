@@ -296,3 +296,52 @@ def geo_trajectory_stats(spark, sf_dir):
         .__truediv__(100.0).__sub__(180.0).alias("lon"))
     return trajectory_stats(
         ev, "user_id", "ts", "lat", "lon", order_tiebreak="event_id")
+
+
+@query("geo_polygon_area", oracle="""
+WITH d AS (SELECT c_custkey,
+    2 + c_custkey * 7 % 99 AS w, 2 + c_custkey * 13 % 99 AS h
+  FROM customer),
+p AS (SELECT c_custkey, w, h,
+    1 + c_custkey * 3 % (w - 1) AS w1,
+    1 + c_custkey * 5 % (h - 1) AS h1
+  FROM d),
+s AS (SELECT c_custkey, w, h, w1, h1,
+    CAST(((0) * (0) - (w) * (0)) + ((w) * (h1) - (w) * (0)) + ((w) * (h1) - (w1) * (h1)) + ((w1) * (h) - (w1) * (h1)) + ((w1) * (h) - (0) * (h)) + ((0) * (0) - (0) * (h)) AS DOUBLE) AS a2,
+    CAST(((0) + (w)) * ((0) * (0) - (w) * (0)) + ((w) + (w)) * ((w) * (h1) - (w) * (0)) + ((w) + (w1)) * ((w) * (h1) - (w1) * (h1)) + ((w1) + (w1)) * ((w1) * (h) - (w1) * (h1)) + ((w1) + (0)) * ((w1) * (h) - (0) * (h)) + ((0) + (0)) * ((0) * (0) - (0) * (h)) AS DOUBLE) AS sx,
+    CAST(((0) + (0)) * ((0) * (0) - (w) * (0)) + ((0) + (h1)) * ((w) * (h1) - (w) * (0)) + ((h1) + (h1)) * ((w) * (h1) - (w1) * (h1)) + ((h1) + (h)) * ((w1) * (h) - (w1) * (h1)) + ((h) + (h)) * ((w1) * (h) - (0) * (h)) + ((h) + (0)) * ((0) * (0) - (0) * (h)) AS DOUBLE) AS sy
+  FROM p)
+SELECT c_custkey, CAST(6 AS INT) AS n_vertices,
+  round(abs(a2) / 2.0, 6) AS area,
+  CAST(CASE WHEN a2 > 0 THEN 1 ELSE -1 END AS INT) AS winding,
+  round(sx / (3.0 * a2), 6) AS centroid_x,
+  round(sy / (3.0 * a2), 6) AS centroid_y
+FROM s
+""")
+def geo_polygon_area(spark, sf_dir):
+    """Shoelace area/centroid/winding (`polygon_area_centroid`,
+    operators/geo.py; Gauss) over formula-derived L-shaped geofences
+    (one per customer, CCW, integer vertices — every term exact):
+    the geometry rollup beside geo_point_in_polygon. The oracle
+    expands the wrapped cross-product sum closed-form over the six
+    vertices; the unit test additionally pins the rectilinear
+    closed-form area w*h - (w-w1)*(h-h1). Row-local fold, zero
+    shuffle."""
+    from ..operators.geo import polygon_area_centroid
+
+    c = load(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    w = (F.lit(2) + k * 7 % 99).alias("w")
+    h = (F.lit(2) + k * 13 % 99).alias("h")
+    base = c.select("c_custkey", w, h).select(
+        "c_custkey", "w", "h",
+        (F.lit(1) + k * 3 % (F.col("w") - 1)).alias("w1"),
+        (F.lit(1) + k * 5 % (F.col("h") - 1)).alias("h1"))
+    zero = F.lit(0).cast("long")
+    poly = base.select(
+        "c_custkey",
+        F.array(zero, F.col("w"), F.col("w"), F.col("w1"),
+                F.col("w1"), zero).alias("xs"),
+        F.array(zero, zero, F.col("h1"), F.col("h1"),
+                F.col("h"), F.col("h")).alias("ys"))
+    return polygon_area_centroid(poly, "xs", "ys").drop("xs", "ys")

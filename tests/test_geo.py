@@ -309,3 +309,39 @@ def test_trajectory_stats_hand_case(spark):
     b = out["b"]
     assert b["n_points"] == 1 and b["total_km"] == 0.0
     assert b["max_leg_km"] is None and b["duration_s"] == 0
+
+
+def test_polygon_area_centroid_hand_cases(spark):
+    """Shoelace pins: the unit square (CCW) has area 1, centroid
+    (0.5, 0.5), winding +1; the same ring reversed flips winding but
+    not area/centroid; the L-shape matches its rectilinear closed
+    form; a 2-vertex 'ring' and a zero-area degenerate line read
+    NULL, never a divide-by-zero."""
+    from puffbird_spark.operators.geo import polygon_area_centroid
+
+    sq = [0, 1, 1, 0], [0, 0, 1, 1]
+    rows = [
+        ("sq", sq[0], sq[1]),
+        ("sq_cw", list(reversed(sq[0])), list(reversed(sq[1]))),
+        # L: w=4, h=3, w1=1, h1=1 -> area = 4*3 - (4-1)*(3-1) = 6
+        ("ell", [0, 4, 4, 1, 1, 0], [0, 0, 1, 1, 3, 3]),
+        ("line", [0, 1], [0, 1]),
+        ("flat", [0, 1, 2], [0, 0, 0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "id string, xs array<long>, ys array<long>")
+    out = {r["id"]: r for r in
+           polygon_area_centroid(df, "xs", "ys").collect()}
+    assert out["sq"]["area"] == 1.0 and out["sq"]["winding"] == 1
+    assert (out["sq"]["centroid_x"], out["sq"]["centroid_y"]) \
+        == (0.5, 0.5)
+    assert out["sq_cw"]["area"] == 1.0
+    assert out["sq_cw"]["winding"] == -1
+    assert (out["sq_cw"]["centroid_x"], out["sq_cw"]["centroid_y"]) \
+        == (0.5, 0.5)
+    assert out["ell"]["area"] == 6.0 and out["ell"]["winding"] == 1
+    assert out["line"]["area"] is None
+    assert out["line"]["centroid_x"] is None
+    assert out["flat"]["area"] == 0.0      # 3 vertices, zero signed
+    assert out["flat"]["winding"] is None  # ... so no orientation
+    assert out["flat"]["centroid_x"] is None
