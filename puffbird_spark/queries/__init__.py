@@ -13,6 +13,7 @@ from . import (  # noqa: F401,E402
     sources_q,
     sql_q,
     staged_r12,
+    staged_r13,
     streaming_q,
     udf_q,
     windows_q,

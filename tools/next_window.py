@@ -54,10 +54,19 @@ def _iter_history(repo: str):
             yield int(match.group(1)), rows
 
 
-def load_history(repo: str = REPO) -> dict[str, int]:
-    """Map query name -> latest round with a driver row (any verdict)."""
+def load_history(
+    repo: str = REPO, through: int | None = None
+) -> dict[str, int]:
+    """Map query name -> latest round with a driver row (any verdict),
+    optionally clamped to history ``through`` a given round. Clamping
+    must happen PER ROUND FILE, not by filtering the final map: a gate
+    whose overall-latest round is past ``through`` still has its newest
+    round <= ``through`` (the r12 window-test artifact — filtering the
+    final map made 50 freshly-driven gates masquerade as never-checked)."""
     latest: dict[str, int] = {}
     for rnd, rows in _iter_history(repo):
+        if through is not None and rnd > through:
+            continue
         for name in rows:
             latest[name] = max(latest.get(name, 0), rnd)
     return latest
