@@ -391,7 +391,10 @@ def sentence_bleu(
     edge semantics (all deterministic, oracle-mirrored): an empty
     candidate scores 0 with BP 0; p_1 = 0 (no unigram overlap or empty
     reference) scores 0; an order with total_n = 0 and n >= 2 is
-    vacuous (smoothed p_n = 1, log-term 0).
+    vacuous (smoothed p_n = 1, log-term 0). NULL-array contract (r11
+    carry-over #4): a NULL candidate or reference array is EXACTLY an
+    empty one — lengths coalesce to 0, so a NULL candidate scores 0
+    with BP 0 and never leaks NULL through ``cand_len``/``bp``.
 
     Determinism: p_n is an exact int-ratio double (bit-equal on both
     engines); ln snaps to 9-dp decimal before the order sum (the house
@@ -413,9 +416,11 @@ def sentence_bleu(
         base,
         [gram_occurrences(F.col("__ct"), n) for n in range(1, max_n + 1)],
         [gram_occurrences(F.col("__rt"), n) for n in range(1, max_n + 1)])
+    # NULL ≡ empty (r11 carry-over #4): size(NULL) is NULL and would
+    # otherwise leak through the length/bp release columns
     spine = base.select(
-        "__id", F.size("__ct").alias("__clen"),
-        F.size("__rt").alias("__rlen"),
+        "__id", F.coalesce(F.size("__ct"), F.lit(0)).alias("__clen"),
+        F.coalesce(F.size("__rt"), F.lit(0)).alias("__rlen"),
         F.explode(F.sequence(F.lit(1), F.lit(int(max_n)))).alias("__n"))
     pern = (
         spine.join(match, ["__id", "__n"], "left")
@@ -491,7 +496,10 @@ def chrf(
 
         chrF = (1 + beta²) · chrP · chrR / (beta² · chrP + chrR)
 
-    (0 when the denominator is 0, including both-empty rows).
+    (0 when the denominator is 0, including both-empty rows). NULL-
+    text contract (r11 carry-over #4): a NULL candidate or reference
+    is EXACTLY an empty string — lengths coalesce to 0, every order is
+    vacuous against an empty other side, both-NULL scores 0.
 
     Scale shape: identical to ``sentence_bleu`` — one generate, two
     keyed aggregations, a spine join, a per-row fold; linear in corpus
@@ -516,8 +524,8 @@ def chrf(
         [grams("__cs", n) for n in range(1, max_n + 1)],
         [grams("__rs", n) for n in range(1, max_n + 1)])
     spine = base.select(
-        "__id", F.length("__cs").alias("__cn"),
-        F.length("__rs").alias("__rn"),
+        "__id", F.coalesce(F.length("__cs"), F.lit(0)).alias("__cn"),
+        F.coalesce(F.length("__rs"), F.lit(0)).alias("__rn"),
         F.explode(F.sequence(F.lit(1), F.lit(int(max_n)))).alias("__n"))
     pern = (
         spine.join(match, ["__id", "__n"], "left")
@@ -579,8 +587,11 @@ def corpus_bleu(
         BLEU = BP · exp(Σ_n ln p_n / max_n)           (0 if any p_n=0)
 
     Same kernel and determinism policy as ``sentence_bleu`` (exact
-    long pools, 9-dp decimal log snap, 6-dp release); the pooling adds
-    one tiny (max_n-row) aggregate on top. Returns ONE row:
+    long pools, 9-dp decimal log snap, 6-dp release), including its
+    NULL-array contract: a NULL candidate/reference array pools as an
+    empty one (0 tokens — an all-NULL corpus releases 0-token totals,
+    never NULL). The pooling adds one tiny (max_n-row) aggregate on
+    top. Returns ONE row:
     ``(n_pairs, cand_tokens, ref_tokens, p1..p{max_n}, bp, bleu)``."""
     base = df.select(
         F.col(id_col).alias("__id"),
@@ -595,7 +606,8 @@ def corpus_bleu(
     pooled_m = match.groupBy("__n").agg(
         F.sum("__match").cast("long").alias("__m"))
     lens = base.select(
-        F.size("__ct").alias("__cl"), F.size("__rt").alias("__rl"),
+        F.coalesce(F.size("__ct"), F.lit(0)).alias("__cl"),
+        F.coalesce(F.size("__rt"), F.lit(0)).alias("__rl"),
         F.explode(F.sequence(F.lit(1), F.lit(int(max_n)))).alias("__n"))
     pooled_t = lens.groupBy("__n").agg(
         F.sum(F.greatest(F.col("__cl") - F.col("__n") + 1, F.lit(0)))
@@ -654,7 +666,9 @@ def rouge_n(
     with the same clipped-occurrence ``match_n`` as BLEU (ROUGE's
     multiset intersection). No smoothing and no cross-order pooling —
     each order is a standalone metric (the reported ROUGE-1/ROUGE-2),
-    so an order where both sides are gramless simply scores 0.
+    so an order where both sides are gramless simply scores 0. NULL-
+    array contract: a NULL candidate or reference array is EXACTLY an
+    empty one (lengths coalesce to 0 — P/R/F release 0, never NULL).
 
     Determinism: P/R are exact int-ratio doubles snapped at 9 dp
     (decimal) before the F1 fold; released metrics round to 6 dp —
@@ -677,9 +691,11 @@ def rouge_n(
         base,
         [gram_occurrences(F.col("__ct"), n) for n in range(1, max_n + 1)],
         [gram_occurrences(F.col("__rt"), n) for n in range(1, max_n + 1)])
+    # NULL ≡ empty (r11 carry-over #4): size(NULL) is NULL and would
+    # otherwise leak through the length/bp release columns
     spine = base.select(
-        "__id", F.size("__ct").alias("__clen"),
-        F.size("__rt").alias("__rlen"),
+        "__id", F.coalesce(F.size("__ct"), F.lit(0)).alias("__clen"),
+        F.coalesce(F.size("__rt"), F.lit(0)).alias("__rlen"),
         F.explode(F.sequence(F.lit(1), F.lit(int(max_n)))).alias("__n"))
     pern = (
         spine.join(match, ["__id", "__n"], "left")

@@ -7313,6 +7313,55 @@ def test_new_eval_ops_degenerate_inputs(spark):
     assert cohens_kappa(empty, "a", "b").collect() == []
 
 
+def test_bleu_chrf_null_contract(spark):
+    """r11 carry-over #4 closed: NULL candidate/reference arrays and
+    texts are EXACTLY empty ones in sentence_bleu / chrf / corpus_bleu
+    — lengths coalesce to 0, every released metric is a number (0 for
+    the degenerate side), and nothing leaks NULL through cand_len /
+    ref_len / bp the way bare size(NULL) would."""
+    from puffbird_spark.operators.evaluation import (
+        chrf, corpus_bleu, sentence_bleu)
+
+    df = spark.createDataFrame(
+        [(1, None, ["a", "b"]), (2, ["a"], None), (3, None, None)],
+        "doc_id int, c array<string>, r array<string>")
+    rows = {r["doc_id"]: r
+            for r in sentence_bleu(df, "c", "r", id_col="doc_id").collect()}
+    assert (rows[1]["cand_len"], rows[1]["ref_len"]) == (0, 2)
+    assert rows[1]["bp"] == 0.0 and rows[1]["bleu"] == 0.0
+    assert (rows[2]["cand_len"], rows[2]["ref_len"]) == (1, 0)
+    assert rows[2]["bp"] == 1.0 and rows[2]["p1"] == 0.0
+    assert rows[2]["bleu"] == 0.0
+    assert (rows[3]["cand_len"], rows[3]["ref_len"]) == (0, 0)
+    assert rows[3]["bp"] == 0.0 and rows[3]["bleu"] == 0.0
+
+    txt = spark.createDataFrame(
+        [(1, None, "ab"), (2, "ab", None), (3, None, None)],
+        "doc_id int, c string, r string")
+    for row in chrf(txt, "c", "r", id_col="doc_id").collect():
+        assert (row["chrp"], row["chrr"], row["chrf"]) == (0.0, 0.0, 0.0)
+
+    one = corpus_bleu(df, "c", "r", id_col="doc_id").collect()[0]
+    assert (one["n_pairs"], one["cand_tokens"], one["ref_tokens"]) \
+        == (3, 1, 2)
+    assert one["bp"] == 0.367879 and one["bleu"] == 0.0
+
+    allnull = spark.createDataFrame(
+        [(1, None, None), (2, None, None)],
+        "doc_id int, c array<string>, r array<string>")
+    zero = corpus_bleu(allnull, "c", "r", id_col="doc_id").collect()[0]
+    assert (zero["cand_tokens"], zero["ref_tokens"]) == (0, 0)
+    assert zero["bp"] == 0.0 and zero["bleu"] == 0.0
+
+    mixed = spark.createDataFrame(
+        [(1, ["a", "b"], ["a", "b"]), (2, None, ["c"])],
+        "doc_id int, c array<string>, r array<string>")
+    m = corpus_bleu(mixed, "c", "r", id_col="doc_id", max_n=2).collect()[0]
+    assert (m["cand_tokens"], m["ref_tokens"]) == (2, 3)
+    assert (m["p1"], m["p2"]) == (1.0, 1.0)
+    assert m["bp"] == 0.606531 and m["bleu"] == 0.606531
+
+
 def test_krippendorff_alpha_hand_cases(spark):
     """Hand-computed nominal alpha: units {aa, ab, bbb} plus an
     unpairable single-rating unit give Do=2/7, De=4/7, alpha=0.5;
