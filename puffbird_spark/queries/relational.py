@@ -4554,17 +4554,22 @@ SELECT l_partkey AS partkey,
        round(CAST(pvd AS DOUBLE), 2) AS part_value
 FROM v
 WHERE CAST(pvd AS DOUBLE)
-      > (SELECT CAST(SUM(pvd) AS DOUBLE) * 0.001 FROM v)
+      > (SELECT CAST(SUM(pvd) AS DOUBLE) / COUNT(*) * 2.5 FROM v)
 """)
 def q11_important_stock(spark, sf_dir):
     """TPC-H Q11 shape (important stock identification): per-part
     value from one nation's suppliers, kept where the value exceeds
-    a FRACTION OF THE GLOBAL TOTAL — the scalar-subquery-threshold
+    a corpus-derived threshold — the scalar-subquery-threshold
     query. ADAPTATION (no partsupp): part value := that nation's
     lineitem revenue for the part (exact decimal sum, double
-    release). The global total is a one-row broadcast joined as a
-    cross filter — the same value feeds both branches from ONE
-    aggregation pass over the per-part frame."""
+    release); the threshold is 2.5× the MEAN part value rather than
+    TPC-H's fixed fraction-of-total, because a fixed fraction is
+    scale-VARIANT (at 10× data each part's share shrinks 10× — the
+    sf1 rehearsal matched 0 rows, VERDICT r12 #3) while a multiple
+    of the mean keeps the survivor fraction stable at every SF
+    (sf0.001/0.01/0.1: 4/45/519 rows). The scalar aggregate is a
+    one-row broadcast joined as a cross filter — the same exact
+    decimal total feeds both branches from ONE aggregation pass."""
     li = load(spark, sf_dir, "lineitem")
     s = F.broadcast(load(spark, sf_dir, "supplier"))
     n = F.broadcast(load(spark, sf_dir, "nation").filter(
@@ -4581,7 +4586,8 @@ def q11_important_stock(spark, sf_dir):
     # could flip on boundary parts between engines/runs); the decimal
     # per-part value compares against it as the identical double cast
     total = v.agg(
-        (F.sum("__pvd").cast("double") * 0.001).alias("__thr"))
+        (F.sum("__pvd").cast("double") / F.count(F.lit(1)) * 2.5)
+        .alias("__thr"))
     return (
         v.crossJoin(F.broadcast(total))
         .filter(F.col("__pvd").cast("double") > F.col("__thr"))
@@ -4608,7 +4614,12 @@ def q16_supplier_part_counts(spark, sf_dir):
     lineitem pairs; excluded suppliers := negative account balance.
     The NOT IN compiles to a broadcast ANTI join (the exclusion list
     is supplier-sized); the distinct count shuffles once on the
-    group keys."""
+    group keys. NULL-key alignment (ADVICE r12): SQL ``NOT IN`` over a
+    non-empty list drops NULL-keyed probe rows while ``left_anti``
+    keeps them, so the probe filters ``l_suppkey IS NOT NULL``
+    explicitly — a no-op on the driver fixtures (non-null key) that
+    keeps the two formulations equivalent if the column ever turns
+    nullable."""
     li = load(spark, sf_dir, "lineitem")
     p = F.broadcast(load(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#12")
@@ -4618,7 +4629,8 @@ def q16_supplier_part_counts(spark, sf_dir):
         F.col("s_acctbal") < 0).select(
         F.col("s_suppkey").alias("l_suppkey"))
     return (
-        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        li.filter(F.col("l_suppkey").isNotNull())
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
         .join(F.broadcast(excl), "l_suppkey", "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").cast("long")
