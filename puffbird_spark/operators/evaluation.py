@@ -975,6 +975,7 @@ def fleiss_kappa(
     unit_col: str,
     value_col: str,
     dp: int = 6,
+    n_raters: int | None = None,
 ) -> DataFrame:
     """Fleiss' kappa (Fleiss 1971) — agreement among a FIXED-SIZE
     panel of raters per item: every unit must carry the same number of
@@ -993,6 +994,17 @@ def fleiss_kappa(
 
     Scale shape: one (unit, value) count aggregation, one per-unit
     fold, one per-category fold — linear, map-side combinable.
+    EAGER-ACTION COST (ADVICE r12, the shortest_paths_weighted-style
+    note): the default panel validation runs CLUSTER JOBS at call
+    time — an eager ``localCheckpoint`` of the (unit, value) counts
+    (which pins executor storage until the session drops it) plus a
+    min/max ``collect()`` over the per-unit totals — so building the
+    plan is not free the way pure-Column operators are. Callers that
+    already know the panel size pass ``n_raters`` (the r11
+    ``validate_weights`` escape-hatch pattern): the probe collect is
+    skipped (the checkpoint stays — three branches re-read the
+    counts), and a WRONG ``n_raters`` silently mis-scales P_u/P_e
+    instead of raising — trusted input only.
 
     Returns ONE row: ``(n_units, n_raters, p_bar, p_e, kappa)``."""
     base = df.filter(
@@ -1012,20 +1024,23 @@ def fleiss_kappa(
         F.sum(F.col("__nuc").cast("decimal(19,0)")
               * F.col("__nuc").cast("decimal(19,0)"))
         .cast("decimal(38,0)").alias("__sq"))
-    panel = per_u.agg(
-        F.min("__n").alias("__lo"), F.max("__n").alias("__hi")
-    ).collect()
-    if not panel or panel[0]["__lo"] is None:
-        return per_u.sparkSession.createDataFrame(
-            [], "n_units long, n_raters long, p_bar double, "
-                "p_e double, kappa double")
-    lo, hi = panel[0]["__lo"], panel[0]["__hi"]
-    if lo != hi:
-        raise ValueError(
-            f"fleiss_kappa requires a fixed panel size; units carry "
-            f"{lo}..{hi} ratings — use krippendorff_alpha for "
-            f"variable panels")
-    n = int(lo)
+    if n_raters is None:
+        panel = per_u.agg(
+            F.min("__n").alias("__lo"), F.max("__n").alias("__hi")
+        ).collect()
+        if not panel or panel[0]["__lo"] is None:
+            return per_u.sparkSession.createDataFrame(
+                [], "n_units long, n_raters long, p_bar double, "
+                    "p_e double, kappa double")
+        lo, hi = panel[0]["__lo"], panel[0]["__hi"]
+        if lo != hi:
+            raise ValueError(
+                f"fleiss_kappa requires a fixed panel size; units carry "
+                f"{lo}..{hi} ratings — use krippendorff_alpha for "
+                f"variable panels")
+        n = int(lo)
+    else:
+        n = int(n_raters)
     if n < 2:
         raise ValueError("panel size must be >= 2 to measure agreement")
     pu = F.round(
@@ -1046,6 +1061,9 @@ def fleiss_kappa(
     pe = F.col("__esq").cast("double") / (tot * tot)
     return (
         obs.crossJoin(esq)
+        # no-row-on-empty contract also on the trusted n_raters path,
+        # where the probe's early return never runs
+        .filter(nu > 0)
         .select(
             nu.alias("n_units"),
             F.lit(n).cast("long").alias("n_raters"),

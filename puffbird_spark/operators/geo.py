@@ -357,6 +357,18 @@ def trajectory_stats(
     order = [F.col(ts_col)]
     if order_tiebreak is not None:
         order.append(F.col(order_tiebreak))
+    else:
+        # ADVICE r12: tied timestamps make the leg sequence — and so
+        # total_km/max_leg_km — partition-order-dependent; every gate
+        # and test passes a tiebreak, so an omission is almost surely
+        # an oversight. Warn loudly rather than silently drift.
+        import warnings
+
+        warnings.warn(
+            "trajectory_stats without order_tiebreak: the per-entity "
+            "leg sequence is nondeterministic under tied timestamps — "
+            "pass a unique column to make the order total",
+            stacklevel=2)
     w = Window.partitionBy(entity_col).orderBy(*order)
     lat, lon = F.col(lat_col), F.col(lon_col)
     leg = haversine_km(

@@ -58,6 +58,32 @@ def test_queries_tokens_require_drop_empty():
             f"new code must pass drop_empty=True (r10 probe bug class)")
 
 
+def test_fleiss_fixture_invariants():
+    """ADVICE r12: the eval_fleiss_kappa gate's fixture (event_id div 4
+    as the unit) satisfies fleiss_kappa's fixed-panel contract only if
+    each driver SF's events table (a) has a row count divisible by 4,
+    (b) has contiguous non-negative event_ids 0..N-1 (so every unit
+    gets exactly 4 ratings), and (c) never NULLs event_type (the
+    operator drops NULL values, the oracle does not). Pin the
+    invariants so a data-generator change fails HERE, loudly, instead
+    of as a ValueError inside the driver's window run."""
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01"):
+        path = f"/root/testdata/{sf}/events.parquet"
+        if not os.path.exists(path):
+            continue
+        con = duckdb.connect()
+        n, nulls, lo, hi, distinct = con.execute(
+            f"SELECT COUNT(*), SUM(CASE WHEN event_type IS NULL THEN 1 "
+            f"ELSE 0 END), MIN(event_id), MAX(event_id), "
+            f"COUNT(DISTINCT event_id) FROM '{path}'").fetchone()
+        assert n % 4 == 0, (sf, n, "events count must be a multiple of 4")
+        assert nulls == 0, (sf, "event_type must be non-null")
+        assert (lo, hi, distinct) == (0, n - 1, n), (
+            sf, "event_id must be contiguous 0..N-1 for 4-per-unit panels")
+
+
 def test_legacy_allowlist_not_stale():
     """The freeze must not drift ABOVE reality either — if legacy sites
     get converted, tighten the allowlist so it cannot quietly re-grow."""

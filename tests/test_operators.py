@@ -7468,6 +7468,38 @@ def test_fleiss_kappa_hand_cases(spark):
     empty = spark.createDataFrame([], "unit string, value string")
     assert fleiss_kappa(empty, "unit", "value").collect() == []
 
+    # the trusted n_raters escape hatch (ADVICE r12): identical result
+    # without the probe collect; empty input still returns no row
+    trow = fleiss_kappa(df, "unit", "value", n_raters=2).collect()[0]
+    assert (trow["p_bar"], trow["p_e"], trow["kappa"]) \
+        == (row["p_bar"], row["p_e"], row["kappa"])
+    assert fleiss_kappa(empty, "unit", "value", n_raters=2).collect() == []
+    with _pytest.raises(ValueError, match=">= 2"):
+        fleiss_kappa(df, "unit", "value", n_raters=1)
+
+
+def test_trajectory_stats_warns_without_tiebreak(spark):
+    """ADVICE r12: omitting order_tiebreak leaves tied-timestamp leg
+    order nondeterministic — the operator now warns."""
+    import warnings
+
+    from puffbird_spark.operators.geo import trajectory_stats
+
+    df = spark.createDataFrame(
+        [("e", "2024-01-01 00:00:00", 0.0, 0.0, 1),
+         ("e", "2024-01-01 00:01:00", 0.1, 0.1, 2)],
+        "ent string, ts string, lat double, lon double, seq int"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        trajectory_stats(df, "ent", "ts", "lat", "lon")
+    assert any("order_tiebreak" in str(w.message) for w in rec)
+    with warnings.catch_warnings(record=True) as rec2:
+        warnings.simplefilter("always")
+        trajectory_stats(df, "ent", "ts", "lat", "lon",
+                         order_tiebreak="seq")
+    assert not any("order_tiebreak" in str(w.message) for w in rec2)
+
 
 def test_mcc_binary_hand_cases(spark):
     """Hand-computed MCC: cells (4,1,3,2) give 10/sqrt(600) =
