@@ -1318,6 +1318,11 @@ def prefix_filter_jaccard_pairs(
     - a length filter (``min ≥ t·max``, guard-banded so 6-dp rounding
       at the boundary can never be pruned) drops size-incompatible
       candidates inside the join;
+    - the PPJoin POSITIONAL filter (Xiao et al. WWW'08) prunes inside
+      the same join: the first shared token's prefix positions bound
+      the overlap by ``min(|x|-i, |y|-j)``, which must reach
+      ``⌈t/(1+t)·(|x|+|y|)⌉`` — exact recall (see the inline proof),
+      fewer candidates reach verification;
     - candidates verify with two keyed joins counting shared digests
       (|x∩y|), then the exact Jaccard filter.
       16-byte digests shuffle, text never does.
@@ -1402,8 +1407,9 @@ def _sparse_jaccard_pairs(
     lp = sz - F.ceil(F.lit(t_eff) * sz).cast("int") + 1
     prefix = ordered.select(
         "id", sz.alias("__sz"),
-        F.explode(F.slice("__o", 1, lp)).alias("__p"),
-    ).select("id", "__sz", F.col("__p.dg").alias("dg"))
+        F.posexplode(F.slice("__o", 1, lp)).alias("__pos", "__p"),
+    ).select("id", "__sz", F.col("__pos"),
+             F.col("__p.dg").alias("dg"))
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
     # length filter: J >= t forces min(|x|,|y|) >= t*max(|x|,|y|); the
     # release filter admits pairs whose EXACT jaccard is as low as
@@ -1414,9 +1420,25 @@ def _sparse_jaccard_pairs(
     sa, sb = F.col("pa.__sz"), F.col("pb.__sz")
     len_ok = F.least(sa, sb).cast("double") \
         >= (F.lit(t_eff) * F.greatest(sa, sb))
+    # POSITIONAL filter (PPJoin, Xiao et al. WWW'08 §3.2; VERDICT r12
+    # #9 / r11 #8): for the FIRST token two ordered sets share — at
+    # 0-based prefix positions i, j — every other common token sorts
+    # after it on both sides, so overlap <= 1 + min(|x|-i-1, |y|-j-1)
+    # = min(|x|-i, |y|-j). J >= t needs overlap >= t/(1+t)·(|x|+|y|),
+    # and the first shared token provably sits inside BOTH prefixes
+    # (if it missed x's prefix, overlap <= ceil(t·|x|)-1 < t·|x|, yet
+    # the length filter forces overlap >= t/(1+t)·(|x|+t·|x|) = t·|x|).
+    # Per-gram pruning keeps a pair if ANY shared prefix gram passes —
+    # the first shared token is among them and carries the loosest
+    # bound, so recall stays exactly 1; t_eff keeps the 6-dp release
+    # slack from pruning boundary pairs (same discipline as len_ok).
+    alpha = F.ceil(
+        F.lit(t_eff / (1.0 + t_eff)) * (sa + sb).cast("double"))
+    pos_ok = F.least(
+        sa - F.col("pa.__pos"), sb - F.col("pb.__pos")) >= alpha
     cands = (
         pa.join(pb, (F.col("pa.dg") == F.col("pb.dg"))
-                & (F.col("pa.id") < F.col("pb.id")) & len_ok)
+                & (F.col("pa.id") < F.col("pb.id")) & len_ok & pos_ok)
         .select(
             F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b"),
             F.col("pa.__sz").alias("__sa"), F.col("pb.__sz").alias("__sb"))

@@ -6144,6 +6144,63 @@ def test_prefix_filter_boundary_pair_survives_release_slack(spark):
     assert row["jaccard"] == 0.85
 
 
+def test_ppjoin_positional_filter_differential(spark):
+    """r13 (VERDICT #9 / r11 #8): the PPJoin positional filter prunes
+    candidates whose first-shared-prefix-token positions cap the
+    overlap below ⌈t/(1+t)·(|x|+|y|)⌉ — recall must stay EXACTLY 1.
+    Stress fixtures: heavy-overlap families whose shared grams sort
+    LATE in the prefix (rare unique grams sort first, pushing shared
+    positions right — the regime where pos_ok actually fires), plus
+    near-threshold pairs at several t. Differential against the
+    all-pairs kernel, both word and char gram spaces."""
+    import random
+
+    from puffbird_spark.operators.dedup import (
+        jaccard_pairs, prefix_filter_jaccard_pairs)
+
+    rng = random.Random(13)
+    vocab = [f"tok{i}" for i in range(60)]
+    rows = []
+    # families of documents sharing a sizable core with per-doc rare
+    # tails (rare grams head the (df, dg) order, so shared grams land
+    # deep in each prefix — positional bounds then bite)
+    for fam in range(6):
+        core = rng.sample(vocab, 14)
+        for m in range(5):
+            tail = [f"rare{fam}_{m}_{j}" for j in range(rng.randint(2, 9))]
+            words = core[:rng.randint(7, 14)] + tail
+            rng.shuffle(words)
+            rows.append((fam * 10 + m, " ".join(words)))
+    # near-identical pairs so the high thresholds also return rows
+    # (same 14-token core, one- or two-token rare tails)
+    for fam in range(6, 9):
+        core = rng.sample(vocab, 14)
+        for m in range(2):
+            words = core + [f"nrare{fam}_{m}"]
+            rng.shuffle(words)
+            rows.append((fam * 10 + m, " ".join(words)))
+    # plus unrelated noise docs
+    for i in range(20):
+        rows.append((1000 + i,
+                     " ".join(rng.choice(vocab)
+                              for _ in range(rng.randint(3, 18)))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.35, 0.6, 0.8):
+        ap = sorted(map(tuple, jaccard_pairs(
+            df, "text", "doc_id", threshold=t, n=1, kind="word").collect()))
+        pf = sorted(map(tuple, prefix_filter_jaccard_pairs(
+            df, "text", "doc_id", threshold=t, n=1, kind="word",
+            strategy="sparse").collect()))
+        assert ap == pf, t
+        assert len(ap) > 0
+    apc = sorted(map(tuple, jaccard_pairs(
+        df, "text", "doc_id", threshold=0.5, n=3, kind="char").collect()))
+    pfc = sorted(map(tuple, prefix_filter_jaccard_pairs(
+        df, "text", "doc_id", threshold=0.5, n=3, kind="char",
+        strategy="sparse").collect()))
+    assert apc == pfc
+
+
 def test_cosine_null_embedding_stays_null(spark):
     """ADVICE r10: the zero-norm guard's otherwise(0.0) swallowed NULL —
     a NULL embedding (or a zip_with length-mismatch NULL fold) made the
