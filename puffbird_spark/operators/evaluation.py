@@ -1118,3 +1118,67 @@ def mcc_binary(
     return tot.select(
         "tp", "fp", "tn", "fn",
         F.when(den > 0, F.round(num / den, dp)).alias("mcc"))
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col,
+    label_col,
+    dp: int = 6,
+) -> DataFrame:
+    """ROC AUC for a binary classifier score, the exact rank (Mann-
+    Whitney) formulation — AUC is the probability a random positive
+    outscores a random negative, ties counting half (Hanley & McNeil
+    1982). No curve discretization, no trapezoid approximation:
+
+        AUC = (R⁺ - P(P+1)/2) / (P·N)
+
+    with R⁺ the sum of POSITIVE rows' midranks under a global score
+    ordering (tied scores share the average rank — the half-credit
+    that keeps AUC = 0.5 for a constant score). INTEGER arithmetic
+    throughout, the ``mann_whitney_u`` discipline: per row,
+    ``2·midrank = 2·rank() + ties - 1`` stays integral; the positive
+    sum pools in decimal(38,0) (a LONG Σ2r reaches ~n², overflowing
+    past ~3e9 rows — the documented 100 TB shape); only the final
+    ratio divides doubles, released at ``dp`` with its Gini twin
+    ``2·AUC - 1`` (derived from the ROUNDED AUC so both engines fold
+    identically). Rows with a NULL score or label are excluded; a
+    single-class corpus (P=0 or N=0) releases NULL AUC/Gini — the
+    metric is undefined, not 0.5.
+
+    Scale shape: one score-ordered rank window + one per-score tie
+    window + ONE global aggregate — the ks_two_sample/mann_whitney
+    shuffle shape. The global ordering is a range-partitioned sort,
+    not a single-task funnel.
+
+    Returns ONE row: ``(n_pos, n_neg, auc, gini)``."""
+    from pyspark.sql.window import Window
+
+    s = _col(score_col)
+    y = _col(label_col).cast("boolean")
+    base = df.select(s.alias("__s"), y.alias("__y")).filter(
+        F.col("__s").isNotNull() & F.col("__y").isNotNull())
+    w_rank = Window.orderBy("__s")
+    w_tie = Window.partitionBy("__s")
+    ranked = base.select(
+        "__s", "__y",
+        F.rank().over(w_rank).alias("__r"),
+        F.count(F.lit(1)).over(w_tie).alias("__t"))
+    ip = F.when(F.col("__y"), 1).otherwise(0)
+    d38 = "decimal(38,0)"
+    tot = ranked.agg(
+        F.sum(ip).cast("long").alias("n_pos"),
+        F.sum(1 - ip).cast("long").alias("n_neg"),
+        F.sum((ip * (2 * F.col("__r") + F.col("__t") - 1)).cast(d38))
+        .cast(d38).alias("__2rp"))
+    p_, n_ = F.col("n_pos"), F.col("n_neg")
+    # 2R⁺ - P(P+1) exact in decimal; the denominator 2PN multiplies
+    # FACTORS as double (the product overflows LONG at ~3e9×3e9)
+    num = (F.col("__2rp")
+           - p_.cast(d38) * (p_ + 1).cast(d38)).cast("double")
+    auc = F.when(
+        (p_ > 0) & (n_ > 0),
+        F.round(num / (2.0 * p_.cast("double") * n_.cast("double")), dp))
+    return tot.select(
+        "n_pos", "n_neg", auc.alias("auc"),
+        F.round(2.0 * auc - 1.0, dp).alias("gini"))

@@ -240,3 +240,60 @@ def correlation_matrix(
             ))
     return tot.select(
         F.explode(F.array(*structs)).alias("__r")).select("__r.*")
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    dp: int = 6,
+) -> DataFrame:
+    """Spearman rank correlation (Spearman 1904), tie-aware — Pearson
+    over MIDRANKS, the monotone-association profiler that, unlike
+    :func:`correlation_matrix`'s Pearson, ignores the marginal scale
+    (outliers, log-vs-linear features read identically):
+
+        ρ = (n·Σuv - Σu·Σv)
+            / sqrt((n·Σu² - (Σu)²) · (n·Σv² - (Σv)²))
+
+    where u, v are ``2·midrank`` per column — ``2·rank() + ties - 1``,
+    integral by construction (the ``mann_whitney_u`` discipline; the
+    shared factor 2 cancels in ρ). The six pooled sums are EXACT
+    decimal(38,0) (each ≤ 4n³ — safe past 1e11 rows); they combine in
+    one closed-form double expression (IEEE-identical on identical
+    sums across engines), rounded at ``dp``. Complete-case: rows with
+    a NULL in either column are excluded. A constant column has zero
+    rank variance and releases NULL (undefined, not 0).
+
+    Scale shape: two value-ordered rank windows (range-partitioned
+    sorts, one per column) + two per-value tie windows + ONE global
+    aggregate — the ks/mann-whitney shuffle shape twice.
+
+    Returns ONE row: ``(n, rho)``."""
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(x_col).alias("__x"), F.col(y_col).alias("__y"),
+    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    u = (2 * F.rank().over(Window.orderBy("__x"))
+         + F.count(F.lit(1)).over(Window.partitionBy("__x")) - 1)
+    v = (2 * F.rank().over(Window.orderBy("__y"))
+         + F.count(F.lit(1)).over(Window.partitionBy("__y")) - 1)
+    d38 = "decimal(38,0)"
+    ranked = base.select(u.cast(d38).alias("__u"),
+                         v.cast(d38).alias("__v"))
+    tot = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__u").cast(d38).alias("__su"),
+        F.sum("__v").cast(d38).alias("__sv"),
+        F.sum(F.col("__u") * F.col("__v")).cast(d38).alias("__suv"),
+        F.sum(F.col("__u") * F.col("__u")).cast(d38).alias("__suu"),
+        F.sum(F.col("__v") * F.col("__v")).cast(d38).alias("__svv"))
+    n = F.col("n").cast("double")
+    su, sv = F.col("__su").cast("double"), F.col("__sv").cast("double")
+    num = n * F.col("__suv").cast("double") - su * sv
+    den = F.sqrt(
+        (n * F.col("__suu").cast("double") - su * su)
+        * (n * F.col("__svv").cast("double") - sv * sv))
+    return tot.select(
+        "n", F.when(den > 0, F.round(num / den, dp)).alias("rho"))

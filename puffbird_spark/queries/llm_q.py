@@ -5998,3 +5998,45 @@ def eval_krippendorff_alpha(spark, sf_dir):
         (F.col("event_id") % 700).alias("unit"),
         F.col("event_type").alias("value"))
     return krippendorff_alpha(ev, "unit", "value")
+
+
+_ROC_AUC_ORACLE = """
+WITH b AS (SELECT value AS s,
+    event_type IN ('purchase', 'signup') AS y
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+per AS (SELECT s, COUNT(*) AS c,
+    SUM(CASE WHEN y THEN 1 ELSE 0 END) AS p FROM b GROUP BY 1),
+cum AS (SELECT c, p,
+    COALESCE(SUM(c) OVER (ORDER BY s
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bb
+  FROM per),
+t AS (SELECT SUM(p) AS np, SUM(c - p) AS nn,
+    SUM(CAST(p AS HUGEINT) * (2 * bb + c + 1)) AS s2 FROM cum),
+f AS (SELECT np, nn,
+    CASE WHEN np > 0 AND nn > 0 THEN
+      round(CAST(s2 - CAST(np AS HUGEINT) * (np + 1) AS DOUBLE)
+            / (2.0 * CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)), 6)
+    END AS auc FROM t)
+SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+  auc, round(2.0 * auc - 1.0, 6) AS gini
+FROM f
+"""
+
+
+@query("eval_roc_auc", oracle=_ROC_AUC_ORACLE)
+def eval_roc_auc(spark, sf_dir):
+    """ROC AUC via exact midranks (`roc_auc`,
+    operators/evaluation.py; Hanley & McNeil 1982) — the threshold-
+    free binary-classifier scorecard beside the fixed-grid
+    `eval_pr_curve` operating points: P(random positive outscores a
+    random negative), ties half-credited through average ranks.
+    Fixture: score := event value, label := conversion event types —
+    a near-chance AUC with real tie groups (2-dp values collide).
+    The oracle replays the identical integer rank algebra from a
+    distinct-score cumulative sum."""
+    from ..operators.evaluation import roc_auc
+
+    ev = load(spark, sf_dir, "events")
+    return roc_auc(
+        ev, F.col("value"),
+        F.col("event_type").isin("purchase", "signup"))

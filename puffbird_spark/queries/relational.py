@@ -4678,3 +4678,49 @@ def q20_promotion_suppliers(spark, sf_dir):
         s.join(n, F.col("s_nationkey") == F.col("n_nationkey"))
         .join(shipped, "s_suppkey", "left_semi")
         .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal")))
+
+
+_SPEARMAN_ORACLE = """
+WITH b AS (SELECT l_quantity AS x, l_extendedprice AS y
+  FROM lineitem WHERE l_quantity IS NOT NULL
+    AND l_extendedprice IS NOT NULL),
+r AS (SELECT
+    2 * rank() OVER (ORDER BY x)
+      + count(*) OVER (PARTITION BY x) - 1 AS u,
+    2 * rank() OVER (ORDER BY y)
+      + count(*) OVER (PARTITION BY y) - 1 AS v
+  FROM b),
+t AS (SELECT COUNT(*) AS n,
+    SUM(CAST(u AS HUGEINT)) AS su, SUM(CAST(v AS HUGEINT)) AS sv,
+    SUM(CAST(u AS HUGEINT) * v) AS suv,
+    SUM(CAST(u AS HUGEINT) * u) AS suu,
+    SUM(CAST(v AS HUGEINT) * v) AS svv FROM r)
+SELECT CAST(n AS BIGINT) AS n,
+  CASE WHEN (CAST(n AS DOUBLE) * CAST(suu AS DOUBLE)
+             - CAST(su AS DOUBLE) * CAST(su AS DOUBLE))
+           * (CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+              - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)) > 0
+  THEN round((CAST(n AS DOUBLE) * CAST(suv AS DOUBLE)
+              - CAST(su AS DOUBLE) * CAST(sv AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(suu AS DOUBLE)
+                     - CAST(su AS DOUBLE) * CAST(su AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+                       - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))), 6)
+  END AS rho
+FROM t
+"""
+
+
+@query("diag_spearman", oracle=_SPEARMAN_ORACLE)
+def diag_spearman(spark, sf_dir):
+    """Spearman rank correlation (`spearman_corr`,
+    operators/profile.py; Spearman 1904) — the tie-aware monotone-
+    association diagnostic beside the Pearson `correlation_matrix`:
+    midrank integers pool in six exact decimal sums, one closed-form
+    double release. Fixture: lineitem quantity vs extended price —
+    positively associated with HEAVY quantity ties (50 distinct
+    values), so the tie-midrank path is genuinely exercised."""
+    from ..operators.profile import spearman_corr
+
+    li = load(spark, sf_dir, "lineitem")
+    return spearman_corr(li, "l_quantity", "l_extendedprice")

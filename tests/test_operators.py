@@ -7535,6 +7535,84 @@ def test_fleiss_kappa_hand_cases(spark):
         fleiss_kappa(df, "unit", "value", n_raters=1)
 
 
+def test_roc_auc_hand_cases(spark):
+    """Hand-computed AUC: perfect separation reads 1.0 and Gini 1.0;
+    perfectly inverted reads 0.0; a constant score reads exactly 0.5
+    (tie midranks, the half-credit contract); a known mixed case
+    ({neg:1, pos:2, neg:3, pos:4} → 3 of 4 pos-neg pairs won → 0.75);
+    single-class input releases NULL AUC/Gini; NULL scores/labels
+    are excluded."""
+    from puffbird_spark.operators.evaluation import roc_auc
+
+    perfect = spark.createDataFrame(
+        [(0.1, False), (0.2, False), (0.8, True), (0.9, True)],
+        "s double, y boolean")
+    row = roc_auc(perfect, "s", "y").collect()[0]
+    assert (row["n_pos"], row["n_neg"]) == (2, 2)
+    assert row["auc"] == 1.0 and row["gini"] == 1.0
+
+    inverted = spark.createDataFrame(
+        [(0.9, False), (0.8, False), (0.1, True), (0.2, True)],
+        "s double, y boolean")
+    assert roc_auc(inverted, "s", "y").collect()[0]["auc"] == 0.0
+
+    const = spark.createDataFrame(
+        [(1.0, True), (1.0, False), (1.0, True), (1.0, False)],
+        "s double, y boolean")
+    crow = roc_auc(const, "s", "y").collect()[0]
+    assert crow["auc"] == 0.5 and crow["gini"] == 0.0
+
+    mixed = spark.createDataFrame(
+        [(1.0, False), (2.0, True), (3.0, False), (4.0, True)],
+        "s double, y boolean")
+    assert roc_auc(mixed, "s", "y").collect()[0]["auc"] == 0.75
+
+    onecls = spark.createDataFrame(
+        [(0.5, True), (0.7, True)], "s double, y boolean")
+    orow = roc_auc(onecls, "s", "y").collect()[0]
+    assert orow["auc"] is None and orow["gini"] is None
+
+    withnull = spark.createDataFrame(
+        [(0.1, False), (0.9, True), (None, True), (0.5, None)],
+        "s double, y boolean")
+    nrow = roc_auc(withnull, "s", "y").collect()[0]
+    assert (nrow["n_pos"], nrow["n_neg"]) == (1, 1)
+    assert nrow["auc"] == 1.0
+
+
+def test_spearman_corr_hand_cases(spark):
+    """Hand-computed Spearman: any strictly monotone map reads exactly
+    1 (ranks, not values — x² vs x is still 1); inverted reads -1; the
+    tied case x=[1,1,2] vs y=[1,2,3] has midranks [1.5,1.5,3] vs
+    [1,2,3] → ρ = 18/√432 = 0.866025; a constant column has zero rank
+    variance → NULL; NULL rows are complete-case excluded."""
+    from puffbird_spark.operators.profile import spearman_corr
+
+    mono = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 4.0), (3.0, 9.0), (10.0, 100.0)],
+        "x double, y double")
+    row = spearman_corr(mono, "x", "y").collect()[0]
+    assert (row["n"], row["rho"]) == (4, 1.0)
+
+    inv = spark.createDataFrame(
+        [(1.0, 9.0), (2.0, 4.0), (3.0, 1.0)], "x double, y double")
+    assert spearman_corr(inv, "x", "y").collect()[0]["rho"] == -1.0
+
+    tied = spark.createDataFrame(
+        [(1.0, 1.0), (1.0, 2.0), (2.0, 3.0)], "x double, y double")
+    assert spearman_corr(tied, "x", "y").collect()[0]["rho"] == 0.866025
+
+    const = spark.createDataFrame(
+        [(5.0, 1.0), (5.0, 2.0), (5.0, 3.0)], "x double, y double")
+    assert spearman_corr(const, "x", "y").collect()[0]["rho"] is None
+
+    nulls = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 2.0), (None, 3.0), (3.0, None), (3.0, 3.0)],
+        "x double, y double")
+    nrow = spearman_corr(nulls, "x", "y").collect()[0]
+    assert (nrow["n"], nrow["rho"]) == (3, 1.0)
+
+
 def test_trajectory_stats_warns_without_tiebreak(spark):
     """ADVICE r12: omitting order_tiebreak leaves tied-timestamp leg
     order nondeterministic — the operator now warns."""
