@@ -870,3 +870,104 @@ def ewma_time_decay(
         v.alias("value"),
         F.when(growth > 0, F.round(num / den, round_dp)).alias("ewma"),
     )
+
+
+def autocorrelation(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    lags: tuple[int, ...] = (1, 2, 3),
+    order_tiebreak: str | None = None,
+    scale: int = 6,
+    dp: int = 6,
+) -> DataFrame:
+    """Per-entity lag-k autocorrelation (the sample ACF, Box & Jenkins
+    form with the FULL-series denominator) — the seasonality /
+    persistence profiler a feature pipeline runs before lag-feature
+    selection:
+
+        r_k = Σ_t (x_t - x̄)(x_{t+k} - x̄) / Σ_t (x_t - x̄)²
+
+    over each entity's observations ordered by ``ts_col`` (plus
+    ``order_tiebreak`` — REQUIRED-in-spirit like trajectory_stats: tied
+    timestamps otherwise make the lag pairing nondeterministic; pass a
+    unique column). Adjacent-in-SEQUENCE pairing: gaps in wall-clock
+    time pair by position, the standard ACF over an observation series.
+
+    Determinism (the krippendorff per-term ladder): inputs snap to
+    ``decimal(20,scale)``; the per-entity mean divides two EXACT
+    aggregates (decimal sum / long count — one IEEE double, identical
+    on identical inputs across engines); every centered product rounds
+    to 9 dp and pools as decimal(38,9) (order-free exact sums); the
+    final ratio releases at ``dp``. A constant series has zero
+    denominator and reads NULL (undefined, not 0). NULL values are
+    excluded BEFORE sequencing (pairwise-complete positions).
+
+    Scale shape: ONE keyed window (partitioned by entity) computing
+    every lag's ``lead`` in a single pass, one keyed stats aggregate,
+    one co-partitioned join back, one keyed final fold — nothing
+    global, nothing driver-side; skew equals entity skew.
+
+    Returns ``(entity_col, lag, n, n_pairs, acf)`` — ``n`` the
+    entity's observation count, ``n_pairs = max(n - lag, 0)``."""
+    ks = sorted(set(int(k) for k in lags))
+    if not ks or ks[0] < 1:
+        raise ValueError(f"lags must be positive ints, got {lags!r}")
+    decv = f"decimal(20,{scale})"
+    order = [F.col(ts_col)]
+    if order_tiebreak is not None:
+        order.append(F.col(order_tiebreak))
+    else:
+        import warnings
+
+        warnings.warn(
+            "autocorrelation without order_tiebreak: tied timestamps "
+            "make the lag pairing nondeterministic — pass a unique "
+            "column to make the order total", stacklevel=2)
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(entity_col).alias("__e"),
+        F.col(value_col).cast(decv).alias("__x"),
+        *[c.alias(f"__o{i}") for i, c in enumerate(order)])
+    w = Window.partitionBy("__e").orderBy(
+        *[F.col(f"__o{i}") for i in range(len(order))])
+    led = base.select(
+        "__e", "__x",
+        *[F.lead("__x", k).over(w).alias(f"__x{k}") for k in ks])
+    stats = led.groupBy("__e").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__x").alias("__s"))
+    xbar = F.col("__s").cast("double") / F.col("__n")
+    j = led.join(stats, "__e")
+    dev = F.col("__x").cast("double") - xbar
+    d9 = "decimal(38,9)"
+    den_term = F.round(dev * dev, 9).cast(d9)
+    aggs = [
+        F.max("__n").alias("n"),
+        F.sum(den_term).alias("__den"),
+    ]
+    for k in ks:
+        devk = F.col(f"__x{k}").cast("double") - xbar
+        aggs.append(F.sum(
+            F.when(F.col(f"__x{k}").isNotNull(),
+                   F.round(dev * devk, 9).cast(d9))).alias(f"__num{k}"))
+        aggs.append(F.sum(
+            F.when(F.col(f"__x{k}").isNotNull(), 1).otherwise(0))
+            .cast("long").alias(f"__m{k}"))
+    per_e = j.groupBy("__e").agg(*aggs)
+    lag_rows = [
+        F.struct(
+            F.lit(k).cast("int").alias("lag"),
+            F.col(f"__m{k}").alias("n_pairs"),
+            F.when(
+                (F.col("__den").cast("double") > 0)
+                & (F.col(f"__m{k}") > 0),
+                F.round(F.col(f"__num{k}").cast("double")
+                        / F.col("__den").cast("double"), dp))
+            .alias("acf"))
+        for k in ks
+    ]
+    return per_e.select(
+        F.col("__e").alias(entity_col), F.col("n"),
+        F.explode(F.array(*lag_rows)).alias("__r")
+    ).select(entity_col, "__r.lag", "n", "__r.n_pairs", "__r.acf")

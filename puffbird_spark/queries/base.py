@@ -32,6 +32,15 @@ def query(name: str, oracle: str | None = None):
     non-SQL-expressible ops: MinHash/SimHash/LSH, streaming semantics)."""
 
     def deco(fn):
+        # a duplicate name silently SHADOWS the earlier gate (import
+        # order decides the winner) — the r13 timeseries_acf collision:
+        # a new gate reused an existing name, check_oracle greenly
+        # re-tested the OLD gate, and the new code never ran. Fail loud.
+        if name in QUERIES:
+            raise ValueError(
+                f"query {name!r} is already registered — gate names "
+                f"must be unique (a duplicate silently shadows the "
+                f"earlier registration)")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

@@ -4724,3 +4724,66 @@ def diag_spearman(spark, sf_dir):
 
     li = load(spark, sf_dir, "lineitem")
     return spearman_corr(li, "l_quantity", "l_extendedprice")
+
+
+_ACF_ORACLE = """
+WITH b AS (SELECT user_id AS e, CAST(value AS DECIMAL(20,6)) AS x,
+    ts, event_id
+  FROM events WHERE value IS NOT NULL),
+s AS (SELECT e, x,
+    lead(x, 1) OVER w AS x1,
+    lead(x, 2) OVER w AS x2,
+    lead(x, 3) OVER w AS x3
+  FROM b WINDOW w AS (PARTITION BY e ORDER BY ts, event_id)),
+st AS (SELECT e, COUNT(*) AS n, SUM(x) AS sx FROM s GROUP BY 1),
+j AS (SELECT s.e, s.x, s.x1, s.x2, s.x3, st.n,
+    CAST(st.sx AS DOUBLE) / st.n AS xb
+  FROM s JOIN st USING (e)),
+agg AS (SELECT e, MAX(n) AS n,
+    SUM(CAST(round((CAST(x AS DOUBLE) - xb)
+                   * (CAST(x AS DOUBLE) - xb), 9)
+        AS DECIMAL(38,9))) AS den,
+    SUM(CASE WHEN x1 IS NOT NULL THEN CAST(round(
+        (CAST(x AS DOUBLE) - xb) * (CAST(x1 AS DOUBLE) - xb), 9)
+        AS DECIMAL(38,9)) END) AS num1,
+    SUM(CASE WHEN x1 IS NOT NULL THEN 1 ELSE 0 END) AS m1,
+    SUM(CASE WHEN x2 IS NOT NULL THEN CAST(round(
+        (CAST(x AS DOUBLE) - xb) * (CAST(x2 AS DOUBLE) - xb), 9)
+        AS DECIMAL(38,9)) END) AS num2,
+    SUM(CASE WHEN x2 IS NOT NULL THEN 1 ELSE 0 END) AS m2,
+    SUM(CASE WHEN x3 IS NOT NULL THEN CAST(round(
+        (CAST(x AS DOUBLE) - xb) * (CAST(x3 AS DOUBLE) - xb), 9)
+        AS DECIMAL(38,9)) END) AS num3,
+    SUM(CASE WHEN x3 IS NOT NULL THEN 1 ELSE 0 END) AS m3
+  FROM j GROUP BY 1)
+SELECT e AS user_id, CAST(lag AS INTEGER) AS lag, CAST(n AS BIGINT) AS n,
+  CAST(n_pairs AS BIGINT) AS n_pairs,
+  CASE WHEN CAST(den AS DOUBLE) > 0 AND n_pairs > 0
+       THEN round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+  END AS acf
+FROM (
+  SELECT e, n, den, 1 AS lag, num1 AS num, m1 AS n_pairs FROM agg
+  UNION ALL
+  SELECT e, n, den, 2 AS lag, num2 AS num, m2 AS n_pairs FROM agg
+  UNION ALL
+  SELECT e, n, den, 3 AS lag, num3 AS num, m3 AS n_pairs FROM agg)
+"""
+
+
+@query("timeseries_acf_entity", oracle=_ACF_ORACLE)
+def timeseries_acf_entity(spark, sf_dir):
+    """Per-entity sample autocorrelation at lags 1..3
+    (`autocorrelation`, operators/timeseries.py; Box & Jenkins) —
+    the persistence/seasonality profiler over each user's RAW
+    event-value sequence, ordered by (ts, event_id) — keyed-window
+    complement of `timeseries_acf`'s global per-day-mean series (that
+    gate aggregates to a daily grid first; this one profiles every
+    entity's own observation order). Exact decimal input snap,
+    9-dp-decimal centered products (order-free sums), double release.
+    One keyed window + two keyed aggregations, nothing global."""
+    from ..operators.timeseries import autocorrelation
+
+    ev = load(spark, sf_dir, "events")
+    return autocorrelation(
+        ev, "user_id", "ts", "value", lags=(1, 2, 3),
+        order_tiebreak="event_id")

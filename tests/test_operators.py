@@ -7613,6 +7613,54 @@ def test_spearman_corr_hand_cases(spark):
     assert (nrow["n"], nrow["rho"]) == (3, 1.0)
 
 
+def test_autocorrelation_hand_cases(spark):
+    """Hand-computed ACF over [1,2,3,4] (mean 2.5, den 5): r1 = 1.25/5
+    = 0.25, r2 = -1.5/5 = -0.3, r3 = -2.25/5 = -0.45; a constant
+    series has zero denominator → NULL at every lag; entities are
+    independent; omitting order_tiebreak warns; bad lags raise."""
+    import warnings
+
+    import pytest as _pytest
+
+    from puffbird_spark.operators.timeseries import autocorrelation
+
+    rows = [("a", i, float(v)) for i, v in enumerate([1, 2, 3, 4])]
+    rows += [("c", i, 7.0) for i in range(4)]
+    df = spark.createDataFrame(rows, "e string, t int, x double") \
+        .withColumn("ts", F.col("t").cast("timestamp"))
+    out = {(r["e"], r["lag"]): r for r in autocorrelation(
+        df, "e", "ts", "x", lags=(1, 2, 3),
+        order_tiebreak="t").collect()}
+    assert out[("a", 1)]["acf"] == 0.25
+    assert out[("a", 2)]["acf"] == -0.3
+    assert out[("a", 3)]["acf"] == -0.45
+    assert (out[("a", 1)]["n"], out[("a", 1)]["n_pairs"]) == (4, 3)
+    for k in (1, 2, 3):
+        assert out[("c", k)]["acf"] is None
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        autocorrelation(df, "e", "ts", "x")
+    assert any("order_tiebreak" in str(w.message) for w in rec)
+    with _pytest.raises(ValueError, match="lags"):
+        autocorrelation(df, "e", "ts", "x", lags=(0, 1))
+
+
+def test_query_registry_rejects_duplicate_names():
+    """r13 regression guard: registering a gate under an existing name
+    must raise, not silently shadow (import order decided the winner —
+    the timeseries_acf collision ran the OLD gate under the new name)."""
+    import pytest as _pytest
+
+    from puffbird_spark.queries.base import QUERIES, query
+
+    existing = next(iter(QUERIES))
+    with _pytest.raises(ValueError, match="already registered"):
+        @query(existing)
+        def shadow(spark, sf_dir):  # pragma: no cover
+            return None
+
+
 def test_trajectory_stats_warns_without_tiebreak(spark):
     """ADVICE r12: omitting order_tiebreak leaves tied-timestamp leg
     order nondeterministic — the operator now warns."""
