@@ -1182,3 +1182,57 @@ def roc_auc(
     return tot.select(
         "n_pos", "n_neg", auc.alias("auc"),
         F.round(2.0 * auc - 1.0, dp).alias("gini"))
+
+
+def probabilistic_scores(
+    df: DataFrame,
+    prob_col,
+    label_col,
+    dp: int = 6,
+    eps: float = 1e-15,
+) -> DataFrame:
+    """Brier score and log loss (cross-entropy) for a probabilistic
+    binary classifier — the proper-scoring-rule pair beside the rank-
+    only :func:`roc_auc` (AUC ignores calibration; these punish it):
+
+        brier    = mean (p - y)²          (Brier 1950)
+        log_loss = mean -(y·ln p + (1-y)·ln(1-p))   (clamped)
+
+    ``p`` is clamped into ``[eps, 1-eps]`` for the log terms (an exact
+    0/1 prediction on the wrong label is otherwise infinite) and into
+    ``[0, 1]`` for Brier — out-of-range inputs are CLAMPED, not
+    rejected (no ANSI kill on untrusted scores; the r11 probe class).
+    Rows with NULL prob/label are excluded.
+
+    Determinism: each per-row term rounds to 9 dp and pools as
+    decimal(38,9) (order-free exact sum — ln is the BLEU 9-dp
+    transcendental ladder); the mean divides doubles, released at
+    ``dp``. Scale shape: ONE aggregation pass, map-side combinable.
+
+    Returns ONE row: ``(n, n_pos, brier, log_loss)``."""
+    p0 = _col(prob_col).cast("double")
+    y = _col(label_col).cast("boolean")
+    base = df.select(p0.alias("__p"), y.alias("__y")).filter(
+        F.col("__p").isNotNull() & F.col("__y").isNotNull())
+    yd = F.when(F.col("__y"), F.lit(1.0)).otherwise(F.lit(0.0))
+    pb = F.greatest(F.least(F.col("__p"), F.lit(1.0)), F.lit(0.0))
+    lo, hi = F.lit(float(eps)), F.lit(1.0 - float(eps))
+    pl = F.greatest(F.least(F.col("__p"), hi), lo)
+    ql = F.greatest(F.least(1.0 - F.col("__p"), hi), lo)
+    d9 = "decimal(38,9)"
+    bterm = F.round((pb - yd) * (pb - yd), 9).cast(d9)
+    lterm = F.round(
+        -(yd * F.log(pl) + (1.0 - yd) * F.log(ql)), 9).cast(d9)
+    tot = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("__y"), 1).otherwise(0)).cast("long")
+        .alias("n_pos"),
+        F.sum(bterm).alias("__sb"),
+        F.sum(lterm).alias("__sl"))
+    n = F.col("n")
+    return tot.select(
+        "n", "n_pos",
+        F.when(n > 0, F.round(F.col("__sb").cast("double") / n, dp))
+        .alias("brier"),
+        F.when(n > 0, F.round(F.col("__sl").cast("double") / n, dp))
+        .alias("log_loss"))

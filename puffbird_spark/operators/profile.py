@@ -13,7 +13,7 @@ strategy), then the one aggregate row pivots to long format with
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
@@ -297,3 +297,73 @@ def spearman_corr(
         * (n * F.col("__svv").cast("double") - sv * sv))
     return tot.select(
         "n", F.when(den > 0, F.round(num / den, dp)).alias("rho"))
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str,
+    top_n: int = 1000,
+    dp: int = 6,
+) -> DataFrame:
+    """Zipf rank-frequency fit over a corpus vocabulary — the
+    log-log OLS line through the top-``top_n`` token frequencies,
+    the corpus-quality diagnostic curation pipelines band on (natural
+    text slopes near -1; boilerplate, spam, and template floods bend
+    it; Zipf 1949, Piantadosi 2014 review):
+
+        y = ln(count), x = ln(rank);  slope, intercept, corr by OLS
+
+    Tokenization is ``tokens(drop_empty=True)`` (the r10 convention).
+    Ranks order by (count DESC, token ASC) — a total order, so the
+    fit replays bit-identically. Determinism: ln snaps to 9 dp
+    (transcendental ladder); cross-terms are 9-dp-snapped DOUBLE
+    products pooled as decimal(38,9) exact sums; the closed-form
+    slope/intercept/corr combine those sums in doubles, released at
+    ``dp``. A degenerate fit (fewer than 2 distinct ranks, or zero x
+    variance) reads NULL.
+
+    Scale shape: one explode + one token-count aggregation (corpus-
+    linear, map-side combinable), then ONE ordered window over the
+    VOCABULARY (distinct tokens — metadata-scale next to the corpus,
+    the equi-depth convention) capped at ``top_n``, one scalar fold.
+
+    Returns ONE row: ``(n_vocab, n_fit, slope, intercept, corr)``."""
+    from ..functions.text import tokens
+
+    toks = df.select(
+        F.explode(tokens(F.col(text_col), drop_empty=True)).alias("__t"))
+    cnt = toks.groupBy("__t").agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.orderBy(F.col("__c").desc(), F.col("__t").asc())
+    rk = cnt.select(
+        "__c", F.row_number().over(w).alias("__r"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()).alias("__vocab"))
+    x = F.round(F.log(F.col("__r").cast("double")), 9)
+    y = F.round(F.log(F.col("__c").cast("double")), 9)
+    d9 = "decimal(38,9)"
+    f = rk.filter(F.col("__r") <= int(top_n)).select(
+        "__vocab", x.alias("__x"), y.alias("__y"))
+    tot = f.agg(
+        F.max("__vocab").cast("long").alias("n_vocab"),
+        F.count(F.lit(1)).cast("long").alias("n_fit"),
+        F.sum(F.col("__x").cast(d9)).alias("__sx"),
+        F.sum(F.col("__y").cast(d9)).alias("__sy"),
+        F.sum(F.round(F.col("__x") * F.col("__y"), 9).cast(d9))
+        .alias("__sxy"),
+        F.sum(F.round(F.col("__x") * F.col("__x"), 9).cast(d9))
+        .alias("__sxx"),
+        F.sum(F.round(F.col("__y") * F.col("__y"), 9).cast(d9))
+        .alias("__syy"))
+    n = F.col("n_fit").cast("double")
+    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
+    dxy = n * F.col("__sxy").cast("double") - sx * sy
+    dxx = n * F.col("__sxx").cast("double") - sx * sx
+    dyy = n * F.col("__syy").cast("double") - sy * sy
+    slope = F.when(dxx > 0, F.round(dxy / dxx, dp))
+    intercept = F.when(
+        dxx > 0, F.round((sy - (dxy / dxx) * sx) / n, dp))
+    corr = F.when(
+        (dxx > 0) & (dyy > 0), F.round(dxy / F.sqrt(dxx * dyy), dp))
+    return tot.select(
+        "n_vocab", "n_fit", slope.alias("slope"),
+        intercept.alias("intercept"), corr.alias("corr"))

@@ -6040,3 +6040,93 @@ def eval_roc_auc(spark, sf_dir):
     return roc_auc(
         ev, F.col("value"),
         F.col("event_type").isin("purchase", "signup"))
+
+
+_PROB_SCORES_ORACLE = """
+WITH b AS (SELECT value - floor(value) AS p,
+    event_type IN ('purchase', 'signup') AS y
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+c AS (SELECT p, CASE WHEN y THEN 1.0 ELSE 0.0 END AS yd,
+    CASE WHEN y THEN 1 ELSE 0 END AS yi FROM b),
+t AS (SELECT COUNT(*) AS n, SUM(yi) AS np,
+    SUM(CAST(round((greatest(least(p, 1.0), 0.0) - yd)
+                   * (greatest(least(p, 1.0), 0.0) - yd), 9)
+        AS DECIMAL(38,9))) AS sb,
+    SUM(CAST(round(-(yd * ln(greatest(least(p, 1 - 1e-15), 1e-15))
+                     + (1 - yd)
+                       * ln(greatest(least(1 - p, 1 - 1e-15),
+                                     1e-15))), 9)
+        AS DECIMAL(38,9))) AS sl
+  FROM c)
+SELECT CAST(n AS BIGINT) AS n, CAST(np AS BIGINT) AS n_pos,
+  CASE WHEN n > 0 THEN round(CAST(sb AS DOUBLE) / n, 6) END AS brier,
+  CASE WHEN n > 0 THEN round(CAST(sl AS DOUBLE) / n, 6) END AS log_loss
+FROM t
+"""
+
+
+@query("eval_probabilistic", oracle=_PROB_SCORES_ORACLE)
+def eval_probabilistic(spark, sf_dir):
+    """Brier score + log loss (`probabilistic_scores`,
+    operators/evaluation.py; Brier 1950) — the proper-scoring-rule
+    calibration pair beside `eval_roc_auc`'s rank-only AUC and the
+    binned `eval_calibration_bins` reliability diagram. Fixture:
+    p := the event value's fractional part (a dense [0,1) pseudo-
+    probability), label := conversion event types. One aggregation
+    pass; 9-dp decimal term snap (the BLEU ln ladder)."""
+    from ..operators.evaluation import probabilistic_scores
+
+    ev = load(spark, sf_dir, "events")
+    return probabilistic_scores(
+        ev, F.col("value") - F.floor("value"),
+        F.col("event_type").isin("purchase", "signup"))
+
+
+_ZIPF_ORACLE = """
+WITH tok AS (SELECT unnest(list_filter(string_split(text, ' '),
+                                       x -> x <> '')) AS t
+  FROM documents WHERE text IS NOT NULL),
+cnt AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY 1),
+rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, t ASC) AS r,
+    COUNT(*) OVER () AS vocab FROM cnt),
+f AS (SELECT vocab, round(ln(CAST(r AS DOUBLE)), 9) AS x,
+    round(ln(CAST(c AS DOUBLE)), 9) AS y
+  FROM rk WHERE r <= 1000),
+t2 AS (SELECT MAX(vocab) AS vocab, COUNT(*) AS n,
+    SUM(CAST(x AS DECIMAL(38,9))) AS sx,
+    SUM(CAST(y AS DECIMAL(38,9))) AS sy,
+    SUM(CAST(round(x * y, 9) AS DECIMAL(38,9))) AS sxy,
+    SUM(CAST(round(x * x, 9) AS DECIMAL(38,9))) AS sxx,
+    SUM(CAST(round(y * y, 9) AS DECIMAL(38,9))) AS syy
+  FROM f),
+g AS (SELECT CAST(vocab AS BIGINT) AS n_vocab, CAST(n AS BIGINT) AS n_fit,
+    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS dxy,
+    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS dxx,
+    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS dyy,
+    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+    CAST(n AS DOUBLE) AS nd
+  FROM t2)
+SELECT n_vocab, n_fit,
+  CASE WHEN dxx > 0 THEN round(dxy / dxx, 6) END AS slope,
+  CASE WHEN dxx > 0
+       THEN round((syd - (dxy / dxx) * sxd) / nd, 6) END AS intercept,
+  CASE WHEN dxx > 0 AND dyy > 0
+       THEN round(dxy / sqrt(dxx * dyy), 6) END AS corr
+FROM g
+"""
+
+
+@query("text_zipf", oracle=_ZIPF_ORACLE)
+def text_zipf(spark, sf_dir):
+    """Zipf rank-frequency fit (`zipf_fit`, operators/profile.py;
+    Zipf 1949) — log-log OLS over the top-1000 vocabulary
+    frequencies, the corpus-naturalness diagnostic (template floods
+    and spam bend the ~-1 slope). Corpus-linear token counting, one
+    vocabulary-sized ordered window, 9-dp transcendental ladder."""
+    from ..operators.profile import zipf_fit
+
+    docs = load(spark, sf_dir, "documents")
+    return zipf_fit(docs, "text", top_n=1000)

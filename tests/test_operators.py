@@ -7661,6 +7661,78 @@ def test_query_registry_rejects_duplicate_names():
             return None
 
 
+def test_probabilistic_scores_hand_cases(spark):
+    """Hand-computed Brier/log-loss: perfect confident predictions
+    read 0/~0; p=0.5 everywhere reads brier 0.25, log_loss ln2 =
+    0.693147; a maximally wrong confident prediction clamps to eps
+    and reads -ln(1e-15) = 34.538776; out-of-range p clamps instead
+    of ANSI-killing; NULLs are excluded; empty input releases NULLs."""
+    from puffbird_spark.operators.evaluation import probabilistic_scores
+
+    perfect = spark.createDataFrame(
+        [(1.0, True), (0.0, False)], "p double, y boolean")
+    row = probabilistic_scores(perfect, "p", "y").collect()[0]
+    assert (row["n"], row["n_pos"]) == (2, 1)
+    assert row["brier"] == 0.0 and row["log_loss"] == 0.0
+
+    half = spark.createDataFrame(
+        [(0.5, True), (0.5, False)], "p double, y boolean")
+    hrow = probabilistic_scores(half, "p", "y").collect()[0]
+    assert hrow["brier"] == 0.25 and hrow["log_loss"] == 0.693147
+
+    wrong = spark.createDataFrame([(1.0, False)], "p double, y boolean")
+    wrow = probabilistic_scores(wrong, "p", "y").collect()[0]
+    assert wrow["brier"] == 1.0 and wrow["log_loss"] == 34.538776
+
+    clamp = spark.createDataFrame(
+        [(1.5, True), (-0.25, False), (None, True), (0.5, None)],
+        "p double, y boolean")
+    crow = probabilistic_scores(clamp, "p", "y").collect()[0]
+    assert (crow["n"], crow["brier"]) == (2, 0.0)
+    assert crow["log_loss"] == 0.0
+
+    empty = spark.createDataFrame([], "p double, y boolean")
+    erow = probabilistic_scores(empty, "p", "y").collect()[0]
+    assert erow["n"] == 0 and erow["brier"] is None
+
+
+def test_zipf_fit_matches_reference(spark):
+    """zipf_fit agrees value-for-value with an independent pure-Python
+    recompute of the same 9-dp snap ladder over a corpus with KNOWN
+    token counts (a:5 b:3 c:3 d:1 — note the b/c tie broken by token
+    order); a single-token corpus has zero rank variance → NULL fit;
+    empty/NULL texts contribute nothing."""
+    import math
+
+    from puffbird_spark.operators.profile import zipf_fit
+
+    docs = spark.createDataFrame(
+        [("a b a c",), ("a b c b a c a",), ("d",), ("",), (None,)],
+        "text string")
+    row = zipf_fit(docs, "text", top_n=1000).collect()[0]
+    counts = {"a": 5, "b": 3, "c": 3, "d": 1}
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    pts = [(round(math.log(r + 1), 9), round(math.log(c), 9))
+           for r, (_, c) in enumerate(ranked)]
+    n = float(len(pts))
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(round(x * y, 9) for x, y in pts)
+    sxx = sum(round(x * x, 9) for x, _ in pts)
+    syy = sum(round(y * y, 9) for _, y in pts)
+    dxy, dxx, dyy = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+    assert (row["n_vocab"], row["n_fit"]) == (4, 4)
+    assert row["slope"] == round(dxy / dxx, 6)
+    assert row["intercept"] == round((sy - (dxy / dxx) * sx) / n, 6)
+    assert row["corr"] == round(dxy / math.sqrt(dxx * dyy), 6)
+    assert row["slope"] < 0  # frequencies fall with rank
+
+    single = spark.createDataFrame([("x x x",)], "text string")
+    srow = zipf_fit(single, "text").collect()[0]
+    assert (srow["n_vocab"], srow["n_fit"]) == (1, 1)
+    assert srow["slope"] is None and srow["corr"] is None
+
+
 def test_trajectory_stats_warns_without_tiebreak(spark):
     """ADVICE r12: omitting order_tiebreak leaves tied-timestamp leg
     order nondeterministic — the operator now warns."""
