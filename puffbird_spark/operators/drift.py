@@ -522,3 +522,85 @@ def runs_test(
                 dp)).alias("z"))
         .filter(F.col("z").isNotNull())
     )
+
+
+def effect_size(
+    df: DataFrame,
+    group_col,
+    value_col: str,
+    key_cols: list[str] | None = None,
+    scale: int = 6,
+    dp: int = 6,
+) -> DataFrame:
+    """Cohen's d and Hedges' g per key — the standardized mean
+    difference that turns :func:`mann_whitney_u`'s "is there a shift"
+    into "how BIG is the shift" (the practical-significance report
+    line; Cohen 1988, Hedges 1981):
+
+        d = (x̄_a - x̄_b) / s_pooled
+        s²_pooled = ((n_a-1)s²_a + (n_b-1)s²_b) / (n_a + n_b - 2)
+        g = d · (1 - 3/(4(n_a+n_b) - 9))        (small-sample bias)
+
+    ``group_col`` is a boolean sample-a indicator (same plan-time type
+    contract as mann_whitney_u — string labels pass an explicit
+    comparison). Determinism: values snap to ``decimal(20,scale)``;
+    per-side n/Σx/Σx² are EXACT (decimal sums); variances and the
+    release combine those sums in one double expression with factors
+    cast to double BEFORE multiplying (the overflow-audit rule).
+    Sides with n < 2, or zero pooled variance, release NULL d/g.
+
+    Σx² pools in the SCALED-INTEGER domain — ``(x·10^scale)²`` as
+    decimal(38,0), descaled once in the double combine — because a
+    decimal(20,s)² exceeds Spark's 38-digit cap and the precision-loss
+    rule would silently round the SCALE (a lossy product; the r12
+    overflow-audit family). Bound: |x| < ~1e7 at scale 6 keeps the
+    squared pool under 38 digits past 1e9 rows per key.
+
+    Scale shape: ONE keyed aggregation pass (conditional sums), no
+    window, no join. Returns
+    ``(*key_cols, n_a, n_b, mean_a, mean_b, cohens_d, hedges_g)``."""
+    keys = list(key_cols or [])
+    g = group_col if not isinstance(group_col, str) else F.col(group_col)
+    from pyspark.sql import types as T
+
+    gtype = df.select(g.alias("__a")).schema[0].dataType
+    if not isinstance(gtype, (T.BooleanType, T.NumericType)):
+        raise TypeError(
+            "effect_size: group_col must be a boolean (or 0/1 numeric) "
+            f"sample-a indicator, got {gtype.simpleString()}; for a "
+            "two-valued label column pass e.g. F.col('g') == 'a'")
+    decv = f"decimal(20,{scale})"
+    base = df.select(
+        *keys, F.col(value_col).cast(decv).alias("__v"),
+        g.cast("boolean").alias("__a"),
+    ).filter(F.col("__v").isNotNull() & F.col("__a").isNotNull())
+    ia = F.when(F.col("__a"), 1).otherwise(0)
+    vi = (F.col("__v") * F.lit(10 ** scale)).cast("decimal(38,0)")
+    sq = vi * vi
+    per = base.groupBy(*keys).agg(
+        F.sum(ia).cast("long").alias("n_a"),
+        F.sum(1 - ia).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("__a"), F.col("__v"))).alias("__sa"),
+        F.sum(F.when(~F.col("__a"), F.col("__v"))).alias("__sb"),
+        F.sum(F.when(F.col("__a"), sq)).cast("decimal(38,0)")
+        .alias("__qa"),
+        F.sum(F.when(~F.col("__a"), sq)).cast("decimal(38,0)")
+        .alias("__qb"))
+    desc = float(10 ** (2 * scale))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    sa, sb = F.col("__sa").cast("double"), F.col("__sb").cast("double")
+    qa = F.col("__qa").cast("double") / desc
+    qb = F.col("__qb").cast("double") / desc
+    va = (na * qa - sa * sa) / (na * (na - 1.0))
+    vb = (nb * qb - sb * sb) / (nb * (nb - 1.0))
+    pooled = ((na - 1.0) * va + (nb - 1.0) * vb) / (na + nb - 2.0)
+    d = (sa / na - sb / nb) / F.sqrt(pooled)
+    corr = 1.0 - 3.0 / (4.0 * (na + nb) - 9.0)
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2)
+    return per.select(
+        *keys, "n_a", "n_b",
+        F.when(F.col("n_a") > 0, F.round(sa / na, dp)).alias("mean_a"),
+        F.when(F.col("n_b") > 0, F.round(sb / nb, dp)).alias("mean_b"),
+        F.when(ok & (pooled > 0), F.round(d, dp)).alias("cohens_d"),
+        F.when(ok & (pooled > 0), F.round(d * corr, dp))
+        .alias("hedges_g"))

@@ -2333,3 +2333,217 @@ def audio_spectral_probe(
 
     return df.select(path_col, content_col).mapInPandas(
         kernel, AUDIO_SPECTRAL_SCHEMA)
+
+
+def encode_tiff_exif(seed: int = 0, byte_order: str = "II") -> bytes:
+    """A REAL minimal TIFF file with an EXIF sub-IFD (TIFF 6.0 layout:
+    8-byte header, ascending-tag IFDs, inline-vs-offset values by the
+    4-byte rule, NUL-terminated ASCII, RATIONAL as two u32) built with
+    only ``struct`` — the deterministic metadata fixture the EXIF gate's
+    oracle replays closed-form from ``seed``:
+
+    - width = 640 + seed%1360, height = 480 + seed%600 (LONG)
+    - orientation = 1 + seed%8 (SHORT, inline)
+    - make = "CAM{seed%10}", model = "MODEL-{seed%100}" (ASCII, offset)
+    - datetime = "2024:MM:DD hh:mm:ss" from seed mods (ASCII, 20 bytes)
+    - x_resolution = (72 + seed%228) / 1 (RATIONAL)
+    - EXIF IFD: exposure = 1/(60 + seed%940) (RATIONAL),
+      iso = 100·(1 + seed%32) (SHORT),
+      focal = ((35 + seed%165)·10 + seed%10) / 10 (RATIONAL)
+
+    ``byte_order`` "II" (little) or "MM" (big) — the decoder must
+    handle both, so fixtures alternate."""
+    if byte_order not in ("II", "MM"):
+        raise ValueError(f"byte_order must be 'II' or 'MM', got "
+                         f"{byte_order!r}")
+    e = "<" if byte_order == "II" else ">"
+    width = 640 + seed % 1360
+    height = 480 + seed % 600
+    orientation = 1 + seed % 8
+    make = f"CAM{seed % 10}".encode() + b"\x00"
+    model = f"MODEL-{seed % 100}".encode() + b"\x00"
+    dt = (f"2024:{1 + seed % 12:02d}:{1 + seed % 28:02d} "
+          f"{seed % 24:02d}:{seed % 60:02d}:{seed % 60:02d}"
+          ).encode() + b"\x00"
+    xres = (72 + seed % 228, 1)
+    exposure = (1, 60 + seed % 940)
+    iso = 100 * (1 + seed % 32)
+    focal = ((35 + seed % 165) * 10 + seed % 10, 10)
+
+    def entry(tag, typ, count, value4):
+        return struct.pack(f"{e}HHI", tag, typ, count) + value4
+
+    def inline_short(v):
+        return struct.pack(f"{e}H", v) + b"\x00\x00"
+
+    def inline_long(v):
+        return struct.pack(f"{e}I", v)
+
+    # layout: header(8) | IFD0 | IFD0 data | EXIF IFD | EXIF data
+    n0, nx = 8, 3
+    ifd0_at = 8
+    ifd0_len = 2 + 12 * n0 + 4
+    data0_at = ifd0_at + ifd0_len
+    make_at = data0_at
+    model_at = make_at + len(make)
+    dt_at = model_at + len(model)
+    xres_at = dt_at + len(dt)
+    exif_at = xres_at + 8
+    exif_len = 2 + 12 * nx + 4
+    datax_at = exif_at + exif_len
+    exp_at = datax_at
+    focal_at = exp_at + 8
+
+    ifd0 = struct.pack(f"{e}H", n0)
+    ifd0 += entry(256, 4, 1, inline_long(width))
+    ifd0 += entry(257, 4, 1, inline_long(height))
+    ifd0 += entry(271, 2, len(make), inline_long(make_at))
+    ifd0 += entry(272, 2, len(model), inline_long(model_at))
+    ifd0 += entry(274, 3, 1, inline_short(orientation))
+    ifd0 += entry(282, 5, 1, inline_long(xres_at))
+    ifd0 += entry(306, 2, len(dt), inline_long(dt_at))
+    ifd0 += entry(34665, 4, 1, inline_long(exif_at))
+    ifd0 += struct.pack(f"{e}I", 0)
+
+    exif = struct.pack(f"{e}H", nx)
+    exif += entry(33434, 5, 1, inline_long(exp_at))
+    exif += entry(34855, 3, 1, inline_short(iso))
+    exif += entry(37386, 5, 1, inline_long(focal_at))
+    exif += struct.pack(f"{e}I", 0)
+
+    out = struct.pack(f"{e}2sHI", byte_order.encode(), 42, ifd0_at)
+    out += ifd0
+    out += make + model + dt
+    out += struct.pack(f"{e}II", *xres)
+    out += exif
+    out += struct.pack(f"{e}II", *exposure)
+    out += struct.pack(f"{e}II", *focal)
+    return out
+
+
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1}
+
+
+def _tiff_ifd(blob: bytes, e: str, at: int) -> dict[int, object]:
+    """Walk ONE IFD at offset ``at``: {tag: decoded value} for the
+    types this engine releases (SHORT/LONG scalars, NUL-stripped
+    ASCII, RATIONAL (num, den) tuples); unknown types keep raw bytes.
+    Honors the TIFF 4-byte inline-vs-offset rule in either endian."""
+    (n,) = struct.unpack_from(f"{e}H", blob, at)
+    out: dict[int, object] = {}
+    for i in range(n):
+        tag, typ, count = struct.unpack_from(
+            f"{e}HHI", blob, at + 2 + 12 * i)
+        vat = at + 2 + 12 * i + 8
+        size = _TIFF_TYPE_SIZE.get(typ, 1) * count
+        if size > 4:
+            (vat,) = struct.unpack_from(f"{e}I", blob, vat)
+        if typ == 3 and count == 1:
+            (v,) = struct.unpack_from(f"{e}H", blob, vat)
+        elif typ == 4 and count == 1:
+            (v,) = struct.unpack_from(f"{e}I", blob, vat)
+        elif typ == 2:
+            raw = blob[vat:vat + count]
+            v = raw.split(b"\x00", 1)[0].decode("ascii", "replace")
+        elif typ == 5 and count == 1:
+            v = struct.unpack_from(f"{e}II", blob, vat)
+        else:
+            v = blob[vat:vat + size]
+        out[tag] = v
+    return out
+
+
+def decode_tiff_exif(blob: bytes) -> dict[str, object]:
+    """REAL TIFF/EXIF metadata walk (no image decode): header
+    byte-order + magic-42 validation, IFD0 entry walk, EXIF sub-IFD
+    follow via tag 34665. Raises ValueError on a non-TIFF blob —
+    callers (the mapInPandas stage) skip those rows."""
+    if blob is None or len(blob) < 8:
+        raise ValueError("not a TIFF: short blob")
+    bom = blob[:2]
+    if bom == b"II":
+        e = "<"
+    elif bom == b"MM":
+        e = ">"
+    else:
+        raise ValueError(f"not a TIFF: byte order {bom!r}")
+    magic, ifd_at = struct.unpack_from(f"{e}HI", blob, 2)
+    if magic != 42:
+        raise ValueError(f"not a TIFF: magic {magic}")
+    ifd0 = _tiff_ifd(blob, e, ifd_at)
+    exif: dict[int, object] = {}
+    ptr = ifd0.get(34665)
+    if isinstance(ptr, int):
+        exif = _tiff_ifd(blob, e, ptr)
+
+    def rat(v):
+        return v if (isinstance(v, tuple) and len(v) == 2) else (None, None)
+
+    xr = rat(ifd0.get(282))
+    ex = rat(exif.get(33434))
+    fo = rat(exif.get(37386))
+    return {
+        "byte_order": bom.decode(),
+        "n_ifd0": len(ifd0),
+        "n_exif": len(exif),
+        "width": ifd0.get(256),
+        "height": ifd0.get(257),
+        "orientation": ifd0.get(274),
+        "make": ifd0.get(271),
+        "model": ifd0.get(272),
+        "datetime": ifd0.get(306),
+        "xres_num": xr[0], "xres_den": xr[1],
+        "exposure_num": ex[0], "exposure_den": ex[1],
+        "iso": exif.get(34855),
+        "focal_num": fo[0], "focal_den": fo[1],
+    }
+
+
+EXIF_SCHEMA = (
+    "path string, byte_order string, n_ifd0 int, n_exif int, "
+    "width long, height long, orientation int, make string, "
+    "model string, datetime string, xres_num long, xres_den long, "
+    "exposure_num long, exposure_den long, iso int, "
+    "focal_num long, focal_den long"
+)
+
+
+def exif_metadata(
+    df: DataFrame,
+    content_col: str = "content",
+    path_col: str = "path",
+    batch_size: int = 256,
+) -> DataFrame:
+    """Image-metadata extraction over TIFF/EXIF-standing binary blobs
+    — the multimodal-curation stage that routes/filters a photo corpus
+    by camera, orientation, exposure, and capture time WITHOUT
+    decoding pixels (IFD walks touch a few hundred bytes per file).
+    Real parser: both byte orders, magic validation, inline-vs-offset
+    values, ASCII/SHORT/LONG/RATIONAL types, EXIF sub-IFD pointer.
+
+    Same 100 TB shape as every media stage: Arrow ``mapInPandas``,
+    bounded batches, zero shuffle, scan-local; undecodable blobs skip
+    (count them with a left anti join on path if needed)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [c.split()[0] for c in EXIF_SCHEMA.split(", ")]
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start:start + batch_size]
+                rows: list[dict] = []
+                for path, blob in zip(
+                    chunk[path_col].astype(str), chunk[content_col]
+                ):
+                    if blob is None:
+                        continue
+                    try:
+                        meta = decode_tiff_exif(bytes(blob))
+                    except DECODE_ERRORS:
+                        continue
+                    meta["path"] = path
+                    rows.append(meta)
+                out = pd.DataFrame(rows, columns=cols)
+                yield out
+
+    return df.select(path_col, content_col).mapInPandas(
+        kernel, EXIF_SCHEMA)

@@ -7733,6 +7733,98 @@ def test_zipf_fit_matches_reference(spark):
     assert srow["slope"] is None and srow["corr"] is None
 
 
+def test_tiff_exif_roundtrip_and_robustness(spark):
+    """The TIFF fixture encoder and the IFD walker agree field-for-
+    field in BOTH byte orders; corrupt blobs (short, bad BOM, bad
+    magic) raise ValueError locally and SKIP silently in the
+    mapInPandas stage; a missing EXIF pointer yields 0 exif entries."""
+    import pytest as _pytest
+
+    from puffbird_spark.operators.multimodal import (
+        decode_tiff_exif, encode_tiff_exif, exif_metadata)
+
+    for seed, bo in [(0, "II"), (1, "MM"), (996, "II"), (123, "MM")]:
+        meta = decode_tiff_exif(encode_tiff_exif(seed, bo))
+        assert meta["byte_order"] == bo
+        assert (meta["n_ifd0"], meta["n_exif"]) == (8, 3)
+        assert meta["width"] == 640 + seed % 1360
+        assert meta["height"] == 480 + seed % 600
+        assert meta["orientation"] == 1 + seed % 8
+        assert meta["make"] == f"CAM{seed % 10}"
+        assert meta["model"] == f"MODEL-{seed % 100}"
+        assert meta["iso"] == 100 * (1 + seed % 32)
+        assert (meta["exposure_num"], meta["exposure_den"]) \
+            == (1, 60 + seed % 940)
+        assert meta["focal_den"] == 10
+        assert meta["datetime"].startswith("2024:")
+
+    with _pytest.raises(ValueError, match="short"):
+        decode_tiff_exif(b"II")
+    with _pytest.raises(ValueError, match="byte order"):
+        decode_tiff_exif(b"XX" + b"\x00" * 10)
+    with _pytest.raises(ValueError, match="magic"):
+        decode_tiff_exif(b"II" + b"\x99\x00" + b"\x00" * 8)
+    with _pytest.raises(ValueError):
+        encode_tiff_exif(0, "XY")
+
+    rows = [("good", bytearray(encode_tiff_exif(5, "MM"))),
+            ("bad", bytearray(b"not a tiff at all")),
+            ("null", None)]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    got = exif_metadata(df).collect()
+    assert len(got) == 1 and got[0]["path"] == "good"
+    assert got[0]["width"] == 645 and got[0]["byte_order"] == "MM"
+
+
+def test_effect_size_hand_cases(spark):
+    """Hand-computed effect sizes: a=[2,4] vs b=[1,3] → pooled var 2,
+    d = 1/√2 = 0.707107, g = d·(1-3/7) = 0.404061; equal groups read
+    d=0; a single-member side or zero pooled variance reads NULL;
+    string group columns are rejected at plan time; keyed variant
+    groups independently."""
+    import pytest as _pytest
+
+    from puffbird_spark.operators.drift import effect_size
+
+    df = spark.createDataFrame(
+        [(2.0, True), (4.0, True), (1.0, False), (3.0, False)],
+        "v double, a boolean")
+    row = effect_size(df, "a", "v").collect()[0]
+    assert (row["n_a"], row["n_b"]) == (2, 2)
+    assert (row["mean_a"], row["mean_b"]) == (3.0, 2.0)
+    assert row["cohens_d"] == 0.707107 and row["hedges_g"] == 0.404061
+
+    same = spark.createDataFrame(
+        [(1.0, True), (3.0, True), (1.0, False), (3.0, False)],
+        "v double, a boolean")
+    assert effect_size(same, "a", "v").collect()[0]["cohens_d"] == 0.0
+
+    tiny = spark.createDataFrame(
+        [(2.0, True), (1.0, False), (3.0, False)], "v double, a boolean")
+    trow = effect_size(tiny, "a", "v").collect()[0]
+    assert trow["cohens_d"] is None and trow["mean_a"] == 2.0
+
+    const = spark.createDataFrame(
+        [(5.0, True), (5.0, True), (5.0, False), (5.0, False)],
+        "v double, a boolean")
+    assert effect_size(const, "a", "v").collect()[0]["cohens_d"] is None
+
+    lab = spark.createDataFrame(
+        [("x", 1.0)], "g string, v double")
+    with _pytest.raises(TypeError, match="boolean"):
+        effect_size(lab, "g", "v")
+    krow = {r["k"]: r for r in effect_size(
+        spark.createDataFrame(
+            [("k1", 2.0, True), ("k1", 4.0, True),
+             ("k1", 1.0, False), ("k1", 3.0, False),
+             ("k2", 9.0, True), ("k2", 9.0, True),
+             ("k2", 1.0, False), ("k2", 1.0, False)],
+            "k string, v double, a boolean"),
+        "a", "v", key_cols=["k"]).collect()}
+    assert krow["k1"]["cohens_d"] == 0.707107
+    assert krow["k2"]["cohens_d"] is None  # zero pooled variance
+
+
 def test_trajectory_stats_warns_without_tiebreak(spark):
     """ADVICE r12: omitting order_tiebreak leaves tied-timestamp leg
     order nondeterministic — the operator now warns."""
