@@ -1146,10 +1146,14 @@ def roc_auc(
     single-class corpus (P=0 or N=0) releases NULL AUC/Gini — the
     metric is undefined, not 0.5.
 
-    Scale shape: one score-ordered rank window + one per-score tie
-    window + ONE global aggregate — the ks_two_sample/mann_whitney
-    shuffle shape. The global ordering is a range-partitioned sort,
-    not a single-task funnel.
+    Scale shape: the raw rows REDUCE to per-distinct-score (count,
+    positives) first — one map-side-combinable aggregation — and only
+    that distinct-score frame enters the single ordered cumulative
+    window (the equi-depth convention: an unpartitioned Spark window
+    is a one-task funnel, so it must only ever see the DISTINCT-VALUE
+    reduction, never raw rows). For a positive row at a score with
+    ``bb`` rows strictly below and ``c`` ties, ``2·midrank = 2·bb + c
+    + 1``. One final scalar fold.
 
     Returns ONE row: ``(n_pos, n_neg, auc, gini)``."""
     from pyspark.sql.window import Window
@@ -1158,18 +1162,20 @@ def roc_auc(
     y = _col(label_col).cast("boolean")
     base = df.select(s.alias("__s"), y.alias("__y")).filter(
         F.col("__s").isNotNull() & F.col("__y").isNotNull())
-    w_rank = Window.orderBy("__s")
-    w_tie = Window.partitionBy("__s")
-    ranked = base.select(
-        "__s", "__y",
-        F.rank().over(w_rank).alias("__r"),
-        F.count(F.lit(1)).over(w_tie).alias("__t"))
-    ip = F.when(F.col("__y"), 1).otherwise(0)
+    per = base.groupBy("__s").agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.sum(F.when(F.col("__y"), 1).otherwise(0)).alias("__p"))
+    w = (Window.orderBy("__s")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum = per.select(
+        "__c", "__p",
+        F.coalesce(F.sum("__c").over(w), F.lit(0)).alias("__bb"))
     d38 = "decimal(38,0)"
-    tot = ranked.agg(
-        F.sum(ip).cast("long").alias("n_pos"),
-        F.sum(1 - ip).cast("long").alias("n_neg"),
-        F.sum((ip * (2 * F.col("__r") + F.col("__t") - 1)).cast(d38))
+    tot = cum.agg(
+        F.sum("__p").cast("long").alias("n_pos"),
+        F.sum(F.col("__c") - F.col("__p")).cast("long").alias("n_neg"),
+        F.sum((F.col("__p")
+               * (2 * F.col("__bb") + F.col("__c") + 1)).cast(d38))
         .cast(d38).alias("__2rp"))
     p_, n_ = F.col("n_pos"), F.col("n_neg")
     # 2R⁺ - P(P+1) exact in decimal; the denominator 2PN multiplies

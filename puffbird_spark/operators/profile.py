@@ -256,18 +256,22 @@ def spearman_corr(
         ρ = (n·Σuv - Σu·Σv)
             / sqrt((n·Σu² - (Σu)²) · (n·Σv² - (Σv)²))
 
-    where u, v are ``2·midrank`` per column — ``2·rank() + ties - 1``,
-    integral by construction (the ``mann_whitney_u`` discipline; the
-    shared factor 2 cancels in ρ). The six pooled sums are EXACT
-    decimal(38,0) (each ≤ 4n³ — safe past 1e11 rows); they combine in
-    one closed-form double expression (IEEE-identical on identical
-    sums across engines), rounded at ``dp``. Complete-case: rows with
-    a NULL in either column are excluded. A constant column has zero
-    rank variance and releases NULL (undefined, not 0).
+    where u, v are ``2·midrank`` per column — integral by construction
+    (the ``mann_whitney_u`` discipline; the shared factor 2 cancels in
+    ρ). The six pooled sums are EXACT decimal(38,0) (each ≤ 4n³ — safe
+    past 1e11 rows); they combine in one closed-form double expression
+    (IEEE-identical on identical sums across engines), rounded at
+    ``dp``. Complete-case: rows with a NULL in either column are
+    excluded. A constant column has zero rank variance and releases
+    NULL (undefined, not 0).
 
-    Scale shape: two value-ordered rank windows (range-partitioned
-    sorts, one per column) + two per-value tie windows + ONE global
-    aggregate — the ks/mann-whitney shuffle shape twice.
+    Scale shape: each column's midrank map is built on its DISTINCT
+    VALUES (count-aggregate, then one cumulative window over the
+    distinct frame — the equi-depth convention: an unpartitioned Spark
+    window is a one-task funnel, so only the distinct-value reduction
+    may enter it; for a value with ``bb`` rows strictly below and
+    ``c`` ties, ``2·midrank = 2·bb + c + 1``), then joins back to the
+    rows on the value key (two keyed shuffles), then ONE scalar fold.
 
     Returns ONE row: ``(n, rho)``."""
     from pyspark.sql.window import Window
@@ -275,13 +279,22 @@ def spearman_corr(
     base = df.select(
         F.col(x_col).alias("__x"), F.col(y_col).alias("__y"),
     ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
-    u = (2 * F.rank().over(Window.orderBy("__x"))
-         + F.count(F.lit(1)).over(Window.partitionBy("__x")) - 1)
-    v = (2 * F.rank().over(Window.orderBy("__y"))
-         + F.count(F.lit(1)).over(Window.partitionBy("__y")) - 1)
+
+    def midranks(col: str, out: str):
+        per = base.groupBy(col).agg(F.count(F.lit(1)).alias("__c"))
+        w = (Window.orderBy(col)
+             .rowsBetween(Window.unboundedPreceding, -1))
+        return per.select(
+            col,
+            (2 * F.coalesce(F.sum("__c").over(w), F.lit(0))
+             + F.col("__c") + 1).alias(out))
+
     d38 = "decimal(38,0)"
-    ranked = base.select(u.cast(d38).alias("__u"),
-                         v.cast(d38).alias("__v"))
+    ranked = (
+        base.join(midranks("__x", "__u"), "__x")
+        .join(midranks("__y", "__v"), "__y")
+        .select(F.col("__u").cast(d38).alias("__u"),
+                F.col("__v").cast(d38).alias("__v")))
     tot = ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("__u").cast(d38).alias("__su"),
