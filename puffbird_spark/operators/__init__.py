@@ -46,3 +46,16 @@ __all__ = [
     "z_value",
     "zorder_repartition",
 ]
+
+
+def warn_missing_tiebreak(operator: str) -> None:
+    """Shared ordered-window determinism warning (ADVICE r12 / r13
+    self-review dedup): operators that sequence per-entity rows by a
+    timestamp emit this when the caller omits the unique tiebreak
+    column that makes the order total under tied timestamps."""
+    import warnings
+
+    warnings.warn(
+        f"{operator} without order_tiebreak: tied timestamps make the "
+        f"per-entity sequence nondeterministic — pass a unique column "
+        f"to make the order total", stacklevel=3)

@@ -1171,11 +1171,15 @@ def roc_auc(
         "__c", "__p",
         F.coalesce(F.sum("__c").over(w), F.lit(0)).alias("__bb"))
     d38 = "decimal(38,0)"
+    # factors cast to decimal BEFORE multiplying (the overflow-audit
+    # rule; r13 self-review): p·(2bb+c+1) in LONG wraps silently past
+    # ~5e9 rows with coarse scores — exactly the envelope the decimal
+    # pool is documented to protect
     tot = cum.agg(
         F.sum("__p").cast("long").alias("n_pos"),
         F.sum(F.col("__c") - F.col("__p")).cast("long").alias("n_neg"),
-        F.sum((F.col("__p")
-               * (2 * F.col("__bb") + F.col("__c") + 1)).cast(d38))
+        F.sum(F.col("__p").cast(d38)
+              * (2 * F.col("__bb") + F.col("__c") + 1).cast(d38))
         .cast(d38).alias("__2rp"))
     p_, n_ = F.col("n_pos"), F.col("n_neg")
     # 2R⁺ - P(P+1) exact in decimal; the denominator 2PN multiplies

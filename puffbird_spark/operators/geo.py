@@ -362,13 +362,9 @@ def trajectory_stats(
         # total_km/max_leg_km — partition-order-dependent; every gate
         # and test passes a tiebreak, so an omission is almost surely
         # an oversight. Warn loudly rather than silently drift.
-        import warnings
+        from . import warn_missing_tiebreak
 
-        warnings.warn(
-            "trajectory_stats without order_tiebreak: the per-entity "
-            "leg sequence is nondeterministic under tied timestamps — "
-            "pass a unique column to make the order total",
-            stacklevel=2)
+        warn_missing_tiebreak("trajectory_stats")
     w = Window.partitionBy(entity_col).orderBy(*order)
     lat, lon = F.col(lat_col), F.col(lon_col)
     leg = haversine_km(

@@ -274,8 +274,6 @@ def spearman_corr(
     rows on the value key (two keyed shuffles), then ONE scalar fold.
 
     Returns ONE row: ``(n, rho)``."""
-    from pyspark.sql.window import Window
-
     base = df.select(
         F.col(x_col).alias("__x"), F.col(y_col).alias("__y"),
     ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())

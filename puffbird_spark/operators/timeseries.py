@@ -901,8 +901,10 @@ def autocorrelation(
     on identical inputs across engines); every centered product rounds
     to 9 dp and pools as decimal(38,9) (order-free exact sums); the
     final ratio releases at ``dp``. A constant series has zero
-    denominator and reads NULL (undefined, not 0). NULL values are
-    excluded BEFORE sequencing (pairwise-complete positions).
+    denominator and reads NULL (undefined, not 0). NULL values AND
+    NULL timestamps are excluded BEFORE sequencing (pairwise-complete
+    positions; a NULL timestamp has no place in a time order, and the
+    engines disagree on where to put one — NULLS FIRST vs LAST).
 
     Scale shape: ONE keyed window (partitioned by entity) computing
     every lag's ``lead`` in a single pass, one keyed stats aggregate,
@@ -919,13 +921,16 @@ def autocorrelation(
     if order_tiebreak is not None:
         order.append(F.col(order_tiebreak))
     else:
-        import warnings
+        from . import warn_missing_tiebreak
 
-        warnings.warn(
-            "autocorrelation without order_tiebreak: tied timestamps "
-            "make the lag pairing nondeterministic — pass a unique "
-            "column to make the order total", stacklevel=2)
-    base = df.filter(F.col(value_col).isNotNull()).select(
+        warn_missing_tiebreak("autocorrelation")
+    # a NULL timestamp has no position in the sequence — and the two
+    # engines would give it OPPOSITE ones (Spark ASC = NULLS FIRST,
+    # DuckDB = NULLS LAST; r13 self-review #2), shifting every lag
+    # pairing after it differently per engine
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
         F.col(entity_col).alias("__e"),
         F.col(value_col).cast(decv).alias("__x"),
         *[c.alias(f"__o{i}") for i, c in enumerate(order)])

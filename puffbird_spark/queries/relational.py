@@ -4603,6 +4603,7 @@ SELECT p_brand, p_type, p_size,
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE p_brand <> 'Brand#12' AND p_type <> 'PROMO'
   AND p_size IN (1, 5, 9, 13)
+  AND l_suppkey IS NOT NULL
   AND l_suppkey NOT IN (SELECT s_suppkey FROM excl)
 GROUP BY 1, 2, 3
 """)
@@ -4614,12 +4615,13 @@ def q16_supplier_part_counts(spark, sf_dir):
     lineitem pairs; excluded suppliers := negative account balance.
     The NOT IN compiles to a broadcast ANTI join (the exclusion list
     is supplier-sized); the distinct count shuffles once on the
-    group keys. NULL-key alignment (ADVICE r12): SQL ``NOT IN`` over a
-    non-empty list drops NULL-keyed probe rows while ``left_anti``
-    keeps them, so the probe filters ``l_suppkey IS NOT NULL``
-    explicitly — a no-op on the driver fixtures (non-null key) that
-    keeps the two formulations equivalent if the column ever turns
-    nullable."""
+    group keys. NULL-key alignment (ADVICE r12; r13 self-review #3):
+    SQL ``NOT IN`` over a non-empty list drops NULL-keyed probe rows
+    while ``left_anti`` keeps them — and over an EMPTY list keeps
+    them — so BOTH sides filter ``l_suppkey IS NOT NULL`` explicitly
+    (the oracle too): equivalence then holds regardless of key
+    nullability or exclusion-list emptiness. A no-op on the driver
+    fixtures (non-null key)."""
     li = load(spark, sf_dir, "lineitem")
     p = F.broadcast(load(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#12")
@@ -4729,7 +4731,7 @@ def diag_spearman(spark, sf_dir):
 _ACF_ORACLE = """
 WITH b AS (SELECT user_id AS e, CAST(value AS DECIMAL(20,6)) AS x,
     ts, event_id
-  FROM events WHERE value IS NOT NULL),
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
 s AS (SELECT e, x,
     lead(x, 1) OVER w AS x1,
     lead(x, 2) OVER w AS x2,

@@ -7645,6 +7645,17 @@ def test_autocorrelation_hand_cases(spark):
     with _pytest.raises(ValueError, match="lags"):
         autocorrelation(df, "e", "ts", "x", lags=(0, 1))
 
+    # r13 self-review #2: a NULL timestamp has no sequence position
+    # (Spark would put it FIRST, DuckDB LAST) — excluded, so the
+    # remaining series is identical to the clean one
+    dirty = spark.createDataFrame(
+        rows[:4] + [("a", None, 99.0)], "e string, t int, x double"
+    ).withColumn("ts", F.col("t").cast("timestamp"))
+    drow = {r["lag"]: r for r in autocorrelation(
+        dirty.filter("e = 'a'"), "e", "ts", "x", lags=(1,),
+        order_tiebreak="t").collect()}
+    assert drow[1]["n"] == 4 and drow[1]["acf"] == 0.25
+
 
 def test_query_registry_rejects_duplicate_names():
     """r13 regression guard: registering a gate under an existing name
