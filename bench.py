@@ -177,6 +177,11 @@ BENCH_QUERIES = [
     # the recall-oriented generation-eval metric
     "q21_waiting_suppliers",
     "eval_rouge",
+    # round-13: the distinct-score midrank AUC (the classifier-eval
+    # rank shape) and the corpus-vocabulary Zipf fit (explode + count
+    # + vocab-sized window — the corpus-profiling scan shape)
+    "eval_roc_auc",
+    "text_zipf",
 ]
 
 
