@@ -719,3 +719,30 @@ def test_q16_not_in_is_broadcast_anti(q):
     assert "LeftAnti" in plan
     pushed = " ".join(P.pushed_filters(df))
     assert "p_size" in pushed or "p_brand" in pushed
+
+
+def test_rank_windows_only_see_distinct_reductions(q):
+    """r13 scale lesson: an UNPARTITIONED Spark window is a one-task
+    funnel, so the midrank operators (roc_auc, spearman, zipf) must
+    feed it the DISTINCT-VALUE reduction, never raw rows — in the
+    physical plan, every Window sits ABOVE a HashAggregate (the
+    distinct count), and a partial_count aggregate runs BELOW the
+    window's exchange (map-side combine before the funnel)."""
+    for name in ("eval_roc_auc", "diag_spearman", "text_zipf"):
+        df = q(name)
+        plan = P.formatted_plan(df)
+        w = plan.find("Window")
+        agg = plan.find("HashAggregate")
+        assert w != -1 and agg != -1, name
+        # the plan prints top-down: the aggregate producing the
+        # window's input appears AFTER (below) the Window operator
+        below = plan[w:]
+        assert "HashAggregate" in below, name
+        assert "partial_count" in below or "partial count" in below, name
+
+
+def test_acf_entity_windows_are_keyed(q):
+    """Per-entity ACF must never funnel: every window partitions by
+    the entity key."""
+    df = q("timeseries_acf_entity")
+    assert P.unpartitioned_window_orders(df) == []
