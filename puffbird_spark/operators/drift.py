@@ -544,7 +544,8 @@ def effect_size(
     ``group_col`` is a boolean sample-a indicator (same plan-time type
     contract as mann_whitney_u — string labels pass an explicit
     comparison). Determinism: values snap to ``decimal(20,scale)``;
-    per-side n/Σx/Σx² are EXACT (decimal sums); variances and the
+    per-side n/Σx/Σx² are EXACT (decimal sums; the decimal cast
+    maps NaN to NULL, so NaN values are excluded with the NULLs); variances and the
     release combine those sums in one double expression with factors
     cast to double BEFORE multiplying (the overflow-audit rule).
     Sides with n < 2, or zero pooled variance, release NULL d/g.

@@ -1144,7 +1144,8 @@ def roc_auc(
     ``2·AUC - 1`` (derived from the ROUNDED AUC so both engines fold
     identically). Rows with a NULL score or label are excluded; a
     single-class corpus (P=0 or N=0) releases NULL AUC/Gini — the
-    metric is undefined, not 0.5.
+    metric is undefined, not 0.5. NaN scores are excluded like
+    NULLs (Spark ranks NaN above +inf).
 
     Scale shape: the raw rows REDUCE to per-distinct-score (count,
     positives) first — one map-side-combinable aggregation — and only
@@ -1162,6 +1163,13 @@ def roc_auc(
     y = _col(label_col).cast("boolean")
     base = df.select(s.alias("__s"), y.alias("__y")).filter(
         F.col("__s").isNotNull() & F.col("__y").isNotNull())
+    from pyspark.sql import types as T
+
+    # NaN scores are excluded like NULLs (r13 probe): Spark's total
+    # order ranks NaN ABOVE +inf, silently crowning a garbage score
+    # the top of the ranking on both engines
+    if isinstance(base.schema["__s"].dataType, (T.DoubleType, T.FloatType)):
+        base = base.filter(~F.isnan("__s"))
     per = base.groupBy("__s").agg(
         F.count(F.lit(1)).alias("__c"),
         F.sum(F.when(F.col("__y"), 1).otherwise(0)).alias("__p"))
@@ -1212,7 +1220,7 @@ def probabilistic_scores(
     0/1 prediction on the wrong label is otherwise infinite) and into
     ``[0, 1]`` for Brier — out-of-range inputs are CLAMPED, not
     rejected (no ANSI kill on untrusted scores; the r11 probe class).
-    Rows with NULL prob/label are excluded.
+    Rows with NULL or NaN prob, or NULL label, are excluded.
 
     Determinism: each per-row term rounds to 9 dp and pools as
     decimal(38,9) (order-free exact sum — ln is the BLEU 9-dp
@@ -1222,8 +1230,12 @@ def probabilistic_scores(
     Returns ONE row: ``(n, n_pos, brier, log_loss)``."""
     p0 = _col(prob_col).cast("double")
     y = _col(label_col).cast("boolean")
+    # NaN probabilities are excluded like NULLs (r13 probe: the clamp
+    # would otherwise silently treat NaN as p=1 — Spark least/greatest
+    # order NaN above +inf)
     base = df.select(p0.alias("__p"), y.alias("__y")).filter(
-        F.col("__p").isNotNull() & F.col("__y").isNotNull())
+        F.col("__p").isNotNull() & ~F.isnan("__p")
+        & F.col("__y").isNotNull())
     yd = F.when(F.col("__y"), F.lit(1.0)).otherwise(F.lit(0.0))
     pb = F.greatest(F.least(F.col("__p"), F.lit(1.0)), F.lit(0.0))
     lo, hi = F.lit(float(eps)), F.lit(1.0 - float(eps))

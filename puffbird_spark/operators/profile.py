@@ -261,8 +261,8 @@ def spearman_corr(
     ρ). The six pooled sums are EXACT decimal(38,0) (each ≤ 4n³ — safe
     past 1e11 rows); they combine in one closed-form double expression
     (IEEE-identical on identical sums across engines), rounded at
-    ``dp``. Complete-case: rows with a NULL in either column are
-    excluded. A constant column has zero rank variance and releases
+    ``dp``. Complete-case: rows with a NULL (or NaN) in either
+    column are excluded. A constant column has zero rank variance and releases
     NULL (undefined, not 0).
 
     Scale shape: each column's midrank map is built on its DISTINCT
@@ -274,9 +274,18 @@ def spearman_corr(
     rows on the value key (two keyed shuffles), then ONE scalar fold.
 
     Returns ONE row: ``(n, rho)``."""
+    from pyspark.sql import types as T
+
     base = df.select(
         F.col(x_col).alias("__x"), F.col(y_col).alias("__y"),
     ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    # NaN values are excluded like NULLs (r13 probe: Spark would rank
+    # NaN above +inf as one more "value", scipy/sklearn propagate or
+    # reject — complete-case is the only cross-engine-stable contract)
+    for c in ("__x", "__y"):
+        if isinstance(base.schema[c].dataType,
+                      (T.DoubleType, T.FloatType)):
+            base = base.filter(~F.isnan(c))
 
     def midranks(col: str, out: str):
         per = base.groupBy(col).agg(F.count(F.lit(1)).alias("__c"))

@@ -7836,6 +7836,41 @@ def test_effect_size_hand_cases(spark):
     assert krow["k2"]["cohens_d"] is None  # zero pooled variance
 
 
+def test_new_eval_ops_nan_contract(spark):
+    """r13 probe batch: NaN doubles are excluded like NULLs in the
+    rank/score operators — Spark's total order ranks NaN ABOVE +inf
+    (roc_auc would crown a garbage score the top of the ranking),
+    least/greatest treat NaN as largest (probabilistic_scores would
+    silently clamp NaN to p=1), and a NaN "value" would midrank as
+    real data in spearman. ±inf remain legal scores (they order)."""
+    from puffbird_spark.operators.evaluation import (
+        probabilistic_scores, roc_auc)
+    from puffbird_spark.operators.profile import spearman_corr
+
+    nan, inf = float("nan"), float("inf")
+    df = spark.createDataFrame(
+        [(0.1, False), (0.9, True), (nan, True), (inf, False),
+         (-inf, True)],
+        "s double, y boolean")
+    row = roc_auc(df, "s", "y").collect()[0]
+    # kept: (0.1,F) (0.9,T) (inf,F) (-inf,T) → pos ranks {1,3} →
+    # R+ = 4, AUC = (4 - 3)/(2·2) = 0.25
+    assert (row["n_pos"], row["n_neg"]) == (2, 2)
+    assert row["auc"] == 0.25 and row["gini"] == -0.5
+
+    p = spark.createDataFrame(
+        [(nan, True), (0.5, False), (inf, True)], "p double, y boolean")
+    prow = probabilistic_scores(p, "p", "y").collect()[0]
+    assert (prow["n"], prow["n_pos"]) == (2, 1)  # NaN excluded, inf kept
+
+    sp = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 2.0), (nan, 3.0), (3.0, nan), (inf, 4.0),
+         (4.0, 5.0)],
+        "x double, y double")
+    srow = spearman_corr(sp, "x", "y").collect()[0]
+    assert srow["n"] == 4  # the two NaN rows dropped, inf row kept
+
+
 def test_trajectory_stats_warns_without_tiebreak(spark):
     """ADVICE r12: omitting order_tiebreak leaves tied-timestamp leg
     order nondeterministic — the operator now warns."""
