@@ -2547,3 +2547,189 @@ def exif_metadata(
 
     return df.select(path_col, content_col).mapInPandas(
         kernel, EXIF_SCHEMA)
+
+
+def encode_qoi(width: int, height: int, seed: int = 0) -> bytes:
+    """A REAL QOI file (qoiformat.org spec, 2022): 14-byte header,
+    the five chunk ops (RUN / INDEX / DIFF / LUMA / RGB) emitted by a
+    spec-faithful encoder over the deterministic RGB fixture the QOI
+    gate's oracle replays closed-form:
+
+    - base formula (x in [0,w), y in [0,h), k = x // 3):
+        r = (seed*3 +   k +   y) % 256
+        g = (seed*5 +   k + 2*y) % 256
+        b = (seed*7 + 2*k +   y) % 256
+      (horizontal triples repeat → RUN; across triples the deltas are
+      (+1, +1, +2) → LUMA/DIFF territory)
+    - stripe rows (y % 5 == 0) use the fixed 4-color palette
+      P[k % 4] = [(255,0,0), (0,255,0), (0,0,255), (128,128,128)] —
+      recurring colors across stripes → INDEX ops fire.
+
+    Alpha is constant 255 (channels=3, colorspace=1)."""
+    if width <= 0 or height <= 0:
+        raise ValueError("width/height must be positive")
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (128, 128, 128)]
+
+    def px(x: int, y: int) -> tuple[int, int, int]:
+        k = x // 3
+        if y % 5 == 0:
+            return palette[k % 4]
+        return ((seed * 3 + k + y) % 256,
+                (seed * 5 + k + 2 * y) % 256,
+                (seed * 7 + 2 * k + y) % 256)
+
+    return _qoi_encode_rgb(width, height, px)
+
+
+def _qoi_encode_rgb(width: int, height: int, px) -> bytes:
+    """Spec-faithful QOI encode of ``px(x, y) -> (r, g, b)`` pixels
+    (split from :func:`encode_qoi` so the randomized roundtrip test
+    can drive ARBITRARY pixel streams through every op path)."""
+    out = bytearray(b"qoif")
+    out += struct.pack(">IIBB", width, height, 3, 1)
+    index = [(0, 0, 0, 0)] * 64
+    prev = (0, 0, 0, 255)
+    run = 0
+    for y in range(height):
+        for x in range(width):
+            r, g, b = px(x, y)
+            cur = (r, g, b, 255)
+            if cur == prev:
+                run += 1
+                if run == 62:
+                    out.append(0xC0 | (run - 1))
+                    run = 0
+                continue
+            if run:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            h = (r * 3 + g * 5 + b * 7 + 255 * 11) % 64
+            if index[h] == cur:
+                out.append(h)
+            else:
+                index[h] = cur
+                dr = (r - prev[0] + 128) % 256 - 128
+                dg = (g - prev[1] + 128) % 256 - 128
+                db = (b - prev[2] + 128) % 256 - 128
+                if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                    out.append(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2)
+                               | (db + 2))
+                elif (-32 <= dg <= 31 and -8 <= dr - dg <= 7
+                      and -8 <= db - dg <= 7):
+                    out.append(0x80 | (dg + 32))
+                    out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+                else:
+                    out += bytes((0xFE, r, g, b))
+            prev = cur
+    if run:
+        out.append(0xC0 | (run - 1))
+    out += b"\x00" * 7 + b"\x01"
+    return bytes(out)
+
+
+def decode_qoi(blob: bytes) -> tuple[int, int, int, bytes]:
+    """REAL QOI decoder (the full spec: all five ops, the running
+    64-entry index with the (3,5,7,11) hash, wraparound DIFF/LUMA
+    deltas, the 8-byte end marker) → ``(width, height, channels,
+    rgba_bytes)``. Raises ValueError on a non-QOI blob."""
+    if blob is None or len(blob) < 22 or blob[:4] != b"qoif":
+        raise ValueError("not a QOI: bad magic or short blob")
+    width, height, channels, colorspace = struct.unpack_from(
+        ">IIBB", blob, 4)
+    if channels not in (3, 4) or colorspace not in (0, 1):
+        raise ValueError(
+            f"not a QOI: channels={channels} colorspace={colorspace}")
+    n = width * height
+    if n <= 0 or n > 64_000_000:
+        raise ValueError(f"not a QOI: implausible dimensions "
+                         f"{width}x{height}")
+    if blob[-8:] != b"\x00" * 7 + b"\x01":
+        raise ValueError("not a QOI: missing end marker")
+    out = bytearray()
+    index = [(0, 0, 0, 0)] * 64
+    r, g, b, a = 0, 0, 0, 255
+    i = 14
+    end = len(blob) - 8
+    while len(out) < 4 * n:
+        if i >= end:
+            raise ValueError("not a QOI: truncated chunk stream")
+        op = blob[i]
+        i += 1
+        if op == 0xFE:
+            r, g, b = blob[i], blob[i + 1], blob[i + 2]
+            i += 3
+        elif op == 0xFF:
+            r, g, b, a = blob[i], blob[i + 1], blob[i + 2], blob[i + 3]
+            i += 4
+        elif op >> 6 == 0:
+            r, g, b, a = index[op]
+        elif op >> 6 == 1:
+            r = (r + ((op >> 4) & 3) - 2) % 256
+            g = (g + ((op >> 2) & 3) - 2) % 256
+            b = (b + (op & 3) - 2) % 256
+        elif op >> 6 == 2:
+            dg = (op & 0x3F) - 32
+            nx = blob[i]
+            i += 1
+            r = (r + dg + ((nx >> 4) & 0xF) - 8) % 256
+            g = (g + dg) % 256
+            b = (b + dg + (nx & 0xF) - 8) % 256
+        else:  # RUN
+            run = (op & 0x3F) + 1
+            for _ in range(run):
+                out += bytes((r, g, b, a))
+            index[(r * 3 + g * 5 + b * 7 + a * 11) % 64] = (r, g, b, a)
+            continue
+        index[(r * 3 + g * 5 + b * 7 + a * 11) % 64] = (r, g, b, a)
+        out += bytes((r, g, b, a))
+    if len(out) != 4 * n:
+        raise ValueError("not a QOI: pixel overrun")
+    return width, height, channels, bytes(out)
+
+
+QOI_STATS_SCHEMA = (
+    "path string, width int, height int, channels int, n_px long, "
+    "sum_r long, sum_g long, sum_b long"
+)
+
+
+def qoi_stats(
+    df: DataFrame,
+    content_col: str = "content",
+    path_col: str = "path",
+    batch_size: int = 128,
+) -> DataFrame:
+    """Per-file pixel statistics over QOI-standing binary blobs — the
+    decode-verification stage for the QOI gate (channel sums replay
+    closed-form from the fixture formula, so the header walk, all five
+    chunk ops, the running index, AND the run-length expansion must be
+    exactly right). Arrow ``mapInPandas``, bounded batches, zero
+    shuffle; undecodable blobs skip."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start:start + batch_size]
+                rows = []
+                for path, blob in zip(
+                    chunk[path_col].astype(str), chunk[content_col]
+                ):
+                    if blob is None:
+                        continue
+                    try:
+                        w, h, ch, rgba = decode_qoi(bytes(blob))
+                    except DECODE_ERRORS:
+                        continue
+                    rows.append({
+                        "path": path, "width": w, "height": h,
+                        "channels": ch, "n_px": w * h,
+                        "sum_r": sum(rgba[0::4]),
+                        "sum_g": sum(rgba[1::4]),
+                        "sum_b": sum(rgba[2::4]),
+                    })
+                yield pd.DataFrame(rows, columns=[
+                    "path", "width", "height", "channels", "n_px",
+                    "sum_r", "sum_g", "sum_b"])
+
+    return df.select(path_col, content_col).mapInPandas(
+        kernel, QOI_STATS_SCHEMA)

@@ -3272,3 +3272,58 @@ def multimodal_audio_spectral(spark, sf_dir):
         F.col("doc_id").cast("string").alias("path"),
         make_wav(F.col("doc_id")).alias("content"))
     return audio_spectral_probe(docs, window=64)
+
+
+_QOI_ORACLE = """
+WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS path, doc_id % 997 AS s,
+    8 + (doc_id % 997) % 24 AS w, 8 + (doc_id % 997) % 16 AS h
+  FROM documents),
+xs AS (SELECT path, s, w, h, unnest(range(w)) AS x FROM d),
+pix AS (SELECT path, s, w, h, x, unnest(range(h)) AS y FROM xs),
+v AS (SELECT path, w, h,
+    CASE WHEN y % 5 = 0 THEN
+      CASE (x // 3) % 4 WHEN 0 THEN 255 WHEN 1 THEN 0
+           WHEN 2 THEN 0 ELSE 128 END
+    ELSE (s * 3 + x // 3 + y) % 256 END AS r,
+    CASE WHEN y % 5 = 0 THEN
+      CASE (x // 3) % 4 WHEN 0 THEN 0 WHEN 1 THEN 255
+           WHEN 2 THEN 0 ELSE 128 END
+    ELSE (s * 5 + x // 3 + 2 * y) % 256 END AS g,
+    CASE WHEN y % 5 = 0 THEN
+      CASE (x // 3) % 4 WHEN 0 THEN 0 WHEN 1 THEN 0
+           WHEN 2 THEN 255 ELSE 128 END
+    ELSE (s * 7 + 2 * (x // 3) + y) % 256 END AS b
+  FROM pix)
+SELECT path, CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+  CAST(3 AS INT) AS channels, CAST(COUNT(*) AS BIGINT) AS n_px,
+  CAST(SUM(r) AS BIGINT) AS sum_r, CAST(SUM(g) AS BIGINT) AS sum_g,
+  CAST(SUM(b) AS BIGINT) AS sum_b
+FROM v GROUP BY path
+"""
+
+
+@query("multimodal_qoi", oracle=_QOI_ORACLE)
+def multimodal_qoi(spark, sf_dir):
+    """QOI image decode (`decode_qoi` + `qoi_stats`,
+    operators/multimodal.py; the 2022 qoiformat.org spec) — REAL
+    decodes of spec-faithful QOI files exercising all five chunk ops
+    (RUN from the horizontal triples, DIFF/LUMA from the +1/+1/+2
+    cross-triple deltas, INDEX from the recurring stripe palette, RGB
+    at row seams): per-file channel sums the oracle replays pixel-by-
+    pixel closed-form, so the header walk, the running 64-entry index,
+    wraparound deltas, AND run expansion must all be exactly right.
+    Arrow mapInPandas media shape, zero shuffle."""
+    from ..operators.dedup import widen_parallelism
+    from ..operators.multimodal import encode_qoi, qoi_stats
+
+    def _make(doc_id):
+        return doc_id.map(
+            lambda i: encode_qoi(
+                8 + int(i) % 997 % 24, 8 + int(i) % 997 % 16,
+                int(i) % 997))
+
+    make_qoi = F.pandas_udf(_make, returnType="binary")
+    docs = widen_parallelism(load(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("string").alias("path"),
+        make_qoi(F.col("doc_id")).alias("content"))
+    return qoi_stats(docs)

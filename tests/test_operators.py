@@ -7871,6 +7871,81 @@ def test_new_eval_ops_nan_contract(spark):
     assert srow["n"] == 4  # the two NaN rows dropped, inf row kept
 
 
+def test_qoi_codec_roundtrip_and_robustness(spark):
+    """QOI encode→decode is pixel-exact on the fixture formula AND on
+    30 randomized pixel streams engineered to hit every chunk op
+    (runs, DIFF deltas, LUMA deltas, palette recurrences → INDEX,
+    random jumps → RGB); corrupt blobs (bad magic, truncated stream,
+    missing end marker, absurd dims) raise locally and SKIP in the
+    mapInPandas stage; an RGBA chunk decodes per spec."""
+    import random
+
+    import pytest as _pytest
+
+    from puffbird_spark.operators.multimodal import (
+        _qoi_encode_rgb, decode_qoi, encode_qoi, qoi_stats)
+
+    rng = random.Random(131)
+    for _ in range(30):
+        w, h = rng.randint(1, 40), rng.randint(1, 30)
+        pix, prev = {}, (0, 0, 0)
+        pal = [(rng.randrange(256),) * 3 for _ in range(5)]
+        for y in range(h):
+            for x in range(w):
+                m = rng.random()
+                if m < 0.3:
+                    c = prev
+                elif m < 0.5:
+                    c = tuple((v + rng.randint(-2, 1)) % 256
+                              for v in prev)
+                elif m < 0.65:
+                    dg = rng.randint(-32, 31)
+                    c = ((prev[0] + dg + rng.randint(-8, 7)) % 256,
+                         (prev[1] + dg) % 256,
+                         (prev[2] + dg + rng.randint(-8, 7)) % 256)
+                elif m < 0.8:
+                    c = pal[rng.randrange(5)]
+                else:
+                    c = (rng.randrange(256), rng.randrange(256),
+                         rng.randrange(256))
+                pix[(x, y)] = c
+                prev = c
+        blob = _qoi_encode_rgb(w, h, lambda x, y: pix[(x, y)])
+        W, H, _ch, rgba = decode_qoi(blob)
+        assert (W, H) == (w, h)
+        i = 0
+        for y in range(h):
+            for x in range(w):
+                assert (rgba[i], rgba[i + 1], rgba[i + 2]) == pix[(x, y)]
+                i += 4
+
+    # an RGBA (0xFF) chunk: hand-built 1x1 file
+    import struct as _struct
+
+    rgba_file = (b"qoif" + _struct.pack(">IIBB", 1, 1, 4, 0)
+                 + bytes((0xFF, 9, 8, 7, 6)) + b"\x00" * 7 + b"\x01")
+    assert decode_qoi(rgba_file)[3] == bytes((9, 8, 7, 6))
+
+    with _pytest.raises(ValueError, match="magic"):
+        decode_qoi(b"qoix" + b"\x00" * 30)
+    with _pytest.raises(ValueError, match="end marker"):
+        decode_qoi(encode_qoi(4, 4, 1)[:-8] + b"\x00" * 8)
+    with _pytest.raises(ValueError, match="truncated"):
+        blob = encode_qoi(8, 8, 2)
+        decode_qoi(blob[:16] + blob[-8:])
+    with _pytest.raises(ValueError, match="implausible"):
+        decode_qoi(b"qoif" + _struct.pack(">IIBB", 0, 5, 3, 1)
+                   + b"\x00" * 7 + b"\x01")
+
+    rows = [("good", bytearray(encode_qoi(9, 7, 42))),
+            ("bad", bytearray(b"definitely not qoi data here")),
+            ("null", None)]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    got = qoi_stats(df).collect()
+    assert len(got) == 1 and got[0]["path"] == "good"
+    assert (got[0]["width"], got[0]["height"], got[0]["n_px"]) == (9, 7, 63)
+
+
 def test_trajectory_stats_warns_without_tiebreak(spark):
     """ADVICE r12: omitting order_tiebreak leaves tied-timestamp leg
     order nondeterministic — the operator now warns."""
