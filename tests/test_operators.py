@@ -7946,6 +7946,44 @@ def test_qoi_codec_roundtrip_and_robustness(spark):
     assert (got[0]["width"], got[0]["height"], got[0]["n_px"]) == (9, 7, 63)
 
 
+def test_new_decoders_fuzz_stay_in_decode_errors():
+    """r13 probe: every failure mode of the TIFF/EXIF walker and the
+    QOI decoder on adversarial input (random bytes, bit-flipped valid
+    files) must land in DECODE_ERRORS — the mapInPandas skip contract.
+    An exception class outside that tuple would kill the whole media
+    stage instead of skipping one blob. 600 seeded cases (the full 3k
+    fuzz ran once in r13: zero escapes)."""
+    import random
+
+    from puffbird_spark.operators.multimodal import (
+        DECODE_ERRORS, decode_qoi, decode_tiff_exif, encode_qoi,
+        encode_tiff_exif)
+
+    rng = random.Random(1313)
+    for trial in range(600):
+        mode = trial % 3
+        if mode == 0:
+            blob = bytes(rng.randrange(256)
+                         for _ in range(rng.randint(0, 200)))
+        elif mode == 1:
+            b = bytearray(encode_qoi(4 + trial % 20, 4 + trial % 12,
+                                     trial))
+            for _ in range(rng.randint(1, 6)):
+                b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+            blob = bytes(b)
+        else:
+            b = bytearray(encode_tiff_exif(
+                trial % 997, "II" if trial % 2 else "MM"))
+            for _ in range(rng.randint(1, 6)):
+                b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+            blob = bytes(b)
+        for dec in (decode_qoi, decode_tiff_exif):
+            try:
+                dec(blob)
+            except DECODE_ERRORS:
+                pass  # the skip contract
+
+
 def test_trajectory_stats_warns_without_tiebreak(spark):
     """ADVICE r12: omitting order_tiebreak leaves tied-timestamp leg
     order nondeterministic — the operator now warns."""
