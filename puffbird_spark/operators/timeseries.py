@@ -976,3 +976,53 @@ def autocorrelation(
         F.col("__e").alias(entity_col), F.col("n"),
         F.explode(F.array(*lag_rows)).alias("__r")
     ).select(entity_col, "__r.lag", "n", "__r.n_pairs", "__r.acf")
+
+
+def partial_autocorrelation(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    order_tiebreak: str | None = None,
+    scale: int = 6,
+    dp: int = 6,
+) -> DataFrame:
+    """Per-entity partial autocorrelation at lags 1..3 — the AR-order
+    selector next to :func:`autocorrelation`'s raw persistence profile
+    (Box & Jenkins: the PACF cuts off at the true AR order; the ACF
+    only tails). The unrolled Durbin-Levinson recursion:
+
+        φ11 = r1
+        φ22 = (r2 - r1²) / (1 - r1²)
+        φ21 = r1·(1 - φ22)
+        φ33 = (r3 - φ21·r2 - φ22·r1) / (1 - φ21·r1 - φ22·r2)
+
+    computed from the RELEASED (``dp``-rounded) ACF values — both
+    engines then fold identical doubles, so the closed form is
+    engine-replayable without another precision ladder. Degenerate
+    inputs release NULL: a constant series (NULL ACF), a too-short
+    series (missing lags), or a unit-root boundary (any denominator
+    exactly 0 at the release grain).
+
+    Scale shape: exactly :func:`autocorrelation`'s (one keyed window +
+    two keyed aggregations) plus one keyed pivot fold — nothing new
+    shuffles. Returns ``(entity_col, n, pacf1, pacf2, pacf3)``."""
+    acf = autocorrelation(
+        df, entity_col, ts_col, value_col, lags=(1, 2, 3),
+        order_tiebreak=order_tiebreak, scale=scale, dp=dp)
+    per = acf.groupBy(entity_col).agg(
+        F.max("n").alias("n"),
+        *[F.max(F.when(F.col("lag") == k, F.col("acf")))
+          .alias(f"__r{k}") for k in (1, 2, 3)])
+    r1, r2, r3 = F.col("__r1"), F.col("__r2"), F.col("__r3")
+    den2 = 1.0 - r1 * r1
+    p22 = (r2 - r1 * r1) / den2
+    p21 = r1 * (1.0 - p22)
+    den3 = 1.0 - p21 * r1 - p22 * r2
+    p33 = (r3 - p21 * r2 - p22 * r1) / den3
+    return per.select(
+        entity_col, "n",
+        F.round(r1, dp).alias("pacf1"),
+        F.when(den2 != 0, F.round(p22, dp)).alias("pacf2"),
+        F.when((den2 != 0) & (den3 != 0), F.round(p33, dp))
+        .alias("pacf3"))

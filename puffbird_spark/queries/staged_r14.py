@@ -115,3 +115,40 @@ def diag_effect_size(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     return effect_size(
         ev, F.col("event_type") == "purchase", "value")
+
+
+from .relational import _ACF_ORACLE  # noqa: E402
+
+_PACF_ORACLE = f"""
+WITH acf AS ({_ACF_ORACLE}),
+p AS (SELECT user_id, MAX(n) AS n,
+    MAX(CASE WHEN lag = 1 THEN acf END) AS r1,
+    MAX(CASE WHEN lag = 2 THEN acf END) AS r2,
+    MAX(CASE WHEN lag = 3 THEN acf END) AS r3
+  FROM acf GROUP BY 1),
+f AS (SELECT user_id, n, r1, r2, r3, 1 - r1 * r1 AS den2 FROM p),
+g AS (SELECT *, (r2 - r1 * r1) / den2 AS p22 FROM f),
+h AS (SELECT *, r1 * (1 - p22) AS p21 FROM g),
+i AS (SELECT *, 1 - p21 * r1 - p22 * r2 AS den3 FROM h)
+SELECT user_id, n, round(r1, 6) AS pacf1,
+  CASE WHEN den2 <> 0 THEN round(p22, 6) END AS pacf2,
+  CASE WHEN den2 <> 0 AND den3 <> 0
+       THEN round((r3 - p21 * r2 - p22 * r1) / den3, 6) END AS pacf3
+FROM i
+"""
+
+
+@query("timeseries_pacf_entity", oracle=_PACF_ORACLE)
+def timeseries_pacf_entity(spark, sf_dir):
+    """Per-entity partial autocorrelation at lags 1..3
+    (`partial_autocorrelation`, operators/timeseries.py; Box &
+    Jenkins / Durbin-Levinson unrolled) — the AR-order selector over
+    each user's event-value sequence, computed from the RELEASED
+    6-dp ACF values so both engines fold identical doubles. Same
+    keyed shuffle shape as `timeseries_acf_entity` plus one keyed
+    pivot fold."""
+    from ..operators.timeseries import partial_autocorrelation
+
+    ev = load(spark, sf_dir, "events")
+    return partial_autocorrelation(
+        ev, "user_id", "ts", "value", order_tiebreak="event_id")

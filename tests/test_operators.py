@@ -7984,6 +7984,34 @@ def test_new_decoders_fuzz_stay_in_decode_errors():
                 pass  # the skip contract
 
 
+def test_partial_autocorrelation_hand_case(spark):
+    """PACF over [1,2,3,4] matches the Durbin-Levinson recursion
+    recomputed in pure Python from the RELEASED 6-dp ACF values
+    (r1=0.25, r2=-0.3, r3=-0.45); a constant series releases NULL
+    at every lag (NULL ACF propagates through the guards)."""
+    from puffbird_spark.operators.timeseries import (
+        partial_autocorrelation)
+
+    rows = [("a", i, float(v)) for i, v in enumerate([1, 2, 3, 4])]
+    rows += [("c", i, 7.0) for i in range(4)]
+    df = spark.createDataFrame(rows, "e string, t int, x double") \
+        .withColumn("ts", F.col("t").cast("timestamp"))
+    out = {r["e"]: r for r in partial_autocorrelation(
+        df, "e", "ts", "x", order_tiebreak="t").collect()}
+    r1, r2, r3 = 0.25, -0.3, -0.45
+    den2 = 1 - r1 * r1
+    p22 = (r2 - r1 * r1) / den2
+    p21 = r1 * (1 - p22)
+    den3 = 1 - p21 * r1 - p22 * r2
+    p33 = (r3 - p21 * r2 - p22 * r1) / den3
+    a = out["a"]
+    assert a["pacf1"] == r1
+    assert a["pacf2"] == round(p22, 6)
+    assert a["pacf3"] == round(p33, 6)
+    c = out["c"]
+    assert (c["pacf1"], c["pacf2"], c["pacf3"]) == (None, None, None)
+
+
 def test_trajectory_stats_warns_without_tiebreak(spark):
     """ADVICE r12: omitting order_tiebreak leaves tied-timestamp leg
     order nondeterministic — the operator now warns."""
