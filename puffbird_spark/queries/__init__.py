@@ -14,6 +14,7 @@ from . import (  # noqa: F401,E402
     sql_q,
     staged_r12,
     staged_r13,
+    staged_r14,
     streaming_q,
     udf_q,
     windows_q,
