@@ -1002,9 +1002,14 @@ def fleiss_kappa(
     plan is not free the way pure-Column operators are. Callers that
     already know the panel size pass ``n_raters`` (the r11
     ``validate_weights`` escape-hatch pattern): the probe collect is
-    skipped (the checkpoint stays — three branches re-read the
-    counts), and a WRONG ``n_raters`` silently mis-scales P_u/P_e
-    instead of raising — trusted input only.
+    skipped AND the checkpoint goes lazy (``eager=False`` — the
+    lineage pin still applies, materialized by the caller's first
+    action instead of at plan-build; ADVICE r13), so building the
+    plan runs no cluster jobs. A WRONG ``n_raters`` no longer
+    silently mis-scales: the release carries a zero-cost assertion
+    fold (count of units whose rating total != n, in the same
+    aggregate pass) and NULLs p_bar/p_e/kappa when any unit
+    disagrees with the trusted panel size.
 
     Returns ONE row: ``(n_units, n_raters, p_bar, p_e, kappa)``."""
     base = df.filter(
@@ -1017,8 +1022,11 @@ def fleiss_kappa(
     # pin the lineage before the probe: obs and cat re-read uc, and a
     # non-deterministic source could make the recomputed counts
     # inconsistent with the probe-validated panel size n (the
-    # equi_depth_histogram convention); also saves two recomputes
-    uc = uc.localCheckpoint(eager=True)
+    # equi_depth_histogram convention); also saves two recomputes.
+    # On the trusted n_raters path there is no probe to be consistent
+    # with, so the pin can go lazy — first action materializes it and
+    # plan-build runs zero cluster jobs (ADVICE r13).
+    uc = uc.localCheckpoint(eager=n_raters is None)
     per_u = uc.groupBy("__u").agg(
         F.sum("__nuc").cast("long").alias("__n"),
         F.sum(F.col("__nuc").cast("decimal(19,0)")
@@ -1048,7 +1056,13 @@ def fleiss_kappa(
     ).cast("decimal(20,9)")
     obs = per_u.agg(
         F.count(F.lit(1)).cast("long").alias("__nu"),
-        F.sum(pu).alias("__pusum"))
+        F.sum(pu).alias("__pusum"),
+        # assertion fold (ADVICE r13): on the trusted n_raters path a
+        # wrong panel size must surface, not silently mis-scale — count
+        # the units whose actual rating total disagrees with n (always
+        # 0 on the probe-validated path; same aggregate pass, free)
+        F.sum(F.when(F.col("__n") != F.lit(n), F.lit(1)).otherwise(
+            F.lit(0))).cast("long").alias("__panel_bad"))
     cat = uc.groupBy("__c").agg(
         F.sum("__nuc").cast("long").alias("__nc"))
     esq = cat.agg(
@@ -1067,11 +1081,16 @@ def fleiss_kappa(
         .select(
             nu.alias("n_units"),
             F.lit(n).cast("long").alias("n_raters"),
-            F.round(pbar, dp).alias("p_bar"),
-            F.round(pe, dp).alias("p_e"),
-            F.when(pe < 1.0,
-                   F.round((pbar - pe) / (F.lit(1.0) - pe), dp))
-            .alias("kappa")))
+            *[
+                F.when(F.col("__panel_bad") == 0, c).alias(a)
+                for c, a in (
+                    (F.round(pbar, dp), "p_bar"),
+                    (F.round(pe, dp), "p_e"),
+                    (F.when(pe < 1.0,
+                            F.round((pbar - pe) / (F.lit(1.0) - pe),
+                                    dp)), "kappa"),
+                )
+            ]))
 
 
 def mcc_binary(

@@ -2643,6 +2643,16 @@ def decode_qoi(blob: bytes) -> tuple[int, int, int, bytes]:
     if n <= 0 or n > 64_000_000:
         raise ValueError(f"not a QOI: implausible dimensions "
                          f"{width}x{height}")
+    # Length-aware plausibility bound (ADVICE r13): one chunk byte
+    # encodes at most 62 pixels (a RUN op), so a stream of
+    # len(blob)-14-8 chunk bytes can never yield more than 62x that
+    # many pixels. Rejecting up front stops a 1 KB crafted header
+    # claiming 8000x8000 from driving the per-pixel loop through
+    # 256 MB of RGBA before the truncated-stream check fires.
+    if n > 62 * (len(blob) - 22):
+        raise ValueError(
+            f"not a QOI: {width}x{height} needs more pixels than the "
+            f"{len(blob) - 22}-byte chunk stream can encode")
     if blob[-8:] != b"\x00" * 7 + b"\x01":
         raise ValueError("not a QOI: missing end marker")
     out = bytearray()

@@ -6003,7 +6003,8 @@ def eval_krippendorff_alpha(spark, sf_dir):
 _ROC_AUC_ORACLE = """
 WITH b AS (SELECT value AS s,
     event_type IN ('purchase', 'signup') AS y
-  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    AND NOT isnan(value)),
 per AS (SELECT s, COUNT(*) AS c,
     SUM(CASE WHEN y THEN 1 ELSE 0 END) AS p FROM b GROUP BY 1),
 cum AS (SELECT c, p,
@@ -6045,7 +6046,8 @@ def eval_roc_auc(spark, sf_dir):
 _PROB_SCORES_ORACLE = """
 WITH b AS (SELECT value - floor(value) AS p,
     event_type IN ('purchase', 'signup') AS y
-  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    AND NOT isnan(value)),
 c AS (SELECT p, CASE WHEN y THEN 1.0 ELSE 0.0 END AS yd,
     CASE WHEN y THEN 1 ELSE 0 END AS yi FROM b),
 t AS (SELECT COUNT(*) AS n, SUM(yi) AS np,

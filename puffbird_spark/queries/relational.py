@@ -4685,7 +4685,8 @@ def q20_promotion_suppliers(spark, sf_dir):
 _SPEARMAN_ORACLE = """
 WITH b AS (SELECT l_quantity AS x, l_extendedprice AS y
   FROM lineitem WHERE l_quantity IS NOT NULL
-    AND l_extendedprice IS NOT NULL),
+    AND l_extendedprice IS NOT NULL
+    AND NOT isnan(l_quantity) AND NOT isnan(l_extendedprice)),
 r AS (SELECT
     2 * rank() OVER (ORDER BY x)
       + count(*) OVER (PARTITION BY x) - 1 AS u,

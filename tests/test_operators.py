@@ -7534,6 +7534,14 @@ def test_fleiss_kappa_hand_cases(spark):
     with _pytest.raises(ValueError, match=">= 2"):
         fleiss_kappa(df, "unit", "value", n_raters=1)
 
+    # a WRONG trusted panel size surfaces as NULL stats, not a
+    # silently mis-scaled kappa (ADVICE r13): the release's assertion
+    # fold counts units whose rating total != n
+    wrong = fleiss_kappa(df, "unit", "value", n_raters=3).collect()[0]
+    assert (wrong["n_units"], wrong["n_raters"]) == (4, 3)
+    assert wrong["p_bar"] is None and wrong["p_e"] is None
+    assert wrong["kappa"] is None
+
 
 def test_roc_auc_hand_cases(spark):
     """Hand-computed AUC: perfect separation reads 1.0 and Gini 1.0;
@@ -7670,6 +7678,19 @@ def test_query_registry_rejects_duplicate_names():
         @query(existing)
         def shadow(spark, sf_dir):  # pragma: no cover
             return None
+
+    # but re-registering the SAME function (module reload / double
+    # import under another path) is idempotent, not a hard failure
+    # (ADVICE r13) — provenance (module, qualname) is the key, since
+    # importlib.reload creates fresh function objects.
+    prev = QUERIES[existing]
+    clone = __import__("types").FunctionType(
+        prev.__code__, prev.__globals__, prev.__name__)
+    clone.__module__ = prev.__module__
+    clone.__qualname__ = prev.__qualname__
+    assert query(existing)(clone) is clone
+    assert QUERIES[existing] is clone
+    QUERIES[existing] = prev  # restore the registry
 
 
 def test_probabilistic_scores_hand_cases(spark):
@@ -7936,6 +7957,12 @@ def test_qoi_codec_roundtrip_and_robustness(spark):
     with _pytest.raises(ValueError, match="implausible"):
         decode_qoi(b"qoif" + _struct.pack(">IIBB", 0, 5, 3, 1)
                    + b"\x00" * 7 + b"\x01")
+    # length-aware bound (ADVICE r13): a tiny blob claiming 8000x8000
+    # is rejected BEFORE the per-pixel loop allocates anything — one
+    # chunk byte encodes at most 62 pixels (a full RUN op).
+    with _pytest.raises(ValueError, match="chunk stream can encode"):
+        decode_qoi(b"qoif" + _struct.pack(">IIBB", 8000, 8000, 4, 0)
+                   + bytes((0xC0 | 61,)) * 64 + b"\x00" * 7 + b"\x01")
 
     rows = [("good", bytearray(encode_qoi(9, 7, 42))),
             ("bad", bytearray(b"definitely not qoi data here")),
