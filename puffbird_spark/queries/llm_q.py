@@ -5827,6 +5827,84 @@ def eval_rouge(spark, sf_dir):
         id_col="doc_id", max_n=2)
 
 
+_ROUGE_L_ORACLE = f"""
+WITH RECURSIVE {_EVAL_PAIR_SQL},
+cp AS (SELECT doc_id, ct[1:40] AS c0, rt[1:40] AS rl FROM b),
+sw AS (SELECT doc_id,
+    [CASE WHEN i % 2 = 1 AND i + 1 <= len(c0) THEN c0[i + 1]
+          WHEN i % 2 = 0 THEN c0[i - 1]
+          ELSE c0[i] END FOR i IN range(1, len(c0) + 1)] AS ct, rl
+  FROM cp),
+dp AS (
+  SELECT doc_id, ct, rl, 0 AS i,
+         [0 FOR j IN range(0, len(rl) + 1)] AS row
+  FROM sw
+  UNION ALL
+  SELECT doc_id, ct, rl, i + 1,
+         list_prepend(0, [GREATEST(row[j + 1],
+             list_max([row[k] + CASE WHEN rl[k] = ct[i + 1]
+                                     THEN 1 ELSE 0 END
+                       FOR k IN range(1, j + 1)]))
+           FOR j IN range(1, len(rl) + 1)])
+  FROM dp WHERE i < len(ct)),
+fin AS (SELECT doc_id, len(ct) AS clen, len(rl) AS rlen,
+        CASE WHEN len(ct) > 0 AND len(rl) > 0
+             THEN row[len(rl) + 1] ELSE 0 END AS lcs
+  FROM dp WHERE i = len(ct)),
+pr AS (SELECT doc_id, clen, rlen, lcs,
+    CASE WHEN clen > 0
+         THEN CAST(round(CAST(lcs AS DOUBLE) / clen, 9)
+                   AS DECIMAL(20,9))
+         ELSE CAST(0.0 AS DECIMAL(20,9)) END AS p,
+    CASE WHEN rlen > 0
+         THEN CAST(round(CAST(lcs AS DOUBLE) / rlen, 9)
+                   AS DECIMAL(20,9))
+         ELSE CAST(0.0 AS DECIMAL(20,9)) END AS r
+  FROM fin)
+SELECT doc_id, CAST(clen AS BIGINT) AS cand_len,
+  CAST(rlen AS BIGINT) AS ref_len, CAST(lcs AS BIGINT) AS lcs,
+  round(CAST(p AS DOUBLE), 6) AS rouge_l_p,
+  round(CAST(r AS DOUBLE), 6) AS rouge_l_r,
+  round(CASE WHEN CAST(p AS DOUBLE) + CAST(r AS DOUBLE) > 0
+             THEN 2.0 * CAST(p AS DOUBLE) * CAST(r AS DOUBLE)
+                  / (CAST(p AS DOUBLE) + CAST(r AS DOUBLE))
+             ELSE 0.0 END, 6) AS rouge_l_f
+FROM pr
+"""
+
+
+@query("eval_rouge_l", oracle=_ROUGE_L_ORACLE)
+def eval_rouge_l(spark, sf_dir):
+    """Per-document ROUGE-L (`rouge_l`, operators/evaluation.py; Lin
+    ACL-W 2004 §3.1) — the LCS member of the ROUGE family beside
+    ROUGE-1/2: in-order non-contiguous coverage, P/R/F from the exact
+    LCS length. Fixture: the dropped-token candidate (every 5th gone)
+    with ADJACENT PAIRS SWAPPED and both sides capped at 40 tokens —
+    the swaps make the candidate a genuine non-subsequence (each pair
+    contributes ~1, not 2, to the LCS), so the max-of-three DP is
+    really exercised, and the cap honors the documented O(|c|·|r|²)
+    short-field contract at every SF. The oracle replays the
+    identical prefix-max DP via a recursive CTE over candidate
+    position (row monotonicity proof in the operator docstring)."""
+    from ..operators.evaluation import rouge_l
+
+    pairs = _eval_pair_fixture(spark, sf_dir)
+    c0 = F.slice(F.col("__cand"), 1, 40)
+    n = F.size(c0)
+    swapped = F.transform(
+        c0,
+        lambda x, i: F.when(
+            (i % 2 == 0) & (i + F.lit(2) <= n),
+            F.element_at(c0, (i + F.lit(2)).cast("int")))
+        .when(i % 2 == 1, F.element_at(c0, i.cast("int")))
+        .otherwise(x))
+    return rouge_l(
+        pairs.select(
+            "doc_id", swapped.alias("__c"),
+            F.slice(F.col("__ref"), 1, 40).alias("__r")),
+        "__c", "__r", id_col="doc_id")
+
+
 _EDIT_ORACLE = f"""
 WITH {_EVAL_PAIR_SQL},
 s AS (SELECT doc_id, array_to_string(ct, ' ') AS cs,

@@ -7212,6 +7212,48 @@ def test_rouge_n_clipping(spark):
     assert row["rouge1_r"] == 0.5
 
 
+def test_rouge_l_hand_cases(spark):
+    """Hand-computed ROUGE-L (Lin 2004 §3.1): LCS('abcde','axbdc')
+    is 3 ('abd' or 'abc' — the classic non-contiguous case); LCS
+    rewards order, so a REVERSED candidate scores LCS 1 where
+    ROUGE-1 would score 1.0; identity is perfect; NULL/empty sides
+    release 0, never NULL (the BLEU/ROUGE house contract); a
+    repeated-token candidate cannot exceed the reference multiset
+    along one subsequence."""
+    from puffbird_spark.operators.evaluation import rouge_l
+
+    rows = [(1, ["a", "b", "c", "d", "e"], ["a", "x", "b", "d", "c"]),
+            (2, ["c", "b", "a"], ["a", "b", "c"]),
+            (3, ["q", "w"], ["q", "w"]),
+            (4, [], ["a", "b"]),
+            (5, ["a", "b"], []),
+            (6, None, ["a"]),
+            (7, ["the"] * 4, ["the", "cat", "the"])]
+    df = spark.createDataFrame(
+        rows, "doc_id int, c array<string>, r array<string>")
+    out = {r["doc_id"]: r for r in
+           rouge_l(df, "c", "r", id_col="doc_id").collect()}
+    assert (out[1]["lcs"], out[1]["cand_len"], out[1]["ref_len"]) \
+        == (3, 5, 5)
+    assert out[1]["rouge_l_p"] == 0.6 and out[1]["rouge_l_r"] == 0.6
+    assert out[1]["rouge_l_f"] == 0.6
+    # reversal: any single common token is the longest in-order run
+    assert out[2]["lcs"] == 1
+    assert out[2]["rouge_l_f"] == 0.333333
+    assert out[3]["lcs"] == 2 and out[3]["rouge_l_f"] == 1.0
+    for d in (4, 5, 6):
+        assert out[d]["lcs"] == 0
+        assert out[d]["rouge_l_p"] == 0.0
+        assert out[d]["rouge_l_r"] == 0.0
+        assert out[d]["rouge_l_f"] == 0.0
+    assert out[6]["cand_len"] == 0       # NULL side ≡ empty
+    # LCS('the the the the', 'the cat the') = 2 — the subsequence can
+    # use each reference token once
+    assert out[7]["lcs"] == 2
+    assert out[7]["rouge_l_p"] == 0.5
+    assert out[7]["rouge_l_r"] == 0.666667
+
+
 def test_edit_distance_metrics_hand_cases(spark):
     """Levenshtein scorecard: the classic kitten->sitting distance 3;
     empty reference reads NULL CER (0/0 undefined); both-empty is a
