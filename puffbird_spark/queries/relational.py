@@ -4729,6 +4729,55 @@ def diag_spearman(spark, sf_dir):
     return spearman_corr(li, "l_quantity", "l_extendedprice")
 
 
+_KENDALL_ORACLE = """
+WITH b AS (SELECT l_quantity AS x,
+    floor(l_extendedprice / 5000) AS y
+  FROM lineitem WHERE l_quantity IS NOT NULL
+    AND l_extendedprice IS NOT NULL
+    AND NOT isnan(l_quantity) AND NOT isnan(l_extendedprice)),
+cells AS (SELECT x, y, COUNT(*) AS c FROM b GROUP BY 1, 2),
+tot AS (SELECT SUM(c) AS n FROM cells),
+tx AS (SELECT SUM(t * (t - 1) / 2) AS n1
+  FROM (SELECT SUM(c) AS t FROM cells GROUP BY x)),
+ty AS (SELECT SUM(t * (t - 1) / 2) AS n2
+  FROM (SELECT SUM(c) AS t FROM cells GROUP BY y)),
+cd AS (SELECT
+    COALESCE(SUM(CASE WHEN a.y < b2.y
+                      THEN CAST(a.c AS HUGEINT) * b2.c END), 0) AS cc,
+    COALESCE(SUM(CASE WHEN a.y > b2.y
+                      THEN CAST(a.c AS HUGEINT) * b2.c END), 0) AS dd
+  FROM cells a JOIN cells b2 ON a.x < b2.x)
+SELECT CAST(n AS BIGINT) AS n,
+  CAST(cc AS BIGINT) AS concordant,
+  CAST(dd AS BIGINT) AS discordant,
+  CASE WHEN n * (n - 1) / 2 - n1 > 0 AND n * (n - 1) / 2 - n2 > 0
+       THEN round(CAST(cc - dd AS DOUBLE)
+                  / sqrt(CAST(n * (n - 1) / 2 - n1 AS DOUBLE)
+                         * CAST(n * (n - 1) / 2 - n2 AS DOUBLE)), 6)
+  END AS tau_b
+FROM tot, tx, ty, cd
+"""
+
+
+@query("diag_kendall_tau", oracle=_KENDALL_ORACLE)
+def diag_kendall_tau(spark, sf_dir):
+    """Kendall's tau-b (`kendall_tau_b`, operators/profile.py;
+    Kendall 1945) — the pair-concordance rank correlation beside
+    `diag_spearman`'s rank-Pearson, tie-corrected on both axes.
+    Fixture: lineitem quantity vs the 5000-wide extended-price bucket
+    — BOTH axes heavily tied (~1050 distinct cells at EVERY SF, the
+    cardinality-bound contingency reduction's design case: the C/D
+    cell pair join is ~1M broadcast pairs whether the table has 60k
+    rows or 6B). The oracle replays the identical cell algebra in
+    HUGEINT."""
+    from ..operators.profile import kendall_tau_b
+
+    li = load(spark, sf_dir, "lineitem")
+    return kendall_tau_b(
+        li.withColumn("__yb", F.floor(F.col("l_extendedprice") / 5000)),
+        "l_quantity", "__yb")
+
+
 _ACF_ORACLE = """
 WITH b AS (SELECT user_id AS e, CAST(value AS DECIMAL(20,6)) AS x,
     ts, event_id

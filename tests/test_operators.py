@@ -7663,6 +7663,50 @@ def test_spearman_corr_hand_cases(spark):
     assert (nrow["n"], nrow["rho"]) == (3, 1.0)
 
 
+def test_kendall_tau_b_hand_cases(spark):
+    """Hand-computed Kendall tau-b: perfect concordance (any strictly
+    monotone map) reads 1; inverted reads -1; the single-inversion
+    permutation y=[1,3,2,4] has C=5, D=1 → 4/6 = 0.666667; the scipy
+    doc ties case x=[12,2,1,12,2], y=[1,4,7,1,0] reads -0.471405
+    (C=2, D=6, n1=2, n2=1); a constant column is undefined → NULL;
+    NULL and NaN rows are complete-case excluded."""
+    from puffbird_spark.operators.profile import kendall_tau_b
+
+    mono = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 4.0), (3.0, 9.0), (10.0, 100.0)],
+        "x double, y double")
+    row = kendall_tau_b(mono, "x", "y").collect()[0]
+    assert (row["n"], row["concordant"], row["discordant"],
+            row["tau_b"]) == (4, 6, 0, 1.0)
+
+    inv = spark.createDataFrame(
+        [(1.0, 9.0), (2.0, 4.0), (3.0, 1.0)], "x double, y double")
+    assert kendall_tau_b(inv, "x", "y").collect()[0]["tau_b"] == -1.0
+
+    swap = spark.createDataFrame(
+        [(1, 1), (2, 3), (3, 2), (4, 4)], "x int, y int")
+    srow = kendall_tau_b(swap, "x", "y").collect()[0]
+    assert (srow["concordant"], srow["discordant"]) == (5, 1)
+    assert srow["tau_b"] == 0.666667
+
+    tied = spark.createDataFrame(
+        list(zip([12, 2, 1, 12, 2], [1, 4, 7, 1, 0])), "x int, y int")
+    trow = kendall_tau_b(tied, "x", "y").collect()[0]
+    assert (trow["concordant"], trow["discordant"]) == (2, 6)
+    assert trow["tau_b"] == -0.471405
+
+    const = spark.createDataFrame(
+        [(5.0, 1.0), (5.0, 2.0)], "x double, y double")
+    assert kendall_tau_b(const, "x", "y").collect()[0]["tau_b"] is None
+
+    messy = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 2.0), (None, 3.0), (3.0, None),
+         (float("nan"), 1.0), (3.0, 3.0)],
+        "x double, y double")
+    mrow = kendall_tau_b(messy, "x", "y").collect()[0]
+    assert (mrow["n"], mrow["tau_b"]) == (3, 1.0)
+
+
 def test_autocorrelation_hand_cases(spark):
     """Hand-computed ACF over [1,2,3,4] (mean 2.5, den 5): r1 = 1.25/5
     = 0.25, r2 = -1.5/5 = -0.3, r3 = -2.25/5 = -0.45; a constant
