@@ -1925,6 +1925,145 @@ def text_bpe_pairs(spark, sf_dir):
     )
 
 
+@query("text_unigram_seed", oracle="""
+WITH t AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents
+           WHERE text IS NOT NULL),
+w AS (SELECT word, COUNT(*) AS wc FROM t WHERE len(word) > 0
+      GROUP BY word),
+p AS (SELECT unnest(flatten(
+         [[word[i : j] FOR j IN range(i, least(len(word), i + 3) + 1)]
+          FOR i IN range(1, len(word) + 1)])) AS piece, wc
+      FROM w)
+SELECT piece, CAST(SUM(wc) AS BIGINT) AS n
+FROM p GROUP BY piece ORDER BY n DESC, piece LIMIT 30
+""")
+def text_unigram_seed(spark, sf_dir):
+    """Unigram-LM tokenizer training, seed statistic
+    (`seed_piece_counts`, operators/unigram.py; Kudo ACL 2018 §3.2 —
+    the SentencePiece unigram trainer seeds from frequent substrings):
+    word-weighted counts of EVERY substring up to 4 chars over the
+    vocabulary — one generate + one keyed agg, vocab-sized input, so
+    seeding cost is independent of corpus size after the word table.
+    The full EM trainer (`unigram_train` — broadcast-dict Viterbi
+    E-step, one keyed-agg M-step, char-coverage floor, deterministic
+    count-ranked prune) is pinned piece-for-piece against a
+    from-scratch reference implementation in unit tests, the
+    `bpe_train` convention. Top-30 seeds, (count desc, piece asc)."""
+    from ..operators.unigram import seed_piece_counts
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        seed_piece_counts(docs, "text", max_piece_len=4)
+        .orderBy(F.desc("n"), F.asc("piece"))
+        .limit(30))
+
+
+_UNIGRAM_PIECES = [
+    ("e", -2.2), ("t", -2.4), ("a", -2.5), ("o", -2.6), ("i", -2.7),
+    ("n", -2.7), ("s", -2.8), ("r", -2.9), ("h", -3.0), ("th", -3.2),
+    ("the", -2.8), ("er", -3.4), ("in", -3.3), ("at", -3.5),
+    ("ed", -3.6), ("an", -3.4)]
+
+_UNIGRAM_SEG_ORACLE = f"""
+WITH RECURSIVE vt AS (SELECT map(
+    [{", ".join(repr(p) for p, _ in _UNIGRAM_PIECES)}],
+    [CAST(x AS DOUBLE) FOR x IN
+     [{", ".join(str(lp) for _, lp in _UNIGRAM_PIECES)}]]) AS m),
+d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      WHERE text IS NOT NULL),
+w AS (SELECT doc_id, unnest(ws) AS word,
+        generate_subscripts(ws, 1) AS pos
+      FROM d),
+wf AS (SELECT * FROM w WHERE len(word) > 0),
+r AS (
+  SELECT doc_id, pos, word, 0 AS i,
+         [CAST(0.0 AS DOUBLE)] AS sc, [0] AS np, [''] AS sg
+  FROM wf
+  UNION ALL
+  SELECT doc_id, pos, word, i + 1,
+         list_append(sc, best.s), list_append(np, best.n2),
+         list_append(sg, best.g)
+  FROM (
+    SELECT doc_id, pos, word, i, sc, np, sg,
+      list_reduce(
+        [x FOR x IN [struct_pack(
+             s := round(sc[i + 2 - l] + COALESCE(
+                 m[word[i + 2 - l : i + 1]][1],
+                 CASE WHEN l = 1 THEN CAST(-10.0 AS DOUBLE) END), 9),
+             n2 := np[i + 2 - l] + 1,
+             g := CASE WHEN sg[i + 2 - l] = ''
+                       THEN word[i + 2 - l : i + 1]
+                       ELSE sg[i + 2 - l] || '|'
+                            || word[i + 2 - l : i + 1] END)
+          FOR l IN range(1, least(4, i + 1) + 1)]
+          IF x.s IS NOT NULL],
+        (a, b) -> CASE
+          WHEN b.s > a.s THEN b
+          WHEN b.s < a.s THEN a
+          WHEN b.n2 < a.n2 THEN b
+          WHEN b.n2 > a.n2 THEN a
+          WHEN b.g < a.g THEN b
+          ELSE a END) AS best
+    FROM r, vt WHERE i < len(word))
+),
+fin AS (SELECT doc_id, pos,
+        string_split(sg[len(word) + 1], '|') AS pieces
+  FROM r WHERE i = len(word)),
+agg AS (SELECT doc_id, flatten(list(pieces ORDER BY pos)) AS allp
+  FROM fin GROUP BY doc_id)
+SELECT doc_id, CAST(len(allp) AS INT) AS n_pieces,
+       array_to_string(allp[1:8], ' ') AS head8
+FROM agg
+"""
+
+
+@query("text_unigram_segment", oracle=_UNIGRAM_SEG_ORACLE)
+def text_unigram_segment(spark, sf_dir):
+    """Unigram-LM Viterbi APPLICATION (`unigram_segment_text`,
+    operators/unigram.py; Kudo ACL 2018) — the decode half of the
+    unigram tokenizer over a FIXED 16-piece table (chars + th/the/er/
+    in/at/ed/an, so single-char vs multi-piece paths genuinely
+    compete — e.g. 'the' beats th|e beats t|h|e), unknown chars at
+    the -10 floor. Per-word DP in an Arrow-batched kernel (zero
+    shuffle; the split rides inside the kernel); ties break (score
+    desc at 9 dp, fewer pieces, lexicographically smallest
+    segmentation). The oracle replays the DP MOVE-FOR-MOVE via a
+    recursive CTE over character position with the identical
+    per-step 9-dp score snap and the identical tie-break reduce."""
+    from ..operators.unigram import unigram_segment_text
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull())
+    pieces = unigram_segment_text(
+        F.col("text"), dict(_UNIGRAM_PIECES), max_piece_len=4)
+    return docs.select(
+        "doc_id",
+        F.size(pieces).cast("int").alias("n_pieces"),
+        F.array_join(F.slice(pieces, 1, 8), " ").alias("head8"))
+
+
+@query("text_unigram_train")
+def text_unigram_train(spark, sf_dir):
+    """Unigram-LM EM trainer end-to-end (`unigram_train`,
+    operators/unigram.py; Kudo ACL 2018): seed substring counts →
+    2 EM rounds (broadcast-dict Viterbi E-step over DISTINCT words,
+    one keyed-agg M-step, char floor) → deterministic count-ranked
+    prune to 48 pieces + chars. Fully deterministic, but the
+    iterative EM is not SQL-expressible — rows-only driver check;
+    piece-for-piece correctness is pinned against a from-scratch
+    pure-Python reference implementation in unit tests (the
+    `bpe_train` convention). Releases the learned vocab."""
+    from ..operators.unigram import unigram_train
+
+    docs = load(spark, sf_dir, "documents")
+    vocab = unigram_train(
+        docs, "text", vocab_size=48, seed_size=128,
+        max_piece_len=4, em_rounds=2)
+    return spark.createDataFrame(
+        [(p, c, lp) for p, c, lp in vocab],
+        "piece string, n long, logp double")
+
+
 @query("embedding_random_projection", oracle="""
 WITH s AS (SELECT i, j,
              CASE WHEN CAST('0x' || substr(md5('rp:' || CAST(i AS VARCHAR)

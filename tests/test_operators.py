@@ -1907,6 +1907,132 @@ def test_bpe_merge_fold_nonoverlapping(spark):
     assert out == [["aa", "a"], ["aa", "b", "aa"]]
 
 
+# ------------------------------------------------------------------ #
+# Unigram-LM tokenizer training (operators/unigram.py)
+# ------------------------------------------------------------------ #
+
+def _ref_uni_viterbi(word, logp, L):
+    """Independent Viterbi decode (sort-based argmax rather than the
+    operator's running compare): max 9-dp score, then fewer pieces,
+    then lexicographically smallest '|'-joined segmentation."""
+    best = {0: (0.0, 0, "", [])}
+    for i in range(1, len(word) + 1):
+        options = []
+        for ln in range(1, min(L, i) + 1):
+            piece = word[i - ln:i]
+            lp = logp.get(piece)
+            if lp is None:
+                if ln > 1:
+                    continue
+                lp = -10.0
+            s, np_, seg, ps = best[i - ln]
+            nseg = piece if not seg else seg + "|" + piece
+            options.append((round(s + lp, 9), np_ + 1, nseg,
+                            ps + [piece]))
+        options.sort(key=lambda o: (-o[0], o[1], o[2]))
+        best[i] = options[0]
+    return best[len(word)][3]
+
+
+def _ref_unigram(word_freq, vocab_size, seed_size, L, rounds):
+    """From-scratch reference of the deterministic unigram-LM trainer
+    (Kudo 2018 simplified per the module contract): per-site substring
+    seed, EM with char floor, count-ranked prune."""
+    import math as _math
+
+    seed = {}
+    for w, c in word_freq.items():
+        for i in range(len(w)):
+            for j in range(i + 1, min(len(w), i + L) + 1):
+                p = w[i:j]
+                seed[p] = seed.get(p, 0) + c
+    vocab = {p: n for p, n in seed.items() if len(p) == 1}
+    vocab.update(dict(sorted(
+        ((p, n) for p, n in seed.items() if len(p) > 1),
+        key=lambda t: (-t[1], t[0]))[:seed_size]))
+    for _ in range(rounds):
+        total = sum(vocab.values())
+        logp = {p: round(_math.log(c / total), 9)
+                for p, c in vocab.items() if c > 0}
+        counts = {}
+        for w, c in word_freq.items():
+            for piece in _ref_uni_viterbi(w, logp, L):
+                counts[piece] = counts.get(piece, 0) + c
+        vocab = {p: counts.get(p, 1 if len(p) == 1 else 0)
+                 for p in vocab
+                 if len(p) == 1 or counts.get(p, 0) > 0}
+    ranked = sorted(vocab.items(), key=lambda kv: (-kv[1], kv[0]))
+    kept = [p for p, _ in ranked[:vocab_size]]
+    kept += [p for p, _ in ranked[vocab_size:] if len(p) == 1]
+    final = {p: vocab[p] for p in kept}
+    total = sum(final.values())
+    return sorted(
+        ((p, c, round(_math.log(c / total), 9))
+         for p, c in final.items()),
+        key=lambda t: (-t[1], t[0]))
+
+
+def test_unigram_train_matches_reference(spark):
+    """The distributed EM trainer is piece-for-piece identical (piece,
+    count, logp) to the from-scratch reference on a morphology-rich
+    toy corpus — the bpe_train differential convention."""
+    from puffbird_spark.operators.unigram import unigram_train
+
+    corpus = ["low low low lower lowest", "new newer newest low",
+              "wide wider widest new new", "lowest wider the the"]
+    df = spark.createDataFrame([(t,) for t in corpus], ["text"])
+    freq = {}
+    for t in corpus:
+        for w in t.split():
+            freq[w] = freq.get(w, 0) + 1
+
+    got = unigram_train(df, "text", vocab_size=12, seed_size=24,
+                        max_piece_len=4, em_rounds=2)
+    want = _ref_unigram(freq, vocab_size=12, seed_size=24, L=4,
+                        rounds=2)
+    assert got == want
+    # the prune keeps every single char even past vocab_size
+    chars = {w[i] for w in freq for i in range(len(w))}
+    assert chars <= {p for p, _, _ in got}
+
+
+def test_unigram_viterbi_tiebreaks():
+    """Viterbi tie ladder: equal score → FEWER pieces (['ab'] beats
+    ['a','b'] at -4.0); equal score and count → lexicographically
+    smallest segmentation ('a|bc' beats 'ab|c' at -6.0); unknown
+    chars take the -10 floor as single-char pieces."""
+    from puffbird_spark.operators.unigram import viterbi_segment_py
+
+    fewer = {"ab": -4.0, "a": -2.0, "b": -2.0}
+    assert viterbi_segment_py("ab", fewer) == (["ab"], -4.0)
+
+    # NB: the comparison is on the '|'-joined STRING, and '|' (0x7C)
+    # sorts after every ASCII letter — so 'ab|c' < 'a|bc' and the
+    # LONGER-first-piece split wins this tie
+    lex = {"ab": -3.0, "c": -3.0, "a": -3.0, "bc": -3.0}
+    assert viterbi_segment_py("abc", lex) == (["ab", "c"], -6.0)
+
+    pieces, score = viterbi_segment_py("qx", {"q": -1.0})
+    assert pieces == ["q", "x"] and score == -11.0
+
+
+def test_unigram_segment_text_contract(spark):
+    """Doc-level segmentation: words decode independently and
+    concatenate in order; NULL text stays NULL; repeated spaces
+    contribute nothing."""
+    from puffbird_spark.operators.unigram import unigram_segment_text
+
+    table = {"th": -1.0, "e": -1.5, "a": -2.0, "t": -2.5}
+    df = spark.createDataFrame(
+        [(1, "the  that"), (2, None)], "doc_id int, text string")
+    out = {r["doc_id"]: r["s"] for r in df.select(
+        "doc_id",
+        unigram_segment_text(F.col("text"), table).alias("s")
+    ).collect()}
+    assert out[1] == ["th", "e", "th", "a", "t"]
+    assert out[2] is None
+
+
 def test_random_projection_preserves_distances(spark):
     """JL property: pairwise distances in the projected space track the
     originals within loose multiplicative bounds; projection is
