@@ -560,6 +560,8 @@ def incremental_embedding_dedup(
     threshold: float = 0.45,
     seed: str = "srp",
     use_arrow: bool | None = None,
+    state_repr: str = "raw",
+    sq_params: tuple | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """SEMANTIC near-dup dedup of a NEW batch against a living corpus
     without rescanning it — the embedding twin of
@@ -581,10 +583,29 @@ def incremental_embedding_dedup(
     ``(band, bucket)`` — only genuine collisions pair, the corpus
     never rescans, per-batch cost = the batch's plane arithmetic plus
     a keyed join against a state that grows bands rows per vector.
-    The state stores the raw vector for the exact verification join;
-    at extreme scale swap in the SQ-int8 representation
-    (`similarity.sq_quantize`) and a re-rank — the band machinery is
-    unchanged.
+
+    State representation (``state_repr``): ``'raw'`` stores the
+    float64 vector (4 bytes/dim on disk as double is 8 — exact
+    verification, the default); ``'sq8'`` stores the int8 scalar
+    quantization (`similarity.sq_quantize` — 1 byte/dim, the
+    IVF-SQ memory/bandwidth arm for a 100 TB-corpus state) under
+    fixed per-dimension ``sq_params=(lo, scale)`` float64 ndarrays
+    (from `similarity.sq_minmax` over a representative corpus — the
+    params must stay FIXED across batches or the state is
+    incomparable; pass the same pair every call). In sq8 mode the
+    verification RE-RANKS each band collision with the full float64
+    cosine over DEQUANTIZED vectors (`sq_dequantize` arithmetic,
+    replayed bit-identically by the numpy kernel) rather than
+    deciding on a raw int8 dot — decisions are exact over the stored
+    representation, approximate w.r.t. the original floats by at
+    most the quantization error (pick thresholds with margin).
+    Batch vectors quantize BEFORE the state union, so in-batch and
+    cross-batch pairs compare the SAME representation — this is what
+    keeps the ascending-id replay bit-equal to the one-shot rule in
+    sq8 mode too (an exact-where-available hybrid would break it:
+    a batch-mate pair would score differently this round than the
+    same pair across rounds). Band codes always derive from the raw
+    batch floats — the band machinery is unchanged.
 
     The verification stage is quadratic PER BUCKET, so it auto-gates
     its kernel exactly like :func:`semantic_dedup_pairs`
@@ -599,12 +620,39 @@ def incremental_embedding_dedup(
     plane counts shrink the buckets themselves). HALF_UP replay keeps
     the 6-dp decision identical on both kernels (differential
     unit-pinned)."""
+    from pyspark.sql import types as T
+
     from ..functions.vectors import cosine_rounded
     from ..telemetry import record_kernel
-    from .similarity import ARROW_MIN_PAIRS
+    from .similarity import ARROW_MIN_PAIRS, sq_dequantize, sq_quantize
+
+    if state_repr not in ("raw", "sq8"):
+        raise ValueError(
+            f"state_repr must be 'raw' or 'sq8', got {state_repr!r}")
+    sq8 = state_repr == "sq8"
+    if sq8:
+        if sq_params is None:
+            raise ValueError(
+                "state_repr='sq8' needs sq_params=(lo, scale) — fixed "
+                "per-dimension float64 arrays (similarity.sq_minmax); "
+                "they must be identical across every batch")
+        sq_lo, sq_scale = sq_params
+    # a state built for the other representation would verify garbage
+    # (int8 codes read as doubles or vice versa) — fail loud on schema
+    state_elem = state.schema["v"].dataType.elementType
+    want_elem = T.ByteType() if sq8 else T.DoubleType()
+    if state_elem != want_elem:
+        raise ValueError(
+            f"state vector element type {state_elem.simpleString()} "
+            f"does not match state_repr={state_repr!r} "
+            f"(expected {want_elem.simpleString()})")
 
     bb = srp_signed_banded(
         batch, id_col, vec_col, in_dim, bands, planes, seed)
+    if sq8:
+        # quantize AFTER banding (codes from raw floats), BEFORE the
+        # union (one representation everywhere — replay invariance)
+        bb = bb.withColumn("v", sq_quantize(F.col("v"), sq_lo, sq_scale))
     # consumed twice (probe + state union): run the plane pipeline once
     bb = bb.localCheckpoint(eager=True)
     all_b = state.unionByName(bb)
@@ -644,6 +692,9 @@ def incremental_embedding_dedup(
             if len(ids) < 2 or not isb.any():
                 return pd.DataFrame({"__rej": ids[:0]})
             X = np.array(pdf["v"].tolist(), dtype=np.float64)
+            if sq8:
+                # the sq_dequantize arithmetic, op-for-op: (q+128)*s+lo
+                X = (X + 128.0) * sq_scale[None, :] + sq_lo[None, :]
             nrm = np.sqrt(np.einsum("ij,ij->i", X, X))
             # only batch rows can be rejected, so the matmul is B x N,
             # not N x N: with a mature corpus state and a small new
@@ -682,6 +733,11 @@ def incremental_embedding_dedup(
         )
     else:
         b, o = bb.alias("b"), all_b.alias("o")
+        if sq8:
+            vb = sq_dequantize(F.col("b.v"), sq_lo, sq_scale)
+            vo = sq_dequantize(F.col("o.v"), sq_lo, sq_scale)
+        else:
+            vb, vo = F.col("b.v"), F.col("o.v")
         rejected = (
             b.join(
                 o,
@@ -689,9 +745,7 @@ def incremental_embedding_dedup(
                 & (F.col("b.bucket") == F.col("o.bucket"))
                 & (F.col("o.id") < F.col("b.id")),
             )
-            .filter(
-                cosine_rounded(F.col("b.v"), F.col("o.v"))
-                >= F.lit(threshold))
+            .filter(cosine_rounded(vb, vo) >= F.lit(threshold))
             .select(F.col("b.id").alias("__rej"))
             .distinct()
         )

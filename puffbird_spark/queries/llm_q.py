@@ -2365,7 +2365,7 @@ def text_decontaminate_report(spark, sf_dir):
         "n_train_docs", "n_shared_grams", "worst_overlap")
 
 
-@query("dedup_incremental_embedding", oracle="""
+_INC_EMB_ORACLE = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 x AS (SELECT vec_id, CAST(generate_subscripts(v, 1) AS INT) - 1 AS i,
         unnest(v) AS xv
@@ -2394,7 +2394,10 @@ rej AS (SELECT DISTINCT c.bid
               / (sqrt(list_dot_product(eb.v, eb.v))
                  * sqrt(list_dot_product(eo.v, eo.v))), 6) >= 0.45)
 SELECT vec_id FROM e WHERE vec_id NOT IN (SELECT bid FROM rej)
-""")
+"""
+
+
+@query("dedup_incremental_embedding", oracle=_INC_EMB_ORACLE)
 def dedup_incremental_embedding(spark, sf_dir):
     """INCREMENTAL semantic dedup (`incremental_embedding_dedup`,
     operators/clustering.py, round 8 — the embedding twin of
@@ -2431,6 +2434,54 @@ def dedup_incremental_embedding(spark, sf_dir):
         survivors, state = incremental_embedding_dedup(
             batch, state, id_col="vec_id", vec_col="embedding",
             in_dim=64, bands=2, planes=4, threshold=0.45)
+        out.append(survivors.select("vec_id"))
+    res = out[0]
+    for s in out[1:]:
+        res = res.unionByName(s)
+    return res
+
+
+@query("dedup_incremental_embedding_sq8", oracle=_INC_EMB_ORACLE)
+def dedup_incremental_embedding_sq8(spark, sf_dir):
+    """The SQ-int8 STATE arm of `dedup_incremental_embedding` (r14,
+    VERDICT #8): the same three-batch ascending-id replay, but the
+    persisted state stores 1-byte/dim scalar-quantized vectors
+    (`similarity.sq_quantize` under corpus `sq_minmax` params — the
+    100 TB-state memory/bandwidth representation) and every collision
+    re-ranks with the full float64 cosine over DEQUANTIZED codes.
+    The oracle is the raw gate's EXACT-cosine one-shot replay,
+    deliberately unchanged: hash-equality pins that on this corpus
+    the quantization error never crosses a 6-dp decision boundary at
+    threshold 0.45 — i.e. sq8 decisions ≡ raw decisions (also
+    differential-pinned at unit scale, both kernels)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from ..operators.clustering import incremental_embedding_dedup
+    from ..operators.similarity import sq_minmax
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    lo, hi = sq_minmax(emb, "embedding", 64)
+    scale = (hi - lo) / 255.0
+    scale = np.where(scale > 0, scale, 1.0)
+    mx = emb.agg(F.max("vec_id")).collect()[0][0]
+    m = (int(mx) + 3) // 3
+    state = spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.ArrayType(T.ByteType())),
+            T.StructField("band", T.IntegerType()),
+            T.StructField("bucket", T.IntegerType()),
+        ]))
+    out = []
+    for b in (0, m, 2 * m):
+        batch = emb.filter(
+            (F.col("vec_id") >= b) & (F.col("vec_id") < b + m)
+            if b < 2 * m else (F.col("vec_id") >= b))
+        survivors, state = incremental_embedding_dedup(
+            batch, state, id_col="vec_id", vec_col="embedding",
+            in_dim=64, bands=2, planes=4, threshold=0.45,
+            state_repr="sq8", sq_params=(lo, scale))
         out.append(survivors.select("vec_id"))
     res = out[0]
     for s in out[1:]:
