@@ -458,6 +458,183 @@ def mann_whitney_u(
     )
 
 
+def cliffs_delta(
+    df: DataFrame,
+    group_col,
+    value_col: str,
+    dp: int = 6,
+) -> DataFrame:
+    """Cliff's delta (Cliff 1993) — the ORDINAL effect size beside
+    :func:`effect_size`'s Cohen's d: the probability a sample-a value
+    exceeds a sample-b value minus the reverse,
+
+        δ = (#(a>b) − #(a<b)) / (n_a·n_b)   ∈ [−1, 1]
+
+    scale-free and outlier-immune where d assumes interval data. The
+    pair counts never enumerate: with doubled midranks (the
+    ``mann_whitney_u`` integer discipline), ``2U = Σ_a 2·midrank −
+    n_a(n_a+1)`` counts a>b pairs twice plus ties once, so
+
+        δ = (2U − n_a·n_b) / (n_a·n_b)      (exact integers)
+
+    ``group_col`` is a boolean sample-a indicator (the shared
+    plan-time type contract). Either side empty releases NULL δ.
+    Complete-case NULLs; NaN excluded for float columns.
+
+    Also releases the Romano et al. 2006 magnitude band on |δ|:
+    ``negligible`` < 0.147 ≤ ``small`` < 0.33 ≤ ``medium`` < 0.474 ≤
+    ``large`` (the conventional report line; banding applies to the
+    ``dp``-rounded release, so the label replays exactly).
+
+    Scale shape — the DISTINCT-VALUE reduction (``spearman_corr``
+    discipline): one value-keyed count agg (total + sample-a counts
+    per value), one cumulative window over the distinct frame, one
+    scalar fold; decimal(38,0) pools (rank sums ~n²).
+
+    Returns ONE row: ``(n_a, n_b, delta, magnitude)``."""
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window
+
+    g = group_col if not isinstance(group_col, str) else F.col(group_col)
+    gtype = df.select(g.alias("__a")).schema[0].dataType
+    if not isinstance(gtype, (T.BooleanType, T.NumericType)):
+        raise TypeError(
+            "cliffs_delta: group_col must be a boolean (or 0/1 "
+            f"numeric) sample-a indicator, got {gtype.simpleString()}; "
+            "for a two-valued label column pass e.g. F.col('g') == 'a'")
+    base = df.select(
+        F.col(value_col).alias("__v"), g.cast("boolean").alias("__a"),
+    ).filter(F.col("__v").isNotNull() & F.col("__a").isNotNull())
+    if isinstance(base.schema["__v"].dataType,
+                  (T.DoubleType, T.FloatType)):
+        base = base.filter(~F.isnan("__v"))
+
+    d38 = "decimal(38,0)"
+    vc = base.groupBy("__v").agg(
+        F.count(F.lit(1)).cast("long").alias("__c"),
+        F.sum(F.when(F.col("__a"), 1).otherwise(0))
+        .cast("long").alias("__ca"))
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    mid = vc.select(
+        "__ca",
+        (2 * F.coalesce(F.sum("__c").over(w), F.lit(0))
+         + F.col("__c") + 1).cast(d38).alias("__u2"),
+        F.col("__c"))
+    tot = mid.agg(
+        F.sum("__c").cast(d38).alias("__n"),
+        F.sum("__ca").cast(d38).alias("__na"),
+        F.sum(F.col("__ca").cast(d38) * F.col("__u2"))
+        .cast(d38).alias("__2ra"))
+    na = F.col("__na")
+    nb = F.col("__n") - na
+    two_u = F.col("__2ra") - na * (na + 1)
+    delta = F.round(
+        (two_u - na * nb).cast("double")
+        / (na.cast("double") * nb.cast("double")), dp)
+    mag = F.when(
+        F.abs(delta) < 0.147, F.lit("negligible")
+    ).when(F.abs(delta) < 0.33, F.lit("small")
+    ).when(F.abs(delta) < 0.474, F.lit("medium")
+    ).otherwise(F.lit("large"))
+    return tot.filter(F.col("__n") > 0).select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.when((na > 0) & (nb > 0), delta).alias("delta"),
+        F.when((na > 0) & (nb > 0), mag).alias("magnitude"))
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col,
+    value_col: str,
+    dp: int = 6,
+) -> DataFrame:
+    """Kruskal-Wallis H test (Kruskal & Wallis 1952) — the rank-based
+    k-group location test beside :func:`mann_whitney_u` (its k=2
+    special case) and the parametric ``anova_oneway``: does at least
+    one group stochastically dominate, with no normality assumption?
+
+        H  = 3/(N(N+1)) · Σ_g (U_g − n_g(N+1))² / n_g
+        H' = H / C,   C = 1 − Σ(t³−t)/(N³−N)   (tie correction)
+
+    where ``U_g = Σ_g 2·midrank`` is the integral doubled rank sum
+    (the ``mann_whitney_u`` discipline: 2·midrank = 2·bb + c + 1 per
+    distinct value with ``bb`` rows strictly below and ``c`` ties).
+    All-tied input has C = 0: H' is NULL (undefined, not 0). A single
+    group releases NULL H (no between-group contrast). Complete-case:
+    NULL group or value rows are excluded (and NaN values for float
+    columns — the ``spearman_corr`` contract).
+
+    Scale shape — the DISTINCT-VALUE reduction (the ``spearman_corr``
+    discipline, NOT a row-level rank window): midranks come from one
+    value-keyed count aggregation plus a cumulative window over the
+    DISTINCT frame (the only thing allowed into an unpartitioned
+    window); per-group rank sums are one (group, value) aggregation
+    joined to the midrank table on the value key. Row-count work is
+    two keyed aggs; everything after is distinct-value-sized.
+
+    Determinism: U_g, tie sums, and N pool as exact decimal(38,0)
+    (rank sums reach ~n² — LONG overflows past ~3e9 rows, the r12
+    audit rule); each group's squared-deviation term is an identical
+    double snapped at 9 dp and pooled as decimal(38,9) so the
+    cross-group sum is order-independent; H releases at ``dp``.
+
+    Returns ONE row: ``(n, k, h, h_adj)``."""
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window
+
+    g = group_col if not isinstance(group_col, str) else F.col(group_col)
+    base = df.select(
+        g.cast("string").alias("__g"), F.col(value_col).alias("__v"),
+    ).filter(F.col("__g").isNotNull() & F.col("__v").isNotNull())
+    if isinstance(base.schema["__v"].dataType,
+                  (T.DoubleType, T.FloatType)):
+        base = base.filter(~F.isnan("__v"))
+
+    d38 = "decimal(38,0)"
+    vc = base.groupBy("__v").agg(
+        F.count(F.lit(1)).cast("long").alias("__c"))
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    mid = vc.select(
+        "__v", "__c",
+        (2 * F.coalesce(F.sum("__c").over(w), F.lit(0))
+         + F.col("__c") + 1).cast(d38).alias("__u2"))
+    gc = base.groupBy("__g", "__v").agg(
+        F.count(F.lit(1)).cast("long").alias("__gc"))
+    per_g = (
+        gc.join(mid.select("__v", "__u2"), "__v")
+        .groupBy("__g")
+        .agg(
+            F.sum("__gc").cast("long").alias("__ng"),
+            F.sum(F.col("__gc").cast(d38) * F.col("__u2"))
+            .cast(d38).alias("__ug")))
+    tot = mid.agg(
+        F.sum("__c").cast(d38).alias("__n"),
+        F.sum(F.col("__c").cast(d38) * F.col("__c") * F.col("__c")
+              - F.col("__c")).cast(d38).alias("__ties"))
+    nn = F.col("__n")
+    # per-group squared deviation, 9-dp-snapped identical doubles so
+    # the cross-group pool is exact and order-independent
+    dev = (F.col("__ug") - F.col("__ng").cast(d38) * (nn + 1))
+    term = F.round(
+        dev.cast("double") * dev.cast("double")
+        / F.col("__ng").cast("double"), 9).cast("decimal(38,9)")
+    folded = per_g.crossJoin(tot).agg(
+        F.max(nn).alias("__nmax"),
+        F.max(F.col("__ties")).alias("__tmax"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(term).alias("__s"))
+    nd = F.col("__nmax").cast("double")
+    h = F.lit(3.0) * F.col("__s").cast("double") / (nd * (nd + 1.0))
+    c = F.lit(1.0) - F.col("__tmax").cast("double") / (nd * nd * nd - nd)
+    return folded.filter(F.col("k") > 0).select(
+        F.col("__nmax").cast("long").alias("n"),
+        "k",
+        F.when(F.col("k") >= 2, F.round(h, dp)).alias("h"),
+        F.when((F.col("k") >= 2) & (c > 0), F.round(h / c, dp))
+        .alias("h_adj"))
+
+
 def runs_test(
     df: DataFrame,
     value_col: str,

@@ -1026,3 +1026,61 @@ def partial_autocorrelation(
         F.when(den2 != 0, F.round(p22, dp)).alias("pacf2"),
         F.when((den2 != 0) & (den3 != 0), F.round(p33, dp))
         .alias("pacf3"))
+
+
+def ljung_box(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    h: int = 3,
+    order_tiebreak: str | None = None,
+    scale: int = 6,
+    dp: int = 6,
+) -> DataFrame:
+    """Per-entity Ljung-Box portmanteau statistic (Ljung & Box 1978)
+    — the "is this series white noise?" test over the first ``h``
+    autocorrelations, the standard residual-whiteness check after
+    fitting (and the cheap is-there-any-structure-at-all screen
+    before bothering):
+
+        Q = n(n+2) · Σ_{k=1..h} r_k² / (n−k)
+
+    Under the null (i.i.d. series) Q ~ χ²_h; large Q means some lag
+    carries real correlation. Released Q only — the χ² CDF is the
+    caller's table lookup (the ``chi_square_independence``
+    convention: no transcendental CDF enters the engine contract).
+
+    Computed from the RELEASED (``dp``-rounded) ACF values — the
+    :func:`partial_autocorrelation` discipline: both engines fold
+    identical doubles, no extra precision ladder. Per-lag terms snap
+    to 12-dp decimal before the cross-lag sum (order-free). NULL Q
+    when ANY of lags 1..h is unusable (constant series → NULL ACF;
+    series with n ≤ h → missing pairs): a partial portmanteau sum is
+    not the h-lag statistic.
+
+    Scale shape: exactly :func:`autocorrelation`'s (one keyed window
+    + two keyed aggregations) plus one keyed fold — nothing new
+    shuffles. Returns ``(entity_col, n, q)``."""
+    if int(h) < 1:
+        raise ValueError(f"h must be >= 1, got {h}")
+    acf = autocorrelation(
+        df, entity_col, ts_col, value_col,
+        lags=tuple(range(1, int(h) + 1)),
+        order_tiebreak=order_tiebreak, scale=scale, dp=dp)
+    valid = F.col("acf").isNotNull() & (F.col("n") - F.col("lag") > 0)
+    term = F.round(
+        F.col("acf") * F.col("acf")
+        / (F.col("n") - F.col("lag")).cast("double"), 12
+    ).cast("decimal(38,12)")
+    per = acf.groupBy(entity_col).agg(
+        F.max("n").alias("n"),
+        F.sum(F.when(valid, 1).otherwise(0)).alias("__nvalid"),
+        F.sum(F.when(valid, term)).alias("__s"))
+    nd = F.col("n").cast("double")
+    return per.select(
+        entity_col, "n",
+        F.when(
+            F.col("__nvalid") == int(h),
+            F.round(nd * (nd + 2.0) * F.col("__s").cast("double"), dp)
+        ).alias("q"))

@@ -4778,6 +4778,109 @@ def diag_kendall_tau(spark, sf_dir):
         "l_quantity", "__yb")
 
 
+_CLIFFS_ORACLE = """
+WITH b AS (SELECT l_quantity AS v, l_returnflag = 'R' AS a
+  FROM lineitem WHERE l_quantity IS NOT NULL
+    AND NOT isnan(l_quantity) AND l_returnflag IS NOT NULL),
+vc AS (SELECT v, COUNT(*) AS c,
+    SUM(CASE WHEN a THEN 1 ELSE 0 END) AS ca
+  FROM b GROUP BY 1),
+mid AS (SELECT ca, c,
+    2 * COALESCE(SUM(c) OVER (ORDER BY v
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      + c + 1 AS u2
+  FROM vc),
+t AS (SELECT SUM(c) AS n, SUM(ca) AS na,
+    SUM(CAST(ca AS HUGEINT) * u2) AS r2a FROM mid),
+f AS (SELECT na, n - na AS nb,
+    r2a - CAST(na AS HUGEINT) * (na + 1) AS tu FROM t),
+d AS (SELECT na, nb,
+    CASE WHEN na > 0 AND nb > 0
+         THEN round(CAST(tu - CAST(na AS HUGEINT) * nb AS DOUBLE)
+                    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6)
+    END AS delta
+  FROM f)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, delta,
+  CASE WHEN delta IS NOT NULL THEN
+    CASE WHEN abs(delta) < 0.147 THEN 'negligible'
+         WHEN abs(delta) < 0.33 THEN 'small'
+         WHEN abs(delta) < 0.474 THEN 'medium'
+         ELSE 'large' END
+  END AS magnitude
+FROM d
+"""
+
+
+@query("diag_cliffs_delta", oracle=_CLIFFS_ORACLE)
+def diag_cliffs_delta(spark, sf_dir):
+    """Cliff's delta (`cliffs_delta`, operators/drift.py; Cliff 1993)
+    — the ordinal effect size beside `diag_effect_size`'s Cohen's d:
+    dominance probability difference from the SAME doubled-midrank
+    integer algebra as `diag_mann_whitney` (δ = (2U − n_a·n_b)/
+    (n_a·n_b) — no pair enumeration), plus the Romano 2006 magnitude
+    band on the 6-dp release. Fixture: lineitem quantity, returned
+    vs not — heavy ties, near-zero δ (the band's 'negligible' arm).
+    Distinct-value reduction; HUGEINT oracle replay."""
+    from ..operators.drift import cliffs_delta
+
+    li = load(spark, sf_dir, "lineitem")
+    return cliffs_delta(li, F.col("l_returnflag") == "R", "l_quantity")
+
+
+_KRUSKAL_ORACLE = """
+WITH b AS (SELECT CAST(l_returnflag AS VARCHAR) AS g, l_quantity AS v
+  FROM lineitem WHERE l_returnflag IS NOT NULL
+    AND l_quantity IS NOT NULL AND NOT isnan(l_quantity)),
+vc AS (SELECT v, COUNT(*) AS c FROM b GROUP BY 1),
+mid AS (SELECT v, c,
+    2 * COALESCE(SUM(c) OVER (ORDER BY v
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      + c + 1 AS u2
+  FROM vc),
+gc AS (SELECT g, v, COUNT(*) AS gcnt FROM b GROUP BY 1, 2),
+pg AS (SELECT g, SUM(gcnt) AS ng,
+    SUM(CAST(gcnt AS HUGEINT) * u2) AS ug
+  FROM gc JOIN mid USING (v) GROUP BY g),
+tot AS (SELECT SUM(c) AS n,
+    SUM(CAST(c AS HUGEINT) * c * c - c) AS ties FROM vc),
+terms AS (SELECT MAX(n) AS n, MAX(ties) AS ties, COUNT(*) AS k,
+    SUM(CAST(round(
+        CAST(ug - CAST(ng AS HUGEINT) * (n + 1) AS DOUBLE)
+        * CAST(ug - CAST(ng AS HUGEINT) * (n + 1) AS DOUBLE)
+        / CAST(ng AS DOUBLE), 9) AS DECIMAL(38,9))) AS s
+  FROM pg, tot),
+f AS (SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+    3.0 * CAST(s AS DOUBLE)
+      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)) AS h,
+    1 - CAST(ties AS DOUBLE)
+      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+         - CAST(n AS DOUBLE)) AS c
+  FROM terms)
+SELECT n, k,
+  CASE WHEN k >= 2 THEN round(h, 6) END AS h,
+  CASE WHEN k >= 2 AND c > 0 THEN round(h / c, 6) END AS h_adj
+FROM f
+"""
+
+
+@query("diag_kruskal_wallis", oracle=_KRUSKAL_ORACLE)
+def diag_kruskal_wallis(spark, sf_dir):
+    """Kruskal-Wallis H (`kruskal_wallis`, operators/drift.py;
+    Kruskal & Wallis 1952) — the rank-based k-group location test
+    beside `diag_anova` (parametric) and `diag_mann_whitney` (its
+    k=2 case), tie-corrected. Fixture: lineitem quantity by return
+    flag — 3 groups over 50 heavily-tied values, so both the midrank
+    and the tie-correction paths are real. Distinct-value reduction
+    (the spearman discipline: only the 50-row distinct frame enters
+    the unpartitioned cumulative window); the oracle replays the
+    identical rank algebra in HUGEINT with the same 9-dp per-group
+    term snap."""
+    from ..operators.drift import kruskal_wallis
+
+    li = load(spark, sf_dir, "lineitem")
+    return kruskal_wallis(li, "l_returnflag", "l_quantity")
+
+
 _ACF_ORACLE = """
 WITH b AS (SELECT user_id AS e, CAST(value AS DECIMAL(20,6)) AS x,
     ts, event_id
@@ -4839,3 +4942,35 @@ def timeseries_acf_entity(spark, sf_dir):
     return autocorrelation(
         ev, "user_id", "ts", "value", lags=(1, 2, 3),
         order_tiebreak="event_id")
+
+
+_LJUNG_ORACLE = f"""
+WITH acfv AS ({_ACF_ORACLE})
+SELECT user_id, CAST(n AS BIGINT) AS n,
+  CASE WHEN nvalid = 3
+       THEN round(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
+                  * CAST(s AS DOUBLE), 6) END AS q
+FROM (SELECT user_id, MAX(n) AS n,
+        SUM(CASE WHEN acf IS NOT NULL AND n - lag > 0
+                 THEN 1 ELSE 0 END) AS nvalid,
+        SUM(CASE WHEN acf IS NOT NULL AND n - lag > 0
+                 THEN CAST(round(acf * acf / CAST(n - lag AS DOUBLE),
+                                 12) AS DECIMAL(38,12)) END) AS s
+      FROM acfv GROUP BY 1)
+"""
+
+
+@query("timeseries_ljung_box", oracle=_LJUNG_ORACLE)
+def timeseries_ljung_box(spark, sf_dir):
+    """Per-entity Ljung-Box Q over lags 1..3 (`ljung_box`,
+    operators/timeseries.py; Ljung & Box 1978) — the portmanteau
+    whiteness test composing `timeseries_acf_entity`'s released ACF:
+    Q = n(n+2)·Σ r_k²/(n−k), NULL when any lag is unusable (constant
+    or too-short series). Folds RELEASED 6-dp ACF doubles (the PACF
+    discipline — both engines combine identical values), 12-dp
+    decimal per-lag terms, one extra keyed fold over the ACF plan."""
+    from ..operators.timeseries import ljung_box
+
+    ev = load(spark, sf_dir, "events")
+    return ljung_box(
+        ev, "user_id", "ts", "value", h=3, order_tiebreak="event_id")

@@ -7858,6 +7858,93 @@ def test_spearman_corr_hand_cases(spark):
     assert (nrow["n"], nrow["rho"]) == (3, 1.0)
 
 
+def test_kruskal_wallis_hand_cases(spark):
+    """Hand-computed Kruskal-Wallis: the no-ties textbook case
+    [1,2,3]/[4,5,6]/[7,8,9] reads H = 7.2 (C = 1 so H' = H); the
+    scipy ties case [1,1,2]/[2,3,3] reads H = 3.047619 and
+    tie-corrected H' = 3.333333; an all-tied input has C = 0 → H' is
+    NULL while H = 0; a single group has no contrast → NULL H."""
+    from puffbird_spark.operators.drift import kruskal_wallis
+
+    rows = [("a", v) for v in (1, 2, 3)] + \
+        [("b", v) for v in (4, 5, 6)] + [("c", v) for v in (7, 8, 9)]
+    df = spark.createDataFrame(rows, "g string, v int")
+    row = kruskal_wallis(df, "g", "v").collect()[0]
+    assert (row["n"], row["k"]) == (9, 3)
+    assert row["h"] == 7.2 and row["h_adj"] == 7.2
+
+    tied = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2), ("b", 2), ("b", 3), ("b", 3)],
+        "g string, v int")
+    trow = kruskal_wallis(tied, "g", "v").collect()[0]
+    assert trow["h"] == 3.047619 and trow["h_adj"] == 3.333333
+
+    const = spark.createDataFrame(
+        [("a", 5), ("a", 5), ("b", 5)], "g string, v int")
+    crow = kruskal_wallis(const, "g", "v").collect()[0]
+    assert crow["h"] == 0.0 and crow["h_adj"] is None
+
+    one = spark.createDataFrame([("a", 1), ("a", 2)], "g string, v int")
+    orow = kruskal_wallis(one, "g", "v").collect()[0]
+    assert orow["k"] == 1 and orow["h"] is None and orow["h_adj"] is None
+
+
+def test_ljung_box_hand_cases(spark):
+    """Hand-computed Ljung-Box over [1,2,3,4] (ACF r1..r3 = 0.25,
+    -0.3, -0.45): Q = 4·6·(0.0625/3 + 0.09/2 + 0.2025/1) = 6.44; a
+    too-short series (n <= h) and a constant series release NULL Q —
+    a partial portmanteau sum is not the h-lag statistic; bad h
+    raises."""
+    import pytest as _pytest
+
+    from puffbird_spark.operators.timeseries import ljung_box
+
+    rows = [("a", t, float(t + 1)) for t in range(4)] + \
+        [("b", t, 2.0) for t in range(5)] + \
+        [("c", t, float(t * t)) for t in range(3)]
+    df = spark.createDataFrame(rows, "e string, t int, x double") \
+        .withColumn("ts", F.col("t").cast("timestamp"))
+    out = {r["e"]: r for r in ljung_box(
+        df, "e", "ts", "x", h=3, order_tiebreak="t").collect()}
+    assert out["a"]["n"] == 4 and out["a"]["q"] == 6.44
+    assert out["b"]["q"] is None      # constant: every ACF is NULL
+    assert out["c"]["q"] is None      # n = 3 = h: lag-3 has no pairs
+    with _pytest.raises(ValueError, match="h must be"):
+        ljung_box(df, "e", "ts", "x", h=0)
+
+
+def test_cliffs_delta_hand_cases(spark):
+    """Hand-computed Cliff's delta: a=[3,4,5] vs b=[1,2,3] has 8 wins,
+    0 losses, 1 tie of 9 pairs → δ = 8/9 = 0.888889, 'large';
+    identical samples read δ = 0, 'negligible'; an empty side is
+    NULL; a string group column raises the shared type contract."""
+    import pytest as _pytest
+
+    from puffbird_spark.operators.drift import cliffs_delta
+
+    rows = [(True, 3), (True, 4), (True, 5),
+            (False, 1), (False, 2), (False, 3)]
+    df = spark.createDataFrame(rows, "a boolean, v int")
+    row = cliffs_delta(df, "a", "v").collect()[0]
+    assert (row["n_a"], row["n_b"]) == (3, 3)
+    assert row["delta"] == 0.888889 and row["magnitude"] == "large"
+
+    same = spark.createDataFrame(
+        [(True, 1), (True, 2), (False, 1), (False, 2)],
+        "a boolean, v int")
+    srow = cliffs_delta(same, "a", "v").collect()[0]
+    assert srow["delta"] == 0.0 and srow["magnitude"] == "negligible"
+
+    onesided = spark.createDataFrame(
+        [(True, 1), (True, 2)], "a boolean, v int")
+    orow = cliffs_delta(onesided, "a", "v").collect()[0]
+    assert orow["delta"] is None and orow["magnitude"] is None
+
+    bad = spark.createDataFrame([("x", 1)], "g string, v int")
+    with _pytest.raises(TypeError, match="boolean"):
+        cliffs_delta(bad, "g", "v")
+
+
 def test_kendall_tau_b_hand_cases(spark):
     """Hand-computed Kendall tau-b: perfect concordance (any strictly
     monotone map) reads 1; inverted reads -1; the single-inversion
