@@ -583,6 +583,114 @@ def token_budget_weighted(
     return d.filter(F.col(cum_col) <= budget).drop(neg)
 
 
+def temperature_allocation(
+    df: DataFrame,
+    domain: str,
+    total: int,
+    temperature: float = 1.0,
+    dp: int = 9,
+) -> DataFrame:
+    """Temperature-scaled per-domain sample allocation — the step that
+    DERIVES a mixture (the budgets :func:`token_budget_sample`
+    consumes) from corpus statistics, the multilingual/data-mixing
+    move (Arivazhagan et al. 2019 §5; T5/mT5 and the GPT-3 mixture
+    table are T-scaled corpus proportions):
+
+        p_d ∝ (n_d / N)^(1/T)
+
+    T = 1 reproduces natural proportions; T → ∞ approaches uniform;
+    T < 1 sharpens toward the head. Integer allocations use the
+    LARGEST-REMAINDER method (Hamilton): ``base_d = floor(total·p_d)``
+    and the ``total − Σ base`` leftover goes +1 to the largest
+    fractional remainders (ties: smaller domain label first) — so
+    Σ alloc = total EXACTLY, deterministically. Each allocation then
+    caps at the domain's own size (no replacement draws; the deficit
+    is visible as ``alloc < quota`` — callers wanting upsampling
+    repeat epochs downstream).
+
+    Determinism: the power weight snaps to ``dp`` decimals (the
+    transcendental ladder — JVM and C ``pow`` may differ in the last
+    ulp); the weight SUM pools as exact decimal(18,dp); quotas and
+    remainders are identical doubles on every engine.
+
+    Scale shape: one domain-keyed count aggregation; everything after
+    runs on the DISTINCT-domain frame (two unpartitioned windows over
+    a frame that is domains-sized by construction — the spearman
+    distinct-frame discipline). Returns one row per domain:
+    ``(domain, n, quota, alloc)``."""
+    if int(total) < 1:
+        raise ValueError(f"total must be >= 1, got {total}")
+    if not temperature > 0:
+        raise ValueError(
+            f"temperature must be > 0, got {temperature}")
+    from pyspark.sql import Window
+
+    inv_t = 1.0 / float(temperature)
+    c = df.filter(F.col(domain).isNotNull()).groupBy(domain).agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    nn = F.sum("n").over(Window.partitionBy())
+    w = F.round(
+        F.pow(F.col("n").cast("double") / nn.cast("double"),
+              F.lit(inv_t)), dp)
+    c = c.select(
+        domain, "n", w.cast(f"decimal(18,{dp})").alias("__w"))
+    wsum = F.sum("__w").over(Window.partitionBy())
+    q = F.lit(float(total)) * F.col("__w").cast("double") \
+        / wsum.cast("double")
+    c = c.select(domain, "n", q.alias("quota"),
+                 F.floor(q).cast("long").alias("__base"))
+    wd = Window.partitionBy()
+    leftover = F.lit(int(total)) - F.sum("__base").over(wd)
+    rnk = F.row_number().over(
+        Window.orderBy(
+            (F.col("quota") - F.col("__base")).desc(),
+            F.col(domain).asc()))
+    alloc = F.col("__base") + F.when(rnk <= leftover, 1).otherwise(0)
+    return c.select(
+        domain, "n",
+        F.round("quota", 6).alias("quota"),
+        F.least(alloc, F.col("n")).cast("long").alias("alloc"))
+
+
+def temperature_mixture(
+    df: DataFrame,
+    key: str,
+    domain: str,
+    total: int,
+    temperature: float = 1.0,
+    seed: str = "tmix",
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Draw a ``total``-row temperature-scaled mixture: per-domain
+    allocations from :func:`temperature_allocation`, members chosen in
+    deterministic content-hash order (the :func:`cap_per_group` draw —
+    append-stable: a kept row is only ever displaced by one that
+    hashes earlier). The composed "derive the mixture AND sample it"
+    convenience every pretraining data pipeline runs between corpus
+    stats and the token-budget fill.
+
+    Scale shape: the allocation is domain-frame-sized; selection is
+    ONE keyed window over the data (rank within domain by draw) plus a
+    broadcast join of the allocation table. Skew equals domain skew —
+    for a 90%-of-corpus domain, the cap_per_group caveat applies
+    (grouped_prefix_sum is the balanced alternative). ``rank_col``
+    keeps the 1-based hash-order rank when named."""
+    from pyspark.sql import Window
+
+    alloc = temperature_allocation(df, domain, total, temperature)
+    draw_name, rk = "__pb_draw", rank_col or "__pb_rank"
+    w = Window.partitionBy(domain).orderBy(draw_name, key)
+    out = (
+        df.filter(F.col(domain).isNotNull())
+        .withColumn(draw_name, hash_draw(F.col(key), seed))
+        .withColumn(rk, F.row_number().over(w))
+        .join(F.broadcast(alloc.select(domain, "alloc")), domain)
+        .filter(F.col(rk) <= F.col("alloc"))
+        .drop(draw_name, "alloc")
+    )
+    return out if rank_col else out.drop(rk)
+
+
 def length_bucket_batches(
     df: DataFrame,
     key: str,

@@ -2575,6 +2575,90 @@ def split_mixture_temperature(spark, sf_dir):
     return mixture_temperature_weights(docs, ["lang"], alpha=0.5)
 
 
+_TEMP_ALLOC_CTE = """
+d AS (SELECT doc_id,
+        CAST(floor(sqrt(CAST(doc_id AS DOUBLE))) AS BIGINT) AS dom
+      FROM documents),
+c AS (SELECT dom, COUNT(*) AS n FROM d GROUP BY 1),
+t AS (SELECT *, SUM(n) OVER () AS nn FROM c),
+w AS (SELECT dom, n,
+        CAST(round(pow(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE), 0.5),
+                   9) AS DECIMAL(18,9)) AS wv
+      FROM t),
+s AS (SELECT *, CAST(SUM(wv) OVER () AS DOUBLE) AS ws FROM w),
+q AS (SELECT dom, n, 250.0 * CAST(wv AS DOUBLE) / ws AS qv FROM s),
+b AS (SELECT *, CAST(floor(qv) AS BIGINT) AS base FROM q),
+l AS (SELECT *, 250 - SUM(base) OVER () AS lft,
+        row_number() OVER (ORDER BY qv - base DESC, dom ASC) AS rnk
+      FROM b),
+a AS (SELECT dom, n, qv,
+        LEAST(base + CASE WHEN rnk <= lft THEN 1 ELSE 0 END, n)
+          AS alloc
+      FROM l)"""
+
+
+@query("split_temperature_alloc", oracle=f"""
+WITH {_TEMP_ALLOC_CTE}
+SELECT dom, CAST(n AS BIGINT) AS n, round(qv, 6) AS quota,
+  CAST(alloc AS BIGINT) AS alloc
+FROM a
+""")
+def split_temperature_alloc(spark, sf_dir):
+    """Temperature-scaled INTEGER sample allocation
+    (`temperature_allocation`, operators/splits.py; Arivazhagan et
+    al. 2019 §5 — the T-scaled proportions behind the T5/GPT-3
+    mixture tables): p_d ∝ (n_d/N)^(1/T) at T=2 over sqrt-bucketed
+    document domains (sizes 1,3,5,… — genuinely skewed, so the
+    temperature visibly flattens the head), integerized by the
+    LARGEST-REMAINDER method (Σ alloc = 250 exactly; remainder ties
+    to the smaller domain) and capped at each domain's size. The
+    integer-allocation completion of `split_mixture_temperature`'s
+    weights. Domain-frame-sized windows only; 9-dp pow snap, exact
+    decimal weight pool."""
+    from ..operators.splits import temperature_allocation
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.floor(F.sqrt(F.col("doc_id").cast("double")))
+        .cast("long").alias("dom"))
+    return temperature_allocation(docs, "dom", total=250,
+                                  temperature=2.0)
+
+
+@query("split_temperature_sample", oracle=f"""
+WITH {_TEMP_ALLOC_CTE},
+r AS (SELECT d.doc_id, d.dom,
+        row_number() OVER (PARTITION BY d.dom
+          ORDER BY substr(md5('tmix:' || 'v'
+            || CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR) || ':'
+            || CAST(doc_id AS VARCHAR)), 1, 16), doc_id) AS rk
+      FROM d)
+SELECT r.dom, r.doc_id, CAST(rk AS INT) AS mix_rank
+FROM r JOIN a USING (dom) WHERE rk <= alloc
+""")
+def split_temperature_sample(spark, sf_dir):
+    """The composed temperature mixture DRAW (`temperature_mixture`,
+    operators/splits.py): `split_temperature_alloc`'s integer
+    allocations filled in deterministic content-hash order (the
+    cap_per_group draw — append-stable membership), one keyed window
+    + a broadcast allocation join. Σ alloc = 250 exactly pre-cap (the
+    Hamilton guarantee); the tail domains smaller than their
+    allocation cap at their size (247 rows at sf0.001 — the
+    documented no-replacement deficit). The oracle replays allocation
+    AND per-domain draw order row-for-row."""
+    from ..operators.splits import temperature_mixture
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.floor(F.sqrt(F.col("doc_id").cast("double")))
+        .cast("long").alias("dom"))
+    return temperature_mixture(
+        docs, key="doc_id", domain="dom", total=250,
+        temperature=2.0, seed="tmix", rank_col="mix_rank",
+    ).select("dom", "doc_id", F.col("mix_rank").cast("int")
+             .alias("mix_rank"))
+
+
 @query("dedup_canonical_quality", oracle="""
 WITH c AS (SELECT doc_id, doc_id - (doc_id % 7) AS cluster_id,
              ROUND(CAST(length(text) AS DOUBLE), 6) AS p

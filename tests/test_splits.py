@@ -743,3 +743,58 @@ def test_neyman_sample_allocation_and_determinism(spark):
     b = sorted(map(tuple, neyman_sample(
         df, "st", "v", "k", total_n=8, seed="s").collect()))
     assert a == b
+
+
+def test_temperature_allocation_and_mixture(spark):
+    """r14 temperature mixture: Hamilton allocations sum EXACTLY to
+    total (pre-cap); T=1 reproduces natural proportions; higher T
+    shifts mass from the head domain to the tail; a domain smaller
+    than its allocation caps at its size; the composed draw is
+    seed-deterministic and honors per-domain allocations; bad
+    total/temperature raise."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from puffbird_spark.operators.splits import (
+        temperature_allocation, temperature_mixture)
+
+    rows = [("web", i) for i in range(80)] \
+        + [("code", 1000 + i) for i in range(16)] \
+        + [("wiki", 2000 + i) for i in range(4)]
+    df = spark.createDataFrame(rows, "dom string, k long")
+
+    nat = {r["dom"]: r["alloc"] for r in
+           temperature_allocation(df, "dom", total=25,
+                                  temperature=1.0).collect()}
+    assert sum(nat.values()) == 25
+    assert nat == {"web": 20, "code": 4, "wiki": 1}  # exact fifths
+
+    hot = {r["dom"]: r["alloc"] for r in
+           temperature_allocation(df, "dom", total=25,
+                                  temperature=2.0).collect()}
+    assert sum(hot.values()) == 25
+    assert hot["web"] < nat["web"] and hot["wiki"] > nat["wiki"]
+
+    # cap: a 4-doc domain can never contribute more than 4
+    cold = {r["dom"]: r["alloc"] for r in
+            temperature_allocation(df, "dom", total=90,
+                                   temperature=100.0).collect()}
+    assert cold["wiki"] == 4
+
+    mix = temperature_mixture(df, key="k", domain="dom", total=25,
+                              temperature=2.0, rank_col="r")
+    got = mix.collect()
+    per = {}
+    for r in got:
+        per.setdefault(r["dom"], []).append(r["k"])
+    assert {d: len(v) for d, v in per.items()} == hot
+    again = sorted(r["k"] for r in temperature_mixture(
+        df, key="k", domain="dom", total=25, temperature=2.0,
+        rank_col="r").collect())
+    assert again == sorted(r["k"] for r in got)
+
+    with pytest.raises(ValueError, match="total"):
+        temperature_allocation(df, "dom", total=0)
+    with pytest.raises(ValueError, match="temperature"):
+        temperature_allocation(df, "dom", total=5, temperature=0.0)
