@@ -458,6 +458,86 @@ def mann_whitney_u(
     )
 
 
+def welch_t_test(
+    df: DataFrame,
+    group_col,
+    value_col: str,
+    scale: int = 6,
+    dp: int = 6,
+) -> DataFrame:
+    """Welch's unequal-variance t-test (Welch 1947) — the two-sample
+    mean comparison that drops Student's equal-variance assumption
+    (the version every A/B platform should default to; Ruxton 2006):
+
+        t  = (x̄_a − x̄_b) / sqrt(v_a/n_a + v_b/n_b)
+        df = (v_a/n_a + v_b/n_b)²
+             / ((v_a/n_a)²/(n_a−1) + (v_b/n_b)²/(n_b−1))
+
+    with the Welch–Satterthwaite degrees of freedom released so the
+    caller's t-table lookup is well-posed (no CDF enters the engine
+    contract — the ``chi_square_independence`` convention). Beside
+    :func:`effect_size`: d answers "how big", t/df answer "how
+    sure". ``group_col`` is a boolean sample-a indicator (the shared
+    plan-time type contract).
+
+    Determinism: the :func:`effect_size` moment ladder verbatim —
+    values snap to decimal(20,scale); per-side n/Σx are exact decimal
+    sums; Σx² pools in the scaled-integer domain as decimal(38,0)
+    (|x| < ~1e7 at scale 6 stays under 38 digits past 1e9 rows);
+    the release combines those exact pools in one double expression.
+    Sides with n < 2 or both variances 0 release NULL t/df.
+
+    Scale shape: ONE keyed aggregation pass, no window, no join.
+    Returns ONE row:
+    ``(n_a, n_b, mean_a, mean_b, t_stat, df_welch)``."""
+    from pyspark.sql import types as T
+
+    g = group_col if not isinstance(group_col, str) else F.col(group_col)
+    gtype = df.select(g.alias("__a")).schema[0].dataType
+    if not isinstance(gtype, (T.BooleanType, T.NumericType)):
+        raise TypeError(
+            "welch_t_test: group_col must be a boolean (or 0/1 "
+            f"numeric) sample-a indicator, got {gtype.simpleString()}; "
+            "for a two-valued label column pass e.g. F.col('g') == 'a'")
+    decv = f"decimal(20,{scale})"
+    base = df.select(
+        F.col(value_col).cast(decv).alias("__v"),
+        g.cast("boolean").alias("__a"),
+    ).filter(F.col("__v").isNotNull() & F.col("__a").isNotNull())
+    ia = F.when(F.col("__a"), 1).otherwise(0)
+    vi = (F.col("__v") * F.lit(10 ** scale)).cast("decimal(38,0)")
+    sq = vi * vi
+    per = base.groupBy().agg(
+        F.sum(ia).cast("long").alias("n_a"),
+        F.sum(1 - ia).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("__a"), F.col("__v"))).alias("__sa"),
+        F.sum(F.when(~F.col("__a"), F.col("__v"))).alias("__sb"),
+        F.sum(F.when(F.col("__a"), sq)).cast("decimal(38,0)")
+        .alias("__qa"),
+        F.sum(F.when(~F.col("__a"), sq)).cast("decimal(38,0)")
+        .alias("__qb"))
+    desc = float(10 ** (2 * scale))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    sa, sb = F.col("__sa").cast("double"), F.col("__sb").cast("double")
+    qa = F.col("__qa").cast("double") / desc
+    qb = F.col("__qb").cast("double") / desc
+    va = (na * qa - sa * sa) / (na * (na - 1.0))
+    vb = (nb * qb - sb * sb) / (nb * (nb - 1.0))
+    se2 = va / na + vb / nb
+    t = (sa / na - sb / nb) / F.sqrt(se2)
+    dfw = (se2 * se2) / (
+        (va / na) * (va / na) / (na - 1.0)
+        + (vb / nb) * (vb / nb) / (nb - 1.0))
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (se2 > 0)
+    return per.filter(
+        (F.col("n_a") + F.col("n_b")) > 0).select(
+        "n_a", "n_b",
+        F.when(F.col("n_a") > 0, F.round(sa / na, dp)).alias("mean_a"),
+        F.when(F.col("n_b") > 0, F.round(sb / nb, dp)).alias("mean_b"),
+        F.when(ok, F.round(t, dp)).alias("t_stat"),
+        F.when(ok, F.round(dfw, dp)).alias("df_welch"))
+
+
 def cliffs_delta(
     df: DataFrame,
     group_col,
@@ -541,6 +621,113 @@ def cliffs_delta(
         nb.cast("long").alias("n_b"),
         F.when((na > 0) & (nb > 0), delta).alias("delta"),
         F.when((na > 0) & (nb > 0), mag).alias("magnitude"))
+
+
+def brown_forsythe(
+    df: DataFrame,
+    group_col,
+    value_col: str,
+    scale: int = 6,
+    dp: int = 6,
+) -> DataFrame:
+    """Brown-Forsythe test (Brown & Forsythe 1974) — variance
+    homogeneity across k groups, the robust (median-centered) Levene
+    variant: the assumption check a pipeline should run BEFORE
+    trusting a pooled-variance ANOVA (its companion gate), and a
+    drift alarm in its own right (a feature whose spread changes
+    between snapshots drifts even when its mean holds):
+
+        z_ij = |x_ij − median_g|
+        W = ((N−k)/(k−1)) · Σ_g n_g(z̄_g − z̄)² / Σ_g Σ_i (z_ij − z̄_g)²
+
+    i.e. the one-way ANOVA F statistic applied to the absolute
+    median deviations (W ~ F(k−1, N−k) under equal spreads —
+    released statistic only, the no-CDF house convention).
+
+    Exact group MEDIANS come from the distinct-value reduction: per
+    (group, value) counts, one group-keyed cumulative window over the
+    distinct frame, the median straddle rows picked by position
+    (even n averages the two central values — exact at scale+1
+    decimals). No approx-percentile enters the contract.
+
+    Determinism: values snap to decimal(20,scale); deviations are
+    exact decimals at scale+1; per-group Σz/Σz² pool exactly
+    (scaled-integer squares, the ``effect_size`` rule); cross-group
+    SSB/SSW terms snap to 2-dp decimals before pooling (NOT ``dp`` —
+    the ``diag_anova`` lesson: these terms reach ~1e12 at scale, and
+    a snap is only engine-portable while term·10^dp stays inside the
+    double exact-integer range). Degenerate inputs release NULL W
+    (k < 2, N ≤ k, or zero within-group deviation).
+
+    Scale shape: two keyed aggregations + one keyed window over the
+    DISTINCT (group, value) frame + one value-keyed join back + one
+    k-row fold. Skew equals group skew.
+
+    Returns ONE row: ``(n, k, w_stat)``."""
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window
+
+    g = group_col if not isinstance(group_col, str) else F.col(group_col)
+    decv = f"decimal(20,{scale})"
+    base = df.select(
+        g.cast("string").alias("__g"),
+        F.col(value_col).cast(decv).alias("__v"),
+    ).filter(F.col("__g").isNotNull() & F.col("__v").isNotNull())
+
+    gv = base.groupBy("__g", "__v").agg(
+        F.count(F.lit(1)).cast("long").alias("__c"))
+    wcum = (Window.partitionBy("__g").orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    wg = Window.partitionBy("__g")
+    pos = gv.select(
+        "__g", "__v", "__c",
+        F.sum("__c").over(wcum).alias("__cum"),
+        F.sum("__c").over(wg).alias("__ng"))
+    pos = pos.withColumn("__prev", F.col("__cum") - F.col("__c"))
+    lo = F.floor((F.col("__ng") + 1) / 2)
+    hi = F.floor((F.col("__ng") + 2) / 2)
+    med = pos.groupBy("__g").agg(
+        F.max(F.when((F.col("__prev") < lo) & (lo <= F.col("__cum")),
+                     F.col("__v"))).alias("__mlo"),
+        F.max(F.when((F.col("__prev") < hi) & (hi <= F.col("__cum")),
+                     F.col("__v"))).alias("__mhi"))
+    decm = f"decimal(22,{scale + 1})"
+    med = med.select(
+        "__g",
+        ((F.col("__mlo") + F.col("__mhi")) / 2).cast(decm)
+        .alias("__med"))
+
+    z = base.join(med, "__g").select(
+        "__g",
+        F.abs(F.col("__v").cast(decm) - F.col("__med")).alias("__z"))
+    zi = (F.col("__z") * F.lit(10 ** (scale + 1))).cast("decimal(38,0)")
+    per = z.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__z").alias("__s"),
+        F.sum(zi * zi).cast("decimal(38,0)").alias("__q"))
+    desc = float(10 ** (2 * (scale + 1)))
+    sg = F.col("__s").cast("double")
+    qg = F.col("__q").cast("double") / desc
+    ng = F.col("__n").cast("double")
+    # 2-dp snapped per-group terms (order-free cross-group pools)
+    ssb_t = F.round(sg * sg / ng, 2).cast("decimal(28,2)")
+    ssw_t = F.round(qg - sg * sg / ng, 2).cast("decimal(28,2)")
+    folded = per.agg(
+        F.sum("__n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.col("__s").cast("decimal(38,7)")).alias("__stot"),
+        F.sum(ssb_t).alias("__ssb0"),
+        F.sum(ssw_t).alias("__ssw"))
+    nn = F.col("n").cast("double")
+    kk = F.col("k").cast("double")
+    st = F.col("__stot").cast("double")
+    ssb = (F.col("__ssb0").cast("double")
+           - F.round(st * st / nn, 2))
+    ssw = F.col("__ssw").cast("double")
+    w_stat = (ssb / (kk - 1.0)) / (ssw / (nn - kk))
+    ok = (F.col("k") >= 2) & (F.col("n") > F.col("k")) & (ssw > 0)
+    return folded.filter(F.col("n") > 0).select(
+        "n", "k", F.when(ok, F.round(w_stat, dp)).alias("w_stat"))
 
 
 def kruskal_wallis(

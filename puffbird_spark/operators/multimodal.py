@@ -2743,3 +2743,179 @@ def qoi_stats(
 
     return df.select(path_col, content_col).mapInPandas(
         kernel, QOI_STATS_SCHEMA)
+
+
+# ------------------------------------------------------------------ #
+# PNM / Netpbm (P2/P3 ASCII, P5/P6 binary) — the classic interchange
+# format every imaging toolchain emits; spec: netpbm.sourceforge.net
+# (pgm(5)/ppm(5)). REAL parser: comment lines, arbitrary header
+# whitespace, 1- and 2-byte (big-endian) binary samples by maxval.
+# ------------------------------------------------------------------ #
+
+def _pnm_header_tokens(blob: bytes, need: int) -> tuple[list[int], int]:
+    """Read ``need`` whitespace-separated integer tokens after the
+    magic, skipping ``#`` comments to end-of-line (the pgm(5) header
+    grammar). Returns (tokens, offset-just-past-the-single-whitespace
+    that terminates the last token) — for binary formats the raster
+    starts exactly there (ONE whitespace byte after maxval, per
+    spec; a comment may not intervene)."""
+    toks: list[int] = []
+    i = 2  # past the 2-byte magic
+    n = len(blob)
+    while len(toks) < need:
+        while i < n and blob[i:i + 1].isspace():
+            i += 1
+        if i < n and blob[i] == 0x23:  # '#'
+            while i < n and blob[i] not in (0x0A, 0x0D):
+                i += 1
+            continue
+        j = i
+        while j < n and not blob[j:j + 1].isspace():
+            if blob[j] == 0x23:
+                break
+            j += 1
+        if j == i:
+            raise ValueError("not a PNM: truncated header")
+        try:
+            toks.append(int(blob[i:j]))
+        except ValueError:
+            raise ValueError(
+                f"not a PNM: non-integer header token {blob[i:j]!r}")
+        i = j
+    if i >= n or not blob[i:i + 1].isspace():
+        raise ValueError("not a PNM: missing whitespace after header")
+    return toks, i + 1
+
+
+def decode_pnm(blob: bytes) -> tuple[str, int, int, int, int, list[int]]:
+    """REAL PNM decoder for P2/P3 (ASCII) and P5/P6 (binary) —
+    grayscale and RGB, maxval 1..65535 (binary samples switch to
+    2-byte BIG-endian above 255, the spec rule ASCII never needs).
+    Returns ``(format, width, height, maxval, channels, samples)``
+    with samples row-major, channel-interleaved for color. Raises
+    ValueError on a non-PNM blob, bad dimensions, short/overlong
+    rasters, or out-of-range samples (ASCII values above maxval are
+    a spec violation, not data)."""
+    if blob is None or len(blob) < 7:
+        raise ValueError("not a PNM: short blob")
+    magic = blob[:2]
+    if magic not in (b"P2", b"P3", b"P5", b"P6"):
+        raise ValueError(f"not a PNM: bad magic {magic!r}")
+    fmt = magic.decode()
+    channels = 3 if fmt in ("P3", "P6") else 1
+    (width, height, maxval), off = _pnm_header_tokens(blob, 3)
+    if width < 1 or height < 1 or width * height > 64_000_000:
+        raise ValueError(
+            f"not a PNM: implausible dimensions {width}x{height}")
+    if not 1 <= maxval <= 65535:
+        raise ValueError(f"not a PNM: maxval {maxval} out of range")
+    count = width * height * channels
+    if fmt in ("P5", "P6"):
+        bpc = 2 if maxval > 255 else 1
+        raster = blob[off:off + count * bpc]
+        if len(raster) < count * bpc:
+            raise ValueError("not a PNM: truncated binary raster")
+        if bpc == 1:
+            samples = list(raster)
+        else:
+            samples = [
+                (raster[k] << 8) | raster[k + 1]
+                for k in range(0, 2 * count, 2)]
+    else:
+        txt = blob[off:].split()
+        if len(txt) < count:
+            raise ValueError("not a PNM: truncated ASCII raster")
+        try:
+            samples = [int(t) for t in txt[:count]]
+        except ValueError:
+            raise ValueError("not a PNM: non-integer ASCII sample")
+    bad = [v for v in samples if v > maxval or v < 0]
+    if bad:
+        raise ValueError(
+            f"not a PNM: sample {bad[0]} exceeds maxval {maxval}")
+    return fmt, width, height, maxval, channels, samples
+
+
+def encode_pnm(
+    fmt: str, width: int, height: int, seed: int = 0,
+    maxval: int = 255,
+) -> bytes:
+    """Deterministic spec-faithful PNM fixture (the ``encode_qoi``
+    convention — closed-form pixels the oracle can replay): gray
+    formats use v = (s + 3x + 7y) mod (maxval+1); color uses the
+    (s+x+y, 2s+2x+y, 3s+x+2y) channel triple. Emits a comment line
+    (parser exercise) and 2-byte big-endian binary samples when
+    maxval > 255."""
+    if fmt not in ("P2", "P3", "P5", "P6"):
+        raise ValueError(f"unsupported PNM format {fmt!r}")
+    s = int(seed)
+    mv1 = int(maxval) + 1
+    gray = fmt in ("P2", "P5")
+
+    def px(x: int, y: int) -> list[int]:
+        if gray:
+            return [(s + 3 * x + 7 * y) % mv1]
+        return [(s + x + y) % mv1, (2 * s + 2 * x + y) % mv1,
+                (3 * s + x + 2 * y) % mv1]
+
+    header = (f"{fmt}\n# pnm fixture seed={s}\n"
+              f"{width} {height}\n{maxval}\n").encode()
+    flat = [v for y in range(height) for x in range(width)
+            for v in px(x, y)]
+    if fmt in ("P2", "P3"):
+        body = "\n".join(
+            " ".join(str(v) for v in flat[r:r + width * (1 if gray else 3)])
+            for r in range(0, len(flat), width * (1 if gray else 3))
+        ).encode() + b"\n"
+    elif maxval > 255:
+        body = b"".join(v.to_bytes(2, "big") for v in flat)
+    else:
+        body = bytes(flat)
+    return header + body
+
+
+PNM_STATS_SCHEMA = (
+    "path string, format string, width int, height int, maxval int, "
+    "channels int, n_px long, sum_v long"
+)
+
+
+def pnm_stats(
+    df: DataFrame,
+    content_col: str = "content",
+    path_col: str = "path",
+    batch_size: int = 128,
+) -> DataFrame:
+    """Per-file sample statistics over PNM-standing binary blobs (the
+    ``qoi_stats`` shape): Arrow ``mapInPandas``, bounded batches, zero
+    shuffle; undecodable blobs skip (the DECODE_ERRORS contract).
+    ``sum_v`` totals every sample across channels, so the header
+    grammar, raster width math, byte order, and maxval branch all
+    hash-check against the closed-form fixture oracle."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start:start + batch_size]
+                rows = []
+                for path, blob in zip(
+                    chunk[path_col].astype(str), chunk[content_col]
+                ):
+                    if blob is None:
+                        continue
+                    try:
+                        fmt, w, h, mv, ch, samples = decode_pnm(
+                            bytes(blob))
+                    except DECODE_ERRORS:
+                        continue
+                    rows.append({
+                        "path": path, "format": fmt, "width": w,
+                        "height": h, "maxval": mv, "channels": ch,
+                        "n_px": w * h, "sum_v": sum(samples),
+                    })
+                yield pd.DataFrame(rows, columns=[
+                    "path", "format", "width", "height", "maxval",
+                    "channels", "n_px", "sum_v"])
+
+    return df.select(path_col, content_col).mapInPandas(
+        kernel, PNM_STATS_SCHEMA)

@@ -2821,6 +2821,83 @@ SELECT vertex, rank FROM r{n_iter}""")
     return "".join(parts)
 
 
+def _textrank_oracle(n_iter: int = 8, k: int = 30) -> str:
+    """TextRank replay: rebuild the undirected adjacency graph from
+    the drop_empty token streams, then unroll the same ``n_iter``
+    power-iteration rounds as `_pagerank_oracle` (identical float
+    policy: per-round 9-dp HALF-away rounding, 1e12-scaled LONG
+    inflow sums, LEFT JOIN for isolated sides)."""
+    parts = ["""
+WITH t AS (SELECT doc_id,
+        list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents WHERE text IS NOT NULL),
+pr0 AS (SELECT unnest([{'a': tk[i], 'b': tk[i + 1]}
+                       FOR i IN range(1, len(tk))]) AS p
+        FROM t),
+eu AS (SELECT DISTINCT p.a AS src, p.b AS dst FROM pr0
+       WHERE p.a <> p.b),
+e AS (SELECT src, dst FROM eu
+      UNION SELECT dst, src FROM eu),
+nn AS (SELECT COUNT(*) AS n FROM
+        (SELECT src AS v FROM e UNION SELECT dst FROM e)),
+base AS (SELECT v.vertex, coalesce(o.outdeg, 0) AS outdeg
+         FROM (SELECT src AS vertex FROM e
+               UNION SELECT dst FROM e) v
+         LEFT JOIN (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src) o
+           ON v.vertex = o.src),
+r0 AS (SELECT vertex, outdeg, round(1.0 / nn.n, 9) AS rank
+       FROM base CROSS JOIN nn)"""]
+    for j in range(1, n_iter + 1):
+        parts.append(f""",
+r{j} AS (SELECT b.vertex, b.outdeg,
+    round((1.0 - 0.85) * (1.0 / nn.n)
+          + 0.85 * coalesce(i.inflow, 0.0), 9) AS rank
+  FROM base b CROSS JOIN nn
+  LEFT JOIN (SELECT e.dst AS vertex,
+               SUM(CAST(round(r.rank / r.outdeg * 1000000000000.0, 0)
+                   AS BIGINT)) / 1000000000000.0 AS inflow
+             FROM r{j - 1} r JOIN e ON r.vertex = e.src
+             WHERE r.outdeg > 0
+             GROUP BY e.dst) i ON b.vertex = i.vertex)""")
+    parts.append(f"""
+SELECT vertex AS word, rank FROM r{n_iter}
+ORDER BY rank DESC, word LIMIT {k}""")
+    return "".join(parts)
+
+
+@query("text_textrank", oracle=_textrank_oracle())
+def text_textrank(spark, sf_dir):
+    """TextRank corpus keywords (Mihalcea & Tarau, EMNLP 2004) —
+    COMPOSED from this engine's own pieces: the window-2 word
+    co-occurrence graph (adjacent drop_empty tokens, undirected via
+    both-direction edges, self-loops dropped) fed to `pagerank`
+    (operators/graph.py — 8 rounds, damping 0.85, the 9-dp/scaled-
+    LONG float policy), top-30 by (rank desc, word asc). The graph
+    is VOCABULARY-sized: corpus scale only touches the one
+    token-pair distinct; every iteration runs on distinct words.
+    The oracle rebuilds the graph and unrolls all eight rounds."""
+    from ..operators.graph import pagerank
+
+    toks = TXT.tokens("text", drop_empty=True)
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull())
+    pairs = docs.select(toks.alias("tk")).select(
+        F.explode(F.expr(
+            "transform(slice(tk, 1, size(tk) - 1),"
+            " (x, i) -> struct(x AS a, element_at(tk, i + 2) AS b))"
+        )).alias("p"))
+    eu = (pairs.select(F.col("p.a").alias("src"),
+                       F.col("p.b").alias("dst"))
+          .filter(F.col("src") != F.col("dst")).distinct())
+    edges = eu.unionByName(
+        eu.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return (
+        pagerank(edges, n_iter=8)
+        .select(F.col("vertex").alias("word"), "rank")
+        .orderBy(F.desc("rank"), F.asc("word"))
+        .limit(30))
+
+
 @query("graph_pagerank", oracle=_pagerank_oracle())
 def graph_pagerank(spark, sf_dir):
     """PageRank over a deterministic synthetic link graph (`pagerank`,

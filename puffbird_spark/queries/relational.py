@@ -4778,6 +4778,126 @@ def diag_kendall_tau(spark, sf_dir):
         "l_quantity", "__yb")
 
 
+_BROWN_FORSYTHE_ORACLE = """
+WITH b AS (SELECT CAST(c_mktsegment AS VARCHAR) AS g,
+    CAST(c_acctbal AS DECIMAL(20,6)) AS v
+  FROM customer WHERE c_mktsegment IS NOT NULL
+    AND c_acctbal IS NOT NULL AND NOT isnan(c_acctbal)),
+gv AS (SELECT g, v, COUNT(*) AS c FROM b GROUP BY 1, 2),
+pos AS (SELECT g, v, c,
+    SUM(c) OVER (PARTITION BY g ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    SUM(c) OVER (PARTITION BY g) AS ng
+  FROM gv),
+p2 AS (SELECT *, cum - c AS prev,
+    CAST(floor((ng + 1) / 2) AS BIGINT) AS lo,
+    CAST(floor((ng + 2) / 2) AS BIGINT) AS hi FROM pos),
+med AS (SELECT g,
+    CAST((MAX(CASE WHEN prev < lo AND lo <= cum THEN v END)
+        + MAX(CASE WHEN prev < hi AND hi <= cum THEN v END)) / 2
+      AS DECIMAL(22,7)) AS med
+  FROM p2 GROUP BY g),
+z AS (SELECT b.g, abs(CAST(b.v AS DECIMAL(22,7)) - m.med) AS zz
+  FROM b JOIN med m ON b.g = m.g),
+per AS (SELECT g, COUNT(*) AS n, SUM(zz) AS s,
+    SUM(CAST(zz * 10000000 AS HUGEINT)
+        * CAST(zz * 10000000 AS HUGEINT)) AS q
+  FROM z GROUP BY g),
+f AS (SELECT SUM(n) AS n, COUNT(*) AS k,
+    SUM(CAST(s AS DECIMAL(38,7))) AS stot,
+    SUM(CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n, 2)
+        AS DECIMAL(28,2))) AS ssb0,
+    SUM(CAST(round(CAST(q AS DOUBLE) / 1e14
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n, 2)
+        AS DECIMAL(28,2))) AS ssw
+  FROM per)
+SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+  CASE WHEN k >= 2 AND n > k AND CAST(ssw AS DOUBLE) > 0
+       THEN round(
+         ((CAST(ssb0 AS DOUBLE)
+           - round(CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE)
+                   / CAST(n AS DOUBLE), 2))
+          / (CAST(k AS DOUBLE) - 1.0))
+         / (CAST(ssw AS DOUBLE)
+            / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6)
+  END AS w_stat
+FROM f
+"""
+
+
+@query("diag_brown_forsythe", oracle=_BROWN_FORSYTHE_ORACLE)
+def diag_brown_forsythe(spark, sf_dir):
+    """Brown-Forsythe variance-homogeneity test (`brown_forsythe`,
+    operators/drift.py; Brown & Forsythe 1974) — the median-centered
+    Levene: the ANOVA F over |x − group median|, the assumption check
+    that belongs BEFORE `diag_anova` on the SAME fixture (customer
+    account balance by market segment). Exact group medians from the
+    distinct-value straddle (no approx percentile), exact decimal
+    deviation pools, the diag_anova 2-dp cross-group term snap; two
+    keyed aggs + one keyed distinct-frame window + one join back."""
+    from ..operators.drift import brown_forsythe
+
+    cust = load(spark, sf_dir, "customer")
+    return brown_forsythe(cust, "c_mktsegment", "c_acctbal")
+
+
+_WELCH_ORACLE = """
+WITH b AS (SELECT CAST(l_extendedprice AS DECIMAL(20,6)) AS v,
+    l_returnflag = 'R' AS a
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+    AND NOT isnan(l_extendedprice) AND l_returnflag IS NOT NULL),
+t AS (SELECT
+    SUM(CASE WHEN a THEN 1 ELSE 0 END) AS na,
+    SUM(CASE WHEN a THEN 0 ELSE 1 END) AS nb,
+    SUM(CASE WHEN a THEN v END) AS sa,
+    SUM(CASE WHEN NOT a THEN v END) AS sb,
+    SUM(CASE WHEN a THEN CAST(v * 1000000 AS HUGEINT)
+                         * CAST(v * 1000000 AS HUGEINT) END) AS qa,
+    SUM(CASE WHEN NOT a THEN CAST(v * 1000000 AS HUGEINT)
+                             * CAST(v * 1000000 AS HUGEINT) END) AS qb
+  FROM b),
+f AS (SELECT CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+    CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd,
+    CAST(sa AS DOUBLE) AS sad, CAST(sb AS DOUBLE) AS sbd,
+    CAST(qa AS DOUBLE) / 1e12 AS qad,
+    CAST(qb AS DOUBLE) / 1e12 AS qbd
+  FROM t),
+g AS (SELECT *,
+    (nad * qad - sad * sad) / (nad * (nad - 1.0)) AS va,
+    (nbd * qbd - sbd * sbd) / (nbd * (nbd - 1.0)) AS vb
+  FROM f),
+h AS (SELECT *, va / nad + vb / nbd AS se2 FROM g)
+SELECT na AS n_a, nb AS n_b,
+  round(sad / nad, 6) AS mean_a, round(sbd / nbd, 6) AS mean_b,
+  CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0
+       THEN round((sad / nad - sbd / nbd) / sqrt(se2), 6)
+  END AS t_stat,
+  CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0
+       THEN round((se2 * se2)
+                  / ((va / nad) * (va / nad) / (nad - 1.0)
+                     + (vb / nbd) * (vb / nbd) / (nbd - 1.0)), 6)
+  END AS df_welch
+FROM h
+"""
+
+
+@query("diag_welch_t", oracle=_WELCH_ORACLE)
+def diag_welch_t(spark, sf_dir):
+    """Welch's unequal-variance t-test (`welch_t_test`,
+    operators/drift.py; Welch 1947, Ruxton 2006) — the mean
+    comparison beside `diag_effect_size`'s d (how sure vs how big)
+    and `diag_mann_whitney`'s rank z, with the Welch-Satterthwaite
+    df released for the caller's table lookup. Fixture: lineitem
+    extended price, returned vs not. The effect_size moment ladder
+    verbatim (exact decimal sums, scaled-integer Σx² pools); ONE
+    aggregation pass, no window."""
+    from ..operators.drift import welch_t_test
+
+    li = load(spark, sf_dir, "lineitem")
+    return welch_t_test(
+        li, F.col("l_returnflag") == "R", "l_extendedprice")
+
+
 _CLIFFS_ORACLE = """
 WITH b AS (SELECT l_quantity AS v, l_returnflag = 'R' AS a
   FROM lineitem WHERE l_quantity IS NOT NULL

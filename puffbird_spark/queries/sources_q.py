@@ -3274,6 +3274,62 @@ def multimodal_audio_spectral(spark, sf_dir):
     return audio_spectral_probe(docs, window=64)
 
 
+_PNM_ORACLE = """
+WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS path, doc_id % 997 AS s,
+    doc_id % 4 AS f,
+    CASE WHEN doc_id % 2 = 0 THEN 255 ELSE 1023 END AS mv,
+    4 + (doc_id % 997) % 13 AS w, 3 + (doc_id % 997) % 9 AS h
+  FROM documents),
+xs AS (SELECT path, s, f, mv, w, h, unnest(range(w)) AS x FROM d),
+pix AS (SELECT path, s, f, mv, w, h, x, unnest(range(h)) AS y FROM xs),
+v AS (SELECT path, f, mv, w, h,
+    CASE WHEN f IN (0, 2) THEN (s + 3 * x + 7 * y) % (mv + 1)
+         ELSE (s + x + y) % (mv + 1) + (2 * s + 2 * x + y) % (mv + 1)
+              + (3 * s + x + 2 * y) % (mv + 1) END AS sv
+  FROM pix)
+SELECT path,
+  CASE MAX(f) WHEN 0 THEN 'P2' WHEN 1 THEN 'P3'
+              WHEN 2 THEN 'P5' ELSE 'P6' END AS format,
+  CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+  CAST(MAX(mv) AS INT) AS maxval,
+  CAST(CASE WHEN MAX(f) IN (0, 2) THEN 1 ELSE 3 END AS INT)
+    AS channels,
+  CAST(COUNT(*) AS BIGINT) AS n_px,
+  CAST(SUM(sv) AS BIGINT) AS sum_v
+FROM v GROUP BY path
+"""
+
+
+@query("multimodal_pnm", oracle=_PNM_ORACLE)
+def multimodal_pnm(spark, sf_dir):
+    """PNM/Netpbm decode (`decode_pnm` + `pnm_stats`,
+    operators/multimodal.py; pgm(5)/ppm(5)) — REAL parses of
+    spec-faithful P2/P3 (ASCII) and P5/P6 (binary) files rotating by
+    doc id, half at maxval 255 and half at 1023 (the 2-byte
+    BIG-endian binary branch and multi-digit ASCII tokens), each with
+    a comment line in the header (the grammar corner naive parsers
+    drop). Per-file all-channel sample sums replay closed-form, so
+    header tokenization, raster addressing, byte order, and the
+    maxval branch must all be exactly right. Arrow mapInPandas media
+    shape, zero shuffle."""
+    from ..operators.dedup import widen_parallelism
+    from ..operators.multimodal import encode_pnm, pnm_stats
+
+    def _make(doc_id):
+        return doc_id.map(
+            lambda i: encode_pnm(
+                ("P2", "P3", "P5", "P6")[int(i) % 4],
+                4 + int(i) % 997 % 13, 3 + int(i) % 997 % 9,
+                seed=int(i) % 997,
+                maxval=255 if int(i) % 2 == 0 else 1023))
+
+    make_pnm = F.pandas_udf(_make, returnType="binary")
+    docs = widen_parallelism(load(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("string").alias("path"),
+        make_pnm(F.col("doc_id")).alias("content"))
+    return pnm_stats(docs)
+
+
 _QOI_ORACLE = """
 WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS path, doc_id % 997 AS s,
     8 + (doc_id % 997) % 24 AS w, 8 + (doc_id % 997) % 16 AS h

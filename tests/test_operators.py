@@ -7858,6 +7858,148 @@ def test_spearman_corr_hand_cases(spark):
     assert (nrow["n"], nrow["rho"]) == (3, 1.0)
 
 
+def test_pnm_codec_roundtrip_and_robustness(spark):
+    """PNM (r14): all four formats x both maxval branches roundtrip
+    with the closed-form sums; comments and arbitrary header
+    whitespace parse; binary 16-bit is BIG-endian; malformed blobs
+    (bad magic, truncated raster, over-maxval ASCII sample, zero
+    dimensions) raise inside the DECODE_ERRORS contract; pnm_stats
+    skips undecodable rows."""
+    import pytest as _pytest
+
+    from puffbird_spark.operators.multimodal import (
+        decode_pnm, encode_pnm, pnm_stats)
+
+    for fmt in ("P2", "P3", "P5", "P6"):
+        for mv in (255, 1023):
+            f, w, h, m, ch, s = decode_pnm(
+                encode_pnm(fmt, 5, 4, seed=42, maxval=mv))
+            assert (f, w, h, m) == (fmt, 5, 4, mv)
+            assert ch == (1 if fmt in ("P2", "P5") else 3)
+            assert len(s) == 5 * 4 * ch
+
+    # header grammar: comments between ANY tokens, mixed whitespace
+    messy = b"P2 # c1\n#c2\n  7\t1 # c3\n 255\n" + \
+        b" ".join(str(v).encode() for v in range(7))
+    f, w, h, m, ch, s = decode_pnm(messy)
+    assert (w, h, s) == (7, 1, list(range(7)))
+
+    # 16-bit binary is big-endian: sample 0x0102 = 258
+    be = b"P5\n1 1\n1023\n" + bytes((0x01, 0x02))
+    assert decode_pnm(be)[5] == [258]
+
+    with _pytest.raises(ValueError, match="magic"):
+        decode_pnm(b"P7\n1 1\n255\n\x00")
+    with _pytest.raises(ValueError, match="truncated binary"):
+        decode_pnm(b"P6\n4 4\n255\n" + b"\x00" * 10)
+    with _pytest.raises(ValueError, match="truncated ASCII"):
+        decode_pnm(b"P2\n4 4\n255\n1 2 3")
+    with _pytest.raises(ValueError, match="exceeds maxval"):
+        decode_pnm(b"P2\n2 1\n255\n10 300")
+    with _pytest.raises(ValueError, match="implausible"):
+        decode_pnm(b"P2\n0 5\n255\n1")
+    with _pytest.raises(ValueError, match="maxval"):
+        decode_pnm(b"P5\n1 1\n0\n\x00")
+
+    rows = [("good", bytearray(encode_pnm("P6", 3, 2, seed=9))),
+            ("bad", bytearray(b"not a pnm at all")),
+            ("null", None)]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    got = pnm_stats(df).collect()
+    assert len(got) == 1 and got[0]["path"] == "good"
+    assert (got[0]["width"], got[0]["height"], got[0]["n_px"]) == (3, 2, 6)
+
+
+def test_brown_forsythe_hand_cases(spark):
+    """Brown-Forsythe: the outlier case a=[1,2,3,4,100] (median 3 →
+    deviations [2,1,0,1,97]) vs constant b reads W = 1.106579 — the
+    median centering is the point (mean centering would explode);
+    even-n groups use the exact two-value median straddle; k=1 and
+    zero-deviation inputs release NULL."""
+    from puffbird_spark.operators.drift import brown_forsythe
+
+    rows = [("a", v) for v in (1.0, 2.0, 3.0, 4.0, 100.0)] \
+        + [("b", 10.0)] * 5
+    df = spark.createDataFrame(rows, "g string, v double")
+    row = brown_forsythe(df, "g", "v").collect()[0]
+    assert (row["n"], row["k"]) == (10, 2)
+    # z_a = [2,1,0,1,97]: S_a=101, Q_a=9415, S_b=Q_b=0
+    # SSB = 2040.2 - 1020.1; SSW = 9415 - 2040.2
+    expect = (1020.1 / 1.0) / (7374.8 / 8.0)
+    assert row["w_stat"] == round(expect, 6) == 1.106579
+
+    # even n: median of [1,2,3,4] is exactly 2.5 (the straddle)
+    ev = spark.createDataFrame(
+        [("a", v) for v in (1.0, 2.0, 3.0, 4.0)]
+        + [("b", v) for v in (5.0, 5.0, 5.0, 9.0)],
+        "g string, v double")
+    erow = brown_forsythe(ev, "g", "v").collect()[0]
+    # z_a = [1.5,.5,.5,1.5] (S=4, Q=5); z_b = [0,0,0,4] (S=4, Q=16)
+    # SSB = (4+4) - 64/8 = 0; W = 0
+    assert erow["w_stat"] == 0.0
+
+    one = spark.createDataFrame([("a", 1.0), ("a", 2.0)],
+                                "g string, v double")
+    assert brown_forsythe(one, "g", "v").collect()[0]["w_stat"] is None
+
+    flat = spark.createDataFrame(
+        [("a", 3.0), ("a", 3.0), ("b", 7.0), ("b", 7.0)],
+        "g string, v double")
+    assert brown_forsythe(flat, "g", "v").collect()[0]["w_stat"] is None
+
+
+def test_welch_t_test_hand_cases(spark):
+    """Welch's t on a=[1,2,3,4] vs b=[10,20,30] matches the pure
+    closed form (t = -3.01232, Welch-Satterthwaite df ~2.05 — far
+    from the pooled-variance df of 5, which is the point); equal
+    samples read t = 0; a constant-both-sides input has se2 = 0 →
+    NULL; n < 2 on either side → NULL; string group raises."""
+    import math
+
+    import pytest as _pytest
+
+    from puffbird_spark.operators.drift import welch_t_test
+
+    a_vals, b_vals = [1.0, 2.0, 3.0, 4.0], [10.0, 20.0, 30.0]
+    rows = [(True, v) for v in a_vals] + [(False, v) for v in b_vals]
+    df = spark.createDataFrame(rows, "a boolean, v double")
+    row = welch_t_test(df, "a", "v").collect()[0]
+
+    na, nb = len(a_vals), len(b_vals)
+    sa, sb = sum(a_vals), sum(b_vals)
+    qa, qb = sum(v * v for v in a_vals), sum(v * v for v in b_vals)
+    va = (na * qa - sa * sa) / (na * (na - 1.0))
+    vb = (nb * qb - sb * sb) / (nb * (nb - 1.0))
+    se2 = va / na + vb / nb
+    t = (sa / na - sb / nb) / math.sqrt(se2)
+    dfw = (se2 * se2) / ((va / na) ** 2 / (na - 1.0)
+                         + (vb / nb) ** 2 / (nb - 1.0))
+    assert (row["n_a"], row["n_b"]) == (4, 3)
+    assert row["mean_a"] == 2.5 and row["mean_b"] == 20.0
+    assert row["t_stat"] == round(t, 6) == -3.01232
+    assert row["df_welch"] == round(dfw, 6)
+    assert 2.0 < row["df_welch"] < 2.1
+
+    same = spark.createDataFrame(
+        [(True, 1.0), (True, 3.0), (False, 1.0), (False, 3.0)],
+        "a boolean, v double")
+    assert welch_t_test(same, "a", "v").collect()[0]["t_stat"] == 0.0
+
+    const = spark.createDataFrame(
+        [(True, 2.0), (True, 2.0), (False, 2.0), (False, 2.0)],
+        "a boolean, v double")
+    crow = welch_t_test(const, "a", "v").collect()[0]
+    assert crow["t_stat"] is None and crow["df_welch"] is None
+
+    tiny = spark.createDataFrame(
+        [(True, 1.0), (False, 2.0), (False, 3.0)], "a boolean, v double")
+    assert welch_t_test(tiny, "a", "v").collect()[0]["t_stat"] is None
+
+    bad = spark.createDataFrame([("x", 1.0)], "g string, v double")
+    with _pytest.raises(TypeError, match="boolean"):
+        welch_t_test(bad, "g", "v")
+
+
 def test_kruskal_wallis_hand_cases(spark):
     """Hand-computed Kruskal-Wallis: the no-ties textbook case
     [1,2,3]/[4,5,6]/[7,8,9] reads H = 7.2 (C = 1 so H' = H); the
