@@ -538,6 +538,96 @@ def welch_t_test(
         F.when(ok, F.round(dfw, dp)).alias("df_welch"))
 
 
+def friedman_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+    dp: int = 6,
+) -> DataFrame:
+    """Friedman test (Friedman 1937) — the rank-based REPEATED-
+    MEASURES k-treatment test beside :func:`kruskal_wallis`
+    (independent groups): within every block the k treatments rank
+    against each other, removing block-level shifts entirely (the
+    matched design: k models scored on the same n prompts, k
+    pipeline variants on the same n snapshots). Tie-general form over
+    doubled midranks (all-integer algebra):
+
+        Q = (k−1) · Σ_j (U_j − n(k+1))²
+            / (Σ_ij (2r_ij)² − n·k·(k+1)²)
+
+    with ``U_j = Σ_blocks 2·midrank`` per treatment — equivalent to
+    the textbook 12/nk(k+1) form when ties are absent, and exactly
+    the tie-corrected statistic otherwise. Q ~ χ²_{k−1} under the
+    null (statistic only — the no-CDF house convention).
+
+    COMPLETE-DESIGN CONTRACT: every block must contain every
+    treatment exactly once — validated with one aggregate (blocks
+    with a missing/duplicate treatment raise at call time; an
+    incomplete design silently biases ranks, so fail loud). All-tied
+    input (zero denominator) releases NULL Q.
+
+    Determinism: 2·midrank per (block, row) is an exact int from a
+    block-keyed window (k-row partitions — block count is the scale
+    axis, block SIZE is k); all pools are decimal(38,0).
+
+    Returns ONE row: ``(n_blocks, k, q_stat)``."""
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(block_col).alias("__b"),
+        F.col(treatment_col).alias("__t"),
+        F.col(value_col).alias("__v"),
+    ).filter(
+        F.col("__b").isNotNull() & F.col("__t").isNotNull()
+        & F.col("__v").isNotNull())
+
+    shape = base.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__rows"),
+        F.count_distinct("__t").alias("__k")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("__rows").alias("rlo"), F.max("__rows").alias("rhi"),
+        F.min("__k").alias("klo"), F.max("__k").alias("khi")).collect()
+    if not shape or shape[0]["n"] == 0:
+        raise ValueError("friedman_test: empty input")
+    s = shape[0]
+    if not (s["rlo"] == s["rhi"] == s["klo"] == s["khi"]):
+        raise ValueError(
+            "friedman_test requires a COMPLETE block design (every "
+            f"block holds every treatment exactly once); found blocks "
+            f"with {s['rlo']}..{s['rhi']} rows and "
+            f"{s['klo']}..{s['khi']} distinct treatments")
+    k = int(s["klo"])
+    if k < 2:
+        raise ValueError("friedman_test needs >= 2 treatments")
+
+    wb = Window.partitionBy("__b").orderBy("__v")
+    wt = Window.partitionBy("__b", "__v")
+    ranked = base.select(
+        "__b", "__t",
+        (2 * F.rank().over(wb) + F.count(F.lit(1)).over(wt) - 1)
+        .cast("long").alias("__u"))
+    d38 = "decimal(38,0)"
+    per_t = ranked.groupBy("__t").agg(
+        F.sum(F.col("__u").cast(d38)).cast(d38).alias("__uj"))
+    tot = ranked.agg(
+        (F.count(F.lit(1)) / k).cast(d38).alias("__n"),
+        F.sum(F.col("__u").cast(d38) * F.col("__u"))
+        .cast(d38).alias("__ssq"))
+    nn = F.col("__n")
+    dev = F.col("__uj") - nn * (k + 1)
+    num = per_t.crossJoin(tot).agg(
+        F.max(nn).alias("__nmax"), F.max("__ssq").alias("__sq"),
+        F.sum(dev * dev).cast(d38).alias("__num"))
+    den = (F.col("__sq")
+           - F.col("__nmax") * k * (k + 1) * (k + 1)).cast("double")
+    q = F.lit(float(k - 1)) * F.col("__num").cast("double") / den
+    return num.select(
+        F.col("__nmax").cast("long").alias("n_blocks"),
+        F.lit(k).cast("long").alias("k"),
+        F.when(den > 0, F.round(q, dp)).alias("q_stat"))
+
+
 def cliffs_delta(
     df: DataFrame,
     group_col,

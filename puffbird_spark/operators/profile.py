@@ -319,6 +319,69 @@ def spearman_corr(
         "n", F.when(den > 0, F.round(num / den, dp)).alias("rho"))
 
 
+def gini_coefficient(
+    df: DataFrame,
+    value_col: str,
+    scale: int = 6,
+    dp: int = 6,
+) -> DataFrame:
+    """Gini coefficient (Gini 1912) of a non-negative value column —
+    the inequality/concentration diagnostic for dataset curation
+    (token-mass concentration across domains, per-author document
+    share, label imbalance): 0 = perfectly even, →1 = one row holds
+    everything.
+
+    Computed via the rank form of the mean-absolute-difference,
+        G = Σ_i (2i − n − 1)·x_(i) / (n·Σx)
+    collapsed onto the DISTINCT-VALUE frame (the ``spearman_corr``
+    discipline): a tie group of ``c`` rows at value x with ``bb``
+    rows strictly below contributes ``x·c·(2bb + c − n)`` exactly —
+    one value-keyed count agg, one cumulative window over the
+    distinct frame, one fold. All pools are exact decimals (values
+    snap to decimal(20,scale); a decimal NaN maps to NULL, excluding
+    NaN with the NULLs).
+
+    Contract: NEGATIVE values make the coefficient meaningless (the
+    Lorenz curve loses monotonicity) — the release carries the
+    observed minimum and emits NULL gini when it is negative or when
+    the total is 0 (no eager probe; the guard rides the same fold).
+
+    Returns ONE row: ``(n, total, mean, min_value, gini)``."""
+    from pyspark.sql.window import Window
+
+    decv = f"decimal(20,{scale})"
+    base = df.select(
+        F.col(value_col).cast(decv).alias("__v")
+    ).filter(F.col("__v").isNotNull())
+    vc = base.groupBy("__v").agg(
+        F.count(F.lit(1)).cast("long").alias("__c"))
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.partitionBy()
+    d38s = f"decimal(38,{scale})"
+    per = vc.select(
+        "__v", "__c",
+        F.coalesce(F.sum("__c").over(w), F.lit(0)).alias("__bb"),
+        F.sum("__c").over(wall).alias("__n"))
+    term = (F.col("__v").cast(d38s)
+            * (2 * F.col("__bb") + F.col("__c") - F.col("__n"))
+            * F.col("__c"))
+    folded = per.agg(
+        F.max("__n").cast("long").alias("n"),
+        F.min("__v").alias("__min"),
+        F.sum(F.col("__v").cast(d38s) * F.col("__c")).alias("__tot"),
+        F.sum(term).alias("__num"))
+    nd = F.col("n").cast("double")
+    tot = F.col("__tot").cast("double")
+    g = F.col("__num").cast("double") / (nd * tot)
+    return folded.filter(F.col("n") > 0).select(
+        "n",
+        F.round(tot, dp).alias("total"),
+        F.round(tot / nd, dp).alias("mean"),
+        F.col("__min").cast("double").alias("min_value"),
+        F.when((F.col("__min") >= 0) & (tot > 0), F.round(g, dp))
+        .alias("gini"))
+
+
 def kendall_tau_b(
     df: DataFrame,
     x_col: str,

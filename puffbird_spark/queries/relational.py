@@ -4841,6 +4841,90 @@ def diag_brown_forsythe(spark, sf_dir):
     return brown_forsythe(cust, "c_mktsegment", "c_acctbal")
 
 
+_FRIEDMAN_ORACLE = """
+WITH b AS (SELECT doc_id % 100 AS blk, doc_id // 100 AS trt,
+    length(text) AS v
+  FROM documents WHERE doc_id < 300 AND text IS NOT NULL),
+r AS (SELECT blk, trt,
+    2 * rank() OVER (PARTITION BY blk ORDER BY v)
+      + count(*) OVER (PARTITION BY blk, v) - 1 AS u
+  FROM b),
+pt AS (SELECT trt, SUM(CAST(u AS HUGEINT)) AS uj FROM r GROUP BY trt),
+t AS (SELECT COUNT(*) // 3 AS n,
+    SUM(CAST(u AS HUGEINT) * u) AS ssq FROM r),
+f AS (SELECT MAX(n) AS n, MAX(ssq) AS ssq,
+    SUM((uj - n * 4) * (uj - n * 4)) AS num FROM pt, t)
+SELECT CAST(n AS BIGINT) AS n_blocks, CAST(3 AS BIGINT) AS k,
+  CASE WHEN ssq - n * 48 > 0
+       THEN round(2.0 * CAST(num AS DOUBLE)
+                  / CAST(ssq - n * 48 AS DOUBLE), 6) END AS q_stat
+FROM f
+"""
+
+
+@query("diag_friedman", oracle=_FRIEDMAN_ORACLE)
+def diag_friedman(spark, sf_dir):
+    """Friedman repeated-measures rank test (`friedman_test`,
+    operators/drift.py; Friedman 1937, tie-general Conover form) —
+    the matched-design member of the rank-test family
+    (`diag_kruskal_wallis` is its independent-groups sibling).
+    Fixture: a COMPLETE 100-block x 3-treatment design carved from
+    the shared doc_id<300 prefix (block = id%100, treatment =
+    id//100), scored by text length — real within-block rank
+    competition at every SF. All-integer doubled-midrank algebra in
+    decimal(38,0); the completeness contract validates up front."""
+    from ..operators.drift import friedman_test
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 300)
+    fx = docs.select(
+        (F.col("doc_id") % 100).alias("blk"),
+        F.floor(F.col("doc_id") / 100).cast("long").alias("trt"),
+        F.length("text").alias("v"))
+    return friedman_test(fx, "blk", "trt", "v")
+
+
+_GINI_ORACLE = """
+WITH b AS (SELECT CAST(o_totalprice AS DECIMAL(20,6)) AS v FROM orders
+  WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)),
+vc AS (SELECT v, COUNT(*) AS c FROM b GROUP BY 1),
+per AS (SELECT v, c,
+    COALESCE(SUM(c) OVER (ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bb,
+    SUM(c) OVER () AS n FROM vc),
+f AS (SELECT MAX(n) AS n, MIN(v) AS mn,
+    SUM(CAST(v AS DECIMAL(38,6)) * c) AS tot,
+    SUM(CAST(v AS DECIMAL(38,6)) * (2 * bb + c - n) * c) AS num
+  FROM per)
+SELECT CAST(n AS BIGINT) AS n,
+  round(CAST(tot AS DOUBLE), 6) AS total,
+  round(CAST(tot AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+  CAST(mn AS DOUBLE) AS min_value,
+  CASE WHEN mn >= 0 AND CAST(tot AS DOUBLE) > 0
+       THEN round(CAST(num AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE)), 6)
+  END AS gini
+FROM f
+"""
+
+
+@query("diag_gini", oracle=_GINI_ORACLE)
+def diag_gini(spark, sf_dir):
+    """Gini concentration coefficient (`gini_coefficient`,
+    operators/profile.py; Gini 1912) — the inequality diagnostic for
+    curation (domain token share, per-author mass, label imbalance)
+    over order totals: the rank form of the mean absolute difference
+    collapsed onto the distinct-value frame (a c-row tie group at
+    value x with bb rows below contributes x·c·(2bb+c−n) exactly).
+    One count agg + one distinct-frame window + one fold, exact
+    decimal pools; NULL on negative values or zero total (the
+    no-eager-probe guard rides the release)."""
+    from ..operators.profile import gini_coefficient
+
+    orders = load(spark, sf_dir, "orders")
+    return gini_coefficient(orders, "o_totalprice")
+
+
 _WELCH_ORACLE = """
 WITH b AS (SELECT CAST(l_extendedprice AS DECIMAL(20,6)) AS v,
     l_returnflag = 'R' AS a

@@ -8055,6 +8055,69 @@ def test_ljung_box_hand_cases(spark):
         ljung_box(df, "e", "ts", "x", h=0)
 
 
+def test_friedman_test_hand_cases(spark):
+    """Hand-computed Friedman: the textbook 3x3 no-ties case (ranks
+    R = 4,5,9) reads Q = 12·14/36 = 4.666667; a within-block tie
+    (block 3 = 2,2,3) reads the tie-general 5.636364; identical
+    treatments everywhere (all ranks tied) release NULL; an
+    incomplete design and k=1 raise the completeness contract."""
+    import pytest as _pytest
+
+    from puffbird_spark.operators.drift import friedman_test
+
+    rows = [(1, "a", 3), (1, "b", 4), (1, "c", 5),
+            (2, "a", 5), (2, "b", 6), (2, "c", 7),
+            (3, "a", 2), (3, "b", 1), (3, "c", 3)]
+    df = spark.createDataFrame(rows, "blk int, trt string, v int")
+    r = friedman_test(df, "blk", "trt", "v").collect()[0]
+    assert (r["n_blocks"], r["k"]) == (3, 3)
+    assert r["q_stat"] == 4.666667
+
+    tied = spark.createDataFrame(
+        rows[:6] + [(3, "a", 2), (3, "b", 2), (3, "c", 3)],
+        "blk int, trt string, v int")
+    tr = friedman_test(tied, "blk", "trt", "v").collect()[0]
+    assert tr["q_stat"] == 5.636364
+
+    flat = spark.createDataFrame(
+        [(b, t, 1) for b in (1, 2) for t in ("a", "b")],
+        "blk int, trt string, v int")
+    assert friedman_test(flat, "blk", "trt", "v") \
+        .collect()[0]["q_stat"] is None
+
+    with _pytest.raises(ValueError, match="COMPLETE block design"):
+        friedman_test(
+            spark.createDataFrame(rows[:8], "blk int, trt string, v int"),
+            "blk", "trt", "v")
+    with _pytest.raises(ValueError, match=">= 2 treatments"):
+        friedman_test(
+            spark.createDataFrame([(1, "a", 1), (2, "a", 2)],
+                                  "blk int, trt string, v int"),
+            "blk", "trt", "v")
+
+
+def test_gini_coefficient_hand_cases(spark):
+    """Hand-computed Gini: perfectly even input reads 0; [0,0,0,10]
+    reads (n-1)/n = 0.75 (one row holds everything); [1,2,3,4] reads
+    exactly 0.25; ties collapse correctly ([1,1,3,3] = 0.25); a
+    negative value or zero total releases NULL with min_value
+    exposed."""
+    from puffbird_spark.operators.profile import gini_coefficient
+
+    def g(vals):
+        df = spark.createDataFrame([(float(v),) for v in vals],
+                                   "v double")
+        return gini_coefficient(df, "v").collect()[0]
+
+    assert g([5, 5, 5])["gini"] == 0.0
+    assert g([0, 0, 0, 10])["gini"] == 0.75
+    assert g([1, 2, 3, 4])["gini"] == 0.25
+    assert g([1, 1, 3, 3])["gini"] == 0.25
+    neg = g([-1, 2, 3])
+    assert neg["gini"] is None and neg["min_value"] == -1.0
+    assert g([0, 0])["gini"] is None
+
+
 def test_cliffs_delta_hand_cases(spark):
     """Hand-computed Cliff's delta: a=[3,4,5] vs b=[1,2,3] has 8 wins,
     0 losses, 1 tie of 9 pairs → δ = 8/9 = 0.888889, 'large';
