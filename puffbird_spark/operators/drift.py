@@ -628,6 +628,84 @@ def friedman_test(
         F.when(den > 0, F.round(q, dp)).alias("q_stat"))
 
 
+def cochran_q(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    success_col,
+    dp: int = 6,
+) -> DataFrame:
+    """Cochran's Q test (Cochran 1950) — the BINARY repeated-measures
+    k-treatment test: :func:`friedman_test` for pass/fail outcomes
+    (k models judged correct/incorrect on the same n prompts — the
+    eval-harness comparison question "do these models really differ").
+    With column totals C_j, row totals R_i, grand total T over a
+    COMPLETE n-block x k-treatment 0/1 design:
+
+        Q = (k−1)·(k·ΣC_j² − T²) / (k·T − ΣR_i²)
+
+    (the expanded all-integer form of k(k−1)Σ(C_j − T/k)²/(kT−ΣR_i²);
+    Q ~ χ²_{k−1} under the null, statistic only). Blocks where every
+    treatment agrees contribute nothing; an input where ALL blocks
+    agree has zero denominator and releases NULL.
+
+    The complete-design contract validates up front (one aggregate,
+    fail loud — the :func:`friedman_test` rule); ``success_col``
+    casts to boolean, NULL success is a contract violation in a
+    complete design and raises with the same message.
+
+    Scale shape: one block-keyed agg (row totals), one treatment-
+    keyed agg (column totals), decimal(38,0) pools. Returns ONE row:
+    ``(n_blocks, k, q_stat)``."""
+    s = success_col if not isinstance(success_col, str) \
+        else F.col(success_col)
+    base = df.select(
+        F.col(block_col).alias("__b"),
+        F.col(treatment_col).alias("__t"),
+        s.cast("boolean").alias("__y"))
+    shape = base.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__rows"),
+        F.count_distinct("__t").alias("__k"),
+        F.sum(F.when(F.col("__y").isNull(), 1).otherwise(0))
+        .alias("__nulls")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("__rows").alias("rlo"), F.max("__rows").alias("rhi"),
+        F.min("__k").alias("klo"), F.max("__k").alias("khi"),
+        F.sum("__nulls").alias("nulls")).collect()
+    if not shape or shape[0]["n"] == 0:
+        raise ValueError("cochran_q: empty input")
+    sh = shape[0]
+    if sh["nulls"] or not (sh["rlo"] == sh["rhi"]
+                           == sh["klo"] == sh["khi"]):
+        raise ValueError(
+            "cochran_q requires a COMPLETE block design with no NULL "
+            f"outcomes; found blocks with {sh['rlo']}..{sh['rhi']} "
+            f"rows, {sh['klo']}..{sh['khi']} distinct treatments, "
+            f"{sh['nulls']} NULL outcomes")
+    k = int(sh["klo"])
+    if k < 2:
+        raise ValueError("cochran_q needs >= 2 treatments")
+
+    d38 = "decimal(38,0)"
+    yi = F.when(F.col("__y"), 1).otherwise(0)
+    cj = base.groupBy("__t").agg(F.sum(yi).cast(d38).alias("__c"))
+    ri = base.groupBy("__b").agg(F.sum(yi).cast(d38).alias("__r"))
+    cc = cj.agg(
+        F.sum(F.col("__c") * F.col("__c")).cast(d38).alias("__csq"),
+        F.sum("__c").cast(d38).alias("__t1"))
+    rr = ri.agg(
+        F.sum(F.col("__r") * F.col("__r")).cast(d38).alias("__rsq"),
+        F.count(F.lit(1)).cast("long").alias("n_blocks"))
+    one = cc.crossJoin(rr)
+    num = (F.lit(k - 1).cast(d38)
+           * (F.lit(k) * F.col("__csq") - F.col("__t1") * F.col("__t1")))
+    den = (F.lit(k) * F.col("__t1") - F.col("__rsq")).cast("double")
+    return one.select(
+        "n_blocks", F.lit(k).cast("long").alias("k"),
+        F.when(den > 0, F.round(num.cast("double") / den, dp))
+        .alias("q_stat"))
+
+
 def cliffs_delta(
     df: DataFrame,
     group_col,

@@ -892,6 +892,89 @@ def edit_distance_metrics(
         sim.alias("sim"))
 
 
+def isotonic_calibration(
+    df: DataFrame,
+    score_col,
+    label_col,
+    n_bins: int = 20,
+    dp: int = 6,
+) -> DataFrame:
+    """Isotonic calibration over a fixed score grid (pool-adjacent-
+    violators; Ayer et al. 1955, Zadrozny & Elkan KDD'02) — the
+    nonparametric recalibration map next to the reliability diagram:
+    bin the scores, then project the per-bin positive rates onto the
+    nearest NON-DECREASING step function (weighted L2 — the PAV
+    solution is UNIQUE, so merge order cannot matter).
+
+    Scale shape (the k-means/BPE bounded-driver-state discipline):
+    ONE keyed aggregation reduces the corpus to ≤ ``n_bins`` (bin,
+    n, pos) integer triples; PAV runs driver-side on that
+    grid-bounded table with EXACT integer-fraction comparisons
+    (pos_a·n_b > pos_b·n_a — no float enters the pooling decision),
+    so the result is bit-stable at any data scale and replayable by
+    a recursive-CTE oracle running the same integer algebra.
+
+    Scores clamp to [0,1] before binning (out-of-range predictions
+    land in the edge bins, the ``probabilistic_scores`` clamp rule);
+    NULL score or label rows are excluded. Empty bins are absent
+    from the output (no fabricated rates).
+
+    Returns one row per NON-EMPTY bin: ``(bin, n, pos, rate_raw,
+    rate_iso)`` with both rates released at ``dp``."""
+    if int(n_bins) < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    b = int(n_bins)
+    p = _col(score_col)
+    y = _col(label_col)
+    base = df.select(p.alias("__p"), y.cast("boolean").alias("__y")) \
+        .filter(F.col("__p").isNotNull() & F.col("__y").isNotNull())
+    clamped = F.greatest(F.least(F.col("__p"), F.lit(1.0)), F.lit(0.0))
+    binned = base.select(
+        F.least(F.floor(clamped * b).cast("int"), F.lit(b - 1))
+        .alias("__bin"),
+        F.when(F.col("__y"), 1).otherwise(0).alias("__yi"))
+    per = binned.groupBy("__bin").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__yi").cast("long").alias("__pos"))
+    rows = sorted(
+        ((r["__bin"], int(r["__n"]), int(r["__pos"]))
+         for r in per.collect()))
+    # PAV stack: merge while the last two pools violate monotonicity
+    # (exact cross-multiplied integer compare)
+    pools: list[list] = []   # [pos, n, [bins]]
+    for bin_id, n, pos in rows:
+        pools.append([pos, n, [bin_id]])
+        while (len(pools) >= 2
+               and pools[-2][0] * pools[-1][1]
+               > pools[-1][0] * pools[-2][1]):
+            p2 = pools.pop()
+            pools[-1][0] += p2[0]
+            pools[-1][1] += p2[1]
+            pools[-1][2] += p2[2]
+    # release rounding must be HALF_UP on the DOUBLE (what F.round and
+    # SQL round() both do) — python's builtin round is half-EVEN and
+    # diverges at exact boundaries like 1/128 = 0.0078125
+    from decimal import ROUND_HALF_UP, Decimal
+
+    quantum = Decimal(1).scaleb(-dp)
+
+    def _r(num: int, den: int) -> float:
+        return float(
+            Decimal(num / den).quantize(quantum, ROUND_HALF_UP))
+
+    raw = {bin_id: (n, pos) for bin_id, n, pos in rows}
+    out = []
+    for pos, n, bins in pools:
+        for bin_id in bins:
+            bn, bpos = raw[bin_id]
+            out.append((
+                bin_id, bn, bpos, _r(bpos, bn), _r(pos, n)))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out, "bin int, n long, pos long, rate_raw double, "
+             "rate_iso double")
+
+
 def pass_at_k(
     df: DataFrame,
     problem_col: str,

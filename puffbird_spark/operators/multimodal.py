@@ -2919,3 +2919,200 @@ def pnm_stats(
 
     return df.select(path_col, content_col).mapInPandas(
         kernel, PNM_STATS_SCHEMA)
+
+
+# ------------------------------------------------------------------ #
+# TGA (Truevision TARGA) — the classic texture/interchange raster:
+# 18-byte little-endian header, raw or RLE-packed pixels, bottom-up
+# default origin. Spec: the Truevision TGA 2.0 file format (1991).
+# ------------------------------------------------------------------ #
+
+def decode_tga(blob: bytes) -> tuple[int, int, int, bool, list[int]]:
+    """REAL TGA decoder for image types 2/3 (uncompressed truecolor/
+    gray) and 10/11 (their RLE forms), 8-bit gray and 24/32-bit BGR(A)
+    truecolor, both vertical origins — returns ``(width, height,
+    channels, rle, samples)`` with samples row-major TOP-DOWN and
+    channel order R,G,B[,A] (TGA stores BGR and bottom-up by default;
+    the decoder normalizes both, exactly what a training pipeline
+    wants before featurization). Raises ValueError on anything else
+    (color-mapped type 1/9, 15/16-bpp, truncated rasters)."""
+    if blob is None or len(blob) < 18:
+        raise ValueError("not a TGA: short blob")
+    id_len, cmap_type, img_type = blob[0], blob[1], blob[2]
+    if cmap_type != 0:
+        raise ValueError("not a supported TGA: color-mapped image")
+    if img_type not in (2, 3, 10, 11):
+        raise ValueError(f"not a supported TGA: image type {img_type}")
+    width = blob[12] | (blob[13] << 8)
+    height = blob[14] | (blob[15] << 8)
+    bpp = blob[16]
+    desc = blob[17]
+    if width < 1 or height < 1 or width * height > 64_000_000:
+        raise ValueError(
+            f"not a TGA: implausible dimensions {width}x{height}")
+    gray = img_type in (3, 11)
+    if gray and bpp != 8:
+        raise ValueError(f"not a supported TGA: gray at {bpp} bpp")
+    if not gray and bpp not in (24, 32):
+        raise ValueError(f"not a supported TGA: truecolor at {bpp} bpp")
+    nch = 1 if gray else bpp // 8
+    rle = img_type >= 10
+    top_down = bool(desc & 0x20)
+    i = 18 + id_len
+    count = width * height
+    px: list[bytes] = []
+    if rle:
+        while len(px) < count:
+            if i >= len(blob):
+                raise ValueError("not a TGA: truncated RLE stream")
+            hdr = blob[i]
+            i += 1
+            run = (hdr & 0x7F) + 1
+            if hdr & 0x80:
+                if i + nch > len(blob):
+                    raise ValueError("not a TGA: truncated RLE packet")
+                px.extend([blob[i:i + nch]] * run)
+                i += nch
+            else:
+                need = run * nch
+                if i + need > len(blob):
+                    raise ValueError("not a TGA: truncated raw packet")
+                px.extend(blob[i + k:i + k + nch]
+                          for k in range(0, need, nch))
+                i += need
+        if len(px) > count:
+            raise ValueError("not a TGA: RLE overruns the raster")
+    else:
+        need = count * nch
+        if i + need > len(blob):
+            raise ValueError("not a TGA: truncated raster")
+        px = [blob[i + k:i + k + nch] for k in range(0, need, nch)]
+    rows = [px[r * width:(r + 1) * width] for r in range(height)]
+    if not top_down:
+        rows.reverse()
+    samples: list[int] = []
+    for row in rows:
+        for p in row:
+            if gray:
+                samples.append(p[0])
+            else:
+                # stored B,G,R[,A] -> released R,G,B[,A]
+                samples.extend((p[2], p[1], p[0]))
+                if nch == 4:
+                    samples.append(p[3])
+    return width, height, nch, rle, samples
+
+
+def encode_tga(
+    width: int, height: int, seed: int = 0,
+    gray: bool = False, rle: bool = False, alpha: bool = False,
+    top_down: bool = False,
+) -> bytes:
+    """Deterministic spec-faithful TGA fixture (closed-form pixels the
+    oracle can replay): gray v = (s + 3x + 7y) mod 256; color
+    R,G,B[,A] = (s+x+y, 2s+2x+y, 3s+x+2y[, 128+(x+y)]) mod 256 —
+    stored BGR(A) and in the requested vertical origin, so the
+    decoder's channel swap and row flip are both load-bearing. RLE
+    packets alternate run/raw deterministically (a run packet per
+    repeated-left-neighbor stretch, capped at 128)."""
+    s = int(seed)
+    nch = 1 if gray else (4 if alpha else 3)
+    img_type = (11 if gray else 10) if rle else (3 if gray else 2)
+    desc = (0x20 if top_down else 0) | (8 if alpha else 0)
+    hdr = bytes((
+        0, 0, img_type, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+        width & 0xFF, width >> 8, height & 0xFF, height >> 8,
+        8 * nch, desc))
+
+    def px(x: int, y: int) -> bytes:
+        if gray:
+            return bytes(((s + 3 * x + 7 * y) % 256,))
+        r = (s + x + y) % 256
+        g = (2 * s + 2 * x + y) % 256
+        b = (3 * s + x + 2 * y) % 256
+        out = bytes((b, g, r))
+        if alpha:
+            out += bytes(((128 + x + y) % 256,))
+        return out
+
+    ys = range(height) if top_down else range(height - 1, -1, -1)
+    flat = [px(x, y) for y in ys for x in range(width)]
+    if not rle:
+        return hdr + b"".join(flat)
+    body = bytearray()
+    i = 0
+    while i < len(flat):
+        j = i
+        while (j + 1 < len(flat) and flat[j + 1] == flat[i]
+               and j + 1 - i < 127):
+            j += 1
+        if j > i:                       # run packet
+            body.append(0x80 | (j - i))
+            body += flat[i]
+            i = j + 1
+        else:                           # raw packet: until next run
+            k = i
+            while (k + 1 < len(flat) and k - i < 127
+                   and not (k + 2 < len(flat)
+                            and flat[k + 1] == flat[k + 2])):
+                k += 1
+            body.append(k - i)
+            body += b"".join(flat[i:k + 1])
+            i = k + 1
+    return hdr + bytes(body)
+
+
+TGA_STATS_SCHEMA = (
+    "path string, width int, height int, channels int, rle boolean, "
+    "n_px long, sum_r long, sum_g long, sum_b long, "
+    "first_r int, first_g int, first_b int"
+)
+
+
+def tga_stats(
+    df: DataFrame,
+    content_col: str = "content",
+    path_col: str = "path",
+    batch_size: int = 128,
+) -> DataFrame:
+    """Per-file pixel statistics over TGA-standing blobs (the
+    ``qoi_stats`` shape): channel sums PLUS the normalized top-left
+    pixel — sums alone are origin-agnostic, so ``first_*`` is what
+    makes the bottom-up row flip and BGR swap hash-detectable.
+    Arrow ``mapInPandas``, bounded batches, zero shuffle,
+    DECODE_ERRORS skip."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start:start + batch_size]
+                rows = []
+                for path, blob in zip(
+                    chunk[path_col].astype(str), chunk[content_col]
+                ):
+                    if blob is None:
+                        continue
+                    try:
+                        w, h, ch, rle, sm = decode_tga(bytes(blob))
+                    except DECODE_ERRORS:
+                        continue
+                    step = ch if ch >= 3 else 1
+                    rows.append({
+                        "path": path, "width": w, "height": h,
+                        "channels": ch, "rle": rle, "n_px": w * h,
+                        "sum_r": sum(sm[0::step]),
+                        "sum_g": sum(sm[1::step]) if ch >= 3
+                        else sum(sm),
+                        "sum_b": sum(sm[2::step]) if ch >= 3
+                        else sum(sm),
+                        "first_r": sm[0],
+                        "first_g": sm[1] if ch >= 3 else sm[0],
+                        "first_b": sm[2] if ch >= 3 else sm[0],
+                    })
+                yield pd.DataFrame(rows, columns=[
+                    "path", "width", "height", "channels", "rle",
+                    "n_px", "sum_r", "sum_g", "sum_b",
+                    "first_r", "first_g", "first_b"])
+
+    return df.select(path_col, content_col).mapInPandas(
+        kernel, TGA_STATS_SCHEMA)

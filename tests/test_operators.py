@@ -8055,6 +8055,118 @@ def test_ljung_box_hand_cases(spark):
         ljung_box(df, "e", "ts", "x", h=0)
 
 
+def test_cochran_q_hand_cases(spark):
+    """Hand-computed Cochran's Q: the 4x3 binary design with columns
+    C=(3,3,1), rows R=(2,1,3,1) reads Q = 2·(3·19−49)/(21−15) =
+    2.666667; all-blocks-agree input has zero denominator → NULL;
+    incomplete designs and NULL outcomes raise the contract."""
+    import pytest as _pytest
+
+    from puffbird_spark.operators.drift import cochran_q
+
+    rows = [(1, "a", 1), (1, "b", 1), (1, "c", 0),
+            (2, "a", 1), (2, "b", 0), (2, "c", 0),
+            (3, "a", 1), (3, "b", 1), (3, "c", 1),
+            (4, "a", 0), (4, "b", 1), (4, "c", 0)]
+    df = spark.createDataFrame(rows, "blk int, trt string, y int")
+    r = cochran_q(df, "blk", "trt", "y").collect()[0]
+    assert (r["n_blocks"], r["k"]) == (4, 3)
+    assert r["q_stat"] == 2.666667
+
+    agree = spark.createDataFrame(
+        [(b, t, b % 2) for b in (1, 2) for t in ("a", "b")],
+        "blk int, trt string, y int")
+    assert cochran_q(agree, "blk", "trt", "y") \
+        .collect()[0]["q_stat"] is None
+
+    with _pytest.raises(ValueError, match="COMPLETE block design"):
+        cochran_q(
+            spark.createDataFrame(rows[:8], "blk int, trt string, y int"),
+            "blk", "trt", "y")
+    withnull = spark.createDataFrame(
+        [(1, "a", True), (1, "b", None), (2, "a", False),
+         (2, "b", True)], "blk int, trt string, y boolean")
+    with _pytest.raises(ValueError, match="NULL outcomes"):
+        cochran_q(withnull, "blk", "trt", "y")
+
+
+def test_isotonic_calibration_hand_cases(spark):
+    """PAV: bin rates [.1,.5,.3,.2,.8] pool the middle violation run
+    to 10/30 = 0.333333 while the monotone ends stay; an already-
+    monotone input is untouched; out-of-range scores clamp into the
+    edge bins; empty bins are absent; n_bins < 2 raises."""
+    import pytest as _pytest
+
+    from puffbird_spark.operators.evaluation import isotonic_calibration
+
+    rows = []
+    rates = {0: 1, 1: 5, 2: 3, 3: 2, 4: 8}
+    for b, pos in rates.items():
+        p = (b + 0.5) / 5
+        rows += [(p, i < pos) for i in range(10)]
+    df = spark.createDataFrame(rows, "p double, y boolean")
+    out = {r["bin"]: r for r in
+           isotonic_calibration(df, "p", "y", n_bins=5).collect()}
+    assert [out[b]["rate_raw"] for b in range(5)] == \
+        [0.1, 0.5, 0.3, 0.2, 0.8]
+    assert [out[b]["rate_iso"] for b in range(5)] == \
+        [0.1, 0.333333, 0.333333, 0.333333, 0.8]
+    assert all(out[b]["n"] == 10 for b in range(5))
+
+    mono = spark.createDataFrame(
+        [(0.1, False), (0.1, False), (0.9, True), (0.9, True)],
+        "p double, y boolean")
+    mrows = isotonic_calibration(mono, "p", "y", n_bins=5).collect()
+    assert sorted((r["bin"], r["rate_iso"]) for r in mrows) == \
+        [(0, 0.0), (4, 1.0)]
+    # only the two touched bins release (no fabricated rates)
+    assert len(mrows) == 2
+
+    clamp = spark.createDataFrame(
+        [(-0.5, False), (1.7, True)], "p double, y boolean")
+    crows = {r["bin"]: r for r in
+             isotonic_calibration(clamp, "p", "y", n_bins=5).collect()}
+    assert set(crows) == {0, 4}
+
+    with _pytest.raises(ValueError, match="n_bins"):
+        isotonic_calibration(df, "p", "y", n_bins=1)
+
+
+def test_tga_codec_robustness():
+    """TGA corners beyond the all-variant roundtrip (which lives in
+    the staged-gate oracle): color-mapped and 16-bpp inputs are
+    honest unsupported errors; truncated RLE and raw rasters raise;
+    an RLE stream overrunning the pixel count raises."""
+    import pytest as _pytest
+
+    from puffbird_spark.operators.multimodal import decode_tga, encode_tga
+
+    good = encode_tga(4, 3, seed=5, rle=True)
+    assert decode_tga(good)[:2] == (4, 3)
+
+    cmapped = bytearray(good)
+    cmapped[1] = 1
+    with _pytest.raises(ValueError, match="color-mapped"):
+        decode_tga(bytes(cmapped))
+    bpp16 = bytearray(encode_tga(2, 2, seed=1))
+    bpp16[16] = 16
+    with _pytest.raises(ValueError, match="truecolor at 16"):
+        decode_tga(bytes(bpp16))
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_tga(encode_tga(6, 6, seed=2)[:30])
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_tga(encode_tga(6, 6, seed=2, rle=True)[:24])
+    with _pytest.raises(ValueError, match="truncated RLE"):
+        # cut INSIDE a run packet header region: keep only the header
+        decode_tga(encode_tga(6, 6, seed=2, rle=True)[:18])
+    # a run packet claiming 128 pixels on a 4-px image overruns
+    overrun = (bytes((0, 0, 10, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+                      2, 0, 2, 0, 24, 0))
+               + bytes((0xFF,)) + bytes((1, 2, 3)))
+    with _pytest.raises(ValueError, match="overruns"):
+        decode_tga(overrun)
+
+
 def test_friedman_test_hand_cases(spark):
     """Hand-computed Friedman: the textbook 3x3 no-ties case (ranks
     R = 4,5,9) reads Q = 12·14/36 = 4.666667; a within-block tie
