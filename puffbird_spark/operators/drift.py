@@ -20,6 +20,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _require_indicator(df: DataFrame, g, fn_name: str) -> None:
+    """Plan-time type contract shared by every two-sample operator in
+    this module: ``group_col`` must be a boolean (or 0/1 numeric)
+    sample-a indicator — an ANSI string->boolean cast raises an
+    opaque CAST_INVALID_INPUT at run time (r11 probe), so name the
+    contract at plan time instead. One definition, five call sites
+    (r14 self-review: the inline copies had drifted —
+    mann_whitney_u's raise had been naming ks_two_sample)."""
+    from pyspark.sql import types as T
+
+    gtype = df.select(g.alias("__a")).schema[0].dataType
+    if not isinstance(gtype, (T.BooleanType, T.NumericType)):
+        raise TypeError(
+            f"{fn_name}: group_col must be a boolean (or 0/1 numeric) "
+            f"sample-a indicator, got {gtype.simpleString()}; for a "
+            "two-valued label column pass e.g. F.col('g') == 'a'")
+
+
 def distribution_psi(
     reference: DataFrame,
     current: DataFrame,
@@ -247,18 +265,7 @@ def ks_two_sample(
 
     keys = list(key_cols or [])
     g = group_col if not isinstance(group_col, str) else F.col(group_col)
-    from pyspark.sql import types as T
-
-    gtype = df.select(g.alias("__a")).schema[0].dataType
-    if not isinstance(gtype, (T.BooleanType, T.NumericType)):
-        # an ANSI string->boolean cast raises an opaque
-        # CAST_INVALID_INPUT at run time (r11 probe) — name the
-        # contract at plan time instead
-        raise TypeError(
-            "ks_two_sample: group_col must be a boolean (or 0/1 "
-            f"numeric) sample-a indicator, got {gtype.simpleString()}; "
-            "for a two-valued label column pass e.g. "
-            "F.col('g') == 'a'")
+    _require_indicator(df, g, "ks_two_sample")
     base = df.select(
         *keys, F.col(value_col).alias("__v"),
         g.cast("boolean").alias("__a"),
@@ -388,18 +395,7 @@ def mann_whitney_u(
 
     keys = list(key_cols or [])
     g = group_col if not isinstance(group_col, str) else F.col(group_col)
-    from pyspark.sql import types as T
-
-    gtype = df.select(g.alias("__a")).schema[0].dataType
-    if not isinstance(gtype, (T.BooleanType, T.NumericType)):
-        # an ANSI string->boolean cast raises an opaque
-        # CAST_INVALID_INPUT at run time (r11 probe) — name the
-        # contract at plan time instead
-        raise TypeError(
-            "ks_two_sample: group_col must be a boolean (or 0/1 "
-            f"numeric) sample-a indicator, got {gtype.simpleString()}; "
-            "for a two-valued label column pass e.g. "
-            "F.col('g') == 'a'")
+    _require_indicator(df, g, "mann_whitney_u")
     base = df.select(
         *keys, F.col(value_col).alias("__v"),
         g.cast("boolean").alias("__a"),
@@ -490,15 +486,8 @@ def welch_t_test(
     Scale shape: ONE keyed aggregation pass, no window, no join.
     Returns ONE row:
     ``(n_a, n_b, mean_a, mean_b, t_stat, df_welch)``."""
-    from pyspark.sql import types as T
-
     g = group_col if not isinstance(group_col, str) else F.col(group_col)
-    gtype = df.select(g.alias("__a")).schema[0].dataType
-    if not isinstance(gtype, (T.BooleanType, T.NumericType)):
-        raise TypeError(
-            "welch_t_test: group_col must be a boolean (or 0/1 "
-            f"numeric) sample-a indicator, got {gtype.simpleString()}; "
-            "for a two-valued label column pass e.g. F.col('g') == 'a'")
+    _require_indicator(df, g, "welch_t_test")
     decv = f"decimal(20,{scale})"
     base = df.select(
         F.col(value_col).cast(decv).alias("__v"),
@@ -581,6 +570,12 @@ def friedman_test(
     ).filter(
         F.col("__b").isNotNull() & F.col("__t").isNotNull()
         & F.col("__v").isNotNull())
+    # pin the lineage before the probe (the fleiss_kappa convention,
+    # r14 self-review): the ranking pass re-reads base, and a
+    # non-deterministic source could pass the completeness probe yet
+    # feed the statistic a different — incomplete — design. A matched
+    # design is n·k rows by construction, so the pin is small.
+    base = base.localCheckpoint(eager=True)
 
     shape = base.groupBy("__b").agg(
         F.count(F.lit(1)).alias("__rows"),
@@ -662,7 +657,13 @@ def cochran_q(
     base = df.select(
         F.col(block_col).alias("__b"),
         F.col(treatment_col).alias("__t"),
-        s.cast("boolean").alias("__y"))
+        s.cast("boolean").alias("__y"),
+    ).filter(F.col("__b").isNotNull() & F.col("__t").isNotNull())
+    # NULL keys excluded like friedman_test (r14 self-review: Spark
+    # groupBy groups NULL, so a NULL block could masquerade as a real
+    # design row); NULL OUTCOMES stay in — the probe counts them and
+    # raises. Lineage pinned before the probe (n·k rows by design).
+    base = base.localCheckpoint(eager=True)
     shape = base.groupBy("__b").agg(
         F.count(F.lit(1)).alias("__rows"),
         F.count_distinct("__t").alias("__k"),
@@ -744,12 +745,7 @@ def cliffs_delta(
     from pyspark.sql.window import Window
 
     g = group_col if not isinstance(group_col, str) else F.col(group_col)
-    gtype = df.select(g.alias("__a")).schema[0].dataType
-    if not isinstance(gtype, (T.BooleanType, T.NumericType)):
-        raise TypeError(
-            "cliffs_delta: group_col must be a boolean (or 0/1 "
-            f"numeric) sample-a indicator, got {gtype.simpleString()}; "
-            "for a two-valued label column pass e.g. F.col('g') == 'a'")
+    _require_indicator(df, g, "cliffs_delta")
     base = df.select(
         F.col(value_col).alias("__v"), g.cast("boolean").alias("__a"),
     ).filter(F.col("__v").isNotNull() & F.col("__a").isNotNull())
@@ -832,7 +828,6 @@ def brown_forsythe(
     k-row fold. Skew equals group skew.
 
     Returns ONE row: ``(n, k, w_stat)``."""
-    from pyspark.sql import types as T
     from pyspark.sql.window import Window
 
     g = group_col if not isinstance(group_col, str) else F.col(group_col)
@@ -1094,14 +1089,7 @@ def effect_size(
     ``(*key_cols, n_a, n_b, mean_a, mean_b, cohens_d, hedges_g)``."""
     keys = list(key_cols or [])
     g = group_col if not isinstance(group_col, str) else F.col(group_col)
-    from pyspark.sql import types as T
-
-    gtype = df.select(g.alias("__a")).schema[0].dataType
-    if not isinstance(gtype, (T.BooleanType, T.NumericType)):
-        raise TypeError(
-            "effect_size: group_col must be a boolean (or 0/1 numeric) "
-            f"sample-a indicator, got {gtype.simpleString()}; for a "
-            "two-valued label column pass e.g. F.col('g') == 'a'")
+    _require_indicator(df, g, "effect_size")
     decv = f"decimal(20,{scale})"
     base = df.select(
         *keys, F.col(value_col).cast(decv).alias("__v"),

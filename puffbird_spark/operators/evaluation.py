@@ -928,6 +928,14 @@ def isotonic_calibration(
     y = _col(label_col)
     base = df.select(p.alias("__p"), y.cast("boolean").alias("__y")) \
         .filter(F.col("__p").isNotNull() & F.col("__y").isNotNull())
+    # NaN ≡ NULL (the roc_auc/probabilistic_scores house contract —
+    # r14 self-review: least/greatest would otherwise clamp NaN to
+    # 1.0 and silently pollute the top bin; the oracle filters isnan)
+    from pyspark.sql import types as T
+
+    if isinstance(base.schema["__p"].dataType,
+                  (T.DoubleType, T.FloatType)):
+        base = base.filter(~F.isnan("__p"))
     clamped = F.greatest(F.least(F.col("__p"), F.lit(1.0)), F.lit(0.0))
     binned = base.select(
         F.least(F.floor(clamped * b).cast("int"), F.lit(b - 1))

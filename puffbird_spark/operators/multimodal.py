@@ -2815,6 +2815,12 @@ def decode_pnm(blob: bytes) -> tuple[str, int, int, int, int, list[int]]:
         raster = blob[off:off + count * bpc]
         if len(raster) < count * bpc:
             raise ValueError("not a PNM: truncated binary raster")
+        if len(blob) - off > count * bpc:
+            # the raster is EXACTLY w*h*ch samples (pgm(5)); trailing
+            # bytes mean a corrupt header or concatenated files —
+            # reject rather than silently decoding a prefix (r14
+            # self-review: the docstring promised this)
+            raise ValueError("not a PNM: overlong binary raster")
         if bpc == 1:
             samples = list(raster)
         else:
@@ -2825,6 +2831,8 @@ def decode_pnm(blob: bytes) -> tuple[str, int, int, int, int, list[int]]:
         txt = blob[off:].split()
         if len(txt) < count:
             raise ValueError("not a PNM: truncated ASCII raster")
+        if len(txt) > count:
+            raise ValueError("not a PNM: overlong ASCII raster")
         try:
             samples = [int(t) for t in txt[:count]]
         except ValueError:
@@ -2990,6 +2998,12 @@ def decode_tga(blob: bytes) -> tuple[int, int, int, bool, list[int]]:
     rows = [px[r * width:(r + 1) * width] for r in range(height)]
     if not top_down:
         rows.reverse()
+    if desc & 0x10:
+        # right-to-left pixel origin (descriptor bit 4, legal per the
+        # 2.0 spec) — normalize columns too (r14 self-review: sums
+        # are order-agnostic, but per-pixel positions would silently
+        # mirror)
+        rows = [list(reversed(row)) for row in rows]
     samples: list[int] = []
     for row in rows:
         for p in row:
@@ -3006,7 +3020,7 @@ def decode_tga(blob: bytes) -> tuple[int, int, int, bool, list[int]]:
 def encode_tga(
     width: int, height: int, seed: int = 0,
     gray: bool = False, rle: bool = False, alpha: bool = False,
-    top_down: bool = False,
+    top_down: bool = False, right_to_left: bool = False,
 ) -> bytes:
     """Deterministic spec-faithful TGA fixture (closed-form pixels the
     oracle can replay): gray v = (s + 3x + 7y) mod 256; color
@@ -3018,7 +3032,8 @@ def encode_tga(
     s = int(seed)
     nch = 1 if gray else (4 if alpha else 3)
     img_type = (11 if gray else 10) if rle else (3 if gray else 2)
-    desc = (0x20 if top_down else 0) | (8 if alpha else 0)
+    desc = ((0x20 if top_down else 0) | (0x10 if right_to_left else 0)
+            | (8 if alpha else 0))
     hdr = bytes((
         0, 0, img_type, 0, 0, 0, 0, 0, 0, 0, 0, 0,
         width & 0xFF, width >> 8, height & 0xFF, height >> 8,
@@ -3036,7 +3051,9 @@ def encode_tga(
         return out
 
     ys = range(height) if top_down else range(height - 1, -1, -1)
-    flat = [px(x, y) for y in ys for x in range(width)]
+    xs = (range(width - 1, -1, -1) if right_to_left
+          else range(width))
+    flat = [px(x, y) for y in ys for x in xs]
     if not rle:
         return hdr + b"".join(flat)
     body = bytearray()

@@ -441,6 +441,12 @@ def kendall_tau_b(
     d38 = "decimal(38,0)"
     cells = base.groupBy("__x", "__y").agg(
         F.count(F.lit(1)).cast("long").alias("__c"))
+    # cells is consumed FIVE times (two tie folds, the total, both
+    # sides of the pair join) — pin it so the corpus scan+agg runs
+    # once, not five times (the incremental_embedding_dedup
+    # consumed-twice convention; r14 self-review). The pinned frame
+    # is distinct-cell-sized — tiny for ordinal data by design.
+    cells = cells.localCheckpoint(eager=True)
 
     def _tie_fold(col: str, alias: str):
         per = cells.groupBy(col).agg(

@@ -677,17 +677,27 @@ def sq_minmax(corpus: DataFrame, vec_col: str, dim: int) -> tuple:
 
 def sq_quantize(vec, lo: np.ndarray, scale: np.ndarray):
     """int8 scalar quantization of one embedding Column:
-    ``round((x - lo_d) / scale_d) - 128`` per dimension — 1 byte/dim
-    instead of 4, entirely JVM-side (the lo/scale tables ship as single
-    ndarray literals; r5 lesson: per-element F.lit costs ~2.5 ms each).
-    """
+    ``clamp(round((x - lo_d) / scale_d), 0, 255) - 128`` per dimension
+    — 1 byte/dim instead of 4, entirely JVM-side (the lo/scale tables
+    ship as single ndarray literals; r5 lesson: per-element F.lit
+    costs ~2.5 ms each). The clamp SATURATES values outside the
+    [lo, lo+255·scale] range instead of letting the tinyint cast wrap
+    mod 256 (r14 self-review: under FIXED params — the
+    ``incremental_embedding_dedup`` sq8 contract, where later batches
+    may exceed the calibration corpus's range — a wrapped code
+    dequantizes off by multiples of 256·scale; a saturated one is off
+    by at most the overshoot, the standard SQ behavior)."""
     lo_lit, scale_lit = F.lit(lo), F.lit(scale)
     return F.transform(
         as_double(vec),
         lambda x, i: (
-            F.round((x - F.element_at(lo_lit, i + 1))
-                    / F.element_at(scale_lit, i + 1))
-            .cast("int") - 128
+            F.greatest(
+                F.least(
+                    F.round((x - F.element_at(lo_lit, i + 1))
+                            / F.element_at(scale_lit, i + 1))
+                    .cast("int"),
+                    F.lit(255)),
+                F.lit(0)) - 128
         ).cast("tinyint"),
     )
 

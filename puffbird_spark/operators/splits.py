@@ -611,7 +611,11 @@ def temperature_allocation(
     Determinism: the power weight snaps to ``dp`` decimals (the
     transcendental ladder — JVM and C ``pow`` may differ in the last
     ulp); the weight SUM pools as exact decimal(18,dp); quotas and
-    remainders are identical doubles on every engine.
+    remainders are identical doubles on every engine. If every
+    snapped weight is 0 (very many similar domains under strong
+    sharpening), the allocation falls back to UNIFORM weights — the
+    T→∞ limit — rather than releasing NaN quotas (unit-pinned; the
+    gate oracle replays the normal wsum>0 path only).
 
     Scale shape: one domain-keyed count aggregation; everything after
     runs on the DISTINCT-domain frame (two unpartitioned windows over
@@ -635,8 +639,17 @@ def temperature_allocation(
     c = c.select(
         domain, "n", w.cast(f"decimal(18,{dp})").alias("__w"))
     wsum = F.sum("__w").over(Window.partitionBy())
-    q = F.lit(float(total)) * F.col("__w").cast("double") \
-        / wsum.cast("double")
+    # zero-pool guard (r14 self-review): with enough similar-sized
+    # domains under strong sharpening, EVERY (n_d/N)^(1/T) can snap
+    # to 0 at dp decimals — total·0/0 would release NaN quotas and
+    # break the Σ alloc = total guarantee. Fall back to UNIFORM
+    # weights (the T→∞ limit, the least-surprising degenerate read).
+    kdom = F.count(F.lit(1)).over(Window.partitionBy())
+    w_eff = F.when(wsum > 0, F.col("__w").cast("double")) \
+        .otherwise(F.lit(1.0))
+    denom = F.when(wsum > 0, wsum.cast("double")) \
+        .otherwise(kdom.cast("double"))
+    q = F.lit(float(total)) * w_eff / denom
     c = c.select(domain, "n", q.alias("quota"),
                  F.floor(q).cast("long").alias("__base"))
     wd = Window.partitionBy()

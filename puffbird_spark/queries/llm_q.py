@@ -2881,9 +2881,12 @@ def text_textrank(spark, sf_dir):
     toks = TXT.tokens("text", drop_empty=True)
     docs = load(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull())
+    # greatest(.., 0): slice raises on a negative length, and an
+    # empty/whitespace-only text tokenizes to [] (r14 self-review —
+    # latent: the current fixtures have no empty texts)
     pairs = docs.select(toks.alias("tk")).select(
         F.explode(F.expr(
-            "transform(slice(tk, 1, size(tk) - 1),"
+            "transform(slice(tk, 1, greatest(size(tk) - 1, 0)),"
             " (x, i) -> struct(x AS a, element_at(tk, i + 2) AS b))"
         )).alias("p"))
     eu = (pairs.select(F.col("p.a").alias("src"),

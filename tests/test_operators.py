@@ -4120,6 +4120,30 @@ def test_incremental_embedding_arrow_kernel_equals_hof(spark):
     assert sorted(got) == hof
 
 
+def test_sq_quantize_saturates_out_of_range(spark):
+    """r14 self-review: under FIXED sq params a later batch can
+    exceed the calibration range; the quantizer must SATURATE at
+    0/255 (error bounded by the overshoot), not wrap through the
+    tinyint cast (error in multiples of 256·scale)."""
+    import numpy as np
+
+    from puffbird_spark.operators.similarity import (
+        sq_dequantize, sq_quantize)
+
+    lo = np.array([0.0, 0.0])
+    scale = np.array([1.0, 1.0])          # code range covers [0, 255]
+    df = spark.createDataFrame(
+        [([300.0, -40.0],), ([100.0, 255.0],)], "v array<double>")
+    q = df.select(sq_quantize("v", lo, scale).alias("q"),
+                  sq_dequantize(
+                      sq_quantize("v", lo, scale), lo, scale)
+                  .alias("d")).collect()
+    assert q[0]["q"] == [127, -128]       # saturated, not wrapped
+    assert q[0]["d"] == [255.0, 0.0]      # overshoot-bounded error
+    assert q[1]["q"] == [-28, 127]
+    assert q[1]["d"] == [100.0, 255.0]    # in-range stays exact
+
+
 def test_incremental_embedding_dedup_sq8_state(spark):
     """r14 (VERDICT #8): the SQ-int8 state representation. On a
     fixture whose cosine margins dwarf the quantization error, sq8
@@ -7896,6 +7920,12 @@ def test_pnm_codec_roundtrip_and_robustness(spark):
         decode_pnm(b"P2\n4 4\n255\n1 2 3")
     with _pytest.raises(ValueError, match="exceeds maxval"):
         decode_pnm(b"P2\n2 1\n255\n10 300")
+    # overlong rasters are corruption, not data (r14 self-review:
+    # the docstring promised this; trailing garbage must not decode)
+    with _pytest.raises(ValueError, match="overlong binary"):
+        decode_pnm(encode_pnm("P6", 3, 2, seed=1) + b"\x00\x01")
+    with _pytest.raises(ValueError, match="overlong ASCII"):
+        decode_pnm(b"P2\n2 1\n255\n10 20 30")
     with _pytest.raises(ValueError, match="implausible"):
         decode_pnm(b"P2\n0 5\n255\n1")
     with _pytest.raises(ValueError, match="maxval"):
@@ -8131,6 +8161,15 @@ def test_isotonic_calibration_hand_cases(spark):
     with _pytest.raises(ValueError, match="n_bins"):
         isotonic_calibration(df, "p", "y", n_bins=1)
 
+    # NaN score ≡ NULL (r14 self-review: the clamp would otherwise
+    # send NaN to the TOP bin via least/greatest)
+    nan = spark.createDataFrame(
+        [(0.1, False), (float("nan"), True), (None, True)],
+        "p double, y boolean")
+    nrows = isotonic_calibration(nan, "p", "y", n_bins=5).collect()
+    assert len(nrows) == 1 and nrows[0]["bin"] == 0
+    assert nrows[0]["n"] == 1
+
 
 def test_tga_codec_robustness():
     """TGA corners beyond the all-variant roundtrip (which lives in
@@ -8165,6 +8204,12 @@ def test_tga_codec_robustness():
                + bytes((0xFF,)) + bytes((1, 2, 3)))
     with _pytest.raises(ValueError, match="overruns"):
         decode_tga(overrun)
+
+    # right-to-left origin (descriptor bit 4) normalizes columns too
+    # (r14 self-review: sums are mirror-blind, positions are not)
+    a = decode_tga(encode_tga(4, 3, seed=11))
+    b = decode_tga(encode_tga(4, 3, seed=11, right_to_left=True))
+    assert a == b
 
 
 def test_friedman_test_hand_cases(spark):

@@ -798,3 +798,16 @@ def test_temperature_allocation_and_mixture(spark):
         temperature_allocation(df, "dom", total=0)
     with pytest.raises(ValueError, match="temperature"):
         temperature_allocation(df, "dom", total=5, temperature=0.0)
+
+    # zero-pool fallback (r14 self-review): T=0.01 snaps every
+    # (n/N)^(1/T) weight to 0 at 9 dp — the allocation falls back to
+    # UNIFORM instead of NaN quotas, and the Hamilton sum still holds
+    eq = spark.createDataFrame(
+        [(d, 100 * i + j) for i, d in enumerate(("a", "b", "c"))
+         for j in range(8)], "dom string, k long")
+    z = {r["dom"]: r for r in temperature_allocation(
+        eq, "dom", total=10, temperature=0.01).collect()}
+    assert sum(r["alloc"] for r in z.values()) == 10
+    assert {r["alloc"] for r in z.values()} == {4, 3}
+    assert z["a"]["alloc"] == 4          # remainder tie -> smallest label
+    assert all(r["quota"] is not None for r in z.values())
