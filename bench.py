@@ -182,6 +182,12 @@ BENCH_QUERIES = [
     # + vocab-sized window — the corpus-profiling scan shape)
     "eval_roc_auc",
     "text_zipf",
+    # round-14: the Arrow-batched per-pair LCS DP (the UDF-escape-hatch
+    # eval kernel), the broadcast contingency-cell rank correlation,
+    # and the per-word Viterbi tokenizer decode (broadcast piece table)
+    "eval_rouge_l",
+    "diag_kendall_tau",
+    "text_unigram_segment",
 ]
 
 
