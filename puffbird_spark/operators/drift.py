@@ -454,6 +454,85 @@ def mann_whitney_u(
     )
 
 
+def jensen_shannon(
+    df: DataFrame,
+    group_col,
+    cat_col: str,
+    dp: int = 6,
+) -> DataFrame:
+    """Jensen-Shannon divergence (Lin 1991) between the categorical
+    distributions of two samples — the SYMMETRIC, always-finite
+    sibling of KL in the drift family (:func:`categorical_psi` needs
+    smoothing to survive a vanished category; JSD is bounded by ln 2
+    and handles zero-mass categories exactly):
+
+        JSD(P, Q) = Σ_c [ p_c·ln(p_c/m_c) + q_c·ln(q_c/m_c) ] / 2,
+        m_c = (p_c + q_c)/2,   0·ln(0/·) ≡ 0
+
+    ``group_col`` is a boolean sample-a indicator (the shared
+    plan-time type contract). NULL group or category rows are
+    excluded (complete-case — a missing label is not a category
+    level; distinguish explicitly upstream if it should be).
+
+    Determinism: p/q are exact count-ratio doubles; each category's
+    term snaps to 9-dp decimal before the cross-category sum
+    (order-free); released in nats and bits (÷ln 2), plus the
+    normalized distance sqrt(JSD/ln 2) ∈ [0,1] (Endres & Schindelin
+    2003 — the metric form). An empty side releases NULL.
+
+    Scale shape: ONE (group x category)-keyed count aggregation plus
+    a category-frame fold — linear, map-side combinable, no window.
+    Returns ONE row: ``(n_a, n_b, k_categories, jsd_nats, jsd_bits,
+    js_distance)``."""
+    import math
+
+    g = group_col if not isinstance(group_col, str) else F.col(group_col)
+    _require_indicator(df, g, "jensen_shannon")
+    base = df.select(
+        F.col(cat_col).alias("__c"), g.cast("boolean").alias("__a"),
+    ).filter(F.col("__c").isNotNull() & F.col("__a").isNotNull())
+    per = base.groupBy("__c").agg(
+        F.sum(F.when(F.col("__a"), 1).otherwise(0))
+        .cast("long").alias("__na"),
+        F.sum(F.when(~F.col("__a"), 1).otherwise(0))
+        .cast("long").alias("__nb"))
+    tot = per.agg(
+        F.sum("__na").cast("long").alias("__ta"),
+        F.sum("__nb").cast("long").alias("__tb"))
+    j = per.crossJoin(F.broadcast(tot))
+    # empty-side guard BEFORE the division: under ANSI a zero total
+    # is a runtime DIVIDE_BY_ZERO kill, not an Inf (the release
+    # already NULLs when a side is empty — the terms are dead there)
+    pa = F.when(
+        F.col("__ta") > 0,
+        F.col("__na").cast("double") / F.col("__ta").cast("double")
+    ).otherwise(F.lit(0.0))
+    pb = F.when(
+        F.col("__tb") > 0,
+        F.col("__nb").cast("double") / F.col("__tb").cast("double")
+    ).otherwise(F.lit(0.0))
+    m = (pa + pb) / 2
+    term = (
+        F.when(F.col("__na") > 0, pa * F.log(pa / m)).otherwise(0.0)
+        + F.when(F.col("__nb") > 0, pb * F.log(pb / m)).otherwise(0.0)
+    ) / 2
+    folded = j.agg(
+        F.max("__ta").alias("n_a"), F.max("__tb").alias("n_b"),
+        F.count(F.lit(1)).cast("long").alias("k_categories"),
+        F.sum(F.round(term, 9).cast("decimal(38,9)")).alias("__s"))
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    jsd = F.col("__s").cast("double")
+    return folded.filter(
+        (F.col("n_a") + F.col("n_b")) > 0).select(
+        "n_a", "n_b", "k_categories",
+        F.when(ok, F.round(jsd, dp)).alias("jsd_nats"),
+        F.when(ok, F.round(jsd / F.lit(math.log(2.0)), dp))
+        .alias("jsd_bits"),
+        F.when(ok, F.round(
+            F.sqrt(F.greatest(jsd, F.lit(0.0)) / F.lit(math.log(2.0))),
+            dp)).alias("js_distance"))
+
+
 def welch_t_test(
     df: DataFrame,
     group_col,

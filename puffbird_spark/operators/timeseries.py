@@ -1028,6 +1028,114 @@ def partial_autocorrelation(
         .alias("pacf3"))
 
 
+def changepoint_binary(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    order_tiebreak: str | None = None,
+    min_segment: int = 2,
+    scale: int = 6,
+    dp: int = 6,
+) -> DataFrame:
+    """Single-changepoint detection per entity by binary segmentation
+    (Scott & Knott 1974; the first split of the classic binary-seg /
+    PELT family) — WHERE did the level shift, completing
+    :func:`cusum` (which answers "did it drift" as a running
+    excursion): the split t* maximizing the between-segment sum of
+    squares
+
+        gain(t) = S_L²/t + S_R²/(n−t) − S²/n
+
+    over admissible splits (both segments at least ``min_segment``
+    observations). Equivalent to minimizing total within-segment SSE
+    for one split; gain 0 means a flat series.
+
+    Ordering follows the :func:`autocorrelation` contract: per-entity
+    (ts, order_tiebreak) sequence, NULL values and NULL timestamps
+    excluded BEFORE sequencing, missing tiebreak warns.
+
+    Determinism: values snap to decimal(20,scale); prefix sums are
+    exact decimal window folds; each candidate's gain is one double
+    expression over exact sums, snapped at 9 dp BEFORE the argmax so
+    the (gain desc, t asc) winner is engine-identical; release at
+    ``dp``. Entities with n < 2·min_segment release NULL split/gain
+    (no admissible cut).
+
+    Scale shape: one keyed sequence window (row number + running
+    sum), one keyed total join, one keyed argmax window — all
+    partitioned by entity, nothing global. Returns one row per
+    entity: ``(entity_col, n, split_t, gain, mean_left,
+    mean_right)`` — ``split_t`` is the LAST position of the left
+    segment (1-based)."""
+    from pyspark.sql.window import Window
+
+    if int(min_segment) < 1:
+        raise ValueError(
+            f"min_segment must be >= 1, got {min_segment}")
+    decv = f"decimal(20,{scale})"
+    order = [F.col(ts_col)]
+    if order_tiebreak is not None:
+        order.append(F.col(order_tiebreak))
+    else:
+        from . import warn_missing_tiebreak
+
+        warn_missing_tiebreak("changepoint_binary")
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(entity_col).alias("__e"),
+        F.col(value_col).cast(decv).alias("__x"),
+        *[c.alias(f"__o{i}") for i, c in enumerate(order)])
+    ocols = [F.col(f"__o{i}") for i in range(len(order))]
+    wseq = Window.partitionBy("__e").orderBy(*ocols)
+    seq = base.select(
+        "__e", "__x",
+        F.row_number().over(wseq).alias("__t"),
+        F.sum("__x").over(
+            wseq.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("__sl"))
+    tot = seq.groupBy("__e").agg(
+        F.max("__t").cast("long").alias("__n"),
+        F.sum("__x").alias("__s"))
+    j = seq.join(tot, "__e")
+    ms = int(min_segment)
+    t = F.col("__t").cast("double")
+    n = F.col("__n").cast("double")
+    sl = F.col("__sl").cast("double")
+    s = F.col("__s").cast("double")
+    sr = s - sl
+    gain = F.round(
+        sl * sl / t + sr * sr / (n - t) - s * s / n, 9)
+    cand = j.filter(
+        (F.col("__t") >= ms) & (F.col("__n") - F.col("__t") >= ms)
+    ).select(
+        "__e", "__t", "__n", "__sl", "__s", gain.alias("__g"))
+    wbest = Window.partitionBy("__e").orderBy(
+        F.desc("__g"), F.asc("__t"))
+    best = (cand.withColumn("__rk", F.row_number().over(wbest))
+            .filter(F.col("__rk") == 1))
+    out = best.select(
+        F.col("__e").alias(entity_col),
+        F.col("__n").cast("long").alias("n"),
+        F.col("__t").cast("long").alias("split_t"),
+        F.round(F.col("__g"), dp).alias("gain"),
+        F.round(F.col("__sl").cast("double") / F.col("__t"), dp)
+        .alias("mean_left"),
+        F.round((F.col("__s") - F.col("__sl")).cast("double")
+                / (F.col("__n") - F.col("__t")), dp)
+        .alias("mean_right"))
+    # entities too short for any admissible split still release a row
+    short = tot.filter(F.col("__n") < 2 * ms).select(
+        F.col("__e").alias(entity_col),
+        F.col("__n").cast("long").alias("n"),
+        F.lit(None).cast("long").alias("split_t"),
+        F.lit(None).cast("double").alias("gain"),
+        F.lit(None).cast("double").alias("mean_left"),
+        F.lit(None).cast("double").alias("mean_right"))
+    return out.unionByName(short)
+
+
 def ljung_box(
     df: DataFrame,
     entity_col: str,

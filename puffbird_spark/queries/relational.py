@@ -4841,6 +4841,110 @@ def diag_brown_forsythe(spark, sf_dir):
     return brown_forsythe(cust, "c_mktsegment", "c_acctbal")
 
 
+_JSD_ORACLE = """
+WITH b AS (SELECT event_type AS c, user_id % 2 = 0 AS a
+  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+per AS (SELECT c, SUM(CASE WHEN a THEN 1 ELSE 0 END) AS na,
+    SUM(CASE WHEN a THEN 0 ELSE 1 END) AS nb FROM b GROUP BY c),
+t AS (SELECT SUM(na) AS ta, SUM(nb) AS tb FROM per),
+terms AS (SELECT na, nb, ta, tb,
+    CAST(na AS DOUBLE) / CAST(ta AS DOUBLE) AS pa,
+    CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE) AS pb
+  FROM per, t),
+f AS (SELECT MAX(ta) AS ta, MAX(tb) AS tb, COUNT(*) AS k,
+    SUM(CAST(round(
+      (CASE WHEN na > 0 THEN pa * ln(pa / ((pa + pb) / 2))
+            ELSE 0.0 END
+       + CASE WHEN nb > 0 THEN pb * ln(pb / ((pa + pb) / 2))
+              ELSE 0.0 END) / 2, 9) AS DECIMAL(38,9))) AS s
+  FROM terms)
+SELECT CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+  CAST(k AS BIGINT) AS k_categories,
+  CASE WHEN ta > 0 AND tb > 0
+       THEN round(CAST(s AS DOUBLE), 6) END AS jsd_nats,
+  CASE WHEN ta > 0 AND tb > 0
+       THEN round(CAST(s AS DOUBLE) / 0.6931471805599453, 6)
+  END AS jsd_bits,
+  CASE WHEN ta > 0 AND tb > 0
+       THEN round(sqrt(GREATEST(CAST(s AS DOUBLE), 0.0)
+                       / 0.6931471805599453), 6)
+  END AS js_distance
+FROM f
+"""
+
+
+@query("diag_jensen_shannon", oracle=_JSD_ORACLE)
+def diag_jensen_shannon(spark, sf_dir):
+    """Jensen-Shannon divergence (`jensen_shannon`,
+    operators/drift.py; Lin 1991, Endres & Schindelin 2003 distance
+    form) — the symmetric bounded drift measure beside
+    `diag_categorical_psi` (no smoothing needed: zero-mass categories
+    contribute exactly q·ln2/2). Fixture: event-type distributions of
+    even- vs odd-id users. One keyed count agg + a category-frame
+    fold, 9-dp term snap, exact decimal pool; nats, bits, and the
+    metric sqrt release."""
+    from ..operators.drift import jensen_shannon
+
+    ev = load(spark, sf_dir, "events")
+    return jensen_shannon(
+        ev, F.col("user_id") % 2 == 0, "event_type")
+
+
+_CHANGEPOINT_ORACLE = """
+WITH b AS (SELECT user_id AS e, CAST(value AS DECIMAL(20,6)) AS x,
+    ts, event_id
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+seq AS (SELECT e, x,
+    row_number() OVER w AS t,
+    SUM(x) OVER (PARTITION BY e ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sl
+  FROM b WINDOW w AS (PARTITION BY e ORDER BY ts, event_id)),
+tot AS (SELECT e, MAX(t) AS n, SUM(x) AS s FROM seq GROUP BY e),
+cand AS (SELECT seq.e, t, n, sl, s,
+    round(CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE)
+            / CAST(t AS DOUBLE)
+        + (CAST(s AS DOUBLE) - CAST(sl AS DOUBLE))
+          * (CAST(s AS DOUBLE) - CAST(sl AS DOUBLE))
+            / (CAST(n AS DOUBLE) - CAST(t AS DOUBLE))
+        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+            / CAST(n AS DOUBLE), 9) AS g
+  FROM seq JOIN tot USING (e)
+  WHERE t >= 2 AND n - t >= 2),
+best AS (SELECT *, row_number() OVER (PARTITION BY e
+           ORDER BY g DESC, t ASC) AS rk FROM cand)
+SELECT e AS user_id, CAST(n AS BIGINT) AS n,
+  CAST(t AS BIGINT) AS split_t, round(g, 6) AS gain,
+  round(CAST(sl AS DOUBLE) / t, 6) AS mean_left,
+  round((CAST(s AS DOUBLE) - CAST(sl AS DOUBLE)) / (n - t), 6)
+    AS mean_right
+FROM best WHERE rk = 1
+UNION ALL
+SELECT e AS user_id, CAST(n AS BIGINT) AS n,
+  CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM tot WHERE n < 4
+"""
+
+
+@query("timeseries_changepoint", oracle=_CHANGEPOINT_ORACLE)
+def timeseries_changepoint(spark, sf_dir):
+    """Single-changepoint binary segmentation per entity
+    (`changepoint_binary`, operators/timeseries.py; Scott & Knott
+    1974) — WHERE each user's event-value level shifted, completing
+    `timeseries_cusum`'s did-it-drift excursion: argmax of the
+    between-segment sum of squares over admissible splits
+    (min_segment=2), 9-dp-snapped gains so the (gain desc, t asc)
+    winner is engine-identical. One keyed sequence window + one
+    keyed argmax window, exact decimal prefix sums; too-short
+    entities release NULL splits."""
+    from ..operators.timeseries import changepoint_binary
+
+    ev = load(spark, sf_dir, "events")
+    return changepoint_binary(
+        ev, "user_id", "ts", "value", order_tiebreak="event_id",
+        min_segment=2)
+
+
 _FRIEDMAN_ORACLE = """
 WITH b AS (SELECT doc_id % 100 AS blk, doc_id // 100 AS trt,
     length(text) AS v

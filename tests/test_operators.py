@@ -8085,6 +8085,78 @@ def test_ljung_box_hand_cases(spark):
         ljung_box(df, "e", "ts", "x", h=0)
 
 
+def test_jensen_shannon_hand_cases(spark):
+    """Hand-computed JSD: identical distributions read 0 everywhere;
+    fully disjoint supports read the ln2 maximum (1 bit, distance 1);
+    the classic half-overlap case {A:2,B:2} vs {B:2,C:2} reads
+    0.5·ln2 nats = 0.5 bits; an empty side is NULL; a string group
+    column raises the shared type contract."""
+    import math
+
+    import pytest as _pytest
+
+    from puffbird_spark.operators.drift import jensen_shannon
+
+    same = spark.createDataFrame(
+        [(True, "x"), (True, "y"), (False, "x"), (False, "y")],
+        "a boolean, c string")
+    r = jensen_shannon(same, "a", "c").collect()[0]
+    assert (r["jsd_nats"], r["jsd_bits"], r["js_distance"]) \
+        == (0.0, 0.0, 0.0)
+
+    disjoint = spark.createDataFrame(
+        [(True, "x"), (True, "y"), (False, "u"), (False, "v")],
+        "a boolean, c string")
+    d = jensen_shannon(disjoint, "a", "c").collect()[0]
+    assert d["jsd_nats"] == round(math.log(2.0), 6)
+    assert d["jsd_bits"] == 1.0 and d["js_distance"] == 1.0
+    assert d["k_categories"] == 4
+
+    half = spark.createDataFrame(
+        [(True, "A")] * 2 + [(True, "B")] * 2
+        + [(False, "B")] * 2 + [(False, "C")] * 2,
+        "a boolean, c string")
+    h = jensen_shannon(half, "a", "c").collect()[0]
+    assert h["jsd_bits"] == 0.5
+    assert h["jsd_nats"] == round(0.5 * math.log(2.0), 6)
+
+    onesided = spark.createDataFrame(
+        [(True, "x"), (True, "y")], "a boolean, c string")
+    o = jensen_shannon(onesided, "a", "c").collect()[0]
+    assert o["jsd_nats"] is None
+
+    bad = spark.createDataFrame([("g", "x")], "g string, c string")
+    with _pytest.raises(TypeError, match="boolean"):
+        jensen_shannon(bad, "g", "c")
+
+
+def test_changepoint_binary_hand_cases(spark):
+    """Hand-computed binary segmentation: [1,1,1,5,5,5] splits at
+    t=3 with gain 24 and means (1, 5); a flat series reads gain 0 at
+    the earliest admissible split (tie → smallest t); a 3-point
+    series under min_segment=2 has no admissible cut → NULL split;
+    bad min_segment raises."""
+    import pytest as _pytest
+
+    from puffbird_spark.operators.timeseries import changepoint_binary
+
+    rows = [("a", t, v) for t, v in enumerate((1.0, 1.0, 1.0,
+                                               5.0, 5.0, 5.0))]
+    rows += [("b", t, 2.0) for t in range(4)]
+    rows += [("c", t, float(t)) for t in range(3)]
+    df = spark.createDataFrame(rows, "e string, t int, x double") \
+        .withColumn("ts", F.col("t").cast("timestamp"))
+    out = {r["e"]: r for r in changepoint_binary(
+        df, "e", "ts", "x", order_tiebreak="t").collect()}
+    assert (out["a"]["split_t"], out["a"]["gain"]) == (3, 24.0)
+    assert (out["a"]["mean_left"], out["a"]["mean_right"]) == (1.0, 5.0)
+    assert (out["b"]["split_t"], out["b"]["gain"]) == (2, 0.0)
+    assert out["c"]["split_t"] is None and out["c"]["n"] == 3
+    with _pytest.raises(ValueError, match="min_segment"):
+        changepoint_binary(df, "e", "ts", "x", order_tiebreak="t",
+                           min_segment=0)
+
+
 def test_cochran_q_hand_cases(spark):
     """Hand-computed Cochran's Q: the 4x3 binary design with columns
     C=(3,3,1), rows R=(2,1,3,1) reads Q = 2·(3·19−49)/(21−15) =
