@@ -1192,3 +1192,271 @@ def ljung_box(
             F.col("__nvalid") == int(h),
             F.round(nd * (nd + 2.0) * F.col("__s").cast("double"), dp)
         ).alias("q"))
+
+
+def granger_lag1(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    cause_col: str,
+    effect_col: str,
+    order_tiebreak: str | None = None,
+    scale: int = 6,
+    dp: int = 6,
+) -> DataFrame:
+    """Per-entity lag-1 Granger causality F-test (Granger 1969) — does
+    the history of ``cause_col`` improve the one-step prediction of
+    ``effect_col`` beyond the effect's own history? The feature-screen
+    a forecasting pipeline runs before adding an exogenous regressor.
+    Closed-form OLS over exact sums, no iterative fit:
+
+        restricted:    y_t = a + b·y_{t−1}
+        unrestricted:  y_t = a + b·y_{t−1} + c·x_{t−1}
+        F = (SSR_r − SSR_u) / (SSR_u / (m − 3))
+
+    with m the regression-row count (observations having a lag-1
+    predecessor). Released F only — the F(1, m−3) CDF is the caller's
+    table lookup (the ``chi_square_independence`` convention).
+
+    Both SSRs come from centered second moments: SSR_r = Syy −
+    Syu²/Suu and SSR_u = Syy − (Svv·Syu² − 2·Suv·Syu·Syv +
+    Suu·Syv²)/(Suu·Svv − Suv²) with u = y_{t−1}, v = x_{t−1} — the
+    textbook two-regressor normal-equation solve by Cramer's rule.
+
+    Ordering and exclusion follow the :func:`autocorrelation`
+    contract: per-entity (ts, order_tiebreak) sequence, rows with a
+    NULL timestamp, cause, or effect excluded BEFORE sequencing
+    (complete-case series — a gap splices, it does not null-pad;
+    documented, matches the pairwise-complete ACF convention),
+    missing tiebreak warns.
+
+    Determinism (the krippendorff per-term ladder): inputs snap to
+    ``decimal(20,scale)``; regression-row means divide exact decimal
+    sums by exact longs (one IEEE double each); every centered
+    product rounds to 9 dp and pools as decimal(38,9) (order-free
+    exact sums); SSRs snap at 9 dp; the F ratio's numerator clamps at
+    0 (exact math guarantees SSR_r ≥ SSR_u; the release grain may dip
+    a hair below) and releases at ``dp``. NULL F when m ≤ 3 (no error
+    df), when Suu or the Cramer determinant is ≤ 0 at the release
+    grain (constant or collinear regressors), or when SSR_u ≤ 0 (a
+    perfect fit has no error variance to test against).
+
+    Scale shape: one keyed sequence window (the lag pass) + two keyed
+    aggregations + one co-partitioned join — exactly
+    :func:`autocorrelation`'s plan; nothing global, nothing
+    driver-side; skew equals entity skew.
+
+    Returns ``(entity_col, n, m, ssr_r, ssr_u, f_stat)`` — ``n`` the
+    entity's complete-case observation count, ``m = max(n − 1, 0)``
+    the regression rows."""
+    decv = f"decimal(20,{scale})"
+    order = [F.col(ts_col)]
+    if order_tiebreak is not None:
+        order.append(F.col(order_tiebreak))
+    else:
+        from . import warn_missing_tiebreak
+
+        warn_missing_tiebreak("granger_lag1")
+    base = df.filter(
+        F.col(ts_col).isNotNull()
+        & F.col(cause_col).isNotNull()
+        & F.col(effect_col).isNotNull()
+    ).select(
+        F.col(entity_col).alias("__e"),
+        F.col(cause_col).cast(decv).alias("__x"),
+        F.col(effect_col).cast(decv).alias("__y"),
+        *[c.alias(f"__o{i}") for i, c in enumerate(order)])
+    w = Window.partitionBy("__e").orderBy(
+        *[F.col(f"__o{i}") for i in range(len(order))])
+    lagged = base.select(
+        "__e", "__y",
+        F.lag("__y", 1).over(w).alias("__u"),
+        F.lag("__x", 1).over(w).alias("__v"))
+    # regression rows: observations with a predecessor
+    reg = lagged.filter(F.col("__u").isNotNull())
+    stats = reg.groupBy("__e").agg(
+        F.count(F.lit(1)).cast("long").alias("__m"),
+        F.sum("__y").alias("__sy"),
+        F.sum("__u").alias("__su"),
+        F.sum("__v").alias("__sv"))
+    nobs = lagged.groupBy("__e").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    yb = F.col("__sy").cast("double") / F.col("__m")
+    ub = F.col("__su").cast("double") / F.col("__m")
+    vb = F.col("__sv").cast("double") / F.col("__m")
+    j = reg.join(stats, "__e")
+    dy = F.col("__y").cast("double") - yb
+    du = F.col("__u").cast("double") - ub
+    dv = F.col("__v").cast("double") - vb
+    d9 = "decimal(38,9)"
+
+    def _pool(a, b, name):
+        return F.sum(F.round(a * b, 9).cast(d9)).alias(name)
+
+    mom = j.groupBy("__e").agg(
+        F.max("__m").alias("__m"),
+        _pool(dy, dy, "__syy"), _pool(dy, du, "__syu"),
+        _pool(dy, dv, "__syv"), _pool(du, du, "__suu"),
+        _pool(du, dv, "__suv"), _pool(dv, dv, "__svv"))
+    syy = F.col("__syy").cast("double")
+    syu = F.col("__syu").cast("double")
+    syv = F.col("__syv").cast("double")
+    suu = F.col("__suu").cast("double")
+    suv = F.col("__suv").cast("double")
+    svv = F.col("__svv").cast("double")
+    det = F.round(suu * svv - suv * suv, 9)
+    ssr_r = F.round(syy - syu * syu / suu, 9)
+    expl = (svv * syu * syu - 2.0 * suv * syu * syv
+            + suu * syv * syv) / det
+    ssr_u = F.round(syy - expl, 9)
+    m = F.col("__m")
+    md = m.cast("double")
+    ok_r = (m > 3) & (F.round(suu, 9) > 0)
+    ok_u = ok_r & (det > 0)
+    fnum = F.greatest(F.round(ssr_r - ssr_u, 9), F.lit(0.0))
+    f_ok = ok_u & (ssr_u > 0)
+    per = mom.select(
+        "__e",
+        F.col("__m").alias("m"),
+        F.when(ok_r, F.round(ssr_r, dp)).alias("ssr_r"),
+        F.when(ok_u, F.round(ssr_u, dp)).alias("ssr_u"),
+        F.when(f_ok, F.round(fnum / (ssr_u / (md - 3.0)), dp))
+        .alias("f_stat"))
+    out = nobs.join(per, "__e", "left").select(
+        F.col("__e").alias(entity_col), F.col("n"),
+        F.coalesce(F.col("m"), F.lit(0).cast("long")).alias("m"),
+        "ssr_r", "ssr_u", "f_stat")
+    return out
+
+
+def changepoint_variance(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    order_tiebreak: str | None = None,
+    min_segment: int = 5,
+    scale: int = 6,
+    dp: int = 6,
+) -> DataFrame:
+    """Single VARIANCE-changepoint detection per entity by binary
+    segmentation — WHERE did the series' volatility shift, the
+    scale-shift sibling of :func:`changepoint_binary`'s level shift
+    (the classic two costs of the binary-seg / PELT family; Killick
+    et al. 2012 use exactly this Gaussian variance cost): the split
+    t* maximizing the log-likelihood gain
+
+        gain(t) = n·ln(σ̂²) − t·ln(σ̂²_L) − (n−t)·ln(σ̂²_R)
+
+    with σ̂² the biased MLE variance (Sq/m − (S/m)²) of each span.
+    Gain 0 means homogeneous volatility; a variance shift with a flat
+    mean is invisible to the level cost and vice versa.
+
+    Ordering follows the :func:`autocorrelation` contract: per-entity
+    (ts, order_tiebreak) sequence, NULL values and NULL timestamps
+    excluded BEFORE sequencing, missing tiebreak warns.
+
+    Determinism: values snap to decimal(20,scale); prefix sums of x
+    and x² are EXACT decimal window folds (x² at scale 2·scale is
+    exact, no rounding enters the prefixes); each span's variance is
+    one double expression over exact sums snapped at 9 dp; candidates
+    where ANY span's snapped variance is ≤ 0 (a constant segment has
+    −∞ cost — no finite gain exists) are inadmissible; gains snap at
+    9 dp BEFORE the argmax so the (gain desc, t asc) winner is
+    engine-identical; release at ``dp``. Entities with no admissible
+    candidate (too short, or every cut leaves a constant side)
+    release NULL split/gain.
+
+    ``min_segment`` defaults to 5 — a 1-point variance estimate is
+    meaningless, and the larger floor keeps the MLE spans honest
+    (the level cost's default stays 2: means are stable earlier).
+
+    Scale shape: one keyed sequence window (row number + two running
+    sums), one keyed total agg + co-partitioned join, one keyed
+    argmax window — all partitioned by entity, nothing global.
+    Returns one row per entity: ``(entity_col, n, split_t, gain,
+    var_left, var_right)`` — ``split_t`` the LAST position of the
+    left segment (1-based)."""
+    if int(min_segment) < 1:
+        raise ValueError(
+            f"min_segment must be >= 1, got {min_segment}")
+    decv = f"decimal(20,{scale})"
+    decq = f"decimal(38,{2 * scale})"
+    order = [F.col(ts_col)]
+    if order_tiebreak is not None:
+        order.append(F.col(order_tiebreak))
+    else:
+        from . import warn_missing_tiebreak
+
+        warn_missing_tiebreak("changepoint_variance")
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(entity_col).alias("__e"),
+        F.col(value_col).cast(decv).alias("__x"),
+        *[c.alias(f"__o{i}") for i, c in enumerate(order)])
+    ocols = [F.col(f"__o{i}") for i in range(len(order))]
+    wseq = Window.partitionBy("__e").orderBy(*ocols)
+    run = wseq.rowsBetween(Window.unboundedPreceding, 0)
+    seq = base.select(
+        "__e",
+        F.row_number().over(wseq).alias("__t"),
+        F.sum("__x").over(run).alias("__sl"),
+        F.sum((F.col("__x") * F.col("__x")).cast(decq)).over(run)
+        .alias("__ql"))
+    # entity totals are the prefix values AT t = n (NOT max of the
+    # running sums: negative values make a running sum non-monotone)
+    tot = seq.join(
+        seq.groupBy("__e").agg(F.max("__t").cast("long").alias("__n")),
+        "__e"
+    ).filter(F.col("__t") == F.col("__n")).select(
+        "__e", "__n",
+        F.col("__sl").alias("__s"), F.col("__ql").alias("__q"))
+    j = seq.join(tot, "__e")
+    ms = int(min_segment)
+    t = F.col("__t").cast("double")
+    n = F.col("__n").cast("double")
+    sl = F.col("__sl").cast("double")
+    ql = F.col("__ql").cast("double")
+    s = F.col("__s").cast("double")
+    q = F.col("__q").cast("double")
+
+    def _var(qq, ss, mm):
+        return F.round(qq / mm - (ss / mm) * (ss / mm), 9)
+
+    vl = _var(ql, sl, t)
+    vr = _var(q - ql, s - sl, n - t)
+    vf = _var(q, s, n)
+    gain = F.round(
+        n * F.log(vf) - t * F.log(vl) - (n - t) * F.log(vr), 9)
+    cand = j.filter(
+        (F.col("__t") >= ms) & (F.col("__n") - F.col("__t") >= ms)
+    ).select(
+        "__e", "__t", "__n",
+        vl.alias("__vl"), vr.alias("__vr"), vf.alias("__vf"),
+        gain.alias("__g")
+    ).filter(
+        (F.col("__vl") > 0) & (F.col("__vr") > 0)
+        & (F.col("__vf") > 0))
+    wbest = Window.partitionBy("__e").orderBy(
+        F.desc("__g"), F.asc("__t"))
+    best = (cand.withColumn("__rk", F.row_number().over(wbest))
+            .filter(F.col("__rk") == 1))
+    out = best.select(
+        F.col("__e").alias(entity_col),
+        F.col("__n").cast("long").alias("n"),
+        F.col("__t").cast("long").alias("split_t"),
+        F.round(F.col("__g"), dp).alias("gain"),
+        F.round(F.col("__vl"), dp).alias("var_left"),
+        F.round(F.col("__vr"), dp).alias("var_right"))
+    # entities with NO admissible candidate still release a row
+    short = tot.join(
+        best.select("__e"), "__e", "left_anti"
+    ).select(
+        F.col("__e").alias(entity_col),
+        F.col("__n").cast("long").alias("n"),
+        F.lit(None).cast("long").alias("split_t"),
+        F.lit(None).cast("double").alias("gain"),
+        F.lit(None).cast("double").alias("var_left"),
+        F.lit(None).cast("double").alias("var_right"))
+    return out.unionByName(short)

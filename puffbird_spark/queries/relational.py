@@ -5282,3 +5282,143 @@ def timeseries_ljung_box(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     return ljung_box(
         ev, "user_id", "ts", "value", h=3, order_tiebreak="event_id")
+
+
+_GRANGER_ORACLE = """
+WITH b AS (SELECT user_id AS e,
+    CAST(length(props) AS DECIMAL(20,6)) AS x,
+    CAST(value AS DECIMAL(20,6)) AS y, ts, event_id
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    AND props IS NOT NULL),
+s AS (SELECT e, y,
+    lag(y, 1) OVER w AS u,
+    lag(x, 1) OVER w AS v
+  FROM b WINDOW w AS (PARTITION BY e ORDER BY ts, event_id)),
+nobs AS (SELECT e, COUNT(*) AS n FROM s GROUP BY 1),
+reg AS (SELECT * FROM s WHERE u IS NOT NULL),
+st AS (SELECT e, COUNT(*) AS m, SUM(y) AS sy, SUM(u) AS su,
+    SUM(v) AS sv FROM reg GROUP BY 1),
+j AS (SELECT reg.e, st.m,
+    CAST(reg.y AS DOUBLE) - CAST(st.sy AS DOUBLE) / st.m AS dy,
+    CAST(reg.u AS DOUBLE) - CAST(st.su AS DOUBLE) / st.m AS du,
+    CAST(reg.v AS DOUBLE) - CAST(st.sv AS DOUBLE) / st.m AS dv
+  FROM reg JOIN st USING (e)),
+mom AS (SELECT e, MAX(m) AS m,
+    SUM(CAST(round(dy * dy, 9) AS DECIMAL(38,9))) AS syy,
+    SUM(CAST(round(dy * du, 9) AS DECIMAL(38,9))) AS syu,
+    SUM(CAST(round(dy * dv, 9) AS DECIMAL(38,9))) AS syv,
+    SUM(CAST(round(du * du, 9) AS DECIMAL(38,9))) AS suu,
+    SUM(CAST(round(du * dv, 9) AS DECIMAL(38,9))) AS suv,
+    SUM(CAST(round(dv * dv, 9) AS DECIMAL(38,9))) AS svv
+  FROM j GROUP BY 1),
+calc AS (SELECT e, m,
+    CAST(syy AS DOUBLE) AS syy, CAST(syu AS DOUBLE) AS syu,
+    CAST(syv AS DOUBLE) AS syv, CAST(suu AS DOUBLE) AS suu,
+    CAST(suv AS DOUBLE) AS suv, CAST(svv AS DOUBLE) AS svv,
+    round(CAST(suu AS DOUBLE) * CAST(svv AS DOUBLE)
+          - CAST(suv AS DOUBLE) * CAST(suv AS DOUBLE), 9) AS det
+  FROM mom),
+rel AS (SELECT e, m,
+    CASE WHEN m > 3 AND round(suu, 9) > 0
+         THEN round(syy - syu * syu / suu, 9) END AS ssr_r,
+    CASE WHEN m > 3 AND round(suu, 9) > 0 AND det > 0
+         THEN round(syy - (svv * syu * syu
+                           - 2 * suv * syu * syv
+                           + suu * syv * syv) / det, 9) END AS ssr_u
+  FROM calc)
+SELECT nobs.e AS user_id, CAST(nobs.n AS BIGINT) AS n,
+  CAST(COALESCE(rel.m, 0) AS BIGINT) AS m,
+  round(ssr_r, 6) AS ssr_r, round(ssr_u, 6) AS ssr_u,
+  CASE WHEN ssr_u IS NOT NULL AND ssr_u > 0
+       THEN round(GREATEST(round(ssr_r - ssr_u, 9), 0.0)
+                  / (ssr_u / (m - 3)), 6) END AS f_stat
+FROM nobs LEFT JOIN rel USING (e)
+"""
+
+
+@query("timeseries_granger", oracle=_GRANGER_ORACLE)
+def timeseries_granger(spark, sf_dir):
+    """Per-entity lag-1 Granger causality F-test (`granger_lag1`,
+    operators/timeseries.py; Granger 1969) — does each user's
+    props-payload size help predict the next event value beyond the
+    value's own lag? Closed-form two-regressor OLS by Cramer's rule
+    over exact centered second moments (the ACF precision ladder:
+    decimal input snap, 9-dp decimal product pools, double release);
+    NULL F for entities with m <= 3, collinear or constant
+    regressors, or a perfect unrestricted fit. One keyed lag window +
+    two keyed aggs + one co-partitioned join — `timeseries_acf_entity`'s
+    exact plan shape."""
+    from ..operators.timeseries import granger_lag1
+
+    ev = load(spark, sf_dir, "events")
+    return granger_lag1(
+        ev.withColumn("props_len", F.length("props")),
+        "user_id", "ts", "props_len", "value",
+        order_tiebreak="event_id")
+
+
+_CHANGEPOINT_VAR_ORACLE = """
+WITH b AS (SELECT user_id AS e, CAST(value AS DECIMAL(20,6)) AS x,
+    ts, event_id
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+seq AS (SELECT e,
+    row_number() OVER w AS t,
+    SUM(x) OVER (PARTITION BY e ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sl,
+    SUM(CAST(x * x AS DECIMAL(38,12))) OVER (
+      PARTITION BY e ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ql
+  FROM b WINDOW w AS (PARTITION BY e ORDER BY ts, event_id)),
+tot AS (SELECT seq.e, n, sl AS s, ql AS q
+  FROM seq JOIN (SELECT e, MAX(t) AS n FROM seq GROUP BY 1) nn
+    ON seq.e = nn.e AND seq.t = nn.n),
+cand AS (SELECT * FROM (
+  SELECT seq.e, t, n,
+    round(CAST(ql AS DOUBLE) / t
+      - (CAST(sl AS DOUBLE) / t) * (CAST(sl AS DOUBLE) / t), 9) AS vl,
+    round((CAST(q AS DOUBLE) - CAST(ql AS DOUBLE)) / (n - t)
+      - ((CAST(s AS DOUBLE) - CAST(sl AS DOUBLE)) / (n - t))
+        * ((CAST(s AS DOUBLE) - CAST(sl AS DOUBLE)) / (n - t)), 9)
+      AS vr,
+    round(CAST(q AS DOUBLE) / n
+      - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n), 9) AS vf
+  FROM seq JOIN tot USING (e)
+  WHERE t >= 5 AND n - t >= 5)
+  WHERE vl > 0 AND vr > 0 AND vf > 0),
+g AS (SELECT e, t, n, vl, vr,
+    round(n * ln(vf) - t * ln(vl) - (n - t) * ln(vr), 9) AS gg
+  FROM cand),
+best AS (SELECT *, row_number() OVER (PARTITION BY e
+           ORDER BY gg DESC, t ASC) AS rk FROM g)
+SELECT e AS user_id, CAST(n AS BIGINT) AS n,
+  CAST(t AS BIGINT) AS split_t, round(gg, 6) AS gain,
+  round(vl, 6) AS var_left, round(vr, 6) AS var_right
+FROM best WHERE rk = 1
+UNION ALL
+SELECT tot.e AS user_id, CAST(n AS BIGINT) AS n,
+  CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM tot LEFT JOIN (SELECT e FROM best WHERE rk = 1) hit
+  ON tot.e = hit.e
+WHERE hit.e IS NULL
+"""
+
+
+@query("timeseries_changepoint_var", oracle=_CHANGEPOINT_VAR_ORACLE)
+def timeseries_changepoint_var(spark, sf_dir):
+    """Single variance-changepoint binary segmentation per entity
+    (`changepoint_variance`, operators/timeseries.py; the Gaussian
+    variance cost of Killick et al. 2012) — WHERE each user's
+    event-value VOLATILITY shifted, the scale-shift sibling of
+    `timeseries_changepoint`'s level cost: argmax of the
+    log-likelihood gain n·ln(v) − t·ln(v_L) − (n−t)·ln(v_R) over
+    admissible splits (min_segment=5), exact decimal prefix sums of
+    x and x², 9-dp-snapped variances and gains, constant-side
+    candidates inadmissible. One keyed sequence window + one keyed
+    argmax window; entities with no admissible cut release NULL."""
+    from ..operators.timeseries import changepoint_variance
+
+    ev = load(spark, sf_dir, "events")
+    return changepoint_variance(
+        ev, "user_id", "ts", "value", order_tiebreak="event_id",
+        min_segment=5)

@@ -8883,3 +8883,83 @@ def test_mcc_binary_hand_cases(spark):
     allpos = df.select("y", F.lit(True).alias("p2"))
     drow = mcc_binary(allpos, "y", "p2").collect()[0]
     assert drow["mcc"] is None
+
+
+def test_granger_lag1_hand_cases(spark):
+    """Hand-computed lag-1 Granger F: the 8-point series releases
+    (m=7, ssr_r=4.833333, ssr_u=0.885572, f=17.831461); a perfect
+    y_t = x_{t-1} fit has no error variance -> NULL F with ssr_u 0;
+    a constant cause is collinear (det 0) -> NULL ssr_u/F with ssr_r
+    still released; m <= 3 releases all-NULL diagnostics."""
+    from puffbird_spark.operators.timeseries import granger_lag1
+
+    rows = [("a", t, float(xc), float(yc))
+            for t, (xc, yc) in enumerate(zip(
+                (1, 0, 2, 0, 3, 0, 1, 2), (2, 3, 1, 4, 1, 5, 2, 3)))]
+    # perfect causation: y_t = x_{t-1}, u and v NOT collinear
+    rows += [("b", t, float(xc), float(yc))
+             for t, (xc, yc) in enumerate(zip(
+                 (1, 0, 2, 0, 3, 1), (9, 1, 0, 2, 0, 3)))]
+    rows += [("c", t, 7.0, float(yc)) for t, yc in enumerate(
+        (2, 3, 1, 4, 1, 5, 2))]
+    rows += [("d", t, float(t), float(t * t)) for t in range(3)]
+    df = spark.createDataFrame(
+        rows, "e string, t int, x double, y double") \
+        .withColumn("ts", F.col("t").cast("timestamp"))
+    out = {r["e"]: r for r in granger_lag1(
+        df, "e", "ts", "x", "y", order_tiebreak="t").collect()}
+    a = out["a"]
+    assert (a["n"], a["m"]) == (8, 7)
+    assert a["ssr_r"] == 4.833333
+    assert a["ssr_u"] == 0.885572
+    assert a["f_stat"] == 17.831461
+    b = out["b"]
+    assert b["ssr_u"] == 0.0 and b["f_stat"] is None
+    c = out["c"]
+    assert c["ssr_r"] is not None
+    assert c["ssr_u"] is None and c["f_stat"] is None
+    d = out["d"]
+    assert (d["n"], d["m"]) == (3, 2)
+    assert d["ssr_r"] is None and d["f_stat"] is None
+
+    # NULL cause/effect/ts rows are excluded BEFORE sequencing
+    holes = spark.createDataFrame(
+        [("h", 0, 1.0, 2.0), ("h", 1, None, 9.0),
+         ("h", 2, 2.0, 3.0), ("h", 3, 3.0, None),
+         ("h", 4, 4.0, 5.0)],
+        "e string, t int, x double, y double") \
+        .withColumn("ts", F.col("t").cast("timestamp"))
+    h = granger_lag1(
+        holes, "e", "ts", "x", "y", order_tiebreak="t").collect()[0]
+    assert (h["n"], h["m"]) == (3, 2)
+
+
+def test_changepoint_variance_hand_cases(spark):
+    """Hand-computed variance binary segmentation: six low-spread
+    points then six +/-10 points split at t=6 with variances (1, 100)
+    and gain 12*ln(50.75) - 6*ln(1) - 6*ln(100) = 19.491918; a
+    constant series has no admissible candidate -> NULL split; a
+    too-short series likewise; bad min_segment raises."""
+    import pytest as _pytest
+
+    from puffbird_spark.operators.timeseries import changepoint_variance
+
+    vals = (0, 2, 0, 2, 0, 2, -10, 10, -10, 10, -10, 10)
+    rows = [("a", t, float(v)) for t, v in enumerate(vals)]
+    rows += [("b", t, 5.0) for t in range(12)]
+    rows += [("c", t, float(t % 4)) for t in range(9)]
+    df = spark.createDataFrame(rows, "e string, t int, x double") \
+        .withColumn("ts", F.col("t").cast("timestamp"))
+    out = {r["e"]: r for r in changepoint_variance(
+        df, "e", "ts", "x", order_tiebreak="t").collect()}
+    a = out["a"]
+    assert (a["n"], a["split_t"]) == (12, 6)
+    assert a["gain"] == 19.491918
+    assert (a["var_left"], a["var_right"]) == (1.0, 100.0)
+    b = out["b"]
+    assert b["n"] == 12 and b["split_t"] is None
+    c = out["c"]
+    assert c["n"] == 9 and c["split_t"] is None
+    with _pytest.raises(ValueError, match="min_segment"):
+        changepoint_variance(df, "e", "ts", "x", order_tiebreak="t",
+                             min_segment=0)
