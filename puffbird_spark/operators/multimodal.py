@@ -3133,3 +3133,231 @@ def tga_stats(
 
     return df.select(path_col, content_col).mapInPandas(
         kernel, TGA_STATS_SCHEMA)
+
+
+# ------------------------------------------------------------------ #
+# ICO (Windows icon) — the CONTAINER raster: a 6-byte ICONDIR, a
+# 16-byte directory entry per image, and per-entry payloads that are
+# either a complete PNG stream or a headerless BMP DIB whose
+# BITMAPINFOHEADER height is DOUBLED (XOR pixel block + 1-bpp AND
+# transparency mask). The decoder COMPOSES the existing codecs:
+# PNG entries delegate to decode_png_gray, BMP entries are rebuilt
+# into a standalone BMP and delegated to decode_bmp_gray, then the
+# AND mask is walked separately. Spec: Microsoft ICO/CUR resource
+# format (win32 ICONDIR/ICONDIRENTRY/BITMAPINFOHEADER).
+# ------------------------------------------------------------------ #
+
+def decode_ico(
+    blob: bytes,
+) -> list[tuple[str, int, int, bytes, int]]:
+    """REAL ICO container decode — parses the ICONDIR + directory,
+    then per entry either (a) delegates a complete embedded PNG to
+    :func:`decode_png_gray` (PNG-in-ICO stores the ENTIRE stream,
+    signature included — the Vista+ convention for 256px icons) or
+    (b) rebuilds the headerless doubled-height DIB into a standalone
+    BMP and delegates to :func:`decode_bmp_gray`, then walks the
+    1-bpp AND mask (32-bit-padded bottom-up rows) the doubled height
+    hides. Genuine composition: every pixel-path bug in the base
+    codecs is a bug here, and vice versa.
+
+    Returns one ``(storage, width, height, pixels, n_masked)`` tuple
+    per directory entry in DIRECTORY ORDER — ``storage`` is
+    ``'png'``/``'bmp'``, ``pixels`` row-major top-down grayscale,
+    ``n_masked`` the count of AND-mask transparent pixels (0 for PNG
+    entries, which carry alpha instead of a mask). Raises ValueError
+    on structural damage (bad ICONDIR, out-of-bounds payloads,
+    directory/DIB dimension mismatch, odd doubled height, truncated
+    mask) and lets the base codecs' errors through unchanged."""
+    b = bytes(blob) if blob is not None else b""
+    if len(b) < 6:
+        raise ValueError("not an ICO: short blob")
+    reserved, rtype, count = struct.unpack_from("<HHH", b, 0)
+    if reserved != 0 or rtype != 1:
+        raise ValueError(
+            f"not an ICO: reserved={reserved} type={rtype}")
+    if count < 1 or 6 + 16 * count > len(b):
+        raise ValueError(f"not an ICO: implausible entry count {count}")
+    out: list[tuple[str, int, int, bytes, int]] = []
+    for e in range(count):
+        off = 6 + 16 * e
+        ew, eh = b[off], b[off + 1]
+        ew = ew or 256            # 0 encodes 256 (the byte-field rule)
+        eh = eh or 256
+        size, data_off = struct.unpack_from("<II", b, off + 8)
+        if data_off < 6 + 16 * count or data_off + size > len(b):
+            raise ValueError("not an ICO: entry payload out of bounds")
+        payload = b[data_off:data_off + size]
+        if payload[:8] == _PNG_SIG:
+            w, h, px = decode_png_gray(payload)
+            if (w, h) != (ew, eh):
+                raise ValueError(
+                    f"not an ICO: directory says {ew}x{eh}, "
+                    f"PNG says {w}x{h}")
+            out.append(("png", w, h, px, 0))
+            continue
+        # headerless DIB: BITMAPINFOHEADER with DOUBLED height
+        if len(payload) < 40:
+            raise ValueError("not an ICO: truncated DIB header")
+        (hdr_size,) = struct.unpack_from("<I", payload, 0)
+        if hdr_size != 40:
+            raise ValueError(
+                f"not an ICO: DIB header size {hdr_size} != 40")
+        w, h2 = struct.unpack_from("<ii", payload, 4)
+        planes, bits = struct.unpack_from("<HH", payload, 12)
+        (compression,) = struct.unpack_from("<I", payload, 16)
+        (colors_used,) = struct.unpack_from("<I", payload, 32)
+        if h2 <= 0 or h2 % 2:
+            raise ValueError(
+                f"not an ICO: DIB height {h2} not a positive double")
+        h = h2 // 2
+        if (w, h) != (ew, eh):
+            raise ValueError(
+                f"not an ICO: directory says {ew}x{eh}, "
+                f"DIB says {w}x{h}")
+        if bits != 8 or compression != 0:
+            raise NotImplementedError(
+                f"only uncompressed 8-bit BMP-in-ICO, got {bits}-bit "
+                f"compression={compression}")
+        n_colors = colors_used or 256
+        pal = payload[40:40 + 4 * n_colors]
+        if len(pal) < 4 * n_colors:
+            raise ValueError("not an ICO: truncated DIB palette")
+        xor_row = (w + 3) // 4 * 4
+        xor_off = 40 + 4 * n_colors
+        xor_end = xor_off + xor_row * h
+        if xor_end > len(payload):
+            raise ValueError("not an ICO: truncated XOR block")
+        # rebuild a standalone BMP (single height, same palette and
+        # bottom-up rows) and let the base codec do the pixel work
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, planes or 1, 8, 0,
+            xor_row * h, 0, 0, n_colors, 0)
+        bmp_off = 14 + 40 + len(pal)
+        bmp = (b"BM"
+               + struct.pack("<IHHI", bmp_off + xor_row * h, 0, 0,
+                             bmp_off)
+               + info + pal + payload[xor_off:xor_end])
+        bw, bh, px = decode_bmp_gray(bmp)
+        # the AND mask: 1-bpp, rows padded to 32 bits, bottom-up
+        mask_row = (w + 31) // 32 * 4
+        mask_end = xor_end + mask_row * h
+        if mask_end > len(payload):
+            raise ValueError("not an ICO: truncated AND mask")
+        n_masked = 0
+        for row in range(h):
+            base = xor_end + row * mask_row
+            for x in range(w):
+                if payload[base + (x >> 3)] & (0x80 >> (x & 7)):
+                    n_masked += 1
+        out.append(("bmp", bw, bh, px, n_masked))
+    return out
+
+
+def encode_ico(
+    entries: list[tuple[str, int, int]], seed: int = 0,
+) -> bytes:
+    """Deterministic spec-faithful ICO fixture: each ``(storage,
+    width, height)`` entry embeds either :func:`encode_png` output
+    verbatim (storage ``'png'``) or the doubled-height headerless DIB
+    (storage ``'bmp'``) built from :func:`encode_bmp_gray`'s pixel
+    formula ``(x*31 + y*17 + s) % 256`` with per-entry seed
+    ``s = seed + 11*idx`` — the shared closed-form the decode gates
+    replay. BMP entries carry a real AND mask marking ``(x + y + s) %
+    7 == 0`` pixels transparent (the closed-form mask count)."""
+    if not entries:
+        raise ValueError("ICO needs at least one entry")
+    payloads: list[bytes] = []
+    dirents: list[bytes] = []
+    for idx, (storage, w, h) in enumerate(entries):
+        if not (1 <= w <= 255 and 1 <= h <= 255):
+            raise ValueError(
+                f"fixture entries stay in 1..255, got {w}x{h}")
+        s = seed + 11 * idx
+        if storage == "png":
+            payload = encode_png(w, h, seed=s)
+            bitcount = 8
+        elif storage == "bmp":
+            xor_row = (w + 3) // 4 * 4
+            palette = b"".join(
+                struct.pack("<BBBB", i, i, i, 0) for i in range(256))
+            xor = bytearray()
+            for y in range(h - 1, -1, -1):      # bottom-up
+                for x in range(w):
+                    xor.append((x * 31 + y * 17 + s) % 256)
+                xor += b"\x00" * (xor_row - w)
+            mask_row = (w + 31) // 32 * 4
+            mask = bytearray()
+            for y in range(h - 1, -1, -1):      # bottom-up
+                rowbits = bytearray(mask_row)
+                for x in range(w):
+                    if (x + y + s) % 7 == 0:
+                        rowbits[x >> 3] |= 0x80 >> (x & 7)
+                mask += rowbits
+            info = struct.pack(
+                "<IiiHHIIiiII", 40, w, 2 * h, 1, 8, 0,
+                xor_row * h + mask_row * h, 0, 0, 256, 0)
+            payload = info + palette + bytes(xor) + bytes(mask)
+            bitcount = 8
+        else:
+            raise ValueError(f"unknown ICO entry storage {storage!r}")
+        payloads.append(payload)
+        dirents.append((w, h, bitcount, len(payload)))
+    head = struct.pack("<HHH", 0, 1, len(entries))
+    data_off = 6 + 16 * len(entries)
+    dir_blob = b""
+    for (w, h, bitcount, size) in dirents:
+        dir_blob += struct.pack(
+            "<BBBBHHII", w % 256, h % 256, 0, 0, 1, bitcount,
+            size, data_off)
+        data_off += size
+    return head + dir_blob + b"".join(payloads)
+
+
+ICO_STATS_SCHEMA = (
+    "path string, entry_idx int, storage string, width int, "
+    "height int, n_px long, sum_v long, n_masked long"
+)
+
+
+def ico_stats(
+    df: DataFrame,
+    content_col: str = "content",
+    path_col: str = "path",
+    batch_size: int = 128,
+) -> DataFrame:
+    """Per-ENTRY statistics over ICO-standing binary blobs (the
+    ``pnm_stats`` shape, exploded across the container): Arrow
+    ``mapInPandas``, bounded batches, zero shuffle; undecodable blobs
+    skip whole (the DECODE_ERRORS contract — a container is one
+    trust unit). ``sum_v`` totals the grayscale pixels and
+    ``n_masked`` counts AND-mask transparent pixels, so the directory
+    walk, PNG delegation, DIB rebuild, doubled-height split, and mask
+    stride must all hash-check against the closed-form fixture."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start:start + batch_size]
+                rows = []
+                for path, blob in zip(
+                    chunk[path_col].astype(str), chunk[content_col]
+                ):
+                    if blob is None:
+                        continue
+                    try:
+                        ents = decode_ico(bytes(blob))
+                    except DECODE_ERRORS:
+                        continue
+                    for idx, (storage, w, h, px, nm) in enumerate(ents):
+                        rows.append({
+                            "path": path, "entry_idx": idx,
+                            "storage": storage, "width": w,
+                            "height": h, "n_px": w * h,
+                            "sum_v": sum(px), "n_masked": nm,
+                        })
+                yield pd.DataFrame(rows, columns=[
+                    "path", "entry_idx", "storage", "width", "height",
+                    "n_px", "sum_v", "n_masked"])
+
+    return df.select(path_col, content_col).mapInPandas(
+        kernel, ICO_STATS_SCHEMA)

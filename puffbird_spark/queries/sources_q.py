@@ -3383,3 +3383,61 @@ def multimodal_qoi(spark, sf_dir):
         F.col("doc_id").cast("string").alias("path"),
         make_qoi(F.col("doc_id")).alias("content"))
     return qoi_stats(docs)
+
+
+@query("multimodal_ico", oracle="""
+WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS path, doc_id % 997 AS s,
+    2 + doc_id % 2 AS cnt, doc_id AS did
+  FROM documents),
+e AS (SELECT path, s, did, CAST(unnest(range(cnt)) AS INT) AS i
+  FROM d),
+ent AS (SELECT path, i,
+    CASE WHEN (did + i) % 2 = 0 THEN 'png' ELSE 'bmp' END AS storage,
+    4 + (s + 5 * i) % 12 AS w, 3 + (s + 3 * i) % 9 AS h,
+    s + 11 * i AS es
+  FROM e),
+xs AS (SELECT path, i, storage, w, h, es, unnest(range(w)) AS x
+  FROM ent),
+pix AS (SELECT path, i, storage, w, h, es, x, unnest(range(h)) AS y
+  FROM xs)
+SELECT path, i AS entry_idx, MAX(storage) AS storage,
+  CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+  CAST(COUNT(*) AS BIGINT) AS n_px,
+  CAST(SUM((x * 31 + y * 17 + es) % 256) AS BIGINT) AS sum_v,
+  CAST(SUM(CASE WHEN storage = 'bmp'
+                AND (x + y + es) % 7 = 0 THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_masked
+FROM pix GROUP BY path, i
+""")
+def multimodal_ico(spark, sf_dir):
+    """ICO container decode (`decode_ico` + `ico_stats`,
+    operators/multimodal.py; the win32 ICONDIR resource format) —
+    REAL parses of mixed-payload icons rotating by doc id: 2-3
+    entries each, alternating complete-PNG-stream payloads (delegated
+    to `decode_png_gray`) and doubled-height headerless DIBs
+    (rebuilt into standalone BMPs for `decode_bmp_gray`, then the
+    1-bpp 32-bit-padded bottom-up AND mask walked separately). The
+    per-entry pixel sums AND mask counts replay closed-form, so the
+    directory arithmetic, payload dispatch, height split, palette
+    rebuild, and mask stride must all be exactly right — genuine
+    codec COMPOSITION, the container pattern. Arrow mapInPandas,
+    zero shuffle."""
+    from ..operators.dedup import widen_parallelism
+    from ..operators.multimodal import encode_ico, ico_stats
+
+    def _make(doc_id):
+        def one(i):
+            i = int(i)
+            s = i % 997
+            cnt = 2 + i % 2
+            return encode_ico(
+                [("png" if (i + k) % 2 == 0 else "bmp",
+                  4 + (s + 5 * k) % 12, 3 + (s + 3 * k) % 9)
+                 for k in range(cnt)], seed=s)
+        return doc_id.map(one)
+
+    make_ico = F.pandas_udf(_make, returnType="binary")
+    docs = widen_parallelism(load(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("string").alias("path"),
+        make_ico(F.col("doc_id")).alias("content"))
+    return ico_stats(docs)

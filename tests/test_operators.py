@@ -8963,3 +8963,84 @@ def test_changepoint_variance_hand_cases(spark):
     with _pytest.raises(ValueError, match="min_segment"):
         changepoint_variance(df, "e", "ts", "x", order_tiebreak="t",
                              min_segment=0)
+
+
+def test_ico_codec_roundtrip_and_robustness():
+    """ICO container: mixed PNG/BMP entries roundtrip with the shared
+    closed-form pixel sums and AND-mask counts in directory order;
+    structural damage (CUR type, short blob, out-of-bounds payload,
+    odd doubled height, directory/DIB dimension mismatch, truncated
+    mask) raises inside the DECODE_ERRORS contract; unsupported DIB
+    depth is an honest NotImplementedError; 300 fuzz cases stay in
+    the skip contract."""
+    import random
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from puffbird_spark.operators.multimodal import (
+        DECODE_ERRORS, decode_ico, encode_ico)
+
+    blob = encode_ico(
+        [("png", 5, 4), ("bmp", 7, 3), ("bmp", 8, 8)], seed=42)
+    ents = decode_ico(blob)
+    assert [e[0] for e in ents] == ["png", "bmp", "bmp"]
+    for i, (st, w, h, px, nm) in enumerate(ents):
+        s = 42 + 11 * i
+        assert sum(px) == sum(
+            (x * 31 + y * 17 + s) % 256
+            for y in range(h) for x in range(w))
+        exp_mask = sum(
+            1 for y in range(h) for x in range(w)
+            if (x + y + s) % 7 == 0)
+        assert nm == (exp_mask if st == "bmp" else 0)
+        assert px[0] == s % 256          # top-left: both paths normalize
+
+    # CUR resource type (2) is not an icon
+    cur = b"\x00\x00\x02\x00" + blob[4:]
+    with _pytest.raises(ValueError, match="type=2"):
+        decode_ico(cur)
+    with _pytest.raises(ValueError, match="short"):
+        decode_ico(blob[:5])
+    # payload out of bounds: truncate after the directory
+    with _pytest.raises(ValueError, match="out of bounds"):
+        decode_ico(blob[: 6 + 16 * 3 + 4])
+    # directory/DIB dimension mismatch: corrupt entry 1's dir width
+    bad = bytearray(blob)
+    bad[6 + 16] = 99
+    with _pytest.raises(ValueError, match="directory says"):
+        decode_ico(bytes(bad))
+    # odd doubled height in the DIB
+    (off1,) = _struct.unpack_from("<I", blob, 6 + 16 + 12)
+    odd = bytearray(blob)
+    _struct.pack_into("<i", odd, off1 + 8, 7)
+    with _pytest.raises(ValueError, match="positive double"):
+        decode_ico(bytes(odd))
+    # unsupported DIB depth passes through as NotImplementedError
+    deep = bytearray(blob)
+    _struct.pack_into("<H", deep, off1 + 14, 4)
+    with _pytest.raises(NotImplementedError, match="8-bit"):
+        decode_ico(bytes(deep))
+    # truncated AND mask: shave the final mask row AND shrink the
+    # directory's bytes_in_res to match (otherwise the payload
+    # bounds check fires first, which is also correct)
+    only_bmp = bytearray(encode_ico([("bmp", 8, 8)], seed=3))
+    (sz0,) = _struct.unpack_from("<I", only_bmp, 6 + 8)
+    _struct.pack_into("<I", only_bmp, 6 + 8, sz0 - 4)
+    with _pytest.raises(ValueError, match="mask"):
+        decode_ico(bytes(only_bmp[:-4]))
+
+    rng = random.Random(1414)
+    for trial in range(300):
+        if trial % 2 == 0:
+            fz = bytes(rng.randrange(256)
+                       for _ in range(rng.randint(0, 160)))
+        else:
+            b = bytearray(blob)
+            for _ in range(rng.randint(1, 6)):
+                b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+            fz = bytes(b)
+        try:
+            decode_ico(fz)
+        except DECODE_ERRORS:
+            pass  # the skip contract
