@@ -28,6 +28,8 @@ non-NULL on events.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 _STEP_INTERVAL = {
@@ -1460,3 +1462,123 @@ def changepoint_variance(
         F.lit(None).cast("double").alias("var_left"),
         F.lit(None).cast("double").alias("var_right"))
     return out.unionByName(short)
+
+
+def _count_inversions(a) -> int:
+    """Strict inversion count (pairs i < j with a[i] > a[j]) by
+    divide-and-conquer with ``np.searchsorted`` cross-counts —
+    O(n log² n), vectorized per level, exact integers. Ties
+    contribute nothing (strict comparison), which is exactly the
+    Mann-Kendall convention."""
+    import numpy as np
+
+    n = len(a)
+    if n < 2:
+        return 0
+    mid = n // 2
+    left, right = np.sort(a[:mid]), a[mid:]
+    inv = _count_inversions(a[:mid]) + _count_inversions(a[mid:])
+    # for each r in right: count of l in left with l > r
+    inv += int(
+        (mid - np.searchsorted(left, right, side="right")).sum())
+    return inv
+
+
+def mann_kendall(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    order_tiebreak: str | None = None,
+    dp: int = 6,
+) -> DataFrame:
+    """Per-entity Mann-Kendall trend test (Mann 1945, Kendall 1975)
+    — the distribution-free "is this series monotonically trending?"
+    screen a monitoring pipeline runs before fitting any slope:
+
+        S = Σ_{i<j} sign(x_j − x_i)        (j later in sequence)
+        Var(S) = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)] / 18
+        z = (S∓1)/√Var(S)   (continuity-corrected; z = 0 at S = 0)
+
+    with t_g the tied-value group sizes. S is exactly Kendall's tau-b
+    numerator between the time order and the values — but computed
+    per entity in O(n log² n) via a strict INVERSION COUNT
+    (S = comparable_pairs − 2·inversions), not a pair join: the
+    sequential-per-key ``applyInPandas`` escape hatch
+    (:func:`holt_linear`'s documented shape — each series ships once,
+    cross-entity parallelism is Spark's, nothing quadratic anywhere).
+
+    Determinism: S, the tie term, and Var's numerator are EXACT
+    integers (arbitrary-precision Python); no arithmetic ever touches
+    the values themselves — only comparisons — so no input snap is
+    needed (both engines read identical doubles from the same
+    parquet; ties are exact bit-equality, the only cross-engine-
+    stable tie rule). NULL values, NULL timestamps, AND NaN values
+    are excluded BEFORE sequencing (the rank/score NaN≡NULL
+    contract). Var and z release HALF_UP at ``dp`` (driver-side
+    kernels must not use python's half-even ``round``); z is NULL
+    when Var ≤ 0 (n < 2 or all values tied).
+
+    Returns ``(entity_col [string], n, s, n_tie_pairs, var_s, z)``
+    — ``n_tie_pairs`` the Σ C(t_g, 2) pairs sign() zeroes out."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    order = [F.col(ts_col)]
+    onames = ["__o0"]
+    if order_tiebreak is not None:
+        order.append(F.col(order_tiebreak))
+        onames.append("__o1")
+    else:
+        from . import warn_missing_tiebreak
+
+        warn_missing_tiebreak("mann_kendall")
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(ts_col).isNotNull())
+    if isinstance(base.schema[value_col].dataType,
+                  (T.DoubleType, T.FloatType)):
+        base = base.filter(~F.isnan(value_col))
+    src = base.select(
+        F.col(entity_col).cast("string").alias("__e"),
+        F.col(value_col).cast("double").alias("__x"),
+        *[c.alias(nm) for c, nm in zip(order, onames)])
+    quantum = Decimal(1).scaleb(-dp)
+
+    def _rel(v: float) -> float:
+        return float(Decimal(v).quantize(quantum, ROUND_HALF_UP))
+
+    schema = (f"`{entity_col}` string, n long, s long, "
+              "n_tie_pairs long, var_s double, z double")
+
+    def _one(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(onames).reset_index(drop=True)
+        xs = pdf["__x"].to_numpy(dtype="float64")
+        n = len(xs)
+        inv = _count_inversions(xs)
+        _, counts = np.unique(xs, return_counts=True)
+        tie_pairs = sum(int(t) * (int(t) - 1) // 2 for t in counts)
+        total = n * (n - 1) // 2
+        s = (total - tie_pairs) - 2 * inv
+        var_num = (n * (n - 1) * (2 * n + 5)
+                   - sum(int(t) * (int(t) - 1) * (2 * int(t) + 5)
+                         for t in counts))
+        var_s = var_num / 18.0
+        if var_s > 0:
+            if s > 0:
+                z = _rel((s - 1) / math.sqrt(var_s))
+            elif s < 0:
+                z = _rel((s + 1) / math.sqrt(var_s))
+            else:
+                z = 0.0
+        else:
+            z = None
+        return pd.DataFrame([{
+            entity_col: pdf["__e"].iloc[0], "n": n, "s": s,
+            "n_tie_pairs": tie_pairs, "var_s": _rel(var_s), "z": z,
+        }])
+
+    return src.groupBy("__e").applyInPandas(_one, schema)

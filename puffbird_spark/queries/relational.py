@@ -5422,3 +5422,55 @@ def timeseries_changepoint_var(spark, sf_dir):
     return changepoint_variance(
         ev, "user_id", "ts", "value", order_tiebreak="event_id",
         min_segment=5)
+
+
+_MANN_KENDALL_ORACLE = """
+WITH b AS (SELECT user_id AS e, value AS x, ts, event_id
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    AND NOT isnan(value)),
+seq AS (SELECT e, x, row_number() OVER (
+    PARTITION BY e ORDER BY ts, event_id) AS t FROM b),
+nn AS (SELECT e, COUNT(*) AS n FROM seq GROUP BY 1),
+pr AS (SELECT a.e, SUM(CASE WHEN p.x > a.x THEN 1
+                            WHEN p.x < a.x THEN -1 ELSE 0 END) AS s
+  FROM seq a JOIN seq p ON a.e = p.e AND p.t > a.t GROUP BY 1),
+ties AS (SELECT e, SUM(c * (c - 1) // 2) AS tie_pairs,
+    SUM(c * (c - 1) * (2 * c + 5)) AS tie_term
+  FROM (SELECT e, x, COUNT(*) AS c FROM seq GROUP BY 1, 2)
+  GROUP BY 1),
+f AS (SELECT nn.e, nn.n, COALESCE(pr.s, 0) AS s,
+    ties.tie_pairs,
+    nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_term AS var_num
+  FROM nn JOIN ties ON nn.e = ties.e
+  LEFT JOIN pr ON nn.e = pr.e)
+SELECT CAST(e AS VARCHAR) AS user_id, CAST(n AS BIGINT) AS n,
+  CAST(s AS BIGINT) AS s, CAST(tie_pairs AS BIGINT) AS n_tie_pairs,
+  round(CAST(var_num AS DOUBLE) / 18.0, 6) AS var_s,
+  CASE WHEN var_num > 0 THEN
+    CASE WHEN s > 0
+         THEN round((s - 1) / sqrt(CAST(var_num AS DOUBLE) / 18.0), 6)
+         WHEN s < 0
+         THEN round((s + 1) / sqrt(CAST(var_num AS DOUBLE) / 18.0), 6)
+         ELSE 0.0 END
+  END AS z
+FROM f
+"""
+
+
+@query("timeseries_mann_kendall", oracle=_MANN_KENDALL_ORACLE)
+def timeseries_mann_kendall(spark, sf_dir):
+    """Per-entity Mann-Kendall trend test (`mann_kendall`,
+    operators/timeseries.py; Mann 1945, Kendall 1975) — the
+    distribution-free monotone-trend screen over each user's
+    event-value sequence: exact-integer S via an O(n log² n)
+    inversion count in the sequential-per-key applyInPandas escape
+    hatch (holt_linear's documented shape — no pair enumeration
+    anywhere in the engine; the ORACLE replays S with the quadratic
+    pair join, the eval_edit_distance convention of oracle-only
+    cost), tie-corrected variance, continuity-corrected z released
+    HALF_UP. No input snap: only comparisons touch the values."""
+    from ..operators.timeseries import mann_kendall
+
+    ev = load(spark, sf_dir, "events")
+    return mann_kendall(
+        ev, "user_id", "ts", "value", order_tiebreak="event_id")

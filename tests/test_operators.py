@@ -9044,3 +9044,48 @@ def test_ico_codec_roundtrip_and_robustness():
             decode_ico(fz)
         except DECODE_ERRORS:
             pass  # the skip contract
+
+
+def test_mann_kendall_hand_cases(spark):
+    """Hand-computed Mann-Kendall: monotone [1..5] reads S=10,
+    Var=16.666667, z=2.204541 (continuity-corrected); the reverse
+    series mirrors the sign; [1,2,2,3,1] exercises the tie
+    correction (S=2, 2 tie pairs, Var=14.666667, z=0.261116); an
+    all-tied series has Var 0 -> NULL z; NaN values are excluded
+    like NULLs; the inversion counter matches brute force on
+    seeded randomized arrays."""
+    import random
+
+    from puffbird_spark.operators.timeseries import (
+        _count_inversions, mann_kendall)
+
+    rows = [("inc", t, float(v)) for t, v in enumerate((1, 2, 3, 4, 5))]
+    rows += [("dec", t, float(v)) for t, v in enumerate((5, 4, 3, 2, 1))]
+    rows += [("tie", t, float(v)) for t, v in enumerate((1, 2, 2, 3, 1))]
+    rows += [("flat", t, 7.0) for t in range(4)]
+    rows += [("nan", 0, 1.0), ("nan", 1, float("nan")),
+             ("nan", 2, 2.0), ("nan", 3, 3.0)]
+    df = spark.createDataFrame(rows, "e string, t int, x double") \
+        .withColumn("ts", F.col("t").cast("timestamp"))
+    out = {r["e"]: r for r in mann_kendall(
+        df, "e", "ts", "x", order_tiebreak="t").collect()}
+    assert (out["inc"]["s"], out["inc"]["n_tie_pairs"]) == (10, 0)
+    assert out["inc"]["var_s"] == 16.666667
+    assert out["inc"]["z"] == 2.204541
+    assert (out["dec"]["s"], out["dec"]["z"]) == (-10, -2.204541)
+    t = out["tie"]
+    assert (t["s"], t["n_tie_pairs"], t["var_s"], t["z"]) == \
+        (2, 2, 14.666667, 0.261116)
+    fl = out["flat"]
+    assert (fl["s"], fl["var_s"], fl["z"]) == (0, 0.0, None)
+    nz = out["nan"]
+    assert (nz["n"], nz["s"]) == (3, 3)   # NaN row dropped, [1,2,3]
+
+    rng = random.Random(99)
+    import numpy as np
+    for _ in range(40):
+        a = np.array([rng.randrange(8) for _ in range(rng.randint(0, 60))],
+                     dtype="float64")
+        brute = sum(1 for i in range(len(a)) for j in range(i + 1, len(a))
+                    if a[i] > a[j])
+        assert _count_inversions(a) == brute
