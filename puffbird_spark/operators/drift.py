@@ -1204,3 +1204,106 @@ def effect_size(
         F.when(ok & (pooled > 0), F.round(d, dp)).alias("cohens_d"),
         F.when(ok & (pooled > 0), F.round(d * corr, dp))
         .alias("hedges_g"))
+
+
+def anderson_darling_two_sample(
+    df: DataFrame,
+    group_col,
+    value_col: str,
+    key_cols: list[str] | None = None,
+    dp: int = 6,
+) -> DataFrame:
+    """Exact two-sample Anderson-Darling statistic per key (Scholz &
+    Stephens 1987, the k-sample A²_kN of their eq. 3 at k = 2 —
+    scipy's ``midrank=False`` "continuous data" variant) — the
+    tail-weighted drift test beside :func:`ks_two_sample`: KS sees
+    only the single largest ECDF gap, A² integrates EVERY gap with
+    1/(F(1−F)) weighting, so distributional drift concentrated in
+    the tails (where F(1−F) → 0) registers long before the KS sup
+    does — exactly the drift mode that poisons outlier-sensitive
+    training statistics:
+
+        A² = Σ_{i∈{a,b}} (1/n_i) Σ_{j : B_j < N}
+             (l_j/N) · (N·M_ij − n_i·B_j)² / (B_j·(N−B_j))
+
+    over the DISTINCT pooled values (l_j the value's pooled count,
+    B_j the inclusive pooled cumulative, M_ij the inclusive sample-i
+    cumulative; the largest value drops out — its term is 0/0).
+
+    All counts are exact integers; each squared deviation pools as
+    decimal(38,0) FACTORS before one double division per term (the
+    roc_auc overflow rule — a LONG product would wrap silently at
+    large N), terms snap at 9 dp into decimal(38,9) order-free sums,
+    release at ``dp``. NULL values and NaN values are excluded
+    (complete-case); keys where either sample is empty are omitted
+    (no distribution to compare, the KS convention).
+
+    Scale shape: one value-keyed count aggregation (the distinct-
+    value reduction — the window sees distinct values, not rows),
+    one per-key ordered window, one keyed fold; skew equals key
+    skew. ``group_col`` is a boolean Column (True = sample a).
+    Returns ``(*key_cols, n_a, n_b, n_distinct, a2)``."""
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window
+
+    keys = list(key_cols or [])
+    g = group_col if not isinstance(group_col, str) else F.col(group_col)
+    _require_indicator(df, g, "anderson_darling_two_sample")
+    base = df.select(
+        *keys, F.col(value_col).alias("__v"),
+        g.cast("boolean").alias("__a"),
+    ).filter(F.col("__v").isNotNull() & F.col("__a").isNotNull())
+    if isinstance(base.schema["__v"].dataType,
+                  (T.DoubleType, T.FloatType)):
+        base = base.filter(~F.isnan("__v"))
+    cells = base.groupBy(*keys, "__v").agg(
+        F.count(F.lit(1)).cast("long").alias("__l"),
+        F.sum(F.when(F.col("__a"), 1).otherwise(0))
+        .cast("long").alias("__la"))
+    w_cum = (Window.partitionBy(*keys).orderBy("__v")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    w_tot = Window.partitionBy(*keys)
+    scored = cells.select(
+        *keys, "__l", "__la",
+        F.sum("__l").over(w_cum).alias("__B"),
+        F.sum("__la").over(w_cum).alias("__Ma"),
+        F.sum("__l").over(w_tot).alias("__N"),
+        F.sum("__la").over(w_tot).alias("__na"))
+    d0 = "decimal(38,0)"
+    n = F.col("__N")
+    na, nb = F.col("__na"), F.col("__N") - F.col("__na")
+    b = F.col("__B")
+    ma, mb = F.col("__Ma"), F.col("__B") - F.col("__Ma")
+    l = F.col("__l")
+
+    # the terms are rationals with SMALL denominators (B·(N−B)·N·n_i),
+    # so they land ON 10-dp half boundaries constantly — round(x, 9)
+    # of the double diverges across engines (Spark rounds the exact
+    # binary value, SQL engines typically scale-and-round; this gate
+    # HIT the boundary at sf0.001). The engine-free ladder: floor of
+    # t·1e9 — the IEEE product and floor of identical doubles are
+    # identical everywhere — pools exact integer nano-units, and the
+    # release is pure integer HALF_UP
+    def term(m, ni):
+        dev = (n.cast(d0) * m.cast(d0)
+               - ni.cast(d0) * b.cast(d0))
+        num = l.cast(d0) * dev * dev
+        den = (n.cast("double") * b.cast("double")
+               * (n - b).cast("double") * ni.cast("double"))
+        return F.floor(num.cast("double") / den * 1.0e9).cast("long")
+
+    per = (scored.filter((na > 0) & (nb > 0) & (b < n))
+           .groupBy(*keys)
+           .agg(
+               F.max("__na").cast("long").alias("n_a"),
+               F.max(nb).cast("long").alias("__nbv"),
+               F.count(F.lit(1)).cast("long").alias("__nd"),
+               F.sum(term(ma, na) + term(mb, nb)).alias("__s")))
+    # n_distinct counts ALL distinct pooled values (the dropped
+    # largest one included) — recount from the filtered frame + 1
+    rel = F.expr(
+        f"(__s + {10 ** (9 - dp) // 2}) div {10 ** (9 - dp)}")
+    return per.select(
+        *keys, "n_a", F.col("__nbv").alias("n_b"),
+        (F.col("__nd") + 1).alias("n_distinct"),
+        (rel.cast("double") / float(10 ** dp)).alias("a2"))

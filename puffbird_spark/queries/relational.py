@@ -5474,3 +5474,64 @@ def timeseries_mann_kendall(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     return mann_kendall(
         ev, "user_id", "ts", "value", order_tiebreak="event_id")
+
+
+_AD_ORACLE = """
+WITH b AS (SELECT event_type, value,
+    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS ia
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+    AND NOT isnan(value)),
+cells AS (SELECT event_type, value, COUNT(*) AS l, SUM(ia) AS la
+  FROM b GROUP BY 1, 2),
+sc AS (SELECT event_type, l, la,
+    SUM(l) OVER (PARTITION BY event_type ORDER BY value
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bj,
+    SUM(la) OVER (PARTITION BY event_type ORDER BY value
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ma,
+    SUM(l) OVER (PARTITION BY event_type) AS n,
+    SUM(la) OVER (PARTITION BY event_type) AS na
+  FROM cells),
+t AS (SELECT event_type, l, n, na, n - na AS nb, bj, ma,
+    bj - ma AS mb
+  FROM sc WHERE na > 0 AND n - na > 0 AND bj < n),
+terms AS (SELECT event_type, n, na, nb,
+    CAST(floor(CAST(CAST(l AS HUGEINT)
+          * (CAST(n AS HUGEINT) * ma - CAST(na AS HUGEINT) * bj)
+          * (CAST(n AS HUGEINT) * ma - CAST(na AS HUGEINT) * bj)
+        AS DOUBLE)
+      / (CAST(n AS DOUBLE) * bj * (n - bj) * na) * 1.0e9)
+      AS BIGINT)
+    + CAST(floor(CAST(CAST(l AS HUGEINT)
+          * (CAST(n AS HUGEINT) * mb - CAST(nb AS HUGEINT) * bj)
+          * (CAST(n AS HUGEINT) * mb - CAST(nb AS HUGEINT) * bj)
+        AS DOUBLE)
+      / (CAST(n AS DOUBLE) * bj * (n - bj) * nb) * 1.0e9)
+      AS BIGINT) AS trm
+  FROM t)
+SELECT event_type, CAST(MAX(na) AS BIGINT) AS n_a,
+  CAST(MAX(nb) AS BIGINT) AS n_b,
+  CAST(COUNT(*) + 1 AS BIGINT) AS n_distinct,
+  CAST((SUM(trm) + 500) // 1000 AS DOUBLE) / 1e6 AS a2
+FROM terms GROUP BY 1
+"""
+
+
+@query("diag_anderson_darling", oracle=_AD_ORACLE)
+def diag_anderson_darling(spark, sf_dir):
+    """Exact two-sample Anderson-Darling drift test
+    (`anderson_darling_two_sample`, operators/drift.py; Scholz &
+    Stephens 1987 A²_kN at k=2) — per event type, even-user values
+    vs odd-user values, the TAIL-WEIGHTED companion to
+    `diag_ks_test` on the same split (KS sees one sup gap, A²
+    integrates every gap with 1/(F(1−F)) weight). Distinct-value
+    reduction (the window sees values, not rows), decimal(38,0)
+    squared-deviation factors (the roc_auc overflow rule), 9-dp
+    term snap, one double release; keys with an empty sample or a
+    single pooled value are omitted."""
+    from ..operators.drift import anderson_darling_two_sample
+
+    return anderson_darling_two_sample(
+        load(spark, sf_dir, "events"),
+        group_col=(F.col("user_id") % 2 == 0),
+        value_col="value",
+        key_cols=["event_type"])

@@ -9089,3 +9089,75 @@ def test_mann_kendall_hand_cases(spark):
         brute = sum(1 for i in range(len(a)) for j in range(i + 1, len(a))
                     if a[i] > a[j])
         assert _count_inversions(a) == brute
+
+
+def test_anderson_darling_hand_and_differential(spark):
+    """A²_kN (Scholz-Stephens eq. 3, k=2) pins: {1,2} vs {1,3} reads
+    1/3 (released 0.333333 through the nano-unit ladder); identical
+    samples read 0; a constant pooled value or an empty side drops
+    the key; NaN excluded; 25 randomized keys match a from-scratch
+    replay of the exact formula with the same floor(t*1e9) ladder."""
+    import math
+    import random
+
+    import pytest as _pytest
+
+    from puffbird_spark.operators.drift import (
+        anderson_darling_two_sample)
+
+    rows = [("h", True, 1.0), ("h", False, 1.0),
+            ("h", True, 2.0), ("h", False, 3.0)]
+    rows += [("same", a, float(v)) for a in (True, False)
+             for v in (1, 2, 3)]
+    rows += [("const", a, 5.0) for a in (True, False, True)]
+    rows += [("onesided", True, 1.0), ("onesided", True, 2.0)]
+    rows += [("nan", True, 1.0), ("nan", False, float("nan")),
+             ("nan", False, 2.0), ("nan", True, 3.0),
+             ("nan", False, 4.0)]
+    df = spark.createDataFrame(rows, "k string, a boolean, v double")
+    out = {r["k"]: r for r in anderson_darling_two_sample(
+        df, "a", "v", key_cols=["k"]).collect()}
+    h = out["h"]
+    assert (h["n_a"], h["n_b"], h["n_distinct"]) == (2, 2, 3)
+    assert h["a2"] == 0.333333
+    assert out["same"]["a2"] == 0.0
+    assert "const" not in out and "onesided" not in out
+    assert (out["nan"]["n_a"], out["nan"]["n_b"]) == (2, 2)
+
+    with _pytest.raises(TypeError, match="anderson_darling"):
+        anderson_darling_two_sample(
+            spark.createDataFrame([("g", 1.0)], "g string, v double"),
+            "g", "v")
+
+    def ref_a2(xa, xb):
+        pooled = sorted(set(xa) | set(xb))
+        N, na, nb = len(xa) + len(xb), len(xa), len(xb)
+        units = 0
+        B = Ma = 0
+        for v in pooled:
+            lv = xa.count(v) + xb.count(v)
+            B += lv
+            Ma += xa.count(v)
+            if B >= N:
+                break
+            for m, ni in ((Ma, na), (B - Ma, nb)):
+                t = (lv * (N * m - ni * B) ** 2) / (N * B * (N - B) * ni)
+                units += math.floor(t * 1.0e9)
+        return ((units + 500) // 1000) / 1e6
+
+    rng = random.Random(7)
+    cases = []
+    for k in range(25):
+        xa = [float(rng.randrange(6)) for _ in range(rng.randint(2, 12))]
+        xb = [float(rng.randrange(6)) for _ in range(rng.randint(2, 12))]
+        cases.append((f"r{k}", xa, xb))
+    rows2 = [(k, True, v) for k, xa, _ in cases for v in xa]
+    rows2 += [(k, False, v) for k, _, xb in cases for v in xb]
+    got = {r["k"]: r["a2"] for r in anderson_darling_two_sample(
+        spark.createDataFrame(rows2, "k string, a boolean, v double"),
+        "a", "v", key_cols=["k"]).collect()}
+    for k, xa, xb in cases:
+        if len(set(xa) | set(xb)) < 2:
+            assert k not in got
+        else:
+            assert got[k] == ref_a2(xa, xb), (k, got.get(k), ref_a2(xa, xb))
