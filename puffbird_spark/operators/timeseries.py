@@ -1582,3 +1582,96 @@ def mann_kendall(
         }])
 
     return src.groupBy("__e").applyInPandas(_one, schema)
+
+
+def dickey_fuller(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    order_tiebreak: str | None = None,
+    scale: int = 6,
+    dp: int = 6,
+) -> DataFrame:
+    """Per-entity Dickey-Fuller unit-root test (Dickey & Fuller
+    1979; the lag-0 "DF" regression with drift) — is each series a
+    random walk (unit root) or mean-reverting? The stationarity
+    screen that belongs BEFORE :func:`autocorrelation` /
+    :func:`granger_lag1` modeling (regressing non-stationary series
+    is the classic spurious-correlation trap):
+
+        Δy_t = a + ρ·y_{t−1} + e_t
+        DF = ρ̂ / se(ρ̂)
+
+    with ρ̂ = S_ud/S_uu and se²(ρ̂) = (SSR/(m−2))/S_uu over centered
+    moments of u = y_{t−1} against d = Δy_t. Released DF only — the
+    Dickey-Fuller critical values are the caller's table lookup (the
+    ``chi_square_independence`` convention; DF is NOT t-distributed
+    under the null, which is the whole point of the test).
+
+    Ordering, exclusion, and precision follow :func:`granger_lag1`
+    exactly: complete-case (ts, tiebreak) sequencing, decimal input
+    snap (Δy is an EXACT decimal difference before any double), 9-dp
+    decimal(38,9) centered-product pools, 9-dp moment snaps, release
+    at ``dp``. NULL ρ̂/DF when m < 3 (no error df), S_uu ≤ 0 at the
+    release grain (constant lag), or SSR ≤ 0 (a perfect fit).
+
+    Scale shape: one keyed lag window + two keyed aggregations + one
+    co-partitioned join — :func:`autocorrelation`'s plan. Returns
+    ``(entity_col, n, m, rho, df_stat)`` — ``m = max(n − 1, 0)``
+    regression rows."""
+    decv = f"decimal(20,{scale})"
+    order = [F.col(ts_col)]
+    if order_tiebreak is not None:
+        order.append(F.col(order_tiebreak))
+    else:
+        from . import warn_missing_tiebreak
+
+        warn_missing_tiebreak("dickey_fuller")
+    base = df.filter(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(entity_col).alias("__e"),
+        F.col(value_col).cast(decv).alias("__y"),
+        *[c.alias(f"__o{i}") for i, c in enumerate(order)])
+    w = Window.partitionBy("__e").orderBy(
+        *[F.col(f"__o{i}") for i in range(len(order))])
+    lagged = base.select(
+        "__e", "__y", F.lag("__y", 1).over(w).alias("__u"))
+    reg = lagged.filter(F.col("__u").isNotNull()).select(
+        "__e", "__u", (F.col("__y") - F.col("__u")).alias("__d"))
+    stats = reg.groupBy("__e").agg(
+        F.count(F.lit(1)).cast("long").alias("__m"),
+        F.sum("__u").alias("__su"),
+        F.sum("__d").alias("__sd"))
+    nobs = lagged.groupBy("__e").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    ub = F.col("__su").cast("double") / F.col("__m")
+    db = F.col("__sd").cast("double") / F.col("__m")
+    j = reg.join(stats, "__e")
+    du = F.col("__u").cast("double") - ub
+    dd = F.col("__d").cast("double") - db
+    d9 = "decimal(38,9)"
+    mom = j.groupBy("__e").agg(
+        F.max("__m").alias("__m"),
+        F.sum(F.round(du * du, 9).cast(d9)).alias("__suu"),
+        F.sum(F.round(du * dd, 9).cast(d9)).alias("__sud"),
+        F.sum(F.round(dd * dd, 9).cast(d9)).alias("__sdd"))
+    suu = F.col("__suu").cast("double")
+    sud = F.col("__sud").cast("double")
+    sdd = F.col("__sdd").cast("double")
+    m = F.col("__m")
+    md = m.cast("double")
+    rho = sud / suu
+    ssr = F.round(sdd - sud * sud / suu, 9)
+    ok = (m > 2) & (F.round(suu, 9) > 0)
+    se2 = ssr / (md - 2.0) / suu
+    per = mom.select(
+        "__e", F.col("__m").alias("m"),
+        F.when(ok, F.round(rho, dp)).alias("rho"),
+        F.when(ok & (ssr > 0),
+               F.round(rho / F.sqrt(se2), dp)).alias("df_stat"))
+    return nobs.join(per, "__e", "left").select(
+        F.col("__e").alias(entity_col), F.col("n"),
+        F.coalesce(F.col("m"), F.lit(0).cast("long")).alias("m"),
+        "rho", "df_stat")

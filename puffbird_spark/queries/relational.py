@@ -5535,3 +5535,60 @@ def diag_anderson_darling(spark, sf_dir):
         group_col=(F.col("user_id") % 2 == 0),
         value_col="value",
         key_cols=["event_type"])
+
+
+_ADF_ORACLE = """
+WITH b AS (SELECT user_id AS e, CAST(value AS DECIMAL(20,6)) AS y,
+    ts, event_id
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+s AS (SELECT e, y, lag(y, 1) OVER w AS u
+  FROM b WINDOW w AS (PARTITION BY e ORDER BY ts, event_id)),
+nobs AS (SELECT e, COUNT(*) AS n FROM s GROUP BY 1),
+reg AS (SELECT e, u, y - u AS d FROM s WHERE u IS NOT NULL),
+st AS (SELECT e, COUNT(*) AS m, SUM(u) AS su, SUM(d) AS sd
+  FROM reg GROUP BY 1),
+j AS (SELECT reg.e, st.m,
+    CAST(reg.u AS DOUBLE) - CAST(st.su AS DOUBLE) / st.m AS du,
+    CAST(reg.d AS DOUBLE) - CAST(st.sd AS DOUBLE) / st.m AS dd
+  FROM reg JOIN st USING (e)),
+mom AS (SELECT e, MAX(m) AS m,
+    SUM(CAST(round(du * du, 9) AS DECIMAL(38,9))) AS suu,
+    SUM(CAST(round(du * dd, 9) AS DECIMAL(38,9))) AS sud,
+    SUM(CAST(round(dd * dd, 9) AS DECIMAL(38,9))) AS sdd
+  FROM j GROUP BY 1),
+calc AS (SELECT e, m,
+    CAST(suu AS DOUBLE) AS suu, CAST(sud AS DOUBLE) AS sud,
+    CAST(sdd AS DOUBLE) AS sdd,
+    round(CAST(sdd AS DOUBLE)
+          - CAST(sud AS DOUBLE) * CAST(sud AS DOUBLE)
+            / CAST(suu AS DOUBLE), 9) AS ssr
+  FROM mom),
+rel AS (SELECT e, m,
+    CASE WHEN m > 2 AND round(suu, 9) > 0
+         THEN round(sud / suu, 6) END AS rho,
+    CASE WHEN m > 2 AND round(suu, 9) > 0 AND ssr > 0
+         THEN round((sud / suu)
+                    / sqrt(ssr / (m - 2) / suu), 6) END AS df_stat
+  FROM calc)
+SELECT nobs.e AS user_id, CAST(nobs.n AS BIGINT) AS n,
+  CAST(COALESCE(rel.m, 0) AS BIGINT) AS m, rho, df_stat
+FROM nobs LEFT JOIN rel USING (e)
+"""
+
+
+@query("timeseries_dickey_fuller", oracle=_ADF_ORACLE)
+def timeseries_dickey_fuller(spark, sf_dir):
+    """Per-entity Dickey-Fuller unit-root test (`dickey_fuller`,
+    operators/timeseries.py; Dickey & Fuller 1979, lag-0 drift
+    form) — is each user's event-value series a random walk or
+    mean-reverting, the stationarity screen that belongs before any
+    ACF/Granger modeling: DF = ρ̂/se(ρ̂) from the Δy~y₋₁ regression,
+    exact-decimal differences, the granger moment ladder (9-dp
+    decimal pools, 9-dp SSR snap), released statistic only (DF is
+    not t-distributed under the null — the caller looks up the DF
+    table). One keyed lag window + two keyed aggs."""
+    from ..operators.timeseries import dickey_fuller
+
+    ev = load(spark, sf_dir, "events")
+    return dickey_fuller(
+        ev, "user_id", "ts", "value", order_tiebreak="event_id")

@@ -9161,3 +9161,33 @@ def test_anderson_darling_hand_and_differential(spark):
             assert k not in got
         else:
             assert got[k] == ref_a2(xa, xb), (k, got.get(k), ref_a2(xa, xb))
+
+
+def test_dickey_fuller_hand_cases(spark):
+    """Hand-computed DF: the 8-point mean-reverting series releases
+    (m=7, rho=-1.791667, df=-6.748472); a deterministic ramp fits
+    perfectly (SSR=0) -> rho released, NULL DF; a constant series
+    has Suu=0 -> all NULL; m <= 2 releases NULL diagnostics with the
+    true n/m."""
+    from puffbird_spark.operators.timeseries import dickey_fuller
+
+    rows = [("a", t, float(v)) for t, v in enumerate(
+        (2, 3, 1, 4, 1, 5, 2, 3))]
+    rows += [("ramp", t, float(t + 1)) for t in range(5)]
+    rows += [("const", t, 4.0) for t in range(5)]
+    rows += [("short", t, float(v)) for t, v in enumerate((1, 5, 2))]
+    df = spark.createDataFrame(rows, "e string, t int, x double") \
+        .withColumn("ts", F.col("t").cast("timestamp"))
+    out = {r["e"]: r for r in dickey_fuller(
+        df, "e", "ts", "x", order_tiebreak="t").collect()}
+    a = out["a"]
+    assert (a["n"], a["m"]) == (8, 7)
+    assert a["rho"] == -1.791667
+    assert a["df_stat"] == -6.748472
+    ramp = out["ramp"]
+    assert ramp["rho"] == 0.0 and ramp["df_stat"] is None
+    const = out["const"]
+    assert const["rho"] is None and const["df_stat"] is None
+    short = out["short"]
+    assert (short["n"], short["m"]) == (3, 2)
+    assert short["rho"] is None and short["df_stat"] is None
