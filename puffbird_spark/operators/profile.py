@@ -553,3 +553,102 @@ def zipf_fit(
     return tot.select(
         "n_vocab", "n_fit", slope.alias("slope"),
         intercept.alias("intercept"), corr.alias("corr"))
+
+
+#: log10(1 + 1/d) for d = 1..9 — Benford first-digit probabilities
+#: as fixed literals so both engines fold bit-identical constants
+BENFORD_P = [
+    0.3010299956639812, 0.17609125905568124, 0.12493873660829992,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514,
+]
+
+
+def benford_first_digit(
+    df: DataFrame,
+    value_col: str,
+    dp: int = 6,
+) -> DataFrame:
+    """Benford's-law first-significant-digit conformity test (Newcomb
+    1881, Benford 1938; Nigrini 2012 forensic practice) — the
+    data-quality / fraud screen over any naturally-scaled positive
+    amount column: real-world magnitudes spread over several orders
+    put digit d first with probability log₁₀(1 + 1/d); fabricated or
+    truncated data does not. Releases one row:
+
+        chi2 = Σ_d (o_d − N·p_d)² / (N·p_d)        (8 df)
+        mad  = (1/9) Σ_d |o_d/N − p_d|             (Nigrini's MAD)
+
+    plus the worst-deviating digit. The first significant digit is
+    extracted from the value's DECIMAL STRING (first [1-9] of
+    |value|) — NOT via log₁₀/floor arithmetic, whose IEEE boundary
+    at exact powers of ten (log10(1000) = 2.999…96) misclassifies
+    entire magnitude classes; string extraction is exact on decimal
+    inputs and engine-identical. NULL and zero values (no first
+    digit) are excluded; digits the data never hits still contribute
+    their full expected term (the 9-digit grid is a literal frame —
+    a missing digit is the STRONGEST Benford violation, not a
+    droppable row).
+
+    Determinism: counts are exact longs; p_d are engine-computed
+    log₁₀ doubles (identical libm inputs); every term pools through
+    the nano-unit ladder (floor(t·1e9) longs — the
+    anderson_darling_two_sample lesson: round(double, 9) straddles
+    half boundaries differently per engine, IEEE product + floor
+    never does), released pure-integer HALF_UP at ``dp``.
+
+    Scale shape: one scan + one 9-group aggregation + a 9-row
+    literal join — nothing bigger than the digit grid ever
+    shuffles. Returns ``(n, chi2, mad, worst_digit, worst_dev)``."""
+    spark = df.sparkSession
+    digit = F.regexp_extract(
+        F.abs(F.col(value_col)).cast("string"), "([1-9])", 1)
+    counts = (df.filter(F.col(value_col).isNotNull())
+              .select(digit.alias("__d"))
+              .filter(F.col("__d") != "")
+              .groupBy("__d")
+              .agg(F.count(F.lit(1)).cast("long").alias("__o")))
+    # the 9 Benford probabilities as FIXED double literals (the SAX-
+    # breakpoints precedent): java Math.log10 and C std::log10 are
+    # each allowed an ulp, so an engine-computed log10(1 + 1/d) is
+    # not guaranteed bit-identical across engines — a literal is
+    grid = spark.createDataFrame(
+        [(d, pv) for d, pv in enumerate(BENFORD_P, start=1)],
+        "__d int, __p double")
+    full = grid.join(
+        counts.select(F.col("__d").cast("int").alias("__d"), "__o"),
+        "__d", "left").select(
+        "__d", "__p",
+        F.coalesce(F.col("__o"), F.lit(0).cast("long")).alias("__o"))
+    p = F.col("__p")
+    tot = full.agg(F.sum("__o").cast("long").alias("__n"))
+    j = full.crossJoin(F.broadcast(tot))
+    nd = F.col("__n").cast("double")
+    o = F.col("__o").cast("double")
+    e = nd * p
+    # nd = 0 (empty input) would make these 0/0 NaN, and a NaN→long
+    # cast is an ANSI runtime kill — release NULL stats instead
+    chi_units = F.when(
+        F.col("__n") > 0,
+        F.floor((o - e) * (o - e) / e * 1.0e9).cast("long"))
+    dev_units = F.when(
+        F.col("__n") > 0,
+        F.floor(F.abs(o / nd - p) * 1.0e9).cast("long"))
+    scored = j.select(
+        "__d", "__o", "__n",
+        chi_units.alias("__cu"), dev_units.alias("__du"))
+    w = Window.orderBy(F.desc("__du"), F.asc("__d"))
+    ranked = scored.withColumn("__rk", F.row_number().over(w))
+    half = 10 ** (9 - dp) // 2
+    div = 10 ** (9 - dp)
+    return ranked.groupBy().agg(
+        F.max("__n").alias("n"),
+        (F.expr(f"(sum(__cu) + {half}) div {div}").cast("double")
+         / float(10 ** dp)).alias("chi2"),
+        (F.expr(f"(sum(__du) div 9 + {half}) div {div}")
+         .cast("double") / float(10 ** dp)).alias("mad"),
+        F.max(F.when(F.col("__rk") == 1, F.col("__d"))).alias(
+            "worst_digit"),
+        (F.expr(f"(max(case when __rk = 1 then __du end) + {half}) "
+                f"div {div}").cast("double")
+         / float(10 ** dp)).alias("worst_dev"))

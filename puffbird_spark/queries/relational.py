@@ -5592,3 +5592,57 @@ def timeseries_dickey_fuller(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     return dickey_fuller(
         ev, "user_id", "ts", "value", order_tiebreak="event_id")
+
+
+_BENFORD_ORACLE = """
+WITH src AS (SELECT regexp_extract(
+      CAST(abs(o_totalprice) AS VARCHAR), '([1-9])', 1) AS d
+  FROM orders WHERE o_totalprice IS NOT NULL),
+counts AS (SELECT CAST(d AS INT) AS d, COUNT(*) AS o
+  FROM src WHERE d <> '' GROUP BY 1),
+grid(d, p) AS (VALUES
+  (1, 0.3010299956639812), (2, 0.17609125905568124),
+  (3, 0.12493873660829992), (4, 0.09691001300805642),
+  (5, 0.07918124604762482), (6, 0.06694678963061322),
+  (7, 0.05799194697768673), (8, 0.05115252244738129),
+  (9, 0.04575749056067514)),
+fl AS (SELECT grid.d, grid.p, COALESCE(counts.o, 0) AS o
+  FROM grid LEFT JOIN counts ON grid.d = counts.d),
+tot AS (SELECT SUM(o) AS n FROM fl),
+sc AS (SELECT d, o,
+    CAST(n AS BIGINT) AS n,
+    CASE WHEN n > 0 THEN CAST(floor(
+      (CAST(o AS DOUBLE) - CAST(n AS DOUBLE) * p)
+      * (CAST(o AS DOUBLE) - CAST(n AS DOUBLE) * p)
+      / (CAST(n AS DOUBLE) * p) * 1.0e9) AS BIGINT) END AS cu,
+    CASE WHEN n > 0 THEN CAST(floor(
+      abs(CAST(o AS DOUBLE) / CAST(n AS DOUBLE) - p) * 1.0e9)
+      AS BIGINT) END AS du
+  FROM fl, tot),
+rk AS (SELECT *, row_number() OVER (ORDER BY du DESC, d ASC) AS r
+  FROM sc)
+SELECT CAST(MAX(n) AS BIGINT) AS n,
+  CAST((SUM(cu) + 500) // 1000 AS DOUBLE) / 1e6 AS chi2,
+  CAST((SUM(du) // 9 + 500) // 1000 AS DOUBLE) / 1e6 AS mad,
+  MAX(CASE WHEN r = 1 THEN d END) AS worst_digit,
+  CAST((MAX(CASE WHEN r = 1 THEN du END) + 500) // 1000 AS DOUBLE)
+    / 1e6 AS worst_dev
+FROM rk
+"""
+
+
+@query("profile_benford", oracle=_BENFORD_ORACLE)
+def profile_benford(spark, sf_dir):
+    """Benford's-law first-digit conformity (`benford_first_digit`,
+    operators/profile.py; Newcomb 1881, Benford 1938, Nigrini 2012)
+    — the fraud / data-quality screen over order totals: chi-square
+    and Nigrini MAD against the log₁₀(1+1/d) digit law, worst digit
+    called out. First digits extracted from the DECIMAL STRING (the
+    log₁₀/floor route misclassifies exact powers of ten), the nine
+    probabilities are FIXED literals (engine log10 is ulp-loose),
+    every term through the nano-unit ladder. One scan + one 9-group
+    agg + a literal grid join."""
+    from ..operators.profile import benford_first_digit
+
+    return benford_first_digit(
+        load(spark, sf_dir, "orders"), "o_totalprice")

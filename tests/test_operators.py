@@ -9191,3 +9191,45 @@ def test_dickey_fuller_hand_cases(spark):
     short = out["short"]
     assert (short["n"], short["m"]) == (3, 2)
     assert short["rho"] is None and short["df_stat"] is None
+
+
+def test_benford_first_digit_hand_cases(spark):
+    """Benford conformity: a 5-value fixture matches the from-scratch
+    nano-unit replay (missing digits still contribute full expected
+    chi2 terms); zeros and NULLs are excluded; negatives take |x|;
+    sub-1 decimals extract the first SIGNIFICANT digit (0.0042 ->
+    4); an empty input releases NULL stats."""
+    from puffbird_spark.operators.profile import (
+        BENFORD_P, benford_first_digit)
+
+    import math
+
+    vals = [1.0, 14.2, 150.0, 2.5, 9.0]
+    df = spark.createDataFrame(
+        [(v,) for v in vals] + [(0.0,), (None,)], "v double")
+    out = benford_first_digit(df, "v").collect()[0]
+    counts = {1: 3, 2: 1, 9: 1}
+    n = 5
+    cu = du = 0
+    devs = {}
+    for d in range(1, 10):
+        o, p = counts.get(d, 0), BENFORD_P[d - 1]
+        cu += math.floor((o - n * p) ** 2 / (n * p) * 1.0e9)
+        u = math.floor(abs(o / n - p) * 1.0e9)
+        du += u
+        devs[d] = u
+    assert out["n"] == 5
+    assert out["chi2"] == ((cu + 500) // 1000) / 1e6
+    assert out["mad"] == ((du // 9 + 500) // 1000) / 1e6
+    worst = max(devs, key=lambda d: (devs[d], -d))
+    assert out["worst_digit"] == worst
+    assert out["worst_dev"] == ((devs[worst] + 500) // 1000) / 1e6
+
+    neg = spark.createDataFrame(
+        [(-912.0,), (-0.0042,)], "v double")
+    nout = benford_first_digit(neg, "v").collect()[0]
+    assert nout["n"] == 2   # digits 9 and 4 both counted via |x|
+
+    empty = spark.createDataFrame([(0.0,), (None,)], "v double")
+    e = benford_first_digit(empty, "v").collect()[0]
+    assert e["n"] == 0 and e["chi2"] is None and e["mad"] is None
