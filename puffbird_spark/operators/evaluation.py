@@ -1481,3 +1481,74 @@ def probabilistic_scores(
         .alias("brier"),
         F.when(n > 0, F.round(F.col("__sl").cast("double") / n, dp))
         .alias("log_loss"))
+
+
+def p_adjust(
+    df: DataFrame,
+    id_col: str,
+    p_col: str,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Multiple-testing adjustment of a p-value column, all three
+    standard procedures in one pass (the experiment-analysis step
+    after any batch of `diag_*` tests — run 200 A/B metrics and
+    ~10 are "significant" by luck; these corrections are how a
+    results pipeline reports honestly):
+
+    - ``p_bonferroni`` = min(1, m·p) — FWER, Bonferroni 1936;
+    - ``p_holm``       = max_{j≤i} min(1, (m−j+1)·p₍ⱼ₎) — the
+      uniformly-more-powerful step-down FWER control, Holm 1979;
+    - ``p_bh``         = min_{j≥i} min(1, m·p₍ⱼ₎/j) — FDR,
+      Benjamini & Hochberg 1995 (the genomics/eval-suite default);
+
+    over the family defined by ``key_cols`` (None = one global
+    family), ranked ascending by ``(p, id)`` — the id tiebreak makes
+    tied p-values' per-rank factors deterministic on every engine.
+
+    Determinism: every adjusted value is a running min/max of
+    products/quotients of PARQUET-IDENTICAL doubles with small-int
+    rank factors — the same IEEE ops on the same inputs on any
+    engine — so releases are RAW doubles, deliberately UNROUNDED:
+    a release-grain round() is exactly where engines diverge (the
+    anderson_darling lesson), and here there is nothing to snap
+    because no engine-dependent arithmetic ever enters. NULL and
+    NaN p-values are excluded; values outside [0, 1] are excluded
+    like NULLs (they are not probabilities — the complete-case
+    contract, documented rather than silently clamped).
+
+    Scale shape: two keyed windows over the family ordering (one
+    ascending running max, one descending running min) — a family
+    is a hypothesis batch (thousands, not billions); skew equals
+    family skew. Returns ``(*key_cols, id_col, p, rank, m,
+    p_bonferroni, p_holm, p_bh)``."""
+    from pyspark.sql.window import Window
+
+    keys = list(key_cols or [])
+    base = df.select(
+        *keys, F.col(id_col).alias("__id"),
+        F.col(p_col).cast("double").alias("__p"),
+    ).filter(F.col("__p").isNotNull()
+             & ~F.isnan("__p")
+             & (F.col("__p") >= 0.0) & (F.col("__p") <= 1.0))
+    w_rank = Window.partitionBy(*keys).orderBy("__p", "__id")
+    w_tot = Window.partitionBy(*keys)
+    ranked = base.select(
+        *keys, "__id", "__p",
+        F.row_number().over(w_rank).alias("__r"),
+        F.count(F.lit(1)).over(w_tot).alias("__m"))
+    m = F.col("__m").cast("double")
+    r = F.col("__r").cast("double")
+    holm_step = F.least(F.lit(1.0), (m - r + 1.0) * F.col("__p"))
+    bh_step = F.least(F.lit(1.0), m * F.col("__p") / r)
+    w_up = (Window.partitionBy(*keys).orderBy("__r")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    w_down = (Window.partitionBy(*keys).orderBy(F.desc("__r"))
+              .rowsBetween(Window.unboundedPreceding, 0))
+    return ranked.select(
+        *keys, F.col("__id").alias(id_col),
+        F.col("__p").alias("p"),
+        F.col("__r").cast("long").alias("rank"),
+        F.col("__m").cast("long").alias("m"),
+        F.least(F.lit(1.0), m * F.col("__p")).alias("p_bonferroni"),
+        F.max(holm_step).over(w_up).alias("p_holm"),
+        F.min(bh_step).over(w_down).alias("p_bh"))

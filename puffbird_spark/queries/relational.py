@@ -5646,3 +5646,43 @@ def profile_benford(spark, sf_dir):
 
     return benford_first_digit(
         load(spark, sf_dir, "orders"), "o_totalprice")
+
+
+_PADJ_ORACLE = """
+WITH b AS (SELECT source, doc_id AS id,
+    CAST(doc_id % 9973 AS DOUBLE) / 9973.0 AS p
+  FROM documents WHERE doc_id IS NOT NULL),
+rk AS (SELECT source, id, p,
+    row_number() OVER (PARTITION BY source ORDER BY p, id) AS r,
+    COUNT(*) OVER (PARTITION BY source) AS m
+  FROM b)
+SELECT source, id AS doc_id, p, CAST(r AS BIGINT) AS rank,
+  CAST(m AS BIGINT) AS m,
+  LEAST(1.0, m * p) AS p_bonferroni,
+  MAX(LEAST(1.0, (m - r + 1) * p)) OVER (
+    PARTITION BY source ORDER BY r
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_holm,
+  MIN(LEAST(1.0, m * p / r)) OVER (
+    PARTITION BY source ORDER BY r DESC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_bh
+FROM rk
+"""
+
+
+@query("eval_p_adjust", oracle=_PADJ_ORACLE)
+def eval_p_adjust(spark, sf_dir):
+    """Multiple-testing adjustment, all three standard procedures
+    (`p_adjust`, operators/evaluation.py; Bonferroni, Holm 1979,
+    Benjamini-Hochberg 1995) — per-source families of synthetic
+    p-values carved deterministically from doc ids: the honest-
+    reporting step after any batch of diag_* tests. Running
+    max/min windows over the (p, id)-ranked family; releases are
+    deliberately UNROUNDED raw doubles (every value is the same
+    IEEE expression over parquet-identical inputs on both engines
+    — there is no engine-dependent arithmetic to snap)."""
+    from ..operators.evaluation import p_adjust
+
+    docs = load(spark, sf_dir, "documents").select(
+        "source", "doc_id",
+        ((F.col("doc_id") % 9973).cast("double") / 9973.0).alias("p"))
+    return p_adjust(docs, "doc_id", "p", key_cols=["source"])

@@ -9233,3 +9233,39 @@ def test_benford_first_digit_hand_cases(spark):
     empty = spark.createDataFrame([(0.0,), (None,)], "v double")
     e = benford_first_digit(empty, "v").collect()[0]
     assert e["n"] == 0 and e["chi2"] is None and e["mad"] is None
+
+
+def test_p_adjust_hand_cases(spark):
+    """The textbook 4-hypothesis family {.005,.01,.03,.04}: Holm
+    step-down reads (.02,.03,.06,.06) and BH step-up (.02,.02,.04,
+    .04) — asserted against the same IEEE expressions, not decimal
+    literals; NULL/NaN/out-of-range p excluded; tied p-values order
+    by id so per-rank factors are deterministic."""
+    from puffbird_spark.operators.evaluation import p_adjust
+
+    rows = [("a", 1, 0.01), ("a", 2, 0.04), ("a", 3, 0.03),
+            ("a", 4, 0.005),
+            ("a", 5, None), ("a", 6, float("nan")), ("a", 7, 1.5),
+            ("a", 8, -0.1),
+            ("b", 1, 0.5), ("b", 2, 0.5)]
+    df = spark.createDataFrame(rows, "fam string, id int, p double")
+    out = {(r["fam"], r["id"]): r for r in p_adjust(
+        df, "id", "p", key_cols=["fam"]).collect()}
+    assert len(out) == 6          # 4 valid in a, 2 in b
+    a4, a1 = out[("a", 4)], out[("a", 1)]
+    a3, a2 = out[("a", 3)], out[("a", 2)]
+    assert [a4["rank"], a1["rank"], a3["rank"], a2["rank"]] == \
+        [1, 2, 3, 4]
+    assert a4["m"] == 4
+    assert a4["p_bonferroni"] == 4 * 0.005
+    assert a4["p_holm"] == 4 * 0.005
+    assert a1["p_holm"] == 3 * 0.01
+    assert a3["p_holm"] == 2 * 0.03
+    assert a2["p_holm"] == 2 * 0.03       # step-down monotone carry
+    assert a2["p_bh"] == 4 * 0.04 / 4
+    assert a3["p_bh"] == 4 * 0.04 / 4     # min carries up
+    assert a1["p_bh"] == 4 * 0.01 / 2
+    assert a4["p_bh"] == 4 * 0.01 / 2
+    b1, b2 = out[("b", 1)], out[("b", 2)]
+    assert (b1["rank"], b2["rank"]) == (1, 2)   # id tiebreak
+    assert b1["p_holm"] == 1.0 and b2["p_bh"] == 0.5
