@@ -1552,3 +1552,98 @@ def p_adjust(
         F.least(F.lit(1.0), m * F.col("__p")).alias("p_bonferroni"),
         F.max(holm_step).over(w_up).alias("p_holm"),
         F.min(bh_step).over(w_down).alias("p_bh"))
+
+
+def cronbach_alpha(
+    df: DataFrame,
+    subject_col: str,
+    item_col: str,
+    value_col: str,
+    scale: int = 6,
+) -> DataFrame:
+    """Cronbach's alpha internal-consistency coefficient (Cronbach
+    1951) — do the k items of a rating instrument measure one
+    construct? The reliability check that belongs BEFORE averaging
+    rubric dimensions or judge prompts into a single score (the
+    kappa family asks "do raters agree"; alpha asks "do the ITEMS
+    cohere"):
+
+        α = k/(k−1) · (1 − Σ_i Var(item_i) / Var(subject totals))
+
+    COMPLETE-DESIGN CONTRACT (the friedman_test convention,
+    validated with one aggregate over a pinned lineage): every
+    subject holds every item exactly once — an incomplete design
+    silently biases both variance pools, so fail loud.
+
+    All-integer algebra: values snap to decimal(20,scale) and scale
+    to exact integers u = v·10^scale; with population variances the
+    n² denominators cancel, so
+
+        α = k/(k−1) · (1 − A/B),
+        A = Σ_i (n·Σu²_i − (Σu_i)²),  B = n·ΣX²_s − (ΣX_s)²
+
+    is a ratio of EXACT decimal(38,0) integers (X_s the subject's
+    item total). The release is the raw double of that expression
+    (the p_adjust convention: one exact-integer ratio → identical
+    IEEE ops on both engines — nothing to snap, and release-grain
+    round() is where engines diverge). NULL α when B ≤ 0 (no
+    subject-total variance — all subjects identical).
+
+    Scale shape: two keyed aggregations over the n·k design + one
+    k-row fold; n is the scale axis, k the design width. Returns
+    ONE row: ``(n_subjects, k, alpha)``."""
+    base = df.select(
+        F.col(subject_col).alias("__s"),
+        F.col(item_col).alias("__i"),
+        F.col(value_col).alias("__v"),
+    ).filter(
+        F.col("__s").isNotNull() & F.col("__i").isNotNull()
+        & F.col("__v").isNotNull())
+    base = base.localCheckpoint(eager=True)
+
+    shape = base.groupBy("__s").agg(
+        F.count(F.lit(1)).alias("__rows"),
+        F.count_distinct("__i").alias("__k")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("__rows").alias("rlo"), F.max("__rows").alias("rhi"),
+        F.min("__k").alias("klo"), F.max("__k").alias("khi")).collect()
+    if not shape or shape[0]["n"] == 0:
+        raise ValueError("cronbach_alpha: empty input")
+    s = shape[0]
+    if not (s["rlo"] == s["rhi"] == s["klo"] == s["khi"]):
+        raise ValueError(
+            "cronbach_alpha requires a COMPLETE design (every "
+            f"subject holds every item exactly once); found subjects "
+            f"with {s['rlo']}..{s['rhi']} rows and "
+            f"{s['klo']}..{s['khi']} distinct items")
+    k = int(s["klo"])
+    n = int(s["n"])
+    if k < 2:
+        raise ValueError("cronbach_alpha needs >= 2 items")
+
+    d38 = "decimal(38,0)"
+    u = (F.col("__v").cast(f"decimal(20,{scale})")
+         * (10 ** scale)).cast(d38)
+    scaled = base.select("__s", "__i", u.alias("__u"))
+    per_item = scaled.groupBy("__i").agg(
+        F.sum("__u").cast(d38).alias("__si"),
+        F.sum(F.col("__u") * F.col("__u")).cast(d38).alias("__qi"))
+    a = per_item.agg(
+        F.sum(F.lit(n).cast(d38) * F.col("__qi")
+              - F.col("__si") * F.col("__si"))
+        .cast(d38).alias("__a"))
+    per_subj = scaled.groupBy("__s").agg(
+        F.sum("__u").cast(d38).alias("__x"))
+    b = per_subj.agg(
+        (F.lit(n).cast(d38)
+         * F.sum(F.col("__x") * F.col("__x")).cast(d38)
+         - F.sum("__x").cast(d38) * F.sum("__x").cast(d38))
+        .cast(d38).alias("__b"))
+    alpha = (F.lit(float(k) / (k - 1))
+             * (F.lit(1.0)
+                - F.col("__a").cast("double")
+                / F.col("__b").cast("double")))
+    return a.crossJoin(b).select(
+        F.lit(n).cast("long").alias("n_subjects"),
+        F.lit(k).cast("long").alias("k"),
+        F.when(F.col("__b") > 0, alpha).alias("alpha"))

@@ -5686,3 +5686,42 @@ def eval_p_adjust(spark, sf_dir):
         "source", "doc_id",
         ((F.col("doc_id") % 9973).cast("double") / 9973.0).alias("p"))
     return p_adjust(docs, "doc_id", "p", key_cols=["source"])
+
+
+_CRONBACH_ORACLE = """
+WITH b AS (SELECT doc_id % 100 AS s, doc_id // 100 AS i,
+    CAST(CAST(length(text) AS DECIMAL(20,6)) * 1000000
+      AS HUGEINT) AS u
+  FROM documents WHERE doc_id < 300 AND text IS NOT NULL),
+pi AS (SELECT i, SUM(u) AS si, SUM(u * u) AS qi FROM b GROUP BY 1),
+a AS (SELECT SUM(100 * qi - si * si) AS av FROM pi),
+ps AS (SELECT s, SUM(u) AS x FROM b GROUP BY 1),
+bb AS (SELECT 100 * SUM(x * x) - SUM(x) * SUM(x) AS bv FROM ps)
+SELECT CAST(100 AS BIGINT) AS n_subjects, CAST(3 AS BIGINT) AS k,
+  CASE WHEN bv > 0
+       THEN 1.5 * (1.0 - CAST(av AS DOUBLE) / CAST(bv AS DOUBLE))
+  END AS alpha
+FROM a, bb
+"""
+
+
+@query("eval_cronbach_alpha", oracle=_CRONBACH_ORACLE)
+def eval_cronbach_alpha(spark, sf_dir):
+    """Cronbach's alpha internal consistency (`cronbach_alpha`,
+    operators/evaluation.py; Cronbach 1951) — do the three
+    text-length "items" of the shared 100-subject x 3-item design
+    (the diag_friedman fixture carve: subject = id%100, item =
+    id//100) cohere as one construct? All-integer scaled algebra
+    (n² denominators cancel into one exact decimal(38,0) ratio),
+    complete-design contract, raw-double release (one IEEE
+    expression over identical integers — the p_adjust convention)."""
+    from ..operators.evaluation import cronbach_alpha
+
+    docs = load(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 300) & F.col("text").isNotNull())
+    return cronbach_alpha(
+        docs.select(
+            (F.col("doc_id") % 100).alias("subj"),
+            (F.col("doc_id") / 100).cast("long").alias("item"),
+            F.length("text").alias("score")),
+        "subj", "item", "score")

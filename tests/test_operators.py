@@ -9269,3 +9269,44 @@ def test_p_adjust_hand_cases(spark):
     b1, b2 = out[("b", 1)], out[("b", 2)]
     assert (b1["rank"], b2["rank"]) == (1, 2)   # id tiebreak
     assert b1["p_holm"] == 1.0 and b2["p_bh"] == 0.5
+
+
+def test_cronbach_alpha_hand_cases(spark):
+    """Hand-computed alpha: the 4-subject x 2-item design with
+    item2 = 2*item1 reads exactly 2*(1 - 100/180) = 8/9 (one exact
+    integer ratio -> bit-equal double); duplicated items read
+    exactly 1.0; an all-constant design has zero total variance ->
+    NULL; incomplete designs and k=1 raise the contract."""
+    import pytest as _pytest
+
+    from puffbird_spark.operators.evaluation import cronbach_alpha
+
+    rows = [(s, "i1", float(s)) for s in (1, 2, 3, 4)]
+    rows += [(s, "i2", float(2 * s)) for s in (1, 2, 3, 4)]
+    df = spark.createDataFrame(rows, "s int, i string, v double")
+    r = cronbach_alpha(df, "s", "i", "v").collect()[0]
+    assert (r["n_subjects"], r["k"]) == (4, 2)
+    assert r["alpha"] == 2.0 * (1.0 - 100.0 / 180.0)
+
+    dup = [(s, it, float(s)) for s in (1, 2, 3) for it in ("a", "b")]
+    d = cronbach_alpha(
+        spark.createDataFrame(dup, "s int, i string, v double"),
+        "s", "i", "v").collect()[0]
+    assert d["alpha"] == 1.0
+
+    const = [(s, it, 7.0) for s in (1, 2) for it in ("a", "b")]
+    c = cronbach_alpha(
+        spark.createDataFrame(const, "s int, i string, v double"),
+        "s", "i", "v").collect()[0]
+    assert c["alpha"] is None
+
+    with _pytest.raises(ValueError, match="COMPLETE design"):
+        cronbach_alpha(
+            spark.createDataFrame(rows[:5], "s int, i string, v double"),
+            "s", "i", "v")
+    with _pytest.raises(ValueError, match=">= 2 items"):
+        cronbach_alpha(
+            spark.createDataFrame(
+                [(1, "a", 1.0), (2, "a", 2.0)],
+                "s int, i string, v double"),
+            "s", "i", "v")
