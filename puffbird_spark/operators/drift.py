@@ -1307,3 +1307,46 @@ def anderson_darling_two_sample(
         *keys, "n_a", F.col("__nbv").alias("n_b"),
         (F.col("__nd") + 1).alias("n_distinct"),
         (rel.cast("double") / float(10 ** dp)).alias("a2"))
+
+
+def kendalls_w(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+    dp: int = 6,
+) -> DataFrame:
+    """Kendall's coefficient of concordance W (Kendall & Babington
+    Smith 1939) — HOW STRONGLY do the n blocks (raters) agree on the
+    ranking of the k treatments (items), on the interpretable 0..1
+    scale the Friedman Q lacks: W = 1 means every rater ranks
+    identically, W = 0 means no agreement beyond chance. The
+    agreement-STRENGTH companion to :func:`friedman_test`'s
+    significance decision, via the exact tie-general identity
+
+        W = Q / (n·(k−1))
+
+    (Kendall's tie-corrected W and the tie-corrected Friedman Q are
+    the same statistic on different scales — Conover 1999). Computed
+    by COMPOSITION from the RELEASED ``dp``-rounded Q (the
+    textrank→pagerank / PACF convention: both engines fold the
+    identical released double, no second precision ladder), then
+    released at ``dp``. All of friedman's contracts apply unchanged
+    (complete design validated on a pinned lineage, NULL on all-tied
+    input).
+
+    Returns ONE row: ``(n_blocks, k, q_stat, w)``."""
+    q = friedman_test(df, block_col, treatment_col, value_col, dp=dp)
+    # Q/D is a rational with a SMALL denominator, so a round(double)
+    # release sits on half boundaries by construction (the
+    # anderson_darling lesson) — recover Q's exact dp-grain integer
+    # (floor(q·10^dp + 0.5) is engine-free: IEEE multiply + floor of
+    # identical doubles), then divide HALF_UP in pure integers
+    return q.select(
+        "n_blocks", "k", "q_stat",
+        F.when(
+            F.col("q_stat").isNotNull(),
+            F.expr(f"(2 * floor(q_stat * {float(10 ** dp)!r} + 0.5)"
+                   " + (n_blocks * (k - 1)))"
+                   " div (2 * n_blocks * (k - 1))").cast("double")
+            / float(10 ** dp)).alias("w"))

@@ -5725,3 +5725,37 @@ def eval_cronbach_alpha(spark, sf_dir):
             (F.col("doc_id") / 100).cast("long").alias("item"),
             F.length("text").alias("score")),
         "subj", "item", "score")
+
+
+_KENDALL_W_ORACLE = f"""
+WITH f AS ({_FRIEDMAN_ORACLE})
+SELECT n_blocks, k, q_stat,
+  CASE WHEN q_stat IS NOT NULL THEN
+    CAST((2 * CAST(floor(q_stat * 1000000.0 + 0.5) AS BIGINT)
+          + (n_blocks * (k - 1)))
+         // (2 * n_blocks * (k - 1)) AS DOUBLE) / 1000000.0
+  END AS w
+FROM f
+"""
+
+
+@query("diag_kendalls_w", oracle=_KENDALL_W_ORACLE)
+def diag_kendalls_w(spark, sf_dir):
+    """Kendall's coefficient of concordance W (`kendalls_w`,
+    operators/drift.py; Kendall & Babington Smith 1939) — the 0..1
+    agreement STRENGTH behind `diag_friedman`'s significance answer
+    on the SAME 100x3 design, via the exact tie-general identity
+    W = Q/(n(k−1)) (Conover 1999). Composes the RELEASED Q (the
+    textrank→pagerank convention), with the Q/D small-denominator
+    release done in pure integers (exact dp-grain recovery + integer
+    HALF_UP — the anderson_darling half-boundary lesson)."""
+    from ..operators.drift import kendalls_w
+
+    docs = load(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 300) & F.col("text").isNotNull())
+    return kendalls_w(
+        docs.select(
+            (F.col("doc_id") % 100).alias("blk"),
+            (F.col("doc_id") / 100).cast("long").alias("trt"),
+            F.length("text").alias("score")),
+        "blk", "trt", "score")

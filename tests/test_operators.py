@@ -9310,3 +9310,25 @@ def test_cronbach_alpha_hand_cases(spark):
                 [(1, "a", 1.0), (2, "a", 2.0)],
                 "s int, i string, v double"),
             "s", "i", "v")
+
+
+def test_kendalls_w_hand_cases(spark):
+    """W pins: three raters ranking three items identically read
+    W = 1.0 exactly (Q = n(k-1) at perfect concordance); the
+    all-tied design releases NULL W alongside NULL Q; W replays
+    Q/(n(k-1)) through the integer half-up ladder."""
+    from puffbird_spark.operators.drift import kendalls_w
+
+    rows = [(b, t, float(v)) for b in (1, 2, 3)
+            for t, v in (("a", 1), ("b", 2), ("c", 3))]
+    r = kendalls_w(
+        spark.createDataFrame(rows, "b int, t string, v double"),
+        "b", "t", "v").collect()[0]
+    assert (r["n_blocks"], r["k"]) == (3, 3)
+    assert r["q_stat"] == 6.0 and r["w"] == 1.0
+
+    tied = [(b, t, 5.0) for b in (1, 2) for t in ("a", "b")]
+    t = kendalls_w(
+        spark.createDataFrame(tied, "b int, t string, v double"),
+        "b", "t", "v").collect()[0]
+    assert t["q_stat"] is None and t["w"] is None
