@@ -59,3 +59,31 @@ def warn_missing_tiebreak(operator: str) -> None:
         f"{operator} without order_tiebreak: tied timestamps make the "
         f"per-entity sequence nondeterministic — pass a unique column "
         f"to make the order total", stacklevel=3)
+
+
+def nano_release(units_col: str, dp: int = 6):
+    """Shared release step of the NANO-UNIT LADDER (r14: born in
+    anderson_darling_two_sample, reused by benford_first_digit and
+    changepoint_variance — one definition so the precision-critical
+    constants cannot drift between copies, the _require_indicator
+    lesson): given a LONG column of floor(value·1e9) units, return
+    the pure-integer HALF_UP release at ``dp`` as a double.
+
+    ``units_col`` is a SQL expression STRING (a column name or an
+    aggregate like ``sum(__cu)``) — the division MUST be Spark's
+    integer ``div`` (``/`` on longs is double division, inexact past
+    2^53, and variance-scale unit sums get there), and ``div`` is
+    only reachable through ``F.expr``.
+
+    Why the ladder exists: statistics that are rationals with small
+    denominators sit ON 10-dp half boundaries, where
+    ``round(double, 9)`` diverges across engines (Spark rounds the
+    exact binary value; SQL engines scale-and-round). ``floor(t·1e9)``
+    of identical doubles is identical everywhere, and everything
+    after it is integer arithmetic. The SQL twin of this release is
+    ``CAST((units + {half}) // {div} AS DOUBLE) / 10^dp``."""
+    from pyspark.sql import functions as F
+
+    half, div = 10 ** (9 - dp) // 2, 10 ** (9 - dp)
+    return (F.expr(f"(({units_col}) + {half}) div {div}")
+            .cast("double") / float(10 ** dp))

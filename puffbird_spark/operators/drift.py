@@ -1301,12 +1301,12 @@ def anderson_darling_two_sample(
                F.sum(term(ma, na) + term(mb, nb)).alias("__s")))
     # n_distinct counts ALL distinct pooled values (the dropped
     # largest one included) — recount from the filtered frame + 1
-    rel = F.expr(
-        f"(__s + {10 ** (9 - dp) // 2}) div {10 ** (9 - dp)}")
+    from . import nano_release
+
     return per.select(
         *keys, "n_a", F.col("__nbv").alias("n_b"),
         (F.col("__nd") + 1).alias("n_distinct"),
-        (rel.cast("double") / float(10 ** dp)).alias("a2"))
+        nano_release("__s", dp).alias("a2"))
 
 
 def kendalls_w(

@@ -1514,7 +1514,10 @@ def p_adjust(
     because no engine-dependent arithmetic ever enters. NULL and
     NaN p-values are excluded; values outside [0, 1] are excluded
     like NULLs (they are not probabilities — the complete-case
-    contract, documented rather than silently clamped).
+    contract, documented rather than silently clamped); NULL ids
+    are excluded too (Spark sorts NULLS FIRST where most SQL
+    engines sort NULLS LAST — a NULL tiebreak would un-pin tied
+    p-values' rank factors).
 
     Scale shape: two keyed windows over the family ordering (one
     ascending running max, one descending running min) — a family
@@ -1529,7 +1532,12 @@ def p_adjust(
         F.col(p_col).cast("double").alias("__p"),
     ).filter(F.col("__p").isNotNull()
              & ~F.isnan("__p")
-             & (F.col("__p") >= 0.0) & (F.col("__p") <= 1.0))
+             & (F.col("__p") >= 0.0) & (F.col("__p") <= 1.0)
+             # a NULL id would sort NULLS FIRST on Spark and NULLS
+             # LAST on most SQL engines, giving tied p-values
+             # different rank factors per engine (r14 self-review
+             # #3) — a hypothesis without an id is excluded
+             & F.col("__id").isNotNull())
     w_rank = Window.partitionBy(*keys).orderBy("__p", "__id")
     w_tot = Window.partitionBy(*keys)
     ranked = base.select(
@@ -1610,12 +1618,19 @@ def cronbach_alpha(
     if not shape or shape[0]["n"] == 0:
         raise ValueError("cronbach_alpha: empty input")
     s = shape[0]
-    if not (s["rlo"] == s["rhi"] == s["klo"] == s["khi"]):
+    # the per-subject probe alone would pass equal-sized but DISJOINT
+    # item sets (r14 self-review #2: subjects {a,b} vs {c,d} each
+    # read 2 rows / 2 distinct) — the GLOBAL item count must equal
+    # the per-subject count too
+    k_global = base.select(
+        F.count_distinct("__i").alias("kg")).collect()[0]["kg"]
+    if not (s["rlo"] == s["rhi"] == s["klo"] == s["khi"] == k_global):
         raise ValueError(
             "cronbach_alpha requires a COMPLETE design (every "
             f"subject holds every item exactly once); found subjects "
-            f"with {s['rlo']}..{s['rhi']} rows and "
-            f"{s['klo']}..{s['khi']} distinct items")
+            f"with {s['rlo']}..{s['rhi']} rows, "
+            f"{s['klo']}..{s['khi']} distinct items, and "
+            f"{k_global} items overall")
     k = int(s["klo"])
     n = int(s["n"])
     if k < 2:

@@ -639,16 +639,13 @@ def benford_first_digit(
         chi_units.alias("__cu"), dev_units.alias("__du"))
     w = Window.orderBy(F.desc("__du"), F.asc("__d"))
     ranked = scored.withColumn("__rk", F.row_number().over(w))
-    half = 10 ** (9 - dp) // 2
-    div = 10 ** (9 - dp)
+    from . import nano_release
+
     return ranked.groupBy().agg(
         F.max("__n").alias("n"),
-        (F.expr(f"(sum(__cu) + {half}) div {div}").cast("double")
-         / float(10 ** dp)).alias("chi2"),
-        (F.expr(f"(sum(__du) div 9 + {half}) div {div}")
-         .cast("double") / float(10 ** dp)).alias("mad"),
+        nano_release("sum(__cu)", dp).alias("chi2"),
+        nano_release("sum(__du) div 9", dp).alias("mad"),
         F.max(F.when(F.col("__rk") == 1, F.col("__d"))).alias(
             "worst_digit"),
-        (F.expr(f"(max(case when __rk = 1 then __du end) + {half}) "
-                f"div {div}").cast("double")
-         / float(10 ** dp)).alias("worst_dev"))
+        nano_release("max(case when __rk = 1 then __du end)", dp)
+        .alias("worst_dev"))

@@ -1358,16 +1358,21 @@ def changepoint_variance(
     (ts, order_tiebreak) sequence, NULL values and NULL timestamps
     excluded BEFORE sequencing, missing tiebreak warns.
 
-    Determinism: values snap to decimal(20,scale); prefix sums of x
-    and x² are EXACT decimal window folds (x² at scale 2·scale is
-    exact, no rounding enters the prefixes); each span's variance is
-    one double expression over exact sums snapped at 9 dp; candidates
-    where ANY span's snapped variance is ≤ 0 (a constant segment has
-    −∞ cost — no finite gain exists) are inadmissible; gains snap at
-    9 dp BEFORE the argmax so the (gain desc, t asc) winner is
-    engine-identical; release at ``dp``. Entities with no admissible
-    candidate (too short, or every cut leaves a constant side)
-    release NULL split/gain.
+    Determinism: values snap to decimal(20,scale) and scale to EXACT
+    integers u = x·10^scale BEFORE squaring (a decimal·decimal
+    product is silently rounded by Spark's allowPrecisionLoss — only
+    integer squares are exact on every engine); prefix sums of u and
+    u² are exact decimal(38,0) window folds; each span's variance is
+    one double expression over exact integers snapped through the
+    nano-unit ladder (floor(v·1e9) — IEEE ops on identical doubles
+    are engine-identical, round(double, 9) is not); candidates where
+    ANY span's snapped variance is ≤ 0 (a constant segment has −∞
+    cost — no finite gain exists) are inadmissible; gains fold the
+    snapped variances' logs and round at 9 dp BEFORE the argmax so
+    the (gain desc, t asc) winner is engine-identical; variances
+    release pure-integer HALF_UP at ``dp``. Entities with no
+    admissible candidate (too short, or every cut leaves a constant
+    side) release NULL split/gain.
 
     ``min_segment`` defaults to 5 — a 1-point variance estimate is
     meaningless, and the larger floor keeps the MLE spans honest
@@ -1383,7 +1388,7 @@ def changepoint_variance(
         raise ValueError(
             f"min_segment must be >= 1, got {min_segment}")
     decv = f"decimal(20,{scale})"
-    decq = f"decimal(38,{2 * scale})"
+    d0 = "decimal(38,0)"
     order = [F.col(ts_col)]
     if order_tiebreak is not None:
         order.append(F.col(order_tiebreak))
@@ -1391,29 +1396,34 @@ def changepoint_variance(
         from . import warn_missing_tiebreak
 
         warn_missing_tiebreak("changepoint_variance")
+    # scale to EXACT integers u = x·10^scale BEFORE squaring: Spark
+    # evaluates decimal(20,s)·decimal(20,s) as decimal(38, <2s) under
+    # allowPrecisionLoss — the product is silently ROUNDED, while a
+    # SQL oracle keeps the exact scale-2s value (r14 self-review #1,
+    # verified divergent at the 10th dp). Integer squares are exact
+    # in decimal(38,0) on every engine.
+    u = (F.col(value_col).cast(decv) * (10 ** scale)).cast(d0)
     base = df.filter(
         F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
     ).select(
-        F.col(entity_col).alias("__e"),
-        F.col(value_col).cast(decv).alias("__x"),
+        F.col(entity_col).alias("__e"), u.alias("__u"),
         *[c.alias(f"__o{i}") for i, c in enumerate(order)])
     ocols = [F.col(f"__o{i}") for i in range(len(order))]
     wseq = Window.partitionBy("__e").orderBy(*ocols)
     run = wseq.rowsBetween(Window.unboundedPreceding, 0)
     seq = base.select(
-        "__e",
+        "__e", "__u",
         F.row_number().over(wseq).alias("__t"),
-        F.sum("__x").over(run).alias("__sl"),
-        F.sum((F.col("__x") * F.col("__x")).cast(decq)).over(run)
+        F.sum("__u").over(run).alias("__sl"),
+        F.sum((F.col("__u") * F.col("__u")).cast(d0)).over(run)
         .alias("__ql"))
-    # entity totals are the prefix values AT t = n (NOT max of the
-    # running sums: negative values make a running sum non-monotone)
-    tot = seq.join(
-        seq.groupBy("__e").agg(F.max("__t").cast("long").alias("__n")),
-        "__e"
-    ).filter(F.col("__t") == F.col("__n")).select(
-        "__e", "__n",
-        F.col("__sl").alias("__s"), F.col("__ql").alias("__q"))
+    # exact sums are order-free, so totals are ONE keyed aggregation
+    # (not a join back to the t = n prefix row — r14 self-review #6)
+    tot = seq.groupBy("__e").agg(
+        F.max("__t").cast("long").alias("__n"),
+        F.sum("__u").cast(d0).alias("__s"),
+        F.sum((F.col("__u") * F.col("__u")).cast(d0)).cast(d0)
+        .alias("__q"))
     j = seq.join(tot, "__e")
     ms = int(min_segment)
     t = F.col("__t").cast("double")
@@ -1422,35 +1432,51 @@ def changepoint_variance(
     ql = F.col("__ql").cast("double")
     s = F.col("__s").cast("double")
     q = F.col("__q").cast("double")
+    down = float(10 ** (2 * scale))
 
-    def _var(qq, ss, mm):
-        return F.round(qq / mm - (ss / mm) * (ss / mm), 9)
+    def _var_units(qq, ss, mm):
+        # biased-MLE variance in ORIGINAL units, snapped through the
+        # nano-unit ladder (floor(v·1e9) — IEEE ops on identical
+        # doubles are engine-identical; round(double, 9) is not)
+        return F.floor(
+            (qq / mm - (ss / mm) * (ss / mm)) / down * 1.0e9
+        ).cast("long")
 
-    vl = _var(ql, sl, t)
-    vr = _var(q - ql, s - sl, n - t)
-    vf = _var(q, s, n)
-    gain = F.round(
-        n * F.log(vf) - t * F.log(vl) - (n - t) * F.log(vr), 9)
+    vlu = _var_units(ql, sl, t)
+    vru = _var_units(q - ql, s - sl, n - t)
+    vfu = _var_units(q, s, n)
     cand = j.filter(
         (F.col("__t") >= ms) & (F.col("__n") - F.col("__t") >= ms)
     ).select(
         "__e", "__t", "__n",
-        vl.alias("__vl"), vr.alias("__vr"), vf.alias("__vf"),
-        gain.alias("__g")
+        vlu.alias("__vl"), vru.alias("__vr"), vfu.alias("__vf")
     ).filter(
         (F.col("__vl") > 0) & (F.col("__vr") > 0)
         & (F.col("__vf") > 0))
+    v9 = 1.0e-9
+
+    def _ln(units):
+        return F.log(units.cast("double") * v9)
+
+    gain = F.round(
+        F.col("__n").cast("double") * _ln(F.col("__vf"))
+        - F.col("__t").cast("double") * _ln(F.col("__vl"))
+        - (F.col("__n") - F.col("__t")).cast("double")
+        * _ln(F.col("__vr")), 9)
     wbest = Window.partitionBy("__e").orderBy(
         F.desc("__g"), F.asc("__t"))
-    best = (cand.withColumn("__rk", F.row_number().over(wbest))
+    best = (cand.withColumn("__g", gain)
+            .withColumn("__rk", F.row_number().over(wbest))
             .filter(F.col("__rk") == 1))
+    from . import nano_release
+
     out = best.select(
         F.col("__e").alias(entity_col),
         F.col("__n").cast("long").alias("n"),
         F.col("__t").cast("long").alias("split_t"),
         F.round(F.col("__g"), dp).alias("gain"),
-        F.round(F.col("__vl"), dp).alias("var_left"),
-        F.round(F.col("__vr"), dp).alias("var_right"))
+        nano_release("__vl", dp).alias("var_left"),
+        nano_release("__vr", dp).alias("var_right"))
     # entities with NO admissible candidate still release a row
     short = tot.join(
         best.select("__e"), "__e", "left_anti"
@@ -1539,9 +1565,19 @@ def mann_kendall(
         warn_missing_tiebreak("mann_kendall")
     base = df.filter(
         F.col(value_col).isNotNull() & F.col(ts_col).isNotNull())
-    if isinstance(base.schema[value_col].dataType,
-                  (T.DoubleType, T.FloatType)):
+    vtype = base.schema[value_col].dataType
+    if isinstance(vtype, (T.DoubleType, T.FloatType)):
         base = base.filter(~F.isnan(value_col))
+    if isinstance(vtype, T.DecimalType) and vtype.precision > 15:
+        # the kernel compares at float64: two decimals beyond ~15
+        # significant digits can collapse into a TIE the exact type
+        # would distinguish (r14 self-review #4) — refuse rather
+        # than silently changing S and the tie correction
+        raise TypeError(
+            "mann_kendall compares values at float64; "
+            f"{vtype.simpleString()} exceeds double precision — "
+            "cast the column to double (accepting float ties) or "
+            "rescale to <= 15 significant digits first")
     src = base.select(
         F.col(entity_col).cast("string").alias("__e"),
         F.col(value_col).cast("double").alias("__x"),

@@ -5358,41 +5358,46 @@ def timeseries_granger(spark, sf_dir):
 
 
 _CHANGEPOINT_VAR_ORACLE = """
-WITH b AS (SELECT user_id AS e, CAST(value AS DECIMAL(20,6)) AS x,
+WITH b AS (SELECT user_id AS e,
+    CAST(CAST(value AS DECIMAL(20,6)) * 1000000 AS HUGEINT) AS u,
     ts, event_id
   FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
-seq AS (SELECT e,
+seq AS (SELECT e, u,
     row_number() OVER w AS t,
-    SUM(x) OVER (PARTITION BY e ORDER BY ts, event_id
+    SUM(u) OVER (PARTITION BY e ORDER BY ts, event_id
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sl,
-    SUM(CAST(x * x AS DECIMAL(38,12))) OVER (
+    SUM(u * u) OVER (
       PARTITION BY e ORDER BY ts, event_id
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ql
   FROM b WINDOW w AS (PARTITION BY e ORDER BY ts, event_id)),
-tot AS (SELECT seq.e, n, sl AS s, ql AS q
-  FROM seq JOIN (SELECT e, MAX(t) AS n FROM seq GROUP BY 1) nn
-    ON seq.e = nn.e AND seq.t = nn.n),
+tot AS (SELECT e, MAX(t) AS n, SUM(u) AS s, SUM(u * u) AS q
+  FROM seq GROUP BY 1),
 cand AS (SELECT * FROM (
   SELECT seq.e, t, n,
-    round(CAST(ql AS DOUBLE) / t
-      - (CAST(sl AS DOUBLE) / t) * (CAST(sl AS DOUBLE) / t), 9) AS vl,
-    round((CAST(q AS DOUBLE) - CAST(ql AS DOUBLE)) / (n - t)
+    CAST(floor((CAST(ql AS DOUBLE) / t
+      - (CAST(sl AS DOUBLE) / t) * (CAST(sl AS DOUBLE) / t))
+      / 1e12 * 1.0e9) AS BIGINT) AS vl,
+    CAST(floor(((CAST(q AS DOUBLE) - CAST(ql AS DOUBLE)) / (n - t)
       - ((CAST(s AS DOUBLE) - CAST(sl AS DOUBLE)) / (n - t))
-        * ((CAST(s AS DOUBLE) - CAST(sl AS DOUBLE)) / (n - t)), 9)
-      AS vr,
-    round(CAST(q AS DOUBLE) / n
-      - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n), 9) AS vf
+        * ((CAST(s AS DOUBLE) - CAST(sl AS DOUBLE)) / (n - t)))
+      / 1e12 * 1.0e9) AS BIGINT) AS vr,
+    CAST(floor((CAST(q AS DOUBLE) / n
+      - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+      / 1e12 * 1.0e9) AS BIGINT) AS vf
   FROM seq JOIN tot USING (e)
   WHERE t >= 5 AND n - t >= 5)
   WHERE vl > 0 AND vr > 0 AND vf > 0),
 g AS (SELECT e, t, n, vl, vr,
-    round(n * ln(vf) - t * ln(vl) - (n - t) * ln(vr), 9) AS gg
+    round(n * ln(CAST(vf AS DOUBLE) * 1.0e-9)
+          - t * ln(CAST(vl AS DOUBLE) * 1.0e-9)
+          - (n - t) * ln(CAST(vr AS DOUBLE) * 1.0e-9), 9) AS gg
   FROM cand),
 best AS (SELECT *, row_number() OVER (PARTITION BY e
            ORDER BY gg DESC, t ASC) AS rk FROM g)
 SELECT e AS user_id, CAST(n AS BIGINT) AS n,
   CAST(t AS BIGINT) AS split_t, round(gg, 6) AS gain,
-  round(vl, 6) AS var_left, round(vr, 6) AS var_right
+  CAST((vl + 500) // 1000 AS DOUBLE) / 1e6 AS var_left,
+  CAST((vr + 500) // 1000 AS DOUBLE) / 1e6 AS var_right
 FROM best WHERE rk = 1
 UNION ALL
 SELECT tot.e AS user_id, CAST(n AS BIGINT) AS n,

@@ -9332,3 +9332,40 @@ def test_kendalls_w_hand_cases(spark):
         spark.createDataFrame(tied, "b int, t string, v double"),
         "b", "t", "v").collect()[0]
     assert t["q_stat"] is None and t["w"] is None
+
+
+def test_r14_self_review_regressions(spark):
+    """Pins for the r14 session self-review findings: (2) equal-sized
+    but DISJOINT per-subject item sets fail cronbach's completeness
+    contract (the per-subject probe alone passed them); (3) p_adjust
+    excludes NULL ids (Spark NULLS FIRST vs SQL NULLS LAST would
+    un-pin tied p-values' rank factors); (4) mann_kendall refuses
+    decimal columns beyond double precision instead of silently
+    collapsing distinct values into ties."""
+    import pytest as _pytest
+
+    from puffbird_spark.operators.evaluation import (
+        cronbach_alpha, p_adjust)
+    from puffbird_spark.operators.timeseries import mann_kendall
+
+    disjoint = [(1, "a", 1.0), (1, "b", 2.0), (2, "a", 2.0),
+                (2, "b", 1.0), (3, "c", 1.0), (3, "d", 2.0),
+                (4, "c", 2.0), (4, "d", 1.0)]
+    with _pytest.raises(ValueError, match="4 items overall"):
+        cronbach_alpha(
+            spark.createDataFrame(disjoint, "s int, i string, v double"),
+            "s", "i", "v")
+
+    rows = [("f", 1, 0.5), ("f", None, 0.5), ("f", 2, 0.1)]
+    out = p_adjust(
+        spark.createDataFrame(rows, "fam string, id int, p double"),
+        "id", "p", key_cols=["fam"]).collect()
+    assert sorted(r["id"] for r in out) == [1, 2]
+    assert {r["m"] for r in out} == {2}
+
+    dec = spark.createDataFrame(
+        [("e", 0, 1.0)], "e string, t int, x double"
+    ).withColumn("ts", F.col("t").cast("timestamp")) \
+        .withColumn("xd", F.col("x").cast("decimal(38,18)"))
+    with _pytest.raises(TypeError, match="float64"):
+        mann_kendall(dec, "e", "ts", "xd", order_tiebreak="t")
