@@ -188,6 +188,13 @@ BENCH_QUERIES = [
     "eval_rouge_l",
     "diag_kendall_tau",
     "text_unigram_segment",
+    # round-14 continuation: the per-key Arrow inversion-count kernel
+    # (grouped applyInPandas trend test), the mixed-payload container
+    # codec composition (ICONDIR walk -> PNG/BMP delegation), and the
+    # tail-weighted distinct-value drift reduction
+    "timeseries_mann_kendall",
+    "multimodal_ico",
+    "diag_anderson_darling",
 ]
 
 

@@ -3361,3 +3361,239 @@ def ico_stats(
 
     return df.select(path_col, content_col).mapInPandas(
         kernel, ICO_STATS_SCHEMA)
+
+
+def _tiff_tag_array(blob: bytes, e: str, at: int, tag: int):
+    """Typed SHORT/LONG array read for one IFD tag (``_tiff_ifd``
+    returns multi-count values as raw bytes because the metadata walk
+    doesn't need them typed; the raster decoder does): returns a list
+    of ints, or None when the tag is absent, honoring the 4-byte
+    inline-vs-offset rule in either endian."""
+    (n,) = struct.unpack_from(f"{e}H", blob, at)
+    for i in range(n):
+        t, typ, count = struct.unpack_from(
+            f"{e}HHI", blob, at + 2 + 12 * i)
+        if t != tag:
+            continue
+        if typ not in (3, 4):
+            raise ValueError(
+                f"not a TIFF: tag {tag} has type {typ}, not SHORT/LONG")
+        width = 2 if typ == 3 else 4
+        vat = at + 2 + 12 * i + 8
+        if width * count > 4:
+            (vat,) = struct.unpack_from(f"{e}I", blob, vat)
+        fmt = "H" if typ == 3 else "I"
+        if vat + width * count > len(blob):
+            raise ValueError(f"not a TIFF: tag {tag} array out of bounds")
+        return list(struct.unpack_from(f"{e}{count}{fmt}", blob, vat))
+    return None
+
+
+def decode_tiff_gray(blob: bytes) -> tuple[str, int, int, int, int, list[int]]:
+    """REAL baseline-TIFF grayscale raster decode — COMPOSES the
+    :func:`decode_tiff_exif` machinery (same header validation, same
+    IFD walk via ``_tiff_ifd``) and then actually reads the pixels:
+    multi-strip assembly (StripOffsets / StripByteCounts /
+    RowsPerStrip), 8- and 16-bit samples in the FILE's byte order
+    (the 16-bit-MM case is where naive decoders ship garbage), and
+    PhotometricInterpretation normalization — WhiteIsZero (0) inverts
+    to BlackIsZero so downstream featurization sees one convention
+    (the decode_tga origin-normalization precedent).
+
+    Returns ``(byte_order, width, height, bits, n_strips, samples)``
+    with samples row-major top-down, normalized. Raises ValueError on
+    structural damage (missing required tags, strip bounds, raster
+    size mismatch) and NotImplementedError on honest unsupported
+    shapes (compression, multi-sample, palette, tiled)."""
+    if blob is None or len(blob) < 8:
+        raise ValueError("not a TIFF: short blob")
+    bom = blob[:2]
+    if bom == b"II":
+        e = "<"
+    elif bom == b"MM":
+        e = ">"
+    else:
+        raise ValueError(f"not a TIFF: byte order {bom!r}")
+    magic, ifd_at = struct.unpack_from(f"{e}HI", blob, 2)
+    if magic != 42:
+        raise ValueError(f"not a TIFF: magic {magic}")
+    if ifd_at + 2 > len(blob):
+        raise ValueError("not a TIFF: IFD out of bounds")
+    ifd0 = _tiff_ifd(blob, e, ifd_at)
+    width, height = ifd0.get(256), ifd0.get(257)
+    if not isinstance(width, int) or not isinstance(height, int) \
+            or width < 1 or height < 1:
+        raise ValueError("not a TIFF: missing/bad dimensions")
+    if width * height > 64_000_000:
+        raise ValueError(
+            f"not a TIFF: implausible dimensions {width}x{height}")
+    comp = ifd0.get(259, 1)
+    if comp != 1:
+        raise NotImplementedError(
+            f"only uncompressed TIFF (compression {comp})")
+    spp = ifd0.get(277, 1)
+    if spp != 1:
+        raise NotImplementedError(
+            f"only single-sample gray TIFF ({spp} samples/px)")
+    photo = ifd0.get(262, 1)
+    if photo not in (0, 1):
+        raise NotImplementedError(
+            f"only bilevel/gray photometric 0/1 (got {photo})")
+    bits_arr = _tiff_tag_array(blob, e, ifd_at, 258) or [8]
+    if len(bits_arr) != 1 or bits_arr[0] not in (8, 16):
+        raise NotImplementedError(
+            f"only 8/16-bit gray (BitsPerSample {bits_arr})")
+    bits = bits_arr[0]
+    offs = _tiff_tag_array(blob, e, ifd_at, 273)
+    cnts = _tiff_tag_array(blob, e, ifd_at, 279)
+    if not offs or not cnts or len(offs) != len(cnts):
+        raise ValueError("not a TIFF: missing/mismatched strip tags")
+    bpx = bits // 8
+    raster = bytearray()
+    for o, c in zip(offs, cnts):
+        if o + c > len(blob):
+            raise ValueError("not a TIFF: strip out of bounds")
+        raster += blob[o:o + c]
+    if len(raster) != width * height * bpx:
+        raise ValueError(
+            f"not a TIFF: raster {len(raster)}B != "
+            f"{width}x{height}x{bpx}B")
+    if bits == 8:
+        samples = list(raster)
+    else:
+        samples = list(struct.unpack(
+            f"{e}{width * height}H", bytes(raster)))
+    if photo == 0:          # WhiteIsZero -> normalize to BlackIsZero
+        maxval = (1 << bits) - 1
+        samples = [maxval - v for v in samples]
+    return bom.decode(), width, height, bits, len(offs), samples
+
+
+def encode_tiff_gray(
+    width: int, height: int, seed: int = 0,
+    byte_order: str = "II", bits: int = 8, photometric: int = 1,
+    rows_per_strip: int = 3,
+) -> bytes:
+    """Deterministic spec-faithful gray TIFF fixture: MULTI-strip
+    (``rows_per_strip`` rows each — the strip-assembly exercise),
+    either endian, 8- or 16-bit, either photometric. Pixel formula
+    ``v = (x*31 + y*17 + seed) mod 2^bits`` AFTER normalization —
+    a WhiteIsZero file stores ``maxval − v`` so every variant decodes
+    to the same closed-form the oracle replays."""
+    if byte_order not in ("II", "MM"):
+        raise ValueError(f"byte_order must be II/MM, got {byte_order!r}")
+    if bits not in (8, 16) or photometric not in (0, 1):
+        raise ValueError("bits must be 8/16, photometric 0/1")
+    if width < 1 or height < 1 or rows_per_strip < 1:
+        raise ValueError("bad dimensions")
+    e = "<" if byte_order == "II" else ">"
+    maxval = (1 << bits) - 1
+    strips: list[bytes] = []
+    for y0 in range(0, height, rows_per_strip):
+        rows = bytearray()
+        for y in range(y0, min(y0 + rows_per_strip, height)):
+            for x in range(width):
+                v = (x * 31 + y * 17 + seed) % (maxval + 1)
+                if photometric == 0:
+                    v = maxval - v
+                rows += struct.pack(
+                    f"{e}B" if bits == 8 else f"{e}H", v)
+        strips.append(bytes(rows))
+    n_strips = len(strips)
+    # layout: 8B header | strip data | IFD | strip arrays (if needed)
+    data_at = 8
+    offs, at = [], data_at
+    for sdata in strips:
+        offs.append(at)
+        at += len(sdata)
+    ifd_at = at
+    n_entries = 9
+    ifd_size = 2 + 12 * n_entries + 4
+    tail_at = ifd_at + ifd_size
+    tail = bytearray()
+
+    def arr_field(vals, typ):
+        nonlocal tail
+        width_b = 2 if typ == 3 else 4
+        if len(vals) * width_b <= 4:
+            packed = b"".join(
+                struct.pack(f"{e}{'H' if typ == 3 else 'I'}", v)
+                for v in vals).ljust(4, b"\x00")
+            return int.from_bytes(packed, "little" if e == "<" else "big"), None
+        off = tail_at + len(tail)
+        for v in vals:
+            tail += struct.pack(f"{e}{'H' if typ == 3 else 'I'}", v)
+        return off, "off"
+
+    cnts = [len(sdt) for sdt in strips]
+    o_field, _ = arr_field(offs, 4)
+    c_field, _ = arr_field(cnts, 4)
+    raw_entries = [
+        (256, 4, 1, width), (257, 4, 1, height),
+        (258, 3, 1, bits), (259, 3, 1, 1),
+        (262, 3, 1, photometric),
+        (273, 4, n_strips, o_field),
+        (277, 3, 1, 1),
+        (278, 4, 1, rows_per_strip),
+        (279, 4, n_strips, c_field),
+    ]
+    ifd = bytearray(struct.pack(f"{e}H", n_entries))
+    for tag, typ, count, val in raw_entries:
+        if typ == 3 and count == 1:
+            payload = struct.pack(f"{e}H", val).ljust(4, b"\x00")
+        elif count == 1:
+            payload = struct.pack(f"{e}I", val)
+        else:
+            payload = struct.pack(f"{e}I", val)
+        ifd += struct.pack(f"{e}HHI", tag, typ, count) + payload
+    ifd += struct.pack(f"{e}I", 0)      # next-IFD terminator
+    head = byte_order.encode() + struct.pack(f"{e}HI", 42, ifd_at)
+    return head + b"".join(strips) + bytes(ifd) + bytes(tail)
+
+
+TIFF_STATS_SCHEMA = (
+    "path string, byte_order string, width int, height int, "
+    "bits int, n_strips int, n_px long, sum_v long, first_v int"
+)
+
+
+def tiff_stats(
+    df: DataFrame,
+    content_col: str = "content",
+    path_col: str = "path",
+    batch_size: int = 128,
+) -> DataFrame:
+    """Per-file raster statistics over TIFF blobs (the ``pnm_stats``
+    shape): Arrow ``mapInPandas``, bounded batches, zero shuffle;
+    undecodable blobs skip (the DECODE_ERRORS contract). ``sum_v``
+    and the released first pixel hash-check strip assembly, sample
+    byte order, and photometric normalization against the
+    closed-form fixture."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start:start + batch_size]
+                rows = []
+                for path, blob in zip(
+                    chunk[path_col].astype(str), chunk[content_col]
+                ):
+                    if blob is None:
+                        continue
+                    try:
+                        bo, w, h, bits, ns, sm = decode_tiff_gray(
+                            bytes(blob))
+                    except DECODE_ERRORS:
+                        continue
+                    rows.append({
+                        "path": path, "byte_order": bo, "width": w,
+                        "height": h, "bits": bits, "n_strips": ns,
+                        "n_px": w * h, "sum_v": sum(sm),
+                        "first_v": sm[0],
+                    })
+                yield pd.DataFrame(rows, columns=[
+                    "path", "byte_order", "width", "height", "bits",
+                    "n_strips", "n_px", "sum_v", "first_v"])
+
+    return df.select(path_col, content_col).mapInPandas(
+        kernel, TIFF_STATS_SCHEMA)

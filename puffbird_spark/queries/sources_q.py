@@ -3441,3 +3441,57 @@ def multimodal_ico(spark, sf_dir):
         F.col("doc_id").cast("string").alias("path"),
         make_ico(F.col("doc_id")).alias("content"))
     return ico_stats(docs)
+
+
+@query("multimodal_tiff_raster", oracle="""
+WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS path, doc_id % 997 AS s,
+    doc_id AS i,
+    CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS bo,
+    CASE WHEN (doc_id // 2) % 2 = 0 THEN 8 ELSE 16 END AS bits,
+    4 + (doc_id % 997) % 9 AS w, 3 + (doc_id % 997) % 7 AS h
+  FROM documents),
+xs AS (SELECT path, s, bo, bits, w, h, unnest(range(w)) AS x FROM d),
+pix AS (SELECT path, s, bo, bits, w, h, x, unnest(range(h)) AS y
+  FROM xs)
+SELECT path, MAX(bo) AS byte_order,
+  CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+  CAST(MAX(bits) AS INT) AS bits,
+  CAST((MAX(h) + 2) // 3 AS INT) AS n_strips,
+  CAST(COUNT(*) AS BIGINT) AS n_px,
+  CAST(SUM((x * 31 + y * 17 + s)
+           % (CASE WHEN bits = 8 THEN 256 ELSE 65536 END))
+    AS BIGINT) AS sum_v,
+  CAST(MAX(s % (CASE WHEN bits = 8 THEN 256 ELSE 65536 END))
+    AS INT) AS first_v
+FROM pix GROUP BY path
+""")
+def multimodal_tiff_raster(spark, sf_dir):
+    """Baseline-TIFF grayscale RASTER decode (`decode_tiff_gray` +
+    `tiff_stats`, operators/multimodal.py; TIFF 6.0 baseline) —
+    extends the r14 EXIF metadata walk to actual pixels, composing
+    the same IFD machinery: multi-strip assembly (rows_per_strip=3,
+    so every file exercises StripOffsets/StripByteCounts arrays),
+    8- AND 16-bit samples in the FILE's byte order (16-bit-MM is
+    where naive decoders ship garbage), and WhiteIsZero→BlackIsZero
+    photometric normalization (files alternate photometric but all
+    decode to the same closed-form, so the inversion is
+    hash-checked). Arrow mapInPandas, zero shuffle."""
+    from ..operators.dedup import widen_parallelism
+    from ..operators.multimodal import encode_tiff_gray, tiff_stats
+
+    def _make(doc_id):
+        def one(i):
+            i = int(i)
+            s = i % 997
+            return encode_tiff_gray(
+                4 + s % 9, 3 + s % 7, s,
+                byte_order="II" if i % 2 == 0 else "MM",
+                bits=8 if (i // 2) % 2 == 0 else 16,
+                photometric=(i // 4) % 2)
+        return doc_id.map(one)
+
+    make_tiff = F.pandas_udf(_make, returnType="binary")
+    docs = widen_parallelism(load(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("string").alias("path"),
+        make_tiff(F.col("doc_id")).alias("content"))
+    return tiff_stats(docs)
