@@ -9514,3 +9514,65 @@ def test_warc_gzip_roundtrip_and_robustness():
                 parse_warc_record(p)
         except DECODE_ERRORS:
             pass
+
+
+def test_zip_archive_roundtrip_and_robustness():
+    """ZIP walker: the 4-entry stored/deflate fixture roundtrips
+    with closed-form sums through the EOCD scan-back (archive
+    comment present); structural damage (comment-length lie,
+    payload corruption -> local/central disagreement or CRC, bad
+    signatures, out-of-bounds directory) raises ValueError;
+    encryption/other methods/zip64 are honest NotImplementedError;
+    200 fuzz cases stay inside DECODE_ERRORS."""
+    import random
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from puffbird_spark.operators.archive import (
+        encode_zip, list_zip_entries)
+    from puffbird_spark.operators.multimodal import DECODE_ERRORS
+
+    blob = encode_zip(42, 4, seed=7)
+    ents = list_zip_entries(blob)
+    assert [m for _, m, _, _ in ents] == [0, 8, 0, 8]
+    for e, (name, method, csize, payload) in enumerate(ents):
+        s = 7 + 11 * e
+        plen = 16 + (7 + 5 * e) % 48
+        assert name == f"doc42/part{e}.txt"
+        assert sum(payload) == sum(
+            (s + 7 * i) % 95 + 32 for i in range(plen))
+
+    with _pytest.raises(ValueError, match="comment length"):
+        list_zip_entries(blob[:-3])
+    with _pytest.raises(ValueError, match="short"):
+        list_zip_entries(blob[:10])
+    with _pytest.raises(ValueError):
+        bad = bytearray(blob)
+        bad[40] ^= 0xFF     # inside entry 0's name/data
+        list_zip_entries(bytes(bad))
+    # flip entry 0's central method to 99: NotImplementedError
+    cd_at = blob.find(b"PK\x01\x02")
+    ni = bytearray(blob)
+    _struct.pack_into("<H", ni, cd_at + 10, 99)
+    with _pytest.raises(NotImplementedError, match="method"):
+        list_zip_entries(bytes(ni))
+    enc = bytearray(blob)
+    _struct.pack_into("<H", enc, cd_at + 8, 0x0001)
+    with _pytest.raises(NotImplementedError, match="encrypted"):
+        list_zip_entries(bytes(enc))
+
+    rng = random.Random(1717)
+    for trial in range(200):
+        if trial % 2 == 0:
+            fz = bytes(rng.randrange(256)
+                       for _ in range(rng.randint(0, 150)))
+        else:
+            b = bytearray(blob)
+            for _ in range(rng.randint(1, 6)):
+                b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+            fz = bytes(b)
+        try:
+            list_zip_entries(fz)
+        except DECODE_ERRORS:
+            pass
