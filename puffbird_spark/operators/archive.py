@@ -186,3 +186,154 @@ def zip_stats(
 
     return df.select(path_col, content_col).mapInPandas(
         kernel, ZIP_STATS_SCHEMA)
+
+
+def list_tar_entries(blob: bytes) -> list[tuple[str, int, int, bytes]]:
+    """Walk a POSIX ustar TAR stream: 512-byte headers with octal
+    size fields, the header CHECKSUM verified (sum of header bytes
+    with the checksum field read as spaces — the spec's self-check
+    naive parsers skip), 512-padded payloads, regular-file ('0' or
+    NUL) and directory ('5') typeflags, the ustar prefix field
+    joined onto long names, and the two-zero-block terminator.
+    Returns ``(name, typeflag, size, payload)`` per entry. Raises
+    ValueError on structural damage and NotImplementedError on
+    honest unsupported typeflags (links, PAX/GNU extensions)."""
+    b = bytes(blob) if blob is not None else b""
+    if len(b) < 1024 or len(b) % 512:
+        raise ValueError("not a TAR: size not a 512 multiple (>=1024)")
+    out = []
+    at = 0
+    while at + 512 <= len(b):
+        hdr = b[at:at + 512]
+        if hdr == b"\x00" * 512:
+            if b[at + 512:at + 1024] != b"\x00" * 512:
+                raise ValueError("not a TAR: lone terminator block")
+            return out
+        if hdr[257:263] != b"ustar\x00" and hdr[257:263] != b"ustar ":
+            raise ValueError(
+                f"not a TAR: bad ustar magic {hdr[257:263]!r}")
+
+        def octal(fld: bytes) -> int:
+            t = fld.split(b"\x00", 1)[0].strip()
+            if not t:
+                return 0
+            try:
+                return int(t, 8)
+            except ValueError:
+                raise ValueError(f"not a TAR: bad octal field {fld!r}")
+
+        recorded = octal(hdr[148:156])
+        actual = sum(hdr[:148]) + 8 * 32 + sum(hdr[156:])
+        if recorded != actual:
+            raise ValueError(
+                f"not a TAR: header checksum {recorded} != {actual}")
+        typeflag = chr(hdr[156]) if hdr[156] else "0"
+        if typeflag not in ("0", "5"):
+            raise NotImplementedError(
+                f"TAR typeflag {typeflag!r} unsupported "
+                "(links/PAX/GNU extensions)")
+        name = hdr[:100].split(b"\x00", 1)[0].decode("utf-8", "replace")
+        prefix = hdr[345:500].split(b"\x00", 1)[0].decode(
+            "utf-8", "replace")
+        if prefix:
+            name = prefix + "/" + name
+        size = octal(hdr[124:136])
+        data_at = at + 512
+        if data_at + size > len(b):
+            raise ValueError("not a TAR: entry data out of bounds")
+        payload = b[data_at:data_at + size]
+        out.append((name, ord(typeflag) - 48, size, payload))
+        at = data_at + (size + 511) // 512 * 512
+    raise ValueError("not a TAR: missing terminator blocks")
+
+
+def encode_tar_gz(
+    doc_id: int, n_files: int, seed: int = 0,
+) -> bytes:
+    """Deterministic .tar.gz fixture: a leading directory entry plus
+    ``n_files`` regular files with closed-form payload bytes
+    ``(seed + 11·e + 7·i) mod 95 + 32``, correct octal fields and
+    header checksums, the whole stream gzip-compressed as ONE member
+    — decoding COMPOSES :func:`~puffbird_spark.operators.warc.
+    split_gzip_members` with :func:`list_tar_entries` (the actual
+    dataset-shipping format)."""
+
+    def header(name: str, size: int, typeflag: bytes) -> bytes:
+        h = bytearray(512)
+        nb = name.encode()
+        h[0:len(nb)] = nb
+        h[100:108] = b"0000644\x00"
+        h[108:116] = b"0000000\x00"
+        h[116:124] = b"0000000\x00"
+        h[124:136] = f"{size:011o}\x00".encode()
+        h[136:148] = b"00000000000\x00"
+        h[148:156] = b" " * 8
+        h[156] = typeflag[0]
+        h[257:263] = b"ustar\x00"
+        h[263:265] = b"00"
+        csum = sum(h)
+        h[148:156] = f"{csum:06o}\x00 ".encode()
+        return bytes(h)
+
+    body = header(f"doc{doc_id}/", 0, b"5")
+    for e in range(n_files):
+        s = seed + 11 * e
+        plen = 16 + (seed + 5 * e) % 48
+        payload = bytes((s + 7 * i) % 95 + 32 for i in range(plen))
+        body += header(f"doc{doc_id}/file{e}.txt", plen, b"0")
+        body += payload + b"\x00" * ((512 - plen % 512) % 512)
+    body += b"\x00" * 1024
+    comp = zlib.compress(body, 6)[2:-4]
+    return (b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x00\xff" + comp
+            + struct.pack("<II", zlib.crc32(body) & 0xFFFFFFFF,
+                          len(body) & 0xFFFFFFFF))
+
+
+TAR_STATS_SCHEMA = (
+    "path string, entry_idx int, name string, typeflag int, "
+    "size long, byte_sum long"
+)
+
+
+def targz_stats(
+    df: DataFrame,
+    content_col: str = "content",
+    path_col: str = "path",
+    batch_size: int = 64,
+) -> DataFrame:
+    """Per-entry statistics over .tar.gz blobs — COMPOSES the gzip
+    member walk (CRC-verified inflate) with the ustar walk
+    (checksum-verified headers), the genuine two-layer ingest every
+    dataset tarball needs; same Arrow container shape and
+    DECODE_ERRORS whole-file skip as ``zip_stats``."""
+    from .warc import split_gzip_members
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start:start + batch_size]
+                rows = []
+                for path, blob in zip(
+                    chunk[path_col].astype(str), chunk[content_col]
+                ):
+                    if blob is None:
+                        continue
+                    try:
+                        stream = b"".join(
+                            split_gzip_members(bytes(blob)))
+                        ents = list_tar_entries(stream)
+                    except DECODE_ERRORS:
+                        continue
+                    for idx, (name, tf, size, payload) in \
+                            enumerate(ents):
+                        rows.append({
+                            "path": path, "entry_idx": idx,
+                            "name": name, "typeflag": tf,
+                            "size": size, "byte_sum": sum(payload),
+                        })
+                yield pd.DataFrame(rows, columns=[
+                    "path", "entry_idx", "name", "typeflag", "size",
+                    "byte_sum"])
+
+    return df.select(path_col, content_col).mapInPandas(
+        kernel, TAR_STATS_SCHEMA)

@@ -9576,3 +9576,65 @@ def test_zip_archive_roundtrip_and_robustness():
             list_zip_entries(fz)
         except DECODE_ERRORS:
             pass
+
+
+def test_targz_roundtrip_and_robustness():
+    """tar.gz composition: the fixture decodes through BOTH layers
+    (gzip CRC verify -> ustar checksum verify) to closed-form sums
+    with the directory entry first; header-byte damage fails the
+    ustar checksum; truncation and a missing terminator raise;
+    link typeflags are honest NotImplementedError; 200 fuzz cases
+    stay inside DECODE_ERRORS."""
+    import random
+
+    import pytest as _pytest
+
+    from puffbird_spark.operators.archive import (
+        encode_tar_gz, list_tar_entries)
+    from puffbird_spark.operators.multimodal import DECODE_ERRORS
+    from puffbird_spark.operators.warc import split_gzip_members
+
+    blob = encode_tar_gz(42, 3, seed=7)
+    stream = b"".join(split_gzip_members(blob))
+    ents = list_tar_entries(stream)
+    assert ents[0] == ("doc42/", 5, 0, b"")
+    for e, (name, tf, size, payload) in enumerate(ents[1:]):
+        s = 7 + 11 * e
+        plen = 16 + (7 + 5 * e) % 48
+        assert (name, tf, size) == (f"doc42/file{e}.txt", 0, plen)
+        assert sum(payload) == sum(
+            (s + 7 * i) % 95 + 32 for i in range(plen))
+
+    bad = bytearray(stream)
+    bad[0] ^= 1
+    with _pytest.raises(ValueError, match="checksum"):
+        list_tar_entries(bytes(bad))
+    with _pytest.raises(ValueError, match="512"):
+        list_tar_entries(stream[:512])
+    with _pytest.raises(ValueError, match="terminator"):
+        list_tar_entries(stream[:-1024])
+    link = bytearray(stream)
+    link[512 + 156] = ord("2")     # first file entry -> symlink
+    # recompute that header's checksum so the typeflag check is hit
+    h = link[512:1024]
+    h[148:156] = b" " * 8
+    csum = sum(h)
+    h[148:156] = f"{csum:06o}\x00 ".encode()
+    link[512:1024] = h
+    with _pytest.raises(NotImplementedError, match="typeflag"):
+        list_tar_entries(bytes(link))
+
+    rng = random.Random(1818)
+    for trial in range(200):
+        if trial % 2 == 0:
+            fz = bytes(rng.randrange(256)
+                       for _ in range(rng.randint(0, 150)))
+        else:
+            b = bytearray(blob)
+            for _ in range(rng.randint(1, 6)):
+                b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+            fz = bytes(b)
+        try:
+            list_tar_entries(b"".join(split_gzip_members(fz)))
+        except DECODE_ERRORS:
+            pass
