@@ -337,3 +337,128 @@ def targz_stats(
 
     return df.select(path_col, content_col).mapInPandas(
         kernel, TAR_STATS_SCHEMA)
+
+
+#: CRC-32C (Castagnoli, reflected poly 0x82F63B78) lookup table —
+#: built once at import; the TFRecord framing masks this CRC, not
+#: zlib's CRC-32 (different polynomial — using zlib.crc32 here is
+#: the classic wrong-checksum bug)
+_CRC32C_TABLE = []
+for _n in range(256):
+    _c = _n
+    for _ in range(8):
+        _c = (_c >> 1) ^ (0x82F63B78 if _c & 1 else 0)
+    _CRC32C_TABLE.append(_c)
+
+
+def crc32c(data: bytes, crc: int = 0) -> int:
+    """CRC-32C (Castagnoli) — table-driven, RFC 3720 §B.4 polynomial.
+    Distinct from zlib's CRC-32 (0xEDB88320); TFRecord and iSCSI use
+    THIS one."""
+    crc ^= 0xFFFFFFFF
+    for byte in data:
+        crc = (crc >> 8) ^ _CRC32C_TABLE[(crc ^ byte) & 0xFF]
+    return crc ^ 0xFFFFFFFF
+
+
+def _tfrecord_mask(crc: int) -> int:
+    """TFRecord's masked CRC: rotate right 15 then add the magic
+    delta (the framing spec's exact transform)."""
+    return (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+def list_tfrecords(blob: bytes) -> list[bytes]:
+    """Walk a TFRecord stream (the TensorFlow training-data shipping
+    format): per record, an 8-byte little-endian length, the MASKED
+    CRC-32C of those length bytes, ``length`` payload bytes, and the
+    masked CRC-32C of the payload — BOTH checksums verified with the
+    real Castagnoli polynomial (zlib's CRC-32 is a different
+    polynomial; confusing them is the classic silent corruption
+    hole). Returns payloads in stream order. Raises ValueError on
+    truncation or checksum mismatch."""
+    b = bytes(blob) if blob is not None else b""
+    out = []
+    i = 0
+    while i < len(b):
+        if i + 12 > len(b):
+            raise ValueError("not TFRecord: truncated length header")
+        length_bytes = b[i:i + 8]
+        (length,) = struct.unpack("<Q", length_bytes)
+        (len_crc,) = struct.unpack_from("<I", b, i + 8)
+        if len_crc != _tfrecord_mask(crc32c(length_bytes)):
+            raise ValueError("not TFRecord: length CRC mismatch")
+        if length > len(b):
+            raise ValueError("not TFRecord: implausible record length")
+        data_at = i + 12
+        if data_at + length + 4 > len(b):
+            raise ValueError("not TFRecord: truncated record data")
+        payload = b[data_at:data_at + length]
+        (data_crc,) = struct.unpack_from("<I", b, data_at + length)
+        if data_crc != _tfrecord_mask(crc32c(payload)):
+            raise ValueError("not TFRecord: data CRC mismatch")
+        out.append(payload)
+        i = data_at + length + 4
+    return out
+
+
+def encode_tfrecords(
+    doc_id: int, n_records: int, seed: int = 0,
+) -> bytes:
+    """Deterministic TFRecord fixture: ``n_records`` records with
+    closed-form payload bytes ``(seed + 11·r + 7·i) mod 251`` and
+    correct masked CRC-32C framing."""
+    out = b""
+    for r in range(n_records):
+        s = seed + 11 * r
+        plen = 24 + (seed + 5 * r) % 56
+        payload = bytes((s + 7 * i) % 251 for i in range(plen))
+        length_bytes = struct.pack("<Q", plen)
+        out += (length_bytes
+                + struct.pack("<I", _tfrecord_mask(crc32c(length_bytes)))
+                + payload
+                + struct.pack("<I", _tfrecord_mask(crc32c(payload))))
+    return out
+
+
+TFRECORD_STATS_SCHEMA = (
+    "path string, rec_idx int, length long, byte_sum long"
+)
+
+
+def tfrecord_stats(
+    df: DataFrame,
+    content_col: str = "content",
+    path_col: str = "path",
+    batch_size: int = 64,
+) -> DataFrame:
+    """Per-record statistics over TFRecord streams: both masked
+    CRC-32C checksums verified per record, one row per record in
+    stream order; undecodable STREAMS skip whole (a framing break
+    poisons everything after it — the DECODE_ERRORS contract). Same
+    Arrow container shape as ``zip_stats``."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start:start + batch_size]
+                rows = []
+                for path, blob in zip(
+                    chunk[path_col].astype(str), chunk[content_col]
+                ):
+                    if blob is None:
+                        continue
+                    try:
+                        recs = list_tfrecords(bytes(blob))
+                    except DECODE_ERRORS:
+                        continue
+                    for idx, payload in enumerate(recs):
+                        rows.append({
+                            "path": path, "rec_idx": idx,
+                            "length": len(payload),
+                            "byte_sum": sum(payload),
+                        })
+                yield pd.DataFrame(rows, columns=[
+                    "path", "rec_idx", "length", "byte_sum"])
+
+    return df.select(path_col, content_col).mapInPandas(
+        kernel, TFRECORD_STATS_SCHEMA)

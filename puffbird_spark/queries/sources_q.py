@@ -3642,3 +3642,45 @@ def source_targz_entries(spark, sf_dir):
         F.col("doc_id").cast("string").alias("path"),
         make_tgz(F.col("doc_id")).alias("content"))
     return targz_stats(docs)
+
+
+@query("source_tfrecords", oracle="""
+WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS path,
+    doc_id % 997 AS s, 2 + doc_id % 4 AS nrec
+  FROM documents),
+r AS (SELECT path, s, CAST(unnest(range(nrec)) AS INT) AS rec
+  FROM d),
+recs AS (SELECT path, rec, s + 11 * rec AS rs,
+    24 + (s + 5 * rec) % 56 AS plen
+  FROM r),
+bytes AS (SELECT path, rec, rs, plen, unnest(range(plen)) AS i
+  FROM recs)
+SELECT path, rec AS rec_idx,
+  CAST(MAX(plen) AS BIGINT) AS length,
+  CAST(SUM((rs + 7 * i) % 251) AS BIGINT) AS byte_sum
+FROM bytes GROUP BY path, rec
+""")
+def source_tfrecords(spark, sf_dir):
+    """TFRecord stream ingest (`list_tfrecords` + `tfrecord_stats`,
+    operators/archive.py; the TensorFlow data framing) — REAL walks
+    with BOTH masked CRC-32C checksums verified per record using the
+    genuine Castagnoli polynomial (table-driven `crc32c`, pinned to
+    the RFC 3720 test vector — zlib's CRC-32 is a DIFFERENT
+    polynomial and the classic silent-corruption confusion), 8-byte
+    length framing, one row per record. Per-record byte sums replay
+    closed-form. Arrow mapInPandas container shape, zero shuffle —
+    the other major training-shard format beside the parquet
+    sinks."""
+    from ..operators.archive import encode_tfrecords, tfrecord_stats
+    from ..operators.dedup import widen_parallelism
+
+    def _make(doc_id):
+        return doc_id.map(
+            lambda i: encode_tfrecords(
+                int(i), 2 + int(i) % 4, seed=int(i) % 997))
+
+    make_tfr = F.pandas_udf(_make, returnType="binary")
+    docs = widen_parallelism(load(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("string").alias("path"),
+        make_tfr(F.col("doc_id")).alias("content"))
+    return tfrecord_stats(docs)

@@ -9638,3 +9638,58 @@ def test_targz_roundtrip_and_robustness():
             list_tar_entries(b"".join(split_gzip_members(fz)))
         except DECODE_ERRORS:
             pass
+
+
+def test_tfrecord_roundtrip_and_robustness():
+    """TFRecord framing: crc32c pinned to the RFC 3720 Castagnoli
+    test vector (0xE3069283 for '123456789' — and explicitly NOT
+    zlib.crc32's answer, the wrong-polynomial confusion); the
+    4-record fixture roundtrips to closed-form sums; payload or
+    length-CRC damage and truncation raise; 200 fuzz cases stay in
+    DECODE_ERRORS."""
+    import random
+    import zlib as _zlib
+
+    import pytest as _pytest
+
+    from puffbird_spark.operators.archive import (
+        crc32c, encode_tfrecords, list_tfrecords)
+    from puffbird_spark.operators.multimodal import DECODE_ERRORS
+
+    assert crc32c(b"123456789") == 0xE3069283
+    assert (_zlib.crc32(b"123456789") & 0xFFFFFFFF) != 0xE3069283
+
+    blob = encode_tfrecords(42, 4, seed=7)
+    recs = list_tfrecords(blob)
+    assert len(recs) == 4
+    for r, p in enumerate(recs):
+        s = 7 + 11 * r
+        plen = 24 + (7 + 5 * r) % 56
+        assert len(p) == plen
+        assert sum(p) == sum((s + 7 * i) % 251 for i in range(plen))
+
+    bad = bytearray(blob)
+    bad[20] ^= 1
+    with _pytest.raises(ValueError, match="CRC"):
+        list_tfrecords(bytes(bad))
+    lenbad = bytearray(blob)
+    lenbad[0] ^= 1
+    with _pytest.raises(ValueError, match="length CRC"):
+        list_tfrecords(bytes(lenbad))
+    with _pytest.raises(ValueError, match="truncated"):
+        list_tfrecords(blob[:-2])
+
+    rng = random.Random(1919)
+    for trial in range(200):
+        if trial % 2 == 0:
+            fz = bytes(rng.randrange(256)
+                       for _ in range(rng.randint(0, 150)))
+        else:
+            b = bytearray(blob)
+            for _ in range(rng.randint(1, 6)):
+                b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+            fz = bytes(b)
+        try:
+            list_tfrecords(fz)
+        except DECODE_ERRORS:
+            pass
