@@ -462,3 +462,152 @@ def tfrecord_stats(
 
     return df.select(path_col, content_col).mapInPandas(
         kernel, TFRECORD_STATS_SCHEMA)
+
+
+def parse_proto_fields(blob: bytes) -> list[tuple[int, int, int, bytes]]:
+    """Schema-free structural walk of a protobuf wire-format message
+    (the protoscope shape — what a TFRecord payload actually holds):
+    per field, the tag varint splits into (field_number, wire_type);
+    type 0 reads a varint (with real multi-byte continuation), type 1
+    a fixed 64-bit, type 5 a fixed 32-bit, type 2 a length-delimited
+    payload; the deprecated group types 3/4 and reserved types raise.
+    Varint continuations are bounded at 10 bytes (the 64-bit max —
+    an unterminated continuation run is corruption, not a big
+    number). Returns ``(field_no, wire_type, varint_value, payload)``
+    per field in stream order (``varint_value`` 0 and the raw bytes
+    for fixed/len types; field numbers must be >= 1)."""
+    b = bytes(blob) if blob is not None else b""
+    out = []
+    i = 0
+
+    def varint(at: int) -> tuple[int, int]:
+        v = shift = 0
+        for k in range(10):
+            if at + k >= len(b):
+                raise ValueError("not protobuf: truncated varint")
+            byte = b[at + k]
+            v |= (byte & 0x7F) << shift
+            if not byte & 0x80:
+                return v, at + k + 1
+            shift += 7
+        raise ValueError("not protobuf: varint over 10 bytes")
+
+    while i < len(b):
+        tag, i = varint(i)
+        field_no, wt = tag >> 3, tag & 7
+        if field_no < 1:
+            raise ValueError(f"not protobuf: field number {field_no}")
+        if wt == 0:
+            val, i = varint(i)
+            out.append((field_no, 0, val, b""))
+        elif wt == 1:
+            if i + 8 > len(b):
+                raise ValueError("not protobuf: truncated fixed64")
+            out.append((field_no, 1, 0, b[i:i + 8]))
+            i += 8
+        elif wt == 5:
+            if i + 4 > len(b):
+                raise ValueError("not protobuf: truncated fixed32")
+            out.append((field_no, 5, 0, b[i:i + 4]))
+            i += 4
+        elif wt == 2:
+            ln, i = varint(i)
+            if i + ln > len(b):
+                raise ValueError(
+                    "not protobuf: length-delimited past end")
+            out.append((field_no, 2, 0, b[i:i + ln]))
+            i += ln
+        else:
+            raise ValueError(
+                f"not protobuf: wire type {wt} "
+                "(groups are deprecated; 6/7 reserved)")
+    return out
+
+
+def encode_proto_message(doc_id: int, n_fields: int, seed: int = 0) -> bytes:
+    """Deterministic wire-format fixture: ``n_fields`` fields
+    alternating varint / length-delimited / fixed32, with varint
+    values ``128 + 200·f + seed mod 10000`` (always multi-byte — the
+    continuation path is never skipped) and closed-form payload
+    bytes."""
+    out = b""
+
+    def put_varint(v: int) -> bytes:
+        r = b""
+        while True:
+            byte = v & 0x7F
+            v >>= 7
+            if v:
+                r += bytes([byte | 0x80])
+            else:
+                return r + bytes([byte])
+
+    for f in range(1, n_fields + 1):
+        kind = f % 3
+        if kind == 1:                      # varint
+            out += put_varint((f << 3) | 0)
+            out += put_varint(128 + (200 * f + seed) % 10000)
+        elif kind == 2:                    # length-delimited
+            ln = 4 + (seed + 3 * f) % 12
+            payload = bytes((seed + 11 * f + 7 * i) % 251
+                            for i in range(ln))
+            out += put_varint((f << 3) | 2) + put_varint(ln) + payload
+        else:                              # fixed32
+            out += put_varint((f << 3) | 5)
+            out += struct.pack("<I", (seed * 7 + f) % 0xFFFFFFFF)
+    return out
+
+
+PROTO_STATS_SCHEMA = (
+    "path string, n_fields int, max_field_no int, n_varint int, "
+    "n_len int, n_fixed int, varint_sum long, len_bytes_sum long"
+)
+
+
+def proto_stats(
+    df: DataFrame,
+    content_col: str = "content",
+    path_col: str = "path",
+    batch_size: int = 128,
+) -> DataFrame:
+    """Per-message structural statistics over protobuf wire-format
+    blobs: one row per message summarizing the field walk —
+    ``varint_sum`` hash-checks multi-byte continuation decoding,
+    ``len_bytes_sum`` the length-delimited framing. Same Arrow
+    shape and DECODE_ERRORS skip as the other record walkers."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start:start + batch_size]
+                rows = []
+                for path, blob in zip(
+                    chunk[path_col].astype(str), chunk[content_col]
+                ):
+                    if blob is None:
+                        continue
+                    try:
+                        fields = parse_proto_fields(bytes(blob))
+                    except DECODE_ERRORS:
+                        continue
+                    rows.append({
+                        "path": path, "n_fields": len(fields),
+                        "max_field_no": max(
+                            (f for f, _, _, _ in fields), default=0),
+                        "n_varint": sum(
+                            1 for _, w, _, _ in fields if w == 0),
+                        "n_len": sum(
+                            1 for _, w, _, _ in fields if w == 2),
+                        "n_fixed": sum(
+                            1 for _, w, _, _ in fields if w in (1, 5)),
+                        "varint_sum": sum(
+                            v for _, w, v, _ in fields if w == 0),
+                        "len_bytes_sum": sum(
+                            sum(p) for _, w, _, p in fields if w == 2),
+                    })
+                yield pd.DataFrame(rows, columns=[
+                    "path", "n_fields", "max_field_no", "n_varint",
+                    "n_len", "n_fixed", "varint_sum", "len_bytes_sum"])
+
+    return df.select(path_col, content_col).mapInPandas(
+        kernel, PROTO_STATS_SCHEMA)

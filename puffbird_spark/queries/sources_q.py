@@ -3684,3 +3684,56 @@ def source_tfrecords(spark, sf_dir):
         F.col("doc_id").cast("string").alias("path"),
         make_tfr(F.col("doc_id")).alias("content"))
     return tfrecord_stats(docs)
+
+
+@query("source_proto_fields", oracle="""
+WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS path,
+    doc_id % 997 AS s, 3 + doc_id % 6 AS nf
+  FROM documents),
+f AS (SELECT path, s, nf, 1 + CAST(unnest(range(nf)) AS INT) AS fn
+  FROM d),
+vint AS (SELECT path, SUM(128 + (200 * fn + s) % 10000) AS vs,
+    COUNT(*) AS nv
+  FROM f WHERE fn % 3 = 1 GROUP BY path),
+lens AS (SELECT path, s, fn, 4 + (s + 3 * fn) % 12 AS ln
+  FROM f WHERE fn % 3 = 2),
+lbytes AS (SELECT path, s, fn, ln, unnest(range(ln)) AS i FROM lens),
+lsum AS (SELECT path, SUM((s + 11 * fn + 7 * i) % 251) AS ls,
+    COUNT(DISTINCT fn) AS nl
+  FROM lbytes GROUP BY path),
+fx AS (SELECT path, COUNT(*) AS nfx FROM f WHERE fn % 3 = 0
+  GROUP BY path)
+SELECT d.path, CAST(d.nf AS INT) AS n_fields,
+  CAST(d.nf AS INT) AS max_field_no,
+  CAST(COALESCE(vint.nv, 0) AS INT) AS n_varint,
+  CAST(COALESCE(lsum.nl, 0) AS INT) AS n_len,
+  CAST(COALESCE(fx.nfx, 0) AS INT) AS n_fixed,
+  CAST(COALESCE(vint.vs, 0) AS BIGINT) AS varint_sum,
+  CAST(COALESCE(lsum.ls, 0) AS BIGINT) AS len_bytes_sum
+FROM d LEFT JOIN vint ON d.path = vint.path
+LEFT JOIN lsum ON d.path = lsum.path
+LEFT JOIN fx ON d.path = fx.path
+""")
+def source_proto_fields(spark, sf_dir):
+    """Protobuf wire-format structural walk (`parse_proto_fields` +
+    `proto_stats`, operators/archive.py; the protobuf encoding spec)
+    — schema-free decode of what a TFRecord payload actually holds:
+    tag varints split into (field, wire type), REAL multi-byte
+    varint continuation (fixture values always >= 128 so the path is
+    never skipped, bounded at the 10-byte 64-bit max),
+    length-delimited framing, fixed32/64, deprecated-group refusal.
+    Varint and payload-byte sums replay closed-form. Arrow
+    mapInPandas, zero shuffle."""
+    from ..operators.archive import encode_proto_message, proto_stats
+    from ..operators.dedup import widen_parallelism
+
+    def _make(doc_id):
+        return doc_id.map(
+            lambda i: encode_proto_message(
+                int(i), 3 + int(i) % 6, seed=int(i) % 997))
+
+    make_pb = F.pandas_udf(_make, returnType="binary")
+    docs = widen_parallelism(load(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("string").alias("path"),
+        make_pb(F.col("doc_id")).alias("content"))
+    return proto_stats(docs)

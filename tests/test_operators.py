@@ -9693,3 +9693,53 @@ def test_tfrecord_roundtrip_and_robustness():
             list_tfrecords(fz)
         except DECODE_ERRORS:
             pass
+
+
+def test_proto_wire_roundtrip_and_robustness():
+    """Protobuf wire walk: the 7-field fixture roundtrips with
+    multi-byte varint sums; field-0 tags, group wire types,
+    unterminated varints, 11-byte continuation runs, and truncated
+    fixed/length payloads all raise; 200 fuzz cases stay in
+    DECODE_ERRORS."""
+    import random
+
+    import pytest as _pytest
+
+    from puffbird_spark.operators.archive import (
+        encode_proto_message, parse_proto_fields)
+    from puffbird_spark.operators.multimodal import DECODE_ERRORS
+
+    blob = encode_proto_message(42, 7, seed=9)
+    fields = parse_proto_fields(blob)
+    assert len(fields) == 7
+    assert max(f for f, _, _, _ in fields) == 7
+    assert sum(v for _, w, v, _ in fields if w == 0) == sum(
+        128 + (200 * f + 9) % 10000 for f in range(1, 8) if f % 3 == 1)
+
+    with _pytest.raises(ValueError, match="field number 0"):
+        parse_proto_fields(b"\x03")
+    with _pytest.raises(ValueError, match="wire type 3"):
+        parse_proto_fields(b"\x0b")
+    with _pytest.raises(ValueError, match="truncated varint"):
+        parse_proto_fields(b"\x80")
+    with _pytest.raises(ValueError, match="over 10 bytes"):
+        parse_proto_fields(b"\x08" + b"\x80" * 10 + b"\x01")
+    with _pytest.raises(ValueError, match="past end"):
+        parse_proto_fields(b"\x12\x05ab")
+    with _pytest.raises(ValueError, match="fixed32"):
+        parse_proto_fields(b"\x0d\x01\x02")
+
+    rng = random.Random(2020)
+    for trial in range(200):
+        if trial % 2 == 0:
+            fz = bytes(rng.randrange(256)
+                       for _ in range(rng.randint(0, 100)))
+        else:
+            b = bytearray(blob)
+            for _ in range(rng.randint(1, 5)):
+                b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+            fz = bytes(b)
+        try:
+            parse_proto_fields(fz)
+        except DECODE_ERRORS:
+            pass
