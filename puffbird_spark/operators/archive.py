@@ -611,3 +611,170 @@ def proto_stats(
 
     return df.select(path_col, content_col).mapInPandas(
         kernel, PROTO_STATS_SCHEMA)
+
+
+def _avro_zigzag(b: bytes, at: int) -> tuple[int, int]:
+    """Avro long: zigzag-encoded varint (the OTHER varint — protobuf
+    varints are plain; confusing the two silently halves/negates
+    every count). Bounded at 10 continuation bytes."""
+    v = shift = 0
+    for k in range(10):
+        if at + k >= len(b):
+            raise ValueError("not Avro: truncated varint")
+        byte = b[at + k]
+        v |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            return (v >> 1) ^ -(v & 1), at + k + 1
+        shift += 7
+    raise ValueError("not Avro: varint over 10 bytes")
+
+
+def list_avro_blocks(
+    blob: bytes,
+) -> tuple[dict[str, bytes], list[tuple[int, bytes]]]:
+    """Structural walk of an Avro Object Container File (the Avro
+    1.x spec): the ``Obj\\x01`` magic, the file-metadata MAP in real
+    Avro encoding (zigzag block counts — including the negative
+    count + byte-size form — string keys, bytes values, zero
+    terminator), the 16-byte sync marker, then data blocks (record
+    count, byte size, payload, sync) with EVERY block's sync marker
+    verified against the header's (the spec's corruption fence) and
+    the payload inflated when ``avro.codec`` is deflate. Record
+    DECODE is deliberately out of scope — this is the container
+    layer (the metadata map names the schema; payloads release as
+    verified opaque bytes). Returns ``(metadata, [(n_records,
+    payload), ...])``."""
+    b = bytes(blob) if blob is not None else b""
+    if len(b) < 20 or b[:4] != b"Obj\x01":
+        raise ValueError("not Avro: bad magic")
+    meta: dict[str, bytes] = {}
+    i = 4
+    while True:
+        count, i = _avro_zigzag(b, i)
+        if count == 0:
+            break
+        if count < 0:
+            # negative count: abs(count) items preceded by a byte size
+            _, i = _avro_zigzag(b, i)
+            count = -count
+        for _ in range(count):
+            klen, i = _avro_zigzag(b, i)
+            if klen < 0 or i + klen > len(b):
+                raise ValueError("not Avro: bad metadata key")
+            key = b[i:i + klen].decode("utf-8", "replace")
+            i += klen
+            vlen, i = _avro_zigzag(b, i)
+            if vlen < 0 or i + vlen > len(b):
+                raise ValueError("not Avro: bad metadata value")
+            meta[key] = b[i:i + vlen]
+            i += vlen
+    if i + 16 > len(b):
+        raise ValueError("not Avro: truncated sync marker")
+    sync = b[i:i + 16]
+    i += 16
+    codec = meta.get("avro.codec", b"null").decode("ascii", "replace")
+    if codec not in ("null", "deflate"):
+        raise NotImplementedError(f"Avro codec {codec!r} unsupported")
+    blocks = []
+    while i < len(b):
+        n_rec, i = _avro_zigzag(b, i)
+        size, i = _avro_zigzag(b, i)
+        if n_rec < 0 or size < 0 or i + size + 16 > len(b):
+            raise ValueError("not Avro: bad block framing")
+        raw = b[i:i + size]
+        i += size
+        if b[i:i + 16] != sync:
+            raise ValueError("not Avro: block sync marker mismatch")
+        i += 16
+        payload = raw if codec == "null" else zlib.decompress(raw, -15)
+        blocks.append((n_rec, payload))
+    return meta, blocks
+
+
+def encode_avro_ocf(
+    doc_id: int, n_blocks: int, seed: int = 0,
+) -> bytes:
+    """Deterministic Avro OCF fixture: a metadata map holding
+    ``avro.schema`` (a fixed bytes-schema JSON) and ``avro.codec``
+    (null for even docs, deflate for odd — both paths exercised),
+    a seed-derived sync marker, and ``n_blocks`` blocks with
+    closed-form payload bytes ``(seed + 11·blk + 7·i) mod 251``."""
+
+    def zz(v: int) -> bytes:
+        v = (v << 1) ^ (v >> 63) if v < 0 else v << 1
+        r = b""
+        while True:
+            byte = v & 0x7F
+            v >>= 7
+            if v:
+                r += bytes([byte | 0x80])
+            else:
+                return r + bytes([byte])
+
+    codec = b"null" if doc_id % 2 == 0 else b"deflate"
+    schema = b'{"type":"bytes"}'
+    meta = (zz(2)
+            + zz(len(b"avro.schema")) + b"avro.schema"
+            + zz(len(schema)) + schema
+            + zz(len(b"avro.codec")) + b"avro.codec"
+            + zz(len(codec)) + codec
+            + zz(0))
+    sync = bytes((seed + 3 * k) % 256 for k in range(16))
+    out = b"Obj\x01" + meta + sync
+    for blk in range(n_blocks):
+        s = seed + 11 * blk
+        plen = 20 + (seed + 5 * blk) % 40
+        payload = bytes((s + 7 * i) % 251 for i in range(plen))
+        raw = (payload if codec == b"null"
+               else zlib.compress(payload, 6)[2:-4])
+        out += zz(1 + blk % 3) + zz(len(raw)) + raw + sync
+    return out
+
+
+AVRO_STATS_SCHEMA = (
+    "path string, block_idx int, codec string, n_records long, "
+    "payload_len long, byte_sum long"
+)
+
+
+def avro_stats(
+    df: DataFrame,
+    content_col: str = "content",
+    path_col: str = "path",
+    batch_size: int = 64,
+) -> DataFrame:
+    """Per-BLOCK statistics over Avro OCF blobs: the container walk
+    (metadata map, codec dispatch, per-block sync verification) with
+    one row per data block; undecodable files skip whole (the
+    DECODE_ERRORS contract). ``byte_sum`` hash-checks zigzag counts,
+    framing, and the deflate path together."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start:start + batch_size]
+                rows = []
+                for path, blob in zip(
+                    chunk[path_col].astype(str), chunk[content_col]
+                ):
+                    if blob is None:
+                        continue
+                    try:
+                        meta, blocks = list_avro_blocks(bytes(blob))
+                    except DECODE_ERRORS:
+                        continue
+                    codec = meta.get("avro.codec", b"null").decode(
+                        "ascii", "replace")
+                    for idx, (n_rec, payload) in enumerate(blocks):
+                        rows.append({
+                            "path": path, "block_idx": idx,
+                            "codec": codec, "n_records": n_rec,
+                            "payload_len": len(payload),
+                            "byte_sum": sum(payload),
+                        })
+                yield pd.DataFrame(rows, columns=[
+                    "path", "block_idx", "codec", "n_records",
+                    "payload_len", "byte_sum"])
+
+    return df.select(path_col, content_col).mapInPandas(
+        kernel, AVRO_STATS_SCHEMA)

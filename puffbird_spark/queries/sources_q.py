@@ -3737,3 +3737,48 @@ def source_proto_fields(spark, sf_dir):
         F.col("doc_id").cast("string").alias("path"),
         make_pb(F.col("doc_id")).alias("content"))
     return proto_stats(docs)
+
+
+@query("source_avro_blocks", oracle="""
+WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS path, doc_id AS did,
+    doc_id % 997 AS s, 2 + doc_id % 3 AS nb
+  FROM documents),
+b AS (SELECT path, did, s, CAST(unnest(range(nb)) AS INT) AS blk
+  FROM d),
+blks AS (SELECT path, did, blk, s + 11 * blk AS bs,
+    20 + (s + 5 * blk) % 40 AS plen
+  FROM b),
+bytes AS (SELECT path, did, blk, bs, plen, unnest(range(plen)) AS i
+  FROM blks)
+SELECT path, blk AS block_idx,
+  CASE WHEN did % 2 = 0 THEN 'null' ELSE 'deflate' END AS codec,
+  CAST(1 + blk % 3 AS BIGINT) AS n_records,
+  CAST(MAX(plen) AS BIGINT) AS payload_len,
+  CAST(SUM((bs + 7 * i) % 251) AS BIGINT) AS byte_sum
+FROM bytes GROUP BY path, did, blk
+""")
+def source_avro_blocks(spark, sf_dir):
+    """Avro Object Container File ingest (`list_avro_blocks` +
+    `avro_stats`, operators/archive.py; Avro 1.x spec) — REAL
+    container walks: the file-metadata map in genuine Avro encoding
+    (ZIGZAG varints — the other varint; confusing them with
+    protobuf's plain varints silently halves every count), codec
+    dispatch (even docs null, odd deflate — both paths hash-checked),
+    and EVERY data block's 16-byte sync marker verified against the
+    header's (the spec's corruption fence). Record decode is
+    deliberately out of scope — this is the container layer.
+    Per-block payload sums replay closed-form. Arrow mapInPandas,
+    zero shuffle."""
+    from ..operators.archive import avro_stats, encode_avro_ocf
+    from ..operators.dedup import widen_parallelism
+
+    def _make(doc_id):
+        return doc_id.map(
+            lambda i: encode_avro_ocf(
+                int(i), 2 + int(i) % 3, seed=int(i) % 997))
+
+    make_avro = F.pandas_udf(_make, returnType="binary")
+    docs = widen_parallelism(load(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("string").alias("path"),
+        make_avro(F.col("doc_id")).alias("content"))
+    return avro_stats(docs)

@@ -9743,3 +9743,67 @@ def test_proto_wire_roundtrip_and_robustness():
             parse_proto_fields(fz)
         except DECODE_ERRORS:
             pass
+
+
+def test_avro_ocf_roundtrip_and_robustness():
+    """Avro OCF container: both codec paths (null/deflate)
+    roundtrip to closed-form block sums with the zigzag metadata
+    map decoded (schema + codec recovered); sync-marker corruption,
+    bad magic, truncated varints, and bad framing raise; unknown
+    codecs are honest NotImplementedError; the zigzag decoder
+    round-trips negatives (it is NOT protobuf's plain varint); 200
+    fuzz cases stay in DECODE_ERRORS."""
+    import random
+
+    import pytest as _pytest
+
+    from puffbird_spark.operators.archive import (
+        _avro_zigzag, encode_avro_ocf, list_avro_blocks)
+    from puffbird_spark.operators.multimodal import DECODE_ERRORS
+
+    # zigzag truth table: 0,-1,1,-2,2 encode to 0,1,2,3,4
+    for raw, want in ((b"\x00", 0), (b"\x01", -1), (b"\x02", 1),
+                      (b"\x03", -2), (b"\x04", 2)):
+        assert _avro_zigzag(raw, 0)[0] == want
+
+    for did in (42, 43):
+        blob = encode_avro_ocf(did, 3, seed=7)
+        meta, blocks = list_avro_blocks(blob)
+        assert meta["avro.codec"] == (
+            b"null" if did % 2 == 0 else b"deflate")
+        assert len(blocks) == 3
+        for blk, (n, p) in enumerate(blocks):
+            s = 7 + 11 * blk
+            plen = 20 + (7 + 5 * blk) % 40
+            assert n == 1 + blk % 3
+            assert sum(p) == sum(
+                (s + 7 * i) % 251 for i in range(plen))
+
+    bad = bytearray(encode_avro_ocf(42, 2, seed=7))
+    bad[-3] ^= 1
+    with _pytest.raises(ValueError, match="sync"):
+        list_avro_blocks(bytes(bad))
+    with _pytest.raises(ValueError, match="magic"):
+        list_avro_blocks(b"Obj\x02" + bytes(40))
+    with _pytest.raises(ValueError, match="varint"):
+        list_avro_blocks(b"Obj\x01" + b"\x80" * 16)
+    lzma_codec = encode_avro_ocf(42, 1, seed=7).replace(
+        b"\x08null", b"\x08lzma", 1)
+    with _pytest.raises(NotImplementedError, match="codec"):
+        list_avro_blocks(lzma_codec)
+
+    rng = random.Random(2121)
+    blob = encode_avro_ocf(43, 3, seed=7)
+    for trial in range(200):
+        if trial % 2 == 0:
+            fz = bytes(rng.randrange(256)
+                       for _ in range(rng.randint(0, 120)))
+        else:
+            b = bytearray(blob)
+            for _ in range(rng.randint(1, 6)):
+                b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+            fz = bytes(b)
+        try:
+            list_avro_blocks(fz)
+        except DECODE_ERRORS:
+            pass
