@@ -1350,3 +1350,101 @@ def kendalls_w(
                    " + (n_blocks * (k - 1)))"
                    " div (2 * n_blocks * (k - 1))").cast("double")
             / float(10 ** dp)).alias("w"))
+
+
+def esd_outlier_rounds(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    n_rounds: int = 3,
+    scale: int = 6,
+    dp: int = 6,
+) -> DataFrame:
+    """Generalized extreme Studentized deviate outlier rounds per
+    group (Rosner 1983, the iterative Grubbs) — the masked-outlier
+    detector: ONE wild point inflates the standard deviation enough
+    to hide a second, so the test re-studentizes after removing each
+    round's extreme. Per round r = 1..n_rounds over the remaining
+    points:
+
+        R_r = max_i |x_i − x̄| / s        (sample s, n−1 form)
+
+    releasing each round's statistic, the removed point's id and
+    value, and the remaining count — the caller compares R_r to the
+    ESD critical values (the no-CDF house convention). The removed
+    point is the argmax by (|deviation| desc, id asc): the id
+    tiebreak makes tied extremes engine-deterministic.
+
+    Determinism: values snap to decimal(20,scale) and scale to exact
+    integers (the changepoint_variance rule — never square a
+    nonzero-scale decimal in Spark); per-round moments are exact
+    decimal(38,0) sums; the deviation ranking compares |n·x − Σx|
+    in EXACT integers (the same ordering as |x − x̄| — no float
+    enters the argmax); R_r is one double expression over exact
+    integers released at ``dp``. Groups shrink by exactly one row
+    per round; rounds with n < 3 or zero variance release NULL R
+    and stop removing (NULL id/value).
+
+    Scale shape: ``n_rounds`` unrolled (agg + join + argmax-window)
+    passes over the group frame — the graph_pagerank fixed-rounds
+    convention; everything keyed by group. Returns one row per
+    (group, round): ``(group_col, round, n_remaining, r_stat,
+    removed_id, removed_value)``."""
+    from pyspark.sql.window import Window
+
+    if int(n_rounds) < 1:
+        raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
+    d0 = "decimal(38,0)"
+    u = (F.col(value_col).cast(f"decimal(20,{scale})")
+         * (10 ** scale)).cast(d0)
+    cur = df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+        & F.col(id_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("__g"), u.alias("__u"),
+        F.col(id_col).alias("__id"))
+    out_frames = []
+    down = float(10 ** scale)
+    for rnd in range(1, int(n_rounds) + 1):
+        mom = cur.groupBy("__g").agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum("__u").cast(d0).alias("__s"),
+            F.sum((F.col("__u") * F.col("__u")).cast(d0)).cast(d0)
+            .alias("__q"))
+        j = cur.join(mom, "__g")
+        # |n·x − Σx| in exact integers orders EXACTLY like |x − x̄|
+        dev = F.abs(F.col("__n").cast(d0) * F.col("__u")
+                    - F.col("__s"))
+        w = Window.partitionBy("__g").orderBy(
+            F.desc("__dev"), F.asc("__id"))
+        ranked = j.withColumn("__dev", dev).withColumn(
+            "__rk", F.row_number().over(w))
+        nd = F.col("__n").cast("double")
+        # sample variance numerator n·Σx² − (Σx)² as an EXACT decimal
+        # integer (its double twin can read tiny-nonzero past 2^53);
+        # s² = num / (n(n−1)), descaled by 10^2·scale
+        var_num = (F.col("__n").cast(d0) * F.col("__q")
+                   - F.col("__s") * F.col("__s"))
+        var = var_num.cast("double") / (nd * (nd - 1.0))
+        r_ok = (F.col("__n") >= 3) & (var_num > 0)
+        r_stat = (F.col("__dev").cast("double") / nd / down
+                  / F.sqrt(var / (down * down)))
+        top = ranked.filter(F.col("__rk") == 1).select(
+            F.col("__g").alias(group_col),
+            F.lit(rnd).alias("round"),
+            F.col("__n").alias("n_remaining"),
+            F.when(r_ok, F.round(r_stat, dp)).alias("r_stat"),
+            F.when(r_ok, F.col("__id")).alias("removed_id"),
+            F.when(r_ok, F.col("__u").cast("double") / down)
+            .alias("removed_value"))
+        out_frames.append(top)
+        # a NULL-R round removes nothing (degenerate group — stop)
+        removed = ranked.filter(F.col("__rk") == 1).filter(
+            r_ok).select("__g", "__id")
+        cur = cur.join(removed, ["__g", "__id"], "left_anti")
+        cur = cur.localCheckpoint(eager=False)
+    res = out_frames[0]
+    for fr in out_frames[1:]:
+        res = res.unionByName(fr)
+    return res

@@ -5764,3 +5764,61 @@ def diag_kendalls_w(spark, sf_dir):
             (F.col("doc_id") / 100).cast("long").alias("trt"),
             F.length("text").alias("score")),
         "blk", "trt", "score")
+
+
+def _esd_oracle(n_rounds: int = 3) -> str:
+    """Unrolled n-round ESD replay (the _neyman_oracle convention:
+    built programmatically so the three rounds cannot drift apart)."""
+    parts = ["""cur1 AS (SELECT event_type AS g, event_id AS id,
+    CAST(CAST(value AS DECIMAL(20,6)) * 1000000 AS HUGEINT) AS u
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+    AND event_id IS NOT NULL)"""]
+    for r in range(1, n_rounds + 1):
+        ok = f"n >= 3 AND n * q - s * s > 0"
+        rs = (f"round(CAST(dev AS DOUBLE) / n / 1000000.0"
+              f" / sqrt((CAST(n * q - s * s AS DOUBLE)"
+              f" / (n * (n - 1.0))) / 1e12), 6)")
+        parts.append(f"""mom{r} AS (SELECT g, COUNT(*) AS n, SUM(u) AS s,
+    SUM(u * u) AS q FROM cur{r} GROUP BY 1),
+rk{r} AS (SELECT cur{r}.g, id, u, n, s, q,
+    abs(n * u - s) AS dev,
+    row_number() OVER (PARTITION BY cur{r}.g
+      ORDER BY abs(n * u - s) DESC, id ASC) AS rk
+  FROM cur{r} JOIN mom{r} ON cur{r}.g = mom{r}.g),
+out{r} AS (SELECT g, {r} AS round, n AS n_remaining,
+    CASE WHEN {ok} THEN {rs} END AS r_stat,
+    CASE WHEN {ok} THEN id END AS removed_id,
+    CASE WHEN {ok} THEN CAST(u AS DOUBLE) / 1000000.0 END
+      AS removed_value
+  FROM rk{r} WHERE rk = 1)""")
+        if r < n_rounds:
+            parts.append(f"""cur{r + 1} AS (SELECT cur{r}.g, cur{r}.id, cur{r}.u
+  FROM cur{r} LEFT JOIN (SELECT g, removed_id FROM out{r}
+    WHERE removed_id IS NOT NULL) x{r}
+    ON cur{r}.g = x{r}.g AND cur{r}.id = x{r}.removed_id
+  WHERE x{r}.g IS NULL)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT g AS event_type, CAST(round AS INT) AS round, "
+        f"CAST(n_remaining AS BIGINT) AS n_remaining, r_stat, "
+        f"CAST(removed_id AS BIGINT) AS removed_id, removed_value "
+        f"FROM out{r}" for r in range(1, n_rounds + 1))
+    return "WITH " + ",\n".join(parts) + "\n" + union
+
+
+@query("diag_esd_outliers", oracle=_esd_oracle())
+def diag_esd_outliers(spark, sf_dir):
+    """Generalized ESD outlier rounds (`esd_outlier_rounds`,
+    operators/drift.py; Rosner 1983) — the masked-outlier detector
+    over event values per type: three re-studentized rounds, each
+    releasing R = max|x − x̄|/s, the removed point, and the
+    remaining count (critical values are the caller's table — the
+    no-CDF convention). Exact integer-scaled moments (the
+    never-square-a-decimal rule), the argmax ranked on EXACT
+    |n·x − Σx| integers with an id tiebreak, unrolled-rounds plan
+    (the graph_pagerank convention); degenerate rounds release NULL
+    and stop removing."""
+    from ..operators.drift import esd_outlier_rounds
+
+    ev = load(spark, sf_dir, "events")
+    return esd_outlier_rounds(
+        ev, "event_type", "value", "event_id", n_rounds=3)

@@ -9807,3 +9807,40 @@ def test_avro_ocf_roundtrip_and_robustness():
             list_avro_blocks(fz)
         except DECODE_ERRORS:
             pass
+
+
+def test_esd_outlier_rounds_hand_cases(spark):
+    """Rosner unmasking pin: in {2.0,2.1,1.9,2.05,9.0,1.95,-4.0} the
+    9.0 masks the -4.0 — round 1 reads R=1.823101 removing id 5,
+    round 2's R=2.040391 is LARGER (the whole point of re-
+    studentizing) removing id 7, round 3 reads 1.264911; a constant
+    group releases NULL R every round and never shrinks; a 2-point
+    group is too small (NULL); bad n_rounds raises."""
+    import pytest as _pytest
+
+    from puffbird_spark.operators.drift import esd_outlier_rounds
+
+    vals = {1: 2.0, 2: 2.1, 3: 1.9, 4: 2.05, 5: 9.0, 6: 1.95,
+            7: -4.0}
+    rows = [("a", i, v) for i, v in vals.items()]
+    rows += [("const", i, 5.0) for i in range(4)]
+    rows += [("tiny", 1, 1.0), ("tiny", 2, 2.0)]
+    df = spark.createDataFrame(rows, "g string, id int, v double")
+    out = {(r["g"], r["round"]): r for r in esd_outlier_rounds(
+        df, "g", "v", "id", n_rounds=3).collect()}
+    a1, a2, a3 = out[("a", 1)], out[("a", 2)], out[("a", 3)]
+    assert (a1["r_stat"], a1["removed_id"], a1["removed_value"]) == \
+        (1.823101, 5, 9.0)
+    assert (a2["r_stat"], a2["removed_id"]) == (2.040391, 7)
+    assert a2["r_stat"] > a1["r_stat"]          # unmasking
+    assert (a3["r_stat"], a3["removed_id"]) == (1.264911, 2)
+    assert (a1["n_remaining"], a2["n_remaining"],
+            a3["n_remaining"]) == (7, 6, 5)
+    for rnd in (1, 2, 3):
+        c = out[("const", rnd)]
+        assert c["r_stat"] is None and c["removed_id"] is None
+        assert c["n_remaining"] == 4            # never shrinks
+        t = out[("tiny", rnd)]
+        assert t["r_stat"] is None and t["n_remaining"] == 2
+    with _pytest.raises(ValueError, match="n_rounds"):
+        esd_outlier_rounds(df, "g", "v", "id", n_rounds=0)
