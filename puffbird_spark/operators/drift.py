@@ -1448,3 +1448,68 @@ def esd_outlier_rounds(
     for fr in out_frames[1:]:
         res = res.unionByName(fr)
     return res
+
+
+def jarque_bera(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    dp: int = 6,
+) -> DataFrame:
+    """Jarque-Bera normality screen per group (Jarque & Bera 1980)
+    — the is-this-even-Gaussian gate that belongs BEFORE any test
+    assuming normality (`welch_t_test`, the ANOVA family):
+
+        JB = n/6 · (S² + K²/4)
+
+    over the released 6-dp skewness S and excess kurtosis K of the
+    `agg_moments` ladder (exact-decimal mean, 9-dp-decimal snapped
+    deviation powers, order-free sums — the same two-pass shape
+    Spark's one-pass skewness/kurtosis aggregates approximate).
+    JB ~ χ²₂ under normality; statistic only (the no-CDF house
+    convention). Composing RELEASED values is the kendalls_w
+    convention: both engines fold identical doubles, no second
+    precision ladder — and the final small-denominator n/6 rational
+    releases through the nano-unit ladder, not round(double).
+
+    Groups with zero variance are omitted (no shape to test — the
+    agg_moments convention). Returns ``(group_col, n, skewness,
+    kurtosis_excess, jb)``."""
+    from . import nano_release
+
+    base = df.filter(F.col(value_col).isNotNull())
+    st = base.groupBy(group_col).agg(
+        (F.sum(F.round(F.col(value_col), 12).cast("decimal(28,12)"))
+         .cast("double") / F.count(F.lit(1))).alias("__m"),
+        F.count(F.lit(1)).alias("__n"))
+    dv = base.join(F.broadcast(st), group_col).select(
+        group_col, "__n",
+        (F.col(value_col) - F.col("__m")).alias("__d"))
+
+    def snap(c):
+        return F.round(c, 9).cast("decimal(28,9)")
+
+    d = F.col("__d")
+    mom = dv.groupBy(group_col).agg(
+        F.max("__n").alias("__n"),
+        (F.sum(snap(d * d)).cast("double") / F.max("__n"))
+        .alias("__m2"),
+        (F.sum(snap(d * d * d)).cast("double") / F.max("__n"))
+        .alias("__m3"),
+        (F.sum(snap(d * d * d * d)).cast("double") / F.max("__n"))
+        .alias("__m4"))
+    m2, m3, m4 = F.col("__m2"), F.col("__m3"), F.col("__m4")
+    rel = mom.filter(m2 > 0).select(
+        group_col, F.col("__n").cast("long").alias("n"),
+        F.round(m3 / (m2 * F.sqrt(m2)), 6).alias("skewness"),
+        F.round(m4 / (m2 * m2) - 3, 6).alias("kurtosis_excess"))
+    s, k = F.col("skewness"), F.col("kurtosis_excess")
+    nd = F.col("n").cast("double")
+    jb_units = F.floor(
+        nd / 6.0 * (s * s + k * k / 4.0) * 1.0e9).cast("long")
+    return rel.select(
+        group_col, "n", "skewness", "kurtosis_excess",
+        jb_units.alias("__ju")
+    ).select(
+        group_col, "n", "skewness", "kurtosis_excess",
+        nano_release("__ju", dp).alias("jb"))

@@ -5822,3 +5822,49 @@ def diag_esd_outliers(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     return esd_outlier_rounds(
         ev, "event_type", "value", "event_id", n_rounds=3)
+
+
+_JB_ORACLE = """
+WITH base AS (SELECT event_type, value AS x FROM events
+              WHERE value IS NOT NULL),
+st AS (SELECT event_type,
+    CAST(SUM(CAST(round(x, 12) AS DECIMAL(28,12))) AS DOUBLE)
+      / COUNT(*) AS m, COUNT(*) AS n
+  FROM base GROUP BY event_type),
+dv AS (SELECT b.event_type, st.n, b.x - st.m AS d
+  FROM base b JOIN st ON b.event_type = st.event_type),
+mom AS (SELECT event_type, MAX(n) AS n,
+    CAST(SUM(CAST(round(d * d, 9) AS DECIMAL(28,9))) AS DOUBLE)
+      / MAX(n) AS m2,
+    CAST(SUM(CAST(round(d * d * d, 9) AS DECIMAL(28,9))) AS DOUBLE)
+      / MAX(n) AS m3,
+    CAST(SUM(CAST(round(d * d * d * d, 9) AS DECIMAL(28,9))) AS DOUBLE)
+      / MAX(n) AS m4
+  FROM dv GROUP BY event_type),
+rel AS (SELECT event_type, CAST(n AS BIGINT) AS n,
+    round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+    round(m4 / (m2 * m2) - 3, 6) AS kurtosis_excess
+  FROM mom WHERE m2 > 0)
+SELECT event_type, n, skewness, kurtosis_excess,
+  CAST((CAST(floor(CAST(n AS DOUBLE) / 6.0
+        * (skewness * skewness
+           + kurtosis_excess * kurtosis_excess / 4.0) * 1.0e9)
+      AS BIGINT) + 500) // 1000 AS DOUBLE) / 1e6 AS jb
+FROM rel
+"""
+
+
+@query("diag_jarque_bera", oracle=_JB_ORACLE)
+def diag_jarque_bera(spark, sf_dir):
+    """Jarque-Bera normality screen (`jarque_bera`,
+    operators/drift.py; Jarque & Bera 1980) — is each event type's
+    value distribution even Gaussian, the gate before any
+    normality-assuming diag test: JB = n/6·(S² + K²/4) composed
+    from the RELEASED agg_moments skewness/kurtosis (identical
+    doubles on both engines), released through the nano-unit ladder
+    (n/6 is the small-denominator rational round(double) trips
+    on)."""
+    from ..operators.drift import jarque_bera
+
+    return jarque_bera(
+        load(spark, sf_dir, "events"), "event_type", "value")

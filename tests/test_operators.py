@@ -9844,3 +9844,24 @@ def test_esd_outlier_rounds_hand_cases(spark):
         assert t["r_stat"] is None and t["n_remaining"] == 2
     with _pytest.raises(ValueError, match="n_rounds"):
         esd_outlier_rounds(df, "g", "v", "id", n_rounds=0)
+
+
+def test_jarque_bera_hand_cases(spark):
+    """JB pins: the symmetric {1..5} reads S=0, K=-1.3, JB=0.352083
+    (pure kurtosis term); the one-sided {1,1,1,1,10} reads S=1.5,
+    K=0.25, JB=1.888021; a constant group (zero variance) is
+    omitted."""
+    from puffbird_spark.operators.drift import jarque_bera
+
+    rows = [("sym", float(v)) for v in (1, 2, 3, 4, 5)]
+    rows += [("skew", float(v)) for v in (1, 1, 1, 1, 10)]
+    rows += [("const", 7.0)] * 4
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in jarque_bera(df, "g", "v").collect()}
+    sym = out["sym"]
+    assert (sym["skewness"], sym["kurtosis_excess"]) == (0.0, -1.3)
+    assert sym["jb"] == 0.352083
+    sk = out["skew"]
+    assert (sk["skewness"], sk["kurtosis_excess"]) == (1.5, 0.25)
+    assert sk["jb"] == 1.888021
+    assert "const" not in out
