@@ -1562,6 +1562,36 @@ def p_adjust(
         F.min(bh_step).over(w_down).alias("p_bh"))
 
 
+def _require_complete_design(base, fn_name: str) -> tuple[int, int]:
+    """Shared complete-design probe for the rating-panel operators
+    (cronbach_alpha, icc_two_way — one definition, the
+    _require_indicator lesson): over a PINNED lineage with columns
+    ``__s``/``__i``, validate that every subject holds every item
+    exactly once. The per-subject check alone would pass equal-sized
+    but DISJOINT item sets (r14 self-review #2), so the GLOBAL
+    distinct-item count must match too. Returns ``(n_subjects,
+    k_items)``; raises on empty or incomplete designs."""
+    shape = base.groupBy("__s").agg(
+        F.count(F.lit(1)).alias("__rows"),
+        F.count_distinct("__i").alias("__k")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("__rows").alias("rlo"), F.max("__rows").alias("rhi"),
+        F.min("__k").alias("klo"), F.max("__k").alias("khi")).collect()
+    if not shape or shape[0]["n"] == 0:
+        raise ValueError(f"{fn_name}: empty input")
+    s = shape[0]
+    k_global = base.select(
+        F.count_distinct("__i").alias("kg")).collect()[0]["kg"]
+    if not (s["rlo"] == s["rhi"] == s["klo"] == s["khi"] == k_global):
+        raise ValueError(
+            f"{fn_name} requires a COMPLETE design (every "
+            f"subject holds every item exactly once); found subjects "
+            f"with {s['rlo']}..{s['rhi']} rows, "
+            f"{s['klo']}..{s['khi']} distinct items, and "
+            f"{k_global} items overall")
+    return int(s["n"]), int(s["klo"])
+
+
 def cronbach_alpha(
     df: DataFrame,
     subject_col: str,
@@ -1608,31 +1638,7 @@ def cronbach_alpha(
         F.col("__s").isNotNull() & F.col("__i").isNotNull()
         & F.col("__v").isNotNull())
     base = base.localCheckpoint(eager=True)
-
-    shape = base.groupBy("__s").agg(
-        F.count(F.lit(1)).alias("__rows"),
-        F.count_distinct("__i").alias("__k")).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min("__rows").alias("rlo"), F.max("__rows").alias("rhi"),
-        F.min("__k").alias("klo"), F.max("__k").alias("khi")).collect()
-    if not shape or shape[0]["n"] == 0:
-        raise ValueError("cronbach_alpha: empty input")
-    s = shape[0]
-    # the per-subject probe alone would pass equal-sized but DISJOINT
-    # item sets (r14 self-review #2: subjects {a,b} vs {c,d} each
-    # read 2 rows / 2 distinct) — the GLOBAL item count must equal
-    # the per-subject count too
-    k_global = base.select(
-        F.count_distinct("__i").alias("kg")).collect()[0]["kg"]
-    if not (s["rlo"] == s["rhi"] == s["klo"] == s["khi"] == k_global):
-        raise ValueError(
-            "cronbach_alpha requires a COMPLETE design (every "
-            f"subject holds every item exactly once); found subjects "
-            f"with {s['rlo']}..{s['rhi']} rows, "
-            f"{s['klo']}..{s['khi']} distinct items, and "
-            f"{k_global} items overall")
-    k = int(s["klo"])
-    n = int(s["n"])
+    n, k = _require_complete_design(base, "cronbach_alpha")
     if k < 2:
         raise ValueError("cronbach_alpha needs >= 2 items")
 
@@ -1662,3 +1668,83 @@ def cronbach_alpha(
         F.lit(n).cast("long").alias("n_subjects"),
         F.lit(k).cast("long").alias("k"),
         F.when(F.col("__b") > 0, alpha).alias("alpha"))
+
+
+def icc_two_way(
+    df: DataFrame,
+    subject_col: str,
+    item_col: str,
+    value_col: str,
+    scale: int = 6,
+) -> DataFrame:
+    """Intraclass correlation ICC(2,1) (Shrout & Fleiss 1979; the
+    two-way random-effects, single-rater, absolute-agreement form) —
+    the CONTINUOUS-score agreement coefficient beside the kappa
+    family's categorical ones and :func:`cronbach_alpha`'s
+    consistency (alpha forgives a rater who is systematically high;
+    ICC(2,1) charges that bias to disagreement — the right default
+    when absolute scores matter, e.g. LLM-judge calibration):
+
+        ICC = (MSR − MSE) /
+              (MSR + (k−1)·MSE + k·(MSC − MSE)/n)
+
+    from the two-way ANOVA mean squares (MSR subjects, MSC raters,
+    MSE residual) of the complete n-subject × k-rater design
+    (validated by the shared :func:`_require_complete_design`
+    probe on a pinned lineage).
+
+    All sums of squares are EXACT: values scale to integers
+    u = v·10^scale (the never-square-a-decimal rule) and every SS
+    is a combination of decimal(38,0) integer sums — SS_rows =
+    (n·ΣR_i² − T²)/(nk) etc. stay as exact integer NUMERATORS
+    until the final mean-square ratios, whose common scaling
+    cancels. The release is the raw double of that expression (the
+    p_adjust convention). NULL when the denominator is ≤ 0 at
+    exact-integer grain or MSE's df is 0 (k or n < 2).
+
+    Returns ONE row: ``(n_subjects, k, icc)``."""
+    base = df.select(
+        F.col(subject_col).alias("__s"),
+        F.col(item_col).alias("__i"),
+        F.col(value_col).alias("__v"),
+    ).filter(
+        F.col("__s").isNotNull() & F.col("__i").isNotNull()
+        & F.col("__v").isNotNull())
+    base = base.localCheckpoint(eager=True)
+    n, k = _require_complete_design(base, "icc_two_way")
+    if k < 2 or n < 2:
+        raise ValueError("icc_two_way needs >= 2 subjects and items")
+
+    d38 = "decimal(38,0)"
+    u = (F.col("__v").cast(f"decimal(20,{scale})")
+         * (10 ** scale)).cast(d38)
+    scaled = base.select("__s", "__i", u.alias("__u"))
+    tot = scaled.agg(
+        F.sum("__u").cast(d38).alias("__t"),
+        F.sum(F.col("__u") * F.col("__u")).cast(d38).alias("__q"))
+    rows = scaled.groupBy("__s").agg(
+        F.sum("__u").cast(d38).alias("__r")).agg(
+        F.sum(F.col("__r") * F.col("__r")).cast(d38).alias("__r2"))
+    cols = scaled.groupBy("__i").agg(
+        F.sum("__u").cast(d38).alias("__c")).agg(
+        F.sum(F.col("__c") * F.col("__c")).cast(d38).alias("__c2"))
+    j = tot.crossJoin(rows).crossJoin(cols)
+    nk = n * k
+    t2 = F.col("__t") * F.col("__t")
+    # integer numerators of nk·SS (the common 1/nk and the 10^2s
+    # scaling cancel in every mean-square RATIO)
+    ss_tot = F.lit(nk).cast(d38) * F.col("__q") - t2
+    ss_row = F.lit(n).cast(d38) * F.col("__r2") - t2
+    ss_col = F.lit(k).cast(d38) * F.col("__c2") - t2
+    ss_err = ss_tot - ss_row - ss_col
+    msr = ss_row.cast("double") / float(n - 1)
+    msc = ss_col.cast("double") / float(k - 1)
+    mse_df = (n - 1) * (k - 1)
+    mse = ss_err.cast("double") / float(mse_df)
+    den = (msr + float(k - 1) * mse
+           + float(k) * (msc - mse) / float(n))
+    icc = F.when(den > 0, (msr - mse) / den)
+    return j.select(
+        F.lit(n).cast("long").alias("n_subjects"),
+        F.lit(k).cast("long").alias("k"),
+        icc.alias("icc"))

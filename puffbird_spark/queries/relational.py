@@ -5868,3 +5868,53 @@ def diag_jarque_bera(spark, sf_dir):
 
     return jarque_bera(
         load(spark, sf_dir, "events"), "event_type", "value")
+
+
+_ICC_ORACLE = """
+WITH b AS (SELECT doc_id % 100 AS s, doc_id // 100 AS i,
+    CAST(CAST(length(text) AS DECIMAL(20,6)) * 1000000
+      AS HUGEINT) AS u
+  FROM documents WHERE doc_id < 300 AND text IS NOT NULL),
+tot AS (SELECT SUM(u) AS t, SUM(u * u) AS q FROM b),
+rw AS (SELECT SUM(r * r) AS r2 FROM (
+    SELECT SUM(u) AS r FROM b GROUP BY s)),
+cl AS (SELECT SUM(c * c) AS c2 FROM (
+    SELECT SUM(u) AS c FROM b GROUP BY i)),
+f AS (SELECT
+    CAST(300 * q - t * t AS DOUBLE) AS sstot,
+    CAST(100 * r2 - t * t AS DOUBLE) AS ssrow,
+    CAST(3 * c2 - t * t AS DOUBLE) AS sscol,
+    CAST((300 * q - t * t) - (100 * r2 - t * t)
+         - (3 * c2 - t * t) AS DOUBLE) AS sserr
+  FROM tot, rw, cl)
+SELECT CAST(100 AS BIGINT) AS n_subjects, CAST(3 AS BIGINT) AS k,
+  CASE WHEN ssrow / 99.0 + 2.0 * (sserr / 198.0)
+            + 3.0 * (sscol / 2.0 - sserr / 198.0) / 100.0 > 0
+       THEN (ssrow / 99.0 - sserr / 198.0)
+            / (ssrow / 99.0 + 2.0 * (sserr / 198.0)
+               + 3.0 * (sscol / 2.0 - sserr / 198.0) / 100.0)
+  END AS icc
+FROM f
+"""
+
+
+@query("eval_icc", oracle=_ICC_ORACLE)
+def eval_icc(spark, sf_dir):
+    """Intraclass correlation ICC(2,1) (`icc_two_way`,
+    operators/evaluation.py; Shrout & Fleiss 1979) — the
+    absolute-agreement continuous-score coefficient on the SAME
+    100x3 design as `eval_cronbach_alpha` (alpha forgives a
+    systematically-high rater, ICC charges the bias): two-way ANOVA
+    mean squares from exact integer-scaled sums of squares (common
+    scaling cancels in every ratio), shared complete-design probe,
+    raw-double release."""
+    from ..operators.evaluation import icc_two_way
+
+    docs = load(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 300) & F.col("text").isNotNull())
+    return icc_two_way(
+        docs.select(
+            (F.col("doc_id") % 100).alias("subj"),
+            (F.col("doc_id") / 100).cast("long").alias("item"),
+            F.length("text").alias("score")),
+        "subj", "item", "score")

@@ -9865,3 +9865,50 @@ def test_jarque_bera_hand_cases(spark):
     assert (sk["skewness"], sk["kurtosis_excess"]) == (1.5, 0.25)
     assert sk["jb"] == 1.888021
     assert "const" not in out
+
+
+def test_icc_two_way_hand_cases(spark):
+    """ICC(2,1) pins the alpha-vs-ICC contrast: a rater with a
+    constant +1 bias still reads cronbach alpha 1.0 (consistency
+    forgives bias) but ICC(2,1) = 10/13 (absolute agreement charges
+    it); identical raters read exactly 1.0; an all-constant design
+    has zero denominator -> NULL; the shared complete-design probe
+    rejects disjoint panels; n or k < 2 raises."""
+    import pytest as _pytest
+
+    from puffbird_spark.operators.evaluation import (
+        cronbach_alpha, icc_two_way)
+
+    rows = [(s, "a", float(s)) for s in (1, 2, 3, 4)]
+    rows += [(s, "b", float(s) + 1.0) for s in (1, 2, 3, 4)]
+    df = spark.createDataFrame(rows, "s int, i string, v double")
+    r = icc_two_way(df, "s", "i", "v").collect()[0]
+    assert (r["n_subjects"], r["k"]) == (4, 2)
+    assert abs(r["icc"] - 10.0 / 13.0) < 1e-12
+    assert cronbach_alpha(df, "s", "i", "v").collect()[0]["alpha"] \
+        == 1.0                      # the contrast, on the same data
+
+    same = [(s, it, float(s)) for s in (1, 2, 3) for it in ("a", "b")]
+    p = icc_two_way(
+        spark.createDataFrame(same, "s int, i string, v double"),
+        "s", "i", "v").collect()[0]
+    assert p["icc"] == 1.0
+
+    const = [(s, it, 7.0) for s in (1, 2) for it in ("a", "b")]
+    c = icc_two_way(
+        spark.createDataFrame(const, "s int, i string, v double"),
+        "s", "i", "v").collect()[0]
+    assert c["icc"] is None
+
+    with _pytest.raises(ValueError, match="COMPLETE design"):
+        icc_two_way(
+            spark.createDataFrame(
+                [(1, "a", 1.0), (1, "b", 2.0), (2, "c", 1.0),
+                 (2, "d", 2.0)], "s int, i string, v double"),
+            "s", "i", "v")
+    with _pytest.raises(ValueError, match=">= 2 subjects"):
+        icc_two_way(
+            spark.createDataFrame(
+                [(1, "a", 1.0), (1, "b", 2.0)],
+                "s int, i string, v double"),
+            "s", "i", "v")
