@@ -1748,3 +1748,87 @@ def icc_two_way(
         F.lit(n).cast("long").alias("n_subjects"),
         F.lit(k).cast("long").alias("k"),
         icc.alias("icc"))
+
+
+def weighted_kappa(
+    df: DataFrame,
+    rater_a: str,
+    rater_b: str,
+    weight: str = "quadratic",
+) -> DataFrame:
+    """Weighted Cohen's kappa (Cohen 1968) — the ORDINAL-category
+    member of the kappa family: plain :func:`cohens_kappa` treats a
+    4-vs-5 disagreement exactly like 1-vs-5, which is wrong whenever
+    labels are a scale (Likert rubrics, severity grades, star
+    ratings). Disagreement is charged by distance:
+
+        κ_w = 1 − Σ_ij w_ij·o_ij / Σ_ij w_ij·e_ij,
+        w_ij = |i−j|   (linear)  or  (i−j)²  (quadratic — the
+                        default; equals ICC on the same grid)
+
+    with o the observed joint counts and e_ij = a_i·b_j/N the
+    chance-agreement expectation from the marginals. Labels must be
+    INTEGER categories (the distance needs a metric — a TypeError
+    names the contract, the `_require_indicator` convention); NULL
+    on either side excludes the row.
+
+    All-integer algebra: with the e denominator cleared, κ_w =
+    1 − N·Σw·o / Σ_ij w·a_i·b_j — ONE exact decimal(38,0) integer
+    ratio, released as its raw double (the cronbach convention).
+    NULL κ when the expected-disagreement term is 0 (both raters
+    constant, or every mass on one diagonal cell — chance-corrected
+    distance is undefined).
+
+    Scale shape: one joint-count aggregation (cells = categories²,
+    the chi_square convention) + two marginal aggregations + one
+    category-pair cross of the MARGINAL frames (bounded by the
+    label alphabet, never by data). Returns ONE row: ``(n_items,
+    weighted_po_num, weighted_pe_num, kappa_w)`` — the released
+    numerators are the exact N·Σw·o and Σw·a·b integers (debugging
+    handles; the ratio is the statistic)."""
+    from pyspark.sql import types as T
+
+    if weight not in ("linear", "quadratic"):
+        raise ValueError(
+            f"weight must be linear/quadratic, got {weight!r}")
+    for c in (rater_a, rater_b):
+        if not isinstance(df.schema[c].dataType, T.IntegralType):
+            raise TypeError(
+                "weighted_kappa needs INTEGER ordinal categories "
+                f"(column {c!r} is "
+                f"{df.schema[c].dataType.simpleString()}); encode "
+                "the scale as ints first — distance needs a metric")
+    base = df.select(
+        F.col(rater_a).cast("long").alias("__a"),
+        F.col(rater_b).cast("long").alias("__b"),
+    ).filter(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+    d38 = "decimal(38,0)"
+
+    def w(i, j):
+        diff = F.abs(i - j).cast(d38)
+        return diff if weight == "linear" else diff * diff
+
+    cells = base.groupBy("__a", "__b").agg(
+        F.count(F.lit(1)).cast(d38).alias("__o"))
+    obs = cells.agg(
+        F.sum(F.col("__o")).cast(d38).alias("__n"),
+        F.sum(w(F.col("__a"), F.col("__b")) * F.col("__o"))
+        .cast(d38).alias("__wo"))
+    ma = base.groupBy("__a").agg(
+        F.count(F.lit(1)).cast(d38).alias("__na"))
+    mb = base.groupBy("__b").agg(
+        F.count(F.lit(1)).cast(d38).alias("__nb"))
+    exp = ma.crossJoin(mb).agg(
+        F.sum(w(F.col("__a"), F.col("__b"))
+              * F.col("__na") * F.col("__nb"))
+        .cast(d38).alias("__we"))
+    j = obs.crossJoin(exp)
+    kappa = F.lit(1.0) - (
+        (F.col("__n") * F.col("__wo")).cast("double")
+        / F.col("__we").cast("double"))
+    return j.select(
+        F.col("__n").cast("long").alias("n_items"),
+        (F.col("__n") * F.col("__wo")).cast("decimal(38,0)")
+        .cast("double").alias("weighted_po_num"),
+        F.col("__we").cast("double").alias("weighted_pe_num"),
+        F.when(F.col("__we") > 0, kappa).alias("kappa_w"))

@@ -5918,3 +5918,46 @@ def eval_icc(spark, sf_dir):
             (F.col("doc_id") / 100).cast("long").alias("item"),
             F.length("text").alias("score")),
         "subj", "item", "score")
+
+
+_WKAPPA_ORACLE = """
+WITH b AS (SELECT CAST(floor(value / 100) AS BIGINT) % 5 AS a,
+    CAST(floor(value / 90) AS BIGINT) % 5 AS bb
+  FROM events WHERE value IS NOT NULL),
+cells AS (SELECT a, bb, CAST(COUNT(*) AS HUGEINT) AS o
+  FROM b GROUP BY 1, 2),
+obs AS (SELECT SUM(o) AS n,
+    SUM((a - bb) * (a - bb) * o) AS wo FROM cells),
+ma AS (SELECT a, CAST(COUNT(*) AS HUGEINT) AS na FROM b GROUP BY 1),
+mb AS (SELECT bb, CAST(COUNT(*) AS HUGEINT) AS nb FROM b GROUP BY 1),
+ex AS (SELECT SUM((ma.a - mb.bb) * (ma.a - mb.bb) * na * nb) AS we
+  FROM ma, mb)
+SELECT CAST(n AS BIGINT) AS n_items,
+  CAST(n * wo AS DOUBLE) AS weighted_po_num,
+  CAST(we AS DOUBLE) AS weighted_pe_num,
+  CASE WHEN we > 0
+       THEN 1.0 - CAST(n * wo AS DOUBLE) / CAST(we AS DOUBLE)
+  END AS kappa_w
+FROM obs, ex
+"""
+
+
+@query("eval_weighted_kappa", oracle=_WKAPPA_ORACLE)
+def eval_weighted_kappa(spark, sf_dir):
+    """Quadratic-weighted Cohen's kappa (`weighted_kappa`,
+    operators/evaluation.py; Cohen 1968) — the ordinal-scale member
+    of the kappa family (plain kappa charges 4-vs-5 like 1-vs-5),
+    over two derived 5-level ordinal graders of the event values:
+    one exact decimal(38,0) integer ratio (the denominator-cleared
+    1 − N·Σw·o / Σw·a·b form), marginal-frame cross bounded by the
+    label alphabet, raw-double release, integer-category type
+    contract."""
+    from ..operators.evaluation import weighted_kappa
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    return weighted_kappa(
+        ev.select(
+            (F.floor(F.col("value") / 100) % 5).alias("ra"),
+            (F.floor(F.col("value") / 90) % 5).alias("rb")),
+        "ra", "rb", weight="quadratic")

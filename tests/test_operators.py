@@ -9912,3 +9912,38 @@ def test_icc_two_way_hand_cases(spark):
                 [(1, "a", 1.0), (1, "b", 2.0)],
                 "s int, i string, v double"),
             "s", "i", "v")
+
+
+def test_weighted_kappa_hand_cases(spark):
+    """Weighted kappa pins: the 16-pair 3-level table reads exactly
+    1 - 112/336 = 2/3 quadratic and 1 - 80/226 linear; perfect
+    agreement reads 1.0 under both weights; constant raters (zero
+    expected disagreement) release NULL; non-integer categories
+    raise the metric contract; bad weight name raises."""
+    import pytest as _pytest
+
+    from puffbird_spark.operators.evaluation import weighted_kappa
+
+    pairs = ([(0, 0)] * 5 + [(1, 1)] * 4 + [(2, 2)] * 3
+             + [(0, 1)] * 2 + [(1, 2)] + [(0, 2)])
+    df = spark.createDataFrame(pairs, "a int, b int")
+    q = weighted_kappa(df, "a", "b", weight="quadratic").collect()[0]
+    assert q["n_items"] == 16
+    assert (q["weighted_po_num"], q["weighted_pe_num"]) == (112.0, 336.0)
+    assert q["kappa_w"] == 1.0 - 112.0 / 336.0
+    lin = weighted_kappa(df, "a", "b", weight="linear").collect()[0]
+    assert lin["kappa_w"] == 1.0 - 80.0 / 226.0
+
+    perfect = spark.createDataFrame(
+        [(i % 3, i % 3) for i in range(9)], "a int, b int")
+    assert weighted_kappa(perfect, "a", "b").collect()[0]["kappa_w"] \
+        == 1.0
+    const = spark.createDataFrame([(1, 1)] * 4, "a int, b int")
+    assert weighted_kappa(const, "a", "b").collect()[0]["kappa_w"] \
+        is None
+    with _pytest.raises(TypeError, match="INTEGER ordinal"):
+        weighted_kappa(
+            spark.createDataFrame([("x", "y")], "a string, b string"),
+            "a", "b")
+    with _pytest.raises(ValueError, match="weight"):
+        weighted_kappa(df, "a", "b", weight="cubic")
