@@ -1832,3 +1832,69 @@ def weighted_kappa(
         .cast("double").alias("weighted_po_num"),
         F.col("__we").cast("double").alias("weighted_pe_num"),
         F.when(F.col("__we") > 0, kappa).alias("kappa_w"))
+
+
+def concordance_ccc(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    scale: int = 6,
+) -> DataFrame:
+    """Lin's concordance correlation coefficient (Lin 1989) — the
+    model-vs-gold CONTINUOUS agreement score: Pearson's r asks "do
+    they move together", CCC asks "are they the SAME" (a predictor
+    that is perfectly correlated but biased or rescaled loses
+    exactly the penalty the 45°-line deviation deserves — the right
+    metric for calibration/regression evaluation):
+
+        CCC = 2·s_xy / (s_x² + s_y² + (x̄ − ȳ)²)
+
+    Cleared to population moments, the whole statistic is ONE exact
+    integer ratio:
+
+        CCC = 2·(nΣxy − ΣxΣy) /
+              (nΣx² − (Σx)² + nΣy² − (Σy)² + (Σx − Σy)²)
+
+    over values scaled to integers u = v·10^scale (the
+    never-square-a-decimal rule; the common 10^2·scale cancels),
+    pooled as decimal(38,0) — released as the raw double of the
+    ratio (the cronbach convention). Pairwise-complete: a row with
+    either side NULL (or NaN on double inputs) is excluded. NULL
+    CCC when the denominator is 0 at exact-integer grain (both
+    series constant with equal means — agreement with no variation
+    is undefined, not 1).
+
+    Scale shape: one aggregation over the pair scan — map-side
+    combinable, nothing driver-side. Returns ONE row:
+    ``(n, ccc)``."""
+    from pyspark.sql import types as T
+
+    base = df.select(
+        F.col(x_col).alias("__x"), F.col(y_col).alias("__y"),
+    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    for c in ("__x", "__y"):
+        if isinstance(base.schema[c].dataType,
+                      (T.DoubleType, T.FloatType)):
+            base = base.filter(~F.isnan(c))
+    d38 = "decimal(38,0)"
+    dec = f"decimal(20,{scale})"
+    u = (F.col("__x").cast(dec) * (10 ** scale)).cast(d38)
+    v = (F.col("__y").cast(dec) * (10 ** scale)).cast(d38)
+    sc = base.select(u.alias("__u"), v.alias("__v"))
+    agg = sc.agg(
+        F.count(F.lit(1)).cast(d38).alias("__n"),
+        F.sum("__u").cast(d38).alias("__su"),
+        F.sum("__v").cast(d38).alias("__sv"),
+        F.sum(F.col("__u") * F.col("__u")).cast(d38).alias("__suu"),
+        F.sum(F.col("__v") * F.col("__v")).cast(d38).alias("__svv"),
+        F.sum(F.col("__u") * F.col("__v")).cast(d38).alias("__suv"))
+    n, su, sv = F.col("__n"), F.col("__su"), F.col("__sv")
+    num = (F.lit(2).cast(d38)
+           * (n * F.col("__suv") - su * sv)).cast(d38)
+    den = ((n * F.col("__suu") - su * su)
+           + (n * F.col("__svv") - sv * sv)
+           + (su - sv) * (su - sv)).cast(d38)
+    return agg.select(
+        n.cast("long").alias("n"),
+        F.when(den > 0, num.cast("double") / den.cast("double"))
+        .alias("ccc"))

@@ -5961,3 +5961,45 @@ def eval_weighted_kappa(spark, sf_dir):
             (F.floor(F.col("value") / 100) % 5).alias("ra"),
             (F.floor(F.col("value") / 90) % 5).alias("rb")),
         "ra", "rb", weight="quadratic")
+
+
+_CCC_ORACLE = """
+WITH b AS (SELECT
+    CAST(CAST(value AS DECIMAL(20,6)) * 1000000 AS HUGEINT) AS u,
+    CAST(CAST(floor(value / 50 + 0.5) * 50 AS DECIMAL(20,6))
+      * 1000000 AS HUGEINT) AS v
+  FROM events WHERE value IS NOT NULL),
+a AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(u) AS su,
+    SUM(v) AS sv, SUM(u * u) AS suu, SUM(v * v) AS svv,
+    SUM(u * v) AS suv FROM b)
+SELECT CAST(n AS BIGINT) AS n,
+  CASE WHEN (n * suu - su * su) + (n * svv - sv * sv)
+            + (su - sv) * (su - sv) > 0
+       THEN CAST(2 * (n * suv - su * sv) AS DOUBLE)
+            / CAST((n * suu - su * su) + (n * svv - sv * sv)
+                   + (su - sv) * (su - sv) AS DOUBLE)
+  END AS ccc
+FROM a
+"""
+
+
+@query("eval_ccc", oracle=_CCC_ORACLE)
+def eval_ccc(spark, sf_dir):
+    """Lin's concordance correlation (`concordance_ccc`,
+    operators/evaluation.py; Lin 1989) — how well a 50-unit
+    quantizer reproduces the raw event values: Pearson's r would
+    forgive the quantization bias, CCC charges the 45°-line
+    deviation. One exact decimal(38,0) integer ratio over scaled
+    moments (the cleared-denominator form), raw-double release,
+    pairwise-complete; the quantized twin uses floor(x/50 + 0.5)
+    (IEEE-identical on both engines — round() is not)."""
+    from ..operators.evaluation import concordance_ccc
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    return concordance_ccc(
+        ev.select(
+            F.col("value").alias("x"),
+            (F.floor(F.col("value") / 50 + 0.5) * 50)
+            .cast("double").alias("y")),
+        "x", "y")

@@ -9947,3 +9947,37 @@ def test_weighted_kappa_hand_cases(spark):
             "a", "b")
     with _pytest.raises(ValueError, match="weight"):
         weighted_kappa(df, "a", "b", weight="cubic")
+
+
+def test_concordance_ccc_hand_cases(spark):
+    """CCC pins: identical series read exactly 1.0; y = x + 1
+    (perfect correlation, constant bias) reads 2*sxy/(2*sx2+1) =
+    0.8 on {1..5} — the bias penalty Pearson would forgive; a
+    sign-flipped series reads -1 < ccc < 0; both-constant-equal
+    releases NULL; NaN rows excluded pairwise-complete."""
+    from puffbird_spark.operators.evaluation import concordance_ccc
+
+    xs = [1.0, 2.0, 3.0, 4.0, 5.0]
+    same = spark.createDataFrame([(x, x) for x in xs],
+                                 "x double, y double")
+    assert concordance_ccc(same, "x", "y").collect()[0]["ccc"] == 1.0
+
+    bias = spark.createDataFrame([(x, x + 1.0) for x in xs],
+                                 "x double, y double")
+    r = concordance_ccc(bias, "x", "y").collect()[0]
+    # sxy = sx2 = 2, mean diff 1: 2*2/(2+2+1) = 0.8
+    assert r["ccc"] == 0.8
+
+    anti = spark.createDataFrame([(x, -x) for x in xs],
+                                 "x double, y double")
+    a = concordance_ccc(anti, "x", "y").collect()[0]
+    assert -1.0 <= a["ccc"] < 0.0
+
+    const = spark.createDataFrame([(7.0, 7.0)] * 3,
+                                  "x double, y double")
+    assert concordance_ccc(const, "x", "y").collect()[0]["ccc"] is None
+
+    nan = spark.createDataFrame(
+        [(1.0, 1.0), (float("nan"), 2.0), (2.0, 2.0)],
+        "x double, y double")
+    assert concordance_ccc(nan, "x", "y").collect()[0]["n"] == 2
