@@ -87,3 +87,22 @@ def nano_release(units_col: str, dp: int = 6):
     half, div = 10 ** (9 - dp) // 2, 10 ** (9 - dp)
     return (F.expr(f"(({units_col}) + {half}) div {div}")
             .cast("double") / float(10 ** dp))
+
+
+def drop_nan_rows(df, *cols):
+    """Shared NaN≡NULL complete-case filter (r14 continuation
+    self-review #1-3, one definition — the _require_indicator
+    lesson): operators that snap a value column to DECIMAL have a
+    silent NaN hole — NaN passes ``isNotNull`` but casts to NULL
+    decimal, so COUNTS include the row while SUMS drop it, silently
+    corrupting every moment. Filters ``~isnan`` for each named
+    column whose type is float/double (other types cannot hold NaN);
+    call it wherever a value column feeds exact-decimal arithmetic,
+    BEFORE the decimal cast."""
+    from pyspark.sql import functions as F, types as T
+
+    for c in cols:
+        if isinstance(df.schema[c].dataType,
+                      (T.DoubleType, T.FloatType)):
+            df = df.filter(~F.isnan(c))
+    return df

@@ -26,7 +26,13 @@ from pyspark.sql import DataFrame
 
 from .multimodal import DECODE_ERRORS
 
-__all__ = ["list_zip_entries", "encode_zip", "zip_stats"]
+__all__ = [
+    "list_zip_entries", "encode_zip", "zip_stats",
+    "list_tar_entries", "encode_tar_gz", "targz_stats",
+    "crc32c", "list_tfrecords", "encode_tfrecords", "tfrecord_stats",
+    "parse_proto_fields", "encode_proto_message", "proto_stats",
+    "list_avro_blocks", "encode_avro_ocf", "avro_stats",
+]
 
 _EOCD_SIG = b"PK\x05\x06"
 _CEN_SIG = b"PK\x01\x02"
@@ -45,16 +51,25 @@ def list_zip_entries(blob: bytes) -> list[tuple[str, int, int, bytes]]:
     b = bytes(blob) if blob is not None else b""
     if len(b) < 22:
         raise ValueError("not a ZIP: short blob")
+    # scan BACK for the EOCD, iterating PAST signature bytes that
+    # merely appear inside the archive comment (comments are
+    # arbitrary bytes — a single rfind would latch onto them and
+    # reject a spec-valid archive; r14 self-review): the real EOCD
+    # is the candidate whose comment length reaches end-of-file
     scan_from = max(0, len(b) - 22 - 65535)
     at = b.rfind(_EOCD_SIG, scan_from)
+    while at >= 0:
+        if at + 22 <= len(b):
+            (cl,) = struct.unpack_from("<H", b, at + 20)
+            if at + 22 + cl == len(b):
+                break
+        at = b.rfind(_EOCD_SIG, scan_from, at)
     if at < 0:
         raise ValueError("not a ZIP: no end-of-central-directory")
     (disk, cd_disk, n_disk, n_total, cd_size, cd_off,
      comment_len) = struct.unpack_from("<HHHHIIH", b, at + 4)
     if disk != 0 or cd_disk != 0 or n_disk != n_total:
         raise NotImplementedError("multi-disk ZIP unsupported")
-    if at + 22 + comment_len != len(b):
-        raise ValueError("not a ZIP: EOCD comment length lies")
     if cd_off + cd_size > at:
         raise ValueError("not a ZIP: central directory out of bounds")
     out = []

@@ -1396,9 +1396,11 @@ def esd_outlier_rounds(
     if int(n_rounds) < 1:
         raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
     d0 = "decimal(38,0)"
+    from . import drop_nan_rows
+
     u = (F.col(value_col).cast(f"decimal(20,{scale})")
          * (10 ** scale)).cast(d0)
-    cur = df.filter(
+    cur = drop_nan_rows(df, value_col).filter(
         F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
         & F.col(id_col).isNotNull()
     ).select(
@@ -1475,9 +1477,10 @@ def jarque_bera(
     Groups with zero variance are omitted (no shape to test — the
     agg_moments convention). Returns ``(group_col, n, skewness,
     kurtosis_excess, jb)``."""
-    from . import nano_release
+    from . import drop_nan_rows, nano_release
 
-    base = df.filter(F.col(value_col).isNotNull())
+    base = drop_nan_rows(df, value_col).filter(
+        F.col(value_col).isNotNull())
     st = base.groupBy(group_col).agg(
         (F.sum(F.round(F.col(value_col), 12).cast("decimal(28,12)"))
          .cast("double") / F.count(F.lit(1))).alias("__m"),

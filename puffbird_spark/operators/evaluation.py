@@ -1637,6 +1637,9 @@ def cronbach_alpha(
     ).filter(
         F.col("__s").isNotNull() & F.col("__i").isNotNull()
         & F.col("__v").isNotNull())
+    from . import drop_nan_rows
+
+    base = drop_nan_rows(base, "__v")
     base = base.localCheckpoint(eager=True)
     n, k = _require_complete_design(base, "cronbach_alpha")
     if k < 2:
@@ -1710,6 +1713,9 @@ def icc_two_way(
     ).filter(
         F.col("__s").isNotNull() & F.col("__i").isNotNull()
         & F.col("__v").isNotNull())
+    from . import drop_nan_rows
+
+    base = drop_nan_rows(base, "__v")
     base = base.localCheckpoint(eager=True)
     n, k = _require_complete_design(base, "icc_two_way")
     if k < 2 or n < 2:
@@ -1802,6 +1808,9 @@ def weighted_kappa(
         F.col(rater_a).cast("long").alias("__a"),
         F.col(rater_b).cast("long").alias("__b"),
     ).filter(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+    # three aggregations read this frame (cells + two marginals) —
+    # pin the lineage once (the kendall multi-scan lesson)
+    base = base.localCheckpoint(eager=True)
     d38 = "decimal(38,0)"
 
     def w(i, j):

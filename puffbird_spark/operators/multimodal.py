@@ -2453,11 +2453,11 @@ def _tiff_ifd(blob: bytes, e: str, at: int) -> dict[int, object]:
     return out
 
 
-def decode_tiff_exif(blob: bytes) -> dict[str, object]:
-    """REAL TIFF/EXIF metadata walk (no image decode): header
-    byte-order + magic-42 validation, IFD0 entry walk, EXIF sub-IFD
-    follow via tag 34665. Raises ValueError on a non-TIFF blob —
-    callers (the mapInPandas stage) skip those rows."""
+def _tiff_header(blob: bytes) -> tuple[str, int]:
+    """Shared TIFF header validation (byte order, magic 42, IFD
+    bounds) for the EXIF walk and the raster decoder — one
+    definition (r14 self-review: the two copies had already
+    drifted on the bounds check)."""
     if blob is None or len(blob) < 8:
         raise ValueError("not a TIFF: short blob")
     bom = blob[:2]
@@ -2470,6 +2470,18 @@ def decode_tiff_exif(blob: bytes) -> dict[str, object]:
     magic, ifd_at = struct.unpack_from(f"{e}HI", blob, 2)
     if magic != 42:
         raise ValueError(f"not a TIFF: magic {magic}")
+    if ifd_at + 2 > len(blob):
+        raise ValueError("not a TIFF: IFD out of bounds")
+    return e, ifd_at
+
+
+def decode_tiff_exif(blob: bytes) -> dict[str, object]:
+    """REAL TIFF/EXIF metadata walk (no image decode): header
+    byte-order + magic-42 validation, IFD0 entry walk, EXIF sub-IFD
+    follow via tag 34665. Raises ValueError on a non-TIFF blob —
+    callers (the mapInPandas stage) skip those rows."""
+    e, ifd_at = _tiff_header(blob)
+    bom = blob[:2]
     ifd0 = _tiff_ifd(blob, e, ifd_at)
     exif: dict[int, object] = {}
     ptr = ifd0.get(34665)
@@ -3405,22 +3417,10 @@ def decode_tiff_gray(blob: bytes) -> tuple[str, int, int, int, int, list[int]]:
     structural damage (missing required tags, strip bounds, raster
     size mismatch) and NotImplementedError on honest unsupported
     shapes (compression, multi-sample, palette, tiled)."""
-    if blob is None or len(blob) < 8:
-        raise ValueError("not a TIFF: short blob")
-    bom = blob[:2]
-    if bom == b"II":
-        e = "<"
-    elif bom == b"MM":
-        e = ">"
-    else:
-        raise ValueError(f"not a TIFF: byte order {bom!r}")
-    magic, ifd_at = struct.unpack_from(f"{e}HI", blob, 2)
-    if magic != 42:
-        raise ValueError(f"not a TIFF: magic {magic}")
-    if ifd_at + 2 > len(blob):
-        raise ValueError("not a TIFF: IFD out of bounds")
+    e, ifd_at = _tiff_header(blob)
     ifd0 = _tiff_ifd(blob, e, ifd_at)
     width, height = ifd0.get(256), ifd0.get(257)
+    bom = blob[:2]
     if not isinstance(width, int) or not isinstance(height, int) \
             or width < 1 or height < 1:
         raise ValueError("not a TIFF: missing/bad dimensions")

@@ -930,7 +930,9 @@ def autocorrelation(
     # engines would give it OPPOSITE ones (Spark ASC = NULLS FIRST,
     # DuckDB = NULLS LAST; r13 self-review #2), shifting every lag
     # pairing after it differently per engine
-    base = df.filter(
+    from . import drop_nan_rows
+
+    base = drop_nan_rows(df, value_col).filter(
         F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
     ).select(
         F.col(entity_col).alias("__e"),
@@ -1083,7 +1085,9 @@ def changepoint_binary(
         from . import warn_missing_tiebreak
 
         warn_missing_tiebreak("changepoint_binary")
-    base = df.filter(
+    from . import drop_nan_rows
+
+    base = drop_nan_rows(df, value_col).filter(
         F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
     ).select(
         F.col(entity_col).alias("__e"),
@@ -1259,7 +1263,9 @@ def granger_lag1(
         from . import warn_missing_tiebreak
 
         warn_missing_tiebreak("granger_lag1")
-    base = df.filter(
+    from . import drop_nan_rows
+
+    base = drop_nan_rows(df, cause_col, effect_col).filter(
         F.col(ts_col).isNotNull()
         & F.col(cause_col).isNotNull()
         & F.col(effect_col).isNotNull()
@@ -1402,8 +1408,10 @@ def changepoint_variance(
     # SQL oracle keeps the exact scale-2s value (r14 self-review #1,
     # verified divergent at the 10th dp). Integer squares are exact
     # in decimal(38,0) on every engine.
+    from . import drop_nan_rows
+
     u = (F.col(value_col).cast(decv) * (10 ** scale)).cast(d0)
-    base = df.filter(
+    base = drop_nan_rows(df, value_col).filter(
         F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
     ).select(
         F.col(entity_col).alias("__e"), u.alias("__u"),
@@ -1664,7 +1672,9 @@ def dickey_fuller(
         from . import warn_missing_tiebreak
 
         warn_missing_tiebreak("dickey_fuller")
-    base = df.filter(
+    from . import drop_nan_rows
+
+    base = drop_nan_rows(df, value_col).filter(
         F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
     ).select(
         F.col(entity_col).alias("__e"),

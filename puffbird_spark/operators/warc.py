@@ -121,6 +121,10 @@ def parse_warc_record(payload: bytes) -> tuple[dict, bytes]:
         clen = int(headers["content-length"])
     except ValueError:
         raise ValueError("not WARC: non-integer Content-Length")
+    if clen < 0:
+        # a negative length would slice an empty block and let the
+        # header bytes double as the separator (r14 self-review)
+        raise ValueError("not WARC: negative Content-Length")
     block_at = head_end + 4
     if block_at + clen > len(payload):
         raise ValueError("not WARC: block shorter than Content-Length")

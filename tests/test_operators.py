@@ -9543,8 +9543,15 @@ def test_zip_archive_roundtrip_and_robustness():
         assert sum(payload) == sum(
             (s + 7 * i) % 95 + 32 for i in range(plen))
 
-    with _pytest.raises(ValueError, match="comment length"):
-        list_zip_entries(blob[:-3])
+    with _pytest.raises(ValueError, match="end-of-central"):
+        list_zip_entries(blob[:-3])   # truncated comment: no EOCD fits
+    # a comment CONTAINING the EOCD signature must not shadow the
+    # real record (r14 self-review: single-rfind parsers reject this)
+    evil = encode_zip(7, 2, seed=3, comment=False)
+    evil = evil[:-2] + b"\x0e\x00" + b"ok" + b"PK\x05\x06" + b"padpadpa"
+    ents2 = list_zip_entries(evil)
+    assert [n for n, _, _, _ in ents2] == [
+        "doc7/part0.txt", "doc7/part1.txt"]
     with _pytest.raises(ValueError, match="short"):
         list_zip_entries(blob[:10])
     with _pytest.raises(ValueError):
@@ -9981,3 +9988,84 @@ def test_concordance_ccc_hand_cases(spark):
         [(1.0, 1.0), (float("nan"), 2.0), (2.0, 2.0)],
         "x double, y double")
     assert concordance_ccc(nan, "x", "y").collect()[0]["n"] == 2
+
+
+def test_r14_nan_decimal_hole_regressions(spark):
+    """Pins for the continuation self-review NaN class: a NaN value
+    passes isNotNull but casts to NULL decimal, so counts included
+    the row while sums dropped it — every affected operator now
+    excludes NaN rows up front (shared drop_nan_rows). Each
+    assertion compares the NaN-bearing input against the clean
+    subset."""
+    from puffbird_spark.operators.drift import (
+        esd_outlier_rounds, jarque_bera)
+    from puffbird_spark.operators.evaluation import cronbach_alpha
+    from puffbird_spark.operators.timeseries import (
+        autocorrelation, changepoint_binary, dickey_fuller,
+        granger_lag1)
+
+    nan = float("nan")
+
+    clean = [("g", i, float(v)) for i, v in enumerate(
+        (2, 21, 19, 90, 3))]
+    withnan = clean + [("g", 9, nan)]
+    a = esd_outlier_rounds(
+        spark.createDataFrame(clean, "g string, id int, v double"),
+        "g", "v", "id", n_rounds=1).collect()[0]
+    b = esd_outlier_rounds(
+        spark.createDataFrame(withnan, "g string, id int, v double"),
+        "g", "v", "id", n_rounds=1).collect()[0]
+    assert (a["n_remaining"], a["r_stat"]) == \
+        (b["n_remaining"], b["r_stat"])
+
+    ja = jarque_bera(
+        spark.createDataFrame(clean, "g string, id int, v double"),
+        "g", "v").collect()[0]
+    jb_ = jarque_bera(
+        spark.createDataFrame(withnan, "g string, id int, v double"),
+        "g", "v").collect()[0]
+    assert (ja["n"], ja["jb"]) == (jb_["n"], jb_["jb"])
+
+    ts = [("e", t, float(v)) for t, v in enumerate((1, 3, 2, 5, 4))]
+    tnan = ts + [("e", 9, nan)]
+    for op, kw in ((autocorrelation, dict(lags=(1,))),
+                   (changepoint_binary, {}),
+                   (dickey_fuller, {}),):
+        d1 = spark.createDataFrame(ts, "e string, t int, x double") \
+            .withColumn("ts", F.col("t").cast("timestamp"))
+        d2 = spark.createDataFrame(tnan, "e string, t int, x double") \
+            .withColumn("ts", F.col("t").cast("timestamp"))
+        r1 = op(d1, "e", "ts", "x", order_tiebreak="t", **kw).collect()
+        r2 = op(d2, "e", "ts", "x", order_tiebreak="t", **kw).collect()
+        assert sorted(map(tuple, r1)) == sorted(map(tuple, r2)), op
+
+    g1 = spark.createDataFrame(
+        [("e", t, float(v), float(v + t)) for t, v in enumerate(
+            (1, 3, 2, 5, 4, 2))], "e string, t int, x double, y double"
+    ).withColumn("ts", F.col("t").cast("timestamp"))
+    g2 = g1.unionByName(spark.createDataFrame(
+        [("e", 9, nan, 1.0), ("e", 10, 1.0, nan)],
+        "e string, t int, x double, y double"
+    ).withColumn("ts", F.col("t").cast("timestamp")))
+    assert granger_lag1(g1, "e", "ts", "x", "y",
+                        order_tiebreak="t").collect() == \
+        granger_lag1(g2, "e", "ts", "x", "y",
+                     order_tiebreak="t").collect()
+
+    # complete-design ops: a NaN cell now makes the design
+    # INCOMPLETE (fail loud), same as a NULL cell would
+    import pytest as _pytest
+
+    rows = [(s, it, float(s)) for s in (1, 2) for it in ("a", "b")]
+    rows[0] = (1, "a", nan)
+    with _pytest.raises(ValueError, match="COMPLETE design"):
+        cronbach_alpha(
+            spark.createDataFrame(rows, "s int, i string, v double"),
+            "s", "i", "v")
+
+    # WARC: negative Content-Length is a grammar violation
+    from puffbird_spark.operators.warc import parse_warc_record
+
+    with _pytest.raises(ValueError, match="negative"):
+        parse_warc_record(
+            b"WARC/1.0\r\nContent-Length: -4\r\n\r\n\r\n\r\n")
