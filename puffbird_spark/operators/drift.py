@@ -1516,3 +1516,88 @@ def jarque_bera(
     ).select(
         group_col, "n", "skewness", "kurtosis_excess",
         nano_release("__ju", dp).alias("jb"))
+
+
+def page_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Page's trend test for ordered alternatives (Page 1963) — the
+    ORDERED sibling of :func:`friedman_test`: Friedman asks "do the
+    k treatments differ at all", Page asks "do they increase in THIS
+    order" (dose levels, model generations, checkpoint sequence) and
+    buys its power from that hypothesis:
+
+        L = Σ_j order_j · R_j
+
+    with R_j treatment j's within-block rank sum and order_j the
+    treatment's 1-based position in the NATURAL SORT ORDER of the
+    treatment column (encode the intended order into sortable labels
+    — the documented contract). Released statistic only, plus the
+    null expectation E[L] = n·k(k+1)²/4 — Page's critical values are
+    tabulated by (n, k), the no-CDF house convention.
+
+    Tie-general: within-block DOUBLED midranks keep the algebra
+    all-integer (the friedman machinery); L releases as the exact
+    halved decimal (ties can make it x.5 — one exact integer halving,
+    raw double). All friedman contracts apply: complete design
+    validated on a pinned lineage, NULL values excluded (which makes
+    an incomplete design fail loud), NaN≡NULL.
+
+    Returns ONE row: ``(n_blocks, k, l_stat, l_expect)``."""
+    from pyspark.sql.window import Window
+
+    from . import drop_nan_rows
+
+    base = drop_nan_rows(df, value_col).select(
+        F.col(block_col).alias("__b"),
+        F.col(treatment_col).alias("__t"),
+        F.col(value_col).alias("__v"),
+    ).filter(
+        F.col("__b").isNotNull() & F.col("__t").isNotNull()
+        & F.col("__v").isNotNull())
+    base = base.localCheckpoint(eager=True)
+
+    shape = base.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__rows"),
+        F.count_distinct("__t").alias("__k")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("__rows").alias("rlo"), F.max("__rows").alias("rhi"),
+        F.min("__k").alias("klo"), F.max("__k").alias("khi")).collect()
+    if not shape or shape[0]["n"] == 0:
+        raise ValueError("page_test: empty input")
+    s = shape[0]
+    if not (s["rlo"] == s["rhi"] == s["klo"] == s["khi"]):
+        raise ValueError(
+            "page_test requires a COMPLETE block design (every "
+            f"block holds every treatment exactly once); found "
+            f"blocks with {s['rlo']}..{s['rhi']} rows and "
+            f"{s['klo']}..{s['khi']} distinct treatments")
+    k = int(s["klo"])
+    n = int(s["n"])
+    if k < 2:
+        raise ValueError("page_test needs >= 2 treatments")
+
+    wb = Window.partitionBy("__b").orderBy("__v")
+    wt = Window.partitionBy("__b", "__v")
+    ranked = base.select(
+        "__b", "__t",
+        (2 * F.rank().over(wb) + F.count(F.lit(1)).over(wt) - 1)
+        .cast("long").alias("__u"))
+    d38 = "decimal(38,0)"
+    per_t = ranked.groupBy("__t").agg(
+        F.sum(F.col("__u").cast(d38)).cast(d38).alias("__uj"))
+    worder = Window.orderBy("__t")     # k-row frame: the label order
+    ordered = per_t.withColumn(
+        "__ord", F.row_number().over(worder))
+    l2 = ordered.agg(
+        F.sum(F.col("__ord").cast(d38) * F.col("__uj"))
+        .cast(d38).alias("__l2"))
+    return l2.select(
+        F.lit(n).cast("long").alias("n_blocks"),
+        F.lit(k).cast("long").alias("k"),
+        (F.col("__l2").cast("double") / 2.0).alias("l_stat"),
+        F.lit(float(n * k * (k + 1) * (k + 1)) / 4.0)
+        .alias("l_expect"))

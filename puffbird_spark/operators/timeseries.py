@@ -1721,3 +1721,76 @@ def dickey_fuller(
         F.col("__e").alias(entity_col), F.col("n"),
         F.coalesce(F.col("m"), F.lit(0).cast("long")).alias("m"),
         "rho", "df_stat")
+
+
+def mase(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    actual_col: str,
+    forecast_col: str,
+    order_tiebreak: str | None = None,
+    scale: int = 6,
+) -> DataFrame:
+    """Per-entity Mean Absolute Scaled Error (Hyndman & Koehler
+    2006) — THE scale-free forecast-accuracy metric: the forecast's
+    mean absolute error divided by the in-sample naive (lag-1)
+    forecast's, so 1.0 means "no better than persistence" across
+    series of any magnitude (percentage errors blow up near zero;
+    MASE doesn't):
+
+        MASE = (1/n)·Σ|y_t − ŷ_t| /
+               (1/(n−1))·Σ_{t≥2}|y_t − y_{t−1}|
+             = (n−1)·Σ|e| / (n·Σ|Δy|)   — one exact integer ratio
+
+    over values scaled to integers (the never-square-a-decimal
+    discipline — here differences and absolutes stay exact in
+    decimal(38,0); the common scaling cancels), released as the raw
+    double of the ratio. Ordering and exclusion follow the
+    :func:`autocorrelation` contract (complete-case rows where ts,
+    actual, or forecast is NULL/NaN; tiebreak warns when missing).
+    NULL MASE when n < 2 or the naive denominator is exactly 0 (a
+    constant series has no persistence error to scale by).
+
+    Scale shape: one keyed lag window + one keyed aggregation.
+    Returns ``(entity_col, n, mase)``."""
+    from . import drop_nan_rows, warn_missing_tiebreak
+
+    order = [F.col(ts_col)]
+    if order_tiebreak is not None:
+        order.append(F.col(order_tiebreak))
+    else:
+        warn_missing_tiebreak("mase")
+    d0 = "decimal(38,0)"
+    dec = f"decimal(20,{scale})"
+    y = (F.col(actual_col).cast(dec) * (10 ** scale)).cast(d0)
+    f_ = (F.col(forecast_col).cast(dec) * (10 ** scale)).cast(d0)
+    base = drop_nan_rows(df, actual_col, forecast_col).filter(
+        F.col(ts_col).isNotNull()
+        & F.col(actual_col).isNotNull()
+        & F.col(forecast_col).isNotNull()
+    ).select(
+        F.col(entity_col).alias("__e"),
+        y.alias("__y"), f_.alias("__f"),
+        *[c.alias(f"__o{i}") for i, c in enumerate(order)])
+    w = Window.partitionBy("__e").orderBy(
+        *[F.col(f"__o{i}") for i in range(len(order))])
+    lagged = base.select(
+        "__e", "__y", "__f",
+        F.lag("__y", 1).over(w).alias("__p"))
+    agg = lagged.groupBy("__e").agg(
+        F.count(F.lit(1)).cast(d0).alias("__n"),
+        F.sum(F.abs(F.col("__y") - F.col("__f"))).cast(d0)
+        .alias("__se"),
+        F.sum(F.when(F.col("__p").isNotNull(),
+                     F.abs(F.col("__y") - F.col("__p"))))
+        .cast(d0).alias("__sd"))
+    n = F.col("__n")
+    num = ((n - 1) * F.col("__se")).cast(d0)
+    den = (n * F.col("__sd")).cast(d0)
+    return agg.select(
+        F.col("__e").alias(entity_col),
+        n.cast("long").alias("n"),
+        F.when((n >= 2) & (den > 0),
+               num.cast("double") / den.cast("double"))
+        .alias("mase"))

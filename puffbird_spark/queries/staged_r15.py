@@ -180,3 +180,84 @@ def eval_isotonic_calibration(spark, sf_dir):
     return isotonic_calibration(
         ev, F.col("value") - F.floor("value"),
         F.col("event_type").isin("purchase", "signup"), n_bins=20)
+
+
+_PAGE_ORACLE = """
+WITH b AS (SELECT doc_id % 100 AS blk, doc_id // 100 AS trt,
+    length(text) AS v
+  FROM documents WHERE doc_id < 300 AND text IS NOT NULL),
+r AS (SELECT blk, trt,
+    2 * rank() OVER (PARTITION BY blk ORDER BY v)
+      + count(*) OVER (PARTITION BY blk, v) - 1 AS u
+  FROM b),
+pt AS (SELECT trt, SUM(CAST(u AS HUGEINT)) AS uj FROM r GROUP BY 1),
+o AS (SELECT uj, row_number() OVER (ORDER BY trt) AS ordr FROM pt)
+SELECT CAST(100 AS BIGINT) AS n_blocks, CAST(3 AS BIGINT) AS k,
+  CAST(SUM(ordr * uj) AS DOUBLE) / 2.0 AS l_stat,
+  1200.0 AS l_expect
+FROM o
+"""
+
+
+@query("diag_page_trend", oracle=_PAGE_ORACLE)
+def diag_page_trend(spark, sf_dir):
+    """Page's ordered-alternative trend test (`page_test`,
+    operators/drift.py; Page 1963) — does text length INCREASE
+    across the three ordered treatments of the shared 100x3 design
+    (diag_friedman asks "any difference", Page buys power from the
+    order): L = Σ order_j·R_j over tie-general doubled midranks
+    (exact integers, one halving at release), plus the tabulated
+    null expectation n·k(k+1)²/4; all friedman contracts
+    inherited."""
+    from ..operators.drift import page_test
+
+    docs = load(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 300) & F.col("text").isNotNull())
+    return page_test(
+        docs.select(
+            (F.col("doc_id") % 100).alias("blk"),
+            (F.col("doc_id") / 100).cast("long").alias("trt"),
+            F.length("text").alias("score")),
+        "blk", "trt", "score")
+
+
+_MASE_ORACLE = """
+WITH b AS (SELECT user_id AS e,
+    CAST(CAST(value AS DECIMAL(20,6)) * 1000000 AS HUGEINT) AS y,
+    CAST(CAST(floor(value / 50 + 0.5) * 50 AS DECIMAL(20,6))
+      * 1000000 AS HUGEINT) AS f,
+    ts, event_id
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+s AS (SELECT e, y, f, lag(y, 1) OVER w AS p
+  FROM b WINDOW w AS (PARTITION BY e ORDER BY ts, event_id)),
+a AS (SELECT e, CAST(COUNT(*) AS HUGEINT) AS n,
+    SUM(abs(y - f)) AS se,
+    SUM(CASE WHEN p IS NOT NULL THEN abs(y - p) END) AS sd
+  FROM s GROUP BY 1)
+SELECT e AS user_id, CAST(n AS BIGINT) AS n,
+  CASE WHEN n >= 2 AND n * sd > 0
+       THEN CAST((n - 1) * se AS DOUBLE) / CAST(n * sd AS DOUBLE)
+  END AS mase
+FROM a
+"""
+
+
+@query("timeseries_mase", oracle=_MASE_ORACLE)
+def timeseries_mase(spark, sf_dir):
+    """Per-entity Mean Absolute Scaled Error (`mase`,
+    operators/timeseries.py; Hyndman & Koehler 2006) — how much
+    better than lag-1 persistence the 50-unit quantizer "forecast"
+    tracks each user's event values: the scale-free forecast metric
+    as one exact integer ratio (n−1)·Σ|e| / (n·Σ|Δy|) over scaled
+    integers, raw-double release, the ACF ordering contract; NULL
+    for constant series (nothing to scale by)."""
+    from ..operators.timeseries import mase
+
+    ev = load(spark, sf_dir, "events")
+    return mase(
+        ev.select(
+            "user_id", "ts", "event_id",
+            F.col("value").alias("actual"),
+            (F.floor(F.col("value") / 50 + 0.5) * 50)
+            .cast("double").alias("fc")),
+        "user_id", "ts", "actual", "fc", order_tiebreak="event_id")

@@ -10069,3 +10069,59 @@ def test_r14_nan_decimal_hole_regressions(spark):
     with _pytest.raises(ValueError, match="negative"):
         parse_warc_record(
             b"WARC/1.0\r\nContent-Length: -4\r\n\r\n\r\n\r\n")
+
+
+def test_page_test_hand_cases(spark):
+    """Page's L pins: a perfectly increasing design reads the max
+    L = 42 against E[L] = 36 (n=3, k=3); the reversed order reads
+    the min 30; incomplete designs raise; the treatment order is
+    the NATURAL label sort (the documented contract)."""
+    import pytest as _pytest
+
+    from puffbird_spark.operators.drift import page_test
+
+    inc = [(b, t, float(v)) for b in (1, 2, 3)
+           for t, v in (("a", 1), ("b", 2), ("c", 3))]
+    r = page_test(
+        spark.createDataFrame(inc, "b int, t string, v double"),
+        "b", "t", "v").collect()[0]
+    assert (r["n_blocks"], r["k"]) == (3, 3)
+    assert (r["l_stat"], r["l_expect"]) == (42.0, 36.0)
+
+    dec = [(b, t, float(v)) for b in (1, 2, 3)
+           for t, v in (("a", 3), ("b", 2), ("c", 1))]
+    d = page_test(
+        spark.createDataFrame(dec, "b int, t string, v double"),
+        "b", "t", "v").collect()[0]
+    assert d["l_stat"] == 30.0
+
+    with _pytest.raises(ValueError, match="COMPLETE block design"):
+        page_test(
+            spark.createDataFrame(inc[:5], "b int, t string, v double"),
+            "b", "t", "v")
+
+
+def test_mase_hand_cases(spark):
+    """MASE pins: a perfect forecast reads 0; a constant +1 error on
+    a unit-step series reads exactly 1.0 (no better than
+    persistence); a constant series has no persistence error ->
+    NULL; a 1-point series -> NULL; NaN rows excluded."""
+    from puffbird_spark.operators.timeseries import mase
+
+    rows = [("a", t, float(t + 1), float(t + 2)) for t in range(4)]
+    rows += [("perfect", t, float(t + 1), float(t + 1))
+             for t in range(4)]
+    rows += [("const", t, 5.0, 6.0) for t in range(4)]
+    rows += [("one", 0, 1.0, 2.0)]
+    rows += [("nan", 0, 1.0, 1.0), ("nan", 1, float("nan"), 1.0),
+             ("nan", 2, 2.0, 2.0)]
+    df = spark.createDataFrame(
+        rows, "e string, t int, y double, f double") \
+        .withColumn("ts", F.col("t").cast("timestamp"))
+    out = {r["e"]: r for r in mase(
+        df, "e", "ts", "y", "f", order_tiebreak="t").collect()}
+    assert out["a"]["mase"] == 1.0
+    assert out["perfect"]["mase"] == 0.0
+    assert out["const"]["mase"] is None
+    assert out["one"]["mase"] is None and out["one"]["n"] == 1
+    assert out["nan"]["n"] == 2
