@@ -382,6 +382,77 @@ def gini_coefficient(
         .alias("gini"))
 
 
+def _concordance_frame(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Shared pair-concordance reduction for the ordinal-association
+    family (:func:`kendall_tau_b`, :func:`ordinal_association`): the
+    distinct-CELL contingency form. Returns ONE row with exact
+    decimal(38,0) pools —
+
+    - ``__n``   total complete-case rows,
+    - ``__nr`` / ``__nc``  distinct x / y levels (LONG),
+    - ``__n1`` / ``__n2``  pairs tied on x / on y,
+    - ``__cc`` / ``__dd``  concordant / discordant pairs.
+
+    Complete-case (NULL or NaN in either column drops the row). Rows
+    collapse to the joint contingency table in one keyed count agg
+    (map-side combinable); tie folds and the total read the cell
+    marginals; C/D come from a broadcast self-join of the cell frame
+    on ``a.x < b.x`` — O(m²) in DISTINCT CELLS, not rows, exact and
+    cardinality-bound whenever at least one axis is genuinely
+    ordinal. All counts are decimal(38,0) (n0 ~ n² — LONG overflows
+    past ~4e9 rows, the r12 overflow-audit rule)."""
+    from pyspark.sql import types as T
+
+    base = df.select(
+        F.col(x_col).alias("__x"), F.col(y_col).alias("__y"),
+    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    for c in ("__x", "__y"):
+        if isinstance(base.schema[c].dataType,
+                      (T.DoubleType, T.FloatType)):
+            base = base.filter(~F.isnan(c))
+
+    d38 = "decimal(38,0)"
+    cells = base.groupBy("__x", "__y").agg(
+        F.count(F.lit(1)).cast("long").alias("__c"))
+    # cells is consumed FIVE times (two tie folds, the total, both
+    # sides of the pair join) — pin it so the corpus scan+agg runs
+    # once, not five times (the incremental_embedding_dedup
+    # consumed-twice convention; r14 self-review). The pinned frame
+    # is distinct-cell-sized — tiny for ordinal data by design.
+    cells = cells.localCheckpoint(eager=True)
+
+    def _tie_fold(col: str, alias: str):
+        per = cells.groupBy(col).agg(
+            F.sum("__c").cast(d38).alias("__t"))
+        return per.agg(
+            F.sum(F.col("__t") * (F.col("__t") - 1) / 2)
+            .cast(d38).alias(alias))
+
+    tot = cells.agg(
+        F.sum("__c").cast(d38).alias("__n"),
+        F.count_distinct("__x").alias("__nr"),
+        F.count_distinct("__y").alias("__nc"))
+    a, b = cells.alias("a"), cells.alias("b")
+    pairs = a.join(
+        F.broadcast(b), F.col("a.__x") < F.col("b.__x"))
+    prod = (F.col("a.__c").cast(d38) * F.col("b.__c").cast(d38))
+    cd = pairs.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("a.__y") < F.col("b.__y"), prod)),
+            F.lit(0).cast(d38)).cast(d38).alias("__cc"),
+        F.coalesce(
+            F.sum(F.when(F.col("a.__y") > F.col("b.__y"), prod)),
+            F.lit(0).cast(d38)).cast(d38).alias("__dd"))
+    return (
+        tot.crossJoin(_tie_fold("__x", "__n1"))
+        .crossJoin(_tie_fold("__y", "__n2"))
+        .crossJoin(cd))
+
+
 def kendall_tau_b(
     df: DataFrame,
     x_col: str,
@@ -428,52 +499,9 @@ def kendall_tau_b(
     released pair COUNTS are LONG for ergonomics (NULL past ~9e18
     pairs — a ~4e9-row constant-free input); ``tau_b`` itself always
     computes from the exact decimal pools."""
-    from pyspark.sql import types as T
-
-    base = df.select(
-        F.col(x_col).alias("__x"), F.col(y_col).alias("__y"),
-    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
-    for c in ("__x", "__y"):
-        if isinstance(base.schema[c].dataType,
-                      (T.DoubleType, T.FloatType)):
-            base = base.filter(~F.isnan(c))
-
-    d38 = "decimal(38,0)"
-    cells = base.groupBy("__x", "__y").agg(
-        F.count(F.lit(1)).cast("long").alias("__c"))
-    # cells is consumed FIVE times (two tie folds, the total, both
-    # sides of the pair join) — pin it so the corpus scan+agg runs
-    # once, not five times (the incremental_embedding_dedup
-    # consumed-twice convention; r14 self-review). The pinned frame
-    # is distinct-cell-sized — tiny for ordinal data by design.
-    cells = cells.localCheckpoint(eager=True)
-
-    def _tie_fold(col: str, alias: str):
-        per = cells.groupBy(col).agg(
-            F.sum("__c").cast(d38).alias("__t"))
-        return per.agg(
-            F.sum(F.col("__t") * (F.col("__t") - 1) / 2)
-            .cast(d38).alias(alias))
-
-    tot = cells.agg(
-        F.sum("__c").cast(d38).alias("__n"))
-    a, b = cells.alias("a"), cells.alias("b")
-    pairs = a.join(
-        F.broadcast(b), F.col("a.__x") < F.col("b.__x"))
-    prod = (F.col("a.__c").cast(d38) * F.col("b.__c").cast(d38))
-    cd = pairs.agg(
-        F.coalesce(
-            F.sum(F.when(F.col("a.__y") < F.col("b.__y"), prod)),
-            F.lit(0).cast(d38)).cast(d38).alias("__cc"),
-        F.coalesce(
-            F.sum(F.when(F.col("a.__y") > F.col("b.__y"), prod)),
-            F.lit(0).cast(d38)).cast(d38).alias("__dd"))
-    one = (
-        tot.crossJoin(_tie_fold("__x", "__n1"))
-        .crossJoin(_tie_fold("__y", "__n2"))
-        .crossJoin(cd))
+    one = _concordance_frame(df, x_col, y_col)
     nn = F.col("__n")
-    n0 = (nn * (nn - 1) / 2).cast(d38)
+    n0 = (nn * (nn - 1) / 2).cast("decimal(38,0)")
     num = (F.col("__cc") - F.col("__dd")).cast("double")
     den = F.sqrt(
         (n0 - F.col("__n1")).cast("double")
@@ -483,6 +511,69 @@ def kendall_tau_b(
         F.col("__cc").cast("long").alias("concordant"),
         F.col("__dd").cast("long").alias("discordant"),
         F.when(den > 0, F.round(num / den, dp)).alias("tau_b"))
+
+
+def ordinal_association(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    dp: int = 6,
+) -> DataFrame:
+    """The ordinal-association battery beside :func:`kendall_tau_b` —
+    the three classical pair-concordance measures a contingency-table
+    analysis reports together (Goodman & Kruskal 1954; Somers 1962;
+    Stuart 1953), all from ONE shared cell reduction
+    (:func:`_concordance_frame`):
+
+    - ``gamma``      = (C − D) / (C + D) — ignores ALL ties; the
+      measure of monotone association among untied pairs (Yule's Q
+      on a 2×2 table).
+    - ``somers_d_yx`` = (C − D) / (n0 − n1) — y as the DEPENDENT
+      variable: ties on x excluded from the base, ties on y count
+      against association (the asymmetric regression-flavored D;
+      also the AUC link: D_yx = 2·AUC − 1 for a binary y).
+    - ``somers_d_xy`` = (C − D) / (n0 − n2) — the transposed
+      direction.
+    - ``tau_c``      = 2·m·(C − D) / (n²·(m − 1)), m = min(R, C) —
+      Stuart's correction for NON-SQUARE tables, reaching ±1 where
+      tau-b cannot.
+
+    Complete-case NULL/NaN contract and the distinct-cell scale
+    shape are :func:`kendall_tau_b`'s (cells are cardinality-bound;
+    the C/D pair join is broadcast O(cells²), never rows²). Each
+    denominator guards its own NULL: constant x releases NULL
+    ``somers_d_yx``, C = D = 0 releases NULL ``gamma``, a 1-level
+    axis (m < 2) releases NULL ``tau_c`` — undefined, never 0.
+
+    Determinism: every pool is exact decimal(38,0) (the overflow-
+    audit rule — n² past LONG at ~4e9 rows); each release combines
+    the exact pools in ONE double division, rounded at ``dp``.
+
+    Returns ONE row: ``(n, n_x_levels, n_y_levels, concordant,
+    discordant, gamma, somers_d_yx, somers_d_xy, tau_c)``."""
+    one = _concordance_frame(df, x_col, y_col)
+    nn = F.col("__n")
+    n0 = (nn * (nn - 1) / 2).cast("decimal(38,0)")
+    cc, dd = F.col("__cc"), F.col("__dd")
+    num = (cc - dd).cast("double")
+    gden = (cc + dd).cast("double")
+    dyx_den = (n0 - F.col("__n1")).cast("double")
+    dxy_den = (n0 - F.col("__n2")).cast("double")
+    m = F.least(F.col("__nr"), F.col("__nc")).cast("double")
+    tc_den = nn.cast("double") * nn.cast("double") * (m - 1)
+    return one.filter(nn > 0).select(
+        nn.cast("long").alias("n"),
+        F.col("__nr").cast("long").alias("n_x_levels"),
+        F.col("__nc").cast("long").alias("n_y_levels"),
+        cc.cast("long").alias("concordant"),
+        dd.cast("long").alias("discordant"),
+        F.when(gden > 0, F.round(num / gden, dp)).alias("gamma"),
+        F.when(dyx_den > 0,
+               F.round(num / dyx_den, dp)).alias("somers_d_yx"),
+        F.when(dxy_den > 0,
+               F.round(num / dxy_den, dp)).alias("somers_d_xy"),
+        F.when(tc_den > 0,
+               F.round(2 * m * num / tc_den, dp)).alias("tau_c"))
 
 
 def zipf_fit(

@@ -4778,6 +4778,70 @@ def diag_kendall_tau(spark, sf_dir):
         "l_quantity", "__yb")
 
 
+_ORDINAL_ASSOC_ORACLE = """
+WITH b AS (SELECT l_quantity AS x,
+    floor(l_extendedprice / 10000) AS y
+  FROM lineitem WHERE l_quantity IS NOT NULL
+    AND l_extendedprice IS NOT NULL
+    AND NOT isnan(l_quantity) AND NOT isnan(l_extendedprice)),
+cells AS (SELECT x, y, COUNT(*) AS c FROM b GROUP BY 1, 2),
+tot AS (SELECT SUM(c) AS n, COUNT(DISTINCT x) AS nr,
+    COUNT(DISTINCT y) AS nc FROM cells),
+tx AS (SELECT SUM(t * (t - 1) / 2) AS n1
+  FROM (SELECT SUM(c) AS t FROM cells GROUP BY x)),
+ty AS (SELECT SUM(t * (t - 1) / 2) AS n2
+  FROM (SELECT SUM(c) AS t FROM cells GROUP BY y)),
+cd AS (SELECT
+    COALESCE(SUM(CASE WHEN a.y < b2.y
+                      THEN CAST(a.c AS HUGEINT) * b2.c END), 0) AS cc,
+    COALESCE(SUM(CASE WHEN a.y > b2.y
+                      THEN CAST(a.c AS HUGEINT) * b2.c END), 0) AS dd
+  FROM cells a JOIN cells b2 ON a.x < b2.x)
+SELECT CAST(n AS BIGINT) AS n,
+  CAST(nr AS BIGINT) AS n_x_levels,
+  CAST(nc AS BIGINT) AS n_y_levels,
+  CAST(cc AS BIGINT) AS concordant,
+  CAST(dd AS BIGINT) AS discordant,
+  CASE WHEN cc + dd > 0
+       THEN round(CAST(cc - dd AS DOUBLE)
+                  / CAST(cc + dd AS DOUBLE), 6) END AS gamma,
+  CASE WHEN n * (n - 1) / 2 - n1 > 0
+       THEN round(CAST(cc - dd AS DOUBLE)
+                  / CAST(n * (n - 1) / 2 - n1 AS DOUBLE), 6)
+  END AS somers_d_yx,
+  CASE WHEN n * (n - 1) / 2 - n2 > 0
+       THEN round(CAST(cc - dd AS DOUBLE)
+                  / CAST(n * (n - 1) / 2 - n2 AS DOUBLE), 6)
+  END AS somers_d_xy,
+  CASE WHEN CAST(n AS DOUBLE) * n * (least(nr, nc) - 1) > 0
+       THEN round(2 * CAST(least(nr, nc) AS DOUBLE)
+                  * CAST(cc - dd AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                     * (CAST(least(nr, nc) AS DOUBLE) - 1)), 6)
+  END AS tau_c
+FROM tot, tx, ty, cd
+"""
+
+
+@query("diag_ordinal_assoc", oracle=_ORDINAL_ASSOC_ORACLE)
+def diag_ordinal_assoc(spark, sf_dir):
+    """Ordinal-association battery (`ordinal_association`,
+    operators/profile.py; Goodman-Kruskal 1954 gamma, Somers 1962 D
+    both directions, Stuart 1953 tau-c) — the three pair-concordance
+    measures a contingency analysis reports beside `diag_kendall_tau`,
+    all from the SAME distinct-cell reduction. Fixture: lineitem
+    quantity (50 levels) vs the 10000-wide extended-price bucket
+    (~11 levels) — a deliberately NON-SQUARE table so tau-c's
+    min(R,C) correction differs from tau-b, with heavy ties on both
+    axes. The oracle replays the identical cell algebra in HUGEINT."""
+    from ..operators.profile import ordinal_association
+
+    li = load(spark, sf_dir, "lineitem")
+    return ordinal_association(
+        li.withColumn("__yb", F.floor(F.col("l_extendedprice") / 10000)),
+        "l_quantity", "__yb")
+
+
 _BROWN_FORSYTHE_ORACLE = """
 WITH b AS (SELECT CAST(c_mktsegment AS VARCHAR) AS g,
     CAST(c_acctbal AS DECIMAL(20,6)) AS v

@@ -8423,6 +8423,42 @@ def test_kendall_tau_b_hand_cases(spark):
     assert (mrow["n"], mrow["tau_b"]) == (3, 1.0)
 
 
+def test_ordinal_association_hand_cases(spark):
+    """Hand-computed gamma / Somers' D / tau-c. The 2x2 table
+    [[10,5],[3,12]]: C = 10*12 = 120, D = 5*3 = 15 → gamma = 105/135
+    = 0.777778 (Yule's Q), n0 = 435, n1 = 210, n2 = 214 →
+    d_yx = 105/225 = 0.466667, d_xy = 105/221 = 0.475113,
+    tau_c = 4*105/900 = 0.466667 (m = 2). Perfect concordance on an
+    untied series reads 1 everywhere; a constant x releases NULL
+    d_yx / tau_c while gamma is NULL too (C = D = 0)."""
+    from puffbird_spark.operators.profile import ordinal_association
+
+    two = spark.createDataFrame(
+        [(0, 0)] * 10 + [(0, 1)] * 5 + [(1, 0)] * 3 + [(1, 1)] * 12,
+        "x int, y int")
+    r = ordinal_association(two, "x", "y").collect()[0]
+    assert (r["n"], r["n_x_levels"], r["n_y_levels"]) == (30, 2, 2)
+    assert (r["concordant"], r["discordant"]) == (120, 15)
+    assert r["gamma"] == 0.777778
+    assert r["somers_d_yx"] == 0.466667
+    assert r["somers_d_xy"] == 0.475113
+    assert r["tau_c"] == 0.466667
+
+    mono = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (4, 40)], "x int, y int")
+    m = ordinal_association(mono, "x", "y").collect()[0]
+    assert (m["gamma"], m["somers_d_yx"], m["somers_d_xy"]) == (
+        1.0, 1.0, 1.0)
+    # square untied 4x4: tau_c = 2*4*6/(16*3) = 1.0 exactly
+    assert m["tau_c"] == 1.0
+
+    const = spark.createDataFrame(
+        [(5, 1), (5, 2), (5, 3)], "x int, y int")
+    c = ordinal_association(const, "x", "y").collect()[0]
+    assert c["gamma"] is None and c["somers_d_yx"] is None
+    assert c["tau_c"] is None
+
+
 def test_autocorrelation_hand_cases(spark):
     """Hand-computed ACF over [1,2,3,4] (mean 2.5, den 5): r1 = 1.25/5
     = 0.25, r2 = -1.5/5 = -0.3, r3 = -2.25/5 = -0.45; a constant
