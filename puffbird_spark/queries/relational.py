@@ -4842,6 +4842,56 @@ def diag_ordinal_assoc(spark, sf_dir):
         "l_quantity", "__yb")
 
 
+_MCNEMAR_ORACLE = """
+WITH b AS (SELECT l_returnflag = 'R' AS x, l_quantity > 25 AS y
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL),
+o AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+    CAST(SUM(CASE WHEN x AND y THEN 1 ELSE 0 END) AS BIGINT)
+      AS both_pos,
+    CAST(SUM(CASE WHEN NOT x AND NOT y THEN 1 ELSE 0 END) AS BIGINT)
+      AS both_neg,
+    CAST(SUM(CASE WHEN x AND NOT y THEN 1 ELSE 0 END) AS BIGINT)
+      AS only_x,
+    CAST(SUM(CASE WHEN NOT x AND y THEN 1 ELSE 0 END) AS BIGINT)
+      AS only_y
+  FROM b)
+SELECT n_pairs, both_pos, both_neg, only_x, only_y,
+  CASE WHEN only_x + only_y > 0
+       THEN round(CAST(only_x - only_y AS DOUBLE)
+                  * CAST(only_x - only_y AS DOUBLE)
+                  / CAST(only_x + only_y AS DOUBLE), 6) END AS chi2,
+  CASE WHEN only_x + only_y > 0
+       THEN round((abs(CAST(only_x - only_y AS DOUBLE)) - 1)
+                  * (abs(CAST(only_x - only_y AS DOUBLE)) - 1)
+                  / CAST(only_x + only_y AS DOUBLE), 6)
+  END AS chi2_corrected,
+  CASE WHEN only_y > 0
+       THEN round(CAST(only_x AS DOUBLE) / CAST(only_y AS DOUBLE), 6)
+  END AS odds_ratio
+FROM o
+"""
+
+
+@query("diag_mcnemar", oracle=_MCNEMAR_ORACLE)
+def diag_mcnemar(spark, sf_dir):
+    """McNemar's paired-binary test (`mcnemar_test`,
+    operators/drift.py; McNemar 1947, Edwards 1948 continuity
+    correction) — the 2-treatment special case beside `cochran_q`:
+    discordant-cell symmetry plus the conditional odds ratio, one
+    map-side-combinable aggregation. Fixture: per-lineitem paired
+    indicators returned-flag vs quantity>25 — both cells populated
+    at every SF. The oracle replays the four conditional counts and
+    both chi-square releases exactly."""
+    from ..operators.drift import mcnemar_test
+
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isNotNull()
+        & F.col("l_quantity").isNotNull())
+    return mcnemar_test(
+        li, F.col("l_returnflag") == "R", F.col("l_quantity") > 25)
+
+
 _BROWN_FORSYTHE_ORACLE = """
 WITH b AS (SELECT CAST(c_mktsegment AS VARCHAR) AS g,
     CAST(c_acctbal AS DECIMAL(20,6)) AS v

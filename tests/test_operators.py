@@ -8459,6 +8459,43 @@ def test_ordinal_association_hand_cases(spark):
     assert c["tau_c"] is None
 
 
+def test_mcnemar_hand_cases(spark):
+    """Hand-computed McNemar: the textbook b=10, c=4 discordant
+    split reads chi2 = 36/14 = 2.571429, corrected = 25/14 =
+    1.785714, OR = 2.5; perfect agreement (b=c=0) releases NULL
+    statistics; b>0 with c=0 keeps chi2 but NULLs the OR; NULL in
+    either outcome drops the pair (complete-case)."""
+    from puffbird_spark.operators.drift import mcnemar_test
+
+    rows = ([(True, True)] * 6 + [(False, False)] * 5
+            + [(True, False)] * 10 + [(False, True)] * 4)
+    r = mcnemar_test(
+        spark.createDataFrame(rows, "x boolean, y boolean"),
+        "x", "y").collect()[0]
+    assert (r["n_pairs"], r["both_pos"], r["both_neg"],
+            r["only_x"], r["only_y"]) == (25, 6, 5, 10, 4)
+    assert r["chi2"] == 2.571429
+    assert r["chi2_corrected"] == 1.785714
+    assert r["odds_ratio"] == 2.5
+
+    agree = spark.createDataFrame(
+        [(True, True), (False, False)], "x boolean, y boolean")
+    a = mcnemar_test(agree, "x", "y").collect()[0]
+    assert a["chi2"] is None and a["odds_ratio"] is None
+
+    onesided = spark.createDataFrame(
+        [(True, False)] * 3 + [(True, True)], "x boolean, y boolean")
+    o = mcnemar_test(onesided, "x", "y").collect()[0]
+    assert o["chi2"] == 3.0 and o["chi2_corrected"] == 1.333333
+    assert o["odds_ratio"] is None
+
+    nulls = spark.createDataFrame(
+        [(True, None), (None, True), (True, False)],
+        "x boolean, y boolean")
+    n = mcnemar_test(nulls, "x", "y").collect()[0]
+    assert n["n_pairs"] == 1 and n["only_x"] == 1
+
+
 def test_autocorrelation_hand_cases(spark):
     """Hand-computed ACF over [1,2,3,4] (mean 2.5, den 5): r1 = 1.25/5
     = 0.25, r2 = -1.5/5 = -0.3, r3 = -2.25/5 = -0.45; a constant
