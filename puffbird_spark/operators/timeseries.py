@@ -1794,3 +1794,76 @@ def mase(
         F.when((n >= 2) & (den > 0),
                num.cast("double") / den.cast("double"))
         .alias("mase"))
+
+
+def durbin_watson(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    order_tiebreak: str | None = None,
+    scale: int = 6,
+) -> DataFrame:
+    """Per-entity Durbin-Watson statistic (Durbin & Watson 1950) —
+    the classic first-order serial-correlation screen on a
+    mean-detrended series: DW ≈ 2·(1 − r₁), near 2 for white noise,
+    toward 0 under positive autocorrelation, toward 4 under
+    negative::
+
+        DW = Σ_{t≥2}(y_t − y_{t−1})² / Σ_t (y_t − ȳ)²
+           = n·Σ(Δu)² / (n·Σu² − (Σu)²)   over u = y·10^scale
+
+    — one EXACT integer ratio (the never-square-a-decimal
+    discipline: values scale to decimal(38,0) integers BEFORE any
+    product; the 10^scale factors cancel), released as the raw
+    double of the ratio. Ordering and exclusion follow the
+    :func:`autocorrelation` contract (complete-case ts/value
+    NULL/NaN exclusion, tiebreak warns when missing). NULL DW when
+    n < 2 (no difference terms) or the centered denominator is 0
+    (constant series).
+
+    Exactness envelope (the overflow-audit register): (Σu)² caps the
+    form — with |value| ≤ 1e5 at scale=6 (u ≤ 1e11), per-entity
+    series up to ~1e7 rows stay inside decimal(38,0); beyond that
+    the sums, not the data, overflow first. Per-ENTITY length is the
+    bound, not corpus size.
+
+    Scale shape: one keyed lag window + one keyed aggregation —
+    :func:`mase`'s plan. Returns ``(entity_col, n, dw)``."""
+    from . import drop_nan_rows, warn_missing_tiebreak
+
+    order = [F.col(ts_col)]
+    if order_tiebreak is not None:
+        order.append(F.col(order_tiebreak))
+    else:
+        warn_missing_tiebreak("durbin_watson")
+    d0 = "decimal(38,0)"
+    dec = f"decimal(20,{scale})"
+    u = (F.col(value_col).cast(dec) * (10 ** scale)).cast(d0)
+    base = drop_nan_rows(df, value_col).filter(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(entity_col).alias("__e"), u.alias("__u"),
+        *[c.alias(f"__o{i}") for i, c in enumerate(order)])
+    w = Window.partitionBy("__e").orderBy(
+        *[F.col(f"__o{i}") for i in range(len(order))])
+    lagged = base.select(
+        "__e", "__u", F.lag("__u", 1).over(w).alias("__p"))
+    dd = F.col("__u") - F.col("__p")
+    agg = lagged.groupBy("__e").agg(
+        F.count(F.lit(1)).cast(d0).alias("__n"),
+        F.coalesce(
+            F.sum(F.when(F.col("__p").isNotNull(), dd * dd)),
+            F.lit(0)).cast(d0).alias("__num"),
+        F.sum(F.col("__u") * F.col("__u")).cast(d0).alias("__suu"),
+        F.sum("__u").cast(d0).alias("__su"))
+    n = F.col("__n")
+    num = (n * F.col("__num")).cast(d0)
+    den = (n * F.col("__suu")
+           - F.col("__su") * F.col("__su")).cast(d0)
+    return agg.select(
+        F.col("__e").alias(entity_col),
+        n.cast("long").alias("n"),
+        F.when((n >= 2) & (den > 0),
+               num.cast("double") / den.cast("double"))
+        .alias("dw"))

@@ -5713,6 +5713,44 @@ def timeseries_dickey_fuller(spark, sf_dir):
         ev, "user_id", "ts", "value", order_tiebreak="event_id")
 
 
+_DW_ORACLE = """
+WITH b AS (SELECT user_id AS e,
+    CAST(CAST(value AS DECIMAL(20,6)) * 1000000 AS HUGEINT) AS u,
+    ts, event_id
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+s AS (SELECT e, u, lag(u, 1) OVER w AS p
+  FROM b WINDOW w AS (PARTITION BY e ORDER BY ts, event_id)),
+a AS (SELECT e, CAST(COUNT(*) AS HUGEINT) AS n,
+    COALESCE(SUM(CASE WHEN p IS NOT NULL
+                      THEN (u - p) * (u - p) END), 0) AS num,
+    SUM(u * u) AS suu, SUM(u) AS su
+  FROM s GROUP BY 1)
+SELECT e AS user_id, CAST(n AS BIGINT) AS n,
+  CASE WHEN n >= 2 AND n * suu - su * su > 0
+       THEN CAST(n * num AS DOUBLE)
+            / CAST(n * suu - su * su AS DOUBLE)
+  END AS dw
+FROM a
+"""
+
+
+@query("timeseries_durbin_watson", oracle=_DW_ORACLE)
+def timeseries_durbin_watson(spark, sf_dir):
+    """Per-entity Durbin-Watson first-order serial-correlation
+    statistic (`durbin_watson`, operators/timeseries.py; Durbin &
+    Watson 1950) — the ≈2·(1−r₁) screen beside `timeseries_acf`:
+    one exact integer ratio n·Σ(Δu)²/(n·Σu²−(Σu)²) over scaled
+    values (the never-square-a-decimal discipline), raw-double
+    release, the ACF ordering contract with event_id tiebreak. One
+    keyed lag window + one keyed agg. The oracle replays the
+    identical integer algebra in HUGEINT."""
+    from ..operators.timeseries import durbin_watson
+
+    ev = load(spark, sf_dir, "events")
+    return durbin_watson(
+        ev, "user_id", "ts", "value", order_tiebreak="event_id")
+
+
 _BENFORD_ORACLE = """
 WITH src AS (SELECT regexp_extract(
       CAST(abs(o_totalprice) AS VARCHAR), '([1-9])', 1) AS d

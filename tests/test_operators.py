@@ -8496,6 +8496,29 @@ def test_mcnemar_hand_cases(spark):
     assert n["n_pairs"] == 1 and n["only_x"] == 1
 
 
+def test_durbin_watson_hand_cases(spark):
+    """Hand-computed DW: the alternating series [1,-1,1,-1] reads
+    n·Σ(Δ)²/(nΣu²−(Σu)²) = 4·12/16 = 3.0 (negative autocorrelation
+    → toward 4); the linear trend [1,2,3,4] reads 12/20 = 0.6
+    (positive → toward 0); a constant series and a 1-row series
+    release NULL; entities are independent."""
+    from puffbird_spark.operators.timeseries import durbin_watson
+
+    rows = ([("a", t, v) for t, v in
+             enumerate([1.0, -1.0, 1.0, -1.0])]
+            + [("b", t, v) for t, v in
+               enumerate([1.0, 2.0, 3.0, 4.0])]
+            + [("c", t, 7.0) for t in range(3)]
+            + [("d", 0, 5.0)])
+    out = {r["e"]: r for r in durbin_watson(
+        spark.createDataFrame(rows, "e string, t int, v double"),
+        "e", "t", "v", order_tiebreak="t").collect()}
+    assert out["a"]["dw"] == 3.0
+    assert out["b"]["dw"] == 0.6
+    assert out["c"]["dw"] is None
+    assert out["d"]["dw"] is None and out["d"]["n"] == 1
+
+
 def test_autocorrelation_hand_cases(spark):
     """Hand-computed ACF over [1,2,3,4] (mean 2.5, den 5): r1 = 1.25/5
     = 0.25, r2 = -1.5/5 = -0.3, r3 = -2.25/5 = -0.45; a constant
