@@ -1867,3 +1867,95 @@ def durbin_watson(
         F.when((n >= 2) & (den > 0),
                num.cast("double") / den.cast("double"))
         .alias("dw"))
+
+
+def forecast_accuracy(
+    df: DataFrame,
+    entity_col: str,
+    actual_col: str,
+    forecast_col: str,
+    scale: int = 6,
+    dp: int = 6,
+) -> DataFrame:
+    """Per-entity forecast-accuracy battery (Hyndman & Koehler 2006
+    taxonomy) — the three standard error summaries beside
+    :func:`mase`'s scaled form, none of which needs the series
+    ORDER (pure keyed aggregation, no lag window):
+
+    - ``wape`` = Σ|y−f| / Σ|y| — the weighted (aggregate-relative)
+      absolute error; ONE exact integer ratio over scaled values,
+      raw-double release. NULL when Σ|y| = 0.
+    - ``mape`` = mean(|y−f| / |y|) over rows with y ≠ 0 — the
+      per-row relative error; zero-actual rows are EXCLUDED and
+      counted in ``n_zero_actual`` (the division is undefined, not
+      0 — the textbook MAPE caveat).
+    - ``smape`` = mean(2·|y−f| / (|y|+|f|)) ∈ [0, 2] — the
+      symmetric form; rows with y = f = 0 are excluded and counted
+      in ``n_zero_pair``.
+
+    Determinism — the ALL-INTEGER ladder (one step beyond the
+    nano-unit ladder: no double enters at all): values scale to
+    decimal(38,0) integers u = x·10^scale; each per-row term floors
+    to nano units by INTEGER division ``(|Δu|·1e9) div denom``
+    (exact rational floor, replayable verbatim as ``//`` in any
+    engine); unit sums pool as decimal(38,0); the per-entity mean is
+    another integer div; the release is the shared pure-integer
+    HALF_UP step (``nano_release``). NaN ≡ NULL complete-case on
+    both value columns.
+
+    Envelope (the overflow-audit register): Spark's ``div`` returns
+    BIGINT, so a single per-row RATIO above ~9.2e9 (a forecast nine
+    billion times the actual) overflows the term — loud under ANSI
+    mode, the suite's default. WAPE has no such bound (pure
+    decimal(38,0) sums).
+
+    Returns ``(entity_col, n, n_zero_actual, n_zero_pair, wape,
+    mape, smape)``."""
+    from . import drop_nan_rows, nano_release
+
+    d0 = "decimal(38,0)"
+    dec = f"decimal(20,{scale})"
+    uy = (F.col(actual_col).cast(dec) * (10 ** scale)).cast(d0)
+    uf = (F.col(forecast_col).cast(dec) * (10 ** scale)).cast(d0)
+    base = drop_nan_rows(df, actual_col, forecast_col).filter(
+        F.col(actual_col).isNotNull()
+        & F.col(forecast_col).isNotNull()
+    ).select(
+        F.col(entity_col).alias("__e"),
+        uy.alias("__y"), uf.alias("__f"))
+    ae = F.abs(F.col("__y") - F.col("__f")).cast(d0)
+    ay = F.abs(F.col("__y")).cast(d0)
+    af = F.abs(F.col("__f")).cast(d0)
+    terms = base.select(
+        "__e",
+        ae.alias("__ae"), ay.alias("__ay"),
+        F.when(ay > 0, F.expr(
+            "CAST((abs(__y - __f) * 1000000000) div abs(__y)"
+            " AS DECIMAL(38,0))")).alias("__mu"),
+        F.when((ay + af) > 0, F.expr(
+            "CAST((2 * abs(__y - __f) * 1000000000)"
+            " div (abs(__y) + abs(__f)) AS DECIMAL(38,0))"))
+        .alias("__su"))
+    agg = terms.groupBy("__e").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__ae").cast(d0).alias("__sae"),
+        F.sum("__ay").cast(d0).alias("__say"),
+        F.sum(F.when(F.col("__mu").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_zero_actual"),
+        F.sum(F.when(F.col("__su").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_zero_pair"),
+        F.sum("__mu").cast(d0).alias("__smu"),
+        F.count("__mu").cast(d0).alias("__nm"),
+        F.sum("__su").cast(d0).alias("__ssu"),
+        F.count("__su").cast(d0).alias("__ns"))
+    out = agg.select(
+        F.col("__e").alias(entity_col),
+        "n", "n_zero_actual", "n_zero_pair",
+        F.when(F.col("__say") > 0,
+               F.col("__sae").cast("double")
+               / F.col("__say").cast("double")).alias("wape"),
+        F.when(F.col("__nm") > 0, nano_release(
+            "__smu div __nm", dp)).alias("mape"),
+        F.when(F.col("__ns") > 0, nano_release(
+            "__ssu div __ns", dp)).alias("smape"))
+    return out

@@ -5751,6 +5751,64 @@ def timeseries_durbin_watson(spark, sf_dir):
         ev, "user_id", "ts", "value", order_tiebreak="event_id")
 
 
+_FORECAST_ACC_ORACLE = """
+WITH b AS (SELECT user_id AS e,
+    CAST(CAST(value AS DECIMAL(20,6)) * 1000000 AS HUGEINT) AS y,
+    CAST(CAST(floor(value / 50 + 0.5) * 50 AS DECIMAL(20,6))
+      * 1000000 AS HUGEINT) AS f
+  FROM events WHERE value IS NOT NULL),
+t AS (SELECT e, abs(y - f) AS ae, abs(y) AS ay,
+    CASE WHEN abs(y) > 0
+         THEN (abs(y - f) * 1000000000) // abs(y) END AS mu,
+    CASE WHEN abs(y) + abs(f) > 0
+         THEN (2 * abs(y - f) * 1000000000)
+              // (abs(y) + abs(f)) END AS su
+  FROM b),
+a AS (SELECT e, CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(ae) AS sae, SUM(ay) AS say,
+    CAST(SUM(CASE WHEN mu IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_zero_actual,
+    CAST(SUM(CASE WHEN su IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_zero_pair,
+    SUM(mu) AS smu, COUNT(mu) AS nm,
+    SUM(su) AS ssu, COUNT(su) AS ns
+  FROM t GROUP BY 1)
+SELECT e AS user_id, n, n_zero_actual, n_zero_pair,
+  CASE WHEN say > 0
+       THEN CAST(sae AS DOUBLE) / CAST(say AS DOUBLE) END AS wape,
+  CASE WHEN nm > 0
+       THEN CAST((smu // nm + 500) // 1000 AS DOUBLE) / 1000000.0
+  END AS mape,
+  CASE WHEN ns > 0
+       THEN CAST((ssu // ns + 500) // 1000 AS DOUBLE) / 1000000.0
+  END AS smape
+FROM a
+"""
+
+
+@query("timeseries_forecast_accuracy", oracle=_FORECAST_ACC_ORACLE)
+def timeseries_forecast_accuracy(spark, sf_dir):
+    """Per-entity WAPE / MAPE / sMAPE forecast-accuracy battery
+    (`forecast_accuracy`, operators/timeseries.py; Hyndman &
+    Koehler 2006 taxonomy) — the order-free error summaries beside
+    `timeseries_mase`'s lag-scaled form, against the same 50-unit
+    quantizer forecast of each user's event values. Every per-row
+    term is an exact INTEGER floor division to nano units (no
+    double enters before the release — one step beyond the nano
+    ladder), zero-actual / zero-pair rows excluded and counted.
+    The oracle replays the integer algebra verbatim with HUGEINT
+    `//`."""
+    from ..operators.timeseries import forecast_accuracy
+
+    ev = load(spark, sf_dir, "events")
+    return forecast_accuracy(
+        ev.select(
+            "user_id", F.col("value").alias("actual"),
+            (F.floor(F.col("value") / 50 + 0.5) * 50)
+            .cast("double").alias("fc")),
+        "user_id", "actual", "fc")
+
+
 _BENFORD_ORACLE = """
 WITH src AS (SELECT regexp_extract(
       CAST(abs(o_totalprice) AS VARCHAR), '([1-9])', 1) AS d

@@ -8519,6 +8519,43 @@ def test_durbin_watson_hand_cases(spark):
     assert out["d"]["dw"] is None and out["d"]["n"] == 1
 
 
+def test_forecast_accuracy_hand_cases(spark):
+    """Hand-computed WAPE/MAPE/sMAPE: y=[100,200] f=[90,220] reads
+    wape = 30/300 = 0.1, mape = 0.1 exactly, smape = the integer-
+    floor mean of units 105263157 and 95238095 → 0.100251; a
+    zero-actual row is excluded from MAPE (counted) but feeds WAPE;
+    a y=f=0 row is excluded from both per-row metrics; a perfect
+    forecast reads 0 everywhere; all-zero actuals release NULL
+    wape."""
+    from puffbird_spark.operators.timeseries import forecast_accuracy
+
+    rows = [("a", 100.0, 90.0), ("a", 200.0, 220.0),
+            ("b", 0.0, 5.0), ("b", 10.0, 10.0), ("b", 0.0, 0.0),
+            ("c", 7.0, 7.0),
+            ("z", 0.0, 3.0)]
+    out = {r["e"]: r for r in forecast_accuracy(
+        spark.createDataFrame(rows, "e string, y double, f double"),
+        "e", "y", "f").collect()}
+    a = out["a"]
+    assert a["wape"] == 0.1 and a["mape"] == 0.1
+    assert a["smape"] == 0.100251
+    assert (a["n_zero_actual"], a["n_zero_pair"]) == (0, 0)
+
+    b = out["b"]
+    assert (b["n"], b["n_zero_actual"], b["n_zero_pair"]) == (3, 2, 1)
+    assert b["wape"] == 0.5  # |0-5| + 0 + 0 over |0|+|10|+|0|
+    assert b["mape"] == 0.0  # only the exact row survives
+    # smape rows: (0,5) → 2·5/5 = 2.0 units 2e9; (10,10) → 0
+    assert b["smape"] == 1.0
+
+    c = out["c"]
+    assert (c["wape"], c["mape"], c["smape"]) == (0.0, 0.0, 0.0)
+
+    z = out["z"]
+    assert z["wape"] is None and z["mape"] is None
+    assert z["smape"] == 2.0
+
+
 def test_autocorrelation_hand_cases(spark):
     """Hand-computed ACF over [1,2,3,4] (mean 2.5, den 5): r1 = 1.25/5
     = 0.25, r2 = -1.5/5 = -0.3, r3 = -2.25/5 = -0.45; a constant
