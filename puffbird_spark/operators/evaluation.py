@@ -1907,3 +1907,78 @@ def concordance_ccc(
         n.cast("long").alias("n"),
         F.when(den > 0, num.cast("double") / den.cast("double"))
         .alias("ccc"))
+
+
+def average_precision(
+    df: DataFrame,
+    score_col,
+    label_col,
+    dp: int = 6,
+) -> DataFrame:
+    """Average precision — the area under the precision-recall curve
+    in the step-interpolated form (the `scikit-learn`
+    ``average_precision_score`` definition, which neither smooths
+    nor trapezoids)::
+
+        AP = Σ_k (R_k − R_{k−1}) · P_k
+           = (1/P) · Σ_s  p_s · cp_s / cn_s
+
+    summed over DISTINCT scores s in descending order, where p_s is
+    the positive count AT s, cp_s / cn_s the cumulative positives /
+    rows at score ≥ s (ties collapse to one operating point — the
+    same tie semantics sklearn applies). The threshold-free PR
+    scorecard beside :func:`roc_auc`'s ROC rank form; for heavily
+    imbalanced corpora (dedup verification, quality filtering) AP
+    tracks the minority class where AUC saturates.
+
+    Determinism — the ALL-INTEGER ladder: each term floors to nano
+    units by integer division ``(p_s·cp_s·1e9) div cn_s`` (exact
+    rational floor, decimal(38,0) factors per the overflow-audit
+    rule), unit sums pool exactly, the mean over P divides
+    integrally, and the release is the shared pure-integer HALF_UP
+    step. Spark's ``div`` returns BIGINT: a term caps at n·1e9,
+    overflowing past ~9.2e9 rows — loud under ANSI, the documented
+    envelope.
+
+    NULL/NaN score or NULL label drops the row (the :func:`roc_auc`
+    contract); a corpus with P = 0 releases NULL (undefined, not 0).
+
+    Scale shape: the :func:`roc_auc` plan — one map-side-combinable
+    distinct-score reduction, ONE ordered cumulative window over the
+    distinct-score frame only (the equi-depth convention), one
+    scalar fold. Returns ONE row: ``(n_pos, n_neg, ap)``."""
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window
+
+    from . import nano_release
+
+    s = _col(score_col)
+    y = _col(label_col).cast("boolean")
+    base = df.select(s.alias("__s"), y.alias("__y")).filter(
+        F.col("__s").isNotNull() & F.col("__y").isNotNull())
+    if isinstance(base.schema["__s"].dataType,
+                  (T.DoubleType, T.FloatType)):
+        base = base.filter(~F.isnan("__s"))
+    per = base.groupBy("__s").agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.sum(F.when(F.col("__y"), 1).otherwise(0)).alias("__p"))
+    w = (Window.orderBy(F.col("__s").desc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = per.select(
+        "__c", "__p",
+        F.sum("__p").over(w).alias("__cp"),
+        F.sum("__c").over(w).alias("__cn"))
+    d38 = "decimal(38,0)"
+    units = F.expr(
+        "(CAST(__p AS DECIMAL(38,0)) * CAST(__cp AS DECIMAL(38,0))"
+        " * 1000000000) div __cn")
+    tot = cum.agg(
+        F.sum("__p").cast("long").alias("n_pos"),
+        F.sum(F.col("__c") - F.col("__p")).cast("long").alias("n_neg"),
+        F.sum(F.when(F.col("__p") > 0, units)).cast(d38)
+        .alias("__units"))
+    return tot.select(
+        "n_pos", "n_neg",
+        F.when(F.col("n_pos") > 0, nano_release(
+            "__units div CAST(n_pos AS DECIMAL(38,0))", dp))
+        .alias("ap"))

@@ -6475,6 +6475,53 @@ def eval_roc_auc(spark, sf_dir):
         F.col("event_type").isin("purchase", "signup"))
 
 
+_AVG_PRECISION_ORACLE = """
+WITH b AS (SELECT value AS s,
+    event_type IN ('purchase', 'signup') AS y
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    AND NOT isnan(value)),
+per AS (SELECT s, CAST(COUNT(*) AS HUGEINT) AS c,
+    CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS HUGEINT) AS p
+  FROM b GROUP BY 1),
+cum AS (SELECT c, p,
+    SUM(p) OVER (ORDER BY s DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+    SUM(c) OVER (ORDER BY s DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn
+  FROM per),
+tot AS (SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+    CAST(SUM(c - p) AS BIGINT) AS n_neg,
+    SUM(CASE WHEN p > 0
+             THEN (p * cp * 1000000000) // cn END) AS units
+  FROM cum)
+SELECT n_pos, n_neg,
+  CASE WHEN n_pos > 0
+       THEN CAST((units // n_pos + 500) // 1000 AS DOUBLE)
+            / 1000000.0 END AS ap
+FROM tot
+"""
+
+
+@query("eval_average_precision", oracle=_AVG_PRECISION_ORACLE)
+def eval_average_precision(spark, sf_dir):
+    """Average precision (`average_precision`,
+    operators/evaluation.py; the sklearn step-interpolation
+    definition) — the threshold-free PR-curve area beside
+    `eval_roc_auc`'s ROC rank form, ties collapsed to one operating
+    point per distinct score: AP = (1/P)·Σ p_s·cp_s/cn_s with every
+    term an exact integer floor division to nano units (no double
+    before the shared half-up release). Same fixture as the AUC
+    gate (event value scores vs conversion labels) so the two
+    scorecards are directly comparable. The oracle replays the
+    integer algebra verbatim with HUGEINT //."""
+    from ..operators.evaluation import average_precision
+
+    ev = load(spark, sf_dir, "events")
+    return average_precision(
+        ev, F.col("value"),
+        F.col("event_type").isin("purchase", "signup"))
+
+
 _PROB_SCORES_ORACLE = """
 WITH b AS (SELECT value - floor(value) AS p,
     event_type IN ('purchase', 'signup') AS y

@@ -8556,6 +8556,41 @@ def test_forecast_accuracy_hand_cases(spark):
     assert z["smape"] == 2.0
 
 
+def test_average_precision_hand_cases(spark):
+    """Hand-computed AP (sklearn step definition): labels [1,0,1,1]
+    at descending scores read (1 + 2/3 + 3/4)/3 = 0.805556 through
+    the integer ladder; a perfect ranking reads 1.0; an all-tied
+    score pair (one pos, one neg) reads 0.5 (one operating point);
+    no positives releases NULL; NaN scores drop."""
+    from puffbird_spark.operators.evaluation import average_precision
+
+    mixed = spark.createDataFrame(
+        [(4.0, 1), (3.0, 0), (2.0, 1), (1.0, 1)],
+        "s double, y int")
+    r = average_precision(mixed, "s", "y").collect()[0]
+    assert (r["n_pos"], r["n_neg"]) == (3, 1)
+    assert r["ap"] == 0.805556
+
+    perfect = spark.createDataFrame(
+        [(4.0, 1), (3.0, 1), (2.0, 0), (1.0, 0)],
+        "s double, y int")
+    assert average_precision(
+        perfect, "s", "y").collect()[0]["ap"] == 1.0
+
+    tied = spark.createDataFrame(
+        [(1.0, 1), (1.0, 0)], "s double, y int")
+    assert average_precision(tied, "s", "y").collect()[0]["ap"] == 0.5
+
+    neg = spark.createDataFrame(
+        [(1.0, 0), (2.0, 0)], "s double, y int")
+    assert average_precision(neg, "s", "y").collect()[0]["ap"] is None
+
+    nan = spark.createDataFrame(
+        [(float("nan"), 1), (2.0, 1)], "s double, y int")
+    nr = average_precision(nan, "s", "y").collect()[0]
+    assert nr["n_pos"] == 1 and nr["ap"] == 1.0
+
+
 def test_autocorrelation_hand_cases(spark):
     """Hand-computed ACF over [1,2,3,4] (mean 2.5, den 5): r1 = 1.25/5
     = 0.25, r2 = -1.5/5 = -0.3, r3 = -2.25/5 = -0.45; a constant
