@@ -324,3 +324,166 @@ def dp_quantiles(
                 * (F.lit(hi_f) - F.lit(lo_f)) / F.lit(float(nb)),
                 round_dp).alias("value"))
     )
+
+
+def t_closeness_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t: float = 0.2,
+) -> DataFrame:
+    """t-closeness release audit (Li, Li & Venkatasubramanian, ICDE
+    2007) — the distributional strengthening of (k, l)-anonymity
+    (:func:`k_anonymity_audit`): a class can be l-diverse yet still
+    leak when its sensitive DISTRIBUTION diverges from the table's
+    (the paper's salary-skew example). Per equivalence class, BOTH
+    of the paper's distances between the class distribution p and
+    the global q:
+
+    - ``t_nominal`` — variational distance ½·Σ_v |p_v − q_v| (the
+      categorical form);
+    - ``t_emd``    — ordered Earth-Mover's distance
+      (1/(m−1))·Σ_j |Σ_{v≤j}(p_v − q_v)| over the ``m`` global
+      sensitive values sorted ascending (the numeric/ordinal form);
+      NULL when m < 2.
+
+    EXACT integer arithmetic throughout: with class counts c_v
+    (size n_g) and global counts C_v (total N), every per-value
+    deviation clears denominators to d_v = c_v·N − C_v·n_g — an
+    integer — so Σ|d_v| and Σ|cumsum d_v| pool exactly in
+    decimal(38,0) and each release is ONE raw-double division
+    (deliberately unrounded — identical IEEE on any engine, the
+    `p_adjust` convention): t_nominal = Σ|d|/(2·n_g·N), t_emd =
+    Σ|cum d|/(n_g·N·(m−1)).
+
+    NULL sensitive values are excluded everywhere (a missing label
+    is not a category). Scale shape: one class agg + one cell agg +
+    one value agg over the data, then a class × ALPHABET grid via a
+    broadcast of the global value table (the sensitive alphabet is
+    category-bounded BY CONTRACT — audit-grain metadata, never
+    data-sized; the cumulative EMD window partitions BY CLASS).
+    Returns one row per class: ``(quasi_cols..., class_size,
+    t_nominal, t_emd, t_violation)`` — the flag tests
+    ``t_nominal > t``."""
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        *quasi_cols, F.col(sensitive_col).alias("__v")
+    ).filter(F.col("__v").isNotNull())
+    # NULL quasi-identifier values drop too: the class-grid equi-join
+    # below can never match a NULL key (SQL NULL != NULL), so a
+    # NULL-keyed class would silently read c_v = 0 everywhere —
+    # exclude loud-by-contract rather than release wrong distances
+    for q in quasi_cols:
+        base = base.filter(F.col(q).isNotNull())
+    d38 = "decimal(38,0)"
+    cls = base.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("class_size"))
+    cell = base.groupBy(*quasi_cols, "__v").agg(
+        F.count(F.lit(1)).cast("long").alias("__c"))
+    glob = base.groupBy("__v").agg(
+        F.count(F.lit(1)).cast("long").alias("__g"))
+    tot = glob.agg(
+        F.sum("__g").cast("long").alias("__N"),
+        F.count(F.lit(1)).cast("long").alias("__m"))
+    grid = (
+        cls.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(tot))
+        .join(cell, [*quasi_cols, "__v"], "left")
+        .withColumn("__c", F.coalesce(F.col("__c"), F.lit(0))))
+    dev = (F.col("__c").cast(d38) * F.col("__N").cast(d38)
+           - F.col("__g").cast(d38)
+           * F.col("class_size").cast(d38)).cast(d38)
+    w = (Window.partitionBy(*quasi_cols).orderBy("__v")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    g2 = grid.withColumn("__d", dev).withColumn(
+        "__cum", F.sum("__d").over(w).cast(d38))
+    agg = g2.groupBy(*quasi_cols).agg(
+        F.max("class_size").alias("class_size"),
+        F.max("__N").alias("__N"), F.max("__m").alias("__m"),
+        F.sum(F.abs(F.col("__d"))).cast(d38).alias("__sad"),
+        F.sum(F.abs(F.col("__cum"))).cast(d38).alias("__sac"))
+    ng = F.col("class_size").cast("double")
+    nn = F.col("__N").cast("double")
+    m = F.col("__m")
+    t_nom = F.col("__sad").cast("double") / (2.0 * ng * nn)
+    t_emd = F.when(
+        m >= 2,
+        F.col("__sac").cast("double")
+        / (ng * nn * (m - 1).cast("double")))
+    return agg.select(
+        *quasi_cols, "class_size",
+        t_nom.alias("t_nominal"), t_emd.alias("t_emd"),
+        (t_nom > F.lit(float(t))).alias("t_violation"))
+
+
+def entropy_l_diversity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    ell: float = 2.0,
+    dp: int = 6,
+) -> DataFrame:
+    """Entropy l-diversity audit (Machanavajjhala et al. 2007 §3) —
+    the strengthening of DISTINCT l-diversity already flagged by
+    :func:`k_anonymity_audit`: a class with l distinct values still
+    leaks when one value dominates; entropy l-diversity requires
+    the class entropy to reach ln(l)::
+
+        H(class) = ln(n_g) − (1/n_g)·Σ_v c_v·ln(c_v)  ≥  ln(ell)
+
+    Determinism — the nano-unit ladder end to end: the only
+    transcendental is ln of INTEGER COUNTS (identical IEEE doubles
+    on any libm), floored to nano units ``lnu = floor(ln(c)·1e9)``;
+    the products ``c·lnu`` pool as exact decimal(38,0); the class
+    mean is an integer ``div``; H_nano = floor(ln(n_g)·1e9) − mean,
+    clamped at 0 (entropy is non-negative; the two independent
+    floors can land the difference at −1, and a negative operand
+    would split Spark's truncating ``div`` from a floor ``//``);
+    the release is the shared pure-integer HALF_UP step and the
+    violation flag compares H_nano against the Python-side literal
+    ``floor(ln(ell)·1e9)`` — all integer, no release-grain
+    comparison.
+
+    NULL sensitive values are excluded. One cell aggregation + one
+    class aggregation. Returns one row per class: ``(quasi_cols...,
+    class_size, l_distinct, entropy, entropy_l, l_violation)`` —
+    ``entropy_l = exp(H)`` (the "effective number of values", what
+    the l in entropy l-diversity means)."""
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    import math
+
+    from . import nano_release  # noqa: F401  (release-step twin)
+
+    if not ell or ell <= 0:
+        raise ValueError("ell must be positive")
+    base = df.select(
+        *quasi_cols, F.col(sensitive_col).alias("__v")
+    ).filter(F.col("__v").isNotNull())
+    cell = base.groupBy(*quasi_cols, "__v").agg(
+        F.count(F.lit(1)).cast("long").alias("__c"))
+    d38 = "decimal(38,0)"
+    lnu = F.floor(F.log(F.col("__c").cast("double"))
+                  * F.lit(1000000000.0)).cast(d38)
+    agg = cell.groupBy(*quasi_cols).agg(
+        F.sum("__c").cast("long").alias("class_size"),
+        F.count(F.lit(1)).cast("long").alias("l_distinct"),
+        F.sum(F.col("__c").cast(d38) * lnu).cast(d38).alias("__s"))
+    hn = (
+        F.floor(F.log(F.col("class_size").cast("double"))
+                * F.lit(1000000000.0)).cast(d38)
+        - F.expr("__s div CAST(class_size AS DECIMAL(38,0))")
+        .cast(d38))
+    agg = agg.withColumn(
+        "__h", F.greatest(hn, F.lit(0).cast(d38)))
+    ln_ell_nano = math.floor(math.log(float(ell)) * 1e9)
+    ent = nano_release("__h", dp)
+    return agg.select(
+        *quasi_cols, "class_size", "l_distinct",
+        ent.alias("entropy"),
+        F.round(F.exp(ent), dp).alias("entropy_l"),
+        (F.col("__h") < F.lit(ln_ell_nano).cast(d38))
+        .alias("l_violation"))

@@ -2935,6 +2935,114 @@ def agg_listagg(spark, sf_dir):
     """)
 
 
+_T_CLOSENESS_ORACLE = """
+WITH b AS (SELECT c_nationkey AS qa, c_mktsegment AS qb,
+    c_custkey % 5 AS v FROM customer
+  WHERE c_custkey IS NOT NULL AND c_nationkey IS NOT NULL
+    AND c_mktsegment IS NOT NULL),
+cls AS (SELECT qa, qb, CAST(COUNT(*) AS BIGINT) AS cs
+  FROM b GROUP BY 1, 2),
+cell AS (SELECT qa, qb, v, COUNT(*) AS c FROM b GROUP BY 1, 2, 3),
+gv AS (SELECT v, COUNT(*) AS g FROM b GROUP BY 1),
+tot AS (SELECT SUM(g) AS N, COUNT(*) AS m FROM gv),
+grid AS (SELECT cls.qa, cls.qb, cls.cs, gv.v, gv.g,
+    tot.N, tot.m, COALESCE(cell.c, 0) AS c
+  FROM cls CROSS JOIN gv CROSS JOIN tot
+  LEFT JOIN cell ON cell.qa = cls.qa AND cell.qb = cls.qb
+    AND cell.v = gv.v),
+g2 AS (SELECT *, CAST(c AS HUGEINT) * N
+    - CAST(g AS HUGEINT) * cs AS d FROM grid),
+g3 AS (SELECT *, SUM(d) OVER (PARTITION BY qa, qb ORDER BY v
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM g2),
+a AS (SELECT qa, qb, MAX(cs) AS cs, MAX(N) AS N, MAX(m) AS m,
+    SUM(abs(d)) AS sad, SUM(abs(cum)) AS sac
+  FROM g3 GROUP BY 1, 2)
+SELECT qa AS c_nationkey, qb AS c_mktsegment, cs AS class_size,
+  CAST(sad AS DOUBLE)
+    / (2 * CAST(cs AS DOUBLE) * CAST(N AS DOUBLE)) AS t_nominal,
+  CASE WHEN m >= 2 THEN CAST(sac AS DOUBLE)
+       / (CAST(cs AS DOUBLE) * CAST(N AS DOUBLE)
+          * CAST(m - 1 AS DOUBLE)) END AS t_emd,
+  CAST(sad AS DOUBLE)
+    / (2 * CAST(cs AS DOUBLE) * CAST(N AS DOUBLE)) > 0.05
+    AS t_violation
+FROM a
+"""
+
+
+@query("privacy_t_closeness", oracle=_T_CLOSENESS_ORACLE)
+def privacy_t_closeness(spark, sf_dir):
+    """t-closeness release audit (`t_closeness_audit`,
+    operators/privacy.py; Li, Li & Venkatasubramanian ICDE 2007) —
+    the distributional strengthening beside `privacy_k_anonymity`:
+    per (nation, segment) class BOTH paper distances of the
+    sensitive distribution from the table's — variational distance
+    and ordered EMD — with every per-value deviation cleared to the
+    exact integer c_v·N − C_v·n_g (decimal pools, raw-double
+    unrounded releases). Class × alphabet grid via a broadcast of
+    the 5-value global table. The oracle replays the grid, both
+    absolute-deviation sums, and the divisions verbatim."""
+    from ..operators.privacy import t_closeness_audit
+
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_custkey").isNotNull()).select(
+        "c_nationkey", "c_mktsegment",
+        (F.col("c_custkey") % 5).alias("sens"))
+    return t_closeness_audit(
+        cust, ["c_nationkey", "c_mktsegment"], "sens", t=0.05)
+
+
+_ENTROPY_L_ORACLE = """
+WITH b AS (SELECT c_nationkey AS qa, c_mktsegment AS qb,
+    c_custkey % 5 AS v FROM customer
+  WHERE c_custkey IS NOT NULL),
+cell AS (SELECT qa, qb, v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM b GROUP BY 1, 2, 3),
+u AS (SELECT qa, qb, v, c,
+    CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000000) AS HUGEINT)
+      AS lnu FROM cell),
+a AS (SELECT qa, qb, CAST(SUM(c) AS BIGINT) AS cs,
+    CAST(COUNT(*) AS BIGINT) AS l_distinct,
+    SUM(CAST(c AS HUGEINT) * lnu) AS s
+  FROM u GROUP BY 1, 2),
+h AS (SELECT qa, qb, cs, l_distinct,
+    greatest(CAST(floor(ln(CAST(cs AS DOUBLE)) * 1000000000)
+               AS HUGEINT) - s // cs, 0) AS hn
+  FROM a),
+r AS (SELECT qa, qb, cs, l_distinct, hn,
+    CAST((hn + 500) // 1000 AS DOUBLE) / 1000000.0 AS ent
+  FROM h)
+SELECT qa AS c_nationkey, qb AS c_mktsegment, cs AS class_size,
+  l_distinct, ent AS entropy,
+  round(exp(ent), 6) AS entropy_l,
+  hn < 693147180 AS l_violation
+FROM r
+"""
+
+
+@query("privacy_entropy_l_diversity", oracle=_ENTROPY_L_ORACLE)
+def privacy_entropy_l_diversity(spark, sf_dir):
+    """Entropy l-diversity audit (`entropy_l_diversity_audit`,
+    operators/privacy.py; Machanavajjhala et al. 2007 §3) — the
+    value-skew strengthening of the distinct-l flag in
+    `privacy_k_anonymity`: per-class Shannon entropy of the
+    sensitive distribution through the all-integer nano ladder (ln
+    only of integer counts, floored to nano units; exact
+    decimal(38,0) pools; integer div mean; clamped non-negative;
+    pure-integer HALF_UP release; the ell=2 threshold compares as
+    the integer literal floor(ln 2·1e9) = 693147180). The oracle
+    replays every floor and division verbatim in HUGEINT."""
+    from ..operators.privacy import entropy_l_diversity_audit
+
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_custkey").isNotNull()).select(
+        "c_nationkey", "c_mktsegment",
+        (F.col("c_custkey") % 5).alias("sens"))
+    return entropy_l_diversity_audit(
+        cust, ["c_nationkey", "c_mktsegment"], "sens", ell=2.0)
+
+
 @query("privacy_k_anonymity", oracle="""
 WITH g AS (SELECT c_nationkey, c_mktsegment,
                   CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,

@@ -8591,6 +8591,65 @@ def test_average_precision_hand_cases(spark):
     assert nr["n_pos"] == 1 and nr["ap"] == 1.0
 
 
+def test_t_closeness_hand_cases(spark):
+    """Hand-computed t-closeness: with global {A:6, B:2}, the pure-A
+    class of 4 reads t_nominal = 16/(2·4·8) = 0.25 and (A<B ordered)
+    t_emd = 8/(4·8·1) = 0.25; a class matching the global mix
+    exactly reads 0 on both; NULL sensitive and NULL QI rows drop."""
+    from puffbird_spark.operators.privacy import t_closeness_audit
+
+    rows = ([("x", "A")] * 4
+            + [("y", "A")] * 2 + [("y", "B")] * 2)
+    out = {r["q"]: r for r in t_closeness_audit(
+        spark.createDataFrame(rows, "q string, v string"),
+        ["q"], "v", t=0.2).collect()}
+    assert out["x"]["t_nominal"] == 0.25
+    assert out["x"]["t_emd"] == 0.25
+    assert out["x"]["t_violation"] is True
+    assert out["y"]["t_nominal"] == 0.25  # {2,2} vs global {6,2}
+
+    match = ([("x", "A")] * 3 + [("x", "B")]
+             + [("y", "A")] * 3 + [("y", "B")])
+    m = {r["q"]: r for r in t_closeness_audit(
+        spark.createDataFrame(match, "q string, v string"),
+        ["q"], "v").collect()}
+    assert m["x"]["t_nominal"] == 0.0 and m["x"]["t_emd"] == 0.0
+    assert m["x"]["t_violation"] is False
+
+    nulls = [("x", "A"), ("x", None), (None, "A"), ("y", "A")]
+    n = t_closeness_audit(
+        spark.createDataFrame(nulls, "q string, v string"),
+        ["q"], "v").collect()
+    assert sorted((r["q"], r["class_size"]) for r in n) == [
+        ("x", 1), ("y", 1)]
+
+
+def test_entropy_l_diversity_hand_cases(spark):
+    """Hand-computed entropy l-diversity through the integer nano
+    ladder: a balanced 2-value class of 4 reads entropy 0.693147
+    (≥ ln 2 → no violation, the boundary case the integer compare
+    settles); the skewed {3,1} class reads 0.562335 and violates;
+    a single-value class reads 0 / effective-l 1.0 / violates."""
+    from puffbird_spark.operators.privacy import (
+        entropy_l_diversity_audit)
+
+    rows = ([("b", "u")] * 2 + [("b", "w")] * 2
+            + [("s", "u")] * 3 + [("s", "w")]
+            + [("o", "u")] * 4)
+    out = {r["q"]: r for r in entropy_l_diversity_audit(
+        spark.createDataFrame(rows, "q string, v string"),
+        ["q"], "v", ell=2.0).collect()}
+    b = out["b"]
+    assert b["entropy"] == 0.693147 and b["l_violation"] is False
+    assert b["entropy_l"] == 2.0
+    s = out["s"]
+    assert s["entropy"] == 0.562335 and s["l_violation"] is True
+    o = out["o"]
+    assert (o["entropy"], o["entropy_l"], o["l_distinct"]) == (
+        0.0, 1.0, 1)
+    assert o["l_violation"] is True
+
+
 def test_autocorrelation_hand_cases(spark):
     """Hand-computed ACF over [1,2,3,4] (mean 2.5, den 5): r1 = 1.25/5
     = 0.25, r2 = -1.5/5 = -0.3, r3 = -2.25/5 = -0.45; a constant
