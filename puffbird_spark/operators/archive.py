@@ -32,6 +32,7 @@ __all__ = [
     "crc32c", "list_tfrecords", "encode_tfrecords", "tfrecord_stats",
     "parse_proto_fields", "encode_proto_message", "proto_stats",
     "list_avro_blocks", "encode_avro_ocf", "avro_stats",
+    "parse_msgpack", "encode_msgpack_doc", "msgpack_stats",
 ]
 
 _EOCD_SIG = b"PK\x05\x06"
@@ -793,3 +794,244 @@ def avro_stats(
 
     return df.select(path_col, content_col).mapInPandas(
         kernel, AVRO_STATS_SCHEMA)
+
+
+def parse_msgpack(blob: bytes, max_depth: int = 32):
+    """Structural walk of ONE MessagePack object (the msgpack spec,
+    all format families) — the schema-free decode for the other
+    binary record format TFRecord-adjacent pipelines actually ship.
+    Returns a census dict::
+
+        n_items   every token (values AND map keys)
+        n_ints    int family (fixint ±, uint8-64, int8-64), with
+        int_sum   their exact integer sum
+        n_strs    str family (fixstr, str8/16/32), with
+        str_bytes_sum  the sum of their raw UTF-8 bytes
+        n_bins / bin_bytes_sum    bin8/16/32 likewise
+        n_floats  float32/64 (counted, never summed — the float
+                  policy keeps transcendental payloads out of
+                  released integers)
+        n_bools / n_nils / n_exts
+        n_arrays / n_maps          container headers
+        depth     maximum nesting reached
+
+    Corruption is loud: truncation mid-token, the never-used 0xc1
+    byte, trailing bytes after the root object, and nesting past
+    ``max_depth`` all raise ValueError (the record-walker fence
+    family). Ext types (fixext1-16, ext8/16/32) are structurally
+    consumed and counted — their payloads are application-defined,
+    not corruption."""
+    b = bytes(blob) if blob is not None else b""
+    st = {
+        "n_items": 0, "n_ints": 0, "int_sum": 0,
+        "n_strs": 0, "str_bytes_sum": 0,
+        "n_bins": 0, "bin_bytes_sum": 0,
+        "n_floats": 0, "n_bools": 0, "n_nils": 0, "n_exts": 0,
+        "n_arrays": 0, "n_maps": 0, "depth": 0,
+    }
+
+    def need(at: int, n: int) -> None:
+        if at + n > len(b):
+            raise ValueError("not msgpack: truncated")
+
+    def be(at: int, n: int) -> int:
+        need(at, n)
+        return int.from_bytes(b[at:at + n], "big")
+
+    def walk(at: int, depth: int) -> int:
+        if depth > max_depth:
+            raise ValueError(
+                f"not msgpack: nesting past {max_depth}")
+        st["depth"] = max(st["depth"], depth)
+        need(at, 1)
+        t = b[at]
+        at += 1
+        st["n_items"] += 1
+
+        def take_int(v: int) -> int:
+            st["n_ints"] += 1
+            st["int_sum"] += v
+            return at
+
+        def take_str(ln: int, a: int) -> int:
+            need(a, ln)
+            st["n_strs"] += 1
+            st["str_bytes_sum"] += sum(b[a:a + ln])
+            return a + ln
+
+        def take_bin(ln: int, a: int) -> int:
+            need(a, ln)
+            st["n_bins"] += 1
+            st["bin_bytes_sum"] += sum(b[a:a + ln])
+            return a + ln
+
+        def take_seq(n: int, a: int, pairs: bool) -> int:
+            for _ in range(n * (2 if pairs else 1)):
+                a = walk(a, depth + 1)
+            return a
+
+        if t <= 0x7F:                              # positive fixint
+            return take_int(t)
+        if 0x80 <= t <= 0x8F:                      # fixmap
+            st["n_maps"] += 1
+            return take_seq(t & 0x0F, at, True)
+        if 0x90 <= t <= 0x9F:                      # fixarray
+            st["n_arrays"] += 1
+            return take_seq(t & 0x0F, at, False)
+        if 0xA0 <= t <= 0xBF:                      # fixstr
+            return take_str(t & 0x1F, at)
+        if t == 0xC0:
+            st["n_nils"] += 1
+            return at
+        if t == 0xC1:
+            raise ValueError("not msgpack: reserved byte 0xc1")
+        if t in (0xC2, 0xC3):
+            st["n_bools"] += 1
+            return at
+        if t in (0xC4, 0xC5, 0xC6):                # bin8/16/32
+            n = 1 << (t - 0xC4)
+            ln = be(at, n)
+            return take_bin(ln, at + n)
+        if t in (0xC7, 0xC8, 0xC9):                # ext8/16/32
+            n = 1 << (t - 0xC7)
+            ln = be(at, n)
+            need(at + n, 1 + ln)                   # type byte + data
+            st["n_exts"] += 1
+            return at + n + 1 + ln
+        if t == 0xCA:
+            need(at, 4)
+            st["n_floats"] += 1
+            return at + 4
+        if t == 0xCB:
+            need(at, 8)
+            st["n_floats"] += 1
+            return at + 8
+        if t in (0xCC, 0xCD, 0xCE, 0xCF):          # uint8-64
+            n = 1 << (t - 0xCC)
+            v = be(at, n)
+            at += n
+            return take_int(v)
+        if t in (0xD0, 0xD1, 0xD2, 0xD3):          # int8-64
+            n = 1 << (t - 0xD0)
+            v = be(at, n)
+            at += n
+            if v >= 1 << (8 * n - 1):
+                v -= 1 << (8 * n)
+            return take_int(v)
+        if t in (0xD4, 0xD5, 0xD6, 0xD7, 0xD8):    # fixext1-16
+            ln = 1 << (t - 0xD4)
+            need(at, 1 + ln)
+            st["n_exts"] += 1
+            return at + 1 + ln
+        if t in (0xD9, 0xDA, 0xDB):                # str8/16/32
+            n = 1 << (t - 0xD9)
+            ln = be(at, n)
+            return take_str(ln, at + n)
+        if t in (0xDC, 0xDD):                      # array16/32
+            n = 2 << (t - 0xDC)
+            cnt = be(at, n)
+            st["n_arrays"] += 1
+            return take_seq(cnt, at + n, False)
+        if t in (0xDE, 0xDF):                      # map16/32
+            n = 2 << (t - 0xDE)
+            cnt = be(at, n)
+            st["n_maps"] += 1
+            return take_seq(cnt, at + n, True)
+        # 0xE0-0xFF negative fixint
+        return take_int(t - 0x100)
+
+    if not b:
+        raise ValueError("not msgpack: empty")
+    end = walk(0, 1)
+    if end != len(b):
+        raise ValueError(
+            f"not msgpack: {len(b) - end} trailing bytes after root")
+    return st
+
+
+def encode_msgpack_doc(doc_id: int) -> bytes:
+    """Deterministic MessagePack fixture covering every released
+    family: a fixmap of 9 single-char keys holding a positive
+    fixint, a uint16 (always multi-byte), a NEGATIVE int8, a uint64
+    above 2³², a str8 of ascii letters, a bin8, a nested fixarray
+    of fixints, nil-or-true, and a float64 — all parameterized by
+    ``s = doc_id % 997`` with closed-form sums."""
+    s = int(doc_id) % 997
+    out = bytearray()
+    out.append(0x89)                               # fixmap, 9 pairs
+
+    def key(ch: str) -> None:
+        out.append(0xA1)
+        out.extend(ch.encode())
+
+    key("a")
+    out.append(s % 128)                            # pos fixint
+    key("b")
+    out += bytes([0xCD]) + (256 + (3 * s) % 60000).to_bytes(2, "big")
+    key("c")
+    out += bytes([0xD0, (256 - 1 - (s % 32)) & 0xFF])   # int8 < 0
+    key("d")
+    out += bytes([0xCF]) + ((1 << 32) + s).to_bytes(8, "big")
+    key("e")
+    sl = 32 + s % 16
+    out += bytes([0xD9, sl])
+    out += bytes(97 + (s + 5 * i) % 26 for i in range(sl))
+    key("f")
+    bl = 8 + s % 8
+    out += bytes([0xC4, bl])
+    out += bytes((s + 7 * i) % 251 for i in range(bl))
+    key("g")
+    al = 2 + s % 3
+    out.append(0x90 | al)
+    out += bytes((7 * j + s) % 128 for j in range(al))
+    key("h")
+    out.append(0xC0 if s % 2 == 0 else 0xC3)
+    key("i")
+    out += bytes([0xCB]) + struct.pack(">d", 0.5 + s)
+    return bytes(out)
+
+
+MSGPACK_STATS_SCHEMA = (
+    "path string, n_items int, n_ints int, int_sum long, "
+    "n_strs int, str_bytes_sum long, n_bins int, bin_bytes_sum long, "
+    "n_floats int, n_bools int, n_nils int, n_exts int, "
+    "n_arrays int, n_maps int, depth int"
+)
+
+
+def msgpack_stats(
+    df: DataFrame,
+    content_col: str = "content",
+    path_col: str = "path",
+    batch_size: int = 128,
+) -> DataFrame:
+    """Per-blob structural census over MessagePack objects — the
+    :func:`proto_stats` shape: Arrow ``mapInPandas``, zero shuffle,
+    corrupt blobs skipped via the shared DECODE_ERRORS contract."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "path", "n_items", "n_ints", "int_sum", "n_strs",
+            "str_bytes_sum", "n_bins", "bin_bytes_sum", "n_floats",
+            "n_bools", "n_nils", "n_exts", "n_arrays", "n_maps",
+            "depth"]
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start:start + batch_size]
+                rows = []
+                for path, blob in zip(
+                    chunk[path_col].astype(str), chunk[content_col]
+                ):
+                    if blob is None:
+                        continue
+                    try:
+                        st = parse_msgpack(bytes(blob))
+                    except DECODE_ERRORS:
+                        continue
+                    st = dict(st)
+                    st["path"] = path
+                    rows.append(st)
+                yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(path_col, content_col).mapInPandas(
+        kernel, MSGPACK_STATS_SCHEMA)

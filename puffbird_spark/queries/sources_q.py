@@ -3686,6 +3686,61 @@ def source_tfrecords(spark, sf_dir):
     return tfrecord_stats(docs)
 
 
+@query("source_msgpack_fields", oracle="""
+WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS path,
+    doc_id % 997 AS s FROM documents),
+p AS (SELECT path, s, 2 + s % 3 AS al, 32 + s % 16 AS sl,
+    8 + s % 8 AS bl FROM d),
+arr AS (SELECT path, SUM((7 * j + s) % 128) AS asum
+  FROM (SELECT path, s, unnest(range(al)) AS j FROM p) GROUP BY 1),
+st AS (SELECT path, SUM(97 + (s + 5 * i) % 26) AS ssum
+  FROM (SELECT path, s, unnest(range(sl)) AS i FROM p) GROUP BY 1),
+bn AS (SELECT path, SUM((s + 7 * i) % 251) AS bsum
+  FROM (SELECT path, s, unnest(range(bl)) AS i FROM p) GROUP BY 1)
+SELECT p.path,
+  CAST(19 + p.al AS INT) AS n_items,
+  CAST(4 + p.al AS INT) AS n_ints,
+  CAST((p.s % 128) + (256 + (3 * p.s) % 60000) + (-1 - (p.s % 32))
+       + (4294967296 + p.s) + arr.asum AS BIGINT) AS int_sum,
+  CAST(10 AS INT) AS n_strs,
+  CAST(909 + st.ssum AS BIGINT) AS str_bytes_sum,
+  CAST(1 AS INT) AS n_bins,
+  CAST(bn.bsum AS BIGINT) AS bin_bytes_sum,
+  CAST(1 AS INT) AS n_floats,
+  CAST(p.s % 2 AS INT) AS n_bools,
+  CAST(1 - p.s % 2 AS INT) AS n_nils,
+  CAST(0 AS INT) AS n_exts,
+  CAST(1 AS INT) AS n_arrays,
+  CAST(1 AS INT) AS n_maps,
+  CAST(3 AS INT) AS depth
+FROM p JOIN arr ON p.path = arr.path
+JOIN st ON p.path = st.path JOIN bn ON p.path = bn.path
+""")
+def source_msgpack_fields(spark, sf_dir):
+    """MessagePack structural walk (`parse_msgpack` +
+    `msgpack_stats`, operators/archive.py; the msgpack spec, every
+    format family) — the schema-free census for the other compact
+    binary record format pipelines ship beside protobuf: fix/8/16/32
+    str and bin framing, multi-byte big-endian uint16/uint64 above
+    2³², SIGNED int8 two's-complement, nested containers with a
+    depth fence, nil/bool, float64 counted-never-summed (the float
+    policy), reserved-0xc1 and trailing-byte refusals. Integer,
+    string-byte, and bin-byte sums replay closed-form. Arrow
+    mapInPandas, zero shuffle."""
+    from ..operators.archive import encode_msgpack_doc, msgpack_stats
+    from ..operators.dedup import widen_parallelism
+
+    def _make(doc_id):
+        return doc_id.map(
+            lambda i: encode_msgpack_doc(int(i)))
+
+    mk = F.pandas_udf(_make, returnType="binary")
+    docs = widen_parallelism(load(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("string").alias("path"),
+        mk(F.col("doc_id")).alias("content"))
+    return msgpack_stats(docs)
+
+
 @query("source_proto_fields", oracle="""
 WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS path,
     doc_id % 997 AS s, 3 + doc_id % 6 AS nf

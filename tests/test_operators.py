@@ -9929,6 +9929,89 @@ def test_tfrecord_roundtrip_and_robustness():
             pass
 
 
+def test_msgpack_walk_roundtrip_and_robustness():
+    """MessagePack walk: the fixture census matches the hand-derived
+    closed forms (multi-byte uint16, uint64 above 2³², NEGATIVE
+    int8 two's-complement, str8/bin8 byte sums, nested fixarray at
+    depth 3, nil-vs-true parity); every hand-built family token
+    parses (array16, map16, str16, bin16, ext8, fixext4, float32,
+    int16/32/64 negatives); reserved 0xc1, truncation, trailing
+    bytes, and a 33-deep nest all raise; 300 fuzz cases stay in
+    DECODE_ERRORS."""
+    import random
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from puffbird_spark.operators.archive import (
+        encode_msgpack_doc, parse_msgpack)
+    from puffbird_spark.operators.multimodal import DECODE_ERRORS
+
+    for s in (0, 1, 31, 996):
+        st = parse_msgpack(encode_msgpack_doc(s))
+        al, sl, bl = 2 + s % 3, 32 + s % 16, 8 + s % 8
+        assert st["n_items"] == 19 + al
+        assert st["n_ints"] == 4 + al
+        assert st["int_sum"] == (
+            (s % 128) + (256 + (3 * s) % 60000) + (-1 - (s % 32))
+            + ((1 << 32) + s)
+            + sum((7 * j + s) % 128 for j in range(al)))
+        assert st["n_strs"] == 10
+        assert st["str_bytes_sum"] == (
+            sum(range(97, 106))
+            + sum(97 + (s + 5 * i) % 26 for i in range(sl)))
+        assert st["bin_bytes_sum"] == sum(
+            (s + 7 * i) % 251 for i in range(bl))
+        assert (st["n_bools"], st["n_nils"]) == (s % 2, 1 - s % 2)
+        assert st["depth"] == 3 and st["n_exts"] == 0
+
+    # every non-fix family hand-built
+    toks = parse_msgpack(
+        b"\xdc\x00\x09"                       # array16 of 9
+        + b"\xd1\xff\xfe"                     # int16 -2
+        + b"\xd2\xff\xff\xff\xfd"             # int32 -3
+        + b"\xd3" + (-4).to_bytes(8, "big", signed=True)
+        + b"\xce\x00\x01\x00\x00"             # uint32 65536
+        + b"\xca" + _struct.pack(">f", 1.5)   # float32
+        + b"\xda\x00\x03abc"                  # str16
+        + b"\xc5\x00\x02\x01\x02"             # bin16
+        + b"\xc7\x02\x07xy"                   # ext8 type 7, 2 bytes
+        + b"\xd6\x01wxyz")                    # fixext4
+    assert toks["n_ints"] == 4 and toks["int_sum"] == 65536 - 9
+    assert toks["n_exts"] == 2 and toks["n_floats"] == 1
+    assert toks["str_bytes_sum"] == ord("a") + ord("b") + ord("c")
+    assert toks["bin_bytes_sum"] == 3
+
+    with _pytest.raises(ValueError, match="reserved"):
+        parse_msgpack(b"\xc1")
+    with _pytest.raises(ValueError, match="truncated"):
+        parse_msgpack(b"\xcd\x01")
+    with _pytest.raises(ValueError, match="trailing"):
+        parse_msgpack(b"\x01\x02")
+    with _pytest.raises(ValueError, match="truncated"):
+        parse_msgpack(b"\x91")
+    with _pytest.raises(ValueError, match="nesting"):
+        parse_msgpack(b"\x91" * 33 + b"\x01")
+    with _pytest.raises(ValueError, match="empty"):
+        parse_msgpack(b"")
+
+    rng = random.Random(1414)
+    blob = encode_msgpack_doc(123)
+    for trial in range(300):
+        if trial % 2 == 0:
+            fz = bytes(rng.randrange(256)
+                       for _ in range(rng.randint(0, 80)))
+        else:
+            bb = bytearray(blob)
+            for _ in range(rng.randint(1, 5)):
+                bb[rng.randrange(len(bb))] ^= 1 << rng.randrange(8)
+            fz = bytes(bb)
+        try:
+            parse_msgpack(fz)
+        except DECODE_ERRORS:
+            pass
+
+
 def test_proto_wire_roundtrip_and_robustness():
     """Protobuf wire walk: the 7-field fixture roundtrips with
     multi-byte varint sums; field-0 tags, group wire types,
