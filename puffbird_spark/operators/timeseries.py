@@ -1498,20 +1498,32 @@ def changepoint_variance(
     return out.unionByName(short)
 
 
-def _count_inversions(a) -> int:
+def _count_inversions(a, _leaf: int = 1024) -> int:
     """Strict inversion count (pairs i < j with a[i] > a[j]) by
     divide-and-conquer with ``np.searchsorted`` cross-counts —
     O(n log² n), vectorized per level, exact integers. Ties
     contribute nothing (strict comparison), which is exactly the
-    Mann-Kendall convention."""
+    Mann-Kendall convention.
+
+    Leaves at or below ``_leaf`` elements use ONE vectorized
+    upper-triangle comparison (<= ~1 MiB of bools) instead of
+    recursing to singletons: the r14 bench profile showed the
+    recursion itself — ~2n Python frames per series, each doing a
+    tiny np.sort/searchsorted — dominating the kernel (guide §4.2:
+    hand whole batches to vectorized native code). Exactness is
+    untouched: the leaf counts the same strict pairs, and the
+    asymptotics above the leaf are unchanged."""
     import numpy as np
 
     n = len(a)
     if n < 2:
         return 0
+    if n <= _leaf:
+        return int(np.triu(a[:, None] > a[None, :], k=1).sum())
     mid = n // 2
     left, right = np.sort(a[:mid]), a[mid:]
-    inv = _count_inversions(a[:mid]) + _count_inversions(a[mid:])
+    inv = _count_inversions(a[:mid], _leaf) + _count_inversions(
+        a[mid:], _leaf)
     # for each r in right: count of l in left with l > r
     inv += int(
         (mid - np.searchsorted(left, right, side="right")).sum())
@@ -1598,19 +1610,24 @@ def mann_kendall(
     schema = (f"`{entity_col}` string, n long, s long, "
               "n_tie_pairs long, var_s double, z double")
 
-    def _one(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(onames).reset_index(drop=True)
-        xs = pdf["__x"].to_numpy(dtype="float64")
+    def _series(xs: "np.ndarray"):
+        """Exact MK stats for one ordered series (ints are exact: the
+        int64 products below are bounded by n³ ≤ 1e18 for n ≤ 1e6,
+        past which the Python-int path takes over)."""
         n = len(xs)
         inv = _count_inversions(xs)
-        _, counts = np.unique(xs, return_counts=True)
-        tie_pairs = sum(int(t) * (int(t) - 1) // 2 for t in counts)
+        counts = np.unique(xs, return_counts=True)[1]
+        if n <= 1_000_000:
+            c = counts.astype(np.int64)
+            tie_pairs = int((c * (c - 1) // 2).sum())
+            tie_var = int((c * (c - 1) * (2 * c + 5)).sum())
+        else:  # pragma: no cover — exact arbitrary-precision fallback
+            tie_pairs = sum(int(t) * (int(t) - 1) // 2 for t in counts)
+            tie_var = sum(int(t) * (int(t) - 1) * (2 * int(t) + 5)
+                          for t in counts)
         total = n * (n - 1) // 2
         s = (total - tie_pairs) - 2 * inv
-        var_num = (n * (n - 1) * (2 * n + 5)
-                   - sum(int(t) * (int(t) - 1) * (2 * int(t) + 5)
-                         for t in counts))
-        var_s = var_num / 18.0
+        var_s = (n * (n - 1) * (2 * n + 5) - tie_var) / 18.0
         if var_s > 0:
             if s > 0:
                 z = _rel((s - 1) / math.sqrt(var_s))
@@ -1620,12 +1637,62 @@ def mann_kendall(
                 z = 0.0
         else:
             z = None
-        return pd.DataFrame([{
-            entity_col: pdf["__e"].iloc[0], "n": n, "s": s,
-            "n_tie_pairs": tie_pairs, "var_s": _rel(var_s), "z": z,
-        }])
+        return n, s, tie_pairs, _rel(var_s), z
 
-    return src.groupBy("__e").applyInPandas(_one, schema)
+    def _kernel(batches):
+        """Per-partition kernel over (entity, value) rows already
+        grouped AND ordered by the JVM sort: per-series Python cost is
+        a handful of numpy calls, not a pandas-DataFrame-per-group
+        applyInPandas invocation (the r14 profile: 1,500 entities paid
+        ~3 ms each in per-group plumbing — guide §4.5, amortize per
+        task). Groups can span Arrow batches, so a carry buffer joins
+        the pieces; memory is one batch plus the largest single
+        series, same bound as the per-group shape."""
+        cols = {entity_col: [], "n": [], "s": [], "n_tie_pairs": [],
+                "var_s": [], "z": []}
+
+        def close(ent, bufs):
+            xs = bufs[0] if len(bufs) == 1 else np.concatenate(bufs)
+            n, s, tie_pairs, var_s, z = _series(xs)
+            cols[entity_col].append(ent)
+            cols["n"].append(n)
+            cols["s"].append(s)
+            cols["n_tie_pairs"].append(tie_pairs)
+            cols["var_s"].append(var_s)
+            cols["z"].append(z)
+
+        cur_e, bufs = None, []
+        open_group = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            es = pdf["__e"].to_numpy()
+            xs = pdf["__x"].to_numpy(dtype="float64")
+            cut = np.nonzero(es[1:] != es[:-1])[0] + 1
+            starts = np.concatenate(([0], cut))
+            ends = np.concatenate((cut, [len(es)]))
+            for s0, e0 in zip(starts, ends):
+                ent = es[s0]
+                if open_group and not (
+                        ent == cur_e
+                        or (ent is None and cur_e is None)):
+                    close(cur_e, bufs)
+                    bufs = []
+                cur_e, open_group = ent, True
+                bufs.append(xs[s0:e0])
+        if open_group:
+            close(cur_e, bufs)
+        yield pd.DataFrame(cols)
+
+    # one hash exchange on the entity + an in-partition sort replaces
+    # the applyInPandas group machinery; only the two columns the
+    # kernel reads cross the Python boundary (guide §4.1)
+    return (
+        src.repartition("__e")
+        .sortWithinPartitions("__e", *onames)
+        .select("__e", "__x")
+        .mapInPandas(_kernel, schema)
+    )
 
 
 def dickey_fuller(
