@@ -486,7 +486,13 @@ def _signed_plane_dots(vec, in_dim: int, planes: int, seed_str: str):
     any engine can re-derive, so SRP buckets are oracle-replayable,
     unlike RNG hyperplanes). Exact by construction: products round to
     decimal(28,12) and accumulate in decimal(38,12), so the SIGN of the
-    dot is identical on every engine and partitioning."""
+    dot is identical on every engine and partitioning.
+
+    (r14 optimization note: scaled-long and codegen-unrolled variants
+    of this fold were prototyped and measured — the interpreted-HOF
+    per-element overhead dominates either way at the driven scales and
+    the unrolled expression tree inflates first-run codegen time, so
+    the simple exact decimal fold stays; see OPTIMIZATION_r14.md.)"""
     import hashlib
 
     import numpy as np
@@ -653,18 +659,28 @@ def incremental_embedding_dedup(
         # quantize AFTER banding (codes from raw floats), BEFORE the
         # union (one representation everywhere — replay invariance)
         bb = bb.withColumn("v", sq_quantize(F.col("v"), sq_lo, sq_scale))
-    # consumed twice (probe + state union): run the plane pipeline once
-    bb = bb.localCheckpoint(eager=True)
+    # consumed twice (probe + state union): run the plane pipeline once.
+    # persist (not eager localCheckpoint): the auto-gate count below is
+    # then the ONE materializing job instead of a checkpoint job plus a
+    # count job (the r14 job-count profile: per-batch driver actions,
+    # not data volume, dominated the three-batch replay).
+    bb = bb.persist()
     all_b = state.unionByName(bb)
+    na_rows = None
     if use_arrow is None:
-        # REAL counts, not plan statistics: a checkpointed frame (and an
-        # empty caller-built state) reports a defaultSizeInBytes-class
-        # sizeInBytes, which read as "huge" and pinned the kernel to
-        # Arrow at every scale. bb is eagerly materialized and the state
-        # is checkpointed between batches, so both counts are cheap
-        # metadata-speed jobs.
+        # REAL counts, not plan statistics: a persisted/checkpointed
+        # frame (and an empty caller-built state) reports a
+        # defaultSizeInBytes-class sizeInBytes, which read as "huge"
+        # and pinned the kernel to Arrow at every scale. The batch
+        # count doubles as the persist materializer; the STATE count is
+        # threaded between calls on the returned frame (``_pbs_rows``
+        # below) — a production incremental pipeline knows its state
+        # size, and the attribute makes the replay loop know it too —
+        # falling back to one count for a state of unknown size.
         nb_rows = bb.count()
-        na_rows = nb_rows + state.count()
+        state_rows = getattr(state, "_pbs_rows", None)
+        na_rows = nb_rows + (
+            state_rows if state_rows is not None else state.count())
         # expected collisions under uniform buckets: per band, a batch
         # vector meets n_all / 2^planes bucket-mates (row counts carry a
         # bands factor each, hence the single bands divisor). The
@@ -751,6 +767,8 @@ def incremental_embedding_dedup(
         )
     survivors = batch.join(
         rejected, batch[id_col] == rejected["__rej"], "left_anti")
+    if na_rows is not None:
+        all_b._pbs_rows = na_rows  # thread state size to the next call
     return survivors, all_b
 
 
