@@ -5669,10 +5669,24 @@ def sketch_theta_setops(spark, sf_dir):
         theta_intersect_estimate, theta_sketch, theta_union)
 
     orders = load(spark, sf_dir, "orders")
-    a = orders.filter(F.col("o_orderkey") % 3 != 0)
-    b = orders.filter(F.col("o_orderkey") % 2 == 0)
-    sa = theta_sketch(a, "o_custkey", k=128).localCheckpoint(eager=True)
-    sb = theta_sketch(b, "o_custkey", k=128).localCheckpoint(eager=True)
+    # r14: both segment sketches build from ONE scan/one checkpoint —
+    # rows tag the sides they belong to and the side rides group_cols
+    # (identical retained sets: same per-key draws, same per-side k-th
+    # smallest θ; the separate-build form paid two sequential
+    # checkpoint jobs and two scans of orders). The grouped window is
+    # also partitioned by side, where the ungrouped build ran the
+    # candidate rank in a single partition.
+    tagged = orders.select(
+        "o_custkey",
+        F.explode(F.array_compact(F.array(
+            F.when(F.col("o_orderkey") % 3 != 0, F.lit("a")),
+            F.when(F.col("o_orderkey") % 2 == 0, F.lit("b")),
+        ))).alias("__side"))
+    sk = theta_sketch(
+        tagged, "o_custkey", k=128, group_cols=["__side"]
+    ).localCheckpoint(eager=True)
+    sa = sk.filter(F.col("__side") == "a").select("__u", "__key", "__theta")
+    sb = sk.filter(F.col("__side") == "b").select("__u", "__key", "__theta")
     ae = theta_estimate(sa, est_col="a_est")
     be = theta_estimate(sb, est_col="b_est")
     ue = theta_estimate(
