@@ -265,14 +265,21 @@ def semantic_dedup(
     # both sides of the self-join consume `a`; without materialization
     # the whole assignment pipeline (scan + k centroid folds + norm)
     # runs twice (the perplexity/hll lesson)
-    a = a.localCheckpoint(eager=True)
     if use_arrow is None:
         # real count, not plan statistics — a checkpointed frame's
         # sizeInBytes reads as defaultSizeInBytes-huge (the
-        # incremental_embedding_dedup lesson); the count is a
-        # metadata-speed job on the just-materialized checkpoint
+        # incremental_embedding_dedup lesson). LAZY checkpoint: the
+        # count computes every partition, so one job materializes the
+        # assignment AND returns the kernel-gate count (was checkpoint
+        # job + count job).
+        a = a.localCheckpoint(eager=False)
         n_est = a.count()
         use_arrow = (n_est * n_est) / max(k, 1) >= ARROW_MIN_PAIRS
+    else:
+        # forced kernel: no gate count to piggyback on — materialize
+        # eagerly so the HOF self-join's two branches never race to
+        # compute the assignment pipeline concurrently
+        a = a.localCheckpoint(eager=True)
     record_kernel("semantic_pairs", "arrow" if use_arrow else "hof")
     if use_arrow:
         import numpy as np

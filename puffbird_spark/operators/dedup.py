@@ -381,7 +381,16 @@ def minhash_candidate_pairs(
     # signature is packed behind a one-element explode — a Generate is an
     # optimizer fence, so the banding projections downstream reference the
     # sig ATTRIBUTE instead of re-inlining 32 transforms into each band.
-    sh = widen_parallelism(df).select(
+    # Empty-shingle filter as the CHEAP precondition (>= n tokens is one
+    # split at the scan) rather than size(hs) > 0 after the projections:
+    # the pushed-down deterministic predicate re-evaluated the ENTIRE
+    # shingle+sort+distinct+hash expression in a Filter below the Project
+    # (the guide §4.4 duplication hazard, Column form — seen as a second
+    # full shingle tree in the r14 before-plan). Row set is identical:
+    # shingles are non-empty exactly when the doc has >= n tokens.
+    sh = widen_parallelism(df).filter(
+        F.size(tokens(text_col)) >= n
+    ).select(
         F.col(id_col).alias("id"),
         shingles(tokens(text_col), n=n).alias("sh"),
     )
@@ -407,7 +416,7 @@ def minhash_candidate_pairs(
     from ..telemetry import record_kernel
 
     record_kernel("minhash_signature", "arrow" if use_arrow else "column")
-    filtered = hashed.filter(F.size("hs") > 0)
+    filtered = hashed  # scan-side token-count filter above
     if use_arrow:
         sig = filtered.select(
             "id", _signature_arrow_udf(num_hashes)(F.col("hs")).alias("sig")
@@ -785,15 +794,22 @@ def containment_pairs(
     ``id_a < id_b``, both directions 6-dp rounded, rows where either
     direction ``>= threshold``.
     """
+    # precondition filters match size(sh) > 0 exactly (word shingles are
+    # non-empty iff >= n tokens, char shingles iff >= n chars; NULL text
+    # fails both) but cost one split/length at the scan instead of the
+    # pushed-down predicate re-evaluating the whole shingle expression
+    # below the projection (the minhash_candidate_pairs fix)
     if kind == "word":
         sh_expr = shingles(tokens(text_col), n=n)
+        pre = F.size(tokens(text_col)) >= n
     elif kind == "char":
         sh_expr = char_shingles(text_col, n=n)
+        pre = F.length(text_col) >= n
     else:
         raise ValueError(f"kind must be 'word' or 'char', got {kind!r}")
-    sh = widen_parallelism(df).select(
+    sh = widen_parallelism(df).filter(pre).select(
         F.col(id_col).alias("id"), sh_expr.alias("sh")
-    ).filter(F.size("sh") > 0)
+    )
     inv = sh.select(
         "id", F.explode("sh").alias("__g")
     ).withColumn("__g", F.md5("__g")).drop("sh")
@@ -851,7 +867,12 @@ def minhash_banded(
         raise ValueError(
             f"bands ({bands}) must evenly divide num_hashes ({num_hashes})")
     rows_per_band = num_hashes // bands
-    sh = widen_parallelism(df).select(
+    # cheap >= n tokens precondition, not size(hs) > 0 — see
+    # minhash_candidate_pairs: the pushed-down predicate otherwise
+    # re-evaluates the whole shingle+hash tree below the projection
+    sh = widen_parallelism(df).filter(
+        F.size(tokens(text_col)) >= n
+    ).select(
         F.col(id_col).alias("id"),
         shingles(tokens(text_col), n=n).alias("sh"),
     )
@@ -863,7 +884,7 @@ def minhash_banded(
     from ..telemetry import record_kernel
 
     record_kernel("minhash_signature", "arrow" if use_arrow else "column")
-    filtered = hashed.filter(F.size("hs") > 0)
+    filtered = hashed  # scan-side token-count filter above
     if use_arrow:
         sig = filtered.select(
             "id", _signature_arrow_udf(num_hashes)(F.col("hs")).alias("sig")

@@ -109,12 +109,18 @@ def connected_components(
                 "__old",
                 F.coalesce(F.col("__cc"), F.col("comp")).alias("comp"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        # labels only decrease, so "comp < __old" IS the change set — a
-        # filter over the materialized checkpoint, no old⋈new join
+        # labels only decrease, so "comp < __old" IS the change set.
+        # LAZY checkpoint + full count: the count computes every
+        # partition of the marked RDD, so ONE job materializes the
+        # round's labels (persisting blocks + truncating lineage,
+        # exactly like the eager form) AND returns the convergence
+        # signal — the r13 shape paid a checkpoint job plus a separate
+        # count job per round (guide §1.2: at bench SF the iterative
+        # operators are driver-job-bound, not data-bound).
         changed = new_labels.filter(
-            F.col("comp") < F.col("__old")).limit(1).count()
+            F.col("comp") < F.col("__old")).count()
         labels = new_labels.drop("__old")
         if changed == 0:
             break
@@ -450,19 +456,22 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # vertex table carries outdeg once (0 = dangling); checkpointed, reused
-    base = (
-        verts.join(outdeg, verts.vertex == outdeg.src, "left")
-        .select("vertex", F.coalesce("outdeg", F.lit(0)).alias("outdeg"))
-        .localCheckpoint(eager=True)
-    )
+    # vertex table carries outdeg once (0 = dangling). The r13 shape
+    # materialized base, then base+tel, then base+rank as THREE
+    # sequential eager checkpoints; the last two are projections of the
+    # first (n rides a broadcast one-row subquery over the checkpointed
+    # verts), so ONE materialization carries all of it — two fewer
+    # driver jobs before the first iteration (guide §1.2: job count is
+    # the setup cost at bench SF, and nothing here changes per-round
+    # work).
+    base = verts.join(outdeg, verts.vertex == outdeg.src, "left").select(
+        "vertex", F.coalesce("outdeg", F.lit(0)).alias("outdeg"))
     if seeds is None:
-        n = base.agg(F.count(F.lit(1)).alias("n"))
+        n = verts.agg(F.count(F.lit(1)).alias("n"))
         base = (
             base.crossJoin(F.broadcast(n))
             .select("vertex", "outdeg",
                     (F.lit(1.0) / F.col("n")).alias("tel"))
-            .localCheckpoint(eager=True)
         )
     else:
         seed_col = seeds.columns[0]
@@ -476,11 +485,11 @@ def pagerank(
                 "vertex", "outdeg",
                 (F.coalesce("__seed", F.lit(0)).cast("double")
                  / F.col("ns")).alias("tel"))
-            .localCheckpoint(eager=True)
         )
-    ranks = base.select(
+    base = base.select(
         "vertex", "outdeg", "tel", F.round("tel", dp).alias("rank")
     ).localCheckpoint(eager=True)
+    ranks = base
     # Order-free sums via 1e12-scaled LONG arithmetic (ADVICE r8 #4):
     # each term snaps to the nearest integer multiple of 1e-12 BEFORE the
     # keyed sum, so addition is exact integer math — partial-agg-order

@@ -64,12 +64,27 @@ def bm25_topk(
     def _tok(col):
         return TXT.tokens(col, drop_empty=drop_empty)
 
-    toks = docs.select(
-        F.col(id_col), F.explode(_tok(text_col)).alias("term"))
-    cnt = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    # per-doc length from a window over the counts — no second pass
-    cnt = cnt.withColumn(
-        "dl", F.sum("tf").over(Window.partitionBy(id_col)))
+    # ONE tokenize pass: dl (per-doc length) is just the token-array
+    # size, carried scan-side through the explode — the r13 shape paid
+    # a per-doc window for it AND re-tokenized the corpus twice more
+    # (the df branch re-derived cnt; a separate docs.agg computed
+    # total_dl). The postings materialize once; df, stats and scoring
+    # all replay from the checkpoint (guide §2.4).
+    cnt = (
+        docs.select(F.col(id_col), _tok(text_col).alias("__t"))
+        .select(
+            F.col(id_col), F.size("__t").alias("dl"),
+            F.explode("__t").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+        .localCheckpoint(eager=True)
+    )
+    n_docs = docs.count()
+    total_dl = (
+        cnt.agg(F.sum(F.col("tf").cast("long")).alias("t"))
+        .collect()[0]["t"] or 0)
+    # same IEEE double division the old crossJoin column computed
+    avgdl = (float(total_dl) / n_docs) if n_docs else 0.0
     qterms = queries.select(
         F.col(qid_col), F.explode(_tok(qtext_col)).alias("term")
     ).distinct()
@@ -79,18 +94,13 @@ def bm25_topk(
         cnt.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
         .join(F.broadcast(qvocab), "term")
     )
-    stats = docs.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(_tok(text_col))).alias("total_dl"))
     hits = (
         cnt.join(F.broadcast(qterms), "term")
         .join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(stats))
     )
-    avgdl = F.col("total_dl").cast("double") / F.col("n_docs")
     idf = F.log(
         F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        + (F.lit(n_docs) - F.col("df") + F.lit(0.5))
         / (F.col("df") + F.lit(0.5)))
     tf = F.col("tf").cast("double")
     contrib = F.round(
@@ -301,49 +311,62 @@ def bm25f_topk(
     ).distinct()
     qvocab = qterms.select("term").distinct()
 
-    weighted = None
+    # One tokenize pass per field, total. The r13 shape ran TWO per
+    # field (postings explode + a separate docs.agg(sum(size(tokens)))
+    # length pass) plus a per-doc window for dl; but dl is just the
+    # field's token count — computable scan-side from the same tokens
+    # array the explode consumes — and total_dl is Σ tf over the
+    # postings, so both falls out of the one pass (guide §2.4: don't
+    # compute what another pass already carries).
+    posts = None
     for fi, (col, w, b) in enumerate(fields):
-        toks = docs.select(
-            F.col(id_col), F.explode(_tok(col)).alias("term"))
-        cnt = toks.groupBy(id_col, "term").agg(
-            F.count(F.lit(1)).alias("tf"))
-        cnt = cnt.withColumn(
-            "dl", F.sum("tf").over(Window.partitionBy(id_col)))
-        flen = docs.agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.size(_tok(col))).alias("total_dl"))
-        avgdl = F.col("total_dl").cast("double") / F.col("n_docs")
-        wtf = F.round(
-            F.lit(float(w)) * F.col("tf").cast("double")
-            / (F.lit(1.0 - b) + F.lit(float(b)) * F.col("dl") / avgdl),
-            9).cast(dec)
-        part = (
-            cnt.crossJoin(F.broadcast(flen))
-            .select(id_col, "term", wtf.alias("__wtf"))
+        cnt = (
+            docs.select(F.col(id_col), _tok(col).alias("__t"))
+            .select(
+                F.col(id_col), F.size("__t").alias("dl"),
+                F.explode("__t").alias("term"))
+            .groupBy(id_col, "term")
+            .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+            .withColumn("__fi", F.lit(fi))
         )
-        weighted = part if weighted is None else weighted.unionByName(part)
-    combined = weighted.groupBy(id_col, "term").agg(
-        F.sum("__wtf").alias("__tf"))
-    # two consumers (df counting and scoring) would each replay every
-    # field's tokenize+agg+union — materialize the combined postings
-    # once (the bigram_counts/hll_rollup branch-replay policy; measured
-    # cost-neutral at bench SF where the corpus scan is cheap, but at
-    # scale the saved work is two full per-field tokenize passes)
-    combined = combined.localCheckpoint(eager=True)
+        posts = cnt if posts is None else posts.unionByName(cnt)
+    # materialize once: per-field stats AND both downstream consumers
+    # (df counting, scoring) replay from here, never re-tokenizing
+    posts = posts.localCheckpoint(eager=True)
+    n_docs = docs.count()
+    totals = {
+        r["__fi"]: r["t"]
+        for r in posts.groupBy("__fi").agg(
+            F.sum(F.col("tf").cast("long")).alias("t")).collect()
+    }
+    wtf = None
+    for fi, (col, w, b) in enumerate(fields):
+        # same double arithmetic as the flen crossJoin carried:
+        # avgdl = double(total_dl) / n_docs, one IEEE division
+        avgdl = (float(totals.get(fi, 0)) / n_docs) if n_docs else 0.0
+        expr = F.round(
+            F.lit(float(w)) * F.col("tf").cast("double")
+            / (F.lit(1.0 - b)
+               + F.lit(float(b)) * F.col("dl") / F.lit(avgdl)),
+            9).cast(dec)
+        wtf = expr if wtf is None else F.when(
+            F.col("__fi") == fi, expr).otherwise(wtf)
+    combined = (
+        posts.select(F.col(id_col), F.col("term"), wtf.alias("__wtf"))
+        .groupBy(id_col, "term").agg(F.sum("__wtf").alias("__tf"))
+    )
     # document-level df over the query vocabulary only, pre-broadcast
     dfreq = (
         combined.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
         .join(F.broadcast(qvocab), "term")
     )
-    ndocs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     hits = (
         combined.join(F.broadcast(qterms), "term")
         .join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(ndocs))
     )
     idf = F.log(
         F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        + (F.lit(n_docs) - F.col("df") + F.lit(0.5))
         / (F.col("df") + F.lit(0.5)))
     tff = F.col("__tf").cast("double")
     contrib = F.round(idf * tff / (F.lit(float(k1)) + tff), dp)

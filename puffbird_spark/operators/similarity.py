@@ -633,7 +633,13 @@ def ivf_topk(
     c = corpus.select(
         F.col(id_col).alias("cand_id"), as_double(vec_col).alias("cvec")
     ).withColumn(
-        "cell", _top_cells_udf(cents, 1)(F.col("cvec"))[0]
+        # asNondeterministic: the downstream equi-join on `cell` pushes
+        # an isnotnull(cell) filter below this projection, and the
+        # optimizer then evaluates the (deterministic) UDF twice — once
+        # under the filter, once in the projection (guide §4.4) — i.e.
+        # a second full-corpus Python crossing. The barrier keeps one.
+        "cell",
+        _top_cells_udf(cents, 1).asNondeterministic()(F.col("cvec"))[0]
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qvec")
@@ -811,10 +817,20 @@ def train_pq_codebooks(
         for _ in range(iters):
             d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
             assign = d2.argmin(axis=1)
-            for c in range(ksub):
-                members = sub[assign == c]
-                if len(members):
-                    cents[c] = members.mean(axis=0)
+            # grouped means via ONE stable argsort instead of ksub
+            # boolean-mask scans (8192 mask+alloc passes per training
+            # at m=8/ksub=256/iters=4 — the measured driver hotspot of
+            # the PQ gates). Bit-identical: a stable sort keeps each
+            # group's rows in original order, so np.mean sees the same
+            # array the mask produced. Empty clusters keep their
+            # previous centroid, as before.
+            order = np.argsort(assign, kind="stable")
+            sa = assign[order]
+            starts = np.flatnonzero(np.r_[True, np.diff(sa) != 0])
+            bounds = np.r_[starts, len(sa)]
+            for bi in range(len(bounds) - 1):
+                c = int(sa[bounds[bi]])
+                cents[c] = sub[order[bounds[bi]:bounds[bi + 1]]].mean(axis=0)
         books[j] = cents
     return books
 
@@ -1015,7 +1031,11 @@ def ivf_pq_topk(
         F.col(id_col).alias("cand_id"), as_double(vec_col).alias("__fv")
     ).select(
         "cand_id",
-        _top_cells_udf(cents, 1)(F.col("__fv"))[0].alias("cell"),
+        # asNondeterministic: stop the join's pushed isnotnull(cell)
+        # filter from duplicating the full-corpus cell-assignment UDF
+        # (guide §4.4 — one ArrowEvalPython instead of two).
+        _top_cells_udf(cents, 1).asNondeterministic()(
+            F.col("__fv"))[0].alias("cell"),
         _pq_decode_udf(books)(
             _pq_encode_udf(books)(F.col("__fv"))).alias("cvec"),
     )

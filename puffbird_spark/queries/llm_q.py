@@ -305,19 +305,32 @@ def _ann_recall_gate(spark, sf_dir, ann_fn, min_avg_recall: float):
         emb, queries, id_col="vec_id", vec_col="embedding", k=5,
         est_queries=10,
     ).select("query_id", "cand_id")
+    # ONE reference to the ann frame: the r13 shape fed it to BOTH the
+    # recall join and a separate n_queries agg, and Spark has no
+    # cross-branch CSE, so the entire index+probe pipeline was planned
+    # AND executed twice (guide §2.4). A full-outer join on the two
+    # tiny top-k lists carries both signals in one pass: exact-side
+    # rows drive per-query recall exactly as the old left join did,
+    # ann-side presence drives n_queries. (An eager localCheckpoint of
+    # ann also deduplicates, but serializes the ann pipeline before
+    # the exact twin instead of letting the two subtrees overlap —
+    # measured slower at bench SF and still two scheduling waves at
+    # scale.)
     ann = ann_fn(emb, queries).select("query_id", "cand_id")
-    hits = exact.join(
-        ann.withColumn("hit", F.lit(1)), ["query_id", "cand_id"], "left"
+    j = exact.withColumn("__ex", F.lit(1)).join(
+        ann.withColumn("hit", F.lit(1)), ["query_id", "cand_id"], "full"
     )
-    per_q = hits.groupBy("query_id").agg(
-        (F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.lit(5.0)).alias("recall")
+    per_q = j.groupBy("query_id").agg(
+        (F.sum(
+            F.when(F.col("__ex") == 1, F.coalesce(F.col("hit"), F.lit(0)))
+            .otherwise(F.lit(0))
+        ) / F.lit(5.0)).alias("recall"),
+        F.max(F.coalesce(F.col("hit"), F.lit(0))).alias("__ann_any"),
     )
-    n_q = ann.agg(F.countDistinct("query_id").alias("n_queries"))
-    rec = per_q.agg(
-        (F.avg("recall") >= F.lit(min_avg_recall)).alias("recall_ok")
-    )
-    return n_q.crossJoin(rec).select(
-        F.col("n_queries").cast("long").alias("n_queries"), "recall_ok"
+    return per_q.agg(
+        F.sum(F.when(F.col("__ann_any") == 1, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long").alias("n_queries"),
+        (F.avg("recall") >= F.lit(min_avg_recall)).alias("recall_ok"),
     )
 
 

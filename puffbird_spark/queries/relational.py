@@ -4553,23 +4553,26 @@ def q21_waiting_suppliers(spark, sf_dir):
         li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .filter(F.col("l_shipdate")
                 > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
-        .select("l_orderkey", "l_suppkey").distinct()
-        .localCheckpoint(eager=True))
+        .select("l_orderkey", "l_suppkey").distinct())
     multi = (
         li.groupBy("l_orderkey")
         .agg(F.count_distinct("l_suppkey").alias("__ns"))
         .filter(F.col("__ns") > 1)
         .select("l_orderkey"))
-    other_late = late.select(
-        F.col("l_orderkey").alias("__ok"),
-        F.col("l_suppkey").alias("__sk"))
+    # "no OTHER late supplier in the order" over the distinct late set
+    # is exactly "the order has ONE distinct late supplier" — a keyed
+    # aggregation, not the late-vs-late anti self-join (which cost two
+    # extra exchanges + sorts AND forced an eager checkpoint of `late`
+    # because two branches consumed it; guide §2.4). count(*) == 1 on
+    # the distinct (orderkey, suppkey) rows IS count_distinct == 1,
+    # and max(suppkey) recovers that sole supplier.
     sole = (
-        late.join(multi, "l_orderkey", "left_semi")
-        .join(
-            other_late,
-            (F.col("l_orderkey") == F.col("__ok"))
-            & (F.col("l_suppkey") != F.col("__sk")),
-            "left_anti"))
+        late.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("__nl"),
+             F.max("l_suppkey").alias("l_suppkey"))
+        .filter(F.col("__nl") == 1)
+        .select("l_orderkey", "l_suppkey")
+        .join(multi, "l_orderkey", "left_semi"))
     s = F.broadcast(load(spark, sf_dir, "supplier"))
     n = F.broadcast(load(spark, sf_dir, "nation").filter(
         F.col("n_name").isin("NATION_3", "NATION_13", "NATION_23")))

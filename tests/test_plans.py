@@ -693,13 +693,17 @@ def test_q12_inequality_stays_join_local(q):
 
 
 def test_q21_semi_and_anti_correlations(q):
-    """Q21's EXISTS / NOT-EXISTS pair must compile to one LEFT SEMI
-    (some other supplier in the order) and one LEFT ANTI (no other
-    LATE supplier) — never a per-row subquery or fan-out join."""
+    """Q21's EXISTS compiles to one LEFT SEMI (some other supplier in
+    the order); the NOT-EXISTS ("no OTHER late supplier") is the r14
+    keyed aggregation over the distinct late set (count == 1 picks the
+    sole late supplier) — never an anti SELF-join of the late set (two
+    extra exchanges + sorts) and never a per-row subquery or fan-out
+    join."""
     df = q("q21_waiting_suppliers")
     plan = P.formatted_plan(df)
     assert "LeftSemi" in plan
-    assert "LeftAnti" in plan
+    assert "LeftAnti" not in plan  # keyed agg replaced the anti self-join
+    assert "SortMergeJoin" not in plan  # broadcast/keyed shapes only
 
 
 def test_q2_aggregate_rejoin_not_subquery(q):
