@@ -38,7 +38,8 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
-    from bench import BENCH_OVERRIDES
+    from bench import (BENCH_OVERRIDES, _drop_leaked_blocks,
+                       _warm_python_workers)
     from puffbird_spark.queries import QUERIES
     from puffbird_spark.session import get_spark
     from puffbird_spark.telemetry import drain_kernels
@@ -52,6 +53,7 @@ def main() -> None:
     # same warmup as bench.py
     spark.range(1000).groupBy(F.col("id") % 7).count().count()
     spark.read.parquet(f"{args.sf_dir}/region.parquet").count()
+    _warm_python_workers(spark, int(cpus))
     try:
         la = ", ".join(f"{x:.2f}" for x in os.getloadavg())
         print(f"# loadavg at start: {la}", file=sys.stderr)
@@ -72,18 +74,21 @@ def main() -> None:
 
     for name in args.names:
         fn = BENCH_OVERRIDES.get(name) or QUERIES[name]
+        _warm_python_workers(spark, int(cpus))  # fleet keep-alive
         spark.sparkContext.setJobDescription(f"opt-measure: {name}")
         t0 = time.time()
         df = fn(spark, args.sf_dir)
         n = force(df)
         cold = time.time() - t0
         drain_kernels()
+        _drop_leaked_blocks(spark)
         samples = []
         for _ in range(args.runs):
             t0 = time.time()
             force(fn(spark, args.sf_dir))
             samples.append(time.time() - t0)
             drain_kernels()
+            _drop_leaked_blocks(spark)
         med = statistics.median(samples) if samples else float("nan")
         print(f"{name}: cold {cold:.3f}s warm {med:.3f}s "
               f"med{len(samples)} "
