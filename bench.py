@@ -372,7 +372,9 @@ def _drop_leaked_blocks(spark) -> None:
     window, so every sample still computes from the parquet inputs —
     this removes cross-query interference, it caches nothing."""
     for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-        rdd.unpersist()
+        # blocking=True: removal must COMPLETE before the next timed
+        # sample starts, or the async removal storm lands inside it
+        rdd.unpersist(True)
 
 
 def main() -> None:

@@ -1044,8 +1044,13 @@ def agg_hll_rollup(spark, sf_dir):
         F.abs(F.col("approx_distinct") - F.col("n_exact"))
         / F.col("n_exact")
     )
+    # the verifier join matches |groups| rows on each side (31 at the
+    # driven SFs, grouping-count-sized always) — broadcast the sketch
+    # side so it plans as a hash join instead of a sort-merge (null-safe
+    # equality is a valid hash key); removes 2 Exchange + 2 Sort from
+    # the plan (guide §3.1; r14)
     return exact.alias("x").join(
-        est.alias("s"),
+        F.broadcast(est.alias("s")),
         (F.col("x.level") == F.col("s.level"))
         & F.col("x.region").eqNullSafe(F.col("s.region"))
         & F.col("x.nation").eqNullSafe(F.col("s.nation")),
