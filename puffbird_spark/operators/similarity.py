@@ -1368,6 +1368,15 @@ def profile_topk_pairs_sparse(
     # input scan+agg doesn't replay per consumer (the dense twin's
     # `prof` checkpoint policy; measured 4.11s -> ~2.6s warm at sf0.1)
     c = c.localCheckpoint(eager=True)
+    # NOTE (r14, measured and REJECTED): AQE coalesces this checkpoint
+    # to bytes-sized partitions (~6 MB -> 5 at sf0.1), so the pair-join
+    # probe runs 5-wide on 32 slots — but round-robin re-widening made
+    # the query SLOWER (3.6 -> 4.1 s warm): the widen exchange is not
+    # reused across the four consumers (4 extra shuffles of c), and
+    # losing the groupBy's hash co-location cut map-side pair
+    # pre-aggregation, growing the pair shuffle 29 -> 79 MB. The
+    # narrow probe stage costs ~1.1 s wall here and disappears at
+    # scale, where the agg output exceeds advisory size x slots.
     # norms over ALL profile rows — NULL-type events are real mass
     nrm = c.groupBy("__id").agg(
         F.sqrt(F.sum(F.col("__n") * F.col("__n")).cast("double"))
