@@ -69,10 +69,22 @@ def connected_components(
     if not assume_distinct:
         edges = edges.distinct()
     edges = edges.localCheckpoint(eager=True)
+    # round-0 fold (r14, guide §2.4): starting from identity labels,
+    # the loop's first round reduces to comp = min(v, min of DIRECT
+    # neighbors) — so compute that directly as ONE keyed aggregation
+    # over the materialized edges instead of checkpointing identity
+    # labels and paying the first round's two joins + convergence
+    # count against them. (The skipped round-1 path-halving jump is
+    # label∘label over identity labels' propagation — on deep chains
+    # this can cost one extra LATE round, but near-dup components are
+    # stars/cliques that now finish in the fold itself: dedup_clusters
+    # converges in 1 loop round instead of 2 at the driven SFs.) The
+    # min-label fixpoint is unique and the loop still runs to
+    # changed == 0, so results are identical by construction.
     labels = (
-        edges.select(F.col("s").alias("v"))
-        .distinct()
-        .withColumn("comp", F.col("v"))
+        edges.groupBy("s")
+        .agg(F.least(F.col("s"), F.min("d")).alias("comp"))
+        .select(F.col("s").alias("v"), "comp")
         .localCheckpoint(eager=True)
     )
     if stats is not None:
